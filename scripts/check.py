@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Local oracle check mimicking the driver: run Verify's parquet output
+against DuckDB executing oracle_sql.json on the same sf tables, compare
+values with columns sorted by name. Usage:
+  python3 scripts/check.py <sfDir> <outDir> [name...]
+"""
+import sys, json, glob, os
+import duckdb
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for p in glob.glob(f"{sf_dir}/*.parquet"):
+        t = os.path.basename(p)[:-len(".parquet")]
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        spark_dir = f"{out_dir}/{name}"
+        if not os.path.isdir(spark_dir):
+            print(f"FAIL {name}: no spark output dir")
+            n_bad += 1
+            continue
+        try:
+            got = con.sql(
+                f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").df()
+            want = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_bad += 1
+            continue
+        got = got[sorted(got.columns)]
+        want = want[sorted(want.columns)]
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+            n_bad += 1
+            continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            n_bad += 1
+            continue
+        bad_cols = []
+        import pandas as pd
+        for c in got.columns:
+            a = got[c].reset_index(drop=True)
+            b = want[c].reset_index(drop=True)
+            try:
+                both_null = a.isna() & b.isna()
+                eq = (a == b) | both_null
+                if not eq.all():
+                    i = int((~eq).idxmax())
+                    bad_cols.append(f"{c}[row {i}]: {a.iloc[i]!r} != {b.iloc[i]!r}")
+            except Exception as e:
+                bad_cols.append(f"{c}: compare error {e}")
+        if bad_cols:
+            print(f"FAIL {name}: {'; '.join(bad_cols[:4])}")
+            n_bad += 1
+        else:
+            print(f"ok   {name} ({len(got)} rows, {len(got.columns)} cols)")
+            n_ok += 1
+    print(f"== {n_ok} ok, {n_bad} bad ==")
+    sys.exit(1 if n_bad else 0)
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One oracle-checked engine query: a Spark plan builder plus (when the
+  * semantics are SQL-expressible) an equivalent DuckDB SQL string the
+  * driver runs on the same parquet tables and hash-compares.
+  *
+  * Determinism contract (driver compares values after sorting columns
+  * by NAME): every query ends in a total ORDER BY, aliases every
+  * computed column identically on both sides, and "rounds" doubles via
+  * `floor(x*K + 0.5)/K` — plain IEEE double ops that evaluate
+  * bit-identically in Spark and DuckDB (unlike `round`, whose
+  * half-case/decimal semantics differ between the two engines).
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    /** headline benchmark query (run by Bench) */
+    bench: Boolean = false)
+
+object Fx {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** Cross-engine-stable double rounding: floor(x*K+0.5)/K. */
+  def roundAt(c: Column, k: Long): Column = floor(c * k + lit(0.5)) / k
+  def r2(c: Column): Column = roundAt(c, 100L)
+  def r4(c: Column): Column = roundAt(c, 10000L)
+  def r6(c: Column): Column = roundAt(c, 1000000L)
+
+  /** Same helper for the DuckDB oracle side. */
+  def sqlR(expr: String, k: Long): String = s"floor(($expr) * $k + 0.5) / $k"
+  def sqlR2(e: String): String = sqlR(e, 100L)
+  def sqlR4(e: String): String = sqlR(e, 10000L)
+  def sqlR6(e: String): String = sqlR(e, 1000000L)
+
+  // ---- grid-first deterministic aggregates ----------------------------
+  // Sums of p-decimal-grid data land EXACTLY on the p-decimal grid, so
+  // rounding at grid scale first recovers bit-identical values in both
+  // engines (double summation order only perturbs the last ulps, far
+  // from the grid midpoints). Derived rounding/division applied AFTER
+  // that is then identical IEEE arithmetic on identical inputs. Rounding
+  // an un-gridded avg directly is NOT safe: sum/count can land exactly
+  // on a rounding midpoint (e.g. 949.375), where ulp noise flips floor.
+
+  /** Deterministic sum of 2-decimal money data, rounded to 2dp. */
+  def moneySum(c: Column): Column = r2(sum(c))
+  def sqlMoneySum(e: String): String = sqlR2(s"sum($e)")
+
+  /** Deterministic sum of a 4-decimal grid (price*(1-disc)), output 2dp. */
+  def rev4Sum(c: Column): Column = r2(r4(sum(c)))
+  def sqlRev4Sum(e: String): String = sqlR2(sqlR4(s"sum($e)"))
+
+  /** Deterministic sum of a 6-decimal grid (…*(1+tax)), output 2dp. */
+  def rev6Sum(c: Column): Column = r2(r6(sum(c)))
+  def sqlRev6Sum(e: String): String = sqlR2(sqlR6(s"sum($e)"))
+
+  /** Deterministic 4dp average of 2-decimal-grid data: grid-exact sum
+    * first, then divide — never rounds a raw double quotient. */
+  def moneyAvg(c: Column): Column = r4(r2(sum(c)) / count(lit(1)))
+  def sqlMoneyAvg(e: String): String = sqlR4(s"${sqlR2(s"sum($e)")} / count(*)")
+}

@@ -1,0 +1,425 @@
+package graft.operators
+
+import graft.{Fx, QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operator coverage (SURVEY.md §2.3–§2.9 plus the §7
+  * engine-capability queries): scans with pushdown, projections,
+  * filters, hash aggregation, broadcast + shuffle joins, semi/anti
+  * joins, windows, rollup, distinct aggregation, top-k, union.
+  *
+  * Scale design notes (100 TB target):
+  *  - filters/projections are expressed declaratively so Catalyst
+  *    pushes them into the parquet scan (verified via explain:
+  *    PushedFilters / ReadSchema);
+  *  - dimension joins (region/nation/part/supplier) are explicitly
+  *    `broadcast()` — at SF100k the dim side stays tiny while the fact
+  *    side never shuffles for the join;
+  *  - aggregations use map-side partial aggregation for free
+  *    (HashAggregate partial/final) because they're plain `groupBy`;
+  *  - top-k is `orderBy().limit(k)` which Spark executes as
+  *    TakeOrderedAndProject (per-partition heap + driver merge of k
+  *    rows, no full sort/shuffle).
+  */
+object Relational {
+  import Fx._
+
+  private def ts(s: String): Column = to_timestamp(lit(s))
+
+  /** TPC-H Q1 flavor: full-scan hash aggregation with partial aggs. */
+  def q01(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate" <= ts("2000-06-30"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        moneySum($"l_quantity").as("sum_qty"),
+        moneySum($"l_extendedprice").as("sum_base_price"),
+        rev4Sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+        rev6Sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+        moneyAvg($"l_quantity").as("avg_qty"),
+        moneyAvg($"l_extendedprice").as("avg_price"),
+        moneyAvg($"l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q01Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |${sqlMoneySum("l_quantity")} AS sum_qty,
+       |${sqlMoneySum("l_extendedprice")} AS sum_base_price,
+       |${sqlRev4Sum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+       |${sqlRev6Sum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+       |${sqlMoneyAvg("l_quantity")} AS avg_qty,
+       |${sqlMoneyAvg("l_extendedprice")} AS avg_price,
+       |${sqlMoneyAvg("l_discount")} AS avg_disc,
+       |count(*) AS count_order
+       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-06-30'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Projection + conjunctive filter, pushed to the parquet scan. */
+  def q02(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate" >= ts("1996-01-01") && $"l_shipdate" < ts("1996-07-01") &&
+        $"l_discount" >= 0.05 && $"l_quantity" < 10.0)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice", $"l_discount")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val q02Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+      |  AND l_discount >= 0.05 AND l_quantity < 10.0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** TPC-H Q3 flavor: fact-fact shuffle join + agg + continuous top-k. */
+  def q03(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d).filter($"o_orderdate" < ts("1998-01-01"))
+    val l = Tables.lineitem(s, d).filter($"l_shipdate" > ts("1998-01-01"))
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(rev4Sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  val q03Sql: String =
+    s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+       |${sqlRev4Sum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** Broadcast dim join: lineitem ⋈ part, agg by brand. */
+  def q04(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        rev4Sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        moneyAvg($"l_quantity").as("avg_qty"))
+      .orderBy($"p_brand")
+  }
+
+  val q04Sql: String =
+    s"""SELECT p_brand, count(*) AS n_lines,
+       |${sqlRev4Sum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |${sqlMoneyAvg("l_quantity")} AS avg_qty
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** TPC-H Q5 flavor: snowflake multi-join, dims broadcast. */
+  def q05(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val l = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+      .filter($"o_orderdate" >= ts("1996-01-01") && $"o_orderdate" < ts("1998-01-01"))
+    val sup = Tables.supplier(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        rev4Sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  val q05Sql: String =
+    s"""SELECT r_name, n_name,
+       |${sqlRev4Sum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |count(*) AS n_lines
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  /** Top-k on a raw column (TakeOrderedAndProject; no full shuffle). */
+  def q06(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderdate")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(15)
+  }
+
+  val q06Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin
+
+  /** Window lag: per-customer order price delta (SURVEY §2.9 ext). */
+  def q07(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(s, d)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+      .withColumn("prev_price", lag($"o_totalprice", 1).over(w))
+      .withColumn("price_delta", $"o_totalprice" - $"prev_price")
+      .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+  }
+
+  val q07Sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |lag(o_totalprice, 1) OVER w AS prev_price,
+      |o_totalprice - (lag(o_totalprice, 1) OVER w) AS price_delta
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  /** Window top-n per group: 3 priciest parts per brand. */
+  def q08(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"p_brand").orderBy($"p_retailprice".desc, $"p_partkey")
+    Tables.part(s, d)
+      .select($"p_brand", $"p_partkey", $"p_name", $"p_retailprice")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .orderBy($"p_brand", $"rn")
+  }
+
+  val q08Sql: String =
+    """SELECT * FROM (
+      |  SELECT p_brand, p_partkey, p_name, p_retailprice,
+      |  row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+      |  FROM part) t
+      |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin
+
+  /** Distinct aggregation (expand-based in Spark). */
+  def q09(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q09Sql: String =
+    """SELECT l_returnflag,
+      |count(DISTINCT l_partkey) AS n_parts,
+      |count(DISTINCT l_suppkey) AS n_supps,
+      |count(*) AS n_lines
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Anti join: customers with no orders (NOT EXISTS). */
+  def q10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  val q10Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Semi join: customers with ≥1 urgent order (EXISTS). */
+  def q11(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val urgent = Tables.orders(s, d).filter($"o_orderpriority" === "1-URGENT")
+    Tables.customer(s, d)
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+      .orderBy($"c_custkey")
+  }
+
+  val q11Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Union-distinct of two key sets (SURVEY §2.6 U1/U2). */
+  def q12(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hi = Tables.orders(s, d).filter($"o_totalprice" > 400000.0).select($"o_custkey")
+    val ur = Tables.orders(s, d).filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+    hi.union(ur).distinct().orderBy($"o_custkey")
+  }
+
+  val q12Sql: String =
+    """SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0
+      |UNION
+      |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |ORDER BY o_custkey""".stripMargin
+
+  /** Group + having over a broadcast-joined dim. */
+  def q13(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_customers"), moneySum($"c_acctbal").as("total_bal"))
+      .filter($"n_customers" >= 5)
+      .orderBy($"n_name")
+  }
+
+  val q13Sql: String =
+    s"""SELECT n_name, count(*) AS n_customers, ${sqlMoneySum("c_acctbal")} AS total_bal
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY n_name HAVING count(*) >= 5 ORDER BY n_name""".stripMargin
+
+  /** Conditional aggregation (TPC-H Q14 flavor: promo revenue share). */
+  def q14(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rev = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_type")
+      .agg(
+        rev4Sum(rev).as("revenue"),
+        rev4Sum(when($"l_returnflag" === "R", rev).otherwise(lit(0.0))).as("returned_revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"p_type")
+  }
+
+  val q14Sql: String =
+    s"""SELECT p_type,
+       |${sqlRev4Sum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |${sqlRev4Sum("CASE WHEN l_returnflag = 'R' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} AS returned_revenue,
+       |count(*) AS n_lines
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_type ORDER BY p_type""".stripMargin
+
+  /** Rollup (grouping sets) over region/nation customer counts. */
+  def q15(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_customers"), moneySum($"c_acctbal").as("total_bal"))
+      .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  val q15Sql: String =
+    s"""SELECT r_name, n_name, count(*) AS n_customers, ${sqlMoneySum("c_acctbal")} AS total_bal
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY ROLLUP (r_name, n_name)
+       |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+
+  /** Time-bucketed aggregation over the events stream table.
+    * (DuckDB reads ts as ns; truncate to hour on both sides.) */
+  def q16(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), moneySum($"value").as("total_value"))
+      .orderBy($"hour", $"event_type")
+  }
+
+  val q16Sql: String =
+    s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+       |count(*) AS n_events, ${sqlMoneySum("value")} AS total_value
+       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  /** Window avg + filter: parts priced above their brand average.
+    * brand_avg is grid-exact-sum / count (see Fx.moneyAvg) so the
+    * filter boundary and output round identically in both engines. */
+  def q17(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"p_brand")
+    Tables.part(s, d)
+      .select($"p_partkey", $"p_brand", $"p_retailprice")
+      .withColumn("brand_avg", r2(sum($"p_retailprice").over(w)) / count(lit(1)).over(w))
+      .filter($"p_retailprice" > $"brand_avg")
+      .select($"p_partkey", $"p_brand", $"p_retailprice", r4($"brand_avg").as("brand_avg"))
+      .orderBy($"p_partkey")
+  }
+
+  val q17Sql: String =
+    s"""SELECT p_partkey, p_brand, p_retailprice, ${sqlR4("brand_avg")} AS brand_avg
+       |FROM (
+       |  SELECT p_partkey, p_brand, p_retailprice,
+       |  ${sqlR2("sum(p_retailprice) OVER (PARTITION BY p_brand)")} / (count(*) OVER (PARTITION BY p_brand)) AS brand_avg
+       |  FROM part) t
+       |WHERE p_retailprice > brand_avg ORDER BY p_partkey""".stripMargin
+
+  /** Date-part extraction + agg: orders by year and status. */
+  def q18(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy(year($"o_orderdate").as("order_year"), $"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        moneySum($"o_totalprice").as("total_price"),
+        r2(max($"o_totalprice")).as("max_price"),
+        r2(min($"o_totalprice")).as("min_price"))
+      .orderBy($"order_year", $"o_orderstatus")
+  }
+
+  val q18Sql: String =
+    s"""SELECT year(o_orderdate) AS order_year, o_orderstatus,
+       |count(*) AS n_orders,
+       |${sqlMoneySum("o_totalprice")} AS total_price,
+       |${sqlR2("max(o_totalprice)")} AS max_price,
+       |${sqlR2("min(o_totalprice)")} AS min_price
+       |FROM orders GROUP BY 1, 2 ORDER BY order_year, o_orderstatus""".stripMargin
+
+  /** Regex field extraction from a JSON-ish string column (events.props
+    * is `{"k": 87}`; extraction via regex keeps the oracle free of the
+    * DuckDB JSON extension, which may not load offline). */
+  def q19(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .withColumn("k", regexp_extract($"props", "\"k\":\\s*(\\d+)", 1).cast("int"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        r4(avg($"k")).as("avg_k"),
+        max($"k").as("max_k"),
+        min($"k").as("min_k"))
+      .orderBy($"event_type")
+  }
+
+  val q19Sql: String =
+    s"""SELECT event_type, count(*) AS n_events,
+       |${sqlR4("avg(k)")} AS avg_k, max(k) AS max_k, min(k) AS min_k
+       |FROM (SELECT event_type,
+       |  CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) AS k
+       |  FROM events) t
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q01_pricing_summary", q01, Some(q01Sql), bench = true),
+    QueryDef("q02_filter_project", q02, Some(q02Sql)),
+    QueryDef("q03_join_topk", q03, Some(q03Sql), bench = true),
+    QueryDef("q04_broadcast_join_agg", q04, Some(q04Sql), bench = true),
+    QueryDef("q05_snowflake_join", q05, Some(q05Sql), bench = true),
+    QueryDef("q06_topk_orders", q06, Some(q06Sql)),
+    QueryDef("q07_window_lag", q07, Some(q07Sql), bench = true),
+    QueryDef("q08_window_topn_per_group", q08, Some(q08Sql)),
+    QueryDef("q09_distinct_agg", q09, Some(q09Sql), bench = true),
+    QueryDef("q10_anti_join", q10, Some(q10Sql)),
+    QueryDef("q11_semi_join", q11, Some(q11Sql)),
+    QueryDef("q12_union_distinct", q12, Some(q12Sql)),
+    QueryDef("q13_having", q13, Some(q13Sql)),
+    QueryDef("q14_conditional_agg", q14, Some(q14Sql)),
+    QueryDef("q15_rollup", q15, Some(q15Sql)),
+    QueryDef("q16_events_hourly", q16, Some(q16Sql)),
+    QueryDef("q17_window_avg_filter", q17, Some(q17Sql)),
+    QueryDef("q18_year_agg", q18, Some(q18Sql)),
+    QueryDef("q19_json_extract_agg", q19, Some(q19Sql)),
+  )
+}
