@@ -11,7 +11,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def registry: Seq[QueryDef] =
-    operators.Relational.all ++ operators.CleaningQueries.all
+    operators.Relational.all ++ operators.CleaningQueries.all ++
+      operators.TextQueries.all ++ operators.DedupQueries.all ++
+      operators.SimilarityQueries.all ++ operators.EventQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

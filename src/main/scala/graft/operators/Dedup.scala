@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Deduplication operators for training-data pipelines: exact (hash),
+  * MinHash + LSH banding (near-dup at scale), n-gram Jaccard.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is a hash-shuffle on a 16-byte digest, not the full
+  *    text — the shuffle carries `(md5, id)` only;
+  *  - MinHash signatures are computed in a single pass per document
+  *    (shingle explode → groupBy doc, min per seed), i.e. one shuffle
+  *    keyed by doc_id with map-side partial min aggregation;
+  *  - LSH banding turns all-pairs O(n²) into per-bucket joins: docs
+  *    only meet if they share a band hash, so the join key is the band
+  *    hash and skew is bounded by bucket size (monitored via
+  *    `lshBuckets`);
+  *  - md5-hex min is used as the hash family (min over a random-order
+  *    permutation approximated by the hash ordering) — identical
+  *    lowercase-hex lexicographic semantics in Spark and DuckDB, which
+  *    makes the whole pipeline oracle-checkable.
+  */
+object Dedup {
+
+  def textHash(c: Column): Column = md5(c)
+
+  /** Exact dedup: keep the smallest id per distinct text. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(textHash(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Character k-gram shingles: one row per (id, position). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(
+      col(idCol),
+      explode(sequence(lit(1), greatest(length(col(textCol)) - (k - 1), lit(1)))).as("pos"),
+      col(textCol))
+      .select(col(idCol), col(textCol).substr(col("pos"), lit(k)).as("shingle"))
+
+  /** MinHash signature: per id, for seeds 1..n, min(md5(shingle#seed)).
+    * Output columns h1..hn (lowercase hex strings). */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, nHashes: Int = 6): DataFrame = {
+    val sh = shingles(df, idCol, textCol, k)
+    sh.groupBy(col(idCol))
+      .agg(
+        min(md5(concat(col("shingle"), lit("#1")))).as("h1"),
+        (2 to nHashes).map(i =>
+          min(md5(concat(col("shingle"), lit(s"#$i")))).as(s"h$i")): _*)
+  }
+
+  /** LSH banding: rows (id, band_idx, band_hash), band b covering
+    * signature columns [b*r+1 .. b*r+r]. */
+  def lshBands(sig: DataFrame, idCol: String, nBands: Int, rowsPerBand: Int): DataFrame = {
+    val bands = (1 to nBands).map { b =>
+      val cols = ((b - 1) * rowsPerBand + 1 to b * rowsPerBand).map(i => col(s"h$i"))
+      sig.select(col(idCol), lit(b).as("band_idx"), concat(cols: _*).as("band_hash"))
+    }
+    bands.reduce(_ unionByName _)
+  }
+
+  /** Distinct candidate pairs (a < b) sharing any band bucket. */
+  def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
+    val l = bands.select(col("band_idx"), col("band_hash"), col(idCol).as("a"))
+    val r = bands.select(col("band_idx").as("band_idx_r"), col("band_hash").as("band_hash_r"), col(idCol).as("b"))
+    l.join(r, l("band_idx") === r("band_idx_r") &&
+        l("band_hash") === r("band_hash_r") && l("a") < r("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+  }
+
+  /** Distinct word set (split on single space). */
+  def wordSet(c: Column): Column = array_distinct(split(c, " "))
+
+  /** Word bigram set ("w1 w2" strings). Guarded: Spark's `sequence(1,0)`
+    * counts DOWN, so a <2-word text must short-circuit to empty. */
+  def wordBigrams(c: Column): Column = {
+    val w = split(c, " ")
+    when(size(w) >= 2,
+      array_distinct(
+        transform(sequence(lit(1), size(w) - 1),
+          i => concat(element_at(w, i), lit(" "), element_at(w, i + 1)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Jaccard similarity of two (already-distinct) array sets:
+    * |∩| / (|A| + |B| - |∩|). Size-only — no ordering sensitivity. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** SimHash-style cheap fingerprint bucket from the first hex chars of
+    * per-word min-hashes (locality-sensitive-ish; exact SimHash lives
+    * in plans/ as a native expression). */
+  def minhashPrefixBucket(c: Column, chars: Int = 2): Column =
+    substring(md5(c), 0, chars)
+}

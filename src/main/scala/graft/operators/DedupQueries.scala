@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.{Fx, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked dedup queries over `documents`: exact hash dedup,
+  * MinHash signatures, LSH banding, candidate pairs with Jaccard
+  * verification, and n-gram Jaccard on adjacent pairs.
+  */
+object DedupQueries {
+  import Fx._
+
+  /** Exact dedup (keep-min-id) — before/after counts per source. */
+  def q50(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val total = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    val kept = Dedup.exactDedup(docs, "doc_id", "text")
+      .groupBy($"source").agg(count(lit(1)).as("n_after_dedup"))
+    total.join(kept, "source").orderBy($"source")
+  }
+
+  val q50Sql: String =
+    """WITH kept AS (
+      |  SELECT source, count(*) AS n_after_dedup FROM (
+      |    SELECT source, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |    FROM documents) t WHERE rn = 1 GROUP BY source),
+      |tot AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+      |SELECT tot.source AS source, n_docs, n_after_dedup
+      |FROM tot JOIN kept ON tot.source = kept.source
+      |ORDER BY source""".stripMargin
+
+  private val shingleK = 8
+  private val nHashes = 6
+
+  /** MinHash signature computation (char-8-gram shingles, 6 hashes). */
+  def q51(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.minhashSignature(Tables.documents(s, d), "doc_id", "text", shingleK, nHashes)
+      .orderBy($"doc_id")
+  }
+
+  /** Shared signature CTE for the oracle side. */
+  private val sigSql: String =
+    s"""sig AS (
+       |  SELECT doc_id,
+       |    min(md5(sh || '#1')) AS h1, min(md5(sh || '#2')) AS h2,
+       |    min(md5(sh || '#3')) AS h3, min(md5(sh || '#4')) AS h4,
+       |    min(md5(sh || '#5')) AS h5, min(md5(sh || '#6')) AS h6
+       |  FROM (
+       |    SELECT doc_id, substr(text, CAST(pos AS INT), $shingleK) AS sh FROM (
+       |      SELECT doc_id, text,
+       |        unnest(range(1, greatest(length(text) - ${shingleK - 1}, 1) + 1)) AS pos
+       |      FROM documents) p) q
+       |  GROUP BY doc_id)""".stripMargin
+
+  val q51Sql: String =
+    s"""WITH $sigSql
+       |SELECT doc_id, h1, h2, h3, h4, h5, h6 FROM sig ORDER BY doc_id""".stripMargin
+
+  private val bandsSql: String =
+    """bands AS (
+      |  SELECT doc_id, 1 AS band_idx, h1 || h2 || h3 AS band_hash FROM sig
+      |  UNION ALL
+      |  SELECT doc_id, 2 AS band_idx, h4 || h5 || h6 AS band_hash FROM sig)""".stripMargin
+
+  /** LSH band buckets with ≥2 docs (the near-dup candidate clusters). */
+  def q52(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sig = Dedup.minhashSignature(Tables.documents(s, d), "doc_id", "text", shingleK, nHashes)
+    Dedup.lshBands(sig, "doc_id", nBands = 2, rowsPerBand = 3)
+      .groupBy($"band_idx", $"band_hash")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"band_idx", $"band_hash")
+  }
+
+  val q52Sql: String =
+    s"""WITH $sigSql, $bandsSql
+       |SELECT band_idx, band_hash, count(*) AS n_docs,
+       |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM bands GROUP BY band_idx, band_hash HAVING count(*) >= 2
+       |ORDER BY band_idx, band_hash""".stripMargin
+
+  /** Candidate pairs from shared LSH buckets, verified with word-set
+    * Jaccard; near-dups at ≥ 0.6. */
+  def q53(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val sig = Dedup.minhashSignature(docs, "doc_id", "text", shingleK, nHashes)
+    val bands = Dedup.lshBands(sig, "doc_id", nBands = 2, rowsPerBand = 3)
+    val pairs = Dedup.candidatePairs(bands, "doc_id")
+    val da = docs.select($"doc_id".as("a"), Dedup.wordSet($"text").as("wa"))
+    val db = docs.select($"doc_id".as("b"), Dedup.wordSet($"text").as("wb"))
+    pairs.join(da, "a").join(db, "b")
+      .withColumn("jac", Dedup.jaccard($"wa", $"wb"))
+      .filter($"jac" >= 0.6)
+      .select($"a", $"b", r6($"jac").as("jac"))
+      .orderBy($"a", $"b")
+  }
+
+  val q53Sql: String =
+    s"""WITH $sigSql, $bandsSql,
+       |pairs AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bands l JOIN bands r
+       |    ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+       |   AND l.doc_id < r.doc_id),
+       |ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM documents),
+       |j AS (
+       |  SELECT a, b,
+       |    CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE) /
+       |      (len(wa.w) + len(wb.w) - len(list_intersect(wa.w, wb.w))) AS jac
+       |  FROM pairs JOIN ws wa ON pairs.a = wa.doc_id
+       |             JOIN ws wb ON pairs.b = wb.doc_id)
+       |SELECT a, b, ${sqlR6("jac")} AS jac FROM j WHERE jac >= 0.6
+       |ORDER BY a, b""".stripMargin
+
+  /** Word-bigram vs word-set Jaccard on adjacent doc pairs. */
+  def q54(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val a = docs.select($"doc_id".as("a"),
+      Dedup.wordSet($"text").as("wa"), Dedup.wordBigrams($"text").as("ba"))
+    val b = docs.select($"doc_id".as("b"),
+      Dedup.wordSet($"text").as("wb"), Dedup.wordBigrams($"text").as("bb"))
+    a.join(b, $"b" === $"a" + 1)
+      .select($"a", $"b",
+        r6(Dedup.jaccard($"wa", $"wb")).as("jac_word"),
+        r6(Dedup.jaccard($"ba", $"bb")).as("jac_bigram"))
+      .orderBy($"a")
+  }
+
+  val q54Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS w,
+       |    list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+       |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS bg
+       |  FROM documents)
+       |SELECT a.doc_id AS a, b.doc_id AS b,
+       |  ${sqlR6("CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)))")} AS jac_word,
+       |  ${sqlR6("CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE) / (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg)))")} AS jac_bigram
+       |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+       |ORDER BY a""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q50_exact_dedup", q50, Some(q50Sql), bench = true),
+    QueryDef("q51_minhash_signatures", q51, Some(q51Sql), bench = true),
+    QueryDef("q52_lsh_buckets", q52, Some(q52Sql)),
+    QueryDef("q53_near_dup_pairs", q53, Some(q53Sql), bench = true),
+    QueryDef("q54_ngram_jaccard", q54, Some(q54Sql)),
+  )
+}

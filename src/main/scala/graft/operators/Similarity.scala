@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Similarity search over embedding columns (`Array[Float]`):
+  * brute-force cosine top-k as the correctness baseline, and an
+  * IVF-style sign-bucketed variant as the scale path.
+  *
+  * Scale design (100 TB): brute force is O(|Q|·|T|) — fine when the
+  * query side is small and broadcastable (it is here: `broadcast()` on
+  * the query set, so the target side streams through without any
+  * shuffle). The IVF variant pre-buckets both sides by coarse sign
+  * quantization of the leading dimensions, so each query only meets
+  * its bucket: the join is an equi-join on the bucket id (hash join,
+  * bucket-bounded skew), which is the standard way to cut ANN cost by
+  * 2^bits while keeping recall for clustered data. All math is
+  * elementwise double folds — sequential, identical in DuckDB, so
+  * every operator here is oracle-checkable.
+  */
+object Similarity {
+
+  /** Cast a float array to double elementwise (exact). */
+  def toDoubleArr(a: Column): Column = transform(a, x => x.cast(DoubleType))
+
+  /** Sequential dot product fold — bit-identical to DuckDB's
+    * list_dot_product over DOUBLE[]. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query row, the k nearest target
+    * rows. Query side is broadcast; ranking via per-query window. */
+  def bruteForceTopK(queries: DataFrame, targets: DataFrame, k: Int,
+      qId: String = "q_id", qVec: String = "q_vec",
+      tId: String = "vec_id", tVec: String = "embedding"): DataFrame = {
+    val joined = targets.crossJoin(broadcast(queries))
+      .filter(col(qId) =!= col(tId))
+      .withColumn("sim", cosine(toDoubleArr(col(qVec)), toDoubleArr(col(tVec))))
+    val w = Window.partitionBy(col(qId)).orderBy(col("sim").desc, col(tId))
+    joined
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** IVF-style coarse quantizer: sign bits of the first `bits` dims →
+    * bucket id in [0, 2^bits). */
+  def signBucket(a: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      when(element_at(a, i + 1) > 0f, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** SQL mirror of [[signBucket]] (1-based list indexing). */
+  def sqlSignBucket(col: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"(CASE WHEN $col[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** ANN via bucket-equality join + per-bucket cosine top-k. */
+  def ivfTopK(queries: DataFrame, targets: DataFrame, k: Int, bits: Int,
+      qId: String = "q_id", qVec: String = "q_vec",
+      tId: String = "vec_id", tVec: String = "embedding"): DataFrame = {
+    val q = queries.withColumn("q_bucket", signBucket(col(qVec), bits))
+    val t = targets.withColumn("t_bucket", signBucket(col(tVec), bits))
+    val joined = t.join(broadcast(q), col("q_bucket") === col("t_bucket") && col(qId) =!= col(tId))
+      .withColumn("sim", cosine(toDoubleArr(col(qVec)), toDoubleArr(col(tVec))))
+    val w = Window.partitionBy(col(qId)).orderBy(col("sim").desc, col(tId))
+    joined.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+}

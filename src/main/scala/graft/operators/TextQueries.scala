@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.{Fx, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** Oracle-checked text-analysis queries over `documents`: token
+  * counting, quality scoring, language-ID, fingerprinting. All integer
+  * /length arithmetic → bit-deterministic across engines.
+  */
+object TextQueries {
+  import Fx._
+
+  /** Token/char statistics per language. */
+  def q40(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"lang", TextAnalysis.tokenCount($"text").as("toks"), length($"text").as("chars"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"toks").as("total_tokens"),
+        r4(sum($"toks").cast("double") / count(lit(1))).as("avg_tokens"),
+        r4(sum($"chars").cast("double") / count(lit(1))).as("avg_chars"))
+      .orderBy($"lang")
+  }
+
+  private val tokSql =
+    "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT)"
+
+  val q40Sql: String =
+    s"""SELECT lang, count(*) AS n_docs,
+       |CAST(sum(toks) AS BIGINT) AS total_tokens,
+       |${sqlR4("CAST(sum(toks) AS DOUBLE) / count(*)")} AS avg_tokens,
+       |${sqlR4("CAST(sum(chars) AS DOUBLE) / count(*)")} AS avg_chars
+       |FROM (SELECT lang, $tokSql AS toks, length(text) AS chars FROM documents) t
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Per-document quality scoring (length/stopword/word-shape). */
+  def q41(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val quality = r4(TextAnalysis.qualityScore($"text"))
+    Tables.documents(s, d)
+      .select(
+        $"doc_id",
+        TextAnalysis.tokenCount($"text").as("toks"),
+        r4((length($"text").cast("double") - (TextAnalysis.tokenCount($"text").cast("double") - 1.0)) /
+          TextAnalysis.tokenCount($"text").cast("double")).as("avg_word_len"),
+        TextAnalysis.langScore($"text", "en").as("stop_en"),
+        quality.as("quality"),
+        when(quality >= 0.8, "high").when(quality >= 0.5, "medium")
+          .otherwise("low").as("bucket"))
+      .orderBy($"doc_id")
+  }
+
+  private def occSql(w: String): String =
+    TextAnalysis.sqlWordOccurrences("lower(text)", w)
+
+  private val stopEnSql = s"(${occSql("the")} + ${occSql("and")} + ${occSql("of")})"
+
+  val q41Sql: String = {
+    val toks = "toks"
+    val awl = s"((chars - ($toks - 1.0)) / $toks)"
+    val quality =
+      s"(least($toks / 50.0, 1.0) * 0.4 + (CASE WHEN $awl >= 2.0 AND $awl <= 12.0 THEN 0.3 ELSE 0.0 END) + least(stop_en / 5.0, 1.0) * 0.3)"
+    s"""SELECT doc_id, toks,
+       |${sqlR4(awl)} AS avg_word_len,
+       |stop_en,
+       |${sqlR4(quality)} AS quality,
+       |CASE WHEN ${sqlR4(quality)} >= 0.8 THEN 'high'
+       |     WHEN ${sqlR4(quality)} >= 0.5 THEN 'medium'
+       |     ELSE 'low' END AS bucket
+       |FROM (SELECT doc_id, $tokSql AS toks, CAST(length(text) AS DOUBLE) AS chars,
+       |      $stopEnSql AS stop_en FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Language-ID heuristic vs labeled lang: confusion counts. */
+  def q42(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"lang", TextAnalysis.langId($"text").as("pred_lang"))
+      .groupBy($"lang", $"pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"pred_lang")
+  }
+
+  val q42Sql: String = {
+    val scores = TextAnalysis.langStopwords.map { case (l, ws) =>
+      l -> ws.map(occSql).mkString("(", " + ", ")")
+    }
+    val sel = scores.map { case (l, e) => s"$e AS s_$l" }.mkString(", ")
+    val maxE = scores.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+    val pred = scores.map { case (l, _) => s"WHEN s_$l = $maxE THEN '$l'" }
+      .mkString(s"CASE WHEN $maxE = 0 THEN 'unknown' ", " ", " ELSE 'unknown' END")
+    s"""SELECT lang, pred_lang, count(*) AS n_docs FROM (
+       |  SELECT lang, $pred AS pred_lang FROM (
+       |    SELECT lang, $sel FROM documents) s) p
+       |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
+  }
+
+  /** Content fingerprinting + duplicate-cluster size per fingerprint. */
+  def q43(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"fp")
+    Tables.documents(s, d)
+      .select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
+      .withColumn("fp_prefix", substring($"fp", 1, 8))
+      .withColumn("n_same", count(lit(1)).over(w))
+      .orderBy($"doc_id")
+  }
+
+  val q43Sql: String =
+    """SELECT doc_id, md5(text) AS fp, substr(md5(text), 1, 8) AS fp_prefix,
+      |count(*) OVER (PARTITION BY md5(text)) AS n_same
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q40_token_stats", q40, Some(q40Sql)),
+    QueryDef("q41_quality_score", q41, Some(q41Sql), bench = true),
+    QueryDef("q42_langid_confusion", q42, Some(q42Sql), bench = true),
+    QueryDef("q43_fingerprint_clusters", q43, Some(q43Sql)),
+  )
+}

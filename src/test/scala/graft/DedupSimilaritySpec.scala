@@ -1,0 +1,112 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import graft.functions.TextAnalysis
+
+class DedupSimilaritySpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("exact dedup keeps the smallest id per duplicate text") {
+    import spark.implicits._
+    val df = Seq((3L, "aaa"), (1L, "aaa"), (2L, "bbb")).toDF("doc_id", "text")
+    val kept = Dedup.exactDedup(df, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L, 2L))
+  }
+
+  test("shingles produce overlapping k-grams, short text yields one") {
+    import spark.implicits._
+    val df = Seq((1L, "abcdef"), (2L, "ab")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(df, "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sh == Set((1L, "abcd"), (1L, "bcde"), (1L, "cdef"), (2L, "ab")))
+  }
+
+  test("minhash signatures of identical texts are identical, distinct texts differ") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different content here entirely")).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignature(df, "doc_id", "text", 8, 4)
+      .orderBy("doc_id").collect()
+    assert((1 to 4).forall(i => sig(0).getAs[String](s"h$i") == sig(1).getAs[String](s"h$i")))
+    assert((1 to 4).exists(i => sig(0).getAs[String](s"h$i") != sig(2).getAs[String](s"h$i")))
+  }
+
+  test("candidate pairs surface exact duplicates via shared bands") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog again"),
+      (3L, "nothing in common with anything else at all")).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignature(df, "doc_id", "text", 8, 6)
+    val pairs = Dedup.candidatePairs(Dedup.lshBands(sig, "doc_id", 2, 3), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("jaccard: identical sets → 1.0, disjoint → 0.0") {
+    import spark.implicits._
+    val df = Seq(("a b c", "a b c", "x y z")).toDF("t1", "t2", "t3")
+    val r = df.select(
+      Dedup.jaccard(Dedup.wordSet(col("t1")), Dedup.wordSet(col("t2"))),
+      Dedup.jaccard(Dedup.wordSet(col("t1")), Dedup.wordSet(col("t3")))).head()
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("word bigrams: 'a b c' → ['a b', 'b c']; single word → empty") {
+    import spark.implicits._
+    val df = Seq(("a b c", "solo")).toDF("t", "u")
+    val r = df.select(Dedup.wordBigrams(col("t")), Dedup.wordBigrams(col("u"))).head()
+    assert(r.getSeq[String](0).toSet == Set("a b", "b c"))
+    assert(r.getSeq[String](1).isEmpty)
+  }
+
+  test("cosine: parallel vectors → 1.0, orthogonal → 0.0") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 0f, 2f), Array(2f, 0f, 4f), Array(0f, 3f, 0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosine(Similarity.toDoubleArr(col("a")), Similarity.toDoubleArr(col("b"))),
+      Similarity.cosine(Similarity.toDoubleArr(col("a")), Similarity.toDoubleArr(col("c")))).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("brute-force top-k ranks the nearest target first") {
+    import spark.implicits._
+    val queries = Seq((100L, Array(1f, 0f))).toDF("q_id", "q_vec")
+    val targets = Seq(
+      (1L, Array(0.9f, 0.1f)), (2L, Array(0f, 1f)), (3L, Array(-1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(queries, targets, 2)
+      .orderBy("rn").collect()
+    assert(top.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 2L))
+  }
+
+  test("sign bucket maps sign pattern of leading dims") {
+    import spark.implicits._
+    val df = Seq((Array(1f, -1f, 1f, -1f), Array(-1f, 1f, -1f, 1f)))
+      .toDF("a", "b")
+    val r = df.select(
+      Similarity.signBucket(col("a"), 4), Similarity.signBucket(col("b"), 4)).head()
+    assert(r.getInt(0) == 5 && r.getInt(1) == 10) // 0101 / 1010
+  }
+
+  test("token count and word occurrences") {
+    import spark.implicits._
+    val df = Seq("the cat and the hat").toDF("t")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("t")),
+      TextAnalysis.wordOccurrences(col("t"), "the"),
+      TextAnalysis.wordOccurrences(col("t"), "dog")).head()
+    assert(r.getInt(0) == 5 && r.getInt(1) == 2 && r.getInt(2) == 0)
+  }
+
+  test("langId picks the stopword-dominant language, unknown on zero hits") {
+    import spark.implicits._
+    val df = Seq("the cat and the dog of it", "el gato de la casa de", "zzz qqq")
+      .toDF("t")
+    val langs = df.select(TextAnalysis.langId(col("t"))).collect().map(_.getString(0)).toSeq
+    assert(langs == Seq("en", "es", "unknown"))
+  }
+}
