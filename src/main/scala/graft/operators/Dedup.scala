@@ -43,16 +43,41 @@ object Dedup {
       col(textCol))
       .select(col(idCol), col(textCol).substr(col("pos"), lit(k)).as("shingle"))
 
-  /** MinHash signature: per id, for seeds 1..n, min(md5(shingle#seed)).
-    * Output columns h1..hn (lowercase hex strings). */
+  /** MinHash signature: output columns h1..hn (8-hex-char strings).
+    *
+    * Hash family: each md5 digest is sliced into four 32-bit hex chunks
+    * used as independent hash functions (Kirsch-Mitzenmacher-style), so
+    * n hashes cost ceil(n/4) md5 calls per shingle instead of n — the
+    * md5 is the hot-path cost at 100 TB (one digest per shingle row).
+    * Lexicographic min over fixed-width lowercase hex == min over the
+    * 32-bit value; identical semantics in DuckDB. */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, nHashes: Int = 6): DataFrame = {
-    val sh = shingles(df, idCol, textCol, k)
-    sh.groupBy(col(idCol))
-      .agg(
-        min(md5(concat(col("shingle"), lit("#1")))).as("h1"),
-        (2 to nHashes).map(i =>
-          min(md5(concat(col("shingle"), lit(s"#$i")))).as(s"h$i")): _*)
+      k: Int = 8, nHashes: Int = 6): DataFrame =
+    minhashOverShingles(shingles(df, idCol, textCol, k), idCol, nHashes)
+
+  /** MinHash over word-bigram shingles — ~5× fewer shingle rows than
+    * char-8-grams on prose, so ~5× fewer digests; the right default for
+    * document-level near-dup at scale. */
+  def minhashSignatureWords(df: DataFrame, idCol: String, textCol: String,
+      nHashes: Int = 6): DataFrame = {
+    val sh = df
+      .select(col(idCol), split(col(textCol), " ").as("__w"))
+      .select(col(idCol), explode(bigramsFromWords(col("__w"))).as("shingle"))
+    minhashOverShingles(sh, idCol, nHashes)
+  }
+
+  private def minhashOverShingles(sh: DataFrame, idCol: String, nHashes: Int): DataFrame = {
+    val nDigests = (nHashes + 3) / 4
+    val withDigests = (0 until nDigests).foldLeft(sh) { (d, j) =>
+      val src = if (j == 0) col("shingle") else concat(col("shingle"), lit(s"#$j"))
+      d.withColumn(s"__d$j", md5(src))
+    }
+    val aggs = (1 to nHashes).map { i =>
+      val j = (i - 1) / 4
+      val off = ((i - 1) % 4) * 8 + 1
+      min(substring(col(s"__d$j"), off, 8)).as(s"h$i")
+    }
+    withDigests.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: rows (id, band_idx, band_hash), band b covering
@@ -78,16 +103,22 @@ object Dedup {
   /** Distinct word set (split on single space). */
   def wordSet(c: Column): Column = array_distinct(split(c, " "))
 
-  /** Word bigram set ("w1 w2" strings). Guarded: Spark's `sequence(1,0)`
-    * counts DOWN, so a <2-word text must short-circuit to empty. */
-  def wordBigrams(c: Column): Column = {
-    val w = split(c, " ")
+  /** Bigram set from an already-materialized words array column.
+    * Guarded: Spark's `sequence(1,0)` counts DOWN, so a <2-word text
+    * must short-circuit to empty. Take an attribute (not an inline
+    * `split(...)`) — a lambda over an inline expression re-evaluates it
+    * per element, turning this O(n) into O(n²). */
+  def bigramsFromWords(w: Column): Column =
     when(size(w) >= 2,
       array_distinct(
         transform(sequence(lit(1), size(w) - 1),
           i => concat(element_at(w, i), lit(" "), element_at(w, i + 1)))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Word bigram set ("w1 w2" strings) from raw text. Only for small
+    * texts / tests — query paths should pre-project `split` and use
+    * [[bigramsFromWords]]. */
+  def wordBigrams(c: Column): Column = bigramsFromWords(split(c, " "))
 
   /** Jaccard similarity of two (already-distinct) array sets:
     * |∩| / (|A| + |B| - |∩|). Size-only — no ordering sensitivity. */

@@ -31,29 +31,32 @@ object DedupQueries {
       |FROM tot JOIN kept ON tot.source = kept.source
       |ORDER BY source""".stripMargin
 
-  private val shingleK = 8
   private val nHashes = 6
 
-  /** MinHash signature computation (char-8-gram shingles, 6 hashes). */
+  /** MinHash signature computation (word-bigram shingles, 6 hashes). */
   def q51(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Dedup.minhashSignature(Tables.documents(s, d), "doc_id", "text", shingleK, nHashes)
+    Dedup.minhashSignatureWords(Tables.documents(s, d), "doc_id", "text", nHashes)
       .orderBy($"doc_id")
   }
 
-  /** Shared signature CTE for the oracle side. */
+  /** Shared signature CTE for the oracle side (mirrors
+    * Dedup.minhashSignatureWords: word-bigram shingles, one md5 per
+    * shingle sliced into 8-hex chunks; hashes 5..6 from a second
+    * seeded digest). */
   private val sigSql: String =
-    s"""sig AS (
-       |  SELECT doc_id,
-       |    min(md5(sh || '#1')) AS h1, min(md5(sh || '#2')) AS h2,
-       |    min(md5(sh || '#3')) AS h3, min(md5(sh || '#4')) AS h4,
-       |    min(md5(sh || '#5')) AS h5, min(md5(sh || '#6')) AS h6
-       |  FROM (
-       |    SELECT doc_id, substr(text, CAST(pos AS INT), $shingleK) AS sh FROM (
-       |      SELECT doc_id, text,
-       |        unnest(range(1, greatest(length(text) - ${shingleK - 1}, 1) + 1)) AS pos
-       |      FROM documents) p) q
-       |  GROUP BY doc_id)""".stripMargin
+    """sig AS (
+      |  SELECT doc_id,
+      |    min(substr(d0, 1, 8)) AS h1, min(substr(d0, 9, 8)) AS h2,
+      |    min(substr(d0, 17, 8)) AS h3, min(substr(d0, 25, 8)) AS h4,
+      |    min(substr(d1, 1, 8)) AS h5, min(substr(d1, 9, 8)) AS h6
+      |  FROM (
+      |    SELECT doc_id, md5(sh) AS d0, md5(sh || '#1') AS d1 FROM (
+      |      SELECT doc_id, unnest(list_distinct(list_transform(
+      |        range(1, len(string_split(text, ' '))),
+      |        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS sh
+      |      FROM documents) q) r
+      |  GROUP BY doc_id)""".stripMargin
 
   val q51Sql: String =
     s"""WITH $sigSql
@@ -68,7 +71,7 @@ object DedupQueries {
   /** LSH band buckets with ≥2 docs (the near-dup candidate clusters). */
   def q52(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sig = Dedup.minhashSignature(Tables.documents(s, d), "doc_id", "text", shingleK, nHashes)
+    val sig = Dedup.minhashSignatureWords(Tables.documents(s, d), "doc_id", "text", nHashes)
     Dedup.lshBands(sig, "doc_id", nBands = 2, rowsPerBand = 3)
       .groupBy($"band_idx", $"band_hash")
       .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
@@ -88,7 +91,7 @@ object DedupQueries {
   def q53(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
-    val sig = Dedup.minhashSignature(docs, "doc_id", "text", shingleK, nHashes)
+    val sig = Dedup.minhashSignatureWords(docs, "doc_id", "text", nHashes)
     val bands = Dedup.lshBands(sig, "doc_id", nBands = 2, rowsPerBand = 3)
     val pairs = Dedup.candidatePairs(bands, "doc_id")
     val da = docs.select($"doc_id".as("a"), Dedup.wordSet($"text").as("wa"))
@@ -121,10 +124,11 @@ object DedupQueries {
   def q54(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("w"))
     val a = docs.select($"doc_id".as("a"),
-      Dedup.wordSet($"text").as("wa"), Dedup.wordBigrams($"text").as("ba"))
+      array_distinct($"w").as("wa"), Dedup.bigramsFromWords($"w").as("ba"))
     val b = docs.select($"doc_id".as("b"),
-      Dedup.wordSet($"text").as("wb"), Dedup.wordBigrams($"text").as("bb"))
+      array_distinct($"w").as("wb"), Dedup.bigramsFromWords($"w").as("bb"))
     a.join(b, $"b" === $"a" + 1)
       .select($"a", $"b",
         r6(Dedup.jaccard($"wa", $"wb")).as("jac_word"),
