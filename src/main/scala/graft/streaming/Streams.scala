@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.operators.Cleaning
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming form of the reference's cron+append
+  * incrementality (SURVEY §2.9): the daily scrape drop-dir becomes a
+  * file-source stream processed with `Trigger.AvailableNow` (catch up
+  * on all unseen files, then stop — exactly the scheduled-batch
+  * semantics, but with checkpointed exactly-once file tracking instead
+  * of blind re-append).
+  */
+object Streams {
+
+  /** Daily ingest: watch a drop directory of raw listing CSVs, clean
+    * with the SAME Cleaning pipeline as batch, sink to partitioned
+    * parquet. One checkpoint dir == one exactly-once ingest ledger. */
+  def dailyIngest(spark: SparkSession, srcDir: String, schema: StructType,
+      outDir: String, checkpointDir: String): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("header", "true")
+      .option("maxFilesPerTrigger", 64)
+      .csv(srcDir)
+      .transform(Cleaning.cleanListings)
+      .writeStream
+      .partitionBy("city", "date")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Windowed event counts with a watermark: 1-hour tumbling windows,
+    * 2-hour late-data tolerance. Works on any streaming events frame
+    * with (ts, event_type, value). */
+  def hourlyEventCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  final case class Event(user_id: Long, event_id: Long, tsMicros: Long)
+  final case class SessionState(sessionCount: Int, lastTsMicros: Long)
+  final case class UserSessions(user_id: Long, n_sessions: Int, n_events: Long)
+
+  /** Stateful gap sessionization via mapGroupsWithState — the streaming
+    * twin of EventQueries.q70 (30-min inactivity gap). State per user
+    * is two numbers, so memory is O(active users), not O(events). */
+  def sessionizeUpdate(
+      key: Long, rows: Iterator[Event],
+      state: GroupState[(Int, Long, Long)]): UserSessions = {
+    val (c0, last0, n0) = state.getOption.getOrElse((0, Long.MinValue, 0L))
+    val sorted = rows.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+    var count = c0
+    var last = last0
+    var n = n0
+    sorted.foreach { e =>
+      if (last == Long.MinValue || e.tsMicros - last > 1800L * 1000000L) count += 1
+      last = e.tsMicros
+      n += 1
+    }
+    state.update((count, last, n))
+    UserSessions(key, count, n)
+  }
+
+  def sessionize(events: org.apache.spark.sql.Dataset[Event]): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(sessionizeUpdate)
+      .toDF()
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+import graft.streaming.Streams
+
+class StreamingSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("dailyIngest: AvailableNow file stream cleans and partitions; restart picks up only new files") {
+    val src = Files.createTempDirectory("stream_src").toString
+    val out = Files.createTempDirectory("stream_out").toString
+    val ckpt = Files.createTempDirectory("stream_ckpt").toString
+    val header = graft.operators.Cleaning.rawColumns.mkString(",")
+    def listing(city: String, date: String, sqft: String, price: String) =
+      s"Apt,Addr,Unit 1,$sqft,1bd,1ba,$price,$city,TX,78758,desc,details,url,$date"
+
+    Files.writeString(java.nio.file.Path.of(s"$src/day1.csv"),
+      header + "\n" + listing("austin", "2020-01-08", "500 sqft", "$850") + "\n" +
+        listing("austin", "2020-01-08", "", "$900") + "\n") // empty sqft dropped
+    val q1 = Streams.dailyIngest(spark, src, graft.operators.Cleaning.rawSchema, out, ckpt)
+    q1.awaitTermination(60000)
+    val first = spark.read.parquet(out)
+    assert(first.count() == 1)
+    assert(first.head.getAs[Int]("sqft") == 500)
+
+    // second batch: only the new file is processed (checkpoint ledger)
+    Files.writeString(java.nio.file.Path.of(s"$src/day2.csv"),
+      header + "\n" + listing("woburn", "2020-01-09", "600-700 sqft", "$1000+") + "\n")
+    val q2 = Streams.dailyIngest(spark, src, graft.operators.Cleaning.rawSchema, out, ckpt)
+    q2.awaitTermination(60000)
+    val all = spark.read.parquet(out).cache()
+    assert(all.count() == 2)
+    val woburn = all.filter(col("city") === "woburn").head
+    assert(woburn.getAs[Int]("sqft") == 650)
+    assert(woburn.getAs[Int]("price") == 1000)
+  }
+
+  test("stateful gap sessionization matches the batch q70 semantics") {
+    import spark.implicits._
+    val us = 1000000L
+    val events = Seq(
+      Streams.Event(1L, 1L, 0L * us),
+      Streams.Event(1L, 2L, 60L * us),            // same session
+      Streams.Event(1L, 3L, 60L * us + 1801L * us), // new session (gap > 30min)
+      Streams.Event(2L, 4L, 0L * us)).toDS()
+    val out = Streams.sessionize(events).orderBy("user_id").collect()
+    assert(out(0).getAs[Int]("n_sessions") == 2 && out(0).getAs[Long]("n_events") == 3)
+    assert(out(1).getAs[Int]("n_sessions") == 1 && out(1).getAs[Long]("n_events") == 1)
+  }
+
+  test("windowed event counts with watermark (streaming plan compiles and runs via AvailableNow)") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("ev_src").toString
+    val ckpt = Files.createTempDirectory("ev_ckpt").toString
+    Seq(
+      ("2024-01-01 10:05:00", "click", 1.0),
+      ("2024-01-01 10:55:00", "click", 2.0),
+      ("2024-01-01 11:05:00", "view", 3.0))
+      .toDF("ts_s", "event_type", "value")
+      .write.mode("overwrite").option("header", "true").csv(src)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "ts_s string, event_type string, value double")
+    val stream = spark.readStream.schema(schema).option("header", "true").csv(src)
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val q = Streams.hourlyEventCounts(stream)
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("select * from hourly order by hour, event_type").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("n_events") == 2) // two clicks in 10:00 window
+    assert(rows(1).getAs[String]("event_type") == "view")
+  }
+}
