@@ -13,7 +13,8 @@ object SparkEntry {
   def registry: Seq[QueryDef] =
     operators.Relational.all ++ operators.CleaningQueries.all ++
       operators.TextQueries.all ++ operators.DedupQueries.all ++
-      operators.SimilarityQueries.all ++ operators.EventQueries.all
+      operators.SimilarityQueries.all ++ operators.EventQueries.all ++
+      operators.SimHashQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
