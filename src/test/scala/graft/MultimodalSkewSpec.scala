@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.{Multimodal, Skew}
+
+class MultimodalSkewSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("multimodal: binary column → partition-batched stub features") {
+    import spark.implicits._
+    val df = Seq((1L, "hello world"), (2L, "")).toDF("id", "payload")
+    val media = Multimodal.fromBinary(df, "id", "payload", "image")
+    val feats = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    assert(feats.length == 2)
+    assert(feats(0).n_bytes == 11L)
+    assert(math.abs(feats(0).histogram.sum - 1.0) < 1e-9) // L1-normalized
+    assert(feats(1).n_bytes == 0L && feats(1).histogram.sum == 0.0)
+    // determinism: same bytes → same features
+    val again = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    assert(feats(0).histogram.toSeq == again(0).histogram.toSeq)
+  }
+
+  test("multimodal: resize plan computes bounded target dims declaratively") {
+    import spark.implicits._
+    val df = Seq((1920, 1080), (640, 480)).toDF("width", "height")
+    val out = Multimodal.resizePlan(df, 512).orderBy(desc("width")).collect()
+    assert(out(0).getAs[Int]("target_width") == 512)
+    assert(out(0).getAs[Int]("target_height") == 288)
+    assert(out(1).getAs[Int]("target_width") == 512)
+  }
+
+  test("multimodal: frame sampling explodes every-Nth frame indices") {
+    import spark.implicits._
+    val df = Seq((1L, 10)).toDF("id", "n_frames")
+    val frames = Multimodal.frameSamplePlan(df, 4, "n_frames")
+      .select("frame_idx").collect().map(_.getInt(0)).toSeq
+    assert(frames == Seq(0, 4, 8))
+  }
+
+  test("salted join equals plain join (skew mitigation preserves semantics)") {
+    import spark.implicits._
+    // heavy skew: one hot key
+    val big = (1 to 1000).map(i => (if (i % 10 == 0) "cold" + i else "HOT", i))
+      .toDF("k", "v")
+    val small = Seq(("HOT", 1), ("cold10", 2), ("cold20", 3)).toDF("k", "w")
+    val plain = big.join(small, "k").agg(sum($"v" * $"w")).head.getLong(0)
+    val salted = Skew.saltedJoin(big, small, "k", 8).agg(sum($"v" * $"w")).head.getLong(0)
+    assert(plain == salted)
+  }
+
+  test("salted two-phase sum equals direct sum") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => ("k" + (i % 3), i.toLong)).toDF("k", "v")
+    val direct = df.groupBy("k").agg(sum("v").as("sum_v"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val salted = Skew.saltedSum(df, "k", "v", 8)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(direct == salted)
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Relational
+
+/** Plan-shape assertions: the optimizations the 100 TB design depends
+  * on must actually appear in the physical plan — pushdown reaching the
+  * parquet scan, broadcast joins staying broadcast, top-k compiling to
+  * TakeOrderedAndProject, aggregates running partial+final inside
+  * whole-stage codegen.
+  */
+class PlanSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters push into the parquet scan (q02)") {
+    val p = plan(Relational.q02(spark, sf))
+    assert(p.contains("PushedFilters:"), p.take(400))
+    assert(p.contains("l_discount"), "discount filter should reach the scan")
+    // column pruning: untouched wide columns are not read
+    assert(!p.contains("l_returnflag"))
+  }
+
+  test("dim joins broadcast (q04/q05)") {
+    assert(plan(Relational.q04(spark, sf)).contains("BroadcastHashJoin"))
+    val p5 = plan(Relational.q05(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p5).length >= 3,
+      "supplier/nation/region should all broadcast")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort (q06)") {
+    val p = plan(Relational.q06(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("aggregation runs map-side partial + final hash agg (q01)") {
+    val p = plan(Relational.q01(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "expect partial + final")
+    assert(p.contains("partial_sum"), "map-side combine must precede the shuffle")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "shipdate filter must reach the parquet scan")
+  }
+
+  test("anti/semi joins stay join-based, no cartesian anywhere") {
+    val p10 = plan(Relational.q10(spark, sf))
+    val p11 = plan(Relational.q11(spark, sf))
+    assert(p10.contains("LeftAnti") && p11.contains("LeftSemi"))
+    assert(!p10.contains("Cartesian") && !p11.contains("Cartesian"))
+  }
+}
