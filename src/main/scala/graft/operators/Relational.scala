@@ -401,6 +401,57 @@ object Relational {
        |  FROM events) t
        |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Projection trio (P1/P2/P3): explicit list, exclusion, drop. */
+  def q24(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val notFeatures = Seq("c_acctbal") // exclusion list (P2)
+    Tables.customer(s, d)
+      .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal", $"c_mktsegment") // P1
+      .drop(notFeatures: _*)                                                          // P2
+      .drop("c_mktsegment")                                                           // P3
+      .orderBy($"c_custkey")
+  }
+
+  val q24Sql: String =
+    """SELECT c_custkey, c_name, c_nationkey FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** A2: avg + stddev aggregates (CV-fold stats shape). stddev is not
+    * grid-recoverable; r4 on a continuous value is boundary-safe in
+    * practice (distance to a rounding midpoint ≫ ulp noise). */
+  def q25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        moneyAvg($"o_totalprice").as("avg_price"),
+        r4(stddev_samp($"o_totalprice")).as("stddev_price"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val q25Sql: String =
+    s"""SELECT o_orderstatus, count(*) AS n,
+       |${sqlMoneyAvg("o_totalprice")} AS avg_price,
+       |${sqlR4("stddev_samp(o_totalprice)")} AS stddev_price
+       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** O4: deterministic pseudo-random sample — order by md5(key). Spark
+    * rand(seed) and DuckDB random() are different RNGs, so seeded
+    * hashing is the cross-engine (and cluster-stable) sampling form. */
+  def q26(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        md5(concat($"o_orderkey".cast("string"), lit("#sample"))).as("rk"))
+      .orderBy($"rk")
+      .limit(20)
+  }
+
+  val q26Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |md5(concat(CAST(o_orderkey AS VARCHAR), '#sample')) AS rk
+      |FROM orders ORDER BY rk LIMIT 20""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql), bench = true),
     QueryDef("q02_filter_project", q02, Some(q02Sql)),
@@ -421,5 +472,8 @@ object Relational {
     QueryDef("q17_window_avg_filter", q17, Some(q17Sql)),
     QueryDef("q18_year_agg", q18, Some(q18Sql)),
     QueryDef("q19_json_extract_agg", q19, Some(q19Sql)),
+    QueryDef("q24_projection_ops", q24, Some(q24Sql)),
+    QueryDef("q25_avg_stddev", q25, Some(q25Sql)),
+    QueryDef("q26_deterministic_sample", q26, Some(q26Sql)),
   )
 }
