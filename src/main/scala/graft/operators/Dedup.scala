@@ -81,13 +81,20 @@ object Dedup {
   }
 
   /** LSH banding: rows (id, band_idx, band_hash), band b covering
-    * signature columns [b*r+1 .. b*r+r]. */
+    * signature columns [b*r+1 .. b*r+r].
+    *
+    * Built as ONE explode over an array of (band_idx, band_hash)
+    * structs — a union of per-band selects would re-execute the whole
+    * signature aggregation once per band (union branches don't share
+    * subplans pre-shuffle). */
   def lshBands(sig: DataFrame, idCol: String, nBands: Int, rowsPerBand: Int): DataFrame = {
-    val bands = (1 to nBands).map { b =>
+    val bandStructs = (1 to nBands).map { b =>
       val cols = ((b - 1) * rowsPerBand + 1 to b * rowsPerBand).map(i => col(s"h$i"))
-      sig.select(col(idCol), lit(b).as("band_idx"), concat(cols: _*).as("band_hash"))
+      struct(lit(b).as("band_idx"), concat(cols: _*).as("band_hash"))
     }
-    bands.reduce(_ unionByName _)
+    sig.select(col(idCol), explode(array(bandStructs: _*)).as("band"))
+      .select(col(idCol), col("band.band_idx").as("band_idx"),
+        col("band.band_hash").as("band_hash"))
   }
 
   /** Distinct candidate pairs (a < b) sharing any band bucket. */

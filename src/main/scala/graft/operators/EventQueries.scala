@@ -43,7 +43,50 @@ object EventQueries {
       |  count(*) AS n_events
       |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** As-of join: each purchase matched to the user's most recent
+    * prior-or-equal view event. */
+  def q71(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"), $"event_type")
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"us", $"event_id".as("purchase_id"))
+    val views = e.filter($"event_type" === "view")
+      .select($"user_id", $"us", $"event_id")
+      .withColumn("view_id", $"event_id").withColumn("view_us", $"us")
+    AsOf.asofJoin(
+      purchases.withColumnRenamed("purchase_id", "event_id"),
+      views, key = "user_id", ts = "us", idCol = "event_id",
+      valueCols = Seq("view_id", "view_us"))
+      .select($"user_id", $"event_id".as("purchase_id"),
+        $"asof_view_id".as("view_id"),
+        ($"us" - $"asof_view_us").as("gap_us"))
+      .orderBy($"user_id", $"purchase_id")
+  }
+
+  val q71Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+      |  FROM events),
+      |u AS (
+      |  SELECT user_id, us, event_id AS oid, 1 AS side, event_id AS purchase_id,
+      |         NULL::BIGINT AS view_id, NULL::BIGINT AS view_us
+      |  FROM e WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, us, event_id, 0, NULL, event_id, us
+      |  FROM e WHERE event_type = 'view'),
+      |w AS (
+      |  SELECT user_id, us, side, purchase_id,
+      |    last_value(view_id IGNORE NULLS) OVER win AS m_view,
+      |    last_value(view_us IGNORE NULLS) OVER win AS m_us
+      |  FROM u
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY us, side, oid
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT user_id, purchase_id, m_view AS view_id, us - m_us AS gap_us
+      |FROM w WHERE side = 1 ORDER BY user_id, purchase_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q70_sessionize", q70, Some(q70Sql), bench = true),
+    QueryDef("q71_asof_join", q71, Some(q71Sql), bench = true),
   )
 }

@@ -92,9 +92,22 @@ object SimilarityQueries {
        |FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
   }
 
+  /** Full-64-dim per-label centroids via the typed VectorCentroid
+    * Aggregator (two-phase partial/merge; rows-only check — an
+    * array-valued aggregate has no concise DuckDB mirror). */
+  def q63(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val centroid = graft.functions.VectorCentroid.centroid(64)
+    Tables.embeddings(s, d)
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"), centroid($"embedding").as("centroid"))
+      .orderBy($"label")
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q60_cosine_topk", q60, Some(q60Sql), bench = true),
     QueryDef("q61_label_centroids", q61, Some(q61Sql)),
     QueryDef("q62_ann_ivf_topk", q62, Some(q62Sql), bench = true),
+    QueryDef("q63_centroids_full", q63, None),
   )
 }

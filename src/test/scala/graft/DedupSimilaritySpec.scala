@@ -109,4 +109,16 @@ class DedupSimilaritySpec extends SparkSpec {
     val langs = df.select(TextAnalysis.langId(col("t"))).collect().map(_.getString(0)).toSeq
     assert(langs == Seq("en", "es", "unknown"))
   }
+
+  test("VectorCentroid aggregator: two-phase mean of float arrays") {
+    import spark.implicits._
+    val df = Seq(
+      (0, Array(1f, 2f)), (0, Array(3f, 4f)), (1, Array(10f, 20f)))
+      .toDF("label", "embedding").repartition(3)
+    val centroid = graft.functions.VectorCentroid.centroid(2)
+    val out = df.groupBy($"label").agg(centroid($"embedding").as("c"))
+      .orderBy("label").collect()
+    assert(out(0).getSeq[Double](1).toSeq == Seq(2.0, 3.0))
+    assert(out(1).getSeq[Double](1).toSeq == Seq(10.0, 20.0))
+  }
 }
