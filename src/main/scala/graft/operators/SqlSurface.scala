@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.{Fx, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Engine SQL surface: the same tables exposed as temp views and
+  * queried through `spark.sql` — correlated subqueries, grouping sets,
+  * cube. Oracle SQL is near-identical ANSI (the point: a reference
+  * user can bring raw SQL to this engine unchanged).
+  */
+object SqlSurface {
+  import Fx._
+
+  private def withViews(s: SparkSession, d: String, names: String*): Unit =
+    names.foreach(n => Tables.load(s, d, n).createOrReplaceTempView(n))
+
+  /** Correlated scalar subquery: parts priced ≥ 1.04× their type's avg. */
+  def q27(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "part")
+    s.sql(
+      s"""SELECT p_partkey, p_type, p_retailprice
+         |FROM part p
+         |WHERE p_retailprice >= 1.04 * (
+         |  SELECT ${sqlR2("sum(p2.p_retailprice)")} / count(*)
+         |  FROM part p2 WHERE p2.p_type = p.p_type)
+         |ORDER BY p_partkey""".stripMargin)
+  }
+
+  val q27Sql: String =
+    s"""SELECT p_partkey, p_type, p_retailprice
+       |FROM part p
+       |WHERE p_retailprice >= 1.04 * (
+       |  SELECT ${sqlR2("sum(p2.p_retailprice)")} / count(*)
+       |  FROM part p2 WHERE p2.p_type = p.p_type)
+       |ORDER BY p_partkey""".stripMargin
+
+  /** GROUPING SETS with grouping() disambiguation of the null rows. */
+  def q28(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "orders")
+    s.sql(
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  grouping(o_orderstatus) AS g_status, grouping(o_orderpriority) AS g_prio,
+         |  count(*) AS n, ${sqlMoneySum("o_totalprice")} AS total
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+  }
+
+  val q28Sql: String =
+    s"""SELECT o_orderstatus, o_orderpriority,
+       |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+       |  count(*) AS n, ${sqlMoneySum("o_totalprice")} AS total
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+       |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** CUBE over region × order status. */
+  def q29(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "orders", "customer", "nation", "region")
+    s.sql(
+      s"""SELECT r_name, o_orderstatus, count(*) AS n,
+         |  ${sqlMoneySum("o_totalprice")} AS total
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY CUBE (r_name, o_orderstatus)
+         |ORDER BY r_name NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)
+  }
+
+  val q29Sql: String =
+    s"""SELECT r_name, o_orderstatus, count(*) AS n,
+       |  ${sqlMoneySum("o_totalprice")} AS total
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY CUBE (r_name, o_orderstatus)
+       |ORDER BY r_name NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q27_correlated_subquery", q27, Some(q27Sql)),
+    QueryDef("q28_grouping_sets", q28, Some(q28Sql)),
+    QueryDef("q29_cube", q29, Some(q29Sql)),
+  )
+}
