@@ -14,7 +14,8 @@ object SparkEntry {
     operators.Relational.all ++ operators.CleaningQueries.all ++
       operators.TextQueries.all ++ operators.DedupQueries.all ++
       operators.SimilarityQueries.all ++ operators.EventQueries.all ++
-      operators.SimHashQueries.all ++ operators.SqlSurface.all
+      operators.SimHashQueries.all ++ operators.SqlSurface.all ++
+      operators.NativeTopKQuery.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,24 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Narrow access bridge into `private[sql]` / `private[spark]` APIs
+  * required by custom physical operators (the standard pattern used by
+  * Spark extension libraries): wrap a custom LogicalPlan into a
+  * DataFrame, and partition-map InternalRows without an extra
+  * serialization boundary.
+  */
+object Bridge {
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  def mapPartitionsInternal(
+      rdd: RDD[InternalRow])(
+      f: Iterator[InternalRow] => Iterator[InternalRow]): RDD[InternalRow] =
+    rdd.mapPartitionsInternal(f)
+}
