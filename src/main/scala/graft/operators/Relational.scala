@@ -452,6 +452,44 @@ object Relational {
       |md5(concat(CAST(o_orderkey AS VARCHAR), '#sample')) AS rk
       |FROM orders ORDER BY rk LIMIT 20""".stripMargin
 
+  /** Percentiles (exact interpolated, ANSI percentile_cont semantics
+    * in both engines). */
+  def q31(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        r4(expr("percentile(o_totalprice, 0.5)")).as("p50"),
+        r4(expr("percentile(o_totalprice, 0.9)")).as("p90"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val q31Sql: String =
+    s"""SELECT o_orderstatus, count(*) AS n,
+       |${sqlR4("quantile_cont(o_totalprice, 0.5)")} AS p50,
+       |${sqlR4("quantile_cont(o_totalprice, 0.9)")} AS p90
+       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** ntile + cume_dist window ranking. */
+  def q32(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(s, d)
+      .select($"o_orderstatus", $"o_orderkey", $"o_totalprice")
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("cd", r6(cume_dist().over(w)))
+      .orderBy($"o_orderstatus", $"o_orderkey")
+  }
+
+  val q32Sql: String =
+    s"""SELECT o_orderstatus, o_orderkey, o_totalprice,
+       |CAST(ntile(4) OVER win AS BIGINT) AS quartile,
+       |${sqlR6("cume_dist() OVER win")} AS cd
+       |FROM orders
+       |WINDOW win AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+       |ORDER BY o_orderstatus, o_orderkey""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql), bench = true),
     QueryDef("q02_filter_project", q02, Some(q02Sql)),
@@ -475,5 +513,7 @@ object Relational {
     QueryDef("q24_projection_ops", q24, Some(q24Sql)),
     QueryDef("q25_avg_stddev", q25, Some(q25Sql)),
     QueryDef("q26_deterministic_sample", q26, Some(q26Sql)),
+    QueryDef("q31_percentiles", q31, Some(q31Sql)),
+    QueryDef("q32_ntile_cumedist", q32, Some(q32Sql)),
   )
 }
