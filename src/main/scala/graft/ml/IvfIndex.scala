@@ -1,0 +1,70 @@
+package graft.ml
+
+import graft.operators.Similarity
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Trained IVF (inverted-file) ANN index: a KMeans coarse quantizer
+  * partitions the vector space into nList cells; search probes only the
+  * nProbe cells nearest to each query.
+  *
+  * Scale shape (100 TB of vectors): training samples the corpus once;
+  * assignment is one pass (broadcast centroids); the search join is a
+  * bucket equi-join on cell id — each query meets |corpus| × nProbe /
+  * nList candidates instead of the full corpus, and the candidate join
+  * key (cell) is shuffle-friendly and skew-bounded by cell sizes.
+  */
+object IvfIndex {
+
+  final case class Index(centroids: Array[(Int, Array[Double])], assigned: DataFrame)
+
+  /** Train the quantizer and assign every target vector to its cell. */
+  def build(targets: DataFrame, vecCol: String, nList: Int, seed: Long = 7L): Index = {
+    val withVec = targets.withColumn("__v", array_to_vector(col(vecCol)))
+    val model = new KMeans().setK(nList).setSeed(seed)
+      .setFeaturesCol("__v").setPredictionCol("__cell")
+      .fit(withVec)
+    val assigned = model.transform(withVec)
+      .withColumnRenamed("__cell", "cell").drop("__v")
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }
+    Index(centroids, assigned)
+  }
+
+  /** For each query, its nProbe nearest cells (driver-side centroid
+    * table — nList is small by construction). */
+  private def probeCells(queries: DataFrame, qVec: String,
+      centroids: Array[(Int, Array[Double])], nProbe: Int): DataFrame = {
+    val s = queries.sparkSession
+    import s.implicits._
+    val cdf = centroids.map { case (i, c) => (i, c.map(_.toFloat)) }
+      .toSeq.toDF("cell", "centroid")
+    val joined = queries.crossJoin(broadcast(cdf))
+      .withColumn("cdist",
+        Similarity.cosine(
+          Similarity.toDoubleArr(col(qVec)), Similarity.toDoubleArr(col("centroid"))))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cdist").desc, col("cell"))
+    joined.withColumn("__pr", row_number().over(w))
+      .filter(col("__pr") <= nProbe)
+      .select(col("q_id").as("p_qid"), col("cell"))
+  }
+
+  /** ANN top-k probing nProbe cells per query. */
+  def search(index: Index, queries: DataFrame, k: Int, nProbe: Int,
+      qId: String = "q_id", qVec: String = "q_vec",
+      tId: String = "vec_id", tVec: String = "embedding"): DataFrame = {
+    val probes = probeCells(queries, qVec, index.centroids, nProbe)
+    val candidates = index.assigned
+      .join(probes, Seq("cell"))
+      .join(broadcast(queries), col(qId) === col("p_qid") && col(qId) =!= col(tId))
+      .withColumn("sim",
+        Similarity.cosine(Similarity.toDoubleArr(col(qVec)), Similarity.toDoubleArr(col(tVec))))
+    val w = Window.partitionBy(col(qId)).orderBy(col("sim").desc, col(tId))
+    candidates.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col(qId), col(tId), col("sim"), col("rn"))
+  }
+}
