@@ -139,4 +139,21 @@ object Dedup {
     * in plans/ as a native expression). */
   def minhashPrefixBucket(c: Column, chars: Int = 2): Column =
     substring(md5(c), 0, chars)
+
+  /** Duplicate-cluster labeling: connected components over the
+    * near-dup pair graph (GraphX Pregel — label = min doc_id in the
+    * component, deterministic). This is the step that turns pairwise
+    * near-dup hits into keep-one-per-cluster dedup at corpus scale;
+    * GraphX runs it as iterative joins over the distributed edge list,
+    * no driver-side union-find. */
+  def dupClusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs
+      .select(col(aCol).cast("long"), col(bCol).cast("long"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val graph = org.apache.spark.graphx.Graph.fromEdgeTuples(edges, defaultValue = 0)
+    graph.connectedComponents().vertices
+      .toDF("doc_id", "component")
+  }
 }

@@ -148,11 +148,60 @@ object DedupQueries {
        |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
        |ORDER BY a""".stripMargin
 
+  /** Near-dup clusters: LSH candidates ≥0.6 Jaccard → connected
+    * components (GraphX; oracle = recursive-CTE transitive closure,
+    * both labeling components by min doc_id). */
+  def q57(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val sig = Dedup.minhashSignatureWords(docs, "doc_id", "text", nHashes)
+    val bands = Dedup.lshBands(sig, "doc_id", nBands = 2, rowsPerBand = 3)
+    val pairs = Dedup.candidatePairs(bands, "doc_id")
+    val da = docs.select($"doc_id".as("a"), Dedup.wordSet($"text").as("wa"))
+    val db = docs.select($"doc_id".as("b"), Dedup.wordSet($"text").as("wb"))
+    val nearDup = pairs.join(da, "a").join(db, "b")
+      .filter(Dedup.jaccard($"wa", $"wb") >= 0.6)
+      .select($"a", $"b")
+    val clusters = Dedup.dupClusters(nearDup)
+    val sizes = clusters.groupBy($"component").agg(count(lit(1)).as("cluster_size"))
+    clusters.join(sizes, "component")
+      .select($"doc_id", $"component", $"cluster_size")
+      .orderBy($"doc_id")
+  }
+
+  val q57Sql: String =
+    s"""WITH RECURSIVE $sigSql, $bandsSql,
+       |pairs AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bands l JOIN bands r
+       |    ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+       |   AND l.doc_id < r.doc_id),
+       |ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM documents),
+       |nd AS (
+       |  SELECT a, b FROM pairs
+       |  JOIN ws wa ON pairs.a = wa.doc_id
+       |  JOIN ws wb ON pairs.b = wb.doc_id
+       |  WHERE CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE) /
+       |        (len(wa.w) + len(wb.w) - len(list_intersect(wa.w, wb.w))) >= 0.6),
+       |edges AS (SELECT a, b FROM nd UNION SELECT b, a FROM nd),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |comp AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS component
+       |  FROM reach GROUP BY src),
+       |sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+       |SELECT comp.doc_id, comp.component, sizes.cluster_size
+       |FROM comp JOIN sizes ON comp.component = sizes.component
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q50_exact_dedup", q50, Some(q50Sql), bench = true),
     QueryDef("q51_minhash_signatures", q51, Some(q51Sql), bench = true),
     QueryDef("q52_lsh_buckets", q52, Some(q52Sql)),
     QueryDef("q53_near_dup_pairs", q53, Some(q53Sql), bench = true),
     QueryDef("q54_ngram_jaccard", q54, Some(q54Sql)),
+    QueryDef("q57_dup_clusters", q57, Some(q57Sql)),
   )
 }

@@ -121,4 +121,14 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(0).getSeq[Double](1).toSeq == Seq(2.0, 3.0))
     assert(out(1).getSeq[Double](1).toSeq == Seq(10.0, 20.0))
   }
+
+  test("dupClusters labels connected components by min doc id") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 10L), (3L, 7L))
+      .toDF("a", "b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 8L, 10L -> 8L))
+  }
 }
