@@ -117,10 +117,65 @@ object TextQueries {
       |count(*) OVER (PARTITION BY md5(text)) AS n_same
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** BPE-ish regex tokenization: word-ish runs + standalone
+    * punctuation (the pre-tokenizer shape real BPE vocabularies use),
+    * counted via regexp_extract_all in both engines (pattern kept in
+    * the Java∩RE2 common dialect). */
+  def q44(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pat = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
+    Tables.documents(s, d)
+      .select($"lang",
+        size(regexp_extract_all($"text", lit(pat), lit(0))).as("bpe_toks"),
+        TextAnalysis.tokenCount($"text").as("ws_toks"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"bpe_toks").as("total_bpe_tokens"),
+        sum($"ws_toks").as("total_ws_tokens"),
+        r4(sum($"bpe_toks").cast("double") / sum($"ws_toks")).as("bpe_per_ws"))
+      .orderBy($"lang")
+  }
+
+  val q44Sql: String =
+    s"""SELECT lang, count(*) AS n_docs,
+       |CAST(sum(bpe_toks) AS BIGINT) AS total_bpe_tokens,
+       |CAST(sum(ws_toks) AS BIGINT) AS total_ws_tokens,
+       |${sqlR4("CAST(sum(bpe_toks) AS DOUBLE) / sum(ws_toks)")} AS bpe_per_ws
+       |FROM (SELECT lang,
+       |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS bpe_toks,
+       |  $tokSql AS ws_toks FROM documents) t
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Stratified deterministic sample: 5 docs per language, selected by
+    * md5 order (seeded-hash sampling is the cluster-stable, cross-
+    * engine form of per-stratum random sampling). */
+  def q45(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang")
+      .orderBy(md5(concat($"doc_id".cast("string"), lit("#strat"))), $"doc_id")
+    Tables.documents(s, d)
+      .select($"lang", $"doc_id", $"n_chars")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 5)
+      .orderBy($"lang", $"rn")
+  }
+
+  val q45Sql: String =
+    """SELECT lang, doc_id, n_chars, rn FROM (
+      |  SELECT lang, doc_id, n_chars,
+      |    CAST(row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(concat(CAST(doc_id AS VARCHAR), '#strat')), doc_id) AS BIGINT) AS rn
+      |  FROM documents) t
+      |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q40_token_stats", q40, Some(q40Sql)),
     QueryDef("q41_quality_score", q41, Some(q41Sql), bench = true),
     QueryDef("q42_langid_confusion", q42, Some(q42Sql), bench = true),
     QueryDef("q43_fingerprint_clusters", q43, Some(q43Sql)),
+    QueryDef("q44_bpe_token_stats", q44, Some(q44Sql)),
+    QueryDef("q45_stratified_sample", q45, Some(q45Sql)),
   )
 }
