@@ -85,8 +85,38 @@ object EventQueries {
       |SELECT user_id, purchase_id, m_view AS view_id, us - m_us AS gap_us
       |FROM w WHERE side = 1 ORDER BY user_id, purchase_id""".stripMargin
 
+  /** Bounded range join: views within 30 min before each purchase,
+    * per user (bucketized equi-join — see operators.RangeJoin). */
+  def q73(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"), $"event_type")
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"us".as("p_us"))
+    val views = e.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"us".as("v_us"))
+    RangeJoin.timeRange(purchases, views, "user_id", "p_us", "v_us",
+        windowMicros = 1800L * 1000000L)
+      .groupBy($"user_id", $"purchase_id")
+      .agg(count(lit(1)).as("n_views_30m"), min($"view_id").as("first_view"))
+      .orderBy($"user_id", $"purchase_id")
+  }
+
+  val q73Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+      |  FROM events),
+      |p AS (SELECT user_id, event_id AS purchase_id, us AS p_us FROM e WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, event_id AS view_id, us AS v_us FROM e WHERE event_type = 'view')
+      |SELECT p.user_id, purchase_id, count(*) AS n_views_30m, min(view_id) AS first_view
+      |FROM p JOIN v ON p.user_id = v.user_id
+      |  AND v_us >= p_us - 1800000000 AND v_us <= p_us
+      |GROUP BY p.user_id, purchase_id
+      |ORDER BY p.user_id, purchase_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q70_sessionize", q70, Some(q70Sql), bench = true),
     QueryDef("q71_asof_join", q71, Some(q71Sql), bench = true),
+    QueryDef("q73_range_join", q73, Some(q73Sql), bench = true),
   )
 }

@@ -1,0 +1,125 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Mutable HLL register file (2^p byte registers). */
+final class HllBuffer(val p: Int) extends Serializable {
+  val m: Int = 1 << p
+  val registers: Array[Byte] = new Array[Byte](m)
+
+  def add(hash: Long): Unit = {
+    val idx = (hash >>> (64 - p)).toInt
+    val rest = hash << p
+    val rank = (if (rest == 0L) 64 - p else java.lang.Long.numberOfLeadingZeros(rest)) + 1
+    if (rank > registers(idx)) registers(idx) = rank.toByte
+  }
+
+  def merge(o: HllBuffer): Unit = {
+    var i = 0
+    while (i < m) {
+      if (o.registers(i) > registers(i)) registers(i) = o.registers(i)
+      i += 1
+    }
+  }
+
+  /** Standard HLL estimate with small-range (linear counting) bias
+    * correction. */
+  def estimate: Long = {
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      sum += 1.0 / (1L << registers(i))
+      if (registers(i) == 0) zeros += 1
+      i += 1
+    }
+    val raw = alpha * m * m / sum
+    val corrected =
+      if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+      else raw
+    math.round(corrected)
+  }
+}
+
+/** HyperLogLog distinct-count as a `TypedImperativeAggregate` — the
+  * custom-sketch shape for aggregations Spark's codegen'd aggregates
+  * can't express (mutable opaque buffer + custom serialization). The
+  * buffer is 2^p bytes per group and merges with a register-wise max,
+  * so the shuffle carries sketches, not values — the 100 TB
+  * count-distinct pattern.
+  *
+  * (Spark's own approx_count_distinct is HLL++; this exists to
+  * demonstrate the imperative-aggregate machinery end-to-end and to
+  * allow custom precisions/merge policies.)
+  */
+case class HllDistinct(
+    child: Expression,
+    p: Int = 11,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HllBuffer] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+
+  override def createAggregationBuffer(): HllBuffer = new HllBuffer(p)
+
+  override def update(buf: HllBuffer, input: InternalRow): HllBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v match {
+        case s: UTF8String => XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        case l: Long => XXH64.hashLong(l, 42L)
+        case i: Int => XXH64.hashLong(i.toLong, 42L)
+        case other => XXH64.hashLong(other.hashCode().toLong, 42L)
+      }
+      buf.add(h)
+    }
+    buf
+  }
+
+  override def merge(buf: HllBuffer, other: HllBuffer): HllBuffer = {
+    buf.merge(other); buf
+  }
+
+  override def eval(buf: HllBuffer): Any = buf.estimate
+
+  override def serialize(buf: HllBuffer): Array[Byte] = {
+    val out = new Array[Byte](1 + buf.m)
+    out(0) = buf.p.toByte
+    System.arraycopy(buf.registers, 0, out, 1, buf.m)
+    out
+  }
+
+  override def deserialize(bytes: Array[Byte]): HllBuffer = {
+    val buf = new HllBuffer(bytes(0).toInt)
+    System.arraycopy(bytes, 1, buf.registers, 0, buf.m)
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllDistinct =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllDistinct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): HllDistinct =
+    copy(child = newChildren.head)
+}
+
+object HllDistinct {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hll_distinct",
+      es => HllDistinct(es.head).toAggregateExpression(),
+      "scala_udf")
+
+  def hll_distinct(c: Column): Column = call_function("hll_distinct", c)
+}

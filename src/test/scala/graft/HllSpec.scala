@@ -1,0 +1,41 @@
+package graft
+
+import graft.plans.HllDistinct
+
+class HllSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("HLL distinct estimate within 5% of exact on lineitem partkeys") {
+    HllDistinct.register(spark)
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+    val r = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      HllDistinct.hll_distinct(col("l_partkey")).as("est")).head()
+    val (exact, est) = (r.getLong(0), r.getLong(1))
+    val err = math.abs(est - exact).toDouble / exact
+    assert(err < 0.05, s"exact=$exact est=$est err=$err")
+  }
+
+  test("HLL works grouped and via SQL, merges across partitions") {
+    HllDistinct.register(spark)
+    import spark.implicits._
+    val df = (1 to 20000).map(i => (i % 4, s"v${i % 1000}")).toDF("g", "s")
+      .repartition(8)
+    df.createOrReplaceTempView("hll_in")
+    val rows = spark.sql(
+      "SELECT g, hll_distinct(s) AS est FROM hll_in GROUP BY g ORDER BY g").collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val est = r.getLong(1)
+      // each group sees 250 distinct of the 1000 values
+      assert(math.abs(est - 250) < 20, s"group ${r.getInt(0)}: $est")
+    }
+  }
+
+  test("HLL of nulls-only input estimates zero") {
+    HllDistinct.register(spark)
+    import spark.implicits._
+    val df = Seq[Option[String]](None, None).toDF("s")
+    assert(df.agg(HllDistinct.hll_distinct(col("s"))).head.getLong(0) == 0L)
+  }
+}
