@@ -490,6 +490,45 @@ object Relational {
        |WINDOW win AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
        |ORDER BY o_orderstatus, o_orderkey""".stripMargin
 
+  /** Pivot: avg price by year pivoted on order status (explicit value
+    * list → stable columns; oracle is the equivalent CASE aggregation). */
+  def q33(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy(year($"o_orderdate").as("order_year"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(moneyAvg($"o_totalprice"))
+      .withColumnsRenamed(Map("F" -> "avg_f", "O" -> "avg_o", "P" -> "avg_p"))
+      .orderBy($"order_year")
+  }
+
+  val q33Sql: String = {
+    def cell(st: String) =
+      sqlR4(s"${sqlR2(s"sum(CASE WHEN o_orderstatus = '$st' THEN o_totalprice END)")} / count(CASE WHEN o_orderstatus = '$st' THEN 1 END)")
+    s"""SELECT year(o_orderdate) AS order_year,
+       |${cell("F")} AS avg_f, ${cell("O")} AS avg_o, ${cell("P")} AS avg_p
+       |FROM orders GROUP BY 1 ORDER BY order_year""".stripMargin
+  }
+
+  /** Sorted collect aggregation, emitted as a joined string (arrays in
+    * oracle-checked outputs risk hasher differences; the string is
+    * equivalent coverage). */
+  def q34(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderstatus")
+      .agg(
+        array_join(sort_array(collect_set($"o_orderpriority")), ",").as("priorities"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val q34Sql: String =
+    """SELECT o_orderstatus,
+      |array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
+      |count(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql), bench = true),
     QueryDef("q02_filter_project", q02, Some(q02Sql)),
@@ -515,5 +554,7 @@ object Relational {
     QueryDef("q26_deterministic_sample", q26, Some(q26Sql)),
     QueryDef("q31_percentiles", q31, Some(q31Sql)),
     QueryDef("q32_ntile_cumedist", q32, Some(q32Sql)),
+    QueryDef("q33_pivot", q33, Some(q33Sql)),
+    QueryDef("q34_sorted_collect", q34, Some(q34Sql)),
   )
 }
