@@ -88,4 +88,25 @@ class PipelineSpec extends SparkSpec {
       JobRunner.SourceSpec("api", "Economy", "u2"),
       JobRunner.SourceSpec("csv", "CryptoMarkets", "crypto-markets.csv")))
   }
+
+  test("JSON-lines sink/source round trip (K4/K5, S7 document shape)") {
+    import spark.implicits._
+    val dir = tmp("jsonl") + "/docs"
+    val docs = Seq(("t1", "content one", "Scott"), ("t2", "content two", "Ana"))
+      .toDF("title", "content", "author")
+    Sinks.jsonLines(docs, dir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "title string, content string, author string")
+    val back = Sources.jsonLines(spark, schema, dir)
+    assert(back.count() == 2)
+    // S9-style equality find over the document sink
+    assert(back.filter(col("author") === "Scott").count() == 1)
+  }
+
+  test("jsonBody parses a driver-fetched API payload (S7)") {
+    val body = """[{"city": "Austin", "aqi": 42}, {"city": "Delhi", "aqi": 180}]"""
+    val df = Sources.jsonBody(spark, body)
+    assert(df.count() == 2)
+    assert(df.filter(col("aqi") > 100).select("city").head.getString(0) == "Delhi")
+  }
 }
