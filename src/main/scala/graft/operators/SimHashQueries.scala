@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   * (md5-hex → bigint via conv(); bit votes; hamming distance on
   * adjacent docs) so DuckDB can mirror it exactly ('0x…'::BIGINT).
   * q56 uses the native 64-bit Catalyst expression (graft.plans
-  * .SimHash64) — not SQL-expressible, so it's a rows-only check; its
-  * correctness is covered by SimHashSpec (eval == codegen == model).
+  * .SimHash64), hash-verified against a DuckDB mirror that reproduces
+  * the FNV-1a fold with HUGEINT arithmetic mod 2^64 (and additionally
+  * by SimHashSpec: eval == codegen == model).
   */
 object SimHashQueries {
   private val bits = 16
@@ -58,7 +59,7 @@ object SimHashQueries {
        |ORDER BY a""".stripMargin
   }
 
-  /** Native SimHash64 expression over documents (rows-only check). */
+  /** Native SimHash64 + RollingHash expressions over documents. */
   def q56(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     GraftFunctions.register(s)
@@ -69,8 +70,52 @@ object SimHashQueries {
       .orderBy($"doc_id")
   }
 
+  /** Exact DuckDB mirror of the native Catalyst expressions: FNV-1a
+    * 64-bit per whitespace token folded with `list_reduce` in HUGEINT
+    * arithmetic mod 2^64 (DuckDB integers error on overflow, so the
+    * wrap is made explicit), bit votes, sign → bit; rolling hash is the
+    * same base-31 polynomial fold. Text is ASCII in this corpus, so
+    * `unicode(char) == utf8 byte` holds. Bit 63 is added as Long.Min
+    * to reproduce two's-complement without overflowing BIGINT.
+    */
+  val q56Sql: String = {
+    val mod = "18446744073709551616::HUGEINT" // 2^64
+    val fnv =
+      s"""list_reduce(
+         |  list_prepend(14695981039346656037::HUGEINT,
+         |    list_transform(string_split(w, ''), c -> unicode(c)::HUGEINT)),
+         |  (acc, b) -> ((acc - (acc % 256) + xor((acc % 256)::BIGINT, b::BIGINT)::HUGEINT)
+         |               * 1099511628211::HUGEINT) % $mod)""".stripMargin
+    val votes = (0 until 64).map(i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i").mkString(", ")
+    val value63 = (0 until 63).map(i =>
+      s"(CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    val roll =
+      s"""list_reduce(
+         |  list_prepend(0::HUGEINT, list_transform(string_split(text, ''), c -> unicode(c)::HUGEINT)),
+         |  (acc, b) -> (acc * 31 + b) % $mod)""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+       |  WHERE w <> ''),
+       |th AS (SELECT doc_id, $fnv AS h FROM toks),
+       |v AS (SELECT doc_id, $votes FROM th GROUP BY doc_id),
+       |sh AS (SELECT doc_id, CAST($value63 AS BIGINT)
+       |         + (CASE WHEN v63 > 0 THEN -9223372036854775808 ELSE 0 END) AS simhash64
+       |       FROM v),
+       |rh AS (SELECT doc_id, CASE WHEN r >= 9223372036854775808::HUGEINT
+       |         THEN CAST(r - $mod AS BIGINT) ELSE CAST(r AS BIGINT) END AS rolling_hash
+       |       FROM (SELECT doc_id, $roll AS r FROM documents) t)
+       |SELECT d.doc_id, CAST(COALESCE(sh.simhash64, 0) AS BIGINT) AS simhash64,
+       |       rh.rolling_hash
+       |FROM documents d
+       |LEFT JOIN sh ON d.doc_id = sh.doc_id
+       |JOIN rh ON d.doc_id = rh.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q55_simhash16_hamming", q55, Some(q55Sql), bench = true),
-    QueryDef("q56_simhash64_native", q56, None),
+    QueryDef("q56_simhash64_native", q56, Some(q56Sql)),
   )
 }

@@ -93,21 +93,32 @@ object SimilarityQueries {
   }
 
   /** Full-64-dim per-label centroids via the typed VectorCentroid
-    * Aggregator (two-phase partial/merge; rows-only check — an
-    * array-valued aggregate has no concise DuckDB mirror). */
+    * Aggregator (two-phase partial/merge), exploded to long format
+    * `(label, dim, n_vecs, c)` so every dimension is a scalar column —
+    * driver-hashable and mirrored in DuckDB by a per-dim average. */
   def q63(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val centroid = graft.functions.VectorCentroid.centroid(64)
     Tables.embeddings(s, d)
       .groupBy($"label")
       .agg(count(lit(1)).as("n_vecs"), centroid($"embedding").as("centroid"))
-      .orderBy($"label")
+      .select($"label", $"n_vecs", posexplode($"centroid"))
+      .select($"label", ($"pos" + 1).cast("long").as("dim"), $"n_vecs",
+        r6($"col").as("c"))
+      .orderBy($"label", $"dim")
   }
+
+  val q63Sql: String =
+    s"""SELECT e.label, CAST(d.dim AS BIGINT) AS dim, count(*) AS n_vecs,
+       |  ${sqlR6("avg(CAST(e.embedding[d.dim] AS DOUBLE))")} AS c
+       |FROM embeddings e, (SELECT unnest(range(1, 65)) AS dim) d
+       |GROUP BY e.label, d.dim
+       |ORDER BY label, dim""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q60_cosine_topk", q60, Some(q60Sql), bench = true),
     QueryDef("q61_label_centroids", q61, Some(q61Sql)),
     QueryDef("q62_ann_ivf_topk", q62, Some(q62Sql), bench = true),
-    QueryDef("q63_centroids_full", q63, None),
+    QueryDef("q63_centroids_full", q63, Some(q63Sql)),
   )
 }
