@@ -36,8 +36,10 @@ object IvfIndex {
   }
 
   /** For each query, its nProbe nearest cells (driver-side centroid
-    * table — nList is small by construction). */
-  private def probeCells(queries: DataFrame, qVec: String,
+    * table — nList is small by construction). Cell selection runs
+    * through the native TopKPerGroup heap, so no per-query window sort
+    * exists anywhere on the search path. */
+  private def probeCells(queries: DataFrame, qId: String, qVec: String,
       centroids: Array[(Int, Array[Double])], nProbe: Int): DataFrame = {
     val s = queries.sparkSession
     import s.implicits._
@@ -47,24 +49,27 @@ object IvfIndex {
       .withColumn("cdist",
         Similarity.cosine(
           Similarity.toDoubleArr(col(qVec)), Similarity.toDoubleArr(col("centroid"))))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cdist").desc, col("cell"))
-    joined.withColumn("__pr", row_number().over(w))
-      .filter(col("__pr") <= nProbe)
-      .select(col("q_id").as("p_qid"), col("cell"))
+    graft.plans.TopK.perGroup(joined, nProbe, Seq(qId),
+      Seq(graft.plans.TopK.desc("cdist"), graft.plans.TopK.asc("cell")))
+      .select(col(qId).as("p_qid"), col("cell"))
   }
 
-  /** ANN top-k probing nProbe cells per query. */
+  /** ANN top-k probing nProbe cells per query: candidate reduction via
+    * the bounded-heap TopKPerGroup, ranking via a window over the ≤ k
+    * surviving rows per query. */
   def search(index: Index, queries: DataFrame, k: Int, nProbe: Int,
       qId: String = "q_id", qVec: String = "q_vec",
       tId: String = "vec_id", tVec: String = "embedding"): DataFrame = {
-    val probes = probeCells(queries, qVec, index.centroids, nProbe)
+    val probes = probeCells(queries, qId, qVec, index.centroids, nProbe)
     val candidates = index.assigned
       .join(probes, Seq("cell"))
       .join(broadcast(queries), col(qId) === col("p_qid") && col(qId) =!= col(tId))
       .withColumn("sim",
         Similarity.cosine(Similarity.toDoubleArr(col(qVec)), Similarity.toDoubleArr(col(tVec))))
+    val top = graft.plans.TopK.perGroup(candidates, k, Seq(qId),
+      Seq(graft.plans.TopK.desc("sim"), graft.plans.TopK.asc(tId)))
     val w = Window.partitionBy(col(qId)).orderBy(col("sim").desc, col(tId))
-    candidates.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    top.withColumn("rn", row_number().over(w))
       .select(col(qId), col(tId), col("sim"), col("rn"))
   }
 }

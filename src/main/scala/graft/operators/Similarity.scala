@@ -34,18 +34,30 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Reduce candidates to the k best rows per query with the native
+    * bounded-heap TopKPerGroup operator, then rank the surviving ≤ k
+    * rows per query with a window. The window input is O(|Q|·k), not
+    * the full candidate set — a `row_number` window directly on the
+    * candidates would funnel EVERY candidate for a query into one task
+    * (the round-1 scale-killer); here the heavy reduction streams
+    * through the heap operator and the window only orders k rows.
+    */
+  private def rankTopK(candidates: DataFrame, k: Int, qId: String, tId: String): DataFrame = {
+    val top = graft.plans.TopK.perGroup(candidates, k, Seq(qId),
+      Seq(graft.plans.TopK.desc("sim"), graft.plans.TopK.asc(tId)))
+    val w = Window.partitionBy(col(qId)).orderBy(col("sim").desc, col(tId))
+    top.withColumn("rn", row_number().over(w))
+  }
+
   /** Brute-force cosine top-k: for each query row, the k nearest target
-    * rows. Query side is broadcast; ranking via per-query window. */
+    * rows. Query side is broadcast; ranking via native TopKPerGroup. */
   def bruteForceTopK(queries: DataFrame, targets: DataFrame, k: Int,
       qId: String = "q_id", qVec: String = "q_vec",
       tId: String = "vec_id", tVec: String = "embedding"): DataFrame = {
     val joined = targets.crossJoin(broadcast(queries))
       .filter(col(qId) =!= col(tId))
       .withColumn("sim", cosine(toDoubleArr(col(qVec)), toDoubleArr(col(tVec))))
-    val w = Window.partitionBy(col(qId)).orderBy(col("sim").desc, col(tId))
-    joined
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    rankTopK(joined, k, qId, tId)
   }
 
   /** IVF-style coarse quantizer: sign bits of the first `bits` dims →
@@ -69,7 +81,6 @@ object Similarity {
     val t = targets.withColumn("t_bucket", signBucket(col(tVec), bits))
     val joined = t.join(broadcast(q), col("q_bucket") === col("t_bucket") && col(qId) =!= col(tId))
       .withColumn("sim", cosine(toDoubleArr(col(qVec)), toDoubleArr(col(tVec))))
-    val w = Window.partitionBy(col(qId)).orderBy(col("sim").desc, col(tId))
-    joined.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    rankTopK(joined, k, qId, tId)
   }
 }

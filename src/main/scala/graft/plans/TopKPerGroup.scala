@@ -22,9 +22,19 @@ import org.apache.spark.sql.graft.Bridge
   * At 100 TB: for k ≪ group size (the common "3 best per brand" shape)
   * the heap pass is the difference between spilling a sort buffer per
   * group and streaming the scan.
+  *
+  * Memory contract: the operator holds O(groups-per-partition × k)
+  * retained rows per task and does NOT spill (the window operator
+  * buffers the same retained rows PLUS a full sort buffer, but its
+  * sort can spill). It is therefore the right operator when k ≪ group
+  * size; for extreme group cardinality, raise
+  * `spark.sql.shuffle.partitions` so groups-per-partition × k × rowsize
+  * fits in task memory — the ClusteredDistribution requirement means
+  * more partitions directly shrink the per-task footprint.
+  * TopKSpec exercises a 100k-group stress case.
   */
 final case class TopKPerGroupNode(
-    k: Int, groupCols: Seq[Expression], order: SortOrder, child: LogicalPlan)
+    k: Int, groupCols: Seq[Expression], order: Seq[SortOrder], child: LogicalPlan)
   extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupNode =
@@ -32,7 +42,7 @@ final case class TopKPerGroupNode(
 }
 
 final case class TopKPerGroupExec(
-    k: Int, groupCols: Seq[Expression], order: SortOrder, child: SparkPlan)
+    k: Int, groupCols: Seq[Expression], order: Seq[SortOrder], child: SparkPlan)
   extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
 
@@ -48,7 +58,7 @@ final case class TopKPerGroupExec(
     Bridge.mapPartitionsInternal(child.execute()) { rows =>
       val groupProj = UnsafeProjection.create(groupLocal, childOutput)
       val ordering = new org.apache.spark.sql.catalyst.expressions.InterpretedOrdering(
-        Seq(orderLocal), childOutput)
+        orderLocal, childOutput)
       // per-group bounded "worst-first" heap: peek = currently-worst
       // kept row, evicted when a better row arrives
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
@@ -89,6 +99,9 @@ object TopKStrategy extends SparkStrategy {
 }
 
 object TopK {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+  import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, NullsFirst, NullsLast}
+
   /** Register the strategy (idempotent per session). */
   def ensureRegistered(spark: SparkSession): Unit =
     if (!spark.sessionState.experimentalMethods.extraStrategies.contains(TopKStrategy)) {
@@ -96,21 +109,32 @@ object TopK {
         spark.sessionState.experimentalMethods.extraStrategies :+ TopKStrategy
     }
 
-  /** Top-k rows per group by `orderCol` (SortOrder); output unordered
-    * across groups — compose with orderBy for deterministic display. */
-  def perGroup(df: DataFrame, k: Int, groupCols: Seq[String], order: SortOrder): DataFrame = {
+  def asc(name: String): SortOrder =
+    SortOrder(UnresolvedAttribute(name), Ascending, NullsFirst, Seq.empty)
+  def desc(name: String): SortOrder =
+    SortOrder(UnresolvedAttribute(name), Descending, NullsLast, Seq.empty)
+
+  /** Top-k rows per group by `order` (lexicographic over the given
+    * SortOrders — include a unique tie-break key for deterministic
+    * selection); output unordered across groups — compose with orderBy
+    * for deterministic display. */
+  def perGroup(df: DataFrame, k: Int, groupCols: Seq[String], order: Seq[SortOrder]): DataFrame = {
     val spark = df.sparkSession
     ensureRegistered(spark)
     val lp = df.queryExecution.analyzed
     val groupExprs: Seq[Expression] = groupCols.map(c =>
       lp.output.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(s"no column $c")))
-    val resolvedOrder = order.copy(child = order.child match {
-      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+    val resolvedOrder = order.map(o => o.copy(child = o.child match {
+      case u: UnresolvedAttribute =>
         lp.output.find(_.name == u.name).getOrElse(
           throw new IllegalArgumentException(s"no column ${u.name}"))
       case e => e
-    })
+    }))
     Bridge.ofRows(spark, TopKPerGroupNode(k, groupExprs, resolvedOrder, lp))
   }
+
+  /** Single-key convenience overload. */
+  def perGroup(df: DataFrame, k: Int, groupCols: Seq[String], order: SortOrder): DataFrame =
+    perGroup(df, k, groupCols, Seq(order))
 }

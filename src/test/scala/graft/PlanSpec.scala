@@ -42,6 +42,19 @@ class PlanSpec extends SparkSpec {
       "shipdate filter must reach the parquet scan")
   }
 
+  test("similarity top-k reduces via TopKPerGroup before any window (q60/q62)") {
+    for (q <- Seq(graft.operators.SimilarityQueries.q60 _,
+                  graft.operators.SimilarityQueries.q62 _)) {
+      val p = plan(q(spark, sf))
+      val heap = p.indexOf("TopKPerGroup")
+      val win = p.indexOf("Window")
+      assert(heap >= 0, "candidate reduction must use the native heap operator")
+      // tree prints top-down: the window (rank over ≤ k rows) must sit
+      // ABOVE the heap reduction, never directly on the candidate set
+      assert(win < 0 || win < heap, p.take(800))
+    }
+  }
+
   test("anti/semi joins stay join-based, no cartesian anywhere") {
     val p10 = plan(Relational.q10(spark, sf))
     val p11 = plan(Relational.q11(spark, sf))

@@ -44,6 +44,25 @@ class TopKSpec extends SparkSpec {
     assert(top == Seq(96, 97, 98, 99, 100))
   }
 
+  test("multi-key order breaks ties deterministically") {
+    import spark.implicits._
+    val df = Seq(("g", 1.0, 3L), ("g", 1.0, 1L), ("g", 1.0, 2L), ("g", 0.5, 0L))
+      .toDF("g", "s", "id").repartition(2)
+    val top = TopK.perGroup(df, 2, Seq("g"), Seq(TopK.desc("s"), TopK.asc("id")))
+      .collect().map(_.getLong(2)).sorted.toSeq
+    assert(top == Seq(1L, 2L))
+  }
+
+  test("high-cardinality groups: 100k groups stream through the heap map") {
+    import spark.implicits._
+    val df = spark.range(400000)
+      .select((col("id") % 100000).as("g"), col("id").as("v"))
+    val top = TopK.perGroup(df, 2, Seq("g"), desc("v"))
+    assert(top.count() == 200000L)
+    val g7 = top.filter(col("g") === 7).collect().map(_.getLong(1)).sorted.toSeq
+    assert(g7 == Seq(200007L, 300007L))
+  }
+
   test("physical plan uses TopKPerGroupExec with no Sort") {
     val part = Tables.part(spark, "/root/testdata/sf0.001")
     val df = TopK.perGroup(part, 3, Seq("p_brand"), desc("p_retailprice"))
