@@ -97,10 +97,37 @@ object Dedup {
         col("band.band_hash").as("band_hash"))
   }
 
-  /** Distinct candidate pairs (a < b) sharing any band bucket. */
-  def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
-    val l = bands.select(col("band_idx"), col("band_hash"), col(idCol).as("a"))
-    val r = bands.select(col("band_idx").as("band_idx_r"), col("band_hash").as("band_hash_r"), col(idCol).as("b"))
+  /** Default bucket-size cap for [[candidatePairs]]: a bucket of n docs
+    * emits n(n-1)/2 pairs, so one degenerate band hash (empty docs,
+    * boilerplate) turns the join quadratic. 1000 docs → ≤ ~500k pairs
+    * per bucket, a bounded task; anything larger is near-certainly a
+    * degenerate hash, not a real near-dup cluster. */
+  val DefaultMaxBucket = 1000
+
+  /** Buckets skipped by the cap — the monitoring side-channel: log or
+    * persist this alongside the dedup run so capped content is visible,
+    * never silently dropped. */
+  def overflowBuckets(bands: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame =
+    bands.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucket)
+
+  /** Distinct candidate pairs (a < b) sharing any band bucket.
+    *
+    * Buckets larger than `maxBucket` are excluded BEFORE the self-join
+    * (the count aggregation shuffles only (band key, count), then the
+    * kept-bucket set gates both join sides), so a single hot band hash
+    * cannot blow the join up quadratically. Skipped buckets are
+    * observable via [[overflowBuckets]] with the same threshold. */
+  def candidatePairs(bands: DataFrame, idCol: String,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val ok = bands.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select(col("band_idx"), col("band_hash"))
+    val gated = bands.join(ok, Seq("band_idx", "band_hash"))
+    val l = gated.select(col("band_idx"), col("band_hash"), col(idCol).as("a"))
+    val r = gated.select(col("band_idx").as("band_idx_r"), col("band_hash").as("band_hash_r"), col(idCol).as("b"))
     l.join(r, l("band_idx") === r("band_idx_r") &&
         l("band_hash") === r("band_hash_r") && l("a") < r("b"))
       .select(col("a"), col("b"))

@@ -68,6 +68,18 @@ object DedupQueries {
       |  UNION ALL
       |  SELECT doc_id, 2 AS band_idx, h4 || h5 || h6 AS band_hash FROM sig)""".stripMargin
 
+  /** Mirrors Dedup.candidatePairs incl. the bucket-size cap. */
+  private val pairsSql: String =
+    s"""okb AS (
+       |  SELECT band_idx, band_hash FROM bands
+       |  GROUP BY band_idx, band_hash HAVING count(*) <= ${Dedup.DefaultMaxBucket}),
+       |gated AS (SELECT bands.* FROM bands JOIN okb USING (band_idx, band_hash)),
+       |pairs AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM gated l JOIN gated r
+       |    ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+       |   AND l.doc_id < r.doc_id)""".stripMargin
+
   /** LSH band buckets with ≥2 docs (the near-dup candidate clusters). */
   def q52(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -104,12 +116,7 @@ object DedupQueries {
   }
 
   val q53Sql: String =
-    s"""WITH $sigSql, $bandsSql,
-       |pairs AS (
-       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-       |  FROM bands l JOIN bands r
-       |    ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
-       |   AND l.doc_id < r.doc_id),
+    s"""WITH $sigSql, $bandsSql, $pairsSql,
        |ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM documents),
        |j AS (
        |  SELECT a, b,
@@ -170,12 +177,7 @@ object DedupQueries {
   }
 
   val q57Sql: String =
-    s"""WITH RECURSIVE $sigSql, $bandsSql,
-       |pairs AS (
-       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-       |  FROM bands l JOIN bands r
-       |    ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
-       |   AND l.doc_id < r.doc_id),
+    s"""WITH RECURSIVE $sigSql, $bandsSql, $pairsSql,
        |ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM documents),
        |nd AS (
        |  SELECT a, b FROM pairs

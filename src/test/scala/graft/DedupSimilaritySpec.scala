@@ -44,6 +44,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("bucket cap: a degenerate identical-text corpus skips the hot bucket") {
+    import spark.implicits._
+    // 300 identical docs land in ONE band bucket: uncapped that is
+    // ~45k pairs per band; capped at 100 the bucket is excluded and the
+    // join emits nothing — the quadratic blow-up never runs.
+    val df = (1L to 300L).map(i => (i, "same boilerplate text repeated everywhere"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashSignature(df, "doc_id", "text", 8, 6)
+    val bands = Dedup.lshBands(sig, "doc_id", 2, 3)
+    assert(Dedup.candidatePairs(bands, "doc_id", maxBucket = 100).count() == 0L)
+    // and the skipped buckets are observable, not silently dropped
+    val overflow = Dedup.overflowBuckets(bands, maxBucket = 100)
+      .collect().map(_.getAs[Long]("n_docs")).toSeq
+    assert(overflow == Seq(300L, 300L)) // both bands degenerate
+    // a mixed corpus still surfaces the real pair under the cap
+    val mixed = df.limit(0).unionByName(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog again"),
+      (3L, "nothing in common with anything else at all")).toDF("doc_id", "text"))
+    val mixedPairs = Dedup.candidatePairs(
+      Dedup.lshBands(Dedup.minhashSignature(mixed, "doc_id", "text", 8, 6), "doc_id", 2, 3),
+      "doc_id", maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mixedPairs == Set((1L, 2L)))
+  }
+
   test("jaccard: identical sets → 1.0, disjoint → 0.0") {
     import spark.implicits._
     val df = Seq(("a b c", "a b c", "x y z")).toDF("t1", "t2", "t3")
