@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
   * per partition, so per-batch setup like model/codec init happens
   * once per partition, not per row).
   *
-  * The actual byte decoding is STUBBED (this container ships no image/
-  * audio codecs): `StubDecoder` derives deterministic pseudo-features
-  * from the raw bytes. The Spark-side plumbing — schema, encoders,
-  * partitioning, batch shape, null handling — is real and tested, and
-  * a real codec drops into `decode` without touching the plan.
+  * Image rows decode for REAL via `javax.imageio` (PNG/JPEG/GIF/BMP
+  * ship with the JDK — no external codec needed): pixel dimensions and
+  * a 16-bin luminance histogram. Bytes that no JDK reader recognizes —
+  * and media kinds without a JDK codec (audio/video) — fall back to
+  * `stubDecode`, a deterministic byte histogram, so the pipeline never
+  * fails on malformed payloads; `decoded` records which path ran. The
+  * Spark-side plumbing — schema, encoders, partitioning, batch shape,
+  * null handling — is identical for both paths.
   */
 object Multimodal {
 
@@ -25,11 +28,12 @@ object Multimodal {
 
   final case class MediaFeatures(
       media_id: Long, kind: String, n_bytes: Long,
-      histogram: Array[Double], aspect_ratio: Double)
+      histogram: Array[Double], aspect_ratio: Double,
+      width: Int, height: Int, decoded: Boolean)
 
-  /** STUB decode: deterministic 16-bin byte histogram (L1-normalized).
-    * Replace with a real codec (JPEG decode → pixel stats, PCM decode →
-    * spectral bins) — signature and batching stay identical. */
+  /** Fallback decode: deterministic 16-bin byte histogram
+    * (L1-normalized) — runs when no real codec applies, keeping the
+    * batch shape and schema identical to the decoded path. */
   def stubDecode(bytes: Array[Byte]): Array[Double] = {
     val bins = new Array[Double](16)
     if (bytes != null && bytes.nonEmpty) {
@@ -40,20 +44,57 @@ object Multimodal {
     bins
   }
 
+  final case class DecodedImage(width: Int, height: Int, histogram: Array[Double])
+
+  /** Real image decode via the JDK's ImageIO: pixel dims + L1-normalized
+    * 16-bin luminance histogram (integer BT.601 luma — deterministic
+    * across platforms). Returns None for unrecognizable bytes. */
+  def decodeImage(bytes: Array[Byte]): Option[DecodedImage] =
+    if (bytes == null || bytes.isEmpty) None
+    else try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val bins = new Array[Double](16)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            bins(lum >> 4) += 1.0
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toDouble * h
+        (0 until 16).foreach(i => bins(i) /= n)
+        Some(DecodedImage(w, h, bins))
+      }
+    } catch { case _: Exception => None }
+
   /** Partition-batched feature extraction. One pass per partition;
-    * decoder state (codec/model handle) would be initialized once at
-    * the top of the iterator lambda. */
+    * decoder state (codec handle, model session) initializes once per
+    * partition at the top of the iterator lambda. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition init happens here (codec handle, model session)
       rows.map { r =>
-        MediaFeatures(
-          media_id = r.media_id,
-          kind = r.kind,
-          n_bytes = if (r.bytes == null) 0L else r.bytes.length.toLong,
-          histogram = stubDecode(r.bytes),
-          aspect_ratio = if (r.height != 0) r.width.toDouble / r.height else 0.0)
+        val nBytes = if (r.bytes == null) 0L else r.bytes.length.toLong
+        val dec = if (r.kind == "image") decodeImage(r.bytes) else None
+        dec match {
+          case Some(d) =>
+            MediaFeatures(r.media_id, r.kind, nBytes, d.histogram,
+              aspect_ratio = if (d.height != 0) d.width.toDouble / d.height else 0.0,
+              width = d.width, height = d.height, decoded = true)
+          case None =>
+            MediaFeatures(r.media_id, r.kind, nBytes, stubDecode(r.bytes),
+              aspect_ratio = if (r.height != 0) r.width.toDouble / r.height else 0.0,
+              width = r.width, height = r.height, decoded = false)
+        }
       }
     }
   }

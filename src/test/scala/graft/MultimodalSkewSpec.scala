@@ -19,6 +19,29 @@ class MultimodalSkewSpec extends SparkSpec {
     assert(feats(0).histogram.toSeq == again(0).histogram.toSeq)
   }
 
+  test("multimodal: real PNG bytes decode to pixel dims + luminance histogram") {
+    import spark.implicits._
+    // a real 4x2 PNG: left half pure black, right half pure white
+    val img = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0x000000 else 0xffffff)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+
+    val df = Seq((1L, png), (2L, "not an image".getBytes)).toDF("id", "payload")
+    val feats = Multimodal.extractFeatures(
+      Multimodal.fromBinary(df, "id", "payload", "image"))
+      .orderBy("media_id").collect()
+    val d = feats(0)
+    assert(d.decoded && d.width == 4 && d.height == 2 && d.aspect_ratio == 2.0)
+    assert(d.histogram(0) == 0.5 && d.histogram(15) == 0.5) // half black, half white
+    assert(d.histogram.sum == 1.0)
+    // unrecognizable bytes fall back to the stub path, never fail
+    assert(!feats(1).decoded && feats(1).width == 0)
+    assert(math.abs(feats(1).histogram.sum - 1.0) < 1e-9)
+  }
+
   test("multimodal: resize plan computes bounded target dims declaratively") {
     import spark.implicits._
     val df = Seq((1920, 1080), (640, 480)).toDF("width", "height")
