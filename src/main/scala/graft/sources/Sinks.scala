@@ -45,6 +45,54 @@ object Sinks {
   def jsonLines(df: DataFrame, dir: String): Unit =
     df.write.mode("overwrite").json(dir)
 
+  /** K6: keyed merge (upsert) into a parquet target — the engine
+    * counterpart of the reference's insert-or-update document save
+    * (mongo.ipynb:215-244, mongoengine `Document.save()`): rows in
+    * `updates` replace existing rows with the same key, new keys are
+    * inserted, untouched rows survive unchanged.
+    *
+    * Shape: read-merge-rewrite. Existing rows that do NOT match an
+    * update key survive via a LEFT ANTI join (one key shuffle, or a
+    * broadcast when the update batch is small — the usual case),
+    * unioned with the updates and staged to a sibling directory first
+    * (Spark cannot overwrite a path it is reading), then swapped in.
+    *
+    * At scale, pass `partitions`: only partitions actually present in
+    * the update batch are read (semi-join partition pruning) and
+    * rewritten (dynamic partition overwrite) — merge cost is
+    * proportional to touched partitions, not table size.
+    */
+  def mergeUpsert(updates: DataFrame, dir: String, key: String,
+      partitions: Seq[String] = Nil): Unit = {
+    val spark = updates.sparkSession
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(target)) {
+      if (partitions.nonEmpty)
+        updates.write.partitionBy(partitions: _*).parquet(dir)
+      else updates.write.parquet(dir)
+      return
+    }
+    val existing = spark.read.parquet(dir)
+    val scoped =
+      if (partitions.isEmpty) existing
+      else existing.join(
+        broadcast(updates.select(partitions.map(col): _*).distinct()),
+        partitions, "left_semi")
+    val kept = scoped.join(updates, Seq(key), "left_anti")
+    val merged = kept.unionByName(updates.select(kept.columns.map(col).toSeq: _*))
+    val staging = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + "__staging")
+    merged.write.mode("overwrite").parquet(staging.toString)
+    val staged = spark.read.parquet(staging.toString)
+    if (partitions.nonEmpty)
+      staged.write.partitionBy(partitions: _*)
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(dir)
+    else
+      staged.write.mode("overwrite").parquet(dir)
+    fs.delete(staging, true)
+  }
+
   /** Bucketed sink for co-located joins at scale: pre-shuffles by the
     * join key once at write time so repeated downstream joins on that
     * key skip their shuffle (requires saveAsTable / metastore). */

@@ -46,6 +46,43 @@ class PipelineSpec extends SparkSpec {
     assert(out.agg(sum($"price")).head.getLong(0) == 302)
   }
 
+  test("mergeUpsert: updates replace matching keys, new keys insert (K6)") {
+    import spark.implicits._
+    val dir = tmp("merge") + "/t"
+    val base = Seq((1L, "a", 100), (2L, "b", 200), (3L, "c", 300))
+      .toDF("id", "name", "price")
+    Sinks.mergeUpsert(base, dir, "id") // no target yet → plain write
+    val batch = Seq((2L, "b2", 250), (4L, "d", 400)).toDF("id", "name", "price")
+    Sinks.mergeUpsert(batch, dir, "id")
+    def state() = spark.read.parquet(dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(state() == Seq((1L, "a", 100), (2L, "b2", 250), (3L, "c", 300), (4L, "d", 400)))
+    // idempotency: replaying the same batch changes nothing
+    Sinks.mergeUpsert(batch, dir, "id")
+    assert(state() == Seq((1L, "a", 100), (2L, "b2", 250), (3L, "c", 300), (4L, "d", 400)))
+  }
+
+  test("mergeUpsert partitioned: only touched partitions rewrite (K6 at scale)") {
+    import spark.implicits._
+    val dir = tmp("mergep") + "/t"
+    val base = Seq((1L, "austin", 100), (2L, "austin", 200), (3L, "woburn", 300))
+      .toDF("id", "city", "price")
+    Sinks.mergeUpsert(base, dir, "id", partitions = Seq("city"))
+    val untouchedFiles = new java.io.File(s"$dir/city=woburn").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    Sinks.mergeUpsert(
+      Seq((2L, "austin", 222), (5L, "austin", 500)).toDF("id", "city", "price"),
+      dir, "id", partitions = Seq("city"))
+    val got = spark.read.parquet(dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getAs[String]("city"), r.getAs[Int]("price"))).toSeq
+    assert(got == Seq((1L, "austin", 100), (2L, "austin", 222),
+      (3L, "woburn", 300), (5L, "austin", 500)))
+    // the woburn partition's files were not rewritten
+    val after = new java.io.File(s"$dir/city=woburn").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(after == untouchedFiles)
+  }
+
   test("JDBC round-trip via embedded Derby (S6/K3)") {
     import spark.implicits._
     val url = "jdbc:derby:memory:graftdb;create=true"
