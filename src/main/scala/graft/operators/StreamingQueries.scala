@@ -8,8 +8,12 @@ import org.apache.spark.sql.streaming.Trigger
 /** Structured-Streaming execution surfaced in the oracle-checked
   * registry: the hourly event rollup runs as a REAL streaming query
   * (file source → watermark → windowed agg → memory sink,
-  * Trigger.AvailableNow) and must produce exactly the batch answer —
-  * the DuckDB oracle is the same SQL that checks the batch q16.
+  * Trigger.AvailableNow) in APPEND mode, so the 2-hour watermark
+  * actually evicts state: a window row is emitted exactly once, when
+  * the watermark passes its end; windows the watermark never reaches
+  * are withheld. The DuckDB oracle reproduces that semantics exactly —
+  * the batch q16 aggregation gated by the same watermark cutoff
+  * (max event time, ms precision, minus 2 hours).
   */
 object StreamingQueries {
   import Fx._
@@ -37,17 +41,32 @@ object StreamingQueries {
     val sink = s"q72_sink_${counter.incrementAndGet()}"
     val query = agg.writeStream
       .format("memory").queryName(sink)
-      .outputMode("complete")
+      .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    query.awaitTermination(300000)
+    // fail loudly on a hung trigger: a timed-out AvailableNow run would
+    // otherwise read a silently-incomplete sink table
+    if (!query.awaitTermination(300000)) {
+      query.stop()
+      throw new IllegalStateException("q72: AvailableNow trigger did not complete in 300s")
+    }
     s.table(sink).orderBy($"hour", $"event_type")
   }
 
+  /** Batch q16 gated by the append-mode watermark: Spark tracks event
+    * time at ms precision, so the cutoff is ms-truncated max(ts) minus
+    * the 2-hour delay, and only windows whose END the watermark reached
+    * were emitted. */
   val q72Sql: String =
-    s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+    s"""WITH wm AS (
+       |  SELECT date_trunc('milliseconds', max(CAST(ts AS TIMESTAMP)))
+       |         - INTERVAL 2 HOUR AS w
+       |  FROM events)
+       |SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
        |count(*) AS n_events, ${sqlMoneySum("value")} AS total_value
-       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+       |FROM events, wm
+       |WHERE date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR <= wm.w
+       |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q72_streaming_hourly", q72, Some(q72Sql)),
