@@ -79,9 +79,58 @@ object SqlSurface {
        |GROUP BY CUBE (r_name, o_orderstatus)
        |ORDER BY r_name NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
 
+  /** TPC-H Q20-style nested IN + correlated scalar aggregate: suppliers
+    * who shipped an above-threshold quantity (vs the part's own average)
+    * of a large part. Deterministic across engines without rounding:
+    * l_quantity is integer-valued, so sums/averages are exact doubles.
+    * (Q20's partsupp leg is adapted to this schema's lineitem.) */
+  private val q35Text: String =
+    """SELECT s_suppkey, s_name, s_acctbal
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l.l_suppkey FROM lineitem l
+      |  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)
+      |    AND l.l_quantity > (SELECT 1.9 * avg(l2.l_quantity) FROM lineitem l2
+      |                        WHERE l2.l_partkey = l.l_partkey))
+      |ORDER BY s_suppkey""".stripMargin
+
+  def q35(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "supplier", "lineitem", "part")
+    s.sql(q35Text)
+  }
+
+  /** TPC-H Q21-style EXISTS + NOT EXISTS on the same fact table:
+    * per-supplier count of finished multi-supplier orders where this
+    * supplier shipped LAST (another supplier's line exists, but none
+    * shipped later). (Q21's receipt/commit dates are adapted to this
+    * schema's l_shipdate.) */
+  private val q36Text: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |              WHERE l3.l_orderkey = l1.l_orderkey
+      |                AND l3.l_suppkey <> l1.l_suppkey
+      |                AND l3.l_shipdate > l1.l_shipdate)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name""".stripMargin
+
+  def q36(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "supplier", "lineitem", "orders", "nation")
+    s.sql(q36Text)
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q27_correlated_subquery", q27, Some(q27Sql)),
     QueryDef("q28_grouping_sets", q28, Some(q28Sql)),
     QueryDef("q29_cube", q29, Some(q29Sql)),
+    QueryDef("q35_nested_in_scalar", q35, Some(q35Text)),
+    QueryDef("q36_exists_not_exists", q36, Some(q36Text)),
   )
 }
