@@ -126,11 +126,73 @@ object SqlSurface {
     s.sql(q36Text)
   }
 
+  /** TPC-H Q2-style min-cost supplier: correlated scalar MIN subquery
+    * selecting the supplier(s) whose price equals the per-part minimum
+    * (lineitem stands in for Q2's partsupp in this schema). Equality is
+    * on stored doubles with no arithmetic — bit-identical both engines. */
+  private val q37Text: String =
+    """SELECT DISTINCT p.p_partkey, p.p_name, s.s_name, l.l_extendedprice AS min_price
+      |FROM part p
+      |JOIN lineitem l ON l.l_partkey = p.p_partkey
+      |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |WHERE p.p_size >= 48
+      |  AND l.l_extendedprice = (SELECT min(l2.l_extendedprice) FROM lineitem l2
+      |                           WHERE l2.l_partkey = p.p_partkey)
+      |ORDER BY p.p_partkey, s.s_name""".stripMargin
+
+  def q37(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "part", "lineitem", "supplier")
+    s.sql(q37Text)
+  }
+
+  /** TPC-H Q13-style customer order-count distribution: LEFT OUTER join
+    * with an extra join-side predicate, then a two-level aggregate. */
+  private val q38Text: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c.c_custkey AS ck, count(o.o_orderkey) AS c_count
+      |  FROM customer c LEFT JOIN orders o
+      |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY c.c_custkey) t
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  def q38(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "customer", "orders")
+    s.sql(q38Text)
+  }
+
+  /** TPC-H Q22-style: customers above the global average balance with no
+    * urgent orders (NOT EXISTS anti-join), grouped by nation. The average
+    * threshold is computed on the exact cents grid (integer sum, then one
+    * division) so the comparison is deterministic across engines — a raw
+    * avg(double) differs in final ulps between Spark and DuckDB and can
+    * flip boundary rows. */
+  private val q39Text: String =
+    """WITH thresh AS (
+      |  SELECT CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+      |           / count(*) AS avg_cents
+      |  FROM customer WHERE c_acctbal > 0.0)
+      |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+      |  floor(sum(c_acctbal) * 100 + 0.5) / 100 AS totacctbal
+      |FROM customer c, thresh
+      |WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) > avg_cents
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  def q39(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "customer", "orders")
+    s.sql(q39Text)
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q27_correlated_subquery", q27, Some(q27Sql)),
     QueryDef("q28_grouping_sets", q28, Some(q28Sql)),
     QueryDef("q29_cube", q29, Some(q29Sql)),
     QueryDef("q35_nested_in_scalar", q35, Some(q35Text)),
     QueryDef("q36_exists_not_exists", q36, Some(q36Text)),
+    QueryDef("q37_min_cost_supplier", q37, Some(q37Text)),
+    QueryDef("q38_custdist", q38, Some(q38Text)),
+    QueryDef("q39_above_avg_no_urgent", q39, Some(q39Text)),
   )
 }
