@@ -134,6 +134,37 @@ object Dedup {
       .distinct()
   }
 
+  /** Embedding-cosine near-duplicate pairs: sign-bucket LSH (the
+    * random-hyperplane family for cosine distance, here the signs of
+    * the leading `bits` dimensions) prunes the candidate space to an
+    * equi-join on the bucket id; the same bucket-size cap as
+    * [[candidatePairs]] bounds the self-join (a degenerate bucket —
+    * e.g. all-zero vectors — would otherwise go quadratic); and an
+    * exact cosine fold verifies each surviving pair against
+    * `threshold`. Output: (a_id, b_id, cos) with a_id < b_id.
+    *
+    * 100 TB shape: the bucket count aggregation shuffles only
+    * (bucket, count); the pair join is hash-partitioned by bucket with
+    * per-bucket work capped at maxBucket²/2. */
+  def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      bits: Int, threshold: Double,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val e = emb.select(col(idCol), col(vecCol))
+      .withColumn("__bucket", Similarity.signBucket(col(vecCol), bits))
+    val ok = e.groupBy(col("__bucket")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select(col("__bucket"))
+    val gated = e.join(ok, Seq("__bucket"))
+    val l = gated.select(col("__bucket"), col(idCol).as("a_id"),
+      Similarity.toDoubleArr(col(vecCol)).as("__va"))
+    val r = gated.select(col("__bucket").as("__bucket_r"), col(idCol).as("b_id"),
+      Similarity.toDoubleArr(col(vecCol)).as("__vb"))
+    l.join(r, l("__bucket") === r("__bucket_r") && l("a_id") < r("b_id"))
+      .withColumn("cos", Similarity.cosine(col("__va"), col("__vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cos"))
+  }
+
   /** Distinct word set (split on single space). */
   def wordSet(c: Column): Column = array_distinct(split(c, " "))
 

@@ -198,6 +198,73 @@ object DedupQueries {
        |FROM comp JOIN sizes ON comp.component = sizes.component
        |ORDER BY doc_id""".stripMargin
 
+  // ---- embedding-cosine near-dup (q58/q59) ---------------------------
+
+  private val nearDupBits = 8
+  private val nearDupThreshold = 0.35 // synthetic embeddings top out ~0.51
+
+  /** Embedding-cosine near-dup pairs: sign-bucket LSH + capped
+    * self-join + exact cosine verify (threshold tuned so the synthetic
+    * corpus yields a non-trivial pair set — the semantics are
+    * threshold-parametric). */
+  def q58(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        nearDupBits, nearDupThreshold)
+      .select($"a_id", $"b_id", r6($"cos").as("cos_sim"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** Shared oracle CTEs: bucketed embeddings + verified pairs. */
+  private val embPairsSql: String = {
+    val bucket = Similarity.sqlSignBucket("embedding", nearDupBits)
+    s"""e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, $bucket AS bucket
+       |  FROM embeddings),
+       |okb AS (SELECT bucket FROM e GROUP BY bucket
+       |        HAVING count(*) <= ${Dedup.DefaultMaxBucket}),
+       |gated AS (SELECT e.* FROM e JOIN okb ON e.bucket = okb.bucket),
+       |pairs AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    list_dot_product(a.v, b.v) /
+       |      sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) AS cos
+       |  FROM gated a JOIN gated b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |nd AS (SELECT a_id, b_id, cos FROM pairs WHERE cos >= $nearDupThreshold)""".stripMargin
+  }
+
+  val q58Sql: String =
+    s"""WITH $embPairsSql
+       |SELECT a_id, b_id, ${sqlR6("cos")} AS cos_sim
+       |FROM nd ORDER BY a_id, b_id""".stripMargin
+
+  /** Near-dup retention per label: total vectors vs vectors kept after
+    * dropping the higher id of every verified near-dup pair (keep-min
+    * greedy — the standard first pass before full clustering). */
+  def q59(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+      nearDupBits, nearDupThreshold)
+    val dropped = pairs.select($"b_id".as("vec_id")).distinct()
+    val kept = emb.join(dropped, Seq("vec_id"), "left_anti")
+      .groupBy($"label").agg(count(lit(1)).as("n_kept"))
+    emb.groupBy($"label").agg(count(lit(1)).as("n_vecs"))
+      .join(kept, "label")
+      .orderBy($"label")
+  }
+
+  val q59Sql: String =
+    s"""WITH $embPairsSql,
+       |dropped AS (SELECT DISTINCT b_id FROM nd),
+       |kept AS (
+       |  SELECT label, count(*) AS n_kept FROM embeddings
+       |  WHERE vec_id NOT IN (SELECT b_id FROM dropped)
+       |  GROUP BY label),
+       |tot AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
+       |SELECT tot.label AS label, n_vecs, n_kept
+       |FROM tot JOIN kept ON tot.label = kept.label
+       |ORDER BY label""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q50_exact_dedup", q50, Some(q50Sql), bench = true),
     QueryDef("q51_minhash_signatures", q51, Some(q51Sql), bench = true),
@@ -205,5 +272,7 @@ object DedupQueries {
     QueryDef("q53_near_dup_pairs", q53, Some(q53Sql), bench = true),
     QueryDef("q54_ngram_jaccard", q54, Some(q54Sql)),
     QueryDef("q57_dup_clusters", q57, Some(q57Sql)),
+    QueryDef("q58_embedding_near_dup", q58, Some(q58Sql), bench = true),
+    QueryDef("q59_near_dup_retention", q59, Some(q59Sql)),
   )
 }

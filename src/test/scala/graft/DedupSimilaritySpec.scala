@@ -148,6 +148,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(1).getSeq[Double](1).toSeq == Seq(10.0, 20.0))
   }
 
+  test("embeddingNearDupPairs finds cosine near-dups, bucket cap bounds degenerate corpora") {
+    import spark.implicits._
+    // 1/2 identical (cos=1), 3 orthogonal-ish, 4 opposite sign bucket.
+    val df = Seq(
+      (1L, Array(1f, 1f, 0.1f, 0.1f)),
+      (2L, Array(1f, 1f, 0.1f, 0.1f)),
+      (3L, Array(1f, -1f, 0.1f, 0.1f)),
+      (4L, Array(-1f, -1f, -0.1f, -0.1f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding",
+        bits = 2, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+    // Degenerate: every vector identical → one bucket of 50 > cap 10 →
+    // the whole bucket is skipped instead of emitting 50*49/2 pairs.
+    val degen = (1L to 50L).map(i => (i, Array(1f, 1f, 1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val capped = Dedup.embeddingNearDupPairs(degen, "vec_id", "embedding",
+      bits = 2, threshold = 0.5, maxBucket = 10)
+    assert(capped.count() == 0L)
+  }
+
   test("dupClusters labels connected components by min doc id") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 10L), (3L, 7L))
