@@ -68,7 +68,47 @@ object StreamingQueries {
        |WHERE date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR <= wm.w
        |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** Streaming stateful dedup: first sighting of each (user_id,
+    * event_type) key across the stream, with the watermark bounding
+    * how long per-key state is retained. Only the KEY columns are
+    * emitted — which payload row `dropDuplicates` keeps is
+    * arrival-order-dependent (nondeterministic under a parallel file
+    * scan), but the key set itself is exact, so the query stays
+    * hash-checkable against batch DISTINCT. */
+  def q74(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = s"$d/events.parquet"
+    val schema = s.read.parquet(path).schema
+    val raw = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val events = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+    val deduped = events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("user_id", "event_type")
+      .select($"user_id", $"event_type")
+    val sink = s"q74_sink_${counter.incrementAndGet()}"
+    val query = deduped.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!query.awaitTermination(300000)) {
+      query.stop()
+      throw new IllegalStateException("q74: AvailableNow trigger did not complete in 300s")
+    }
+    s.table(sink).orderBy($"user_id", $"event_type")
+  }
+
+  val q74Sql: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q72_streaming_hourly", q72, Some(q72Sql)),
+    QueryDef("q74_streaming_dedup", q74, Some(q74Sql)),
   )
 }
