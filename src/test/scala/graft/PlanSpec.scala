@@ -55,6 +55,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("plan guard sweep: no CartesianProduct in any registered query") {
+    // Streaming queries execute on build (memory-sink round trip) and
+    // return a plain table scan — nothing to guard there.
+    val skip = Set("q72_streaming_hourly", "q74_streaming_dedup")
+    val offenders = SparkEntry.registry.filterNot(q => skip(q.name)).flatMap { q =>
+      val p = plan(q.fn(spark, sf))
+      // BroadcastNestedLoopJoin (broadcast-small-side crossJoin designs,
+      // e.g. q60's broadcast query set) is intended; an unpartitioned
+      // CartesianProduct never is.
+      if (p.contains("CartesianProduct")) Some(q.name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian product in: ${offenders.mkString(", ")}")
+  }
+
   test("anti/semi joins stay join-based, no cartesian anywhere") {
     val p10 = plan(Relational.q10(spark, sf))
     val p11 = plan(Relational.q11(spark, sf))
