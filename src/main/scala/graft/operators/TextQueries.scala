@@ -170,6 +170,48 @@ object TextQueries {
       |  FROM documents) t
       |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin
 
+  /** Document length histogram on a fixed 50-char grid — the standard
+    * first look at a training corpus (truncation/padding budgeting). */
+  def q46(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .groupBy((floor(length($"text") / 50) * 50).cast("long").as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(length($"text")).cast("long").as("min_len"),
+        max(length($"text")).cast("long").as("max_len"))
+      .orderBy($"len_bucket")
+  }
+
+  val q46Sql: String =
+    """SELECT CAST(floor(length(text) / 50) * 50 AS BIGINT) AS len_bucket,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(min(length(text)) AS BIGINT) AS min_len,
+      |  CAST(max(length(text)) AS BIGINT) AS max_len
+      |FROM documents GROUP BY 1 ORDER BY len_bucket""".stripMargin
+
+  /** Corpus-wide top-20 word bigrams by occurrence — vocabulary /
+    * boilerplate analysis. The words array is materialized BEFORE the
+    * lambda (an inline split inside transform re-evaluates per element,
+    * the O(n²) trap), and the global top-k compiles to
+    * TakeOrderedAndProject, not a full sort. */
+  def q47(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val withWords = Tables.documents(s, d).select(split($"text", " ").as("w"))
+    val bigrams = withWords.select(
+      explode(when(size($"w") >= 2,
+        transform(sequence(lit(1), size($"w") - 1),
+          i => concat(element_at($"w", i), lit(" "), element_at($"w", i + 1))))
+        .otherwise(array().cast("array<string>"))).as("ng"))
+    bigrams.groupBy($"ng").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"ng").limit(20)
+  }
+
+  val q47Sql: String =
+    """SELECT ng, CAST(count(*) AS BIGINT) AS n FROM (
+      |  SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS ng
+      |  FROM (SELECT string_split(text, ' ') AS w FROM documents) t) u
+      |GROUP BY ng ORDER BY n DESC, ng LIMIT 20""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q40_token_stats", q40, Some(q40Sql)),
     QueryDef("q41_quality_score", q41, Some(q41Sql), bench = true),
@@ -177,5 +219,7 @@ object TextQueries {
     QueryDef("q43_fingerprint_clusters", q43, Some(q43Sql)),
     QueryDef("q44_bpe_token_stats", q44, Some(q44Sql)),
     QueryDef("q45_stratified_sample", q45, Some(q45Sql)),
+    QueryDef("q46_length_histogram", q46, Some(q46Sql)),
+    QueryDef("q47_top_bigrams", q47, Some(q47Sql)),
   )
 }
