@@ -69,6 +69,43 @@ object Streams {
     UserSessions(key, count, n)
   }
 
+  /** Streaming → JDBC via foreachBatch with batch-id idempotence.
+    *
+    * Spark's JDBC batch writer alone is at-least-once under retries
+    * (a failed-then-retried micro-batch appends twice). The standard
+    * exactly-once recipe: stamp every row with its micro-batch id,
+    * and have each batch DELETE its own id before appending — a retry
+    * (or a full re-run against a fresh checkpoint that replays the
+    * same batch ids) replaces its rows instead of duplicating them.
+    * The delete is one indexed statement per batch, not a scan. */
+  def foreachBatchJdbc(df: DataFrame, url: String, table: String,
+      props: java.util.Properties, checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val conn = java.sql.DriverManager.getConnection(url, props)
+        try {
+          val st = conn.createStatement()
+          // Spark's JDBC writer passes the TABLE name through unquoted
+          // (the database applies its own case folding) but quotes every
+          // COLUMN name exactly — the delete must match both conventions.
+          try st.executeUpdate(s"""DELETE FROM $table WHERE "batch_id" = $batchId""")
+          catch {
+            // swallow ONLY "table does not exist" (first-ever batch);
+            // any other failure must fail the batch, not hide a dup
+            case e: java.sql.SQLException
+                if Option(e.getSQLState).exists(s => s == "42X05" || s == "42P01") => ()
+          }
+          finally st.close()
+        } finally conn.close()
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").jdbc(url, table, props)
+        (): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def sessionize(events: org.apache.spark.sql.Dataset[Event]): DataFrame = {
     import events.sparkSession.implicits._
     events

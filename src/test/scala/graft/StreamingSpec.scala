@@ -35,6 +35,30 @@ class StreamingSpec extends SparkSpec {
     assert(woburn.getAs[Int]("price") == 1000)
   }
 
+  test("foreachBatchJdbc: batch-id delete-then-append makes replays idempotent") {
+    val src = Files.createTempDirectory("jdbc_src").toString
+    val url = "jdbc:derby:memory:graftstream;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    Files.writeString(java.nio.file.Path.of(s"$src/batch.csv"),
+      "k,v\n1,a\n2,b\n3,c\n")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("k INT, v STRING")
+    def run(ckpt: String): Unit = {
+      val stream = spark.readStream.schema(schema).option("header", "true").csv(src)
+      val q = Streams.foreachBatchJdbc(stream, url, "sink_events", props, ckpt)
+      assert(q.awaitTermination(60000))
+    }
+    run(Files.createTempDirectory("jdbc_ckpt1").toString)
+    val back1 = graft.sources.Sources.jdbcTable(spark, url, "sink_events", props)
+    assert(back1.count() == 3)
+    // Fresh checkpoint replays batch id 0 over the SAME table: the
+    // delete-by-batch-id pass must replace, not double-append.
+    run(Files.createTempDirectory("jdbc_ckpt2").toString)
+    val back2 = graft.sources.Sources.jdbcTable(spark, url, "sink_events", props)
+    assert(back2.count() == 3)
+    assert(back2.select("batch_id").distinct().count() == 1)
+  }
+
   test("stateful gap sessionization matches the batch q70 semantics") {
     import spark.implicits._
     val us = 1000000L
