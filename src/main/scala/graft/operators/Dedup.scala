@@ -121,11 +121,21 @@ object Dedup {
     * observable via [[overflowBuckets]] with the same threshold. */
   def candidatePairs(bands: DataFrame, idCol: String,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val ok = bands.groupBy(col("band_idx"), col("band_hash"))
+    // The bands relation is consumed THREE times below (bucket counts,
+    // and both sides of the self-join). Without a persist each consumer
+    // re-runs the whole upstream minhash pipeline — at scale that is
+    // re-reading the corpus and re-hashing every shingle 3× (measured:
+    // 6 FileScans / 8 md5 stages in the unpersisted q53 plan, zero
+    // ReusedExchange because the aliased subplans don't canonicalize
+    // equal). Bands are 3 narrow columns (~tens of bytes per doc), so
+    // MEMORY_AND_DISK caching is cheap insurance; eviction just falls
+    // back to recompute.
+    val cached = bands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ok = cached.groupBy(col("band_idx"), col("band_hash"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucket)
       .select(col("band_idx"), col("band_hash"))
-    val gated = bands.join(ok, Seq("band_idx", "band_hash"))
+    val gated = cached.join(ok, Seq("band_idx", "band_hash"))
     val l = gated.select(col("band_idx"), col("band_hash"), col(idCol).as("a"))
     val r = gated.select(col("band_idx").as("band_idx_r"), col("band_hash").as("band_hash_r"), col(idCol).as("b"))
     l.join(r, l("band_idx") === r("band_idx_r") &&
