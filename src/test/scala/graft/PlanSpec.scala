@@ -55,6 +55,37 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter from the selective side prunes the fact scan") {
+    // At 100 TB the win is reading fewer fact rows out of the shuffle
+    // when the dim side carries a selective filter. Spark injects a
+    // bloom_filter_agg → might_contain pair at optimization time; the
+    // default thresholds (10 GB application-side scan) are tuned for
+    // clusters, so pin the behavior here with the thresholds dropped.
+    val conf = spark.conf
+    val key = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    val bcast = "spark.sql.autoBroadcastJoinThreshold"
+    val old = conf.get(key)
+    val oldBcast = conf.get(bcast)
+    conf.set(key, "0")
+    // the rule only fires when the application side actually shuffles
+    // (with a broadcast join there is nothing to prune pre-shuffle) —
+    // force the shuffle path this sf would otherwise broadcast away
+    conf.set(bcast, "-1")
+    try {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        "expected an injected runtime bloom filter on the fact side:\n" +
+          optimized.take(600))
+    } finally {
+      conf.set(key, old)
+      conf.set(bcast, oldBcast)
+    }
+  }
+
   test("plan guard sweep: no CartesianProduct in any registered query") {
     // Streaming queries execute on build (memory-sink round trip) and
     // return a plain table scan — nothing to guard there.
