@@ -12,12 +12,14 @@ import org.apache.spark.sql.functions._
   *
   * Image rows decode for REAL via `javax.imageio` (PNG/JPEG/GIF/BMP
   * ship with the JDK — no external codec needed): pixel dimensions and
-  * a 16-bin luminance histogram. Bytes that no JDK reader recognizes —
-  * and media kinds without a JDK codec (audio/video) — fall back to
-  * `stubDecode`, a deterministic byte histogram, so the pipeline never
-  * fails on malformed payloads; `decoded` records which path ran. The
+  * a 16-bin luminance histogram. Audio rows decode for real via
+  * `javax.sound.sampled` (WAV/AIFF/AU): sample rate, frame count, and
+  * an amplitude histogram. Bytes no JDK reader recognizes — and media
+  * kinds without a JDK codec (video) — fall back to `stubDecode`, a
+  * deterministic byte histogram, so the pipeline never fails on
+  * malformed payloads; `decoded` records which path ran. The
   * Spark-side plumbing — schema, encoders, partitioning, batch shape,
-  * null handling — is identical for both paths.
+  * null handling — is identical for every path.
   */
 object Multimodal {
 
@@ -29,7 +31,8 @@ object Multimodal {
   final case class MediaFeatures(
       media_id: Long, kind: String, n_bytes: Long,
       histogram: Array[Double], aspect_ratio: Double,
-      width: Int, height: Int, decoded: Boolean)
+      width: Int, height: Int, decoded: Boolean,
+      sample_rate: Int = 0, n_frames: Long = 0L)
 
   /** Fallback decode: deterministic 16-bin byte histogram
     * (L1-normalized) — runs when no real codec applies, keeping the
@@ -75,6 +78,39 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  final case class DecodedAudio(
+      sampleRate: Int, nFrames: Long, channels: Int, histogram: Array[Double])
+
+  /** Real audio decode via the JDK's javax.sound.sampled (WAV/AIFF/AU
+    * ship with the JDK): sample rate, frame count, and an L1-normalized
+    * 16-bin absolute-amplitude histogram. Non-PCM-16 input is converted
+    * through AudioSystem first. Returns None for unrecognizable bytes. */
+  def decodeAudio(bytes: Array[Byte]): Option[DecodedAudio] =
+    if (bytes == null || bytes.isEmpty) None
+    else try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      val src = in.getFormat
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        src.getSampleRate, 16, src.getChannels, src.getChannels * 2,
+        src.getSampleRate, false)
+      val pcm = AudioSystem.getAudioInputStream(fmt, in)
+      val data = pcm.readAllBytes()
+      pcm.close()
+      val bins = new Array[Double](16)
+      val nSamples = data.length / 2
+      var i = 0
+      while (i < nSamples) {
+        val s = ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort
+        val mag = math.min(math.abs(s.toInt), 32767)
+        bins(mag >> 11) += 1.0 // 32768 / 16 = 2048 = 1 << 11
+        i += 1
+      }
+      if (nSamples > 0) (0 until 16).foreach(j => bins(j) /= nSamples.toDouble)
+      Some(DecodedAudio(src.getSampleRate.toInt,
+        nSamples.toLong / math.max(src.getChannels, 1), src.getChannels, bins))
+    } catch { case _: Exception => None }
+
   /** Partition-batched feature extraction. One pass per partition;
     * decoder state (codec handle, model session) initializes once per
     * partition at the top of the iterator lambda. */
@@ -84,13 +120,18 @@ object Multimodal {
       // per-partition init happens here (codec handle, model session)
       rows.map { r =>
         val nBytes = if (r.bytes == null) 0L else r.bytes.length.toLong
-        val dec = if (r.kind == "image") decodeImage(r.bytes) else None
-        dec match {
-          case Some(d) =>
+        val img = if (r.kind == "image") decodeImage(r.bytes) else None
+        val aud = if (r.kind == "audio") decodeAudio(r.bytes) else None
+        (img, aud) match {
+          case (Some(d), _) =>
             MediaFeatures(r.media_id, r.kind, nBytes, d.histogram,
               aspect_ratio = if (d.height != 0) d.width.toDouble / d.height else 0.0,
               width = d.width, height = d.height, decoded = true)
-          case None =>
+          case (_, Some(a)) =>
+            MediaFeatures(r.media_id, r.kind, nBytes, a.histogram,
+              aspect_ratio = 0.0, width = 0, height = 0, decoded = true,
+              sample_rate = a.sampleRate, n_frames = a.nFrames)
+          case _ =>
             MediaFeatures(r.media_id, r.kind, nBytes, stubDecode(r.bytes),
               aspect_ratio = if (r.height != 0) r.width.toDouble / r.height else 0.0,
               width = r.width, height = r.height, decoded = false)

@@ -42,6 +42,35 @@ class MultimodalSkewSpec extends SparkSpec {
     assert(math.abs(feats(1).histogram.sum - 1.0) < 1e-9)
   }
 
+  test("multimodal: real WAV bytes decode to sample rate, frames, amplitude histogram") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // a real 8kHz mono PCM-16 WAV: 800 frames of a loud square wave
+    val sampleRate = 8000
+    val nFrames = 800
+    val pcm = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val s: Short = if (i % 16 < 8) 20000 else -20000
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, sampleRate, 16, 1, 2, sampleRate, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, nFrames)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+
+    val df = Seq((1L, wav), (2L, "not audio".getBytes)).toDF("id", "payload")
+    val feats = Multimodal.extractFeatures(Multimodal.fromBinary(df, "id", "payload", "audio"))
+      .orderBy("media_id").collect()
+    assert(feats(0).decoded)
+    assert(feats(0).sample_rate == sampleRate)
+    assert(feats(0).n_frames == nFrames.toLong)
+    // |20000| >> 11 = bin 9 holds every sample
+    assert(math.abs(feats(0).histogram(9) - 1.0) < 1e-9)
+    assert(!feats(1).decoded && feats(1).sample_rate == 0)
+  }
+
   test("multimodal: resize plan computes bounded target dims declaratively") {
     import spark.implicits._
     val df = Seq((1920, 1080), (640, 480)).toDF("width", "height")
