@@ -107,8 +107,59 @@ object StreamingQueries {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** Stream-static join: the event stream enriches against the static
+    * customer dimension (broadcast — the standard streaming-enrichment
+    * shape; the static side is planned per micro-batch, never stated),
+    * then a watermarked hourly rollup per market segment in append
+    * mode. */
+  def q75(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = s"$d/events.parquet"
+    val schema = s.read.parquet(path).schema
+    val raw = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val events = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+    val dim = broadcast(graft.Tables.load(s, d, "customer")
+      .select($"c_custkey", $"c_mktsegment"))
+    val agg = events
+      .withWatermark("ts", "2 hours")
+      .join(dim, events("user_id") === dim("c_custkey"))
+      .groupBy(window($"ts", "1 hour"), $"c_mktsegment")
+      .agg(count(lit(1)).as("n_events"), moneySum($"value").as("total_value"))
+      .select($"window.start".as("hour"), $"c_mktsegment", $"n_events", $"total_value")
+    val sink = s"q75_sink_${counter.incrementAndGet()}"
+    val query = agg.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!query.awaitTermination(300000)) {
+      query.stop()
+      throw new IllegalStateException("q75: AvailableNow trigger did not complete in 300s")
+    }
+    s.table(sink).orderBy($"hour", $"c_mktsegment")
+  }
+
+  /** Batch twin: inner join + hourly rollup gated by the same
+    * append-mode watermark cutoff as q72. */
+  val q75Sql: String =
+    s"""WITH wm AS (
+       |  SELECT date_trunc('milliseconds', max(CAST(ts AS TIMESTAMP)))
+       |         - INTERVAL 2 HOUR AS w
+       |  FROM events)
+       |SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, c_mktsegment,
+       |count(*) AS n_events, ${sqlMoneySum("value")} AS total_value
+       |FROM events JOIN customer ON user_id = c_custkey, wm
+       |WHERE date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR <= wm.w
+       |GROUP BY 1, 2 ORDER BY hour, c_mktsegment""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q72_streaming_hourly", q72, Some(q72Sql)),
     QueryDef("q74_streaming_dedup", q74, Some(q74Sql)),
+    QueryDef("q75_stream_static_join", q75, Some(q75Sql)),
   )
 }
