@@ -212,6 +212,33 @@ object TextQueries {
       |  FROM (SELECT string_split(text, ' ') AS w FROM documents) t) u
       |GROUP BY ng ORDER BY n DESC, ng LIMIT 20""".stripMargin
 
+  /** Blocked fuzzy matching (entity resolution): near-identical part
+    * names by edit distance. The self-join is BLOCKED on the first
+    * character — the standard entity-resolution move that turns an
+    * all-pairs O(n²) into per-block quadratics over distinct names
+    * (dedup before the join: 64 names here stand for 2000 part rows).
+    * levenshtein is classic integer DP — identical in both engines. */
+  def q49(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val names = Tables.load(s, d, "part").select($"p_name").distinct()
+    val a = names.select($"p_name".as("name_a"))
+    val b = names.select($"p_name".as("name_b"))
+    a.join(b, substring($"name_a", 1, 1) === substring($"name_b", 1, 1) &&
+        $"name_a" < $"name_b")
+      .withColumn("dist", levenshtein($"name_a", $"name_b").cast("long"))
+      .filter($"dist" <= 3)
+      .orderBy($"name_a", $"name_b")
+  }
+
+  val q49Sql: String =
+    """WITH names AS (SELECT DISTINCT p_name FROM part)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      |FROM names a JOIN names b
+      |  ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1) AND a.p_name < b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) <= 3
+      |ORDER BY name_a, name_b""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q40_token_stats", q40, Some(q40Sql)),
     QueryDef("q41_quality_score", q41, Some(q41Sql), bench = true),
@@ -221,5 +248,6 @@ object TextQueries {
     QueryDef("q45_stratified_sample", q45, Some(q45Sql)),
     QueryDef("q46_length_histogram", q46, Some(q46Sql)),
     QueryDef("q47_top_bigrams", q47, Some(q47Sql)),
+    QueryDef("q49_fuzzy_name_pairs", q49, Some(q49Sql)),
   )
 }
