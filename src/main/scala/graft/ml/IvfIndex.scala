@@ -47,7 +47,7 @@ object IvfIndex {
       .toSeq.toDF("cell", "centroid")
     val joined = queries.crossJoin(broadcast(cdf))
       .withColumn("cdist",
-        Similarity.cosine(
+        Similarity.cosineNative(queries,
           Similarity.toDoubleArr(col(qVec)), Similarity.toDoubleArr(col("centroid"))))
     graft.plans.TopK.perGroup(joined, nProbe, Seq(qId),
       Seq(graft.plans.TopK.desc("cdist"), graft.plans.TopK.asc("cell")))
@@ -65,7 +65,8 @@ object IvfIndex {
       .join(probes, Seq("cell"))
       .join(broadcast(queries), col(qId) === col("p_qid") && col(qId) =!= col(tId))
       .withColumn("sim",
-        Similarity.cosine(Similarity.toDoubleArr(col(qVec)), Similarity.toDoubleArr(col(tVec))))
+        Similarity.cosineNative(queries,
+          Similarity.toDoubleArr(col(qVec)), Similarity.toDoubleArr(col(tVec))))
     val top = graft.plans.TopK.perGroup(candidates, k, Seq(qId),
       Seq(graft.plans.TopK.desc("sim"), graft.plans.TopK.asc(tId)))
     val w = Window.partitionBy(col(qId)).orderBy(col("sim").desc, col(tId))

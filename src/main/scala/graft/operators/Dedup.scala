@@ -170,7 +170,7 @@ object Dedup {
     val r = gated.select(col("__bucket").as("__bucket_r"), col(idCol).as("b_id"),
       Similarity.toDoubleArr(col(vecCol)).as("__vb"))
     l.join(r, l("__bucket") === r("__bucket_r") && l("a_id") < r("b_id"))
-      .withColumn("cos", Similarity.cosine(col("__va"), col("__vb")))
+      .withColumn("cos", Similarity.cosineNative(emb, col("__va"), col("__vb")))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), col("cos"))
   }

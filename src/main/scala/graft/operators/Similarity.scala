@@ -34,6 +34,16 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Native single-pass cosine ([[graft.plans.CosineSim]], codegen'd,
+    * bit-identical to [[cosine]]'s fold): the fold form walks each
+    * array three times through CodegenFallback higher-order functions;
+    * the native expression is one generated loop per row. Registers the
+    * function on the session owning `df`, then returns the call. */
+  def cosineNative(df: DataFrame, a: Column, b: Column): Column = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    graft.plans.GraftFunctions.vec_cosine(a, b)
+  }
+
   /** Reduce candidates to the k best rows per query with the native
     * bounded-heap TopKPerGroup operator, then rank the surviving ≤ k
     * rows per query with a window. The window input is O(|Q|·k), not
@@ -56,7 +66,8 @@ object Similarity {
       tId: String = "vec_id", tVec: String = "embedding"): DataFrame = {
     val joined = targets.crossJoin(broadcast(queries))
       .filter(col(qId) =!= col(tId))
-      .withColumn("sim", cosine(toDoubleArr(col(qVec)), toDoubleArr(col(tVec))))
+      .withColumn("sim",
+        cosineNative(targets, toDoubleArr(col(qVec)), toDoubleArr(col(tVec))))
     rankTopK(joined, k, qId, tId)
   }
 
@@ -80,7 +91,8 @@ object Similarity {
     val q = queries.withColumn("q_bucket", signBucket(col(qVec), bits))
     val t = targets.withColumn("t_bucket", signBucket(col(tVec), bits))
     val joined = t.join(broadcast(q), col("q_bucket") === col("t_bucket") && col(qId) =!= col(tId))
-      .withColumn("sim", cosine(toDoubleArr(col(qVec)), toDoubleArr(col(tVec))))
+      .withColumn("sim",
+        cosineNative(targets, toDoubleArr(col(qVec)), toDoubleArr(col(tVec))))
     rankTopK(joined, k, qId, tId)
   }
 }

@@ -20,5 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (es: Seq[Expression]) => RollingHash(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[CosineSim].getName, "vec_cosine"),
+      (es: Seq[Expression]) => CosineSim(es(0), es(1))))
   }
 }

@@ -106,10 +106,12 @@ case class RollingHash(child: Expression) extends UnaryExpression {
 object GraftFunctions {
   def simhash64(c: Column): Column = call_function("simhash64", c)
   def rolling_hash(c: Column): Column = call_function("rolling_hash", c)
+  def vec_cosine(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("rolling_hash", es => RollingHash(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_cosine", es => CosineSim(es(0), es(1)), "scala_udf")
   }
 }

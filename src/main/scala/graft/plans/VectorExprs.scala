@@ -1,0 +1,64 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Static vector kernels callable from generated Java. */
+object VectorOps {
+
+  /** Cosine similarity in ONE pass over both arrays. Accumulation
+    * order matches the Column-API fold (`aggregate(zip_with(...))`)
+    * exactly — sequential left-to-right adds per accumulator, then
+    * `dot / (sqrt(na) * sqrt(nb))` — so results are bit-identical to
+    * the fold (and to DuckDB's list_dot_product oracle recipe). */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** Native cosine similarity over two `array<double>` columns.
+  *
+  * The Column-API form (`aggregate(zip_with(a, b, _*_), 0.0, _+_)`
+  * plus two norm folds) is a higher-order-function tree — Catalyst
+  * executes those as `CodegenFallback` with a closure call per
+  * element, and it walks each array three times. This expression is
+  * one generated-code loop per row, inside whole-stage codegen, with
+  * identical numeric results (see [[VectorOps.cosine]]).
+  *
+  * Null ELEMENTS are not supported (embedding arrays are dense);
+  * null arrays propagate to a null result via nullSafeEval. */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"requires (array<double>, array<double>), got (${left.dataType}, ${right.dataType})")
+  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    VectorOps.cosine(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VectorOps.cosine($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Similarity
+import graft.plans.GraftFunctions
+
+/** Native CosineSim must be bit-identical to the Column-API fold it
+  * replaces (the oracle parity of every similarity query depends on
+  * it), in both the codegen and interpreted paths. */
+class VectorExprSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def vecs = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 50).map { i =>
+      (i.toLong,
+        Array.fill(64)(rnd.nextFloat() * 2 - 1),
+        Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }.toDF("id", "a", "b")
+  }
+
+  test("native cosine is bit-identical to the aggregate/zip_with fold") {
+    GraftFunctions.register(spark)
+    val df = vecs.select(
+      Similarity.cosine(Similarity.toDoubleArr(col("a")),
+        Similarity.toDoubleArr(col("b"))).as("fold"),
+      GraftFunctions.vec_cosine(Similarity.toDoubleArr(col("a")),
+        Similarity.toDoubleArr(col("b"))).as("native"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"fold=${r.getDouble(0)} native=${r.getDouble(1)}")
+    }
+  }
+
+  test("interpreted eval matches codegen result") {
+    GraftFunctions.register(spark)
+    val expr = graft.plans.CosineSim(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0, 2.0, 3.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(0.5, -1.0, 2.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+    val interpreted = expr.eval(null).asInstanceOf[Double]
+    import spark.implicits._
+    val viaPlan = Seq((Array(1.0, 2.0, 3.0), Array(0.5, -1.0, 2.0)))
+      .toDF("a", "b")
+      .select(GraftFunctions.vec_cosine(col("a"), col("b")))
+      .head.getDouble(0)
+    assert(java.lang.Double.doubleToLongBits(interpreted) ==
+      java.lang.Double.doubleToLongBits(viaPlan))
+  }
+
+  test("null array yields null; mismatched lengths use the common prefix") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Some(Array(1.0, 0.0)), Some(Array(1.0, 0.0, 9.0))),
+      (None, Some(Array(1.0)))).toDF("a", "b")
+      .select(GraftFunctions.vec_cosine(col("a"), col("b")).as("c"))
+    val rows = df.collect()
+    assert(math.abs(rows(0).getDouble(0) - 1.0) < 1e-12)
+    assert(rows(1).isNullAt(0))
+  }
+}
