@@ -185,6 +185,66 @@ object SqlSurface {
     s.sql(q39Text)
   }
 
+  /** TPC-H Q15-style: suppliers achieving the maximum windowed revenue
+    * (CTE + scalar MAX subquery over the same CTE). Revenue is summed
+    * on the 4-decimal grid then rounded to cents BEFORE the equality
+    * compare — equality on un-gridded double sums would be engine-
+    * dependent in the last ulp. */
+  private val q76Text: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    floor(floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5)
+      |          / 10000 * 100 + 0.5) / 100 AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_rev
+      |FROM supplier JOIN rev ON s_suppkey = supplier_no
+      |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  def q76(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "lineitem", "supplier")
+    s.sql(q76Text)
+  }
+
+  /** TPC-H Q17-style: revenue from below-one-fifth-of-average-quantity
+    * lines of one brand (correlated scalar AVG subquery per part).
+    * Quantities are integer-valued so the correlated average is exact;
+    * the money sum is grid-rounded before the /7 annualization. */
+  private val q77Text: String =
+    """SELECT floor(floor(sum(l_extendedprice) * 100 + 0.5) / 100
+      |             / 7.0 * 100 + 0.5) / 100 AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#4' AND l_quantity < (
+      |  SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+      |  WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  def q77(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "lineitem", "part")
+    s.sql(q77Text)
+  }
+
+  /** TPC-H Q18-style large-volume orders: IN over a grouped HAVING
+    * subquery on the same fact, three-way join, top-20. */
+  private val q78Text: String =
+    """SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+      |  floor(sum(l_quantity) * 100 + 0.5) / 100 AS total_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |  HAVING sum(l_quantity) > 300)
+      |GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  def q78(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "customer", "orders", "lineitem")
+    s.sql(q78Text)
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q27_correlated_subquery", q27, Some(q27Sql)),
     QueryDef("q28_grouping_sets", q28, Some(q28Sql)),
@@ -194,5 +254,8 @@ object SqlSurface {
     QueryDef("q37_min_cost_supplier", q37, Some(q37Text)),
     QueryDef("q38_custdist", q38, Some(q38Text)),
     QueryDef("q39_above_avg_no_urgent", q39, Some(q39Text)),
+    QueryDef("q76_top_supplier_revenue", q76, Some(q76Text)),
+    QueryDef("q77_small_qty_revenue", q77, Some(q77Text)),
+    QueryDef("q78_large_volume_orders", q78, Some(q78Text)),
   )
 }
