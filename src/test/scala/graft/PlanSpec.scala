@@ -55,6 +55,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("partition filters prune the partitioned-sink layout at scan time") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("part_prune").toString
+    val df = Seq(
+      ("austin", "2020-01-08", 850), ("austin", "2020-01-09", 900),
+      ("woburn", "2020-01-08", 1000), ("woburn", "2020-01-09", 1100))
+      .toDF("city", "date", "price")
+    graft.sources.Sinks.partitionedParquet(df, dir)
+    val scan = spark.read.parquet(dir)
+      .filter($"city" === "austin" && $"date" === "2020-01-08")
+    val p = scan.queryExecution.executedPlan.toString
+    // the predicate must become a PartitionFilters entry (directory
+    // pruning — at 100 TB this is the difference between reading one
+    // day-city and the whole lake); it must NOT degrade to a post-scan
+    // Filter on partition columns
+    assert(p.contains("PartitionFilters: ["), p.take(500))
+    assert(p.contains("isnotnull(city"), "city filter should prune partitions")
+    val scanned = scan.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.get("Location").toSeq :+ f.relation.location.listFiles(
+          f.partitionFilters, f.dataFilters).length
+    }.flatten
+    assert(scanned.contains(1),
+      s"expected exactly one partition directory after pruning: $scanned")
+  }
+
   test("runtime bloom filter from the selective side prunes the fact scan") {
     // At 100 TB the win is reading fewer fact rows out of the shuffle
     // when the dim side carries a selective filter. Spark injects a
