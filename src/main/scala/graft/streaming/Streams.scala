@@ -106,6 +106,64 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  final case class TsEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
+  final case class ClosedSession(
+      user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** Streaming sessionization that emits only CLOSED sessions, via
+    * flatMapGroupsWithState + event-time timeout: a session closes
+    * either when a later event arrives past the gap (emitted in that
+    * micro-batch) or when the WATERMARK passes last-event + gap (the
+    * timeout path — no new event needed). State per user is one open
+    * session (3 longs); output is append-safe because a closed session
+    * never changes. This is the production shape of q70's batch
+    * sessionization: emission is driven by event time, and state is
+    * evicted by the same watermark that bounds lateness. */
+  def sessionizeClosedUpdate(gapUs: Long)(
+      key: Long, rows: Iterator[TsEvent],
+      state: GroupState[(Long, Long, Long)]): Iterator[ClosedSession] = {
+    if (!rows.hasNext && state.hasTimedOut) {
+      // watermark passed the open session's gap → close and evict
+      val (st, last, n) = state.get
+      state.remove()
+      return Iterator(ClosedSession(key, st, last, n))
+    }
+    val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+    var cur = state.getOption
+    sorted.foreach { e =>
+      val us = e.ts.getTime * 1000L
+      cur match {
+        case Some((st, last, n)) if us - last > gapUs =>
+          closed += ClosedSession(key, st, last, n)
+          cur = Some((us, us, 1L))
+        case Some((st, last, n)) =>
+          cur = Some((st, math.max(last, us), n + 1L))
+        case None =>
+          cur = Some((us, us, 1L))
+      }
+    }
+    cur.foreach { c =>
+      state.update(c)
+      // close via timeout when the watermark passes last + gap
+      state.setTimeoutTimestamp(c._2 / 1000L + gapUs / 1000L)
+    }
+    closed.iterator
+  }
+
+  /** Streaming closed-session stream (append mode). `events` must carry
+    * a watermark on `ts` before grouping. */
+  def sessionizeClosed(events: org.apache.spark.sql.Dataset[TsEvent],
+      gapMinutes: Int = 30): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        sessionizeClosedUpdate(gapMinutes * 60L * 1000000L))
+      .toDF()
+  }
+
   def sessionize(events: org.apache.spark.sql.Dataset[Event]): DataFrame = {
     import events.sparkSession.implicits._
     events

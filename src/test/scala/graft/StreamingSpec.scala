@@ -59,6 +59,54 @@ class StreamingSpec extends SparkSpec {
     assert(back2.select("batch_id").distinct().count() == 1)
   }
 
+  test("flatMapGroupsWithState closed sessions: gap close in-batch, watermark timeout across runs") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("sess_src").toString
+    val ckpt = Files.createTempDirectory("sess_ckpt").toString
+    val out = Files.createTempDirectory("sess_out").toString
+    // day-1 base: a timestamp of exactly epoch 0 collides with the
+    // INITIAL watermark value and is dropped as late before the
+    // stateful operator ever sees it
+    val baseMs = 86400000L
+    def ts(min: Long) = new java.sql.Timestamp(baseMs + min * 60000L)
+    def us(min: Long) = (baseMs + min * 60000L) * 1000L
+    def run(): Unit = {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id LONG, event_id LONG, ts TIMESTAMP")
+      val stream = spark.readStream.schema(schema).option("header", "true").csv(src)
+        .withWatermark("ts", "0 seconds")
+        .as[Streams.TsEvent]
+      // file sink, not memory: the memory sink cannot recover from a
+      // checkpoint, and run 2 must resume run 1's state
+      val q = Streams.sessionizeClosed(stream, gapMinutes = 30)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(60000))
+    }
+    // batch 1: user 1 has two bursts 90 min apart — the second burst
+    // closes the first session inside the batch; the second stays open
+    Files.writeString(java.nio.file.Path.of(s"$src/b1.csv"),
+      "user_id,event_id,ts\n" +
+        s"1,1,${ts(0)}\n1,2,${ts(10)}\n1,3,${ts(100)}\n")
+    run()
+    val afterB1 = spark.read.parquet(out).as[Streams.ClosedSession].collect()
+    assert(afterB1.toSeq == Seq(Streams.ClosedSession(1L, us(0), us(10), 2L)))
+    // batch 2: a much-later event from ANOTHER user advances the
+    // watermark past user 1's gap — the open session must close by
+    // TIMEOUT, with no new user-1 event
+    Files.writeString(java.nio.file.Path.of(s"$src/b2.csv"),
+      "user_id,event_id,ts\n" + s"2,9,${ts(500)}\n")
+    run()
+    val afterB2 = spark.read.parquet(out).as[Streams.ClosedSession].collect().toSet
+    assert(afterB2.contains(
+      Streams.ClosedSession(1L, us(100), us(100), 1L)),
+      s"timeout close missing: $afterB2")
+  }
+
   test("stateful gap sessionization matches the batch q70 semantics") {
     import spark.implicits._
     val us = 1000000L
