@@ -157,9 +157,80 @@ object StreamingQueries {
        |WHERE date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR <= wm.w
        |GROUP BY 1, 2 ORDER BY hour, c_mktsegment""".stripMargin
 
+  /** Streaming closed-session emission (flatMapGroupsWithState +
+    * event-time timeout, see Streams.sessionizeClosed). In a single
+    * AvailableNow batch every session with a SUCCESSOR session closes
+    * in-batch; each user's final session stays open in state (its
+    * timeout fires only when a later batch advances the watermark) —
+    * so the emitted set is exactly "all gap-sessions except each
+    * user's last", which the batch oracle reproduces. */
+  def q79(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = s"$d/events.parquet"
+    val schema = s.read.parquet(path).schema
+    val raw = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val events = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+    val evs = events.select($"user_id", $"event_id", $"ts")
+      .withWatermark("ts", "2 hours")
+      .as[graft.streaming.Streams.TsEvent]
+    val closed = graft.streaming.Streams.sessionizeClosed(evs, gapMinutes = 30)
+    val sink = s"q79_sink_${counter.incrementAndGet()}"
+    val query = closed.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!query.awaitTermination(300000)) {
+      query.stop()
+      throw new IllegalStateException("q79: AvailableNow trigger did not complete in 300s")
+    }
+    s.table(sink).orderBy($"user_id", $"start_us")
+  }
+
+  /** Batch twin: 30-min gap sessions per user (q70's session logic with
+    * per-session bounds). A session is emitted if it has a successor
+    * (closed in-batch) OR its gap expired before the final watermark —
+    * AvailableNow runs one extra no-data batch after the file, firing
+    * event-time timeouts against watermark = ms-truncated max(ts) minus
+    * the 2-hour delay. */
+  val q79Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, event_id, us,
+      |    lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id, us,
+      |    sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY us, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  FROM g),
+      |sess AS (
+      |  SELECT user_id, sess_id, min(us) AS start_us, max(us) AS end_us,
+      |    count(*) AS n_events
+      |  FROM s GROUP BY user_id, sess_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY sess_id DESC) AS rn
+      |  FROM sess),
+      |wm AS (
+      |  SELECT epoch_us(date_trunc('milliseconds', max(CAST(ts AS TIMESTAMP))))
+      |         - 7200000000 AS wus
+      |  FROM events)
+      |SELECT user_id, start_us, end_us, CAST(n_events AS BIGINT) AS n_events
+      |FROM ranked, wm WHERE rn > 1 OR end_us + 1800000000 <= wus
+      |ORDER BY user_id, start_us""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q72_streaming_hourly", q72, Some(q72Sql)),
     QueryDef("q74_streaming_dedup", q74, Some(q74Sql)),
     QueryDef("q75_stream_static_join", q75, Some(q75Sql)),
+    QueryDef("q79_streaming_sessions", q79, Some(q79Sql)),
   )
 }

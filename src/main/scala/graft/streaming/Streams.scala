@@ -128,11 +128,15 @@ object Streams {
       state.remove()
       return Iterator(ClosedSession(key, st, last, n))
     }
-    val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    // full-microsecond epoch (Timestamp.getTime is ms-truncated; the
+    // sub-ms fraction lives in getNanos)
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
     val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
     var cur = state.getOption
     sorted.foreach { e =>
-      val us = e.ts.getTime * 1000L
+      val us = micros(e.ts)
       cur match {
         case Some((st, last, n)) if us - last > gapUs =>
           closed += ClosedSession(key, st, last, n)
