@@ -15,7 +15,8 @@ object SparkEntry {
       operators.TextQueries.all ++ operators.DedupQueries.all ++
       operators.SimilarityQueries.all ++ operators.EventQueries.all ++
       operators.SimHashQueries.all ++ operators.SqlSurface.all ++
-      operators.NativeTopKQuery.all ++ operators.StreamingQueries.all
+      operators.NativeTopKQuery.all ++ operators.StreamingQueries.all ++
+      operators.Profile.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
