@@ -93,6 +93,34 @@ object Sinks {
     fs.delete(staging, true)
   }
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(total_bytes / targetBytes) files. Streaming sinks and
+    * per-batch appends accrete small files; at scale the file count —
+    * not the byte count — dominates listing and task-scheduling cost,
+    * so periodic compaction is routine table maintenance. Uses the same
+    * staging-then-swap as [[mergeUpsert]] (Spark cannot overwrite a
+    * path it is reading). Point it at one partition directory of a
+    * partitioned table to compact that partition alone. */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(target, true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) total += f.getLen
+    }
+    val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    val staging = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + "__compacting")
+    spark.read.parquet(dir).repartition(n)
+      .write.mode("overwrite").parquet(staging.toString)
+    spark.read.parquet(staging.toString)
+      .write.mode("overwrite").parquet(dir)
+    fs.delete(staging, true)
+    n
+  }
+
   /** Bucketed sink for co-located joins at scale: pre-shuffles by the
     * join key once at write time so repeated downstream joins on that
     * key skip their shuffle (requires saveAsTable / metastore). */

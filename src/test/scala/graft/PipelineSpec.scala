@@ -146,4 +146,19 @@ class PipelineSpec extends SparkSpec {
     assert(df.count() == 2)
     assert(df.filter(col("aqi") > 100).select("city").head.getString(0) == "Delhi")
   }
+
+  test("compact rewrites a many-small-files directory, preserving rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    // 16 writer tasks → 16 small files
+    (1 to 1000).toDF("v").repartition(16).write.mode("overwrite").parquet(dir)
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles == 16)
+    val before = spark.read.parquet(dir).as[Int].collect().sorted.toSeq
+    val n = Sinks.compact(spark, dir, targetBytes = 64L * 1024 * 1024)
+    assert(n == 1 && parquetFiles == 1)
+    val after = spark.read.parquet(dir).as[Int].collect().sorted.toSeq
+    assert(after == before)
+  }
 }
