@@ -256,6 +256,6 @@ object SqlSurface {
     QueryDef("q39_above_avg_no_urgent", q39, Some(q39Text)),
     QueryDef("q76_top_supplier_revenue", q76, Some(q76Text)),
     QueryDef("q77_small_qty_revenue", q77, Some(q77Text)),
-    QueryDef("q78_large_volume_orders", q78, Some(q78Text)),
+    QueryDef("q78_large_volume_orders", q78, Some(q78Text), bench = true),
   )
 }

@@ -247,7 +247,7 @@ object TextQueries {
     QueryDef("q44_bpe_token_stats", q44, Some(q44Sql)),
     QueryDef("q45_stratified_sample", q45, Some(q45Sql)),
     QueryDef("q46_length_histogram", q46, Some(q46Sql)),
-    QueryDef("q47_top_bigrams", q47, Some(q47Sql)),
+    QueryDef("q47_top_bigrams", q47, Some(q47Sql), bench = true),
     QueryDef("q49_fuzzy_name_pairs", q49, Some(q49Sql)),
   )
 }
