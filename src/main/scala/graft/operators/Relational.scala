@@ -529,6 +529,32 @@ object Relational {
       |count(*) AS n
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** RANGE-frame moving window: 7-day trailing order count and spend
+    * per customer — a true event-time range frame (peers by value, not
+    * row position), ordered on epoch seconds so both engines bound the
+    * frame identically. */
+  def q81(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey")
+      .orderBy(unix_timestamp($"o_orderdate"))
+      .rangeBetween(-604800L, 0L)
+    Tables.load(s, d, "orders")
+      .select($"o_orderkey", $"o_custkey",
+        count(lit(1)).over(w).as("n_7d"),
+        Fx.r2(sum($"o_totalprice").over(w)).as("spend_7d"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q81Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_7d,
+      |  floor(sum(o_totalprice) OVER w * 100 + 0.5) / 100 AS spend_7d
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+      |             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql), bench = true),
     QueryDef("q02_filter_project", q02, Some(q02Sql)),
@@ -556,5 +582,6 @@ object Relational {
     QueryDef("q32_ntile_cumedist", q32, Some(q32Sql)),
     QueryDef("q33_pivot", q33, Some(q33Sql)),
     QueryDef("q34_sorted_collect", q34, Some(q34Sql)),
+    QueryDef("q81_range_frame_window", q81, Some(q81Sql)),
   )
 }
