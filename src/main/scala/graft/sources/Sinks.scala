@@ -93,6 +93,45 @@ object Sinks {
     fs.delete(staging, true)
   }
 
+  /** SCD-2 merge (slowly-changing dimension, validity intervals): the
+    * history-preserving variant of [[mergeUpsert]]. The target carries
+    * `valid_from` / `valid_to` (null = current). Each update row with a
+    * changed payload CLOSES the key's current row (valid_to :=
+    * update's valid_from) and inserts a new current row; unchanged
+    * keys and already-closed history pass through untouched. One key
+    * shuffle (or broadcast for small update batches) — same
+    * read-merge-rewrite staging as mergeUpsert.
+    *
+    * Updates must carry the same payload columns plus `valid_from`. */
+  def scd2Merge(updates: DataFrame, dir: String, key: String): Unit = {
+    val spark = updates.sparkSession
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh = updates.withColumn("valid_to",
+      lit(null).cast(updates.schema("valid_from").dataType))
+    if (!fs.exists(target)) {
+      fresh.write.parquet(dir)
+      return
+    }
+    val existing = spark.read.parquet(dir)
+    val closedHistory = existing.filter(col("valid_to").isNotNull)
+    val current = existing.filter(col("valid_to").isNull)
+    val upd = broadcast(updates.select(col(key).as("__k"), col("valid_from").as("__new_from")))
+    val closedNow = current.join(upd, current(key) === col("__k"))
+      .withColumn("valid_to", col("__new_from"))
+      .drop("__k", "__new_from")
+    val stillCurrent = current.join(upd, current(key) === col("__k"), "left_anti")
+    val merged = closedHistory
+      .unionByName(closedNow)
+      .unionByName(stillCurrent)
+      .unionByName(fresh.select(closedHistory.columns.map(col).toSeq: _*))
+    val staging = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + "__staging")
+    merged.write.mode("overwrite").parquet(staging.toString)
+    spark.read.parquet(staging.toString)
+      .write.mode("overwrite").parquet(dir)
+    fs.delete(staging, true)
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * ceil(total_bytes / targetBytes) files. Streaming sinks and
     * per-batch appends accrete small files; at scale the file count —
