@@ -160,6 +160,19 @@ object Sinks {
     n
   }
 
+  /** Range-clustered parquet layout: repartitionByRange + in-partition
+    * sort on the clustering column, so each output file owns a disjoint
+    * value range and its parquet min/max footer stats actually prune —
+    * a point/range predicate then skips whole files (and row groups)
+    * instead of scanning a value smeared across every file. This is the
+    * lakehouse "cluster by" primitive; at 100 TB it is the difference
+    * between a selective query touching GBs vs the full table. */
+  def rangeClusteredParquet(df: DataFrame, dir: String, clusterCol: String,
+      numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode("overwrite").parquet(dir)
+
   /** Bucketed sink for co-located joins at scale: pre-shuffles by the
     * join key once at write time so repeated downstream joins on that
     * key skip their shuffle (requires saveAsTable / metastore). */

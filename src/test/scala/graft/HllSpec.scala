@@ -32,6 +32,22 @@ class HllSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile sketch lands within accuracy bound of exact percentiles") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val row = li.agg(
+      expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("approx"),
+      expr("percentile(l_extendedprice, array(0.5, 0.95))").as("exact"))
+      .head
+    val approx = row.getSeq[Double](0)
+    val exact = row.getSeq[Double](1)
+    // accuracy=1000 → rank error ≤ n/1000; assert value error ≤ 2% here
+    approx.zip(exact).foreach { case (a, e) =>
+      assert(math.abs(a - e) / e < 0.02, s"approx=$a exact=$e")
+    }
+  }
+
   test("HLL of nulls-only input estimates zero") {
     HllDistinct.register(spark)
     import spark.implicits._
