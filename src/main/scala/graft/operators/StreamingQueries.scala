@@ -227,10 +227,60 @@ object StreamingQueries {
       |FROM ranked, wm WHERE rn > 1 OR end_us + 1800000000 <= wus
       |ORDER BY user_id, start_us""".stripMargin
 
+  /** SLIDING windows (1-hour window, 30-minute slide): every event
+    * lands in two overlapping windows; append mode emits a window only
+    * once the watermark passes its end. */
+  def q82(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = s"$d/events.parquet"
+    val schema = s.read.parquet(path).schema
+    val raw = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val events = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+    val agg = events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), moneySum($"value").as("total_value"))
+      .select($"window.start".as("wstart"), $"event_type", $"n_events", $"total_value")
+    val sink = s"q82_sink_${counter.incrementAndGet()}"
+    val query = agg.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!query.awaitTermination(300000)) {
+      query.stop()
+      throw new IllegalStateException("q82: AvailableNow trigger did not complete in 300s")
+    }
+    s.table(sink).orderBy($"wstart", $"event_type")
+  }
+
+  /** Batch twin: each event assigned to its two 30-min-grid windows
+    * (time_bucket and time_bucket minus one slide), watermark-gated on
+    * window END like q72. */
+  val q82Sql: String =
+    s"""WITH e AS (
+       |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+       |wm AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 2 HOUR AS w FROM e),
+       |slid AS (
+       |  SELECT ts, event_type, value,
+       |    time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE * off AS wstart
+       |  FROM e, unnest([0, 1]) AS t(off))
+       |SELECT wstart, event_type, count(*) AS n_events,
+       |  ${sqlMoneySum("value")} AS total_value
+       |FROM slid, wm
+       |WHERE wstart + INTERVAL 1 HOUR <= wm.w
+       |GROUP BY wstart, event_type ORDER BY wstart, event_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q72_streaming_hourly", q72, Some(q72Sql)),
     QueryDef("q74_streaming_dedup", q74, Some(q74Sql)),
     QueryDef("q75_stream_static_join", q75, Some(q75Sql)),
     QueryDef("q79_streaming_sessions", q79, Some(q79Sql)),
+    QueryDef("q82_sliding_windows", q82, Some(q82Sql)),
   )
 }
