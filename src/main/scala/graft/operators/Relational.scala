@@ -555,6 +555,47 @@ object Relational {
       |             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Pearson correlation from grid-exact raw moments: quantities are
+    * integer-valued and discounts sit on the 2-decimal grid, so every
+    * sum (q, d, q², d², q·d) is EXACTLY recoverable on its grid and the
+    * correlation formula then runs on identical inputs in both engines.
+    * (A price² second moment would NOT work — sum·10⁴ ≈ 2e16 exceeds
+    * 2⁵³, so the grid trick breaks; pick grid-bounded moments.)
+    * Built-in corr() is avoided: its streaming covariance accumulation
+    * is sum-order-dependent across engines. */
+  def q83(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val s0 = Tables.load(s, d, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"l_quantity").as("sq"),
+        Fx.r2(sum($"l_discount")).as("sd"),
+        sum($"l_quantity" * $"l_quantity").as("sqq"),
+        Fx.r4(sum($"l_discount" * $"l_discount")).as("sdd"),
+        Fx.r2(sum($"l_quantity" * $"l_discount")).as("sqd"))
+    s0.select($"l_returnflag", $"n",
+        Fx.r6(($"n" * $"sqd" - $"sq" * $"sd") /
+          sqrt(($"n" * $"sqq" - $"sq" * $"sq") * ($"n" * $"sdd" - $"sd" * $"sd")))
+          .as("corr_qty_disc"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q83Sql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag,
+      |    count(*) AS n,
+      |    sum(l_quantity) AS sq,
+      |    floor(sum(l_discount) * 100 + 0.5) / 100 AS sd,
+      |    sum(l_quantity * l_quantity) AS sqq,
+      |    floor(sum(l_discount * l_discount) * 10000 + 0.5) / 10000 AS sdd,
+      |    floor(sum(l_quantity * l_discount) * 100 + 0.5) / 100 AS sqd
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+      |  floor((n * sqd - sq * sd) / sqrt((n * sqq - sq * sq) * (n * sdd - sd * sd))
+      |        * 1000000 + 0.5) / 1000000 AS corr_qty_disc
+      |FROM s ORDER BY l_returnflag""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql), bench = true),
     QueryDef("q02_filter_project", q02, Some(q02Sql)),
@@ -583,5 +624,6 @@ object Relational {
     QueryDef("q33_pivot", q33, Some(q33Sql)),
     QueryDef("q34_sorted_collect", q34, Some(q34Sql)),
     QueryDef("q81_range_frame_window", q81, Some(q81Sql)),
+    QueryDef("q83_grid_exact_corr", q83, Some(q83Sql)),
   )
 }
