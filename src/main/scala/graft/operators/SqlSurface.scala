@@ -245,6 +245,41 @@ object SqlSurface {
     s.sql(q78Text)
   }
 
+  /** TPC-H Q19-style disjunctive predicate (OR of AND-clauses spanning
+    * both join sides) — the classic stress test for filter pushdown
+    * and join-condition extraction; revenue on the 4-decimal grid. */
+  private val q84Text: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |  floor(floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5)
+      |        / 10000 * 100 + 0.5) / 100 AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity >= 10 AND l_quantity <= 30)
+      |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30
+      |       AND l_quantity >= 20 AND l_quantity <= 40)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 20 AND 50
+      |       AND l_quantity >= 25 AND l_quantity <= 50)""".stripMargin
+
+  def q84(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "lineitem", "part")
+    s.sql(q84Text)
+  }
+
+  /** TPC-H Q16-style supplier diversity: DISTINCT count per part group
+    * with a NOT IN exclusion subquery. */
+  private val q85Text: String =
+    """SELECT p_brand, p_type, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_size >= 40
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type
+      |ORDER BY supplier_cnt DESC, p_brand, p_type LIMIT 20""".stripMargin
+
+  def q85(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "lineitem", "part", "supplier")
+    s.sql(q85Text)
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q27_correlated_subquery", q27, Some(q27Sql)),
     QueryDef("q28_grouping_sets", q28, Some(q28Sql)),
@@ -257,5 +292,7 @@ object SqlSurface {
     QueryDef("q76_top_supplier_revenue", q76, Some(q76Text)),
     QueryDef("q77_small_qty_revenue", q77, Some(q77Text)),
     QueryDef("q78_large_volume_orders", q78, Some(q78Text), bench = true),
+    QueryDef("q84_disjunctive_pred", q84, Some(q84Text)),
+    QueryDef("q85_supplier_diversity", q85, Some(q85Text)),
   )
 }
