@@ -280,6 +280,25 @@ object SqlSurface {
     s.sql(q85Text)
   }
 
+  /** INTERSECT / EXCEPT set operators (distinct semantics both
+    * engines), counted per bucket. */
+  private val q86Text: String =
+    """SELECT 'both' AS bucket, CAST(count(*) AS BIGINT) AS n FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t
+      |UNION ALL
+      |SELECT 'urgent_only', CAST(count(*) AS BIGINT) FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t
+      |ORDER BY bucket""".stripMargin
+
+  def q86(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "orders")
+    s.sql(q86Text)
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q27_correlated_subquery", q27, Some(q27Sql)),
     QueryDef("q28_grouping_sets", q28, Some(q28Sql)),
@@ -294,5 +313,6 @@ object SqlSurface {
     QueryDef("q78_large_volume_orders", q78, Some(q78Text), bench = true),
     QueryDef("q84_disjunctive_pred", q84, Some(q84Text)),
     QueryDef("q85_supplier_diversity", q85, Some(q85Text)),
+    QueryDef("q86_intersect_except", q86, Some(q86Text)),
   )
 }

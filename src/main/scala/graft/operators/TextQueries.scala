@@ -239,6 +239,27 @@ object TextQueries {
       |WHERE levenshtein(a.p_name, b.p_name) <= 3
       |ORDER BY name_a, name_b""".stripMargin
 
+  /** Positional array search: first occurrence of a stopword in each
+    * document's word array (array_position / list_indexof; both
+    * engines return 0 for "absent", filtered out on both sides). */
+  def q48(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        array_position(split($"text", " "), "the").as("pos_the"),
+        size(split($"text", " ")).cast("long").as("n_words"))
+      .filter($"pos_the" > 0)
+      .orderBy($"doc_id")
+  }
+
+  val q48Sql: String =
+    """SELECT doc_id,
+      |  CAST(list_indexof(string_split(text, ' '), 'the') AS BIGINT) AS pos_the,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+      |FROM documents
+      |WHERE list_indexof(string_split(text, ' '), 'the') > 0
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q40_token_stats", q40, Some(q40Sql)),
     QueryDef("q41_quality_score", q41, Some(q41Sql), bench = true),
@@ -248,6 +269,7 @@ object TextQueries {
     QueryDef("q45_stratified_sample", q45, Some(q45Sql)),
     QueryDef("q46_length_histogram", q46, Some(q46Sql)),
     QueryDef("q47_top_bigrams", q47, Some(q47Sql), bench = true),
+    QueryDef("q48_array_position", q48, Some(q48Sql)),
     QueryDef("q49_fuzzy_name_pairs", q49, Some(q49Sql)),
   )
 }
