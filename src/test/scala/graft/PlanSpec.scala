@@ -112,6 +112,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("IN subquery rewrites to LeftSemi; disjunctive predicate pushes to scan") {
+    val p78 = plan(graft.operators.SqlSurface.q78(spark, sf))
+    assert(p78.contains("LeftSemi"), "Q18-style IN must plan as a semi join")
+    val p84 = plan(graft.operators.SqlSurface.q84(spark, sf))
+    assert(p84.contains("Or("), "the OR-of-ANDs quantity clauses must reach PushedFilters")
+  }
+
   test("plan guard sweep: no CartesianProduct in any registered query") {
     // Streaming queries execute on build (memory-sink round trip) and
     // return a plain table scan — nothing to guard there.
