@@ -155,6 +155,43 @@ object DedupQueries {
        |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
        |ORDER BY a""".stripMargin
 
+  /** MinHash estimator quality: on adjacent doc pairs, the fraction of
+    * agreeing signature components estimates the bigram-shingle Jaccard
+    * (the property LSH banding relies on). Emitting both the estimate
+    * and the true Jaccard makes the estimator itself oracle-verified. */
+  def q87(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val sig = Dedup.minhashSignatureWords(docs, "doc_id", "text", nHashes)
+    val ha = sig.select($"doc_id".as("a") +: (1 to nHashes).map(i => col(s"h$i").as(s"a_h$i")): _*)
+    val hb = sig.select($"doc_id".as("b") +: (1 to nHashes).map(i => col(s"h$i").as(s"b_h$i")): _*)
+    val agree = (1 to nHashes).map(i =>
+      when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0)).reduce(_ + _)
+    val w = docs.select($"doc_id", split($"text", " ").as("w"))
+    val ba = w.select($"doc_id".as("a"), Dedup.bigramsFromWords($"w").as("ba"))
+    val bb = w.select($"doc_id".as("b"), Dedup.bigramsFromWords($"w").as("bb"))
+    ha.join(hb, $"b" === $"a" + 1)
+      .join(ba, "a").join(bb, "b")
+      .select($"a", $"b",
+        r6(agree.cast("double") / nHashes).as("est_jac"),
+        r6(Dedup.jaccard($"ba", $"bb")).as("true_jac"))
+      .orderBy($"a")
+  }
+
+  val q87Sql: String =
+    s"""WITH $sigSql,
+       |bg AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+       |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS b
+       |  FROM documents)
+       |SELECT sa.doc_id AS a, sb.doc_id AS b,
+       |  ${sqlR6("(" + (1 to nHashes).map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ") + s") / ${nHashes}.0")} AS est_jac,
+       |  ${sqlR6("CAST(len(list_intersect(ga.b, gb.b)) AS DOUBLE) / (len(ga.b) + len(gb.b) - len(list_intersect(ga.b, gb.b)))")} AS true_jac
+       |FROM sig sa JOIN sig sb ON sb.doc_id = sa.doc_id + 1
+       |JOIN bg ga ON ga.doc_id = sa.doc_id
+       |JOIN bg gb ON gb.doc_id = sb.doc_id
+       |ORDER BY a""".stripMargin
+
   /** Near-dup clusters: LSH candidates ≥0.6 Jaccard → connected
     * components (GraphX; oracle = recursive-CTE transitive closure,
     * both labeling components by min doc_id). */
@@ -274,5 +311,6 @@ object DedupQueries {
     QueryDef("q57_dup_clusters", q57, Some(q57Sql)),
     QueryDef("q58_embedding_near_dup", q58, Some(q58Sql), bench = true),
     QueryDef("q59_near_dup_retention", q59, Some(q59Sql)),
+    QueryDef("q87_minhash_estimator", q87, Some(q87Sql)),
   )
 }
