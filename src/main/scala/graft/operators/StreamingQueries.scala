@@ -276,11 +276,62 @@ object StreamingQueries {
        |WHERE wstart + INTERVAL 1 HOUR <= wm.w
        |GROUP BY wstart, event_type ORDER BY wstart, event_type""".stripMargin
 
+  /** STREAM-STREAM inner join: purchases matched to same-user views
+    * within the following hour. Both sides carry watermarks and the
+    * join condition bounds event-time distance, so per-key state is
+    * evicted once the watermark passes the window — the storefront
+    * attribution join at 100 TB/day scale. Inner-join matches emit as
+    * found, so a single AvailableNow pass equals the batch join. */
+  def q88(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = s"$d/events.parquet"
+    val schema = s.read.parquet(path).schema
+    def stream() = {
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => raw
+      }
+    }
+    val views = stream().filter($"event_type" === "view")
+      .select($"event_id".as("view_id"), $"user_id".as("v_user"), $"ts".as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val buys = stream().filter($"event_type" === "purchase")
+      .select($"event_id".as("buy_id"), $"user_id".as("b_user"), $"ts".as("b_ts"))
+      .withWatermark("b_ts", "2 hours")
+    val joined = views.join(buys,
+      expr("v_user = b_user AND b_ts >= v_ts AND b_ts <= v_ts + interval 1 hour"))
+      .select($"view_id", $"buy_id", $"v_user".as("user_id"))
+    val sink = s"q88_sink_${counter.incrementAndGet()}"
+    val query = joined.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!query.awaitTermination(300000)) {
+      query.stop()
+      throw new IllegalStateException("q88: AvailableNow trigger did not complete in 300s")
+    }
+    s.table(sink).orderBy($"view_id", $"buy_id")
+  }
+
+  val q88Sql: String =
+    """SELECT v.event_id AS view_id, p.event_id AS buy_id, v.user_id
+      |FROM events v JOIN events p
+      |  ON v.user_id = p.user_id
+      | AND v.event_type = 'view' AND p.event_type = 'purchase'
+      | AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+      | AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+      |ORDER BY view_id, buy_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q72_streaming_hourly", q72, Some(q72Sql)),
     QueryDef("q74_streaming_dedup", q74, Some(q74Sql)),
     QueryDef("q75_stream_static_join", q75, Some(q75Sql)),
     QueryDef("q79_streaming_sessions", q79, Some(q79Sql)),
     QueryDef("q82_sliding_windows", q82, Some(q82Sql)),
+    QueryDef("q88_stream_stream_join", q88, Some(q88Sql)),
   )
 }
