@@ -107,6 +107,53 @@ class StreamingSpec extends SparkSpec {
       s"timeout close missing: $afterB2")
   }
 
+  test("left-outer stream-stream join emits the null match only after the watermark closes the window") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("ssj_src").toString
+    val ckpt = Files.createTempDirectory("ssj_ckpt").toString
+    val out = Files.createTempDirectory("ssj_out").toString
+    val baseMs = 86400000L
+    def ts(min: Long) = new java.sql.Timestamp(baseMs + min * 60000L)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "kind STRING, id LONG, user_id LONG, ts TIMESTAMP")
+    def run(): Unit = {
+      def side(kind: String, idAs: String, userAs: String, tsAs: String) =
+        spark.readStream.schema(schema).option("header", "true").csv(src)
+          .filter(col("kind") === kind)
+          .select(col("id").as(idAs), col("user_id").as(userAs), col("ts").as(tsAs))
+          .withWatermark(tsAs, "0 seconds")
+      val joined = side("view", "view_id", "v_user", "v_ts")
+        .join(side("buy", "buy_id", "b_user", "b_ts"),
+          org.apache.spark.sql.functions.expr(
+            "v_user = b_user AND b_ts >= v_ts AND b_ts <= v_ts + interval 30 minutes"),
+          "left_outer")
+        .select(col("view_id"), col("buy_id"))
+      val q = joined.writeStream.format("parquet").option("path", out)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(60000))
+    }
+    // batch 1: view 1 gets a purchase, view 2 does not; view 2's
+    // 30-min window is NOT yet past the watermark → only the match emits
+    Files.writeString(java.nio.file.Path.of(s"$src/b1.csv"),
+      "kind,id,user_id,ts\n" +
+        s"view,1,7,${ts(0)}\nbuy,10,7,${ts(5)}\nview,2,7,${ts(40)}\n")
+    run()
+    val afterB1 = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(afterB1 == Set((1L, 10L)), s"got $afterB1")
+    // batch 2: late events on BOTH sides — the query watermark is the
+    // MIN across the two inputs, so the buy side must advance too for
+    // view 2's window to close and the null match to emit
+    Files.writeString(java.nio.file.Path.of(s"$src/b2.csv"),
+      "kind,id,user_id,ts\n" +
+        s"view,3,9,${ts(500)}\nbuy,11,9,${ts(500)}\n")
+    run()
+    val afterB2 = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(afterB2.contains((2L, -1L)), s"unmatched view not emitted: $afterB2")
+  }
+
   test("stateful gap sessionization matches the batch q70 semantics") {
     import spark.implicits._
     val us = 1000000L
