@@ -122,7 +122,7 @@ class PlanSpec extends SparkSpec {
   test("plan guard sweep: no CartesianProduct in any registered query") {
     // Streaming queries execute on build (memory-sink round trip) and
     // return a plain table scan — nothing to guard there.
-    val skip = Set("q72_streaming_hourly", "q74_streaming_dedup")
+    val skip = graft.operators.StreamingQueries.all.map(_.name).toSet
     val offenders = SparkEntry.registry.filterNot(q => skip(q.name)).flatMap { q =>
       val p = plan(q.fn(spark, sf))
       // BroadcastNestedLoopJoin (broadcast-small-side crossJoin designs,
