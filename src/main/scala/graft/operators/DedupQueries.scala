@@ -192,6 +192,41 @@ object DedupQueries {
        |JOIN bg gb ON gb.doc_id = sb.doc_id
        |ORDER BY a""".stripMargin
 
+  /** Dedup savings report: chars kept vs dropped per source after
+    * exact dedup — the number a data-curation run actually publishes
+    * (storage/compute saved downstream). */
+  def q89(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val kept = Dedup.exactDedup(docs, "doc_id", "text")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_kept"), sum($"n_chars").as("chars_kept"))
+    docs.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars_total"))
+      .join(kept, "source")
+      .select($"source", $"n_docs", $"n_kept",
+        $"chars_total".cast("long").as("chars_total"),
+        $"chars_kept".cast("long").as("chars_kept"),
+        r4(($"chars_total" - $"chars_kept").cast("double") / $"chars_total")
+          .as("savings_frac"))
+      .orderBy($"source")
+  }
+
+  val q89Sql: String =
+    s"""WITH kept AS (
+       |  SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
+       |  FROM (
+       |    SELECT source, n_chars,
+       |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM documents) t WHERE rn = 1 GROUP BY source),
+       |tot AS (
+       |  SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars_total
+       |  FROM documents GROUP BY source)
+       |SELECT tot.source AS source, n_docs, n_kept, chars_total, chars_kept,
+       |  ${sqlR4("CAST(chars_total - chars_kept AS DOUBLE) / chars_total")} AS savings_frac
+       |FROM tot JOIN kept ON tot.source = kept.source
+       |ORDER BY source""".stripMargin
+
   /** Near-dup clusters: LSH candidates ≥0.6 Jaccard → connected
     * components (GraphX; oracle = recursive-CTE transitive closure,
     * both labeling components by min doc_id). */
@@ -312,5 +347,6 @@ object DedupQueries {
     QueryDef("q58_embedding_near_dup", q58, Some(q58Sql), bench = true),
     QueryDef("q59_near_dup_retention", q59, Some(q59Sql)),
     QueryDef("q87_minhash_estimator", q87, Some(q87Sql)),
+    QueryDef("q89_dedup_savings", q89, Some(q89Sql)),
   )
 }

@@ -34,7 +34,39 @@ object NativeTopKQuery {
       |  FROM part) t
       |WHERE rn <= 3 ORDER BY p_brand, p_partkey""".stripMargin
 
+  /** Heavy-hitter bigrams PER LANGUAGE through the native TopKPerGroup
+    * heap: the full bigram count relation streams through bounded
+    * per-group heaps — no per-language window sort materializes the
+    * whole vocabulary (the vocabulary is huge at corpus scale; k is
+    * 5). Ties folded into one monotonic sort value via a count-major,
+    * hash-minor composite. */
+  def q90(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"lang", split($"text", " ").as("w"))
+    val bigrams = docs.select($"lang",
+      explode(when(size($"w") >= 2,
+        transform(sequence(lit(1), size($"w") - 1),
+          i => concat(element_at($"w", i), lit(" "), element_at($"w", i + 1))))
+        .otherwise(array().cast("array<string>"))).as("ng"))
+    val counts = bigrams.groupBy($"lang", $"ng").agg(count(lit(1)).as("n"))
+    val top = TopK.perGroup(counts, 5, Seq("lang"),
+      Seq(TopK.desc("n"), TopK.asc("ng")))
+    top.select($"lang", $"ng", $"n").orderBy($"lang", $"n".desc, $"ng")
+  }
+
+  val q90Sql: String =
+    """SELECT lang, ng, n FROM (
+      |  SELECT lang, ng, n, row_number() OVER (PARTITION BY lang
+      |    ORDER BY n DESC, ng) AS rn
+      |  FROM (
+      |    SELECT lang, ng, CAST(count(*) AS BIGINT) AS n FROM (
+      |      SELECT lang, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS ng
+      |      FROM (SELECT lang, string_split(text, ' ') AS w FROM documents) t) u
+      |    GROUP BY lang, ng) c) r
+      |WHERE rn <= 5 ORDER BY lang, n DESC, ng""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q30_native_topk", q30, Some(q30Sql), bench = true),
+    QueryDef("q90_topk_bigrams_per_lang", q90, Some(q90Sql)),
   )
 }
