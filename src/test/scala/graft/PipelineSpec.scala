@@ -211,6 +211,27 @@ class PipelineSpec extends SparkSpec {
     assert(scan.count() == df.filter($"k" === 5000).count())
   }
 
+  test("zOrderedParquet: both dimensions prune files; single-col clustering only prunes its own") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    val grid = for (x <- 0 until 64; y <- 0 until 64) yield (x, y)
+    val df = grid.toDF("x", "y")
+    Sinks.zOrderedParquet(df, s"$base/z", "x", "y", numFiles = 16)
+    Sinks.rangeClusteredParquet(df, s"$base/xonly", "x", numFiles = 16)
+    def filesTouched(dir: String, pred: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(dir).filter(pred)
+        .select(input_file_name()).distinct().count()
+    // y-band predicate: x-clustered layout smears y across every file;
+    // the z-ordered layout confines it to the files owning that band
+    val yBand = $"y" >= 10 && $"y" <= 17
+    val zTouched = filesTouched(s"$base/z", yBand)
+    val xTouched = filesTouched(s"$base/xonly", yBand)
+    assert(xTouched == 16, s"x-clustering cannot prune a y predicate, got $xTouched")
+    assert(zTouched <= 8, s"z-order should bound the y-band to few files, got $zTouched")
+    // and the z layout still prunes x predicates too
+    assert(filesTouched(s"$base/z", $"x" >= 10 && $"x" <= 17) <= 8)
+  }
+
   test("scd2Merge closes the current row and appends the new version") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("scd2").toString + "/dim"
