@@ -78,8 +78,12 @@ object SimHashQueries {
     * `unicode(char) == utf8 byte` holds. Bit 63 is added as Long.Min
     * to reproduce two's-complement without overflowing BIGINT.
     */
-  val q56Sql: String = {
-    val mod = "18446744073709551616::HUGEINT" // 2^64
+  private val mod = "18446744073709551616::HUGEINT" // 2^64
+
+  /** Reusable DuckDB CTE chain ending in `fp(doc_id, simhash64)` — the
+    * exact HUGEINT mirror of the native SimHash64 expression, shared by
+    * q56 and the Hamming-ball dedup oracle (TrainingQueries.q99). */
+  val simhash64Cte: String = {
     val fnv =
       s"""list_reduce(
          |  list_prepend(14695981039346656037::HUGEINT,
@@ -90,10 +94,6 @@ object SimHashQueries {
       s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i").mkString(", ")
     val value63 = (0 until 63).map(i =>
       s"(CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
-    val roll =
-      s"""list_reduce(
-         |  list_prepend(0::HUGEINT, list_transform(string_split(text, ''), c -> unicode(c)::HUGEINT)),
-         |  (acc, b) -> (acc * 31 + b) % $mod)""".stripMargin
     s"""WITH toks AS (
        |  SELECT doc_id, w FROM (
        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
@@ -103,15 +103,22 @@ object SimHashQueries {
        |sh AS (SELECT doc_id, CAST($value63 AS BIGINT)
        |         + (CASE WHEN v63 > 0 THEN -9223372036854775808 ELSE 0 END) AS simhash64
        |       FROM v),
+       |fp AS (SELECT d.doc_id, CAST(COALESCE(sh.simhash64, 0) AS BIGINT) AS simhash64
+       |       FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id)""".stripMargin
+  }
+
+  val q56Sql: String = {
+    val roll =
+      s"""list_reduce(
+         |  list_prepend(0::HUGEINT, list_transform(string_split(text, ''), c -> unicode(c)::HUGEINT)),
+         |  (acc, b) -> (acc * 31 + b) % $mod)""".stripMargin
+    s"""$simhash64Cte,
        |rh AS (SELECT doc_id, CASE WHEN r >= 9223372036854775808::HUGEINT
        |         THEN CAST(r - $mod AS BIGINT) ELSE CAST(r AS BIGINT) END AS rolling_hash
        |       FROM (SELECT doc_id, $roll AS r FROM documents) t)
-       |SELECT d.doc_id, CAST(COALESCE(sh.simhash64, 0) AS BIGINT) AS simhash64,
-       |       rh.rolling_hash
-       |FROM documents d
-       |LEFT JOIN sh ON d.doc_id = sh.doc_id
-       |JOIN rh ON d.doc_id = rh.doc_id
-       |ORDER BY d.doc_id""".stripMargin
+       |SELECT fp.doc_id, fp.simhash64, rh.rolling_hash
+       |FROM fp JOIN rh ON fp.doc_id = rh.doc_id
+       |ORDER BY fp.doc_id""".stripMargin
   }
 
   val all: Seq[QueryDef] = Seq(

@@ -1,0 +1,380 @@
+package graft.operators
+
+import graft.{Fx, QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators a 100 TB LLM pipeline needs beyond
+  * dedup/ANN: TF-IDF term scoring, repetition (boilerplate) filters,
+  * PII redaction, benchmark decontamination, sequence packing,
+  * chunking-with-overlap, and quality-weighted sampling. All pure
+  * column expressions / window functions — codegen'd, no UDFs — each
+  * with an exact DuckDB oracle.
+  *
+  * Determinism notes: ratios divide only exact integers or grid-rounded
+  * sums (IEEE division is correctly rounded, hence identical across
+  * engines); no transcendental functions (TF-IDF uses the rational
+  * tf·N/df form rather than a log idf, so ranking ties are exact).
+  */
+object TrainingQueries {
+  import Fx._
+
+  /** Words array (single-space corpus). Materialized once per row —
+    * inline `split` inside a lambda would re-evaluate per element. */
+  private def words(c: Column): Column = split(c, " ")
+
+  /** q92 — TF-IDF top-3 terms per document. Rational idf (N/df)
+    * instead of ln(N/df): same ranking on this integer lattice, but
+    * bit-deterministic in both engines (libm ln is not). The doc-count
+    * scalar is a 1-row cross join (broadcast — no shuffle). */
+  def q92(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val toks = docs
+      .select($"doc_id", explode(words($"text")).as("w"))
+      .filter($"w" =!= "")
+    val tf = toks.groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"w").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(df, "w")
+      .crossJoin(broadcast(n))
+      .select($"doc_id", $"w".as("term"), $"tf", $"df",
+        ($"tf".cast("double") * $"n_docs" / $"df").as("score"))
+    val rn = row_number().over(
+      Window.partitionBy($"doc_id").orderBy($"score".desc, $"term"))
+    scored
+      .withColumn("rn", rn.cast("long"))
+      .filter($"rn" <= 3)
+      .select($"doc_id", $"rn", $"term", $"tf", $"df", r6($"score").as("score"))
+      .orderBy($"doc_id", $"rn")
+  }
+
+  val q92Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+       |  WHERE w <> ''),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, tf.w AS term, tf.tf AS tf, df.df AS df,
+       |    CAST(tf.tf AS DOUBLE) * n_docs / df.df AS score
+       |  FROM tf JOIN df ON tf.w = df.w CROSS JOIN n)
+       |SELECT doc_id, rn, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       |  ${sqlR6("score")} AS score
+       |FROM (SELECT *, CAST(row_number() OVER (
+       |        PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rn
+       |      FROM scored) r
+       |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
+
+  /** q93 — repetition filter (Gopher-style): fraction of duplicate
+    * words and word-bigrams per document; high bigram repetition marks
+    * boilerplate. Integer counts; one guarded division at the end. */
+  def q93(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = words($"text")
+    val bigrams = when(size($"w") >= 2,
+      transform(sequence(lit(1), size($"w") - 1),
+        i => concat(element_at($"w", i), lit(" "), element_at($"w", i + 1))))
+      .otherwise(array().cast("array<string>"))
+    Tables.documents(s, d)
+      .select($"doc_id", w.as("w"))
+      .select($"doc_id",
+        size($"w").cast("long").as("n_words"),
+        size(array_distinct($"w")).cast("long").as("n_distinct"),
+        bigrams.as("bg"))
+      .select($"doc_id", $"n_words", $"n_distinct",
+        size($"bg").cast("long").as("n_bigrams"),
+        size(array_distinct($"bg")).cast("long").as("n_distinct_bigrams"))
+      .select($"doc_id", $"n_words", $"n_distinct", $"n_bigrams", $"n_distinct_bigrams",
+        r4(lit(1.0) - $"n_distinct".cast("double") / $"n_words").as("dup_word_frac"),
+        when($"n_bigrams" === 0, lit(0.0))
+          .otherwise(r4(lit(1.0) - $"n_distinct_bigrams".cast("double") / $"n_bigrams"))
+          .as("dup_bigram_frac"))
+      .withColumn("flagged", ($"dup_bigram_frac" > 0.2).cast("int"))
+      .orderBy($"doc_id")
+  }
+
+  val q93Sql: String =
+    s"""SELECT doc_id, n_words, n_distinct, n_bigrams, n_distinct_bigrams,
+       |  ${sqlR4("1.0 - CAST(n_distinct AS DOUBLE) / n_words")} AS dup_word_frac,
+       |  CASE WHEN n_bigrams = 0 THEN 0.0
+       |       ELSE ${sqlR4("1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams")}
+       |  END AS dup_bigram_frac,
+       |  CAST(CASE WHEN n_bigrams = 0 THEN 0.0
+       |       ELSE ${sqlR4("1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams")}
+       |  END > 0.2 AS INT) AS flagged
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_words,
+       |    CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+       |    CAST(len(bg) AS BIGINT) AS n_bigrams,
+       |    CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct_bigrams
+       |  FROM (
+       |    SELECT doc_id, w,
+       |      list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bg
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t) u) v
+       |ORDER BY doc_id""".stripMargin
+
+  /** q94 — PII redaction. The corpus has no PII, so deterministic
+    * synthetic contacts are appended per doc (same expression both
+    * engines), then masked with patterns in the Java∩RE2 common
+    * dialect. Pure regexp column ops — scan-speed at 100 TB. */
+  def q94(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,4}"
+    val phonePat = "\\+1-[0-9]{3}-[0-9]{4}"
+    val txt = concat($"text", lit(" contact user"), $"doc_id".cast("string"),
+      lit("@example.com or +1-555-"),
+      lpad(($"doc_id" % 10000).cast("string"), 4, "0"))
+    val redacted = regexp_replace(
+      regexp_replace(txt, emailPat, "<EMAIL>"), phonePat, "<PHONE>")
+    Tables.documents(s, d)
+      .select($"doc_id",
+        size(regexp_extract_all(txt, lit(emailPat), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(txt, lit(phonePat), lit(0))).cast("long").as("n_phones"),
+        length(txt).cast("long").as("raw_len"),
+        length(redacted).cast("long").as("redacted_len"),
+        md5(redacted).as("redacted_fp"))
+      .orderBy($"doc_id")
+  }
+
+  val q94Sql: String = {
+    val txt = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+      "'@example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,4}"
+    val phone = "\\+1-[0-9]{3}-[0-9]{4}"
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(txt, '$email')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(txt, '$phone')) AS BIGINT) AS n_phones,
+       |  CAST(length(txt) AS BIGINT) AS raw_len,
+       |  CAST(length(redacted) AS BIGINT) AS redacted_len,
+       |  md5(redacted) AS redacted_fp
+       |FROM (
+       |  SELECT doc_id, txt,
+       |    regexp_replace(regexp_replace(txt, '$email', '<EMAIL>', 'g'),
+       |                   '$phone', '<PHONE>', 'g') AS redacted
+       |  FROM (SELECT doc_id, $txt AS txt FROM documents) t) u
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** 8-word shingle fingerprints, distinct per doc. Hashing the
+    * shingle (md5) means the dedup/contamination join shuffles 32-byte
+    * digests, not raw text. */
+  private def shingles(w: Column): Column =
+    when(size(w) >= 8,
+      array_distinct(transform(sequence(lit(1), size(w) - 7),
+        i => md5(array_join(slice(w, i, lit(8)), " ")))))
+      .otherwise(array().cast("array<string>"))
+
+  private val shinglesSql =
+    "list_distinct(list_transform(range(1, greatest(len(w) - 6, 1)), " +
+      "i -> md5(array_to_string(w[i:i+7], ' '))))"
+
+  /** q95 — benchmark decontamination: which training docs share any
+    * 8-word shingle with the held-out eval slice (source = 'src0').
+    * Eval shingle set is deduped then broadcast; training docs LEFT
+    * join it so clean docs report 0 (every doc gets a verdict). */
+  def q95(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, d)
+      .select($"doc_id", $"source", explode_outer(shingles(words($"text"))).as("g"))
+    val evalGrams = grams.filter($"source" === "src0" && $"g".isNotNull)
+      .select($"g").distinct()
+    val train = grams.filter($"source" =!= "src0")
+    val hits = train
+      .join(broadcast(evalGrams.withColumn("hit", lit(1))), Seq("g"), "left")
+      .groupBy($"doc_id")
+      .agg(
+        sum(when($"g".isNotNull, 1).otherwise(0)).as("total_grams"),
+        sum(coalesce($"hit", lit(0))).as("matched_grams"))
+      .select($"doc_id", $"total_grams", $"matched_grams",
+        when($"total_grams" === 0, lit(0.0))
+          .otherwise(r6($"matched_grams".cast("double") / $"total_grams"))
+          .as("contamination"),
+        ($"matched_grams" > 0).cast("int").as("contaminated"))
+    hits.orderBy($"doc_id")
+  }
+
+  val q95Sql: String =
+    s"""WITH grams AS (
+       |  SELECT doc_id, source, unnest($shinglesSql) AS g
+       |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+       |        FROM documents WHERE len(string_split(text, ' ')) >= 8) t),
+       |eval_grams AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+       |train AS (SELECT doc_id, g FROM grams WHERE source <> 'src0'),
+       |hits AS (
+       |  SELECT t.doc_id,
+       |    count(*) AS total_grams,
+       |    sum(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) AS matched_grams
+       |  FROM train t LEFT JOIN eval_grams e ON t.g = e.g
+       |  GROUP BY t.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(h.total_grams, 0) AS BIGINT) AS total_grams,
+       |  CAST(COALESCE(h.matched_grams, 0) AS BIGINT) AS matched_grams,
+       |  CASE WHEN COALESCE(h.total_grams, 0) = 0 THEN 0.0
+       |       ELSE ${sqlR6("CAST(h.matched_grams AS DOUBLE) / h.total_grams")}
+       |  END AS contamination,
+       |  CAST(COALESCE(h.matched_grams, 0) > 0 AS INT) AS contaminated
+       |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+       |WHERE d.source <> 'src0'
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** q96 — sequence packing: assign docs to fixed token-budget bins by
+    * exclusive running token count, partitioned per language. This is
+    * the distributed form of packing (contiguous-by-key); greedy
+    * first-fit is inherently sequential, so the shards ARE the
+    * parallelism unit — exactly how a 100 TB pretokenization pipeline
+    * shards packing work. */
+  def q96(s: SparkSession, d: String): DataFrame = {
+    val budget = 256L
+    val toks = graft.functions.TextAnalysis.tokenCount(col("text")).cast("long")
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), toks.as("toks"))
+      .withColumn("cum_before", coalesce(sum(col("toks")).over(w), lit(0L)))
+      .withColumn("bin", (col("cum_before") / budget).cast("long"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
+  val q96Sql: String =
+    s"""SELECT lang, bin, count(*) AS n_docs,
+       |  CAST(sum(toks) AS BIGINT) AS bin_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM (
+       |  SELECT lang, doc_id, toks,
+       |    CAST(COALESCE(sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256 AS BIGINT) AS bin
+       |  FROM (SELECT lang, doc_id,
+       |          CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS toks
+       |        FROM documents) t) u
+       |GROUP BY lang, bin ORDER BY lang, bin""".stripMargin
+
+  /** q97 — chunking with overlap: 100-token windows, stride 80 (the
+    * context-window prep step). Chunk count and slices are integer
+    * arithmetic; emitted text is fingerprinted, not carried. */
+  def q97(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = size($"w")
+    val nChunks = when(n <= 100, lit(1))
+      .otherwise(((n - lit(21)) / lit(80)).cast("int") + 1)
+    Tables.documents(s, d)
+      .select($"doc_id", words($"text").as("w"))
+      .select($"doc_id", $"w", explode(sequence(lit(0), nChunks - 1)).as("i"))
+      .select($"doc_id", $"i".cast("long").as("chunk_idx"),
+        ($"i" * 80 + 1).cast("long").as("start_tok"),
+        least(size($"w") - $"i" * 80, lit(100)).cast("long").as("chunk_len"),
+        md5(array_join(slice($"w", $"i" * 80 + 1, lit(100)), " ")).as("chunk_fp"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  val q97Sql: String =
+    s"""SELECT doc_id,
+       |  CAST(i AS BIGINT) AS chunk_idx,
+       |  CAST(i * 80 + 1 AS BIGINT) AS start_tok,
+       |  CAST(least(len(w) - i * 80, 100) AS BIGINT) AS chunk_len,
+       |  md5(array_to_string(w[(i * 80 + 1):(i * 80 + 100)], ' ')) AS chunk_fp
+       |FROM (
+       |  SELECT doc_id, w,
+       |    unnest(range(0, CASE WHEN len(w) <= 100 THEN 1
+       |                         ELSE (len(w) - 21) // 80 + 1 END)) AS i
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t) u
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** q98 — quality-weighted deterministic sampling: keep a doc iff a
+    * seeded uniform (md5 high bits / 2^32) falls under its quality
+    * score — cluster-stable importance sampling, no RNG state. */
+  def q98(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val u = conv(substring(md5(concat($"doc_id".cast("string"), lit("#wsamp"))), 1, 8), 16, 10)
+      .cast("long").cast("double") / 4294967296.0
+    val q = graft.functions.TextAnalysis.qualityScore($"text")
+    Tables.documents(s, d)
+      .select($"doc_id", $"lang", q.as("quality"), u.as("u"))
+      .filter($"u" < $"quality")
+      .select($"doc_id", $"lang", r4($"quality").as("quality"), r6($"u").as("u"))
+      .orderBy($"doc_id")
+  }
+
+  val q98Sql: String = {
+    val toks = "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT)"
+    val occ = (w: String) =>
+      graft.functions.TextAnalysis.sqlWordOccurrences("lower(text)", w)
+    val stop = s"(${occ("the")} + ${occ("and")} + ${occ("of")})"
+    val awl = "((chars - (toks - 1.0)) / toks)"
+    val quality =
+      s"(least(toks / 50.0, 1.0) * 0.4 + (CASE WHEN $awl >= 2.0 AND $awl <= 12.0 THEN 0.3 ELSE 0.0 END) + least(stop_en / 5.0, 1.0) * 0.3)"
+    s"""SELECT doc_id, lang, ${sqlR4(quality)} AS quality, ${sqlR6("u")} AS u
+       |FROM (
+       |  SELECT doc_id, lang, toks, chars, stop_en,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#wsamp'), 1, 8))::BIGINT AS DOUBLE) / 4294967296.0 AS u
+       |  FROM (SELECT doc_id, lang, $toks AS toks,
+       |          CAST(length(text) AS DOUBLE) AS chars, $stop AS stop_en
+       |        FROM documents) t) v
+       |WHERE u < $quality
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q99 — SimHash Hamming-ball near-dup pairs at scale: 64-bit native
+    * SimHash split into 4×16-bit bands (pigeonhole: hamming ≤ 3 ⇒ at
+    * least one band equal — Manku et al., WWW'07), candidates from a
+    * band equi-join (never all-pairs), verified by popcount. The
+    * oracle rebuilds the identical fingerprint in SQL (q56's HUGEINT
+    * FNV-1a mirror). */
+  def q99(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.plans.GraftFunctions.register(s)
+    val sh = Tables.documents(s, d)
+      .select($"doc_id", graft.plans.GraftFunctions.simhash64($"text").as("sh"))
+    val bands = sh.select($"doc_id", $"sh",
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"),
+          shiftright($"sh", i * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("b"))
+      .select($"doc_id", $"sh", $"b.band".as("band"), $"b.key".as("key"))
+    val a = bands.select($"band", $"key", $"doc_id".as("a"), $"sh".as("sh_a"))
+    val b = bands.select($"band", $"key", $"doc_id".as("b"), $"sh".as("sh_b"))
+    a.join(b, Seq("band", "key"))
+      .filter($"a" < $"b")
+      .select($"a", $"b", bit_count($"sh_a".bitwiseXOR($"sh_b")).cast("long").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 3)
+      .orderBy($"a", $"b")
+  }
+
+  /** Bands in SQL over the q56 fingerprint CTE; arithmetic >> plus
+    * mask matches Spark's shiftright on negatives. */
+  val q99Sql: String = {
+    val shCte = SimHashQueries.simhash64Cte
+    s"""$shCte,
+       |bands AS (
+       |  SELECT doc_id, simhash64 AS sh, band, (simhash64 >> (band * 16)) & 65535 AS key
+       |  FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bs)
+       |SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+       |WHERE a.doc_id < b.doc_id
+       |  AND bit_count(xor(a.sh, b.sh)) <= 3
+       |ORDER BY a, b""".stripMargin
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q92_tfidf_top_terms", q92, Some(q92Sql), bench = true),
+    QueryDef("q93_repetition_filter", q93, Some(q93Sql), bench = true),
+    QueryDef("q94_pii_redaction", q94, Some(q94Sql)),
+    QueryDef("q95_decontamination", q95, Some(q95Sql), bench = true),
+    QueryDef("q96_sequence_packing", q96, Some(q96Sql)),
+    QueryDef("q97_chunking_overlap", q97, Some(q97Sql)),
+    QueryDef("q98_weighted_sample", q98, Some(q98Sql)),
+    QueryDef("q99_simhash_hamming_dedup", q99, Some(q99Sql)),
+  )
+}
