@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-shape audit over every registered query: prints per-query
+  * counts of the physical-plan features the 100 TB design cares about
+  * and flags anti-patterns (cartesian products, single-partition
+  * windows/sorts feeding large inputs, shuffle-heavy trees). Run:
+  *
+  *   sbt 'runMain graft.ExplainAudit /root/testdata/sf0.001'
+  *
+  * This is the automated form of the ".explain() and iterate" loop —
+  * streaming queries are skipped (no executedPlan before start).
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def count(p: String, needle: String): Int = needle.r.findAllIn(p).length
+
+    val skip = Set("q72", "q74", "q75", "q79", "q82", "q88") // streaming mains
+    var flagged = 0
+    for (q <- SparkEntry.registry.sortBy(_.name)
+         if !skip.exists(q.name.startsWith)) {
+      try {
+        val p = q.fn(spark, sfDir).queryExecution.executedPlan.toString
+        val cartesian = count(p, "CartesianProduct") + count(p, "BroadcastNestedLoopJoin")
+        val single = count(p, "SinglePartition")
+        val bhj = count(p, "BroadcastHashJoin")
+        val smj = count(p, "SortMergeJoin")
+        val shuffles = count(p, "Exchange hashpartitioning")
+        val topk = count(p, "TakeOrderedAndProject")
+        val flags = new StringBuilder
+        if (cartesian > 0) flags ++= " !CARTESIAN"
+        // a single-partition exchange is fine only for final tiny
+        // results (global sort of an aggregated/limited set)
+        if (single > 1) flags ++= " !MULTI-SINGLE-PARTITION"
+        if (flags.nonEmpty) flagged += 1
+        println(f"${q.name}%-28s bhj=$bhj smj=$smj shuf=$shuffles topk=$topk single=$single$flags")
+      } catch {
+        case e: Exception =>
+          println(f"${q.name}%-28s ERROR ${e.getMessage.take(80)}")
+      }
+    }
+    println(s"flagged: $flagged")
+    spark.stop()
+  }
+}

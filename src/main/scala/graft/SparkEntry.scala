@@ -17,7 +17,8 @@ object SparkEntry {
       operators.SimHashQueries.all ++ operators.SqlSurface.all ++
       operators.NativeTopKQuery.all ++ operators.StreamingQueries.all ++
       operators.Profile.all ++ operators.GraphQueries.all ++
-      operators.TpchClassics.all ++ operators.TrainingQueries.all
+      operators.TpchClassics.all ++ operators.TrainingQueries.all ++
+      operators.CurationQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

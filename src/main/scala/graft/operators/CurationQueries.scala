@@ -1,0 +1,195 @@
+package graft.operators
+
+import graft.{Fx, QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus curation *policy* operators — the decision layer that sits on
+  * top of the dedup/quality/contamination signals: which duplicate to
+  * keep, which boilerplate to strip, which sources dominate, how to
+  * rebalance the language mix. All column expressions + windows over
+  * aggregated (small) intermediates; oracle-checked like everything
+  * else.
+  */
+object CurationQueries {
+  import Fx._
+
+  private def quality(c: Column): Column =
+    graft.functions.TextAnalysis.qualityScore(c)
+
+  /** The q41 quality expression over a subquery exposing
+    * toks/chars/stop_en — kept in exact parity with
+    * [[graft.functions.TextAnalysis.qualityScore]]. */
+  private val tokSql =
+    "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT)"
+  private def occSql(w: String): String =
+    graft.functions.TextAnalysis.sqlWordOccurrences("lower(text)", w)
+  private val stopEnSql = s"(${occSql("the")} + ${occSql("and")} + ${occSql("of")})"
+  private val qualitySql: String = {
+    val awl = "((chars - (toks - 1.0)) / toks)"
+    s"(least(toks / 50.0, 1.0) * 0.4 + (CASE WHEN $awl >= 2.0 AND $awl <= 12.0 THEN 0.3 ELSE 0.0 END) + least(stop_en / 5.0, 1.0) * 0.3)"
+  }
+  private val scoredSql =
+    s"""SELECT doc_id, md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS fp,
+       |  $qualitySql AS q FROM (
+       |  SELECT doc_id, text, $tokSql AS toks,
+       |    CAST(length(text) AS DOUBLE) AS chars, $stopEnSql AS stop_en
+       |  FROM documents) b""".stripMargin
+
+  /** q100 — duplicate-cluster resolution, keep-best-quality: cluster
+    * on the leading 5-word shingle (the boilerplate-prefix key — this
+    * corpus has no byte-identical dups, but shared openings mark the
+    * near-dup families q53 verifies), then keep the highest-quality
+    * member (quality desc, doc_id tie-break) instead of blind
+    * keep-min-id. The window partitions on the fingerprint, so
+    * resolution is distributed. */
+  def q100(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"fp").orderBy($"q".desc, $"doc_id")
+    val cnt = Window.partitionBy($"fp")
+    Tables.documents(s, d)
+      .select($"doc_id",
+        md5(array_join(slice(split($"text", " "), 1, 5), " ")).as("fp"),
+        quality($"text").as("q"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_docs", count(lit(1)).over(cnt))
+      .filter($"rn" === 1 && $"n_docs" >= 2)
+      .select($"fp", $"n_docs", $"doc_id".as("kept_doc"), r4($"q").as("kept_quality"))
+      .orderBy($"fp")
+  }
+
+  val q100Sql: String =
+    s"""WITH scored AS ($scoredSql),
+       |r AS (SELECT fp, doc_id, q,
+       |        row_number() OVER (PARTITION BY fp ORDER BY q DESC, doc_id) AS rn,
+       |        count(*) OVER (PARTITION BY fp) AS n_docs
+       |      FROM scored)
+       |SELECT fp, CAST(n_docs AS BIGINT) AS n_docs, doc_id AS kept_doc,
+       |  ${sqlR4("q")} AS kept_quality
+       |FROM r WHERE rn = 1 AND n_docs >= 2
+       |ORDER BY fp""".stripMargin
+
+  /** Per-doc word bigrams, materialized array first (no inline-split
+    * re-evaluation), shared by q101. */
+  private def bigrams(w: Column): Column =
+    when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** q101 — stop-gram boilerplate detection: the corpus-wide top-20
+    * bigrams become "stop-grams"; each document reports how much of it
+    * is made of them. The stop-gram set is tiny → broadcast; the
+    * per-doc side streams. */
+  def q101(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docBigrams = Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id", explode(bigrams($"w")).as("ng"))
+    val stopGrams = docBigrams.groupBy($"ng").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"ng").limit(20)
+      .select($"ng", lit(1).as("hit"))
+    docBigrams
+      .join(broadcast(stopGrams), Seq("ng"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce($"hit", lit(0))).as("stopgram_hits"))
+      .filter($"stopgram_hits" >= 1)
+      .select($"doc_id", $"n_bigrams", $"stopgram_hits",
+        r4($"stopgram_hits".cast("double") / $"n_bigrams").as("stopgram_frac"))
+      .orderBy($"doc_id")
+  }
+
+  val q101Sql: String =
+    s"""WITH bg AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS ng
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t),
+       |stop AS (SELECT ng FROM (
+       |  SELECT ng, count(*) AS n FROM bg GROUP BY ng
+       |  ORDER BY n DESC, ng LIMIT 20) s),
+       |hits AS (
+       |  SELECT bg.doc_id, count(*) AS n_bigrams,
+       |    sum(CASE WHEN stop.ng IS NOT NULL THEN 1 ELSE 0 END) AS stopgram_hits
+       |  FROM bg LEFT JOIN stop ON bg.ng = stop.ng
+       |  GROUP BY bg.doc_id)
+       |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       |  CAST(stopgram_hits AS BIGINT) AS stopgram_hits,
+       |  ${sqlR4("CAST(stopgram_hits AS DOUBLE) / n_bigrams")} AS stopgram_frac
+       |FROM hits WHERE stopgram_hits >= 1
+       |ORDER BY doc_id""".stripMargin
+
+  /** q102 — source concentration: token mass per source with
+    * cumulative corpus share, largest first. The unpartitioned window
+    * runs over 20 aggregated rows — post-aggregation, not a scale
+    * concern. */
+  def q102(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = graft.functions.TextAnalysis.tokenCount($"text").cast("long")
+    val agg = Tables.documents(s, d)
+      .select($"source", toks.as("toks"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("tokens"))
+    val ord = Window.orderBy($"tokens".desc, $"source")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    agg
+      .withColumn("cum_tokens", sum($"tokens").over(ord))
+      .withColumn("total", sum($"tokens").over(tot))
+      .select($"source", $"n_docs", $"tokens", $"cum_tokens",
+        r6($"cum_tokens".cast("double") / $"total").as("cum_share"))
+      .orderBy($"tokens".desc, $"source")
+  }
+
+  val q102Sql: String =
+    s"""SELECT source, n_docs, CAST(tokens AS BIGINT) AS tokens,
+       |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       |  ${sqlR6("CAST(cum_tokens AS DOUBLE) / total")} AS cum_share
+       |FROM (
+       |  SELECT source, n_docs, tokens,
+       |    sum(tokens) OVER (ORDER BY tokens DESC, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+       |    sum(tokens) OVER () AS total
+       |  FROM (SELECT source, count(*) AS n_docs,
+       |          sum(CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)) AS tokens
+       |        FROM documents GROUP BY source) a) b
+       |ORDER BY tokens DESC, source""".stripMargin
+
+  /** q103 — language rebalancing plan: downsample every language to
+    * the smallest language's token mass (uniform mix), emitting the
+    * per-language sampling rate and planned token budget. */
+  def q103(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = graft.functions.TextAnalysis.tokenCount($"text").cast("long")
+    val agg = Tables.documents(s, d)
+      .select($"lang", toks.as("toks"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("tokens"))
+    val w = Window.partitionBy()
+    agg
+      .withColumn("min_tokens", min($"tokens").over(w))
+      .select($"lang", $"n_docs", $"tokens",
+        r6($"min_tokens".cast("double") / $"tokens").as("sample_rate"),
+        floor($"tokens" * ($"min_tokens".cast("double") / $"tokens")).cast("long")
+          .as("planned_tokens"))
+      .orderBy($"lang")
+  }
+
+  val q103Sql: String =
+    s"""SELECT lang, n_docs, CAST(tokens AS BIGINT) AS tokens,
+       |  ${sqlR6("CAST(min_tokens AS DOUBLE) / tokens")} AS sample_rate,
+       |  CAST(floor(tokens * (CAST(min_tokens AS DOUBLE) / tokens)) AS BIGINT) AS planned_tokens
+       |FROM (
+       |  SELECT lang, n_docs, tokens, min(tokens) OVER () AS min_tokens
+       |  FROM (SELECT lang, count(*) AS n_docs,
+       |          sum(CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)) AS tokens
+       |        FROM documents GROUP BY lang) a) b
+       |ORDER BY lang""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q100_dedup_keep_best", q100, Some(q100Sql)),
+    QueryDef("q101_stop_grams", q101, Some(q101Sql), bench = true),
+    QueryDef("q102_source_concentration", q102, Some(q102Sql)),
+    QueryDef("q103_mixing_plan", q103, Some(q103Sql)),
+  )
+}

@@ -129,6 +129,44 @@ class TrainingQueriesSpec extends SparkSpec {
     assert(!out.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
   }
 
+  test("q100 keep-best dedup keeps the higher-quality member of a prefix cluster") {
+    import graft.operators.CurationQueries
+    val prefix = "alpha beta gamma delta epsilon"
+    val d = docs(
+      (1L, prefix + " x", "en", "src1"), // short → low quality
+      (2L, prefix + " " + (1 to 60).map(i => s"the word$i and of").mkString(" "),
+        "en", "src1"), // long, stopword-rich → high quality
+      (3L, "some unrelated single document here", "en", "src1"))
+    val out = viaTempDir(d)(CurationQueries.q100(spark, _)).collect()
+    assert(out.length == 1, "only the 2-doc cluster is reported")
+    assert(out.head.getLong(2) == 2L, "doc 2 (higher quality) is kept")
+    assert(out.head.getLong(1) == 2L, "cluster size 2")
+  }
+
+  test("q102 source concentration: last cumulative share is exactly 1") {
+    import graft.operators.CurationQueries
+    val d = docs(
+      (1L, "a b c d e f", "en", "s1"), (2L, "a b", "en", "s1"),
+      (3L, "x y z", "en", "s2"))
+    val out = viaTempDir(d)(CurationQueries.q102(spark, _))
+      .orderBy(col("cum_share")).collect()
+    assert(out.last.getDouble(4) == 1.0)
+    assert(out.head.getString(0) == "s1", "biggest source ranks first")
+  }
+
+  test("q103 mixing plan gives the smallest language rate 1.0") {
+    import graft.operators.CurationQueries
+    val d = docs(
+      (1L, (1 to 50).map(_ => "w").mkString(" "), "en", "s1"),
+      (2L, "tiny doc", "fr", "s1"))
+    val out = viaTempDir(d)(CurationQueries.q103(spark, _)).collect()
+    val byLang = out.map(r => r.getString(0) -> r).toMap
+    assert(byLang("fr").getDouble(3) == 1.0, "smallest lang keeps everything")
+    assert(byLang("en").getDouble(3) < 1.0, "larger lang is downsampled")
+    assert(byLang("fr").getLong(4) == byLang("fr").getLong(2),
+      "planned == actual for the anchor lang")
+  }
+
   test("q92 tf-idf ranks a doc's distinctive term above corpus-wide terms") {
     val d = docs(
       (1L, "common common zebra", "en", "src1"),
