@@ -35,10 +35,14 @@ object TrainingQueries {
       .select($"doc_id", explode(words($"text")).as("w"))
       .filter($"w" =!= "")
     val tf = toks.groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy($"w").agg(count(lit(1)).as("df"))
+    // df = docs containing w = rows of tf per w. A window count over
+    // the w-partitioning gets it in ONE shuffle of tf, where a
+    // groupBy(w) + join-back would shuffle tf twice (the (doc_id, w)
+    // partitioning doesn't satisfy a join on w alone).
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy($"w")))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf
-      .join(df, "w")
+    val scored = withDf
       .crossJoin(broadcast(n))
       .select($"doc_id", $"w".as("term"), $"tf", $"df",
         ($"tf".cast("double") * $"n_docs" / $"df").as("score"))
@@ -180,8 +184,12 @@ object TrainingQueries {
     * join it so clean docs report 0 (every doc gets a verdict). */
   def q95(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // The shingle relation feeds BOTH the eval set and the training
+    // side; without a persist each consumer re-reads the corpus and
+    // re-hashes every 8-gram (same rationale as Dedup.candidatePairs).
     val grams = Tables.documents(s, d)
       .select($"doc_id", $"source", explode_outer(shingles(words($"text"))).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val evalGrams = grams.filter($"source" === "src0" && $"g".isNotNull)
       .select($"g").distinct()
     val train = grams.filter($"source" =!= "src0")
