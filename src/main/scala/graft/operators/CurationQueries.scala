@@ -186,10 +186,70 @@ object CurationQueries {
        |        FROM documents GROUP BY lang) a) b
        |ORDER BY lang""".stripMargin
 
+  /** q106 — Zipf rank-frequency table: top-100 vocabulary with
+    * rank × frequency (≈ constant under Zipf's law — the standard
+    * sanity check on a corpus's token distribution). The heavy-hitter
+    * cut is TakeOrderedAndProject; the rank window runs over the 100
+    * surviving rows only. */
+  def q106(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val freq = Tables.documents(s, d)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"w").limit(100)
+    freq
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"freq".desc, $"w")).cast("long"))
+      .select($"rank", $"w".as("word"), $"freq", ($"rank" * $"freq").as("rank_x_freq"))
+      .orderBy($"rank")
+  }
+
+  val q106Sql: String =
+    """SELECT rank, word, freq, rank * freq AS rank_x_freq FROM (
+      |  SELECT CAST(row_number() OVER (ORDER BY freq DESC, word) AS BIGINT) AS rank,
+      |    word, freq FROM (
+      |    SELECT w AS word, CAST(count(*) AS BIGINT) AS freq FROM (
+      |      SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+      |    WHERE w <> '' GROUP BY w ORDER BY freq DESC, word LIMIT 100) f) r
+      |ORDER BY rank""".stripMargin
+
+  /** q107 — cross-language prefix collisions: identical 5-word
+    * openings appearing under more than one language label — the
+    * mislabeled-translation / template-reuse signal a multilingual
+    * corpus audit looks for. */
+  def q107(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", $"lang",
+        md5(array_join(slice(split($"text", " "), 1, 5), " ")).as("fp"))
+      .groupBy($"fp")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct($"lang").as("n_langs"),
+        min($"doc_id").as("first_doc"),
+        array_join(array_sort(collect_set($"lang")), ",").as("langs"))
+      .filter($"n_langs" >= 2)
+      .orderBy($"fp")
+  }
+
+  val q107Sql: String =
+    """SELECT fp, count(*) AS n_docs,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  min(doc_id) AS first_doc,
+      |  array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs
+      |FROM (SELECT doc_id, lang,
+      |        md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS fp
+      |      FROM documents) t
+      |GROUP BY fp HAVING count(DISTINCT lang) >= 2
+      |ORDER BY fp""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q100_dedup_keep_best", q100, Some(q100Sql)),
     QueryDef("q101_stop_grams", q101, Some(q101Sql), bench = true),
     QueryDef("q102_source_concentration", q102, Some(q102Sql)),
     QueryDef("q103_mixing_plan", q103, Some(q103Sql)),
+    QueryDef("q106_zipf_vocab", q106, Some(q106Sql)),
+    QueryDef("q107_cross_lang_prefix", q107, Some(q107Sql)),
   )
 }

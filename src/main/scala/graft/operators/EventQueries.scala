@@ -114,9 +114,91 @@ object EventQueries {
       |GROUP BY p.user_id, purchase_id
       |ORDER BY p.user_id, purchase_id""".stripMargin
 
+  /** q104 — conversion funnel (view → click → purchase) in a SINGLE
+    * shuffle: events are collected sorted per user, then a
+    * higher-order `aggregate` fold walks each timeline once, recording
+    * every stage's first-completion time. The conventional form costs
+    * one conditional-agg + join-back PER STAGE (a shuffle per funnel
+    * step); this is one shuffle at any funnel depth, and the per-user
+    * array is bounded by that user's own activity. The oracle states
+    * the same semantics order-free: t2 = min click time strictly after
+    * t1 (sorted processing makes the fold and the min coincide). */
+  def q104(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .filter($"event_type".isin("view", "click", "purchase"))
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_type")
+    val zero = struct(
+      lit(null).cast("long").as("t1"),
+      lit(null).cast("long").as("t2"),
+      lit(null).cast("long").as("t3"))
+    ev.groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"us", $"event_type"))).as("evs"))
+      .select($"user_id", aggregate($"evs", zero, (acc, e) => struct(
+        when(acc("t1").isNull && e("event_type") === "view", e("us"))
+          .otherwise(acc("t1")).as("t1"),
+        when(acc("t2").isNull && acc("t1").isNotNull &&
+            e("event_type") === "click" && e("us") > acc("t1"), e("us"))
+          .otherwise(acc("t2")).as("t2"),
+        when(acc("t3").isNull && acc("t2").isNotNull &&
+            e("event_type") === "purchase" && e("us") > acc("t2"), e("us"))
+          .otherwise(acc("t3")).as("t3"))).as("f"))
+      .select($"user_id", $"f.t1".as("t1_us"), $"f.t2".as("t2_us"), $"f.t3".as("t3_us"),
+        (when($"f.t1".isNotNull, 1).otherwise(0) +
+          when($"f.t2".isNotNull, 1).otherwise(0) +
+          when($"f.t3".isNotNull, 1).otherwise(0)).as("stage"))
+      .orderBy($"user_id")
+  }
+
+  val q104Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+      |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      |f1 AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN us END) AS t1
+      |       FROM e GROUP BY user_id),
+      |f2 AS (SELECT f1.user_id, f1.t1,
+      |         min(CASE WHEN e.event_type = 'click' AND e.us > f1.t1 THEN e.us END) AS t2
+      |       FROM f1 LEFT JOIN e ON e.user_id = f1.user_id GROUP BY f1.user_id, f1.t1),
+      |f3 AS (SELECT f2.user_id, f2.t1, f2.t2,
+      |         min(CASE WHEN e.event_type = 'purchase' AND e.us > f2.t2 THEN e.us END) AS t3
+      |       FROM f2 LEFT JOIN e ON e.user_id = f2.user_id GROUP BY f2.user_id, f2.t1, f2.t2)
+      |SELECT user_id, t1 AS t1_us, t2 AS t2_us, t3 AS t3_us,
+      |  CAST(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+      |     + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+      |     + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage
+      |FROM f3 ORDER BY user_id""".stripMargin
+
+  /** q105 — weekly cohort retention: users bucketed by first-activity
+    * week, activity counted per (cohort, week offset). Both engines
+    * truncate weeks to Monday; offsets are exact multiples of 7 days
+    * so the division is lossless. */
+  def q105(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d)
+      .select($"user_id", date_trunc("week", $"ts").as("wk"))
+    val first = e.groupBy($"user_id").agg(min($"wk").as("cohort"))
+    e.join(first, "user_id")
+      .groupBy($"cohort".cast("date").as("cohort_week"),
+        (datediff($"wk", $"cohort") / 7).cast("int").as("week_offset"))
+      .agg(countDistinct($"user_id").as("n_active"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  val q105Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk FROM events),
+      |f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY user_id)
+      |SELECT CAST(f.cohort AS DATE) AS cohort_week,
+      |  CAST(date_diff('day', f.cohort, e.wk) // 7 AS INT) AS week_offset,
+      |  count(DISTINCT e.user_id) AS n_active
+      |FROM e JOIN f ON e.user_id = f.user_id
+      |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q70_sessionize", q70, Some(q70Sql), bench = true),
     QueryDef("q71_asof_join", q71, Some(q71Sql), bench = true),
     QueryDef("q73_range_join", q73, Some(q73Sql), bench = true),
+    QueryDef("q104_funnel", q104, Some(q104Sql), bench = true),
+    QueryDef("q105_cohort_retention", q105, Some(q105Sql)),
   )
 }

@@ -167,6 +167,29 @@ class TrainingQueriesSpec extends SparkSpec {
       "planned == actual for the anchor lang")
   }
 
+  test("q104 funnel only counts stages in causal order") {
+    import spark.implicits._
+    import graft.operators.EventQueries
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    // user 1: full funnel; user 2: click BEFORE its first view (must
+    // not convert past stage 1); user 3: purchase without view/click
+    val ev = Seq(
+      (1L, ts(0), 1L, "view", 0.0, "{}"),
+      (2L, ts(1), 1L, "click", 0.0, "{}"),
+      (3L, ts(2), 1L, "purchase", 0.0, "{}"),
+      (4L, ts(0), 2L, "click", 0.0, "{}"),
+      (5L, ts(1), 2L, "view", 0.0, "{}"),
+      (6L, ts(0), 3L, "purchase", 0.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventQueries.q104(spark, dir).collect()
+    val stage = out.map(r => r.getLong(0) -> r.getAs[Int]("stage")).toMap
+    assert(stage(1L) == 3, "user 1 completes the funnel")
+    assert(stage(2L) == 1, "pre-view click must not count as stage 2")
+    assert(stage(3L) == 0, "purchase without view opens no funnel")
+  }
+
   test("q92 tf-idf ranks a doc's distinctive term above corpus-wide terms") {
     val d = docs(
       (1L, "common common zebra", "en", "src1"),
