@@ -1,0 +1,86 @@
+package graft
+
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The training-data curation lifecycle as ONE composed engine job —
+  * the end-to-end path a 100 TB corpus takes from raw documents to a
+  * training-ready slice. Each stage is the operator the query registry
+  * proves correct (q93 repetition filter, q41 quality, q100 keep-best
+  * dedup, q94 redaction, q98 weighted sampling); this composes them,
+  * counts what each stage dropped, and writes the survivors
+  * partitioned by language.
+  *
+  * Scale shape: every stage is a narrow column transform except the
+  * dedup window (one shuffle on the cluster fingerprint) and the final
+  * partitioned write. Stage counts come from ONE aggregation over
+  * per-row stage flags — not a count() action per stage, which would
+  * re-run the whole upstream pipeline once per stage.
+  */
+object CurationJobs {
+
+  final case class CurationReport(
+      total: Long, afterRepetition: Long, afterQuality: Long,
+      afterDedup: Long, sampled: Long)
+
+  /** Stage flags as pure columns over the raw frame. */
+  private def staged(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    val bigrams = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val dupBigramFrac = when(size(bigrams) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(bigrams)).cast("double") / size(bigrams))
+    val quality = TextAnalysis.qualityScore(col("text"))
+    val u = conv(substring(md5(concat(col("doc_id").cast("string"), lit("#curate"))), 1, 8), 16, 10)
+      .cast("long").cast("double") / 4294967296.0
+    docs
+      .withColumn("pass_repetition", dupBigramFrac <= 0.2)
+      .withColumn("quality", quality)
+      .withColumn("pass_quality", quality >= 0.3)
+      .withColumn("cluster_fp", md5(array_join(slice(split(col("text"), " "), 1, 5), " ")))
+      .withColumn("keep_sample", u < quality)
+  }
+
+  /** Run the full curation pipeline over a documents directory.
+    * Returns the written training slice and the per-stage report. */
+  def curate(spark: SparkSession, docsDir: String, outDir: String): (DataFrame, CurationReport) = {
+    val docs = Tables.documents(spark, docsDir)
+    val s = staged(docs)
+
+    // survivors of the two quality gates
+    val gated = s.filter(col("pass_repetition") && col("pass_quality"))
+    // keep-best-quality within each prefix cluster (q100 semantics)
+    val rn = row_number().over(
+      Window.partitionBy(col("cluster_fp")).orderBy(col("quality").desc, col("doc_id")))
+    val deduped = gated.withColumn("__rn", rn).filter(col("__rn") === 1).drop("__rn")
+    val sampled = deduped.filter(col("keep_sample"))
+    // PII redaction on the surviving text only (q94 patterns)
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,4}"
+    val phonePat = "\\+1-[0-9]{3}-[0-9]{4}"
+    val out = sampled
+      .withColumn("text", regexp_replace(
+        regexp_replace(col("text"), emailPat, "<EMAIL>"), phonePat, "<PHONE>"))
+      .select("doc_id", "text", "lang", "source", "n_chars", "quality")
+
+    out.write.mode("overwrite").partitionBy("lang").parquet(outDir)
+
+    // One pass for the funnel counts: flags aggregate without
+    // re-running the pipeline per stage. Dedup survival can't be a
+    // row-local flag (it needs the cluster window), so it rides the
+    // written result's count; the rest are conditional sums.
+    val flagCounts = s.agg(
+      count(lit(1)).as("total"),
+      sum(when(col("pass_repetition"), 1L).otherwise(0L)).as("after_rep"),
+      sum(when(col("pass_repetition") && col("pass_quality"), 1L).otherwise(0L)).as("after_q"))
+      .collect().head
+    val afterDedup = deduped.count()
+    val written = spark.read.parquet(outDir).count()
+    (spark.read.parquet(outDir),
+      CurationReport(flagCounts.getLong(0), flagCounts.getLong(1),
+        flagCounts.getLong(2), afterDedup, written))
+  }
+}

@@ -194,11 +194,49 @@ object EventQueries {
       |FROM e JOIN f ON e.user_id = f.user_id
       |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
 
+  /** q108 — Spark's native `session_window` (gap-merged event-time
+    * sessions as a first-class grouping column, the built-in form of
+    * q70's manual lag/flag sessionization; also valid in streaming
+    * with watermark-based closing). Session end = last event + gap by
+    * definition; the oracle rebuilds the same sessions with the
+    * lag/cumsum technique. */
+  def q108(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id",
+        unix_micros($"sw.start").as("start_us"),
+        unix_micros($"sw.end").as("end_us"),
+        $"n_events")
+      .orderBy($"user_id", $"start_us")
+  }
+
+  val q108Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |g AS (
+      |  SELECT user_id, event_id, us,
+      |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+      |           OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id, us,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM g)
+      |SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+      |  count(*) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, start_us""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q70_sessionize", q70, Some(q70Sql), bench = true),
     QueryDef("q71_asof_join", q71, Some(q71Sql), bench = true),
     QueryDef("q73_range_join", q73, Some(q73Sql), bench = true),
     QueryDef("q104_funnel", q104, Some(q104Sql), bench = true),
     QueryDef("q105_cohort_retention", q105, Some(q105Sql)),
+    QueryDef("q108_session_window", q108, Some(q108Sql)),
   )
 }
