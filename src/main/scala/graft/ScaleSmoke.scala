@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.Dedup
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale smoke: synthesize an n-doc corpus (default 1M) with planted
+  * near-duplicates and push it through the text/dedup stack, printing
+  * per-stage wall time and rows/s. This probes the behavior the sf0.1
+  * testdata is too small to show — real shuffle volumes, hash cost at
+  * tens of millions of shingles, candidate-pair growth under the LSH
+  * bucket cap. Run:
+  *
+  *   sbt 'runMain graft.ScaleSmoke 1000000'
+  *
+  * The corpus is fully deterministic (hash-derived words, no RNG
+  * state): ~40-word docs over a 10k-word vocabulary; every doc with
+  * id % 100 == 1 is a near-dup of its predecessor (one word changed),
+  * so ~1% of the corpus has a planted pair the MinHash path must find.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // Deterministic synthetic corpus. A near-dup copies its
+    // predecessor's word sequence (same base id) and changes only the
+    // final word, so planted pairs share all but ~2 bigram shingles.
+    val base = spark.range(nDocs)
+      .select($"id".as("doc_id"),
+        when($"id" % 100 === 1, $"id" - 1).otherwise($"id").as("seed"),
+        ($"id" % 100 === 1).as("is_dup"))
+    val words = transform(sequence(lit(1), lit(35) + pmod(xxhash64($"seed"), lit(10)).cast("int")),
+      i => concat(lit("w"), pmod(xxhash64($"seed" * 1000 + i), lit(10000))))
+    val docs = base.select($"doc_id",
+      array_join(
+        when($"is_dup", concat(slice(words, lit(1), size(words) - 1),
+          array(concat(lit("x"), $"doc_id")))).otherwise(words),
+        " ").as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = docs.count() // materialize corpus before the clock starts
+
+    def timed(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name%-22s $sec%8.2f s  ${n / sec}%12.0f docs/s  ($rows result rows)")
+    }
+
+    println(s"[scale] corpus: $n docs on local[$cpus]")
+
+    timed("token_stats") {
+      docs.select(TextAnalysis.tokenCount($"text").as("t"))
+        .agg(sum($"t"), avg($"t")).count()
+    }
+    timed("quality_score") {
+      docs.select(TextAnalysis.qualityScore($"text").as("q"))
+        .filter($"q" >= 0.3).count()
+    }
+    timed("exact_dedup") {
+      Dedup.exactDedup(docs, "doc_id", "text").count()
+    }
+    timed("simhash64") {
+      graft.plans.GraftFunctions.register(spark)
+      docs.select(graft.plans.GraftFunctions.simhash64($"text").as("sh"))
+        .agg(count(col("sh"))).count()
+    }
+    timed("minhash_md5_pairs") {
+      val sig = Dedup.minhashSignatureWords(docs, "doc_id", "text", nHashes = 6)
+      val bands = Dedup.lshBands(sig, "doc_id", nBands = 3, rowsPerBand = 2)
+      Dedup.candidatePairs(bands, "doc_id").count()
+    }
+    var pairs: DataFrame = null
+    timed("minhash_xx64_pairs") {
+      val sig = Dedup.minhashSignatureWordsFast(docs, "doc_id", "text", nHashes = 6)
+      val bands = Dedup.lshBands(sig, "doc_id", nBands = 3, rowsPerBand = 2)
+      pairs = Dedup.candidatePairs(bands, "doc_id").persist()
+      pairs.count()
+    }
+    timed("jaccard_verify") {
+      val withText = pairs
+        .join(docs.select($"doc_id".as("a"), $"text".as("ta")), "a")
+        .join(docs.select($"doc_id".as("b"), $"text".as("tb")), "b")
+        .withColumn("j", Dedup.jaccard(
+          Dedup.wordBigrams($"ta"), Dedup.wordBigrams($"tb")))
+      val found = withText.filter($"j" >= 0.8)
+        .filter($"b" === $"a" + 1 && $"b" % 100 === 1)
+      val planted = found.count()
+      println(s"[scale]   planted near-dup pairs recovered: $planted (expected ~${nDocs / 100})")
+      planted
+    }
+    spark.stop()
+  }
+}

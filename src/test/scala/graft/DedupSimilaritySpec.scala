@@ -178,4 +178,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
       5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 8L, 10L -> 8L))
   }
+
+  test("fast xxhash64 minhash family finds the same near-dup pair as the md5 family") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (1L, base),
+      (2L, base.replace("tok40", "changed")), // near-dup of 1
+      (3L, (100 to 140).map(i => s"other$i").mkString(" ")),
+    ).toDF("doc_id", "text")
+    def pairsOf(sig: org.apache.spark.sql.DataFrame) = {
+      val bands = Dedup.lshBands(sig, "doc_id", nBands = 3, rowsPerBand = 2)
+      Dedup.candidatePairs(bands, "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val md5Pairs = pairsOf(Dedup.minhashSignatureWords(df, "doc_id", "text"))
+    val fastPairs = pairsOf(Dedup.minhashSignatureWordsFast(df, "doc_id", "text"))
+    assert(md5Pairs == Set((1L, 2L)))
+    assert(fastPairs == Set((1L, 2L)), "hash family must not change LSH recall here")
+    // identical docs get identical signatures under the fast family too
+    val sigs = Dedup.minhashSignatureWordsFast(
+      Seq((1L, base), (2L, base)).toDF("doc_id", "text"), "doc_id", "text")
+      .drop("doc_id").distinct()
+    assert(sigs.count() == 1L)
+  }
 }
