@@ -2,7 +2,7 @@ package graft
 
 import graft.operators.Dedup
 import graft.functions.TextAnalysis
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale smoke: synthesize an n-doc corpus (default 1M) with planted
@@ -98,6 +98,40 @@ object ScaleSmoke {
       val planted = found.count()
       println(s"[scale]   planted near-dup pairs recovered: $planted (expected ~${nDocs / 100})")
       planted
+    }
+
+    // ---- ANN: brute force vs IVF over synthetic 64-dim embeddings.
+    // Real embedding corpora are clustered, which is what bucketed ANN
+    // exploits — so the synthetic corpus is a 256-cluster mixture
+    // (hash-derived center + 10% noise), not uniform noise (where NO
+    // bucketing scheme can work: near-orthogonal vectors share no
+    // structure).
+    val dim = 64
+    def clusteredVec(id: Column) = {
+      val cluster = pmod(xxhash64(id), lit(256))
+      transform(sequence(lit(0), lit(dim - 1)), i =>
+        ((pmod(xxhash64(cluster, i), lit(1000)).cast("double") / 500.0 - 1.0) +
+          (pmod(xxhash64(id, i), lit(1000)).cast("double") / 500.0 - 1.0) * 0.1)
+          .cast("float"))
+    }
+    val targets = spark.range(nDocs).select($"id".as("vec_id"))
+      .withColumn("embedding", clusteredVec($"vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    targets.count()
+    val queries = spark.range(32).select(($"id" + 2000000000L).as("q_id"))
+      .withColumn("q_vec", clusteredVec($"q_id"))
+
+    var exact: DataFrame = null
+    timed("ann_brute_force_top10") {
+      exact = operators.Similarity.bruteForceTopK(queries, targets, 10).persist()
+      exact.count()
+    }
+    timed("ann_ivf_8bit_top10") {
+      val approx = operators.Similarity.ivfTopK(queries, targets, 10, bits = 8)
+      val overlap = approx.join(exact.select($"q_id", $"vec_id"), Seq("q_id", "vec_id"))
+        .count()
+      println(s"[scale]   IVF recall@10 vs exact: ${overlap / 320.0}")
+      overlap
     }
     spark.stop()
   }
