@@ -231,6 +231,88 @@ object EventQueries {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, start_us""".stripMargin
 
+  /** q109 — triangle counting on the user co-activity graph (users
+    * active in the same calendar hour are connected). Classic
+    * distributed graph shape: the ordered edge list (a < b) joins to
+    * itself twice, and the a < b < c orientation counts every triangle
+    * exactly once instead of six times — the standard trick that also
+    * bounds the join's intermediate size. */
+  def q109(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val active = Tables.events(s, d)
+      .select(date_trunc("hour", $"ts").as("hr"), $"user_id").distinct()
+    val edges = active.as("x").join(active.as("y"), Seq("hr"))
+      .filter($"x.user_id" < $"y.user_id")
+      .select($"x.user_id".as("a"), $"y.user_id".as("b"))
+      .distinct()
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), $"e1.b" === $"e2.a")
+      .join(edges.as("e3"), $"e2.b" === $"e3.b" && $"e1.a" === $"e3.a")
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = edges.select($"a".as("u")).union(edges.select($"b".as("u")))
+      .groupBy($"u").agg(count(lit(1)).as("d"))
+      .agg(count(lit(1)).as("n_vertices"), max($"d").as("max_degree"))
+    tri.crossJoin(deg)
+  }
+
+  val q109Sql: String =
+    """WITH active AS (
+      |  SELECT DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, user_id
+      |  FROM events),
+      |edges AS (
+      |  SELECT DISTINCT x.user_id AS a, y.user_id AS b
+      |  FROM active x JOIN active y ON x.hr = y.hr AND x.user_id < y.user_id),
+      |tri AS (
+      |  SELECT count(*) AS n_triangles
+      |  FROM edges e1
+      |  JOIN edges e2 ON e1.b = e2.a
+      |  JOIN edges e3 ON e2.b = e3.b AND e1.a = e3.a),
+      |deg AS (
+      |  SELECT count(*) AS n_vertices, max(d) AS max_degree FROM (
+      |    SELECT u, count(*) AS d FROM (
+      |      SELECT a AS u FROM edges UNION ALL SELECT b AS u FROM edges) t
+      |    GROUP BY u) g)
+      |SELECT n_triangles, n_vertices, CAST(max_degree AS BIGINT) AS max_degree
+      |FROM tri CROSS JOIN deg""".stripMargin
+
+  /** q110 — running distinct users per day: exact cumulative uniques
+    * via a first-seen flag + running sum (the distributed form — a
+    * naive count(DISTINCT) over an expanding window re-scans history
+    * per day; the flag form is one shuffle + a 30-row window). */
+  def q110(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val firstSeen = Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(min(to_date($"ts")).as("first_day"))
+      .groupBy($"first_day").agg(count(lit(1)).as("new_users"))
+    val daily = Tables.events(s, d)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(countDistinct($"user_id").as("dau"), count(lit(1)).as("n_events"))
+    val w = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(firstSeen, $"day" === $"first_day", "left")
+      .select($"day", $"dau", $"n_events", coalesce($"new_users", lit(0L)).as("new_users"))
+      .withColumn("cum_users", sum($"new_users").over(w))
+      .orderBy($"day")
+  }
+
+  val q110Sql: String =
+    """WITH fs AS (
+      |  SELECT first_day, count(*) AS new_users FROM (
+      |    SELECT user_id, min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS first_day
+      |    FROM events GROUP BY user_id) u
+      |  GROUP BY first_day),
+      |daily AS (
+      |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    count(DISTINCT user_id) AS dau, count(*) AS n_events
+      |  FROM events GROUP BY 1)
+      |SELECT day, dau, n_events,
+      |  CAST(COALESCE(fs.new_users, 0) AS BIGINT) AS new_users,
+      |  CAST(sum(COALESCE(fs.new_users, 0)) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+      |FROM daily LEFT JOIN fs ON day = fs.first_day
+      |ORDER BY day""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q70_sessionize", q70, Some(q70Sql), bench = true),
     QueryDef("q71_asof_join", q71, Some(q71Sql), bench = true),
@@ -238,5 +320,7 @@ object EventQueries {
     QueryDef("q104_funnel", q104, Some(q104Sql), bench = true),
     QueryDef("q105_cohort_retention", q105, Some(q105Sql)),
     QueryDef("q108_session_window", q108, Some(q108Sql)),
+    QueryDef("q109_triangle_count", q109, Some(q109Sql)),
+    QueryDef("q110_running_uniques", q110, Some(q110Sql)),
   )
 }
