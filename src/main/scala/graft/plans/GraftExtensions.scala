@@ -24,5 +24,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "vec_cosine"),
       (es: Seq[Expression]) => CosineSim(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+    // The declarative dot-product fold becomes the native kernel
+    // automatically for any session built with these extensions.
+    ext.injectOptimizerRule(_ => FoldToNativeVectorOps)
   }
 }

@@ -107,11 +107,13 @@ object GraftFunctions {
   def simhash64(c: Column): Column = call_function("simhash64", c)
   def rolling_hash(c: Column): Column = call_function("rolling_hash", c)
   def vec_cosine(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
+  def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("rolling_hash", es => RollingHash(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("vec_cosine", es => CosineSim(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_dot", es => DotProduct(es(0), es(1)), "scala_udf")
   }
 }

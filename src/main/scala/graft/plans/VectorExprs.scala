@@ -30,6 +30,19 @@ object VectorOps {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** Dot product, left-to-right accumulation — bit-identical to the
+    * Column-API fold `aggregate(zip_with(a, b, _*_), 0.0, _+_)`. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    s
+  }
 }
 
 /** Native cosine similarity over two `array<double>` columns.
@@ -60,5 +73,40 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VectorOps.cosine($a, $b)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native dot product over two `array<double>` columns — the codegen'd
+  * single-loop form of the zip_with/aggregate fold. Mismatched lengths
+  * yield null, matching the fold (zip_with pads with null, null
+  * poisons the sum); null elements are unsupported as in [[CosineSim]].
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"requires (array<double>, array<double>), got (${left.dataType}, ${right.dataType})")
+  }
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    if (a.numElements() != b.numElements()) null else VectorOps.dot(a, b)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.plans.VectorOps.dot($a, $b);
+         |}
+       """.stripMargin)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
 }
