@@ -55,6 +55,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("pure column pipelines stay inside whole-stage codegen (q20/q41/q94)") {
+    // The cleaning/text/redaction operators are claimed scan-speed:
+    // that requires the expression chain to fuse into generated code,
+    // not fall back to interpreted eval per row. AQE wraps the
+    // pre-execution plan in an unfinalized AdaptiveSparkPlan that
+    // hides codegen spans, so it is off for the assertion only.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (q <- Seq(
+          graft.operators.CleaningQueries.q20 _,
+          graft.operators.TextQueries.q41 _,
+          graft.operators.TrainingQueries.q94 _)) {
+        val p = plan(q(spark, sf))
+        // codegen'd stages print as "*(n) Operator" in the tree string
+        assert(p.contains("*("), p.take(400))
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("partition filters prune the partitioned-sink layout at scan time") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("part_prune").toString
