@@ -596,6 +596,72 @@ object Relational {
       |        * 1000000 + 0.5) / 1000000 AS corr_qty_disc
       |FROM s ORDER BY l_returnflag""".stripMargin
 
+  /** q111 — FULL OUTER join: the order-activity vs ship-activity
+    * calendar. Ship dates extend past the last order date (and order
+    * days can have no shipments), so both null sides of the join are
+    * genuinely exercised. Coalesced counts + presence flags. */
+  def q111(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val l = Tables.lineitem(s, d)
+      .groupBy(to_date($"l_shipdate").as("ship_day"))
+      .agg(count(lit(1)).as("n_ships"))
+    o.join(l, $"day" === $"ship_day", "full_outer")
+      .select(
+        coalesce($"day", $"ship_day").as("cal_day"),
+        coalesce($"n_orders", lit(0L)).as("n_orders"),
+        coalesce($"n_ships", lit(0L)).as("n_ships"),
+        ($"day".isNotNull && $"ship_day".isNotNull).cast("int").as("both_sides"))
+      .orderBy($"cal_day")
+  }
+
+  val q111Sql: String =
+    """WITH o AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
+      |  FROM orders GROUP BY 1),
+      |l AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS ship_day, count(*) AS n_ships
+      |  FROM lineitem GROUP BY 1)
+      |SELECT COALESCE(day, ship_day) AS cal_day,
+      |  COALESCE(n_orders, 0) AS n_orders,
+      |  COALESCE(n_ships, 0) AS n_ships,
+      |  CAST(day IS NOT NULL AND ship_day IS NOT NULL AS INT) AS both_sides
+      |FROM o FULL OUTER JOIN l ON day = ship_day
+      |ORDER BY cal_day""".stripMargin
+
+  /** q112 — UNPIVOT (wide → long): per-status order metrics stacked
+    * into (status, metric, value) rows via `stack`, the inverse of
+    * q33's pivot. */
+  def q112(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wide = Tables.orders(s, d)
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).cast("double").as("n_orders"),
+        moneySum($"o_totalprice").as("total_price"),
+        moneyAvg($"o_totalprice").as("avg_price"))
+    wide.select($"o_orderstatus",
+      expr("stack(3, 'n_orders', n_orders, 'total_price', total_price, 'avg_price', avg_price) AS (metric, value)"))
+      .orderBy($"o_orderstatus", $"metric")
+  }
+
+  val q112Sql: String =
+    s"""WITH wide AS (
+       |  SELECT o_orderstatus,
+       |    CAST(count(*) AS DOUBLE) AS n_orders,
+       |    ${sqlMoneySum("o_totalprice")} AS total_price,
+       |    ${sqlMoneyAvg("o_totalprice")} AS avg_price
+       |  FROM orders GROUP BY o_orderstatus)
+       |SELECT o_orderstatus, metric, value FROM (
+       |  SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM wide
+       |  UNION ALL
+       |  SELECT o_orderstatus, 'total_price', total_price FROM wide
+       |  UNION ALL
+       |  SELECT o_orderstatus, 'avg_price', avg_price FROM wide) u
+       |ORDER BY o_orderstatus, metric""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql), bench = true),
     QueryDef("q02_filter_project", q02, Some(q02Sql)),
@@ -625,5 +691,7 @@ object Relational {
     QueryDef("q34_sorted_collect", q34, Some(q34Sql)),
     QueryDef("q81_range_frame_window", q81, Some(q81Sql)),
     QueryDef("q83_grid_exact_corr", q83, Some(q83Sql)),
+    QueryDef("q111_full_outer_calendar", q111, Some(q111Sql)),
+    QueryDef("q112_unpivot", q112, Some(q112Sql)),
   )
 }
