@@ -175,4 +175,38 @@ object Streams {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(sessionizeUpdate)
       .toDF()
   }
+
+  final case class ArrivingDoc(doc_id: Long, fp: String, lang: String)
+
+  /** Cross-batch content dedup for CONTINUOUS corpus ingestion: only
+    * the first arrival of each content fingerprint is ever emitted —
+    * within a micro-batch (smallest doc_id wins, deterministic) and
+    * across all later batches (state remembers the fingerprint). This
+    * is the streaming twin of `Dedup.exactDedup`: a batch re-dedup of
+    * the accumulated corpus re-reads everything ingested so far; the
+    * stateful form pays O(new docs) per batch with O(distinct
+    * fingerprints) state. At 100 TB the fingerprint is the only thing
+    * held — 32 bytes a doc — and a TTL timeout can bound it when the
+    * dedup horizon is finite. */
+  def dedupOnArrivalUpdate(
+      key: String, rows: Iterator[ArrivingDoc],
+      state: GroupState[Long]): Iterator[ArrivingDoc] = {
+    if (!rows.hasNext) Iterator.empty
+    else if (state.exists) Iterator.empty
+    else {
+      val first = rows.minBy(_.doc_id)
+      state.update(first.doc_id)
+      Iterator(first)
+    }
+  }
+
+  /** Append-mode stream of first-arrival docs, keyed by fingerprint. */
+  def dedupOnArrival(docs: org.apache.spark.sql.Dataset[ArrivingDoc]): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(dedupOnArrivalUpdate)
+      .toDF()
+  }
 }

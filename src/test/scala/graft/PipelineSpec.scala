@@ -271,4 +271,20 @@ class PipelineSpec extends SparkSpec {
     val after = spark.read.parquet(dir).as[Int].collect().sorted.toSeq
     assert(after == before)
   }
+
+  test("parquet schema evolution: appended columns merge, old rows read null") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    Seq((1L, "a")).toDF("id", "v1").write.mode("append").parquet(dir)
+    Seq((2L, "b", 9.5)).toDF("id", "v1", "v2").write.mode("append").parquet(dir)
+    // default read keeps ONE file's schema (whichever is sampled);
+    // mergeSchema unions them — the contract long-lived 100 TB tables
+    // rely on when producers add columns
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("id", "v1", "v2"))
+    val byId = merged.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).isNullAt(merged.columns.indexOf("v2")),
+      "pre-evolution rows surface null for the new column")
+    assert(byId(2L).getDouble(merged.columns.indexOf("v2")) == 9.5)
+  }
 }

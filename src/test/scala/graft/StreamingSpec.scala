@@ -193,4 +193,40 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0).getAs[Long]("n_events") == 2) // two clicks in 10:00 window
     assert(rows(1).getAs[String]("event_type") == "view")
   }
+
+  test("dedupOnArrival emits each content fingerprint once across batches") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("dedup_src").toString
+    val ckpt = Files.createTempDirectory("dedup_ckpt").toString
+    val out = Files.createTempDirectory("dedup_out").toString
+    def run(): Unit = {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id LONG, fp STRING, lang STRING")
+      val stream = spark.readStream.schema(schema).option("header", "true")
+        .csv(src).as[Streams.ArrivingDoc]
+      val q = Streams.dedupOnArrival(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(60000))
+    }
+    // batch 1: fp A arrives twice (ids 2 and 1 — smallest must win), B once
+    Files.writeString(java.nio.file.Path.of(s"$src/b1.csv"),
+      "doc_id,fp,lang\n2,A,en\n1,A,en\n3,B,fr\n")
+    run()
+    val afterB1 = spark.read.parquet(out).as[Streams.ArrivingDoc]
+      .collect().map(d => d.fp -> d.doc_id).toMap
+    assert(afterB1 == Map("A" -> 1L, "B" -> 3L))
+    // batch 2: A re-arrives (must be suppressed by state), C is new
+    Files.writeString(java.nio.file.Path.of(s"$src/b2.csv"),
+      "doc_id,fp,lang\n9,A,en\n4,C,de\n")
+    run()
+    val afterB2 = spark.read.parquet(out).as[Streams.ArrivingDoc]
+      .collect().map(d => d.fp -> d.doc_id).toMap
+    assert(afterB2 == Map("A" -> 1L, "B" -> 3L, "C" -> 4L),
+      s"cross-batch duplicate suppressed, new fp emitted: $afterB2")
+  }
 }
