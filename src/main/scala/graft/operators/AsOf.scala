@@ -33,7 +33,7 @@ object AsOf {
       d.withColumn(s"__v_$c", lit(null).cast(right.schema(c).dataType)))
     val rAligned = left.columns.filterNot(Set(key, ts, idCol)).foldLeft(rTagged)((d, c) =>
       d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
-    val unioned = lAligned.unionByName(rAligned.select(lAligned.columns.map(col): _*))
+    val unioned = lAligned.unionByName(rAligned.select(lAligned.columns.toIndexedSeq.map(col): _*))
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts), col("__side"), col("__oid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

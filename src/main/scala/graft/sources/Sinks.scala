@@ -185,7 +185,7 @@ object Sinks {
       numFiles: Int): Unit = {
     val r = df.agg(
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
-      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
     val (aLo, aHi, bLo, bHi) = (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
     def scaled(c: String, lo: Double, hi: Double) =
       when(lit(hi) === lit(lo), lit(0))

@@ -42,7 +42,7 @@ object Sources {
     * fetched (the reference's requests.get().json()). */
   def jsonBody(spark: SparkSession, body: String): DataFrame = {
     import spark.implicits._
-    spark.read.json(Seq(body).toDS)
+    spark.read.json(Seq(body).toDS())
   }
 
   /** S6: JDBC table scan. Projection/predicates push down through the
