@@ -49,7 +49,11 @@ object CurationJobs {
     * Returns the written training slice and the per-stage report. */
   def curate(spark: SparkSession, docsDir: String, outDir: String): (DataFrame, CurationReport) = {
     val docs = Tables.documents(spark, docsDir)
+    // Persisted: the staged relation feeds the write, the flag
+    // aggregation, and the dedup count — without the cache each action
+    // re-reads the corpus and recomputes bigrams/quality/fingerprints.
     val s = staged(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // survivors of the two quality gates
     val gated = s.filter(col("pass_repetition") && col("pass_quality"))
@@ -68,18 +72,20 @@ object CurationJobs {
 
     out.write.mode("overwrite").partitionBy("lang").parquet(outDir)
 
-    // One pass for the funnel counts: flags aggregate without
-    // re-running the pipeline per stage. Dedup survival can't be a
-    // row-local flag (it needs the cluster window), so it rides the
-    // written result's count; the rest are conditional sums.
+    // Funnel counts from ONE aggregation over the cached flags (no
+    // re-run per stage). Dedup survival can't be a row-local flag (it
+    // needs the cluster window), so it reuses the cached gate
+    // survivors; the written count reuses one read of the output.
     val flagCounts = s.agg(
       count(lit(1)).as("total"),
       sum(when(col("pass_repetition"), 1L).otherwise(0L)).as("after_rep"),
       sum(when(col("pass_repetition") && col("pass_quality"), 1L).otherwise(0L)).as("after_q"))
       .collect().head
     val afterDedup = deduped.count()
-    val written = spark.read.parquet(outDir).count()
-    (spark.read.parquet(outDir),
+    val result = spark.read.parquet(outDir)
+    val written = result.count()
+    s.unpersist()
+    (result,
       CurationReport(flagCounts.getLong(0), flagCounts.getLong(1),
         flagCounts.getLong(2), afterDedup, written))
   }

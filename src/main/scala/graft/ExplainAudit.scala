@@ -26,10 +26,11 @@ object ExplainAudit {
 
     def count(p: String, needle: String): Int = needle.r.findAllIn(p).length
 
-    val skip = Set("q72", "q74", "q75", "q79", "q82", "q88") // streaming mains
+    // streaming queries execute on build; derive the skip set from the
+    // registry itself so new streaming queries can't silently run here
+    val skip = operators.StreamingQueries.all.map(_.name).toSet
     var flagged = 0
-    for (q <- SparkEntry.registry.sortBy(_.name)
-         if !skip.exists(q.name.startsWith)) {
+    for (q <- SparkEntry.registry.sortBy(_.name) if !skip(q.name)) {
       try {
         val p = q.fn(spark, sfDir).queryExecution.executedPlan.toString
         val cartesian = count(p, "CartesianProduct") + count(p, "BroadcastNestedLoopJoin")

@@ -28,7 +28,8 @@ object ScaleSmoke {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "8g")
+      // heap comes from sbt's forked-JVM -Xmx (SPARK_DRIVER_MEM);
+      // spark.driver.memory is ignored in an already-running local JVM
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -59,9 +60,12 @@ object ScaleSmoke {
 
     println(s"[scale] corpus: $n docs on local[$cpus]")
 
+    // Stages consume the aggregate ROW (collect), never count() over an
+    // agg — counting an Aggregate's output lets column pruning delete
+    // the aggregate expressions and the stage would time a bare scan.
     timed("token_stats") {
       docs.select(TextAnalysis.tokenCount($"text").as("t"))
-        .agg(sum($"t"), avg($"t")).count()
+        .agg(sum($"t"), avg($"t")).collect().length.toLong
     }
     timed("quality_score") {
       docs.select(TextAnalysis.qualityScore($"text").as("q"))
@@ -73,7 +77,7 @@ object ScaleSmoke {
     timed("simhash64") {
       graft.plans.GraftFunctions.register(spark)
       docs.select(graft.plans.GraftFunctions.simhash64($"text").as("sh"))
-        .agg(count(col("sh"))).count()
+        .agg(bit_xor($"sh")).collect().length.toLong
     }
     timed("minhash_md5_pairs") {
       val sig = Dedup.minhashSignatureWords(docs, "doc_id", "text", nHashes = 6)

@@ -84,9 +84,14 @@ object CurationQueries {
     * per-doc side streams. */
   def q101(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // Persisted: the bigram relation feeds BOTH the stop-gram top-20
+    // and the per-doc join — without the cache each consumer re-reads
+    // the corpus and re-explodes every bigram (same rationale as q95 /
+    // Dedup.candidatePairs).
     val docBigrams = Tables.documents(s, d)
       .select($"doc_id", split($"text", " ").as("w"))
       .select($"doc_id", explode(bigrams($"w")).as("ng"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stopGrams = docBigrams.groupBy($"ng").agg(count(lit(1)).as("n"))
       .orderBy($"n".desc, $"ng").limit(20)
       .select($"ng", lit(1).as("hit"))

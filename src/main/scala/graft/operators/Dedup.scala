@@ -67,13 +67,14 @@ object Dedup {
   }
 
   /** Production-speed MinHash over word bigrams: the xxhash64 family
-    * (native long arithmetic inside codegen, zero digest strings)
-    * instead of the md5-slice family. Same output shape (id, h1..hn —
-    * longs here), same banding downstream. Use this when no DuckDB
-    * oracle mirror is needed: measured 8.3× faster end-to-end on the
-    * 1M-doc ScaleSmoke corpus (57.1 s → 6.8 s signature+banding+pairs),
-    * because md5-string hashing is the dominant cost of the signature
-    * stage at scale. Recall parity with
+    * (native long arithmetic inside codegen on the hot per-shingle
+    * path) instead of the md5-slice family. Same output shape
+    * (id, h1..hn — 16-char fixed-width hex strings, formatted once per
+    * doc AFTER the min-agg), same banding downstream. Use this when no DuckDB
+    * oracle mirror is needed: measured 6–8× faster end-to-end on the
+    * 1M-doc ScaleSmoke corpus (e.g. 47.0 s → 7.2 s for
+    * signature+banding+pairs), because md5-string hashing is the
+    * dominant cost of the signature stage at scale. Recall parity with
     * the md5 family is pinned in DedupSimilaritySpec. */
   def minhashSignatureWordsFast(df: DataFrame, idCol: String, textCol: String,
       nHashes: Int = 6): DataFrame = {

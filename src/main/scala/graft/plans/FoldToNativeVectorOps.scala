@@ -37,8 +37,12 @@ object FoldToNativeVectorOps extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Only null-free arrays are eligible: with a null ELEMENT the fold
+    * returns null (null poisons the sum) while the native kernel would
+    * read a raw 0.0 slot — rewriting would change results, not just
+    * speed. containsNull=false is the static guarantee. */
   private def doubleArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(DoubleType, _) => true
+    case ArrayType(DoubleType, containsNull) => !containsNull
     case _ => false
   }
 
