@@ -130,6 +130,27 @@ object ScaleSmoke {
       exact = operators.Similarity.bruteForceTopK(queries, targets, 10).persist()
       exact.count()
     }
+    // ---- native bounded-heap top-k vs window ranking -----------------
+    // Few groups × huge group (the per-query ANN candidate profile).
+    // Honest result: Spark 4 inserts WindowGroupLimit for the
+    // rank-filter pattern (map-side per-group limit before the final
+    // sort), so the window is competitive here — the heap's remaining
+    // edge is bounded memory with NO sort buffer at all, and orderings
+    // the rank rewrite can't express. Both are measured.
+    val grouped = spark.range(nDocs).select(
+      ($"id" % 32).as("g"), $"id".as("v"),
+      pmod(xxhash64($"id"), lit(1000000)).as("score"))
+    timed("topk_native_heap") {
+      graft.plans.TopK.perGroup(grouped, 5, Seq("g"),
+        Seq(graft.plans.TopK.desc("score"), graft.plans.TopK.asc("v"))).count()
+    }
+    timed("topk_window_rank") {
+      import org.apache.spark.sql.expressions.Window
+      grouped.withColumn("rn", row_number().over(
+        Window.partitionBy($"g").orderBy($"score".desc, $"v")))
+        .filter($"rn" <= 5).count()
+    }
+
     timed("ann_ivf_8bit_top10") {
       val approx = operators.Similarity.ivfTopK(queries, targets, 10, bits = 8)
       val overlap = approx.join(exact.select($"q_id", $"vec_id"), Seq("q_id", "vec_id"))

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE merge induction — the tokenizer-training step of a
+  * training-data pipeline, as a deterministic driver loop (same shape
+  * as the PageRank loop, q91): each round is one distributed pair-count
+  * aggregation over the WORD VOCABULARY (words carry their corpus
+  * frequency, so the corpus is tokenized once, not once per round),
+  * one argmax collect (a single row to the driver), and a column-only
+  * rewrite of the symbol arrays. Driver state is just the merge table.
+  *
+  * 100 TB shape: the vocabulary relation (distinct words × frequency)
+  * is orders of magnitude smaller than the corpus; rounds shuffle only
+  * (pair, count). Ties break deterministically (count desc, pair asc).
+  */
+object BpeTrainer {
+
+  /** Adjacent symbol pairs of an array column, "a b" strings. */
+  private def pairsOf(syms: Column): Column =
+    when(size(syms) >= 2,
+      transform(sequence(lit(1), size(syms) - 1),
+        i => concat(element_at(syms, i), lit(" "), element_at(syms, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Merge every non-overlapping left-to-right occurrence of (a, b)
+    * into the single symbol a+b — a pure fold: the accumulator carries
+    * the rebuilt prefix plus one pending symbol of lookbehind. */
+  private def mergePair(syms: Column, a: String, b: String): Column = {
+    val zero = struct(
+      array().cast("array<string>").as("out"),
+      lit(null).cast("string").as("p"))
+    val flushed = (acc: Column) =>
+      when(acc("p").isNull, acc("out")).otherwise(concat(acc("out"), array(acc("p"))))
+    aggregate(syms, zero,
+      (acc, x) =>
+        when(acc("p") === a && x === b,
+          struct(concat(acc("out"), array(lit(a + b))).as("out"),
+            lit(null).cast("string").as("p")))
+          .otherwise(struct(flushed(acc).as("out"), x.as("p"))),
+      acc => flushed(acc))
+  }
+
+  /** Word vocabulary with corpus frequencies and initial char symbols
+    * (plus the </w> end-of-word marker). */
+  def vocab(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .select(col("n"),
+        concat(split(col("word"), ""), array(lit("</w>"))).as("syms"))
+
+  /** Frequency of every adjacent symbol pair, weighted by word count. */
+  def pairCounts(v: DataFrame): DataFrame =
+    v.select(col("n"), explode(pairsOf(col("syms"))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+
+  /** Train `k` merges; returns them in order. */
+  def train(docs: DataFrame, textCol: String, k: Int): Seq[(String, String)] = {
+    var v = vocab(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    v.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    try {
+      for (_ <- 1 to k) {
+        val top = pairCounts(v)
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(1).collect()
+        if (top.nonEmpty) {
+          val Array(a, b) = top.head.getString(0).split(" ", 2)
+          merges += ((a, b))
+          val next = v.select(col("n"), mergePair(col("syms"), a, b).as("syms"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          next.count()
+          v.unpersist()
+          v = next
+        }
+      }
+    } finally v.unpersist()
+    merges.toSeq
+  }
+}

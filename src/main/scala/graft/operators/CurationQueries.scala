@@ -249,6 +249,31 @@ object CurationQueries {
       |GROUP BY fp HAVING count(DISTINCT lang) >= 2
       |ORDER BY fp""".stripMargin
 
+  /** q113 — BPE round-0 statistics: adjacent character-pair counts
+    * over the word vocabulary, weighted by word frequency (with the
+    * </w> end-of-word marker) — exactly what [[graft.functions
+    * .BpeTrainer]]'s first merge argmaxes over; the iterative merges
+    * are pinned against a reference implementation in BpeSpec. */
+  def q113(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.BpeTrainer.pairCounts(
+      graft.functions.BpeTrainer.vocab(Tables.documents(s, d), "text"))
+      .orderBy($"cnt".desc, $"pair")
+      .limit(30)
+      .select($"pair", $"cnt")
+  }
+
+  val q113Sql: String =
+    """SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+      |  SELECT n, unnest(list_transform(range(1, len(s)), i -> s[i] || ' ' || s[i+1])) AS pair
+      |  FROM (
+      |    SELECT count(*) AS n,
+      |      list_append(string_split(word, ''), '</w>') AS s
+      |    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) w
+      |    WHERE word <> ''
+      |    GROUP BY word) v) p
+      |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q100_dedup_keep_best", q100, Some(q100Sql)),
     QueryDef("q101_stop_grams", q101, Some(q101Sql), bench = true),
@@ -256,5 +281,6 @@ object CurationQueries {
     QueryDef("q103_mixing_plan", q103, Some(q103Sql)),
     QueryDef("q106_zipf_vocab", q106, Some(q106Sql)),
     QueryDef("q107_cross_lang_prefix", q107, Some(q107Sql)),
+    QueryDef("q113_bpe_pair_stats", q113, Some(q113Sql)),
   )
 }

@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.BpeTrainer
+
+/** BPE merge induction vs an independent in-memory reference
+  * implementation (classic sequential BPE over a word-frequency
+  * vocabulary with the same count-desc / pair-asc tie-break).
+  */
+class BpeSpec extends SparkSpec {
+
+  /** Sequential reference: the textbook algorithm. */
+  private def referenceMerges(text: String, k: Int): Seq[(String, String)] = {
+    var vocab: Map[List[String], Long] = text.split(" ").filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) =>
+        (w.split("").toList :+ "</w>") -> ws.length.toLong
+      }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    for (_ <- 1 to k) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, n) <- vocab; p <- syms.zip(syms.tail))
+        counts(p) = counts.getOrElse(p, 0L) + n
+      if (counts.nonEmpty) {
+        val best = counts.toSeq
+          .minBy { case ((a, b), n) => (-n, a + " " + b) }._1
+        merges += best
+        vocab = vocab.map { case (syms, n) =>
+          val out = scala.collection.mutable.ListBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == best._1 && syms(i + 1) == best._2) {
+              out += best._1 + best._2; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.toList -> n
+        }.groupBy(_._1).map { case (s, m) => s -> m.map(_._2).sum }
+      }
+    }
+    merges.toSeq
+  }
+
+  test("distributed BPE trainer reproduces the sequential reference merges") {
+    import spark.implicits._
+    val text = ("low " * 5 + "lower " * 2 + "newest " * 6 + "widest " * 3).trim
+    val docs = Seq(text).toDF("text")
+    val got = BpeTrainer.train(docs, "text", k = 6)
+    val want = referenceMerges(text, 6)
+    assert(got == want, s"got $got, want $want")
+    // sanity on the classic example: 'es' and then 'est' merge early
+    assert(want.take(3).map(m => m._1 + m._2).contains("es"))
+  }
+
+  test("merge handles the overlapping-run edge case non-greedily left-to-right") {
+    import spark.implicits._
+    // 'aaa' under merge (a,a): left-to-right non-overlap → ['aa','a']
+    val docs = Seq("aaa aaa").toDF("text")
+    val got = BpeTrainer.train(docs, "text", k = 1)
+    val want = referenceMerges("aaa aaa", 1)
+    assert(got == want)
+  }
+}
