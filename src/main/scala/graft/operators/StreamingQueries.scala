@@ -326,9 +326,50 @@ object StreamingQueries {
       | AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR
       |ORDER BY view_id, buy_id""".stripMargin
 
+  /** q114 — streaming content dedup-on-arrival over the documents
+    * stream: custom flatMapGroupsWithState keyed by the 5-word-prefix
+    * fingerprint (the cluster key with real duplicates in this corpus,
+    * cf. q100) emits only first arrivals, smallest doc_id per
+    * fingerprint — deterministic, so the FULL row set hash-matches the
+    * batch keep-min-id oracle, not just the key set (stronger than
+    * q74's dropDuplicates check). */
+  def q114(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = s"$d/documents.parquet"
+    val schema = s.read.parquet(path).schema
+    val docs = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .select($"doc_id",
+        md5(array_join(slice(split($"text", " "), 1, 5), " ")).as("fp"),
+        $"lang")
+      .as[graft.streaming.Streams.ArrivingDoc]
+    val sink = s"q114_sink_${counter.incrementAndGet()}"
+    val query = graft.streaming.Streams.dedupOnArrival(docs)
+      .writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!query.awaitTermination(300000)) {
+      query.stop()
+      throw new IllegalStateException("q114: AvailableNow trigger did not complete in 300s")
+    }
+    s.table(sink).select($"doc_id", $"fp", $"lang").orderBy($"doc_id")
+  }
+
+  val q114Sql: String =
+    """SELECT doc_id, fp, lang FROM (
+      |  SELECT doc_id, fp, lang,
+      |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |  FROM (SELECT doc_id, lang,
+      |          md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS fp
+      |        FROM documents) t) r
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q72_streaming_hourly", q72, Some(q72Sql)),
     QueryDef("q74_streaming_dedup", q74, Some(q74Sql)),
+    QueryDef("q114_streaming_content_dedup", q114, Some(q114Sql)),
     QueryDef("q75_stream_static_join", q75, Some(q75Sql)),
     QueryDef("q79_streaming_sessions", q79, Some(q79Sql)),
     QueryDef("q82_sliding_windows", q82, Some(q82Sql)),
