@@ -28,10 +28,7 @@ object CurationJobs {
   /** Stage flags as pure columns over the raw frame. */
   private def staged(docs: DataFrame): DataFrame = {
     val w = split(col("text"), " ")
-    val bigrams = when(size(w) >= 2,
-      transform(sequence(lit(1), size(w) - 1),
-        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
-      .otherwise(array().cast("array<string>"))
+    val bigrams = TextAnalysis.adjacentPairs(w)
     val dupBigramFrac = when(size(bigrams) === 0, lit(0.0))
       .otherwise(lit(1.0) - size(array_distinct(bigrams)).cast("double") / size(bigrams))
     val quality = TextAnalysis.qualityScore(col("text"))
@@ -41,7 +38,7 @@ object CurationJobs {
       .withColumn("pass_repetition", dupBigramFrac <= 0.2)
       .withColumn("quality", quality)
       .withColumn("pass_quality", quality >= 0.3)
-      .withColumn("cluster_fp", md5(array_join(slice(split(col("text"), " "), 1, 5), " ")))
+      .withColumn("cluster_fp", TextAnalysis.prefixFingerprint(col("text")))
       .withColumn("keep_sample", u < quality)
   }
 

@@ -17,12 +17,9 @@ import org.apache.spark.sql.functions._
   */
 object BpeTrainer {
 
-  /** Adjacent symbol pairs of an array column, "a b" strings. */
-  private def pairsOf(syms: Column): Column =
-    when(size(syms) >= 2,
-      transform(sequence(lit(1), size(syms) - 1),
-        i => concat(element_at(syms, i), lit(" "), element_at(syms, i + 1))))
-      .otherwise(array().cast("array<string>"))
+  /** Adjacent symbol pairs of an array column, "a b" strings
+    * (shared helper — one definition of the guard/shape). */
+  private def pairsOf(syms: Column): Column = TextAnalysis.adjacentPairs(syms)
 
   /** Merge every non-overlapping left-to-right occurrence of (a, b)
     * into the single symbol a+b — a pure fold: the accumulator carries
@@ -56,28 +53,32 @@ object BpeTrainer {
     v.select(col("n"), explode(pairsOf(col("syms"))).as("pair"))
       .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
 
-  /** Train `k` merges; returns them in order. */
+  /** Train `k` merges; returns them in order. Ties break on Spark's
+    * UTF8 BINARY string order ("cnt desc, pair asc") — identical to
+    * DuckDB's collation in the q113 oracle; callers comparing against
+    * a JVM reference must compare UTF-8 bytes, not UTF-16 Strings.
+    *
+    * Each round materializes via eager `localCheckpoint` — a persist
+    * alone keeps the full lineage, so round r's plan would nest r
+    * mergePair folds (O(k²) analysis cost and eventual planner stack
+    * overflow at real merge counts). Training stops early when no
+    * pair remains. */
   def train(docs: DataFrame, textCol: String, k: Int): Seq[(String, String)] = {
-    var v = vocab(docs, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    v.count()
+    var v = vocab(docs, textCol).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    try {
-      for (_ <- 1 to k) {
-        val top = pairCounts(v)
-          .orderBy(col("cnt").desc, col("pair"))
-          .limit(1).collect()
-        if (top.nonEmpty) {
-          val Array(a, b) = top.head.getString(0).split(" ", 2)
-          merges += ((a, b))
-          val next = v.select(col("n"), mergePair(col("syms"), a, b).as("syms"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          next.count()
-          v.unpersist()
-          v = next
-        }
+    var exhausted = false
+    for (_ <- 1 to k if !exhausted) {
+      val top = pairCounts(v)
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val Array(a, b) = top.head.getString(0).split(" ", 2)
+        merges += ((a, b))
+        v = v.select(col("n"), mergePair(col("syms"), a, b).as("syms"))
+          .localCheckpoint()
       }
-    } finally v.unpersist()
+    }
     merges.toSeq
   }
 }

@@ -73,4 +73,20 @@ object TextAnalysis {
 
   /** Content fingerprint (md5 hex — identical in Spark and DuckDB). */
   def fingerprint(c: Column): Column = md5(c)
+
+  /** Near-dup cluster key: md5 of the leading `n` words — the
+    * boilerplate-prefix fingerprint shared by q100/q107/q114 and
+    * CurationJobs (ONE definition; the batch and streaming dedups are
+    * oracle-matched against each other through it). */
+  def prefixFingerprint(text: Column, n: Int = 5): Column =
+    md5(array_join(slice(split(text, " "), 1, n), " "))
+
+  /** Adjacent-pair strings ("a b") of an array column, materialized
+    * guard included (sequence(1, n) counts DOWN for n < 1 — the Spark
+    * trap every inline copy of this helper has to re-dodge). */
+  def adjacentPairs(arr: Column): Column =
+    when(size(arr) >= 2,
+      transform(sequence(lit(1), size(arr) - 1),
+        i => concat(element_at(arr, i), lit(" "), element_at(arr, i + 1))))
+      .otherwise(array().cast("array<string>"))
 }

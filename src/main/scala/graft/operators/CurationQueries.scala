@@ -50,7 +50,7 @@ object CurationQueries {
     val cnt = Window.partitionBy($"fp")
     Tables.documents(s, d)
       .select($"doc_id",
-        md5(array_join(slice(split($"text", " "), 1, 5), " ")).as("fp"),
+        graft.functions.TextAnalysis.prefixFingerprint($"text").as("fp"),
         quality($"text").as("q"))
       .withColumn("rn", row_number().over(w))
       .withColumn("n_docs", count(lit(1)).over(cnt))
@@ -70,13 +70,10 @@ object CurationQueries {
        |FROM r WHERE rn = 1 AND n_docs >= 2
        |ORDER BY fp""".stripMargin
 
-  /** Per-doc word bigrams, materialized array first (no inline-split
-    * re-evaluation), shared by q101. */
+  /** Per-doc word bigrams (shared helper; materialized array first —
+    * no inline-split re-evaluation). */
   private def bigrams(w: Column): Column =
-    when(size(w) >= 2,
-      transform(sequence(lit(1), size(w) - 1),
-        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
-      .otherwise(array().cast("array<string>"))
+    graft.functions.TextAnalysis.adjacentPairs(w)
 
   /** q101 — stop-gram boilerplate detection: the corpus-wide top-20
     * bigrams become "stop-grams"; each document reports how much of it
@@ -227,7 +224,7 @@ object CurationQueries {
     import s.implicits._
     Tables.documents(s, d)
       .select($"doc_id", $"lang",
-        md5(array_join(slice(split($"text", " "), 1, 5), " ")).as("fp"))
+        graft.functions.TextAnalysis.prefixFingerprint($"text").as("fp"))
       .groupBy($"fp")
       .agg(
         count(lit(1)).as("n_docs"),

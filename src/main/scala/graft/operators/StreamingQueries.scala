@@ -340,7 +340,7 @@ object StreamingQueries {
     val docs = s.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(d)
       .select($"doc_id",
-        md5(array_join(slice(split($"text", " "), 1, 5), " ")).as("fp"),
+        graft.functions.TextAnalysis.prefixFingerprint($"text").as("fp"),
         $"lang")
       .as[graft.streaming.Streams.ArrivingDoc]
     val sink = s"q114_sink_${counter.incrementAndGet()}"

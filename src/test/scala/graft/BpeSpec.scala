@@ -20,8 +20,18 @@ class BpeSpec extends SparkSpec {
       for ((syms, n) <- vocab; p <- syms.zip(syms.tail))
         counts(p) = counts.getOrElse(p, 0L) + n
       if (counts.nonEmpty) {
+        // tie-break on UTF-8 BYTES (Spark/DuckDB binary collation), not
+        // UTF-16 String order — they diverge for supplementary chars
+        implicit val utf8Order: Ordering[String] = (x: String, y: String) => {
+          val a = x.getBytes("UTF-8"); val b = y.getBytes("UTF-8")
+          val n = math.min(a.length, b.length)
+          var i = 0
+          while (i < n && a(i) == b(i)) i += 1
+          if (i < n) (a(i) & 0xff) - (b(i) & 0xff) else a.length - b.length
+        }
         val best = counts.toSeq
-          .minBy { case ((a, b), n) => (-n, a + " " + b) }._1
+          .minBy { case ((a, b), n) => (-n, a + " " + b) }(
+            Ordering.Tuple2(Ordering.Long, utf8Order))._1
         merges += best
         vocab = vocab.map { case (syms, n) =>
           val out = scala.collection.mutable.ListBuffer.empty[String]
@@ -51,10 +61,15 @@ class BpeSpec extends SparkSpec {
 
   test("merge handles the overlapping-run edge case non-greedily left-to-right") {
     import spark.implicits._
-    // 'aaa' under merge (a,a): left-to-right non-overlap → ['aa','a']
+    // 'aaa' under merge (a,a): left-to-right non-overlap → ['aa','a'].
+    // k=2 makes round 2's argmax depend on round 1's REWRITE (k=1
+    // would return before any merged vocabulary is observed): correct
+    // rewrite gives pairs {(aa,a),(a,</w>)}; a greedy-overlap bug
+    // gives {(aa,aa),(aa,</w>)} and picks a different second merge.
     val docs = Seq("aaa aaa").toDF("text")
-    val got = BpeTrainer.train(docs, "text", k = 1)
-    val want = referenceMerges("aaa aaa", 1)
+    val got = BpeTrainer.train(docs, "text", k = 2)
+    val want = referenceMerges("aaa aaa", 2)
     assert(got == want)
+    assert(got(1) == ("a", "</w>"), s"second merge exposes the rewrite: $got")
   }
 }

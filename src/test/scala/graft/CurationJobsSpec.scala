@@ -29,7 +29,7 @@ class CurationJobsSpec extends SparkSpec {
 
     // dedup: no two survivors share a 5-word prefix fingerprint
     val fps = out
-      .select(md5(array_join(slice(split(col("text"), " "), 1, 5), " ")).as("fp"))
+      .select(graft.functions.TextAnalysis.prefixFingerprint(col("text")).as("fp"))
     assert(fps.count() == fps.distinct().count(), "prefix clusters resolved")
 
     // quality column survives for downstream mixing decisions
