@@ -662,6 +662,28 @@ object Relational {
        |  SELECT o_orderstatus, 'avg_price', avg_price FROM wide) u
        |ORDER BY o_orderstatus, metric""".stripMargin
 
+  /** q115 — exact grouped median: per order priority, the interpolated
+    * median of total price. Both engines use the standard
+    * rank = (n-1)·p linear interpolation; at p = 0.5 the fraction is
+    * exactly 0 or 0.5, so the interpolation arithmetic on the 2-decimal
+    * money grid is bit-deterministic (midpoint (a+b)·0.5 is one exact
+    * IEEE multiply) — higher/odd quantiles would not be safe to hash. */
+  def q115(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        r2(percentile($"o_totalprice", lit(0.5))).as("median_price"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q115Sql: String =
+    s"""SELECT o_orderpriority, count(*) AS n_orders,
+       |${sqlR2("quantile_cont(o_totalprice, 0.5)")} AS median_price
+       |FROM orders GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql), bench = true),
     QueryDef("q02_filter_project", q02, Some(q02Sql)),
@@ -693,5 +715,6 @@ object Relational {
     QueryDef("q83_grid_exact_corr", q83, Some(q83Sql)),
     QueryDef("q111_full_outer_calendar", q111, Some(q111Sql)),
     QueryDef("q112_unpivot", q112, Some(q112Sql)),
+    QueryDef("q115_median_per_group", q115, Some(q115Sql)),
   )
 }
