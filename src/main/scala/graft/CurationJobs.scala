@@ -42,16 +42,9 @@ object CurationJobs {
       .withColumn("keep_sample", u < quality)
   }
 
-  /** Run the full curation pipeline over a documents directory.
-    * Returns the written training slice and the per-stage report. */
-  def curate(spark: SparkSession, docsDir: String, outDir: String): (DataFrame, CurationReport) = {
-    val docs = Tables.documents(spark, docsDir)
-    // Persisted: the staged relation feeds the write, the flag
-    // aggregation, and the dedup count — without the cache each action
-    // re-reads the corpus and recomputes bigrams/quality/fingerprints.
-    val s = staged(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
+  /** Gate survivors → keep-best dedup → weighted sample → redacted
+    * output, from an already-staged frame. */
+  private def pipeline(s: DataFrame): (DataFrame, DataFrame) = {
     // survivors of the two quality gates
     val gated = s.filter(col("pass_repetition") && col("pass_quality"))
     // keep-best-quality within each prefix cluster (q100 semantics)
@@ -66,6 +59,25 @@ object CurationJobs {
       .withColumn("text", regexp_replace(
         regexp_replace(col("text"), emailPat, "<EMAIL>"), phonePat, "<PHONE>"))
       .select("doc_id", "text", "lang", "source", "n_chars", "quality")
+    (deduped, out)
+  }
+
+  /** The whole curation pipeline as a pure `DataFrame => DataFrame` —
+    * the config-driven form: plug into `JobRunner`'s transforms map to
+    * run curation over any declared documents source. */
+  def curationTransform: DataFrame => DataFrame =
+    docs => pipeline(staged(docs))._2
+
+  /** Run the full curation pipeline over a documents directory.
+    * Returns the written training slice and the per-stage report. */
+  def curate(spark: SparkSession, docsDir: String, outDir: String): (DataFrame, CurationReport) = {
+    val docs = Tables.documents(spark, docsDir)
+    // Persisted: the staged relation feeds the write, the flag
+    // aggregation, and the dedup count — without the cache each action
+    // re-reads the corpus and recomputes bigrams/quality/fingerprints.
+    val s = staged(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (deduped, out) = pipeline(s)
 
     out.write.mode("overwrite").partitionBy("lang").parquet(outDir)
 

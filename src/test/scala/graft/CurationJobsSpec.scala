@@ -36,6 +36,21 @@ class CurationJobsSpec extends SparkSpec {
     assert(out.columns.contains("quality"))
   }
 
+  test("curationTransform runs through the config-driven JobRunner") {
+    val outDir = java.nio.file.Files.createTempDirectory("jr_curated").toString
+    val config =
+      """{"data_sources": {"parquet": {"docs": "/root/testdata/sf0.001/documents.parquet"}}}"""
+    val results = JobRunner.run(
+      spark, config,
+      transforms = Map("docs" -> CurationJobs.curationTransform),
+      load = (_, df) => df.write.mode("overwrite").parquet(outDir))
+    // the config-driven run keeps exactly what the direct job keeps
+    val direct = CurationJobs.curate(spark, "/root/testdata/sf0.001",
+      java.nio.file.Files.createTempDirectory("direct").toString)._2
+    assert(results("docs") == Right(direct.sampled))
+    assert(spark.read.parquet(outDir).count() == direct.sampled)
+  }
+
   test("curate is idempotent: re-running overwrites to the same slice") {
     val outDir = java.nio.file.Files.createTempDirectory("curated2").toString
     val (_, r1) = CurationJobs.curate(spark, "/root/testdata/sf0.001", outDir)
