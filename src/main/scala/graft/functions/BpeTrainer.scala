@@ -75,10 +75,16 @@ object BpeTrainer {
       else {
         val Array(a, b) = top.head.getString(0).split(" ", 2)
         merges += ((a, b))
-        v = v.select(col("n"), mergePair(col("syms"), a, b).as("syms"))
-          .localCheckpoint()
+        val next = v.select(col("n"), mergePair(col("syms"), a, b).as("syms"))
+          .localCheckpoint() // eager: materialized before the old blocks go
+        // Free round r-1's checkpoint blocks, or block-manager storage
+        // grows O(k × vocab) over the merge loop (k is in the tens of
+        // thousands for a real tokenizer).
+        org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(v)
+        v = next
       }
     }
+    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(v)
     merges.toSeq
   }
 }

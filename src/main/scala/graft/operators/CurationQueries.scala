@@ -81,22 +81,22 @@ object CurationQueries {
     * per-doc side streams. */
   def q101(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // Persisted: the bigram relation feeds BOTH the stop-gram top-20
-    // and the per-doc join — without the cache each consumer re-reads
-    // the corpus and re-explodes every bigram (same rationale as q95 /
-    // Dedup.candidatePairs).
     val docBigrams = Tables.documents(s, d)
       .select($"doc_id", split($"text", " ").as("w"))
       .select($"doc_id", explode(bigrams($"w")).as("ng"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The stop-gram list is 20 strings — materialize it eagerly and
+    // fold it into a literal IN predicate. That turns the second pass
+    // into a pure map-side expression (no join, no cached exploded
+    // bigram relation to leak in a long-lived session); the corpus is
+    // scanned twice, but a bigram explode is scan-speed and at 100 TB
+    // re-reading beats caching a ~10×-amplified intermediate.
     val stopGrams = docBigrams.groupBy($"ng").agg(count(lit(1)).as("n"))
       .orderBy($"n".desc, $"ng").limit(20)
-      .select($"ng", lit(1).as("hit"))
+      .select($"ng").collect().map(_.getString(0)).toSeq
     docBigrams
-      .join(broadcast(stopGrams), Seq("ng"), "left")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        sum(coalesce($"hit", lit(0))).as("stopgram_hits"))
+        sum(when($"ng".isin(stopGrams: _*), 1).otherwise(0)).as("stopgram_hits"))
       .filter($"stopgram_hits" >= 1)
       .select($"doc_id", $"n_bigrams", $"stopgram_hits",
         r4($"stopgram_hits".cast("double") / $"n_bigrams").as("stopgram_frac"))

@@ -80,10 +80,7 @@ object TrainingQueries {
   def q93(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val w = words($"text")
-    val bigrams = when(size($"w") >= 2,
-      transform(sequence(lit(1), size($"w") - 1),
-        i => concat(element_at($"w", i), lit(" "), element_at($"w", i + 1))))
-      .otherwise(array().cast("array<string>"))
+    val bigrams = graft.functions.TextAnalysis.adjacentPairs($"w")
     Tables.documents(s, d)
       .select($"doc_id", w.as("w"))
       .select($"doc_id",
@@ -184,15 +181,19 @@ object TrainingQueries {
     * join it so clean docs report 0 (every doc gets a verdict). */
   def q95(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // The shingle relation feeds BOTH the eval set and the training
-    // side; without a persist each consumer re-reads the corpus and
-    // re-hashes every 8-gram (same rationale as Dedup.candidatePairs).
-    val grams = Tables.documents(s, d)
-      .select($"doc_id", $"source", explode_outer(shingles(words($"text"))).as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val evalGrams = grams.filter($"source" === "src0" && $"g".isNotNull)
-      .select($"g").distinct()
-    val train = grams.filter($"source" =!= "src0")
+    // The eval and training sides read DISJOINT source slices, so with
+    // the source predicate pushed to the parquet scan no document is
+    // shingled twice — a persist here would only add cache churn (and,
+    // at 100 TB, materialize an exploded 8-gram relation ~10× the
+    // corpus; a long-lived session would also leak the cache entry,
+    // since a lazily returned DataFrame has no post-action unpersist
+    // hook).
+    def grams(docs: DataFrame): DataFrame =
+      docs.select($"doc_id", $"source", explode_outer(shingles(words($"text"))).as("g"))
+    val corpus = Tables.documents(s, d)
+    val evalGrams = grams(corpus.filter($"source" === "src0"))
+      .filter($"g".isNotNull).select($"g").distinct()
+    val train = grams(corpus.filter($"source" =!= "src0"))
     val hits = train
       .join(broadcast(evalGrams.withColumn("hit", lit(1))), Seq("g"), "left")
       .groupBy($"doc_id")

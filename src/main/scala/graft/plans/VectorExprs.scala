@@ -43,6 +43,22 @@ object VectorOps {
     }
     s
   }
+
+  /** Null-element-aware dot product: any null slot yields null, exactly
+    * like the fold (`zip_with` emits a null product, which poisons the
+    * `aggregate` sum). Only reached when a child's static type says
+    * containsNull=true — dense inputs keep the branch-free [[dot]]. */
+  def dotChecked(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    s
+  }
 }
 
 /** Native cosine similarity over two `array<double>` columns.
@@ -79,11 +95,20 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
 /** Native dot product over two `array<double>` columns — the codegen'd
   * single-loop form of the zip_with/aggregate fold. Mismatched lengths
   * yield null, matching the fold (zip_with pads with null, null
-  * poisons the sum); null elements are unsupported as in [[CosineSim]].
+  * poisons the sum). Null ELEMENTS also match the fold: any null slot
+  * yields null. The per-element check is emitted only when a child's
+  * static type admits nulls (containsNull), so the optimizer-rewrite
+  * path — guarded on containsNull=false — keeps the branch-free loop;
+  * direct `vec_dot` callers over parquet arrays (containsNull=true by
+  * default) get fold-exact semantics instead of reading raw 0.0 slots.
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  })
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType) = t match {
       case ArrayType(DoubleType, _) => true
@@ -95,17 +120,32 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   }
   override def nullSafeEval(l: Any, r: Any): Any = {
     val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
-    if (a.numElements() != b.numElements()) null else VectorOps.dot(a, b)
+    if (a.numElements() != b.numElements()) null
+    else if (elementsNullable) VectorOps.dotChecked(a, b)
+    else VectorOps.dot(a, b)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"""
-         |if ($a.numElements() != $b.numElements()) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  ${ev.value} = graft.plans.VectorOps.dot($a, $b);
-         |}
-       """.stripMargin)
+      if (elementsNullable)
+        s"""
+           |java.lang.Double ${ev.value}_r = null;
+           |if ($a.numElements() == $b.numElements()) {
+           |  ${ev.value}_r = graft.plans.VectorOps.dotChecked($a, $b);
+           |}
+           |if (${ev.value}_r == null) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = ${ev.value}_r.doubleValue();
+           |}
+         """.stripMargin
+      else
+        s"""
+           |if ($a.numElements() != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = graft.plans.VectorOps.dot($a, $b);
+           |}
+         """.stripMargin)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)

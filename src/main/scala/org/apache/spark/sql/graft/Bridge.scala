@@ -21,4 +21,16 @@ object Bridge {
       rdd: RDD[InternalRow])(
       f: Iterator[InternalRow] => Iterator[InternalRow]): RDD[InternalRow] =
     rdd.mapPartitionsInternal(f)
+
+  /** Release the block-manager storage behind a `localCheckpoint()`ed
+    * DataFrame. `Dataset.unpersist()` only clears CacheManager entries;
+    * the checkpoint's blocks belong to the internal RDD captured in the
+    * plan's LogicalRDD leaf, so that RDD must be unpersisted directly.
+    * No-op for plans that aren't a checkpoint leaf. */
+  def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

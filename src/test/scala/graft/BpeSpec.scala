@@ -72,4 +72,15 @@ class BpeSpec extends SparkSpec {
     assert(got == want)
     assert(got(1) == ("a", "</w>"), s"second merge exposes the rewrite: $got")
   }
+
+  test("training releases every round's checkpoint blocks") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val docs = Seq(("low " * 5 + "newest " * 6).trim).toDF("text")
+    BpeTrainer.train(docs, "text", k = 8)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"train leaked ${leaked.size} checkpointed RDDs: $leaked")
+  }
 }

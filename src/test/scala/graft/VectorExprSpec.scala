@@ -64,4 +64,25 @@ class VectorExprSpec extends SparkSpec {
     assert(math.abs(rows(0).getDouble(0) - 1.0) < 1e-12)
     assert(rows(1).isNullAt(0))
   }
+
+  test("vec_dot with a null ELEMENT returns null, matching the fold") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // containsNull=true inputs: the checked kernel must return null
+    // (the zip_with/aggregate fold it advertises parity with does),
+    // never read raw 0.0 slots. Dense rows through the same nullable
+    // schema still produce the exact unchecked value.
+    val df = Seq(
+      (Seq[Option[Double]](Some(2.0), None), Seq[Option[Double]](Some(3.0), Some(4.0))),
+      (Seq[Option[Double]](Some(2.0), Some(5.0)), Seq[Option[Double]](Some(3.0), Some(4.0))))
+      .toDF("a", "b")
+    val viaSql = df.selectExpr("vec_dot(a, b) AS d").collect()
+    assert(viaSql(0).isNullAt(0), "null element must poison the product")
+    assert(viaSql(1).getDouble(0) == 2.0 * 3.0 + 5.0 * 4.0)
+    // fold parity on the null-element row
+    val fold = df.limit(1).select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("d")).head
+    assert(fold.isNullAt(0))
+  }
 }
