@@ -162,14 +162,18 @@ object TrainingQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** 8-word shingle fingerprints, distinct per doc. Hashing the
-    * shingle (md5) means the dedup/contamination join shuffles 32-byte
-    * digests, not raw text. */
+  /** 8-word shingle fingerprints, distinct per doc. The hash exists
+    * only for join EQUALITY (it is never emitted), so each engine may
+    * use its own: Spark hashes with xxhash64 — an 8-byte long through
+    * the broadcast set and the aggregation, ~4× narrower and much
+    * cheaper than an md5 hex string — while the DuckDB oracle keeps
+    * md5. Match/miss outcomes are identical short of a 64-bit
+    * collision inside one document's shingle set. */
   private def shingles(w: Column): Column =
     when(size(w) >= 8,
       array_distinct(transform(sequence(lit(1), size(w) - 7),
-        i => md5(array_join(slice(w, i, lit(8)), " ")))))
-      .otherwise(array().cast("array<string>"))
+        i => xxhash64(array_join(slice(w, i, lit(8)), " ")))))
+      .otherwise(array().cast("array<bigint>"))
 
   private val shinglesSql =
     "list_distinct(list_transform(range(1, greatest(len(w) - 6, 1)), " +
