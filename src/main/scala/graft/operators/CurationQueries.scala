@@ -271,6 +271,136 @@ object CurationQueries {
       |    GROUP BY word) v) p
       |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""".stripMargin
 
+  private val fpSql = "md5(array_to_string(string_split(text, ' ')[1:5], ' '))"
+
+  /** q123 — containment (quote/subset detection): within each
+    * prefix-fingerprint cluster, pairwise |A∩B|/|A| and |A∩B|/|B| over
+    * word sets. Symmetric Jaccard misses the "one doc quotes the
+    * other" case (small∩large has low Jaccard but high containment in
+    * the small side); the `quote_like` flag is exactly that asymmetry.
+    * Scale: the self-join is keyed on the fingerprint (bounded
+    * clusters — same blocking as q100), never all-pairs. */
+  def q123(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id",
+        graft.functions.TextAnalysis.prefixFingerprint($"text").as("fp"),
+        Dedup.wordSet($"text").as("w"))
+    val a = docs.select($"fp", $"doc_id".as("a"), $"w".as("wa"))
+    val b = docs.select($"fp".as("fp_b"), $"doc_id".as("b"), $"w".as("wb"))
+    a.join(b, $"fp" === $"fp_b" && $"a" < $"b")
+      .select($"a", $"b",
+        size(array_intersect($"wa", $"wb")).cast("long").as("inter"),
+        size($"wa").cast("long").as("na"), size($"wb").cast("long").as("nb"))
+      .withColumn("cont_a", $"inter".cast("double") / $"na")
+      .withColumn("cont_b", $"inter".cast("double") / $"nb")
+      .withColumn("jac", $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
+      .select($"a", $"b", $"inter", $"na", $"nb",
+        r6($"cont_a").as("cont_a"), r6($"cont_b").as("cont_b"),
+        r6($"jac").as("jac"),
+        (greatest($"cont_a", $"cont_b") >= 0.8 && $"jac" < 0.6).cast("int")
+          .as("quote_like"))
+      .orderBy($"a", $"b")
+  }
+
+  val q123Sql: String =
+    s"""WITH ws AS (SELECT doc_id, $fpSql AS fp,
+       |              list_distinct(string_split(text, ' ')) AS w FROM documents),
+       |p AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b,
+       |    CAST(len(list_intersect(a.w, b.w)) AS BIGINT) AS inter,
+       |    CAST(len(a.w) AS BIGINT) AS na, CAST(len(b.w) AS BIGINT) AS nb
+       |  FROM ws a JOIN ws b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+       |c AS (
+       |  SELECT a, b, inter, na, nb,
+       |    CAST(inter AS DOUBLE) / na AS cont_a,
+       |    CAST(inter AS DOUBLE) / nb AS cont_b,
+       |    CAST(inter AS DOUBLE) / (na + nb - inter) AS jac
+       |  FROM p)
+       |SELECT a, b, inter, na, nb,
+       |  ${sqlR6("cont_a")} AS cont_a, ${sqlR6("cont_b")} AS cont_b,
+       |  ${sqlR6("jac")} AS jac,
+       |  CAST(greatest(cont_a, cont_b) >= 0.8 AND jac < 0.6 AS INT) AS quote_like
+       |FROM c ORDER BY a, b""".stripMargin
+
+  /** q124 — per-source frequency cap (the CommonCrawl "domain cap"
+    * curation op): keep at most `cap` docs per source, chosen by a
+    * deterministic md5 priority (uniform, seedable, identical in both
+    * engines — no RNG). The heavy reduction runs through the native
+    * bounded-heap TopKPerGroup, so no source's full document list ever
+    * sorts in one task; the rank window orders only the ≤ cap
+    * survivors per source. */
+  def q124(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cap = 15
+    val prio = Tables.documents(s, d)
+      .select($"doc_id", $"source",
+        md5(concat($"source", lit(":"), $"doc_id".cast("string"))).as("prio"))
+    val top = graft.plans.TopK.perGroup(prio, cap, Seq("source"),
+      Seq(graft.plans.TopK.asc("prio"), graft.plans.TopK.asc("doc_id")))
+    top
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"source").orderBy($"prio", $"doc_id")).cast("long"))
+      .select($"source", $"rn", $"doc_id", $"prio")
+      .orderBy($"source", $"rn")
+  }
+
+  val q124Sql: String =
+    """WITH pr AS (
+      |  SELECT doc_id, source,
+      |    md5(source || ':' || CAST(doc_id AS VARCHAR)) AS prio
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, doc_id, prio,
+      |    row_number() OVER (PARTITION BY source ORDER BY prio, doc_id) AS rn
+      |  FROM pr)
+      |SELECT source, CAST(rn AS BIGINT) AS rn, doc_id, prio
+      |FROM r WHERE rn <= 15 ORDER BY source, rn""".stripMargin
+
+  /** q125 — incremental snapshot dedup: a new batch (source 'src1')
+    * lands against the existing corpus (every other source). Each new
+    * doc gets a verdict — exact_dup (byte-identical text already
+    * present), near_dup (shares the prefix-fingerprint cluster key), or
+    * new — plus the smallest matching existing doc id. This is the
+    * daily-ingest shape: the existing side reduces to (key → min id)
+    * BEFORE the join, so the shuffle carries one row per distinct key,
+    * not the corpus. */
+  def q125(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fp = graft.functions.TextAnalysis.prefixFingerprint($"text")
+    val docs = Tables.documents(s, d)
+    val existing = docs.filter($"source" =!= "src1")
+    val exHash = existing.groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("h_match"))
+    val exFp = existing.groupBy(fp.as("fp"))
+      .agg(min($"doc_id").as("fp_match"))
+    docs.filter($"source" === "src1")
+      .select($"doc_id", md5($"text").as("h"), fp.as("fp"))
+      .join(exHash, Seq("h"), "left")
+      .join(exFp, Seq("fp"), "left")
+      .select($"doc_id",
+        when($"h_match".isNotNull, lit("exact_dup"))
+          .when($"fp_match".isNotNull, lit("near_dup"))
+          .otherwise(lit("new")).as("verdict"),
+        coalesce($"h_match", $"fp_match", lit(-1L)).as("matched_id"))
+      .orderBy($"doc_id")
+  }
+
+  val q125Sql: String =
+    s"""WITH ex AS (SELECT doc_id, md5(text) AS h, $fpSql AS fp
+       |            FROM documents WHERE source <> 'src1'),
+       |exh AS (SELECT h, min(doc_id) AS h_match FROM ex GROUP BY h),
+       |exf AS (SELECT fp, min(doc_id) AS fp_match FROM ex GROUP BY fp),
+       |nw AS (SELECT doc_id, md5(text) AS h, $fpSql AS fp
+       |       FROM documents WHERE source = 'src1')
+       |SELECT nw.doc_id,
+       |  CASE WHEN h_match IS NOT NULL THEN 'exact_dup'
+       |       WHEN fp_match IS NOT NULL THEN 'near_dup'
+       |       ELSE 'new' END AS verdict,
+       |  coalesce(h_match, fp_match, -1) AS matched_id
+       |FROM nw LEFT JOIN exh USING (h) LEFT JOIN exf USING (fp)
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q100_dedup_keep_best", q100, Some(q100Sql)),
     QueryDef("q101_stop_grams", q101, Some(q101Sql), bench = true),
@@ -279,5 +409,8 @@ object CurationQueries {
     QueryDef("q106_zipf_vocab", q106, Some(q106Sql)),
     QueryDef("q107_cross_lang_prefix", q107, Some(q107Sql)),
     QueryDef("q113_bpe_pair_stats", q113, Some(q113Sql)),
+    QueryDef("q123_containment_pairs", q123, Some(q123Sql)),
+    QueryDef("q124_source_cap", q124, Some(q124Sql)),
+    QueryDef("q125_incremental_dedup", q125, Some(q125Sql)),
   )
 }

@@ -684,6 +684,54 @@ object Relational {
        |FROM orders GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
 
+  /** q126 — 5%-trimmed mean (robust location estimate): per return
+    * flag, drop the k = ⌊n/20⌋ cheapest and k most expensive line
+    * items by RANK (total tie-break: price, orderkey, linenumber —
+    * value-threshold trims are ambiguous under duplicate prices), then
+    * average the survivors on the money grid. The kept-range min/max
+    * are the winsorization cut points.
+    *
+    * Scale note: exact rank-trim needs a per-group sort — fine for
+    * bounded group counts (3 flags here; each group is one range
+    * partition internally). At unbounded per-group cardinality the
+    * production path is approx-quantile cut points (single pass,
+    * mergeable sketches) + a threshold filter; this operator is the
+    * exact form those cut points approximate. */
+  def q126(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+    val cnt = Window.partitionBy($"l_returnflag")
+    Tables.lineitem(s, d)
+      .select($"l_returnflag", $"l_extendedprice", $"l_orderkey", $"l_linenumber")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(cnt))
+      .withColumn("k", floor($"n" / 20))
+      .filter($"rn" > $"k" && $"rn" <= $"n" - $"k")
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        moneyAvg($"l_extendedprice").as("trimmed_avg"),
+        min($"l_extendedprice").as("lo_cut"),
+        max($"l_extendedprice").as("hi_cut"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q126Sql: String =
+    s"""WITH r AS (
+       |  SELECT l_returnflag, l_extendedprice,
+       |    row_number() OVER (PARTITION BY l_returnflag
+       |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+       |    count(*) OVER (PARTITION BY l_returnflag) AS n
+       |  FROM lineitem),
+       |kept AS (
+       |  SELECT l_returnflag, l_extendedprice
+       |  FROM r WHERE rn > floor(n / 20) AND rn <= n - floor(n / 20))
+       |SELECT l_returnflag, count(*) AS n_kept,
+       |  ${sqlMoneyAvg("l_extendedprice")} AS trimmed_avg,
+       |  min(l_extendedprice) AS lo_cut, max(l_extendedprice) AS hi_cut
+       |FROM kept GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql), bench = true),
     QueryDef("q02_filter_project", q02, Some(q02Sql)),
@@ -716,5 +764,6 @@ object Relational {
     QueryDef("q111_full_outer_calendar", q111, Some(q111Sql)),
     QueryDef("q112_unpivot", q112, Some(q112Sql)),
     QueryDef("q115_median_per_group", q115, Some(q115Sql)),
+    QueryDef("q126_trimmed_mean", q126, Some(q126Sql)),
   )
 }

@@ -115,10 +115,93 @@ object SimilarityQueries {
        |GROUP BY e.label, d.dim
        |ORDER BY label, dim""".stripMargin
 
+  /** q127 — SQ8 scalar-quantized ANN with an exact-recall audit: each
+    * embedding dimension is linearly quantized to an 8-bit code against
+    * the corpus per-dim min/max (the FAISS "SQ8" scheme — 4× smaller
+    * than float32, decoded at scan speed), queries rank the
+    * RECONSTRUCTED vectors (asymmetric distance: exact query side,
+    * quantized target side), and every result row carries an
+    * `in_exact` flag marking whether it also appears in the exact
+    * float top-10 — the per-query recall audit, inline.
+    *
+    * Scale: the 64-row min/max stats broadcast back to a per-row
+    * codec expression (no shuffle on the corpus side); both rankings
+    * reduce through the native bounded-heap TopKPerGroup.
+    * Determinism: quantize/reconstruct arithmetic is written in the
+    * same operator shape in both engines over identical doubles, and
+    * cosine is the same sequential fold as q60. */
+  def q127(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val stats = e.select(posexplode($"embedding"))
+      .select(($"pos" + 1).as("dim"), $"col".cast("double").as("x"))
+      .groupBy($"dim").agg(min($"x").as("mn"), max($"x").as("mx"))
+    val statsArr = stats
+      .agg(sort_array(collect_list(struct($"dim", $"mn"))).as("mns"),
+        sort_array(collect_list(struct($"dim", $"mx"))).as("mxs"))
+      .select(transform($"mns", t => t("mn")).as("mn"),
+        transform($"mxs", t => t("mx")).as("mx"))
+    val recon = e.crossJoin(broadcast(statsArr))
+      .select($"vec_id",
+        transform(sequence(lit(1), lit(64)), i => {
+          val x = element_at($"embedding", i).cast("double")
+          val mn = element_at($"mn", i)
+          val sc = element_at($"mx", i) - mn
+          val code = when(sc === 0.0, lit(0.0))
+            .otherwise(least(floor((x - mn) * 255.0 / sc), lit(255.0)))
+          mn + (code + 0.5) * sc / 255.0
+        }).as("recon"))
+    val qd = queriesDf(s, d)
+    val quant = Similarity.bruteForceTopK(qd, recon, k = 10, tVec = "recon")
+    val exact = Similarity.bruteForceTopK(qd, e, k = 10)
+      .select($"q_id".as("eq_id"), $"vec_id".as("e_vec"), lit(1).as("hit"))
+    quant.join(exact, $"q_id" === $"eq_id" && $"vec_id" === $"e_vec", "left")
+      .select($"q_id", $"rn".cast("long").as("rn"), $"vec_id",
+        r6($"sim").as("sim_q"), coalesce($"hit", lit(0)).as("in_exact"))
+      .orderBy($"q_id", $"rn")
+  }
+
+  val q127Sql: String = {
+    val codec = "mn[i] + ((CASE WHEN (mx[i] - mn[i]) = 0 THEN 0.0 " +
+      "ELSE least(floor((CAST(embedding[i] AS DOUBLE) - mn[i]) * 255.0 / (mx[i] - mn[i])), 255.0) " +
+      "END) + 0.5) * (mx[i] - mn[i]) / 255.0"
+    s"""WITH st AS (
+       |  SELECT d.i AS dim, min(CAST(e.embedding[d.i] AS DOUBLE)) AS mn,
+       |         max(CAST(e.embedding[d.i] AS DOUBLE)) AS mx
+       |  FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) d
+       |  GROUP BY d.i),
+       |arr AS (SELECT list(mn ORDER BY dim) AS mn, list(mx ORDER BY dim) AS mx
+       |        FROM st),
+       |t AS (
+       |  SELECT vec_id, list_transform(range(1, 65), i -> $codec) AS t_vec
+       |  FROM embeddings CROSS JOIN arr),
+       |q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+       |      FROM embeddings WHERE vec_id < 5),
+       |simq AS (SELECT q_id, vec_id, $cosSql AS sim
+       |         FROM t, q WHERE vec_id <> q_id),
+       |rq AS (SELECT q_id, vec_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+       |       FROM simq),
+       |te AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS t_vec FROM embeddings),
+       |sime AS (SELECT q_id, vec_id, $cosSql AS sim
+       |         FROM te t, q WHERE vec_id <> q_id),
+       |re AS (SELECT q_id, vec_id,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+       |       FROM sime)
+       |SELECT rq.q_id, CAST(rq.rn AS BIGINT) AS rn, rq.vec_id,
+       |  ${sqlR6("rq.sim")} AS sim_q,
+       |  CAST(CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS in_exact
+       |FROM rq LEFT JOIN (SELECT q_id, vec_id FROM re WHERE rn <= 10) x
+       |  ON rq.q_id = x.q_id AND rq.vec_id = x.vec_id
+       |WHERE rq.rn <= 10
+       |ORDER BY rq.q_id, rq.rn""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q60_cosine_topk", q60, Some(q60Sql), bench = true),
     QueryDef("q61_label_centroids", q61, Some(q61Sql)),
     QueryDef("q62_ann_ivf_topk", q62, Some(q62Sql), bench = true),
     QueryDef("q63_centroids_full", q63, Some(q63Sql)),
+    QueryDef("q127_sq8_ann_recall", q127, Some(q127Sql)),
   )
 }

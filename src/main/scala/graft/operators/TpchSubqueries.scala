@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Fx, QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The remaining TPC-H classics (Q7/Q11/Q12/Q20/Q21/Q22 analogues) —
@@ -161,10 +162,15 @@ object TpchSubqueries {
 
   /** Q21 shape — suppliers who kept orders waiting: in multi-supplier
     * orders, count per supplier the orders where ONLY that supplier
-    * shipped late (> 60 days after the order date). The two correlated
-    * EXISTS/NOT EXISTS become LEFT SEMI / LEFT ANTI self-joins of the
-    * (order, supplier) line relation on the order key — each a shuffle
-    * on a key the relation already carries. */
+    * shipped late (> 60 days after the order date). The correlated
+    * EXISTS ("another supplier on the order") / NOT EXISTS ("no OTHER
+    * late supplier") decorrelate to per-order counts over the
+    * (order, supplier) line relation: n_supp ≥ 2 and n_late = 1 for a
+    * late row is exactly "others exist, none of them late". One window
+    * over the order key replaces a semi- PLUS an anti- self-join, each
+    * of which re-derived the whole line relation (the three aliased
+    * subplans don't canonicalize equal, so nothing was reused —
+    * measured 3 lineitem scans / 3 join-agg stages in the old plan). */
   def q120(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val lines = Tables.lineitem(s, d)
@@ -175,16 +181,11 @@ object TpchSubqueries {
           .otherwise(0).as("late"))
       .groupBy($"l_orderkey", $"l_suppkey")
       .agg((max($"late") === 1).as("late"))
-    val lateLines = lines.filter($"late")
-    val othersExist = lateLines.alias("l1")
-      .join(lines.alias("l2"),
-        $"l1.l_orderkey" === $"l2.l_orderkey" && $"l1.l_suppkey" =!= $"l2.l_suppkey",
-        "left_semi")
-    val soleLate = othersExist.alias("l1")
-      .join(lateLines.alias("l3"),
-        $"l1.l_orderkey" === $"l3.l_orderkey" && $"l1.l_suppkey" =!= $"l3.l_suppkey",
-        "left_anti")
-    soleLate
+    val w = Window.partitionBy($"l_orderkey")
+    lines
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late", sum($"late".cast("int")).over(w))
+      .filter($"late" && $"n_supp" >= 2 && $"n_late" === 1)
       .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
       .groupBy($"s_name")
       .agg(count(lit(1)).as("numwait"))

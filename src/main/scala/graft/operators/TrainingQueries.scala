@@ -380,6 +380,83 @@ object TrainingQueries {
        |ORDER BY a, b""".stripMargin
   }
 
+  /** q122 — BM25 document ranking for a fixed 3-term query
+    * ("spark window merge"), rational-idf variant: idf(t) =
+    * (N − df + 0.5)/(df + 0.5) — BM25's idf without the log wrapper
+    * (monotone-identical ranking per term; no libm transcendental, so
+    * the scores are bit-deterministic cross-engine). k1 = 1.2,
+    * b = 0.75 (the usual constants; 2.2 = k1 + 1).
+    *
+    * Determinism: every input (tf, df, N, dl, Σdl) is an exact
+    * integer-valued double, all operators are written in the same
+    * shape on both sides, and the 3 per-term scores are summed in
+    * FIXED column order (s1+s2+s3) — never a groupBy sum over doubles,
+    * whose accumulation order is engine-defined.
+    *
+    * Scale: tokens filtered to the query terms BEFORE any shuffle (the
+    * isin prunes at scan speed); df/N/avgdl are tiny aggregates
+    * broadcast back; ranking is a global top-20 → TakeOrdered. */
+  def q122(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val terms = Seq("spark", "window", "merge")
+    val docs = Tables.documents(s, d)
+    val dl = docs.select($"doc_id",
+      size(words($"text")).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      sum($"dl").as("sum_dl"))
+    val tf = docs.select($"doc_id", explode(words($"text")).as("w"))
+      .filter($"w".isin(terms: _*))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy($"w").agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf.join(broadcast(dfreq), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select($"doc_id", $"w",
+        ((($"n_docs" - $"df" + 0.5) / ($"df" + 0.5)) *
+          (($"tf" * 2.2) /
+            ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" * $"n_docs" / $"sum_dl"))))
+          .as("score"))
+    val perDoc = scored.groupBy($"doc_id")
+      .agg(
+        sum(when($"w" === terms(0), $"score").otherwise(0.0)).as("s1"),
+        sum(when($"w" === terms(1), $"score").otherwise(0.0)).as("s2"),
+        sum(when($"w" === terms(2), $"score").otherwise(0.0)).as("s3"))
+      .withColumn("bm25", $"s1" + $"s2" + $"s3")
+    perDoc
+      .orderBy($"bm25".desc, $"doc_id")
+      .limit(20)
+      .select($"doc_id", r6($"s1").as("s_spark"), r6($"s2").as("s_window"),
+        r6($"s3").as("s_merge"), r6($"bm25").as("bm25"))
+  }
+
+  val q122Sql: String =
+    s"""WITH dl AS (SELECT doc_id,
+       |              CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+       |            FROM documents),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, sum(dl) AS sum_dl
+       |          FROM dl),
+       |tf AS (
+       |  SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+       |  WHERE w IN ('spark', 'window', 'merge') GROUP BY doc_id, w),
+       |dfreq AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w),
+       |sc AS (
+       |  SELECT doc_id, tf.w AS w,
+       |    ((n_docs - df + 0.5) / (df + 0.5)) *
+       |      ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl * n_docs / sum_dl)))
+       |      AS score
+       |  FROM tf JOIN dfreq ON tf.w = dfreq.w
+       |          JOIN dl USING (doc_id) CROSS JOIN stats),
+       |agg AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN w = 'spark' THEN score ELSE 0.0 END) AS s1,
+       |    sum(CASE WHEN w = 'window' THEN score ELSE 0.0 END) AS s2,
+       |    sum(CASE WHEN w = 'merge' THEN score ELSE 0.0 END) AS s3
+       |  FROM sc GROUP BY doc_id)
+       |SELECT doc_id, ${sqlR6("s1")} AS s_spark, ${sqlR6("s2")} AS s_window,
+       |  ${sqlR6("s3")} AS s_merge, ${sqlR6("s1 + s2 + s3")} AS bm25
+       |FROM agg ORDER BY (s1 + s2 + s3) DESC, doc_id LIMIT 20""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q92_tfidf_top_terms", q92, Some(q92Sql), bench = true),
     QueryDef("q93_repetition_filter", q93, Some(q93Sql), bench = true),
@@ -389,5 +466,6 @@ object TrainingQueries {
     QueryDef("q97_chunking_overlap", q97, Some(q97Sql)),
     QueryDef("q98_weighted_sample", q98, Some(q98Sql)),
     QueryDef("q99_simhash_hamming_dedup", q99, Some(q99Sql)),
+    QueryDef("q122_bm25_ranking", q122, Some(q122Sql)),
   )
 }
