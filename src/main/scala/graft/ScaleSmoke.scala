@@ -158,6 +158,65 @@ object ScaleSmoke {
       println(s"[scale]   IVF recall@10 vs exact: ${overlap / 320.0}")
       overlap
     }
+    // SQ8 is a storage/IO codec (4x smaller vectors at rest and on the
+    // wire), not a compute shortcut — the measurement here is the
+    // recall cost of searching reconstructed vectors, same O() scan.
+    timed("ann_sq8_top10") {
+      val recon = operators.Similarity
+        .sq8Reconstructed(targets, "vec_id", "embedding", dim)
+      val approx = operators.Similarity
+        .bruteForceTopK(queries, recon, 10, tVec = "recon")
+      val overlap = approx.join(exact.select($"q_id", $"vec_id"), Seq("q_id", "vec_id"))
+        .count()
+      println(s"[scale]   SQ8 recall@10 vs exact: ${overlap / 320.0}")
+      overlap
+    }
+    // PQ: 8 codes/vector (32x smaller than float32 at rest); codebooks
+    // trained on a 50k sample, corpus encoded in one map-only pass,
+    // queries search the CODE table via LUTs — the float vectors never
+    // move after encoding.
+    var pqEncoded: DataFrame = null
+    var pqIdx: ml.PqIndex.Index = null
+    timed("ann_pq_train_encode") {
+      pqIdx = ml.PqIndex.build(targets.limit(50000), "embedding", dim, m = 8, k = 64)
+      pqEncoded = ml.PqIndex.encode(targets, "vec_id", "embedding", pqIdx)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pqEncoded.count()
+    }
+    timed("ann_pq_adc_top10") {
+      val approx = ml.PqIndex.searchADC(pqEncoded,
+        queries.select($"q_id", $"q_vec"), pqIdx, 10).persist()
+      val overlap = approx.join(exact.select($"q_id", $"vec_id"), Seq("q_id", "vec_id"))
+        .count()
+      // Honest metric split: exact top-10 inside a ~4k-member cluster
+      // ranks by the 10% noise term, which 8-byte quantization erases
+      // BY DESIGN — id-level recall measures noise ranking, not
+      // retrieval. Cluster-level recall (did ADC land in the query's
+      // true cluster?) is what PQ promises.
+      val sameCluster = approx
+        .filter(pmod(xxhash64($"vec_id"), lit(256)) ===
+          pmod(xxhash64($"q_id"), lit(256))).count()
+      println(s"[scale]   PQ(m=8,k=64) id-recall@10: ${overlap / 320.0}; " +
+        s"cluster-recall@10: ${sameCluster / 320.0}")
+      approx.unpersist()
+      sameCluster
+    }
+    // ---- frequent items: bounded-state sketch vs full vocabulary agg.
+    // The 10k-word vocabulary is 100x the k=100 sketch capacity, so
+    // this measures the genuinely lossy regime; the sketch's partials
+    // carry <= k counters per partition through the shuffle where the
+    // exact plan shuffles the whole vocabulary.
+    timed("heavy_hitters_mg100") {
+      graft.plans.MisraGries.register(spark)
+      docs.select(explode(split($"text", " ")).as("w"))
+        .agg(graft.plans.MisraGries.mg_topk($"w", 100).as("top"))
+        .select(explode($"top")).count()
+    }
+    timed("heavy_hitters_exact") {
+      docs.select(explode(split($"text", " ")).as("w"))
+        .groupBy($"w").count().orderBy($"count".desc, $"w").limit(100)
+        .collect().length.toLong
+    }
     spark.stop()
   }
 }

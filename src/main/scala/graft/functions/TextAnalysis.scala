@@ -71,6 +71,22 @@ object TextAnalysis {
       least(stop / lit(5.0), lit(1.0)) * 0.3
   }
 
+  /** Self-contained DuckDB mirror of [[qualityScore]] over a text
+    * column expression — no subquery intermediates, so any oracle can
+    * inline it (CurationQueries keeps its named-intermediate form; the
+    * arithmetic shape and therefore every IEEE result is identical). */
+  def sqlQualityScore(text: String): String = {
+    val toks = s"CAST(length($text) - length(replace($text, ' ', '')) + 1 AS INT)"
+    val chars = s"CAST(length($text) AS DOUBLE)"
+    val stop = s"(${sqlWordOccurrences(s"lower($text)", "the")} + " +
+      s"${sqlWordOccurrences(s"lower($text)", "and")} + " +
+      s"${sqlWordOccurrences(s"lower($text)", "of")})"
+    val awl = s"(($chars - ($toks - 1.0)) / $toks)"
+    s"(least($toks / 50.0, 1.0) * 0.4 + " +
+      s"(CASE WHEN $awl >= 2.0 AND $awl <= 12.0 THEN 0.3 ELSE 0.0 END) + " +
+      s"least($stop / 5.0, 1.0) * 0.3)"
+  }
+
   /** Content fingerprint (md5 hex — identical in Spark and DuckDB). */
   def fingerprint(c: Column): Column = md5(c)
 

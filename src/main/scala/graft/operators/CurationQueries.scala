@@ -411,6 +411,6 @@ object CurationQueries {
     QueryDef("q113_bpe_pair_stats", q113, Some(q113Sql)),
     QueryDef("q123_containment_pairs", q123, Some(q123Sql)),
     QueryDef("q124_source_cap", q124, Some(q124Sql)),
-    QueryDef("q125_incremental_dedup", q125, Some(q125Sql)),
+    QueryDef("q125_incremental_dedup", q125, Some(q125Sql), bench = true),
   )
 }

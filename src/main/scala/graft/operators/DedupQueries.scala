@@ -337,6 +337,55 @@ object DedupQueries {
        |FROM tot JOIN kept ON tot.label = kept.label
        |ORDER BY label""".stripMargin
 
+  /** q129 — semantic dedup (SemDeDup-style): q58's embedding near-dup
+    * pairs (sign-bucket LSH + exact cosine) resolved by TEXT quality —
+    * each pair drops its lower-quality member (tie: higher id). The
+    * cross-modal shape is the point: the similarity signal is the
+    * embedding, the retention policy reads the document (doc_id and
+    * vec_id share the id space by construction of the testdata).
+    * Output: one row per dropped doc with its best-keeper and how many
+    * pairs condemned it. */
+  def q129(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = Dedup.embeddingNearDupPairs(Tables.embeddings(s, d),
+      "vec_id", "embedding", nearDupBits, nearDupThreshold)
+    val qual = Tables.documents(s, d).select($"doc_id",
+      graft.functions.TextAnalysis.qualityScore($"text").as("q"))
+    pairs
+      .join(qual.select($"doc_id".as("a_id"), $"q".as("qa")), "a_id")
+      .join(qual.select($"doc_id".as("b_id"), $"q".as("qb")), "b_id")
+      .select(
+        when($"qa" < $"qb", $"a_id").when($"qb" < $"qa", $"b_id")
+          .otherwise(greatest($"a_id", $"b_id")).as("drop_id"),
+        when($"qa" < $"qb", $"b_id").when($"qb" < $"qa", $"a_id")
+          .otherwise(least($"a_id", $"b_id")).as("keep_id"))
+      .groupBy($"drop_id")
+      .agg(min($"keep_id").as("keep_id"), count(lit(1)).as("n_pairs"))
+      .join(qual.select($"doc_id".as("drop_id"), r4($"q").as("dropped_quality")),
+        "drop_id")
+      .orderBy($"drop_id")
+  }
+
+  val q129Sql: String = {
+    val qSql = graft.functions.TextAnalysis.sqlQualityScore("text")
+    s"""WITH $embPairsSql,
+       |qual AS (SELECT doc_id, $qSql AS q FROM documents),
+       |res AS (
+       |  SELECT
+       |    CASE WHEN qa.q < qb.q THEN a_id WHEN qb.q < qa.q THEN b_id
+       |         ELSE greatest(a_id, b_id) END AS drop_id,
+       |    CASE WHEN qa.q < qb.q THEN b_id WHEN qb.q < qa.q THEN a_id
+       |         ELSE least(a_id, b_id) END AS keep_id
+       |  FROM nd JOIN qual qa ON nd.a_id = qa.doc_id
+       |          JOIN qual qb ON nd.b_id = qb.doc_id),
+       |agg AS (SELECT drop_id, min(keep_id) AS keep_id, count(*) AS n_pairs
+       |        FROM res GROUP BY drop_id)
+       |SELECT agg.drop_id, agg.keep_id, agg.n_pairs,
+       |  ${sqlR4("qual.q")} AS dropped_quality
+       |FROM agg JOIN qual ON agg.drop_id = qual.doc_id
+       |ORDER BY agg.drop_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q50_exact_dedup", q50, Some(q50Sql), bench = true),
     QueryDef("q51_minhash_signatures", q51, Some(q51Sql), bench = true),
@@ -348,5 +397,6 @@ object DedupQueries {
     QueryDef("q59_near_dup_retention", q59, Some(q59Sql)),
     QueryDef("q87_minhash_estimator", q87, Some(q87Sql)),
     QueryDef("q89_dedup_savings", q89, Some(q89Sql)),
+    QueryDef("q129_semantic_dedup", q129, Some(q129Sql)),
   )
 }

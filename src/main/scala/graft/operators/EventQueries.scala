@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, Tables}
+import graft.{Fx, QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -10,6 +10,7 @@ import org.apache.spark.sql.functions._
   * .AvailableNow` over the same source gives identical results).
   */
 object EventQueries {
+  import Fx._
 
   /** Gap-based sessionization (30-min inactivity): per-user session
     * counts. Timestamps compared at µs precision on both engines. */
@@ -313,6 +314,38 @@ object EventQueries {
       |FROM daily LEFT JOIN fs ON day = fs.first_day
       |ORDER BY day""".stripMargin
 
+  /** q132 — hourly anomaly detection: z-score of each hour's event
+    * count against the global mean/stddev, flagging |z| > 2. The
+    * stats are a 1-row broadcast back over the hourly aggregate (two
+    * passes over ~thousands of post-agg rows, not the raw events).
+    * stddev_samp is the one non-grid aggregate trusted here — same
+    * precedent as q25 (r4 absorbs the engines' accumulation-order
+    * ulps). */
+  def q132(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hours = Tables.events(s, d)
+      .groupBy(date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val stats = hours.agg(avg($"n").as("mu"), stddev_samp($"n").as("sigma"))
+    hours.crossJoin(broadcast(stats))
+      .withColumn("z", ($"n" - $"mu") / $"sigma")
+      .filter(abs($"z") > 2.0)
+      .select($"hour", $"n".cast("long").as("n_events"), r4($"z").as("z"))
+      .orderBy($"hour")
+  }
+
+  val q132Sql: String =
+    s"""WITH hours AS (
+       |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+       |    CAST(count(*) AS DOUBLE) AS n
+       |  FROM events GROUP BY 1),
+       |stats AS (SELECT avg(n) AS mu, stddev_samp(n) AS sigma FROM hours)
+       |SELECT hour, CAST(n AS BIGINT) AS n_events,
+       |  ${sqlR4("(n - mu) / sigma")} AS z
+       |FROM hours CROSS JOIN stats
+       |WHERE abs((n - mu) / sigma) > 2.0
+       |ORDER BY hour""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q70_sessionize", q70, Some(q70Sql), bench = true),
     QueryDef("q71_asof_join", q71, Some(q71Sql), bench = true),
@@ -322,5 +355,6 @@ object EventQueries {
     QueryDef("q108_session_window", q108, Some(q108Sql)),
     QueryDef("q109_triangle_count", q109, Some(q109Sql)),
     QueryDef("q110_running_uniques", q110, Some(q110Sql)),
+    QueryDef("q132_hourly_anomalies", q132, Some(q132Sql)),
   )
 }

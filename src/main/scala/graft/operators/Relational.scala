@@ -732,6 +732,59 @@ object Relational {
        |  min(l_extendedprice) AS lo_cut, max(l_extendedprice) AS hi_cut
        |FROM kept GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q131 — snapshot diff (CDC between two states of a keyed table):
+    * full-outer join on the key, verdict per row — added (new only),
+    * removed (old only), modified (both, attribute changed). The two
+    * snapshots are deterministic slices of `orders` (old = pre-1998;
+    * new = drops every 101st key and rewrites every 97th key's
+    * priority), so both engines derive identical states. Scale shape:
+    * one key-partitioned join comparing typed columns — never
+    * stringified rows (number/date formatting is engine-specific; typed
+    * comparison is not). */
+  def q131(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.orders(s, d)
+    val old = orders.filter($"o_orderdate" < lit("1998-01-01").cast("date"))
+      .select($"o_orderkey".as("k"), $"o_orderpriority".as("old_priority"))
+    val nw = orders.filter($"o_orderkey" % 101 =!= 0)
+      .select($"o_orderkey".as("k"),
+        when($"o_orderkey" % 97 === 0, lit("0-RUSH"))
+          .otherwise($"o_orderpriority").as("new_priority"))
+    old.join(nw, Seq("k"), "full_outer")
+      .withColumn("verdict",
+        when($"old_priority".isNull, lit("added"))
+          .when($"new_priority".isNull, lit("removed"))
+          .when($"old_priority" =!= $"new_priority", lit("modified"))
+          .otherwise(lit("unchanged")))
+      .filter($"verdict" =!= "unchanged")
+      .select($"k".as("o_orderkey"), $"verdict",
+        coalesce($"old_priority", lit("-")).as("old_priority"),
+        coalesce($"new_priority", lit("-")).as("new_priority"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q131Sql: String =
+    """WITH old AS (
+      |  SELECT o_orderkey AS k, o_orderpriority AS old_priority
+      |  FROM orders WHERE o_orderdate < DATE '1998-01-01'),
+      |nw AS (
+      |  SELECT o_orderkey AS k,
+      |    CASE WHEN o_orderkey % 97 = 0 THEN '0-RUSH'
+      |         ELSE o_orderpriority END AS new_priority
+      |  FROM orders WHERE o_orderkey % 101 <> 0),
+      |diff AS (
+      |  SELECT coalesce(old.k, nw.k) AS o_orderkey,
+      |    CASE WHEN old.k IS NULL THEN 'added'
+      |         WHEN nw.k IS NULL THEN 'removed'
+      |         WHEN old_priority <> new_priority THEN 'modified'
+      |         ELSE 'unchanged' END AS verdict,
+      |    coalesce(old_priority, '-') AS old_priority,
+      |    coalesce(new_priority, '-') AS new_priority
+      |  FROM old FULL OUTER JOIN nw ON old.k = nw.k)
+      |SELECT o_orderkey, verdict, old_priority, new_priority
+      |FROM diff WHERE verdict <> 'unchanged'
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql), bench = true),
     QueryDef("q02_filter_project", q02, Some(q02Sql)),
@@ -765,5 +818,6 @@ object Relational {
     QueryDef("q112_unpivot", q112, Some(q112Sql)),
     QueryDef("q115_median_per_group", q115, Some(q115Sql)),
     QueryDef("q126_trimmed_mean", q126, Some(q126Sql)),
+    QueryDef("q131_snapshot_diff", q131, Some(q131Sql)),
   )
 }

@@ -84,6 +84,36 @@ object Similarity {
       s"(CASE WHEN $col[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** SQ8 scalar quantization, reconstructed: each dimension linearly
+    * quantized to an 8-bit code against the corpus per-dim min/max
+    * (FAISS "SQ8" — 4× smaller than float32 at rest / on the wire),
+    * then decoded to the cell midpoint. Output: (idCol, recon) with
+    * `recon: array<double>`. The 64-row stats aggregate broadcasts
+    * back to a per-row codec expression — no shuffle of the corpus.
+    * Asymmetric search (exact query side vs reconstructed targets) is
+    * then a plain cosine ranking over `recon`. */
+  def sq8Reconstructed(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int): DataFrame = {
+    val stats = emb.select(posexplode(col(vecCol)))
+      .select((col("pos") + 1).as("dim"), col("col").cast("double").as("x"))
+      .groupBy(col("dim")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val statsArr = stats
+      .agg(sort_array(collect_list(struct(col("dim"), col("mn")))).as("mns"),
+        sort_array(collect_list(struct(col("dim"), col("mx")))).as("mxs"))
+      .select(transform(col("mns"), t => t("mn")).as("mn"),
+        transform(col("mxs"), t => t("mx")).as("mx"))
+    emb.crossJoin(broadcast(statsArr))
+      .select(col(idCol),
+        transform(sequence(lit(1), lit(dim)), i => {
+          val x = element_at(col(vecCol), i).cast(DoubleType)
+          val mn = element_at(col("mn"), i)
+          val sc = element_at(col("mx"), i) - mn
+          val code = when(sc === 0.0, lit(0.0))
+            .otherwise(least(floor((x - mn) * 255.0 / sc), lit(255.0)))
+          mn + (code + 0.5) * sc / 255.0
+        }).as("recon"))
+  }
+
   /** ANN via bucket-equality join + per-bucket cosine top-k. */
   def ivfTopK(queries: DataFrame, targets: DataFrame, k: Int, bits: Int,
       qId: String = "q_id", qVec: String = "q_vec",

@@ -133,24 +133,7 @@ object SimilarityQueries {
   def q127(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d)
-    val stats = e.select(posexplode($"embedding"))
-      .select(($"pos" + 1).as("dim"), $"col".cast("double").as("x"))
-      .groupBy($"dim").agg(min($"x").as("mn"), max($"x").as("mx"))
-    val statsArr = stats
-      .agg(sort_array(collect_list(struct($"dim", $"mn"))).as("mns"),
-        sort_array(collect_list(struct($"dim", $"mx"))).as("mxs"))
-      .select(transform($"mns", t => t("mn")).as("mn"),
-        transform($"mxs", t => t("mx")).as("mx"))
-    val recon = e.crossJoin(broadcast(statsArr))
-      .select($"vec_id",
-        transform(sequence(lit(1), lit(64)), i => {
-          val x = element_at($"embedding", i).cast("double")
-          val mn = element_at($"mn", i)
-          val sc = element_at($"mx", i) - mn
-          val code = when(sc === 0.0, lit(0.0))
-            .otherwise(least(floor((x - mn) * 255.0 / sc), lit(255.0)))
-          mn + (code + 0.5) * sc / 255.0
-        }).as("recon"))
+    val recon = Similarity.sq8Reconstructed(e, "vec_id", "embedding", 64)
     val qd = queriesDf(s, d)
     val quant = Similarity.bruteForceTopK(qd, recon, k = 10, tVec = "recon")
     val exact = Similarity.bruteForceTopK(qd, e, k = 10)

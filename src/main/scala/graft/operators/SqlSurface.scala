@@ -299,6 +299,25 @@ object SqlSurface {
     s.sql(q86Text)
   }
 
+  /** q130 — LATERAL correlated subquery (SQL:2016 / Spark 3.2+): for
+    * each nation, its top-2 customers by balance, expressed as a
+    * per-row subquery in FROM. Catalyst decorrelates this to a
+    * ranked join (no nested-loop per nation); the same text runs
+    * unchanged in DuckDB — exactly the portability the SQL surface is
+    * for. */
+  val q130Text: String =
+    """SELECT n_name, c.c_name, c.c_acctbal
+      |FROM nation, LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer
+      |  WHERE c_nationkey = n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+      |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin
+
+  def q130(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "nation", "customer")
+    s.sql(q130Text)
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q27_correlated_subquery", q27, Some(q27Sql)),
     QueryDef("q28_grouping_sets", q28, Some(q28Sql)),
@@ -314,5 +333,6 @@ object SqlSurface {
     QueryDef("q84_disjunctive_pred", q84, Some(q84Text)),
     QueryDef("q85_supplier_diversity", q85, Some(q85Text)),
     QueryDef("q86_intersect_except", q86, Some(q86Text)),
+    QueryDef("q130_lateral_topn", q130, Some(q130Text)),
   )
 }

@@ -260,6 +260,38 @@ object TextQueries {
       |WHERE list_indexof(string_split(text, ' '), 'the') > 0
       |ORDER BY doc_id""".stripMargin
 
+  /** q128 — heavy hitters via the native Misra-Gries sketch
+    * ([[graft.plans.MisraGries]], a TypedImperativeAggregate whose
+    * partials carry at most k counters through the shuffle — the 100 TB
+    * frequent-items pattern; a groupBy count materializes the whole
+    * vocabulary, this never holds more than k entries anywhere).
+    *
+    * Oracle-checkable because k = 64 exceeds this corpus's distinct
+    * word count: in that regime no decrement ever fires and the sketch
+    * degenerates to the EXACT count table, so a plain GROUP BY oracle
+    * hash-matches. The lossy regime (vocabulary ≫ k) is covered by
+    * FrequentItemsSpec's n/(k+1) error-bound test. */
+  def q128(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.plans.MisraGries.register(s)
+    Tables.documents(s, d)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+      .agg(graft.plans.MisraGries.mg_topk($"w", 64).as("top"))
+      .select(posexplode($"top"))
+      .select(($"pos" + 1).cast("long").as("rn"),
+        $"col.item".as("item"), $"col.cnt".as("cnt"))
+      .orderBy($"rn")
+  }
+
+  val q128Sql: String =
+    """SELECT CAST(row_number() OVER (ORDER BY count(*) DESC, w) AS BIGINT) AS rn,
+      |  w AS item, count(*) AS cnt
+      |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+      |WHERE w <> ''
+      |GROUP BY w
+      |ORDER BY rn""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q40_token_stats", q40, Some(q40Sql)),
     QueryDef("q41_quality_score", q41, Some(q41Sql), bench = true),
@@ -271,5 +303,6 @@ object TextQueries {
     QueryDef("q47_top_bigrams", q47, Some(q47Sql), bench = true),
     QueryDef("q48_array_position", q48, Some(q48Sql)),
     QueryDef("q49_fuzzy_name_pairs", q49, Some(q49Sql)),
+    QueryDef("q128_heavy_hitters_sketch", q128, Some(q128Sql)),
   )
 }

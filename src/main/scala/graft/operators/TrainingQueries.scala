@@ -466,6 +466,6 @@ object TrainingQueries {
     QueryDef("q97_chunking_overlap", q97, Some(q97Sql)),
     QueryDef("q98_weighted_sample", q98, Some(q98Sql)),
     QueryDef("q99_simhash_hamming_dedup", q99, Some(q99Sql)),
-    QueryDef("q122_bm25_ranking", q122, Some(q122Sql)),
+    QueryDef("q122_bm25_ranking", q122, Some(q122Sql), bench = true),
   )
 }
