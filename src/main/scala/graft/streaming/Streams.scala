@@ -209,4 +209,42 @@ object Streams {
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(dedupOnArrivalUpdate)
       .toDF()
   }
+
+  final case class BucketSummary(bucket: Int, item: String, cnt: Long)
+
+  /** Streaming frequent items: per-bucket Misra-Gries summaries held in
+    * flatMapGroupsWithState. Items hash-route to `buckets` groups, each
+    * group folds its slice of the stream into a ≤ k-counter
+    * [[graft.plans.MgBuffer]] (state is the serialized counter map —
+    * bounded at k entries per bucket FOREVER, however long the stream
+    * runs), and every trigger re-emits the updated buckets' summaries
+    * (Update mode). Global heavy hitters = merge of the bucket
+    * summaries downstream; because routing is deterministic by item,
+    * each item's whole count lives in exactly one bucket, so in the
+    * exact regime (k ≥ bucket vocabulary) the union IS the exact count
+    * table — which is what StreamingSpec pins against a batch groupBy.
+    */
+  def frequentItemsUpdate(k: Int)(
+      bucket: Int, rows: Iterator[String],
+      state: GroupState[Map[String, Long]]): Iterator[BucketSummary] = {
+    val buf = new graft.plans.MgBuffer(k)
+    state.getOption.getOrElse(Map.empty)
+      .foreach { case (item, c) => buf.counters.put(item, c) }
+    rows.foreach(buf.add(_))
+    import scala.jdk.CollectionConverters._
+    val out = buf.counters.asScala.toMap
+    state.update(out)
+    out.iterator.map { case (item, c) => BucketSummary(bucket, item, c) }
+  }
+
+  /** Update-mode stream of per-bucket MG summaries. */
+  def frequentItems(items: org.apache.spark.sql.Dataset[String],
+      k: Int, buckets: Int): DataFrame = {
+    import items.sparkSession.implicits._
+    items
+      .groupByKey(s => math.floorMod(s.hashCode, buckets))
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(frequentItemsUpdate(k))
+      .toDF()
+  }
 }

@@ -229,4 +229,43 @@ class StreamingSpec extends SparkSpec {
     assert(afterB2 == Map("A" -> 1L, "B" -> 3L, "C" -> 4L),
       s"cross-batch duplicate suppressed, new fp emitted: $afterB2")
   }
+
+  test("streaming frequent items: bucket MG summaries accumulate across batches") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("fi_src").toString
+    val ckpt = Files.createTempDirectory("fi_ckpt").toString
+    def run(): Map[String, Long] = {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL("w STRING")
+      val stream = spark.readStream.schema(schema).option("header", "true")
+        .csv(src).as[String]
+      val emitted = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      val q = Streams.frequentItems(stream, k = 16, buckets = 4)
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.select("item", "cnt").as[(String, Long)].collect()
+          emitted.synchronized { emitted ++= rows }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(60000))
+      // update mode re-emits a bucket's whole summary each trigger —
+      // latest emission per item is the current count
+      emitted.groupBy(_._1).map { case (i, rows) => i -> rows.map(_._2).max }
+    }
+    Files.writeString(java.nio.file.Path.of(s"$src/b1.csv"),
+      "w\n" + ("x\n" * 5) + ("y\n" * 3) + "z\n")
+    val after1 = run()
+    assert(after1 == Map("x" -> 5L, "y" -> 3L, "z" -> 1L), s"b1: $after1")
+    // batch 2 adds to existing counters across the restart boundary
+    Files.writeString(java.nio.file.Path.of(s"$src/b2.csv"),
+      "w\n" + ("x\n" * 2) + ("w\n" * 4))
+    // only buckets touched in batch 2 re-emit (x's and w's); y's bucket
+    // is silent this trigger but its state is intact in the checkpoint
+    val after2 = run()
+    assert(after2("x") == 7L && after2("w") == 4L,
+      s"state carried across batches: $after2")
+  }
 }
