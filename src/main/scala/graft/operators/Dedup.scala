@@ -92,17 +92,32 @@ object Dedup {
   }
 
   private def minhashOverShingles(sh: DataFrame, idCol: String, nHashes: Int): DataFrame = {
-    val nDigests = (nHashes + 3) / 4
-    val withDigests = (0 until nDigests).foldLeft(sh) { (d, j) =>
-      val src = if (j == 0) col("shingle") else concat(col("shingle"), lit(s"#$j"))
-      d.withColumn(s"__d$j", md5(src))
-    }
+    // ONE md5 per shingle, whatever nHashes is: the digest's first two
+    // 32-bit chunks seed a Kirsch-Mitzenmacher family
+    // h_i = (a1 + i·a2) mod 2^32 — statistically equivalent to
+    // independent hashes for MinHash purposes. vs the previous
+    // ceil(n/4)-digest slicing scheme this is flat 1 digest; measured
+    // roughly NEUTRAL on word-bigram shingles at 1M docs (short-string
+    // md5 is cheap and the two hex-chunk parses buy back the saved
+    // digest) — the win grows with shingle length, since digest cost is
+    // linear in input bytes while the KM derivation is flat, and with
+    // nHashes. The mins aggregate as 64-bit integers (map-side partial
+    // min); fixed-width lowercase hex is formatted once per doc AFTER
+    // the agg, keeping the h1..hn output shape (and downstream banding)
+    // unchanged. Exactly mirrored in DuckDB via
+    // ('0x'||substr(md5,..))::BIGINT.
+    val d = md5(col("shingle"))
+    val withH = sh
+      .withColumn("__d", d)
+      .withColumn("__a1", conv(substring(col("__d"), 1, 8), 16, 10).cast("long"))
+      .withColumn("__a2", conv(substring(col("__d"), 9, 8), 16, 10).cast("long"))
     val aggs = (1 to nHashes).map { i =>
-      val j = (i - 1) / 4
-      val off = ((i - 1) % 4) * 8 + 1
-      min(substring(col(s"__d$j"), off, 8)).as(s"h$i")
+      min(pmod(col("__a1") + lit(i.toLong) * col("__a2"), lit(4294967296L))).as(s"__m$i")
     }
-    withDigests.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val hexed = (1 to nHashes).map(i =>
+      lower(lpad(hex(col(s"__m$i")), 8, "0")).as(s"h$i"))
+    withH.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol) +: hexed: _*)
   }
 
   /** LSH banding: rows (id, band_idx, band_hash), band b covering

@@ -41,22 +41,29 @@ object DedupQueries {
   }
 
   /** Shared signature CTE for the oracle side (mirrors
-    * Dedup.minhashSignatureWords: word-bigram shingles, one md5 per
-    * shingle sliced into 8-hex chunks; hashes 5..6 from a second
-    * seeded digest). */
-  private val sigSql: String =
-    """sig AS (
-      |  SELECT doc_id,
-      |    min(substr(d0, 1, 8)) AS h1, min(substr(d0, 9, 8)) AS h2,
-      |    min(substr(d0, 17, 8)) AS h3, min(substr(d0, 25, 8)) AS h4,
-      |    min(substr(d1, 1, 8)) AS h5, min(substr(d1, 9, 8)) AS h6
-      |  FROM (
-      |    SELECT doc_id, md5(sh) AS d0, md5(sh || '#1') AS d1 FROM (
-      |      SELECT doc_id, unnest(list_distinct(list_transform(
-      |        range(1, len(string_split(text, ' '))),
-      |        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS sh
-      |      FROM documents) q) r
-      |  GROUP BY doc_id)""".stripMargin
+    * Dedup.minhashSignatureWords: word-bigram shingles, ONE md5 per
+    * shingle whose two leading 32-bit chunks seed the
+    * Kirsch-Mitzenmacher family h_i = (a1 + i·a2) mod 2^32; integer
+    * mins, fixed-width lowercase hex formatted after the agg). */
+  private val sigSql: String = {
+    val hexed = (1 to 6).map(i =>
+      s"lower(lpad(to_hex(min((a1 + $i * a2) % 4294967296)), 8, '0')) AS h$i")
+      .mkString(",\n    ")
+    s"""sig AS (
+       |  SELECT doc_id,
+       |    $hexed
+       |  FROM (
+       |    SELECT doc_id,
+       |      ('0x' || substr(d, 1, 8))::BIGINT AS a1,
+       |      ('0x' || substr(d, 9, 8))::BIGINT AS a2
+       |    FROM (
+       |      SELECT doc_id, md5(sh) AS d FROM (
+       |        SELECT doc_id, unnest(list_distinct(list_transform(
+       |          range(1, len(string_split(text, ' '))),
+       |          i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS sh
+       |        FROM documents) q) r) s
+       |  GROUP BY doc_id)""".stripMargin
+  }
 
   val q51Sql: String =
     s"""WITH $sigSql

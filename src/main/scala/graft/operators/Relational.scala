@@ -785,6 +785,70 @@ object Relational {
       |FROM diff WHERE verdict <> 'unchanged'
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q133 — whole-partition window frames: per customer (ordered by
+    * date, orderkey) each order sees the partition's first, last, and
+    * second price via first_value/last_value/nth_value over ROWS
+    * UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING. The full frame makes
+    * last_value mean "partition last", not the default "current row" —
+    * the classic frame-semantics trap, pinned here against the oracle. */
+  def q133(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select($"o_custkey", $"o_orderkey",
+        first_value($"o_totalprice").over(w).as("first_p"),
+        last_value($"o_totalprice").over(w).as("last_p"),
+        nth_value($"o_totalprice", 2).over(w).as("second_p"))
+      .filter($"o_orderkey" % 10 === 0)
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val q133Sql: String =
+    """SELECT o_custkey, o_orderkey, first_p, last_p, second_p FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    first_value(o_totalprice) OVER w AS first_p,
+      |    last_value(o_totalprice) OVER w AS last_p,
+      |    nth_value(o_totalprice, 2) OVER w AS second_p
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) t
+      |WHERE o_orderkey % 10 = 0
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** q134 — forward-fill (LOCF gap fill): error events lose their
+    * reading (deterministic null injection so both engines see the
+    * same gaps), then each user's timeline carries the last known
+    * value forward via last_value(... IGNORE NULLS) over the
+    * preceding-rows frame — the standard sensor/metric imputation
+    * operator, partition-parallel per user. */
+  def q134(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select($"user_id", $"event_id", $"ts",
+        when($"event_type" === "error", lit(null).cast("double"))
+          .otherwise($"value").as("v"))
+      .withColumn("v_filled", last($"v", ignoreNulls = true).over(w))
+      .filter($"v".isNull)
+      .select($"user_id", $"event_id", coalesce($"v_filled", lit(-1.0)).as("v_filled"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val q134Sql: String =
+    """SELECT user_id, event_id, coalesce(v_filled, -1.0) AS v_filled FROM (
+      |  SELECT user_id, event_id, v,
+      |    last_value(v IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+      |  FROM (
+      |    SELECT user_id, event_id, ts,
+      |      CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      |    FROM events) e) f
+      |WHERE v IS NULL
+      |ORDER BY user_id, event_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql), bench = true),
     QueryDef("q02_filter_project", q02, Some(q02Sql)),
@@ -819,5 +883,7 @@ object Relational {
     QueryDef("q115_median_per_group", q115, Some(q115Sql)),
     QueryDef("q126_trimmed_mean", q126, Some(q126Sql)),
     QueryDef("q131_snapshot_diff", q131, Some(q131Sql)),
+    QueryDef("q133_window_frames", q133, Some(q133Sql)),
+    QueryDef("q134_forward_fill", q134, Some(q134Sql)),
   )
 }
