@@ -401,6 +401,46 @@ object CurationQueries {
        |FROM nw LEFT JOIN exh USING (h) LEFT JOIN exf USING (fp)
        |ORDER BY doc_id""".stripMargin
 
+  /** q137 — Pareto frontier of the quality/length tradeoff: documents
+    * not dominated by any other (another doc with ≥ quality and
+    * ≤ length, strictly better in one) — the "skyline" a curation
+    * policy samples from when it wants maximal quality per token.
+    *
+    * NOT computed by the O(n²) dominance self-join the oracle uses:
+    * dominance against the whole corpus reduces to two scalars per
+    * length — max quality at STRICTLY SHORTER lengths (prefix max)
+    * and max quality at the SAME length. Both come from a groupBy on
+    * length (one shuffle, corpus-sized) followed by a prefix-max
+    * window over the per-length table — bounded by #distinct lengths,
+    * not corpus size — broadcast back. A doc is on the frontier iff
+    * no strictly-shorter doc matches its quality and no same-length
+    * doc beats it. */
+  def q137(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scored = Tables.documents(s, d)
+      .select($"doc_id", $"n_chars", r4(quality($"text")).as("quality"))
+    val perLen = scored.groupBy($"n_chars").agg(max($"quality").as("mq"))
+    val pfx = perLen.withColumn("mq_lt",
+      max($"mq").over(Window.orderBy($"n_chars")
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    scored.join(broadcast(pfx), "n_chars")
+      .filter(($"mq_lt".isNull || $"mq_lt" < $"quality") && $"mq" <= $"quality")
+      .select($"doc_id", $"n_chars", $"quality")
+      .orderBy($"doc_id")
+  }
+
+  val q137Sql: String = {
+    val qs = graft.functions.TextAnalysis.sqlQualityScore("text")
+    s"""WITH q AS (
+       |  SELECT doc_id, n_chars, ${sqlR4(qs)} AS quality FROM documents)
+       |SELECT doc_id, n_chars, quality FROM q d
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM q e
+       |  WHERE e.quality >= d.quality AND e.n_chars <= d.n_chars
+       |    AND (e.quality > d.quality OR e.n_chars < d.n_chars))
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q100_dedup_keep_best", q100, Some(q100Sql)),
     QueryDef("q101_stop_grams", q101, Some(q101Sql), bench = true),
@@ -412,5 +452,6 @@ object CurationQueries {
     QueryDef("q123_containment_pairs", q123, Some(q123Sql)),
     QueryDef("q124_source_cap", q124, Some(q124Sql)),
     QueryDef("q125_incremental_dedup", q125, Some(q125Sql), bench = true),
+    QueryDef("q137_pareto_frontier", q137, Some(q137Sql)),
   )
 }

@@ -56,6 +56,90 @@ object Profile {
        |FROM customer""".stripMargin
   }.mkString("\nUNION ALL\n") + "\nORDER BY col_name"
 
+  // ---- data-quality gates (Deequ-style constraint checking) ----------
+
+  /** One declared constraint over a pre-aggregated metrics row:
+    * `metric`/`pass` are column expressions over that single row. */
+  final case class Gate(name: String, metric: org.apache.spark.sql.Column,
+      threshold: Double, pass: org.apache.spark.sql.Column)
+
+  /** Renders a 1-row metrics DataFrame into one verdict row per gate —
+    * (gate, metric, threshold, passed). The expensive part (the metric
+    * aggregation) is the caller's single scan; this is a constant-size
+    * explode, so a 100-gate suite still reads the table once. */
+  def gateReport(metrics: DataFrame, gates: Seq[Gate]): DataFrame = {
+    val rows = gates.map { g =>
+      struct(lit(g.name).as("gate"), g.metric.cast("double").as("metric"),
+        lit(g.threshold).as("threshold"), g.pass.cast("int").as("passed"))
+    }
+    metrics.select(explode(array(rows: _*)).as("g"))
+      .select(col("g.gate"), col("g.metric"), col("g.threshold"), col("g.passed"))
+      .orderBy(col("gate"))
+  }
+
+  /** q136 — quality gates on lineitem: completeness, key uniqueness,
+    * value ranges, referential integrity. Everything but the orphan
+    * count is ONE aggregate pass; the orphan count is a left-anti
+    * probe against the (runtime-filtered) orders key set, then a 1×1
+    * cross join stitches the two metric rows together. The uniqueness
+    * gate genuinely FAILS on this corpus — (l_orderkey, l_linenumber)
+    * is not a key in the synthetic data — which is the point: a gate
+    * suite that cannot fail verifies nothing. Pass verdicts compare
+    * raw counts (never the rounded metric), so the verdict is exact. */
+  def q136(s: SparkSession, d: String): DataFrame = {
+    import graft.Fx.r6
+    val li = Tables.lineitem(s, d)
+    val m = li.agg(
+      count(lit(1)).as("cnt"),
+      count(col("l_shipdate")).as("ship"),
+      count_distinct(struct(col("l_orderkey"), col("l_linenumber"))).as("uq"),
+      min(col("l_quantity")).as("qmin"),
+      max(col("l_quantity")).as("qmax"),
+      max(col("l_discount")).as("dmax"))
+    val orphans = li.join(Tables.orders(s, d).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphans"))
+    val metrics = m.crossJoin(orphans)
+    gateReport(metrics, Seq(
+      Gate("completeness_shipdate", r6(col("ship").cast("double") / col("cnt")),
+        1.0, col("ship") === col("cnt")),
+      Gate("uniqueness_order_line", r6(col("uq").cast("double") / col("cnt")),
+        1.0, col("uq") === col("cnt")),
+      Gate("quantity_range", r6(col("qmax")), 50.0,
+        col("qmin") >= 1.0 && col("qmax") <= 50.0),
+      Gate("discount_max", r6(col("dmax")), 0.1, col("dmax") <= 0.1),
+      Gate("referential_orders", r6(col("orphans").cast("double")), 0.0,
+        col("orphans") === 0)))
+  }
+
+  val q136Sql: String = {
+    import graft.Fx.sqlR6
+    s"""WITH m AS (
+       |  SELECT count(*) AS cnt, count(l_shipdate) AS ship,
+       |    count(DISTINCT (l_orderkey, l_linenumber)) AS uq,
+       |    min(l_quantity) AS qmin, max(l_quantity) AS qmax,
+       |    max(l_discount) AS dmax
+       |  FROM lineitem),
+       |o AS (
+       |  SELECT count(*) AS orphans FROM lineitem l
+       |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l.l_orderkey)),
+       |g AS (SELECT * FROM m, o)
+       |SELECT gate, metric, threshold, passed FROM (
+       |  SELECT 'completeness_shipdate' AS gate,
+       |    ${sqlR6("CAST(ship AS DOUBLE) / cnt")} AS metric,
+       |    1.0 AS threshold, CAST(ship = cnt AS INT) AS passed FROM g
+       |  UNION ALL SELECT 'uniqueness_order_line',
+       |    ${sqlR6("CAST(uq AS DOUBLE) / cnt")}, 1.0, CAST(uq = cnt AS INT) FROM g
+       |  UNION ALL SELECT 'quantity_range', ${sqlR6("qmax")}, 50.0,
+       |    CAST(qmin >= 1.0 AND qmax <= 50.0 AS INT) FROM g
+       |  UNION ALL SELECT 'discount_max', ${sqlR6("dmax")}, 0.1,
+       |    CAST(dmax <= 0.1 AS INT) FROM g
+       |  UNION ALL SELECT 'referential_orders', ${sqlR6("CAST(orphans AS DOUBLE)")},
+       |    0.0, CAST(orphans = 0 AS INT) FROM g)
+       |ORDER BY gate""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
-    QueryDef("q80_profile", q80, Some(q80Sql)))
+    QueryDef("q80_profile", q80, Some(q80Sql)),
+    QueryDef("q136_quality_gates", q136, Some(q136Sql)))
 }

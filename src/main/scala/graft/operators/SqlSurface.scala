@@ -318,6 +318,71 @@ object SqlSurface {
     s.sql(q130Text)
   }
 
+  /** q135 — recursive CTE (`WITH RECURSIVE`, Spark 4): per-customer
+    * order "streaks", maximal chains of consecutive orders ≤ 60 days
+    * apart. The successor relation is a window `lead` with a unique
+    * (date, orderkey) tie-break, so every order has at most ONE
+    * successor — the chain graph is a forest of paths and UNION ALL
+    * recursion enumerates each path suffix exactly once (Spark's
+    * recursive CTEs do not support UNION-distinct, so cyclic closures
+    * are out; a functional-dependency-shaped recursion like this is
+    * the terminating form). Each iteration joins only the live chain
+    * frontier to the successor table on a key — chains die out
+    * geometrically, and depth is bounded by max orders per customer
+    * (≪ the 100-level default limit). */
+  private val streakGap = 60
+
+  def q135(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "orders")
+    s.sql(
+      s"""WITH RECURSIVE succ AS (
+         |  SELECT o_orderkey AS okey, o_custkey AS ckey, o_totalprice AS price,
+         |    lead(o_orderkey) OVER w AS next_okey,
+         |    datediff(lead(CAST(o_orderdate AS DATE)) OVER w, CAST(o_orderdate AS DATE)) AS next_gap,
+         |    datediff(CAST(o_orderdate AS DATE), lag(CAST(o_orderdate AS DATE)) OVER w) AS prev_gap
+         |  FROM orders
+         |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+         |chain(head, okey, ckey, pos, price) AS (
+         |  SELECT okey, okey, ckey, 1, price FROM succ
+         |  WHERE prev_gap IS NULL OR prev_gap > $streakGap
+         |  UNION ALL
+         |  SELECT c.head, n.okey, c.ckey, c.pos + 1, n.price
+         |  FROM chain c JOIN succ cur ON c.okey = cur.okey
+         |  JOIN succ n ON cur.next_okey = n.okey
+         |  WHERE cur.next_gap <= $streakGap)
+         |SELECT head AS streak_head, ckey AS o_custkey,
+         |  CAST(max(pos) AS BIGINT) AS streak_len,
+         |  ${sqlMoneySum("price")} AS streak_spend
+         |FROM chain GROUP BY head, ckey
+         |HAVING max(pos) >= 2
+         |ORDER BY streak_head""".stripMargin)
+  }
+
+  /** Identical shape in DuckDB; only the day-difference spelling
+    * differs (`date_diff('day', a, b)` vs Spark's `datediff(b, a)`). */
+  val q135Sql: String =
+    s"""WITH RECURSIVE succ AS (
+       |  SELECT o_orderkey AS okey, o_custkey AS ckey, o_totalprice AS price,
+       |    lead(o_orderkey) OVER w AS next_okey,
+       |    date_diff('day', CAST(o_orderdate AS DATE), lead(CAST(o_orderdate AS DATE)) OVER w) AS next_gap,
+       |    date_diff('day', lag(CAST(o_orderdate AS DATE)) OVER w, CAST(o_orderdate AS DATE)) AS prev_gap
+       |  FROM orders
+       |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+       |chain(head, okey, ckey, pos, price) AS (
+       |  SELECT okey, okey, ckey, 1, price FROM succ
+       |  WHERE prev_gap IS NULL OR prev_gap > $streakGap
+       |  UNION ALL
+       |  SELECT c.head, n.okey, c.ckey, c.pos + 1, n.price
+       |  FROM chain c JOIN succ cur ON c.okey = cur.okey
+       |  JOIN succ n ON cur.next_okey = n.okey
+       |  WHERE cur.next_gap <= $streakGap)
+       |SELECT head AS streak_head, ckey AS o_custkey,
+       |  CAST(max(pos) AS BIGINT) AS streak_len,
+       |  ${sqlMoneySum("price")} AS streak_spend
+       |FROM chain GROUP BY head, ckey
+       |HAVING max(pos) >= 2
+       |ORDER BY streak_head""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q27_correlated_subquery", q27, Some(q27Sql)),
     QueryDef("q28_grouping_sets", q28, Some(q28Sql)),
@@ -334,5 +399,6 @@ object SqlSurface {
     QueryDef("q85_supplier_diversity", q85, Some(q85Text)),
     QueryDef("q86_intersect_except", q86, Some(q86Text)),
     QueryDef("q130_lateral_topn", q130, Some(q130Text)),
+    QueryDef("q135_order_streaks_recursive", q135, Some(q135Sql)),
   )
 }
