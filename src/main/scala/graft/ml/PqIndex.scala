@@ -60,7 +60,11 @@ object PqIndex {
       targets.select(col(idCol), col(vecCol))) { (df, s) =>
       val staged = df.withColumn(s"__v$s",
         array_to_vector(subVec(col(vecCol), s, idx.subDim)))
-      idx.models(s).setFeaturesCol(s"__v$s").setPredictionCol(s"__c$s")
+      // Copy before setting columns: mutating the shared model in place
+      // would make Index unsafe for concurrent use and leak column
+      // names across calls.
+      idx.models(s).copy(org.apache.spark.ml.param.ParamMap.empty)
+        .setFeaturesCol(s"__v$s").setPredictionCol(s"__c$s")
         .transform(staged).drop(s"__v$s")
     }
     withCodes.select(col(idCol),
@@ -79,9 +83,11 @@ object PqIndex {
     val spark = encoded.sparkSession
     import spark.implicits._
     val cents = idx.centroids
-    val qRows = queries.select(col(qId).cast("long"), col(qVec)).collect()
+    val qRows = queries
+      .select(col(qId).cast("long"), col(qVec).cast("array<double>"))
+      .collect()
     val luts = qRows.map { r =>
-      val q = r.getSeq[Float](1).map(_.toDouble).toArray
+      val q = r.getSeq[Double](1).toArray
       val lut = Array.tabulate(idx.m) { s =>
         cents(s).map { c =>
           var d = 0.0

@@ -327,7 +327,11 @@ object EventQueries {
       .groupBy(date_trunc("hour", $"ts").as("hour"))
       .agg(count(lit(1)).cast("double").as("n"))
     val stats = hours.agg(avg($"n").as("mu"), stddev_samp($"n").as("sigma"))
+    // sigma > 0 guard: on degenerate data (all hours equal) Spark's
+    // n/0 is NaN (predicate false) while DuckDB sorts NaN above all
+    // values (predicate true) — filter before dividing in BOTH mirrors.
     hours.crossJoin(broadcast(stats))
+      .filter($"sigma" > 0.0)
       .withColumn("z", ($"n" - $"mu") / $"sigma")
       .filter(abs($"z") > 2.0)
       .select($"hour", $"n".cast("long").as("n_events"), r4($"z").as("z"))
@@ -343,7 +347,7 @@ object EventQueries {
        |SELECT hour, CAST(n AS BIGINT) AS n_events,
        |  ${sqlR4("(n - mu) / sigma")} AS z
        |FROM hours CROSS JOIN stats
-       |WHERE abs((n - mu) / sigma) > 2.0
+       |WHERE sigma > 0 AND abs((n - mu) / sigma) > 2.0
        |ORDER BY hour""".stripMargin
 
   val all: Seq[QueryDef] = Seq(

@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -86,6 +87,13 @@ case class MisraGries(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[MgBuffer] {
+
+  // Reject non-string children at analysis time (the buffer keys on
+  // String) instead of a runtime ClassCastException in update().
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mg_topk requires a STRING child, got ${child.dataType.simpleString}")
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false

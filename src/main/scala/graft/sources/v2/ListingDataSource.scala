@@ -38,9 +38,12 @@ class ListingDataSource extends TableProvider {
     ListingDataSource.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new ListingTable(properties.get("path"),
-      Option(properties.get("date")).getOrElse(""))
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty,
+      "listing source requires .option(\"path\", <archive dir>)")
+    new ListingTable(path, Option(properties.get("date")).getOrElse(""))
+  }
 }
 
 object ListingDataSource {
@@ -115,10 +118,18 @@ private[v2] class ListingScan(path: String, date: String,
     s"ListingScan path=$path, PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.simpleString}"
 
+  /** List the archive through the Hadoop FileSystem API so any
+    * configured scheme works (file://, hdfs://, s3a://, ...), not just
+    * the driver's local filesystem. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val dir = new java.io.File(path)
-    val files = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(_.isFile).map(_.getAbsolutePath).sorted
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf()
+    val fs = hp.getFileSystem(conf)
+    val files =
+      if (!fs.exists(hp)) Array.empty[String]
+      else fs.listStatus(hp).filter(_.isFile)
+        .map(_.getPath.toString).sorted
     files.map(f => ListingInputPartition(f): InputPartition)
   }
 
@@ -136,11 +147,22 @@ private[v2] class ListingReaderFactory(date: String, fields: Array[String],
     val file = p.asInstanceOf[ListingInputPartition].file
     new PartitionReader[InternalRow] {
       private val rows: Iterator[InternalRow] = {
+        // Hadoop FS read: partition paths are URIs from the driver's
+        // listing (file:/, hdfs://, ...); malformed/unreadable page →
+        // zero rows, matching the flatMap path's semantics.
         val content =
-          try new String(
-            java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)),
-            java.nio.charset.StandardCharsets.UTF_8)
-          catch { case _: Exception => "" }
+          try {
+            val hp = new org.apache.hadoop.fs.Path(file)
+            val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            val in = fs.open(hp)
+            try {
+              val bos = new java.io.ByteArrayOutputStream()
+              val buf = new Array[Byte](64 * 1024)
+              var n = in.read(buf)
+              while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+              new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+            } finally in.close()
+          } catch { case _: Exception => "" }
         ListingParser.parseFloorPlans(content, file, date).iterator
           .filter(r => eqFilters.forall { case (a, v) =>
             ListingDataSource.fieldValue(r, a) == v })

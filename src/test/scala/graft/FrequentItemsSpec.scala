@@ -57,6 +57,16 @@ class FrequentItemsSpec extends SparkSpec {
     assert(!b.counters.containsKey("c"))
   }
 
+  test("non-string child is rejected at analysis time, not runtime") {
+    MisraGries.register(spark)
+    import spark.implicits._
+    val df = Seq(1, 2, 2, 3).toDF("n")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(MisraGries.mg_topk($"n", 8).as("top")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("string"))
+  }
+
   test("nulls ignored, output deterministically ordered") {
     MisraGries.register(spark)
     import spark.implicits._

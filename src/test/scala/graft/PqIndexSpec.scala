@@ -57,6 +57,20 @@ class PqIndexSpec extends SparkSpec {
     t.unpersist(); q.unpersist()
   }
 
+  test("searchADC accepts array<double> query vectors (cast parity)") {
+    val t = patternedTargets(500, nPatterns = 8).cache()
+    val qF = queries(2).cache()
+    val qD = qF.withColumn("q_vec", $"q_vec".cast("array<double>"))
+    val idx = PqIndex.build(t, "embedding", dim, m, k = 8)
+    val enc = PqIndex.encode(t, "vec_id", "embedding", idx).cache()
+    val fromFloat = PqIndex.searchADC(enc, qF, idx, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fromDouble = PqIndex.searchADC(enc, qD, idx, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromFloat == fromDouble && fromFloat.size == 10)
+    t.unpersist(); qF.unpersist(); enc.unpersist()
+  }
+
   test("clustered corpus: ADC retrieves the query's own cluster") {
     // 64 clusters with 5% noise; each query is a perturbed member of a
     // known cluster — the realistic "find my near neighbors" shape.
