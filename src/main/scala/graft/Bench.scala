@@ -25,13 +25,31 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Optional comma-separated name filter for local iteration
+    // (e.g. SPARK_GRAFT_BENCH_ONLY=q53_near_dup_pairs).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val headline = SparkEntry.benchQueries
+      .filter(q => only.forall(_.contains(q.name)))
+
+    // Queries that persist intermediates (candidatePairs caches its
+    // bands) cannot unpersist them inside the pure-DataFrame contract,
+    // so caches leak across the run: 30+ queries in, eviction + GC
+    // pressure was inflating later measurements ~3× (q53: 6.8 s in the
+    // full run vs 2.1 s alone). Dropping every persistent RDD between
+    // queries keeps each measurement isolated.
+    def releaseCaches(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
 
     def exec(dir: String): Unit = headline.foreach { q =>
       try q.fn(spark, dir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench-warmup] ${q.name}: ${e.getMessage}")
       }
+      releaseCaches()
     }
     // warmup: JIT, codegen cache, parquet reader classes
     val warmDir = "/root/testdata/sf0.001"
@@ -45,7 +63,9 @@ object Bench {
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
           false
         }
-      (q.name, (System.nanoTime() - t0) / 1e9, ok)
+      val t = (System.nanoTime() - t0) / 1e9
+      releaseCaches()
+      (q.name, t, ok)
     }
     // A crashed query must not pass its (near-zero) wall time off as a
     // measurement: it is reported as null and excluded from the total.
