@@ -227,6 +227,59 @@ object TpchClassics {
        |  GROUP BY 1) t
        |ORDER BY ship_month""".stripMargin
 
+  /** Q4 shape — order-priority checking: orders of one quarter with at
+    * least one late lineitem (shipped > 60 days after the order date —
+    * this schema has no commit/receipt dates), counted per priority.
+    * The EXISTS is a LEFT SEMI join: lineitem is ~4× orders, so the
+    * semi join keeps the probe side small and never duplicates an
+    * order no matter how many of its lines are late. Both join keys
+    * hash-partition on l_orderkey/o_orderkey — one shuffle each side,
+    * no distinct needed (semi join dedups by construction). */
+  def q138(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+      .filter($"o_orderdate" >= ts("1997-01-01") && $"o_orderdate" < ts("1997-04-01"))
+    val l = Tables.lineitem(s, d).select($"l_orderkey", $"l_shipdate")
+    o.join(l, $"o_orderkey" === $"l_orderkey" &&
+        $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"), "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q138Sql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Q6 shape — forecasting revenue change: a pure scan-side filter
+    * aggregate, the canonical pushdown benchmark (every predicate
+    * reaches the parquet scan; no join, no shuffle beyond the final
+    * 1-row agg). Discount bounds compare stored doubles (no
+    * arithmetic); price×discount lands on the 4-decimal grid. */
+  def q139(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate" >= ts("1997-01-01") && $"l_shipdate" < ts("1998-01-01") &&
+        $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24.0)
+      .agg(rev4Sum($"l_extendedprice" * $"l_discount").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q139Sql: String =
+    s"""SELECT ${sqlRev4Sum("l_extendedprice * l_discount")} AS revenue,
+       |  CAST(count(*) AS BIGINT) AS n_items
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+       |  AND l_shipdate < TIMESTAMP '1998-01-01'
+       |  AND l_discount >= 0.05 AND l_discount <= 0.07
+       |  AND l_quantity < 24.0""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q64_shipping_priority", q64, Some(q64Sql), bench = true),
     QueryDef("q65_local_supplier_volume", q65, Some(q65Sql), bench = true),
@@ -234,5 +287,7 @@ object TpchClassics {
     QueryDef("q67_product_profit", q67, Some(q67Sql)),
     QueryDef("q68_returned_items", q68, Some(q68Sql)),
     QueryDef("q69_promo_revenue", q69, Some(q69Sql)),
+    QueryDef("q138_order_priority_check", q138, Some(q138Sql)),
+    QueryDef("q139_forecast_revenue", q139, Some(q139Sql), bench = true),
   )
 }
