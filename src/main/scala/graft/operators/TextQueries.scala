@@ -292,6 +292,60 @@ object TextQueries {
       |GROUP BY w
       |ORDER BY rn""".stripMargin
 
+  /** q141 — point-frequency estimates via the native Count-Min sketch
+    * ([[graft.plans.CountMinSketch]]): the complement of q128's
+    * Misra-Gries (MG surfaces the heavy items; CM answers point queries
+    * for any item in fixed d×w space — the shuffle carries exactly
+    * d·w longs per partition, never the vocabulary).
+    *
+    * Fully oracle-checked, not just error-bounded: the cell hash is
+    * md5-derived (`('0x'||substr(md5(w||'#'||r),1,8))::BIGINT % w`),
+    * so DuckDB rebuilds the IDENTICAL grid from the exact count table
+    * and the estimates hash-match collision-for-collision. Width 32 is
+    * deliberately smaller than the vocabulary so real collisions occur
+    * and the one-sided error (est ≥ true) is exercised, not just the
+    * degenerate exact regime. */
+  def q141(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.plans.CountMin.register(s)
+    val depth = 3
+    val width = 32
+    val toks = Tables.documents(s, d)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+    val sk = toks.agg(graft.plans.CountMin.cm_sketch($"w", depth, width).as("sk"))
+    val estCols = (0 until depth).map { r =>
+      val cell = pmod(
+        conv(substring(md5(concat($"w", lit("#" + r))), 1, 8), 16, 10).cast("long"),
+        lit(width.toLong))
+      element_at(element_at($"sk", r + 1), (cell + 1L).cast("int"))
+    }
+    toks.groupBy($"w").agg(count(lit(1)).as("true_cnt"))
+      .crossJoin(broadcast(sk))
+      .withColumn("cm_est", least(estCols: _*))
+      .select($"w".as("token"), $"true_cnt", $"cm_est",
+        ($"cm_est" - $"true_cnt").as("overcount"))
+      .orderBy($"true_cnt".desc, $"token")
+  }
+
+  val q141Sql: String =
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |counts AS (SELECT w, count(*) AS true_cnt FROM toks WHERE w <> '' GROUP BY w),
+      |rs AS (SELECT unnest(range(0, 3)) AS r),
+      |cellmap AS (
+      |  SELECT w, true_cnt, r,
+      |    CAST(('0x' || substr(md5(w || '#' || CAST(r AS VARCHAR)), 1, 8)) AS BIGINT) % 32 AS cell
+      |  FROM counts CROSS JOIN rs),
+      |cellsum AS (
+      |  SELECT r, cell, CAST(sum(true_cnt) AS BIGINT) AS s
+      |  FROM cellmap GROUP BY r, cell),
+      |est AS (
+      |  SELECT w, true_cnt, min(s) AS cm_est
+      |  FROM cellmap JOIN cellsum USING (r, cell) GROUP BY w, true_cnt)
+      |SELECT w AS token, CAST(true_cnt AS BIGINT) AS true_cnt, cm_est,
+      |  cm_est - CAST(true_cnt AS BIGINT) AS overcount
+      |FROM est ORDER BY true_cnt DESC, token""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q40_token_stats", q40, Some(q40Sql)),
     QueryDef("q41_quality_score", q41, Some(q41Sql), bench = true),
@@ -304,5 +358,6 @@ object TextQueries {
     QueryDef("q48_array_position", q48, Some(q48Sql)),
     QueryDef("q49_fuzzy_name_pairs", q49, Some(q49Sql)),
     QueryDef("q128_heavy_hitters_sketch", q128, Some(q128Sql)),
+    QueryDef("q141_countmin_sketch", q141, Some(q141Sql)),
   )
 }

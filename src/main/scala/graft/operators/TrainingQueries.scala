@@ -457,6 +457,59 @@ object TrainingQueries {
        |  ${sqlR6("s3")} AS s_merge, ${sqlR6("s1 + s2 + s3")} AS bm25
        |FROM agg ORDER BY (s1 + s2 + s3) DESC, doc_id LIMIT 20""".stripMargin
 
+  /** q140 — repeated-substring report (the exact-substring-dedup shape
+    * of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better", at token-window granularity): every 8-word window
+    * occurring in ≥ 2 distinct documents, top 30 by document frequency.
+    *
+    * Two-phase scale shape: the corpus-wide aggregation groups on
+    * md5(window) — fixed-width digests ride the shuffle, identical in
+    * both engines — and the window STRINGS move only for the ≤ 30
+    * surviving digests (a semi-join back). Windows are distinct-ed per
+    * doc first, so count(*) per digest IS the document frequency. The
+    * top-k boundary is tie-broken on the digest (n_docs ties are the
+    * common case), which both engines compute identically. */
+  def q140(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = 8
+    val docs = Tables.documents(s, d).select($"doc_id", words($"text").as("w"))
+    val wins = docs
+      .select($"doc_id", explode(
+        when(size($"w") >= W,
+          array_distinct(transform(sequence(lit(1), size($"w") - (W - 1)),
+            i => array_join(slice($"w", i, lit(W)), " "))))
+          .otherwise(array().cast("array<string>"))).as("win"))
+      .withColumn("h", md5($"win"))
+    val top = wins.groupBy($"h")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("first_doc"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"n_docs".desc, $"h")
+      .limit(30)
+    wins.join(top, "h")
+      .groupBy($"h", $"n_docs", $"first_doc")
+      .agg(min($"win").as("window"))
+      .select($"window", $"n_docs", $"first_doc", $"h")
+      .orderBy($"n_docs".desc, $"h")
+  }
+
+  val q140Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |wins AS (
+      |  SELECT doc_id, md5(win) AS h, win FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(w) >= 8
+      |      THEN list_distinct(list_transform(range(1, len(w) - 6),
+      |             i -> array_to_string(w[i:i+7], ' ')))
+      |      ELSE CAST([] AS VARCHAR[]) END) AS win
+      |    FROM t) u),
+      |top AS (
+      |  SELECT h, count(*) AS n_docs, min(doc_id) AS first_doc
+      |  FROM wins GROUP BY h HAVING count(*) >= 2
+      |  ORDER BY n_docs DESC, h LIMIT 30)
+      |SELECT min(win) AS window, n_docs, first_doc, h
+      |FROM wins JOIN top USING (h)
+      |GROUP BY h, n_docs, first_doc
+      |ORDER BY n_docs DESC, h""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q92_tfidf_top_terms", q92, Some(q92Sql), bench = true),
     QueryDef("q93_repetition_filter", q93, Some(q93Sql), bench = true),
@@ -467,5 +520,6 @@ object TrainingQueries {
     QueryDef("q98_weighted_sample", q98, Some(q98Sql)),
     QueryDef("q99_simhash_hamming_dedup", q99, Some(q99Sql)),
     QueryDef("q122_bm25_ranking", q122, Some(q122Sql), bench = true),
+    QueryDef("q140_repeated_substrings", q140, Some(q140Sql), bench = true),
   )
 }
