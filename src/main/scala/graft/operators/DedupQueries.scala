@@ -277,6 +277,84 @@ object DedupQueries {
        |FROM comp JOIN sizes ON comp.component = sizes.component
        |ORDER BY doc_id""".stripMargin
 
+  /** q142 — leakage-safe train/eval split: documents are assigned to
+    * splits by a hash of their near-dup CLUSTER (q57's connected
+    * components; singletons cluster as themselves), never of the doc
+    * id — so two near-duplicate documents can never land on opposite
+    * sides of the split, the classic eval-contamination failure of
+    * doc-level random splits. The output carries the audit inline:
+    * `cross_split_pairs` counts near-dup pairs straddling the split
+    * and is 0 BY CONSTRUCTION (the oracle recomputes it from scratch).
+    *
+    * Scale shape: the split decision is one hash on the component id
+    * (no extra shuffle past the clustering); the audit join is on the
+    * (a, b) pair relation, hash-partitioned by doc id. */
+  def q142(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val sig = Dedup.minhashSignatureWords(docs, "doc_id", "text", nHashes)
+    val bands = Dedup.lshBands(sig, "doc_id", nBands = 2, rowsPerBand = 3)
+    val pairs = Dedup.candidatePairs(bands, "doc_id")
+    val da = docs.select($"doc_id".as("a"), Dedup.wordSet($"text").as("wa"))
+    val db = docs.select($"doc_id".as("b"), Dedup.wordSet($"text").as("wb"))
+    val nearDup = pairs.join(da, "a").join(db, "b")
+      .filter(Dedup.jaccard($"wa", $"wb") >= 0.6)
+      .select($"a", $"b")
+    val clusters = Dedup.dupClusters(nearDup)
+    val assigned = docs.select($"doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"component", $"doc_id").as("component"))
+      .withColumn("split",
+        when(pmod(conv(substring(md5($"component".cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(10L)) === 0L, "eval").otherwise("train"))
+    val leaks = nearDup
+      .join(assigned.select($"doc_id".as("a"), $"split".as("split_a")), "a")
+      .join(assigned.select($"doc_id".as("b"), $"split".as("split_b")), "b")
+      .agg(sum(when($"split_a" =!= $"split_b", 1L).otherwise(0L))
+        .as("cross_split_pairs"))
+      .select(coalesce($"cross_split_pairs", lit(0L)).as("cross_split_pairs"))
+    assigned.groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"component").as("n_clusters"))
+      .crossJoin(broadcast(leaks))
+      .orderBy($"split")
+  }
+
+  val q142Sql: String =
+    s"""WITH RECURSIVE $sigSql, $bandsSql, $pairsSql,
+       |ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM documents),
+       |nd AS (
+       |  SELECT a, b FROM pairs
+       |  JOIN ws wa ON pairs.a = wa.doc_id
+       |  JOIN ws wb ON pairs.b = wb.doc_id
+       |  WHERE CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE) /
+       |        (len(wa.w) + len(wb.w) - len(list_intersect(wa.w, wb.w))) >= 0.6),
+       |edges AS (SELECT a, b FROM nd UNION SELECT b, a FROM nd),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |comp AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS component
+       |  FROM reach GROUP BY src),
+       |assigned AS (
+       |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+       |    CASE WHEN CAST(('0x' || substr(md5(CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0
+       |         THEN 'eval' ELSE 'train' END AS split
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+       |leaks AS (
+       |  SELECT CAST(COALESCE(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |    AS cross_split_pairs
+       |  FROM nd JOIN assigned sa ON nd.a = sa.doc_id
+       |          JOIN assigned sb ON nd.b = sb.doc_id)
+       |SELECT split, count(*) AS n_docs,
+       |  CAST(count(DISTINCT component) AS BIGINT) AS n_clusters,
+       |  cross_split_pairs
+       |FROM assigned CROSS JOIN leaks
+       |GROUP BY split, cross_split_pairs
+       |ORDER BY split""".stripMargin
+
   // ---- embedding-cosine near-dup (q58/q59) ---------------------------
 
   private val nearDupBits = 8
@@ -405,5 +483,6 @@ object DedupQueries {
     QueryDef("q87_minhash_estimator", q87, Some(q87Sql)),
     QueryDef("q89_dedup_savings", q89, Some(q89Sql)),
     QueryDef("q129_semantic_dedup", q129, Some(q129Sql)),
+    QueryDef("q142_leakage_safe_split", q142, Some(q142Sql)),
   )
 }
