@@ -355,6 +355,46 @@ object DedupQueries {
        |GROUP BY split, cross_split_pairs
        |ORDER BY split""".stripMargin
 
+  /** q143 — cross-source duplication matrix: near-dup pair counts per
+    * (source, source) cell — the governance report that tells a corpus
+    * owner WHICH feeds duplicate each other (mirror sites, scrape
+    * overlap) rather than just how many dups exist. Pairs come from
+    * the same capped LSH pipeline as q53; sources join in AFTER the
+    * pair relation is built (two hash joins on doc id), and the cell
+    * key is order-normalized (least/greatest) so A×B and B×A count as
+    * one cell. */
+  def q143(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val sig = Dedup.minhashSignatureWords(docs, "doc_id", "text", nHashes)
+    val bands = Dedup.lshBands(sig, "doc_id", nBands = 2, rowsPerBand = 3)
+    val pairs = Dedup.candidatePairs(bands, "doc_id")
+    val da = docs.select($"doc_id".as("a"), $"source".as("src_a"), Dedup.wordSet($"text").as("wa"))
+    val db = docs.select($"doc_id".as("b"), $"source".as("src_b"), Dedup.wordSet($"text").as("wb"))
+    pairs.join(da, "a").join(db, "b")
+      .filter(Dedup.jaccard($"wa", $"wb") >= 0.6)
+      .select(least($"src_a", $"src_b").as("src_lo"),
+        greatest($"src_a", $"src_b").as("src_hi"))
+      .groupBy($"src_lo", $"src_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"n_pairs".desc, $"src_lo", $"src_hi")
+  }
+
+  val q143Sql: String =
+    s"""WITH $sigSql, $bandsSql, $pairsSql,
+       |ws AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS w FROM documents),
+       |nd AS (
+       |  SELECT least(wa.source, wb.source) AS src_lo,
+       |         greatest(wa.source, wb.source) AS src_hi
+       |  FROM pairs
+       |  JOIN ws wa ON pairs.a = wa.doc_id
+       |  JOIN ws wb ON pairs.b = wb.doc_id
+       |  WHERE CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE) /
+       |        (len(wa.w) + len(wb.w) - len(list_intersect(wa.w, wb.w))) >= 0.6)
+       |SELECT src_lo, src_hi, count(*) AS n_pairs
+       |FROM nd GROUP BY src_lo, src_hi
+       |ORDER BY n_pairs DESC, src_lo, src_hi""".stripMargin
+
   // ---- embedding-cosine near-dup (q58/q59) ---------------------------
 
   private val nearDupBits = 8
@@ -484,5 +524,6 @@ object DedupQueries {
     QueryDef("q89_dedup_savings", q89, Some(q89Sql)),
     QueryDef("q129_semantic_dedup", q129, Some(q129Sql)),
     QueryDef("q142_leakage_safe_split", q142, Some(q142Sql)),
+    QueryDef("q143_cross_source_dups", q143, Some(q143Sql)),
   )
 }

@@ -510,6 +510,53 @@ object TrainingQueries {
       |GROUP BY h, n_docs, first_doc
       |ORDER BY n_docs DESC, h""".stripMargin
 
+  /** q144 — per-document boilerplate fraction: the share of a doc's
+    * distinct 8-word windows that also occur in at least one OTHER
+    * document — q140's corpus-wide report turned into the per-doc
+    * signal a curation filter actually thresholds on (docs dominated
+    * by shared boilerplate get dropped or down-weighted).
+    *
+    * Same digest discipline as q140: the doc-frequency aggregation
+    * groups on md5(window); the per-doc rollup joins doc→digest rows
+    * against digest df — both shuffles carry fixed-width digests, the
+    * window strings never move. shared-with-others test is df ≥ 2
+    * (windows are distinct-ed per doc first). */
+  def q144(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = 8
+    val wins = Tables.documents(s, d)
+      .select($"doc_id", words($"text").as("w"))
+      .select($"doc_id", explode(
+        when(size($"w") >= W,
+          array_distinct(transform(sequence(lit(1), size($"w") - (W - 1)),
+            i => md5(array_join(slice($"w", i, lit(W)), " ")))))
+          .otherwise(array().cast("array<string>"))).as("h"))
+    val df = wins.groupBy($"h").agg(count(lit(1)).as("df"))
+    wins.join(df, "h")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when($"df" >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select($"doc_id", $"n_windows", $"n_shared",
+        r6($"n_shared".cast("double") / $"n_windows").as("boilerplate_frac"))
+      .orderBy($"boilerplate_frac".desc, $"doc_id")
+  }
+
+  val q144Sql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |wins AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(w) >= 8
+       |    THEN list_distinct(list_transform(range(1, len(w) - 6),
+       |           i -> md5(array_to_string(w[i:i+7], ' '))))
+       |    ELSE CAST([] AS VARCHAR[]) END) AS h
+       |  FROM t),
+       |df AS (SELECT h, count(*) AS df FROM wins GROUP BY h)
+       |SELECT doc_id, count(*) AS n_windows,
+       |  CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       |  ${sqlR6("CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS boilerplate_frac
+       |FROM wins JOIN df USING (h)
+       |GROUP BY doc_id
+       |ORDER BY boilerplate_frac DESC, doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q92_tfidf_top_terms", q92, Some(q92Sql), bench = true),
     QueryDef("q93_repetition_filter", q93, Some(q93Sql), bench = true),
@@ -521,5 +568,6 @@ object TrainingQueries {
     QueryDef("q99_simhash_hamming_dedup", q99, Some(q99Sql)),
     QueryDef("q122_bm25_ranking", q122, Some(q122Sql), bench = true),
     QueryDef("q140_repeated_substrings", q140, Some(q140Sql), bench = true),
+    QueryDef("q144_boilerplate_fraction", q144, Some(q144Sql)),
   )
 }
