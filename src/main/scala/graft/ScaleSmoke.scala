@@ -217,6 +217,17 @@ object ScaleSmoke {
         .groupBy($"w").count().orderBy($"count".desc, $"w").limit(100)
         .collect().length.toLong
     }
+    // ---- Count-Min: point-frequency sketch in fixed 3x4096 space.
+    // Same bounded-shuffle story as MG (partials are d*w longs however
+    // large the vocabulary); cost profile differs — CM pays 3 md5
+    // digests per token occurrence, so this measures digest throughput
+    // at ~40M tokens.
+    timed("countmin_3x4096") {
+      graft.plans.CountMin.register(spark)
+      docs.select(explode(split($"text", " ")).as("w"))
+        .agg(graft.plans.CountMin.cm_sketch($"w", 3, 4096).as("sk"))
+        .select(element_at(element_at($"sk", 1), 1)).collect().length.toLong
+    }
     spark.stop()
   }
 }

@@ -17,8 +17,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * — in SQL, `('0x' || substr(md5(item || '#' || r), 1, 8))::BIGINT % width`.
   */
 object CountMin {
+  // One digest instance per executor thread: cellOf runs depth times
+  // per input row, and MessageDigest.getInstance allocates.
+  private val mdPool = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def cellOf(item: String, r: Int, width: Int): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = mdPool.get()
+    md.reset()
     val d = md.digest((item + "#" + r).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
