@@ -326,6 +326,74 @@ object StreamingQueries {
       | AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR
       |ORDER BY view_id, buy_id""".stripMargin
 
+  /** q145 — watermarked stream-stream LEFT OUTER interval join: views
+    * with their purchases within 1 hour, PLUS a null-extended row for
+    * views that provably have none. The outer side is the genuinely
+    * streaming-hard part: a null row may only emit once the watermark
+    * passes the view's entire match window (v_ts + 1h) — before that,
+    * a matching purchase could still arrive. Views near the tail of
+    * the stream therefore never emit a null row (their state outlives
+    * the query), and the oracle mirrors exactly that semantics: the
+    * final watermark is max(ts) − 2h, and unmatched views qualify only
+    * when v_ts + 1h < watermark. Matched rows are watermark-independent
+    * (they emit on arrival) — same rows as q88. */
+  def q145(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = s"$d/events.parquet"
+    val schema = s.read.parquet(path).schema
+    def stream() = {
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => raw
+      }
+    }
+    val views = stream().filter($"event_type" === "view")
+      .select($"event_id".as("view_id"), $"user_id".as("v_user"), $"ts".as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val buys = stream().filter($"event_type" === "purchase")
+      .select($"event_id".as("buy_id"), $"user_id".as("b_user"), $"ts".as("b_ts"))
+      .withWatermark("b_ts", "2 hours")
+    val joined = views.join(buys,
+      expr("v_user = b_user AND b_ts >= v_ts AND b_ts <= v_ts + interval 1 hour"),
+      "left_outer")
+      .select($"view_id", $"buy_id", $"v_user".as("user_id"))
+    val sink = s"q145_sink_${counter.incrementAndGet()}"
+    val query = joined.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!query.awaitTermination(300000)) {
+      query.stop()
+      throw new IllegalStateException("q145: AvailableNow trigger did not complete in 300s")
+    }
+    s.table(sink).orderBy($"view_id", $"buy_id".asc_nulls_first)
+  }
+
+  val q145Sql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
+      |wm AS (SELECT max(t) - INTERVAL 2 HOUR AS w FROM ev),
+      |v AS (SELECT event_id AS view_id, user_id, t AS v_ts FROM ev WHERE event_type = 'view'),
+      |p AS (SELECT event_id AS buy_id, user_id, t AS b_ts FROM ev WHERE event_type = 'purchase'),
+      |m AS (
+      |  SELECT v.view_id, p.buy_id, v.user_id
+      |  FROM v JOIN p ON v.user_id = p.user_id
+      |   AND p.b_ts >= v.v_ts AND p.b_ts <= v.v_ts + INTERVAL 1 HOUR),
+      |um AS (
+      |  SELECT v.view_id, CAST(NULL AS BIGINT) AS buy_id, v.user_id
+      |  FROM v CROSS JOIN wm
+      |  WHERE v.v_ts + INTERVAL 1 HOUR < wm.w
+      |    AND NOT EXISTS (SELECT 1 FROM p
+      |                    WHERE p.user_id = v.user_id
+      |                      AND p.b_ts >= v.v_ts AND p.b_ts <= v.v_ts + INTERVAL 1 HOUR))
+      |SELECT view_id, buy_id, user_id FROM m
+      |UNION ALL SELECT view_id, buy_id, user_id FROM um
+      |ORDER BY view_id, buy_id NULLS FIRST""".stripMargin
+
   /** q114 — streaming content dedup-on-arrival over the documents
     * stream: custom flatMapGroupsWithState keyed by the 5-word-prefix
     * fingerprint (the cluster key with real duplicates in this corpus,
@@ -374,5 +442,6 @@ object StreamingQueries {
     QueryDef("q79_streaming_sessions", q79, Some(q79Sql)),
     QueryDef("q82_sliding_windows", q82, Some(q82Sql)),
     QueryDef("q88_stream_stream_join", q88, Some(q88Sql)),
+    QueryDef("q145_stream_outer_join", q145, Some(q145Sql)),
   )
 }
