@@ -280,6 +280,36 @@ object TpchClassics {
        |  AND l_discount >= 0.05 AND l_discount <= 0.07
        |  AND l_quantity < 24.0""".stripMargin
 
+  /** q146 — z-order locality audit: Morton-interleave
+    * (l_partkey, l_suppkey) via [[graft.functions.ZOrder.zValue]] and
+    * group rows into coarse z-cells. Each cell bounds BOTH keys at
+    * once (the min/max spans in the output are the proof) — which is
+    * exactly why z-ordered files let parquet min/max stats prune scans
+    * for predicates on either column. The z-value is pure codegen'd
+    * bit arithmetic, mirrored term-for-term in the DuckDB oracle. */
+  def q146(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val zv = graft.functions.ZOrder.zValue(Seq($"l_partkey", $"l_suppkey"), 16)
+    Tables.lineitem(s, d)
+      .select($"l_partkey", $"l_suppkey", shiftright(zv, 14).as("z_cell"))
+      .groupBy($"z_cell")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"l_partkey").as("min_part"), max($"l_partkey").as("max_part"),
+        min($"l_suppkey").as("min_supp"), max($"l_suppkey").as("max_supp"))
+      .orderBy($"n_rows".desc, $"z_cell")
+      .limit(20)
+  }
+
+  val q146Sql: String = {
+    val z = graft.functions.ZOrder.zValueSql(Seq("l_partkey", "l_suppkey"), 16)
+    s"""SELECT $z >> 14 AS z_cell, count(*) AS n_rows,
+       |  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+       |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+       |FROM lineitem
+       |GROUP BY z_cell
+       |ORDER BY n_rows DESC, z_cell LIMIT 20""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q64_shipping_priority", q64, Some(q64Sql), bench = true),
     QueryDef("q65_local_supplier_volume", q65, Some(q65Sql), bench = true),
@@ -289,5 +319,6 @@ object TpchClassics {
     QueryDef("q69_promo_revenue", q69, Some(q69Sql)),
     QueryDef("q138_order_priority_check", q138, Some(q138Sql)),
     QueryDef("q139_forecast_revenue", q139, Some(q139Sql), bench = true),
+    QueryDef("q146_zorder_cells", q146, Some(q146Sql)),
   )
 }
