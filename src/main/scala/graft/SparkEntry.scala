@@ -18,7 +18,8 @@ object SparkEntry {
       operators.NativeTopKQuery.all ++ operators.StreamingQueries.all ++
       operators.Profile.all ++ operators.GraphQueries.all ++
       operators.TpchClassics.all ++ operators.TrainingQueries.all ++
-      operators.CurationQueries.all ++ operators.TpchSubqueries.all
+      operators.CurationQueries.all ++ operators.TpchSubqueries.all ++
+      operators.ScaleQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

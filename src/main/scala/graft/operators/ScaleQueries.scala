@@ -1,0 +1,298 @@
+package graft.operators
+
+import graft.{Fx, QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-path operators, each the "what you actually run at 100 TB"
+  * counterpart of an exact operator elsewhere in the registry — and
+  * each still fully oracle-checked, because the sketch/bitset/salt
+  * construction is md5-derived on BOTH engines, so DuckDB rebuilds the
+  * identical structure (collisions, false positives and all) and the
+  * outputs hash-match bit for bit.
+  *
+  * - q147: HyperLogLog register file + estimate (vs exact distinct) —
+  *   the fixed-space replacement for countDistinct. The production
+  *   native is [[graft.plans.HllDistinct]] (XXH64, byte registers);
+  *   this query mirrors the same algorithm through a cross-engine
+  *   md5 hash so the oracle can verify registers, not just tolerance.
+  * - q148: Bloom-filter decontamination prefilter — q95's broadcast
+  *   side (every distinct eval 8-gram) replaced by an 8 KB-per-1K-bit
+  *   bitset. At 100 TB the eval-gram set no longer fits in a broadcast
+  *   hash relation; a 2^18-bit filter is 32 KB forever.
+  * - q149: salted join + salted two-phase aggregation
+  *   ([[Skew.saltedJoin]]/[[Skew.saltedSum]]) — result-identical to
+  *   the plain join the oracle runs, while a hot suppkey spreads over
+  *   n tasks instead of stalling one.
+  * - q150: SCD2 validity intervals (gaps-and-islands) — the
+  *   slowly-changing-dimension shape every warehouse load needs;
+  *   windows partition by customer so interval construction is
+  *   embarrassingly parallel.
+  */
+object ScaleQueries {
+  import Fx._
+
+  // ---- q147: HyperLogLog registers, cross-engine-deterministic ------
+
+  /** q147 — HLL(p=6, 32-bit md5-derived hash) distinct-customer
+    * estimate per order priority, emitted WITH its register digest
+    * (observed buckets + sum of 2^(27-rank)) so the oracle verifies
+    * the sketch state itself, not only the estimate.
+    *
+    * Scale shape: the per-group state is 64 bytes regardless of input
+    * size — the groupBy(priority, bucket) shuffle carries at most
+    * groups × 64 rows of (bucket, rank), with map-side max() partials.
+    * The raw estimate alpha·m²/Σ2^-r is reproduced exactly in DuckDB:
+    * Σ2^-r = zeros + sum_pow/2^27 is integer-exact (< 2^33 scaled),
+    * and the remaining double ops are identical IEEE arithmetic on
+    * identical inputs. (No log-based small-range correction — ln
+    * differs across libm; the raw estimator is the cross-engine part,
+    * accuracy is asserted in ScaleQueriesSpec.) */
+  def q147(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val restBits = 26 // 32-bit hash = 6 bucket bits + 26 rank bits
+    val h = conv(substring(md5($"o_custkey".cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val rest = h.bitwiseAND(lit((1L << restBits) - 1))
+    val hashed = Tables.orders(s, d).select(
+      $"o_orderpriority".as("priority"),
+      shiftright(h, restBits).as("bucket"),
+      when(rest === 0L, lit(restBits + 1))
+        .otherwise(lit(restBits + 1) - length(ltrim(bin(rest), "0")))
+        .as("rank"))
+    val regs = hashed.groupBy($"priority", $"bucket").agg(max($"rank").as("r"))
+    val sketch = regs.groupBy($"priority").agg(
+      count(lit(1)).as("observed"),
+      sum(expr("shiftleft(CAST(1 AS BIGINT), 27 - r)")).as("sum_pow"))
+    val exact = Tables.orders(s, d)
+      .groupBy($"o_orderpriority".as("priority"))
+      .agg(countDistinct($"o_custkey").as("exact_distinct"))
+    val alphaM2 = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64.0)) * lit(4096.0)
+    sketch.join(exact, "priority")
+      .withColumn("zeros", lit(64) - $"observed")
+      .select($"priority", $"exact_distinct", $"observed", $"sum_pow",
+        r4(alphaM2 / ($"zeros" + $"sum_pow" / lit(134217728.0))).as("hll_est"))
+      .orderBy($"priority")
+  }
+
+  val q147Sql: String = {
+    val alphaM2 =
+      "(0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 64.0::DOUBLE) * 4096.0::DOUBLE)"
+    s"""WITH h AS (
+       |  SELECT o_orderpriority AS priority,
+       |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT AS hv
+       |  FROM orders),
+       |ranked AS (
+       |  SELECT priority, hv >> 26 AS bucket,
+       |    CASE WHEN hv % 67108864 = 0 THEN 27
+       |         ELSE 27 - length(ltrim(bin(hv % 67108864), '0')) END AS rank
+       |  FROM h),
+       |regs AS (SELECT priority, bucket, max(rank) AS r FROM ranked GROUP BY 1, 2),
+       |sk AS (
+       |  SELECT priority, CAST(count(*) AS BIGINT) AS observed,
+       |    CAST(sum(1::BIGINT << CAST(27 - r AS INT)) AS BIGINT) AS sum_pow
+       |  FROM regs GROUP BY 1),
+       |ex AS (SELECT o_orderpriority AS priority,
+       |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+       |  FROM orders GROUP BY 1)
+       |SELECT priority, exact_distinct, observed, sum_pow,
+       |  ${sqlR4(s"$alphaM2 / ((64 - observed) + CAST(sum_pow AS DOUBLE) / 134217728.0::DOUBLE)")} AS hll_est
+       |FROM sk JOIN ex USING (priority)
+       |ORDER BY priority""".stripMargin
+  }
+
+  // ---- q148: Bloom-filter decontamination prefilter -----------------
+
+  /** Distinct 8-word shingles of a doc, as md5 hex digests — the
+    * cross-engine key both position hashes derive from. */
+  private def gramDigests(text: Column): Column = {
+    val w = split(text, " ")
+    when(size(w) >= 8,
+      array_distinct(transform(sequence(lit(1), size(w) - 7),
+        i => md5(array_join(slice(w, i, lit(8)), " ")))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private val gramDigestsSql =
+    "list_distinct(list_transform(range(1, greatest(len(w) - 6, 1)), " +
+      "i -> md5(array_to_string(w[i:i+7], ' '))))"
+
+  /** bit position `off`∈{1,9}: hex slice of the digest mod 2^18. */
+  private def bloomPos(g: Column, off: Int): Column =
+    pmod(conv(substring(g, off, 8), 16, 10).cast("long"), lit(262144L))
+
+  /** q148 — q95's decontamination check through a 2^18-bit Bloom
+    * filter (k=2, both hashes sliced from one md5): eval-slice grams
+    * fold into 8192 32-bit words via bit_or; training grams probe the
+    * broadcast bitset with two bit tests instead of a hash-set lookup.
+    *
+    * Scale story: q95 broadcasts every distinct eval 8-gram — fine at
+    * sf0.1, impossible when the eval suite is millions of grams times
+    * hundreds of executors. The bitset is 32 KB no matter the corpus,
+    * and the probe side stays a map-only broadcast join (two joins on
+    * word index — Catalyst folds both into one codegen stage). The
+    * price is false positives (one-sided: bloom_matched ≥ exact
+    * matched, asserted vs q95 in ScaleQueriesSpec); both engines build
+    * the IDENTICAL filter, so the oracle hash-matches FPs included.
+    * 32-bit words keep every shift in [0,31] — no sign games on
+    * either engine. */
+  def q148(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val evalPos = docs.filter($"source" === "src0")
+      .select(explode(gramDigests($"text")).as("g"))
+      .select(explode(array(bloomPos($"g", 1), bloomPos($"g", 9))).as("p"))
+      .distinct()
+    val bloom = evalPos
+      .groupBy(shiftright($"p", 5).as("idx"))
+      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))")).as("wd"))
+    val train = docs.filter($"source" =!= "src0")
+      .select($"doc_id", explode_outer(gramDigests($"text")).as("g"))
+      .withColumn("p1", bloomPos($"g", 1))
+      .withColumn("p2", bloomPos($"g", 9))
+    val hit = train
+      .join(broadcast(bloom.select($"idx".as("idx1"), $"wd".as("w1"))),
+        shiftright($"p1", 5) === $"idx1", "left")
+      .join(broadcast(bloom.select($"idx".as("idx2"), $"wd".as("w2"))),
+        shiftright($"p2", 5) === $"idx2", "left")
+      .withColumn("hit",
+        ($"g".isNotNull &&
+          coalesce($"w1", lit(0L))
+            .bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), CAST(p1 % 32 AS INT))")) =!= 0 &&
+          coalesce($"w2", lit(0L))
+            .bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), CAST(p2 % 32 AS INT))")) =!= 0)
+          .cast("int"))
+    hit.groupBy($"doc_id").agg(
+      sum(when($"g".isNotNull, 1).otherwise(0)).as("total_grams"),
+      sum($"hit").as("bloom_matched"))
+      .select($"doc_id", $"total_grams", $"bloom_matched",
+        ($"bloom_matched" > 0).cast("int").as("bloom_contaminated"))
+      .orderBy($"doc_id")
+  }
+
+  val q148Sql: String =
+    s"""WITH docs AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+       |g AS (SELECT doc_id, source, unnest($gramDigestsSql) AS g FROM docs),
+       |epos AS (
+       |  SELECT DISTINCT unnest([('0x' || substr(g, 1, 8))::BIGINT % 262144,
+       |                          ('0x' || substr(g, 9, 8))::BIGINT % 262144]) AS p
+       |  FROM g WHERE source = 'src0'),
+       |bloom AS (
+       |  SELECT p // 32 AS idx, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS wd
+       |  FROM epos GROUP BY 1),
+       |train AS (
+       |  SELECT doc_id, ('0x' || substr(g, 1, 8))::BIGINT % 262144 AS p1,
+       |         ('0x' || substr(g, 9, 8))::BIGINT % 262144 AS p2
+       |  FROM g WHERE source <> 'src0'),
+       |hits AS (
+       |  SELECT t.doc_id, count(*) AS total_grams,
+       |    CAST(sum(CASE WHEN (COALESCE(b1.wd, 0) & (1::BIGINT << CAST(t.p1 % 32 AS INT))) <> 0
+       |                   AND (COALESCE(b2.wd, 0) & (1::BIGINT << CAST(t.p2 % 32 AS INT))) <> 0
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS bloom_matched
+       |  FROM train t
+       |  LEFT JOIN bloom b1 ON t.p1 // 32 = b1.idx
+       |  LEFT JOIN bloom b2 ON t.p2 // 32 = b2.idx
+       |  GROUP BY t.doc_id)
+       |SELECT d.doc_id, CAST(COALESCE(h.total_grams, 0) AS BIGINT) AS total_grams,
+       |  COALESCE(h.bloom_matched, 0) AS bloom_matched,
+       |  CAST(COALESCE(h.bloom_matched, 0) > 0 AS INT) AS bloom_contaminated
+       |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+       |WHERE d.source <> 'src0'
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ---- q149: salted join + salted two-phase aggregation -------------
+
+  /** q149 — revenue by supplier nation via [[Skew.saltedJoin]] (big
+    * side salted n ways, small side replicated n ways) and
+    * [[Skew.saltedSum]] (partial sums on (key, salt), merged on key).
+    * Result-identical to the plain join+groupBy the oracle runs — the
+    * salt only redistributes rows — so a hot supplier key that would
+    * pin one task now spreads over 8. Revenue lands on the 4-decimal
+    * grid, so the two-phase double summation re-rounds to the same
+    * cents as the oracle's single sum (Fx grid-first rule). */
+  def q149(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val big = Tables.lineitem(s, d).select($"l_suppkey".as("suppkey"),
+      ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+    val small = Tables.supplier(s, d)
+      .join(Tables.nation(s, d), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey".as("suppkey"), $"n_name")
+    val joined = Skew.saltedJoin(big, small, "suppkey", 8)
+    Skew.saltedSum(joined, "n_name", "rev", 8)
+      .select($"n_name", r2(r4($"sum_rev")).as("revenue"))
+      .orderBy($"n_name")
+  }
+
+  val q149Sql: String =
+    s"""SELECT n_name, ${sqlRev4Sum("l_extendedprice * (1 - l_discount)")} AS revenue
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // ---- q150: SCD2 validity intervals (gaps and islands) -------------
+
+  /** q150 — slowly-changing-dimension type 2: per customer, collapse
+    * the order history into runs of equal price tier (gaps-and-islands
+    * via the row_number difference trick), then chain each island's
+    * valid_from to the next island's start with lead() — the
+    * half-open [valid_from, valid_to) interval table a warehouse
+    * upserts on every load. All three windows partition by customer,
+    * so one hash-partitioned shuffle serves the whole plan and
+    * interval construction parallelizes per key at any scale. */
+  def q150(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tier = when($"o_totalprice" < 50000.0, "low")
+      .when($"o_totalprice" < 150000.0, "mid").otherwise("high")
+    val o = Tables.orders(s, d)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", tier.as("tier"))
+    val wAll = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    val wTier = Window.partitionBy($"o_custkey", $"tier")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    val islands = o
+      .withColumn("grp", row_number().over(wAll) - row_number().over(wTier))
+      .groupBy($"o_custkey", $"tier", $"grp")
+      .agg(min($"o_orderdate").as("valid_from"),
+        min($"o_orderkey").as("first_key"),
+        count(lit(1)).as("n_orders"))
+    val wNext = Window.partitionBy($"o_custkey")
+      .orderBy($"valid_from", $"first_key")
+    islands
+      .withColumn("valid_to", lead($"valid_from", 1).over(wNext))
+      .select($"o_custkey", $"tier", $"valid_from", $"valid_to",
+        $"first_key", $"n_orders",
+        $"valid_to".isNull.cast("int").as("is_current"))
+      .orderBy($"o_custkey", $"valid_from", $"first_key")
+  }
+
+  val q150Sql: String =
+    """WITH t AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate,
+      |    CASE WHEN o_totalprice < 50000.0 THEN 'low'
+      |         WHEN o_totalprice < 150000.0 THEN 'mid' ELSE 'high' END AS tier
+      |  FROM orders),
+      |marked AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |    - row_number() OVER (PARTITION BY o_custkey, tier ORDER BY o_orderdate, o_orderkey) AS grp
+      |  FROM t),
+      |islands AS (
+      |  SELECT o_custkey, tier, grp, min(o_orderdate) AS valid_from,
+      |    min(o_orderkey) AS first_key, CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM marked GROUP BY 1, 2, 3)
+      |SELECT o_custkey, tier, valid_from,
+      |  lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from, first_key) AS valid_to,
+      |  first_key, n_orders,
+      |  CAST(lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from, first_key)
+      |       IS NULL AS INT) AS is_current
+      |FROM islands
+      |ORDER BY o_custkey, valid_from, first_key""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q147_hll_registers", q147, Some(q147Sql)),
+    QueryDef("q148_bloom_decontamination", q148, Some(q148Sql), bench = true),
+    QueryDef("q149_salted_join", q149, Some(q149Sql), bench = true),
+    QueryDef("q150_scd2_intervals", q150, Some(q150Sql)))
+}
