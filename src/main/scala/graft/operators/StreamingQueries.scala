@@ -434,6 +434,74 @@ object StreamingQueries {
       |        FROM documents) t) r
       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** q151 — chained stateful aggregation (Spark 3.4+ unblocked
+    * multiple stateful operators in one streaming query): a 10-minute
+    * tumbling count per event type feeds a SECOND windowed aggregation
+    * that re-windows the slice column (`window($"window", "1 hour")`)
+    * into hourly rollups — sum, peak slice, slice count — all inside
+    * one APPEND-mode query with one watermark. This is the
+    * pre-aggregation cascade a 100 TB metrics pipeline runs: the
+    * second stage's state and shuffle are bounded by slice cardinality
+    * (types × 6/hour), not event volume.
+    *
+    * Emission: the outer window closes when the watermark passes its
+    * end; every 10-min slice inside a closed hour closed no later, so
+    * the batch mirror gates on hour end only. Empty slices produce no
+    * rows in either engine. */
+  def q151(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = s"$d/events.parquet"
+    val schema = s.read.parquet(path).schema
+    val raw = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val events = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+    val slices = events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window($"ts", "10 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n10"))
+    val hourly = slices
+      .groupBy(window($"window", "1 hour"), $"event_type")
+      .agg(sum($"n10").as("n_events"), max($"n10").as("peak_slice"),
+        count(lit(1)).as("n_slices"))
+      .select($"window.start".as("hour"), $"event_type", $"n_events",
+        $"peak_slice", $"n_slices")
+    val sink = s"q151_sink_${counter.incrementAndGet()}"
+    val query = hourly.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!query.awaitTermination(300000)) {
+      query.stop()
+      throw new IllegalStateException("q151: AvailableNow trigger did not complete in 300s")
+    }
+    s.table(sink).orderBy($"hour", $"event_type")
+  }
+
+  /** Batch twin: two-level group (10-min slice, then hour), gated on
+    * the hour end by the same ms-truncated watermark as q72. */
+  val q151Sql: String =
+    """WITH wm AS (
+      |  SELECT date_trunc('milliseconds', max(CAST(ts AS TIMESTAMP)))
+      |         - INTERVAL 2 HOUR AS w
+      |  FROM events),
+      |slices AS (
+      |  SELECT time_bucket(INTERVAL 10 MINUTE, CAST(ts AS TIMESTAMP)) AS slice,
+      |    event_type, count(*) AS n10
+      |  FROM events GROUP BY 1, 2),
+      |hours AS (
+      |  SELECT time_bucket(INTERVAL 1 HOUR, slice) AS hour, event_type,
+      |    CAST(sum(n10) AS BIGINT) AS n_events, max(n10) AS peak_slice,
+      |    CAST(count(*) AS BIGINT) AS n_slices
+      |  FROM slices GROUP BY 1, 2)
+      |SELECT hour, event_type, n_events, peak_slice, n_slices
+      |FROM hours, wm WHERE hour + INTERVAL 1 HOUR <= wm.w
+      |ORDER BY hour, event_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q72_streaming_hourly", q72, Some(q72Sql)),
     QueryDef("q74_streaming_dedup", q74, Some(q74Sql)),
@@ -443,5 +511,6 @@ object StreamingQueries {
     QueryDef("q82_sliding_windows", q82, Some(q82Sql)),
     QueryDef("q88_stream_stream_join", q88, Some(q88Sql)),
     QueryDef("q145_stream_outer_join", q145, Some(q145Sql)),
+    QueryDef("q151_chained_stream_agg", q151, Some(q151Sql)),
   )
 }
