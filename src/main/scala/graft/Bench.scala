@@ -32,12 +32,15 @@ object Bench {
     val headline = SparkEntry.benchQueries
       .filter(q => only.forall(_.contains(q.name)))
 
-    // Queries that persist intermediates (candidatePairs caches its
-    // bands) cannot unpersist them inside the pure-DataFrame contract,
-    // so caches leak across the run: 30+ queries in, eviction + GC
-    // pressure was inflating later measurements ~3× (q53: 6.8 s in the
-    // full run vs 2.1 s alone). Dropping every persistent RDD between
-    // queries keeps each measurement isolated.
+    // A query that persists an intermediate cannot unpersist it inside
+    // the pure-DataFrame contract, so caches would leak across the
+    // run: 30+ queries in, eviction + GC pressure was inflating later
+    // measurements ~3× (q53: 6.8 s in the full run vs 2.1 s alone,
+    // back when candidatePairs cached its bands — since replaced by a
+    // persist-free single-pass bounded_collect, but this guard keeps
+    // any future caching query from skewing its neighbors). Dropping
+    // every persistent RDD between queries keeps each measurement
+    // isolated.
     def releaseCaches(): Unit = {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values

@@ -154,33 +154,31 @@ object Dedup {
 
   /** Distinct candidate pairs (a < b) sharing any band bucket.
     *
-    * Buckets larger than `maxBucket` are excluded BEFORE the self-join
-    * (the count aggregation shuffles only (band key, count), then the
-    * kept-bucket set gates both join sides), so a single hot band hash
-    * cannot blow the join up quadratically. Skipped buckets are
-    * observable via [[overflowBuckets]] with the same threshold. */
+    * Single-pass bucket grouping: ONE aggregation over bands collects
+    * each bucket's ids via [[graft.plans.BoundedCollect]] (hard
+    * O(maxBucket) buffer bound per group, cap = maxBucket+1 so an
+    * overflowing bucket surfaces as a cap-sized array the size()
+    * filter drops — identical exclusion semantics to a count-gate),
+    * then pairs are generated IN-ROW from the sorted id array, bounded
+    * at maxBucket²/2 per bucket. vs the previous count-gate +
+    * self-join shape this consumes the upstream minhash pipeline once
+    * instead of three times (which needed a persist to avoid 3×
+    * re-scans — a cache a pure-DataFrame contract can never safely
+    * unpersist), shuffles bands once instead of twice, and cannot OOM
+    * on a degenerate bucket. Skipped buckets stay observable via
+    * [[overflowBuckets]] with the same threshold. */
   def candidatePairs(bands: DataFrame, idCol: String,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    // The bands relation is consumed THREE times below (bucket counts,
-    // and both sides of the self-join). Without a persist each consumer
-    // re-runs the whole upstream minhash pipeline — at scale that is
-    // re-reading the corpus and re-hashing every shingle 3× (measured:
-    // 6 FileScans / 8 md5 stages in the unpersisted q53 plan, zero
-    // ReusedExchange because the aliased subplans don't canonicalize
-    // equal). Bands are 3 narrow columns (~tens of bytes per doc), so
-    // MEMORY_AND_DISK caching is cheap insurance; eviction just falls
-    // back to recompute.
-    val cached = bands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ok = cached.groupBy(col("band_idx"), col("band_hash"))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxBucket)
-      .select(col("band_idx"), col("band_hash"))
-    val gated = cached.join(ok, Seq("band_idx", "band_hash"))
-    val l = gated.select(col("band_idx"), col("band_hash"), col(idCol).as("a"))
-    val r = gated.select(col("band_idx").as("band_idx_r"), col("band_hash").as("band_hash_r"), col(idCol).as("b"))
-    l.join(r, l("band_idx") === r("band_idx_r") &&
-        l("band_hash") === r("band_hash_r") && l("a") < r("b"))
-      .select(col("a"), col("b"))
+    graft.plans.BoundedCollect.register(bands.sparkSession)
+    val buckets = bands.groupBy(col("band_idx"), col("band_hash"))
+      .agg(graft.plans.BoundedCollect.bounded_collect(col(idCol), maxBucket + 1).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucket))
+      .select(sort_array(col("__ids")).as("__ids"))
+    buckets
+      .select(explode(flatten(transform(col("__ids"), (x, i) =>
+        transform(slice(col("__ids"), i + lit(2), size(col("__ids"))),
+          y => struct(x.as("a"), y.as("b")))))).as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"))
       .distinct()
   }
 

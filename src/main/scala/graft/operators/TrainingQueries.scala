@@ -462,13 +462,18 @@ object TrainingQueries {
     * Models Better", at token-window granularity): every 8-word window
     * occurring in ≥ 2 distinct documents, top 30 by document frequency.
     *
-    * Two-phase scale shape: the corpus-wide aggregation groups on
-    * md5(window) — fixed-width digests ride the shuffle, identical in
-    * both engines — and the window STRINGS move only for the ≤ 30
-    * surviving digests (a semi-join back). Windows are distinct-ed per
-    * doc first, so count(*) per digest IS the document frequency. The
-    * top-k boundary is tie-broken on the digest (n_docs ties are the
-    * common case), which both engines compute identically. */
+    * Single-pass scale shape: one window-explode feeds one aggregation
+    * keyed on md5(window) — identical in both engines — carrying
+    * min(win) alongside the counters. Map-side partial aggregation
+    * bounds the shuffled strings to at most one (h, min-win) per
+    * digest per map partition, so the shuffle stays ~digest-sized
+    * while the corpus is scanned and windowed exactly ONCE (the
+    * previous two-phase form re-scanned and re-windowed everything to
+    * recover the 30 winning strings — at 100 TB the second scan costs
+    * far more than the wider shuffle rows). Windows are distinct-ed
+    * per doc first, so count(*) per digest IS the document frequency.
+    * The top-k boundary is tie-broken on the digest (n_docs ties are
+    * the common case), which both engines compute identically. */
   def q140(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val W = 8
@@ -480,14 +485,12 @@ object TrainingQueries {
             i => array_join(slice($"w", i, lit(W)), " "))))
           .otherwise(array().cast("array<string>"))).as("win"))
       .withColumn("h", md5($"win"))
-    val top = wins.groupBy($"h")
-      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("first_doc"))
+    wins.groupBy($"h")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("first_doc"),
+        min($"win").as("window"))
       .filter($"n_docs" >= 2)
       .orderBy($"n_docs".desc, $"h")
       .limit(30)
-    wins.join(top, "h")
-      .groupBy($"h", $"n_docs", $"first_doc")
-      .agg(min($"win").as("window"))
       .select($"window", $"n_docs", $"first_doc", $"h")
       .orderBy($"n_docs".desc, $"h")
   }
