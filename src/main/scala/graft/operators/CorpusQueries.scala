@@ -1,0 +1,312 @@
+package graft.operators
+
+import graft.{Fx, QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-governance operators, round 7: duplicated-span REMOVAL with
+  * document reassembly (the rewrite step of Lee et al. 2022 / CCNet
+  * that q140/q144 only *report* on), checksum-validated numeric PII
+  * (Luhn), per-source distribution divergence for mixture monitoring,
+  * rank-based adaptive length gates, and frozen-weight model scoring —
+  * the classifier-filter shape of fastText-style quality models.
+  *
+  * Determinism discipline (same as TrainingQueries): integer/rational
+  * arithmetic only — divergences are χ²/total-variation, NOT KL
+  * (libm `ln` is not bit-stable across engines); percentiles are
+  * nearest-rank integer selections, not interpolated doubles; the
+  * model score is a linear form, not a sigmoid (`exp` same problem).
+  */
+object CorpusQueries {
+  import Fx._
+
+  private def words(c: Column): Column = split(c, " ")
+
+  // ------------------------------------------------------------------
+  // q152 — duplicated-span removal + reassembly
+  // ------------------------------------------------------------------
+
+  /** q152 — span-dedup rewrite: segment every document into fixed
+    * 8-word spans, count each span's document frequency corpus-wide,
+    * and REBUILD each document keeping only spans that no other
+    * document shares (df < 2) — the exact-substring dedup of Lee et
+    * al. 2022 at span granularity, as a rewrite instead of a report.
+    *
+    * Scale shape: the df aggregation keys on md5(span) — 16-byte
+    * digests through the shuffle, never text; the per-doc distinct
+    * happens BEFORE the count (two-level agg), so a span repeated
+    * inside one doc can't inflate its df; reassembly shuffles only
+    * surviving spans, and the order key rides as a 4-byte pos. A doc
+    * whose every span is boilerplate survives as an empty rewrite
+    * (LEFT join back), so the output stays total over the corpus. */
+  def q152(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = 8
+    val docs = Tables.documents(s, d).select($"doc_id", words($"text").as("w"))
+    val nChunks = ceil(size($"w") / lit(W.toDouble)).cast("int")
+    val chunks = docs
+      .select($"doc_id", posexplode(
+        transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice($"w", i * W + 1, lit(W)), " "))))
+      .toDF("doc_id", "pos", "chunk")
+      .withColumn("h", md5($"chunk"))
+    // Document frequency on digests: distinct (h, doc) first so the
+    // count IS #docs, then count per h — both stages shuffle digests.
+    val df = chunks.select($"h", $"doc_id").distinct()
+      .groupBy($"h").agg(count(lit(1)).as("df"))
+    val kept = chunks.join(df, "h").filter($"df" < 2)
+    val rebuilt = kept.groupBy($"doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct($"pos", $"chunk"))),
+          x => x.getField("chunk")), " ").as("clean_text"))
+    val totals = chunks.groupBy($"doc_id").agg(count(lit(1)).as("n_spans"))
+    totals.join(rebuilt, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_spans",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"clean_text", lit("")).as("clean_text"),
+        r6(coalesce($"n_kept", lit(0L)).cast("double") / $"n_spans")
+          .as("kept_frac"))
+      .orderBy($"doc_id")
+  }
+
+  val q152Sql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |chunks AS (
+       |  SELECT doc_id, CAST(u.i AS INT) AS pos,
+       |    array_to_string(w[(u.i*8+1):(u.i*8+8)], ' ') AS chunk
+       |  FROM t, unnest(range(0, CAST(ceil(len(w)/8.0) AS BIGINT))) AS u(i)),
+       |hashed AS (SELECT doc_id, pos, chunk, md5(chunk) AS h FROM chunks),
+       |df AS (SELECT h, count(DISTINCT doc_id) AS df FROM hashed GROUP BY h),
+       |kept AS (SELECT doc_id, pos, chunk
+       |         FROM hashed JOIN df USING (h) WHERE df < 2),
+       |reb AS (SELECT doc_id, count(*) AS n_kept,
+       |          string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+       |        FROM kept GROUP BY doc_id),
+       |tot AS (SELECT doc_id, count(*) AS n_spans FROM chunks GROUP BY doc_id)
+       |SELECT tot.doc_id, n_spans,
+       |  COALESCE(n_kept, 0) AS n_kept,
+       |  COALESCE(clean_text, '') AS clean_text,
+       |  ${sqlR6("COALESCE(n_kept, 0) / CAST(n_spans AS DOUBLE)")} AS kept_frac
+       |FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id
+       |ORDER BY tot.doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q153 — Luhn-validated numeric PII
+  // ------------------------------------------------------------------
+
+  /** q153 — checksum-gated card-number detection: of the digit strings
+    * flowing through the pipeline (the synthetic corpus has no digit
+    * runs in `text`, so the order-key strings stand in as the detected
+    * candidates), how many pass the Luhn mod-10 check, per order
+    * priority. ~1 in 10 random numerics pass — the measured
+    * false-positive mass a regex-only card detector would redact. */
+  def q153(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .select($"o_orderpriority",
+        graft.functions.Checksums.luhnValid($"o_orderkey".cast("string"))
+          .as("ok"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum($"ok".cast("long")).as("n_luhn_valid"))
+      .select($"o_orderpriority", $"n", $"n_luhn_valid",
+        r6($"n_luhn_valid".cast("double") / $"n").as("valid_rate"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q153Sql: String = {
+    val luhn = graft.functions.Checksums.sqlLuhnValid("ks")
+    s"""WITH t AS (SELECT o_orderpriority,
+       |    CAST(o_orderkey AS VARCHAR) AS ks FROM orders),
+       |v AS (SELECT o_orderpriority, $luhn AS ok FROM t)
+       |SELECT o_orderpriority, count(*) AS n,
+       |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_luhn_valid,
+       |  ${sqlR6("sum(CASE WHEN ok THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)")} AS valid_rate
+       |FROM v GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q154 — per-source distribution divergence (mixture monitoring)
+  // ------------------------------------------------------------------
+
+  /** q154 — how far each source's unigram distribution sits from the
+    * corpus distribution: χ² divergence Σ(p−q)²/q and total-variation
+    * ½Σ|p−q| — the drift signals a mixture-rebalancing job thresholds
+    * on. Rational forms deliberately replace KL (its `ln` is not
+    * bit-stable cross-engine; χ² upper-bounds KL and TV lower-bounds
+    * it, so both decisions thresholds survive the substitution).
+    *
+    * One shuffle of (source, word) counts; the word-marginal and
+    * source-total ride windows over that same relation's partitioning
+    * (vocabulary-sized — the bounded side); the corpus total is a
+    * 1-row broadcast. Term values are exact-integer ratios; their sum
+    * is r6-rounded (non-grid doubles — midpoint mass is ~1e-11, the
+    * q132 precedent). */
+  def q154(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select($"source", explode(words($"text")).as("w"))
+      .filter($"w" =!= "")
+    val sw = toks.groupBy($"source", $"w").agg(count(lit(1)).as("c_sw"))
+    val t = toks.agg(count(lit(1)).as("t"))
+    val terms = sw
+      .withColumn("c_w", sum($"c_sw").over(Window.partitionBy($"w")))
+      .withColumn("t_s", sum($"c_sw").over(Window.partitionBy($"source")))
+      .crossJoin(broadcast(t))
+      .select($"source",
+        ($"c_sw".cast("double") / $"t_s").as("p"),
+        ($"c_w".cast("double") / $"t").as("q"))
+    terms.groupBy($"source")
+      .agg(count(lit(1)).as("n_terms"),
+        r6(sum(($"p" - $"q") * ($"p" - $"q") / $"q")).as("chi2"),
+        r6(sum(abs($"p" - $"q")) / 2.0).as("tvd"))
+      .orderBy($"source")
+  }
+
+  val q154Sql: String =
+    s"""WITH toks AS (
+       |  SELECT source, w FROM (
+       |    SELECT source, unnest(string_split(text, ' ')) AS w
+       |    FROM documents) u WHERE w <> ''),
+       |sw AS (SELECT source, w, count(*) AS c_sw FROM toks GROUP BY 1, 2),
+       |terms AS (
+       |  SELECT source,
+       |    CAST(c_sw AS DOUBLE) / sum(c_sw) OVER (PARTITION BY source) AS p,
+       |    CAST(sum(c_sw) OVER (PARTITION BY w) AS DOUBLE)
+       |      / (SELECT count(*) FROM toks) AS q
+       |  FROM sw)
+       |SELECT source, count(*) AS n_terms,
+       |  ${sqlR6("sum((p - q) * (p - q) / q)")} AS chi2,
+       |  ${sqlR6("sum(abs(p - q)) / 2.0")} AS tvd
+       |FROM terms GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q155 — adaptive (nearest-rank) length gates
+  // ------------------------------------------------------------------
+
+  /** q155 — data-driven length filtering: per language, the p05/p95
+    * length thresholds come from the data itself (nearest-rank
+    * percentile: the n_chars value at row_number ceil(p·n) under a
+    * total (n_chars, doc_id) order — integer selection, no
+    * interpolated doubles, so the gate is bit-deterministic), then
+    * the retention that gate would achieve. This is the adaptive form
+    * of a fixed-length filter: at 100 TB thresholds drift per shard
+    * and must be recomputed, not hardcoded. One sort-shuffle per
+    * language partition, thresholds broadcast back. */
+  def q155(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"lang", $"doc_id", $"n_chars")
+    val ranked = docs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"lang").orderBy($"n_chars", $"doc_id")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"lang")))
+    val th = ranked.groupBy($"lang").agg(
+      min(when($"rn" === ceil($"n" * 0.05), $"n_chars")).as("p05"),
+      min(when($"rn" === ceil($"n" * 0.95), $"n_chars")).as("p95"))
+    docs.join(broadcast(th), "lang")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"p05").as("p05"), min($"p95").as("p95"),
+        sum(when($"n_chars" >= $"p05" && $"n_chars" <= $"p95", 1L)
+          .otherwise(0L)).as("n_kept"))
+      .select($"lang", $"n_docs", $"p05", $"p95", $"n_kept",
+        r6($"n_kept".cast("double") / $"n_docs").as("retention"))
+      .orderBy($"lang")
+  }
+
+  val q155Sql: String =
+    s"""WITH ranked AS (
+       |  SELECT lang, n_chars,
+       |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY lang) AS n
+       |  FROM documents),
+       |th AS (
+       |  SELECT lang,
+       |    min(CASE WHEN rn = ceil(n * 0.05) THEN n_chars END) AS p05,
+       |    min(CASE WHEN rn = ceil(n * 0.95) THEN n_chars END) AS p95
+       |  FROM ranked GROUP BY lang)
+       |SELECT d.lang, count(*) AS n_docs, min(p05) AS p05, min(p95) AS p95,
+       |  CAST(sum(CASE WHEN n_chars BETWEEN p05 AND p95 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_kept,
+       |  ${sqlR6("sum(CASE WHEN n_chars BETWEEN p05 AND p95 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)")} AS retention
+       |FROM documents d JOIN th ON d.lang = th.lang
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q156 — frozen-weight quality-model scoring
+  // ------------------------------------------------------------------
+
+  /** Model features, shared by the oracle query and the MLlib training
+    * path (ml.QualityModel trains a LogisticRegression on exactly
+    * these): token count, average word length, en-stopword ratio,
+    * distinct-word ratio. Pure column arithmetic. */
+  def modelFeatures(text: Column): Seq[(String, Column)] = {
+    val toks = graft.functions.TextAnalysis.tokenCount(text).cast("double")
+    val chars = length(text).cast("double")
+    Seq(
+      "f_toks" -> toks,
+      "f_awl" -> (chars - (toks - 1)) / toks,
+      "f_stop" -> graft.functions.TextAnalysis.langScore(text, "en")
+        .cast("double") / toks,
+      "f_uniq" -> size(array_distinct(words(text))).cast("double") / toks)
+  }
+
+  /** Frozen linear weights ("trained offline" — the deploy shape of a
+    * fastText-style quality filter: training is rare, scoring is every
+    * scan). Linear form, not sigmoid: exp is not bit-stable
+    * cross-engine and the accept decision only needs the margin. */
+  val modelWeights: Seq[(String, Double)] = Seq(
+    "f_toks" -> 0.01, "f_awl" -> 0.15, "f_stop" -> 2.0, "f_uniq" -> 1.5)
+  val modelBias: Double = -1.2
+
+  /** q156 — score every doc with the frozen model, histogram the
+    * margins on a fixed quarter-unit grid, count accepts (margin > 0)
+    * per (lang, bucket). Scoring fuses into the scan (one pass, no
+    * shuffle before the tiny histogram agg). */
+  def q156(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val feats = modelFeatures($"text")
+    val score = feats.zip(modelWeights).map {
+      case ((_, c), (_, w)) => c * w
+    }.reduce(_ + _) + modelBias
+    Tables.documents(s, d)
+      .select($"lang", floor(score * 4).cast("long").as("bucket"),
+        (score > 0).cast("long").as("pass"))
+      .groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"pass").as("n_pass"))
+      .orderBy($"lang", $"bucket")
+  }
+
+  val q156Sql: String = {
+    val toks = "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT)"
+    val stop = graft.functions.TextAnalysis.sqlWordOccurrences("lower(text)", "the") +
+      " + " + graft.functions.TextAnalysis.sqlWordOccurrences("lower(text)", "and") +
+      " + " + graft.functions.TextAnalysis.sqlWordOccurrences("lower(text)", "of")
+    s"""WITH f AS (
+       |  SELECT lang,
+       |    CAST($toks AS DOUBLE) AS f_toks,
+       |    (CAST(length(text) AS DOUBLE) - ($toks - 1.0)) / $toks AS f_awl,
+       |    CAST($stop AS DOUBLE) / $toks AS f_stop,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |      / $toks AS f_uniq
+       |  FROM documents),
+       |sc AS (
+       |  SELECT lang, f_toks * 0.01 + f_awl * 0.15 + f_stop * 2.0
+       |    + f_uniq * 1.5 + -1.2 AS score FROM f)
+       |SELECT lang, CAST(floor(score * 4) AS BIGINT) AS bucket,
+       |  count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+       |FROM sc GROUP BY lang, bucket
+       |ORDER BY lang, bucket""".stripMargin
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q152_span_dedup_rewrite", q152, Some(q152Sql), bench = true),
+    QueryDef("q153_luhn_pii", q153, Some(q153Sql)),
+    QueryDef("q154_source_divergence", q154, Some(q154Sql)),
+    QueryDef("q155_adaptive_length_filter", q155, Some(q155Sql)),
+    QueryDef("q156_quality_model_score", q156, Some(q156Sql)))
+}
