@@ -290,9 +290,47 @@ object ScaleQueries {
       |FROM islands
       |ORDER BY o_custkey, valid_from, first_key""".stripMargin
 
+  // ---- q157: mergeable quantile sketch (exact regime) ---------------
+
+  /** q157 — grouped quantiles through the native compactor-stack
+    * sketch ([[graft.plans.QuantileSketchAgg]]): per-language
+    * p25/p50/p75 of document length. k=8192 exceeds every group here,
+    * so no compaction fires and the sketch answers the EXACT
+    * nearest-rank quantile the oracle recomputes with a rank window —
+    * the q128 exact-regime discipline. (The sketch's point is the
+    * other regime: at 100 TB each partial still carries ≤ k·log(N/k)
+    * doubles; QuantileSketchSpec pins that error bound empirically.) */
+  def q157(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.plans.QuantileSketch.register(s)
+    Tables.documents(s, d)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        graft.plans.QuantileSketch.qsketch($"n_chars".cast("double"), 8192,
+          Seq(0.25, 0.5, 0.75)).as("qs"))
+      .select($"lang", $"n_docs",
+        element_at($"qs", 1).as("p25"),
+        element_at($"qs", 2).as("p50"),
+        element_at($"qs", 3).as("p75"))
+      .orderBy($"lang")
+  }
+
+  val q157Sql: String =
+    """WITH ranked AS (
+      |  SELECT lang, n_chars,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(min(CASE WHEN rn = greatest(1, ceil(n * 0.25)) THEN n_chars END) AS DOUBLE) AS p25,
+      |  CAST(min(CASE WHEN rn = greatest(1, ceil(n * 0.5)) THEN n_chars END) AS DOUBLE) AS p50,
+      |  CAST(min(CASE WHEN rn = greatest(1, ceil(n * 0.75)) THEN n_chars END) AS DOUBLE) AS p75
+      |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q147_hll_registers", q147, Some(q147Sql)),
     QueryDef("q148_bloom_decontamination", q148, Some(q148Sql), bench = true),
     QueryDef("q149_salted_join", q149, Some(q149Sql), bench = true),
-    QueryDef("q150_scd2_intervals", q150, Some(q150Sql)))
+    QueryDef("q150_scd2_intervals", q150, Some(q150Sql)),
+    QueryDef("q157_quantile_sketch", q157, Some(q157Sql)))
 }
