@@ -228,6 +228,31 @@ object ScaleSmoke {
         .agg(graft.plans.CountMin.cm_sketch($"w", 3, 4096).as("sk"))
         .select(element_at(element_at($"sk", 1), 1)).collect().length.toLong
     }
+    // ---- span-dedup rewrite (q152 core): full segment-df-rebuild
+    // pass. The planted near-dups share all their full spans except
+    // the tail, so ~1% of docs lose real content — the stage consumes
+    // the rebuilt text (sum of lengths) so the string reassembly is
+    // actually executed, not pruned.
+    timed("span_dedup_rewrite") {
+      val out = operators.CorpusQueries.spanDedupRewrite(docs)
+      out.agg(sum(length($"clean_text")), sum($"n_kept")).collect().length.toLong
+    }
+    // ---- quantile sketch vs exact: grouped p50/p99 over n rows in 32
+    // groups. The sketch shuffles <= k*log2(n/k) doubles per partial;
+    // the exact percentile materializes every group member.
+    val vals = spark.range(nDocs).select(($"id" % 32).as("g"),
+      pmod(xxhash64($"id"), lit(1000000)).cast("double").as("x"))
+    timed("quantile_sketch_k256") {
+      graft.plans.QuantileSketch.register(spark)
+      vals.groupBy($"g")
+        .agg(graft.plans.QuantileSketch.qsketch($"x", 256, Seq(0.5, 0.99)).as("q"))
+        .select(element_at($"q", 1)).collect().length.toLong
+    }
+    timed("quantile_exact") {
+      vals.groupBy($"g")
+        .agg(expr("percentile(x, array(0.5, 0.99))").as("q"))
+        .select(element_at($"q", 1)).collect().length.toLong
+    }
     spark.stop()
   }
 }

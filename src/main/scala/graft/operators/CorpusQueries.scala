@@ -40,10 +40,13 @@ object CorpusQueries {
     * surviving spans, and the order key rides as a 4-byte pos. A doc
     * whose every span is boilerplate survives as an empty rewrite
     * (LEFT join back), so the output stays total over the corpus. */
-  def q152(s: SparkSession, d: String): DataFrame = {
+  /** Reusable core of q152 (ScaleSmoke drives it at 1M docs): rewrite
+    * a (doc_id, text) corpus dropping every W-word span that appears
+    * in ≥ 2 distinct documents. */
+  def spanDedupRewrite(docsIn: DataFrame, W: Int = 8): DataFrame = {
+    val s = docsIn.sparkSession
     import s.implicits._
-    val W = 8
-    val docs = Tables.documents(s, d).select($"doc_id", words($"text").as("w"))
+    val docs = docsIn.select($"doc_id", words($"text").as("w"))
     val nChunks = ceil(size($"w") / lit(W.toDouble)).cast("int")
     val chunks = docs
       .select($"doc_id", posexplode(
@@ -68,7 +71,11 @@ object CorpusQueries {
         coalesce($"clean_text", lit("")).as("clean_text"),
         r6(coalesce($"n_kept", lit(0L)).cast("double") / $"n_spans")
           .as("kept_frac"))
-      .orderBy($"doc_id")
+  }
+
+  def q152(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    spanDedupRewrite(Tables.documents(s, d)).orderBy($"doc_id")
   }
 
   val q152Sql: String =
