@@ -42,4 +42,22 @@ object AsOf {
     matched.filter(col("__side") === 1)
       .drop((Seq("__side", "__oid") ++ valueCols.map(c => s"__v_$c")): _*)
   }
+
+  /** As-of join with a match tolerance (pandas `merge_asof(tolerance=)`
+    * semantics): a prior right row older than `tolerance` (same units
+    * as the `ts` column) is treated as NO match — its carried values
+    * null out and `asof_matched` reports 0. Same single-shuffle
+    * union+window plan as [[asofJoin]]; the tolerance test is a pure
+    * post-window column mask, so the scale shape is unchanged. */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, key: String,
+      ts: String, idCol: String, valueCols: Seq[String],
+      tolerance: Column): DataFrame = {
+    val r = right.withColumn("__rts", col(ts))
+    val joined = asofJoin(left, r, key, ts, idCol, valueCols :+ "__rts")
+    val ok = col("asof___rts").isNotNull &&
+      col("asof___rts") >= col(ts) - tolerance
+    val masked = valueCols.foldLeft(joined)((d, c) =>
+      d.withColumn(s"asof_$c", when(ok, col(s"asof_$c"))))
+    masked.withColumn("asof_matched", ok.cast("int")).drop("asof___rts")
+  }
 }

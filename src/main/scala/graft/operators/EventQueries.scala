@@ -86,6 +86,56 @@ object EventQueries {
       |SELECT user_id, purchase_id, m_view AS view_id, us - m_us AS gap_us
       |FROM w WHERE side = 1 ORDER BY user_id, purchase_id""".stripMargin
 
+  /** q158 — q71's as-of join under a 30-minute tolerance (pandas
+    * merge_asof(tolerance=...) semantics): a prior view older than the
+    * window is NOT a match — attribution systems need the "recent
+    * enough" qualifier, not just "most recent ever". Same
+    * single-shuffle union+window plan; the tolerance is a post-window
+    * column mask. */
+  def q158(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tolUs = 1800000000L // 30 min in µs
+    val e = Tables.events(s, d)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"), $"event_type")
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"us", $"event_id")
+    val views = e.filter($"event_type" === "view")
+      .select($"user_id", $"us", $"event_id")
+      .withColumn("view_id", $"event_id").withColumn("view_us", $"us")
+    AsOf.asofJoinTolerance(
+      purchases, views, key = "user_id", ts = "us", idCol = "event_id",
+      valueCols = Seq("view_id", "view_us"), tolerance = lit(tolUs))
+      .select($"user_id", $"event_id".as("purchase_id"),
+        $"asof_view_id".as("view_id"),
+        ($"us" - $"asof_view_us").as("gap_us"),
+        $"asof_matched".as("matched"))
+      .orderBy($"user_id", $"purchase_id")
+  }
+
+  val q158Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+      |  FROM events),
+      |u AS (
+      |  SELECT user_id, us, event_id AS oid, 1 AS side, event_id AS purchase_id,
+      |         NULL::BIGINT AS view_id, NULL::BIGINT AS view_us
+      |  FROM e WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, us, event_id, 0, NULL, event_id, us
+      |  FROM e WHERE event_type = 'view'),
+      |w AS (
+      |  SELECT user_id, us, side, purchase_id,
+      |    last_value(view_id IGNORE NULLS) OVER win AS m_view,
+      |    last_value(view_us IGNORE NULLS) OVER win AS m_us
+      |  FROM u
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY us, side, oid
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT user_id, purchase_id,
+      |  CASE WHEN m_us >= us - 1800000000 THEN m_view END AS view_id,
+      |  CASE WHEN m_us >= us - 1800000000 THEN us - m_us END AS gap_us,
+      |  CAST(COALESCE(m_us >= us - 1800000000, FALSE) AS INT) AS matched
+      |FROM w WHERE side = 1 ORDER BY user_id, purchase_id""".stripMargin
+
   /** Bounded range join: views within 30 min before each purchase,
     * per user (bucketized equi-join — see operators.RangeJoin). */
   def q73(s: SparkSession, d: String): DataFrame = {
@@ -360,5 +410,6 @@ object EventQueries {
     QueryDef("q109_triangle_count", q109, Some(q109Sql)),
     QueryDef("q110_running_uniques", q110, Some(q110Sql)),
     QueryDef("q132_hourly_anomalies", q132, Some(q132Sql)),
+    QueryDef("q158_asof_tolerance", q158, Some(q158Sql)),
   )
 }

@@ -268,4 +268,43 @@ class StreamingSpec extends SparkSpec {
     assert(after2("x") == 7L && after2("w") == 4L,
       s"state carried across batches: $after2")
   }
+
+  test("late-data accounting: watermark drops are counted, not silent") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("late_src").toString
+    val ckpt = Files.createTempDirectory("late_ckpt").toString
+    val out = Files.createTempDirectory("late_out").toString
+    val baseMs = 86400000L
+    def ts(min: Long) = new java.sql.Timestamp(baseMs + min * 60000L)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "ts TIMESTAMP, event_type STRING, value DOUBLE")
+    def run(): Long = {
+      val stream = spark.readStream.schema(schema).option("header", "true")
+        .csv(src)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("h"), col("n"))
+      val q = stream.writeStream.format("parquet").option("path", out)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(60000))
+      Streams.droppedByWatermark(q)
+    }
+    // run 1: on-time events advance the watermark to minute 90
+    Files.writeString(java.nio.file.Path.of(s"$src/b1.csv"),
+      s"ts,event_type,value\n${ts(10)},view,1.0\n${ts(30)},view,1.0\n${ts(90)},view,1.0\n")
+    assert(run() == 0L, "no late rows in batch 1")
+    // run 2: one event below the checkpointed watermark (its window is
+    // closed) and one on-time event — exactly one row must be dropped
+    // AND the drop must be visible in the metrics
+    Files.writeString(java.nio.file.Path.of(s"$src/b2.csv"),
+      s"ts,event_type,value\n${ts(5)},view,1.0\n${ts(150)},view,1.0\n")
+    val dropped = run()
+    assert(dropped == 1L, s"expected 1 watermark-dropped row, got $dropped")
+    // the closed [0:00,1:00) window emitted with the on-time count only
+    val h0 = spark.read.parquet(out).filter(col("h") === ts(0)).collect()
+    assert(h0.length == 1 && h0(0).getLong(1) == 2L,
+      s"window 0 must hold the 2 on-time rows: ${h0.mkString}")
+  }
 }
