@@ -511,6 +511,77 @@ object DedupQueries {
        |ORDER BY agg.drop_id""".stripMargin
   }
 
+  /** q159 — BFS hop distance to the dup-cluster representative: for
+    * every document in a near-dup cluster (q57's edge relation), the
+    * component-min doc it canonicalizes to AND how many near-dup hops
+    * away it sits — the "duplication chain length" signal (a doc 4
+    * hops from its representative survived 4 successive mutations;
+    * dedup policies treat it differently from a 1-hop copy).
+    *
+    * Iterative frontier loop, the q91 pattern: state is one row per
+    * node (best root, hops); each round propagates state across the
+    * edge relation (both hash-partitioned by node id) and min-merges.
+    * The horizon is 8 rounds ON BOTH ENGINES (the oracle's recursive
+    * CTE carries the same d < 8 bound), so the semantics stay aligned
+    * even on a component wider than the horizon; near-dup clusters
+    * here have diameter ≤ 3. The component-min root's wavefront is
+    * never pruned by the min-merge (it wins every min), so its hop
+    * counts are exact BFS distances. */
+  def q159(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val sig = Dedup.minhashSignatureWords(docs, "doc_id", "text", nHashes)
+    val bands = Dedup.lshBands(sig, "doc_id", nBands = 2, rowsPerBand = 3)
+    val pairs = Dedup.candidatePairs(bands, "doc_id")
+    val da = docs.select($"doc_id".as("a"), Dedup.wordSet($"text").as("wa"))
+    val db = docs.select($"doc_id".as("b"), Dedup.wordSet($"text").as("wb"))
+    val nearDup = pairs.join(da, "a").join(db, "b")
+      .filter(Dedup.jaccard($"wa", $"wb") >= 0.6)
+      .select($"a", $"b")
+    // Materialize the edge relation once (it embeds the whole
+    // minhash/LSH/jaccard pipeline) and truncate the state's lineage
+    // every round: the loop body references `state` three times, so an
+    // unpersisted loop doubles the plan per iteration — 2^8 copies of
+    // the LSH pipeline took the sf0.01 driver heap down. At cluster
+    // scale the same discipline uses a reliable checkpoint dir.
+    val edges = nearDup.union(nearDup.select($"b".as("a"), $"a".as("b")))
+      .localCheckpoint()
+    val nodes = edges.select($"a".as("node")).distinct()
+    var state = nodes.select($"node", $"node".as("root"), lit(0).as("d"))
+    for (_ <- 1 to 8) {
+      val cand = state.join(edges, $"node" === $"a")
+        .select($"b".as("node"), $"root", ($"d" + 1).as("d"))
+      val unioned = state.unionByName(cand)
+      val minRoot = unioned.groupBy($"node").agg(min($"root").as("root"))
+      state = unioned.join(minRoot, Seq("node", "root"))
+        .groupBy($"node", $"root").agg(min($"d").as("d"))
+        .localCheckpoint()
+    }
+    state.select($"node".as("doc_id"), $"root", $"d".cast("long").as("hops"))
+      .orderBy($"doc_id")
+  }
+
+  val q159Sql: String =
+    s"""WITH RECURSIVE $sigSql, $bandsSql, $pairsSql,
+       |ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM documents),
+       |nd AS (
+       |  SELECT a, b FROM pairs
+       |  JOIN ws wa ON pairs.a = wa.doc_id
+       |  JOIN ws wb ON pairs.b = wb.doc_id
+       |  WHERE CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE) /
+       |        (len(wa.w) + len(wb.w) - len(list_intersect(wa.w, wb.w))) >= 0.6),
+       |edges AS (SELECT a, b FROM nd UNION SELECT b, a FROM nd),
+       |walk(node, root, d) AS (
+       |  SELECT a, a, 0 FROM (SELECT DISTINCT a FROM edges) n
+       |  UNION
+       |  SELECT e.b, w.root, w.d + 1
+       |  FROM walk w JOIN edges e ON e.a = w.node WHERE w.d < 8),
+       |best AS (SELECT node, min(root) AS root FROM walk GROUP BY node)
+       |SELECT w.node AS doc_id, b.root, CAST(min(w.d) AS BIGINT) AS hops
+       |FROM walk w JOIN best b ON w.node = b.node AND w.root = b.root
+       |GROUP BY w.node, b.root
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q50_exact_dedup", q50, Some(q50Sql), bench = true),
     QueryDef("q51_minhash_signatures", q51, Some(q51Sql), bench = true),
@@ -525,5 +596,6 @@ object DedupQueries {
     QueryDef("q129_semantic_dedup", q129, Some(q129Sql)),
     QueryDef("q142_leakage_safe_split", q142, Some(q142Sql)),
     QueryDef("q143_cross_source_dups", q143, Some(q143Sql)),
+    QueryDef("q159_dup_bfs", q159, Some(q159Sql)),
   )
 }
