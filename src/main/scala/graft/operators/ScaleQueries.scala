@@ -327,10 +327,46 @@ object ScaleQueries {
       |  CAST(min(CASE WHEN rn = greatest(1, ceil(n * 0.75)) THEN n_chars END) AS DOUBLE) AS p75
       |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q160 — sketch-cube rollup: per-(lang, source) PARTIAL sketches
+    * emitted as serialized binaries, then merged per lang — quantiles
+    * over the union without touching raw rows again. This is how a
+    * 100 TB metrics cube works: daily jobs persist one sketch row per
+    * shard; every rollup window (7d, 30d, all-time) is a merge over
+    * those rows instead of a rescan. Exact regime end to end here
+    * (shards and merged unions both under k), so the DuckDB oracle is
+    * the exact nearest-rank median; QuantileSketchSpec covers the
+    * lossy regime and the parquet persistence round-trip. */
+  def q160(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.plans.QuantileSketch.registerPersistence(s)
+    val partials = Tables.documents(s, d)
+      .groupBy($"lang", $"source")
+      .agg(graft.plans.QuantileSketch
+        .qsketch_bin($"n_chars".cast("double"), 8192).as("sk"))
+    partials.groupBy($"lang")
+      .agg(count(lit(1)).as("n_shards"),
+        graft.plans.QuantileSketch.qsketch_merge($"sk", Seq(0.5)).as("q"))
+      .select($"lang", $"n_shards", element_at($"q", 1).as("p50"))
+      .orderBy($"lang")
+  }
+
+  val q160Sql: String =
+    """WITH ranked AS (
+      |  SELECT lang, n_chars,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents)
+      |SELECT r.lang,
+      |  (SELECT count(DISTINCT source) FROM documents d
+      |   WHERE d.lang = r.lang) AS n_shards,
+      |  CAST(min(CASE WHEN rn = greatest(1, ceil(n * 0.5)) THEN n_chars END) AS DOUBLE) AS p50
+      |FROM ranked r GROUP BY r.lang ORDER BY r.lang""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q147_hll_registers", q147, Some(q147Sql)),
     QueryDef("q148_bloom_decontamination", q148, Some(q148Sql), bench = true),
     QueryDef("q149_salted_join", q149, Some(q149Sql), bench = true),
     QueryDef("q150_scd2_intervals", q150, Some(q150Sql)),
-    QueryDef("q157_quantile_sketch", q157, Some(q157Sql)))
+    QueryDef("q157_quantile_sketch", q157, Some(q157Sql)),
+    QueryDef("q160_sketch_rollup", q160, Some(q160Sql)))
 }

@@ -140,7 +140,25 @@ case class QuantileSketchAgg(
   override def eval(buf: QkBuffer): Any =
     new GenericArrayData(buf.quantiles(ps).map(x => x: Any))
 
-  override def serialize(buf: QkBuffer): Array[Byte] = {
+  override def serialize(buf: QkBuffer): Array[Byte] = QkCodec.write(buf)
+  override def deserialize(bytes: Array[Byte]): QkBuffer = QkCodec.read(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QuantileSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): QuantileSketchAgg =
+    copy(child = newChildren.head)
+}
+
+/** Serialization-sharing base: the three sketch aggregates (value →
+  * quantiles, value → binary, binary → quantiles) differ only in what
+  * flows in and out; the buffer wire format is shared so a PERSISTED
+  * sketch column round-trips into a later merge — the sketch-cube
+  * pattern: daily jobs store one binary row per (shard, day), rollups
+  * merge sketches instead of rescanning 100 TB of raw rows. */
+object QkCodec {
+  def write(buf: QkBuffer): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(buf.k)
@@ -156,7 +174,7 @@ case class QuantileSketchAgg(
     out.flush(); bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): QkBuffer = {
+  def read(bytes: Array[Byte]): QkBuffer = {
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val buf = new QkBuffer(in.readInt())
     buf.count = in.readLong()
@@ -174,12 +192,84 @@ case class QuantileSketchAgg(
     }
     buf
   }
+}
 
-  override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketchAgg =
+/** Partial-sketch emitter: aggregates raw doubles into a SERIALIZED
+  * sketch (binary column) instead of answering quantiles — the write
+  * side of the sketch cube. */
+case class QuantileSketchBinAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[QkBuffer] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"qsketch_bin requires a DOUBLE child, got ${child.dataType.simpleString}")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def createAggregationBuffer(): QkBuffer = new QkBuffer(k)
+  override def update(buf: QkBuffer, input: InternalRow): QkBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[Double])
+    buf
+  }
+  override def merge(buf: QkBuffer, other: QkBuffer): QkBuffer = {
+    buf.merge(other); buf
+  }
+  override def eval(buf: QkBuffer): Any = QkCodec.write(buf)
+  override def serialize(buf: QkBuffer): Array[Byte] = QkCodec.write(buf)
+  override def deserialize(bytes: Array[Byte]): QkBuffer = QkCodec.read(bytes)
+  override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketchBinAgg =
     copy(mutableAggBufferOffset = newOffset)
-  override def withNewInputAggBufferOffset(newOffset: Int): QuantileSketchAgg =
+  override def withNewInputAggBufferOffset(newOffset: Int): QuantileSketchBinAgg =
     copy(inputAggBufferOffset = newOffset)
-  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): QuantileSketchAgg =
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): QuantileSketchBinAgg =
+    copy(child = newChildren.head)
+}
+
+/** Rollup side: merges PERSISTED sketch binaries (however they were
+  * sharded — day, source, tenant) and answers quantiles over the
+  * union, never re-reading raw rows. */
+case class QuantileSketchMergeAgg(
+    child: Expression,
+    ps: Array[Double],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[QkBuffer] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"qsketch_merge requires a BINARY child, got ${child.dataType.simpleString}")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  // placeholder capacity; the first merged sketch's k takes over
+  // (update RETURNS the deserialized buffer when ours is still empty)
+  override def createAggregationBuffer(): QkBuffer = new QkBuffer(64)
+  override def update(buf: QkBuffer, input: InternalRow): QkBuffer = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val other = QkCodec.read(v.asInstanceOf[Array[Byte]])
+    if (buf.count == 0L) other else { buf.merge(other); buf }
+  }
+  override def merge(buf: QkBuffer, other: QkBuffer): QkBuffer =
+    if (buf.count == 0L) other else { buf.merge(other); buf }
+  override def eval(buf: QkBuffer): Any =
+    new GenericArrayData(buf.quantiles(ps).map(x => x: Any))
+  override def serialize(buf: QkBuffer): Array[Byte] = QkCodec.write(buf)
+  override def deserialize(bytes: Array[Byte]): QkBuffer = QkCodec.read(bytes)
+  override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketchMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QuantileSketchMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): QuantileSketchMergeAgg =
     copy(child = newChildren.head)
 }
 
@@ -208,5 +298,42 @@ object QuantileSketch {
 
   def qsketch(c: Column, k: Int, ps: Seq[Double]): Column =
     call_function("qsketch", c, org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(ps.toArray))
+
+  /** Registers the persistence pair: `qsketch_bin(col, k)` (emit a
+    * serialized partial sketch) and `qsketch_merge(bin, ps)` (merge
+    * persisted sketches, answer quantiles). */
+  def registerPersistence(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "qsketch_bin",
+      es => {
+        val k = es(1).eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"qsketch_bin capacity must be an int literal, got $other")
+        }
+        QuantileSketchBinAgg(es.head, k).toAggregateExpression()
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "qsketch_merge",
+      es => {
+        val ps = es(1).eval(null) match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            a.toDoubleArray()
+          case other => throw new IllegalArgumentException(
+            s"qsketch_merge fractions must be an array<double> literal, got $other")
+        }
+        QuantileSketchMergeAgg(es.head, ps).toAggregateExpression()
+      },
+      "scala_udf")
+  }
+
+  def qsketch_bin(c: Column, k: Int): Column =
+    call_function("qsketch_bin", c, org.apache.spark.sql.functions.lit(k))
+
+  def qsketch_merge(c: Column, ps: Seq[Double]): Column =
+    call_function("qsketch_merge", c,
       org.apache.spark.sql.functions.lit(ps.toArray))
 }

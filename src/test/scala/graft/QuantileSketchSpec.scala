@@ -71,6 +71,47 @@ class QuantileSketchSpec extends SparkSpec {
     }
   }
 
+  test("sketch persistence: binary round-trip through parquet, merged rollup == direct (exact regime)") {
+    import spark.implicits._
+    QuantileSketch.register(spark)
+    QuantileSketch.registerPersistence(spark)
+    val rnd = new scala.util.Random(19)
+    val rows = (1 to 3000).map(i => (s"d${i % 5}", rnd.nextDouble() * 10))
+    val df = rows.toDF("day", "x")
+    // write one serialized partial sketch per day — the cube row
+    val dir = java.nio.file.Files.createTempDirectory("sketchcube").toString + "/cube"
+    df.groupBy($"day")
+      .agg(QuantileSketch.qsketch_bin($"x", 8192).as("sk"))
+      .write.parquet(dir)
+    // roll up from DISK, never re-reading raw rows
+    val rolled = spark.read.parquet(dir)
+      .agg(QuantileSketch.qsketch_merge($"sk", Seq(0.25, 0.5, 0.75)).as("q"))
+      .select(element_at($"q", 1), element_at($"q", 2), element_at($"q", 3))
+      .head()
+    val direct = df
+      .agg(QuantileSketch.qsketch($"x", 8192, Seq(0.25, 0.5, 0.75)).as("q"))
+      .select(element_at($"q", 1), element_at($"q", 2), element_at($"q", 3))
+      .head()
+    assert(rolled == direct, s"rollup $rolled != direct $direct")
+    assert(rolled.getDouble(1) == exactNearestRank(rows.map(_._2), 0.5))
+  }
+
+  test("sketch persistence: lossy-regime rollup keeps the rank bound") {
+    import spark.implicits._
+    QuantileSketch.registerPersistence(spark)
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 100000).map(i => (s"d${i % 20}", rnd.nextGaussian()))
+    val df = rows.toDF("day", "x")
+    val rolled = df.groupBy($"day")
+      .agg(QuantileSketch.qsketch_bin($"x", 256).as("sk"))
+      .agg(QuantileSketch.qsketch_merge($"sk", Seq(0.5)).as("q"))
+      .select(element_at($"q", 1)).head().getDouble(0)
+    val sorted = rows.map(_._2).sorted
+    val rank = sorted.count(_ <= rolled)
+    assert(math.abs(rank - 0.5 * rows.size) / rows.size.toDouble < 0.03,
+      s"merged-rollup median rank off: $rank of ${rows.size}")
+  }
+
   test("analysis-time rejection of non-double children") {
     import spark.implicits._
     QuantileSketch.register(spark)
