@@ -75,15 +75,7 @@ case class HllDistinct(
 
   override def update(buf: HllBuffer, input: InternalRow): HllBuffer = {
     val v = child.eval(input)
-    if (v != null) {
-      val h = v match {
-        case s: UTF8String => XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
-        case l: Long => XXH64.hashLong(l, 42L)
-        case i: Int => XXH64.hashLong(i.toLong, 42L)
-        case other => XXH64.hashLong(other.hashCode().toLong, 42L)
-      }
-      buf.add(h)
-    }
+    if (v != null) buf.add(HllDistinct.hashOf(v))
     buf
   }
 
@@ -114,12 +106,128 @@ case class HllDistinct(
     copy(child = newChildren.head)
 }
 
+/** Partial-HLL emitter: same register file, but eval() returns the
+  * SERIALIZED sketch — the write side of a distinct-count cube (one
+  * binary row per shard/day; see QuantileSketchBinAgg for the pattern
+  * write-up). Register-wise max makes HLL the ideal cube sketch:
+  * merge is lossless, any shard partition of the data yields the
+  * identical merged register file. */
+case class HllBinAgg(
+    child: Expression,
+    p: Int = 11,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HllBuffer] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def createAggregationBuffer(): HllBuffer = new HllBuffer(p)
+  override def update(buf: HllBuffer, input: InternalRow): HllBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(HllDistinct.hashOf(v))
+    buf
+  }
+  override def merge(buf: HllBuffer, other: HllBuffer): HllBuffer = {
+    buf.merge(other); buf
+  }
+  override def eval(buf: HllBuffer): Any = serialize(buf)
+  override def serialize(buf: HllBuffer): Array[Byte] = {
+    val out = new Array[Byte](1 + buf.m)
+    out(0) = buf.p.toByte
+    System.arraycopy(buf.registers, 0, out, 1, buf.m)
+    out
+  }
+  override def deserialize(bytes: Array[Byte]): HllBuffer = {
+    val buf = new HllBuffer(bytes(0).toInt)
+    System.arraycopy(bytes, 1, buf.registers, 0, buf.m)
+    buf
+  }
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllBinAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllBinAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): HllBinAgg =
+    copy(child = newChildren.head)
+}
+
+/** Rollup side: register-wise max over persisted HLL binaries, then
+  * the standard estimate. Lossless vs a single whole-data sketch. */
+case class HllMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HllBuffer] {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"hll_merge requires a BINARY child, got ${child.dataType.simpleString}")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  // placeholder precision; the first merged sketch's p takes over
+  override def createAggregationBuffer(): HllBuffer = new HllBuffer(4)
+  override def update(buf: HllBuffer, input: InternalRow): HllBuffer = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val other = deserialize(v.asInstanceOf[Array[Byte]])
+    if (isEmpty(buf)) other else { buf.merge(other); buf }
+  }
+  override def merge(buf: HllBuffer, other: HllBuffer): HllBuffer =
+    if (isEmpty(buf)) other else { buf.merge(other); buf }
+  private def isEmpty(buf: HllBuffer): Boolean = {
+    var i = 0
+    while (i < buf.m) { if (buf.registers(i) != 0) return false; i += 1 }
+    true
+  }
+  override def eval(buf: HllBuffer): Any = buf.estimate
+  override def serialize(buf: HllBuffer): Array[Byte] = {
+    val out = new Array[Byte](1 + buf.m)
+    out(0) = buf.p.toByte
+    System.arraycopy(buf.registers, 0, out, 1, buf.m)
+    out
+  }
+  override def deserialize(bytes: Array[Byte]): HllBuffer = {
+    val buf = new HllBuffer(bytes(0).toInt)
+    System.arraycopy(bytes, 1, buf.registers, 0, buf.m)
+    buf
+  }
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): HllMergeAgg =
+    copy(child = newChildren.head)
+}
+
 object HllDistinct {
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Shared XXH64 value hash (seed 42) for both sketch writers. */
+  def hashOf(v: Any): Long = v match {
+    case s: UTF8String => XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+    case l: Long => XXH64.hashLong(l, 42L)
+    case i: Int => XXH64.hashLong(i.toLong, 42L)
+    case other => XXH64.hashLong(other.hashCode().toLong, 42L)
+  }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hll_distinct",
       es => HllDistinct(es.head).toAggregateExpression(),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hll_bin",
+      es => HllBinAgg(es.head).toAggregateExpression(),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hll_merge",
+      es => HllMergeAgg(es.head).toAggregateExpression(),
+      "scala_udf")
+  }
 
   def hll_distinct(c: Column): Column = call_function("hll_distinct", c)
+  def hll_bin(c: Column): Column = call_function("hll_bin", c)
+  def hll_merge(c: Column): Column = call_function("hll_merge", c)
 }

@@ -257,4 +257,35 @@ object Streams {
         OutputMode.Update(), GroupStateTimeout.NoTimeout())(frequentItemsUpdate(k))
       .toDF()
   }
+
+  final case class KeyedValue(key: String, value: Double)
+  final case class QuantileSummary(key: String, n: Long, p50: Double, p99: Double)
+
+  /** Streaming percentile monitor: per-key quantile sketch maintained
+    * forever across micro-batches (latency/size SLO dashboards). State
+    * per key is the serialized compactor stack — ≤ k·log₂(n/k)
+    * doubles however long the stream runs, the same bound the batch
+    * aggregate gives each partial. Each trigger re-emits the keys it
+    * touched with their current p50/p99. */
+  def quantileMonitorUpdate(k: Int)(
+      key: String, rows: Iterator[KeyedValue],
+      state: GroupState[Array[Byte]]): Iterator[QuantileSummary] = {
+    val buf = state.getOption.map(graft.plans.QkCodec.read)
+      .getOrElse(new graft.plans.QkBuffer(k))
+    rows.foreach(r => buf.add(r.value))
+    state.update(graft.plans.QkCodec.write(buf))
+    val qs = buf.quantiles(Array(0.5, 0.99))
+    Iterator.single(QuantileSummary(key, buf.count, qs(0), qs(1)))
+  }
+
+  /** Update-mode stream of per-key quantile summaries. */
+  def quantileMonitor(values: org.apache.spark.sql.Dataset[KeyedValue],
+      k: Int): DataFrame = {
+    import values.sparkSession.implicits._
+    values
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(quantileMonitorUpdate(k))
+      .toDF()
+  }
 }

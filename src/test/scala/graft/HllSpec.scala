@@ -54,4 +54,25 @@ class HllSpec extends SparkSpec {
     val df = Seq[Option[String]](None, None).toDF("s")
     assert(df.agg(HllDistinct.hll_distinct(col("s"))).head.getLong(0) == 0L)
   }
+
+  test("HLL cube: sharded hll_bin -> hll_merge rollup is LOSSLESS vs whole-data sketch") {
+    import spark.implicits._
+    HllDistinct.register(spark)
+    val rows = (1 to 50000).map(i => (s"d${i % 13}", s"user${i % 7321}"))
+    val df = rows.toDF("day", "u")
+    val dir = java.nio.file.Files.createTempDirectory("hllcube").toString + "/cube"
+    // write one persisted register file per day shard
+    df.groupBy($"day").agg(HllDistinct.hll_bin($"u").as("sk"))
+      .write.parquet(dir)
+    val rolled = spark.read.parquet(dir)
+      .agg(HllDistinct.hll_merge($"sk")).head.getLong(0)
+    val whole = df.agg(HllDistinct.hll_distinct($"u")).head.getLong(0)
+    // register-wise max is exactly associative: any sharding merges to
+    // the identical register file, so the estimates are EQUAL, not
+    // merely close
+    assert(rolled == whole, s"rollup $rolled != whole-data $whole")
+    val exact = rows.map(_._2).distinct.size
+    assert(math.abs(rolled - exact).toDouble / exact < 0.05,
+      s"estimate $rolled vs exact $exact")
+  }
 }

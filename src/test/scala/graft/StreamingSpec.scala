@@ -269,6 +269,46 @@ class StreamingSpec extends SparkSpec {
       s"state carried across batches: $after2")
   }
 
+  test("streaming quantile monitor: sketch state accumulates across batches, restarts included") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("qm_src").toString
+    val ckpt = Files.createTempDirectory("qm_ckpt").toString
+    def run(): Map[String, (Long, Double)] = {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "key STRING, value DOUBLE")
+      val stream = spark.readStream.schema(schema).option("header", "true")
+        .csv(src).as[Streams.KeyedValue]
+      val emitted = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+      val q = Streams.quantileMonitor(stream, k = 64)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.select("key", "n", "p50").as[(String, Long, Double)].collect()
+          emitted.synchronized { emitted ++= rows }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(60000))
+      // latest emission per key is the current summary
+      emitted.groupBy(_._1).map { case (k, rs) =>
+        val last = rs.maxBy(_._2); k -> (last._2, last._3)
+      }
+    }
+    // batch 1: key a sees 1..9 (median 5), key b sees 100
+    Files.writeString(java.nio.file.Path.of(s"$src/b1.csv"),
+      "key,value\n" + (1 to 9).map(i => s"a,$i.0\n").mkString + "b,100.0\n")
+    val after1 = run()
+    assert(after1("a") == ((9L, 5.0)), s"b1 a: ${after1("a")}")
+    assert(after1("b") == ((1L, 100.0)), s"b1 b: ${after1("b")}")
+    // batch 2 (fresh run, checkpointed state): key a sees 11..19 —
+    // exact-regime median over BOTH batches is 10th of 18 values = 10?
+    // values are 1..9 and 11..19 sorted; rank ceil(0.5*18)=9 -> 9.0
+    Files.writeString(java.nio.file.Path.of(s"$src/b2.csv"),
+      "key,value\n" + (11 to 19).map(i => s"a,$i.0\n").mkString)
+    val after2 = run()
+    assert(after2("a") == ((18L, 9.0)), s"state carried across restart: ${after2("a")}")
+  }
+
   test("late-data accounting: watermark drops are counted, not silent") {
     import spark.implicits._
     val src = Files.createTempDirectory("late_src").toString
