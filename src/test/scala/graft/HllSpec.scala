@@ -75,4 +75,20 @@ class HllSpec extends SparkSpec {
     assert(math.abs(rolled - exact).toDouble / exact < 0.05,
       s"estimate $rolled vs exact $exact")
   }
+
+  test("HLL sketch algebra: intersection estimate via inclusion-exclusion over shard sketches") {
+    import spark.implicits._
+    HllDistinct.register(spark)
+    // two sources with a known overlap: A = 0..5999, B = 4000..9999
+    val a = (0 until 6000).map(i => ("A", s"u$i"))
+    val b = (4000 until 10000).map(i => ("B", s"u$i"))
+    val df = (a ++ b).toDF("src", "u")
+    val sketches = df.groupBy($"src").agg(HllDistinct.hll_bin($"u").as("sk"))
+    val nA = df.filter($"src" === "A").agg(HllDistinct.hll_distinct($"u")).head.getLong(0)
+    val nB = df.filter($"src" === "B").agg(HllDistinct.hll_distinct($"u")).head.getLong(0)
+    val nUnion = sketches.agg(HllDistinct.hll_merge($"sk")).head.getLong(0)
+    val nInter = nA + nB - nUnion // inclusion-exclusion on estimates
+    assert(math.abs(nInter - 2000).toDouble / 2000 < 0.15,
+      s"intersection estimate $nInter vs exact 2000")
+  }
 }
