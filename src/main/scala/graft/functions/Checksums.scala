@@ -33,7 +33,10 @@ object Checksums {
           when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
         acc + dd
       })
-    total % 10 === 0
+    // empty-string guard: sequence(1, 0) counts DOWN (the Spark trap
+    // TextAnalysis.adjacentPairs documents) and substr('',...) nulls
+    // the fold — define luhn('') as false outright
+    when(length(c) === 0, lit(false)).otherwise(total % 10 === 0)
   }
 
   /** DuckDB mirror of [[luhnValid]]; `e` must be a bare column/CTE name

@@ -136,6 +136,41 @@ object EventQueries {
       |  CAST(COALESCE(m_us >= us - 1800000000, FALSE) AS INT) AS matched
       |FROM w WHERE side = 1 ORDER BY user_id, purchase_id""".stripMargin
 
+  /** q161 — clickstream path mining: the 20 most common 3-step
+    * event-type sequences across user timelines (the "what do users
+    * do next" query every product-analytics pipeline runs). Two leads
+    * over one per-user window — a single shuffle on user_id; the
+    * global top-20 compiles to TakeOrderedAndProject (no full sort).
+    * Ordering inside a timeline is total ((us, event_id) unique), so
+    * the path strings are cross-engine identical. */
+  def q161(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"), $"event_type")
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    e.withColumn("e2", lead($"event_type", 1).over(w))
+      .withColumn("e3", lead($"event_type", 2).over(w))
+      .filter($"e3".isNotNull)
+      .select(concat_ws(">", $"event_type", $"e2", $"e3").as("path"))
+      .groupBy($"path").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"path")
+      .limit(20)
+  }
+
+  val q161Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+      |  FROM events),
+      |t AS (
+      |  SELECT event_type AS e1,
+      |    lead(event_type, 1) OVER win AS e2,
+      |    lead(event_type, 2) OVER win AS e3
+      |  FROM e
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id))
+      |SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+      |FROM t WHERE e3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
+
   /** Bounded range join: views within 30 min before each purchase,
     * per user (bucketized equi-join — see operators.RangeJoin). */
   def q73(s: SparkSession, d: String): DataFrame = {
@@ -411,5 +446,6 @@ object EventQueries {
     QueryDef("q110_running_uniques", q110, Some(q110Sql)),
     QueryDef("q132_hourly_anomalies", q132, Some(q132Sql)),
     QueryDef("q158_asof_tolerance", q158, Some(q158Sql)),
+    QueryDef("q161_event_paths", q161, Some(q161Sql)),
   )
 }

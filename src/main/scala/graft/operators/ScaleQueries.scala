@@ -362,11 +362,95 @@ object ScaleQueries {
       |  CAST(min(CASE WHEN rn = greatest(1, ceil(n * 0.5)) THEN n_chars END) AS DOUBLE) AS p50
       |FROM ranked r GROUP BY r.lang ORDER BY r.lang""".stripMargin
 
+  /** q162 — sliding-window distinct users from PRE-AGGREGATED hourly
+    * HLL registers (q147's md5 construction, so the oracle rebuilds
+    * the identical registers): each hourly register row contributes
+    * to the 6 window-ends it falls in, merged with a bucket-wise max
+    * — the time-windowed face of the sketch cube. At 100 TB this is
+    * the only viable sliding distinct: the hourly grid is
+    * hours × 64 rows forever, each window merge touches ≤ 6·64 rows,
+    * and raw events are scanned ONCE; the windowed exact distinct
+    * (emitted alongside for the accuracy audit, like q147) is the
+    * thing that stops scaling. */
+  def q162(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val restBits = 26
+    val win = 6 // hours per sliding window
+    val h = conv(substring(md5($"user_id".cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val rest = h.bitwiseAND(lit((1L << restBits) - 1))
+    val hashed = Tables.events(s, d).select(
+      expr("unix_micros(ts) div 3600000000").as("hour"),
+      $"user_id",
+      shiftright(h, restBits).as("bucket"),
+      when(rest === 0L, lit(restBits + 1))
+        .otherwise(lit(restBits + 1) - length(ltrim(bin(rest), "0")))
+        .as("rank"))
+    val hourly = hashed.groupBy($"hour", $"bucket").agg(max($"rank").as("r"))
+    val hours = hashed.select($"hour").distinct()
+    // expand each hourly register to the window-ends it serves, merge
+    val merged = hourly
+      .select(explode(sequence($"hour", $"hour" + (win - 1))).as("wend"),
+        $"bucket", $"r")
+      .join(hours.select($"hour".as("wend")), "wend") // only real hours emit
+      .groupBy($"wend", $"bucket").agg(max($"r").as("r"))
+    val sketch = merged.groupBy($"wend").agg(
+      count(lit(1)).as("observed"),
+      sum(expr("shiftleft(CAST(1 AS BIGINT), 27 - r)")).as("sum_pow"))
+    // exact windowed distinct for the inline accuracy audit
+    val exact = hashed.select($"hour", $"user_id").distinct()
+      .select(explode(sequence($"hour", $"hour" + (win - 1))).as("wend"), $"user_id")
+      .join(hours.select($"hour".as("wend")), "wend")
+      .groupBy($"wend").agg(countDistinct($"user_id").as("exact_distinct"))
+    val alphaM2 = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64.0)) * lit(4096.0)
+    sketch.join(exact, "wend")
+      .select($"wend", $"exact_distinct", $"observed", $"sum_pow",
+        r4(alphaM2 / ((lit(64) - $"observed") + $"sum_pow" / lit(134217728.0)))
+          .as("hll_est"))
+      .orderBy($"wend")
+  }
+
+  val q162Sql: String = {
+    val alphaM2 =
+      "(0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 64.0::DOUBLE) * 4096.0::DOUBLE)"
+    s"""WITH h AS (
+       |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour, user_id,
+       |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+       |  FROM events),
+       |ranked AS (
+       |  SELECT hour, hv >> 26 AS bucket,
+       |    CASE WHEN hv % 67108864 = 0 THEN 27
+       |         ELSE 27 - length(ltrim(bin(hv % 67108864), '0')) END AS rank
+       |  FROM h),
+       |hourly AS (SELECT hour, bucket, max(rank) AS r FROM ranked GROUP BY 1, 2),
+       |hours AS (SELECT DISTINCT hour FROM h),
+       |merged AS (
+       |  SELECT u.wend, bucket, max(r) AS r
+       |  FROM hourly, unnest(range(hourly.hour, hourly.hour + 6)) AS u(wend)
+       |  WHERE u.wend IN (SELECT hour FROM hours)
+       |  GROUP BY 1, 2),
+       |sk AS (
+       |  SELECT wend, CAST(count(*) AS BIGINT) AS observed,
+       |    CAST(sum(1::BIGINT << CAST(27 - r AS INT)) AS BIGINT) AS sum_pow
+       |  FROM merged GROUP BY 1),
+       |ex AS (
+       |  SELECT u.wend, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+       |  FROM (SELECT DISTINCT hour, user_id FROM h) hu,
+       |       unnest(range(hu.hour, hu.hour + 6)) AS u(wend)
+       |  WHERE u.wend IN (SELECT hour FROM hours)
+       |  GROUP BY 1)
+       |SELECT sk.wend, exact_distinct, observed, sum_pow,
+       |  ${sqlR4(s"$alphaM2 / ((64 - observed) + CAST(sum_pow AS DOUBLE) / 134217728.0::DOUBLE)")} AS hll_est
+       |FROM sk JOIN ex ON sk.wend = ex.wend
+       |ORDER BY sk.wend""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q147_hll_registers", q147, Some(q147Sql)),
     QueryDef("q148_bloom_decontamination", q148, Some(q148Sql), bench = true),
     QueryDef("q149_salted_join", q149, Some(q149Sql), bench = true),
     QueryDef("q150_scd2_intervals", q150, Some(q150Sql)),
     QueryDef("q157_quantile_sketch", q157, Some(q157Sql)),
-    QueryDef("q160_sketch_rollup", q160, Some(q160Sql)))
+    QueryDef("q160_sketch_rollup", q160, Some(q160Sql)),
+    QueryDef("q162_sliding_distinct_sketch", q162, Some(q162Sql)))
 }

@@ -64,8 +64,7 @@ final class QkBuffer(val k: Int) extends Serializable {
   /** Nearest-rank quantiles: value at rank ceil(p·N) in the weighted
     * sorted multiset (exact when no compaction ever fired). */
   def quantiles(ps: Array[Double]): Array[Double] = {
-    val items = ArrayBufferPairs()
-    val sorted = items.sortBy(_._1)
+    val sorted = weightedItems().sortBy(_._1)
     ps.map { p =>
       val target = math.max(1L, math.ceil(p * count).toLong)
       var cum = 0L
@@ -81,7 +80,7 @@ final class QkBuffer(val k: Int) extends Serializable {
     }
   }
 
-  private def ArrayBufferPairs(): scala.collection.mutable.ArrayBuffer[(Double, Long)] = {
+  private def weightedItems(): scala.collection.mutable.ArrayBuffer[(Double, Long)] = {
     val out = scala.collection.mutable.ArrayBuffer[(Double, Long)]()
     var l = 0
     while (l < levels.length) {

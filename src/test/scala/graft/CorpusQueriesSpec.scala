@@ -17,7 +17,8 @@ class CorpusQueriesSpec extends SparkSpec {
       ("79927398710", false),
       ("18", true),                // 8 + 2*1 = 10
       ("0", true),
-      ("1", false))
+      ("1", false),
+      ("", false))                 // empty guard, not null
     val got = cases.map(_._1).toDF("s")
       .select($"s", Checksums.luhnValid($"s").as("ok"))
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
