@@ -87,4 +87,42 @@ object BpeTrainer {
     org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(v)
     merges.toSeq
   }
+
+  /** Apply a trained merge table to one word's symbol array: each
+    * merge rewrites all non-overlapping left-to-right occurrences, in
+    * training order — exactly the rewrite the trainer performed, so a
+    * word from the training corpus re-encodes to its training-time
+    * segmentation. The expression nests one fold per merge; see
+    * [[encode]] for why that cost lands on the vocabulary, never the
+    * corpus. */
+  def encodeWord(syms: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(syms) { case (c, (a, b)) => mergePair(c, a, b) }
+
+  /** Corpus tokenization — the deploy step after [[train]]: encode
+    * the DISTINCT-WORD vocabulary once (the k nested merge folds run
+    * over the bounded vocab relation), then broadcast-join word →
+    * tokens back onto the exploded corpus and reassemble per document
+    * in word order. At 100 TB the vocabulary is orders of magnitude
+    * smaller than the corpus, so the expensive rewrite never touches
+    * corpus-sized data and the corpus-side plan is scan + broadcast
+    * join + one per-doc aggregation.
+    *
+    * @return (idCol, tokens array<string>, n_tokens) */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = docs
+      .select(col(idCol), posexplode(split(col(textCol), " ")))
+      .toDF(idCol, "pos", "word")
+      .filter(col("word") =!= "")
+    val vocabTok = words.select(col("word")).distinct()
+      .select(col("word"),
+        encodeWord(concat(split(col("word"), ""), array(lit("</w>"))), merges)
+          .as("toks"))
+    words.join(broadcast(vocabTok), "word")
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("toks")))),
+        x => x.getField("toks"))).as("tokens"))
+      .select(col(idCol), col("tokens"), size(col("tokens")).as("n_tokens"))
+  }
 }

@@ -171,6 +171,58 @@ object EventQueries {
       |FROM t WHERE e3 IS NOT NULL
       |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
 
+  /** q163 — IQR (Tukey-fence) outlier detection per event type:
+    * nearest-rank quartiles of `value` (integer rank selection — no
+    * interpolated doubles, the q155 discipline), fences at 1.5×IQR,
+    * outlier counts and rate. The fence arithmetic runs on the two
+    * SELECTED doubles with identical expressions both engines — IEEE
+    * identical. Complements q132's z-score flags (z assumes a normal
+    * bulk; Tukey fences don't). */
+  def q163(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d).select($"event_type", $"value")
+    val ranked = e
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"value")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
+    val th = ranked.groupBy($"event_type").agg(
+      min(when($"rn" === ceil($"n" * 0.25), $"value")).as("q1"),
+      min(when($"rn" === ceil($"n" * 0.75), $"value")).as("q3"))
+    e.join(broadcast(th), "event_type")
+      .withColumn("lo", $"q1" - ($"q3" - $"q1") * 1.5)
+      .withColumn("hi", $"q3" + ($"q3" - $"q1") * 1.5)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        min(r6($"lo")).as("fence_lo"), min(r6($"hi")).as("fence_hi"),
+        sum(when($"value" < $"lo" || $"value" > $"hi", 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select($"event_type", $"n_events", $"fence_lo", $"fence_hi",
+        $"n_outliers",
+        r6($"n_outliers".cast("double") / $"n_events").as("outlier_rate"))
+      .orderBy($"event_type")
+  }
+
+  val q163Sql: String =
+    s"""WITH ranked AS (
+       |  SELECT event_type, value,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events),
+       |th AS (
+       |  SELECT event_type,
+       |    min(CASE WHEN rn = ceil(n * 0.25) THEN value END) AS q1,
+       |    min(CASE WHEN rn = ceil(n * 0.75) THEN value END) AS q3
+       |  FROM ranked GROUP BY event_type),
+       |f AS (
+       |  SELECT e.event_type, value,
+       |    q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi
+       |  FROM events e JOIN th ON e.event_type = th.event_type)
+       |SELECT event_type, count(*) AS n_events,
+       |  ${sqlR6("min(lo)")} AS fence_lo, ${sqlR6("min(hi)")} AS fence_hi,
+       |  CAST(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       |  ${sqlR6("sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)")} AS outlier_rate
+       |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Bounded range join: views within 30 min before each purchase,
     * per user (bucketized equi-join — see operators.RangeJoin). */
   def q73(s: SparkSession, d: String): DataFrame = {
@@ -447,5 +499,6 @@ object EventQueries {
     QueryDef("q132_hourly_anomalies", q132, Some(q132Sql)),
     QueryDef("q158_asof_tolerance", q158, Some(q158Sql)),
     QueryDef("q161_event_paths", q161, Some(q161Sql)),
+    QueryDef("q163_iqr_outliers", q163, Some(q163Sql)),
   )
 }

@@ -73,6 +73,40 @@ class BpeSpec extends SparkSpec {
     assert(got(1) == ("a", "</w>"), s"second merge exposes the rewrite: $got")
   }
 
+  /** Sequential reference encode: apply merges in order, each
+    * rewriting non-overlapping occurrences left-to-right. */
+  private def referenceEncode(word: String, merges: Seq[(String, String)]): List[String] =
+    merges.foldLeft(word.split("").toList :+ "</w>") { case (syms, (a, b)) =>
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += a + b; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+
+  test("encode: trained merges tokenize the corpus; round-trips and matches the reference") {
+    import spark.implicits._
+    val text = ("low " * 5 + "lower " * 2 + "newest " * 6 + "widest " * 3).trim
+    val docs = Seq((1L, text), (2L, "lowest newest low")).toDF("id", "text")
+    val merges = BpeTrainer.train(docs, "text", k = 8)
+    val out = BpeTrainer.encode(docs, "id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // lossless: stripping </w> and concatenating reproduces the text
+    for ((id, t) <- Seq((1L, text), (2L, "lowest newest low"))) {
+      val rebuilt = out(id).mkString("").replace("</w>", " ").trim
+      assert(rebuilt == t, s"doc $id round-trip: $rebuilt")
+    }
+    // token-exact vs the sequential reference, word by word
+    val wantDoc2 = "lowest newest low".split(" ")
+      .flatMap(w => referenceEncode(w, merges)).toSeq
+    assert(out(2L) == wantDoc2, s"got ${out(2L)}, want $wantDoc2")
+    // merges actually compress: fewer tokens than characters
+    assert(out(1L).size < text.replace(" ", "").length)
+  }
+
   test("training releases every round's checkpoint blocks") {
     import spark.implicits._
     val sc = spark.sparkContext
