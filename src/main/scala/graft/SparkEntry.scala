@@ -19,7 +19,8 @@ object SparkEntry {
       operators.Profile.all ++ operators.GraphQueries.all ++
       operators.TpchClassics.all ++ operators.TrainingQueries.all ++
       operators.CurationQueries.all ++ operators.TpchSubqueries.all ++
-      operators.ScaleQueries.all ++ operators.CorpusQueries.all
+      operators.ScaleQueries.all ++ operators.CorpusQueries.all ++
+      operators.IndexingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

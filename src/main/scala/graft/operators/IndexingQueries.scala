@@ -1,0 +1,289 @@
+package graft.operators
+
+import graft.{Fx, QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Retrieval / indexing operators for corpus curation at 100 TB:
+  * statistical LM scoring (the CCNet-style "perplexity filter" shape),
+  * inverted-index construction, an EXACT set-similarity self-join via
+  * prefix filtering (the shuffle-bounded alternative to LSH when the
+  * threshold is high), scalable dense global ID assignment, and
+  * bounded-state per-group sampling through the native top-k heap.
+  *
+  * Determinism: every floating value is either an exact IEEE quotient
+  * of integers (correctly rounded, bit-identical across engines) or a
+  * min/count over such quotients (order-independent) — no double SUMS
+  * cross rows anywhere, so no grid tricks are needed.
+  */
+object IndexingQueries {
+  import Fx._
+
+  private def words(c: Column): Column = split(c, " ")
+
+  /** q164 — bigram language-model scoring (quality filter): add-one-
+    * smoothed conditional probabilities P(w2|w1) = (c12+1)/(c1+V)
+    * trained on the corpus itself, then each document reports its
+    * bigram count, how many of its bigrams are rare (P below 2e-3),
+    * its minimum probability, and the rarest bigram. This is the
+    * statistical-LM quality gate of CCNet/Gopher pipelines with the
+    * log-sum replaced by order-independent min/count statistics (a
+    * double sum across rows would not be bit-stable across engines;
+    * min and count of exact quotients are).
+    *
+    * Scale shape: bigram stats are two grouped counts over the token
+    * stream (map-side partial aggs); c1 rides the same single shuffle
+    * as c12 via a window over the w1-partitioning; scoring joins doc
+    * bigrams to the model on the bigram key — an equi-join that AQE
+    * can broadcast when the model is small (it is: vocab², heavily
+    * truncated by actual co-occurrence).
+    */
+  def q164(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val bg = docs
+      .select($"doc_id",
+        explode(graft.functions.TextAnalysis.adjacentPairs(words($"text"))).as("bg"))
+    // c12 per bigram; c1 = bigram-context count, same shuffle via window.
+    val model = bg.groupBy($"bg").agg(count(lit(1)).as("c12"))
+      .withColumn("w1", split($"bg", " ").getItem(0))
+      .withColumn("c1", sum($"c12").over(Window.partitionBy($"w1")))
+    val vocab = docs
+      .select(explode(words($"text")).as("w")).filter($"w" =!= "")
+      .agg(countDistinct($"w").as("v"))
+    val scored = bg
+      .join(model.select($"bg", $"c12", $"c1"), "bg")
+      .crossJoin(broadcast(vocab))
+      .select($"doc_id", $"bg",
+        (($"c12" + 1).cast("double") / ($"c1" + $"v")).as("p"))
+    val stats = scored.groupBy($"doc_id").agg(
+      count(lit(1)).as("n_bigrams"),
+      sum(when($"p" < 0.002, 1L).otherwise(0L)).as("n_rare"),
+      min($"p").as("min_p"))
+    stats
+      .join(scored, Seq("doc_id"))
+      .filter($"p" === $"min_p")
+      .groupBy($"doc_id", $"n_bigrams", $"n_rare", $"min_p")
+      .agg(min($"bg").as("rarest_bigram"))
+      .select($"doc_id", $"n_bigrams", $"n_rare",
+        r6($"min_p").as("min_p"), $"rarest_bigram")
+      .orderBy($"doc_id")
+  }
+
+  val q164Sql: String =
+    s"""WITH bg AS (
+       |  SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
+       |       LATERAL (SELECT unnest(range(1, len(w))) AS i) r),
+       |model AS (
+       |  SELECT bg, c12, string_split(bg, ' ')[1] AS w1,
+       |    sum(c12) OVER (PARTITION BY string_split(bg, ' ')[1]) AS c1
+       |  FROM (SELECT bg, count(*) AS c12 FROM bg GROUP BY 1) m),
+       |vocab AS (
+       |  SELECT count(DISTINCT w) AS v
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+       |  WHERE w <> ''),
+       |scored AS (
+       |  SELECT doc_id, bg.bg AS bg,
+       |    CAST(c12 + 1 AS DOUBLE) / (c1 + v) AS p
+       |  FROM bg JOIN model USING (bg) CROSS JOIN vocab),
+       |stats AS (
+       |  SELECT doc_id, count(*) AS n_bigrams,
+       |    sum(CASE WHEN p < 0.002 THEN 1 ELSE 0 END) AS n_rare,
+       |    min(p) AS min_p
+       |  FROM scored GROUP BY 1)
+       |SELECT stats.doc_id AS doc_id, n_bigrams, n_rare,
+       |  ${sqlR6("min_p")} AS min_p, min(bg) AS rarest_bigram
+       |FROM stats JOIN scored ON stats.doc_id = scored.doc_id AND p = min_p
+       |GROUP BY 1, 2, 3, min_p
+       |ORDER BY doc_id""".stripMargin
+
+  /** q165 — inverted-index construction: per term, document frequency,
+    * collection frequency, and a CAPPED posting list (first 16 doc ids
+    * ascending, comma-joined). The cap is the scale contract: at
+    * 100 TB a stop-word's full posting list is the corpus itself, so
+    * an index build that materializes uncapped `collect_list` state
+    * dies on the hottest term; slicing AFTER sort keeps the oracle
+    * exact while the stored sample stays bounded (df/cf remain exact
+    * over the full corpus). One shuffle: tf pairs group to terms.
+    */
+  def q165(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", explode(words($"text")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"w", $"doc_id").agg(count(lit(1)).as("tf"))
+      .groupBy($"w")
+      .agg(count(lit(1)).as("df"), sum($"tf").as("cf"),
+        array_join(slice(sort_array(collect_list($"doc_id")), 1, 16), ",")
+          .as("postings"))
+      .filter($"df" >= 3)
+      .select($"w".as("term"), $"df", $"cf", $"postings")
+      .orderBy($"term")
+  }
+
+  val q165Sql: String =
+    """SELECT w AS term, df, cf, postings FROM (
+      |  SELECT w, count(*) AS df, sum(tf) AS cf,
+      |    array_to_string(list_sort(list(doc_id))[1:16], ',') AS postings
+      |  FROM (
+      |    SELECT w, doc_id, count(*) AS tf
+      |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+      |    WHERE w <> '' GROUP BY 1, 2) tf
+      |  GROUP BY 1) x
+      |WHERE df >= 3
+      |ORDER BY term""".stripMargin
+
+  /** q166 — EXACT Jaccard self-join at θ = 0.9 via prefix filtering
+    * (SSJoin/PPJoin family) under (source, lang) blocking: tokens get
+    * a global rarity rank (ascending df, so prefixes carry the rarest
+    * tokens → fewest candidates); a doc with L distinct tokens
+    * exposes only its first L − ⌈θL⌉ + 1 ranks; the prefix lemma
+    * guarantees every pair with Jaccard ≥ θ shares a prefix token
+    * under a consistent global order, so the candidate join is
+    * LOSSLESS — unlike MinHash-LSH (q53) there are no false
+    * negatives, which is why the DuckDB oracle can be the brute-force
+    * O(n²)-per-block join and still hash-match. Verification is pure
+    * integer arithmetic: 10·inter ≥ 9·union ⇔ jac ≥ 0.9 exactly.
+    *
+    * Scale shape: candidates shuffle by (TOKEN, block) — rare tokens
+    * → tiny buckets, and the hot-token problem of LSH banding never
+    * appears because stop-words live outside every prefix;
+    * verification joins candidate pairs back to the token table twice
+    * on the doc key. Blocking on (source, lang) is the standard
+    * record-linkage move that keeps cross-source pairs (measured
+    * separately by q143's duplication matrix) out of the quadratic
+    * term. ⌈9L/10⌉ is computed as (9L+9) div 10 — integer-exact in
+    * both engines.
+    */
+  def q166(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select($"doc_id", $"source", $"lang",
+        explode(array_distinct(words($"text"))).as("w"))
+      .filter($"w" =!= "")
+    // Global rarity rank. Single-partition window over the VOCAB only
+    // (tokens, not token occurrences) — at trillion-token scale swap
+    // for the q167 two-pass zipWithIndex pattern on the same ordering.
+    val vocab = toks.groupBy($"w").agg(count(lit(1)).as("df"))
+      .withColumn("r", row_number().over(Window.orderBy($"df", $"w")).cast("long"))
+    val ranked = toks.join(vocab.select($"w", $"r"), "w")
+    val docArr = ranked.groupBy($"doc_id", $"source", $"lang")
+      .agg(sort_array(collect_list($"r")).as("arr"))
+      .select($"doc_id", $"source", $"lang", $"arr",
+        size($"arr").cast("long").as("len"))
+    val prefix = docArr
+      .select($"doc_id", $"source", $"lang", $"len",
+        explode(slice($"arr", lit(1),
+          expr("CAST(len - (len * 9 + 9) DIV 10 + 1 AS INT)"))).as("r"))
+    val cands = prefix.as("a").join(prefix.as("b"), Seq("r", "source", "lang"))
+      .filter($"a.doc_id" < $"b.doc_id" &&
+        greatest($"a.len", $"b.len") * 9 <= least($"a.len", $"b.len") * 10)
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+        $"a.len".as("l1"), $"b.len".as("l2"))
+      .distinct()
+    val inter = cands
+      .join(toks.as("t1"), $"d1" === $"t1.doc_id")
+      .join(toks.as("t2"), $"d2" === $"t2.doc_id" && $"t1.w" === $"t2.w")
+      .groupBy($"d1", $"d2", $"l1", $"l2")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .filter($"inter" * 10 >= ($"l1" + $"l2" - $"inter") * 9)
+      .select($"d1".as("doc_id_1"), $"d2".as("doc_id_2"), $"inter",
+        ($"l1" + $"l2" - $"inter").as("un"),
+        r4($"inter".cast("double") / ($"l1" + $"l2" - $"inter")).as("jac"))
+      .orderBy($"doc_id_1", $"doc_id_2")
+  }
+
+  val q166Sql: String =
+    s"""WITH toks AS (
+       |  SELECT DISTINCT doc_id, source, lang, w
+       |  FROM (SELECT doc_id, source, lang,
+       |          unnest(string_split(text, ' ')) AS w FROM documents) t
+       |  WHERE w <> ''),
+       |lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+       |pairs AS (
+       |  SELECT t1.doc_id AS d1, t2.doc_id AS d2, count(*) AS inter
+       |  FROM toks t1 JOIN toks t2 ON t1.w = t2.w AND t1.doc_id < t2.doc_id
+       |    AND t1.source = t2.source AND t1.lang = t2.lang
+       |  GROUP BY 1, 2)
+       |SELECT d1 AS doc_id_1, d2 AS doc_id_2, inter,
+       |  l1.len + l2.len - inter AS un,
+       |  ${sqlR4("CAST(inter AS DOUBLE) / (l1.len + l2.len - inter)")} AS jac
+       |FROM pairs
+       |JOIN lens l1 ON d1 = l1.doc_id
+       |JOIN lens l2 ON d2 = l2.doc_id
+       |WHERE inter * 10 >= (l1.len + l2.len - inter) * 9
+       |ORDER BY doc_id_1, doc_id_2""".stripMargin
+
+  /** q167 — dense global ID assignment (curriculum ordering): docs
+    * sorted longest-first get contiguous ids 1..N WITHOUT a
+    * single-partition window. The scalable two-pass shape: range-
+    * repartition on the sort key (total order across partition
+    * index), sort within partitions, then `zipWithIndex` — one count
+    * per partition collected to the driver (a few longs), ids =
+    * partition offset + local position. This is the operator a 100 TB
+    * shard-assignment or curriculum-schedule step needs where
+    * `row_number() OVER (ORDER BY …)` would serialize the corpus
+    * through one task. Oracle: that exact single-partition
+    * row_number, affordable at oracle scale.
+    */
+  def q167(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"))
+      .repartitionByRange(8, col("n_chars").desc, col("doc_id"))
+      .sortWithinPartitions(col("n_chars").desc, col("doc_id"))
+    val withId = docs.rdd.zipWithIndex().map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ (i + 1L))
+    }
+    val schema = StructType(docs.schema.fields :+
+      StructField("seq_id", LongType, nullable = false))
+    docs.sparkSession.createDataFrame(withId, schema)
+      .orderBy(col("seq_id"))
+  }
+
+  val q167Sql: String =
+    """SELECT doc_id, n_chars,
+      |  CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS seq_id
+      |FROM documents
+      |ORDER BY seq_id""".stripMargin
+
+  /** q168 — bounded-state per-source uniform sample: 10 docs per
+    * source by ascending seeded hash ("bottom-k by hash" — a
+    * mergeable uniform sample). Runs through the native bounded-heap
+    * TopKPerGroup operator, so per-task state is O(sources × 10) rows
+    * where the row_number window the oracle uses would SORT every
+    * source's full row set. Same md5-derived u ∈ [0,1) on both
+    * engines makes the sample itself oracle-exact, not just its size.
+    */
+  def q168(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val u = conv(substring(md5(concat($"doc_id".cast("string"), lit("#bk"))), 1, 8), 16, 10)
+      .cast("long").cast("double") / 4294967296.0
+    val base = Tables.documents(s, d).select($"source", $"doc_id", u.as("u"))
+    graft.plans.TopK.perGroup(base, 10, Seq("source"),
+      Seq(graft.plans.TopK.asc("u"), graft.plans.TopK.asc("doc_id")))
+      .select($"source", $"doc_id", r6($"u").as("u"))
+      .orderBy($"source", $"doc_id")
+  }
+
+  val q168Sql: String =
+    s"""SELECT source, doc_id, ${sqlR6("u")} AS u FROM (
+       |  SELECT source, doc_id, u,
+       |    row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS rn
+       |  FROM (
+       |    SELECT source, doc_id,
+       |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#bk'), 1, 8))::BIGINT AS DOUBLE) / 4294967296.0 AS u
+       |    FROM documents) b) r
+       |WHERE rn <= 10
+       |ORDER BY source, doc_id""".stripMargin
+
+  def all: Seq[QueryDef] = Seq(
+    QueryDef("q164_bigram_lm_score", q164, Some(q164Sql), bench = true),
+    QueryDef("q165_inverted_index", q165, Some(q165Sql)),
+    QueryDef("q166_prefix_jaccard_join", q166, Some(q166Sql), bench = true),
+    QueryDef("q167_dense_ids", q167, Some(q167Sql)),
+    QueryDef("q168_bottomk_sample", q168, Some(q168Sql)))
+}
