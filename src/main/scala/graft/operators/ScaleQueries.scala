@@ -105,14 +105,15 @@ object ScaleQueries {
   // ---- q148: Bloom-filter decontamination prefilter -----------------
 
   /** Distinct 8-word shingles of a doc, as md5 hex digests — the
-    * cross-engine key both position hashes derive from. */
-  private def gramDigests(text: Column): Column = {
-    val w = split(text, " ")
+    * cross-engine key both position hashes derive from. Takes the
+    * MATERIALIZED words array (callers project `split` into its own
+    * column first): inlining the split here would re-split the text
+    * per element access under interpreted HOF eval (~7× slower). */
+  private def gramDigests(w: Column): Column =
     when(size(w) >= 8,
       array_distinct(transform(sequence(lit(1), size(w) - 7),
         i => md5(array_join(slice(w, i, lit(8)), " ")))))
       .otherwise(array().cast("array<string>"))
-  }
 
   private val gramDigestsSql =
     "list_distinct(list_transform(range(1, greatest(len(w) - 6, 1)), " +
@@ -141,14 +142,16 @@ object ScaleQueries {
     import s.implicits._
     val docs = Tables.documents(s, d)
     val evalPos = docs.filter($"source" === "src0")
-      .select(explode(gramDigests($"text")).as("g"))
+      .select(split($"text", " ").as("w"))
+      .select(explode(gramDigests($"w")).as("g"))
       .select(explode(array(bloomPos($"g", 1), bloomPos($"g", 9))).as("p"))
       .distinct()
     val bloom = evalPos
       .groupBy(shiftright($"p", 5).as("idx"))
       .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))")).as("wd"))
     val train = docs.filter($"source" =!= "src0")
-      .select($"doc_id", explode_outer(gramDigests($"text")).as("g"))
+      .select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id", explode_outer(gramDigests($"w")).as("g"))
       .withColumn("p1", bloomPos($"g", 1))
       .withColumn("p2", bloomPos($"g", 9))
     val hit = train

@@ -179,6 +179,13 @@ object TpchSubqueries {
       .select($"l_orderkey", $"l_suppkey",
         when($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"), 1)
           .otherwise(0).as("late"))
+      // One explicit exchange on the ORDER key serves BOTH the pair
+      // aggregation (HashPartitioning(l_orderkey) satisfies
+      // ClusteredDistribution(l_orderkey, l_suppkey)) and the window
+      // below — without it the plan shuffled the full line relation
+      // twice (once per key set). Map-side combine loss is nil here:
+      // (order, supplier) pairs are nearly distinct already.
+      .repartition($"l_orderkey")
       .groupBy($"l_orderkey", $"l_suppkey")
       .agg((max($"late") === 1).as("late"))
     val w = Window.partitionBy($"l_orderkey")

@@ -192,8 +192,12 @@ object TrainingQueries {
     // corpus; a long-lived session would also leak the cache entry,
     // since a lazily returned DataFrame has no post-action unpersist
     // hook).
+    // Two-step projection on purpose: `shingles(words($"text"))` would
+    // inline the split into the transform lambda, re-splitting the
+    // text per element under interpreted HOF eval (~7× slower).
     def grams(docs: DataFrame): DataFrame =
-      docs.select($"doc_id", $"source", explode_outer(shingles(words($"text"))).as("g"))
+      docs.select($"doc_id", $"source", words($"text").as("w"))
+        .select($"doc_id", $"source", explode_outer(shingles($"w")).as("g"))
     val corpus = Tables.documents(s, d)
     val evalGrams = grams(corpus.filter($"source" === "src0"))
       .filter($"g".isNotNull).select($"g").distinct()
