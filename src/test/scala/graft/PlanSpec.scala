@@ -159,4 +159,27 @@ class PlanSpec extends SparkSpec {
     assert(p10.contains("LeftAnti") && p11.contains("LeftSemi"))
     assert(!p10.contains("Cartesian") && !p11.contains("Cartesian"))
   }
+
+  test("q164 LM model broadcasts onto the stream; no window in the plan") {
+    val p = plan(graft.operators.IndexingQueries.q164(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "probability table must broadcast onto the bigram stream")
+    assert(!p.contains("Window"),
+      "windows over the few-huge-groups bg/w1 partitionings sort the stream")
+  }
+
+  test("q168 sampling reduces via the native bounded heap, not a window") {
+    val p = plan(graft.operators.IndexingQueries.q168(spark, sf))
+    assert(p.contains("TopKPerGroup"))
+    assert(!p.contains("Window"))
+  }
+
+  test("q120 shares one line-relation exchange across agg and window") {
+    val p = plan(graft.operators.TpchSubqueries.q120(spark, sf))
+    // hashpartitioning exchanges: the explicit repartition(l_orderkey)
+    // + the final groupBy(s_name). A third would mean the pair-agg or
+    // the window re-shuffled the full line relation.
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 2, s"expected 2 hash exchanges, got $n:\n${p.take(1200)}")
+  }
 }
