@@ -253,6 +253,84 @@ object ScaleSmoke {
         .agg(expr("percentile(x, array(0.5, 0.99))").as("q"))
         .select(element_at($"q", 1)).collect().length.toLong
     }
+
+    // ---- round-7: bigram-LM scoring (q164 core). The observed-bigram
+    // model reduces with map-side combine and broadcasts back onto the
+    // ~40M-bigram stream — no window, no stream self-join.
+    timed("bigram_lm_score") {
+      operators.IndexingQueries.bigramLmScore(docs)
+        .agg(sum($"n_rare"), min($"min_p")).collect().length.toLong
+    }
+    // ---- round-7: inverted index with capped postings (q165 shape):
+    // df/cf exact over the full corpus, stored posting sample bounded,
+    // so the hottest term's state can't grow with the corpus.
+    timed("inverted_index") {
+      docs.select($"doc_id", explode(split($"text", " ")).as("w"))
+        .groupBy($"w", $"doc_id").agg(count(lit(1)).as("tf"))
+        .groupBy($"w")
+        .agg(count(lit(1)).as("df"), sum($"tf").as("cf"),
+          slice(sort_array(collect_list($"doc_id")), 1, 16).as("postings"))
+        .agg(sum($"df"), sum(size($"postings"))).collect().length.toLong
+    }
+    // ---- round-7: dense global IDs (q167 core) — range partition +
+    // in-partition sort + zipWithIndex; nothing serializes through one
+    // task. Consumes a checksum of id*key so the ids are materialized.
+    timed("dense_ids_zipidx") {
+      val sorted = docs.select($"doc_id", length($"text").as("len"))
+        .repartitionByRange(32, $"len".desc, $"doc_id")
+        .sortWithinPartitions($"len".desc, $"doc_id")
+      sorted.rdd.zipWithIndex()
+        .map { case (r, i) => (i + 1) * (r.getLong(0) % 97) }
+        .reduce(_ + _)
+    }
+    // ---- round-7: bounded bottom-k-by-hash sample (q168 shape) via
+    // the native heap: 10 per source over 32 synthetic sources.
+    timed("bottomk_sample_heap") {
+      val src = docs.select(
+        concat(lit("s"), pmod(xxhash64($"doc_id"), lit(32))).as("source"),
+        $"doc_id",
+        (pmod(xxhash64($"doc_id", lit(7)), lit(1000000)).cast("double") / 1000000.0).as("u"))
+      graft.plans.TopK.perGroup(src, 10, Seq("source"),
+        Seq(graft.plans.TopK.asc("u"), graft.plans.TopK.asc("doc_id"))).count()
+    }
+    // ---- round-7: EXACT prefix-filtered Jaccard join (q166 core) on a
+    // ZIPFIAN corpus — prefix filtering's candidate bound comes from
+    // token rarity, so the uniform-vocab corpus above is its worst
+    // case (every "rare" prefix token still has df≈4000). Real text is
+    // Zipf; synthesize one (log-uniform index ⇒ freq ∝ 1/rank), plant
+    // the same 1%-of-docs near-dups, and measure recall + candidate
+    // volume. The planted pair shares all tokens but the changed last
+    // word: distinct-Jaccard ≥ (L−1)/(L+1) ≥ 0.9 at L ≥ 20.
+    val zipfBase = spark.range(nDocs).select($"id".as("doc_id"),
+      when($"id" % 100 === 1, $"id" - 1).otherwise($"id").as("seed"))
+    val zipfWords = transform(
+      sequence(lit(1), lit(25) + pmod(xxhash64($"seed"), lit(10)).cast("int")),
+      i => concat(lit("z"), floor(exp(
+        (pmod(xxhash64($"seed" * 1000 + i), lit(1000000)).cast("double") / 1000000.0)
+          * math.log(10000.0))).cast("long")))
+    // Candidate volume grows ~quadratically in per-token df, so the
+    // smoke caps this stage at 200k docs (stated, not silent) — the
+    // 100 TB path for bigger blocks is MinHash-LSH (q53) first, exact
+    // prefix join within LSH-confirmed clusters.
+    val zCap = math.min(nDocs, 200000L)
+    val zdocs = zipfBase.filter($"doc_id" < zCap).select($"doc_id",
+      array_join(
+        when($"doc_id" % 100 === 1,
+          concat(slice(zipfWords, lit(1), size(zipfWords) - 1),
+            array(concat(lit("x"), $"doc_id"))))
+          .otherwise(zipfWords), " ").as("text"),
+      lit("en").as("lang"), lit("s0").as("source"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val zN = zdocs.count()
+    timed(s"prefix_jaccard_${zN / 1000}k") {
+      val pairs = operators.IndexingQueries.prefixJaccardPairs(zdocs).persist()
+      val total = pairs.count()
+      val planted = pairs
+        .filter($"doc_id_2" === $"doc_id_1" + 1 && $"doc_id_2" % 100 === 1).count()
+      println(s"[scale]   pairs: $total; planted recovered: $planted (expected ~${zN / 100})")
+      pairs.unpersist()
+      total
+    }
     spark.stop()
   }
 }

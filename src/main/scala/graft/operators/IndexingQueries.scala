@@ -40,9 +40,14 @@ object IndexingQueries {
     * can broadcast when the model is small (it is: vocab², heavily
     * truncated by actual co-occurrence).
     */
-  def q164(s: SparkSession, d: String): DataFrame = {
+  def q164(s: SparkSession, d: String): DataFrame =
+    bigramLmScore(Tables.documents(s, d))
+
+  /** Core of q164, reusable against any (doc_id, text) frame
+    * (ScaleSmoke drives it at 1M docs). */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val docs = Tables.documents(s, d)
     // Materialize the words array in its own projection: inlining the
     // split into adjacentPairs' lambda re-splits the text once per
     // element access under interpreted higher-order-function eval
@@ -51,14 +56,18 @@ object IndexingQueries {
       .select($"doc_id", words($"text").as("w"))
       .select($"doc_id",
         explode(graft.functions.TextAnalysis.adjacentPairs($"w")).as("bg"))
-    // The LM itself is SMALL — distinct OBSERVED bigrams, not vocab²
-    // (Zipf: ~1k at this corpus; bounded by real co-occurrence at any
-    // scale) — so both count tables reduce with map-side combine and
-    // the probability table broadcasts back onto the stream. Windows
-    // over the bg/w1 partitionings were measured 2× slower here: with
-    // few, huge key groups they sort the whole stream per window. If a
-    // trillion-token corpus ever outgrows the broadcast threshold,
-    // drop the hint and this becomes a plain shuffle join on bg.
+    // The LM is distinct OBSERVED bigrams — Zipfian text keeps it far
+    // below the stream size (~1k at this corpus), so both count tables
+    // reduce with map-side combine and the probability table joins
+    // back onto the stream. The join carries NO hint on purpose: AQE
+    // broadcasts it when the measured size is small (every real
+    // corpus) and falls back to a shuffle join when a pathological
+    // vocabulary blows the model up (ScaleSmoke's uniform-random 10k
+    // vocab produces ~32M distinct bigrams at 1M docs — a forced
+    // broadcast there was measured 5× slower than the shuffle join).
+    // Windows over the bg/w1 partitionings were measured 2× slower
+    // than either: with few, huge key groups they sort the whole
+    // stream per window.
     val model = stream.groupBy($"bg").agg(count(lit(1)).as("c12"))
       .withColumn("w1", split($"bg", " ").getItem(0))
     val ctx = model.groupBy($"w1").agg(sum($"c12").as("c1"))
@@ -69,7 +78,7 @@ object IndexingQueries {
       .select($"bg", (($"c12" + 1).cast("double") / ($"c1" + $"v")).as("p"))
     // min(struct(p, bg)) = lexicographic argmin — ties on p resolve to
     // the smallest bigram, matching the oracle's min-over-min_p rows.
-    stream.join(broadcast(probs), "bg")
+    stream.join(probs, "bg")
       .groupBy($"doc_id").agg(
         count(lit(1)).as("n_bigrams"),
         sum(when($"p" < 0.002, 1L).otherwise(0L)).as("n_rare"),
@@ -166,11 +175,16 @@ object IndexingQueries {
     * term. ⌈9L/10⌉ is computed as (9L+9) div 10 — integer-exact in
     * both engines.
     */
-  def q166(s: SparkSession, d: String): DataFrame = {
+  /** Core of q166, reusable against any (doc_id, source, lang, text)
+    * frame (ScaleSmoke drives it at 1M docs): emits the exact
+    * Jaccard-≥0.9 pairs with integer-only verification. */
+  def prefixJaccardPairs(docsIn: DataFrame): DataFrame = {
+    val s = docsIn.sparkSession
     import s.implicits._
-    val toks = Tables.documents(s, d)
+    val toks = docsIn
+      .select($"doc_id", $"source", $"lang", words($"text").as("w0"))
       .select($"doc_id", $"source", $"lang",
-        explode(array_distinct(words($"text"))).as("w"))
+        explode(array_distinct($"w0")).as("w"))
       .filter($"w" =!= "")
     // Global rarity rank. Single-partition window over the VOCAB only
     // (tokens, not token occurrences) — at trillion-token scale swap
@@ -184,14 +198,30 @@ object IndexingQueries {
         size($"arr").cast("long").as("len"))
     val prefix = docArr
       .select($"doc_id", $"source", $"lang", $"len",
-        explode(slice($"arr", lit(1),
-          expr("CAST(len - (len * 9 + 9) DIV 10 + 1 AS INT)"))).as("r"))
+        posexplode(slice($"arr", lit(1),
+          expr("CAST(len - (len * 9 + 9) DIV 10 + 1 AS INT)"))))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "r")
+      .withColumn("p", $"p" + 1) // 1-based position in the sorted token list
+    // PPJoin position filter (exact, integer-only): for a pair, every
+    // shared token SMALLER than the largest shared prefix token w* is
+    // itself inside both prefixes (sorted arrays contain all smaller
+    // tokens before w*'s position), so
+    //   overlap ≤ n_shared_prefix + min(l1 − p1*, l2 − p2*)
+    // with p* = positions of w*. Candidates whose bound can't reach
+    // the required overlap α = ⌈9(l1+l2)/19⌉ (⇔ J ≥ 0.9) never enter
+    // the verification join: 19·ubound ≥ 9·(l1+l2), all integers.
     val cands = prefix.as("a").join(prefix.as("b"), Seq("r", "source", "lang"))
       .filter($"a.doc_id" < $"b.doc_id" &&
         greatest($"a.len", $"b.len") * 9 <= least($"a.len", $"b.len") * 10)
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
-        $"a.len".as("l1"), $"b.len".as("l2"))
-      .distinct()
+        $"a.len".as("l1"), $"b.len".as("l2"),
+        $"r", $"a.p".as("p1"), $"b.p".as("p2"))
+      .groupBy($"d1", $"d2", $"l1", $"l2")
+      .agg(count(lit(1)).as("n_shared"),
+        max(struct($"r", $"p1", $"p2")).as("top"))
+      .filter(($"n_shared" +
+        least($"l1" - $"top.p1", $"l2" - $"top.p2")) * 19 >= ($"l1" + $"l2") * 9)
+      .select($"d1", $"d2", $"l1", $"l2")
     val inter = cands
       .join(toks.as("t1"), $"d1" === $"t1.doc_id")
       .join(toks.as("t2"), $"d2" === $"t2.doc_id" && $"t1.w" === $"t2.w")
@@ -204,6 +234,9 @@ object IndexingQueries {
         r4($"inter".cast("double") / ($"l1" + $"l2" - $"inter")).as("jac"))
       .orderBy($"doc_id_1", $"doc_id_2")
   }
+
+  def q166(s: SparkSession, d: String): DataFrame =
+    prefixJaccardPairs(Tables.documents(s, d))
 
   val q166Sql: String =
     s"""WITH toks AS (
