@@ -441,6 +441,39 @@ object CurationQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q174 — rank-based score normalization (feature prep for mixing/
+    * filtering): percent_rank of the quality score WITHIN each source,
+    * so thresholds compare like-with-like across sources whose raw
+    * score distributions differ (the quantile-normalization move).
+    * Ties broken by doc_id → every rank is distinct → percent_rank is
+    * (rank−1)/(n−1) on exact integers, bit-identical cross-engine.
+    * One shuffle: the window partitioning on source. */
+  def q174(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = graft.functions.TextAnalysis.qualityScore($"text")
+    Tables.documents(s, d)
+      .select($"doc_id", $"source", q.as("quality"))
+      .withColumn("pr", percent_rank().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"source").orderBy($"quality", $"doc_id")))
+      .select($"doc_id", $"source",
+        Fx.r4($"quality").as("quality"), Fx.r6($"pr").as("pr"))
+      .orderBy($"doc_id")
+  }
+
+  val q174Sql: String = {
+    val quality = graft.functions.TextAnalysis.sqlQualityScore("text")
+    s"""SELECT doc_id, source, ${Fx.sqlR4("quality")} AS quality,
+       |  ${Fx.sqlR6("pr")} AS pr
+       |FROM (
+       |  SELECT doc_id, source, quality,
+       |    percent_rank() OVER (PARTITION BY source
+       |                         ORDER BY quality, doc_id) AS pr
+       |  FROM (SELECT doc_id, source, $quality AS quality
+       |        FROM documents) t) r
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q100_dedup_keep_best", q100, Some(q100Sql)),
     QueryDef("q101_stop_grams", q101, Some(q101Sql), bench = true),
@@ -453,5 +486,6 @@ object CurationQueries {
     QueryDef("q124_source_cap", q124, Some(q124Sql)),
     QueryDef("q125_incremental_dedup", q125, Some(q125Sql), bench = true),
     QueryDef("q137_pareto_frontier", q137, Some(q137Sql)),
+    QueryDef("q174_rank_normalize", q174, Some(q174Sql)),
   )
 }

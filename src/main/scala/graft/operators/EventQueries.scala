@@ -487,6 +487,54 @@ object EventQueries {
        |WHERE sigma > 0 AND abs((n - mu) / sigma) > 2.0
        |ORDER BY hour""".stripMargin
 
+  /** q172 — grouped OLS trend (closed-form slope of hourly event
+    * volume per event type). Determinism by construction: x (hour
+    * index, globally min-offset) and y (hourly count) are INTEGERS, so
+    * Σx, Σy, Σxy, Σx² accumulate exactly as longs — no double
+    * summation order anywhere — and the one slope division at the end
+    * is correctly-rounded IEEE on identical operands. The pattern
+    * generalizes: any per-group regression over counts/grid metrics
+    * can ride integer moment sums. */
+  def q172(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hours = Tables.events(s, d)
+      .groupBy($"event_type",
+        (unix_timestamp(date_trunc("hour", $"ts")) / 3600L).cast("long").as("eh"))
+      .agg(count(lit(1)).as("y"))
+    val minEh = hours.agg(min($"eh").as("min_eh"))
+    val moments = hours.crossJoin(broadcast(minEh))
+      .select($"event_type", ($"eh" - $"min_eh").as("x"), $"y")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("k"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+    moments
+      .filter($"k" * $"sxx" - $"sx" * $"sx" =!= 0)
+      .select($"event_type", $"k",
+        r6(($"k" * $"sxy" - $"sx" * $"sy").cast("double") /
+          ($"k" * $"sxx" - $"sx" * $"sx")).as("slope"))
+      .orderBy($"event_type")
+  }
+
+  val q172Sql: String =
+    s"""WITH hours AS (
+       |  SELECT event_type,
+       |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS eh,
+       |    count(*) AS y
+       |  FROM events GROUP BY 1, 2),
+       |moments AS (
+       |  SELECT event_type, count(*) AS k,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+       |  FROM (SELECT event_type, eh - (SELECT min(eh) FROM hours) AS x, y
+       |        FROM hours) t
+       |  GROUP BY 1)
+       |SELECT event_type, k,
+       |  ${sqlR6("CAST(k * sxy - sx * sy AS DOUBLE) / (k * sxx - sx * sx)")} AS slope
+       |FROM moments
+       |WHERE k * sxx - sx * sx <> 0
+       |ORDER BY event_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q70_sessionize", q70, Some(q70Sql), bench = true),
     QueryDef("q71_asof_join", q71, Some(q71Sql), bench = true),
@@ -500,5 +548,6 @@ object EventQueries {
     QueryDef("q158_asof_tolerance", q158, Some(q158Sql)),
     QueryDef("q161_event_paths", q161, Some(q161Sql)),
     QueryDef("q163_iqr_outliers", q163, Some(q163Sql)),
+    QueryDef("q172_grouped_ols", q172, Some(q172Sql)),
   )
 }

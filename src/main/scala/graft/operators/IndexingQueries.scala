@@ -321,10 +321,48 @@ object IndexingQueries {
        |WHERE rn <= 10
        |ORDER BY source, doc_id""".stripMargin
 
+  /** q173 — term co-occurrence over the inverted index (IR depth on
+    * q165): for the 20 highest-df terms, how many documents contain
+    * each PAIR — posting-list intersection computed as a per-document
+    * pair explosion. Restricting to a top-k head is the standard
+    * co-occurrence-matrix shape: per doc at most C(20,2)=190 pairs, so
+    * the exploded relation is ≤ 190·n — linear in the corpus with a
+    * hard constant, where the unrestricted matrix is vocab². */
+  def q173(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select($"doc_id", $"text")
+      .select($"doc_id", explode(array_distinct(words($"text"))).as("w"))
+      .filter($"w" =!= "")
+    val top = toks.groupBy($"w").agg(count(lit(1)).as("df"))
+      .orderBy($"df".desc, $"w").limit(20)
+    val hot = toks.join(broadcast(top.select($"w")), "w")
+    hot.as("a").join(hot.as("b"),
+        $"a.doc_id" === $"b.doc_id" && $"a.w" < $"b.w")
+      .groupBy($"a.w".as("w1"), $"b.w".as("w2"))
+      .agg(count(lit(1)).as("co_df"))
+      .orderBy($"w1", $"w2")
+  }
+
+  val q173Sql: String =
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id, w
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+      |  WHERE w <> ''),
+      |top AS (
+      |  SELECT w FROM (SELECT w, count(*) AS df FROM toks GROUP BY 1)
+      |  ORDER BY df DESC, w LIMIT 20),
+      |hot AS (SELECT doc_id, w FROM toks WHERE w IN (SELECT w FROM top))
+      |SELECT a.w AS w1, b.w AS w2, count(*) AS co_df
+      |FROM hot a JOIN hot b ON a.doc_id = b.doc_id AND a.w < b.w
+      |GROUP BY 1, 2
+      |ORDER BY w1, w2""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q164_bigram_lm_score", q164, Some(q164Sql), bench = true),
     QueryDef("q165_inverted_index", q165, Some(q165Sql)),
     QueryDef("q166_prefix_jaccard_join", q166, Some(q166Sql), bench = true),
     QueryDef("q167_dense_ids", q167, Some(q167Sql)),
-    QueryDef("q168_bottomk_sample", q168, Some(q168Sql)))
+    QueryDef("q168_bottomk_sample", q168, Some(q168Sql)),
+    QueryDef("q173_term_cooccurrence", q173, Some(q173Sql)))
 }
