@@ -101,8 +101,63 @@ object GovernanceQueries {
       |GROUP BY 1
       |ORDER BY bin""".stripMargin
 
+  /** q175 — batch sliding-window aggregation: 4-hour windows hopping
+    * hourly over event time, per event type (`window()` — each event
+    * lands in 4 overlapping windows). Sum determinism: `value` is an
+    * arbitrary double, so it is floored onto an integer cent grid PER
+    * ROW first (identical IEEE op both engines) and the cents sum as
+    * LONGS — no cross-row double accumulation anywhere. The DuckDB
+    * mirror expands the same 4 hops per event with a range unnest. */
+  def q175(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"event_type", $"ts",
+        floor($"value" * 100).cast("long").as("cents"))
+      .groupBy(window($"ts", "4 hours", "1 hour").as("win"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
+      .select($"win.start".as("win_start"), $"event_type", $"n", $"sum_cents")
+      .orderBy($"win_start", $"event_type")
+  }
+
+  val q175Sql: String =
+    """SELECT date_trunc('hour', ts) - to_hours(k) AS win_start,
+      |  event_type, count(*) AS n,
+      |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events, LATERAL (SELECT unnest(range(0, 4)) AS k) hops
+      |GROUP BY 1, 2
+      |ORDER BY win_start, event_type""".stripMargin
+
+  /** q176 — Merkle-style bucket digests (anti-entropy reconciliation
+    * primitive): rows hash to a 64-bit fingerprint, fingerprints XOR
+    * per id-bucket. XOR is commutative/associative ⇒ the digest is
+    * order- and partitioning-independent, so two replicas (or a table
+    * and its restored backup) compare 64 digests instead of 100 TB of
+    * rows, then re-sync only differing buckets. The fingerprint stays
+    * on the md5 grid both engines share. */
+  def q176(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fp = conv(substring(md5(concat_ws("|",
+      $"doc_id", $"lang", $"source", $"n_chars")), 1, 15), 16, 10).cast("long")
+    Tables.documents(s, d)
+      .select(($"doc_id" % 64).as("bucket"), fp.as("fp"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), bit_xor($"fp").as("digest"))
+      .orderBy($"bucket")
+  }
+
+  val q176Sql: String =
+    """SELECT doc_id % 64 AS bucket, count(*) AS n,
+      |  bit_xor(CAST(('0x' || substr(md5(
+      |    CAST(doc_id AS VARCHAR) || '|' || lang || '|' || source || '|'
+      |      || CAST(n_chars AS VARCHAR)), 1, 15))::BIGINT AS BIGINT)) AS digest
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q169_json_schema_read", q169, Some(q169Sql)),
     QueryDef("q170_k_anonymity", q170, Some(q170Sql)),
-    QueryDef("q171_equidepth_hist", q171, Some(q171Sql)))
+    QueryDef("q171_equidepth_hist", q171, Some(q171Sql)),
+    QueryDef("q175_sliding_window_agg", q175, Some(q175Sql)),
+    QueryDef("q176_merkle_buckets", q176, Some(q176Sql)))
 }
