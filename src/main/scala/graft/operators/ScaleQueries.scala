@@ -455,5 +455,36 @@ object ScaleQueries {
     QueryDef("q150_scd2_intervals", q150, Some(q150Sql)),
     QueryDef("q157_quantile_sketch", q157, Some(q157Sql)),
     QueryDef("q160_sketch_rollup", q160, Some(q160Sql)),
-    QueryDef("q162_sliding_distinct_sketch", q162, Some(q162Sql)))
+    QueryDef("q162_sliding_distinct_sketch", q162, Some(q162Sql)),
+    QueryDef("q177_heavy_hitter_cube", q177, Some(q177Sql)))
+
+  /** q177 — heavy-hitter cube: hourly Misra-Gries summaries persist as
+    * BINARY columns (mg_bin), the daily/global rollup merges the
+    * binaries only (mg_merge, mergeable-summaries rule) — the q160/
+    * HLL-cube pattern completed for frequent items. Exact regime for
+    * the oracle gate: k=16 ≥ the event-type cardinality, so no
+    * decrement ever fires and the merged summary IS the exact count
+    * table. At real vocabularies the same plan is the bounded-state
+    * approximate top-k with the n/(k+1) error bound
+    * (FrequentItemsSpec pins it). */
+  def q177(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.plans.MisraGries.register(s)
+    val hourly = Tables.events(s, d)
+      .groupBy(date_trunc("hour", $"ts").as("hour"))
+      .agg(graft.plans.MisraGries.mg_bin($"event_type", 16).as("sk"))
+    hourly
+      .agg(count(lit(1)).as("n_hours"),
+        graft.plans.MisraGries.mg_merge($"sk").as("top"))
+      .select($"n_hours", explode($"top").as("e"))
+      .select($"n_hours", $"e.item".as("item"), $"e.cnt".as("cnt"))
+      .orderBy($"cnt".desc, $"item")
+  }
+
+  lazy val q177Sql: String =
+    """SELECT (SELECT count(DISTINCT date_trunc('hour', ts)) FROM events) AS n_hours,
+      |  event_type AS item, count(*) AS cnt
+      |FROM events
+      |GROUP BY 2
+      |ORDER BY cnt DESC, item""".stripMargin
 }

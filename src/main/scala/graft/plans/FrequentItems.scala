@@ -166,22 +166,161 @@ case class MisraGries(
     copy(child = newChildren.head)
 }
 
+/** Shared MG wire format: k, size, then (utf8-len, bytes, count). */
+private[plans] object MgWire {
+  def write(buf: MgBuffer): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.k)
+    out.writeInt(buf.counters.size)
+    val it = buf.counters.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val b = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(e.getValue)
+    }
+    out.flush(); bos.toByteArray
+  }
+  def read(bytes: Array[Byte]): MgBuffer = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val buf = new MgBuffer(in.readInt())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len); in.readFully(b)
+      buf.counters.put(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
+    buf
+  }
+  /** Deterministic (cnt desc, item asc) struct-array rendering. */
+  def toRows(buf: MgBuffer): GenericArrayData = {
+    val entries = new Array[(String, Long)](buf.counters.size)
+    var i = 0
+    val it = buf.counters.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next(); entries(i) = (e.getKey, e.getValue); i += 1
+    }
+    val sorted = entries.sortBy { case (item, cnt) => (-cnt, item) }
+    new GenericArrayData(sorted.map { case (item, cnt) =>
+      InternalRow(UTF8String.fromString(item), cnt): Any
+    })
+  }
+}
+
+/** Partial-MG emitter: eval() returns the SERIALIZED summary — the
+  * write side of a heavy-hitter cube (one binary row per shard/day;
+  * same pattern as HllBinAgg / QuantileSketchBinAgg). Downstream
+  * rollups merge persisted binaries with the mergeable-summaries rule
+  * instead of rescanning the token stream; in the exact regime
+  * (k ≥ distinct items) the rollup is lossless. */
+case class MgBinAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MgBuffer] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mg_bin requires a STRING child, got ${child.dataType.simpleString}")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def createAggregationBuffer(): MgBuffer = new MgBuffer(k)
+  override def update(buf: MgBuffer, input: InternalRow): MgBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[UTF8String].toString)
+    buf
+  }
+  override def merge(buf: MgBuffer, other: MgBuffer): MgBuffer = {
+    buf.merge(other); buf
+  }
+  override def eval(buf: MgBuffer): Any = MgWire.write(buf)
+  override def serialize(buf: MgBuffer): Array[Byte] = MgWire.write(buf)
+  override def deserialize(bytes: Array[Byte]): MgBuffer = MgWire.read(bytes)
+  override def withNewMutableAggBufferOffset(newOffset: Int): MgBinAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MgBinAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): MgBinAgg =
+    copy(child = newChildren.head)
+}
+
+/** Rollup side: merge persisted MG binaries (capacity rides in the
+  * wire format — the placeholder buffer is replaced by the first real
+  * summary, as in HllMergeAgg), emitting the same sorted
+  * array<struct<item,cnt>> as mg_topk. */
+case class MgMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MgBuffer] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mg_merge requires a BINARY child, got ${child.dataType.simpleString}")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("item", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false))),
+    containsNull = false)
+  override def createAggregationBuffer(): MgBuffer = new MgBuffer(0)
+  override def update(buf: MgBuffer, input: InternalRow): MgBuffer = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val other = MgWire.read(v.asInstanceOf[Array[Byte]])
+    if (buf.k == 0) other else { buf.merge(other); buf }
+  }
+  override def merge(buf: MgBuffer, other: MgBuffer): MgBuffer =
+    if (buf.k == 0) other
+    else if (other.k == 0) buf
+    else { buf.merge(other); buf }
+  override def eval(buf: MgBuffer): Any = MgWire.toRows(buf)
+  override def serialize(buf: MgBuffer): Array[Byte] = MgWire.write(buf)
+  override def deserialize(bytes: Array[Byte]): MgBuffer = MgWire.read(bytes)
+  override def withNewMutableAggBufferOffset(newOffset: Int): MgMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MgMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): MgMergeAgg =
+    copy(child = newChildren.head)
+}
+
 object MisraGries {
-  /** Registers `mg_topk(col, k)`; k must be a foldable int literal. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Registers `mg_topk(col, k)` / `mg_bin(col, k)` / `mg_merge(bin)`;
+    * k must be a foldable int literal. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    def litK(e: Expression, fn: String): Int = e.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn capacity must be an int literal, got $other")
+    }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "mg_topk",
-      es => {
-        val k = es(1).eval(null) match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => throw new IllegalArgumentException(
-            s"mg_topk capacity must be an int literal, got $other")
-        }
-        MisraGries(es.head, k).toAggregateExpression()
-      },
+      es => MisraGries(es.head, litK(es(1), "mg_topk")).toAggregateExpression(),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "mg_bin",
+      es => MgBinAgg(es.head, litK(es(1), "mg_bin")).toAggregateExpression(),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "mg_merge",
+      es => MgMergeAgg(es.head).toAggregateExpression(),
+      "scala_udf")
+  }
 
   def mg_topk(c: Column, k: Int): Column =
     call_function("mg_topk", c, org.apache.spark.sql.functions.lit(k))
+  def mg_bin(c: Column, k: Int): Column =
+    call_function("mg_bin", c, org.apache.spark.sql.functions.lit(k))
+  def mg_merge(c: Column): Column = call_function("mg_merge", c)
 }

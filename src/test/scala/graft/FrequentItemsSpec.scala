@@ -76,4 +76,39 @@ class FrequentItemsSpec extends SparkSpec {
     assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
       Seq(("x", 2L), ("y", 1L)))
   }
+
+  test("mg_bin/mg_merge: persisted partials roll up losslessly in the exact regime") {
+    import spark.implicits._
+    graft.plans.MisraGries.register(spark)
+    // 3 shards × skewed items; k=8 ≥ 4 distinct → exact everywhere.
+    val rows = (1 to 300).map { i =>
+      (i % 3, if (i % 7 == 0) "rare" else s"w${i % 3}")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("mgbin").toString
+    rows.toDF("shard", "item")
+      .groupBy($"shard")
+      .agg(graft.plans.MisraGries.mg_bin($"item", 8).as("sk"))
+      .write.mode("overwrite").parquet(dir) // BINARY column survives parquet
+    val merged = spark.read.parquet(dir)
+      .agg(graft.plans.MisraGries.mg_merge($"sk").as("top"))
+      .select(explode($"top")).select($"col.item", $"col.cnt")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(merged == exact, s"merged=$merged exact=$exact")
+  }
+
+  test("mg_merge on the lossy path keeps capacity from the wire format") {
+    import spark.implicits._
+    graft.plans.MisraGries.register(spark)
+    // k=2 over 5 distinct: the merged summary must keep ≤ 2 counters
+    // and still surface the dominant item.
+    val rows = (1 to 1000).map(i => (i % 4, if (i % 5 == 0) s"t${i % 5}" else "dom"))
+    val merged = rows.toDF("shard", "item")
+      .groupBy($"shard").agg(graft.plans.MisraGries.mg_bin($"item", 2).as("sk"))
+      .agg(graft.plans.MisraGries.mg_merge($"sk").as("top"))
+      .select(explode($"top")).select($"col.item", $"col.cnt")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(merged.length <= 2)
+    assert(merged.head._1 == "dom")
+  }
 }
