@@ -549,5 +549,57 @@ object EventQueries {
     QueryDef("q161_event_paths", q161, Some(q161Sql)),
     QueryDef("q163_iqr_outliers", q163, Some(q163Sql)),
     QueryDef("q172_grouped_ols", q172, Some(q172Sql)),
+    QueryDef("q178_pearson_corr", q178, Some(q178Sql)),
   )
+
+  /** q178 — per-type Pearson correlation between event value and hour
+    * of day, on integer moments: value floors onto a cent grid per
+    * row, hour-of-day is an int, so all five moment sums accumulate
+    * exactly as longs. The final r = (kΣxy−ΣxΣy)/√((kΣxx−Σx²)(kΣyy−Σy²))
+    * divides exact integers under one sqrt — and IEEE-754 sqrt is
+    * CORRECTLY ROUNDED (unlike ln/exp), so the result is
+    * bit-identical cross-engine. NOT corr(): Spark's builtin
+    * accumulates doubles in partition order. */
+  def q178(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = Tables.events(s, d)
+      .select($"event_type",
+        hour($"ts").cast("long").as("x"),
+        floor($"value" * 100).cast("long").as("y"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("k"),
+        sum($"x").as("sx"), sum($"y").as("sy"), sum($"x" * $"y").as("sxy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"))
+    // Final moment products in DECIMAL(38,0): k·Σy² overflows a long
+    // once groups pass ~10⁶ rows of cent-scale values; decimal keeps
+    // the arithmetic exact (DuckDB's HUGEINT does the same on the
+    // oracle side), and double-casting an exactly-represented integer
+    // is correctly rounded in both engines.
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    m.select($"event_type", $"k",
+        (d38($"k") * d38($"sxy") - d38($"sx") * d38($"sy")).as("cov_n"),
+        (d38($"k") * d38($"sxx") - d38($"sx") * d38($"sx")).as("vx_n"),
+        (d38($"k") * d38($"syy") - d38($"sy") * d38($"sy")).as("vy_n"))
+      .filter($"vx_n" > 0 && $"vy_n" > 0)
+      .select($"event_type", $"k",
+        r6($"cov_n".cast("double") /
+          sqrt($"vx_n".cast("double") * $"vy_n".cast("double"))).as("r"))
+      .orderBy($"event_type")
+  }
+
+  lazy val q178Sql: String =
+    s"""WITH m AS (
+       |  SELECT event_type, count(*) AS k,
+       |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+       |    sum(x * x) AS sxx, sum(y * y) AS syy
+       |  FROM (SELECT event_type,
+       |          CAST(hour(ts) AS BIGINT) AS x,
+       |          CAST(floor(value * 100) AS BIGINT) AS y
+       |        FROM events) t
+       |  GROUP BY 1)
+       |SELECT event_type, k,
+       |  ${sqlR6("CAST(k * sxy - sx * sy AS DOUBLE) / sqrt(CAST(k * sxx - sx * sx AS DOUBLE) * CAST(k * syy - sy * sy AS DOUBLE))")} AS r
+       |FROM m
+       |WHERE k * sxx - sx * sx > 0 AND k * syy - sy * sy > 0
+       |ORDER BY event_type""".stripMargin
 }
