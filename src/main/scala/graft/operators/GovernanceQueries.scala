@@ -154,10 +154,79 @@ object GovernanceQueries {
       |GROUP BY 1
       |ORDER BY bucket""".stripMargin
 
+  /** q179 — data-quality constraint audit (the Deequ/Great-Expectations
+    * shape as one query): completeness, uniqueness, referential
+    * integrity, and range checks each reduce to a COUNT, unioned into
+    * a constraint→violations report. Every check is a pure aggregate
+    * or anti-join — column pruning gives each scan only its key, and
+    * the anti-joins broadcast the dimension side. All integers. */
+  def q179(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.orders(s, d)
+    val customer = Tables.customer(s, d)
+    val lineitem = Tables.lineitem(s, d)
+    val docs = Tables.documents(s, d)
+    def check(name: String, violations: DataFrame, checked: DataFrame): DataFrame =
+      violations.agg(count(lit(1)).as("violations"))
+        .crossJoin(checked.agg(count(lit(1)).as("n_checked")))
+        .select(lit(name).as("constraint"), $"violations", $"n_checked")
+    check("customer.c_custkey unique",
+        customer.groupBy($"c_custkey").agg(count(lit(1)).as("n")).filter($"n" > 1),
+        customer)
+      .unionByName(check("documents.text nonempty",
+        docs.filter($"text".isNull || $"text" === ""), docs))
+      .unionByName(check("lineitem.l_orderkey referential",
+        lineitem.select($"l_orderkey")
+          .join(broadcast(orders.select($"o_orderkey")),
+            $"l_orderkey" === $"o_orderkey", "left_anti"),
+        lineitem))
+      .unionByName(check("lineitem.l_quantity in [1,50]",
+        lineitem.filter($"l_quantity" < 1 || $"l_quantity" > 50), lineitem))
+      .unionByName(check("orders.o_custkey referential",
+        orders.select($"o_custkey")
+          .join(broadcast(customer.select($"c_custkey")),
+            $"o_custkey" === $"c_custkey", "left_anti"),
+        orders))
+      .unionByName(check("orders.o_totalprice positive",
+        orders.filter($"o_totalprice" <= 0), orders))
+      .orderBy($"constraint")
+  }
+
+  val q179Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'customer.c_custkey unique' AS constraint,
+      |    (SELECT count(*) FROM (SELECT c_custkey FROM customer
+      |      GROUP BY 1 HAVING count(*) > 1) t) AS violations,
+      |    (SELECT count(*) FROM customer) AS n_checked
+      |  UNION ALL
+      |  SELECT 'documents.text nonempty',
+      |    (SELECT count(*) FROM documents WHERE text IS NULL OR text = ''),
+      |    (SELECT count(*) FROM documents)
+      |  UNION ALL
+      |  SELECT 'lineitem.l_orderkey referential',
+      |    (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+      |      (SELECT o_orderkey FROM orders)),
+      |    (SELECT count(*) FROM lineitem)
+      |  UNION ALL
+      |  SELECT 'lineitem.l_quantity in [1,50]',
+      |    (SELECT count(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50),
+      |    (SELECT count(*) FROM lineitem)
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey referential',
+      |    (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+      |      (SELECT c_custkey FROM customer)),
+      |    (SELECT count(*) FROM orders)
+      |  UNION ALL
+      |  SELECT 'orders.o_totalprice positive',
+      |    (SELECT count(*) FROM orders WHERE o_totalprice <= 0),
+      |    (SELECT count(*) FROM orders)) u
+      |ORDER BY "constraint"""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q169_json_schema_read", q169, Some(q169Sql)),
     QueryDef("q170_k_anonymity", q170, Some(q170Sql)),
     QueryDef("q171_equidepth_hist", q171, Some(q171Sql)),
     QueryDef("q175_sliding_window_agg", q175, Some(q175Sql)),
-    QueryDef("q176_merkle_buckets", q176, Some(q176Sql)))
+    QueryDef("q176_merkle_buckets", q176, Some(q176Sql)),
+    QueryDef("q179_dq_constraints", q179, Some(q179Sql)))
 }
