@@ -28,6 +28,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
       (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+    // Native bounded-state aggregates (sketch family). Literal
+    // arguments resolve at function-build time, same contract as the
+    // per-session register() helpers.
+    def intLit(e: Expression, what: String): Int = e.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be an int literal, got $other")
+    }
+    def psLit(e: Expression, what: String): Array[Double] = e.eval(null) match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData => a.toDoubleArray()
+      case other => throw new IllegalArgumentException(
+        s"$what must be an array<double> literal, got $other")
+    }
+    def agg(name: String, build: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(getClass.getName, name),
+        build))
+    agg("mg_topk", es => MisraGries(es.head, intLit(es(1), "mg_topk k")).toAggregateExpression())
+    agg("mg_bin", es => MgBinAgg(es.head, intLit(es(1), "mg_bin k")).toAggregateExpression())
+    agg("mg_merge", es => MgMergeAgg(es.head).toAggregateExpression())
+    agg("hll_distinct", es => HllDistinct(es.head).toAggregateExpression())
+    agg("hll_bin", es => HllBinAgg(es.head).toAggregateExpression())
+    agg("hll_merge", es => HllMergeAgg(es.head).toAggregateExpression())
+    agg("qsketch", es => QuantileSketchAgg(es.head, intLit(es(1), "qsketch k"),
+      psLit(es(2), "qsketch ps")).toAggregateExpression())
+    agg("qsketch_bin", es => QuantileSketchBinAgg(es.head,
+      intLit(es(1), "qsketch_bin k")).toAggregateExpression())
+    agg("qsketch_merge", es => QuantileSketchMergeAgg(es.head,
+      psLit(es(1), "qsketch_merge ps")).toAggregateExpression())
+    agg("cm_sketch", es => CountMinSketch(es.head, intLit(es(1), "cm_sketch depth"),
+      intLit(es(2), "cm_sketch width")).toAggregateExpression())
     // The declarative dot-product fold becomes the native kernel
     // automatically for any session built with these extensions.
     ext.injectOptimizerRule(_ => FoldToNativeVectorOps)
