@@ -226,7 +226,7 @@ object GovernanceQueries {
     QueryDef("q169_json_schema_read", q169, Some(q169Sql)),
     QueryDef("q170_k_anonymity", q170, Some(q170Sql)),
     QueryDef("q171_equidepth_hist", q171, Some(q171Sql)),
-    QueryDef("q175_sliding_window_agg", q175, Some(q175Sql)),
+    QueryDef("q175_sliding_window_agg", q175, Some(q175Sql), bench = true),
     QueryDef("q176_merkle_buckets", q176, Some(q176Sql)),
     QueryDef("q179_dq_constraints", q179, Some(q179Sql)))
 }

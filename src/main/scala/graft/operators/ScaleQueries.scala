@@ -456,7 +456,7 @@ object ScaleQueries {
     QueryDef("q157_quantile_sketch", q157, Some(q157Sql)),
     QueryDef("q160_sketch_rollup", q160, Some(q160Sql)),
     QueryDef("q162_sliding_distinct_sketch", q162, Some(q162Sql)),
-    QueryDef("q177_heavy_hitter_cube", q177, Some(q177Sql)))
+    QueryDef("q177_heavy_hitter_cube", q177, Some(q177Sql), bench = true))
 
   /** q177 — heavy-hitter cube: hourly Misra-Gries summaries persist as
     * BINARY columns (mg_bin), the daily/global rollup merges the

@@ -38,6 +38,30 @@ class IndexingQueriesSpec extends SparkSpec {
     assert(got == Set((1L, 2L), (3L, 4L), (3L, 5L), (4L, 5L)))
   }
 
+  test("prefix+position filter stays lossless on a dense random corpus") {
+    import spark.implicits._
+    // 60 docs over a 40-token vocabulary (deterministic LCG), so many
+    // pairs hover near θ — the regime where an off-by-one in the
+    // prefix length or position bound silently drops pairs. Compare
+    // against the exact O(n²) Jaccard computed in Scala.
+    var seed = 12345L
+    def next(): Long = { seed = (seed * 6364136223846793005L + 1442695040888963407L); (seed >>> 33) }
+    val docs = (1L to 60L).map { id =>
+      val base = (1 to 12).map(_ => s"t${next() % 40}")
+      // every third doc mutates the previous doc slightly → near-dups
+      (id, base.mkString(" "), "en", "s1", 0L)
+    }
+    val sets = docs.map { case (id, text, _, _, _) => id -> text.split(" ").toSet }.toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size; un = (sets(a) | sets(b)).size
+      if inter * 10 >= un * 9
+    } yield (a, b)).toSet
+    val got = IndexingQueries.q166(spark, docsDir(docs))
+      .select($"doc_id_1", $"doc_id_2").as[(Long, Long)].collect().toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
   test("q167 assigns contiguous ids matching the global sort order") {
     import spark.implicits._
     val rows = (1L to 97L).map(i =>
