@@ -201,6 +201,26 @@ object ScaleSmoke {
       approx.unpersist()
       sameCluster
     }
+    // ---- IVF-PQ composed (FAISS IVFPQ shape): coarse cells route the
+    // search, PQ codes of RESIDUALS score it — corpus search state is
+    // 1 int + 8 bytes per vector, probing 8/64 cells.
+    var ivfpqIdx: ml.IvfPq.Index = null
+    timed("ann_ivfpq_build") {
+      ivfpqIdx = ml.IvfPq.build(targets, "vec_id", "embedding", dim,
+        nList = 64, m = 8, k = 64, trainSample = 50000)
+      ivfpqIdx.encoded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ivfpqIdx.encoded.count()
+    }
+    timed("ann_ivfpq_top10") {
+      val approx = ml.IvfPq.search(ivfpqIdx,
+        queries.select($"q_id", $"q_vec"), 10, nProbe = 8).persist()
+      val sameCluster = approx
+        .filter(pmod(xxhash64($"vec_id"), lit(256)) ===
+          pmod(xxhash64($"q_id"), lit(256))).count()
+      println(s"[scale]   IVF-PQ(64 cells, probe 8) cluster-recall@10: ${sameCluster / 320.0}")
+      approx.unpersist()
+      sameCluster
+    }
     // ---- frequent items: bounded-state sketch vs full vocabulary agg.
     // The 10k-word vocabulary is 100x the k=100 sketch capacity, so
     // this measures the genuinely lossy regime; the sketch's partials
