@@ -502,8 +502,18 @@ object StreamingQueries {
       |FROM hours, wm WHERE hour + INTERVAL 1 HOUR <= wm.w
       |ORDER BY hour, event_type""".stripMargin
 
+  /** q180 — streaming near-dup detection on arrival via Spark 4's
+    * transformWithState (RocksDB state, ListState per SimHash band
+    * key). Emits ALL qualifying pairs, so the verdict set is
+    * arrival-order-invariant and equals the batch Hamming-ball join
+    * exactly — the oracle IS q99's (TrainingQueries.q99Sql). */
+  def q180(s: SparkSession, d: String): DataFrame =
+    graft.streaming.NearDupStream.run(
+      s, d, s"q180_sink_${counter.incrementAndGet()}")
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q72_streaming_hourly", q72, Some(q72Sql)),
+    QueryDef("q180_stream_neardup_tws", q180, Some(TrainingQueries.q99Sql)),
     QueryDef("q74_streaming_dedup", q74, Some(q74Sql)),
     QueryDef("q114_streaming_content_dedup", q114, Some(q114Sql)),
     QueryDef("q75_stream_static_join", q75, Some(q75Sql)),
