@@ -222,8 +222,118 @@ object GovernanceQueries {
       |    (SELECT count(*) FROM orders)) u
       |ORDER BY "constraint"""".stripMargin
 
+  /** q181 — exact two-sample Kolmogorov–Smirnov drift test, per
+    * source vs the rest of the corpus, on the n_chars distribution.
+    * The statistic is computed in INTEGER arithmetic: at each distinct
+    * value x, |F_src(x) − F_rest(x)| = |i·m − j·n| / (n·m) with
+    * i, j cumulative counts and n, m group sizes, so the max is taken
+    * over exact BIGINTs and only the FINAL division is floating
+    * (exact-integer inputs ≤ 2^53 → correctly-rounded identical
+    * doubles in both engines; at petabyte row counts the products
+    * would move to DECIMAL38, same shape).
+    *
+    * Scale: the grid is #sources × #distinct-values and the window
+    * partitions by source with #distinct-values rows per partition —
+    * bounded by the VALUE DOMAIN, not the corpus. For an unbounded
+    * domain, bucket through the equi-depth histogram (q171) or the
+    * quantile sketch (q157) first; the KS-on-grid shape is unchanged.
+    * The distinct-value table broadcasts (BNLJ, never a shuffle). */
+  def q181(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"source", $"n_chars")
+    val perSrc = docs.groupBy($"source", $"n_chars").agg(count(lit(1)).as("c"))
+    val global = docs.groupBy($"n_chars").agg(count(lit(1)).as("g"))
+    val sizes = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+    val grid = sizes.crossJoin(broadcast(global))
+      .join(perSrc, Seq("source", "n_chars"), "left")
+      .na.fill(0, Seq("c"))
+    val w = Window.partitionBy($"source").orderBy($"n_chars")
+    grid
+      .withColumn("i", sum($"c").over(w))
+      .withColumn("cg", sum($"g").over(w))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("total"))))
+      .withColumn("m", $"total" - $"n")
+      .withColumn("diff", abs($"i" * $"m" - ($"cg" - $"i") * $"n"))
+      .groupBy($"source", $"n", $"m")
+      .agg(max($"diff").as("ks_num"))
+      .select($"source", $"n", $"m", $"ks_num",
+        r6($"ks_num" / ($"n" * $"m")).as("ks"))
+      .orderBy($"source")
+  }
+
+  val q181Sql: String =
+    s"""WITH c AS (SELECT source, n_chars, count(*) AS c FROM documents GROUP BY 1, 2),
+       |g AS (SELECT n_chars, count(*) AS g FROM documents GROUP BY 1),
+       |t AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+       |tot AS (SELECT count(*) AS total FROM documents),
+       |grid AS (
+       |  SELECT t.source, t.n, g.n_chars, g.g, COALESCE(c.c, 0) AS c
+       |  FROM t CROSS JOIN g
+       |  LEFT JOIN c ON c.source = t.source AND c.n_chars = g.n_chars),
+       |cum AS (
+       |  SELECT source, n, n_chars,
+       |    CAST(sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT) AS i,
+       |    CAST(sum(g) OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT) AS cg
+       |  FROM grid),
+       |ks AS (
+       |  SELECT source, n, total - n AS m,
+       |    max(abs(i * (total - n) - (cg - i) * n)) AS ks_num
+       |  FROM cum CROSS JOIN tot
+       |  GROUP BY source, n, total)
+       |SELECT source, n, m, CAST(ks_num AS BIGINT) AS ks_num,
+       |  ${sqlR6("ks_num / (n * m)")} AS ks
+       |FROM ks ORDER BY source""".stripMargin
+
+  /** q182 — Benford first-digit audit over o_totalprice (fraud/
+    * synthetic-data screening). The leading digit is taken through
+    * BIGINT→string (no log10, no float formatting — both engines
+    * print integers identically); the expected Benford shares
+    * log10(1+1/d) are 6-dp LITERALS on both sides, so the gap is
+    * identical IEEE arithmetic on identical inputs. Map-side partial
+    * aggregation collapses the scan to 9 rows before the shuffle. */
+  def q182(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val benford = array(BenfordShares.map(lit): _*)
+    Tables.orders(s, d)
+      .select(substring(floor($"o_totalprice").cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(Tables.orders(s, d).agg(count(lit(1)).as("total"))))
+      .select($"digit", $"cnt",
+        r6($"cnt" / $"total").as("obs_share"),
+        element_at(benford, $"digit").as("benford_share"),
+        r6($"cnt" / $"total" - element_at(benford, $"digit")).as("gap"))
+      .orderBy($"digit")
+  }
+
+  /** log10(1 + 1/d), d = 1…9, rounded to 6 dp — shared literals. */
+  private val BenfordShares: Seq[Double] = Seq(
+    0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
+    0.066947, 0.057992, 0.051153, 0.045757)
+
+  val q182Sql: String = {
+    // ::DOUBLE per literal: a bare 0.301030 parses as DECIMAL(7,6) in
+    // DuckDB, which would change both the result schema and the
+    // subtraction arithmetic vs Spark's double literals
+    val lits = BenfordShares.map(v => f"$v%.6f::DOUBLE").mkString(", ")
+    s"""WITH digits AS (
+       |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+       |  FROM orders),
+       |counts AS (SELECT digit, count(*) AS cnt FROM digits GROUP BY 1),
+       |tot AS (SELECT count(*) AS total FROM orders)
+       |SELECT digit, cnt,
+       |  ${sqlR6("cnt / total")} AS obs_share,
+       |  [$lits][digit] AS benford_share,
+       |  ${sqlR6(s"cnt / total - [$lits][digit]")} AS gap
+       |FROM counts CROSS JOIN tot
+       |ORDER BY digit""".stripMargin
+  }
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q169_json_schema_read", q169, Some(q169Sql)),
+    QueryDef("q181_ks_drift", q181, Some(q181Sql)),
+    QueryDef("q182_benford_audit", q182, Some(q182Sql)),
     QueryDef("q170_k_anonymity", q170, Some(q170Sql)),
     QueryDef("q171_equidepth_hist", q171, Some(q171Sql)),
     QueryDef("q175_sliding_window_agg", q175, Some(q175Sql), bench = true),

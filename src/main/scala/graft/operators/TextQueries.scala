@@ -346,8 +346,52 @@ object TextQueries {
       |  cm_est - CAST(true_cnt AS BIGINT) AS overcount
       |FROM est ORDER BY true_cnt DESC, token""".stripMargin
 
+  /** q183 — vocabulary diversity per language: type–token ratio and
+    * the Gini–Simpson index, both as exact RATIONALS until the final
+    * division. Gini–Simpson = 1 − Σc(c−1)/(T(T−1)) (the probability
+    * two tokens drawn without replacement differ) needs only integer
+    * token counts — unlike Shannon entropy, whose log2 is a libm
+    * transcendental with no cross-engine rounding guarantee, which is
+    * why entropy is NOT in the oracle-checked set. Products stay
+    * < 2^53 through sf0.1 (exact in the final double divide); the
+    * petabyte variant moves the two products to DECIMAL38.
+    * Scale: one (lang, word) shuffle with map-side partial counts,
+    * then a per-lang rollup of bounded vocabulary size. */
+  def q183(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"lang", explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"lang", $"w").agg(count(lit(1)).as("c"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("types"),
+        sum($"c").as("tokens"),
+        sum($"c" * ($"c" - 1)).as("rep_pairs"))
+      .select($"lang", $"types", $"tokens", $"rep_pairs",
+        r6($"types" / $"tokens").as("ttr"),
+        r6(lit(1.0) - $"rep_pairs" / ($"tokens" * ($"tokens" - 1))).as("gini_simpson"))
+      .orderBy($"lang")
+  }
+
+  val q183Sql: String =
+    s"""WITH wc AS (
+       |  SELECT lang, w, count(*) AS c FROM (
+       |    SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents) t
+       |  WHERE w <> '' GROUP BY 1, 2),
+       |v AS (
+       |  SELECT lang, count(*) AS types,
+       |    CAST(sum(c) AS BIGINT) AS tokens,
+       |    CAST(sum(c * (c - 1)) AS BIGINT) AS rep_pairs
+       |  FROM wc GROUP BY 1)
+       |SELECT lang, types, tokens, rep_pairs,
+       |  ${sqlR6("types / tokens")} AS ttr,
+       |  ${sqlR6("1::DOUBLE - rep_pairs / (tokens * (tokens - 1))")} AS gini_simpson
+       |FROM v ORDER BY lang""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q40_token_stats", q40, Some(q40Sql)),
+    QueryDef("q183_vocab_diversity", q183, Some(q183Sql)),
     QueryDef("q41_quality_score", q41, Some(q41Sql), bench = true),
     QueryDef("q42_langid_confusion", q42, Some(q42Sql), bench = true),
     QueryDef("q43_fingerprint_clusters", q43, Some(q43Sql)),
