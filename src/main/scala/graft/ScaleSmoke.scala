@@ -351,6 +351,38 @@ object ScaleSmoke {
       pairs.unpersist()
       total
     }
+    // Exact KS drift over 20 synthetic sources: windows are bounded by
+    // the n_chars VALUE DOMAIN (a few hundred distinct lengths), so
+    // this runs at corpus scale with a constant-size window stage.
+    timed("ks_drift_20src") {
+      operators.GovernanceQueries.ksDrift(
+        docs.select(
+          concat(lit("src"), pmod($"doc_id", lit(20))).as("source"),
+          length($"text").as("n_chars"))).count()
+    }
+
+    // Streaming near-dup on arrival (transformWithState + RocksDB):
+    // the full corpus replayed as one AvailableNow batch — 4 banded
+    // rows per doc through per-band ListState. The hamming ≤ 3 ball is
+    // an EXACT semantic, not a recall target: a one-word-in-~40 change
+    // only lands inside it when the flipped vote margins are tight
+    // (measured ~half the planted dups at 1M), and the streamed set
+    // must equal the batch Hamming-ball join on the same corpus.
+    {
+      val tmp = java.nio.file.Files.createTempDirectory("tws_scale").toString
+      docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      timed("tws_stream_neardup") {
+        val pairs = streaming.NearDupStream.run(spark, tmp, "scale_tws_sink")
+          .persist()
+        val total = pairs.count()
+        val planted = pairs.filter($"b" === $"a" + 1 && $"b" % 100 === 1).count()
+        val batchTwin = operators.TrainingQueries.q99(spark, tmp).count()
+        println(s"[scale]   pairs: $total (batch twin: $batchTwin); " +
+          s"planted inside the hamming<=3 ball: $planted of ${n / 100} planted dups")
+        pairs.unpersist()
+        total
+      }
+    }
     spark.stop()
   }
 }

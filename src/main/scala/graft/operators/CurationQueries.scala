@@ -474,7 +474,54 @@ object CurationQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q184 — temperature-sampled mixture weights (the UNIMAX /
+    * multilingual-LM recipe at α = 0.5): a source's sampling weight is
+    * tokens^α, flattening the head so low-resource sources are not
+    * drowned. Determinism without a double Σ: sqrt(tokens) is the ONE
+    * float op (integer input → correctly-rounded IEEE in both
+    * engines), immediately fixed to a 1e-6 integer grid; the
+    * normalizing total is then a BIGINT sum — exact, order-free — and
+    * every share/budget is a single division of exact integers. A
+    * 1M-token budget is allocated per source by flooring share×budget
+    * (so allocations are integers and under-allocate by < n_sources
+    * tokens, stated rather than hidden). Post-agg rows = #sources:
+    * every stage after the one token-count scan is broadcast-size. */
+  def q184(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val budget = 1000000L
+    val per = Tables.documents(s, d)
+      .select($"source",
+        graft.functions.TextAnalysis.tokenCount($"text").cast("long").as("toks"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("tokens"))
+    val wFixed = floor(sqrt($"tokens") * 1000000L + lit(0.5)).cast("long")
+    per.withColumn("w_fixed", wFixed)
+      .crossJoin(broadcast(
+        per.select(wFixed.as("w")).agg(sum($"w").as("w_total"))))
+      .select($"source", $"n_docs", $"tokens", $"w_fixed",
+        r6($"w_fixed" / $"w_total").as("share"),
+        floor($"w_fixed" * budget / $"w_total").cast("long").as("budget_tokens"))
+      .orderBy($"source")
+  }
+
+  val q184Sql: String =
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY 1),
+       |w AS (
+       |  SELECT source, n_docs, tokens,
+       |    CAST(floor(sqrt(tokens) * 1000000 + 0.5) AS BIGINT) AS w_fixed
+       |  FROM per),
+       |tot AS (SELECT CAST(sum(w_fixed) AS BIGINT) AS w_total FROM w)
+       |SELECT source, n_docs, tokens, w_fixed,
+       |  ${sqlR6("w_fixed / w_total")} AS share,
+       |  CAST(floor(w_fixed * 1000000 / w_total) AS BIGINT) AS budget_tokens
+       |FROM w CROSS JOIN tot
+       |ORDER BY source""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q184_temperature_mixing", q184, Some(q184Sql)),
     QueryDef("q100_dedup_keep_best", q100, Some(q100Sql)),
     QueryDef("q101_stop_grams", q101, Some(q101Sql), bench = true),
     QueryDef("q102_source_concentration", q102, Some(q102Sql)),

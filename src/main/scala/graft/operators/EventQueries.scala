@@ -535,7 +535,50 @@ object EventQueries {
        |WHERE k * sxx - sx * sx <> 0
        |ORDER BY event_type""".stripMargin
 
+  /** q185 — recency-decayed event scores on a power-of-two grid: each
+    * event contributes 2^(−age_days/halflife) to its type's score.
+    * The decay exponent is an INTEGER (whole days / 2-day halflife,
+    * capped at 40), so the scaled weight 2^(40−k) is an exact BIGINT,
+    * the per-type accumulation is an exact integer sum — no double
+    * summation order anywhere — and the final 2^-40 rescale is one
+    * exact dyadic division. This is the determinism-safe shape of the
+    * exponential-decay aggregate (a general e^{−λΔt} is a libm
+    * transcendental with no cross-engine guarantee). Age anchors to
+    * max(ts) over the table (1-row broadcast), truncated to whole
+    * seconds before the day divide so both engines bucket
+    * identically. */
+  def q185(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).select($"event_type", $"ts")
+    val anchored = ev
+      .crossJoin(broadcast(ev.agg(max(unix_micros($"ts")).as("max_us"))))
+      .withColumn("age_days",
+        expr("(max_us - unix_micros(ts)) div 86400000000"))
+      .withColumn("k", expr("least(age_days div 2, 40L)"))
+      .withColumn("w", pow(lit(2.0), lit(40L) - $"k").cast("long"))
+    anchored.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"), sum($"w").as("w_sum"))
+      .select($"event_type", $"n_events",
+        r6($"w_sum" / lit(1099511627776.0)).as("decayed_score"))
+      .orderBy($"event_type")
+  }
+
+  val q185Sql: String =
+    s"""WITH anchor AS (
+       |  SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us FROM events),
+       |w AS (
+       |  SELECT event_type,
+       |    CAST(pow(2, 40 - least(
+       |      ((max_us - epoch_us(CAST(ts AS TIMESTAMP))) // 86400000000) // 2,
+       |      40)) AS BIGINT) AS w
+       |  FROM events CROSS JOIN anchor)
+       |SELECT event_type, count(*) AS n_events,
+       |  ${sqlR6("CAST(sum(w) AS BIGINT) / 1099511627776.0::DOUBLE")} AS decayed_score
+       |FROM w GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q185_decayed_counts", q185, Some(q185Sql)),
     QueryDef("q70_sessionize", q70, Some(q70Sql), bench = true),
     QueryDef("q71_asof_join", q71, Some(q71Sql), bench = true),
     QueryDef("q73_range_join", q73, Some(q73Sql), bench = true),

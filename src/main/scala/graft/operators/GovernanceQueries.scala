@@ -239,9 +239,15 @@ object GovernanceQueries {
     * quantile sketch (q157) first; the KS-on-grid shape is unchanged.
     * The distinct-value table broadcasts (BNLJ, never a shuffle). */
   def q181(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val docs = Tables.documents(s, d).select($"source", $"n_chars")
+    ksDrift(Tables.documents(s, d).select($"source", $"n_chars"))
+  }
+
+  /** Core of q181, reusable over any (source, n_chars) frame (the
+    * scale smoke feeds it a synthetic 1M-row corpus). */
+  def ksDrift(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import docs.sparkSession.implicits._
     val perSrc = docs.groupBy($"source", $"n_chars").agg(count(lit(1)).as("c"))
     val global = docs.groupBy($"n_chars").agg(count(lit(1)).as("g"))
     val sizes = docs.groupBy($"source").agg(count(lit(1)).as("n"))

@@ -108,9 +108,16 @@ object NearDupStream {
   def run(s: SparkSession, dir: String, sinkName: String,
       maxHamming: Int = 3): DataFrame = {
     import s.implicits._
-    val schema = s.read.parquet(s"$dir/documents.parquet").schema
-    val stream = s.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val path = s"$dir/documents.parquet"
+    val schema = s.read.parquet(path).schema
+    // the file-stream source lists leaf FILES: a single-file table needs
+    // the parent dir + a glob on the file name, while a directory table
+    // (part-*.parquet inside) streams directly — the glob would match
+    // nothing there and silently yield an empty stream
+    val stream =
+      if (new java.io.File(path).isDirectory) s.readStream.schema(schema).parquet(path)
+      else s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
     val verdicts = pairsPlan(stream, maxHamming)
     val prev = s.conf.getOption(ProviderKey)
     s.conf.set(ProviderKey, RocksProvider)

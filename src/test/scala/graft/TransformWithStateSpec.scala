@@ -39,19 +39,19 @@ class TransformWithStateSpec extends SparkSpec {
 
   test("arrival-order invariance: emit-all semantics covers both orders of a dup pair") {
     import spark.implicits._
-    // two near-identical docs + one far doc, fed as a batch Dataset
-    // through the SAME processor logic via a one-batch memory stream
+    // an exact-dup pair (hamming 0 — matches in all 4 bands, exercising
+    // the cross-band DISTINCT) + one far doc; written as a parquet
+    // DIRECTORY to cover the part-file streaming layout
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
-      (2L, "the quick brown fox jumps over the lazy dogs"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
       (3L, "completely different content about spark engines entirely")
     ).toDF("doc_id", "text")
     val tmp = java.nio.file.Files.createTempDirectory("tws_docs").toString
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val got = NearDupStream.run(spark, tmp, "tws_spec_sink4")
       .as[CandidatePair].collect()
-    // doc 1 vs 2 differ by one token; simhash64 distance is small but
-    // data-dependent — assert against the batch twin, not a constant
+    assert(got.toSeq == Seq(CandidatePair(1L, 2L, 0L)))
     val batch = graft.operators.TrainingQueries.q99(spark, tmp)
       .as[CandidatePair].collect()
     assert(got.toSet == batch.toSet)
