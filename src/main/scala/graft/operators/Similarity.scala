@@ -114,6 +114,87 @@ object Similarity {
         }).as("recon"))
   }
 
+  /** One MMR candidate: stage-1 relevance + the full (double-cast)
+    * vector, carried so diversity penalties use exact pairwise math. */
+  final case class MmrCand(vec_id: Long, rel: Double, vec: Seq[Double])
+
+  /** One selected result: rank within the query's MMR list. */
+  final case class MmrPick(q_id: Long, vec_id: Long, mmr_rank: Long,
+      rel: Double, mmr: Double)
+
+  /** Maximal Marginal Relevance diversified rerank (Carbonell &
+    * Goldstein, SIGIR'98): greedily select k of the top-C candidates,
+    * each step maximizing λ·rel(q,d) − (1−λ)·max_{s∈S} cos(d,s).
+    * Dedups redundant results a plain top-k returns (the RAG/
+    * retrieval default for context packing).
+    *
+    * Scale shape: stage 1 is the existing broadcast-query brute-force
+    * (or any ANN) top-C — the ONLY corpus-sized pass. Stage 2 groups
+    * the ≤ C survivors per query (collect_list over C=20 rows, not
+    * the corpus) and runs the O(k·C) greedy per query as a typed
+    * flatMap — distributed per query, no driver loop, no window over
+    * candidate sets.
+    *
+    * Determinism: every cosine is the same sequential fold as
+    * [[dot]] (ties broken by vec_id), λ literals are shared with the
+    * SQL mirror, and the greedy comparison uses raw doubles — so the
+    * selection ORDER, not just the set, is oracle-checkable. */
+  def mmrRerank(queries: DataFrame, targets: DataFrame, k: Int, c: Int,
+      lambda: Double): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cands = bruteForceTopK(queries, targets, k = c)
+      .select(col("q_id"), col("vec_id"), col("sim").as("rel"),
+        toDoubleArr(col("embedding")).as("vec"))
+    val grouped = cands
+      .groupBy(col("q_id"))
+      .agg(collect_list(struct(col("vec_id"), col("rel"), col("vec"))).as("cs"))
+      .as[(Long, Seq[MmrCand])]
+    grouped.flatMap { case (qId, cs) =>
+      greedyMmr(qId, cs, k, lambda)
+    }.toDF()
+  }
+
+  /** The greedy core, shared with MmrSpec's reference checks. */
+  def greedyMmr(qId: Long, cs: Seq[MmrCand], k: Int, lambda: Double): Seq[MmrPick] = {
+    def cosSeq(a: Seq[Double], b: Seq[Double]): Double = {
+      var dab = 0.0; var daa = 0.0; var dbb = 0.0; var i = 0
+      while (i < a.length) {
+        dab += a(i) * b(i); daa += a(i) * a(i); dbb += b(i) * b(i); i += 1
+      }
+      dab / (math.sqrt(daa) * math.sqrt(dbb))
+    }
+    val remaining = scala.collection.mutable.ArrayBuffer(
+      cs.sortBy(c => (-c.rel, c.vec_id)): _*)
+    val selected = scala.collection.mutable.ArrayBuffer.empty[MmrCand]
+    val out = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+    var step = 1
+    while (step <= k && remaining.nonEmpty) {
+      var bestIdx = -1; var bestScore = 0.0
+      var idx = 0
+      while (idx < remaining.length) {
+        val cand = remaining(idx)
+        val maxSim =
+          if (selected.isEmpty) 0.0
+          else selected.map(s => cosSeq(cand.vec, s.vec)).max
+        val score = lambda * cand.rel - (1.0 - lambda) * maxSim
+        // ties (score equal) fall to the lower vec_id: `remaining` is
+        // already in (rel desc, vec_id) order only for step 1, so the
+        // tie-break must compare ids explicitly
+        if (bestIdx < 0 || score > bestScore ||
+          (score == bestScore && cand.vec_id < remaining(bestIdx).vec_id)) {
+          bestIdx = idx; bestScore = score
+        }
+        idx += 1
+      }
+      val pick = remaining.remove(bestIdx)
+      selected += pick
+      out += MmrPick(qId, pick.vec_id, step.toLong, pick.rel, bestScore)
+      step += 1
+    }
+    out.toSeq
+  }
+
   /** ANN via bucket-equality join + per-bucket cosine top-k. */
   def ivfTopK(queries: DataFrame, targets: DataFrame, k: Int, bits: Int,
       qId: String = "q_id", qVec: String = "q_vec",

@@ -180,7 +180,67 @@ object SimilarityQueries {
        |ORDER BY rq.q_id, rq.rn""".stripMargin
   }
 
+  /** q186 — MMR diversified rerank (k=5 of the top-20, λ=0.7): the
+    * greedy selection itself is oracle-checked, not just the candidate
+    * set. The DuckDB mirror UNROLLS the k greedy steps as chained
+    * window CTEs (each step joins the previous 1-row-per-query picks
+    * and takes the arg-max of λ·rel − (1−λ)·greatest(pairwise cos)
+    * with vec_id tie-break) — every cosine is the same sequential
+    * fold on both sides, λ appears only as shared literals, and the
+    * diversity weight is written `1 − 0.7` in BOTH engines (0.3 as a
+    * literal would be a DIFFERENT double than the computed 1−λ). */
+  def q186(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Similarity.mmrRerank(queriesDf(s, d), Tables.embeddings(s, d),
+      k = 5, c = 20, lambda = 0.7)
+      .select($"q_id", $"vec_id", $"mmr_rank",
+        r6($"rel").as("rel"), r6($"mmr").as("mmr"))
+      .orderBy($"q_id", $"mmr_rank")
+  }
+
+  val q186Sql: String = {
+    def cosPair(a: String, b: String) =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    val k = 5
+    val steps = (1 to k).map { n =>
+      val prev = 1 until n
+      val score =
+        if (prev.isEmpty) "0.7::DOUBLE * c.rel - (1::DOUBLE - 0.7::DOUBLE) * 0::DOUBLE"
+        else {
+          val sims = prev.map(i => cosPair("c.t_vec", s"s$i.t_vec")).mkString(", ")
+          s"0.7::DOUBLE * c.rel - (1::DOUBLE - 0.7::DOUBLE) * greatest($sims)"
+        }
+      val joins = prev.map(i => s"JOIN s$i ON s$i.q_id = c.q_id").mkString(" ")
+      val excl = prev.map(i => s"c.vec_id <> s$i.vec_id").mkString(" AND ")
+      val where = if (prev.isEmpty) "" else s"WHERE $excl"
+      s"""s$n AS (
+         |  SELECT q_id, vec_id, t_vec, rel, mmr FROM (
+         |    SELECT c.q_id, c.vec_id, c.t_vec, c.rel, $score AS mmr,
+         |      row_number() OVER (PARTITION BY c.q_id
+         |        ORDER BY $score DESC, c.vec_id) AS pick
+         |    FROM cand c $joins $where) z
+         |  WHERE pick = 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map(n =>
+      s"SELECT q_id, vec_id, CAST($n AS BIGINT) AS mmr_rank, ${sqlR6("rel")} AS rel, ${sqlR6("mmr")} AS mmr FROM s$n")
+      .mkString("\nUNION ALL\n")
+    s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+       |           FROM embeddings WHERE vec_id < 5),
+       |t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS t_vec FROM embeddings),
+       |sims AS (
+       |  SELECT q_id, vec_id, t_vec, $cosSql AS rel
+       |  FROM t, q WHERE vec_id <> q_id),
+       |cand AS (
+       |  SELECT q_id, vec_id, t_vec, rel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS rn
+       |    FROM sims) r WHERE rn <= 20),
+       |$steps
+       |$out
+       |ORDER BY q_id, mmr_rank""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q186_mmr_rerank", q186, Some(q186Sql)),
     QueryDef("q60_cosine_topk", q60, Some(q60Sql), bench = true),
     QueryDef("q61_label_centroids", q61, Some(q61Sql)),
     QueryDef("q62_ann_ivf_topk", q62, Some(q62Sql), bench = true),
