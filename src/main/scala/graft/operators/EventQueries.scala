@@ -577,8 +577,52 @@ object EventQueries {
        |FROM w GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  /** q188 — first/last-touch purchase attribution: every purchase is
+    * credited to the user's earliest non-purchase event (first touch)
+    * and the latest one strictly before it (last touch), then revenue
+    * rolls up by the (first, last) channel pair. The carry is one
+    * IGNORE-NULLS window per direction over (ts, event_id) total order
+    * — a single shuffle by user, no self-join back onto the timeline,
+    * no per-purchase re-scan. Purchases with no prior touch are
+    * EXCLUDED (stated; a 'none' bucket is the one-line variant). */
+  def q188(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val touch = when($"event_type" =!= "purchase", $"event_type")
+    val w = Window.partitionBy($"user_id")
+      .orderBy(unix_micros($"ts"), $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase" && $"first_touch".isNotNull)
+      .groupBy($"first_touch", $"last_touch")
+      .agg(count(lit(1)).as("n_purchases"), moneySum($"value").as("total_value"))
+      .orderBy($"first_touch", $"last_touch")
+  }
+
+  val q188Sql: String = {
+    val touch = "CASE WHEN event_type <> 'purchase' THEN event_type END"
+    val frame = "OVER (PARTITION BY user_id ORDER BY us, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, value,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+       |  FROM events),
+       |t AS (
+       |  SELECT *,
+       |    first_value($touch IGNORE NULLS) $frame AS first_touch,
+       |    last_value($touch IGNORE NULLS) $frame AS last_touch
+       |  FROM e)
+       |SELECT first_touch, last_touch, count(*) AS n_purchases,
+       |  ${sqlMoneySum("value")} AS total_value
+       |FROM t WHERE event_type = 'purchase' AND first_touch IS NOT NULL
+       |GROUP BY 1, 2 ORDER BY first_touch, last_touch""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q185_decayed_counts", q185, Some(q185Sql)),
+    QueryDef("q188_touch_attribution", q188, Some(q188Sql)),
     QueryDef("q70_sessionize", q70, Some(q70Sql), bench = true),
     QueryDef("q71_asof_join", q71, Some(q71Sql), bench = true),
     QueryDef("q73_range_join", q73, Some(q73Sql), bench = true),

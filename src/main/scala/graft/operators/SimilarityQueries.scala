@@ -239,8 +239,66 @@ object SimilarityQueries {
        |ORDER BY q_id, mmr_rank""".stripMargin
   }
 
+  /** q187 — hard-negative mining for contrastive training: for each
+    * anchor, the most-similar vector of a DIFFERENT label (the hard
+    * negative), the most-similar of the SAME label (the positive), and
+    * the triplet margin pos−neg (negative margin ⇒ the anchor's
+    * nearest neighbor crosses the label boundary — the examples a
+    * contrastive batch builder wants). One broadcast-anchor pass over
+    * the corpus; both arg-maxes reduce through the native bounded heap
+    * (k=1), never a window over the full candidate set. */
+  def q187(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val anchors = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("a_id"), $"embedding".as("a_vec"),
+        $"label".as("a_label"))
+    val joined = emb.crossJoin(broadcast(anchors))
+      .filter($"a_id" =!= $"vec_id")
+      .withColumn("sim", Similarity.cosineNative(emb,
+        Similarity.toDoubleArr($"a_vec"), Similarity.toDoubleArr($"embedding")))
+    def best(cands: DataFrame, idAs: String, simAs: String): DataFrame =
+      graft.plans.TopK.perGroup(cands, 1, Seq("a_id"),
+        Seq(graft.plans.TopK.desc("sim"), graft.plans.TopK.asc("vec_id")))
+        .select($"a_id", $"a_label", $"vec_id".as(idAs), $"sim".as(simAs))
+    val pos = best(joined.filter($"label" === $"a_label"), "pos_id", "pos_sim")
+    val neg = best(joined.filter($"label" =!= $"a_label"), "neg_id", "neg_sim")
+      .drop("a_label")
+    pos.join(neg, "a_id")
+      .select($"a_id", $"a_label".cast("int").as("a_label"),
+        $"pos_id", r6($"pos_sim").as("pos_sim"),
+        $"neg_id", r6($"neg_sim").as("neg_sim"),
+        r6($"pos_sim" - $"neg_sim").as("margin"))
+      .orderBy($"a_id")
+  }
+
+  val q187Sql: String =
+    s"""WITH a AS (SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS q_vec,
+       |                  label AS a_label
+       |           FROM embeddings WHERE vec_id < 8),
+       |t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS t_vec, label
+       |      FROM embeddings),
+       |sims AS (
+       |  SELECT a_id, a_label, vec_id, label, $cosSql AS sim
+       |  FROM t, a WHERE vec_id <> a_id),
+       |pos AS (
+       |  SELECT a_id, a_label, vec_id AS pos_id, sim AS pos_sim FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, vec_id) AS rn
+       |    FROM sims WHERE label = a_label) p WHERE rn = 1),
+       |neg AS (
+       |  SELECT a_id, vec_id AS neg_id, sim AS neg_sim FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, vec_id) AS rn
+       |    FROM sims WHERE label <> a_label) n WHERE rn = 1)
+       |SELECT pos.a_id AS a_id, CAST(a_label AS INT) AS a_label,
+       |  pos_id, ${sqlR6("pos_sim")} AS pos_sim,
+       |  neg_id, ${sqlR6("neg_sim")} AS neg_sim,
+       |  ${sqlR6("pos_sim - neg_sim")} AS margin
+       |FROM pos JOIN neg ON pos.a_id = neg.a_id
+       |ORDER BY a_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q186_mmr_rerank", q186, Some(q186Sql)),
+    QueryDef("q187_hard_negatives", q187, Some(q187Sql)),
     QueryDef("q60_cosine_topk", q60, Some(q60Sql), bench = true),
     QueryDef("q61_label_centroids", q61, Some(q61Sql)),
     QueryDef("q62_ann_ivf_topk", q62, Some(q62Sql), bench = true),

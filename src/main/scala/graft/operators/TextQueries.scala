@@ -389,9 +389,55 @@ object TextQueries {
        |  ${sqlR6("1::DOUBLE - rep_pairs / (tokens * (tokens - 1))")} AS gini_simpson
        |FROM v ORDER BY lang""".stripMargin
 
+  /** q189 — corpus readability per language (Flesch reading ease on
+    * the corpus level): words via the length-replace token count,
+    * sentences via period count, syllables approximated as vowel-group
+    * runs (the classic heuristic), counted with the two-regexp-lengths
+    * trick (replace each run with 1 char vs 0 chars; the difference is
+    * the run count — no sentinel character that could collide with
+    * text). All three are INTEGERS summed exactly per language; the
+    * Flesch formula is applied once per language on the summed ratios
+    * — never an avg over per-doc doubles, whose accumulation order is
+    * engine-defined. Constants are shared literals. */
+  def q189(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lowered = lower($"text")
+    val words = graft.functions.TextAnalysis.tokenCount($"text").cast("long")
+    val sentences = greatest(
+      (length($"text") - length(replace($"text", lit("."), lit("")))).cast("long"), lit(1L))
+    val syllables = (length(regexp_replace(lowered, "[aeiou]+", "a"))
+      - length(regexp_replace(lowered, "[aeiou]+", ""))).cast("long")
+    Tables.documents(s, d)
+      .select($"lang", words.as("w"), sentences.as("st"), syllables.as("sy"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"w").as("words"),
+        sum($"st").as("sentences"), sum($"sy").as("syllables"))
+      .select($"lang", $"n_docs", $"words", $"sentences", $"syllables",
+        r4(lit(206.835) - lit(1.015) * ($"words" / $"sentences")
+          - lit(84.6) * ($"syllables" / $"words")).as("flesch"))
+      .orderBy($"lang")
+  }
+
+  val q189Sql: String =
+    s"""WITH per AS (
+       |  SELECT lang,
+       |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS w,
+       |    greatest(CAST(length(text) - length(replace(text, '.', '')) AS BIGINT), 1) AS st,
+       |    CAST(length(regexp_replace(lower(text), '[aeiou]+', 'a', 'g'))
+       |       - length(regexp_replace(lower(text), '[aeiou]+', '', 'g')) AS BIGINT) AS sy
+       |  FROM documents),
+       |agg AS (
+       |  SELECT lang, count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS words,
+       |    CAST(sum(st) AS BIGINT) AS sentences, CAST(sum(sy) AS BIGINT) AS syllables
+       |  FROM per GROUP BY 1)
+       |SELECT lang, n_docs, words, sentences, syllables,
+       |  ${sqlR4("206.835::DOUBLE - 1.015::DOUBLE * (words / sentences) - 84.6::DOUBLE * (syllables / words)")} AS flesch
+       |FROM agg ORDER BY lang""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q40_token_stats", q40, Some(q40Sql)),
     QueryDef("q183_vocab_diversity", q183, Some(q183Sql)),
+    QueryDef("q189_readability", q189, Some(q189Sql)),
     QueryDef("q41_quality_score", q41, Some(q41Sql), bench = true),
     QueryDef("q42_langid_confusion", q42, Some(q42Sql), bench = true),
     QueryDef("q43_fingerprint_clusters", q43, Some(q43Sql)),

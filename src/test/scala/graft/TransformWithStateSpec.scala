@@ -57,6 +57,59 @@ class TransformWithStateSpec extends SparkSpec {
     assert(got.toSet == batch.toSet)
   }
 
+  test("event-time timers close sessions when the watermark passes, across restarts") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val src = Files.createTempDirectory("tws_sess_src").toString
+    val ckpt = Files.createTempDirectory("tws_sess_ckpt").toString
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, graft.streaming.NearDupStream.RocksProvider)
+    try {
+      val base = 86400000L // stay away from epoch-0 underflow
+      def line(u: String, min: Long) =
+        s"$u,${new java.sql.Timestamp(base + min * 60000L)}\n"
+      def run(): Seq[graft.streaming.ClosedSession] = {
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "user STRING, ts TIMESTAMP")
+        val stream = spark.readStream.schema(schema).option("header", "true")
+          .csv(src).as[graft.streaming.SessionEvent]
+        val emitted = scala.collection.mutable.ArrayBuffer.empty[graft.streaming.ClosedSession]
+        val q = graft.streaming.TwsSessions
+          .sessionize(stream, gapMs = 5 * 60000L)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.ClosedSession], _: Long) =>
+            val rows = df.collect()
+            emitted.synchronized { emitted ++= rows }
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        assert(q.awaitTermination(120000))
+        emitted.toSeq
+      }
+      // batch 1: user a has 3 events over 2 min, user b one event.
+      // Watermark hasn't passed their gap yet — nothing may close.
+      Files.writeString(java.nio.file.Path.of(s"$src/b1.csv"),
+        "user,ts\n" + line("a", 0) + line("a", 1) + line("a", 2) + line("b", 0))
+      assert(run().isEmpty, "no session may close before the watermark moves")
+      // batch 2: a far-future event for c advances the watermark past
+      // a's and b's (end + gap) timers — exactly those two close, with
+      // the counts accumulated in batch 1's checkpointed state
+      Files.writeString(java.nio.file.Path.of(s"$src/b2.csv"),
+        "user,ts\n" + line("c", 60))
+      val closed = run().sortBy(_.user)
+      assert(closed.map(_.user) == Seq("a", "b"), s"got $closed")
+      assert(closed.head == graft.streaming.ClosedSession("a", base, base + 2 * 60000L, 3L))
+      assert(closed(1).n_events == 1L)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("TTL config plumbs through (NONE default builds a valid plan)") {
     val plan = NearDupStream.pairsPlan(
       spark.read.parquet(s"$sf/documents.parquet"),
