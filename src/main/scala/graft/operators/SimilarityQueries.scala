@@ -264,7 +264,9 @@ object SimilarityQueries {
     val pos = best(joined.filter($"label" === $"a_label"), "pos_id", "pos_sim")
     val neg = best(joined.filter($"label" =!= $"a_label"), "neg_id", "neg_sim")
       .drop("a_label")
-    pos.join(neg, "a_id")
+    // both sides are |anchors| rows — broadcast so the final join never
+    // plans a sort-merge exchange on the tiny frames
+    pos.join(broadcast(neg), "a_id")
       .select($"a_id", $"a_label".cast("int").as("a_label"),
         $"pos_id", r6($"pos_sim").as("pos_sim"),
         $"neg_id", r6($"neg_sim").as("neg_sim"),
@@ -296,9 +298,72 @@ object SimilarityQueries {
        |FROM pos JOIN neg ON pos.a_id = neg.a_id
        |ORDER BY a_id""".stripMargin
 
+  /** q190 — retrieval-quality evaluation of the ANN path against the
+    * exact ranking, as a QUERY (the eval harness a production ANN
+    * rollout gates on): per query, overlap@10, recall@10, the ANN rank
+    * of the exact top-1 neighbor, and its reciprocal rank. Every
+    * metric is a RATIONAL of small integers (counts and 1/rank) — the
+    * reason nDCG, whose log2 discount is a libm transcendental, is
+    * not in the oracle set. Rank-0 encodes "exact top-1 not retrieved"
+    * (stated; NULL would hash differently across engines). */
+  def q190(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qd = queriesDf(s, d)
+    val e = Tables.embeddings(s, d)
+    val exact = Similarity.bruteForceTopK(qd, e, k = 10)
+      .select($"q_id", $"vec_id", $"rn".as("e_rn"))
+    val approx = Similarity.ivfTopK(qd, e, k = 10, bits = ivfBits)
+      .select($"q_id".as("aq_id"), $"vec_id".as("a_vec"), $"rn".as("a_rn"))
+    val joined = exact.join(broadcast(approx),
+      $"q_id" === $"aq_id" && $"vec_id" === $"a_vec", "left")
+    val perQ = joined.groupBy($"q_id")
+      .agg(
+        count($"a_rn").as("n_overlap"),
+        min(when($"e_rn" === 1, coalesce($"a_rn", lit(0L)))).as("top1_rank"))
+    perQ.select($"q_id", $"n_overlap",
+        r6($"n_overlap" / lit(10L)).as("recall_at_10"),
+        $"top1_rank".cast("long").as("top1_rank"),
+        r6(when($"top1_rank" > 0, lit(1.0) / $"top1_rank").otherwise(lit(0.0)))
+          .as("top1_rr"))
+      .orderBy($"q_id")
+  }
+
+  val q190Sql: String = {
+    val qb = Similarity.sqlSignBucket("embedding", ivfBits)
+    s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec,
+       |                  $qb AS bucket
+       |           FROM embeddings WHERE vec_id < 5),
+       |t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS t_vec,
+       |             $qb AS bucket FROM embeddings),
+       |e10 AS (
+       |  SELECT q_id, vec_id, rn FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+       |    FROM (SELECT q_id, vec_id, $cosSql AS sim
+       |          FROM t, q WHERE vec_id <> q_id) s) r WHERE rn <= 10),
+       |a10 AS (
+       |  SELECT q_id, vec_id, rn FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+       |    FROM (SELECT q_id, vec_id, $cosSql AS sim
+       |          FROM t, q WHERE vec_id <> q_id AND t.bucket = q.bucket) s) r
+       |  WHERE rn <= 10),
+       |j AS (
+       |  SELECT e10.q_id, e10.rn AS e_rn, a10.rn AS a_rn
+       |  FROM e10 LEFT JOIN a10
+       |    ON e10.q_id = a10.q_id AND e10.vec_id = a10.vec_id)
+       |SELECT q_id, count(a_rn) AS n_overlap,
+       |  ${sqlR6("count(a_rn) / 10")} AS recall_at_10,
+       |  CAST(min(CASE WHEN e_rn = 1 THEN COALESCE(a_rn, 0) END) AS BIGINT) AS top1_rank,
+       |  ${sqlR6("CASE WHEN min(CASE WHEN e_rn = 1 THEN COALESCE(a_rn, 0) END) > 0 THEN 1::DOUBLE / min(CASE WHEN e_rn = 1 THEN COALESCE(a_rn, 0) END) ELSE 0::DOUBLE END")} AS top1_rr
+       |FROM j GROUP BY q_id
+       |ORDER BY q_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q186_mmr_rerank", q186, Some(q186Sql)),
     QueryDef("q187_hard_negatives", q187, Some(q187Sql)),
+    QueryDef("q190_ann_eval", q190, Some(q190Sql)),
     QueryDef("q60_cosine_topk", q60, Some(q60Sql), bench = true),
     QueryDef("q61_label_centroids", q61, Some(q61Sql)),
     QueryDef("q62_ann_ivf_topk", q62, Some(q62Sql), bench = true),
