@@ -511,9 +511,48 @@ object StreamingQueries {
     graft.streaming.NearDupStream.run(
       s, d, s"q180_sink_${counter.incrementAndGet()}")
 
+  /** q191 — timer-closed streaming sessions (transformWithState,
+    * EVENT-TIME timers): a session row is emitted when a later event
+    * of the same user proves the 30-min gap, or when the final
+    * watermark (ms-truncated max ts, 0s delay) passes end + gap and
+    * fires the key's timer. The mirror rebuilds gap-split sessions on
+    * the SAME ms grid the processor uses (Timestamp.getTime) and keeps
+    * a session iff it is not the user's last OR the watermark reached
+    * it. */
+  def q191(s: SparkSession, d: String): DataFrame =
+    graft.streaming.TwsSessions.run(
+      s, d, s"q191_sink_${counter.incrementAndGet()}", gapMs = 1800000L)
+
+  val q191Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms
+      |  FROM events),
+      |wm AS (SELECT max(ms) AS wm_ms FROM e),
+      |g AS (
+      |  SELECT user_id, event_id, ms,
+      |    CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 1800000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+      |sid AS (
+      |  SELECT user_id, ms,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM g),
+      |sess AS (
+      |  SELECT user_id, sess, min(ms) AS start_ms, max(ms) AS end_ms,
+      |    count(*) AS n_events,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY sess DESC) AS rdesc
+      |  FROM sid GROUP BY user_id, sess)
+      |SELECT user_id, start_ms, end_ms, n_events
+      |FROM sess CROSS JOIN wm
+      |WHERE rdesc > 1 OR end_ms + 1800000 <= wm_ms
+      |ORDER BY user_id, start_ms""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q72_streaming_hourly", q72, Some(q72Sql)),
     QueryDef("q180_stream_neardup_tws", q180, Some(TrainingQueries.q99Sql)),
+    QueryDef("q191_stream_timer_sessions", q191, Some(q191Sql)),
     QueryDef("q74_streaming_dedup", q74, Some(q74Sql)),
     QueryDef("q114_streaming_content_dedup", q114, Some(q114Sql)),
     QueryDef("q75_stream_static_join", q75, Some(q75Sql)),

@@ -34,17 +34,28 @@ class TimerSessionProcessor(gapMs: Long)
 
   override def handleInputRows(key: String, rows: Iterator[SessionEvent],
       timerValues: TimerValues): Iterator[ClosedSession] = {
+    // sort the batch slice: file-scan arrival order is arbitrary, the
+    // gap split is defined on event-time (ms) order
+    val times = rows.map(_.ts.getTime).toArray
+    java.util.Arrays.sort(times)
     var (start, end, n) =
       if (sess.exists()) sess.get() else (Long.MaxValue, Long.MinValue, 0L)
-    rows.foreach { e =>
-      val t = e.ts.getTime
-      start = math.min(start, t); end = math.max(end, t); n += 1
+    val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+    times.foreach { t =>
+      if (n > 0 && t - end > gapMs) {
+        // a later event of the SAME user proves the gap — the session
+        // is closed by data, no need to wait for the watermark
+        out += ClosedSession(key, start, end, n)
+        start = t; end = t; n = 1
+      } else {
+        start = math.min(start, t); end = math.max(end, t); n += 1
+      }
     }
     sess.update((start, end, n))
     // exactly one live timer per key: re-arm to the newest event + gap
     getHandle.listTimers().foreach(ts => getHandle.deleteTimer(ts.asInstanceOf[Long]))
     getHandle.registerTimer(end + gapMs)
-    Iterator.empty
+    out.iterator
   }
 
   override def handleExpiredTimer(key: String, timerValues: TimerValues,
@@ -73,5 +84,55 @@ object TwsSessions {
       .groupByKey(_.user)
       .transformWithState(new TimerSessionProcessor(gapMs),
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** AvailableNow run over the sf-dir events table → all sessions that
+    * CLOSED: split in-batch by a data-proven gap, or fired by the
+    * event-time timer once the final watermark passed end + gap. Each
+    * user's trailing session stays open (in RocksDB) unless the
+    * watermark reached it — exactly the rows the SQL mirror's
+    * watermark gate reproduces. */
+  def run(s: org.apache.spark.sql.SparkSession, dir: String, sinkName: String,
+      gapMs: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    val raw = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val tsed = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+    val events = tsed
+      .select($"user_id".cast("string").as("user"), $"ts")
+      .as[SessionEvent]
+    val closed = sessionize(events, gapMs)
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      NearDupStream.RocksProvider)
+    try {
+      val q = closed.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException(
+          s"$sinkName: AvailableNow trigger did not complete in 300s")
+      }
+    } finally {
+      prev match {
+        case Some(p) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    s.table(sinkName)
+      .select($"user".cast("long").as("user_id"), $"start_ms", $"end_ms",
+        $"n_events")
+      .orderBy($"user_id", $"start_ms")
   }
 }
