@@ -336,8 +336,51 @@ object GovernanceQueries {
        |ORDER BY digit""".stripMargin
   }
 
+  /** q192 — join fan-out profile: the referential cardinality
+    * histograms (how many children per parent, including zero) that
+    * justify broadcast/skew decisions — a 99.9th-percentile fan-out of
+    * 10⁵ is how a "harmless" join melts at 100 TB. Children aggregate
+    * FIRST (parent_key → count, map-side partial), then a broadcast-
+    * friendly left join fills the zero bucket; the histogram is a
+    * second tiny aggregate over parent rows. All integers. */
+  def q192(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def fanout(rel: String, parents: DataFrame, pk: String,
+        children: DataFrame, fk: String): DataFrame = {
+      val per = children.groupBy(col(fk)).agg(count(lit(1)).as("c"))
+      parents.join(per, col(pk) === col(fk), "left")
+        .select(coalesce($"c", lit(0L)).as("fanout"))
+        .groupBy($"fanout").agg(count(lit(1)).as("n_parents"))
+        .select(lit(rel).as("rel"), $"fanout", $"n_parents")
+    }
+    val orders = Tables.orders(s, d)
+    fanout("customer->orders", Tables.customer(s, d), "c_custkey",
+        orders.select($"o_custkey"), "o_custkey")
+      .unionByName(fanout("orders->lineitem", orders.select($"o_orderkey"),
+        "o_orderkey", Tables.lineitem(s, d).select($"l_orderkey"), "l_orderkey"))
+      .orderBy($"rel", $"fanout")
+  }
+
+  val q192Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'customer->orders' AS rel, fanout, count(*) AS n_parents FROM (
+      |    SELECT COALESCE(o.c, 0) AS fanout
+      |    FROM customer LEFT JOIN (
+      |      SELECT o_custkey, count(*) AS c FROM orders GROUP BY 1) o
+      |      ON c_custkey = o_custkey) t
+      |  GROUP BY fanout
+      |  UNION ALL
+      |  SELECT 'orders->lineitem' AS rel, fanout, count(*) AS n_parents FROM (
+      |    SELECT COALESCE(l.c, 0) AS fanout
+      |    FROM orders LEFT JOIN (
+      |      SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY 1) l
+      |      ON o_orderkey = l_orderkey) t
+      |  GROUP BY fanout) u
+      |ORDER BY rel, fanout""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q169_json_schema_read", q169, Some(q169Sql)),
+    QueryDef("q192_fanout_profile", q192, Some(q192Sql)),
     QueryDef("q181_ks_drift", q181, Some(q181Sql)),
     QueryDef("q182_benford_audit", q182, Some(q182Sql)),
     QueryDef("q170_k_anonymity", q170, Some(q170Sql)),

@@ -110,6 +110,54 @@ class TransformWithStateSpec extends SparkSpec {
     }
   }
 
+  test("MapState histogram accumulates per-entry across batches and restarts") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val src = Files.createTempDirectory("tws_hist_src").toString
+    val ckpt = Files.createTempDirectory("tws_hist_ckpt").toString
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, graft.streaming.NearDupStream.RocksProvider)
+    try {
+      def run(): Map[(String, String), Long] = {
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "source STRING, lang STRING")
+        val stream = spark.readStream.schema(schema).option("header", "true")
+          .csv(src).as[graft.streaming.SourcedDoc]
+        val emitted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val q = graft.streaming.TwsHistogram.sourceLangCounts(stream)
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.SourceLangCount], _: Long) =>
+            val rows = df.collect().map(c => (c.source, c.lang, c.n))
+            emitted.synchronized { emitted ++= rows }
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        assert(q.awaitTermination(120000))
+        // latest emission per (source, lang) is the running count
+        emitted.groupBy(r => (r._1, r._2)).map { case (k, rs) => k -> rs.map(_._3).max }
+      }
+      Files.writeString(java.nio.file.Path.of(s"$src/b1.csv"),
+        "source,lang\n" + "web,en\n" * 3 + "web,de\n" + "books,en\n" * 2)
+      val after1 = run()
+      assert(after1 == Map(("web", "en") -> 3L, ("web", "de") -> 1L,
+        ("books", "en") -> 2L), s"b1: $after1")
+      // batch 2 (fresh run, checkpointed RocksDB map entries): only
+      // touched (source, lang) cells re-emit, counts continue
+      Files.writeString(java.nio.file.Path.of(s"$src/b2.csv"),
+        "source,lang\n" + "web,en\n" * 2 + "books,fr\n")
+      val after2 = run()
+      assert(after2(("web", "en")) == 5L && after2(("books", "fr")) == 1L,
+        s"state carried: $after2")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("TTL config plumbs through (NONE default builds a valid plan)") {
     val plan = NearDupStream.pairsPlan(
       spark.read.parquet(s"$sf/documents.parquet"),
