@@ -140,6 +140,112 @@ object Multimodal {
     }
   }
 
+  /** 64-bit perceptual hash (pHash): decode → 32×32 average-pooled
+    * luma grid → 2-D DCT → sign-of-median over the top-left 8×8
+    * low-frequency block (DC excluded) → 64 bits. Perceptually-close
+    * images (recompression, mild edits, small overlays) land within a
+    * small Hamming ball; unrelated images are ~32 bits apart. Returns
+    * None when no codec recognizes the bytes — a stub hash would
+    * poison dedup with false matches, so undecodable media is
+    * explicitly UNHASHED rather than silently bucketed. */
+  def pHash64(bytes: Array[Byte]): Option[Long] =
+    if (bytes == null || bytes.isEmpty) None
+    else try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val n = 32
+        val w = img.getWidth; val h = img.getHeight
+        // average-pool the full image into an n×n luma grid (integer
+        // BT.601 luma, same weights as decodeImage)
+        val grid = Array.ofDim[Double](n, n)
+        val cnt = Array.ofDim[Long](n, n)
+        var y = 0
+        while (y < h) {
+          val gy = y * n / h
+          var x = 0
+          while (x < w) {
+            val gx = x * n / w
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            grid(gy)(gx) += lum; cnt(gy)(gx) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var i = 0
+        while (i < n) {
+          var j = 0
+          while (j < n) { if (cnt(i)(j) > 0) grid(i)(j) /= cnt(i)(j); j += 1 }
+          i += 1
+        }
+        // 2-D DCT-II, keep the 8×8 low-frequency corner
+        val k = 8
+        val dct = Array.ofDim[Double](k, k)
+        var u = 0
+        while (u < k) {
+          var v = 0
+          while (v < k) {
+            var s = 0.0
+            var yy = 0
+            while (yy < n) {
+              var xx = 0
+              while (xx < n) {
+                s += grid(yy)(xx) *
+                  math.cos((2 * yy + 1) * u * math.Pi / (2 * n)) *
+                  math.cos((2 * xx + 1) * v * math.Pi / (2 * n))
+                xx += 1
+              }
+              yy += 1
+            }
+            dct(u)(v) = s
+            v += 1
+          }
+          u += 1
+        }
+        // median of the 64 coefficients EXCLUDING the DC term (it only
+        // encodes global brightness), then sign bits
+        val coefs = for { a <- 0 until k; b <- 0 until k if a != 0 || b != 0 }
+          yield dct(a)(b)
+        val sorted = coefs.sorted
+        val median = sorted(sorted.length / 2)
+        var bits = 0L
+        var idx = 0
+        for (a <- 0 until k; b <- 0 until k) {
+          if ((a != 0 || b != 0) && dct(a)(b) > median) bits |= (1L << idx)
+          idx += 1
+        }
+        Some(bits)
+      }
+    } catch { case _: Exception => None }
+
+  /** Image near-dup pairs by pHash Hamming ball: hash per partition
+    * (one decode pass), band equi-join on 4×16-bit pHash slices (the
+    * q99/q180 topology — pigeonhole guarantees hamming ≤ 3 pairs
+    * collide; wider balls raise bands), popcount verify, canonical
+    * (a < b) distinct pairs. Shuffles (media_id, 8-byte hash), never
+    * pixels. Undecodable rows drop out before the join. */
+  def imageNearDups(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashes = media.mapPartitions { rows =>
+      rows.flatMap(r => pHash64(r.bytes).map(hsh => (r.media_id, hsh)))
+    }.toDF("media_id", "phash")
+    val bands = hashes.select($"media_id", $"phash",
+      explode(array((0 until 4).map(i =>
+        (lit(i * 65536L) + shiftright($"phash", i * 16).bitwiseAND(lit(0xFFFFL)))
+          .cast("int")): _*)).as("band"))
+    val a = bands.select($"band", $"media_id".as("a"), $"phash".as("ha"))
+    val b = bands.select($"band", $"media_id".as("b"), $"phash".as("hb"))
+    a.join(b, Seq("band"))
+      .filter($"a" < $"b")
+      .select($"a", $"b",
+        bit_count($"ha".bitwiseXOR($"hb")).cast("long").as("hamming"))
+      .filter($"hamming" <= maxHamming)
+      .distinct()
+      .orderBy($"a", $"b")
+  }
+
   /** Metadata-only transforms stay declarative (no decode): */
   def resizePlan(media: DataFrame, maxDim: Int): DataFrame = {
     val scale = least(lit(maxDim) / col("width"), lit(maxDim) / col("height"), lit(1.0))

@@ -71,6 +71,59 @@ class MultimodalSkewSpec extends SparkSpec {
     assert(!feats(1).decoded && feats(1).sample_rate == 0)
   }
 
+  test("multimodal: pHash is stable, tolerant to small edits, far for unrelated images") {
+    def png(seed: Int, perturb: Int): Array[Byte] = {
+      // deterministic 64x64 gradient-ish image; `perturb` overwrites a
+      // small corner block (a mild edit a near-dup detector must absorb)
+      val img = new java.awt.image.BufferedImage(64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = ((x * 2 + y * 3 + seed * 37) % 256 + 256) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      if (perturb > 0)
+        for (y <- 0 until perturb; x <- 0 until perturb)
+          img.setRGB(x, y, 0xff0000)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val base = Multimodal.pHash64(png(1, 0)).get
+    val same = Multimodal.pHash64(png(1, 0)).get
+    val edited = Multimodal.pHash64(png(1, 4)).get
+    val other = Multimodal.pHash64(png(9, 0)).get
+    assert(base == same, "pHash must be deterministic")
+    val editDist = java.lang.Long.bitCount(base ^ edited)
+    val otherDist = java.lang.Long.bitCount(base ^ other)
+    assert(editDist <= 3, s"small edit moved $editDist bits")
+    assert(otherDist > 10, s"unrelated image only $otherDist bits away")
+    assert(Multimodal.pHash64("junk".getBytes).isEmpty,
+      "undecodable bytes must stay unhashed, not stub-bucketed")
+  }
+
+  test("multimodal: imageNearDups pairs the edited copy, not the unrelated image") {
+    import spark.implicits._
+    def png(seed: Int, perturb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = ((x * 2 + y * 3 + seed * 37) % 256 + 256) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      if (perturb > 0)
+        for (y <- 0 until perturb; x <- 0 until perturb)
+          img.setRGB(x, y, 0xff0000)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val df = Seq(
+      (1L, png(1, 0)), (2L, png(1, 4)), (3L, png(9, 0)),
+      (4L, "not an image".getBytes)).toDF("id", "payload")
+    val pairs = Multimodal.imageNearDups(
+      Multimodal.fromBinary(df, "id", "payload", "image"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)), s"got $pairs")
+  }
+
   test("multimodal: resize plan computes bounded target dims declaratively") {
     import spark.implicits._
     val df = Seq((1920, 1080), (640, 480)).toDF("width", "height")
