@@ -521,7 +521,7 @@ object CurationQueries {
        |ORDER BY source""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
-    QueryDef("q184_temperature_mixing", q184, Some(q184Sql)),
+    QueryDef("q184_temperature_mixing", q184, Some(q184Sql), bench = true),
     QueryDef("q100_dedup_keep_best", q100, Some(q100Sql)),
     QueryDef("q101_stop_grams", q101, Some(q101Sql), bench = true),
     QueryDef("q102_source_concentration", q102, Some(q102Sql)),

@@ -622,7 +622,7 @@ object EventQueries {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q185_decayed_counts", q185, Some(q185Sql)),
-    QueryDef("q188_touch_attribution", q188, Some(q188Sql)),
+    QueryDef("q188_touch_attribution", q188, Some(q188Sql), bench = true),
     QueryDef("q70_sessionize", q70, Some(q70Sql), bench = true),
     QueryDef("q71_asof_join", q71, Some(q71Sql), bench = true),
     QueryDef("q73_range_join", q73, Some(q73Sql), bench = true),

@@ -381,7 +381,7 @@ object GovernanceQueries {
   def all: Seq[QueryDef] = Seq(
     QueryDef("q169_json_schema_read", q169, Some(q169Sql)),
     QueryDef("q192_fanout_profile", q192, Some(q192Sql)),
-    QueryDef("q181_ks_drift", q181, Some(q181Sql)),
+    QueryDef("q181_ks_drift", q181, Some(q181Sql), bench = true),
     QueryDef("q182_benford_audit", q182, Some(q182Sql)),
     QueryDef("q170_k_anonymity", q170, Some(q170Sql)),
     QueryDef("q171_equidepth_hist", q171, Some(q171Sql)),

@@ -361,9 +361,9 @@ object SimilarityQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    QueryDef("q186_mmr_rerank", q186, Some(q186Sql)),
+    QueryDef("q186_mmr_rerank", q186, Some(q186Sql), bench = true),
     QueryDef("q187_hard_negatives", q187, Some(q187Sql)),
-    QueryDef("q190_ann_eval", q190, Some(q190Sql)),
+    QueryDef("q190_ann_eval", q190, Some(q190Sql), bench = true),
     QueryDef("q60_cosine_topk", q60, Some(q60Sql), bench = true),
     QueryDef("q61_label_centroids", q61, Some(q61Sql)),
     QueryDef("q62_ann_ivf_topk", q62, Some(q62Sql), bench = true),
