@@ -60,6 +60,15 @@ object ScaleSmoke {
 
     println(s"[scale] corpus: $n docs on local[$cpus]")
 
+    // targeted mode: `runMain graft.ScaleSmoke <n> gov` runs only the
+    // governance/streaming stages (scaling-curve probes without the
+    // ANN/index sections)
+    if (args.lift(1).contains("gov")) {
+      runGovStages(spark, docs, (nm, f) => timed(nm)(f()), n)
+      spark.stop()
+      return
+    }
+
     // Stages consume the aggregate ROW (collect), never count() over an
     // agg — counting an Aggregate's output lets column pruning delete
     // the aggregate expressions and the stage would time a bare scan.
@@ -354,12 +363,21 @@ object ScaleSmoke {
     // Exact KS drift over 20 synthetic sources: windows are bounded by
     // the n_chars VALUE DOMAIN (a few hundred distinct lengths), so
     // this runs at corpus scale with a constant-size window stage.
-    timed("ks_drift_20src") {
+    runGovStages(spark, docs, (nm, f) => timed(nm)(f()), n)
+    spark.stop()
+  }
+
+  /** KS-drift + transformWithState stages, shared by the full smoke and
+    * the targeted `gov` mode (`runMain graft.ScaleSmoke <n> gov` skips
+    * the ANN/index sections — a cheap scaling-curve probe). */
+  private def runGovStages(spark: SparkSession, docs: DataFrame,
+      time: (String, () => Long) => Unit, n: Long): Unit = {
+    import spark.implicits._
+    time("ks_drift_20src", () =>
       operators.GovernanceQueries.ksDrift(
         docs.select(
           concat(lit("src"), pmod($"doc_id", lit(20))).as("source"),
-          length($"text").as("n_chars"))).count()
-    }
+          length($"text").as("n_chars"))).count())
 
     // Streaming near-dup on arrival (transformWithState + RocksDB):
     // the full corpus replayed as one AvailableNow batch — 4 banded
@@ -368,21 +386,18 @@ object ScaleSmoke {
     // only lands inside it when the flipped vote margins are tight
     // (measured ~half the planted dups at 1M), and the streamed set
     // must equal the batch Hamming-ball join on the same corpus.
-    {
-      val tmp = java.nio.file.Files.createTempDirectory("tws_scale").toString
-      docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-      timed("tws_stream_neardup") {
-        val pairs = streaming.NearDupStream.run(spark, tmp, "scale_tws_sink")
-          .persist()
-        val total = pairs.count()
-        val planted = pairs.filter($"b" === $"a" + 1 && $"b" % 100 === 1).count()
-        val batchTwin = operators.TrainingQueries.q99(spark, tmp).count()
-        println(s"[scale]   pairs: $total (batch twin: $batchTwin); " +
-          s"planted inside the hamming<=3 ball: $planted of ${n / 100} planted dups")
-        pairs.unpersist()
-        total
-      }
-    }
-    spark.stop()
+    val tmp = java.nio.file.Files.createTempDirectory("tws_scale").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    time("tws_stream_neardup", () => {
+      val pairs = streaming.NearDupStream.run(spark, tmp, "scale_tws_sink")
+        .persist()
+      val total = pairs.count()
+      val planted = pairs.filter($"b" === $"a" + 1 && $"b" % 100 === 1).count()
+      val batchTwin = operators.TrainingQueries.q99(spark, tmp).count()
+      println(s"[scale]   pairs: $total (batch twin: $batchTwin); " +
+        s"planted inside the hamming<=3 ball: $planted of ${n / 100} planted dups")
+      pairs.unpersist()
+      total
+    })
   }
 }
