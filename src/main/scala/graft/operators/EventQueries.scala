@@ -620,8 +620,80 @@ object EventQueries {
        |GROUP BY 1, 2 ORDER BY first_touch, last_touch""".stripMargin
   }
 
+  /** q193 — conversion-window funnel: view → click → purchase where
+    * each step must land within ONE HOUR of the previous step (the
+    * attribution-window semantics real funnel metrics use — q104's
+    * unbounded variant counts a purchase a month later as converted).
+    * Same single-shuffle shape as q104: sorted per-user timeline fold,
+    * then a stage rollup with exact integer latency sums (avg latency
+    * is one division of exact BIGINTs, r4 seconds). */
+  def q193(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val windowUs = 3600000000L
+    val ev = Tables.events(s, d)
+      .filter($"event_type".isin("view", "click", "purchase"))
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_type")
+    val zero = struct(
+      lit(null).cast("long").as("t1"),
+      lit(null).cast("long").as("t2"),
+      lit(null).cast("long").as("t3"))
+    val folded = ev.groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"us", $"event_type"))).as("evs"))
+      .select($"user_id", aggregate($"evs", zero, (acc, e) => struct(
+        when(acc("t1").isNull && e("event_type") === "view", e("us"))
+          .otherwise(acc("t1")).as("t1"),
+        when(acc("t2").isNull && acc("t1").isNotNull &&
+            e("event_type") === "click" && e("us") > acc("t1") &&
+            e("us") - acc("t1") <= windowUs, e("us"))
+          .otherwise(acc("t2")).as("t2"),
+        when(acc("t3").isNull && acc("t2").isNotNull &&
+            e("event_type") === "purchase" && e("us") > acc("t2") &&
+            e("us") - acc("t2") <= windowUs, e("us"))
+          .otherwise(acc("t3")).as("t3"))).as("f"))
+    folded
+      .select(
+        (when($"f.t1".isNotNull, 1).otherwise(0) +
+          when($"f.t2".isNotNull, 1).otherwise(0) +
+          when($"f.t3".isNotNull, 1).otherwise(0)).as("stage"),
+        ($"f.t2" - $"f.t1").as("l12"), ($"f.t3" - $"f.t2").as("l23"))
+      .groupBy($"stage")
+      .agg(count(lit(1)).as("n_users"),
+        sum($"l12").as("sum12_us"), sum($"l23").as("sum23_us"),
+        count($"l12").as("n12"), count($"l23").as("n23"))
+      .select($"stage", $"n_users",
+        r4($"sum12_us" / $"n12" / 1000000L).as("avg_click_latency_s"),
+        r4($"sum23_us" / $"n23" / 1000000L).as("avg_purchase_latency_s"))
+      .orderBy($"stage")
+  }
+
+  val q193Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+      |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      |f1 AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN us END) AS t1
+      |       FROM e GROUP BY user_id),
+      |f2 AS (SELECT f1.user_id, f1.t1,
+      |         min(CASE WHEN e.event_type = 'click' AND e.us > f1.t1
+      |                   AND e.us - f1.t1 <= 3600000000 THEN e.us END) AS t2
+      |       FROM f1 LEFT JOIN e ON e.user_id = f1.user_id GROUP BY f1.user_id, f1.t1),
+      |f3 AS (SELECT f2.user_id, f2.t1, f2.t2,
+      |         min(CASE WHEN e.event_type = 'purchase' AND e.us > f2.t2
+      |                   AND e.us - f2.t2 <= 3600000000 THEN e.us END) AS t3
+      |       FROM f2 LEFT JOIN e ON e.user_id = f2.user_id GROUP BY f2.user_id, f2.t1, f2.t2),
+      |per AS (
+      |  SELECT CAST(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+      |       + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+      |       + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage,
+      |    t2 - t1 AS l12, t3 - t2 AS l23
+      |  FROM f3)
+      |SELECT stage, count(*) AS n_users,
+      |  floor(CAST(sum(l12) AS BIGINT) / count(l12) / 1000000 * 10000 + 0.5) / 10000 AS avg_click_latency_s,
+      |  floor(CAST(sum(l23) AS BIGINT) / count(l23) / 1000000 * 10000 + 0.5) / 10000 AS avg_purchase_latency_s
+      |FROM per GROUP BY stage ORDER BY stage""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q185_decayed_counts", q185, Some(q185Sql)),
+    QueryDef("q193_bounded_funnel", q193, Some(q193Sql)),
     QueryDef("q188_touch_attribution", q188, Some(q188Sql), bench = true),
     QueryDef("q70_sessionize", q70, Some(q70Sql), bench = true),
     QueryDef("q71_asof_join", q71, Some(q71Sql), bench = true),
