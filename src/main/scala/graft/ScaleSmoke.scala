@@ -388,16 +388,22 @@ object ScaleSmoke {
     // must equal the batch Hamming-ball join on the same corpus.
     val tmp = java.nio.file.Files.createTempDirectory("tws_scale").toString
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // the timed window is the STREAMING run + one count — the batch
+    // twin and the planted-recall audit run OUTSIDE it, so the curve
+    // measures the transformWithState path, not stream + batch verify
+    var pairs: DataFrame = null
     time("tws_stream_neardup", () => {
-      val pairs = streaming.NearDupStream.run(spark, tmp, "scale_tws_sink")
-        .persist()
-      val total = pairs.count()
-      val planted = pairs.filter($"b" === $"a" + 1 && $"b" % 100 === 1).count()
-      val batchTwin = operators.TrainingQueries.q99(spark, tmp).count()
-      println(s"[scale]   pairs: $total (batch twin: $batchTwin); " +
-        s"planted inside the hamming<=3 ball: $planted of ${n / 100} planted dups")
-      pairs.unpersist()
-      total
+      pairs = streaming.NearDupStream.run(spark, tmp, "scale_tws_sink").persist()
+      pairs.count()
     })
+    val total = pairs.count()
+    val planted = pairs.filter($"b" === $"a" + 1 && $"b" % 100 === 1).count()
+    val batchTwin = operators.TrainingQueries.q99(spark, tmp).count()
+    println(s"[scale]   pairs: $total (batch twin: $batchTwin); " +
+      s"planted inside the hamming<=3 ball: $planted of ${n / 100} planted dups")
+    pairs.unpersist()
+    // the synthetic corpus copy is corpus-sized — don't leak it in /tmp
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    ()
   }
 }

@@ -301,11 +301,16 @@ object GovernanceQueries {
   def q182(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val benford = array(BenfordShares.map(lit): _*)
-    Tables.orders(s, d)
+    // Benford's law is stated for magnitudes ≥ 1 — and a value in
+    // [0, 1) would produce digit 0, which Spark's 1-based element_at
+    // rejects while DuckDB list-indexes to NULL; the explicit filter
+    // keeps both engines on the same 1..9 domain
+    val eligible = Tables.orders(s, d).filter($"o_totalprice" >= 1.0)
+    eligible
       .select(substring(floor($"o_totalprice").cast("long").cast("string"), 1, 1)
         .cast("int").as("digit"))
       .groupBy($"digit").agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(Tables.orders(s, d).agg(count(lit(1)).as("total"))))
+      .crossJoin(broadcast(eligible.agg(count(lit(1)).as("total"))))
       .select($"digit", $"cnt",
         r6($"cnt" / $"total").as("obs_share"),
         element_at(benford, $"digit").as("benford_share"),
@@ -325,9 +330,9 @@ object GovernanceQueries {
     val lits = BenfordShares.map(v => f"$v%.6f::DOUBLE").mkString(", ")
     s"""WITH digits AS (
        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
-       |  FROM orders),
+       |  FROM orders WHERE o_totalprice >= 1),
        |counts AS (SELECT digit, count(*) AS cnt FROM digits GROUP BY 1),
-       |tot AS (SELECT count(*) AS total FROM orders)
+       |tot AS (SELECT count(*) AS total FROM orders WHERE o_totalprice >= 1)
        |SELECT digit, cnt,
        |  ${sqlR6("cnt / total")} AS obs_share,
        |  [$lits][digit] AS benford_share,

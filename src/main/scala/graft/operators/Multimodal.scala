@@ -156,6 +156,10 @@ object Multimodal {
       else {
         val n = 32
         val w = img.getWidth; val h = img.getHeight
+        def luma(x: Int, y: Int): Int = {
+          val rgb = img.getRGB(x, y)
+          (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+        }
         // average-pool the full image into an n×n luma grid (integer
         // BT.601 luma, same weights as decodeImage)
         val grid = Array.ofDim[Double](n, n)
@@ -165,10 +169,7 @@ object Multimodal {
           val gy = y * n / h
           var x = 0
           while (x < w) {
-            val gx = x * n / w
-            val rgb = img.getRGB(x, y)
-            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
-            grid(gy)(gx) += lum; cnt(gy)(gx) += 1
+            grid(gy)(x * n / w) += luma(x, y); cnt(gy)(x * n / w) += 1
             x += 1
           }
           y += 1
@@ -176,7 +177,15 @@ object Multimodal {
         var i = 0
         while (i < n) {
           var j = 0
-          while (j < n) { if (cnt(i)(j) > 0) grid(i)(j) /= cnt(i)(j); j += 1 }
+          while (j < n) {
+            if (cnt(i)(j) > 0) grid(i)(j) /= cnt(i)(j)
+            // images smaller than n in a dimension leave pooled cells
+            // empty; fill by nearest-neighbor UPSAMPLING — a shared
+            // all-zero comb would bias unrelated small images toward
+            // each other (false near-dup pairs)
+            else grid(i)(j) = luma(j * w / n, i * h / n).toDouble
+            j += 1
+          }
           i += 1
         }
         // 2-D DCT-II, keep the 8×8 low-frequency corner
@@ -232,9 +241,7 @@ object Multimodal {
       rows.flatMap(r => pHash64(r.bytes).map(hsh => (r.media_id, hsh)))
     }.toDF("media_id", "phash")
     val bands = hashes.select($"media_id", $"phash",
-      explode(array((0 until 4).map(i =>
-        (lit(i * 65536L) + shiftright($"phash", i * 16).bitwiseAND(lit(0xFFFFL)))
-          .cast("int")): _*)).as("band"))
+      graft.streaming.NearDupStream.packedBands($"phash").as("band"))
     val a = bands.select($"band", $"media_id".as("a"), $"phash".as("ha"))
     val b = bands.select($"band", $"media_id".as("b"), $"phash".as("hb"))
     a.join(b, Seq("band"))

@@ -84,6 +84,45 @@ object NearDupStream {
 
   private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
 
+  /** Run `body` with the RocksDB state-store provider set on the
+    * session conf, restoring the previous value afterwards (the
+    * provider is read at query START, so restoring after
+    * awaitTermination is safe). Shared by every transformWithState
+    * runner — the flip/restore choreography must not drift between
+    * them. */
+  def withRocksProvider[A](s: SparkSession)(body: => A): A = {
+    val prev = s.conf.getOption(ProviderKey)
+    s.conf.set(ProviderKey, RocksProvider)
+    try body
+    finally prev match {
+      case Some(p) => s.conf.set(ProviderKey, p)
+      case None    => s.conf.unset(ProviderKey)
+    }
+  }
+
+  /** File-stream source for a parquet "table" that may be either a
+    * single file named `<name>.parquet` (the testdata layout — stream
+    * the parent dir with a glob) or a directory of part files (any
+    * partitioned write — stream the directory itself; the glob would
+    * match no leaf file and silently yield an empty stream). */
+  def streamParquetTable(s: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name"
+    val schema = s.read.parquet(path).schema
+    if (new java.io.File(path).isDirectory) s.readStream.schema(schema).parquet(path)
+    else s.readStream.schema(schema).option("pathGlobFilter", name).parquet(dir)
+  }
+
+  /** 4×16-bit packed band keys of a 64-bit hash column: band i's key
+    * is i·2^16 + ((h >> 16i) & 0xFFFF). Pigeonhole: hamming ≤ 3 ⇒ at
+    * least one band equal (Manku et al., WWW'07). ONE definition,
+    * shared by this stream, and pHash image dedup
+    * (Multimodal.imageNearDups) — the band topology must not drift
+    * between the Hamming-ball implementations. */
+  def packedBands(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    explode(array((0 until 4).map(i =>
+      (lit(i * 65536L) + shiftright(h, i * 16).bitwiseAND(lit(0xFFFFL)))
+        .cast("int")): _*))
+
   /** Pure plan: doc stream (doc_id, text, …) → band-keyed candidate
     * verdicts. Works on a batch frame too (useful for plan tests). */
   def pairsPlan(docs: DataFrame, maxHamming: Int = 3,
@@ -93,10 +132,7 @@ object NearDupStream {
     graft.plans.GraftFunctions.register(s)
     val bands = docs
       .select($"doc_id", graft.plans.GraftFunctions.simhash64($"text").as("sh"))
-      .select($"doc_id", $"sh",
-        explode(array((0 until 4).map(i =>
-          (lit(i * 65536L) + shiftright($"sh", i * 16).bitwiseAND(lit(0xFFFFL)))
-            .cast("int")): _*)).as("band"))
+      .select($"doc_id", $"sh", packedBands($"sh").as("band"))
       .select($"band", $"doc_id", $"sh").as[BandedDoc]
     bands.groupByKey(_.band)
       .transformWithState(new SimhashBandProcessor(maxHamming, ttl),
@@ -108,20 +144,9 @@ object NearDupStream {
   def run(s: SparkSession, dir: String, sinkName: String,
       maxHamming: Int = 3): DataFrame = {
     import s.implicits._
-    val path = s"$dir/documents.parquet"
-    val schema = s.read.parquet(path).schema
-    // the file-stream source lists leaf FILES: a single-file table needs
-    // the parent dir + a glob on the file name, while a directory table
-    // (part-*.parquet inside) streams directly — the glob would match
-    // nothing there and silently yield an empty stream
-    val stream =
-      if (new java.io.File(path).isDirectory) s.readStream.schema(schema).parquet(path)
-      else s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
-    val verdicts = pairsPlan(stream, maxHamming)
-    val prev = s.conf.getOption(ProviderKey)
-    s.conf.set(ProviderKey, RocksProvider)
-    try {
+    val verdicts = pairsPlan(streamParquetTable(s, dir, "documents.parquet"),
+      maxHamming)
+    withRocksProvider(s) {
       val q = verdicts.writeStream
         .format("memory").queryName(sinkName)
         .outputMode("append")
@@ -131,11 +156,6 @@ object NearDupStream {
         q.stop()
         throw new IllegalStateException(
           s"$sinkName: AvailableNow trigger did not complete in 300s")
-      }
-    } finally {
-      prev match {
-        case Some(p) => s.conf.set(ProviderKey, p)
-        case None    => s.conf.unset(ProviderKey)
       }
     }
     // a hamming-0 pair matches in all 4 bands → up to 4 identical

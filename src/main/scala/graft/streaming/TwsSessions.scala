@@ -47,6 +47,14 @@ class TimerSessionProcessor(gapMs: Long)
         // is closed by data, no need to wait for the watermark
         out += ClosedSession(key, start, end, n)
         start = t; end = t; n = 1
+      } else if (n > 0 && start - t > gapMs) {
+        // out-of-order arrival (possible only with lateness > 0) that
+        // can't belong to the open session: emit it as its own closed
+        // session rather than merging across a gap. Under late data the
+        // session COUNT may over-split vs a full event-time sort, but
+        // the gap INVARIANT (no intra-session gap > gapMs) always
+        // holds; with the 0-second default this branch is unreachable.
+        out += ClosedSession(key, t, t, 1)
       } else {
         start = math.min(start, t); end = math.max(end, t); n += 1
       }
@@ -75,7 +83,15 @@ object TwsSessions {
     * store provider (see NearDupStream.RocksProvider). The watermark
     * delay is the lateness budget: a timer fires only once the
     * watermark (min event time across the last batch minus delay)
-    * passes session end + gap. */
+    * passes session end + gap.
+    *
+    * Semantics vs lateness: with the 0-second default, event time is
+    * monotone across batches per key and the emitted sessions equal
+    * the full event-time gap split EXACTLY (what q191's oracle pins).
+    * With lateness > 0, out-of-order arrivals may over-split (an
+    * early-but-valid event that can't join the open session closes as
+    * its own singleton) — the gap invariant still holds for every
+    * emitted session, but session counts can exceed the batch split. */
   def sessionize(events: Dataset[SessionEvent], gapMs: Long,
       lateness: String = "0 seconds"): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
@@ -96,11 +112,8 @@ object TwsSessions {
       gapMs: Long): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import s.implicits._
-    val path = s"$dir/events.parquet"
-    val schema = s.read.parquet(path).schema
-    val raw = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-    val tsed = schema("ts").dataType match {
+    val raw = NearDupStream.streamParquetTable(s, dir, "events.parquet")
+    val tsed = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
@@ -109,10 +122,7 @@ object TwsSessions {
       .select($"user_id".cast("string").as("user"), $"ts")
       .as[SessionEvent]
     val closed = sessionize(events, gapMs)
-    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      NearDupStream.RocksProvider)
-    try {
+    NearDupStream.withRocksProvider(s) {
       val q = closed.writeStream.format("memory").queryName(sinkName)
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
@@ -121,13 +131,6 @@ object TwsSessions {
         q.stop()
         throw new IllegalStateException(
           s"$sinkName: AvailableNow trigger did not complete in 300s")
-      }
-    } finally {
-      prev match {
-        case Some(p) =>
-          s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None =>
-          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
     }
     s.table(sinkName)

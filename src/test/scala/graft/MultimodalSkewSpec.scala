@@ -71,22 +71,24 @@ class MultimodalSkewSpec extends SparkSpec {
     assert(!feats(1).decoded && feats(1).sample_rate == 0)
   }
 
-  test("multimodal: pHash is stable, tolerant to small edits, far for unrelated images") {
-    def png(seed: Int, perturb: Int): Array[Byte] = {
-      // deterministic 64x64 gradient-ish image; `perturb` overwrites a
-      // small corner block (a mild edit a near-dup detector must absorb)
-      val img = new java.awt.image.BufferedImage(64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      for (y <- 0 until 64; x <- 0 until 64) {
-        val v = ((x * 2 + y * 3 + seed * 37) % 256 + 256) % 256
-        img.setRGB(x, y, (v << 16) | (v << 8) | v)
-      }
-      if (perturb > 0)
-        for (y <- 0 until perturb; x <- 0 until perturb)
-          img.setRGB(x, y, 0xff0000)
-      val baos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", baos)
-      baos.toByteArray
+  /** Deterministic gradient test image; `perturb` overwrites a small
+    * corner block (a mild edit a near-dup detector must absorb).
+    * Shared by the pHash tests — both must see the SAME pixels. */
+  private def png(seed: Int, perturb: Int, size: Int = 64): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(size, size, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until size; x <- 0 until size) {
+      val v = ((x * 2 + y * 3 + seed * 37) % 256 + 256) % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
     }
+    if (perturb > 0)
+      for (y <- 0 until perturb; x <- 0 until perturb)
+        img.setRGB(x, y, 0xff0000)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("multimodal: pHash is stable, tolerant to small edits, far for unrelated images") {
     val base = Multimodal.pHash64(png(1, 0)).get
     val same = Multimodal.pHash64(png(1, 0)).get
     val edited = Multimodal.pHash64(png(1, 4)).get
@@ -100,21 +102,38 @@ class MultimodalSkewSpec extends SparkSpec {
       "undecodable bytes must stay unhashed, not stub-bucketed")
   }
 
-  test("multimodal: imageNearDups pairs the edited copy, not the unrelated image") {
-    import spark.implicits._
-    def png(seed: Int, perturb: Int): Array[Byte] = {
-      val img = new java.awt.image.BufferedImage(64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      for (y <- 0 until 64; x <- 0 until 64) {
-        val v = ((x * 2 + y * 3 + seed * 37) % 256 + 256) % 256
-        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+  test("multimodal: a 16px thumbnail hashes near its original, not other small images") {
+    // 16x16 leaves 3/4 of the 32x32 pooled grid unsampled — the
+    // nearest-neighbor fill must keep a TRUE thumbnail (4x4-block
+    // average of the original) close to the original, while two
+    // unrelated small images stay far apart (no shared zero-comb)
+    def thumb16(bytes: Array[Byte]): Array[Byte] = {
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        var r = 0; var g = 0; var b = 0
+        for (dy <- 0 until 4; dx <- 0 until 4) {
+          val rgb = src.getRGB(x * 4 + dx, y * 4 + dy)
+          r += (rgb >> 16) & 0xff; g += (rgb >> 8) & 0xff; b += rgb & 0xff
+        }
+        img.setRGB(x, y, ((r / 16) << 16) | ((g / 16) << 8) | (b / 16))
       }
-      if (perturb > 0)
-        for (y <- 0 until perturb; x <- 0 until perturb)
-          img.setRGB(x, y, 0xff0000)
       val baos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", baos)
       baos.toByteArray
     }
+    val big1 = png(1, 0); val big9 = png(9, 0)
+    val thumbDist = java.lang.Long.bitCount(
+      Multimodal.pHash64(thumb16(big1)).get ^ Multimodal.pHash64(big1).get)
+    val unrelatedDist = java.lang.Long.bitCount(
+      Multimodal.pHash64(thumb16(big1)).get ^ Multimodal.pHash64(thumb16(big9)).get)
+    assert(thumbDist < unrelatedDist,
+      s"thumbnail-vs-original ($thumbDist bits) must beat unrelated smalls ($unrelatedDist bits)")
+    assert(unrelatedDist > 10, s"zero-comb bias: unrelated smalls only $unrelatedDist bits apart")
+  }
+
+  test("multimodal: imageNearDups pairs the edited copy, not the unrelated image") {
+    import spark.implicits._
     val df = Seq(
       (1L, png(1, 0)), (2L, png(1, 4)), (3L, png(9, 0)),
       (4L, "not an image".getBytes)).toDF("id", "payload")

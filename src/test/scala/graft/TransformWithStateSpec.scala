@@ -20,9 +20,10 @@ class TransformWithStateSpec extends SparkSpec {
     assert(batch.nonEmpty, "corpus should contain planted near-dups")
   }
 
-  test("restart with checkpoint: second AvailableNow run emits no stale pairs") {
-    // same data, fresh sink + fresh (implicit temp) checkpoint: the
-    // verdict set is reproducible run-over-run
+  test("re-run reproducibility: a fresh run over the same data emits the same verdict set") {
+    // same data, fresh sink + fresh (implicit temp) checkpoint — this
+    // pins run-over-run determinism; checkpoint RECOVERY is exercised
+    // by the sessions and MapState tests below, which reuse checkpoints
     val again = NearDupStream.run(spark, sf, "tws_spec_sink2")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val batch = graft.operators.TrainingQueries.q99(spark, sf)
