@@ -520,8 +520,111 @@ object CurationQueries {
        |FROM w CROSS JOIN tot
        |ORDER BY source""".stripMargin
 
+  /** q195 — quality-greedy token-budget allocation: sources sorted by
+    * mean quality (integer-scaled, exact) are taken greedily until a
+    * 2M-token budget is spent; the marginal source gets the remainder.
+    * The running totals are window cumsums over #sources ROWS (post-
+    * aggregation — a 20-row window, not a corpus window), and every
+    * quantity is an exact BIGINT. The mean-quality sort key is the
+    * 1e6-scaled integer SUM of per-doc scaled scores divided by doc
+    * count as DOUBLE — one correctly-rounded division, ties broken by
+    * source name. */
+  def q195(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val budget = 2000000L
+    // per-doc quality on the 1e-4 grid → exact integer units
+    val qual = graft.functions.TextAnalysis.qualityScore($"text")
+    val per = Tables.documents(s, d)
+      .select($"source",
+        graft.functions.TextAnalysis.tokenCount($"text").cast("long").as("toks"),
+        floor(qual * 10000 + lit(0.5)).cast("long").as("q4"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("tokens"),
+        sum($"q4").as("q4_sum"))
+      .withColumn("mean_quality", $"q4_sum" / $"n_docs")
+    val w = Window.orderBy($"mean_quality".desc, $"source")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    per
+      .withColumn("taken_before", coalesce(sum($"tokens").over(w), lit(0L)))
+      .withColumn("alloc",
+        greatest(lit(0L), least($"tokens", lit(budget) - $"taken_before")))
+      .select($"source", $"n_docs", $"tokens",
+        r4($"mean_quality" / 10000L).as("mean_quality"), $"alloc")
+      .orderBy($"source")
+  }
+
+  val q195Sql: String =
+    s"""WITH scored AS (
+       |  SELECT source, toks,
+       |    CAST(floor(($qualitySql) * 10000 + 0.5) AS BIGINT) AS q4
+       |  FROM (
+       |    SELECT source, $tokSql AS toks,
+       |      CAST(length(text) AS DOUBLE) AS chars, $stopEnSql AS stop_en, text
+       |    FROM documents) b),
+       |per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(toks) AS BIGINT) AS tokens,
+       |    CAST(sum(q4) AS BIGINT) AS q4_sum
+       |  FROM scored GROUP BY 1),
+       |ranked AS (
+       |  SELECT source, n_docs, tokens, q4_sum / n_docs AS mean_quality,
+       |    COALESCE(CAST(sum(tokens) OVER (
+       |      ORDER BY q4_sum / n_docs DESC, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS taken_before
+       |  FROM per)
+       |SELECT source, n_docs, tokens,
+       |  ${sqlR4("mean_quality / 10000")} AS mean_quality,
+       |  greatest(0, least(tokens, 2000000 - taken_before)) AS alloc
+       |FROM ranked ORDER BY source""".stripMargin
+
+  /** q196 — largest-remainder (Hamilton) apportionment of a 1000-doc
+    * eval set across languages, proportional to corpus counts: floor
+    * quotas first, then the k − Σfloor leftover seats go to the
+    * largest remainders (tie → lang order). All integer arithmetic —
+    * quota comparisons use cross-multiplied BIGINTs (n·k vs total·q),
+    * never a floating division — so the apportionment is exact and
+    * identical in both engines by construction. */
+  def q196(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val k = 1000L
+    val per = Tables.documents(s, d)
+      .groupBy($"lang").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(
+        Tables.documents(s, d).agg(count(lit(1)).as("total"))))
+      .withColumn("floor_q", ($"n" * k - pmod($"n" * k, $"total")) / $"total")
+      .withColumn("floor_q", $"floor_q".cast("long"))
+      .withColumn("rem", pmod($"n" * k, $"total"))
+    val short = per
+      .crossJoin(broadcast(per.agg((lit(k) - sum($"floor_q")).as("leftover"))))
+    val w = Window.orderBy($"rem".desc, $"lang")
+    short
+      .withColumn("rrank", row_number().over(w))
+      .select($"lang", $"n",
+        ($"floor_q" + when($"rrank" <= $"leftover", 1L).otherwise(0L)).as("seats"))
+      .orderBy($"lang")
+  }
+
+  val q196Sql: String =
+    """WITH per AS (
+      |  SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM per),
+      |quotas AS (
+      |  SELECT lang, n, (n * 1000) // total AS floor_q,
+      |    (n * 1000) % total AS rem
+      |  FROM per CROSS JOIN tot),
+      |lo AS (SELECT 1000 - CAST(sum(floor_q) AS BIGINT) AS leftover FROM quotas)
+      |SELECT lang, n,
+      |  CAST(floor_q + (CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+      |       <= leftover THEN 1 ELSE 0 END) AS BIGINT) AS seats
+      |FROM quotas CROSS JOIN lo
+      |ORDER BY lang""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q184_temperature_mixing", q184, Some(q184Sql), bench = true),
+    QueryDef("q195_quality_budget", q195, Some(q195Sql)),
+    QueryDef("q196_eval_apportionment", q196, Some(q196Sql)),
     QueryDef("q100_dedup_keep_best", q100, Some(q100Sql)),
     QueryDef("q101_stop_grams", q101, Some(q101Sql), bench = true),
     QueryDef("q102_source_concentration", q102, Some(q102Sql)),
