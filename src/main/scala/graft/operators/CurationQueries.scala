@@ -586,24 +586,30 @@ object CurationQueries {
     * never a floating division — so the apportionment is exact and
     * identical in both engines by construction. */
   def q196(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val k = 1000L
-    val per = Tables.documents(s, d)
-      .groupBy($"lang").agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(
-        Tables.documents(s, d).agg(count(lit(1)).as("total"))))
-      .withColumn("floor_q", ($"n" * k - pmod($"n" * k, $"total")) / $"total")
-      .withColumn("floor_q", $"floor_q".cast("long"))
+    apportion(
+      Tables.documents(s, d).groupBy($"lang").agg(count(lit(1)).as("n")),
+      k = 1000L, keyCol = "lang")
+  }
+
+  /** Hamilton core over any (keyCol, n) frame — reused by q196 and the
+    * invariant specs (house size + quota rule hold for ANY input). */
+  def apportion(counts: DataFrame, k: Long, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import counts.sparkSession.implicits._
+    val per = counts
+      .crossJoin(broadcast(counts.agg(sum($"n").as("total"))))
+      .withColumn("floor_q",
+        (($"n" * k - pmod($"n" * k, $"total")) / $"total").cast("long"))
       .withColumn("rem", pmod($"n" * k, $"total"))
     val short = per
       .crossJoin(broadcast(per.agg((lit(k) - sum($"floor_q")).as("leftover"))))
-    val w = Window.orderBy($"rem".desc, $"lang")
+    val w = Window.orderBy($"rem".desc, col(keyCol))
     short
       .withColumn("rrank", row_number().over(w))
-      .select($"lang", $"n",
+      .select(col(keyCol), $"n",
         ($"floor_q" + when($"rrank" <= $"leftover", 1L).otherwise(0L)).as("seats"))
-      .orderBy($"lang")
+      .orderBy(col(keyCol))
   }
 
   val q196Sql: String =
