@@ -40,27 +40,33 @@ class SimhashBandProcessor(maxHamming: Int, ttl: TTLConfig)
     seen = getHandle.getListState("seen", Encoders.product[BandedDoc], ttl)
 
   override def handleInputRows(key: Int, rows: Iterator[BandedDoc],
-      timerValues: TimerValues): Iterator[CandidatePair] = {
-    val existing = scala.collection.mutable.ArrayBuffer.empty[BandedDoc]
-    seen.get().foreach(existing += _)
-    val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
-    rows.foreach { r =>
-      var i = 0
-      while (i < existing.length) {
-        val e = existing(i)
-        if (e.doc_id != r.doc_id) {
-          val h = java.lang.Long.bitCount(e.sh ^ r.sh).toLong
-          if (h <= maxHamming)
-            out += CandidatePair(math.min(e.doc_id, r.doc_id),
-              math.max(e.doc_id, r.doc_id), h)
-        }
-        i += 1
-      }
-      existing += r
-      seen.appendValue(r)
-    }
-    out.iterator
-  }
+      timerValues: TimerValues): Iterator[CandidatePair] =
+    NearDupStream.matchEmitAppend(seen, rows, maxHamming)
+}
+
+/** [[SimhashBandProcessor]] bootstrapped from a HISTORICAL corpus: the
+  * batch table's banded rows are loaded into state BEFORE the first
+  * streaming batch (handleInitialState), so the stream flags new-vs-
+  * history near-dups from its very first event WITHOUT replaying
+  * history through the stream — the migration path for turning on
+  * streaming dedup over an existing 100 TB corpus. History-internal
+  * pairs are deliberately NOT emitted (they are the batch job's
+  * result, q99); only pairs involving a streamed doc are. */
+class SeededSimhashBandProcessor(maxHamming: Int, ttl: TTLConfig)
+    extends StatefulProcessorWithInitialState[Int, BandedDoc, CandidatePair, BandedDoc] {
+
+  @transient private var seen: ListState[BandedDoc] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    seen = getHandle.getListState("seen", Encoders.product[BandedDoc], ttl)
+
+  override def handleInitialState(key: Int, initialState: BandedDoc,
+      timerValues: TimerValues): Unit =
+    seen.appendValue(initialState)
+
+  override def handleInputRows(key: Int, rows: Iterator[BandedDoc],
+      timerValues: TimerValues): Iterator[CandidatePair] =
+    NearDupStream.matchEmitAppend(seen, rows, maxHamming)
 }
 
 /** Streaming SimHash near-dup detection on arrival — the streaming
@@ -112,6 +118,32 @@ object NearDupStream {
     else s.readStream.schema(schema).option("pathGlobFilter", name).parquet(dir)
   }
 
+  /** Shared matcher: popcount-verify `rows` against the key's state,
+    * emit ALL qualifying canonical pairs, append the rows to state.
+    * One definition for the plain and the history-seeded processor. */
+  private[streaming] def matchEmitAppend(seen: ListState[BandedDoc],
+      rows: Iterator[BandedDoc], maxHamming: Int): Iterator[CandidatePair] = {
+    val existing = scala.collection.mutable.ArrayBuffer.empty[BandedDoc]
+    seen.get().foreach(existing += _)
+    val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
+    rows.foreach { r =>
+      var i = 0
+      while (i < existing.length) {
+        val e = existing(i)
+        if (e.doc_id != r.doc_id) {
+          val h = java.lang.Long.bitCount(e.sh ^ r.sh).toLong
+          if (h <= maxHamming)
+            out += CandidatePair(math.min(e.doc_id, r.doc_id),
+              math.max(e.doc_id, r.doc_id), h)
+        }
+        i += 1
+      }
+      existing += r
+      seen.appendValue(r)
+    }
+    out.iterator
+  }
+
   /** 4×16-bit packed band keys of a 64-bit hash column: band i's key
     * is i·2^16 + ((h >> 16i) & 0xFFFF). Pigeonhole: hamming ≤ 3 ⇒ at
     * least one band equal (Manku et al., WWW'07). ONE definition,
@@ -129,14 +161,38 @@ object NearDupStream {
       ttl: TTLConfig = TTLConfig.NONE): org.apache.spark.sql.Dataset[CandidatePair] = {
     val s = docs.sparkSession
     import s.implicits._
+    banded(docs).groupByKey(_.band)
+      .transformWithState(new SimhashBandProcessor(maxHamming, ttl),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Banded rows of a (doc_id, text) frame — the processors' input and
+    * initial-state shape. */
+  private def banded(docs: DataFrame): org.apache.spark.sql.Dataset[BandedDoc] = {
+    val s = docs.sparkSession
+    import s.implicits._
     graft.plans.GraftFunctions.register(s)
-    val bands = docs
+    docs
       .select($"doc_id", graft.plans.GraftFunctions.simhash64($"text").as("sh"))
       .select($"doc_id", $"sh", packedBands($"sh").as("band"))
       .select($"band", $"doc_id", $"sh").as[BandedDoc]
-    bands.groupByKey(_.band)
-      .transformWithState(new SimhashBandProcessor(maxHamming, ttl),
-        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Stream near-dup detection BOOTSTRAPPED from a historical corpus:
+    * `history` (a batch frame) loads into RocksDB state before the
+    * first batch, so arriving docs match against history + each other
+    * without the stream replaying history. Emits only pairs involving
+    * a STREAMED doc (history-internal pairs are the batch job's
+    * output, q99). */
+  def pairsPlanSeeded(docsStream: DataFrame, history: DataFrame,
+      maxHamming: Int = 3,
+      ttl: TTLConfig = TTLConfig.NONE): org.apache.spark.sql.Dataset[CandidatePair] = {
+    val s = docsStream.sparkSession
+    import s.implicits._
+    banded(docsStream).groupByKey(_.band)
+      .transformWithState(new SeededSimhashBandProcessor(maxHamming, ttl),
+        TimeMode.None(), OutputMode.Append(),
+        banded(history).groupByKey(_.band))
   }
 
   /** AvailableNow run over the sf-dir documents table → distinct

@@ -159,6 +159,43 @@ class TransformWithStateSpec extends SparkSpec {
     }
   }
 
+  test("initial state seeds the dedup ledger: stream matches history without replaying it") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val src = Files.createTempDirectory("tws_seed_src").toString
+    val ckpt = Files.createTempDirectory("tws_seed_ckpt").toString
+    // history: two near-identical docs (an in-history pair the seeded
+    // stream must NOT re-derive) + stream: a third copy arriving live
+    val history = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "completely different content about unrelated things")
+    ).toDF("doc_id", "text")
+    Files.writeString(java.nio.file.Path.of(s"$src/b1.csv"),
+      "doc_id,text\n10,alpha beta gamma delta epsilon zeta eta theta\n")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING")
+    val stream = spark.readStream.schema(schema).option("header", "true").csv(src)
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
+    graft.streaming.NearDupStream.withRocksProvider(spark) {
+      val q = graft.streaming.NearDupStream.pairsPlanSeeded(stream, history)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[CandidatePair], _: Long) =>
+          val rows = df.collect()
+          emitted.synchronized { emitted ++= rows }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000))
+    }
+    // doc 10 matches BOTH history copies (hamming 0, all 4 bands →
+    // distinct); the history-internal pair (1,2) must not appear
+    val pairs = emitted.toSet
+    assert(pairs == Set(CandidatePair(1L, 10L, 0L), CandidatePair(2L, 10L, 0L)),
+      s"got $pairs")
+  }
+
   test("TTL config plumbs through (NONE default builds a valid plan)") {
     val plan = NearDupStream.pairsPlan(
       spark.read.parquet(s"$sf/documents.parquet"),
