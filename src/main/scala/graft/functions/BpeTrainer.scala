@@ -125,4 +125,18 @@ object BpeTrainer {
         x => x.getField("toks"))).as("tokens"))
       .select(col(idCol), col("tokens"), size(col("tokens")).as("n_tokens"))
   }
+
+  /** Decode — the inverse of [[encode]]: merges only ever JOIN
+    * adjacent symbols, so concatenating the token stream and turning
+    * each `</w>` marker back into a space recovers the word sequence
+    * exactly (single-space normalized — [[encode]] drops empty
+    * tokens). This losslessness is WHY BPE is safe on training data:
+    * no character is ever dropped or invented, which the round-trip
+    * spec pins corpus-wide. Pure column expressions — decode runs at
+    * scan speed with no join at all. */
+  def decode(encoded: DataFrame, idCol: String,
+      tokensCol: String = "tokens"): DataFrame =
+    encoded.select(col(idCol),
+      rtrim(replace(array_join(col(tokensCol), ""), lit("</w>"), lit(" ")))
+        .as("text"))
 }

@@ -107,6 +107,23 @@ class BpeSpec extends SparkSpec {
     assert(out(1L).size < text.replace(" ", "").length)
   }
 
+  test("decode(encode(corpus)) is lossless on the word sequence, corpus-wide") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val merges = BpeTrainer.train(docs.limit(50), "text", k = 30)
+    val decoded = BpeTrainer.decode(
+      BpeTrainer.encode(docs, "doc_id", "text", merges), "doc_id")
+    val diff = decoded.join(
+        docs.select($"doc_id",
+          // single-space-normalized original (encode drops empties)
+          org.apache.spark.sql.functions.regexp_replace(
+            org.apache.spark.sql.functions.trim($"text"), " +", " ").as("want")), "doc_id")
+      .filter($"text" =!= $"want")
+    assert(diff.count() == 0,
+      s"round-trip diverged on: ${diff.select("doc_id").collect().take(5).mkString(",")}")
+  }
+
   test("training releases every round's checkpoint blocks") {
     import spark.implicits._
     val sc = spark.sparkContext
