@@ -115,48 +115,14 @@ case class MisraGries(
     buf.merge(other); buf
   }
 
-  override def eval(buf: MgBuffer): Any = {
-    val entries = new Array[(String, Long)](buf.counters.size)
-    var i = 0
-    val it = buf.counters.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next(); entries(i) = (e.getKey, e.getValue); i += 1
-    }
-    val sorted = entries.sortBy { case (item, cnt) => (-cnt, item) }
-    val rows: Array[Any] = sorted.map { case (item, cnt) =>
-      InternalRow(UTF8String.fromString(item), cnt)
-    }
-    new GenericArrayData(rows)
-  }
+  // wire format and row order are MgWire's — ONE definition shared
+  // with mg_bin/mg_merge, so the in-flight partial format can never
+  // drift from the persisted-sketch format it is documented to share
+  override def eval(buf: MgBuffer): Any = MgWire.toRows(buf)
 
-  override def serialize(buf: MgBuffer): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    val out = new java.io.DataOutputStream(bos)
-    out.writeInt(buf.k)
-    out.writeInt(buf.counters.size)
-    val it = buf.counters.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val b = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      out.writeInt(b.length); out.write(b); out.writeLong(e.getValue)
-    }
-    out.flush(); bos.toByteArray
-  }
+  override def serialize(buf: MgBuffer): Array[Byte] = MgWire.write(buf)
 
-  override def deserialize(bytes: Array[Byte]): MgBuffer = {
-    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
-    val buf = new MgBuffer(in.readInt())
-    val n = in.readInt()
-    var i = 0
-    while (i < n) {
-      val len = in.readInt()
-      val b = new Array[Byte](len); in.readFully(b)
-      val key = new String(b, java.nio.charset.StandardCharsets.UTF_8)
-      buf.counters.put(key, in.readLong())
-      i += 1
-    }
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): MgBuffer = MgWire.read(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): MisraGries =
     copy(mutableAggBufferOffset = newOffset)

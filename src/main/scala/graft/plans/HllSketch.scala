@@ -60,6 +60,23 @@ final class HllBuffer(val p: Int) extends Serializable {
   * demonstrate the imperative-aggregate machinery end-to-end and to
   * allow custom precisions/merge policies.)
   */
+/** One wire format for every HLL aggregate: p byte + register file.
+  * A single codec — not three copies — so the bin writer and the
+  * merge reader can never drift. */
+private[plans] object HllCodec {
+  def write(buf: HllBuffer): Array[Byte] = {
+    val out = new Array[Byte](1 + buf.m)
+    out(0) = buf.p.toByte
+    System.arraycopy(buf.registers, 0, out, 1, buf.m)
+    out
+  }
+  def read(bytes: Array[Byte]): HllBuffer = {
+    val buf = new HllBuffer(bytes(0).toInt)
+    System.arraycopy(bytes, 1, buf.registers, 0, buf.m)
+    buf
+  }
+}
+
 case class HllDistinct(
     child: Expression,
     p: Int = 11,
@@ -85,18 +102,9 @@ case class HllDistinct(
 
   override def eval(buf: HllBuffer): Any = buf.estimate
 
-  override def serialize(buf: HllBuffer): Array[Byte] = {
-    val out = new Array[Byte](1 + buf.m)
-    out(0) = buf.p.toByte
-    System.arraycopy(buf.registers, 0, out, 1, buf.m)
-    out
-  }
+  override def serialize(buf: HllBuffer): Array[Byte] = HllCodec.write(buf)
 
-  override def deserialize(bytes: Array[Byte]): HllBuffer = {
-    val buf = new HllBuffer(bytes(0).toInt)
-    System.arraycopy(bytes, 1, buf.registers, 0, buf.m)
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): HllBuffer = HllCodec.read(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): HllDistinct =
     copy(mutableAggBufferOffset = newOffset)
@@ -132,17 +140,8 @@ case class HllBinAgg(
     buf.merge(other); buf
   }
   override def eval(buf: HllBuffer): Any = serialize(buf)
-  override def serialize(buf: HllBuffer): Array[Byte] = {
-    val out = new Array[Byte](1 + buf.m)
-    out(0) = buf.p.toByte
-    System.arraycopy(buf.registers, 0, out, 1, buf.m)
-    out
-  }
-  override def deserialize(bytes: Array[Byte]): HllBuffer = {
-    val buf = new HllBuffer(bytes(0).toInt)
-    System.arraycopy(bytes, 1, buf.registers, 0, buf.m)
-    buf
-  }
+  override def serialize(buf: HllBuffer): Array[Byte] = HllCodec.write(buf)
+  override def deserialize(bytes: Array[Byte]): HllBuffer = HllCodec.read(bytes)
   override def withNewMutableAggBufferOffset(newOffset: Int): HllBinAgg =
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): HllBinAgg =
@@ -174,27 +173,26 @@ case class HllMergeAgg(
     val v = child.eval(input)
     if (v == null) return buf
     val other = deserialize(v.asInstanceOf[Array[Byte]])
-    if (isEmpty(buf)) other else { buf.merge(other); buf }
+    if (isEmpty(other)) buf
+    else if (isEmpty(buf)) other
+    else { buf.merge(other); buf }
   }
   override def merge(buf: HllBuffer, other: HllBuffer): HllBuffer =
-    if (isEmpty(buf)) other else { buf.merge(other); buf }
+    // BOTH sides can be the p=4 empty placeholder (a partition whose
+    // rows were all null never grows a real sketch): merging a real
+    // 2048-register buffer with a 16-register placeholder would read
+    // past the placeholder's registers — skip empties on either side
+    if (isEmpty(other)) buf
+    else if (isEmpty(buf)) other
+    else { buf.merge(other); buf }
   private def isEmpty(buf: HllBuffer): Boolean = {
     var i = 0
     while (i < buf.m) { if (buf.registers(i) != 0) return false; i += 1 }
     true
   }
   override def eval(buf: HllBuffer): Any = buf.estimate
-  override def serialize(buf: HllBuffer): Array[Byte] = {
-    val out = new Array[Byte](1 + buf.m)
-    out(0) = buf.p.toByte
-    System.arraycopy(buf.registers, 0, out, 1, buf.m)
-    out
-  }
-  override def deserialize(bytes: Array[Byte]): HllBuffer = {
-    val buf = new HllBuffer(bytes(0).toInt)
-    System.arraycopy(bytes, 1, buf.registers, 0, buf.m)
-    buf
-  }
+  override def serialize(buf: HllBuffer): Array[Byte] = HllCodec.write(buf)
+  override def deserialize(bytes: Array[Byte]): HllBuffer = HllCodec.read(bytes)
   override def withNewMutableAggBufferOffset(newOffset: Int): HllMergeAgg =
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): HllMergeAgg =

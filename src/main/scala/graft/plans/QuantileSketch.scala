@@ -110,7 +110,9 @@ final class QkBuffer(val k: Int) extends Serializable {
 case class QuantileSketchAgg(
     child: Expression,
     k: Int,
-    ps: Array[Double],
+    // Seq, not Array: case-class equality must be STRUCTURAL so
+    // Catalyst can canonicalize/dedupe identical sketch aggregates
+    ps: Seq[Double],
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[QkBuffer] {
@@ -137,7 +139,7 @@ case class QuantileSketchAgg(
   }
 
   override def eval(buf: QkBuffer): Any =
-    new GenericArrayData(buf.quantiles(ps).map(x => x: Any))
+    new GenericArrayData(buf.quantiles(ps.toArray).map(x => x: Any))
 
   override def serialize(buf: QkBuffer): Array[Byte] = QkCodec.write(buf)
   override def deserialize(bytes: Array[Byte]): QkBuffer = QkCodec.read(bytes)
@@ -236,7 +238,7 @@ case class QuantileSketchBinAgg(
   * union, never re-reading raw rows. */
 case class QuantileSketchMergeAgg(
     child: Expression,
-    ps: Array[Double],
+    ps: Seq[Double],
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[QkBuffer] {
@@ -261,7 +263,7 @@ case class QuantileSketchMergeAgg(
   override def merge(buf: QkBuffer, other: QkBuffer): QkBuffer =
     if (buf.count == 0L) other else { buf.merge(other); buf }
   override def eval(buf: QkBuffer): Any =
-    new GenericArrayData(buf.quantiles(ps).map(x => x: Any))
+    new GenericArrayData(buf.quantiles(ps.toArray).map(x => x: Any))
   override def serialize(buf: QkBuffer): Array[Byte] = QkCodec.write(buf)
   override def deserialize(bytes: Array[Byte]): QkBuffer = QkCodec.read(bytes)
   override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketchMergeAgg =

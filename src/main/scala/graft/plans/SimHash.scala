@@ -29,7 +29,9 @@ object SimHashUtil {
     h
   }
 
-  /** 64-bit SimHash over whitespace tokens of the UTF-8 string. */
+  /** 64-bit SimHash over SPACE-separated (0x20) tokens of the UTF-8
+    * string — the exact split the DuckDB oracle mirrors; tabs/newlines
+    * are token bytes, not separators. */
   def compute(s: UTF8String): Long = {
     val bytes = s.getBytes
     val votes = new Array[Int](64)

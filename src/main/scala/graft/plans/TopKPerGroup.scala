@@ -50,6 +50,13 @@ final case class TopKPerGroupExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(groupCols) :: Nil
 
+  /** The heap filters rows WITHIN partitions — the child's (group-
+    * clustered) partitioning survives. Advertising it lets Catalyst
+    * elide the shuffle a downstream groupBy(groupCols) would otherwise
+    * re-insert over the already-clustered top-k output. */
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val kLocal = k

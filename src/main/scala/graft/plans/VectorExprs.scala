@@ -44,6 +44,29 @@ object VectorOps {
     s
   }
 
+  /** Null-element-aware cosine: any null slot in the common prefix
+    * yields null instead of silently reading the slot as 0.0 (a
+    * plausible-but-wrong similarity is the worst failure mode for
+    * dedup/ranking). Only reached when a child's static type admits
+    * null elements — dense inputs keep the branch-free [[cosine]]. */
+  def cosineChecked(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Null-element-aware dot product: any null slot yields null, exactly
     * like the fold (`zip_with` emits a null product, which poisons the
     * `aggregate` sum). Only reached when a child's static type says
@@ -70,10 +93,18 @@ object VectorOps {
   * one generated-code loop per row, inside whole-stage codegen, with
   * identical numeric results (see [[VectorOps.cosine]]).
   *
-  * Null ELEMENTS are not supported (embedding arrays are dense);
-  * null arrays propagate to a null result via nullSafeEval. */
+  * Null arrays propagate to null via nullSafeEval; a null ELEMENT
+  * yields null too (via [[VectorOps.cosineChecked]]) when a child's
+  * static type admits one — a 0.0-for-null slot would be a plausible
+  * but WRONG similarity, the worst failure mode for dedup. Dense
+  * (containsNull=false) inputs keep the branch-free kernel. */
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  })
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType) = t match {
       case ArrayType(DoubleType, _) => true
@@ -83,10 +114,24 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     else TypeCheckResult.TypeCheckFailure(
       s"requires (array<double>, array<double>), got (${left.dataType}, ${right.dataType})")
   }
-  override def nullSafeEval(l: Any, r: Any): Any =
-    VectorOps.cosine(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    if (elementsNullable) VectorOps.cosineChecked(a, b)
+    else VectorOps.cosine(a, b)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VectorOps.cosine($a, $b)")
+    if (elementsNullable)
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"""
+           |java.lang.Double ${ev.value}_r = graft.plans.VectorOps.cosineChecked($a, $b);
+           |if (${ev.value}_r == null) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = ${ev.value}_r.doubleValue();
+           |}
+         """.stripMargin)
+    else
+      defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VectorOps.cosine($a, $b)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =
     copy(left = newLeft, right = newRight)

@@ -76,6 +76,22 @@ class HllSpec extends SparkSpec {
       s"estimate $rolled vs exact $exact")
   }
 
+  test("hll_merge survives all-null partitions (empty placeholder on either merge side)") {
+    import spark.implicits._
+    HllDistinct.register(spark)
+    // one day's sketch + null sketch rows isolated in their own
+    // partitions: those partials stay the 16-register placeholder and
+    // must merge harmlessly with the real 2048-register sketch in
+    // EITHER order
+    val bins = (1 to 1000).map(i => ("d1", s"u$i")).toDF("day", "u")
+      .groupBy($"day").agg(HllDistinct.hll_bin($"u").as("sk"))
+      .select($"sk")
+      .unionByName(Seq(1, 2, 3).toDF("x").select(lit(null).cast("binary").as("sk")))
+      .repartition(4)
+    val est = bins.agg(HllDistinct.hll_merge($"sk")).head.getLong(0)
+    assert(math.abs(est - 1000).toDouble / 1000 < 0.05, s"estimate $est")
+  }
+
   test("HLL sketch algebra: intersection estimate via inclusion-exclusion over shard sketches") {
     import spark.implicits._
     HllDistinct.register(spark)

@@ -85,4 +85,18 @@ class VectorExprSpec extends SparkSpec {
         lit(0.0), (acc, x) => acc + x).as("d")).head
     assert(fold.isNullAt(0))
   }
+
+  test("vec_cosine with a null ELEMENT returns null, never a 0.0-polluted similarity") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Seq[Option[Double]](Some(2.0), None), Seq[Option[Double]](Some(3.0), Some(4.0))),
+      (Seq[Option[Double]](Some(1.0), Some(0.0)), Seq[Option[Double]](Some(1.0), Some(0.0))))
+      .toDF("a", "b")
+    val got = df.selectExpr("vec_cosine(a, b) AS c").collect()
+    assert(got(0).isNullAt(0),
+      "a null slot must null the similarity — 0.0-for-null is a plausible WRONG answer")
+    assert(math.abs(got(1).getDouble(0) - 1.0) < 1e-12,
+      "dense rows through a nullable schema keep exact values")
+  }
 }
