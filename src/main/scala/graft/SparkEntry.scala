@@ -20,7 +20,8 @@ object SparkEntry {
       operators.TpchClassics.all ++ operators.TrainingQueries.all ++
       operators.CurationQueries.all ++ operators.TpchSubqueries.all ++
       operators.ScaleQueries.all ++ operators.CorpusQueries.all ++
-      operators.IndexingQueries.all ++ operators.GovernanceQueries.all
+      operators.IndexingQueries.all ++ operators.GovernanceQueries.all ++
+      operators.AssociationQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,325 @@
+package graft.operators
+
+import graft.{Fx, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Association / co-occurrence operators, round 7: interval-overlap
+  * joins (via the grid-blocked [[IntervalJoin]] operator), weighted
+  * percentiles over bounded domains, audience-overlap matrices built
+  * WITHOUT a self-join, association lift (PMI minus the log wrapper —
+  * rank-identical, per the q122 rational-idf precedent), and
+  * model-based trend outliers on top of q172's exact-integer OLS.
+  *
+  * Determinism discipline (house rules): no libm transcendentals in
+  * oracle-checked outputs; doubles appear only as (a) correctly-rounded
+  * divisions of exactly-represented integers, or (b) fixed-shape
+  * arithmetic over such values, mirrored operator-for-operator in the
+  * DuckDB SQL; every query ends in a total ORDER BY.
+  */
+object AssociationQueries {
+  import Fx._
+
+  /** Epoch-day of a timestamp column (date-truncated) — integer in
+    * both engines (DuckDB mirror: `CAST(ts AS DATE) - DATE
+    * '1970-01-01'`). */
+  private def epochDay(c: org.apache.spark.sql.Column) =
+    datediff(to_date(c), lit("1970-01-01"))
+
+  // ------------------------------------------------------------------
+  // q197 — concurrent competing shipments (interval-overlap join)
+  // ------------------------------------------------------------------
+
+  /** q197 — for each part, how many pairs of line items from DIFFERENT
+    * suppliers had overlapping shipping windows (window = shipdate ..
+    * shipdate + 1 + quantity % 28 days — receipt date synthesized
+    * deterministically; the driver schema carries no receipt column).
+    * Top 20 parts by overlapping-pair count.
+    *
+    * Scale shape: [[IntervalJoin.overlap]] grid-blocks both sides into
+    * 32-day cells, so the overlap join is a hash-partitionable
+    * equi-join on (partkey, cell) with ≤ 2× replication (windows are
+    * ≤ 29 days < grain) and NO dedup pass — a pair is matched only in
+    * the first cell of its intersection. The oracle states the same
+    * semantics as a plain inequality join. */
+  def q197(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def li(sfx: String): DataFrame =
+      Tables.lineitem(s, d).select(
+        $"l_partkey".as(s"pk$sfx"),
+        $"l_suppkey".as(s"sup$sfx"),
+        $"l_orderkey".as(s"ok$sfx"),
+        $"l_linenumber".as(s"ln$sfx"),
+        epochDay($"l_shipdate").cast("long").as(s"s$sfx"),
+        (epochDay($"l_shipdate") + lit(1) +
+          ($"l_quantity".cast("int") % 28)).cast("long").as(s"e$sfx"))
+    IntervalJoin.overlap(li("_a"), li("_b"),
+        "pk_a", "pk_b", "s_a", "e_a", "s_b", "e_b", grain = 32L)
+      // unordered pair once: unique line-item id (orderkey, linenumber)
+      .filter($"sup_a" =!= $"sup_b" &&
+        ($"ok_a" < $"ok_b" || ($"ok_a" === $"ok_b" && $"ln_a" < $"ln_b")))
+      .groupBy($"pk_a")
+      .agg(count(lit(1)).as("n_pairs"))
+      .select($"pk_a".as("partkey"), $"n_pairs")
+      .orderBy($"n_pairs".desc, $"partkey")
+      .limit(20)
+  }
+
+  val q197Sql: String =
+    """WITH li AS (
+      |  SELECT l_partkey AS pk, l_suppkey AS sup, l_orderkey AS ok,
+      |    l_linenumber AS ln,
+      |    (CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS s,
+      |    (CAST(l_shipdate AS DATE) - DATE '1970-01-01') + 1
+      |      + (CAST(l_quantity AS INT) % 28) AS e
+      |  FROM lineitem)
+      |SELECT a.pk AS partkey, CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM li a JOIN li b ON a.pk = b.pk
+      |  AND a.s <= b.e AND b.s <= a.e
+      |  AND a.sup <> b.sup
+      |  AND (a.ok < b.ok OR (a.ok = b.ok AND a.ln < b.ln))
+      |GROUP BY 1 ORDER BY n_pairs DESC, partkey LIMIT 20""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q199 — weighted median / p90 over a bounded domain
+  // ------------------------------------------------------------------
+
+  /** q199 — weighted percentiles of shipping delay per return flag,
+    * weighted by quantity: the smallest delay whose cumulative weight
+    * reaches 50% / 90% of the flag's total. Exact, all-integer
+    * comparisons (2·cw ≥ tw, 10·cw ≥ 9·tw — no division at all).
+    *
+    * Scale shape: the raw rows collapse to (flag × delay-domain) cells
+    * FIRST (bounded: 28 delays), so the cumulative window runs over
+    * ≤ 28 post-aggregation rows per flag — never over row data. This
+    * is the scalable form of weighted percentile whenever the value
+    * domain is bounded (delays, ratings, bucketed sizes...). */
+  def q199(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = Tables.lineitem(s, d)
+      .select($"l_returnflag".as("flag"),
+        (lit(1) + ($"l_quantity".cast("int") % 28)).as("delay"),
+        $"l_quantity".cast("long").as("w"))
+      .groupBy($"flag", $"delay").agg(sum($"w").as("w"))
+    val cum = Window.partitionBy($"flag").orderBy($"delay")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("tw", sum($"w").over(Window.partitionBy($"flag")))
+      .withColumn("cw", sum($"w").over(cum))
+      .groupBy($"flag")
+      .agg(max($"tw").as("total_qty"),
+        min(when($"cw" * 2 >= $"tw", $"delay")).as("wmedian_delay"),
+        min(when($"cw" * 10 >= $"tw" * 9, $"delay")).as("wp90_delay"))
+      .orderBy($"flag")
+  }
+
+  val q199Sql: String =
+    """WITH g AS (
+      |  SELECT l_returnflag AS flag,
+      |    1 + (CAST(l_quantity AS INT) % 28) AS delay,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (
+      |  SELECT flag, delay, w,
+      |    sum(w) OVER (PARTITION BY flag) AS tw,
+      |    sum(w) OVER (PARTITION BY flag ORDER BY delay
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+      |  FROM g)
+      |SELECT flag, CAST(max(tw) AS BIGINT) AS total_qty,
+      |  min(CASE WHEN cw * 2 >= tw THEN delay END) AS wmedian_delay,
+      |  min(CASE WHEN cw * 10 >= tw * 9 THEN delay END) AS wp90_delay
+      |FROM c GROUP BY flag ORDER BY flag""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q200 — audience-overlap matrix without a self-join
+  // ------------------------------------------------------------------
+
+  /** q200 — pairwise audience overlap between event types: |A∩B| and
+    * Jaccard for every unordered type pair.
+    *
+    * Scale shape: the textbook form self-joins the (type, user)
+    * relation on user — at 100 TB that shuffles the relation twice and
+    * explodes on power users. Here each user's DISTINCT type set
+    * (bounded by the type vocabulary, NOT by activity) is collected in
+    * one shuffle, pairs explode per user from that bounded array, and
+    * a count finishes the matrix. Per-type totals are a second tiny
+    * aggregate broadcast back for the Jaccard denominator. */
+  def q200(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val du = Tables.events(s, d)
+      .select($"event_type".as("src"), $"user_id").distinct()
+    val sizes = du.groupBy($"src").agg(count(lit(1)).as("n"))
+    du.groupBy($"user_id")
+      .agg(sort_array(collect_list($"src")).as("ss"))
+      .select(explode(filter(
+        flatten(transform($"ss",
+          a => transform($"ss", b => struct(a.as("s1"), b.as("s2"))))),
+        p => p("s1") < p("s2"))).as("p"))
+      .select($"p.s1".as("s1"), $"p.s2".as("s2"))
+      .groupBy($"s1", $"s2").agg(count(lit(1)).as("n_both"))
+      .join(broadcast(sizes.select($"src".as("s1"), $"n".as("n_a"))), Seq("s1"))
+      .join(broadcast(sizes.select($"src".as("s2"), $"n".as("n_b"))), Seq("s2"))
+      .select($"s1", $"s2", $"n_a", $"n_b", $"n_both",
+        r6($"n_both".cast("double") / ($"n_a" + $"n_b" - $"n_both")).as("jaccard"))
+      .orderBy($"s1", $"s2")
+  }
+
+  val q200Sql: String =
+    s"""WITH du AS (SELECT DISTINCT event_type AS src, user_id FROM events),
+       |sz AS (SELECT src, count(*) AS n FROM du GROUP BY 1),
+       |p AS (
+       |  SELECT a.src AS s1, b.src AS s2, count(*) AS n_both
+       |  FROM du a JOIN du b ON a.user_id = b.user_id AND a.src < b.src
+       |  GROUP BY 1, 2)
+       |SELECT s1, s2, CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       |  CAST(n_both AS BIGINT) AS n_both,
+       |  ${sqlR6("CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both)")} AS jaccard
+       |FROM p JOIN sz sa ON sa.src = p.s1 JOIN sz sb ON sb.src = p.s2
+       |ORDER BY s1, s2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q201 — association lift for adjacent-word bigrams
+  // ------------------------------------------------------------------
+
+  /** q201 — collocation mining: lift of adjacent word pairs,
+    * lift(x,y) = p(xy) / (p(x)·p(y)) with p over corpus occurrence
+    * counts — PMI without the log wrapper (log is monotone, so the
+    * ranking is identical and no libm transcendental enters the
+    * output; the q122 rational-idf precedent). Min support 10, top 20
+    * by lift.
+    *
+    * Scale shape: one explode feeds the unigram count, one the bigram
+    * count (both digest-narrow group-bys with map-side partials); the
+    * component-frequency joins run hint-free — the vocabulary is
+    * Zipf-bounded, so AQE broadcasts the unigram side on real text
+    * (the q164 measurement). The integer product n_big·cx·cy stays
+    * within int64 up to ~10^6-token-vocabulary corpora; both engines
+    * convert it to double with the same correctly-rounded cast. */
+  def q201(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Tables.documents(s, d).select(split($"text", " ").as("w"))
+    val uni = w.select(explode($"w").as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("c"))
+    val uniTot = uni.agg(sum($"c").as("n_uni"))
+    val bg = w.select(explode(when(size($"w") >= 2,
+        transform(sequence(lit(1), size($"w") - 1),
+          i => struct(element_at($"w", i).as("x"), element_at($"w", i + 1).as("y"))))
+        .otherwise(array().cast("array<struct<x:string,y:string>>"))).as("b"))
+      .select($"b.x".as("x"), $"b.y".as("y"))
+      .groupBy($"x", $"y").agg(count(lit(1)).as("cxy"))
+    val bgTot = bg.agg(sum($"cxy").as("n_big"))
+    bg.filter($"cxy" >= 10)
+      .join(uni.select($"t".as("x"), $"c".as("cx")), Seq("x"))
+      .join(uni.select($"t".as("y"), $"c".as("cy")), Seq("y"))
+      .crossJoin(broadcast(uniTot)).crossJoin(broadcast(bgTot))
+      .withColumn("lift",
+        ($"cxy".cast("double") * $"n_uni".cast("double") * $"n_uni".cast("double")) /
+          ($"n_big" * $"cx" * $"cy").cast("double"))
+      .orderBy($"lift".desc, $"x", $"y")
+      .limit(20)
+      .select($"x", $"y", $"cxy", $"cx", $"cy", r6($"lift").as("lift"))
+  }
+
+  val q201Sql: String =
+    s"""WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+       |uni AS (SELECT t, count(*) AS c FROM (SELECT unnest(w) AS t FROM w) u
+       |        GROUP BY t),
+       |ut AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni),
+       |bg AS (SELECT x, y, count(*) AS cxy FROM (
+       |    SELECT w[i] AS x, w[i+1] AS y
+       |    FROM (SELECT w, unnest(range(1, len(w))) AS i FROM w) t) b
+       |  GROUP BY x, y),
+       |bt AS (SELECT CAST(sum(cxy) AS BIGINT) AS n_big FROM bg),
+       |sc AS (
+       |  SELECT bg.x, bg.y, cxy, ux.c AS cx, uy.c AS cy,
+       |    (CAST(cxy AS DOUBLE) * CAST(n_uni AS DOUBLE) * CAST(n_uni AS DOUBLE)) /
+       |      CAST(n_big * ux.c * uy.c AS DOUBLE) AS lift
+       |  FROM bg JOIN uni ux ON bg.x = ux.t JOIN uni uy ON bg.y = uy.t
+       |       CROSS JOIN ut CROSS JOIN bt
+       |  WHERE cxy >= 10)
+       |SELECT x, y, CAST(cxy AS BIGINT) AS cxy, CAST(cx AS BIGINT) AS cx,
+       |  CAST(cy AS BIGINT) AS cy, ${sqlR6("lift")} AS lift
+       |FROM sc ORDER BY lift DESC, x, y LIMIT 20""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q203 — OLS trend outliers (residual top-k per group)
+  // ------------------------------------------------------------------
+
+  /** q203 — the 3 hours that deviate most from each event type's
+    * fitted hourly-volume trend: q172's closed-form OLS (exact integer
+    * moment sums) extended to per-hour residuals, ranked by |residual|
+    * through the native bounded-heap [[graft.plans.TopK]] — no
+    * per-group window sort.
+    *
+    * Determinism: slope/intercept are fixed-shape double arithmetic
+    * over exactly-represented integer moments (each op correctly
+    * rounded → bit-identical cross-engine), so residuals — and
+    * therefore the |residual| ranking — are bit-identical too. */
+  def q203(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hours = Tables.events(s, d)
+      .groupBy($"event_type",
+        (unix_timestamp(date_trunc("hour", $"ts")) / 3600L).cast("long").as("eh"))
+      .agg(count(lit(1)).as("y"))
+    val minEh = hours.agg(min($"eh").as("min_eh"))
+    val xy = hours.crossJoin(broadcast(minEh))
+      .select($"event_type", ($"eh" - $"min_eh").as("x"), $"y")
+    val ab = xy.groupBy($"event_type")
+      .agg(count(lit(1)).as("k"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .filter($"k" * $"sxx" - $"sx" * $"sx" =!= 0)
+      .select($"event_type", $"k", $"sx", $"sy",
+        (($"k" * $"sxy" - $"sx" * $"sy").cast("double") /
+          ($"k" * $"sxx" - $"sx" * $"sx").cast("double")).as("b"))
+      .select($"event_type", $"b",
+        (($"sy".cast("double") - $"b" * $"sx".cast("double")) /
+          $"k".cast("double")).as("a"))
+    val res = xy.join(broadcast(ab), Seq("event_type"))
+      .withColumn("resid", $"y".cast("double") - ($"a" + $"b" * $"x".cast("double")))
+      .withColumn("score", abs($"resid"))
+    graft.plans.TopK.perGroup(res, 3, Seq("event_type"),
+        Seq(graft.plans.TopK.desc("score"), graft.plans.TopK.asc("x")))
+      .select($"event_type", $"x", $"y", r6($"resid").as("residual"))
+      .orderBy($"event_type", $"x")
+  }
+
+  val q203Sql: String =
+    s"""WITH hours AS (
+       |  SELECT event_type,
+       |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS eh,
+       |    count(*) AS y
+       |  FROM events GROUP BY 1, 2),
+       |xy AS (SELECT event_type, eh - (SELECT min(eh) FROM hours) AS x, y
+       |       FROM hours),
+       |m AS (
+       |  SELECT event_type, count(*) AS k,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+       |  FROM xy GROUP BY 1),
+       |ab AS (
+       |  SELECT event_type,
+       |    CAST(k * sxy - sx * sy AS DOUBLE) / CAST(k * sxx - sx * sx AS DOUBLE) AS b,
+       |    (CAST(sy AS DOUBLE) -
+       |      (CAST(k * sxy - sx * sy AS DOUBLE) / CAST(k * sxx - sx * sx AS DOUBLE))
+       |        * CAST(sx AS DOUBLE)) / CAST(k AS DOUBLE) AS a
+       |  FROM m WHERE k * sxx - sx * sx <> 0),
+       |r AS (
+       |  SELECT xy.event_type, x, y,
+       |    CAST(y AS DOUBLE) - (a + b * CAST(x AS DOUBLE)) AS resid
+       |  FROM xy JOIN ab ON xy.event_type = ab.event_type),
+       |rk AS (
+       |  SELECT event_type, x, y, resid,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY abs(resid) DESC, x) AS rn
+       |  FROM r)
+       |SELECT event_type, x, y, ${sqlR6("resid")} AS residual
+       |FROM rk WHERE rn <= 3 ORDER BY event_type, x""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q197_interval_overlap", q197, Some(q197Sql), bench = true),
+    QueryDef("q199_weighted_median", q199, Some(q199Sql)),
+    QueryDef("q200_audience_overlap", q200, Some(q200Sql), bench = true),
+    QueryDef("q201_bigram_lift", q201, Some(q201Sql)),
+    QueryDef("q203_trend_outliers", q203, Some(q203Sql)))
+}

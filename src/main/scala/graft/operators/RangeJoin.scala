@@ -31,3 +31,43 @@ object RangeJoin {
       .drop("__b", "__rkey")
   }
 }
+
+/** Interval-OVERLAP equi-join: pairs of rows whose closed integer
+  * intervals [s, e] intersect (and whose keys match), without a
+  * BroadcastNestedLoopJoin and without a post-join dedup shuffle.
+  *
+  * Grid blocking: each interval replicates into every grain-cell it
+  * covers, turning the overlap predicate into an equi-join on
+  * (key, cell). Two overlapping intervals share every cell their
+  * intersection touches — which would duplicate the pair — so the join
+  * keeps a match ONLY in the cell containing `max(lS, rS)` (the first
+  * cell of the intersection, which always exists and is unique). The
+  * result is exact with no `distinct`.
+  *
+  * Costs/contract: replication factor is ⌈len/grain⌉ + 1 per row, so
+  * pick `grain` ≥ the typical interval length (2× data for the
+  * typical case, like [[RangeJoin.timeRange]]). Bounds must be
+  * non-negative integers (epoch days/seconds/micros < 2^52 — cell ids
+  * come from a double `floor`); left/right must not share column
+  * names.
+  */
+object IntervalJoin {
+
+  def overlap(left: DataFrame, right: DataFrame,
+      lKey: String, rKey: String,
+      lS: String, lE: String, rS: String, rE: String,
+      grain: Long): DataFrame = {
+    require(grain > 0, s"grain must be positive, got $grain")
+    val lc = left.withColumn("__lcell",
+      explode(sequence(floor(col(lS) / grain).cast("long"),
+        floor(col(lE) / grain).cast("long"))))
+    val rc = right.withColumn("__rcell",
+      explode(sequence(floor(col(rS) / grain).cast("long"),
+        floor(col(rE) / grain).cast("long"))))
+    lc.join(rc,
+        col(lKey) === col(rKey) && col("__lcell") === col("__rcell") &&
+          col(lS) <= col(rE) && col(rS) <= col(lE) &&
+          floor(greatest(col(lS), col(rS)) / grain).cast("long") === col("__lcell"))
+      .drop("__lcell", "__rcell")
+  }
+}
