@@ -322,6 +322,24 @@ object ScaleSmoke {
       graft.plans.TopK.perGroup(src, 10, Seq("source"),
         Seq(graft.plans.TopK.asc("u"), graft.plans.TopK.asc("doc_id"))).count()
     }
+    // ---- round-7: grid-blocked interval-OVERLAP self-join (q197
+    // operator). n intervals over a 100k-tick timeline, ~50 per key,
+    // typical length ~100 ≤ grain 256 (≤ 2 cells per row). The join is
+    // a pure equi-join on (key, cell) with the first-overlap-cell
+    // predicate — candidate volume is bounded by per-(key, cell)
+    // occupancy, not per-key interval count.
+    timed("interval_overlap_join") {
+      def iv(sfx: String) = spark.range(nDocs).select(
+        $"id".as(s"id$sfx"),
+        pmod(xxhash64($"id", lit(1)), lit(nDocs / 50L)).as(s"k$sfx"),
+        pmod(xxhash64($"id", lit(2)), lit(100000)).as(s"s$sfx"))
+        .withColumn(s"e$sfx",
+          col(s"s$sfx") + lit(1) + pmod(xxhash64(col(s"id$sfx"), lit(3)), lit(200)))
+      operators.IntervalJoin.overlap(iv("_a"), iv("_b"),
+          "k_a", "k_b", "s_a", "e_a", "s_b", "e_b", grain = 256L)
+        .filter($"id_a" < $"id_b")
+        .count()
+    }
     // ---- round-7: EXACT prefix-filtered Jaccard join (q166 core) on a
     // ZIPFIAN corpus — prefix filtering's candidate bound comes from
     // token rarity, so the uniform-vocab corpus above is its worst

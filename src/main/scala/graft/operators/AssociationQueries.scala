@@ -134,33 +134,45 @@ object AssociationQueries {
   // q200 — audience-overlap matrix without a self-join
   // ------------------------------------------------------------------
 
-  /** q200 — pairwise audience overlap between event types: |A∩B| and
-    * Jaccard for every unordered type pair.
+  /** q200 — pairwise audience overlap between event types: |A∩B|,
+    * Jaccard, and overlap coefficient for every unordered type pair.
     *
-    * Scale shape: the textbook form self-joins the (type, user)
-    * relation on user — at 100 TB that shuffles the relation twice and
-    * explodes on power users. Here each user's DISTINCT type set
-    * (bounded by the type vocabulary, NOT by activity) is collected in
-    * one shuffle, pairs explode per user from that bounded array, and
-    * a count finishes the matrix. Per-type totals are a second tiny
-    * aggregate broadcast back for the Jaccard denominator. */
+    * Scale shape — ONE scan, one shuffle: the textbook form self-joins
+    * the (type, user) relation on user (two shuffles of the relation,
+    * exploding on power users) and re-reads it for the per-type
+    * denominators. Here each user's DISTINCT type set (bounded by the
+    * type vocabulary, NOT by activity) is collected in one shuffle,
+    * and a single explode emits both the user's type PAIRS and its
+    * type SINGLETONS (s2 = null) into one count. The per-type totals
+    * the denominators need are then recovered from that tiny
+    * aggregated relation itself via windows — partition by s1 for
+    * n_a, by coalesce(s2, s1) for n_b (a singleton (b, null) groups
+    * with the pairs (·, b)) — so the events table is never touched
+    * again. */
   def q200(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val du = Tables.events(s, d)
+    val counts = Tables.events(s, d)
       .select($"event_type".as("src"), $"user_id").distinct()
-    val sizes = du.groupBy($"src").agg(count(lit(1)).as("n"))
-    du.groupBy($"user_id")
+      .groupBy($"user_id")
       .agg(sort_array(collect_list($"src")).as("ss"))
-      .select(explode(filter(
-        flatten(transform($"ss",
-          a => transform($"ss", b => struct(a.as("s1"), b.as("s2"))))),
-        p => p("s1") < p("s2"))).as("p"))
+      .select(explode(concat(
+        filter(
+          flatten(transform($"ss",
+            a => transform($"ss", b => struct(a.as("s1"), b.as("s2"))))),
+          p => p("s1") < p("s2")),
+        transform($"ss",
+          a => struct(a.as("s1"), lit(null).cast("string").as("s2"))))).as("p"))
       .select($"p.s1".as("s1"), $"p.s2".as("s2"))
-      .groupBy($"s1", $"s2").agg(count(lit(1)).as("n_both"))
-      .join(broadcast(sizes.select($"src".as("s1"), $"n".as("n_a"))), Seq("s1"))
-      .join(broadcast(sizes.select($"src".as("s2"), $"n".as("n_b"))), Seq("s2"))
-      .select($"s1", $"s2", $"n_a", $"n_b", $"n_both",
-        r6($"n_both".cast("double") / ($"n_a" + $"n_b" - $"n_both")).as("jaccard"))
+      .groupBy($"s1", $"s2").agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("n_a",
+        max(when($"s2".isNull, $"n")).over(Window.partitionBy($"s1")))
+      .withColumn("n_b",
+        max(when($"s2".isNull, $"n")).over(Window.partitionBy(coalesce($"s2", $"s1"))))
+      .filter($"s2".isNotNull)
+      .select($"s1", $"s2", $"n_a", $"n_b", $"n".as("n_both"),
+        r6($"n".cast("double") / ($"n_a" + $"n_b" - $"n")).as("jaccard"),
+        r6($"n".cast("double") / least($"n_a", $"n_b")).as("overlap_coef"))
       .orderBy($"s1", $"s2")
   }
 
@@ -173,7 +185,8 @@ object AssociationQueries {
        |  GROUP BY 1, 2)
        |SELECT s1, s2, CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
        |  CAST(n_both AS BIGINT) AS n_both,
-       |  ${sqlR6("CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both)")} AS jaccard
+       |  ${sqlR6("CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both)")} AS jaccard,
+       |  ${sqlR6("CAST(n_both AS DOUBLE) / least(sa.n, sb.n)")} AS overlap_coef
        |FROM p JOIN sz sa ON sa.src = p.s1 JOIN sz sb ON sb.src = p.s2
        |ORDER BY s1, s2""".stripMargin
 
@@ -316,10 +329,149 @@ object AssociationQueries {
        |SELECT event_type, x, y, ${sqlR6("resid")} AS residual
        |FROM rk WHERE rn <= 3 ORDER BY event_type, x""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q204 — market-basket co-purchase lift (brand pairs per order)
+  // ------------------------------------------------------------------
+
+  /** q204 — association mining over order baskets: lift of brand pairs
+    * co-occurring in an order, lift(a,b) = p(ab)/(p(a)p(b)) over
+    * order-level supports. Min support 5, top 20 by lift.
+    *
+    * Scale shape: the q200 discipline applied to baskets — brands are
+    * a broadcast dimension join; each order's DISTINCT brand set is
+    * bounded by the brand vocabulary, so pairs, singletons, AND a
+    * per-basket sentinel ('' — sorts before every real brand and
+    * cannot collide) explode from one pass into one count. Supports
+    * and the basket total then come from windows over that tiny
+    * aggregated relation (≤ brands² rows — the one unpartitioned
+    * window in the query runs over THIS, never row data). No second
+    * scan anywhere. */
+  def q204(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lb = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("ok"), $"p_brand".as("b")).distinct()
+    val counts = lb.groupBy($"ok")
+      .agg(sort_array(collect_list($"b")).as("bs"))
+      .select(explode(concat(
+        filter(
+          flatten(transform($"bs",
+            a => transform($"bs", c => struct(a.as("b1"), c.as("b2"))))),
+          p => p("b1") < p("b2")),
+        transform($"bs",
+          a => struct(a.as("b1"), lit(null).cast("string").as("b2"))),
+        array(struct(lit("").as("b1"), lit(null).cast("string").as("b2"))))).as("p"))
+      .select($"p.b1".as("b1"), $"p.b2".as("b2"))
+      .groupBy($"b1", $"b2").agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("n_orders",
+        max(when($"b1" === "" && $"b2".isNull, $"n")).over(Window.partitionBy()))
+      .withColumn("n_a",
+        max(when($"b2".isNull, $"n")).over(Window.partitionBy($"b1")))
+      .withColumn("n_b",
+        max(when($"b2".isNull, $"n")).over(Window.partitionBy(coalesce($"b2", $"b1"))))
+      .filter($"b2".isNotNull && $"n" >= 5)
+      .withColumn("lift",
+        ($"n".cast("double") * $"n_orders".cast("double")) /
+          ($"n_a" * $"n_b").cast("double"))
+      .orderBy($"lift".desc, $"b1", $"b2")
+      .limit(20)
+      .select($"b1", $"b2", $"n".as("n_both"), $"n_a", $"n_b",
+        r6($"lift").as("lift"))
+  }
+
+  val q204Sql: String =
+    s"""WITH lb AS (
+       |  SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |no AS (SELECT count(DISTINCT ok) AS n_orders FROM lb),
+       |sz AS (SELECT b, count(*) AS n FROM lb GROUP BY 1),
+       |p AS (
+       |  SELECT a.b AS b1, c.b AS b2, count(*) AS n_both
+       |  FROM lb a JOIN lb c ON a.ok = c.ok AND a.b < c.b
+       |  GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT b1, b2, n_both, sa.n AS n_a, sb.n AS n_b,
+       |    (CAST(n_both AS DOUBLE) * CAST(n_orders AS DOUBLE)) /
+       |      CAST(sa.n * sb.n AS DOUBLE) AS lift_raw
+       |  FROM p JOIN sz sa ON sa.b = p.b1 JOIN sz sb ON sb.b = p.b2
+       |       CROSS JOIN no
+       |  WHERE n_both >= 5)
+       |SELECT b1, b2, CAST(n_both AS BIGINT) AS n_both,
+       |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |  ${sqlR6("lift_raw")} AS lift
+       |FROM sc ORDER BY lift_raw DESC, b1, b2 LIMIT 20""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q205 — concurrent-session overlap matrix (IntervalJoin consumer)
+  // ------------------------------------------------------------------
+
+  /** q205 — cross-activity concurrency: for each pair of event types,
+    * how many of a user's 30-minute sessions of one type overlap a
+    * session of the other type, and the total concurrent µs. Sessions
+    * come from Spark's native `session_window` per (user, type);
+    * the overlap join is [[IntervalJoin.overlap]] keyed on user with a
+    * 2^32-µs (~71.6 min) grain — an equi-join on (user, cell), never
+    * a per-user nested loop. Overlap duration is exact integer
+    * arithmetic: min(end) − max(start) on µs longs.
+    *
+    * (Closed-interval semantics: sessions that merely TOUCH — one's
+    * watermark end equals the other's start — count as overlapping;
+    * the oracle mirrors with `<=`.) */
+  def q205(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def sessions(sfx: String): DataFrame =
+      Tables.events(s, d)
+        .groupBy($"user_id".as(s"u$sfx"), $"event_type".as(s"t$sfx"),
+          session_window($"ts", "30 minutes").as("sw"))
+        .agg(count(lit(1)).as(s"n$sfx"))
+        .select(col(s"u$sfx"), col(s"t$sfx"),
+          unix_micros($"sw.start").as(s"s$sfx"),
+          unix_micros($"sw.end").as(s"e$sfx"))
+    IntervalJoin.overlap(sessions("_a"), sessions("_b"),
+        "u_a", "u_b", "s_a", "e_a", "s_b", "e_b", grain = 1L << 32)
+      .filter($"t_a" < $"t_b")
+      .groupBy($"t_a", $"t_b")
+      .agg(count(lit(1)).as("n_concurrent"),
+        sum(least($"e_a", $"e_b") - greatest($"s_a", $"s_b")).as("overlap_us"))
+      .orderBy($"t_a", $"t_b")
+  }
+
+  val q205Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, event_type, us,
+      |    CASE WHEN lag(us) OVER w IS NULL
+      |           OR us - lag(us) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY us, event_id)),
+      |sn AS (
+      |  SELECT user_id, event_type, us,
+      |    sum(new_sess) OVER (PARTITION BY user_id, event_type ORDER BY us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM g),
+      |sess AS (
+      |  SELECT user_id, event_type, min(us) AS s, max(us) + 1800000000 AS e
+      |  FROM sn GROUP BY user_id, event_type, sid)
+      |SELECT a.event_type AS t_a, b.event_type AS t_b,
+      |  CAST(count(*) AS BIGINT) AS n_concurrent,
+      |  CAST(sum(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT) AS overlap_us
+      |FROM sess a JOIN sess b ON a.user_id = b.user_id
+      |  AND a.event_type < b.event_type
+      |  AND a.s <= b.e AND b.s <= a.e
+      |GROUP BY 1, 2 ORDER BY t_a, t_b""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q197_interval_overlap", q197, Some(q197Sql), bench = true),
     QueryDef("q199_weighted_median", q199, Some(q199Sql)),
     QueryDef("q200_audience_overlap", q200, Some(q200Sql), bench = true),
     QueryDef("q201_bigram_lift", q201, Some(q201Sql)),
-    QueryDef("q203_trend_outliers", q203, Some(q203Sql)))
+    QueryDef("q203_trend_outliers", q203, Some(q203Sql)),
+    QueryDef("q204_copurchase_lift", q204, Some(q204Sql)),
+    QueryDef("q205_session_overlap", q205, Some(q205Sql), bench = true))
 }

@@ -70,4 +70,52 @@ object IntervalJoin {
           floor(greatest(col(lS), col(rS)) / grain).cast("long") === col("__lcell"))
       .drop("__lcell", "__rcell")
   }
+
+  /** [[overlap]] with a degenerate-cell guard: a (key, cell) whose
+    * occupancy exceeds `maxPerCell` on EITHER side is skipped entirely
+    * (its pairs are NOT emitted — the first-overlap-cell predicate
+    * means a skipped pair has no second chance, exactly the LSH
+    * bucket-cap contract of `Dedup.candidatePairs`). Guards the
+    * quadratic blow-up of a hot cell — thousands of concurrent
+    * intervals on one key — at 100 TB.
+    *
+    * Cost of the guard: ZERO extra shuffles. The occupancy count is an
+    * unordered window over (key, cell) — the exact partitioning the
+    * join itself shuffles to — so Catalyst reuses the join's exchange
+    * and the guard adds only a per-partition sort. Pair monitoring
+    * goes through [[overflowCells]]. */
+  def overlapCapped(left: DataFrame, right: DataFrame,
+      lKey: String, rKey: String,
+      lS: String, lE: String, rS: String, rE: String,
+      grain: Long, maxPerCell: Int): DataFrame = {
+    require(grain > 0, s"grain must be positive, got $grain")
+    def cells(df: DataFrame, key: String, s: String, e: String, cell: String) =
+      df.withColumn(cell,
+          explode(sequence(floor(col(s) / grain).cast("long"),
+            floor(col(e) / grain).cast("long"))))
+        .withColumn("__n" + cell,
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col(key), col(cell))))
+        .filter(col("__n" + cell) <= maxPerCell)
+        .drop("__n" + cell)
+    val lc = cells(left, lKey, lS, lE, "__lcell")
+    val rc = cells(right, rKey, rS, rE, "__rcell")
+    lc.join(rc,
+        col(lKey) === col(rKey) && col("__lcell") === col("__rcell") &&
+          col(lS) <= col(rE) && col(rS) <= col(lE) &&
+          floor(greatest(col(lS), col(rS)) / grain).cast("long") === col("__lcell"))
+      .drop("__lcell", "__rcell")
+  }
+
+  /** Monitoring side-channel for [[overlapCapped]]: the (key, cell)s
+    * one side would skip, with their occupancy — log or persist next
+    * to the join so capped coverage is visible, never silent. */
+  def overflowCells(df: DataFrame, key: String, s: String, e: String,
+      grain: Long, maxPerCell: Int): DataFrame =
+    df.withColumn("__cell",
+        explode(sequence(floor(col(s) / grain).cast("long"),
+          floor(col(e) / grain).cast("long"))))
+      .groupBy(col(key), col("__cell").as("cell"))
+      .agg(count(lit(1)).as("n_intervals"))
+      .filter(col("n_intervals") > maxPerCell)
 }

@@ -55,6 +55,40 @@ class IntervalJoinSpec extends SparkSpec {
     assert(got.toSet == naive(left, right))
   }
 
+  test("overlapCapped == overlap when no cell exceeds the cap, and skips only hot cells") {
+    import spark.implicits._
+    val left = corpus(5, 120, 40).toDF("ida", "ka", "sa", "ea")
+    val right = corpus(6, 120, 40).toDF("idb", "kb", "sb", "eb")
+    // cap far above occupancy → identical to the uncapped join
+    val loose = IntervalJoin.overlapCapped(left, right,
+        "ka", "kb", "sa", "ea", "sb", "eb", 32L, maxPerCell = 10000)
+      .select(col("ida"), col("idb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == naive(left, right), "high cap must not change results")
+  }
+
+  test("degenerate hot cell: capped join completes and the overflow side-channel reports it") {
+    import spark.implicits._
+    // 500 identical intervals on one key — the quadratic worst case
+    // (125k pairs uncapped); a second, cold key must survive the cap
+    val hot = (1L to 500L).map(i => (i, 7L, 100L, 110L))
+    val cold = Seq((900L, 8L, 100L, 110L), (901L, 8L, 105L, 120L))
+    val l = (hot ++ cold).toDF("ida", "ka", "sa", "ea")
+    val r = (hot.map { case (i, k, s, e) => (i + 10000, k, s, e) } ++
+      cold.map { case (i, k, s, e) => (i + 10000, k, s, e) })
+      .toDF("idb", "kb", "sb", "eb")
+    val got = IntervalJoin.overlapCapped(l, r,
+        "ka", "kb", "sa", "ea", "sb", "eb", 32L, maxPerCell = 50)
+      .select(col("ida"), col("idb"))
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+    // hot key fully skipped, cold key's pairs all present
+    assert(got == Set((900L, 10900L), (900L, 10901L), (901L, 10900L), (901L, 10901L)),
+      s"expected only cold-key pairs, got ${got.size} pairs")
+    val overflow = IntervalJoin.overflowCells(l, "ka", "sa", "ea", 32L, 50)
+      .collect().map(row => (row.getLong(0), row.getLong(2)))
+    assert(overflow.toSeq == Seq((7L, 500L)), "hot cell must surface in the side-channel")
+  }
+
   test("touching endpoints match (closed intervals) and disjoint keys never join") {
     import spark.implicits._
     val l = Seq((1L, 0L, 10L, 20L), (2L, 1L, 10L, 20L)).toDF("ida", "ka", "sa", "ea")
