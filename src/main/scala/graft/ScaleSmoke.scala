@@ -68,6 +68,14 @@ object ScaleSmoke {
       spark.stop()
       return
     }
+    // targeted mode: `... <n> assoc` runs only the interval-join stage
+    if (args.lift(1).contains("assoc")) {
+      timed("interval_overlap_join")(intervalOverlapStage(spark, nDocs))
+      timed("interval_overlap_capped")(
+        intervalOverlapStage(spark, nDocs, capped = true))
+      spark.stop()
+      return
+    }
 
     // Stages consume the aggregate ROW (collect), never count() over an
     // agg — counting an Aggregate's output lets column pruning delete
@@ -323,23 +331,10 @@ object ScaleSmoke {
         Seq(graft.plans.TopK.asc("u"), graft.plans.TopK.asc("doc_id"))).count()
     }
     // ---- round-7: grid-blocked interval-OVERLAP self-join (q197
-    // operator). n intervals over a 100k-tick timeline, ~50 per key,
-    // typical length ~100 ≤ grain 256 (≤ 2 cells per row). The join is
-    // a pure equi-join on (key, cell) with the first-overlap-cell
-    // predicate — candidate volume is bounded by per-(key, cell)
-    // occupancy, not per-key interval count.
-    timed("interval_overlap_join") {
-      def iv(sfx: String) = spark.range(nDocs).select(
-        $"id".as(s"id$sfx"),
-        pmod(xxhash64($"id", lit(1)), lit(nDocs / 50L)).as(s"k$sfx"),
-        pmod(xxhash64($"id", lit(2)), lit(100000)).as(s"s$sfx"))
-        .withColumn(s"e$sfx",
-          col(s"s$sfx") + lit(1) + pmod(xxhash64(col(s"id$sfx"), lit(3)), lit(200)))
-      operators.IntervalJoin.overlap(iv("_a"), iv("_b"),
-          "k_a", "k_b", "s_a", "e_a", "s_b", "e_b", grain = 256L)
-        .filter($"id_a" < $"id_b")
-        .count()
-    }
+    // operator); plain + capped forms.
+    timed("interval_overlap_join")(intervalOverlapStage(spark, nDocs))
+    timed("interval_overlap_capped")(
+      intervalOverlapStage(spark, nDocs, capped = true))
     // ---- round-7: EXACT prefix-filtered Jaccard join (q166 core) on a
     // ZIPFIAN corpus — prefix filtering's candidate bound comes from
     // token rarity, so the uniform-vocab corpus above is its worst
@@ -383,6 +378,33 @@ object ScaleSmoke {
     // this runs at corpus scale with a constant-size window stage.
     runGovStages(spark, docs, (nm, f) => timed(nm)(f()), n)
     spark.stop()
+  }
+
+  /** Grid-blocked interval-OVERLAP self-join at n intervals (q197
+    * operator): 100k-tick timeline, ~50 intervals per key, typical
+    * length ~100 ≤ grain 256 (≤ 2 cells per row). The join is a pure
+    * equi-join on (key, cell) with the first-overlap-cell predicate —
+    * candidate volume is bounded by per-(key, cell) occupancy, not
+    * per-key interval count. `capped = true` runs the guarded form
+    * (maxPerCell = 64 — above this corpus's occupancy, so the result
+    * matches while the guard's window cost is measured honestly). */
+  private def intervalOverlapStage(spark: SparkSession, nDocs: Long,
+      capped: Boolean = false): Long = {
+    import spark.implicits._
+    def iv(sfx: String) = spark.range(nDocs).select(
+      $"id".as(s"id$sfx"),
+      pmod(xxhash64($"id", lit(1)), lit(nDocs / 50L)).as(s"k$sfx"),
+      pmod(xxhash64($"id", lit(2)), lit(100000)).as(s"s$sfx"))
+      .withColumn(s"e$sfx",
+        col(s"s$sfx") + lit(1) + pmod(xxhash64(col(s"id$sfx"), lit(3)), lit(200)))
+    val joined =
+      if (capped)
+        operators.IntervalJoin.overlapCapped(iv("_a"), iv("_b"),
+          "k_a", "k_b", "s_a", "e_a", "s_b", "e_b", grain = 256L, maxPerCell = 64)
+      else
+        operators.IntervalJoin.overlap(iv("_a"), iv("_b"),
+          "k_a", "k_b", "s_a", "e_a", "s_b", "e_b", grain = 256L)
+    joined.filter($"id_a" < $"id_b").count()
   }
 
   /** KS-drift + transformWithState stages, shared by the full smoke and
