@@ -15,10 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
-  /** @param valueCols right-side columns to carry to the matched left row
-    * @return left rows + `asof_<col>` matched values (null if no prior right row) */
-  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
-      idCol: String, valueCols: Seq[String]): DataFrame = {
+  /** Union both sides into one relation: left rows carry `__side = 1`
+    * and null `__v_<c>` slots; right rows carry `__side = 0` and their
+    * values in `__v_<c>`. The single sort (ts, __side, __oid) puts a
+    * right row BEFORE a left row at equal timestamps — backward
+    * (`<=`) semantics for the preceding frame; the following frame
+    * over the same sort is therefore strictly-later (`>`), which is
+    * exactly what [[asofJoinNearest]] needs (an equal-ts right row is
+    * distance 0 through the backward branch). */
+  private def unionAligned(left: DataFrame, right: DataFrame, key: String,
+      ts: String, idCol: String, valueCols: Seq[String]): DataFrame = {
     val lTagged = left
       .withColumn("__side", lit(1))
       .withColumn("__oid", col(idCol))
@@ -33,7 +39,14 @@ object AsOf {
       d.withColumn(s"__v_$c", lit(null).cast(right.schema(c).dataType)))
     val rAligned = left.columns.filterNot(Set(key, ts, idCol)).foldLeft(rTagged)((d, c) =>
       d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
-    val unioned = lAligned.unionByName(rAligned.select(lAligned.columns.toIndexedSeq.map(col): _*))
+    lAligned.unionByName(rAligned.select(lAligned.columns.toIndexedSeq.map(col): _*))
+  }
+
+  /** @param valueCols right-side columns to carry to the matched left row
+    * @return left rows + `asof_<col>` matched values (null if no prior right row) */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+      idCol: String, valueCols: Seq[String]): DataFrame = {
+    val unioned = unionAligned(left, right, key, ts, idCol, valueCols)
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts), col("__side"), col("__oid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -41,6 +54,59 @@ object AsOf {
       d.withColumn(s"asof_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w)))
     matched.filter(col("__side") === 1)
       .drop((Seq("__side", "__oid") ++ valueCols.map(c => s"__v_$c")): _*)
+  }
+
+  /** Forward as-of join (pandas `merge_asof(direction='forward')`):
+    * for each left row, the EARLIEST right row with `right.ts >=
+    * left.ts` in the same key group. Same single-shuffle union+window
+    * plan, mirrored: the sort flips sides at ties (left before right,
+    * so an equal-ts right row is inside the following frame — `>=`
+    * inclusive) and the frame looks forward with `first`. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+      ts: String, idCol: String, valueCols: Seq[String]): DataFrame = {
+    val unioned = unionAligned(left, right, key, ts, idCol, valueCols)
+    val w = Window.partitionBy(col(key))
+      // __side: left = 1, right = 0 → (1 - __side) sorts left first
+      .orderBy(col(ts), lit(1) - col("__side"), col("__oid"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = valueCols.foldLeft(unioned)((d, c) =>
+      d.withColumn(s"asof_$c", first(col(s"__v_$c"), ignoreNulls = true).over(w)))
+    matched.filter(col("__side") === 1)
+      .drop((Seq("__side", "__oid") ++ valueCols.map(c => s"__v_$c")): _*)
+  }
+
+  /** Nearest as-of join (pandas `merge_asof(direction='nearest')`):
+    * the right row minimizing |right.ts − left.ts|; equidistant →
+    * backward wins (pandas tie rule). ONE shuffle and ONE sort: both
+    * directions ride the same sorted partition — backward via the
+    * preceding frame (equal-ts lands here, distance 0), forward via
+    * the following frame (strictly later by construction). Adds
+    * `asof_dist` (same units as `ts`; null when the key group has no
+    * right row at all). */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, key: String,
+      ts: String, idCol: String, valueCols: Seq[String]): DataFrame = {
+    val r = right.withColumn("__rts", col(ts))
+    val vcs = valueCols :+ "__rts"
+    val unioned = unionAligned(left, r, key, ts, idCol, vcs)
+    val ord = Seq(col(ts), col("__side"), col("__oid"))
+    val wb = Window.partitionBy(col(key)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col(key)).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val withBF = vcs.foldLeft(unioned)((d, c) =>
+      d.withColumn(s"__b_$c", last(col(s"__v_$c"), ignoreNulls = true).over(wb))
+        .withColumn(s"__f_$c", first(col(s"__v_$c"), ignoreNulls = true).over(wf)))
+    val bd = col(ts) - col("__b___rts")
+    val fd = col("__f___rts") - col(ts)
+    val useB = col("__b___rts").isNotNull &&
+      (col("__f___rts").isNull || bd <= fd)
+    val chosen = valueCols.foldLeft(withBF)((d, c) =>
+      d.withColumn(s"asof_$c", when(useB, col(s"__b_$c")).otherwise(col(s"__f_$c"))))
+    chosen.filter(col("__side") === 1)
+      .withColumn("asof_dist",
+        when(useB, bd).otherwise(when(col("__f___rts").isNotNull, fd)))
+      .drop((Seq("__side", "__oid") ++
+        vcs.flatMap(c => Seq(s"__v_$c", s"__b_$c", s"__f_$c"))): _*)
   }
 
   /** As-of join with a match tolerance (pandas `merge_asof(tolerance=)`

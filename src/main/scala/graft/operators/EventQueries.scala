@@ -136,6 +136,57 @@ object EventQueries {
       |  CAST(COALESCE(m_us >= us - 1800000000, FALSE) AS INT) AS matched
       |FROM w WHERE side = 1 ORDER BY user_id, purchase_id""".stripMargin
 
+  /** q206 — q71's attribution as-of join in NEAREST direction (pandas
+    * merge_asof(direction='nearest')): each purchase matches the view
+    * minimizing |Δt| in either direction, equidistant → backward (the
+    * pandas tie rule). One shuffle and ONE sort: both direction frames
+    * ride the same sorted partition ([[AsOf.asofJoinNearest]]). */
+  def q206(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"), $"event_type")
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"us", $"event_id")
+    val views = e.filter($"event_type" === "view")
+      .select($"user_id", $"us", $"event_id")
+      .withColumn("view_id", $"event_id")
+    AsOf.asofJoinNearest(
+      purchases, views, key = "user_id", ts = "us", idCol = "event_id",
+      valueCols = Seq("view_id"))
+      .select($"user_id", $"event_id".as("purchase_id"),
+        $"asof_view_id".as("view_id"), $"asof_dist".as("dist_us"))
+      .orderBy($"user_id", $"purchase_id")
+  }
+
+  val q206Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+      |  FROM events),
+      |u AS (
+      |  SELECT user_id, us, event_id AS oid, 1 AS side, event_id AS purchase_id,
+      |         NULL::BIGINT AS view_id
+      |  FROM e WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, us, event_id, 0, NULL, event_id
+      |  FROM e WHERE event_type = 'view'),
+      |w AS (
+      |  SELECT user_id, us, side, purchase_id,
+      |    last_value(view_id IGNORE NULLS) OVER wb AS b_id,
+      |    last_value(CASE WHEN side = 0 THEN us END IGNORE NULLS) OVER wb AS b_us,
+      |    first_value(view_id IGNORE NULLS) OVER wf AS f_id,
+      |    first_value(CASE WHEN side = 0 THEN us END IGNORE NULLS) OVER wf AS f_us
+      |  FROM u
+      |  WINDOW wb AS (PARTITION BY user_id ORDER BY us, side, oid
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wf AS (PARTITION BY user_id ORDER BY us, side, oid
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, purchase_id,
+      |  CASE WHEN b_us IS NOT NULL AND (f_us IS NULL OR us - b_us <= f_us - us)
+      |       THEN b_id ELSE f_id END AS view_id,
+      |  CASE WHEN b_us IS NOT NULL AND (f_us IS NULL OR us - b_us <= f_us - us)
+      |       THEN us - b_us ELSE f_us - us END AS dist_us
+      |FROM w WHERE side = 1 ORDER BY user_id, purchase_id""".stripMargin
+
   /** q161 — clickstream path mining: the 20 most common 3-step
     * event-type sequences across user timelines (the "what do users
     * do next" query every product-analytics pipeline runs). Two leads
@@ -705,6 +756,7 @@ object EventQueries {
     QueryDef("q110_running_uniques", q110, Some(q110Sql)),
     QueryDef("q132_hourly_anomalies", q132, Some(q132Sql)),
     QueryDef("q158_asof_tolerance", q158, Some(q158Sql)),
+    QueryDef("q206_asof_nearest", q206, Some(q206Sql)),
     QueryDef("q161_event_paths", q161, Some(q161Sql)),
     QueryDef("q163_iqr_outliers", q163, Some(q163Sql)),
     QueryDef("q172_grouped_ols", q172, Some(q172Sql)),

@@ -139,7 +139,54 @@ object Profile {
        |ORDER BY gate""".stripMargin
   }
 
+  /** q207 — join-key skew profile: for each candidate join-key domain,
+    * the exact numbers a shuffle planner needs — row count, distinct
+    * keys, hottest-key frequency, and the self-join size Σc² (the
+    * second frequency moment F2: the exact output size of a self
+    * equi-join on that key, and the quantity a skew-salting decision
+    * is really about). `skew` normalizes: F2·keys/n² = 1 for a
+    * perfectly uniform domain, → keys for a single hot key.
+    *
+    * Scale shape: one groupBy per domain (map-side partial combine —
+    * the shuffle carries one row per distinct key per map partition),
+    * then a 1-row aggregate; domains union to a 4-row report. All
+    * moments are exact integers; the one division is a fixed-shape
+    * double op over them. */
+  def q207(s: SparkSession, d: String): DataFrame = {
+    def dom(name: String, df: DataFrame, key: String): DataFrame =
+      df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+          max(col("c")).as("max_freq"), sum(col("c") * col("c")).as("f2"))
+        .select(lit(name).as("domain"), col("n_rows"), col("n_keys"),
+          col("max_freq"), col("f2"),
+          graft.Fx.r6(col("f2").cast("double") * col("n_keys").cast("double") /
+            (col("n_rows").cast("double") * col("n_rows").cast("double")))
+            .as("skew"))
+    dom("events.user_id", Tables.events(s, d), "user_id")
+      .unionByName(dom("lineitem.l_orderkey", Tables.lineitem(s, d), "l_orderkey"))
+      .unionByName(dom("lineitem.l_partkey", Tables.lineitem(s, d), "l_partkey"))
+      .unionByName(dom("orders.o_custkey", Tables.orders(s, d), "o_custkey"))
+      .orderBy(col("domain"))
+  }
+
+  val q207Sql: String = {
+    import graft.Fx.sqlR6
+    def dom(name: String, table: String, key: String): String =
+      s"""SELECT '$name' AS domain, CAST(sum(c) AS BIGINT) AS n_rows,
+         |  count(*) AS n_keys, CAST(max(c) AS BIGINT) AS max_freq,
+         |  CAST(sum(c * c) AS BIGINT) AS f2,
+         |  ${sqlR6("CAST(sum(c * c) AS DOUBLE) * CAST(count(*) AS DOUBLE) / " +
+             "(CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE))")} AS skew
+         |FROM (SELECT count(*) AS c FROM $table GROUP BY $key) t""".stripMargin
+    Seq(dom("events.user_id", "events", "user_id"),
+      dom("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+      dom("lineitem.l_partkey", "lineitem", "l_partkey"),
+      dom("orders.o_custkey", "orders", "o_custkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY domain")
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q80_profile", q80, Some(q80Sql)),
-    QueryDef("q136_quality_gates", q136, Some(q136Sql)))
+    QueryDef("q136_quality_gates", q136, Some(q136Sql)),
+    QueryDef("q207_join_key_skew", q207, Some(q207Sql)))
 }
