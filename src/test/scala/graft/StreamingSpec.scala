@@ -154,6 +154,70 @@ class StreamingSpec extends SparkSpec {
     assert(afterB2.contains((2L, -1L)), s"unmatched view not emitted: $afterB2")
   }
 
+  test("stream-stream interval-overlap join matches batch IntervalJoin (watermark-evictable state)") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("iv_src").toString
+    val ckpt = Files.createTempDirectory("iv_ckpt").toString
+    val outDir = Files.createTempDirectory("iv_out").toString
+    val baseMs = 86400000L
+    def ts(min: Long) = new java.sql.Timestamp(baseMs + min * 60000L)
+    // random keyed intervals, length ≤ 30 min — the bounded length is
+    // what lets the join condition carry an explicit start-distance
+    // bound, which is what Spark needs to evict stream-stream state
+    val rnd = new scala.util.Random(13)
+    val ivs = (1L to 120L).map { id =>
+      val s = rnd.nextInt(600).toLong
+      (id, id % 4L, s, s + 1 + rnd.nextInt(29))
+    }
+    Files.writeString(java.nio.file.Path.of(s"$src/b1.csv"),
+      "id,k,s_ts,e_ts\n" +
+        ivs.map { case (id, k, s, e) => s"$id,$k,${ts(s)},${ts(e)}" }.mkString("\n"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id LONG, k LONG, s_ts TIMESTAMP, e_ts TIMESTAMP")
+    def side(sfx: String) =
+      spark.readStream.schema(schema).option("header", "true").csv(src)
+        .select(col("id").as(s"id$sfx"), col("k").as(s"k$sfx"),
+          col("s_ts").as(s"s$sfx"), col("e_ts").as(s"e$sfx"))
+        .withWatermark(s"s$sfx", "0 seconds")
+    // The JOIN CONDITION carries only the coarse |Δstart| ≤ 30 min
+    // bound (the bound overlap implies at bounded length): Spark's
+    // state-watermark analyzer requires every inequality term to
+    // involve ONLY watermarked event-time columns — `s_a <= e_b` with
+    // a non-watermarked `e_b` is an analyzer error. The EXACT overlap
+    // is a typed residual filter: opaque to predicate pushdown, so it
+    // cannot be folded back into the join condition, and evaluated on
+    // the (state-bounded) coarse matches.
+    val joined = side("_a").join(side("_b"), expr(
+        "k_a = k_b" +
+          " AND s_b >= s_a - interval 30 minutes" +
+          " AND s_b <= s_a + interval 30 minutes"))
+      .filter((r: org.apache.spark.sql.Row) => {
+        val sA = r.getAs[java.sql.Timestamp]("s_a").getTime
+        val eA = r.getAs[java.sql.Timestamp]("e_a").getTime
+        val sB = r.getAs[java.sql.Timestamp]("s_b").getTime
+        val eB = r.getAs[java.sql.Timestamp]("e_b").getTime
+        sA <= eB && sB <= eA && r.getAs[Long]("id_a") < r.getAs[Long]("id_b")
+      })
+      .select(col("id_a"), col("id_b"))
+    val q = joined.writeStream.format("parquet").option("path", outDir)
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    val streamed = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch twin through the grid-blocked operator on minute ticks
+    def batch(sfx: String) = ivs
+      .toDF(s"id$sfx", s"k$sfx", s"s$sfx", s"e$sfx")
+    val expected = graft.operators.IntervalJoin.overlap(
+        batch("_a"), batch("_b"), "k_a", "k_b", "s_a", "e_a", "s_b", "e_b", 32L)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == expected,
+      s"stream ${streamed.size} pairs vs batch ${expected.size}")
+    assert(expected.size > 50, s"degenerate fixture: only ${expected.size} pairs")
+  }
+
   test("stateful gap sessionization matches the batch q70 semantics") {
     import spark.implicits._
     val us = 1000000L
