@@ -179,25 +179,10 @@ class StreamingSpec extends SparkSpec {
         .select(col("id").as(s"id$sfx"), col("k").as(s"k$sfx"),
           col("s_ts").as(s"s$sfx"), col("e_ts").as(s"e$sfx"))
         .withWatermark(s"s$sfx", "0 seconds")
-    // The JOIN CONDITION carries only the coarse |Δstart| ≤ 30 min
-    // bound (the bound overlap implies at bounded length): Spark's
-    // state-watermark analyzer requires every inequality term to
-    // involve ONLY watermarked event-time columns — `s_a <= e_b` with
-    // a non-watermarked `e_b` is an analyzer error. The EXACT overlap
-    // is a typed residual filter: opaque to predicate pushdown, so it
-    // cannot be folded back into the join condition, and evaluated on
-    // the (state-bounded) coarse matches.
-    val joined = side("_a").join(side("_b"), expr(
-        "k_a = k_b" +
-          " AND s_b >= s_a - interval 30 minutes" +
-          " AND s_b <= s_a + interval 30 minutes"))
-      .filter((r: org.apache.spark.sql.Row) => {
-        val sA = r.getAs[java.sql.Timestamp]("s_a").getTime
-        val eA = r.getAs[java.sql.Timestamp]("e_a").getTime
-        val sB = r.getAs[java.sql.Timestamp]("s_b").getTime
-        val eB = r.getAs[java.sql.Timestamp]("e_b").getTime
-        sA <= eB && sB <= eA && r.getAs[Long]("id_a") < r.getAs[Long]("id_b")
-      })
+    val joined = graft.streaming.StreamingIntervalJoin.overlap(
+        side("_a"), side("_b"),
+        "k_a", "k_b", "s_a", "e_a", "s_b", "e_b", "interval 30 minutes")
+      .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
     val q = joined.writeStream.format("parquet").option("path", outDir)
       .outputMode("append").option("checkpointLocation", ckpt)
