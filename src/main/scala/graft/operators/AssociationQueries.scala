@@ -466,6 +466,64 @@ object AssociationQueries {
       |  AND a.s <= b.e AND b.s <= a.e
       |GROUP BY 1, 2 ORDER BY t_a, t_b""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q208 — inter-arrival (re-order latency) distribution
+  // ------------------------------------------------------------------
+
+  /** q208 — days between a customer's consecutive orders, summarized
+    * per priority of the LATER order: nearest-rank p50/p90 (exact
+    * integer rank selection — the q163/q199 discipline; gaps collapse
+    * to (priority, gap-day) cells first, so the rank windows run over
+    * the bounded value domain, never row data) plus max. One shuffle
+    * on customer for the lag, one on the cells. */
+  def q208(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d).select($"o_custkey",
+      $"o_orderpriority".as("priority"), $"o_orderkey",
+      epochDay($"o_orderdate").as("day"))
+    val w = Window.partitionBy($"o_custkey").orderBy($"day", $"o_orderkey")
+    val gaps = o.withColumn("prev", lag($"day", 1).over(w))
+      .filter($"prev".isNotNull)
+      .select($"priority", ($"day" - $"prev").cast("long").as("gap"))
+    val cells = gaps.groupBy($"priority", $"gap").agg(count(lit(1)).as("c"))
+    val cum = Window.partitionBy($"priority").orderBy($"gap")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("tc", sum($"c").over(Window.partitionBy($"priority")))
+      .withColumn("cc", sum($"c").over(cum))
+      .groupBy($"priority")
+      .agg(max($"tc").as("n_gaps"),
+        min(when($"cc" * 2 >= $"tc", $"gap")).as("p50_gap"),
+        min(when($"cc" * 10 >= $"tc" * 9, $"gap")).as("p90_gap"),
+        max($"gap").as("max_gap"))
+      .orderBy($"priority")
+  }
+
+  val q208Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderpriority AS priority, o_orderkey,
+      |    (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS day
+      |  FROM orders),
+      |g AS (
+      |  SELECT priority,
+      |    CAST(day - lag(day) OVER (PARTITION BY o_custkey
+      |      ORDER BY day, o_orderkey) AS BIGINT) AS gap
+      |  FROM o),
+      |cells AS (
+      |  SELECT priority, gap, count(*) AS c FROM g WHERE gap IS NOT NULL
+      |  GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT priority, gap, c,
+      |    sum(c) OVER (PARTITION BY priority) AS tc,
+      |    sum(c) OVER (PARTITION BY priority ORDER BY gap
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+      |  FROM cells)
+      |SELECT priority, CAST(max(tc) AS BIGINT) AS n_gaps,
+      |  min(CASE WHEN cc * 2 >= tc THEN gap END) AS p50_gap,
+      |  min(CASE WHEN cc * 10 >= tc * 9 THEN gap END) AS p90_gap,
+      |  max(gap) AS max_gap
+      |FROM cum GROUP BY priority ORDER BY priority""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q197_interval_overlap", q197, Some(q197Sql), bench = true),
     QueryDef("q199_weighted_median", q199, Some(q199Sql)),
@@ -473,5 +531,6 @@ object AssociationQueries {
     QueryDef("q201_bigram_lift", q201, Some(q201Sql)),
     QueryDef("q203_trend_outliers", q203, Some(q203Sql)),
     QueryDef("q204_copurchase_lift", q204, Some(q204Sql)),
-    QueryDef("q205_session_overlap", q205, Some(q205Sql), bench = true))
+    QueryDef("q205_session_overlap", q205, Some(q205Sql), bench = true),
+    QueryDef("q208_interorder_gaps", q208, Some(q208Sql)))
 }

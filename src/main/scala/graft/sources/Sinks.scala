@@ -93,6 +93,62 @@ object Sinks {
     fs.delete(staging, true)
   }
 
+  /** Keyed hard delete (right-to-be-forgotten): remove every row whose
+    * key appears in `keys`, rewriting only what must be rewritten.
+    * Same read-merge-rewrite staging as [[mergeUpsert]] (Spark cannot
+    * overwrite a path it is reading), same pruning contract: with
+    * `partitions` + a `partitionFor` hint frame (key → partition
+    * values), only partitions that can contain a deleted key are read
+    * and rewritten — the erasure cost is proportional to touched
+    * partitions, not table size. Idempotent: deleting absent keys is a
+    * no-op rewrite.
+    *
+    * `keys` is a 1-column frame (the usual erasure batch is tiny →
+    * broadcast anti join; a backfill-sized batch degrades gracefully
+    * to a shuffle anti join under AQE). */
+  def deleteByKey(spark: org.apache.spark.sql.SparkSession, dir: String,
+      key: String, keys: DataFrame,
+      partitions: Seq[String] = Nil,
+      partitionFor: Option[DataFrame] = None): Unit = {
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(target)) return
+    val existing = spark.read.parquet(dir)
+    val scoped = (partitions, partitionFor) match {
+      case (ps, Some(hint)) if ps.nonEmpty =>
+        existing.join(broadcast(hint.select(ps.map(col): _*).distinct()),
+          ps, "left_semi")
+      case _ => existing
+    }
+    val kept = scoped.join(keys.select(col(keys.columns.head).as(key)),
+      Seq(key), "left_anti")
+    val staging = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + "__staging")
+    kept.write.mode("overwrite").parquet(staging.toString)
+    val staged = spark.read.parquet(staging.toString)
+    if (partitions.nonEmpty && partitionFor.nonEmpty) {
+      staged.write.partitionBy(partitions: _*)
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(dir)
+      // Dynamic overwrite only replaces partitions that receive NEW
+      // files — a partition the delete EMPTIED writes nothing and its
+      // old files (with the erased keys) would survive. Remove those
+      // explicitly: touched partitions minus still-populated ones.
+      // Bounded by the erasure batch → driver-side collect is fine.
+      val touched = partitionFor.get.select(partitions.map(col): _*).distinct()
+      val emptied = touched.join(
+        staged.select(partitions.map(col): _*).distinct(), partitions, "left_anti")
+      emptied.collect().foreach { row =>
+        val seg = partitions.zipWithIndex
+          .map { case (p, i) => s"$p=${row.get(i)}" }.mkString("/")
+        fs.delete(new org.apache.hadoop.fs.Path(s"${dir.stripSuffix("/")}/$seg"), true)
+      }
+    } else if (partitions.nonEmpty)
+      staged.write.partitionBy(partitions: _*).mode("overwrite").parquet(dir)
+    else
+      staged.write.mode("overwrite").parquet(dir)
+    fs.delete(staging, true)
+  }
+
   /** SCD-2 merge (slowly-changing dimension, validity intervals): the
     * history-preserving variant of [[mergeUpsert]]. The target carries
     * `valid_from` / `valid_to` (null = current). Each update row with a

@@ -83,6 +83,46 @@ class PipelineSpec extends SparkSpec {
     assert(after == untouchedFiles)
   }
 
+  test("deleteByKey: erasure removes rows, is idempotent, leaves other rows byte-identical") {
+    import spark.implicits._
+    val dir = tmp("del") + "/t"
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+      .write.parquet(dir)
+    def state() = spark.read.parquet(dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    Sinks.deleteByKey(spark, dir, "id", Seq(2L, 4L).toDF("id"))
+    assert(state() == Seq((1L, "a"), (3L, "c")))
+    // idempotent: erasing already-absent keys is a no-op
+    Sinks.deleteByKey(spark, dir, "id", Seq(2L, 99L).toDF("id"))
+    assert(state() == Seq((1L, "a"), (3L, "c")))
+  }
+
+  test("deleteByKey partitioned: untouched partitions keep their files; emptied partitions VANISH") {
+    import spark.implicits._
+    val dir = tmp("delp") + "/t"
+    val base = Seq((1L, "austin", 100), (2L, "austin", 200),
+      (3L, "woburn", 300), (4L, "quincy", 400))
+      .toDF("id", "city", "price")
+    base.write.partitionBy("city").parquet(dir)
+    val untouchedFiles = new java.io.File(s"$dir/city=woburn").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    // erase id 2 (austin survives with id 1) and id 4 (quincy EMPTIES)
+    Sinks.deleteByKey(spark, dir, "id", Seq(2L, 4L).toDF("id"),
+      partitions = Seq("city"),
+      partitionFor = Some(Seq(("austin"), ("quincy")).toDF("city")))
+    val got = spark.read.parquet(dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getAs[String]("city"))).toSeq
+    assert(got == Seq((1L, "austin"), (3L, "woburn")),
+      s"erased keys must not survive; got $got")
+    // dynamic overwrite writes nothing for an emptied partition — the
+    // sink must remove the stale directory itself or id 4 leaks back
+    assert(!new java.io.File(s"$dir/city=quincy").exists(),
+      "emptied partition directory must be deleted (erasure leak)")
+    val after = new java.io.File(s"$dir/city=woburn").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(after == untouchedFiles, "untouched partition was rewritten")
+  }
+
   test("JDBC round-trip via embedded Derby (S6/K3)") {
     import spark.implicits._
     val url = "jdbc:derby:memory:graftdb;create=true"
