@@ -15,32 +15,46 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
-  /** Union both sides into one relation: left rows carry `__side = 1`
-    * and null `__v_<c>` slots; right rows carry `__side = 0` and their
-    * values in `__v_<c>`. The single sort (ts, __side, __oid) puts a
-    * right row BEFORE a left row at equal timestamps — backward
-    * (`<=`) semantics for the preceding frame; the following frame
-    * over the same sort is therefore strictly-later (`>`), which is
-    * exactly what [[asofJoinNearest]] needs (an equal-ts right row is
-    * distance 0 through the backward branch). */
+  /** Union both sides into one relation: right rows carry `__side = 0`
+    * and ALL their value columns in ONE `__vrow` struct (left rows
+    * carry a typed null struct). The match is therefore row-ATOMIC by
+    * construction: a window picks whole structs, so a null in one
+    * value column of the matched row can never splice that column in
+    * from a DIFFERENT right row (pandas merge_asof matches rows, not
+    * columns — and `last(_, ignoreNulls)` per column would).
+    *
+    * The single sort (ts, __side, __oid) puts a right row BEFORE a
+    * left row at equal timestamps — backward (`<=`) semantics for the
+    * preceding frame; the following frame over the same sort is
+    * therefore strictly-later (`>`), which is exactly what
+    * [[asofJoinNearest]] needs (an equal-ts right row is distance 0
+    * through the backward branch). */
   private def unionAligned(left: DataFrame, right: DataFrame, key: String,
       ts: String, idCol: String, valueCols: Seq[String]): DataFrame = {
-    val lTagged = left
+    val vrowType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType)))
+    val lAligned = left
       .withColumn("__side", lit(1))
       .withColumn("__oid", col(idCol))
-    val rBase = right
+      .withColumn("__vrow", lit(null).cast(vrowType))
+    val rTagged = right
       .select((Seq(key, ts, idCol) ++ valueCols).distinct.map(col): _*)
       .withColumn("__side", lit(0))
       .withColumn("__oid", col(idCol))
-    val rTagged = valueCols.foldLeft(rBase) { (d, c) =>
-      d.withColumn(s"__v_$c", col(c))
-    }.drop(valueCols.filterNot(Seq(key, ts, idCol).contains): _*)
-    val lAligned = valueCols.foldLeft(lTagged)((d, c) =>
-      d.withColumn(s"__v_$c", lit(null).cast(right.schema(c).dataType)))
+      .withColumn("__vrow", struct(valueCols.map(col): _*))
+      .drop(valueCols.filterNot(Seq(key, ts, idCol).contains): _*)
     val rAligned = left.columns.filterNot(Set(key, ts, idCol)).foldLeft(rTagged)((d, c) =>
       d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
     lAligned.unionByName(rAligned.select(lAligned.columns.toIndexedSeq.map(col): _*))
   }
+
+  /** Expand the matched struct into `asof_<col>` columns + cleanup. */
+  private def expand(matched: DataFrame, m: Column,
+      valueCols: Seq[String]): DataFrame =
+    valueCols.foldLeft(matched)((d, c) => d.withColumn(s"asof_$c", m.getField(c)))
+      .filter(col("__side") === 1)
+      .drop("__side", "__oid", "__vrow", "__m")
 
   /** @param valueCols right-side columns to carry to the matched left row
     * @return left rows + `asof_<col>` matched values (null if no prior right row) */
@@ -50,10 +64,8 @@ object AsOf {
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts), col("__side"), col("__oid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = valueCols.foldLeft(unioned)((d, c) =>
-      d.withColumn(s"asof_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w)))
-    matched.filter(col("__side") === 1)
-      .drop((Seq("__side", "__oid") ++ valueCols.map(c => s"__v_$c")): _*)
+    expand(unioned.withColumn("__m", last(col("__vrow"), ignoreNulls = true).over(w)),
+      col("__m"), valueCols)
   }
 
   /** Forward as-of join (pandas `merge_asof(direction='forward')`):
@@ -69,10 +81,8 @@ object AsOf {
       // __side: left = 1, right = 0 → (1 - __side) sorts left first
       .orderBy(col(ts), lit(1) - col("__side"), col("__oid"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val matched = valueCols.foldLeft(unioned)((d, c) =>
-      d.withColumn(s"asof_$c", first(col(s"__v_$c"), ignoreNulls = true).over(w)))
-    matched.filter(col("__side") === 1)
-      .drop((Seq("__side", "__oid") ++ valueCols.map(c => s"__v_$c")): _*)
+    expand(unioned.withColumn("__m", first(col("__vrow"), ignoreNulls = true).over(w)),
+      col("__m"), valueCols)
   }
 
   /** Nearest as-of join (pandas `merge_asof(direction='nearest')`):
@@ -93,20 +103,18 @@ object AsOf {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wf = Window.partitionBy(col(key)).orderBy(ord: _*)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val withBF = vcs.foldLeft(unioned)((d, c) =>
-      d.withColumn(s"__b_$c", last(col(s"__v_$c"), ignoreNulls = true).over(wb))
-        .withColumn(s"__f_$c", first(col(s"__v_$c"), ignoreNulls = true).over(wf)))
-    val bd = col(ts) - col("__b___rts")
-    val fd = col("__f___rts") - col(ts)
-    val useB = col("__b___rts").isNotNull &&
-      (col("__f___rts").isNull || bd <= fd)
-    val chosen = valueCols.foldLeft(withBF)((d, c) =>
-      d.withColumn(s"asof_$c", when(useB, col(s"__b_$c")).otherwise(col(s"__f_$c"))))
-    chosen.filter(col("__side") === 1)
-      .withColumn("asof_dist",
-        when(useB, bd).otherwise(when(col("__f___rts").isNotNull, fd)))
-      .drop((Seq("__side", "__oid") ++
-        vcs.flatMap(c => Seq(s"__v_$c", s"__b_$c", s"__f_$c"))): _*)
+    val withBF = unioned
+      .withColumn("__b", last(col("__vrow"), ignoreNulls = true).over(wb))
+      .withColumn("__f", first(col("__vrow"), ignoreNulls = true).over(wf))
+    val bts = col("__b").getField("__rts")
+    val fts = col("__f").getField("__rts")
+    val bd = col(ts) - bts
+    val fd = fts - col(ts)
+    val useB = bts.isNotNull && (fts.isNull || bd <= fd)
+    val chosen = withBF.withColumn("__m", when(useB, col("__b")).otherwise(col("__f")))
+    expand(chosen, col("__m"), valueCols)
+      .withColumn("asof_dist", when(useB, bd).otherwise(when(fts.isNotNull, fd)))
+      .drop("__b", "__f")
   }
 
   /** As-of join with a match tolerance (pandas `merge_asof(tolerance=)`

@@ -225,9 +225,12 @@ object AssociationQueries {
       .join(uni.select($"t".as("x"), $"c".as("cx")), Seq("x"))
       .join(uni.select($"t".as("y"), $"c".as("cy")), Seq("y"))
       .crossJoin(broadcast(uniTot)).crossJoin(broadcast(bgTot))
+      // each factor casts to double BEFORE multiplying: a BIGINT
+      // product n_big·cx·cy overflows int64 at trillion-token corpora
+      // (and DuckDB would error where Spark wraps — a divergence)
       .withColumn("lift",
         ($"cxy".cast("double") * $"n_uni".cast("double") * $"n_uni".cast("double")) /
-          ($"n_big" * $"cx" * $"cy").cast("double"))
+          ($"n_big".cast("double") * $"cx".cast("double") * $"cy".cast("double")))
       .orderBy($"lift".desc, $"x", $"y")
       .limit(20)
       .select($"x", $"y", $"cxy", $"cx", $"cy", r6($"lift").as("lift"))
@@ -246,7 +249,7 @@ object AssociationQueries {
        |sc AS (
        |  SELECT bg.x, bg.y, cxy, ux.c AS cx, uy.c AS cy,
        |    (CAST(cxy AS DOUBLE) * CAST(n_uni AS DOUBLE) * CAST(n_uni AS DOUBLE)) /
-       |      CAST(n_big * ux.c * uy.c AS DOUBLE) AS lift
+       |      (CAST(n_big AS DOUBLE) * CAST(ux.c AS DOUBLE) * CAST(uy.c AS DOUBLE)) AS lift
        |  FROM bg JOIN uni ux ON bg.x = ux.t JOIN uni uy ON bg.y = uy.t
        |       CROSS JOIN ut CROSS JOIN bt
        |  WHERE cxy >= 10)
@@ -372,9 +375,10 @@ object AssociationQueries {
       .withColumn("n_b",
         max(when($"b2".isNull, $"n")).over(Window.partitionBy(coalesce($"b2", $"b1"))))
       .filter($"b2".isNotNull && $"n" >= 5)
+      // factor-wise double casts (same overflow rationale as q201)
       .withColumn("lift",
         ($"n".cast("double") * $"n_orders".cast("double")) /
-          ($"n_a" * $"n_b").cast("double"))
+          ($"n_a".cast("double") * $"n_b".cast("double")))
       .orderBy($"lift".desc, $"b1", $"b2")
       .limit(20)
       .select($"b1", $"b2", $"n".as("n_both"), $"n_a", $"n_b",
@@ -394,7 +398,7 @@ object AssociationQueries {
        |sc AS (
        |  SELECT b1, b2, n_both, sa.n AS n_a, sb.n AS n_b,
        |    (CAST(n_both AS DOUBLE) * CAST(n_orders AS DOUBLE)) /
-       |      CAST(sa.n * sb.n AS DOUBLE) AS lift_raw
+       |      (CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE)) AS lift_raw
        |  FROM p JOIN sz sa ON sa.b = p.b1 JOIN sz sb ON sb.b = p.b2
        |       CROSS JOIN no
        |  WHERE n_both >= 5)

@@ -151,7 +151,9 @@ object Profile {
     * the shuffle carries one row per distinct key per map partition),
     * then a 1-row aggregate; domains union to a 4-row report. All
     * moments are exact integers; the one division is a fixed-shape
-    * double op over them. */
+    * double op over them. (Bound: Σc² accumulates in int64, exact
+    * while the hottest key stays under ~3·10⁹ rows — beyond that,
+    * shard the domain or switch the f2 column to DECIMAL.) */
   def q207(s: SparkSession, d: String): DataFrame = {
     def dom(name: String, df: DataFrame, key: String): DataFrame =
       df.groupBy(col(key)).agg(count(lit(1)).as("c"))

@@ -53,22 +53,35 @@ object RangeJoin {
   */
 object IntervalJoin {
 
-  def overlap(left: DataFrame, right: DataFrame,
+  /** Replicate each row into the grain-cells its [s, e] covers — the
+    * ONE definition of the cell math, shared by both join forms and
+    * the overflow monitor. */
+  private def withCells(df: DataFrame, s: String, e: String, cell: String,
+      grain: Long): DataFrame =
+    df.withColumn(cell,
+      explode(sequence(floor(col(s) / grain).cast("long"),
+        floor(col(e) / grain).cast("long"))))
+
+  /** The equi-join + first-overlap-cell predicate, shared by plain and
+    * capped forms so the dedup rule can never drift between them. */
+  private def joinCells(lc: DataFrame, rc: DataFrame,
       lKey: String, rKey: String,
       lS: String, lE: String, rS: String, rE: String,
-      grain: Long): DataFrame = {
-    require(grain > 0, s"grain must be positive, got $grain")
-    val lc = left.withColumn("__lcell",
-      explode(sequence(floor(col(lS) / grain).cast("long"),
-        floor(col(lE) / grain).cast("long"))))
-    val rc = right.withColumn("__rcell",
-      explode(sequence(floor(col(rS) / grain).cast("long"),
-        floor(col(rE) / grain).cast("long"))))
+      grain: Long): DataFrame =
     lc.join(rc,
         col(lKey) === col(rKey) && col("__lcell") === col("__rcell") &&
           col(lS) <= col(rE) && col(rS) <= col(lE) &&
           floor(greatest(col(lS), col(rS)) / grain).cast("long") === col("__lcell"))
       .drop("__lcell", "__rcell")
+
+  def overlap(left: DataFrame, right: DataFrame,
+      lKey: String, rKey: String,
+      lS: String, lE: String, rS: String, rE: String,
+      grain: Long): DataFrame = {
+    require(grain > 0, s"grain must be positive, got $grain")
+    joinCells(withCells(left, lS, lE, "__lcell", grain),
+      withCells(right, rS, rE, "__rcell", grain),
+      lKey, rKey, lS, lE, rS, rE, grain)
   }
 
   /** [[overlap]] with a degenerate-cell guard: a (key, cell) whose
@@ -89,22 +102,16 @@ object IntervalJoin {
       lS: String, lE: String, rS: String, rE: String,
       grain: Long, maxPerCell: Int): DataFrame = {
     require(grain > 0, s"grain must be positive, got $grain")
-    def cells(df: DataFrame, key: String, s: String, e: String, cell: String) =
-      df.withColumn(cell,
-          explode(sequence(floor(col(s) / grain).cast("long"),
-            floor(col(e) / grain).cast("long"))))
+    def capped(df: DataFrame, key: String, s: String, e: String, cell: String) =
+      withCells(df, s, e, cell, grain)
         .withColumn("__n" + cell,
           count(lit(1)).over(org.apache.spark.sql.expressions.Window
             .partitionBy(col(key), col(cell))))
         .filter(col("__n" + cell) <= maxPerCell)
         .drop("__n" + cell)
-    val lc = cells(left, lKey, lS, lE, "__lcell")
-    val rc = cells(right, rKey, rS, rE, "__rcell")
-    lc.join(rc,
-        col(lKey) === col(rKey) && col("__lcell") === col("__rcell") &&
-          col(lS) <= col(rE) && col(rS) <= col(lE) &&
-          floor(greatest(col(lS), col(rS)) / grain).cast("long") === col("__lcell"))
-      .drop("__lcell", "__rcell")
+    joinCells(capped(left, lKey, lS, lE, "__lcell"),
+      capped(right, rKey, rS, rE, "__rcell"),
+      lKey, rKey, lS, lE, rS, rE, grain)
   }
 
   /** Monitoring side-channel for [[overlapCapped]]: the (key, cell)s
@@ -112,9 +119,7 @@ object IntervalJoin {
     * to the join so capped coverage is visible, never silent. */
   def overflowCells(df: DataFrame, key: String, s: String, e: String,
       grain: Long, maxPerCell: Int): DataFrame =
-    df.withColumn("__cell",
-        explode(sequence(floor(col(s) / grain).cast("long"),
-          floor(col(e) / grain).cast("long"))))
+    withCells(df, s, e, "__cell", grain)
       .groupBy(col(key), col("__cell").as("cell"))
       .agg(count(lit(1)).as("n_intervals"))
       .filter(col("n_intervals") > maxPerCell)

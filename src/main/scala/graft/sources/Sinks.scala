@@ -62,6 +62,32 @@ object Sinks {
     * rewritten (dynamic partition overwrite) — merge cost is
     * proportional to touched partitions, not table size.
     */
+  /** The staged-swap write protocol, shared by every read-merge-rewrite
+    * sink (merge, delete, SCD-2): Spark cannot overwrite a path it is
+    * reading, so the frame materializes to a sibling `__staging` dir,
+    * is read back, written over the target (dynamic partition
+    * overwrite when asked), and the staging removed. ONE copy of the
+    * protocol — the crash-recovery guarantees PipelineSpec pins for
+    * the staging dir hold for every caller by construction, not by
+    * manual parity. */
+  private def stageAndSwap(spark: org.apache.spark.sql.SparkSession,
+      dir: String, frame: DataFrame, partitions: Seq[String],
+      dynamicOverwrite: Boolean): Unit = {
+    val staging = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + "__staging")
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    frame.write.mode("overwrite").parquet(staging.toString)
+    val staged = spark.read.parquet(staging.toString)
+    val w = staged.write.mode("overwrite")
+    if (partitions.nonEmpty && dynamicOverwrite)
+      w.partitionBy(partitions: _*)
+        .option("partitionOverwriteMode", "dynamic").parquet(dir)
+    else if (partitions.nonEmpty)
+      w.partitionBy(partitions: _*).parquet(dir)
+    else
+      w.parquet(dir)
+    fs.delete(staging, true)
+  }
+
   def mergeUpsert(updates: DataFrame, dir: String, key: String,
       partitions: Seq[String] = Nil): Unit = {
     val spark = updates.sparkSession
@@ -81,16 +107,8 @@ object Sinks {
         partitions, "left_semi")
     val kept = scoped.join(updates, Seq(key), "left_anti")
     val merged = kept.unionByName(updates.select(kept.columns.map(col).toSeq: _*))
-    val staging = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + "__staging")
-    merged.write.mode("overwrite").parquet(staging.toString)
-    val staged = spark.read.parquet(staging.toString)
-    if (partitions.nonEmpty)
-      staged.write.partitionBy(partitions: _*)
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite").parquet(dir)
-    else
-      staged.write.mode("overwrite").parquet(dir)
-    fs.delete(staging, true)
+    stageAndSwap(spark, dir, merged, partitions,
+      dynamicOverwrite = partitions.nonEmpty)
   }
 
   /** Keyed hard delete (right-to-be-forgotten): remove every row whose
@@ -122,31 +140,37 @@ object Sinks {
     }
     val kept = scoped.join(keys.select(col(keys.columns.head).as(key)),
       Seq(key), "left_anti")
-    val staging = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + "__staging")
-    kept.write.mode("overwrite").parquet(staging.toString)
-    val staged = spark.read.parquet(staging.toString)
-    if (partitions.nonEmpty && partitionFor.nonEmpty) {
-      staged.write.partitionBy(partitions: _*)
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite").parquet(dir)
-      // Dynamic overwrite only replaces partitions that receive NEW
-      // files — a partition the delete EMPTIED writes nothing and its
-      // old files (with the erased keys) would survive. Remove those
-      // explicitly: touched partitions minus still-populated ones.
-      // Bounded by the erasure batch → driver-side collect is fine.
-      val touched = partitionFor.get.select(partitions.map(col): _*).distinct()
-      val emptied = touched.join(
-        staged.select(partitions.map(col): _*).distinct(), partitions, "left_anti")
-      emptied.collect().foreach { row =>
-        val seg = partitions.zipWithIndex
-          .map { case (p, i) => s"$p=${row.get(i)}" }.mkString("/")
-        fs.delete(new org.apache.hadoop.fs.Path(s"${dir.stripSuffix("/")}/$seg"), true)
-      }
-    } else if (partitions.nonEmpty)
-      staged.write.partitionBy(partitions: _*).mode("overwrite").parquet(dir)
-    else
-      staged.write.mode("overwrite").parquet(dir)
-    fs.delete(staging, true)
+    // Dynamic overwrite only replaces partitions that receive NEW
+    // files — a partition the delete EMPTIED writes nothing and its
+    // old files (with the erased keys) would survive. Compute the
+    // emptied set BEFORE the swap (kept still reads the intact
+    // target), then remove those directories explicitly. Bounded by
+    // the erasure batch → driver-side collect is fine.
+    val emptied: Array[org.apache.spark.sql.Row] =
+      if (partitions.nonEmpty && partitionFor.nonEmpty)
+        partitionFor.get.select(partitions.map(col): _*).distinct()
+          .join(kept.select(partitions.map(col): _*).distinct(),
+            partitions, "left_anti")
+          .collect()
+      else Array.empty
+    stageAndSwap(spark, dir, kept, partitions,
+      dynamicOverwrite = partitionFor.nonEmpty)
+    emptied.foreach { row =>
+      // Hive path escaping, via Spark's own codec: a value with ':',
+      // ' ', '%', '/'… is stored escaped on disk (and null/empty as
+      // the default-partition name) — a raw "col=value" path would
+      // silently miss it and LEAK the erased rows.
+      val seg = partitions.zipWithIndex.map { case (p, i) =>
+        val v = Option(row.get(i)).map(_.toString).getOrElse("")
+        val escaped =
+          if (v.isEmpty) "__HIVE_DEFAULT_PARTITION__"
+          else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .escapePathName(v)
+        s"${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(p)}=$escaped"
+      }.mkString("/")
+      fs.delete(new org.apache.hadoop.fs.Path(s"${dir.stripSuffix("/")}/$seg"), true)
+    }
   }
 
   /** SCD-2 merge (slowly-changing dimension, validity intervals): the
@@ -181,11 +205,7 @@ object Sinks {
       .unionByName(closedNow)
       .unionByName(stillCurrent)
       .unionByName(fresh.select(closedHistory.columns.map(col).toSeq: _*))
-    val staging = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + "__staging")
-    merged.write.mode("overwrite").parquet(staging.toString)
-    spark.read.parquet(staging.toString)
-      .write.mode("overwrite").parquet(dir)
-    fs.delete(staging, true)
+    stageAndSwap(spark, dir, merged, Nil, dynamicOverwrite = false)
   }
 
   /** Small-file compaction: rewrite a parquet directory into

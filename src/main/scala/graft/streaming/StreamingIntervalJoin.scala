@@ -47,7 +47,13 @@ object StreamingIntervalJoin {
         joined.schema.fieldIndex(rS), joined.schema.fieldIndex(rE))
     joined.filter((r: Row) =>
       !r.isNullAt(liS) && !r.isNullAt(liE) && !r.isNullAt(riS) && !r.isNullAt(riE) &&
-        r.getTimestamp(liS).getTime <= r.getTimestamp(riE).getTime &&
-        r.getTimestamp(riS).getTime <= r.getTimestamp(liE).getTime)
+        micros(r.getTimestamp(liS)) <= micros(r.getTimestamp(riE)) &&
+        micros(r.getTimestamp(riS)) <= micros(r.getTimestamp(liE)))
   }
+
+  /** Full µs-precision instant: `getTime` alone truncates to the
+    * millisecond, which would admit pairs whose endpoints share a ms
+    * but do NOT overlap at Spark's native µs timestamp precision. */
+  private[graft] def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 }

@@ -80,6 +80,25 @@ class AsOfSpec extends SparkSpec {
     assert(bad == 0, "asof_dist must be a non-negative distance for every match")
   }
 
+  test("a null in one carried column of the matched row stays null — no splice from older rows") {
+    import spark.implicits._
+    // ts=9 is the backward match; its rv is NULL. Per-column
+    // last(ignoreNulls) would reach past it and return ts=5's rv=7 —
+    // a value from a DIFFERENT row than asof_rid reports.
+    val l = Seq((0L, 10L, 100L)).toDF("k", "ts", "id")
+    val r = Seq((0L, 5L, 1L, Some(7L)), (0L, 9L, 2L, None))
+      .toDF("k", "ts", "id", "rv")
+      .withColumn("rid", col("id"))
+    for (df <- Seq(
+        AsOf.asofJoin(l, r, "k", "ts", "id", Seq("rid", "rv")),
+        AsOf.asofJoinNearest(l, r, "k", "ts", "id", Seq("rid", "rv")))) {
+      val row = df.select(col("asof_rid"), col("asof_rv")).head
+      assert(row.getLong(0) == 2L, "must match the ts=9 row")
+      assert(row.isNullAt(1),
+        "matched row's null rv must stay null — got a spliced value from ts=5")
+    }
+  }
+
   test("nearest carries values consistently from the chosen side") {
     val (l, r) = frames()
     val mismatched = AsOf.asofJoinNearest(l, r, "k", "ts", "id", Seq("rid", "rv"))

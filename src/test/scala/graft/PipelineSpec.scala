@@ -123,6 +123,22 @@ class PipelineSpec extends SparkSpec {
     assert(after == untouchedFiles, "untouched partition was rewritten")
   }
 
+  test("deleteByKey: emptied partition with a Hive-ESCAPED value (':') is found and removed") {
+    import spark.implicits._
+    val dir = tmp("delesc") + "/t"
+    Seq((1L, "10:30", 1), (2L, "ok", 2)).toDF("id", "hour", "v")
+      .write.partitionBy("hour").parquet(dir)
+    // on disk the partition is hour=10%3A30 — a raw "hour=10:30" path
+    // would miss it and leak the erased row
+    assert(new java.io.File(s"$dir/hour=10%3A30").exists(), "fixture not escaped?")
+    Sinks.deleteByKey(spark, dir, "id", Seq(1L).toDF("id"),
+      partitions = Seq("hour"), partitionFor = Some(Seq("10:30").toDF("hour")))
+    assert(!new java.io.File(s"$dir/hour=10%3A30").exists(),
+      "escaped emptied partition must be deleted — erased row leaked")
+    val got = spark.read.parquet(dir).select("id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L))
+  }
+
   test("JDBC round-trip via embedded Derby (S6/K3)") {
     import spark.implicits._
     val url = "jdbc:derby:memory:graftdb;create=true"

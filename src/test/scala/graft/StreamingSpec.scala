@@ -203,6 +203,14 @@ class StreamingSpec extends SparkSpec {
     assert(expected.size > 50, s"degenerate fixture: only ${expected.size} pairs")
   }
 
+  test("StreamingIntervalJoin.micros keeps sub-millisecond precision (getTime truncates)") {
+    val a = new java.sql.Timestamp(0); a.setNanos(999000) // .000999
+    val b = new java.sql.Timestamp(0); b.setNanos(1000)   // .000001
+    assert(a.getTime == b.getTime, "same ms — getTime can't tell them apart")
+    assert(graft.streaming.StreamingIntervalJoin.micros(a) == 999L)
+    assert(graft.streaming.StreamingIntervalJoin.micros(b) == 1L)
+  }
+
   test("stateful gap sessionization matches the batch q70 semantics") {
     import spark.implicits._
     val us = 1000000L
