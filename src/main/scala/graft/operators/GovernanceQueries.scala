@@ -383,7 +383,38 @@ object GovernanceQueries {
       |  GROUP BY fanout) u
       |ORDER BY rel, fanout""".stripMargin
 
+  /** q210 — l-diversity audit, the companion check to q170's
+    * k-anonymity: a quasi-identifier class can be large (k-anonymous)
+    * yet still leak its members' sensitive attribute if every member
+    * SHARES it. Per QI class (source, 50-char length band), count
+    * distinct values of the sensitive column (lang) and flag classes
+    * with fewer than l = 3 — plus the homogeneous worst case. Pure
+    * two-level integer aggregation, one scan. */
+  def q210(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .groupBy($"source",
+        ($"n_chars" - pmod($"n_chars", lit(50))).as("len_band"))
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct($"lang").as("n_langs"))
+      .withColumn("below_l", ($"n_langs" < 3).cast("int"))
+      .withColumn("homogeneous", ($"n_langs" === 1).cast("int"))
+      .orderBy($"source", $"len_band")
+  }
+
+  val q210Sql: String =
+    """SELECT source, len_band, class_size, n_langs,
+      |  CAST(n_langs < 3 AS INT) AS below_l,
+      |  CAST(n_langs = 1 AS INT) AS homogeneous
+      |FROM (
+      |  SELECT source, n_chars - (n_chars % 50) AS len_band,
+      |    CAST(count(*) AS BIGINT) AS class_size,
+      |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      |  FROM documents GROUP BY 1, 2) t
+      |ORDER BY source, len_band""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q210_l_diversity", q210, Some(q210Sql)),
     QueryDef("q169_json_schema_read", q169, Some(q169Sql)),
     QueryDef("q192_fanout_profile", q192, Some(q192Sql)),
     QueryDef("q181_ks_drift", q181, Some(q181Sql), bench = true),

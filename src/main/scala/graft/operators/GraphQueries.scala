@@ -74,6 +74,129 @@ object GraphQueries {
       |       FROM documents d CROSS JOIN n LEFT JOIN c2 ON c2.id = d.doc_id)
       |SELECT id, rank FROM r2 ORDER BY id""".stripMargin
 
+  /** q209 — k-core peeling (onion decomposition) of the part
+    * co-purchase graph: nodes are parts, edges are part pairs bought
+    * together in ≥ 1 order, k is the nearest-rank p25 of the initial
+    * degree distribution (4·cum ≥ n rule — quantile built by OUR
+    * integer-rank definition on both engines, never an engine
+    * quantile builtin), and each node is labeled with the ROUND the
+    * peel removed it (1..6) or 0 if it survives all six. Labeling by
+    * peel round — not bare core membership — keeps the output total
+    * and informative even when the graph sits near its percolation
+    * threshold and the core itself collapses (this one does).
+    *
+    * Semantics per round i: a node alive after round i−1 is removed
+    * when its degree over the surviving edge set is < k (absent from
+    * the degree relation = degree 0); edges survive only with both
+    * endpoints alive. Fixed 6 rounds — at convergence further rounds
+    * are no-ops, so the fixed bound is exact on converged components
+    * (the q91 fixed-iteration precedent).
+    *
+    * 100 TB shape: edges come from the bounded per-order set explode
+    * (q200/q204 discipline — never a row self-join), each round is
+    * degree-agg + two semi-joins on the node id's partitioning, and
+    * the rounds are data-parallel peels — no driver-side graph. Each
+    * round's edge/survivor frames are EAGERLY localCheckpoint-ed:
+    * every frame is consumed twice (degree + filter), so uncut
+    * lineage doubles per round — 2^6 copies of the base subtree blows
+    * the ANALYZER'S heap before a row moves (cache alone doesn't cut
+    * the logical plan; checkpointing is the iterative-algorithm
+    * discipline Pregel applies internally). */
+  def q209(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rounds = 6
+    val lp = Tables.lineitem(s, d)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+    val e0 = lp.groupBy($"ok")
+      .agg(sort_array(collect_list($"p")).as("ps"))
+      .select(explode(filter(
+        flatten(transform($"ps",
+          a => transform($"ps", b => struct(a.as("a"), b.as("b"))))),
+        pr => pr("a") < pr("b"))).as("e"))
+      .select($"e.a".as("a"), $"e.b".as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    def degrees(edges: DataFrame): DataFrame =
+      edges.select($"a".as("n")).unionAll(edges.select($"b".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("deg"))
+    val deg0 = degrees(e0).localCheckpoint(true)
+    // nearest-rank p25 of the initial degrees: min d with 4·cum ≥ n
+    val cells = deg0.groupBy($"deg").agg(count(lit(1)).as("c"))
+    val cum = org.apache.spark.sql.expressions.Window.orderBy($"deg")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val kDf = cells
+      .withColumn("cc", sum($"c").over(cum))
+      .withColumn("tot", sum($"c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .filter($"cc" * 4 >= $"tot")
+      .agg(min($"deg").as("k"))
+    var alive = deg0.select($"n") // universe: nodes with ≥ 1 edge
+    var edges = e0
+    var labels = alive.select($"n", lit(0).as("peel_round"))
+    for (i <- 1 to rounds) {
+      val dg = degrees(edges)
+      val survivors = alive.join(dg, Seq("n"), "left")
+        .crossJoin(broadcast(kDf))
+        .filter(coalesce($"deg", lit(0L)) >= $"k")
+        .select($"n").localCheckpoint(true)
+      val removed = alive.join(survivors, Seq("n"), "left_anti")
+      labels = labels.join(removed.withColumn("r", lit(i)), Seq("n"), "left")
+        .select($"n",
+          when($"peel_round" === 0 && $"r".isNotNull, $"r")
+            .otherwise($"peel_round").as("peel_round"))
+        .localCheckpoint(true)
+      edges = edges
+        .join(survivors.select($"n".as("a")), Seq("a"), "left_semi")
+        .join(survivors.select($"n".as("b")), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+      alive = survivors
+    }
+    labels.select($"n".as("part"), $"peel_round").orderBy($"part")
+  }
+
+  val q209Sql: String = {
+    val rounds = 6
+    def deg(e: String) =
+      s"(SELECT n, count(*) AS deg FROM (SELECT a AS n FROM $e UNION ALL SELECT b FROM $e) t GROUP BY n)"
+    // MATERIALIZED: DuckDB inlines plain CTEs, so the 6-generation
+    // chain would expand e0 exponentially (and re-open the parquet
+    // until the fd limit dies); materialization evaluates each
+    // generation once — the oracle-side analogue of the Spark loop's
+    // localCheckpoint.
+    val gens = (1 to rounds).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT s.n FROM s${i - 1} s
+         |  LEFT JOIN ${deg(s"e${i - 1}")} dg ON s.n = dg.n CROSS JOIN kk
+         |  WHERE coalesce(dg.deg, 0) >= kk.k),
+         |e$i AS MATERIALIZED (
+         |  SELECT a, b FROM e${i - 1}
+         |  WHERE a IN (SELECT n FROM s$i) AND b IN (SELECT n FROM s$i))""".stripMargin
+    }.mkString(",\n")
+    val label = (1 to rounds).map(i =>
+      s"WHEN s0.n NOT IN (SELECT n FROM s$i) THEN $i").mkString(" ")
+    s"""WITH lp AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+       |e0 AS MATERIALIZED (
+       |  SELECT a.p AS a, b.p AS b FROM lp a JOIN lp b
+       |  ON a.ok = b.ok AND a.p < b.p GROUP BY 1, 2),
+       |s0 AS MATERIALIZED (SELECT n FROM ${deg("e0")} t0),
+       |cells AS (SELECT deg, count(*) AS c FROM ${deg("e0")} t1 GROUP BY deg),
+       |kk AS (
+       |  SELECT min(deg) AS k FROM (
+       |    SELECT deg,
+       |      sum(c) OVER (ORDER BY deg ROWS BETWEEN UNBOUNDED PRECEDING
+       |        AND CURRENT ROW) AS cc,
+       |      sum(c) OVER () AS tot
+       |    FROM cells) u
+       |  WHERE cc * 4 >= tot),
+       |$gens
+       |SELECT s0.n AS part,
+       |  CASE $label ELSE 0 END AS peel_round
+       |FROM s0 ORDER BY part""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
-    QueryDef("q91_pagerank_iterative", q91, Some(q91Sql)))
+    QueryDef("q91_pagerank_iterative", q91, Some(q91Sql)),
+    QueryDef("q209_kcore_peel", q209, Some(q209Sql)))
 }
