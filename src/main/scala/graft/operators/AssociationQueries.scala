@@ -37,25 +37,24 @@ object AssociationQueries {
     * deterministically; the driver schema carries no receipt column).
     * Top 20 parts by overlapping-pair count.
     *
-    * Scale shape: [[IntervalJoin.overlap]] grid-blocks both sides into
-    * 32-day cells, so the overlap join is a hash-partitionable
+    * Scale shape: [[IntervalJoin.selfOverlap]] grid-blocks the set
+    * into 32-day cells ONCE (one scan, one explode, materialized) and
+    * self-joins it, so the overlap join is a hash-partitionable
     * equi-join on (partkey, cell) with ≤ 2× replication (windows are
     * ≤ 29 days < grain) and NO dedup pass — a pair is matched only in
     * the first cell of its intersection. The oracle states the same
     * semantics as a plain inequality join. */
   def q197(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    def li(sfx: String): DataFrame =
-      Tables.lineitem(s, d).select(
-        $"l_partkey".as(s"pk$sfx"),
-        $"l_suppkey".as(s"sup$sfx"),
-        $"l_orderkey".as(s"ok$sfx"),
-        $"l_linenumber".as(s"ln$sfx"),
-        epochDay($"l_shipdate").cast("long").as(s"s$sfx"),
-        (epochDay($"l_shipdate") + lit(1) +
-          ($"l_quantity".cast("int") % 28)).cast("long").as(s"e$sfx"))
-    IntervalJoin.overlap(li("_a"), li("_b"),
-        "pk_a", "pk_b", "s_a", "e_a", "s_b", "e_b", grain = 32L)
+    val li = Tables.lineitem(s, d).select(
+      $"l_partkey".as("pk"),
+      $"l_suppkey".as("sup"),
+      $"l_orderkey".as("ok"),
+      $"l_linenumber".as("ln"),
+      epochDay($"l_shipdate").cast("long").as("s"),
+      (epochDay($"l_shipdate") + lit(1) +
+        ($"l_quantity".cast("int") % 28)).cast("long").as("e"))
+    IntervalJoin.selfOverlap(li, "pk", "s", "e", grain = 32L)
       // unordered pair once: unique line-item id (orderkey, linenumber)
       .filter($"sup_a" =!= $"sup_b" &&
         ($"ok_a" < $"ok_b" || ($"ok_a" === $"ok_b" && $"ln_a" < $"ln_b")))

@@ -97,6 +97,27 @@ object IntervalJoin {
     * join itself shuffles to — so Catalyst reuses the join's exchange
     * and the guard adds only a per-partition sort. Pair monitoring
     * goes through [[overflowCells]]. */
+  /** Self-overlap: all overlapping pairs WITHIN one interval set. The
+    * naive route calls [[overlap]] with the same relation twice, which
+    * plans two scans and two cell-explodes of the same data; here the
+    * cell relation materializes ONCE (eager localCheckpoint) and joins
+    * itself with renamed columns — at 100 TB that halves the scan and
+    * explode work. Pair order / self-pairs are NOT filtered (the
+    * caller applies its own id ordering, like the q197 line-item
+    * ordering), so output columns are `<c>_a` / `<c>_b` for every
+    * input column. */
+  def selfOverlap(df: DataFrame, key: String, s: String, e: String,
+      grain: Long): DataFrame = {
+    require(grain > 0, s"grain must be positive, got $grain")
+    val cells = withCells(df, s, e, "__cell", grain).localCheckpoint(true)
+    def side(sfx: String, cellName: String) =
+      cells.select(df.columns.toSeq.map(c => col(c).as(s"$c$sfx")) :+
+        col("__cell").as(cellName): _*)
+    joinCells(side("_a", "__lcell"), side("_b", "__rcell"),
+      s"${key}_a", s"${key}_b",
+      s"${s}_a", s"${e}_a", s"${s}_b", s"${e}_b", grain)
+  }
+
   def overlapCapped(left: DataFrame, right: DataFrame,
       lKey: String, rKey: String,
       lS: String, lE: String, rS: String, rE: String,

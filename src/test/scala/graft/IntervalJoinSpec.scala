@@ -89,6 +89,19 @@ class IntervalJoinSpec extends SparkSpec {
     assert(overflow.toSeq == Seq((7L, 500L)), "hot cell must surface in the side-channel")
   }
 
+  test("selfOverlap == two-sided overlap on the same set (one materialized explode)") {
+    import spark.implicits._
+    val ivs = corpus(7, 150, 40)
+    val twoSided = blocked(
+        ivs.toDF("ida", "ka", "sa", "ea"), ivs.toDF("idb", "kb", "sb", "eb"), 16L)
+      .toSet
+    val self = IntervalJoin.selfOverlap(ivs.toDF("id", "k", "s", "e"), "k", "s", "e", 16L)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(self.size == self.toSet.size, "duplicate pairs from the self join")
+    assert(self.toSet == twoSided)
+  }
+
   test("touching endpoints match (closed intervals) and disjoint keys never join") {
     import spark.implicits._
     val l = Seq((1L, 0L, 10L, 20L), (2L, 1L, 10L, 20L)).toDF("ida", "ka", "sa", "ea")
