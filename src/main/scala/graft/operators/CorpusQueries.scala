@@ -310,10 +310,64 @@ object CorpusQueries {
        |ORDER BY lang, bucket""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q211 — Unicode NFC canonicalization audit (native expressions)
+  // ------------------------------------------------------------------
+
+  /** q211 — NFC canonicalization audit + repair: web crawls mix
+    * precomposed and decomposed forms of the same text, and every
+    * hash/shingle/equality step downstream silently treats them as
+    * different documents. This ASCII test corpus is seeded with
+    * combining-mark sequences deterministically (doc_id%3==0 →
+    * 'a'+U+0301, %3==1 → 'o'+U+0303) to stand in for that mix, then
+    * audited and repaired with the native codegen'd
+    * [[graft.plans.NfcNormalize]] / [[graft.plans.NfcIsNormalized]]
+    * expressions. Per doc: was it already NFC, codepoint counts before
+    * and after (the delta counts composed pairs), and the repaired
+    * prefix — the oracle rebuilds all of it with DuckDB's own
+    * `nfc_normalize`, so the Java-Normalizer-backed expression is
+    * cross-engine verified byte-for-byte on every row.
+    *
+    * Scale shape: pure per-row projection, no shuffle, whole-stage
+    * codegen. The ASCII fast path makes the audit predicate a byte
+    * scan and the normalizer a zero-copy identity for the
+    * overwhelmingly-ASCII majority of a real crawl, so canonicalizing
+    * right after the source costs ~one memchr per clean row. */
+  def q211(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.plans.GraftFunctions.register(s)
+    import graft.plans.GraftFunctions.{nfc_is_normalized, nfc_normalize}
+    val seeded = Tables.documents(s, d).select($"doc_id", $"lang",
+      when($"doc_id" % 3 === 0, replace($"text", lit("a"), lit("a\u0301")))
+        .when($"doc_id" % 3 === 1, replace($"text", lit("o"), lit("o\u0303")))
+        .otherwise($"text").as("raw"))
+    seeded.select($"doc_id", $"lang",
+      nfc_is_normalized($"raw").cast("int").as("was_nfc"),
+      length($"raw").as("chars_raw"),
+      length(nfc_normalize($"raw")).as("chars_nfc"),
+      substring(nfc_normalize($"raw"), 1, 12).as("prefix_nfc"))
+      .orderBy($"doc_id")
+  }
+
+  val q211Sql: String =
+    """WITH seeded AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 3 = 0 THEN replace(text, 'a', 'a' || chr(769))
+      |         WHEN doc_id % 3 = 1 THEN replace(text, 'o', 'o' || chr(771))
+      |         ELSE text END AS raw
+      |  FROM documents)
+      |SELECT doc_id, lang,
+      |  CAST(nfc_normalize(raw) = raw AS INT) AS was_nfc,
+      |  CAST(length(raw) AS INT) AS chars_raw,
+      |  CAST(length(nfc_normalize(raw)) AS INT) AS chars_nfc,
+      |  left(nfc_normalize(raw), 12) AS prefix_nfc
+      |FROM seeded ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q152_span_dedup_rewrite", q152, Some(q152Sql), bench = true),
     QueryDef("q153_luhn_pii", q153, Some(q153Sql)),
     QueryDef("q154_source_divergence", q154, Some(q154Sql)),
     QueryDef("q155_adaptive_length_filter", q155, Some(q155Sql)),
-    QueryDef("q156_quality_model_score", q156, Some(q156Sql)))
+    QueryDef("q156_quality_model_score", q156, Some(q156Sql)),
+    QueryDef("q211_nfc_normalize", q211, Some(q211Sql)))
 }

@@ -28,6 +28,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
       (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (es: Seq[Expression]) => NfcNormalize(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_is_normalized"),
+      new ExpressionInfo(classOf[NfcIsNormalized].getName, "nfc_is_normalized"),
+      (es: Seq[Expression]) => NfcIsNormalized(es.head)))
     // Native bounded-state aggregates (sketch family). Literal
     // arguments resolve at function-build time, same contract as the
     // per-session register() helpers.

@@ -110,6 +110,8 @@ object GraftFunctions {
   def rolling_hash(c: Column): Column = call_function("rolling_hash", c)
   def vec_cosine(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
   def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+  def nfc_normalize(c: Column): Column = call_function("nfc_normalize", c)
+  def nfc_is_normalized(c: Column): Column = call_function("nfc_is_normalized", c)
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -117,5 +119,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("rolling_hash", es => RollingHash(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("vec_cosine", es => CosineSim(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("vec_dot", es => DotProduct(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("nfc_normalize", es => NfcNormalize(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("nfc_is_normalized", es => NfcIsNormalized(es.head), "scala_udf")
   }
 }
