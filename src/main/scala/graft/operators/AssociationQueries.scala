@@ -527,6 +527,72 @@ object AssociationQueries {
       |  max(gap) AS max_gap
       |FROM cum GROUP BY priority ORDER BY priority""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q212 — SCD2 point-in-time dimension enrichment (as-of reuse)
+  // ------------------------------------------------------------------
+
+  /** q212 — slowly-changing-dimension (type 2) enrichment: every fact
+    * row must pick up the dimension VERSION that was valid when the
+    * fact happened — the canonical warehouse lookup (`dim.valid_from
+    * <= fact.date < next valid_from`). Because version intervals per
+    * key are non-overlapping and right-open, the lookup IS a backward
+    * as-of join on `valid_from` — so this runs through [[AsOf]]'s
+    * single-shuffle union+window plan: no range join, no per-order
+    * `row_number` over exploded (fact × version) candidates, which is
+    * what the oracle affordably does at oracle scale and what a naive
+    * port would ship to a cluster.
+    *
+    * The SCD2 dimension is synthesized deterministically from the data
+    * itself: per customer, version k = 0,1,2 becomes valid at
+    * `first_order_day + 300·k` with tier `(custkey + k) % 4` —
+    * per-key version boundaries are irregular across keys (they
+    * follow each customer's own history), so the as-of match is
+    * genuinely data-dependent. Output: per-tier order counts,
+    * customer counts, money-grid revenue, and the average fact age
+    * within its version (exact integer day sums, one final division).
+    */
+  def q212(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val f = Tables.orders(s, d).select($"o_orderkey", $"o_custkey",
+      epochDay($"o_orderdate").as("d"), $"o_totalprice")
+    val dim = f.groupBy($"o_custkey").agg(min($"d").as("d0"))
+      .select($"o_custkey", explode(sequence(lit(0), lit(2))).as("k"), $"d0")
+      .select($"o_custkey",
+        (-($"o_custkey" * 3 + $"k")).as("o_orderkey"), // unique right-side id, disjoint from fact keys
+        ($"d0" + $"k" * 300).as("d"),
+        (($"o_custkey" + $"k") % 4).as("tier"),
+        ($"d0" + $"k" * 300).as("vf"))
+    AsOf.asofJoin(f, dim, key = "o_custkey", ts = "d",
+      idCol = "o_orderkey", valueCols = Seq("tier", "vf"))
+      .groupBy($"asof_tier".as("tier"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct($"o_custkey").as("n_custs"),
+        moneySum($"o_totalprice").as("revenue"),
+        r4(sum($"d" - $"asof_vf") / count(lit(1))).as("avg_age_days"))
+      .orderBy($"tier")
+  }
+
+  val q212Sql: String =
+    s"""WITH f AS (
+       |  SELECT o_orderkey, o_custkey,
+       |    (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS d, o_totalprice
+       |  FROM orders),
+       |d0 AS (SELECT o_custkey, min(d) AS d0 FROM f GROUP BY 1),
+       |dim AS (
+       |  SELECT d0.o_custkey, d0.d0 + ks.k * 300 AS vf,
+       |    (d0.o_custkey + ks.k) % 4 AS tier
+       |  FROM d0 CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) ks),
+       |m AS (
+       |  SELECT f.o_orderkey, f.o_custkey, f.o_totalprice, f.d, dim.vf, dim.tier,
+       |    row_number() OVER (PARTITION BY f.o_orderkey ORDER BY dim.vf DESC) AS rn
+       |  FROM f JOIN dim ON f.o_custkey = dim.o_custkey AND dim.vf <= f.d)
+       |SELECT tier, CAST(count(*) AS BIGINT) AS n_orders,
+       |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+       |  ${sqlMoneySum("o_totalprice")} AS revenue,
+       |  ${sqlR4("CAST(sum(d - vf) AS BIGINT) / count(*)")} AS avg_age_days
+       |FROM m WHERE rn = 1
+       |GROUP BY tier ORDER BY tier""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q197_interval_overlap", q197, Some(q197Sql), bench = true),
     QueryDef("q199_weighted_median", q199, Some(q199Sql)),
@@ -535,5 +601,6 @@ object AssociationQueries {
     QueryDef("q203_trend_outliers", q203, Some(q203Sql)),
     QueryDef("q204_copurchase_lift", q204, Some(q204Sql)),
     QueryDef("q205_session_overlap", q205, Some(q205Sql), bench = true),
-    QueryDef("q208_interorder_gaps", q208, Some(q208Sql)))
+    QueryDef("q208_interorder_gaps", q208, Some(q208Sql)),
+    QueryDef("q212_scd2_enrichment", q212, Some(q212Sql)))
 }

@@ -627,10 +627,61 @@ object CurationQueries {
       |FROM quotas CROSS JOIN lo
       |ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q213 — curriculum interleave (global training order)
+  // ------------------------------------------------------------------
+
+  /** q213 — curriculum interleave: the global ORDER in which training
+    * examples are fed matters (curriculum learning), and so does not
+    * starving any source for long stretches (mixture interleaving).
+    * Both at once: rank docs within each source by a quality proxy
+    * (longest first, doc_id tie-break), then round-robin the sources —
+    * `pos = (rank−1)·S + source_index` — so position 0..S−1 is every
+    * source's best doc, the next block every source's second-best, and
+    * so on. Positions are unique by construction (source_index ∈
+    * [0,S)) and the schedule never needs a global sort: the per-source
+    * rank comes from [[Ranking.groupRanks]] (range-repartition +
+    * zipWithIndex — no source-partitioned window funneling a 100 TB
+    * source through one task), the source index from a bounded dim
+    * broadcast onto the ids, and the position is pure arithmetic.
+    * Oracle: the window-based mirror, affordable at oracle scale. */
+  def q213(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"source", $"n_chars")
+    val ranked = Ranking.groupRanks(docs, Seq("source"), 8,
+      $"n_chars".desc, $"doc_id")
+    // bounded source dim: alphabetical 0-based index + source count
+    val srcs = docs.select($"source").distinct()
+    val sdim = Ranking.seqIds(srcs, 1, $"source")
+      .select($"source", ($"seq_id" - 1L).as("src_idx"))
+    val nSrc = lit(sdim.count())
+    ranked.join(broadcast(sdim), "source")
+      .select($"doc_id", $"source", $"src_idx", $"rank",
+        (($"rank" - 1L) * nSrc + $"src_idx").as("pos"))
+      .orderBy($"pos")
+  }
+
+  val q213Sql: String =
+    """WITH ranked AS (
+      |  SELECT doc_id, source,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+      |  FROM documents),
+      |sdim AS (
+      |  SELECT source,
+      |    CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS src_idx,
+      |    CAST(count(*) OVER () AS BIGINT) AS n_src
+      |  FROM (SELECT DISTINCT source FROM documents) t)
+      |SELECT r.doc_id, r.source, s.src_idx, r.rank,
+      |  (r.rank - 1) * s.n_src + s.src_idx AS pos
+      |FROM ranked r JOIN sdim s ON r.source = s.source
+      |ORDER BY pos""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q184_temperature_mixing", q184, Some(q184Sql), bench = true),
     QueryDef("q195_quality_budget", q195, Some(q195Sql)),
     QueryDef("q196_eval_apportionment", q196, Some(q196Sql)),
+    QueryDef("q213_curriculum_interleave", q213, Some(q213Sql)),
     QueryDef("q100_dedup_keep_best", q100, Some(q100Sql)),
     QueryDef("q101_stop_grams", q101, Some(q101Sql), bench = true),
     QueryDef("q102_source_concentration", q102, Some(q102Sql)),

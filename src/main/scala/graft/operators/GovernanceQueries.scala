@@ -413,8 +413,71 @@ object GovernanceQueries {
       |  FROM documents GROUP BY 1, 2) t
       |ORDER BY source, len_band""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q214 — revenue-concentration Gini per market segment
+  // ------------------------------------------------------------------
+
+  /** q214 — exact Gini coefficient of customer revenue within each
+    * market segment — the concentration statistic behind "does 1% of
+    * customers carry 50% of revenue" (and, on a training corpus, "does
+    * one source dominate the token budget"). Rank-sum form over
+    * ascending revenue: `G = (2·Σ r·x − (n+1)·Σx) / (n·Σx)`.
+    *
+    * Scale shape: revenue is summed per customer in exact BIGINT cents
+    * first (2-decimal money grid), the within-segment rank comes from
+    * [[Ranking.groupRanks]] — 5 segments would otherwise mean five
+    * single-task windows carrying the whole customer file — and the
+    * rank-weighted sums accumulate in DECIMAL(38,0) (DuckDB mirrors in
+    * HUGEINT): `Σ r·x` passes 10¹⁸ once a segment holds ~10⁹
+    * customers, so long accumulation would wrap exactly where the
+    * engine is supposed to shine. The one double appears at the end —
+    * a single division of two exactly-represented integers. */
+  def q214(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cents = Tables.orders(s, d)
+      .select($"o_custkey", floor($"o_totalprice" * 100 + 0.5).cast("long").as("c"))
+      .groupBy($"o_custkey").agg(sum($"c").as("cents"))
+    val seg = Tables.customer(s, d).select($"c_custkey", $"c_mktsegment")
+    val cr = cents.join(seg, $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("segment"), $"o_custkey", $"cents")
+    val ranked = Ranking.groupRanks(cr, Seq("segment"), 8,
+      $"cents".asc, $"o_custkey".asc)
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    ranked.groupBy($"segment")
+      .agg(count(lit(1)).as("n"),
+        sum(d38($"cents")).as("sx"),
+        sum(d38($"rank") * d38($"cents")).as("srx"))
+      .select($"segment", $"n".as("n_custs"),
+        $"sx".cast("long").as("total_cents"),
+        r6((lit(2) * $"srx" - ($"n" + 1) * $"sx").cast("double") /
+          (d38($"n") * $"sx").cast("double")).as("gini"))
+      .orderBy($"segment")
+  }
+
+  val q214Sql: String =
+    s"""WITH cr AS (
+       |  SELECT c.c_mktsegment AS segment, o.o_custkey,
+       |    CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT segment, o_custkey, cents,
+       |    CAST(row_number() OVER (PARTITION BY segment
+       |      ORDER BY cents, o_custkey) AS BIGINT) AS rank
+       |  FROM cr),
+       |a AS (
+       |  SELECT segment, count(*) AS n,
+       |    sum(CAST(cents AS HUGEINT)) AS sx,
+       |    sum(CAST(rank AS HUGEINT) * CAST(cents AS HUGEINT)) AS srx
+       |  FROM r GROUP BY 1)
+       |SELECT segment, CAST(n AS BIGINT) AS n_custs,
+       |  CAST(sx AS BIGINT) AS total_cents,
+       |  ${sqlR6("CAST(2 * srx - (n + 1) * sx AS DOUBLE) / CAST(n * sx AS DOUBLE)")} AS gini
+       |FROM a ORDER BY segment""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q210_l_diversity", q210, Some(q210Sql)),
+    QueryDef("q214_segment_gini", q214, Some(q214Sql)),
     QueryDef("q169_json_schema_read", q169, Some(q169Sql)),
     QueryDef("q192_fanout_profile", q192, Some(q192Sql)),
     QueryDef("q181_ks_drift", q181, Some(q181Sql), bench = true),
