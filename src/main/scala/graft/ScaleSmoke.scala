@@ -76,6 +76,37 @@ object ScaleSmoke {
       spark.stop()
       return
     }
+    // targeted mode: `... <n> rank` measures NFC normalization (ASCII
+    // fast path vs seeded denormalized rows) and the two-phase
+    // group-rank operator against the window it replaces
+    if (args.lift(1).contains("rank")) {
+      graft.plans.GraftFunctions.register(spark)
+      timed("nfc_ascii_fastpath") {
+        docs.select(graft.plans.GraftFunctions.nfc_normalize($"text").as("t"))
+          .agg(sum(length($"t"))).collect().length.toLong
+      }
+      timed("nfc_10pct_denorm") {
+        val seeded = docs.withColumn("text",
+          when($"doc_id" % 10 === 0, concat($"text", lit(" e\u0301"))).otherwise($"text"))
+        seeded.select(graft.plans.GraftFunctions.nfc_normalize($"text").as("t"))
+          .agg(sum(length($"t"))).collect().length.toLong
+      }
+      val rankIn = docs.select($"doc_id", pmod($"doc_id", lit(8)).as("grp"),
+        length($"text").as("v")).persist()
+      rankIn.count()
+      timed("group_ranks_2phase") {
+        graft.operators.Ranking.groupRanks(rankIn, Seq("grp"), cpus.toInt,
+          $"v".desc, $"doc_id").agg(max($"rank")).collect().length.toLong
+      }
+      timed("group_ranks_window") {
+        import org.apache.spark.sql.expressions.Window
+        rankIn.withColumn("rank", row_number().over(
+            Window.partitionBy($"grp").orderBy($"v".desc, $"doc_id")))
+          .agg(max($"rank")).collect().length.toLong
+      }
+      spark.stop()
+      return
+    }
 
     // Stages consume the aggregate ROW (collect), never count() over an
     // agg — counting an Aggregate's output lets column pruning delete

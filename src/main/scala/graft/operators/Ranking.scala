@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Scale-safe ranking: global sequence ids and within-group ranks
   * WITHOUT `row_number() OVER (...)` windows.
@@ -12,25 +11,47 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * sources) sends terabytes through a handful of tasks at 100 TB. The
   * two-pass shape here (same idiom as IndexingQueries.q167) instead
   * range-repartitions on the sort key — a total order across the
-  * partition INDEX — sorts within partitions, and `zipWithIndex`es:
-  * the only driver traffic is one row-count per partition. Ranks are
-  * a pure function of the total order, so they are deterministic
-  * regardless of where the sampled range boundaries land.
+  * partition INDEX — sorts within partitions, and derives ids as
+  * `partition offset + local ordinal`: the only driver traffic is one
+  * row-count per partition. Ids are a pure function of the total
+  * order, so they are deterministic regardless of where the sampled
+  * range boundaries land.
+  *
+  * Unlike the classic `rdd.zipWithIndex` route, everything stays in
+  * Tungsten: the local ordinal is the low 33 bits of
+  * `monotonically_increasing_id()` evaluated over the sorted,
+  * checkpointed partitions (codegen'd counter in row order), and the
+  * offset lookup is a ≤`parts`-entry map literal — no RDD round-trip
+  * deserializing every row.
   */
 object Ranking {
+
+  private val OrdinalMask = (1L << 33) - 1 // mono_id = pid << 33 | ordinal
 
   /** Append a global 1-based `seq_id` along `order`. `order` MUST be a
     * total order (include a unique tie-break column) — equal sort keys
     * would otherwise take arbitrary ids. */
   def seqIds(df: DataFrame, parts: Int, order: Column*): DataFrame = {
+    // localCheckpoint: the counts job and the output job must see the
+    // SAME materialized partitions (and skip re-running the range
+    // shuffle + sort once per job).
     val sorted = df.repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
-    val withId = sorted.rdd.zipWithIndex().map { case (row, i) =>
-      Row.fromSeq(row.toSeq :+ (i + 1L))
-    }
-    val schema = StructType(sorted.schema.fields :+
-      StructField("seq_id", LongType, nullable = false))
-    sorted.sparkSession.createDataFrame(withId, schema)
+      .localCheckpoint()
+    val withPid = sorted.select(col("*"),
+      spark_partition_id().as("__pid"),
+      monotonically_increasing_id().as("__mid"))
+    val counts = withPid.groupBy(col("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until parts).scanLeft(0L)((acc, p) =>
+      acc + counts.getOrElse(p, 0L))
+    val offsetMap = map((0 until parts).flatMap(p =>
+      Seq(lit(p), lit(offsets(p)))): _*)
+    withPid
+      .withColumn("seq_id",
+        element_at(offsetMap, col("__pid")) +
+          col("__mid").bitwiseAND(OrdinalMask) + 1L)
+      .drop("__pid", "__mid")
   }
 
   /** Append a 1-based `rank` within each `groupCols` class along
