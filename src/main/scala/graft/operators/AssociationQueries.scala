@@ -602,5 +602,5 @@ object AssociationQueries {
     QueryDef("q204_copurchase_lift", q204, Some(q204Sql)),
     QueryDef("q205_session_overlap", q205, Some(q205Sql), bench = true),
     QueryDef("q208_interorder_gaps", q208, Some(q208Sql)),
-    QueryDef("q212_scd2_enrichment", q212, Some(q212Sql)))
+    QueryDef("q212_scd2_enrichment", q212, Some(q212Sql), bench = true))
 }

@@ -742,9 +742,100 @@ object EventQueries {
       |  floor(CAST(sum(l23) AS BIGINT) / count(l23) / 1000000 * 10000 + 0.5) / 10000 AS avg_purchase_latency_s
       |FROM per GROUP BY stage ORDER BY stage""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q215 — calendar-spine resample + linear interpolation
+  // ------------------------------------------------------------------
+
+  /** q215 — regularize an irregular time series onto a daily calendar
+    * spine and linearly interpolate interior gaps (pandas
+    * `resample('D').sum().interpolate()`): daily revenue per order
+    * priority, with empty days filled as `prev + (next − prev) ·
+    * (day − prev_day)/(next_day − prev_day)`; leading/trailing gaps
+    * stay null like pandas. Complements q134's forward-fill (LOCF)
+    * with the interpolating variant.
+    *
+    * Scale shape: the corpus is reduced to bounded (priority, day)
+    * cells FIRST — one shuffle keyed on the cells, exact BIGINT cents
+    * — so every window here runs over the calendar-bounded spine
+    * (~2.4 K days × 5 priorities), never over row data; a 100 TB
+    * order history changes only the scan, not the interpolation. The
+    * neighbor day and value ride separate last/first(IGNORE NULLS)
+    * frames that are consistent by construction (their null patterns
+    * are identical per row). The only doubles are divisions/products
+    * of exactly-represented integers in one mirrored shape. */
+  def q215(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // The cell relation feeds FOUR consumers (bounds, the priority
+    // dim, the join, and through it the windows); localCheckpoint
+    // materializes the one orders scan + shuffle instead of running
+    // it once per consumer. The relation is calendar-bounded — safe
+    // to pin at any corpus scale.
+    val daily = Tables.orders(s, d)
+      .select($"o_orderpriority".as("priority"),
+        datediff(to_date($"o_orderdate"), lit("1970-01-01")).as("day"),
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("c"))
+      .groupBy($"priority", $"day").agg(sum($"c").as("cents"))
+      .localCheckpoint()
+    val bounds = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
+    val spine = daily.select($"priority").distinct()
+      .crossJoin(bounds) // 1-row broadcast
+      .select($"priority", explode(sequence($"d0", $"d1")).as("day"))
+    val wPrev = Window.partitionBy($"priority").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy($"priority").orderBy($"day")
+      .rowsBetween(1, Window.unboundedFollowing)
+    spine.join(daily, Seq("priority", "day"), "left")
+      .withColumn("p_d", last(when($"cents".isNotNull, $"day"), ignoreNulls = true).over(wPrev))
+      .withColumn("p_v", last($"cents", ignoreNulls = true).over(wPrev))
+      .withColumn("n_d", first(when($"cents".isNotNull, $"day"), ignoreNulls = true).over(wNext))
+      .withColumn("n_v", first($"cents", ignoreNulls = true).over(wNext))
+      .select($"priority", $"day".cast("long").as("day"),
+        $"cents".isNotNull.cast("int").as("observed"),
+        r4(when($"cents".isNotNull, $"cents".cast("double") / 100.0)
+          .otherwise(($"p_v" + ($"n_v" - $"p_v") *
+            (($"day" - $"p_d").cast("double") / ($"n_d" - $"p_d"))) / 100.0))
+          .as("revenue"))
+      .orderBy($"priority", $"day")
+  }
+
+  val q215Sql: String =
+    s"""WITH daily AS (
+       |  SELECT o_orderpriority AS priority,
+       |    (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS day,
+       |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM orders GROUP BY 1, 2),
+       |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+       |spine AS (
+       |  SELECT p.priority, unnest(generate_series(b.d0, b.d1)) AS day
+       |  FROM (SELECT DISTINCT priority FROM daily) p CROSS JOIN b),
+       |g AS (
+       |  SELECT s.priority, s.day, d.cents FROM spine s
+       |  LEFT JOIN daily d ON s.priority = d.priority AND s.day = d.day),
+       |w AS (
+       |  SELECT priority, day, cents,
+       |    last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+       |      OVER (PARTITION BY priority ORDER BY day
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p_d,
+       |    last_value(cents IGNORE NULLS)
+       |      OVER (PARTITION BY priority ORDER BY day
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p_v,
+       |    first_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+       |      OVER (PARTITION BY priority ORDER BY day
+       |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS n_d,
+       |    first_value(cents IGNORE NULLS)
+       |      OVER (PARTITION BY priority ORDER BY day
+       |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS n_v
+       |  FROM g)
+       |SELECT priority, CAST(day AS BIGINT) AS day,
+       |  CAST(cents IS NOT NULL AS INT) AS observed,
+       |  ${sqlR4("CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE) / 100.0 " +
+           "ELSE (p_v + (n_v - p_v) * (CAST(day - p_d AS DOUBLE) / (n_d - p_d))) / 100.0 END")} AS revenue
+       |FROM w ORDER BY priority, day""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q185_decayed_counts", q185, Some(q185Sql)),
     QueryDef("q193_bounded_funnel", q193, Some(q193Sql)),
+    QueryDef("q215_linear_interpolation", q215, Some(q215Sql), bench = true),
     QueryDef("q188_touch_attribution", q188, Some(q188Sql), bench = true),
     QueryDef("q70_sessionize", q70, Some(q70Sql), bench = true),
     QueryDef("q71_asof_join", q71, Some(q71Sql), bench = true),

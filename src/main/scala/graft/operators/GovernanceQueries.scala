@@ -477,7 +477,7 @@ object GovernanceQueries {
 
   def all: Seq[QueryDef] = Seq(
     QueryDef("q210_l_diversity", q210, Some(q210Sql)),
-    QueryDef("q214_segment_gini", q214, Some(q214Sql)),
+    QueryDef("q214_segment_gini", q214, Some(q214Sql), bench = true),
     QueryDef("q169_json_schema_read", q169, Some(q169Sql)),
     QueryDef("q192_fanout_profile", q192, Some(q192Sql)),
     QueryDef("q181_ks_drift", q181, Some(q181Sql), bench = true),
