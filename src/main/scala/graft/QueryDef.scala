@@ -24,6 +24,11 @@ object Fx {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions._
 
+  /** Epoch-day of a timestamp column (date-truncated) — integer in
+    * both engines (DuckDB mirror: `CAST(ts AS DATE) - DATE
+    * '1970-01-01'`). */
+  def epochDay(c: Column): Column = datediff(to_date(c), lit("1970-01-01"))
+
   /** Cross-engine-stable double rounding: floor(x*K+0.5)/K. */
   def roundAt(c: Column, k: Long): Column = floor(c * k + lit(0.5)) / k
   def r2(c: Column): Column = roundAt(c, 100L)

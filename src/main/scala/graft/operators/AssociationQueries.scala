@@ -21,12 +21,6 @@ import org.apache.spark.sql.functions._
 object AssociationQueries {
   import Fx._
 
-  /** Epoch-day of a timestamp column (date-truncated) — integer in
-    * both engines (DuckDB mirror: `CAST(ts AS DATE) - DATE
-    * '1970-01-01'`). */
-  private def epochDay(c: org.apache.spark.sql.Column) =
-    datediff(to_date(c), lit("1970-01-01"))
-
   // ------------------------------------------------------------------
   // q197 — concurrent competing shipments (interval-overlap join)
   // ------------------------------------------------------------------

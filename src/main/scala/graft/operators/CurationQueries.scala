@@ -650,11 +650,14 @@ object CurationQueries {
     val docs = Tables.documents(s, d).select($"doc_id", $"source", $"n_chars")
     val ranked = Ranking.groupRanks(docs, Seq("source"), 8,
       $"n_chars".desc, $"doc_id")
-    // bounded source dim: alphabetical 0-based index + source count
-    val srcs = docs.select($"source").distinct()
-    val sdim = Ranking.seqIds(srcs, 1, $"source")
-      .select($"source", ($"seq_id" - 1L).as("src_idx"))
-    val nSrc = lit(sdim.count())
+    // bounded source dim: alphabetical 0-based index + source count —
+    // a bounded vocabulary, indexed on the driver (same contract as
+    // the one-hot category collect) instead of a Spark job chain
+    val srcNames = docs.select($"source").distinct()
+      .collect().map(_.getString(0)).sorted
+    val nSrc = lit(srcNames.length.toLong)
+    val sdim = srcNames.zipWithIndex
+      .map { case (n, i) => (n, i.toLong) }.toSeq.toDF("source", "src_idx")
     ranked.join(broadcast(sdim), "source")
       .select($"doc_id", $"source", $"src_idx", $"rank",
         (($"rank" - 1L) * nSrc + $"src_idx").as("pos"))

@@ -748,11 +748,13 @@ object EventQueries {
 
   /** q215 — regularize an irregular time series onto a daily calendar
     * spine and linearly interpolate interior gaps (pandas
-    * `resample('D').sum().interpolate()`): daily revenue per order
+    * `resample('D').sum(min_count=1).interpolate(limit_area='inside')`
+    * — min_count keeps empty days NaN instead of 0, limit_area
+    * restricts the fill to interior gaps): daily revenue per order
     * priority, with empty days filled as `prev + (next − prev) ·
     * (day − prev_day)/(next_day − prev_day)`; leading/trailing gaps
-    * stay null like pandas. Complements q134's forward-fill (LOCF)
-    * with the interpolating variant.
+    * stay null. Complements q134's forward-fill (LOCF) with the
+    * interpolating variant.
     *
     * Scale shape: the corpus is reduced to bounded (priority, day)
     * cells FIRST — one shuffle keyed on the cells, exact BIGINT cents
@@ -772,7 +774,7 @@ object EventQueries {
     // to pin at any corpus scale.
     val daily = Tables.orders(s, d)
       .select($"o_orderpriority".as("priority"),
-        datediff(to_date($"o_orderdate"), lit("1970-01-01")).as("day"),
+        epochDay($"o_orderdate").as("day"),
         floor($"o_totalprice" * 100 + 0.5).cast("long").as("c"))
       .groupBy($"priority", $"day").agg(sum($"c").as("cents"))
       .localCheckpoint()

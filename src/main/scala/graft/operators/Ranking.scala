@@ -43,6 +43,11 @@ object Ranking {
       monotonically_increasing_id().as("__mid"))
     val counts = withPid.groupBy(col("__pid")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // mono_id keeps the ordinal in the low 33 bits — a partition at
+    // 2^33 rows would wrap it silently. The counts are already on the
+    // driver, so the guard is free; raise `parts` to stay under it.
+    counts.values.foreach(c => require(c < OrdinalMask + 1,
+      s"seqIds: a partition holds $c rows (>= 2^33); increase parts"))
     val offsets = (0 until parts).scanLeft(0L)((acc, p) =>
       acc + counts.getOrElse(p, 0L))
     val offsetMap = map((0 until parts).flatMap(p =>
@@ -65,10 +70,15 @@ object Ranking {
       innerOrder: Column*): DataFrame = {
     val order = groupCols.map(col) ++ innerOrder
     val ids = seqIds(df, parts, order: _*)
+    // Null-safe (<=>) join back: groupBy keeps a null group as its own
+    // class, and a plain equi-join would silently DROP its rows —
+    // row_number over a window ranks null groups, so must we.
     val mins = ids.groupBy(groupCols.map(col): _*)
       .agg(min(col("seq_id")).as("__g0"))
-    ids.join(broadcast(mins), groupCols)
+      .select(groupCols.map(c => col(c).as(s"__gk_$c")) :+ col("__g0"): _*)
+    val cond = groupCols.map(c => ids(c) <=> col(s"__gk_$c")).reduce(_ && _)
+    ids.join(broadcast(mins), cond)
       .withColumn("rank", col("seq_id") - col("__g0") + 1L)
-      .drop("__g0", "seq_id")
+      .drop(groupCols.map(c => s"__gk_$c") :+ "__g0" :+ "seq_id": _*)
   }
 }

@@ -43,6 +43,21 @@ class RankingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("null group values rank as their own class, like the window") {
+    val withNulls = (1 to 40).map { i =>
+      (i.toLong, if (i % 4 == 0) null else s"g${i % 3}", i * 13 % 7)
+    }.toDF("id", "grp", "v").repartition(5)
+    val got = Ranking.groupRanks(withNulls, Seq("grp"), 3, $"v".asc, $"id")
+      .select($"id", $"rank")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = withNulls.withColumn("rn",
+        row_number().over(Window.partitionBy($"grp").orderBy($"v".asc, $"id")).cast("long"))
+      .select($"id", $"rn")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want) // includes the 10 null-group rows
+    assert(got.size == 40)
+  }
+
   test("no group-partitioned window appears in the groupRanks plan") {
     val plan = Ranking.groupRanks(df, Seq("grp"), 5, $"v".asc, $"id")
       .queryExecution.executedPlan.toString
