@@ -363,11 +363,79 @@ object CorpusQueries {
       |  left(nfc_normalize(raw), 12) AS prefix_nfc
       |FROM seeded ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q216 — mojibake detection + repair (encoding-damage audit)
+  // ------------------------------------------------------------------
+
+  /** q216 — mojibake repair: text that was UTF-8 encoded but DECODED
+    * as Latin-1 turns every accented character into a two-character
+    * artifact ("\u00e9" → "\u00c3\u00a9") — the single most common encoding damage in
+    * web crawls, and the core of what ftfy fixes. The repair is a
+    * bounded artifact→codepoint mapping (the UTF-8 byte pair read as
+    * Latin-1, reversed) applied as a chain of literal `replace`es —
+    * pure codegen'd column expressions, scan speed, no shuffle; the
+    * detection signature is the count of lead byte 'Ã' (U+00C3), pure
+    * length arithmetic. This ASCII corpus is seeded deterministically
+    * (doc_id%5==0 → 'a' becomes the Ã¡ artifact, %5==1 → 'e' becomes
+    * Ã©) so both engines repair identical damage; `chars_raw −
+    * chars_repaired = n_artifacts` is the structural invariant the
+    * oracle pins per row. Together with q211 (NFC) this closes the
+    * canonicalize-before-hashing loop: decode damage and normalization
+    * drift both make equal documents hash differently. */
+  def q216(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // artifact = UTF-8 bytes of the codepoint read as Latin-1
+    val fixes = Seq(
+      "\u00c3\u00a1" -> "\u00e1", // á
+      "\u00c3\u00a9" -> "\u00e9", // é
+      "\u00c3\u00b1" -> "\u00f1", // ñ
+      "\u00c3\u00a7" -> "\u00e7") // ç
+    val seeded = Tables.documents(s, d).select($"doc_id", $"lang",
+      when($"doc_id" % 5 === 0, replace($"text", lit("a"), lit("\u00c3\u00a1")))
+        .when($"doc_id" % 5 === 1, replace($"text", lit("e"), lit("\u00c3\u00a9")))
+        .otherwise($"text").as("raw"))
+    val fixed = fixes.foldLeft($"raw": Column) {
+      case (c, (bad, good)) => replace(c, lit(bad), lit(good))
+    }
+    seeded.select($"doc_id", $"lang",
+      (length($"raw") - length(replace($"raw", lit("\u00c3"), lit(""))))
+        .as("n_artifacts"),
+      length($"raw").as("chars_raw"),
+      length(fixed).as("chars_repaired"),
+      ((length(fixed) - length(replace(fixed, lit("\u00c3"), lit("")))) === 0)
+        .cast("int").as("clean_after"),
+      substring(fixed, 1, 12).as("prefix_fixed"))
+      .orderBy($"doc_id")
+  }
+
+  val q216Sql: String = {
+    // same mapping, innermost replace applied first = Spark fold order
+    val fixed = Seq(161 -> 225, 169 -> 233, 177 -> 241, 167 -> 231)
+      .foldLeft("raw") { case (e, (tail, good)) =>
+        s"replace($e, chr(195)||chr($tail), chr($good))"
+      }
+    s"""WITH seeded AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN doc_id % 5 = 0 THEN replace(text, 'a', chr(195)||chr(161))
+       |         WHEN doc_id % 5 = 1 THEN replace(text, 'e', chr(195)||chr(169))
+       |         ELSE text END AS raw
+       |  FROM documents),
+       |rep AS (SELECT doc_id, lang, raw, $fixed AS fixed FROM seeded)
+       |SELECT doc_id, lang,
+       |  CAST(length(raw) - length(replace(raw, chr(195), '')) AS INT) AS n_artifacts,
+       |  CAST(length(raw) AS INT) AS chars_raw,
+       |  CAST(length(fixed) AS INT) AS chars_repaired,
+       |  CAST(length(fixed) - length(replace(fixed, chr(195), '')) = 0 AS INT) AS clean_after,
+       |  left(fixed, 12) AS prefix_fixed
+       |FROM rep ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q152_span_dedup_rewrite", q152, Some(q152Sql), bench = true),
     QueryDef("q153_luhn_pii", q153, Some(q153Sql)),
     QueryDef("q154_source_divergence", q154, Some(q154Sql)),
     QueryDef("q155_adaptive_length_filter", q155, Some(q155Sql)),
     QueryDef("q156_quality_model_score", q156, Some(q156Sql)),
-    QueryDef("q211_nfc_normalize", q211, Some(q211Sql)))
+    QueryDef("q211_nfc_normalize", q211, Some(q211Sql)),
+    QueryDef("q216_mojibake_repair", q216, Some(q216Sql)))
 }
