@@ -834,10 +834,84 @@ object EventQueries {
            "ELSE (p_v + (n_v - p_v) * (CAST(day - p_d AS DOUBLE) / (n_d - p_d))) / 100.0 END")} AS revenue
        |FROM w ORDER BY priority, day""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q217 — robust outliers via median/MAD (rank statistics)
+  // ------------------------------------------------------------------
+
+  /** q217 — robust anomaly detection on daily event volumes: flag days
+    * where `|n − median| > 3·MAD` per event type — the
+    * median/median-absolute-deviation companion to q132's mean/σ
+    * z-score. Robust statistics matter precisely on anomaly-bearing
+    * data: one extreme day inflates σ enough to mask itself (the
+    * masking effect), while the median and MAD ignore it.
+    *
+    * Everything is INTEGER — counts, nearest-rank medians, absolute
+    * deviations, and the 3·MAD comparison — so no float enters the
+    * output at all (contrast q132, which needs the σ>0 guard for its
+    * division). The nearest-rank selection runs the q199 cumulative
+    * cell rule twice (value cells, then deviation cells): windows only
+    * over per-type cell relations bounded by the day-count domain,
+    * never row data. MAD=0 (a majority of identical daily counts)
+    * deliberately flags nothing, mirroring q132's degenerate-σ rule. */
+  def q217(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy($"event_type".as("typ"), epochDay($"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds the median pass AND the final join
+    // nearest-rank median of `valueCol` per typ over bounded cells
+    def medianOf(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val cells = df.groupBy($"typ", col(valueCol)).agg(count(lit(1)).as("c"))
+      val cum = Window.partitionBy($"typ").orderBy(col(valueCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.withColumn("tw", sum($"c").over(Window.partitionBy($"typ")))
+        .withColumn("cw", sum($"c").over(cum))
+        .groupBy($"typ")
+        .agg(min(when($"cw" * 2 >= $"tw", col(valueCol))).as(out))
+    }
+    val withDev = daily.join(medianOf(daily, "n", "med"), "typ")
+      .withColumn("dev", abs($"n" - $"med"))
+    withDev.join(medianOf(withDev, "dev", "mad"), "typ")
+      .select($"typ", $"day".cast("long").as("day"), $"n", $"med", $"mad",
+        ($"mad" > 0 && $"dev" > $"mad" * 3).cast("int").as("is_outlier"))
+      .orderBy($"typ", $"day")
+  }
+
+  val q217Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type AS typ,
+      |    (CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01') AS day,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |mc AS (SELECT typ, n AS v, count(*) AS c FROM daily GROUP BY 1, 2),
+      |mcum AS (
+      |  SELECT typ, v, c, sum(c) OVER (PARTITION BY typ) AS tw,
+      |    sum(c) OVER (PARTITION BY typ ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+      |  FROM mc),
+      |med AS (SELECT typ, min(CASE WHEN cw * 2 >= tw THEN v END) AS med
+      |        FROM mcum GROUP BY typ),
+      |dv AS (
+      |  SELECT d.typ, d.day, d.n, m.med, abs(d.n - m.med) AS dev
+      |  FROM daily d JOIN med m USING (typ)),
+      |dc AS (SELECT typ, dev AS v, count(*) AS c FROM dv GROUP BY 1, 2),
+      |dcum AS (
+      |  SELECT typ, v, c, sum(c) OVER (PARTITION BY typ) AS tw,
+      |    sum(c) OVER (PARTITION BY typ ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+      |  FROM dc),
+      |mad AS (SELECT typ, min(CASE WHEN cw * 2 >= tw THEN v END) AS mad
+      |        FROM dcum GROUP BY typ)
+      |SELECT dv.typ, CAST(dv.day AS BIGINT) AS day, CAST(dv.n AS BIGINT) AS n,
+      |  CAST(dv.med AS BIGINT) AS med, CAST(mad.mad AS BIGINT) AS mad,
+      |  CAST(mad.mad > 0 AND dv.dev > mad.mad * 3 AS INT) AS is_outlier
+      |FROM dv JOIN mad USING (typ) ORDER BY typ, day""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q185_decayed_counts", q185, Some(q185Sql)),
     QueryDef("q193_bounded_funnel", q193, Some(q193Sql)),
     QueryDef("q215_linear_interpolation", q215, Some(q215Sql), bench = true),
+    QueryDef("q217_median_mad_outliers", q217, Some(q217Sql)),
     QueryDef("q188_touch_attribution", q188, Some(q188Sql), bench = true),
     QueryDef("q70_sessionize", q70, Some(q70Sql), bench = true),
     QueryDef("q71_asof_join", q71, Some(q71Sql), bench = true),
