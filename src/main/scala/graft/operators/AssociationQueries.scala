@@ -587,7 +587,90 @@ object AssociationQueries {
        |FROM m WHERE rn = 1
        |GROUP BY tier ORDER BY tier""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q223 — frequent 3-itemsets with Apriori candidate pruning
+  // ------------------------------------------------------------------
+
+  /** q223 — frequent brand triples across order baskets, mined the
+    * Apriori way: frequent pairs L2 first (support ≥ 0.5% of baskets),
+    * then candidate triples C3 generated ONLY from L2 (join L2 with
+    * itself on a shared first item, keep (b,c) also in L2 — the
+    * anti-monotone closure: every sub-pair of a frequent triple must
+    * itself be frequent), and only C3 members are counted against the
+    * baskets (support ≥ 0.1%). The declared semantics — stated
+    * identically by the oracle — is therefore "triples with support ≥
+    * t₃ all of whose sub-pairs have support ≥ t₂".
+    *
+    * Scale shape: the per-basket self-joins fan out by basket SIZE
+    * (bounded by the item domain, not the corpus), so pair/triple
+    * generation is linear in baskets × O(size²·size); the pruning
+    * step is the point at 100 TB — C3 is a metadata-scale relation
+    * (≤|L2|² candidates, here dozens) broadcast into the triple
+    * stream, so the big shuffle carries ONLY candidate triples, never
+    * the full cube of the item domain. Thresholds are fractions of
+    * the basket count, so the query is scale-invariant. */
+  def q223(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val baskets = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("o"), $"p_brand".as("it"))
+      .distinct()
+      .localCheckpoint() // pair gen, triple gen, and the count share it
+    val nBaskets = baskets.select($"o").distinct().count()
+    val minPair = nBaskets / 200L
+    val minTri = nBaskets / 1000L
+    val l2 = baskets.as("x")
+      .join(baskets.as("y"), $"x.o" === $"y.o" && $"x.it" < $"y.it")
+      .groupBy($"x.it".as("a"), $"y.it".as("b"))
+      .agg(count(lit(1)).as("sup"))
+      .filter($"sup" >= minPair)
+      .select($"a", $"b")
+      .localCheckpoint() // three consumers: two C3 sides + the closure
+    val c3 = l2.as("p")
+      .join(l2.as("q"), $"p.a" === $"q.a" && $"p.b" < $"q.b")
+      .select($"p.a".as("ca"), $"p.b".as("cb"), $"q.b".as("cc"))
+      .join(l2.as("z"), $"cb" === $"z.a" && $"cc" === $"z.b", "left_semi")
+    val triples = baskets.as("x")
+      .join(baskets.as("y"), $"x.o" === $"y.o" && $"x.it" < $"y.it")
+      .join(baskets.as("z"), $"y.o" === $"z.o" && $"y.it" < $"z.it")
+      .select($"x.it".as("ta"), $"y.it".as("tb"), $"z.it".as("tc"))
+      .join(broadcast(c3),
+        $"ta" === $"ca" && $"tb" === $"cb" && $"tc" === $"cc", "left_semi")
+    triples.groupBy($"ta".as("item_a"), $"tb".as("item_b"),
+        $"tc".as("item_c"))
+      .agg(count(lit(1)).as("support"))
+      .filter($"support" >= minTri)
+      .orderBy($"support".desc, $"item_a", $"item_b", $"item_c")
+  }
+
+  val q223Sql: String =
+    """WITH b AS (
+      |  SELECT DISTINCT l_orderkey AS o, p_brand AS it
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |no AS (SELECT count(DISTINCT o) AS n FROM b),
+      |l2 AS (
+      |  SELECT x.it AS a, y.it AS bb
+      |  FROM b x JOIN b y ON x.o = y.o AND x.it < y.it
+      |  GROUP BY 1, 2 HAVING count(*) >= (SELECT n FROM no) // 200),
+      |c3 AS (
+      |  SELECT p.a AS ca, p.bb AS cb, q.bb AS cc
+      |  FROM l2 p JOIN l2 q ON p.a = q.a AND p.bb < q.bb
+      |  WHERE EXISTS (SELECT 1 FROM l2 z WHERE z.a = p.bb AND z.bb = q.bb)),
+      |t AS (
+      |  SELECT x.it AS item_a, y.it AS item_b, z.it AS item_c,
+      |    count(*) AS support
+      |  FROM b x
+      |  JOIN b y ON x.o = y.o AND x.it < y.it
+      |  JOIN b z ON y.o = z.o AND y.it < z.it
+      |  JOIN c3 ON c3.ca = x.it AND c3.cb = y.it AND c3.cc = z.it
+      |  GROUP BY 1, 2, 3)
+      |SELECT item_a, item_b, item_c, CAST(support AS BIGINT) AS support
+      |FROM t WHERE support >= (SELECT n FROM no) // 1000
+      |ORDER BY support DESC, item_a, item_b, item_c""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q223_apriori_triples", q223, Some(q223Sql)),
     QueryDef("q197_interval_overlap", q197, Some(q197Sql), bench = true),
     QueryDef("q199_weighted_median", q199, Some(q199Sql)),
     QueryDef("q200_audience_overlap", q200, Some(q200Sql), bench = true),

@@ -213,6 +213,33 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("cos"))
   }
 
+  /** All distinct string pairs (w1 < w2) within Levenshtein distance 1,
+    * via FastSS deletion-neighborhood blocking: each string generates
+    * itself plus every one-character deletion; two strings within one
+    * edit necessarily share a neighborhood member (substitution ⇒ both
+    * delete the edited position; insert/delete ⇒ the shorter IS a
+    * deletion of the longer), so a hash equi-join on the variant string
+    * finds every true pair in O(n·len) generated rows — never the n²
+    * cross join. Candidates are verified with the real `levenshtein`
+    * (same-length strings sharing a deletion from DIFFERENT positions
+    * can be distance 2 — e.g. "ab"/"ba" share "a" and "b").
+    *
+    * Input: a DataFrame with distinct strings in `wCol`. Output:
+    * (w1, w2) with w1 < w2, each pair once. */
+  def edit1Pairs(names: DataFrame, wCol: String): DataFrame = {
+    val variants = names
+      .select(col(wCol).as("w"),
+        explode(sequence(lit(0), length(col(wCol)))).as("pos"))
+      .select(col("w"), expr(
+        "CASE WHEN pos = 0 THEN w" +
+          " ELSE substr(w, 1, pos - 1) || substr(w, pos + 1) END").as("v"))
+    variants.as("a")
+      .join(variants.as("b"),
+        col("a.v") === col("b.v") && col("a.w") < col("b.w"))
+      .select(col("a.w").as("w1"), col("b.w").as("w2")).distinct()
+      .filter(levenshtein(col("w1"), col("w2")) <= 1)
+  }
+
   /** Distinct word set (split on single space). */
   def wordSet(c: Column): Column = array_distinct(split(c, " "))
 

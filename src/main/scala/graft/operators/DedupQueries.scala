@@ -582,7 +582,51 @@ object DedupQueries {
        |GROUP BY w.node, b.root
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q221 — edit-distance ≤ 1 entity join via deletion neighborhoods
+  // ------------------------------------------------------------------
+
+  /** q221 — all entity-name pairs within Levenshtein distance 1 via
+    * [[Dedup.edit1Pairs]] (FastSS deletion-neighborhood blocking +
+    * levenshtein verification — never the n² cross join; mechanism
+    * documented on the operator). Output is the full neighbor-count
+    * histogram over customer names — including the zero-neighbor
+    * bucket via a null-tolerant left join, so the result covers every
+    * entity, not just matched ones.
+    *
+    * Scale shape: neighborhood generation is linear — (len+1) variants
+    * per name, each ≤ the name's length — and the candidate join is a
+    * plain hash-partitioned equi-join on the variant string whose
+    * per-key fan-out is bounded by real collision counts, so the O(n²)
+    * quadratic never materializes (the oracle STATES the n² semantics;
+    * the engine never executes it). The O(len²) dynamic-programming
+    * verify runs only on candidate pairs. */
+  def q221(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val names = Tables.customer(s, d).select($"c_name".as("w")).distinct()
+      .localCheckpoint() // consumed by variant gen AND the final join
+    val pairs = Dedup.edit1Pairs(names, "w")
+    val nn = pairs.select($"w1".as("w")).unionAll(pairs.select($"w2".as("w")))
+      .groupBy($"w").agg(count(lit(1)).as("nn"))
+    names.join(nn, Seq("w"), "left")
+      .select(coalesce($"nn", lit(0L)).as("n_neighbors"))
+      .groupBy($"n_neighbors").agg(count(lit(1)).as("n_names"))
+      .orderBy($"n_neighbors")
+  }
+
+  val q221Sql: String =
+    """WITH v AS (SELECT DISTINCT c_name AS w FROM customer),
+      |p AS (SELECT a.w AS w1, b.w AS w2 FROM v a JOIN v b
+      |      ON a.w < b.w AND levenshtein(a.w, b.w) <= 1),
+      |ends AS (SELECT w1 AS w FROM p UNION ALL SELECT w2 AS w FROM p),
+      |n AS (SELECT w, count(*) AS nn FROM ends GROUP BY w)
+      |SELECT CAST(coalesce(n.nn, 0) AS BIGINT) AS n_neighbors,
+      |  CAST(count(*) AS BIGINT) AS n_names
+      |FROM v LEFT JOIN n USING (w)
+      |GROUP BY 1 ORDER BY n_neighbors""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q221_edit1_neighbors", q221, Some(q221Sql)),
     QueryDef("q50_exact_dedup", q50, Some(q50Sql), bench = true),
     QueryDef("q51_minhash_signatures", q51, Some(q51Sql), bench = true),
     QueryDef("q52_lsh_buckets", q52, Some(q52Sql)),

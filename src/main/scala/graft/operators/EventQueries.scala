@@ -853,22 +853,36 @@ object EventQueries {
     * over per-type cell relations bounded by the day-count domain,
     * never row data. MAD=0 (a majority of identical daily counts)
     * deliberately flags nothing, mirroring q132's degenerate-σ rule. */
-  def q217(s: SparkSession, d: String): DataFrame = {
+  /** Nearest-rank median of `valueCol` per `typ` via the q199
+    * cumulative cell rule: windows run only over (typ, value) cells,
+    * never row data. Shared by q217 (median/MAD) and q218 (CUSUM
+    * baseline). */
+  private def medianOf(df: DataFrame, valueCol: String,
+      out: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, min, sum, when}
+    val cells = df.groupBy(col("typ"), col(valueCol))
+      .agg(count(lit(1)).as("c"))
+    val cum = Window.partitionBy(col("typ")).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.withColumn("tw", sum(col("c")).over(Window.partitionBy(col("typ"))))
+      .withColumn("cw", sum(col("c")).over(cum))
+      .groupBy(col("typ"))
+      .agg(min(when(col("cw") * 2 >= col("tw"), col(valueCol))).as(out))
+  }
+
+  /** Shared daily per-type event volumes (typ, day, n) — the input
+    * relation of the robust-statistics family (q217, q218). */
+  private def dailyVolumes(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val daily = Tables.events(s, d)
+    Tables.events(s, d)
       .groupBy($"event_type".as("typ"), epochDay($"ts").as("day"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  def q217(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = dailyVolumes(s, d)
       .localCheckpoint() // feeds the median pass AND the final join
-    // nearest-rank median of `valueCol` per typ over bounded cells
-    def medianOf(df: DataFrame, valueCol: String, out: String): DataFrame = {
-      val cells = df.groupBy($"typ", col(valueCol)).agg(count(lit(1)).as("c"))
-      val cum = Window.partitionBy($"typ").orderBy(col(valueCol))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      cells.withColumn("tw", sum($"c").over(Window.partitionBy($"typ")))
-        .withColumn("cw", sum($"c").over(cum))
-        .groupBy($"typ")
-        .agg(min(when($"cw" * 2 >= $"tw", col(valueCol))).as(out))
-    }
     val withDev = daily.join(medianOf(daily, "n", "med"), "typ")
       .withColumn("dev", abs($"n" - $"med"))
     withDev.join(medianOf(withDev, "dev", "mad"), "typ")
@@ -907,11 +921,95 @@ object EventQueries {
       |  CAST(mad.mad > 0 AND dv.dev > mad.mad * 3 AS INT) AS is_outlier
       |FROM dv JOIN mad USING (typ) ORDER BY typ, day""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q218 — CUSUM change-point detection on daily volumes
+  // ------------------------------------------------------------------
+
+  /** q218 — cumulative-sum (CUSUM) change-point detection per event
+    * type: the running sum of (daily count − series mean) dips or
+    * climbs fastest across a level shift and turns back after it, so
+    * the day where |CUSUM| peaks is the classical single change-point
+    * estimate (the mean sits BETWEEN the two levels, which is exactly
+    * why it, not the median, is the right reference here: the q217
+    * median lands ON the majority level, zeroing the statistic over
+    * the stable region and pushing the peak to the series end).
+    * Reported per type: the change day, the signed scaled CUSUM there
+    * (negative ⇒ the level rose after the change), the peak magnitude,
+    * and the day count. The location companion to q217, which flags
+    * individual outlier DAYS; this finds the day the LEVEL moved.
+    *
+    * Exact-integer form: the k-th CUSUM is prefixₖ − k·T/D, which
+    * cross-multiplied by the day count D becomes D·prefixₖ − k·T —
+    * all longs, no division at all (the same trick as q196's
+    * cross-multiplied quotas). Scale shape: events pre-aggregate to
+    * one row per (type, day) BEFORE any window; the per-type ordered
+    * window then runs over a day-count-bounded relation (a 100 TB
+    * event history is still ≤ a few thousand rows per type), and the
+    * peak is a re-aggregation of that same small relation — ties
+    * broken to the earliest day. */
+  def q218(s: SparkSession, d: String): DataFrame =
+    cusumChangePoint(dailyVolumes(s, d))
+
+  /** Scaled-integer CUSUM single-change-point core over a (typ, day,
+    * n) relation: per type, the day where |D·prefixₖ − k·T| peaks
+    * (T = Σn, D = #days, k = day rank; earliest day on ties), with
+    * the signed scaled CUSUM there, the peak magnitude, and D. */
+  def cusumChangePoint(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{abs, col, count, lit, max, min,
+      row_number, struct, sum}
+    val byDay = Window.partitionBy(col("typ")).orderBy(col("day"))
+    // three consumers (totals, the walk, the peak join) — materialize
+    // the tiny per-day relation instead of re-running its source
+    val dd = daily.localCheckpoint()
+    val tot = dd.groupBy(col("typ"))
+      .agg(sum(col("n")).as("t"), count(lit(1)).as("n_days"))
+    val cu = dd
+      .withColumn("k", row_number().over(byDay).cast("long"))
+      .withColumn("pre", sum(col("n")).over(byDay))
+      .join(tot, "typ")
+      .withColumn("cusum", col("n_days") * col("pre") - col("k") * col("t"))
+    val peak = cu.groupBy(col("typ"))
+      .agg(max(abs(col("cusum"))).as("peak_abs"))
+    cu.join(peak, "typ")
+      .filter(abs(col("cusum")) === col("peak_abs"))
+      .groupBy(col("typ"), col("peak_abs"), col("n_days"))
+      .agg(min(struct(col("day"), col("cusum"))).as("m")) // earliest peak day
+      .select(col("typ"), col("m.day").cast("long").as("change_day"),
+        col("m.cusum").cast("long").as("cusum"),
+        col("peak_abs").cast("long").as("peak_abs"), col("n_days"))
+      .orderBy(col("typ"))
+  }
+
+  val q218Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type AS typ,
+      |    (CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01') AS day,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (SELECT typ, sum(n) AS t, count(*) AS n_days
+      |        FROM daily GROUP BY typ),
+      |cu AS (
+      |  SELECT d.typ, d.day, tot.n_days,
+      |    tot.n_days * sum(d.n) OVER (PARTITION BY d.typ ORDER BY d.day)
+      |      - row_number() OVER (PARTITION BY d.typ ORDER BY d.day) * tot.t
+      |      AS cusum
+      |  FROM daily d JOIN tot USING (typ)),
+      |pk AS (SELECT typ, max(abs(cusum)) AS peak_abs FROM cu GROUP BY typ),
+      |sel AS (
+      |  SELECT cu.typ, cu.day, cu.cusum, pk.peak_abs, cu.n_days,
+      |    row_number() OVER (PARTITION BY cu.typ ORDER BY cu.day) AS rn
+      |  FROM cu JOIN pk USING (typ) WHERE abs(cu.cusum) = pk.peak_abs)
+      |SELECT typ, CAST(day AS BIGINT) AS change_day,
+      |  CAST(cusum AS BIGINT) AS cusum, CAST(peak_abs AS BIGINT) AS peak_abs,
+      |  CAST(n_days AS BIGINT) AS n_days
+      |FROM sel WHERE rn = 1 ORDER BY typ""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q185_decayed_counts", q185, Some(q185Sql)),
     QueryDef("q193_bounded_funnel", q193, Some(q193Sql)),
     QueryDef("q215_linear_interpolation", q215, Some(q215Sql), bench = true),
     QueryDef("q217_median_mad_outliers", q217, Some(q217Sql)),
+    QueryDef("q218_cusum_changepoint", q218, Some(q218Sql)),
     QueryDef("q188_touch_attribution", q188, Some(q188Sql), bench = true),
     QueryDef("q70_sessionize", q70, Some(q70Sql), bench = true),
     QueryDef("q71_asof_join", q71, Some(q71Sql), bench = true),

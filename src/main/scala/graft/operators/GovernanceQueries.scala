@@ -475,7 +475,87 @@ object GovernanceQueries {
        |  ${sqlR6("CAST(2 * srx - (n + 1) * sx AS DOUBLE) / CAST(n * sx AS DOUBLE)")} AS gini
        |FROM a ORDER BY segment""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q222 — inter-annotator agreement (Cohen's kappa, exact integers)
+  // ------------------------------------------------------------------
+
+  /** q222 — Cohen's kappa between two label sources per language: how
+    * much two quality raters agree BEYOND what their marginal label
+    * rates would produce by chance — the standard check before
+    * trusting any labeled training subset (κ=1 perfect, 0 chance-level,
+    * <0 systematic disagreement). The raters here are two deterministic
+    * heuristics over documents (a character-length tertile bucket and a
+    * word-count tertile bucket), which correlate without coinciding —
+    * exactly the regime where raw agreement overstates consistency and
+    * κ corrects it.
+    *
+    * Exact-integer form: with N docs, A = #agreements and marginals
+    * rₖ, cₖ, κ = (N·A − Σₖ rₖcₖ) / (N² − Σₖ rₖcₖ) — both observed and
+    * expected agreement cross-multiplied by N² so the ONLY division is
+    * the final one (r6-rounded), with the all-one-cell degenerate case
+    * (denominator 0) returned as NULL on both engines. Scale shape:
+    * one scan, one 3×-conditional aggregate per language — no joins,
+    * no windows; a 100 TB corpus costs exactly its scan. */
+  def q222(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val labeled = Tables.documents(s, d).select($"lang",
+      (when($"n_chars" >= 370, 2).when($"n_chars" >= 210, 1)
+        .otherwise(0)).as("la"),
+      (when(size(split($"text", " ")) >= 67, 2)
+        .when(size(split($"text", " ")) >= 38, 1).otherwise(0)).as("lb"))
+    kappaByGroup(labeled, "lang", "la", "lb", 0 to 2).orderBy($"lang")
+  }
+
+  /** Cohen's kappa per group in exact-integer form: with N rows,
+    * A agreements and per-label marginals rₖ (rater a) and cₖ (rater
+    * b), κ = (N·A − Σₖ rₖcₖ) / (N² − Σₖ rₖcₖ) — one r6-rounded final
+    * division, NULL for the degenerate single-cell case (N² = Σrₖcₖ).
+    * One scan, one conditional aggregate; `labels` is the (bounded)
+    * label domain. Output: (groupCol, n, n_agree, kappa), unordered —
+    * callers append their total ORDER BY. */
+  def kappaByGroup(labeled: DataFrame, groupCol: String, aCol: String,
+      bCol: String, labels: Seq[Int]): DataFrame = {
+    def marg(c: String, k: Int) =
+      sum((col(c) === k).cast("long"))
+    val chance = labels.map(k => marg(aCol, k) * marg(bCol, k))
+      .reduce(_ + _)
+    labeled.groupBy(col(groupCol)).agg(
+        count(lit(1)).as("n"),
+        sum((col(aCol) === col(bCol)).cast("long")).as("n_agree"),
+        chance.as("chance"))
+      .select(col(groupCol), col("n"), col("n_agree"),
+        when(col("n") * col("n") =!= col("chance"),
+          r6((col("n") * col("n_agree") - col("chance")) /
+            (col("n") * col("n") - col("chance")))).as("kappa"))
+  }
+
+  val q222Sql: String =
+    s"""WITH l AS (
+       |  SELECT lang,
+       |    CASE WHEN n_chars >= 370 THEN 2
+       |         WHEN n_chars >= 210 THEN 1 ELSE 0 END AS la,
+       |    CASE WHEN len(string_split(text, ' ')) >= 67 THEN 2
+       |         WHEN len(string_split(text, ' ')) >= 38 THEN 1 ELSE 0
+       |    END AS lb
+       |  FROM documents),
+       |a AS (
+       |  SELECT lang, count(*) AS n,
+       |    sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS n_agree,
+       |    sum(CASE WHEN la = 0 THEN 1 ELSE 0 END)
+       |      * sum(CASE WHEN lb = 0 THEN 1 ELSE 0 END)
+       |    + sum(CASE WHEN la = 1 THEN 1 ELSE 0 END)
+       |      * sum(CASE WHEN lb = 1 THEN 1 ELSE 0 END)
+       |    + sum(CASE WHEN la = 2 THEN 1 ELSE 0 END)
+       |      * sum(CASE WHEN lb = 2 THEN 1 ELSE 0 END) AS chance
+       |  FROM l GROUP BY lang)
+       |SELECT lang, CAST(n AS BIGINT) AS n, CAST(n_agree AS BIGINT) AS n_agree,
+       |  CASE WHEN n * n <> chance THEN
+       |    ${sqlR6("CAST(n * n_agree - chance AS DOUBLE) / CAST(n * n - chance AS DOUBLE)")}
+       |  END AS kappa
+       |FROM a ORDER BY lang""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q222_cohen_kappa", q222, Some(q222Sql)),
     QueryDef("q210_l_diversity", q210, Some(q210Sql)),
     QueryDef("q214_segment_gini", q214, Some(q214Sql), bench = true),
     QueryDef("q169_json_schema_read", q169, Some(q169Sql)),

@@ -1,0 +1,227 @@
+package graft.operators
+
+import graft.{Fx, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lakehouse table-maintenance operators, round 7: compaction planning
+  * (the small-file problem) and zone-map pruning audits (the
+  * data-layout problem). At 100 TB these are not queries OVER the data
+  * so much as queries over its METADATA — a file inventory or a
+  * block-statistics manifest — and the plans here keep that shape: one
+  * data-scale aggregation pass that collapses the table into a bounded
+  * manifest relation, then all planning logic (windows, cross joins
+  * against predicate sets) runs at metadata scale, exactly how Delta
+  * OPTIMIZE / Iceberg rewrite planners operate on manifests rather
+  * than data files.
+  *
+  * Determinism: every quantity is integer (synthetic byte sizes,
+  * cumulative sums, integer-division bin ids, block min/max day
+  * bounds); the only doubles are final single divisions of exact
+  * integers rounded via [[Fx.r4]].
+  */
+object LakehouseQueries {
+  import Fx._
+
+  // ------------------------------------------------------------------
+  // q219 — compaction plan (small-file bin packing)
+  // ------------------------------------------------------------------
+
+  /** Target output size of one compacted file, in (synthetic) bytes. */
+  private val CompactTarget = 32768L
+
+  /** Next-fit bin assignment over the size-descending file list of
+    * each partition: a file joins the bin indexed by how many
+    * `target`-multiples its predecessors' running total crossed
+    * (`(cum − bytes) div target`). Single window pass; bins overflow
+    * the target by at most one file (next-fit's standard trade for a
+    * one-pass, order-deterministic rule — bin-minimal packing is
+    * NP-hard). Adds `bin` to (partCol, idCol, bytesCol) rows. */
+  def nextFitBins(files: DataFrame, partCol: String, idCol: String,
+      bytesCol: String, target: Long): DataFrame = {
+    val order = Window.partitionBy(col(partCol))
+      .orderBy(col(bytesCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files
+      .withColumn("cum", sum(col(bytesCol)).over(order))
+      .withColumn("bin", expr(s"(cum - $bytesCol) div $target"))
+      .drop("cum")
+  }
+
+  /** q219 — small-file compaction plan: the table is a set of files
+    * per month partition (file = writer task, modeled as
+    * `l_suppkey % 40`; size = 128 B/row overhead + payload bytes), and
+    * the planner assigns files to output bins of ~[[CompactTarget]]
+    * bytes by next-fit over the size-descending file list: a file
+    * joins the bin indexed by how many target-multiples its
+    * predecessors' running total crossed (`(cum − bytes) div target`).
+    * Next-fit's bins can overflow the target by at most one file —
+    * the standard trade for a single-pass, window-expressible rule (a
+    * bin-minimal packing is NP-hard and not order-deterministic).
+    * Per partition: file/bin counts, the small-file count the plan
+    * eliminates, the largest planned bin, and the mean fill ratio.
+    *
+    * Scale shape: the ONLY data-scale pass is the groupBy that
+    * collapses rows into the (month, file, bytes) inventory — ~40
+    * files × #months regardless of table size. The packing window and
+    * final rollup run on that manifest, so a 100 TB table plans in
+    * milliseconds once its inventory exists (in a real lakehouse the
+    * inventory comes free from the transaction log — no data pass at
+    * all). */
+  def q219(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val files = Tables.lineitem(s, d)
+      .groupBy(
+        (year($"l_shipdate") * 100 + month($"l_shipdate")).as("ym"),
+        ($"l_suppkey" % 40).as("file_id"))
+      .agg((count(lit(1)) * 128 +
+        sum($"l_quantity".cast("int"))).as("bytes"))
+    nextFitBins(files, "ym", "file_id", "bytes", CompactTarget)
+      .groupBy($"ym", $"bin").agg(
+        count(lit(1)).as("bf"),
+        sum($"bytes").as("bin_bytes"),
+        sum(($"bytes" < CompactTarget / 2).cast("long")).as("bsmall"))
+      .groupBy($"ym").agg(
+        sum($"bf").cast("long").as("n_files"),
+        sum($"bsmall").cast("long").as("n_small_files"),
+        count(lit(1)).as("n_bins"),
+        sum($"bin_bytes").cast("long").as("total_bytes"),
+        max($"bin_bytes").cast("long").as("max_bin_bytes"))
+      .withColumn("fill_pct",
+        r4($"total_bytes" / ($"n_bins" * CompactTarget)))
+      .orderBy($"ym")
+  }
+
+  val q219Sql: String =
+    s"""WITH files AS (
+       |  SELECT year(l_shipdate) * 100 + month(l_shipdate) AS ym,
+       |    l_suppkey % 40 AS file_id,
+       |    count(*) * 128 + sum(CAST(l_quantity AS INT)) AS bytes
+       |  FROM lineitem GROUP BY 1, 2),
+       |packed AS (
+       |  SELECT ym, file_id, bytes,
+       |    sum(bytes) OVER (PARTITION BY ym ORDER BY bytes DESC, file_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM files),
+       |bins AS (
+       |  SELECT ym, (cum - bytes) // $CompactTarget AS bin,
+       |    count(*) AS bf, sum(bytes) AS bin_bytes,
+       |    sum(CASE WHEN bytes < ${CompactTarget / 2} THEN 1 ELSE 0 END)
+       |      AS bsmall
+       |  FROM packed GROUP BY 1, 2)
+       |SELECT ym, CAST(sum(bf) AS BIGINT) AS n_files,
+       |  CAST(sum(bsmall) AS BIGINT) AS n_small_files,
+       |  CAST(count(*) AS BIGINT) AS n_bins,
+       |  CAST(sum(bin_bytes) AS BIGINT) AS total_bytes,
+       |  CAST(max(bin_bytes) AS BIGINT) AS max_bin_bytes,
+       |  ${sqlR4(s"CAST(sum(bin_bytes) AS BIGINT) / (count(*) * $CompactTarget)")}
+       |    AS fill_pct
+       |FROM bins GROUP BY ym ORDER BY ym""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q220 — zone-map pruning audit (natural vs clustered layout)
+  // ------------------------------------------------------------------
+
+  /** Rows per "natural"-order block (insertion order ≈ orderkey). */
+  private val OkBlock = 512L
+  /** Days per "clustered"-layout block (shipdate-range files). */
+  private val DayBlock = 32L
+
+  /** The audited predicate set: (pred_id, lo, hi) shipdate windows of
+    * deliberately different widths (year / quarter / month / day). */
+  private val Preds: Seq[(Int, String, String)] = Seq(
+    (1, "1994-01-01", "1994-12-31"),
+    (2, "1995-01-01", "1995-03-31"),
+    (3, "1996-06-01", "1996-06-30"),
+    (4, "1992-07-01", "1992-12-31"),
+    (5, "1995-07-15", "1995-07-15"),
+    (6, "1997-01-01", "1998-12-31"))
+
+  /** q220 — zone-map (block min/max) pruning audit: for each candidate
+    * layout — `natural` (blocks of [[OkBlock]] consecutive orderkeys,
+    * a proxy for insertion order) and `clustered` (files holding
+    * [[DayBlock]]-day shipdate ranges, what a sort-on-write or
+    * Z-order layout produces) — compute per-block min/max of the sort
+    * key and, for each audit predicate, how many blocks a scanner
+    * could skip (`max < lo OR min > hi`) and what fraction of rows
+    * that skips. This is the measurement behind every data-layout
+    * decision: zone maps over an unclustered key prune ~nothing
+    * because random dates make every block's [min,max] span the whole
+    * domain, while the clustered layout prunes in proportion to
+    * predicate selectivity.
+    *
+    * Scale shape: one data-scale pass collapses the table into
+    * (ok-block × day-block) CELLS carrying min/max/count — both
+    * layouts' block statistics then derive from those cells by
+    * metadata-scale rollups (the table is scanned once, not once per
+    * layout), and the predicate audit is a broadcast cross join of a
+    * 6-row literal table against block stats. On a real lakehouse the
+    * block stats ARE the table's manifest/footer metadata — the audit
+    * needs no data pass at all. */
+  def q220(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.lineitem(s, d)
+      .select(expr(s"l_orderkey div $OkBlock").as("okb"),
+        epochDay($"l_shipdate").as("day"))
+      .withColumn("dayb", expr(s"day div $DayBlock"))
+      .groupBy($"okb", $"dayb")
+      .agg(min($"day").as("mn"), max($"day").as("mx"),
+        count(lit(1)).as("nrows"))
+      .localCheckpoint() // both layout rollups read the cell relation
+    def rollup(scheme: String, blkCol: String): DataFrame =
+      cells.groupBy(col(blkCol).as("blk"))
+        .agg(min($"mn").as("mn"), max($"mx").as("mx"),
+          sum($"nrows").as("nrows"))
+        .withColumn("scheme", lit(scheme))
+    val blocks = rollup("natural", "okb")
+      .unionByName(rollup("clustered", "dayb"))
+    val preds = Preds
+      .toDF("pred_id", "lo_s", "hi_s")
+      .select($"pred_id", epochDay($"lo_s").as("lo"),
+        epochDay($"hi_s").as("hi"))
+    blocks.join(broadcast(preds))
+      .withColumn("pruned", ($"mx" < $"lo" || $"mn" > $"hi").cast("long"))
+      .groupBy($"scheme", $"pred_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum($"pruned").as("n_pruned"),
+        sum($"nrows").cast("long").as("rows_total"),
+        sum($"pruned" * $"nrows").cast("long").as("rows_skipped"))
+      .withColumn("skip_pct", r4($"rows_skipped" / $"rows_total"))
+      .orderBy($"scheme", $"pred_id")
+  }
+
+  val q220Sql: String = {
+    val predRows = Preds.map { case (id, lo, hi) =>
+      s"($id, DATE '$lo' - DATE '1970-01-01', DATE '$hi' - DATE '1970-01-01')"
+    }.mkString(", ")
+    s"""WITH cells AS (
+       |  SELECT l_orderkey // $OkBlock AS okb,
+       |    (CAST(l_shipdate AS DATE) - DATE '1970-01-01') // $DayBlock
+       |      AS dayb,
+       |    min(CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS mn,
+       |    max(CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS mx,
+       |    count(*) AS nrows
+       |  FROM lineitem GROUP BY 1, 2),
+       |blocks AS (
+       |  SELECT 'natural' AS scheme, okb AS blk, min(mn) AS mn,
+       |    max(mx) AS mx, sum(nrows) AS nrows FROM cells GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'clustered' AS scheme, dayb AS blk, min(mn) AS mn,
+       |    max(mx) AS mx, sum(nrows) AS nrows FROM cells GROUP BY 2),
+       |preds(pred_id, lo, hi) AS (VALUES $predRows)
+       |SELECT scheme, pred_id, CAST(count(*) AS BIGINT) AS n_blocks,
+       |  CAST(sum(CASE WHEN mx < lo OR mn > hi THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_pruned,
+       |  CAST(sum(nrows) AS BIGINT) AS rows_total,
+       |  CAST(sum(CASE WHEN mx < lo OR mn > hi THEN nrows ELSE 0 END)
+       |    AS BIGINT) AS rows_skipped,
+       |  ${sqlR4("CAST(sum(CASE WHEN mx < lo OR mn > hi THEN nrows ELSE 0 END) AS BIGINT) / CAST(sum(nrows) AS BIGINT)")}
+       |    AS skip_pct
+       |FROM blocks, preds GROUP BY 1, 2 ORDER BY scheme, pred_id""".stripMargin
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q219_compaction_plan", q219, Some(q219Sql)),
+    QueryDef("q220_zonemap_audit", q220, Some(q220Sql)))
+}

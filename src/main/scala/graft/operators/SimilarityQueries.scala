@@ -360,7 +360,96 @@ object SimilarityQueries {
        |ORDER BY q_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q224 — corpus-level retrieval eval (exact-integer MRR / hit@k)
+  // ------------------------------------------------------------------
+
+  /** q224 — the corpus-level retrieval scorecard for the IVF index
+    * against exact brute-force ground truth: one row with hit@1 /
+    * hit@5 / hit@10 counts (does the true nearest neighbor appear in
+    * the approximate top-k?), macro recall@10, and the mean reciprocal
+    * rank — q190's per-query diagnostics rolled up into the number a
+    * training pipeline actually gates an index build on.
+    *
+    * MRR is a sum of 1/rank terms, which are NOT exactly representable
+    * as doubles (1/3, 1/7…), so summing them would reintroduce
+    * accumulation-order noise. Instead each reciprocal is scaled by
+    * lcm(1..10) = 2520: `2520 div rank` is EXACT for every rank ≤ 10,
+    * the sum accumulates as a plain long, and the single final
+    * division by 2520·n_q is one r6-rounded IEEE op — the same
+    * grid-first discipline as [[graft.Fx.moneySum]], transplanted to
+    * harmonic weights. Scale shape: identical to q190 (broadcast query
+    * side, one shuffle to per-query groups), plus a single-row final
+    * aggregate. */
+  def q224(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qd = queriesDf(s, d)
+    val e = Tables.embeddings(s, d)
+    val exact = Similarity.bruteForceTopK(qd, e, k = 10)
+      .select($"q_id", $"vec_id", $"rn".as("e_rn"))
+    val approx = Similarity.ivfTopK(qd, e, k = 10, bits = ivfBits)
+      .select($"q_id".as("aq_id"), $"vec_id".as("a_vec"), $"rn".as("a_rn"))
+    val perQ = exact.join(broadcast(approx),
+        $"q_id" === $"aq_id" && $"vec_id" === $"a_vec", "left")
+      .groupBy($"q_id")
+      .agg(count($"a_rn").as("n_overlap"),
+        min(when($"e_rn" === 1, coalesce($"a_rn", lit(0L)))).as("t1"))
+    perQ.agg(
+        count(lit(1)).as("n_q"),
+        sum(($"t1" === 1).cast("long")).as("n_hit1"),
+        sum(($"t1" >= 1 && $"t1" <= 5).cast("long")).as("n_hit5"),
+        sum(($"t1" >= 1).cast("long")).as("n_hit10"),
+        sum(when($"t1" > 0, expr("2520 div t1")).otherwise(lit(0L)))
+          .as("srr"),
+        sum($"n_overlap").as("sov"))
+      .select($"n_q", $"n_hit1", $"n_hit5", $"n_hit10",
+        r6($"srr" / ($"n_q" * 2520L)).as("mrr"),
+        r6($"sov" / ($"n_q" * 10L)).as("recall_at_10"))
+      .orderBy($"n_q")
+  }
+
+  val q224Sql: String = {
+    val qb = Similarity.sqlSignBucket("embedding", ivfBits)
+    s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec,
+       |                  $qb AS bucket
+       |           FROM embeddings WHERE vec_id < 5),
+       |t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS t_vec,
+       |             $qb AS bucket FROM embeddings),
+       |e10 AS (
+       |  SELECT q_id, vec_id, rn FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+       |    FROM (SELECT q_id, vec_id, $cosSql AS sim
+       |          FROM t, q WHERE vec_id <> q_id) s) r WHERE rn <= 10),
+       |a10 AS (
+       |  SELECT q_id, vec_id, rn FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+       |    FROM (SELECT q_id, vec_id, $cosSql AS sim
+       |          FROM t, q WHERE vec_id <> q_id AND t.bucket = q.bucket) s) r
+       |  WHERE rn <= 10),
+       |j AS (
+       |  SELECT e10.q_id, e10.rn AS e_rn, a10.rn AS a_rn
+       |  FROM e10 LEFT JOIN a10
+       |    ON e10.q_id = a10.q_id AND e10.vec_id = a10.vec_id),
+       |perq AS (
+       |  SELECT q_id, count(a_rn) AS n_overlap,
+       |    min(CASE WHEN e_rn = 1 THEN COALESCE(a_rn, 0) END) AS t1
+       |  FROM j GROUP BY q_id)
+       |SELECT CAST(count(*) AS BIGINT) AS n_q,
+       |  CAST(sum(CASE WHEN t1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit1,
+       |  CAST(sum(CASE WHEN t1 BETWEEN 1 AND 5 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hit5,
+       |  CAST(sum(CASE WHEN t1 >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit10,
+       |  ${sqlR6("CAST(sum(CASE WHEN t1 > 0 THEN 2520 // t1 ELSE 0 END) AS BIGINT) / (count(*) * 2520)")}
+       |    AS mrr,
+       |  ${sqlR6("CAST(sum(n_overlap) AS BIGINT) / (count(*) * 10)")}
+       |    AS recall_at_10
+       |FROM perq ORDER BY n_q""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q224_retrieval_scorecard", q224, Some(q224Sql)),
     QueryDef("q186_mmr_rerank", q186, Some(q186Sql), bench = true),
     QueryDef("q187_hard_negatives", q187, Some(q187Sql)),
     QueryDef("q190_ann_eval", q190, Some(q190Sql), bench = true),
