@@ -23,6 +23,62 @@ final case class QueryDef(
 object Fx {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+  /** Normalize an events-table `ts` column to `TimestampType` (µs,
+    * UTC instant) regardless of how the parquet writer encoded it.
+    * The testdata has shipped three flavors so far:
+    *   - INT64 TIMESTAMP(NANOS) → Spark reads a plain long (with
+    *     `legacy.parquet.nanosAsLong`); truncate ns→µs like DuckDB's
+    *     ns→µs cast;
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false) → Spark reads
+    *     TIMESTAMP_NTZ, which `unix_micros`/watermarks reject; cast to
+    *     TimestampType (session TZ is pinned UTC, so instant-preserving);
+    *   - TIMESTAMP(MICROS, adjusted) → already TimestampType.
+    * Works on batch and streaming DataFrames alike (pure projection).
+    * Any fourth encoding fails loudly here instead of deep inside a
+    * query plan.
+    */
+  def eventTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType =>
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType =>
+      df.withColumn("ts", col("ts").cast(TimestampType))
+    case TimestampType => df
+    case other =>
+      throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other; extend Fx.eventTs")
+  }
+
+  /** Cluster-safe eager materialization for multi-consumer and
+    * iterative intermediates. On a local master `localCheckpoint` is
+    * strictly right: the blocks live in the one JVM and the truncated
+    * lineage keeps iterative plans linear. On a real cluster a
+    * localCheckpoint is a reliability bug — its blocks are
+    * unreplicated executor state and the truncated lineage cannot
+    * recompute them after an executor loss — so there the frame is
+    * persisted at replicated `DISK_ONLY_2` (lineage retained, blocks
+    * survive one executor loss) and forced eagerly with a count so the
+    * consumers that fork from it never race the materialization.
+    * Release either kind with [[free]]. Use as
+    * `df.transform(Fx.materialize)` to keep call-site chaining. */
+  def materialize(df: DataFrame): DataFrame = {
+    if (df.sparkSession.sparkContext.isLocal) df.localCheckpoint()
+    else {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY_2)
+      p.count()
+      p
+    }
+  }
+
+  /** Release the storage behind a [[materialize]]d frame (block-manager
+    * blocks for the local-checkpoint flavor, persisted blocks for the
+    * cluster flavor). Safe on any DataFrame — both paths no-op when
+    * there is nothing to release. */
+  def free(df: DataFrame): Unit = {
+    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(df)
+    df.unpersist(blocking = false)
+  }
 
   /** Epoch-day of a timestamp column (date-truncated) — integer in
     * both engines (DuckDB mirror: `CAST(ts AS DATE) - DATE

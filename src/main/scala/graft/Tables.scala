@@ -25,21 +25,15 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark
-    * only reads with `spark.sql.legacy.parquet.nanosAsLong=true` (as a
-    * plain long). Normalize to a proper TimestampType column (µs,
-    * truncating — matches DuckDB's ns→µs cast) whichever way it loads.
+  /** events.parquet has shipped `ts` as INT64 TIMESTAMP(NANOS) (reads
+    * as long under `legacy.parquet.nanosAsLong`) and as
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (reads as
+    * TIMESTAMP_NTZ). `Fx.eventTs` normalizes every flavor to
+    * TimestampType so `unix_micros`/watermark consumers never see the
+    * encoding.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val df = load(s, d, "events")
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
-      case _ => df
-    }
-  }
+  def events(s: SparkSession, d: String): DataFrame =
+    Fx.eventTs(load(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

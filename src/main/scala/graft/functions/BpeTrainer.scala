@@ -64,7 +64,7 @@ object BpeTrainer {
     * overflow at real merge counts). Training stops early when no
     * pair remains. */
   def train(docs: DataFrame, textCol: String, k: Int): Seq[(String, String)] = {
-    var v = vocab(docs, textCol).localCheckpoint()
+    var v = vocab(docs, textCol).transform(graft.Fx.materialize)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
     for (_ <- 1 to k if !exhausted) {
@@ -76,15 +76,15 @@ object BpeTrainer {
         val Array(a, b) = top.head.getString(0).split(" ", 2)
         merges += ((a, b))
         val next = v.select(col("n"), mergePair(col("syms"), a, b).as("syms"))
-          .localCheckpoint() // eager: materialized before the old blocks go
+          .transform(graft.Fx.materialize) // eager: materialized before the old blocks go
         // Free round r-1's checkpoint blocks, or block-manager storage
         // grows O(k × vocab) over the merge loop (k is in the tens of
         // thousands for a real tokenizer).
-        org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(v)
+        graft.Fx.free(v)
         v = next
       }
     }
-    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(v)
+    graft.Fx.free(v)
     merges.toSeq
   }
 

@@ -616,7 +616,7 @@ object AssociationQueries {
         $"l_partkey" === $"p_partkey")
       .select($"l_orderkey".as("o"), $"p_brand".as("it"))
       .distinct()
-      .localCheckpoint() // pair gen, triple gen, and the count share it
+      .transform(graft.Fx.materialize) // pair gen, triple gen, and the count share it
     val nBaskets = baskets.select($"o").distinct().count()
     val minPair = nBaskets / 200L
     val minTri = nBaskets / 1000L
@@ -626,7 +626,7 @@ object AssociationQueries {
       .agg(count(lit(1)).as("sup"))
       .filter($"sup" >= minPair)
       .select($"a", $"b")
-      .localCheckpoint() // three consumers: two C3 sides + the closure
+      .transform(graft.Fx.materialize) // three consumers: two C3 sides + the closure
     val c3 = l2.as("p")
       .join(l2.as("q"), $"p.a" === $"q.a" && $"p.b" < $"q.b")
       .select($"p.a".as("ca"), $"p.b".as("cb"), $"q.b".as("cc"))

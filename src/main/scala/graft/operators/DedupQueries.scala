@@ -545,7 +545,7 @@ object DedupQueries {
     // the LSH pipeline took the sf0.01 driver heap down. At cluster
     // scale the same discipline uses a reliable checkpoint dir.
     val edges = nearDup.union(nearDup.select($"b".as("a"), $"a".as("b")))
-      .localCheckpoint()
+      .transform(graft.Fx.materialize)
     val nodes = edges.select($"a".as("node")).distinct()
     var state = nodes.select($"node", $"node".as("root"), lit(0).as("d"))
     for (_ <- 1 to 8) {
@@ -555,7 +555,7 @@ object DedupQueries {
       val minRoot = unioned.groupBy($"node").agg(min($"root").as("root"))
       state = unioned.join(minRoot, Seq("node", "root"))
         .groupBy($"node", $"root").agg(min($"d").as("d"))
-        .localCheckpoint()
+        .transform(graft.Fx.materialize)
     }
     state.select($"node".as("doc_id"), $"root", $"d".cast("long").as("hops"))
       .orderBy($"doc_id")
@@ -604,7 +604,7 @@ object DedupQueries {
   def q221(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val names = Tables.customer(s, d).select($"c_name".as("w")).distinct()
-      .localCheckpoint() // consumed by variant gen AND the final join
+      .transform(graft.Fx.materialize) // consumed by variant gen AND the final join
     val pairs = Dedup.edit1Pairs(names, "w")
     val nn = pairs.select($"w1".as("w")).unionAll(pairs.select($"w2".as("w")))
       .groupBy($"w").agg(count(lit(1)).as("nn"))

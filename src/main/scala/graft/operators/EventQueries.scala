@@ -777,7 +777,7 @@ object EventQueries {
         epochDay($"o_orderdate").as("day"),
         floor($"o_totalprice" * 100 + 0.5).cast("long").as("c"))
       .groupBy($"priority", $"day").agg(sum($"c").as("cents"))
-      .localCheckpoint()
+      .transform(graft.Fx.materialize)
     val bounds = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
     val spine = daily.select($"priority").distinct()
       .crossJoin(bounds) // 1-row broadcast
@@ -882,7 +882,7 @@ object EventQueries {
   def q217(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val daily = dailyVolumes(s, d)
-      .localCheckpoint() // feeds the median pass AND the final join
+      .transform(graft.Fx.materialize) // feeds the median pass AND the final join
     val withDev = daily.join(medianOf(daily, "n", "med"), "typ")
       .withColumn("dev", abs($"n" - $"med"))
     withDev.join(medianOf(withDev, "dev", "mad"), "typ")
@@ -960,7 +960,7 @@ object EventQueries {
     val byDay = Window.partitionBy(col("typ")).orderBy(col("day"))
     // three consumers (totals, the walk, the peak join) — materialize
     // the tiny per-day relation instead of re-running its source
-    val dd = daily.localCheckpoint()
+    val dd = daily.transform(graft.Fx.materialize)
     val tot = dd.groupBy(col("typ"))
       .agg(sum(col("n")).as("t"), count(lit(1)).as("n_days"))
     val cu = dd

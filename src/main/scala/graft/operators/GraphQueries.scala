@@ -115,11 +115,11 @@ object GraphQueries {
         pr => pr("a") < pr("b"))).as("e"))
       .select($"e.a".as("a"), $"e.b".as("b"))
       .distinct()
-      .localCheckpoint(true)
+      .transform(graft.Fx.materialize)
     def degrees(edges: DataFrame): DataFrame =
       edges.select($"a".as("n")).unionAll(edges.select($"b".as("n")))
         .groupBy($"n").agg(count(lit(1)).as("deg"))
-    val deg0 = degrees(e0).localCheckpoint(true)
+    val deg0 = degrees(e0).transform(graft.Fx.materialize)
     // nearest-rank p25 of the initial degrees: min d with 4·cum ≥ n
     val cells = deg0.groupBy($"deg").agg(count(lit(1)).as("c"))
     val cum = org.apache.spark.sql.expressions.Window.orderBy($"deg")
@@ -139,17 +139,17 @@ object GraphQueries {
       val survivors = alive.join(dg, Seq("n"), "left")
         .crossJoin(broadcast(kDf))
         .filter(coalesce($"deg", lit(0L)) >= $"k")
-        .select($"n").localCheckpoint(true)
+        .select($"n").transform(graft.Fx.materialize)
       val removed = alive.join(survivors, Seq("n"), "left_anti")
       labels = labels.join(removed.withColumn("r", lit(i)), Seq("n"), "left")
         .select($"n",
           when($"peel_round" === 0 && $"r".isNotNull, $"r")
             .otherwise($"peel_round").as("peel_round"))
-        .localCheckpoint(true)
+        .transform(graft.Fx.materialize)
       edges = edges
         .join(survivors.select($"n".as("a")), Seq("a"), "left_semi")
         .join(survivors.select($"n".as("b")), Seq("b"), "left_semi")
-        .localCheckpoint(true)
+        .transform(graft.Fx.materialize)
       alive = survivors
     }
     labels.select($"n".as("part"), $"peel_round").orderBy($"part")

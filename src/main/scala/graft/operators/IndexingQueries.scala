@@ -108,7 +108,7 @@ object IndexingQueries {
        |  FROM bg JOIN model USING (bg) CROSS JOIN vocab),
        |stats AS (
        |  SELECT doc_id, count(*) AS n_bigrams,
-       |    sum(CASE WHEN p < 0.002 THEN 1 ELSE 0 END) AS n_rare,
+       |    CAST(sum(CASE WHEN p < 0.002 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
        |    min(p) AS min_p
        |  FROM scored GROUP BY 1)
        |SELECT stats.doc_id AS doc_id, n_bigrams, n_rare,
@@ -143,7 +143,7 @@ object IndexingQueries {
 
   val q165Sql: String =
     """SELECT w AS term, df, cf, postings FROM (
-      |  SELECT w, count(*) AS df, sum(tf) AS cf,
+      |  SELECT w, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
       |    array_to_string(list_sort(list(doc_id))[1:16], ',') AS postings
       |  FROM (
       |    SELECT w, doc_id, count(*) AS tf

@@ -168,7 +168,7 @@ object LakehouseQueries {
       .groupBy($"okb", $"dayb")
       .agg(min($"day").as("mn"), max($"day").as("mx"),
         count(lit(1)).as("nrows"))
-      .localCheckpoint() // both layout rollups read the cell relation
+      .transform(graft.Fx.materialize) // both layout rollups read the cell relation
     def rollup(scheme: String, blkCol: String): DataFrame =
       cells.groupBy(col(blkCol).as("blk"))
         .agg(min($"mn").as("mn"), max($"mx").as("mx"),

@@ -109,7 +109,7 @@ object IntervalJoin {
   def selfOverlap(df: DataFrame, key: String, s: String, e: String,
       grain: Long): DataFrame = {
     require(grain > 0, s"grain must be positive, got $grain")
-    val cells = withCells(df, s, e, "__cell", grain).localCheckpoint(true)
+    val cells = withCells(df, s, e, "__cell", grain).transform(graft.Fx.materialize)
     def side(sfx: String, cellName: String) =
       cells.select(df.columns.toSeq.map(c => col(c).as(s"$c$sfx")) :+
         col("__cell").as(cellName): _*)

@@ -37,7 +37,7 @@ object Ranking {
     // shuffle + sort once per job).
     val sorted = df.repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
-      .localCheckpoint()
+      .transform(graft.Fx.materialize)
     val withPid = sorted.select(col("*"),
       spark_partition_id().as("__pid"),
       monotonically_increasing_id().as("__mid"))

@@ -196,6 +196,44 @@ object Similarity {
   }
 
   /** ANN via bucket-equality join + per-bucket cosine top-k. */
+  /** nDCG@k over scored, graded-relevance result lists: input rows
+    * (qIdCol, scoreCol, relCol), one row per retrieved item. Ranks are
+    * score-desc (ties broken by relevance desc then nothing — callers
+    * wanting full determinism should pre-break ties); gains are the
+    * standard burst form (2^rel − 1) / log2(rank + 1), the ideal
+    * ordering is relevance-desc, and nDCG = DCG/IDCG with an
+    * all-zero-relevance query yielding NULL (0/0 is undefined — a
+    * judgment-free query carries no ranking signal, and NULL states
+    * that instead of a fake 0 or 1).
+    *
+    * Deliberately NOT in the oracle set: the log2 discount is a libm
+    * transcendental with no cross-engine rounding guarantee (SURVEY
+    * §2.11 precedent — q190/q224 carry the rational-stand-in metrics
+    * the driver hash-checks; this closes the retrieval-eval story for
+    * users who want the textbook number). Scale shape: two windows +
+    * one aggregate, all partitioned by query id — one shuffle.
+    */
+  def ndcgAtK(results: DataFrame, k: Int, qIdCol: String = "q_id",
+      scoreCol: String = "score", relCol: String = "rel"): DataFrame = {
+    val byScore = Window.partitionBy(col(qIdCol))
+      .orderBy(col(scoreCol).desc, col(relCol).desc)
+    val byRel = Window.partitionBy(col(qIdCol)).orderBy(col(relCol).desc)
+    val gain = (r: Column) => (pow(lit(2.0), r) - 1.0)
+    val ranked = results
+      .withColumn("__rn", row_number().over(byScore))
+      .withColumn("__irn", row_number().over(byRel))
+      .withColumn("__dg",
+        when(col("__rn") <= k, gain(col(relCol)) / log2(col("__rn") + 1))
+          .otherwise(lit(0.0)))
+      .withColumn("__ig",
+        when(col("__irn") <= k, gain(col(relCol)) / log2(col("__irn") + 1))
+          .otherwise(lit(0.0)))
+    ranked.groupBy(col(qIdCol))
+      .agg(sum(col("__dg")).as("dcg"), sum(col("__ig")).as("idcg"))
+      .select(col(qIdCol), col("dcg"), col("idcg"),
+        when(col("idcg") > 0.0, col("dcg") / col("idcg")).as("ndcg"))
+  }
+
   def ivfTopK(queries: DataFrame, targets: DataFrame, k: Int, bits: Int,
       qId: String = "q_id", qVec: String = "q_vec",
       tId: String = "vec_id", tVec: String = "embedding"): DataFrame = {

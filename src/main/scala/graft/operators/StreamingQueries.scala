@@ -28,11 +28,7 @@ object StreamingQueries {
     // and glob-filter to the events file
     val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
-    val events = schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
+    val events = graft.Fx.eventTs(raw)
     val agg = events
       .withWatermark("ts", "2 hours")
       .groupBy(window($"ts", "1 hour"), $"event_type")
@@ -81,11 +77,7 @@ object StreamingQueries {
     val schema = s.read.parquet(path).schema
     val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
-    val events = schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
+    val events = graft.Fx.eventTs(raw)
     val deduped = events
       .withWatermark("ts", "2 hours")
       .dropDuplicates("user_id", "event_type")
@@ -118,11 +110,7 @@ object StreamingQueries {
     val schema = s.read.parquet(path).schema
     val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
-    val events = schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
+    val events = graft.Fx.eventTs(raw)
     val dim = broadcast(graft.Tables.load(s, d, "customer")
       .select($"c_custkey", $"c_mktsegment"))
     val agg = events
@@ -170,11 +158,7 @@ object StreamingQueries {
     val schema = s.read.parquet(path).schema
     val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
-    val events = schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
+    val events = graft.Fx.eventTs(raw)
     val evs = events.select($"user_id", $"event_id", $"ts")
       .withWatermark("ts", "2 hours")
       .as[graft.streaming.Streams.TsEvent]
@@ -236,11 +220,7 @@ object StreamingQueries {
     val schema = s.read.parquet(path).schema
     val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
-    val events = schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
+    val events = graft.Fx.eventTs(raw)
     val agg = events
       .withWatermark("ts", "2 hours")
       .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
@@ -289,11 +269,7 @@ object StreamingQueries {
     def stream() = {
       val raw = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
-      schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case _ => raw
-      }
+      graft.Fx.eventTs(raw)
     }
     val views = stream().filter($"event_type" === "view")
       .select($"event_id".as("view_id"), $"user_id".as("v_user"), $"ts".as("v_ts"))
@@ -344,11 +320,7 @@ object StreamingQueries {
     def stream() = {
       val raw = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
-      schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case _ => raw
-      }
+      graft.Fx.eventTs(raw)
     }
     val views = stream().filter($"event_type" === "view")
       .select($"event_id".as("view_id"), $"user_id".as("v_user"), $"ts".as("v_ts"))
@@ -454,11 +426,7 @@ object StreamingQueries {
     val schema = s.read.parquet(path).schema
     val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
-    val events = schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
+    val events = graft.Fx.eventTs(raw)
     val slices = events
       .withWatermark("ts", "2 hours")
       .groupBy(window($"ts", "10 minutes"), $"event_type")
@@ -550,10 +518,10 @@ object StreamingQueries {
       |ORDER BY user_id, start_ms""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
-    QueryDef("q72_streaming_hourly", q72, Some(q72Sql)),
+    QueryDef("q72_streaming_hourly", q72, Some(q72Sql), bench = true),
     QueryDef("q180_stream_neardup_tws", q180, Some(TrainingQueries.q99Sql)),
     QueryDef("q191_stream_timer_sessions", q191, Some(q191Sql)),
-    QueryDef("q74_streaming_dedup", q74, Some(q74Sql)),
+    QueryDef("q74_streaming_dedup", q74, Some(q74Sql), bench = true),
     QueryDef("q114_streaming_content_dedup", q114, Some(q114Sql)),
     QueryDef("q75_stream_static_join", q75, Some(q75Sql)),
     QueryDef("q79_streaming_sessions", q79, Some(q79Sql)),

@@ -84,6 +84,9 @@ case class HllDistinct(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[HllBuffer] {
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    HllDistinct.atomicInputCheck("hll_distinct", child)
+
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
@@ -126,6 +129,9 @@ case class HllBinAgg(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[HllBuffer] {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    HllDistinct.atomicInputCheck("hll_bin", child)
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -203,6 +209,27 @@ case class HllMergeAgg(
 
 object HllDistinct {
   /** Shared XXH64 value hash (seed 42) for both sketch writers. */
+  /** Analysis-time input gate shared by hll_distinct / hll_bin: only
+    * atomic types, whose JVM boxed values have stable value-based
+    * hashCodes, may feed `hashOf`. Array/struct/map inputs would fall
+    * into the hashCode branch with REPRESENTATION-dependent results
+    * (UnsafeArrayData vs GenericArrayData hash differently), silently
+    * corrupting estimates — reject them before execution instead. */
+  def atomicInputCheck(fn: String, child: Expression)
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types._
+    child.dataType match {
+      case StringType | ByteType | ShortType | IntegerType | LongType |
+          FloatType | DoubleType | BooleanType | DateType | TimestampType |
+          TimestampNTZType | _: DecimalType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$fn requires an atomic input type (string/numeric/date/timestamp), " +
+            s"got ${other.simpleString}")
+    }
+  }
+
   def hashOf(v: Any): Long = v match {
     case s: UTF8String => XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
     case l: Long => XXH64.hashLong(l, 42L)

@@ -113,11 +113,7 @@ object TwsSessions {
     import org.apache.spark.sql.functions._
     import s.implicits._
     val raw = NearDupStream.streamParquetTable(s, dir, "events.parquet")
-    val tsed = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
+    val tsed = graft.Fx.eventTs(raw)
     val events = tsed
       .select($"user_id".cast("string").as("user"), $"ts")
       .as[SessionEvent]

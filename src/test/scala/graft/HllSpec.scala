@@ -48,6 +48,20 @@ class HllSpec extends SparkSpec {
     }
   }
 
+  test("hll_distinct/hll_bin reject array input at analysis time (representation-dependent hash)") {
+    import spark.implicits._
+    HllDistinct.register(spark)
+    val df = Seq(Seq(1L, 2L), Seq(3L)).toDF("xs")
+    for (agg <- Seq(
+        HllDistinct.hll_distinct(col("xs")),
+        call_function("hll_bin", col("xs")))) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](
+        df.agg(agg).collect())
+      assert(e.getMessage.contains("atomic input type"),
+        s"expected the atomic-input analysis error, got: ${e.getMessage}")
+    }
+  }
+
   test("HLL of nulls-only input estimates zero") {
     HllDistinct.register(spark)
     import spark.implicits._

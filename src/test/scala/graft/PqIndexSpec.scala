@@ -111,6 +111,33 @@ class PqIndexSpec extends SparkSpec {
     enc.unpersist(); t.unpersist(); q.unpersist()
   }
 
+  test("shared Index is safe under concurrent encode+search (model.copy per stage)") {
+    // encode() clones each KMeansModel before setting stage-local
+    // column names; two threads driving the SAME Index concurrently
+    // must not leak column params across calls. Run 4 concurrent
+    // encode→search pipelines and require identical results.
+    val t = patternedTargets(500, nPatterns = 8).cache()
+    val q = queries(2).cache()
+    val idx = PqIndex.build(t, "embedding", dim, m, k = 8)
+    val expected = {
+      val enc = PqIndex.encode(t, "vec_id", "embedding", idx)
+      PqIndex.searchADC(enc, q, idx, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val runs = Future.sequence((1 to 4).map { _ =>
+      Future {
+        val enc = PqIndex.encode(t, "vec_id", "embedding", idx)
+        PqIndex.searchADC(enc, q, idx, k = 5)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+    })
+    Await.result(runs, 120.seconds).foreach(got => assert(got == expected))
+    t.unpersist(); q.unpersist()
+  }
+
   test("codes are compact: m small ints per vector") {
     val t = patternedTargets(500, nPatterns = 8)
     val idx = PqIndex.build(t, "embedding", dim, m, k = 8)
