@@ -669,7 +669,61 @@ object AssociationQueries {
       |FROM t WHERE support >= (SELECT n FROM no) // 1000
       |ORDER BY support DESC, item_a, item_b, item_c""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q226 — first-order Markov transition matrix of event types
+  // ------------------------------------------------------------------
+
+  /** q226 — per-user event streams reduced to the first-order Markov
+    * transition matrix: count of each (from_type → to_type) step over
+    * every user's (ts, event_id)-ordered timeline, plus the
+    * row-normalized transition probability — the behavioral model
+    * behind next-event prediction, anomaly scoring (improbable
+    * transitions), and session simulation.
+    *
+    * Scale shape: one shuffle on user_id for the lag window (each
+    * partition bounded by its users' own activity), then the pair
+    * aggregation lands on the |types|² ≤ dozens-row transition domain
+    * — the normalizing row totals are a window over that metadata-
+    * scale relation, never a second pass over events. Determinism:
+    * counts are exact longs; the single division per output row is
+    * correctly-rounded IEEE on identical operands ([[Fx.r6]]). */
+  def q226(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byUserTime = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val pairs = Tables.events(s, d)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id", $"event_type")
+      .withColumn("prev", lag($"event_type", 1).over(byUserTime))
+      .filter($"prev".isNotNull)
+      .groupBy($"prev".as("from_type"), $"event_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("row_total",
+        sum($"n").over(Window.partitionBy($"from_type")).cast("long"))
+      .select($"from_type", $"to_type", $"n", $"row_total",
+        r6($"n" / $"row_total").as("p"))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  val q226Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+       |    event_type FROM events),
+       |steps AS (
+       |  SELECT lag(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY us, event_id) AS from_type,
+       |    event_type AS to_type
+       |  FROM e),
+       |pairs AS (
+       |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM steps WHERE from_type IS NOT NULL GROUP BY 1, 2)
+       |SELECT from_type, to_type, n,
+       |  CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_total,
+       |  ${sqlR6("n / CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)")} AS p
+       |FROM pairs
+       |ORDER BY from_type, to_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q226_markov_transitions", q226, Some(q226Sql)),
     QueryDef("q223_apriori_triples", q223, Some(q223Sql)),
     QueryDef("q197_interval_overlap", q197, Some(q197Sql), bench = true),
     QueryDef("q199_weighted_median", q199, Some(q199Sql)),

@@ -430,7 +430,86 @@ object CorpusQueries {
        |FROM rep ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q229 — PII / secrets breadth scan (regex detector battery)
+  // ------------------------------------------------------------------
+
+  /** q229 — the multi-detector PII and secrets scan a corpus release
+    * gate runs before any training data ships: emails, phone numbers,
+    * internal IPv4 addresses, and cloud-credential-shaped tokens
+    * (AKIA-prefixed access keys), rolled up per source as
+    * document-level detection counts and a combined incidence rate.
+    * Complements q94 (redaction rewrite) and q153 (Luhn checksum
+    * validation): this is the BREADTH audit — which sources leak
+    * what, at what rate — that decides where redaction effort goes.
+    *
+    * The corpus is seeded deterministically (q216's mojibake
+    * precedent: the synthetic testdata contains no organic PII, and
+    * an all-zeros detector proves nothing) — ~4/7 of documents get
+    * exactly one artifact each, derived from doc_id arithmetic and
+    * md5 hex both engines compute identically, so DuckDB seeds and
+    * detects the same corpus.
+    *
+    * Scale shape: detection is four `rlike` predicates fused into the
+    * scan projection (regex at scan speed, no shuffle); the rollup is
+    * one partial-aggregating groupBy onto the |sources|-row relation.
+    * Patterns stay in the Java∩RE2 common subset (character classes
+    * and bounded repetition only — no lookaround), so the same
+    * pattern text runs unchanged on Spark, DuckDB, and any RE2-based
+    * scanner a 100 TB pipeline might push the predicate down to. */
+  def q229(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val id = $"doc_id".cast("string")
+    val seeded = Tables.documents(s, d).select($"source",
+      when($"doc_id" % 7 === 0,
+        concat($"text", lit(" contact: user"), id, lit("@example.com")))
+        .when($"doc_id" % 7 === 1,
+          concat($"text", lit(" call 555-"),
+            lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+        .when($"doc_id" % 7 === 2,
+          concat($"text", lit(" host 10."), ($"doc_id" % 251).cast("string"),
+            lit("."), (($"doc_id" * 3) % 256).cast("string"),
+            lit("."), (($"doc_id" * 7) % 256).cast("string")))
+        .when($"doc_id" % 7 === 3,
+          concat($"text", lit(" key AKIA"),
+            upper(substring(md5(concat(id, lit("#key"))), 1, 16))))
+        .otherwise($"text").as("raw"))
+    val hit = (pat: String) => $"raw".rlike(pat).cast("long")
+    seeded.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(hit("[a-z0-9]+@[a-z]+\\.[a-z]+")).as("n_email"),
+        sum(hit("555-[0-9]{4}")).as("n_phone"),
+        sum(hit("10\\.[0-9]+\\.[0-9]+\\.[0-9]+")).as("n_ipv4"),
+        sum(hit("AKIA[0-9A-F]{16}")).as("n_secret"))
+      .select($"source", $"n_docs", $"n_email", $"n_phone", $"n_ipv4",
+        $"n_secret",
+        r6(($"n_email" + $"n_phone" + $"n_ipv4" + $"n_secret") / $"n_docs")
+          .as("pii_rate"))
+      .orderBy($"source")
+  }
+
+  val q229Sql: String = {
+    def hit(pat: String) =
+      s"CAST(sum(CASE WHEN regexp_matches(raw, '$pat') THEN 1 ELSE 0 END) AS BIGINT)"
+    s"""WITH seeded AS (
+       |  SELECT source,
+       |    CASE WHEN doc_id % 7 = 0 THEN text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       |         WHEN doc_id % 7 = 1 THEN text || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |         WHEN doc_id % 7 = 2 THEN text || ' host 10.' || CAST(doc_id % 251 AS VARCHAR) || '.' || CAST((doc_id * 3) % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+       |         WHEN doc_id % 7 = 3 THEN text || ' key AKIA' || upper(substr(md5(CAST(doc_id AS VARCHAR) || '#key'), 1, 16))
+       |         ELSE text END AS raw
+       |  FROM documents)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  ${hit("[a-z0-9]+@[a-z]+\\.[a-z]+")} AS n_email,
+       |  ${hit("555-[0-9]{4}")} AS n_phone,
+       |  ${hit("10\\.[0-9]+\\.[0-9]+\\.[0-9]+")} AS n_ipv4,
+       |  ${hit("AKIA[0-9A-F]{16}")} AS n_secret,
+       |  ${sqlR6("(" + hit("[a-z0-9]+@[a-z]+\\.[a-z]+") + " + " + hit("555-[0-9]{4}") + " + " + hit("10\\.[0-9]+\\.[0-9]+\\.[0-9]+") + " + " + hit("AKIA[0-9A-F]{16}") + ") / count(*)")} AS pii_rate
+       |FROM seeded GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q229_pii_breadth_scan", q229, Some(q229Sql)),
     QueryDef("q152_span_dedup_rewrite", q152, Some(q152Sql), bench = true),
     QueryDef("q153_luhn_pii", q153, Some(q153Sql)),
     QueryDef("q154_source_divergence", q154, Some(q154Sql)),

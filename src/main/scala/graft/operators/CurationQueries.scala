@@ -680,7 +680,131 @@ object CurationQueries {
       |FROM ranked r JOIN sdim s ON r.source = s.source
       |ORDER BY pos""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q228 — training-shard assignment and balance audit
+  // ------------------------------------------------------------------
+
+  /** q228 — deterministic shard assignment for a training run: every
+    * document lands on one of 16 shards by a salted md5 hash (the
+    * content-independent assignment a multi-host data loader needs —
+    * stable across reruns, no coordination), and the audit reports
+    * per-shard document and token counts plus the imbalance each
+    * shard carries versus the ideal even split. The balance number is
+    * what decides whether hash-sharding suffices or the loader needs
+    * explicit bin-packing (q219's compaction planner, applied to
+    * tokens): stragglers in a synchronous training step are set by
+    * the HEAVIEST shard, so the max token skew is the headline.
+    *
+    * Scale shape: one scan computing (shard, tokens) per doc, one
+    * partial-aggregating shuffle onto the 16-row shard relation;
+    * corpus totals come from a window over those 16 rows, never a
+    * second scan. Skew arithmetic is cross-multiplied into exact
+    * longs (shard_tokens·16 vs total·1), with the single r6 division
+    * last. */
+  def q228(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nShards = 16
+    val docs = Tables.documents(s, d).select(
+      (conv(substring(md5(concat($"doc_id".cast("string"), lit("#shard"))), 1, 8), 16, 10)
+        .cast("long") % nShards).as("shard"),
+      (size(split($"text", " "))).cast("long").as("toks"))
+    val byShard = docs.groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("tokens"))
+    val tot = Window.partitionBy(lit(1))
+    byShard
+      .withColumn("total_tokens", sum($"tokens").over(tot).cast("long"))
+      .select($"shard", $"n_docs", $"tokens",
+        ($"tokens" * nShards - $"total_tokens").as("excess_x16"),
+        r6(($"tokens" * nShards) / $"total_tokens").as("load_ratio"))
+      .orderBy($"shard")
+  }
+
+  val q228Sql: String =
+    s"""WITH d AS (
+       |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#shard'), 1, 8))::BIGINT % 16 AS BIGINT) AS shard,
+       |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(toks) AS BIGINT) AS tokens
+       |  FROM d GROUP BY 1)
+       |SELECT shard, n_docs, tokens,
+       |  CAST(tokens * 16 - sum(tokens) OVER () AS BIGINT) AS excess_x16,
+       |  ${sqlR6("(tokens * 16) / CAST(sum(tokens) OVER () AS BIGINT)")} AS load_ratio
+       |FROM g ORDER BY shard""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q230 — per-domain crawl rollup with blocklist screening
+  // ------------------------------------------------------------------
+
+  /** Bounded synthetic host vocabulary — the md5-grid pick keyed on
+    * doc_id stands in for the crawl's source URL (the testdata has no
+    * URL column; the derivation is mirrored verbatim in DuckDB, the
+    * q216-mojibake seeding precedent). */
+  private val hostVocab = Seq(
+    "en.wikipedia.org", "github.com", "stackoverflow.com", "arxiv.org",
+    "medium.com", "blogspot.com", "wordpress.com", "reddit.com",
+    "contentfarm.example", "linkspam.example")
+
+  /** q230 — per-domain corpus rollup, the first aggregation every
+    * web-crawl curation pipeline runs: documents keyed by registered
+    * domain, per-domain volume (docs / tokens), mean quality on the
+    * r4 grid, and a blocklist screen (spam domains excluded from the
+    * keep set but still REPORTED — silent drops are how a blocklist
+    * bug deletes a corpus). Domain reputation derived this way is the
+    * strongest single quality prior in production curation (C4's
+    * badwords screen, CCNet's domain filters, RefinedWeb's URL
+    * rules all key on it).
+    *
+    * Scale shape: the domain key is a pure column expression at scan
+    * speed; one partial-aggregating shuffle onto the |domains|-row
+    * rollup (bounded by the web's registered-domain count, ~100 M —
+    * comfortably shuffle-sized); the blocklist is a broadcast-hash
+    * semi-join (here an isin literal over the 2-entry list, the
+    * 100 TB form being a broadcast anti-join against the curated
+    * blocklist table). Quality stays on the exact md5 grid both
+    * engines share; the mean is grid-sum ÷ count, r4 last. */
+  def q230(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nHosts = hostVocab.size
+    val blocked = Seq("contentfarm.example", "linkspam.example")
+    val hostIdx = (conv(substring(md5(concat($"doc_id".cast("string"), lit("#host"))), 1, 8), 16, 10)
+      .cast("long") % nHosts).cast("int")
+    val hostCol = element_at(
+      array(hostVocab.map(lit): _*), hostIdx + 1)
+    val q100 = (conv(substring(md5(concat($"doc_id".cast("string"), lit("#dq"))), 1, 8), 16, 10)
+      .cast("long") % 101L).as("q100")
+    val docs = Tables.documents(s, d).select(
+      hostCol.as("domain"),
+      size(split($"text", " ")).cast("long").as("toks"),
+      q100)
+    docs.groupBy($"domain")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("tokens"),
+        sum($"q100").as("qsum"))
+      .select($"domain", $"n_docs", $"tokens",
+        r4($"qsum" / ($"n_docs" * 100L)).as("mean_quality"),
+        $"domain".isin(blocked: _*).as("is_blocked"))
+      .orderBy($"domain")
+  }
+
+  val q230Sql: String = {
+    val hosts = hostVocab.map(h => s"'$h'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT [$hosts]
+       |    [CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#host'), 1, 8))::BIGINT % ${hostVocab.size} AS INT) + 1] AS domain,
+       |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS toks,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#dq'), 1, 8))::BIGINT % 101 AS BIGINT) AS q100
+       |  FROM documents)
+       |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(toks) AS BIGINT) AS tokens,
+       |  ${sqlR4("CAST(sum(q100) AS BIGINT) / (count(*) * 100)")} AS mean_quality,
+       |  domain IN ('contentfarm.example', 'linkspam.example') AS is_blocked
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q228_shard_balance", q228, Some(q228Sql)),
+    QueryDef("q230_domain_rollup", q230, Some(q230Sql)),
     QueryDef("q184_temperature_mixing", q184, Some(q184Sql), bench = true),
     QueryDef("q195_quality_budget", q195, Some(q195Sql)),
     QueryDef("q196_eval_apportionment", q196, Some(q196Sql)),

@@ -625,7 +625,83 @@ object DedupQueries {
       |FROM v LEFT JOIN n USING (w)
       |GROUP BY 1 ORDER BY n_neighbors""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q231 — dedup shard locality (why distributed dedup repartitions
+  // by content hash)
+  // ------------------------------------------------------------------
+
+  /** q231 — measures the operational fact distributed dedup is built
+    * on: under id-hash sharding (q228's loader assignment), the
+    * members of a duplicate group scatter across shards — so a
+    * shard-local dedup pass misses every cross-shard pair — while
+    * under content-hash sharding every group is colocated BY
+    * CONSTRUCTION and shard-local dedup is exact. The query computes,
+    * over all exact-duplicate groups, how many are fully colocated
+    * under each scheme, the worst-case scatter, and the share of
+    * duplicate documents a shard-local pass would actually catch
+    * under id sharding (pairs within a shard / all pairs, summed as
+    * exact C(k,2) integers).
+    *
+    * Scale shape: one shuffle keyed on md5(text) — digests, never
+    * text — onto the dup-group relation; the final rollup is a
+    * single-row aggregate of that already-small relation. The two
+    * shard assignments are scan-time column expressions. */
+  def q231(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nSh = 16
+    val docs = Tables.documents(s, d).select(
+      md5($"text").as("fp"),
+      (conv(substring(md5(concat($"doc_id".cast("string"), lit("#shard"))), 1, 8), 16, 10)
+        .cast("long") % nSh).as("s_id"))
+    val groups = docs
+      .groupBy($"fp")
+      .agg(count(lit(1)).as("k"),
+        countDistinct($"s_id").as("spread_id"))
+      .filter($"k" > 1)
+    val perShard = docs.groupBy($"fp", $"s_id").agg(count(lit(1)).as("m"))
+      .groupBy($"fp")
+      .agg(sum(expr("m * (m - 1) div 2")).cast("long").as("local_pairs_id"))
+    groups.join(perShard, "fp")
+      .agg(count(lit(1)).as("n_dup_groups"),
+        sum($"k").cast("long").as("n_dup_docs"),
+        sum(($"spread_id" === 1).cast("long")).as("colocated_id"),
+        max($"spread_id").cast("long").as("max_spread_id"),
+        sum(expr("k * (k - 1) div 2")).cast("long").as("all_pairs"),
+        sum($"local_pairs_id").as("local_pairs_id"))
+      .select($"n_dup_groups", $"n_dup_docs", $"colocated_id",
+        $"max_spread_id", $"all_pairs", $"local_pairs_id",
+        r6($"local_pairs_id" / $"all_pairs").as("local_catch_rate"))
+      .orderBy($"n_dup_groups")
+  }
+
+  val q231Sql: String =
+    s"""WITH docs AS (
+       |  SELECT md5(text) AS fp,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#shard'), 1, 8))::BIGINT % 16 AS BIGINT) AS s_id
+       |  FROM documents),
+       |g AS (
+       |  SELECT fp, CAST(count(*) AS BIGINT) AS k,
+       |    CAST(count(DISTINCT s_id) AS BIGINT) AS spread_id
+       |  FROM docs GROUP BY fp HAVING count(*) > 1),
+       |ps AS (
+       |  SELECT fp, CAST(sum(m * (m - 1) // 2) AS BIGINT) AS local_pairs_id
+       |  FROM (SELECT fp, s_id, CAST(count(*) AS BIGINT) AS m
+       |        FROM docs GROUP BY fp, s_id) t
+       |  GROUP BY fp)
+       |SELECT CAST(count(*) AS BIGINT) AS n_dup_groups,
+       |  CAST(sum(k) AS BIGINT) AS n_dup_docs,
+       |  CAST(sum(CASE WHEN spread_id = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS colocated_id,
+       |  CAST(max(spread_id) AS BIGINT) AS max_spread_id,
+       |  CAST(sum(k * (k - 1) // 2) AS BIGINT) AS all_pairs,
+       |  CAST(sum(local_pairs_id) AS BIGINT) AS local_pairs_id,
+       |  ${sqlR6("CAST(sum(local_pairs_id) AS BIGINT) / CAST(sum(k * (k - 1) // 2) AS BIGINT)")}
+       |    AS local_catch_rate
+       |FROM g JOIN ps USING (fp)
+       |ORDER BY n_dup_groups""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q231_dedup_shard_locality", q231, Some(q231Sql)),
     QueryDef("q221_edit1_neighbors", q221, Some(q221Sql)),
     QueryDef("q50_exact_dedup", q50, Some(q50Sql), bench = true),
     QueryDef("q51_minhash_signatures", q51, Some(q51Sql), bench = true),

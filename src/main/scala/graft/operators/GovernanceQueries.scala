@@ -554,7 +554,84 @@ object GovernanceQueries {
        |  END AS kappa
        |FROM a ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q227 — winsorized robust mean (nearest-rank p05/p95 clipping)
+  // ------------------------------------------------------------------
+
+  /** q227 — per-priority winsorized order-value statistics: the
+    * nearest-rank 5th/95th percentiles of o_totalprice (in exact
+    * cents), every value clamped into [p05, p95], and the winsorized
+    * mean — the robust location estimate that, unlike trimming,
+    * keeps n constant, and unlike the raw mean, bounds any single
+    * record's influence (the standard pre-aggregation defense when
+    * fat-tailed values feed a budget or an SLA).
+    *
+    * Scale shape: percentile selection needs within-group ranks over
+    * 5 priority classes — a group-partitioned window would push the
+    * whole table through 5 tasks, so ranks come from the scale-safe
+    * [[Ranking.groupRanks]] (range-repartition + Tungsten ordinal +
+    * broadcast offset map; exact row_number parity is spec-pinned).
+    * The 5-row percentile relation broadcasts back for the clamp, and
+    * every quantity is an exact long until the single final division
+    * ([[Fx.r4]]). Nearest-rank, not interpolated: the percentile is a
+    * value the data actually contains, and the rank inequality
+    * rank·20 ≥ n (resp. 19·n) is integer-exact in both engines. */
+  def q227(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cents = Tables.orders(s, d).select($"o_orderkey", $"o_orderpriority",
+      floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+    val ranked = Ranking.groupRanks(cents, Seq("o_orderpriority"), 8,
+      $"cents".asc, $"o_orderkey".asc)
+    // group sizes via partial-aggregating groupBy + broadcast back — a
+    // count() window partitioned by the 5 priorities would funnel the
+    // table through 5 tasks, the exact shape groupRanks avoids
+    val ns = cents.groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+    val pcts = ranked.join(broadcast(ns), "o_orderpriority")
+      .groupBy($"o_orderpriority")
+      .agg(max($"n").cast("long").as("n"),
+        min(when($"rank" * 20 >= $"n", $"cents")).as("p05_cents"),
+        min(when($"rank" * 20 >= $"n" * 19, $"cents")).as("p95_cents"))
+    cents.join(broadcast(pcts), "o_orderpriority")
+      .groupBy($"o_orderpriority")
+      .agg(max($"n").as("n"), max($"p05_cents").as("p05_cents"),
+        max($"p95_cents").as("p95_cents"),
+        sum(greatest(least($"cents", $"p95_cents"), $"p05_cents"))
+          .as("wsum_cents"))
+      .select($"o_orderpriority", $"n", $"p05_cents", $"p95_cents",
+        $"wsum_cents",
+        r4($"wsum_cents" / ($"n" * 100L)).as("wmean"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q227Sql: String =
+    s"""WITH c AS (
+       |  SELECT o_orderkey, o_orderpriority,
+       |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM orders),
+       |r AS (
+       |  SELECT o_orderpriority, cents,
+       |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+       |      ORDER BY cents, o_orderkey) AS BIGINT) AS rank,
+       |    CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+       |  FROM c),
+       |p AS (
+       |  SELECT o_orderpriority, max(n) AS n,
+       |    min(CASE WHEN rank * 20 >= n THEN cents END) AS p05_cents,
+       |    min(CASE WHEN rank * 20 >= n * 19 THEN cents END) AS p95_cents
+       |  FROM r GROUP BY 1)
+       |SELECT c.o_orderpriority,
+       |  CAST(max(p.n) AS BIGINT) AS n,
+       |  max(p.p05_cents) AS p05_cents,
+       |  max(p.p95_cents) AS p95_cents,
+       |  CAST(sum(greatest(least(c.cents, p.p95_cents), p.p05_cents))
+       |    AS BIGINT) AS wsum_cents,
+       |  ${sqlR4("CAST(sum(greatest(least(c.cents, p.p95_cents), p.p05_cents)) AS BIGINT) / (max(p.n) * 100)")}
+       |    AS wmean
+       |FROM c JOIN p ON c.o_orderpriority = p.o_orderpriority
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q227_winsorized_stats", q227, Some(q227Sql)),
     QueryDef("q222_cohen_kappa", q222, Some(q222Sql)),
     QueryDef("q210_l_diversity", q210, Some(q210Sql)),
     QueryDef("q214_segment_gini", q214, Some(q214Sql), bench = true),

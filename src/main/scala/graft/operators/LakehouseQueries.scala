@@ -221,7 +221,89 @@ object LakehouseQueries {
        |FROM blocks, preds GROUP BY 1, 2 ORDER BY scheme, pred_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q225 — CDC MERGE apply (insert / update / delete in one join)
+  // ------------------------------------------------------------------
+
+  /** md5-grid u(0,1) keyed on the change key — the shared seeded-
+    * uniform idiom (q98/q26), so DuckDB derives the identical feed. */
+  private def cdcU(key: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(key.cast("string"), lit("#cdc"))), 1, 8), 16, 10)
+      .cast("long").cast("double") / 4294967296.0
+
+  /** q225 — CDC MERGE: apply a change feed (op ∈ I/U/D) onto a keyed
+    * snapshot in ONE full-outer hash join — the relational core of
+    * Delta/Iceberg `MERGE INTO` and of every warehouse CDC apply. The
+    * feed is derived deterministically from the orders table (updates:
+    * per-customer balance restated as their exact-grid order total;
+    * inserts: an md5-picked ~5% re-keyed past the snapshot key range;
+    * deletes: an md5-picked half of the order-less customers), each
+    * snapshot key matching at most one feed row by construction, so
+    * the merge join is 1:1 — no fan-out.
+    *
+    * Scale shape: feed construction is one aggregation shuffle over
+    * the fact table; the apply is a single equi-join on the key —
+    * exactly the one-shuffle plan a 100 TB MERGE compiles to, with
+    * AQE free to broadcast a small feed or split a skewed key. Rows
+    * never explode and nothing collects: a 10 B-row snapshot merges
+    * against a 100 M-row feed at hash-join speed. Determinism: money
+    * stays on the 2-decimal grid ([[Fx.moneySum]]), the op picks ride
+    * the md5 grid, and the survivors order totally by key. */
+  def q225(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val snap = Tables.customer(s, d).select($"c_custkey".as("key"),
+      $"c_name".as("name"), $"c_acctbal".as("bal"), $"c_mktsegment".as("seg"))
+    val ord = Tables.orders(s, d).groupBy($"o_custkey".as("key"))
+      .agg(moneySum($"o_totalprice").as("new_bal"))
+    val updates = ord.select($"key", lit("U").as("op"), $"new_bal")
+    val inserts = ord.filter(cdcU($"key") < 0.05)
+      .select(($"key" + 10000000L).as("key"), lit("I").as("op"), $"new_bal")
+    val deletes = snap.join(ord.select($"key"), Seq("key"), "left_anti")
+      .filter(cdcU($"key") < 0.5)
+      .select($"key", lit("D").as("op"), lit(null).cast("double").as("new_bal"))
+    val feed = updates.unionByName(inserts).unionByName(deletes)
+    snap.join(feed, Seq("key"), "full_outer")
+      .filter($"op".isNull || $"op" =!= "D")
+      .select($"key",
+        coalesce($"name", concat(lit("cdc_insert_"), $"key".cast("string"))).as("name"),
+        r2(when($"op" === "U" || $"op" === "I", $"new_bal")
+          .otherwise($"bal")).as("bal"),
+        coalesce($"seg", lit("NEW")).as("seg"),
+        when($"op".isNull, lit("kept")).when($"op" === "U", lit("updated"))
+          .otherwise(lit("inserted")).as("action"))
+      .orderBy($"key")
+  }
+
+  val q225Sql: String = {
+    def u(k: String) =
+      s"CAST(('0x' || substr(md5(CAST($k AS VARCHAR) || '#cdc'), 1, 8))::BIGINT AS DOUBLE) / 4294967296.0"
+    s"""WITH snap AS (
+       |  SELECT c_custkey AS key, c_name AS name, c_acctbal AS bal,
+       |    c_mktsegment AS seg FROM customer),
+       |ord AS (
+       |  SELECT o_custkey AS key, ${sqlMoneySum("o_totalprice")} AS new_bal
+       |  FROM orders GROUP BY 1),
+       |feed AS (
+       |  SELECT key, 'U' AS op, new_bal FROM ord
+       |  UNION ALL
+       |  SELECT key + 10000000, 'I', new_bal FROM ord WHERE ${u("key")} < 0.05
+       |  UNION ALL
+       |  SELECT s.key, 'D', NULL FROM snap s LEFT JOIN ord o ON s.key = o.key
+       |  WHERE o.key IS NULL AND ${u("s.key")} < 0.5)
+       |SELECT COALESCE(s.key, f.key) AS key,
+       |  COALESCE(s.name, 'cdc_insert_' || CAST(f.key AS VARCHAR)) AS name,
+       |  ${sqlR2("CASE WHEN f.op IN ('U', 'I') THEN f.new_bal ELSE s.bal END")}
+       |    AS bal,
+       |  COALESCE(s.seg, 'NEW') AS seg,
+       |  CASE WHEN f.op IS NULL THEN 'kept'
+       |       WHEN f.op = 'U' THEN 'updated' ELSE 'inserted' END AS action
+       |FROM snap s FULL JOIN feed f ON s.key = f.key
+       |WHERE f.op IS NULL OR f.op <> 'D'
+       |ORDER BY key""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q219_compaction_plan", q219, Some(q219Sql)),
-    QueryDef("q220_zonemap_audit", q220, Some(q220Sql)))
+    QueryDef("q220_zonemap_audit", q220, Some(q220Sql)),
+    QueryDef("q225_cdc_merge", q225, Some(q225Sql)))
 }

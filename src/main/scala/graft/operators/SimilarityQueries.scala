@@ -448,7 +448,56 @@ object SimilarityQueries {
        |FROM perq ORDER BY n_q""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q232 — embedding-table health audit (norms and degeneracy)
+  // ------------------------------------------------------------------
+
+  /** q232 — the pre-ANN health gate on an embedding column: per
+    * label, vector count, degenerate rows (zero / near-zero norm —
+    * cosine is undefined on them, and an encoder emitting them is
+    * broken), unnormalized rows (a mixed-normalization table silently
+    * biases inner-product search toward long vectors), and the exact
+    * min/max norms. Every production index build runs this before
+    * spending cluster-days on the index; it belongs beside q190/q224
+    * as the INPUT-side check of the retrieval loop.
+    *
+    * Determinism: the norm is sqrt of the sequential elementwise
+    * dot-product fold (exactly [[Similarity.dot]]'s shape, which
+    * q60's oracle already hash-matches) — sqrt is correctly-rounded
+    * IEEE, min/max are selections not accumulations, and the
+    * threshold comparisons are on exact shared literals. One scan,
+    * one partial-aggregating shuffle onto the |labels|-row relation. */
+  def q232(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val v = Similarity.toDoubleArr($"embedding")
+    val norm = sqrt(Similarity.dot(v, v))
+    Tables.embeddings(s, d)
+      .select($"label", norm.as("nrm"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(($"nrm" < 1e-6).cast("long")).as("n_degenerate"),
+        sum((abs($"nrm" - 1.0) > 0.01).cast("long")).as("n_unnormalized"),
+        r6(min($"nrm")).as("min_norm"),
+        r6(max($"nrm")).as("max_norm"))
+      .orderBy($"label")
+  }
+
+  val q232Sql: String =
+    s"""WITH n AS (
+       |  SELECT label, sqrt(list_dot_product(v, v)) AS nrm
+       |  FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+       |        FROM embeddings) t)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(CASE WHEN nrm < 1e-6 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_degenerate,
+       |  CAST(sum(CASE WHEN abs(nrm - 1.0) > 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_unnormalized,
+       |  ${sqlR6("min(nrm)")} AS min_norm,
+       |  ${sqlR6("max(nrm)")} AS max_norm
+       |FROM n GROUP BY label ORDER BY label""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q232_embedding_health", q232, Some(q232Sql)),
     QueryDef("q224_retrieval_scorecard", q224, Some(q224Sql)),
     QueryDef("q186_mmr_rerank", q186, Some(q186Sql), bench = true),
     QueryDef("q187_hard_negatives", q187, Some(q187Sql)),

@@ -124,6 +124,33 @@ class BpeSpec extends SparkSpec {
       s"round-trip diverged on: ${diff.select("doc_id").collect().take(5).mkString(",")}")
   }
 
+  test("trainBatched(batch=1) IS classic BPE — identical merges to train") {
+    import spark.implicits._
+    val text = ("low " * 5 + "lower " * 2 + "newest " * 6 + "widest " * 3).trim
+    val docs = Seq(text).toDF("text")
+    val seq = BpeTrainer.train(docs, "text", k = 6)
+    val b1 = BpeTrainer.trainBatched(docs, "text", k = 6, batch = 1)
+    assert(b1 == seq, s"batch=1 diverged: got $b1, want $seq")
+  }
+
+  test("trainBatched merges are symbol-disjoint per round and encode losslessly") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").limit(60)
+    val merges = BpeTrainer.trainBatched(docs, "text", k = 24, batch = 8)
+    assert(merges.size == 24)
+    assert(merges.distinct.size == merges.size, "duplicate merge emitted")
+    // the batched table is a valid BPE table: decode(encode) is lossless
+    val decoded = BpeTrainer.decode(
+      BpeTrainer.encode(docs, "doc_id", "text", merges), "doc_id")
+    val diff = decoded.join(
+        docs.select($"doc_id",
+          org.apache.spark.sql.functions.regexp_replace(
+            org.apache.spark.sql.functions.trim($"text"), " +", " ").as("want")), "doc_id")
+      .filter($"text" =!= $"want")
+    assert(diff.count() == 0)
+  }
+
   test("training releases every round's checkpoint blocks") {
     import spark.implicits._
     val sc = spark.sparkContext
