@@ -41,7 +41,11 @@ object Sinks {
     df.drop(dropCols: _*).write.mode("append").jdbc(url, table, props)
 
   /** K4/K5: Mongo-document-shaped sink → JSON lines (zero-egress env;
-    * each row becomes one document object). */
+    * each row becomes one document object). The DataSource V2 form of
+    * this sink — full commit protocol (task temp-file isolation,
+    * rename-on-commit, job `_SUCCESS`, abort sweeps) — is
+    * [[graft.sources.v2.DocStoreDataSource]]; this convenience wrapper
+    * stays for callers who just want files. */
   def jsonLines(df: DataFrame, dir: String): Unit =
     df.write.mode("overwrite").json(dir)
 

@@ -1,0 +1,204 @@
+package graft.sources.v2
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 WRITE connector modeling the reference's document-DB
+  * (Mongo) insert path (SURVEY §1.4 K4/K5, mongo.ipynb `insert_many`;
+  * advanced.ipynb:225) as a first-class Spark batch sink with the full
+  * V2 commit protocol — the zero-egress container has no Mongo, so the
+  * wire format is JSON-lines files (one document object per row), but
+  * the part that matters at 100 TB is the PROTOCOL, and that is real:
+  *
+  *  - **task isolation**: every DataWriter writes to a private
+  *    `_tmp-<task>-<attempt>` file — concurrent speculative attempts
+  *    of the same task never interfere;
+  *  - **commit-by-rename**: a task's output becomes visible atomically
+  *    at `commit()` (the rename), never while rows are streaming out —
+  *    a reader of the directory sees only completed task files;
+  *  - **abort cleanup**: a failed/killed attempt's `abort()` removes
+  *    its temp file, so retries cannot double-write documents — the
+  *    exactly-once-per-task guarantee `insert_many` batching needs;
+  *  - **job-level finalize**: `BatchWrite.commit` stamps `_SUCCESS`
+  *    only after every task committed; `BatchWrite.abort` sweeps any
+  *    stragglers. A downstream consumer gates on the marker, exactly
+  *    as with Hadoop-committer outputs.
+  *
+  * Usage: `df.write.format("graft.sources.v2.DocStoreDataSource")
+  * .option("path", dir).mode("append").save()`. Append-only by design
+  * (a document insert), like the reference's `insert_many`.
+  */
+class DocStoreDataSource extends TableProvider {
+  // a write accepts the incoming frame's schema (Spark passes it to
+  // getTable only when external metadata is supported)
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    // write-only source: the schema is whatever the written frame has
+    new StructType()
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty,
+      "docstore sink requires .option(\"path\", <output dir>)")
+    new DocStoreTable(path, schema)
+  }
+}
+
+private[v2] class DocStoreTable(path: String, writeSchema: StructType)
+  extends Table with SupportsWrite {
+  override def name(): String = s"docstore($path)"
+  override def schema(): StructType = writeSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new DocStoreBatchWrite(path, info.schema())
+      }
+    }
+}
+
+private[v2] case class DocStoreCommitMessage(committedFile: String)
+  extends WriterCommitMessage
+
+private[v2] class DocStoreBatchWrite(dir: String, schema: StructType)
+  extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    new java.io.File(dir).mkdirs()
+    new DocStoreWriterFactory(dir, schema)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // every task committed — stamp the job-level marker
+    val ok = new java.io.File(dir, "_SUCCESS")
+    val w = new java.io.PrintWriter(ok, "UTF-8")
+    try w.print("") finally w.close()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // sweep temp files of attempts that never reached task-abort
+    // (executor loss), and any files tasks already committed — the
+    // job failed, none of its output may remain visible
+    val d = new java.io.File(dir)
+    val stale = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("_tmp-") ||
+        f.getName.startsWith("part-"))
+    stale.foreach(_.delete())
+  }
+}
+
+private[v2] class DocStoreWriterFactory(dir: String, schema: StructType)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DocStoreWriter(dir, schema, partitionId, taskId)
+}
+
+/** One task attempt's writer: rows stream to a private temp file;
+  * commit renames it into visibility; abort deletes it. */
+private[v2] class DocStoreWriter(dir: String, schema: StructType,
+    partitionId: Int, taskId: Long)
+  extends DataWriter[InternalRow] {
+
+  private val tmp = new java.io.File(dir, s"_tmp-$partitionId-$taskId")
+  private val out = new java.io.PrintWriter(
+    new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      new java.io.FileOutputStream(tmp), java.nio.charset.StandardCharsets.UTF_8)))
+
+  private def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def scalarJson(dt: DataType, row: InternalRow, ord: Int): String =
+    dt match {
+      case StringType => "\"" + jsonEscape(row.getUTF8String(ord).toString) + "\""
+      case LongType => row.getLong(ord).toString
+      case IntegerType => row.getInt(ord).toString
+      case DoubleType => row.getDouble(ord).toString
+      case FloatType => row.getFloat(ord).toString
+      case BooleanType => row.getBoolean(ord).toString
+      case ShortType => row.getShort(ord).toString
+      case ByteType => row.getByte(ord).toString
+      case other => throw new UnsupportedOperationException(
+        s"docstore sink: unsupported field type ${other.simpleString}")
+    }
+
+  private def arrayJson(et: DataType, row: InternalRow, ord: Int): String = {
+    val arr = row.getArray(ord)
+    val sb = new StringBuilder("[")
+    var i = 0
+    while (i < arr.numElements()) {
+      if (i > 0) sb.append(',')
+      if (arr.isNullAt(i)) sb.append("null")
+      else et match {
+        case StringType => sb.append("\"" + jsonEscape(arr.getUTF8String(i).toString) + "\"")
+        case LongType => sb.append(arr.getLong(i))
+        case IntegerType => sb.append(arr.getInt(i))
+        case DoubleType => sb.append(arr.getDouble(i))
+        case FloatType => sb.append(arr.getFloat(i))
+        case BooleanType => sb.append(arr.getBoolean(i))
+        case other => throw new UnsupportedOperationException(
+          s"docstore sink: unsupported array element type ${other.simpleString}")
+      }
+      i += 1
+    }
+    sb.append(']').toString
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val sb = new StringBuilder("{")
+    var i = 0
+    while (i < schema.length) {
+      val f = schema(i)
+      if (i > 0) sb.append(',')
+      sb.append('"').append(jsonEscape(f.name)).append("\":")
+      if (row.isNullAt(i)) sb.append("null")
+      else f.dataType match {
+        case ArrayType(et, _) => sb.append(arrayJson(et, row, i))
+        case dt => sb.append(scalarJson(dt, row, i))
+      }
+      i += 1
+    }
+    sb.append('}')
+    out.println(sb.toString)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    val fin = new java.io.File(dir, s"part-$partitionId-$taskId.jsonl")
+    if (!tmp.renameTo(fin))
+      throw new java.io.IOException(s"docstore sink: rename $tmp -> $fin failed")
+    DocStoreCommitMessage(fin.getName)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    tmp.delete()
+  }
+
+  override def close(): Unit = out.close()
+}
