@@ -108,6 +108,22 @@ object ScaleSmoke {
       return
     }
 
+    // targeted mode: `... <n> bpe` measures sequential vs batched BPE
+    // training (same corpus, k merges) — the driver-round-trip cost
+    // model the batched trainer exists to cut
+    if (args.lift(1).contains("bpe")) {
+      val k = 64
+      timed(s"bpe_train_seq_k$k") {
+        graft.functions.BpeTrainer.train(docs, "text", k).size.toLong
+      }
+      timed(s"bpe_train_batch16_k$k") {
+        graft.functions.BpeTrainer.trainBatched(docs, "text", k, batch = 16)
+          .size.toLong
+      }
+      spark.stop()
+      return
+    }
+
     // Stages consume the aggregate ROW (collect), never count() over an
     // agg — counting an Aggregate's output lets column pruning delete
     // the aggregate expressions and the stage would time a bare scan.

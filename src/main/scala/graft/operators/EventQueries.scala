@@ -1004,7 +1004,61 @@ object EventQueries {
       |  CAST(n_days AS BIGINT) AS n_days
       |FROM sel WHERE rn = 1 ORDER BY typ""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q234 — rolling 7-day active users (the WAU curve)
+  // ------------------------------------------------------------------
+
+  /** q234 — trailing-7-day distinct active users per calendar day —
+    * the WAU metric every product dashboard carries, and the textbook
+    * "COUNT(DISTINCT) OVER a sliding range frame" that engines can't
+    * evaluate directly (distinct doesn't decompose over frames).
+    *
+    * The scalable form: events first collapse to the DISTINCT
+    * (user, day) relation — bounded by users × active-days, typically
+    * orders of magnitude under event count — then each activity day
+    * CONTRIBUTES itself to the 7 report days it falls inside
+    * (a 7-cell explode, the q197 interval-grid idea with a fixed
+    * grain of one day), and the rolling count is a distinct-count per
+    * report day over that contribution relation. Days with no events
+    * inside the trailing week simply don't appear (no zero-fill —
+    * the spine join of q215 composes if needed). One distinct
+    * shuffle + one ×7 explode of the already-collapsed relation +
+    * one count shuffle; the event table is scanned once. */
+  def q234(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val userDays = Tables.events(s, d)
+      .select($"user_id", epochDay($"ts").as("aday")).distinct()
+    val bounds = Tables.events(s, d)
+      .agg(min(epochDay($"ts")).as("lo"), max(epochDay($"ts")).as("hi"))
+    userDays
+      .select($"user_id", $"aday",
+        explode(sequence($"aday", $"aday" + 6)).as("rday"))
+      .join(broadcast(bounds), $"rday" >= $"lo" && $"rday" <= $"hi")
+      .groupBy($"rday")
+      .agg(countDistinct($"user_id").as("wau"))
+      .select(date_add(lit("1970-01-01").cast("date"), $"rday".cast("int"))
+        .as("day"), $"wau")
+      .orderBy($"day")
+  }
+
+  val q234Sql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(ts AS DATE) - DATE '1970-01-01' AS aday
+      |  FROM events),
+      |b AS (SELECT min(aday) AS lo, max(aday) AS hi FROM ud),
+      |contrib AS (
+      |  SELECT user_id, aday + g.x AS rday
+      |  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS x) g),
+      |w AS (
+      |  SELECT rday, count(DISTINCT user_id) AS wau
+      |  FROM contrib, b WHERE rday BETWEEN lo AND hi GROUP BY rday)
+      |SELECT DATE '1970-01-01' + CAST(rday AS INT) AS day,
+      |  CAST(wau AS BIGINT) AS wau
+      |FROM w ORDER BY day""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q234_rolling_active_users", q234, Some(q234Sql)),
     QueryDef("q185_decayed_counts", q185, Some(q185Sql)),
     QueryDef("q193_bounded_funnel", q193, Some(q193Sql)),
     QueryDef("q215_linear_interpolation", q215, Some(q215Sql), bench = true),

@@ -302,8 +302,56 @@ object LakehouseQueries {
        |ORDER BY key""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q233 — CDC EXTRACT: recover the change feed by snapshot diff
+  // ------------------------------------------------------------------
+
+  /** q233 — the inverse of q225: given two keyed snapshots (the
+    * customer table before, and the q225-merged state after), emit
+    * the minimal change feed that transforms one into the other —
+    * how CDC is bootstrapped when there is no binlog: one full-outer
+    * hash join on the key, op = I where only the new side exists, D
+    * where only the old side exists, U where the key survives with a
+    * CHANGED value (an update that didn't change anything emits no
+    * row — snapshot-diff CDC is idempotent by construction, which is
+    * the property that makes re-running an extract safe).
+    *
+    * Composition note: the "after" snapshot IS [[q225]]'s output —
+    * the two operators round-trip, and the extracted feed re-applied
+    * by q225's merge semantics reproduces the after state. Scale
+    * shape: identical to q225 — one equi-join shuffle, no fan-out,
+    * values compared inside the join projection. */
+  def q233(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val before = Tables.customer(s, d)
+      .select($"c_custkey".as("key"), $"c_acctbal".as("old_bal"))
+    val after = q225(s, d).select($"key", $"bal".as("new_bal"))
+    before.join(after, Seq("key"), "full_outer")
+      .select($"key",
+        when($"old_bal".isNull, lit("I"))
+          .when($"new_bal".isNull, lit("D"))
+          .when($"old_bal" =!= $"new_bal", lit("U")).as("op"),
+        r2($"old_bal").as("old_bal"), r2($"new_bal").as("new_bal"))
+      .filter($"op".isNotNull)
+      .orderBy($"key")
+  }
+
+  val q233Sql: String =
+    s"""WITH after_snap AS (${q225Sql.replace("ORDER BY key", "")}),
+       |b AS (SELECT c_custkey AS key, c_acctbal AS old_bal FROM customer),
+       |diff AS (
+       |  SELECT COALESCE(b.key, a.key) AS key,
+       |    CASE WHEN b.key IS NULL THEN 'I'
+       |         WHEN a.key IS NULL THEN 'D'
+       |         WHEN b.old_bal <> a.bal THEN 'U' END AS op,
+       |    ${sqlR2("b.old_bal")} AS old_bal, ${sqlR2("a.bal")} AS new_bal
+       |  FROM b FULL JOIN after_snap a ON b.key = a.key)
+       |SELECT key, op, old_bal, new_bal FROM diff
+       |WHERE op IS NOT NULL ORDER BY key""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q219_compaction_plan", q219, Some(q219Sql)),
     QueryDef("q220_zonemap_audit", q220, Some(q220Sql)),
-    QueryDef("q225_cdc_merge", q225, Some(q225Sql)))
+    QueryDef("q225_cdc_merge", q225, Some(q225Sql)),
+    QueryDef("q233_cdc_extract", q233, Some(q233Sql)))
 }
