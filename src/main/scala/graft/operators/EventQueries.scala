@@ -509,21 +509,32 @@ object EventQueries {
     * stddev_samp is the one non-grid aggregate trusted here — same
     * precedent as q25 (r4 absorbs the engines' accumulation-order
     * ulps). */
+  /** z-score outlier core of q132, factored so the degenerate case is
+    * directly spec-testable: flags rows of (key, n) whose |z| exceeds
+    * the threshold against the GLOBAL mean/stddev. The σ > 0 guard is
+    * load-bearing cross-engine semantics: on degenerate data (all
+    * values equal) Spark's n/0 is NaN (predicate false) while DuckDB
+    * sorts NaN above all values (predicate true) — so the filter runs
+    * BEFORE the division in both mirrors, and the all-equal fixture
+    * flags nothing by construction (spec-pinned). */
+  def zscoreFlags(counts: DataFrame, keyCol: String, z: Double): DataFrame = {
+    val stats = counts.agg(avg(col("n")).as("mu"),
+      stddev_samp(col("n")).as("sigma"))
+    counts.crossJoin(broadcast(stats))
+      .filter(col("sigma") > 0.0)
+      .withColumn("z", (col("n") - col("mu")) / col("sigma"))
+      .filter(abs(col("z")) > z)
+      .select(col(keyCol), col("n").cast("long").as("n_events"),
+        Fx.r4(col("z")).as("z"))
+      .orderBy(col(keyCol))
+  }
+
   def q132(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val hours = Tables.events(s, d)
       .groupBy(date_trunc("hour", $"ts").as("hour"))
       .agg(count(lit(1)).cast("double").as("n"))
-    val stats = hours.agg(avg($"n").as("mu"), stddev_samp($"n").as("sigma"))
-    // sigma > 0 guard: on degenerate data (all hours equal) Spark's
-    // n/0 is NaN (predicate false) while DuckDB sorts NaN above all
-    // values (predicate true) — filter before dividing in BOTH mirrors.
-    hours.crossJoin(broadcast(stats))
-      .filter($"sigma" > 0.0)
-      .withColumn("z", ($"n" - $"mu") / $"sigma")
-      .filter(abs($"z") > 2.0)
-      .select($"hour", $"n".cast("long").as("n_events"), r4($"z").as("z"))
-      .orderBy($"hour")
+    zscoreFlags(hours, "hour", z = 2.0)
   }
 
   val q132Sql: String =
