@@ -722,7 +722,62 @@ object AssociationQueries {
        |FROM pairs
        |ORDER BY from_type, to_type""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q236 — top user-journey paths (event-type trigrams)
+  // ------------------------------------------------------------------
+
+  /** q236 — the "user journey" report: the most common 3-step
+    * event-type paths over every user's (ts, event_id)-ordered
+    * timeline, with each path's share of all 3-step windows — q226's
+    * first-order transitions extended to order 2, which is where
+    * journey analysis starts distinguishing "view→click→purchase"
+    * conversion paths from "view→click→view" browsing loops.
+    *
+    * Scale shape: identical to q226 — one user-keyed shuffle for the
+    * two lag windows, then the count lands on the ≤|types|³ path
+    * domain; the share denominator is a window over that bounded
+    * relation. Top-k selection (k=15) happens on the already-tiny
+    * path relation. */
+  def q236(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val paths = Tables.events(s, d)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id", $"event_type")
+      .withColumn("p1", lag($"event_type", 2).over(w))
+      .withColumn("p2", lag($"event_type", 1).over(w))
+      .filter($"p1".isNotNull)
+      .groupBy($"p1".as("step1"), $"p2".as("step2"), $"event_type".as("step3"))
+      .agg(count(lit(1)).as("n"))
+    paths
+      .withColumn("total", sum($"n").over(Window.partitionBy(lit(1))).cast("long"))
+      .orderBy($"n".desc, $"step1", $"step2", $"step3")
+      .limit(15)
+      .select($"step1", $"step2", $"step3", $"n", r6($"n" / $"total").as("share"))
+      .orderBy($"n".desc, $"step1", $"step2", $"step3")
+  }
+
+  val q236Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+       |    event_type FROM events),
+       |steps AS (
+       |  SELECT lag(event_type, 2) OVER w AS p1,
+       |    lag(event_type, 1) OVER w AS p2, event_type AS p3
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |paths AS (
+       |  SELECT p1 AS step1, p2 AS step2, p3 AS step3,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM steps WHERE p1 IS NOT NULL GROUP BY 1, 2, 3),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM paths),
+       |top AS (
+       |  SELECT step1, step2, step3, n FROM paths
+       |  ORDER BY n DESC, step1, step2, step3 LIMIT 15)
+       |SELECT step1, step2, step3, n, ${sqlR6("n / total")} AS share
+       |FROM top CROSS JOIN t
+       |ORDER BY n DESC, step1, step2, step3""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q236_journey_paths", q236, Some(q236Sql)),
     QueryDef("q226_markov_transitions", q226, Some(q226Sql)),
     QueryDef("q223_apriori_triples", q223, Some(q223Sql)),
     QueryDef("q197_interval_overlap", q197, Some(q197Sql), bench = true),

@@ -849,7 +849,63 @@ object Relational {
       |WHERE v IS NULL
       |ORDER BY user_id, event_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q237 — document-model round trip (nest → flatten, invariants kept)
+  // ------------------------------------------------------------------
+
+  /** q237 — the relational↔document round trip: each order NESTS its
+    * line items into a sorted array<struct> (the document shape the
+    * K4/K5 Mongo sink and every JSON/protobuf training-example writer
+    * emit — one self-contained record per entity, no join at read
+    * time), then the flatten side EXPLODES the documents back and
+    * re-derives the per-priority totals from the nested form alone.
+    * The oracle states the same totals from the flat relations, so a
+    * hash-match proves the nest→flatten cycle preserved every row and
+    * value — the losslessness a pipeline must guarantee before it
+    * ships documents instead of tables.
+    *
+    * Scale shape: one shuffle groups lines by order (each array
+    * bounded by its own order's lines — max 7 in TPC-H shape, always
+    * entity-bounded in the document model by design), the join to
+    * orders rides the same key, and the explode is narrow. Money
+    * stays on the exact cent grid inside the structs, so nesting
+    * introduces no float drift. */
+  def q237(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val items = Tables.lineitem(s, d)
+      .select($"l_orderkey",
+        struct($"l_linenumber".as("ln"),
+          $"l_quantity".cast("long").as("qty"),
+          floor($"l_extendedprice" * 100 + 0.5).cast("long").as("cents"))
+          .as("item"))
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_list($"item")).as("items"))
+    val docs = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_orderpriority")
+      .join(items, $"o_orderkey" === $"l_orderkey")
+      .select($"o_orderkey", $"o_orderpriority", $"items")
+    docs
+      .select($"o_orderkey", $"o_orderpriority", explode($"items").as("it"))
+      .groupBy($"o_orderpriority")
+      .agg(countDistinct($"o_orderkey").as("n_orders"),
+        count(lit(1)).as("n_items"),
+        sum($"it.qty").as("sum_qty"),
+        sum($"it.cents").as("sum_cents"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q237Sql: String =
+    """SELECT o_orderpriority,
+      |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q237_document_roundtrip", q237, Some(q237Sql)),
     QueryDef("q01_pricing_summary", q01, Some(q01Sql), bench = true),
     QueryDef("q02_filter_project", q02, Some(q02Sql)),
     QueryDef("q03_join_topk", q03, Some(q03Sql), bench = true),

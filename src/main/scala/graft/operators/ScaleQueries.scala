@@ -448,7 +448,41 @@ object ScaleQueries {
        |ORDER BY sk.wend""".stripMargin
   }
 
+  // ---- q235: hybrid hot/cold join under power-law keys --------------
+
+  /** q235 — segment revenue through [[Skew.hybridJoin]]: event rows
+    * join the customer dimension with hot users (> 100 events)
+    * broadcast-joined — their rows never shuffle — while the cold
+    * long tail takes the ordinary shuffle path with its skew gone by
+    * construction. This is the third leg of the skew toolkit beside
+    * AQE splitting (AqeSpec) and salting (q149): salting still
+    * shuffles every hot row, just spread across salts; the hybrid
+    * form removes the hot rows from the shuffle entirely, at the
+    * price of one counting pass — the right trade when a few keys
+    * dominate (the power-law norm in event data). Result is
+    * strategy-invariant, so the oracle states the plain join; parity
+    * and plan shape are additionally spec-pinned (HybridJoinSpec).
+    * Money rides exact cents (floor(value·100), the q175 grid). */
+  def q235(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).select($"user_id",
+      floor($"value" * 100).cast("long").as("c"))
+    val dim = Tables.customer(s, d)
+      .select($"c_custkey".as("user_id"), $"c_mktsegment".as("segment"))
+    Skew.hybridJoin(ev, dim, "user_id", hotThreshold = 100L)
+      .groupBy($"segment")
+      .agg(count(lit(1)).as("n_events"), sum($"c").as("cents"))
+      .orderBy($"segment")
+  }
+
+  val q235Sql: String =
+    """SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q235_hybrid_skew_join", q235, Some(q235Sql)),
     QueryDef("q147_hll_registers", q147, Some(q147Sql)),
     QueryDef("q148_bloom_decontamination", q148, Some(q148Sql), bench = true),
     QueryDef("q149_salted_join", q149, Some(q149Sql), bench = true),

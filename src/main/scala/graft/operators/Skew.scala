@@ -35,4 +35,36 @@ object Skew {
     * file sizes per partition when key distribution is known-skewed. */
   def writePartitionedByRange(df: DataFrame, key: String, numPartitions: Int): DataFrame =
     df.repartitionByRange(numPartitions, col(key))
+
+  /** Hybrid hot/cold equi-join — the differentiated-join pattern for
+    * power-law keys where salting is wasteful: detect the hot keys
+    * (frequency above `hotThreshold` on the big side), then
+    *
+    *  - **hot slice**: big-side hot rows join the small side's hot
+    *    rows via BROADCAST — a hot key's rows never shuffle at all,
+    *    which beats salting (salting still shuffles every row, just
+    *    spread over n salts);
+    *  - **cold slice**: everything else takes the normal shuffle path
+    *    with near-uniform keys (the skew is gone by construction).
+    *
+    * Result == plain inner join (spec-pinned), requiring only that
+    * the small side's HOT-KEY rows fit in a broadcast — not the whole
+    * small side, which is what makes this work when `small` is itself
+    * too big to broadcast outright. The hot-key relation (keys above
+    * threshold) is tiny by the power-law premise and broadcasts into
+    * both semi/anti splits, so the plan adds one aggregation over the
+    * big side and zero extra shuffles of row data. */
+  def hybridJoin(big: DataFrame, small: DataFrame, key: String,
+      hotThreshold: Long): DataFrame = {
+    val hotKeys = big.groupBy(col(key))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > hotThreshold)
+      .select(col(key))
+    val bigHot = big.join(broadcast(hotKeys), Seq(key), "left_semi")
+    val bigCold = big.join(broadcast(hotKeys), Seq(key), "left_anti")
+    val smallHot = small.join(broadcast(hotKeys), Seq(key), "left_semi")
+    val hot = bigHot.join(broadcast(smallHot), Seq(key))
+    val cold = bigCold.join(small, Seq(key))
+    hot.unionByName(cold)
+  }
 }
