@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming CDC apply — the continuous form of the q225/q233 merge
+  * pair: a stream of keyed change rows (op ∈ I/U/D) maintains an
+  * exactly-once UPSERTED table on plain parquet, the bronze→silver
+  * incremental-merge every lakehouse pipeline runs, built from first
+  * principles (no table format in the container):
+  *
+  *  - **versioned state**: each micro-batch writes a complete new
+  *    snapshot under `state/v<batchId>/` and then atomically swaps a
+  *    `_LATEST` pointer file (write temp + rename) — readers only
+  *    ever see a fully-committed version, never a half-written one
+  *    (the poor man's Delta transaction log, one version per batch);
+  *  - **exactly-once by batch id**: a version directory whose commit
+  *    marker exists is never re-applied — Structured Streaming
+  *    replays the last uncommitted batch after a crash, and the
+  *    batch-id check makes that replay a no-op instead of a double
+  *    apply (same contract as the JDBC delete-then-append sink);
+  *  - **in-batch collapse**: multiple changes to one key within a
+  *    batch resolve LAST-WINS on the change sequence column before
+  *    the merge, so a batch containing I(k),U(k),D(k) nets to the
+  *    delete — the standard CDC compaction rule;
+  *  - **merge**: one full-outer hash join of current state with the
+  *    collapsed batch (q225's shape — one shuffle, 1:1 by key).
+  *
+  * Scale: state rewrite per batch is the simplification a real table
+  * format avoids via file-level merge-on-read; the JOIN is the same
+  * either way, and partition-pruned rewrites drop in behind the same
+  * API. The protocol (version + pointer + idempotent replay) is the
+  * part that carries.
+  */
+object CdcApply {
+
+  private def pointerFile(stateDir: String) = new java.io.File(stateDir, "_LATEST")
+
+  /** The committed version number, if any state exists yet. */
+  def latestVersion(stateDir: String): Option[Long] = {
+    val p = pointerFile(stateDir)
+    if (!p.isFile) None
+    else Some(new String(java.nio.file.Files.readAllBytes(p.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+  }
+
+  /** Read the current committed state (empty schema-less None when no
+    * version has committed). */
+  def readState(spark: SparkSession, stateDir: String): Option[DataFrame] =
+    latestVersion(stateDir).map { v =>
+      spark.read.parquet(s"$stateDir/v$v/data")
+    }
+
+  /** Apply ONE batch of changes idempotently. `changes` columns:
+    * key, op ('I'|'U'|'D'), seq (change order), payload... — extra
+    * columns are the payload. Returns true when applied, false when
+    * the batch id had already committed (crash-replay no-op). */
+  def applyBatch(changes: DataFrame, stateDir: String, key: String,
+      batchId: Long): Boolean = {
+    val spark = changes.sparkSession
+    val vDir = new java.io.File(stateDir, s"v$batchId")
+    val marker = new java.io.File(vDir, "_COMMITTED")
+    if (marker.isFile) return false // exactly-once: replayed batch
+    new java.io.File(stateDir).mkdirs()
+
+    // in-batch collapse: last change per key wins (seq desc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col("seq").desc)
+    val collapsed = changes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "seq")
+
+    val payloadCols = collapsed.columns.filter(c => c != key && c != "op")
+    val merged = readState(spark, stateDir) match {
+      case None =>
+        collapsed.filter(col("op") =!= "D").drop("op")
+      case Some(cur) =>
+        val ch = collapsed.withColumnRenamed(key, "__k")
+        cur.join(ch, cur(key) === ch("__k"), "full_outer")
+          .filter(ch("op").isNull || ch("op") =!= "D")
+          .select(
+            coalesce(cur(key), ch("__k")).as(key) +:
+              payloadCols.map(c =>
+                when(ch("op").isNotNull, ch(c)).otherwise(cur(c)).as(c)): _*)
+    }
+    merged.write.mode("overwrite").parquet(s"${vDir.getPath}/data")
+    // commit marker, then atomic pointer swap (temp + rename)
+    java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+    val tmp = new java.io.File(stateDir, s"_LATEST.tmp$batchId")
+    java.nio.file.Files.write(tmp.toPath,
+      batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath, pointerFile(stateDir).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    true
+  }
+
+  /** Continuous apply: drive a change-row stream into the state table
+    * via foreachBatch, AvailableNow semantics (catch up, then stop). */
+  def run(changes: DataFrame, stateDir: String, checkpointDir: String,
+      key: String): StreamingQuery =
+    changes.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, stateDir, key, batchId); ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}
