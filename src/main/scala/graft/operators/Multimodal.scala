@@ -253,6 +253,66 @@ object Multimodal {
       .orderBy($"a", $"b")
   }
 
+  /** REAL pixel resize: decode → deterministic nearest-neighbor
+    * downsample → re-encode PNG. Nearest-neighbor by integer source
+    * index (`sx = x·w div tw`), NOT an interpolating AWT scaler,
+    * because bilinear/bicubic kernels have platform-varying rounding —
+    * this output is byte-reproducible anywhere, which a training
+    * pipeline needs for cache keys and dedup over derived images
+    * (PNG encodes losslessly, so identical pixels ⇒ identical file).
+    * Aspect ratio is preserved via the [[resizePlan]] rule (scale to
+    * fit maxDim, never upscale). Runs in a partition-batched
+    * mapPartitions like every decoder here; rows whose bytes don't
+    * decode pass through as None. */
+  def resizeImage(bytes: Array[Byte], maxDim: Int): Option[Array[Byte]] =
+    if (bytes == null || bytes.isEmpty) None
+    else try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+        val tw = math.max(1, (w * scale).toInt)
+        val th = math.max(1, (h * scale).toInt)
+        val out = new java.awt.image.BufferedImage(
+          tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < th) {
+          val sy = (y.toLong * h / th).toInt
+          var x = 0
+          while (x < tw) {
+            val sx = (x.toLong * w / tw).toInt
+            out.setRGB(x, y, img.getRGB(sx, sy) & 0xffffff)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case _: Exception => None }
+
+  final case class ResizedRow(media_id: Long, resized: Array[Byte],
+      target_width: Int, target_height: Int, decoded: Boolean)
+
+  /** Distributed form of [[resizeImage]] over a media table. */
+  def resizeImages(media: Dataset[MediaRow], maxDim: Int): Dataset[ResizedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        resizeImage(r.bytes, maxDim) match {
+          case Some(png) =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(png))
+            ResizedRow(r.media_id, png, img.getWidth, img.getHeight, decoded = true)
+          case None => ResizedRow(r.media_id, Array.emptyByteArray, 0, 0, decoded = false)
+        }
+      }
+    }
+  }
+
   /** Metadata-only transforms stay declarative (no decode): */
   def resizePlan(media: DataFrame, maxDim: Int): DataFrame = {
     val scale = least(lit(maxDim) / col("width"), lit(maxDim) / col("height"), lit(1.0))

@@ -52,6 +52,25 @@ object CdcApply {
       spark.read.parquet(s"$stateDir/v$v/data")
     }
 
+  /** All committed versions, ascending — each version is a complete
+    * snapshot, so the directory IS the table history. */
+  def versions(stateDir: String): Seq[Long] = {
+    val d = new java.io.File(stateDir)
+    Option(d.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
+        new java.io.File(f, "_COMMITTED").isFile)
+      .map(_.getName.drop(1).toLong).sorted
+  }
+
+  /** Time travel: read the state AS OF a version (must be committed).
+    * Uncommitted or unknown versions fail loudly rather than serving a
+    * half-written snapshot. */
+  def readStateAsOf(spark: SparkSession, stateDir: String, version: Long): DataFrame = {
+    require(versions(stateDir).contains(version),
+      s"version $version is not committed in $stateDir (have: ${versions(stateDir).mkString(",")})")
+    spark.read.parquet(s"$stateDir/v$version/data")
+  }
+
   /** Apply ONE batch of changes idempotently. `changes` columns:
     * key, op ('I'|'U'|'D'), seq (change order), payload... — extra
     * columns are the payload. Returns true when applied, false when

@@ -50,6 +50,20 @@ class CdcApplySpec extends SparkSpec {
     assert(state(dir) === List((1L, "A2")))
   }
 
+  test("time travel: every committed version stays readable as-of; uncommitted fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("cdc5").toString
+    CdcApply.applyBatch(Seq((1L, "I", 1L, "a")).toDF("k", "op", "seq", "v"), dir, "k", 0L)
+    CdcApply.applyBatch(Seq((1L, "U", 2L, "A"), (2L, "I", 3L, "b"))
+      .toDF("k", "op", "seq", "v"), dir, "k", 1L)
+    assert(CdcApply.versions(dir) === Seq(0L, 1L))
+    val v0 = CdcApply.readStateAsOf(spark, dir, 0L).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toList
+    assert(v0 === List((1L, "a")), "version 0 must show pre-update state")
+    val e = intercept[IllegalArgumentException](
+      CdcApply.readStateAsOf(spark, dir, 7L))
+    assert(e.getMessage.contains("not committed"))
+  }
+
   test("streaming end-to-end: file-source change feed folds into the state table") {
     val in = java.nio.file.Files.createTempDirectory("cdcin").toString
     val dir = java.nio.file.Files.createTempDirectory("cdc4").toString

@@ -143,6 +143,37 @@ class MultimodalSkewSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)), s"got $pairs")
   }
 
+  test("multimodal: real pixel resize — dims right, byte-deterministic, content preserved") {
+    val big = png(3, 0, size = 64)
+    val out1 = Multimodal.resizeImage(big, maxDim = 16).get
+    val out2 = Multimodal.resizeImage(big, maxDim = 16).get
+    assert(java.util.Arrays.equals(out1, out2),
+      "resize must be byte-reproducible (cache-key / dedup contract)")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out1))
+    assert(img.getWidth == 16 && img.getHeight == 16)
+    // nearest-neighbor keeps exact source pixels: corner (0,0) survives
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(big))
+    assert((img.getRGB(0, 0) & 0xffffff) === (src.getRGB(0, 0) & 0xffffff))
+    // no upscale: a small image passes through at its own size
+    val small = png(4, 0, size = 8)
+    val kept = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.resizeImage(small, 16).get))
+    assert(kept.getWidth == 8 && kept.getHeight == 8)
+    assert(Multimodal.resizeImage("junk".getBytes, 16).isEmpty)
+  }
+
+  test("multimodal: distributed resizeImages keeps undecodable rows with decoded=false") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", png(5, 0, 64), 64, 64, 0, "png"),
+      Multimodal.MediaRow(2L, "image", "garbage".getBytes, 0, 0, 0, "png"))
+      .toDS()
+    val out = Multimodal.resizeImages(rows, maxDim = 16)
+      .collect().sortBy(_.media_id)
+    assert(out(0).decoded && out(0).target_width == 16 && out(0).target_height == 16)
+    assert(!out(1).decoded && out(1).resized.isEmpty)
+  }
+
   test("multimodal: resize plan computes bounded target dims declaratively") {
     import spark.implicits._
     val df = Seq((1920, 1080), (640, 480)).toDF("width", "height")
