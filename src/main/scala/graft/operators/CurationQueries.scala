@@ -802,7 +802,50 @@ object CurationQueries {
        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q238 — tokenizer fertility scorecard (BPE vs unigram-LM)
+  // ------------------------------------------------------------------
+
+  /** q238 — the tokenizer-selection scorecard: train BOTH in-engine
+    * tokenizers (batched BPE and the unigram-LM/SentencePiece EM
+    * trainer) on the corpus, encode it with each, and report per
+    * language the characters-per-token "fertility" — the number that
+    * decides which tokenizer a training run uses (fertility drives
+    * sequence length, and sequence length drives compute). No DuckDB
+    * oracle by the documented rule (the unigram model's log-probs are
+    * libm doubles); the driver records the rows-only check, and both
+    * trainers' correctness is spec-pinned (BpeSpec, UnigramSpec).
+    * Both encodes run over the DISTINCT-WORD vocabulary and
+    * broadcast-join back — corpus-sized data never meets the nested
+    * merge folds or the Viterbi DP. */
+  def q238(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"lang", $"text")
+    val bpeMerges = graft.functions.BpeTrainer
+      .trainBatched(docs, "text", k = 40, batch = 8)
+    val uniModel = graft.functions.UnigramTrainer
+      .train(docs, "text", vocabSize = 400, maxPieceLen = 5,
+        minFreq = 2, emRounds = 1)
+    val bpe = graft.functions.BpeTrainer.encode(docs, "doc_id", "text", bpeMerges)
+      .select($"doc_id", $"n_tokens".as("bpe_tokens"))
+    val uni = graft.functions.UnigramTrainer.encode(docs, "doc_id", "text", uniModel)
+      .select($"doc_id", $"n_tokens".as("uni_tokens"))
+    docs.select($"doc_id", $"lang",
+        (length($"text") - (size(split($"text", " ")) - 1)).as("chars"))
+      .join(bpe, "doc_id").join(uni, "doc_id")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"chars").cast("long").as("chars"),
+        sum($"bpe_tokens").cast("long").as("bpe_tokens"),
+        sum($"uni_tokens").cast("long").as("uni_tokens"))
+      .select($"lang", $"n_docs", $"chars", $"bpe_tokens", $"uni_tokens",
+        r4($"chars" / $"bpe_tokens").as("chars_per_bpe_tok"),
+        r4($"chars" / $"uni_tokens").as("chars_per_uni_tok"))
+      .orderBy($"lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q238_tokenizer_fertility", q238, None),
     QueryDef("q228_shard_balance", q228, Some(q228Sql)),
     QueryDef("q230_domain_rollup", q230, Some(q230Sql)),
     QueryDef("q184_temperature_mixing", q184, Some(q184Sql), bench = true),

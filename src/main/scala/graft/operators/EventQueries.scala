@@ -1069,7 +1069,7 @@ object EventQueries {
       |FROM w ORDER BY day""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
-    QueryDef("q234_rolling_active_users", q234, Some(q234Sql)),
+    QueryDef("q234_rolling_active_users", q234, Some(q234Sql), bench = true),
     QueryDef("q185_decayed_counts", q185, Some(q185Sql)),
     QueryDef("q193_bounded_funnel", q193, Some(q193Sql)),
     QueryDef("q215_linear_interpolation", q215, Some(q215Sql), bench = true),

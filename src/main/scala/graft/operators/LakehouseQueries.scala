@@ -352,6 +352,6 @@ object LakehouseQueries {
   val all: Seq[QueryDef] = Seq(
     QueryDef("q219_compaction_plan", q219, Some(q219Sql)),
     QueryDef("q220_zonemap_audit", q220, Some(q220Sql)),
-    QueryDef("q225_cdc_merge", q225, Some(q225Sql)),
+    QueryDef("q225_cdc_merge", q225, Some(q225Sql), bench = true),
     QueryDef("q233_cdc_extract", q233, Some(q233Sql)))
 }

@@ -905,7 +905,7 @@ object Relational {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
-    QueryDef("q237_document_roundtrip", q237, Some(q237Sql)),
+    QueryDef("q237_document_roundtrip", q237, Some(q237Sql), bench = true),
     QueryDef("q01_pricing_summary", q01, Some(q01Sql), bench = true),
     QueryDef("q02_filter_project", q02, Some(q02Sql)),
     QueryDef("q03_join_topk", q03, Some(q03Sql), bench = true),
