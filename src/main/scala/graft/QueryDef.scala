@@ -63,8 +63,19 @@ object Fx {
     * Release either kind with [[free]]. Use as
     * `df.transform(Fx.materialize)` to keep call-site chaining. */
   def materialize(df: DataFrame): DataFrame = {
-    if (df.sparkSession.sparkContext.isLocal) df.localCheckpoint()
-    else {
+    val sc = df.sparkSession.sparkContext
+    if (sc.isLocal) df.localCheckpoint()
+    else if (sc.getCheckpointDir.isDefined) {
+      // reliable checkpoint: blocks on stable storage AND lineage
+      // truncated — iterative loops (BPE rounds, k-core peeling) need
+      // the truncation, or round r's plan nests r-1 prior plans
+      // (O(k²) analysis, full-chain recompute on block loss)
+      df.checkpoint()
+    } else {
+      // no checkpoint dir configured: replicated persist keeps the
+      // blocks fault-tolerant, but lineage is RETAINED — acceptable
+      // for one-shot multi-consumer frames, wrong for long iterative
+      // loops; configure spark.checkpoint.dir for those on a cluster
       val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY_2)
       p.count()
       p

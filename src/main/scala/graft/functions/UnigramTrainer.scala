@@ -100,7 +100,6 @@ object UnigramTrainer {
     // vocab too big to collect, the E-step below is already expressed
     // per-word and runs identically as mapPartitions over a Dataset —
     // the driver loop only ever needs the PIECE table.
-    val wordsB = spark.sparkContext.broadcast(words)
 
     // seed: substring candidates + all chars
     val seedCounts = scala.collection.mutable.Map.empty[String, Long]
@@ -125,16 +124,19 @@ object UnigramTrainer {
       // EM under current vocab
       for (_ <- 1 to emRounds) {
         val lpB = spark.sparkContext.broadcast(lp)
-        val counts = spark.sparkContext
-          .parallelize(wordsB.value.toSeq, math.min(32, math.max(1, words.length / 256)))
-          .mapPartitions { it =>
-            val local = scala.collection.mutable.Map.empty[String, Long]
-            val model = lpB.value
-            for ((w, n) <- it; p <- viterbi(w, model, maxPieceLen))
-              local(p) = local.getOrElse(p, 0L) + n
-            local.iterator
-          }
-          .reduceByKey(_ + _).collect().toMap
+        val counts =
+          try {
+            spark.sparkContext
+              .parallelize(words.toSeq, math.min(32, math.max(1, words.length / 256)))
+              .mapPartitions { it =>
+                val local = scala.collection.mutable.Map.empty[String, Long]
+                val model = lpB.value
+                for ((w, n) <- it; p <- viterbi(w, model, maxPieceLen))
+                  local(p) = local.getOrElse(p, 0L) + n
+                local.iterator
+              }
+              .reduceByKey(_ + _).collect().toMap
+          } finally lpB.destroy() // one broadcast per round must not accumulate
         // keep unused-but-required chars at count 1 (coverage floor)
         val withChars = chars.foldLeft(counts) { (m, c) =>
           if (m.contains(c)) m else m + (c -> 1L) }
@@ -149,7 +151,6 @@ object UnigramTrainer {
       lp = lp.filter { case (p, _) => keep(p) }
       pieces = pieces.filter { case (p, _) => keep(p) }
     }
-    wordsB.destroy()
     Model(lp, maxPieceLen)
   }
 

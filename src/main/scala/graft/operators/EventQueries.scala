@@ -1039,8 +1039,10 @@ object EventQueries {
     import s.implicits._
     val userDays = Tables.events(s, d)
       .select($"user_id", epochDay($"ts").as("aday")).distinct()
-    val bounds = Tables.events(s, d)
-      .agg(min(epochDay($"ts")).as("lo"), max(epochDay($"ts")).as("hi"))
+    // bounds from the already-collapsed relation (the oracle's shape):
+    // min/max of aday over userDays equals min/max over events by
+    // construction, and saves the second fact-table scan at 100 TB
+    val bounds = userDays.agg(min($"aday").as("lo"), max($"aday").as("hi"))
     userDays
       .select($"user_id", $"aday",
         explode(sequence($"aday", $"aday" + 6)).as("rday"))

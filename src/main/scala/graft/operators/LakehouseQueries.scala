@@ -236,8 +236,10 @@ object LakehouseQueries {
     * Delta/Iceberg `MERGE INTO` and of every warehouse CDC apply. The
     * feed is derived deterministically from the orders table (updates:
     * per-customer balance restated as their exact-grid order total;
-    * inserts: an md5-picked ~5% re-keyed past the snapshot key range;
-    * deletes: an md5-picked half of the order-less customers), each
+    * inserts: an md5-picked ~5% re-keyed past the snapshot's MAX key —
+    * derived, not a constant, so no scale factor can collide an insert
+    * with a real key; deletes: an md5-picked half of the order-less
+    * customers), each
     * snapshot key matching at most one feed row by construction, so
     * the merge join is 1:1 — no fan-out.
     *
@@ -256,8 +258,9 @@ object LakehouseQueries {
     val ord = Tables.orders(s, d).groupBy($"o_custkey".as("key"))
       .agg(moneySum($"o_totalprice").as("new_bal"))
     val updates = ord.select($"key", lit("U").as("op"), $"new_bal")
-    val inserts = ord.filter(cdcU($"key") < 0.05)
-      .select(($"key" + 10000000L).as("key"), lit("I").as("op"), $"new_bal")
+    val mx = snap.agg(max($"key").as("mx"))
+    val inserts = ord.filter(cdcU($"key") < 0.05).crossJoin(broadcast(mx))
+      .select(($"key" + $"mx").as("key"), lit("I").as("op"), $"new_bal")
     val deletes = snap.join(ord.select($"key"), Seq("key"), "left_anti")
       .filter(cdcU($"key") < 0.5)
       .select($"key", lit("D").as("op"), lit(null).cast("double").as("new_bal"))
@@ -286,7 +289,8 @@ object LakehouseQueries {
        |feed AS (
        |  SELECT key, 'U' AS op, new_bal FROM ord
        |  UNION ALL
-       |  SELECT key + 10000000, 'I', new_bal FROM ord WHERE ${u("key")} < 0.05
+       |  SELECT key + (SELECT max(c_custkey) FROM customer), 'I', new_bal
+       |  FROM ord WHERE ${u("key")} < 0.05
        |  UNION ALL
        |  SELECT s.key, 'D', NULL FROM snap s LEFT JOIN ord o ON s.key = o.key
        |  WHERE o.key IS NULL AND ${u("s.key")} < 0.5)

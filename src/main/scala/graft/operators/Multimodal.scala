@@ -264,7 +264,9 @@ object Multimodal {
     * fit maxDim, never upscale). Runs in a partition-batched
     * mapPartitions like every decoder here; rows whose bytes don't
     * decode pass through as None. */
-  def resizeImage(bytes: Array[Byte], maxDim: Int): Option[Array[Byte]] =
+  final case class Resized(png: Array[Byte], width: Int, height: Int)
+
+  def resizeImage(bytes: Array[Byte], maxDim: Int): Option[Resized] =
     if (bytes == null || bytes.isEmpty) None
     else try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -290,7 +292,9 @@ object Multimodal {
         }
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(out, "png", bos)
-        Some(bos.toByteArray)
+        // dims ride along — decoding the fresh PNG again just to read
+        // them back would double per-row CPU in the hot path
+        Some(Resized(bos.toByteArray, tw, th))
       }
     } catch { case _: Exception => None }
 
@@ -303,10 +307,8 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { r =>
         resizeImage(r.bytes, maxDim) match {
-          case Some(png) =>
-            val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(png))
-            ResizedRow(r.media_id, png, img.getWidth, img.getHeight, decoded = true)
+          case Some(rz) =>
+            ResizedRow(r.media_id, rz.png, rz.width, rz.height, decoded = true)
           case None => ResizedRow(r.media_id, Array.emptyByteArray, 0, 0, decoded = false)
         }
       }

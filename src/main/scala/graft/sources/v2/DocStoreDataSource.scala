@@ -74,9 +74,15 @@ private[v2] case class DocStoreCommitMessage(committedFile: String)
 private[v2] class DocStoreBatchWrite(dir: String, schema: StructType)
   extends BatchWrite {
 
+  // Job-scoped id embedded in every file name this job writes: abort
+  // must only ever touch THIS job's files — the sink is append-only,
+  // and sweeping by bare prefix would destroy PREVIOUS jobs' committed
+  // output while their _SUCCESS still gates green downstream.
+  private val jobId = java.util.UUID.randomUUID().toString.take(8)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     new java.io.File(dir).mkdirs()
-    new DocStoreWriterFactory(dir, schema)
+    new DocStoreWriterFactory(dir, schema, jobId)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -87,30 +93,30 @@ private[v2] class DocStoreBatchWrite(dir: String, schema: StructType)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    // sweep temp files of attempts that never reached task-abort
-    // (executor loss), and any files tasks already committed — the
-    // job failed, none of its output may remain visible
+    // sweep ONLY this job's files: temp files of attempts that never
+    // reached task-abort (executor loss) and files its tasks already
+    // committed — prior jobs' appended output stays untouched
     val d = new java.io.File(dir)
     val stale = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("_tmp-") ||
-        f.getName.startsWith("part-"))
+      .filter(_.getName.contains(jobId))
     stale.foreach(_.delete())
   }
 }
 
-private[v2] class DocStoreWriterFactory(dir: String, schema: StructType)
+private[v2] class DocStoreWriterFactory(dir: String, schema: StructType,
+    jobId: String)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DocStoreWriter(dir, schema, partitionId, taskId)
+    new DocStoreWriter(dir, schema, jobId, partitionId, taskId)
 }
 
 /** One task attempt's writer: rows stream to a private temp file;
   * commit renames it into visibility; abort deletes it. */
 private[v2] class DocStoreWriter(dir: String, schema: StructType,
-    partitionId: Int, taskId: Long)
+    jobId: String, partitionId: Int, taskId: Long)
   extends DataWriter[InternalRow] {
 
-  private val tmp = new java.io.File(dir, s"_tmp-$partitionId-$taskId")
+  private val tmp = new java.io.File(dir, s"_tmp-$jobId-$partitionId-$taskId")
   private val out = new java.io.PrintWriter(
     new java.io.BufferedWriter(new java.io.OutputStreamWriter(
       new java.io.FileOutputStream(tmp), java.nio.charset.StandardCharsets.UTF_8)))
@@ -133,13 +139,18 @@ private[v2] class DocStoreWriter(dir: String, schema: StructType,
     sb.toString
   }
 
+  /** JSON has no NaN/Infinity literal — a bare `NaN` token corrupts
+    * the whole line for every reader. Non-finite values become null. */
+  private def finiteOrNull(d: Double): String =
+    if (java.lang.Double.isFinite(d)) d.toString else "null"
+
   private def scalarJson(dt: DataType, row: InternalRow, ord: Int): String =
     dt match {
       case StringType => "\"" + jsonEscape(row.getUTF8String(ord).toString) + "\""
       case LongType => row.getLong(ord).toString
       case IntegerType => row.getInt(ord).toString
-      case DoubleType => row.getDouble(ord).toString
-      case FloatType => row.getFloat(ord).toString
+      case DoubleType => finiteOrNull(row.getDouble(ord))
+      case FloatType => finiteOrNull(row.getFloat(ord).toDouble)
       case BooleanType => row.getBoolean(ord).toString
       case ShortType => row.getShort(ord).toString
       case ByteType => row.getByte(ord).toString
@@ -158,8 +169,8 @@ private[v2] class DocStoreWriter(dir: String, schema: StructType,
         case StringType => sb.append("\"" + jsonEscape(arr.getUTF8String(i).toString) + "\"")
         case LongType => sb.append(arr.getLong(i))
         case IntegerType => sb.append(arr.getInt(i))
-        case DoubleType => sb.append(arr.getDouble(i))
-        case FloatType => sb.append(arr.getFloat(i))
+        case DoubleType => sb.append(finiteOrNull(arr.getDouble(i)))
+        case FloatType => sb.append(finiteOrNull(arr.getFloat(i).toDouble))
         case BooleanType => sb.append(arr.getBoolean(i))
         case other => throw new UnsupportedOperationException(
           s"docstore sink: unsupported array element type ${other.simpleString}")
@@ -188,8 +199,16 @@ private[v2] class DocStoreWriter(dir: String, schema: StructType,
   }
 
   override def commit(): WriterCommitMessage = {
+    // PrintWriter swallows IOExceptions — a full disk mid-write would
+    // otherwise commit a silently truncated file. checkError() flushes
+    // and reports; fail the task (Spark retries it) instead.
+    if (out.checkError())
+      throw new java.io.IOException(
+        s"docstore sink: write error on $tmp — refusing to commit a truncated file")
     out.close()
-    val fin = new java.io.File(dir, s"part-$partitionId-$taskId.jsonl")
+    if (out.checkError())
+      throw new java.io.IOException(s"docstore sink: close error on $tmp")
+    val fin = new java.io.File(dir, s"part-$jobId-$partitionId-$taskId.jsonl")
     if (!tmp.renameTo(fin))
       throw new java.io.IOException(s"docstore sink: rename $tmp -> $fin failed")
     DocStoreCommitMessage(fin.getName)

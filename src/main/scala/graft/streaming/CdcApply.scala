@@ -37,13 +37,13 @@ object CdcApply {
 
   private def pointerFile(stateDir: String) = new java.io.File(stateDir, "_LATEST")
 
-  /** The committed version number, if any state exists yet. */
-  def latestVersion(stateDir: String): Option[Long] = {
-    val p = pointerFile(stateDir)
-    if (!p.isFile) None
-    else Some(new String(java.nio.file.Files.readAllBytes(p.toPath),
-      java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-  }
+  /** The latest committed version, if any state exists yet. The
+    * _COMMITTED markers are the source of truth — NOT the _LATEST
+    * pointer: a crash can land between marker write and pointer swap,
+    * and trusting the pointer there would silently serve stale state
+    * (and a replayed batch would no-op without repairing it, losing
+    * the batch forever). The pointer is a reader convenience only. */
+  def latestVersion(stateDir: String): Option[Long] = versions(stateDir).lastOption
 
   /** Read the current committed state (empty schema-less None when no
     * version has committed). */
@@ -80,7 +80,13 @@ object CdcApply {
     val spark = changes.sparkSession
     val vDir = new java.io.File(stateDir, s"v$batchId")
     val marker = new java.io.File(vDir, "_COMMITTED")
-    if (marker.isFile) return false // exactly-once: replayed batch
+    if (marker.isFile) {
+      // exactly-once: this batch already committed. Repair the reader
+      // pointer if the crash landed between marker and pointer swap —
+      // otherwise the replay would no-op and leave _LATEST stale.
+      if (latestVersion(stateDir).contains(batchId)) writePointer(stateDir, batchId)
+      return false
+    }
     new java.io.File(stateDir).mkdirs()
 
     // in-batch collapse: last change per key wins (seq desc)
@@ -104,15 +110,21 @@ object CdcApply {
                 when(ch("op").isNotNull, ch(c)).otherwise(cur(c)).as(c)): _*)
     }
     merged.write.mode("overwrite").parquet(s"${vDir.getPath}/data")
-    // commit marker, then atomic pointer swap (temp + rename)
+    // commit marker (the durable commit point), then the pointer swap
     java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+    writePointer(stateDir, batchId)
+    true
+  }
+
+  /** Atomic reader-pointer swap (temp + rename). Purely advisory —
+    * commit markers carry the truth; see [[latestVersion]]. */
+  private def writePointer(stateDir: String, batchId: Long): Unit = {
     val tmp = new java.io.File(stateDir, s"_LATEST.tmp$batchId")
     java.nio.file.Files.write(tmp.toPath,
       batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.move(tmp.toPath, pointerFile(stateDir).toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    true
   }
 
   /** Continuous apply: drive a change-row stream into the state table

@@ -50,6 +50,28 @@ class CdcApplySpec extends SparkSpec {
     assert(state(dir) === List((1L, "A2")))
   }
 
+  test("crash window between marker and pointer: state reads from markers, replay repairs the pointer") {
+    val dir = java.nio.file.Files.createTempDirectory("cdc6").toString
+    CdcApply.applyBatch(Seq((1L, "I", 1L, "a")).toDF("k", "op", "seq", "v"), dir, "k", 0L)
+    CdcApply.applyBatch(Seq((2L, "I", 2L, "b")).toDF("k", "op", "seq", "v"), dir, "k", 1L)
+    // simulate the crash landing after v1's _COMMITTED but before the
+    // pointer swap: force the pointer back to 0
+    java.nio.file.Files.write(new java.io.File(dir, "_LATEST").toPath,
+      "0".getBytes("UTF-8"))
+    // markers are the source of truth: reads see v1 despite the pointer
+    assert(CdcApply.latestVersion(dir) === Some(1L))
+    assert(state(dir) === List((1L, "a"), (2L, "b")))
+    // the streaming-replay no-op repairs the pointer
+    assert(!CdcApply.applyBatch(Seq((2L, "U", 9L, "STALE"))
+      .toDF("k", "op", "seq", "v"), dir, "k", 1L))
+    val ptr = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "_LATEST").toPath), "UTF-8").trim
+    assert(ptr === "1", "replay must repair the stale pointer")
+    // and the NEXT batch merges onto v1, not the stale v0
+    CdcApply.applyBatch(Seq((3L, "I", 10L, "c")).toDF("k", "op", "seq", "v"), dir, "k", 2L)
+    assert(state(dir) === List((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("time travel: every committed version stays readable as-of; uncommitted fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("cdc5").toString
     CdcApply.applyBatch(Seq((1L, "I", 1L, "a")).toDF("k", "op", "seq", "v"), dir, "k", 0L)

@@ -45,6 +45,31 @@ class DocStoreSinkSpec extends SparkSpec {
     assert(back.filter($"id" === 3).head.isNullAt(1))
   }
 
+  test("V2 docstore write: a failed job's abort leaves PRIOR jobs' committed files intact") {
+    val dir = java.nio.file.Files.createTempDirectory("docstore4").toString
+    // job 1: committed append
+    Seq((1L, "keep")).toDF("id", "v")
+      .write.format(fmt).option("path", dir).mode("append").save()
+    val committed = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getName).toSet
+    assert(committed.nonEmpty)
+    // job 2: fails mid-write (throwing expression) → BatchWrite.abort
+    val boom = org.apache.spark.sql.functions.udf((i: Long) =>
+      if (i >= 0) throw new RuntimeException("boom") else i)
+    intercept[Exception] {
+      spark.range(0, 10)
+        .select($"id", boom($"id").as("v"))
+        .write.format(fmt).option("path", dir).mode("append").save()
+    }
+    val after = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getName).toSet
+    assert(after === committed,
+      s"abort must not touch prior jobs' output: before=$committed after=$after")
+    // and job 2's temp files are gone
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith("_tmp-")))
+    assert(spark.read.json(dir + "/part-*.jsonl").count() === 1)
+  }
+
   test("V2 docstore write: parallel tasks each commit one visible file") {
     val dir = java.nio.file.Files.createTempDirectory("docstore3").toString
     spark.range(0, 1000).repartition(4)

@@ -147,18 +147,18 @@ class MultimodalSkewSpec extends SparkSpec {
     val big = png(3, 0, size = 64)
     val out1 = Multimodal.resizeImage(big, maxDim = 16).get
     val out2 = Multimodal.resizeImage(big, maxDim = 16).get
-    assert(java.util.Arrays.equals(out1, out2),
+    assert(java.util.Arrays.equals(out1.png, out2.png),
       "resize must be byte-reproducible (cache-key / dedup contract)")
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out1))
+    assert(out1.width == 16 && out1.height == 16)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out1.png))
     assert(img.getWidth == 16 && img.getHeight == 16)
     // nearest-neighbor keeps exact source pixels: corner (0,0) survives
     val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(big))
     assert((img.getRGB(0, 0) & 0xffffff) === (src.getRGB(0, 0) & 0xffffff))
     // no upscale: a small image passes through at its own size
     val small = png(4, 0, size = 8)
-    val kept = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(Multimodal.resizeImage(small, 16).get))
-    assert(kept.getWidth == 8 && kept.getHeight == 8)
+    val kept = Multimodal.resizeImage(small, 16).get
+    assert(kept.width == 8 && kept.height == 8)
     assert(Multimodal.resizeImage("junk".getBytes, 16).isEmpty)
   }
 
