@@ -844,7 +844,57 @@ object CurationQueries {
       .orderBy($"lang")
   }
 
+  // ------------------------------------------------------------------
+  // q240 — percent-rank (ECDF) normalization of quality per source
+  // ------------------------------------------------------------------
+
+  /** q240 — the rank-based feature transform: each document's quality
+    * score becomes its empirical percentile WITHIN ITS SOURCE —
+    * (rank − 1)/(n − 1) over the (quality, doc_id) total order — the
+    * normalization that makes thresholds comparable across sources
+    * whose raw score distributions differ (source A's 0.4 may be its
+    * 90th percentile while source B's 0.4 is median; a global cut
+    * would gut A). The ECDF transform is how mixed-corpus quality
+    * gates are actually calibrated (per-source percentile cuts, not
+    * absolute scores).
+    *
+    * Scale shape: within-group ranks over 20 sources come from the
+    * scale-safe [[Ranking.groupRanks]] (no 20-task group window);
+    * group sizes broadcast back from a partial-aggregating count.
+    * The tie-break by doc_id makes every rank unique, so
+    * (rank−1)/(n−1) equals SQL's percent_rank() exactly and the
+    * whole transform is oracle-checkable. Output keeps a readable
+    * sample: the top-5-percentile docs per source. */
+  def q240(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scored = Tables.documents(s, d)
+      .select($"doc_id", $"source", quality($"text").as("q"))
+    val ranked = Ranking.groupRanks(scored, Seq("source"), 8,
+      $"q".asc, $"doc_id".asc)
+    val ns = scored.groupBy($"source").agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(ns), "source")
+      .withColumn("pct", ($"rank" - 1L) / ($"n" - 1L))
+      .filter($"pct" >= 0.95)
+      .select($"source", $"doc_id", r4($"q").as("q"), r6($"pct").as("pct"))
+      .orderBy($"source", $"doc_id")
+  }
+
+  val q240Sql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, source, $qualitySql AS q FROM (
+       |    SELECT doc_id, source, $tokSql AS toks,
+       |      CAST(length(text) AS DOUBLE) AS chars, $stopEnSql AS stop_en
+       |    FROM documents) b),
+       |r AS (
+       |  SELECT source, doc_id, q,
+       |    percent_rank() OVER (PARTITION BY source ORDER BY q, doc_id) AS pct
+       |  FROM scored)
+       |SELECT source, doc_id, ${sqlR4("q")} AS q, ${sqlR6("pct")} AS pct
+       |FROM r WHERE pct >= 0.95
+       |ORDER BY source, doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q240_percent_rank_normalize", q240, Some(q240Sql)),
     QueryDef("q238_tokenizer_fertility", q238, None),
     QueryDef("q228_shard_balance", q228, Some(q228Sql)),
     QueryDef("q230_domain_rollup", q230, Some(q230Sql)),

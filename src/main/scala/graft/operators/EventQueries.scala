@@ -1070,7 +1070,118 @@ object EventQueries {
       |  CAST(wau AS BIGINT) AS wau
       |FROM w ORDER BY day""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q239 — event replay collapse (burst debounce accounting)
+  // ------------------------------------------------------------------
+
+  /** q239 — replay/burst collapse accounting: per (user, event_type),
+    * events within 10 minutes of their predecessor are counted as
+    * replays of the burst's FIRST event (retransmissions, double
+    * clicks, at-least-once delivery dupes — the stream-hygiene pass
+    * that runs before any per-event metric is trusted). Reported per
+    * event type: raw events, burst starts (what a debounced pipeline
+    * would keep), collapsed replays, and the replay rate — the
+    * number that says whether a pipeline needs idempotent keys.
+    *
+    * Scale shape: q70's sessionize machinery at a tighter gap and a
+    * (user, type) key — one shuffle for the lag window, then the
+    * rollup lands on the |types|-row relation. All counts exact
+    * longs; one final division. */
+  def q239(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type").orderBy($"us", $"event_id")
+    Tables.events(s, d)
+      .select($"user_id", $"event_type", $"event_id", unix_micros($"ts").as("us"))
+      .withColumn("prev_us", lag($"us", 1).over(w))
+      .withColumn("burst_start",
+        when($"prev_us".isNull || $"us" - $"prev_us" > 600L * 1000000L, 1L)
+          .otherwise(0L))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"burst_start").cast("long").as("n_kept"))
+      .select($"event_type", $"n_events", $"n_kept",
+        ($"n_events" - $"n_kept").as("n_replays"),
+        r6(($"n_events" - $"n_kept") / $"n_events").as("replay_rate"))
+      .orderBy($"event_type")
+  }
+
+  val q239Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, event_id,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+       |  FROM events),
+       |g AS (
+       |  SELECT event_type,
+       |    CASE WHEN lag(us) OVER (PARTITION BY user_id, event_type
+       |           ORDER BY us, event_id) IS NULL
+       |         OR us - lag(us) OVER (PARTITION BY user_id, event_type
+       |           ORDER BY us, event_id) > 600000000
+       |         THEN 1 ELSE 0 END AS burst_start
+       |  FROM e),
+       |a AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       |    CAST(sum(burst_start) AS BIGINT) AS n_kept
+       |  FROM g GROUP BY 1)
+       |SELECT event_type, n_events, n_kept,
+       |  n_events - n_kept AS n_replays,
+       |  ${sqlR6("(n_events - n_kept) / n_events")} AS replay_rate
+       |FROM a ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q241 — trending event types (daily top-3 with rank deltas)
+  // ------------------------------------------------------------------
+
+  /** q241 — the trending report: per day, the top-3 event types by
+    * volume with each type's rank delta versus the previous day —
+    * positive delta = climbing. Ranks are computed over the FULL
+    * (day × type) relation before the top-3 filter, so a type that
+    * enters the top 3 carries its true prior rank, not a null; a
+    * type's first day reports a null delta (nothing to compare).
+    *
+    * Scale shape: events collapse to the (day, type) count relation
+    * in one partial-aggregating shuffle; every window after that
+    * (daily rank, per-type lag) runs on that calendar-bounded
+    * metadata relation. */
+  def q241(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy(epochDay($"ts").as("day"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val ranked = daily.withColumn("rank",
+      row_number().over(Window.partitionBy($"day")
+        .orderBy($"n".desc, $"event_type")).cast("long"))
+    ranked
+      .withColumn("prev_rank",
+        lag($"rank", 1).over(Window.partitionBy($"event_type").orderBy($"day")))
+      .filter($"rank" <= 3)
+      .select(date_add(lit("1970-01-01").cast("date"), $"day".cast("int")).as("day"),
+        $"event_type", $"n", $"rank", $"prev_rank",
+        ($"prev_rank" - $"rank").as("delta"))
+      .orderBy($"day", $"rank")
+  }
+
+  val q241Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) - DATE '1970-01-01' AS day, event_type,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT day, event_type, n,
+      |    CAST(row_number() OVER (PARTITION BY day
+      |      ORDER BY n DESC, event_type) AS BIGINT) AS rank
+      |  FROM daily),
+      |l AS (
+      |  SELECT day, event_type, n, rank,
+      |    lag(rank) OVER (PARTITION BY event_type ORDER BY day) AS prev_rank
+      |  FROM r)
+      |SELECT DATE '1970-01-01' + CAST(day AS INT) AS day, event_type, n,
+      |  rank, prev_rank, prev_rank - rank AS delta
+      |FROM l WHERE rank <= 3
+      |ORDER BY day, rank""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q239_replay_collapse", q239, Some(q239Sql)),
+    QueryDef("q241_trending_types", q241, Some(q241Sql)),
     QueryDef("q234_rolling_active_users", q234, Some(q234Sql), bench = true),
     QueryDef("q185_decayed_counts", q185, Some(q185Sql)),
     QueryDef("q193_bounded_funnel", q193, Some(q193Sql)),
