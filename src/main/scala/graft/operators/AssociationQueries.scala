@@ -776,7 +776,65 @@ object AssociationQueries {
        |FROM top CROSS JOIN t
        |ORDER BY n DESC, step1, step2, step3""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q243 — A/B exposure readout (deterministic assignment, exact lift)
+  // ------------------------------------------------------------------
+
+  /** q243 — the experiment readout: users assign to control/treatment
+    * by a salted md5 hash (the industry assignment rule — stable
+    * across sessions, no coordination, mirrored bit-for-bit in the
+    * oracle), conversion = the user has a purchase event, and the
+    * report is per-arm exposure, conversions, conversion rate, and
+    * the treatment−control lift in rate. Everything up to the final
+    * divisions is exact integers; the lift subtraction runs on the
+    * two r6-fixed rates so both engines subtract identical doubles.
+    * (Significance testing needs only these four integers — n and
+    * conversions per arm — which is exactly what the query emits.)
+    *
+    * Scale shape: one distinct-collapse of events to users (bounded
+    * by the user universe), assignment as a scan-time expression, a
+    * 2-row rollup, and a 1×1 self-join of that 2-row relation for
+    * the lift column. */
+  def q243(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val users = Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(max(($"event_type" === "purchase").cast("long")).as("converted"))
+      .withColumn("arm",
+        when(conv(substring(md5(concat($"user_id".cast("string"), lit("#exp1"))), 1, 8), 16, 10)
+          .cast("long") % 2 === 0, lit("control")).otherwise(lit("treatment")))
+    val arms = users.groupBy($"arm")
+      .agg(count(lit(1)).as("n_users"),
+        sum($"converted").cast("long").as("n_converted"))
+      .withColumn("rate", r6($"n_converted" / $"n_users"))
+    val ctl = arms.filter($"arm" === "control")
+      .select($"rate".as("ctl_rate"))
+    arms.crossJoin(broadcast(ctl))
+      .select($"arm", $"n_users", $"n_converted", $"rate",
+        r6($"rate" - $"ctl_rate").as("lift_vs_control"))
+      .orderBy($"arm")
+  }
+
+  val q243Sql: String =
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+       |    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#exp1'), 1, 8))::BIGINT % 2 = 0
+       |         THEN 'control' ELSE 'treatment' END AS arm
+       |  FROM events GROUP BY user_id),
+       |a AS (
+       |  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+       |    CAST(sum(converted) AS BIGINT) AS n_converted,
+       |    ${sqlR6("CAST(sum(converted) AS BIGINT) / count(*)")} AS rate
+       |  FROM u GROUP BY arm),
+       |c AS (SELECT rate AS ctl_rate FROM a WHERE arm = 'control')
+       |SELECT arm, n_users, n_converted, rate,
+       |  ${sqlR6("rate - ctl_rate")} AS lift_vs_control
+       |FROM a CROSS JOIN c
+       |ORDER BY arm""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q243_ab_readout", q243, Some(q243Sql)),
     QueryDef("q236_journey_paths", q236, Some(q236Sql)),
     QueryDef("q226_markov_transitions", q226, Some(q226Sql)),
     QueryDef("q223_apriori_triples", q223, Some(q223Sql)),

@@ -353,7 +353,57 @@ object LakehouseQueries {
        |SELECT key, op, old_bal, new_bal FROM diff
        |WHERE op IS NOT NULL ORDER BY key""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q242 — incremental aggregate maintenance (materialized-view delta)
+  // ------------------------------------------------------------------
+
+  /** q242 — algebraic materialized-view maintenance: a per-segment
+    * revenue aggregate built over the historical partition is updated
+    * with ONLY the new day's delta rows — partial aggregates merge
+    * (sums add, counts add) without rescanning history, the property
+    * that makes a 100 TB rolling aggregate affordable (the daily
+    * update touches one day, not the table). The oracle states the
+    * full recompute over everything, so the hash match PROVES
+    * base ⊕ delta ≡ recompute — the correctness condition of every
+    * incremental view engine (and the reason only algebraic
+    * aggregates — sum/count/min/max — maintain this way; medians
+    * don't decompose).
+    *
+    * Split rule: both engines split history/delta on the same date
+    * literal, so the derivation is deterministic. Money rides exact
+    * cents; the merged mean divides once at the end. */
+  def q242(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cutoff = "1998-06-01"
+    val o = Tables.orders(s, d)
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("segment"), $"o_orderdate",
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+    def agg(df: org.apache.spark.sql.DataFrame) = df.groupBy($"segment")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("cents"))
+    val base = agg(o.filter($"o_orderdate" < to_timestamp(lit(cutoff))))
+    val delta = agg(o.filter($"o_orderdate" >= to_timestamp(lit(cutoff))))
+    // the maintenance step: merge partials — never rescan history
+    base.unionByName(delta)
+      .groupBy($"segment")
+      .agg(sum($"n").cast("long").as("n_orders"),
+        sum($"cents").cast("long").as("total_cents"))
+      .select($"segment", $"n_orders", $"total_cents",
+        r4($"total_cents" / ($"n_orders" * 100L)).as("mean_price"))
+      .orderBy($"segment")
+  }
+
+  val q242Sql: String =
+    s"""SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_orders,
+       |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+       |    AS total_cents,
+       |  ${sqlR4("CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / (count(*) * 100)")}
+       |    AS mean_price
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q242_incremental_agg", q242, Some(q242Sql)),
     QueryDef("q219_compaction_plan", q219, Some(q219Sql)),
     QueryDef("q220_zonemap_audit", q220, Some(q220Sql)),
     QueryDef("q225_cdc_merge", q225, Some(q225Sql), bench = true),
