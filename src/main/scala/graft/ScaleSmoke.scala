@@ -108,6 +108,42 @@ object ScaleSmoke {
       return
     }
 
+    // targeted mode: `... <n> skew` measures the three skew-join
+    // strategies on a 90%-hot-key fact table with broadcasts disabled
+    // (a dim too big to broadcast whole is the regime hybridJoin is
+    // for — only its HOT-KEY rows broadcast)
+    if (args.lift(1).contains("skew")) {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val big = spark.range(nDocs)
+        .select(when($"id" % 10 < 9, lit(1L)).otherwise(pmod($"id", lit(200000L)))
+          .as("k"), $"id".as("payload"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val small = spark.range(0, 200000L)
+        .select($"id".as("k"), md5($"id".cast("string")).as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      big.count(); small.count()
+      timed("join_plain_skewed") {
+        big.join(small, "k").agg(count(lit(1))).collect().length.toLong
+      }
+      timed("join_salted_n8") {
+        graft.operators.Skew.saltedJoin(big, small, "k", 8)
+          .agg(count(lit(1))).collect().length.toLong
+      }
+      timed("join_hybrid_hotcold") {
+        graft.operators.Skew.hybridJoin(big, small, "k", hotThreshold = 10000L)
+          .agg(count(lit(1))).collect().length.toLong
+      }
+      // AQE skew-split as the fourth strategy, for the comparison table
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      timed("join_aqe_skewsplit") {
+        big.join(small, "k").agg(count(lit(1))).collect().length.toLong
+      }
+      big.unpersist(); small.unpersist()
+      spark.stop()
+      return
+    }
+
     // targeted mode: `... <n> bpe` measures sequential vs batched BPE
     // training (same corpus, k merges) — the driver-round-trip cost
     // model the batched trainer exists to cut
