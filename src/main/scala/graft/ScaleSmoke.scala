@@ -34,6 +34,53 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
+    // Per-stage timer independent of the text corpus (the skew mode
+    // never builds it — measuring joins under the memory pressure of
+    // an unused 4M-doc cache would distort the very numbers recorded)
+    def timedN(rows: Long)(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val res = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name%-22s $sec%8.2f s  ${rows / sec}%12.0f docs/s  ($res result rows)")
+    }
+
+    // targeted mode: `... <n> skew` measures the three skew-join
+    // strategies on a 90%-hot-key fact table with broadcasts disabled
+    // (a dim too big to broadcast whole is the regime hybridJoin is
+    // for — only its HOT-KEY rows broadcast)
+    if (args.lift(1).contains("skew")) {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val big = spark.range(nDocs)
+        .select(when($"id" % 10 < 9, lit(1L)).otherwise(pmod($"id", lit(200000L)))
+          .as("k"), $"id".as("payload"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val small = spark.range(0, 200000L)
+        .select($"id".as("k"), md5($"id".cast("string")).as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      big.count(); small.count()
+      timedN(nDocs)("join_plain_skewed") {
+        big.join(small, "k").agg(count(lit(1))).collect().length.toLong
+      }
+      timedN(nDocs)("join_salted_n8") {
+        graft.operators.Skew.saltedJoin(big, small, "k", 8)
+          .agg(count(lit(1))).collect().length.toLong
+      }
+      timedN(nDocs)("join_hybrid_hotcold") {
+        graft.operators.Skew.hybridJoin(big, small, "k", hotThreshold = 10000L)
+          .agg(count(lit(1))).collect().length.toLong
+      }
+      // AQE skew-split as the fourth strategy, for the comparison table
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      timedN(nDocs)("join_aqe_skewsplit") {
+        big.join(small, "k").agg(count(lit(1))).collect().length.toLong
+      }
+      big.unpersist(); small.unpersist()
+      spark.stop()
+      return
+    }
+
+
     // Deterministic synthetic corpus. A near-dup copies its
     // predecessor's word sequence (same base id) and changes only the
     // final word, so planted pairs share all but ~2 bigram shingles.
@@ -104,42 +151,6 @@ object ScaleSmoke {
             Window.partitionBy($"grp").orderBy($"v".desc, $"doc_id")))
           .agg(max($"rank")).collect().length.toLong
       }
-      spark.stop()
-      return
-    }
-
-    // targeted mode: `... <n> skew` measures the three skew-join
-    // strategies on a 90%-hot-key fact table with broadcasts disabled
-    // (a dim too big to broadcast whole is the regime hybridJoin is
-    // for — only its HOT-KEY rows broadcast)
-    if (args.lift(1).contains("skew")) {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-      val big = spark.range(nDocs)
-        .select(when($"id" % 10 < 9, lit(1L)).otherwise(pmod($"id", lit(200000L)))
-          .as("k"), $"id".as("payload"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val small = spark.range(0, 200000L)
-        .select($"id".as("k"), md5($"id".cast("string")).as("v"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      big.count(); small.count()
-      timed("join_plain_skewed") {
-        big.join(small, "k").agg(count(lit(1))).collect().length.toLong
-      }
-      timed("join_salted_n8") {
-        graft.operators.Skew.saltedJoin(big, small, "k", 8)
-          .agg(count(lit(1))).collect().length.toLong
-      }
-      timed("join_hybrid_hotcold") {
-        graft.operators.Skew.hybridJoin(big, small, "k", hotThreshold = 10000L)
-          .agg(count(lit(1))).collect().length.toLong
-      }
-      // AQE skew-split as the fourth strategy, for the comparison table
-      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-      timed("join_aqe_skewsplit") {
-        big.join(small, "k").agg(count(lit(1))).collect().length.toLong
-      }
-      big.unpersist(); small.unpersist()
       spark.stop()
       return
     }

@@ -807,9 +807,13 @@ object AssociationQueries {
       .agg(count(lit(1)).as("n_users"),
         sum($"converted").cast("long").as("n_converted"))
       .withColumn("rate", r6($"n_converted" / $"n_users"))
-    val ctl = arms.filter($"arm" === "control")
-      .select($"rate".as("ctl_rate"))
-    arms.crossJoin(broadcast(ctl))
+    // ctl rate via a window over the 2-row arm relation: an EMPTY
+    // control arm degrades to NULL lift, never to an annihilated
+    // readout (a cross join against the empty control row would
+    // silently drop the treatment row too)
+    arms
+      .withColumn("ctl_rate", max(when($"arm" === "control", $"rate"))
+        .over(Window.partitionBy(lit(1))))
       .select($"arm", $"n_users", $"n_converted", $"rate",
         r6($"rate" - $"ctl_rate").as("lift_vs_control"))
       .orderBy($"arm")
@@ -827,11 +831,13 @@ object AssociationQueries {
        |    CAST(sum(converted) AS BIGINT) AS n_converted,
        |    ${sqlR6("CAST(sum(converted) AS BIGINT) / count(*)")} AS rate
        |  FROM u GROUP BY arm),
-       |c AS (SELECT rate AS ctl_rate FROM a WHERE arm = 'control')
+       |w AS (
+       |  SELECT arm, n_users, n_converted, rate,
+       |    max(CASE WHEN arm = 'control' THEN rate END) OVER () AS ctl_rate
+       |  FROM a)
        |SELECT arm, n_users, n_converted, rate,
        |  ${sqlR6("rate - ctl_rate")} AS lift_vs_control
-       |FROM a CROSS JOIN c
-       |ORDER BY arm""".stripMargin
+       |FROM w ORDER BY arm""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q243_ab_readout", q243, Some(q243Sql)),

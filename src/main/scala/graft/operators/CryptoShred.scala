@@ -32,13 +32,15 @@ import org.apache.spark.sql.functions._
 object CryptoShred {
 
   /** Per-subject 128-bit keys (deterministic derivation — see note
-    * above; swap for KMS-issued keys in production). */
+    * above; swap for KMS-issued keys in production). The key column
+    * uses the __-prefixed internal-name convention (cf. Skew's
+    * __salt) so a caller's own "key" column never collides with it. */
   def deriveKeys(subjects: DataFrame, subjectCol: String,
       masterSalt: String): DataFrame =
     subjects.select(col(subjectCol)).distinct()
       .select(col(subjectCol),
         unhex(md5(concat(col(subjectCol).cast("string"),
-          lit("#"), lit(masterSalt)))).as("key"))
+          lit("#"), lit(masterSalt)))).as("__shred_key"))
 
   /** Encrypt `plainCols` of `df` with each row's subject key (inner
     * join: rows without a key are NOT silently kept in plaintext —
@@ -47,8 +49,8 @@ object CryptoShred {
       plainCols: Seq[String]): DataFrame = {
     val out = df.join(keys, subjectCol)
     plainCols.foldLeft(out) { (acc, c) =>
-      acc.withColumn(c, aes_encrypt(col(c).cast("string").cast("binary"), col("key")))
-    }.drop("key")
+      acc.withColumn(c, aes_encrypt(col(c).cast("string").cast("binary"), col("__shred_key")))
+    }.drop("__shred_key")
   }
 
   /** Decrypt with whatever keys remain: shredded subjects' columns
@@ -58,8 +60,8 @@ object CryptoShred {
     val out = df.join(keys, Seq(subjectCol), "left")
     cipherCols.foldLeft(out) { (acc, c) =>
       acc.withColumn(c,
-        try_aes_decrypt(col(c), col("key")).cast("string"))
-    }.drop("key")
+        try_aes_decrypt(col(c), col("__shred_key")).cast("string"))
+    }.drop("__shred_key")
   }
 
   /** Forget subjects: the entire erasure is this anti-join on the

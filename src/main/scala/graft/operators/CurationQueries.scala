@@ -848,23 +848,25 @@ object CurationQueries {
   // q240 — percent-rank (ECDF) normalization of quality per source
   // ------------------------------------------------------------------
 
-  /** q240 — the rank-based feature transform: each document's quality
-    * score becomes its empirical percentile WITHIN ITS SOURCE —
-    * (rank − 1)/(n − 1) over the (quality, doc_id) total order — the
-    * normalization that makes thresholds comparable across sources
-    * whose raw score distributions differ (source A's 0.4 may be its
-    * 90th percentile while source B's 0.4 is median; a global cut
-    * would gut A). The ECDF transform is how mixed-corpus quality
-    * gates are actually calibrated (per-source percentile cuts, not
-    * absolute scores).
+  /** q240 — q174's per-source ECDF transform RE-EXPRESSED through the
+    * scale-safe two-phase rank operator, plus the release-gate filter:
+    * q174 states the semantics with a `percent_rank()` window (clear,
+    * but a group-partitioned window funnels each source through one
+    * task — wrong at 100 TB with 20 sources); here the identical
+    * number — (rank − 1)/(n − 1) over the (quality, doc_id) total
+    * order — comes from [[Ranking.groupRanks]] (range-repartition +
+    * Tungsten ordinal) with group sizes broadcast back, and the
+    * output keeps only the top-5-percentile docs per source (the
+    * per-source percentile cut mixed-corpus quality gates actually
+    * apply). The unique tie-break makes the two forms equal row for
+    * row, so the window-form oracle checks the two-phase plan.
     *
-    * Scale shape: within-group ranks over 20 sources come from the
-    * scale-safe [[Ranking.groupRanks]] (no 20-task group window);
-    * group sizes broadcast back from a partial-aggregating count.
-    * The tie-break by doc_id makes every rank unique, so
-    * (rank−1)/(n−1) equals SQL's percent_rank() exactly and the
-    * whole transform is oracle-checkable. Output keeps a readable
-    * sample: the top-5-percentile docs per source. */
+    * Degenerate guards, both mirrored: a single-doc source defines
+    * pct = 0 (SQL percent_rank's own rule — the raw division would
+    * be 0/0, a runtime error under ANSI mode), and the group-size
+    * join-back is NULL-SAFE so a null source ranks like the window
+    * form ranks it instead of being silently dropped (the exact
+    * defect groupRanks itself guards against). */
   def q240(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val scored = Tables.documents(s, d)
@@ -872,8 +874,10 @@ object CurationQueries {
     val ranked = Ranking.groupRanks(scored, Seq("source"), 8,
       $"q".asc, $"doc_id".asc)
     val ns = scored.groupBy($"source").agg(count(lit(1)).as("n"))
-    ranked.join(broadcast(ns), "source")
-      .withColumn("pct", ($"rank" - 1L) / ($"n" - 1L))
+      .withColumnRenamed("source", "__nsrc")
+    ranked.join(broadcast(ns), $"source" <=> $"__nsrc").drop("__nsrc")
+      .withColumn("pct",
+        when($"n" > 1L, ($"rank" - 1L) / ($"n" - 1L)).otherwise(lit(0.0)))
       .filter($"pct" >= 0.95)
       .select($"source", $"doc_id", r4($"q").as("q"), r6($"pct").as("pct"))
       .orderBy($"source", $"doc_id")
@@ -881,10 +885,9 @@ object CurationQueries {
 
   val q240Sql: String =
     s"""WITH scored AS (
-       |  SELECT doc_id, source, $qualitySql AS q FROM (
-       |    SELECT doc_id, source, $tokSql AS toks,
-       |      CAST(length(text) AS DOUBLE) AS chars, $stopEnSql AS stop_en
-       |    FROM documents) b),
+       |  SELECT doc_id, source,
+       |    ${graft.functions.TextAnalysis.sqlQualityScore("text")} AS q
+       |  FROM documents),
        |r AS (
        |  SELECT source, doc_id, q,
        |    percent_rank() OVER (PARTITION BY source ORDER BY q, doc_id) AS pct

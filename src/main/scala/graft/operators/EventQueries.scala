@@ -882,7 +882,8 @@ object EventQueries {
   }
 
   /** Shared daily per-type event volumes (typ, day, n) — the input
-    * relation of the robust-statistics family (q217, q218). */
+    * relation of the robust-statistics family (q217, q218) and the
+    * trending report (q241). */
   private def dailyVolumes(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.events(s, d)
@@ -1144,9 +1145,7 @@ object EventQueries {
     * metadata relation. */
   def q241(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val daily = Tables.events(s, d)
-      .groupBy(epochDay($"ts").as("day"), $"event_type")
-      .agg(count(lit(1)).as("n"))
+    val daily = dailyVolumes(s, d).withColumnRenamed("typ", "event_type")
     val ranked = daily.withColumn("rank",
       row_number().over(Window.partitionBy($"day")
         .orderBy($"n".desc, $"event_type")).cast("long"))

@@ -51,7 +51,8 @@ class CryptoShredSpec extends SparkSpec {
     val (data, keys) = fixture
     val enc = CryptoShred.encrypt(data, keys, "user_id", Seq("email"))
     // swap everyone onto subject 1's key
-    val k1 = keys.filter($"user_id" === 1L).select($"key").head.getAs[Array[Byte]](0)
+    val k1 = keys.filter($"user_id" === 1L)
+      .select($"__shred_key").head.getAs[Array[Byte]](0)
     val wrong = enc.withColumn("email",
       try_aes_decrypt($"email", lit(k1)).cast("string")).orderBy("user_id").collect()
     assert(wrong(0).getString(1) === "alice@example.com")
