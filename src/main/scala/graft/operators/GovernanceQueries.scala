@@ -630,7 +630,63 @@ object GovernanceQueries {
        |FROM c JOIN p ON c.o_orderpriority = p.o_orderpriority
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q244 — subject-access report (the GDPR data map)
+  // ------------------------------------------------------------------
+
+  /** q244 — the subject-access-request (SAR) / erasure-planning scan:
+    * for a requesting subject set (an md5-picked ~1% of the user
+    * universe — deterministic, oracle-mirrored), report every entity
+    * table that holds their data and how much: distinct subjects
+    * present and row counts per table. This is the inventory a
+    * DSAR response and a deleteByKey/crypto-shred erasure plan both
+    * start from — and the reason subject keys must join across the
+    * whole schema (events.user_id ≡ orders.o_custkey ≡
+    * customer.c_custkey here).
+    *
+    * Scale shape: the subject set is tiny by construction →
+    * broadcast semi-join against each table (no fact-table shuffle
+    * anywhere), one partial-aggregating count per table, a 3-row
+    * union. At 100 TB each table contributes one broadcast-pruned
+    * scan — the same plan a governance sweep runs nightly. */
+  def q244(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def pick(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(c.cast("string"), lit("#sar"))), 1, 8), 16, 10)
+        .cast("long") % 100L === 0L
+    val subjects = Tables.customer(s, d)
+      .select($"c_custkey".as("subject")).filter(pick($"subject"))
+    def held(df: DataFrame, keyCol: String, entity: String) =
+      df.select(col(keyCol).as("subject"))
+        .join(broadcast(subjects), "subject")
+        .agg(lit(entity).as("entity"),
+          countDistinct($"subject").as("n_subjects"),
+          count(lit(1)).as("n_rows"))
+    held(Tables.customer(s, d), "c_custkey", "customer")
+      .unionByName(held(Tables.orders(s, d), "o_custkey", "orders"))
+      .unionByName(held(Tables.events(s, d), "user_id", "events"))
+      .orderBy($"entity")
+  }
+
+  val q244Sql: String = {
+    def pick(c: String) =
+      s"('0x' || substr(md5(CAST($c AS VARCHAR) || '#sar'), 1, 8))::BIGINT % 100 = 0"
+    def held(table: String, key: String, entity: String) =
+      s"""SELECT '$entity' AS entity,
+         |  CAST(count(DISTINCT $key) AS BIGINT) AS n_subjects,
+         |  CAST(count(*) AS BIGINT) AS n_rows
+         |FROM $table WHERE $key IN (SELECT c_custkey FROM customer
+         |                           WHERE ${pick("c_custkey")})""".stripMargin
+    s"""${held("customer", "c_custkey", "customer")}
+       |UNION ALL
+       |${held("orders", "o_custkey", "orders")}
+       |UNION ALL
+       |${held("events", "user_id", "events")}
+       |ORDER BY entity""".stripMargin
+  }
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q244_subject_access_report", q244, Some(q244Sql)),
     QueryDef("q227_winsorized_stats", q227, Some(q227Sql)),
     QueryDef("q222_cohen_kappa", q222, Some(q222Sql)),
     QueryDef("q210_l_diversity", q210, Some(q210Sql)),
