@@ -839,7 +839,72 @@ object AssociationQueries {
        |  ${sqlR6("rate - ctl_rate")} AS lift_vs_control
        |FROM w ORDER BY arm""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q245 — sequential pattern mining (MLlib PrefixSpan, oracle-checked)
+  // ------------------------------------------------------------------
+
+  /** q245 — frequent sequential patterns over user event timelines via
+    * MLlib's PrefixSpan (Pei et al. 2001): every pattern of ≤ 2 events
+    * supported by ≥ 40% of users, with support counted per USER (a
+    * sequence contains a pattern once no matter how often it repeats
+    * — the sequence-support definition that distinguishes sequence
+    * mining from q226's transition counts, which weight by
+    * occurrence). Because input itemsets are singleton events ordered
+    * by (ts, event_id), containment of <a,b> is exactly "some a
+    * strictly before some b in the user's timeline", which the oracle
+    * states as an EXISTS-style self-join with count(DISTINCT user) —
+    * so even a library miner's output hash-matches plain SQL, pinning
+    * both the mining semantics and the ceil(minSupport·n) frequency
+    * threshold.
+    *
+    * Scale shape: timelines collapse to one array per user (bounded
+    * by the user's own activity — the q104 shape); PrefixSpan's
+    * prefix-projection fans out by pattern, never all-pairs. The
+    * oracle's quadratic self-join is oracle-side only. */
+  def q245(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val seqs = Tables.events(s, d)
+      .select($"user_id",
+        struct(unix_micros($"ts").as("us"), $"event_id", $"event_type").as("e"))
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list($"e")).as("evs"))
+      .select(transform($"evs", x => array(x("event_type"))).as("sequence"))
+    val pats = new org.apache.spark.ml.fpm.PrefixSpan()
+      .setMinSupport(0.4).setMaxPatternLength(2)
+      .setSequenceCol("sequence")
+      .findFrequentSequentialPatterns(seqs)
+      .select(array_join(flatten($"sequence"), "->").as("pattern"),
+        $"freq".cast("long").as("freq"))
+    val tot = seqs.agg(count(lit(1)).as("n_seqs"))
+    pats.crossJoin(broadcast(tot))
+      .select($"pattern", $"freq", $"n_seqs".cast("long").as("n_seqs"),
+        r6($"freq" / $"n_seqs").as("support"))
+      .orderBy($"pattern")
+  }
+
+  val q245Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+       |    event_type FROM events),
+       |u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM e),
+       |s1 AS (
+       |  SELECT event_type AS pattern,
+       |    CAST(count(DISTINCT user_id) AS BIGINT) AS freq
+       |  FROM e GROUP BY 1),
+       |p2 AS (
+       |  SELECT a.event_type || '->' || b.event_type AS pattern,
+       |    CAST(count(DISTINCT a.user_id) AS BIGINT) AS freq
+       |  FROM e a JOIN e b ON a.user_id = b.user_id
+       |    AND (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))
+       |  GROUP BY 1),
+       |pats AS (SELECT * FROM s1 UNION ALL SELECT * FROM p2)
+       |SELECT pattern, freq, n AS n_seqs, ${sqlR6("freq / n")} AS support
+       |FROM pats CROSS JOIN u
+       |WHERE freq >= CAST(ceil(0.4 * n) AS BIGINT)
+       |ORDER BY pattern""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q245_prefixspan_patterns", q245, Some(q245Sql)),
     QueryDef("q243_ab_readout", q243, Some(q243Sql)),
     QueryDef("q236_journey_paths", q236, Some(q236Sql)),
     QueryDef("q226_markov_transitions", q226, Some(q226Sql)),
