@@ -903,7 +903,67 @@ object AssociationQueries {
        |WHERE freq >= CAST(ceil(0.4 * n) AS BIGINT)
        |ORDER BY pattern""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q246 — frequent itemsets (MLlib FPGrowth, oracle-checked)
+  // ------------------------------------------------------------------
+
+  /** q246 — frequent brand itemsets over order baskets via MLlib's
+    * FPGrowth — the library twin of q223's hand-built Apriori (same
+    * anti-monotone support semantics, prefix-tree mining instead of
+    * candidate generation): each order is its distinct set of part
+    * brands, and every itemset of ≤ 2 brands in ≥ 5% of orders comes
+    * back with basket-support counts. Items inside an itemset are
+    * order-free, so the output canonicalizes by sorting and joining —
+    * after which a library miner's result, threshold rule included
+    * (ceil(minSupport·n)), hash-matches the plain SQL statement of
+    * "baskets containing the brand (pair)".
+    *
+    * Scale shape: baskets collapse to distinct (order, brand) — the
+    * bounded-domain reduction q223 uses — and FP-growth's projected
+    * trees never materialize candidate cross products; the oracle's
+    * pair self-join is oracle-side only. */
+  def q246(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val baskets = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"p_brand").distinct()
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"p_brand")).as("items"))
+    val fp = new org.apache.spark.ml.fpm.FPGrowth()
+      .setMinSupport(0.05).setItemsCol("items")
+      .fit(baskets)
+    val sets = fp.freqItemsets
+      .filter(size($"items") <= 2)
+      .select(array_join(array_sort($"items"), ",").as("itemset"),
+        $"freq".cast("long").as("freq"))
+    val tot = baskets.agg(count(lit(1)).as("n_baskets"))
+    sets.crossJoin(broadcast(tot))
+      .select($"itemset", $"freq", $"n_baskets".cast("long").as("n_baskets"),
+        r6($"freq" / $"n_baskets").as("support"))
+      .orderBy($"itemset")
+  }
+
+  val q246Sql: String =
+    s"""WITH ob AS (
+       |  SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM ob),
+       |s1 AS (
+       |  SELECT b AS itemset, CAST(count(*) AS BIGINT) AS freq
+       |  FROM ob GROUP BY 1),
+       |s2 AS (
+       |  SELECT a.b || ',' || c.b AS itemset, CAST(count(*) AS BIGINT) AS freq
+       |  FROM ob a JOIN ob c ON a.ok = c.ok AND a.b < c.b
+       |  GROUP BY 1),
+       |sets AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+       |SELECT itemset, freq, n_baskets, ${sqlR6("freq / n_baskets")} AS support
+       |FROM sets CROSS JOIN n
+       |WHERE freq >= CAST(ceil(0.05 * n_baskets) AS BIGINT)
+       |ORDER BY itemset""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q246_fpgrowth_itemsets", q246, Some(q246Sql)),
     QueryDef("q245_prefixspan_patterns", q245, Some(q245Sql)),
     QueryDef("q243_ab_readout", q243, Some(q243Sql)),
     QueryDef("q236_journey_paths", q236, Some(q236Sql)),
