@@ -962,7 +962,69 @@ object AssociationQueries {
        |WHERE freq >= CAST(ceil(0.05 * n_baskets) AS BIGINT)
        |ORDER BY itemset""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q247 — association rules (confidence / lift from FPGrowth)
+  // ------------------------------------------------------------------
+
+  /** q247 — single-antecedent association rules off q246's itemset
+    * lattice: A→B with confidence = f(AB)/f(A) and
+    * lift = confidence / (f(B)/n) — MLlib's own rule generator, its
+    * floating-point evaluation ORDER mirrored operation-for-operation
+    * in the SQL (two divisions in that exact shape; both engines'
+    * per-op IEEE rounding then agrees bit-for-bit, the q201-lift
+    * precedent applied to a library's output). Rules with
+    * confidence ≥ 0.2; the boundary compare runs on identical doubles
+    * so the cut itself is cross-engine-stable.
+    *
+    * This is the recommender/affinity readout ("customers who bought
+    * brand A also bought B") the basket pipeline exists for — support
+    * says common, confidence says directional, lift says beyond-
+    * chance. */
+  def q247(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val baskets = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"p_brand").distinct()
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"p_brand")).as("items"))
+    val fp = new org.apache.spark.ml.fpm.FPGrowth()
+      .setMinSupport(0.02).setMinConfidence(0.2).setItemsCol("items")
+      .fit(baskets)
+    fp.associationRules
+      .filter(size($"antecedent") === 1 && size($"consequent") === 1)
+      .select($"antecedent"(0).as("ante"), $"consequent"(0).as("cons"),
+        r6($"confidence").as("confidence"), r6($"lift").as("lift"))
+      .orderBy($"ante", $"cons")
+  }
+
+  val q247Sql: String =
+    s"""WITH ob AS (
+       |  SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM ob),
+       |f1 AS (SELECT b, CAST(count(*) AS BIGINT) AS f FROM ob GROUP BY 1),
+       |f2 AS (
+       |  SELECT a.b AS x, c.b AS y, CAST(count(*) AS BIGINT) AS fab
+       |  FROM ob a JOIN ob c ON a.ok = c.ok AND a.b <> c.b
+       |  GROUP BY 1, 2),
+       |freq AS (SELECT x, y, fab FROM f2, n
+       |         WHERE fab >= CAST(ceil(0.02 * n_baskets) AS BIGINT)),
+       |rules AS (
+       |  SELECT freq.x AS ante, freq.y AS cons,
+       |    (CAST(fab AS DOUBLE) / fa.f) AS conf,
+       |    (CAST(fab AS DOUBLE) / fa.f) / (CAST(fb.f AS DOUBLE) / n.n_baskets)
+       |      AS lift
+       |  FROM freq
+       |  JOIN f1 fa ON fa.b = freq.x
+       |  JOIN f1 fb ON fb.b = freq.y
+       |  CROSS JOIN n)
+       |SELECT ante, cons, ${sqlR6("conf")} AS confidence, ${sqlR6("lift")} AS lift
+       |FROM rules WHERE conf >= 0.2
+       |ORDER BY ante, cons""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q247_association_rules", q247, Some(q247Sql)),
     QueryDef("q246_fpgrowth_itemsets", q246, Some(q246Sql)),
     QueryDef("q245_prefixspan_patterns", q245, Some(q245Sql)),
     QueryDef("q243_ab_readout", q243, Some(q243Sql)),
