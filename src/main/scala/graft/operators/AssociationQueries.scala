@@ -903,6 +903,22 @@ object AssociationQueries {
        |WHERE freq >= CAST(ceil(0.4 * n) AS BIGINT)
        |ORDER BY pattern""".stripMargin
 
+  /** Shared order→distinct-brand baskets for the FPGrowth family
+    * (q246/q247) — materialized because FPGrowth.fit makes multiple
+    * passes (the q223 precedent; q204/q223 build their own pair/basket
+    * shapes of the same relation for their different downstream
+    * plans). */
+  private def brandBaskets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"p_brand").distinct()
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"p_brand")).as("items"))
+      .transform(graft.Fx.materialize)
+  }
+
   // ------------------------------------------------------------------
   // q246 — frequent itemsets (MLlib FPGrowth, oracle-checked)
   // ------------------------------------------------------------------
@@ -911,7 +927,7 @@ object AssociationQueries {
     * FPGrowth — the library twin of q223's hand-built Apriori (same
     * anti-monotone support semantics, prefix-tree mining instead of
     * candidate generation): each order is its distinct set of part
-    * brands, and every itemset of ≤ 2 brands in ≥ 5% of orders comes
+    * brands, and every itemset of ≤ 2 brands in ≥ 2% of orders comes
     * back with basket-support counts. Items inside an itemset are
     * order-free, so the output canonicalizes by sorting and joining —
     * after which a library miner's result, threshold rule included
@@ -924,14 +940,9 @@ object AssociationQueries {
     * pair self-join is oracle-side only. */
   def q246(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val baskets = Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_brand")),
-        $"l_partkey" === $"p_partkey")
-      .select($"l_orderkey", $"p_brand").distinct()
-      .groupBy($"l_orderkey")
-      .agg(sort_array(collect_set($"p_brand")).as("items"))
+    val baskets = brandBaskets(s, d)
     val fp = new org.apache.spark.ml.fpm.FPGrowth()
-      .setMinSupport(0.05).setItemsCol("items")
+      .setMinSupport(0.02).setItemsCol("items")
       .fit(baskets)
     val sets = fp.freqItemsets
       .filter(size($"items") <= 2)
@@ -959,7 +970,7 @@ object AssociationQueries {
        |sets AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
        |SELECT itemset, freq, n_baskets, ${sqlR6("freq / n_baskets")} AS support
        |FROM sets CROSS JOIN n
-       |WHERE freq >= CAST(ceil(0.05 * n_baskets) AS BIGINT)
+       |WHERE freq >= CAST(ceil(0.02 * n_baskets) AS BIGINT)
        |ORDER BY itemset""".stripMargin
 
   // ------------------------------------------------------------------
@@ -973,8 +984,11 @@ object AssociationQueries {
     * in the SQL (two divisions in that exact shape; both engines'
     * per-op IEEE rounding then agrees bit-for-bit, the q201-lift
     * precedent applied to a library's output). Rules with
-    * confidence ≥ 0.2; the boundary compare runs on identical doubles
-    * so the cut itself is cross-engine-stable.
+    * confidence ≥ 0.12 — chosen BELOW this data's max confidence at
+    * every SF (0.193 at sf0.01, 0.162 at sf0.1), so the gate is
+    * never vacuously satisfied by two empty relations; the boundary
+    * compare runs on identical doubles so the cut is
+    * cross-engine-stable.
     *
     * This is the recommender/affinity readout ("customers who bought
     * brand A also bought B") the basket pipeline exists for — support
@@ -982,14 +996,9 @@ object AssociationQueries {
     * chance. */
   def q247(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val baskets = Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_brand")),
-        $"l_partkey" === $"p_partkey")
-      .select($"l_orderkey", $"p_brand").distinct()
-      .groupBy($"l_orderkey")
-      .agg(sort_array(collect_set($"p_brand")).as("items"))
+    val baskets = brandBaskets(s, d)
     val fp = new org.apache.spark.ml.fpm.FPGrowth()
-      .setMinSupport(0.02).setMinConfidence(0.2).setItemsCol("items")
+      .setMinSupport(0.02).setMinConfidence(0.12).setItemsCol("items")
       .fit(baskets)
     fp.associationRules
       .filter(size($"antecedent") === 1 && size($"consequent") === 1)
@@ -1020,7 +1029,7 @@ object AssociationQueries {
        |  JOIN f1 fb ON fb.b = freq.y
        |  CROSS JOIN n)
        |SELECT ante, cons, ${sqlR6("conf")} AS confidence, ${sqlR6("lift")} AS lift
-       |FROM rules WHERE conf >= 0.2
+       |FROM rules WHERE conf >= 0.12
        |ORDER BY ante, cons""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
