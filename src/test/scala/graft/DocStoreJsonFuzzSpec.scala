@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Seeded fuzz round-trip for the docstore sink's hand-rolled JSON
-  * escaper: 500 adversarial strings — every control character, quote/
+  * escaper: ~516 adversarial strings — every control character, quote/
   * backslash runs, multi-byte BMP and supplementary (surrogate-pair)
   * code points, JSON-syntax lookalikes — written through the real V2
   * writer and read back with Spark's JSON reader must come back
@@ -38,7 +38,7 @@ class DocStoreJsonFuzzSpec extends SparkSpec {
     explicit ++ random
   }
 
-  test("docstore JSON lines round-trip 500 adversarial strings byte-identically") {
+  test("docstore JSON lines round-trip ~516 adversarial strings byte-identically") {
     val dir = java.nio.file.Files.createTempDirectory("docfuzz").toString
     val rows = fuzzStrings.zipWithIndex.map { case (s, i) => (i.toLong, s) }
     rows.toDF("id", "s")
