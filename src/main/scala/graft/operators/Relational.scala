@@ -904,7 +904,95 @@ object Relational {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q248 — RFM customer segmentation (quintile scoring, scale-safe)
+  // ------------------------------------------------------------------
+
+  /** q248 — the classic RFM segmentation: every customer scores 1–5 on
+    * Recency (days since last order, most recent = 5), Frequency
+    * (order count) and Monetary (lifetime cents), each score the
+    * customer's quintile within the whole base, plus the marketing
+    * segment labels the scores exist for (champion / loyal / at-risk
+    * / hibernating / other — the standard grid cut).
+    *
+    * Scale shape: quintiles over ONE global group are exactly the
+    * degenerate case group-partitioned windows handle worst (ntile
+    * would pull every customer through a single task), so each
+    * dimension's ranks come from [[Ranking.groupRanks]] on a
+    * constant group (range-repartition + Tungsten ordinal — the
+    * q214/q227 mechanism at group-count 1), and the bucket is pure
+    * integer arithmetic ((rank−1)·5 div n + 1) the oracle mirrors
+    * with row_number windows at its own scale. Tie-breaks by custkey
+    * make every rank — and therefore every bucket — unique and
+    * cross-engine identical. */
+  def q248(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, d)
+      .groupBy($"o_custkey")
+      .agg(max(epochDay($"o_orderdate")).as("last_day"),
+        count(lit(1)).as("f"),
+        sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("m"))
+    val mx = base.agg(max($"last_day").as("mxd"), count(lit(1)).as("n"))
+    val rfm = base.crossJoin(broadcast(mx))
+      .select($"o_custkey", $"n",
+        ($"mxd" - $"last_day").cast("long").as("recency_days"), $"f", $"m")
+      .withColumn("__g", lit(1))
+    def score(df: DataFrame, ord: Seq[org.apache.spark.sql.Column], out: String) =
+      Ranking.groupRanks(df, Seq("__g"), 8, ord: _*)
+        // integer div, not IEEE: a correctly-rounded double quotient can
+        // land ON the next integer and a cast would mis-bucket the row
+        .select($"o_custkey", (expr("(rank - 1) * 5 div n") + 1L)
+          .cast("int").as(out))
+    // oldest first → the most recent customers take the top ranks = 5
+    val rs = score(rfm.select($"o_custkey", $"n", $"__g", $"recency_days"),
+      Seq($"recency_days".desc, $"o_custkey".asc), "r_score")
+    val fs = score(rfm.select($"o_custkey", $"n", $"__g", $"f"),
+      Seq($"f".asc, $"o_custkey".asc), "f_score")
+    val ms = score(rfm.select($"o_custkey", $"n", $"__g", $"m"),
+      Seq($"m".asc, $"o_custkey".asc), "m_score")
+    rfm.select($"o_custkey", $"recency_days", $"f", $"m")
+      .join(rs, "o_custkey").join(fs, "o_custkey").join(ms, "o_custkey")
+      .withColumn("segment",
+        when($"r_score" >= 4 && $"f_score" >= 4 && $"m_score" >= 4, "champion")
+          .when($"f_score" >= 4 && $"m_score" >= 3, "loyal")
+          .when($"r_score" <= 2 && $"f_score" >= 3, "at_risk")
+          .when($"r_score" <= 2 && $"f_score" <= 2, "hibernating")
+          .otherwise("other"))
+      .select($"o_custkey", $"recency_days", $"f".as("n_orders"),
+        $"m".as("cents"), $"r_score", $"f_score", $"m_score", $"segment")
+      .orderBy($"o_custkey")
+  }
+
+  val q248Sql: String = {
+    def bucket(ord: String) =
+      s"CAST(((CAST(row_number() OVER (ORDER BY $ord, o_custkey) AS BIGINT) - 1) * 5) // (SELECT count(*) FROM base) + 1 AS INT)"
+    s"""WITH base AS (
+       |  SELECT o_custkey,
+       |    max(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS last_day,
+       |    CAST(count(*) AS BIGINT) AS f,
+       |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+       |      AS m
+       |  FROM orders GROUP BY 1),
+       |mx AS (SELECT max(last_day) AS mxd FROM base),
+       |scored AS (
+       |  SELECT o_custkey,
+       |    CAST(mxd - last_day AS BIGINT) AS recency_days, f, m,
+       |    ${bucket("mxd - last_day DESC")} AS r_score,
+       |    ${bucket("f")} AS f_score,
+       |    ${bucket("m")} AS m_score
+       |  FROM base CROSS JOIN mx)
+       |SELECT o_custkey, recency_days, f AS n_orders, m AS cents,
+       |  r_score, f_score, m_score,
+       |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+       |       WHEN f_score >= 4 AND m_score >= 3 THEN 'loyal'
+       |       WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+       |       WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+       |       ELSE 'other' END AS segment
+       |FROM scored ORDER BY o_custkey""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q248_rfm_segmentation", q248, Some(q248Sql)),
     QueryDef("q237_document_roundtrip", q237, Some(q237Sql), bench = true),
     QueryDef("q01_pricing_summary", q01, Some(q01Sql), bench = true),
     QueryDef("q02_filter_project", q02, Some(q02Sql)),
