@@ -1178,7 +1178,104 @@ object EventQueries {
       |FROM l WHERE rank <= 3
       |ORDER BY day, rank""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q249 — peak session concurrency (distributed sweep line)
+  // ------------------------------------------------------------------
+
+  /** q249 — peak concurrent sessions per day: sessions (q70's 30-min
+    * gap splits) become +1/−1 boundary deltas, and the concurrency
+    * curve is their running sum — the sweep-line computation behind
+    * capacity planning, license peaks, and connection-pool sizing.
+    *
+    * The running sum is a GLOBAL prefix over time, which a naive
+    * window evaluates in one task over the whole history. The
+    * distributed form is the classic two-phase prefix: partition the
+    * sweep by DAY, compute each day's internal running sum (windows
+    * partitioned by day — parallel), and add each day's carry-in,
+    * which is the cumulative sum of prior days' NET deltas — a
+    * window over the bounded day domain, metadata scale. A session
+    * spanning midnight is handled exactly by the carry (its +1 is in
+    * an earlier day's net). Tie rule at equal timestamps: ends apply
+    * before starts (delta ascending), so back-to-back sessions don't
+    * double-count — pinned identically in both engines.
+    *
+    * Output: day, peak concurrency, carry-in at midnight. */
+  def q249(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val sess = Tables.events(s, d)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+      .withColumn("prev_us", lag($"us", 1).over(byUser))
+      .withColumn("new_sess",
+        when($"prev_us".isNull || $"us" - $"prev_us" > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("sid", sum($"new_sess").over(
+        Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"us").as("s_us"), (max($"us") + 1800L * 1000000L).as("e_us"))
+    val deltas = sess.select($"s_us".as("us"), lit(1L).as("delta"))
+      .unionByName(sess.select($"e_us".as("us"), lit(-1L).as("delta")))
+      .withColumn("day", ($"us" / (86400L * 1000000L)).cast("long"))
+    val inDay = Window.partitionBy($"day").orderBy($"us", $"delta")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curves = deltas
+      .withColumn("run", sum($"delta").over(inDay))
+      .groupBy($"day")
+      .agg(max($"run").as("peak_in_day"), sum($"delta").as("net"))
+    // carry-in: cumulative net of PRIOR days — bounded day-domain window
+    val byDay = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    curves
+      .withColumn("carry", (sum($"net").over(byDay) - $"net").cast("long"))
+      .select(date_add(lit("1970-01-01").cast("date"), $"day".cast("int"))
+        .as("day"),
+        ($"carry" + $"peak_in_day").cast("long").as("peak_concurrency"),
+        $"carry".as("carry_in"))
+      .orderBy($"day")
+  }
+
+  val q249Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, us, event_id,
+      |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |sid AS (
+      |  SELECT user_id, us,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM g),
+      |sess AS (
+      |  SELECT user_id, sid, min(us) AS s_us, max(us) + 1800000000 AS e_us
+      |  FROM sid GROUP BY 1, 2),
+      |deltas AS (
+      |  SELECT us // 86400000000 AS day, us, delta FROM (
+      |    SELECT s_us AS us, CAST(1 AS BIGINT) AS delta FROM sess
+      |    UNION ALL
+      |    SELECT e_us AS us, CAST(-1 AS BIGINT) AS delta FROM sess) u),
+      |curve AS (
+      |  SELECT day, us, delta,
+      |    sum(delta) OVER (PARTITION BY day ORDER BY us, delta
+      |      ROWS UNBOUNDED PRECEDING) AS run
+      |  FROM deltas),
+      |daily AS (
+      |  SELECT day, max(run) AS peak_in_day, sum(delta) AS net
+      |  FROM curve GROUP BY day),
+      |fin AS (
+      |  SELECT day, peak_in_day,
+      |    sum(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) - net AS carry
+      |  FROM daily)
+      |SELECT DATE '1970-01-01' + CAST(day AS INT) AS day,
+      |  CAST(carry + peak_in_day AS BIGINT) AS peak_concurrency,
+      |  CAST(carry AS BIGINT) AS carry_in
+      |FROM fin ORDER BY day""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q249_peak_concurrency", q249, Some(q249Sql)),
     QueryDef("q239_replay_collapse", q239, Some(q239Sql)),
     QueryDef("q241_trending_types", q241, Some(q241Sql)),
     QueryDef("q234_rolling_active_users", q234, Some(q234Sql), bench = true),
