@@ -1274,7 +1274,93 @@ object EventQueries {
       |  CAST(carry AS BIGINT) AS carry_in
       |FROM fin ORDER BY day""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q250 — time-to-convert by segment (funnel + robust percentiles)
+  // ------------------------------------------------------------------
+
+  /** q250 — the conversion-velocity readout: per market segment, how
+    * many users completed the view→click→purchase funnel (q104's
+    * single-shuffle fold, reused) and the nearest-rank median and p90
+    * of their end-to-end time-to-convert — the product metric that
+    * separates "converts eventually" from "converts while the intent
+    * is hot", and the robust statistics (rank selections, not means)
+    * that a few week-long stragglers cannot drag.
+    *
+    * Scale shape: q104's funnel is one shuffle; the segment join is a
+    * broadcast dim join; within-segment ranks over 5 segments ride
+    * [[Ranking.groupRanks]] (the q227 mechanism), with group sizes
+    * broadcast back; seconds are exact integers (µs div 10^6) so
+    * every selected percentile is a value the data contains. */
+  def q250(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val funnel = q104(s, d)
+      .select($"user_id", $"t1_us", $"t3_us")
+    val seg = Tables.customer(s, d)
+      .select($"c_custkey".as("user_id"), $"c_mktsegment".as("segment"))
+    val conv = funnel.join(broadcast(seg), "user_id")
+      .withColumn("converted", $"t3_us".isNotNull.cast("long"))
+    val totals = conv.groupBy($"segment")
+      .agg(count(lit(1)).as("n_users"),
+        sum($"converted").cast("long").as("n_converted"))
+    val ttc = conv.filter($"converted" === 1L)
+      .select($"segment", $"user_id",
+        expr("(t3_us - t1_us) div 1000000").as("ttc_sec"))
+    val ranked = Ranking.groupRanks(ttc, Seq("segment"), 8,
+      $"ttc_sec".asc, $"user_id".asc)
+    val pcts = ranked.join(broadcast(
+        ttc.groupBy($"segment").agg(count(lit(1)).as("nc"))), "segment")
+      .groupBy($"segment")
+      .agg(min(when($"rank" * 2 >= $"nc", $"ttc_sec")).as("median_ttc_sec"),
+        min(when($"rank" * 10 >= $"nc" * 9, $"ttc_sec")).as("p90_ttc_sec"))
+    totals.join(pcts, Seq("segment"), "left")
+      .select($"segment", $"n_users", $"n_converted",
+        r6($"n_converted" / $"n_users").as("conversion_rate"),
+        $"median_ttc_sec", $"p90_ttc_sec")
+      .orderBy($"segment")
+  }
+
+  val q250Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+       |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+       |f1 AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN us END) AS t1
+       |       FROM e GROUP BY user_id),
+       |f2 AS (SELECT f1.user_id, f1.t1,
+       |         min(CASE WHEN e.event_type = 'click' AND e.us > f1.t1 THEN e.us END) AS t2
+       |       FROM f1 LEFT JOIN e ON e.user_id = f1.user_id GROUP BY f1.user_id, f1.t1),
+       |f3 AS (SELECT f2.user_id, f2.t1,
+       |         min(CASE WHEN e.event_type = 'purchase' AND e.us > f2.t2 THEN e.us END) AS t3
+       |       FROM f2 LEFT JOIN e ON e.user_id = f2.user_id GROUP BY f2.user_id, f2.t1, f2.t2),
+       |conv AS (
+       |  SELECT c.c_mktsegment AS segment, f3.user_id, t1, t3,
+       |    CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS converted
+       |  FROM f3 JOIN customer c ON f3.user_id = c.c_custkey),
+       |tot AS (
+       |  SELECT segment, CAST(count(*) AS BIGINT) AS n_users,
+       |    CAST(sum(converted) AS BIGINT) AS n_converted
+       |  FROM conv GROUP BY 1),
+       |ttc AS (
+       |  SELECT segment, user_id, (t3 - t1) // 1000000 AS ttc_sec
+       |  FROM conv WHERE converted = 1),
+       |r AS (
+       |  SELECT segment, ttc_sec,
+       |    CAST(row_number() OVER (PARTITION BY segment
+       |      ORDER BY ttc_sec, user_id) AS BIGINT) AS rank,
+       |    CAST(count(*) OVER (PARTITION BY segment) AS BIGINT) AS nc
+       |  FROM ttc),
+       |p AS (
+       |  SELECT segment,
+       |    min(CASE WHEN rank * 2 >= nc THEN ttc_sec END) AS median_ttc_sec,
+       |    min(CASE WHEN rank * 10 >= nc * 9 THEN ttc_sec END) AS p90_ttc_sec
+       |  FROM r GROUP BY 1)
+       |SELECT tot.segment AS segment, n_users, n_converted,
+       |  ${sqlR6("n_converted / n_users")} AS conversion_rate,
+       |  median_ttc_sec, p90_ttc_sec
+       |FROM tot LEFT JOIN p ON tot.segment = p.segment
+       |ORDER BY segment""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q250_time_to_convert", q250, Some(q250Sql)),
     QueryDef("q249_peak_concurrency", q249, Some(q249Sql)),
     QueryDef("q239_replay_collapse", q239, Some(q239Sql)),
     QueryDef("q241_trending_types", q241, Some(q241Sql)),
