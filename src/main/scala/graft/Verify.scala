@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0); val outDir = args(1)
+    // Optional extra args: restrict the dump to the named queries
+    // (local dev loop); the driver always passes exactly two args.
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -21,11 +24,13 @@ object Verify {
     // Dump queries with bounded parallelism. Each worker gets its OWN
     // cloned session: temp views (SqlSurface) are session-scoped, so
     // concurrent queries can't clobber each other's views.
-    val parallelism = math.min(4, math.max(1, SparkEntry.queries.size))
+    val selected = if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => only(n) }
+    val parallelism = math.min(4, math.max(1, selected.size))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
-    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val futures = selected.toSeq.map { case (name, fn) =>
       scala.concurrent.Future {
         val session = spark.newSession()
         try fn(session, sfDir).coalesce(1).write.mode("overwrite")

@@ -151,7 +151,13 @@ object UnigramTrainer {
       lp = lp.filter { case (p, _) => keep(p) }
       pieces = pieces.filter { case (p, _) => keep(p) }
     }
-    Model(lp, maxPieceLen)
+    // Renormalize after the final prune: survivors keep pre-prune
+    // log-probs whose exp-sum is < 1 — a constant per-piece offset
+    // that biases Viterbi toward segmentations with FEWER pieces
+    // relative to a proper unigram model. Log-sum-exp for stability.
+    val mx = lp.values.max
+    val logZ = mx + math.log(lp.values.iterator.map(v => math.exp(v - mx)).sum)
+    Model(lp.map { case (p, v) => p -> (v - logZ) }, maxPieceLen)
   }
 
   /** Corpus tokenization through the vocabulary (BPE-encode shape:

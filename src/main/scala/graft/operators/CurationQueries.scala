@@ -447,15 +447,26 @@ object CurationQueries {
     * score distributions differ (the quantile-normalization move).
     * Ties broken by doc_id → every rank is distinct → percent_rank is
     * (rank−1)/(n−1) on exact integers, bit-identical cross-engine.
-    * One shuffle: the window partitioning on source. */
+    *
+    * Scale shape: the ranks ride [[Ranking.groupRanks]] (the q240
+    * mechanism — range-repartition + Tungsten ordinal + broadcast
+    * group sizes) rather than a source-partitioned window: ~20
+    * sources would funnel the corpus through twenty tasks at 100 TB.
+    * percent_rank's own degenerate rule (single-row partition → 0)
+    * and null-source handling (null-safe join-back) are mirrored, so
+    * the window-form oracle checks this plan row for row. */
   def q174(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val q = graft.functions.TextAnalysis.qualityScore($"text")
-    Tables.documents(s, d)
+    val scored = Tables.documents(s, d)
       .select($"doc_id", $"source", q.as("quality"))
-      .withColumn("pr", percent_rank().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy($"source").orderBy($"quality", $"doc_id")))
+    val ranked = Ranking.groupRanks(scored, Seq("source"), 8,
+      $"quality".asc, $"doc_id".asc)
+    val ns = scored.groupBy($"source").agg(count(lit(1)).as("n"))
+      .withColumnRenamed("source", "__nsrc")
+    ranked.join(broadcast(ns), $"source" <=> $"__nsrc").drop("__nsrc")
+      .withColumn("pr",
+        when($"n" > 1L, ($"rank" - 1L) / ($"n" - 1L)).otherwise(lit(0.0)))
       .select($"doc_id", $"source",
         Fx.r4($"quality").as("quality"), Fx.r6($"pr").as("pr"))
       .orderBy($"doc_id")

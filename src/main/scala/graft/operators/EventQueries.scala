@@ -228,17 +228,27 @@ object EventQueries {
     * outlier counts and rate. The fence arithmetic runs on the two
     * SELECTED doubles with identical expressions both engines — IEEE
     * identical. Complements q132's z-score flags (z assumes a normal
-    * bulk; Tukey fences don't). */
+    * bulk; Tukey fences don't).
+    *
+    * Scale shape: the within-type ranks ride [[Ranking.groupRanks]]
+    * (range-repartition + Tungsten ordinal) instead of a
+    * `row_number() OVER (PARTITION BY event_type)` window — ~10 event
+    * types would funnel the whole history through ten tasks at 100 TB.
+    * Group sizes are a bounded aggregate broadcast back. The oracle
+    * keeps the window form: ties in `value` are broken by `event_id`
+    * in the total order, but the VALUE selected at a given rank is
+    * tie-order-independent, so the two forms agree row for row. */
   def q163(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val e = Tables.events(s, d).select($"event_type", $"value")
-    val ranked = e
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"event_type").orderBy($"value")))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
-    val th = ranked.groupBy($"event_type").agg(
-      min(when($"rn" === ceil($"n" * 0.25), $"value")).as("q1"),
-      min(when($"rn" === ceil($"n" * 0.75), $"value")).as("q3"))
+    val e = Tables.events(s, d).select($"event_type", $"event_id", $"value")
+    val ranked = Ranking.groupRanks(e, Seq("event_type"), 8,
+      $"value".asc, $"event_id".asc)
+    val ns = e.groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .withColumnRenamed("event_type", "__net")
+    val th = ranked.join(broadcast(ns), $"event_type" <=> $"__net")
+      .groupBy($"event_type").agg(
+        min(when($"rank" === ceil($"n" * 0.25), $"value")).as("q1"),
+        min(when($"rank" === ceil($"n" * 0.75), $"value")).as("q3"))
     e.join(broadcast(th), "event_type")
       .withColumn("lo", $"q1" - ($"q3" - $"q1") * 1.5)
       .withColumn("hi", $"q3" + ($"q3" - $"q1") * 1.5)
@@ -1216,7 +1226,11 @@ object EventQueries {
       .agg(min($"us").as("s_us"), (max($"us") + 1800L * 1000000L).as("e_us"))
     val deltas = sess.select($"s_us".as("us"), lit(1L).as("delta"))
       .unionByName(sess.select($"e_us".as("us"), lit(-1L).as("delta")))
-      .withColumn("day", ($"us" / (86400L * 1000000L)).cast("long"))
+      // `div`, not `/`: Spark's `/` on longs is IEEE double division,
+      // which only matches DuckDB's integer `//` while the quotient's
+      // rounding error stays below the integer boundary — `div` is
+      // exact for any timestamp magnitude (the q250 discipline).
+      .withColumn("day", expr("us div 86400000000"))
     val inDay = Window.partitionBy($"day").orderBy($"us", $"delta")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val curves = deltas

@@ -86,6 +86,16 @@ private[v2] class DocStoreBatchWrite(dir: String, schema: StructType)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // Sweep THIS job's orphaned temp files first: a task attempt whose
+    // executor JVM died never ran abort(), but its successful retry
+    // committed under a different attempt file name — the dead
+    // attempt's _tmp-<jobId>-* would otherwise sit in the directory
+    // forever. Scoped to the temp prefix only: committed part- files
+    // (this job's and prior jobs') are untouched.
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(s"_tmp-$jobId-"))
+      .foreach(_.delete())
     // every task committed — stamp the job-level marker
     val ok = new java.io.File(dir, "_SUCCESS")
     val w = new java.io.PrintWriter(ok, "UTF-8")
@@ -194,8 +204,11 @@ private[v2] class DocStoreWriter(dir: String, schema: StructType,
       }
       i += 1
     }
-    sb.append('}')
-    out.println(sb.toString)
+    // explicit '\n', not println: the JSON-lines contract is UTF-8 with
+    // \n terminators byte-for-byte on every platform — println would
+    // emit \r\n under a CRLF line.separator.
+    sb.append('}').append('\n')
+    out.print(sb.toString)
   }
 
   override def commit(): WriterCommitMessage = {
