@@ -100,14 +100,32 @@ object CdcApply {
     val merged = readState(spark, stateDir) match {
       case None =>
         collapsed.filter(col("op") =!= "D").drop("op")
-      case Some(cur) =>
+      case Some(cur0) =>
         val ch = collapsed.withColumnRenamed(key, "__k")
+        // Additive schema evolution: a change feed that GAINS a column
+        // widens state with that column null-filled for history (the
+        // unionByName null-fill convention); a column the feed stopped
+        // sending is retained from state verbatim — the writer doesn't
+        // know about it, so an update must not null it. Shared columns
+        // must agree on type: silent coercion would corrupt history.
+        val curPayload = cur0.columns.filterNot(_ == key).toSeq
+        for (c <- curPayload.intersect(payloadCols)) {
+          val (a, b) = (cur0.schema(c).dataType, collapsed.schema(c).dataType)
+          require(a == b,
+            s"cdc schema evolution: column '$c' type mismatch state=$a batch=$b")
+        }
+        val newCols = payloadCols.filterNot(curPayload.contains)
+        val cur = newCols.foldLeft(cur0)((df, c) =>
+          df.withColumn(c, lit(null).cast(collapsed.schema(c).dataType)))
+        val allPayload = curPayload ++ newCols
         cur.join(ch, cur(key) === ch("__k"), "full_outer")
           .filter(ch("op").isNull || ch("op") =!= "D")
           .select(
             coalesce(cur(key), ch("__k")).as(key) +:
-              payloadCols.map(c =>
-                when(ch("op").isNotNull, ch(c)).otherwise(cur(c)).as(c)): _*)
+              allPayload.map(c =>
+                if (payloadCols.contains(c))
+                  when(ch("op").isNotNull, ch(c)).otherwise(cur(c)).as(c)
+                else cur(c).as(c)): _*)
     }
     merged.write.mode("overwrite").parquet(s"${vDir.getPath}/data")
     // commit marker (the durable commit point), then the pointer swap
@@ -127,13 +145,61 @@ object CdcApply {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Retention: delete committed snapshots older than the last
+    * `retainLast` committed versions, plus marker-less crash debris
+    * strictly below the newest committed version. Each micro-batch
+    * writes a COMPLETE snapshot, so without a vacuum storage grows
+    * linearly in batch count — unbounded for a long-lived stream.
+    *
+    * Crash-safe by ordering, markers-as-truth extended to deletion:
+    *  - the `_COMMITTED` marker is deleted FIRST — the version leaves
+    *    the committed set atomically, so a crash mid-delete strands
+    *    only invisible debris that the next vacuum sweeps;
+    *  - never touches the newest committed version or anything at or
+    *    above it (the in-flight batch writes under a higher id —
+    *    batch ids are monotonic, so marker-less dirs BELOW the newest
+    *    committed version can only be debris, never live writes);
+    *  - time travel past the horizon fails loudly, not partially:
+    *    [[readStateAsOf]] requires the marker, which is gone.
+    *
+    * Returns the version ids removed. */
+  def vacuum(stateDir: String, retainLast: Int): Seq[Long] = {
+    require(retainLast >= 1, s"vacuum: retainLast must be >= 1, got $retainLast")
+    val committed = versions(stateDir)
+    if (committed.isEmpty) return Seq.empty
+    val latest = committed.last
+    val drop = committed.dropRight(retainLast)
+    val debris = Option(new java.io.File(stateDir).listFiles())
+      .getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
+        !new java.io.File(f, "_COMMITTED").isFile)
+      .map(_.getName.drop(1).toLong)
+      .filter(_ < latest)
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete(); ()
+    }
+    for (v <- drop) {
+      val vDir = new java.io.File(stateDir, s"v$v")
+      new java.io.File(vDir, "_COMMITTED").delete() // de-commit first
+      rmTree(vDir)
+    }
+    for (v <- debris) rmTree(new java.io.File(stateDir, s"v$v"))
+    (drop ++ debris).sorted
+  }
+
   /** Continuous apply: drive a change-row stream into the state table
-    * via foreachBatch, AvailableNow semantics (catch up, then stop). */
+    * via foreachBatch, AvailableNow semantics (catch up, then stop).
+    * `retainVersions` bounds on-disk history: after each applied batch
+    * the vacuum keeps only that many committed snapshots (None = keep
+    * everything — time travel over full history, unbounded storage). */
   def run(changes: DataFrame, stateDir: String, checkpointDir: String,
-      key: String): StreamingQuery =
+      key: String, retainVersions: Option[Int] = None): StreamingQuery =
     changes.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, stateDir, key, batchId); ()
+        applyBatch(batch, stateDir, key, batchId)
+        retainVersions.foreach(n => vacuum(stateDir, n))
+        ()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

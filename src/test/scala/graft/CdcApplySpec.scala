@@ -108,4 +108,92 @@ class CdcApplySpec extends SparkSpec {
     assert(q2.awaitTermination(120000))
     assert(state(dir) === List((1L, "A"), (3L, "c")))
   }
+
+  test("vacuum: retains last N committed versions, horizon reads fail loudly, idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("cdcv1").toString
+    for (b <- 0L to 4L)
+      CdcApply.applyBatch(Seq((b, "I", b, s"v$b")).toDF("k", "op", "seq", "v"),
+        dir, "k", b)
+    assert(CdcApply.versions(dir) === Seq(0L, 1L, 2L, 3L, 4L))
+    assert(CdcApply.vacuum(dir, 2) === Seq(0L, 1L, 2L))
+    assert(CdcApply.versions(dir) === Seq(3L, 4L))
+    // latest state unaffected; retained history still time-travels
+    assert(state(dir).map(_._1) === List(0L, 1L, 2L, 3L, 4L))
+    assert(CdcApply.readStateAsOf(spark, dir, 3L).count() === 4L)
+    // past the horizon: loud failure, not a partial read
+    val e = intercept[IllegalArgumentException](
+      CdcApply.readStateAsOf(spark, dir, 1L))
+    assert(e.getMessage.contains("not committed"))
+    // vacuumed snapshot dirs are actually gone from disk
+    assert(!new java.io.File(dir, "v0").exists())
+    // idempotent: nothing more to remove
+    assert(CdcApply.vacuum(dir, 2) === Seq.empty)
+    intercept[IllegalArgumentException](CdcApply.vacuum(dir, 0))
+  }
+
+  test("vacuum crash window: marker-less debris below latest is swept; in-flight dirs above latest are not") {
+    val dir = java.nio.file.Files.createTempDirectory("cdcv2").toString
+    for (b <- 0L to 2L)
+      CdcApply.applyBatch(Seq((b, "I", b, s"v$b")).toDF("k", "op", "seq", "v"),
+        dir, "k", b)
+    // simulate a vacuum that crashed after de-committing v0 but before
+    // deleting its data: marker gone, snapshot files stranded
+    assert(new java.io.File(s"$dir/v0/_COMMITTED").delete())
+    assert(new java.io.File(s"$dir/v0/data").exists())
+    assert(CdcApply.versions(dir) === Seq(1L, 2L))
+    // simulate an IN-FLIGHT batch above the latest committed version:
+    // data written, marker not yet stamped — vacuum must not touch it
+    val inflight = new java.io.File(s"$dir/v9/data")
+    assert(inflight.mkdirs())
+    val removed = CdcApply.vacuum(dir, 10)
+    assert(removed === Seq(0L), "debris below latest swept, nothing else")
+    assert(!new java.io.File(s"$dir/v0").exists())
+    assert(inflight.exists(), "vacuum touched an in-flight version dir")
+    assert(CdcApply.versions(dir) === Seq(1L, 2L))
+  }
+
+  test("schema evolution: feed gains a column mid-stream across a restart; old columns retained for old writers") {
+    val in = java.nio.file.Files.createTempDirectory("cdcein").toString
+    val dir = java.nio.file.Files.createTempDirectory("cdce").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cdceck").toString
+    // run 1: original (k, op, seq, v) schema
+    Seq((1L, "I", 1L, "a"), (2L, "I", 2L, "b"))
+      .toDF("k", "op", "seq", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/f0")
+    val s0 = spark.read.parquet(s"$in/f0").schema
+    val q1 = CdcApply.run(spark.readStream.schema(s0).parquet(s"$in/*"),
+      dir, ckpt, "k")
+    assert(q1.awaitTermination(120000))
+    assert(state(dir) === List((1L, "a"), (2L, "b")))
+    // the feed evolves: a `lang` column appears; restart the stream
+    // with the widened schema over the same checkpoint (f0 is not
+    // re-read — its batch already committed)
+    Seq((2L, "U", 3L, "B", "en"), (3L, "I", 4L, "c", "fr"))
+      .toDF("k", "op", "seq", "v", "lang").coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/f1")
+    val s1 = spark.read.parquet(s"$in/f1").schema
+    val q2 = CdcApply.run(spark.readStream.schema(s1).parquet(s"$in/*"),
+      dir, ckpt, "k", retainVersions = Some(2))
+    assert(q2.awaitTermination(120000))
+    val rows = CdcApply.readState(spark, dir).get.orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)).orNull)).toList
+    // untouched old row null-fills the new column; changed rows carry it
+    assert(rows === List((1L, "a", null), (2L, "B", "en"), (3L, "c", "fr")))
+    // an OLD writer (no lang column) updates k=3: v changes, the
+    // column it doesn't know about is retained, not nulled
+    assert(CdcApply.applyBatch(Seq((3L, "U", 5L, "C"))
+      .toDF("k", "op", "seq", "v"), dir, "k", 10L))
+    val rows2 = CdcApply.readState(spark, dir).get.orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)).orNull)).toList
+    assert(rows2 === List((1L, "a", null), (2L, "B", "en"), (3L, "C", "fr")))
+    // shared-column type drift fails loudly instead of coercing
+    val bad = intercept[IllegalArgumentException](
+      CdcApply.applyBatch(Seq((1L, "U", 6L, 7))
+        .toDF("k", "op", "seq", "v"), dir, "k", 11L))
+    assert(bad.getMessage.contains("type mismatch"))
+    // retention wired through run(): history bounded to 2 versions
+    assert(CdcApply.versions(dir).size <= 3) // 2 retained by run + the applyBatch above
+  }
 }
