@@ -822,10 +822,14 @@ object CurationQueries {
     * trainer) on the corpus, encode it with each, and report per
     * language the characters-per-token "fertility" — the number that
     * decides which tokenizer a training run uses (fertility drives
-    * sequence length, and sequence length drives compute). No DuckDB
-    * oracle by the documented rule (the unigram model's log-probs are
-    * libm doubles); the driver records the rows-only check, and both
-    * trainers' correctness is spec-pinned (BpeSpec, UnigramSpec).
+    * sequence length, and sequence length drives compute). Display-
+    * only (not in the driver registry): the model token counts are
+    * functions of trained tokenizers — no SQL oracle can restate them
+    * (and the unigram model's log-probs are libm doubles). Its
+    * integer accounting core is oracle-checked as [[q251]]; this
+    * scorecard is pinned by TokenizerFertilitySpec (chars column
+    * cross-checked against q251, token counts bounded) and the
+    * trainers themselves by BpeSpec / UnigramSpec.
     * Both encodes run over the DISTINCT-WORD vocabulary and
     * broadcast-join back — corpus-sized data never meets the nested
     * merge folds or the Viterbi DP. */
@@ -854,6 +858,39 @@ object CurationQueries {
         r4($"chars" / $"uni_tokens").as("chars_per_uni_tok"))
       .orderBy($"lang")
   }
+
+  /** q251 — q238's driver-checkable integer core: per-language doc,
+    * character, and whitespace-token accounting, every number an exact
+    * BIGINT the DuckDB oracle reproduces. The scorecard's MODEL token
+    * counts (BPE / unigram encodes) are functions of trained
+    * tokenizers — not SQL-expressible — so q238 itself is display-only
+    * and spec-pinned (TokenizerFertilitySpec cross-checks its `chars`
+    * column against THIS query and bounds its token counts); this
+    * entry pins the denominators and corpus accounting the fertility
+    * ratios are built on, so the registry carries zero unchecked
+    * entries. `chars` is the q238 formula: non-space characters under
+    * single-space joining = length(replace(text, ' ', '')). */
+  def q251(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"lang",
+        (length($"text") - (size(split($"text", " ")) - 1)).cast("long")
+          .as("chars"),
+        graft.functions.TextAnalysis.tokenCount($"text").cast("long")
+          .as("ws_tokens"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"chars").as("chars"),
+        sum($"ws_tokens").as("ws_tokens"))
+      .orderBy($"lang")
+  }
+
+  val q251Sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(length(replace(text, ' ', ''))) AS BIGINT) AS chars,
+      |  CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)
+      |    AS ws_tokens
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   // ------------------------------------------------------------------
   // q240 — percent-rank (ECDF) normalization of quality per source
@@ -909,7 +946,11 @@ object CurationQueries {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q240_percent_rank_normalize", q240, Some(q240Sql)),
-    QueryDef("q238_tokenizer_fertility", q238, None),
+    // q238 (tokenizer fertility scorecard) is display-only: its BPE /
+    // unigram token counts are functions of trained models, which no
+    // SQL oracle can restate — TokenizerFertilitySpec pins it instead,
+    // and q251 oracle-checks its integer accounting core.
+    QueryDef("q251_fertility_core", q251, Some(q251Sql)),
     QueryDef("q228_shard_balance", q228, Some(q228Sql)),
     QueryDef("q230_domain_rollup", q230, Some(q230Sql)),
     QueryDef("q184_temperature_mixing", q184, Some(q184Sql), bench = true),
