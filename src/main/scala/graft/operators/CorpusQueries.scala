@@ -201,18 +201,23 @@ object CorpusQueries {
     * interpolated doubles, so the gate is bit-deterministic), then
     * the retention that gate would achieve. This is the adaptive form
     * of a fixed-length filter: at 100 TB thresholds drift per shard
-    * and must be recomputed, not hardcoded. One sort-shuffle per
-    * language partition, thresholds broadcast back. */
+    * and must be recomputed, not hardcoded. The within-language ranks
+    * ride [[Ranking.groupRanks]] (a lang-partitioned window would
+    * sort each language's corpus in ONE task); group sizes are a
+    * bounded aggregate broadcast back, thresholds broadcast onto the
+    * scan, and the window-form oracle is unchanged (value-at-rank is
+    * tie-order independent). */
   def q155(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d).select($"lang", $"doc_id", $"n_chars")
-    val ranked = docs
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"lang").orderBy($"n_chars", $"doc_id")))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"lang")))
-    val th = ranked.groupBy($"lang").agg(
-      min(when($"rn" === ceil($"n" * 0.05), $"n_chars")).as("p05"),
-      min(when($"rn" === ceil($"n" * 0.95), $"n_chars")).as("p95"))
+    val ranked = Ranking.groupRanks(docs, Seq("lang"), 8,
+      $"n_chars".asc, $"doc_id".asc)
+    val ns = docs.groupBy($"lang").agg(count(lit(1)).as("n"))
+      .withColumnRenamed("lang", "__nl")
+    val th = ranked.join(broadcast(ns), $"lang" <=> $"__nl")
+      .groupBy($"lang").agg(
+        min(when($"rank" === ceil($"n" * 0.05), $"n_chars")).as("p05"),
+        min(when($"rank" === ceil($"n" * 0.95), $"n_chars")).as("p95"))
     docs.join(broadcast(th), "lang")
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"),

@@ -81,4 +81,51 @@ object Ranking {
       .withColumn("rank", col("seq_id") - col("__g0") + 1L)
       .drop(groupCols.map(c => s"__gk_$c") :+ "__g0" :+ "seq_id": _*)
   }
+
+  /** Append `run_before`: the EXCLUSIVE running sum of integer column
+    * `valueCol` within each `groupCols` class along `innerOrder`
+    * (which must totally order rows within a group) — the distributed
+    * prefix sum behind sequence packing and sweep lines, without a
+    * group-partitioned window over the raw relation (low-cardinality
+    * groups would each serialize through one task).
+    *
+    * Two-phase scan, same skeleton as [[seqIds]]: range-repartition on
+    * (group, order) and sort within partitions; each partition's
+    * in-partition exclusive prefix computes under a
+    * (partition-id, group) window — cells bounded by partition size,
+    * parallel across partitions; the carry-in of a (partition, group)
+    * cell is the group's total over PRIOR partitions — an aggregate of
+    * ≤ parts × groups rows combined under a bounded-domain window and
+    * broadcast back. Null groups are preserved (null-safe join). */
+  def groupRunningSum(df: DataFrame, groupCols: Seq[String], parts: Int,
+      valueCol: String, innerOrder: Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = groupCols.map(col) ++ innerOrder
+    val sorted = df.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .transform(graft.Fx.materialize)
+    val withPid = sorted.withColumn("__pid", spark_partition_id())
+    val wLocal = Window
+      .partitionBy(col("__pid") +: groupCols.map(col): _*)
+      .orderBy(innerOrder: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = withPid.withColumn("__local",
+      coalesce(sum(col(valueCol)).over(wLocal), lit(0L)))
+    val totals = withPid
+      .groupBy(col("__pid") +: groupCols.map(col): _*)
+      .agg(sum(col(valueCol)).as("__tot"))
+    val wCarry = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = totals
+      .withColumn("__carry", coalesce(sum(col("__tot")).over(wCarry), lit(0L)))
+      .select(col("__pid").as("__cpid") +:
+        groupCols.map(c => col(c).as(s"__ck_$c")) :+ col("__carry"): _*)
+    val cond = (local("__pid") === carries("__cpid")) +:
+      groupCols.map(c => local(c) <=> carries(s"__ck_$c"))
+    local.join(broadcast(carries), cond.reduce(_ && _))
+      .withColumn("run_before", col("__carry") + col("__local"))
+      .drop(groupCols.map(c => s"__ck_$c") :+
+        "__pid" :+ "__local" :+ "__cpid" :+ "__carry": _*)
+  }
 }

@@ -181,14 +181,20 @@ object Relational {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
-  /** Window top-n per group: 3 priciest parts per brand. */
+  /** Window top-n per group: 3 priciest parts per brand. The heavy
+    * reduction runs through the native bounded-heap TopKPerGroup (the
+    * q124 shape) — ~25 brands over a `row_number` window would funnel
+    * the whole part table through 25 tasks at scale; the rank window
+    * orders only the ≤ 3 survivors per brand. */
   def q08(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"p_brand").orderBy($"p_retailprice".desc, $"p_partkey")
-    Tables.part(s, d)
+    val base = Tables.part(s, d)
       .select($"p_brand", $"p_partkey", $"p_name", $"p_retailprice")
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= 3)
+    val top = graft.plans.TopK.perGroup(base, 3, Seq("p_brand"),
+      Seq(graft.plans.TopK.desc("p_retailprice"), graft.plans.TopK.asc("p_partkey")))
+    top
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"p_brand").orderBy($"p_retailprice".desc, $"p_partkey")))
       .orderBy($"p_brand", $"rn")
   }
 
@@ -336,13 +342,20 @@ object Relational {
 
   /** Window avg + filter: parts priced above their brand average.
     * brand_avg is grid-exact-sum / count (see Fx.moneyAvg) so the
-    * filter boundary and output round identically in both engines. */
+    * filter boundary and output round identically in both engines.
+    * The per-brand average is a GROUP AGGREGATE broadcast back onto
+    * the rows, not an unordered window — the window form shuffles the
+    * whole table into ~25 brand partitions (one task each at scale)
+    * where the aggregate runs map-side partial and the join-back is a
+    * ~25-row broadcast. The window-form oracle is unchanged: both
+    * compute the identical sum/count per brand. */
   def q17(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"p_brand")
-    Tables.part(s, d)
+    val p = Tables.part(s, d)
       .select($"p_partkey", $"p_brand", $"p_retailprice")
-      .withColumn("brand_avg", r2(sum($"p_retailprice").over(w)) / count(lit(1)).over(w))
+    val avgs = p.groupBy($"p_brand")
+      .agg((r2(sum($"p_retailprice")) / count(lit(1))).as("brand_avg"))
+    p.join(broadcast(avgs), "p_brand")
       .filter($"p_retailprice" > $"brand_avg")
       .select($"p_partkey", $"p_brand", $"p_retailprice", r4($"brand_avg").as("brand_avg"))
       .orderBy($"p_partkey")
@@ -471,14 +484,34 @@ object Relational {
        |${sqlR4("quantile_cont(o_totalprice, 0.9)")} AS p90
        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
-  /** ntile + cume_dist window ranking. */
+  /** ntile + cume_dist window ranking, re-expressed on the two-phase
+    * rank operator: 3 order statuses over a partitioned window would
+    * funnel the whole orders table through 3 tasks at scale, so the
+    * within-status rank rides [[Ranking.groupRanks]] and both window
+    * functions become exact arithmetic on (rank, n) — the tie-break
+    * by o_orderkey makes every rank distinct, so ntile's standard
+    * bucket rule (first n%4 buckets take one extra row) is integer
+    * `div`/`%`, and cume_dist with no peers is rank/n (one IEEE
+    * double division, identical in DuckDB). The window-form oracle is
+    * unchanged and checks the arithmetic restatement row for row. */
   def q32(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice", $"o_orderkey")
-    Tables.orders(s, d)
+    val o = Tables.orders(s, d)
       .select($"o_orderstatus", $"o_orderkey", $"o_totalprice")
-      .withColumn("quartile", ntile(4).over(w).cast("long"))
-      .withColumn("cd", r6(cume_dist().over(w)))
+    val ranked = Ranking.groupRanks(o, Seq("o_orderstatus"), 8,
+      $"o_totalprice".asc, $"o_orderkey".asc)
+    val ns = o.groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+      .withColumnRenamed("o_orderstatus", "__ns")
+    ranked.join(broadcast(ns), $"o_orderstatus" <=> $"__ns").drop("__ns")
+      .withColumn("__q", expr("n div 4"))
+      .withColumn("__r", expr("n % 4"))
+      .withColumn("quartile",
+        when($"rank" <= $"__r" * ($"__q" + 1L),
+          expr("(`rank` - 1) div (__q + 1) + 1"))
+          .otherwise(expr("__r + (`rank` - __r * (__q + 1) - 1) div __q + 1"))
+          .cast("long"))
+      .withColumn("cd", r6($"rank".cast("double") / $"n"))
+      .select($"o_orderstatus", $"o_orderkey", $"o_totalprice", $"quartile", $"cd")
       .orderBy($"o_orderstatus", $"o_orderkey")
   }
 
@@ -691,23 +724,26 @@ object Relational {
     * average the survivors on the money grid. The kept-range min/max
     * are the winsorization cut points.
     *
-    * Scale note: exact rank-trim needs a per-group sort — fine for
-    * bounded group counts (3 flags here; each group is one range
-    * partition internally). At unbounded per-group cardinality the
-    * production path is approx-quantile cut points (single pass,
+    * Scale note: the exact rank-trim rides [[Ranking.groupRanks]]
+    * (range-repartition + Tungsten ordinal), so no flag's rows ever
+    * sort in one task. When even the rank pass is too much, the
+    * production shortcut is approx-quantile cut points (single pass,
     * mergeable sketches) + a threshold filter; this operator is the
     * exact form those cut points approximate. */
   def q126(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"l_returnflag")
-      .orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
-    val cnt = Window.partitionBy($"l_returnflag")
-    Tables.lineitem(s, d)
+    val li = Tables.lineitem(s, d)
       .select($"l_returnflag", $"l_extendedprice", $"l_orderkey", $"l_linenumber")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(cnt))
+    // two-phase rank (Ranking.groupRanks): 3 return flags over a
+    // partitioned window would sort the whole lineitem table in 3
+    // tasks; group sizes broadcast back, oracle keeps the window form
+    val ranked = Ranking.groupRanks(li, Seq("l_returnflag"), 8,
+      $"l_extendedprice".asc, $"l_orderkey".asc, $"l_linenumber".asc)
+    val ns = li.groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+      .withColumnRenamed("l_returnflag", "__nf")
+    ranked.join(broadcast(ns), $"l_returnflag" <=> $"__nf").drop("__nf")
       .withColumn("k", floor($"n" / 20))
-      .filter($"rn" > $"k" && $"rn" <= $"n" - $"k")
+      .filter($"rank" > $"k" && $"rank" <= $"n" - $"k")
       .groupBy($"l_returnflag")
       .agg(
         count(lit(1)).as("n_kept"),

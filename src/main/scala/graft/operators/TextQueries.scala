@@ -149,16 +149,22 @@ object TextQueries {
 
   /** Stratified deterministic sample: 5 docs per language, selected by
     * md5 order (seeded-hash sampling is the cluster-stable, cross-
-    * engine form of per-stratum random sampling). */
+    * engine form of per-stratum random sampling). The selection runs
+    * through the native bounded-heap TopKPerGroup — a lang-partitioned
+    * `row_number` window would sort each language's full corpus in one
+    * task; the rank window orders only the ≤ 5 survivors per lang. */
   def q45(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"lang")
-      .orderBy(md5(concat($"doc_id".cast("string"), lit("#strat"))), $"doc_id")
-    Tables.documents(s, d)
-      .select($"lang", $"doc_id", $"n_chars")
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter($"rn" <= 5)
+    val prio = Tables.documents(s, d)
+      .select($"lang", $"doc_id", $"n_chars",
+        md5(concat($"doc_id".cast("string"), lit("#strat"))).as("__p"))
+    val top = graft.plans.TopK.perGroup(prio, 5, Seq("lang"),
+      Seq(graft.plans.TopK.asc("__p"), graft.plans.TopK.asc("doc_id")))
+    top
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang").orderBy($"__p", $"doc_id")).cast("long"))
+      .select($"lang", $"doc_id", $"n_chars", $"rn")
       .orderBy($"lang", $"rn")
   }
 

@@ -241,20 +241,22 @@ object TrainingQueries {
        |ORDER BY d.doc_id""".stripMargin
 
   /** q96 — sequence packing: assign docs to fixed token-budget bins by
-    * exclusive running token count, partitioned per language. This is
-    * the distributed form of packing (contiguous-by-key); greedy
-    * first-fit is inherently sequential, so the shards ARE the
-    * parallelism unit — exactly how a 100 TB pretokenization pipeline
-    * shards packing work. */
+    * exclusive running token count within each language. This is the
+    * distributed form of packing (contiguous-by-key); greedy first-fit
+    * is inherently sequential, but the PREFIX SUM that drives bin
+    * assignment is not — it rides [[Ranking.groupRunningSum]]'s
+    * two-phase scan (in-partition prefix + bounded carry table), so no
+    * language's corpus ever streams through one task. */
   def q96(s: SparkSession, d: String): DataFrame = {
-    val budget = 256L
     val toks = graft.functions.TextAnalysis.tokenCount(col("text")).cast("long")
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(s, d)
-      .select(col("lang"), col("doc_id"), toks.as("toks"))
-      .withColumn("cum_before", coalesce(sum(col("toks")).over(w), lit(0L)))
-      .withColumn("bin", (col("cum_before") / budget).cast("long"))
+    // the exclusive running token count rides the two-phase distributed
+    // prefix sum (Ranking.groupRunningSum) — a lang-partitioned window
+    // would stream each language's whole corpus through one task; bin
+    // assignment is integer `div` (exact, mirrors DuckDB's `//`)
+    Ranking.groupRunningSum(
+        Tables.documents(s, d).select(col("lang"), col("doc_id"), toks.as("toks")),
+        Seq("lang"), 8, "toks", col("doc_id"))
+      .withColumn("bin", expr("run_before div 256"))
       .groupBy(col("lang"), col("bin"))
       .agg(
         count(lit(1)).as("n_docs"),

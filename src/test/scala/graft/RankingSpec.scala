@@ -63,4 +63,22 @@ class RankingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"unexpected window in plan:\n$plan")
   }
+
+  test("groupRunningSum equals the exclusive sum window, incl. null groups, across partition counts") {
+    val data = (1 to 60).map { i =>
+      (i.toLong, if (i % 5 == 0) null else s"g${i % 3}", (i * 17 % 9 + 1).toLong)
+    }.toDF("id", "grp", "w").repartition(7)
+    val want = data.withColumn("rb",
+        coalesce(sum($"w").over(Window.partitionBy($"grp").orderBy($"id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"id", $"rb")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (parts <- Seq(2, 9)) {
+      val got = Ranking.groupRunningSum(data, Seq("grp"), parts, "w", $"id")
+        .select($"id", $"run_before")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"parts=$parts")
+      assert(got.size == 60)
+    }
+  }
 }
