@@ -89,7 +89,15 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
-    println(json)
+    // The JSON must be the single FINAL stdout line, un-interleaved:
+    // silence logging and stop Spark FIRST (its shutdown threads log),
+    // then print. A sentinel-prefixed copy goes to stderr for humans/
+    // grep; the bare line on stdout stays last for line-based parsers.
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    System.err.println(s"GRAFT_BENCH_JSON $json")
+    System.err.flush()
+    println(json)
+    System.out.flush()
   }
 }

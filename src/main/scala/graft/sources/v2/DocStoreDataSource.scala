@@ -39,9 +39,14 @@ class DocStoreDataSource extends TableProvider {
   // getTable only when external metadata is supported)
   override def supportsExternalMetadata(): Boolean = true
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    // write-only source: the schema is whatever the written frame has
-    new StructType()
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    // read path: infer from a bounded sample of the first committed
+    // part file (schema-on-read, like a document DB). Writes never get
+    // here — Spark hands the incoming frame's schema to getTable.
+    val path = options.get("path")
+    if (path == null || path.isEmpty) new StructType()
+    else DocStoreJson.inferSchema(path)
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -52,12 +57,17 @@ class DocStoreDataSource extends TableProvider {
   }
 }
 
-private[v2] class DocStoreTable(path: String, writeSchema: StructType)
-  extends Table with SupportsWrite {
+private[v2] class DocStoreTable(path: String, tableSchema: StructType)
+  extends Table with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsRead {
   override def name(): String = s"docstore($path)"
-  override def schema(): StructType = writeSchema
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    new DocStoreScanBuilder(path, tableSchema)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
