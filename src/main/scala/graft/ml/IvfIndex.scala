@@ -56,12 +56,23 @@ object IvfIndex {
 
   /** ANN top-k probing nProbe cells per query: candidate reduction via
     * the bounded-heap TopKPerGroup, ranking via a window over the ≤ k
-    * surviving rows per query. */
+    * surviving rows per query.
+    *
+    * `predicate` (filtered ANN): a metadata predicate over the
+    * assigned-vector columns, pushed INTO the candidate scan — the
+    * heap then fills its k slots with MATCHING vectors only. The
+    * alternative (post-filtering an unfiltered top-k) under-fills:
+    * with selectivity s, an unfiltered top-k retains only ~s·k
+    * matching rows per query. Because `assigned` is a plain DataFrame,
+    * the predicate reaches the parquet scan as a PushedFilter — the
+    * non-matching corpus is never even decoded. */
   def search(index: Index, queries: DataFrame, k: Int, nProbe: Int,
       qId: String = "q_id", qVec: String = "q_vec",
-      tId: String = "vec_id", tVec: String = "embedding"): DataFrame = {
+      tId: String = "vec_id", tVec: String = "embedding",
+      predicate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val probes = probeCells(queries, qId, qVec, index.centroids, nProbe)
-    val candidates = index.assigned
+    val base = predicate.map(index.assigned.filter).getOrElse(index.assigned)
+    val candidates = base
       .join(probes, Seq("cell"))
       .join(broadcast(queries), col(qId) === col("p_qid") && col(qId) =!= col(tId))
       .withColumn("sim",

@@ -92,6 +92,45 @@ object SimilarityQueries {
        |FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
   }
 
+  /** q252 — FILTERED ANN: top-5 neighbors among vectors satisfying a
+    * metadata predicate (`label = 2`), with the predicate pushed INTO
+    * the candidate side BEFORE bucketing — the retrieval user's second
+    * query is always "nearest to x WHERE lang = 'en'". Post-filtering
+    * an unfiltered top-k under-fills (with ~25% selectivity an
+    * unfiltered top-5 keeps ~1 matching row); pushing the predicate
+    * fills all k slots from matching vectors AND reaches the parquet
+    * scan as a PushedFilter, so non-matching vectors are never decoded
+    * (PlanSpec-style assertion in IvfIndexSpec for the trained-KMeans
+    * twin, IvfIndex.search(predicate=...)). Deterministic sign-bucket
+    * cells (the q62 mechanism) keep the whole semantics
+    * SQL-expressible, so the oracle restates bucket + filter + rank
+    * exactly. */
+  def q252(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val filtered = Tables.embeddings(s, d).filter($"label" === 2)
+    Similarity.ivfTopK(queriesDf(s, d), filtered, k = 5, bits = ivfBits)
+      .select($"q_id", $"vec_id", r6($"sim").as("sim"), $"rn".cast("long").as("rn"))
+      .orderBy($"q_id", $"rn")
+  }
+
+  val q252Sql: String = {
+    val qb = Similarity.sqlSignBucket("embedding", ivfBits)
+    s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec,
+       |                  $qb AS bucket
+       |           FROM embeddings WHERE vec_id < 5),
+       |t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS t_vec,
+       |             $qb AS bucket FROM embeddings WHERE label = 2),
+       |sims AS (
+       |  SELECT q_id, vec_id, $cosSql AS sim
+       |  FROM t JOIN q ON t.bucket = q.bucket AND vec_id <> q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+       |  FROM sims)
+       |SELECT q_id, vec_id, ${sqlR6("sim")} AS sim, CAST(rn AS BIGINT) AS rn
+       |FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+  }
+
   /** Full-64-dim per-label centroids via the typed VectorCentroid
     * Aggregator (two-phase partial/merge), exploded to long format
     * `(label, dim, n_vecs, c)` so every dimension is a scalar column —
@@ -505,6 +544,7 @@ object SimilarityQueries {
     QueryDef("q60_cosine_topk", q60, Some(q60Sql), bench = true),
     QueryDef("q61_label_centroids", q61, Some(q61Sql)),
     QueryDef("q62_ann_ivf_topk", q62, Some(q62Sql), bench = true),
+    QueryDef("q252_filtered_ann", q252, Some(q252Sql)),
     QueryDef("q63_centroids_full", q63, Some(q63Sql)),
     QueryDef("q127_sq8_ann_recall", q127, Some(q127Sql)),
   )
