@@ -944,7 +944,65 @@ object CurationQueries {
        |FROM r WHERE pct >= 0.95
        |ORDER BY source, doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q253 — per-source document-level token-budget fill
+  // ------------------------------------------------------------------
+
+  /** q253 — the doc-level greedy budget fill (q195's allocation taken
+    * one level deeper): within EACH source, documents are taken in
+    * quality-descending order until the source's token budget is
+    * spent — the "best docs first, stop at the budget" cut a curated
+    * pretraining mix actually applies per domain. A document is taken
+    * iff the tokens consumed BEFORE it are under budget (the marginal
+    * document is included — greedy take-while, overshoot stated, not
+    * hidden).
+    *
+    * Scale shape: the per-source exclusive running token count is
+    * corpus-sized and ordered, exactly the straggler shape a
+    * source-partitioned window would serialize — it rides
+    * [[Ranking.groupRunningSum]] (two-phase distributed prefix sum);
+    * everything after is one aggregate. Quality sorts as an exact
+    * 1e-4-scaled integer; the window-form oracle is unchanged. */
+  def q253(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val budget = 5000L
+    val base = Tables.documents(s, d)
+      .select($"source", $"doc_id",
+        graft.functions.TextAnalysis.tokenCount($"text").cast("long").as("toks"),
+        floor(quality($"text") * 10000 + lit(0.5)).cast("long").as("q4"))
+    Ranking.groupRunningSum(base, Seq("source"), 8, "toks",
+        $"q4".desc, $"doc_id".asc)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"toks").as("total_tokens"),
+        sum(when($"run_before" < budget, 1L).otherwise(0L)).as("n_taken"),
+        sum(when($"run_before" < budget, $"toks").otherwise(0L)).as("tokens_taken"))
+      .orderBy($"source")
+  }
+
+  val q253Sql: String =
+    s"""WITH scored AS (
+       |  SELECT source, doc_id, toks,
+       |    CAST(floor(($qualitySql) * 10000 + 0.5) AS BIGINT) AS q4
+       |  FROM (
+       |    SELECT source, doc_id, $tokSql AS toks,
+       |      CAST(length(text) AS DOUBLE) AS chars, $stopEnSql AS stop_en, text
+       |    FROM documents) b),
+       |r AS (
+       |  SELECT source, toks,
+       |    COALESCE(sum(toks) OVER (PARTITION BY source ORDER BY q4 DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run_before
+       |  FROM scored)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+       |  CAST(sum(CASE WHEN run_before < 5000 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_taken,
+       |  CAST(sum(CASE WHEN run_before < 5000 THEN toks ELSE 0 END) AS BIGINT)
+       |    AS tokens_taken
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q253_budget_fill", q253, Some(q253Sql)),
     QueryDef("q240_percent_rank_normalize", q240, Some(q240Sql)),
     // q238 (tokenizer fertility scorecard) is display-only: its BPE /
     // unigram token counts are functions of trained models, which no

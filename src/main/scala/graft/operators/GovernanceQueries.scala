@@ -291,6 +291,67 @@ object GovernanceQueries {
        |  ${sqlR6("ks_num / (n * m)")} AS ks
        |FROM ks ORDER BY source""".stripMargin
 
+  /** q254 — Mann–Whitney U / AUC drift, per source vs the rest of the
+    * corpus, on the n_chars distribution — the nonparametric companion
+    * to q181's KS: KS finds WHERE distributions diverge most, U says
+    * whether one STOCHASTICALLY DOMINATES (auc = P(source doc longer
+    * than a rest doc) + ½·P(tie), the common-language effect size).
+    * Direction matters operationally: a source drifting LONG inflates
+    * sequence lengths, one drifting SHORT signals truncation/breakage.
+    *
+    * Exact integer arithmetic on the value-domain grid (the q181
+    * shape — counts per distinct value, windows bounded by the DOMAIN,
+    * never a corpus window): with midranks for ties,
+    * 2·R₁ = Σ_v a_v·(2·cum_before(v) + t_v + 1) over exact BIGINTs,
+    * 2·U₁ = 2·R₁ − n(n+1), and the only float op is the final
+    * auc = 2U₁ / (2·n·m) division of exact integers — identical
+    * IEEE in both engines. */
+  def q254(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"source", $"n_chars")
+    val perSrc = docs.groupBy($"source", $"n_chars").agg(count(lit(1)).as("a"))
+    val global = docs.groupBy($"n_chars").agg(count(lit(1)).as("t"))
+    val sizes = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+    val grid = sizes.crossJoin(broadcast(global))
+      .join(perSrc, Seq("source", "n_chars"), "left")
+      .na.fill(0, Seq("a"))
+    val w = Window.partitionBy($"source").orderBy($"n_chars")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grid
+      .withColumn("cb", coalesce(sum($"t").over(w), lit(0L)))
+      .withColumn("rc", $"a" * (lit(2L) * $"cb" + $"t" + 1L))
+      .groupBy($"source", $"n")
+      .agg(sum($"rc").as("r1x2"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("total"))))
+      .withColumn("m", $"total" - $"n")
+      .withColumn("u1x2", $"r1x2" - $"n" * ($"n" + 1L))
+      .select($"source", $"n", $"m", $"u1x2",
+        r6($"u1x2" / (($"n" * $"m") * lit(2.0))).as("auc"))
+      .orderBy($"source")
+  }
+
+  val q254Sql: String =
+    s"""WITH c AS (SELECT source, n_chars, count(*) AS a FROM documents GROUP BY 1, 2),
+       |g AS (SELECT n_chars, count(*) AS t FROM documents GROUP BY 1),
+       |sz AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+       |tot AS (SELECT count(*) AS total FROM documents),
+       |grid AS (
+       |  SELECT sz.source, sz.n, g.n_chars, g.t, COALESCE(c.a, 0) AS a
+       |  FROM sz CROSS JOIN g
+       |  LEFT JOIN c ON c.source = sz.source AND c.n_chars = g.n_chars),
+       |cum AS (
+       |  SELECT source, n, a, t,
+       |    CAST(COALESCE(sum(t) OVER (PARTITION BY source ORDER BY n_chars
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+       |  FROM grid),
+       |r AS (
+       |  SELECT source, n, CAST(sum(a * (2 * cb + t + 1)) AS BIGINT) AS r1x2
+       |  FROM cum GROUP BY source, n)
+       |SELECT source, n, total - n AS m, r1x2 - n * (n + 1) AS u1x2,
+       |  ${sqlR6("(r1x2 - n * (n + 1)) / ((n * (total - n)) * 2.0)")} AS auc
+       |FROM r CROSS JOIN tot ORDER BY source""".stripMargin
+
   /** q182 — Benford first-digit audit over o_totalprice (fraud/
     * synthetic-data screening). The leading digit is taken through
     * BIGINT→string (no log10, no float formatting — both engines
@@ -694,6 +755,7 @@ object GovernanceQueries {
     QueryDef("q169_json_schema_read", q169, Some(q169Sql)),
     QueryDef("q192_fanout_profile", q192, Some(q192Sql)),
     QueryDef("q181_ks_drift", q181, Some(q181Sql), bench = true),
+    QueryDef("q254_mann_whitney_drift", q254, Some(q254Sql)),
     QueryDef("q182_benford_audit", q182, Some(q182Sql)),
     QueryDef("q170_k_anonymity", q170, Some(q170Sql)),
     QueryDef("q171_equidepth_hist", q171, Some(q171Sql)),
