@@ -131,6 +131,76 @@ object SimilarityQueries {
        |FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
   }
 
+  /** q255 — reciprocal-rank fusion of two retrieval rankings (the
+    * standard hybrid-search combiner): each query's cosine top-10 and
+    * dot-product top-10 (similarity vs magnitude-sensitive relevance —
+    * the embedding analogue of dense + sparse) fuse by
+    * RRF(d) = Σ_lists 1/(60 + rank_list(d)), and the fused top-5 is
+    * returned. Determinism without float summation: each contribution
+    * is the INTEGER floor(10⁹/(60+rank)) — integer div both engines —
+    * so the fused score is an exact BIGINT sum, order-free, and the
+    * fused ranking breaks ties by vec_id.
+    *
+    * Scale shape: one candidate pass computes both similarities
+    * (queries broadcast), each list reduces through the bounded-heap
+    * TopKPerGroup, and everything after the union is ≤ 2k rows per
+    * query (windows sit above aggregates/TopK — guard-clean). */
+  def q255(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val k = 10
+    val t = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+    val pairs = t.crossJoin(broadcast(queriesDf(s, d)))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("cos", Similarity.cosineNative(t,
+        Similarity.toDoubleArr($"q_vec"), Similarity.toDoubleArr($"embedding")))
+      .withColumn("dp", Similarity.dot(
+        Similarity.toDoubleArr($"q_vec"), Similarity.toDoubleArr($"embedding")))
+    def listContrib(score: String): DataFrame = {
+      val top = graft.plans.TopK.perGroup(pairs, k, Seq("q_id"),
+        Seq(graft.plans.TopK.desc(score), graft.plans.TopK.asc("vec_id")))
+      top.withColumn("rn", row_number().over(
+          Window.partitionBy($"q_id").orderBy(col(score).desc, $"vec_id")))
+        .select($"q_id", $"vec_id", expr("1000000000 div (60 + rn)").as("contrib"))
+    }
+    listContrib("cos").unionByName(listContrib("dp"))
+      .groupBy($"q_id", $"vec_id")
+      .agg(sum($"contrib").as("rrf"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"rrf".desc, $"vec_id")))
+      .filter($"rn" <= 5)
+      .select($"q_id", $"vec_id", $"rrf", $"rn".cast("long").as("rn"))
+      .orderBy($"q_id", $"rn")
+  }
+
+  val q255Sql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+       |           FROM embeddings WHERE vec_id < 5),
+       |t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS t_vec FROM embeddings),
+       |sims AS (
+       |  SELECT q_id, vec_id, $cosSql AS cos,
+       |    list_dot_product(q_vec, t_vec) AS dp
+       |  FROM t, q WHERE vec_id <> q_id),
+       |rc AS (SELECT q_id, vec_id,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+       |       FROM sims),
+       |rd AS (SELECT q_id, vec_id,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY dp DESC, vec_id) AS rn
+       |       FROM sims),
+       |u AS (
+       |  SELECT q_id, vec_id, CAST(1000000000 // (60 + rn) AS BIGINT) AS contrib
+       |  FROM rc WHERE rn <= 10
+       |  UNION ALL
+       |  SELECT q_id, vec_id, CAST(1000000000 // (60 + rn) AS BIGINT) AS contrib
+       |  FROM rd WHERE rn <= 10),
+       |f AS (SELECT q_id, vec_id, CAST(sum(contrib) AS BIGINT) AS rrf
+       |      FROM u GROUP BY 1, 2),
+       |r AS (SELECT q_id, vec_id, rrf,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, vec_id) AS rn
+       |      FROM f)
+       |SELECT q_id, vec_id, rrf, CAST(rn AS BIGINT) AS rn
+       |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+
   /** Full-64-dim per-label centroids via the typed VectorCentroid
     * Aggregator (two-phase partial/merge), exploded to long format
     * `(label, dim, n_vecs, c)` so every dimension is a scalar column —
@@ -545,6 +615,7 @@ object SimilarityQueries {
     QueryDef("q61_label_centroids", q61, Some(q61Sql)),
     QueryDef("q62_ann_ivf_topk", q62, Some(q62Sql), bench = true),
     QueryDef("q252_filtered_ann", q252, Some(q252Sql)),
+    QueryDef("q255_rank_fusion", q255, Some(q255Sql)),
     QueryDef("q63_centroids_full", q63, Some(q63Sql)),
     QueryDef("q127_sq8_ann_recall", q127, Some(q127Sql)),
   )
