@@ -840,6 +840,121 @@ object AssociationQueries {
        |FROM w ORDER BY arm""".stripMargin
 
   // ------------------------------------------------------------------
+  // q257 — CUPED variance-reduced A/B readout (exact moments)
+  // ------------------------------------------------------------------
+
+  /** q257 — the variance-reduced companion to q243: CUPED (Deng et
+    * al., WSDM'13 — "Improving the Sensitivity of Online Controlled
+    * Experiments by Utilizing Pre-Experiment Data"). Units are users
+    * under q243's exact salted-md5 assignment; the metric Y is a
+    * user's purchase revenue (cents) in the experiment window (Jan 16
+    * onward), the covariate X is the same metric PRE-experiment
+    * (before Jan 16 — unaffected by treatment by construction), and
+    * the adjusted effect is Δ_cuped = Δ_raw − θ·Δ_x with
+    * θ = cov(X,Y)/var(X) pooled over all units. The readout carries
+    * the variance-reduction fraction ρ² = cov²/(var X·var Y) — the
+    * share of metric variance the covariate removes, i.e. how much
+    * longer the un-CUPED experiment would have to run for the same
+    * power (1/(1−ρ²)×).
+    *
+    * Determinism: revenue floors onto the cent grid per row, so all
+    * per-user (x, y) and the five pooled moment sums are exact
+    * integers (products in DECIMAL(38,0) / HUGEINT for overflow
+    * headroom); θ, Δ and ρ² are fixed-shape double arithmetic over
+    * those exact integers (q178 discipline), degenerate-guarded: an
+    * empty arm or zero covariate variance degrades the affected
+    * columns to NULL, never to a crash or a silently wrong zero.
+    *
+    * Scale shape: one groupBy(user) over raw events with map-side
+    * partial aggregation, then ONE single-row conditional aggregate —
+    * per-arm and pooled moments in the same pass, no join between
+    * arm-split frames. The sufficient statistics (counts and exact
+    * sums) ride along for downstream significance testing. */
+  def q257(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val cut = lit("2024-01-16").cast("timestamp")
+    val cents = floor($"value" * 100).cast("long")
+    val perUser = Fx.eventTs(Tables.events(s, d))
+      .groupBy($"user_id")
+      .agg(
+        sum(when($"event_type" === "purchase" && $"ts" < cut, cents)
+          .otherwise(0L)).cast("long").as("x"),
+        sum(when($"event_type" === "purchase" && $"ts" >= cut, cents)
+          .otherwise(0L)).cast("long").as("y"))
+      .withColumn("arm",
+        when(conv(substring(md5(concat($"user_id".cast("string"), lit("#exp1"))), 1, 8), 16, 10)
+          .cast("long") % 2 === 0, lit("control")).otherwise(lit("treatment")))
+    val m = perUser.agg(
+      count(lit(1)).as("n"),
+      sum($"x").as("sx"), sum($"y").as("sy"),
+      sum(d38($"x") * d38($"y")).as("sxy"),
+      sum(d38($"x") * d38($"x")).as("sxx"),
+      sum(d38($"y") * d38($"y")).as("syy"),
+      sum(when($"arm" === "treatment", 1L).otherwise(0L)).as("nt"),
+      sum(when($"arm" === "treatment", $"x").otherwise(0L)).as("sxt"),
+      sum(when($"arm" === "treatment", $"y").otherwise(0L)).as("syt"))
+    val k = m.select($"n", $"nt", ($"n" - $"nt").as("nc"),
+      $"sx", $"sy", $"sxt", $"syt",
+      (d38($"n") * $"sxy" - d38($"sx") * d38($"sy")).as("cov_n"),
+      (d38($"n") * $"sxx" - d38($"sx") * d38($"sx")).as("vx_n"),
+      (d38($"n") * $"syy" - d38($"sy") * d38($"sy")).as("vy_n"))
+    // pinned double shapes — every operand below is an exact integer
+    val theta = $"cov_n".cast("double") / $"vx_n".cast("double")
+    val deltaRaw = $"syt".cast("double") / $"nt" -
+      ($"sy" - $"syt").cast("double") / $"nc"
+    val deltaX = $"sxt".cast("double") / $"nt" -
+      ($"sx" - $"sxt").cast("double") / $"nc"
+    val armsOk = $"nt" > 0 && $"nc" > 0
+    k.select(
+        $"n".as("n_users"), $"nt".as("n_treat"), $"nc".as("n_ctl"),
+        $"sy".as("sum_y_cents"), $"sx".as("sum_x_cents"),
+        r6(when($"vx_n" > 0, theta)).as("theta"),
+        r6(when(armsOk, deltaRaw)).as("delta_raw_cents"),
+        r6(when(armsOk && $"vx_n" > 0, deltaRaw - theta * deltaX))
+          .as("delta_cuped_cents"),
+        r6(when($"vx_n" > 0 && $"vy_n" > 0,
+          $"cov_n".cast("double") * $"cov_n".cast("double") /
+            ($"vx_n".cast("double") * $"vy_n".cast("double")))).as("rho2"))
+      .orderBy($"n_users")
+  }
+
+  val q257Sql: String =
+    s"""WITH per_user AS (
+       |  SELECT user_id,
+       |    CAST(sum(CASE WHEN event_type = 'purchase' AND ts < TIMESTAMP '2024-01-16'
+       |                  THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+       |    CAST(sum(CASE WHEN event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-16'
+       |                  THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y,
+       |    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#exp1'), 1, 8))::BIGINT % 2 = 0
+       |         THEN 'control' ELSE 'treatment' END AS arm
+       |  FROM events GROUP BY user_id),
+       |m AS (
+       |  SELECT count(*) AS n,
+       |    sum(x) AS sx, sum(y) AS sy,
+       |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+       |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+       |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+       |    sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS nt,
+       |    sum(CASE WHEN arm = 'treatment' THEN x ELSE 0 END) AS sxt,
+       |    sum(CASE WHEN arm = 'treatment' THEN y ELSE 0 END) AS syt
+       |  FROM per_user),
+       |k AS (
+       |  SELECT n, nt, n - nt AS nc, sx, sy, sxt, syt,
+       |    CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS cov_n,
+       |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS vx_n,
+       |    CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS vy_n
+       |  FROM m)
+       |SELECT CAST(n AS BIGINT) AS n_users, CAST(nt AS BIGINT) AS n_treat,
+       |  CAST(nc AS BIGINT) AS n_ctl,
+       |  CAST(sy AS BIGINT) AS sum_y_cents, CAST(sx AS BIGINT) AS sum_x_cents,
+       |  ${sqlR6("CASE WHEN vx_n > 0 THEN CAST(cov_n AS DOUBLE) / CAST(vx_n AS DOUBLE) END")} AS theta,
+       |  ${sqlR6("CASE WHEN nt > 0 AND nc > 0 THEN CAST(syt AS DOUBLE) / nt - CAST(sy - syt AS DOUBLE) / nc END")} AS delta_raw_cents,
+       |  ${sqlR6("CASE WHEN nt > 0 AND nc > 0 AND vx_n > 0 THEN (CAST(syt AS DOUBLE) / nt - CAST(sy - syt AS DOUBLE) / nc) - (CAST(cov_n AS DOUBLE) / CAST(vx_n AS DOUBLE)) * (CAST(sxt AS DOUBLE) / nt - CAST(sx - sxt AS DOUBLE) / nc) END")} AS delta_cuped_cents,
+       |  ${sqlR6("CASE WHEN vx_n > 0 AND vy_n > 0 THEN CAST(cov_n AS DOUBLE) * CAST(cov_n AS DOUBLE) / (CAST(vx_n AS DOUBLE) * CAST(vy_n AS DOUBLE)) END")} AS rho2
+       |FROM k ORDER BY n_users""".stripMargin
+
+  // ------------------------------------------------------------------
   // q245 — sequential pattern mining (MLlib PrefixSpan, oracle-checked)
   // ------------------------------------------------------------------
 
@@ -1037,6 +1152,7 @@ object AssociationQueries {
     QueryDef("q246_fpgrowth_itemsets", q246, Some(q246Sql)),
     QueryDef("q245_prefixspan_patterns", q245, Some(q245Sql)),
     QueryDef("q243_ab_readout", q243, Some(q243Sql)),
+    QueryDef("q257_cuped_readout", q257, Some(q257Sql)),
     QueryDef("q236_journey_paths", q236, Some(q236Sql)),
     QueryDef("q226_markov_transitions", q226, Some(q226Sql)),
     QueryDef("q223_apriori_triples", q223, Some(q223Sql)),

@@ -289,4 +289,101 @@ object Dedup {
     graph.connectedComponents().vertices
       .toDF("doc_id", "component")
   }
+
+  /** DataFrame-native connected components via the alternating
+    * large-star / small-star algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): same min-label
+    * semantics as [[dupClusters]], but the whole fixpoint runs as
+    * DataFrame groupBy+join rounds — no GraphX, so the edge list never
+    * leaves Tungsten rows for Java tuples, every round is
+    * whole-stage-codegen'd, AQE re-plans each round's shuffles, and
+    * the shuffle key is the node id throughout (one partitioning
+    * reused). Converges in O(log² n) rounds on any graph (the paper's
+    * bound); each round is two {group-by node, join back} passes over
+    * the current edge set, which only ever SHRINKS toward one edge per
+    * non-root node — at 100 TB the peak cost is the first round over
+    * the raw pair list, exactly the cost GraphX pays per iteration for
+    * potentially Θ(diameter) iterations.
+    *
+    *  - large-star: every node's strictly-larger neighbors re-attach
+    *    to the minimum of its closed neighborhood;
+    *  - small-star: with edges held canonically larger→smaller, each
+    *    node and its (all smaller) neighbors re-attach to the group
+    *    minimum.
+    *
+    * Termination detection compares a commutative fingerprint (count
+    * plus two independent 64-bit XOR folds of xxhash64 over the edge
+    * pair) of successive canonical edge sets — one scalar aggregate
+    * per round instead of an EXCEPT-shaped shuffle pair; a collision
+    * would need two different distinct-edge sets agreeing on all three
+    * statistics simultaneously (~2⁻¹²⁸).
+    * At the fixpoint the edge set IS the component map: one
+    * (node → component-min) edge per non-root node. Fails loudly if
+    * `maxRounds` is hit (a converging monotone process that has not
+    * converged signals an implementation bug, never silent wrong
+    * labels). Equality with the GraphX path is spec-pinned on
+    * adversarial shapes (descending-id paths, cycles, stars, random
+    * graphs) in DedupSimilaritySpec. */
+  def ccAlternatingStar(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+      maxRounds: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+
+    def canon(df: DataFrame): DataFrame =
+      df.filter($"x" =!= $"y")
+        .select(greatest($"x", $"y").as("u"), least($"x", $"y").as("v"))
+        .distinct()
+
+    // two independent 64-bit XOR folds (argument orders differ, so the
+    // hashes are independent) + the count: XOR never overflows under
+    // ANSI mode, and over a DISTINCT edge set set-XOR is a sound
+    // fingerprint (unlike over multisets, where pairs cancel)
+    def fingerprint(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64($"u", $"v")),
+        bit_xor(xxhash64($"v", $"u"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+
+    var edges = graft.Fx.materialize(canon(
+      pairs.select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))))
+    var fp = fingerprint(edges)
+    var round = 0
+    var done = edges.isEmpty
+    while (!done && round < maxRounds) {
+      // large-star: Γ(u) both directions, m = min(Γ(u) ∪ {u}); each
+      // strictly-larger neighbor v re-attaches as (v, m). v > u ≥ m,
+      // so the emitted pair is already canonical and never a loop.
+      val nbrs = edges.select($"u", $"v")
+        .unionAll(edges.select($"v".as("u"), $"u".as("v")))
+      val mins = nbrs.groupBy($"u").agg(min($"v").as("mn"))
+        .select($"u", least($"mn", $"u").as("m"))
+      val ls = graft.Fx.materialize(
+        nbrs.filter($"v" > $"u").join(mins, "u")
+          .select($"v".as("u"), $"m".as("v")).distinct())
+      // small-star: edges are larger→smaller, so N(u) is all-smaller;
+      // m = min(N(u)); every other member of {u} ∪ N(u) re-attaches
+      // to m. (v, m) with v ≥ m and (u, m) with u > m stay canonical.
+      val minsS = ls.groupBy($"u").agg(min($"v").as("m"))
+      val withM = ls.join(minsS, "u")
+      val ss = graft.Fx.materialize(
+        withM.select($"v".as("u"), $"m".as("v")).filter($"u" =!= $"v")
+          .unionAll(withM.select($"u", $"m".as("v")))
+          .distinct())
+      graft.Fx.free(ls)
+      val newFp = fingerprint(ss)
+      done = newFp == fp
+      fp = newFp
+      graft.Fx.free(edges)
+      edges = ss
+      round += 1
+    }
+    require(done || round < maxRounds,
+      s"ccAlternatingStar did not converge in $maxRounds rounds")
+    // fixpoint edge set = star forest rooted at component minima
+    val members = edges.select($"u".as("doc_id"), $"v".as("component"))
+    val roots = edges.select($"v".as("doc_id")).distinct()
+      .select($"doc_id", $"doc_id".as("component"))
+    members.unionByName(roots)
+  }
 }

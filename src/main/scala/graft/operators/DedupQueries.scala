@@ -277,6 +277,41 @@ object DedupQueries {
        |FROM comp JOIN sizes ON comp.component = sizes.component
        |ORDER BY doc_id""".stripMargin
 
+  /** q256 — the same near-dup clustering as q57, computed WITHOUT
+    * GraphX: connected components via the alternating large-star /
+    * small-star DataFrame loop ([[Dedup.ccAlternatingStar]], Kiveris
+    * et al. SoCC'14). Differential-testing value: two independent
+    * algorithms (Pregel label propagation vs alternating star
+    * contraction) and one recursive-CTE oracle must all agree on every
+    * component label. Engine value at 100 TB: the star loop needs
+    * O(log² n) rounds where Pregel needs Θ(diameter) supersteps, stays
+    * entirely in Tungsten/whole-stage-codegen (GraphX drops each
+    * iteration to RDD tuples), and its working set SHRINKS every round
+    * toward one edge per node, so the tail rounds are metadata-sized.
+    * Identical output contract to q57: (doc_id, component = min id in
+    * the component, cluster_size). */
+  def q256(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val sig = Dedup.minhashSignatureWords(docs, "doc_id", "text", nHashes)
+    val bands = Dedup.lshBands(sig, "doc_id", nBands = 2, rowsPerBand = 3)
+    val pairs = Dedup.candidatePairs(bands, "doc_id")
+    val da = docs.select($"doc_id".as("a"), Dedup.wordSet($"text").as("wa"))
+    val db = docs.select($"doc_id".as("b"), Dedup.wordSet($"text").as("wb"))
+    val nearDup = pairs.join(da, "a").join(db, "b")
+      .filter(Dedup.jaccard($"wa", $"wb") >= 0.6)
+      .select($"a", $"b")
+    val clusters = Dedup.ccAlternatingStar(nearDup)
+    val sizes = clusters.groupBy($"component").agg(count(lit(1)).as("cluster_size"))
+    clusters.join(sizes, "component")
+      .select($"doc_id", $"component", $"cluster_size")
+      .orderBy($"doc_id")
+  }
+
+  /** Same semantics, same oracle text as q57 — the point IS that a
+    * different algorithm hash-matches it. */
+  val q256Sql: String = q57Sql
+
   /** q142 — leakage-safe train/eval split: documents are assigned to
     * splits by a hash of their near-dup CLUSTER (q57's connected
     * components; singletons cluster as themselves), never of the doc
@@ -709,6 +744,7 @@ object DedupQueries {
     QueryDef("q53_near_dup_pairs", q53, Some(q53Sql), bench = true),
     QueryDef("q54_ngram_jaccard", q54, Some(q54Sql)),
     QueryDef("q57_dup_clusters", q57, Some(q57Sql)),
+    QueryDef("q256_cc_dataframe", q256, Some(q256Sql)),
     QueryDef("q58_embedding_near_dup", q58, Some(q58Sql), bench = true),
     QueryDef("q59_near_dup_retention", q59, Some(q59Sql)),
     QueryDef("q87_minhash_estimator", q87, Some(q87Sql)),

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Fx, QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -746,7 +747,86 @@ object GovernanceQueries {
        |ORDER BY entity""".stripMargin
   }
 
+  /** q258 — chi-square test of independence + Cramér's V between order
+    * priority and customer market segment: the categorical-association
+    * audit (is the priority mix drifting BY segment?) that completes
+    * the drift battery beside q181's KS (numeric, two-sample) and
+    * q254's Mann-Whitney (numeric, directional). Everything through
+    * χ² is exact integer arithmetic: per-cell contribution
+    * (n·O − r·c)²·10⁶ ÷ (n·r·c) is an INTEGER division on
+    * DECIMAL(38,0)/HUGEINT operands (the q171 micro-grid discipline),
+    * so χ² accumulates as an exact BIGINT in micro-units with no
+    * float summation order anywhere; Cramér's V = √(χ²/(n·min(R−1,
+    * C−1))) spends the one correctly-rounded IEEE sqrt at the very
+    * end (q178 precedent). Emits the full 25-cell contingency table
+    * (observed, expected in micro-units, per-cell χ² contribution) —
+    * the drill-down a drift alert needs — with the test statistics on
+    * every row.
+    *
+    * Scale shape: one equi-join orders⋈customer on the customer key
+    * (AQE picks broadcast vs shuffle by measured size), one groupBy
+    * onto the R×C cell grid, and every window after that runs on the
+    * ≤ R·C-row cell relation — metadata-sized at any corpus scale. */
+  def q258(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val cells = Tables.orders(s, d).select($"o_custkey", $"o_orderpriority".as("priority"))
+      .join(Tables.customer(s, d).select($"c_custkey".as("o_custkey"), $"c_mktsegment".as("segment")),
+        "o_custkey")
+      .groupBy($"priority", $"segment")
+      .agg(count(lit(1)).as("o"))
+    val lvl = cells.agg(
+      countDistinct($"priority").as("rr"), countDistinct($"segment").as("cc"))
+    val t = cells
+      .withColumn("r", sum($"o").over(Window.partitionBy($"priority")))
+      .withColumn("c", sum($"o").over(Window.partitionBy($"segment")))
+      .withColumn("n", sum($"o").over(Window.partitionBy(lit(1))))
+      .crossJoin(broadcast(lvl))
+    t.withColumn("dev", d38($"n") * d38($"o") - d38($"r") * d38($"c"))
+      .withColumn("expected_micro",
+        expr("CAST((CAST(r AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)) * 1000000) div CAST(n AS DECIMAL(38,0)) AS BIGINT)"))
+      .withColumn("contrib_micro",
+        expr("CAST((dev * dev * 1000000) div (CAST(n AS DECIMAL(38,0)) * CAST(r AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))) AS BIGINT)"))
+      .withColumn("chi2_micro", sum($"contrib_micro").over(Window.partitionBy(lit(1))))
+      .select($"priority", $"segment", $"o".as("observed"),
+        $"expected_micro", $"contrib_micro", $"chi2_micro",
+        (($"rr" - 1) * ($"cc" - 1)).cast("long").as("dof"),
+        r6(sqrt($"chi2_micro".cast("double") / lit(1000000.0) /
+          ($"n".cast("double") * least($"rr" - 1, $"cc" - 1)))).as("cramers_v"))
+      .orderBy($"priority", $"segment")
+  }
+
+  val q258Sql: String =
+    s"""WITH cells AS (
+       |  SELECT o_orderpriority AS priority, c_mktsegment AS segment, count(*) AS o
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY 1, 2),
+       |lvl AS (
+       |  SELECT count(DISTINCT priority) AS rr, count(DISTINCT segment) AS cc FROM cells),
+       |t AS (
+       |  SELECT priority, segment, o,
+       |    sum(o) OVER (PARTITION BY priority) AS r,
+       |    sum(o) OVER (PARTITION BY segment) AS c,
+       |    sum(o) OVER () AS n
+       |  FROM cells),
+       |x AS (
+       |  SELECT priority, segment, o, r, c, n, rr, cc,
+       |    CAST(n AS HUGEINT) * o - CAST(r AS HUGEINT) * c AS dev
+       |  FROM t CROSS JOIN lvl),
+       |y AS (
+       |  SELECT priority, segment, o, r, c, n, rr, cc,
+       |    CAST((CAST(r AS HUGEINT) * c * 1000000) // CAST(n AS HUGEINT) AS BIGINT) AS expected_micro,
+       |    CAST((dev * dev * 1000000) // (CAST(n AS HUGEINT) * r * c) AS BIGINT) AS contrib_micro
+       |  FROM x)
+       |SELECT priority, segment, CAST(o AS BIGINT) AS observed,
+       |  expected_micro, contrib_micro,
+       |  CAST(sum(contrib_micro) OVER () AS BIGINT) AS chi2_micro,
+       |  CAST((rr - 1) * (cc - 1) AS BIGINT) AS dof,
+       |  ${sqlR6("sqrt(CAST(sum(contrib_micro) OVER () AS DOUBLE) / 1000000.0 / (CAST(n AS DOUBLE) * least(rr - 1, cc - 1)))")} AS cramers_v
+       |FROM y ORDER BY priority, segment""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q258_chi2_cramers_v", q258, Some(q258Sql)),
     QueryDef("q244_subject_access_report", q244, Some(q244Sql)),
     QueryDef("q227_winsorized_stats", q227, Some(q227Sql)),
     QueryDef("q222_cohen_kappa", q222, Some(q222Sql)),

@@ -202,4 +202,49 @@ class DedupSimilaritySpec extends SparkSpec {
       .drop("doc_id").distinct()
     assert(sigs.count() == 1L)
   }
+
+  private def ccLabels(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Dedup.ccAlternatingStar(pairs.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("alternating-star CC: descending-id path, cycle, star, empty") {
+    // descending-id path 64→63→…→1: min label must travel the full
+    // diameter — the worst case for naive propagation, O(log²) here
+    val path = (1L until 64L).map(i => (i + 1, i))
+    val pathLabels = ccLabels(path)
+    assert(pathLabels.keySet == (1L to 64L).toSet)
+    assert(pathLabels.values.toSet == Set(1L))
+    // cycle of 10 (no root structure in the input)
+    val cycle = (0L until 10L).map(i => (100 + i, 100 + (i + 1) % 10))
+    assert(ccLabels(cycle).values.toSet == Set(100L))
+    // star with the ROOT as the largest id (forces re-rooting)
+    val star = (1L to 8L).map(i => (999L, i))
+    val starLabels = ccLabels(star)
+    assert(starLabels.values.toSet == Set(1L) && starLabels(999L) == 1L)
+    // two components + duplicate and reversed input edges
+    val two = Seq((5L, 6L), (6L, 5L), (6L, 7L), (20L, 21L))
+    val twoLabels = ccLabels(two)
+    assert(twoLabels == Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 20L -> 20L, 21L -> 20L))
+    // empty edge set converges immediately to an empty labeling
+    assert(ccLabels(Seq.empty).isEmpty)
+  }
+
+  test("alternating-star CC agrees with GraphX on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = (1 to 80).map { _ =>
+        (rnd.nextInt(n).toLong + trial * 1000L, rnd.nextInt(n).toLong + trial * 1000L)
+      }.filter(e => e._1 != e._2)
+      val df = edges.toDF("a", "b")
+      val star = Dedup.ccAlternatingStar(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val gx = Dedup.dupClusters(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == gx, s"trial $trial: star-CC and GraphX disagree")
+    }
+  }
 }
