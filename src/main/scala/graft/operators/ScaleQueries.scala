@@ -481,7 +481,68 @@ object ScaleQueries {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q260 — clamped running balance (bounded inventory): per part, the
+    * day-by-day stock level under a floor of 0 and a capacity of 100,
+    * where each active day nets CASE linenumber-parity quantity in or
+    * out — the order-dependent recurrence
+    * `bal = min(max(bal + delta, 0), 100)` that NO window function
+    * expresses (clamped running sums don't decompose into prefix
+    * sums). The engine side rides
+    * [[Accumulate.clampedRunningBalance]]: the clamp transfer
+    * functions compose as a semigroup
+    * ([[graft.plans.ClampFoldAgg]]), so the fold runs as a two-phase
+    * parallel prefix — in-partition ordered folds in parallel, then a
+    * carry composition over the bounded per-partition cell domain —
+    * never a per-group sequential task. The oracle states the same
+    * recurrence the only way SQL can: a recursive CTE stepping
+    * row-rank by row-rank (affordable at oracle scale, and exactly
+    * the sequential semantics the parallel fold must reproduce).
+    * Deltas stay exact BIGINTs (quantity is integer-valued on its
+    * grid) — clamping is integer min/max, so every balance is exact.
+    *
+    * Scale shape: one groupBy onto the (part, day) grid, then the
+    * operator's range-repartition + two ordered window passes + one
+    * (partition, group)-keyed join. Group cardinality (parts) is
+    * unbounded — nothing broadcasts the group domain. */
+  def q260(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grid = Tables.lineitem(s, d)
+      .filter($"l_partkey" % 25 === 0)
+      .select($"l_partkey".as("part"), epochDay($"l_shipdate").as("day"),
+        when($"l_linenumber" % 2 === 0, $"l_quantity")
+          .otherwise(-$"l_quantity").cast("long").as("d0"))
+      .groupBy($"part", $"day")
+      .agg(sum($"d0").cast("long").as("delta"))
+    Accumulate.clampedRunningBalance(
+        grid, Seq("part"), 32, "delta", Some(0L), Some(100L), 0L, $"day")
+      .select($"part", $"day".cast("long").as("day"), $"balance")
+      .orderBy($"part", $"day")
+  }
+
+  val q260Sql: String =
+    """WITH RECURSIVE g AS (
+      |  SELECT l_partkey AS part,
+      |    CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS day,
+      |    CAST(sum(CASE WHEN l_linenumber % 2 = 0
+      |                  THEN CAST(l_quantity AS BIGINT)
+      |                  ELSE -CAST(l_quantity AS BIGINT) END) AS BIGINT) AS delta
+      |  FROM lineitem WHERE l_partkey % 25 = 0
+      |  GROUP BY 1, 2),
+      |o AS (
+      |  SELECT part, day, delta,
+      |    row_number() OVER (PARTITION BY part ORDER BY day) AS rn
+      |  FROM g),
+      |r(part, rn, bal) AS (
+      |  SELECT part, rn, least(greatest(0 + delta, 0), 100) FROM o WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.part, o.rn, least(greatest(r.bal + o.delta, 0), 100)
+      |  FROM r JOIN o ON o.part = r.part AND o.rn = r.rn + 1)
+      |SELECT r.part AS part, CAST(o.day AS BIGINT) AS day, r.bal AS balance
+      |FROM r JOIN o ON r.part = o.part AND r.rn = o.rn
+      |ORDER BY part, day""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q260_clamped_balance", q260, Some(q260Sql)),
     QueryDef("q235_hybrid_skew_join", q235, Some(q235Sql)),
     QueryDef("q147_hll_registers", q147, Some(q147Sql)),
     QueryDef("q148_bloom_decontamination", q148, Some(q148Sql), bench = true),

@@ -69,6 +69,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       psLit(es(1), "qsketch_merge ps")).toAggregateExpression())
     agg("cm_sketch", es => CountMinSketch(es.head, intLit(es(1), "cm_sketch depth"),
       intLit(es(2), "cm_sketch width")).toAggregateExpression())
+    agg("clamp_fold", es => ClampFoldAgg(es(0), es(1), es(2)).toAggregateExpression())
     // The declarative dot-product fold becomes the native kernel
     // automatically for any session built with these extensions.
     ext.injectOptimizerRule(_ => FoldToNativeVectorOps)
