@@ -692,6 +692,108 @@ object EventQueries {
        |GROUP BY 1, 2 ORDER BY first_touch, last_touch""".stripMargin
   }
 
+  /** q259 — multi-touch attribution (linear + U-shaped), the
+    * position-credit models between q188's all-to-first/last
+    * extremes: every purchase splits one unit of credit (and its
+    * revenue) across ALL the user's non-purchase touches in the 72 h
+    * lookback. Credit stays exact: shares are micro-units
+    * (integer div), with the division remainder assigned to the last
+    * touch so every attributed purchase's shares sum to EXACTLY 10⁶ —
+    * the conservation law the oracle re-derives. U-shaped gives 40 %
+    * to first and last touch and splits 20 % over the middles (the
+    * standard position model; n = 1 → 100 %, n = 2 → 50/50). Revenue
+    * credit multiplies exact cent values by the micro-share into
+    * DECIMAL(38,0)/HUGEINT micro-cents. Purchases with no touch in
+    * the window are excluded (q188's stated rule).
+    *
+    * Scale shape: one user-keyed equi-join purchases⋈touches with the
+    * lookback band as a residual predicate (per-user fanout bounded
+    * by activity × horizon, the q197 discipline), position/count
+    * windows partitioned by the HIGH-cardinality purchase id, then a
+    * bounded groupBy channel. */
+  def q259(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val lookbackUs = 72L * 3600L * 1000000L
+    val ev = Tables.events(s, d)
+      .select($"user_id", $"event_id", $"event_type",
+        unix_micros($"ts").as("us"), $"value")
+    val purch = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("p_eid"), $"us".as("p_us"),
+        floor($"value" * 100).cast("long").as("cents"))
+    val touch = ev.filter($"event_type" =!= "purchase")
+      .select($"user_id", $"event_id".as("t_eid"), $"us".as("t_us"),
+        $"event_type".as("channel"))
+    val pairs = purch.join(touch, "user_id")
+      .filter($"t_us" < $"p_us" && $"p_us" - $"t_us" <= lookbackUs)
+    val wPos = Window.partitionBy($"p_eid").orderBy($"t_us", $"t_eid")
+    val wN = Window.partitionBy($"p_eid")
+    val positioned = pairs
+      .withColumn("pos", row_number().over(wPos).cast("long"))
+      .withColumn("n", count(lit(1)).over(wN))
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    positioned
+      // `div`, not `/`+trunc: exact integral division (q249 discipline)
+      .withColumn("lin", expr(
+        "CAST(1000000 div n + CASE WHEN pos = n THEN 1000000 % n ELSE 0 END AS BIGINT)"))
+      .withColumn("ush", expr(
+        """CAST(CASE WHEN n = 1 THEN 1000000
+          |     WHEN n = 2 THEN 500000
+          |     WHEN pos = 1 OR pos = n THEN 400000
+          |     ELSE 200000 div (n - 2)
+          |       + CASE WHEN pos = n - 1 THEN 200000 % (n - 2) ELSE 0 END
+          |END AS BIGINT)""".stripMargin))
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n_touchpoints"),
+        sum($"lin").cast("long").as("linear_micro"),
+        sum($"ush").cast("long").as("ushape_micro"),
+        // accumulate in DECIMAL38 for headroom, emit BIGINT (house rule)
+        sum(d38($"cents") * d38($"lin")).cast("long")
+          .as("linear_rev_microcents"),
+        sum(d38($"cents") * d38($"ush")).cast("long")
+          .as("ushape_rev_microcents"))
+      .orderBy($"channel")
+  }
+
+  val q259Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+      |  FROM events),
+      |p AS (
+      |  SELECT user_id, event_id AS p_eid, us AS p_us,
+      |    CAST(floor(value * 100) AS BIGINT) AS cents
+      |  FROM e WHERE event_type = 'purchase'),
+      |t AS (
+      |  SELECT user_id, event_id AS t_eid, us AS t_us, event_type AS channel
+      |  FROM e WHERE event_type <> 'purchase'),
+      |pairs AS (
+      |  SELECT p.p_eid, p.cents, t.channel, t.t_us, t.t_eid
+      |  FROM p JOIN t ON p.user_id = t.user_id
+      |  WHERE t.t_us < p.p_us AND p.p_us - t.t_us <= 259200000000),
+      |pos AS (
+      |  SELECT p_eid, cents, channel,
+      |    row_number() OVER (PARTITION BY p_eid ORDER BY t_us, t_eid) AS pos,
+      |    count(*) OVER (PARTITION BY p_eid) AS n
+      |  FROM pairs),
+      |credit AS (
+      |  SELECT channel, cents,
+      |    1000000 // n + CASE WHEN pos = n THEN 1000000 % n ELSE 0 END AS lin,
+      |    CASE WHEN n = 1 THEN 1000000
+      |         WHEN n = 2 THEN 500000
+      |         WHEN pos = 1 OR pos = n THEN 400000
+      |         ELSE 200000 // (n - 2)
+      |           + CASE WHEN pos = n - 1 THEN 200000 % (n - 2) ELSE 0 END
+      |    END AS ush
+      |  FROM pos)
+      |SELECT channel, count(*) AS n_touchpoints,
+      |  CAST(sum(lin) AS BIGINT) AS linear_micro,
+      |  CAST(sum(ush) AS BIGINT) AS ushape_micro,
+      |  CAST(sum(CAST(cents AS HUGEINT) * lin) AS BIGINT) AS linear_rev_microcents,
+      |  CAST(sum(CAST(cents AS HUGEINT) * ush) AS BIGINT) AS ushape_rev_microcents
+      |FROM credit GROUP BY channel
+      |ORDER BY channel""".stripMargin
+
   /** q193 — conversion-window funnel: view → click → purchase where
     * each step must land within ONE HOUR of the previous step (the
     * attribution-window semantics real funnel metrics use — q104's
@@ -1385,6 +1487,7 @@ object EventQueries {
     QueryDef("q217_median_mad_outliers", q217, Some(q217Sql)),
     QueryDef("q218_cusum_changepoint", q218, Some(q218Sql)),
     QueryDef("q188_touch_attribution", q188, Some(q188Sql), bench = true),
+    QueryDef("q259_multitouch_attribution", q259, Some(q259Sql)),
     QueryDef("q70_sessionize", q70, Some(q70Sql), bench = true),
     QueryDef("q71_asof_join", q71, Some(q71Sql), bench = true),
     QueryDef("q73_range_join", q73, Some(q73Sql), bench = true),
