@@ -1001,7 +1001,123 @@ object CurationQueries {
        |    AS tokens_taken
        |FROM r GROUP BY source ORDER BY source""".stripMargin
 
+  /** q261 — decision-stump feature scoring by EXACT weighted Gini
+    * impurity: for each candidate feature (quantity, discount
+    * percent, ship month — all bounded integer domains) and each
+    * split threshold `x ≤ t`, the impurity of predicting returns from
+    * that single split, reported as the best threshold per feature —
+    * the feature-selection readout a quality-model pipeline runs
+    * before training (and the split criterion inside every tree
+    * learner, stated as data instead of hidden in a library). Gini is
+    * the impurity measure precisely because it is RATIONAL — no
+    * entropy logs, so the whole scorecard is integer-exact:
+    * branch term (n_b² − p_b² − q_b²)·10⁶ ÷ n_b and the weighted mean
+    * are pinned floor-composed integral divisions on
+    * DECIMAL(38,0)/HUGEINT operands.
+    *
+    * Scale shape: one pass collapses rows onto each feature's value
+    * grid (bounded: ≤ 50 quantities, 11 discounts, 12 months);
+    * thresholds, cumulatives and the argmin are windows over those
+    * bounded grids — metadata-sized at any corpus scale. */
+  def q261(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d).select(
+      $"l_quantity".cast("long").as("qty"),
+      floor($"l_discount" * 100).cast("long").as("disc"),
+      month($"l_shipdate").cast("long").as("mon"),
+      ($"l_returnflag" === "R").cast("long").as("pos"))
+    def grid(name: String, c: Column) =
+      li.groupBy(c.as("v"))
+        .agg(count(lit(1)).as("n_v"), sum($"pos").cast("long").as("pos_v"))
+        .withColumn("feature", lit(name))
+    val g = grid("quantity", $"qty")
+      .unionByName(grid("discount_pct", $"disc"))
+      .unionByName(grid("ship_month", $"mon"))
+    val wCum = Window.partitionBy($"feature").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"feature")
+    val scored = g
+      .withColumn("n_le", sum($"n_v").over(wCum).cast("long"))
+      .withColumn("pos_le", sum($"pos_v").over(wCum).cast("long"))
+      .withColumn("n", sum($"n_v").over(wAll).cast("long"))
+      .withColumn("p", sum($"pos_v").over(wAll).cast("long"))
+      .withColumn("v_max", max($"v").over(wAll))
+      .filter($"v" < $"v_max") // a threshold must actually split
+      .withColumn("g_micro", expr(
+        """CAST((
+          |  (CAST(n_le AS DECIMAL(38,0)) * n_le
+          |     - CAST(pos_le AS DECIMAL(38,0)) * pos_le
+          |     - CAST(n_le - pos_le AS DECIMAL(38,0)) * (n_le - pos_le)
+          |  ) * 1000000 div CAST(n_le AS DECIMAL(38,0))
+          |  +
+          |  (CAST(n - n_le AS DECIMAL(38,0)) * (n - n_le)
+          |     - CAST(p - pos_le AS DECIMAL(38,0)) * (p - pos_le)
+          |     - CAST((n - n_le) - (p - pos_le) AS DECIMAL(38,0))
+          |         * ((n - n_le) - (p - pos_le))
+          |  ) * 1000000 div CAST(n - n_le AS DECIMAL(38,0))
+          |) div CAST(n AS DECIMAL(38,0)) AS BIGINT)""".stripMargin))
+    val wBest = Window.partitionBy($"feature").orderBy($"g_micro", $"v")
+    scored
+      .withColumn("rk", row_number().over(wBest))
+      .filter($"rk" === 1)
+      .select($"feature", $"v".as("threshold"), $"g_micro".as("gini_micro"),
+        $"n_le", $"pos_le", $"n".as("n_rows"), $"p".as("n_pos"))
+      .orderBy($"feature")
+  }
+
+  val q261Sql: String =
+    """WITH rows_ AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS qty,
+      |    CAST(floor(l_discount * 100) AS BIGINT) AS disc,
+      |    CAST(month(l_shipdate) AS BIGINT) AS mon,
+      |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+      |  FROM lineitem),
+      |g AS (
+      |  SELECT 'quantity' AS feature, qty AS v, count(*) AS n_v,
+      |    CAST(sum(pos) AS BIGINT) AS pos_v FROM rows_ GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'discount_pct', disc, count(*),
+      |    CAST(sum(pos) AS BIGINT) FROM rows_ GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'ship_month', mon, count(*),
+      |    CAST(sum(pos) AS BIGINT) FROM rows_ GROUP BY 2),
+      |cum AS (
+      |  SELECT feature, v,
+      |    CAST(sum(n_v) OVER wc AS BIGINT) AS n_le,
+      |    CAST(sum(pos_v) OVER wc AS BIGINT) AS pos_le,
+      |    CAST(sum(n_v) OVER wa AS BIGINT) AS n,
+      |    CAST(sum(pos_v) OVER wa AS BIGINT) AS p,
+      |    max(v) OVER wa AS v_max
+      |  FROM g
+      |  WINDOW wc AS (PARTITION BY feature ORDER BY v
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wa AS (PARTITION BY feature)),
+      |scored AS (
+      |  SELECT feature, v, n_le, pos_le, n, p,
+      |    CAST((
+      |      (CAST(n_le AS HUGEINT) * n_le
+      |         - CAST(pos_le AS HUGEINT) * pos_le
+      |         - CAST(n_le - pos_le AS HUGEINT) * (n_le - pos_le)
+      |      ) * 1000000 // CAST(n_le AS HUGEINT)
+      |      +
+      |      (CAST(n - n_le AS HUGEINT) * (n - n_le)
+      |         - CAST(p - pos_le AS HUGEINT) * (p - pos_le)
+      |         - CAST((n - n_le) - (p - pos_le) AS HUGEINT)
+      |             * ((n - n_le) - (p - pos_le))
+      |      ) * 1000000 // CAST(n - n_le AS HUGEINT)
+      |    ) // CAST(n AS HUGEINT) AS BIGINT) AS g_micro
+      |  FROM cum WHERE v < v_max),
+      |best AS (
+      |  SELECT *, row_number() OVER (PARTITION BY feature
+      |    ORDER BY g_micro, v) AS rk
+      |  FROM scored)
+      |SELECT feature, v AS threshold, g_micro AS gini_micro,
+      |  n_le, pos_le, n AS n_rows, p AS n_pos
+      |FROM best WHERE rk = 1
+      |ORDER BY feature""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q261_gini_stump", q261, Some(q261Sql)),
     QueryDef("q253_budget_fill", q253, Some(q253Sql)),
     QueryDef("q240_percent_rank_normalize", q240, Some(q240Sql)),
     // q238 (tokenizer fertility scorecard) is display-only: its BPE /
