@@ -517,8 +517,45 @@ object StreamingQueries {
       |WHERE rdesc > 1 OR end_ms + 1800000 <= wm_ms
       |ORDER BY user_id, start_ms""".stripMargin
 
+  /** q262 — streaming clamped balance (transformWithState, event-time
+    * timers): the continuous twin of q260's batch parallel prefix.
+    * Per-user bounded exposure — purchases add their cent value,
+    * errors subtract, clamped into [0, 50000] — folded in EVENT-TIME
+    * order regardless of arrival order: rows buffer in ListState and
+    * only fold (and emit) once the watermark passes them, so the
+    * emitted balances are arrival-order invariant and hash-match the
+    * batch recursive-CTE statement of the same recurrence. State per
+    * key = one folded balance + the un-finalized buffer (watermark-lag
+    * bounded, not stream-bounded). */
+  def q262(s: SparkSession, d: String): DataFrame =
+    graft.streaming.ClampBalanceStream.run(
+      s, d, s"q262_sink_${counter.incrementAndGet()}")
+
+  val q262Sql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT user_id, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms,
+      |    CASE WHEN event_type = 'purchase'
+      |         THEN CAST(floor(value * 100) AS BIGINT)
+      |         ELSE -CAST(floor(value * 100) AS BIGINT) END AS delta
+      |  FROM events WHERE event_type IN ('purchase', 'error')),
+      |o AS (
+      |  SELECT user_id, event_id, ms, delta,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ms, event_id) AS rn
+      |  FROM e),
+      |r(user_id, rn, bal) AS (
+      |  SELECT user_id, rn, least(greatest(0 + delta, 0), 50000)
+      |  FROM o WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.user_id, o.rn, least(greatest(r.bal + o.delta, 0), 50000)
+      |  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+      |SELECT o.user_id, o.ms, o.event_id, r.bal AS balance
+      |FROM r JOIN o ON r.user_id = o.user_id AND r.rn = o.rn
+      |ORDER BY o.user_id, o.ms, o.event_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q72_streaming_hourly", q72, Some(q72Sql), bench = true),
+    QueryDef("q262_stream_clamped_balance", q262, Some(q262Sql)),
     QueryDef("q180_stream_neardup_tws", q180, Some(TrainingQueries.q99Sql)),
     QueryDef("q191_stream_timer_sessions", q191, Some(q191Sql)),
     QueryDef("q74_streaming_dedup", q74, Some(q74Sql), bench = true),
