@@ -78,7 +78,8 @@ private[v2] class DocStoreTable(path: String, tableSchema: StructType)
     }
 }
 
-private[v2] case class DocStoreCommitMessage(committedFile: String)
+private[v2] case class DocStoreCommitMessage(committedFile: String,
+    statsJsonLine: String)
   extends WriterCommitMessage
 
 private[v2] class DocStoreBatchWrite(dir: String, schema: StructType)
@@ -106,6 +107,16 @@ private[v2] class DocStoreBatchWrite(dir: String, schema: StructType)
     Option(d.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith(s"_tmp-$jobId-"))
       .foreach(_.delete())
+    // zone map BEFORE the marker (markers-as-truth: a reader that
+    // gates on _SUCCESS must find the stats of every file it scans)
+    val lines = messages.collect {
+      case DocStoreCommitMessage(_, stats) if stats.nonEmpty => stats
+    }
+    if (lines.nonEmpty) {
+      val zm = new java.io.File(dir, s"_zonemap-$jobId.json")
+      val zw = new java.io.PrintWriter(zm, "UTF-8")
+      try lines.foreach(zw.println) finally zw.close()
+    }
     // every task committed — stamp the job-level marker
     val ok = new java.io.File(dir, "_SUCCESS")
     val w = new java.io.PrintWriter(ok, "UTF-8")
@@ -137,6 +148,8 @@ private[v2] class DocStoreWriter(dir: String, schema: StructType,
   extends DataWriter[InternalRow] {
 
   private val tmp = new java.io.File(dir, s"_tmp-$jobId-$partitionId-$taskId")
+  // zone-map stats ride the rows already streaming through this task
+  private val zone = new DocStoreZonemap.Collector(schema)
   private val out = new java.io.PrintWriter(
     new java.io.BufferedWriter(new java.io.OutputStreamWriter(
       new java.io.FileOutputStream(tmp), java.nio.charset.StandardCharsets.UTF_8)))
@@ -201,6 +214,7 @@ private[v2] class DocStoreWriter(dir: String, schema: StructType,
   }
 
   override def write(row: InternalRow): Unit = {
+    zone.observe(row)
     val sb = new StringBuilder("{")
     var i = 0
     while (i < schema.length) {
@@ -234,7 +248,7 @@ private[v2] class DocStoreWriter(dir: String, schema: StructType,
     val fin = new java.io.File(dir, s"part-$jobId-$partitionId-$taskId.jsonl")
     if (!tmp.renameTo(fin))
       throw new java.io.IOException(s"docstore sink: rename $tmp -> $fin failed")
-    DocStoreCommitMessage(fin.getName)
+    DocStoreCommitMessage(fin.getName, zone.toJsonLine(fin.getName))
   }
 
   override def abort(): Unit = {

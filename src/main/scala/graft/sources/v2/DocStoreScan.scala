@@ -74,7 +74,22 @@ private[v2] class DocStoreScan(dir: String, tableSchema: StructType,
       .filter(f => f.isFile && f.getName.startsWith("part-") &&
         f.getName.endsWith(".jsonl"))
       .map(_.getAbsolutePath).sorted
-    files.map(DocStoreInputPartition(_): InputPartition)
+    // file skipping: drop part files whose zone-map stats PROVE no row
+    // matches a pushed filter; files without stats always scan
+    // (conservative — see DocStoreZonemap)
+    val kept =
+      if (pushed.isEmpty) files
+      else {
+        val zm = DocStoreZonemap.load(dir)
+        files.filter { path =>
+          val name = new java.io.File(path).getName
+          zm.get(name) match {
+            case Some(fs) => !pushed.exists(DocStoreZonemap.provesEmpty(fs, _))
+            case None => true
+          }
+        }
+      }
+    kept.map(DocStoreInputPartition(_): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
