@@ -542,7 +542,7 @@ object ScaleQueries {
       |ORDER BY part, day""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
-    QueryDef("q260_clamped_balance", q260, Some(q260Sql)),
+    QueryDef("q260_clamped_balance", q260, Some(q260Sql), bench = true),
     QueryDef("q235_hybrid_skew_join", q235, Some(q235Sql)),
     QueryDef("q147_hll_registers", q147, Some(q147Sql)),
     QueryDef("q148_bloom_decontamination", q148, Some(q148Sql), bench = true),
