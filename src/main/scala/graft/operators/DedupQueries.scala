@@ -312,6 +312,86 @@ object DedupQueries {
     * different algorithm hash-matches it. */
   val q256Sql: String = q57Sql
 
+  /** q263 — winnowing document fingerprints (Schleimer, Wilkerson &
+    * Aiken, SIGMOD'03 — the MOSS algorithm): slide a w=4 window over a
+    * doc's word-3-gram hashes and keep each window's MINIMUM hash
+    * (ties → rightmost), deduplicated. The selection guarantee — any
+    * shared run of ≥ w+k−1 tokens yields at least one shared
+    * fingerprint — is what makes winnowing the standard
+    * plagiarism/near-copy detector: ~1/w of the grams represent the
+    * document, with matches still POSITIONAL (unlike MinHash's
+    * set-level estimate, q51-q53). The report: document pairs sharing
+    * ≥ 2 selected fingerprints, with stop-grams (document frequency
+    * > 10) dropped before pairing — the q165 capped-postings
+    * discipline, which also bounds the fingerprint-bucket join.
+    *
+    * Determinism: gram hashes ride the shared md5 grid; the
+    * rightmost-min rule is total (tie key (h, −pos) is unique within
+    * a doc), so both engines select identical fingerprint sets.
+    * Scale shape: the selection window partitions by doc_id (high
+    * cardinality, frame bounded at 4 rows); the pair join buckets on
+    * the fingerprint hash with the df cap bounding bucket width. */
+  def q263(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val grams = docs
+      .select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id", explode(
+        when(size($"w") >= 3,
+          transform(sequence(lit(1), size($"w") - 2),
+            i => struct(i.as("pos"),
+              conv(substring(md5(
+                concat_ws(" ", element_at($"w", i), element_at($"w", i + 1),
+                  element_at($"w", i + 2))), 1, 15), 16, 10)
+                .cast("long").as("h"))))
+          .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))).as("g"))
+      .select($"doc_id", $"g.pos".as("pos"), $"g.h".as("h"))
+    val frame = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(-3, Window.currentRow)
+    val fp = grams
+      .withColumn("sel",
+        min_by(struct($"pos".as("p"), $"h".as("hh")),
+          struct($"h", (-$"pos").as("np"))).over(frame))
+      .filter($"pos" >= 4)
+      .select($"doc_id", $"sel.p".as("p"), $"sel.hh".as("h"))
+      .distinct()
+    val dfh = fp.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("df"))
+    val good = fp.join(dfh, "h").filter($"df" <= 10)
+      .select($"doc_id", $"h")
+    val a = good.select($"doc_id".as("a"), $"h")
+    val b = good.select($"doc_id".as("b"), $"h")
+    a.join(b, "h").filter($"a" < $"b")
+      .groupBy($"a", $"b")
+      .agg(countDistinct($"h").as("shared"))
+      .filter($"shared" >= 2)
+      .orderBy($"a", $"b")
+  }
+
+  val q263Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |grams AS (
+      |  SELECT doc_id, i AS pos,
+      |    ('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 15))::BIGINT AS h
+      |  FROM w, LATERAL (SELECT unnest(range(1, greatest(len(w) - 1, 1))) AS i) t),
+      |sel AS (
+      |  SELECT doc_id, p, h FROM (
+      |    SELECT a.doc_id, a.pos AS i, b.pos AS p, b.h,
+      |      row_number() OVER (PARTITION BY a.doc_id, a.pos
+      |        ORDER BY b.h, b.pos DESC) AS rn
+      |    FROM grams a JOIN grams b
+      |      ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos - 3 AND a.pos
+      |    WHERE a.pos >= 4) t WHERE rn = 1),
+      |fp AS (SELECT DISTINCT doc_id, p, h FROM sel),
+      |dfh AS (SELECT h, count(DISTINCT doc_id) AS df FROM fp GROUP BY h),
+      |good AS (SELECT fp.doc_id, fp.h FROM fp JOIN dfh USING (h) WHERE df <= 10)
+      |SELECT a.doc_id AS a, b.doc_id AS b,
+      |  CAST(count(DISTINCT a.h) AS BIGINT) AS shared
+      |FROM good a JOIN good b ON a.h = b.h AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING count(DISTINCT a.h) >= 2
+      |ORDER BY a, b""".stripMargin
+
   /** q142 — leakage-safe train/eval split: documents are assigned to
     * splits by a hash of their near-dup CLUSTER (q57's connected
     * components; singletons cluster as themselves), never of the doc
@@ -745,6 +825,7 @@ object DedupQueries {
     QueryDef("q54_ngram_jaccard", q54, Some(q54Sql)),
     QueryDef("q57_dup_clusters", q57, Some(q57Sql)),
     QueryDef("q256_cc_dataframe", q256, Some(q256Sql)),
+    QueryDef("q263_winnowing_fingerprints", q263, Some(q263Sql)),
     QueryDef("q58_embedding_near_dup", q58, Some(q58Sql), bench = true),
     QueryDef("q59_near_dup_retention", q59, Some(q59Sql)),
     QueryDef("q87_minhash_estimator", q87, Some(q87Sql)),
