@@ -312,6 +312,41 @@ object DedupQueries {
     * different algorithm hash-matches it. */
   val q256Sql: String = q57Sql
 
+  /** q264 — INCREMENTAL dup-cluster maintenance proven equal to the
+    * batch recompute: the near-dup edge set splits deterministically
+    * into a "yesterday" base (≈ 80%) and a "today" increment; the base
+    * clusters via the alternating-star loop, the increment folds in
+    * through [[Dedup.ccIncremental]] — whose work is sized by the
+    * DELTA (CC over the label graph of the new edges, plus relabel
+    * joins), not the corpus — and the result hash-matches q57's
+    * full-recompute oracle over ALL edges. This is the operational
+    * form of the dedup ledger at 100 TB: absorb the hourly crawl
+    * increment instead of re-clustering the corpus. */
+  def q264(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val sig = Dedup.minhashSignatureWords(docs, "doc_id", "text", nHashes)
+    val bands = Dedup.lshBands(sig, "doc_id", nBands = 2, rowsPerBand = 3)
+    val pairs = Dedup.candidatePairs(bands, "doc_id")
+    val da = docs.select($"doc_id".as("a"), Dedup.wordSet($"text").as("wa"))
+    val db = docs.select($"doc_id".as("b"), Dedup.wordSet($"text").as("wb"))
+    val nearDup = pairs.join(da, "a").join(db, "b")
+      .filter(Dedup.jaccard($"wa", $"wb") >= 0.6)
+      .select($"a", $"b")
+      .transform(graft.Fx.materialize)
+    val oldE = nearDup.filter(pmod($"a" * 31 + $"b", lit(5)) < 4)
+    val newE = nearDup.filter(pmod($"a" * 31 + $"b", lit(5)) === 4)
+    val base = Dedup.ccAlternatingStar(oldE)
+    val clusters = Dedup.ccIncremental(base, newE)
+    val sizes = clusters.groupBy($"component").agg(count(lit(1)).as("cluster_size"))
+    clusters.join(sizes, "component")
+      .select($"doc_id", $"component", $"cluster_size")
+      .orderBy($"doc_id")
+  }
+
+  /** The batch full-recompute oracle — incremental must equal it. */
+  val q264Sql: String = q57Sql
+
   /** q263 — winnowing document fingerprints (Schleimer, Wilkerson &
     * Aiken, SIGMOD'03 — the MOSS algorithm): slide a w=4 window over a
     * doc's word-3-gram hashes and keep each window's MINIMUM hash
@@ -826,6 +861,7 @@ object DedupQueries {
     QueryDef("q57_dup_clusters", q57, Some(q57Sql)),
     QueryDef("q256_cc_dataframe", q256, Some(q256Sql)),
     QueryDef("q263_winnowing_fingerprints", q263, Some(q263Sql)),
+    QueryDef("q264_cc_incremental", q264, Some(q264Sql)),
     QueryDef("q58_embedding_near_dup", q58, Some(q58Sql), bench = true),
     QueryDef("q59_near_dup_retention", q59, Some(q59Sql)),
     QueryDef("q87_minhash_estimator", q87, Some(q87Sql)),

@@ -231,6 +231,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ccLabels(Seq.empty).isEmpty)
   }
 
+  test("incremental CC equals batch CC under random splits and edge cases") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    for (trial <- 1 to 3) {
+      val n = 50
+      val edges = (1 to 70).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      val (oldE, newE) = edges.partition(_ => rnd.nextBoolean())
+      val base = Dedup.ccAlternatingStar(oldE.toDF("a", "b"))
+      val inc = Dedup.ccIncremental(base, newE.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = Dedup.ccAlternatingStar(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(inc == batch, s"trial $trial")
+    }
+    // delta made only of brand-new nodes
+    val base2 = Dedup.ccAlternatingStar(Seq((1L, 2L)).toDF("a", "b"))
+    val inc2 = Dedup.ccIncremental(base2, Seq((100L, 101L)).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc2 == Map(1L -> 1L, 2L -> 1L, 100L -> 100L, 101L -> 100L))
+    // delta internal to an existing component is a relabeling no-op
+    val base3 = Dedup.ccAlternatingStar(Seq((1L, 2L), (2L, 3L)).toDF("a", "b"))
+    val inc3 = Dedup.ccIncremental(base3, Seq((1L, 3L)).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc3 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // delta bridging two existing components takes the global min label
+    val base4 = Dedup.ccAlternatingStar(Seq((5L, 6L), (10L, 11L)).toDF("a", "b"))
+    val inc4 = Dedup.ccIncremental(base4, Seq((6L, 11L)).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc4 == Map(5L -> 5L, 6L -> 5L, 10L -> 5L, 11L -> 5L))
+  }
+
   test("alternating-star CC agrees with GraphX on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
