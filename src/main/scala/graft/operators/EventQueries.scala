@@ -794,6 +794,173 @@ object EventQueries {
       |FROM credit GROUP BY channel
       |ORDER BY channel""".stripMargin
 
+  /** q265 — Markov removal-effect attribution: the DATA-DRIVEN member
+    * of the attribution family (q188 first/last, q259 position
+    * models): user paths `start → e₁ → … → (purchase | end)`
+    * (truncated at the FIRST purchase; non-converters absorb at
+    * `end`) define a first-order transition matrix; a channel's value
+    * is how much conversion probability disappears when the channel's
+    * state is removed (its inbound mass absorbs at `end`) — Anderl et
+    * al.'s removal effect, the standard answer to position heuristics
+    * being arbitrary.
+    *
+    * Everything is INTEGER arithmetic end to end: transition
+    * probabilities on the 10⁻⁶ grid (`count·10⁶ div total`),
+    * absorption probabilities by K = 12 value-iteration steps where
+    * each step is Σ(T_micro·v_micro) div 10⁶ — exact BIGINT
+    * products, order-independent sums, floor division pinned on both
+    * engines (no q91-style rounded-double iteration needed). The one
+    * float is the final r6 share of summed removal effects.
+    *
+    * Scale shape: the corpus-sized work is path extraction (one
+    * per-user window) and the (from, to) count — a ≤ 5×6-cell
+    * relation at ANY corpus size. The chain solve runs on that
+    * metadata-sized matrix (driver-side exact ints, the bounded-map
+    * pattern of Ranking/q171); the oracle unrolls the same 12 steps
+    * as CTEs over the bounded state set. */
+  def q265(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+        $"event_type")
+    val firstP = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(min(struct($"us", $"event_id")).as("fp"))
+    val path = ev.join(firstP, Seq("user_id"), "left_outer")
+      .filter($"fp".isNull || struct($"us", $"event_id") <= $"fp")
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val stepped = path
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nxt", lead($"event_type", 1).over(w))
+    val trans = stepped.filter($"rn" === 1)
+      .select(lit("start").as("from_state"), $"event_type".as("to_state"))
+      .unionByName(stepped.filter($"nxt".isNotNull)
+        .select($"event_type".as("from_state"), $"nxt".as("to_state")))
+      .unionByName(stepped
+        .filter($"nxt".isNull && $"event_type" =!= "purchase")
+        .select($"event_type".as("from_state"), lit("end").as("to_state")))
+      .groupBy($"from_state", $"to_state")
+      .agg(count(lit(1)).as("c"))
+    // bounded-domain matrix (≤ 5 from-states × 6 to-states at any
+    // corpus size) — the same driver-side bounded map Ranking uses
+    val cells = trans.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val totals = cells.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+    val tMicro: Map[(String, String), Long] = cells.map { case ((f, t), c) =>
+      (f, t) -> c * 1000000L / totals(f)
+    }
+    val channels = Seq("click", "error", "signup", "view")
+    val states = (Seq("start", "purchase", "end") ++ channels).distinct
+    def solve(removed: Option[String]): Long = {
+      var v: Map[String, Long] =
+        states.map(st => st -> (if (st == "purchase") 1000000L else 0L)).toMap
+      for (_ <- 1 to 12) {
+        v = states.map { st =>
+          st -> (st match {
+            case "purchase" => 1000000L
+            case "end" => 0L
+            case c if removed.contains(c) => 0L
+            case f =>
+              states.map(t => tMicro.getOrElse((f, t), 0L) * v(t)).sum / 1000000L
+          })
+        }.toMap
+      }
+      v("start")
+    }
+    val base = solve(None)
+    val effects = channels.map(c => c -> math.max(0L, base - solve(Some(c))))
+    val totalEffect = effects.map(_._2).sum
+    val rows = effects.map { case (c, e) =>
+      (c, base, base - e, e,
+        if (totalEffect == 0L) null
+        else java.lang.Double.valueOf(
+          math.floor(e.toDouble / totalEffect * 1000000d + 0.5d) / 1000000d))
+    }
+    s.createDataFrame(rows)
+      .toDF("channel", "base_conv_micro", "removed_conv_micro",
+        "removal_effect_micro", "effect_share")
+      .orderBy($"channel")
+  }
+
+  val q265Sql: String = {
+    val channels = Seq("click", "error", "signup", "view")
+    val states = Seq("start", "purchase", "end") ++ channels
+    def stepCte(scen: String, k: Int, removed: Option[String]): String = {
+      val prev = if (k == 1) s"v_${scen}_0" else s"v_${scen}_${k - 1}"
+      val removedCase =
+        removed.map(c => s"WHEN s.state = '$c' THEN 0 ").getOrElse("")
+      s"""v_${scen}_$k AS (
+         |  SELECT s.state,
+         |    CASE WHEN s.state = 'purchase' THEN 1000000
+         |         WHEN s.state = 'end' THEN 0
+         |         $removedCase
+         |         ELSE coalesce((SELECT sum(t.p * v.val) // 1000000
+         |                        FROM tm t JOIN $prev v ON v.state = t.to_state
+         |                        WHERE t.from_state = s.state), 0)
+         |    END AS val
+         |  FROM states s)""".stripMargin
+    }
+    def scenario(scen: String, removed: Option[String]): String =
+      (s"""v_${scen}_0 AS (
+          |  SELECT state, CASE WHEN state = 'purchase' THEN 1000000 ELSE 0 END AS val
+          |  FROM states)""".stripMargin +:
+        (1 to 12).map(k => stepCte(scen, k, removed))).mkString(",\n")
+    val scenarios = (("all", None) +: channels.map(c => (c, Some(c))))
+      .map { case (n, r) => scenario(n, r) }.mkString(",\n")
+    val stateRows = states.map(st => s"('$st')").mkString(", ")
+    val effectRows = channels.map(c =>
+      s"""SELECT '$c' AS channel,
+         |  (SELECT val FROM v_all_12 WHERE state = 'start') AS base_conv_micro,
+         |  (SELECT val FROM v_${c}_12 WHERE state = 'start') AS removed_conv_micro""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+       |    event_type
+       |  FROM events),
+       |fp AS (
+       |  SELECT user_id, min(ROW(us, event_id)) AS fprow
+       |  FROM e WHERE event_type = 'purchase' GROUP BY user_id),
+       |path AS (
+       |  SELECT e.* FROM e LEFT JOIN fp USING (user_id)
+       |  WHERE fp.fprow IS NULL OR ROW(e.us, e.event_id) <= fp.fprow),
+       |stepped AS (
+       |  SELECT user_id, event_type,
+       |    row_number() OVER w AS rn,
+       |    lead(event_type) OVER w AS nxt
+       |  FROM path WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |trans AS (
+       |  SELECT 'start' AS from_state, event_type AS to_state FROM stepped WHERE rn = 1
+       |  UNION ALL
+       |  SELECT event_type, nxt FROM stepped WHERE nxt IS NOT NULL
+       |  UNION ALL
+       |  SELECT event_type, 'end' FROM stepped
+       |  WHERE nxt IS NULL AND event_type <> 'purchase'),
+       |tc AS (SELECT from_state, to_state, count(*) AS c FROM trans GROUP BY 1, 2),
+       |tt AS (SELECT from_state, sum(c) AS tot FROM tc GROUP BY 1),
+       |tm AS (
+       |  SELECT tc.from_state, tc.to_state,
+       |    CAST(tc.c AS HUGEINT) * 1000000 // tt.tot AS p
+       |  FROM tc JOIN tt USING (from_state)),
+       |states(state) AS (VALUES $stateRows),
+       |$scenarios,
+       |eff AS (
+       |  $effectRows),
+       |fin AS (
+       |  SELECT channel, base_conv_micro, removed_conv_micro,
+       |    greatest(base_conv_micro - removed_conv_micro, 0) AS removal_effect_micro
+       |  FROM eff),
+       |tot AS (SELECT sum(removal_effect_micro) AS te FROM fin)
+       |SELECT channel, CAST(base_conv_micro AS BIGINT) AS base_conv_micro,
+       |  CAST(removed_conv_micro AS BIGINT) AS removed_conv_micro,
+       |  CAST(removal_effect_micro AS BIGINT) AS removal_effect_micro,
+       |  CASE WHEN te = 0 THEN NULL ELSE
+       |    floor(CAST(removal_effect_micro AS DOUBLE) / CAST(te AS DOUBLE) * 1000000 + 0.5) / 1000000
+       |  END AS effect_share
+       |FROM fin CROSS JOIN tot
+       |ORDER BY channel""".stripMargin
+  }
+
   /** q193 — conversion-window funnel: view → click → purchase where
     * each step must land within ONE HOUR of the previous step (the
     * attribution-window semantics real funnel metrics use — q104's
@@ -1488,6 +1655,7 @@ object EventQueries {
     QueryDef("q218_cusum_changepoint", q218, Some(q218Sql)),
     QueryDef("q188_touch_attribution", q188, Some(q188Sql), bench = true),
     QueryDef("q259_multitouch_attribution", q259, Some(q259Sql)),
+    QueryDef("q265_markov_attribution", q265, Some(q265Sql)),
     QueryDef("q70_sessionize", q70, Some(q70Sql), bench = true),
     QueryDef("q71_asof_join", q71, Some(q71Sql), bench = true),
     QueryDef("q73_range_join", q73, Some(q73Sql), bench = true),
