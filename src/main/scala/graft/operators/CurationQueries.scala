@@ -1116,7 +1116,61 @@ object CurationQueries {
       |FROM best WHERE rk = 1
       |ORDER BY feature""".stripMargin
 
+  /** q266 — quantile normalization of document lengths across sources:
+    * every source's n_chars distribution is remapped onto the POOLED
+    * corpus distribution (each source-rank r of a size-n_s source
+    * takes the pooled value at global rank ((2r−1)·N) div (2·n_s) + 1
+    * — the nearest-rank midpoint map, pinned as integer arithmetic so
+    * no interpolation floats exist). After normalization every source
+    * has the same length distribution up to rank granularity — the
+    * distribution-alignment transform (the microarray
+    * quantile-normalization idea) a curation pipeline applies before
+    * comparing per-source quality statistics, so that a
+    * long-document source can't masquerade as a high-quality one in
+    * length-correlated metrics (q181/q254's drift tests tell you
+    * sources DIFFER; this is the corrective).
+    *
+    * Scale shape: the pooled ranking is the two-pass
+    * [[Ranking.seqIds]] (no global window); per-source ranks ride
+    * [[Ranking.groupRanks]] (bounded source domain, broadcast
+    * minima); the remap is one equi-join on the pooled rank (high
+    * cardinality, hash-partitioned). The oracle IS the
+    * single-window row_number form at oracle scale. */
+  def q266(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val pooled = Ranking
+      .seqIds(docs.select($"n_chars", $"doc_id"), 32, $"n_chars", $"doc_id")
+      .select($"seq_id".as("g"), $"n_chars".as("v"))
+    val n = docs.count()
+    val ranked = Ranking.groupRanks(docs, Seq("source"), 32, $"n_chars", $"doc_id")
+    val ns = ranked.groupBy($"source").agg(count(lit(1)).as("ns"))
+    ranked.join(broadcast(ns), "source")
+      .withColumn("target", expr(s"((2 * rank - 1) * ${n}L) div (2 * ns) + 1"))
+      .join(pooled, $"target" === $"g")
+      .select($"doc_id", $"source", $"n_chars",
+        $"v".cast("long").as("norm_chars"))
+      .orderBy($"doc_id")
+  }
+
+  val q266Sql: String =
+    """WITH p AS (
+      |  SELECT n_chars AS v,
+      |    row_number() OVER (ORDER BY n_chars, doc_id) AS g
+      |  FROM documents),
+      |nn AS (SELECT count(*) AS n FROM documents),
+      |r AS (
+      |  SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+      |    count(*) OVER (PARTITION BY source) AS ns
+      |  FROM documents)
+      |SELECT r.doc_id, r.source, r.n_chars, CAST(p.v AS BIGINT) AS norm_chars
+      |FROM r CROSS JOIN nn
+      |JOIN p ON p.g = ((2 * rk - 1) * n) // (2 * ns) + 1
+      |ORDER BY r.doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q266_quantile_normalize", q266, Some(q266Sql)),
     QueryDef("q261_gini_stump", q261, Some(q261Sql)),
     QueryDef("q253_budget_fill", q253, Some(q253Sql)),
     QueryDef("q240_percent_rank_normalize", q240, Some(q240Sql)),
