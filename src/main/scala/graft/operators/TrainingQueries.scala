@@ -566,7 +566,99 @@ object TrainingQueries {
        |GROUP BY doc_id
        |ORDER BY boilerplate_frac DESC, doc_id""".stripMargin
 
+  /** q267 — Neyman-allocation stratified sampling: a fixed budget of
+    * B = 100 documents is split across sources proportionally to
+    * n_h·σ_h (minimum-variance allocation for estimating a corpus
+    * mean — strata that are LARGE and HETEROGENEOUS earn more sample;
+    * proportional allocation would over-sample big homogeneous
+    * sources). The only float op is one correctly-rounded sqrt per
+    * stratum, immediately fixed to a centi-grid integer weight; from
+    * there the largest-remainder apportionment is EXACT integer
+    * arithmetic — base_h = (B·w_h) div W, remainders ranked as
+    * integers (ties by source name), leftovers distributed one each —
+    * the q196 apportionment discipline, so no cross-engine double
+    * summation exists anywhere. Allocation beyond a stratum's size is
+    * clamped (not redistributed — stated). Sample membership itself
+    * is the deterministic md5 order (q26/q98 grid): rank-within-
+    * stratum over (md5(doc_id#ney), doc_id) via the scale-safe
+    * two-phase groupRanks, keep rank ≤ k_h.
+    *
+    * Scale shape: one moments aggregate per stratum (bounded), the
+    * allocation windows run on the ≤|sources|-row relation, and the
+    * sampling rank is groupRanks — no source-partitioned window over
+    * the raw corpus. */
+  def q267(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val budget = 100L
+    val docs = Tables.documents(s, d)
+    val m = docs.groupBy($"source").agg(
+      count(lit(1)).as("n_h"),
+      sum($"n_chars").cast("decimal(38,0)").as("sx"),
+      sum(d38($"n_chars") * d38($"n_chars")).as("sxx"))
+    val wc = m
+      .withColumn("vnum", d38($"n_h") * $"sxx" - $"sx" * $"sx")
+      .withColumn("w_c",
+        floor(sqrt($"vnum".cast("double")) * 100 + 0.5).cast("long"))
+    val wAll = Window.partitionBy(lit(1))
+    val alloc = wc
+      .withColumn("w_tot", sum($"w_c").over(wAll))
+      .withColumn("base", expr(s"($budget * w_c) div w_tot"))
+      .withColumn("rem", expr(s"($budget * w_c) % w_tot"))
+      .withColumn("leftover", lit(budget) - sum($"base").over(wAll))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(lit(1)).orderBy($"rem".desc, $"source")))
+      .withColumn("k_h",
+        least($"base" + when($"rk" <= $"leftover", 1L).otherwise(0L), $"n_h"))
+      .select($"source", $"n_h", $"k_h")
+    val ranked = Ranking.groupRanks(
+      docs.select($"doc_id", $"source",
+        md5(concat($"doc_id".cast("string"), lit("#ney"))).as("u")),
+      Seq("source"), 32, $"u", $"doc_id")
+    ranked.join(broadcast(alloc), "source")
+      .filter($"rank" <= $"k_h")
+      .select($"doc_id", $"source", $"n_h", $"k_h")
+      .orderBy($"doc_id")
+  }
+
+  val q267Sql: String =
+    """WITH m AS (
+      |  SELECT source, count(*) AS n_h,
+      |    sum(CAST(n_chars AS HUGEINT)) AS sx,
+      |    sum(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS sxx
+      |  FROM documents GROUP BY source),
+      |wc AS (
+      |  SELECT source, n_h,
+      |    CAST(floor(sqrt(CAST(CAST(n_h AS HUGEINT) * sxx - sx * sx AS DOUBLE)) * 100 + 0.5) AS BIGINT) AS w_c
+      |  FROM m),
+      |alloc AS (
+      |  SELECT source, n_h, w_c,
+      |    sum(w_c) OVER () AS w_tot,
+      |    (100 * w_c) // sum(w_c) OVER () AS base,
+      |    (100 * w_c) % sum(w_c) OVER () AS rem
+      |  FROM wc),
+      |ext AS (
+      |  SELECT source, n_h, base, rem,
+      |    100 - sum(base) OVER () AS leftover,
+      |    row_number() OVER (ORDER BY rem DESC, source) AS rk
+      |  FROM alloc),
+      |k AS (
+      |  SELECT source, n_h,
+      |    least(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END, n_h) AS k_h
+      |  FROM ext),
+      |r AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '#ney'), doc_id) AS rank
+      |  FROM documents)
+      |SELECT r.doc_id, r.source, CAST(k.n_h AS BIGINT) AS n_h,
+      |  CAST(k.k_h AS BIGINT) AS k_h
+      |FROM r JOIN k USING (source)
+      |WHERE r.rank <= k.k_h
+      |ORDER BY r.doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q267_neyman_sample", q267, Some(q267Sql)),
     QueryDef("q92_tfidf_top_terms", q92, Some(q92Sql), bench = true),
     QueryDef("q93_repetition_filter", q93, Some(q93Sql), bench = true),
     QueryDef("q94_pii_redaction", q94, Some(q94Sql)),
