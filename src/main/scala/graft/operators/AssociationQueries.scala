@@ -954,6 +954,91 @@ object AssociationQueries {
        |  ${sqlR6("CASE WHEN vx_n > 0 AND vy_n > 0 THEN CAST(cov_n AS DOUBLE) * CAST(cov_n AS DOUBLE) / (CAST(vx_n AS DOUBLE) * CAST(vy_n AS DOUBLE)) END")} AS rho2
        |FROM k ORDER BY n_users""".stripMargin
 
+  /** q268 — two-proportion z-test on the q243 experiment: the
+    * SIGNIFICANCE readout that closes the experimentation suite
+    * (q243 exposure/lift → q257 variance reduction → q268 decision).
+    * z = (p_t − p_c) / √(p̂(1−p̂)(1/n_t + 1/n_c)) with the pooled p̂ —
+    * every operand is an exact integer product (conversions and
+    * exposures), combined in one pinned double shape ending in the
+    * correctly-rounded sqrt (q178 discipline). The normal-CDF
+    * p-value needs erf (libm — the documented exclusion), so the
+    * emitted decision is the |z| ≥ 1.96 two-sided 5% flag plus the
+    * sufficient statistics for any offline CDF. Degenerate guards:
+    * an empty arm or an all-or-nothing pooled rate NULLs the z, never
+    * divides by zero. One distinct-collapse + one 2-row rollup. */
+  def q268(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    // "converted" = purchase-heavy user (purchases exceed 20% of the
+    // user's events): an interior-rate metric at every shipped SF —
+    // has-any-purchase saturates at 100% here, which would make the
+    // z gate vacuous (the q247 lesson: an all-or-nothing rate proves
+    // nothing)
+    val users = Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg((sum(($"event_type" === "purchase").cast("long")) * 5 >
+        count(lit(1))).cast("long").as("conv"))
+      .withColumn("arm",
+        when(conv(substring(md5(concat($"user_id".cast("string"), lit("#exp1"))), 1, 8), 16, 10)
+          .cast("long") % 2 === 0, lit("control")).otherwise(lit("treatment")))
+    val m = users.agg(
+      sum(when($"arm" === "treatment", 1L).otherwise(0L)).as("nt"),
+      sum(when($"arm" === "treatment", $"conv").otherwise(0L)).as("ct"),
+      sum(when($"arm" === "control", 1L).otherwise(0L)).as("nc"),
+      sum(when($"arm" === "control", $"conv").otherwise(0L)).as("cc"))
+    val k = m.select($"nt", $"ct", $"nc", $"cc",
+      ($"nt" + $"nc").as("n"), ($"ct" + $"cc").as("c"),
+      (d38($"ct") * d38($"nc") - d38($"cc") * d38($"nt")).as("dnum"))
+    val z = ($"dnum".cast("double") / (d38($"nt") * d38($"nc")).cast("double")) /
+      sqrt(
+        (d38($"c") * d38($"n" - $"c")).cast("double") /
+          (d38($"n") * d38($"n")).cast("double") *
+          (($"n").cast("double") / (d38($"nt") * d38($"nc")).cast("double")))
+    val ok = $"nt" > 0 && $"nc" > 0 && $"c" > 0 && $"c" < $"n"
+    k.select($"nt".as("n_treat"), $"ct".as("conv_treat"),
+        $"nc".as("n_ctl"), $"cc".as("conv_ctl"),
+        r6($"ct".cast("double") / $"nt").as("rate_treat"),
+        r6($"cc".cast("double") / $"nc").as("rate_ctl"),
+        r6(when(ok, z)).as("z"),
+        when(ok, (abs(z) >= 1.96).cast("int")).as("significant_5pct"))
+      .orderBy($"n_treat")
+  }
+
+  val q268Sql: String =
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5
+       |         > count(*) AS INT) AS conv,
+       |    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#exp1'), 1, 8))::BIGINT % 2 = 0
+       |         THEN 'control' ELSE 'treatment' END AS arm
+       |  FROM events GROUP BY user_id),
+       |m AS (
+       |  SELECT
+       |    sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS nt,
+       |    sum(CASE WHEN arm = 'treatment' THEN conv ELSE 0 END) AS ct,
+       |    sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS nc,
+       |    sum(CASE WHEN arm = 'control' THEN conv ELSE 0 END) AS cc
+       |  FROM u),
+       |k AS (
+       |  SELECT nt, ct, nc, cc, nt + nc AS n, ct + cc AS c,
+       |    CAST(ct AS HUGEINT) * nc - CAST(cc AS HUGEINT) * nt AS dnum
+       |  FROM m),
+       |z AS (
+       |  SELECT *,
+       |    (CAST(dnum AS DOUBLE) / CAST(CAST(nt AS HUGEINT) * nc AS DOUBLE)) /
+       |    sqrt(CAST(CAST(c AS HUGEINT) * (n - c) AS DOUBLE) /
+       |           CAST(CAST(n AS HUGEINT) * n AS DOUBLE) *
+       |         (CAST(n AS DOUBLE) / CAST(CAST(nt AS HUGEINT) * nc AS DOUBLE))) AS zval,
+       |    (nt > 0 AND nc > 0 AND c > 0 AND c < n) AS ok
+       |  FROM k)
+       |SELECT CAST(nt AS BIGINT) AS n_treat, CAST(ct AS BIGINT) AS conv_treat,
+       |  CAST(nc AS BIGINT) AS n_ctl, CAST(cc AS BIGINT) AS conv_ctl,
+       |  ${sqlR6("CAST(ct AS DOUBLE) / nt")} AS rate_treat,
+       |  ${sqlR6("CAST(cc AS DOUBLE) / nc")} AS rate_ctl,
+       |  ${sqlR6("CASE WHEN ok THEN zval END")} AS z,
+       |  CASE WHEN ok THEN CAST(abs(zval) >= 1.96 AS INT) END AS significant_5pct
+       |FROM z ORDER BY n_treat""".stripMargin
+
   // ------------------------------------------------------------------
   // q245 — sequential pattern mining (MLlib PrefixSpan, oracle-checked)
   // ------------------------------------------------------------------
@@ -1153,6 +1238,7 @@ object AssociationQueries {
     QueryDef("q245_prefixspan_patterns", q245, Some(q245Sql)),
     QueryDef("q243_ab_readout", q243, Some(q243Sql)),
     QueryDef("q257_cuped_readout", q257, Some(q257Sql)),
+    QueryDef("q268_two_proportion_z", q268, Some(q268Sql)),
     QueryDef("q236_journey_paths", q236, Some(q236Sql)),
     QueryDef("q226_markov_transitions", q226, Some(q226Sql)),
     QueryDef("q223_apriori_triples", q223, Some(q223Sql)),
