@@ -504,7 +504,8 @@ object ScaleQueries {
     * operator's range-repartition + two ordered window passes + one
     * (partition, group)-keyed join. Group cardinality (parts) is
     * unbounded — nothing broadcasts the group domain. */
-  def q260(s: SparkSession, d: String): DataFrame = {
+  /** Shared by q260/q269: the per-(part, active-day) clamped balance. */
+  private def clampedBalances(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val grid = Tables.lineitem(s, d)
       .filter($"l_partkey" % 25 === 0)
@@ -516,11 +517,16 @@ object ScaleQueries {
     Accumulate.clampedRunningBalance(
         grid, Seq("part"), 32, "delta", Some(0L), Some(100L), 0L, $"day")
       .select($"part", $"day".cast("long").as("day"), $"balance")
-      .orderBy($"part", $"day")
   }
 
-  val q260Sql: String =
-    """WITH RECURSIVE g AS (
+  def q260(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    clampedBalances(s, d).orderBy($"part", $"day")
+  }
+
+  /** Shared WITH body: grid → ranked rows → recursive clamp fold. */
+  private val balanceCoreSql: String =
+    """g AS (
       |  SELECT l_partkey AS part,
       |    CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS day,
       |    CAST(sum(CASE WHEN l_linenumber % 2 = 0
@@ -536,13 +542,63 @@ object ScaleQueries {
       |  SELECT part, rn, least(greatest(0 + delta, 0), 100) FROM o WHERE rn = 1
       |  UNION ALL
       |  SELECT o.part, o.rn, least(greatest(r.bal + o.delta, 0), 100)
-      |  FROM r JOIN o ON o.part = r.part AND o.rn = r.rn + 1)
-      |SELECT r.part AS part, CAST(o.day AS BIGINT) AS day, r.bal AS balance
-      |FROM r JOIN o ON r.part = o.part AND r.rn = o.rn
-      |ORDER BY part, day""".stripMargin
+      |  FROM r JOIN o ON o.part = r.part AND o.rn = r.rn + 1),
+      |bal AS (
+      |  SELECT r.part AS part, CAST(o.day AS BIGINT) AS day, r.bal AS balance
+      |  FROM r JOIN o ON r.part = o.part AND r.rn = o.rn)""".stripMargin
+
+  val q260Sql: String =
+    s"""WITH RECURSIVE $balanceCoreSql
+       |SELECT part, day, balance FROM bal
+       |ORDER BY part, day""".stripMargin
+
+  /** q269 — stockout-episode extraction: the operational readout over
+    * q260's balances. A stockout episode is a maximal run of
+    * consecutive ACTIVE days (rows of the part's balance sequence)
+    * pegged at the floor — extracted with the gaps-and-islands
+    * rank-difference trick over per-part windows (high-cardinality
+    * partitions; the q150 SCD2 shape applied to the clamp output).
+    * Per episode: first/last pegged day and the run length in active
+    * days; the capacity-planning number behind "how long were we
+    * unable to serve". Composition gate: the oracle recomputes the
+    * balances with the recursive CTE and the islands with the same
+    * rank difference — so q269 green certifies the clamp fold AND
+    * the episode logic end to end. */
+  def q269(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wAll = Window.partitionBy($"part").orderBy($"day")
+    val flagged = clampedBalances(s, d)
+      .withColumn("rn", row_number().over(wAll))
+      .filter($"balance" === 0)
+    val wZero = Window.partitionBy($"part").orderBy($"day")
+    flagged
+      .withColumn("rz", row_number().over(wZero))
+      .withColumn("grp", $"rn" - $"rz")
+      .groupBy($"part", $"grp")
+      .agg(min($"day").as("start_day"), max($"day").as("end_day"),
+        count(lit(1)).as("n_active_days"))
+      .select($"part", $"start_day", $"end_day", $"n_active_days")
+      .orderBy($"part", $"start_day")
+  }
+
+  val q269Sql: String =
+    s"""WITH RECURSIVE $balanceCoreSql,
+       |seq AS (
+       |  SELECT part, day, balance,
+       |    row_number() OVER (PARTITION BY part ORDER BY day) AS rn
+       |  FROM bal),
+       |z AS (
+       |  SELECT part, day, rn,
+       |    row_number() OVER (PARTITION BY part ORDER BY day) AS rz
+       |  FROM seq WHERE balance = 0)
+       |SELECT part, min(day) AS start_day, max(day) AS end_day,
+       |  count(*) AS n_active_days
+       |FROM z GROUP BY part, rn - rz
+       |ORDER BY part, start_day""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q260_clamped_balance", q260, Some(q260Sql), bench = true),
+    QueryDef("q269_stockout_episodes", q269, Some(q269Sql)),
     QueryDef("q235_hybrid_skew_join", q235, Some(q235Sql)),
     QueryDef("q147_hll_registers", q147, Some(q147Sql)),
     QueryDef("q148_bloom_decontamination", q148, Some(q148Sql), bench = true),
