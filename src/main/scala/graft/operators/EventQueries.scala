@@ -961,6 +961,143 @@ object EventQueries {
        |ORDER BY channel""".stripMargin
   }
 
+  /** q270 — Holt linear (double) exponential smoothing of daily
+    * purchase revenue: level/trend recursion with α = 0.5, β = 0.3,
+    * one-step-ahead forecast and its error per day — the
+    * trend-following companion to q139's regression forecast. The
+    * classic recursion is float-sequential; here every step is exact
+    * integer arithmetic on the micro-grid: l_k = ⌊(α·y_k +
+    * (10⁶−α)·(l+b))/10⁶⌋, b_k = ⌊(β·(l_k−l_{k-1}) + (10⁶−β)·b)/10⁶⌋
+    * with TRUNCATING division on both engines (trend can go
+    * negative; DuckDB's `//` truncates toward zero — verified, not
+    * assumed — exactly like Scala's Long division and Spark's `div`,
+    * so the driver fold uses plain `/`). Seeds pinned: l₁ = y₁,
+    * b₁ = 0.
+    *
+    * Scale shape: the corpus collapses to the bounded day grid in one
+    * aggregate; the recursion folds that ≤|days| relation on the
+    * driver (bounded-map pattern), and the oracle steps the identical
+    * recursion as a recursive CTE over the day rank. */
+  def q270(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Fx.eventTs(Tables.events(s, d))
+      .filter($"event_type" === "purchase")
+      .groupBy(epochDay($"ts").as("day"))
+      .agg(sum(floor($"value" * 100).cast("long")).as("y"))
+      .orderBy($"day")
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1)))
+    val alpha = 500000L; val beta = 300000L; val M = 1000000L
+    var l = 0L; var b = 0L
+    val rows = daily.zipWithIndex.map { case ((day, y), i) =>
+      val (fc, lPrev) = (l + b, l)
+      if (i == 0) { l = y; b = 0L }
+      else {
+        l = (alpha * y + (M - alpha) * (lPrev + b)) / M
+        b = (beta * (l - lPrev) + (M - beta) * b) / M
+      }
+      (day, y, l, b, if (i == 0) null else java.lang.Long.valueOf(fc),
+        if (i == 0) null else java.lang.Long.valueOf(y - fc))
+    }
+    s.createDataFrame(rows.toSeq)
+      .toDF("day", "y_cents", "level_cents", "trend_cents",
+        "forecast_cents", "error_cents")
+      .orderBy($"day")
+  }
+
+  val q270Sql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT CAST(ts AS DATE) - DATE '1970-01-01' AS day,
+      |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY 1),
+      |o AS (
+      |  SELECT day, y, row_number() OVER (ORDER BY day) AS rn FROM daily),
+      |h(rn, day, y, l, b, fc) AS (
+      |  SELECT rn, day, y, y, CAST(0 AS BIGINT), CAST(NULL AS BIGINT)
+      |  FROM o WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.rn, o.day, o.y,
+      |    (500000 * o.y + 500000 * (h.l + h.b)) // 1000000,
+      |    (300000 * ((500000 * o.y + 500000 * (h.l + h.b)) // 1000000 - h.l)
+      |       + 700000 * h.b) // 1000000,
+      |    h.l + h.b
+      |  FROM h JOIN o ON o.rn = h.rn + 1)
+      |SELECT CAST(day AS BIGINT) AS day, y AS y_cents,
+      |  CAST(l AS BIGINT) AS level_cents, CAST(b AS BIGINT) AS trend_cents,
+      |  CAST(fc AS BIGINT) AS forecast_cents,
+      |  CAST(y - fc AS BIGINT) AS error_cents
+      |FROM h ORDER BY day""".stripMargin
+
+  /** q271 — Kaplan–Meier churn survival: users enter at their first
+    * event, exit at their last; an exit before the final observed day
+    * is CHURN (an event), final-day exits are right-censored
+    * (still active when the data ends — precisely what the naive
+    * "average lifetime" gets wrong by treating them as churned). The
+    * product-limit estimator Ŝ(t) = Π (n_i − d_i)/n_i steps on the
+    * micro-grid — S_k = ⌊S_{k-1}·(n_k − d_k)/n_k⌋, positive integers
+    * throughout — with risk sets n_t = Σ_{s≥t}(d_s + c_s) as exact
+    * suffix sums over the bounded duration domain. Emits the full
+    * life table (risk set, deaths, censored, Ŝ).
+    *
+    * Scale shape: one per-user aggregate (first/last day), one
+    * collapse onto the ≤|days| duration grid, driver fold +
+    * recursive-CTE oracle (q270's pattern). */
+  def q271(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val spans = Fx.eventTs(Tables.events(s, d))
+      .groupBy($"user_id")
+      .agg(min(epochDay($"ts")).as("first_day"), max(epochDay($"ts")).as("last_day"))
+    val maxDay = spans.agg(max($"last_day")).head().getInt(0)
+    val grid = spans
+      .select(($"last_day" - $"first_day").as("t"),
+        ($"last_day" <= maxDay - 1).cast("long").as("event"))
+      .groupBy($"t")
+      .agg(sum($"event").as("d"), sum(lit(1L) - $"event").as("c"))
+      .orderBy($"t")
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2)))
+    val totalUsers = grid.map(g => g._2 + g._3).sum
+    var atRisk = totalUsers
+    var sMicro = 1000000L
+    val rows = grid.map { case (t, dd, cc) =>
+      val n = atRisk
+      if (dd > 0) sMicro = Math.floorDiv(sMicro * (n - dd), n)
+      atRisk -= (dd + cc)
+      (t, n, dd, cc, sMicro)
+    }
+    s.createDataFrame(rows.toSeq)
+      .toDF("t_days", "n_risk", "deaths", "censored", "surv_micro")
+      .orderBy($"t_days")
+  }
+
+  val q271Sql: String =
+    """WITH RECURSIVE spans AS (
+      |  SELECT user_id,
+      |    min(CAST(ts AS DATE) - DATE '1970-01-01') AS first_day,
+      |    max(CAST(ts AS DATE) - DATE '1970-01-01') AS last_day
+      |  FROM events GROUP BY user_id),
+      |mx AS (SELECT max(last_day) AS max_day FROM spans),
+      |g AS (
+      |  SELECT last_day - first_day AS t,
+      |    sum(CASE WHEN last_day <= max_day - 1 THEN 1 ELSE 0 END) AS d,
+      |    sum(CASE WHEN last_day <= max_day - 1 THEN 0 ELSE 1 END) AS c
+      |  FROM spans CROSS JOIN mx GROUP BY 1),
+      |o AS (
+      |  SELECT t, d, c, row_number() OVER (ORDER BY t) AS rn,
+      |    sum(d + c) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n
+      |  FROM g),
+      |km(rn, t, n, d, c, s) AS (
+      |  SELECT rn, t, n, d, c,
+      |    CASE WHEN d > 0 THEN (1000000 * (n - d)) // n ELSE 1000000 END
+      |  FROM o WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.rn, o.t, o.n, o.d, o.c,
+      |    CASE WHEN o.d > 0 THEN (km.s * (o.n - o.d)) // o.n ELSE km.s END
+      |  FROM km JOIN o ON o.rn = km.rn + 1)
+      |SELECT CAST(t AS BIGINT) AS t_days, CAST(n AS BIGINT) AS n_risk,
+      |  CAST(d AS BIGINT) AS deaths, CAST(c AS BIGINT) AS censored,
+      |  CAST(s AS BIGINT) AS surv_micro
+      |FROM km ORDER BY t_days""".stripMargin
+
   /** q193 — conversion-window funnel: view → click → purchase where
     * each step must land within ONE HOUR of the previous step (the
     * attribution-window semantics real funnel metrics use — q104's
@@ -1656,6 +1793,8 @@ object EventQueries {
     QueryDef("q188_touch_attribution", q188, Some(q188Sql), bench = true),
     QueryDef("q259_multitouch_attribution", q259, Some(q259Sql)),
     QueryDef("q265_markov_attribution", q265, Some(q265Sql)),
+    QueryDef("q270_holt_smoothing", q270, Some(q270Sql)),
+    QueryDef("q271_kaplan_meier", q271, Some(q271Sql)),
     QueryDef("q70_sessionize", q70, Some(q70Sql), bench = true),
     QueryDef("q71_asof_join", q71, Some(q71Sql), bench = true),
     QueryDef("q73_range_join", q73, Some(q73Sql), bench = true),
