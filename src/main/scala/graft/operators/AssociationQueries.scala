@@ -1039,6 +1039,56 @@ object AssociationQueries {
        |  CASE WHEN ok THEN CAST(abs(zval) >= 1.96 AS INT) END AS significant_5pct
        |FROM z ORDER BY n_treat""".stripMargin
 
+  /** q272 — sample-ratio-mismatch (SRM) audit: the guardrail that runs
+    * BEFORE any readout (q243/q257/q268 all assume the assignment is
+    * healthy) — a salted-hash split whose arm counts deviate from
+    * 50/50 beyond chance means the assignment or logging pipeline is
+    * broken, and every downstream metric is garbage. Twenty salt
+    * variants of the q243 rule are audited in one pass: per salt, a
+    * 1-dof chi-square against the even split as exact micro-unit
+    * integers ((n₀−n₁)²·10⁶ div n — the q258 grid), flagged past the
+    * pinned 3.841459 critical value (5%). On a healthy hash family
+    * ~1 in 20 trips the flag by construction — the audit's own base
+    * rate, stated.
+    *
+    * Scale shape: one explode (×20) and one low-cardinality groupBy
+    * WITH map-side partials (an aggregation, not a window — the
+    * 20-group reduce is shuffle-light by design); everything after
+    * runs on the 20-row relation. */
+  def q272(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val users = Tables.events(s, d).select($"user_id").distinct()
+    val salted = users
+      .select($"user_id", explode(sequence(lit(1), lit(20))).as("salt"))
+      .withColumn("arm",
+        (conv(substring(md5(concat($"user_id".cast("string"),
+          lit("#srm"), $"salt".cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 2).cast("long"))
+    salted.groupBy($"salt")
+      .agg(sum(lit(1L) - $"arm").as("n_ctl"), sum($"arm").as("n_treat"))
+      .withColumn("chi2_micro", expr(
+        "((n_ctl - n_treat) * (n_ctl - n_treat) * 1000000) div (n_ctl + n_treat)"))
+      .withColumn("srm_flag", ($"chi2_micro" > 3841459L).cast("int"))
+      .select($"salt".cast("long").as("salt"), $"n_ctl", $"n_treat",
+        $"chi2_micro", $"srm_flag")
+      .orderBy($"salt")
+  }
+
+  val q272Sql: String =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |salted AS (
+      |  SELECT user_id, salt,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#srm' || CAST(salt AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm
+      |  FROM u CROSS JOIN (SELECT unnest(range(1, 21)) AS salt) t),
+      |a AS (
+      |  SELECT salt, CAST(sum(1 - arm) AS BIGINT) AS n_ctl,
+      |    CAST(sum(arm) AS BIGINT) AS n_treat
+      |  FROM salted GROUP BY salt)
+      |SELECT CAST(salt AS BIGINT) AS salt, n_ctl, n_treat,
+      |  CAST(((n_ctl - n_treat) * (n_ctl - n_treat) * 1000000) // (n_ctl + n_treat) AS BIGINT) AS chi2_micro,
+      |  CAST(((n_ctl - n_treat) * (n_ctl - n_treat) * 1000000) // (n_ctl + n_treat) > 3841459 AS INT) AS srm_flag
+      |FROM a ORDER BY salt""".stripMargin
+
   // ------------------------------------------------------------------
   // q245 — sequential pattern mining (MLlib PrefixSpan, oracle-checked)
   // ------------------------------------------------------------------
@@ -1239,6 +1289,7 @@ object AssociationQueries {
     QueryDef("q243_ab_readout", q243, Some(q243Sql)),
     QueryDef("q257_cuped_readout", q257, Some(q257Sql)),
     QueryDef("q268_two_proportion_z", q268, Some(q268Sql)),
+    QueryDef("q272_srm_audit", q272, Some(q272Sql)),
     QueryDef("q236_journey_paths", q236, Some(q236Sql)),
     QueryDef("q226_markov_transitions", q226, Some(q226Sql)),
     QueryDef("q223_apriori_triples", q223, Some(q223Sql)),
