@@ -81,6 +81,83 @@ object ScaleSmoke {
     }
 
 
+    // targeted mode: `... <n> cc` — DataFrame alternating-star CC vs
+    // GraphX Pregel on a diameter-100 chain graph (n nodes in blocks
+    // of 100; the worst case for label propagation, which needs
+    // Θ(diameter) supersteps, vs O(log² n) star rounds)
+    if (args.lift(1).contains("cc")) {
+      val edges = spark.range(nDocs)
+        .filter(pmod($"id", lit(100)) =!= 99)
+        .select($"id".as("a"), ($"id" + 1).as("b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nEdges = edges.count()
+      var starChk = 0L
+      var gxChk = 0L
+      timedN(nEdges)("cc_alternating_star") {
+        val out = Dedup.ccAlternatingStar(edges)
+        val r = out.agg(count(lit(1)), bit_xor(xxhash64($"doc_id", $"component"))).head()
+        starChk = r.getLong(1)
+        r.getLong(0)
+      }
+      timedN(nEdges)("cc_graphx_pregel") {
+        val out = Dedup.dupClusters(edges)
+        val r = out.agg(count(lit(1)), bit_xor(xxhash64($"doc_id", $"component"))).head()
+        gxChk = r.getLong(1)
+        r.getLong(0)
+      }
+      println(s"[scale]   label checksums equal: ${starChk == gxChk}")
+      edges.unpersist()
+      spark.stop()
+      return
+    }
+
+    // targeted mode: `... <n> clamp` — the clamp-semigroup two-phase
+    // prefix vs the only exact alternative without it (one sequential
+    // task per group) on 4 groups × n/4 rows: the few-huge-groups
+    // regime the operator exists for
+    if (args.lift(1).contains("clamp")) {
+      val nGroups = args.lift(2).map(_.toInt).getOrElse(4)
+      val rows = spark.range(nDocs)
+        .select(pmod($"id", lit(nGroups)).as("g"),
+          ($"id" / nGroups).cast("long").as("ord"),
+          (pmod(xxhash64($"id"), lit(21)) - 10).cast("long").as("delta"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rows.count()
+      var twoChk = 0L
+      var seqChk = 0L
+      timedN(nDocs)("clamp_two_phase") {
+        val out = graft.operators.Accumulate.clampedRunningBalance(
+          rows, Seq("g"), cpus.toInt, "delta", Some(0L), Some(100L), 0L, $"ord")
+        val r = out.agg(count(lit(1)),
+          bit_xor(xxhash64($"g", $"ord", $"balance"))).head()
+        twoChk = r.getLong(1)
+        r.getLong(0)
+      }
+      timedN(nDocs)("clamp_single_task") {
+        val folded = rows.select($"g", $"ord", $"delta")
+          .repartition(4, col("g"))
+          .sortWithinPartitions($"g", $"ord")
+          .as[(Long, Long, Long)]
+          .mapPartitions { it =>
+            var curG = Long.MinValue
+            var bal = 0L
+            it.map { case (g, ord, delta) =>
+              if (g != curG) { curG = g; bal = 0L }
+              bal = math.min(math.max(bal + delta, 0L), 100L)
+              (g, ord, bal)
+            }
+          }.toDF("g", "ord", "balance")
+        val r = folded.agg(count(lit(1)),
+          bit_xor(xxhash64($"g", $"ord", $"balance"))).head()
+        seqChk = r.getLong(1)
+        r.getLong(0)
+      }
+      println(s"[scale]   balance checksums equal: ${twoChk == seqChk}")
+      rows.unpersist()
+      spark.stop()
+      return
+    }
+
     // Deterministic synthetic corpus. A near-dup copies its
     // predecessor's word sequence (same base id) and changes only the
     // final word, so planted pairs share all but ~2 bigram shingles.

@@ -49,6 +49,15 @@ object Accumulate {
     val loC = lo.map(lit(_).cast("long")).getOrElse(lit(null).cast("long"))
     val hiC = hi.map(lit(_).cast("long")).getOrElse(lit(null).cast("long"))
     val order = groupCols.map(col) ++ innerOrder
+    // materialization here is CORRECTNESS, not caching: `local` feeds
+    // both the cell summaries and the final join, and every consumer
+    // must observe the SAME physical partitioning — spark_partition_id
+    // over a re-evaluated range shuffle is not guaranteed stable, and
+    // the measured un-materialized variant produced mismatched
+    // balances (carries keyed on pids the join side didn't see).
+    // Materializing the post-window relation instead was also measured
+    // SLOWER (the wide triple column makes the cache write cost more
+    // than the second window pass saves).
     val sorted = df.repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
       .transform(graft.Fx.materialize)
