@@ -393,6 +393,64 @@ object EventQueries {
       |FROM e JOIN f ON e.user_id = f.user_id
       |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
 
+  /** q273 — cohort LTV curves: q105's retention grid with MONEY on it.
+    * Users cohort by first-event week; per (cohort, week offset) the
+    * purchase revenue lands in exact cents, accumulates into the
+    * running lifetime value of the cohort, and normalizes to
+    * LTV-per-cohort-member in exact micro-cents (integer division by
+    * the fixed cohort size — the number marketing actually plots and
+    * compares against acquisition cost). Cumulative windows run only
+    * over the bounded (cohort × offset) grid after the collapse; the
+    * per-cohort sizes join from a bounded aggregate. */
+  def q273(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val e = Tables.events(s, d)
+      .select($"user_id", date_trunc("week", $"ts").as("wk"),
+        when($"event_type" === "purchase", floor($"value" * 100))
+          .otherwise(0L).cast("long").as("cents"))
+    val first = e.groupBy($"user_id").agg(min($"wk").as("cohort"))
+    val sizes = first.groupBy($"cohort").agg(countDistinct($"user_id").as("cohort_size"))
+    val grid = e.join(first, "user_id")
+      .groupBy($"cohort",
+        (datediff($"wk", $"cohort") / 7).cast("int").as("week_offset"))
+      .agg(sum($"cents").as("rev_cents"))
+    val wCum = Window.partitionBy($"cohort").orderBy($"week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("cum_cents", sum($"rev_cents").over(wCum).cast("long"))
+      .join(sizes, "cohort")
+      .select($"cohort".cast("date").as("cohort_week"), $"week_offset",
+        $"rev_cents".cast("long").as("rev_cents"), $"cum_cents",
+        $"cohort_size",
+        expr("(cum_cents * 1000000) div cohort_size").as("ltv_per_user_micro"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  val q273Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk,
+      |    CASE WHEN event_type = 'purchase'
+      |         THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END AS cents
+      |  FROM events),
+      |f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY user_id),
+      |sz AS (SELECT cohort, count(DISTINCT user_id) AS cohort_size FROM f GROUP BY 1),
+      |grid AS (
+      |  SELECT f.cohort, CAST(date_diff('day', f.cohort, e.wk) // 7 AS INT) AS week_offset,
+      |    CAST(sum(e.cents) AS BIGINT) AS rev_cents
+      |  FROM e JOIN f ON e.user_id = f.user_id
+      |  GROUP BY 1, 2),
+      |c AS (
+      |  SELECT cohort, week_offset, rev_cents,
+      |    CAST(sum(rev_cents) OVER (PARTITION BY cohort ORDER BY week_offset
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+      |  FROM grid)
+      |SELECT CAST(c.cohort AS DATE) AS cohort_week, week_offset, rev_cents,
+      |  cum_cents, CAST(sz.cohort_size AS BIGINT) AS cohort_size,
+      |  CAST((CAST(cum_cents AS HUGEINT) * 1000000) // sz.cohort_size AS BIGINT) AS ltv_per_user_micro
+      |FROM c JOIN sz ON c.cohort = sz.cohort
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   /** q108 — Spark's native `session_window` (gap-merged event-time
     * sessions as a first-class grouping column, the built-in form of
     * q70's manual lag/flag sessionization; also valid in streaming
@@ -1795,6 +1853,7 @@ object EventQueries {
     QueryDef("q265_markov_attribution", q265, Some(q265Sql)),
     QueryDef("q270_holt_smoothing", q270, Some(q270Sql)),
     QueryDef("q271_kaplan_meier", q271, Some(q271Sql)),
+    QueryDef("q273_cohort_ltv", q273, Some(q273Sql)),
     QueryDef("q70_sessionize", q70, Some(q70Sql), bench = true),
     QueryDef("q71_asof_join", q71, Some(q71Sql), bench = true),
     QueryDef("q73_range_join", q73, Some(q73Sql), bench = true),
