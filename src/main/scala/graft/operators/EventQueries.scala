@@ -451,6 +451,73 @@ object EventQueries {
       |FROM c JOIN sz ON c.cohort = sz.cohort
       |ORDER BY cohort_week, week_offset""".stripMargin
 
+  /** q274 — Theil–Sen robust trend per event type: the median of all
+    * pairwise slopes (yⱼ−yᵢ)/(dayⱼ−dayᵢ) over the daily volume
+    * series — the estimator that shrugs off the outlier days OLS
+    * (q172) chases. The slope domain is rational; rather than trust
+    * cross-engine rational ordering, both engines order the pair grid
+    * by the IEEE quotient dy/dx (two exact integers → one correctly
+    * rounded division, bit-identical) with (dy, dx) integer
+    * tie-breaks, and nearest-rank-select the lower median (the q155
+    * discipline). The emitted slope is the selected pair's exact
+    * (dy, dx) plus its r6-fixed quotient.
+    *
+    * Scale shape: the corpus collapses to the bounded (type × day)
+    * grid in ONE aggregate; the O(days²) pair join and its rank
+    * window run entirely on that calendar-bounded grid (~types ×
+    * days²/2 rows — a constant in data volume), so 100× more events
+    * changes only the first aggregate. The self-join consumes one
+    * materialized frame twice. */
+  def q274(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Fx.eventTs(Tables.events(s, d))
+      .groupBy($"event_type", epochDay($"ts").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .transform(Fx.materialize)
+    val a = daily.select($"event_type", $"day".as("d1"), $"y".as("y1"))
+    val b = daily.select($"event_type".as("__et"), $"day".as("d2"), $"y".as("y2"))
+    val pairs = a.join(b, $"event_type" === $"__et" && $"d1" < $"d2")
+      .select($"event_type", ($"y2" - $"y1").as("dy"),
+        ($"d2" - $"d1").cast("long").as("dx"))
+      .withColumn("slope", $"dy".cast("double") / $"dx")
+    val ranked = pairs.withColumn("rk",
+        row_number().over(Window.partitionBy($"event_type")
+          .orderBy($"slope", $"dy", $"dx")))
+      .withColumn("n_pairs",
+        count(lit(1)).over(Window.partitionBy($"event_type")))
+    val nd = daily.groupBy($"event_type").agg(count(lit(1)).as("n_days"))
+      .withColumnRenamed("event_type", "__ndt")
+    ranked.filter($"rk" === ceil($"n_pairs" * 0.5))
+      .join(broadcast(nd), $"event_type" === $"__ndt")
+      .select($"event_type", $"n_days", $"n_pairs".cast("long").as("n_pairs"),
+        $"dy".as("med_dy"), $"dx".as("med_dx"),
+        r6($"slope").as("slope_per_day"))
+      .orderBy($"event_type")
+  }
+
+  val q274Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' AS day,
+      |    count(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a.event_type, b.y - a.y AS dy, CAST(b.day - a.day AS BIGINT) AS dx,
+      |    CAST(b.y - a.y AS DOUBLE) / (b.day - a.day) AS slope
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.day < b.day),
+      |r AS (
+      |  SELECT event_type, dy, dx, slope,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY slope, dy, dx) AS rk,
+      |    count(*) OVER (PARTITION BY event_type) AS n_pairs
+      |  FROM p),
+      |nd AS (SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1)
+      |SELECT r.event_type, nd.n_days, CAST(r.n_pairs AS BIGINT) AS n_pairs,
+      |  r.dy AS med_dy, r.dx AS med_dx,
+      |  floor(r.slope * 1000000 + 0.5) / 1000000 AS slope_per_day
+      |FROM r JOIN nd ON r.event_type = nd.event_type
+      |WHERE r.rk = CAST(ceil(r.n_pairs * 0.5) AS BIGINT)
+      |ORDER BY r.event_type""".stripMargin
+
   /** q108 — Spark's native `session_window` (gap-merged event-time
     * sessions as a first-class grouping column, the built-in form of
     * q70's manual lag/flag sessionization; also valid in streaming
@@ -1018,6 +1085,108 @@ object EventQueries {
        |FROM fin CROSS JOIN tot
        |ORDER BY channel""".stripMargin
   }
+
+  /** q276 — EXACT Shapley-value channel attribution: the coalition
+    * set function comes from the data — v(S) = conversions among
+    * users whose exposure set (distinct non-purchase event types) is
+    * EXACTLY S, unobserved coalitions v = 0 — and with a bounded
+    * channel domain (n ≤ 12 asserted) the 2ⁿ lattice is enumerable,
+    * so the Shapley sum φᵢ = Σ_{S∌i} s!(n−1−s)!/n! · (v(S∪i)−v(S))
+    * needs no sampling. Every term is scaled by n! up front:
+    * φᵢ·n! = Σ s!(n−1−s)!·Δ is pure BIGINT arithmetic (factorial +
+    * bit_count exist natively in BOTH engines), and the reported
+    * credit is one truncating micro-division of exact integers —
+    * negatives truncate toward zero identically (Spark `div` ≡
+    * DuckDB `//`, verified). Completes the attribution ladder:
+    * position rules (q188/q259) → Markov removal effect (q265) →
+    * the game-theoretic gold standard.
+    *
+    * Scale shape: one distinct-collapse of events to (user, channel)
+    * pairs, one groupBy to user masks, one to the ≤2ⁿ-row v table;
+    * the lattice × channels join (n·2ⁿ ≤ 49k rows) is
+    * broadcast-size. Channel count reaches the driver as a bounded
+    * aggregate scalar — never row data. */
+  def q276(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val ch = ev.filter($"event_type" =!= "purchase")
+      .select($"event_type").distinct()
+      .withColumn("bit",
+        (row_number().over(Window.orderBy($"event_type")) - 1).cast("int"))
+      .transform(Fx.materialize)
+    val n = ch.count().toInt
+    require(n <= 12, s"q276: exact Shapley needs a bounded channel domain, got $n")
+    val users = ev.groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("conv"))
+    val masks = ev.filter($"event_type" =!= "purchase")
+      .select($"user_id", $"event_type").distinct()
+      .join(broadcast(ch), "event_type")
+      .groupBy($"user_id")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), bit)")).as("mask"))
+    val v = users.join(masks, Seq("user_id"), "left")
+      .groupBy(coalesce($"mask", lit(0L)).as("mask"))
+      .agg(sum($"conv").as("conv"))
+      .transform(Fx.materialize)
+    val lat = s.range(1L << n).toDF("s0")
+    val terms = lat.crossJoin(broadcast(ch))
+      .filter($"s0".bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), bit)")) === 0L)
+      .join(broadcast(v).withColumnRenamed("mask", "__ms")
+        .withColumnRenamed("conv", "v_s"), $"s0" === $"__ms", "left")
+      .join(broadcast(v).withColumnRenamed("mask", "__mi")
+        .withColumnRenamed("conv", "v_si"),
+        ($"s0".bitwiseOR(expr("shiftleft(CAST(1 AS BIGINT), bit)"))) === $"__mi", "left")
+      .withColumn("w", factorial(bit_count($"s0").cast("int")) *
+        factorial(lit(n - 1) - bit_count($"s0").cast("int")))
+      .withColumn("delta", coalesce($"v_si", lit(0L)) - coalesce($"v_s", lit(0L)))
+    terms.groupBy($"event_type", $"bit")
+      .agg(sum($"w" * $"delta").as("phi_num"))
+      .withColumn("n_channels", lit(n))
+      .withColumn("n_fact", factorial(lit(n)).cast("long"))
+      .withColumn("phi_micro",
+        expr("(cast(phi_num as decimal(38,0)) * 1000000) div n_fact"))
+      .select($"event_type".as("channel"), $"bit", $"n_channels",
+        $"phi_num", $"n_fact", $"phi_micro")
+      .orderBy($"channel")
+  }
+
+  val q276Sql: String =
+    """WITH RECURSIVE ch AS (
+      |  SELECT event_type, CAST(row_number() OVER (ORDER BY event_type) - 1 AS INT) AS bit
+      |  FROM (SELECT DISTINCT event_type FROM events WHERE event_type <> 'purchase')),
+      |nn AS (SELECT CAST(count(*) AS INT) AS n FROM ch),
+      |users AS (
+      |  SELECT user_id,
+      |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv
+      |  FROM events GROUP BY 1),
+      |masks AS (
+      |  SELECT e.user_id, CAST(sum(1::BIGINT << ch.bit) AS BIGINT) AS mask
+      |  FROM (SELECT DISTINCT user_id, event_type FROM events
+      |        WHERE event_type <> 'purchase') e
+      |  JOIN ch USING (event_type) GROUP BY 1),
+      |v AS (
+      |  SELECT COALESCE(m.mask, 0) AS mask, CAST(sum(u.conv) AS BIGINT) AS conv
+      |  FROM users u LEFT JOIN masks m USING (user_id) GROUP BY 1),
+      |lat AS (
+      |  SELECT CAST(0 AS BIGINT) AS s0
+      |  UNION ALL
+      |  SELECT s0 + 1 FROM lat WHERE s0 + 1 < (SELECT 1::BIGINT << n FROM nn)),
+      |terms AS (
+      |  SELECT ch.event_type, ch.bit, nn.n,
+      |    CAST(factorial(bit_count(l.s0)) AS BIGINT)
+      |      * CAST(factorial(nn.n - 1 - bit_count(l.s0)) AS BIGINT) AS w,
+      |    COALESCE(vi.conv, 0) - COALESCE(vs.conv, 0) AS delta
+      |  FROM lat l CROSS JOIN ch CROSS JOIN nn
+      |  LEFT JOIN v vs ON vs.mask = l.s0
+      |  LEFT JOIN v vi ON vi.mask = (l.s0 | (1::BIGINT << ch.bit))
+      |  WHERE (l.s0 & (1::BIGINT << ch.bit)) = 0)
+      |SELECT event_type AS channel, bit, n AS n_channels,
+      |  CAST(sum(w * delta) AS BIGINT) AS phi_num,
+      |  CAST(factorial(n) AS BIGINT) AS n_fact,
+      |  CAST((CAST(sum(w * delta) AS HUGEINT) * 1000000)
+      |       // CAST(factorial(n) AS HUGEINT) AS BIGINT) AS phi_micro
+      |FROM terms
+      |GROUP BY event_type, bit, n
+      |ORDER BY channel""".stripMargin
 
   /** q270 — Holt linear (double) exponential smoothing of daily
     * purchase revenue: level/trend recursion with α = 0.5, β = 0.3,
@@ -1854,6 +2023,8 @@ object EventQueries {
     QueryDef("q270_holt_smoothing", q270, Some(q270Sql)),
     QueryDef("q271_kaplan_meier", q271, Some(q271Sql)),
     QueryDef("q273_cohort_ltv", q273, Some(q273Sql)),
+    QueryDef("q274_theil_sen_trend", q274, Some(q274Sql)),
+    QueryDef("q276_shapley_attribution", q276, Some(q276Sql)),
     QueryDef("q70_sessionize", q70, Some(q70Sql), bench = true),
     QueryDef("q71_asof_join", q71, Some(q71Sql), bench = true),
     QueryDef("q73_range_join", q73, Some(q73Sql), bench = true),

@@ -605,7 +605,130 @@ object SimilarityQueries {
        |  ${sqlR6("max(nrm)")} AS max_norm
        |FROM n GROUP BY label ORDER BY label""".stripMargin
 
+  /** q277 — DBSCAN density clustering, grid-blocked: the density
+    * clusterer that finds arbitrary-shape clusters and labels sparse
+    * points NOISE (k-means can do neither; its centroids live in
+    * IvfIndex). Semantics are textbook: a point with ≥ minPts−1
+    * neighbors within eps (plus itself) is CORE; core points within
+    * eps of each other share a cluster (connected components over
+    * core-core edges — the repo's own alternating-star CC, min-id
+    * labels); a non-core point within eps of a core is BORDER,
+    * attached to its minimum-labeled core neighbor (the classic
+    * "first-come" ambiguity made deterministic); the rest is noise.
+    * All geometry is exact: coordinates land on the 1e-6 integer grid
+    * (float→double promotion is exact, floor pins it), and the eps
+    * test is integer squared distance — no sqrt anywhere.
+    *
+    * Scale shape: the neighbor join never goes all-pairs — points
+    * block by eps-sized grid cell (truncating div is cell-consistent
+    * cross-engine; any pair within eps lands in adjacent cells, so
+    * the 9-cell stencil is lossless), giving an equi-join on
+    * (cell_x, cell_y) whose bucket width is the local density, and
+    * the CC loop runs on the core-core EDGE set, not the corpus. The
+    * oracle states the same semantics with the O(n²) join + recursive
+    * CTE it is allowed at sf0.01. */
+  def q277(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val eps = 15000L; val minPts = 4
+    val pts = Tables.embeddings(s, d).select($"vec_id",
+        floor(element_at($"embedding", 1).cast("double") * 1000000L)
+          .cast("long").as("xi"),
+        floor(element_at($"embedding", 2).cast("double") * 1000000L)
+          .cast("long").as("yi"))
+      .withColumn("cx", expr(s"xi div $eps"))
+      .withColumn("cy", expr(s"yi div $eps"))
+      .transform(Fx.materialize)
+    val stencil = pts.select($"vec_id".as("b"), $"xi".as("xb"), $"yi".as("yb"),
+        $"cx".as("cxb"), $"cy".as("cyb"))
+    val offs = Seq(-1L, 0L, 1L)
+    val probes = pts.withColumn("dx", explode(array(offs.map(lit): _*)))
+      .withColumn("dy", explode(array(offs.map(lit): _*)))
+    val nbrs = probes.join(stencil,
+        probes("cx") + $"dx" === $"cxb" && probes("cy") + $"dy" === $"cyb")
+      .filter($"vec_id" =!= $"b" &&
+        ($"xi" - $"xb") * ($"xi" - $"xb") + ($"yi" - $"yb") * ($"yi" - $"yb")
+          <= eps * eps)
+      .select($"vec_id".as("a"), $"b")
+      .transform(Fx.materialize)
+    val counts = nbrs.groupBy($"a").agg(count(lit(1)).as("n_nbrs"))
+    val roles = pts.join(counts, $"vec_id" === $"a", "left")
+      .select($"vec_id", coalesce($"n_nbrs", lit(0L)).as("n_nbrs"))
+      .withColumn("is_core", ($"n_nbrs" >= minPts - 1).cast("int"))
+      .transform(Fx.materialize)
+    val coreIds = roles.filter($"is_core" === 1).select($"vec_id".as("c"))
+    val coreEdges = nbrs
+      .join(coreIds.withColumnRenamed("c", "__ca"), $"a" === $"__ca")
+      .join(coreIds.withColumnRenamed("c", "__cb"), $"b" === $"__cb")
+      .select($"a", $"b")
+    val comp = Dedup.ccAlternatingStar(coreEdges)
+      .withColumnRenamed("doc_id", "__cid")
+    // isolated cores (no core neighbor, only border ones) label as
+    // their own singleton cluster
+    val coreLabel = coreIds.join(comp, $"c" === $"__cid", "left")
+      .select($"c", coalesce($"component", $"c").as("cluster"))
+      .transform(Fx.materialize)
+    val borderLabel = nbrs
+      .join(coreLabel.withColumnRenamed("c", "__bc"), $"b" === $"__bc")
+      .groupBy($"a").agg(min($"cluster").as("b_cluster"))
+    roles
+      .join(coreLabel, $"vec_id" === $"c", "left")
+      .join(borderLabel, $"vec_id" === $"a", "left")
+      .select($"vec_id", $"n_nbrs",
+        when($"is_core" === 1, "core")
+          .when($"b_cluster".isNotNull, "border")
+          .otherwise("noise").as("role"),
+        when($"is_core" === 1, $"cluster")
+          .otherwise($"b_cluster").as("cluster"))
+      .orderBy($"vec_id")
+  }
+
+  val q277Sql: String =
+    """WITH RECURSIVE p AS (
+      |  SELECT vec_id,
+      |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) AS xi,
+      |    CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT) AS yi
+      |  FROM embeddings),
+      |nb AS (
+      |  SELECT a.vec_id AS a, b.vec_id AS b
+      |  FROM p a JOIN p b ON a.vec_id <> b.vec_id
+      |    AND (a.xi - b.xi) * (a.xi - b.xi)
+      |      + (a.yi - b.yi) * (a.yi - b.yi) <= 15000 * 15000),
+      |n AS (SELECT a AS vec_id, count(*) AS n_nbrs FROM nb GROUP BY 1),
+      |roles AS (
+      |  SELECT p.vec_id, COALESCE(n.n_nbrs, 0) AS n_nbrs,
+      |    CASE WHEN COALESCE(n.n_nbrs, 0) >= 3 THEN 1 ELSE 0 END AS is_core
+      |  FROM p LEFT JOIN n USING (vec_id)),
+      |ce AS (
+      |  SELECT nb.a, nb.b FROM nb
+      |  JOIN roles ra ON nb.a = ra.vec_id AND ra.is_core = 1
+      |  JOIN roles rb ON nb.b = rb.vec_id AND rb.is_core = 1),
+      |reach(src, dst) AS (
+      |  SELECT a, b FROM ce
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN ce e ON r.dst = e.a),
+      |comp AS (
+      |  SELECT src AS vec_id, least(src, min(dst)) AS component
+      |  FROM reach GROUP BY src),
+      |core_label AS (
+      |  SELECT r.vec_id, COALESCE(c.component, r.vec_id) AS cluster
+      |  FROM roles r LEFT JOIN comp c USING (vec_id)
+      |  WHERE r.is_core = 1),
+      |border_label AS (
+      |  SELECT nb.a AS vec_id, min(cl.cluster) AS b_cluster
+      |  FROM nb JOIN core_label cl ON nb.b = cl.vec_id
+      |  GROUP BY 1)
+      |SELECT r.vec_id, CAST(r.n_nbrs AS BIGINT) AS n_nbrs,
+      |  CASE WHEN r.is_core = 1 THEN 'core'
+      |       WHEN bl.b_cluster IS NOT NULL THEN 'border'
+      |       ELSE 'noise' END AS role,
+      |  CASE WHEN r.is_core = 1 THEN cl.cluster ELSE bl.b_cluster END AS cluster
+      |FROM roles r
+      |LEFT JOIN core_label cl ON r.vec_id = cl.vec_id
+      |LEFT JOIN border_label bl ON r.vec_id = bl.vec_id
+      |ORDER BY r.vec_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q277_dbscan_clusters", q277, Some(q277Sql)),
     QueryDef("q232_embedding_health", q232, Some(q232Sql)),
     QueryDef("q224_retrieval_scorecard", q224, Some(q224Sql)),
     QueryDef("q186_mmr_rerank", q186, Some(q186Sql), bench = true),

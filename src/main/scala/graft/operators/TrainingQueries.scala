@@ -657,7 +657,83 @@ object TrainingQueries {
       |WHERE r.rank <= k.k_h
       |ORDER BY r.doc_id""".stripMargin
 
+  /** q275 — K-fold out-of-fold target encoding (the leakage-free
+    * category-mean feature): a row in fold f is encoded with the
+    * target mean computed from every OTHER fold, so no row's own
+    * target leaks into its feature — the difference between a model
+    * that generalizes and one that memorizes. Folds assign by the
+    * q243 salted-md5 rule (stable, coordination-free, mirrored
+    * bit-for-bit); targets land in exact cents; each out-of-fold mean
+    * is one integer division on the micro-cent grid (all sums
+    * positive, so Spark `div` ≡ DuckDB `//`). An empty out-of-fold
+    * cell falls back to the global mean — stated, not silent.
+    *
+    * Scale shape: one customer⊳orders equi-join, one partial-agg
+    * collapse to the (segment × fold) cell grid (bounded: segments ×
+    * K), then broadcast-size arithmetic — per-segment totals come
+    * from re-aggregating the 25-cell grid, not a second scan. The
+    * emitted artifact IS the encoding table a feature store would
+    * publish. */
+  def q275(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, d).select($"c_custkey", $"c_mktsegment")
+    val ord = Tables.orders(s, d).select($"o_custkey",
+      floor($"o_totalprice" * 100).cast("long").as("cents"),
+      (conv(substring(md5(concat($"o_orderkey".cast("string"), lit("#te"))), 1, 8), 16, 10) % 5)
+        .cast("int").as("fold"))
+    val cells = ord.join(cust, $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"fold")
+      .agg(count(lit(1)).as("n_in"), sum($"cents").as("sum_in"))
+      .transform(Fx.materialize)
+    val seg = cells.groupBy($"c_mktsegment")
+      .agg(sum($"n_in").as("n_seg"), sum($"sum_in").as("sum_seg"))
+      .withColumnRenamed("c_mktsegment", "__seg")
+    val glob = cells.agg(sum($"n_in").as("n_all"), sum($"sum_in").as("sum_all"))
+    cells.join(broadcast(seg), $"c_mktsegment" === $"__seg")
+      .crossJoin(broadcast(glob))
+      .withColumn("n_out", $"n_seg" - $"n_in")
+      .withColumn("sum_out", $"sum_seg" - $"sum_in")
+      .withColumn("enc_micro",
+        when($"n_out" > 0L,
+          expr("(cast(sum_out as decimal(38,0)) * 1000000) div n_out"))
+          .otherwise(expr("(cast(sum_all as decimal(38,0)) * 1000000) div n_all")))
+      .select($"c_mktsegment", $"fold", $"n_in", $"sum_in".as("sum_in_cents"),
+        $"n_out", $"enc_micro")
+      .orderBy($"c_mktsegment", $"fold")
+  }
+
+  val q275Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+      |    CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '#te'), 1, 8))::BIGINT % 5 AS INT) AS fold
+      |  FROM orders),
+      |cells AS (
+      |  SELECT c.c_mktsegment, o.fold, count(*) AS n_in,
+      |    CAST(sum(o.cents) AS BIGINT) AS sum_in
+      |  FROM o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |seg AS (
+      |  SELECT c_mktsegment, CAST(sum(n_in) AS BIGINT) AS n_seg,
+      |    CAST(sum(sum_in) AS BIGINT) AS sum_seg
+      |  FROM cells GROUP BY 1),
+      |gl AS (
+      |  SELECT CAST(sum(n_in) AS BIGINT) AS n_all,
+      |    CAST(sum(sum_in) AS BIGINT) AS sum_all
+      |  FROM cells)
+      |SELECT cells.c_mktsegment, cells.fold, cells.n_in,
+      |  cells.sum_in AS sum_in_cents,
+      |  seg.n_seg - cells.n_in AS n_out,
+      |  CASE WHEN seg.n_seg - cells.n_in > 0
+      |    THEN CAST((CAST(seg.sum_seg - cells.sum_in AS HUGEINT) * 1000000)
+      |              // (seg.n_seg - cells.n_in) AS BIGINT)
+      |    ELSE CAST((CAST(gl.sum_all AS HUGEINT) * 1000000) // gl.n_all AS BIGINT)
+      |  END AS enc_micro
+      |FROM cells JOIN seg ON cells.c_mktsegment = seg.c_mktsegment
+      |CROSS JOIN gl
+      |ORDER BY cells.c_mktsegment, cells.fold""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q275_target_encoding", q275, Some(q275Sql)),
     QueryDef("q267_neyman_sample", q267, Some(q267Sql)),
     QueryDef("q92_tfidf_top_terms", q92, Some(q92Sql), bench = true),
     QueryDef("q93_repetition_filter", q93, Some(q93Sql), bench = true),
