@@ -1282,7 +1282,107 @@ object AssociationQueries {
        |FROM rules WHERE conf >= 0.12
        |ORDER BY ante, cons""".stripMargin
 
+  /** q278 — split-conformal prediction intervals per order priority:
+    * the distribution-free calibration recipe. A three-way salted-md5
+    * split (train/calibration/test) fits the simplest predictor on
+    * train (the nearest-rank lower median — exact cents), computes
+    * absolute residuals on calibration, and takes the conformal
+    * quantile at rank k = ⌈0.9·(n_cal+1)⌉ — computed as the INTEGER
+    * (9·(n_cal+1)+9) div 10, so no float touches the rank — clamped
+    * to n_cal (the finite-sample "else infinite interval" case,
+    * stated). The guarantee P(|y−ŷ| ≤ q̂) ≥ 0.9 is then AUDITED on
+    * the held-out test split: exact covered/total counts, one r6
+    * division. Everything is integer until that division.
+    *
+    * Scale shape: both rank selections ride [[Ranking.groupRanks]]
+    * (o_orderpriority is a 5-value enum — a raw partitioned window
+    * would single-task each priority's history); group counts join
+    * back broadcast. */
+  def q278(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d).select($"o_orderkey",
+      $"o_orderpriority".as("grp"),
+      floor($"o_totalprice" * 100).cast("long").as("cents"),
+      (conv(substring(md5(concat($"o_orderkey".cast("string"), lit("#conf"))), 1, 8), 16, 10) % 3)
+        .cast("int").as("fold"))
+      .transform(Fx.materialize)
+    val train = o.filter($"fold" === 0)
+    val nTrain = train.groupBy($"grp").agg(count(lit(1)).as("n_train"))
+      .withColumnRenamed("grp", "__g1")
+    val med = Ranking.groupRanks(train, Seq("grp"), 8, $"cents".asc, $"o_orderkey".asc)
+      .join(broadcast(nTrain), $"grp" === $"__g1")
+      .filter($"rank" === ceil($"n_train" * 0.5))
+      .select($"grp".as("__mg"), $"n_train", $"cents".as("med_cents"))
+    val cal = o.filter($"fold" === 1)
+      .join(broadcast(med), $"grp" === $"__mg")
+      .withColumn("resid", abs($"cents" - $"med_cents"))
+    val nCal = cal.groupBy($"grp").agg(count(lit(1)).as("n_cal"))
+      .withColumnRenamed("grp", "__g2")
+    val qhat = Ranking.groupRanks(
+        cal.select($"grp", $"o_orderkey", $"resid"), Seq("grp"), 8,
+        $"resid".asc, $"o_orderkey".asc)
+      .join(broadcast(nCal), $"grp" === $"__g2")
+      .withColumn("k", least(expr("(9 * (n_cal + 1) + 9) div 10"), $"n_cal"))
+      .filter($"rank" === $"k")
+      .select($"grp".as("__qg"), $"n_cal", $"k", $"resid".as("qhat_cents"))
+    o.filter($"fold" === 2)
+      .join(broadcast(med), $"grp" === $"__mg")
+      .join(broadcast(qhat), $"grp" === $"__qg")
+      .groupBy($"grp", $"n_train", $"med_cents", $"n_cal", $"k", $"qhat_cents")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(abs($"cents" - $"med_cents") <= $"qhat_cents", 1L)
+          .otherwise(0L)).as("n_covered"))
+      .withColumn("coverage",
+        r6($"n_covered".cast("double") / $"n_test"))
+      .select($"grp", $"n_train", $"med_cents", $"n_cal", $"k",
+        $"qhat_cents", $"n_test", $"n_covered", $"coverage")
+      .orderBy($"grp")
+  }
+
+  val q278Sql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_orderpriority AS grp,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+      |    CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '#conf'), 1, 8))::BIGINT % 3 AS INT) AS fold
+      |  FROM orders),
+      |tr AS (
+      |  SELECT grp, cents,
+      |    row_number() OVER (PARTITION BY grp ORDER BY cents, o_orderkey) AS rk,
+      |    count(*) OVER (PARTITION BY grp) AS n_train
+      |  FROM o WHERE fold = 0),
+      |med AS (
+      |  SELECT grp, CAST(n_train AS BIGINT) AS n_train, cents AS med_cents
+      |  FROM tr WHERE rk = CAST(ceil(n_train * 0.5) AS BIGINT)),
+      |cal AS (
+      |  SELECT o.grp, o.o_orderkey, abs(o.cents - med.med_cents) AS resid
+      |  FROM o JOIN med ON o.grp = med.grp WHERE o.fold = 1),
+      |cr AS (
+      |  SELECT grp, resid,
+      |    row_number() OVER (PARTITION BY grp ORDER BY resid, o_orderkey) AS rk,
+      |    count(*) OVER (PARTITION BY grp) AS n_cal
+      |  FROM cal),
+      |qh AS (
+      |  SELECT grp, CAST(n_cal AS BIGINT) AS n_cal,
+      |    CAST(least((9 * (n_cal + 1) + 9) // 10, n_cal) AS BIGINT) AS k,
+      |    resid AS qhat_cents
+      |  FROM cr WHERE rk = least((9 * (n_cal + 1) + 9) // 10, n_cal))
+      |SELECT o.grp, med.n_train, med.med_cents, qh.n_cal, qh.k,
+      |  qh.qhat_cents,
+      |  CAST(count(*) AS BIGINT) AS n_test,
+      |  CAST(sum(CASE WHEN abs(o.cents - med.med_cents) <= qh.qhat_cents
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+      |  floor(CAST(sum(CASE WHEN abs(o.cents - med.med_cents) <= qh.qhat_cents
+      |                      THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 1000000 + 0.5)
+      |    / 1000000 AS coverage
+      |FROM o
+      |JOIN med ON o.grp = med.grp
+      |JOIN qh ON o.grp = qh.grp
+      |WHERE o.fold = 2
+      |GROUP BY o.grp, med.n_train, med.med_cents, qh.n_cal, qh.k, qh.qhat_cents
+      |ORDER BY o.grp""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q278_conformal_intervals", q278, Some(q278Sql)),
     QueryDef("q247_association_rules", q247, Some(q247Sql)),
     QueryDef("q246_fpgrowth_itemsets", q246, Some(q246Sql)),
     QueryDef("q245_prefixspan_patterns", q245, Some(q245Sql)),
