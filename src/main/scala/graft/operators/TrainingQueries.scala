@@ -732,8 +732,95 @@ object TrainingQueries {
       |CROSS JOIN gl
       |ORDER BY cells.c_mktsegment, cells.fold""".stripMargin
 
+  /** q279 — RAKE keyword extraction (Rose et al. 2010): candidate
+    * phrases are the maximal word runs BETWEEN stoplist hits
+    * (gaps-and-islands on word positions), each word scores
+    * deg/freq where freq counts its phrase occurrences and deg sums
+    * the lengths of the phrases it appears in (its co-occurrence
+    * degree, self included), and a phrase scores the sum of its
+    * words' scores. The classic formulation is rational-valued;
+    * here every word score lands on the micro grid first — one
+    * positive integer division — and phrase scores are exact BIGINT
+    * sums of those micros (stated semantics, bit-stable in both
+    * engines; same move as q122's rational idf). Corpus-level top-20
+    * phrases by (score, phrase) with occurrence counts.
+    *
+    * Scale shape: islands come from a doc_id-partitioned window
+    * (high-cardinality key, bounded frames); phrase stats and the
+    * occurrence→phrase-length join key on (doc_id, island) — scan
+    * scale, no enum-partitioned window anywhere; the final top-20 is
+    * a TopK over the bounded distinct-phrase relation. */
+  def q279(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stopList = Seq("a", "the", "and", "of", "value", "table", "query", "key")
+    val toks = Tables.documents(s, d)
+      .select($"doc_id", posexplode(words($"text")))
+      .toDF("doc_id", "pos", "w")
+      .filter($"w" =!= "")
+    val nonstop = toks.filter(!$"w".isInCollection(stopList))
+      .withColumn("island", $"pos" -
+        row_number().over(Window.partitionBy($"doc_id").orderBy($"pos")))
+    val phrases = nonstop.groupBy($"doc_id", $"island")
+      .agg(count(lit(1)).as("plen"),
+        concat_ws(" ", transform(array_sort(collect_list(struct($"pos", $"w"))),
+          x => x.getField("w"))).as("phrase"))
+      .transform(Fx.materialize)
+    val occ = nonstop.join(phrases.select($"doc_id", $"island", $"plen"),
+      Seq("doc_id", "island"))
+    val wordScores = occ.groupBy($"w")
+      .agg(count(lit(1)).as("freq"), sum($"plen").as("deg"))
+      .withColumn("wscore_micro", expr("(deg * 1000000) div freq"))
+    val phraseScores = occ.join(wordScores.select($"w", $"wscore_micro"), "w")
+      .groupBy($"doc_id", $"island")
+      .agg(sum($"wscore_micro").as("score_micro"))
+      .join(phrases, Seq("doc_id", "island"))
+    phraseScores.groupBy($"phrase")
+      .agg(count(lit(1)).as("n_occ"), max($"plen").as("n_words"),
+        min($"score_micro").as("score_micro"))
+      .orderBy($"score_micro".desc, $"phrase")
+      .limit(20)
+  }
+
+  val q279Sql: String = {
+    val stop = "('a','the','and','of','value','table','query','key')"
+    s"""WITH toks AS (
+       |  SELECT doc_id, i AS pos, w[i] AS w
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
+       |    LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) u
+       |  WHERE w[i] <> ''),
+       |ns AS (
+       |  SELECT doc_id, pos, w,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM toks WHERE w NOT IN $stop),
+       |ph AS (
+       |  SELECT doc_id, island, count(*) AS plen,
+       |    string_agg(w, ' ' ORDER BY pos) AS phrase
+       |  FROM ns GROUP BY 1, 2),
+       |occ AS (
+       |  SELECT ns.doc_id, ns.island, ns.w, ph.plen
+       |  FROM ns JOIN ph ON ns.doc_id = ph.doc_id AND ns.island = ph.island),
+       |ws AS (
+       |  SELECT w, count(*) AS freq, sum(plen) AS deg,
+       |    CAST((CAST(sum(plen) AS HUGEINT) * 1000000) // count(*) AS BIGINT)
+       |      AS wscore_micro
+       |  FROM occ GROUP BY 1),
+       |psc AS (
+       |  SELECT occ.doc_id, occ.island,
+       |    CAST(sum(ws.wscore_micro) AS BIGINT) AS score_micro
+       |  FROM occ JOIN ws ON occ.w = ws.w
+       |  GROUP BY 1, 2)
+       |SELECT ph.phrase, CAST(count(*) AS BIGINT) AS n_occ,
+       |  CAST(max(ph.plen) AS BIGINT) AS n_words,
+       |  CAST(min(psc.score_micro) AS BIGINT) AS score_micro
+       |FROM psc JOIN ph ON psc.doc_id = ph.doc_id AND psc.island = ph.island
+       |GROUP BY ph.phrase
+       |ORDER BY score_micro DESC, phrase
+       |LIMIT 20""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q275_target_encoding", q275, Some(q275Sql)),
+    QueryDef("q279_rake_keywords", q279, Some(q279Sql)),
     QueryDef("q267_neyman_sample", q267, Some(q267Sql)),
     QueryDef("q92_tfidf_top_terms", q92, Some(q92Sql), bench = true),
     QueryDef("q93_repetition_filter", q93, Some(q93Sql), bench = true),
