@@ -1381,8 +1381,106 @@ object AssociationQueries {
       |GROUP BY o.grp, med.n_train, med.med_cents, qh.n_cal, qh.k, qh.qhat_cents
       |ORDER BY o.grp""".stripMargin
 
+  /** q281 — difference-in-differences readout: the workhorse causal
+    * estimate when treatment switches on at a known date. Users
+    * assign to arms by the salted-md5 rule; the calendar midpoint
+    * ((min_day + max_day) div 2, a bounded-aggregate scalar) splits
+    * pre/post; each (arm × period) cell's outcome is total purchase
+    * cents over the arm's user count — every user counts in both
+    * periods (zero if silent, via the user-universe cross join), so
+    * the panel is balanced by construction. Cell means land on the
+    * micro grid as one integer division each; the DiD estimate
+    * (T_post − T_pre) − (C_post − C_pre) is then a SUBTRACTION OF
+    * EXACT INTEGERS — no float enters the causal number. Four cell
+    * rows, each carrying the shared estimate.
+    *
+    * Scale shape: one scan for the day bounds (2-value aggregate),
+    * one distinct-collapse to users, one (user × 2-period) grid via
+    * a 2-row cross join, one cell rollup; everything after the first
+    * aggregates is broadcast-size. */
+  def q281(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Fx.eventTs(Tables.events(s, d))
+      .select($"user_id", epochDay($"ts").as("day"), $"event_type", $"value")
+      .transform(Fx.materialize)
+    val bounds = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select(expr("(d0 + d1) div 2").as("cut"))
+    val users = ev.select($"user_id").distinct()
+      .withColumn("treat",
+        (conv(substring(md5(concat($"user_id".cast("string"), lit("#did"))), 1, 8), 16, 10) % 2)
+          .cast("int"))
+    val periods = s.range(2).toDF("post")
+    val panel = users.crossJoin(broadcast(periods))
+    val outcomes = ev.filter($"event_type" === "purchase")
+      .crossJoin(broadcast(bounds))
+      .withColumn("post", ($"day" > $"cut").cast("long"))
+      .groupBy($"user_id", $"post")
+      .agg(sum(floor($"value" * 100).cast("long")).as("cents"))
+    val cells = panel.join(outcomes, Seq("user_id", "post"), "left")
+      .groupBy($"treat", $"post")
+      .agg(count(lit(1)).as("n_users"),
+        sum(coalesce($"cents", lit(0L))).as("sum_cents"))
+      .withColumn("mean_micro",
+        expr("(cast(sum_cents as decimal(38,0)) * 1000000) div n_users"))
+      .transform(Fx.materialize)
+    val did = cells.groupBy()
+      .agg(sum(when($"treat" === 1 && $"post" === 1, $"mean_micro")
+          .when($"treat" === 1 && $"post" === 0, -$"mean_micro")
+          .when($"treat" === 0 && $"post" === 1, -$"mean_micro")
+          .otherwise($"mean_micro")).as("did_micro"))
+    cells.crossJoin(broadcast(did))
+      .select($"treat", $"post", $"n_users", $"sum_cents", $"mean_micro",
+        $"did_micro")
+      .orderBy($"treat", $"post")
+  }
+
+  val q281Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' AS day,
+      |    event_type, value
+      |  FROM events),
+      |cut AS (SELECT (min(day) + max(day)) // 2 AS cut FROM ev),
+      |users AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#did'), 1, 8))::BIGINT % 2 AS INT) AS treat
+      |  FROM ev),
+      |panel AS (
+      |  SELECT u.user_id, u.treat, p.post
+      |  FROM users u CROSS JOIN (SELECT CAST(0 AS BIGINT) AS post
+      |                           UNION ALL SELECT 1) p),
+      |outc AS (
+      |  SELECT user_id, CAST(day > cut AS BIGINT) AS post,
+      |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM ev CROSS JOIN cut
+      |  WHERE event_type = 'purchase'
+      |  GROUP BY 1, 2),
+      |cells AS (
+      |  SELECT p.treat, p.post, CAST(count(*) AS BIGINT) AS n_users,
+      |    CAST(sum(COALESCE(o.cents, 0)) AS BIGINT) AS sum_cents
+      |  FROM panel p
+      |  LEFT JOIN outc o ON p.user_id = o.user_id AND p.post = o.post
+      |  GROUP BY 1, 2),
+      |m AS (
+      |  SELECT treat, post, n_users, sum_cents,
+      |    CAST((CAST(sum_cents AS HUGEINT) * 1000000) // n_users AS BIGINT)
+      |      AS mean_micro
+      |  FROM cells),
+      |did AS (
+      |  SELECT CAST(sum(CASE
+      |      WHEN treat = 1 AND post = 1 THEN mean_micro
+      |      WHEN treat = 1 AND post = 0 THEN -mean_micro
+      |      WHEN treat = 0 AND post = 1 THEN -mean_micro
+      |      ELSE mean_micro END) AS BIGINT) AS did_micro
+      |  FROM m)
+      |SELECT m.treat, m.post, m.n_users, m.sum_cents, m.mean_micro,
+      |  did.did_micro
+      |FROM m CROSS JOIN did
+      |ORDER BY m.treat, m.post""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q278_conformal_intervals", q278, Some(q278Sql)),
+    QueryDef("q281_diff_in_diff", q281, Some(q281Sql)),
     QueryDef("q247_association_rules", q247, Some(q247Sql)),
     QueryDef("q246_fpgrowth_itemsets", q246, Some(q246Sql)),
     QueryDef("q245_prefixspan_patterns", q245, Some(q245Sql)),

@@ -1255,6 +1255,81 @@ object EventQueries {
       |  CAST(y - fc AS BIGINT) AS error_cents
       |FROM h ORDER BY day""".stripMargin
 
+  /** q280 — Holt–Winters ADDITIVE seasonal smoothing (α=0.5, β=0.3,
+    * γ=0.3, weekly season m=7) of daily purchase revenue — q270's
+    * level/trend recursion plus the seasonal component that actually
+    * fits retail dailies. Same exactness discipline: every update is
+    * integer arithmetic on the micro-grid with truncating division
+    * (Scala `/` ≡ Spark `div` ≡ DuckDB `//`), seeds pinned (l₁=y₁,
+    * b₁=0, seasonal seeds 0 — and since s₁=γ·(y₁−l₁)=0 exactly, the
+    * all-zero anchor ring is identical to appending s₁). Season
+    * aligns by day RANK (stated; the day grid is gap-free at shipped
+    * SFs). One-step forecast f_k = l+b+s_{k−7}, error y−f.
+    *
+    * Scale shape: q270's — one aggregate collapses the corpus to the
+    * bounded day grid; the fold walks ≤|days| rows on the driver; the
+    * oracle steps the identical recursion as a recursive CTE carrying
+    * the 7-seasonal ring as a LIST column. */
+  def q280(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Fx.eventTs(Tables.events(s, d))
+      .filter($"event_type" === "purchase")
+      .groupBy(epochDay($"ts").as("day"))
+      .agg(sum(floor($"value" * 100).cast("long")).as("y"))
+      .orderBy($"day")
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1)))
+    val alpha = 500000L; val beta = 300000L; val gamma = 300000L
+    val M = 1000000L
+    var l = 0L; var b = 0L
+    val ring = Array.fill(7)(0L)
+    val rows = daily.zipWithIndex.map { case ((day, y), i) =>
+      val sOld = ring(i % 7)
+      val (fc, lPrev) = (l + b + sOld, l)
+      if (i == 0) { l = y; b = 0L }
+      else {
+        l = (alpha * (y - sOld) + (M - alpha) * (lPrev + b)) / M
+        b = (beta * (l - lPrev) + (M - beta) * b) / M
+      }
+      val sNew = (gamma * (y - l) + (M - gamma) * sOld) / M
+      ring(i % 7) = sNew
+      (day, y, l, b, sNew,
+        if (i == 0) null else java.lang.Long.valueOf(fc),
+        if (i == 0) null else java.lang.Long.valueOf(y - fc))
+    }
+    s.createDataFrame(rows.toSeq)
+      .toDF("day", "y_cents", "level_cents", "trend_cents",
+        "seasonal_cents", "forecast_cents", "error_cents")
+      .orderBy($"day")
+  }
+
+  val q280Sql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' AS day,
+      |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |rk AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k, day, y
+      |  FROM daily),
+      |rec(k, day, y, l, b, fc, s) AS (
+      |  SELECT k, day, y, y AS l, CAST(0 AS BIGINT) AS b,
+      |    CAST(NULL AS BIGINT) AS fc,
+      |    [CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0] AS s
+      |  FROM rk WHERE k = 1
+      |  UNION ALL
+      |  SELECT d.k, d.day, d.y,
+      |    (500000 * (d.y - r.s[1]) + 500000 * (r.l + r.b)) // 1000000 AS l2,
+      |    (300000 * (((500000 * (d.y - r.s[1]) + 500000 * (r.l + r.b)) // 1000000) - r.l)
+      |       + 700000 * r.b) // 1000000,
+      |    r.l + r.b + r.s[1],
+      |    list_append(r.s[2:7],
+      |      (300000 * (d.y - ((500000 * (d.y - r.s[1]) + 500000 * (r.l + r.b)) // 1000000))
+      |         + 700000 * r.s[1]) // 1000000)
+      |  FROM rec r JOIN rk d ON d.k = r.k + 1)
+      |SELECT CAST(day AS BIGINT) AS day, y AS y_cents, l AS level_cents,
+      |  b AS trend_cents, s[7] AS seasonal_cents, fc AS forecast_cents,
+      |  CASE WHEN fc IS NULL THEN NULL ELSE y - fc END AS error_cents
+      |FROM rec ORDER BY day""".stripMargin
+
   /** q271 — Kaplan–Meier churn survival: users enter at their first
     * event, exit at their last; an exit before the final observed day
     * is CHURN (an event), final-day exits are right-censored
@@ -2025,6 +2100,7 @@ object EventQueries {
     QueryDef("q273_cohort_ltv", q273, Some(q273Sql)),
     QueryDef("q274_theil_sen_trend", q274, Some(q274Sql)),
     QueryDef("q276_shapley_attribution", q276, Some(q276Sql)),
+    QueryDef("q280_holt_winters", q280, Some(q280Sql)),
     QueryDef("q70_sessionize", q70, Some(q70Sql), bench = true),
     QueryDef("q71_asof_join", q71, Some(q71Sql), bench = true),
     QueryDef("q73_range_join", q73, Some(q73Sql), bench = true),
