@@ -1478,9 +1478,134 @@ object AssociationQueries {
       |FROM m CROSS JOIN did
       |ORDER BY m.treat, m.post""".stripMargin
 
+  /** q282 — group-sequential experiment monitoring with
+    * O'Brien–Fleming stopping bounds: the fix for the peeking
+    * problem. Four equally-spaced interim looks over the experiment
+    * calendar (cutoffs are integer arithmetic on the bounded day
+    * range); at each look the q268 two-proportion z recomputes on the
+    * CUMULATIVE exposures/conversions (users and their interior-rate
+    * conversion metric as of that cutoff — both exact integers), and
+    * compares against the classic OBF two-sided α=0.05 boundaries
+    * for K=4 (4.049, 2.863, 2.337, 2.024 — Jennison & Turnbull,
+    * Table 2.3; pinned literals, identical doubles both engines).
+    * `stop_look` marks the first boundary crossing, computed over
+    * the 4-row look grid.
+    *
+    * Scale shape: the corpus collapses to the (user × day) grid
+    * once; the ×4 look fan-out applies to that collapsed grid (a
+    * stated constant), cumulative cells are a (look, user) rollup to
+    * 8 integers per look, and the z/boundary arithmetic runs on the
+    * 4-row grid. */
+  def q282(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val ud = Fx.eventTs(Tables.events(s, d))
+      .groupBy($"user_id", epochDay($"ts").as("day"))
+      .agg(count(lit(1)).as("n_ev"),
+        sum(($"event_type" === "purchase").cast("long")).as("n_purch"))
+      .transform(Fx.materialize)
+    val bounds = ud.agg(min($"day").as("d0"), max($"day").as("d1"))
+    val looks = s.range(1, 5).toDF("look")
+      .crossJoin(broadcast(bounds))
+      .select($"look",
+        ($"d0" + expr("((d1 - d0 + 1) * look) div 4") - 1).as("cut"),
+        element_at(
+          map(lit(1L), lit(4.049), lit(2L), lit(2.863),
+              lit(3L), lit(2.337), lit(4L), lit(2.024)), $"look").as("crit"))
+    val cum = ud.crossJoin(broadcast(looks))
+      .filter($"day" <= $"cut")
+      .groupBy($"look", $"cut", $"crit", $"user_id")
+      .agg(sum($"n_ev").as("n_ev"), sum($"n_purch").as("n_purch"))
+      .withColumn("conv", ($"n_purch" * 5 > $"n_ev").cast("long"))
+      .withColumn("arm",
+        when(conv(substring(md5(concat($"user_id".cast("string"), lit("#exp1"))), 1, 8), 16, 10)
+          .cast("long") % 2 === 0, lit("control")).otherwise(lit("treatment")))
+    val m = cum.groupBy($"look", $"cut", $"crit").agg(
+      sum(when($"arm" === "treatment", 1L).otherwise(0L)).as("nt"),
+      sum(when($"arm" === "treatment", $"conv").otherwise(0L)).as("ct"),
+      sum(when($"arm" === "control", 1L).otherwise(0L)).as("nc"),
+      sum(when($"arm" === "control", $"conv").otherwise(0L)).as("cc"))
+    val k = m.select($"look", $"cut", $"crit", $"nt", $"ct", $"nc", $"cc",
+      ($"nt" + $"nc").as("n"), ($"ct" + $"cc").as("c"),
+      (d38($"ct") * d38($"nc") - d38($"cc") * d38($"nt")).as("dnum"))
+    val z = ($"dnum".cast("double") / (d38($"nt") * d38($"nc")).cast("double")) /
+      sqrt(
+        (d38($"c") * d38($"n" - $"c")).cast("double") /
+          (d38($"n") * d38($"n")).cast("double") *
+          (($"n").cast("double") / (d38($"nt") * d38($"nc")).cast("double")))
+    val ok = $"nt" > 0 && $"nc" > 0 && $"c" > 0 && $"c" < $"n"
+    val perLook = k
+      .withColumn("z", r6(when(ok, z)))
+      .withColumn("reject", when(ok, (abs(z) >= $"crit").cast("int")).otherwise(0))
+      .transform(Fx.materialize)
+    val stop = perLook.filter($"reject" === 1)
+      .agg(min($"look").as("__stop"))
+    perLook.crossJoin(broadcast(stop))
+      .select($"look", $"cut".as("cut_day"),
+        $"nt".as("n_treat"), $"ct".as("conv_treat"),
+        $"nc".as("n_ctl"), $"cc".as("conv_ctl"),
+        $"z", $"crit", $"reject", $"__stop".as("stop_look"))
+      .orderBy($"look")
+  }
+
+  val q282Sql: String =
+    s"""WITH ud AS (
+       |  SELECT user_id,
+       |    CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' AS day,
+       |    count(*) AS n_ev,
+       |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purch
+       |  FROM events GROUP BY 1, 2),
+       |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+       |looks AS (
+       |  SELECT look, d0 + ((d1 - d0 + 1) * look) // 4 - 1 AS cut,
+       |    CASE look WHEN 1 THEN 4.049 WHEN 2 THEN 2.863
+       |              WHEN 3 THEN 2.337 ELSE 2.024 END AS crit
+       |  FROM (SELECT CAST(1 AS BIGINT) AS look UNION ALL SELECT 2
+       |        UNION ALL SELECT 3 UNION ALL SELECT 4) l CROSS JOIN b),
+       |cum AS (
+       |  SELECT l.look, l.cut, l.crit, ud.user_id,
+       |    CAST(sum(ud.n_purch) * 5 > sum(ud.n_ev) AS BIGINT) AS conv,
+       |    CASE WHEN ('0x' || substr(md5(CAST(ud.user_id AS VARCHAR) || '#exp1'), 1, 8))::BIGINT % 2 = 0
+       |         THEN 'control' ELSE 'treatment' END AS arm
+       |  FROM ud CROSS JOIN looks l
+       |  WHERE ud.day <= l.cut
+       |  GROUP BY 1, 2, 3, 4),
+       |m AS (
+       |  SELECT look, cut, crit,
+       |    sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS nt,
+       |    sum(CASE WHEN arm = 'treatment' THEN conv ELSE 0 END) AS ct,
+       |    sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS nc,
+       |    sum(CASE WHEN arm = 'control' THEN conv ELSE 0 END) AS cc
+       |  FROM cum GROUP BY 1, 2, 3),
+       |k AS (
+       |  SELECT look, cut, crit, nt, ct, nc, cc, nt + nc AS n, ct + cc AS c,
+       |    CAST(ct AS HUGEINT) * nc - CAST(cc AS HUGEINT) * nt AS dnum
+       |  FROM m),
+       |zt AS (
+       |  SELECT *,
+       |    (CAST(dnum AS DOUBLE) / CAST(CAST(nt AS HUGEINT) * nc AS DOUBLE)) /
+       |    sqrt(CAST(CAST(c AS HUGEINT) * (n - c) AS DOUBLE) /
+       |           CAST(CAST(n AS HUGEINT) * n AS DOUBLE) *
+       |         (CAST(n AS DOUBLE) / CAST(CAST(nt AS HUGEINT) * nc AS DOUBLE))) AS zval,
+       |    (nt > 0 AND nc > 0 AND c > 0 AND c < n) AS ok
+       |  FROM k),
+       |pl AS (
+       |  SELECT look, cut, nt, ct, nc, cc, crit,
+       |    ${sqlR6("CASE WHEN ok THEN zval END")} AS z,
+       |    CASE WHEN ok THEN CAST(abs(zval) >= crit AS INT) ELSE 0 END AS reject
+       |  FROM zt),
+       |st AS (SELECT min(CASE WHEN reject = 1 THEN look END) AS stop_look FROM pl)
+       |SELECT pl.look, pl.cut AS cut_day,
+       |  CAST(pl.nt AS BIGINT) AS n_treat, CAST(pl.ct AS BIGINT) AS conv_treat,
+       |  CAST(pl.nc AS BIGINT) AS n_ctl, CAST(pl.cc AS BIGINT) AS conv_ctl,
+       |  pl.z, pl.crit, pl.reject, st.stop_look
+       |FROM pl CROSS JOIN st
+       |ORDER BY pl.look""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q278_conformal_intervals", q278, Some(q278Sql)),
     QueryDef("q281_diff_in_diff", q281, Some(q281Sql)),
+    QueryDef("q282_sequential_monitoring", q282, Some(q282Sql)),
     QueryDef("q247_association_rules", q247, Some(q247Sql)),
     QueryDef("q246_fpgrowth_itemsets", q246, Some(q246Sql)),
     QueryDef("q245_prefixspan_patterns", q245, Some(q245Sql)),

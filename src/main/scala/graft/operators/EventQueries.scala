@@ -1330,6 +1330,132 @@ object EventQueries {
       |  CASE WHEN fc IS NULL THEN NULL ELSE y - fc END AS error_cents
       |FROM rec ORDER BY day""".stripMargin
 
+  /** q283 — log-rank test between two churn-survival curves: the
+    * hypothesis test q271's Kaplan–Meier plot begs for. Users split
+    * into arms by the salted-md5 rule; per duration t on the bounded
+    * day-domain grid, at-risk counts are exact suffix sums, each
+    * group's expected deaths e_g(t) = d_t·n_g(t)/n_t and the
+    * (symmetric) hypergeometric variance v(t) = d_t·n_g(n_t−n_g)
+    * (n_t−d_t) / (n_t²(n_t−1)) land on the micro grid via one
+    * DECIMAL(38,0)/HUGEINT integer division per term (n⁴ products
+    * overflow BIGINT at scale — stated, not discovered), and the
+    * statistic χ² = (10⁶·O_g − E_g,micro)² / (10⁶·V_micro) is one
+    * fixed-shape double expression per group (each row carries its
+    * own O/E — truncation makes the two rows' χ² differ in the last
+    * micro digit, which is the honest statement of the grid). Both
+    * engines: identical expressions, r6-fixed.
+    *
+    * Scale shape: one per-user span aggregate, one collapse to the
+    * (arm × duration) grid; every window and join after that runs on
+    * the calendar-bounded grid. */
+  def q283(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val spans = Fx.eventTs(Tables.events(s, d))
+      .groupBy($"user_id")
+      .agg(min(epochDay($"ts")).as("first_day"), max(epochDay($"ts")).as("last_day"))
+      .withColumn("grp",
+        (conv(substring(md5(concat($"user_id".cast("string"), lit("#lr"))), 1, 8), 16, 10) % 2)
+          .cast("int"))
+      .transform(Fx.materialize)
+    val maxDay = spans.agg(max($"last_day").as("m"))
+    val cells = spans.crossJoin(broadcast(maxDay))
+      .select($"grp", ($"last_day" - $"first_day").as("t"),
+        ($"last_day" <= $"m" - 1).cast("long").as("event"))
+      .groupBy($"grp", $"t")
+      .agg(sum($"event").as("dg"), sum(lit(1L) - $"event").as("cg"))
+      .transform(Fx.materialize)
+    // densify: a group with no exit at duration t still has users AT
+    // RISK there — missing cells would silently understate n_t
+    val grid = cells.select($"t").distinct()
+      .crossJoin(broadcast(cells.select($"grp").distinct()))
+      .join(cells, Seq("grp", "t"), "left")
+      .select($"grp", $"t",
+        coalesce($"dg", lit(0L)).as("dg"), coalesce($"cg", lit(0L)).as("cg"))
+    val wSuffix = Window.partitionBy($"grp").orderBy($"t")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val atRisk = grid
+      .withColumn("ng", sum($"dg" + $"cg").over(wSuffix))
+    val tot = atRisk.groupBy($"t")
+      .agg(sum($"dg").as("dt"), sum($"ng").as("nt"))
+      .withColumnRenamed("t", "__t")
+    val terms = atRisk.join(broadcast(tot), $"t" === $"__t")
+      .filter($"dt" > 0)
+      .withColumn("e_micro",
+        expr("(cast(dt as decimal(38,0)) * ng * 1000000) div nt"))
+      .withColumn("v_micro",
+        when($"nt" > 1,
+          expr("""(cast(dt as decimal(38,0)) * ng * (nt - ng) * (nt - dt) * 1000000)
+                  div (cast(nt as decimal(38,0)) * nt * (nt - 1))"""))
+          .otherwise(lit(0L)))
+    val stats = terms.groupBy($"grp")
+      .agg(sum($"dg").as("observed"),
+        sum($"e_micro").as("expected_micro"),
+        sum($"v_micro").as("var_micro"))
+    val nUsers = spans.groupBy($"grp").agg(count(lit(1)).as("n_users"))
+      .withColumnRenamed("grp", "__g")
+    stats.join(broadcast(nUsers), $"grp" === $"__g")
+      .withColumn("num",
+        ($"observed" * 1000000L - $"expected_micro").cast("double"))
+      .withColumn("chi2",
+        r6($"num" * $"num" / ($"var_micro".cast("double") * 1000000d)))
+      .select($"grp", $"n_users", $"observed", $"expected_micro",
+        $"var_micro", $"chi2")
+      .orderBy($"grp")
+  }
+
+  val q283Sql: String =
+    """WITH spans AS (
+      |  SELECT user_id,
+      |    min(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01') AS first_day,
+      |    max(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01') AS last_day,
+      |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#lr'), 1, 8))::BIGINT % 2 AS INT) AS grp
+      |  FROM events GROUP BY user_id),
+      |mx AS (SELECT max(last_day) AS m FROM spans),
+      |cells AS (
+      |  SELECT grp, last_day - first_day AS t,
+      |    CAST(sum(CASE WHEN last_day <= m - 1 THEN 1 ELSE 0 END) AS BIGINT) AS dg,
+      |    CAST(sum(CASE WHEN last_day <= m - 1 THEN 0 ELSE 1 END) AS BIGINT) AS cg
+      |  FROM spans CROSS JOIN mx
+      |  GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT g.grp, t.t, COALESCE(c.dg, 0) AS dg, COALESCE(c.cg, 0) AS cg
+      |  FROM (SELECT DISTINCT t FROM cells) t
+      |  CROSS JOIN (SELECT DISTINCT grp FROM cells) g
+      |  LEFT JOIN cells c ON c.grp = g.grp AND c.t = t.t),
+      |ar AS (
+      |  SELECT grp, t, dg, cg,
+      |    CAST(sum(dg + cg) OVER (PARTITION BY grp ORDER BY t
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS ng
+      |  FROM grid),
+      |tot AS (
+      |  SELECT t, CAST(sum(dg) AS BIGINT) AS dt, CAST(sum(ng) AS BIGINT) AS nt
+      |  FROM ar GROUP BY t),
+      |terms AS (
+      |  SELECT ar.grp, ar.dg, ar.ng, tot.dt, tot.nt,
+      |    CAST((CAST(tot.dt AS HUGEINT) * ar.ng * 1000000) // tot.nt AS BIGINT)
+      |      AS e_micro,
+      |    CASE WHEN tot.nt > 1 THEN
+      |      CAST((CAST(tot.dt AS HUGEINT) * ar.ng * (tot.nt - ar.ng)
+      |            * (tot.nt - tot.dt) * 1000000)
+      |           // (CAST(tot.nt AS HUGEINT) * tot.nt * (tot.nt - 1)) AS BIGINT)
+      |    ELSE 0 END AS v_micro
+      |  FROM ar JOIN tot ON ar.t = tot.t
+      |  WHERE tot.dt > 0),
+      |stats AS (
+      |  SELECT grp, CAST(sum(dg) AS BIGINT) AS observed,
+      |    CAST(sum(e_micro) AS BIGINT) AS expected_micro,
+      |    CAST(sum(v_micro) AS BIGINT) AS var_micro
+      |  FROM terms GROUP BY grp),
+      |nu AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_users FROM spans GROUP BY grp)
+      |SELECT s.grp, nu.n_users, s.observed, s.expected_micro, s.var_micro,
+      |  floor(CAST(s.observed * 1000000 - s.expected_micro AS DOUBLE)
+      |        * CAST(s.observed * 1000000 - s.expected_micro AS DOUBLE)
+      |        / (CAST(s.var_micro AS DOUBLE) * 1000000) * 1000000 + 0.5) / 1000000
+      |    AS chi2
+      |FROM stats s JOIN nu ON s.grp = nu.grp
+      |ORDER BY s.grp""".stripMargin
+
   /** q271 — Kaplan–Meier churn survival: users enter at their first
     * event, exit at their last; an exit before the final observed day
     * is CHURN (an event), final-day exits are right-censored
@@ -2101,6 +2227,7 @@ object EventQueries {
     QueryDef("q274_theil_sen_trend", q274, Some(q274Sql)),
     QueryDef("q276_shapley_attribution", q276, Some(q276Sql)),
     QueryDef("q280_holt_winters", q280, Some(q280Sql)),
+    QueryDef("q283_logrank_test", q283, Some(q283Sql)),
     QueryDef("q70_sessionize", q70, Some(q70Sql), bench = true),
     QueryDef("q71_asof_join", q71, Some(q71Sql), bench = true),
     QueryDef("q73_range_join", q73, Some(q73Sql), bench = true),
