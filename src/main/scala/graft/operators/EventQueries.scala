@@ -1456,6 +1456,96 @@ object EventQueries {
       |FROM stats s JOIN nu ON s.grp = nu.grp
       |ORDER BY s.grp""".stripMargin
 
+  /** q284 — STL-lite seasonal decomposition + anomaly flags on daily
+    * purchase revenue: trend = centered 7-day moving average (defined
+    * on interior days only — exactly 7 cells present, stated),
+    * seasonal = per-weekday mean of the detrended series re-centered
+    * to sum ≈ 0, residual = y − trend − seasonal, and a flag where
+    * |residual| exceeds 3× the nearest-rank median absolute
+    * deviation. Every stage is integer micro-grid arithmetic — the
+    * moving average, weekday means, centering offset and MAD are all
+    * `div`s of exact integers, so the anomaly verdict is a BIGINT
+    * comparison, not a float one. Complements q132 (hourly z-score),
+    * q217 (median/MAD on raw values) and q218 (CUSUM on means):
+    * this one removes trend AND weekly shape before judging.
+    *
+    * Scale shape: one aggregate collapses the corpus to the day
+    * grid; every window after that (moving average, weekday means,
+    * global MAD rank) runs on that calendar-bounded relation. */
+  def q284(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Fx.eventTs(Tables.events(s, d))
+      .filter($"event_type" === "purchase")
+      .groupBy(epochDay($"ts").as("day"))
+      .agg(sum(floor($"value" * 100).cast("long")).as("y"))
+      .transform(Fx.materialize)
+    val wMa = Window.orderBy($"day").rowsBetween(-3, 3)
+    val interior = daily
+      .withColumn("n7", count(lit(1)).over(wMa))
+      .withColumn("sum7", sum($"y").over(wMa))
+      .filter($"n7" === 7)
+      .withColumn("trend_micro", expr("(sum7 * 1000000) div 7"))
+      .withColumn("detr", $"y" * 1000000L - $"trend_micro")
+      .withColumn("wd", expr("day % 7"))
+      .transform(Fx.materialize)
+    val wk = interior.groupBy($"wd")
+      .agg(expr("(sum(detr)) div count(*)").as("s_raw"))
+    val ctr = wk.agg(expr("sum(s_raw) div 7").as("s_off"))
+    val seas = wk.crossJoin(broadcast(ctr))
+      .select($"wd".as("__wd"), ($"s_raw" - $"s_off").as("seasonal_micro"))
+    val resid = interior.join(broadcast(seas), $"wd" === $"__wd")
+      .withColumn("resid_micro", $"detr" - $"seasonal_micro")
+      .transform(Fx.materialize)
+    val nI = resid.agg(count(lit(1)).as("n")).select($"n")
+    val mad = resid.select(abs($"resid_micro").as("ar"))
+      .withColumn("rk", row_number().over(Window.orderBy($"ar")))
+      .crossJoin(broadcast(nI))
+      .filter($"rk" === ceil($"n" * 0.5))
+      .select($"ar".as("mad_micro"))
+    resid.crossJoin(broadcast(mad))
+      .select($"day", $"y".as("y_cents"), $"trend_micro",
+        $"seasonal_micro", $"resid_micro", $"mad_micro",
+        (abs($"resid_micro") > $"mad_micro" * 3L).cast("int").as("anomaly"))
+      .orderBy($"day")
+  }
+
+  val q284Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' AS day,
+      |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |ma AS (
+      |  SELECT day, y,
+      |    count(*) OVER w AS n7, CAST(sum(y) OVER w AS BIGINT) AS sum7
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |interior AS (
+      |  SELECT day, y, (sum7 * 1000000) // 7 AS trend_micro,
+      |    y * 1000000 - (sum7 * 1000000) // 7 AS detr, day % 7 AS wd
+      |  FROM ma WHERE n7 = 7),
+      |wk AS (
+      |  SELECT wd, CAST(sum(detr) // count(*) AS BIGINT) AS s_raw
+      |  FROM interior GROUP BY wd),
+      |ctr AS (SELECT CAST(sum(s_raw) // 7 AS BIGINT) AS s_off FROM wk),
+      |seas AS (
+      |  SELECT wd, s_raw - s_off AS seasonal_micro FROM wk CROSS JOIN ctr),
+      |resid AS (
+      |  SELECT i.day, i.y, i.trend_micro, s.seasonal_micro,
+      |    i.detr - s.seasonal_micro AS resid_micro
+      |  FROM interior i JOIN seas s ON i.wd = s.wd),
+      |nn AS (SELECT count(*) AS n FROM resid),
+      |mad AS (
+      |  SELECT ar AS mad_micro FROM (
+      |    SELECT abs(resid_micro) AS ar,
+      |      row_number() OVER (ORDER BY abs(resid_micro)) AS rk
+      |    FROM resid) t CROSS JOIN nn
+      |  WHERE rk = CAST(ceil(n * 0.5) AS BIGINT))
+      |SELECT r.day, r.y AS y_cents, r.trend_micro, r.seasonal_micro,
+      |  r.resid_micro, m.mad_micro,
+      |  CAST(abs(r.resid_micro) > m.mad_micro * 3 AS INT) AS anomaly
+      |FROM resid r CROSS JOIN mad m
+      |ORDER BY r.day""".stripMargin
+
   /** q271 — Kaplan–Meier churn survival: users enter at their first
     * event, exit at their last; an exit before the final observed day
     * is CHURN (an event), final-day exits are right-censored
@@ -2228,6 +2318,7 @@ object EventQueries {
     QueryDef("q276_shapley_attribution", q276, Some(q276Sql)),
     QueryDef("q280_holt_winters", q280, Some(q280Sql)),
     QueryDef("q283_logrank_test", q283, Some(q283Sql)),
+    QueryDef("q284_seasonal_anomalies", q284, Some(q284Sql)),
     QueryDef("q70_sessionize", q70, Some(q70Sql), bench = true),
     QueryDef("q71_asof_join", q71, Some(q71Sql), bench = true),
     QueryDef("q73_range_join", q73, Some(q73Sql), bench = true),

@@ -727,8 +727,100 @@ object SimilarityQueries {
       |LEFT JOIN border_label bl ON r.vec_id = bl.vec_id
       |ORDER BY r.vec_id""".stripMargin
 
+  /** q285 — kNN classification scorecard: hold out every fifth
+    * vector (vec_id % 5 = 0 — deterministic, no salt needed), predict
+    * its label by majority vote among its 10 nearest training
+    * neighbors (cosine; ties in the vote break to the smallest
+    * label — stated), and emit the confusion matrix in exact counts
+    * plus per-true-label accuracy as one r6 division. This is the
+    * standard embedding-quality probe: if labels aren't linearly-ish
+    * separable in the space, retrieval won't be either (the knob
+    * that decides between q60's brute force and q62's IVF).
+    *
+    * Scale shape: an EVAL harness — the hold-out set is bounded by
+    * design (eval sets are curated, not corpus-sized), so the
+    * broadcast in bruteForceTopK is the right plan; the vote and
+    * argmax windows partition by q_id (high cardinality, ≤10-row
+    * frames). */
+  def q285(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val test = emb.filter($"vec_id" % 5 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+        $"label".as("true_label"))
+    val train = emb.filter($"vec_id" % 5 =!= 0)
+      .transform(Fx.materialize)
+    val topk = Similarity.bruteForceTopK(
+      test.select($"q_id", $"q_vec"), train, k = 10)
+    val labels = train.select($"vec_id".as("t_vid"), $"label".as("t_label"))
+    val votes = topk.join(labels, $"vec_id" === $"t_vid")
+      .groupBy($"q_id", $"t_label".as("label")).agg(count(lit(1)).as("v"))
+    val pred = votes.withColumn("rk",
+        row_number().over(Window.partitionBy($"q_id")
+          .orderBy($"v".desc, $"label".asc)))
+      .filter($"rk" === 1)
+      .select($"q_id", $"label".as("pred_label"))
+    val conf = test.select($"q_id", $"true_label").join(pred, "q_id")
+      .groupBy($"true_label", $"pred_label")
+      .agg(count(lit(1)).as("n"))
+      .transform(Fx.materialize)
+    val totals = conf.groupBy($"true_label").agg(sum($"n").as("n_true"))
+      .withColumnRenamed("true_label", "__t")
+    val hits = conf.filter($"true_label" === $"pred_label")
+      .select($"true_label".as("__h"), $"n".as("n_hit"))
+    conf.join(broadcast(totals), $"true_label" === $"__t")
+      .join(broadcast(hits), $"true_label" === $"__h", "left")
+      .select($"true_label", $"pred_label", $"n", $"n_true",
+        r6(coalesce($"n_hit", lit(0L)).cast("double") / $"n_true")
+          .as("class_accuracy"))
+      .orderBy($"true_label", $"pred_label")
+  }
+
+  val q285Sql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec,
+       |    label AS true_label
+       |  FROM embeddings WHERE vec_id % 5 = 0),
+       |t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS t_vec, label
+       |      FROM embeddings WHERE vec_id % 5 <> 0),
+       |sims AS (
+       |  SELECT q_id, vec_id, $cosSql AS sim
+       |  FROM t, q WHERE vec_id <> q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+       |  FROM sims),
+       |votes AS (
+       |  SELECT r.q_id, t.label, count(*) AS v
+       |  FROM ranked r JOIN t ON r.vec_id = t.vec_id
+       |  WHERE r.rn <= 10 GROUP BY 1, 2),
+       |pred AS (
+       |  SELECT q_id, label AS pred_label FROM (
+       |    SELECT q_id, label,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY v DESC, label) AS rk
+       |    FROM votes) x WHERE rk = 1),
+       |conf AS (
+       |  SELECT q.true_label, p.pred_label, CAST(count(*) AS BIGINT) AS n
+       |  FROM q JOIN pred p ON q.q_id = p.q_id
+       |  GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT true_label, CAST(sum(n) AS BIGINT) AS n_true
+       |  FROM conf GROUP BY 1),
+       |hits AS (
+       |  SELECT true_label, n AS n_hit FROM conf
+       |  WHERE true_label = pred_label)
+       |SELECT c.true_label, c.pred_label, c.n, t.n_true,
+       |  ${sqlR6("CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_true")}
+       |    AS class_accuracy
+       |FROM conf c
+       |JOIN tot t ON c.true_label = t.true_label
+       |LEFT JOIN hits h ON c.true_label = h.true_label
+       |ORDER BY c.true_label, c.pred_label""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q277_dbscan_clusters", q277, Some(q277Sql)),
+    QueryDef("q285_knn_scorecard", q285, Some(q285Sql)),
     QueryDef("q232_embedding_health", q232, Some(q232Sql)),
     QueryDef("q224_retrieval_scorecard", q224, Some(q224Sql)),
     QueryDef("q186_mmr_rerank", q186, Some(q186Sql), bench = true),
