@@ -818,9 +818,106 @@ object SimilarityQueries {
        |LEFT JOIN hits h ON c.true_label = h.true_label
        |ORDER BY c.true_label, c.pred_label""".stripMargin
 
+  /** q286 — EXACT-integer PCA: the dominant principal component of
+    * the 64-dim embedding covariance by power iteration, with not one
+    * float in the pipeline. Coordinates land on the milli grid; the
+    * mean-centered covariance uses the n·Σxy − Σx·Σy identity so
+    * centering never divides; five power iterations scale by the
+    * INFINITY norm instead of the L2 norm (v' = w div (max|w| div
+    * 10⁶), floor-guarded) — max is exact where sqrt is not, and
+    * ∞-norm scaling converges to the same dominant eigenvector. All
+    * products ride DECIMAL(38,0)/HUGEINT (the n²-scaled covariance
+    * times a 10⁶-scale vector times 64 terms overflows BIGINT at
+    * corpus n — stated, with headroom to n ≈ 10¹¹ rows). Output: the
+    * 64 eigenvector coordinates at 10⁶ scale, sign pinned by the
+    * e₁ start.
+    *
+    * Scale shape: ONE distributed pass builds the 64²-cell moment
+    * grid (the dim² fan-out is the honest cost of dense covariance;
+    * 4096 accumulators); every iteration is a broadcast-v join over
+    * that bounded grid with a 64-row collect — driver traffic is 64
+    * numbers per round, never data. */
+  def q286(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dims = 64
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", transform($"embedding",
+        x => floor(x.cast("double") * 1000).cast("long")).as("xm"))
+    val cells = emb.select(posexplode($"xm")).toDF("i0", "xi")
+      .groupBy($"i0")
+      .agg(count(lit(1)).as("n"), sum($"xi").as("sx"))
+    val pairs = emb
+      .select(posexplode($"xm"), $"xm").toDF("i0", "xi", "xm")
+      .select($"i0", $"xi", posexplode($"xm")).toDF("i0", "xi", "j0", "xj")
+      .groupBy($"i0", $"j0")
+      .agg(sum($"xi".cast("decimal(38,0)") * $"xj").as("sxy"))
+    val si = cells.select($"i0".as("__i"), $"n", $"sx".as("sxi"))
+    val sj = cells.select($"i0".as("__j"), $"sx".as("sxj"))
+    val cov = pairs
+      .join(broadcast(si), $"i0" === $"__i")
+      .join(broadcast(sj), $"j0" === $"__j")
+      .select($"i0".as("i"), $"j0".as("j"),
+        ($"n".cast("decimal(38,0)") * $"sxy" -
+          $"sxi".cast("decimal(38,0)") * $"sxj").as("c"))
+      .transform(Fx.materialize)
+    var v: Array[BigInt] =
+      Array.tabulate(dims)(i => if (i == 0) BigInt(1000000) else BigInt(0))
+    for (_ <- 1 to 5) {
+      val vMap = map((0 until dims).flatMap(i =>
+        Seq(lit(i), lit(v(i).bigInteger.toString).cast("decimal(38,0)"))): _*)
+      val w = cov
+        .select($"i", ($"c" * element_at(vMap, $"j")).as("t"))
+        .groupBy($"i").agg(sum($"t").as("w"))
+        .collect().map(r => r.getInt(0) ->
+          BigInt(r.getDecimal(1).toBigInteger)).toMap
+      val wArr = Array.tabulate(dims)(i => w.getOrElse(i, BigInt(0)))
+      val m = (wArr.map(_.abs).max / BigInt(1000000)).max(BigInt(1))
+      v = wArr.map(_ / m) // BigInt / truncates toward zero == div == //
+    }
+    val rows = (0 until dims).map(i => (i, v(i).toLong))
+    s.createDataFrame(rows).toDF("dim", "v_micro").orderBy($"dim")
+  }
+
+  val q286Sql: String = {
+    val steps = (1 to 5).map { k =>
+      s"""w$k AS (
+         |  SELECT c.i, CAST(sum(c.c * v${k - 1}.v) AS HUGEINT) AS w
+         |  FROM cov c JOIN v${k - 1} ON c.j = v${k - 1}.i GROUP BY 1),
+         |m$k AS (SELECT greatest(max(abs(w)) // 1000000, 1) AS m FROM w$k),
+         |v$k AS (SELECT i, w // m AS v FROM w$k CROSS JOIN m$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH xm AS (
+       |  SELECT vec_id, i,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS x
+       |  FROM embeddings,
+       |    LATERAL (SELECT unnest(range(1, 65)) AS i) t),
+       |cells AS (
+       |  SELECT i, count(*) AS n, CAST(sum(x) AS HUGEINT) AS sx
+       |  FROM xm GROUP BY i),
+       |sxy AS (
+       |  SELECT a.i AS i, b.i AS j, CAST(sum(CAST(a.x AS HUGEINT) * b.x) AS HUGEINT) AS sxy
+       |  FROM xm a JOIN xm b ON a.vec_id = b.vec_id
+       |  GROUP BY 1, 2),
+       |cov AS (
+       |  SELECT s.i - 1 AS i, s.j - 1 AS j,
+       |    CAST(ci.n AS HUGEINT) * s.sxy - ci.sx * cj.sx AS c
+       |  FROM sxy s
+       |  JOIN cells ci ON s.i = ci.i
+       |  JOIN cells cj ON s.j = cj.i),
+       |v0 AS (
+       |  SELECT i - 1 AS i,
+       |    CAST(CASE WHEN i = 1 THEN 1000000 ELSE 0 END AS HUGEINT) AS v
+       |  FROM (SELECT unnest(range(1, 65)) AS i) t),
+       |$steps
+       |SELECT i AS dim, CAST(v AS BIGINT) AS v_micro
+       |FROM v5 ORDER BY dim""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q277_dbscan_clusters", q277, Some(q277Sql)),
     QueryDef("q285_knn_scorecard", q285, Some(q285Sql)),
+    QueryDef("q286_pca_power_iteration", q286, Some(q286Sql)),
     QueryDef("q232_embedding_health", q232, Some(q232Sql)),
     QueryDef("q224_retrieval_scorecard", q224, Some(q224Sql)),
     QueryDef("q186_mmr_rerank", q186, Some(q186Sql), bench = true),
