@@ -1381,6 +1381,90 @@ object AssociationQueries {
       |GROUP BY o.grp, med.n_train, med.med_cents, qh.n_cal, qh.k, qh.qhat_cents
       |ORDER BY o.grp""".stripMargin
 
+  /** q288 — coarsened exact matching (CEM, Iacus–King–Porro): the
+    * matching estimator with no model and no distance metric — users
+    * match when their COARSENED covariates (activity decile-ish
+    * buckets: total events div 10, active days div 5) are exactly
+    * equal. Strata holding both arms contribute n_treated-weighted
+    * mean differences; the ATT is one integer division of exact
+    * micro sums; strata with treated users but NO controls are
+    * reported, not silently dropped (the estimand honesty CEM is
+    * about). Every mean is a single micro division; the ATT
+    * numerator/denominator are BIGINT sums.
+    *
+    * Scale shape: one per-user aggregate, one stratum rollup
+    * (bounded by the coarsening grid), broadcast-size arithmetic
+    * after. The whole estimator is two groupBys — which is the CEM
+    * sales pitch at 100 TB: matching via grouping, not pairwise
+    * distances. */
+  def q288(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val users = Fx.eventTs(Tables.events(s, d))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_ev"),
+        countDistinct(epochDay($"ts")).as("n_days"),
+        sum(when($"event_type" === "purchase", floor($"value" * 100))
+          .otherwise(0L).cast("long")).as("cents"))
+      .select($"user_id", expr("n_ev div 10").as("b_act"),
+        expr("n_days div 5").as("b_days"), $"cents",
+        (conv(substring(md5(concat($"user_id".cast("string"), lit("#cem"))), 1, 8), 16, 10) % 2)
+          .cast("int").as("treat"))
+    val strata = users.groupBy($"b_act", $"b_days")
+      .agg(sum(when($"treat" === 1, 1L).otherwise(0L)).as("n_t"),
+        sum(when($"treat" === 1, $"cents").otherwise(0L)).as("sum_t"),
+        sum(when($"treat" === 0, 1L).otherwise(0L)).as("n_c"),
+        sum(when($"treat" === 0, $"cents").otherwise(0L)).as("sum_c"))
+      .transform(Fx.materialize)
+    val matched = strata.filter($"n_t" > 0 && $"n_c" > 0)
+      .withColumn("mean_t_micro", expr("(cast(sum_t as decimal(38,0)) * 1000000) div n_t"))
+      .withColumn("mean_c_micro", expr("(cast(sum_c as decimal(38,0)) * 1000000) div n_c"))
+      .transform(Fx.materialize)
+    val att = matched.agg(
+      expr("sum(cast(n_t as decimal(38,0)) * (mean_t_micro - mean_c_micro)) div sum(n_t)")
+        .as("att_micro"),
+      sum($"n_t").as("n_matched_treated"))
+    val unmatched = strata.filter($"n_t" > 0 && $"n_c" === 0)
+      .agg(coalesce(sum($"n_t"), lit(0L)).as("n_unmatched_treated"))
+    matched.crossJoin(broadcast(att)).crossJoin(broadcast(unmatched))
+      .select($"b_act", $"b_days", $"n_t", $"n_c",
+        $"mean_t_micro", $"mean_c_micro",
+        $"att_micro", $"n_matched_treated", $"n_unmatched_treated")
+      .orderBy($"b_act", $"b_days")
+  }
+
+  val q288Sql: String =
+    """WITH u AS (
+      |  SELECT user_id, count(*) AS n_ev,
+      |    count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS n_days,
+      |    CAST(sum(CASE WHEN event_type = 'purchase'
+      |         THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS cents,
+      |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#cem'), 1, 8))::BIGINT % 2 AS INT) AS treat
+      |  FROM events GROUP BY user_id),
+      |strata AS (
+      |  SELECT n_ev // 10 AS b_act, n_days // 5 AS b_days,
+      |    CAST(sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+      |    CAST(sum(CASE WHEN treat = 1 THEN cents ELSE 0 END) AS BIGINT) AS sum_t,
+      |    CAST(sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+      |    CAST(sum(CASE WHEN treat = 0 THEN cents ELSE 0 END) AS BIGINT) AS sum_c
+      |  FROM u GROUP BY 1, 2),
+      |matched AS (
+      |  SELECT *,
+      |    CAST((CAST(sum_t AS HUGEINT) * 1000000) // n_t AS BIGINT) AS mean_t_micro,
+      |    CAST((CAST(sum_c AS HUGEINT) * 1000000) // n_c AS BIGINT) AS mean_c_micro
+      |  FROM strata WHERE n_t > 0 AND n_c > 0),
+      |att AS (
+      |  SELECT CAST(sum(CAST(n_t AS HUGEINT) * (mean_t_micro - mean_c_micro))
+      |              // sum(n_t) AS BIGINT) AS att_micro,
+      |    CAST(sum(n_t) AS BIGINT) AS n_matched_treated
+      |  FROM matched),
+      |um AS (
+      |  SELECT CAST(COALESCE(sum(n_t), 0) AS BIGINT) AS n_unmatched_treated
+      |  FROM strata WHERE n_t > 0 AND n_c = 0)
+      |SELECT m.b_act, m.b_days, m.n_t, m.n_c, m.mean_t_micro, m.mean_c_micro,
+      |  a.att_micro, a.n_matched_treated, um.n_unmatched_treated
+      |FROM matched m CROSS JOIN att a CROSS JOIN um
+      |ORDER BY m.b_act, m.b_days""".stripMargin
+
   /** q281 — difference-in-differences readout: the workhorse causal
     * estimate when treatment switches on at a known date. Users
     * assign to arms by the salted-md5 rule; the calendar midpoint
@@ -1606,6 +1690,7 @@ object AssociationQueries {
     QueryDef("q278_conformal_intervals", q278, Some(q278Sql)),
     QueryDef("q281_diff_in_diff", q281, Some(q281Sql)),
     QueryDef("q282_sequential_monitoring", q282, Some(q282Sql)),
+    QueryDef("q288_cem_att", q288, Some(q288Sql)),
     QueryDef("q247_association_rules", q247, Some(q247Sql)),
     QueryDef("q246_fpgrowth_itemsets", q246, Some(q246Sql)),
     QueryDef("q245_prefixspan_patterns", q245, Some(q245Sql)),

@@ -1546,6 +1546,79 @@ object EventQueries {
       |FROM resid r CROSS JOIN mad m
       |ORDER BY r.day""".stripMargin
 
+  /** q287 — Haar wavelet energy pyramid of daily purchase revenue:
+    * which TIME SCALE carries the variance — day-to-day jitter
+    * (level 1), weekly shape (level 2-3), or the month trend
+    * (level 4-5)? The unnormalized Haar transform is pure integer
+    * arithmetic: pair sums ascend the pyramid, pair differences are
+    * the detail coefficients, and each level's energy is the sum of
+    * squared details (the √2 normalization is skipped and stated —
+    * energies compare WITHIN a level; squares ride BigInt/HUGEINT
+    * since level-k approximations aggregate 2^k days and their
+    * squares overflow BIGINT already at sf0.1). The series pads with
+    * zeros to the next power of two (stated). Energies emit
+    * micro-truncated (div 10⁶) to stay in BIGINT.
+    *
+    * Scale shape: one aggregate collapses the corpus to the day
+    * grid; the ≤2^⌈log₂ days⌉ fold happens on the driver (bounded-map
+    * pattern, q270's); the oracle ascends the identical pyramid as a
+    * recursive CTE carrying the level as a LIST column. */
+  def q287(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Fx.eventTs(Tables.events(s, d))
+      .filter($"event_type" === "purchase")
+      .groupBy(epochDay($"ts").as("day"))
+      .agg(sum(floor($"value" * 100).cast("long")).as("y"))
+      .orderBy($"day")
+      .collect().map(r => r.getLong(1))
+    var size = 1
+    while (size < daily.length) size *= 2
+    var a: Array[BigInt] =
+      Array.tabulate(size)(i => if (i < daily.length) BigInt(daily(i)) else BigInt(0))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    var level = 1
+    while (a.length > 1) {
+      val half = a.length / 2
+      val approx = Array.tabulate(half)(m => a(2 * m) + a(2 * m + 1))
+      val details = Array.tabulate(half)(m => a(2 * m) - a(2 * m + 1))
+      val energy = details.map(x => x * x).sum / BigInt(1000000)
+      out += ((level, half.toLong, energy.toLong))
+      a = approx
+      level += 1
+    }
+    s.createDataFrame(out.toSeq)
+      .toDF("level", "n_coeffs", "energy_micro")
+      .orderBy($"level")
+  }
+
+  val q287Sql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' AS day,
+      |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |np AS (SELECT count(*) AS n FROM daily),
+      |p2 AS (
+      |  SELECT CAST(1 AS BIGINT) AS p
+      |  UNION ALL
+      |  SELECT p * 2 FROM p2, np WHERE p < n),
+      |sz AS (SELECT max(p) AS size FROM p2),
+      |padded AS (
+      |  SELECT list_resize(
+      |    (SELECT list(CAST(y AS HUGEINT) ORDER BY day) FROM daily),
+      |    (SELECT size FROM sz), CAST(0 AS HUGEINT)) AS a),
+      |rec AS (
+      |  SELECT 1 AS lvl, a FROM padded
+      |  UNION ALL
+      |  SELECT lvl + 1,
+      |    list_transform(range(1, len(a) // 2 + 1), m -> a[2*m-1] + a[2*m])
+      |  FROM rec WHERE len(a) > 1)
+      |SELECT lvl AS level, CAST(len(a) // 2 AS BIGINT) AS n_coeffs,
+      |  CAST(list_sum(list_transform(range(1, len(a) // 2 + 1),
+      |    m -> (a[2*m-1] - a[2*m]) * (a[2*m-1] - a[2*m]))) // 1000000 AS BIGINT)
+      |    AS energy_micro
+      |FROM rec WHERE len(a) > 1
+      |ORDER BY level""".stripMargin
+
   /** q271 — Kaplan–Meier churn survival: users enter at their first
     * event, exit at their last; an exit before the final observed day
     * is CHURN (an event), final-day exits are right-censored
@@ -2319,6 +2392,7 @@ object EventQueries {
     QueryDef("q280_holt_winters", q280, Some(q280Sql)),
     QueryDef("q283_logrank_test", q283, Some(q283Sql)),
     QueryDef("q284_seasonal_anomalies", q284, Some(q284Sql)),
+    QueryDef("q287_haar_energy", q287, Some(q287Sql)),
     QueryDef("q70_sessionize", q70, Some(q70Sql), bench = true),
     QueryDef("q71_asof_join", q71, Some(q71Sql), bench = true),
     QueryDef("q73_range_join", q73, Some(q73Sql), bench = true),
