@@ -187,8 +187,63 @@ object Profile {
       .mkString("", "\nUNION ALL\n", "\nORDER BY domain")
   }
 
+  // ---- functional-dependency discovery (Metanome-style profiling) ---
+
+  private val fdCols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+  /** q289 — functional-dependency discovery over a declared column
+    * set: for every ordered pair (A → B), does each A-value determine
+    * exactly one B-value? The verdict per pair is exact — group by A,
+    * count groups where B takes >1 distinct value — giving the
+    * schema-inference readout (keys hold every FD; enum columns fail
+    * against each other) a data catalog publishes. Null semantics
+    * mirrored: the null A-group is its own class, countDistinct
+    * ignores null Bs in both engines.
+    *
+    * Scale shape: one aggregate per LHS column over a materialized
+    * 4-column projection — the candidate set is bounded METADATA
+    * (columns), never data; each aggregate is an ordinary
+    * map-side-combined groupBy on its key. No windows, no pairs of
+    * rows — FD checking is grouping, which is why it scales where
+    * row-pair profiling cannot. */
+  def q289(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val df = graft.Fx.materialize(
+      Tables.load(s, d, "orders").select(fdCols.map(col): _*))
+    val perLhs = fdCols.map { lhs =>
+      val rhss = fdCols.filterNot(_ == lhs)
+      val g = df.groupBy(col(lhs))
+        .agg(count_distinct(col(rhss.head)).as(s"__d_${rhss.head}"),
+          rhss.tail.map(r => count_distinct(col(r)).as(s"__d_$r")): _*)
+      val stacked = rhss.map(r => struct(lit(r).as("rhs"), col(s"__d_$r").as("nd")))
+      g.select(explode(array(stacked: _*)).as("p"))
+        .select(lit(lhs).as("lhs"), $"p.rhs".as("rhs"), $"p.nd".as("nd"))
+        .groupBy($"lhs", $"rhs")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(($"nd" > 1L).cast("long")).as("n_violating"))
+    }
+    perLhs.reduce(_ unionByName _)
+      .withColumn("holds", ($"n_violating" === 0L).cast("int"))
+      .orderBy($"lhs", $"rhs")
+  }
+
+  val q289Sql: String = {
+    val pairs = for {
+      lhs <- fdCols; rhs <- fdCols if rhs != lhs
+    } yield
+      s"""SELECT '$lhs' AS lhs, '$rhs' AS rhs,
+         |  CAST(count(*) AS BIGINT) AS n_groups,
+         |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+         |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS INT) AS holds
+         |FROM (SELECT $lhs, count(DISTINCT $rhs) AS nd
+         |      FROM orders GROUP BY $lhs) t""".stripMargin
+    pairs.mkString("", "\nUNION ALL\n", "\nORDER BY lhs, rhs")
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q80_profile", q80, Some(q80Sql)),
     QueryDef("q136_quality_gates", q136, Some(q136Sql)),
-    QueryDef("q207_join_key_skew", q207, Some(q207Sql)))
+    QueryDef("q207_join_key_skew", q207, Some(q207Sql)),
+    QueryDef("q289_fd_discovery", q289, Some(q289Sql)))
 }
