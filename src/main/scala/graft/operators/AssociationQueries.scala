@@ -1381,6 +1381,65 @@ object AssociationQueries {
       |GROUP BY o.grp, med.n_train, med.med_cents, qh.n_cal, qh.k, qh.qhat_cents
       |ORDER BY o.grp""".stripMargin
 
+  /** q291 — Wilson score intervals for per-segment buy rates: the
+    * binomial interval that behaves at the extremes (Wald collapses
+    * to zero width at p̂∈{0,1} and goes negative near them; Wilson
+    * never does — the reason it's the textbook default for
+    * conversion dashboards). Counts are exact (customers vs
+    * customers-with-orders per market segment, a semi-join); the
+    * interval is the one fixed-shape double pipeline — z = 1.96
+    * pinned, one sqrt (the q268 budget), every operand either an
+    * exact integer or a correctly-rounded quotient of them —
+    * mirrored operation-for-operation so both engines produce
+    * identical doubles before the r6 fix.
+    *
+    * Scale shape: one distinct-collapse of orders to buyers, one
+    * equi-join onto customer (both sides grow with data — shuffle
+    * join is the right plan), one segment rollup; interval
+    * arithmetic runs on the 5-row grid. */
+  def q291(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val buyers = Tables.orders(s, d).select($"o_custkey").distinct()
+      .withColumn("has_order", lit(1L))
+    val seg = Tables.customer(s, d)
+      .join(buyers, $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce($"has_order", lit(0L))).as("x"))
+    val z = 1.96
+    val nD = $"n".cast("double"); val xD = $"x".cast("double")
+    val phat = xD / nD
+    val z2n = lit(z * z) / nD
+    val center = (phat + z2n / 2) / (lit(1.0) + z2n)
+    val half = (lit(z) / (lit(1.0) + z2n)) *
+      sqrt(phat * (lit(1.0) - phat) / nD + lit(z * z) / (nD * nD * 4))
+    seg.select($"c_mktsegment", $"n", $"x",
+        r6(phat).as("rate"),
+        r6(center - half).as("wilson_lo"),
+        r6(center + half).as("wilson_hi"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val q291Sql: String = {
+    val nD = "CAST(n AS DOUBLE)"; val xD = "CAST(x AS DOUBLE)"
+    val phat = s"($xD / $nD)"
+    val z2n = s"((1.96 * 1.96) / $nD)"
+    val center = s"(($phat + $z2n / 2) / (1.0 + $z2n))"
+    val half = s"((1.96 / (1.0 + $z2n)) * " +
+      s"sqrt($phat * (1.0 - $phat) / $nD + (1.96 * 1.96) / ($nD * $nD * 4)))"
+    s"""WITH buyers AS (SELECT DISTINCT o_custkey FROM orders),
+       |seg AS (
+       |  SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN b.o_custkey IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS x
+       |  FROM customer c LEFT JOIN buyers b ON c.c_custkey = b.o_custkey
+       |  GROUP BY 1)
+       |SELECT c_mktsegment, n, x,
+       |  ${sqlR6(phat)} AS rate,
+       |  ${sqlR6(s"($center - $half)")} AS wilson_lo,
+       |  ${sqlR6(s"($center + $half)")} AS wilson_hi
+       |FROM seg ORDER BY c_mktsegment""".stripMargin
+  }
+
   /** q288 — coarsened exact matching (CEM, Iacus–King–Porro): the
     * matching estimator with no model and no distance metric — users
     * match when their COARSENED covariates (activity decile-ish
@@ -1691,6 +1750,7 @@ object AssociationQueries {
     QueryDef("q281_diff_in_diff", q281, Some(q281Sql)),
     QueryDef("q282_sequential_monitoring", q282, Some(q282Sql)),
     QueryDef("q288_cem_att", q288, Some(q288Sql)),
+    QueryDef("q291_wilson_intervals", q291, Some(q291Sql)),
     QueryDef("q247_association_rules", q247, Some(q247Sql)),
     QueryDef("q246_fpgrowth_itemsets", q246, Some(q246Sql)),
     QueryDef("q245_prefixspan_patterns", q245, Some(q245Sql)),
