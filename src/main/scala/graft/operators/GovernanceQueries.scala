@@ -269,6 +269,72 @@ object GovernanceQueries {
       .orderBy($"source")
   }
 
+  /** q292 — two-sample Cramér–von Mises drift per source vs rest,
+    * on the n_chars distribution: where q181's KS sees only the
+    * single largest ECDF gap, CvM integrates the SQUARED gap over
+    * the whole pooled distribution — the statistic that catches a
+    * distribution shifted a little everywhere (tail drift KS
+    * under-weights). Discrete tie-correct form: T = Σ_x g_x·(i·m −
+    * j·n)² / (n·m·N²) with i, j cumulative group counts at x and
+    * g_x the pooled count — every term is exact (squares ride
+    * DECIMAL(38,0)/HUGEINT: the gap products hit N⁴ scale), and the
+    * emitted value is one micro-grid integer division.
+    *
+    * Scale shape: q181's exactly — value-domain grid after one
+    * collapse, cumulative windows over that bounded grid. */
+  def q292(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"source", $"n_chars")
+    val perSrc = docs.groupBy($"source", $"n_chars").agg(count(lit(1)).as("c"))
+    val global = docs.groupBy($"n_chars").agg(count(lit(1)).as("g"))
+    val sizes = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+    val grid = sizes.crossJoin(broadcast(global))
+      .join(perSrc, Seq("source", "n_chars"), "left")
+      .na.fill(0, Seq("c"))
+    val w = Window.partitionBy($"source").orderBy($"n_chars")
+    grid
+      .withColumn("i", sum($"c").over(w))
+      .withColumn("cg", sum($"g").over(w))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("total"))))
+      .withColumn("m", $"total" - $"n")
+      .withColumn("gap",
+        ($"i" * $"m" - ($"cg" - $"i") * $"n").cast("decimal(38,0)"))
+      .groupBy($"source", $"n", $"m", $"total")
+      .agg(sum($"g" * $"gap" * $"gap").cast("decimal(38,0)").as("s_stat"))
+      .select($"source", $"n", $"m",
+        expr("""(s_stat * 1000000) div
+                (cast(n as decimal(38,0)) * m * total * total)""")
+          .as("cvm_micro"))
+      .orderBy($"source")
+  }
+
+  val q292Sql: String =
+    """WITH c AS (SELECT source, n_chars, count(*) AS c FROM documents GROUP BY 1, 2),
+      |g AS (SELECT n_chars, count(*) AS g FROM documents GROUP BY 1),
+      |t AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+      |tot AS (SELECT count(*) AS total FROM documents),
+      |grid AS (
+      |  SELECT t.source, t.n, g.n_chars, g.g, COALESCE(c.c, 0) AS c
+      |  FROM t CROSS JOIN g
+      |  LEFT JOIN c ON c.source = t.source AND c.n_chars = g.n_chars),
+      |cum AS (
+      |  SELECT source, n, n_chars, g,
+      |    CAST(sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT) AS i,
+      |    CAST(sum(g) OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT) AS cg
+      |  FROM grid),
+      |sx AS (
+      |  SELECT source, n, total - n AS m, total,
+      |    sum(CAST(g AS HUGEINT)
+      |        * CAST(i * (total - n) - (cg - i) * n AS HUGEINT)
+      |        * CAST(i * (total - n) - (cg - i) * n AS HUGEINT)) AS s_stat
+      |  FROM cum CROSS JOIN tot
+      |  GROUP BY source, n, total)
+      |SELECT source, CAST(n AS BIGINT) AS n, CAST(m AS BIGINT) AS m,
+      |  CAST((s_stat * 1000000)
+      |       // (CAST(n AS HUGEINT) * m * total * total) AS BIGINT) AS cvm_micro
+      |FROM sx ORDER BY source""".stripMargin
+
   val q181Sql: String =
     s"""WITH c AS (SELECT source, n_chars, count(*) AS c FROM documents GROUP BY 1, 2),
        |g AS (SELECT n_chars, count(*) AS g FROM documents GROUP BY 1),
@@ -835,6 +901,7 @@ object GovernanceQueries {
     QueryDef("q169_json_schema_read", q169, Some(q169Sql)),
     QueryDef("q192_fanout_profile", q192, Some(q192Sql)),
     QueryDef("q181_ks_drift", q181, Some(q181Sql), bench = true),
+    QueryDef("q292_cvm_drift", q292, Some(q292Sql)),
     QueryDef("q254_mann_whitney_drift", q254, Some(q254Sql)),
     QueryDef("q182_benford_audit", q182, Some(q182Sql)),
     QueryDef("q170_k_anonymity", q170, Some(q170Sql)),

@@ -627,7 +627,11 @@ object SimilarityQueries {
     * the CC loop runs on the core-core EDGE set, not the corpus. The
     * oracle states the same semantics with the O(n²) join + recursive
     * CTE it is allowed at sf0.01. */
-  def q277(s: SparkSession, d: String): DataFrame = {
+  def q277(s: SparkSession, d: String): DataFrame =
+    dbscanAssign(s, d).orderBy(col("vec_id"))
+
+  /** Shared core of q277/q293: (vec_id, n_nbrs, role, cluster). */
+  def dbscanAssign(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val eps = 15000L; val minPts = 4
     val pts = Tables.embeddings(s, d).select($"vec_id",
@@ -679,11 +683,11 @@ object SimilarityQueries {
           .otherwise("noise").as("role"),
         when($"is_core" === 1, $"cluster")
           .otherwise($"b_cluster").as("cluster"))
-      .orderBy($"vec_id")
   }
 
-  val q277Sql: String =
-    """WITH RECURSIVE p AS (
+  /** Shared DBSCAN oracle CTE chain (q277/q293). */
+  private val dbscanCtes: String =
+    """p AS (
       |  SELECT vec_id,
       |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) AS xi,
       |    CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT) AS yi
@@ -716,16 +720,21 @@ object SimilarityQueries {
       |border_label AS (
       |  SELECT nb.a AS vec_id, min(cl.cluster) AS b_cluster
       |  FROM nb JOIN core_label cl ON nb.b = cl.vec_id
-      |  GROUP BY 1)
-      |SELECT r.vec_id, CAST(r.n_nbrs AS BIGINT) AS n_nbrs,
-      |  CASE WHEN r.is_core = 1 THEN 'core'
-      |       WHEN bl.b_cluster IS NOT NULL THEN 'border'
-      |       ELSE 'noise' END AS role,
-      |  CASE WHEN r.is_core = 1 THEN cl.cluster ELSE bl.b_cluster END AS cluster
-      |FROM roles r
-      |LEFT JOIN core_label cl ON r.vec_id = cl.vec_id
-      |LEFT JOIN border_label bl ON r.vec_id = bl.vec_id
-      |ORDER BY r.vec_id""".stripMargin
+      |  GROUP BY 1),
+      |assign AS (
+      |  SELECT r.vec_id, r.n_nbrs, r.is_core,
+      |    CASE WHEN r.is_core = 1 THEN 'core'
+      |         WHEN bl.b_cluster IS NOT NULL THEN 'border'
+      |         ELSE 'noise' END AS role,
+      |    CASE WHEN r.is_core = 1 THEN cl.cluster ELSE bl.b_cluster END AS cluster
+      |  FROM roles r
+      |  LEFT JOIN core_label cl ON r.vec_id = cl.vec_id
+      |  LEFT JOIN border_label bl ON r.vec_id = bl.vec_id)""".stripMargin
+
+  val q277Sql: String =
+    s"""WITH RECURSIVE $dbscanCtes
+       |SELECT vec_id, CAST(n_nbrs AS BIGINT) AS n_nbrs, role, cluster
+       |FROM assign ORDER BY vec_id""".stripMargin
 
   /** q285 — kNN classification scorecard: hold out every fifth
     * vector (vec_id % 5 = 0 — deterministic, no salt needed), predict
@@ -914,10 +923,88 @@ object SimilarityQueries {
        |FROM v5 ORDER BY dim""".stripMargin
   }
 
+  /** q293 — Adjusted Rand Index of the q277 DBSCAN clustering against
+    * the embedding labels: the external-validity score that answers
+    * "did density clustering recover the label structure, beyond
+    * chance?". Noise points count as one cluster (stated — dropping
+    * them would flatter the score). The classic ARI is a ratio of
+    * rationals; multiplying through by 2·C(n,2) makes BOTH sides
+    * integers: ari = (2·C₂·P − 2·A·B) / (C₂·(A+B) − 2·A·B) with
+    * P/A/B the pair-count sums nᵢⱼ(nᵢⱼ−1) over the contingency
+    * cells/margins and C₂ = n(n−1) — every term DECIMAL(38,0)/
+    * HUGEINT (pair counts hit n² scale), the emitted index one
+    * micro-grid division (null if the denominator degenerates).
+    *
+    * Scale shape: everything beyond the q277 assignment is a
+    * contingency rollup (bounded: clusters × labels) and
+    * broadcast-size arithmetic. */
+  def q293(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assign = dbscanAssign(s, d)
+      .select($"vec_id", coalesce($"cluster", lit(-1L)).as("cl"))
+    val withLabel = assign
+      .join(Tables.embeddings(s, d).select($"vec_id", $"label"), "vec_id")
+    val cells = withLabel.groupBy($"cl", $"label")
+      .agg(count(lit(1)).as("nij"))
+      .transform(Fx.materialize)
+    val p = cells.agg(
+      sum(expr("cast(nij as decimal(38,0)) * (nij - 1)")).as("p2"),
+      sum($"nij").as("n"),
+      countDistinct($"cl").as("n_clusters"),
+      countDistinct($"label").as("n_labels"))
+    val a = cells.groupBy($"cl").agg(sum($"nij").as("ai"))
+      .agg(sum(expr("cast(ai as decimal(38,0)) * (ai - 1)")).as("a2"))
+    val b = cells.groupBy($"label").agg(sum($"nij").as("bj"))
+      .agg(sum(expr("cast(bj as decimal(38,0)) * (bj - 1)")).as("b2"))
+    p.crossJoin(broadcast(a)).crossJoin(broadcast(b))
+      .withColumn("c2", expr("cast(n as decimal(38,0)) * (n - 1)"))
+      .withColumn("num", expr("2 * c2 * p2 - 2 * a2 * b2"))
+      .withColumn("den", expr("c2 * (a2 + b2) - 2 * a2 * b2"))
+      .select($"n", $"n_clusters", $"n_labels",
+        $"p2".cast("long").as("pair_same_both2"),
+        $"a2".cast("long").as("pair_same_cluster2"),
+        $"b2".cast("long").as("pair_same_label2"),
+        when($"den" =!= 0, expr("(num * 1000000) div den"))
+          .as("ari_micro"))
+  }
+
+  val q293Sql: String =
+    s"""WITH RECURSIVE $dbscanCtes,
+       |wl AS (
+       |  SELECT a.vec_id, COALESCE(a.cluster, -1) AS cl, e.label
+       |  FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id),
+       |cells AS (
+       |  SELECT cl, label, CAST(count(*) AS BIGINT) AS nij
+       |  FROM wl GROUP BY 1, 2),
+       |pp AS (
+       |  SELECT CAST(sum(CAST(nij AS HUGEINT) * (nij - 1)) AS HUGEINT) AS p2,
+       |    CAST(sum(nij) AS BIGINT) AS n,
+       |    CAST(count(DISTINCT cl) AS BIGINT) AS n_clusters,
+       |    CAST(count(DISTINCT label) AS BIGINT) AS n_labels
+       |  FROM cells),
+       |aa AS (
+       |  SELECT CAST(sum(CAST(ai AS HUGEINT) * (ai - 1)) AS HUGEINT) AS a2
+       |  FROM (SELECT cl, CAST(sum(nij) AS BIGINT) AS ai
+       |        FROM cells GROUP BY cl) t),
+       |bb AS (
+       |  SELECT CAST(sum(CAST(bj AS HUGEINT) * (bj - 1)) AS HUGEINT) AS b2
+       |  FROM (SELECT label, CAST(sum(nij) AS BIGINT) AS bj
+       |        FROM cells GROUP BY label) t)
+       |SELECT n, n_clusters, n_labels,
+       |  CAST(p2 AS BIGINT) AS pair_same_both2,
+       |  CAST(a2 AS BIGINT) AS pair_same_cluster2,
+       |  CAST(b2 AS BIGINT) AS pair_same_label2,
+       |  CASE WHEN CAST(n AS HUGEINT) * (n - 1) * (a2 + b2) - 2 * a2 * b2 <> 0
+       |    THEN CAST(((2 * CAST(n AS HUGEINT) * (n - 1) * p2 - 2 * a2 * b2) * 1000000)
+       |         // (CAST(n AS HUGEINT) * (n - 1) * (a2 + b2) - 2 * a2 * b2) AS BIGINT)
+       |  END AS ari_micro
+       |FROM pp CROSS JOIN aa CROSS JOIN bb""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q277_dbscan_clusters", q277, Some(q277Sql)),
     QueryDef("q285_knn_scorecard", q285, Some(q285Sql)),
     QueryDef("q286_pca_power_iteration", q286, Some(q286Sql)),
+    QueryDef("q293_ari_clustering", q293, Some(q293Sql)),
     QueryDef("q232_embedding_health", q232, Some(q232Sql)),
     QueryDef("q224_retrieval_scorecard", q224, Some(q224Sql)),
     QueryDef("q186_mmr_rerank", q186, Some(q186Sql), bench = true),
