@@ -1381,6 +1381,113 @@ object AssociationQueries {
       |GROUP BY o.grp, med.n_train, med.med_cents, qh.n_cal, qh.k, qh.qhat_cents
       |ORDER BY o.grp""".stripMargin
 
+  /** q294 — standardized-mean-difference covariate balance, before
+    * and after q288's CEM matching: the diagnostic every matching
+    * study must print (|SMD| < 0.1 is the conventional "balanced"
+    * line). Per covariate and phase, SMD = (x̄_t − x̄_c) /
+    * √((s²_t + s²_c)/2); the variances use the exact-moment identity
+    * (n·Σx² − (Σx)²)/(n(n−1)) so everything up to the final pinned
+    * double shape (one sqrt, the q268 budget) is integer — moments
+    * accumulate in DECIMAL(38,0)/HUGEINT since Σx² hits value²·n
+    * scale. "After" recomputes on the population inside matched
+    * strata (both arms present) — the matched sample, stated.
+    *
+    * Scale shape: one per-user aggregate feeds both phases; the
+    * covariate unpivot is a 3× constant fan-out of the USER-level
+    * frame; each phase is one rollup to (covariate × arm) cells. */
+  def q294(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val users = Fx.eventTs(Tables.events(s, d))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_ev"),
+        countDistinct(epochDay($"ts")).as("n_days"),
+        sum(when($"event_type" === "purchase", floor($"value" * 100))
+          .otherwise(0L).cast("long")).as("cents"))
+      .select($"user_id", $"n_ev", $"n_days", $"cents",
+        expr("n_ev div 10").as("b_act"), expr("n_days div 5").as("b_days"),
+        (conv(substring(md5(concat($"user_id".cast("string"), lit("#cem"))), 1, 8), 16, 10) % 2)
+          .cast("int").as("treat"))
+      .transform(Fx.materialize)
+    val matchedStrata = users.groupBy($"b_act", $"b_days")
+      .agg(sum($"treat").as("nt"), sum(lit(1) - $"treat").as("nc"))
+      .filter($"nt" > 0 && $"nc" > 0)
+      .select($"b_act".as("__ba"), $"b_days".as("__bd"))
+    val after = users.join(broadcast(matchedStrata),
+      $"b_act" === $"__ba" && $"b_days" === $"__bd")
+      .select(users.columns.map(col): _*)
+    def phase(df: DataFrame, name: String): DataFrame = {
+      val long_ = df.select($"treat",
+        expr("stack(3, 'n_ev', n_ev, 'n_days', n_days, 'cents', cents) as (cov, x)"))
+      long_.groupBy($"cov", $"treat")
+        .agg(count(lit(1)).as("n"),
+          sum($"x").as("sx"),
+          sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"))
+        .withColumn("phase", lit(name))
+    }
+    val cells = phase(users, "before").unionByName(phase(after, "after"))
+      .withColumn("mean_micro", expr("(cast(sx as decimal(38,0)) * 1000000) div n"))
+      .withColumn("varx",
+        when($"n" > 1,
+          expr("""cast(cast(n as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx
+                  as double) / cast(cast(n as decimal(38,0)) * (n - 1) as double)"""))
+          .otherwise(lit(0.0)))
+    val t = cells.filter($"treat" === 1)
+      .select($"phase", $"cov", $"n".as("n_t"),
+        $"mean_micro".as("mean_t_micro"), $"varx".as("v_t"), $"sx".as("sx_t"))
+    val c = cells.filter($"treat" === 0)
+      .select($"phase".as("__p"), $"cov".as("__c"), $"n".as("n_c"),
+        $"mean_micro".as("mean_c_micro"), $"varx".as("v_c"), $"sx".as("sx_c"))
+    t.join(c, $"phase" === $"__p" && $"cov" === $"__c")
+      .withColumn("smd",
+        r6(($"sx_t".cast("double") / $"n_t" - $"sx_c".cast("double") / $"n_c")
+          / sqrt(($"v_t" + $"v_c") / 2)))
+      .select($"phase", $"cov", $"n_t", $"n_c",
+        $"mean_t_micro", $"mean_c_micro", $"smd")
+      .orderBy($"phase", $"cov")
+  }
+
+  val q294Sql: String = {
+    val varExpr = (n: String, sx: String, sxx: String) =>
+      s"CAST(CAST($n AS HUGEINT) * $sxx - CAST($sx AS HUGEINT) * $sx AS DOUBLE)" +
+        s" / CAST(CAST($n AS HUGEINT) * ($n - 1) AS DOUBLE)"
+    s"""WITH u AS (
+       |  SELECT user_id, count(*) AS n_ev,
+       |    count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS n_days,
+       |    CAST(sum(CASE WHEN event_type = 'purchase'
+       |         THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS cents,
+       |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#cem'), 1, 8))::BIGINT % 2 AS INT) AS treat
+       |  FROM events GROUP BY user_id),
+       |ub AS (SELECT *, n_ev // 10 AS b_act, n_days // 5 AS b_days FROM u),
+       |ms AS (
+       |  SELECT b_act, b_days FROM ub GROUP BY 1, 2
+       |  HAVING sum(treat) > 0 AND sum(1 - treat) > 0),
+       |aft AS (SELECT ub.* FROM ub JOIN ms USING (b_act, b_days)),
+       |longf AS (
+       |  SELECT 'before' AS phase, treat, 'n_ev' AS cov, n_ev AS x FROM ub
+       |  UNION ALL SELECT 'before', treat, 'n_days', n_days FROM ub
+       |  UNION ALL SELECT 'before', treat, 'cents', cents FROM ub
+       |  UNION ALL SELECT 'after', treat, 'n_ev', n_ev FROM aft
+       |  UNION ALL SELECT 'after', treat, 'n_days', n_days FROM aft
+       |  UNION ALL SELECT 'after', treat, 'cents', cents FROM aft),
+       |cells AS (
+       |  SELECT phase, cov, treat, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx,
+       |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+       |  FROM longf GROUP BY 1, 2, 3),
+       |m AS (
+       |  SELECT *,
+       |    CAST((CAST(sx AS HUGEINT) * 1000000) // n AS BIGINT) AS mean_micro,
+       |    CASE WHEN n > 1 THEN ${varExpr("n", "sx", "sxx")} ELSE 0.0 END AS varx
+       |  FROM cells)
+       |SELECT t.phase, t.cov, t.n AS n_t, c.n AS n_c,
+       |  t.mean_micro AS mean_t_micro, c.mean_micro AS mean_c_micro,
+       |  ${sqlR6("(CAST(t.sx AS DOUBLE) / t.n - CAST(c.sx AS DOUBLE) / c.n) / sqrt((t.varx + c.varx) / 2)")}
+       |    AS smd
+       |FROM m t JOIN m c
+       |  ON t.phase = c.phase AND t.cov = c.cov AND t.treat = 1 AND c.treat = 0
+       |ORDER BY t.phase, t.cov""".stripMargin
+  }
+
   /** q291 — Wilson score intervals for per-segment buy rates: the
     * binomial interval that behaves at the extremes (Wald collapses
     * to zero width at p̂∈{0,1} and goes negative near them; Wilson
@@ -1751,6 +1858,7 @@ object AssociationQueries {
     QueryDef("q282_sequential_monitoring", q282, Some(q282Sql)),
     QueryDef("q288_cem_att", q288, Some(q288Sql)),
     QueryDef("q291_wilson_intervals", q291, Some(q291Sql)),
+    QueryDef("q294_smd_balance", q294, Some(q294Sql)),
     QueryDef("q247_association_rules", q247, Some(q247Sql)),
     QueryDef("q246_fpgrowth_itemsets", q246, Some(q246Sql)),
     QueryDef("q245_prefixspan_patterns", q245, Some(q245Sql)),
