@@ -1619,6 +1619,94 @@ object EventQueries {
       |FROM rec WHERE len(a) > 1
       |ORDER BY level""".stripMargin
 
+  /** q295 — Little's law as an EXACT integer identity: L = λW holds
+    * not just in expectation but as an integral equality — the total
+    * of daily concurrent-user counts equals the total of user span
+    * lengths (inclusive first..last day), because both sum the same
+    * user×day incidence matrix by opposite axes. The query computes
+    * both sides independently — concurrency via the sweep-line
+    * (+1 at first_day, −1 after last_day, prefix over the bounded
+    * day grid; the q249 mechanism) and spans via a per-user
+    * aggregate — and emits them with L, λ, W on the micro grid plus
+    * the `identity_holds` flag. A disagreement would mean the sweep
+    * or the span logic is broken: the query is its own audit, which
+    * is exactly how the law is used operationally (concurrency
+    * instrumentation vs session-log totals).
+    *
+    * Scale shape: spans are one user aggregate; the sweep deltas
+    * collapse to the day grid before the prefix window; every later
+    * stage is grid-sized. */
+  def q295(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val spans = Fx.eventTs(Tables.events(s, d))
+      .groupBy($"user_id")
+      .agg(min(epochDay($"ts")).as("d0"), max(epochDay($"ts")).as("d1"))
+      .transform(Fx.materialize)
+    val deltas = spans.select($"d0".as("day"), lit(1L).as("dl"))
+      .unionByName(spans.select(($"d1" + 1).as("day"), lit(-1L).as("dl")))
+      .groupBy($"day").agg(sum($"dl").as("dl"))
+    val wCum = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val conc = deltas.withColumn("conc", sum($"dl").over(wCum))
+    val bounds = spans.agg(min($"d0").as("dmin"), max($"d1").as("dmax"))
+    // concurrency integral: conc(day) is piecewise-constant between
+    // delta days — weight each level by its run length within bounds
+    val concTotal = conc
+      .withColumn("next_day",
+        lead($"day", 1).over(Window.orderBy($"day")))
+      .crossJoin(broadcast(bounds))
+      .withColumn("run",
+        least(coalesce($"next_day", $"dmax" + 1), $"dmax" + 1) - $"day")
+      .filter($"run" > 0)
+      .agg(sum($"conc" * $"run").as("conc_total"))
+    val spanStats = spans.agg(count(lit(1)).as("n_users"),
+      sum($"d1" - $"d0" + 1).as("span_total"))
+    concTotal.crossJoin(broadcast(spanStats)).crossJoin(broadcast(bounds))
+      .withColumn("n_days", ($"dmax" - $"dmin" + 1).cast("long"))
+      .select($"conc_total", $"span_total", $"n_users", $"n_days",
+        ($"conc_total" === $"span_total").cast("int").as("identity_holds"),
+        expr("(conc_total * 1000000) div n_days").as("l_micro"),
+        expr("(n_users * 1000000) div n_days").as("lambda_micro"),
+        expr("(span_total * 1000000) div n_users").as("w_micro"))
+  }
+
+  val q295Sql: String =
+    """WITH spans AS (
+      |  SELECT user_id,
+      |    min(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01') AS d0,
+      |    max(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01') AS d1
+      |  FROM events GROUP BY user_id),
+      |deltas AS (
+      |  SELECT day, CAST(sum(dl) AS BIGINT) AS dl FROM (
+      |    SELECT d0 AS day, 1 AS dl FROM spans
+      |    UNION ALL SELECT d1 + 1, -1 FROM spans) t
+      |  GROUP BY day),
+      |conc AS (
+      |  SELECT day, sum(dl) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS conc,
+      |    lead(day) OVER (ORDER BY day) AS next_day
+      |  FROM deltas),
+      |b AS (SELECT min(d0) AS dmin, max(d1) AS dmax FROM spans),
+      |ct AS (
+      |  SELECT CAST(sum(conc * run) AS BIGINT) AS conc_total FROM (
+      |    SELECT conc,
+      |      least(COALESCE(next_day, dmax + 1), dmax + 1) - day AS run
+      |    FROM conc CROSS JOIN b) t
+      |  WHERE run > 0),
+      |ss AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_users,
+      |    CAST(sum(d1 - d0 + 1) AS BIGINT) AS span_total
+      |  FROM spans)
+      |SELECT ct.conc_total, ss.span_total, ss.n_users,
+      |  CAST(b.dmax - b.dmin + 1 AS BIGINT) AS n_days,
+      |  CAST(ct.conc_total = ss.span_total AS INT) AS identity_holds,
+      |  CAST((CAST(ct.conc_total AS HUGEINT) * 1000000)
+      |       // (b.dmax - b.dmin + 1) AS BIGINT) AS l_micro,
+      |  CAST((CAST(ss.n_users AS HUGEINT) * 1000000)
+      |       // (b.dmax - b.dmin + 1) AS BIGINT) AS lambda_micro,
+      |  CAST((CAST(ss.span_total AS HUGEINT) * 1000000)
+      |       // ss.n_users AS BIGINT) AS w_micro
+      |FROM ct CROSS JOIN ss CROSS JOIN b""".stripMargin
+
   /** q271 — Kaplan–Meier churn survival: users enter at their first
     * event, exit at their last; an exit before the final observed day
     * is CHURN (an event), final-day exits are right-censored
@@ -2393,6 +2481,7 @@ object EventQueries {
     QueryDef("q283_logrank_test", q283, Some(q283Sql)),
     QueryDef("q284_seasonal_anomalies", q284, Some(q284Sql)),
     QueryDef("q287_haar_energy", q287, Some(q287Sql)),
+    QueryDef("q295_littles_law", q295, Some(q295Sql)),
     QueryDef("q70_sessionize", q70, Some(q70Sql), bench = true),
     QueryDef("q71_asof_join", q71, Some(q71Sql), bench = true),
     QueryDef("q73_range_join", q73, Some(q73Sql), bench = true),
