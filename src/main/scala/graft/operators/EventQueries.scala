@@ -1707,6 +1707,242 @@ object EventQueries {
       |       // ss.n_users AS BIGINT) AS w_micro
       |FROM ct CROSS JOIN ss CROSS JOIN b""".stripMargin
 
+  /** q296 — changepoint LOCALIZATION by binary segmentation (two
+    * levels → up to three changepoints): where q218's CUSUM answers
+    * "did the mean shift?", binseg answers "where, repeatedly?".
+    * Splitting at t maximizes Σ²L/lenL + Σ²R/lenR (the Σy² term is
+    * constant within the segment being split, so this IS the SSE
+    * argmin); the objective lands on a STATED integer grid —
+    * obj(t) = Σ²L div lenL + Σ²R div lenR, squares on
+    * DECIMAL(38,0)/HUGEINT — so the argmax (ties → smallest t) is
+    * an integer comparison both engines resolve identically, no
+    * rational cross-multiplication needed (grid = 1 cent² — the 10⁶
+    * refinement overflows BIGINT `div` at sf0.1 revenue volumes;
+    * measured, and the unit grid already separates real splits). Level 2 re-splits each
+    * side by the same rule (sides of length < 2 emit no row —
+    * stated). Output: one row per executed split with bounds, the
+    * chosen point, and the gain over the unsplit segment.
+    *
+    * Scale shape: the corpus collapses to the ranked day grid once;
+    * candidate evaluation is prefix-sum arithmetic over that
+    * calendar-bounded grid, and each argmax is a bounded-grid
+    * window. */
+  def q296(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Fx.eventTs(Tables.events(s, d))
+      .filter($"event_type" === "purchase")
+      .groupBy(epochDay($"ts").as("day"))
+      .agg(sum(floor($"value" * 100).cast("long")).as("y"))
+    val rk = daily
+      .withColumn("k", row_number().over(Window.orderBy($"day")).cast("long"))
+      .withColumn("p", sum($"y").over(Window.orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"k", $"day", $"y", $"p")
+      .transform(Fx.materialize)
+    val tot = rk.agg(max($"k").as("n"), max($"p").as("pn"))
+    // best split of segment [lo, hi] given prefix at lo-1
+    def bestSplit(segs: DataFrame): DataFrame = {
+      // segs: (level, lo, hi, p0) with p0 = prefix before lo
+      val cand = segs.join(rk.select($"k", $"p"),
+          $"k" >= $"lo" && $"k" < $"hi")
+        .withColumn("sl", $"p" - $"p0")
+        .withColumn("ll", $"k" - $"lo" + 1L)
+        .withColumn("sr", $"pseg" - $"sl")
+        .withColumn("lr", $"hi" - $"k")
+        .withColumn("obj",
+          expr("(cast(sl as decimal(38,0)) * sl) div ll") +
+            expr("(cast(sr as decimal(38,0)) * sr) div lr"))
+        .withColumn("base",
+          expr("(cast(pseg as decimal(38,0)) * pseg) div (hi - lo + 1)"))
+      cand.withColumn("rn", row_number().over(
+          Window.partitionBy($"level", $"lo", $"hi")
+            .orderBy($"obj".desc, $"k")))
+        .filter($"rn" === 1)
+        .select($"level", $"lo", $"hi", $"k".as("split_k"),
+          ($"obj" - $"base").cast("long").as("gain_sq"),
+          $"sl", $"ll", $"sr", $"lr", $"p".as("psplit"))
+    }
+    val seg1 = tot.select(lit(1).as("level"), lit(1L).as("lo"),
+      $"n".as("hi"), lit(0L).as("p0"), $"pn".as("pseg"))
+    val b1 = bestSplit(seg1).transform(Fx.materialize)
+    val seg2 = b1.crossJoin(broadcast(tot))
+      .select(explode(array(
+        struct(lit(2).as("level"), $"lo".as("lo"), $"split_k".as("hi"),
+          lit(0L).as("p0"), $"sl".as("pseg")),
+        struct(lit(2).as("level"), ($"split_k" + 1L).as("lo"), $"hi".as("hi"),
+          $"psplit".as("p0"), $"sr".as("pseg")))).as("s"))
+      .select($"s.*")
+      .filter($"hi" > $"lo") // length >= 2
+    val b2 = bestSplit(seg2)
+    b1.select($"level", $"lo", $"hi", $"split_k", $"gain_sq")
+      .unionByName(b2.select($"level", $"lo", $"hi", $"split_k", $"gain_sq"))
+      .orderBy($"level", $"lo")
+  }
+
+  val q296Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' AS day,
+      |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |rk AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k, day, y,
+      |    CAST(sum(y) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+      |  FROM daily),
+      |tot AS (SELECT max(k) AS n, max(p) AS pn FROM rk),
+      |segs AS (
+      |  SELECT 1 AS level, CAST(1 AS BIGINT) AS lo, n AS hi,
+      |    CAST(0 AS BIGINT) AS p0, pn AS pseg
+      |  FROM tot),
+      |cand1 AS (
+      |  SELECT s.level, s.lo, s.hi, rk.k, rk.p,
+      |    rk.p - s.p0 AS sl, rk.k - s.lo + 1 AS ll,
+      |    s.pseg - (rk.p - s.p0) AS sr, s.hi - rk.k AS lr, s.pseg
+      |  FROM segs s JOIN rk ON rk.k >= s.lo AND rk.k < s.hi),
+      |b1 AS (
+      |  SELECT * FROM (
+      |    SELECT level, lo, hi, k AS split_k, p AS psplit, sl, sr,
+      |      CAST((CAST(sl AS HUGEINT) * sl) // ll
+      |         + (CAST(sr AS HUGEINT) * sr) // lr
+      |         - (CAST(pseg AS HUGEINT) * pseg) // (hi - lo + 1)
+      |       AS BIGINT) AS gain_sq,
+      |      row_number() OVER (ORDER BY
+      |        (CAST(sl AS HUGEINT) * sl) // ll
+      |          + (CAST(sr AS HUGEINT) * sr) // lr DESC, k) AS rn
+      |    FROM cand1) t WHERE rn = 1),
+      |segs2 AS (
+      |  SELECT 2 AS level, b1.lo AS lo, b1.split_k AS hi,
+      |    CAST(0 AS BIGINT) AS p0, b1.sl AS pseg
+      |  FROM b1
+      |  UNION ALL
+      |  SELECT 2, b1.split_k + 1, t.n, b1.psplit, b1.sr
+      |  FROM b1 CROSS JOIN tot t),
+      |segs2f AS (SELECT * FROM segs2 WHERE hi > lo),
+      |cand2 AS (
+      |  SELECT s.level, s.lo, s.hi, rk.k,
+      |    rk.p - s.p0 AS sl, rk.k - s.lo + 1 AS ll,
+      |    s.pseg - (rk.p - s.p0) AS sr, s.hi - rk.k AS lr, s.pseg
+      |  FROM segs2f s JOIN rk ON rk.k >= s.lo AND rk.k < s.hi),
+      |b2 AS (
+      |  SELECT level, lo, hi, split_k, gain_sq FROM (
+      |    SELECT level, lo, hi, k AS split_k,
+      |      CAST((CAST(sl AS HUGEINT) * sl) // ll
+      |         + (CAST(sr AS HUGEINT) * sr) // lr
+      |         - (CAST(pseg AS HUGEINT) * pseg) // (hi - lo + 1)
+      |       AS BIGINT) AS gain_sq,
+      |      row_number() OVER (PARTITION BY level, lo, hi ORDER BY
+      |        (CAST(sl AS HUGEINT) * sl) // ll
+      |          + (CAST(sr AS HUGEINT) * sr) // lr DESC, k) AS rn
+      |    FROM cand2) t WHERE rn = 1)
+      |SELECT level, lo, hi, split_k, gain_sq
+      |FROM (SELECT level, lo, hi, split_k, gain_sq FROM b1
+      |      UNION ALL SELECT * FROM b2) u
+      |ORDER BY level, lo""".stripMargin
+
+  /** q297 — TWO-regressor OLS solved exactly by Cramer's rule:
+    * daily revenue ~ β₀ + β₁·(day rank) + β₂·(daily event count) —
+    * trend plus demand, the step q172's single-regressor fit can't
+    * take. The 3×3 normal equations solve symbolically: every
+    * determinant is a polynomial in the nine exact moment sums,
+    * evaluated in DECIMAL(38,0)/HUGEINT (entry magnitudes are
+    * calendar-bounded — day counts and daily totals keep the 3×3
+    * products under 10³⁸; stated, with the 256-bit escalation named
+    * for wider domains), and each coefficient is ONE truncating
+    * micro-division dᵢ div det. R² comes from the same integers —
+    * SSE·det = det·Σy² − Σdᵢgᵢ identically — through a fixed-shape
+    * double pipeline (each cast correctly rounded from an exact
+    * integer).
+    *
+    * Scale shape: one pass collapses the corpus to the day grid,
+    * one 9-sum aggregate collapses the grid to a single row;
+    * everything else is scalar arithmetic. */
+  def q297(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Fx.eventTs(Tables.events(s, d))
+      .groupBy(epochDay($"ts").as("day"))
+      .agg(sum(when($"event_type" === "purchase", floor($"value" * 100))
+        .otherwise(0L).cast("long")).as("y"),
+        count(lit(1)).as("x2"))
+      .withColumn("x1", row_number().over(Window.orderBy($"day")).cast("long"))
+    val m = daily.agg(
+      count(lit(1)).as("n"), sum($"x1").as("s1"), sum($"x2").as("s2"),
+      sum(expr("cast(x1 as decimal(38,0)) * x1")).as("s11"),
+      sum(expr("cast(x1 as decimal(38,0)) * x2")).as("s12"),
+      sum(expr("cast(x2 as decimal(38,0)) * x2")).as("s22"),
+      sum($"y").as("sy"),
+      sum(expr("cast(x1 as decimal(38,0)) * y")).as("s1y"),
+      sum(expr("cast(x2 as decimal(38,0)) * y")).as("s2y"),
+      sum(expr("cast(y as decimal(38,0)) * y")).as("syy"))
+    m.withColumn("det",
+        expr("""n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+                + s2 * (s1 * s12 - s11 * s2)"""))
+      .withColumn("d0",
+        expr("""sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+                + s2 * (s1y * s12 - s11 * s2y)"""))
+      .withColumn("d1",
+        expr("""n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+                + s2 * (s1 * s2y - s1y * s2)"""))
+      .withColumn("d2",
+        expr("""n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+                + sy * (s1 * s12 - s11 * s2)"""))
+      .withColumn("sse_det",
+        expr("det * syy - (d0 * sy + d1 * s1y + d2 * s2y)"))
+      .withColumn("sst_n", expr("n * syy - cast(sy as decimal(38,0)) * sy"))
+      .select($"n", $"det".cast("double").as("det_d"),
+        expr("(d0 * 1000000) div det").as("b0_micro"),
+        expr("(d1 * 1000000) div det").as("b1_micro"),
+        expr("(d2 * 1000000) div det").as("b2_micro"),
+        r6(lit(1.0) -
+          ($"sse_det".cast("double") / $"det".cast("double")) /
+            ($"sst_n".cast("double") / $"n".cast("double"))).as("r2"))
+      .select($"n", r6($"det_d").as("det_approx"), $"b0_micro", $"b1_micro",
+        $"b2_micro", $"r2")
+  }
+
+  val q297Sql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' AS day,
+       |    CAST(sum(CASE WHEN event_type = 'purchase'
+       |         THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y,
+       |    count(*) AS x2
+       |  FROM events GROUP BY 1),
+       |rk AS (
+       |  SELECT y, x2, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS x1
+       |  FROM daily),
+       |m AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS n,
+       |    CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2,
+       |    CAST(sum(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS s11,
+       |    CAST(sum(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS s12,
+       |    CAST(sum(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS s22,
+       |    CAST(sum(y) AS HUGEINT) AS sy,
+       |    CAST(sum(CAST(x1 AS HUGEINT) * y) AS HUGEINT) AS s1y,
+       |    CAST(sum(CAST(x2 AS HUGEINT) * y) AS HUGEINT) AS s2y,
+       |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+       |  FROM rk),
+       |k AS (
+       |  SELECT *,
+       |    n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+       |      + s2 * (s1 * s12 - s11 * s2) AS det,
+       |    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+       |      + s2 * (s1y * s12 - s11 * s2y) AS d0,
+       |    n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+       |      + s2 * (s1 * s2y - s1y * s2) AS d1,
+       |    n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+       |      + sy * (s1 * s12 - s11 * s2) AS d2
+       |  FROM m),
+       |f AS (
+       |  SELECT *, det * syy - (d0 * sy + d1 * s1y + d2 * s2y) AS sse_det,
+       |    n * syy - sy * sy AS sst_n
+       |  FROM k)
+       |SELECT CAST(n AS BIGINT) AS n,
+       |  ${sqlR6("CAST(det AS DOUBLE)")} AS det_approx,
+       |  CAST((d0 * 1000000) // det AS BIGINT) AS b0_micro,
+       |  CAST((d1 * 1000000) // det AS BIGINT) AS b1_micro,
+       |  CAST((d2 * 1000000) // det AS BIGINT) AS b2_micro,
+       |  ${sqlR6("1.0 - (CAST(sse_det AS DOUBLE) / CAST(det AS DOUBLE)) / (CAST(sst_n AS DOUBLE) / CAST(n AS DOUBLE))")}
+       |    AS r2
+       |FROM f""".stripMargin
+
   /** q271 — Kaplan–Meier churn survival: users enter at their first
     * event, exit at their last; an exit before the final observed day
     * is CHURN (an event), final-day exits are right-censored
@@ -2482,6 +2718,8 @@ object EventQueries {
     QueryDef("q284_seasonal_anomalies", q284, Some(q284Sql)),
     QueryDef("q287_haar_energy", q287, Some(q287Sql)),
     QueryDef("q295_littles_law", q295, Some(q295Sql)),
+    QueryDef("q296_binary_segmentation", q296, Some(q296Sql)),
+    QueryDef("q297_multiple_ols", q297, Some(q297Sql)),
     QueryDef("q70_sessionize", q70, Some(q70Sql), bench = true),
     QueryDef("q71_asof_join", q71, Some(q71Sql), bench = true),
     QueryDef("q73_range_join", q73, Some(q73Sql), bench = true),
