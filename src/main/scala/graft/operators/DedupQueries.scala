@@ -850,6 +850,86 @@ object DedupQueries {
        |FROM g JOIN ps USING (fp)
        |ORDER BY n_dup_groups""".stripMargin
 
+  /** q298 — dedup threshold sensitivity sweep: the operational
+    * readout BEFORE anyone picks "the" near-dup threshold. Over the
+    * one LSH candidate set (computed once, exact Jaccard attached
+    * once), the edge set re-filters at θ ∈ {0.6, 0.7, 0.8, 0.9} and
+    * each level re-clusters — emitting edges, touched docs, cluster
+    * count and the largest cluster per θ. The curve's shape is the
+    * decision: a largest-cluster explosion between two thresholds
+    * means the lower one is chaining unrelated docs through hubs.
+    * Jaccard is an exact rational quotient, so threshold comparisons
+    * are bit-identical cross-engine; clusters ride the alternating-
+    * star CC per level, min-id labels.
+    *
+    * Scale shape: candidates and exact similarities compute ONCE
+    * (the expensive part); the sweep re-runs only edge filtering +
+    * CC on the (much smaller) near-dup edge set — 4× the CC cost,
+    * not 4× the corpus cost. The oracle's recursive CTE carries θ
+    * as a column, one closure for all levels. */
+  def q298(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val sig = Dedup.minhashSignatureWords(docs, "doc_id", "text", nHashes)
+    val bands = Dedup.lshBands(sig, "doc_id", nBands = 2, rowsPerBand = 3)
+    val pairs = Dedup.candidatePairs(bands, "doc_id")
+    val da = docs.select($"doc_id".as("a"), Dedup.wordSet($"text").as("wa"))
+    val db = docs.select($"doc_id".as("b"), Dedup.wordSet($"text").as("wb"))
+    val jp = pairs.join(da, "a").join(db, "b")
+      .select($"a", $"b", Dedup.jaccard($"wa", $"wb").as("jc"))
+      .transform(graft.Fx.materialize)
+    val rows = Seq(0.6, 0.7, 0.8, 0.9).map { t =>
+      val edges = jp.filter($"jc" >= t).select($"a", $"b")
+      val cc = Dedup.ccAlternatingStar(edges)
+      val sizes = cc.groupBy($"component").agg(count(lit(1)).as("sz"))
+      val eStats = edges.agg(count(lit(1)).as("n_edges"))
+      val cStats = cc.agg(count(lit(1)).as("n_dup_docs"))
+      val kStats = sizes.agg(count(lit(1)).as("n_clusters"),
+        coalesce(max($"sz"), lit(0L)).as("largest_cluster"))
+      eStats.crossJoin(cStats).crossJoin(kStats)
+        .select(lit(t).as("threshold"), $"n_edges", $"n_dup_docs",
+          $"n_clusters", $"largest_cluster")
+    }
+    rows.reduce(_ unionByName _).orderBy($"threshold")
+  }
+
+  val q298Sql: String =
+    s"""WITH RECURSIVE $sigSql, $bandsSql, $pairsSql,
+       |ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM documents),
+       |jp AS (
+       |  SELECT a, b,
+       |    CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE) /
+       |      (len(wa.w) + len(wb.w) - len(list_intersect(wa.w, wb.w))) AS jc
+       |  FROM pairs
+       |  JOIN ws wa ON pairs.a = wa.doc_id
+       |  JOIN ws wb ON pairs.b = wb.doc_id),
+       |th AS (SELECT unnest([0.6, 0.7, 0.8, 0.9]) AS t),
+       |ed AS (SELECT th.t, jp.a, jp.b FROM jp CROSS JOIN th WHERE jp.jc >= th.t),
+       |edges AS (SELECT t, a, b FROM ed UNION SELECT t, b, a FROM ed),
+       |reach(t, src, dst) AS (
+       |  SELECT t, a, b FROM edges
+       |  UNION
+       |  SELECT r.t, r.src, e.b FROM reach r
+       |    JOIN edges e ON r.t = e.t AND r.dst = e.a),
+       |comp AS (
+       |  SELECT t, src, least(src, min(dst)) AS c
+       |  FROM reach GROUP BY t, src),
+       |sizes AS (SELECT t, c, count(*) AS sz FROM comp GROUP BY t, c),
+       |es AS (SELECT t, count(*) AS n_edges FROM ed GROUP BY t),
+       |cs AS (SELECT t, count(*) AS n_dup_docs FROM comp GROUP BY t),
+       |ks AS (SELECT t, count(*) AS n_clusters, max(sz) AS largest_cluster
+       |       FROM sizes GROUP BY t)
+       |SELECT th.t AS threshold,
+       |  CAST(COALESCE(es.n_edges, 0) AS BIGINT) AS n_edges,
+       |  CAST(COALESCE(cs.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+       |  CAST(COALESCE(ks.n_clusters, 0) AS BIGINT) AS n_clusters,
+       |  CAST(COALESCE(ks.largest_cluster, 0) AS BIGINT) AS largest_cluster
+       |FROM th
+       |LEFT JOIN es ON th.t = es.t
+       |LEFT JOIN cs ON th.t = cs.t
+       |LEFT JOIN ks ON th.t = ks.t
+       |ORDER BY threshold""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q231_dedup_shard_locality", q231, Some(q231Sql)),
     QueryDef("q221_edit1_neighbors", q221, Some(q221Sql)),
@@ -859,6 +939,7 @@ object DedupQueries {
     QueryDef("q53_near_dup_pairs", q53, Some(q53Sql), bench = true),
     QueryDef("q54_ngram_jaccard", q54, Some(q54Sql)),
     QueryDef("q57_dup_clusters", q57, Some(q57Sql)),
+    QueryDef("q298_threshold_sweep", q298, Some(q298Sql)),
     QueryDef("q256_cc_dataframe", q256, Some(q256Sql)),
     QueryDef("q263_winnowing_fingerprints", q263, Some(q263Sql)),
     QueryDef("q264_cc_incremental", q264, Some(q264Sql)),
