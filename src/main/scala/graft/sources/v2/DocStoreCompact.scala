@@ -1,0 +1,220 @@
+package graft.sources.v2
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, StandardCopyOption}
+
+import com.fasterxml.jackson.core.{JsonFactory, JsonToken}
+
+/** Small-file compaction for the document store — the maintenance
+  * operation every task-parallel sink eventually needs: a 1000-task
+  * write job leaves 1000 files, a month of hourly jobs leaves 720k,
+  * and the scan's planning cost (and the filesystem's patience) is
+  * linear in file count. Compaction bin-packs committed `part-*`
+  * files up to a target size and swaps each bin for one file.
+  *
+  * The hard part is CRASH SAFETY with only per-file atomic renames:
+  * a multi-file swap cannot be atomic, so visibility is gated by a
+  * MANIFEST (markers-as-truth, the CdcApply rule):
+  *
+  *  1. the bin's bytes stream into a `_tmp-compact-…` file (readers
+  *     never see tmp files);
+  *  2. a `_compact-<id>-<bin>.json` manifest (new file name + the
+  *     names it replaces) renames into place FIRST;
+  *  3. the data file renames to `part-compact-<id>-<bin>.jsonl` —
+  *     this single atomic rename IS the commit: the moment it exists,
+  *     [[liveFiles]] hides every replaced file;
+  *  4. the replaced files are deleted — pure garbage collection by
+  *     then, safe to crash through.
+  *
+  * Crash between 2 and 3 → the manifest points at a file that does
+  * not exist → void, originals stay live (the next [[compact]] sweeps
+  * it). Crash between 3 and 4 → replaced files linger on disk but are
+  * DEAD under the manifest rule → no duplicate rows, swept later.
+  * Readers need no locks: every state of the directory reads
+  * consistently.
+  *
+  * Zone maps survive compaction: when every member of a bin has
+  * stats, the bin's merged stats (min/min, max/max, sums — an exact
+  * merge) are persisted for the new file BEFORE its rename, so file
+  * skipping keeps working on compacted data. Any member without
+  * stats → the new file gets none → it is always scanned
+  * (conservative, the zonemap contract).
+  *
+  * JSON-lines concatenation is byte-exact: the writer terminates
+  * every line with '\n', so a compacted file is the concatenation of
+  * its members' bytes — no parse, no re-serialize, no row loss.
+  */
+object DocStoreCompact {
+
+  final case class Manifest(newFile: String, replaces: Seq[String])
+
+  final case class Result(binsWritten: Int, filesReplaced: Int,
+      manifestsSwept: Int, bytesWritten: Long)
+
+  /** Committed, VISIBLE part files: `part-*.jsonl` minus files
+    * replaced by a COMPLETED compaction (manifest present AND its new
+    * file present). The single rule that makes every crash state
+    * readable. */
+  def liveFiles(dir: String): Array[File] = {
+    val all = Option(new File(dir).listFiles()).getOrElse(Array.empty[File])
+    val parts = all.filter(f => f.isFile && f.getName.startsWith("part-") &&
+      f.getName.endsWith(".jsonl"))
+    val partNames = parts.map(_.getName).toSet
+    val dead = manifests(dir).collect {
+      case m if partNames.contains(m.newFile) => m.replaces
+    }.flatten.toSet
+    parts.filterNot(f => dead.contains(f.getName)).sortBy(_.getName)
+  }
+
+  /** Compact `dir`: sweep prior crash debris, then bin-pack live
+    * files smaller than `targetBytes` (first-fit over name order, bins
+    * of ≥ 2 files only) and swap each bin for one compacted file under
+    * the manifest protocol. Idempotent: a second run with the same
+    * target finds nothing to do. */
+  def compact(dir: String, targetBytes: Long,
+      id: String = java.util.UUID.randomUUID().toString.take(8)): Result = {
+    require(targetBytes > 0, "compact: targetBytes must be positive")
+    val swept = sweep(dir)
+    val live = liveFiles(dir)
+    val small = live.filter(_.length() < targetBytes)
+    // first-fit bins over name order; only multi-file bins justify a swap
+    val bins = scala.collection.mutable.ArrayBuffer.empty[Vector[File]]
+    var cur = Vector.empty[File]
+    var curBytes = 0L
+    for (f <- small) {
+      if (cur.nonEmpty && curBytes + f.length() > targetBytes) {
+        bins += cur; cur = Vector.empty; curBytes = 0L
+      }
+      cur = cur :+ f
+      curBytes += f.length()
+    }
+    if (cur.nonEmpty) bins += cur
+    val todo = bins.filter(_.size >= 2)
+    val zm = if (todo.nonEmpty) DocStoreZonemap.load(dir)
+      else Map.empty[String, DocStoreZonemap.FileStats]
+    var replaced = 0
+    var bytes = 0L
+    todo.zipWithIndex.foreach { case (bin, k) =>
+      val newName = s"part-compact-$id-$k.jsonl"
+      val tmp = new File(dir, s"_tmp-compact-$id-$k")
+      val out = new java.io.FileOutputStream(tmp)
+      try bin.foreach { f => Files.copy(f.toPath, out) }
+      finally out.close()
+      // merged zone map BEFORE visibility (markers-as-truth order)
+      mergedStats(bin.map(_.getName), zm).foreach { fs =>
+        val zf = new File(dir, s"_zonemap-compact-$id-$k.json")
+        val zTmp = new File(dir, s"_tmp-compact-$id-$k.zm")
+        Files.write(zTmp.toPath,
+          (DocStoreZonemap.statsJsonLine(newName, fs) + "\n")
+            .getBytes(StandardCharsets.UTF_8))
+        Files.move(zTmp.toPath, zf.toPath, StandardCopyOption.ATOMIC_MOVE)
+      }
+      // manifest first: while the new file is absent it is void
+      val mf = new File(dir, s"_compact-$id-$k.json")
+      val mTmp = new File(dir, s"_tmp-compact-$id-$k.mf")
+      Files.write(mTmp.toPath,
+        manifestJson(Manifest(newName, bin.map(_.getName)))
+          .getBytes(StandardCharsets.UTF_8))
+      Files.move(mTmp.toPath, mf.toPath, StandardCopyOption.ATOMIC_MOVE)
+      // the commit point: one atomic rename flips visibility
+      Files.move(tmp.toPath, new File(dir, newName).toPath,
+        StandardCopyOption.ATOMIC_MOVE)
+      bytes += new File(dir, newName).length()
+      // garbage collection — safe to crash anywhere in here
+      bin.foreach(f => f.delete())
+      replaced += bin.size
+    }
+    Result(todo.size, replaced, swept, bytes)
+  }
+
+  /** Remove crash debris: void manifests (new file never appeared)
+    * with their tmp files, dead replaced files that a crash left
+    * behind, and manifests whose cleanup completed. Returns the number
+    * of manifests removed. */
+  def sweep(dir: String): Int = {
+    val all = Option(new File(dir).listFiles()).getOrElse(Array.empty[File])
+    val partNames = all.filter(f => f.isFile && f.getName.startsWith("part-"))
+      .map(_.getName).toSet
+    var removed = 0
+    manifestFiles(dir).foreach { mf =>
+      parseManifest(mf) match {
+        case Some(m) if partNames.contains(m.newFile) =>
+          // completed: replaced files are dead — delete any left, and
+          // once none remain the manifest itself is done
+          m.replaces.foreach(n => new File(dir, n).delete())
+          mf.delete(); removed += 1
+        case Some(_) | None =>
+          // void (crash before the data rename) or unreadable: the
+          // originals are the truth; drop the manifest
+          mf.delete(); removed += 1
+      }
+    }
+    // orphaned tmp files from any crashed run
+    all.filter(f => f.isFile && f.getName.startsWith("_tmp-compact-"))
+      .foreach(_.delete())
+    removed
+  }
+
+  /** Exact merge of member stats — None if any member lacks stats
+    * (the new file then scans unconditionally, conservative). Columns
+    * missing from any member, or with mismatched kinds, drop out. */
+  private[v2] def mergedStats(names: Seq[String],
+      zm: Map[String, DocStoreZonemap.FileStats])
+      : Option[DocStoreZonemap.FileStats] = {
+    val members = names.map(zm.get)
+    if (members.exists(_.isEmpty)) return None
+    val stats = members.flatten
+    val cols = stats.map(_.cols.keySet).reduce(_ intersect _)
+    val merged = cols.flatMap { c =>
+      val cs = stats.map(_.cols(c))
+      if (cs.map(_.kind).distinct.size != 1) None
+      else Some(c -> DocStoreZonemap.ColStats(cs.head.kind,
+        cs.map(_.iLo).min, cs.map(_.iHi).max,
+        cs.map(_.fLo).min, cs.map(_.fHi).max,
+        cs.map(_.nulls).sum, cs.map(_.nonNulls).sum))
+    }.toMap
+    Some(DocStoreZonemap.FileStats(stats.map(_.rows).sum, merged))
+  }
+
+  // ---- manifest serialization ---------------------------------------
+
+  private def manifestJson(m: Manifest): String = {
+    val sb = new StringBuilder
+    sb.append("{\"new\":\"").append(m.newFile).append("\",\"replaces\":[")
+    m.replaces.zipWithIndex.foreach { case (r, i) =>
+      if (i > 0) sb.append(',')
+      sb.append('"').append(r).append('"')
+    }
+    sb.append("]}").toString
+  }
+
+  private def manifestFiles(dir: String): Array[File] =
+    Option(new File(dir).listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.isFile && f.getName.startsWith("_compact-") &&
+        f.getName.endsWith(".json"))
+      .sortBy(_.getName)
+
+  private def manifests(dir: String): Seq[Manifest] =
+    manifestFiles(dir).toSeq.flatMap(parseManifest)
+
+  private val factory = new JsonFactory()
+
+  private[v2] def parseManifest(f: File): Option[Manifest] =
+    try {
+      val p = factory.createParser(f)
+      var newFile: String = null
+      val repl = scala.collection.mutable.ArrayBuffer.empty[String]
+      if (p.nextToken() != JsonToken.START_OBJECT) return None
+      while (p.nextToken() == JsonToken.FIELD_NAME) {
+        p.getCurrentName match {
+          case "new" => p.nextToken(); newFile = p.getText
+          case "replaces" =>
+            p.nextToken() // START_ARRAY
+            while (p.nextToken() != JsonToken.END_ARRAY) repl += p.getText
+          case _ => p.nextToken(); p.skipChildren()
+        }
+      }
+      if (newFile == null) None else Some(Manifest(newFile, repl.toSeq))
+    } catch { case _: Exception => None }
+}

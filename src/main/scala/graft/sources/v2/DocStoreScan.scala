@@ -69,11 +69,10 @@ private[v2] class DocStoreScan(dir: String, tableSchema: StructType,
       s"PushedFilters: [${pushed.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = Option(new java.io.File(dir).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isFile && f.getName.startsWith("part-") &&
-        f.getName.endsWith(".jsonl"))
-      .map(_.getAbsolutePath).sorted
+    // liveFiles: committed part files minus those a COMPLETED
+    // compaction replaced (manifest rule) — every compaction crash
+    // state reads consistently, never with duplicate rows
+    val files = DocStoreCompact.liveFiles(dir).map(_.getAbsolutePath)
     // file skipping: drop part files whose zone-map stats PROVE no row
     // matches a pushed filter; files without stats always scan
     // (conservative — see DocStoreZonemap)
@@ -265,11 +264,7 @@ private[v2] object DocStoreJson {
     * double; any other kind conflict widens to string; arrays merge
     * element-wise. Field order is first-seen; all fields nullable. */
   def inferSchema(dir: String, maxLines: Int = 200): StructType = {
-    val files = Option(new java.io.File(dir).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isFile && f.getName.startsWith("part-") &&
-        f.getName.endsWith(".jsonl"))
-      .map(_.getAbsolutePath).sorted
+    val files = DocStoreCompact.liveFiles(dir).map(_.getAbsolutePath)
     if (files.isEmpty) return new StructType()
     val order = scala.collection.mutable.ArrayBuffer.empty[String]
     val types = scala.collection.mutable.Map.empty[String, DataType]

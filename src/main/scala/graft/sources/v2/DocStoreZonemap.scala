@@ -131,6 +131,30 @@ object DocStoreZonemap {
     case _ => ' '
   }
 
+  /** Serialize one file's stats in the `_zonemap-*.json` line format
+    * (the same shape [[Collector.toJsonLine]] emits) — used by
+    * compaction to persist MERGED stats for a compacted file. */
+  def statsJsonLine(fileName: String, fs: FileStats): String = {
+    val sb = new StringBuilder
+    sb.append("{\"file\":\"").append(fileName).append("\",\"rows\":")
+      .append(fs.rows).append(",\"cols\":{")
+    var first = true
+    fs.cols.toSeq.sortBy(_._1).foreach { case (name, c) =>
+      if (!first) sb.append(',')
+      first = false
+      sb.append('"').append(name).append("\":{\"kind\":\"").append(c.kind)
+        .append("\",\"nulls\":").append(c.nulls)
+        .append(",\"nonNulls\":").append(c.nonNulls)
+      if (c.kind == 'i')
+        sb.append(",\"lo\":").append(c.iLo).append(",\"hi\":").append(c.iHi)
+      else
+        sb.append(",\"lo\":").append(jsonDouble(c.fLo))
+          .append(",\"hi\":").append(jsonDouble(c.fHi))
+      sb.append('}')
+    }
+    sb.append("}}").toString
+  }
+
   // ---- read side -----------------------------------------------------
 
   /** Union of every `_zonemap-*.json` in the dir: file name → stats.
