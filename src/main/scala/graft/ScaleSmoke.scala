@@ -81,6 +81,41 @@ object ScaleSmoke {
     }
 
 
+    // targeted mode: `... <n> compact` — docstore file-count scaling:
+    // write n small files via the V2 sink, measure full-scan wall time
+    // (planning + read) before and after compaction, verify counts
+    if (args.lift(1).contains("compact")) {
+      val dir = java.nio.file.Files.createTempDirectory("smoke-compact").toString
+      val nFiles = math.max(16, nDocs.toInt)
+      timedN(nFiles)("write_small_files") {
+        spark.range(nFiles * 100L)
+          .select($"id", md5($"id".cast("string")).as("payload"),
+            ($"id" % 1000).as("bucket"))
+          .repartition(nFiles)
+          .write.format("graft.sources.v2.DocStoreDataSource")
+          .option("path", dir).mode("append").save()
+        nFiles.toLong
+      }
+      val fmt = "graft.sources.v2.DocStoreDataSource"
+      var preCount = 0L
+      timedN(nFiles)("scan_fragmented") {
+        preCount = spark.read.format(fmt).option("path", dir).load().count()
+        preCount
+      }
+      timedN(nFiles)("compact_64mb") {
+        graft.sources.v2.DocStoreCompact.compact(dir, 64L << 20).binsWritten.toLong
+      }
+      val nLive = graft.sources.v2.DocStoreCompact.liveFiles(dir).length
+      timedN(nFiles)("scan_compacted") {
+        val c = spark.read.format(fmt).option("path", dir).load().count()
+        require(c == preCount, s"row count changed: $c != $preCount")
+        c
+      }
+      println(s"[scale] files: $nFiles -> $nLive after compaction")
+      spark.stop()
+      return
+    }
+
     // targeted mode: `... <n> cc` — DataFrame alternating-star CC vs
     // GraphX Pregel on a diameter-100 chain graph (n nodes in blocks
     // of 100; the worst case for label propagation, which needs
