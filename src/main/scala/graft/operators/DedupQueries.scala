@@ -930,6 +930,103 @@ object DedupQueries {
        |LEFT JOIN ks ON th.t = ks.t
        |ORDER BY threshold""".stripMargin
 
+  /** q299 — LSH banding recall scorecard: how many true near-dup
+    * pairs does the production 2-band × 3-row banding actually catch?
+    * The reference truth is the HIGH-RECALL configuration of the same
+    * six minhashes — 6 bands × 1 row, candidate = any shared hash,
+    * P(candidate) = 1−(1−J)⁶ ≥ 0.996 at J ≥ 0.6 — with every
+    * candidate VERIFIED by exact Jaccard, so the truth set is exact
+    * over the 6×1 candidate universe (stated; the standard LSH-tuning
+    * methodology — you measure a cheap config against the expensive
+    * one, not against all pairs). Per θ ∈ {0.6, 0.7, 0.8}: true
+    * pairs, pairs the production banding also surfaced, and recall
+    * as one micro division. This is the number that justifies (or
+    * indicts) the bucket/band parameters every 100 TB dedup run
+    * hardcodes.
+    *
+    * Scale shape: both candidate sets ride the capped bucket join
+    * (hot buckets truncate identically in both engines); exact
+    * verification touches only candidate pairs. */
+  def q299(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val sig = Dedup.minhashSignatureWords(docs, "doc_id", "text", nHashes)
+      .transform(graft.Fx.materialize)
+    val truthCand = Dedup.candidatePairs(
+      Dedup.lshBands(sig, "doc_id", nBands = 6, rowsPerBand = 1), "doc_id")
+    val prodCand = Dedup.candidatePairs(
+      Dedup.lshBands(sig, "doc_id", nBands = 2, rowsPerBand = 3), "doc_id")
+      .withColumn("caught", lit(1L))
+    // truth similarity over the SAME feature set the sketches hash —
+    // bigram shingles; word-set Jaccard here would measure the feature
+    // mismatch, not the banding
+    val sh = docs.select($"doc_id",
+      array_distinct(graft.functions.TextAnalysis.adjacentPairs(
+        split($"text", " "))).as("sh"))
+    val da = sh.select($"doc_id".as("a"), $"sh".as("wa"))
+    val db = sh.select($"doc_id".as("b"), $"sh".as("wb"))
+    val truth = truthCand.join(da, "a").join(db, "b")
+      .select($"a", $"b", Dedup.jaccard($"wa", $"wb").as("jc"))
+      .join(prodCand, Seq("a", "b"), "left")
+      .select($"a", $"b", $"jc", coalesce($"caught", lit(0L)).as("caught"))
+      .transform(graft.Fx.materialize)
+    val rows = Seq(0.6, 0.7, 0.8).map { t =>
+      truth.filter($"jc" >= t)
+        .agg(count(lit(1)).as("n_true"), sum($"caught").as("n_caught"))
+        .select(lit(t).as("threshold"), $"n_true",
+          coalesce($"n_caught", lit(0L)).as("n_caught"),
+          when($"n_true" > 0,
+            expr("(coalesce(n_caught, 0) * 1000000) div n_true"))
+            .as("recall_micro"))
+    }
+    rows.reduce(_ unionByName _).orderBy($"threshold")
+  }
+
+  val q299Sql: String =
+    s"""WITH $sigSql,
+       |bands1 AS (
+       |  SELECT doc_id, 1 AS band_idx, h1 AS band_hash FROM sig
+       |  UNION ALL SELECT doc_id, 2, h2 FROM sig
+       |  UNION ALL SELECT doc_id, 3, h3 FROM sig
+       |  UNION ALL SELECT doc_id, 4, h4 FROM sig
+       |  UNION ALL SELECT doc_id, 5, h5 FROM sig
+       |  UNION ALL SELECT doc_id, 6, h6 FROM sig),
+       |okb1 AS (
+       |  SELECT band_idx, band_hash FROM bands1
+       |  GROUP BY band_idx, band_hash HAVING count(*) <= ${Dedup.DefaultMaxBucket}),
+       |gated1 AS (SELECT bands1.* FROM bands1 JOIN okb1 USING (band_idx, band_hash)),
+       |tc AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM gated1 l JOIN gated1 r
+       |    ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+       |   AND l.doc_id < r.doc_id),
+       |$bandsSql, $pairsSql,
+       |ws AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, len(string_split(text, ' '))),
+       |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS w
+       |  FROM documents),
+       |truth AS (
+       |  SELECT tc.a, tc.b,
+       |    CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE) /
+       |      (len(wa.w) + len(wb.w) - len(list_intersect(wa.w, wb.w))) AS jc,
+       |    CASE WHEN p.a IS NULL THEN 0 ELSE 1 END AS caught
+       |  FROM tc
+       |  JOIN ws wa ON tc.a = wa.doc_id
+       |  JOIN ws wb ON tc.b = wb.doc_id
+       |  LEFT JOIN pairs p ON tc.a = p.a AND tc.b = p.b),
+       |th AS (SELECT unnest([0.6, 0.7, 0.8]) AS t)
+       |SELECT th.t AS threshold,
+       |  CAST(count(truth.a) AS BIGINT) AS n_true,
+       |  CAST(COALESCE(sum(truth.caught), 0) AS BIGINT) AS n_caught,
+       |  CASE WHEN count(truth.a) > 0
+       |    THEN CAST((COALESCE(sum(truth.caught), 0) * 1000000)
+       |              // count(truth.a) AS BIGINT)
+       |  END AS recall_micro
+       |FROM th LEFT JOIN truth ON truth.jc >= th.t
+       |GROUP BY th.t
+       |ORDER BY threshold""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q231_dedup_shard_locality", q231, Some(q231Sql)),
     QueryDef("q221_edit1_neighbors", q221, Some(q221Sql)),
@@ -940,6 +1037,7 @@ object DedupQueries {
     QueryDef("q54_ngram_jaccard", q54, Some(q54Sql)),
     QueryDef("q57_dup_clusters", q57, Some(q57Sql)),
     QueryDef("q298_threshold_sweep", q298, Some(q298Sql)),
+    QueryDef("q299_lsh_recall", q299, Some(q299Sql)),
     QueryDef("q256_cc_dataframe", q256, Some(q256Sql)),
     QueryDef("q263_winnowing_fingerprints", q263, Some(q263Sql)),
     QueryDef("q264_cc_incremental", q264, Some(q264Sql)),
