@@ -1169,7 +1169,102 @@ object CurationQueries {
       |JOIN p ON p.g = ((2 * rk - 1) * n) // (2 * ns) + 1
       |ORDER BY r.doc_id""".stripMargin
 
+  /** q300 — the curation pipeline FUNNEL: the whole pre-training
+    * data path — language gate → length gate → quality gate →
+    * repetition gate → exact dedup — as ONE declarative plan whose
+    * output is the per-stage accounting table every data-pipeline
+    * review meeting opens with (rows in, rows out, retention). Every
+    * gate flag is computed in the same single scan (Catalyst fuses
+    * them); the repetition gate compares exactly — dup_frac ≤ 0.05 ⟺
+    * 20·(n_bg − nd_bg) ≤ n_bg, integers only; the dedup stage counts
+    * distinct boilerplate-prefix fingerprints (md5 of the leading 8
+    * words, q100's key — this corpus has no byte-exact dups but 24
+    * prefix dups, so the stage is non-vacuous) among survivors; retention
+    * is one micro division per stage. The quality gate's double is
+    * the shared fixed-shape pipeline (TextAnalysis.qualityScore), so
+    * the ≥ 0.5 comparison is bit-identical cross-engine.
+    *
+    * Scale shape: one scan computes every flag, one aggregate
+    * collapses to six integers, the funnel table is built from that
+    * single row — the pipeline's bookkeeping costs one pass no
+    * matter how many gates. */
+  def q300(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = graft.functions.TextAnalysis.qualityScore($"text")
+    val bg = graft.functions.TextAnalysis.adjacentPairs(split($"text", " "))
+    val flagged = Tables.documents(s, d)
+      .select($"doc_id", $"text", $"lang", $"n_chars")
+      .withColumn("f1", ($"lang" === "en").cast("long"))
+      .withColumn("f2", ($"n_chars" >= 100 && $"n_chars" <= 500).cast("long"))
+      .withColumn("f3", (q >= 0.5).cast("long"))
+      .withColumn("n_bg", size(bg).cast("long"))
+      .withColumn("nd_bg", size(array_distinct(bg)).cast("long"))
+      .withColumn("f4",
+        ($"n_bg" === 0L || ($"n_bg" - $"nd_bg") * 20L <= $"n_bg").cast("long"))
+    val m = flagged.agg(
+      count(lit(1)).as("n0"),
+      sum($"f1").as("n1"),
+      sum($"f1" * $"f2").as("n2"),
+      sum($"f1" * $"f2" * $"f3").as("n3"),
+      sum($"f1" * $"f2" * $"f3" * $"f4").as("n4"),
+      countDistinct(when($"f1" * $"f2" * $"f3" * $"f4" === 1L,
+        md5(concat_ws(" ", slice(split($"text", " "), 1, 8))))).as("n5"))
+    m.select(expr(
+        """stack(5,
+          | 1, 'language', n0, n1,
+          | 2, 'length', n1, n2,
+          | 3, 'quality', n2, n3,
+          | 4, 'repetition', n3, n4,
+          | 5, 'prefix_dedup', n4, n5) as (stage, gate, rows_in, rows_out)"""
+          .stripMargin))
+      .withColumn("rows_dropped", $"rows_in" - $"rows_out")
+      .withColumn("retention_micro",
+        when($"rows_in" > 0L, expr("(rows_out * 1000000) div rows_in")))
+      .orderBy($"stage")
+  }
+
+  val q300Sql: String = {
+    val quality = graft.functions.TextAnalysis.sqlQualityScore("text")
+    s"""WITH f AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS f1,
+       |    CASE WHEN n_chars >= 100 AND n_chars <= 500 THEN 1 ELSE 0 END AS f2,
+       |    CASE WHEN $quality >= 0.5 THEN 1 ELSE 0 END AS f3,
+       |    CAST(len(bg) AS BIGINT) AS n_bg,
+       |    CAST(len(list_distinct(bg)) AS BIGINT) AS nd_bg
+       |  FROM (
+       |    SELECT doc_id, text, lang, n_chars,
+       |      list_transform(range(1, len(string_split(text, ' '))),
+       |        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]) AS bg
+       |    FROM documents) t),
+       |g AS (SELECT *,
+       |    CASE WHEN n_bg = 0 OR (n_bg - nd_bg) * 20 <= n_bg THEN 1 ELSE 0 END AS f4
+       |  FROM f),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n0,
+       |    CAST(sum(f1) AS BIGINT) AS n1,
+       |    CAST(sum(f1 * f2) AS BIGINT) AS n2,
+       |    CAST(sum(f1 * f2 * f3) AS BIGINT) AS n3,
+       |    CAST(sum(f1 * f2 * f3 * f4) AS BIGINT) AS n4,
+       |    CAST(count(DISTINCT CASE WHEN f1 * f2 * f3 * f4 = 1
+       |      THEN md5(array_to_string(string_split(text, ' ')[1:8], ' '))
+       |    END) AS BIGINT) AS n5
+       |  FROM g),
+       |funnel AS (
+       |  SELECT 1 AS stage, 'language' AS gate, n0 AS rows_in, n1 AS rows_out FROM m
+       |  UNION ALL SELECT 2, 'length', n1, n2 FROM m
+       |  UNION ALL SELECT 3, 'quality', n2, n3 FROM m
+       |  UNION ALL SELECT 4, 'repetition', n3, n4 FROM m
+       |  UNION ALL SELECT 5, 'prefix_dedup', n4, n5 FROM m)
+       |SELECT stage, gate, rows_in, rows_out, rows_in - rows_out AS rows_dropped,
+       |  CASE WHEN rows_in > 0
+       |    THEN CAST((rows_out * 1000000) // rows_in AS BIGINT)
+       |  END AS retention_micro
+       |FROM funnel ORDER BY stage""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q300_pipeline_funnel", q300, Some(q300Sql), bench = true),
     QueryDef("q266_quantile_normalize", q266, Some(q266Sql)),
     QueryDef("q261_gini_stump", q261, Some(q261Sql)),
     QueryDef("q253_budget_fill", q253, Some(q253Sql)),
