@@ -1381,6 +1381,78 @@ object AssociationQueries {
       |GROUP BY o.grp, med.n_train, med.med_cents, qh.n_cal, qh.k, qh.qhat_cents
       |ORDER BY o.grp""".stripMargin
 
+  /** q302 — minimum-detectable-effect readout for the q243/q268
+    * experiment: with THESE arm sizes and THIS pooled baseline rate,
+    * what absolute lift could the test even see? MDE = (z_{α/2} +
+    * z_β)·√(p̄(1−p̄)(1/n_t + 1/n_c)) at α = 0.05 two-sided, 80%
+    * power — the z-sum pinned as the single literal 2.8016 (adding
+    * 1.96 + 0.8416 in each engine's literal type first would risk a
+    * decimal-vs-binary rounding split), one sqrt
+    * (the q268 budget), every other operand an exact integer or a
+    * correctly-rounded quotient. The readout also answers the
+    * question people actually ask — "was the observed lift inside
+    * the detectable range?" — with a `powered` flag comparing the
+    * two r6-fixed doubles. Run this BEFORE q268: an underpowered
+    * experiment's non-significance means nothing.
+    *
+    * Scale shape: one user-level collapse (q268's), then 1-row
+    * arithmetic. */
+  def q302(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val users = Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg((sum(($"event_type" === "purchase").cast("long")) * 5 >
+        count(lit(1))).cast("long").as("conv"))
+      .withColumn("arm",
+        when(conv(substring(md5(concat($"user_id".cast("string"), lit("#exp1"))), 1, 8), 16, 10)
+          .cast("long") % 2 === 0, lit("control")).otherwise(lit("treatment")))
+    val m = users.agg(
+      sum(when($"arm" === "treatment", 1L).otherwise(0L)).as("nt"),
+      sum(when($"arm" === "treatment", $"conv").otherwise(0L)).as("ct"),
+      sum(when($"arm" === "control", 1L).otherwise(0L)).as("nc"),
+      sum(when($"arm" === "control", $"conv").otherwise(0L)).as("cc"))
+    val p = ($"ct" + $"cc").cast("double") / ($"nt" + $"nc").cast("double")
+    val mde = lit(2.8016) *
+      sqrt(p * (lit(1.0) - p) *
+        (lit(1.0) / $"nt".cast("double") + lit(1.0) / $"nc".cast("double")))
+    val lift = $"ct".cast("double") / $"nt".cast("double") -
+      $"cc".cast("double") / $"nc".cast("double")
+    m.select($"nt".as("n_treat"), $"ct".as("conv_treat"),
+        $"nc".as("n_ctl"), $"cc".as("conv_ctl"),
+        r6(p).as("p_pool"), r6(mde).as("mde_abs"),
+        r6(lift).as("observed_lift"),
+        (abs(r6(lift)) >= r6(mde)).cast("int").as("powered"))
+      .orderBy($"n_treat")
+  }
+
+  val q302Sql: String = {
+    val p = "(CAST(ct + cc AS DOUBLE) / (nt + nc))"
+    val mde = s"(2.8016 * sqrt($p * (1.0 - $p) * " +
+      "(1.0 / CAST(nt AS DOUBLE) + 1.0 / CAST(nc AS DOUBLE))))"
+    val lift = "(CAST(ct AS DOUBLE) / nt - CAST(cc AS DOUBLE) / nc)"
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5
+       |         > count(*) AS INT) AS conv,
+       |    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#exp1'), 1, 8))::BIGINT % 2 = 0
+       |         THEN 'control' ELSE 'treatment' END AS arm
+       |  FROM events GROUP BY user_id),
+       |m AS (
+       |  SELECT
+       |    sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS nt,
+       |    sum(CASE WHEN arm = 'treatment' THEN conv ELSE 0 END) AS ct,
+       |    sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS nc,
+       |    sum(CASE WHEN arm = 'control' THEN conv ELSE 0 END) AS cc
+       |  FROM u)
+       |SELECT CAST(nt AS BIGINT) AS n_treat, CAST(ct AS BIGINT) AS conv_treat,
+       |  CAST(nc AS BIGINT) AS n_ctl, CAST(cc AS BIGINT) AS conv_ctl,
+       |  ${sqlR6(p)} AS p_pool,
+       |  ${sqlR6(mde)} AS mde_abs,
+       |  ${sqlR6(lift)} AS observed_lift,
+       |  CAST(abs(${sqlR6(lift)}) >= ${sqlR6(mde)} AS INT) AS powered
+       |FROM m ORDER BY n_treat""".stripMargin
+  }
+
   /** q294 — standardized-mean-difference covariate balance, before
     * and after q288's CEM matching: the diagnostic every matching
     * study must print (|SMD| < 0.1 is the conventional "balanced"
@@ -1859,6 +1931,7 @@ object AssociationQueries {
     QueryDef("q288_cem_att", q288, Some(q288Sql)),
     QueryDef("q291_wilson_intervals", q291, Some(q291Sql)),
     QueryDef("q294_smd_balance", q294, Some(q294Sql)),
+    QueryDef("q302_mde_power", q302, Some(q302Sql)),
     QueryDef("q247_association_rules", q247, Some(q247Sql)),
     QueryDef("q246_fpgrowth_itemsets", q246, Some(q246Sql)),
     QueryDef("q245_prefixspan_patterns", q245, Some(q245Sql)),

@@ -335,6 +335,72 @@ object GovernanceQueries {
       |       // (CAST(n AS HUGEINT) * m * total * total) AS BIGINT) AS cvm_micro
       |FROM sx ORDER BY source""".stripMargin
 
+  /** q301 — 1-D Wasserstein (earth-mover) drift per source vs rest,
+    * on n_chars: W₁ = ∫|F₁−F₂| — the metric that reports drift in
+    * the UNITS OF THE VALUE ("the typical document got 40 chars
+    * longer"), which KS (sup gap, q181) and CvM (squared integral,
+    * q292) both abstract away. Discrete exact form on the value
+    * grid: W₁ = Σ_x Δx·|i·m − j·n| / (n·m) with Δx the gap to the
+    * next distinct value — every term an exact BIGINT product, the
+    * emitted distance one micro-grid division. Same grid, three
+    * drift lenses: where (KS), how broadly (CvM), how far (W₁).
+    *
+    * Scale shape: q181's exactly — one collapse to the value-domain
+    * grid, cumulative + lead windows over that bounded relation. */
+  def q301(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"source", $"n_chars")
+    val perSrc = docs.groupBy($"source", $"n_chars").agg(count(lit(1)).as("c"))
+    val global = docs.groupBy($"n_chars").agg(count(lit(1)).as("g"))
+    val sizes = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+    val grid = sizes.crossJoin(broadcast(global))
+      .join(perSrc, Seq("source", "n_chars"), "left")
+      .na.fill(0, Seq("c"))
+    val w = Window.partitionBy($"source").orderBy($"n_chars")
+    grid
+      .withColumn("i", sum($"c").over(w))
+      .withColumn("cg", sum($"g").over(w))
+      .withColumn("dx",
+        (lead($"n_chars", 1).over(w) - $"n_chars").cast("long"))
+      .filter($"dx".isNotNull)
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("total"))))
+      .withColumn("m", $"total" - $"n")
+      .withColumn("gap", abs($"i" * $"m" - ($"cg" - $"i") * $"n"))
+      .groupBy($"source", $"n", $"m")
+      .agg(sum(expr("cast(dx as decimal(38,0)) * gap")).as("s_num"))
+      .select($"source", $"n", $"m",
+        expr("""(s_num * 1000000) div
+                (cast(n as decimal(38,0)) * m)""").as("w1_micro"))
+      .orderBy($"source")
+  }
+
+  val q301Sql: String =
+    """WITH c AS (SELECT source, n_chars, count(*) AS c FROM documents GROUP BY 1, 2),
+      |g AS (SELECT n_chars, count(*) AS g FROM documents GROUP BY 1),
+      |t AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+      |tot AS (SELECT count(*) AS total FROM documents),
+      |grid AS (
+      |  SELECT t.source, t.n, g.n_chars, g.g, COALESCE(c.c, 0) AS c
+      |  FROM t CROSS JOIN g
+      |  LEFT JOIN c ON c.source = t.source AND c.n_chars = g.n_chars),
+      |cum AS (
+      |  SELECT source, n, n_chars,
+      |    CAST(sum(c) OVER win AS BIGINT) AS i,
+      |    CAST(sum(g) OVER win AS BIGINT) AS cg,
+      |    CAST(lead(n_chars) OVER win - n_chars AS BIGINT) AS dx
+      |  FROM grid
+      |  WINDOW win AS (PARTITION BY source ORDER BY n_chars)),
+      |sx AS (
+      |  SELECT source, n, total - n AS m,
+      |    sum(CAST(dx AS HUGEINT) * abs(i * (total - n) - (cg - i) * n)) AS s_num
+      |  FROM cum CROSS JOIN tot
+      |  WHERE dx IS NOT NULL
+      |  GROUP BY source, n, total)
+      |SELECT source, CAST(n AS BIGINT) AS n, CAST(m AS BIGINT) AS m,
+      |  CAST((s_num * 1000000) // (CAST(n AS HUGEINT) * m) AS BIGINT) AS w1_micro
+      |FROM sx ORDER BY source""".stripMargin
+
   val q181Sql: String =
     s"""WITH c AS (SELECT source, n_chars, count(*) AS c FROM documents GROUP BY 1, 2),
        |g AS (SELECT n_chars, count(*) AS g FROM documents GROUP BY 1),
@@ -902,6 +968,7 @@ object GovernanceQueries {
     QueryDef("q192_fanout_profile", q192, Some(q192Sql)),
     QueryDef("q181_ks_drift", q181, Some(q181Sql), bench = true),
     QueryDef("q292_cvm_drift", q292, Some(q292Sql)),
+    QueryDef("q301_wasserstein_drift", q301, Some(q301Sql)),
     QueryDef("q254_mann_whitney_drift", q254, Some(q254Sql)),
     QueryDef("q182_benford_audit", q182, Some(q182Sql)),
     QueryDef("q170_k_anonymity", q170, Some(q170Sql)),

@@ -1000,11 +1000,96 @@ object SimilarityQueries {
        |  END AS ari_micro
        |FROM pp CROSS JOIN aa CROSS JOIN bb""".stripMargin
 
+  /** q303 — trustworthiness of the 2-D projection: when q277/q293
+    * cluster on the first two embedding dims, how much neighborhood
+    * structure did that projection keep? The sklearn-standard metric
+    * T(k) = 1 − 2/(n·k·(2n−3k−1)) Σᵢ Σ_{j∈Uᵢ} (r(i,j) − k), where Uᵢ
+    * is the points inside i's k-NN in the PROJECTION but outside it
+    * in the full 64-dim space, and r is the full-space rank. Here it
+    * is EXACT: both distance fields are integer squared Euclidean
+    * (64-dim on the milli grid, 2-D on the micro grid), ranks break
+    * ties by vec_id, the penalty is a BIGINT sum and T lands on the
+    * micro grid in one division. T ≈ 1 ⇒ the cheap 2-D density
+    * clustering is trustworthy; T low ⇒ q277's clusters are
+    * projection artifacts. k = 10.
+    *
+    * Scale shape: an EVAL harness over the bounded embedding sample
+    * (all-pairs by design, like every trustworthiness
+    * implementation); corpus-scale neighbor search stays in
+    * IVF/PQ. */
+  def q303(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val k = 10
+    val pts = Tables.embeddings(s, d).select($"vec_id",
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+          .as("hm"),
+        floor(element_at($"embedding", 1).cast("double") * 1000000L)
+          .cast("long").as("xi"),
+        floor(element_at($"embedding", 2).cast("double") * 1000000L)
+          .cast("long").as("yi"))
+      .transform(Fx.materialize)
+    val b = pts.select($"vec_id".as("j"), $"hm".as("hmb"),
+      $"xi".as("xb"), $"yi".as("yb"))
+    val pairs = pts.crossJoin(broadcast(b)).filter($"vec_id" =!= $"j")
+      .withColumn("d_high",
+        expr("aggregate(zip_with(hm, hmb, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"))
+      .withColumn("d_low",
+        ($"xi" - $"xb") * ($"xi" - $"xb") + ($"yi" - $"yb") * ($"yi" - $"yb"))
+      .select($"vec_id".as("i"), $"j", $"d_high", $"d_low")
+    val ranked = pairs
+      .withColumn("r_high", row_number().over(
+        Window.partitionBy($"i").orderBy($"d_high", $"j")))
+      .withColumn("r_low", row_number().over(
+        Window.partitionBy($"i").orderBy($"d_low", $"j")))
+    val pen = ranked.filter($"r_low" <= k && $"r_high" > k)
+      .agg(count(lit(1)).as("n_violations"),
+        sum($"r_high" - lit(k)).as("penalty_sum"))
+    val n = pts.count()
+    val denom = n * k * (2 * n - 3 * k - 1)
+    pen.select(lit(n).as("n"), lit(k).as("k"),
+        coalesce($"n_violations", lit(0L)).as("n_violations"),
+        coalesce($"penalty_sum", lit(0L)).as("penalty_sum"),
+        (lit(1000000L) -
+          expr(s"(2 * coalesce(penalty_sum, 0) * 1000000) div ${denom}L"))
+          .as("trust_micro"))
+  }
+
+  val q303Sql: String =
+    """WITH p AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS hm,
+      |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) AS xi,
+      |    CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT) AS yi
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT a.vec_id AS i, b.vec_id AS j,
+      |    list_sum(list_transform(range(1, len(a.hm) + 1),
+      |      t -> (a.hm[t] - b.hm[t]) * (a.hm[t] - b.hm[t]))) AS d_high,
+      |    (a.xi - b.xi) * (a.xi - b.xi) + (a.yi - b.yi) * (a.yi - b.yi) AS d_low
+      |  FROM p a JOIN p b ON a.vec_id <> b.vec_id),
+      |ranked AS (
+      |  SELECT i, j,
+      |    row_number() OVER (PARTITION BY i ORDER BY d_high, j) AS r_high,
+      |    row_number() OVER (PARTITION BY i ORDER BY d_low, j) AS r_low
+      |  FROM pairs),
+      |pen AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_violations,
+      |    CAST(COALESCE(sum(r_high - 10), 0) AS BIGINT) AS penalty_sum
+      |  FROM ranked WHERE r_low <= 10 AND r_high > 10),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p)
+      |SELECT nn.n, CAST(10 AS INT) AS k, pen.n_violations, pen.penalty_sum,
+      |  1000000 - CAST((2 * pen.penalty_sum * 1000000)
+      |       // (nn.n * 10 * (2 * nn.n - 31)) AS BIGINT) AS trust_micro
+      |FROM pen CROSS JOIN nn""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q277_dbscan_clusters", q277, Some(q277Sql)),
     QueryDef("q285_knn_scorecard", q285, Some(q285Sql)),
     QueryDef("q286_pca_power_iteration", q286, Some(q286Sql)),
     QueryDef("q293_ari_clustering", q293, Some(q293Sql)),
+    QueryDef("q303_trustworthiness", q303, Some(q303Sql)),
     QueryDef("q232_embedding_health", q232, Some(q232Sql)),
     QueryDef("q224_retrieval_scorecard", q224, Some(q224Sql)),
     QueryDef("q186_mmr_rerank", q186, Some(q186Sql), bench = true),
