@@ -1943,6 +1943,287 @@ object EventQueries {
        |    AS r2
        |FROM f""".stripMargin
 
+  /** q304 — partial correlation: does daily revenue correlate with
+    * daily event volume AFTER the shared time trend is removed?
+    * Raw r(y, x) is confounded — both series drift with the
+    * calendar — so the readout is r_{yx·t} = (r_yx − r_yt·r_xt) /
+    * √((1−r_yt²)(1−r_xt²)). All three pairwise correlations come
+    * from the same exact moment sums (n·Σab − Σa·Σb over
+    * DECIMAL(38,0), the q83 discipline): each r is one fixed-shape
+    * double with one sqrt, and the partial-correlation formula runs
+    * on those three doubles — mirrored operation-for-operation.
+    * Emits raw AND partial r: the gap between them IS the trend
+    * confounding.
+    *
+    * Scale shape: one collapse to the day grid, one 9-sum
+    * aggregate, scalar arithmetic. */
+  def q304(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Fx.eventTs(Tables.events(s, d))
+      .groupBy(epochDay($"ts").as("day"))
+      .agg(sum(when($"event_type" === "purchase", floor($"value" * 100))
+        .otherwise(0L).cast("long")).as("y"),
+        count(lit(1)).as("x"))
+      .withColumn("t", row_number().over(Window.orderBy($"day")).cast("long"))
+    val m = daily.agg(
+      count(lit(1)).as("n"),
+      sum($"y").as("sy"), sum($"x").as("sx"), sum($"t").as("st"),
+      sum(expr("cast(y as decimal(38,0)) * y")).as("syy"),
+      sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),
+      sum(expr("cast(t as decimal(38,0)) * t")).as("stt"),
+      sum(expr("cast(y as decimal(38,0)) * x")).as("syx"),
+      sum(expr("cast(y as decimal(38,0)) * t")).as("syt"),
+      sum(expr("cast(x as decimal(38,0)) * t")).as("sxt"))
+    def r(sab: String, sa: String, sb: String, saa: String, sbb: String) =
+      expr(s"cast(n * $sab - cast($sa as decimal(38,0)) * $sb as double)") /
+        (sqrt(expr(s"cast(n * $saa - cast($sa as decimal(38,0)) * $sa as double)")) *
+          sqrt(expr(s"cast(n * $sbb - cast($sb as decimal(38,0)) * $sb as double)")))
+    val ryx = r("syx", "sy", "sx", "syy", "sxx")
+    val ryt = r("syt", "sy", "st", "syy", "stt")
+    val rxt = r("sxt", "sx", "st", "sxx", "stt")
+    m.withColumn("r_yx", ryx).withColumn("r_yt", ryt).withColumn("r_xt", rxt)
+      .select($"n",
+        r6($"r_yx").as("r_raw"),
+        r6($"r_yt").as("r_y_trend"),
+        r6($"r_xt").as("r_x_trend"),
+        r6(($"r_yx" - $"r_yt" * $"r_xt") /
+          sqrt((lit(1.0) - $"r_yt" * $"r_yt") *
+            (lit(1.0) - $"r_xt" * $"r_xt"))).as("r_partial"))
+  }
+
+  val q304Sql: String = {
+    def r(sab: String, sa: String, sb: String, saa: String, sbb: String) =
+      s"(CAST(n * $sab - $sa * $sb AS DOUBLE) / " +
+        s"(sqrt(CAST(n * $saa - $sa * $sa AS DOUBLE)) * " +
+        s"sqrt(CAST(n * $sbb - $sb * $sb AS DOUBLE))))"
+    val ryx = r("syx", "sy", "sx", "syy", "sxx")
+    val ryt = r("syt", "sy", "st", "syy", "stt")
+    val rxt = r("sxt", "sx", "st", "sxx", "stt")
+    s"""WITH daily AS (
+       |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' AS day,
+       |    CAST(sum(CASE WHEN event_type = 'purchase'
+       |         THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y,
+       |    count(*) AS x
+       |  FROM events GROUP BY 1),
+       |rk AS (
+       |  SELECT y, x, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+       |  FROM daily),
+       |m AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS n,
+       |    CAST(sum(y) AS HUGEINT) AS sy, CAST(sum(x) AS HUGEINT) AS sx,
+       |    CAST(sum(t) AS HUGEINT) AS st,
+       |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+       |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+       |    CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) AS stt,
+       |    CAST(sum(CAST(y AS HUGEINT) * x) AS HUGEINT) AS syx,
+       |    CAST(sum(CAST(y AS HUGEINT) * t) AS HUGEINT) AS syt,
+       |    CAST(sum(CAST(x AS HUGEINT) * t) AS HUGEINT) AS sxt
+       |  FROM rk),
+       |k AS (
+       |  SELECT CAST(n AS BIGINT) AS n,
+       |    $ryx AS r_yx, $ryt AS r_yt, $rxt AS r_xt
+       |  FROM m)
+       |SELECT n,
+       |  ${sqlR6("r_yx")} AS r_raw,
+       |  ${sqlR6("r_yt")} AS r_y_trend,
+       |  ${sqlR6("r_xt")} AS r_x_trend,
+       |  ${sqlR6("(r_yx - r_yt * r_xt) / sqrt((1.0 - r_yt * r_yt) * (1.0 - r_xt * r_xt))")}
+       |    AS r_partial
+       |FROM k""".stripMargin
+  }
+
+  /** q305 — distribution-free confidence interval for the median of
+    * `value` per event type: the ORDER-STATISTIC interval [x₍ₗ₎,
+    * x₍ᵤ₎] with l = max(1, ⌊(n − 1.96√n)/2⌋), u = min(n, ⌈1 + (n +
+    * 1.96√n)/2⌉) — the binomial-count argument needs no normality of
+    * the DATA (only the n-scale normal approximation of the rank,
+    * pinned shape, one sqrt). This is the honest uncertainty band a
+    * median dashboard should draw instead of ±1.96·SE (which assumes
+    * a symmetric sampling distribution the median does not have on
+    * skewed data). Rank selection and bounds are integers; selected
+    * values are raw data doubles, r6-fixed on output.
+    *
+    * Scale shape: ranks ride [[Ranking.groupRanks]] (event_type is
+    * the enum key the straggler guard watches); bound arithmetic
+    * joins from the bounded per-type count aggregate. */
+  def q305(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d).select($"event_type", $"event_id", $"value")
+    val ranked = Ranking.groupRanks(e, Seq("event_type"), 8,
+      $"value".asc, $"event_id".asc)
+    val ns = e.groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .withColumnRenamed("event_type", "__nt")
+    ranked.join(broadcast(ns), $"event_type" === $"__nt")
+      .withColumn("l", greatest(lit(1L),
+        floor(($"n".cast("double") - lit(1.96) * sqrt($"n".cast("double"))) / 2)
+          .cast("long")))
+      .withColumn("m", ceil($"n" * 0.5).cast("long"))
+      .withColumn("u", least($"n",
+        ceil(lit(1.0) + ($"n".cast("double") + lit(1.96) * sqrt($"n".cast("double"))) / 2)
+          .cast("long")))
+      .groupBy($"event_type", $"n", $"l", $"m", $"u")
+      .agg(min(when($"rank" === $"l", $"value")).as("v_lo"),
+        min(when($"rank" === $"m", $"value")).as("v_med"),
+        min(when($"rank" === $"u", $"value")).as("v_hi"))
+      .select($"event_type", $"n", $"l".as("lo_rank"), $"u".as("hi_rank"),
+        r6($"v_lo").as("ci_lo"), r6($"v_med").as("median"),
+        r6($"v_hi").as("ci_hi"))
+      .orderBy($"event_type")
+  }
+
+  val q305Sql: String =
+    s"""WITH r AS (
+       |  SELECT event_type, value,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rank,
+       |    count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events),
+       |b AS (
+       |  SELECT *,
+       |    greatest(1, CAST(floor((CAST(n AS DOUBLE) - 1.96 * sqrt(CAST(n AS DOUBLE))) / 2)
+       |      AS BIGINT)) AS l,
+       |    CAST(ceil(n * 0.5) AS BIGINT) AS m,
+       |    least(n, CAST(ceil(1.0 + (CAST(n AS DOUBLE) + 1.96 * sqrt(CAST(n AS DOUBLE))) / 2)
+       |      AS BIGINT)) AS u
+       |  FROM r)
+       |SELECT event_type, CAST(n AS BIGINT) AS n,
+       |  l AS lo_rank, u AS hi_rank,
+       |  ${sqlR6("min(CASE WHEN rank = l THEN value END)")} AS ci_lo,
+       |  ${sqlR6("min(CASE WHEN rank = m THEN value END)")} AS median,
+       |  ${sqlR6("min(CASE WHEN rank = u THEN value END)")} AS ci_hi
+       |FROM b
+       |GROUP BY event_type, n, l, m, u
+       |ORDER BY event_type""".stripMargin
+
+  /** q306 — von Neumann ratio (mean-squared-successive-difference
+    * test) of daily revenue per event type: VN = n·Σd² / (n·Σy² −
+    * (Σy)²) with d the day-over-day differences — ≈ 2 for white
+    * noise, < 2 under positive autocorrelation (trend/momentum),
+    * > 2 under oscillation. The whole statistic is one integer
+    * division: numerator and denominator are exact DECIMAL(38,0)/
+    * HUGEINT moment sums, so the autocorrelation verdict needs no
+    * float until the emitted micro value. The stationarity
+    * companion to q218's CUSUM (level shifts) and q284's STL
+    * (seasonal structure).
+    *
+    * Scale shape: one collapse to the (type × day) grid; the lag
+    * runs over that bounded grid. */
+  def q306(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Fx.eventTs(Tables.events(s, d))
+      .groupBy($"event_type", epochDay($"ts").as("day"))
+      .agg(sum(floor($"value" * 100).cast("long")).as("y"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val withD = daily.withColumn("d", $"y" - lag($"y", 1).over(w))
+    withD.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"y").as("sy"),
+        sum(expr("cast(y as decimal(38,0)) * y")).as("syy"),
+        sum(expr("cast(d as decimal(38,0)) * d")).as("sdd"))
+      .withColumn("sst", expr("n * syy - cast(sy as decimal(38,0)) * sy"))
+      .select($"event_type", $"n",
+        when($"sst" =!= 0,
+          expr("(n * sdd * 1000000) div (n * syy - cast(sy as decimal(38,0)) * sy)"))
+          .as("vn_micro"))
+      .orderBy($"event_type")
+  }
+
+  val q306Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' AS day,
+      |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |wd AS (
+      |  SELECT event_type, y,
+      |    y - lag(y) OVER (PARTITION BY event_type ORDER BY day) AS d
+      |  FROM daily),
+      |m AS (
+      |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+      |    CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS sdd
+      |  FROM wd GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |  CASE WHEN n * syy - sy * sy <> 0
+      |    THEN CAST((n * sdd * 1000000) // (n * syy - sy * sy) AS BIGINT)
+      |  END AS vn_micro
+      |FROM m ORDER BY event_type""".stripMargin
+
+  /** q307 — Wald–Wolfowitz runs test on daily revenue around its
+    * median: too FEW sign-runs means momentum (consecutive
+    * above-median days clump), too many means oscillation — the
+    * randomness check that needs no distributional assumption at
+    * all. The median is the nearest-rank lower median on the bounded
+    * day grid; runs/sign counts are exact integers; z = (R − μ)/σ
+    * with μ = 2n₁n₂/N + 1 and σ² = 2n₁n₂(2n₁n₂−N)/(N²(N−1)) is the
+    * one pinned double shape (one sqrt). Days exactly AT the median
+    * drop (stated — the standard treatment of ties).
+    *
+    * Scale shape: everything after the one day-grid collapse is
+    * bounded-grid windows and scalar arithmetic. */
+  def q307(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Fx.eventTs(Tables.events(s, d))
+      .filter($"event_type" === "purchase")
+      .groupBy(epochDay($"ts").as("day"))
+      .agg(sum(floor($"value" * 100).cast("long")).as("y"))
+      .transform(Fx.materialize)
+    val nAll = daily.agg(count(lit(1)).as("n_days"))
+    val med = daily
+      .withColumn("rk", row_number().over(Window.orderBy($"y", $"day")))
+      .crossJoin(broadcast(nAll))
+      .filter($"rk" === ceil($"n_days" * 0.5))
+      .select($"y".as("med"))
+    val signs = daily.crossJoin(broadcast(med))
+      .filter($"y" =!= $"med")
+      .withColumn("sgn", ($"y" > $"med").cast("int"))
+    val runs = signs
+      .withColumn("brk",
+        when(lag($"sgn", 1).over(Window.orderBy($"day")).isNull ||
+          lag($"sgn", 1).over(Window.orderBy($"day")) =!= $"sgn", 1L)
+          .otherwise(0L))
+      .agg(sum($"brk").as("r_runs"),
+        sum($"sgn".cast("long")).as("n1"),
+        sum(lit(1L) - $"sgn").as("n2"))
+    val n1d = $"n1".cast("double"); val n2d = $"n2".cast("double")
+    val nD = n1d + n2d
+    val mu = lit(2.0) * n1d * n2d / nD + lit(1.0)
+    val sig2 = lit(2.0) * n1d * n2d * (lit(2.0) * n1d * n2d - nD) /
+      (nD * nD * (nD - lit(1.0)))
+    runs.select($"r_runs", $"n1", $"n2",
+        r6(mu).as("mu_runs"),
+        r6(($"r_runs".cast("double") - mu) / sqrt(sig2)).as("z"))
+  }
+
+  val q307Sql: String = {
+    val mu = "(2.0 * n1 * n2 / (n1 + n2) + 1.0)"
+    val sig2 = "(2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2)) / " +
+      "((n1 + n2) * (n1 + n2) * ((n1 + n2) - 1.0)))"
+    s"""WITH daily AS (
+       |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' AS day,
+       |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |nn AS (SELECT count(*) AS n_days FROM daily),
+       |med AS (
+       |  SELECT y AS med FROM (
+       |    SELECT y, row_number() OVER (ORDER BY y, day) AS rk FROM daily) t
+       |  CROSS JOIN nn WHERE rk = CAST(ceil(n_days * 0.5) AS BIGINT)),
+       |signs AS (
+       |  SELECT day, CAST(y > med AS INT) AS sgn
+       |  FROM daily CROSS JOIN med WHERE y <> med),
+       |runs AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN prev IS NULL OR prev <> sgn THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS r_runs,
+       |    CAST(sum(sgn) AS BIGINT) AS n1,
+       |    CAST(sum(1 - sgn) AS BIGINT) AS n2
+       |  FROM (SELECT sgn, lag(sgn) OVER (ORDER BY day) AS prev FROM signs) t)
+       |SELECT r_runs, n1, n2,
+       |  ${sqlR6(mu)} AS mu_runs,
+       |  ${sqlR6(s"(CAST(r_runs AS DOUBLE) - $mu) / sqrt($sig2)")} AS z
+       |FROM runs""".stripMargin
+  }
+
   /** q271 — Kaplan–Meier churn survival: users enter at their first
     * event, exit at their last; an exit before the final observed day
     * is CHURN (an event), final-day exits are right-censored
@@ -2720,6 +3001,10 @@ object EventQueries {
     QueryDef("q295_littles_law", q295, Some(q295Sql)),
     QueryDef("q296_binary_segmentation", q296, Some(q296Sql)),
     QueryDef("q297_multiple_ols", q297, Some(q297Sql)),
+    QueryDef("q304_partial_correlation", q304, Some(q304Sql)),
+    QueryDef("q305_median_ci", q305, Some(q305Sql)),
+    QueryDef("q306_von_neumann", q306, Some(q306Sql)),
+    QueryDef("q307_runs_test", q307, Some(q307Sql)),
     QueryDef("q70_sessionize", q70, Some(q70Sql), bench = true),
     QueryDef("q71_asof_join", q71, Some(q71Sql), bench = true),
     QueryDef("q73_range_join", q73, Some(q73Sql), bench = true),
