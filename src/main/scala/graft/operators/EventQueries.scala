@@ -2224,6 +2224,72 @@ object EventQueries {
        |FROM runs""".stripMargin
   }
 
+  /** q309 — exact skewness and kurtosis per event type: the
+    * higher-moment shape audit (q132/q163 flag outliers; this says
+    * whether the DISTRIBUTION ITSELF is skewed or heavy-tailed, i.e.
+    * whether a z-score flag is even meaningful). Central power sums
+    * come from raw power sums with denominators cleared — A2 = n·S2
+    * − S1², A3 = n²·S3 − 3n·S2·S1 + 2S1³, A4 = n³·S4 − 4n²·S3·S1 +
+    * 6n·S2·S1² − 3S1⁴, all exact on DECIMAL(38,0)/HUGEINT over the
+    * whole-dollar grid (cents⁴ would overflow 38 digits at sf0.1 —
+    * sized, not guessed). The n-powers CANCEL in both ratios:
+    * kurtosis = A4/A2² is a pure integer micro-division — no float
+    * at all — and skewness = A3/(A2·√A2) is one pinned double shape
+    * with the session's one sqrt. Excess kurtosis emitted beside it.
+    *
+    * Scale shape: one 5-sum aggregate per type; everything after is
+    * per-type scalar arithmetic. */
+  def q309(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d)
+      .select($"event_type", floor($"value").cast("long").as("x"))
+    val m = e.groupBy($"event_type").agg(
+      count(lit(1)).as("n"),
+      sum($"x").as("s1"),
+      sum(expr("cast(x as decimal(38,0)) * x")).as("s2"),
+      sum(expr("cast(x as decimal(38,0)) * x * x")).as("s3"),
+      sum(expr("cast(x as decimal(38,0)) * x * x * x")).as("s4"))
+    m.withColumn("a2", expr("n * s2 - cast(s1 as decimal(38,0)) * s1"))
+      .withColumn("a3", expr(
+        """cast(n as decimal(38,0)) * n * s3 - 3 * n * s2 * s1
+           + 2 * cast(s1 as decimal(38,0)) * s1 * s1"""))
+      .withColumn("a4", expr(
+        """cast(n as decimal(38,0)) * n * n * s4
+           - 4 * cast(n as decimal(38,0)) * n * s3 * s1
+           + 6 * n * s2 * cast(s1 as decimal(38,0)) * s1
+           - 3 * cast(s1 as decimal(38,0)) * s1 * s1 * s1"""))
+      .select($"event_type", $"n",
+        r6($"a3".cast("double") /
+          ($"a2".cast("double") * sqrt($"a2".cast("double")))).as("skewness"),
+        expr("(a4 * 1000000) div (a2 * a2)").as("kurt_micro"),
+        (expr("(a4 * 1000000) div (a2 * a2)") - 3000000L).as("excess_micro"))
+      .orderBy($"event_type")
+  }
+
+  val q309Sql: String =
+    s"""WITH e AS (
+       |  SELECT event_type, CAST(floor(value) AS BIGINT) AS x FROM events),
+       |m AS (
+       |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+       |    CAST(sum(x) AS HUGEINT) AS s1,
+       |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2,
+       |    CAST(sum(CAST(x AS HUGEINT) * x * x) AS HUGEINT) AS s3,
+       |    CAST(sum(CAST(x AS HUGEINT) * x * x * x) AS HUGEINT) AS s4
+       |  FROM e GROUP BY 1),
+       |k AS (
+       |  SELECT event_type, n,
+       |    n * s2 - s1 * s1 AS a2,
+       |    n * n * s3 - 3 * n * s2 * s1 + 2 * s1 * s1 * s1 AS a3,
+       |    n * n * n * s4 - 4 * n * n * s3 * s1 + 6 * n * s2 * s1 * s1
+       |      - 3 * s1 * s1 * s1 * s1 AS a4
+       |  FROM m)
+       |SELECT event_type, CAST(n AS BIGINT) AS n,
+       |  ${sqlR6("CAST(a3 AS DOUBLE) / (CAST(a2 AS DOUBLE) * sqrt(CAST(a2 AS DOUBLE)))")}
+       |    AS skewness,
+       |  CAST((a4 * 1000000) // (a2 * a2) AS BIGINT) AS kurt_micro,
+       |  CAST((a4 * 1000000) // (a2 * a2) AS BIGINT) - 3000000 AS excess_micro
+       |FROM k ORDER BY event_type""".stripMargin
+
   /** q271 — Kaplan–Meier churn survival: users enter at their first
     * event, exit at their last; an exit before the final observed day
     * is CHURN (an event), final-day exits are right-censored
@@ -3005,6 +3071,7 @@ object EventQueries {
     QueryDef("q305_median_ci", q305, Some(q305Sql)),
     QueryDef("q306_von_neumann", q306, Some(q306Sql)),
     QueryDef("q307_runs_test", q307, Some(q307Sql)),
+    QueryDef("q309_higher_moments", q309, Some(q309Sql)),
     QueryDef("q70_sessionize", q70, Some(q70Sql), bench = true),
     QueryDef("q71_asof_join", q71, Some(q71Sql), bench = true),
     QueryDef("q73_range_join", q73, Some(q73Sql), bench = true),

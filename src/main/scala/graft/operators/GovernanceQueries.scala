@@ -401,6 +401,60 @@ object GovernanceQueries {
       |  CAST((s_num * 1000000) // (CAST(n AS HUGEINT) * m) AS BIGINT) AS w1_micro
       |FROM sx ORDER BY source""".stripMargin
 
+  /** q308 — the drift LEADERBOARD: all four drift lenses — KS (where
+    * is the largest gap), CvM (how broad), Wasserstein-1 (how far in
+    * value units), Mann-Whitney AUC (which direction) — joined per
+    * source, each ranked (worst first, ties by source), and summed
+    * into one Borda score. This is the page an on-call data steward
+    * actually reads: not four tables, ONE ordered list of suspect
+    * sources with the per-lens evidence beside it. Built by
+    * composing the four oracle-checked queries verbatim (their SQLs
+    * nest as subqueries; their DataFrames join on source), so the
+    * leaderboard can never disagree with its inputs.
+    *
+    * Scale shape: the inputs are grid collapses (each already
+    * scale-audited); the join and ranks run on the ≤|sources| rows.
+    */
+  def q308(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val ks = q181(s, d).select($"source", $"ks")
+    val cvm = q292(s, d).select($"source".as("__s1"), $"cvm_micro")
+    val w1 = q301(s, d).select($"source".as("__s2"), $"w1_micro")
+    val mw = q254(s, d).select($"source".as("__s3"), $"auc")
+    val joined = ks
+      .join(cvm, $"source" === $"__s1")
+      .join(w1, $"source" === $"__s2")
+      .join(mw, $"source" === $"__s3")
+      .select($"source", $"ks", $"cvm_micro", $"w1_micro", $"auc")
+    def rk(c: org.apache.spark.sql.Column) =
+      rank().over(Window.orderBy(c.desc, $"source")).cast("long")
+    joined
+      .withColumn("rank_ks", rk($"ks"))
+      .withColumn("rank_cvm", rk($"cvm_micro"))
+      .withColumn("rank_w1", rk($"w1_micro"))
+      .withColumn("rank_auc", rk(abs($"auc" - 0.5)))
+      .withColumn("drift_score",
+        $"rank_ks" + $"rank_cvm" + $"rank_w1" + $"rank_auc")
+      .orderBy($"drift_score", $"source")
+  }
+
+  lazy val q308Sql: String =
+    s"""SELECT source, ks, cvm_micro, w1_micro, auc,
+       |  rank_ks, rank_cvm, rank_w1, rank_auc,
+       |  rank_ks + rank_cvm + rank_w1 + rank_auc AS drift_score
+       |FROM (
+       |  SELECT k.source, k.ks, c.cvm_micro, w.w1_micro, m.auc,
+       |    CAST(rank() OVER (ORDER BY k.ks DESC, k.source) AS BIGINT) AS rank_ks,
+       |    CAST(rank() OVER (ORDER BY c.cvm_micro DESC, k.source) AS BIGINT) AS rank_cvm,
+       |    CAST(rank() OVER (ORDER BY w.w1_micro DESC, k.source) AS BIGINT) AS rank_w1,
+       |    CAST(rank() OVER (ORDER BY abs(m.auc - 0.5) DESC, k.source) AS BIGINT) AS rank_auc
+       |  FROM ($q181Sql) k
+       |  JOIN ($q292Sql) c ON k.source = c.source
+       |  JOIN ($q301Sql) w ON k.source = w.source
+       |  JOIN ($q254Sql) m ON k.source = m.source) t
+       |ORDER BY drift_score, source""".stripMargin
+
   val q181Sql: String =
     s"""WITH c AS (SELECT source, n_chars, count(*) AS c FROM documents GROUP BY 1, 2),
        |g AS (SELECT n_chars, count(*) AS g FROM documents GROUP BY 1),
@@ -969,6 +1023,7 @@ object GovernanceQueries {
     QueryDef("q181_ks_drift", q181, Some(q181Sql), bench = true),
     QueryDef("q292_cvm_drift", q292, Some(q292Sql)),
     QueryDef("q301_wasserstein_drift", q301, Some(q301Sql)),
+    QueryDef("q308_drift_leaderboard", q308, Some(q308Sql)),
     QueryDef("q254_mann_whitney_drift", q254, Some(q254Sql)),
     QueryDef("q182_benford_audit", q182, Some(q182Sql)),
     QueryDef("q170_k_anonymity", q170, Some(q170Sql)),
