@@ -2290,6 +2290,76 @@ object EventQueries {
        |  CAST((a4 * 1000000) // (a2 * a2) AS BIGINT) - 3000000 AS excess_micro
        |FROM k ORDER BY event_type""".stripMargin
 
+  /** q311 — weekday percentile envelope with a latest-day audit: per
+    * weekday, the nearest-rank p10/p50/p90 of daily purchase revenue
+    * (the seasonal band an ops dashboard shades), plus the MOST
+    * RECENT occurrence of that weekday checked against its own band
+    * — "is this Monday out of line for a Monday?" is the question
+    * that catches incidents the global q284 residual test dilutes
+    * across the week. Ranks select on the bounded day grid
+    * (tie-broken by day), band membership is an integer comparison
+    * of exact cents.
+    *
+    * Scale shape: one collapse to the day grid; per-weekday ranks
+    * and the latest-day join all run on that calendar-bounded
+    * relation. */
+  def q311(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Fx.eventTs(Tables.events(s, d))
+      .filter($"event_type" === "purchase")
+      .groupBy(epochDay($"ts").as("day"))
+      .agg(sum(floor($"value" * 100).cast("long")).as("y"))
+      .withColumn("wd", expr("day % 7"))
+      .transform(Fx.materialize)
+    val w = Window.partitionBy($"wd").orderBy($"y", $"day")
+    val ranked = daily
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"wd")))
+    val bands = ranked.groupBy($"wd", $"n")
+      .agg(min(when($"rk" === greatest(lit(1L), ceil($"n" * 0.1)), $"y")).as("p10"),
+        min(when($"rk" === ceil($"n" * 0.5), $"y")).as("p50"),
+        min(when($"rk" === ceil($"n" * 0.9), $"y")).as("p90"))
+    val latest = daily.groupBy($"wd").agg(max($"day").as("last_day"))
+      .withColumnRenamed("wd", "__w")
+      .join(daily.withColumnRenamed("wd", "__w2"),
+        $"last_day" === $"day" )
+      .select($"__w", $"last_day", $"y".as("last_y"))
+    bands.join(latest, $"wd" === $"__w")
+      .select($"wd", $"n".cast("long").as("n_days"), $"p10", $"p50", $"p90",
+        $"last_day", $"last_y",
+        ($"last_y" < $"p10").cast("int").as("below_band"),
+        ($"last_y" > $"p90").cast("int").as("above_band"))
+      .orderBy($"wd")
+  }
+
+  val q311Sql: String =
+    """WITH daily AS (
+      |  SELECT day, y, day % 7 AS wd FROM (
+      |    SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' AS day,
+      |      CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |    FROM events WHERE event_type = 'purchase' GROUP BY 1) t),
+      |r AS (
+      |  SELECT wd, day, y,
+      |    row_number() OVER (PARTITION BY wd ORDER BY y, day) AS rk,
+      |    count(*) OVER (PARTITION BY wd) AS n
+      |  FROM daily),
+      |bands AS (
+      |  SELECT wd, n,
+      |    min(CASE WHEN rk = greatest(1, CAST(ceil(n * 0.1) AS BIGINT)) THEN y END) AS p10,
+      |    min(CASE WHEN rk = CAST(ceil(n * 0.5) AS BIGINT) THEN y END) AS p50,
+      |    min(CASE WHEN rk = CAST(ceil(n * 0.9) AS BIGINT) THEN y END) AS p90
+      |  FROM r GROUP BY wd, n),
+      |latest AS (
+      |  SELECT d2.wd, d2.day AS last_day, d2.y AS last_y
+      |  FROM (SELECT wd, max(day) AS last_day FROM daily GROUP BY wd) m
+      |  JOIN daily d2 ON d2.day = m.last_day)
+      |SELECT b.wd, CAST(b.n AS BIGINT) AS n_days, b.p10, b.p50, b.p90,
+      |  l.last_day, l.last_y,
+      |  CAST(l.last_y < b.p10 AS INT) AS below_band,
+      |  CAST(l.last_y > b.p90 AS INT) AS above_band
+      |FROM bands b JOIN latest l ON b.wd = l.wd
+      |ORDER BY b.wd""".stripMargin
+
   /** q271 — Kaplan–Meier churn survival: users enter at their first
     * event, exit at their last; an exit before the final observed day
     * is CHURN (an event), final-day exits are right-censored
@@ -3072,6 +3142,7 @@ object EventQueries {
     QueryDef("q306_von_neumann", q306, Some(q306Sql)),
     QueryDef("q307_runs_test", q307, Some(q307Sql)),
     QueryDef("q309_higher_moments", q309, Some(q309Sql)),
+    QueryDef("q311_seasonal_envelope", q311, Some(q311Sql)),
     QueryDef("q70_sessionize", q70, Some(q70Sql), bench = true),
     QueryDef("q71_asof_join", q71, Some(q71Sql), bench = true),
     QueryDef("q73_range_join", q73, Some(q73Sql), bench = true),

@@ -1027,7 +1027,74 @@ object Relational {
        |FROM scored ORDER BY o_custkey""".stripMargin
   }
 
+  /** q310 — ABC (Pareto-class) inventory analysis: parts rank by
+    * discounted revenue, and the running revenue share cuts the
+    * catalog into A (first 80% of revenue), B (next 15%) and C (the
+    * long tail) — the classification purchasing actually stocks by.
+    * Revenue lands exactly on the 4-decimal grid (integer 1e-4
+    * units after one r4 fix); the running total rides
+    * [[Ranking.groupRunningSum]] with an EMPTY group — the global
+    * distributed prefix sum — so no single task ever sorts the
+    * whole catalog; class tests are integer comparisons
+    * (cum·100 ≤ total·80). Emits per-class part counts, revenue and
+    * exact micro share.
+    *
+    * Scale shape: one lineitem collapse to parts, one scan-safe
+    * global prefix, a 3-row rollup. The oracle keeps the
+    * single-window cumulative form it is allowed at oracle scale. */
+  def q310(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.lineitem(s, d)
+      .groupBy($"l_partkey")
+      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev4"))
+      .select($"l_partkey",
+        floor($"rev4" * 10000 + 0.5).cast("long").as("ri"))
+    val tot = rev.agg(sum($"ri").as("total"))
+    Ranking.groupRunningSum(rev, Seq.empty, 8, "ri",
+        $"ri".desc, $"l_partkey".asc)
+      .crossJoin(broadcast(tot))
+      .withColumn("cum", $"run_before" + $"ri")
+      .withColumn("abc_class",
+        when($"cum" * 100 <= $"total" * 80, "A")
+          .when($"cum" * 100 <= $"total" * 95, "B")
+          .otherwise("C"))
+      .groupBy($"abc_class", $"total")
+      .agg(count(lit(1)).as("n_parts"), sum($"ri").as("class_rev_i4"))
+      .select($"abc_class", $"n_parts", $"class_rev_i4",
+        expr("(cast(class_rev_i4 as decimal(38,0)) * 1000000) div total")
+          .as("share_micro"))
+      .orderBy($"abc_class")
+  }
+
+  val q310Sql: String =
+    """WITH rev AS (
+      |  SELECT l_partkey,
+      |    CAST(floor(sum(l_extendedprice * (1.0 - l_discount)) * 10000 + 0.5)
+      |      AS BIGINT) AS ri
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (SELECT CAST(sum(ri) AS BIGINT) AS total FROM rev),
+      |run AS (
+      |  SELECT l_partkey, ri,
+      |    CAST(COALESCE(sum(ri) OVER (ORDER BY ri DESC, l_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS run_before
+      |  FROM rev),
+      |cls AS (
+      |  SELECT ri,
+      |    CASE WHEN (run_before + ri) * 100 <= total * 80 THEN 'A'
+      |         WHEN (run_before + ri) * 100 <= total * 95 THEN 'B'
+      |         ELSE 'C' END AS abc_class,
+      |    total
+      |  FROM run CROSS JOIN tot)
+      |SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+      |  CAST(sum(ri) AS BIGINT) AS class_rev_i4,
+      |  CAST((CAST(sum(ri) AS HUGEINT) * 1000000) // total AS BIGINT)
+      |    AS share_micro
+      |FROM cls GROUP BY abc_class, total
+      |ORDER BY abc_class""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q310_abc_analysis", q310, Some(q310Sql)),
     QueryDef("q248_rfm_segmentation", q248, Some(q248Sql)),
     QueryDef("q237_document_roundtrip", q237, Some(q237Sql), bench = true),
     QueryDef("q01_pricing_summary", q01, Some(q01Sql), bench = true),
