@@ -1191,14 +1191,22 @@ object CurationQueries {
   def q300(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val q = graft.functions.TextAnalysis.qualityScore($"text")
-    val bg = graft.functions.TextAnalysis.adjacentPairs(split($"text", " "))
+    // The split array MUST be projected before the higher-order bigram
+    // transform references it: expressions inside lambda bodies are
+    // excluded from subexpression elimination, so an inline
+    // `adjacentPairs(split(text))` re-splits the document once per
+    // element access — O(words²) characters split per doc, measured
+    // 10× slower at sf0.1 (5.9 s vs 0.6 s for the bigram stage alone).
+    val bg = graft.functions.TextAnalysis.adjacentPairs($"w")
     val flagged = Tables.documents(s, d)
-      .select($"doc_id", $"text", $"lang", $"n_chars")
+      .select($"doc_id", $"text", $"lang", $"n_chars",
+        split($"text", " ").as("w"))
       .withColumn("f1", ($"lang" === "en").cast("long"))
       .withColumn("f2", ($"n_chars" >= 100 && $"n_chars" <= 500).cast("long"))
       .withColumn("f3", (q >= 0.5).cast("long"))
-      .withColumn("n_bg", size(bg).cast("long"))
-      .withColumn("nd_bg", size(array_distinct(bg)).cast("long"))
+      .withColumn("bg", bg)
+      .withColumn("n_bg", size($"bg").cast("long"))
+      .withColumn("nd_bg", size(array_distinct($"bg")).cast("long"))
       .withColumn("f4",
         ($"n_bg" === 0L || ($"n_bg" - $"nd_bg") * 20L <= $"n_bg").cast("long"))
     val m = flagged.agg(
@@ -1208,7 +1216,7 @@ object CurationQueries {
       sum($"f1" * $"f2" * $"f3").as("n3"),
       sum($"f1" * $"f2" * $"f3" * $"f4").as("n4"),
       countDistinct(when($"f1" * $"f2" * $"f3" * $"f4" === 1L,
-        md5(concat_ws(" ", slice(split($"text", " "), 1, 8))))).as("n5"))
+        md5(concat_ws(" ", slice($"w", 1, 8))))).as("n5"))
     m.select(expr(
         """stack(5,
           | 1, 'language', n0, n1,

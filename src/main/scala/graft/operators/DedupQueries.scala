@@ -960,9 +960,12 @@ object DedupQueries {
     // truth similarity over the SAME feature set the sketches hash —
     // bigram shingles; word-set Jaccard here would measure the feature
     // mismatch, not the banding
-    val sh = docs.select($"doc_id",
-      array_distinct(graft.functions.TextAnalysis.adjacentPairs(
-        split($"text", " "))).as("sh"))
+    // words projected before the bigram lambda reads them (inline
+    // split under a HOF re-evaluates per element — the q300 lesson)
+    val sh = docs.select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id",
+        array_distinct(graft.functions.TextAnalysis.adjacentPairs($"w"))
+          .as("sh"))
     val da = sh.select($"doc_id".as("a"), $"sh".as("wa"))
     val db = sh.select($"doc_id".as("b"), $"sh".as("wb"))
     val truth = truthCand.join(da, "a").join(db, "b")

@@ -3111,7 +3111,155 @@ object EventQueries {
        |FROM tot LEFT JOIN p ON tot.segment = p.segment
        |ORDER BY segment""".stripMargin
 
+  /** q312 — autocorrelation function of the daily-revenue series at
+    * lags 1..7: the first-stop stationarity/seasonality readout run
+    * before any forecasting model (q270/q280 pick their smoothing
+    * constants off exactly this table, and q306's von Neumann ratio is
+    * its lag-1 summary). Exact arithmetic end to end: daily revenue
+    * lands on the cent grid; centering is denominator-cleared
+    * (c_t = n·x_t − Σx, BIGINT — no mean division, the q309
+    * discipline); lag products and the denominator ride
+    * DECIMAL(38,0)/HUGEINT; each acf value is ONE truncating micro
+    * division of exact integers (num·10⁶ div den — Spark `div` and
+    * DuckDB `//` both truncate toward zero, which matters here because
+    * negative autocorrelations are expected).
+    *
+    * Scale shape: the orders scan collapses to the calendar-bounded
+    * day grid in one aggregate; everything after runs on ≤n_days rows.
+    * The ordinal window is over that bounded grid (stated — the
+    * calendar, not the corpus, is its size), and the ×7 lag fan-out is
+    * an explode + equi-join on the shifted ordinal, not a nested-loop
+    * range join. */
+  def q312(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = Tables.orders(s, d)
+      .groupBy(epochDay($"o_orderdate").cast("long").as("day"))
+      .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("rev"))
+    val st = g.agg(count(lit(1)).as("n"), sum($"rev").as("sr"))
+    val c = g.crossJoin(broadcast(st))
+      .select($"day", ($"n" * $"rev" - $"sr").as("c"))
+      .withColumn("rn", row_number().over(Window.orderBy($"day")))
+      .transform(Fx.materialize)
+    val den = c.agg(sum(expr("cast(c as decimal(38,0)) * c")).as("den"))
+    val base = c.select($"rn".as("ra"), $"c".as("ca"))
+    val shifted = c.select($"rn", $"c".as("cb"),
+        explode(sequence(lit(1), lit(7))).as("k"))
+      .select($"k", ($"rn" - $"k").as("ra"), $"cb")
+    shifted.join(base, "ra")
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("cast(ca as decimal(38,0)) * cb")).as("num"))
+      .crossJoin(broadcast(den))
+      .select($"k".cast("long").as("k"), $"n_pairs",
+        expr("(num * 1000000) div den").as("acf_micro"))
+      .orderBy($"k")
+  }
+
+  val q312Sql: String =
+    """WITH g AS (
+      |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+      |  FROM orders GROUP BY 1),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(rev) AS BIGINT) AS sr
+      |       FROM g),
+      |c AS (SELECT day, n * rev - sr AS c,
+      |        row_number() OVER (ORDER BY day) AS rn
+      |      FROM g CROSS JOIN st),
+      |den AS (SELECT sum(CAST(c AS HUGEINT) * c) AS den FROM c),
+      |ks AS (SELECT unnest(range(1, 8)) AS k),
+      |sh AS (SELECT k, rn - k AS ra, c AS cb FROM c CROSS JOIN ks),
+      |nums AS (
+      |  SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+      |    sum(CAST(a.c AS HUGEINT) * sh.cb) AS num
+      |  FROM sh JOIN c a ON sh.ra = a.rn GROUP BY k)
+      |SELECT CAST(k AS BIGINT) AS k, n_pairs,
+      |  CAST((num * 1000000) // den AS BIGINT) AS acf_micro
+      |FROM nums CROSS JOIN den ORDER BY k""".stripMargin
+
+  /** q320 — Page's CUSUM control chart over the daily-revenue series:
+    * one-sided clamped CUSUMs S⁺_t = max(0, S⁺_{t−1} + (x_t − μ − k))
+    * and S⁻_t = max(0, S⁻_{t−1} + (μ − x_t − k)), alarming when either
+    * exceeds h — the SEQUENTIAL monitoring chart (how production
+    * detects a shift as it happens), where q218 is the retrospective
+    * single-changepoint locator (max |unclamped CUSUM|, a plain
+    * window). The clamp makes this recurrence non-decomposable — no
+    * window can express it — so it rides the clamp-semigroup parallel
+    * prefix ([[Accumulate.clampedRunningBalance]], q260's operator)
+    * with lo=0 and no upper bound. Robust integer calibration: the
+    * reference is the truncating mean μ = Σx div n, the allowance
+    * k = mad div 2 and threshold h = 5·mad with mad the mean absolute
+    * deviation — all exact BIGINTs, no σ and no sqrt anywhere.
+    *
+    * Scale shape: the corpus collapses to the calendar-bounded day
+    * grid first; the two one-sided charts are a 2× union tagged by
+    * `side`, folded in ONE clampedRunningBalance call (2 groups ×
+    * n_days rows, two-phase carry — parallel within each side); the
+    * verdict is one aggregate per side. */
+  def q320(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = Tables.orders(s, d)
+      .groupBy(epochDay($"o_orderdate").cast("long").as("day"))
+      .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("rev"))
+      .transform(Fx.materialize) // feeds the stats row AND the deltas
+    val st = g.agg(count(lit(1)).as("n"), sum($"rev").as("sr"))
+      .select($"n", expr("sr div n").as("mu"))
+    val md = g.crossJoin(broadcast(st))
+      .agg(expr("sum(abs(rev - mu)) div max(n)").as("mad"),
+        max($"mu").as("mu"))
+    val gm = g.crossJoin(broadcast(md))
+    val deltas = gm
+      .select($"day", lit("up").as("side"),
+        ($"rev" - $"mu" - expr("mad div 2")).as("delta"), $"mad")
+      .unionByName(gm
+        .select($"day", lit("down").as("side"),
+          ($"mu" - $"rev" - expr("mad div 2")).as("delta"), $"mad"))
+    val bal = Accumulate.clampedRunningBalance(deltas, Seq("side"), 8,
+      "delta", lo = Some(0L), hi = None, z0 = 0L, $"day")
+    bal.groupBy($"side")
+      .agg(count(lit(1)).as("n_days"),
+        sum(when($"balance" > lit(5L) * $"mad", 1L).otherwise(0L))
+          .as("n_alarms"),
+        min(when($"balance" > lit(5L) * $"mad", $"day")).as("first_alarm_day"),
+        max($"balance").as("max_cusum"),
+        max($"mad").as("mad"))
+      .orderBy($"side")
+  }
+
+  val q320Sql: String =
+    """WITH RECURSIVE g AS (
+      |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+      |  FROM orders GROUP BY 1),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(rev) AS BIGINT) AS sr
+      |       FROM g),
+      |mu AS (SELECT n, sr // n AS mu FROM st),
+      |md AS (SELECT CAST(sum(abs(rev - mu)) AS BIGINT) // max(n) AS mad,
+      |         max(mu) AS mu
+      |       FROM g CROSS JOIN mu),
+      |d AS (
+      |  SELECT 'up' AS side, day, rev - mu - (mad // 2) AS delta, mad,
+      |    row_number() OVER (ORDER BY day) AS rn
+      |  FROM g CROSS JOIN md
+      |  UNION ALL
+      |  SELECT 'down', day, mu - rev - (mad // 2), mad,
+      |    row_number() OVER (ORDER BY day)
+      |  FROM g CROSS JOIN md),
+      |r(side, rn, bal) AS (
+      |  SELECT side, rn, greatest(0 + delta, 0) FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.side, d.rn, greatest(r.bal + d.delta, 0)
+      |  FROM r JOIN d ON d.side = r.side AND d.rn = r.rn + 1)
+      |SELECT d.side AS side, CAST(count(*) AS BIGINT) AS n_days,
+      |  CAST(sum(CASE WHEN r.bal > 5 * d.mad THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_alarms,
+      |  min(CASE WHEN r.bal > 5 * d.mad THEN d.day END) AS first_alarm_day,
+      |  CAST(max(r.bal) AS BIGINT) AS max_cusum, max(d.mad) AS mad
+      |FROM r JOIN d ON r.side = d.side AND r.rn = d.rn
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q312_acf_daily_revenue", q312, Some(q312Sql)),
+    QueryDef("q320_cusum_control_chart", q320, Some(q320Sql)),
     QueryDef("q250_time_to_convert", q250, Some(q250Sql)),
     QueryDef("q249_peak_concurrency", q249, Some(q249Sql)),
     QueryDef("q239_replay_collapse", q239, Some(q239Sql)),

@@ -431,7 +431,89 @@ object IndexingQueries {
       |ORDER BY dot_milli2 DESC, a, b
       |LIMIT 20""".stripMargin
 
+  /** q313 — edit-distance similarity join by deletion-neighborhood
+    * blocking: the fuzzy-matching operator behind catalog/entity
+    * reconciliation ("the same record typed slightly differently").
+    * Domain: 6-word document titles plus one deterministic perturbed
+    * twin per document (word j = doc_id mod 6 gains an 'x'/'xy'
+    * suffix — both engines construct the twins with identical string
+    * arithmetic, so the planted near-dup population is part of the
+    * stated semantics, like q94's synthetic PII). Candidate rule: two
+    * titles are candidates iff they agree on all but ≤1 word position
+    * (same word count) — implemented as six del-1 keys per title
+    * (position i wildcarded, md5'd), pairs sharing any key. The rule
+    * is LOSSLESS for the single-word-edit class by construction
+    * (a pair differing only at position j shares exactly the key
+    * wildcarding j; exact dups share all six). Verification: classic
+    * Levenshtein ≤ 2 over the full title — the same DP definition in
+    * both engines, exact integers.
+    *
+    * Scale shape: the candidate join is an equi-join on high-entropy
+    * md5 keys (a full sentence minus one word) — bucket sizes are
+    * exact-dup cluster sizes, bounded by the corpus's dup structure,
+    * never vocabulary-sized posting lists; verification touches only
+    * candidates. 6 keys/row is the whole blow-up. */
+  def q313(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, d)
+      .select($"doc_id", slice(split($"text", " "), 1, 6).as("w"))
+    val j = ($"doc_id" % 6 + 1).cast("int")
+    val suffix = when($"doc_id" % 2 === 0, lit("xy")).otherwise(lit("x"))
+    val variants = base.select(($"doc_id" + 1000000L).as("id"),
+      concat(slice($"w", lit(1), j - 1),
+        array(concat(element_at($"w", j), suffix)),
+        slice($"w", j + 1, lit(6) - j)).as("w"))
+    val u = base.select($"doc_id".as("id"), $"w").unionByName(variants)
+      .withColumn("title", concat_ws(" ", $"w"))
+      .transform(graft.Fx.materialize) // keys ×2 and the verify join
+    val keys = u
+      .select($"id", $"w", explode(sequence(lit(1), lit(6))).as("i"))
+      .select($"id", md5(concat($"i".cast("string"), lit(":"),
+        concat_ws(" ", concat(slice($"w", lit(1), $"i" - 1),
+          array(lit("#")),
+          slice($"w", $"i" + 1, lit(6) - $"i"))))).as("key"))
+    val cand = keys.select($"key", $"id".as("a"))
+      .join(keys.select($"key", $"id".as("b")), "key")
+      .filter($"a" < $"b")
+      .select($"a", $"b").distinct()
+    val ta = u.select($"id".as("a"), $"title".as("title_a"))
+    val tb = u.select($"id".as("b"), $"title".as("title_b"))
+    cand.join(ta, "a").join(tb, "b")
+      .select($"a", $"b",
+        levenshtein($"title_a", $"title_b").cast("long").as("dist"))
+      .filter($"dist" <= 2)
+      .orderBy($"a", $"b")
+  }
+
+  val q313Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, string_split(text, ' ')[1:6] AS w FROM documents),
+      |u AS (
+      |  SELECT doc_id AS id, w FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |    w[1:CAST(doc_id % 6 + 1 AS INT) - 1]
+      |      || [w[CAST(doc_id % 6 + 1 AS INT)]
+      |          || CASE WHEN doc_id % 2 = 0 THEN 'xy' ELSE 'x' END]
+      |      || w[CAST(doc_id % 6 + 1 AS INT) + 1:6]
+      |  FROM base),
+      |t AS (SELECT id, array_to_string(w, ' ') AS title, w FROM u),
+      |keys AS (
+      |  SELECT id, md5(CAST(i AS VARCHAR) || ':' ||
+      |    array_to_string(
+      |      w[1:CAST(i AS INT) - 1] || ['#'] || w[CAST(i AS INT) + 1:6],
+      |      ' ')) AS key
+      |  FROM t CROSS JOIN (SELECT unnest(range(1, 7)) AS i)),
+      |cand AS (
+      |  SELECT DISTINCT k1.id AS a, k2.id AS b
+      |  FROM keys k1 JOIN keys k2 ON k1.key = k2.key AND k1.id < k2.id)
+      |SELECT a, b, CAST(levenshtein(ta.title, tb.title) AS BIGINT) AS dist
+      |FROM cand JOIN t ta ON cand.a = ta.id JOIN t tb ON cand.b = tb.id
+      |WHERE levenshtein(ta.title, tb.title) <= 2
+      |ORDER BY a, b""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q313_fuzzy_title_join", q313, Some(q313Sql)),
     QueryDef("q290_tfidf_similarity_join", q290, Some(q290Sql)),
     QueryDef("q164_bigram_lm_score", q164, Some(q164Sql), bench = true),
     QueryDef("q165_inverted_index", q165, Some(q165Sql)),
