@@ -1271,7 +1271,62 @@ object CurationQueries {
        |FROM funnel ORDER BY stage""".stripMargin
   }
 
+  /** q318 — calibration audit of the quality score as a predictor of
+    * lang='en' (the stopword term makes it an implicit language
+    * probability — this query measures HOW good): reliability table
+    * over score deciles plus the per-bin Brier contribution. The
+    * score is quantized per row to the micro grid FIRST
+    * (qm = floor(q·10⁶), exact BIGINT — the score itself is the
+    * shared fixed-shape pipeline, bit-identical cross-engine), so
+    * every aggregate is integer: mean predicted = Σqm div n, observed
+    * rate = Σy·10⁶ div n, and the Brier term Σ(qm − y·10⁶)² rides
+    * DECIMAL(38,0)/HUGEINT, normalized back to the micro grid by one
+    * truncating division. A calibrated score has gap_micro ≈ 0 per
+    * bin; the Brier column decomposes where the loss lives.
+    *
+    * Scale shape: one scan computes score + outcome, one groupBy on
+    * the ≤11-value bin domain — the audit costs a single pass. */
+  def q318(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = graft.functions.TextAnalysis.qualityScore($"text")
+    val f = Tables.documents(s, d)
+      .select(floor(q * 1000000).cast("long").as("qm"),
+        ($"lang" === "en").cast("long").as("y"))
+      .withColumn("bin", expr("qm div 100000"))
+    f.groupBy($"bin")
+      .agg(count(lit(1)).as("n"),
+        sum($"qm").as("sq"), sum($"y").as("sy"),
+        sum(expr(
+          "cast(qm - y * 1000000 as decimal(38,0)) * (qm - y * 1000000)"))
+          .as("sb"))
+      .select($"bin", $"n",
+        expr("sq div n").as("mean_pred_micro"),
+        expr("(sy * 1000000) div n").as("obs_rate_micro"),
+        (expr("sq div n") - expr("(sy * 1000000) div n")).as("gap_micro"),
+        expr("sb div (n * 1000000)").as("brier_micro"))
+      .orderBy($"bin")
+  }
+
+  val q318Sql: String = {
+    val quality = graft.functions.TextAnalysis.sqlQualityScore("text")
+    s"""WITH f AS (
+       |  SELECT CAST(floor(($quality) * 1000000) AS BIGINT) AS qm,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM documents),
+       |b AS (
+       |  SELECT qm // 100000 AS bin, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(qm) AS BIGINT) AS sq, CAST(sum(y) AS BIGINT) AS sy,
+       |    sum(CAST(qm - y * 1000000 AS HUGEINT) * (qm - y * 1000000)) AS sb
+       |  FROM f GROUP BY 1)
+       |SELECT bin, n, sq // n AS mean_pred_micro,
+       |  (sy * 1000000) // n AS obs_rate_micro,
+       |  sq // n - (sy * 1000000) // n AS gap_micro,
+       |  CAST(sb // (n * 1000000) AS BIGINT) AS brier_micro
+       |FROM b ORDER BY bin""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q318_score_calibration", q318, Some(q318Sql)),
     QueryDef("q300_pipeline_funnel", q300, Some(q300Sql), bench = true),
     QueryDef("q266_quantile_normalize", q266, Some(q266Sql)),
     QueryDef("q261_gini_stump", q261, Some(q261Sql)),

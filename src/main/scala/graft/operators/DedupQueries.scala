@@ -1030,7 +1030,100 @@ object DedupQueries {
        |GROUP BY th.t
        |ORDER BY threshold""".stripMargin
 
+  /** q316 — capture-recapture estimate of the TRUE near-duplicate
+    * pair population (Chapman estimator): how many ≥0.6-Jaccard pairs
+    * exist, estimated WITHOUT ground truth from two independent
+    * capture schemes — the minhash signature split into two disjoint
+    * 1×3 bands (hashes 1-3 vs 4-6; capture events are independent
+    * given a pair's true Jaccard because the hash functions are).
+    * Each scheme's candidates are verified by exact bigram-shingle
+    * Jaccard (q299's truth features), so the capture lists contain
+    * only true pairs; with n1, n2 caught and m caught by both,
+    * Chapman's N̂ = (n1+1)(n2+1) div (m+1) − 1 — exact integers.
+    * The honest caveat is stated: capture probability varies with J
+    * (J³ per scheme), so N̂ is biased toward the well-captured high-J
+    * stratum — still the standard "how much did my dedup miss" QA
+    * readout when exhaustive truth is unaffordable.
+    *
+    * Scale shape: both schemes ride the capped bucket join; exact
+    * verification touches only candidates; the estimator is four
+    * integers on the driver-side result row. */
+  def q316(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val sig = Dedup.minhashSignatureWords(docs, "doc_id", "text", nHashes)
+      .transform(graft.Fx.materialize)
+    val bands = Dedup.lshBands(sig, "doc_id", nBands = 2, rowsPerBand = 3)
+    val candA = Dedup.candidatePairs(bands.filter($"band_idx" === 1), "doc_id")
+    val candB = Dedup.candidatePairs(bands.filter($"band_idx" === 2), "doc_id")
+    // exact-Jaccard verification over the same feature set the
+    // sketches hash (words projected first — the q300 lesson)
+    val sh = docs.select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id",
+        array_distinct(graft.functions.TextAnalysis.adjacentPairs($"w"))
+          .as("sh"))
+      .transform(graft.Fx.materialize)
+    def verified(cand: DataFrame): DataFrame =
+      cand
+        .join(sh.select($"doc_id".as("a"), $"sh".as("wa")), "a")
+        .join(sh.select($"doc_id".as("b"), $"sh".as("wb")), "b")
+        .filter(Dedup.jaccard($"wa", $"wb") >= 0.6)
+        .select($"a", $"b")
+    val va = verified(candA).transform(graft.Fx.materialize)
+    val vb = verified(candB).transform(graft.Fx.materialize)
+    val n1 = va.agg(count(lit(1)).as("n1"))
+    val n2 = vb.agg(count(lit(1)).as("n2"))
+    val m = va.join(vb, Seq("a", "b")).agg(count(lit(1)).as("m_both"))
+    n1.crossJoin(n2).crossJoin(m)
+      .select($"n1", $"n2", $"m_both",
+        (expr("((n1 + 1) * (n2 + 1)) div (m_both + 1)") - 1L)
+          .as("chapman_est"),
+        ($"n1" + $"n2" - $"m_both").as("n_seen"))
+  }
+
+  val q316Sql: String =
+    s"""WITH $sigSql,
+       |bA AS (SELECT doc_id, h1 || h2 || h3 AS bh FROM sig),
+       |bB AS (SELECT doc_id, h4 || h5 || h6 AS bh FROM sig),
+       |okA AS (SELECT bh FROM bA GROUP BY bh
+       |        HAVING count(*) <= ${Dedup.DefaultMaxBucket}),
+       |okB AS (SELECT bh FROM bB GROUP BY bh
+       |        HAVING count(*) <= ${Dedup.DefaultMaxBucket}),
+       |candA AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bA l JOIN bA r ON l.bh = r.bh AND l.doc_id < r.doc_id
+       |  JOIN okA ON l.bh = okA.bh),
+       |candB AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bB l JOIN bB r ON l.bh = r.bh AND l.doc_id < r.doc_id
+       |  JOIN okB ON l.bh = okB.bh),
+       |ws AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, len(string_split(text, ' '))),
+       |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS w
+       |  FROM documents),
+       |vA AS (
+       |  SELECT c.a, c.b FROM candA c
+       |  JOIN ws wa ON c.a = wa.doc_id JOIN ws wb ON c.b = wb.doc_id
+       |  WHERE CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE) /
+       |    (len(wa.w) + len(wb.w) - len(list_intersect(wa.w, wb.w))) >= 0.6),
+       |vB AS (
+       |  SELECT c.a, c.b FROM candB c
+       |  JOIN ws wa ON c.a = wa.doc_id JOIN ws wb ON c.b = wb.doc_id
+       |  WHERE CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE) /
+       |    (len(wa.w) + len(wb.w) - len(list_intersect(wa.w, wb.w))) >= 0.6),
+       |cnt AS (
+       |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM vA) AS n1,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM vB) AS n2,
+       |    (SELECT CAST(count(*) AS BIGINT)
+       |     FROM vA JOIN vB ON vA.a = vB.a AND vA.b = vB.b) AS m_both)
+       |SELECT n1, n2, m_both,
+       |  ((n1 + 1) * (n2 + 1)) // (m_both + 1) - 1 AS chapman_est,
+       |  n1 + n2 - m_both AS n_seen
+       |FROM cnt""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q316_chapman_capture", q316, Some(q316Sql)),
     QueryDef("q231_dedup_shard_locality", q231, Some(q231Sql)),
     QueryDef("q221_edit1_neighbors", q221, Some(q221Sql)),
     QueryDef("q50_exact_dedup", q50, Some(q50Sql), bench = true),

@@ -1011,7 +1011,83 @@ object GovernanceQueries {
        |  ${sqlR6("sqrt(CAST(sum(contrib_micro) OVER () AS DOUBLE) / 1000000.0 / (CAST(n AS DOUBLE) * least(rr - 1, cc - 1)))")} AS cramers_v
        |FROM y ORDER BY priority, segment""".stripMargin
 
+  /** q317 — delete-one-group jackknife: the standard error of the
+    * corpus mean document length under leave-one-SOURCE-out
+    * resampling — the error bar that respects the clustered sampling
+    * design (documents arrive by source; rows within a source are not
+    * independent, so the naive SE is too small). Each leave-one-out
+    * estimate is exact: θ₍ᵢ₎ = ((S − Sᵢ)·10⁶) div (n − nᵢ) on the
+    * micro grid (truncating, stated); the jackknife variance
+    * (g−1)/g · Σ(θ₍ᵢ₎ − θ̄)² is integer arithmetic over the g ≈ 20
+    * per-source estimates, and the SE is ONE pinned sqrt at the end
+    * (r6). Per-source rows expose the influence structure (which
+    * source drags the mean); the global estimate and SE ride along as
+    * constant columns from a broadcast 1-row summary.
+    *
+    * Scale shape: one groupBy(source) over the corpus (bounded
+    * domain), then everything runs on g rows — the totals-minus-group
+    * trick means NO second corpus pass per replicate (the whole point
+    * of jackknife-by-groups at 100 TB: g replicates for one scan). */
+  def q317(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.documents(s, d)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("ni"), sum($"n_chars").as("si"))
+      .transform(Fx.materialize)
+    val tot = per.agg(sum($"ni").as("n"), sum($"si").as("s1"),
+      count(lit(1)).as("g"))
+    val loo = per.crossJoin(broadcast(tot))
+      .withColumn("theta_loo_micro",
+        expr("((s1 - si) * 1000000) div (n - ni)"))
+      .transform(Fx.materialize)
+    val summ = loo.agg(max($"g").as("g"), max($"n").as("n"),
+        max($"s1").as("s1"),
+        sum($"theta_loo_micro").as("st"))
+      .withColumn("theta_bar", expr("st div g"))
+    val dev = loo.crossJoin(broadcast(summ.select($"theta_bar")))
+      .agg(sum(expr(
+        "(theta_loo_micro - theta_bar) * (theta_loo_micro - theta_bar)"))
+        .as("ss"), max($"g").as("g2"))
+      .withColumn("var_scaled", expr("((g2 - 1) * ss) div g2"))
+    loo.select($"source", $"ni", $"theta_loo_micro")
+      .crossJoin(broadcast(summ.select(
+        expr("(s1 * 1000000) div n").as("theta_hat_micro"))))
+      .crossJoin(broadcast(dev.select($"var_scaled")))
+      .select($"source", $"ni", $"theta_loo_micro", $"theta_hat_micro",
+        r6(sqrt($"var_scaled".cast("double"))).as("se_jack_micro"))
+      .orderBy($"source")
+  }
+
+  val q317Sql: String =
+    s"""WITH per AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS ni,
+       |    CAST(sum(n_chars) AS BIGINT) AS si
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(sum(ni) AS BIGINT) AS n,
+       |          CAST(sum(si) AS BIGINT) AS s1,
+       |          CAST(count(*) AS BIGINT) AS g
+       |        FROM per),
+       |loo AS (
+       |  SELECT source, ni, ((s1 - si) * 1000000) // (n - ni)
+       |    AS theta_loo_micro
+       |  FROM per CROSS JOIN tot),
+       |summ AS (
+       |  SELECT CAST(sum(theta_loo_micro) AS BIGINT) // max(g) AS theta_bar,
+       |    max(g) AS g
+       |  FROM loo CROSS JOIN tot),
+       |dev AS (
+       |  SELECT CAST(((max(summ.g) - 1) *
+       |    sum((theta_loo_micro - theta_bar) * (theta_loo_micro - theta_bar)))
+       |    // max(summ.g) AS BIGINT) AS var_scaled
+       |  FROM loo CROSS JOIN summ)
+       |SELECT source, ni, theta_loo_micro,
+       |  (tot.s1 * 1000000) // tot.n AS theta_hat_micro,
+       |  ${sqlR6("sqrt(CAST(var_scaled AS DOUBLE))")} AS se_jack_micro
+       |FROM loo CROSS JOIN tot CROSS JOIN dev
+       |ORDER BY source""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q317_jackknife_se", q317, Some(q317Sql)),
     QueryDef("q258_chi2_cramers_v", q258, Some(q258Sql)),
     QueryDef("q244_subject_access_report", q244, Some(q244Sql)),
     QueryDef("q227_winsorized_stats", q227, Some(q227Sql)),

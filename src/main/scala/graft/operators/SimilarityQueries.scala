@@ -1084,7 +1084,158 @@ object SimilarityQueries {
       |       // (nn.n * 10 * (2 * nn.n - 31)) AS BIGINT) AS trust_micro
       |FROM pen CROSS JOIN nn""".stripMargin
 
+  /** q314 — MAP@10 retrieval scorecard: mean average precision of the
+    * cosine kNN retrieval with LABEL relevance (a retrieved neighbor is
+    * relevant iff it shares the query's label) — the ranking-quality
+    * companion to q285's classification confusion matrix and q190's
+    * vs-exact-ranking overlap (relevance there is "the exact engine
+    * agreed"; here it is ground truth). EXACT rationals throughout:
+    * AP@10 = (1/10)·Σ_{hits} hits@p/p is scaled by 2520 = lcm(1..10)
+    * so every per-hit term (2520·h div p) is an exact BIGINT, each
+    * query's AP lands on the micro grid by one truncating division,
+    * and per-label MAP is a truncating mean of those micro values
+    * (stated). No log-discount metric (nDCG) here — libm exclusion.
+    *
+    * Scale shape: eval harness — the hold-out query side is bounded
+    * by design, so bruteForceTopK's broadcast is the right plan; the
+    * running-hit window partitions by q_id (high cardinality, ≤10-row
+    * frames). */
+  def q314(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val test = emb.filter($"vec_id" % 5 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+        $"label".as("true_label"))
+    val train = emb.filter($"vec_id" % 5 =!= 0)
+      .transform(Fx.materialize)
+    val topk = Similarity.bruteForceTopK(
+      test.select($"q_id", $"q_vec"), train, k = 10)
+    val labels = train.select($"vec_id".as("t_vid"), $"label".as("t_label"))
+    val hits = topk.join(labels, $"vec_id" === $"t_vid")
+      .join(broadcast(test.select($"q_id", $"true_label")), "q_id")
+      .withColumn("is_hit", ($"t_label" === $"true_label").cast("long"))
+      .withColumn("h", sum($"is_hit").over(
+        Window.partitionBy($"q_id").orderBy($"rn")))
+    val ap = hits.groupBy($"q_id", $"true_label")
+      .agg(sum(when($"is_hit" === 1L, expr("(2520 * h) div rn"))
+        .otherwise(0L)).as("ap_scaled"))
+    ap.groupBy($"true_label")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(expr("(ap_scaled * 1000000) div 25200")).as("__sum_ap"))
+      .select($"true_label".as("label"), $"n_queries",
+        expr("__sum_ap div n_queries").as("map_micro"))
+      .orderBy($"label")
+  }
+
+  val q314Sql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec,
+       |    label AS true_label
+       |  FROM embeddings WHERE vec_id % 5 = 0),
+       |t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS t_vec, label
+       |      FROM embeddings WHERE vec_id % 5 <> 0),
+       |sims AS (
+       |  SELECT q_id, true_label, vec_id, label, $cosSql AS sim
+       |  FROM t, q WHERE vec_id <> q_id),
+       |ranked AS (
+       |  SELECT q_id, true_label, label,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+       |  FROM sims),
+       |top AS (SELECT * FROM ranked WHERE rn <= 10),
+       |hits AS (
+       |  SELECT q_id, true_label, rn,
+       |    CASE WHEN label = true_label THEN 1 ELSE 0 END AS is_hit,
+       |    sum(CASE WHEN label = true_label THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY q_id ORDER BY rn) AS h
+       |  FROM top),
+       |ap AS (
+       |  SELECT q_id, true_label,
+       |    CAST(sum(CASE WHEN is_hit = 1 THEN (2520 * h) // rn ELSE 0 END)
+       |      AS BIGINT) AS ap_scaled
+       |  FROM hits GROUP BY 1, 2)
+       |SELECT true_label AS label, CAST(count(*) AS BIGINT) AS n_queries,
+       |  CAST(sum((ap_scaled * 1000000) // 25200) // count(*) AS BIGINT)
+       |    AS map_micro
+       |FROM ap GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q315 — embedding centroid drift per label between the two
+    * vec_id-parity halves of the corpus: the embedding-space
+    * counterpart of the value-distribution drift family
+    * (KS/CvM/W1/AUC read scalar columns; THIS reads the geometry —
+    * "did the meaning of label 3 move between snapshots"). Count-free
+    * cosine: the cosine of two mean vectors equals the cosine of the
+    * two SUM vectors (the 1/n scalars cancel), so the per-(label,
+    * half) sums of milli-grid coordinates (exact BIGINTs, the
+    * q286/q303 grid) are compared directly — dot and norms on
+    * DECIMAL(38,0)/HUGEINT, then ONE pinned double shape
+    * (dot/(√na·√nb), r6) since both engines cast the same exact
+    * integers and IEEE sqrt/division are correctly rounded.
+    *
+    * Scale shape: one distributed aggregate over (label, half, dim)
+    * cells (bounded: labels × 2 × 64); the cosine join runs on the
+    * cell grid, never the corpus. */
+  def q315(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+      .select($"label", ($"vec_id" % 2).as("half"),
+        transform($"embedding",
+          x => floor(x.cast("double") * 1000).cast("long")).as("xm"))
+    val cells = emb
+      .select($"label", $"half", posexplode($"xm").as(Seq("dim", "x")))
+      .groupBy($"label", $"half", $"dim")
+      .agg(sum($"x").as("sx"))
+    val ns = emb.groupBy($"label", $"half").agg(count(lit(1)).as("n"))
+    val a = cells.filter($"half" === 0)
+      .select($"label", $"dim", $"sx".as("sa"))
+    val b = cells.filter($"half" === 1)
+      .select($"label", $"dim", $"sx".as("sb"))
+    val geo = a.join(b, Seq("label", "dim"))
+      .groupBy($"label")
+      .agg(sum(expr("cast(sa as decimal(38,0)) * sb")).as("dot"),
+        sum(expr("cast(sa as decimal(38,0)) * sa")).as("na2"),
+        sum(expr("cast(sb as decimal(38,0)) * sb")).as("nb2"))
+    val na = ns.filter($"half" === 0).select($"label", $"n".as("n_a"))
+    val nb = ns.filter($"half" === 1).select($"label", $"n".as("n_b"))
+    geo.join(broadcast(na), "label").join(broadcast(nb), "label")
+      .select($"label", $"n_a", $"n_b",
+        r6($"dot".cast("double") /
+          (sqrt($"na2".cast("double")) * sqrt($"nb2".cast("double"))))
+          .as("centroid_cos"))
+      .orderBy($"label")
+  }
+
+  val q315Sql: String =
+    s"""WITH e AS (
+       |  SELECT label, vec_id % 2 AS half,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor(x * 1000) AS BIGINT)) AS xm
+       |  FROM embeddings),
+       |cells AS (
+       |  SELECT label, half, i - 1 AS dim, CAST(sum(xm[i]) AS BIGINT) AS sx
+       |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+       |  GROUP BY 1, 2, 3),
+       |ns AS (SELECT label, half, CAST(count(*) AS BIGINT) AS n
+       |       FROM e GROUP BY 1, 2),
+       |geo AS (
+       |  SELECT a.label,
+       |    sum(CAST(a.sx AS HUGEINT) * b.sx) AS dot,
+       |    sum(CAST(a.sx AS HUGEINT) * a.sx) AS na2,
+       |    sum(CAST(b.sx AS HUGEINT) * b.sx) AS nb2
+       |  FROM cells a JOIN cells b ON a.label = b.label AND a.dim = b.dim
+       |  WHERE a.half = 0 AND b.half = 1
+       |  GROUP BY 1)
+       |SELECT geo.label AS label, na.n AS n_a, nb.n AS n_b,
+       |  ${sqlR6("CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))")}
+       |    AS centroid_cos
+       |FROM geo
+       |JOIN ns na ON geo.label = na.label AND na.half = 0
+       |JOIN ns nb ON geo.label = nb.label AND nb.half = 1
+       |ORDER BY label""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q314_map_at_10", q314, Some(q314Sql)),
+    QueryDef("q315_centroid_drift", q315, Some(q315Sql)),
     QueryDef("q277_dbscan_clusters", q277, Some(q277Sql)),
     QueryDef("q285_knn_scorecard", q285, Some(q285Sql)),
     QueryDef("q286_pca_power_iteration", q286, Some(q286Sql)),
