@@ -112,6 +112,150 @@ class PlantedStructureSpec extends SparkSpec {
     assert(clusters.size === 2, s"expected 2 clusters, got $clusters")
   }
 
+  /** Write an orders.parquet fixture with one order of `dollars(d)`
+    * at noon UTC of each epoch-day d. */
+  private def ordersDir(days: Range, dollars: Int => Double): String = {
+    val dir = Files.createTempDirectory("planted-ord")
+    days.map(d => (d.toLong, dollars(d))).toDF("day", "o_totalprice")
+      .withColumn("o_orderdate", timestamp_micros(
+        ($"day" * 86400L + 43200L) * 1000000L))
+      .withColumn("o_orderkey", $"day")
+      .select($"o_orderkey", $"o_orderdate", $"o_totalprice")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("orders.parquet").toString)
+    dir.toString
+  }
+
+  private def documentsDir(rows: Seq[(Long, String, String, String, Long)]): String = {
+    val dir = Files.createTempDirectory("planted-doc")
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("documents.parquet").toString)
+    dir.toString
+  }
+
+  test("q312 reads the planted period-2 oscillation exactly") {
+    // 40 days alternating 10.00 / 30.00: centered values c_t = ±40000
+    // alternate sign, so acf_k = ±(n−k)/n exactly on the micro grid
+    val d = ordersDir(1 to 40, d => if (d % 2 == 1) 10.0 else 30.0)
+    val acf = operators.EventQueries.q312(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(acf(1L) === -975000L, s"lag-1 ${acf(1L)}") // −39/40
+    assert(acf(2L) === 950000L, s"lag-2 ${acf(2L)}")  // +38/40
+    assert(acf(7L) === -825000L, s"lag-7 ${acf(7L)}") // −33/40
+  }
+
+  test("q320 is quiet on a constant series and matches a sequential " +
+    "reference fold on a planted step") {
+    val flat = operators.EventQueries.q320(spark,
+      ordersDir(1 to 30, _ => 50.0)).collect()
+    flat.foreach { r =>
+      assert(r.getLong(2) === 0L, "alarm on a constant series")
+      assert(r.getLong(4) === 0L, "nonzero CUSUM on a constant series")
+    }
+    // step: 30 days at 121.00, then 10 at 200.00 — replay the exact
+    // integer calibration + clamped fold sequentially as the reference
+    val cents = (1 to 40).map(d => if (d <= 30) 12100L else 20000L)
+    val n = cents.size; val mu = cents.sum / n
+    val mad = cents.map(x => math.abs(x - mu)).sum / n
+    val (k, h) = (mad / 2, 5 * mad)
+    def chart(delta: Long => Long): (Long, Option[Long], Long) = {
+      var bal = 0L; var nAl = 0L; var first = Option.empty[Long]; var mx = 0L
+      for (d <- 1 to 40) {
+        bal = math.max(bal + delta(cents(d - 1)), 0L)
+        mx = math.max(mx, bal)
+        if (bal > h) { nAl += 1; if (first.isEmpty) first = Some(d.toLong) }
+      }
+      (nAl, first, mx)
+    }
+    val expUp = chart(x => x - mu - k)
+    val expDn = chart(x => mu - x - k)
+    val out = operators.EventQueries.q320(spark,
+        ordersDir(1 to 40, d => if (d <= 30) 121.0 else 200.0))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getLong(4))).toMap
+    assert(out("up") === expUp, s"up ${out("up")} vs $expUp")
+    assert(out("down") === expDn, s"down ${out("down")} vs $expDn")
+    assert(expUp._1 > 0L, "the planted step must trip the up chart")
+  }
+
+  test("q313 recovers exactly the planted perturbed twins") {
+    // 10 docs, pairwise-disjoint vocabularies → the only candidate
+    // pairs are each doc with its deterministic twin
+    val docs = (0L until 10L).map { i =>
+      val words = (0 until 8).map(w => s"w${i}_$w").mkString(" ")
+      (i, words, "en", "srcA", words.length.toLong)
+    }
+    val out = operators.IndexingQueries.q313(spark, documentsDir(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 10, s"${out.length} pairs, planted 10")
+    out.foreach { case (a, b, dist) =>
+      assert(b === a + 1000000L, s"unplanted pair ($a, $b)")
+      val expected = if (a % 2 == 0) 2L else 1L // 'xy' vs 'x' suffix
+      assert(dist === expected, s"pair ($a, $b) dist $dist")
+    }
+  }
+
+  test("q314 scores perfect retrieval at exactly MAP = 1") {
+    // one-hot label directions: same-label sim 1, cross-label 0
+    def oneHot(dim: Int): Seq[Float] =
+      Seq.tabulate(64)(i => if (i == dim) 1f else 0f)
+    val rows = for (lbl <- 0 until 3; i <- 0 until 20)
+      yield ((lbl * 20 + i).toLong, oneHot(lbl), lbl)
+    val out = operators.SimilarityQueries.q314(spark, embeddingsDir(rows))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 3)
+    out.foreach { case (lbl, nq, map) =>
+      assert(nq === 4L, s"label $lbl: $nq queries")
+      assert(map === 1000000L, s"label $lbl: MAP $map, not 1.0")
+    }
+  }
+
+  test("q315 reads identical and flipped centroids as cos ±1") {
+    def axis(dim: Int, sign: Float): Seq[Float] =
+      Seq.tabulate(64)(i => if (i == dim) sign else 0f)
+    val stable = (0L until 4L).map(i => (i, axis(1, 1f), 0))
+    val flipped = (10L until 14L).map(i =>
+      (i, axis(2, if (i % 2 == 0) 1f else -1f), 1))
+    val out = operators.SimilarityQueries.q315(spark,
+        embeddingsDir(stable ++ flipped))
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(out(0) === 1.0, s"stable label cos ${out(0)}")
+    assert(out(1) === -1.0, s"flipped label cos ${out(1)}")
+  }
+
+  test("q316 estimates the planted duplicate population exactly at J=1") {
+    // 4 exact-dup pairs: J=1 pairs are captured by BOTH schemes with
+    // certainty, so n1 = n2 = m = 4 and Chapman = (5·5) div 5 − 1 = 4
+    val docs = (0L until 8L).map { i =>
+      val pair = i / 2
+      val words = (0 until 10).map(w => s"p${pair}_t$w").mkString(" ")
+      (i, words, "en", "srcA", words.length.toLong)
+    }
+    val r = operators.DedupQueries.q316(spark, documentsDir(docs))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4L, 4L, 4L)))
+    assert(r.getLong(3) === 4L, s"chapman ${r.getLong(3)}")
+    assert(r.getLong(4) === 4L)
+  }
+
+  test("q317 jackknife pins the outlier source and the exact SE") {
+    // sources A,B at 100 chars/doc, C at 400: θ̂ = 200e6 micro,
+    // θ_(C) = 100e6, θ_(A) = θ_(B) = 250e6, SE = sqrt(1e16) = 1e8
+    val docs = (0 until 30).map { i =>
+      val src = Seq("srcA", "srcB", "srcC")(i / 10)
+      val chars = if (src == "srcC") 400L else 100L
+      (i.toLong, "t", "en", src, chars)
+    }
+    val out = operators.GovernanceQueries.q317(spark, documentsDir(docs))
+      .collect().map(r => (r.getString(0),
+        (r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out("srcC") === ((100000000L, 200000000L, 1.0e8)))
+    assert(out("srcA") === ((250000000L, 200000000L, 1.0e8)))
+  }
+
   test("q286 finds the planted variance axis") {
     // dim 5 carries 100x the variance of every other dim
     val rnd = new scala.util.Random(7)
