@@ -1924,7 +1924,98 @@ object AssociationQueries {
        |FROM pl CROSS JOIN st
        |ORDER BY pl.look""".stripMargin
 
+  /** q319 — iterative proportional fitting (raking) of the
+    * segment × priority order grid to uniform target margins: the
+    * survey-weighting workhorse (post-stratification when only the
+    * MARGINS of the population are known, never the joint). Weights
+    * start at 1 on the micro grid and two full row/column scaling
+    * rounds run as exact integer arithmetic — each scaling factor is
+    * one truncating division of micro-scaled totals, each weight
+    * update one multiply + renormalizing division, so both engines
+    * walk bit-identical weight sequences (the float-free analogue of
+    * statsmodels' rake). Emits the fitted cell weights plus the
+    * achieved row/column margins against the shared target — the
+    * residual misfit after 2 rounds is part of the readout (IPF
+    * converges geometrically; stopping early is the stated
+    * semantics, as q265 does for value iteration).
+    *
+    * Scale shape: one corpus join collapses to the 25-cell grid; all
+    * four scalings are windows over that bounded grid (the q258
+    * convention). */
+  def q319(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.orders(s, d)
+      .select($"o_custkey", $"o_orderpriority".as("priority"))
+      .join(Tables.customer(s, d)
+        .select($"c_custkey".as("o_custkey"), $"c_mktsegment".as("segment")),
+        "o_custkey")
+      .groupBy($"segment", $"priority")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("t", sum($"n").over(Window.partitionBy(lit(1))))
+      .withColumn("w", lit(1000000L))
+    val raked = (1 to 2).foldLeft(cells) { (cur, _) =>
+      cur
+        .withColumn("wr", sum($"n" * $"w").over(Window.partitionBy($"segment")))
+        .withColumn("w",
+          expr("(w * (((t div 5) * 1000000000000) div wr)) div 1000000"))
+        .drop("wr")
+        .withColumn("wc", sum($"n" * $"w").over(Window.partitionBy($"priority")))
+        .withColumn("w",
+          expr("(w * (((t div 5) * 1000000000000) div wc)) div 1000000"))
+        .drop("wc")
+    }
+    raked
+      .withColumn("row_margin_micro",
+        sum($"n" * $"w").over(Window.partitionBy($"segment")))
+      .withColumn("col_margin_micro",
+        sum($"n" * $"w").over(Window.partitionBy($"priority")))
+      .select($"segment", $"priority", $"n", $"w".as("weight_micro"),
+        $"row_margin_micro", $"col_margin_micro",
+        expr("(t div 5) * 1000000").as("target_margin_micro"))
+      .orderBy($"segment", $"priority")
+  }
+
+  val q319Sql: String =
+    """WITH cells AS (
+      |  SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |t0 AS (
+      |  SELECT segment, priority, n,
+      |    CAST(sum(n) OVER () AS BIGINT) AS t,
+      |    CAST(1000000 AS BIGINT) AS w
+      |  FROM cells),
+      |r1 AS (
+      |  SELECT segment, priority, n, t,
+      |    (w * (((t // 5) * 1000000000000) //
+      |      CAST(sum(n * w) OVER (PARTITION BY segment) AS BIGINT))) // 1000000 AS w
+      |  FROM t0),
+      |c1 AS (
+      |  SELECT segment, priority, n, t,
+      |    (w * (((t // 5) * 1000000000000) //
+      |      CAST(sum(n * w) OVER (PARTITION BY priority) AS BIGINT))) // 1000000 AS w
+      |  FROM r1),
+      |r2 AS (
+      |  SELECT segment, priority, n, t,
+      |    (w * (((t // 5) * 1000000000000) //
+      |      CAST(sum(n * w) OVER (PARTITION BY segment) AS BIGINT))) // 1000000 AS w
+      |  FROM c1),
+      |c2 AS (
+      |  SELECT segment, priority, n, t,
+      |    (w * (((t // 5) * 1000000000000) //
+      |      CAST(sum(n * w) OVER (PARTITION BY priority) AS BIGINT))) // 1000000 AS w
+      |  FROM r2)
+      |SELECT segment, priority, n, w AS weight_micro,
+      |  CAST(sum(n * w) OVER (PARTITION BY segment) AS BIGINT)
+      |    AS row_margin_micro,
+      |  CAST(sum(n * w) OVER (PARTITION BY priority) AS BIGINT)
+      |    AS col_margin_micro,
+      |  (t // 5) * 1000000 AS target_margin_micro
+      |FROM c2 ORDER BY segment, priority""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q319_ipf_raking", q319, Some(q319Sql)),
     QueryDef("q278_conformal_intervals", q278, Some(q278Sql)),
     QueryDef("q281_diff_in_diff", q281, Some(q281Sql)),
     QueryDef("q282_sequential_monitoring", q282, Some(q282Sql)),

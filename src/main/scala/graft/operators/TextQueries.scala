@@ -440,7 +440,76 @@ object TextQueries {
        |  ${sqlR4("206.835::DOUBLE - 1.015::DOUBLE * (words / sentences) - 84.6::DOUBLE * (syllables / words)")} AS flesch
        |FROM agg ORDER BY lang""".stripMargin
 
+  /** q321 — Good–Turing frequency mass per language over word
+    * bigrams: counts-of-counts N_r, the unseen-event mass estimate
+    * P₀ = N₁/N (Turing's estimator — how much probability the
+    * language model should reserve for bigrams it has never seen:
+    * the number behind LM smoothing and "is this corpus slice big
+    * enough" coverage calls), and the smoothed counts
+    * r* = (r+1)·N_{r+1}/N_r for r = 1..3. Every figure is an exact
+    * rational of BIGINT counts-of-counts on the micro grid (unigrams
+    * would be degenerate here — this corpus's 31-word vocab has no
+    * singletons; bigrams have N₁ 5-87 per language at sf0.01).
+    * Sparse-tail guards: absent N_{r+1} → 0 numerator, absent
+    * N_r → NULL r* (stated).
+    *
+    * Scale shape: two groupBys (term-frequency, then
+    * counts-of-counts — the second input is vocabulary-sized, the
+    * third r-domain-sized) and a bounded rollup; nothing else. */
+  def q321(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tf = Tables.documents(s, d)
+      .select($"lang", split($"text", " ").as("w"))
+      .select($"lang",
+        explode(graft.functions.TextAnalysis.adjacentPairs($"w")).as("bg"))
+      .groupBy($"lang", $"bg").agg(count(lit(1)).as("r"))
+    val cc = tf.groupBy($"lang", $"r").agg(count(lit(1)).as("nr"))
+    cc.groupBy($"lang").agg(
+        sum($"r" * $"nr").as("n_tokens"),
+        sum($"nr").as("vocab"),
+        coalesce(max(when($"r" === 1, $"nr")), lit(0L)).as("n1"),
+        coalesce(max(when($"r" === 2, $"nr")), lit(0L)).as("n2"),
+        coalesce(max(when($"r" === 3, $"nr")), lit(0L)).as("n3"),
+        coalesce(max(when($"r" === 4, $"nr")), lit(0L)).as("n4"))
+      .select($"lang", $"n_tokens", $"vocab", $"n1",
+        expr("(n1 * 1000000) div n_tokens").as("unseen_micro"),
+        when($"n1" > 0, expr("(2 * n2 * 1000000) div n1"))
+          .as("rstar1_micro"),
+        when($"n2" > 0, expr("(3 * n3 * 1000000) div n2"))
+          .as("rstar2_micro"),
+        when($"n3" > 0, expr("(4 * n4 * 1000000) div n3"))
+          .as("rstar3_micro"))
+      .orderBy($"lang")
+  }
+
+  val q321Sql: String =
+    """WITH ws AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+      |tf AS (
+      |  SELECT lang, bg, CAST(count(*) AS BIGINT) AS r FROM (
+      |    SELECT lang, unnest(list_transform(range(1, len(w)),
+      |      i -> w[i] || ' ' || w[i+1])) AS bg
+      |    FROM ws) t
+      |  GROUP BY 1, 2),
+      |cc AS (SELECT lang, r, CAST(count(*) AS BIGINT) AS nr
+      |       FROM tf GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT lang,
+      |    CAST(sum(r * nr) AS BIGINT) AS n_tokens,
+      |    CAST(sum(nr) AS BIGINT) AS vocab,
+      |    COALESCE(max(CASE WHEN r = 1 THEN nr END), 0) AS n1,
+      |    COALESCE(max(CASE WHEN r = 2 THEN nr END), 0) AS n2,
+      |    COALESCE(max(CASE WHEN r = 3 THEN nr END), 0) AS n3,
+      |    COALESCE(max(CASE WHEN r = 4 THEN nr END), 0) AS n4
+      |  FROM cc GROUP BY 1)
+      |SELECT lang, n_tokens, vocab, n1,
+      |  (n1 * 1000000) // n_tokens AS unseen_micro,
+      |  CASE WHEN n1 > 0 THEN (2 * n2 * 1000000) // n1 END AS rstar1_micro,
+      |  CASE WHEN n2 > 0 THEN (3 * n3 * 1000000) // n2 END AS rstar2_micro,
+      |  CASE WHEN n3 > 0 THEN (4 * n4 * 1000000) // n3 END AS rstar3_micro
+      |FROM agg ORDER BY lang""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q321_good_turing", q321, Some(q321Sql)),
     QueryDef("q40_token_stats", q40, Some(q40Sql)),
     QueryDef("q183_vocab_diversity", q183, Some(q183Sql)),
     QueryDef("q189_readability", q189, Some(q189Sql)),

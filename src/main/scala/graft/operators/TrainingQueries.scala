@@ -818,7 +818,57 @@ object TrainingQueries {
        |LIMIT 20""".stripMargin
   }
 
+  /** q322 — effective sample size and design effect of
+    * quality-weighted sampling, per source: if documents are sampled
+    * proportionally to their quality score (the q98/CurationJobs
+    * policy), ESS = (Σw)²/Σw² is how many EQUAL-weight documents the
+    * weighted set is worth, and deff = n·Σw²/(Σw)² ≥ 1 is the
+    * variance inflation the weighting costs (Kish). The planning
+    * number for "how much corpus do I need after weighting". Weights
+    * are the per-row micro-quantized quality score (exact BIGINT, the
+    * q318 grid); squares ride DECIMAL(38,0)/HUGEINT (Σw ~ 10¹² at
+    * 10⁶ docs/source squares past BIGINT); ESS and deff are one
+    * truncating micro division each.
+    *
+    * Scale shape: one scan, one bounded groupBy(source) — three
+    * integer accumulators per group. */
+  def q322(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = graft.functions.TextAnalysis.qualityScore($"text")
+    Tables.documents(s, d)
+      .select($"source", floor(q * 1000000).cast("long").as("w"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"), sum($"w").as("sw"),
+        sum(expr("cast(w as decimal(38,0)) * w")).as("sw2"))
+      .select($"source", $"n",
+        expr("sw div n").as("mean_w_micro"),
+        expr("(cast(sw as decimal(38,0)) * sw * 1000000) div sw2")
+          .as("ess_micro"),
+        expr("(cast(n as decimal(38,0)) * sw2 * 1000000) div (cast(sw as decimal(38,0)) * sw)")
+          .as("deff_micro"))
+      .orderBy($"source")
+  }
+
+  val q322Sql: String = {
+    val quality = graft.functions.TextAnalysis.sqlQualityScore("text")
+    s"""WITH f AS (
+       |  SELECT source, CAST(floor(($quality) * 1000000) AS BIGINT) AS w
+       |  FROM documents),
+       |g AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(w) AS BIGINT) AS sw,
+       |    sum(CAST(w AS HUGEINT) * w) AS sw2
+       |  FROM f GROUP BY 1)
+       |SELECT source, n, sw // n AS mean_w_micro,
+       |  CAST((CAST(sw AS HUGEINT) * sw * 1000000) // sw2
+       |    AS BIGINT) AS ess_micro,
+       |  CAST((CAST(n AS HUGEINT) * sw2 * 1000000) //
+       |    (CAST(sw AS HUGEINT) * sw) AS BIGINT) AS deff_micro
+       |FROM g ORDER BY source""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q322_effective_sample_size", q322, Some(q322Sql)),
     QueryDef("q275_target_encoding", q275, Some(q275Sql)),
     QueryDef("q279_rake_keywords", q279, Some(q279Sql)),
     QueryDef("q267_neyman_sample", q267, Some(q267Sql)),
