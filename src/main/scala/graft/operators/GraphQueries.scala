@@ -196,7 +196,85 @@ object GraphQueries {
        |FROM s0 ORDER BY part""".stripMargin
   }
 
+  /** q323 — label-propagation community detection (synchronous LPA,
+    * Raghavan et al. 2007) on the co-purchase part graph (q209's edge
+    * set): every node starts as its own label; each round it adopts
+    * the most frequent label among its NEIGHBORS, ties broken to the
+    * smallest label — the deterministic synchronous variant (the
+    * async/random classic is not hash-checkable; sync + min-tie is,
+    * and is what GraphFrames' LPA also runs). Three rounds, stopping
+    * early stated (like q265's value iteration); output is the
+    * community size table. Communities differ from q256's connected
+    * components exactly where the graph is dense-with-bridges: LPA
+    * splits what CC merges.
+    *
+    * Scale shape: each round is ONE edges ⋈ labels equi-join +
+    * a (node, label) count + an argmax window partitioned by node
+    * (high cardinality, frames bounded by degree); generations are
+    * materialized so round r's plan does not nest r−1 prior joins —
+    * the q209/BPE iterative discipline. */
+  def q323(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lp = Tables.lineitem(s, d)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+    val e0 = lp.groupBy($"ok")
+      .agg(sort_array(collect_list($"p")).as("ps"))
+      .select(explode(filter(
+        flatten(transform($"ps",
+          a => transform($"ps", b => struct(a.as("a"), b.as("b"))))),
+        pr => pr("a") < pr("b"))).as("e"))
+      .select($"e.a".as("a"), $"e.b".as("b"))
+      .distinct()
+    val und = e0.union(e0.select($"b".as("a"), $"a".as("b")))
+      .transform(graft.Fx.materialize)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"id").orderBy($"c".desc, $"lbl".asc)
+    var labels = und.select($"a".as("id")).distinct()
+      .select($"id", $"id".as("lbl"))
+      .transform(graft.Fx.materialize)
+    for (_ <- 1 to 3) {
+      labels = und
+        .join(labels.select($"id".as("b"), $"lbl"), "b")
+        .groupBy($"a".as("id"), $"lbl")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" === 1)
+        .select($"id", $"lbl")
+        .transform(graft.Fx.materialize)
+    }
+    labels.groupBy($"lbl".as("community"))
+      .agg(count(lit(1)).as("n_members"), min($"id").as("min_member"))
+      .orderBy($"community")
+  }
+
+  val q323Sql: String = {
+    val gens = (1 to 3).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT id, lbl FROM (
+         |    SELECT e.a AS id, l.lbl, count(*) AS c,
+         |      row_number() OVER (PARTITION BY e.a
+         |        ORDER BY count(*) DESC, l.lbl) AS rk
+         |    FROM und e JOIN l${i - 1} l ON e.b = l.id
+         |    GROUP BY e.a, l.lbl) t
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH lp AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+       |e0 AS MATERIALIZED (
+       |  SELECT a.p AS a, b.p AS b FROM lp a JOIN lp b
+       |  ON a.ok = b.ok AND a.p < b.p GROUP BY 1, 2),
+       |und AS MATERIALIZED (
+       |  SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+       |l0 AS MATERIALIZED (
+       |  SELECT DISTINCT a AS id, a AS lbl FROM und),
+       |$gens
+       |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
+       |  min(id) AS min_member
+       |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q91_pagerank_iterative", q91, Some(q91Sql)),
-    QueryDef("q209_kcore_peel", q209, Some(q209Sql)))
+    QueryDef("q209_kcore_peel", q209, Some(q209Sql)),
+    QueryDef("q323_label_propagation", q323, Some(q323Sql)))
 }

@@ -256,6 +256,24 @@ class PlantedStructureSpec extends SparkSpec {
     assert(out("srcA") === ((250000000L, 200000000L, 1.0e8)))
   }
 
+  test("q323 splits bridged cliques that CC would merge") {
+    // two 5-cliques joined by a single bridge edge (5—11): one
+    // connected component, but LPA's neighbor majority confines each
+    // clique to its own label (traced by hand: A → 1, B → 11)
+    val dir = Files.createTempDirectory("planted-li")
+    val rows =
+      (1L to 5L).map(p => (1L, p)) ++
+        (11L to 15L).map(p => (2L, p)) ++
+        Seq((3L, 5L), (3L, 11L))
+    rows.toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("lineitem.parquet").toString)
+    val out = operators.GraphQueries.q323(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(1L -> 5L, 11L -> 5L),
+      s"communities $out, planted {1: 5, 11: 5}")
+  }
+
   test("q286 finds the planted variance axis") {
     // dim 5 carries 100x the variance of every other dim
     val rnd = new scala.util.Random(7)
