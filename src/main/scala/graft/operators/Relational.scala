@@ -1093,7 +1093,125 @@ object Relational {
       |FROM cls GROUP BY abc_class, total
       |ORDER BY abc_class""".stripMargin
 
+  /** q324 — Spearman rank correlation between catalog revenue and
+    * volume: "do our highest-revenue parts also move the most units"
+    * as ONE exact number over the whole catalog. Ranks are TOTAL-order
+    * ranks tie-broken by part key (stated — integer quantities tie
+    * constantly; average-rank Spearman would put fractions in the
+    * pipeline, tie-broken ranks keep every intermediate a BIGINT and
+    * the tie-break is deterministic in both engines). Revenue lands
+    * exactly on the 4-decimal grid per row before summation; ρ =
+    * 1 − 6Σd²/(n(n²−1)) computed on DECIMAL(38,0)/HUGEINT (n³ at
+    * catalog scale shreds BIGINT) with one truncating micro division.
+    *
+    * Scale shape: the two rank passes ride [[Ranking.seqIds]]
+    * (range-repartition + Tungsten ordinal — NO global window over
+    * the catalog); the d² reduction is one aggregate. The oracle
+    * keeps its window form at oracle scale. */
+  def q324(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.lineitem(s, d)
+      .groupBy($"l_partkey".as("part"))
+      .agg(sum(floor($"l_extendedprice" * ($"l_discount" * -1 + 1) * 10000 + 0.5)
+          .cast("long")).as("rev"),
+        sum($"l_quantity".cast("long")).as("qty"))
+      .transform(graft.Fx.materialize)
+    val r1 = Ranking.seqIds(per, 8, $"rev".asc, $"part".asc)
+      .select($"part", $"seq_id".as("rank_rev"))
+    val r2 = Ranking.seqIds(per, 8, $"qty".asc, $"part".asc)
+      .select($"part", $"seq_id".as("rank_qty"))
+    r1.join(r2, "part")
+      .agg(count(lit(1)).as("n"),
+        sum(expr(
+          "cast(rank_rev - rank_qty as decimal(38,0)) * (rank_rev - rank_qty)"))
+          .as("sd2"))
+      .select($"n", $"sd2".cast("long").as("sum_d2"),
+        (lit(1000000L) - expr(
+          "(6 * sd2 * 1000000) div (cast(n as decimal(38,0)) * n * n - n)"))
+          .as("spearman_micro"))
+  }
+
+  val q324Sql: String =
+    """WITH per AS (
+      |  SELECT l_partkey AS part,
+      |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+      |      AS BIGINT)) AS BIGINT) AS rev,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |  FROM lineitem GROUP BY 1),
+      |r AS (
+      |  SELECT part,
+      |    row_number() OVER (ORDER BY rev, part) AS rank_rev,
+      |    row_number() OVER (ORDER BY qty, part) AS rank_qty
+      |  FROM per),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(rank_rev - rank_qty AS HUGEINT) * (rank_rev - rank_qty))
+      |      AS sd2
+      |  FROM r)
+      |SELECT n, CAST(sd2 AS BIGINT) AS sum_d2,
+      |  1000000 - CAST((6 * sd2 * 1000000) //
+      |    (CAST(n AS HUGEINT) * n * n - n) AS BIGINT) AS spearman_micro
+      |FROM m""".stripMargin
+
+  /** q325 — Kendall τ between the revenue and volume orderings of the
+    * TOP-100 revenue parts (bounded by design, stated — Kendall is
+    * pairwise-quadratic, so the operator contract is "rank stability
+    * of the head", the question merchandising actually asks; the
+    * catalog-wide companion is q324's Spearman, whose rank passes
+    * scale). Concordance compares the same TIE-BROKEN total orders as
+    * q324 ((rev, part) vs (qty, part) lexicographic), so every pair
+    * is strictly concordant or discordant — τ = (C − D)/(n(n−1)/2)
+    * as one truncating micro division of exact counts.
+    *
+    * Scale shape: TakeOrderedAndProject head selection, then a 100×99/2
+    * pair join on a broadcast-sized relation. */
+  def q325(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.lineitem(s, d)
+      .groupBy($"l_partkey".as("part"))
+      .agg(sum(floor($"l_extendedprice" * ($"l_discount" * -1 + 1) * 10000 + 0.5)
+          .cast("long")).as("rev"),
+        sum($"l_quantity".cast("long")).as("qty"))
+      .orderBy($"rev".desc, $"part".asc)
+      .limit(100)
+      .transform(graft.Fx.materialize)
+    val a = per.select($"part".as("pa"), $"rev".as("ra"), $"qty".as("qa"))
+    val b = per.select($"part".as("pb"), $"rev".as("rb"), $"qty".as("qb"))
+    val ltRev = ($"ra" < $"rb") || (($"ra" === $"rb") && ($"pa" < $"pb"))
+    val ltQty = ($"qa" < $"qb") || (($"qa" === $"qb") && ($"pa" < $"pb"))
+    a.join(b, $"pa" < $"pb")
+      .select((ltRev === ltQty).cast("long").as("conc"))
+      .agg(count(lit(1)).as("n_pairs"), sum($"conc").as("concordant"))
+      .select($"n_pairs", $"concordant",
+        ($"n_pairs" - $"concordant").as("discordant"),
+        expr("((concordant - (n_pairs - concordant)) * 1000000) div n_pairs")
+          .as("tau_micro"))
+  }
+
+  val q325Sql: String =
+    """WITH per AS (
+      |  SELECT l_partkey AS part,
+      |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+      |      AS BIGINT)) AS BIGINT) AS rev,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |  FROM lineitem GROUP BY 1
+      |  ORDER BY rev DESC, part LIMIT 100),
+      |pairs AS (
+      |  SELECT CASE WHEN
+      |    ((a.rev < b.rev) OR (a.rev = b.rev AND a.part < b.part))
+      |    = ((a.qty < b.qty) OR (a.qty = b.qty AND a.part < b.part))
+      |    THEN 1 ELSE 0 END AS conc
+      |  FROM per a JOIN per b ON a.part < b.part)
+      |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(conc) AS BIGINT) AS concordant,
+      |  CAST(count(*) - sum(conc) AS BIGINT) AS discordant,
+      |  CAST(((2 * sum(conc) - count(*)) * 1000000) // count(*) AS BIGINT)
+      |    AS tau_micro
+      |FROM pairs""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q324_spearman_rho", q324, Some(q324Sql)),
+    QueryDef("q325_kendall_tau", q325, Some(q325Sql)),
     QueryDef("q310_abc_analysis", q310, Some(q310Sql)),
     QueryDef("q248_rfm_segmentation", q248, Some(q248Sql)),
     QueryDef("q237_document_roundtrip", q237, Some(q237Sql), bench = true),

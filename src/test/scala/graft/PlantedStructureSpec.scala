@@ -274,6 +274,21 @@ class PlantedStructureSpec extends SparkSpec {
       s"communities $out, planted {1: 5, 11: 5}")
   }
 
+  test("q324/q325 read a perfectly reversed ranking as exactly -1") {
+    // 10 parts: revenue strictly increases with part key, quantity
+    // strictly decreases — Spearman and Kendall both exactly −1
+    val dir = Files.createTempDirectory("planted-rk")
+    (1L to 10L).map(p => (p, p.toDouble, 0.0, (11 - p)))
+      .toDF("l_partkey", "l_extendedprice", "l_discount", "l_quantity")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("lineitem.parquet").toString)
+    val sp = operators.Relational.q324(spark, dir.toString).collect().head
+    assert(sp.getLong(2) === -1000000L, s"spearman ${sp.getLong(2)}")
+    val kt = operators.Relational.q325(spark, dir.toString).collect().head
+    assert(kt.getLong(1) === 0L, s"concordant ${kt.getLong(1)}")
+    assert(kt.getLong(3) === -1000000L, s"tau ${kt.getLong(3)}")
+  }
+
   test("q286 finds the planted variance axis") {
     // dim 5 carries 100x the variance of every other dim
     val rnd = new scala.util.Random(7)
