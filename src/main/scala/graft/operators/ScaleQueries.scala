@@ -596,7 +596,141 @@ object ScaleQueries {
        |FROM z GROUP BY part, rn - rz
        |ORDER BY part, start_day""".stripMargin
 
+  /** q326 — distributed WEIGHTED median line price per brand
+    * (quantity-weighted, lower-median rule: the smallest price whose
+    * inclusive cumulative weight reaches ⌈W/2⌉ — stated): the robust
+    * "typical transaction price" that unit-count medians misstate
+    * when big orders dominate. The corpus first collapses to
+    * (brand, price) cells with summed weights; the cumulative weight
+    * then rides [[Ranking.groupRunningSum]] (range-repartition
+    * two-phase prefix — NO per-brand window over an uncollapsed
+    * relation, and cells keep the group domain unbounded-safe); the
+    * selection is one bounded aggregate against broadcast brand
+    * totals. Exact integers throughout — prices on the cent grid,
+    * weights as whole quantities.
+    *
+    * Scale shape: groupBy collapse → distributed prefix → broadcast
+    * totals join → min-when selection. The oracle keeps its
+    * cumulative-window form at oracle scale. */
+  def q326(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .select($"l_partkey",
+        floor($"l_extendedprice" * 100 + 0.5).cast("long").as("price"),
+        $"l_quantity".cast("long").as("qty"))
+      .join(broadcast(Tables.part(s, d)
+        .select($"p_partkey".as("l_partkey"), $"p_brand".as("brand"))),
+        "l_partkey")
+    val cells = li.groupBy($"brand", $"price")
+      .agg(sum($"qty").as("w"))
+    val cum = Ranking.groupRunningSum(cells, Seq("brand"), 8, "w",
+      $"price".asc)
+    val tot = cells.groupBy($"brand").agg(sum($"w").as("tw"))
+      .withColumnRenamed("brand", "__b")
+    cum.join(broadcast(tot), $"brand" === $"__b")
+      .groupBy($"brand")
+      .agg(max($"tw").as("total_qty"),
+        min(when($"run_before" + $"w" >= expr("(tw + 1) div 2"), $"price"))
+          .as("median_price_cents"))
+      .orderBy($"brand")
+  }
+
+  val q326Sql: String =
+    """WITH li AS (
+      |  SELECT p.p_brand AS brand,
+      |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price,
+      |    CAST(l_quantity AS BIGINT) AS qty
+      |  FROM lineitem JOIN part p ON l_partkey = p.p_partkey),
+      |cells AS (
+      |  SELECT brand, price, CAST(sum(qty) AS BIGINT) AS w
+      |  FROM li GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT brand, price, w,
+      |    CAST(sum(w) OVER (PARTITION BY brand ORDER BY price) AS BIGINT)
+      |      AS cw,
+      |    CAST(sum(w) OVER (PARTITION BY brand) AS BIGINT) AS tw
+      |  FROM cells)
+      |SELECT brand, max(tw) AS total_qty,
+      |  min(CASE WHEN cw >= (tw + 1) // 2 THEN price END)
+      |    AS median_price_cents
+      |FROM cum GROUP BY 1 ORDER BY brand""".stripMargin
+
+  /** q327 — leaderboard churn: how stable is the top-20 revenue part
+    * list month over month — per month pair, the carryover count, new
+    * entrants, and the Jaccard of the two sets (exact integers; the
+    * merchandising "how volatile is our head" readout, and the
+    * data-quality tripwire when a feed goes partial: churn spikes).
+    * Month heads are selected by the native bounded-heap
+    * [[graft.plans.TopK.perGroup]] over (month, part) revenue cells —
+    * per-partition heaps, no per-month sort of the catalog — with the
+    * (rev desc, part asc) total order shared by the oracle's window.
+    *
+    * Scale shape: one collapse to month×part cells, a native top-k,
+    * then a self-join of 20-row-per-month sets — everything after the
+    * first aggregate is head-sized. */
+  def q327(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.lineitem(s, d)
+      .select((year($"l_shipdate") * 100 + month($"l_shipdate")).as("ym"),
+        $"l_partkey".as("part"),
+        floor($"l_extendedprice" * ($"l_discount" * -1 + 1) * 10000 + 0.5)
+          .cast("long").as("rev4"))
+      .groupBy($"ym", $"part").agg(sum($"rev4").as("rev"))
+    val top = graft.plans.TopK.perGroup(cells, 20, Seq("ym"),
+        Seq(graft.plans.TopK.desc("rev"), graft.plans.TopK.asc("part")))
+      .select($"ym", $"part")
+      .transform(graft.Fx.materialize)
+    val months = top.select($"ym").distinct()
+      .withColumn("prev_ym",
+        when($"ym" % 100 === 1, $"ym" - 89).otherwise($"ym" - 1))
+    val a = top.select($"ym".as("prev_ym"), $"part")
+    val b = top.select($"ym".as("cur_ym"), $"part")
+    months.join(b, $"ym" === $"cur_ym")
+      .join(a, Seq("prev_ym", "part"), "left_semi")
+      .groupBy($"ym").agg(count(lit(1)).as("n_common"))
+      .join(months.select($"ym", $"prev_ym"), "ym")
+      .join(top.groupBy($"ym".as("pm")).agg(count(lit(1)).as("n_prev")),
+        $"prev_ym" === $"pm", "inner")
+      .select($"ym", $"n_common", (lit(20L) - $"n_common").as("n_new"),
+        expr("(n_common * 1000000) div (40 - n_common)").as("jaccard_micro"))
+      .orderBy($"ym")
+  }
+
+  val q327Sql: String =
+    """WITH cells AS (
+      |  SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+      |      AS ym,
+      |    l_partkey AS part,
+      |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000
+      |      + 0.5) AS BIGINT)) AS BIGINT) AS rev
+      |  FROM lineitem GROUP BY 1, 2),
+      |top AS (
+      |  SELECT ym, part FROM (
+      |    SELECT ym, part,
+      |      row_number() OVER (PARTITION BY ym ORDER BY rev DESC, part)
+      |        AS rn
+      |    FROM cells) t WHERE rn <= 20),
+      |months AS (
+      |  SELECT DISTINCT ym,
+      |    CASE WHEN ym % 100 = 1 THEN ym - 89 ELSE ym - 1 END AS prev_ym
+      |  FROM top),
+      |common AS (
+      |  SELECT m.ym, CAST(count(*) AS BIGINT) AS n_common
+      |  FROM months m
+      |  JOIN top b ON b.ym = m.ym
+      |  WHERE EXISTS (SELECT 1 FROM top a
+      |                WHERE a.ym = m.prev_ym AND a.part = b.part)
+      |  GROUP BY 1)
+      |SELECT c.ym, n_common, 20 - n_common AS n_new,
+      |  (n_common * 1000000) // (40 - n_common) AS jaccard_micro
+      |FROM common c
+      |JOIN months m ON c.ym = m.ym
+      |WHERE EXISTS (SELECT 1 FROM top p WHERE p.ym = m.prev_ym)
+      |ORDER BY c.ym""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q326_weighted_median", q326, Some(q326Sql)),
+    QueryDef("q327_leaderboard_churn", q327, Some(q327Sql)),
     QueryDef("q260_clamped_balance", q260, Some(q260Sql), bench = true),
     QueryDef("q269_stockout_episodes", q269, Some(q269Sql)),
     QueryDef("q235_hybrid_skew_join", q235, Some(q235Sql)),
