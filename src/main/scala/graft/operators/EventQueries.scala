@@ -3257,7 +3257,95 @@ object EventQueries {
       |FROM r JOIN d ON r.side = d.side AND r.rn = d.rn
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q328 — restricted mean survival time (RMST): the expected days a
+    * user stays active within the first τ days, τ = half the observed
+    * duration span — the scalar the q271 Kaplan–Meier CURVE doesn't
+    * give you (median survival is undefined when Ŝ never crosses ½;
+    * RMST always exists and is the number capacity planning wants:
+    * "area under the survival curve up to τ"). Discrete exact form:
+    * RMST(τ) = Σ_{j=0}^{τ−1} Ŝ(j) in micro-days, where Ŝ(j) is the
+    * post-day-j product-limit value carried between death days —
+    * integer arithmetic end to end on the micro grid, reusing q271's
+    * risk-set/fold conventions verbatim (censoring included).
+    *
+    * Scale shape: q271's shape — one per-user aggregate, one collapse
+    * onto the bounded duration grid, a driver fold over that grid
+    * (q270's pattern); the day expansion is τ ≤ |days| iterations of
+    * the same fold. */
+  def q328(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val spans = Fx.eventTs(Tables.events(s, d))
+      .groupBy($"user_id")
+      .agg(min(epochDay($"ts")).as("first_day"), max(epochDay($"ts")).as("last_day"))
+    val maxDay = spans.agg(max($"last_day")).head().getInt(0)
+    val grid = spans
+      .select(($"last_day" - $"first_day").as("t"),
+        ($"last_day" <= maxDay - 1).cast("long").as("event"))
+      .groupBy($"t")
+      .agg(sum($"event").as("d"), sum(lit(1L) - $"event").as("c"))
+      .orderBy($"t")
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2)))
+    val totalUsers = grid.map(g => g._2 + g._3).sum
+    var atRisk = totalUsers
+    var sMicro = 1000000L
+    val steps = grid.map { case (t, dd, cc) =>
+      val n = atRisk
+      if (dd > 0) sMicro = Math.floorDiv(sMicro * (n - dd), n)
+      atRisk -= (dd + cc)
+      (t, sMicro)
+    }
+    val tMax = grid.map(_._1).max
+    val tau = math.max(1L, tMax / 2)
+    var cur = 1000000L; var idx = 0; var acc = 0L
+    for (j <- 0L until tau) {
+      while (idx < steps.length && steps(idx)._1 <= j) {
+        cur = steps(idx)._2; idx += 1
+      }
+      acc += cur
+    }
+    s.createDataFrame(Seq((tau, acc, cur)))
+      .toDF("tau_days", "rmst_micro_days", "surv_at_tau_micro")
+  }
+
+  val q328Sql: String =
+    """WITH RECURSIVE spans AS (
+      |  SELECT user_id,
+      |    min(CAST(ts AS DATE) - DATE '1970-01-01') AS first_day,
+      |    max(CAST(ts AS DATE) - DATE '1970-01-01') AS last_day
+      |  FROM events GROUP BY user_id),
+      |mx AS (SELECT max(last_day) AS max_day FROM spans),
+      |g AS (
+      |  SELECT last_day - first_day AS t,
+      |    sum(CASE WHEN last_day <= max_day - 1 THEN 1 ELSE 0 END) AS d,
+      |    sum(CASE WHEN last_day <= max_day - 1 THEN 0 ELSE 1 END) AS c
+      |  FROM spans CROSS JOIN mx GROUP BY 1),
+      |o AS (
+      |  SELECT t, d, c, row_number() OVER (ORDER BY t) AS rn,
+      |    sum(d + c) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n
+      |  FROM g),
+      |km(rn, t, s) AS (
+      |  SELECT rn, t,
+      |    CASE WHEN d > 0 THEN (1000000 * (n - d)) // n ELSE 1000000 END
+      |  FROM o WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.rn, o.t,
+      |    CASE WHEN o.d > 0 THEN (km.s * (o.n - o.d)) // o.n ELSE km.s END
+      |  FROM km JOIN o ON o.rn = km.rn + 1),
+      |tau AS (SELECT greatest(max(t) // 2, 1) AS tau FROM g),
+      |days AS (SELECT unnest(range(0, (SELECT tau FROM tau))) AS j),
+      |sj AS (
+      |  SELECT days.j,
+      |    COALESCE((SELECT s FROM km WHERE km.t <= days.j
+      |              ORDER BY km.t DESC LIMIT 1), 1000000) AS s
+      |  FROM days)
+      |SELECT CAST(tau.tau AS BIGINT) AS tau_days,
+      |  CAST((SELECT sum(s) FROM sj) AS BIGINT) AS rmst_micro_days,
+      |  CAST((SELECT s FROM sj ORDER BY j DESC LIMIT 1) AS BIGINT)
+      |    AS surv_at_tau_micro
+      |FROM tau""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q328_rmst", q328, Some(q328Sql)),
     QueryDef("q312_acf_daily_revenue", q312, Some(q312Sql)),
     QueryDef("q320_cusum_control_chart", q320, Some(q320Sql)),
     QueryDef("q250_time_to_convert", q250, Some(q250Sql)),

@@ -1209,9 +1209,102 @@ object Relational {
       |    AS tau_micro
       |FROM pairs""".stripMargin
 
+  /** q330 — ABC–XYZ inventory matrix: q310's Pareto revenue classes
+    * crossed with demand-variability classes — THE two-axis grid
+    * inventory policy is written on (AX = automate the reorder,
+    * CZ = stock-to-order). XYZ classes are exact integer comparisons
+    * of the coefficient of variation of per-day demand: CV² =
+    * (n·Σx² − S²)/S², so X ⇔ 4·(n·Σx² − S²) ≤ S² (CV ≤ ½),
+    * Y ⇔ CV ≤ 1, else Z — no division, no sqrt, DECIMAL(38,0)/
+    * HUGEINT moments (demand days only, stated: zero-days are not
+    * observations here). ABC rides the same global distributed prefix
+    * as q310. Emits the 3×3 matrix with part counts and exact revenue
+    * share per cell.
+    *
+    * Scale shape: two collapses (part×day demand, part revenue), the
+    * scan-safe global prefix, a broadcast-grid join, a ≤9-row rollup. */
+  def q330(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.lineitem(s, d)
+      .groupBy($"l_partkey", epochDay($"l_shipdate").as("day"))
+      .agg(sum($"l_quantity".cast("long")).as("x"))
+    val xyz = daily.groupBy($"l_partkey")
+      .agg(count(lit(1)).as("nd"), sum($"x").as("sx"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"))
+      .withColumn("dev",
+        expr("cast(nd as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx"))
+      .withColumn("xyz_class",
+        when(expr("dev * 4 <= cast(sx as decimal(38,0)) * sx"), "X")
+          .when(expr("dev <= cast(sx as decimal(38,0)) * sx"), "Y")
+          .otherwise("Z"))
+      .select($"l_partkey", $"xyz_class")
+    val rev = Tables.lineitem(s, d)
+      .groupBy($"l_partkey")
+      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev4"))
+      .select($"l_partkey",
+        floor($"rev4" * 10000 + 0.5).cast("long").as("ri"))
+    val tot = rev.agg(sum($"ri").as("total"))
+    val abc = Ranking.groupRunningSum(rev, Seq.empty, 8, "ri",
+        $"ri".desc, $"l_partkey".asc)
+      .crossJoin(broadcast(tot))
+      .withColumn("cum", $"run_before" + $"ri")
+      .withColumn("abc_class",
+        when($"cum" * 100 <= $"total" * 80, "A")
+          .when($"cum" * 100 <= $"total" * 95, "B")
+          .otherwise("C"))
+      .select($"l_partkey", $"abc_class", $"ri", $"total")
+    abc.join(xyz, "l_partkey")
+      .groupBy($"abc_class", $"xyz_class")
+      .agg(count(lit(1)).as("n_parts"), sum($"ri").as("cell_rev_i4"),
+        max($"total").as("__t"))
+      .select($"abc_class", $"xyz_class", $"n_parts", $"cell_rev_i4",
+        expr("(cast(cell_rev_i4 as decimal(38,0)) * 1000000) div __t")
+          .as("share_micro"))
+      .orderBy($"abc_class", $"xyz_class")
+  }
+
+  val q330Sql: String =
+    """WITH daily AS (
+      |  SELECT l_partkey, CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS day,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x
+      |  FROM lineitem GROUP BY 1, 2),
+      |xyz AS (
+      |  SELECT l_partkey,
+      |    CASE
+      |      WHEN (CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * x)
+      |            - CAST(sum(x) AS HUGEINT) * sum(x)) * 4
+      |           <= CAST(sum(x) AS HUGEINT) * sum(x) THEN 'X'
+      |      WHEN CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * x)
+      |            - CAST(sum(x) AS HUGEINT) * sum(x)
+      |           <= CAST(sum(x) AS HUGEINT) * sum(x) THEN 'Y'
+      |      ELSE 'Z' END AS xyz_class
+      |  FROM daily GROUP BY 1),
+      |rev AS (
+      |  SELECT l_partkey,
+      |    CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5)
+      |      AS BIGINT) AS ri
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (SELECT CAST(sum(ri) AS BIGINT) AS total FROM rev),
+      |abc AS (
+      |  SELECT l_partkey, ri, total,
+      |    CASE
+      |      WHEN CAST(sum(ri) OVER (ORDER BY ri DESC, l_partkey) AS BIGINT)
+      |           * 100 <= total * 80 THEN 'A'
+      |      WHEN CAST(sum(ri) OVER (ORDER BY ri DESC, l_partkey) AS BIGINT)
+      |           * 100 <= total * 95 THEN 'B'
+      |      ELSE 'C' END AS abc_class
+      |  FROM rev CROSS JOIN tot)
+      |SELECT abc_class, xyz_class, CAST(count(*) AS BIGINT) AS n_parts,
+      |  CAST(sum(ri) AS BIGINT) AS cell_rev_i4,
+      |  CAST((CAST(sum(ri) AS HUGEINT) * 1000000) // max(total) AS BIGINT)
+      |    AS share_micro
+      |FROM abc JOIN xyz USING (l_partkey)
+      |GROUP BY 1, 2 ORDER BY abc_class, xyz_class""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q324_spearman_rho", q324, Some(q324Sql)),
     QueryDef("q325_kendall_tau", q325, Some(q325Sql)),
+    QueryDef("q330_abc_xyz_matrix", q330, Some(q330Sql)),
     QueryDef("q310_abc_analysis", q310, Some(q310Sql)),
     QueryDef("q248_rfm_segmentation", q248, Some(q248Sql)),
     QueryDef("q237_document_roundtrip", q237, Some(q237Sql), bench = true),

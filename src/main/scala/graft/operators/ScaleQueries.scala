@@ -671,7 +671,8 @@ object ScaleQueries {
   def q327(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val cells = Tables.lineitem(s, d)
-      .select((year($"l_shipdate") * 100 + month($"l_shipdate")).as("ym"),
+      .select((year($"l_shipdate") * 100 + month($"l_shipdate"))
+          .cast("long").as("ym"),
         $"l_partkey".as("part"),
         floor($"l_extendedprice" * ($"l_discount" * -1 + 1) * 10000 + 0.5)
           .cast("long").as("rev4"))

@@ -289,6 +289,77 @@ class PlantedStructureSpec extends SparkSpec {
     assert(kt.getLong(3) === -1000000L, s"tau ${kt.getLong(3)}")
   }
 
+  /** lineitem.parquet fixture: (partkey, epoch-day, qty, line total,
+    * discount 0) rows at noon UTC. */
+  private def lineitemDir(
+      rows: Seq[(Long, Int, Long, Double)],
+      partBrands: Seq[(Long, String)] = Nil): String = {
+    val dir = Files.createTempDirectory("planted-li2")
+    rows.map { case (p, day, q, ext) => (p, day.toLong, q.toDouble, ext) }
+      .toDF("l_partkey", "day", "l_quantity", "l_extendedprice")
+      .withColumn("l_shipdate", timestamp_micros(
+        ($"day" * 86400L + 43200L) * 1000000L))
+      .withColumn("l_discount", lit(0.0))
+      .select($"l_partkey", $"l_shipdate", $"l_quantity",
+        $"l_extendedprice", $"l_discount")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("lineitem.parquet").toString)
+    if (partBrands.nonEmpty)
+      partBrands.toDF("p_partkey", "p_brand")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(dir.resolve("part.parquet").toString)
+    dir.toString
+  }
+
+  test("q326 weighted median lands on the heavy item") {
+    // brand B1: qty-weighted prices 1.00×1, 2.00×1, 3.00×10 → W=12,
+    // ceil(W/2)=6 falls inside the 3.00 mass
+    val d = lineitemDir(
+      Seq((1L, 1, 1L, 1.0), (2L, 1, 1L, 2.0), (3L, 1, 10L, 3.0)),
+      partBrands = Seq((1L, "B1"), (2L, "B1"), (3L, "B1")))
+    val r = operators.ScaleQueries.q326(spark, d).collect().head
+    assert(r.getLong(1) === 12L)
+    assert(r.getLong(2) === 300L, s"median ${r.getLong(2)} cents, planted 300")
+  }
+
+  test("q327 reads a one-part swap as 19/21 Jaccard") {
+    // Jan top-20 = parts 1..20; Feb replaces part 20 with part 21
+    val jan = (1L to 20L).map(p => (p, 15, 1L, (100 - p).toDouble))
+    val feb = ((1L to 19L) :+ 21L).map(p => (p, 46, 1L, (100 - p).toDouble))
+    val out = operators.ScaleQueries.q327(spark, lineitemDir(jan ++ feb))
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(0) === 197002L || r.getLong(0) === 197002L,
+      s"ym ${r.getLong(0)}") // 1970-02 from epoch-day grid
+    assert(r.getLong(1) === 19L && r.getLong(2) === 1L,
+      s"common ${r.getLong(1)} new ${r.getLong(2)}")
+    assert(r.getLong(3) === 904761L, s"jaccard ${r.getLong(3)}")
+  }
+
+  test("q328 RMST of a fully-censored cohort is exactly tau") {
+    // every user spans the whole window → no churn events → S ≡ 1
+    val rows = (1L to 10L).flatMap(u =>
+      Seq((1, u, "purchase", 1.0), (21, u, "purchase", 1.0)))
+    val r = operators.EventQueries.q328(spark, eventsDir(rows))
+      .collect().head
+    assert(r.getLong(0) === 10L, s"tau ${r.getLong(0)}")
+    assert(r.getLong(1) === 10000000L, s"rmst ${r.getLong(1)}")
+    assert(r.getLong(2) === 1000000L)
+  }
+
+  test("q330 classes constant demand X/A and spiky demand Z/C") {
+    // part 1: 10 flat days, 70% of revenue → (A, X);
+    // part 2: 9 quiet days + one 100-unit spike, 30% → (C, Z)
+    val rows =
+      (1 to 10).map(day => (1L, day, 10L, 700.0)) ++
+        (1 to 9).map(day => (2L, day, 1L, 3.0)) :+ (2L, 10, 100L, 2973.0)
+    val out = operators.Relational.q330(spark, lineitemDir(rows))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out === Map(("A", "X") -> 1L, ("C", "Z") -> 1L), s"matrix $out")
+  }
+
   test("q286 finds the planted variance axis") {
     // dim 5 carries 100x the variance of every other dim
     val rnd = new scala.util.Random(7)
