@@ -322,6 +322,32 @@ class PlantedStructureSpec extends SparkSpec {
     assert(r.getLong(2) === 300L, s"median ${r.getLong(2)} cents, planted 300")
   }
 
+  test("q326 matches a brute-force weighted median on random data") {
+    // differential check of the prefix+ceil selection rule: expand
+    // every (price, qty) cell to qty unit rows, take the lower median
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val brands = Seq("BA", "BB", "BC")
+      val rows = for {
+        (b, bi) <- brands.zipWithIndex
+        i <- 1 to 20
+      } yield ((bi * 100 + i).toLong, 1 + rnd.nextInt(5),
+        (1 + rnd.nextInt(9)).toLong, (1 + rnd.nextInt(50)).toDouble)
+      val parts = rows.map(r => (r._1, brands((r._1 / 100).toInt)))
+      val d = lineitemDir(rows, partBrands = parts)
+      val got = operators.ScaleQueries.q326(spark, d)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      val want = rows.groupBy(r => brands((r._1 / 100).toInt))
+        .map { case (b, rs) =>
+          val units = rs.flatMap(r =>
+            Seq.fill(r._3.toInt)(math.floor(r._4 * 100 + 0.5).toLong))
+            .sorted
+          b -> units((units.size + 1) / 2 - 1) // lower median, 1-based ceil
+        }
+      assert(got === want, s"trial $trial")
+    }
+  }
+
   test("q327 reads a one-part swap as 19/21 Jaccard") {
     // Jan top-20 = parts 1..20; Feb replaces part 20 with part 21
     val jan = (1L to 20L).map(p => (p, 15, 1L, (100 - p).toDouble))
