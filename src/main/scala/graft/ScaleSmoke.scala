@@ -193,6 +193,50 @@ object ScaleSmoke {
       return
     }
 
+    // targeted mode: `... <n> wmedian` measures the q326 weighted
+    // median: two-phase prefix over collapsed cells vs the per-brand
+    // cumulative window (25 low-cardinality groups → 25 straggler
+    // tasks in the window form once the cell relation is large)
+    if (args.lift(1).contains("wmedian")) {
+      import org.apache.spark.sql.expressions.Window
+      // price domain sized by arg 2 (default near-continuous): with a
+      // SMALL domain the cell relation is bounded and the per-brand
+      // window is fine; with a continuous domain cells ≈ n and each
+      // brand's window is a single-task sort of n/brands rows — the
+      // regime the two-phase prefix exists for (measured both)
+      val dom = args.lift(2).map(_.toLong).getOrElse(1000000000L)
+      val rows = spark.range(nDocs).select(
+        pmod($"id", lit(25L)).cast("string").as("brand"),
+        pmod(xxhash64($"id"), lit(dom)).as("price"),
+        (pmod(xxhash64($"id", lit(1)), lit(9L)) + 1L).as("qty"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rows.count()
+      val cells = rows.groupBy($"brand", $"price")
+        .agg(sum($"qty").as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cells.count()
+      def select(cum: org.apache.spark.sql.DataFrame): Long = {
+        val tot = cells.groupBy($"brand").agg(sum($"w").as("tw"))
+          .withColumnRenamed("brand", "__b")
+        cum.join(broadcast(tot), $"brand" === $"__b")
+          .groupBy($"brand")
+          .agg(min(when($"cw" >= expr("(tw + 1) div 2"), $"price"))
+            .as("m"))
+          .collect().length.toLong
+      }
+      timedN(nDocs)("wmedian_2phase") {
+        select(graft.operators.Ranking
+          .groupRunningSum(cells, Seq("brand"), cpus.toInt, "w", $"price".asc)
+          .withColumn("cw", $"run_before" + $"w"))
+      }
+      timedN(nDocs)("wmedian_window") {
+        select(cells.withColumn("cw", sum($"w").over(
+          Window.partitionBy($"brand").orderBy($"price"))))
+      }
+      spark.stop()
+      return
+    }
+
     // Deterministic synthetic corpus. A near-dup copies its
     // predecessor's word sequence (same base id) and changes only the
     // final word, so planted pairs share all but ~2 bigram shingles.
