@@ -386,6 +386,55 @@ class PlantedStructureSpec extends SparkSpec {
     assert(out === Map(("A", "X") -> 1L, ("C", "Z") -> 1L), s"matrix $out")
   }
 
+  test("drift lenses read two identical sources as their null values") {
+    // srcA and srcB carry the SAME n_chars distribution, so each
+    // source vs its complement must sit exactly at the null: KS 0,
+    // CvM 0, W1 0, AUC ½ — the formula-encoding class of bug (both
+    // engines computing the same wrong statistic) that oracle
+    // equality cannot catch
+    val dir = documentsDir(for {
+      (src, off) <- Seq(("srcA", 0L), ("srcB", 100L))
+      v <- 100L to 109L; rep <- 1 to 2
+    } yield (off + v * 2 + rep, "t", "en", src, v))
+    val ks = operators.GovernanceQueries.q181(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(ks === Map("srcA" -> 0.0, "srcB" -> 0.0), s"ks $ks")
+    val cvm = operators.GovernanceQueries.q292(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(cvm === Map("srcA" -> 0L, "srcB" -> 0L), s"cvm $cvm")
+    val w1 = operators.GovernanceQueries.q301(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(w1 === Map("srcA" -> 0L, "srcB" -> 0L), s"w1 $w1")
+    val auc = operators.GovernanceQueries.q254(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(auc === Map("srcA" -> 0.5, "srcB" -> 0.5), s"auc $auc")
+  }
+
+  test("q274 reads a planted linear trend as exactly its slope") {
+    // purchase count on day d is 2d → every pairwise slope is 2
+    val rows = for (d <- 1 to 8; i <- 1 to 2 * d)
+      yield (d, (d * 100 + i).toLong, "purchase", 1.0)
+    val r = operators.EventQueries.q274(spark, eventsDir(rows))
+      .collect().head
+    assert(r.getDouble(5) === 2.0, s"slope ${r.getDouble(5)}")
+    assert(r.getLong(3) === 2L * r.getLong(4),
+      s"med_dy ${r.getLong(3)} != 2·med_dx ${r.getLong(4)}")
+  }
+
+  test("q265 credits the only channel on the converting path") {
+    // converters: click → purchase; non-converters: view → (end).
+    // Removing click kills every conversion; removing view none.
+    val rows =
+      (1L to 10L).flatMap(u => Seq((1, u, "click", 0.0), (2, u, "purchase", 1.0))) ++
+        (11L to 20L).map(u => (1, u, "view", 0.0))
+    val out = operators.EventQueries.q265(spark, eventsDir(rows))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3)))
+      .toMap
+    assert(out("click") === ((500000L, 500000L)),
+      s"click ${out("click")}") // base ½, all of it via click
+    assert(out("view")._2 === 0L, s"view effect ${out("view")._2}")
+  }
+
   test("q286 finds the planted variance axis") {
     // dim 5 carries 100x the variance of every other dim
     val rnd = new scala.util.Random(7)
