@@ -435,6 +435,22 @@ class PlantedStructureSpec extends SparkSpec {
     assert(out("view")._2 === 0L, s"view effect ${out("view")._2}")
   }
 
+  test("q281 DiD is exactly zero when nothing changed") {
+    // every user buys 10.00 in both periods — whatever the salted arm
+    // split, all four cell means are equal and the DiD estimate must
+    // be exactly 0 (integer cell means, no truncation residue)
+    val rows = (1L to 20L).flatMap(u =>
+      Seq((1, u, "purchase", 10.0), (11, u, "purchase", 10.0)))
+    val out = operators.AssociationQueries.q281(spark, eventsDir(rows))
+      .collect()
+    assert(out.length === 4, s"${out.length} cells (an arm is empty?)")
+    out.foreach { r =>
+      assert(r.getLong(4) === 1000000000L,
+        s"cell (${r.getInt(0)},${r.getLong(1)}) mean ${r.getLong(4)}")
+      assert(r.getLong(5) === 0L, s"did ${r.getLong(5)}")
+    }
+  }
+
   test("q286 finds the planted variance axis") {
     // dim 5 carries 100x the variance of every other dim
     val rnd = new scala.util.Random(7)
