@@ -3344,7 +3344,80 @@ object EventQueries {
       |    AS surv_at_tau_micro
       |FROM tau""".stripMargin
 
+  /** q331 — MASE forecast-accuracy readout for the q270 Holt model:
+    * mean absolute scaled error = MAE(model one-step errors) /
+    * MAE(naive-1 one-step errors) — Hyndman's scale-free accuracy
+    * metric, and the go/no-go a forecasting model must pass before
+    * replacing "tomorrow = today" (MASE < 1). The (n−1) denominators
+    * cancel, so the statistic is ONE truncating micro division of two
+    * exact cent sums; the walk itself is q270's integer recursion
+    * verbatim (same seeds, same truncating divisions).
+    *
+    * Scale shape: q270's — the corpus collapses to the bounded day
+    * grid; the fold and both error sums run over that grid. */
+  def q331(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Fx.eventTs(Tables.events(s, d))
+      .filter($"event_type" === "purchase")
+      .groupBy(epochDay($"ts").as("day"))
+      .agg(sum(floor($"value" * 100).cast("long")).as("y"))
+      .orderBy($"day")
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1)))
+    val alpha = 500000L; val beta = 300000L; val M = 1000000L
+    var l = 0L; var b = 0L
+    var sumAbsErr = 0L; var sumAbsNaive = 0L
+    daily.zipWithIndex.foreach { case ((_, y), i) =>
+      val (fc, lPrev) = (l + b, l)
+      if (i == 0) { l = y; b = 0L }
+      else {
+        sumAbsErr += math.abs(y - fc)
+        sumAbsNaive += math.abs(y - daily(i - 1)._2)
+        l = (alpha * y + (M - alpha) * (lPrev + b)) / M
+        b = (beta * (l - lPrev) + (M - beta) * b) / M
+      }
+    }
+    val mase = if (sumAbsNaive == 0L) null
+      else java.lang.Long.valueOf(sumAbsErr * 1000000L / sumAbsNaive)
+    s.createDataFrame(Seq((daily.length.toLong, sumAbsErr, sumAbsNaive,
+        mase, if (mase != null && mase < 1000000L) 1L else 0L)))
+      .toDF("n_days", "sum_abs_err_cents", "sum_abs_naive_cents",
+        "mase_micro", "beats_naive")
+  }
+
+  val q331Sql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT CAST(ts AS DATE) - DATE '1970-01-01' AS day,
+      |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY 1),
+      |o AS (
+      |  SELECT day, y, row_number() OVER (ORDER BY day) AS rn FROM daily),
+      |h(rn, day, y, l, b, fc) AS (
+      |  SELECT rn, day, y, y, CAST(0 AS BIGINT), CAST(NULL AS BIGINT)
+      |  FROM o WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.rn, o.day, o.y,
+      |    (500000 * o.y + 500000 * (h.l + h.b)) // 1000000,
+      |    (300000 * ((500000 * o.y + 500000 * (h.l + h.b)) // 1000000 - h.l)
+      |       + 700000 * h.b) // 1000000,
+      |    h.l + h.b
+      |  FROM h JOIN o ON o.rn = h.rn + 1),
+      |nv AS (
+      |  SELECT o.rn, abs(o.y - p.y) AS an
+      |  FROM o JOIN o p ON p.rn = o.rn - 1),
+      |agg AS (
+      |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM o) AS n_days,
+      |    (SELECT CAST(COALESCE(sum(abs(y - fc)), 0) AS BIGINT)
+      |     FROM h WHERE fc IS NOT NULL) AS se,
+      |    (SELECT CAST(COALESCE(sum(an), 0) AS BIGINT) FROM nv) AS sn)
+      |SELECT n_days, se AS sum_abs_err_cents, sn AS sum_abs_naive_cents,
+      |  CASE WHEN sn > 0 THEN (se * 1000000) // sn END AS mase_micro,
+      |  CAST(CASE WHEN sn > 0 AND (se * 1000000) // sn < 1000000
+      |    THEN 1 ELSE 0 END AS BIGINT) AS beats_naive
+      |FROM agg""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q331_mase_forecast_eval", q331, Some(q331Sql)),
     QueryDef("q328_rmst", q328, Some(q328Sql)),
     QueryDef("q312_acf_daily_revenue", q312, Some(q312Sql)),
     QueryDef("q320_cusum_control_chart", q320, Some(q320Sql)),
