@@ -1086,7 +1086,83 @@ object GovernanceQueries {
        |FROM loo CROSS JOIN tot CROSS JOIN dev
        |ORDER BY source""".stripMargin
 
+  /** q332 — t-closeness audit, completing the privacy triad with
+    * q170 (k-anonymity) and q210 (l-diversity): a QI class can be
+    * large AND diverse yet still leak — if its sensitive-attribute
+    * distribution differs sharply from the global one, membership
+    * itself reveals information. Per QI class (source, 50-char length
+    * band), the total-variation distance (the categorical EMD of the
+    * t-closeness paper) between the class's lang distribution and the
+    * corpus's: TVD = ½ Σ_lang |p_class − p_global|, cross-multiplied
+    * to |cnt_c·N − g_c·n| on DECIMAL(38,0)/HUGEINT so nothing divides
+    * until one truncating micro division; flag classes with
+    * TVD > t = 0.2. The class × lang grid is DENSIFIED (q283's
+    * discipline) — a lang absent from a class is exactly the leak the
+    * metric must see, not a dropped row.
+    *
+    * Scale shape: two bounded aggregates (class × lang cells, global
+    * lang margins), a broadcast grid join, one rollup per class. */
+  def q332(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"source", ($"n_chars" - pmod($"n_chars", lit(50))).as("len_band"),
+        $"lang")
+    val cells = docs.groupBy($"source", $"len_band", $"lang")
+      .agg(count(lit(1)).as("c"))
+    val classes = docs.groupBy($"source", $"len_band")
+      .agg(count(lit(1)).as("n"))
+    val global = docs.groupBy($"lang").agg(count(lit(1)).as("g"))
+      .withColumnRenamed("lang", "__l")
+    val tot = docs.agg(count(lit(1)).as("nn"))
+    classes.crossJoin(broadcast(global)).crossJoin(broadcast(tot))
+      .join(cells,
+        cells("source") <=> classes("source") &&
+          cells("len_band") <=> classes("len_band") &&
+          cells("lang") === $"__l", "left")
+      .select(classes("source"), classes("len_band"), $"n", $"nn", $"g",
+        coalesce($"c", lit(0L)).as("c"))
+      .withColumn("term", expr(
+        "abs(cast(c as decimal(38,0)) * nn - cast(g as decimal(38,0)) * n)"))
+      .groupBy($"source", $"len_band")
+      .agg(max($"n").as("class_size"), sum($"term").as("s"), max($"nn").as("nn"))
+      .select($"source", $"len_band", $"class_size",
+        expr("(s * 1000000) div (2 * cast(class_size as decimal(38,0)) * nn)")
+          .as("tvd_micro"))
+      .withColumn("leaks", ($"tvd_micro" > 200000L).cast("int"))
+      .orderBy($"source", $"len_band")
+  }
+
+  val q332Sql: String =
+    """WITH d AS (
+      |  SELECT source, n_chars - n_chars % 50 AS len_band, lang
+      |  FROM documents),
+      |cells AS (
+      |  SELECT source, len_band, lang, CAST(count(*) AS BIGINT) AS c
+      |  FROM d GROUP BY 1, 2, 3),
+      |classes AS (
+      |  SELECT source, len_band, CAST(count(*) AS BIGINT) AS n
+      |  FROM d GROUP BY 1, 2),
+      |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS g FROM d GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM d),
+      |grid AS (
+      |  SELECT cl.source, cl.len_band, cl.n, tot.nn, g.lang, g.g,
+      |    COALESCE(c.c, 0) AS c
+      |  FROM classes cl CROSS JOIN g CROSS JOIN tot
+      |  LEFT JOIN cells c ON c.source = cl.source
+      |    AND c.len_band = cl.len_band AND c.lang = g.lang),
+      |tv AS (
+      |  SELECT source, len_band, max(n) AS class_size, max(nn) AS nn,
+      |    sum(abs(CAST(c AS HUGEINT) * nn - CAST(g AS HUGEINT) * n)) AS s
+      |  FROM grid GROUP BY 1, 2)
+      |SELECT source, len_band, class_size,
+      |  CAST((s * 1000000) // (2 * CAST(class_size AS HUGEINT) * nn)
+      |    AS BIGINT) AS tvd_micro,
+      |  CAST(CAST((s * 1000000) // (2 * CAST(class_size AS HUGEINT) * nn)
+      |    AS BIGINT) > 200000 AS INT) AS leaks
+      |FROM tv ORDER BY source, len_band""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q332_t_closeness", q332, Some(q332Sql)),
     QueryDef("q317_jackknife_se", q317, Some(q317Sql)),
     QueryDef("q258_chi2_cramers_v", q258, Some(q258Sql)),
     QueryDef("q244_subject_access_report", q244, Some(q244Sql)),

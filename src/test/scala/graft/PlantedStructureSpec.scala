@@ -451,6 +451,22 @@ class PlantedStructureSpec extends SparkSpec {
     }
   }
 
+  test("q332 flags the homogeneous class and passes the mirrored one") {
+    // global = 30 en / 20 fr; the two mixed sources sit 0.1 from it
+    // (no leak at t=0.2), the all-en source exactly 0.4 (leak)
+    val docs =
+      (for (src <- Seq("mix1", "mix2"); i <- 1 to 20) yield {
+        val lang = if (i <= 10) "en" else "fr"
+        (src.hashCode.toLong * 100 + i, "t", lang, src, 120L)
+      }) ++ (1 to 10).map(i => (9000L + i, "t", "en", "pure", 120L))
+    val out = operators.GovernanceQueries.q332(spark, documentsDir(docs))
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getInt(4)))
+      .toMap
+    assert(out("mix1") === ((100000L, 0)), s"mix1 ${out("mix1")}")
+    assert(out("mix2") === ((100000L, 0)), s"mix2 ${out("mix2")}")
+    assert(out("pure") === ((400000L, 1)), s"pure ${out("pure")}")
+  }
+
   test("q286 finds the planted variance axis") {
     // dim 5 carries 100x the variance of every other dim
     val rnd = new scala.util.Random(7)
