@@ -1301,7 +1301,83 @@ object Relational {
       |FROM abc JOIN xyz USING (l_partkey)
       |GROUP BY 1, 2 ORDER BY abc_class, xyz_class""".stripMargin
 
+  /** q333 — Syntetos–Boylan demand classification: every part lands
+    * in one of the four forecasting quadrants — smooth / intermittent
+    * / erratic / lumpy — by average inter-demand interval (ADI) and
+    * demand-size variability (CV²), the standard gate for CHOOSING a
+    * forecasting method (smooth → q270's Holt, intermittent → Croston
+    * class, lumpy → don't forecast, stock to service level). The
+    * published cutoffs (ADI 1.32, CV² 0.49) are applied as exact
+    * cross-multiplied integer comparisons — ADI ≥ 1.32 ⟺
+    * 100·span ≥ 132·(n−1), CV² ≥ 0.49 ⟺ 100·(n·Σx² − S²) ≥ 49·S² on
+    * DECIMAL(38,0)/HUGEINT — so no part ever flips class by a rounding
+    * ulp. Parts with a single demand day are reported as their own
+    * 'single' class (stated; ADI undefined).
+    *
+    * Scale shape: one collapse to (part, day) demand cells, one
+    * per-part moment aggregate, a 5-row rollup. */
+  def q333(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.lineitem(s, d)
+      .groupBy($"l_partkey", epochDay($"l_shipdate").as("day"))
+      .agg(sum($"l_quantity".cast("long")).as("x"))
+    val per = daily.groupBy($"l_partkey")
+      .agg(count(lit(1)).as("n"),
+        (max($"day") - min($"day")).cast("long").as("span"),
+        sum($"x").as("sx"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"))
+      .withColumn("cv2_hi", expr(
+        "100 * (cast(n as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx) >= 49 * cast(sx as decimal(38,0)) * sx"))
+      .withColumn("adi_hi", expr("100 * span >= 132 * (n - 1)"))
+      .withColumn("quadrant",
+        when($"n" === 1L, "single")
+          .when(!$"adi_hi" && !$"cv2_hi", "smooth")
+          .when($"adi_hi" && !$"cv2_hi", "intermittent")
+          .when(!$"adi_hi" && $"cv2_hi", "erratic")
+          .otherwise("lumpy"))
+    val tot = per.agg(count(lit(1)).as("np"))
+    per.groupBy($"quadrant")
+      .agg(count(lit(1)).as("n_parts"), sum($"sx").as("quadrant_qty"))
+      .crossJoin(broadcast(tot))
+      .select($"quadrant", $"n_parts", $"quadrant_qty",
+        expr("(n_parts * 1000000) div np").as("share_micro"))
+      .orderBy($"quadrant")
+  }
+
+  val q333Sql: String =
+    """WITH daily AS (
+      |  SELECT l_partkey, CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS day,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x
+      |  FROM lineitem GROUP BY 1, 2),
+      |per AS (
+      |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(max(day) - min(day) AS BIGINT) AS span,
+      |    CAST(sum(x) AS BIGINT) AS sx,
+      |    100 * (CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * x)
+      |      - CAST(sum(x) AS HUGEINT) * sum(x))
+      |      >= 49 * CAST(sum(x) AS HUGEINT) * sum(x) AS cv2_hi
+      |  FROM daily GROUP BY 1),
+      |q AS (
+      |  SELECT l_partkey, sx,
+      |    CASE
+      |      WHEN n = 1 THEN 'single'
+      |      WHEN NOT (100 * span >= 132 * (n - 1)) AND NOT cv2_hi
+      |        THEN 'smooth'
+      |      WHEN 100 * span >= 132 * (n - 1) AND NOT cv2_hi
+      |        THEN 'intermittent'
+      |      WHEN NOT (100 * span >= 132 * (n - 1)) AND cv2_hi
+      |        THEN 'erratic'
+      |      ELSE 'lumpy' END AS quadrant
+      |  FROM per),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS np FROM q)
+      |SELECT quadrant, CAST(count(*) AS BIGINT) AS n_parts,
+      |  CAST(sum(sx) AS BIGINT) AS quadrant_qty,
+      |  (CAST(count(*) AS BIGINT) * 1000000) // np AS share_micro
+      |FROM q CROSS JOIN tot
+      |GROUP BY quadrant, np ORDER BY quadrant""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q333_demand_quadrants", q333, Some(q333Sql)),
     QueryDef("q324_spearman_rho", q324, Some(q324Sql)),
     QueryDef("q325_kendall_tau", q325, Some(q325Sql)),
     QueryDef("q330_abc_xyz_matrix", q330, Some(q330Sql)),

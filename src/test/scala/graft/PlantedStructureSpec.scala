@@ -467,6 +467,19 @@ class PlantedStructureSpec extends SparkSpec {
     assert(out("pure") === ((400000L, 1)), s"pure ${out("pure")}")
   }
 
+  test("q333 places one planted part in each demand quadrant") {
+    val rows =
+      (1 to 10).map(day => (1L, day, 5L, 5.0)) ++                 // smooth
+        Seq(1, 6, 11, 16, 21).map(day => (2L, day, 5L, 5.0)) ++   // intermittent
+        ((1 to 9).map(day => (3L, day, 1L, 1.0)) :+ (3L, 10, 100L, 100.0)) ++ // erratic
+        (Seq(1, 11, 21).map(day => (4L, day, 1L, 1.0)) :+ (4L, 31, 100L, 100.0)) ++ // lumpy
+        Seq((5L, 1, 7L, 7.0))                                     // single
+    val out = operators.Relational.q333(spark, lineitemDir(rows))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("smooth" -> 1L, "intermittent" -> 1L,
+      "erratic" -> 1L, "lumpy" -> 1L, "single" -> 1L), s"quadrants $out")
+  }
+
   test("q286 finds the planted variance axis") {
     // dim 5 carries 100x the variance of every other dim
     val rnd = new scala.util.Random(7)
