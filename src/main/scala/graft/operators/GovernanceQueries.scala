@@ -1161,7 +1161,96 @@ object GovernanceQueries {
       |    AS BIGINT) > 200000 AS INT) AS leaks
       |FROM tv ORDER BY source, len_band""".stripMargin
 
+  /** q334 — Kruskal–Wallis omnibus test: do the 20 sources differ in
+    * length distribution AT ALL — the one-number gate run BEFORE the
+    * per-source drift lenses (q181/q254/q292/q301 say WHERE; this
+    * says WHETHER, with one familywise α instead of 20). Midranks on
+    * the pooled value grid are kept integer by DOUBLING
+    * (R2(v) = 2·cumBefore + g_v + 1 — the q254 midrank discipline),
+    * each source's H term is (3·R2_j²)/(n_j·N·(N+1)) as one
+    * truncating micro division (per-source truncation stated,
+    * identical both engines), and the tie-correction
+    * C = 1 − Σ(t³−t)/(N³−N) rides DECIMAL(38,0)/HUGEINT. Verdict at
+    * the pinned df=19 5% critical value 30.144.
+    *
+    * Scale shape: the corpus collapses to the value-domain grid once
+    * (q181's shape); rank arithmetic, the per-source rollup and the
+    * correction all run on grid/source-sized relations. */
+  def q334(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"source", $"n_chars")
+    val global = docs.groupBy($"n_chars").agg(count(lit(1)).as("g"))
+      .withColumn("cum", sum($"g").over(Window.orderBy($"n_chars")))
+      .withColumn("r2", lit(2L) * ($"cum" - $"g") + $"g" + 1L)
+    val perSrc = docs.groupBy($"source", $"n_chars").agg(count(lit(1)).as("c"))
+    val sizes = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+    val tot = docs.agg(count(lit(1)).as("nn"))
+    val rsum = perSrc.join(global.select($"n_chars", $"r2"), "n_chars")
+      .groupBy($"source").agg(sum($"c" * $"r2").as("r2j"))
+    val terms = rsum.join(sizes, "source").crossJoin(broadcast(tot))
+      .withColumn("term_micro", expr(
+        """(3 * cast(r2j as decimal(38,0)) * r2j * 1000000)
+           div (cast(n as decimal(38,0)) * nn * (nn + 1))"""))
+    val h = terms.agg(sum($"term_micro").as("sum_terms"),
+        count(lit(1)).as("k"), max($"nn").as("nn"))
+      .withColumn("h_micro", $"sum_terms" - lit(3L) * ($"nn" + 1L) * 1000000L)
+    val ties = global.agg(sum(expr(
+        "cast(g as decimal(38,0)) * g * g - g")).as("st"))
+    h.crossJoin(broadcast(ties))
+      .withColumn("c_micro", expr(
+        """1000000 - (st * 1000000)
+           div (cast(nn as decimal(38,0)) * nn * nn - nn)"""))
+      .select($"k", $"nn".as("n_total"), $"h_micro",
+        $"c_micro",
+        expr("(h_micro * 1000000) div c_micro").as("h_corrected_micro"))
+      .withColumn("reject_5pct",
+        ($"h_corrected_micro" > 30144000L).cast("int"))
+  }
+
+  val q334Sql: String =
+    """WITH d AS (SELECT source, n_chars FROM documents),
+      |g AS (
+      |  SELECT n_chars, CAST(count(*) AS BIGINT) AS g,
+      |    CAST(sum(count(*)) OVER (ORDER BY n_chars) AS BIGINT) AS cum
+      |  FROM d GROUP BY n_chars),
+      |r AS (SELECT n_chars, g, 2 * (cum - g) + g + 1 AS r2 FROM g),
+      |ps AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+      |       FROM d GROUP BY 1, 2),
+      |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM d),
+      |rs AS (
+      |  SELECT ps.source, CAST(sum(ps.c * r.r2) AS BIGINT) AS r2j
+      |  FROM ps JOIN r ON ps.n_chars = r.n_chars GROUP BY 1),
+      |terms AS (
+      |  SELECT rs.source,
+      |    (3 * CAST(r2j AS HUGEINT) * r2j * 1000000)
+      |      // (CAST(n AS HUGEINT) * nn * (nn + 1)) AS term_micro
+      |  FROM rs JOIN sz ON rs.source = sz.source CROSS JOIN tot),
+      |h AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k,
+      |    CAST(sum(term_micro) AS HUGEINT)
+      |      - 3 * (SELECT nn + 1 FROM tot) * 1000000 AS h_micro
+      |  FROM terms),
+      |tc AS (
+      |  SELECT sum(CAST(g AS HUGEINT) * g * g - g) AS st FROM g)
+      |SELECT h.k, tot.nn AS n_total,
+      |  CAST(h.h_micro AS BIGINT) AS h_micro,
+      |  CAST(1000000 - (tc.st * 1000000)
+      |    // (CAST(tot.nn AS HUGEINT) * tot.nn * tot.nn - tot.nn)
+      |    AS BIGINT) AS c_micro,
+      |  CAST((h.h_micro * 1000000) //
+      |    (1000000 - (tc.st * 1000000)
+      |     // (CAST(tot.nn AS HUGEINT) * tot.nn * tot.nn - tot.nn))
+      |    AS BIGINT) AS h_corrected_micro,
+      |  CAST(CAST((h.h_micro * 1000000) //
+      |    (1000000 - (tc.st * 1000000)
+      |     // (CAST(tot.nn AS HUGEINT) * tot.nn * tot.nn - tot.nn))
+      |    AS BIGINT) > 30144000 AS INT) AS reject_5pct
+      |FROM h CROSS JOIN tc CROSS JOIN tot""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q334_kruskal_wallis", q334, Some(q334Sql)),
     QueryDef("q332_t_closeness", q332, Some(q332Sql)),
     QueryDef("q317_jackknife_se", q317, Some(q317Sql)),
     QueryDef("q258_chi2_cramers_v", q258, Some(q258Sql)),

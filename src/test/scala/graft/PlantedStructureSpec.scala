@@ -480,6 +480,24 @@ class PlantedStructureSpec extends SparkSpec {
       "erratic" -> 1L, "lumpy" -> 1L, "single" -> 1L), s"quadrants $out")
   }
 
+  test("q334 reads identical sources as H = 0 and separation exactly") {
+    // identical: every rank sum is exactly proportional → H ≡ 0
+    val same = for (src <- Seq("sA", "sB"); v <- 100L to 119L)
+      yield (src.hashCode.toLong * 1000 + v, "t", "en", src, v)
+    val h0 = operators.GovernanceQueries.q334(spark, documentsDir(same))
+      .collect().head
+    assert(h0.getLong(2) === 0L, s"H ${h0.getLong(2)} on identical sources")
+    assert(h0.getInt(5) === 0)
+    // complete separation, 10 vs 10, no ties: H = 12/(N(N+1))·ΣR²/n
+    // − 3(N+1) = 14.285714 exactly at the micro truncation
+    val sep = (100L to 109L).map(v => (v, "t", "en", "lo", v)) ++
+      (200L to 209L).map(v => (v, "t", "en", "hi", v))
+    val h1 = operators.GovernanceQueries.q334(spark, documentsDir(sep))
+      .collect().head
+    assert(h1.getLong(2) === 14285714L, s"H ${h1.getLong(2)}")
+    assert(h1.getLong(3) === 1000000L, "tie correction on tie-free data")
+  }
+
   test("q286 finds the planted variance axis") {
     // dim 5 carries 100x the variance of every other dim
     val rnd = new scala.util.Random(7)
