@@ -508,7 +508,61 @@ object TextQueries {
       |  CASE WHEN n3 > 0 THEN (4 * n4 * 1000000) // n3 END AS rstar3_micro
       |FROM agg ORDER BY lang""".stripMargin
 
+  /** q335 — Chao1 species-richness estimate per language: how many
+    * DISTINCT bigrams the language has that this corpus slice never
+    * saw — the vocabulary-coverage companion to q321 (Good–Turing
+    * estimates the unseen probability MASS; Chao1 estimates the
+    * unseen TYPE count: "is this slice big enough to have seen the
+    * language"). Bias-corrected form Ĉ = V + N₁(N₁−1)/(2(N₂+1))
+    * (defined even when no doubletons exist — stated); singleton and
+    * doubleton counts are exact BIGINTs from the same counts-of-
+    * counts grid as q321, the estimate is one truncating division,
+    * and coverage = V/Ĉ is one micro division.
+    *
+    * Scale shape: q321's — two groupBys and a bounded rollup. */
+  def q335(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tf = Tables.documents(s, d)
+      .select($"lang", split($"text", " ").as("w"))
+      .select($"lang",
+        explode(graft.functions.TextAnalysis.adjacentPairs($"w")).as("bg"))
+      .groupBy($"lang", $"bg").agg(count(lit(1)).as("r"))
+    val cc = tf.groupBy($"lang", $"r").agg(count(lit(1)).as("nr"))
+    cc.groupBy($"lang").agg(
+        sum($"nr").as("vocab"),
+        coalesce(max(when($"r" === 1, $"nr")), lit(0L)).as("n1"),
+        coalesce(max(when($"r" === 2, $"nr")), lit(0L)).as("n2"))
+      .select($"lang", $"vocab", $"n1", $"n2",
+        ($"vocab" + expr("(n1 * (n1 - 1)) div (2 * (n2 + 1))"))
+          .as("chao1_est"))
+      .withColumn("coverage_micro",
+        expr("(vocab * 1000000) div chao1_est"))
+      .orderBy($"lang")
+  }
+
+  val q335Sql: String =
+    """WITH ws AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+      |tf AS (
+      |  SELECT lang, bg, CAST(count(*) AS BIGINT) AS r FROM (
+      |    SELECT lang, unnest(list_transform(range(1, len(w)),
+      |      i -> w[i] || ' ' || w[i+1])) AS bg
+      |    FROM ws) t
+      |  GROUP BY 1, 2),
+      |cc AS (SELECT lang, r, CAST(count(*) AS BIGINT) AS nr
+      |       FROM tf GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT lang, CAST(sum(nr) AS BIGINT) AS vocab,
+      |    COALESCE(max(CASE WHEN r = 1 THEN nr END), 0) AS n1,
+      |    COALESCE(max(CASE WHEN r = 2 THEN nr END), 0) AS n2
+      |  FROM cc GROUP BY 1)
+      |SELECT lang, vocab, n1, n2,
+      |  vocab + (n1 * (n1 - 1)) // (2 * (n2 + 1)) AS chao1_est,
+      |  (vocab * 1000000) // (vocab + (n1 * (n1 - 1)) // (2 * (n2 + 1)))
+      |    AS coverage_micro
+      |FROM agg ORDER BY lang""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q335_chao1_richness", q335, Some(q335Sql)),
     QueryDef("q321_good_turing", q321, Some(q321Sql)),
     QueryDef("q40_token_stats", q40, Some(q40Sql)),
     QueryDef("q183_vocab_diversity", q183, Some(q183Sql)),
