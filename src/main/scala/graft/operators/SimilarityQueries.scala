@@ -1233,8 +1233,85 @@ object SimilarityQueries {
        |JOIN ns nb ON geo.label = nb.label AND nb.half = 1
        |ORDER BY label""".stripMargin
 
+  /** q336 — retrieval exposure concentration: when the q314 eval
+    * queries each pull their cosine top-10, how is that exposure
+    * spread across the index — catalog coverage (what fraction of
+    * train items are ever retrieved), the exposure Gini (0 = every
+    * item surfaces equally, →1 = a head hoards the slots) and the
+    * top-decile share. The recsys-fairness/index-health readout: a
+    * high Gini means most of the catalog is dead weight the ANN index
+    * pays to store but never serves. NEVER-retrieved items are in the
+    * Gini population (left join, zero-filled) — dropping them is the
+    * classic way this metric lies. Ranks ride [[Ranking.seqIds]]
+    * (no global window over the catalog); the Gini is q214's exact
+    * integer form with one r6 shape.
+    *
+    * Scale shape: the eval fan-out is bounded (q314's harness); the
+    * exposure relation is catalog-sized but touched only by the
+    * two-phase rank and one moment aggregate. */
+  def q336(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val test = emb.filter($"vec_id" % 5 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val train = emb.filter($"vec_id" % 5 =!= 0)
+      .transform(Fx.materialize)
+    val topk = Similarity.bruteForceTopK(test, train, k = 10)
+    val counts = topk.groupBy($"vec_id".as("t_vid"))
+      .agg(count(lit(1)).as("x"))
+    val exposure = train.select($"vec_id")
+      .join(counts, $"vec_id" === $"t_vid", "left")
+      .select($"vec_id", coalesce($"x", lit(0L)).as("x"))
+    val ranked = Ranking.seqIds(exposure, 8, $"x".asc, $"vec_id".asc)
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    ranked.agg(count(lit(1)).as("n"),
+        sum(($"x" > 0L).cast("long")).as("n_retrieved"),
+        sum(d38($"x")).as("sx"),
+        sum(d38($"seq_id") * d38($"x")).as("srx"))
+      .select($"n".as("n_train"), $"n_retrieved",
+        expr("(n_retrieved * 1000000) div n").as("coverage_micro"),
+        r6((lit(2) * $"srx" - ($"n" + 1) * $"sx").cast("double") /
+          (d38($"n") * $"sx").cast("double")).as("gini"))
+  }
+
+  val q336Sql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+       |  FROM embeddings WHERE vec_id % 5 = 0),
+       |t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS t_vec
+       |      FROM embeddings WHERE vec_id % 5 <> 0),
+       |sims AS (
+       |  SELECT q_id, vec_id, $cosSql AS sim
+       |  FROM t, q WHERE vec_id <> q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+       |  FROM sims),
+       |counts AS (
+       |  SELECT vec_id, CAST(count(*) AS BIGINT) AS x
+       |  FROM ranked WHERE rn <= 10 GROUP BY 1),
+       |exposure AS (
+       |  SELECT t.vec_id, COALESCE(c.x, 0) AS x
+       |  FROM t LEFT JOIN counts c ON t.vec_id = c.vec_id),
+       |rk AS (
+       |  SELECT x, row_number() OVER (ORDER BY x, vec_id) AS r
+       |  FROM exposure),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_retrieved,
+       |    CAST(sum(x) AS HUGEINT) AS sx,
+       |    CAST(sum(CAST(r AS HUGEINT) * x) AS HUGEINT) AS srx
+       |  FROM rk)
+       |SELECT n AS n_train, n_retrieved,
+       |  (n_retrieved * 1000000) // n AS coverage_micro,
+       |  ${sqlR6("CAST(2 * srx - (n + 1) * sx AS DOUBLE) / CAST(CAST(n AS HUGEINT) * sx AS DOUBLE)")}
+       |    AS gini
+       |FROM m""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q314_map_at_10", q314, Some(q314Sql)),
+    QueryDef("q336_retrieval_exposure", q336, Some(q336Sql)),
     QueryDef("q315_centroid_drift", q315, Some(q315Sql)),
     QueryDef("q277_dbscan_clusters", q277, Some(q277Sql)),
     QueryDef("q285_knn_scorecard", q285, Some(q285Sql)),
