@@ -553,7 +553,57 @@ object StreamingQueries {
       |FROM r JOIN o ON r.user_id = o.user_id AND r.rn = o.rn
       |ORDER BY o.user_id, o.ms, o.event_id""".stripMargin
 
+  /** q337 — streaming CUSUM control chart: q320's monitor actually
+    * RUNNING as a stream, per-purchase. Calibrate-then-monitor
+    * protocol (a live chart cannot use the retrospective mean): μ,
+    * allowance and threshold are integers fixed by a batch pass, then
+    * both one-sided clamped recurrences fold in EVENT-TIME order on
+    * the q262 machinery (transformWithState, ListState buffer,
+    * watermark-gated finalize — [[graft.streaming.CusumStream]]).
+    * Two state keys, one per chart side: a control chart is ONE
+    * sequential statistic by definition — parallelism lives in the
+    * upstream scan, the fold IS the semantics; state per key is one
+    * long plus the watermark-lag-bounded buffer. Emitted rows are
+    * arrival-order invariant, hash-matching the recursive-CTE
+    * statement of the same recurrence. */
+  def q337(s: SparkSession, d: String): DataFrame =
+    graft.streaming.CusumStream.run(
+      s, d, s"q337_sink_${counter.incrementAndGet()}")
+
+  val q337Sql: String =
+    """WITH RECURSIVE p AS (
+      |  SELECT event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms,
+      |    CAST(floor(value * 100) AS BIGINT) AS x
+      |  FROM events WHERE event_type = 'purchase'),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(x) AS BIGINT) AS sx FROM p),
+      |mu AS (SELECT sx // n AS mu, n FROM st),
+      |md AS (SELECT CAST(sum(abs(x - mu)) AS BIGINT) // max(n) AS mad,
+      |         max(mu) AS mu
+      |       FROM p CROSS JOIN mu),
+      |d AS (
+      |  SELECT 'up' AS side, ms, event_id,
+      |    x - mu - (mad // 2) AS delta, 5 * mad AS h,
+      |    row_number() OVER (ORDER BY ms, event_id) AS rn
+      |  FROM p CROSS JOIN md
+      |  UNION ALL
+      |  SELECT 'down', ms, event_id,
+      |    mu - x - (mad // 2), 5 * mad,
+      |    row_number() OVER (ORDER BY ms, event_id)
+      |  FROM p CROSS JOIN md),
+      |r(side, rn, bal) AS (
+      |  SELECT side, rn, greatest(delta, 0) FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.side, d.rn, greatest(r.bal + d.delta, 0)
+      |  FROM r JOIN d ON d.side = r.side AND d.rn = r.rn + 1)
+      |SELECT d.side AS side, d.ms, d.event_id, r.bal AS cusum,
+      |  CAST(r.bal > d.h AS INT) AS alarm
+      |FROM r JOIN d ON r.side = d.side AND r.rn = d.rn
+      |ORDER BY side, ms, event_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q337_stream_cusum", q337, Some(q337Sql)),
     QueryDef("q72_streaming_hourly", q72, Some(q72Sql), bench = true),
     QueryDef("q262_stream_clamped_balance", q262, Some(q262Sql)),
     QueryDef("q180_stream_neardup_tws", q180, Some(TrainingQueries.q99Sql)),
