@@ -1,0 +1,94 @@
+package graft
+
+/** Golden plan-shape regression guard for the batch bench set: the
+  * physical-plan feature counts (BroadcastHashJoin, SortMergeJoin,
+  * hash-partitioning Exchange) of every headline query, pinned at the
+  * shapes the round-9 plan audit signed off. A silent optimizer-
+  * visible regression — a broadcast degrading to a sort-merge join, a
+  * new shuffle appearing in a reworked operator — fails HERE instead
+  * of surfacing as a mystery slowdown three rounds later. Counts are
+  * derived from the pre-execution plan (deterministic for fixed
+  * config/data); streaming queries have no executedPlan before start
+  * and are excluded (their guards live in the streaming specs).
+  */
+class PlanGoldenSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private val golden: Map[String, (Int, Int, Int)] = Map(
+    "q01_pricing_summary" -> ((0, 0, 1)),
+    "q03_join_topk" -> ((1, 0, 1)),
+    "q04_broadcast_join_agg" -> ((1, 0, 1)),
+    "q05_snowflake_join" -> ((4, 0, 1)),
+    "q07_window_lag" -> ((0, 0, 1)),
+    "q09_distinct_agg" -> ((0, 0, 2)),
+    "q101_stop_grams" -> ((0, 0, 1)),
+    "q104_funnel" -> ((0, 0, 1)),
+    "q120_waiting_suppliers" -> ((2, 0, 2)),
+    "q122_bm25_ranking" -> ((2, 0, 4)),
+    "q125_incremental_dedup" -> ((2, 0, 2)),
+    "q139_forecast_revenue" -> ((0, 0, 0)),
+    "q140_repeated_substrings" -> ((0, 0, 1)),
+    "q148_bloom_decontamination" -> ((2, 0, 3)),
+    "q149_salted_join" -> ((2, 0, 2)),
+    "q152_span_dedup_rewrite" -> ((2, 0, 4)),
+    "q164_bigram_lm_score" -> ((2, 0, 5)),
+    "q166_prefix_jaccard_join" -> ((5, 0, 5)),
+    "q175_sliding_window_agg" -> ((0, 0, 1)),
+    "q177_heavy_hitter_cube" -> ((0, 0, 1)),
+    "q181_ks_drift" -> ((1, 0, 3)),
+    "q184_temperature_mixing" -> ((0, 0, 2)),
+    "q186_mmr_rerank" -> ((0, 0, 1)),
+    "q188_touch_attribution" -> ((0, 0, 2)),
+    "q190_ann_eval" -> ((2, 0, 2)),
+    "q197_interval_overlap" -> ((1, 0, 1)),
+    "q200_audience_overlap" -> ((0, 0, 5)),
+    "q205_session_overlap" -> ((1, 0, 3)),
+    "q20_clean_cast_pipeline" -> ((0, 0, 0)),
+    "q212_scd2_enrichment" -> ((0, 0, 3)),
+    "q214_segment_gini" -> ((1, 0, 2)),
+    "q215_linear_interpolation" -> ((1, 0, 1)),
+    "q225_cdc_merge" -> ((1, 1, 5)),
+    "q22_keyword_flags" -> ((0, 0, 1)),
+    "q234_rolling_active_users" -> ((0, 0, 3)),
+    "q237_document_roundtrip" -> ((1, 0, 2)),
+    "q260_clamped_balance" -> ((1, 0, 3)),
+    "q300_pipeline_funnel" -> ((0, 0, 1)),
+    "q30_native_topk" -> ((0, 0, 1)),
+    "q41_quality_score" -> ((0, 0, 0)),
+    "q42_langid_confusion" -> ((0, 0, 1)),
+    "q47_top_bigrams" -> ((0, 0, 1)),
+    "q50_exact_dedup" -> ((1, 0, 3)),
+    "q51_minhash_signatures" -> ((0, 0, 1)),
+    "q53_near_dup_pairs" -> ((2, 0, 3)),
+    "q55_simhash16_hamming" -> ((1, 0, 2)),
+    "q58_embedding_near_dup" -> ((3, 0, 2)),
+    "q60_cosine_topk" -> ((0, 0, 1)),
+    "q62_ann_ivf_topk" -> ((1, 0, 1)),
+    "q64_shipping_priority" -> ((2, 0, 1)),
+    "q65_local_supplier_volume" -> ((5, 0, 1)),
+    "q70_sessionize" -> ((0, 0, 1)),
+    "q71_asof_join" -> ((0, 0, 1)),
+    "q73_range_join" -> ((1, 0, 1)),
+    "q78_large_volume_orders" -> ((4, 0, 3)),
+    "q92_tfidf_top_terms" -> ((0, 0, 3)),
+    "q93_repetition_filter" -> ((0, 0, 0)),
+    "q95_decontamination" -> ((1, 0, 2)),
+  )
+
+  test("bench-query plan shapes match the signed-off golden counts") {
+    val skip = operators.StreamingQueries.all.map(_.name).toSet
+    val defs = SparkEntry.benchQueries.filterNot(q => skip(q.name))
+    assert(defs.map(_.name).toSet === golden.keySet,
+      "bench set changed - regenerate the golden map (ExplainAudit)")
+    val bad = defs.flatMap { q =>
+      val p = q.fn(spark, sfDir).queryExecution.executedPlan.toString
+      def c(needle: String): Int = needle.r.findAllIn(p).length
+      val got = (c("BroadcastHashJoin"), c("SortMergeJoin"),
+        c("Exchange hashpartitioning"))
+      if (got == golden(q.name)) None
+      else Some(s"${q.name}: got $got, golden ${golden(q.name)}")
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+}
