@@ -498,6 +498,26 @@ class PlantedStructureSpec extends SparkSpec {
     assert(h1.getLong(3) === 1000000L, "tie correction on tie-free data")
   }
 
+  test("q309 reads a symmetric two-point distribution exactly") {
+    // values alternate 0/2: skewness exactly 0, kurtosis exactly 1
+    val rows = (1 to 20).map(i =>
+      (i, i.toLong, "m", if (i % 2 == 0) 2.0 else 0.0))
+    val r = operators.EventQueries.q309(spark, eventsDir(rows))
+      .collect().head
+    assert(r.getDouble(2) === 0.0, s"skewness ${r.getDouble(2)}")
+    assert(r.getLong(3) === 1000000L, s"kurtosis ${r.getLong(3)}")
+    assert(r.getLong(4) === -2000000L)
+  }
+
+  test("q287 reads a constant power-of-two series as zero energy") {
+    // 16 flat days (no zero padding): every Haar detail is 0
+    val rows = (1 to 16).map(d => (d, d.toLong, "purchase", 25.0))
+    val out = operators.EventQueries.q287(spark, eventsDir(rows)).collect()
+    assert(out.length === 4)
+    out.foreach(r => assert(r.getLong(2) === 0L,
+      s"level ${r.getInt(0)} energy ${r.getLong(2)}"))
+  }
+
   test("q286 finds the planted variance axis") {
     // dim 5 carries 100x the variance of every other dim
     val rnd = new scala.util.Random(7)
