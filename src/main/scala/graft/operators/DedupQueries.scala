@@ -1122,7 +1122,91 @@ object DedupQueries {
        |  n1 + n2 - m_both AS n_seen
        |FROM cnt""".stripMargin
 
+  /** q338 — cluster transitivity dilution: connected-component dedup
+    * chains A~B~C into one cluster even when A and C are NOT near
+    * dups — the classic way aggressive dedup deletes documents that
+    * never matched anything they were deleted for. Per ≥0.6-Jaccard
+    * cluster (q298's edge semantics at its production threshold), the
+    * minimum EXACT Jaccard over ALL member pairs — not just the edges
+    * that formed the cluster — and a diluted flag when that minimum
+    * falls below the threshold the cluster was built at. The QA gate
+    * that decides between keep-one-per-component and the stricter
+    * clique/medoid policies.
+    *
+    * Scale shape: the within-cluster pair join is an equi-join on the
+    * component label, so its fan-out is bounded by cluster size — the
+    * same bucket argument as the capped LSH join (dedup clusters are
+    * small by construction; a corpus where one cluster is huge has a
+    * boilerplate problem upstream of this query). Verification
+    * touches only member pairs. */
+  def q338(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val sig = Dedup.minhashSignatureWords(docs, "doc_id", "text", nHashes)
+    val bands = Dedup.lshBands(sig, "doc_id", nBands = 2, rowsPerBand = 3)
+    val pairs = Dedup.candidatePairs(bands, "doc_id")
+    val da = docs.select($"doc_id".as("a"), Dedup.wordSet($"text").as("wa"))
+    val db = docs.select($"doc_id".as("b"), Dedup.wordSet($"text").as("wb"))
+    val edges = pairs.join(da, "a").join(db, "b")
+      .filter(Dedup.jaccard($"wa", $"wb") >= 0.6)
+      .select($"a", $"b")
+    val cc = Dedup.ccAlternatingStar(edges)
+      .transform(graft.Fx.materialize)
+    val sizes = cc.groupBy($"component").agg(count(lit(1)).as("n_members"))
+    val mp = cc.select($"component", $"doc_id".as("a"))
+      .join(cc.select($"component".as("__c2"), $"doc_id".as("b")),
+        $"component" === $"__c2" && $"a" < $"b")
+      .select($"component", $"a", $"b")
+    val pj = mp.join(da, "a").join(db, "b")
+      .select($"component", Dedup.jaccard($"wa", $"wb").as("jc"))
+    pj.groupBy($"component")
+      .agg(count(lit(1)).as("n_pairs"), min($"jc").as("__mj"))
+      .join(broadcast(sizes), "component")
+      .select($"component".as("cluster"), $"n_members", $"n_pairs",
+        r6($"__mj").as("min_jaccard"),
+        ($"__mj" < 0.6).cast("int").as("diluted"))
+      .orderBy($"cluster")
+  }
+
+  val q338Sql: String =
+    s"""WITH RECURSIVE $sigSql, $bandsSql, $pairsSql,
+       |ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
+       |       FROM documents),
+       |ed AS (
+       |  SELECT a, b FROM pairs
+       |  JOIN ws wa ON pairs.a = wa.doc_id
+       |  JOIN ws wb ON pairs.b = wb.doc_id
+       |  WHERE CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE) /
+       |    (len(wa.w) + len(wb.w) - len(list_intersect(wa.w, wb.w))) >= 0.6),
+       |edges AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |comp AS (
+       |  SELECT src, least(src, min(dst)) AS c FROM reach GROUP BY src),
+       |mp AS (
+       |  SELECT m1.c, m1.src AS a, m2.src AS b
+       |  FROM comp m1 JOIN comp m2 ON m1.c = m2.c AND m1.src < m2.src),
+       |pj AS (
+       |  SELECT mp.c,
+       |    CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE) /
+       |      (len(wa.w) + len(wb.w) - len(list_intersect(wa.w, wb.w))) AS jc
+       |  FROM mp
+       |  JOIN ws wa ON mp.a = wa.doc_id
+       |  JOIN ws wb ON mp.b = wb.doc_id),
+       |sizes AS (SELECT c, CAST(count(*) AS BIGINT) AS n_members
+       |          FROM comp GROUP BY c)
+       |SELECT pj.c AS cluster, sizes.n_members,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  ${Fx.sqlR6("min(jc)")} AS min_jaccard,
+       |  CAST(min(jc) < 0.6 AS INT) AS diluted
+       |FROM pj JOIN sizes ON pj.c = sizes.c
+       |GROUP BY pj.c, sizes.n_members
+       |ORDER BY cluster""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q338_cluster_dilution", q338, Some(q338Sql)),
     QueryDef("q316_chapman_capture", q316, Some(q316Sql)),
     QueryDef("q231_dedup_shard_locality", q231, Some(q231Sql)),
     QueryDef("q221_edit1_neighbors", q221, Some(q221Sql)),

@@ -518,6 +518,31 @@ class PlantedStructureSpec extends SparkSpec {
       s"level ${r.getInt(0)} energy ${r.getLong(2)}"))
   }
 
+  test("q338 flags a planted transitive chain as diluted") {
+    // A~B and B~C are near dups (shifted 10-word windows over a
+    // 14-word sequence), but A and C share too little: CC chains all
+    // three into one cluster whose min pairwise Jaccard is sub-0.6.
+    // Token prefix "w" is PINNED so the 2×3 md5 banding surfaces both
+    // chain edges (J≈0.67 pairs band-collide with p≈0.45 per edge —
+    // the fixture is searched, then frozen; md5 makes it stable).
+    val words = (1 to 14).map(i => s"w$i")
+    def span(from: Int): String = words.slice(from, from + 10).mkString(" ")
+    val docs = Seq(
+      (1L, span(0), "en", "s", 10L),
+      (2L, span(2), "en", "s", 10L),
+      (3L, span(4), "en", "s", 10L),
+      // far-field docs so the corpus isn't degenerate
+      (10L, (100 to 112).map(i => s"zzz$i").mkString(" "), "en", "s", 10L))
+    val out = operators.DedupQueries.q338(spark, documentsDir(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(4)))
+    assert(out.length === 1, s"clusters ${out.toSeq}")
+    val (cluster, nm, np, diluted) = out.head
+    assert(cluster === 1L && nm === 3L && np === 3L,
+      s"cluster shape ${out.head}")
+    assert(diluted === 1, "the A~B~C chain must read as diluted")
+  }
+
   test("q286 finds the planted variance axis") {
     // dim 5 carries 100x the variance of every other dim
     val rnd = new scala.util.Random(7)
