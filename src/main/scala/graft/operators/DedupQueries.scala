@@ -1205,8 +1205,83 @@ object DedupQueries {
        |GROUP BY pj.c, sizes.n_members
        |ORDER BY cluster""".stripMargin
 
+  /** q339 — deletion-policy comparison, the operational follow-on to
+    * q338's dilution audit: how many documents would each dedup
+    * policy actually delete? Policy CC keeps the minimum-id member
+    * per connected component and deletes the rest (what
+    * keep-one-per-component ships); policy VERIFIED deletes a member
+    * only if its exact Jaccard TO THE KEPT REPRESENTATIVE clears the
+    * 0.6 threshold — chained members that never matched the survivor
+    * are rescued. One row: cluster count, both deletion counts, and
+    * the rescued difference — the size of the q338 problem in
+    * documents, not clusters.
+    *
+    * Scale shape: q338's — the rep-member pairs are a subset of the
+    * component equi-join (component label IS the representative id),
+    * verification touches only those pairs. */
+  def q339(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val sig = Dedup.minhashSignatureWords(docs, "doc_id", "text", nHashes)
+    val bands = Dedup.lshBands(sig, "doc_id", nBands = 2, rowsPerBand = 3)
+    val pairs = Dedup.candidatePairs(bands, "doc_id")
+    val da = docs.select($"doc_id".as("a"), Dedup.wordSet($"text").as("wa"))
+    val db = docs.select($"doc_id".as("b"), Dedup.wordSet($"text").as("wb"))
+    val edges = pairs.join(da, "a").join(db, "b")
+      .filter(Dedup.jaccard($"wa", $"wb") >= 0.6)
+      .select($"a", $"b")
+    val cc = Dedup.ccAlternatingStar(edges)
+      .transform(graft.Fx.materialize)
+    // component label IS the min member id — the kept representative
+    val members = cc.filter($"doc_id" =!= $"component")
+    val verified = members
+      .join(da.withColumnRenamed("a", "component"), "component")
+      .join(db.withColumnRenamed("b", "doc_id"), "doc_id")
+      .select((Dedup.jaccard($"wa", $"wb") >= 0.6).cast("long").as("v"))
+    val nClusters = cc.select($"component").distinct().count()
+    val delCc = members.count()
+    val delVerified = verified.agg(coalesce(sum($"v"), lit(0L))).head().getLong(0)
+    Seq((nClusters, delCc, delVerified, delCc - delVerified))
+      .toDF("n_clusters", "deleted_cc", "deleted_verified", "rescued")
+  }
+
+  val q339Sql: String =
+    s"""WITH RECURSIVE $sigSql, $bandsSql, $pairsSql,
+       |ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
+       |       FROM documents),
+       |ed AS (
+       |  SELECT a, b FROM pairs
+       |  JOIN ws wa ON pairs.a = wa.doc_id
+       |  JOIN ws wb ON pairs.b = wb.doc_id
+       |  WHERE CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE) /
+       |    (len(wa.w) + len(wb.w) - len(list_intersect(wa.w, wb.w))) >= 0.6),
+       |edges AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |comp AS (
+       |  SELECT src, least(src, min(dst)) AS c FROM reach GROUP BY src),
+       |mem AS (SELECT src, c FROM comp WHERE src <> c),
+       |v AS (
+       |  SELECT CASE WHEN
+       |    CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE) /
+       |      (len(wa.w) + len(wb.w) - len(list_intersect(wa.w, wb.w))) >= 0.6
+       |    THEN 1 ELSE 0 END AS ok
+       |  FROM mem
+       |  JOIN ws wa ON mem.c = wa.doc_id
+       |  JOIN ws wb ON mem.src = wb.doc_id)
+       |SELECT
+       |  (SELECT CAST(count(DISTINCT c) AS BIGINT) FROM comp) AS n_clusters,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM mem) AS deleted_cc,
+       |  (SELECT CAST(COALESCE(sum(ok), 0) AS BIGINT) FROM v)
+       |    AS deleted_verified,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM mem)
+       |    - (SELECT CAST(COALESCE(sum(ok), 0) AS BIGINT) FROM v) AS rescued""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q338_cluster_dilution", q338, Some(q338Sql)),
+    QueryDef("q339_deletion_policies", q339, Some(q339Sql)),
     QueryDef("q316_chapman_capture", q316, Some(q316Sql)),
     QueryDef("q231_dedup_shard_locality", q231, Some(q231Sql)),
     QueryDef("q221_edit1_neighbors", q221, Some(q221Sql)),

@@ -543,6 +543,23 @@ class PlantedStructureSpec extends SparkSpec {
     assert(diluted === 1, "the A~B~C chain must read as diluted")
   }
 
+  test("q339 rescues the chained-only member") {
+    // same pinned chain as the q338 gate: CC deletes B and C, but C
+    // never matched the kept representative A — verified policy
+    // rescues exactly it
+    val words = (1 to 14).map(i => s"w$i")
+    def span(from: Int): String = words.slice(from, from + 10).mkString(" ")
+    val docs = Seq(
+      (1L, span(0), "en", "s", 10L),
+      (2L, span(2), "en", "s", 10L),
+      (3L, span(4), "en", "s", 10L),
+      (10L, (100 to 112).map(i => s"zzz$i").mkString(" "), "en", "s", 10L))
+    val r = operators.DedupQueries.q339(spark, documentsDir(docs))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      === ((1L, 2L, 1L, 1L)), s"policies $r")
+  }
+
   test("q286 finds the planted variance axis") {
     // dim 5 carries 100x the variance of every other dim
     val rnd = new scala.util.Random(7)
