@@ -1953,15 +1953,20 @@ object AssociationQueries {
       .agg(count(lit(1)).as("n"))
       .withColumn("t", sum($"n").over(Window.partitionBy(lit(1))))
       .withColumn("w", lit(1000000L))
+    // the target·10¹² scaling product rides DECIMAL(38,0): on BIGINT
+    // it would overflow once a margin holds ~4.6e6 orders (silent
+    // wrap in Spark, error in DuckDB — the q324/q334 discipline)
     val raked = (1 to 2).foldLeft(cells) { (cur, _) =>
       cur
         .withColumn("wr", sum($"n" * $"w").over(Window.partitionBy($"segment")))
-        .withColumn("w",
-          expr("(w * (((t div 5) * 1000000000000) div wr)) div 1000000"))
+        .withColumn("w", expr(
+          """cast((w * ((cast(t div 5 as decimal(38,0)) * 1000000000000)
+             div wr)) div 1000000 as bigint)"""))
         .drop("wr")
         .withColumn("wc", sum($"n" * $"w").over(Window.partitionBy($"priority")))
-        .withColumn("w",
-          expr("(w * (((t div 5) * 1000000000000) div wc)) div 1000000"))
+        .withColumn("w", expr(
+          """cast((w * ((cast(t div 5 as decimal(38,0)) * 1000000000000)
+             div wc)) div 1000000 as bigint)"""))
         .drop("wc")
     }
     raked
@@ -1988,23 +1993,23 @@ object AssociationQueries {
       |  FROM cells),
       |r1 AS (
       |  SELECT segment, priority, n, t,
-      |    (w * (((t // 5) * 1000000000000) //
-      |      CAST(sum(n * w) OVER (PARTITION BY segment) AS BIGINT))) // 1000000 AS w
+      |    CAST((w * ((CAST(t // 5 AS HUGEINT) * 1000000000000) //
+      |      CAST(sum(n * w) OVER (PARTITION BY segment) AS BIGINT))) // 1000000 AS BIGINT) AS w
       |  FROM t0),
       |c1 AS (
       |  SELECT segment, priority, n, t,
-      |    (w * (((t // 5) * 1000000000000) //
-      |      CAST(sum(n * w) OVER (PARTITION BY priority) AS BIGINT))) // 1000000 AS w
+      |    CAST((w * ((CAST(t // 5 AS HUGEINT) * 1000000000000) //
+      |      CAST(sum(n * w) OVER (PARTITION BY priority) AS BIGINT))) // 1000000 AS BIGINT) AS w
       |  FROM r1),
       |r2 AS (
       |  SELECT segment, priority, n, t,
-      |    (w * (((t // 5) * 1000000000000) //
-      |      CAST(sum(n * w) OVER (PARTITION BY segment) AS BIGINT))) // 1000000 AS w
+      |    CAST((w * ((CAST(t // 5 AS HUGEINT) * 1000000000000) //
+      |      CAST(sum(n * w) OVER (PARTITION BY segment) AS BIGINT))) // 1000000 AS BIGINT) AS w
       |  FROM c1),
       |c2 AS (
       |  SELECT segment, priority, n, t,
-      |    (w * (((t // 5) * 1000000000000) //
-      |      CAST(sum(n * w) OVER (PARTITION BY priority) AS BIGINT))) // 1000000 AS w
+      |    CAST((w * ((CAST(t // 5 AS HUGEINT) * 1000000000000) //
+      |      CAST(sum(n * w) OVER (PARTITION BY priority) AS BIGINT))) // 1000000 AS BIGINT) AS w
       |  FROM r2)
       |SELECT segment, priority, n, w AS weight_micro,
       |  CAST(sum(n * w) OVER (PARTITION BY segment) AS BIGINT)

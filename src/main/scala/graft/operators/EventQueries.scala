@@ -3303,6 +3303,11 @@ object EventQueries {
       }
       acc += cur
     }
+    // advance to S(τ) itself — the RMST sum ends at S(τ−1), but the
+    // reported horizon survival must include deaths AT day τ
+    while (idx < steps.length && steps(idx)._1 <= tau) {
+      cur = steps(idx)._2; idx += 1
+    }
     s.createDataFrame(Seq((tau, acc, cur)))
       .toDF("tau_days", "rmst_micro_days", "surv_at_tau_micro")
   }
@@ -3340,7 +3345,8 @@ object EventQueries {
       |  FROM days)
       |SELECT CAST(tau.tau AS BIGINT) AS tau_days,
       |  CAST((SELECT sum(s) FROM sj) AS BIGINT) AS rmst_micro_days,
-      |  CAST((SELECT s FROM sj ORDER BY j DESC LIMIT 1) AS BIGINT)
+      |  CAST(COALESCE((SELECT s FROM km WHERE km.t <= tau.tau
+      |                 ORDER BY km.t DESC LIMIT 1), 1000000) AS BIGINT)
       |    AS surv_at_tau_micro
       |FROM tau""".stripMargin
 

@@ -1038,7 +1038,7 @@ object GovernanceQueries {
       count(lit(1)).as("g"))
     val loo = per.crossJoin(broadcast(tot))
       .withColumn("theta_loo_micro",
-        expr("((s1 - si) * 1000000) div (n - ni)"))
+        expr("((cast(s1 as decimal(38,0)) - si) * 1000000) div (n - ni)"))
       .transform(Fx.materialize)
     val summ = loo.agg(max($"g").as("g"), max($"n").as("n"),
         max($"s1").as("s1"),
@@ -1051,7 +1051,8 @@ object GovernanceQueries {
       .withColumn("var_scaled", expr("((g2 - 1) * ss) div g2"))
     loo.select($"source", $"ni", $"theta_loo_micro")
       .crossJoin(broadcast(summ.select(
-        expr("(s1 * 1000000) div n").as("theta_hat_micro"))))
+        expr("(cast(s1 as decimal(38,0)) * 1000000) div n")
+          .as("theta_hat_micro"))))
       .crossJoin(broadcast(dev.select($"var_scaled")))
       .select($"source", $"ni", $"theta_loo_micro", $"theta_hat_micro",
         r6(sqrt($"var_scaled".cast("double"))).as("se_jack_micro"))
@@ -1068,7 +1069,8 @@ object GovernanceQueries {
        |          CAST(count(*) AS BIGINT) AS g
        |        FROM per),
        |loo AS (
-       |  SELECT source, ni, ((s1 - si) * 1000000) // (n - ni)
+       |  SELECT source, ni,
+       |    CAST(((CAST(s1 AS HUGEINT) - si) * 1000000) // (n - ni) AS BIGINT)
        |    AS theta_loo_micro
        |  FROM per CROSS JOIN tot),
        |summ AS (
@@ -1081,7 +1083,8 @@ object GovernanceQueries {
        |    // max(summ.g) AS BIGINT) AS var_scaled
        |  FROM loo CROSS JOIN summ)
        |SELECT source, ni, theta_loo_micro,
-       |  (tot.s1 * 1000000) // tot.n AS theta_hat_micro,
+       |  CAST((CAST(tot.s1 AS HUGEINT) * 1000000) // tot.n AS BIGINT)
+       |    AS theta_hat_micro,
        |  ${sqlR6("sqrt(CAST(var_scaled AS DOUBLE))")} AS se_jack_micro
        |FROM loo CROSS JOIN tot CROSS JOIN dev
        |ORDER BY source""".stripMargin

@@ -1103,6 +1103,8 @@ object Relational {
     * exactly on the 4-decimal grid per row before summation; ρ =
     * 1 − 6Σd²/(n(n²−1)) computed on DECIMAL(38,0)/HUGEINT (n³ at
     * catalog scale shreds BIGINT) with one truncating micro division.
+    * The diagnostic sum_d2 column is emitted as BIGINT — exact to
+    * n ≈ 2×10⁶ parts; ρ itself stays on DECIMAL38 at any n.
     *
     * Scale shape: the two rank passes ride [[Ranking.seqIds]]
     * (range-repartition + Tungsten ordinal — NO global window over

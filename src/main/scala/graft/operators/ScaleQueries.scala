@@ -686,14 +686,24 @@ object ScaleQueries {
         when($"ym" % 100 === 1, $"ym" - 89).otherwise($"ym" - 1))
     val a = top.select($"ym".as("prev_ym"), $"part")
     val b = top.select($"ym".as("cur_ym"), $"part")
-    months.join(b, $"ym" === $"cur_ym")
+    // LEFT join the common counts so a month whose head is DISJOINT
+    // from its predecessor reads n_common = 0 — the churn-spike alarm
+    // this query exists for must appear, not vanish; list sizes are
+    // the actual head sizes (a thin month may hold fewer than 20)
+    val sizes = top.groupBy($"ym").agg(count(lit(1)).as("n_list"))
+    val common0 = months.join(b, $"ym" === $"cur_ym")
       .join(a, Seq("prev_ym", "part"), "left_semi")
       .groupBy($"ym").agg(count(lit(1)).as("n_common"))
-      .join(months.select($"ym", $"prev_ym"), "ym")
-      .join(top.groupBy($"ym".as("pm")).agg(count(lit(1)).as("n_prev")),
-        $"prev_ym" === $"pm", "inner")
-      .select($"ym", $"n_common", (lit(20L) - $"n_common").as("n_new"),
-        expr("(n_common * 1000000) div (40 - n_common)").as("jaccard_micro"))
+    months
+      .join(broadcast(sizes.select($"ym".as("pm"), $"n_list".as("n_prev"))),
+        $"prev_ym" === $"pm")
+      .join(broadcast(sizes.select($"ym", $"n_list".as("n_cur"))), "ym")
+      .join(common0, Seq("ym"), "left")
+      .select($"ym", coalesce($"n_common", lit(0L)).as("n_common"),
+        $"n_cur", $"n_prev")
+      .select($"ym", $"n_common", ($"n_cur" - $"n_common").as("n_new"),
+        expr("(n_common * 1000000) div (n_cur + n_prev - n_common)")
+          .as("jaccard_micro"))
       .orderBy($"ym")
   }
 
@@ -715,6 +725,8 @@ object ScaleQueries {
       |  SELECT DISTINCT ym,
       |    CASE WHEN ym % 100 = 1 THEN ym - 89 ELSE ym - 1 END AS prev_ym
       |  FROM top),
+      |sizes AS (
+      |  SELECT ym, CAST(count(*) AS BIGINT) AS n_list FROM top GROUP BY 1),
       |common AS (
       |  SELECT m.ym, CAST(count(*) AS BIGINT) AS n_common
       |  FROM months m
@@ -722,12 +734,16 @@ object ScaleQueries {
       |  WHERE EXISTS (SELECT 1 FROM top a
       |                WHERE a.ym = m.prev_ym AND a.part = b.part)
       |  GROUP BY 1)
-      |SELECT c.ym, n_common, 20 - n_common AS n_new,
-      |  (n_common * 1000000) // (40 - n_common) AS jaccard_micro
-      |FROM common c
-      |JOIN months m ON c.ym = m.ym
-      |WHERE EXISTS (SELECT 1 FROM top p WHERE p.ym = m.prev_ym)
-      |ORDER BY c.ym""".stripMargin
+      |SELECT m.ym, COALESCE(c.n_common, 0) AS n_common,
+      |  sc.n_list - COALESCE(c.n_common, 0) AS n_new,
+      |  (COALESCE(c.n_common, 0) * 1000000)
+      |    // (sc.n_list + sp.n_list - COALESCE(c.n_common, 0))
+      |    AS jaccard_micro
+      |FROM months m
+      |JOIN sizes sp ON sp.ym = m.prev_ym
+      |JOIN sizes sc ON sc.ym = m.ym
+      |LEFT JOIN common c ON c.ym = m.ym
+      |ORDER BY m.ym""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q326_weighted_median", q326, Some(q326Sql)),

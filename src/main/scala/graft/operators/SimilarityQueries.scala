@@ -1109,12 +1109,13 @@ object SimilarityQueries {
         $"label".as("true_label"))
     val train = emb.filter($"vec_id" % 5 =!= 0)
       .transform(Fx.materialize)
+    // bruteForceTopK's output carries every TRAIN column, so the
+    // neighbor's label is already present — no second catalog join
     val topk = Similarity.bruteForceTopK(
       test.select($"q_id", $"q_vec"), train, k = 10)
-    val labels = train.select($"vec_id".as("t_vid"), $"label".as("t_label"))
-    val hits = topk.join(labels, $"vec_id" === $"t_vid")
+    val hits = topk
       .join(broadcast(test.select($"q_id", $"true_label")), "q_id")
-      .withColumn("is_hit", ($"t_label" === $"true_label").cast("long"))
+      .withColumn("is_hit", ($"label" === $"true_label").cast("long"))
       .withColumn("h", sum($"is_hit").over(
         Window.partitionBy($"q_id").orderBy($"rn")))
     val ap = hits.groupBy($"q_id", $"true_label")
