@@ -98,6 +98,16 @@ object Bench {
     System.err.println(s"GRAFT_BENCH_JSON $json")
     System.err.flush()
     println(json)
+    // The full per-query line above is ~4 KB for 60 queries, but the
+    // round driver keeps only the last ~2000 chars of stdout (sbt then
+    // appends its own "[success]" trailer) — so the big line gets
+    // front-truncated and has never parsed. A second, compact line
+    // (<500 chars: headline total + failures + count, no per-query
+    // map) printed LAST guarantees a well-formed JSON object survives
+    // inside the tail window; tools wanting per-query detail read
+    // bench_out.json or the full line above.
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -43,9 +43,51 @@ import com.fasterxml.jackson.core.{JsonFactory, JsonToken}
   *
   * JSON-lines concatenation is byte-exact: the writer terminates
   * every line with '\n', so a compacted file is the concatenation of
-  * its members' bytes — no parse, no re-serialize, no row loss.
+  * its members' bytes — no parse, no re-serialize, no row loss. A
+  * hand-dropped member missing its final newline gets one inserted
+  * (checked against its last byte) so rows never fuse across a bin.
+  *
+  * CONCURRENCY: compaction is SINGLE-WRITER. Readers never need
+  * locks (every directory state reads consistently), but two
+  * concurrent compactors could interleave fatally — one's [[sweep]]
+  * would see the other's just-renamed manifest with its data file not
+  * yet renamed, judge it void, and delete it; when the data rename
+  * then lands, the new file AND the files it replaced are all live →
+  * duplicate rows. [[compact]] and [[sweep]] therefore serialize on a
+  * `_compact.lock` file (atomic create-new) held for the duration; a
+  * second compactor fails fast with [[ConcurrentCompactionException]]
+  * instead of corrupting. A lock older than [[LockStaleMs]] is
+  * presumed crash debris and broken.
   */
 object DocStoreCompact {
+
+  final class ConcurrentCompactionException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** A `_compact.lock` older than this is crash debris, not a live
+    * compactor (no single bin takes 10 min), and is broken. */
+  val LockStaleMs: Long = 10 * 60 * 1000L
+
+  private def withLock[A](dir: String)(body: => A): A = {
+    val lock = new File(dir, "_compact.lock")
+    val acquired =
+      try { Files.createFile(lock.toPath); true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val age = System.currentTimeMillis() - lock.lastModified()
+          if (lock.lastModified() > 0L && age > LockStaleMs) {
+            // stale: break it, then race for the fresh one
+            lock.delete()
+            try { Files.createFile(lock.toPath); true }
+            catch { case _: java.nio.file.FileAlreadyExistsException => false }
+          } else false
+      }
+    if (!acquired)
+      throw new ConcurrentCompactionException(
+        s"$dir: another compaction holds _compact.lock " +
+          "(compact/sweep are single-writer; see class doc)")
+    try body finally lock.delete()
+  }
 
   final case class Manifest(newFile: String, replaces: Seq[String])
 
@@ -73,9 +115,13 @@ object DocStoreCompact {
     * the manifest protocol. Idempotent: a second run with the same
     * target finds nothing to do. */
   def compact(dir: String, targetBytes: Long,
-      id: String = java.util.UUID.randomUUID().toString.take(8)): Result = {
+      id: String = java.util.UUID.randomUUID().toString.take(8)): Result =
+    withLock(dir) { compactLocked(dir, targetBytes, id) }
+
+  private def compactLocked(dir: String, targetBytes: Long,
+      id: String): Result = {
     require(targetBytes > 0, "compact: targetBytes must be positive")
-    val swept = sweep(dir)
+    val swept = sweepLocked(dir)
     val live = liveFiles(dir)
     val small = live.filter(_.length() < targetBytes)
     // first-fit bins over name order; only multi-file bins justify a swap
@@ -97,9 +143,23 @@ object DocStoreCompact {
     var bytes = 0L
     todo.zipWithIndex.foreach { case (bin, k) =>
       val newName = s"part-compact-$id-$k.jsonl"
+      // the id is caller-suppliable: reusing one across runs would let
+      // the ATOMIC_MOVE below silently replace a COMMITTED live file
+      // from the earlier run — fail instead of destroying data
+      if (new File(dir, newName).exists() ||
+          new File(dir, s"_compact-$id-$k.json").exists())
+        throw new IllegalArgumentException(
+          s"compact: id '$id' already used in $dir ($newName exists); " +
+            "pick a fresh id")
       val tmp = new File(dir, s"_tmp-compact-$id-$k")
       val out = new java.io.FileOutputStream(tmp)
-      try bin.foreach { f => Files.copy(f.toPath, out) }
+      try bin.foreach { f =>
+        Files.copy(f.toPath, out)
+        // byte-exact concat is only row-exact if every member ends in
+        // '\n'; a hand-dropped file without one would fuse its last
+        // row with the next member's first — insert the separator
+        if (!endsWithNewline(f)) out.write('\n')
+      }
       finally out.close()
       // merged zone map BEFORE visibility (markers-as-truth order)
       mergedStats(bin.map(_.getName), zm).foreach { fs =>
@@ -132,7 +192,9 @@ object DocStoreCompact {
     * with their tmp files, dead replaced files that a crash left
     * behind, and manifests whose cleanup completed. Returns the number
     * of manifests removed. */
-  def sweep(dir: String): Int = {
+  def sweep(dir: String): Int = withLock(dir) { sweepLocked(dir) }
+
+  private def sweepLocked(dir: String): Int = {
     val all = Option(new File(dir).listFiles()).getOrElse(Array.empty[File])
     val partNames = all.filter(f => f.isFile && f.getName.startsWith("part-"))
       .map(_.getName).toSet
@@ -146,14 +208,38 @@ object DocStoreCompact {
           mf.delete(); removed += 1
         case Some(_) | None =>
           // void (crash before the data rename) or unreadable: the
-          // originals are the truth; drop the manifest
+          // originals are the truth; drop the manifest. Safe only
+          // because the lock guarantees no in-flight compactor — an
+          // unlocked sweep here is the duplicate-rows race the class
+          // doc describes.
           mf.delete(); removed += 1
       }
     }
     // orphaned tmp files from any crashed run
     all.filter(f => f.isFile && f.getName.startsWith("_tmp-compact-"))
       .foreach(_.delete())
+    // orphaned compaction zone maps: written BEFORE the data rename,
+    // so a crash in that window (or a swept void manifest) leaves a
+    // `_zonemap-compact-<id>-<k>.json` whose part file never appeared
+    // — without GC these accumulate unboundedly
+    all.filter { f =>
+      f.isFile && f.getName.startsWith("_zonemap-compact-") &&
+        f.getName.endsWith(".json") &&
+        !partNames.contains(
+          "part-" + f.getName.stripPrefix("_zonemap-").stripSuffix(".json") +
+            ".jsonl")
+    }.foreach(_.delete())
     removed
+  }
+
+  /** True iff `f`'s final byte is '\n' (an empty file vacuously ends a
+    * line). One seek + one byte read — cheap even over many members. */
+  private def endsWithNewline(f: File): Boolean = {
+    val len = f.length()
+    if (len == 0L) return true
+    val raf = new java.io.RandomAccessFile(f, "r")
+    try { raf.seek(len - 1); raf.read() == '\n' }
+    finally raf.close()
   }
 
   /** Exact merge of member stats — None if any member lacks stats
@@ -203,18 +289,22 @@ object DocStoreCompact {
   private[v2] def parseManifest(f: File): Option[Manifest] =
     try {
       val p = factory.createParser(f)
-      var newFile: String = null
-      val repl = scala.collection.mutable.ArrayBuffer.empty[String]
-      if (p.nextToken() != JsonToken.START_OBJECT) return None
-      while (p.nextToken() == JsonToken.FIELD_NAME) {
-        p.getCurrentName match {
-          case "new" => p.nextToken(); newFile = p.getText
-          case "replaces" =>
-            p.nextToken() // START_ARRAY
-            while (p.nextToken() != JsonToken.END_ARRAY) repl += p.getText
-          case _ => p.nextToken(); p.skipChildren()
+      // close in finally — liveFiles() re-parses every manifest per
+      // scan planning, so an unclosed parser leaks an fd per call
+      try {
+        var newFile: String = null
+        val repl = scala.collection.mutable.ArrayBuffer.empty[String]
+        if (p.nextToken() != JsonToken.START_OBJECT) return None
+        while (p.nextToken() == JsonToken.FIELD_NAME) {
+          p.getCurrentName match {
+            case "new" => p.nextToken(); newFile = p.getText
+            case "replaces" =>
+              p.nextToken() // START_ARRAY
+              while (p.nextToken() != JsonToken.END_ARRAY) repl += p.getText
+            case _ => p.nextToken(); p.skipChildren()
+          }
         }
-      }
-      if (newFile == null) None else Some(Manifest(newFile, repl.toSeq))
+        if (newFile == null) None else Some(Manifest(newFile, repl.toSeq))
+      } finally p.close()
     } catch { case _: Exception => None }
 }

@@ -179,6 +179,12 @@ object DocStoreZonemap {
   private[v2] def parseLine(line: String): Option[(String, FileStats)] =
     try {
       val p = factory.createParser(line)
+      try parseLineWith(p)
+      finally p.close()
+    } catch { case _: Exception => None }
+
+  private def parseLineWith(p: com.fasterxml.jackson.core.JsonParser)
+      : Option[(String, FileStats)] = {
       var file: String = null
       var rows = 0L
       var cols = Map.empty[String, ColStats]
@@ -234,7 +240,7 @@ object DocStoreZonemap {
         }
       }
       if (file == null) None else Some(file -> FileStats(rows, cols))
-    } catch { case _: Exception => None }
+  }
 
   // ---- pruning -------------------------------------------------------
 

@@ -113,6 +113,69 @@ class DocStoreCompactSpec extends SparkSpec {
     assert(got === expected, "filtered read wrong after compaction")
   }
 
+  test("a second compactor fails fast while the lock is held; a stale lock is broken") {
+    val dir = Files.createTempDirectory("compact6").toString
+    writeDocs(dir, parts = 2)
+    // a fresh lock (as if another process is mid-compact) must exclude
+    Files.createFile(new File(dir, "_compact.lock").toPath)
+    intercept[DocStoreCompact.ConcurrentCompactionException] {
+      DocStoreCompact.compact(dir, targetBytes = 1L << 26, id = "t6")
+    }
+    intercept[DocStoreCompact.ConcurrentCompactionException] {
+      DocStoreCompact.sweep(dir)
+    }
+    // age the lock past the staleness horizon: it is crash debris now
+    new File(dir, "_compact.lock")
+      .setLastModified(System.currentTimeMillis() - DocStoreCompact.LockStaleMs - 1000)
+    val res = DocStoreCompact.compact(dir, targetBytes = 1L << 26, id = "t6b")
+    assert(res.binsWritten >= 1, "stale lock was not broken")
+    assert(!new File(dir, "_compact.lock").exists(), "lock not released")
+  }
+
+  test("a member missing its trailing newline does not fuse rows") {
+    val dir = Files.createTempDirectory("compact7").toString
+    writeDocs(dir, parts = 2)
+    val before = readBack(dir).count()
+    // strip the final '\n' from one member, as a hand-dropped file might
+    val victim = DocStoreCompact.liveFiles(dir).head
+    val bytes = Files.readAllBytes(victim.toPath)
+    assert(bytes.last === '\n'.toByte)
+    Files.write(victim.toPath, bytes.dropRight(1))
+    DocStoreCompact.compact(dir, targetBytes = 1L << 26, id = "t7")
+    assert(readBack(dir).count() === before,
+      "row fused across members when a trailing newline was missing")
+  }
+
+  test("reusing a compaction id fails instead of replacing committed data") {
+    val dir = Files.createTempDirectory("compact8").toString
+    writeDocs(dir, parts = 2)
+    DocStoreCompact.compact(dir, targetBytes = 1L << 26, id = "dup")
+    writeDocs(dir, parts = 2) // new small files so the rerun has work
+    intercept[IllegalArgumentException] {
+      DocStoreCompact.compact(dir, targetBytes = 1L << 26, id = "dup")
+    }
+    assert(!new File(dir, "_compact.lock").exists(),
+      "lock not released after failed compact")
+  }
+
+  test("sweep garbage-collects zone maps whose part file never appeared") {
+    val dir = Files.createTempDirectory("compact9").toString
+    writeDocs(dir, parts = 2)
+    // a crash between the zonemap write and the data rename leaves this
+    Files.write(new File(dir, "_zonemap-compact-gone-0.json").toPath,
+      """{"file":"part-compact-gone-0.jsonl","rows":1,"cols":{}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    DocStoreCompact.sweep(dir)
+    assert(!new File(dir, "_zonemap-compact-gone-0.json").exists(),
+      "orphaned compaction zone map not collected")
+    // live compaction zone maps survive sweeps
+    DocStoreCompact.compact(dir, targetBytes = 1L << 26, id = "t9")
+    val liveZm = new File(dir, "_zonemap-compact-t9-0.json")
+    assert(liveZm.exists())
+    DocStoreCompact.sweep(dir)
+    assert(liveZm.exists(), "live compaction zone map wrongly collected")
+  }
+
   test("compaction is idempotent at the same target") {
     val dir = Files.createTempDirectory("compact5").toString
     writeDocs(dir, parts = 4)
