@@ -237,6 +237,51 @@ object ScaleSmoke {
       return
     }
 
+    // targeted mode: `... <n> ivfpersist` — the build-once/search-many
+    // economics of the persisted IVF index: KMeans train + assign +
+    // save vs reopen + search vs rebuild-per-batch (what persistence
+    // eliminates), plus the incremental delta fold.
+    if (args.lift(1).contains("ivfpersist")) {
+      val dim = 64
+      val idxDir = java.nio.file.Files.createTempDirectory("smoke-ivf").toString
+      val targets = spark.range(nDocs).select($"id".as("vec_id"))
+        .withColumn("embedding", ScaleSmoke.clusteredVec(dim, $"id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      targets.count()
+      val queries32 = spark.range(32).select(($"id" + 2000000000L).as("q_id"))
+        .withColumn("q_vec", ScaleSmoke.clusteredVec(dim, $"q_id"))
+      var idx: ml.IvfIndex.Index = null
+      timedN(nDocs)("ivf_build_save_once") {
+        idx = ml.IvfIndex.build(targets, "embedding", nList = 64)
+        ml.IvfIndex.save(idx, idxDir)
+        64L
+      }
+      timedN(nDocs)("ivf_search_reopened") {
+        ml.IvfIndex.searchPersisted(spark, idxDir, queries32, 10, nProbe = 8)
+          .count()
+      }
+      timedN(nDocs)("ivf_search_reopened_2") {
+        ml.IvfIndex.searchPersisted(spark, idxDir, queries32, 10, nProbe = 8)
+          .count()
+      }
+      timedN(nDocs)("ivf_rebuild_per_batch") {
+        val fresh = ml.IvfIndex.build(targets, "embedding", nList = 64)
+        ml.IvfIndex.search(fresh, queries32, 10, nProbe = 8).count()
+      }
+      timedN(nDocs / 100)("ivf_append_delta_1pct") {
+        val delta = spark.range(nDocs, nDocs + nDocs / 100)
+          .select($"id".as("vec_id"))
+          .withColumn("embedding", ScaleSmoke.clusteredVec(dim, $"id"))
+        ml.IvfIndex.appendNew(spark, idxDir, delta, "embedding", "vec_id")
+        nDocs / 100
+      }
+      targets.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+      spark.stop()
+      return
+    }
+
+
     // Deterministic synthetic corpus. A near-dup copies its
     // predecessor's word sequence (same base id) and changes only the
     // final word, so planted pairs share all but ~2 bigram shingles.
@@ -262,6 +307,20 @@ object ScaleSmoke {
     }
 
     println(s"[scale] corpus: $n docs on local[$cpus]")
+
+    // targeted mode: `... <n> twsstate [ttlSec...]` — the 100 TB/day
+    // knob measured: streaming near-dup state size and per-batch
+    // latency across TTL horizons. The corpus replays as MANY micro-
+    // batches (maxFilesPerTrigger=1 over 16 part files), so wall clock
+    // advances between batches and processing-time TTL actually
+    // expires state mid-run; a shorter horizon must show bounded state
+    // and fewer cross-batch pairs.
+    if (args.lift(1).contains("twsstate")) {
+      runTwsStateProbe(spark, docs, n,
+        args.drop(2).map(_.toInt).toSeq)
+      spark.stop()
+      return
+    }
 
     // targeted mode: `runMain graft.ScaleSmoke <n> gov` runs only the
     // governance/streaming stages (scaling-curve probes without the
@@ -378,13 +437,7 @@ object ScaleSmoke {
     // bucketing scheme can work: near-orthogonal vectors share no
     // structure).
     val dim = 64
-    def clusteredVec(id: Column) = {
-      val cluster = pmod(xxhash64(id), lit(256))
-      transform(sequence(lit(0), lit(dim - 1)), i =>
-        ((pmod(xxhash64(cluster, i), lit(1000)).cast("double") / 500.0 - 1.0) +
-          (pmod(xxhash64(id, i), lit(1000)).cast("double") / 500.0 - 1.0) * 0.1)
-          .cast("float"))
-    }
+    def clusteredVec(id: Column) = ScaleSmoke.clusteredVec(dim, id)
     val targets = spark.range(nDocs).select($"id".as("vec_id"))
       .withColumn("embedding", clusteredVec($"vec_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -655,6 +708,65 @@ object ScaleSmoke {
         operators.IntervalJoin.overlap(iv("_a"), iv("_b"),
           "k_a", "k_b", "s_a", "e_a", "s_b", "e_b", grain = 256L)
     joined.filter($"id_a" < $"id_b").count()
+  }
+
+  /** 256-cluster mixture embedding (hash-derived center + 10% noise) —
+    * the synthetic corpus every ANN smoke stage shares. */
+  private def clusteredVec(dim: Int, id: Column): Column = {
+    val cluster = pmod(xxhash64(id), lit(256))
+    transform(sequence(lit(0), lit(dim - 1)), i =>
+      ((pmod(xxhash64(cluster, i), lit(1000)).cast("double") / 500.0 - 1.0) +
+        (pmod(xxhash64(id, i), lit(1000)).cast("double") / 500.0 - 1.0) * 0.1)
+        .cast("float"))
+  }
+
+  /** Streaming-dedup state probe: replay `docs` as 16 micro-batches
+    * through the transformWithState near-dup matcher under several TTL
+    * horizons, recording per-batch trigger latency and the RocksDB
+    * state operator's row/byte footprint from the query progress — the
+    * numbers behind the "TTL bounds state to corpus-in-horizon" claim
+    * (SURVEY §2.11). TTL here is processing-time (the
+    * transformWithState TTL semantic), so horizons are chosen around
+    * the replay's own wall clock. */
+  private def runTwsStateProbe(spark: SparkSession, docs: DataFrame,
+      n: Long, ttlSecs: Seq[Int]): Unit = {
+    import org.apache.spark.sql.streaming.{TTLConfig, Trigger}
+    val tmp = java.nio.file.Files.createTempDirectory("tws_state").toString
+    val path = s"$tmp/documents.parquet"
+    docs.repartition(16).write.mode("overwrite").parquet(path)
+    val schema = spark.read.parquet(path).schema
+    val horizons = if (ttlSecs.nonEmpty) ttlSecs else Seq(0, 60, 10, 3)
+    horizons.foreach { ttlSec =>
+      val ttl = if (ttlSec <= 0) TTLConfig.NONE
+        else TTLConfig(java.time.Duration.ofSeconds(ttlSec.toLong))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(path)
+      val verdicts = streaming.NearDupStream.pairsPlan(stream, 3, ttl)
+      val sink = s"tws_state_ttl$ttlSec"
+      val t0 = System.nanoTime()
+      streaming.NearDupStream.withRocksProvider(spark) {
+        val q = verdicts.writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        if (!q.awaitTermination(600000)) {
+          q.stop()
+          throw new IllegalStateException(s"$sink did not complete in 600s")
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val progs = q.recentProgress.filter(_.numInputRows > 0).toSeq
+        val lats = progs.flatMap(p =>
+          Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+        val ops = progs.flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        val lastRows = ops.lastOption.map(_.numRowsTotal).getOrElse(-1L)
+        val peakBytes = if (ops.isEmpty) -1L else ops.map(_.memoryUsedBytes).max
+        val pairs = spark.table(sink).distinct().count()
+        println(f"[scale] tws ttl=${ttlSec}%3ds  ${sec}%7.1f s  " +
+          f"batches=${progs.length}%3d  pairs=$pairs%8d  " +
+          f"stateRows=$lastRows%9d  peakStateBytes=$peakBytes%12d  " +
+          f"batchLat avg=${if (lats.isEmpty) 0 else lats.sum / lats.length}%5d ms " +
+          f"max=${if (lats.isEmpty) 0 else lats.max}%5d ms")
+      }
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
   }
 
   /** KS-drift + transformWithState stages, shared by the full smoke and

@@ -15,6 +15,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the SQL-only-client contract, exercised for real on every run:
+      // a FRESH JVM/SparkContext applies the config-string extensions,
+      // so the native function family resolves by SQL name here
+      // without any register() call (SqlOnlyClientSpec covers the
+      // in-JVM variant via withExtensions)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // events.parquet carries INT64 TIMESTAMP(NANOS); Spark 4 reads it
       // only as long under this flag (Tables.events converts to µs).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

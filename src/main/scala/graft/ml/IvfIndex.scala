@@ -84,4 +84,81 @@ object IvfIndex {
     top.withColumn("rn", row_number().over(w))
       .select(col(qId), col(tId), col("sim"), col("rn"))
   }
+
+  // ---- persistence ---------------------------------------------------
+  //
+  // A 100 TB retrieval corpus cannot re-train KMeans per query batch:
+  // the index must be a build-once artifact maintained like any other
+  // table. Layout under <dir>:
+  //   centroids/  parquet (cell INT, centroid ARRAY<DOUBLE>) — tiny
+  //   assigned/   parquet, the assigned-vector frame incl. `cell`
+  // `assigned` stays a PLAIN parquet relation, so filtered-ANN
+  // predicates keep reaching the scan as PushedFilters and cell-probe
+  // equi-joins read only matching files under partition stats.
+
+  /** Persist a built index. `assigned` is repartitioned by cell so the
+    * search-time probe equi-join reads cell-clustered files. */
+  def save(index: Index, dir: String): Unit = {
+    val s = index.assigned.sparkSession
+    import s.implicits._
+    index.centroids.toSeq.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    index.assigned.repartition(col("cell"))
+      .write.mode("overwrite").parquet(s"$dir/assigned")
+  }
+
+  /** Reopen a persisted index — no retraining, no corpus scan (the
+    * centroid table is nList rows; `assigned` stays lazy). */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Index = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .select(col("cell"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    Index(centroids, spark.read.parquet(s"$dir/assigned"))
+  }
+
+  /** Search a persisted index: reopen + [[search]], one call. */
+  def searchPersisted(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, k: Int, nProbe: Int,
+      qId: String = "q_id", qVec: String = "q_vec",
+      tId: String = "vec_id", tVec: String = "embedding",
+      predicate: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    search(load(spark, dir), queries, k, nProbe, qId, qVec, tId, tVec, predicate)
+
+  /** Assign NEW vectors to the existing cells without retraining —
+    * squared-Euclidean argmin against the broadcast centroids, the
+    * same rule `KMeansModel.transform` applies, with ties broken to
+    * the lowest cell id (KMeans's first-minimum). The q264
+    * ccIncremental pattern: the delta costs O(|delta| · nList), the
+    * trained artifact is untouched. Returns `delta` + `cell`. */
+  def assignNew(index: Index, delta: DataFrame, vecCol: String,
+      idCol: String): DataFrame = {
+    val s = delta.sparkSession
+    import s.implicits._
+    val cdf = index.centroids.toSeq.toDF("cell", "centroid")
+    // HOF args must be plain attributes (the lambda-CSE trap): project
+    // the cast vector before the distance fold reads it per element
+    val joined = delta
+      .withColumn("__dv", Similarity.toDoubleArr(col(vecCol)))
+      .crossJoin(broadcast(cdf))
+      .withColumn("__d2",
+        aggregate(zip_with(col("__dv"), col("centroid"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+    graft.plans.TopK.perGroup(joined, 1, Seq(idCol),
+      Seq(graft.plans.TopK.asc("__d2"), graft.plans.TopK.asc("cell")))
+      .drop("__dv", "centroid", "__d2")
+  }
+
+  /** Fold a delta into a persisted index: assign against the existing
+    * centroids and APPEND to `assigned` — the artifact is maintained,
+    * never rebuilt. (Re-train only when drift demands it; q315's
+    * centroid-drift readout is the monitor for that decision.) */
+  def appendNew(spark: org.apache.spark.sql.SparkSession, dir: String,
+      delta: DataFrame, vecCol: String, idCol: String): Unit = {
+    val idx = load(spark, dir)
+    assignNew(idx, delta, vecCol, idCol)
+      .select(idx.assigned.columns.map(col).toIndexedSeq: _*)
+      .repartition(col("cell"))
+      .write.mode("append").parquet(s"$dir/assigned")
+  }
 }

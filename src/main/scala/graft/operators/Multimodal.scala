@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   * ship with the JDK — no external codec needed): pixel dimensions and
   * a 16-bin luminance histogram. Audio rows decode for real via
   * `javax.sound.sampled` (WAV/AIFF/AU): sample rate, frame count, and
-  * an amplitude histogram. Bytes no JDK reader recognizes — and media
-  * kinds without a JDK codec (video) — fall back to `stubDecode`, a
-  * deterministic byte histogram, so the pipeline never fails on
-  * malformed payloads; `decoded` records which path ran. The
+  * an amplitude histogram. Video frames decode for real where a pure-
+  * JDK codec exists — animated GIF (composited frames) and MJPEG
+  * (SOI/EOI-split JPEGs) via [[extractFrames]]. Only bytes NO JDK
+  * reader recognizes fall back to `stubDecode`, a deterministic byte
+  * histogram, so the pipeline never fails on malformed payloads;
+  * `decoded` records which path ran. The
   * Spark-side plumbing — schema, encoders, partitioning, batch shape,
   * null handling — is identical for every path.
   */
@@ -152,8 +154,13 @@ object Multimodal {
     if (bytes == null || bytes.isEmpty) None
     else try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      if (img == null) None
-      else {
+      if (img == null) None else Some(pHashOfImage(img))
+    } catch { case _: Exception => None }
+
+  /** [[pHash64]]'s hash core over an already-decoded image — shared by
+    * the single-image path and the per-frame video path, so a frame's
+    * hash is definitionally comparable with a still image's. */
+  def pHashOfImage(img: java.awt.image.BufferedImage): Long = {
         val n = 32
         val w = img.getWidth; val h = img.getHeight
         def luma(x: Int, y: Int): Int = {
@@ -224,9 +231,8 @@ object Multimodal {
           if ((a != 0 || b != 0) && dct(a)(b) > median) bits |= (1L << idx)
           idx += 1
         }
-        Some(bits)
-      }
-    } catch { case _: Exception => None }
+        bits
+  }
 
   /** Image near-dup pairs by pHash Hamming ball: hash per partition
     * (one decode pass), band equi-join on 4×16-bit pHash slices (the
@@ -324,10 +330,173 @@ object Multimodal {
   }
 
   /** Frame-sampling plan for video rows: one output row per sampled
-    * frame index (explode of a sequence — no decode involved). */
+    * frame index (explode of a sequence — no decode involved). For
+    * payloads a JDK codec can open (animated GIF, MJPEG), the REAL
+    * decode path is [[extractFrames]]; this plan remains for metadata-
+    * only sampling of containers with no JDK codec. */
   def frameSamplePlan(media: DataFrame, everyNFrames: Int, frameCountCol: String): DataFrame =
     media.withColumn("frame_idx",
       explode(sequence(lit(0), greatest(col(frameCountCol) - 1, lit(0)), lit(everyNFrames))))
+
+  // ---- real frame extraction (pure-JDK codecs) -----------------------
+
+  /** One decoded, sampled frame: its pixel dims and perceptual hash
+    * (comparable with still-image pHashes — same core). `phash = None`
+    * with `decoded = false` marks a payload no JDK codec opened. */
+  final case class FrameRow(media_id: Long, frame_idx: Int,
+      width: Int, height: Int, phash: Option[Long], decoded: Boolean)
+
+  /** Decode a multi-frame payload into COMPOSITED frames with pure-JDK
+    * codecs: animated GIF via ImageIO's multi-image reader (frames are
+    * stored as dirty rects — each is drawn onto the logical-screen
+    * canvas at its descriptor offset, so the emitted frames are what a
+    * viewer shows; the rare restore-to-previous disposal is
+    * approximated by draw-over), MJPEG via JPEG SOI/EOI marker
+    * splitting (valid: 0xFFD9 cannot occur inside entropy-coded data —
+    * 0xFF bytes there are escaped or restart markers), and any
+    * single-image format as its one frame. Empty for true no-codec
+    * containers — those stay on the [[stubDecode]]/[[frameSamplePlan]]
+    * metadata path. */
+  def decodeFrames(bytes: Array[Byte]): Seq[java.awt.image.BufferedImage] = {
+    if (bytes == null || bytes.length < 4) return Nil
+    val isGif = bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F'
+    val isJpeg = (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8
+    try {
+      if (isGif) gifFrames(bytes)
+      else if (isJpeg) mjpegFrameBytes(bytes).flatMap { seg =>
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(seg)))
+      }
+      else Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))).toSeq
+    } catch { case _: Exception => Nil }
+  }
+
+  private def gifFrames(bytes: Array[Byte]): Seq[java.awt.image.BufferedImage] = {
+    import java.awt.image.BufferedImage
+    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    if (!readers.hasNext) return Nil
+    val reader = readers.next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis, false, false) // keep metadata: frame offsets
+      val n = reader.getNumImages(true)
+      if (n <= 0) return Nil
+      val first = reader.read(0)
+      // canvas = logical screen (falls back to frame 0's size)
+      var cw = first.getWidth
+      var ch = first.getHeight
+      try {
+        val sm = reader.getStreamMetadata
+        if (sm != null) {
+          val root = sm.getAsTree("javax_imageio_gif_stream_1.0")
+            .asInstanceOf[org.w3c.dom.Element]
+          val lsd = root.getElementsByTagName("LogicalScreenDescriptor")
+          if (lsd.getLength > 0) {
+            val e = lsd.item(0).asInstanceOf[org.w3c.dom.Element]
+            cw = math.max(cw, e.getAttribute("logicalScreenWidth").toInt)
+            ch = math.max(ch, e.getAttribute("logicalScreenHeight").toInt)
+          }
+        }
+      } catch { case _: Exception => () } // offsets then default to 0,0
+      val canvas = new BufferedImage(cw, ch, BufferedImage.TYPE_INT_RGB)
+      val g = canvas.createGraphics()
+      try {
+        (0 until n).map { i =>
+          val frame = if (i == 0) first else reader.read(i)
+          var x = 0
+          var y = 0
+          try {
+            val im = reader.getImageMetadata(i)
+              .getAsTree("javax_imageio_gif_image_1.0")
+              .asInstanceOf[org.w3c.dom.Element]
+            val desc = im.getElementsByTagName("ImageDescriptor")
+            if (desc.getLength > 0) {
+              val e = desc.item(0).asInstanceOf[org.w3c.dom.Element]
+              x = e.getAttribute("imageLeftPosition").toInt
+              y = e.getAttribute("imageTopPosition").toInt
+            }
+          } catch { case _: Exception => () }
+          g.drawImage(frame, x, y, null)
+          val copy = new BufferedImage(cw, ch, BufferedImage.TYPE_INT_RGB)
+          val cg = copy.createGraphics()
+          try cg.drawImage(canvas, 0, 0, null) finally cg.dispose()
+          copy
+        }
+      } finally g.dispose()
+    } catch { case _: Exception => Nil }
+    finally { reader.dispose(); iis.close() }
+  }
+
+  /** Split an MJPEG byte stream into its member JPEGs on SOI/EOI
+    * marker pairs. A single plain JPEG yields one segment. */
+  private[operators] def mjpegFrameBytes(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val out = Seq.newBuilder[Array[Byte]]
+    var i = 0
+    var start = -1
+    while (i + 1 < bytes.length) {
+      val b0 = bytes(i) & 0xff
+      val b1 = bytes(i + 1) & 0xff
+      if (b0 == 0xff && b1 == 0xd8 && start < 0) { start = i; i += 2 }
+      else if (b0 == 0xff && b1 == 0xd9 && start >= 0) {
+        out += java.util.Arrays.copyOfRange(bytes, start, i + 2)
+        start = -1
+        i += 2
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** REAL frame extraction over a media table: decode each payload's
+    * frames (GIF/MJPEG/single-image, pure JDK), keep every
+    * `everyNFrames`-th one, and hash it with the image pHash core —
+    * the output feeds the same near-dup machinery as still images.
+    * Partition-batched like every decoder here; a payload no codec
+    * opens emits one undecoded marker row (frame_idx = -1) so
+    * coverage is auditable downstream. Scale shape: pixels never
+    * shuffle — each task decodes its partition's payloads and emits
+    * (id, idx, dims, 8-byte hash) rows only. */
+  def extractFrames(media: Dataset[MediaRow], everyNFrames: Int = 1): Dataset[FrameRow] = {
+    require(everyNFrames >= 1, "extractFrames: everyNFrames must be >= 1")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val frames = decodeFrames(r.bytes)
+        if (frames.isEmpty)
+          Iterator.single(FrameRow(r.media_id, -1, 0, 0, None, decoded = false))
+        else frames.iterator.zipWithIndex.collect {
+          case (img, i) if i % everyNFrames == 0 =>
+            FrameRow(r.media_id, i, img.getWidth, img.getHeight,
+              Some(pHashOfImage(img)), decoded = true)
+        }
+      }
+    }
+  }
+
+  /** Cross-media near-dup FRAME pairs (shared/stolen footage, repeated
+    * intros): the [[imageNearDups]] band topology over per-frame
+    * hashes. Same-media pairs are excluded (adjacent frames of one
+    * clip are trivially close); `a_media < b_media` canonicalizes.
+    * Shuffles (media_id, frame_idx, hash) — never pixels. */
+  def frameNearDups(frames: Dataset[FrameRow], maxHamming: Int = 3): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    val hashed = frames.filter(_.decoded).map(f => (f.media_id, f.frame_idx, f.phash.get))
+      .toDF("media_id", "frame_idx", "phash")
+    val bands = hashed.select($"media_id", $"frame_idx", $"phash",
+      graft.streaming.NearDupStream.packedBands($"phash").as("band"))
+    val a = bands.select($"band", $"media_id".as("a_media"),
+      $"frame_idx".as("a_frame"), $"phash".as("ha"))
+    val b = bands.select($"band", $"media_id".as("b_media"),
+      $"frame_idx".as("b_frame"), $"phash".as("hb"))
+    a.join(b, Seq("band"))
+      .filter($"a_media" < $"b_media")
+      .select($"a_media", $"a_frame", $"b_media", $"b_frame",
+        bit_count($"ha".bitwiseXOR($"hb")).cast("long").as("hamming"))
+      .filter($"hamming" <= maxHamming)
+      .distinct()
+      .orderBy($"a_media", $"a_frame", $"b_media", $"b_frame")
+  }
 
   /** Build a media table from any binary + metadata source. Images and
     * docs share the pipeline — kind drives the decoder choice. */

@@ -123,8 +123,15 @@ object DocStoreCompact {
     require(targetBytes > 0, "compact: targetBytes must be positive")
     val swept = sweepLocked(dir)
     val live = liveFiles(dir)
-    val small = live.filter(_.length() < targetBytes)
-    // first-fit bins over name order; only multi-file bins justify a swap
+    // candidates: small files (the file-count problem) plus ANY file
+    // with deletion-vector dead rows (the merge-on-read amortization
+    // point — rewriting is the only way the dead bytes leave disk, and
+    // the rewrite drops them so the DV entries become GC-able)
+    val dv = DocStoreDeletes.load(dir)
+    def hasDead(f: File): Boolean = dv.get(f.getName).exists(_.nonEmpty)
+    val small = live.filter(f => f.length() < targetBytes || hasDead(f))
+    // first-fit bins over name order; a swap is justified by >= 2
+    // members (fewer files) or by a member with dead rows (fewer bytes)
     val bins = scala.collection.mutable.ArrayBuffer.empty[Vector[File]]
     var cur = Vector.empty[File]
     var curBytes = 0L
@@ -136,7 +143,7 @@ object DocStoreCompact {
       curBytes += f.length()
     }
     if (cur.nonEmpty) bins += cur
-    val todo = bins.filter(_.size >= 2)
+    val todo = bins.filter(bin => bin.size >= 2 || bin.exists(hasDead))
     val zm = if (todo.nonEmpty) DocStoreZonemap.load(dir)
       else Map.empty[String, DocStoreZonemap.FileStats]
     var replaced = 0
@@ -152,17 +159,51 @@ object DocStoreCompact {
           s"compact: id '$id' already used in $dir ($newName exists); " +
             "pick a fresh id")
       val tmp = new File(dir, s"_tmp-compact-$id-$k")
-      val out = new java.io.FileOutputStream(tmp)
-      try bin.foreach { f =>
-        Files.copy(f.toPath, out)
-        // byte-exact concat is only row-exact if every member ends in
-        // '\n'; a hand-dropped file without one would fuse its last
-        // row with the next member's first — insert the separator
-        if (!endsWithNewline(f)) out.write('\n')
+      val binDead = bin.exists(hasDead)
+      var liveRows = 0L // exact, counted only on the line-filtered path
+      if (!binDead) {
+        // fast path: byte-exact concatenation, no parse
+        val out = new java.io.FileOutputStream(tmp)
+        try bin.foreach { f =>
+          Files.copy(f.toPath, out)
+          // byte-exact concat is only row-exact if every member ends in
+          // '\n'; a hand-dropped file without one would fuse its last
+          // row with the next member's first — insert the separator
+          if (!endsWithNewline(f)) out.write('\n')
+        }
+        finally out.close()
+      } else {
+        // dead-purging path: stream lines, dropping DV positions (the
+        // non-empty-line ordinal convention) — the compacted file is
+        // born clean and its replaced files' DV entries GC on sweep
+        val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+          new java.io.FileOutputStream(tmp), StandardCharsets.UTF_8))
+        try bin.foreach { f =>
+          val dead = dv.getOrElse(f.getName, scala.collection.immutable.BitSet.empty)
+          val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+            new java.io.FileInputStream(f), StandardCharsets.UTF_8))
+          try {
+            var pos = 0
+            var line = in.readLine()
+            while (line != null) {
+              if (line.nonEmpty) {
+                if (!dead(pos)) { out.write(line); out.write('\n'); liveRows += 1 }
+                pos += 1
+              }
+              line = in.readLine()
+            }
+          } finally in.close()
+        }
+        finally out.close()
       }
-      finally out.close()
-      // merged zone map BEFORE visibility (markers-as-truth order)
-      mergedStats(bin.map(_.getName), zm).foreach { fs =>
+      // merged zone map BEFORE visibility (markers-as-truth order).
+      // After a dead purge the row count is the EXACT live count
+      // (needed by the scan's fully-dead skip); column min/max and
+      // null counts remain conservative supersets — every provesEmpty
+      // proof over a superset holds for the subset.
+      mergedStats(bin.map(_.getName), zm)
+        .map(fs => if (binDead) fs.copy(rows = liveRows) else fs)
+        .foreach { fs =>
         val zf = new File(dir, s"_zonemap-compact-$id-$k.json")
         val zTmp = new File(dir, s"_tmp-compact-$id-$k.zm")
         Files.write(zTmp.toPath,
@@ -215,9 +256,13 @@ object DocStoreCompact {
           mf.delete(); removed += 1
       }
     }
-    // orphaned tmp files from any crashed run
-    all.filter(f => f.isFile && f.getName.startsWith("_tmp-compact-"))
+    // orphaned tmp files from any crashed run (compaction or a
+    // crashed deleteWhere task)
+    all.filter(f => f.isFile && (f.getName.startsWith("_tmp-compact-") ||
+        f.getName.startsWith("_tmp-dv-")))
       .foreach(_.delete())
+    // deletion-vector entries whose part file is gone (compacted away)
+    DocStoreDeletes.gc(dir)
     // orphaned compaction zone maps: written BEFORE the data rename,
     // so a crash in that window (or a swept void manifest) leaves a
     // `_zonemap-compact-<id>-<k>.json` whose part file never appeared

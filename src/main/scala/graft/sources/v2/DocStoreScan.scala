@@ -55,7 +55,8 @@ private[v2] class DocStoreScanBuilder(dir: String, tableSchema: StructType)
   override def build(): Scan = new DocStoreScan(dir, tableSchema, required, pushed)
 }
 
-private[v2] case class DocStoreInputPartition(file: String) extends InputPartition
+private[v2] case class DocStoreInputPartition(file: String,
+    dead: Array[Int]) extends InputPartition
 
 private[v2] class DocStoreScan(dir: String, tableSchema: StructType,
     required: StructType, pushed: Array[Filter]) extends Scan with Batch {
@@ -73,22 +74,30 @@ private[v2] class DocStoreScan(dir: String, tableSchema: StructType,
     // compaction replaced (manifest rule) — every compaction crash
     // state reads consistently, never with duplicate rows
     val files = DocStoreCompact.liveFiles(dir).map(_.getAbsolutePath)
-    // file skipping: drop part files whose zone-map stats PROVE no row
-    // matches a pushed filter; files without stats always scan
-    // (conservative — see DocStoreZonemap)
-    val kept =
-      if (pushed.isEmpty) files
-      else {
-        val zm = DocStoreZonemap.load(dir)
-        files.filter { path =>
-          val name = new java.io.File(path).getName
-          zm.get(name) match {
-            case Some(fs) => !pushed.exists(DocStoreZonemap.provesEmpty(fs, _))
-            case None => true
-          }
-        }
-      }
-    kept.map(DocStoreInputPartition(_): InputPartition)
+    val dv = DocStoreDeletes.load(dir)
+    val zm = if (pushed.nonEmpty || dv.nonEmpty) DocStoreZonemap.load(dir)
+      else Map.empty[String, DocStoreZonemap.FileStats]
+    // Two-level file skipping, both conservative:
+    //  - zone maps: drop files whose stats PROVE no row matches a
+    //    pushed filter. Valid even for files with deletions — deletes
+    //    only REMOVE rows, so stats describe a superset and any
+    //    "no row can match" proof carries to the live subset;
+    //  - deletion vectors: drop files whose EXACT zonemap row count
+    //    equals their dead-position count — fully deleted, never
+    //    opened. Files without stats can't prove fullness and scan.
+    val kept = files.filter { path =>
+      val name = new java.io.File(path).getName
+      val stats = zm.get(name)
+      val nDead = dv.get(name).map(_.size).getOrElse(0)
+      val fullyDead = stats.exists(fs => nDead > 0 && nDead >= fs.rows)
+      !fullyDead &&
+        !stats.exists(fs => pushed.exists(DocStoreZonemap.provesEmpty(fs, _)))
+    }
+    kept.map { path =>
+      val name = new java.io.File(path).getName
+      DocStoreInputPartition(path,
+        dv.get(name).map(_.toArray).getOrElse(Array.empty[Int])): InputPartition
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -98,19 +107,30 @@ private[v2] class DocStoreScan(dir: String, tableSchema: StructType,
 private[v2] class DocStoreReaderFactory(tableSchema: StructType,
     required: StructType, pushed: Array[Filter])
   extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new DocStoreReader(partition.asInstanceOf[DocStoreInputPartition].file,
-      tableSchema, required, pushed)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[DocStoreInputPartition]
+    new DocStoreReader(p.file, tableSchema, required, pushed, p.dead)
+  }
 }
 
 private[v2] class DocStoreReader(file: String, tableSchema: StructType,
-    required: StructType, pushed: Array[Filter])
+    required: StructType, pushed: Array[Filter], deadPositions: Array[Int])
   extends PartitionReader[InternalRow] {
 
   // parse the union of projected fields and filter references; skip
   // everything else at the tokenizer level
   private val wanted: Set[String] =
     required.fieldNames.toSet ++ pushed.flatMap(_.references)
+
+  // deletion-vector subtraction: `pos` counts NON-EMPTY lines (the DV
+  // position convention, DocStoreDeletes) — a dead row is skipped
+  // before it is even parsed
+  private val dead = {
+    val bs = new java.util.BitSet()
+    deadPositions.foreach(bs.set)
+    bs
+  }
+  private var pos = -1
 
   private val in = new java.io.BufferedReader(
     new java.io.InputStreamReader(new java.io.FileInputStream(file),
@@ -121,13 +141,16 @@ private[v2] class DocStoreReader(file: String, tableSchema: StructType,
     var line = in.readLine()
     while (line != null) {
       if (line.nonEmpty) {
-        val doc = DocStoreJson.parseLine(line, wanted)
-        if (pushed.forall(DocStoreJson.eval(_, doc))) {
-          val values = required.fields.map(f =>
-            DocStoreJson.toCatalyst(doc.getOrElse(f.name, null), f.dataType,
-              f.name))
-          row = new GenericInternalRow(values.asInstanceOf[Array[Any]])
-          return true
+        pos += 1
+        if (!dead.get(pos)) {
+          val doc = DocStoreJson.parseLine(line, wanted)
+          if (pushed.forall(DocStoreJson.eval(_, doc))) {
+            val values = required.fields.map(f =>
+              DocStoreJson.toCatalyst(doc.getOrElse(f.name, null), f.dataType,
+                f.name))
+            row = new GenericInternalRow(values.asInstanceOf[Array[Any]])
+            return true
+          }
         }
       }
       line = in.readLine()
@@ -236,7 +259,27 @@ private[v2] object DocStoreJson {
       case s: String => s.endsWith(suf); case _ => false }
     case StringContains(a, sub) => doc.getOrElse(a, null) match {
       case s: String => s.contains(sub); case _ => false }
+    // And/Or compose safely under let-pass semantics: an unsupported
+    // child evaluates true, so And can only over-keep (residual fixes
+    // it) and a FALSE from a supported And-child is exact — the row
+    // truly fails. Not is NOT safe to compose (let-pass would flip to
+    // drop) and stays unsupported.
+    case And(l, r) => eval(l, doc) && eval(r, doc)
+    case Or(l, r) => eval(l, doc) || eval(r, doc)
     case _ => true // unsupported filters are residual-only; let pass
+  }
+
+  /** True iff [[eval]] is EXACT for `f` — every leaf is in the
+    * supported algebra and no let-pass default can fire. The deletes
+    * path requires this: there, eval is the authority, not a pre-skip
+    * with a residual behind it. */
+  def evaluableExactly(f: Filter): Boolean = f match {
+    case And(l, r) => evaluableExactly(l) && evaluableExactly(r)
+    case Or(l, r) => evaluableExactly(l) && evaluableExactly(r)
+    case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual | _: LessThan |
+         _: LessThanOrEqual | _: In | _: IsNull | _: IsNotNull |
+         _: StringStartsWith | _: StringEndsWith | _: StringContains => true
+    case _ => false
   }
 
   def toCatalyst(v: Any, dt: DataType, field: String): Any = (v, dt) match {

@@ -1,0 +1,160 @@
+package graft
+
+import java.awt.image.{BufferedImage, IndexColorModel}
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.{IIOImage, ImageIO}
+
+import graft.operators.Multimodal
+
+/** Real video-frame extraction (pure-JDK codecs): animated GIF frames
+  * composite and hash frame-by-frame; MJPEG streams split on SOI/EOI
+  * into member JPEGs; sampling keeps every Nth frame; payloads no
+  * codec opens emit an auditable marker row. Frame hashes ride the
+  * SAME pHash core as still images, so a planted shared frame across
+  * two clips surfaces through the frame near-dup band join.
+  */
+class MultimodalFramesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 256-level grayscale palette → indexed frames → GIF encodes them
+  // LOSSLESSLY (no quantizer involved), so frame pHashes are exactly
+  // reproducible from the PNG-encoded originals
+  private val grayPalette: IndexColorModel = {
+    val g = (0 until 256).map(_.toByte).toArray
+    new IndexColorModel(8, 256, g, g, g)
+  }
+
+  /** A deterministic structured frame: checkerboard of period `p`
+    * with a diagonal gradient (distinct per (p, phase) — flat frames
+    * would all hash to the degenerate all-zero pHash). */
+  private def frame(w: Int, h: Int, p: Int, phase: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+    val raster = img.getRaster
+    for (y <- 0 until h; x <- 0 until w) {
+      val check = if (((x / p) + (y / p) + phase) % 2 == 0) 64 else 192
+      raster.setSample(x, y, 0, (check + (x + y) % 32) & 0xff)
+    }
+    img
+  }
+
+  // NOTE: hashing expected frames goes through pHashOfImage on the
+  // in-memory original, NOT a PNG round-trip — ImageIO writes an
+  // indexed-gray image as a GRAYSCALE png, and getRGB on the re-read
+  // TYPE_BYTE_GRAY applies a gray→sRGB color conversion that shifts
+  // pixel values by up to ~70 (measured), which is a property of the
+  // PNG encode choice, not of the frame path under test.
+
+  private def animatedGif(frames: Seq[BufferedImage]): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach(f => writer.writeToSequence(new IIOImage(f, null, null), null))
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    baos.toByteArray
+  }
+
+  private def jpeg(img: BufferedImage): Array[Byte] = {
+    val baos = new ByteArrayOutputStream()
+    val rgb = new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_INT_RGB)
+    val g = rgb.createGraphics(); g.drawImage(img, 0, 0, null); g.dispose()
+    ImageIO.write(rgb, "jpg", baos)
+    baos.toByteArray
+  }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("animated GIF: every frame decodes, composites, and hashes like its still-image original") {
+    val originals = Seq(frame(64, 48, 8, 0), frame(64, 48, 8, 1), frame(64, 48, 16, 0))
+    val gif = animatedGif(originals)
+
+    val media = Seq((10L, gif)).toDF("id", "bytes")
+    val rows = Multimodal.extractFrames(
+      Multimodal.fromBinary(media, "id", "bytes", "video")).collect()
+      .sortBy(_.frame_idx)
+    assert(rows.length === 3, s"expected 3 frames, got ${rows.toSeq}")
+    assert(rows.forall(_.decoded))
+    assert(rows.map(_.frame_idx).toSeq === Seq(0, 1, 2))
+    assert(rows.forall(r => r.width === 64 && r.height === 48))
+    // lossless indexed GIF ⇒ frame pHash == pHash of the original pixels
+    val expected = originals.map(Multimodal.pHashOfImage)
+    assert(rows.map(_.phash.get).toSeq === expected,
+      "frame pHash diverged from the still-image pHash of the same pixels")
+    // and the three frames are mutually distinguishable
+    assert(expected.distinct.length === 3)
+  }
+
+  test("frame sampling keeps every Nth frame") {
+    val gif = animatedGif((0 until 5).map(i => frame(32, 32, 4, i % 2)))
+    val media = Seq((1L, gif)).toDF("id", "bytes")
+    val idx = Multimodal.extractFrames(
+      Multimodal.fromBinary(media, "id", "bytes", "video"), everyNFrames = 2)
+      .collect().map(_.frame_idx).sorted.toSeq
+    assert(idx === Seq(0, 2, 4))
+  }
+
+  /** Mid-frequency stripe frames for the lossy-codec test: 16-px bands
+    * survive JPEG (whole 8×8 JPEG blocks are flat) AND land in the
+    * strong low bins of the hash's pooled DCT, so the sign bits are
+    * decisive. Both extremes fail here — a pixel checkerboard loses
+    * its quantized high frequencies, and a featureless gradient makes
+    * most AC coefficients ~0 so their signs are noise. */
+  private def stripeFrame(w: Int, h: Int, horizontal: Boolean): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+    val raster = img.getRaster
+    for (y <- 0 until h; x <- 0 until w) {
+      val band = (if (horizontal) y else x) / 16
+      raster.setSample(x, y, 0, if (band % 2 == 0) 64 else 192)
+    }
+    img
+  }
+
+  test("MJPEG: SOI/EOI splitting recovers each member JPEG as a frame") {
+    val f0 = stripeFrame(48, 48, horizontal = true)
+    val f1 = stripeFrame(48, 48, horizontal = false)
+    val mjpeg = jpeg(f0) ++ jpeg(f1)
+    val media = Seq((2L, mjpeg)).toDF("id", "bytes")
+    val rows = Multimodal.extractFrames(
+      Multimodal.fromBinary(media, "id", "bytes", "video")).collect()
+      .sortBy(_.frame_idx)
+    assert(rows.length === 2)
+    assert(rows.forall(r => r.decoded && r.width === 48 && r.height === 48))
+    // JPEG is lossy: the frame hash must sit in a small Hamming ball of
+    // the original's hash, and the two frames must not collide. The
+    // checkerboard is a worst case for JPEG's high-frequency
+    // quantization, so the ball is wider than the near-dup radius 3 —
+    // what matters is original-vs-decoded ≪ unrelated (~32 bits).
+    val orig = Seq(f0, f1).map(Multimodal.pHashOfImage)
+    rows.zip(orig).foreach { case (r, o) =>
+      assert(hamming(r.phash.get, o) <= 10,
+        s"lossy frame drifted ${hamming(r.phash.get, o)} bits from original")
+    }
+    assert(hamming(rows(0).phash.get, rows(1).phash.get) > 10)
+  }
+
+  test("undecodable payload emits one marker row, never a fake hash") {
+    val junk = Array.tabulate[Byte](256)(i => (i * 37).toByte)
+    val media = Seq((3L, junk)).toDF("id", "bytes")
+    val rows = Multimodal.extractFrames(
+      Multimodal.fromBinary(media, "id", "bytes", "video")).collect()
+    assert(rows.length === 1)
+    assert(!rows.head.decoded && rows.head.phash.isEmpty && rows.head.frame_idx === -1)
+  }
+
+  test("a planted shared frame across two clips surfaces in frameNearDups; distinct frames do not") {
+    val shared = frame(64, 48, 8, 0)
+    val gifA = animatedGif(Seq(shared, frame(64, 48, 16, 1)))
+    val gifB = animatedGif(Seq(frame(64, 48, 32, 0), shared))
+    val media = Seq((100L, gifA), (200L, gifB)).toDF("id", "bytes")
+    val frames = Multimodal.extractFrames(
+      Multimodal.fromBinary(media, "id", "bytes", "video"))
+    val pairs = Multimodal.frameNearDups(frames, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(pairs.toSeq === Seq((100L, 0, 200L, 1)),
+      s"expected exactly the planted pair, got ${pairs.toSeq}")
+  }
+}

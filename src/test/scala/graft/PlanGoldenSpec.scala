@@ -91,4 +91,21 @@ class PlanGoldenSpec extends SparkSpec {
     }
     assert(bad.isEmpty, bad.mkString("\n"))
   }
+
+  test("ANN family keeps the native bounded-heap operator in its physical plan") {
+    // join/exchange counts alone would not catch the heap silently
+    // degrading to a full window sort (same shuffle count, O(candidates
+    // per query) memory in one task) — pin the operator itself. The
+    // round-10 idle A/B (r8 HEAD vs r9 HEAD, twice each, SCALE.md)
+    // cleared the trio's reported drift as driver-environment load:
+    // identical plans, statistically identical idle times.
+    val ann = Seq("q60_cosine_topk", "q62_ann_ivf_topk", "q190_ann_eval")
+    val byName = SparkEntry.benchQueries.map(q => q.name -> q).toMap
+    ann.foreach { name =>
+      val p = byName(name).fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(p.contains("TopKPerGroup"),
+        s"$name lost the bounded-heap top-k operator:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name grew a cartesian")
+    }
+  }
 }

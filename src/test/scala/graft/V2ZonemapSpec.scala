@@ -70,6 +70,31 @@ class V2ZonemapSpec extends SparkSpec {
     assert(noZm.collect().map(_.getLong(0)).toSet == Set(450L))
   }
 
+  test("a fully-deleted file is skipped at planning without being read") {
+    val dir = java.nio.file.Files.createTempDirectory("zmdv").toString
+    writeClustered(dir) // 4 files, disjoint doc_id ranges, exact zonemap rows
+    val base = spark.read.format(fmt).option("path", dir).load()
+    assert(base.rdd.getNumPartitions == 4)
+
+    // delete every row of the file that holds doc_id 1..100
+    val n = graft.sources.v2.DocStoreDeletes.deleteWhere(spark, dir,
+      Seq(LessThanOrEqual("doc_id", 100L)))
+    assert(n == 100L)
+
+    val after = spark.read.format(fmt).option("path", dir).load()
+    // the fully-dead file contributes NO input partition — it is
+    // dropped at planning via zonemap-rows == dead-count, never opened
+    assert(after.rdd.getNumPartitions == 3,
+      "fully-deleted file was not planning-skipped")
+    assert(after.count() == 300L)
+    assert(after.agg(min($"doc_id")).head.getLong(0) == 101L)
+
+    // zone-map pruning still composes with the DV skip: a predicate
+    // into the dead range reads nothing at all
+    val none = after.filter($"doc_id" === 50L)
+    assert(none.rdd.getNumPartitions == 0 && none.count() == 0L)
+  }
+
   test("provesEmpty is conservative: nulls, NaN, cross-kind, Or/And") {
     import DocStoreZonemap._
     val fs = FileStats(10, Map(
