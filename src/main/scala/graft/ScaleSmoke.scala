@@ -245,7 +245,7 @@ object ScaleSmoke {
       val dim = 64
       val idxDir = java.nio.file.Files.createTempDirectory("smoke-ivf").toString
       val targets = spark.range(nDocs).select($"id".as("vec_id"))
-        .withColumn("embedding", ScaleSmoke.clusteredVec(dim, $"id"))
+        .withColumn("embedding", ScaleSmoke.clusteredVec(dim, $"vec_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       targets.count()
       val queries32 = spark.range(32).select(($"id" + 2000000000L).as("q_id"))
@@ -271,7 +271,7 @@ object ScaleSmoke {
       timedN(nDocs / 100)("ivf_append_delta_1pct") {
         val delta = spark.range(nDocs, nDocs + nDocs / 100)
           .select($"id".as("vec_id"))
-          .withColumn("embedding", ScaleSmoke.clusteredVec(dim, $"id"))
+          .withColumn("embedding", ScaleSmoke.clusteredVec(dim, $"vec_id"))
         ml.IvfIndex.appendNew(spark, idxDir, delta, "embedding", "vec_id")
         nDocs / 100
       }
@@ -735,6 +735,7 @@ object ScaleSmoke {
     val path = s"$tmp/documents.parquet"
     docs.repartition(16).write.mode("overwrite").parquet(path)
     val schema = spark.read.parquet(path).schema
+    val totalDocs = spark.read.parquet(path).count()
     val horizons = if (ttlSecs.nonEmpty) ttlSecs else Seq(0, 60, 10, 3)
     horizons.foreach { ttlSec =>
       val ttl = if (ttlSec <= 0) TTLConfig.NONE
@@ -743,27 +744,57 @@ object ScaleSmoke {
         .option("maxFilesPerTrigger", "1").parquet(path)
       val verdicts = streaming.NearDupStream.pairsPlan(stream, 3, ttl)
       val sink = s"tws_state_ttl$ttlSec"
+      // NEITHER AvailableNow NOR processAllAvailable terminates a
+      // processing-time-TTL query: the TTL machinery keeps demanding
+      // another batch after the input drains (observed: thousands of
+      // empty batches). A listener collects every progress event (the
+      // recentProgress ring would evict data batches under that empty-
+      // batch flood) and the loop stops the query itself once all
+      // input rows are committed.
+      val events = new java.util.concurrent.ConcurrentLinkedQueue[
+        org.apache.spark.sql.streaming.StreamingQueryProgress]()
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+          events.add(e.progress)
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      }
+      spark.streams.addListener(listener)
       val t0 = System.nanoTime()
       streaming.NearDupStream.withRocksProvider(spark) {
         val q = verdicts.writeStream.format("memory").queryName(sink)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        if (!q.awaitTermination(600000)) {
+          .outputMode("append").start()
+        try {
+          val deadline = System.nanoTime() + 900L * 1000000000L
+          def committed(): Long = {
+            import scala.jdk.CollectionConverters._
+            events.asScala.map(_.numInputRows).sum
+          }
+          while (committed() < totalDocs && System.nanoTime() < deadline)
+            Thread.sleep(500)
+          require(committed() >= totalDocs,
+            s"$sink: only ${committed()} of $totalDocs rows after 900s")
+        } finally {
+          val sec = (System.nanoTime() - t0) / 1e9
           q.stop()
-          throw new IllegalStateException(s"$sink did not complete in 600s")
+          spark.streams.removeListener(listener)
+          import scala.jdk.CollectionConverters._
+          val progs = events.asScala.filter(_.numInputRows > 0).toSeq
+          val lats = progs.flatMap(p =>
+            Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+          val ops = progs.flatMap(p => Option(p.stateOperators).toSeq.flatten)
+          val lastRows = ops.lastOption.map(_.numRowsTotal).getOrElse(-1L)
+          val peakBytes = if (ops.isEmpty) -1L else ops.map(_.memoryUsedBytes).max
+          val pairs = spark.table(sink).distinct().count()
+          println(f"[scale] tws ttl=${ttlSec}%3ds  ${sec}%7.1f s  " +
+            f"batches=${progs.length}%3d  pairs=$pairs%8d  " +
+            f"stateRows=$lastRows%9d  peakStateBytes=$peakBytes%12d  " +
+            f"batchLat avg=${if (lats.isEmpty) 0 else lats.sum / lats.length}%5d ms " +
+            f"max=${if (lats.isEmpty) 0 else lats.max}%5d ms")
         }
-        val sec = (System.nanoTime() - t0) / 1e9
-        val progs = q.recentProgress.filter(_.numInputRows > 0).toSeq
-        val lats = progs.flatMap(p =>
-          Option(p.durationMs.get("triggerExecution")).map(_.toLong))
-        val ops = progs.flatMap(p => Option(p.stateOperators).toSeq.flatten)
-        val lastRows = ops.lastOption.map(_.numRowsTotal).getOrElse(-1L)
-        val peakBytes = if (ops.isEmpty) -1L else ops.map(_.memoryUsedBytes).max
-        val pairs = spark.table(sink).distinct().count()
-        println(f"[scale] tws ttl=${ttlSec}%3ds  ${sec}%7.1f s  " +
-          f"batches=${progs.length}%3d  pairs=$pairs%8d  " +
-          f"stateRows=$lastRows%9d  peakStateBytes=$peakBytes%12d  " +
-          f"batchLat avg=${if (lats.isEmpty) 0 else lats.sum / lats.length}%5d ms " +
-          f"max=${if (lats.isEmpty) 0 else lats.max}%5d ms")
       }
     }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))

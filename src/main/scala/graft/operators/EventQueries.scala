@@ -3422,7 +3422,154 @@ object EventQueries {
       |    THEN 1 ELSE 0 END AS BIGINT) AS beats_naive
       |FROM agg""".stripMargin
 
+  /** q340 — bootstrap confidence interval for the mean daily revenue,
+    * with DETERMINISTIC resampling: draw i of resample b picks day
+    * ordinal md5("b_i") mod n (hex prefix → integer — md5 prints the
+    * same lowercase hex in Spark and DuckDB, so the oracle replays the
+    * identical 100×n draw matrix collision-for-collision, the q26/q141
+    * md5-grid discipline). The per-resample mean is one truncating
+    * micro division of an exact cent sum; the 95% interval is
+    * nearest-rank (ceil(0.025·B)=3rd, ceil(0.975·B)=98th of B=100
+    * sorted means) — no normal approximation, which is the point of
+    * bootstrapping a skewed revenue distribution. q317's jackknife is
+    * the analytic-SE cousin; this is the distribution-free one.
+    *
+    * Scale shape: the corpus collapses to the calendar-bounded day
+    * grid once; the draw matrix is B×n_days (resamples × CALENDAR,
+    * not corpus) equi-joined on day ordinal; the B-row mean relation
+    * ranks in one bounded window (stated: B=100). */
+  def q340(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bN = 100
+    val g = Tables.orders(s, d)
+      .groupBy(epochDay($"o_orderdate").cast("long").as("day"))
+      .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("rev"))
+      .withColumn("rn", row_number().over(Window.orderBy($"day")) - 1)
+      .transform(Fx.materialize) // feeds stats, draws, and the join
+    val st = g.agg(count(lit(1)).as("n"),
+      sum($"rev".cast("decimal(38,0)")).as("sr"))
+    // draw matrix: resample b × draw ordinal i → day index j
+    val draws = g.select($"rn".as("i"))
+      .crossJoin(broadcast(st.select($"n")))
+      .select($"i", $"n", explode(sequence(lit(0), lit(bN - 1))).as("b"))
+      .select($"b",
+        (conv(substring(md5(concat($"b", lit("_"), $"i")), 1, 8), 16, 10)
+          .cast("long") % $"n").as("rn"))
+    val means = draws.join(g.select($"rn", $"rev"), "rn")
+      .groupBy($"b")
+      .agg(sum($"rev".cast("decimal(38,0)")).as("s"), count(lit(1)).as("nb"))
+      .select($"b", expr("cast((s * 1000000) div nb as bigint)").as("m"))
+      .withColumn("r", row_number().over(Window.orderBy($"m", $"b")))
+    means.agg(
+        min(when($"r" === 3, $"m")).as("ci_lo_micro"),
+        max(when($"r" === 98, $"m")).as("ci_hi_micro"))
+      .crossJoin(broadcast(st))
+      .select($"n".as("n_days"),
+        expr("cast((sr * 1000000) div n as bigint)").as("mean_micro"),
+        $"ci_lo_micro", $"ci_hi_micro",
+        ($"ci_hi_micro" - $"ci_lo_micro").as("width_micro"))
+  }
+
+  val q340Sql: String =
+    """WITH g AS (
+      |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+      |  FROM orders GROUP BY 1),
+      |o AS (SELECT rev, row_number() OVER (ORDER BY day) - 1 AS rn FROM g),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |         sum(CAST(rev AS HUGEINT)) AS sr FROM o),
+      |draws AS (
+      |  SELECT b,
+      |    CAST(('0x' || substr(md5(b::VARCHAR || '_' || i::VARCHAR), 1, 8))
+      |      AS BIGINT) % n AS rn
+      |  FROM (SELECT rn AS i FROM o) CROSS JOIN st
+      |    CROSS JOIN (SELECT unnest(range(0, 100)) AS b)),
+      |means AS (
+      |  SELECT b, CAST((sum(CAST(rev AS HUGEINT)) * 1000000) // count(*)
+      |    AS BIGINT) AS m
+      |  FROM draws JOIN o USING (rn) GROUP BY b),
+      |rk AS (SELECT m, row_number() OVER (ORDER BY m, b) AS r FROM means)
+      |SELECT n AS n_days,
+      |  CAST((sr * 1000000) // n AS BIGINT) AS mean_micro,
+      |  (SELECT min(m) FROM rk WHERE r = 3) AS ci_lo_micro,
+      |  (SELECT max(m) FROM rk WHERE r = 98) AS ci_hi_micro,
+      |  (SELECT max(m) FROM rk WHERE r = 98)
+      |    - (SELECT min(m) FROM rk WHERE r = 3) AS width_micro
+      |FROM st""".stripMargin
+
+  /** q341 — Lo–MacKinlay variance-ratio statistic VR(k), k=2..5, of
+    * the daily-revenue first-difference series: the random-walk
+    * diagnostic behind q312's ACF (VR(k) ≈ 1 under a random walk;
+    * VR < 1 mean reversion, VR > 1 trending — equivalently
+    * 1 + 2Σ(1−j/k)ρ_j, so this is the ACF's weighted summary). Exact
+    * end to end: k-period differences come from the rn−k self-join
+    * (explode + equi-join, q312's lag fan-out, no range join); each
+    * variance is the denominator-cleared S_k = n_k·Σd² − (Σd)² on
+    * DECIMAL(38,0)/HUGEINT; the ratio is ONE truncating micro division
+    * with both count corrections cross-multiplied:
+    * vr_micro = S_k·n_1²·10⁶ div (k·S_1·n_k²). Differences are taken
+    * on the exact DOLLAR grid (cents div 100, truncating — stated) so
+    * the ×10⁶·n² products stay inside DECIMAL(38,0).
+    *
+    * Scale shape: identical to q312 — one collapse to the day grid,
+    * ordinal window over the calendar, ≤4× bounded fan-out. */
+  def q341(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = Tables.orders(s, d)
+      .groupBy(epochDay($"o_orderdate").cast("long").as("day"))
+      .agg(expr(
+        "sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) div 100")
+        .as("rev"))
+      .withColumn("rn", row_number().over(Window.orderBy($"day")))
+      .transform(Fx.materialize)
+    val base = g.select($"rn".as("ra"), $"rev".as("reva"))
+    val diffs = g.select($"rn", $"rev", explode(sequence(lit(1), lit(5))).as("k"))
+      .select($"k", ($"rn" - $"k").as("ra"), $"rev")
+      .join(base, "ra")
+      .select($"k", ($"rev" - $"reva").as("dx"))
+    val sk = diffs.groupBy($"k")
+      .agg(count(lit(1)).as("nk"),
+        sum($"dx".cast("decimal(38,0)")).as("sd"),
+        sum(expr("cast(dx as decimal(38,0)) * dx")).as("sdd"))
+      .select($"k", $"nk",
+        expr("nk * sdd - sd * sd").as("s2"))
+      .transform(Fx.materialize) // k=1 row feeds every ratio
+    val s1 = sk.filter($"k" === 1)
+      .select($"nk".as("n1"), $"s2".as("s21"))
+    sk.filter($"k" > 1)
+      .crossJoin(broadcast(s1))
+      .select($"k".cast("long").as("k"), $"nk".as("n_diffs"),
+        expr("cast((s2 * n1 * n1 * 1000000) div (k * s21 * nk * nk) as bigint)")
+          .as("vr_micro"))
+      .orderBy($"k")
+  }
+
+  val q341Sql: String =
+    """WITH g AS (
+      |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) // 100
+      |      AS BIGINT) AS rev
+      |  FROM orders GROUP BY 1),
+      |o AS (SELECT rev, row_number() OVER (ORDER BY day) AS rn FROM g),
+      |ks AS (SELECT unnest(range(1, 6)) AS k),
+      |diffs AS (
+      |  SELECT k, b.rev - a.rev AS dx
+      |  FROM (SELECT k, rn, rev FROM o CROSS JOIN ks) b
+      |  JOIN o a ON b.rn - b.k = a.rn),
+      |sk AS (
+      |  SELECT k, CAST(count(*) AS BIGINT) AS nk,
+      |    CAST(count(*) AS HUGEINT) * sum(CAST(dx AS HUGEINT) * dx)
+      |      - sum(CAST(dx AS HUGEINT)) * sum(CAST(dx AS HUGEINT)) AS s2
+      |  FROM diffs GROUP BY k),
+      |s1 AS (SELECT nk AS n1, s2 AS s21 FROM sk WHERE k = 1)
+      |SELECT CAST(k AS BIGINT) AS k, nk AS n_diffs,
+      |  CAST((s2 * n1 * n1 * 1000000) // (k * s21 * nk * nk) AS BIGINT)
+      |    AS vr_micro
+      |FROM sk CROSS JOIN s1 WHERE k > 1 ORDER BY k""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q340_bootstrap_ci", q340, Some(q340Sql)),
+    QueryDef("q341_variance_ratio", q341, Some(q341Sql)),
     QueryDef("q331_mase_forecast_eval", q331, Some(q331Sql)),
     QueryDef("q328_rmst", q328, Some(q328Sql)),
     QueryDef("q312_acf_daily_revenue", q312, Some(q312Sql)),

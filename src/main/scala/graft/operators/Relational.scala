@@ -1378,7 +1378,121 @@ object Relational {
       |FROM q CROSS JOIN tot
       |GROUP BY quadrant, np ORDER BY quadrant""".stripMargin
 
+  /** q342 — duplicate-payment audit: pairs of orders from the SAME
+    * customer for nearly the same amount (within $20 on the cent
+    * grid) within 90 days — the double-billing screen every payables
+    * audit runs (q182's Benford audit finds fabricated amounts; this
+    * finds repeated real ones; `exact_dup` flags the cent-identical
+    * subset separately because it is the smoking gun). GRID-BLOCKED
+    * like the interval join (q197's cell trick, on the amount axis):
+    * amounts within 2000 cents sit in the same or adjacent
+    * 2000-cent bucket, so side a fans out to its 3 neighboring cells
+    * and the join is a pure (cust, cell) equi-join — b occupies
+    * exactly ONE cell, so every qualifying pair matches exactly once
+    * and no DISTINCT is needed; the tolerance and date window are
+    * residual filters. Canonical a-before-b (date, then key) keeps
+    * each pair reported once.
+    *
+    * Scale shape: candidate volume is bounded by per-(cust, $20-cell)
+    * occupancy — never the customer's full order history squared; the
+    * 3× fan-out is a constant. */
+  def q342(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d).select(
+      $"o_custkey", $"o_orderkey",
+      floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"),
+      epochDay($"o_orderdate").cast("long").as("day"))
+    val a = o.select($"o_custkey", $"cents".as("cents_a"),
+        $"o_orderkey".as("k_a"), $"day".as("day_a"),
+        explode(array(expr("cents div 2000 - 1"), expr("cents div 2000"),
+          expr("cents div 2000 + 1"))).as("cell"))
+    val b = o.select($"o_custkey", $"cents".as("cents_b"),
+      $"o_orderkey".as("k_b"), $"day".as("day_b"),
+      expr("cents div 2000").as("cell"))
+    a.join(b, Seq("o_custkey", "cell"))
+      .filter(($"day_b" > $"day_a" || ($"day_b" === $"day_a" && $"k_b" > $"k_a"))
+        && $"day_b" - $"day_a" <= 90
+        && abs($"cents_a" - $"cents_b") <= 2000)
+      .select($"o_custkey", $"k_a", $"k_b", $"cents_a", $"cents_b",
+        ($"day_b" - $"day_a").as("gap_days"),
+        ($"cents_a" === $"cents_b").as("exact_dup"))
+      .orderBy($"o_custkey", $"k_a", $"k_b")
+  }
+
+  val q342Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+      |  FROM orders),
+      |a AS (
+      |  SELECT o_custkey, cents AS cents_a, o_orderkey AS k_a, day AS day_a,
+      |    cents // 2000 + unnest([-1, 0, 1]) AS cell
+      |  FROM o),
+      |b AS (
+      |  SELECT o_custkey, cents AS cents_b, o_orderkey AS k_b, day AS day_b,
+      |    cents // 2000 AS cell
+      |  FROM o)
+      |SELECT o_custkey, k_a, k_b, cents_a, cents_b,
+      |  day_b - day_a AS gap_days, cents_a = cents_b AS exact_dup
+      |FROM a JOIN b USING (o_custkey, cell)
+      |WHERE (day_b > day_a OR (day_b = day_a AND k_b > k_a))
+      |  AND day_b - day_a <= 90
+      |  AND abs(cents_a - cents_b) <= 2000
+      |ORDER BY o_custkey, k_a, k_b""".stripMargin
+
+  /** q343 — supplier revenue concentration (Herfindahl–Hirschman
+    * index) by month, with its month-over-month delta: the
+    * concentration trend a procurement/market monitor watches (HHI
+    * above 2500 points = concentrated in the DOJ convention; rising
+    * deltas flag consolidation before any single share looks scary).
+    * Exact: per-supplier monthly revenue on the 4-decimal
+    * price·(1−disc) grid, HHI as ONE truncating micro division of
+    * HUGEINT cross-products — hhi_micro = Σrev_s²·10⁶ div (Σrev_s)² —
+    * and the delta a lag over the bounded month grid (stated: the
+    * calendar is its size). 10⁶ micro = the full 0..10000-point HHI
+    * scale × 100.
+    *
+    * Scale shape: one collapse of lineitem to (month, supplier) cells,
+    * one month-grid aggregate, one bounded-window lag. */
+  def q343(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.lineitem(s, d)
+      .groupBy((year($"l_shipdate") * 100 + month($"l_shipdate")).cast("long")
+          .as("ym"),
+        $"l_suppkey")
+      .agg(sum(floor($"l_extendedprice" * (lit(1) - $"l_discount") * 10000 + 0.5)
+        .cast("long")).as("rev"))
+    val hhi = cells.groupBy($"ym")
+      .agg(count(lit(1)).as("n_suppliers"),
+        expr("cast((sum(cast(rev as decimal(38,0)) * rev) * 1000000)" +
+          " div (sum(cast(rev as decimal(38,0))) * sum(rev)) as bigint)")
+          .as("hhi_micro"))
+    hhi.withColumn("delta_micro",
+        $"hhi_micro" - lag($"hhi_micro", 1).over(Window.orderBy($"ym")))
+      .orderBy($"ym")
+  }
+
+  val q343Sql: String =
+    """WITH cells AS (
+      |  SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ym,
+      |    l_suppkey,
+      |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+      |      AS BIGINT)) AS BIGINT) AS rev
+      |  FROM lineitem GROUP BY 1, 2),
+      |hhi AS (
+      |  SELECT ym, CAST(count(*) AS BIGINT) AS n_suppliers,
+      |    CAST((sum(CAST(rev AS HUGEINT) * rev) * 1000000)
+      |      // (sum(CAST(rev AS HUGEINT)) * sum(CAST(rev AS HUGEINT)))
+      |      AS BIGINT) AS hhi_micro
+      |  FROM cells GROUP BY 1)
+      |SELECT ym, n_suppliers, hhi_micro,
+      |  hhi_micro - lag(hhi_micro, 1) OVER (ORDER BY ym) AS delta_micro
+      |FROM hhi ORDER BY ym""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q342_duplicate_payments", q342, Some(q342Sql)),
+    QueryDef("q343_hhi_trend", q343, Some(q343Sql)),
     QueryDef("q333_demand_quadrants", q333, Some(q333Sql)),
     QueryDef("q324_spearman_rho", q324, Some(q324Sql)),
     QueryDef("q325_kendall_tau", q325, Some(q325Sql)),

@@ -561,7 +561,67 @@ object TextQueries {
       |    AS coverage_micro
       |FROM agg ORDER BY lang""".stripMargin
 
+  /** q344 — vocabulary-growth (Heaps'-law) curve: distinct vocabulary
+    * V and total tokens N at 10 corpus checkpoints (doc_id deciles of
+    * the max id) — the sizing curve behind tokenizer-vocab and
+    * dedup-threshold decisions (Heaps: V ≈ K·N^β; the 10 exact points
+    * let any downstream fit β without this query ever touching a
+    * float). The key move is computing V WITHOUT a cumulative
+    * distinct: a word's contribution to every checkpoint is decided by
+    * its FIRST occurrence (min doc_id per word), so one vocab-sized
+    * aggregate + 10 conditional counts replaces 10 prefix-distinct
+    * passes; N is 10 conditional sums over per-doc token counts.
+    * Checkpoint k's cutoff is maxid·k div 10 (exact integer), tokens
+    * are whitespace words (the house convention).
+    *
+    * Scale shape: one corpus scan → per-doc token counts; one
+    * words shuffle → per-word first occurrence; two single-row
+    * conditional aggregates; a 10-row output. Nothing fans out. */
+  def q344(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id", size($"w").cast("long").as("toks"), $"w")
+      .transform(Fx.materialize) // feeds the doc pass AND the word pass
+    val mx = docs.agg(max($"doc_id").as("m"))
+    val firstOcc = docs.select($"doc_id", explode($"w").as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"word").agg(min($"doc_id").as("fo"))
+    def cuts(src: DataFrame, value: org.apache.spark.sql.Column,
+        at: org.apache.spark.sql.Column, name: String): DataFrame = {
+      val cols = (1 to 10).map(k =>
+        sum(when(at <= expr(s"(m * $k) div 10"), value)).as(s"${name}_$k"))
+      src.crossJoin(broadcast(mx)).agg(cols.head, cols.tail: _*)
+    }
+    val v = cuts(firstOcc, lit(1L), $"fo", "v")
+    val n = cuts(docs, $"toks", $"doc_id", "n")
+    v.crossJoin(n).selectExpr(
+      "stack(10, " + (1 to 10).map(k => s"${k}L, v_$k, n_$k").mkString(", ") +
+        ") as (k, vocab, tokens)")
+      .orderBy($"k")
+  }
+
+  val q344Sql: String =
+    """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+      |toks AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      |  FROM documents),
+      |fo AS (
+      |  SELECT word, min(doc_id) AS fo
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |        FROM documents)
+      |  WHERE word <> '' GROUP BY word),
+      |ks AS (SELECT unnest(range(1, 11)) AS k)
+      |SELECT CAST(k AS BIGINT) AS k,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM fo CROSS JOIN mx
+      |   WHERE fo <= (m * k) // 10) AS vocab,
+      |  (SELECT CAST(sum(toks) AS BIGINT) FROM toks CROSS JOIN mx
+      |   WHERE doc_id <= (m * k) // 10) AS tokens
+      |FROM ks ORDER BY k""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q344_vocab_growth", q344, Some(q344Sql)),
     QueryDef("q335_chao1_richness", q335, Some(q335Sql)),
     QueryDef("q321_good_turing", q321, Some(q321Sql)),
     QueryDef("q40_token_stats", q40, Some(q40Sql)),

@@ -161,9 +161,13 @@ object NearDupStream {
       ttl: TTLConfig = TTLConfig.NONE): org.apache.spark.sql.Dataset[CandidatePair] = {
     val s = docs.sparkSession
     import s.implicits._
+    // a TTL requires the processing-time mode (Spark validates at
+    // state init); without one, NoTime keeps the operator timer-free
+    val mode = if (ttl == TTLConfig.NONE) TimeMode.None()
+      else TimeMode.ProcessingTime()
     banded(docs).groupByKey(_.band)
       .transformWithState(new SimhashBandProcessor(maxHamming, ttl),
-        TimeMode.None(), OutputMode.Append())
+        mode, OutputMode.Append())
   }
 
   /** Banded rows of a (doc_id, text) frame — the processors' input and
@@ -189,9 +193,11 @@ object NearDupStream {
       ttl: TTLConfig = TTLConfig.NONE): org.apache.spark.sql.Dataset[CandidatePair] = {
     val s = docsStream.sparkSession
     import s.implicits._
+    val mode = if (ttl == TTLConfig.NONE) TimeMode.None()
+      else TimeMode.ProcessingTime()
     banded(docsStream).groupByKey(_.band)
       .transformWithState(new SeededSimhashBandProcessor(maxHamming, ttl),
-        TimeMode.None(), OutputMode.Append(),
+        mode, OutputMode.Append(),
         banded(history).groupByKey(_.band))
   }
 

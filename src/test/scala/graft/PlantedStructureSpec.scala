@@ -134,6 +134,105 @@ class PlantedStructureSpec extends SparkSpec {
     dir.toString
   }
 
+  test("q340 collapses to a zero-width interval on a constant series") {
+    // every resample of a constant series has the same mean: the
+    // bootstrap CI must be the point mass at 50.00/day, width 0 —
+    // any nonzero width would mean the draw matrix leaked randomness
+    val out = operators.EventQueries.q340(spark, ordersDir(1 to 30, _ => 50.0))
+      .head()
+    assert(out.getLong(1) === 5000L * 1000000L, "mean off the planted constant")
+    assert(out.getLong(2) === out.getLong(1) && out.getLong(3) === out.getLong(1),
+      "CI must collapse to the point mass on constant data")
+    assert(out.getLong(4) === 0L, "nonzero width on constant data")
+  }
+
+  test("q341 reads the planted period-2 oscillation as VR(even) = 0") {
+    // alternating 10/30: every 2- and 4-period difference is exactly
+    // zero (mean reversion at its strongest), while 3- and 5-period
+    // differences equal the 1-period ones, so VR(odd) ≈ n-corrected
+    // 1/k. A vr of 1 everywhere would mean the lag fan-out is broken.
+    val out = operators.EventQueries
+      .q341(spark, ordersDir(1 to 40, d => if (d % 2 == 1) 10.0 else 30.0))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(2L) === 0L, s"VR(2) = ${out(2L)}, planted 0")
+    assert(out(4L) === 0L, s"VR(4) = ${out(4L)}, planted 0")
+    assert(out(3L) > 250000L && out(3L) < 450000L,
+      s"VR(3) = ${out(3L)}, expected ~1/3 of 10^6")
+  }
+
+  /** orders fixture with customer keys: (custkey, orderkey, dollars,
+    * day). */
+  private def custOrdersDir(rows: Seq[(Long, Long, Double, Int)]): String = {
+    val dir = Files.createTempDirectory("planted-cord")
+    rows.toDF("o_custkey", "o_orderkey", "o_totalprice", "day")
+      .withColumn("o_orderdate", timestamp_micros(
+        ($"day".cast("long") * 86400L + 43200L) * 1000000L))
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"o_orderdate")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("orders.parquet").toString)
+    dir.toString
+  }
+
+  test("q342 catches planted duplicates incl. the cell-straddling pair, and only those") {
+    val d = custOrdersDir(Seq(
+      (1L, 10L, 500.00, 10), (1L, 11L, 500.00, 15), // exact dup, 5 days
+      (2L, 20L, 100.00, 10), (2L, 21L, 119.99, 20), // near (1999c), same cell
+      (3L, 30L, 19.99, 10), (3L, 31L, 40.00, 12),   // 2001c apart: NOT a pair
+      (4L, 40L, 19.99, 10), (4L, 41L, 39.99, 12),   // 2000c apart, ADJACENT cells
+      (5L, 50L, 500.00, 10), (5L, 51L, 500.00, 200) // exact amount, too far apart
+    ))
+    val got = operators.Relational.q342(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(6)))
+    assert(got.toSeq === Seq((1L, 10L, 11L, true), (2L, 20L, 21L, false),
+      (4L, 40L, 41L, false)),
+      s"pair set ${got.toSeq} (the (4,...) pair exists only via the ±1 cell fan-out)")
+  }
+
+  /** lineitem fixture: (suppkey, month day, extendedprice). Discount 0
+    * so revenue sits on the cent grid exactly. */
+  private def lineitemDir(rows: Seq[(Long, Int, Double)]): String = {
+    val dir = Files.createTempDirectory("planted-li")
+    rows.toDF("l_suppkey", "day", "l_extendedprice")
+      .withColumn("l_shipdate", timestamp_micros(
+        ($"day".cast("long") * 86400L + 43200L) * 1000000L))
+      .withColumn("l_discount", lit(0.0))
+      .withColumn("l_orderkey", monotonically_increasing_id())
+      .withColumn("l_partkey", $"l_suppkey")
+      .withColumn("l_quantity", lit(1.0))
+      .withColumn("l_tax", lit(0.0))
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey", $"l_quantity",
+        $"l_extendedprice", $"l_discount", $"l_tax", $"l_shipdate")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("lineitem.parquet").toString)
+    dir.toString
+  }
+
+  test("q343 reads monopoly as HHI = 10^6 and 4 equal shares as exactly 250000") {
+    // month 1970-01 (days 1..20): one supplier; 1970-03 (days 60..70):
+    // four suppliers with identical revenue
+    val d = lineitemDir(
+      (1 to 20).map(day => (7L, day, 100.0)) ++
+        (0 until 4).flatMap(s => Seq((s.toLong, 60 + s, 250.0))))
+    val out = operators.Relational.q343(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(out === List((197001L, 1L, 1000000L), (197003L, 4L, 250000L)),
+      s"got $out")
+    val delta = operators.Relational.q343(spark, d).collect()
+      .find(_.getLong(0) == 197003L).get.getLong(3)
+    assert(delta === -750000L, "deconcentration delta wrong")
+  }
+
+  test("q344 reads the triangular corpus exactly: vocab(k) = k, tokens(k) = k(k+1)/2") {
+    // doc d = words w1..wd: word wd first occurs in doc d
+    val docs = (1 to 10).map { d =>
+      (d.toLong, (1 to d).map(i => s"w$i").mkString(" "), "en", "s0", d.toLong)
+    }
+    val out = operators.TextQueries.q344(spark, documentsDir(docs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === (1 to 10).map(k => (k.toLong, k.toLong, (k.toLong * (k + 1)) / 2)),
+      s"got ${out.toSeq}")
+  }
+
   test("q312 reads the planted period-2 oscillation exactly") {
     // 40 days alternating 10.00 / 30.00: centered values c_t = ±40000
     // alternate sign, so acf_k = ±(n−k)/n exactly on the micro grid
