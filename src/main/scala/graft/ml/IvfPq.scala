@@ -99,4 +99,60 @@ object IvfPq {
       Seq(graft.plans.TopK.desc("score"), graft.plans.TopK.asc(tId)))
       .select(col(qId), col(tId), col("score"))
   }
+
+  // ---- persistence ---------------------------------------------------
+  // The full IVFPQ artifact: coarse centroids (parquet, nList rows),
+  // PQ codebooks (PqIndex.save), and the encoded code table (parquet,
+  // cell-clustered — the ONLY per-vector state, 1 int + m codes each).
+  // Reopen is O(nList·dim + m·k·subDim) plus a lazy parquet relation;
+  // deltas fold in without touching either trained quantizer (the
+  // IvfIndex.appendNew discipline; q315's centroid drift decides when
+  // a re-train is genuinely due).
+
+  def save(idx: Index, dir: String): Unit = {
+    val s = idx.encoded.sparkSession
+    import s.implicits._
+    idx.coarse.toSeq.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/coarse")
+    PqIndex.save(idx.pq, s"$dir/pq")
+    idx.encoded.repartition(col("cell"))
+      .write.mode("overwrite").parquet(s"$dir/encoded")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Index = {
+    val coarse = spark.read.parquet(s"$dir/coarse")
+      .select(col("cell"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    Index(coarse, PqIndex.load(s"$dir/pq"), spark.read.parquet(s"$dir/encoded"))
+  }
+
+  def searchPersisted(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, k: Int, nProbe: Int,
+      qId: String = "q_id", qVec: String = "q_vec",
+      tId: String = "vec_id"): DataFrame =
+    search(load(spark, dir), queries, k, nProbe, qId, qVec, tId)
+
+  /** Fold NEW vectors into a persisted index without retraining:
+    * coarse-assign by squared-Euclidean argmin (the build-time rule),
+    * encode the residuals with the EXISTING codebooks, append to the
+    * code table. O(|delta| · nList) + one map-only encode pass. */
+  def appendNew(spark: org.apache.spark.sql.SparkSession, dir: String,
+      delta: DataFrame, tId: String, vecCol: String): Unit = {
+    val idx = load(spark, dir)
+    import spark.implicits._
+    val assigned = IvfIndex.assignNew(
+      IvfIndex.Index(idx.coarse, delta), delta.select(col(tId), col(vecCol)),
+      vecCol, tId)
+    val cdf = idx.coarse.toSeq.toDF("cell", "__c")
+    val resid = assigned.join(broadcast(cdf), "cell")
+      .withColumn("__r", zip_with(
+        graft.operators.Similarity.toDoubleArr(col(vecCol)), $"__c",
+        (a, b) => a - b))
+    PqIndex.encode(resid, tId, "__r", idx.pq)
+      .join(assigned.select(col(tId), col("cell")), tId)
+      .select(idx.encoded.columns.map(col).toIndexedSeq: _*)
+      .repartition(col("cell"))
+      .write.mode("append").parquet(s"$dir/encoded")
+  }
 }

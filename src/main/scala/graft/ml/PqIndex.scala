@@ -110,4 +110,29 @@ object PqIndex {
       Seq(graft.plans.TopK.desc("score"), graft.plans.TopK.asc(tId)))
       .select(col(qId), col(tId), col("score"))
   }
+
+  // ---- persistence ---------------------------------------------------
+  // The codebooks are the expensive artifact (m iterative KMeans fits
+  // over a corpus sample); like the IVF index they persist once and
+  // reopen in O(m·k·subDim) — a retrieval service must never re-train
+  // per query batch. Layout: <dir>/meta (m + subDim), <dir>/model-<s>
+  // (Spark ML's own KMeansModel writer, one per subspace).
+
+  def save(idx: Index, dir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "meta"),
+      s"${idx.m} ${idx.subDim}\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    idx.models.zipWithIndex.foreach { case (mdl, s) =>
+      mdl.write.overwrite().save(s"$dir/model-$s")
+    }
+  }
+
+  def load(dir: String): Index = {
+    val meta = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, "meta")),
+      java.nio.charset.StandardCharsets.UTF_8).trim.split(" ")
+    val m = meta(0).toInt
+    val models = (0 until m).map(s => KMeansModel.load(s"$dir/model-$s")).toArray
+    Index(m, meta(1).toInt, models)
+  }
 }

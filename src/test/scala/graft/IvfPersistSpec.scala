@@ -75,6 +75,62 @@ class IvfPersistSpec extends SparkSpec {
     assert(re === orig, "incremental assignment diverged from KMeans.transform")
   }
 
+  test("PQ codebooks: save -> load -> encode and searchADC are identical to fresh") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = queriesOf(emb)
+    val dim = emb.selectExpr("size(embedding)").head().getInt(0)
+    val idx = graft.ml.PqIndex.build(emb, "embedding", dim, m = 8, k = 16)
+    val dir = Files.createTempDirectory("pq1").toString
+    graft.ml.PqIndex.save(idx, dir)
+    val loaded = graft.ml.PqIndex.load(dir)
+    assert(loaded.m === idx.m && loaded.subDim === idx.subDim)
+    // codebooks survived exactly
+    idx.centroids.zip(loaded.centroids).foreach { case (a, b) =>
+      a.zip(b).foreach { case (c0, c1) => assert(c0.toSeq === c1.toSeq) }
+    }
+    val enc = graft.ml.PqIndex.encode(emb, "vec_id", "embedding", idx)
+    val encLoaded = graft.ml.PqIndex.encode(emb, "vec_id", "embedding", loaded)
+    assert(encLoaded.collect().map(_.toString).sorted.toSeq ===
+      enc.collect().map(_.toString).sorted.toSeq, "codes diverged after reload")
+    val fresh = graft.ml.PqIndex.searchADC(enc, queries, idx, k = 10)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val reopened = graft.ml.PqIndex.searchADC(encLoaded, queries, loaded, k = 10)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reopened === fresh)
+  }
+
+  test("IVFPQ: save -> searchPersisted is identical to fresh; appendNew folds a delta") {
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    val queries = queriesOf(emb)
+    val dim = emb.selectExpr("size(embedding)").head().getInt(0)
+
+    val idx = graft.ml.IvfPq.build(base, "vec_id", "embedding", dim,
+      nList = 8, m = 8, k = 16, trainSample = 5000)
+    val dir = Files.createTempDirectory("ivfpq1").toString
+    graft.ml.IvfPq.save(idx, dir)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fresh = key(graft.ml.IvfPq.search(idx, queries, k = 10, nProbe = 3))
+    val reopened = key(graft.ml.IvfPq.searchPersisted(spark, dir, queries,
+      k = 10, nProbe = 3))
+    assert(reopened === fresh, "reopened IVFPQ search diverged")
+
+    graft.ml.IvfPq.appendNew(spark, dir, delta, "vec_id", "embedding")
+    val after = graft.ml.IvfPq.load(spark, dir)
+    assert(after.encoded.count() === emb.count(),
+      "delta codes not appended")
+    // the delta really is searchable: with every cell probed, a query
+    // ON a delta vector returns k hits (its neighborhood exists)
+    val deltaQ = delta.limit(2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val hits = graft.ml.IvfPq.searchPersisted(spark, dir, deltaQ,
+      k = 5, nProbe = 8)
+    assert(hits.groupBy("q_id").count().collect().forall(_.getLong(1) === 5L))
+  }
+
   test("appendNew folds a delta in; the reopened index searches the union") {
     val emb = Tables.embeddings(spark, sf)
     val base = emb.filter(col("vec_id") % 5 =!= 0)
