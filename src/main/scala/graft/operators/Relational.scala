@@ -1490,7 +1490,52 @@ object Relational {
       |  hhi_micro - lag(hhi_micro, 1) OVER (ORDER BY ym) AS delta_micro
       |FROM hhi ORDER BY ym""".stripMargin
 
+  /** q346 — law-of-one-price audit: per-part unit-price dispersion
+    * across its order lines. The same part selling at wildly different
+    * unit prices is either price discrimination, a data defect, or a
+    * procurement leak — the ratio max/min unit price is the standard
+    * screen. Exact: unit price on a deterministic micro-cent grid
+    * (cents·10⁴ div qty, truncating — qty is integral; stated), spread
+    * and ratio_micro = max·10⁶ div min are pure integer ops; the
+    * top-20 most dispersed parts (≥ 5 lines) ride the native bounded
+    * heap, never a catalog sort.
+    *
+    * Scale shape: one per-part aggregate with map-side combine, a
+    * k=20 heap. */
+  def q346(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val up = Tables.lineitem(s, d)
+      .select($"l_partkey",
+        expr("(cast(floor(l_extendedprice * 100 + 0.5) as bigint) * 10000)" +
+          " div cast(l_quantity as bigint)").as("up_micro"))
+    val per = up.groupBy($"l_partkey")
+      .agg(count(lit(1)).as("n_lines"),
+        min($"up_micro").as("min_up"), max($"up_micro").as("max_up"))
+      .filter($"n_lines" >= 5)
+      .select($"l_partkey", $"n_lines", $"min_up", $"max_up",
+        expr("(max_up * 1000000) div min_up").as("ratio_micro"))
+    graft.plans.TopK.perGroup(per, 20, Seq.empty,
+      Seq(graft.plans.TopK.desc("ratio_micro"), graft.plans.TopK.asc("l_partkey")))
+      .orderBy($"ratio_micro".desc, $"l_partkey")
+  }
+
+  val q346Sql: String =
+    """WITH up AS (
+      |  SELECT l_partkey,
+      |    (CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * 10000)
+      |      // CAST(l_quantity AS BIGINT) AS up_micro
+      |  FROM lineitem),
+      |per AS (
+      |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_lines,
+      |    CAST(min(up_micro) AS BIGINT) AS min_up,
+      |    CAST(max(up_micro) AS BIGINT) AS max_up
+      |  FROM up GROUP BY 1 HAVING count(*) >= 5)
+      |SELECT l_partkey, n_lines, min_up, max_up,
+      |  (max_up * 1000000) // min_up AS ratio_micro
+      |FROM per ORDER BY ratio_micro DESC, l_partkey LIMIT 20""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q346_price_dispersion", q346, Some(q346Sql)),
     QueryDef("q342_duplicate_payments", q342, Some(q342Sql)),
     QueryDef("q343_hhi_trend", q343, Some(q343Sql)),
     QueryDef("q333_demand_quadrants", q333, Some(q333Sql)),

@@ -620,7 +620,53 @@ object TextQueries {
       |   WHERE doc_id <= (m * k) // 10) AS tokens
       |FROM ks ORDER BY k""".stripMargin
 
+  /** q345 — term burstiness (Church–Gale): cf/df per term — the mean
+    * occurrences per CONTAINING document. Function words spread thin
+    * (cf/df ≈ 1); topical/bursty terms clump (cf/df ≫ 1), which is
+    * why burstiness, not raw frequency, drives keyword extraction and
+    * stopword pruning (and why TF-IDF's IDF alone misranks terms that
+    * appear rarely but always in bursts). Exact: df and cf are
+    * integers off one words pass; burst_micro = cf·10⁶ div df; the
+    * top-20 (df ≥ 10, burstiness desc, term tie-break) rides the
+    * native bounded heap — no global sort of the vocabulary.
+    *
+    * Scale shape: one (term, doc) collapse with map-side combine, one
+    * vocab-sized aggregate, a k=20 heap. The projected-words
+    * convention keeps the split out of the explode lambda. */
+  def q345(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id", explode($"w").as("term"))
+      .filter($"term" =!= "")
+    val stats = words.groupBy($"term", $"doc_id")
+      .agg(count(lit(1)).as("tf"))
+      .groupBy($"term")
+      .agg(count(lit(1)).as("df"), sum($"tf").as("cf"))
+      .filter($"df" >= 10)
+      .select($"term", $"df", $"cf",
+        expr("(cf * 1000000) div df").as("burst_micro"))
+    graft.plans.TopK.perGroup(stats, 20, Seq.empty,
+      Seq(graft.plans.TopK.desc("burst_micro"), graft.plans.TopK.asc("term")))
+      .orderBy($"burst_micro".desc, $"term")
+  }
+
+  val q345Sql: String =
+    """WITH td AS (
+      |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |        FROM documents)
+      |  WHERE term <> '' GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS df,
+      |    CAST(sum(tf) AS BIGINT) AS cf
+      |  FROM td GROUP BY 1 HAVING count(*) >= 10)
+      |SELECT term, df, cf, (cf * 1000000) // df AS burst_micro
+      |FROM stats
+      |ORDER BY burst_micro DESC, term LIMIT 20""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q345_term_burstiness", q345, Some(q345Sql)),
     QueryDef("q344_vocab_growth", q344, Some(q344Sql)),
     QueryDef("q335_chao1_richness", q335, Some(q335Sql)),
     QueryDef("q321_good_turing", q321, Some(q321Sql)),

@@ -42,13 +42,23 @@ final case class TopKPerGroupNode(
 }
 
 final case class TopKPerGroupExec(
-    k: Int, groupCols: Seq[Expression], order: Seq[SortOrder], child: SparkPlan)
+    k: Int, groupCols: Seq[Expression], order: Seq[SortOrder], child: SparkPlan,
+    partial: Boolean = false)
   extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
 
-  /** All rows of a group must meet in one partition. */
+  /** All rows of a group must meet in one partition — except in the
+    * GLOBAL form (no group columns), which plans as two nodes like a
+    * partial aggregation: a `partial` heap per input partition (no
+    * distribution requirement, k rows out per partition) feeding a
+    * final single-partition heap over ≤ k·partitions rows. A plain
+    * AllTuples child would funnel the ENTIRE relation through one
+    * task; the partial pass keeps the heavy reduction parallel. */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(groupCols) :: Nil
+    if (partial) org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution :: Nil
+    else if (groupCols.isEmpty)
+      org.apache.spark.sql.catalyst.plans.physical.AllTuples :: Nil
+    else ClusteredDistribution(groupCols) :: Nil
 
   /** The heap filters rows WITHIN partitions — the child's (group-
     * clustered) partitioning survives. Advertising it lets Catalyst
@@ -99,6 +109,11 @@ final case class TopKPerGroupExec(
 
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroupNode(k, groupCols, order, child) if groupCols.isEmpty =>
+      // global top-k: partial per-partition heaps, then the final heap
+      TopKPerGroupExec(k, groupCols, order,
+        TopKPerGroupExec(k, groupCols, order, planLater(child),
+          partial = true)) :: Nil
     case TopKPerGroupNode(k, groupCols, order, child) =>
       TopKPerGroupExec(k, groupCols, order, planLater(child)) :: Nil
     case _ => Nil

@@ -63,6 +63,23 @@ class TopKSpec extends SparkSpec {
     assert(g7 == Seq(200007L, 300007L))
   }
 
+  test("GLOBAL top-k (no group columns): partial heaps + final, matches orderBy.limit") {
+    import spark.implicits._
+    // many partitions so the partial pass genuinely reduces in parallel
+    val df = spark.range(0, 100000, 1, 16)
+      .select($"id".as("v"), pmod(xxhash64($"id"), lit(1000000)).as("score"))
+    val native = TopK.perGroup(df, 7, Seq.empty, Seq(desc("score"), TopK.asc("v")))
+      .orderBy($"score".desc, $"v").collect().map(r => (r.getLong(1), r.getLong(0)))
+    val expected = df.orderBy($"score".desc, $"v").limit(7)
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+    assert(native.toSeq === expected.toSeq)
+    // two heap nodes (partial + final), still no Sort below them
+    val plan = TopK.perGroup(df, 7, Seq.empty, Seq(desc("score"), TopK.asc("v")))
+      .queryExecution.executedPlan.toString
+    assert("TopKPerGroup".r.findAllIn(plan).length === 2,
+      s"expected partial+final heap pair:\n$plan")
+  }
+
   test("physical plan uses TopKPerGroupExec with no Sort") {
     val part = Tables.part(spark, "/root/testdata/sf0.001")
     val df = TopK.perGroup(part, 3, Seq("p_brand"), desc("p_retailprice"))
