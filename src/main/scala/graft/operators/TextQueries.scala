@@ -665,7 +665,80 @@ object TextQueries {
       |FROM stats
       |ORDER BY burst_micro DESC, term LIMIT 20""".stripMargin
 
+  /** q348 — term-level corpus drift: which WORDS shifted between the
+    * first and second half of the corpus (by doc_id)? The existing
+    * drift lenses (KS q181, Mann–Whitney q254, KW q334) watch scalar
+    * document features; this one watches the vocabulary itself — the
+    * signal that catches topic rotation, crawler-source changes, and
+    * template injection that leave length/quality distributions
+    * untouched. Per term: occurrence counts a (first half) and b
+    * (second half), scored by the 2×2 chi-square against the halves'
+    * token totals, kept as an exact cross-multiplied rational — with
+    * N = ta + tb, chi2 = N·(a·tb − b·ta)² / (ta·tb·(a+b)·(N−a−b));
+    * the emitted score is its 10⁶-scaled truncating division on
+    * DECIMAL38/HUGEINT, so ranking never sees a float. Top-20 drifted
+    * terms (min 20 occurrences) via the GLOBAL bounded heap; the
+    * direction column says which way the term moved (cross-multiplied
+    * share comparison, no division).
+    *
+    * Scale shape: one words pass with map-side combine → vocab-sized
+    * (term, a, b) relation; two broadcast scalars; a k=20 heap. */
+  def q348(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .transform(Fx.materialize) // feeds the cutoff AND the words pass
+    val mx = docs.agg(expr("max(doc_id) div 2").as("cut"))
+    val words = docs.select($"doc_id", explode($"w").as("term"))
+      .filter($"term" =!= "")
+      .crossJoin(broadcast(mx))
+    val perTerm = words.groupBy($"term")
+      .agg(sum(when($"doc_id" <= $"cut", 1L).otherwise(0L)).as("a"),
+        sum(when($"doc_id" > $"cut", 1L).otherwise(0L)).as("b"))
+    val tots = perTerm.agg(sum($"a").as("ta"), sum($"b").as("tb"))
+    val scored = perTerm.filter($"a" + $"b" >= 20)
+      .crossJoin(broadcast(tots))
+      .select($"term", $"a", $"b",
+        expr("cast((cast(ta as decimal(38,0)) + tb)" +
+          " * (cast(a as decimal(38,0)) * tb - cast(b as decimal(38,0)) * ta)" +
+          " * (cast(a as decimal(38,0)) * tb - cast(b as decimal(38,0)) * ta)" +
+          " * 1000000 div (cast(ta as decimal(38,0)) * tb * (a + b)" +
+          " * (ta + tb - a - b)) as bigint)").as("chi2_micro"),
+        when(expr("cast(a as decimal(38,0)) * tb > cast(b as decimal(38,0)) * ta"),
+          "receding").otherwise("emerging").as("direction"))
+    graft.plans.TopK.perGroup(scored, 20, Seq.empty,
+      Seq(graft.plans.TopK.desc("chi2_micro"), graft.plans.TopK.asc("term")))
+      .orderBy($"chi2_micro".desc, $"term")
+  }
+
+  val q348Sql: String =
+    """WITH mx AS (SELECT max(doc_id) // 2 AS cut FROM documents),
+      |words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |per AS (
+      |  SELECT term,
+      |    CAST(sum(CASE WHEN doc_id <= cut THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |    CAST(sum(CASE WHEN doc_id > cut THEN 1 ELSE 0 END) AS BIGINT) AS b
+      |  FROM words CROSS JOIN mx
+      |  WHERE term <> '' GROUP BY term),
+      |tots AS (SELECT CAST(sum(a) AS BIGINT) AS ta,
+      |                CAST(sum(b) AS BIGINT) AS tb FROM per),
+      |scored AS (
+      |  SELECT term, a, b,
+      |    CAST((CAST(ta AS HUGEINT) + tb)
+      |      * (CAST(a AS HUGEINT) * tb - CAST(b AS HUGEINT) * ta)
+      |      * (CAST(a AS HUGEINT) * tb - CAST(b AS HUGEINT) * ta)
+      |      * 1000000 // (CAST(ta AS HUGEINT) * tb * (a + b)
+      |      * (ta + tb - a - b)) AS BIGINT) AS chi2_micro,
+      |    CASE WHEN CAST(a AS HUGEINT) * tb > CAST(b AS HUGEINT) * ta
+      |      THEN 'receding' ELSE 'emerging' END AS direction
+      |  FROM per CROSS JOIN tots WHERE a + b >= 20)
+      |SELECT term, a, b, chi2_micro, direction
+      |FROM scored ORDER BY chi2_micro DESC, term LIMIT 20""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q348_term_drift", q348, Some(q348Sql)),
     QueryDef("q345_term_burstiness", q345, Some(q345Sql)),
     QueryDef("q344_vocab_growth", q344, Some(q344Sql)),
     QueryDef("q335_chao1_richness", q335, Some(q335Sql)),

@@ -262,6 +262,27 @@ class PlantedStructureSpec extends SparkSpec {
     assert(out(1L) === 1000000L, s"constant part ratio ${out(1L)}")
   }
 
+  test("q348 surfaces the planted emerging/receding pair; the balanced term scores exactly zero") {
+    // symmetric swap: "old" lives only in the first half, "novel" only
+    // in the second, "base" keeps an identical share in both — so
+    // base's cross-product a·tb − b·ta is exactly zero, and old/novel
+    // carry equal chi2 with opposite directions
+    val docs = (1 to 40).map { i =>
+      val text = if (i <= 20) "base base old" else "base base novel"
+      (i.toLong, text, "en", "s0", text.length.toLong)
+    }
+    val out = operators.TextQueries.q348(spark, documentsDir(docs)).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getString(4)))
+    val byTerm = out.map(t => t._1 -> t).toMap
+    assert(byTerm("novel")._3 === "emerging" && byTerm("old")._3 === "receding")
+    assert(byTerm("novel")._2 === byTerm("old")._2,
+      "the symmetric swap must score both drifted terms equally")
+    assert(byTerm("novel")._2 > 0L)
+    assert(byTerm("base")._2 === 0L,
+      s"share-balanced term scored ${byTerm("base")._2}, expected exactly 0")
+    assert(out.head._1 === "novel", "tie-break: novel before old at equal chi2")
+  }
+
   test("q312 reads the planted period-2 oscillation exactly") {
     // 40 days alternating 10.00 / 30.00: centered values c_t = ±40000
     // alternate sign, so acf_k = ±(n−k)/n exactly on the micro grid
