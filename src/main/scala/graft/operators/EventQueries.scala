@@ -3567,98 +3567,7 @@ object EventQueries {
       |    AS vr_micro
       |FROM sk CROSS JOIN s1 WHERE k > 1 ORDER BY k""".stripMargin
 
-  /** q347 — Wald–Wolfowitz runs test on daily revenue vs its median:
-    * are above/below-median days RANDOMLY interleaved, or do they
-    * clump (momentum/regimes → too few runs) or alternate
-    * (overcorrection → too many)? The nonparametric independence
-    * check beside q306's von Neumann ratio (which measures magnitude
-    * of successive changes; runs ignores magnitude entirely — only
-    * the sign sequence speaks). Exact: lower-median by nearest rank;
-    * above = rev > median, below = rev ≤ median (ties to below,
-    * stated); R = 1 + sign flips via one lag over the day grid;
-    * E[R] = 1 + 2n₁n₂/n and Var[R] = 2n₁n₂(2n₁n₂−n)/(n²(n−1)) on the
-    * micro grid via truncating HUGEINT divisions; the 99% verdict is
-    * the cross-multiplied comparison 10⁴·(10⁶R − E_micro)² vs
-    * 66564·Var_micro·10⁶ (2.58² = 66564/10⁴) — no sqrt, no z.
-    *
-    * Scale shape: corpus → day grid once; rank + lag windows only
-    * over the bounded calendar; one final scalar row. */
-  def q347(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val g = Tables.orders(s, d)
-      .groupBy(epochDay($"o_orderdate").cast("long").as("day"))
-      .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("rev"))
-      .transform(Fx.materialize)
-    val med = g
-      .withColumn("rk", row_number().over(Window.orderBy($"rev", $"day")))
-      .crossJoin(broadcast(g.agg(count(lit(1)).as("n"))))
-      .agg(min(when($"rk" * 2 >= $"n", $"rev")).as("median"))
-    val signs = g.crossJoin(broadcast(med))
-      .select($"day", ($"rev" > $"median").cast("int").as("above"))
-      .withColumn("flip",
-        when(lag($"above", 1).over(Window.orderBy($"day")).isNull, 0)
-          .when(lag($"above", 1).over(Window.orderBy($"day")) =!= $"above", 1)
-          .otherwise(0))
-    signs.agg(count(lit(1)).as("n"), sum($"above").as("n_above"),
-        (count(lit(1)) - sum($"above")).as("n_below"),
-        (sum($"flip") + 1).as("runs"))
-      .select($"n", $"n_above", $"n_below", $"runs",
-        expr("1000000 + (2 * n_above * n_below * 1000000) div n").as("e_micro"),
-        expr("cast((2 * cast(n_above as decimal(38,0)) * n_below" +
-          " * (2 * cast(n_above as decimal(38,0)) * n_below - n) * 1000000)" +
-          " div (cast(n as decimal(38,0)) * n * (n - 1)) as bigint)")
-          .as("var_micro"))
-      .select($"n", $"n_above", $"n_below", $"runs", $"e_micro", $"var_micro",
-        when(expr("10000 * (runs * 1000000 - e_micro)" +
-            " * cast(runs * 1000000 - e_micro as decimal(38,0))" +
-            " <= 66564 * cast(var_micro as decimal(38,0)) * 1000000"),
-          "consistent")
-          .when($"runs" * 1000000 < $"e_micro", "too_few_runs")
-          .otherwise("too_many_runs").as("verdict"))
-  }
-
-  val q347Sql: String =
-    """WITH g AS (
-      |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
-      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
-      |  FROM orders GROUP BY 1),
-      |med AS (
-      |  SELECT min(CASE WHEN rk * 2 >= n THEN rev END) AS median
-      |  FROM (SELECT rev, row_number() OVER (ORDER BY rev, day) AS rk,
-      |          count(*) OVER () AS n
-      |        FROM g)),
-      |signs AS (
-      |  SELECT day, CAST(rev > median AS INT) AS above
-      |  FROM g CROSS JOIN med),
-      |flips AS (
-      |  SELECT above,
-      |    CASE WHEN lag(above, 1) OVER (ORDER BY day) IS NULL THEN 0
-      |         WHEN lag(above, 1) OVER (ORDER BY day) <> above THEN 1
-      |         ELSE 0 END AS flip
-      |  FROM signs),
-      |agg AS (
-      |  SELECT CAST(count(*) AS BIGINT) AS n,
-      |    CAST(sum(above) AS BIGINT) AS n_above,
-      |    CAST(count(*) - sum(above) AS BIGINT) AS n_below,
-      |    CAST(sum(flip) + 1 AS BIGINT) AS runs
-      |  FROM flips),
-      |stats AS (
-      |  SELECT n, n_above, n_below, runs,
-      |    1000000 + (2 * n_above * n_below * 1000000) // n AS e_micro,
-      |    CAST((2 * CAST(n_above AS HUGEINT) * n_below
-      |      * (2 * CAST(n_above AS HUGEINT) * n_below - n) * 1000000)
-      |      // (CAST(n AS HUGEINT) * n * (n - 1)) AS BIGINT) AS var_micro
-      |  FROM agg)
-      |SELECT n, n_above, n_below, runs, e_micro, var_micro,
-      |  CASE WHEN 10000 * (runs * 1000000 - e_micro)
-      |        * CAST(runs * 1000000 - e_micro AS HUGEINT)
-      |        <= 66564 * CAST(var_micro AS HUGEINT) * 1000000 THEN 'consistent'
-      |       WHEN runs * 1000000 < e_micro THEN 'too_few_runs'
-      |       ELSE 'too_many_runs' END AS verdict
-      |FROM stats""".stripMargin
-
   val all: Seq[QueryDef] = Seq(
-    QueryDef("q347_runs_test", q347, Some(q347Sql)),
     QueryDef("q340_bootstrap_ci", q340, Some(q340Sql)),
     QueryDef("q341_variance_ratio", q341, Some(q341Sql)),
     QueryDef("q331_mase_forecast_eval", q331, Some(q331Sql)),

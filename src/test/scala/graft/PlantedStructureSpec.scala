@@ -233,21 +233,6 @@ class PlantedStructureSpec extends SparkSpec {
       s"got ${out.toSeq}")
   }
 
-  test("q347 reads alternation as too_many_runs and a regime split as too_few") {
-    // period-2 oscillation: above/below alternates daily → R = n
-    val alt = operators.EventQueries
-      .q347(spark, ordersDir(1 to 40, d => if (d % 2 == 1) 10.0 else 30.0))
-      .head()
-    assert(alt.getLong(3) === 40L, s"runs = ${alt.getLong(3)}, planted n = 40")
-    assert(alt.getString(6) === "too_many_runs")
-    // two regimes: 20 low days then 20 high days → exactly 2 runs
-    val reg = operators.EventQueries
-      .q347(spark, ordersDir(1 to 40, d => if (d <= 20) 10.0 else 30.0))
-      .head()
-    assert(reg.getLong(3) === 2L, s"runs = ${reg.getLong(3)}, planted 2")
-    assert(reg.getString(6) === "too_few_runs")
-  }
-
   test("q346 reads the planted dispersed part exactly") {
     // part 9: unit prices 10.00 and 25.00 → ratio exactly 2.5e6 micro;
     // part 1: constant unit price → ratio exactly 1e6
