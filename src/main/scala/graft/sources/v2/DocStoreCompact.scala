@@ -68,7 +68,7 @@ object DocStoreCompact {
     * compactor (no single bin takes 10 min), and is broken. */
   val LockStaleMs: Long = 10 * 60 * 1000L
 
-  private def withLock[A](dir: String)(body: => A): A = {
+  private[v2] def withLock[A](dir: String)(body: => A): A = {
     val lock = new File(dir, "_compact.lock")
     val acquired =
       try { Files.createFile(lock.toPath); true }
@@ -106,7 +106,18 @@ object DocStoreCompact {
     val dead = manifests(dir).collect {
       case m if partNames.contains(m.newFile) => m.replaces
     }.flatten.toSet
-    parts.filterNot(f => dead.contains(f.getName)).sortBy(_.getName)
+    // update-commit rule (DocStoreUpdates): a `part-update-<X>.jsonl`
+    // is LIVE only once its `_dv-update-<X>.json` marker exists — the
+    // marker's rename is the single commit point that simultaneously
+    // kills the old copies (it IS their deletion vector) and admits
+    // the rewritten ones; before it, the update is invisible debris
+    val names = all.map(_.getName).toSet
+    parts.filterNot { f =>
+      dead.contains(f.getName) ||
+        (f.getName.startsWith("part-update-") &&
+          !names.contains("_dv-update-" +
+            f.getName.stripPrefix("part-update-") + ".json"))
+    }.sortBy(_.getName)
   }
 
   /** Compact `dir`: sweep prior crash debris, then bin-pack live
@@ -259,8 +270,17 @@ object DocStoreCompact {
     // orphaned tmp files from any crashed run (compaction or a
     // crashed deleteWhere task)
     all.filter(f => f.isFile && (f.getName.startsWith("_tmp-compact-") ||
-        f.getName.startsWith("_tmp-dv-")))
+        f.getName.startsWith("_tmp-dv-") ||
+        f.getName.startsWith("_tmp-update-") ||
+        f.getName.startsWith("_tmp-updv-")))
       .foreach(_.delete())
+    // uncommitted updates (data renamed, marker never landed): the
+    // rows are still live in their original file — pure debris
+    all.filter { f =>
+      f.isFile && f.getName.startsWith("part-update-") &&
+        !new File(dir, "_dv-update-" +
+          f.getName.stripPrefix("part-update-") + ".json").exists()
+    }.foreach(_.delete())
     // deletion-vector entries whose part file is gone (compacted away)
     DocStoreDeletes.gc(dir)
     // orphaned compaction zone maps: written BEFORE the data rename,

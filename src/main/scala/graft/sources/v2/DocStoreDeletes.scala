@@ -111,7 +111,11 @@ object DocStoreDeletes {
     * One task per live part file; each task with hits renames its own
     * DV file into place, so only counts travel to the driver. Returns
     * the number of newly deleted rows. */
-  def deleteWhere(spark: SparkSession, dir: String, filters: Seq[Filter]): Long = {
+  def deleteWhere(spark: SparkSession, dir: String, filters: Seq[Filter]): Long =
+    DocStoreCompact.withLock(dir) { deleteWhereLocked(spark, dir, filters) }
+
+  private[v2] def deleteWhereLocked(spark: SparkSession, dir: String,
+      filters: Seq[Filter]): Long = {
     // here eval is the AUTHORITY (no residual re-check behind it):
     // refuse any filter whose let-pass default could fire — an
     // unsupported predicate must fail loudly, not delete everything
@@ -189,7 +193,15 @@ object DocStoreDeletes {
       .foreach { f =>
         val entries = parseDvFile(f)
         val live = entries.filter { case (name, _) => partNames.contains(name) }
-        if (live.isEmpty) { f.delete(); () }
+        // an `_dv-update-<X>` file is ALSO the commit marker of
+        // `part-update-<X>.jsonl` — it must outlive its entries (which
+        // reference the replaced ORIGINAL file) for as long as the
+        // rewritten part file exists, or deleting it would un-commit
+        // committed data
+        val isLiveUpdateMarker = f.getName.startsWith("_dv-update-") &&
+          partNames.contains("part-update-" +
+            f.getName.stripPrefix("_dv-update-").stripSuffix(".json"))
+        if (live.isEmpty && !isLiveUpdateMarker) { f.delete(); () }
         else if (live.size != entries.size) {
           val tmp = new File(dir, "_tmp-" + f.getName)
           Files.write(tmp.toPath,

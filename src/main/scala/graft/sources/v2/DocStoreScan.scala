@@ -301,39 +301,46 @@ private[v2] object DocStoreJson {
       s"docstore: cannot read JSON value $other as ${t.simpleString} (field $field)")
   }
 
-  /** Schema inference: sample up to `maxLines` lines of the first
-    * committed part file (lexicographic — deterministic). Integral
-    * numbers → long, other numbers → double; long + double widen to
-    * double; any other kind conflict widens to string; arrays merge
-    * element-wise. Field order is first-seen; all fields nullable. */
-  def inferSchema(dir: String, maxLines: Int = 200): StructType = {
+  /** Schema inference: sample up to `maxLines` lines from EACH of the
+    * first `maxFiles` committed part files (lexicographic —
+    * deterministic). Sampling several files matters because the store
+    * EVOLVES: an updateWhere can add fields that exist only in its
+    * rewritten part file, and a single-file sample would never see
+    * them. Integral numbers → long, other numbers → double; long +
+    * double widen to double; any other kind conflict widens to
+    * string; arrays merge element-wise. Field order is first-seen
+    * across the sampled files; all fields nullable. */
+  def inferSchema(dir: String, maxLines: Int = 200,
+      maxFiles: Int = 8): StructType = {
     val files = DocStoreCompact.liveFiles(dir).map(_.getAbsolutePath)
     if (files.isEmpty) return new StructType()
     val order = scala.collection.mutable.ArrayBuffer.empty[String]
     val types = scala.collection.mutable.Map.empty[String, DataType]
-    val in = new java.io.BufferedReader(
-      new java.io.InputStreamReader(new java.io.FileInputStream(files.head),
-        java.nio.charset.StandardCharsets.UTF_8))
-    try {
-      var n = 0
-      var line = in.readLine()
-      while (line != null && n < maxLines) {
-        if (line.nonEmpty) {
-          for ((k, v) <- parseLineOrdered(line)) {
-            if (!types.contains(k)) order += k
-            types(k) = merge(types.getOrElse(k, NullType), typeOf(v))
+    files.take(maxFiles).foreach { path =>
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(new java.io.FileInputStream(path),
+          java.nio.charset.StandardCharsets.UTF_8))
+      try {
+        var n = 0
+        var line = in.readLine()
+        while (line != null && n < maxLines) {
+          if (line.nonEmpty) {
+            for ((k, v) <- parseLineOrdered(line)) {
+              if (!types.contains(k)) order += k
+              types(k) = merge(types.getOrElse(k, NullType), typeOf(v))
+            }
+            n += 1
           }
-          n += 1
+          line = in.readLine()
         }
-        line = in.readLine()
-      }
-    } finally in.close()
+      } finally in.close()
+    }
     StructType(order.map(k => StructField(k,
       types(k) match { case NullType => StringType; case t => t },
       nullable = true)).toArray)
   }
 
-  private def parseLineOrdered(line: String): Seq[(String, Any)] = {
+  private[v2] def parseLineOrdered(line: String): Seq[(String, Any)] = {
     val p = factory.createParser(line)
     try {
       require(p.nextToken() == JsonToken.START_OBJECT)
