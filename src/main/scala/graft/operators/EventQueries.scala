@@ -3567,7 +3567,82 @@ object EventQueries {
       |    AS vr_micro
       |FROM sk CROSS JOIN s1 WHERE k > 1 ORDER BY k""".stripMargin
 
+  /** q349 — McNemar's test on PAIRED user conversion between the two
+    * halves of the event span: among users ACTIVE in both periods
+    * (the paired population — stated; the unpaired two-proportion z
+    * is q268), did the purchase rate change? Only the DISCORDANT
+    * pairs speak: b = converted-then-not, c = not-then-converted;
+    * under H₀ they split 50/50, and χ² = (b−c)²/(b+c) with the
+    * continuity-free verdict as one cross-multiplied integer
+    * comparison — 10⁴·(b−c)² > 38415·(b+c) ⟺ p < 0.05 at df=1
+    * (3.8415 = 38415/10⁴). No sqrt, no float anywhere; chi2_micro is
+    * one truncating division for the readout.
+    *
+    * Scale shape: one scan → per-(user, period) conversion bits with
+    * map-side combine → per-user pairing in the same aggregate →
+    * four conditional counts. Nothing beyond the user relation ever
+    * shuffles. */
+  def q349(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Fx.eventTs(Tables.events(s, d))
+      .select($"user_id", epochDay($"ts").as("day"),
+        ($"event_type" === "purchase").cast("int").as("pur"))
+      .transform(Fx.materialize) // feeds the span row AND the pairing
+    val span = ev.agg(expr("(min(day) + max(day)) div 2").as("mid"))
+    val per = ev.crossJoin(broadcast(span))
+      .groupBy($"user_id")
+      .agg(max(when($"day" <= $"mid", $"pur").otherwise(0)).as("c1"),
+        max(when($"day" > $"mid", $"pur").otherwise(0)).as("c2"),
+        max(when($"day" <= $"mid", 1).otherwise(0)).as("in1"),
+        max(when($"day" > $"mid", 1).otherwise(0)).as("in2"))
+      .filter($"in1" === 1 && $"in2" === 1)
+    per.agg(count(lit(1)).as("n_paired"),
+        sum(when($"c1" === 0 && $"c2" === 0, 1L).otherwise(0L)).as("n00"),
+        sum(when($"c1" === 1 && $"c2" === 1, 1L).otherwise(0L)).as("n11"),
+        sum(when($"c1" === 1 && $"c2" === 0, 1L).otherwise(0L)).as("b"),
+        sum(when($"c1" === 0 && $"c2" === 1, 1L).otherwise(0L)).as("c"))
+      .select($"n_paired", $"n00", $"n11", $"b", $"c",
+        when($"b" + $"c" > 0,
+          expr("((b - c) * (b - c) * 1000000) div (b + c)")).as("chi2_micro"),
+        when($"b" + $"c" === 0, "no_discordant_pairs")
+          .when(expr("10000 * (b - c) * (b - c) > 38415 * (b + c)"),
+            "rate_changed")
+          .otherwise("consistent").as("verdict"))
+  }
+
+  val q349Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' AS day,
+      |    CAST(event_type = 'purchase' AS INT) AS pur
+      |  FROM events),
+      |span AS (SELECT (min(day) + max(day)) // 2 AS mid FROM ev),
+      |per AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN day <= mid THEN pur ELSE 0 END) AS c1,
+      |    max(CASE WHEN day > mid THEN pur ELSE 0 END) AS c2,
+      |    max(CASE WHEN day <= mid THEN 1 ELSE 0 END) AS in1,
+      |    max(CASE WHEN day > mid THEN 1 ELSE 0 END) AS in2
+      |  FROM ev CROSS JOIN span GROUP BY user_id),
+      |p AS (SELECT * FROM per WHERE in1 = 1 AND in2 = 1),
+      |agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_paired,
+      |    CAST(sum(CASE WHEN c1 = 0 AND c2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+      |    CAST(sum(CASE WHEN c1 = 1 AND c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+      |    CAST(sum(CASE WHEN c1 = 1 AND c2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+      |    CAST(sum(CASE WHEN c1 = 0 AND c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
+      |  FROM p)
+      |SELECT n_paired, n00, n11, b, c,
+      |  CASE WHEN b + c > 0
+      |    THEN ((b - c) * (b - c) * 1000000) // (b + c) END AS chi2_micro,
+      |  CASE WHEN b + c = 0 THEN 'no_discordant_pairs'
+      |       WHEN 10000 * (b - c) * (b - c) > 38415 * (b + c)
+      |         THEN 'rate_changed'
+      |       ELSE 'consistent' END AS verdict
+      |FROM agg""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q349_mcnemar", q349, Some(q349Sql)),
     QueryDef("q340_bootstrap_ci", q340, Some(q340Sql)),
     QueryDef("q341_variance_ratio", q341, Some(q341Sql)),
     QueryDef("q331_mase_forecast_eval", q331, Some(q331Sql)),

@@ -273,7 +273,87 @@ object GraphQueries {
        |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q350 — degree assortativity of the co-purchase graph: the
+    * Pearson correlation of endpoint degrees over the edge list
+    * (Newman 2002) — do popular parts co-sell with other popular
+    * parts (assortative, r > 0, retail-bundle structure) or with
+    * niche ones (disassortative, r < 0, hub-and-spoke)? The ONE
+    * scalar that separates those regimes, and none of the existing
+    * graph readouts (triangles q109, PageRank q91, k-core q209, CC,
+    * LPA q323) measures it. Exact: degrees are integers off one edge
+    * pass; both edge directions contribute (the standard symmetric
+    * treatment); the five moment sums ride DECIMAL(38,0) and r is
+    * q178's one-sqrt pinned shape (IEEE sqrt is correctly rounded —
+    * the only float op in the query).
+    *
+    * Scale shape: edges are per-order part pairs (≤ lines² per order,
+    * order-bounded by the document-model argument); one edge shuffle
+    * for degrees, one broadcast-degree join back, one scalar
+    * aggregate. */
+  def q350(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e0 = Tables.lineitem(s, d)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+      .groupBy($"ok")
+      .agg(sort_array(collect_list($"p")).as("ps"))
+      .select(explode(filter(
+        flatten(transform($"ps",
+          a => transform($"ps", b => struct(a.as("a"), b.as("b"))))),
+        pr => pr("a") < pr("b"))).as("e"))
+      .select($"e.a".as("a"), $"e.b".as("b"))
+      .distinct()
+      .transform(graft.Fx.materialize) // degrees AND the moment pass
+    val deg = e0.select($"a".as("n")).unionAll(e0.select($"b".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("deg"))
+    val both = e0.unionAll(e0.select($"b".as("a"), $"a".as("b")))
+      .join(deg.select($"n".as("a"), $"deg".as("x")), "a")
+      .join(deg.select($"n".as("b"), $"deg".as("y")), "b")
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val m = both.agg(count(lit(1)).as("k"),
+      sum($"x").as("sx"), sum($"y").as("sy"),
+      sum(d38($"x") * $"y").as("sxy"),
+      sum(d38($"x") * $"x").as("sxx"), sum(d38($"y") * $"y").as("syy"))
+    m.select($"k",
+        (d38($"k") * $"sxy" - d38($"sx") * $"sy").as("cov_n"),
+        (d38($"k") * $"sxx" - d38($"sx") * $"sx").as("vx_n"),
+        (d38($"k") * $"syy" - d38($"sy") * $"sy").as("vy_n"))
+      .filter($"vx_n" > 0 && $"vy_n" > 0)
+      .select(expr("cast(k div 2 as bigint)").as("n_edges"),
+        graft.Fx.r6($"cov_n".cast("double") /
+          sqrt($"vx_n".cast("double") * $"vy_n".cast("double")))
+          .as("assortativity"))
+  }
+
+  val q350Sql: String = {
+    val r = "CAST(k * sxy - sx * sy AS DOUBLE) / " +
+      "sqrt(CAST(k * sxx - sx * sx AS DOUBLE) * CAST(k * syy - sy * sy AS DOUBLE))"
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+       |e0 AS (
+       |  SELECT DISTINCT a.p AS a, b.p AS b
+       |  FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p),
+       |deg AS (
+       |  SELECT n, CAST(count(*) AS BIGINT) AS deg
+       |  FROM (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0)
+       |  GROUP BY n),
+       |ends AS (
+       |  SELECT da.deg AS x, db.deg AS y
+       |  FROM (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0) e
+       |  JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n),
+       |m AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS k,
+       |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+       |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+       |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+       |    sum(CAST(y AS HUGEINT) * y) AS syy
+       |  FROM ends)
+       |SELECT CAST(k // 2 AS BIGINT) AS n_edges,
+       |  ${graft.Fx.sqlR6(r)} AS assortativity
+       |FROM m
+       |WHERE k * sxx - sx * sx > 0 AND k * syy - sy * sy > 0""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q350_degree_assortativity", q350, Some(q350Sql)),
     QueryDef("q91_pagerank_iterative", q91, Some(q91Sql)),
     QueryDef("q209_kcore_peel", q209, Some(q209Sql)),
     QueryDef("q323_label_propagation", q323, Some(q323Sql)))

@@ -268,6 +268,56 @@ class PlantedStructureSpec extends SparkSpec {
     assert(out.head._1 === "novel", "tie-break: novel before old at equal chi2")
   }
 
+  test("q349 counts the planted discordant pairs exactly and gates at 3.8415") {
+    // 33 paired users: 10 convert→lapse (b), 3 lapse→convert (c),
+    // 5 always, 15 never; plus one user active only in period 1
+    // (must drop from the paired population)
+    def u(id: Long, d1: String, d2: String) = Seq(
+      (1, id, d1, 1.0), (30, id, d2, 1.0))
+    val rows =
+      (1L to 10L).flatMap(i => u(i, "purchase", "view")) ++
+        (11L to 13L).flatMap(i => u(i, "view", "purchase")) ++
+        (14L to 18L).flatMap(i => u(i, "purchase", "purchase")) ++
+        (19L to 33L).flatMap(i => u(i, "view", "view")) ++
+        Seq((1, 99L, "purchase", 1.0)) // unpaired
+    val out = operators.EventQueries.q349(spark, eventsDir(rows)).head()
+    assert(out.getLong(0) === 33L, s"paired population ${out.getLong(0)}")
+    assert((out.getLong(1), out.getLong(2), out.getLong(3), out.getLong(4))
+      === ((15L, 5L, 10L, 3L)), "contingency cells off the plant")
+    // (10-3)^2/13 = 3.769 < 3.8415 -> consistent, by 10^4-exact margin
+    assert(out.getString(6) === "consistent")
+    assert(out.getLong(5) === (49L * 1000000L) / 13L)
+  }
+
+  /** lineitem fixture with EXPLICIT order membership (the co-purchase
+    * edge source): rows (orderkey, partkey). */
+  private def orderPartsDir(rows: Seq[(Long, Long)]): String = {
+    val dir = Files.createTempDirectory("planted-op")
+    rows.toDF("l_orderkey", "l_partkey")
+      .withColumn("l_suppkey", $"l_partkey")
+      .withColumn("l_quantity", lit(1.0))
+      .withColumn("l_extendedprice", lit(10.0))
+      .withColumn("l_discount", lit(0.0))
+      .withColumn("l_tax", lit(0.0))
+      .withColumn("l_shipdate", timestamp_micros(lit(86400000000L)))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("lineitem.parquet").toString)
+    dir.toString
+  }
+
+  test("q350 reads a perfect star as assortativity exactly -1; a clique as degenerate") {
+    // star: 8 two-part orders {hub=0, leaf i} — every edge joins the
+    // degree-8 hub to a degree-1 leaf, the textbook r = -1 case
+    val star = (1L to 8L).flatMap(i => Seq((i, 0L), (i, i)))
+    val out = operators.GraphQueries.q350(spark, orderPartsDir(star)).head()
+    assert(out.getLong(0) === 8L)
+    assert(out.getDouble(1) === -1.0, s"star r = ${out.getDouble(1)}")
+    // clique: one order with 5 parts — all degrees equal, zero
+    // variance, the degenerate case is reported as NO row, not NaN
+    val clique = (1L to 5L).map(p => (100L, p))
+    assert(operators.GraphQueries.q350(spark, orderPartsDir(clique)).count() === 0L)
+  }
+
   test("q312 reads the planted period-2 oscillation exactly") {
     // 40 days alternating 10.00 / 30.00: centered values c_t = ±40000
     // alternate sign, so acf_k = ±(n−k)/n exactly on the micro grid
