@@ -272,7 +272,8 @@ object DocStoreCompact {
     all.filter(f => f.isFile && (f.getName.startsWith("_tmp-compact-") ||
         f.getName.startsWith("_tmp-dv-") ||
         f.getName.startsWith("_tmp-update-") ||
-        f.getName.startsWith("_tmp-updv-")))
+        f.getName.startsWith("_tmp-updv-") ||
+        f.getName.startsWith("_tmp-updz-")))
       .foreach(_.delete())
     // uncommitted updates (data renamed, marker never landed): the
     // rows are still live in their original file — pure debris
@@ -288,11 +289,17 @@ object DocStoreCompact {
     // `_zonemap-compact-<id>-<k>.json` whose part file never appeared
     // — without GC these accumulate unboundedly
     all.filter { f =>
-      f.isFile && f.getName.startsWith("_zonemap-compact-") &&
-        f.getName.endsWith(".json") &&
-        !partNames.contains(
-          "part-" + f.getName.stripPrefix("_zonemap-").stripSuffix(".json") +
-            ".jsonl")
+      f.isFile && f.getName.endsWith(".json") && {
+        val n = f.getName
+        (n.startsWith("_zonemap-compact-") &&
+          !partNames.contains(
+            "part-" + n.stripPrefix("_zonemap-").stripSuffix(".json") +
+              ".jsonl")) ||
+        (n.startsWith("_zonemap-update-") &&
+          !partNames.contains(
+            "part-update-" + n.stripPrefix("_zonemap-update-")
+              .stripSuffix(".json")))
+      }
     }.foreach(_.delete())
     removed
   }

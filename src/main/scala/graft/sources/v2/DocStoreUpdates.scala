@@ -87,6 +87,7 @@ object DocStoreUpdates {
         val dead = existing.getOrElse(name, BitSet.empty)
         val hits = scala.collection.mutable.ArrayBuffer.empty[Int]
         val rewritten = new StringBuilder
+        val updatedDocs = Seq.newBuilder[Seq[(String, Any)]]
         val in = new java.io.BufferedReader(
           new java.io.InputStreamReader(
             new java.io.FileInputStream(new File(dir, name)),
@@ -110,6 +111,7 @@ object DocStoreUpdates {
                   val updated = doc.map { case (k, v) =>
                     k -> setNorm.getOrElse(k, v)
                   } ++ appended
+                  updatedDocs += updated.toSeq
                   rewritten.append(serialize(updated)).append('\n')
                 }
               }
@@ -126,6 +128,19 @@ object DocStoreUpdates {
           Files.write(dvTmp.toPath,
             (DocStoreDeletes.dvJsonLine(name, hits) + "\n")
               .getBytes(StandardCharsets.UTF_8))
+          // zone map for the rewritten rows BEFORE visibility
+          // (markers-as-truth order) — without it every update would
+          // permanently widen scans, since updated files would never
+          // prune again until a compaction
+          statsOf(updatedDocs.result()).foreach { fs =>
+            val zTmp = new File(dir, s"_tmp-updz-$runId-$name")
+            Files.write(zTmp.toPath,
+              (DocStoreZonemap.statsJsonLine(s"part-update-$runId-$name", fs) + "\n")
+                .getBytes(StandardCharsets.UTF_8))
+            Files.move(zTmp.toPath,
+              new File(dir, s"_zonemap-update-$runId-$name.json").toPath,
+              StandardCopyOption.ATOMIC_MOVE)
+          }
           // data first (invisible without its marker), marker = commit
           Files.move(dataTmp.toPath,
             new File(dir, s"part-update-$runId-$name").toPath,
@@ -136,6 +151,59 @@ object DocStoreUpdates {
         }
         hits.length.toLong
       }.sum().toLong
+  }
+
+  /** Zone-map stats over the rewritten rows (the sink's Collector
+    * semantics on parsed values): numeric top-level fields only, a
+    * field absent from a doc counts as null, NaN poisons a fractional
+    * range to ±∞ (unprunable), a column mixing integral and
+    * fractional kinds across rows drops out (conservative — absent
+    * columns never prune). None when no column qualifies. */
+  private[v2] def statsOf(docs: Seq[Seq[(String, Any)]])
+      : Option[DocStoreZonemap.FileStats] = {
+    if (docs.isEmpty) return None
+    val cols = scala.collection.mutable.LinkedHashMap
+      .empty[String, DocStoreZonemap.ColStats]
+    val mixed = scala.collection.mutable.Set.empty[String]
+    val seen = scala.collection.mutable.Set.empty[String]
+    docs.foreach(_.foreach { case (k, v) => v match {
+      case _: java.lang.Long | _: java.lang.Double => seen += k
+      case _ => mixed += k // non-numeric: never track
+    }})
+    val tracked = (seen -- mixed).toSeq
+    docs.foreach { doc =>
+      val m = doc.toMap
+      tracked.foreach { k =>
+        val prev = cols.get(k).orNull
+        m.getOrElse(k, null) match {
+          case l: java.lang.Long =>
+            val v = l.longValue()
+            if (prev == null || prev.nonNulls == 0L)
+              cols(k) = DocStoreZonemap.ColStats('i', v, v, 0d, 0d,
+                if (prev == null) 0L else prev.nulls, 1L)
+            else if (prev.kind != 'i') mixed += k
+            else cols(k) = prev.copy(iLo = math.min(prev.iLo, v),
+              iHi = math.max(prev.iHi, v), nonNulls = prev.nonNulls + 1)
+          case d: java.lang.Double =>
+            val (lo, hi) =
+              if (d.isNaN) (Double.NegativeInfinity, Double.PositiveInfinity)
+              else (d.doubleValue(), d.doubleValue())
+            if (prev == null || prev.nonNulls == 0L)
+              cols(k) = DocStoreZonemap.ColStats('f', 0L, 0L, lo, hi,
+                if (prev == null) 0L else prev.nulls, 1L)
+            else if (prev.kind != 'f') mixed += k
+            else cols(k) = prev.copy(fLo = math.min(prev.fLo, lo),
+              fHi = math.max(prev.fHi, hi), nonNulls = prev.nonNulls + 1)
+          case _ => // null or absent
+            cols(k) =
+              if (prev == null)
+                DocStoreZonemap.ColStats('i', 0L, 0L, 0d, 0d, 1L, 0L)
+              else prev.copy(nulls = prev.nulls + 1)
+        }
+      }
+    }
+    mixed.foreach(cols.remove)
+    Some(DocStoreZonemap.FileStats(docs.size.toLong, cols.toMap))
   }
 
   /** JSON re-serialization of a parsed document, mirroring the sink's

@@ -120,6 +120,26 @@ class DocStoreUpdatesSpec extends SparkSpec {
     assert(readBack(dir).filter($"lang" === "de-DE").count() == 200L)
   }
 
+  test("updated files carry zone maps: pruning keeps working after an update") {
+    val dir = Files.createTempDirectory("up6").toString
+    // range-clustered so doc_id pruning is observable
+    (1L to 400L).map(i => (i, s"doc$i", i * 2L))
+      .toDF("doc_id", "text", "score")
+      .repartitionByRange(4, $"doc_id")
+      .write.format(fmt).option("path", dir).mode("append").save()
+    DocStoreUpdates.updateWhere(spark, dir,
+      Seq(LessThanOrEqual("doc_id", 100L)), Map("score" -> 7L))
+    // the rewritten file got stats: a point probe into the untouched
+    // range reads ONE file, not every file plus the update file
+    val hit = readBack(dir).filter($"doc_id" === 350L)
+    assert(hit.rdd.getNumPartitions == 1,
+      "update widened the scan: rewritten file lacks a zone map")
+    assert(hit.count() == 1L)
+    // and a probe into the updated range still finds the new values
+    val upd = readBack(dir).filter($"doc_id" === 50L)
+    assert(upd.head().getLong(2) == 7L)
+  }
+
   test("unsupported filters and SET values are refused") {
     val dir = Files.createTempDirectory("up5").toString
     write(dir, parts = 1)
