@@ -116,6 +116,71 @@ object ScaleSmoke {
       return
     }
 
+    // targeted mode: `... <n> mor` — the docstore merge-on-read
+    // mutator stack at file count: deleteWhere and updateWhere touch
+    // O(matched) bytes instead of rewriting the table, and the
+    // compaction purge amortizes both. n = file count (default 200
+    // files x 500 rows).
+    if (args.lift(1).contains("mor")) {
+      import org.apache.spark.sql.sources.{EqualTo, LessThan}
+      val dir = java.nio.file.Files.createTempDirectory("smoke-mor").toString
+      val fmtV2 = "graft.sources.v2.DocStoreDataSource"
+      val nFiles = math.max(16, nDocs.toInt)
+      val rows = nFiles * 500L
+      timedN(rows)("write_docstore") {
+        spark.range(rows)
+          .select($"id", md5($"id".cast("string")).as("payload"),
+            ($"id" % 97).as("bucket"))
+          .repartition(nFiles)
+          .write.format(fmtV2).option("path", dir).mode("append").save()
+        rows
+      }
+      val tableBytes = graft.sources.v2.DocStoreCompact.liveFiles(dir)
+        .map(_.length()).sum
+      timedN(rows)("delete_1pct_mor") {
+        graft.sources.v2.DocStoreDeletes.deleteWhere(spark, dir,
+          Seq(LessThan("id", rows / 100)))
+      }
+      timedN(rows)("update_1pct_mor") {
+        graft.sources.v2.DocStoreUpdates.updateWhere(spark, dir,
+          Seq(EqualTo("bucket", 7L)), Map("bucket" -> 997L))
+      }
+      val sideBytes = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.startsWith("_dv-") ||
+          f.getName.startsWith("part-update-"))
+        .map(_.length()).sum
+      println(f"[scale]   table ${tableBytes / 1048576.0}%.1f MB; " +
+        f"delete+update side files ${sideBytes / 1048576.0}%.1f MB " +
+        f"(${100.0 * sideBytes / tableBytes}%.1f%% — the merge-on-read bargain)")
+      var preCount = 0L
+      timedN(rows)("scan_after_mutations") {
+        preCount = spark.read.format(fmtV2).option("path", dir).load().count()
+        preCount
+      }
+      timedN(rows)("compact_fold_all") {
+        graft.sources.v2.DocStoreCompact.compact(dir, 64L << 20)
+          .filesReplaced.toLong
+      }
+      timedN(rows)("scan_compacted") {
+        val c = spark.read.format(fmtV2).option("path", dir).load().count()
+        require(c == preCount, s"count changed: $c != $preCount")
+        c
+      }
+      // the fold's own sweep ran BEFORE the bins were written, so the
+      // now-stale DV/update side files clear on the NEXT maintenance
+      // pass — run it to show the steady state
+      graft.sources.v2.DocStoreCompact.sweep(dir)
+      val leftovers = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .count(f => f.getName.startsWith("_dv-") ||
+          f.getName.startsWith("part-update-"))
+      println(s"[scale]   DV/update side files after compact + next sweep: $leftovers")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      spark.stop()
+      return
+    }
+
     // targeted mode: `... <n> cc` — DataFrame alternating-star CC vs
     // GraphX Pregel on a diameter-100 chain graph (n nodes in blocks
     // of 100; the worst case for label propagation, which needs
