@@ -840,6 +840,120 @@ object AssociationQueries {
        |FROM w ORDER BY arm""".stripMargin
 
   // ------------------------------------------------------------------
+  // q355 — delta-method inference for a RATIO metric (revenue/event)
+  // ------------------------------------------------------------------
+
+  /** q355 — delta-method standard error for a ratio metric: revenue
+    * per EVENT, R = Σx/Σn over per-user pairs (x = purchase cents,
+    * n = events). The randomization unit is the user but the metric
+    * denominator is events, so the naive binomial/per-user SE is
+    * WRONG — the industry answer (Deng et al., "Applying the Delta
+    * Method in Metric Analytics", KDD'18) linearizes R around the
+    * means: Var(R̂) ≈ [Σn²·S_xx − 2ΣxΣn·S_xn + Σx²·S_nn]/((U−1)·Σn⁴)
+    * with S_ab the centered per-user moment forms. This is the RATIO
+    * companion to q243 (user-level conversion) and q257 (CUPED on a
+    * user-level mean) — neither can price a per-event metric; q317's
+    * jackknife targets a clustered MEAN, not a ratio.
+    *
+    * Exactness: revenue floors onto the cent grid per row (stated);
+    * per-user (x, n) and all five per-arm moment sums are exact
+    * integers on DECIMAL(38,0)/HUGEINT; the variance numerator is one
+    * integer quadratic form (provably ≥ 0 — it is U·(U−1)·Σn²·
+    * Var(x − R·n)); R and SE² land on fixed grids via two truncating
+    * divisions (micro for R, 1e-10 for SE² — stated, identical both
+    * engines). The 5% verdict on the arm difference needs NO sqrt:
+    * 100·ΔR_micro² > 38416·(SE²_t + SE²_c)_e10 is the exact
+    * cross-multiplied form of |ΔR| > 1.96·√(Var_t+Var_c). A missing
+    * arm degrades the verdict to NULL, never to a dropped row.
+    *
+    * Scale shape: one groupBy(user) with map-side combine, one 2-row
+    * per-arm rollup carrying all moments, a window over that 2-row
+    * relation for the cross-arm columns — no second pass, no joins. */
+  def q355(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.events(s, d)
+      .select($"user_id",
+        when($"event_type" === "purchase",
+          floor($"value" * 100).cast("long")).otherwise(lit(0L)).as("cents"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("x"))
+      .withColumn("arm",
+        when(conv(substring(md5(concat($"user_id".cast("string"), lit("#exp1"))), 1, 8), 16, 10)
+          .cast("long") % 2 === 0, lit("control")).otherwise(lit("treatment")))
+    val m = per.groupBy($"arm").agg(
+        count(lit(1)).as("u"),
+        sum($"n").as("sn"), sum($"x").as("sx"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),
+        sum(expr("cast(x as decimal(38,0)) * n")).as("sxn"),
+        sum(expr("cast(n as decimal(38,0)) * n")).as("snn"))
+      .filter($"u" >= 2L && $"sn" > 0L)
+      .withColumn("ratio_micro", expr("(cast(sx as decimal(38,0)) * 1000000) div sn"))
+      .withColumn("num", expr(
+        """cast(sn as decimal(38,0)) * sn * (u * sxx - cast(sx as decimal(38,0)) * sx)
+           - 2 * cast(sx as decimal(38,0)) * sn * (u * sxn - cast(sx as decimal(38,0)) * sn)
+           + cast(sx as decimal(38,0)) * sx * (u * snn - cast(sn as decimal(38,0)) * sn)"""))
+      .withColumn("t1", expr("num div ((u - 1) * cast(sn as decimal(38,0)) * sn)"))
+      .withColumn("se2_e10", expr(
+        "(cast(t1 as decimal(38,0)) * 10000000000) div (cast(sn as decimal(38,0)) * sn)"))
+    val w = Window.partitionBy(lit(1))
+    m.withColumn("cr", max(when($"arm" === "control", $"ratio_micro")).over(w))
+      .withColumn("tr", max(when($"arm" === "treatment", $"ratio_micro")).over(w))
+      .withColumn("cs", max(when($"arm" === "control", $"se2_e10")).over(w))
+      .withColumn("ts", max(when($"arm" === "treatment", $"se2_e10")).over(w))
+      .select($"arm", $"u".as("n_users"), $"sn".as("n_events"),
+        $"sx".as("x_cents"), $"ratio_micro", $"se2_e10",
+        expr("""case when cr is null or tr is null then cast(null as int)
+                else cast(100 * cast(tr - cr as decimal(38,0)) * (tr - cr)
+                     > 38416 * cast(ts + cs as decimal(38,0)) as int) end""")
+          .as("reject_5pct"))
+      .orderBy($"arm")
+  }
+
+  val q355Sql: String =
+    """WITH per AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+      |    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#exp1'), 1, 8))::BIGINT % 2 = 0
+      |         THEN 'control' ELSE 'treatment' END AS arm
+      |  FROM events GROUP BY user_id),
+      |m AS (
+      |  SELECT arm, CAST(count(*) AS BIGINT) AS u,
+      |    CAST(sum(n) AS BIGINT) AS sn, CAST(sum(x) AS BIGINT) AS sx,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(x AS HUGEINT) * n) AS sxn,
+      |    sum(CAST(n AS HUGEINT) * n) AS snn
+      |  FROM per GROUP BY arm
+      |  HAVING count(*) >= 2 AND sum(n) > 0),
+      |v AS (
+      |  SELECT arm, u, sn, sx,
+      |    (CAST(sx AS HUGEINT) * 1000000) // sn AS ratio_micro,
+      |    (CAST(sn AS HUGEINT) * sn * (u * sxx - CAST(sx AS HUGEINT) * sx)
+      |      - 2 * CAST(sx AS HUGEINT) * sn * (u * sxn - CAST(sx AS HUGEINT) * sn)
+      |      + CAST(sx AS HUGEINT) * sx * (u * snn - CAST(sn AS HUGEINT) * sn))
+      |     // ((u - 1) * CAST(sn AS HUGEINT) * sn) AS t1
+      |  FROM m),
+      |v2 AS (
+      |  SELECT arm, u, sn, sx, ratio_micro,
+      |    (CAST(t1 AS HUGEINT) * 10000000000) // (CAST(sn AS HUGEINT) * sn)
+      |      AS se2_e10
+      |  FROM v),
+      |w AS (
+      |  SELECT *,
+      |    max(CASE WHEN arm = 'control' THEN ratio_micro END) OVER () AS cr,
+      |    max(CASE WHEN arm = 'treatment' THEN ratio_micro END) OVER () AS tr,
+      |    max(CASE WHEN arm = 'control' THEN se2_e10 END) OVER () AS cs,
+      |    max(CASE WHEN arm = 'treatment' THEN se2_e10 END) OVER () AS ts
+      |  FROM v2)
+      |SELECT arm, u AS n_users, sn AS n_events, sx AS x_cents,
+      |  CAST(ratio_micro AS BIGINT) AS ratio_micro,
+      |  CAST(se2_e10 AS BIGINT) AS se2_e10,
+      |  CASE WHEN cr IS NULL OR tr IS NULL THEN NULL
+      |    ELSE CAST(100 * CAST(tr - cr AS HUGEINT) * (tr - cr)
+      |         > 38416 * CAST(ts + cs AS HUGEINT) AS INT) END AS reject_5pct
+      |FROM w ORDER BY arm""".stripMargin
+
+  // ------------------------------------------------------------------
   // q257 — CUPED variance-reduced A/B readout (exact moments)
   // ------------------------------------------------------------------
 
@@ -2032,6 +2146,7 @@ object AssociationQueries {
     QueryDef("q246_fpgrowth_itemsets", q246, Some(q246Sql)),
     QueryDef("q245_prefixspan_patterns", q245, Some(q245Sql)),
     QueryDef("q243_ab_readout", q243, Some(q243Sql)),
+    QueryDef("q355_delta_method_ratio", q355, Some(q355Sql)),
     QueryDef("q257_cuped_readout", q257, Some(q257Sql)),
     QueryDef("q268_two_proportion_z", q268, Some(q268Sql)),
     QueryDef("q272_srm_audit", q272, Some(q272Sql)),

@@ -1252,7 +1252,97 @@ object GovernanceQueries {
       |    AS BIGINT) > 30144000 AS INT) AS reject_5pct
       |FROM h CROSS JOIN tc CROSS JOIN tot""".stripMargin
 
+  /** q351 — Friedman blocked rank test: do the order priorities differ
+    * in monthly revenue AFTER removing the month effect? q334 (Kruskal–
+    * Wallis) pools all observations, so a seasonal trend every priority
+    * shares inflates its between-group signal; Friedman ranks the k
+    * priorities WITHIN each month block (the paired design — each month
+    * is its own control) and asks whether the rank profile is stable.
+    * Exact: the cell statistic is the month×priority revenue sum pushed
+    * onto the integer cent grid (`floor(sum·100 + 0.5)` — grid-first,
+    * the Fx.moneySum discipline), ranks are `row_number` with the
+    * priority label as the stated tie-break (cent-grid ties across
+    * DISTINCT priorities in the same month are measure-zero but the
+    * order must still be total), incomplete blocks are dropped (the
+    * standard complete-block requirement), and
+    * Q = 12·ΣR_j²/(n·k·(k+1)) − 3·n·(k+1) is one truncating micro
+    * division on DECIMAL(38,0)/HUGEINT. Verdict against the pinned
+    * χ²(k−1) 5% critical value (df looked up 1..5 — data-driven k).
+    *
+    * Scale shape: the corpus collapses to the month×priority cell grid
+    * in one aggregate; everything after (ranks, rank sums, Q) runs on
+    * that ≤ months·k relation. */
+  def q351(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val cells = Tables.orders(s, d)
+      .select(date_trunc("month", $"o_orderdate").as("mon"),
+        $"o_orderpriority".as("priority"), $"o_totalprice")
+      .groupBy($"mon", $"priority")
+      .agg(floor(sum($"o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      .transform(graft.Fx.materialize) // k, complete-block filter, ranks
+    val kdf = cells.select($"priority").distinct().agg(count(lit(1)).as("k"))
+    val complete = cells.groupBy($"mon").agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(kdf)).filter($"c" === $"k").select($"mon")
+    val ranked = cells.join(complete, "mon")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"mon").orderBy($"cents", $"priority")))
+    val rsum = ranked.groupBy($"priority")
+      .agg(sum($"rk").as("rank_sum"), count(lit(1)).as("nb"))
+    val stat = rsum.agg(
+        sum(expr("cast(rank_sum as decimal(38,0)) * rank_sum")).as("s2"),
+        max($"nb").as("n"), count(lit(1)).as("kk"))
+      .withColumn("q_micro", expr(
+        """(12 * s2 * 1000000)
+           div (cast(n as decimal(38,0)) * kk * (kk + 1))""") -
+        expr("3 * n * (kk + 1) * 1000000"))
+      .withColumn("crit_micro", expr(
+        """case kk - 1 when 1 then 3841459 when 2 then 5991465
+           when 3 then 7814728 when 4 then 9487729
+           else 11070498 end"""))
+    rsum.crossJoin(broadcast(stat))
+      .select($"priority", $"rank_sum", $"n".as("n_blocks"),
+        $"q_micro",
+        ($"q_micro" > $"crit_micro").cast("int").as("reject_5pct"))
+      .orderBy($"priority")
+  }
+
+  val q351Sql: String =
+    """WITH cells AS MATERIALIZED (
+      |  SELECT date_trunc('month', o_orderdate) AS mon,
+      |    o_orderpriority AS priority,
+      |    CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1, 2),
+      |kk AS (SELECT CAST(count(DISTINCT priority) AS BIGINT) AS k FROM cells),
+      |complete AS (
+      |  SELECT mon FROM cells GROUP BY mon
+      |  HAVING count(*) = (SELECT k FROM kk)),
+      |ranked AS (
+      |  SELECT c.priority,
+      |    row_number() OVER (PARTITION BY c.mon ORDER BY c.cents, c.priority) AS rk
+      |  FROM cells c JOIN complete USING (mon)),
+      |rs AS (
+      |  SELECT priority, CAST(sum(rk) AS BIGINT) AS rank_sum,
+      |    CAST(count(*) AS BIGINT) AS nb
+      |  FROM ranked GROUP BY 1),
+      |st AS (
+      |  SELECT sum(CAST(rank_sum AS HUGEINT) * rank_sum) AS s2,
+      |    max(nb) AS n, CAST(count(*) AS BIGINT) AS kk2
+      |  FROM rs),
+      |q AS (
+      |  SELECT n, kk2,
+      |    CAST((12 * s2 * 1000000) // (CAST(n AS HUGEINT) * kk2 * (kk2 + 1))
+      |      - 3 * CAST(n AS HUGEINT) * (kk2 + 1) * 1000000 AS BIGINT) AS q_micro,
+      |    CASE kk2 - 1 WHEN 1 THEN 3841459 WHEN 2 THEN 5991465
+      |      WHEN 3 THEN 7814728 WHEN 4 THEN 9487729
+      |      ELSE 11070498 END AS crit_micro
+      |  FROM st)
+      |SELECT rs.priority, rs.rank_sum, q.n AS n_blocks, q.q_micro,
+      |  CAST(q.q_micro > q.crit_micro AS INT) AS reject_5pct
+      |FROM rs CROSS JOIN q ORDER BY rs.priority""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q351_friedman_test", q351, Some(q351Sql)),
     QueryDef("q334_kruskal_wallis", q334, Some(q334Sql)),
     QueryDef("q332_t_closeness", q332, Some(q332Sql)),
     QueryDef("q317_jackknife_se", q317, Some(q317Sql)),

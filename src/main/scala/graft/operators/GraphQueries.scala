@@ -290,9 +290,14 @@ object GraphQueries {
     * order-bounded by the document-model argument); one edge shuffle
     * for degrees, one broadcast-degree join back, one scalar
     * aggregate. */
-  def q350(s: SparkSession, d: String): DataFrame = {
+  /** Distinct undirected co-purchase edges (a < b): part pairs that
+    * share an order. Per-order fanout is ≤ lines² — bounded by the
+    * order-size bound, the same document-model argument q350 makes —
+    * and the result is materialized once because every caller feeds it
+    * to ≥ 2 consumers (degrees + a second pass). */
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val e0 = Tables.lineitem(s, d)
+    Tables.lineitem(s, d)
       .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
       .groupBy($"ok")
       .agg(sort_array(collect_list($"p")).as("ps"))
@@ -302,7 +307,12 @@ object GraphQueries {
         pr => pr("a") < pr("b"))).as("e"))
       .select($"e.a".as("a"), $"e.b".as("b"))
       .distinct()
-      .transform(graft.Fx.materialize) // degrees AND the moment pass
+      .transform(graft.Fx.materialize)
+  }
+
+  def q350(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e0 = copurchaseEdges(s, d) // materialized: degrees AND the moment pass
     val deg = e0.select($"a".as("n")).unionAll(e0.select($"b".as("n")))
       .groupBy($"n").agg(count(lit(1)).as("deg"))
     val both = e0.unionAll(e0.select($"b".as("a"), $"a".as("b")))
@@ -352,8 +362,153 @@ object GraphQueries {
        |WHERE k * sxx - sx * sx > 0 AND k * syy - sy * sy > 0""".stripMargin
   }
 
+  /** q352 — link prediction on the co-purchase graph by the
+    * resource-allocation index (Zhou/Lü/Zhang 2009): for a NON-adjacent
+    * part pair (a,b), RA(a,b) = Σ_z 1/deg(z) over common neighbors z —
+    * "which parts that never sold together are most likely to next?",
+    * the complement of q204's lift over OBSERVED pairs. Two exactness /
+    * scale moves: (1) the reciprocal is fixed-point `1000000 div deg`
+    * (integer division, identical both engines) so scores sum exactly —
+    * no float accumulation; (2) only intermediaries with deg(z) ≤ 64
+    * generate wedges (a stated semantic, the minhash bucket-cap
+    * discipline of Dedup.scala) — a hub that co-sells with everything
+    * carries ≈ no RA signal but would alone contribute deg² wedge
+    * pairs, so the cap turns Σ deg(z)² into ≤ 64·Σ deg = O(E).
+    *
+    * Scale shape: one edge shuffle for degrees, one capped self-join
+    * keyed by the intermediary, one (a,b) aggregate, an anti-join
+    * against the edge list, and a driver-side top-20
+    * (TakeOrderedAndProject — per-partition heaps, no global sort). */
+  def q352(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e0 = copurchaseEdges(s, d) // materialized: degrees, wedges, anti-join
+    val deg = e0.select($"a".as("n")).unionAll(e0.select($"b".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("deg"))
+    val nb = e0.unionAll(e0.select($"b".as("a"), $"a".as("b")))
+      .select($"a".as("z"), $"b".as("m"))
+      .join(deg.select($"n".as("z"), $"deg".as("zdeg")), "z")
+      .filter($"zdeg" <= 64L)
+    val wedges = nb.as("x").join(nb.as("y"), Seq("z"))
+      .filter($"x.m" < $"y.m")
+      .select($"x.m".as("a"), $"y.m".as("b"), $"x.zdeg".as("zdeg"))
+    wedges.groupBy($"a", $"b")
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(expr("1000000 div zdeg")).as("ra_micro"))
+      .join(e0, Seq("a", "b"), "left_anti")
+      .orderBy($"ra_micro".desc, $"common_neighbors".desc, $"a", $"b")
+      .limit(20)
+  }
+
+  val q352Sql: String =
+    """WITH lp AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |e0 AS MATERIALIZED (
+      |  SELECT DISTINCT a.p AS a, b.p AS b
+      |  FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p),
+      |deg AS (
+      |  SELECT n, CAST(count(*) AS BIGINT) AS deg
+      |  FROM (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0)
+      |  GROUP BY n),
+      |nb AS (
+      |  SELECT e.a AS z, e.b AS m, deg.deg AS zdeg
+      |  FROM (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0) e
+      |  JOIN deg ON e.a = deg.n
+      |  WHERE deg.deg <= 64),
+      |w AS (
+      |  SELECT x.m AS a, y.m AS b, x.zdeg
+      |  FROM nb x JOIN nb y ON x.z = y.z AND x.m < y.m),
+      |sc AS (
+      |  SELECT a, b, CAST(count(*) AS BIGINT) AS common_neighbors,
+      |    CAST(sum(1000000 // zdeg) AS BIGINT) AS ra_micro
+      |  FROM w GROUP BY a, b)
+      |SELECT sc.a, sc.b, sc.common_neighbors, sc.ra_micro
+      |FROM sc LEFT JOIN e0 ON sc.a = e0.a AND sc.b = e0.b
+      |WHERE e0.a IS NULL
+      |ORDER BY sc.ra_micro DESC, sc.common_neighbors DESC, sc.a, sc.b
+      |LIMIT 20""".stripMargin
+
+  /** q353 — clustering spectrum c(k) of the hourly co-activity user
+    * graph: per degree class k, the mean local clustering coefficient
+    * 2·tri(v) / (k·(k−1)) over the n_k nodes of that degree — the
+    * degree-RESOLVED version of q109's one global triangle count
+    * (a falling c(k) ~ k^−1 is the hierarchical-network signature;
+    * flat c(k) says triangles spread evenly). Exact: per-node triangle
+    * counts come from the same a<b<c oriented triple join as q109,
+    * each triangle crediting its three corners; within a degree class
+    * the coefficient denominator is constant, so c(k) collapses to the
+    * single division (2·Σtri) / (n_k·k·(k−1)) of two exact integers —
+    * one correctly-rounded IEEE op, bit-identical both engines, then
+    * grid-rounded r6.
+    *
+    * Scale shape: q109's orientation bounds the triple-join
+    * intermediate; the per-node credit is three projections of the
+    * triangle list + one shuffle on node id; the spectrum is a
+    * degree-keyed aggregate over |V| rows. */
+  def q353(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val active = Tables.events(s, d)
+      .select(date_trunc("hour", $"ts").as("hr"), $"user_id").distinct()
+    val edges = active.as("x").join(active.as("y"), Seq("hr"))
+      .filter($"x.user_id" < $"y.user_id")
+      .select($"x.user_id".as("a"), $"y.user_id".as("b"))
+      .distinct()
+      .transform(graft.Fx.materialize) // triangles AND degrees
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), $"e1.b" === $"e2.a")
+      .join(edges.as("e3"), $"e2.b" === $"e3.b" && $"e1.a" === $"e3.a")
+      .select($"e1.a".as("a"), $"e1.b".as("b"), $"e2.b".as("c"))
+    val triPerNode = tri.select($"a".as("n"))
+      .unionAll(tri.select($"b".as("n"))).unionAll(tri.select($"c".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("t"))
+    val deg = edges.select($"a".as("n")).unionAll(edges.select($"b".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("deg"))
+    deg.join(triPerNode, Seq("n"), "left_outer")
+      .select($"deg", coalesce($"t", lit(0L)).as("t"))
+      .filter($"deg" >= 2L)
+      .groupBy($"deg")
+      .agg(count(lit(1)).as("n_nodes"), sum($"t").as("tri_sum"))
+      .select($"deg", $"n_nodes", $"tri_sum",
+        r6((lit(2L) * $"tri_sum").cast("double") /
+          ($"n_nodes" * $"deg" * ($"deg" - 1L)).cast("double")).as("c_of_k"))
+      .orderBy($"deg")
+  }
+
+  val q353Sql: String =
+    """WITH active AS (
+      |  SELECT DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, user_id
+      |  FROM events),
+      |edges AS MATERIALIZED (
+      |  SELECT DISTINCT x.user_id AS a, y.user_id AS b
+      |  FROM active x JOIN active y ON x.hr = y.hr AND x.user_id < y.user_id),
+      |tri AS (
+      |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+      |  FROM edges e1
+      |  JOIN edges e2 ON e1.b = e2.a
+      |  JOIN edges e3 ON e2.b = e3.b AND e1.a = e3.a),
+      |tv AS (
+      |  SELECT n, CAST(count(*) AS BIGINT) AS t
+      |  FROM (SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+      |        UNION ALL SELECT c FROM tri)
+      |  GROUP BY n),
+      |deg AS (
+      |  SELECT n, CAST(count(*) AS BIGINT) AS deg
+      |  FROM (SELECT a AS n FROM edges UNION ALL SELECT b FROM edges)
+      |  GROUP BY n),
+      |nd AS (
+      |  SELECT deg.deg, COALESCE(tv.t, 0) AS t
+      |  FROM deg LEFT JOIN tv ON deg.n = tv.n
+      |  WHERE deg.deg >= 2)
+      |SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes,
+      |  CAST(sum(t) AS BIGINT) AS tri_sum,
+      |  floor(CAST(2 * sum(t) AS DOUBLE)
+      |    / CAST(count(*) * deg * (deg - 1) AS DOUBLE) * 1000000 + 0.5)
+      |    / 1000000 AS c_of_k
+      |FROM nd GROUP BY deg ORDER BY deg""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q350_degree_assortativity", q350, Some(q350Sql)),
+    QueryDef("q352_ra_link_prediction", q352, Some(q352Sql)),
+    QueryDef("q353_clustering_spectrum", q353, Some(q353Sql)),
     QueryDef("q91_pagerank_iterative", q91, Some(q91Sql)),
     QueryDef("q209_kcore_peel", q209, Some(q209Sql)),
     QueryDef("q323_label_propagation", q323, Some(q323Sql)))

@@ -241,9 +241,81 @@ object Profile {
     pairs.mkString("", "\nUNION ALL\n", "\nORDER BY lhs, rhs")
   }
 
+  // ---- inclusion-dependency discovery (SPIDER-style profiling) -----
+
+  /** Candidate directed INDs (lhsTable.lhsCol ⊆ rhsTable.rhsCol): the
+    * six star-schema FK edges, three reversals (do all orders have
+    * lines? all parts sell? all customers order?), and two
+    * cross-domain "spurious" candidates small integer domains invite —
+    * l_linenumber ⊆ n_nationkey typically HOLDS by accident (1..7 fits
+    * inside 0..24), the classic false positive an IND profiler must
+    * surface for a human to veto, while p_size ⊆ n_nationkey fails. */
+  private val indCands: Seq[(String, String, String, String)] = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("part", "p_partkey", "lineitem", "l_partkey"),
+    ("customer", "c_custkey", "orders", "o_custkey"),
+    ("lineitem", "l_linenumber", "nation", "n_nationkey"),
+    ("part", "p_size", "nation", "n_nationkey"))
+
+  /** q354 — inclusion-dependency discovery over a declared candidate
+    * grid: for each directed pair A ⊆ B, how many distinct A-values
+    * are missing from B? Completes the profiling triad — q207 says how
+    * keys are DISTRIBUTED, q289 which columns DETERMINE each other
+    * within a table, q354 which columns REFERENCE each other across
+    * tables (the discovered-FK readout a catalog publishes, and the
+    * referential-integrity audit a pipeline runs after every load).
+    * Exact: violation counts are integers off distinct-collapsed
+    * anti-joins; standard IND semantics ignore null LHS values.
+    *
+    * Scale shape: each candidate is two single-column
+    * distinct-collapses (column-pruned parquet scans — the only
+    * columns read) + one anti-join on key-sized relations, broadcast
+    * when the RHS domain is small; the candidate grid is bounded
+    * METADATA, so the report is |grid| rows. Value-set hashing (the
+    * SPIDER refinement) would share the collapses across candidates;
+    * at 11 candidates the straightforward per-pair plan is the better
+    * trade. */
+  def q354(s: SparkSession, d: String): DataFrame = {
+    val rows = indCands.map { case (lt, lc, rt, rc) =>
+      val lhs = Tables.load(s, d, lt).select(col(lc).as("v"))
+        .filter(col("v").isNotNull).distinct()
+      val rhs = Tables.load(s, d, rt).select(col(rc).as("v")).distinct()
+      val miss = lhs.join(rhs, Seq("v"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      lhs.agg(count(lit(1)).as("n_distinct_lhs")).crossJoin(miss)
+        .select(lit(s"$lt.$lc").as("lhs"), lit(s"$rt.$rc").as("rhs"),
+          col("n_distinct_lhs"), col("n_violations"),
+          (col("n_violations") === 0L).cast("int").as("holds"))
+    }
+    rows.reduce(_ unionByName _).orderBy(col("lhs"), col("rhs"))
+  }
+
+  val q354Sql: String = {
+    val blocks = indCands.map { case (lt, lc, rt, rc) =>
+      s"""SELECT '$lt.$lc' AS lhs, '$rt.$rc' AS rhs,
+         |  (SELECT CAST(count(DISTINCT $lc) AS BIGINT) FROM $lt
+         |   WHERE $lc IS NOT NULL) AS n_distinct_lhs,
+         |  (SELECT CAST(count(*) AS BIGINT)
+         |   FROM (SELECT DISTINCT $lc AS v FROM $lt WHERE $lc IS NOT NULL) t
+         |   WHERE NOT EXISTS (SELECT 1 FROM $rt WHERE $rc = t.v))
+         |    AS n_violations,
+         |  (SELECT CAST(count(*) = 0 AS INT)
+         |   FROM (SELECT DISTINCT $lc AS v FROM $lt WHERE $lc IS NOT NULL) t
+         |   WHERE NOT EXISTS (SELECT 1 FROM $rt WHERE $rc = t.v)) AS holds""".stripMargin
+    }
+    blocks.mkString("", "\nUNION ALL\n", "\nORDER BY lhs, rhs")
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q80_profile", q80, Some(q80Sql)),
     QueryDef("q136_quality_gates", q136, Some(q136Sql)),
     QueryDef("q207_join_key_skew", q207, Some(q207Sql)),
-    QueryDef("q289_fd_discovery", q289, Some(q289Sql)))
+    QueryDef("q289_fd_discovery", q289, Some(q289Sql)),
+    QueryDef("q354_inclusion_deps", q354, Some(q354Sql)))
 }

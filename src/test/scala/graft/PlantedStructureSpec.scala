@@ -744,6 +744,152 @@ class PlantedStructureSpec extends SparkSpec {
       === ((1L, 2L, 1L, 1L)), s"policies $r")
   }
 
+  /** orders fixture with per-row priority: (day, priority, dollars). */
+  private def ordersPrioDir(rows: Seq[(Int, String, Double)]): String = {
+    val dir = Files.createTempDirectory("planted-ordp")
+    rows.zipWithIndex
+      .map { case ((d, p, v), i) => (i.toLong, d.toLong, p, v) }
+      .toDF("o_orderkey", "day", "o_orderpriority", "o_totalprice")
+      .withColumn("o_orderdate", timestamp_micros(
+        ($"day" * 86400L + 43200L) * 1000000L))
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority", $"o_totalprice")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("orders.parquet").toString)
+    dir.toString
+  }
+
+  test("q351 reads perfectly consistent blocks as Q = 2n exactly, " +
+    "drops incomplete blocks, and is null on alternating ranks") {
+    // 4 complete months (days 5/40/70/100), C > B > A in every one,
+    // plus an INCOMPLETE May block (B and C only) that must be dropped:
+    // k=3, n=4 -> R = (4, 8, 12), Q = 2n = 8 exactly, df=2 crit 5.99
+    val consistent = Seq(5, 40, 70, 100).flatMap(d =>
+      Seq((d, "A", 10.0), (d, "B", 20.0), (d, "C", 30.0))) ++
+      Seq((130, "B", 20.0), (130, "C", 30.0))
+    val out = operators.GovernanceQueries.q351(spark, ordersPrioDir(consistent))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    assert(out("A") === ((4L, 4L, 8000000L, 1)), s"A ${out("A")}")
+    assert(out("B") === ((8L, 4L, 8000000L, 1)))
+    assert(out("C") === ((12L, 4L, 8000000L, 1)))
+    // alternating ranks: A and B swap winners 2-2 -> equal rank sums,
+    // Q exactly 0, accept
+    val alt = Seq(5, 40).flatMap(d => Seq((d, "A", 10.0), (d, "B", 20.0))) ++
+      Seq(70, 100).flatMap(d => Seq((d, "A", 20.0), (d, "B", 10.0)))
+    val nul = operators.GovernanceQueries.q351(spark, ordersPrioDir(alt))
+      .collect().map(r => (r.getLong(3), r.getInt(4)))
+    assert(nul.forall(_ === ((0L, 0))), s"null case $nul")
+  }
+
+  test("q352 scores the planted wedge pairs exactly and mutes the " +
+    "over-cap hub") {
+    // parts 1,2 share intermediaries 10 and 11 (deg 2 each):
+    // RA(1,2) = 2 * 1/2 -> 1000000 micro, cn=2; symmetrically
+    // (10,11) via {1,2}. Hub 100 sits in 66 two-part orders -> deg 66
+    // > 64: its leaf pairs must receive NO score at all.
+    val wedge = Seq((1L, 1L), (1L, 10L), (2L, 2L), (2L, 10L),
+      (3L, 1L), (3L, 11L), (4L, 2L), (4L, 11L))
+    val hub = (0 until 66).flatMap(i =>
+      Seq((100L + i, 100L), (100L + i, 200L + i)))
+    val out = operators.GraphQueries.q352(spark, orderPartsDir(wedge ++ hub))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 2L, 2L, 1000000L), (10L, 11L, 2L, 1000000L)),
+      s"scored pairs ${out.toSeq}")
+  }
+
+  test("q353 reads the planted triangle/clique/path spectrum exactly") {
+    // day 1: {1,2,3} triangle; day 2: {4,5,6,7} K4; days 3-4: path
+    // 8-9-10 (deg(9)=2, no triangle; endpoints deg 1 are excluded)
+    val rows =
+      Seq(1L, 2L, 3L).map(u => (1, u, "view", 1.0)) ++
+        Seq(4L, 5L, 6L, 7L).map(u => (2, u, "view", 1.0)) ++
+        Seq(8L, 9L).map(u => (3, u, "view", 1.0)) ++
+        Seq(9L, 10L).map(u => (4, u, "view", 1.0))
+    val out = operators.GraphQueries.q353(spark, eventsDir(rows))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // degree 2: triangle corners (tri=1 each) + path middle (tri=0)
+    assert(out(2L) === ((4L, 3L, 0.75)), s"deg-2 ${out(2L)}")
+    // degree 3: the K4, every corner in 3 triangles, c = 1.0
+    assert(out(3L) === ((4L, 12L, 1.0)), s"deg-3 ${out(3L)}")
+    assert(out.size === 2, s"unexpected degree classes ${out.keySet}")
+  }
+
+  test("q354 counts the planted referential violations exactly, " +
+    "including the spurious small-domain IND that holds by accident") {
+    val dir = Files.createTempDirectory("planted-ind")
+    def w(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      df.coalesce(1).write.mode("overwrite")
+        .parquet(dir.resolve(s"$name.parquet").toString)
+    w("nation", Seq(0, 1, 2, 3).toDF("n_nationkey"))
+    w("customer", Seq((10L, 0), (11L, 1), (12L, 9)).toDF("c_custkey", "c_nationkey"))
+    w("supplier", Seq((20L, 0), (21L, 3)).toDF("s_suppkey", "s_nationkey"))
+    w("part", Seq((30L, 5), (31L, 99)).toDF("p_partkey", "p_size"))
+    w("orders", Seq((100L, 10L), (101L, 10L), (102L, 77L)).toDF("o_orderkey", "o_custkey"))
+    w("lineitem", Seq((100L, 30L, 20L, 1), (101L, 30L, 21L, 2), (999L, 30L, 20L, 1))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"))
+    val out = operators.Profile.q354(spark, dir.toString)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getInt(4)))
+    val expected = Seq(
+      ("customer.c_custkey", 3L, 2L, 0),    // 11, 12 never order
+      ("customer.c_nationkey", 3L, 1L, 0),  // nation 9 unknown
+      ("lineitem.l_linenumber", 2L, 0L, 1), // SPURIOUS: {1,2} fits {0..3}
+      ("lineitem.l_orderkey", 3L, 1L, 0),   // orphan line 999
+      ("lineitem.l_partkey", 1L, 0L, 1),
+      ("lineitem.l_suppkey", 2L, 0L, 1),
+      ("orders.o_custkey", 2L, 1L, 0),      // ghost customer 77
+      ("orders.o_orderkey", 3L, 1L, 0),     // order 102 has no lines
+      ("part.p_partkey", 2L, 1L, 0),        // part 31 never sold
+      ("part.p_size", 2L, 2L, 0),           // cross-domain candidate fails
+      ("supplier.s_nationkey", 2L, 0L, 1))
+    assert(out.toSeq === expected, s"IND report ${out.toSeq}")
+  }
+
+  test("q355 matches a sequential BigInt delta-method fold on planted " +
+    "per-user data") {
+    // arms follow the engine's salted-md5 parity — recompute it here
+    // (pure JDK) so the plant controls each arm's value distribution
+    def isControl(id: Long): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id#exp1".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 2 == 0
+    }
+    // per user: one purchase of (base + id%3) dollars + two views ->
+    // n_i = 3, x_i = 100*(base + id%3); treatment base is 2x control's
+    val ids = (1L to 40L)
+    val rows = ids.flatMap { id =>
+      val base = if (isControl(id)) 10.0 else 20.0
+      Seq((1, id, "purchase", base + (id % 3)),
+        (2, id, "view", 0.0), (3, id, "view", 0.0))
+    }
+    // sequential reference fold (BigInt, the same stated truncations)
+    def ref(arm: Seq[Long]): (BigInt, BigInt) = { // (ratio_micro, se2_e10)
+      val xs = arm.map(id => BigInt(100) * (BigInt(if (isControl(id)) 10 else 20) + id % 3))
+      val u = BigInt(xs.size); val sn = u * 3; val sx = xs.sum
+      val sxx = xs.map(x => x * x).sum; val sxn = xs.map(_ * 3).sum
+      val snn = u * 9
+      val num = sn * sn * (u * sxx - sx * sx) -
+        2 * sx * sn * (u * sxn - sx * sn) + sx * sx * (u * snn - sn * sn)
+      val t1 = num / ((u - 1) * sn * sn)
+      (sx * 1000000 / sn, t1 * BigInt(10000000000L) / (sn * sn))
+    }
+    val (ctl, trt) = ids.partition(isControl)
+    val out = operators.AssociationQueries.q355(spark, eventsDir(rows))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(4), r.getLong(5), r.getInt(6))).toMap
+    val (rc, sc) = ref(ctl); val (rt, st) = ref(trt)
+    assert(out("control")._1 === rc.toLong && out("control")._2 === sc.toLong,
+      s"control ${out("control")} vs ref ($rc, $sc)")
+    assert(out("treatment")._1 === rt.toLong && out("treatment")._2 === st.toLong,
+      s"treatment ${out("treatment")} vs ref ($rt, $st)")
+    // the planted 2x effect must be detected
+    val expectReject =
+      if (BigInt(100) * (rt - rc) * (rt - rc) > BigInt(38416) * (st + sc)) 1 else 0
+    assert(out("control")._3 === expectReject && expectReject === 1,
+      s"verdict ${out("control")._3}")
+  }
+
   test("q286 finds the planted variance axis") {
     // dim 5 carries 100x the variance of every other dim
     val rnd = new scala.util.Random(7)
