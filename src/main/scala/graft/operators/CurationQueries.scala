@@ -1325,7 +1325,78 @@ object CurationQueries {
        |FROM b ORDER BY bin""".stripMargin
   }
 
+  /** q356 — importance weights toward a target domain (the DSIR idea,
+    * Xie et al. 2023, in exact rational form): score every document by
+    * how much its unigram distribution looks like the TARGET domain
+    * (lang = 'en') relative to the whole corpus, then surface the
+    * top-scoring documents — the selection signal for "tilt the
+    * mixture toward domain X" curation. Distinct from q164 (fluency
+    * under a self-trained bigram LM — no target), q156 (supervised
+    * quality weights), and q253 (selection under a budget given
+    * scores): this query ESTIMATES the domain-matching score itself.
+    * Per word w, the add-one-smoothed likelihood ratio
+    * lr(w) = [(c_t(w)+1)/(N_t+V)] / [(c_g(w)+1)/(N_g+V)] is one exact
+    * fixed-point integer `·10⁶ div` on DECIMAL(38,0) (NO per-token
+    * float logs — the mean of micro-LRs replaces the mean log-LR as
+    * the stated scoring rule); a document's score is the truncating
+    * integer mean of its tokens' micro-LRs.
+    *
+    * Scale shape: one token explode feeding vocabulary-bounded global
+    * and target count aggregates; the LR model is a vocab-sized
+    * relation joined back to tokens (AQE picks broadcast when vocab is
+    * small); one doc-keyed aggregate; top-20 via per-partition heaps.
+    * The projected-words discipline applies — tokens materialize once,
+    * never re-split per consumer. */
+  def q356(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("w"))
+      .transform(graft.Fx.materialize) // global counts, target counts, scoring
+    val model = toks.groupBy($"w").agg(
+        count(lit(1)).as("cg"),
+        sum(($"lang" === "en").cast("long")).as("ct"))
+    val tot = model.agg(sum($"cg").as("ng"), sum($"ct").as("nt"),
+      count(lit(1)).as("v"))
+    val lr = model.crossJoin(broadcast(tot))
+      .select($"w", expr(
+        """((ct + 1) * (cast(ng as decimal(38,0)) + v) * 1000000)
+           div ((cg + 1) * (cast(nt as decimal(38,0)) + v))""").as("lr_micro"))
+    toks.join(lr, "w")
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_tokens"), sum($"lr_micro").as("slr"))
+      .select($"doc_id", $"lang", $"n_tokens",
+        expr("cast(slr as decimal(38,0)) div n_tokens").as("score_micro"))
+      .orderBy(desc("score_micro"), $"doc_id")
+      .limit(20)
+  }
+
+  val q356Sql: String =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |model AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS cg,
+      |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+      |  FROM toks GROUP BY w),
+      |tot AS (
+      |  SELECT CAST(sum(cg) AS BIGINT) AS ng, CAST(sum(ct) AS BIGINT) AS nt,
+      |    CAST(count(*) AS BIGINT) AS v
+      |  FROM model),
+      |lr AS (
+      |  SELECT w,
+      |    ((ct + 1) * (CAST(ng AS HUGEINT) + v) * 1000000)
+      |      // ((cg + 1) * (CAST(nt AS HUGEINT) + v)) AS lr_micro
+      |  FROM model CROSS JOIN tot)
+      |SELECT t.doc_id, t.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(CAST(sum(lr.lr_micro) AS HUGEINT) // count(*) AS BIGINT)
+      |    AS score_micro
+      |FROM toks t JOIN lr ON t.w = lr.w
+      |GROUP BY t.doc_id, t.lang
+      |ORDER BY score_micro DESC, t.doc_id
+      |LIMIT 20""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q356_importance_weights", q356, Some(q356Sql)),
     QueryDef("q318_score_calibration", q318, Some(q318Sql)),
     QueryDef("q300_pipeline_funnel", q300, Some(q300Sql), bench = true),
     QueryDef("q266_quantile_normalize", q266, Some(q266Sql)),

@@ -3641,7 +3641,84 @@ object EventQueries {
       |       ELSE 'consistent' END AS verdict
       |FROM agg""".stripMargin
 
+  /** q357 — lead–lag cross-correlation between the daily click series
+    * and the daily purchase series: Pearson r of (clicks on day t,
+    * purchases on day t+k) for k ∈ [−7, +7] — WHICH series leads and
+    * by how many days, the causal-direction screen q312's
+    * AUTO-correlation cannot ask (auto correlates a series with its
+    * own past; this correlates two different series across an offset).
+    * Exact: both series are integer daily counts; per lag the five
+    * moment sums ride DECIMAL(38,0) over the n−|k| overlapping days,
+    * r is q178's one-pinned-sqrt shape (r6), and a degenerate lag
+    * (zero variance in either window) reports NULL r rather than
+    * dropping the row — the lag grid stays complete.
+    *
+    * Scale shape: the corpus collapses to the bounded day calendar
+    * FIRST (one aggregate); the 15-lag grid cross-joins that
+    * calendar-sized relation and self-joins it shifted (both sides
+    * broadcast-sized at any corpus scale); moments are one group-by
+    * over ≤ 15·days rows. */
+  def q357(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy(epochDay($"ts").as("day"))
+      .agg(sum(($"event_type" === "click").cast("long")).as("x"),
+        sum(($"event_type" === "purchase").cast("long")).as("y"))
+      .transform(graft.Fx.materialize) // both sides of the shifted join
+    val lags = s.range(-7L, 8L).select($"id".cast("long").as("lag"))
+    val pairs = daily.as("a").crossJoin(broadcast(lags))
+      .join(broadcast(daily.as("b")), $"b.day" === $"a.day" + $"lag")
+      .select($"lag", $"a.x".as("x"), $"b.y".as("y"))
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    pairs.groupBy($"lag").agg(
+        count(lit(1)).as("n_days"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum(d38($"x") * $"y").as("sxy"),
+        sum(d38($"x") * $"x").as("sxx"), sum(d38($"y") * $"y").as("syy"))
+      .select($"lag", $"n_days",
+        (d38($"n_days") * $"sxy" - d38($"sx") * $"sy").as("cov_n"),
+        (d38($"n_days") * $"sxx" - d38($"sx") * $"sx").as("vx_n"),
+        (d38($"n_days") * $"syy" - d38($"sy") * $"sy").as("vy_n"))
+      .select($"lag", $"n_days",
+        when($"vx_n" > 0 && $"vy_n" > 0,
+          graft.Fx.r6($"cov_n".cast("double") /
+            sqrt($"vx_n".cast("double") * $"vy_n".cast("double"))))
+          .as("xcorr"))
+      .orderBy($"lag")
+  }
+
+  val q357Sql: String = {
+    val r = "CAST(cov_n AS DOUBLE) / sqrt(CAST(vx_n AS DOUBLE) * CAST(vy_n AS DOUBLE))"
+    s"""WITH daily AS MATERIALIZED (
+       |  SELECT CAST(ts AS DATE) - DATE '1970-01-01' AS day,
+       |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+       |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+       |  FROM events GROUP BY 1),
+       |lags AS (SELECT CAST(l AS BIGINT) AS lag FROM generate_series(-7, 7) t(l)),
+       |pairs AS (
+       |  SELECT lags.lag, a.x, b.y
+       |  FROM daily a CROSS JOIN lags JOIN daily b ON b.day = a.day + lags.lag),
+       |m AS (
+       |  SELECT lag, CAST(count(*) AS BIGINT) AS n_days,
+       |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+       |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+       |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+       |    sum(CAST(y AS HUGEINT) * y) AS syy
+       |  FROM pairs GROUP BY lag),
+       |c AS (
+       |  SELECT lag, n_days,
+       |    n_days * sxy - sx * sy AS cov_n,
+       |    n_days * sxx - sx * sx AS vx_n,
+       |    n_days * syy - sy * sy AS vy_n
+       |  FROM m)
+       |SELECT lag, n_days,
+       |  CASE WHEN vx_n > 0 AND vy_n > 0
+       |    THEN ${graft.Fx.sqlR6(r)} END AS xcorr
+       |FROM c ORDER BY lag""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q357_leadlag_xcorr", q357, Some(q357Sql)),
     QueryDef("q349_mcnemar", q349, Some(q349Sql)),
     QueryDef("q340_bootstrap_ci", q340, Some(q340Sql)),
     QueryDef("q341_variance_ratio", q341, Some(q341Sql)),

@@ -1534,7 +1534,91 @@ object Relational {
       |  (max_up * 1000000) // min_up AS ratio_micro
       |FROM per ORDER BY ratio_micro DESC, l_partkey LIMIT 20""".stripMargin
 
+  /** q358 — month-over-month price indexes (Laspeyres, Paasche,
+    * Fisher) over the parts both months trade: the economics readout
+    * that separates "prices rose" from "the mix shifted", which
+    * neither q343 (concentration trend) nor q346 (within-part
+    * dispersion) answers. Per part-month the unit price is the
+    * quantity-weighted mean pushed to one micro grid —
+    * (Σ floor(100·extprice)·10⁶) div Σqty, a stated truncation (the
+    * q346 up_micro discipline; extendedprice is NOT on the cent grid,
+    * so the per-row floor is part of the semantics). Laspeyres
+    * weights by LAST month's quantities, Paasche by this month's —
+    * both are ratios of exact integer basket sums via one truncating
+    * micro division; Fisher is their geometric mean, the query's one
+    * float op (two exact-int-to-double casts, a product, a pinned
+    * sqrt, r6).
+    *
+    * Scale shape: the corpus collapses to part-month cells in one
+    * aggregate; the month-shift join and index rollup run on that
+    * bounded cell grid (parts × months), shuffled once on (month,
+    * part). */
+  def q358(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pm = Tables.lineitem(s, d)
+      .select((year($"l_shipdate") * 12 + month($"l_shipdate")).cast("long").as("mk"),
+        $"l_partkey".as("p"),
+        floor($"l_extendedprice" * 100).cast("long").as("cents"),
+        $"l_quantity".cast("long").as("q"))
+      .groupBy($"mk", $"p")
+      .agg(sum($"cents").as("c"), sum($"q").as("q"))
+      .select($"mk", $"p",
+        expr("(cast(c as decimal(38,0)) * 1000000) div q").as("up"), $"q")
+      .transform(graft.Fx.materialize) // current AND shifted side
+    val cur = pm.select($"mk", $"p", $"up".as("p1"), $"q".as("q1"))
+    val prev = pm.select(($"mk" + 1L).as("mk"), $"p", $"up".as("p0"), $"q".as("q0"))
+    cur.join(prev, Seq("mk", "p"))
+      .groupBy($"mk").agg(
+        count(lit(1)).as("n_parts"),
+        sum(expr("cast(p1 as decimal(38,0)) * q0")).as("ln"),
+        sum(expr("cast(p0 as decimal(38,0)) * q0")).as("ld"),
+        sum(expr("cast(p1 as decimal(38,0)) * q1")).as("pn"),
+        sum(expr("cast(p0 as decimal(38,0)) * q1")).as("pd"))
+      .filter($"ld" > 0 && $"pd" > 0)
+      .select(expr("cast((mk - 1) div 12 as int)").as("y"),
+        expr("cast((mk - 1) % 12 + 1 as int)").as("m"),
+        $"n_parts",
+        expr("(ln * 1000000) div ld").as("laspeyres_micro"),
+        expr("(pn * 1000000) div pd").as("paasche_micro"))
+      .withColumn("fisher", graft.Fx.r6(sqrt(
+        ($"laspeyres_micro".cast("double") / 1000000.0) *
+          ($"paasche_micro".cast("double") / 1000000.0))))
+      .orderBy($"y", $"m")
+  }
+
+  val q358Sql: String = {
+    val f = "sqrt((CAST(laspeyres_micro AS DOUBLE) / 1000000.0) * " +
+      "(CAST(paasche_micro AS DOUBLE) / 1000000.0))"
+    s"""WITH pm AS MATERIALIZED (
+       |  SELECT year(l_shipdate) * 12 + month(l_shipdate) AS mk,
+       |    l_partkey AS p,
+       |    (CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS HUGEINT)
+       |      * 1000000) // CAST(sum(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS up,
+       |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+       |  FROM lineitem GROUP BY 1, 2),
+       |j AS (
+       |  SELECT cur.mk, cur.up AS p1, cur.q AS q1, prv.up AS p0, prv.q AS q0
+       |  FROM pm cur JOIN pm prv ON prv.mk = cur.mk - 1 AND prv.p = cur.p),
+       |m AS (
+       |  SELECT mk, CAST(count(*) AS BIGINT) AS n_parts,
+       |    sum(CAST(p1 AS HUGEINT) * q0) AS ln, sum(CAST(p0 AS HUGEINT) * q0) AS ld,
+       |    sum(CAST(p1 AS HUGEINT) * q1) AS pn, sum(CAST(p0 AS HUGEINT) * q1) AS pd
+       |  FROM j GROUP BY mk
+       |  HAVING sum(CAST(p0 AS HUGEINT) * q0) > 0
+       |     AND sum(CAST(p0 AS HUGEINT) * q1) > 0),
+       |i AS (
+       |  SELECT CAST((mk - 1) // 12 AS INT) AS y,
+       |    CAST((mk - 1) % 12 + 1 AS INT) AS m, n_parts,
+       |    CAST((ln * 1000000) // ld AS BIGINT) AS laspeyres_micro,
+       |    CAST((pn * 1000000) // pd AS BIGINT) AS paasche_micro
+       |  FROM m)
+       |SELECT y, m, n_parts, laspeyres_micro, paasche_micro,
+       |  ${graft.Fx.sqlR6(f)} AS fisher
+       |FROM i ORDER BY y, m""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q358_price_index", q358, Some(q358Sql)),
     QueryDef("q346_price_dispersion", q346, Some(q346Sql)),
     QueryDef("q342_duplicate_payments", q342, Some(q342Sql)),
     QueryDef("q343_hhi_trend", q343, Some(q343Sql)),

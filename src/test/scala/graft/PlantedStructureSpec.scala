@@ -890,6 +890,73 @@ class PlantedStructureSpec extends SparkSpec {
       s"verdict ${out("control")._3}")
   }
 
+  test("q356 scores the planted target-word mixtures exactly") {
+    // vocab {tea, kaffee}: cg(tea)=5 ct(tea)=4, cg(kaffee)=3 ct=0,
+    // V=2, Ng=8, Nt=4 -> lr(tea) = 5*10*1e6 div (6*6) = 1388888,
+    // lr(kaffee) = 1*10*1e6 div (4*6) = 416666; doc scores are exact
+    // truncating means of those micro-LRs
+    val docs = Seq(
+      (1L, "tea tea", "en", "s", 7L),
+      (2L, "tea tea", "en", "s", 7L),
+      (3L, "kaffee kaffee", "de", "s", 13L),
+      (4L, "tea kaffee", "de", "s", 10L))
+    val out = operators.CurationQueries.q356(spark, documentsDir(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 1388888L), (2L, 1388888L),
+      (4L, 902777L), (3L, 416666L)), s"scores ${out.toSeq}")
+  }
+
+  test("q357 finds the planted 3-day click->purchase lead exactly") {
+    // clicks spike day 10, purchases spike day 13, base 1/day over
+    // days 1..20: at lag +3 the overlapping windows are IDENTICAL
+    // vectors -> r = 1.0 exactly; every other lag is strictly below
+    val rows = (1 to 20).flatMap { d =>
+      val clicks = Seq.fill(if (d == 10) 5 else 1)((d, d.toLong, "click", 0.0))
+      val buys = Seq.fill(if (d == 13) 5 else 1)((d, 1000L + d, "purchase", 1.0))
+      clicks ++ buys
+    }
+    val out = operators.EventQueries.q357(spark, eventsDir(rows))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+    assert(out.length === 15, s"lag grid ${out.map(_._1).toSeq}")
+    val byLag = out.map(t => t._1 -> t._3).toMap
+    assert(byLag(3L) === 1.0, s"lag-3 r = ${byLag(3L)}")
+    assert(out.find(_._1 == 3L).get._2 === 17L)
+    out.filter(_._1 != 3L).foreach { case (l, _, r) =>
+      assert(r.isNaN || r < 1.0, s"lag $l ties the planted lead") }
+  }
+
+  /** lineitem fixture for price indexes: (day, partkey, extprice, qty). */
+  private def priceLinesDir(rows: Seq[(Int, Long, Double, Double)]): String = {
+    val dir = Files.createTempDirectory("planted-px")
+    rows.zipWithIndex.map { case ((d, p, ep, q), i) =>
+      (i.toLong, d.toLong, p, ep, q) }
+      .toDF("l_orderkey", "day", "l_partkey", "l_extendedprice", "l_quantity")
+      .withColumn("l_shipdate", timestamp_micros(
+        ($"day" * 86400L + 43200L) * 1000000L))
+      .select($"l_orderkey", $"l_partkey", $"l_extendedprice",
+        $"l_quantity", $"l_shipdate")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("lineitem.parquet").toString)
+    dir.toString
+  }
+
+  test("q358 prices the planted basket shift exactly (L=1.1, P=0.875)") {
+    // Jan: A 1.00/unit x2, B 3.00/unit x1; Feb: A 2.00/unit x2 (2x),
+    // B 1.50/unit x2 (half) -> Laspeyres 5.5/5.0, Paasche 7/8
+    val rows = Seq(
+      (5, 1L, 2.00, 2.0), (5, 2L, 3.00, 1.0),
+      (35, 1L, 4.00, 2.0), (35, 2L, 3.00, 2.0))
+    val out = operators.Relational.q358(spark, priceLinesDir(rows)).collect()
+    assert(out.length === 1, s"${out.toSeq}")
+    val r = out.head
+    assert((r.getInt(0), r.getInt(1), r.getLong(2)) === ((1970, 2, 2)))
+    assert(r.getLong(3) === 1100000L, s"laspeyres ${r.getLong(3)}")
+    assert(r.getLong(4) === 875000L, s"paasche ${r.getLong(4)}")
+    val fisher = math.floor(math.sqrt(1.1 * 0.875) * 1000000 + 0.5) / 1000000
+    assert(r.getDouble(5) === fisher, s"fisher ${r.getDouble(5)}")
+  }
+
   test("q286 finds the planted variance axis") {
     // dim 5 carries 100x the variance of every other dim
     val rnd = new scala.util.Random(7)
