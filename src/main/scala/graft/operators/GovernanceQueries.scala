@@ -1341,7 +1341,91 @@ object GovernanceQueries {
       |  CAST(q.q_micro > q.crit_micro AS INT) AS reject_5pct
       |FROM rs CROSS JOIN q ORDER BY rs.priority""".stripMargin
 
+  /** q359 — Cochran–Armitage trend test: does the fulfilled-rate
+    * (o_orderstatus = 'F') rise or fall MONOTONICALLY with the ordered
+    * priority classes (scores w = 1..5 off the priority prefix)? The
+    * ORDERED alternative the unordered battery can't ask: q258's χ²
+    * spends k−1 df detecting ANY difference, q351/q334 rank whole
+    * blocks; CA concentrates 1 df on the linear trend, the standard
+    * dose-response test. Exact: with T = N·Σwr − R·Σwn and
+    * V = N·Σnw² − (Σwn)², Z² = T²N²/(R(N−R)V); the 5% verdict avoids
+    * both the overflow of 10⁴·T²·N² and any truncation-error
+    * amplification via the division identity a·c > b ⟺ a > b div c
+    * (integers, c > 0) — so the comparison 10⁴T²·N² > 38415·R(N−R)V
+    * runs exactly inside DECIMAL(38,0)/HUGEINT at any SF. Z² itself is
+    * reported as fixed-shape double arithmetic over the exact integers
+    * (r6); degenerate tables (all/no successes, zero score variance)
+    * degrade z2/verdict to NULL.
+    *
+    * Scale shape: one 5-row groupBy with map-side combine, one 1-row
+    * moment rollup, broadcast back onto the 5-row report. */
+  def q359(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = Tables.orders(s, d)
+      .select($"o_orderpriority".as("priority"),
+        substring($"o_orderpriority", 1, 1).cast("long").as("w"),
+        ($"o_orderstatus" === "F").cast("long").as("f"))
+      .groupBy($"priority", $"w")
+      .agg(count(lit(1)).as("n"), sum($"f").as("r"))
+    val tot = g.agg(sum($"n").as("nn"), sum($"r").as("rr"),
+        sum(expr("cast(w as decimal(38,0)) * n")).as("swn"),
+        sum(expr("cast(w as decimal(38,0)) * w * n")).as("swwn"),
+        sum(expr("cast(w as decimal(38,0)) * r")).as("swr"))
+      .select($"nn", $"rr",
+        expr("cast(nn as decimal(38,0)) * swr - cast(rr as decimal(38,0)) * swn").as("t"),
+        expr("cast(nn as decimal(38,0)) * swwn - swn * swn").as("v"))
+      .select($"nn", $"rr", $"t", $"v",
+        when($"rr" > 0 && $"rr" < $"nn" && $"v" > 0,
+          r6(($"t".cast("double") * $"t".cast("double") *
+              $"nn".cast("double") * $"nn".cast("double")) /
+            ($"rr".cast("double") * ($"nn" - $"rr").cast("double") *
+              $"v".cast("double")))).as("z2"),
+        when($"rr" > 0 && $"rr" < $"nn" && $"v" > 0, expr(
+          """cast(10000 * t * t >
+               (38415 * cast(rr as decimal(38,0)) * (nn - rr) * v)
+               div (cast(nn as decimal(38,0)) * nn) as int)"""))
+          .as("reject_5pct"))
+    g.crossJoin(broadcast(tot))
+      .select($"priority", $"w", $"n".as("n_orders"), $"r".as("n_f"),
+        expr("(cast(r as decimal(38,0)) * 1000000) div n").as("rate_micro"),
+        $"z2", $"reject_5pct")
+      .orderBy($"w")
+  }
+
+  val q359Sql: String = {
+    val z2 = "CAST(t AS DOUBLE) * CAST(t AS DOUBLE) * CAST(nn AS DOUBLE) * " +
+      "CAST(nn AS DOUBLE) / (CAST(rr AS DOUBLE) * CAST(nn - rr AS DOUBLE) * CAST(v AS DOUBLE))"
+    s"""WITH g AS (
+       |  SELECT o_orderpriority AS priority,
+       |    CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS r
+       |  FROM orders GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT CAST(sum(n) AS HUGEINT) AS nn, CAST(sum(r) AS HUGEINT) AS rr,
+       |    CAST(sum(w * n) AS HUGEINT) AS swn,
+       |    CAST(sum(w * w * n) AS HUGEINT) AS swwn,
+       |    CAST(sum(w * r) AS HUGEINT) AS swr
+       |  FROM g),
+       |st AS (
+       |  SELECT nn, rr, nn * swr - rr * swn AS t, nn * swwn - swn * swn AS v
+       |  FROM tot),
+       |fin AS (
+       |  SELECT nn, rr, t, v,
+       |    CASE WHEN rr > 0 AND rr < nn AND v > 0
+       |      THEN ${graft.Fx.sqlR6(z2)} END AS z2,
+       |    CASE WHEN rr > 0 AND rr < nn AND v > 0
+       |      THEN CAST(10000 * t * t >
+       |        (38415 * rr * (nn - rr) * v) // (nn * nn) AS INT) END AS reject_5pct
+       |  FROM st)
+       |SELECT g.priority, g.w, g.n AS n_orders, g.r AS n_f,
+       |  CAST((CAST(g.r AS HUGEINT) * 1000000) // g.n AS BIGINT) AS rate_micro,
+       |  fin.z2, fin.reject_5pct
+       |FROM g CROSS JOIN fin ORDER BY g.w""".stripMargin
+  }
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q359_cochran_armitage", q359, Some(q359Sql)),
     QueryDef("q351_friedman_test", q351, Some(q351Sql)),
     QueryDef("q334_kruskal_wallis", q334, Some(q334Sql)),
     QueryDef("q332_t_closeness", q332, Some(q332Sql)),

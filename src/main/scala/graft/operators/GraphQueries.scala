@@ -505,8 +505,98 @@ object GraphQueries {
       |    / 1000000 AS c_of_k
       |FROM nd GROUP BY deg ORDER BY deg""".stripMargin
 
+  /** q360 — attack robustness of the co-activity graph: summarize the
+    * component structure BEFORE and AFTER deleting the top-10 hubs
+    * (degree desc, user id as the stated tie-break) — the
+    * Albert/Jeong/Barabási targeted-attack readout. Scale-free graphs
+    * shatter under hub removal while random graphs barely notice; the
+    * full-vs-attacked delta in (components, largest CC) is that
+    * diagnostic, and it composes two operators the engine already
+    * trusts — q109's co-activity edge builder and the alternating-star
+    * CC loop (Dedup.ccAlternatingStar, differential-tested by
+    * q57/q256) — into a what-if the component queries never ask.
+    * Counts are integers; a node counts only while it has ≥ 1 edge
+    * (isolated survivors leave the graph, stated).
+    *
+    * Scale shape: one edge materialization feeding degrees; hub
+    * selection is a 10-row TakeOrdered; the attacked edge set is two
+    * broadcast anti-joins; each summary is the O(log² n)-round star
+    * loop plus component-sized aggregates. */
+  def q360(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = Tables.events(s, d)
+      .select(date_trunc("hour", $"ts").as("hr"), $"user_id").distinct()
+      .transform(a => a.as("x").join(a.as("y"), Seq("hr"))
+        .filter($"x.user_id" < $"y.user_id")
+        .select($"x.user_id".as("a"), $"y.user_id".as("b"))
+        .distinct())
+      .transform(graft.Fx.materialize) // degrees, both summaries
+    val deg = edges.select($"a".as("n")).unionAll(edges.select($"b".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("deg"))
+    val hubs = deg.orderBy($"deg".desc, $"n").limit(10).select($"n")
+      .transform(graft.Fx.materialize) // two anti-join probes
+    val attacked = edges
+      .join(broadcast(hubs.select($"n".as("a"))), Seq("a"), "left_anti")
+      .join(broadcast(hubs.select($"n".as("b"))), Seq("b"), "left_anti")
+      .select($"a", $"b")
+    def summarize(label: String, e: DataFrame): DataFrame = {
+      val sizes = graft.operators.Dedup.ccAlternatingStar(e)
+        .groupBy($"component").agg(count(lit(1)).as("sz"))
+      sizes.agg(
+          coalesce(sum($"sz"), lit(0L)).as("n_nodes"),
+          count(lit(1)).as("n_components"),
+          coalesce(max($"sz"), lit(0L)).as("largest_cc"))
+        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        .select(lit(label).as("graph"), $"n_nodes", $"n_edges",
+          $"n_components", $"largest_cc")
+    }
+    summarize("attacked", attacked).unionByName(summarize("full", edges))
+      .orderBy($"graph")
+  }
+
+  val q360Sql: String = {
+    def cc(edgeCte: String, tag: String): String =
+      s"""u$tag AS (SELECT a, b FROM $edgeCte UNION SELECT b, a FROM $edgeCte),
+         |reach$tag(src, dst) AS (
+         |  SELECT a, b FROM u$tag
+         |  UNION
+         |  SELECT r.src, e.b FROM reach$tag r JOIN u$tag e ON r.dst = e.a),
+         |comp$tag AS (
+         |  SELECT src, least(src, min(dst)) AS c FROM reach$tag GROUP BY src),
+         |sz$tag AS (SELECT c, CAST(count(*) AS BIGINT) AS sz
+         |           FROM comp$tag GROUP BY c)""".stripMargin
+    s"""WITH RECURSIVE active AS (
+       |  SELECT DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, user_id
+       |  FROM events),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT x.user_id AS a, y.user_id AS b
+       |  FROM active x JOIN active y ON x.hr = y.hr AND x.user_id < y.user_id),
+       |deg AS (
+       |  SELECT n, count(*) AS deg
+       |  FROM (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY n),
+       |hubs AS (SELECT n FROM deg ORDER BY deg DESC, n LIMIT 10),
+       |ea AS MATERIALIZED (
+       |  SELECT a, b FROM e0
+       |  WHERE a NOT IN (SELECT n FROM hubs) AND b NOT IN (SELECT n FROM hubs)),
+       |${cc("e0", "f")},
+       |${cc("ea", "a")}
+       |SELECT 'attacked' AS graph,
+       |  (SELECT COALESCE(CAST(sum(sz) AS BIGINT), 0) FROM sza) AS n_nodes,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM ea) AS n_edges,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM sza) AS n_components,
+       |  (SELECT COALESCE(CAST(max(sz) AS BIGINT), 0) FROM sza) AS largest_cc
+       |UNION ALL
+       |SELECT 'full',
+       |  (SELECT COALESCE(CAST(sum(sz) AS BIGINT), 0) FROM szf),
+       |  (SELECT CAST(count(*) AS BIGINT) FROM e0),
+       |  (SELECT CAST(count(*) AS BIGINT) FROM szf),
+       |  (SELECT COALESCE(CAST(max(sz) AS BIGINT), 0) FROM szf)
+       |ORDER BY graph""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q350_degree_assortativity", q350, Some(q350Sql)),
+    QueryDef("q360_attack_robustness", q360, Some(q360Sql)),
     QueryDef("q352_ra_link_prediction", q352, Some(q352Sql)),
     QueryDef("q353_clustering_spectrum", q353, Some(q353Sql)),
     QueryDef("q91_pagerank_iterative", q91, Some(q91Sql)),

@@ -957,6 +957,55 @@ class PlantedStructureSpec extends SparkSpec {
     assert(r.getDouble(5) === fisher, s"fisher ${r.getDouble(5)}")
   }
 
+  /** orders fixture with priority AND status: (priority, status). */
+  private def ordersStatusDir(rows: Seq[(String, String)]): String = {
+    val dir = Files.createTempDirectory("planted-ords")
+    rows.zipWithIndex.map { case ((p, st), i) => (i.toLong, p, st) }
+      .toDF("o_orderkey", "o_orderpriority", "o_orderstatus")
+      .withColumn("o_orderdate", timestamp_micros(lit(86400000000L)))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("orders.parquet").toString)
+    dir.toString
+  }
+
+  test("q359 detects the planted monotone dose-response and is null-" +
+    "safe on a flat table") {
+    // rates 1/10, 3/10, 5/10, 7/10, 9/10 across w = 1..5:
+    // T = N*Swr - R*Swn = 50*95 - 25*150 = 1000, V = 50*550 - 150^2 = 5000,
+    // Z^2 = T^2 N^2 / (R(N-R)V) = 1e6*2500/(25*25*5000) = 800 -> reject
+    val trend = (1 to 5).flatMap { w =>
+      val p = s"$w-P$w"
+      Seq.fill(2 * w - 1)((p, "F")) ++ Seq.fill(10 - (2 * w - 1))((p, "O"))
+    }
+    val out = operators.GovernanceQueries.q359(spark, ordersStatusDir(trend))
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(4), r.getDouble(5), r.getInt(6))).toMap
+    assert(out(1L)._1 === 100000L && out(5L)._1 === 900000L)
+    assert(out(3L)._2 === 800.0, s"z2 ${out(3L)._2}")
+    assert(out.values.forall(_._3 === 1), "trend not rejected")
+    // flat rates -> T = 0 exactly, z2 = 0, accept
+    val flat = (1 to 5).flatMap { w =>
+      Seq.fill(5)((s"$w-P$w", "F")) ++ Seq.fill(5)((s"$w-P$w", "O"))
+    }
+    val nul = operators.GovernanceQueries.q359(spark, ordersStatusDir(flat))
+      .collect().map(r => (r.getDouble(5), r.getInt(6)))
+    assert(nul.forall(_ === ((0.0, 0))), s"flat case $nul")
+  }
+
+  test("q360 shatters the planted hub-and-spoke under attack") {
+    // day i joins {hub 0, leaf 2i-1, leaf 2i}: hub deg 20, leaves
+    // deg 2. Top-10 removal takes the hub + leaves 1..9 (id
+    // tie-break), leaving pairs (11,12)..(19,20) and isolating 10.
+    val rows = (1 to 10).flatMap(i =>
+      Seq(0L, 2L * i - 1, 2L * i).map(u => (i, u, "view", 1.0)))
+    val out = operators.GraphQueries.q360(spark, eventsDir(rows))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("full") === ((21L, 30L, 1L, 21L)), s"full ${out("full")}")
+    assert(out("attacked") === ((10L, 5L, 5L, 2L)),
+      s"attacked ${out("attacked")}")
+  }
+
   test("q286 finds the planted variance axis") {
     // dim 5 carries 100x the variance of every other dim
     val rnd = new scala.util.Random(7)
