@@ -840,6 +840,92 @@ object AssociationQueries {
        |FROM w ORDER BY arm""".stripMargin
 
   // ------------------------------------------------------------------
+  // q362 — Simpson's-paradox audit (aggregation reversal by brand)
+  // ------------------------------------------------------------------
+
+  /** q362 — Simpson's-paradox audit for the discount→quantity
+    * relationship: does the POOLED association run the opposite way
+    * from the WITHIN-BRAND associations? The covariance sign is the
+    * slope sign, and both are exact integers here — discount lands on
+    * its cent grid, quantity is integral, so each brand's
+    * cov_n = n·Σxy − Σx·Σy and the pooled cov_n are DECIMAL(38,0)
+    * integers whose SIGN is exact (no float slope ever computed). A
+    * brand "reverses" when its sign and the pooled sign are strictly
+    * opposite — the aggregation-reversal flag that q178 (one pooled
+    * correlation) and q304 (linear partialling) both miss, and the
+    * reason per-segment readouts must accompany any pooled metric.
+    * Output: one row per brand (n, cov sign, slope_micro for
+    * magnitude) plus the pooled sign and reversal flag; brands with
+    * zero x-variance report sign NULL (stated).
+    *
+    * Scale shape: one scan collapses to per-brand moment sums
+    * (map-side combine over 25 brands after a broadcast part join);
+    * the pooled row is the same moments re-summed; everything after is
+    * 25-row arithmetic. */
+  def q362(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .select($"p_brand".as("brand"),
+        floor($"l_discount" * 100 + lit(0.5)).cast("long").as("x"),
+        $"l_quantity".cast("long").as("y"))
+    val per = rows.groupBy($"brand").agg(
+        count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"))
+      .withColumn("cov_n", expr(
+        "n * sxy - cast(sx as decimal(38,0)) * sy"))
+      .withColumn("vx_n", expr(
+        "n * sxx - cast(sx as decimal(38,0)) * sx"))
+    val pooled = per.agg(sum($"n").as("n"), sum($"sx").as("sx"),
+        sum($"sy").as("sy"), sum($"sxy").as("sxy"))
+      .select(expr("cast(sign(n * sxy - cast(sx as decimal(38,0)) * sy) as int)")
+        .as("pooled_sign"))
+    per.crossJoin(broadcast(pooled))
+      .select($"brand", $"n",
+        when($"vx_n" > 0, expr("cast(sign(cov_n) as int)")).as("brand_sign"),
+        when($"vx_n" > 0, expr("cast((cov_n * 1000000) div vx_n as bigint)"))
+          .as("slope_micro"),
+        $"pooled_sign")
+      .withColumn("reversed",
+        when($"brand_sign".isNull, lit(null).cast("int"))
+          .otherwise(($"brand_sign" * $"pooled_sign" === -1).cast("int")))
+      .orderBy($"brand")
+  }
+
+  val q362Sql: String =
+    """WITH rows0 AS (
+      |  SELECT p.p_brand AS brand,
+      |    CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT) AS x,
+      |    CAST(l.l_quantity AS BIGINT) AS y
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |per AS (
+      |  SELECT brand, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx
+      |  FROM rows0 GROUP BY brand),
+      |per2 AS (
+      |  SELECT brand, n,
+      |    n * sxy - CAST(sx AS HUGEINT) * sy AS cov_n,
+      |    n * sxx - CAST(sx AS HUGEINT) * sx AS vx_n
+      |  FROM per),
+      |pooled AS (
+      |  SELECT CAST(sign(sum(n) * sum(sxy)
+      |    - CAST(sum(sx) AS HUGEINT) * sum(sy)) AS INT) AS pooled_sign
+      |  FROM per)
+      |SELECT p2.brand, p2.n,
+      |  CASE WHEN p2.vx_n > 0 THEN CAST(sign(p2.cov_n) AS INT) END AS brand_sign,
+      |  CASE WHEN p2.vx_n > 0
+      |    THEN CAST((p2.cov_n * 1000000) // p2.vx_n AS BIGINT) END AS slope_micro,
+      |  pooled.pooled_sign,
+      |  CASE WHEN p2.vx_n > 0
+      |    THEN CAST(CAST(sign(p2.cov_n) AS INT) * pooled.pooled_sign = -1 AS INT)
+      |  END AS reversed
+      |FROM per2 p2 CROSS JOIN pooled ORDER BY p2.brand""".stripMargin
+
+  // ------------------------------------------------------------------
   // q355 — delta-method inference for a RATIO metric (revenue/event)
   // ------------------------------------------------------------------
 
@@ -2147,6 +2233,7 @@ object AssociationQueries {
     QueryDef("q245_prefixspan_patterns", q245, Some(q245Sql)),
     QueryDef("q243_ab_readout", q243, Some(q243Sql)),
     QueryDef("q355_delta_method_ratio", q355, Some(q355Sql)),
+    QueryDef("q362_simpsons_audit", q362, Some(q362Sql)),
     QueryDef("q257_cuped_readout", q257, Some(q257Sql)),
     QueryDef("q268_two_proportion_z", q268, Some(q268Sql)),
     QueryDef("q272_srm_audit", q272, Some(q272Sql)),

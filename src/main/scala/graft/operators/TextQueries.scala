@@ -737,7 +737,100 @@ object TextQueries {
       |SELECT term, a, b, chi2_micro, direction
       |FROM scored ORDER BY chi2_micro DESC, term LIMIT 20""".stripMargin
 
+  /** q361 — Burrows' Delta stylometry between sources: z-score each
+    * source's relative frequency of the corpus's top-50 words against
+    * the across-source distribution of that word, then Delta(s₁,s₂) =
+    * mean |z₁ − z₂| — the standard authorship-attribution distance
+    * (Burrows 2002), here fingerprinting which SOURCES share a style
+    * (near-zero Delta across different sources is the
+    * template/machine-generation smell the content-level dedup family
+    * can't see — same style, different words). Exactness: relative
+    * frequencies land on a per-mille-of-micro grid by truncating
+    * division; per word the z denominator is σ·k = √(k·Σf² − (Σf)²)
+    * floored to an integer (ONE deterministic sqrt per word over an
+    * exact < 2⁵³ integer, floor stated), so every z is an exact milli
+    * integer and pair distances are integer sums — no float
+    * accumulation anywhere. Zero-variance words drop (stated);
+    * absent (source, word) cells count as frequency 0 via the dense
+    * source×word grid.
+    *
+    * Scale shape: one token explode → (source, word) counts; top-50
+    * words via TakeOrdered; everything after runs on the k·50 dense
+    * grid (sources × top words — bounded metadata scale), including
+    * the k²·50 pair join. */
+  def q361(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select($"source", explode(split($"text", " ")).as("w"))
+      .transform(graft.Fx.materialize) // top words, counts, totals
+    val srcTot = toks.groupBy($"source").agg(count(lit(1)).as("nt"))
+    val top = toks.groupBy($"w").agg(count(lit(1)).as("cw"))
+      .orderBy($"cw".desc, $"w").limit(50).select($"w")
+      .transform(graft.Fx.materialize) // grid + count probe
+    val cnt = toks.join(broadcast(top), "w")
+      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+    val grid = srcTot.crossJoin(broadcast(top))
+      .join(cnt, Seq("source", "w"), "left_outer")
+      .select($"source", $"w",
+        expr("(coalesce(c, 0) * 1000000) div nt").as("f"))
+    val stats = grid.groupBy($"w").agg(
+        count(lit(1)).as("k"), sum($"f").as("sf"),
+        sum(expr("cast(f as decimal(38,0)) * f")).as("sff"))
+      .select($"w", $"k", $"sf",
+        expr("cast(k * sff - cast(sf as decimal(38,0)) * sf as double)").as("vv"))
+      .filter($"vv" > 0)
+      .select($"w", $"k", $"sf", floor(sqrt($"vv")).cast("long").as("sig"))
+    val z = grid.join(stats, "w")
+      .select($"source", $"w",
+        expr("((f * k - sf) * 1000) div sig").as("z_milli"))
+    z.as("x").join(z.as("y"), Seq("w"))
+      .filter($"x.source" < $"y.source")
+      .select($"x.source".as("s1"), $"y.source".as("s2"),
+        abs($"x.z_milli" - $"y.z_milli").as("dz"))
+      .groupBy($"s1", $"s2")
+      .agg(count(lit(1)).as("n_words"),
+        expr("cast(sum(dz) as decimal(38,0)) div count(1)").as("delta_milli"))
+      .orderBy($"delta_milli", $"s1", $"s2")
+      .limit(10)
+  }
+
+  val q361Sql: String =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      |srctot AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS nt FROM toks GROUP BY 1),
+      |top AS MATERIALIZED (
+      |  SELECT w FROM (SELECT w, count(*) AS cw FROM toks GROUP BY w)
+      |  ORDER BY cw DESC, w LIMIT 50),
+      |cnt AS (
+      |  SELECT t.source, t.w, CAST(count(*) AS BIGINT) AS c
+      |  FROM toks t JOIN top ON t.w = top.w GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT st.source, top.w,
+      |    (COALESCE(cnt.c, 0) * 1000000) // st.nt AS f
+      |  FROM srctot st CROSS JOIN top
+      |  LEFT JOIN cnt ON cnt.source = st.source AND cnt.w = top.w),
+      |stats AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS k, CAST(sum(f) AS BIGINT) AS sf,
+      |    CAST(floor(sqrt(CAST(count(*) * sum(CAST(f AS HUGEINT) * f)
+      |      - CAST(sum(f) AS HUGEINT) * sum(f) AS DOUBLE))) AS BIGINT) AS sig
+      |  FROM grid GROUP BY w
+      |  HAVING count(*) * sum(CAST(f AS HUGEINT) * f)
+      |       - CAST(sum(f) AS HUGEINT) * sum(f) > 0),
+      |z AS (
+      |  SELECT g.source, g.w, ((g.f * s.k - s.sf) * 1000) // s.sig AS z_milli
+      |  FROM grid g JOIN stats s ON g.w = s.w)
+      |SELECT x.source AS s1, y.source AS s2,
+      |  CAST(count(*) AS BIGINT) AS n_words,
+      |  CAST(CAST(sum(abs(x.z_milli - y.z_milli)) AS HUGEINT) // count(*)
+      |    AS BIGINT) AS delta_milli
+      |FROM z x JOIN z y ON x.w = y.w AND x.source < y.source
+      |GROUP BY 1, 2
+      |ORDER BY delta_milli, s1, s2
+      |LIMIT 10""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q361_burrows_delta", q361, Some(q361Sql)),
     QueryDef("q348_term_drift", q348, Some(q348Sql)),
     QueryDef("q345_term_burstiness", q345, Some(q345Sql)),
     QueryDef("q344_vocab_growth", q344, Some(q344Sql)),

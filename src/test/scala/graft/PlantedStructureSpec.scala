@@ -1006,6 +1006,54 @@ class PlantedStructureSpec extends SparkSpec {
       s"attacked ${out("attacked")}")
   }
 
+  test("q361 reads the planted style twins at Delta exactly 0 and the " +
+    "outlier at the hand-computed milli distance") {
+    // sa and sb share a style (2:1 x:y), sc inverts it; over the
+    // 2-word grid: V = 222221777778, sig = 471404, z(sa,x) = 707,
+    // z(sc,x) = -1414 -> Delta(sa,sb) = 0, Delta(*,sc) = 2121
+    val docs = Seq(
+      (1L, "x x y", "en", "sa", 5L),
+      (2L, "x x y", "en", "sb", 5L),
+      (3L, "y y x", "en", "sc", 5L))
+    val out = operators.TextQueries.q361(spark, documentsDir(docs))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(("sa", "sb", 2L, 0L),
+      ("sa", "sc", 2L, 2121L), ("sb", "sc", 2L, 2121L)),
+      s"deltas ${out.toSeq}")
+  }
+
+  /** lineitem+part fixture for association audits:
+    * (brand, discount, qty) one line each. */
+  private def brandLinesDir(rows: Seq[(String, Double, Double)]): String = {
+    val dir = Files.createTempDirectory("planted-bl")
+    val brands = rows.map(_._1).distinct.sorted.zipWithIndex.toMap
+    rows.zipWithIndex.map { case ((b, disc, q), i) =>
+      (i.toLong, brands(b).toLong, disc, q) }
+      .toDF("l_orderkey", "l_partkey", "l_discount", "l_quantity")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("lineitem.parquet").toString)
+    brands.toSeq.map { case (b, k) => (k.toLong, b) }
+      .toDF("p_partkey", "p_brand")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("part.parquet").toString)
+    dir.toString
+  }
+
+  test("q362 flags the planted aggregation reversal in both brands") {
+    // within each brand discount LIFTS quantity (slope +1e6 exactly),
+    // but brand A sits at (low disc, high qty) and brand B at (high
+    // disc, low qty) -> pooled cov_n = -220: the textbook reversal
+    val rows = Seq(
+      ("BA", 0.00, 8.0), ("BA", 0.01, 9.0),
+      ("BB", 0.08, 1.0), ("BB", 0.09, 2.0))
+    val out = operators.AssociationQueries.q362(spark, brandLinesDir(rows))
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(2), r.getLong(3), r.getInt(4), r.getInt(5))).toMap
+    assert(out("BA") === ((1, 1000000L, -1, 1)), s"BA ${out("BA")}")
+    assert(out("BB") === ((1, 1000000L, -1, 1)), s"BB ${out("BB")}")
+  }
+
   test("q286 finds the planted variance axis") {
     // dim 5 carries 100x the variance of every other dim
     val rnd = new scala.util.Random(7)
