@@ -3717,8 +3717,96 @@ object EventQueries {
        |FROM c ORDER BY lag""".stripMargin
   }
 
+  /** q364 — variance decomposition of daily revenue by calendar
+    * factor: the correlation ratio η² = SS_between/SS_total for
+    * weekday (epoch-day mod 7 — an engine-neutral index, unlike
+    * dayofweek whose origin differs between engines), month-of-year,
+    * and the full weekday×month cell — how much of day-to-day revenue
+    * variance the calendar explains, the one-number screen run BEFORE
+    * fitting seasonal models (q270/q280/q284 all ASSUME calendar
+    * structure; this measures it, and cell-vs-single-factor gaps
+    * expose interaction). Unbalanced-design-safe: η² per factor is
+    * well-defined alone (no Type-I/II/III ambiguity of a joint
+    * ANOVA). Exact: daily totals land on the whole-dollar grid via
+    * the exact cent sum then an integer div (stated — the dollar step
+    * keeps S_g²/n_g inside BIGINT far beyond sf1, where cents would
+    * overflow Spark's integral-divide result type); per-group S_g²/n_g
+    * rides one stated floor division (error < 1 dollar² per group);
+    * the final η² is one truncating micro division of DECIMAL(38,0)
+    * forms, clamped at 0 against truncation underflow; a
+    * zero-variance corpus degrades to NULL.
+    *
+    * Scale shape: one collapse to the bounded day calendar, then
+    * three group-bys over ≤ |days| rows (7, 12, and 84 groups). */
+  def q364(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, d)
+      .groupBy(epochDay($"o_orderdate").as("day"),
+        month($"o_orderdate").as("mo"))
+      .agg(expr("cast(floor(sum(o_totalprice) * 100 + 0.5) as bigint) div 100")
+        .as("y")) // whole dollars off the exact cent grid (stated):
+                  // keeps S_g²/n_g inside BIGINT far beyond sf1
+      .select(($"day" % 7).as("dow"), $"mo", $"y")
+      .transform(graft.Fx.materialize) // totals + three factor rollups
+    val tot = daily.agg(count(lit(1)).as("nn"), sum($"y").as("s"),
+      sum(expr("cast(y as decimal(38,0)) * y")).as("syy"))
+    def eta(label: String, keys: Seq[org.apache.spark.sql.Column]): DataFrame =
+      daily.groupBy(keys: _*)
+        .agg(sum($"y").as("sg"), count(lit(1)).as("ng"))
+        .agg(count(lit(1)).as("n_groups"),
+          // S_g² div n_g WITHOUT the micro factor — keeps every
+          // intermediate inside BIGINT at any SF; the bounded
+          // truncation (< 1 cent² per group) is stated, and the micro
+          // scaling happens once at the end
+          sum(expr("cast((cast(sg as decimal(38,0)) * sg) div ng as decimal(38,0))"))
+            .as("u"))
+        .crossJoin(broadcast(tot))
+        .select(lit(label).as("factor"), $"n_groups",
+          when(expr("cast(nn as decimal(38,0)) * syy - cast(s as decimal(38,0)) * s") > 0,
+            greatest(lit(0L),
+              expr("""cast(((cast(nn as decimal(38,0)) * u
+                     - cast(s as decimal(38,0)) * s) * 1000000)
+                     div (cast(nn as decimal(38,0)) * syy
+                     - cast(s as decimal(38,0)) * s) as bigint)""")))
+            .as("eta2_micro"))
+    eta("cell", Seq($"dow", $"mo"))
+      .unionByName(eta("month", Seq($"mo")))
+      .unionByName(eta("weekday", Seq($"dow")))
+      .orderBy($"factor")
+  }
+
+  val q364Sql: String = {
+    def eta(label: String, key: String): String =
+      s"""SELECT '$label' AS factor, CAST(count(*) AS BIGINT) AS n_groups,
+         |  CASE WHEN (SELECT nn * syy - s * s FROM tot) > 0 THEN
+         |    greatest(0, CAST((((SELECT nn FROM tot) * CAST(sum(u) AS HUGEINT)
+         |      - (SELECT s * s FROM tot)) * 1000000)
+         |      // (SELECT nn * syy - s * s FROM tot) AS BIGINT))
+         |  END AS eta2_micro
+         |FROM (
+         |  SELECT (CAST(sum(y) AS HUGEINT) * sum(y)) // count(*) AS u
+         |  FROM daily GROUP BY $key) g""".stripMargin
+    s"""WITH daily AS MATERIALIZED (
+       |  SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-01') % 7 AS dow,
+       |    month(o_orderdate) AS mo,
+       |    CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) // 100 AS y
+       |  FROM orders
+       |  GROUP BY CAST(o_orderdate AS DATE) - DATE '1970-01-01', month(o_orderdate)),
+       |tot AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS nn, CAST(sum(y) AS HUGEINT) AS s,
+       |    sum(CAST(y AS HUGEINT) * y) AS syy
+       |  FROM daily)
+       |${eta("cell", "dow, mo")}
+       |UNION ALL
+       |${eta("month", "mo")}
+       |UNION ALL
+       |${eta("weekday", "dow")}
+       |ORDER BY factor""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q357_leadlag_xcorr", q357, Some(q357Sql)),
+    QueryDef("q364_calendar_eta2", q364, Some(q364Sql)),
     QueryDef("q349_mcnemar", q349, Some(q349Sql)),
     QueryDef("q340_bootstrap_ci", q340, Some(q340Sql)),
     QueryDef("q341_variance_ratio", q341, Some(q341Sql)),

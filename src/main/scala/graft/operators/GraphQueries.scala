@@ -213,20 +213,12 @@ object GraphQueries {
     * (high cardinality, frames bounded by degree); generations are
     * materialized so round r's plan does not nest r−1 prior joins —
     * the q209/BPE iterative discipline. */
-  def q323(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val lp = Tables.lineitem(s, d)
-      .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
-    val e0 = lp.groupBy($"ok")
-      .agg(sort_array(collect_list($"p")).as("ps"))
-      .select(explode(filter(
-        flatten(transform($"ps",
-          a => transform($"ps", b => struct(a.as("a"), b.as("b"))))),
-        pr => pr("a") < pr("b"))).as("e"))
-      .select($"e.a".as("a"), $"e.b".as("b"))
-      .distinct()
-    val und = e0.union(e0.select($"b".as("a"), $"a".as("b")))
-      .transform(graft.Fx.materialize)
+  /** Three synchronous LPA rounds (min-label tie-break) over a
+    * symmetric edge list `und(a, b)` → (id, lbl). Shared by q323 (the
+    * community readout) and q365 (modularity of those communities). */
+  private def lpaLabels(und: DataFrame): DataFrame = {
+    val spark = und.sparkSession
+    import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"id").orderBy($"c".desc, $"lbl".asc)
     var labels = und.select($"a".as("id")).distinct()
@@ -242,7 +234,15 @@ object GraphQueries {
         .select($"id", $"lbl")
         .transform(graft.Fx.materialize)
     }
-    labels.groupBy($"lbl".as("community"))
+    labels
+  }
+
+  def q323(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e0 = copurchaseEdges(s, d)
+    val und = e0.union(e0.select($"b".as("a"), $"a".as("b")))
+      .transform(graft.Fx.materialize)
+    lpaLabels(und).groupBy($"lbl".as("community"))
       .agg(count(lit(1)).as("n_members"), min($"id").as("min_member"))
       .orderBy($"community")
   }
@@ -594,9 +594,102 @@ object GraphQueries {
        |ORDER BY graph""".stripMargin
   }
 
+  /** q365 — Newman modularity of the LPA communities: Q = Σ_c [m_c/m
+    * − (d_c/2m)²] over q323's label assignment — the QUALITY score for
+    * the partition q323 only enumerates (Q ≈ 0: no better than random
+    * given degrees; the standard accept/reject gate for a community
+    * structure). Exact: per community the contribution is
+    * (4·m·m_c − d_c²)·10⁶ div (4·m²) — one truncating micro division
+    * of exact integers per community (negative for hub-heavy
+    * communities; toward-zero truncation both engines, q361's
+    * precedent) — and the global Q is the exact integer sum of those
+    * stated per-community truncations.
+    *
+    * Scale shape: LPA's per-round join + the two label joins are all
+    * node/edge-shuffles; the modularity rollup is community-sized.
+    * Top-20 communities by size are reported with the global Q
+    * constant alongside. */
+  def q365(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e0 = copurchaseEdges(s, d)
+    val und = e0.union(e0.select($"b".as("a"), $"a".as("b")))
+      .transform(graft.Fx.materialize)
+    val labels = lpaLabels(und).transform(graft.Fx.materialize)
+    val m = e0.agg(count(lit(1)).as("m"))
+    val intra = e0
+      .join(labels.select($"id".as("a"), $"lbl".as("la")), "a")
+      .join(labels.select($"id".as("b"), $"lbl".as("lb")), "b")
+      .filter($"la" === $"lb")
+      .groupBy($"la".as("lbl")).agg(count(lit(1)).as("mc"))
+    val dc = und.join(labels.select($"id".as("a"), $"lbl"), "a")
+      .groupBy($"lbl").agg(count(lit(1)).as("dc"))
+    val per = labels.groupBy($"lbl").agg(count(lit(1)).as("n_members"))
+      .join(intra, Seq("lbl"), "left_outer")
+      .join(dc, Seq("lbl"), "left_outer")
+      .crossJoin(broadcast(m))
+      .select($"lbl".as("community"), $"n_members",
+        coalesce($"mc", lit(0L)).as("m_intra"),
+        coalesce($"dc", lit(0L)).as("d_total"),
+        expr("""cast(((4 * cast(m as decimal(38,0)) * coalesce(mc, 0)
+               - cast(coalesce(dc, 0) as decimal(38,0)) * coalesce(dc, 0))
+               * 1000000) div (4 * cast(m as decimal(38,0)) * m) as bigint)""")
+          .as("contrib_micro"))
+      .transform(graft.Fx.materialize) // global sum + top rows
+    per.crossJoin(broadcast(
+        per.agg(sum($"contrib_micro").as("q_micro"))))
+      .orderBy($"n_members".desc, $"community")
+      .limit(20)
+  }
+
+  val q365Sql: String = {
+    val gens = (1 to 3).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT id, lbl FROM (
+         |    SELECT e.a AS id, l.lbl, count(*) AS c,
+         |      row_number() OVER (PARTITION BY e.a
+         |        ORDER BY count(*) DESC, l.lbl) AS rk
+         |    FROM und e JOIN l${i - 1} l ON e.b = l.id
+         |    GROUP BY e.a, l.lbl) t
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH lp AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+       |e0 AS MATERIALIZED (
+       |  SELECT a.p AS a, b.p AS b FROM lp a JOIN lp b
+       |  ON a.ok = b.ok AND a.p < b.p GROUP BY 1, 2),
+       |und AS MATERIALIZED (
+       |  SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+       |l0 AS MATERIALIZED (
+       |  SELECT DISTINCT a AS id, a AS lbl FROM und),
+       |$gens,
+       |m AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM e0),
+       |intra AS (
+       |  SELECT x.lbl, CAST(count(*) AS BIGINT) AS mc
+       |  FROM e0 JOIN l3 x ON e0.a = x.id JOIN l3 y ON e0.b = y.id
+       |  WHERE x.lbl = y.lbl GROUP BY 1),
+       |dcs AS (
+       |  SELECT l3.lbl, CAST(count(*) AS BIGINT) AS dc
+       |  FROM und JOIN l3 ON und.a = l3.id GROUP BY 1),
+       |per AS MATERIALIZED (
+       |  SELECT s.lbl AS community, s.n_members,
+       |    COALESCE(i.mc, 0) AS m_intra, COALESCE(dd.dc, 0) AS d_total,
+       |    CAST(((4 * m.m * COALESCE(i.mc, 0)
+       |      - CAST(COALESCE(dd.dc, 0) AS HUGEINT) * COALESCE(dd.dc, 0))
+       |      * 1000000) // (4 * m.m * m.m) AS BIGINT) AS contrib_micro
+       |  FROM (SELECT lbl, CAST(count(*) AS BIGINT) AS n_members
+       |        FROM l3 GROUP BY 1) s
+       |  LEFT JOIN intra i ON s.lbl = i.lbl
+       |  LEFT JOIN dcs dd ON s.lbl = dd.lbl
+       |  CROSS JOIN m)
+       |SELECT per.*, (SELECT CAST(sum(contrib_micro) AS BIGINT) FROM per)
+       |  AS q_micro
+       |FROM per ORDER BY n_members DESC, community LIMIT 20""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q350_degree_assortativity", q350, Some(q350Sql)),
     QueryDef("q360_attack_robustness", q360, Some(q360Sql)),
+    QueryDef("q365_lpa_modularity", q365, Some(q365Sql)),
     QueryDef("q352_ra_link_prediction", q352, Some(q352Sql)),
     QueryDef("q353_clustering_spectrum", q353, Some(q353Sql)),
     QueryDef("q91_pagerank_iterative", q91, Some(q91Sql)),

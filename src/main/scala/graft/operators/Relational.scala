@@ -1617,8 +1617,75 @@ object Relational {
        |FROM i ORDER BY y, m""".stripMargin
   }
 
+  /** q363 — arc price elasticity of demand per brand: for consecutive
+    * brand-months with a material price move (|ΔP|·100 ≥ P₀, i.e.
+    * ≥ 1%, stated — the midpoint formula explodes on near-zero ΔP),
+    * the midpoint elasticity E = [(Q₁−Q₀)(P₁+P₀)] / [(Q₁+Q₀)(P₁−P₀)]
+    * — the log-free elasticity estimator (no float logs, unlike the
+    * log-log regression form), reported per brand with the share of
+    * month-pairs obeying the law of demand (E < 0). q358 asks how the
+    * PRICE LEVEL moved; this asks how QUANTITY responded — the
+    * second half of the economics readout. Exact: prices ride q358's
+    * brand-month micro grid, E is one signed truncating micro
+    * division (both engines truncate toward zero — pinned by q361's
+    * negative-operand precedent), and the per-brand mean is a second
+    * stated truncation.
+    *
+    * Scale shape: one scan collapses to brand-month cells; the shift
+    * join and rollup run on the bounded cell grid. */
+  def q363(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bm = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .select($"p_brand".as("brand"),
+        (year($"l_shipdate") * 12 + month($"l_shipdate")).cast("long").as("mk"),
+        floor($"l_extendedprice" * 100).cast("long").as("cents"),
+        $"l_quantity".cast("long").as("q"))
+      .groupBy($"brand", $"mk")
+      .agg(sum($"cents").as("c"), sum($"q").as("q"))
+      .select($"brand", $"mk",
+        expr("(cast(c as decimal(38,0)) * 1000000) div q").as("p"), $"q")
+      .transform(graft.Fx.materialize) // current AND shifted side
+    val cur = bm.select($"brand", $"mk", $"p".as("p1"), $"q".as("q1"))
+    val prev = bm.select($"brand", ($"mk" + 1L).as("mk"),
+      $"p".as("p0"), $"q".as("q0"))
+    cur.join(prev, Seq("brand", "mk"))
+      .filter(abs($"p1" - $"p0") * 100L >= $"p0")
+      .select($"brand", expr(
+        """((q1 - q0) * (cast(p1 as decimal(38,0)) + p0) * 1000000)
+           div ((q1 + q0) * (cast(p1 as decimal(38,0)) - p0))""").as("e"))
+      .groupBy($"brand")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("cast(sum(e) as decimal(38,0)) div count(1)").as("mean_e_micro"),
+        sum(($"e" < 0L).cast("long")).as("n_demand_law"))
+      .orderBy($"brand")
+  }
+
+  val q363Sql: String =
+    """WITH bm AS MATERIALIZED (
+      |  SELECT p.p_brand AS brand,
+      |    year(l.l_shipdate) * 12 + month(l.l_shipdate) AS mk,
+      |    (CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS HUGEINT)
+      |      * 1000000) // CAST(sum(CAST(l.l_quantity AS BIGINT)) AS HUGEINT) AS p,
+      |    CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT cur.brand,
+      |    ((cur.q - prv.q) * (CAST(cur.p AS HUGEINT) + prv.p) * 1000000)
+      |      // ((cur.q + prv.q) * (CAST(cur.p AS HUGEINT) - prv.p)) AS e
+      |  FROM bm cur JOIN bm prv
+      |    ON prv.brand = cur.brand AND prv.mk = cur.mk - 1
+      |  WHERE abs(cur.p - prv.p) * 100 >= prv.p)
+      |SELECT brand, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(CAST(sum(e) AS HUGEINT) // count(*) AS BIGINT) AS mean_e_micro,
+      |  CAST(sum(CASE WHEN e < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_demand_law
+      |FROM j GROUP BY brand ORDER BY brand""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q358_price_index", q358, Some(q358Sql)),
+    QueryDef("q363_arc_elasticity", q363, Some(q363Sql)),
     QueryDef("q346_price_dispersion", q346, Some(q346Sql)),
     QueryDef("q342_duplicate_payments", q342, Some(q342Sql)),
     QueryDef("q343_hhi_trend", q343, Some(q343Sql)),

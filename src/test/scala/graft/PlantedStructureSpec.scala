@@ -1054,6 +1054,64 @@ class PlantedStructureSpec extends SparkSpec {
     assert(out("BB") === ((1, 1000000L, -1, 1)), s"BB ${out("BB")}")
   }
 
+  /** lineitem+part fixture with shipdates for the economics queries:
+    * (brand, day, extendedprice, qty). */
+  private def elasticityLinesDir(rows: Seq[(String, Int, Double, Double)]): String = {
+    val dir = Files.createTempDirectory("planted-el")
+    val brands = rows.map(_._1).distinct.sorted.zipWithIndex.toMap
+    rows.zipWithIndex.map { case ((b, day, ep, q), i) =>
+      (i.toLong, brands(b).toLong, day.toLong, ep, q) }
+      .toDF("l_orderkey", "l_partkey", "day", "l_extendedprice", "l_quantity")
+      .withColumn("l_shipdate", timestamp_micros(
+        ($"day" * 86400L + 43200L) * 1000000L))
+      .select($"l_orderkey", $"l_partkey", $"l_extendedprice",
+        $"l_quantity", $"l_shipdate")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("lineitem.parquet").toString)
+    brands.toSeq.map { case (b, k) => (k.toLong, b) }
+      .toDF("p_partkey", "p_brand")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("part.parquet").toString)
+    dir.toString
+  }
+
+  test("q363 prices the planted demand response at exactly -1/3 and " +
+    "gates out the sub-1% price move") {
+    // BX: unit price 1.00 -> 2.00, qty 10 -> 8: arc E = -1/3 exactly.
+    // BY: price moves 0.4% (< 1% gate) -> no pair survives
+    val rows = Seq(
+      ("BX", 5, 10.00, 10.0), ("BX", 35, 16.00, 8.0),
+      ("BY", 5, 10.00, 10.0), ("BY", 35, 20.08, 20.0))
+    val out = operators.Relational.q363(spark, elasticityLinesDir(rows))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(("BX", 1L, -333333L, 1L)), s"${out.toSeq}")
+  }
+
+  test("q364 reads a pure weekday effect as eta2 exactly 1e6 / 0") {
+    // 4 full weeks, revenue a function of day%7 ONLY: weekday (and
+    // cell) explain everything; the single January month explains 0
+    val d = ordersDir(1 to 28, day => 100.0 * (day % 7 + 1))
+    val out = operators.EventQueries.q364(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("weekday") === ((7L, 1000000L)), s"weekday ${out("weekday")}")
+    assert(out("cell") === ((7L, 1000000L)), s"cell ${out("cell")}")
+    assert(out("month") === ((1L, 0L)), s"month ${out("month")}")
+  }
+
+  test("q365 scores the planted two-clique bridge at Q = 357142 exactly") {
+    // two 3-cliques joined by one bridge: LPA settles on {1,2,3} /
+    // {4,5,6}; m=7, per community m_c=3, d_c=7 ->
+    // contrib = (84-49)e6 div 196 = 178571, Q = 357142
+    val orders = Seq((1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 4L), (2L, 5L), (2L, 6L), (3L, 3L), (3L, 4L))
+    val out = operators.GraphQueries.q365(spark, orderPartsDir(orders))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.length === 2, s"${out.toSeq}")
+    assert(out.forall(t => t._2 === 3L && t._3 === 3L && t._4 === 7L
+      && t._5 === 178571L && t._6 === 357142L), s"${out.toSeq}")
+  }
+
   test("q286 finds the planted variance axis") {
     // dim 5 carries 100x the variance of every other dim
     val rnd = new scala.util.Random(7)
