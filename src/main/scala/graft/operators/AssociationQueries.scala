@@ -840,6 +840,186 @@ object AssociationQueries {
        |FROM w ORDER BY arm""".stripMargin
 
   // ------------------------------------------------------------------
+  // q366 — mediation decomposition (views → clicks → revenue)
+  // ------------------------------------------------------------------
+
+  /** q366 — Baron–Kenny mediation decomposition: how much of the
+    * view→revenue relationship flows THROUGH clicks? Per user,
+    * x = views, m = clicks (the mediator), y = purchase cents; the
+    * three OLS primitives a = S_xm/S_xx (x→m), b and the direct
+    * effect from the two-predictor fit y ~ x + m (normal-equation
+    * determinants, q297's machinery), c = S_xy/S_xx (total), and the
+    * readout is the decomposition c = direct + a·b with
+    * proportion-mediated a·b/c — the CAUSAL-PATH split that q304
+    * (symmetric partialling) and q297 (coefficients alone) don't
+    * report. Exact: all five n-scaled moment forms are DECIMAL(38,0)
+    * integers; each base coefficient is ONE truncating micro division;
+    * indirect and proportion-mediated compose the truncated micro
+    * coefficients (stated second-level truncation, bounded |a|+|b|
+    * micro) because the raw determinant product breaches 38 digits
+    * near sf1; degenerate designs (zero x-variance, collinear x/m,
+    * zero total effect) degrade the affected columns to NULL.
+    *
+    * Scale shape: one groupBy(user) with map-side combine → one 1-row
+    * moment rollup; everything after is scalar arithmetic. */
+  def q366(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(sum(($"event_type" === "view").cast("long")).as("x"),
+        sum(($"event_type" === "click").cast("long")).as("m"),
+        sum(when($"event_type" === "purchase",
+          floor($"value" * 100).cast("long")).otherwise(lit(0L))).as("y"))
+    per.agg(count(lit(1)).as("u"),
+        sum($"x").as("sx"), sum($"m").as("sm"), sum($"y").as("sy"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),
+        sum(expr("cast(x as decimal(38,0)) * m")).as("sxm"),
+        sum(expr("cast(m as decimal(38,0)) * m")).as("smm"),
+        sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
+        sum(expr("cast(m as decimal(38,0)) * y")).as("smy"))
+      .select($"u",
+        expr("u * sxx - cast(sx as decimal(38,0)) * sx").as("cxx"),
+        expr("u * sxm - cast(sx as decimal(38,0)) * sm").as("cxm"),
+        expr("u * smm - cast(sm as decimal(38,0)) * sm").as("cmm"),
+        expr("u * sxy - cast(sx as decimal(38,0)) * sy").as("cxy"),
+        expr("u * smy - cast(sm as decimal(38,0)) * sy").as("cmy"))
+      .select($"u", $"cxx", $"cxy",
+        expr("cmy * cxx - cxy * cxm").as("bnum"),
+        expr("cxy * cmm - cmy * cxm").as("dnum"),
+        expr("cmm * cxx - cxm * cxm").as("bden"),
+        $"cxm")
+      .select($"u".as("n_users"),
+        when($"cxx" > 0, expr("(cxm * 1000000) div cxx")).as("a_micro"),
+        when($"bden" > 0, expr("(bnum * 1000000) div bden")).as("b_micro"),
+        when($"cxx" > 0, expr("(cxy * 1000000) div cxx")).as("c_micro"),
+        when($"bden" > 0, expr("(dnum * 1000000) div bden")).as("direct_micro"))
+      // indirect and proportion compose the already-truncated micro
+      // coefficients (stated): a second-level truncation bounded by
+      // |a|+|b| micro, in exchange for staying inside DECIMAL(38,0)
+      // at ANY scale (the raw cxm·bnum product breaches 38 digits
+      // around sf1)
+      .withColumn("indirect_micro", expr(
+        "(cast(a_micro as decimal(38,0)) * b_micro) div 1000000"))
+      .withColumn("prop_mediated_micro",
+        when($"c_micro" =!= 0L, expr(
+          "(cast(indirect_micro as decimal(38,0)) * 1000000) div c_micro")))
+  }
+
+  val q366Sql: String =
+    """WITH per AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS m,
+      |    CAST(sum(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+      |  FROM events GROUP BY user_id),
+      |mo AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS u,
+      |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(m) AS HUGEINT) AS sm,
+      |    CAST(sum(y) AS HUGEINT) AS sy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(x AS HUGEINT) * m) AS sxm,
+      |    sum(CAST(m AS HUGEINT) * m) AS smm, sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(m AS HUGEINT) * y) AS smy
+      |  FROM per),
+      |cs AS (
+      |  SELECT u, u * sxx - sx * sx AS cxx, u * sxm - sx * sm AS cxm,
+      |    u * smm - sm * sm AS cmm, u * sxy - sx * sy AS cxy,
+      |    u * smy - sm * sy AS cmy
+      |  FROM mo),
+      |dt AS (
+      |  SELECT u, cxx, cxy, cxm,
+      |    cmy * cxx - cxy * cxm AS bnum,
+      |    cxy * cmm - cmy * cxm AS dnum,
+      |    cmm * cxx - cxm * cxm AS bden
+      |  FROM cs),
+      |co AS (
+      |  SELECT CAST(u AS BIGINT) AS n_users,
+      |    CASE WHEN cxx > 0 THEN CAST((cxm * 1000000) // cxx AS BIGINT) END AS a_micro,
+      |    CASE WHEN bden > 0 THEN CAST((bnum * 1000000) // bden AS BIGINT) END AS b_micro,
+      |    CASE WHEN cxx > 0 THEN CAST((cxy * 1000000) // cxx AS BIGINT) END AS c_micro,
+      |    CASE WHEN bden > 0 THEN CAST((dnum * 1000000) // bden AS BIGINT) END AS direct_micro
+      |  FROM dt)
+      |SELECT co.*,
+      |  CAST((CAST(a_micro AS HUGEINT) * b_micro) // 1000000 AS BIGINT)
+      |    AS indirect_micro,
+      |  CASE WHEN c_micro <> 0 THEN
+      |    CAST((CAST((CAST(a_micro AS HUGEINT) * b_micro) // 1000000 AS HUGEINT)
+      |      * 1000000) // c_micro AS BIGINT) END AS prop_mediated_micro
+      |FROM co""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q367 — quantile treatment effects (distributional A/B readout)
+  // ------------------------------------------------------------------
+
+  /** q367 — quantile treatment effects: the per-decile gap between the
+    * treatment and control distributions of user purchase revenue
+    * under q243's salted-md5 assignment — WHERE in the distribution
+    * the effect lives (a mean shift q243/q257/q355 report identically
+    * can be tail-only, median-only, or rank-preserving; QTE is the
+    * standard distributional readout that tells them apart). Exact:
+    * the q-th decile is pure SELECTION — the value at 1-based rank
+    * ⌈q·U/10⌉ = (q·U + 9) div 10 along the total order (cents,
+    * user_id) — so no arithmetic touches the values and the gaps are
+    * integer subtractions. An absent arm degrades its column (and the
+    * gap) to NULL.
+    *
+    * Scale shape: ranks come from Ranking.groupRanks — the two-phase
+    * range-repartition scan, NOT a row_number window partitioned by
+    * the 2-value arm (which would serialize each arm through one task
+    * at scale; WindowStragglerGuardSpec enforces the choice); decile
+    * targets are a 2×9 broadcast grid joined on (arm, rank). */
+  def q367(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(sum(when($"event_type" === "purchase",
+        floor($"value" * 100).cast("long")).otherwise(lit(0L))).as("y"))
+      .withColumn("arm",
+        when(conv(substring(md5(concat($"user_id".cast("string"), lit("#exp1"))), 1, 8), 16, 10)
+          .cast("long") % 2 === 0, lit("control")).otherwise(lit("treatment")))
+    val ranked = Ranking.groupRanks(per, Seq("arm"), 8, $"y", $"user_id")
+      .transform(graft.Fx.materialize) // counts + decile probe
+    val targets = ranked.groupBy($"arm").agg(count(lit(1)).as("u"))
+      .crossJoin(broadcast(
+        s.range(1L, 10L).select($"id".as("decile"))))
+      .select($"arm".as("t_arm"), $"decile",
+        expr("(decile * u + 9) div 10").as("k"))
+    ranked.join(broadcast(targets),
+        $"arm" === $"t_arm" && $"rank" === $"k")
+      .select($"decile", $"arm", $"y")
+      .groupBy($"decile")
+      .agg(max(when($"arm" === "control", $"y")).as("y_control"),
+        max(when($"arm" === "treatment", $"y")).as("y_treatment"))
+      .withColumn("qte_cents", $"y_treatment" - $"y_control")
+      .orderBy($"decile")
+  }
+
+  val q367Sql: String =
+    """WITH per AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y,
+      |    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#exp1'), 1, 8))::BIGINT % 2 = 0
+      |         THEN 'control' ELSE 'treatment' END AS arm
+      |  FROM events GROUP BY user_id),
+      |ranked AS (
+      |  SELECT arm, y,
+      |    row_number() OVER (PARTITION BY arm ORDER BY y, user_id) AS rank
+      |  FROM per),
+      |targets AS (
+      |  SELECT c.arm, d.decile, (d.decile * c.u + 9) // 10 AS k
+      |  FROM (SELECT arm, CAST(count(*) AS BIGINT) AS u FROM per GROUP BY arm) c
+      |  CROSS JOIN (SELECT CAST(l AS BIGINT) AS decile
+      |              FROM generate_series(1, 9) t(l)) d)
+      |SELECT t.decile,
+      |  max(CASE WHEN r.arm = 'control' THEN r.y END) AS y_control,
+      |  max(CASE WHEN r.arm = 'treatment' THEN r.y END) AS y_treatment,
+      |  max(CASE WHEN r.arm = 'treatment' THEN r.y END)
+      |    - max(CASE WHEN r.arm = 'control' THEN r.y END) AS qte_cents
+      |FROM ranked r JOIN targets t ON r.arm = t.arm AND r.rank = t.k
+      |GROUP BY t.decile ORDER BY t.decile""".stripMargin
+
+  // ------------------------------------------------------------------
   // q362 — Simpson's-paradox audit (aggregation reversal by brand)
   // ------------------------------------------------------------------
 
@@ -2234,6 +2414,8 @@ object AssociationQueries {
     QueryDef("q243_ab_readout", q243, Some(q243Sql)),
     QueryDef("q355_delta_method_ratio", q355, Some(q355Sql)),
     QueryDef("q362_simpsons_audit", q362, Some(q362Sql)),
+    QueryDef("q366_mediation", q366, Some(q366Sql)),
+    QueryDef("q367_qte_deciles", q367, Some(q367Sql)),
     QueryDef("q257_cuped_readout", q257, Some(q257Sql)),
     QueryDef("q268_two_proportion_z", q268, Some(q268Sql)),
     QueryDef("q272_srm_audit", q272, Some(q272Sql)),

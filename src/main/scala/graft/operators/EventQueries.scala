@@ -3804,9 +3804,78 @@ object EventQueries {
        |ORDER BY factor""".stripMargin
   }
 
+  /** q368 — Fano factor (index of dispersion) of hourly purchase
+    * counts over the COMPLETE hour spine (empty hours count 0 — the
+    * spine join is what separates this from any per-event statistic):
+    * F = s²/ȳ, the Poisson-process gate. F ≈ 1 ⟹ arrivals are
+    * memoryless (queueing/staffing models apply); F ≫ 1 ⟹ bursty
+    * (q345 measures burstiness WITHIN documents; q306's von Neumann
+    * ratio tracks successive differences — neither asks the count-
+    * process question). Exact: counts are integers on the bounded
+    * hour calendar, fano_micro = ((N·Σy² − S²)·10⁶) div ((N−1)·S) is
+    * one truncating division; the dispersion χ² = (N·Σy² − S²)/S with
+    * df = N−1 maps through the Wilson–Hilferty-free normal
+    * approximation z = √(2χ²) − √(2N−3) — two pinned sqrts over
+    * exact-integer-derived doubles, r6 — with the two-sided 5%
+    * verdict on |z| > 1.96.
+    *
+    * Scale shape: one scan collapses to per-hour counts; the spine is
+    * a generated bounded sequence; everything after is one scalar
+    * aggregate. */
+  def q368(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val purch = Tables.events(s, d).filter($"event_type" === "purchase")
+      .select(expr("unix_micros(ts) div 3600000000").as("hr"))
+    val counts = purch.groupBy($"hr").agg(count(lit(1)).as("c"))
+      .transform(graft.Fx.materialize) // span probe + spine join
+    val spine = counts.agg(min($"hr").as("lo"), max($"hr").as("hi"))
+      .select(explode(sequence($"lo", $"hi")).as("hr"))
+    val grid = spine.join(counts, Seq("hr"), "left_outer")
+      .select(coalesce($"c", lit(0L)).as("y"))
+    grid.agg(count(lit(1)).as("n"), sum($"y").as("sy"),
+        sum(expr("cast(y as decimal(38,0)) * y")).as("syy"))
+      .filter($"n" > 1L && $"sy" > 0L)
+      .select($"n".as("n_hours"), $"sy".as("n_purchases"),
+        expr("""cast(((n * syy - cast(sy as decimal(38,0)) * sy) * 1000000)
+               div ((n - 1) * cast(sy as decimal(38,0))) as bigint)""")
+          .as("fano_micro"),
+        graft.Fx.r6(
+          sqrt(lit(2.0) * expr("cast(n * syy - cast(sy as decimal(38,0)) * sy as double)") /
+            $"sy".cast("double")) -
+          sqrt(lit(2.0) * $"n".cast("double") - 3.0)).as("z"))
+      .withColumn("reject_poisson_5pct", (abs($"z") > 1.96).cast("int"))
+  }
+
+  val q368Sql: String = {
+    val chi2 = "CAST(n * syy - sy * sy AS DOUBLE) / CAST(sy AS DOUBLE)"
+    s"""WITH purch AS (
+       |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr
+       |  FROM events WHERE event_type = 'purchase'),
+       |counts AS MATERIALIZED (
+       |  SELECT hr, CAST(count(*) AS BIGINT) AS c FROM purch GROUP BY hr),
+       |spine AS (
+       |  SELECT unnest(generate_series((SELECT min(hr) FROM counts),
+       |                                (SELECT max(hr) FROM counts))) AS hr),
+       |grid AS (
+       |  SELECT COALESCE(c.c, 0) AS y
+       |  FROM spine LEFT JOIN counts c ON spine.hr = c.hr),
+       |mo AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(y) AS HUGEINT) AS sy,
+       |    sum(CAST(y AS HUGEINT) * y) AS syy
+       |  FROM grid)
+       |SELECT CAST(n AS BIGINT) AS n_hours, CAST(sy AS BIGINT) AS n_purchases,
+       |  CAST(((n * syy - sy * sy) * 1000000) // ((n - 1) * sy) AS BIGINT)
+       |    AS fano_micro,
+       |  ${graft.Fx.sqlR6(s"sqrt(2.0 * $chi2) - sqrt(2.0 * CAST(n AS DOUBLE) - 3.0)")} AS z,
+       |  CAST(abs(${graft.Fx.sqlR6(s"sqrt(2.0 * $chi2) - sqrt(2.0 * CAST(n AS DOUBLE) - 3.0)")}) > 1.96 AS INT)
+       |    AS reject_poisson_5pct
+       |FROM mo WHERE n > 1 AND sy > 0""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q357_leadlag_xcorr", q357, Some(q357Sql)),
     QueryDef("q364_calendar_eta2", q364, Some(q364Sql)),
+    QueryDef("q368_fano_factor", q368, Some(q368Sql)),
     QueryDef("q349_mcnemar", q349, Some(q349Sql)),
     QueryDef("q340_bootstrap_ci", q340, Some(q340Sql)),
     QueryDef("q341_variance_ratio", q341, Some(q341Sql)),

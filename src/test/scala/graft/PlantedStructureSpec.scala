@@ -1112,6 +1112,80 @@ class PlantedStructureSpec extends SparkSpec {
       && t._5 === 178571L && t._6 === 357142L), s"${out.toSeq}")
   }
 
+  test("q366 matches a sequential BigInt mediation fold on a planted " +
+    "chain") {
+    // x -> m (2x + jitter) -> y (3m + jitter dollars): most of the
+    // x->y effect flows through m
+    val xs = (1L to 20L).map(i => (i, i % 5 + 1, 2 * (i % 5 + 1) + i % 2))
+    val rows = xs.flatMap { case (u, x, m) =>
+      val yDollars = 3 * m + u % 3
+      Seq.fill(x.toInt)((1, u, "view", 0.0)) ++
+        Seq.fill(m.toInt)((2, u, "click", 0.0)) ++
+        Seq((3, u, "purchase", yDollars.toDouble))
+    }
+    // independent BigInt reference with the same stated truncations
+    val (us, xv, mv, yv) = (BigInt(20),
+      xs.map(t => BigInt(t._2)), xs.map(t => BigInt(t._3)),
+      xs.map { case (u, _, m) => BigInt(100) * (3 * m + u % 3) })
+    def dot(a: Seq[BigInt], b: Seq[BigInt]) = a.zip(b).map(t => t._1 * t._2).sum
+    val (sx, sm, sy) = (xv.sum, mv.sum, yv.sum)
+    val cxx = us * dot(xv, xv) - sx * sx; val cxm = us * dot(xv, mv) - sx * sm
+    val cmm = us * dot(mv, mv) - sm * sm; val cxy = us * dot(xv, yv) - sx * sy
+    val cmy = us * dot(mv, yv) - sm * sy
+    val bnum = cmy * cxx - cxy * cxm; val dnum = cxy * cmm - cmy * cxm
+    val bden = cmm * cxx - cxm * cxm
+    def tdiv(a: BigInt, b: BigInt) = a / b // BigInt / truncates toward zero
+    val (a6, b6, c6, d6) = (tdiv(cxm * 1000000, cxx), tdiv(bnum * 1000000, bden),
+      tdiv(cxy * 1000000, cxx), tdiv(dnum * 1000000, bden))
+    val ind6 = tdiv(a6 * b6, BigInt(1000000))
+    val prop6 = tdiv(ind6 * 1000000, c6)
+    val r = operators.AssociationQueries.q366(spark, eventsDir(rows)).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)) ===
+      ((20L, a6.toLong, b6.toLong, c6.toLong, d6.toLong, ind6.toLong,
+        prop6.toLong)), s"got $r want ($a6 $b6 $c6 $d6 $ind6 $prop6)")
+    assert(prop6 > 600000L, s"chain plant should be mostly mediated: $prop6")
+  }
+
+  test("q367 selects the planted per-arm deciles exactly") {
+    def isControl(id: Long): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id#exp1".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 2 == 0
+    }
+    val ids = (1L to 40L)
+    def dollars(id: Long): Double =
+      if (isControl(id)) 10.0 + id % 7 else 20.0 + 2 * (id % 5)
+    val rows = ids.map(id => (1, id, "purchase", dollars(id)))
+    // reference: value at 1-based rank ceil(q*U/10) along (y, id)
+    def ref(arm: Seq[Long], q: Long): Long = {
+      val sorted = arm.map(id => (100L * dollars(id).toLong, id)).sorted
+      sorted(((q * arm.size + 9) / 10 - 1).toInt)._1
+    }
+    val (ctl, trt) = ids.partition(isControl)
+    val out = operators.AssociationQueries.q367(spark, eventsDir(rows))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    (1L to 9L).foreach { q =>
+      assert(out(q) === ((ref(ctl, q), ref(trt, q))),
+        s"decile $q: ${out(q)} vs (${ref(ctl, q)}, ${ref(trt, q)})")
+    }
+  }
+
+  test("q368 reads the planted bursty arrivals as overdispersed with " +
+    "the exact Fano micro") {
+    // 2 purchases at noon on 3 consecutive days: 49-hour spine, 3
+    // hours of 2, 46 of 0 -> F = 552e6/288 = 1916666 micro
+    val rows = (1 to 3).flatMap(d =>
+      Seq((d, 10L * d, "purchase", 5.0), (d, 10L * d + 1, "purchase", 5.0)))
+    val r = operators.EventQueries.q368(spark, eventsDir(rows)).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((49L, 6L, 1916666L)),
+      s"$r")
+    val z = math.floor((math.sqrt(2.0 * 552.0 / 6.0) - math.sqrt(95.0))
+      * 1000000 + 0.5) / 1000000
+    assert(r.getDouble(3) === z && r.getInt(4) === 1, s"$r vs z=$z")
+  }
+
   test("q286 finds the planted variance axis") {
     // dim 5 carries 100x the variance of every other dim
     val rnd = new scala.util.Random(7)
