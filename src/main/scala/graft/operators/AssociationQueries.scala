@@ -948,6 +948,103 @@ object AssociationQueries {
       |FROM co""".stripMargin
 
   // ------------------------------------------------------------------
+  // q369 — instrumental-variable (Wald/LATE) encouragement readout
+  // ------------------------------------------------------------------
+
+  /** q369 — the Wald instrumental-variable estimator for an
+    * encouragement design: q243's assignment is the INSTRUMENT z,
+    * "user clicked at least once" is the treatment actually TAKEN m,
+    * purchase cents is the outcome y, and LATE = (ȳ₁−ȳ₀)/(m̄₁−m̄₀)
+    * rescales the intention-to-treat effect by the compliance
+    * differential — the standard answer when exposure is voluntary
+    * (q243 prices ASSIGNMENT, q366 decomposes correlational paths;
+    * only IV prices the effect OF TAKING under non-compliance). With
+    * N_a, M_a, Y_a per arm: LATE = (Y₁N₀ − Y₀N₁)/(M₁N₀ − M₀N₁) —
+    * one exact cross-multiplied truncating micro division, no mean
+    * ever floated. The first-stage F = (N−2)·D²/(N·E) with
+    * D = M₁N₀ − M₀N₁ and E = M₁(N₁−M₁)N₀ + M₀(N₀−M₀)N₁ is the same
+    * exact-rational shape, and the weak-instrument flag applies the
+    * Staiger–Stock F < 10 rule as an integer cross-comparison.
+    * Degenerate compliance (D = 0) degrades LATE to NULL.
+    *
+    * Scale shape: one groupBy(user), one 2-row arm rollup pivoted
+    * through a conditional 1-row aggregate; scalar arithmetic after. */
+  def q369(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(max(($"event_type" === "click").cast("long")).as("m"),
+        sum(when($"event_type" === "purchase",
+          floor($"value" * 100).cast("long")).otherwise(lit(0L))).as("y"))
+      .withColumn("z",
+        when(conv(substring(md5(concat($"user_id".cast("string"), lit("#exp1"))), 1, 8), 16, 10)
+          .cast("long") % 2 === 0, lit(0L)).otherwise(lit(1L)))
+    per.agg(
+        sum(when($"z" === 0L, 1L).otherwise(0L)).as("n0"),
+        sum(when($"z" === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when($"z" === 0L, $"m").otherwise(0L)).as("m0"),
+        sum(when($"z" === 1L, $"m").otherwise(0L)).as("m1"),
+        sum(when($"z" === 0L, $"y").otherwise(0L)).as("y0"),
+        sum(when($"z" === 1L, $"y").otherwise(0L)).as("y1"))
+      .filter($"n0" > 0L && $"n1" > 0L)
+      .select($"n0", $"n1", $"m0", $"m1",
+        expr("cast(m1 as decimal(38,0)) * n0 - cast(m0 as decimal(38,0)) * n1").as("dd"),
+        expr("cast(y1 as decimal(38,0)) * n0 - cast(y0 as decimal(38,0)) * n1").as("dy"),
+        expr("""cast(m1 as decimal(38,0)) * (n1 - m1) * n0
+             + cast(m0 as decimal(38,0)) * (n0 - m0) * n1""").as("ee"))
+      .select($"n0".as("n_control"), $"n1".as("n_treatment"),
+        $"m0".as("takers_control"), $"m1".as("takers_treatment"),
+        expr("(dy * 1000000) div (cast(n1 as decimal(38,0)) * n0)").as("itt_micro"),
+        expr("(dd * 1000000) div (cast(n1 as decimal(38,0)) * n0)")
+          .as("first_stage_micro"),
+        when($"ee" > 0, expr(
+          """((n0 + n1 - 2) * dd * dd * 1000000)
+             div ((n0 + n1) * ee)""")).as("f_micro"),
+        when($"ee" > 0, expr(
+          """cast((n0 + n1 - 2) * dd * dd < 10 * (n0 + n1) * ee as int)"""))
+          .as("weak_instrument"),
+        when($"dd" =!= 0, expr("(dy * 1000000) div dd")).as("late_micro"))
+  }
+
+  val q369Sql: String =
+    """WITH per AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS m,
+      |    CAST(sum(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y,
+      |    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#exp1'), 1, 8))::BIGINT % 2 = 0
+      |         THEN 0 ELSE 1 END AS z
+      |  FROM events GROUP BY user_id),
+      |a AS (
+      |  SELECT CAST(sum(CASE WHEN z = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n0,
+      |    CAST(sum(CASE WHEN z = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+      |    CAST(sum(CASE WHEN z = 0 THEN m ELSE 0 END) AS HUGEINT) AS m0,
+      |    CAST(sum(CASE WHEN z = 1 THEN m ELSE 0 END) AS HUGEINT) AS m1,
+      |    CAST(sum(CASE WHEN z = 0 THEN y ELSE 0 END) AS HUGEINT) AS y0,
+      |    CAST(sum(CASE WHEN z = 1 THEN y ELSE 0 END) AS HUGEINT) AS y1
+      |  FROM per
+      |  HAVING sum(CASE WHEN z = 0 THEN 1 ELSE 0 END) > 0
+      |     AND sum(CASE WHEN z = 1 THEN 1 ELSE 0 END) > 0),
+      |b AS (
+      |  SELECT n0, n1, m0, m1,
+      |    m1 * n0 - m0 * n1 AS dd, y1 * n0 - y0 * n1 AS dy,
+      |    m1 * (n1 - m1) * n0 + m0 * (n0 - m0) * n1 AS ee
+      |  FROM a)
+      |SELECT CAST(n0 AS BIGINT) AS n_control, CAST(n1 AS BIGINT) AS n_treatment,
+      |  CAST(m0 AS BIGINT) AS takers_control, CAST(m1 AS BIGINT) AS takers_treatment,
+      |  CAST((dy * 1000000) // (n1 * n0) AS BIGINT) AS itt_micro,
+      |  CAST((dd * 1000000) // (n1 * n0) AS BIGINT) AS first_stage_micro,
+      |  CASE WHEN ee > 0 THEN
+      |    CAST(((n0 + n1 - 2) * dd * dd * 1000000) // ((n0 + n1) * ee) AS BIGINT)
+      |  END AS f_micro,
+      |  CASE WHEN ee > 0 THEN
+      |    CAST((n0 + n1 - 2) * dd * dd < 10 * (n0 + n1) * ee AS INT)
+      |  END AS weak_instrument,
+      |  CASE WHEN dd <> 0 THEN CAST((dy * 1000000) // dd AS BIGINT) END
+      |    AS late_micro
+      |FROM b""".stripMargin
+
+  // ------------------------------------------------------------------
   // q367 — quantile treatment effects (distributional A/B readout)
   // ------------------------------------------------------------------
 
@@ -2416,6 +2513,7 @@ object AssociationQueries {
     QueryDef("q362_simpsons_audit", q362, Some(q362Sql)),
     QueryDef("q366_mediation", q366, Some(q366Sql)),
     QueryDef("q367_qte_deciles", q367, Some(q367Sql)),
+    QueryDef("q369_iv_wald", q369, Some(q369Sql)),
     QueryDef("q257_cuped_readout", q257, Some(q257Sql)),
     QueryDef("q268_two_proportion_z", q268, Some(q268Sql)),
     QueryDef("q272_srm_audit", q272, Some(q272Sql)),

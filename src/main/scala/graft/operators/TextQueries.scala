@@ -758,21 +758,30 @@ object TextQueries {
     * words via TakeOrdered; everything after runs on the k·50 dense
     * grid (sources × top words — bounded metadata scale), including
     * the k²·50 pair join. */
-  def q361(s: SparkSession, d: String): DataFrame = {
+  /** Dense source×top-N-term grid of micro relative frequencies
+    * (absent cells = 0) — shared by q361 (stylometric z-profiles) and
+    * q370 (dispersion). One token pass; everything downstream runs at
+    * sources×N metadata scale. */
+  private def sourceTermGrid(s: SparkSession, d: String, topN: Int): DataFrame = {
     import s.implicits._
     val toks = Tables.documents(s, d)
       .select($"source", explode(split($"text", " ")).as("w"))
       .transform(graft.Fx.materialize) // top words, counts, totals
     val srcTot = toks.groupBy($"source").agg(count(lit(1)).as("nt"))
     val top = toks.groupBy($"w").agg(count(lit(1)).as("cw"))
-      .orderBy($"cw".desc, $"w").limit(50).select($"w")
+      .orderBy($"cw".desc, $"w").limit(topN).select($"w")
       .transform(graft.Fx.materialize) // grid + count probe
     val cnt = toks.join(broadcast(top), "w")
       .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
-    val grid = srcTot.crossJoin(broadcast(top))
+    srcTot.crossJoin(broadcast(top))
       .join(cnt, Seq("source", "w"), "left_outer")
       .select($"source", $"w",
         expr("(coalesce(c, 0) * 1000000) div nt").as("f"))
+  }
+
+  def q361(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grid = sourceTermGrid(s, d, 50)
     val stats = grid.groupBy($"w").agg(
         count(lit(1)).as("k"), sum($"f").as("sf"),
         sum(expr("cast(f as decimal(38,0)) * f")).as("sff"))
@@ -829,8 +838,66 @@ object TextQueries {
       |ORDER BY delta_milli, s1, s2
       |LIMIT 10""".stripMargin
 
+  /** q370 — Juilland's dispersion D per top-30 term: D = 1 − CV/√(k−1)
+    * over the term's relative frequency across the k sources — the
+    * EVENNESS readout frequency dictionaries pair with raw counts
+    * (D ≈ 1: the word belongs to the LANGUAGE, spread evenly; D ≈ 0:
+    * it belongs to one source). Complements q345 (cf/df burstiness =
+    * clumping WITHIN documents) and q361 (pairwise style distance):
+    * dispersion is per-TERM evenness across corpus parts. Exactness:
+    * frequencies ride q361's micro grid; CV/√(k−1) =
+    * √(V/(k−1))/Σf with V = k·Σf² − (Σf)² evaluates as a fixed
+    * chain of correctly-rounded IEEE ops over exact < 2⁵³ integers
+    * (one sqrt, two divisions, r6) — bit-identical both engines; a
+    * zero-frequency term (impossible for a top-30 term) would
+    * degrade to NULL rather than divide by zero.
+    *
+    * Scale shape: the shared one-pass source×term grid; dispersion is
+    * a 30-group aggregate over k·30 rows. */
+  def q370(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    sourceTermGrid(s, d, 30)
+      .groupBy($"w".as("term"))
+      .agg(count(lit(1)).as("k"), sum($"f").as("sf"),
+        sum(expr("cast(f as decimal(38,0)) * f")).as("sff"))
+      .select($"term", $"k", $"sf",
+        when($"sf" > 0, graft.Fx.r6(lit(1.0) -
+          sqrt(expr("cast(k * sff - cast(sf as decimal(38,0)) * sf as double)") /
+            ($"k" - 1L).cast("double")) / $"sf".cast("double")))
+          .as("juilland_d"))
+      .orderBy(desc("juilland_d"), $"term")
+  }
+
+  val q370Sql: String = {
+    val cv = "sqrt(CAST(k * sff - sf * sf AS DOUBLE) / CAST(k - 1 AS DOUBLE)) " +
+      "/ CAST(sf AS DOUBLE)"
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+       |srctot AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS nt FROM toks GROUP BY 1),
+       |top AS MATERIALIZED (
+       |  SELECT w FROM (SELECT w, count(*) AS cw FROM toks GROUP BY w)
+       |  ORDER BY cw DESC, w LIMIT 30),
+       |grid AS (
+       |  SELECT st.source, top.w,
+       |    (COALESCE(cnt.c, 0) * 1000000) // st.nt AS f
+       |  FROM srctot st CROSS JOIN top
+       |  LEFT JOIN (SELECT t.source, t.w, CAST(count(*) AS BIGINT) AS c
+       |             FROM toks t JOIN top ON t.w = top.w GROUP BY 1, 2) cnt
+       |    ON cnt.source = st.source AND cnt.w = top.w),
+       |st AS (
+       |  SELECT w AS term, CAST(count(*) AS BIGINT) AS k,
+       |    CAST(sum(f) AS BIGINT) AS sf,
+       |    CAST(sum(CAST(f AS HUGEINT) * f) AS HUGEINT) AS sff
+       |  FROM grid GROUP BY w)
+       |SELECT term, k, sf,
+       |  CASE WHEN sf > 0 THEN ${graft.Fx.sqlR6(s"1.0 - $cv")} END AS juilland_d
+       |FROM st ORDER BY juilland_d DESC, term""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q361_burrows_delta", q361, Some(q361Sql)),
+    QueryDef("q370_juilland_dispersion", q370, Some(q370Sql)),
     QueryDef("q348_term_drift", q348, Some(q348Sql)),
     QueryDef("q345_term_burstiness", q345, Some(q345Sql)),
     QueryDef("q344_vocab_growth", q344, Some(q344Sql)),

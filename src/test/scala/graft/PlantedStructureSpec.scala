@@ -1186,6 +1186,46 @@ class PlantedStructureSpec extends SparkSpec {
     assert(r.getDouble(3) === z && r.getInt(4) === 1, s"$r vs z=$z")
   }
 
+  test("q369 prices the planted encouragement design at LATE exactly " +
+    "2000 cents") {
+    def isControl(id: Long): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id#exp1".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 2 == 0
+    }
+    // control: no clicks, buy 10.00; treatment: even ids click ("take")
+    // and buy 30.00, odd ids don't and buy 10.00 -> whatever the arm
+    // sizes, LATE = (3000-1000) cents exactly
+    val rows = (1L to 40L).flatMap { id =>
+      if (isControl(id)) Seq((1, id, "purchase", 10.0))
+      else if (id % 2 == 0)
+        Seq((1, id, "click", 0.0), (2, id, "purchase", 30.0))
+      else Seq((1, id, "purchase", 10.0))
+    }
+    val r = operators.AssociationQueries.q369(spark, eventsDir(rows)).head()
+    val (ctl, trt) = (1L to 40L).partition(isControl)
+    val takers = trt.count(_ % 2 == 0).toLong
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((ctl.size.toLong, trt.size.toLong, 0L, takers)), s"$r")
+    assert(r.getLong(8) === 2000L * 1000000L, s"LATE ${r.getLong(8)}")
+    assert(r.getInt(7) === 0, "strong planted instrument flagged weak")
+  }
+
+  test("q370 reads the planted dispersion poles exactly (D = 1, 0.5, 0)") {
+    // 'ev' spreads evenly (D=1), 'pad' covers 2 of 3 sources (D=0.5
+    // exactly), 'solo' is single-source (D=0 — Juilland's defining
+    // property)
+    val docs = Seq(
+      (1L, "ev ev solo solo", "en", "sa", 10L),
+      (2L, "ev ev pad pad", "en", "sb", 10L),
+      (3L, "ev ev pad pad", "en", "sc", 10L))
+    val out = operators.TextQueries.q370(spark, documentsDir(docs))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("ev") === 1.0 && out("pad") === 0.5 && out("solo") === 0.0,
+      s"dispersion $out")
+  }
+
   test("q286 finds the planted variance axis") {
     // dim 5 carries 100x the variance of every other dim
     val rnd = new scala.util.Random(7)
