@@ -948,6 +948,96 @@ object AssociationQueries {
       |FROM co""".stripMargin
 
   // ------------------------------------------------------------------
+  // q371 — sharp regression discontinuity at zero account balance
+  // ------------------------------------------------------------------
+
+  /** q371 — sharp regression-discontinuity readout: does crossing the
+    * zero-account-balance threshold shift order volume? Running
+    * variable x = acctbal cents, outcome y = the customer's order
+    * count, cutoff 0, bandwidth ±100,000 cents (stated): fit
+    * y = α + βx by OLS separately LEFT ([−h, 0)) and RIGHT ([0, h])
+    * of the cutoff and report the intercept gap α_R − α_L — the
+    * effect AT the threshold. Completes the causal toolbox: q281
+    * differences over time, q288 matches on covariates, q369
+    * instruments non-compliance; RD exploits a known assignment
+    * threshold. Exact: x and y are integers, each side's
+    * α = (Σy·Σx² − Σx·Σxy)/(n·Σx² − (Σx)²) and β ride DECIMAL(38,0)
+    * determinant forms with ONE truncating micro division each, and
+    * the gap is an integer subtraction of the two stated truncations.
+    * A side with zero x-variance degrades to NULL (and so does the
+    * gap).
+    *
+    * Scale shape: one bandwidth-filtered scan (predicate pushed to
+    * parquet) joined to a pre-aggregated per-customer order count,
+    * collapsed to TWO moment rows; scalar arithmetic after. */
+  def q371(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val h = 100000L
+    val perCust = Tables.orders(s, d)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("y"))
+    val pts = Tables.customer(s, d)
+      .select($"c_custkey",
+        floor($"c_acctbal" * 100 + lit(0.5)).cast("long").as("x"))
+      .filter($"x" >= -h && $"x" <= h)
+      .join(perCust, $"c_custkey" === $"o_custkey", "left_outer")
+      .select($"x", coalesce($"y", lit(0L)).as("y"),
+        ($"x" >= 0L).cast("int").as("side"))
+    val m = pts.groupBy($"side").agg(
+        count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),
+        sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"))
+      .select($"side", $"n",
+        expr("n * sxx - cast(sx as decimal(38,0)) * sx").as("vx"),
+        expr("""cast(sy as decimal(38,0)) * sxx
+             - cast(sx as decimal(38,0)) * sxy""").as("anum"),
+        expr("n * sxy - cast(sx as decimal(38,0)) * sy").as("bnum"))
+      .select($"side", $"n",
+        when($"vx" > 0, expr("(anum * 1000000) div vx")).as("alpha_micro"),
+        when($"vx" > 0, expr("(bnum * 1000000) div vx")).as("beta_micro"))
+    val w = Window.partitionBy(lit(1))
+    m.withColumn("al", max(when($"side" === 0, $"alpha_micro")).over(w))
+      .withColumn("ar", max(when($"side" === 1, $"alpha_micro")).over(w))
+      .select($"side", $"n", $"alpha_micro", $"beta_micro",
+        ($"ar" - $"al").as("rd_gap_micro"))
+      .orderBy($"side")
+  }
+
+  val q371Sql: String =
+    """WITH pc AS (
+      |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS y
+      |  FROM orders GROUP BY o_custkey),
+      |pts AS (
+      |  SELECT CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS x,
+      |    COALESCE(pc.y, 0) AS y,
+      |    CAST(floor(c.c_acctbal * 100 + 0.5) >= 0 AS INT) AS side
+      |  FROM customer c LEFT JOIN pc ON c.c_custkey = pc.o_custkey
+      |  WHERE floor(c.c_acctbal * 100 + 0.5) BETWEEN -100000 AND 100000),
+      |m AS (
+      |  SELECT side, CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy
+      |  FROM pts GROUP BY side),
+      |c2 AS (
+      |  SELECT side, n, n * sxx - sx * sx AS vx,
+      |    sy * sxx - sx * sxy AS anum, n * sxy - sx * sy AS bnum
+      |  FROM m),
+      |co AS (
+      |  SELECT side, CAST(n AS BIGINT) AS n,
+      |    CASE WHEN vx > 0
+      |      THEN CAST((anum * 1000000) // vx AS BIGINT) END AS alpha_micro,
+      |    CASE WHEN vx > 0
+      |      THEN CAST((bnum * 1000000) // vx AS BIGINT) END AS beta_micro
+      |  FROM c2),
+      |wd AS (
+      |  SELECT *,
+      |    max(CASE WHEN side = 0 THEN alpha_micro END) OVER () AS al,
+      |    max(CASE WHEN side = 1 THEN alpha_micro END) OVER () AS ar
+      |  FROM co)
+      |SELECT side, n, alpha_micro, beta_micro, ar - al AS rd_gap_micro
+      |FROM wd ORDER BY side""".stripMargin
+
+  // ------------------------------------------------------------------
   // q369 — instrumental-variable (Wald/LATE) encouragement readout
   // ------------------------------------------------------------------
 
@@ -2514,6 +2604,7 @@ object AssociationQueries {
     QueryDef("q366_mediation", q366, Some(q366Sql)),
     QueryDef("q367_qte_deciles", q367, Some(q367Sql)),
     QueryDef("q369_iv_wald", q369, Some(q369Sql)),
+    QueryDef("q371_regression_discontinuity", q371, Some(q371Sql)),
     QueryDef("q257_cuped_readout", q257, Some(q257Sql)),
     QueryDef("q268_two_proportion_z", q268, Some(q268Sql)),
     QueryDef("q272_srm_audit", q272, Some(q272Sql)),

@@ -3872,10 +3872,119 @@ object EventQueries {
        |FROM mo WHERE n > 1 AND sy > 0""".stripMargin
   }
 
+  /** q372 — weekly periodogram bin: the power of daily revenue at the
+    * 7-day frequency via a single-bin DFT over the day%7 class sums —
+    * A = Σ_k C_k·cos(2πk/7) − (S/N)·Σ_k N_k·cos(2πk/7) (and B with
+    * sines), reported as the variance share 2(A²+B²)/N / SS. q312's
+    * ACF asks "does lag 7 correlate"; the DFT bin prices HOW MUCH of
+    * the variance the weekly harmonic carries — the spectral
+    * complement (a strong share with modest lag-7 ACF means competing
+    * harmonics). Determinism without exact rationals: the only inputs
+    * are exact integer class sums (N_k, C_k, S, N, Σy²) and FIXED
+    * 16-digit cos/sin literals shared verbatim by both engines; the
+    * combination is a fixed-order expression tree (conditional
+    * aggregation pivots the 7 classes to scalars — never a float SUM
+    * over rows, whose order is engine-dependent), so every double op
+    * is the same op on the same bits. r6 output.
+    *
+    * Scale shape: one collapse to ≤ 7 class rows (plus the scalar
+    * totals), then constant-size arithmetic. */
+  def q372(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cosL = Seq(1.0, 0.6234898018587336, -0.2225209339563144,
+      -0.900968867902419, -0.900968867902419, -0.2225209339563144,
+      0.6234898018587336)
+    val sinL = Seq(0.0, 0.7818314824680298, 0.9749279121818236,
+      0.4338837391175581, -0.4338837391175581, -0.9749279121818236,
+      -0.7818314824680298)
+    val daily = Tables.orders(s, d)
+      .groupBy(epochDay($"o_orderdate").as("day"))
+      .agg(expr("cast(floor(sum(o_totalprice) * 100 + 0.5) as bigint) div 100")
+        .as("y"))
+      .select(($"day" % 7).as("k"), $"y")
+    val cls = daily.groupBy($"k")
+      .agg(count(lit(1)).as("nk"), sum($"y").as("ck"),
+        sum(expr("cast(y as decimal(38,0)) * y")).as("yy"))
+    def pivot(src: org.apache.spark.sql.Column, k: Int) =
+      max(when($"k" === k, src)).over(Window.partitionBy(lit(1)))
+    val flat = cls.select(
+        (0 to 6).map(k => coalesce(pivot($"nk", k), lit(0L)).as(s"n$k")) ++
+        (0 to 6).map(k => coalesce(pivot($"ck", k), lit(0L)).as(s"c$k")) :+
+        sum($"nk").over(Window.partitionBy(lit(1))).as("nn") :+
+        sum($"ck").over(Window.partitionBy(lit(1))).as("s") :+
+        sum($"yy").over(Window.partitionBy(lit(1))).as("syy"): _*)
+      .limit(1)
+    val dotC = (0 to 6).map(k => col(s"c$k").cast("double") * cosL(k))
+      .reduce(_ + _)
+    val dotNc = (0 to 6).map(k => col(s"n$k").cast("double") * cosL(k))
+      .reduce(_ + _)
+    val dotS = (0 to 6).map(k => col(s"c$k").cast("double") * sinL(k))
+      .reduce(_ + _)
+    val dotNs = (0 to 6).map(k => col(s"n$k").cast("double") * sinL(k))
+      .reduce(_ + _)
+    flat.select($"nn".as("n_days"),
+        (dotC - $"s".cast("double") / $"nn".cast("double") * dotNc).as("a"),
+        (dotS - $"s".cast("double") / $"nn".cast("double") * dotNs).as("b"),
+        expr("cast(nn * syy - cast(s as decimal(38,0)) * s as double) / cast(nn as double)")
+          .as("ss"))
+      .select($"n_days", graft.Fx.r6($"a").as("a_r6"),
+        graft.Fx.r6($"b").as("b_r6"),
+        when($"ss" > 0, graft.Fx.r6(
+          lit(2.0) * ($"a" * $"a" + $"b" * $"b") / $"n_days".cast("double") / $"ss"))
+          .as("weekly_var_share"))
+  }
+
+  val q372Sql: String = {
+    val cosL = Seq("1.0", "0.6234898018587336", "-0.2225209339563144",
+      "-0.900968867902419", "-0.900968867902419", "-0.2225209339563144",
+      "0.6234898018587336")
+    val sinL = Seq("0.0", "0.7818314824680298", "0.9749279121818236",
+      "0.4338837391175581", "-0.4338837391175581", "-0.9749279121818236",
+      "-0.7818314824680298")
+    def piv(src: String, k: Int) =
+      s"COALESCE(max(CASE WHEN k = $k THEN $src END), 0)"
+    val dotC = (0 to 6).map(k => s"CAST(${piv("ck", k)} AS DOUBLE) * ${cosL(k)}")
+      .mkString(" + ")
+    val dotNc = (0 to 6).map(k => s"CAST(${piv("nk", k)} AS DOUBLE) * ${cosL(k)}")
+      .mkString(" + ")
+    val dotS = (0 to 6).map(k => s"CAST(${piv("ck", k)} AS DOUBLE) * ${sinL(k)}")
+      .mkString(" + ")
+    val dotNs = (0 to 6).map(k => s"CAST(${piv("nk", k)} AS DOUBLE) * ${sinL(k)}")
+      .mkString(" + ")
+    s"""WITH daily AS (
+       |  SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-01') % 7 AS k,
+       |    CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) // 100 AS y
+       |  FROM orders GROUP BY CAST(o_orderdate AS DATE) - DATE '1970-01-01'),
+       |cls AS (
+       |  SELECT k, CAST(count(*) AS BIGINT) AS nk, CAST(sum(y) AS BIGINT) AS ck,
+       |    sum(CAST(y AS HUGEINT) * y) AS yy
+       |  FROM daily GROUP BY k),
+       |flat AS (
+       |  SELECT CAST(sum(nk) AS BIGINT) AS nn, CAST(sum(ck) AS BIGINT) AS s,
+       |    CAST(sum(yy) AS HUGEINT) AS syy,
+       |    ($dotC) AS dot_c, ($dotNc) AS dot_nc,
+       |    ($dotS) AS dot_s, ($dotNs) AS dot_ns
+       |  FROM cls),
+       |ab AS (
+       |  SELECT nn,
+       |    dot_c - CAST(s AS DOUBLE) / CAST(nn AS DOUBLE) * dot_nc AS a,
+       |    dot_s - CAST(s AS DOUBLE) / CAST(nn AS DOUBLE) * dot_ns AS b,
+       |    CAST(nn * syy - CAST(s AS HUGEINT) * s AS DOUBLE) / CAST(nn AS DOUBLE)
+       |      AS ss
+       |  FROM flat)
+       |SELECT nn AS n_days, ${graft.Fx.sqlR6("a")} AS a_r6,
+       |  ${graft.Fx.sqlR6("b")} AS b_r6,
+       |  CASE WHEN ss > 0 THEN
+       |    ${graft.Fx.sqlR6("2.0 * (a * a + b * b) / CAST(nn AS DOUBLE) / ss")}
+       |  END AS weekly_var_share
+       |FROM ab""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q357_leadlag_xcorr", q357, Some(q357Sql)),
     QueryDef("q364_calendar_eta2", q364, Some(q364Sql)),
     QueryDef("q368_fano_factor", q368, Some(q368Sql)),
+    QueryDef("q372_weekly_periodogram", q372, Some(q372Sql)),
     QueryDef("q349_mcnemar", q349, Some(q349Sql)),
     QueryDef("q340_bootstrap_ci", q340, Some(q340Sql)),
     QueryDef("q341_variance_ratio", q341, Some(q341Sql)),

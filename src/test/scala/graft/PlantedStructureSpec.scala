@@ -1226,6 +1226,64 @@ class PlantedStructureSpec extends SparkSpec {
       s"dispersion $out")
   }
 
+  test("q371 recovers the planted discontinuity exactly (gap = 3, " +
+    "slope = 100 micro, both sides)") {
+    // y = 10 + 0.0001x + 3*(x>=0): left intercept 10, right 13
+    val dir = Files.createTempDirectory("planted-rd")
+    val pts = Seq((-500.00, 5L), (-300.00, 7L), (-100.00, 9L),
+      (100.00, 14L), (300.00, 16L), (500.00, 18L))
+    pts.zipWithIndex.map { case ((bal, _), i) => (i.toLong, bal) }
+      .toDF("c_custkey", "c_acctbal")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("customer.parquet").toString)
+    pts.zipWithIndex.flatMap { case ((_, y), i) =>
+      (1L to y).map(j => (i.toLong * 100 + j, i.toLong)) }
+      .toDF("o_orderkey", "o_custkey")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("orders.parquet").toString)
+    val out = operators.AssociationQueries.q371(spark, dir.toString)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(0) === ((3L, 10000000L, 100L, 3000000L)), s"left ${out(0)}")
+    assert(out(1) === ((3L, 13000000L, 100L, 3000000L)), s"right ${out(1)}")
+  }
+
+  test("q372 matches a fixed-order double replica and reads a flat " +
+    "series as zero") {
+    // periodic plant: y depends only on day%7 over 4 full weeks
+    val cosL = Seq(1.0, 0.6234898018587336, -0.2225209339563144,
+      -0.900968867902419, -0.900968867902419, -0.2225209339563144,
+      0.6234898018587336)
+    val sinL = Seq(0.0, 0.7818314824680298, 0.9749279121818236,
+      0.4338837391175581, -0.4338837391175581, -0.9749279121818236,
+      -0.7818314824680298)
+    def yOf(day: Int): Long = 100L * (day % 7) + 100L
+    val d = ordersDir(1 to 28, day => yOf(day).toDouble)
+    val r = operators.EventQueries.q372(spark, d).head()
+    // replica with the SAME left-assoc operation order and literals
+    val (nk, ck) = ((0 to 6).map(_ => 4L),
+      (0 to 6).map(k => 4L * (100L * k + 100L)))
+    val (nn, s) = (28L, ck.sum)
+    val syy = (1 to 28).map(dd => BigInt(yOf(dd)) * yOf(dd)).sum
+    def dot(v: Seq[Long], l: Seq[Double]) =
+      (0 to 6).map(k => v(k).toDouble * l(k)).reduce(_ + _)
+    val a = dot(ck, cosL) - s.toDouble / nn.toDouble * dot(nk, cosL)
+    val b = dot(ck, sinL) - s.toDouble / nn.toDouble * dot(nk, sinL)
+    val ss = (BigInt(nn) * syy - BigInt(s) * s).toDouble / nn.toDouble
+    def r6(x: Double) = math.floor(x * 1000000 + 0.5) / 1000000
+    val share = r6(2.0 * (a * a + b * b) / nn.toDouble / ss)
+    assert(r.getLong(0) === 28L)
+    assert(r.getDouble(1) === r6(a) && r.getDouble(2) === r6(b),
+      s"(a,b) = (${r.getDouble(1)}, ${r.getDouble(2)}) vs (${r6(a)}, ${r6(b)})")
+    assert(r.getDouble(3) === share, s"share ${r.getDouble(3)} vs $share")
+    assert(share > 0.2, s"weekly plant share too small: $share")
+    // flat series: a = b = 0 exactly, share degrades to NULL
+    val flat = operators.EventQueries.q372(spark,
+      ordersDir(1 to 28, _ => 500.0)).head()
+    assert(flat.getDouble(1) === 0.0 && flat.getDouble(2) === 0.0)
+    assert(flat.isNullAt(3), "share must be NULL on zero variance")
+  }
+
   test("q286 finds the planted variance axis") {
     // dim 5 carries 100x the variance of every other dim
     val rnd = new scala.util.Random(7)
