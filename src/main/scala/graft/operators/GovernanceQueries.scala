@@ -1424,8 +1424,207 @@ object GovernanceQueries {
        |FROM g CROSS JOIN fin ORDER BY g.w""".stripMargin
   }
 
+  /** q373 — Levene's test (median-centered, i.e. Brown–Forsythe): do
+    * the five priority classes have the same revenue SPREAD? The
+    * homogeneity-of-variance gate that licenses pooled-variance
+    * methods — q334/q351/q359 all compare LOCATION; none asks whether
+    * the spread differs, and a location test passed under unequal
+    * variances can be an artifact. W is the one-way ANOVA F on
+    * z = |y − median_g|: with Z_g = Σz per class, A = Σ_g Z_g²/n_g
+    * (per-class floor division, quotients summed in DECIMAL — the
+    * q364 overflow discipline), B = Σz², C = Z²/N,
+    * W = (N−k)(A−C) / ((k−1)(B−A)) — one truncating micro division —
+    * and the 5% verdict uses the pinned large-sample F(k−1, ∞) =
+    * χ²/(k−1) critical values (denominator df is ~N here, stated).
+    * The class median is the stated LOWER median (first value whose
+    * within-class cumulative count reaches ⌈n_g/2⌉), selected on the
+    * collapsed value grid identically in both engines.
+    *
+    * Scale shape: collapse to the (class, cents) grid; medians via a
+    * class-partitioned cumulative window over that COLLAPSED grid
+    * (q334's discipline); one |y−med| pass with map-side combine;
+    * scalar arithmetic after. */
+  def q373(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val y = Tables.orders(s, d)
+      .select($"o_orderpriority".as("g"),
+        floor($"o_totalprice" * 100 + lit(0.5)).cast("long").as("v"))
+      .transform(graft.Fx.materialize) // grid collapse AND deviation pass
+    val grid = y.groupBy($"g", $"v").agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy($"g").orderBy($"v")
+    val med = grid
+      .withColumn("cum", sum($"c").over(wcum))
+      .withColumn("n", sum($"c").over(Window.partitionBy($"g")))
+      .filter($"cum" >= expr("(n + 1) div 2"))
+      .groupBy($"g").agg(min($"v").as("med"))
+    val z = y.join(broadcast(med), "g").select($"g", abs($"v" - $"med").as("z"))
+    val per = z.groupBy($"g").agg(count(lit(1)).as("ng"), sum($"z").as("zg"),
+        sum(expr("cast(z as decimal(38,0)) * z")).as("zz"))
+    per.agg(count(lit(1)).as("k"), sum($"ng").as("nn"), sum($"zg").as("ztot"),
+        sum(expr(
+          "cast((cast(zg as decimal(38,0)) * zg) div ng as decimal(38,0))"))
+          .as("a"),
+        sum($"zz").as("b"))
+      .select($"k", $"nn",
+        expr("a - (cast(ztot as decimal(38,0)) * ztot) div nn").as("ssb"),
+        expr("b - a").as("ssw"))
+      .select($"k", $"nn".as("n_total"),
+        when($"ssw" > 0, expr(
+          """((nn - k) * ssb * 1000000) div ((k - 1) * ssw)"""))
+          .as("w_micro"),
+        expr("""case k - 1 when 1 then 38415 when 2 then 29957
+                when 3 then 26049 when 4 then 23719 else 22141 end""")
+          .as("crit_e4"))
+      .withColumn("reject_5pct",
+        when($"w_micro".isNotNull,
+          ($"w_micro" > $"crit_e4" * 100L).cast("int")))
+  }
+
+  val q373Sql: String =
+    """WITH y AS MATERIALIZED (
+      |  SELECT o_orderpriority AS g,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+      |  FROM orders),
+      |grid AS (
+      |  SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM y GROUP BY g, v),
+      |med AS (
+      |  SELECT g, min(v) AS med FROM (
+      |    SELECT g, v,
+      |      sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+      |      sum(c) OVER (PARTITION BY g) AS n
+      |    FROM grid) t
+      |  WHERE cum >= (n + 1) // 2 GROUP BY g),
+      |z AS (
+      |  SELECT y.g, abs(y.v - med.med) AS z
+      |  FROM y JOIN med ON y.g = med.g),
+      |per AS (
+      |  SELECT g, CAST(count(*) AS BIGINT) AS ng, CAST(sum(z) AS BIGINT) AS zg,
+      |    sum(CAST(z AS HUGEINT) * z) AS zz
+      |  FROM z GROUP BY g),
+      |tot AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS k, CAST(sum(ng) AS HUGEINT) AS nn,
+      |    CAST(sum(zg) AS HUGEINT) AS ztot,
+      |    CAST(sum((CAST(zg AS HUGEINT) * zg) // ng) AS HUGEINT) AS a,
+      |    CAST(sum(zz) AS HUGEINT) AS b
+      |  FROM per),
+      |fin AS (
+      |  SELECT k, nn, a - (ztot * ztot) // nn AS ssb, b - a AS ssw FROM tot)
+      |SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n_total,
+      |  CASE WHEN ssw > 0 THEN
+      |    CAST(((nn - k) * ssb * 1000000) // ((k - 1) * ssw) AS BIGINT)
+      |  END AS w_micro,
+      |  CASE k - 1 WHEN 1 THEN 38415 WHEN 2 THEN 29957 WHEN 3 THEN 26049
+      |    WHEN 4 THEN 23719 ELSE 22141 END AS crit_e4,
+      |  CASE WHEN ssw > 0 THEN
+      |    CAST(CAST(((nn - k) * ssb * 1000000) // ((k - 1) * ssw) AS BIGINT)
+      |      > (CASE k - 1 WHEN 1 THEN 38415 WHEN 2 THEN 29957
+      |         WHEN 3 THEN 26049 WHEN 4 THEN 23719 ELSE 22141 END) * 100
+      |      AS INT)
+      |  END AS reject_5pct
+      |FROM fin""".stripMargin
+
+  /** q374 — Jonckheere–Terpstra ordered trend test for a CONTINUOUS
+    * outcome: does order revenue shift monotonically across the
+    * priority ordering 1..5? Completes the trend family — q359
+    * handles an ordered BINARY outcome, q334 unordered location,
+    * q351 blocked ranks; JT pools the Mann–Whitney counts of every
+    * ordered class pair, concentrating power on the monotone
+    * alternative. Exact: on the dense class×value grid, the DOUBLED
+    * statistic JT2 = Σ_v Σ_{i<j} c_j(v)·(2·below_i(v) + c_i(v))
+    * (q254's doubling absorbs tie-halves as integers) and the null
+    * moments μ2 = (N² − Σn²)/2, 72·σ² = N²(2N+3) − Σn²(2n+3)
+    * (untied-variance form, stated — revenue cents make ties rare)
+    * are all DECIMAL(38,0) integers; z = (JT2 − μ2)/(2√(var72/72))
+    * is fixed-shape double arithmetic (one sqrt, r6) and the 5%
+    * verdict is one-sided each way at 1.645 → 'increasing' /
+    * 'decreasing' / 'none'.
+    *
+    * Scale shape: one collapse to the (class, cents) grid; the dense
+    * grid is |values|×k; cumulative-below is a class-partitioned
+    * window over that COLLAPSED grid; the pair join fans each value
+    * row to ≤ k(k−1)/2 pairs. */
+  def q374(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val y = Tables.orders(s, d)
+      .select(substring($"o_orderpriority", 1, 1).cast("long").as("w"),
+        floor($"o_totalprice" * 100 + lit(0.5)).cast("long").as("v"))
+      .transform(graft.Fx.materialize) // grid AND group sizes
+    val cnt = y.groupBy($"w", $"v").agg(count(lit(1)).as("c"))
+    val dense = y.select($"v").distinct()
+      .crossJoin(broadcast(y.select($"w").distinct()))
+      .join(cnt, Seq("w", "v"), "left_outer")
+      .select($"w", $"v", coalesce($"c", lit(0L)).as("c"))
+      .withColumn("below",
+        sum($"c").over(Window.partitionBy($"w").orderBy($"v")) - $"c")
+      .transform(graft.Fx.materialize) // both sides of the pair join
+    val jt2 = dense.as("i").join(dense.as("j"),
+        $"i.v" === $"j.v" && $"i.w" < $"j.w")
+      .agg(sum(($"j.c".cast("decimal(38,0)") *
+        (lit(2L) * $"i.below" + $"i.c"))).as("jt2"))
+    val mom = y.groupBy($"w").agg(count(lit(1)).as("n"))
+      .agg(sum($"n").as("nn"),
+        sum(expr("cast(n as decimal(38,0)) * n")).as("sn2"),
+        sum(expr("cast(n as decimal(38,0)) * n * (2 * n + 3)")).as("sn23"))
+      .select($"nn",
+        expr("(cast(nn as decimal(38,0)) * nn - sn2) div 2").as("mu2"),
+        expr("""cast(nn as decimal(38,0)) * nn * (2 * nn + 3) - sn23""")
+          .as("var72"))
+    jt2.crossJoin(broadcast(mom))
+      .select($"nn".as("n_total"), $"jt2".cast("long").as("jt2"),
+        $"mu2".cast("long").as("mu2"),
+        when($"var72" > 0, graft.Fx.r6(
+          ($"jt2" - $"mu2").cast("double") /
+            (lit(2.0) * sqrt($"var72".cast("double") / 72.0)))).as("z"))
+      .withColumn("trend_5pct",
+        when($"z".isNull, lit(null).cast("string"))
+          .otherwise(when($"z" > 1.645, lit("increasing"))
+            .otherwise(when($"z" < -1.645, lit("decreasing"))
+              .otherwise(lit("none")))))
+  }
+
+  val q374Sql: String = {
+    val z = "CAST(jt2 - mu2 AS DOUBLE) / (2.0 * sqrt(CAST(var72 AS DOUBLE) / 72.0))"
+    s"""WITH y AS MATERIALIZED (
+       |  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+       |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+       |  FROM orders),
+       |cnt AS (
+       |  SELECT w, v, CAST(count(*) AS BIGINT) AS c FROM y GROUP BY w, v),
+       |dense AS MATERIALIZED (
+       |  SELECT g.w, vv.v, COALESCE(cnt.c, 0) AS c,
+       |    sum(COALESCE(cnt.c, 0)) OVER (PARTITION BY g.w ORDER BY vv.v)
+       |      - COALESCE(cnt.c, 0) AS below
+       |  FROM (SELECT DISTINCT v FROM y) vv
+       |  CROSS JOIN (SELECT DISTINCT w FROM y) g
+       |  LEFT JOIN cnt ON cnt.w = g.w AND cnt.v = vv.v),
+       |jt AS (
+       |  SELECT CAST(sum(CAST(j.c AS HUGEINT) * (2 * i.below + i.c)) AS HUGEINT)
+       |    AS jt2
+       |  FROM dense i JOIN dense j ON i.v = j.v AND i.w < j.w),
+       |mom AS (
+       |  SELECT CAST(sum(n) AS HUGEINT) AS nn,
+       |    CAST((CAST(sum(n) AS HUGEINT) * sum(n)
+       |      - sum(CAST(n AS HUGEINT) * n)) // 2 AS HUGEINT) AS mu2,
+       |    CAST(sum(n) AS HUGEINT) * sum(n) * (2 * sum(n) + 3)
+       |      - sum(CAST(n AS HUGEINT) * n * (2 * n + 3)) AS var72
+       |  FROM (SELECT w, CAST(count(*) AS BIGINT) AS n FROM y GROUP BY w) t)
+       |SELECT CAST(nn AS BIGINT) AS n_total, CAST(jt2 AS BIGINT) AS jt2,
+       |  CAST(mu2 AS BIGINT) AS mu2,
+       |  CASE WHEN var72 > 0 THEN ${graft.Fx.sqlR6(z)} END AS z,
+       |  CASE WHEN var72 > 0 THEN
+       |    CASE WHEN ${graft.Fx.sqlR6(z)} > 1.645 THEN 'increasing'
+       |         WHEN ${graft.Fx.sqlR6(z)} < -1.645 THEN 'decreasing'
+       |         ELSE 'none' END
+       |  END AS trend_5pct
+       |FROM jt CROSS JOIN mom""".stripMargin
+  }
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q359_cochran_armitage", q359, Some(q359Sql)),
+    QueryDef("q373_levene_bf", q373, Some(q373Sql)),
+    QueryDef("q374_jonckheere", q374, Some(q374Sql)),
     QueryDef("q351_friedman_test", q351, Some(q351Sql)),
     QueryDef("q334_kruskal_wallis", q334, Some(q334Sql)),
     QueryDef("q332_t_closeness", q332, Some(q332Sql)),

@@ -1683,9 +1683,71 @@ object Relational {
       |  CAST(sum(CASE WHEN e < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_demand_law
       |FROM j GROUP BY brand ORDER BY brand""".stripMargin
 
+  /** q375 — bullwhip ratio: the variance of monthly ORDER revenue
+    * over the variance of monthly SHIPPED revenue, on the months both
+    * series cover — the classic supply-chain amplification diagnostic
+    * (ratio > 1: ordering is jumpier than fulfilment smooths it; the
+    * cross-series companion to q341's within-series variance-ratio
+    * random-walk test). Exact: order months land on the cent grid via
+    * the grid-first sum; ship months sum per-row floored cents
+    * (extendedprice's stated truncation); both n-scaled variances are
+    * DECIMAL(38,0) forms and the ratio is one truncating micro
+    * division, NULL on a degenerate (zero-variance) shipped series.
+    *
+    * Scale shape: two scans each collapsing to the bounded month
+    * calendar, an equi-join on month, one scalar moment rollup. */
+  def q375(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val om = Tables.orders(s, d)
+      .groupBy((year($"o_orderdate") * 12 + month($"o_orderdate")).as("mk"))
+      .agg(floor(sum($"o_totalprice") * 100 + lit(0.5)).cast("long").as("o"))
+    val sm = Tables.lineitem(s, d)
+      .groupBy((year($"l_shipdate") * 12 + month($"l_shipdate")).as("mk"))
+      .agg(sum(floor($"l_extendedprice" * 100).cast("long")).as("sh"))
+    om.join(sm, "mk")
+      .agg(count(lit(1)).as("n"),
+        sum($"o").as("so"), sum(expr("cast(o as decimal(38,0)) * o")).as("soo"),
+        sum($"sh").as("ss"),
+        sum(expr("cast(sh as decimal(38,0)) * sh")).as("sss"))
+      .select($"n".as("n_months"),
+        expr("n * soo - cast(so as decimal(38,0)) * so").as("vo"),
+        expr("n * sss - cast(ss as decimal(38,0)) * ss").as("vs"))
+      .select($"n_months",
+        when($"vs" > 0, expr("(vo * 1000000) div vs")).as("bullwhip_micro"))
+      .withColumn("amplifying",
+        when($"bullwhip_micro".isNotNull,
+          ($"bullwhip_micro" > 1000000L).cast("int")))
+  }
+
+  val q375Sql: String =
+    """WITH om AS (
+      |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mk,
+      |    CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS o
+      |  FROM orders GROUP BY 1),
+      |sm AS (
+      |  SELECT year(l_shipdate) * 12 + month(l_shipdate) AS mk,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sh
+      |  FROM lineitem GROUP BY 1),
+      |j AS (SELECT om.o, sm.sh FROM om JOIN sm ON om.mk = sm.mk),
+      |mo AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(o) AS HUGEINT) AS so, sum(CAST(o AS HUGEINT) * o) AS soo,
+      |    CAST(sum(sh) AS HUGEINT) AS ss, sum(CAST(sh AS HUGEINT) * sh) AS sss
+      |  FROM j),
+      |v AS (
+      |  SELECT n, n * soo - so * so AS vo, n * sss - ss * ss AS vs FROM mo)
+      |SELECT CAST(n AS BIGINT) AS n_months,
+      |  CASE WHEN vs > 0 THEN CAST((vo * 1000000) // vs AS BIGINT) END
+      |    AS bullwhip_micro,
+      |  CASE WHEN vs > 0 THEN
+      |    CAST(CAST((vo * 1000000) // vs AS BIGINT) > 1000000 AS INT)
+      |  END AS amplifying
+      |FROM v""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q358_price_index", q358, Some(q358Sql)),
     QueryDef("q363_arc_elasticity", q363, Some(q363Sql)),
+    QueryDef("q375_bullwhip", q375, Some(q375Sql)),
     QueryDef("q346_price_dispersion", q346, Some(q346Sql)),
     QueryDef("q342_duplicate_payments", q342, Some(q342Sql)),
     QueryDef("q343_hhi_trend", q343, Some(q343Sql)),

@@ -1284,6 +1284,83 @@ class PlantedStructureSpec extends SparkSpec {
     assert(flat.isNullAt(3), "share must be NULL on zero variance")
   }
 
+  test("q373 matches the exact Brown-Forsythe fold and separates " +
+    "planted spread regimes") {
+    // wide group: 50 orders alternating 0/400 dollars; tight group:
+    // 50 orders alternating 198/202 -> same medians family, wildly
+    // different spread; replicate the integer formula exactly
+    val wide = (1 to 50).map(i => (5, "A", if (i % 2 == 0) 0.0 else 400.0))
+    val tight = (1 to 50).map(i => (5, "B", if (i % 2 == 0) 198.0 else 202.0))
+    def fold(groups: Seq[Seq[Long]]): (BigInt, BigInt) = { // (wMicro, rejectable ssw)
+      val k = groups.size
+      val zs = groups.map { g =>
+        val sorted = g.sorted
+        val med = sorted(((g.size + 1) / 2) - 1) // lower median
+        g.map(v => (v - med).abs)
+      }
+      val (nn, zt) = (BigInt(zs.map(_.size).sum), BigInt(zs.flatten.sum))
+      val a = zs.map(z => BigInt(z.sum) * z.sum / z.size).sum
+      val b = zs.flatten.map(z => BigInt(z) * z).sum
+      val ssb = a - zt * zt / nn; val ssw = b - a
+      (((nn - k) * ssb * 1000000) / ((k - 1) * ssw), ssw)
+    }
+    val cents = (s: Seq[(Int, String, Double)]) =>
+      s.map(t => (t._3 * 100).toLong)
+    val (wMicro, _) = fold(Seq(cents(wide), cents(tight)))
+    val r = operators.GovernanceQueries.q373(spark,
+      ordersPrioDir(wide ++ tight)).head()
+    assert(r.getLong(0) === 2L && r.getLong(1) === 100L)
+    assert(r.getLong(2) === wMicro.toLong, s"W ${r.getLong(2)} vs $wMicro")
+    assert(r.getInt(4) === 1, "planted spread contrast not rejected")
+    // identical distributions -> SSB = 0 exactly -> W = 0, accept
+    val same = (1 to 50).map(i => (5, "A", if (i % 2 == 0) 100.0 else 300.0)) ++
+      (1 to 50).map(i => (5, "B", if (i % 2 == 0) 100.0 else 300.0))
+    val r2 = operators.GovernanceQueries.q373(spark, ordersPrioDir(same)).head()
+    assert(r2.getLong(2) === 0L && r2.getInt(4) === 0, s"null case $r2")
+  }
+
+  test("q374 reads the planted monotone shift as 'increasing' with " +
+    "exact doubled moments") {
+    // g1 {10,20} < g2 {30,40} < g3 {50,60}: JT2 = 24, mu2 = 12,
+    // var72 = 456, z = 12 / (2*sqrt(456/72))
+    val inc = Seq((5, "1-L", 10.0), (5, "1-L", 20.0),
+      (5, "2-M", 30.0), (5, "2-M", 40.0),
+      (5, "3-H", 50.0), (5, "3-H", 60.0))
+    val r = operators.GovernanceQueries.q374(spark, ordersPrioDir(inc)).head()
+    val z = math.floor(12.0 / (2.0 * math.sqrt(456.0 / 72.0)) * 1000000 + 0.5) / 1000000
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((6L, 24L, 12L)), s"$r")
+    assert(r.getDouble(3) === z && r.getString(4) === "increasing", s"$r vs $z")
+    // reversed ordering -> JT2 = 0, 'decreasing'
+    val dec = inc.map { case (d, p, v) => (d, p, 70.0 - v) }
+    val r2 = operators.GovernanceQueries.q374(spark, ordersPrioDir(dec)).head()
+    assert(r2.getLong(1) === 0L && r2.getString(4) === "decreasing", s"$r2")
+  }
+
+  test("q375 prices the planted variance amplification at exactly 4x") {
+    val dir = Files.createTempDirectory("planted-bw")
+    // orders: 100/200/300 across Jan/Feb/Mar; shipped: 150/200/250
+    Seq((5L, 100.0), (40L, 200.0), (70L, 300.0)).zipWithIndex
+      .map { case ((day, v), i) => (i.toLong, day, v) }
+      .toDF("o_orderkey", "day", "o_totalprice")
+      .withColumn("o_orderdate", timestamp_micros(
+        ($"day" * 86400L + 43200L) * 1000000L))
+      .select($"o_orderkey", $"o_orderdate", $"o_totalprice")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("orders.parquet").toString)
+    Seq((5L, 150.0), (40L, 200.0), (70L, 250.0)).zipWithIndex
+      .map { case ((day, v), i) => (i.toLong, day, v) }
+      .toDF("l_orderkey", "day", "l_extendedprice")
+      .withColumn("l_shipdate", timestamp_micros(
+        ($"day" * 86400L + 43200L) * 1000000L))
+      .select($"l_orderkey", $"l_extendedprice", $"l_shipdate")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("lineitem.parquet").toString)
+    val r = operators.Relational.q375(spark, dir.toString).head()
+    // vo = 3*(1+4+9)e8 - 36e8 = 6e8; vs = 1.5e8 -> ratio 4.0 exactly
+    assert((r.getLong(0), r.getLong(1), r.getInt(2)) === ((3L, 4000000L, 1)),
+      s"$r")
+  }
+
   test("q286 finds the planted variance axis") {
     // dim 5 carries 100x the variance of every other dim
     val rnd = new scala.util.Random(7)
