@@ -44,6 +44,44 @@ object ScaleSmoke {
       println(f"[scale] $name%-22s $sec%8.2f s  ${rows / sec}%12.0f docs/s  ($res result rows)")
     }
 
+    // targeted mode: `... <n> wedgecap` measures q352's intermediary
+    // degree cap: RA link-prediction wedge generation on an n-node
+    // ring graph (background deg ≈ 4) plus ONE hub of degree h — the
+    // uncapped wedge count grows as h²/2 while the capped pipeline's
+    // work stays O(E) regardless of h
+    if (args.lift(1).contains("wedgecap")) {
+      val n = nDocs
+      for (h <- Seq(1000L, 4000L, 16000L)) {
+        val ring = spark.range(1L, n).select($"id".as("a"), ($"id" + 1).as("b"))
+          .unionAll(spark.range(1L, n - 1)
+            .select($"id".as("a"), ($"id" + 2).as("b")))
+        val hub = spark.range(1L, h + 1)
+          .select(lit(0L).as("a"), ($"id" * 10L % (n - 1) + 1).as("b"))
+        val e0 = ring.unionAll(hub)
+          .select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b"))
+          .filter($"a" =!= $"b").distinct().localCheckpoint()
+        val deg = e0.select($"a".as("z")).unionAll(e0.select($"b".as("z")))
+          .groupBy($"z").agg(count(lit(1)).as("zdeg")).localCheckpoint()
+        def score(cap: Option[Long]): Long = {
+          val nb0 = e0.unionAll(e0.select($"b".as("a"), $"a".as("b")))
+            .select($"a".as("z"), $"b".as("m"))
+            .join(deg, "z")
+          val nb = cap.map(c => nb0.filter($"zdeg" <= c)).getOrElse(nb0)
+          nb.as("x").join(nb.as("y"), Seq("z"))
+            .filter($"x.m" < $"y.m")
+            .select($"x.m".as("a"), $"y.m".as("b"), $"x.zdeg".as("zdeg"))
+            .groupBy($"a", $"b")
+            .agg(count(lit(1)).as("cn"),
+              sum(expr("1000000 div zdeg")).as("ra"))
+            .count()
+        }
+        timedN(n)(s"wedge_uncapped_h$h") { score(None) }
+        timedN(n)(s"wedge_cap64_h$h") { score(Some(64L)) }
+      }
+      spark.stop()
+      return
+    }
+
     // targeted mode: `... <n> skew` measures the three skew-join
     // strategies on a 90%-hot-key fact table with broadcasts disabled
     // (a dim too big to broadcast whole is the regime hybridJoin is
