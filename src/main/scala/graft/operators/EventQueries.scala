@@ -3980,11 +3980,143 @@ object EventQueries {
        |FROM ab""".stripMargin
   }
 
+  /** q376 — historical VaR and CVaR of daily revenue swings: the
+    * worst-case day-over-day change at the 95% and 99% confidence
+    * levels, and the expected shortfall BEYOND each cutoff — the
+    * finance-desk risk readout (VaR answers "how bad is the k-th
+    * worst day", CVaR "how bad are the days past it on average";
+    * CVaR is the coherent one). Exact: daily totals on the whole-
+    * dollar grid, P&L = first differences (integers, negative on down
+    * days), VaR = pure selection at rank ⌈(1−α)·N⌉ along (Δ, day),
+    * CVaR = the truncating micro mean of the worst-k set (toward-zero
+    * both engines, q361's negative-operand precedent). Loss
+    * convention: both reported positive for a loss.
+    *
+    * Scale shape: the corpus collapses to the bounded day calendar;
+    * differences and ranks ride windows over that COLLAPSED relation
+    * (q215's calendar discipline); the tail mean is a rank-filtered
+    * aggregate. */
+  def q376(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wDay = Window.orderBy($"day")
+    val pl = Tables.orders(s, d)
+      .groupBy(epochDay($"o_orderdate").as("day"))
+      .agg(expr("cast(floor(sum(o_totalprice) * 100 + 0.5) as bigint) div 100")
+        .as("y"))
+      .withColumn("dl", $"y" - lag($"y", 1).over(wDay))
+      .filter($"dl".isNotNull)
+      .withColumn("rk", row_number().over(Window.orderBy($"dl", $"day")))
+      .transform(graft.Fx.materialize) // count + two level probes
+    val n = pl.agg(count(lit(1)).as("n"))
+    val levels = s.createDataFrame(Seq((95L, 5L), (99L, 1L)))
+      .toDF("level", "tail_pct")
+    broadcast(levels).crossJoin(broadcast(n))
+      .select($"level", $"n".as("n_days"),
+        expr("(n * tail_pct + 99) div 100").as("k"))
+      .join(pl, $"rk" <= $"k")
+      .groupBy($"level", $"n_days", $"k")
+      .agg(max(when($"rk" === $"k", -$"dl")).as("var_dollars"),
+        expr("cast((-sum(dl)) as decimal(38,0)) * 1000000").as("s"))
+      .select($"level", $"n_days", $"k".as("tail_k"), $"var_dollars",
+        expr("s div k").as("cvar_micro"))
+      .orderBy($"level")
+  }
+
+  val q376Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+      |    CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) // 100 AS y
+      |  FROM orders GROUP BY 1),
+      |pl AS (
+      |  SELECT day, y - lag(y) OVER (ORDER BY day) AS dl FROM daily),
+      |rk AS (
+      |  SELECT dl, row_number() OVER (ORDER BY dl, day) AS rk
+      |  FROM pl WHERE dl IS NOT NULL),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rk),
+      |lv AS (SELECT * FROM (VALUES (CAST(95 AS BIGINT), CAST(5 AS BIGINT)),
+      |                             (CAST(99 AS BIGINT), CAST(1 AS BIGINT)))
+      |       t(level, tail_pct)),
+      |tg AS (
+      |  SELECT level, n.n AS n_days, (n.n * tail_pct + 99) // 100 AS k
+      |  FROM lv CROSS JOIN n)
+      |SELECT tg.level, tg.n_days, tg.k AS tail_k,
+      |  max(CASE WHEN rk.rk = tg.k THEN -rk.dl END) AS var_dollars,
+      |  CAST((CAST(-sum(rk.dl) AS HUGEINT) * 1000000) // tg.k AS BIGINT)
+      |    AS cvar_micro
+      |FROM tg JOIN rk ON rk.rk <= tg.k
+      |GROUP BY tg.level, tg.n_days, tg.k
+      |ORDER BY tg.level""".stripMargin
+
+  /** q378 — Shewhart X̄-R control chart on daily revenue, subgrouped
+    * by complete calendar week (7 epoch-days, stated): the LARGE-
+    * excursion monitor beside q320's CUSUM (CUSUM integrates small
+    * persistent shifts; Shewhart flags single subgroups past 3σ-
+    * equivalent limits). The n=7 chart constants are exact 3-decimal
+    * rationals (A2 = 419/1000, D3 = 76/1000, D4 = 1924/1000), so
+    * every limit test cross-multiplies to integers:
+    * X̄_w ≷ X̄̄ ± A2·R̄ ⟺ 1000·W·S_w ≷ 1000·T ± 2933·ΣR (7·419),
+    * R_w > D4·R̄ ⟺ 1000·W·R_w > 1924·ΣR — NO float ever enters a
+    * verdict. Reported means ride one truncating micro division.
+    *
+    * Scale shape: collapse to days, then to weeks; the grand totals
+    * broadcast back over the bounded week relation. */
+  def q378(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val weeks = Tables.orders(s, d)
+      .groupBy(epochDay($"o_orderdate").as("day"))
+      .agg(expr("cast(floor(sum(o_totalprice) * 100 + 0.5) as bigint) div 100")
+        .as("y"))
+      .groupBy(expr("day div 7").as("week"))
+      .agg(count(lit(1)).as("nd"), sum($"y").as("sw"),
+        (max($"y") - min($"y")).as("r"))
+      .filter($"nd" === 7L)
+      .transform(graft.Fx.materialize) // totals + per-week verdicts
+    val tot = weeks.agg(count(lit(1)).as("ww"), sum($"sw").as("t"),
+      sum($"r").as("sr"))
+    weeks.crossJoin(broadcast(tot))
+      .select($"week", expr("(sw * 1000000) div 7").as("xbar_micro"), $"r",
+        expr("""cast(1000 * cast(ww as decimal(38,0)) * sw
+               > 1000 * cast(t as decimal(38,0)) + 2933 * sr as int)""")
+          .as("above_ucl_x"),
+        expr("""cast(1000 * cast(ww as decimal(38,0)) * sw
+               < 1000 * cast(t as decimal(38,0)) - 2933 * sr as int)""")
+          .as("below_lcl_x"),
+        expr("""cast(1000 * cast(ww as decimal(38,0)) * r
+               > 1924 * cast(sr as decimal(38,0)) as int)""").as("above_ucl_r"))
+      .orderBy($"week")
+  }
+
+  val q378Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+      |    CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) // 100 AS y
+      |  FROM orders GROUP BY 1),
+      |wk AS (
+      |  SELECT day // 7 AS week, CAST(count(*) AS BIGINT) AS nd,
+      |    CAST(sum(y) AS BIGINT) AS sw,
+      |    CAST(max(y) - min(y) AS BIGINT) AS r
+      |  FROM daily GROUP BY 1 HAVING count(*) = 7),
+      |tot AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS ww, CAST(sum(sw) AS HUGEINT) AS t,
+      |    CAST(sum(r) AS HUGEINT) AS sr
+      |  FROM wk)
+      |SELECT wk.week,
+      |  CAST((CAST(sw AS HUGEINT) * 1000000) // 7 AS BIGINT) AS xbar_micro,
+      |  wk.r,
+      |  CAST(1000 * tot.ww * sw > 1000 * tot.t + 2933 * tot.sr AS INT)
+      |    AS above_ucl_x,
+      |  CAST(1000 * tot.ww * sw < 1000 * tot.t - 2933 * tot.sr AS INT)
+      |    AS below_lcl_x,
+      |  CAST(1000 * tot.ww * wk.r > 1924 * tot.sr AS INT) AS above_ucl_r
+      |FROM wk CROSS JOIN tot ORDER BY wk.week""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q357_leadlag_xcorr", q357, Some(q357Sql)),
     QueryDef("q364_calendar_eta2", q364, Some(q364Sql)),
     QueryDef("q368_fano_factor", q368, Some(q368Sql)),
     QueryDef("q372_weekly_periodogram", q372, Some(q372Sql)),
+    QueryDef("q376_var_cvar", q376, Some(q376Sql)),
+    QueryDef("q378_xbar_r_chart", q378, Some(q378Sql)),
     QueryDef("q349_mcnemar", q349, Some(q349Sql)),
     QueryDef("q340_bootstrap_ci", q340, Some(q340Sql)),
     QueryDef("q341_variance_ratio", q341, Some(q341Sql)),

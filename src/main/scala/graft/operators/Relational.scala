@@ -1744,10 +1744,94 @@ object Relational {
       |  END AS amplifying
       |FROM v""".stripMargin
 
+  /** q377 — chain-ladder development factors: order cohorts (by order
+    * month) "develop" as their lines ship over the following months,
+    * and f_d = Σᵢ C_{i,d+1} / Σᵢ C_{i,d} over cohorts mature through
+    * d+1 is the actuarial loss-triangle estimator — how much more
+    * revenue a d-month-old cohort still books, the standard
+    * completion-forecast machinery (here fulfilment instead of
+    * claims). Exact: per-row floored cents; the cumulative triangle
+    * C_{i,d} is a cohort-partitioned running sum over the COLLAPSED
+    * (cohort, dev) grid; the maturity gate keeps only cohorts whose
+    * d+1 column is fully observed (cohort month ≤ max ship month −
+    * (d+1), stated — an immature cohort would bias f_d downward);
+    * each factor is one truncating micro division of exact integer
+    * column sums. Dev lags cap at 6 months, and factors pair only
+    * OBSERVED adjacent cells (a cohort with an empty dev month skips
+    * that factor's sum — immaterial on this data where every cell
+    * holds thousands of lines; both stated).
+    *
+    * Scale shape: one lineitem⋈orders equi-join on orderkey (the one
+    * fact-to-fact shuffle), collapsed immediately to the
+    * (cohort, dev) triangle (≤ months×7 rows); the cumulative window
+    * and factor joins live on that collapsed triangle. */
+  def q377(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val tri = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).select($"o_orderkey",
+          (year($"o_orderdate") * 12 + month($"o_orderdate")).as("cohort")),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"cohort",
+        ((year($"l_shipdate") * 12 + month($"l_shipdate")) - $"cohort")
+          .cast("long").as("dev"),
+        floor($"l_extendedprice" * 100).cast("long").as("cents"))
+      .filter($"dev" >= 0 && $"dev" <= 6)
+      .groupBy($"cohort", $"dev").agg(sum($"cents").as("inc"))
+      .withColumn("cum", sum($"inc").over(
+        Window.partitionBy($"cohort").orderBy($"dev")))
+      .transform(graft.Fx.materialize) // maxMk probe + factor joins
+    val maxMk = Tables.lineitem(s, d)
+      .agg(max(year($"l_shipdate") * 12 + month($"l_shipdate")).as("mx"))
+    val cur = tri.select($"cohort", $"dev", $"cum")
+    val nxt = tri.select($"cohort", ($"dev" - 1).as("dev"), $"cum".as("cum1"))
+    cur.join(nxt, Seq("cohort", "dev"))
+      .crossJoin(broadcast(maxMk))
+      .filter($"cohort" <= $"mx" - ($"dev" + 1))
+      .groupBy($"dev")
+      .agg(count(lit(1)).as("n_cohorts"),
+        sum($"cum").as("cd"), sum($"cum1").as("cd1"))
+      .select($"dev", $"n_cohorts",
+        when($"cd" > 0,
+          expr("(cast(cd1 as decimal(38,0)) * 1000000) div cd"))
+          .as("factor_micro"))
+      .orderBy($"dev")
+  }
+
+  val q377Sql: String =
+    """WITH tri AS MATERIALIZED (
+      |  SELECT cohort, dev, CAST(sum(cents) AS BIGINT) AS inc,
+      |    CAST(sum(sum(cents)) OVER (PARTITION BY cohort ORDER BY dev)
+      |      AS BIGINT) AS cum
+      |  FROM (
+      |    SELECT year(o.o_orderdate) * 12 + month(o.o_orderdate) AS cohort,
+      |      (year(l.l_shipdate) * 12 + month(l.l_shipdate))
+      |        - (year(o.o_orderdate) * 12 + month(o.o_orderdate)) AS dev,
+      |      CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS cents
+      |    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey) t
+      |  WHERE dev BETWEEN 0 AND 6
+      |  GROUP BY cohort, dev),
+      |mx AS (
+      |  SELECT max(year(l_shipdate) * 12 + month(l_shipdate)) AS mx
+      |  FROM lineitem),
+      |j AS (
+      |  SELECT cur.dev, cur.cum AS cd, nxt.cum AS cd1
+      |  FROM tri cur
+      |  JOIN tri nxt ON nxt.cohort = cur.cohort AND nxt.dev = cur.dev + 1
+      |  CROSS JOIN mx
+      |  WHERE cur.cohort <= mx.mx - (cur.dev + 1))
+      |SELECT dev, CAST(count(*) AS BIGINT) AS n_cohorts,
+      |  CASE WHEN sum(cd) > 0 THEN
+      |    CAST((CAST(sum(cd1) AS HUGEINT) * 1000000) // CAST(sum(cd) AS HUGEINT)
+      |      AS BIGINT)
+      |  END AS factor_micro
+      |FROM j GROUP BY dev ORDER BY dev""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q358_price_index", q358, Some(q358Sql)),
     QueryDef("q363_arc_elasticity", q363, Some(q363Sql)),
     QueryDef("q375_bullwhip", q375, Some(q375Sql)),
+    QueryDef("q377_chain_ladder", q377, Some(q377Sql)),
     QueryDef("q346_price_dispersion", q346, Some(q346Sql)),
     QueryDef("q342_duplicate_payments", q342, Some(q342Sql)),
     QueryDef("q343_hhi_trend", q343, Some(q343Sql)),

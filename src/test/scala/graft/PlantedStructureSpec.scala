@@ -1361,6 +1361,58 @@ class PlantedStructureSpec extends SparkSpec {
       s"$r")
   }
 
+  test("q376 prices the planted crash day at VaR = CVaR = 500 exactly") {
+    // flat 1000/day except a 500 crash on day 11: the 20 first
+    // differences are {-500, 0 x18, +500}; k = 1 at both levels
+    val d = ordersDir(1 to 21, day => if (day == 11) 500.0 else 1000.0)
+    val out = operators.EventQueries.q376(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(95L) === ((20L, 1L, 500L, 500000000L)), s"95 ${out(95L)}")
+    assert(out(99L) === ((20L, 1L, 500L, 500000000L)), s"99 ${out(99L)}")
+  }
+
+  test("q377 reads the planted development triangle at f0 = 1.5 exactly") {
+    val dir = Files.createTempDirectory("planted-cl")
+    // cohort Jan: 100 at dev0 + 50 at dev1; cohort Feb: 200 + 100
+    // -> f0 = (150+300)/(100+200) = 1.5; no dev1->dev2 pairs exist
+    Seq((1L, 5L), (2L, 40L))
+      .toDF("o_orderkey", "day")
+      .withColumn("o_orderdate", timestamp_micros(
+        ($"day" * 86400L + 43200L) * 1000000L))
+      .select($"o_orderkey", $"o_orderdate")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("orders.parquet").toString)
+    Seq((1L, 5L, 100.0), (1L, 40L, 50.0), (2L, 40L, 200.0), (2L, 70L, 100.0))
+      .toDF("l_orderkey", "day", "l_extendedprice")
+      .withColumn("l_shipdate", timestamp_micros(
+        ($"day" * 86400L + 43200L) * 1000000L))
+      .select($"l_orderkey", $"l_extendedprice", $"l_shipdate")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("lineitem.parquet").toString)
+    val out = operators.Relational.q377(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((0L, 2L, 1500000L)), s"${out.toSeq}")
+  }
+
+  test("q378 flags the planted mean-shift week on the X chart and the " +
+    "planted spread week on the R chart, exactly") {
+    // w0/w1: 90/110 alternating (Xbar 100, R 20); w2: flat 125 (mean
+    // shift, R 0); w3: 50/150 alternating (R 100)
+    def y(day: Int): Double = (day / 7, day % 7) match {
+      case (2, _) => 125.0
+      case (3, i) => if (i == 6) 100.0 else if (i % 2 == 0) 50.0 else 150.0
+      case (_, i) => if (i == 6) 100.0 else if (i % 2 == 0) 90.0 else 110.0
+    }
+    val out = operators.EventQueries.q378(spark, ordersDir(0 to 27, y))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getInt(4), r.getInt(5)))
+    assert(out.toSeq === Seq(
+      (0L, 100000000L, 20L, 0, 0, 0), (1L, 100000000L, 20L, 0, 0, 0),
+      (2L, 125000000L, 0L, 1, 0, 0), (3L, 100000000L, 100L, 0, 0, 1)),
+      s"chart ${out.toSeq}")
+  }
+
   test("q286 finds the planted variance axis") {
     // dim 5 carries 100x the variance of every other dim
     val rnd = new scala.util.Random(7)
