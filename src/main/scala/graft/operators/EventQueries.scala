@@ -4047,6 +4047,79 @@ object EventQueries {
       |GROUP BY tg.level, tg.n_days, tg.k
       |ORDER BY tg.level""".stripMargin
 
+  /** q379 — SLO error-budget burn rate with the multi-window alert
+    * rule: against a stated 75% success SLO (error budget 25% — sized
+    * to this corpus's synthetic error mix), the burn rate of a window
+    * is (error rate)/(budget), and a page fires only when BOTH the
+    * fast 1-day window (burn ≥ 2) and the slow 7-day window
+    * (burn ≥ 1.5) are burning — the SRE-handbook construction that
+    * suppresses blips (fast-only) and stale alerts (slow-only).
+    * Exact: daily error/total counts on the dense day spine (zero
+    * fill); each burn is one truncating micro division
+    * (errors·4·10⁶ div total — 4 = 1/budget); window sums are
+    * integer ROWS frames over the bounded calendar; thresholds
+    * compare integers. Days with an empty window degrade that burn
+    * to NULL (and the alert with it).
+    *
+    * Scale shape: one collapse to the day calendar, a sequence-
+    * generated spine, two running-sum windows over the COLLAPSED
+    * spine, scalar arithmetic per day. */
+  def q379(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy(epochDay($"ts").as("day"))
+      .agg(count(lit(1)).as("tot"),
+        sum(($"event_type" === "error").cast("long")).as("err"))
+      .transform(graft.Fx.materialize) // span probe + spine join
+    val spine = daily.agg(min($"day").as("lo"), max($"day").as("hi"))
+      .select(explode(sequence($"lo", $"hi")).as("day"))
+    val w7 = Window.orderBy($"day").rowsBetween(-6, 0)
+    spine.join(daily, Seq("day"), "left_outer")
+      .select($"day", coalesce($"tot", lit(0L)).as("tot"),
+        coalesce($"err", lit(0L)).as("err"))
+      .withColumn("tot7", sum($"tot").over(w7))
+      .withColumn("err7", sum($"err").over(w7))
+      .select($"day".cast("long").as("day"),
+        when($"tot" > 0, expr("(err * 4000000) div tot")).as("burn1_micro"),
+        when($"tot7" > 0, expr("(err7 * 4000000) div tot7")).as("burn7_micro"))
+      .withColumn("page",
+        when($"burn1_micro".isNotNull && $"burn7_micro".isNotNull,
+          ($"burn1_micro" >= 2000000L && $"burn7_micro" >= 1500000L)
+            .cast("int")))
+      .orderBy($"day")
+  }
+
+  val q379Sql: String =
+    """WITH daily AS MATERIALIZED (
+      |  SELECT CAST(ts AS DATE) - DATE '1970-01-01' AS day,
+      |    CAST(count(*) AS BIGINT) AS tot,
+      |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS err
+      |  FROM events GROUP BY 1),
+      |spine AS (
+      |  SELECT unnest(generate_series((SELECT min(day) FROM daily),
+      |                                (SELECT max(day) FROM daily))) AS day),
+      |g AS (
+      |  SELECT spine.day, COALESCE(d.tot, 0) AS tot, COALESCE(d.err, 0) AS err
+      |  FROM spine LEFT JOIN daily d ON spine.day = d.day),
+      |r AS (
+      |  SELECT day, tot, err,
+      |    sum(tot) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |      AS tot7,
+      |    sum(err) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |      AS err7
+      |  FROM g)
+      |SELECT day,
+      |  CASE WHEN tot > 0 THEN CAST((err * 4000000) // tot AS BIGINT) END
+      |    AS burn1_micro,
+      |  CASE WHEN tot7 > 0 THEN CAST((err7 * 4000000) // tot7 AS BIGINT) END
+      |    AS burn7_micro,
+      |  CASE WHEN tot > 0 AND tot7 > 0 THEN
+      |    CAST((err * 4000000) // tot >= 2000000
+      |     AND (err7 * 4000000) // tot7 >= 1500000 AS INT)
+      |  END AS page
+      |FROM r ORDER BY day""".stripMargin
+
   /** q378 — Shewhart X̄-R control chart on daily revenue, subgrouped
     * by complete calendar week (7 epoch-days, stated): the LARGE-
     * excursion monitor beside q320's CUSUM (CUSUM integrates small
@@ -4117,6 +4190,7 @@ object EventQueries {
     QueryDef("q372_weekly_periodogram", q372, Some(q372Sql)),
     QueryDef("q376_var_cvar", q376, Some(q376Sql)),
     QueryDef("q378_xbar_r_chart", q378, Some(q378Sql)),
+    QueryDef("q379_slo_burn", q379, Some(q379Sql)),
     QueryDef("q349_mcnemar", q349, Some(q349Sql)),
     QueryDef("q340_bootstrap_ci", q340, Some(q340Sql)),
     QueryDef("q341_variance_ratio", q341, Some(q341Sql)),

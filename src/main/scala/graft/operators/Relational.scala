@@ -1827,11 +1827,177 @@ object Relational {
       |  END AS factor_micro
       |FROM j GROUP BY dev ORDER BY dev""".stripMargin
 
+  /** q380 — mean residual life of the customer reorder process:
+    * MRL(t) = E[gap − t | gap > t] over pooled inter-order gaps —
+    * given a customer is already t days overdue, how much LONGER
+    * until they typically reorder? The reliability curve behind
+    * churn-intervention timing: a memoryless (exponential) process
+    * has FLAT MRL, rising MRL says "the longer away, the longer
+    * still" (intervene early), falling says overdue customers are
+    * about to return on their own. Complements q208 (gap moments)
+    * and q271 (survival S(t)): MRL is the CONDITIONAL-mean transform
+    * of the same distribution. Exact: gaps are integer day
+    * differences (same-day repeats collapse, stated); each MRL(t)
+    * over the stated grid t ∈ {0, 7, 14, 28, 56} is one truncating
+    * micro division of exact conditional sums.
+    *
+    * Scale shape: per-customer ordered diffs ride a customer-
+    * partitioned window (high-cardinality key — safe); the t-grid is
+    * a 5-row broadcast; one conditional aggregate per t. */
+  def q380(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val wc = Window.partitionBy($"o_custkey").orderBy($"day")
+    val gaps = Tables.orders(s, d)
+      .select($"o_custkey", graft.Fx.epochDay($"o_orderdate").as("day"))
+      .distinct()
+      .withColumn("gap", $"day" - lag($"day", 1).over(wc))
+      .filter($"gap".isNotNull && $"gap" > 0L)
+      .select($"gap")
+    val grid = s.createDataFrame(Seq(0L, 7L, 14L, 28L, 56L).map(Tuple1(_)))
+      .toDF("t")
+    gaps.crossJoin(broadcast(grid))
+      .filter($"gap" > $"t")
+      .groupBy($"t")
+      .agg(count(lit(1)).as("n_exceed"),
+        sum($"gap" - $"t").as("resid"))
+      .select($"t", $"n_exceed",
+        expr("(cast(resid as decimal(38,0)) * 1000000) div n_exceed")
+          .as("mrl_micro"))
+      .orderBy($"t")
+  }
+
+  val q380Sql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT o_custkey,
+      |    CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day
+      |  FROM orders),
+      |gaps AS (
+      |  SELECT day - lag(day) OVER (PARTITION BY o_custkey ORDER BY day)
+      |    AS gap
+      |  FROM days),
+      |g AS (SELECT gap FROM gaps WHERE gap IS NOT NULL AND gap > 0),
+      |grid AS (SELECT CAST(l AS BIGINT) AS t
+      |         FROM (VALUES (0), (7), (14), (28), (56)) v(l))
+      |SELECT grid.t, CAST(count(*) AS BIGINT) AS n_exceed,
+      |  CAST((CAST(sum(g.gap - grid.t) AS HUGEINT) * 1000000) // count(*)
+      |    AS BIGINT) AS mrl_micro
+      |FROM g JOIN grid ON g.gap > grid.t
+      |GROUP BY grid.t ORDER BY grid.t""".stripMargin
+
+  /** q381 — safety stock and reorder point per brand under the
+    * normal-approximation service model: with daily demand mean d̄
+    * and std σ_d over the DENSE ship-day calendar (zero-fill — a
+    * no-sale day is real demand information, stated) and lead time
+    * LT = mean order→ship lag days, safety stock ss = z·σ_d·√LT at
+    * the pinned 95% service z = 1.645 and ROP = d̄·LT + ss — the
+    * textbook continuous-review (s, Q) sizing. Distinct machinery
+    * from the REJECTED newsvendor draft (q329: quantile selection —
+    * judged a q326 duplicate): this is the moment-based normal
+    * model, no quantile selection anywhere. Exactness: integer
+    * moment forms throughout; d̄ and LT are exact-integer ratios;
+    * σ_d and √LT are the two pinned sqrts; ss/ROP are fixed-shape
+    * double arithmetic over those, r6.
+    *
+    * Scale shape: demand collapses to the brand×day grid (dense via
+    * a generated spine crossed with the bounded brand list); lag
+    * moments collapse per brand; one broadcast join stitches them. */
+  def q381(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .join(Tables.orders(s, d).select($"o_orderkey",
+          graft.Fx.epochDay($"o_orderdate").as("oday")),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"p_brand".as("brand"), graft.Fx.epochDay($"l_shipdate").as("sday"),
+        $"l_quantity".cast("long").as("q"), $"oday")
+      .transform(graft.Fx.materialize) // demand grid + lag moments + span
+    val sold = li.groupBy($"brand", $"sday").agg(sum($"q").as("q"))
+    val spine = li.agg(min($"sday").as("lo"), max($"sday").as("hi"))
+      .select(explode(sequence($"lo", $"hi")).as("sday"))
+      .crossJoin(broadcast(li.select($"brand").distinct()))
+    val dem = spine.join(sold, Seq("brand", "sday"), "left_outer")
+      .select($"brand", coalesce($"q", lit(0L)).as("q"))
+      .groupBy($"brand")
+      .agg(count(lit(1)).as("nd"), sum($"q").as("sq"),
+        sum(expr("cast(q as decimal(38,0)) * q")).as("sqq"))
+    // lead time from non-negative lags only (stated: the synthetic
+    // data ships some lines before their order date; a negative lag
+    // is a data artifact, not a lead time)
+    val lt = li.select($"brand", ($"sday" - $"oday").as("lag"))
+      .filter($"lag" >= 0L)
+      .groupBy($"brand")
+      .agg(count(lit(1)).as("nl"), sum($"lag").as("sl"))
+    dem.join(lt, "brand")
+      .select($"brand", $"nd".as("n_days"),
+        expr("(cast(sq as decimal(38,0)) * 1000000) div nd").as("dbar_micro"),
+        expr("(cast(sl as decimal(38,0)) * 1000000) div nl").as("lt_micro"),
+        sqrt(expr(
+          """cast(nd * sqq - cast(sq as decimal(38,0)) * sq as double)
+             / cast(cast(nd as decimal(38,0)) * (nd - 1) as double)"""))
+          .as("sigma"),
+        ($"sl".cast("double") / $"nl".cast("double")).as("ltd"),
+        ($"sq".cast("double") / $"nd".cast("double")).as("dbar"))
+      .select($"brand", $"n_days", $"dbar_micro", $"lt_micro",
+        graft.Fx.r6($"sigma").as("sigma_d"),
+        graft.Fx.r6(lit(1.645) * $"sigma" * sqrt($"ltd")).as("safety_stock"),
+        graft.Fx.r6($"dbar" * $"ltd" + lit(1.645) * $"sigma" * sqrt($"ltd"))
+          .as("reorder_point"))
+      .orderBy($"brand")
+  }
+
+  val q381Sql: String = {
+    val sigma = "sqrt(CAST(nd * sqq - sq * sq AS DOUBLE) / CAST(nd * (nd - 1) AS DOUBLE))"
+    val ltd = "CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)"
+    val dbar = "CAST(sq AS DOUBLE) / CAST(nd AS DOUBLE)"
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT p.p_brand AS brand,
+       |    CAST(l.l_shipdate AS DATE) - DATE '1970-01-01' AS sday,
+       |    CAST(l.l_quantity AS BIGINT) AS q,
+       |    CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS oday
+       |  FROM lineitem l
+       |  JOIN part p ON l.l_partkey = p.p_partkey
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |sold AS (
+       |  SELECT brand, sday, CAST(sum(q) AS BIGINT) AS q
+       |  FROM li GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT b.brand, s.sday
+       |  FROM (SELECT unnest(generate_series((SELECT min(sday) FROM li),
+       |                                      (SELECT max(sday) FROM li)))
+       |          AS sday) s
+       |  CROSS JOIN (SELECT DISTINCT brand FROM li) b),
+       |dem AS (
+       |  SELECT spine.brand, CAST(count(*) AS HUGEINT) AS nd,
+       |    CAST(sum(COALESCE(sold.q, 0)) AS HUGEINT) AS sq,
+       |    sum(CAST(COALESCE(sold.q, 0) AS HUGEINT) * COALESCE(sold.q, 0))
+       |      AS sqq
+       |  FROM spine LEFT JOIN sold
+       |    ON spine.brand = sold.brand AND spine.sday = sold.sday
+       |  GROUP BY spine.brand),
+       |lt AS (
+       |  SELECT brand, CAST(count(*) AS HUGEINT) AS nl,
+       |    CAST(sum(sday - oday) AS HUGEINT) AS sl
+       |  FROM li WHERE sday >= oday GROUP BY brand)
+       |SELECT dem.brand, CAST(nd AS BIGINT) AS n_days,
+       |  CAST((sq * 1000000) // nd AS BIGINT) AS dbar_micro,
+       |  CAST((sl * 1000000) // nl AS BIGINT) AS lt_micro,
+       |  ${graft.Fx.sqlR6(sigma)} AS sigma_d,
+       |  ${graft.Fx.sqlR6(s"1.645 * $sigma * sqrt($ltd)")} AS safety_stock,
+       |  ${graft.Fx.sqlR6(s"$dbar * $ltd + 1.645 * $sigma * sqrt($ltd)")}
+       |    AS reorder_point
+       |FROM dem JOIN lt ON dem.brand = lt.brand
+       |ORDER BY dem.brand""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q358_price_index", q358, Some(q358Sql)),
     QueryDef("q363_arc_elasticity", q363, Some(q363Sql)),
     QueryDef("q375_bullwhip", q375, Some(q375Sql)),
     QueryDef("q377_chain_ladder", q377, Some(q377Sql)),
+    QueryDef("q380_mean_residual_life", q380, Some(q380Sql)),
+    QueryDef("q381_safety_stock", q381, Some(q381Sql)),
     QueryDef("q346_price_dispersion", q346, Some(q346Sql)),
     QueryDef("q342_duplicate_payments", q342, Some(q342Sql)),
     QueryDef("q343_hhi_trend", q343, Some(q343Sql)),

@@ -1413,6 +1413,82 @@ class PlantedStructureSpec extends SparkSpec {
       s"chart ${out.toSeq}")
   }
 
+  test("q379 pages only when BOTH planted burn windows exceed their " +
+    "thresholds") {
+    // week 1 clean, week 2 burns at 2.4x: the fast window trips on
+    // day 8 but the slow window lags until day 12 - the multi-window
+    // rule must suppress days 8-11
+    val rows = (1 to 14).flatMap { day =>
+      val errs = if (day >= 8) 6 else 0
+      (1 to errs).map(i => (day, day * 100L + i, "error", 0.0)) ++
+        (1 to 10 - errs).map(i => (day, day * 100L + 50 + i, "view", 0.0))
+    }
+    val byDay = operators.EventQueries.q379(spark, eventsDir(rows))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toMap
+    val days = byDay.keys.toSeq.sorted
+    val paged = days.filter(d => byDay(d)._3 == 1)
+    assert(paged === days.takeRight(3), s"paged $paged of $days")
+    val d8 = byDay(days(7))
+    assert(d8._1 === 2400000L && d8._2 === 342857L && d8._3 === 0,
+      s"day8 $d8")
+    val d12 = byDay(days(11))
+    assert(d12._1 === 2400000L && d12._2 === 1714285L && d12._3 === 1,
+      s"day12 $d12")
+  }
+
+  test("q380 reads the planted gap multiset's conditional means exactly") {
+    val dir = Files.createTempDirectory("planted-mrl")
+    // cust 1: days 0/10/30 (gaps 10, 20); cust 2: days 0/40 (gap 40)
+    Seq((1L, 0L), (1L, 10L), (1L, 30L), (2L, 0L), (2L, 40L)).zipWithIndex
+      .map { case ((c, day), i) => (i.toLong, c, day) }
+      .toDF("o_orderkey", "o_custkey", "day")
+      .withColumn("o_orderdate", timestamp_micros(
+        ($"day" * 86400L + 43200L) * 1000000L))
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("orders.parquet").toString)
+    val out = operators.Relational.q380(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (0L, 3L, 23333333L),  // (10+20+40)/3
+      (7L, 3L, 16333333L),  // (3+13+33)/3
+      (14L, 2L, 16000000L), // (6+26)/2
+      (28L, 1L, 12000000L)),
+      s"MRL ${out.toSeq}") // t=56: no exceedance -> no row
+  }
+
+  test("q381 sizes the planted alternating demand exactly " +
+    "(sigma = sqrt(30), ROP replica)") {
+    val dir = Files.createTempDirectory("planted-ss")
+    Seq((1L, "BX")).toDF("p_partkey", "p_brand")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("part.parquet").toString)
+    Seq((1L, 0L)).toDF("o_orderkey", "day")
+      .withColumn("o_orderdate", timestamp_micros(
+        ($"day" * 86400L + 43200L) * 1000000L))
+      .select($"o_orderkey", $"o_orderdate")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("orders.parquet").toString)
+    // ship days 0..5, qty alternating 5/15: dbar = 10, sample var 30,
+    // lead times 0..5 -> LT = 2.5
+    (0 to 5).map(i => (1L, 1L, if (i % 2 == 0) 5.0 else 15.0, i.toLong))
+      .toDF("l_orderkey", "l_partkey", "l_quantity", "day")
+      .withColumn("l_shipdate", timestamp_micros(
+        ($"day" * 86400L + 43200L) * 1000000L))
+      .select($"l_orderkey", $"l_partkey", $"l_quantity", $"l_shipdate")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("lineitem.parquet").toString)
+    val r = operators.Relational.q381(spark, dir.toString).head()
+    def r6(x: Double) = math.floor(x * 1000000 + 0.5) / 1000000
+    val sigma = math.sqrt(30.0)
+    val ss = 1.645 * sigma * math.sqrt(2.5)
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      (("BX", 6L, 10000000L, 2500000L)), s"$r")
+    assert(r.getDouble(4) === r6(sigma) && r.getDouble(5) === r6(ss) &&
+      r.getDouble(6) === r6(10.0 * 2.5 + ss), s"$r")
+  }
+
   test("q286 finds the planted variance axis") {
     // dim 5 carries 100x the variance of every other dim
     val rnd = new scala.util.Random(7)
