@@ -4047,6 +4047,82 @@ object EventQueries {
       |GROUP BY tg.level, tg.n_days, tg.k
       |ORDER BY tg.level""".stripMargin
 
+  /** q383 — quantile-regression trend of the daily-revenue UPPER
+    * envelope: fit y ≈ a + b·x at τ = 0.9 by exact pinball-loss
+    * minimization over a stated slope grid — how fast the TOP days
+    * grow, which an OLS trend (mean) and Theil–Sen (median) both
+    * miss when growth concentrates in peaks. For each candidate
+    * slope b (dollars/day, the stated −100..100 step 5 grid), the
+    * optimal intercept is the exact τ-quantile of the residuals
+    * y − b·x (selection at rank ⌈0.9·n⌉ — quantile regression's
+    * one-dimensional reduction), and the pinball loss
+    * Σ[9·(r−a)⁺ + 1·(a−r)⁺] is an exact integer with τ = 9/10
+    * cleared of fractions; the winner is (loss, b) — total order.
+    * Exact selection + integer loss ⟹ no float enters the argmin.
+    *
+    * Scale shape: the corpus collapses to the day calendar; the
+    * 41-slope grid cross-joins that bounded relation; residual
+    * ranks ride slope-partitioned windows over the COLLAPSED
+    * grid×calendar relation; one aggregate per slope, then a 41-row
+    * argmin. */
+  def q383(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, d)
+      .groupBy(epochDay($"o_orderdate").as("day"))
+      .agg(expr("cast(floor(sum(o_totalprice) * 100 + 0.5) as bigint) div 100")
+        .as("y"))
+      .withColumn("x", $"day" - min($"day").over(Window.partitionBy(lit(1))))
+      .transform(graft.Fx.materialize) // 41 slope probes
+    val grid = s.range(-20L, 21L).select(($"id" * 5L).as("b"))
+    val resid = daily.crossJoin(broadcast(grid))
+      .select($"b", ($"y" - $"b" * $"x").as("r"))
+    val wb = Window.partitionBy($"b").orderBy($"r")
+    val wn = Window.partitionBy($"b")
+    val withA = resid
+      .withColumn("rk", row_number().over(wb))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("a", min(when($"rk" >= expr("(9 * n + 9) div 10"), $"r"))
+        .over(wn))
+    val losses = withA.groupBy($"b")
+      .agg(max($"a").as("a"), max($"n").as("n"),
+        sum(when($"r" > $"a", lit(9L) * ($"r" - $"a")).otherwise($"a" - $"r"))
+          .as("loss10"))
+    losses.orderBy($"loss10", $"b").limit(1)
+      .select($"b".as("slope_dollars_per_day"), $"a".as("intercept_dollars"),
+        $"n".as("n_days"), $"loss10")
+  }
+
+  val q383Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+      |    CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) // 100 AS y
+      |  FROM orders GROUP BY 1),
+      |dx AS (
+      |  SELECT day - (SELECT min(day) FROM daily) AS x, y FROM daily),
+      |grid AS (SELECT CAST(l * 5 AS BIGINT) AS b
+      |         FROM generate_series(-20, 20) t(l)),
+      |resid AS (
+      |  SELECT grid.b, dx.y - grid.b * dx.x AS r
+      |  FROM dx CROSS JOIN grid),
+      |ranked AS (
+      |  SELECT b, r,
+      |    row_number() OVER (PARTITION BY b ORDER BY r) AS rk,
+      |    count(*) OVER (PARTITION BY b) AS n
+      |  FROM resid),
+      |wa AS (
+      |  SELECT b, r, n,
+      |    min(CASE WHEN rk >= (9 * n + 9) // 10 THEN r END)
+      |      OVER (PARTITION BY b) AS a
+      |  FROM ranked),
+      |losses AS (
+      |  SELECT b, max(a) AS a, max(n) AS n,
+      |    CAST(sum(CASE WHEN r > a THEN 9 * (r - a) ELSE a - r END) AS BIGINT)
+      |      AS loss10
+      |  FROM wa GROUP BY b)
+      |SELECT b AS slope_dollars_per_day, a AS intercept_dollars,
+      |  CAST(n AS BIGINT) AS n_days, loss10
+      |FROM losses ORDER BY loss10, b LIMIT 1""".stripMargin
+
   /** q379 — SLO error-budget burn rate with the multi-window alert
     * rule: against a stated 75% success SLO (error budget 25% — sized
     * to this corpus's synthetic error mix), the burn rate of a window
@@ -4191,6 +4267,7 @@ object EventQueries {
     QueryDef("q376_var_cvar", q376, Some(q376Sql)),
     QueryDef("q378_xbar_r_chart", q378, Some(q378Sql)),
     QueryDef("q379_slo_burn", q379, Some(q379Sql)),
+    QueryDef("q383_quantile_trend", q383, Some(q383Sql)),
     QueryDef("q349_mcnemar", q349, Some(q349Sql)),
     QueryDef("q340_bootstrap_ci", q340, Some(q340Sql)),
     QueryDef("q341_variance_ratio", q341, Some(q341Sql)),

@@ -1310,7 +1310,95 @@ object SimilarityQueries {
        |    AS gini
        |FROM m""".stripMargin
 
+  /** q382 — hubness diagnostic: the skewness of the k-occurrence
+    * distribution (how often each vector appears in other vectors'
+    * cosine top-10). High-dimensional spaces grow HUBS — points that
+    * turn up in everyone's neighbor list — and antihubs that appear
+    * in none; a right-skewed k-occurrence distribution is THE
+    * curse-of-dimensionality warning for every kNN consumer here
+    * (q60/q62/q285/q303 report quality; hubness explains WHY it
+    * degrades and whether reranking will help). Exact: occurrences
+    * are integers off the existing brute-force top-k (zero-occurrence
+    * vectors re-enter via the id-list left join — dropping them
+    * UNDERSTATES skew); skewness g1 = M3/M2^{3/2} on the n-scaled
+    * central moment integers with the only float ops a division and
+    * one sqrt (r6); a hub is stated as k-occurrence ≥ 2× the exact
+    * mean (c·n ≥ 2·Q·k, integer cross-multiplication).
+    *
+    * Scale shape: every-vector-as-query is exact at this corpus size
+    * and the stated estimator subsamples queries at scale (hubness is
+    * a distributional property — a uniform query sample estimates it
+    * stably); the moment rollup is one pass over n counts. */
+  def q382(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val qs = e.select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val occ = Similarity.bruteForceTopK(qs, e, k = 10)
+      .groupBy($"vec_id").agg(count(lit(1)).as("c"))
+    val counts = e.select($"vec_id").join(occ, Seq("vec_id"), "left_outer")
+      .select(coalesce($"c", lit(0L)).as("c"))
+    counts.agg(count(lit(1)).as("n"), sum($"c").as("sc"),
+        sum(expr("cast(c as decimal(38,0)) * c")).as("s2"),
+        sum(expr("cast(c as decimal(38,0)) * c * c")).as("s3"),
+        max($"c").as("max_occ"),
+        sum(($"c" === 0L).cast("long")).as("n_antihubs"),
+        // with every vector as a query the exact mean occurrence is
+        // k = 10, so the 2x-mean hub rule is the integer c >= 20
+        sum(($"c" >= 20L).cast("long")).as("n_hubs"))
+      .select($"n".as("n_points"), $"sc", $"s2", $"s3", $"max_occ",
+        $"n_antihubs", $"n_hubs",
+        expr("cast(n as decimal(38,0)) * s2 - cast(sc as decimal(38,0)) * sc")
+          .as("m2"),
+        expr("""cast(n as decimal(38,0)) * n * s3
+             - 3 * cast(n as decimal(38,0)) * sc * s2
+             + 2 * cast(sc as decimal(38,0)) * sc * sc""").as("m3"))
+      .select($"n_points", $"max_occ", $"n_antihubs", $"n_hubs",
+        when($"m2" > 0, r6($"m3".cast("double") /
+          ($"m2".cast("double") * sqrt($"m2".cast("double")))))
+          .as("skewness"))
+  }
+
+  val q382Sql: String = {
+    val cos = "list_dot_product(q_vec, t_vec) / " +
+      "(sqrt(list_dot_product(q_vec, q_vec)) * sqrt(list_dot_product(t_vec, t_vec)))"
+    val g1 = "CAST(m3 AS DOUBLE) / (CAST(m2 AS DOUBLE) * sqrt(CAST(m2 AS DOUBLE)))"
+    s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+       |           FROM embeddings),
+       |t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS t_vec
+       |      FROM embeddings),
+       |sims AS (
+       |  SELECT q_id, vec_id, $cos AS sim
+       |  FROM t, q WHERE vec_id <> q_id),
+       |ranked AS (
+       |  SELECT vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+       |  FROM sims),
+       |occ AS (
+       |  SELECT vec_id, CAST(count(*) AS BIGINT) AS c
+       |  FROM ranked WHERE rn <= 10 GROUP BY vec_id),
+       |counts AS (
+       |  SELECT COALESCE(occ.c, 0) AS c
+       |  FROM embeddings e LEFT JOIN occ ON e.vec_id = occ.vec_id),
+       |mo AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(c) AS HUGEINT) AS sc,
+       |    sum(CAST(c AS HUGEINT) * c) AS s2,
+       |    sum(CAST(c AS HUGEINT) * c * c) AS s3,
+       |    CAST(max(c) AS BIGINT) AS max_occ,
+       |    CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_antihubs,
+       |    CAST(sum(CASE WHEN c >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_hubs
+       |  FROM counts),
+       |cm AS (
+       |  SELECT CAST(n AS BIGINT) AS n_points, max_occ, n_antihubs, n_hubs,
+       |    n * s2 - sc * sc AS m2,
+       |    n * n * s3 - 3 * n * sc * s2 + 2 * sc * sc * sc AS m3
+       |  FROM mo)
+       |SELECT n_points, max_occ, n_antihubs, n_hubs,
+       |  CASE WHEN m2 > 0 THEN ${sqlR6(g1)} END AS skewness
+       |FROM cm""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q382_hubness", q382, Some(q382Sql)),
     QueryDef("q314_map_at_10", q314, Some(q314Sql)),
     QueryDef("q336_retrieval_exposure", q336, Some(q336Sql)),
     QueryDef("q315_centroid_drift", q315, Some(q315Sql)),

@@ -1489,6 +1489,57 @@ class PlantedStructureSpec extends SparkSpec {
       r.getDouble(6) === r6(10.0 * 2.5 + ss), s"$r")
   }
 
+  test("q382 reads the planted antihub geometry's k-occurrence " +
+    "multiset exactly") {
+    // 12 near-axis points at 2-degree steps + one orthogonal outlier:
+    // the outlier lands in NO top-10 (occ 0); endpoints p1/p12 are
+    // each the worst neighbor for 6 queries; v0's own list excludes
+    // the two lowest-angle points -> occ multiset {0,5,6,11,12x9}
+    def vec(theta: Double): Seq[Float] =
+      (Seq(math.cos(theta), math.sin(theta)) ++ Seq.fill(62)(0.0))
+        .map(_.toFloat)
+    val near = (1 to 12).map(i =>
+      (i.toLong, vec(math.toRadians(2.0 * (i - 1))), 0))
+    val outlier = Seq((99L, vec(math.Pi / 2), 1))
+    val r = operators.SimilarityQueries.q382(spark,
+      embeddingsDir(near ++ outlier)).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((13L, 12L, 1L, 0L)), s"$r")
+    // skewness replica over the derived multiset
+    val cs = Seq(0L, 5L, 6L, 11L) ++ Seq.fill(9)(12L)
+    val n = BigInt(cs.size); val sc = BigInt(cs.sum)
+    val s2 = cs.map(c => BigInt(c) * c).sum
+    val s3 = cs.map(c => BigInt(c) * c * c).sum
+    val m2 = n * s2 - sc * sc
+    val m3 = n * n * s3 - 3 * n * sc * s2 + 2 * sc * sc * sc
+    val g1 = math.floor(m3.toDouble / (m2.toDouble * math.sqrt(m2.toDouble))
+      * 1000000 + 0.5) / 1000000
+    assert(r.getDouble(4) === g1, s"skew ${r.getDouble(4)} vs $g1")
+  }
+
+  test("q383 recovers a planted pure line at zero pinball loss and " +
+    "matches a sequential fold on a peaked series") {
+    // exact line y = 200 + 30x: the grid's b = 30 gives residuals all
+    // 200 -> quantile intercept 200, loss 0
+    val line = operators.EventQueries.q383(spark,
+      ordersDir(0 to 20, day => 200.0 + 30.0 * day)).head()
+    assert((line.getLong(0), line.getLong(1), line.getLong(2),
+      line.getLong(3)) === ((30L, 200L, 21L, 0L)), s"$line")
+    // peaked series: flat base + every-4th-day growing peaks; the
+    // tau=0.9 fit must match an independent sequential grid fold
+    def y(day: Int): Long = if (day % 4 == 0) 300L + 20L * day else 100L
+    val ref = (-20 to 20).map(_ * 5L).map { b =>
+      val rs = (0 to 27).map(d => y(d) - b * d).sorted
+      val a = rs((9 * rs.size + 9) / 10 - 1)
+      val loss = rs.map(r => if (r > a) 9 * (r - a) else a - r).sum
+      (loss, b, a)
+    }.min
+    val out = operators.EventQueries.q383(spark,
+      ordersDir(0 to 27, d => y(d).toDouble)).head()
+    assert((out.getLong(0), out.getLong(1), out.getLong(3)) ===
+      ((ref._2, ref._3, ref._1)), s"$out vs $ref")
+  }
+
   test("q286 finds the planted variance axis") {
     // dim 5 carries 100x the variance of every other dim
     val rnd = new scala.util.Random(7)
