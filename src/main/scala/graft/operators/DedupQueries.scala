@@ -1279,7 +1279,62 @@ object DedupQueries {
        |  (SELECT CAST(count(*) AS BIGINT) FROM mem)
        |    - (SELECT CAST(COALESCE(sum(ok), 0) AS BIGINT) FROM v) AS rescued""".stripMargin
 
+  /** q386 — label-noise audit via near-duplicate clusters: near-dup
+    * pairs (the standard MinHash→LSH→Jaccard ≥ 0.6 path) whose two
+    * documents carry DIFFERENT language labels — if two texts are the
+    * same content, their metadata should agree, so a conflicting pair
+    * localizes a labeling error the content-only dedup family
+    * (q50–q59, q264) and the label-only profiler both miss. The
+    * curation action is concrete: a conflicted pair either keeps one
+    * label (fix) or drops both (distrust). Output is the full
+    * lang-pair matrix of near-dup counts with the conflict flag, so
+    * the diagonal (consistent) baselines the off-diagonal (noise).
+    * Exact: integer pair counts on the deterministic candidate path;
+    * the unordered pair key is (least, greatest) of the labels.
+    *
+    * Scale shape: identical to q57's — banded candidates with bucket
+    * caps, one Jaccard filter, then a label join and a tiny
+    * lang×lang rollup. */
+  def q386(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val sig = Dedup.minhashSignatureWords(docs, "doc_id", "text", nHashes)
+    val bands = Dedup.lshBands(sig, "doc_id", nBands = 2, rowsPerBand = 3)
+    val pairs = Dedup.candidatePairs(bands, "doc_id")
+    val da = docs.select($"doc_id".as("a"), Dedup.wordSet($"text").as("wa"),
+      $"lang".as("la"))
+    val db = docs.select($"doc_id".as("b"), Dedup.wordSet($"text").as("wb"),
+      $"lang".as("lb"))
+    pairs.join(da, "a").join(db, "b")
+      .filter(Dedup.jaccard($"wa", $"wb") >= 0.6)
+      .select(least($"la", $"lb").as("lang_a"),
+        greatest($"la", $"lb").as("lang_b"))
+      .groupBy($"lang_a", $"lang_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("conflict", ($"lang_a" =!= $"lang_b").cast("int"))
+      .orderBy($"lang_a", $"lang_b")
+  }
+
+  val q386Sql: String =
+    s"""WITH $sigSql,
+       |$bandsSql,
+       |$pairsSql,
+       |ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w, lang
+       |       FROM documents),
+       |nd AS (
+       |  SELECT least(wa.lang, wb.lang) AS lang_a,
+       |    greatest(wa.lang, wb.lang) AS lang_b
+       |  FROM pairs
+       |  JOIN ws wa ON pairs.a = wa.doc_id
+       |  JOIN ws wb ON pairs.b = wb.doc_id
+       |  WHERE CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE) /
+       |        (len(wa.w) + len(wb.w) - len(list_intersect(wa.w, wb.w))) >= 0.6)
+       |SELECT lang_a, lang_b, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(lang_a <> lang_b AS INT) AS conflict
+       |FROM nd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q386_label_noise", q386, Some(q386Sql)),
     QueryDef("q338_cluster_dilution", q338, Some(q338Sql)),
     QueryDef("q339_deletion_policies", q339, Some(q339Sql)),
     QueryDef("q316_chapman_capture", q316, Some(q316Sql)),

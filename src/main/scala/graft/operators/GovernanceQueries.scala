@@ -1621,10 +1621,81 @@ object GovernanceQueries {
        |FROM jt CROSS JOIN mom""".stripMargin
   }
 
+  /** q384 — Cronbach's alpha over the user×event-type count matrix:
+    * treating the five event types as ITEMS of an "engagement scale"
+    * and each user's per-type counts as item scores, α = k/(k−1) ·
+    * (1 − Σσ²ᵢ/σ²_T) asks whether the types move together across
+    * users (one underlying engagement trait) or independently (a
+    * composite "activity score" would be meaningless) — the
+    * internal-consistency gate any composite metric should pass
+    * before it ships. Exact: the dense user×type grid zero-fills
+    * absent cells (a user with no errors scores 0, not missing);
+    * per-item and total-score n-scaled variances are DECIMAL(38,0)
+    * forms over the SAME user population, so the n-scaling cancels
+    * and α is one truncating micro division; zero total variance
+    * degrades to NULL.
+    *
+    * Scale shape: one (user, type) collapse; the dense grid is
+    * users × k with k bounded; two aggregates and scalar math. */
+  def q384(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val cnt = ev.groupBy($"user_id", $"event_type").agg(count(lit(1)).as("c"))
+    val grid = ev.select($"user_id").distinct()
+      .crossJoin(broadcast(ev.select($"event_type").distinct()))
+      .join(cnt, Seq("user_id", "event_type"), "left_outer")
+      .select($"user_id", $"event_type", coalesce($"c", lit(0L)).as("x"))
+      .transform(graft.Fx.materialize) // item variances AND total variance
+    val items = grid.groupBy($"event_type")
+      .agg(count(lit(1)).as("u"), sum($"x").as("sx"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"))
+      .select(expr("u * sxx - cast(sx as decimal(38,0)) * sx").as("vi"))
+      .agg(count(lit(1)).as("k"), sum($"vi").as("svi"))
+    val tot = grid.groupBy($"user_id").agg(sum($"x").as("t"))
+      .agg(count(lit(1)).as("u"), sum($"t").as("st"),
+        sum(expr("cast(t as decimal(38,0)) * t")).as("stt"))
+      .select($"u", expr("u * stt - cast(st as decimal(38,0)) * st").as("vt"))
+    items.crossJoin(broadcast(tot))
+      .select($"k", $"u".as("n_users"),
+        when($"vt" > 0, expr(
+          "(k * (vt - svi) * 1000000) div ((k - 1) * vt)"))
+          .as("alpha_micro"))
+  }
+
+  val q384Sql: String =
+    """WITH cnt AS (
+      |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |grid AS MATERIALIZED (
+      |  SELECT u.user_id, t.event_type, COALESCE(cnt.c, 0) AS x
+      |  FROM (SELECT DISTINCT user_id FROM events) u
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+      |  LEFT JOIN cnt ON cnt.user_id = u.user_id
+      |    AND cnt.event_type = t.event_type),
+      |items AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS k, CAST(sum(vi) AS HUGEINT) AS svi
+      |  FROM (
+      |    SELECT CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * x)
+      |      - CAST(sum(x) AS HUGEINT) * sum(x) AS vi
+      |    FROM grid GROUP BY event_type) g),
+      |tot AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS u,
+      |    CAST(count(*) AS HUGEINT) * sum(CAST(t AS HUGEINT) * t)
+      |      - CAST(sum(t) AS HUGEINT) * sum(t) AS vt
+      |  FROM (SELECT user_id, CAST(sum(x) AS BIGINT) AS t
+      |        FROM grid GROUP BY user_id) s)
+      |SELECT CAST(items.k AS BIGINT) AS k, CAST(tot.u AS BIGINT) AS n_users,
+      |  CASE WHEN tot.vt > 0 THEN
+      |    CAST((items.k * (tot.vt - items.svi) * 1000000)
+      |      // ((items.k - 1) * tot.vt) AS BIGINT)
+      |  END AS alpha_micro
+      |FROM items CROSS JOIN tot""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q359_cochran_armitage", q359, Some(q359Sql)),
     QueryDef("q373_levene_bf", q373, Some(q373Sql)),
     QueryDef("q374_jonckheere", q374, Some(q374Sql)),
+    QueryDef("q384_cronbach_alpha", q384, Some(q384Sql)),
     QueryDef("q351_friedman_test", q351, Some(q351Sql)),
     QueryDef("q334_kruskal_wallis", q334, Some(q334Sql)),
     QueryDef("q332_t_closeness", q332, Some(q332Sql)),

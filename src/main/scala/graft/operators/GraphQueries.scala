@@ -686,10 +686,75 @@ object GraphQueries {
        |FROM per ORDER BY n_members DESC, community LIMIT 20""".stripMargin
   }
 
+  /** q385 — brand homophily of the co-purchase graph: Newman's
+    * ATTRIBUTE assortativity r = (Σe_bb − Σa_b²)/(1 − Σa_b²) with
+    * parts labeled by brand — do same-brand parts co-sell (brand-
+    * loyal baskets, r > 0) or do baskets mix brands (r ≈ 0, the
+    * label carries no basket signal)? The categorical companion to
+    * q350 (DEGREE assortativity — same r machinery, different
+    * attribute) and the mixing-quality question q365's modularity
+    * asks about DISCOVERED communities, here asked about a GIVEN
+    * labeling. Exact: over the doubled edge list of M rows,
+    * r = (M·same − Σdeg_b²)/(M² − Σdeg_b²) — all DECIMAL(38,0)
+    * integers, one truncating micro division; the degenerate
+    * single-brand graph (denominator 0) degrades to NULL.
+    *
+    * Scale shape: one edge materialization; two broadcast label
+    * joins; a brand-keyed degree rollup (bounded domain) and one
+    * scalar aggregate. */
+  def q385(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e0 = copurchaseEdges(s, d)
+    val bl = Tables.part(s, d).select($"p_partkey", $"p_brand")
+    val ends = e0.unionAll(e0.select($"b".as("a"), $"a".as("b")))
+      .join(broadcast(bl.select($"p_partkey".as("a"), $"p_brand".as("ba"))), "a")
+      .join(broadcast(bl.select($"p_partkey".as("b"), $"p_brand".as("bb"))), "b")
+      .transform(graft.Fx.materialize) // counts AND brand-degree mass
+    val m = ends.agg(count(lit(1)).as("mm"),
+      sum(($"ba" === $"bb").cast("long")).as("same"))
+    val ab = ends.groupBy($"ba").agg(count(lit(1)).as("deg"))
+      .agg(sum(expr("cast(deg as decimal(38,0)) * deg")).as("sa2"))
+    m.crossJoin(broadcast(ab))
+      .select(expr("cast(mm div 2 as bigint)").as("n_edges"),
+        expr("(cast(same as decimal(38,0)) * 1000000) div mm")
+          .as("same_brand_micro"),
+        when(expr("cast(mm as decimal(38,0)) * mm - sa2") > 0, expr(
+          """((cast(mm as decimal(38,0)) * same - sa2) * 1000000)
+             div (cast(mm as decimal(38,0)) * mm - sa2)"""))
+          .as("assortativity_micro"))
+  }
+
+  val q385Sql: String =
+    """WITH lp AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |e0 AS MATERIALIZED (
+      |  SELECT DISTINCT a.p AS a, b.p AS b
+      |  FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p),
+      |ends AS MATERIALIZED (
+      |  SELECT pa.p_brand AS ba, pb.p_brand AS bb
+      |  FROM (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0) e
+      |  JOIN part pa ON e.a = pa.p_partkey
+      |  JOIN part pb ON e.b = pb.p_partkey),
+      |m AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS mm,
+      |    CAST(sum(CASE WHEN ba = bb THEN 1 ELSE 0 END) AS HUGEINT) AS same
+      |  FROM ends),
+      |ab AS (
+      |  SELECT CAST(sum(CAST(deg AS HUGEINT) * deg) AS HUGEINT) AS sa2
+      |  FROM (SELECT ba, CAST(count(*) AS BIGINT) AS deg
+      |        FROM ends GROUP BY ba) g)
+      |SELECT CAST(mm // 2 AS BIGINT) AS n_edges,
+      |  CAST((same * 1000000) // mm AS BIGINT) AS same_brand_micro,
+      |  CASE WHEN mm * mm - sa2 > 0 THEN
+      |    CAST(((mm * same - sa2) * 1000000) // (mm * mm - sa2) AS BIGINT)
+      |  END AS assortativity_micro
+      |FROM m CROSS JOIN ab""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q350_degree_assortativity", q350, Some(q350Sql)),
     QueryDef("q360_attack_robustness", q360, Some(q360Sql)),
     QueryDef("q365_lpa_modularity", q365, Some(q365Sql)),
+    QueryDef("q385_brand_homophily", q385, Some(q385Sql)),
     QueryDef("q352_ra_link_prediction", q352, Some(q352Sql)),
     QueryDef("q353_clustering_spectrum", q353, Some(q353Sql)),
     QueryDef("q91_pagerank_iterative", q91, Some(q91Sql)),

@@ -1540,6 +1540,57 @@ class PlantedStructureSpec extends SparkSpec {
       ((ref._2, ref._3, ref._1)), s"$out vs $ref")
   }
 
+  test("q384 reads planted perfectly-aligned items as alpha = 8/9 " +
+    "exactly and a zero-variance total as NULL") {
+    // user u: u views + 2u clicks -> total 3u; V_T = 9V, items V + 4V
+    // -> alpha = 2(9-5)/9 = 8/9
+    val aligned = (1L to 10L).flatMap { u =>
+      (1L to u).map(i => (1, u, "view", 0.0)) ++
+        (1L to 2 * u).map(i => (2, u, "click", 0.0))
+    }
+    val r = operators.GovernanceQueries.q384(spark, eventsDir(aligned)).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((2L, 10L, 888888L)),
+      s"$r")
+    // anti-correlated items with constant total: V_T = 0 -> NULL
+    val anti = (1L to 10L).flatMap { u =>
+      (1L to (u % 2 + 1)).map(i => (1, u, "view", 0.0)) ++
+        (1L to (2 - u % 2)).map(i => (2, u, "click", 0.0))
+    }
+    val r2 = operators.GovernanceQueries.q384(spark, eventsDir(anti)).head()
+    assert(r2.isNullAt(2), s"zero-variance total must be NULL: $r2")
+  }
+
+  test("q385 reads the planted brand mixing at r = 1/3 exactly") {
+    val dir = Files.createTempDirectory("planted-hom")
+    // parts 1,2 brand X; 3,4 brand Y; edges X-X, Y-Y, X-Y
+    Seq((1L, 1L), (1L, 2L), (2L, 3L), (2L, 4L), (3L, 2L), (3L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("lineitem.parquet").toString)
+    Seq((1L, "X"), (2L, "X"), (3L, "Y"), (4L, "Y"))
+      .toDF("p_partkey", "p_brand")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("part.parquet").toString)
+    val r = operators.GraphQueries.q385(spark, dir.toString).head()
+    // M = 6, same = 4, sum deg^2 = 18 -> r = (24-18)/(36-18) = 1/3
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ===
+      ((3L, 666666L, 333333L)), s"$r")
+  }
+
+  test("q386 separates the planted conflicted near-dup pair from the " +
+    "consistent one") {
+    val t1 = (1 to 10).map(i => s"alpha$i").mkString(" ")
+    val t2 = (1 to 10).map(i => s"beta$i").mkString(" ")
+    val docs = Seq(
+      (1L, t1, "en", "s", 10L), (2L, t1, "de", "s", 10L), // conflict
+      (3L, t2, "en", "s", 10L), (4L, t2, "en", "s", 10L)) // consistent
+    val out = operators.DedupQueries.q386(spark, documentsDir(docs))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getInt(3)))
+    assert(out.toSeq === Seq(("de", "en", 1L, 1), ("en", "en", 1L, 0)),
+      s"${out.toSeq}")
+  }
+
   test("q286 finds the planted variance axis") {
     // dim 5 carries 100x the variance of every other dim
     val rnd = new scala.util.Random(7)
