@@ -1991,6 +1991,159 @@ object Relational {
        |ORDER BY dem.brand""".stripMargin
   }
 
+  /** q387 — generalized-entropy GE(2) inequality decomposition: how
+    * much of line-revenue inequality lives BETWEEN brands vs WITHIN
+    * them? GE(2) = ½(N·Σy²/S² − 1) is the half-squared-CV member of
+    * the generalized-entropy family — the one inequality index that
+    * decomposes additively WITHOUT logarithms (Gini does not
+    * decompose; Theil needs logs; q343's HHI concentrates on shares,
+    * not dispersion), so the between/within split is exact here:
+    * between uses the A = Σ_g S_g²/n_g form (per-group floor
+    * division, q364's decimal-sum discipline), within is the
+    * difference of the two stated micro truncations — additivity
+    * holds by construction. Output: total/between/within in micro
+    * (×10⁶, the ½ folded into a 5·10⁵ factor) plus the between
+    * share.
+    *
+    * Scale shape: one scan with map-side combine to per-brand
+    * (n, S, Σy²); scalar arithmetic after. */
+  def q387(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .select($"p_brand".as("g"),
+        floor($"l_extendedprice" * 100).cast("long").as("y"))
+      .groupBy($"g")
+      .agg(count(lit(1)).as("ng"), sum($"y").as("sg"),
+        sum(expr("cast(y as decimal(38,0)) * y")).as("yy"))
+    per.agg(count(lit(1)).as("k"), sum($"ng").as("nn"), sum($"sg").as("ss"),
+        sum($"yy").as("syy"),
+        sum(expr(
+          "cast((cast(sg as decimal(38,0)) * sg) div ng as decimal(38,0))"))
+          .as("a"))
+      .select($"k", $"nn".as("n_lines"),
+        expr("""((cast(nn as decimal(38,0)) * syy
+             - cast(ss as decimal(38,0)) * ss) * 500000)
+             div (cast(ss as decimal(38,0)) * ss)""").as("ge2_total_micro"),
+        expr("""((cast(nn as decimal(38,0)) * a
+             - cast(ss as decimal(38,0)) * ss) * 500000)
+             div (cast(ss as decimal(38,0)) * ss)""").as("ge2_between_micro"))
+      .withColumn("ge2_within_micro",
+        $"ge2_total_micro" - $"ge2_between_micro")
+      .withColumn("between_share_micro",
+        when($"ge2_total_micro" > 0, expr(
+          "(ge2_between_micro * 1000000) div ge2_total_micro")))
+  }
+
+  val q387Sql: String =
+    """WITH per AS (
+      |  SELECT p.p_brand AS g, CAST(count(*) AS BIGINT) AS ng,
+      |    CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS sg,
+      |    sum(CAST(CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS HUGEINT)
+      |      * CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS yy
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY 1),
+      |mo AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS HUGEINT) AS nn,
+      |    CAST(sum(sg) AS HUGEINT) AS ss, CAST(sum(yy) AS HUGEINT) AS syy,
+      |    CAST(sum((CAST(sg AS HUGEINT) * sg) // ng) AS HUGEINT) AS a
+      |  FROM per),
+      |fin AS (
+      |  SELECT k, CAST(nn AS BIGINT) AS n_lines,
+      |    CAST(((nn * syy - ss * ss) * 500000) // (ss * ss) AS BIGINT)
+      |      AS ge2_total_micro,
+      |    CAST(((nn * a - ss * ss) * 500000) // (ss * ss) AS BIGINT)
+      |      AS ge2_between_micro
+      |  FROM mo)
+      |SELECT k, n_lines, ge2_total_micro, ge2_between_micro,
+      |  ge2_total_micro - ge2_between_micro AS ge2_within_micro,
+      |  CASE WHEN ge2_total_micro > 0 THEN
+      |    CAST((ge2_between_micro * 1000000) // ge2_total_micro AS BIGINT)
+      |  END AS between_share_micro
+      |FROM fin""".stripMargin
+
+  /** q388 — price-volume-mix bridge between the first and last ship
+    * YEARS (stated endpoints): per brand trading in both, the revenue
+    * delta decomposes as ΔR̂ = (p₁−p₀)·q₀ [price] + (q₁−q₀)·p₀
+    * [volume] + (p₁−p₀)(q₁−q₀) [cross] — the FP&A waterfall that
+    * NAMES the delta's causes, where q358's indexes only track the
+    * price level and q363 only the response. Exactness: unit prices
+    * land on q358's micro grid (stated truncation), quantities are
+    * integers, and the three effects are integer products that sum
+    * EXACTLY to ΔR̂ = p₁q₁ − p₀q₀ on that grid (the identity holds by
+    * construction — an additivity a float bridge can't promise); the
+    * raw cent delta rides along for reference.
+    *
+    * Scale shape: one collapse to brand×year cells (the scan prunes
+    * to the two endpoint years at the parquet reader), a self-join on
+    * brand, scalar arithmetic per brand. */
+  def q388(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val years = Tables.lineitem(s, d)
+      .agg(min(year($"l_shipdate")).as("y0"), max(year($"l_shipdate")).as("y1"))
+    val by = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .crossJoin(broadcast(years))
+      .filter(year($"l_shipdate") === $"y0" || year($"l_shipdate") === $"y1")
+      .select($"p_brand".as("brand"),
+        (year($"l_shipdate") === $"y1").cast("int").as("period"),
+        floor($"l_extendedprice" * 100).cast("long").as("cents"),
+        $"l_quantity".cast("long").as("q"))
+      .groupBy($"brand", $"period")
+      .agg(sum($"cents").as("c"), sum($"q").as("q"))
+      .select($"brand", $"period",
+        expr("(cast(c as decimal(38,0)) * 1000000) div q").as("p"),
+        $"q", $"c")
+    val p0 = by.filter($"period" === 0)
+      .select($"brand", $"p".as("pp0"), $"q".as("q0"), $"c".as("c0"))
+    val p1 = by.filter($"period" === 1)
+      .select($"brand", $"p".as("pp1"), $"q".as("q1"), $"c".as("c1"))
+    p0.join(p1, "brand")
+      .select($"brand",
+        expr("(pp1 - pp0) * cast(q0 as decimal(38,0))").as("price_effect"),
+        expr("(q1 - q0) * cast(pp0 as decimal(38,0))").as("volume_effect"),
+        expr("(pp1 - pp0) * cast(q1 - q0 as decimal(38,0))").as("cross_effect"),
+        expr("pp1 * cast(q1 as decimal(38,0)) - pp0 * q0").as("delta_hat"),
+        ($"c1" - $"c0").as("delta_cents"))
+      .select($"brand",
+        $"price_effect".cast("long").as("price_effect"),
+        $"volume_effect".cast("long").as("volume_effect"),
+        $"cross_effect".cast("long").as("cross_effect"),
+        $"delta_hat".cast("long").as("delta_hat"),
+        $"delta_cents")
+      .orderBy($"brand")
+  }
+
+  val q388Sql: String =
+    """WITH yr AS (
+      |  SELECT min(year(l_shipdate)) AS y0, max(year(l_shipdate)) AS y1
+      |  FROM lineitem),
+      |by0 AS (
+      |  SELECT p.p_brand AS brand,
+      |    CAST(year(l.l_shipdate) = yr.y1 AS INT) AS period,
+      |    CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS c,
+      |    CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem l
+      |  JOIN part p ON l.l_partkey = p.p_partkey
+      |  CROSS JOIN yr
+      |  WHERE year(l.l_shipdate) = yr.y0 OR year(l.l_shipdate) = yr.y1
+      |  GROUP BY 1, 2),
+      |pv AS (
+      |  SELECT brand, period, (CAST(c AS HUGEINT) * 1000000) // q AS p, q, c
+      |  FROM by0)
+      |SELECT a.brand,
+      |  CAST((b.p - a.p) * a.q AS BIGINT) AS price_effect,
+      |  CAST((b.q - a.q) * a.p AS BIGINT) AS volume_effect,
+      |  CAST((b.p - a.p) * (b.q - a.q) AS BIGINT) AS cross_effect,
+      |  CAST(b.p * b.q - a.p * a.q AS BIGINT) AS delta_hat,
+      |  b.c - a.c AS delta_cents
+      |FROM pv a JOIN pv b ON a.brand = b.brand AND a.period = 0 AND b.period = 1
+      |ORDER BY a.brand""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q358_price_index", q358, Some(q358Sql)),
     QueryDef("q363_arc_elasticity", q363, Some(q363Sql)),
@@ -1998,6 +2151,8 @@ object Relational {
     QueryDef("q377_chain_ladder", q377, Some(q377Sql)),
     QueryDef("q380_mean_residual_life", q380, Some(q380Sql)),
     QueryDef("q381_safety_stock", q381, Some(q381Sql)),
+    QueryDef("q387_ge2_decomposition", q387, Some(q387Sql)),
+    QueryDef("q388_pvm_bridge", q388, Some(q388Sql)),
     QueryDef("q346_price_dispersion", q346, Some(q346Sql)),
     QueryDef("q342_duplicate_payments", q342, Some(q342Sql)),
     QueryDef("q343_hhi_trend", q343, Some(q343Sql)),

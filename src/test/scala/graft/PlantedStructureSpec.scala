@@ -1591,6 +1591,37 @@ class PlantedStructureSpec extends SparkSpec {
       s"${out.toSeq}")
   }
 
+  test("q387 splits planted inequality into within/between exactly") {
+    // same spread in both brands, equal means: ALL inequality within
+    val within = Seq(("BA", 5, 1.00, 1.0), ("BA", 5, 3.00, 1.0),
+      ("BB", 5, 1.00, 1.0), ("BB", 5, 3.00, 1.0))
+    val r = operators.Relational.q387(spark,
+      elasticityLinesDir(within)).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) === ((2L, 4L, 125000L, 0L, 125000L, 0L)),
+      s"within $r")
+    // flat within, different means: ALL inequality between
+    val between = Seq(("BA", 5, 1.00, 1.0), ("BA", 5, 1.00, 1.0),
+      ("BB", 5, 3.00, 1.0), ("BB", 5, 3.00, 1.0))
+    val r2 = operators.Relational.q387(spark,
+      elasticityLinesDir(between)).head()
+    assert((r2.getLong(2), r2.getLong(3), r2.getLong(4), r2.getLong(5)) ===
+      ((125000L, 125000L, 0L, 1000000L)), s"between $r2")
+  }
+
+  test("q388 bridges the planted year-over-year delta additively and " +
+    "exactly") {
+    // 1970: qty 10 @ 1.00/unit; 1971: qty 20 @ 2.00/unit
+    val rows = Seq(("BX", 5, 10.00, 10.0), ("BX", 400, 40.00, 20.0))
+    val r = operators.Relational.q388(spark, elasticityLinesDir(rows)).head()
+    val (price, volume, cross) = (r.getLong(1), r.getLong(2), r.getLong(3))
+    assert((price, volume, cross) === ((1000000000L, 1000000000L, 1000000000L)),
+      s"$r")
+    assert(r.getLong(4) === price + volume + cross,
+      "bridge must sum exactly to delta_hat")
+    assert(r.getLong(5) === 3000L, s"raw delta ${r.getLong(5)}")
+  }
+
   test("q286 finds the planted variance axis") {
     // dim 5 carries 100x the variance of every other dim
     val rnd = new scala.util.Random(7)
