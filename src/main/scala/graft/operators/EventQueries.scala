@@ -3980,6 +3980,70 @@ object EventQueries {
        |FROM ab""".stripMargin
   }
 
+  /** q391 — behavioral novelty drift: per day, the share of that
+    * day's DISTINCT event-type 3-grams (per-user consecutive
+    * triples) never seen on any earlier day — q344's first-occurrence
+    * trick lifted from vocabulary to BEHAVIOR. A healthy product
+    * shows high novelty early that decays as the behavior space
+    * saturates; a novelty spike later flags a new flow (feature
+    * launch) or an instrumentation break — the drift lens the
+    * value-distribution battery (q181 etc.) can't see because the
+    * marginal event-type mix can stay IDENTICAL while sequencing
+    * changes. Exact: grams are strings off a (ts, event_id)-ordered
+    * per-user window; first-day is min(day) per gram (no window over
+    * the day axis); novelty is one truncating micro division of
+    * distinct-gram counts.
+    *
+    * Scale shape: the lag window partitions by user (high-cardinality
+    * key); (gram, day) collapses before the first-day aggregate; the
+    * daily rollup is calendar-sized. */
+  def q391(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wc = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val grams = Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_id", $"event_type",
+        epochDay($"ts").as("day"))
+      .withColumn("e1", lag($"event_type", 1).over(wc))
+      .withColumn("e2", lag($"event_type", 2).over(wc))
+      .filter($"e2".isNotNull)
+      .select(concat_ws(">", $"e2", $"e1", $"event_type").as("g"), $"day")
+      .distinct()
+      .transform(graft.Fx.materialize) // first-day agg AND daily rollup
+    val first = grams.groupBy($"g").agg(min($"day").as("d0"))
+    grams.join(first, "g")
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_distinct_grams"),
+        sum(($"day" === $"d0").cast("long")).as("n_new"))
+      .select($"day".cast("long").as("day"), $"n_distinct_grams", $"n_new",
+        expr("(n_new * 1000000) div n_distinct_grams").as("novelty_micro"))
+      .orderBy($"day")
+  }
+
+  val q391Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CAST(ts AS DATE) - DATE '1970-01-01' AS day
+      |  FROM events),
+      |g0 AS (
+      |  SELECT
+      |    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS e2,
+      |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS e1,
+      |    event_type, day
+      |  FROM ev),
+      |grams AS MATERIALIZED (
+      |  SELECT DISTINCT e2 || '>' || e1 || '>' || event_type AS g, day
+      |  FROM g0 WHERE e2 IS NOT NULL),
+      |fst AS (SELECT g, min(day) AS d0 FROM grams GROUP BY g)
+      |SELECT grams.day, CAST(count(*) AS BIGINT) AS n_distinct_grams,
+      |  CAST(sum(CASE WHEN grams.day = fst.d0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_new,
+      |  CAST((sum(CASE WHEN grams.day = fst.d0 THEN 1 ELSE 0 END) * 1000000)
+      |    // count(*) AS BIGINT) AS novelty_micro
+      |FROM grams JOIN fst ON grams.g = fst.g
+      |GROUP BY grams.day ORDER BY grams.day""".stripMargin
+
   /** q376 — historical VaR and CVaR of daily revenue swings: the
     * worst-case day-over-day change at the 95% and 99% confidence
     * levels, and the expected shortfall BEYOND each cutoff — the
@@ -4268,6 +4332,7 @@ object EventQueries {
     QueryDef("q378_xbar_r_chart", q378, Some(q378Sql)),
     QueryDef("q379_slo_burn", q379, Some(q379Sql)),
     QueryDef("q383_quantile_trend", q383, Some(q383Sql)),
+    QueryDef("q391_behavior_novelty", q391, Some(q391Sql)),
     QueryDef("q349_mcnemar", q349, Some(q349Sql)),
     QueryDef("q340_bootstrap_ci", q340, Some(q340Sql)),
     QueryDef("q341_variance_ratio", q341, Some(q341Sql)),

@@ -1621,6 +1621,72 @@ object GovernanceQueries {
        |FROM jt CROSS JOIN mom""".stripMargin
   }
 
+  /** q389 — Goodman–Kruskal lambda, both directions: by what fraction
+    * does knowing one categorical column reduce the ERROR of guessing
+    * the other (modal prediction)? λ_{Y|X} = (Σ_x max_y n_xy −
+    * max_y n_y)/(N − max_y n_y) — the proportional-reduction-in-error
+    * measure that answers the PREDICTIVE question q258's χ²/Cramér's V
+    * (association strength) does not: a strongly associated pair can
+    * still have λ = 0 when every row shares the same modal class, and
+    * λ is asymmetric where V is not. Computed for priority→status and
+    * status→priority over orders. Exact: all counts integers; modal
+    * maxima are exact; λ is one truncating micro division; a
+    * degenerate margin (max = N) degrades to NULL.
+    *
+    * Scale shape: one collapse to the 5×3 contingency grid; both
+    * directions read off that one tiny relation. */
+  def q389(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ct = Tables.orders(s, d)
+      .groupBy($"o_orderpriority".as("x"), $"o_orderstatus".as("y"))
+      .agg(count(lit(1)).as("n"))
+      .transform(graft.Fx.materialize) // both directions
+    def lambda(label: String, key: String, other: String): DataFrame = {
+      val rowMax = ct.groupBy(col(key))
+        .agg(max($"n").as("mx")).agg(sum($"mx").as("summax"))
+      val margMax = ct.groupBy(col(other))
+        .agg(sum($"n").as("m")).agg(max($"m").as("basemax"))
+      val tot = ct.agg(sum($"n").as("nn"))
+      rowMax.crossJoin(broadcast(margMax)).crossJoin(broadcast(tot))
+        .select(lit(label).as("direction"), $"nn".as("n_orders"),
+          $"basemax", $"summax",
+          when($"nn" > $"basemax", expr(
+            "((summax - basemax) * 1000000) div (nn - basemax)"))
+            .as("lambda_micro"))
+    }
+    lambda("priority->status", "x", "y")
+      .unionByName(lambda("status->priority", "y", "x"))
+      .orderBy($"direction")
+  }
+
+  val q389Sql: String = {
+    def lam(label: String, key: String, other: String): String =
+      s"""SELECT '$label' AS direction,
+         |  (SELECT CAST(sum(n) AS BIGINT) FROM ct) AS n_orders,
+         |  (SELECT CAST(max(m) AS BIGINT) FROM
+         |     (SELECT sum(n) AS m FROM ct GROUP BY $other) t) AS basemax,
+         |  (SELECT CAST(sum(mx) AS BIGINT) FROM
+         |     (SELECT max(n) AS mx FROM ct GROUP BY $key) t) AS summax,
+         |  CASE WHEN (SELECT sum(n) FROM ct) >
+         |    (SELECT max(m) FROM (SELECT sum(n) AS m FROM ct GROUP BY $other) t)
+         |  THEN CAST((((SELECT sum(mx) FROM
+         |      (SELECT max(n) AS mx FROM ct GROUP BY $key) t)
+         |    - (SELECT max(m) FROM (SELECT sum(n) AS m FROM ct GROUP BY $other) t))
+         |    * 1000000)
+         |    // ((SELECT sum(n) FROM ct)
+         |    - (SELECT max(m) FROM (SELECT sum(n) AS m FROM ct GROUP BY $other) t))
+         |    AS BIGINT)
+         |  END AS lambda_micro""".stripMargin
+    s"""WITH ct AS MATERIALIZED (
+       |  SELECT o_orderpriority AS x, o_orderstatus AS y,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM orders GROUP BY 1, 2)
+       |${lam("priority->status", "x", "y")}
+       |UNION ALL
+       |${lam("status->priority", "y", "x")}
+       |ORDER BY direction""".stripMargin
+  }
+
   /** q384 — Cronbach's alpha over the user×event-type count matrix:
     * treating the five event types as ITEMS of an "engagement scale"
     * and each user's per-type counts as item scores, α = k/(k−1) ·
@@ -1696,6 +1762,7 @@ object GovernanceQueries {
     QueryDef("q373_levene_bf", q373, Some(q373Sql)),
     QueryDef("q374_jonckheere", q374, Some(q374Sql)),
     QueryDef("q384_cronbach_alpha", q384, Some(q384Sql)),
+    QueryDef("q389_gk_lambda", q389, Some(q389Sql)),
     QueryDef("q351_friedman_test", q351, Some(q351Sql)),
     QueryDef("q334_kruskal_wallis", q334, Some(q334Sql)),
     QueryDef("q332_t_closeness", q332, Some(q332Sql)),

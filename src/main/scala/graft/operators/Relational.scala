@@ -1765,10 +1765,12 @@ object Relational {
     * fact-to-fact shuffle), collapsed immediately to the
     * (cohort, dev) triangle (≤ months×7 rows); the cumulative window
     * and factor joins live on that collapsed triangle. */
-  def q377(s: SparkSession, d: String): DataFrame = {
+  /** Cumulative (cohort, dev) development triangle — shared by q377
+    * (factors) and q390 (ultimate forecast). */
+  private def devTriangle(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val tri = Tables.lineitem(s, d)
+    Tables.lineitem(s, d)
       .join(Tables.orders(s, d).select($"o_orderkey",
           (year($"o_orderdate") * 12 + month($"o_orderdate")).as("cohort")),
         $"l_orderkey" === $"o_orderkey")
@@ -1780,9 +1782,19 @@ object Relational {
       .groupBy($"cohort", $"dev").agg(sum($"cents").as("inc"))
       .withColumn("cum", sum($"inc").over(
         Window.partitionBy($"cohort").orderBy($"dev")))
-      .transform(graft.Fx.materialize) // maxMk probe + factor joins
-    val maxMk = Tables.lineitem(s, d)
+      .transform(graft.Fx.materialize)
+  }
+
+  private def maxShipMk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
       .agg(max(year($"l_shipdate") * 12 + month($"l_shipdate")).as("mx"))
+  }
+
+  /** Maturity-gated dev→dev+1 factors off the triangle (q377's core). */
+  private def devFactors(s: SparkSession, tri: DataFrame,
+      maxMk: DataFrame): DataFrame = {
+    import s.implicits._
     val cur = tri.select($"cohort", $"dev", $"cum")
     val nxt = tri.select($"cohort", ($"dev" - 1).as("dev"), $"cum".as("cum1"))
     cur.join(nxt, Seq("cohort", "dev"))
@@ -1795,7 +1807,11 @@ object Relational {
         when($"cd" > 0,
           expr("(cast(cd1 as decimal(38,0)) * 1000000) div cd"))
           .as("factor_micro"))
-      .orderBy($"dev")
+  }
+
+  def q377(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    devFactors(s, devTriangle(s, d), maxShipMk(s, d)).orderBy($"dev")
   }
 
   val q377Sql: String =
@@ -1991,6 +2007,97 @@ object Relational {
        |ORDER BY dem.brand""".stripMargin
   }
 
+  /** q390 — chain-ladder ULTIMATE forecast: q377 estimated how
+    * cohorts develop; this completes each IMMATURE cohort to its
+    * projected dev-6 revenue — ultimate = cum_L · Π_{e=L..5} f_e,
+    * the triangle's actual payoff (the "how much is still coming"
+    * number a revenue planner books). The completion products chain
+    * on the micro grid with a stated per-step truncation
+    * F_L = (f_L · F_{L+1}) div 10⁶ (F_6 = 10⁶) — the q91 iterative
+    * re-rounding discipline, mirrored step-for-step by a recursive
+    * CTE in the oracle; the ≤ 6-entry chain folds on the driver (a
+    * bounded-grid fold, the house's stated exception). A cohort
+    * whose chain lacks an estimated factor drops (stated).
+    *
+    * Scale shape: the shared triangle + one ≤6-row collect; the
+    * per-cohort completion is a broadcast join on latest dev. */
+  def q390(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tri = devTriangle(s, d)
+    val mx = maxShipMk(s, d)
+    val factors = devFactors(s, tri, mx)
+      .filter($"factor_micro".isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap // ≤ 6 rows
+    // completion chain from each dev to 6 (stated truncation per step)
+    val comp = scala.collection.mutable.Map(6L -> 1000000L)
+    (0 to 5).reverse.foreach { dv =>
+      for (f <- factors.get(dv.toLong); nx <- comp.get(dv + 1L))
+        comp(dv.toLong) = f * nx / 1000000L
+    }
+    val compDf = comp.toSeq.map { case (dv, fc) => (dv, fc) }
+      .toDF("ldev", "comp_micro")
+    val latest = tri.groupBy($"cohort").agg(max($"dev").as("ldev"))
+      .join(tri.select($"cohort", $"dev".as("ldev"), $"cum"),
+        Seq("cohort", "ldev"))
+      .crossJoin(broadcast(mx))
+      .filter($"mx" - $"cohort" < 6L) // immature cohorts only
+    latest.join(broadcast(compDf), "ldev")
+      .select(expr("cast((cohort - 1) div 12 as int)").as("y"),
+        expr("cast((cohort - 1) % 12 + 1 as int)").as("m"),
+        $"ldev".as("latest_dev"), $"cum".as("cum_cents"),
+        expr("(cast(cum as decimal(38,0)) * comp_micro) div 1000000")
+          .as("ultimate_cents"))
+      .orderBy($"y", $"m")
+  }
+
+  val q390Sql: String =
+    """WITH RECURSIVE tri AS MATERIALIZED (
+      |  SELECT cohort, dev, CAST(sum(cents) AS BIGINT) AS inc,
+      |    CAST(sum(sum(cents)) OVER (PARTITION BY cohort ORDER BY dev)
+      |      AS BIGINT) AS cum
+      |  FROM (
+      |    SELECT year(o.o_orderdate) * 12 + month(o.o_orderdate) AS cohort,
+      |      (year(l.l_shipdate) * 12 + month(l.l_shipdate))
+      |        - (year(o.o_orderdate) * 12 + month(o.o_orderdate)) AS dev,
+      |      CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS cents
+      |    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey) t
+      |  WHERE dev BETWEEN 0 AND 6
+      |  GROUP BY cohort, dev),
+      |mx AS (
+      |  SELECT max(year(l_shipdate) * 12 + month(l_shipdate)) AS mx
+      |  FROM lineitem),
+      |fac AS (
+      |  SELECT dev,
+      |    (CAST(sum(cd1) AS HUGEINT) * 1000000) // CAST(sum(cd) AS HUGEINT)
+      |      AS f
+      |  FROM (
+      |    SELECT cur.dev, cur.cum AS cd, nxt.cum AS cd1
+      |    FROM tri cur
+      |    JOIN tri nxt ON nxt.cohort = cur.cohort AND nxt.dev = cur.dev + 1
+      |    CROSS JOIN mx
+      |    WHERE cur.cohort <= mx.mx - (cur.dev + 1)) j
+      |  GROUP BY dev HAVING sum(cd) > 0),
+      |comp AS (
+      |  SELECT CAST(6 AS BIGINT) AS ldev, CAST(1000000 AS HUGEINT) AS c
+      |  UNION ALL
+      |  SELECT c.ldev - 1, (fac.f * c.c) // 1000000
+      |  FROM comp c JOIN fac ON fac.dev = c.ldev - 1
+      |  WHERE c.ldev > 0),
+      |latest AS (
+      |  SELECT tri.cohort, tri.dev AS ldev, tri.cum
+      |  FROM tri
+      |  JOIN (SELECT cohort, max(dev) AS md FROM tri GROUP BY cohort) m
+      |    ON tri.cohort = m.cohort AND tri.dev = m.md
+      |  CROSS JOIN mx
+      |  WHERE mx.mx - tri.cohort < 6)
+      |SELECT CAST((l.cohort - 1) // 12 AS INT) AS y,
+      |  CAST((l.cohort - 1) % 12 + 1 AS INT) AS m,
+      |  l.ldev AS latest_dev, l.cum AS cum_cents,
+      |  CAST((CAST(l.cum AS HUGEINT) * comp.c) // 1000000 AS BIGINT)
+      |    AS ultimate_cents
+      |FROM latest l JOIN comp ON l.ldev = comp.ldev
+      |ORDER BY y, m""".stripMargin
+
   /** q387 — generalized-entropy GE(2) inequality decomposition: how
     * much of line-revenue inequality lives BETWEEN brands vs WITHIN
     * them? GE(2) = ½(N·Σy²/S² − 1) is the half-squared-CV member of
@@ -2153,6 +2260,7 @@ object Relational {
     QueryDef("q381_safety_stock", q381, Some(q381Sql)),
     QueryDef("q387_ge2_decomposition", q387, Some(q387Sql)),
     QueryDef("q388_pvm_bridge", q388, Some(q388Sql)),
+    QueryDef("q390_ultimate_forecast", q390, Some(q390Sql)),
     QueryDef("q346_price_dispersion", q346, Some(q346Sql)),
     QueryDef("q342_duplicate_payments", q342, Some(q342Sql)),
     QueryDef("q343_hhi_trend", q343, Some(q343Sql)),

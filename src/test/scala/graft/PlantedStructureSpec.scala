@@ -1622,6 +1622,64 @@ class PlantedStructureSpec extends SparkSpec {
     assert(r.getLong(5) === 3000L, s"raw delta ${r.getLong(5)}")
   }
 
+  test("q389 reads planted determinism as lambda = 1 and planted " +
+    "independence as 0, both directions") {
+    val det = Seq.fill(10)(("A", "F")) ++ Seq.fill(10)(("B", "O"))
+    val r = operators.GovernanceQueries.q389(spark, ordersStatusDir(det))
+      .collect().map(x => x.getString(0) -> x.getLong(4)).toMap
+    assert(r("priority->status") === 1000000L && r("status->priority") === 1000000L,
+      s"deterministic $r")
+    val ind = Seq.fill(5)(("A", "F")) ++ Seq.fill(5)(("A", "O")) ++
+      Seq.fill(5)(("B", "F")) ++ Seq.fill(5)(("B", "O"))
+    val r2 = operators.GovernanceQueries.q389(spark, ordersStatusDir(ind))
+      .collect().map(x => x.getString(0) -> x.getLong(4)).toMap
+    assert(r2.values.forall(_ === 0L), s"independent $r2")
+  }
+
+  test("q390 completes the planted uniform triangle to ~7.00 per " +
+    "immature cohort with the stated chained truncations") {
+    val dir = Files.createTempDirectory("planted-ult")
+    // cohorts Jan..Jul 1970, each shipping 1.00 at every dev month it
+    // can observe: every factor f_d = (d+2)/(d+1) on the micro grid
+    val monthDay5 = Seq(4L, 35L, 63L, 94L, 124L, 155L, 185L) // Jan..Jul 5th
+    (1 to 7).map(k => (k.toLong, monthDay5(k - 1)))
+      .toDF("o_orderkey", "day")
+      .withColumn("o_orderdate", timestamp_micros(
+        ($"day" * 86400L + 43200L) * 1000000L))
+      .select($"o_orderkey", $"o_orderdate")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("orders.parquet").toString)
+    (1 to 7).flatMap(k => (k to 7).map(m => (k.toLong, monthDay5(m - 1))))
+      .toDF("l_orderkey", "day")
+      .withColumn("l_extendedprice", lit(1.00))
+      .withColumn("l_shipdate", timestamp_micros(
+        ($"day" * 86400L + 43200L) * 1000000L))
+      .select($"l_orderkey", $"l_extendedprice", $"l_shipdate")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("lineitem.parquet").toString)
+    val out = operators.Relational.q390(spark, dir.toString)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // chained truncations: F5..F0 = 1166666, 1399999, 1749998,
+    // 2333329, 3499993, 6999986 -> every ultimate lands on 699 cents
+    val expect = (2 to 7).map(m => (1970, m, 7L - m, (8L - m) * 100, 699L))
+    assert(out.toSeq === expect, s"${out.toSeq} vs $expect")
+  }
+
+  test("q391 dates each planted behavior 3-gram's novelty correctly") {
+    val rows =
+      Seq((1, 1L, "view", 0.0), (1, 1L, "view", 0.0), (1, 1L, "view", 0.0)) ++
+        Seq((2, 2L, "view", 0.0), (2, 2L, "view", 0.0),
+          (2, 2L, "view", 0.0), (2, 2L, "click", 0.0)) ++
+        Seq((3, 3L, "view", 0.0), (3, 3L, "view", 0.0),
+          (3, 3L, "click", 0.0), (3, 3L, "click", 0.0))
+    val out = operators.EventQueries.q391(spark, eventsDir(rows))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // day1: {vvv} new; day2: {vvv old, vvc new}; day3: {vvc old, vcc new}
+    assert(out.toSeq === Seq((1L, 1L, 1000000L), (2L, 1L, 500000L),
+      (2L, 1L, 500000L)), s"${out.toSeq}")
+  }
+
   test("q286 finds the planted variance axis") {
     // dim 5 carries 100x the variance of every other dim
     val rnd = new scala.util.Random(7)
