@@ -948,6 +948,91 @@ object AssociationQueries {
       |FROM co""".stripMargin
 
   // ------------------------------------------------------------------
+  // q392 — gains / lift table for engagement-ranked targeting
+  // ------------------------------------------------------------------
+
+  /** q392 — the CRM gains table: rank users by total event count (the
+    * stated engagement "model"), cut into deciles, and report per
+    * decile the purchasers captured, the cumulative capture share,
+    * and the cumulative lift over random targeting — the chart that
+    * decides WHERE to stop spending, which calibration (q318) and
+    * quality scores (q156) don't answer by themselves. Exact: the
+    * ranking is a total order (events desc, user_id) assigned by the
+    * scale-safe two-phase seqIds (never a global row_number window);
+    * decile = ((rank−1)·10) div N + 1; capture and lift are
+    * truncating micro divisions of exact cumulative integers (the
+    * cumulative window runs over the COLLAPSED 10-row decile
+    * relation).
+    *
+    * Scale shape: one groupBy(user); two-phase global ids; a 10-row
+    * rollup and windows over it. */
+  def q392(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("ev"),
+        max(($"event_type" === "purchase").cast("long")).as("buyer"))
+    val ranked = Ranking.seqIds(per, 8, $"ev".desc, $"user_id")
+      .transform(graft.Fx.materialize) // count probe + decile rollup
+    val n = ranked.agg(count(lit(1)).as("n"))
+    val dec = ranked.crossJoin(broadcast(n))
+      .select(expr("((seq_id - 1) * 10) div n + 1").as("decile"),
+        $"buyer")
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_users"), sum($"buyer").as("n_buyers"))
+    val w = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(lit(1))
+    dec
+      .withColumn("cum_users", sum($"n_users").over(w))
+      .withColumn("cum_buyers", sum($"n_buyers").over(w))
+      .withColumn("tot_buyers", sum($"n_buyers").over(wAll))
+      .withColumn("tot_users", sum($"n_users").over(wAll))
+      .select($"decile", $"n_users", $"n_buyers",
+        when($"tot_buyers" > 0,
+          expr("(cum_buyers * 1000000) div tot_buyers")).as("capture_micro"),
+        when($"tot_buyers" > 0 && $"cum_users" > 0, expr(
+          """(cast(cum_buyers as decimal(38,0)) * tot_users * 1000000)
+             div (cast(tot_buyers as decimal(38,0)) * cum_users)"""))
+          .as("lift_micro"))
+      .orderBy($"decile")
+  }
+
+  val q392Sql: String =
+    """WITH per AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS ev,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS buyer
+      |  FROM events GROUP BY user_id),
+      |ranked AS (
+      |  SELECT buyer,
+      |    row_number() OVER (ORDER BY ev DESC, user_id) AS seq_id,
+      |    count(*) OVER () AS n
+      |  FROM per),
+      |dec AS (
+      |  SELECT ((seq_id - 1) * 10) // n + 1 AS decile,
+      |    CAST(count(*) AS BIGINT) AS n_users,
+      |    CAST(sum(buyer) AS BIGINT) AS n_buyers
+      |  FROM ranked GROUP BY 1),
+      |cum AS (
+      |  SELECT decile, n_users, n_buyers,
+      |    sum(n_users) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users,
+      |    sum(n_buyers) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_buyers,
+      |    sum(n_buyers) OVER () AS tot_buyers,
+      |    sum(n_users) OVER () AS tot_users
+      |  FROM dec)
+      |SELECT decile, n_users, n_buyers,
+      |  CASE WHEN tot_buyers > 0 THEN
+      |    CAST((cum_buyers * 1000000) // tot_buyers AS BIGINT)
+      |  END AS capture_micro,
+      |  CASE WHEN tot_buyers > 0 AND cum_users > 0 THEN
+      |    CAST((CAST(cum_buyers AS HUGEINT) * tot_users * 1000000)
+      |      // (CAST(tot_buyers AS HUGEINT) * cum_users) AS BIGINT)
+      |  END AS lift_micro
+      |FROM cum ORDER BY decile""".stripMargin
+
+  // ------------------------------------------------------------------
   // q371 — sharp regression discontinuity at zero account balance
   // ------------------------------------------------------------------
 
@@ -2605,6 +2690,7 @@ object AssociationQueries {
     QueryDef("q367_qte_deciles", q367, Some(q367Sql)),
     QueryDef("q369_iv_wald", q369, Some(q369Sql)),
     QueryDef("q371_regression_discontinuity", q371, Some(q371Sql)),
+    QueryDef("q392_gains_table", q392, Some(q392Sql)),
     QueryDef("q257_cuped_readout", q257, Some(q257Sql)),
     QueryDef("q268_two_proportion_z", q268, Some(q268Sql)),
     QueryDef("q272_srm_audit", q272, Some(q272Sql)),

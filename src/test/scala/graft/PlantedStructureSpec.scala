@@ -1680,6 +1680,28 @@ class PlantedStructureSpec extends SparkSpec {
       (2L, 1L, 500000L)), s"${out.toSeq}")
   }
 
+  test("q392 captures a planted perfect ranking at lift exactly 2.0 " +
+    "in the top deciles") {
+    // users 1..20, engagement = id, buyers = the top half: the
+    // event-count ranking is a perfect model, so cumulative capture
+    // is min(2d,10)/10 and lift is exactly 2.0 until saturation
+    val rows = (1L to 20L).flatMap { u =>
+      val base = (1 to u.toInt).map(i => (1, u, "view", 0.0))
+      if (u > 10L) base :+ ((2, u, "purchase", 1.0)) else base
+    }
+    val out = operators.AssociationQueries.q392(spark, eventsDir(rows))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    out.foreach { case (dec, nu, nb, cap, lift) =>
+      assert(nu === 2L, s"decile $dec users $nu")
+      assert(nb === (if (dec <= 5) 2L else 0L), s"decile $dec buyers $nb")
+      val cumB = math.min(2 * dec, 10L)
+      assert(cap === cumB * 1000000L / 10L, s"decile $dec capture $cap")
+      assert(lift === cumB * 20L * 1000000L / (10L * 2 * dec),
+        s"decile $dec lift $lift")
+    }
+  }
+
   test("q286 finds the planted variance axis") {
     // dim 5 carries 100x the variance of every other dim
     val rnd = new scala.util.Random(7)
