@@ -3980,6 +3980,80 @@ object EventQueries {
        |FROM ab""".stripMargin
   }
 
+  /** q393 — Mann–Kendall trend test on daily revenue: S = Σ_{i<j}
+    * sign(y_j − y_i), the distribution-free monotone-trend TEST that
+    * pairs with q274's Theil–Sen slope ESTIMATOR (the classic duo —
+    * Sen sizes the trend, MK decides whether it exists; q296/q320
+    * hunt changepoints, a different alternative). Exact: S is an
+    * integer off the day-pair self-join of the COLLAPSED daily
+    * relation; the tie-corrected null variance 18σ² = n(n−1)(2n+5)
+    * − Σ_t t(t−1)(2t+5) rides DECIMAL(38,0) over the value-grid tie
+    * groups; z applies the standard continuity correction
+    * (S∓1)/σ with sign(S) (stated), one pinned sqrt, r6; two-sided
+    * 5% verdict plus the trend direction.
+    *
+    * Scale shape: the corpus collapses to the bounded day calendar
+    * FIRST; the O(days²) pair join is calendar-sized (never
+    * corpus-sized); ties collapse on the value grid. */
+  def q393(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, d)
+      .groupBy(epochDay($"o_orderdate").as("day"))
+      .agg(expr("cast(floor(sum(o_totalprice) * 100 + 0.5) as bigint) div 100")
+        .as("y"))
+      .transform(graft.Fx.materialize) // pair join (both sides) + ties
+    val sdf = daily.as("a").join(daily.as("b"), $"a.day" < $"b.day")
+      .agg(sum(signum($"b.y" - $"a.y").cast("long")).as("s"),
+        count(lit(1)).as("n_pairs"))
+    val ties = daily.groupBy($"y").agg(count(lit(1)).as("t"))
+      .agg(sum($"t").as("n"), sum(expr(
+        "cast(t as decimal(38,0)) * (t - 1) * (2 * t + 5)")).as("tcorr"))
+      .select($"n", expr(
+        """cast(n as decimal(38,0)) * (n - 1) * (2 * n + 5) - tcorr""")
+        .as("v18"))
+    sdf.crossJoin(broadcast(ties))
+      .select($"n".as("n_days"), $"s",
+        when($"v18" > 0, r6(
+          when($"s" > 0, ($"s" - 1).cast("double"))
+            .otherwise(when($"s" < 0, ($"s" + 1).cast("double"))
+              .otherwise(lit(0.0))) /
+          sqrt($"v18".cast("double") / 18.0))).as("z"))
+      .withColumn("trend_5pct",
+        when($"z".isNull, lit(null).cast("string"))
+          .otherwise(when($"z" > 1.96, lit("increasing"))
+            .otherwise(when($"z" < -1.96, lit("decreasing"))
+              .otherwise(lit("none")))))
+  }
+
+  val q393Sql: String = {
+    val z = """CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+              |     WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+              |     ELSE 0.0 END / sqrt(CAST(v18 AS DOUBLE) / 18.0)"""
+      .stripMargin.replaceAll("\n", " ")
+    s"""WITH daily AS MATERIALIZED (
+       |  SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+       |    CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) // 100 AS y
+       |  FROM orders GROUP BY 1),
+       |sp AS (
+       |  SELECT CAST(sum(CASE WHEN b.y > a.y THEN 1
+       |                       WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+       |  FROM daily a JOIN daily b ON a.day < b.day),
+       |ti AS (
+       |  SELECT CAST(sum(t) AS HUGEINT) AS n,
+       |    CAST(sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS HUGEINT)
+       |      AS tcorr
+       |  FROM (SELECT y, CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY y) g),
+       |v AS (SELECT n, n * (n - 1) * (2 * n + 5) - tcorr AS v18 FROM ti)
+       |SELECT CAST(v.n AS BIGINT) AS n_days, sp.s,
+       |  CASE WHEN v.v18 > 0 THEN ${graft.Fx.sqlR6(z)} END AS z,
+       |  CASE WHEN v.v18 > 0 THEN
+       |    CASE WHEN ${graft.Fx.sqlR6(z)} > 1.96 THEN 'increasing'
+       |         WHEN ${graft.Fx.sqlR6(z)} < -1.96 THEN 'decreasing'
+       |         ELSE 'none' END
+       |  END AS trend_5pct
+       |FROM sp CROSS JOIN v""".stripMargin
+  }
+
   /** q391 — behavioral novelty drift: per day, the share of that
     * day's DISTINCT event-type 3-grams (per-user consecutive
     * triples) never seen on any earlier day — q344's first-occurrence
@@ -4333,6 +4407,7 @@ object EventQueries {
     QueryDef("q379_slo_burn", q379, Some(q379Sql)),
     QueryDef("q383_quantile_trend", q383, Some(q383Sql)),
     QueryDef("q391_behavior_novelty", q391, Some(q391Sql)),
+    QueryDef("q393_mann_kendall", q393, Some(q393Sql)),
     QueryDef("q349_mcnemar", q349, Some(q349Sql)),
     QueryDef("q340_bootstrap_ci", q340, Some(q340Sql)),
     QueryDef("q341_variance_ratio", q341, Some(q341Sql)),

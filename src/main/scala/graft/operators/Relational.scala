@@ -2007,6 +2007,73 @@ object Relational {
        |ORDER BY dem.brand""".stripMargin
   }
 
+  /** q394 — price stickiness per brand: how OFTEN does the realized
+    * brand-month unit price move, and how long does a price spell
+    * last? The menu-cost readout (Bils–Klenow): change_rate = months
+    * with a price different from the previous observed month / months
+    * with a predecessor, and mean spell length = months/(changes+1) —
+    * q358 prices the LEVEL, q363 the RESPONSE; stickiness is the
+    * FREQUENCY dimension rigidity models feed on. Exact: prices ride
+    * q358's brand-month micro grid (stated truncation — a sub-micro
+    * price move is stated equal), the change flag is an integer lag
+    * comparison on the COLLAPSED cell grid (brand-partitioned window
+    * over ≤ brands×months rows), and both readouts are truncating
+    * micro divisions.
+    *
+    * Scale shape: one collapse to brand-month cells; lag + rollup on
+    * the bounded grid. */
+  def q394(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val wb = Window.partitionBy($"brand").orderBy($"mk")
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .select($"p_brand".as("brand"),
+        (year($"l_shipdate") * 12 + month($"l_shipdate")).cast("long").as("mk"),
+        floor($"l_extendedprice" * 100).cast("long").as("cents"),
+        $"l_quantity".cast("long").as("q"))
+      .groupBy($"brand", $"mk")
+      .agg(expr("(cast(sum(cents) as decimal(38,0)) * 1000000) div sum(q)")
+        .as("p"))
+      .withColumn("prev", lag($"p", 1).over(wb))
+      .groupBy($"brand")
+      .agg(count(lit(1)).as("n_months"),
+        sum(($"prev".isNotNull && $"p" =!= $"prev").cast("long"))
+          .as("n_changes"))
+      .select($"brand", $"n_months", $"n_changes",
+        expr("""(n_changes * 1000000) div
+             greatest(n_months - 1, cast(1 as bigint))""")
+          .as("change_rate_micro"),
+        expr("(n_months * 1000000) div (n_changes + 1)")
+          .as("mean_spell_micro"))
+      .orderBy($"brand")
+  }
+
+  val q394Sql: String =
+    """WITH bm AS (
+      |  SELECT p.p_brand AS brand,
+      |    year(l.l_shipdate) * 12 + month(l.l_shipdate) AS mk,
+      |    (CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS HUGEINT)
+      |      * 1000000) // CAST(sum(CAST(l.l_quantity AS BIGINT)) AS HUGEINT)
+      |      AS p
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY 1, 2),
+      |ch AS (
+      |  SELECT brand, p, lag(p) OVER (PARTITION BY brand ORDER BY mk) AS prev
+      |  FROM bm),
+      |agg AS (
+      |  SELECT brand, CAST(count(*) AS BIGINT) AS n_months,
+      |    CAST(sum(CASE WHEN prev IS NOT NULL AND p <> prev THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_changes
+      |  FROM ch GROUP BY brand)
+      |SELECT brand, n_months, n_changes,
+      |  CAST((n_changes * 1000000) // greatest(n_months - 1, 1) AS BIGINT)
+      |    AS change_rate_micro,
+      |  CAST((n_months * 1000000) // (n_changes + 1) AS BIGINT)
+      |    AS mean_spell_micro
+      |FROM agg ORDER BY brand""".stripMargin
+
   /** q390 — chain-ladder ULTIMATE forecast: q377 estimated how
     * cohorts develop; this completes each IMMATURE cohort to its
     * projected dev-6 revenue — ultimate = cum_L · Π_{e=L..5} f_e,
@@ -2261,6 +2328,7 @@ object Relational {
     QueryDef("q387_ge2_decomposition", q387, Some(q387Sql)),
     QueryDef("q388_pvm_bridge", q388, Some(q388Sql)),
     QueryDef("q390_ultimate_forecast", q390, Some(q390Sql)),
+    QueryDef("q394_price_stickiness", q394, Some(q394Sql)),
     QueryDef("q346_price_dispersion", q346, Some(q346Sql)),
     QueryDef("q342_duplicate_payments", q342, Some(q342Sql)),
     QueryDef("q343_hhi_trend", q343, Some(q343Sql)),

@@ -1702,6 +1702,29 @@ class PlantedStructureSpec extends SparkSpec {
     }
   }
 
+  test("q393 reads a planted monotone series as S = C(n,2) with the " +
+    "exact continuity-corrected z, and all-ties as NULL") {
+    val inc = operators.EventQueries.q393(spark,
+      ordersDir(1 to 15, day => 100.0 + 10.0 * day)).head()
+    val z = math.floor(104.0 / math.sqrt(7350.0 / 18.0) * 1000000 + 0.5) / 1000000
+    assert((inc.getLong(0), inc.getLong(1)) === ((15L, 105L)), s"$inc")
+    assert(inc.getDouble(2) === z && inc.getString(3) === "increasing",
+      s"$inc vs z=$z")
+    val flat = operators.EventQueries.q393(spark,
+      ordersDir(1 to 15, _ => 100.0)).head()
+    assert(flat.getLong(1) === 0L && flat.isNullAt(2) && flat.isNullAt(3),
+      s"all-ties case $flat")
+  }
+
+  test("q394 reads the planted price spell structure exactly") {
+    // prices 1,1,2,2 across four months: one change, two spells
+    val rows = Seq(("BX", 5, 1.00, 1.0), ("BX", 40, 1.00, 1.0),
+      ("BX", 70, 2.00, 1.0), ("BX", 100, 2.00, 1.0))
+    val r = operators.Relational.q394(spark, elasticityLinesDir(rows)).head()
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === (("BX", 4L, 1L, 333333L, 2000000L)), s"$r")
+  }
+
   test("q286 finds the planted variance axis") {
     // dim 5 carries 100x the variance of every other dim
     val rnd = new scala.util.Random(7)
