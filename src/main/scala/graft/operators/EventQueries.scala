@@ -3980,6 +3980,53 @@ object EventQueries {
        |FROM ab""".stripMargin
   }
 
+  /** q395 — maximum drawdown of the daily revenue level: the largest
+    * peak-to-trough decline DD = max_t [max_{s≤t} y_s − y_t], with
+    * the trough day and the peak level it fell from — the PATH-
+    * dependent risk statistic q376's VaR (a one-day marginal) cannot
+    * see: a slow month-long slide never shows a bad single day but
+    * builds a deep drawdown. Exact: whole-dollar daily grid, running
+    * maximum and differences are integers on the collapsed day
+    * calendar, the worst trough ties break to the EARLIEST day
+    * (stated — first time the damage was fully realized).
+    *
+    * Scale shape: collapse to the bounded day calendar; one ordered
+    * running-max window and one argmin selection over it. */
+  def q395(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wRun = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dd = Tables.orders(s, d)
+      .groupBy(epochDay($"o_orderdate").as("day"))
+      .agg(expr("cast(floor(sum(o_totalprice) * 100 + 0.5) as bigint) div 100")
+        .as("y"))
+      .withColumn("peak", max($"y").over(wRun))
+      .withColumn("dd", $"peak" - $"y")
+      .transform(graft.Fx.materialize) // count + argmax probe
+    val n = dd.agg(count(lit(1)).as("n_days"))
+    dd.orderBy($"dd".desc, $"day").limit(1)
+      .crossJoin(broadcast(n))
+      .select($"n_days", $"dd".as("max_drawdown_dollars"),
+        $"day".cast("long").as("trough_day"),
+        $"peak".as("peak_level"), $"y".as("trough_level"))
+  }
+
+  val q395Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+      |    CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) // 100 AS y
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT day, y,
+      |    max(y) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      |  FROM daily),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM r)
+      |SELECT n.n_days, r.peak - r.y AS max_drawdown_dollars,
+      |  r.day AS trough_day, r.peak AS peak_level, r.y AS trough_level
+      |FROM r CROSS JOIN n
+      |ORDER BY r.peak - r.y DESC, r.day LIMIT 1""".stripMargin
+
   /** q393 — Mann–Kendall trend test on daily revenue: S = Σ_{i<j}
     * sign(y_j − y_i), the distribution-free monotone-trend TEST that
     * pairs with q274's Theil–Sen slope ESTIMATOR (the classic duo —
@@ -4408,6 +4455,7 @@ object EventQueries {
     QueryDef("q383_quantile_trend", q383, Some(q383Sql)),
     QueryDef("q391_behavior_novelty", q391, Some(q391Sql)),
     QueryDef("q393_mann_kendall", q393, Some(q393Sql)),
+    QueryDef("q395_max_drawdown", q395, Some(q395Sql)),
     QueryDef("q349_mcnemar", q349, Some(q349Sql)),
     QueryDef("q340_bootstrap_ci", q340, Some(q340Sql)),
     QueryDef("q341_variance_ratio", q341, Some(q341Sql)),

@@ -1725,6 +1725,18 @@ class PlantedStructureSpec extends SparkSpec {
       r.getLong(4)) === (("BX", 4L, 1L, 333333L, 2000000L)), s"$r")
   }
 
+  test("q395 localizes the planted slide's trough exactly") {
+    // climb to 500 by day 5, slide to 180 by day 13 (the trough),
+    // partial recovery after: DD = 320 at day 13 from peak 500
+    def y(day: Int): Double =
+      if (day <= 5) 100.0 * day
+      else if (day <= 13) 500.0 - 40.0 * (day - 5)
+      else 200.0 + 10.0 * (day - 13)
+    val r = operators.EventQueries.q395(spark, ordersDir(1 to 20, y)).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((20L, 320L, 13L, 500L, 180L)), s"$r")
+  }
+
   test("q286 finds the planted variance axis") {
     // dim 5 carries 100x the variance of every other dim
     val rnd = new scala.util.Random(7)
