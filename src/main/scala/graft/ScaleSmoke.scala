@@ -82,6 +82,36 @@ object ScaleSmoke {
       return
     }
 
+    // targeted mode: `... <n> coactcap` measures the shared co-activity
+    // edge builder's per-hour activity cap (GraphQueries.coactivityEdges,
+    // q109/q353/q360): 720 background hours of 4 users each plus ONE
+    // dense hour of h users — uncapped edge output grows as h²/2 while
+    // the capped builder's stays ≤ cap²/2 per hour regardless of h
+    if (args.lift(1).contains("coactcap")) {
+      for (h <- Seq(1000L, 4000L, 16000L)) {
+        val background = spark.range(0L, 720L * 4)
+          .select(($"id" % 720).as("hrId"), (expr("id div 720") + 1000000L).as("user_id"))
+        val dense = spark.range(0L, h)
+          .select(lit(0L).as("hrId"), $"id".as("user_id"))
+        val active = background.unionAll(dense)
+          .select(timestamp_seconds($"hrId" * 3600L).as("hr"), $"user_id")
+          .distinct().localCheckpoint()
+        def build(cap: Option[Int]): Long = cap match {
+          case Some(c) =>
+            graft.operators.GraphQueries.coactivityEdgesFrom(active, c).count()
+          case None =>
+            active.as("x").join(active.as("y"), Seq("hr"))
+              .filter($"x.user_id" < $"y.user_id")
+              .select($"x.user_id".as("a"), $"y.user_id".as("b"))
+              .distinct().count()
+        }
+        timedN(h)(s"coact_uncapped_h$h") { build(None) }
+        timedN(h)(s"coact_cap16_h$h") { build(Some(16)) }
+      }
+      spark.stop()
+      return
+    }
+
     // targeted mode: `... <n> skew` measures the three skew-join
     // strategies on a 90%-hot-key fact table with broadcasts disabled
     // (a dim too big to broadcast whole is the regime hybridJoin is

@@ -556,19 +556,18 @@ object EventQueries {
       |ORDER BY user_id, start_us""".stripMargin
 
   /** q109 — triangle counting on the user co-activity graph (users
-    * active in the same calendar hour are connected). Classic
+    * active in the same calendar hour are connected, per-hour activity
+    * capped by the shared [[GraphQueries.coactivityEdges]] builder —
+    * the bottom-k-by-md5 sample that keeps edge-build work O(hours ×
+    * cap²) instead of quadratic in users-per-hour). Classic
     * distributed graph shape: the ordered edge list (a < b) joins to
     * itself twice, and the a < b < c orientation counts every triangle
     * exactly once instead of six times — the standard trick that also
     * bounds the join's intermediate size. */
   def q109(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val active = Tables.events(s, d)
-      .select(date_trunc("hour", $"ts").as("hr"), $"user_id").distinct()
-    val edges = active.as("x").join(active.as("y"), Seq("hr"))
-      .filter($"x.user_id" < $"y.user_id")
-      .select($"x.user_id".as("a"), $"y.user_id".as("b"))
-      .distinct()
+    val edges = GraphQueries.coactivityEdges(s, d)
+      .transform(graft.Fx.materialize) // three triangle probes + degrees
     val tri = edges.as("e1")
       .join(edges.as("e2"), $"e1.b" === $"e2.a")
       .join(edges.as("e3"), $"e2.b" === $"e3.b" && $"e1.a" === $"e3.a")
@@ -580,12 +579,7 @@ object EventQueries {
   }
 
   val q109Sql: String =
-    """WITH active AS (
-      |  SELECT DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, user_id
-      |  FROM events),
-      |edges AS (
-      |  SELECT DISTINCT x.user_id AS a, y.user_id AS b
-      |  FROM active x JOIN active y ON x.hr = y.hr AND x.user_id < y.user_id),
+    s"""WITH ${GraphQueries.coactivitySqlCtes("edges", materialized = true)},
       |tri AS (
       |  SELECT count(*) AS n_triangles
       |  FROM edges e1

@@ -427,6 +427,77 @@ object GraphQueries {
       |ORDER BY sc.ra_micro DESC, sc.common_neighbors DESC, sc.a, sc.b
       |LIMIT 20""".stripMargin
 
+  /** Per-hour activity cap of the shared co-activity edge builder.
+    * 16 binds at sf0.01 (hours peak at 28 active users there), so the
+    * driver oracle exercises the capped path, not just the pass-through. */
+  val CoactivityCap = 16
+
+  /** Shared CAPPED co-activity edge builder (q109 / q353 / q360):
+    * users active in the same calendar hour are connected, but each
+    * hour contributes at most [[CoactivityCap]] users — the bottom-k
+    * by the salted md5 grid (hash asc, user_id tie-break), a STATED
+    * sampling semantic the DuckDB oracle mirrors row-for-row
+    * ([[coactivitySqlCtes]]).
+    *
+    * Why the cap is load-bearing: users-per-hour U_h grows linearly
+    * with corpus volume while the hour count stays fixed, so the
+    * uncapped `active ⋈_hr active` emits Σ_h U_h²/2 pairs — 100× the
+    * data means 10,000× the join output, the quadratic-block hazard
+    * class ScaleSmoke's `wedgecap`/`coactcap` sweeps measure (123× at
+    * hub degree 16k). Capped, per-hour join work is ≤ cap²/2 pairs
+    * regardless of U_h, and the selection itself runs through the
+    * native bounded-heap TopKPerGroup — O(n log cap) per partition,
+    * no per-hour sort, no straggler task. The md5 grid makes the
+    * sample uniform per hour and deterministic across engines (the
+    * q26/q243 salted-hash discipline; salt `#coact` keeps it
+    * independent of every other hash assignment in the registry). */
+  def coactivityEdges(s: SparkSession, d: String, cap: Int = CoactivityCap): DataFrame = {
+    import s.implicits._
+    coactivityEdgesFrom(
+      Tables.events(s, d)
+        .select(date_trunc("hour", $"ts").as("hr"), $"user_id").distinct(),
+      cap)
+  }
+
+  /** Core of [[coactivityEdges]] over an arbitrary distinct
+    * (`hr`, `user_id`) activity frame (ScaleSmoke's `coactcap` sweep
+    * feeds a synthetic dense hour through exactly this path). */
+  def coactivityEdgesFrom(active: DataFrame, cap: Int = CoactivityCap): DataFrame = {
+    val s = active.sparkSession
+    import s.implicits._
+    val hashed = active.withColumn("__h",
+      conv(substring(md5(concat($"user_id".cast("string"), lit("#coact"))), 1, 8),
+        16, 10).cast("long"))
+    val kept = graft.plans.TopK.perGroup(hashed, cap, Seq("hr"),
+        Seq(graft.plans.TopK.asc("__h"), graft.plans.TopK.asc("user_id")))
+      .drop("__h")
+    kept.as("x").join(kept.as("y"), Seq("hr"))
+      .filter($"x.user_id" < $"y.user_id")
+      .select($"x.user_id".as("a"), $"y.user_id".as("b"))
+      .distinct()
+  }
+
+  /** DuckDB mirror of [[coactivityEdges]]: CTEs `coact_active`,
+    * `coact_kept`, and `$edgeCte` (the ordered a<b edge list). */
+  def coactivitySqlCtes(edgeCte: String, materialized: Boolean = false,
+      cap: Int = CoactivityCap): String = {
+    val mat = if (materialized) " MATERIALIZED" else ""
+    s"""coact_active AS (
+       |  SELECT DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, user_id
+       |  FROM events),
+       |coact_kept AS (
+       |  SELECT hr, user_id FROM (
+       |    SELECT hr, user_id,
+       |      row_number() OVER (PARTITION BY hr ORDER BY
+       |        ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#coact'), 1, 8))::BIGINT,
+       |        user_id) AS rn
+       |    FROM coact_active) t
+       |  WHERE rn <= $cap),
+       |$edgeCte AS$mat (
+       |  SELECT DISTINCT x.user_id AS a, y.user_id AS b
+       |  FROM coact_kept x JOIN coact_kept y ON x.hr = y.hr AND x.user_id < y.user_id)""".stripMargin
+  }
+
   /** q353 — clustering spectrum c(k) of the hourly co-activity user
     * graph: per degree class k, the mean local clustering coefficient
     * 2·tri(v) / (k·(k−1)) over the n_k nodes of that degree — the
@@ -446,12 +517,7 @@ object GraphQueries {
     * degree-keyed aggregate over |V| rows. */
   def q353(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val active = Tables.events(s, d)
-      .select(date_trunc("hour", $"ts").as("hr"), $"user_id").distinct()
-    val edges = active.as("x").join(active.as("y"), Seq("hr"))
-      .filter($"x.user_id" < $"y.user_id")
-      .select($"x.user_id".as("a"), $"y.user_id".as("b"))
-      .distinct()
+    val edges = coactivityEdges(s, d)
       .transform(graft.Fx.materialize) // triangles AND degrees
     val tri = edges.as("e1")
       .join(edges.as("e2"), $"e1.b" === $"e2.a")
@@ -474,12 +540,7 @@ object GraphQueries {
   }
 
   val q353Sql: String =
-    """WITH active AS (
-      |  SELECT DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, user_id
-      |  FROM events),
-      |edges AS MATERIALIZED (
-      |  SELECT DISTINCT x.user_id AS a, y.user_id AS b
-      |  FROM active x JOIN active y ON x.hr = y.hr AND x.user_id < y.user_id),
+    s"""WITH ${coactivitySqlCtes("edges", materialized = true)},
       |tri AS (
       |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
       |  FROM edges e1
@@ -524,12 +585,7 @@ object GraphQueries {
     * loop plus component-sized aggregates. */
   def q360(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val edges = Tables.events(s, d)
-      .select(date_trunc("hour", $"ts").as("hr"), $"user_id").distinct()
-      .transform(a => a.as("x").join(a.as("y"), Seq("hr"))
-        .filter($"x.user_id" < $"y.user_id")
-        .select($"x.user_id".as("a"), $"y.user_id".as("b"))
-        .distinct())
+    val edges = coactivityEdges(s, d)
       .transform(graft.Fx.materialize) // degrees, both summaries
     val deg = edges.select($"a".as("n")).unionAll(edges.select($"b".as("n")))
       .groupBy($"n").agg(count(lit(1)).as("deg"))
@@ -565,12 +621,7 @@ object GraphQueries {
          |  SELECT src, least(src, min(dst)) AS c FROM reach$tag GROUP BY src),
          |sz$tag AS (SELECT c, CAST(count(*) AS BIGINT) AS sz
          |           FROM comp$tag GROUP BY c)""".stripMargin
-    s"""WITH RECURSIVE active AS (
-       |  SELECT DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, user_id
-       |  FROM events),
-       |e0 AS MATERIALIZED (
-       |  SELECT DISTINCT x.user_id AS a, y.user_id AS b
-       |  FROM active x JOIN active y ON x.hr = y.hr AND x.user_id < y.user_id),
+    s"""WITH RECURSIVE ${coactivitySqlCtes("e0", materialized = true)},
        |deg AS (
        |  SELECT n, count(*) AS deg
        |  FROM (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY n),
