@@ -171,7 +171,8 @@ object ScaleSmoke {
         preCount
       }
       timedN(nFiles)("compact_64mb") {
-        graft.sources.v2.DocStoreCompact.compact(dir, 64L << 20).binsWritten.toLong
+        graft.sources.v2.DocStoreCompact.compact(dir, 64L << 20,
+          retentionMs = 0L).binsWritten.toLong
       }
       val nLive = graft.sources.v2.DocStoreCompact.liveFiles(dir).length
       timedN(nFiles)("scan_compacted") {
@@ -227,8 +228,8 @@ object ScaleSmoke {
         preCount
       }
       timedN(rows)("compact_fold_all") {
-        graft.sources.v2.DocStoreCompact.compact(dir, 64L << 20)
-          .filesReplaced.toLong
+        graft.sources.v2.DocStoreCompact.compact(dir, 64L << 20,
+          retentionMs = 0L).filesReplaced.toLong
       }
       timedN(rows)("scan_compacted") {
         val c = spark.read.format(fmtV2).option("path", dir).load().count()
@@ -238,7 +239,7 @@ object ScaleSmoke {
       // the fold's own sweep ran BEFORE the bins were written, so the
       // now-stale DV/update side files clear on the NEXT maintenance
       // pass — run it to show the steady state
-      graft.sources.v2.DocStoreCompact.sweep(dir)
+      graft.sources.v2.DocStoreCompact.sweep(dir, retentionMs = 0L)
       val leftovers = Option(new java.io.File(dir).listFiles())
         .getOrElse(Array.empty[java.io.File])
         .count(f => f.getName.startsWith("_dv-") ||

@@ -351,10 +351,13 @@ object Multimodal {
     * stored as dirty rects — each is drawn onto the logical-screen
     * canvas at its descriptor offset, so the emitted frames are what a
     * viewer shows; the rare restore-to-previous disposal is
-    * approximated by draw-over), MJPEG via JPEG SOI/EOI marker
-    * splitting (valid: 0xFFD9 cannot occur inside entropy-coded data —
-    * 0xFF bytes there are escaped or restart markers), and any
-    * single-image format as its one frame. Empty for true no-codec
+    * approximated by draw-over), MJPEG via [[mjpegFrameBytes]]'s
+    * marker-segment walk (EXIF/JFIF thumbnails — complete JPEGs
+    * inside APP1 payloads — are skipped by segment length, never
+    * mistaken for frame boundaries), and any single-image format as
+    * its one frame. If no split segment decodes, the payload is
+    * retried whole as a single image (belt-and-braces for JPEG
+    * variants the splitter misjudges). Empty for true no-codec
     * containers — those stay on the [[stubDecode]]/[[frameSamplePlan]]
     * metadata path. */
   def decodeFrames(bytes: Array[Byte]): Seq[java.awt.image.BufferedImage] = {
@@ -363,8 +366,13 @@ object Multimodal {
     val isJpeg = (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8
     try {
       if (isGif) gifFrames(bytes)
-      else if (isJpeg) mjpegFrameBytes(bytes).flatMap { seg =>
-        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(seg)))
+      else if (isJpeg) {
+        val split = mjpegFrameBytes(bytes).flatMap { seg =>
+          Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(seg)))
+        }
+        if (split.nonEmpty) split
+        else Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))).toSeq
       }
       else Option(javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))).toSeq
@@ -428,20 +436,66 @@ object Multimodal {
     finally { reader.dispose(); iis.close() }
   }
 
-  /** Split an MJPEG byte stream into its member JPEGs on SOI/EOI
-    * marker pairs. A single plain JPEG yields one segment. */
-  private[operators] def mjpegFrameBytes(bytes: Array[Byte]): Seq[Array[Byte]] = {
+  /** Split an MJPEG byte stream into its member JPEGs by WALKING the
+    * marker-segment structure, not by scanning raw SOI/EOI byte
+    * pairs: an ordinary camera JPEG embeds an EXIF/JFIF thumbnail —
+    * a complete JPEG with its own EOI — inside a length-prefixed APP1
+    * segment, so a raw byte scan cuts the frame at the thumbnail's
+    * EOI and every resulting segment fails to decode. Here APPn/COM/
+    * DQT/… payloads are skipped by their 2-byte length fields; only
+    * inside entropy-coded data (after an SOS header, where 0xFF is
+    * always escaped or a restart marker) does a byte scan for the
+    * frame's true EOI run. A single plain JPEG yields one segment; a
+    * malformed region resyncs to the next SOI (best-effort, matching
+    * the decoder's tolerance). */
+  private[graft] def mjpegFrameBytes(bytes: Array[Byte]): Seq[Array[Byte]] = {
     val out = Seq.newBuilder[Array[Byte]]
+    def u(i: Int): Int = bytes(i) & 0xff
     var i = 0
-    var start = -1
     while (i + 1 < bytes.length) {
-      val b0 = bytes(i) & 0xff
-      val b1 = bytes(i + 1) & 0xff
-      if (b0 == 0xff && b1 == 0xd8 && start < 0) { start = i; i += 2 }
-      else if (b0 == 0xff && b1 == 0xd9 && start >= 0) {
-        out += java.util.Arrays.copyOfRange(bytes, start, i + 2)
-        start = -1
-        i += 2
+      if (u(i) == 0xff && u(i + 1) == 0xd8) {
+        val start = i
+        var j = i + 2
+        var inScan = false
+        var end = -1
+        var malformed = false
+        while (!malformed && end < 0 && j + 1 < bytes.length) {
+          if (!inScan) {
+            if (u(j) != 0xff) malformed = true
+            else {
+              var k = j // skip 0xFF fill bytes before the marker code
+              while (k + 1 < bytes.length && u(k + 1) == 0xff) k += 1
+              if (k + 1 >= bytes.length) malformed = true
+              else u(k + 1) match {
+                case 0xd9 => end = k + 2 // EOI — the frame's own
+                case 0xd8 => malformed = true // nested SOI at segment level
+                case m if m == 0x01 || (m >= 0xd0 && m <= 0xd7) =>
+                  j = k + 2 // standalone marker, no length field
+                case m =>
+                  if (k + 3 >= bytes.length) malformed = true
+                  else {
+                    val len = (u(k + 2) << 8) | u(k + 3)
+                    if (len < 2) malformed = true
+                    else {
+                      j = k + 2 + len // skip the payload wholesale
+                      if (m == 0xda) inScan = true // SOS: entropy data next
+                    }
+                  }
+              }
+            }
+          } else {
+            // entropy-coded data: 0xFF is stuffed (FF 00) or a restart
+            // marker; anything else ends the scan
+            if (u(j) == 0xff) {
+              val m = u(j + 1)
+              if (m == 0x00 || (m >= 0xd0 && m <= 0xd7)) j += 2
+              else if (m == 0xd9) end = j + 2
+              else inScan = false // DNL / another SOS header follows
+            } else j += 1
+          }
+        }
+        if (end > 0) { out += java.util.Arrays.copyOfRange(bytes, start, end); i = end }
+        else i = start + 2 // malformed or truncated: resync past this SOI
       } else i += 1
     }
     out.result()

@@ -64,30 +64,79 @@ object DocStoreCompact {
   final class ConcurrentCompactionException(msg: String)
     extends IllegalStateException(msg)
 
-  /** A `_compact.lock` older than this is crash debris, not a live
-    * compactor (no single bin takes 10 min), and is broken. */
+  /** A `_compact.lock` whose mtime is older than this is crash
+    * debris, not a live compactor, and is broken. Liveness is judged
+    * by HEARTBEAT, not job length: the lock holder refreshes the
+    * lock's mtime every [[HeartbeatMs]] for as long as its body runs,
+    * so a deleteWhere/updateWhere/compact holding the lock across a
+    * long Spark job never reads as stale — only a holder whose JVM
+    * actually died stops beating. */
   val LockStaleMs: Long = 10 * 60 * 1000L
+
+  /** Lock mtime refresh period — 5 beats fit in one staleness window,
+    * so a single missed beat (GC pause, NFS hiccup) never breaks a
+    * live lock. */
+  val HeartbeatMs: Long = LockStaleMs / 5
 
   private[v2] def withLock[A](dir: String)(body: => A): A = {
     val lock = new File(dir, "_compact.lock")
-    val acquired =
+    def tryCreate(): Boolean =
       try { Files.createFile(lock.toPath); true }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          val age = System.currentTimeMillis() - lock.lastModified()
-          if (lock.lastModified() > 0L && age > LockStaleMs) {
-            // stale: break it, then race for the fresh one
-            lock.delete()
-            try { Files.createFile(lock.toPath); true }
-            catch { case _: java.nio.file.FileAlreadyExistsException => false }
-          } else false
-      }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    val acquired = tryCreate() || {
+      val age = System.currentTimeMillis() - lock.lastModified()
+      if (lock.lastModified() > 0L && age > LockStaleMs) {
+        // break the stale lock by ATOMIC RENAME to a unique name: of
+        // N concurrent breakers exactly one move succeeds (the file
+        // exists only once), so the observe-then-delete TOCTOU —
+        // where a slow breaker's delete() lands AFTER the winner
+        // re-created a fresh lock and kills it, admitting two
+        // mutators — cannot happen. The loser's move throws and it
+        // falls through to the fail-fast path.
+        val debris = new File(dir, "_compact.lock.broken-" +
+          java.util.UUID.randomUUID().toString.take(8))
+        val broke =
+          try {
+            Files.move(lock.toPath, debris.toPath,
+              StandardCopyOption.ATOMIC_MOVE)
+            true
+          } catch { case _: java.io.IOException => false }
+        if (broke) debris.delete()
+        broke && tryCreate()
+      } else false
+    }
     if (!acquired)
       throw new ConcurrentCompactionException(
         s"$dir: another compaction holds _compact.lock " +
           "(compact/sweep are single-writer; see class doc)")
-    try body finally lock.delete()
+    // heartbeat while the body runs (daemon thread — dies with the
+    // JVM, which is exactly when beating SHOULD stop)
+    val beat = new Thread(() => {
+      try {
+        while (true) {
+          Thread.sleep(HeartbeatMs)
+          lock.setLastModified(System.currentTimeMillis())
+          ()
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"docstore-lock-heartbeat-$dir")
+    beat.setDaemon(true)
+    beat.start()
+    try body finally { beat.interrupt(); lock.delete() }
   }
+
+  /** Grace period before a REPLACED (dead) file's bytes leave disk.
+    * Planning-time consistency never needed locks — every directory
+    * state reads consistently — but a reader that LISTED files before
+    * a compaction commit and is still scanning them when GC lands
+    * would hit FileNotFound mid-scan (sub-second exposure at test
+    * scale, hours at 100 TB). Dead files therefore linger, hidden by
+    * their manifest, until the manifest is older than this horizon;
+    * only then does [[sweep]] delete file and manifest together (the
+    * CdcApply retention-vacuum rule, CdcApply.vacuum). Size it above
+    * the longest scan you schedule against the store; 0 = immediate
+    * GC (tests, single-process use). */
+  val DeadFileRetentionMs: Long = 10 * 60 * 1000L
 
   final case class Manifest(newFile: String, replaces: Seq[String])
 
@@ -126,13 +175,14 @@ object DocStoreCompact {
     * the manifest protocol. Idempotent: a second run with the same
     * target finds nothing to do. */
   def compact(dir: String, targetBytes: Long,
-      id: String = java.util.UUID.randomUUID().toString.take(8)): Result =
-    withLock(dir) { compactLocked(dir, targetBytes, id) }
+      id: String = java.util.UUID.randomUUID().toString.take(8),
+      retentionMs: Long = DeadFileRetentionMs): Result =
+    withLock(dir) { compactLocked(dir, targetBytes, id, retentionMs) }
 
   private def compactLocked(dir: String, targetBytes: Long,
-      id: String): Result = {
+      id: String, retentionMs: Long): Result = {
     require(targetBytes > 0, "compact: targetBytes must be positive")
-    val swept = sweepLocked(dir)
+    val swept = sweepLocked(dir, retentionMs)
     val live = liveFiles(dir)
     // candidates: small files (the file-count problem) plus ANY file
     // with deletion-vector dead rows (the merge-on-read amortization
@@ -233,8 +283,13 @@ object DocStoreCompact {
       Files.move(tmp.toPath, new File(dir, newName).toPath,
         StandardCopyOption.ATOMIC_MOVE)
       bytes += new File(dir, newName).length()
-      // garbage collection — safe to crash anywhere in here
-      bin.foreach(f => f.delete())
+      // garbage collection — safe to crash anywhere in here. With a
+      // retention horizon the replaced files LINGER (dead under the
+      // manifest rule, invisible to planning) so in-flight readers
+      // that listed them pre-commit finish their scans; a later
+      // [[sweep]] deletes file + manifest together once the manifest
+      // outlives the horizon.
+      if (retentionMs <= 0L) bin.foreach(f => f.delete())
       replaced += bin.size
     }
     Result(todo.size, replaced, swept, bytes)
@@ -244,18 +299,28 @@ object DocStoreCompact {
     * with their tmp files, dead replaced files that a crash left
     * behind, and manifests whose cleanup completed. Returns the number
     * of manifests removed. */
-  def sweep(dir: String): Int = withLock(dir) { sweepLocked(dir) }
+  def sweep(dir: String, retentionMs: Long = DeadFileRetentionMs): Int =
+    withLock(dir) { sweepLocked(dir, retentionMs) }
 
-  private def sweepLocked(dir: String): Int = {
+  private def sweepLocked(dir: String, retentionMs: Long): Int = {
     val all = Option(new File(dir).listFiles()).getOrElse(Array.empty[File])
     val partNames = all.filter(f => f.isFile && f.getName.startsWith("part-"))
       .map(_.getName).toSet
     var removed = 0
     manifestFiles(dir).foreach { mf =>
       parseManifest(mf) match {
+        case Some(m) if partNames.contains(m.newFile) &&
+            System.currentTimeMillis() - mf.lastModified() <= retentionMs =>
+          // completed but within the reader grace period: the
+          // replaced files stay on disk (hidden by this manifest) so
+          // scans planned before the commit can finish. The manifest
+          // must survive exactly as long as they do — deleting it
+          // first would resurrect them as live duplicates.
+          ()
         case Some(m) if partNames.contains(m.newFile) =>
-          // completed: replaced files are dead — delete any left, and
-          // once none remain the manifest itself is done
+          // completed and past the horizon: replaced files are dead —
+          // delete any left, and once none remain the manifest itself
+          // is done
           m.replaces.foreach(n => new File(dir, n).delete())
           mf.delete(); removed += 1
         case Some(_) | None =>

@@ -153,7 +153,13 @@ object DocStoreDeletes {
           }
         } finally in.close()
         if (hits.nonEmpty) {
-          val tmp = new File(dir, s"_tmp-dv-$runId-$name")
+          // per-ATTEMPT tmp name: speculative/zombie duplicate
+          // attempts must not interleave on one tmp file before the
+          // atomic rename (the rename itself is idempotent —
+          // identical bytes from every attempt)
+          val att = Option(org.apache.spark.TaskContext.get())
+            .map(_.taskAttemptId()).getOrElse(0L)
+          val tmp = new File(dir, s"_tmp-dv-$runId-a$att-$name")
           Files.write(tmp.toPath,
             (dvJsonLine(name, hits) + "\n").getBytes(StandardCharsets.UTF_8))
           Files.move(tmp.toPath, new File(dir, s"_dv-$runId-$name.json").toPath,

@@ -303,20 +303,32 @@ private[v2] object DocStoreJson {
 
   /** Schema inference: sample up to `maxLines` lines from EACH of the
     * first `maxFiles` committed part files (lexicographic —
-    * deterministic). Sampling several files matters because the store
-    * EVOLVES: an updateWhere can add fields that exist only in its
-    * rewritten part file, and a single-file sample would never see
-    * them. Integral numbers → long, other numbers → double; long +
+    * deterministic) plus the newest `maxFiles` rewritten
+    * (`part-update-*`) and compacted (`part-compact-*`) files.
+    * Sampling the rewritten tail matters because the store EVOLVES:
+    * an updateWhere can add fields that exist only in its rewritten
+    * part file, and a head-only sample would never see them. Integral numbers → long, other numbers → double; long +
     * double widen to double; any other kind conflict widens to
     * string; arrays merge element-wise. Field order is first-seen
     * across the sampled files; all fields nullable. */
   def inferSchema(dir: String, maxLines: Int = 200,
       maxFiles: Int = 8): StructType = {
-    val files = DocStoreCompact.liveFiles(dir).map(_.getAbsolutePath)
-    if (files.isEmpty) return new StructType()
+    val live = DocStoreCompact.liveFiles(dir)
+    if (live.isEmpty) return new StructType()
+    // head of the lexicographic order (stable base sample) PLUS the
+    // newest rewritten/compacted files: `part-update-*` and
+    // `part-compact-*` sort AFTER plain `part-*.jsonl`, so on any
+    // table with >= maxFiles plain files a head-only sample would
+    // never see the fields an updateWhere SET added — the very
+    // evolution multi-file sampling exists for
+    val evolved = live
+      .filter(f => f.getName.startsWith("part-update-") ||
+        f.getName.startsWith("part-compact-"))
+      .sortBy(_.getName)(Ordering[String].reverse).take(maxFiles)
+    val files = (live.take(maxFiles) ++ evolved).distinct.map(_.getAbsolutePath)
     val order = scala.collection.mutable.ArrayBuffer.empty[String]
     val types = scala.collection.mutable.Map.empty[String, DataType]
-    files.take(maxFiles).foreach { path =>
+    files.foreach { path =>
       val in = new java.io.BufferedReader(
         new java.io.InputStreamReader(new java.io.FileInputStream(path),
           java.nio.charset.StandardCharsets.UTF_8))

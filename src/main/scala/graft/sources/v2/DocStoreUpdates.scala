@@ -35,9 +35,10 @@ import org.apache.spark.sql.sources.Filter
   *
   * Update-the-update: a later updateWhere sees the REWRITTEN rows as
   * ordinary live rows (their file is a normal live part file) — the
-  * semantics are always "update the currently live matches". Updated
-  * files carry no zone map (conservative: always scanned) until a
-  * compaction folds them.
+  * semantics are always "update the currently live matches". Each
+  * rewritten file gets a zone map over its rewritten rows (written
+  * BEFORE the commit marker), so updated data keeps pruning without
+  * waiting for a compaction.
   *
   * Mutator concurrency: like [[DocStoreDeletes.deleteWhere]] and
   * [[DocStoreCompact.compact]], the whole job runs under the
@@ -121,10 +122,19 @@ object DocStoreUpdates {
           }
         } finally in.close()
         if (hits.nonEmpty) {
-          val dataTmp = new File(dir, s"_tmp-update-$runId-$name")
+          // tmp names carry the TASK ATTEMPT id: with speculative
+          // execution (or a zombie retry racing its replacement) two
+          // attempts of the same task would otherwise interleave
+          // writes into ONE shared tmp file before the atomic rename,
+          // committing a corrupted part-update/DV pair; per-attempt
+          // tmps make the rename the only contended step, and it is
+          // idempotent (both attempts rename identical bytes)
+          val att = Option(org.apache.spark.TaskContext.get())
+            .map(_.taskAttemptId()).getOrElse(0L)
+          val dataTmp = new File(dir, s"_tmp-update-$runId-a$att-$name")
           Files.write(dataTmp.toPath,
             rewritten.toString.getBytes(StandardCharsets.UTF_8))
-          val dvTmp = new File(dir, s"_tmp-updv-$runId-$name")
+          val dvTmp = new File(dir, s"_tmp-updv-$runId-a$att-$name")
           Files.write(dvTmp.toPath,
             (DocStoreDeletes.dvJsonLine(name, hits) + "\n")
               .getBytes(StandardCharsets.UTF_8))
@@ -133,7 +143,7 @@ object DocStoreUpdates {
           // permanently widen scans, since updated files would never
           // prune again until a compaction
           statsOf(updatedDocs.result()).foreach { fs =>
-            val zTmp = new File(dir, s"_tmp-updz-$runId-$name")
+            val zTmp = new File(dir, s"_tmp-updz-$runId-a$att-$name")
             Files.write(zTmp.toPath,
               (DocStoreZonemap.statsJsonLine(s"part-update-$runId-$name", fs) + "\n")
                 .getBytes(StandardCharsets.UTF_8))

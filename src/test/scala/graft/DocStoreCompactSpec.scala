@@ -35,7 +35,7 @@ class DocStoreCompactSpec extends SparkSpec {
     val nBefore = DocStoreCompact.liveFiles(dir).length
     assert(nBefore >= 8, s"expected >= 8 part files, got $nBefore")
 
-    val res = DocStoreCompact.compact(dir, targetBytes = 1L << 26, id = "t1")
+    val res = DocStoreCompact.compact(dir, targetBytes = 1L << 26, id = "t1", retentionMs = 0L)
     assert(res.binsWritten >= 1)
     assert(res.filesReplaced === nBefore)
     val nAfter = DocStoreCompact.liveFiles(dir).length
@@ -52,7 +52,7 @@ class DocStoreCompactSpec extends SparkSpec {
     val saved = victims.map(f => f.getName -> Files.readAllBytes(f.toPath))
     val before = readBack(dir).count()
 
-    DocStoreCompact.compact(dir, targetBytes = 1L << 26, id = "t2")
+    DocStoreCompact.compact(dir, targetBytes = 1L << 26, id = "t2", retentionMs = 0L)
     // simulate a crash between the data rename and old-file deletion:
     // the replaced files reappear while the manifest + new file stand
     saved.foreach { case (name, bytes) =>
@@ -64,7 +64,7 @@ class DocStoreCompactSpec extends SparkSpec {
     }
     assert(readBack(dir).count() === before, "duplicate rows after crash replay")
     // the next compaction sweeps the lingering dead files
-    DocStoreCompact.compact(dir, targetBytes = 1L << 26, id = "t2b")
+    DocStoreCompact.compact(dir, targetBytes = 1L << 26, id = "t2b", retentionMs = 0L)
     saved.foreach { case (name, _) =>
       assert(!new File(dir, name).exists(), s"dead file $name not swept")
     }
@@ -82,7 +82,7 @@ class DocStoreCompactSpec extends SparkSpec {
     assert(DocStoreCompact.liveFiles(dir).map(_.getName).toSet
       .contains(files.head.getName), "void manifest hid a live file")
     assert(readBack(dir).count() === before)
-    val swept = DocStoreCompact.sweep(dir)
+    val swept = DocStoreCompact.sweep(dir, retentionMs = 0L)
     assert(swept === 1)
     assert(!new File(dir, "_compact-dead-0.json").exists())
   }
@@ -96,7 +96,7 @@ class DocStoreCompactSpec extends SparkSpec {
       .write.format(fmt).option("path", dir).mode("append").save()
     docs.filter($"doc_id" >= 100).repartition(2)
       .write.format(fmt).option("path", dir).mode("append").save()
-    val res = DocStoreCompact.compact(dir, targetBytes = 1L << 26, id = "t4")
+    val res = DocStoreCompact.compact(dir, targetBytes = 1L << 26, id = "t4", retentionMs = 0L)
     assert(res.binsWritten >= 1)
     val live = DocStoreCompact.liveFiles(dir).map(_.getName)
     val zm = DocStoreZonemap.load(dir)
@@ -119,15 +119,15 @@ class DocStoreCompactSpec extends SparkSpec {
     // a fresh lock (as if another process is mid-compact) must exclude
     Files.createFile(new File(dir, "_compact.lock").toPath)
     intercept[DocStoreCompact.ConcurrentCompactionException] {
-      DocStoreCompact.compact(dir, targetBytes = 1L << 26, id = "t6")
+      DocStoreCompact.compact(dir, targetBytes = 1L << 26, id = "t6", retentionMs = 0L)
     }
     intercept[DocStoreCompact.ConcurrentCompactionException] {
-      DocStoreCompact.sweep(dir)
+      DocStoreCompact.sweep(dir, retentionMs = 0L)
     }
     // age the lock past the staleness horizon: it is crash debris now
     new File(dir, "_compact.lock")
       .setLastModified(System.currentTimeMillis() - DocStoreCompact.LockStaleMs - 1000)
-    val res = DocStoreCompact.compact(dir, targetBytes = 1L << 26, id = "t6b")
+    val res = DocStoreCompact.compact(dir, targetBytes = 1L << 26, id = "t6b", retentionMs = 0L)
     assert(res.binsWritten >= 1, "stale lock was not broken")
     assert(!new File(dir, "_compact.lock").exists(), "lock not released")
   }
@@ -141,7 +141,7 @@ class DocStoreCompactSpec extends SparkSpec {
     val bytes = Files.readAllBytes(victim.toPath)
     assert(bytes.last === '\n'.toByte)
     Files.write(victim.toPath, bytes.dropRight(1))
-    DocStoreCompact.compact(dir, targetBytes = 1L << 26, id = "t7")
+    DocStoreCompact.compact(dir, targetBytes = 1L << 26, id = "t7", retentionMs = 0L)
     assert(readBack(dir).count() === before,
       "row fused across members when a trailing newline was missing")
   }
@@ -149,10 +149,10 @@ class DocStoreCompactSpec extends SparkSpec {
   test("reusing a compaction id fails instead of replacing committed data") {
     val dir = Files.createTempDirectory("compact8").toString
     writeDocs(dir, parts = 2)
-    DocStoreCompact.compact(dir, targetBytes = 1L << 26, id = "dup")
+    DocStoreCompact.compact(dir, targetBytes = 1L << 26, id = "dup", retentionMs = 0L)
     writeDocs(dir, parts = 2) // new small files so the rerun has work
     intercept[IllegalArgumentException] {
-      DocStoreCompact.compact(dir, targetBytes = 1L << 26, id = "dup")
+      DocStoreCompact.compact(dir, targetBytes = 1L << 26, id = "dup", retentionMs = 0L)
     }
     assert(!new File(dir, "_compact.lock").exists(),
       "lock not released after failed compact")
@@ -165,24 +165,24 @@ class DocStoreCompactSpec extends SparkSpec {
     Files.write(new File(dir, "_zonemap-compact-gone-0.json").toPath,
       """{"file":"part-compact-gone-0.jsonl","rows":1,"cols":{}}"""
         .getBytes(StandardCharsets.UTF_8))
-    DocStoreCompact.sweep(dir)
+    DocStoreCompact.sweep(dir, retentionMs = 0L)
     assert(!new File(dir, "_zonemap-compact-gone-0.json").exists(),
       "orphaned compaction zone map not collected")
     // live compaction zone maps survive sweeps
-    DocStoreCompact.compact(dir, targetBytes = 1L << 26, id = "t9")
+    DocStoreCompact.compact(dir, targetBytes = 1L << 26, id = "t9", retentionMs = 0L)
     val liveZm = new File(dir, "_zonemap-compact-t9-0.json")
     assert(liveZm.exists())
-    DocStoreCompact.sweep(dir)
+    DocStoreCompact.sweep(dir, retentionMs = 0L)
     assert(liveZm.exists(), "live compaction zone map wrongly collected")
   }
 
   test("compaction is idempotent at the same target") {
     val dir = Files.createTempDirectory("compact5").toString
     writeDocs(dir, parts = 4)
-    val r1 = DocStoreCompact.compact(dir, targetBytes = 1L << 26, id = "t5")
+    val r1 = DocStoreCompact.compact(dir, targetBytes = 1L << 26, id = "t5", retentionMs = 0L)
     assert(r1.binsWritten >= 1)
     val liveAfter = DocStoreCompact.liveFiles(dir).map(_.getName).toSeq
-    val r2 = DocStoreCompact.compact(dir, targetBytes = 1L << 26, id = "t5b")
+    val r2 = DocStoreCompact.compact(dir, targetBytes = 1L << 26, id = "t5b", retentionMs = 0L)
     assert(r2.binsWritten === 0, "second compaction found work")
     assert(DocStoreCompact.liveFiles(dir).map(_.getName).toSeq === liveAfter)
   }

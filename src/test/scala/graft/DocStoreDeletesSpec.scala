@@ -67,7 +67,7 @@ class DocStoreDeletesSpec extends SparkSpec {
     assert(n == 50L)
 
     // files with dead rows are rewrite candidates regardless of size
-    val res = DocStoreCompact.compact(dir, targetBytes = 1L << 26, id = "dvc")
+    val res = DocStoreCompact.compact(dir, targetBytes = 1L << 26, id = "dvc", retentionMs = 0L)
     assert(res.binsWritten >= 1)
     assert(readBack(dir).count() == 250L)
     assert(readBack(dir).filter($"doc_id" > 250L).count() == 0L)
@@ -80,7 +80,7 @@ class DocStoreDeletesSpec extends SparkSpec {
       "zonemap rows must reflect the purge")
 
     // replaced files are gone, so their DV entries GC on the sweep
-    DocStoreCompact.sweep(dir)
+    DocStoreCompact.sweep(dir, retentionMs = 0L)
     assert(!new File(dir).listFiles().exists(_.getName.startsWith("_dv-")),
       "DV entries for purged files must be garbage-collected")
     // stats() agrees: nothing dead anywhere

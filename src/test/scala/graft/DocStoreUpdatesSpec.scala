@@ -76,7 +76,7 @@ class DocStoreUpdatesSpec extends SparkSpec {
     assert(rows.filter($"doc_id" === 7L && $"text" === "doc7").count() == 1L,
       "original row lost in the crash window")
     // sweep clears the debris and the store reads exactly as before
-    DocStoreCompact.sweep(dir)
+    DocStoreCompact.sweep(dir, retentionMs = 0L)
     assert(!updFile.exists(), "uncommitted update file not swept")
     assert(markerBytes.nonEmpty) // (the marker, once landed, IS a DV:
     // restoring one by hand after its part file is gone would delete
@@ -97,7 +97,7 @@ class DocStoreUpdatesSpec extends SparkSpec {
       .agg(sum($"score"), count(lit(1))).head()
     assert(got.getLong(0) == 250L && got.getLong(1) == 50L)
     // the markers survive sweeps while their part files live
-    DocStoreCompact.sweep(dir)
+    DocStoreCompact.sweep(dir, retentionMs = 0L)
     assert(readBack(dir).filter($"doc_id" <= 50L && $"score" === 5L).count() == 50L,
       "sweep un-committed an update")
   }
@@ -107,11 +107,11 @@ class DocStoreUpdatesSpec extends SparkSpec {
     write(dir, parts = 2)
     DocStoreUpdates.updateWhere(spark, dir,
       Seq(EqualTo("lang", "de")), Map("lang" -> "de-DE"))
-    val res = DocStoreCompact.compact(dir, targetBytes = 1L << 26, id = "upc")
+    val res = DocStoreCompact.compact(dir, targetBytes = 1L << 26, id = "upc", retentionMs = 0L)
     assert(res.binsWritten >= 1)
     assert(readBack(dir).filter($"lang" === "de-DE").count() == 200L)
     assert(readBack(dir).count() == 300L)
-    DocStoreCompact.sweep(dir)
+    DocStoreCompact.sweep(dir, retentionMs = 0L)
     val leftovers = new File(dir).listFiles()
       .filter(f => f.getName.startsWith("_dv-") ||
         f.getName.startsWith("part-update-"))
@@ -138,6 +138,21 @@ class DocStoreUpdatesSpec extends SparkSpec {
     // and a probe into the updated range still finds the new values
     val upd = readBack(dir).filter($"doc_id" === 50L)
     assert(upd.head().getLong(2) == 7L)
+  }
+
+  test("a SET-added field is inferred even past maxFiles plain part files") {
+    val dir = Files.createTempDirectory("up6").toString
+    // > maxFiles (8) plain part files: they sort BEFORE part-update-*,
+    // so a head-only sample would never open the rewritten file and
+    // the added field would silently vanish from the schema
+    write(dir, parts = 12)
+    DocStoreUpdates.updateWhere(spark, dir,
+      Seq(EqualTo("doc_id", 123L)), Map("flagged" -> true))
+    val schema = readBack(dir).schema
+    assert(schema.fieldNames.contains("flagged"),
+      s"update-added field missing from inferred schema: " +
+        s"${schema.fieldNames.toSeq}")
+    assert(readBack(dir).filter($"flagged" === true).count() == 1L)
   }
 
   test("unsupported filters and SET values are refused") {

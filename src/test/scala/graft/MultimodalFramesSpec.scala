@@ -136,6 +136,58 @@ class MultimodalFramesSpec extends SparkSpec {
     assert(hamming(rows(0).phash.get, rows(1).phash.get) > 10)
   }
 
+  /** Wrap a JPEG so it carries an EXIF-style APP1 segment whose
+    * payload embeds a COMPLETE nested JPEG (the thumbnail every
+    * camera writes): SOI, then FFE1 + length + "Exif\0\0" + thumbnail
+    * bytes, then the rest of the original stream. A raw SOI/EOI byte
+    * scan cuts the frame at the thumbnail's EOI inside the segment;
+    * the marker-walking splitter must skip the payload by length. */
+  private def withExifThumbnail(full: Array[Byte], thumb: Array[Byte]): Array[Byte] = {
+    val header = Array[Byte]('E', 'x', 'i', 'f', 0, 0)
+    val len = 2 + header.length + thumb.length // length field counts itself
+    require(len <= 0xffff, "thumbnail too large for one APP1 segment")
+    val out = new ByteArrayOutputStream()
+    out.write(full, 0, 2) // SOI
+    out.write(0xff); out.write(0xe1)
+    out.write((len >> 8) & 0xff); out.write(len & 0xff)
+    out.write(header)
+    out.write(thumb)
+    out.write(full, 2, full.length - 2)
+    out.toByteArray
+  }
+
+  test("a JPEG with an embedded EXIF thumbnail decodes as ONE frame (marker walk, not byte scan)") {
+    val big = stripeFrame(48, 48, horizontal = true)
+    val photo = withExifThumbnail(jpeg(big), jpeg(stripeFrame(16, 16, horizontal = false)))
+    // splitter: exactly one segment spanning the whole payload
+    val segs = Multimodal.mjpegFrameBytes(photo)
+    assert(segs.length === 1,
+      s"thumbnail EOI split the frame: got ${segs.length} segments")
+    assert(segs.head.length === photo.length, "segment does not span the full photo")
+    // end-to-end: one decoded frame at the FULL image's size and hash
+    val media = Seq((9L, photo)).toDF("id", "bytes")
+    val rows = Multimodal.extractFrames(
+      Multimodal.fromBinary(media, "id", "bytes", "video")).collect()
+    assert(rows.length === 1)
+    assert(rows.head.decoded && rows.head.width === 48 && rows.head.height === 48)
+    assert(hamming(rows.head.phash.get, Multimodal.pHashOfImage(big)) <= 10)
+  }
+
+  test("an MJPEG whose members carry thumbnails still splits into its true frames") {
+    val f0 = stripeFrame(48, 48, horizontal = true)
+    val f1 = stripeFrame(48, 48, horizontal = false)
+    val thumb = jpeg(stripeFrame(16, 16, horizontal = true))
+    val mjpeg = withExifThumbnail(jpeg(f0), thumb) ++ withExifThumbnail(jpeg(f1), thumb)
+    val segs = Multimodal.mjpegFrameBytes(mjpeg)
+    assert(segs.length === 2, s"expected 2 member frames, got ${segs.length}")
+    val media = Seq((10L, mjpeg)).toDF("id", "bytes")
+    val rows = Multimodal.extractFrames(
+      Multimodal.fromBinary(media, "id", "bytes", "video")).collect()
+      .sortBy(_.frame_idx)
+    assert(rows.length === 2)
+    assert(rows.forall(r => r.decoded && r.width === 48 && r.height === 48))
+  }
+
   test("undecodable payload emits one marker row, never a fake hash") {
     val junk = Array.tabulate[Byte](256)(i => (i * 37).toByte)
     val media = Seq((3L, junk)).toDF("id", "bytes")
