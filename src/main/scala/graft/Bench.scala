@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 /** Benchmark main (driver contract): times the headline queries on
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line.
@@ -9,12 +10,46 @@ import org.apache.spark.sql.SparkSession
   * the FULL plan materializes (a bare `.count()` lets Catalyst prune
   * projections); the JVM/codegen paths are warmed with one pass at
   * sf0.001 first so timings measure the engine, not JIT warmup.
+  *
+  * De-noising: each query runs `SPARK_GRAFT_BENCH_K` times (default 3)
+  * in ONE JVM and reports the per-query MEDIAN — the round-10 pinned
+  * A/B measured ±12–20% ambient spread on single-shot totals under
+  * concurrent driver-host load, which swallows any regression below
+  * ~1.5×; medians of 3 cut the spread to the stable middle run.
+  *
+  * Set `SPARK_GRAFT_BENCH_SET=extended` for the idle-bench superset:
+  * the 60 headline queries plus representatives of the families the
+  * frozen driver set never measures (capped co-activity graph suite,
+  * chain-ladder, LPA, periodogram, gains/quantile-trend) and two
+  * artifact flows that cannot be registry queries because they mutate
+  * state — persisted-ANN `searchPersisted` (build+save outside the
+  * timer; timed part is the steady-state reopen+search) and the
+  * docstore scan-after-mutations read path (write + deleteWhere +
+  * updateWhere outside the timer; timed part is the merge-on-read
+  * scan through DVs and update files).
   */
 object Bench {
+
+  /** Registry names added to the extended (idle) set — families with
+    * no representative among the frozen 60 headline queries. */
+  val extendedNames: Seq[String] = Seq(
+    "q109_triangle_count", "q352_ra_link_prediction",
+    "q353_clustering_spectrum", "q360_attack_robustness",
+    "q365_lpa_modularity", "q372_weekly_periodogram",
+    "q377_chain_ladder", "q383_quantile_trend",
+    "q392_gains_table", "q395_max_drawdown")
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.length / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    val k = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_K").map(_.toInt).getOrElse(3))
+    val extended = sys.env.get("SPARK_GRAFT_BENCH_SET").contains("extended")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,8 +65,9 @@ object Bench {
     // (e.g. SPARK_GRAFT_BENCH_ONLY=q53_near_dup_pairs).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val headline = SparkEntry.benchQueries
-      .filter(q => only.forall(_.contains(q.name)))
+    val registryByName = SparkEntry.registry.map(q => q.name -> q).toMap
+    val headline = SparkEntry.benchQueries ++
+      (if (extended) extendedNames.flatMap(registryByName.get) else Nil)
 
     // A query that persists an intermediate cannot unpersist it inside
     // the pure-DataFrame contract, so caches would leak across the
@@ -48,39 +84,88 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
     }
 
-    def exec(dir: String): Unit = headline.foreach { q =>
-      try q.fn(spark, dir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench-warmup] ${q.name}: ${e.getMessage}")
+    def noopRun(q: QueryDef, dir: String): () => Unit =
+      () => q.fn(spark, dir).write.format("noop").mode("overwrite").save()
+
+    // ---- extended-set artifact flows (setup OUTSIDE the timer) -----
+    val extraFlows: Seq[(String, () => Unit)] = if (!extended) Nil else {
+      val annDir = java.nio.file.Files.createTempDirectory("bench-ivf").toString
+      val emb = Tables.embeddings(spark, sfDir)
+      graft.ml.IvfIndex.save(graft.ml.IvfIndex.build(emb, "embedding", nList = 16), annDir)
+      // NOT materialized: releaseCaches() between runs would drop a
+      // localCheckpoint's blocks; the 5-row query side just re-reads
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val docDir = java.nio.file.Files.createTempDirectory("bench-docstore").toString
+      val fmtV2 = "graft.sources.v2.DocStoreDataSource"
+      import org.apache.spark.sql.functions.md5
+      spark.range(100000L)
+        .select(col("id"), md5(col("id").cast("string")).as("payload"),
+          (col("id") % 97).as("bucket"))
+        .repartition(64)
+        .write.format(fmtV2).option("path", docDir).mode("append").save()
+      graft.sources.v2.DocStoreDeletes.deleteWhere(spark, docDir,
+        Seq(org.apache.spark.sql.sources.LessThan("id", 1000L)))
+      graft.sources.v2.DocStoreUpdates.updateWhere(spark, docDir,
+        Seq(org.apache.spark.sql.sources.EqualTo("bucket", 7L)),
+        Map("bucket" -> 997L))
+      Seq(
+        "x_ann_search_persisted" -> (() =>
+          graft.ml.IvfIndex.searchPersisted(spark, annDir, queries, k = 10, nProbe = 3)
+            .write.format("noop").mode("overwrite").save()),
+        "x_docstore_scan_after_mutations" -> (() =>
+          spark.read.format(fmtV2).option("path", docDir).load()
+            .write.format("noop").mode("overwrite").save()))
+    }
+
+    val tasks: Seq[(String, () => Unit)] =
+      headline.filter(q => only.forall(_.contains(q.name)))
+        .map(q => q.name -> noopRun(q, sfDir)) ++
+      extraFlows.filter { case (n, _) => only.forall(_.contains(n)) }
+
+    // warmup: JIT, codegen cache, parquet reader classes (registry
+    // queries at sf0.001; artifact flows once against their artifacts)
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory)
+      headline.filter(q => only.forall(_.contains(q.name))).foreach { q =>
+        try noopRun(q, warmDir)()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench-warmup] ${q.name}: ${e.getMessage}")
+        }
+        releaseCaches()
+      }
+    extraFlows.foreach { case (n, f) =>
+      try f() catch { case e: Throwable =>
+        System.err.println(s"[bench-warmup] $n: ${e.getMessage}")
       }
       releaseCaches()
     }
-    // warmup: JIT, codegen cache, parquet reader classes
-    val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory) exec(warmDir)
 
-    val results = headline.map { q =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-          false
-        }
-      val t = (System.nanoTime() - t0) / 1e9
-      releaseCaches()
-      (q.name, t, ok)
+    val results = tasks.map { case (name, run) =>
+      val times = (1 to k).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { run(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        val t = (System.nanoTime() - t0) / 1e9
+        releaseCaches()
+        if (ok) Some(t) else None
+      }
+      // A crashed run must not pass its (near-zero) wall time off as a
+      // measurement: any failure marks the query failed outright.
+      (name, if (times.size == k) Some(median(times)) else None)
     }
-    // A crashed query must not pass its (near-zero) wall time off as a
-    // measurement: it is reported as null and excluded from the total.
-    val qs = results.map { case (k, v, ok) =>
-      "\"" + k + "\":" + (if (ok) v.toString else "null")
+    val qs = results.map { case (n, v) =>
+      "\"" + n + "\":" + v.map(_.toString).getOrElse("null")
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val failed = results.collect { case (n, None) => "\"" + n + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = results.flatMap(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","k":$k,"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     // sbt decorates stdout with an "[info] " prefix that breaks JSON
     // parsers downstream, so the line is also written verbatim to a file.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
@@ -108,7 +193,7 @@ object Bench {
     // inside the tail window; tools wanting per-query detail read
     // bench_out.json or the full line above.
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"k":$k,"failed":$failed,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -128,4 +128,51 @@ object Ranking {
       .drop(groupCols.map(c => s"__ck_$c") :+
         "__pid" :+ "__local" :+ "__cpid" :+ "__carry": _*)
   }
+
+  /** Largest group a plain `row_number() OVER (PARTITION BY …)` window
+    * should be asked to sort in one task. The ScaleSmoke `rank` sweep
+    * measured the window form WINNING up to ~15 M rows spread over 8
+    * groups (single shuffle, trivial per-task sorts) and the two-phase
+    * form flat; 8 M rows per GROUP keeps the window's single-task sort
+    * well inside executor memory with margin for wide rows. */
+  val WindowMaxGroupRows: Long = 8L * 1000 * 1000
+
+  /** Exact max rows-per-group — the q207 profiler's `max_freq` column
+    * for this grouping. One aggregate job (map-side partial combine,
+    * shuffle of one row per group), the input to [[groupRanksAuto]]'s
+    * strategy choice. */
+  def profileMaxGroupRows(df: DataFrame, groupCols: Seq[String]): Long = {
+    val r = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("c"))
+      .agg(max(col("c")))
+      .head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** [[groupRanks]] with the window-vs-two-phase choice made FROM THE
+    * DATA instead of by the caller: profile max rows-per-group (q207's
+    * `max_freq`; pass `profiledMaxGroupRows` to reuse an existing
+    * profile and skip the scan) and
+    *  - every group sorts comfortably in one task → the plain
+    *    `row_number` window (single shuffle, no checkpoint/counts
+    *    overhead — the regime where ScaleSmoke measured it 2–4×
+    *    cheaper);
+    *  - some group exceeds `maxGroupRowsForWindow` → the two-phase
+    *    range-partitioned form, whose per-group state is one offset no
+    *    matter how large the group.
+    * Output schema and values are identical either way (`rank` as
+    * long; `innerOrder` must totally order rows within a group). */
+  def groupRanksAuto(df: DataFrame, groupCols: Seq[String], parts: Int,
+      innerOrder: Seq[Column],
+      maxGroupRowsForWindow: Long = WindowMaxGroupRows,
+      profiledMaxGroupRows: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxFreq = profiledMaxGroupRows
+      .getOrElse(profileMaxGroupRows(df, groupCols))
+    if (maxFreq <= maxGroupRowsForWindow) {
+      val w = Window.partitionBy(groupCols.map(col): _*)
+        .orderBy(innerOrder: _*)
+      df.withColumn("rank", row_number().over(w).cast("long"))
+    } else groupRanks(df, groupCols, parts, innerOrder: _*)
+  }
 }

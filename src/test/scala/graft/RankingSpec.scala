@@ -81,4 +81,55 @@ class RankingSpec extends SparkSpec {
       assert(got.size == 60)
     }
   }
+
+  /** Strategy auto-selection (round-11 directive): the window form for
+    * small groups, the two-phase form once any group exceeds the
+    * threshold — identical ranks either way. Strategy is asserted from
+    * the PLAN (a Window node is present exactly when the window form
+    * ran), not from timing. */
+  test("groupRanksAuto picks window on uniform groups, two-phase on a planted whale group") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // uniform: 40 groups x 50 rows, max group 50 <= threshold 1000
+    val uniform = (1 to 2000).map(i => (i.toLong, s"g${i % 40}", i * 13 % 31))
+      .toDF("id", "grp", "v").repartition(5)
+    val viaAuto = Ranking.groupRanksAuto(uniform, Seq("grp"), 5,
+      Seq($"v".asc, $"id"), maxGroupRowsForWindow = 1000L)
+    assert(viaAuto.queryExecution.optimizedPlan
+      .collect { case w: LWindow => w }.nonEmpty,
+      "uniform input should take the single-shuffle window form")
+
+    // skewed: one whale group with 5000 rows > threshold 1000
+    val skewed = (1 to 6000).map { i =>
+      (i.toLong, if (i <= 5000) "whale" else s"g${i % 20}", i * 13 % 31)
+    }.toDF("id", "grp", "v").repartition(5)
+    val autoSkew = Ranking.groupRanksAuto(skewed, Seq("grp"), 5,
+      Seq($"v".asc, $"id"), maxGroupRowsForWindow = 1000L)
+    assert(autoSkew.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.nonEmpty => w
+      }.isEmpty,
+      "whale group must route to the two-phase form (no group window)")
+
+    // both choices produce the window-equivalent ranks
+    def ranksOf(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"rank").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (data <- Seq(uniform, skewed)) {
+      val got = ranksOf(Ranking.groupRanksAuto(data, Seq("grp"), 5,
+        Seq($"v".asc, $"id"), maxGroupRowsForWindow = 1000L))
+      val want = data.withColumn("rank", row_number()
+          .over(Window.partitionBy($"grp").orderBy($"v".asc, $"id")).cast("long"))
+        .select($"id", $"rank").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want)
+    }
+
+    // a pre-computed profile short-circuits the profiling scan
+    val forced = Ranking.groupRanksAuto(uniform, Seq("grp"), 5,
+      Seq($"v".asc, $"id"), maxGroupRowsForWindow = 1000L,
+      profiledMaxGroupRows = Some(999999L))
+    assert(forced.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.nonEmpty => w
+      }.isEmpty,
+      "supplied profile must override the scan-based choice")
+  }
 }
