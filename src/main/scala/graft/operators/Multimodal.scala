@@ -501,21 +501,58 @@ object Multimodal {
     out.result()
   }
 
+  /** Pluggable frame-decoder SPI: the seam for containers no JDK
+    * codec opens (MP4/H.264, …). A deployment implements this against
+    * its codec of choice (JNI FFmpeg binding, a hardware decoder) and
+    * either passes instances to [[extractFrames]] or registers the
+    * implementation under
+    * `META-INF/services/graft.operators.Multimodal$FrameDecoder` for
+    * `ServiceLoader` discovery — operator code never changes. Must be
+    * Serializable: instances ship inside task closures; keep heavy
+    * native state lazy/transient and initialize it on first decode
+    * (once per executor, the partition-batched contract). */
+  trait FrameDecoder extends Serializable {
+    /** Frames for a payload this decoder understands, in display
+      * order; Nil to decline and pass the payload on. Must never
+      * throw for unrecognized bytes. */
+    def decode(bytes: Array[Byte]): Seq[java.awt.image.BufferedImage]
+  }
+
+  /** ServiceLoader-discovered [[FrameDecoder]]s (executor-side call —
+    * each task's classloader sees the deployment's jars). */
+  private def serviceDecoders(): Seq[FrameDecoder] = {
+    import scala.jdk.CollectionConverters._
+    try java.util.ServiceLoader
+      .load(classOf[FrameDecoder], Thread.currentThread().getContextClassLoader)
+      .asScala.toSeq
+    catch { case _: Throwable => Nil }
+  }
+
   /** REAL frame extraction over a media table: decode each payload's
     * frames (GIF/MJPEG/single-image, pure JDK), keep every
     * `everyNFrames`-th one, and hash it with the image pHash core —
     * the output feeds the same near-dup machinery as still images.
-    * Partition-batched like every decoder here; a payload no codec
-    * opens emits one undecoded marker row (frame_idx = -1) so
-    * coverage is auditable downstream. Scale shape: pixels never
-    * shuffle — each task decodes its partition's payloads and emits
-    * (id, idx, dims, 8-byte hash) rows only. */
-  def extractFrames(media: Dataset[MediaRow], everyNFrames: Int = 1): Dataset[FrameRow] = {
+    * Payloads the built-in codecs decline go to `decoders` (explicit
+    * [[FrameDecoder]] plugins, then ServiceLoader-registered ones) in
+    * order — the MP4 seam. Partition-batched like every decoder here;
+    * a payload NO decoder opens emits one undecoded marker row
+    * (frame_idx = -1) so coverage is auditable downstream. Scale
+    * shape: pixels never shuffle — each task decodes its partition's
+    * payloads and emits (id, idx, dims, 8-byte hash) rows only. */
+  def extractFrames(media: Dataset[MediaRow], everyNFrames: Int = 1,
+      decoders: Seq[FrameDecoder] = Nil): Dataset[FrameRow] = {
     require(everyNFrames >= 1, "extractFrames: everyNFrames must be >= 1")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      // per-partition init: plugin list built once per task
+      val plugins = decoders ++ serviceDecoders()
       rows.flatMap { r =>
-        val frames = decodeFrames(r.bytes)
+        val builtIn = decodeFrames(r.bytes)
+        val frames =
+          if (builtIn.nonEmpty) builtIn
+          else plugins.iterator.map(d =>
+            try d.decode(r.bytes) catch { case _: Exception => Nil })
+            .find(_.nonEmpty).getOrElse(Nil)
         if (frames.isEmpty)
           Iterator.single(FrameRow(r.media_id, -1, 0, 0, None, decoded = false))
         else frames.iterator.zipWithIndex.collect {

@@ -188,6 +188,36 @@ class MultimodalFramesSpec extends SparkSpec {
     assert(rows.forall(r => r.decoded && r.width === 48 && r.height === 48))
   }
 
+  test("a plugged-in FrameDecoder carries a no-JDK-codec container end-to-end through pHash and near-dups") {
+    // two fake "MP4 clips": clip 20 has 2 frames (H,V), clip 21 has
+    // 2 frames (V,H) -- each clip shares its frames with the other,
+    // so the cross-clip near-dup join must surface pairs; junk stays
+    // an auditable marker row even WITH the plugin installed
+    val clipA = Array[Byte]('F', 'A', 'K', '0', 2, 0)
+    val clipB = Array[Byte]('F', 'A', 'K', '0', 2, 1)
+    val junk = Array.tabulate[Byte](64)(i => (i * 53).toByte)
+    val media = Seq((20L, clipA), (21L, clipB), (22L, junk))
+      .toDF("id", "bytes")
+    val frames = Multimodal.extractFrames(
+      Multimodal.fromBinary(media, "id", "bytes", "video"),
+      decoders = Seq(new FakeMp4Decoder))
+    val rows = frames.collect()
+    assert(rows.count(r => r.media_id == 20L && r.decoded) === 2)
+    assert(rows.count(r => r.media_id == 21L && r.decoded) === 2)
+    val marker = rows.filter(_.media_id == 22L)
+    assert(marker.length === 1 && !marker.head.decoded &&
+      marker.head.frame_idx === -1,
+      "junk must stay an undecoded marker row even with a plugin")
+    // frames from the SPI path hash with the SAME core as stills
+    val expectH = Multimodal.pHashOfImage(stripeFrame(48, 48, horizontal = true))
+    assert(rows.filter(_.decoded).map(_.phash.get).contains(expectH))
+    // and ride the standard cross-clip near-dup band join
+    val dups = Multimodal.frameNearDups(frames, maxHamming = 0).collect()
+    assert(dups.length === 2,
+      s"expected the 2 shared frames as cross-clip pairs, got ${dups.toSeq}")
+    assert(dups.forall(r => r.getLong(0) == 20L && r.getLong(2) == 21L))
+  }
+
   test("undecodable payload emits one marker row, never a fake hash") {
     val junk = Array.tabulate[Byte](256)(i => (i * 37).toByte)
     val media = Seq((3L, junk)).toDF("id", "bytes")
@@ -209,4 +239,25 @@ class MultimodalFramesSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((100L, 0, 200L, 1)),
       s"expected exactly the planted pair, got ${pairs.toSeq}")
   }
+}
+
+/** Fake SPI decoder for payloads starting with "FAK0": "frames" are
+  * deterministic stripe images selected by the 5th byte — stands in
+  * for an MP4 codec a deployment would plug in. Top-level and
+  * reference-free so the instance serializes into task closures (the
+  * FrameDecoder contract). The stripes match the spec's stripeFrame
+  * pixel-for-pixel in luma, so pHashes are directly comparable. */
+private class FakeMp4Decoder extends Multimodal.FrameDecoder {
+  private def stripe(horizontal: Boolean): BufferedImage = {
+    val img = new BufferedImage(48, 48, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 48; x <- 0 until 48) {
+      val band = (if (horizontal) y else x) / 16
+      val v = if (band % 2 == 0) 64 else 192
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+  override def decode(bytes: Array[Byte]): Seq[BufferedImage] =
+    if (bytes.length < 6 || new String(bytes.take(4), "ISO-8859-1") != "FAK0") Nil
+    else (0 until bytes(4).toInt).map(i => stripe((bytes(5) + i) % 2 == 0))
 }
