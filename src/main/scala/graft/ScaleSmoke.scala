@@ -456,6 +456,23 @@ object ScaleSmoke {
       return
     }
 
+    // targeted mode: `... <n> twsdisk [ttlSec...]` — the DISK half of
+    // the TTL story. TTL bounds LIVE state; RocksDB's on-disk bytes
+    // (tombstones + TTL-index rows awaiting compaction) can RISE under
+    // short TTLs until a compaction runs. This sweep replays the
+    // corpus over 64 micro-batches (4× the twsstate replay, so
+    // compaction has time to matter) with compactOnCommit OFF vs ON
+    // and reports peak AND final `rocksdbSstFileSize` per TTL horizon:
+    // steady-state disk must plateau ≤ live-state bound × small
+    // constant when compaction is forced.
+    if (args.lift(1).contains("twsdisk")) {
+      runTwsStateProbe(spark, docs, n,
+        args.drop(2).map(_.toInt).toSeq,
+        nParts = 64, compactModes = Seq(false, true))
+      spark.stop()
+      return
+    }
+
     // targeted mode: `runMain graft.ScaleSmoke <n> gov` runs only the
     // governance/streaming stages (scaling-curve probes without the
     // ANN/index sections)
@@ -863,21 +880,24 @@ object ScaleSmoke {
     * transformWithState TTL semantic), so horizons are chosen around
     * the replay's own wall clock. */
   private def runTwsStateProbe(spark: SparkSession, docs: DataFrame,
-      n: Long, ttlSecs: Seq[Int]): Unit = {
+      n: Long, ttlSecs: Seq[Int], nParts: Int = 16,
+      compactModes: Seq[Boolean] = Seq(false)): Unit = {
     import org.apache.spark.sql.streaming.{TTLConfig, Trigger}
     val tmp = java.nio.file.Files.createTempDirectory("tws_state").toString
     val path = s"$tmp/documents.parquet"
-    docs.repartition(16).write.mode("overwrite").parquet(path)
+    docs.repartition(nParts).write.mode("overwrite").parquet(path)
     val schema = spark.read.parquet(path).schema
     val totalDocs = spark.read.parquet(path).count()
     val horizons = if (ttlSecs.nonEmpty) ttlSecs else Seq(0, 60, 10, 3)
-    horizons.foreach { ttlSec =>
+    val CompactKey = "spark.sql.streaming.stateStore.rocksdb.compactOnCommit"
+    for (compactOnCommit <- compactModes; ttlSec <- horizons) {
+      spark.conf.set(CompactKey, compactOnCommit.toString)
       val ttl = if (ttlSec <= 0) TTLConfig.NONE
         else TTLConfig(java.time.Duration.ofSeconds(ttlSec.toLong))
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(path)
       val verdicts = streaming.NearDupStream.pairsPlan(stream, 3, ttl)
-      val sink = s"tws_state_ttl$ttlSec"
+      val sink = s"tws_state_ttl${ttlSec}_c$compactOnCommit"
       // NEITHER AvailableNow NOR processAllAvailable terminates a
       // processing-time-TTL query: the TTL machinery keeps demanding
       // another batch after the input drains (observed: thousands of
@@ -922,15 +942,25 @@ object ScaleSmoke {
           val ops = progs.flatMap(p => Option(p.stateOperators).toSeq.flatten)
           val lastRows = ops.lastOption.map(_.numRowsTotal).getOrElse(-1L)
           val peakBytes = if (ops.isEmpty) -1L else ops.map(_.memoryUsedBytes).max
+          // on-disk bytes: RocksDB SST files (tombstones + TTL-index
+          // rows live here until compaction — the disk half of the
+          // TTL bound; peak vs FINAL shows whether compaction catches
+          // up within the replay)
+          def sstOf(o: org.apache.spark.sql.streaming.StateOperatorProgress): Long =
+            Option(o.customMetrics.get("rocksdbSstFileSize")).map(_.longValue).getOrElse(-1L)
+          val peakSst = if (ops.isEmpty) -1L else ops.map(sstOf).max
+          val lastSst = ops.lastOption.map(sstOf).getOrElse(-1L)
           val pairs = spark.table(sink).distinct().count()
-          println(f"[scale] tws ttl=${ttlSec}%3ds  ${sec}%7.1f s  " +
+          println(f"[scale] tws ttl=${ttlSec}%3ds compact=$compactOnCommit%-5s ${sec}%7.1f s  " +
             f"batches=${progs.length}%3d  pairs=$pairs%8d  " +
             f"stateRows=$lastRows%9d  peakStateBytes=$peakBytes%12d  " +
+            f"sst peak=$peakSst%12d final=$lastSst%12d  " +
             f"batchLat avg=${if (lats.isEmpty) 0 else lats.sum / lats.length}%5d ms " +
             f"max=${if (lats.isEmpty) 0 else lats.max}%5d ms")
         }
       }
     }
+    spark.conf.unset(CompactKey)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
   }
 

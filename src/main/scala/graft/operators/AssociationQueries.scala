@@ -2671,7 +2671,140 @@ object AssociationQueries {
       |  (t // 5) * 1000000 AS target_margin_micro
       |FROM c2 ORDER BY segment, priority""".stripMargin
 
+  /** q396 — ROC AUC of a score for a binary outcome by the exact
+    * rank-sum identity AUC = (R₁ − n₁(n₁+1)/2)/(n₁·n₀) with
+    * average-rank tie handling — the threshold-free ordering-quality
+    * readout the eval stack lacked (q392's gains table fixes decile
+    * cuts, q318 calibrates probabilities; AUC scores the pure
+    * ranking). Outcome: the line item was returned (l_returnflag =
+    * 'R'); score: the discount grid — "does a deeper discount predict
+    * a return?", reported per l_linestatus. Exact end-to-end: the
+    * score collapses to its 11-value cent grid, so tied ranks are the
+    * grid identity avg_rank(v) = cum_before(v) + (c(v)+1)/2; doubling
+    * clears the half — 2·R₁ = Σ c₁(v)·(2·cum_before(v) + c(v) + 1) is
+    * an exact integer — and AUC_micro = (1e6·(2R₁ − n₁(n₁+1))) div
+    * (2·n₁·n₀) is one truncating DECIMAL division, identical both
+    * engines (q363's div discipline; DECIMAL because n₁² overflows
+    * int64 beyond ~3e9 positives).
+    *
+    * Scale shape: one aggregate to the (group × grid-value) cells
+    * (≤ groups·11 rows), a window over that bounded grid, a 2-row
+    * rollup — the corpus is scanned once, nothing quadratic. */
+  def q396(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.lineitem(s, d)
+      .select($"l_linestatus".as("ls"),
+        floor($"l_discount" * 100 + lit(0.5)).cast("long").as("v"),
+        ($"l_returnflag" === "R").cast("long").as("y"))
+      .groupBy($"ls", $"v")
+      .agg(count(lit(1)).as("c"), sum($"y").as("c1"))
+    val w = Window.partitionBy($"ls").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cells
+      .withColumn("cumb", coalesce(sum($"c").over(w), lit(0L)))
+      .groupBy($"ls")
+      .agg(sum(expr("cast(c1 as decimal(38,0)) * (2 * cumb + c + 1)")).as("r2x"),
+        sum($"c1").as("n1"), sum($"c" - $"c1").as("n0"))
+      .select($"ls", $"n1", $"n0",
+        expr("""cast(((r2x - cast(n1 as decimal(38,0)) * (n1 + 1)) * 1000000)
+               div (2 * cast(n1 as decimal(38,0)) * n0) as bigint)""")
+          .as("auc_micro"))
+      .orderBy($"ls")
+  }
+
+  val q396Sql: String =
+    """WITH cells AS (
+      |  SELECT l_linestatus AS ls,
+      |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS v,
+      |    CAST(count(*) AS BIGINT) AS c,
+      |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      |  FROM lineitem GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT ls, v, c, c1,
+      |    COALESCE(sum(c) OVER (PARTITION BY ls ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+      |  FROM cells),
+      |agg AS (
+      |  SELECT ls,
+      |    sum(CAST(c1 AS HUGEINT) * (2 * cumb + c + 1)) AS r2x,
+      |    CAST(sum(c1) AS BIGINT) AS n1,
+      |    CAST(sum(c - c1) AS BIGINT) AS n0
+      |  FROM cum GROUP BY ls)
+      |SELECT ls, n1, n0,
+      |  CAST(((r2x - CAST(n1 AS HUGEINT) * (n1 + 1)) * 1000000)
+      |    // (2 * CAST(n1 AS HUGEINT) * n0) AS BIGINT) AS auc_micro
+      |FROM agg ORDER BY ls""".stripMargin
+
+  /** q397 — E-value sensitivity analysis (VanderWeele & Ding 2017)
+    * for q243's A/B conversion readout: the minimum risk ratio an
+    * UNMEASURED confounder must carry with BOTH the arm and the
+    * outcome to fully explain the observed effect away —
+    * E = RR* + √(RR*·(RR*−1)) on the null-away ratio RR* = max(RR,
+    * 1/RR). The robustness companion the causal suite lacked: q243
+    * reports the lift, q268 its sampling z; the E-value answers "how
+    * big a lurking confounder kills it?" (E ≈ 1 ⇒ fragile).
+    * Determinism: arm counts are exact integers under the salted-md5
+    * assignment; RR = (c₁/n₁)/(c₀/n₀) is two correctly-rounded IEEE
+    * divisions of exact integers in a FIXED tree, √ is correctly
+    * rounded by IEEE mandate (q268's precedent), outputs r6-rounded.
+    *
+    * Scale shape: one per-user aggregate, a 2-row arm rollup, scalar
+    * math — q243's exact shape plus four IEEE ops. */
+  def q397(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val arms = Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(max(($"event_type" === "purchase").cast("long")).as("conv"))
+      .withColumn("t",
+        (conv(substring(md5(concat($"user_id".cast("string"), lit("#exp1"))), 1, 8),
+          16, 10).cast("long") % 2 =!= 0).cast("long"))
+      .agg(
+        sum(when($"t" === 1L, $"conv")).as("c1"),
+        sum($"t").as("n1"),
+        sum(when($"t" === 0L, $"conv")).as("c0"),
+        sum(lit(1L) - $"t").as("n0"))
+    arms
+      .withColumn("rr",
+        ($"c1".cast("double") / $"n1".cast("double")) /
+          ($"c0".cast("double") / $"n0".cast("double")))
+      .withColumn("rrstar",
+        when($"rr" >= 1.0, $"rr").otherwise(lit(1.0) / $"rr"))
+      .select($"c1", $"n1", $"c0", $"n0",
+        r6($"rr").as("rr"),
+        r6($"rrstar" + sqrt($"rrstar" * ($"rrstar" - 1.0))).as("evalue"),
+        when($"rr" >= 1.0, lit("harmful")).otherwise(lit("protective"))
+          .as("direction"))
+  }
+
+  val q397Sql: String = {
+    import graft.Fx.sqlR6
+    val rr = "(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / " +
+      "(CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+       |    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#exp1'), 1, 8))::BIGINT % 2 <> 0
+       |         THEN 1 ELSE 0 END AS t
+       |  FROM events GROUP BY user_id),
+       |a AS (
+       |  SELECT CAST(sum(CASE WHEN t = 1 THEN conv END) AS BIGINT) AS c1,
+       |    CAST(sum(t) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN t = 0 THEN conv END) AS BIGINT) AS c0,
+       |    CAST(sum(1 - t) AS BIGINT) AS n0
+       |  FROM u),
+       |r AS (
+       |  SELECT c1, n1, c0, n0, $rr AS rr,
+       |    CASE WHEN $rr >= 1.0 THEN $rr ELSE 1.0 / ($rr) END AS rrstar
+       |  FROM a)
+       |SELECT c1, n1, c0, n0, ${sqlR6("rr")} AS rr,
+       |  ${sqlR6("rrstar + sqrt(rrstar * (rrstar - 1.0))")} AS evalue,
+       |  CASE WHEN rr >= 1.0 THEN 'harmful' ELSE 'protective' END AS direction
+       |FROM r""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q396_roc_auc", q396, Some(q396Sql)),
+    QueryDef("q397_evalue_sensitivity", q397, Some(q397Sql)),
     QueryDef("q319_ipf_raking", q319, Some(q319Sql)),
     QueryDef("q278_conformal_intervals", q278, Some(q278Sql)),
     QueryDef("q281_diff_in_diff", q281, Some(q281Sql)),

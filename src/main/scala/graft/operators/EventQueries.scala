@@ -2424,6 +2424,76 @@ object EventQueries {
       |  CAST(s AS BIGINT) AS surv_micro
       |FROM km ORDER BY t_days""".stripMargin
 
+  /** q398 — Nelson–Aalen cumulative hazard over q271's retention
+    * spans: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ, the additive twin of Kaplan–Meier's
+    * product (KM answers "what fraction survives to t"; NA answers
+    * "how much hazard has accumulated by t" — the estimator of choice
+    * when hazards are the modeling target, and log-KM ≈ −NA is the
+    * standard cross-check). Same event/censor convention as q271
+    * (death = last activity before the observation edge, edge day
+    * censored). Exact: each increment is the STATED truncation
+    * 1e6·dᵢ div nᵢ (q352's micro-div discipline) and H is the exact
+    * integer sum of those increments — no recursion needed, unlike
+    * KM's product, so the whole estimator is one cumulative-sum
+    * window over the bounded duration grid.
+    *
+    * Scale shape: per-user span aggregate → duration-grid aggregate
+    * (≤ observation-window days) → reverse-cumsum for n, forward
+    * cumsum for H, both windows over the bounded grid. */
+  def q398(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val spans = Fx.eventTs(Tables.events(s, d))
+      .groupBy($"user_id")
+      .agg(min(epochDay($"ts")).as("first_day"), max(epochDay($"ts")).as("last_day"))
+      .transform(graft.Fx.materialize) // max edge + grid
+    val maxDay = spans.agg(max($"last_day")).head().getInt(0)
+    val grid = spans
+      .select(($"last_day" - $"first_day").cast("long").as("t"),
+        ($"last_day" <= maxDay - 1).cast("long").as("event"))
+      .groupBy($"t")
+      .agg(sum($"event").as("d"), sum(lit(1L) - $"event").as("c"))
+    val wDesc = Window.orderBy($"t".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy($"t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("n", sum($"d" + $"c").over(wDesc))
+      .withColumn("haz_micro",
+        when($"d" > 0L, expr("(1000000 * d) div n")).otherwise(lit(0L)))
+      .withColumn("cumhaz_micro", sum($"haz_micro").over(wAsc))
+      .select($"t".as("t_days"), $"n".as("n_risk"), $"d".as("deaths"),
+        $"c".as("censored"), $"haz_micro", $"cumhaz_micro")
+      .orderBy($"t_days")
+  }
+
+  val q398Sql: String =
+    """WITH spans AS (
+      |  SELECT user_id,
+      |    min(CAST(ts AS DATE) - DATE '1970-01-01') AS first_day,
+      |    max(CAST(ts AS DATE) - DATE '1970-01-01') AS last_day
+      |  FROM events GROUP BY user_id),
+      |mx AS (SELECT max(last_day) AS max_day FROM spans),
+      |g AS (
+      |  SELECT CAST(last_day - first_day AS BIGINT) AS t,
+      |    CAST(sum(CASE WHEN last_day <= max_day - 1 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |    CAST(sum(CASE WHEN last_day <= max_day - 1 THEN 0 ELSE 1 END) AS BIGINT) AS c
+      |  FROM spans CROSS JOIN mx GROUP BY 1),
+      |o AS (
+      |  SELECT t, d, c,
+      |    sum(d + c) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n
+      |  FROM g),
+      |h AS (
+      |  SELECT t, n, d, c,
+      |    CASE WHEN d > 0 THEN (1000000 * d) // n ELSE 0 END AS haz_micro
+      |  FROM o)
+      |SELECT t AS t_days, CAST(n AS BIGINT) AS n_risk, d AS deaths,
+      |  c AS censored, CAST(haz_micro AS BIGINT) AS haz_micro,
+      |  CAST(sum(haz_micro) OVER (ORDER BY t
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cumhaz_micro
+      |FROM h ORDER BY t_days""".stripMargin
+
   /** q193 — conversion-window funnel: view → click → purchase where
     * each step must land within ONE HOUR of the previous step (the
     * attribution-window semantics real funnel metrics use — q104's
@@ -4472,6 +4542,7 @@ object EventQueries {
     QueryDef("q265_markov_attribution", q265, Some(q265Sql)),
     QueryDef("q270_holt_smoothing", q270, Some(q270Sql)),
     QueryDef("q271_kaplan_meier", q271, Some(q271Sql)),
+    QueryDef("q398_nelson_aalen", q398, Some(q398Sql)),
     QueryDef("q273_cohort_ltv", q273, Some(q273Sql)),
     QueryDef("q274_theil_sen_trend", q274, Some(q274Sql)),
     QueryDef("q276_shapley_attribution", q276, Some(q276Sql)),

@@ -801,8 +801,88 @@ object GraphQueries {
       |  END AS assortativity_micro
       |FROM m CROSS JOIN ab""".stripMargin
 
+  /** q399 — rich-club coefficient φ(k) of the co-purchase graph: over
+    * the nodes of degree > k, the realized fraction of possible edges
+    * φ(k) = 2·E_k / (N_k·(N_k−1)) — "do the hubs preferentially trade
+    * with each other?" (φ rising in k = a rich club; the
+    * assortativity scalar q350 summarizes, this RESOLVES by degree
+    * like q353 resolves clustering). Exact: both curves come from two
+    * histograms — nodes by degree, edges by min(deg(a), deg(b)) —
+    * with exclusive reverse cumulative sums giving N_k and E_k for
+    * every k in the observed degree grid in one pass; φ is the stated
+    * micro truncation 2·E_k·1e6 div (N_k·(N_k−1)) (q352's div
+    * discipline). Rows with N_k < 2 are dropped (φ undefined).
+    *
+    * Scale shape: one degree aggregate, one 3-way broadcast-joinable
+    * histogram pair over the bounded degree domain, windows over that
+    * grid only — the edge list is scanned twice, never joined to
+    * itself. */
+  def q399(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e0 = copurchaseEdges(s, d)
+    val deg = e0.select($"a".as("n")).unionAll(e0.select($"b".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("deg"))
+      .transform(graft.Fx.materialize) // node histogram + edge join
+    val nodeHist = deg.groupBy($"deg".as("k")).agg(count(lit(1)).as("cn"))
+    val edgeHist = e0
+      .join(deg.select($"n".as("a"), $"deg".as("da")), "a")
+      .join(deg.select($"n".as("b"), $"deg".as("db")), "b")
+      .select(least($"da", $"db").as("k"))
+      .groupBy($"k").agg(count(lit(1)).as("ce"))
+    val wExcl = Window.orderBy($"k".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    nodeHist.join(edgeHist, Seq("k"), "full_outer")
+      .select($"k", coalesce($"cn", lit(0L)).as("cn"),
+        coalesce($"ce", lit(0L)).as("ce"))
+      .withColumn("n_nodes", coalesce(sum($"cn").over(wExcl), lit(0L)))
+      .withColumn("n_edges", coalesce(sum($"ce").over(wExcl), lit(0L)))
+      .filter($"n_nodes" >= 2L)
+      .select($"k", $"n_nodes", $"n_edges",
+        expr("""cast((2 * cast(n_edges as decimal(38,0)) * 1000000)
+               div (cast(n_nodes as decimal(38,0)) * (n_nodes - 1)) as bigint)""")
+          .as("phi_micro"))
+      .orderBy($"k")
+  }
+
+  val q399Sql: String =
+    """WITH lp AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |e0 AS MATERIALIZED (
+      |  SELECT a.p AS a, b.p AS b FROM lp a JOIN lp b
+      |  ON a.ok = b.ok AND a.p < b.p GROUP BY 1, 2),
+      |deg AS MATERIALIZED (
+      |  SELECT n, CAST(count(*) AS BIGINT) AS deg
+      |  FROM (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0)
+      |  GROUP BY n),
+      |nh AS (SELECT deg AS k, CAST(count(*) AS BIGINT) AS cn
+      |       FROM deg GROUP BY deg),
+      |eh AS (
+      |  SELECT least(da.deg, db.deg) AS k, CAST(count(*) AS BIGINT) AS ce
+      |  FROM e0
+      |  JOIN deg da ON e0.a = da.n
+      |  JOIN deg db ON e0.b = db.n
+      |  GROUP BY 1),
+      |grid AS (
+      |  SELECT COALESCE(nh.k, eh.k) AS k, COALESCE(cn, 0) AS cn,
+      |    COALESCE(ce, 0) AS ce
+      |  FROM nh FULL OUTER JOIN eh ON nh.k = eh.k),
+      |cum AS (
+      |  SELECT k,
+      |    COALESCE(sum(cn) OVER (ORDER BY k DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_nodes,
+      |    COALESCE(sum(ce) OVER (ORDER BY k DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_edges
+      |  FROM grid)
+      |SELECT k, CAST(n_nodes AS BIGINT) AS n_nodes,
+      |  CAST(n_edges AS BIGINT) AS n_edges,
+      |  CAST((2 * CAST(n_edges AS HUGEINT) * 1000000)
+      |    // (CAST(n_nodes AS HUGEINT) * (n_nodes - 1)) AS BIGINT) AS phi_micro
+      |FROM cum WHERE n_nodes >= 2 ORDER BY k""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q350_degree_assortativity", q350, Some(q350Sql)),
+    QueryDef("q399_rich_club", q399, Some(q399Sql)),
     QueryDef("q360_attack_robustness", q360, Some(q360Sql)),
     QueryDef("q365_lpa_modularity", q365, Some(q365Sql)),
     QueryDef("q385_brand_homophily", q385, Some(q385Sql)),
