@@ -4044,6 +4044,66 @@ object EventQueries {
        |FROM ab""".stripMargin
   }
 
+  /** q401 — turning-points test for series randomness (Kendall): count
+    * the interior days where daily revenue is a strict local extremum
+    * (peak y₋<y>y₊ or trough y₋>y<y₊); under i.i.d. noise
+    * E[T] = 2(n−2)/3 and Var[T] = (16n−29)/90, so z = (T−E)/√Var reads
+    * out serial structure the level-based tests miss in the OPPOSITE
+    * directions: too FEW turning points = trending/sticky (q393's
+    * Mann–Kendall sees this), too MANY = alternating overshoot, which
+    * no other registered series test isolates (q307's runs test is the
+    * sign-vs-median analog, blind to local extremum structure; q306's
+    * von Neumann measures magnitude, not count). Exact: whole-dollar
+    * day grid (q395's convention), strict integer comparisons (a
+    * flat tie is NOT a turning point — stated), T and n exact, z one
+    * sqrt + division, r6.
+    *
+    * Scale shape: collapse to the bounded day calendar, one
+    * lag/lead window over it, a 1-row rollup. */
+  def q401(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"day")
+    Tables.orders(s, d)
+      .groupBy(epochDay($"o_orderdate").as("day"))
+      .agg(expr("cast(floor(sum(o_totalprice) * 100 + 0.5) as bigint) div 100")
+        .as("y"))
+      .withColumn("yl", lag($"y", 1).over(w))
+      .withColumn("yr", lead($"y", 1).over(w))
+      .select(
+        count(lit(1)).as("n_days"),
+        sum((($"yl" < $"y" && $"y" > $"yr") ||
+          ($"yl" > $"y" && $"y" < $"yr")).cast("long")).as("n_turning"))
+      .select($"n_days", $"n_turning",
+        r6(lit(2.0) * ($"n_days" - 2).cast("double") / lit(3.0)).as("expected"),
+        r6(($"n_turning".cast("double") -
+            lit(2.0) * ($"n_days" - 2).cast("double") / lit(3.0)) /
+          sqrt((lit(16.0) * $"n_days".cast("double") - lit(29.0)) / lit(90.0)))
+          .as("z"))
+  }
+
+  val q401Sql: String = {
+    import graft.Fx.sqlR6
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+       |    CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) // 100 AS y
+       |  FROM orders GROUP BY 1),
+       |lagged AS (
+       |  SELECT y, lag(y) OVER (ORDER BY day) AS yl,
+       |    lead(y) OVER (ORDER BY day) AS yr
+       |  FROM daily),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+       |    CAST(sum(CASE WHEN (yl < y AND y > yr) OR (yl > y AND y < yr)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_turning
+       |  FROM lagged)
+       |SELECT n_days, n_turning,
+       |  ${sqlR6("2.0 * CAST(n_days - 2 AS DOUBLE) / 3.0")} AS expected,
+       |  ${sqlR6("(CAST(n_turning AS DOUBLE) - " +
+         "2.0 * CAST(n_days - 2 AS DOUBLE) / 3.0) / " +
+         "sqrt((16.0 * CAST(n_days AS DOUBLE) - 29.0) / 90.0)")} AS z
+       |FROM agg""".stripMargin
+  }
+
   /** q395 — maximum drawdown of the daily revenue level: the largest
     * peak-to-trough decline DD = max_t [max_{s≤t} y_s − y_t], with
     * the trough day and the peak level it fell from — the PATH-
@@ -4520,6 +4580,7 @@ object EventQueries {
     QueryDef("q391_behavior_novelty", q391, Some(q391Sql)),
     QueryDef("q393_mann_kendall", q393, Some(q393Sql)),
     QueryDef("q395_max_drawdown", q395, Some(q395Sql)),
+    QueryDef("q401_turning_points", q401, Some(q401Sql)),
     QueryDef("q349_mcnemar", q349, Some(q349Sql)),
     QueryDef("q340_bootstrap_ci", q340, Some(q340Sql)),
     QueryDef("q341_variance_ratio", q341, Some(q341Sql)),

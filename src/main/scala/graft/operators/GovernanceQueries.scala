@@ -1757,7 +1757,97 @@ object GovernanceQueries {
       |  END AS alpha_micro
       |FROM items CROSS JOIN tot""".stripMargin
 
+  /** q400 — Page's trend test (Page 1963): in the brand × ship-year
+    * blocked design, is brand revenue MONOTONICALLY trending across
+    * years? The ordered-alternative member of the blocked-rank family:
+    * q351 (Friedman) asks "do the treatments differ at all" with
+    * unordered priorities; Page orders the treatments (years,
+    * chronologically) and weights their rank sums by position —
+    * L = Σⱼ j·Rⱼ — so a consistent drift that Friedman dilutes across
+    * k−1 df concentrates into one trend statistic (the blocked twin of
+    * q393's Mann–Kendall, which has no blocks). Exact: cells are
+    * cent-grid revenue sums, within-block ranks are `row_number` with
+    * the year as stated tie-break, incomplete blocks drop (q351's
+    * complete-block rule), L and its null moments E[L] = n·k·(k+1)²/4,
+    * Var[L] = n·k²·(k+1)·(k²−1)/144 are exact integers, and z is one
+    * IEEE sqrt + division over them, r6-rounded.
+    *
+    * Scale shape: corpus → brand×year cell grid in one aggregate;
+    * ranks ride a window over the ≤ brands·years grid; the verdict is
+    * a broadcast scalar. */
+  def q400(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val cells = Tables.lineitem(s, d)
+      .select($"l_partkey", year($"l_shipdate").cast("long").as("yr"),
+        $"l_extendedprice")
+      .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand".as("brand"), $"yr")
+      .agg(floor(sum($"l_extendedprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      .transform(graft.Fx.materialize) // k, complete blocks, ranks
+    val kdf = cells.select($"yr").distinct().agg(count(lit(1)).as("k"))
+    val complete = cells.groupBy($"brand").agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(kdf)).filter($"c" === $"k").select($"brand")
+    val ranked = cells.join(complete, "brand")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"brand").orderBy($"cents", $"yr")).cast("long"))
+    val yearIdx = Window.orderBy($"yr")
+    val rsum = ranked.groupBy($"yr")
+      .agg(sum($"rk").as("rank_sum"), count(lit(1)).as("nb"))
+      .withColumn("j", row_number().over(yearIdx).cast("long"))
+    val stat = rsum.agg(
+        sum($"j" * $"rank_sum").as("l_stat"),
+        max($"nb").as("n"), count(lit(1)).as("kk"))
+      .withColumn("e_l", expr("n * kk * (kk + 1) * (kk + 1)") / lit(4.0))
+      .withColumn("var_l",
+        expr("cast(n as decimal(38,0)) * kk * kk * (kk + 1) * (kk * kk - 1)")
+          .cast("double") / lit(144.0))
+      .select($"l_stat", $"n", $"kk",
+        r6(($"l_stat".cast("double") - $"e_l") / sqrt($"var_l")).as("z"))
+    rsum.crossJoin(broadcast(stat))
+      .select($"yr", $"j", $"rank_sum", $"n".as("n_blocks"),
+        $"l_stat", $"z")
+      .orderBy($"yr")
+  }
+
+  val q400Sql: String = {
+    import graft.Fx.sqlR6
+    s"""WITH cells AS MATERIALIZED (
+       |  SELECT p.p_brand AS brand, CAST(year(l.l_shipdate) AS BIGINT) AS yr,
+       |    CAST(floor(sum(l.l_extendedprice) * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       |  GROUP BY 1, 2),
+       |kk AS (SELECT CAST(count(DISTINCT yr) AS BIGINT) AS k FROM cells),
+       |complete AS (
+       |  SELECT brand FROM cells GROUP BY brand
+       |  HAVING count(*) = (SELECT k FROM kk)),
+       |ranked AS (
+       |  SELECT c.brand, c.yr, row_number() OVER (
+       |      PARTITION BY c.brand ORDER BY c.cents, c.yr) AS rk
+       |  FROM cells c JOIN complete USING (brand)),
+       |rsum AS (
+       |  SELECT yr, CAST(sum(rk) AS BIGINT) AS rank_sum,
+       |    CAST(count(*) AS BIGINT) AS nb,
+       |    CAST(row_number() OVER (ORDER BY yr) AS BIGINT) AS j
+       |  FROM ranked GROUP BY yr),
+       |stat AS (
+       |  SELECT CAST(sum(j * rank_sum) AS BIGINT) AS l_stat,
+       |    CAST(max(nb) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS kk
+       |  FROM rsum),
+       |z AS (
+       |  SELECT l_stat, n, kk,
+       |    ${sqlR6("(CAST(l_stat AS DOUBLE) - " +
+           "CAST(n * kk * (kk + 1) * (kk + 1) AS DOUBLE) / 4.0) / " +
+           "sqrt(CAST(CAST(n AS HUGEINT) * kk * kk * (kk + 1) * (kk * kk - 1) " +
+           "AS DOUBLE) / 144.0)")} AS z
+       |  FROM stat)
+       |SELECT r.yr, r.j, r.rank_sum, z.n AS n_blocks, z.l_stat, z.z
+       |FROM rsum r CROSS JOIN z ORDER BY r.yr""".stripMargin
+  }
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q400_page_trend", q400, Some(q400Sql)),
     QueryDef("q359_cochran_armitage", q359, Some(q359Sql)),
     QueryDef("q373_levene_bf", q373, Some(q373Sql)),
     QueryDef("q374_jonckheere", q374, Some(q374Sql)),

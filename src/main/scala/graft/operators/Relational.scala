@@ -1683,6 +1683,84 @@ object Relational {
       |  CAST(sum(CASE WHEN e < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_demand_law
       |FROM j GROUP BY brand ORDER BY brand""".stripMargin
 
+  /** q402 — cross-price elasticity of demand: for ordered brand pairs
+    * (A, B) under the SAME manufacturer, the arc elasticity of A's
+    * monthly quantity against B's monthly unit price across
+    * consecutive months — e > 0 marks substitutes (B got pricier, A
+    * sold more), e < 0 complements; q363's OWN-price readout answers
+    * "how price-sensitive is A", this answers "who competes with
+    * whom", which no registered query resolves. Same exactness kit as
+    * q363: unit price is the micro fixed-point cents·1e6 div qty,
+    * the ≥1%-price-move filter gates degenerate denominators, the arc
+    * formula is one DECIMAL truncating division per month pair, the
+    * per-pair mean is sum div count. Pairs are brand_a ≠ brand_b
+    * within manufacturer (the substitution-plausible set, 20 ordered
+    * pairs per mfr — stated).
+    *
+    * Scale shape: one scan collapses to the brand×month grid
+    * (bounded: 25 brands × months); every join after is grid×grid
+    * within (mfr, month) — output ≤ 100 pairs × months rows, then a
+    * ≤ 100-row rollup. */
+  def q402(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bm = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .select($"p_brand".as("brand"),
+        substring($"p_brand", 7, 1).as("mfr"),
+        (year($"l_shipdate") * 12 + month($"l_shipdate")).cast("long").as("mk"),
+        floor($"l_extendedprice" * 100).cast("long").as("cents"),
+        $"l_quantity".cast("long").as("qty"))
+      .groupBy($"brand", $"mfr", $"mk")
+      .agg(sum($"cents").as("c"), sum($"qty").as("q"))
+      .select($"brand", $"mfr", $"mk",
+        expr("(cast(c as decimal(38,0)) * 1000000) div q").as("p"), $"q")
+      .transform(graft.Fx.materialize) // four grid probes
+    val aCur = bm.select($"brand".as("brand_a"), $"mfr", $"mk", $"q".as("qa1"))
+    val aPrv = bm.select($"brand".as("brand_a"), ($"mk" + 1L).as("mk"),
+      $"q".as("qa0"))
+    val bCur = bm.select($"brand".as("brand_b"), $"mfr".as("mfr_b"), $"mk",
+      $"p".as("pb1"))
+    val bPrv = bm.select($"brand".as("brand_b"), ($"mk" + 1L).as("mk"),
+      $"p".as("pb0"))
+    aCur.join(aPrv, Seq("brand_a", "mk"))
+      .join(bCur, Seq("mk")).filter($"mfr" === $"mfr_b" && $"brand_a" =!= $"brand_b")
+      .join(bPrv, Seq("brand_b", "mk"))
+      .filter(abs($"pb1" - $"pb0") * 100L >= $"pb0")
+      .select($"brand_a", $"brand_b", expr(
+        """((qa1 - qa0) * (cast(pb1 as decimal(38,0)) + pb0) * 1000000)
+           div ((qa1 + qa0) * (cast(pb1 as decimal(38,0)) - pb0))""").as("e"))
+      .groupBy($"brand_a", $"brand_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("cast(sum(e) as decimal(38,0)) div count(1)").as("mean_e_micro"),
+        sum(($"e" > 0L).cast("long")).as("n_substitute"))
+      .orderBy($"brand_a", $"brand_b")
+  }
+
+  val q402Sql: String =
+    """WITH bm AS MATERIALIZED (
+      |  SELECT p.p_brand AS brand, substr(p.p_brand, 7, 1) AS mfr,
+      |    year(l.l_shipdate) * 12 + month(l.l_shipdate) AS mk,
+      |    (CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS HUGEINT)
+      |      * 1000000) // CAST(sum(CAST(l.l_quantity AS BIGINT)) AS HUGEINT) AS p,
+      |    CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY 1, 2, 3),
+      |j AS (
+      |  SELECT ac.brand AS brand_a, bc.brand AS brand_b,
+      |    ((ac.q - ap.q) * (CAST(bc.p AS HUGEINT) + bp.p) * 1000000)
+      |      // ((ac.q + ap.q) * (CAST(bc.p AS HUGEINT) - bp.p)) AS e
+      |  FROM bm ac
+      |  JOIN bm ap ON ap.brand = ac.brand AND ap.mk = ac.mk - 1
+      |  JOIN bm bc ON bc.mk = ac.mk AND bc.mfr = ac.mfr
+      |    AND bc.brand <> ac.brand
+      |  JOIN bm bp ON bp.brand = bc.brand AND bp.mk = ac.mk - 1
+      |  WHERE abs(bc.p - bp.p) * 100 >= bp.p)
+      |SELECT brand_a, brand_b, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(CAST(sum(e) AS HUGEINT) // count(*) AS BIGINT) AS mean_e_micro,
+      |  CAST(sum(CASE WHEN e > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_substitute
+      |FROM j GROUP BY 1, 2 ORDER BY brand_a, brand_b""".stripMargin
+
   /** q375 — bullwhip ratio: the variance of monthly ORDER revenue
     * over the variance of monthly SHIPPED revenue, on the months both
     * series cover — the classic supply-chain amplification diagnostic
@@ -2321,6 +2399,7 @@ object Relational {
   val all: Seq[QueryDef] = Seq(
     QueryDef("q358_price_index", q358, Some(q358Sql)),
     QueryDef("q363_arc_elasticity", q363, Some(q363Sql)),
+    QueryDef("q402_cross_elasticity", q402, Some(q402Sql)),
     QueryDef("q375_bullwhip", q375, Some(q375Sql)),
     QueryDef("q377_chain_ladder", q377, Some(q377Sql)),
     QueryDef("q380_mean_residual_life", q380, Some(q380Sql)),
