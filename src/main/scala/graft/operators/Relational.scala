@@ -1761,6 +1761,75 @@ object Relational {
       |  CAST(sum(CASE WHEN e > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_substitute
       |FROM j GROUP BY 1, 2 ORDER BY brand_a, brand_b""".stripMargin
 
+  /** q403 — Croston's method for INTERMITTENT demand (Croston 1972):
+    * the sparse-series forecaster q270's Holt cannot be — exponential
+    * smoothing on a mostly-zero series decays toward zero between
+    * demands and spikes on each one, while Croston smooths the demand
+    * SIZES z and the inter-demand INTERVALS p separately (only on
+    * demand days) and forecasts the per-day rate z/p. Series: daily
+    * shipped quantity of part 1 (≈ 30 demand days across the window —
+    * genuinely intermittent). Stated semantics: α = 0.2; the first
+    * event initializes z₁ = q₁·1e6, p₁ = 1e6 (interval 1); later
+    * events fold z' = (α·q·1e6 + (1−α)·z) div 1e6-style integer
+    * fixed-point exactly as q270 (M = 1e6, truncating), with the
+    * interval iₖ = dayₖ − dayₖ₋₁; the rate is one more micro division.
+    * Driver-side fold over the ≤ day-calendar demand grid (the q270
+    * bounded-fold pattern); oracle replays it as a recursive CTE.
+    *
+    * Scale shape: the corpus collapses to one part's demand-day grid
+    * (bounded by the calendar); the sequential fold touches only that
+    * grid. Forecasting ALL parts at once would instead ride
+    * groupRunningSum-style partitioned folds — this readout pins the
+    * estimator's semantics on one series. */
+  def q403(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.lineitem(s, d)
+      .filter($"l_partkey" === 1L)
+      .groupBy(epochDay($"l_shipdate").as("day"))
+      .agg(sum($"l_quantity".cast("long")).as("q"))
+      .orderBy($"day")
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1)))
+    val alpha = 200000L; val m = 1000000L
+    var z = 0L; var p = 0L; var prevDay = 0L
+    val rows = daily.zipWithIndex.map { case ((day, q), i) =>
+      val interval = if (i == 0) 1L else day - prevDay
+      if (i == 0) { z = q * m; p = m }
+      else {
+        z = (alpha * (q * m) + (m - alpha) * z) / m
+        p = (alpha * (interval * m) + (m - alpha) * p) / m
+      }
+      prevDay = day
+      (day, q, interval, z, p, z * m / p)
+    }
+    s.createDataFrame(rows.toSeq)
+      .toDF("day", "qty", "interval_days", "z_micro", "p_micro", "rate_micro")
+      .orderBy($"day")
+  }
+
+  val q403Sql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS day,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem WHERE l_partkey = 1 GROUP BY 1),
+      |o AS (
+      |  SELECT day, q, row_number() OVER (ORDER BY day) AS rn,
+      |    day - lag(day) OVER (ORDER BY day) AS gap
+      |  FROM daily),
+      |cr(rn, day, q, iv, z, p) AS (
+      |  SELECT rn, day, q, CAST(1 AS BIGINT), q * 1000000,
+      |    CAST(1000000 AS BIGINT)
+      |  FROM o WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.rn, o.day, o.q, o.gap,
+      |    (200000 * (o.q * 1000000) + 800000 * cr.z) // 1000000,
+      |    (200000 * (o.gap * 1000000) + 800000 * cr.p) // 1000000
+      |  FROM cr JOIN o ON o.rn = cr.rn + 1)
+      |SELECT CAST(day AS BIGINT) AS day, q AS qty,
+      |  CAST(iv AS BIGINT) AS interval_days,
+      |  CAST(z AS BIGINT) AS z_micro, CAST(p AS BIGINT) AS p_micro,
+      |  CAST(CAST(z AS HUGEINT) * 1000000 // p AS BIGINT) AS rate_micro
+      |FROM cr ORDER BY day""".stripMargin
+
   /** q375 — bullwhip ratio: the variance of monthly ORDER revenue
     * over the variance of monthly SHIPPED revenue, on the months both
     * series cover — the classic supply-chain amplification diagnostic
@@ -2400,6 +2469,7 @@ object Relational {
     QueryDef("q358_price_index", q358, Some(q358Sql)),
     QueryDef("q363_arc_elasticity", q363, Some(q363Sql)),
     QueryDef("q402_cross_elasticity", q402, Some(q402Sql)),
+    QueryDef("q403_croston", q403, Some(q403Sql)),
     QueryDef("q375_bullwhip", q375, Some(q375Sql)),
     QueryDef("q377_chain_ladder", q377, Some(q377Sql)),
     QueryDef("q380_mean_residual_life", q380, Some(q380Sql)),

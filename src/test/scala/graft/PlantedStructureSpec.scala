@@ -1752,4 +1752,93 @@ class PlantedStructureSpec extends SparkSpec {
     assert(share > 0.95,
       f"eigenvector mass on the planted axis only $share%.3f")
   }
+
+  // ---- round-11 gates: q396/q397/q400/q401 --------------------------
+
+  /** lineitem fixture with returnflag/linestatus/discount for q396. */
+  private def aucLineitemDir(rows: Seq[(String, String, Double)]): String = {
+    val dir = Files.createTempDirectory("planted-auc")
+    rows.toDF("l_returnflag", "l_linestatus", "l_discount")
+      .withColumn("l_orderkey", monotonically_increasing_id())
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("lineitem.parquet").toString)
+    dir.toString
+  }
+
+  test("q396 reads planted perfect separation as AUC exactly 1e6, reversal as 0, pure ties as 500000") {
+    // status F: all returns at the HIGH discount -> AUC = 1
+    // status O: all returns at the LOW discount -> AUC = 0
+    val rows =
+      (1 to 50).map(_ => ("R", "F", 0.10)) ++
+        (1 to 50).map(_ => ("N", "F", 0.00)) ++
+        (1 to 50).map(_ => ("R", "O", 0.00)) ++
+        (1 to 50).map(_ => ("N", "O", 0.10))
+    val out = operators.AssociationQueries.q396(spark, aucLineitemDir(rows))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out("F") === 1000000L, s"perfect separation: $out")
+    assert(out("O") === 0L, s"perfect anti-separation: $out")
+    // one shared score value: every pair is a tie -> AUC = 1/2
+    val tied = (1 to 30).map(_ => ("R", "F", 0.05)) ++
+      (1 to 70).map(_ => ("N", "F", 0.05))
+    val t = operators.AssociationQueries.q396(spark, aucLineitemDir(tied))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(t("F") === 500000L, s"all-ties AUC: $t")
+  }
+
+  test("q397 reads a planted null effect as E-value exactly 1") {
+    // every user converts in both arms -> RR = 1 -> E = 1 + sqrt(0)
+    val rows = (1 to 200).map(u => (u % 30 + 1, u.toLong, "purchase", 1.0))
+    val r = operators.AssociationQueries.q397(spark, eventsDir(rows)).head()
+    assert(r.getDouble(4) === 1.0 && r.getDouble(5) === 1.0,
+      s"null-effect E-value drifted: $r")
+  }
+
+  /** part + lineitem fixture for q400: brand b ships revenue
+    * `dollars(b, yearIdx)` in each year 1992 + yearIdx. */
+  private def brandYearDir(brands: Int, years: Int,
+      dollars: (Int, Int) => Double): String = {
+    val dir = Files.createTempDirectory("planted-brandyr")
+    (1 to brands).map(b => (b.toLong, s"Brand#$b"))
+      .toDF("p_partkey", "p_brand")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("part.parquet").toString)
+    val rows = for (b <- 1 to brands; y <- 0 until years)
+      yield (b.toLong, y, dollars(b, y))
+    rows.toDF("l_partkey", "yi", "l_extendedprice")
+      .withColumn("l_shipdate", timestamp_micros(
+        (($"yi" * 365L + 8036L) * 86400L + 43200L) * 1000000L)) // 1992 + yi
+      .withColumn("l_orderkey", monotonically_increasing_id())
+      .select($"l_orderkey", $"l_partkey", $"l_extendedprice", $"l_shipdate")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("lineitem.parquet").toString)
+    dir.toString
+  }
+
+  test("q400 reads a planted monotone rise as the maximal L with z > 0, a fall as minimal L with z < 0") {
+    val n = 6; val k = 5
+    // rising: every block ranks years 1..k in order -> L = n * sum j^2
+    val up = operators.GovernanceQueries.q400(spark,
+      brandYearDir(n, k, (b, y) => 100.0 + 10.0 * y + b)).head()
+    val lMax = n.toLong * (1 to k).map(j => j.toLong * j).sum
+    assert(up.getLong(4) === lMax, s"rising L: $up")
+    assert(up.getDouble(5) > 2.0, s"rising z: $up")
+    // falling: rank of year j is k+1-j -> L = n * sum j*(k+1-j)
+    val dn = operators.GovernanceQueries.q400(spark,
+      brandYearDir(n, k, (b, y) => 100.0 + 10.0 * (k - y) + b)).head()
+    val lMin = n.toLong * (1 to k).map(j => j.toLong * (k + 1 - j)).sum
+    assert(dn.getLong(4) === lMin, s"falling L: $dn")
+    assert(dn.getDouble(5) < -2.0, s"falling z: $dn")
+  }
+
+  test("q401 counts a planted zig-zag as all-interior turning points and a monotone rise as none") {
+    // strict alternation: every interior day is an extremum
+    val zig = operators.EventQueries.q401(spark,
+      ordersDir(1 to 20, d => if (d % 2 == 0) 30.0 else 10.0)).head()
+    assert(zig.getLong(0) === 20L && zig.getLong(1) === 18L, s"$zig")
+    assert(zig.getDouble(3) > 2.0, s"zig z: $zig")
+    val mono = operators.EventQueries.q401(spark,
+      ordersDir(1 to 20, d => 10.0 * d)).head()
+    assert(mono.getLong(1) === 0L, s"monotone turning points: $mono")
+    assert(mono.getDouble(3) < -2.0, s"monotone z: $mono")
+  }
 }
