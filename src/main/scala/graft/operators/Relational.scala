@@ -2312,6 +2312,162 @@ object Relational {
       |FROM latest l JOIN comp ON l.ldev = comp.ldev
       |ORDER BY y, m""".stripMargin
 
+  /** q404 — Bornhuetter–Ferguson reserving over the q377/q390 shipment
+    * triangle: ultimate_BF = shipped-to-date + prior-ultimate ×
+    * (unshipped share), where the unshipped share comes from the
+    * chain-ladder completion factor (1 − 1/CDF = (comp − 1e6)/comp in
+    * micro space) and the PRIOR ultimate is the cohort's booked order
+    * value (Σ o_totalprice — the exposure the ledger already knows) ×
+    * a stated ELR of 1. The actuarial complement of q390: chain-ladder
+    * multiplies the observed cum (volatile for young cohorts where
+    * CDF is large); BF adds the expected-unreported instead, so a
+    * cohort with one early shipment doesn't project absurdly. Exact:
+    * the completion chain is q390's stated per-step truncation; prior
+    * cents are grid-first sums; the BF addend is one DECIMAL
+    * truncating multiply-divide per cohort.
+    *
+    * Scale shape: the triangle collapses to (cohort, dev) cells; the
+    * prior is one orders aggregate on the bounded cohort grid;
+    * everything after is grid-sized joins + a driver fold over ≤ 6
+    * factors. */
+  def q404(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tri = devTriangle(s, d)
+    val mx = maxShipMk(s, d)
+    val factors = devFactors(s, tri, mx)
+      .filter($"factor_micro".isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap // ≤ 6 rows
+    val comp = scala.collection.mutable.Map(6L -> 1000000L)
+    (0 to 5).reverse.foreach { dv =>
+      for (f <- factors.get(dv.toLong); nx <- comp.get(dv + 1L))
+        comp(dv.toLong) = f * nx / 1000000L
+    }
+    val compDf = comp.toSeq.map { case (dv, fc) => (dv, fc) }
+      .toDF("ldev", "comp_micro")
+    val prior = Tables.orders(s, d)
+      .groupBy((year($"o_orderdate") * 12 + month($"o_orderdate")).as("cohort"))
+      .agg(floor(sum($"o_totalprice") * 100 + lit(0.5)).cast("long")
+        .as("prior_cents"))
+    val latest = tri.groupBy($"cohort").agg(max($"dev").as("ldev"))
+      .join(tri.select($"cohort", $"dev".as("ldev"), $"cum"), Seq("cohort", "ldev"))
+      .crossJoin(broadcast(mx))
+      .filter($"mx" - $"cohort" < 6L) // immature cohorts only
+    latest.join(broadcast(compDf), "ldev")
+      .join(prior, "cohort")
+      .select(expr("cast((cohort - 1) div 12 as int)").as("y"),
+        expr("cast((cohort - 1) % 12 + 1 as int)").as("m"),
+        $"ldev".as("latest_dev"), $"cum".as("cum_cents"), $"prior_cents",
+        ($"cum" + expr(
+          """(cast(prior_cents as decimal(38,0)) * (comp_micro - 1000000))
+             div comp_micro""")).as("ultimate_bf_cents"))
+      .orderBy($"y", $"m")
+  }
+
+  val q404Sql: String =
+    """WITH RECURSIVE tri AS MATERIALIZED (
+      |  SELECT cohort, dev, CAST(sum(cents) AS BIGINT) AS inc,
+      |    CAST(sum(sum(cents)) OVER (PARTITION BY cohort ORDER BY dev)
+      |      AS BIGINT) AS cum
+      |  FROM (
+      |    SELECT year(o.o_orderdate) * 12 + month(o.o_orderdate) AS cohort,
+      |      (year(l.l_shipdate) * 12 + month(l.l_shipdate))
+      |        - (year(o.o_orderdate) * 12 + month(o.o_orderdate)) AS dev,
+      |      CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS cents
+      |    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey) t
+      |  WHERE dev BETWEEN 0 AND 6
+      |  GROUP BY cohort, dev),
+      |mx AS (
+      |  SELECT max(year(l_shipdate) * 12 + month(l_shipdate)) AS mx
+      |  FROM lineitem),
+      |fac AS (
+      |  SELECT dev,
+      |    (CAST(sum(cd1) AS HUGEINT) * 1000000) // CAST(sum(cd) AS HUGEINT)
+      |      AS f
+      |  FROM (
+      |    SELECT cur.dev, cur.cum AS cd, nxt.cum AS cd1
+      |    FROM tri cur
+      |    JOIN tri nxt ON nxt.cohort = cur.cohort AND nxt.dev = cur.dev + 1
+      |    CROSS JOIN mx
+      |    WHERE cur.cohort <= mx.mx - (cur.dev + 1)) j
+      |  GROUP BY dev HAVING sum(cd) > 0),
+      |comp AS (
+      |  SELECT CAST(6 AS BIGINT) AS ldev, CAST(1000000 AS HUGEINT) AS c
+      |  UNION ALL
+      |  SELECT c.ldev - 1, (fac.f * c.c) // 1000000
+      |  FROM comp c JOIN fac ON fac.dev = c.ldev - 1
+      |  WHERE c.ldev > 0),
+      |prior AS (
+      |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS cohort,
+      |    CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS prior_cents
+      |  FROM orders GROUP BY 1),
+      |latest AS (
+      |  SELECT tri.cohort, tri.dev AS ldev, tri.cum
+      |  FROM tri
+      |  JOIN (SELECT cohort, max(dev) AS md FROM tri GROUP BY cohort) m
+      |    ON tri.cohort = m.cohort AND tri.dev = m.md
+      |  CROSS JOIN mx
+      |  WHERE mx.mx - tri.cohort < 6)
+      |SELECT CAST((l.cohort - 1) // 12 AS INT) AS y,
+      |  CAST((l.cohort - 1) % 12 + 1 AS INT) AS m,
+      |  l.ldev AS latest_dev, l.cum AS cum_cents, p.prior_cents,
+      |  l.cum + CAST((CAST(p.prior_cents AS HUGEINT) * (comp.c - 1000000))
+      |    // comp.c AS BIGINT) AS ultimate_bf_cents
+      |FROM latest l
+      |JOIN comp ON l.ldev = comp.ldev
+      |JOIN prior p ON l.cohort = p.cohort
+      |ORDER BY y, m""".stripMargin
+
+  /** q405 — robust distribution shape per order status: Bowley's
+    * quartile skewness (Q3+Q1−2·Q2)/(Q3−Q1) and Moors' octile
+    * kurtosis ((E7−E5)+(E3−E1))/(Q3−Q1) — the outlier-immune
+    * complements of q309's moment-based skew/kurtosis, which a single
+    * mega-order can drag arbitrarily (both statistics here depend
+    * only on the middle of the order-value distribution; Moors ≈ 1.23
+    * for a normal). Determinism: each octile is the q31 precedent —
+    * Spark `percentile` ≡ DuckDB `quantile_cont` (same linear
+    * interpolation), pinned to the r4 grid BEFORE the ratios, so the
+    * ratio arithmetic runs on bit-identical doubles in a fixed
+    * mirrored tree; final ratios r6.
+    *
+    * Scale shape: one grouped exact-percentile aggregate (Spark's
+    * percentile is a per-group sort-based aggregate over the 3
+    * status groups — at 100 TB swap in the quantile-sketch q157 path;
+    * this readout pins the exact semantics), then scalar math. */
+  def q405(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def oct(p: Double, nm: String) =
+      r4(expr(s"percentile(o_totalprice, $p)")).as(nm)
+    Tables.orders(s, d)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        oct(0.125, "e1"), oct(0.25, "q1"), oct(0.375, "e3"),
+        oct(0.5, "q2"), oct(0.625, "e5"), oct(0.75, "q3"),
+        oct(0.875, "e7"))
+      .select($"o_orderstatus", $"n",
+        $"q1", $"q2", $"q3",
+        r6(($"q3" + $"q1" - lit(2.0) * $"q2") / ($"q3" - $"q1"))
+          .as("bowley_skew"),
+        r6((($"e7" - $"e5") + ($"e3" - $"e1")) / ($"q3" - $"q1"))
+          .as("moors_kurtosis"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val q405Sql: String = {
+    def oct(p: String, nm: String) =
+      s"${sqlR4(s"quantile_cont(o_totalprice, $p)")} AS $nm"
+    s"""WITH o AS (
+       |  SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       |    ${oct("0.125", "e1")}, ${oct("0.25", "q1")},
+       |    ${oct("0.375", "e3")}, ${oct("0.5", "q2")},
+       |    ${oct("0.625", "e5")}, ${oct("0.75", "q3")},
+       |    ${oct("0.875", "e7")}
+       |  FROM orders GROUP BY o_orderstatus)
+       |SELECT o_orderstatus, n, q1, q2, q3,
+       |  ${sqlR6("(q3 + q1 - 2.0 * q2) / (q3 - q1)")} AS bowley_skew,
+       |  ${sqlR6("((e7 - e5) + (e3 - e1)) / (q3 - q1)")} AS moors_kurtosis
+       |FROM o ORDER BY o_orderstatus""".stripMargin
+  }
+
   /** q387 — generalized-entropy GE(2) inequality decomposition: how
     * much of line-revenue inequality lives BETWEEN brands vs WITHIN
     * them? GE(2) = ½(N·Σy²/S² − 1) is the half-squared-CV member of
@@ -2470,6 +2626,8 @@ object Relational {
     QueryDef("q363_arc_elasticity", q363, Some(q363Sql)),
     QueryDef("q402_cross_elasticity", q402, Some(q402Sql)),
     QueryDef("q403_croston", q403, Some(q403Sql)),
+    QueryDef("q404_bf_reserving", q404, Some(q404Sql)),
+    QueryDef("q405_robust_shape", q405, Some(q405Sql)),
     QueryDef("q375_bullwhip", q375, Some(q375Sql)),
     QueryDef("q377_chain_ladder", q377, Some(q377Sql)),
     QueryDef("q380_mean_residual_life", q380, Some(q380Sql)),
