@@ -1846,7 +1846,90 @@ object GovernanceQueries {
        |FROM rsum r CROSS JOIN z ORDER BY r.yr""".stripMargin
   }
 
+  /** q406 — Cochran's Q test: do the k event types differ in their
+    * WEEKLY REACH — the probability that an active user-week contains
+    * at least one event of the type? The binary-outcome member of the
+    * blocked-design family: q351 (Friedman) ranks continuous cell
+    * values within blocks, q349 (McNemar) is the k = 2 special case
+    * on paired flips; Cochran's Q generalizes McNemar to k matched
+    * treatments on a 0/1 response. Blocks are ACTIVE user-weeks
+    * (user × Monday-truncated week with ≥ 1 event of any type — the
+    * matched panel), treatment j's response x_bj = 1 iff the block
+    * contains an event of type j. Exact end-to-end: with column
+    * totals C_j, block totals R_b and T = ΣC_j, the identity
+    * Q = (k−1)·(k·ΣC_j² − T²)/(k·T − ΣR_b²) is all-integer;
+    * q_micro is one truncating DECIMAL(38,0)/HUGEINT division
+    * (saturated and empty blocks cancel in both sums, so keeping
+    * them is the standard semantics). Verdict against the pinned
+    * χ²(k−1) 5% critical value, k data-driven (q351's case table).
+    *
+    * Scale shape: one distinct-triple aggregate collapses the corpus
+    * to (user, week, type) presence cells; block totals and column
+    * totals are two more hash aggregates over that; the statistic is
+    * a 1-row rollup cross-joined back (broadcast). Nothing holds
+    * per-user state on the driver and nothing is quadratic. */
+  def q406(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.events(s, d)
+      .select($"user_id", date_trunc("week", $"ts").as("wk"),
+        $"event_type".as("etype"))
+      .distinct()
+      .transform(Fx.materialize)
+    val rows = cells.groupBy($"user_id", $"wk")
+      .agg(count(lit(1)).as("rb"))
+    val cols = cells.groupBy($"etype").agg(count(lit(1)).as("cj"))
+    val rowAgg = rows.agg(
+      sum(expr("cast(rb as decimal(38,0)) * rb")).as("sr2"),
+      count(lit(1)).as("nb"))
+    val colAgg = cols.agg(
+      sum(expr("cast(cj as decimal(38,0)) * cj")).as("sc2"),
+      sum($"cj").as("t"), count(lit(1)).as("kk"))
+    val stat = colAgg.crossJoin(broadcast(rowAgg))
+      .withColumn("q_micro", expr(
+        """cast(((kk - 1) * (kk * sc2 - cast(t as decimal(38,0)) * t) * 1000000)
+           div (kk * cast(t as decimal(38,0)) - sr2) as bigint)"""))
+      .withColumn("crit_micro", expr(
+        """case kk - 1 when 1 then 3841459 when 2 then 5991465
+           when 3 then 7814728 when 4 then 9487729
+           else 11070498 end"""))
+    cols.crossJoin(broadcast(stat))
+      .select($"etype", $"cj".as("c_weeks"), $"nb".as("n_blocks"),
+        $"q_micro",
+        ($"q_micro" > $"crit_micro").cast("int").as("reject_5pct"))
+      .orderBy($"etype")
+  }
+
+  val q406Sql: String =
+    """WITH cells AS MATERIALIZED (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk,
+      |    event_type AS etype
+      |  FROM events),
+      |rws AS (
+      |  SELECT user_id, wk, CAST(count(*) AS BIGINT) AS rb
+      |  FROM cells GROUP BY 1, 2),
+      |cls AS (
+      |  SELECT etype, CAST(count(*) AS BIGINT) AS cj FROM cells GROUP BY 1),
+      |ra AS (
+      |  SELECT sum(CAST(rb AS HUGEINT) * rb) AS sr2,
+      |    CAST(count(*) AS BIGINT) AS nb FROM rws),
+      |ca AS (
+      |  SELECT sum(CAST(cj AS HUGEINT) * cj) AS sc2,
+      |    CAST(sum(cj) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS kk
+      |  FROM cls),
+      |st AS (
+      |  SELECT nb,
+      |    CAST(((kk - 1) * (kk * sc2 - CAST(t AS HUGEINT) * t) * 1000000)
+      |      // (kk * CAST(t AS HUGEINT) - sr2) AS BIGINT) AS q_micro,
+      |    CASE kk - 1 WHEN 1 THEN 3841459 WHEN 2 THEN 5991465
+      |      WHEN 3 THEN 7814728 WHEN 4 THEN 9487729
+      |      ELSE 11070498 END AS crit_micro
+      |  FROM ca CROSS JOIN ra)
+      |SELECT cls.etype, cls.cj AS c_weeks, st.nb AS n_blocks, st.q_micro,
+      |  CAST(st.q_micro > st.crit_micro AS INT) AS reject_5pct
+      |FROM cls CROSS JOIN st ORDER BY cls.etype""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q406_cochran_q", q406, Some(q406Sql)),
     QueryDef("q400_page_trend", q400, Some(q400Sql)),
     QueryDef("q359_cochran_armitage", q359, Some(q359Sql)),
     QueryDef("q373_levene_bf", q373, Some(q373Sql)),

@@ -880,7 +880,99 @@ object GraphQueries {
       |    // (CAST(n_nodes AS HUGEINT) * (n_nodes - 1)) AS BIGINT) AS phi_micro
       |FROM cum WHERE n_nodes >= 2 ORDER BY k""".stripMargin
 
+  /** q407 — Moran's I spatial autocorrelation: do nations in the SAME
+    * region have correlated average customer balances? The
+    * graph-weighted cousin of plain correlation the spatial-stats
+    * shelf lacked: q350 (assortativity) correlates DEGREES across
+    * edges of a behavioral graph, q385 measures label homophily;
+    * Moran's I correlates a numeric ATTRIBUTE across a fixed spatial
+    * adjacency — here the binary same-region weight matrix (w_ij = 1
+    * iff i ≠ j share a region), the canonical contiguity choice.
+    * Exact end-to-end: the nation attribute is the per-nation mean
+    * customer balance pushed to the 0.01-cent grid by one truncating
+    * div (m_i = 100·S_i div c_i over exact cent sums — q363's div
+    * discipline); deviations are cleared of the 1/n by the scaling
+    * d_i = n·m_i − Σm (all-integer); the same-region cross-sum uses
+    * the identity Σ_{i≠j∈r} d_i d_j = (Σ_r d)² − Σ_r d², so
+    * I_micro = (10⁶·n·Σ_r[(Σd)²−Σd²]) div (W·Σd²) is one truncating
+    * DECIMAL(38,0) division with W = Σ_r c_r(c_r−1) ordered pairs.
+    * Expected value under the null E[I] = −1/(n−1) reported on the
+    * same micro grid; significance is omitted (stated — the
+    * randomization variance needs the b₂ kurtosis machinery).
+    *
+    * Scale shape: customers collapse to the 25-row nation relation in
+    * one aggregate; everything after (region sums, the statistic) runs
+    * on that value-domain-bounded grid with broadcast cross-joins.
+    * The "pair join" never materializes — the region identity
+    * replaces it with two per-region aggregates. */
+  def q407(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nat = Tables.customer(s, d)
+      .groupBy($"c_nationkey")
+      .agg(sum(floor($"c_acctbal" * 100 + lit(0.5)).cast("long")).as("s"),
+        count(lit(1)).as("c"))
+      .join(Tables.nation(s, d), $"c_nationkey" === $"n_nationkey")
+      .select($"n_nationkey".as("nk"), $"n_name".as("nation"),
+        $"n_regionkey".as("rk"),
+        expr("(100 * cast(s as decimal(38,0))) div c").as("m"))
+      .transform(Fx.materialize)
+    val tot = nat.agg(sum($"m").as("sm"), count(lit(1)).as("n"))
+    val dev = nat.crossJoin(broadcast(tot))
+      .withColumn("dd", expr("cast(n as decimal(38,0)) * m - sm"))
+    val reg = dev.groupBy($"rk")
+      .agg(sum($"dd").as("sd"), sum(expr("dd * dd")).as("sd2"),
+        count(lit(1)).as("cr"))
+      .withColumn("cross_r", expr("sd * sd - sd2"))
+      .withColumn("w_r", expr("cast(cr as decimal(38,0)) * (cr - 1)"))
+    val stat = reg.agg(sum($"cross_r").as("num"), sum($"w_r").as("w"),
+        sum($"sd2").as("den"))
+      .crossJoin(broadcast(tot))
+      .select(
+        $"n".as("n_nations"), expr("cast(w as bigint)").as("w_pairs"),
+        expr("cast((1000000 * cast(n as decimal(38,0)) * num) div (w * den) as bigint)")
+          .as("i_micro"),
+        expr("cast((-1000000) div (n - 1) as bigint)").as("e_i_micro"))
+    reg.select($"rk".as("regionkey"), expr("cast(cr as bigint)").as("n_in_region"),
+        expr("cast(cross_r div 1000000 as bigint)").as("cross_sum_m"))
+      .crossJoin(broadcast(stat))
+      .withColumn("positive_autocorr",
+        ($"i_micro" > $"e_i_micro").cast("int"))
+      .orderBy($"regionkey")
+  }
+
+  val q407Sql: String =
+    """WITH nat AS MATERIALIZED (
+      |  SELECT n.n_nationkey AS nk, n.n_regionkey AS rk,
+      |    (100 * CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+      |      AS HUGEINT)) // count(*) AS m
+      |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT CAST(sum(m) AS HUGEINT) AS sm, CAST(count(*) AS BIGINT) AS n
+      |  FROM nat),
+      |dev AS (
+      |  SELECT nat.rk, CAST(tot.n AS HUGEINT) * nat.m - tot.sm AS dd
+      |  FROM nat CROSS JOIN tot),
+      |reg AS (
+      |  SELECT rk, sum(dd) * sum(dd) - sum(dd * dd) AS cross_r,
+      |    sum(dd * dd) AS sd2,
+      |    CAST(count(*) AS HUGEINT) * (count(*) - 1) AS w_r,
+      |    CAST(count(*) AS BIGINT) AS cr
+      |  FROM dev GROUP BY rk),
+      |st AS (
+      |  SELECT tot.n AS n_nations, CAST(sum(w_r) AS BIGINT) AS w_pairs,
+      |    CAST((1000000 * CAST(tot.n AS HUGEINT) * sum(cross_r))
+      |      // (sum(w_r) * sum(sd2)) AS BIGINT) AS i_micro,
+      |    CAST((-1000000) // (tot.n - 1) AS BIGINT) AS e_i_micro
+      |  FROM reg CROSS JOIN tot GROUP BY tot.n)
+      |SELECT reg.rk AS regionkey, reg.cr AS n_in_region,
+      |  CAST(reg.cross_r // 1000000 AS BIGINT) AS cross_sum_m,
+      |  st.n_nations, st.w_pairs, st.i_micro, st.e_i_micro,
+      |  CAST(st.i_micro > st.e_i_micro AS INT) AS positive_autocorr
+      |FROM reg CROSS JOIN st ORDER BY regionkey""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q407_morans_i", q407, Some(q407Sql)),
     QueryDef("q350_degree_assortativity", q350, Some(q350Sql)),
     QueryDef("q399_rich_club", q399, Some(q399Sql)),
     QueryDef("q360_attack_robustness", q360, Some(q360Sql)),
