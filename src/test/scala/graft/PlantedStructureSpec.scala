@@ -1841,4 +1841,180 @@ class PlantedStructureSpec extends SparkSpec {
     assert(mono.getLong(1) === 0L, s"monotone turning points: $mono")
     assert(mono.getDouble(3) < -2.0, s"monotone z: $mono")
   }
+
+  // ---- round-11 gates: q398/q399/q402..q407 --------------------------
+
+  test("q398 accumulates the planted hazard ladder with exact micro increments") {
+    // spans: u1 t=0 death, u2 t=2 death, u3 t=4 death,
+    // u4 t=8 censored (ends on the edge day), u5 t=0 censored
+    val rows = Seq(
+      (1, 1L, "view", 1.0),
+      (1, 2L, "view", 1.0), (3, 2L, "view", 1.0),
+      (1, 3L, "view", 1.0), (5, 3L, "view", 1.0),
+      (2, 4L, "view", 1.0), (10, 4L, "view", 1.0),
+      (10, 5L, "view", 1.0))
+    val out = operators.EventQueries.q398(spark, eventsDir(rows))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // H increments: 1e6/5=200000, 1e6/3=333333, 1e6/2=500000, censor 0
+    assert(out.toSeq === Seq(
+      (0L, 5L, 1L, 1L, 200000L, 200000L),
+      (2L, 3L, 1L, 0L, 333333L, 533333L),
+      (4L, 2L, 1L, 0L, 500000L, 1033333L),
+      (8L, 1L, 0L, 1L, 0L, 1033333L)), s"${out.toSeq}")
+  }
+
+  test("q399 reads a planted K4-plus-pendants as phi exactly 1.0 at the club and a star as no club") {
+    // one 4-part order = K4 on parts 1..4; four pendant orders hang
+    // parts 5..8 off the hubs -> hub degree 4, pendant degree 1
+    val club = Seq((100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L),
+      (101L, 1L), (101L, 5L), (102L, 2L), (102L, 6L),
+      (103L, 3L), (103L, 7L), (104L, 4L), (104L, 8L))
+    val out = operators.GraphQueries.q399(spark, orderPartsDir(club))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // above k=1 sit the 4 hubs with all 6 club edges: phi = 12/12 = 1
+    assert(out.toSeq === Seq((1L, 4L, 6L, 1000000L)), s"${out.toSeq}")
+    // a star has one node above k=1 -> phi undefined everywhere
+    val star = Seq((201L, 10L), (201L, 11L), (202L, 10L), (202L, 12L),
+      (203L, 10L), (203L, 13L), (204L, 10L), (204L, 14L))
+    assert(operators.GraphQueries.q399(spark, orderPartsDir(star)).count() === 0L)
+  }
+
+  test("q402 signs the planted substitute at +0.6 and the complement at exactly -1") {
+    // B (Brand#12) doubles its unit price 1.00 -> 2.00 between months;
+    // A's quantity rises 10 -> 15 (substitute), C's falls 10 -> 5
+    // (complement); A and C keep unit price flat so only B is a
+    // price-mover and survives the >=1% B-side gate
+    val rows = Seq(
+      ("Brand#11", 5, 10.00, 10.0), ("Brand#11", 35, 15.00, 15.0),
+      ("Brand#12", 5, 10.00, 10.0), ("Brand#12", 35, 20.00, 10.0),
+      ("Brand#13", 5, 10.00, 10.0), ("Brand#13", 35, 5.00, 5.0))
+    val out = operators.Relational.q402(spark, elasticityLinesDir(rows))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // e(A,B) = (5*3e8*1e6) div (25*1e8) = 600000;
+    // e(C,B) = (-5*3e8*1e6) div (15*1e8) = -1000000 exactly
+    assert(out.toSeq === Seq(
+      ("Brand#11", "Brand#12", 1L, 600000L, 1L),
+      ("Brand#13", "Brand#12", 1L, -1000000L, 0L)), s"${out.toSeq}")
+  }
+
+  test("q403 folds the planted intermittent series with the exact alpha=0.2 fixed point") {
+    // part 1 = second sorted brand; demands q=4@d10, 2@d12, 2@d16
+    val rows = Seq(("A", 1, 1.00, 1.0),
+      ("B", 10, 4.00, 4.0), ("B", 12, 2.00, 2.0), ("B", 16, 2.00, 2.0))
+    val out = operators.Relational.q403(spark, elasticityLinesDir(rows))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // z: 4e6 -> .2*2e6+.8*4e6 = 3.6e6 -> .2*2e6+.8*3.6e6 = 3.28e6
+    // p: 1e6 -> .2*2e6+.8*1e6 = 1.2e6 -> .2*4e6+.8*1.2e6 = 1.76e6
+    // rate_3 = 3.28e12 div 1.76e6 = 1863636 (stated truncation)
+    assert(out.toSeq === Seq(
+      (10L, 4L, 1L, 4000000L, 1000000L, 4000000L),
+      (12L, 2L, 2L, 3600000L, 1200000L, 3000000L),
+      (16L, 2L, 4L, 3280000L, 1760000L, 1863636L)), s"${out.toSeq}")
+  }
+
+  test("q404 lands every immature cohort of the uniform triangle on 699 when the prior IS the ultimate") {
+    val dir = Files.createTempDirectory("planted-bf")
+    // q390's uniform triangle; each order books 7.00 = the true
+    // ultimate, so BF and chain-ladder must agree cohort by cohort
+    val monthDay5 = Seq(4L, 35L, 63L, 94L, 124L, 155L, 185L) // Jan..Jul 5th
+    (1 to 7).map(k => (k.toLong, monthDay5(k - 1), 7.00))
+      .toDF("o_orderkey", "day", "o_totalprice")
+      .withColumn("o_orderdate", timestamp_micros(
+        ($"day" * 86400L + 43200L) * 1000000L))
+      .select($"o_orderkey", $"o_orderdate", $"o_totalprice")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("orders.parquet").toString)
+    (1 to 7).flatMap(k => (k to 7).map(m => (k.toLong, monthDay5(m - 1))))
+      .toDF("l_orderkey", "day")
+      .withColumn("l_extendedprice", lit(1.00))
+      .withColumn("l_shipdate", timestamp_micros(
+        ($"day" * 86400L + 43200L) * 1000000L))
+      .select($"l_orderkey", $"l_extendedprice", $"l_shipdate")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("lineitem.parquet").toString)
+    val out = operators.Relational.q404(spark, dir.toString)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // addend(ldev) = 700*(comp-1e6) div comp fills cum to 699 exactly
+    // at every maturity (99, 199, 299, 399, 499, 599)
+    val expect = (2 to 7).map(m =>
+      (1970, m, 7L - m, (8L - m) * 100, 700L, 699L))
+    assert(out.toSeq === expect, s"${out.toSeq} vs $expect")
+  }
+
+  test("q405 keeps Bowley/Moors fixed under a planted mega-order and reads planted skew exactly") {
+    val dir = Files.createTempDirectory("planted-shape")
+    val vals =
+      (1 to 9).map(v => ("A", v.toDouble)) ++              // symmetric
+      ((1 to 8).map(v => ("B", v.toDouble)) :+ ("B", 100.0)) ++ // outlier
+      Seq(1.0, 2.0, 3.0, 3.0, 3.0, 4.0, 7.0, 8.0, 9.0).map(("C", _)) // skew
+    vals.zipWithIndex.map { case ((st, v), i) => (i.toLong, st, v) }
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("orders.parquet").toString)
+    val out = operators.Relational.q405(spark, dir.toString)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    // A: octiles 2..8 -> bowley 0, moors ((8-6)+(4-2))/4 = 1
+    assert(out("A") === ((3.0, 5.0, 7.0, 0.0, 1.0)), s"A ${out("A")}")
+    // B: same middle, 9 -> 100: the quartile stats must not move
+    assert(out("B") === ((3.0, 5.0, 7.0, 0.0, 1.0)), s"B ${out("B")}")
+    // C: e-grid 2,3,3,3,4,7,8 -> bowley (7+3-6)/4 = 1, moors 1.25
+    assert(out("C") === ((3.0, 3.0, 7.0, 1.0, 1.25)), s"C ${out("C")}")
+  }
+
+  test("q406 computes the planted blocked binary design exactly and rejects only the strong split") {
+    // k=3, blocks u1{a,b,c} u2{a} u3{a,b} u4{a}:
+    // Q = 2*(3*21-49)/(21-15) -> 28e6 div 6 = 4666666 < chi2_2 crit
+    val weak = Seq((1, 1L, "a", 0.0), (1, 1L, "b", 0.0), (1, 1L, "c", 0.0),
+      (1, 2L, "a", 0.0), (1, 3L, "a", 0.0), (1, 3L, "b", 0.0),
+      (1, 4L, "a", 0.0))
+    val w = operators.GovernanceQueries.q406(spark, eventsDir(weak))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4)))
+    assert(w.toSeq === Seq(("a", 4L, 4L, 4666666L, 0),
+      ("b", 2L, 4L, 4666666L, 0), ("c", 1L, 4L, 4666666L, 0)), s"${w.toSeq}")
+    // k=2, 8 blocks all take a, half take b: Q = 16e6/4 = 4e6 > 3841459
+    val strong = (1 to 8).map(u => (1, u.toLong, "a", 0.0)) ++
+      (1 to 4).map(u => (1, u.toLong, "b", 0.0))
+    val s = operators.GovernanceQueries.q406(spark, eventsDir(strong))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+        r.getInt(4)))
+    assert(s.toSeq === Seq(("a", 8L, 4000000L, 1), ("b", 4L, 4000000L, 1)),
+      s"${s.toSeq}")
+  }
+
+  /** customer+nation fixture for q407: one customer per nation. */
+  private def custNationDir(rows: Seq[(Long, Long, Double)]): String = {
+    val dir = Files.createTempDirectory("planted-moran")
+    rows.zipWithIndex.map { case ((nk, rk, bal), i) => (i.toLong, nk, bal) }
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("customer.parquet").toString)
+    rows.map { case (nk, rk, _) => (nk, s"NATION$nk", rk) }
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("nation.parquet").toString)
+    dir.toString
+  }
+
+  test("q407 reads planted region-aligned balances as I exactly +1 and interleaved as -1") {
+    // aligned: region 0 holds the two 10.00 nations, region 1 the two
+    // 20.00 nations -> every same-region pair deviates the same way
+    val pos = operators.GraphQueries.q407(spark, custNationDir(Seq(
+      (0L, 0L, 10.00), (1L, 0L, 10.00), (2L, 1L, 20.00), (3L, 1L, 20.00))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(5), r.getLong(6), r.getInt(7)))
+    assert(pos.toSeq === Seq((0L, 2L, 80000L, 1000000L, -333333L, 1),
+      (1L, 2L, 80000L, 1000000L, -333333L, 1)), s"${pos.toSeq}")
+    // interleaved: each region holds one 10.00 and one 20.00 nation
+    val neg = operators.GraphQueries.q407(spark, custNationDir(Seq(
+      (0L, 0L, 10.00), (1L, 0L, 20.00), (2L, 1L, 10.00), (3L, 1L, 20.00))))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(5), r.getInt(7)))
+    assert(neg.toSeq === Seq((0L, -80000L, -1000000L, 0),
+      (1L, -80000L, -1000000L, 0)), s"${neg.toSeq}")
+  }
 }
