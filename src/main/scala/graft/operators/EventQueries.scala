@@ -3240,6 +3240,94 @@ object EventQueries {
       |  CAST((num * 1000000) // den AS BIGINT) AS acf_micro
       |FROM nums CROSS JOIN den ORDER BY k""".stripMargin
 
+  /** q409 — Ljung–Box portmanteau test on q312's ACF grid: is the
+    * daily-revenue series WHITE across the first m lags jointly?
+    * Q(m) = n(n+2)·Σ_{k≤m} ρ̂_k²/(n−k) ~ χ²(m) — the TEST companion to
+    * q312's per-lag estimates, exactly as q393 (Mann–Kendall) is to
+    * q274's Theil–Sen: q312 reports seven correlations with no joint
+    * error control, q306 summarizes only lag 1; Ljung–Box answers
+    * "any serial structure at all?" with one family-level verdict.
+    * Exact: ρ̂_k is q312's stated micro truncation of exact integer
+    * moments (n-scaled centering, DECIMAL products); each LB term is
+    * one more stated truncation (n(n+2)·ρ² div ((n−k)·1e6), all
+    * DECIMAL(38,0)); Q(m) is the exact integer running sum over the
+    * 7-row lag grid, compared against pinned χ²(m) 5% criticals for
+    * every m = 1..7 (no fitted parameters, so df = m — stated).
+    *
+    * Scale shape: identical to q312 — one collapse to the day grid,
+    * a 7-way lag join on that grid, windows over 7 rows. */
+  def q409(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = Tables.orders(s, d)
+      .groupBy(epochDay($"o_orderdate").cast("long").as("day"))
+      .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("rev"))
+    val st = g.agg(count(lit(1)).as("n"), sum($"rev").as("sr"))
+    val c = g.crossJoin(broadcast(st))
+      .select($"day", $"n", ($"n" * $"rev" - $"sr").as("c"))
+      .withColumn("rn", row_number().over(Window.orderBy($"day")))
+      .transform(Fx.materialize)
+    val den = c.agg(sum(expr("cast(c as decimal(38,0)) * c")).as("den"))
+    val base = c.select($"rn".as("ra"), $"c".as("ca"))
+    val shifted = c.select($"rn", $"n", $"c".as("cb"),
+        explode(sequence(lit(1), lit(7))).as("k"))
+      .select($"k".cast("long").as("k"), $"n", ($"rn" - $"k").as("ra"), $"cb")
+    val wCum = Window.orderBy($"k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    shifted.join(base, "ra")
+      .groupBy($"k", $"n")
+      .agg(sum(expr("cast(ca as decimal(38,0)) * cb")).as("num"))
+      .crossJoin(broadcast(den))
+      .withColumn("rho_micro", expr("(num * 1000000) div den"))
+      .withColumn("term", expr(
+        """(cast(n as decimal(38,0)) * (n + 2) * rho_micro * rho_micro)
+           div ((n - k) * 1000000)"""))
+      .withColumn("q_micro", sum($"term").over(wCum).cast("long"))
+      .withColumn("crit_micro", expr(
+        """cast(case k when 1 then 3841459 when 2 then 5991465
+           when 3 then 7814728 when 4 then 9487729 when 5 then 11070498
+           when 6 then 12591587 else 14067140 end as bigint)"""))
+      .select($"k", $"rho_micro", $"q_micro",
+        $"crit_micro", ($"q_micro" > $"crit_micro").cast("int").as("reject_5pct"))
+      .orderBy($"k")
+  }
+
+  val q409Sql: String =
+    """WITH g AS (
+      |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+      |  FROM orders GROUP BY 1),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(rev) AS BIGINT) AS sr
+      |       FROM g),
+      |c AS (SELECT day, n, n * rev - sr AS c,
+      |        row_number() OVER (ORDER BY day) AS rn
+      |      FROM g CROSS JOIN st),
+      |den AS (SELECT sum(CAST(c AS HUGEINT) * c) AS den FROM c),
+      |ks AS (SELECT unnest(range(1, 8)) AS k),
+      |sh AS (SELECT k, n, rn - k AS ra, c AS cb FROM c CROSS JOIN ks),
+      |nums AS (
+      |  SELECT k, sh.n, sum(CAST(a.c AS HUGEINT) * sh.cb) AS num
+      |  FROM sh JOIN c a ON sh.ra = a.rn GROUP BY k, sh.n),
+      |terms AS (
+      |  SELECT CAST(k AS BIGINT) AS k,
+      |    CAST((num * 1000000) // den AS BIGINT) AS rho_micro,
+      |    (CAST(n AS HUGEINT) * (n + 2)
+      |      * ((num * 1000000) // den) * ((num * 1000000) // den))
+      |      // ((n - k) * 1000000) AS term
+      |  FROM nums CROSS JOIN den)
+      |SELECT k, rho_micro,
+      |  CAST(sum(term) OVER (ORDER BY k
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS q_micro,
+      |  CAST(CASE k WHEN 1 THEN 3841459 WHEN 2 THEN 5991465
+      |    WHEN 3 THEN 7814728 WHEN 4 THEN 9487729 WHEN 5 THEN 11070498
+      |    WHEN 6 THEN 12591587 ELSE 14067140 END AS BIGINT) AS crit_micro,
+      |  CAST(sum(term) OVER (ORDER BY k
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) >
+      |    CASE k WHEN 1 THEN 3841459 WHEN 2 THEN 5991465 WHEN 3 THEN 7814728
+      |      WHEN 4 THEN 9487729 WHEN 5 THEN 11070498 WHEN 6 THEN 12591587
+      |      ELSE 14067140 END AS INT) AS reject_5pct
+      |FROM terms ORDER BY k""".stripMargin
+
   /** q320 — Page's CUSUM control chart over the daily-revenue series:
     * one-sided clamped CUSUMs S⁺_t = max(0, S⁺_{t−1} + (x_t − μ − k))
     * and S⁻_t = max(0, S⁻_{t−1} + (μ − x_t − k)), alarming when either
@@ -4104,6 +4192,80 @@ object EventQueries {
        |FROM agg""".stripMargin
   }
 
+  /** q408 — record-breaking days test (Rényi): count the days whose
+    * revenue strictly exceeds EVERY previous day. Under exchangeability
+    * the k-th day is a record with probability 1/k independently of
+    * the others (Rényi 1962), so T has exact moments E[T] = H_n and
+    * Var[T] = Σ(1/k − 1/k²) with NO distributional assumption — the
+    * extreme-value lens on serial structure: a trend inflates records
+    * long after q401's turning points stop moving, while q307's runs
+    * and q393's Mann–Kendall read the center of the distribution, not
+    * its running maximum (q395 finds the drawdown PATH; this tests
+    * whether new-peak arrivals are even consistent with noise).
+    * Exact: whole-dollar day grid (q395's convention), records by
+    * strict integer comparison (a tie is NOT a record — stated); both
+    * moments are exact integer sums of per-k stated truncations
+    * (1e6 div k and (1e6·(k−1)) div k²); z is one sqrt + division, r6,
+    * two-sided verdict at 1.96.
+    *
+    * Scale shape: collapse to the bounded day calendar, one running-
+    * max window + row_number over that grid, a 1-row rollup. */
+  def q408(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"day")
+    val wPrev = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.orders(s, d)
+      .groupBy(epochDay($"o_orderdate").as("day"))
+      .agg(expr("cast(floor(sum(o_totalprice) * 100 + 0.5) as bigint) div 100")
+        .as("y"))
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("prevmax", max($"y").over(wPrev))
+      .select(
+        count(lit(1)).as("n_days"),
+        sum(($"prevmax".isNull || $"y" > $"prevmax").cast("long"))
+          .as("n_records"),
+        sum(expr("1000000 div k")).as("e_micro"),
+        sum(expr("(1000000 * (k - 1)) div (k * k)")).as("var_micro"))
+      .withColumn("z", when($"var_micro" > 0L, r6(
+        ($"n_records".cast("double") * lit(1000000.0) -
+          $"e_micro".cast("double")) /
+        (lit(1000.0) * sqrt($"var_micro".cast("double"))))))
+      .withColumn("reject_5pct",
+        when($"z".isNotNull, (abs($"z") > lit(1.96)).cast("int")))
+  }
+
+  val q408Sql: String = {
+    import graft.Fx.sqlR6
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+       |    CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) // 100 AS y
+       |  FROM orders GROUP BY 1),
+       |seq AS (
+       |  SELECT y, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+       |    max(y) OVER (ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+       |  FROM daily),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+       |    CAST(sum(CASE WHEN prevmax IS NULL OR y > prevmax
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_records,
+       |    CAST(sum(1000000 // k) AS BIGINT) AS e_micro,
+       |    CAST(sum((1000000 * (k - 1)) // (k * k)) AS BIGINT) AS var_micro
+       |  FROM seq),
+       |fin AS (
+       |  SELECT n_days, n_records, e_micro, var_micro,
+       |    CASE WHEN var_micro > 0 THEN
+       |      ${sqlR6("(CAST(n_records AS DOUBLE) * 1000000.0 - " +
+         "CAST(e_micro AS DOUBLE)) / (1000.0 * sqrt(CAST(var_micro AS DOUBLE)))")}
+       |    END AS z
+       |  FROM agg)
+       |SELECT n_days, n_records, e_micro, var_micro, z,
+       |  CASE WHEN z IS NOT NULL THEN
+       |    CAST(abs(z) > 1.96 AS INT) END AS reject_5pct
+       |FROM fin""".stripMargin
+  }
+
   /** q395 — maximum drawdown of the daily revenue level: the largest
     * peak-to-trough decline DD = max_t [max_{s≤t} y_s − y_t], with
     * the trough day and the peak level it fell from — the PATH-
@@ -4581,6 +4743,8 @@ object EventQueries {
     QueryDef("q393_mann_kendall", q393, Some(q393Sql)),
     QueryDef("q395_max_drawdown", q395, Some(q395Sql)),
     QueryDef("q401_turning_points", q401, Some(q401Sql)),
+    QueryDef("q408_record_days", q408, Some(q408Sql)),
+    QueryDef("q409_ljung_box", q409, Some(q409Sql)),
     QueryDef("q349_mcnemar", q349, Some(q349Sql)),
     QueryDef("q340_bootstrap_ci", q340, Some(q340Sql)),
     QueryDef("q341_variance_ratio", q341, Some(q341Sql)),

@@ -1987,6 +1987,58 @@ class PlantedStructureSpec extends SparkSpec {
       s"${s.toSeq}")
   }
 
+  test("q408 counts planted records exactly and moves the verdict both ways") {
+    def moments(n: Int): (Long, Long) = (
+      (1 to n).map(k => 1000000L / k).sum,
+      (1 to n).map(k => 1000000L * (k - 1) / (k.toLong * k)).sum)
+    // monotone rise: every day is a record
+    val up = operators.EventQueries.q408(spark,
+      ordersDir(1 to 20, d => 10.0 * d)).head()
+    val (e20, v20) = moments(20)
+    assert((up.getLong(0), up.getLong(1), up.getLong(2), up.getLong(3)) ===
+      ((20L, 20L, e20, v20)), s"monotone $up")
+    assert(up.getDouble(4) > 2.0 && up.getInt(5) === 1, s"monotone z $up")
+    // constant series: ties are NOT records -> only day 1; at n=50
+    // the deficit is significant (z ~ -2.06)
+    val flat = operators.EventQueries.q408(spark,
+      ordersDir(1 to 50, _ => 10.0)).head()
+    assert(flat.getLong(1) === 1L, s"flat records $flat")
+    assert(flat.getDouble(4) < -1.96 && flat.getInt(5) === 1, s"flat z $flat")
+    // zig-zag never exceeds its second day: exactly two records
+    val zig = operators.EventQueries.q408(spark,
+      ordersDir(1 to 20, d => if (d % 2 == 0) 30.0 else 10.0)).head()
+    assert(zig.getLong(1) === 2L, s"zig records $zig")
+  }
+
+  test("q409 matches a BigInt replay of the stated LB truncations and rejects planted structure") {
+    // exact replica on a small series, mirroring every stated step
+    val cents = Seq(100L, 500L, 200L, 800L, 300L, 900L, 400L, 700L)
+    val n = cents.length
+    val sr = cents.sum
+    val c = cents.map(y => BigInt(n) * y - sr)
+    val den = c.map(x => x * x).sum
+    val expected = (1 to 7).scanLeft((0L, BigInt(0))) { case ((_, acc), k) =>
+      val num = (0 until n - k).map(t => c(t) * c(t + k)).sum
+      val rho = num * 1000000 / den
+      val term = BigInt(n) * (n + 2) * rho * rho / (BigInt(n - k) * 1000000)
+      (rho.toLong, acc + term)
+    }.tail.map { case (rho, q) => (rho, q.toLong) }
+    val got = operators.EventQueries.q409(spark,
+      ordersDir(1 to n, d => cents(d - 1) / 100.0))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === expected, s"${got.toSeq} vs $expected")
+    // a monotone trend must reject at every m with positive rho_1
+    val up = operators.EventQueries.q409(spark,
+      ordersDir(1 to 30, d => 100.0 * d)).collect()
+    assert(up.forall(_.getInt(4) === 1), "trend not rejected at some m")
+    assert(up.head.getLong(1) > 800000L, s"rho_1 ${up.head}")
+    // strict alternation: rho_1 strongly negative, still rejected
+    val alt = operators.EventQueries.q409(spark,
+      ordersDir(1 to 30, d => if (d % 2 == 0) 30.0 else 10.0)).collect()
+    assert(alt.head.getLong(1) < -800000L && alt.head.getInt(4) === 1,
+      s"alternation ${alt.head}")
+  }
+
   /** customer+nation fixture for q407: one customer per nation. */
   private def custNationDir(rows: Seq[(Long, Long, Double)]): String = {
     val dir = Files.createTempDirectory("planted-moran")
