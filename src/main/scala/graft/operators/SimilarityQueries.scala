@@ -1397,7 +1397,83 @@ object SimilarityQueries {
        |FROM cm""".stripMargin
   }
 
+  /** q410 — simplified (centroid) silhouette per label: for each
+    * vector, a = Euclidean distance to its OWN label centroid, b = the
+    * nearest OTHER centroid, s = (b−a)/max(a,b) — the INTERNAL
+    * cluster-quality index the eval shelf lacked: q293's ARI needs a
+    * second labeling to agree with, q285/q303 score neighbor retrieval;
+    * silhouette asks whether the labels carve the space at all, and
+    * `n_misplaced` (s < 0 — a vector closer to a rival centroid) is
+    * the actionable relabel queue. The centroid form is the stated
+    * scale semantics: O(n·k) against k broadcast centroids, never the
+    * O(n²) pairwise silhouette. Determinism: centroids are pinned to
+    * the r6 grid per dimension FIRST (the q61 precedent), then every
+    * distance is the bit-identical sequential fold decomposition
+    * √(x·x − 2·x·c + c·c) ([[Similarity.dot]] ≡ list_dot_product), so
+    * the a/b argmin and the s<0 branch see identical doubles in both
+    * engines; only the final per-label mean is r6-masked.
+    *
+    * Scale shape: one centroid aggregate (k rows, broadcast back),
+    * one corpus pass against k centroids, one grouped rollup — no
+    * vector-vector join anywhere. */
+  def q410(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"label", Similarity.toDoubleArr($"embedding").as("x"))
+    val centroid = graft.functions.VectorCentroid.centroid(64)
+    val cents = Tables.embeddings(s, d)
+      .groupBy($"label".as("c_label"))
+      .agg(centroid($"embedding").as("craw"))
+      .select($"c_label", transform($"craw", c => r6(c)).as("cvec"))
+      .transform(Fx.materialize)
+    val withCc = cents.select($"c_label", $"cvec",
+      Similarity.dot($"cvec", $"cvec").as("cc"))
+    val dists = e.crossJoin(broadcast(withCc))
+      .select($"vec_id", $"label", $"c_label",
+        sqrt(Similarity.dot($"x", $"x") - lit(2.0) * Similarity.dot($"x", $"cvec")
+          + $"cc").as("dist"))
+    dists.groupBy($"vec_id", $"label")
+      .agg(max(when($"c_label" === $"label", $"dist")).as("a"),
+        min(when($"c_label" =!= $"label", $"dist")).as("b"))
+      .withColumn("sil", ($"b" - $"a") / greatest($"a", $"b"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        r6(avg($"sil")).as("mean_silhouette"),
+        sum(($"sil" < 0.0).cast("long")).as("n_misplaced"))
+      .orderBy($"label")
+  }
+
+  val q410Sql: String =
+    s"""WITH dims AS (SELECT unnest(range(1, 65)) AS dim),
+       |cell AS (
+       |  SELECT e.label AS c_label, d.dim,
+       |    ${sqlR6("avg(CAST(e.embedding[d.dim] AS DOUBLE))")} AS c
+       |  FROM embeddings e, dims d GROUP BY 1, 2),
+       |cents AS (
+       |  SELECT c_label, list(c ORDER BY dim) AS cvec FROM cell GROUP BY 1),
+       |cc AS (SELECT c_label, cvec, list_dot_product(cvec, cvec) AS cc
+       |       FROM cents),
+       |dd AS (
+       |  SELECT e.vec_id, e.label, c.c_label,
+       |    sqrt(list_dot_product(e.x, e.x)
+       |      - 2.0 * list_dot_product(e.x, c.cvec) + c.cc) AS dist
+       |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x
+       |        FROM embeddings) e
+       |  CROSS JOIN cc c),
+       |ab AS (
+       |  SELECT vec_id, label,
+       |    max(CASE WHEN c_label = label THEN dist END) AS a,
+       |    min(CASE WHEN c_label <> label THEN dist END) AS b
+       |  FROM dd GROUP BY 1, 2),
+       |sil AS (SELECT label, (b - a) / greatest(a, b) AS sil FROM ab)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  ${sqlR6("avg(sil)")} AS mean_silhouette,
+       |  CAST(sum(CASE WHEN sil < 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_misplaced
+       |FROM sil GROUP BY label ORDER BY label""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q410_silhouette", q410, Some(q410Sql)),
     QueryDef("q382_hubness", q382, Some(q382Sql)),
     QueryDef("q314_map_at_10", q314, Some(q314Sql)),
     QueryDef("q336_retrieval_exposure", q336, Some(q336Sql)),

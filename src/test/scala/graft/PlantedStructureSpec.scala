@@ -2039,6 +2039,24 @@ class PlantedStructureSpec extends SparkSpec {
       s"alternation ${alt.head}")
   }
 
+  test("q410 scores the planted clusters at exact silhouettes and flags only the mislabeled vector") {
+    def axis(dim: Int): Seq[Float] =
+      Seq.tabulate(64)(i => if (i == dim) 10f else 0f)
+    // label 0: three at e0 + ONE mislabeled sitting exactly on e1;
+    // label 1: three at e1 -> centroid0 = (7.5, 2.5, 0...), c1 = e1
+    val rows = Seq.tabulate(3)(i => (i.toLong, axis(0), 0)) ++
+      Seq((3L, axis(1), 0)) ++
+      Seq.tabulate(3)(i => (4L + i, axis(1), 1))
+    val out = operators.SimilarityQueries.q410(spark, embeddingsDir(rows))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    // label 0 members: s = 1 - sqrt(12.5)/sqrt(200) = 0.75 each, the
+    // planted stray: s = -1 -> mean (3*0.75 - 1)/4 = 0.3125
+    assert(out(0) === ((4L, 0.3125, 1L)), s"label0 ${out(0)}")
+    // label 1 sits ON its centroid: a = 0 -> s = 1 exactly
+    assert(out(1) === ((3L, 1.0, 0L)), s"label1 ${out(1)}")
+  }
+
   /** customer+nation fixture for q407: one customer per nation. */
   private def custNationDir(rows: Seq[(Long, Long, Double)]): String = {
     val dir = Files.createTempDirectory("planted-moran")
