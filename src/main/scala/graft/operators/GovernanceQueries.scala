@@ -1928,7 +1928,106 @@ object GovernanceQueries {
       |  CAST(st.q_micro > st.crit_micro AS INT) AS reject_5pct
       |FROM cls CROSS JOIN st ORDER BY cls.etype""".stripMargin
 
+  /** q411 — Benjamini–Hochberg FDR control over the per-brand
+    * return-rate family: each brand's returned-line share is z-tested
+    * against the pooled rate, and the 25 p-values are corrected
+    * JOINTLY — the multiple-comparisons discipline the whole test
+    * battery (q258/q268/q334/q351…) leaves to the reader: screening
+    * 25 brands at per-test α=0.05 expects a false alarm; BH bounds the
+    * FALSE DISCOVERY RATE by stepping up through sorted p-values until
+    * p_(i) > α·i/m (α = 0.10 stated). Determinism: z clears all
+    * denominators to integers (I = x_b·N − n_b·X over
+    * √(n_b·X·(N−X)), exact counts) before ONE division; the p-value
+    * is the Abramowitz–Stegun 7.1.26 erfc polynomial (max error
+    * 1.5e-7 — stated as the semantic, shared 9-digit literals, Horner
+    * order, one exp) so both engines branch on bit-identical doubles;
+    * the step-up rank walk happens on the 25-row brand grid. The
+    * uncorrected verdict ships alongside as `naive_reject` — the
+    * pairs where they differ are exactly the alarms BH suppressed.
+    *
+    * Scale shape: one scan collapses to per-brand counts (map-side
+    * combine); totals broadcast back; ranks/step-up are windows over
+    * the value-domain-bounded brand relation. */
+  def q411(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand".as("brand"))
+      .agg(count(lit(1)).as("nb"),
+        sum(($"l_returnflag" === "R").cast("long")).as("xb"))
+      .transform(Fx.materialize)
+    val tot = per.agg(sum($"nb").as("n"), sum($"xb").as("x"),
+      count(lit(1)).as("m"))
+    val withP = per.crossJoin(broadcast(tot))
+      .withColumn("zv", expr("cast(xb * n - nb * x as double)") /
+        sqrt(expr("cast(cast(nb as decimal(38,0)) * x * (n - x) as double)")))
+      .withColumn("xa", abs($"zv") / lit(1.4142135623730951))
+      .withColumn("t", lit(1.0) / (lit(1.0) + lit(0.3275911) * $"xa"))
+      .withColumn("p", $"t" * (lit(0.254829592) + $"t" * (lit(-0.284496736)
+        + $"t" * (lit(1.421413741) + $"t" * (lit(-1.453152027)
+        + $"t" * lit(1.061405429))))) * exp(-$"xa" * $"xa"))
+    val ranked = withP
+      .withColumn("i", row_number().over(Window.orderBy($"p", $"brand"))
+        .cast("long"))
+      .withColumn("thr",
+        lit(0.1) * $"i".cast("double") / $"m".cast("double"))
+    val kmax = ranked
+      .withColumn("kmax", coalesce(
+        max(when($"p" <= $"thr", $"i")).over(
+          Window.partitionBy(lit(1))), lit(0L)))
+    kmax.select($"brand", $"nb".as("n_lines"), $"xb".as("n_returned"),
+        r6($"zv").as("z"), r6($"p").as("p_value"), $"i".as("p_rank"),
+        ($"i" <= $"kmax").cast("int").as("bh_reject"),
+        ($"p" <= lit(0.1)).cast("int").as("naive_reject"))
+      .orderBy($"brand")
+  }
+
+  val q411Sql: String = {
+    val horner = "t * (0.254829592 + t * (-0.284496736 + t * " +
+      "(1.421413741 + t * (-1.453152027 + t * 1.061405429))))"
+    s"""WITH per AS MATERIALIZED (
+       |  SELECT p.p_brand AS brand, CAST(count(*) AS BIGINT) AS nb,
+       |    CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS xb
+       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       |  GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(nb) AS BIGINT) AS n, CAST(sum(xb) AS BIGINT) AS x,
+       |    CAST(count(*) AS BIGINT) AS m
+       |  FROM per),
+       |z AS (
+       |  SELECT brand, nb, xb, m,
+       |    CAST(xb * n - nb * x AS DOUBLE)
+       |      / sqrt(CAST(CAST(nb AS HUGEINT) * x * (n - x) AS DOUBLE)) AS zv
+       |  FROM per CROSS JOIN tot),
+       |tp AS (
+       |  SELECT brand, nb, xb, m, zv,
+       |    1.0 / (1.0 + 0.3275911 * (abs(zv) / 1.4142135623730951)) AS t,
+       |    abs(zv) / 1.4142135623730951 AS xa
+       |  FROM z),
+       |pv AS (
+       |  SELECT brand, nb, xb, m, zv,
+       |    $horner * exp(-xa * xa) AS p
+       |  FROM tp),
+       |rk AS (
+       |  SELECT brand, nb, xb, zv, p,
+       |    CAST(row_number() OVER (ORDER BY p, brand) AS BIGINT) AS i,
+       |    0.1 * CAST(row_number() OVER (ORDER BY p, brand) AS DOUBLE)
+       |      / CAST(m AS DOUBLE) AS thr
+       |  FROM pv),
+       |km AS (
+       |  SELECT COALESCE(max(CASE WHEN p <= thr THEN i END), 0) AS kmax
+       |  FROM rk)
+       |SELECT brand, nb AS n_lines, xb AS n_returned,
+       |  ${sqlR6("zv")} AS z, ${sqlR6("p")} AS p_value, i AS p_rank,
+       |  CAST(i <= kmax AS INT) AS bh_reject,
+       |  CAST(p <= 0.1 AS INT) AS naive_reject
+       |FROM rk CROSS JOIN km ORDER BY brand""".stripMargin
+  }
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q411_bh_fdr", q411, Some(q411Sql)),
     QueryDef("q406_cochran_q", q406, Some(q406Sql)),
     QueryDef("q400_page_trend", q400, Some(q400Sql)),
     QueryDef("q359_cochran_armitage", q359, Some(q359Sql)),

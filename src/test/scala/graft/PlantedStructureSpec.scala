@@ -2057,6 +2057,44 @@ class PlantedStructureSpec extends SparkSpec {
     assert(out(1) === ((3L, 1.0, 0L)), s"label1 ${out(1)}")
   }
 
+  /** lineitem+part fixture for q411: brand -> (returned, kept). */
+  private def returnsDir(rows: Seq[(String, Int, Int)]): String = {
+    val dir = Files.createTempDirectory("planted-ret")
+    val brands = rows.zipWithIndex
+    brands.flatMap { case ((_, r, k), pk) =>
+      Seq.fill(r)((pk.toLong, "R")) ++ Seq.fill(k)((pk.toLong, "N")) }
+      .zipWithIndex.map { case ((pk, fl), i) => (i.toLong, pk, fl) }
+      .toDF("l_orderkey", "l_partkey", "l_returnflag")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("lineitem.parquet").toString)
+    brands.map { case ((b, _, _), pk) => (pk.toLong, b) }
+      .toDF("p_partkey", "p_brand")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("part.parquet").toString)
+    dir.toString
+  }
+
+  test("q411 BH-rejects exactly the two planted anomalous brands and nothing on a flat family") {
+    // 8 baseline brands at 20/100 returns; B09 at 90/100, B10 at 0/100
+    val rows = (1 to 8).map(b => (f"B$b%02d", 20, 80)) ++
+      Seq(("B09", 90, 10), ("B10", 0, 100))
+    val out = operators.GovernanceQueries.q411(spark, returnsDir(rows))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(5), r.getInt(6), r.getInt(7))).toMap
+    // sorted p: B09 (z~15), B10 (z~-5.8), then the 8 baselines
+    // (p~0.248 > 0.1*3/10) -> step-up stops at k = 2
+    assert(out("B09")._1 === 1L && out("B09")._2 === 1, s"B09 ${out("B09")}")
+    assert(out("B10")._1 === 2L && out("B10")._2 === 1, s"B10 ${out("B10")}")
+    assert((1 to 8).forall(b => out(f"B$b%02d")._2 === 0),
+      s"baseline rejected: $out")
+    // flat family: z = 0 exactly, p = A&S erfc(0) -> r6 lands on 1.0
+    val flat = operators.GovernanceQueries.q411(spark,
+      returnsDir((1 to 10).map(b => (f"B$b%02d", 20, 80))))
+      .collect()
+    assert(flat.forall(r => r.getInt(6) === 0 && r.getDouble(4) === 1.0),
+      s"flat family: ${flat.toSeq}")
+  }
+
   /** customer+nation fixture for q407: one customer per nation. */
   private def custNationDir(rows: Seq[(Long, Long, Double)]): String = {
     val dir = Files.createTempDirectory("planted-moran")
