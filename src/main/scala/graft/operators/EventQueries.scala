@@ -2494,6 +2494,105 @@ object EventQueries {
       |    AS cumhaz_micro
       |FROM h ORDER BY t_days""".stripMargin
 
+  /** q412 — Aalen–Johansen competing-risks cumulative incidence:
+    * from first activity, every user races toward one of two ABSORBING
+    * outcomes — conversion (first purchase, event 1) or churn (last
+    * activity before the observation edge with no purchase, event 2) —
+    * or is censored still-active. Treating churn as "censoring" in a
+    * conversion KM (or vice versa) overstates both curves (1−KM is
+    * biased upward when a competing risk removes users); the AJ
+    * estimator charges each event AGAINST THE SHARED RISK SET:
+    * CIF_j(t) = Σ_{tᵢ≤t} S(tᵢ₋₁)·d_ij/nᵢ with S the ALL-CAUSE KM, so
+    * surv + cif_conv + cif_churn ≈ 1e6 row by row (exactly, up to the
+    * stated truncations). Exact: S steps by q271's micro recursion on
+    * all-cause deaths; each increment is its own stated truncation
+    * (S_prev·d_j) div n; the oracle replays the identical recursion
+    * as a recursive CTE.
+    *
+    * Scale shape: one per-user aggregate (first/last/first-purchase
+    * day), one collapse to the bounded duration grid, driver fold over
+    * that grid (the q270/q271 bounded-fold pattern). */
+  def q412(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val spans = Fx.eventTs(Tables.events(s, d))
+      .groupBy($"user_id")
+      .agg(min(epochDay($"ts")).as("first_day"),
+        max(epochDay($"ts")).as("last_day"),
+        min(when($"event_type" === "purchase", epochDay($"ts")))
+          .as("conv_day"))
+      .transform(graft.Fx.materialize) // max edge + grid
+    val maxDay = spans.agg(max($"last_day")).head().getInt(0)
+    val grid = spans
+      .select(when($"conv_day".isNotNull, $"conv_day" - $"first_day")
+          .otherwise($"last_day" - $"first_day").as("t"),
+        $"conv_day".isNotNull.cast("long").as("e1"),
+        ($"conv_day".isNull && $"last_day" <= maxDay - 1).cast("long")
+          .as("e2"))
+      .groupBy($"t")
+      .agg(sum($"e1").as("d1"), sum($"e2").as("d2"),
+        sum(lit(1L) - $"e1" - $"e2").as("c"))
+      .orderBy($"t")
+      .collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2), r.getLong(3)))
+    var atRisk = grid.map(g => g._2 + g._3 + g._4).sum
+    var sMicro = 1000000L; var cif1 = 0L; var cif2 = 0L
+    val rows = grid.map { case (t, d1, d2, c) =>
+      val n = atRisk
+      cif1 += Math.floorDiv(sMicro * d1, n)
+      cif2 += Math.floorDiv(sMicro * d2, n)
+      if (d1 + d2 > 0) sMicro = Math.floorDiv(sMicro * (n - d1 - d2), n)
+      atRisk -= (d1 + d2 + c)
+      (t, n, d1, d2, c, sMicro, cif1, cif2)
+    }
+    s.createDataFrame(rows.toSeq)
+      .toDF("t_days", "n_risk", "d_conv", "d_churn", "censored",
+        "surv_micro", "cif_conv_micro", "cif_churn_micro")
+      .orderBy($"t_days")
+  }
+
+  val q412Sql: String =
+    """WITH RECURSIVE spans AS (
+      |  SELECT user_id,
+      |    min(CAST(ts AS DATE) - DATE '1970-01-01') AS first_day,
+      |    max(CAST(ts AS DATE) - DATE '1970-01-01') AS last_day,
+      |    min(CASE WHEN event_type = 'purchase'
+      |        THEN CAST(ts AS DATE) - DATE '1970-01-01' END) AS conv_day
+      |  FROM events GROUP BY user_id),
+      |mx AS (SELECT max(last_day) AS max_day FROM spans),
+      |g AS (
+      |  SELECT CAST(CASE WHEN conv_day IS NOT NULL THEN conv_day - first_day
+      |      ELSE last_day - first_day END AS BIGINT) AS t,
+      |    CAST(sum(CASE WHEN conv_day IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS d1,
+      |    CAST(sum(CASE WHEN conv_day IS NULL AND last_day <= max_day - 1
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+      |    CAST(sum(CASE WHEN conv_day IS NULL AND last_day > max_day - 1
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS c
+      |  FROM spans CROSS JOIN mx GROUP BY 1),
+      |o AS (
+      |  SELECT t, d1, d2, c, row_number() OVER (ORDER BY t) AS rn,
+      |    sum(d1 + d2 + c) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+      |      AS n
+      |  FROM g),
+      |aj(rn, t, n, d1, d2, c, s, c1, c2) AS (
+      |  SELECT rn, t, n, d1, d2, c,
+      |    CASE WHEN d1 + d2 > 0 THEN (1000000 * (n - d1 - d2)) // n
+      |      ELSE 1000000 END,
+      |    (1000000 * d1) // n, (1000000 * d2) // n
+      |  FROM o WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.rn, o.t, o.n, o.d1, o.d2, o.c,
+      |    CASE WHEN o.d1 + o.d2 > 0
+      |      THEN (aj.s * (o.n - o.d1 - o.d2)) // o.n ELSE aj.s END,
+      |    aj.c1 + (aj.s * o.d1) // o.n,
+      |    aj.c2 + (aj.s * o.d2) // o.n
+      |  FROM aj JOIN o ON o.rn = aj.rn + 1)
+      |SELECT t AS t_days, CAST(n AS BIGINT) AS n_risk, d1 AS d_conv,
+      |  d2 AS d_churn, c AS censored, CAST(s AS BIGINT) AS surv_micro,
+      |  CAST(c1 AS BIGINT) AS cif_conv_micro,
+      |  CAST(c2 AS BIGINT) AS cif_churn_micro
+      |FROM aj ORDER BY t_days""".stripMargin
+
   /** q193 — conversion-window funnel: view → click → purchase where
     * each step must land within ONE HOUR of the previous step (the
     * attribution-window semantics real funnel metrics use — q104's
@@ -4745,6 +4844,7 @@ object EventQueries {
     QueryDef("q401_turning_points", q401, Some(q401Sql)),
     QueryDef("q408_record_days", q408, Some(q408Sql)),
     QueryDef("q409_ljung_box", q409, Some(q409Sql)),
+    QueryDef("q412_competing_risks", q412, Some(q412Sql)),
     QueryDef("q349_mcnemar", q349, Some(q349Sql)),
     QueryDef("q340_bootstrap_ci", q340, Some(q340Sql)),
     QueryDef("q341_variance_ratio", q341, Some(q341Sql)),

@@ -2095,6 +2095,27 @@ class PlantedStructureSpec extends SparkSpec {
       s"flat family: ${flat.toSeq}")
   }
 
+  test("q412 splits the planted competing risks exactly and conserves surv + cifs = 1e6") {
+    // u4 converts at t=0, u1 at t=2, u5 at t=4; u2 churns at t=4;
+    // u3 censored at t=9 (the observation edge)
+    val rows = Seq(
+      (1, 1L, "view", 1.0), (3, 1L, "purchase", 1.0),
+      (1, 2L, "view", 1.0), (5, 2L, "view", 1.0),
+      (1, 3L, "view", 1.0), (10, 3L, "view", 1.0),
+      (1, 4L, "purchase", 1.0),
+      (2, 5L, "view", 1.0), (6, 5L, "purchase", 1.0))
+    val out = operators.EventQueries.q412(spark, eventsDir(rows))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(out.toSeq === Seq(
+      (0L, 5L, 1L, 0L, 0L, 800000L, 200000L, 0L),
+      (2L, 4L, 1L, 0L, 0L, 600000L, 400000L, 0L),
+      (4L, 3L, 1L, 1L, 0L, 200000L, 600000L, 200000L),
+      (9L, 1L, 0L, 0L, 1L, 200000L, 600000L, 200000L)), s"${out.toSeq}")
+    assert(out.forall(r => r._6 + r._7 + r._8 === 1000000L),
+      "mass not conserved")
+  }
+
   /** customer+nation fixture for q407: one customer per nation. */
   private def custNationDir(rows: Seq[(Long, Long, Double)]): String = {
     val dir = Files.createTempDirectory("planted-moran")
