@@ -4365,6 +4365,83 @@ object EventQueries {
        |FROM fin""".stripMargin
   }
 
+  /** q413 — Gumbel return levels from monthly block maxima (the
+    * classical EVT readout): fit the Gumbel law to the per-month
+    * MAXIMA of daily revenue by method of moments (β̂ = s·√6/π,
+    * μ̂ = x̄ − γβ̂) and extrapolate the T-month return level
+    * x_T = μ̂ − β̂·ln(−ln(1 − 1/T)) for T = 12 and T = 120 — "the
+    * worst day we should budget for each year / decade", the question
+    * q376's VaR (an IN-SAMPLE daily quantile) and q395's drawdown (a
+    * realized path) cannot answer because it extrapolates BEYOND the
+    * sample via the max-domain-of-attraction argument. Determinism:
+    * block maxima are exact integers on the whole-dollar grid; the
+    * two moments clear denominators to exact integers before single
+    * divisions; every constant (√6/π, Euler γ, the T terms) is a
+    * shared literal in an identical tree, so both engines produce
+    * bit-identical doubles; outputs r6.
+    *
+    * Scale shape: collapse to the bounded day calendar, re-collapse
+    * to the ≤ months grid, a 1-row moment rollup. */
+  def q413(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, d)
+      .groupBy((year($"o_orderdate") * 12 + month($"o_orderdate"))
+          .cast("long").as("mk"),
+        epochDay($"o_orderdate").as("day"))
+      .agg(expr("cast(floor(sum(o_totalprice) * 100 + 0.5) as bigint) div 100")
+        .as("y"))
+    val blocks = daily.groupBy($"mk").agg(max($"y").as("m"))
+    blocks
+      .agg(count(lit(1)).as("n"), sum($"m").as("sx"),
+        sum(expr("cast(m as decimal(38,0)) * m")).as("sxx"),
+        max($"m").as("observed_max"))
+      .withColumn("mean", $"sx".cast("double") / $"n".cast("double"))
+      .withColumn("sd", when($"n" > 1L, sqrt(
+        expr("cast(n * sxx - cast(sx as decimal(38,0)) * sx as double)") /
+          expr("cast(n * (n - 1) as double)"))))
+      .withColumn("beta", $"sd" * lit(0.7796968012336609))
+      .withColumn("mu", $"mean" - lit(0.5772156649015329) * $"beta")
+      .select($"n".as("n_months"), $"observed_max",
+        r6($"mean").as("mean_max"), r6($"sd").as("sd_max"),
+        r6($"mu").as("mu"), r6($"beta").as("beta"),
+        r6($"mu" - $"beta" * log(-log(lit(11.0) / lit(12.0))))
+          .as("rl_12m"),
+        r6($"mu" - $"beta" * log(-log(lit(119.0) / lit(120.0))))
+          .as("rl_120m"))
+  }
+
+  val q413Sql: String = {
+    import graft.Fx.sqlR6
+    s"""WITH daily AS (
+       |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mk,
+       |    CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+       |    CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) // 100 AS y
+       |  FROM orders GROUP BY 1, 2),
+       |blocks AS (SELECT mk, max(y) AS m FROM daily GROUP BY mk),
+       |mo AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(m) AS BIGINT) AS sx,
+       |    sum(CAST(m AS HUGEINT) * m) AS sxx, max(m) AS observed_max
+       |  FROM blocks),
+       |fit AS (
+       |  SELECT n, observed_max,
+       |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+       |    CASE WHEN n > 1 THEN sqrt(
+       |      CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+       |        / CAST(n * (n - 1) AS DOUBLE)) END AS sd
+       |  FROM mo),
+       |gp AS (
+       |  SELECT n, observed_max, mean, sd,
+       |    sd * 0.7796968012336609 AS beta,
+       |    mean - 0.5772156649015329 * (sd * 0.7796968012336609) AS mu
+       |  FROM fit)
+       |SELECT n AS n_months, observed_max,
+       |  ${sqlR6("mean")} AS mean_max, ${sqlR6("sd")} AS sd_max,
+       |  ${sqlR6("mu")} AS mu, ${sqlR6("beta")} AS beta,
+       |  ${sqlR6("mu - beta * ln(-ln(11.0 / 12.0))")} AS rl_12m,
+       |  ${sqlR6("mu - beta * ln(-ln(119.0 / 120.0))")} AS rl_120m
+       |FROM gp""".stripMargin
+  }
+
   /** q395 — maximum drawdown of the daily revenue level: the largest
     * peak-to-trough decline DD = max_t [max_{s≤t} y_s − y_t], with
     * the trough day and the peak level it fell from — the PATH-
@@ -4845,6 +4922,7 @@ object EventQueries {
     QueryDef("q408_record_days", q408, Some(q408Sql)),
     QueryDef("q409_ljung_box", q409, Some(q409Sql)),
     QueryDef("q412_competing_risks", q412, Some(q412Sql)),
+    QueryDef("q413_gumbel_return", q413, Some(q413Sql)),
     QueryDef("q349_mcnemar", q349, Some(q349Sql)),
     QueryDef("q340_bootstrap_ci", q340, Some(q340Sql)),
     QueryDef("q341_variance_ratio", q341, Some(q341Sql)),

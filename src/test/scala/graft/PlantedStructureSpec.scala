@@ -2116,6 +2116,37 @@ class PlantedStructureSpec extends SparkSpec {
       "mass not conserved")
   }
 
+  test("q413 degenerates exactly on constant maxima and matches a double replica on a trend") {
+    // constant revenue: every block maximum is 10 -> sd = 0, every
+    // level collapses to the constant
+    val flat = operators.EventQueries.q413(spark,
+      ordersDir(1 to 90, _ => 10.0)).head()
+    assert(flat.getLong(1) === 10L, s"observed $flat")
+    assert(flat.getDouble(4) === 10.0 && flat.getDouble(5) === 0.0 &&
+      flat.getDouble(6) === 10.0 && flat.getDouble(7) === 10.0, s"$flat")
+    // trend: replicate the block maxima + MoM fit independently
+    val dollars = (d: Int) => 100.0 + d
+    val out = operators.EventQueries.q413(spark,
+      ordersDir(1 to 90, d => dollars(d))).head()
+    val maxima = (1 to 90).groupBy { d =>
+      val dt = java.time.LocalDate.ofEpochDay(d.toLong)
+      dt.getYear * 12 + dt.getMonthValue
+    }.values.map(ds => ds.map(d => dollars(d).toLong).max).toSeq
+    val n = maxima.size.toLong
+    val sx = maxima.sum; val sxx = maxima.map(m => BigInt(m) * m).sum
+    val mean = sx.toDouble / n.toDouble
+    val sd = math.sqrt((BigInt(n) * sxx - BigInt(sx) * sx).toDouble /
+      (n * (n - 1)).toDouble)
+    val beta = sd * 0.7796968012336609
+    val mu = mean - 0.5772156649015329 * beta
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(out.getLong(0) === n && out.getDouble(4) === r6d(mu), s"$out")
+    assert(out.getDouble(6) ===
+      r6d(mu - beta * math.log(-math.log(11.0 / 12.0))), s"rl12 $out")
+    assert(out.getDouble(7) ===
+      r6d(mu - beta * math.log(-math.log(119.0 / 120.0))), s"rl120 $out")
+  }
+
   /** customer+nation fixture for q407: one customer per nation. */
   private def custNationDir(rows: Seq[(Long, Long, Double)]): String = {
     val dir = Files.createTempDirectory("planted-moran")
