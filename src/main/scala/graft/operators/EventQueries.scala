@@ -2284,6 +2284,87 @@ object EventQueries {
        |  CAST((a4 * 1000000) // (a2 * a2) AS BIGINT) - 3000000 AS excess_micro
        |FROM k ORDER BY event_type""".stripMargin
 
+  /** q414 — Jarque–Bera normality test per event type: the TEST
+    * companion to q309's shape estimates (the q274→q393 pattern) —
+    * JB = n/6·(g₁² + g₂²/4) against χ²(2), answering "is a z-score
+    * even a meaningful flag for this metric?" with a verdict where
+    * q309 only reports the moments. Exact lineage: g₁ is q309's
+    * pinned double shape A3/(A2√A2) over exact DECIMAL central forms;
+    * g₂ is q309's stated integer micro truncation (A4·10⁶ div A2²
+    * − 3·10⁶); JB is one fixed double tree over those two, so both
+    * engines branch on bit-identical doubles at the pinned 5.991465
+    * critical value.
+    *
+    * Scale shape: one 5-sum aggregate per type (map-side combine);
+    * scalar arithmetic after. */
+  def q414(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d)
+      .select($"event_type", floor($"value").cast("long").as("x"))
+    val m = e.groupBy($"event_type").agg(
+      count(lit(1)).as("n"),
+      sum($"x").as("s1"),
+      sum(expr("cast(x as decimal(38,0)) * x")).as("s2"),
+      sum(expr("cast(x as decimal(38,0)) * x * x")).as("s3"),
+      sum(expr("cast(x as decimal(38,0)) * x * x * x")).as("s4"))
+    m.withColumn("a2", expr("n * s2 - cast(s1 as decimal(38,0)) * s1"))
+      .withColumn("a3", expr(
+        """cast(n as decimal(38,0)) * n * s3 - 3 * n * s2 * s1
+           + 2 * cast(s1 as decimal(38,0)) * s1 * s1"""))
+      .withColumn("a4", expr(
+        """cast(n as decimal(38,0)) * n * n * s4
+           - 4 * cast(n as decimal(38,0)) * n * s3 * s1
+           + 6 * n * s2 * cast(s1 as decimal(38,0)) * s1
+           - 3 * cast(s1 as decimal(38,0)) * s1 * s1 * s1"""))
+      .withColumn("skew", $"a3".cast("double") /
+        ($"a2".cast("double") * sqrt($"a2".cast("double"))))
+      .withColumn("excess_micro",
+        expr("(a4 * 1000000) div (a2 * a2)") - 3000000L)
+      .withColumn("jb", $"n".cast("double") * ($"skew" * $"skew" +
+        ($"excess_micro".cast("double") / lit(1000000.0)) *
+        ($"excess_micro".cast("double") / lit(1000000.0)) / lit(4.0)) /
+        lit(6.0))
+      .select($"event_type", $"n", r6($"skew").as("skewness"),
+        $"excess_micro", r6($"jb").as("jb"),
+        ($"jb" > lit(5.991465)).cast("int").as("reject_5pct"))
+      .orderBy($"event_type")
+  }
+
+  val q414Sql: String =
+    s"""WITH e AS (
+       |  SELECT event_type, CAST(floor(value) AS BIGINT) AS x FROM events),
+       |m AS (
+       |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+       |    CAST(sum(x) AS HUGEINT) AS s1,
+       |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2,
+       |    CAST(sum(CAST(x AS HUGEINT) * x * x) AS HUGEINT) AS s3,
+       |    CAST(sum(CAST(x AS HUGEINT) * x * x * x) AS HUGEINT) AS s4
+       |  FROM e GROUP BY 1),
+       |k AS (
+       |  SELECT event_type, n,
+       |    n * s2 - s1 * s1 AS a2,
+       |    n * n * s3 - 3 * n * s2 * s1 + 2 * s1 * s1 * s1 AS a3,
+       |    n * n * n * s4 - 4 * n * n * s3 * s1 + 6 * n * s2 * s1 * s1
+       |      - 3 * s1 * s1 * s1 * s1 AS a4
+       |  FROM m),
+       |j AS (
+       |  SELECT event_type, n,
+       |    CAST(a3 AS DOUBLE) / (CAST(a2 AS DOUBLE) * sqrt(CAST(a2 AS DOUBLE)))
+       |      AS skew,
+       |    CAST((a4 * 1000000) // (a2 * a2) AS BIGINT) - 3000000
+       |      AS excess_micro
+       |  FROM k),
+       |f AS (
+       |  SELECT event_type, n, skew, excess_micro,
+       |    CAST(n AS DOUBLE) * (skew * skew
+       |      + (CAST(excess_micro AS DOUBLE) / 1000000.0)
+       |      * (CAST(excess_micro AS DOUBLE) / 1000000.0) / 4.0) / 6.0 AS jb
+       |  FROM j)
+       |SELECT event_type, CAST(n AS BIGINT) AS n, ${sqlR6("skew")} AS skewness,
+       |  excess_micro, ${sqlR6("jb")} AS jb,
+       |  CAST(jb > 5.991465 AS INT) AS reject_5pct
+       |FROM f ORDER BY event_type""".stripMargin
+
   /** q311 — weekday percentile envelope with a latest-day audit: per
     * weekday, the nearest-rank p10/p50/p90 of daily purchase revenue
     * (the seasonal band an ops dashboard shades), plus the MOST
@@ -4923,6 +5004,7 @@ object EventQueries {
     QueryDef("q409_ljung_box", q409, Some(q409Sql)),
     QueryDef("q412_competing_risks", q412, Some(q412Sql)),
     QueryDef("q413_gumbel_return", q413, Some(q413Sql)),
+    QueryDef("q414_jarque_bera", q414, Some(q414Sql)),
     QueryDef("q349_mcnemar", q349, Some(q349Sql)),
     QueryDef("q340_bootstrap_ci", q340, Some(q340Sql)),
     QueryDef("q341_variance_ratio", q341, Some(q341Sql)),

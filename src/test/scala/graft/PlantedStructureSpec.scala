@@ -2147,6 +2147,40 @@ class PlantedStructureSpec extends SparkSpec {
       r6d(mu - beta * math.log(-math.log(119.0 / 120.0))), s"rl120 $out")
   }
 
+  test("q414 matches a BigInt replica of the moment forms and separates planted shapes") {
+    // type a: symmetric, near-normal kurtosis -> accept;
+    // type b: one huge spike in zeros -> reject
+    val aVals = Seq(-3.0, -1.0, -1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 3.0)
+    val bVals = Seq.fill(9)(0.0) :+ 100.0
+    val rows = aVals.zipWithIndex.map { case (v, i) => (i + 1, 1L, "a", v) } ++
+      bVals.zipWithIndex.map { case (v, i) => (i + 1, 2L, "b", v) }
+    def replica(vals: Seq[Double]): (Double, Long, Double) = {
+      val x = vals.map(v => BigInt(math.floor(v).toLong))
+      val n = BigInt(x.size)
+      val (s1, s2, s3, s4) = (x.sum, x.map(v => v * v).sum,
+        x.map(v => v * v * v).sum, x.map(v => v * v * v * v).sum)
+      val a2 = n * s2 - s1 * s1
+      val a3 = n * n * s3 - 3 * n * s2 * s1 + 2 * s1 * s1 * s1
+      val a4 = n * n * n * s4 - 4 * n * n * s3 * s1 +
+        6 * n * s2 * s1 * s1 - 3 * s1 * s1 * s1 * s1
+      val skew = a2.toDouble match {
+        case ad => a3.toDouble / (ad * math.sqrt(ad))
+      }
+      val excess = ((a4 * 1000000) / (a2 * a2)).toLong - 3000000L
+      val jb = n.toDouble * (skew * skew +
+        (excess.toDouble / 1000000.0) * (excess.toDouble / 1000000.0) / 4.0) / 6.0
+      (skew, excess, jb)
+    }
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val out = operators.EventQueries.q414(spark, eventsDir(rows))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getLong(3), r.getDouble(4), r.getInt(5))).toMap
+    val (sa, ea, ja) = replica(aVals)
+    assert(out("a") === ((r6d(sa), ea, r6d(ja), 0)), s"a: ${out("a")} vs ($sa, $ea, $ja)")
+    val (sb, eb, jbb) = replica(bVals)
+    assert(out("b") === ((r6d(sb), eb, r6d(jbb), 1)), s"b: ${out("b")}")
+  }
+
   /** customer+nation fixture for q407: one customer per nation. */
   private def custNationDir(rows: Seq[(Long, Long, Double)]): String = {
     val dir = Files.createTempDirectory("planted-moran")
