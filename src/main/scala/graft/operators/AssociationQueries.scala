@@ -722,6 +722,73 @@ object AssociationQueries {
        |FROM pairs
        |ORDER BY from_type, to_type""".stripMargin
 
+  /** q415 — entropy rate of the q226 behavior chain: per from-state
+    * the conditional Shannon entropy H_i = −Σ_j p_ij·ln p_ij (nats)
+    * and the chain's entropy rate H = Σ_i π_i·H_i with the EMPIRICAL
+    * source frequencies π_i = n_i/N (stated — the observed-step
+    * weighting, not the eigenvector) — "how predictable is the next
+    * action?" as ONE number, the information-theoretic summary q226's
+    * probability matrix spreads over |types|² rows (H_i = 0: state i
+    * always leads the same place; ln|types|: anything can follow).
+    * Determinism: every p_ij = n_ij/n_i is one IEEE division of exact
+    * longs and each ln runs on that bit-identical double; only the
+    * ≤|types|-term entropy sums are engine-ordered, 1e-15 noise under
+    * r6 (the q226 convention).
+    *
+    * Scale shape: one user-keyed shuffle for the lag window, counts
+    * land on the |types|² grid; entropies are aggregates over that
+    * metadata-scale relation. */
+  def q415(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byUserTime = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val pairs = Tables.events(s, d)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id", $"event_type")
+      .withColumn("prev", lag($"event_type", 1).over(byUserTime))
+      .filter($"prev".isNotNull)
+      .groupBy($"prev".as("from_type"), $"event_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .transform(graft.Fx.materialize)
+    val st = pairs
+      .withColumn("ni", sum($"n").over(Window.partitionBy($"from_type"))
+        .cast("long"))
+      .groupBy($"from_type", $"ni")
+      .agg(sum(-($"n" / $"ni") * log($"n" / $"ni")).as("h"))
+    val tot = pairs.agg(sum($"n").cast("long").as("nn"))
+    val withPi = st.crossJoin(broadcast(tot))
+      .withColumn("pi", $"ni" / $"nn")
+    val rate = withPi.agg(sum($"pi" * $"h").as("rate"))
+    withPi.crossJoin(broadcast(rate))
+      .select($"from_type", $"ni".as("n_from"), r6($"pi").as("pi"),
+        r6($"h").as("h_nats"), r6($"rate").as("rate_nats"))
+      .orderBy($"from_type")
+  }
+
+  val q415Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+       |    event_type FROM events),
+       |steps AS (
+       |  SELECT lag(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY us, event_id) AS from_type,
+       |    event_type AS to_type
+       |  FROM e),
+       |pairs AS MATERIALIZED (
+       |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM steps WHERE from_type IS NOT NULL GROUP BY 1, 2),
+       |wt AS (
+       |  SELECT from_type, to_type, n,
+       |    CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS ni
+       |  FROM pairs),
+       |st AS (
+       |  SELECT from_type, ni, sum(-(n / ni) * ln(n / ni)) AS h
+       |  FROM wt GROUP BY 1, 2),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM pairs),
+       |wp AS (SELECT from_type, ni, h, ni / nn AS pi FROM st CROSS JOIN tot),
+       |rt AS (SELECT sum(pi * h) AS rate FROM wp)
+       |SELECT from_type, ni AS n_from, ${sqlR6("pi")} AS pi,
+       |  ${sqlR6("h")} AS h_nats, ${sqlR6("rate")} AS rate_nats
+       |FROM wp CROSS JOIN rt ORDER BY from_type""".stripMargin
+
   // ------------------------------------------------------------------
   // q236 — top user-journey paths (event-type trigrams)
   // ------------------------------------------------------------------
@@ -2829,6 +2896,7 @@ object AssociationQueries {
     QueryDef("q272_srm_audit", q272, Some(q272Sql)),
     QueryDef("q236_journey_paths", q236, Some(q236Sql)),
     QueryDef("q226_markov_transitions", q226, Some(q226Sql)),
+    QueryDef("q415_entropy_rate", q415, Some(q415Sql)),
     QueryDef("q223_apriori_triples", q223, Some(q223Sql)),
     QueryDef("q197_interval_overlap", q197, Some(q197Sql), bench = true),
     QueryDef("q199_weighted_median", q199, Some(q199Sql)),

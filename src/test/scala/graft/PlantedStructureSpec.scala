@@ -2181,6 +2181,26 @@ class PlantedStructureSpec extends SparkSpec {
     assert(out("b") === ((r6d(sb), eb, r6d(jbb), 1)), s"b: ${out("b")}")
   }
 
+  test("q415 reads a deterministic chain as zero entropy and matches a double replica on a mixed one") {
+    // strict alternation: every transition is forced -> H = 0, rate 0
+    val alt = (1 to 8).map(d => (d, 1L, if (d % 2 == 1) "a" else "b", 1.0))
+    val z = operators.AssociationQueries.q415(spark, eventsDir(alt))
+      .collect().map(r => (r.getString(0), r.getDouble(3), r.getDouble(4)))
+    assert(z.toSeq === Seq(("a", 0.0, 0.0), ("b", 0.0, 0.0)), s"${z.toSeq}")
+    // planted sequence a,a,b,a,b,b,b,a: from a {a:1,b:2}, from b {a:2,b:2}
+    val seqTypes = Seq("a", "a", "b", "a", "b", "b", "b", "a")
+    val mix = seqTypes.zipWithIndex.map { case (t, i) => (i + 1, 1L, t, 1.0) }
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val hA = -(1.0 / 3) * math.log(1.0 / 3) - (2.0 / 3) * math.log(2.0 / 3)
+    val hB = -(2.0 / 4) * math.log(2.0 / 4) - (2.0 / 4) * math.log(2.0 / 4)
+    val rate = (3.0 / 7) * hA + (4.0 / 7) * hB
+    val out = operators.AssociationQueries.q415(spark, eventsDir(mix))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out("a") === ((3L, r6d(hA), r6d(rate))), s"a ${out("a")} vs ($hA, $rate)")
+    assert(out("b") === ((4L, r6d(hB), r6d(rate))), s"b ${out("b")}")
+  }
+
   /** customer+nation fixture for q407: one customer per nation. */
   private def custNationDir(rows: Seq[(Long, Long, Double)]): String = {
     val dir = Files.createTempDirectory("planted-moran")
