@@ -4775,6 +4775,118 @@ object EventQueries {
       |GROUP BY tg.level, tg.n_days, tg.k
       |ORDER BY tg.level""".stripMargin
 
+  /** q416 — Kupiec proportion-of-failures VaR backtest: does q376's
+    * VaR actually hold out of sample? The series splits in half by
+    * time (stated): the ESTIMATION window re-runs q376's exact rank
+    * selection to set VaR(95/99), the TEST window counts exceptions
+    * (days whose loss strictly exceeds that VaR), and the Kupiec LR
+    * statistic LR = 2[x·ln(x/(np)) + (n−x)·ln((n−x)/(n(1−p)))] ~
+    * χ²(1) asks whether the exception RATE is consistent with the
+    * promised tail probability — the model-validation step q376
+    * itself cannot perform because it grades in-sample. Too MANY
+    * exceptions = VaR understates risk; too FEW = capital sits idle;
+    * LR is two-sided in the rate. Exact: the split index, VaR ranks,
+    * and the exception count are all integer; the LR is one fixed
+    * double tree over exact counts with 0·ln0 handled by CASE, both
+    * engines branching at the pinned 3.841459.
+    *
+    * Scale shape: collapse to the day calendar; rank windows over the
+    * halved calendar grid; a 2-level broadcast grid join. */
+  def q416(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wDay = Window.orderBy($"day")
+    val pl = Tables.orders(s, d)
+      .groupBy(epochDay($"o_orderdate").as("day"))
+      .agg(expr("cast(floor(sum(o_totalprice) * 100 + 0.5) as bigint) div 100")
+        .as("y"))
+      .withColumn("dl", $"y" - lag($"y", 1).over(wDay))
+      .filter($"dl".isNotNull)
+      .withColumn("i", row_number().over(wDay))
+      .transform(graft.Fx.materialize) // split + rank + test probes
+    val n = pl.agg(count(lit(1)).as("n"))
+      .select($"n", expr("(n + 1) div 2").as("n_est"))
+    val est = pl.crossJoin(broadcast(n)).filter($"i" <= $"n_est")
+      .withColumn("rk", row_number().over(Window.orderBy($"dl", $"day")))
+      .select($"dl", $"rk")
+      .transform(graft.Fx.materialize)
+    val levels = s.createDataFrame(Seq((95L, 5L), (99L, 1L)))
+      .toDF("level", "tail_pct")
+    val vars = broadcast(levels).crossJoin(broadcast(n))
+      .select($"level", $"tail_pct", $"n_est",
+        expr("(n_est * tail_pct + 99) div 100").as("k"))
+      .join(est, $"rk" === $"k")
+      .select($"level", $"tail_pct", $"n_est", (-$"dl").as("var_dollars"))
+    val test = pl.crossJoin(broadcast(n)).filter($"i" > $"n_est")
+      .select($"dl")
+    test.crossJoin(broadcast(vars))
+      .groupBy($"level", $"tail_pct", $"n_est", $"var_dollars")
+      .agg(count(lit(1)).as("n_test"),
+        sum(($"dl" < -$"var_dollars").cast("long")).as("x"))
+      .withColumn("p", $"tail_pct".cast("double") / lit(100.0))
+      .withColumn("lr", lit(2.0) * (
+        when($"x" > 0L, $"x".cast("double") *
+          log($"x".cast("double") / ($"n_test".cast("double") * $"p")))
+          .otherwise(lit(0.0)) +
+        when($"x" < $"n_test", ($"n_test" - $"x").cast("double") *
+          log(($"n_test" - $"x").cast("double") /
+            ($"n_test".cast("double") * (lit(1.0) - $"p"))))
+          .otherwise(lit(0.0))))
+      .select($"level", $"n_est", $"var_dollars", $"n_test",
+        $"x".as("n_exceptions"), r6($"lr").as("lr"),
+        ($"lr" > lit(3.841459)).cast("int").as("reject_5pct"))
+      .orderBy($"level")
+  }
+
+  val q416Sql: String = {
+    import graft.Fx.sqlR6
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+       |    CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) // 100 AS y
+       |  FROM orders GROUP BY 1),
+       |pl AS (
+       |  SELECT day, dl, row_number() OVER (ORDER BY day) AS i
+       |  FROM (SELECT day, y - lag(y) OVER (ORDER BY day) AS dl FROM daily)
+       |  WHERE dl IS NOT NULL),
+       |nn AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    (CAST(count(*) AS BIGINT) + 1) // 2 AS n_est
+       |  FROM pl),
+       |est AS (
+       |  SELECT dl, row_number() OVER (ORDER BY dl, day) AS rk
+       |  FROM pl CROSS JOIN nn WHERE i <= n_est),
+       |lv AS (SELECT 95 AS level, 5 AS tail_pct
+       |       UNION ALL SELECT 99, 1),
+       |vars AS (
+       |  SELECT lv.level, lv.tail_pct, nn.n_est, -est.dl AS var_dollars
+       |  FROM lv CROSS JOIN nn
+       |  JOIN est ON est.rk = (nn.n_est * lv.tail_pct + 99) // 100),
+       |tst AS (
+       |  SELECT v.level, v.tail_pct, v.n_est, v.var_dollars,
+       |    CAST(count(*) AS BIGINT) AS n_test,
+       |    CAST(sum(CASE WHEN pl.dl < -v.var_dollars THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS x
+       |  FROM pl CROSS JOIN nn CROSS JOIN vars v
+       |  WHERE pl.i > nn.n_est
+       |  GROUP BY 1, 2, 3, 4),
+       |f AS (
+       |  SELECT level, n_est, var_dollars, n_test, x,
+       |    2.0 * (
+       |      CASE WHEN x > 0 THEN CAST(x AS DOUBLE)
+       |        * ln(CAST(x AS DOUBLE)
+       |          / (CAST(n_test AS DOUBLE) * (CAST(tail_pct AS DOUBLE) / 100.0)))
+       |        ELSE 0.0 END +
+       |      CASE WHEN x < n_test THEN CAST(n_test - x AS DOUBLE)
+       |        * ln(CAST(n_test - x AS DOUBLE)
+       |          / (CAST(n_test AS DOUBLE)
+       |            * (1.0 - CAST(tail_pct AS DOUBLE) / 100.0)))
+       |        ELSE 0.0 END) AS lr
+       |  FROM tst)
+       |SELECT CAST(level AS BIGINT) AS level, n_est, var_dollars, n_test,
+       |  x AS n_exceptions, ${sqlR6("lr")} AS lr,
+       |  CAST(lr > 3.841459 AS INT) AS reject_5pct
+       |FROM f ORDER BY level""".stripMargin
+  }
+
   /** q383 — quantile-regression trend of the daily-revenue UPPER
     * envelope: fit y ≈ a + b·x at τ = 0.9 by exact pinball-loss
     * minimization over a stated slope grid — how fast the TOP days
@@ -5005,6 +5117,7 @@ object EventQueries {
     QueryDef("q412_competing_risks", q412, Some(q412Sql)),
     QueryDef("q413_gumbel_return", q413, Some(q413Sql)),
     QueryDef("q414_jarque_bera", q414, Some(q414Sql)),
+    QueryDef("q416_kupiec_backtest", q416, Some(q416Sql)),
     QueryDef("q349_mcnemar", q349, Some(q349Sql)),
     QueryDef("q340_bootstrap_ci", q340, Some(q340Sql)),
     QueryDef("q341_variance_ratio", q341, Some(q341Sql)),

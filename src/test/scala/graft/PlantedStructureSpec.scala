@@ -2201,6 +2201,31 @@ class PlantedStructureSpec extends SparkSpec {
     assert(out("b") === ((4L, r6d(hB), r6d(rate))), s"b ${out("b")}")
   }
 
+  test("q416 backtests the planted exception pattern: 3/20 accepts at 95% and rejects at 99%") {
+    // 40 diffs; est window (first 20) has one -100 loss -> VaR = 100
+    // at BOTH levels (k = 1); test window has exactly three -150 days
+    val diffs = (1 to 40).map { i =>
+      if (i == 9) -100L
+      else if (i == 24 || i == 29 || i == 34) -150L
+      else if (i % 2 == 0) 10L else -10L
+    }
+    val y = diffs.scanLeft(2000L)(_ + _) // days 1..41
+    val out = operators.EventQueries.q416(spark,
+      ordersDir(1 to 41, d => y(d - 1).toDouble))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getInt(6))).toMap
+    def lr(x: Long, n: Long, p: Double): Double = {
+      def t(c: Long, q: Double) =
+        if (c > 0) c.toDouble * math.log(c.toDouble / (n.toDouble * q)) else 0.0
+      2.0 * (t(x, p) + t(n - x, 1.0 - p))
+    }
+    def r6d(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    assert(out(95L) === ((100L, 20L, 3L, r6d(lr(3, 20, 0.05)), 0)),
+      s"95: ${out(95L)}")
+    assert(out(99L) === ((100L, 20L, 3L, r6d(lr(3, 20, 0.01)), 1)),
+      s"99: ${out(99L)}")
+  }
+
   /** customer+nation fixture for q407: one customer per nation. */
   private def custNationDir(rows: Seq[(Long, Long, Double)]): String = {
     val dir = Files.createTempDirectory("planted-moran")
