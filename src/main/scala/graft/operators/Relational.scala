@@ -2621,7 +2621,80 @@ object Relational {
       |FROM pv a JOIN pv b ON a.brand = b.brand AND a.period = 0 AND b.period = 1
       |ORDER BY a.brand""".stripMargin
 
+  /** q417 — Taylor's law (fluctuation scaling) across brands: does
+    * the VARIANCE of daily demand scale as a power of its MEAN,
+    * v ∝ m^b? The ecology-grade dispersion law: b = 1 is Poisson
+    * (independent purchases), b → 2 is synchronized/bursty demand —
+    * a structural readout about the WHOLE portfolio that q368's
+    * per-series Fano factor (a single v/m ratio) and q346's price
+    * dispersion can't see, because the law only exists ACROSS the
+    * brand ensemble. Fit: ln v = ln a + b·ln m by OLS over the
+    * ≤25-point brand grid. Exact lineage: per-brand daily-quantity
+    * moments are exact integers (nd·Σq² − (Σq)² over the observed-day
+    * grid — zero-variance brands excluded, stated); each (x, y) point
+    * is ln of one exact-integer ratio (identical trees both engines);
+    * only the 25-term OLS sums are engine-ordered, 1e-15 under r6.
+    *
+    * Scale shape: one scan collapses to brand×day cells (map-side
+    * combine), one per-brand moment rollup, OLS over the bounded
+    * brand grid. */
+  def q417(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand".as("brand"), epochDay($"l_shipdate").as("day"))
+      .agg(sum($"l_quantity".cast("long")).as("q"))
+    val pts = daily.groupBy($"brand")
+      .agg(count(lit(1)).as("nd"), sum($"q").as("sq"),
+        sum(expr("cast(q as decimal(38,0)) * q")).as("sqq"))
+      .withColumn("vnum", expr("nd * sqq - cast(sq as decimal(38,0)) * sq"))
+      .filter($"vnum" > 0)
+      .withColumn("x", log($"sq".cast("double") / $"nd".cast("double")))
+      .withColumn("y", log($"vnum".cast("double") /
+        ($"nd".cast("double") * $"nd".cast("double"))))
+    pts.agg(count(lit(1)).as("k"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+      .withColumn("b", ($"k".cast("double") * $"sxy" - $"sx" * $"sy") /
+        ($"k".cast("double") * $"sxx" - $"sx" * $"sx"))
+      .select($"k".as("n_brands"), r6($"b").as("taylor_b"),
+        r6(($"sy" - $"b" * $"sx") / $"k".cast("double")).as("ln_a"),
+        ($"b" > lit(1.0)).cast("int").as("superpoissonian"))
+  }
+
+  val q417Sql: String =
+    s"""WITH daily AS (
+       |  SELECT p.p_brand AS brand,
+       |    CAST(l.l_shipdate AS DATE) - DATE '1970-01-01' AS day,
+       |    CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       |  GROUP BY 1, 2),
+       |pts AS (
+       |  SELECT brand, CAST(count(*) AS BIGINT) AS nd,
+       |    CAST(sum(q) AS BIGINT) AS sq,
+       |    sum(CAST(q AS HUGEINT) * q) AS sqq
+       |  FROM daily GROUP BY 1),
+       |xy AS (
+       |  SELECT ln(CAST(sq AS DOUBLE) / CAST(nd AS DOUBLE)) AS x,
+       |    ln(CAST(nd * sqq - CAST(sq AS HUGEINT) * sq AS DOUBLE)
+       |      / (CAST(nd AS DOUBLE) * CAST(nd AS DOUBLE))) AS y
+       |  FROM pts WHERE nd * sqq - CAST(sq AS HUGEINT) * sq > 0),
+       |mo AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS k, sum(x) AS sx, sum(y) AS sy,
+       |    sum(x * x) AS sxx, sum(x * y) AS sxy
+       |  FROM xy),
+       |f AS (
+       |  SELECT k, sx, sy,
+       |    (CAST(k AS DOUBLE) * sxy - sx * sy)
+       |      / (CAST(k AS DOUBLE) * sxx - sx * sx) AS b
+       |  FROM mo)
+       |SELECT k AS n_brands, ${Fx.sqlR6("b")} AS taylor_b,
+       |  ${Fx.sqlR6("(sy - b * sx) / CAST(k AS DOUBLE)")} AS ln_a,
+       |  CAST(b > 1.0 AS INT) AS superpoissonian
+       |FROM f""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q417_taylor_law", q417, Some(q417Sql)),
     QueryDef("q358_price_index", q358, Some(q358Sql)),
     QueryDef("q363_arc_elasticity", q363, Some(q363Sql)),
     QueryDef("q402_cross_elasticity", q402, Some(q402Sql)),

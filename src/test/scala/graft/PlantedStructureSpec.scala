@@ -2226,6 +2226,28 @@ class PlantedStructureSpec extends SparkSpec {
       s"99: ${out(99L)}")
   }
 
+  test("q417 recovers the planted v = m^2/4 scaling as slope exactly 2") {
+    // three brands alternating {m/2, 3m/2} daily -> mean m, var m^2/4:
+    // a perfect Taylor line of slope 2, intercept -ln 4
+    val rows = Seq(("BA", 1.0, 3.0), ("BB", 2.0, 6.0), ("BC", 4.0, 12.0))
+      .flatMap { case (b, lo, hi) =>
+        (1 to 4).map(d => (b, d, 10.0, if (d % 2 == 0) hi else lo)) }
+    val r = operators.Relational.q417(spark, elasticityLinesDir(rows)).head()
+    def r6d(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    val pts = Seq(2.0, 4.0, 8.0).map(m =>
+      (math.log(m), math.log(m * m / 4.0)))
+    val k = pts.size
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val (sxx, sxy) = (pts.map(p => p._1 * p._1).sum,
+      pts.map(p => p._1 * p._2).sum)
+    val b = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    assert(r.getLong(0) === 3L && r.getDouble(1) === r6d(b) &&
+      r.getInt(3) === 1, s"$r vs slope $b")
+    assert(math.abs(r.getDouble(1) - 2.0) < 1e-5, s"slope ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) + math.log(4.0)) < 1e-5,
+      s"intercept ${r.getDouble(2)}")
+  }
+
   /** customer+nation fixture for q407: one customer per nation. */
   private def custNationDir(rows: Seq[(Long, Long, Double)]): String = {
     val dir = Files.createTempDirectory("planted-moran")
