@@ -74,6 +74,77 @@ object GraphQueries {
       |       FROM documents d CROSS JOIN n LEFT JOIN c2 ON c2.id = d.doc_id)
       |SELECT id, rank FROM r2 ORDER BY id""".stripMargin
 
+  /** q418 — HITS hubs & authorities on the customer→brand purchase
+    * bipartite graph (Kleinberg): authority(brand) = Σ hub(customer)
+    * over its buyers, hub(customer) = Σ authority(brand) over their
+    * brands, two full mutually-reinforcing rounds with max-
+    * normalization per half-step — the DUAL-score ranking q91's
+    * PageRank (one score, one directed chain) cannot express: round 1
+    * makes authority ∝ degree, round 2 already separates brands whose
+    * buyers are themselves broad hubs from equally-popular brands
+    * with narrow buyers. Exact end-to-end: scores live on the integer
+    * micro grid, every contribution sum is an exact BIGINT aggregate
+    * (order-free — the float-PageRank regrid trick is not needed),
+    * each normalization is one stated truncation (score·10⁶ div max);
+    * the oracle unrolls the identical two rounds as CTEs (the q91
+    * fixed-iteration precedent). At 100 TB the raw sums stay within
+    * DECIMAL(38,0) by construction (≤ 10⁶·|customers| per brand).
+    *
+    * Scale shape: one orders⋈lineitem equi-join builds distinct
+    * (customer, brand) edges; each half-step is one groupBy on the
+    * edge partitioning plus a broadcast 1-row max — no driver state,
+    * rounds fixed at 2. */
+  def q418(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.orders(s, d)
+      .select($"o_custkey".as("u"), $"o_orderkey".as("ok"))
+      .join(Tables.lineitem(s, d).select($"l_orderkey".as("ok"), $"l_partkey"),
+        "ok")
+      .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .select($"u", $"p_brand".as("b")).distinct()
+      .transform(graft.Fx.materialize)
+    val aRaw1 = e.groupBy($"b").agg((count(lit(1)) * 1000000L).as("ar"))
+    val a1 = aRaw1.crossJoin(broadcast(aRaw1.agg(max($"ar").as("am"))))
+      .select($"b", expr("(cast(ar as decimal(38,0)) * 1000000) div am")
+        .as("a"))
+    val hRaw1 = e.join(a1, "b").groupBy($"u").agg(sum($"a").as("hr"))
+    val h1 = hRaw1.crossJoin(broadcast(hRaw1.agg(max($"hr").as("hm"))))
+      .select($"u", expr("(cast(hr as decimal(38,0)) * 1000000) div hm")
+        .as("h"))
+    val aRaw2 = e.join(h1, "u").groupBy($"b").agg(sum($"h").as("ar2"),
+      count(lit(1)).as("n_buyers"))
+    aRaw2.crossJoin(broadcast(aRaw2.agg(max($"ar2").as("am2"))))
+      .select($"b".as("brand"), $"n_buyers",
+        expr("(cast(ar2 as decimal(38,0)) * 1000000) div am2")
+          .as("authority_micro"))
+      .orderBy($"authority_micro".desc, $"brand")
+  }
+
+  val q418Sql: String =
+    """WITH e AS MATERIALIZED (
+      |  SELECT DISTINCT o.o_custkey AS u, p.p_brand AS b
+      |  FROM orders o
+      |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  JOIN part p ON l.l_partkey = p.p_partkey),
+      |ar1 AS (SELECT b, CAST(count(*) AS BIGINT) * 1000000 AS ar
+      |        FROM e GROUP BY b),
+      |a1 AS (SELECT b, (CAST(ar AS HUGEINT) * 1000000)
+      |         // (SELECT max(ar) FROM ar1) AS a
+      |       FROM ar1),
+      |hr1 AS (SELECT e.u, CAST(sum(a1.a) AS BIGINT) AS hr
+      |        FROM e JOIN a1 ON e.b = a1.b GROUP BY e.u),
+      |h1 AS (SELECT u, (CAST(hr AS HUGEINT) * 1000000)
+      |         // (SELECT max(hr) FROM hr1) AS h
+      |       FROM hr1),
+      |ar2 AS (SELECT e.b, CAST(sum(h1.h) AS BIGINT) AS ar2,
+      |          CAST(count(*) AS BIGINT) AS n_buyers
+      |        FROM e JOIN h1 ON e.u = h1.u GROUP BY e.b)
+      |SELECT b AS brand, n_buyers,
+      |  CAST((CAST(ar2 AS HUGEINT) * 1000000)
+      |    // (SELECT max(ar2) FROM ar2) AS BIGINT) AS authority_micro
+      |FROM ar2 ORDER BY authority_micro DESC, brand""".stripMargin
+
   /** q209 — k-core peeling (onion decomposition) of the part
     * co-purchase graph: nodes are parts, edges are part pairs bought
     * together in ≥ 1 order, k is the nearest-rank p25 of the initial
@@ -973,6 +1044,7 @@ object GraphQueries {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q407_morans_i", q407, Some(q407Sql)),
+    QueryDef("q418_hits_authority", q418, Some(q418Sql)),
     QueryDef("q350_degree_assortativity", q350, Some(q350Sql)),
     QueryDef("q399_rich_club", q399, Some(q399Sql)),
     QueryDef("q360_attack_robustness", q360, Some(q360Sql)),

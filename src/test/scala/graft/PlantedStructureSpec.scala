@@ -2248,6 +2248,41 @@ class PlantedStructureSpec extends SparkSpec {
       s"intercept ${r.getDouble(2)}")
   }
 
+  /** orders+lineitem+part fixture for q418: (cust, brand) edges. */
+  private def custBrandDir(edges: Seq[(Long, String)]): String = {
+    val dir = Files.createTempDirectory("planted-hits")
+    val brands = edges.map(_._2).distinct.sorted.zipWithIndex.toMap
+    edges.zipWithIndex.map { case ((u, _), i) => (i.toLong + 1, u) }
+      .toDF("o_orderkey", "o_custkey")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("orders.parquet").toString)
+    edges.zipWithIndex.map { case ((_, b), i) =>
+      (i.toLong + 1, brands(b).toLong) }
+      .toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("lineitem.parquet").toString)
+    brands.toSeq.map { case (b, k) => (k.toLong, b) }
+      .toDF("p_partkey", "p_brand")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("part.parquet").toString)
+    dir.toString
+  }
+
+  test("q418 walks the planted bipartite HITS rounds through the exact stated truncations") {
+    // X bought by {1,2,3}, Y by {3} only: round 1 h = (750000,
+    // 750000, 1e6); round 2 raw a_X = 2.5e6, a_Y = 1e6 -> 400000
+    val out = operators.GraphQueries.q418(spark, custBrandDir(Seq(
+      (1L, "X"), (2L, "X"), (3L, "X"), (3L, "Y"))))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("X", 3L, 1000000L), ("Y", 1L, 400000L)),
+      s"${out.toSeq}")
+    // symmetric double star: both brands tie at 1e6
+    val sym = operators.GraphQueries.q418(spark, custBrandDir(Seq(
+      (1L, "X"), (2L, "X"), (3L, "Y"), (4L, "Y"))))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(sym.toSeq === Seq(("X", 1000000L), ("Y", 1000000L)), s"${sym.toSeq}")
+  }
+
   /** customer+nation fixture for q407: one customer per nation. */
   private def custNationDir(rows: Seq[(Long, Long, Double)]): String = {
     val dir = Files.createTempDirectory("planted-moran")
