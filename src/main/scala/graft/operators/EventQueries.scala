@@ -4775,6 +4775,105 @@ object EventQueries {
       |GROUP BY tg.level, tg.n_days, tg.k
       |ORDER BY tg.level""".stripMargin
 
+  /** q419 — Bass diffusion fit of the adoption curve: daily NEW
+    * adopters (each user's first purchase day) modeled as
+    * n(t) = (p + q·N(t−1)/M)·(M − N(t−1)) — innovation p (adopt from
+    * outside) vs imitation q (adopt because others did), the
+    * product-growth decomposition none of the trend machinery
+    * (q274/q393 monotone, q270/q280 smoothing) can express because
+    * the hazard here DEPENDS ON THE INSTALLED BASE. Fit by exact grid
+    * argmin (the q383 discipline): over the stated grid p ∈ 0..0.05
+    * step 0.005, q ∈ 0..0.5 step 0.05, each cell's prediction is
+    * floored onto the integer micro grid (stated) so the SSE
+    * Σ(n_t·10⁶ − pred_micro)² is an exact DECIMAL integer and the
+    * argmin (sse, p_i, q_j) is a total order — no float enters the
+    * comparison. M = observed eventual adopters (stated); the day
+    * grid is the full min..max adoption calendar including zero days.
+    *
+    * Scale shape: one per-user first-purchase aggregate, collapse to
+    * the bounded day calendar (zero-filled via sequence), 11×11 grid
+    * cross-joins that calendar, one aggregate per cell, 121-row
+    * argmin. */
+  def q419(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val firstP = Fx.eventTs(Tables.events(s, d))
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id").agg(min(epochDay($"ts")).as("d0"))
+      .groupBy($"d0").agg(count(lit(1)).as("nt"))
+      .transform(graft.Fx.materialize)
+    val span = firstP.agg(min($"d0").as("lo"), max($"d0").as("hi"),
+      sum($"nt").as("m"))
+    val cal = span.select($"m",
+        explode(sequence($"lo", $"hi")).as("d0"))
+      .join(firstP, Seq("d0"), "left_outer")
+      .select($"d0", $"m", coalesce($"nt", lit(0L)).as("nt"))
+      .withColumn("nprev", coalesce(sum($"nt")
+        .over(Window.orderBy($"d0").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .transform(graft.Fx.materialize)
+    val grid = s.range(0L, 11L).select(($"id" * 5L).as("pi"))
+      .crossJoin(s.range(0L, 11L).select(($"id" * 50L).as("qi")))
+    val cells = cal.crossJoin(broadcast(grid))
+      .withColumn("pred", ($"pi".cast("double") / lit(1000.0) +
+        $"qi".cast("double") / lit(1000.0) *
+          ($"nprev".cast("double") / $"m".cast("double"))) *
+        ($"m" - $"nprev").cast("double"))
+      .withColumn("pm", floor($"pred" * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("resid", $"nt" * 1000000L - $"pm")
+      .groupBy($"pi", $"qi")
+      .agg(sum(expr("cast(resid as decimal(38,0)) * resid")).as("sse"))
+    cells.orderBy($"sse", $"pi", $"qi").limit(1)
+      .crossJoin(broadcast(span.select($"m".as("m_adopters"))))
+      .select(($"pi".cast("double") / lit(1000.0)).as("p"),
+        ($"qi".cast("double") / lit(1000.0)).as("q"),
+        expr("cast(sse div 1000000000000 as bigint)").as("sse_units"),
+        $"m_adopters",
+        ($"qi" > $"pi").cast("int").as("imitation_driven"))
+  }
+
+  val q419Sql: String =
+    """WITH fp AS (
+      |  SELECT user_id,
+      |    min(CAST(ts AS DATE) - DATE '1970-01-01') AS d0
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |daily AS MATERIALIZED (
+      |  SELECT d0, CAST(count(*) AS BIGINT) AS nt FROM fp GROUP BY d0),
+      |span AS (SELECT min(d0) AS lo, max(d0) AS hi,
+      |           CAST(sum(nt) AS BIGINT) AS m FROM daily),
+      |cal AS (
+      |  SELECT g.d0, span.m, COALESCE(daily.nt, 0) AS nt
+      |  FROM (SELECT unnest(range((SELECT lo FROM span),
+      |          (SELECT hi FROM span) + 1)) AS d0) g
+      |  CROSS JOIN span
+      |  LEFT JOIN daily ON daily.d0 = g.d0),
+      |cum AS (
+      |  SELECT d0, m, nt, COALESCE(sum(nt) OVER (ORDER BY d0
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nprev
+      |  FROM cal),
+      |grid AS (
+      |  SELECT CAST(p.i * 5 AS BIGINT) AS pi, CAST(q.i * 50 AS BIGINT) AS qi
+      |  FROM generate_series(0, 10) p(i) CROSS JOIN generate_series(0, 10) q(i)),
+      |cells AS (
+      |  SELECT pi, qi,
+      |    sum(CAST(nt * 1000000 - CAST(floor(
+      |      (CAST(pi AS DOUBLE) / 1000.0 + CAST(qi AS DOUBLE) / 1000.0
+      |        * (CAST(nprev AS DOUBLE) / CAST(m AS DOUBLE)))
+      |      * CAST(m - nprev AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+      |      AS HUGEINT)
+      |      * (nt * 1000000 - CAST(floor(
+      |      (CAST(pi AS DOUBLE) / 1000.0 + CAST(qi AS DOUBLE) / 1000.0
+      |        * (CAST(nprev AS DOUBLE) / CAST(m AS DOUBLE)))
+      |      * CAST(m - nprev AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)))
+      |      AS sse
+      |  FROM cum CROSS JOIN grid GROUP BY pi, qi),
+      |win AS (
+      |  SELECT pi, qi, sse FROM cells ORDER BY sse, pi, qi LIMIT 1)
+      |SELECT CAST(pi AS DOUBLE) / 1000.0 AS p, CAST(qi AS DOUBLE) / 1000.0 AS q,
+      |  CAST(sse // 1000000000000 AS BIGINT) AS sse_units,
+      |  (SELECT m FROM span) AS m_adopters,
+      |  CAST(qi > pi AS INT) AS imitation_driven
+      |FROM win""".stripMargin
+
   /** q416 — Kupiec proportion-of-failures VaR backtest: does q376's
     * VaR actually hold out of sample? The series splits in half by
     * time (stated): the ESTIMATION window re-runs q376's exact rank
@@ -5118,6 +5217,7 @@ object EventQueries {
     QueryDef("q413_gumbel_return", q413, Some(q413Sql)),
     QueryDef("q414_jarque_bera", q414, Some(q414Sql)),
     QueryDef("q416_kupiec_backtest", q416, Some(q416Sql)),
+    QueryDef("q419_bass_diffusion", q419, Some(q419Sql)),
     QueryDef("q349_mcnemar", q349, Some(q349Sql)),
     QueryDef("q340_bootstrap_ci", q340, Some(q340Sql)),
     QueryDef("q341_variance_ratio", q341, Some(q341Sql)),

@@ -2283,6 +2283,46 @@ class PlantedStructureSpec extends SparkSpec {
     assert(sym.toSeq === Seq(("X", 1000000L), ("Y", 1000000L)), s"${sym.toSeq}")
   }
 
+  /** q419 replica: exact grid argmin with the stated pred_micro floor. */
+  private def bassReplica(nts: Seq[Long]): (Long, Long, Int) = {
+    val m = nts.sum
+    val nprev = nts.scanLeft(0L)(_ + _).init
+    val cells = for (pi <- 0L to 50L by 5L; qi <- 0L to 500L by 50L) yield {
+      val sse = nts.zip(nprev).map { case (nt, np) =>
+        val pred = (pi.toDouble / 1000.0 + qi.toDouble / 1000.0 *
+          (np.toDouble / m.toDouble)) * (m - np).toDouble
+        val pm = math.floor(pred * 1000000.0 + 0.5).toLong
+        val r = BigInt(nt * 1000000L - pm); r * r
+      }.sum
+      (sse, pi, qi)
+    }
+    val (_, pi, qi) = cells.minBy(c => (c._1, c._2, c._3))
+    (pi, qi, if (qi > pi) 1 else 0)
+  }
+
+  test("q419 recovers the planted diffusion regimes via the exact grid argmin") {
+    def adoptRows(nts: Seq[Long]): Seq[(Int, Long, String, Double)] = {
+      var uid = 0L
+      nts.zipWithIndex.flatMap { case (n, day) =>
+        (1L to n).map { _ => uid += 1; (day + 1, uid, "purchase", 1.0) } }
+    }
+    // S-curve: imitation-driven growth then saturation
+    val sNts = Seq(1L, 2L, 4L, 8L, 16L, 20L, 12L, 6L, 3L, 1L)
+    val (pi1, qi1, im1) = bassReplica(sNts)
+    val r1 = operators.EventQueries.q419(spark, eventsDir(adoptRows(sNts))).head()
+    assert((r1.getDouble(0), r1.getDouble(1), r1.getInt(4)) ===
+      ((pi1.toDouble / 1000.0, qi1.toDouble / 1000.0, im1)),
+      s"S-curve: $r1 vs ($pi1, $qi1)")
+    assert(im1 === 1, "planted S-curve should be imitation-driven")
+    // pure decay: innovation only, no installed-base effect
+    val dNts = Seq(32L, 16L, 8L, 4L, 2L, 1L)
+    val (pi2, qi2, im2) = bassReplica(dNts)
+    val r2 = operators.EventQueries.q419(spark, eventsDir(adoptRows(dNts))).head()
+    assert((r2.getDouble(0), r2.getDouble(1), r2.getInt(4)) ===
+      ((pi2.toDouble / 1000.0, qi2.toDouble / 1000.0, im2)),
+      s"decay: $r2 vs ($pi2, $qi2)")
+  }
+
   /** customer+nation fixture for q407: one customer per nation. */
   private def custNationDir(rows: Seq[(Long, Long, Double)]): String = {
     val dir = Files.createTempDirectory("planted-moran")
