@@ -381,6 +381,94 @@ object GraphQueries {
       .transform(graft.Fx.materialize)
   }
 
+  /** q420 — diameter lower bound of the co-purchase graph by the
+    * classic DOUBLE-SWEEP BFS: sweep 1 from the smallest node id
+    * (stated deterministic seed) finds its eccentricity and farthest
+    * node (ties to the smallest id); sweep 2 from that periphery node
+    * gives ecc₂ ≥ the true radius-anchored bound, the standard cheap
+    * diameter estimate (Magnien et al.) — the DISTANCE-scale readout
+    * the existing graph battery (density q350/q399, cohesion q209,
+    * flow q91/q418) never measures. Both sweeps are capped at 6
+    * rounds (stated horizon; a converged BFS makes further rounds
+    * no-ops — the q209 fixed-round precedent, and a small-world
+    * co-purchase graph converges well inside it). Exact: distances
+    * are integers by construction; every frontier is a distinct
+    * anti-joined set; the oracle unrolls the identical 6+6 rounds.
+    *
+    * Scale shape: edges from the bounded per-order explode (never a
+    * row self-join); each round is one frontier⋈edges join + one
+    * anti-join on the node-id partitioning; frontiers are eagerly
+    * localCheckpoint-ed (the q209 lineage discipline). */
+  def q420(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e0 = copurchaseEdges(s, d)
+    val edges = e0.unionAll(e0.select($"b".as("a"), $"a".as("b")))
+      .transform(graft.Fx.materialize)
+    def bfs(seed: DataFrame): DataFrame = {
+      var dist = seed.select($"id", lit(0L).as("dist")).localCheckpoint()
+      var frontier = dist.select($"id")
+      for (r <- 1 to 6) {
+        val next = frontier.join(edges, frontier("id") === edges("a"))
+          .select(edges("b").as("id")).distinct()
+          .join(dist.select($"id".as("seen")), $"id" === $"seen", "left_anti")
+          .select($"id").localCheckpoint()
+        dist = dist.unionAll(next.select($"id", lit(r.toLong).as("dist")))
+          .localCheckpoint()
+        frontier = next
+      }
+      dist
+    }
+    val d1 = bfs(edges.agg(min($"a").as("id")))
+    val far = d1.orderBy($"dist".desc, $"id").limit(1)
+      .select($"id", $"dist".as("ecc1"))
+      .transform(graft.Fx.materialize)
+    val d2 = bfs(far.select($"id"))
+    val s1 = d1.agg(min(when($"dist" === 0L, $"id")).as("seed1"),
+      count(lit(1)).as("n_reached1"))
+    val s2 = d2.agg(max($"dist").as("diameter_lb"), count(lit(1)).as("n_reached2"))
+    s1.crossJoin(broadcast(far.select($"id".as("seed2"), $"ecc1")))
+      .crossJoin(broadcast(s2))
+      .select($"seed1", $"n_reached1", $"ecc1", $"seed2",
+        $"diameter_lb", $"n_reached2")
+  }
+
+  val q420Sql: String = {
+    // every round CTE is MATERIALIZED: each dK/fK is referenced twice,
+    // so inlining doubles the subtree per round (2^12 blowup — the
+    // DuckDB twin of the Spark lineage problem localCheckpoint solves)
+    def sweep(p: String, seedSel: String): String = {
+      val rounds = (1 to 6).map { r =>
+        s"""${p}f$r AS MATERIALIZED (
+           |  SELECT DISTINCT e.b AS id FROM e JOIN ${p}f${r - 1} f
+           |    ON e.a = f.id
+           |  WHERE e.b NOT IN (SELECT id FROM ${p}d${r - 1})),
+           |${p}d$r AS MATERIALIZED (SELECT * FROM ${p}d${r - 1}
+           |  UNION ALL SELECT id, $r FROM ${p}f$r)""".stripMargin
+      }.mkString(",\n")
+      s"""${p}f0 AS MATERIALIZED ($seedSel),
+         |${p}d0 AS MATERIALIZED (SELECT id, 0 AS dist FROM ${p}f0),
+         |$rounds""".stripMargin
+    }
+    s"""WITH lp AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+       |e0 AS MATERIALIZED (
+       |  SELECT a.p AS a, b.p AS b FROM lp a JOIN lp b
+       |  ON a.ok = b.ok AND a.p < b.p GROUP BY 1, 2),
+       |e AS MATERIALIZED (
+       |  SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+       |${sweep("x", "SELECT min(a) AS id FROM e")},
+       |far AS (SELECT id, dist AS ecc1 FROM xd6
+       |        ORDER BY dist DESC, id LIMIT 1),
+       |${sweep("y", "SELECT id FROM far")}
+       |SELECT
+       |  (SELECT min(id) FROM xd0) AS seed1,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM xd6) AS n_reached1,
+       |  (SELECT CAST(ecc1 AS BIGINT) FROM far) AS ecc1,
+       |  (SELECT id FROM far) AS seed2,
+       |  (SELECT CAST(max(dist) AS BIGINT) FROM yd6) AS diameter_lb,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM yd6) AS n_reached2""".stripMargin
+  }
+
   def q350(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e0 = copurchaseEdges(s, d) // materialized: degrees AND the moment pass
@@ -1045,6 +1133,7 @@ object GraphQueries {
   val all: Seq[QueryDef] = Seq(
     QueryDef("q407_morans_i", q407, Some(q407Sql)),
     QueryDef("q418_hits_authority", q418, Some(q418Sql)),
+    QueryDef("q420_double_sweep_diameter", q420, Some(q420Sql)),
     QueryDef("q350_degree_assortativity", q350, Some(q350Sql)),
     QueryDef("q399_rich_club", q399, Some(q399Sql)),
     QueryDef("q360_attack_robustness", q360, Some(q360Sql)),

@@ -2323,6 +2323,22 @@ class PlantedStructureSpec extends SparkSpec {
       s"decay: $r2 vs ($pi2, $qi2)")
   }
 
+  test("q420 measures the planted path exactly and caps honestly at the 6-round horizon") {
+    // path 1-2-3-4-5: seed 1, ecc 4, periphery 5, diameter 4
+    val path5 = (1 to 4).flatMap(i =>
+      Seq((100L + i, i.toLong), (100L + i, i.toLong + 1)))
+    val r = operators.GraphQueries.q420(spark, orderPartsDir(path5)).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) === ((1L, 5L, 4L, 5L, 4L, 5L)), s"$r")
+    // path 1..9: sweep 1 stops at the horizon (reaches 7 of 9,
+    // ecc 6); sweep 2 from node 7 reaches ALL nine within 6
+    val path9 = (1 to 8).flatMap(i =>
+      Seq((100L + i, i.toLong), (100L + i, i.toLong + 1)))
+    val c = operators.GraphQueries.q420(spark, orderPartsDir(path9)).head()
+    assert((c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3),
+      c.getLong(4), c.getLong(5)) === ((1L, 7L, 6L, 7L, 6L, 9L)), s"$c")
+  }
+
   /** customer+nation fixture for q407: one customer per nation. */
   private def custNationDir(rows: Seq[(Long, Long, Double)]): String = {
     val dir = Files.createTempDirectory("planted-moran")
