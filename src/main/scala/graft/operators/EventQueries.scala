@@ -4775,6 +4775,77 @@ object EventQueries {
       |GROUP BY tg.level, tg.n_days, tg.k
       |ORDER BY tg.level""".stripMargin
 
+  /** q421 — extremal index by runs declustering: do extreme revenue
+    * days arrive ALONE or in BURSTS? Exceedances above the nearest-
+    * rank p95 threshold are grouped into clusters (a gap > 2 days
+    * starts a new one — the runs estimator, run length stated);
+    * θ̂ = clusters/exceedances ∈ (0,1], with θ < 1 meaning extremes
+    * cluster and every independence-based tail model overstates the
+    * return period by exactly that factor — the dependence CAVEAT to
+    * q413's Gumbel fit (which assumes θ = 1), invisible to q376's
+    * marginal VaR and only path-adjacent to q395's single drawdown.
+    * Exact end-to-end: threshold is an integer rank selection
+    * ((19n+19) div 20, ties to the earliest day), exceedance and
+    * cluster-start are integer comparisons, θ and the mean cluster
+    * size are single stated micro divisions — no float anywhere.
+    *
+    * Scale shape: collapse to the day calendar; one rank window, one
+    * lag window over the exceedance subset of that bounded grid, a
+    * 1-row rollup. */
+  def q421(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, d)
+      .groupBy(epochDay($"o_orderdate").cast("long").as("day"))
+      .agg(expr("cast(floor(sum(o_totalprice) * 100 + 0.5) as bigint) div 100")
+        .as("y"))
+      .transform(graft.Fx.materialize)
+    val wRank = Window.orderBy($"y", $"day")
+    val thr = daily
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .filter($"rk" === expr("(19 * n + 19) div 20"))
+      .select($"n".as("n_days"), $"y".as("threshold_dollars"))
+    val exc = daily.crossJoin(broadcast(thr))
+      .filter($"y" > $"threshold_dollars")
+      .withColumn("prev", lag($"day", 1).over(Window.orderBy($"day")))
+      .withColumn("starts",
+        ($"prev".isNull || $"day" - $"prev" > 2L).cast("long"))
+    exc.groupBy($"n_days", $"threshold_dollars")
+      .agg(count(lit(1)).as("n_exceed"), sum($"starts").as("n_clusters"))
+      .select($"n_days", $"threshold_dollars", $"n_exceed", $"n_clusters",
+        expr("(n_clusters * 1000000) div n_exceed").as("theta_micro"),
+        expr("(n_exceed * 1000000) div n_clusters").as("mean_cluster_micro"))
+  }
+
+  val q421Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+      |    AS day,
+      |    CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) // 100 AS y
+      |  FROM orders GROUP BY 1),
+      |rk AS (
+      |  SELECT day, y, row_number() OVER (ORDER BY y, day) AS rk,
+      |    count(*) OVER () AS n
+      |  FROM daily),
+      |thr AS (
+      |  SELECT CAST(n AS BIGINT) AS n_days, y AS threshold_dollars
+      |  FROM rk WHERE rk = (19 * n + 19) // 20),
+      |exc AS (
+      |  SELECT d.day, t.n_days, t.threshold_dollars,
+      |    lag(d.day) OVER (ORDER BY d.day) AS prev
+      |  FROM daily d CROSS JOIN thr t
+      |  WHERE d.y > t.threshold_dollars),
+      |agg AS (
+      |  SELECT n_days, threshold_dollars,
+      |    CAST(count(*) AS BIGINT) AS n_exceed,
+      |    CAST(sum(CASE WHEN prev IS NULL OR day - prev > 2 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_clusters
+      |  FROM exc GROUP BY 1, 2)
+      |SELECT n_days, threshold_dollars, n_exceed, n_clusters,
+      |  (n_clusters * 1000000) // n_exceed AS theta_micro,
+      |  (n_exceed * 1000000) // n_clusters AS mean_cluster_micro
+      |FROM agg""".stripMargin
+
   /** q419 — Bass diffusion fit of the adoption curve: daily NEW
     * adopters (each user's first purchase day) modeled as
     * n(t) = (p + q·N(t−1)/M)·(M − N(t−1)) — innovation p (adopt from
@@ -5218,6 +5289,7 @@ object EventQueries {
     QueryDef("q414_jarque_bera", q414, Some(q414Sql)),
     QueryDef("q416_kupiec_backtest", q416, Some(q416Sql)),
     QueryDef("q419_bass_diffusion", q419, Some(q419Sql)),
+    QueryDef("q421_extremal_index", q421, Some(q421Sql)),
     QueryDef("q349_mcnemar", q349, Some(q349Sql)),
     QueryDef("q340_bootstrap_ci", q340, Some(q340Sql)),
     QueryDef("q341_variance_ratio", q341, Some(q341Sql)),

@@ -2339,6 +2339,25 @@ class PlantedStructureSpec extends SparkSpec {
       c.getLong(4), c.getLong(5)) === ((1L, 7L, 6L, 7L, 6L, 9L)), s"$c")
   }
 
+  test("q421 declusters the planted exceedance bursts at theta exactly 3/5") {
+    // 100 days at 10.00; spikes 101..106 on days 10,11,12,30,50,51;
+    // p95 rank (95 of 100) selects 101 -> exceedances are the 5 days
+    // above it, grouping into clusters {11,12} {30} {50,51}
+    val spikes = Map(10 -> 101.0, 11 -> 102.0, 12 -> 103.0,
+      30 -> 104.0, 50 -> 105.0, 51 -> 106.0)
+    val r = operators.EventQueries.q421(spark,
+      ordersDir(1 to 100, d => spikes.getOrElse(d, 10.0))).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) ===
+      ((100L, 101L, 5L, 3L, 600000L, 1666666L)), s"$r")
+    // isolated extremes: every exceedance its own cluster -> theta 1
+    val iso = Map(10 -> 101.0, 30 -> 102.0, 50 -> 103.0, 70 -> 104.0,
+      90 -> 105.0, 95 -> 106.0)
+    val r2 = operators.EventQueries.q421(spark,
+      ordersDir(1 to 100, d => iso.getOrElse(d, 10.0))).head()
+    assert(r2.getLong(4) === 1000000L, s"iso theta $r2")
+  }
+
   /** customer+nation fixture for q407: one customer per nation. */
   private def custNationDir(rows: Seq[(Long, Long, Double)]): String = {
     val dir = Files.createTempDirectory("planted-moran")
