@@ -1080,6 +1080,144 @@ object EventQueries {
        |ORDER BY channel""".stripMargin
   }
 
+  /** q422 — absorption dynamics of the q265 journey chain: from each
+    * transient state, (a) the probability of absorbing at PURCHASE
+    * and (b) the expected NUMBER OF STEPS to absorption, both within
+    * a stated 24-step horizon — "how likely AND how long", the
+    * per-state fundamental-matrix readout q265's removal effects
+    * (a channel-importance ranking from `start` only) never surface:
+    * two states can convert equally often while one takes 4× the
+    * steps, which is exactly where UX effort goes. Semantics: q265's
+    * path extraction verbatim (truncate at first purchase,
+    * non-converters absorb at `end`); b ← T·b with b(purchase) = 1,
+    * h ← 1 + T·h with h absorbing = 0, each iterated K = 24 times in
+    * exact micro-integer arithmetic (Σ T_micro·v_micro div 10⁶ per
+    * step, the q265 discipline — horizon-capped expectation is the
+    * STATED semantic, exact at these path lengths since mass beyond
+    * 24 steps is < 10⁻⁶ here); the oracle unrolls the identical 2×24
+    * steps over the bounded state grid.
+    *
+    * Scale shape: corpus-sized work is the per-user window + the
+    * ≤ 6×6 transition count; both solves run on that metadata-sized
+    * matrix (driver-side exact ints, the q265/q171 bounded-map
+    * pattern). */
+  def q422(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+        $"event_type")
+    val firstP = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(min(struct($"us", $"event_id")).as("fp"))
+    val path = ev.join(firstP, Seq("user_id"), "left_outer")
+      .filter($"fp".isNull || struct($"us", $"event_id") <= $"fp")
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val stepped = path
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nxt", lead($"event_type", 1).over(w))
+    val trans = stepped.filter($"rn" === 1)
+      .select(lit("start").as("from_state"), $"event_type".as("to_state"))
+      .unionByName(stepped.filter($"nxt".isNotNull)
+        .select($"event_type".as("from_state"), $"nxt".as("to_state")))
+      .unionByName(stepped
+        .filter($"nxt".isNull && $"event_type" =!= "purchase")
+        .select($"event_type".as("from_state"), lit("end").as("to_state")))
+      .groupBy($"from_state", $"to_state")
+      .agg(count(lit(1)).as("c"))
+    val cells = trans.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val totals = cells.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+    val tMicro: Map[(String, String), Long] = cells.map { case ((f, t), c) =>
+      (f, t) -> c * 1000000L / totals(f)
+    }
+    val states = Seq("start", "purchase", "end", "click", "error",
+      "signup", "view")
+    def iterate(absorbing: String => Long, inc: Long): Map[String, Long] = {
+      var v: Map[String, Long] = states.map(st => st ->
+        (if (st == "purchase" || st == "end") absorbing(st) else 0L)).toMap
+      for (_ <- 1 to 24) {
+        v = states.map { st =>
+          st -> (st match {
+            case "purchase" | "end" => absorbing(st)
+            case f => inc +
+              states.map(t => tMicro.getOrElse((f, t), 0L) * v(t)).sum / 1000000L
+          })
+        }.toMap
+      }
+      v
+    }
+    val b = iterate(st => if (st == "purchase") 1000000L else 0L, 0L)
+    val h = iterate(_ => 0L, 1000000L)
+    val rows = states.filter(totals.contains)
+      .map(st => (st, b(st), h(st)))
+    s.createDataFrame(rows)
+      .toDF("state", "conv_24_micro", "esteps_24_micro")
+      .orderBy($"state")
+  }
+
+  val q422Sql: String = {
+    val states = Seq("start", "purchase", "end", "click", "error",
+      "signup", "view")
+    def stepCte(scen: String, k: Int, absorbPurchase: Long, inc: Long): String = {
+      val prev = s"v_${scen}_${k - 1}"
+      s"""v_${scen}_$k AS (
+         |  SELECT s.state,
+         |    CASE WHEN s.state = 'purchase' THEN $absorbPurchase
+         |         WHEN s.state = 'end' THEN 0
+         |         ELSE $inc + coalesce((SELECT sum(t.p * v.val) // 1000000
+         |                        FROM tm t JOIN $prev v ON v.state = t.to_state
+         |                        WHERE t.from_state = s.state), 0)
+         |    END AS val
+         |  FROM states s)""".stripMargin
+    }
+    def chain(scen: String, absorbPurchase: Long, inc: Long): String =
+      (s"""v_${scen}_0 AS (
+          |  SELECT state,
+          |    CASE WHEN state = 'purchase' THEN $absorbPurchase ELSE 0 END AS val
+          |  FROM states)""".stripMargin +:
+        (1 to 24).map(k => stepCte(scen, k, absorbPurchase, inc))).mkString(",\n")
+    val stateRows = states.map(st => s"('$st')").mkString(", ")
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+       |    event_type
+       |  FROM events),
+       |fp AS (
+       |  SELECT user_id, min(ROW(us, event_id)) AS fprow
+       |  FROM e WHERE event_type = 'purchase' GROUP BY user_id),
+       |path AS (
+       |  SELECT e.* FROM e LEFT JOIN fp USING (user_id)
+       |  WHERE fp.fprow IS NULL OR ROW(e.us, e.event_id) <= fp.fprow),
+       |stepped AS (
+       |  SELECT user_id, event_type,
+       |    row_number() OVER w AS rn,
+       |    lead(event_type) OVER w AS nxt
+       |  FROM path WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |trans AS (
+       |  SELECT 'start' AS from_state, event_type AS to_state FROM stepped WHERE rn = 1
+       |  UNION ALL
+       |  SELECT event_type, nxt FROM stepped WHERE nxt IS NOT NULL
+       |  UNION ALL
+       |  SELECT event_type, 'end' FROM stepped
+       |  WHERE nxt IS NULL AND event_type <> 'purchase'),
+       |tc AS (SELECT from_state, to_state, count(*) AS c FROM trans GROUP BY 1, 2),
+       |tt AS MATERIALIZED (SELECT from_state, sum(c) AS tot FROM tc GROUP BY 1),
+       |tm AS MATERIALIZED (
+       |  SELECT tc.from_state, tc.to_state,
+       |    CAST(tc.c AS HUGEINT) * 1000000 // tt.tot AS p
+       |  FROM tc JOIN tt USING (from_state)),
+       |states(state) AS (VALUES $stateRows),
+       |${chain("b", 1000000L, 0L)},
+       |${chain("h", 0L, 1000000L)}
+       |SELECT s.state, CAST(b.val AS BIGINT) AS conv_24_micro,
+       |  CAST(h.val AS BIGINT) AS esteps_24_micro
+       |FROM states s
+       |JOIN v_b_24 b ON b.state = s.state
+       |JOIN v_h_24 h ON h.state = s.state
+       |WHERE s.state IN (SELECT from_state FROM tt)
+       |ORDER BY s.state""".stripMargin
+  }
+
   /** q276 — EXACT Shapley-value channel attribution: the coalition
     * set function comes from the data — v(S) = conversions among
     * users whose exposure set (distinct non-purchase event types) is
@@ -5290,6 +5428,7 @@ object EventQueries {
     QueryDef("q416_kupiec_backtest", q416, Some(q416Sql)),
     QueryDef("q419_bass_diffusion", q419, Some(q419Sql)),
     QueryDef("q421_extremal_index", q421, Some(q421Sql)),
+    QueryDef("q422_absorption_time", q422, Some(q422Sql)),
     QueryDef("q349_mcnemar", q349, Some(q349Sql)),
     QueryDef("q340_bootstrap_ci", q340, Some(q340Sql)),
     QueryDef("q341_variance_ratio", q341, Some(q341Sql)),

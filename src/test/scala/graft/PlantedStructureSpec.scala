@@ -2358,6 +2358,20 @@ class PlantedStructureSpec extends SparkSpec {
     assert(r2.getLong(4) === 1000000L, s"iso theta $r2")
   }
 
+  test("q422 solves the planted absorption chain exactly (prob and steps)") {
+    // u1,u2: view -> purchase; u3,u4: view -> (end).
+    // T: start->view = 1, view->purchase = view->end = 1/2
+    val rows = Seq(
+      (1, 1L, "view", 1.0), (2, 1L, "purchase", 1.0),
+      (1, 2L, "view", 1.0), (2, 2L, "purchase", 1.0),
+      (1, 3L, "view", 1.0), (1, 4L, "view", 1.0))
+    val out = operators.EventQueries.q422(spark, eventsDir(rows))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // b(view) = 1/2, b(start) = 1/2; h(view) = 1, h(start) = 2
+    assert(out.toSeq === Seq(("start", 500000L, 2000000L),
+      ("view", 500000L, 1000000L)), s"${out.toSeq}")
+  }
+
   /** customer+nation fixture for q407: one customer per nation. */
   private def custNationDir(rows: Seq[(Long, Long, Double)]): String = {
     val dir = Files.createTempDirectory("planted-moran")
