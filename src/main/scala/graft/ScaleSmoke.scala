@@ -82,6 +82,63 @@ object ScaleSmoke {
       return
     }
 
+    // targeted mode: `... <n> graphiter` measures the round-11
+    // iterative graph operators (q418 HITS, q420 double-sweep BFS) as
+    // the graph grows: each round is one join + one aggregate on the
+    // edge partitioning, so cost should be LINEAR in |E| — this probe
+    // pins that (an accidental lineage blowup or a frontier that
+    // re-scans history would show as superlinear growth)
+    if (args.lift(1).contains("graphiter")) {
+      for (m <- Seq(nDocs / 4, nDocs, nDocs * 4)) {
+        val eb = spark.range(m).select(($"id" % (m / 32L)).as("u"),
+            pmod(xxhash64($"id"), lit(1000L)).as("b"))
+          .distinct().localCheckpoint()
+        timedN(m)(s"hits_2rounds_${m / 1000000}M") {
+          val ar1 = eb.groupBy($"b").agg((count(lit(1)) * 1000000L).as("ar"))
+          val a1 = ar1.crossJoin(broadcast(ar1.agg(max($"ar").as("am"))))
+            .select($"b",
+              expr("(cast(ar as decimal(38,0)) * 1000000) div am").as("a"))
+          val hr1 = eb.join(a1, "b").groupBy($"u").agg(sum($"a").as("hr"))
+          val h1 = hr1.crossJoin(broadcast(hr1.agg(max($"hr").as("hm"))))
+            .select($"u",
+              expr("(cast(hr as decimal(38,0)) * 1000000) div hm").as("h"))
+          eb.join(h1, "u").groupBy($"b").agg(sum($"h").as("x")).count()
+        }
+        // expander: ring + multiplicative chords — the frontier reaches
+        // most nodes within 6 rounds, so the sweep scans the whole
+        // edge set each round (the worst realistic case)
+        val und = spark.range(m)
+          .select($"id".as("a"), (($"id" + 1L) % m).as("b"))
+          .unionAll(spark.range(m)
+            .select($"id".as("a"), (($"id" * 7919L + 13L) % m).as("b")))
+        val ge = und.unionAll(und.select($"b".as("a"), $"a".as("b")))
+          .filter($"a" =!= $"b").localCheckpoint()
+        timedN(m)(s"bfs_double_sweep_${m / 1000000}M") {
+          def bfs(seed: DataFrame): DataFrame = {
+            var dist = seed.select($"id", lit(0L).as("dist")).localCheckpoint()
+            var frontier = dist.select($"id")
+            for (r <- 1 to 6) {
+              val next = frontier.join(ge, frontier("id") === ge("a"))
+                .select(ge("b").as("id")).distinct()
+                .join(dist.select($"id".as("seen")), $"id" === $"seen",
+                  "left_anti")
+                .select($"id").localCheckpoint()
+              dist = dist.unionAll(next.select($"id", lit(r.toLong).as("dist")))
+                .localCheckpoint()
+              frontier = next
+            }
+            dist
+          }
+          val d1 = bfs(ge.agg(min($"a").as("id")))
+          val far = d1.orderBy($"dist".desc, $"id").limit(1).select($"id")
+            .localCheckpoint()
+          bfs(far).count()
+        }
+      }
+      spark.stop()
+      return
+    }
+
     // targeted mode: `... <n> coactcap` measures the shared co-activity
     // edge builder's per-hour activity cap (GraphQueries.coactivityEdges,
     // q109/q353/q360): 720 background hours of 4 users each plus ONE
