@@ -2221,6 +2221,103 @@ object Relational {
       |    AS mean_spell_micro
       |FROM agg ORDER BY brand""".stripMargin
 
+  /** q423 — Fisher–Konieczny price-change synchronization: WHEN brands
+    * reprice, do they move TOGETHER (menu-cost shocks hit everyone —
+    * staggering vanishes) or on their own staggered clocks (Calvo)?
+    * Per month, the fraction r_t of brands (observed in t−1 and t)
+    * whose q394 unit price changed; FK = √(Var_t(r_t)/(r̄(1−r̄))) ∈
+    * [0,1] — 0 when each month changes the same pooled share
+    * (perfectly staggered), 1 when months are all-or-nothing
+    * (perfectly synchronized). The CROSS-SECTION timing question
+    * q394's per-brand frequency and q358's price level both ignore.
+    * Exact: change flags are integer price-grid comparisons; r_t and
+    * r̄ are stated micro truncations; deviations and their squares are
+    * exact DECIMAL; the one float is the final √ ratio over exact
+    * integer products, r6, NULL when r̄ is degenerate (stated).
+    *
+    * Scale shape: one scan collapses to the brand×month grid; change
+    * flags ride a per-brand lag window over that bounded grid; the
+    * index is a month-grid rollup. */
+  def q423(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val wb = Window.partitionBy($"brand").orderBy($"mk")
+    val monthly = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .select($"p_brand".as("brand"),
+        (year($"l_shipdate") * 12 + month($"l_shipdate")).cast("long").as("mk"),
+        floor($"l_extendedprice" * 100).cast("long").as("cents"),
+        $"l_quantity".cast("long").as("q"))
+      .groupBy($"brand", $"mk")
+      .agg(expr("(cast(sum(cents) as decimal(38,0)) * 1000000) div sum(q)")
+        .as("p"))
+      .withColumn("prev", lag($"p", 1).over(wb))
+      .filter($"prev".isNotNull)
+      .groupBy($"mk")
+      .agg(sum(($"p" =!= $"prev").cast("long")).as("x"),
+        count(lit(1)).as("nb"))
+      .withColumn("r", expr("(x * 1000000) div nb"))
+      .transform(Fx.materialize)
+    val tot = monthly.agg(count(lit(1)).as("t"), sum($"x").as("sx"),
+        sum($"nb").as("sn"))
+      .withColumn("rbar", expr("(sx * 1000000) div sn"))
+    val sd = monthly.crossJoin(broadcast(tot))
+      .select(($"r" - $"rbar").as("dev"))
+      .agg(sum(expr("cast(dev as decimal(38,0)) * dev")).as("sd2"))
+    val peak = monthly.orderBy($"r".desc, $"mk").limit(1)
+      .select($"mk".as("peak_mk"), $"r".as("peak_rate_micro"))
+    tot.crossJoin(broadcast(sd)).crossJoin(broadcast(peak))
+      .select($"t".as("t_months"), $"sx".as("sum_changes"),
+        $"sn".as("sum_pairs"), $"rbar".as("pooled_micro"),
+        when($"rbar" > 0L && $"rbar" < 1000000L,
+          r6(sqrt($"sd2".cast("double") / ($"t".cast("double") *
+            expr("cast(rbar * (1000000 - rbar) as double)")))))
+          .as("fk_index"),
+        $"peak_mk", $"peak_rate_micro")
+  }
+
+  val q423Sql: String =
+    s"""WITH bm AS (
+       |  SELECT p.p_brand AS brand,
+       |    year(l.l_shipdate) * 12 + month(l.l_shipdate) AS mk,
+       |    (CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS HUGEINT)
+       |      * 1000000) // CAST(sum(CAST(l.l_quantity AS BIGINT)) AS HUGEINT)
+       |      AS p
+       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       |  GROUP BY 1, 2),
+       |ch AS (
+       |  SELECT brand, mk, p,
+       |    lag(p) OVER (PARTITION BY brand ORDER BY mk) AS prev
+       |  FROM bm),
+       |monthly AS MATERIALIZED (
+       |  SELECT mk,
+       |    CAST(sum(CASE WHEN p <> prev THEN 1 ELSE 0 END) AS BIGINT) AS x,
+       |    CAST(count(*) AS BIGINT) AS nb,
+       |    (CAST(sum(CASE WHEN p <> prev THEN 1 ELSE 0 END) AS BIGINT)
+       |      * 1000000) // CAST(count(*) AS BIGINT) AS r
+       |  FROM ch WHERE prev IS NOT NULL GROUP BY mk),
+       |tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS t, CAST(sum(x) AS BIGINT) AS sx,
+       |    CAST(sum(nb) AS BIGINT) AS sn,
+       |    (CAST(sum(x) AS BIGINT) * 1000000) // CAST(sum(nb) AS BIGINT)
+       |      AS rbar
+       |  FROM monthly),
+       |sd AS (
+       |  SELECT sum(CAST(m.r - tot.rbar AS HUGEINT) * (m.r - tot.rbar)) AS sd2
+       |  FROM monthly m CROSS JOIN tot),
+       |peak AS (
+       |  SELECT CAST(mk AS BIGINT) AS peak_mk, r AS peak_rate_micro
+       |  FROM monthly ORDER BY r DESC, mk LIMIT 1)
+       |SELECT tot.t AS t_months, tot.sx AS sum_changes, tot.sn AS sum_pairs,
+       |  tot.rbar AS pooled_micro,
+       |  CASE WHEN tot.rbar > 0 AND tot.rbar < 1000000 THEN
+       |    ${Fx.sqlR6("sqrt(CAST(sd.sd2 AS DOUBLE) / (CAST(tot.t AS DOUBLE)" +
+         " * CAST(tot.rbar * (1000000 - tot.rbar) AS DOUBLE)))")}
+       |  END AS fk_index,
+       |  peak.peak_mk, peak.peak_rate_micro
+       |FROM tot CROSS JOIN sd CROSS JOIN peak""".stripMargin
+
   /** q390 — chain-ladder ULTIMATE forecast: q377 estimated how
     * cohorts develop; this completes each IMMATURE cohort to its
     * projected dev-6 revenue — ultimate = cum_L · Π_{e=L..5} f_e,
@@ -2695,6 +2792,7 @@ object Relational {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q417_taylor_law", q417, Some(q417Sql)),
+    QueryDef("q423_price_sync", q423, Some(q423Sql)),
     QueryDef("q358_price_index", q358, Some(q358Sql)),
     QueryDef("q363_arc_elasticity", q363, Some(q363Sql)),
     QueryDef("q402_cross_elasticity", q402, Some(q402Sql)),

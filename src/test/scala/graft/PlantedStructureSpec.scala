@@ -2372,6 +2372,33 @@ class PlantedStructureSpec extends SparkSpec {
       ("view", 500000L, 1000000L)), s"${out.toSeq}")
   }
 
+  test("q423 separates planted synchronized from staggered repricing") {
+    // months on days 5/35/63/94; unit prices move together: all three
+    // brands change at m2 and m4, hold at m3
+    def lines(prices: Map[String, Seq[Double]]): Seq[(String, Int, Double, Double)] =
+      prices.toSeq.flatMap { case (b, ps) =>
+        ps.zip(Seq(5, 35, 63, 94)).map { case (p, day) => (b, day, p * 10, 10.0) } }
+    val sync = operators.Relational.q423(spark, elasticityLinesDir(lines(Map(
+      "BA" -> Seq(1.0, 2.0, 2.0, 3.0), "BB" -> Seq(1.0, 2.0, 2.0, 3.0),
+      "BC" -> Seq(1.0, 2.0, 2.0, 3.0))))).head()
+    // r_t = (1, 0, 1): all-or-nothing months
+    assert((sync.getLong(0), sync.getLong(1), sync.getLong(2)) ===
+      ((3L, 6L, 9L)), s"sync counts $sync")
+    def replica(rs: Seq[Long], rbar: Long): Double = {
+      val sd2 = rs.map(r => BigInt(r - rbar) * (r - rbar)).sum
+      math.floor(math.sqrt(sd2.toDouble /
+        (rs.size.toDouble * (rbar * (1000000L - rbar)).toDouble)) * 1e6 + 0.5) / 1e6
+    }
+    assert(sync.getDouble(4) ===
+      replica(Seq(1000000L, 0L, 1000000L), 666666L), s"sync fk $sync")
+    // staggered: one brand changes each month -> r_t = 1/3 always
+    val stag = operators.Relational.q423(spark, elasticityLinesDir(lines(Map(
+      "BA" -> Seq(1.0, 2.0, 2.0, 2.0), "BB" -> Seq(1.0, 1.0, 2.0, 2.0),
+      "BC" -> Seq(1.0, 1.0, 1.0, 2.0))))).head()
+    assert(stag.getDouble(4) === 0.0, s"staggered fk should be 0: $stag")
+    assert(sync.getDouble(4) > 0.9, s"sync fk should be ~1: $sync")
+  }
+
   /** customer+nation fixture for q407: one customer per nation. */
   private def custNationDir(rows: Seq[(Long, Long, Double)]): String = {
     val dir = Files.createTempDirectory("planted-moran")
