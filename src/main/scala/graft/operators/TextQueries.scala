@@ -620,6 +620,80 @@ object TextQueries {
       |   WHERE doc_id <= (m * k) // 10) AS tokens
       |FROM ks ORDER BY k""".stripMargin
 
+  /** q424 — Heaps'-law exponent fit over q344's vocabulary-growth
+    * checkpoints: V ≈ K·N^β by log-log OLS on the 10 exact (tokens,
+    * vocab) points — the FIT companion to q344's curve (the
+    * q312→q409 / q274→q393 estimator→fit pattern): q344 deliberately
+    * emits integers "so any downstream fit never touches a float";
+    * this is that downstream fit, shipping β (sublinear vocabulary
+    * growth, typically 0.4–0.6 for natural text; β ≈ 1 flags
+    * ID-like/unbounded vocabularies where tokenizer budgets and
+    * dedup-signature sizing break) and the implied vocab forecast at
+    * 10× the corpus, K·(10N)^β. Determinism: x = ln N, y = ln V on
+    * exact integers (identical trees); the 10-term OLS sums are
+    * engine-ordered 1e-15 noise under r6; no branching downstream.
+    *
+    * Scale shape: q344's two bounded passes, then OLS over a 10-row
+    * grid. */
+  def q424(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pts = q344(s, d)
+      .filter($"vocab" > 0L && $"tokens" > 0L)
+      .select(log($"tokens".cast("double")).as("x"),
+        log($"vocab".cast("double")).as("y"))
+    pts.agg(count(lit(1)).as("k"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"),
+        max($"x").as("xmax"))
+      .withColumn("beta", ($"k".cast("double") * $"sxy" - $"sx" * $"sy") /
+        ($"k".cast("double") * $"sxx" - $"sx" * $"sx"))
+      .withColumn("lnk", ($"sy" - $"beta" * $"sx") / $"k".cast("double"))
+      .select($"k".as("n_points"), r6($"beta").as("heaps_beta"),
+        r6($"lnk").as("ln_k"),
+        r6(exp($"lnk" + $"beta" * ($"xmax" + log(lit(10.0)))))
+          .as("vocab_at_10x"),
+        ($"beta" > lit(0.9)).cast("int").as("unbounded_vocab_flag"))
+  }
+
+  val q424Sql: String =
+    s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+       |toks AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+       |  FROM documents),
+       |fo AS (
+       |  SELECT word, min(doc_id) AS fo
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |ks AS (SELECT unnest(range(1, 11)) AS k),
+       |curve AS (
+       |  SELECT CAST(k AS BIGINT) AS k,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM fo CROSS JOIN mx
+       |     WHERE fo <= (m * k) // 10) AS vocab,
+       |    (SELECT CAST(sum(toks) AS BIGINT) FROM toks CROSS JOIN mx
+       |     WHERE doc_id <= (m * k) // 10) AS tokens
+       |  FROM ks),
+       |xy AS (
+       |  SELECT ln(CAST(tokens AS DOUBLE)) AS x, ln(CAST(vocab AS DOUBLE)) AS y
+       |  FROM curve WHERE vocab > 0 AND tokens > 0),
+       |mo AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS k, sum(x) AS sx, sum(y) AS sy,
+       |    sum(x * x) AS sxx, sum(x * y) AS sxy, max(x) AS xmax
+       |  FROM xy),
+       |f AS (
+       |  SELECT k, sx, sy, xmax,
+       |    (CAST(k AS DOUBLE) * sxy - sx * sy)
+       |      / (CAST(k AS DOUBLE) * sxx - sx * sx) AS beta
+       |  FROM mo),
+       |g AS (
+       |  SELECT k, xmax, beta, (sy - beta * sx) / CAST(k AS DOUBLE) AS lnk
+       |  FROM f)
+       |SELECT k AS n_points, ${Fx.sqlR6("beta")} AS heaps_beta,
+       |  ${Fx.sqlR6("lnk")} AS ln_k,
+       |  ${Fx.sqlR6("exp(lnk + beta * (xmax + ln(10.0)))")} AS vocab_at_10x,
+       |  CAST(beta > 0.9 AS INT) AS unbounded_vocab_flag
+       |FROM g""".stripMargin
+
   /** q345 — term burstiness (Church–Gale): cf/df per term — the mean
     * occurrences per CONTAINING document. Function words spread thin
     * (cf/df ≈ 1); topical/bursty terms clump (cf/df ≫ 1), which is
@@ -901,6 +975,7 @@ object TextQueries {
     QueryDef("q348_term_drift", q348, Some(q348Sql)),
     QueryDef("q345_term_burstiness", q345, Some(q345Sql)),
     QueryDef("q344_vocab_growth", q344, Some(q344Sql)),
+    QueryDef("q424_heaps_fit", q424, Some(q424Sql)),
     QueryDef("q335_chao1_richness", q335, Some(q335Sql)),
     QueryDef("q321_good_turing", q321, Some(q321Sql)),
     QueryDef("q40_token_stats", q40, Some(q40Sql)),

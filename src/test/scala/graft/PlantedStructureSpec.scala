@@ -2399,6 +2399,19 @@ class PlantedStructureSpec extends SparkSpec {
     assert(sync.getDouble(4) > 0.9, s"sync fk should be ~1: $sync")
   }
 
+  test("q424 reads the planted vocabulary poles as beta exactly 1 and 0") {
+    // all-unique words: V = N at every checkpoint -> beta = 1, flagged
+    val unique = (1L to 40L).map(i =>
+      (i, (1 to 5).map(j => s"w${i}_$j").mkString(" "), "en", "s", 10L))
+    val u = operators.TextQueries.q424(spark, documentsDir(unique)).head()
+    assert(u.getDouble(1) === 1.0 && u.getInt(4) === 1, s"unique $u")
+    // closed 5-word vocabulary: V constant -> beta = 0, forecast = 5
+    val closed = (1L to 40L).map(i => (i, "a b c d e", "en", "s", 9L))
+    val c = operators.TextQueries.q424(spark, documentsDir(closed)).head()
+    assert(c.getDouble(1) === 0.0 && c.getInt(4) === 0, s"closed $c")
+    assert(c.getDouble(3) === 5.0, s"closed forecast $c")
+  }
+
   /** customer+nation fixture for q407: one customer per nation. */
   private def custNationDir(rows: Seq[(Long, Long, Double)]): String = {
     val dir = Files.createTempDirectory("planted-moran")
