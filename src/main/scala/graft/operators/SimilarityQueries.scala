@@ -1472,7 +1472,64 @@ object SimilarityQueries {
        |    AS n_misplaced
        |FROM sil GROUP BY label ORDER BY label""".stripMargin
 
+  /** q425 — TwoNN intrinsic dimensionality (Facco et al. 2017): the
+    * MLE d̂ = m / Σ ln(μᵢ) from the ratio μᵢ = d₂/d₁ of each probe's
+    * second- to first-nearest-neighbor cosine distance — how many
+    * degrees of freedom the embeddings ACTUALLY use, independent of
+    * the ambient 64 (the curse-of-dimensionality readout that
+    * explains q382's hubness and q62's IVF recall: both degrade in
+    * the INTRINSIC dimension, which q286's single top eigenvector
+    * can't summarize). Probes: the stated vec_id < 64 panel (the q60
+    * convention); duplicate-vector probes (d₁ = 0) are excluded,
+    * stated. Determinism: every distance is the bit-identical native
+    * cosine, the NN ranks are q60's (sim, vec_id) total order, ln
+    * runs on identical doubles; the m-term sum is engine-ordered
+    * 1e-15 noise under r6.
+    *
+    * Scale shape: 64 broadcast probes × one corpus pass through the
+    * native bounded-heap top-2 — no vector-vector shuffle. */
+  def q425(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val probes = Tables.embeddings(s, d).filter($"vec_id" < 64)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val nn = Similarity.bruteForceTopK(probes, Tables.embeddings(s, d), k = 2)
+    val mu = nn.groupBy($"q_id")
+      .agg(max(when($"rn" === 1, $"sim")).as("s1"),
+        max(when($"rn" === 2, $"sim")).as("s2"))
+      .filter($"s1" < lit(1.0))
+      .select(log((lit(1.0) - $"s2") / (lit(1.0) - $"s1")).as("lnmu"))
+    mu.agg(count(lit(1)).as("m"), sum($"lnmu").as("slm"))
+      .select($"m".as("n_probes"), r6($"slm").as("sum_ln_mu"),
+        when($"slm" > 0.0, r6($"m".cast("double") / $"slm")).as("twonn_id"))
+  }
+
+  val q425Sql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+       |           FROM embeddings WHERE vec_id < 64),
+       |t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS t_vec FROM embeddings),
+       |sims AS (
+       |  SELECT q_id, vec_id, $cosSql AS sim
+       |  FROM t, q WHERE vec_id <> q_id),
+       |ranked AS (
+       |  SELECT q_id, sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+       |  FROM sims),
+       |mu AS (
+       |  SELECT q_id,
+       |    max(CASE WHEN rn = 1 THEN sim END) AS s1,
+       |    max(CASE WHEN rn = 2 THEN sim END) AS s2
+       |  FROM ranked WHERE rn <= 2 GROUP BY q_id),
+       |lm AS (
+       |  SELECT ln((1.0 - s2) / (1.0 - s1)) AS lnmu FROM mu WHERE s1 < 1.0),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS m, sum(lnmu) AS slm FROM lm)
+       |SELECT m AS n_probes, ${sqlR6("slm")} AS sum_ln_mu,
+       |  CASE WHEN slm > 0.0 THEN ${sqlR6("CAST(m AS DOUBLE) / slm")} END
+       |    AS twonn_id
+       |FROM agg""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q425_twonn_id", q425, Some(q425Sql)),
     QueryDef("q410_silhouette", q410, Some(q410Sql)),
     QueryDef("q382_hubness", q382, Some(q382Sql)),
     QueryDef("q314_map_at_10", q314, Some(q314Sql)),

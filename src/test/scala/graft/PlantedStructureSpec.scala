@@ -2412,6 +2412,25 @@ class PlantedStructureSpec extends SparkSpec {
     assert(c.getDouble(3) === 5.0, s"closed forecast $c")
   }
 
+  test("q425 reproduces the planted two-neighbor geometry through the exact NN ratios") {
+    def vec(pairs: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(64)(0f); pairs.foreach { case (i, v) => a(i) = v }
+      a.toSeq
+    }
+    // probe 0 sees neighbors at cos 1/sqrt(2) and 1/sqrt(5); probe 1
+    // is orthogonal to everything (mu = 1, contributes ln 1 = 0)
+    val rows = Seq(
+      (0L, vec(0 -> 1f), 0), (1L, vec(50 -> 1f), 0),
+      (100L, vec(0 -> 1f, 1 -> 1f), 1), (101L, vec(0 -> 1f, 1 -> 2f), 1))
+    val r = operators.SimilarityQueries.q425(spark, embeddingsDir(rows)).head()
+    val s1 = 1.0 / math.sqrt(2.0); val s2 = 1.0 / math.sqrt(5.0)
+    val slm = math.log((1.0 - s2) / (1.0 - s1))
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(r.getLong(0) === 2L, s"probes $r")
+    assert(r.getDouble(1) === r6d(slm), s"sum_ln_mu $r vs $slm")
+    assert(r.getDouble(2) === r6d(2.0 / slm), s"id $r vs ${2.0 / slm}")
+  }
+
   /** customer+nation fixture for q407: one customer per nation. */
   private def custNationDir(rows: Seq[(Long, Long, Double)]): String = {
     val dir = Files.createTempDirectory("planted-moran")
