@@ -1528,8 +1528,80 @@ object SimilarityQueries {
        |    AS twonn_id
        |FROM agg""".stripMargin
 
+  /** q426 — effective rank (participation ratio) of the embedding
+    * covariance: erank = (tr C)²/‖C‖²_F = (Σλ)²/Σλ² — how many
+    * principal directions carry the variance, WITHOUT an
+    * eigendecomposition (the trace identities make the spectrum sum
+    * computable from the raw covariance cells). The LINEAR-subspace
+    * companion to q425's TwoNN (a manifold can be intrinsically 8-D
+    * yet span 40 linear directions — anisotropy collapse shows here
+    * first, before q232's norm stats move). Built from the full
+    * 64×64 covariance: one corpus pass explodes each vector into its
+    * 4096 ordered coordinate pairs (a CONSTANT 64² blow-up, linear in
+    * n, map-side combined), E[xᵢxⱼ] and the means are pinned to the
+    * r6 grid (the q61/q410 centroid convention), so C = E − m·mᵀ and
+    * both trace sums run on identical doubles in both engines; the
+    * final ratios are r6.
+    *
+    * Scale shape: two bounded-grid aggregates (4096 + 64 cells) off
+    * one pass; everything after is grid arithmetic. */
+  def q426(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val x = Tables.embeddings(s, d)
+      .select(Similarity.toDoubleArr($"embedding").as("x"))
+      .transform(Fx.materialize)
+    val p1 = x.select($"x", posexplode($"x")).toDF("x", "i0", "xi")
+    val pairs = p1.select(($"i0" + 1).as("i"), $"xi", posexplode($"x"))
+      .toDF("i", "xi", "j0", "xj")
+      .select($"i", ($"j0" + 1).as("j"), $"xi", $"xj")
+    val egrid = pairs.groupBy($"i", $"j").agg(r6(avg($"xi" * $"xj")).as("e"))
+    val mgrid = x.select(posexplode($"x")).toDF("i0", "xi")
+      .groupBy(($"i0" + 1).as("i")).agg(r6(avg($"xi")).as("m"))
+      .transform(Fx.materialize)
+    val c = egrid
+      .join(broadcast(mgrid.select($"i", $"m".as("mi"))), "i")
+      .join(broadcast(mgrid.select($"i".as("j"), $"m".as("mj"))), "j")
+      .withColumn("cij", $"e" - $"mi" * $"mj")
+    c.agg(
+        sum(when($"i" === $"j", $"cij")).as("tr"),
+        sum($"cij" * $"cij").as("frob2"),
+        max(when($"i" === $"j", $"cij")).as("maxvar"))
+      .select(lit(64L).as("ambient_dim"), r6($"tr").as("trace_var"),
+        r6($"frob2").as("frobenius_sq"),
+        when($"frob2" > 0.0, r6($"tr" * $"tr" / $"frob2"))
+          .as("effective_rank"),
+        r6($"maxvar").as("max_dim_var"))
+  }
+
+  val q426Sql: String =
+    s"""WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+       |x AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS x
+       |                   FROM embeddings),
+       |eg AS MATERIALIZED (
+       |  SELECT d1.i AS i, d2.i AS j,
+       |    ${sqlR6("avg(x.x[d1.i] * x.x[d2.i])")} AS e
+       |  FROM x, dims d1, dims d2 GROUP BY 1, 2),
+       |mg AS MATERIALIZED (
+       |  SELECT d.i, ${sqlR6("avg(x.x[d.i])")} AS m
+       |  FROM x, dims d GROUP BY 1),
+       |c AS (
+       |  SELECT eg.i, eg.j, eg.e - mi.m * mj.m AS cij
+       |  FROM eg JOIN mg mi ON eg.i = mi.i JOIN mg mj ON eg.j = mj.i),
+       |agg AS (
+       |  SELECT sum(CASE WHEN i = j THEN cij END) AS tr,
+       |    sum(cij * cij) AS frob2,
+       |    max(CASE WHEN i = j THEN cij END) AS maxvar
+       |  FROM c)
+       |SELECT CAST(64 AS BIGINT) AS ambient_dim, ${sqlR6("tr")} AS trace_var,
+       |  ${sqlR6("frob2")} AS frobenius_sq,
+       |  CASE WHEN frob2 > 0.0 THEN ${sqlR6("tr * tr / frob2")} END
+       |    AS effective_rank,
+       |  ${sqlR6("maxvar")} AS max_dim_var
+       |FROM agg""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q425_twonn_id", q425, Some(q425Sql)),
+    QueryDef("q426_effective_rank", q426, Some(q426Sql)),
     QueryDef("q410_silhouette", q410, Some(q410Sql)),
     QueryDef("q382_hubness", q382, Some(q382Sql)),
     QueryDef("q314_map_at_10", q314, Some(q314Sql)),

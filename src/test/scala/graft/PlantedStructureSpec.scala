@@ -2431,6 +2431,23 @@ class PlantedStructureSpec extends SparkSpec {
     assert(r.getDouble(2) === r6d(2.0 / slm), s"id $r vs ${2.0 / slm}")
   }
 
+  test("q426 reads planted rank-1 and rank-2 geometries as effective rank exactly 1 and 2") {
+    def vec(pairs: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(64)(0f); pairs.foreach { case (i, v) => a(i) = v }
+      a.toSeq
+    }
+    // colinear: all variance on one axis -> erank = 1
+    val r1 = operators.SimilarityQueries.q426(spark, embeddingsDir(Seq(
+      (1L, vec(0 -> 1f), 0), (2L, vec(0 -> 2f), 0), (3L, vec(0 -> 3f), 0))))
+      .head()
+    assert(r1.getDouble(3) === 1.0, s"rank-1 $r1")
+    // symmetric cross on two axes: C = diag(.5,.5) -> erank = 2
+    val r2 = operators.SimilarityQueries.q426(spark, embeddingsDir(Seq(
+      (1L, vec(0 -> 1f), 0), (2L, vec(0 -> -1f), 0),
+      (3L, vec(1 -> 1f), 0), (4L, vec(1 -> -1f), 0)))).head()
+    assert(r2.getDouble(3) === 2.0 && r2.getDouble(1) === 1.0, s"rank-2 $r2")
+  }
+
   /** customer+nation fixture for q407: one customer per nation. */
   private def custNationDir(rows: Seq[(Long, Long, Double)]): String = {
     val dir = Files.createTempDirectory("planted-moran")
