@@ -4,8 +4,22 @@ against DuckDB executing oracle_sql.json on the same sf tables, compare
 values with columns sorted by name. Usage:
   python3 scripts/check.py <sfDir> <outDir> [name...]
 """
-import sys, json, glob, os
+import sys, json, glob, os, threading
 import duckdb
+
+# Per-query budget: one runaway oracle must report FAIL, not hang the
+# sweep (the r11 lesson — q422's non-MATERIALIZED CTE chain zeroed the
+# round's correctness artifact by hanging the sorted sweep).
+TIMEOUT_SEC = float(os.environ.get("CHECK_TIMEOUT_SEC", "120"))
+
+def timed_df(con, sql):
+    """Run sql -> pandas df, interrupting DuckDB after TIMEOUT_SEC."""
+    timer = threading.Timer(TIMEOUT_SEC, con.interrupt)
+    timer.start()
+    try:
+        return con.sql(sql).df()
+    finally:
+        timer.cancel()
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -25,9 +39,13 @@ def main():
             n_bad += 1
             continue
         try:
-            got = con.sql(
-                f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").df()
-            want = con.sql(sql).df()
+            got = timed_df(
+                con, f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+            want = timed_df(con, sql)
+        except duckdb.InterruptException:
+            print(f"FAIL {name}: oracle timeout after {TIMEOUT_SEC}s")
+            n_bad += 1
+            continue
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_bad += 1

@@ -88,8 +88,17 @@ object Bench {
       () => q.fn(spark, dir).write.format("noop").mode("overwrite").save()
 
     // ---- extended-set artifact flows (setup OUTSIDE the timer) -----
-    val extraFlows: Seq[(String, () => Unit)] = if (!extended) Nil else {
+    // Setup only runs when at least one artifact flow survives the
+    // `only` filter: the IVF build and the 100k-row docstore
+    // write/delete/update are pure waste when the filter excludes both.
+    val extraFlowNames =
+      Seq("x_ann_search_persisted", "x_docstore_scan_after_mutations")
+    val wantExtraFlows =
+      extended && extraFlowNames.exists(n => only.forall(_.contains(n)))
+    val tempDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val extraFlows: Seq[(String, () => Unit)] = if (!wantExtraFlows) Nil else {
       val annDir = java.nio.file.Files.createTempDirectory("bench-ivf").toString
+      tempDirs += annDir
       val emb = Tables.embeddings(spark, sfDir)
       graft.ml.IvfIndex.save(graft.ml.IvfIndex.build(emb, "embedding", nList = 16), annDir)
       // NOT materialized: releaseCaches() between runs would drop a
@@ -97,6 +106,7 @@ object Bench {
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val docDir = java.nio.file.Files.createTempDirectory("bench-docstore").toString
+      tempDirs += docDir
       val fmtV2 = "graft.sources.v2.DocStoreDataSource"
       import org.apache.spark.sql.functions.md5
       spark.range(100000L)
@@ -181,6 +191,14 @@ object Bench {
     // grep; the bare line on stdout stays last for line-based parsers.
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    // artifact-flow scratch dirs don't survive the run
+    tempDirs.foreach { d =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
+          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
     System.err.println(s"GRAFT_BENCH_JSON $json")
     System.err.flush()
     println(json)

@@ -36,12 +36,15 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val t0 = System.nanoTime()
+    val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val futures = selected.toSeq.map { case (name, fn) =>
       scala.concurrent.Future {
         val session = spark.newSession()
         try fn(session, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
+          failed.add(name)
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
@@ -65,6 +68,21 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Self-check artifact: if the driver's correctness file ever zeroes
+    // again, this separates "engine broke" from "gate broke" in one read.
+    val failedNames = {
+      import scala.jdk.CollectionConverters._
+      failed.asScala.toSeq.sorted
+    }
+    val summary =
+      s"""{"n_registered": ${SparkEntry.queries.size}, """ +
+      s""""n_selected": ${selected.size}, """ +
+      s""""n_dumped": ${selected.size - failedNames.size}, """ +
+      s""""n_failed": ${failedNames.size}, """ +
+      s""""failed": [${failedNames.map(q).mkString(", ")}], """ +
+      s""""wall_sec": ${(System.nanoTime() - t0) / 1e9}}"""
+    Files.writeString(Paths.get(s"$outDir/verify_summary.json"), summary)
+    System.err.println(s"[verify] summary: $summary")
     spark.stop()
   }
 }

@@ -1009,7 +1009,7 @@ object EventQueries {
       val prev = if (k == 1) s"v_${scen}_0" else s"v_${scen}_${k - 1}"
       val removedCase =
         removed.map(c => s"WHEN s.state = '$c' THEN 0 ").getOrElse("")
-      s"""v_${scen}_$k AS (
+      s"""v_${scen}_$k AS MATERIALIZED (
          |  SELECT s.state,
          |    CASE WHEN s.state = 'purchase' THEN 1000000
          |         WHEN s.state = 'end' THEN 0
@@ -1021,7 +1021,7 @@ object EventQueries {
          |  FROM states s)""".stripMargin
     }
     def scenario(scen: String, removed: Option[String]): String =
-      (s"""v_${scen}_0 AS (
+      (s"""v_${scen}_0 AS MATERIALIZED (
           |  SELECT state, CASE WHEN state = 'purchase' THEN 1000000 ELSE 0 END AS val
           |  FROM states)""".stripMargin +:
         (1 to 12).map(k => stepCte(scen, k, removed))).mkString(",\n")
@@ -1056,8 +1056,8 @@ object EventQueries {
        |  SELECT event_type, 'end' FROM stepped
        |  WHERE nxt IS NULL AND event_type <> 'purchase'),
        |tc AS (SELECT from_state, to_state, count(*) AS c FROM trans GROUP BY 1, 2),
-       |tt AS (SELECT from_state, sum(c) AS tot FROM tc GROUP BY 1),
-       |tm AS (
+       |tt AS MATERIALIZED (SELECT from_state, sum(c) AS tot FROM tc GROUP BY 1),
+       |tm AS MATERIALIZED (
        |  SELECT tc.from_state, tc.to_state,
        |    CAST(tc.c AS HUGEINT) * 1000000 // tt.tot AS p
        |  FROM tc JOIN tt USING (from_state)),
@@ -1161,7 +1161,7 @@ object EventQueries {
       "signup", "view")
     def stepCte(scen: String, k: Int, absorbPurchase: Long, inc: Long): String = {
       val prev = s"v_${scen}_${k - 1}"
-      s"""v_${scen}_$k AS (
+      s"""v_${scen}_$k AS MATERIALIZED (
          |  SELECT s.state,
          |    CASE WHEN s.state = 'purchase' THEN $absorbPurchase
          |         WHEN s.state = 'end' THEN 0
@@ -1172,7 +1172,7 @@ object EventQueries {
          |  FROM states s)""".stripMargin
     }
     def chain(scen: String, absorbPurchase: Long, inc: Long): String =
-      (s"""v_${scen}_0 AS (
+      (s"""v_${scen}_0 AS MATERIALIZED (
           |  SELECT state,
           |    CASE WHEN state = 'purchase' THEN $absorbPurchase ELSE 0 END AS val
           |  FROM states)""".stripMargin +:

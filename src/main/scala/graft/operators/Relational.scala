@@ -2441,9 +2441,12 @@ object Relational {
     }
     val compDf = comp.toSeq.map { case (dv, fc) => (dv, fc) }
       .toDF("ldev", "comp_micro")
+    // prior cents are GRID-FIRST sums (per-row cents, then exact long
+    // sum) — a double sum-then-grid can flip a cent against DuckDB's
+    // DECIMAL sum at the 0.5 boundary at large SF (q407 discipline)
     val prior = Tables.orders(s, d)
       .groupBy((year($"o_orderdate") * 12 + month($"o_orderdate")).as("cohort"))
-      .agg(floor(sum($"o_totalprice") * 100 + lit(0.5)).cast("long")
+      .agg(sum(floor($"o_totalprice" * 100 + lit(0.5)).cast("long"))
         .as("prior_cents"))
     val latest = tri.groupBy($"cohort").agg(max($"dev").as("ldev"))
       .join(tri.select($"cohort", $"dev".as("ldev"), $"cum"), Seq("cohort", "ldev"))
@@ -2495,7 +2498,8 @@ object Relational {
       |  WHERE c.ldev > 0),
       |prior AS (
       |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS cohort,
-      |    CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS prior_cents
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS prior_cents
       |  FROM orders GROUP BY 1),
       |latest AS (
       |  SELECT tri.cohort, tri.dev AS ldev, tri.cum

@@ -78,51 +78,117 @@ object DocStoreCompact {
     * live lock. */
   val HeartbeatMs: Long = LockStaleMs / 5
 
-  private[v2] def withLock[A](dir: String)(body: => A): A = {
+  /** Break a lock file observed stale at `observedMtime`, by ATOMIC
+    * RENAME to a unique name: of N concurrent breakers exactly one
+    * move succeeds (the file exists only once), so the
+    * observe-then-delete TOCTOU — where a slow breaker's delete()
+    * lands AFTER the winner re-created a fresh lock and kills it,
+    * admitting two mutators — cannot happen. The rename does NOT
+    * serialize breaker-vs-fresh-acquirer, though: between observing
+    * the stale mtime and our move, a faster breaker may have broken
+    * the same stale lock and created a FRESH one — which our move
+    * just displaced. The debris mtime detects that: if it differs
+    * from what we observed, put the fresh lock back (or, if the slot
+    * was re-filled meanwhile, leave the debris; its holder's
+    * heartbeat notices the missing lock and aborts loudly) and report
+    * failure. Returns true only when the broken lock was the one
+    * observed, i.e. acquisition may proceed. */
+  private[v2] def breakStale(dir: String, lock: File,
+      observedMtime: Long): Boolean = {
+    val debris = new File(dir, "_compact.lock.broken-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    val broke =
+      try {
+        Files.move(lock.toPath, debris.toPath,
+          StandardCopyOption.ATOMIC_MOVE)
+        true
+      } catch { case _: java.io.IOException => false }
+    if (broke && debris.lastModified() != observedMtime) {
+      try Files.move(debris.toPath, lock.toPath,
+        StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.io.IOException => () }
+      false
+    } else {
+      if (broke) debris.delete()
+      broke
+    }
+  }
+
+  private[v2] def withLock[A](dir: String,
+      heartbeatMs: Long = HeartbeatMs)(body: => A): A = {
     val lock = new File(dir, "_compact.lock")
     def tryCreate(): Boolean =
       try { Files.createFile(lock.toPath); true }
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
     val acquired = tryCreate() || {
-      val age = System.currentTimeMillis() - lock.lastModified()
-      if (lock.lastModified() > 0L && age > LockStaleMs) {
-        // break the stale lock by ATOMIC RENAME to a unique name: of
-        // N concurrent breakers exactly one move succeeds (the file
-        // exists only once), so the observe-then-delete TOCTOU —
-        // where a slow breaker's delete() lands AFTER the winner
-        // re-created a fresh lock and kills it, admitting two
-        // mutators — cannot happen. The loser's move throws and it
-        // falls through to the fail-fast path.
-        val debris = new File(dir, "_compact.lock.broken-" +
-          java.util.UUID.randomUUID().toString.take(8))
-        val broke =
-          try {
-            Files.move(lock.toPath, debris.toPath,
-              StandardCopyOption.ATOMIC_MOVE)
-            true
-          } catch { case _: java.io.IOException => false }
-        if (broke) debris.delete()
-        broke && tryCreate()
-      } else false
+      val observedMtime = lock.lastModified()
+      val age = System.currentTimeMillis() - observedMtime
+      if (observedMtime > 0L && age > LockStaleMs)
+        breakStale(dir, lock, observedMtime) && tryCreate()
+      else false
     }
     if (!acquired)
       throw new ConcurrentCompactionException(
         s"$dir: another compaction holds _compact.lock " +
           "(compact/sweep are single-writer; see class doc)")
+    // Identity token: the lock PATH is shared by every generation of
+    // holder, so "the file exists" does not mean "OUR lock survives" —
+    // a breaker could have replaced it with its own. The token makes
+    // the beat (and the release below) verify ownership, not presence.
+    val token = java.util.UUID.randomUUID().toString
+    try Files.writeString(lock.toPath, token)
+    catch { case _: java.io.IOException => () }
+    def ownLock(): Boolean =
+      try lock.isFile && Files.readString(lock.toPath) == token
+      catch { case _: java.io.IOException => false }
     // heartbeat while the body runs (daemon thread — dies with the
-    // JVM, which is exactly when beating SHOULD stop)
+    // JVM, which is exactly when beating SHOULD stop). If the lock is
+    // broken out from under us (clock skew, manual deletion, the
+    // displaced-fresh-lock path above), the holder must NOT keep
+    // mutating silently without a lock: the beat flags the loss and
+    // interrupts the holder so the mutation aborts loudly.
+    val holder = Thread.currentThread()
+    val lost = new java.util.concurrent.atomic.AtomicBoolean(false)
     val beat = new Thread(() => {
       try {
-        while (true) {
-          Thread.sleep(HeartbeatMs)
-          lock.setLastModified(System.currentTimeMillis())
-          ()
+        var beating = true
+        while (beating) {
+          Thread.sleep(heartbeatMs)
+          val ok = ownLock() &&
+            lock.setLastModified(System.currentTimeMillis())
+          if (!ok) {
+            lost.set(true)
+            holder.interrupt()
+            beating = false
+          }
         }
       } catch { case _: InterruptedException => () }
     }, s"docstore-lock-heartbeat-$dir")
     beat.setDaemon(true)
     beat.start()
-    try body finally { beat.interrupt(); lock.delete() }
+    def lockLost(): Nothing =
+      throw new ConcurrentCompactionException(
+        s"$dir: _compact.lock lost mid-mutation (broken externally); " +
+          "aborting instead of mutating unlocked")
+    try {
+      val r =
+        try body
+        catch {
+          case _: InterruptedException if lost.get() => lockLost()
+          case e: RuntimeException
+              if lost.get() && e.getCause.isInstanceOf[InterruptedException] =>
+            lockLost()
+        }
+      if (lost.get()) lockLost()
+      r
+    } finally {
+      beat.interrupt()
+      // release only OUR lock: if it was lost, the file now on disk
+      // (if any) belongs to whoever broke ours — leave it alone
+      if (!lost.get() && ownLock()) lock.delete()
+      Thread.interrupted() // clear a beat-thread interrupt that landed late
+      ()
+    }
   }
 
   /** Grace period before a REPLACED (dead) file's bytes leave disk.
