@@ -1130,7 +1130,100 @@ object GraphQueries {
       |  CAST(st.i_micro > st.e_i_micro AS INT) AS positive_autocorr
       |FROM reg CROSS JOIN st ORDER BY regionkey""".stripMargin
 
+  /** q428 — 4-truss peeling of the co-purchase part graph: the
+    * EDGE-level cohesion ladder beside q209's node-level k-core. An
+    * edge survives a round when it closes ≥ 2 triangles WITHIN the
+    * surviving edge set (truss support k−2 for k=4); dropping weak
+    * edges lowers neighbors' support, so peeling CASCADES — trusses
+    * are strictly stronger than cores (every 4-truss edge sits in a
+    * 3-core, not vice versa) and are the standard community-core
+    * primitive triangle counts (q109 global, q353 spectrum) only
+    * describe statically. Fixed 3 rounds (stated horizon — the
+    * q209/q91 fixed-iteration precedent; a converged peel makes
+    * further rounds no-ops). Per round the output row carries
+    * edges-in, triangle count, and edges-kept — all exact integers.
+    *
+    * 100 TB shape: edges come from the bounded per-order set explode
+    * (never a row self-join); each round's triangle enumeration is
+    * the a<b<c oriented double join (q109/q353 discipline — the
+    * intermediate is bounded by oriented wedge counts, not degree²);
+    * support is three projections of the triangle list + one shuffle
+    * on the edge key; each generation is localCheckpoint-ed (lineage
+    * doubles per round otherwise). Round stats reach the driver as
+    * three scalar counts per round — never data rows. */
+  def q428(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rounds = 3
+    val lp = Tables.lineitem(s, d)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+    var edges = lp.groupBy($"ok")
+      .agg(sort_array(collect_list($"p")).as("ps"))
+      .select(explode(filter(
+        flatten(transform($"ps",
+          a => transform($"ps", b => struct(a.as("a"), b.as("b"))))),
+        pr => pr("a") < pr("b"))).as("e"))
+      .select($"e.a".as("a"), $"e.b".as("b"))
+      .distinct()
+      .transform(graft.Fx.materialize)
+    val stats = (1 to rounds).map { i =>
+      val edgesIn = edges.count()
+      val tri = edges.as("e1")
+        .join(edges.as("e2"), $"e1.b" === $"e2.a")
+        .join(edges.as("e3"), $"e2.b" === $"e3.b" && $"e1.a" === $"e3.a")
+        .select($"e1.a".as("x"), $"e1.b".as("y"), $"e2.b".as("z"))
+        .transform(graft.Fx.materialize) // consumed 4x: count + 3 edge projections
+      val nTri = tri.count()
+      val support = tri.select($"x".as("a"), $"y".as("b"))
+        .unionAll(tri.select($"x".as("a"), $"z".as("b")))
+        .unionAll(tri.select($"y".as("a"), $"z".as("b")))
+        .groupBy($"a", $"b").agg(count(lit(1)).as("sup"))
+      edges = edges.join(support, Seq("a", "b"), "left")
+        .filter(coalesce($"sup", lit(0L)) >= 2L)
+        .select($"a", $"b")
+        .transform(graft.Fx.materialize)
+      (i, edgesIn, nTri, edges.count())
+    }
+    s.createDataFrame(stats)
+      .toDF("round", "edges_in", "n_triangles", "edges_kept")
+      .orderBy($"round")
+  }
+
+  val q428Sql: String = {
+    val rounds = 3
+    val gens = (1 to rounds).map { i =>
+      s"""tri_$i AS MATERIALIZED (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM e${i - 1} e1
+         |  JOIN e${i - 1} e2 ON e1.b = e2.a
+         |  JOIN e${i - 1} e3 ON e1.a = e3.a AND e2.b = e3.b),
+         |sup_$i AS MATERIALIZED (
+         |  SELECT a, b, count(*) AS sup FROM (
+         |    SELECT x AS a, y AS b FROM tri_$i
+         |    UNION ALL SELECT x, z FROM tri_$i
+         |    UNION ALL SELECT y, z FROM tri_$i) t
+         |  GROUP BY a, b),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e${i - 1} e
+         |  LEFT JOIN sup_$i s ON e.a = s.a AND e.b = s.b
+         |  WHERE coalesce(s.sup, 0) >= 2)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to rounds).map(i =>
+      s"""SELECT $i AS round,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM e${i - 1}) AS edges_in,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM tri_$i) AS n_triangles,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM e$i) AS edges_kept""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH lp AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+       |e0 AS MATERIALIZED (
+       |  SELECT a.p AS a, b.p AS b FROM lp a JOIN lp b
+       |  ON a.ok = b.ok AND a.p < b.p GROUP BY 1, 2),
+       |$gens
+       |SELECT * FROM ($rows) u ORDER BY round""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q428_ktruss_peel", q428, Some(q428Sql)),
     QueryDef("q407_morans_i", q407, Some(q407Sql)),
     QueryDef("q418_hits_authority", q418, Some(q418Sql)),
     QueryDef("q420_double_sweep_diameter", q420, Some(q420Sql)),

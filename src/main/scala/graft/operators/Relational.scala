@@ -2794,7 +2794,129 @@ object Relational {
        |  CAST(b > 1.0 AS INT) AS superpoissonian
        |FROM f""".stripMargin
 
+  /** q427 — synthetic control with placebo inference (Abadie et al.,
+    * nearest-donor variant) on the brand monthly-revenue panel: did
+    * the TREATED brand's revenue move after the calendar midpoint
+    * relative to what its peers predict? The counterfactual for each
+    * brand is the unweighted mean of its 4 NEAREST donors — nearest
+    * in pre-period trajectory (squared-distance over the zero-filled
+    * brand×month cents grid, a DECIMAL integer; ties broken by brand)
+    * — and the effect is the post-period gap sum. INFERENCE is
+    * Abadie's permutation test run in full: EVERY brand gets the
+    * identical placebo treatment, and the treated brand's rank by
+    * |effect| among all brands is the exact placebo p-value's
+    * numerator — the panel-counterfactual answer q281's 2×2 DiD
+    * (parallel-trends assumed, no donor selection) and q288's CEM
+    * (cross-sectional covariates, no time) can't give. Everything is
+    * exact: the stated treated brand is the lexicographic minimum,
+    * the cut is the q281 midpoint rule, and the gap is kept in
+    * QUARTER-cents (4·treated − Σ₄ donors) so no division ever runs —
+    * att is a pure integer sum, rank a total order.
+    *
+    * Scale shape: one scan collapses to the bounded brand×month grid
+    * (zero-filled via a sequence explode); the donor-distance matrix
+    * is brands² × months on that grid; everything downstream —
+    * nearest-4 window, synth join, rank — is grid-sized. Stated
+    * precondition: ≥ 5 brands in the panel (TPC-H ships 25), so every
+    * unit has its full 4 donors. */
+  def q427(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val raw = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .select($"p_brand".as("brand"),
+        (year($"l_shipdate") * 12 + month($"l_shipdate")).cast("long").as("mk"),
+        floor($"l_extendedprice" * 100).cast("long").as("cents"))
+      .groupBy($"brand", $"mk").agg(sum($"cents").as("cents"))
+      .transform(Fx.materialize)
+    val bounds = raw.agg(min($"mk").as("m0"), max($"mk").as("m1"))
+      .select($"m0", $"m1", expr("(m0 + m1) div 2").as("cut"))
+    val months = bounds.select(explode(sequence($"m0", $"m1")).as("mk"), $"cut")
+    val grid = raw.select($"brand").distinct()
+      .crossJoin(broadcast(months))
+      .join(raw, Seq("brand", "mk"), "left")
+      .select($"brand", $"mk", $"cut", coalesce($"cents", lit(0L)).as("cents"))
+      .transform(Fx.materialize) // pre distances AND post outcomes
+    val pre = grid.filter($"mk" <= $"cut")
+    val dist = pre.as("t")
+      .join(pre.as("o"), $"t.mk" === $"o.mk" && $"t.brand" =!= $"o.brand")
+      .select($"t.brand".as("tb"), $"o.brand".as("ob"),
+        ($"t.cents" - $"o.cents").as("df"))
+      .groupBy($"tb", $"ob")
+      .agg(sum(expr("cast(df as decimal(38,0)) * df")).as("d2"))
+    val donors = dist
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"tb").orderBy($"d2", $"ob")))
+      .filter($"rn" <= 4).select($"tb", $"ob")
+    val post = grid.filter($"mk" > $"cut")
+    val synth = donors
+      .join(post.select($"brand".as("ob"), $"mk", $"cents".as("oc")), "ob")
+      .groupBy($"tb", $"mk").agg(sum($"oc").as("donor_cents"))
+    val att = post.select($"brand".as("tb"), $"mk", $"cents")
+      .join(synth, Seq("tb", "mk"))
+      .groupBy($"tb")
+      .agg(sum($"cents" * 4 - $"donor_cents").as("att_qcents"))
+    val treated = grid.agg(min($"brand").as("tmin"))
+    att
+      .withColumn("abs_rank", row_number().over(
+        Window.orderBy(abs($"att_qcents").desc, $"tb")))
+      .crossJoin(broadcast(treated))
+      .select($"tb".as("brand"), $"att_qcents", $"abs_rank",
+        ($"tb" === $"tmin").cast("int").as("is_treated"))
+      .orderBy($"brand")
+  }
+
+  val q427Sql: String =
+    """WITH raw AS MATERIALIZED (
+      |  SELECT p.p_brand AS brand,
+      |    year(l.l_shipdate) * 12 + month(l.l_shipdate) AS mk,
+      |    CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY 1, 2),
+      |bounds AS (
+      |  SELECT min(mk) AS m0, max(mk) AS m1, (min(mk) + max(mk)) // 2 AS cut
+      |  FROM raw),
+      |months AS (
+      |  SELECT unnest(generate_series(m0, m1)) AS mk, cut FROM bounds),
+      |grid AS MATERIALIZED (
+      |  SELECT b.brand, m.mk, m.cut, COALESCE(r.cents, 0) AS cents
+      |  FROM (SELECT DISTINCT brand FROM raw) b
+      |  CROSS JOIN months m
+      |  LEFT JOIN raw r ON r.brand = b.brand AND r.mk = m.mk),
+      |pre AS (SELECT * FROM grid WHERE mk <= cut),
+      |dist AS (
+      |  SELECT t.brand AS tb, o.brand AS ob,
+      |    sum(CAST(t.cents - o.cents AS HUGEINT) * (t.cents - o.cents)) AS d2
+      |  FROM pre t JOIN pre o ON t.mk = o.mk AND t.brand <> o.brand
+      |  GROUP BY 1, 2),
+      |donors AS (
+      |  SELECT tb, ob FROM (
+      |    SELECT tb, ob,
+      |      row_number() OVER (PARTITION BY tb ORDER BY d2, ob) AS rn
+      |    FROM dist) r
+      |  WHERE rn <= 4),
+      |post AS (SELECT * FROM grid WHERE mk > cut),
+      |synth AS (
+      |  SELECT d.tb, p.mk, CAST(sum(p.cents) AS BIGINT) AS donor_cents
+      |  FROM donors d JOIN post p ON p.brand = d.ob
+      |  GROUP BY 1, 2),
+      |att AS (
+      |  SELECT p.brand AS tb,
+      |    CAST(sum(p.cents * 4 - s.donor_cents) AS BIGINT) AS att_qcents
+      |  FROM post p JOIN synth s ON s.tb = p.brand AND s.mk = p.mk
+      |  GROUP BY 1),
+      |tr AS (SELECT min(brand) AS tmin FROM grid)
+      |SELECT a.tb AS brand, a.att_qcents,
+      |  CAST(row_number() OVER (ORDER BY abs(a.att_qcents) DESC, a.tb)
+      |    AS INT) AS abs_rank,
+      |  CAST(a.tb = tr.tmin AS INT) AS is_treated
+      |FROM att a CROSS JOIN tr
+      |ORDER BY brand""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q427_synthetic_control", q427, Some(q427Sql)),
     QueryDef("q417_taylor_law", q417, Some(q417Sql)),
     QueryDef("q423_price_sync", q423, Some(q423Sql)),
     QueryDef("q358_price_index", q358, Some(q358Sql)),

@@ -2478,4 +2478,56 @@ class PlantedStructureSpec extends SparkSpec {
     assert(neg.toSeq === Seq((0L, -80000L, -1000000L, 0),
       (1L, -80000L, -1000000L, 0)), s"${neg.toSeq}")
   }
+
+  test("q427 ranks the planted treatment effect first among all placebos") {
+    // 6 brands, 4 months (days 5/35/63/94; cut = month 2): identical
+    // flat 10.00 pre-period revenue everywhere, then BA (the stated
+    // lexicographic-min treated unit) jumps to 50.00 post. BA's donors
+    // (ties at d2=0 break by brand) are BB..BE at 10.00, so its gap is
+    // 4·5000 − 4000 = 16000 qcents per post month × 2 = 32000. Every
+    // placebo includes BA among ITS donors, picking up −4000/month.
+    def lines(prices: Map[String, Seq[Double]]): Seq[(String, Int, Double, Double)] =
+      prices.toSeq.flatMap { case (b, ps) =>
+        ps.zip(Seq(5, 35, 63, 94)).map { case (p, day) => (b, day, p, 1.0) } }
+    val flat = Seq(10.0, 10.0, 10.0, 10.0)
+    val out = operators.Relational.q427(spark, elasticityLinesDir(lines(Map(
+      "BA" -> Seq(10.0, 10.0, 50.0, 50.0), "BB" -> flat, "BC" -> flat,
+      "BD" -> flat, "BE" -> flat, "BF" -> flat))))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getInt(3)))
+    assert(out.toSeq === Seq(
+      ("BA", 32000L, 1, 1), ("BB", -8000L, 2, 0), ("BC", -8000L, 3, 0),
+      ("BD", -8000L, 4, 0), ("BE", -8000L, 5, 0), ("BF", -8000L, 6, 0)),
+      s"${out.toSeq}")
+  }
+
+  /** co-purchase fixture for q428: one lineitem row per (order, part). */
+  private def coPurchaseDir(orders: Seq[(Long, Long)]): String = {
+    val dir = Files.createTempDirectory("planted-truss")
+    orders.toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("lineitem.parquet").toString)
+    dir.toString
+  }
+
+  test("q428 peels the planted triangle ladder in cascading rounds and keeps the K4") {
+    // ladder 1..8: edges (i,i+1) and (i,i+2); long edges and the two
+    // end short edges have support 1 -> round 1 drops 8 of 13, leaving
+    // the interior path, which is triangle-free -> round 2 empties it.
+    // The CASCADE (round 2 removing edges that had support 2 at round
+    // 1) is what separates a truss from a static triangle count.
+    val ladder = (1L to 7L).map(i => (i, i, i + 1)) ++
+      (1L to 6L).map(i => (100L + i, i, i + 2))
+    val lrows = operators.GraphQueries.q428(spark,
+      coPurchaseDir(ladder.flatMap { case (ok, a, b) => Seq((ok, a), (ok, b)) }))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(lrows.toSeq === Seq((1, 13L, 6L, 5L), (2, 5L, 0L, 0L),
+      (3, 0L, 0L, 0L)), s"${lrows.toSeq}")
+    // K4 in one order: every edge closes 2 triangles -> stable 4-truss
+    val k4 = (1L to 4L).map(p => (1L, p))
+    val krows = operators.GraphQueries.q428(spark, coPurchaseDir(k4))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(krows.toSeq === Seq((1, 6L, 4L, 6L), (2, 6L, 4L, 6L),
+      (3, 6L, 4L, 6L)), s"${krows.toSeq}")
+  }
 }
