@@ -2643,6 +2643,120 @@ object EventQueries {
       |  CAST(s AS BIGINT) AS surv_micro
       |FROM km ORDER BY t_days""".stripMargin
 
+  /** q429 — Greenwood variance and 95% confidence bands for q271's
+    * Kaplan–Meier survival curve: Var(Ŝ(t)) = Ŝ(t)²·Σ_{tᵢ≤t}
+    * dᵢ/(nᵢ(nᵢ−dᵢ)) — the INFERENCE layer the point estimate lacks
+    * (q271 draws the curve, q283's log-rank compares two of them;
+    * neither says how wide THIS curve's uncertainty is at each step,
+    * which is what decides whether a retention dip is signal). Exact
+    * core: each Greenwood increment is one stated truncation onto the
+    * 1e-12 grid ((d·10¹²) div (n·(n−d)), DECIMAL-safe), the running
+    * sum is an exact-integer prefix (order-free), and the only floats
+    * are the final fixed trees se = (S/10⁶)·√g/10⁶ and the ±1.96
+    * bands (clamped to [0,1], r6) — shared literals, identical
+    * doubles both engines. When a step kills the whole risk set
+    * (n = d, Ŝ hits 0) the Greenwood term divides by zero: that row
+    * and everything after report NULL se/bands (stated).
+    *
+    * Scale shape: q271's — one per-user span aggregate, collapse onto
+    * the bounded duration grid, driver fold over ≤|days| rows
+    * (BigInt-exact); oracle = recursive CTE for Ŝ + window prefix for
+    * g. */
+  def q429(s: SparkSession, d: String): DataFrame = {
+    import graft.Fx.epochDay
+    import s.implicits._
+    val spans = Fx.eventTs(Tables.events(s, d))
+      .groupBy($"user_id")
+      .agg(min(epochDay($"ts")).as("first_day"), max(epochDay($"ts")).as("last_day"))
+    val maxDay = spans.agg(max($"last_day")).head().getInt(0)
+    val grid = spans
+      .select(($"last_day" - $"first_day").as("t"),
+        ($"last_day" <= maxDay - 1).cast("long").as("event"))
+      .groupBy($"t")
+      .agg(sum($"event").as("d"), sum(lit(1L) - $"event").as("c"))
+      .orderBy($"t")
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2)))
+    val totalUsers = grid.map(g => g._2 + g._3).sum
+    var atRisk = totalUsers
+    var sMicro = 1000000L
+    var gP12 = BigInt(0)
+    var degenerate = false
+    def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val rows = grid.map { case (t, dd, cc) =>
+      val n = atRisk
+      if (dd > 0) {
+        sMicro = Math.floorDiv(sMicro * (n - dd), n)
+        if (n == dd) degenerate = true
+        else gP12 += BigInt(dd) * 1000000000000L / (BigInt(n) * (n - dd))
+      }
+      atRisk -= (dd + cc)
+      val bands: (Option[Double], Option[Double], Option[Double]) =
+        if (degenerate) (None, None, None)
+        else {
+          val sd = sMicro.toDouble / 1000000.0
+          val se = sd * math.sqrt(gP12.toDouble) / 1000000.0
+          (Some(r6d(se)),
+            Some(r6d(math.max(0.0, sd - 1.96 * se))),
+            Some(r6d(math.min(1.0, sd + 1.96 * se))))
+        }
+      (t, n, dd, cc, sMicro, bands._1, bands._2, bands._3)
+    }
+    s.createDataFrame(rows.toSeq)
+      .toDF("t_days", "n_risk", "deaths", "censored", "surv_micro",
+        "greenwood_se", "ci_lo", "ci_hi")
+      .orderBy($"t_days")
+  }
+
+  val q429Sql: String = {
+    import graft.Fx.sqlR6
+    val sd = "(CAST(km.s AS DOUBLE) / 1000000.0)"
+    val se = s"($sd * sqrt(CAST(gg.g AS DOUBLE)) / 1000000.0)"
+    s"""WITH RECURSIVE spans AS (
+       |  SELECT user_id,
+       |    min(CAST(ts AS DATE) - DATE '1970-01-01') AS first_day,
+       |    max(CAST(ts AS DATE) - DATE '1970-01-01') AS last_day
+       |  FROM events GROUP BY user_id),
+       |mx AS (SELECT max(last_day) AS max_day FROM spans),
+       |g AS (
+       |  SELECT last_day - first_day AS t,
+       |    sum(CASE WHEN last_day <= max_day - 1 THEN 1 ELSE 0 END) AS d,
+       |    sum(CASE WHEN last_day <= max_day - 1 THEN 0 ELSE 1 END) AS c
+       |  FROM spans CROSS JOIN mx GROUP BY 1),
+       |o AS (
+       |  SELECT t, d, c, row_number() OVER (ORDER BY t) AS rn,
+       |    sum(d + c) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n
+       |  FROM g),
+       |km(rn, t, n, d, c, s) AS (
+       |  SELECT rn, t, n, d, c,
+       |    CASE WHEN d > 0 THEN (1000000 * (n - d)) // n ELSE 1000000 END
+       |  FROM o WHERE rn = 1
+       |  UNION ALL
+       |  SELECT o.rn, o.t, o.n, o.d, o.c,
+       |    CASE WHEN o.d > 0 THEN (km.s * (o.n - o.d)) // o.n ELSE km.s END
+       |  FROM km JOIN o ON o.rn = km.rn + 1),
+       |gg AS MATERIALIZED (
+       |  SELECT rn,
+       |    sum(CASE WHEN d > 0 AND n > d
+       |          THEN (CAST(d AS HUGEINT) * 1000000000000)
+       |            // (CAST(n AS HUGEINT) * (n - d))
+       |          ELSE 0 END)
+       |      OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING) AS g,
+       |    max(CASE WHEN d > 0 AND n = d THEN 1 ELSE 0 END)
+       |      OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING) AS degen
+       |  FROM o)
+       |SELECT CAST(km.t AS BIGINT) AS t_days, CAST(km.n AS BIGINT) AS n_risk,
+       |  CAST(km.d AS BIGINT) AS deaths, CAST(km.c AS BIGINT) AS censored,
+       |  CAST(km.s AS BIGINT) AS surv_micro,
+       |  CASE WHEN gg.degen = 1 THEN NULL
+       |       ELSE ${sqlR6(se)} END AS greenwood_se,
+       |  CASE WHEN gg.degen = 1 THEN NULL
+       |       ELSE ${sqlR6(s"greatest(0.0, $sd - 1.96 * $se)")} END AS ci_lo,
+       |  CASE WHEN gg.degen = 1 THEN NULL
+       |       ELSE ${sqlR6(s"least(1.0, $sd + 1.96 * $se)")} END AS ci_hi
+       |FROM km JOIN gg ON gg.rn = km.rn
+       |ORDER BY t_days""".stripMargin
+  }
+
   /** q398 — Nelson–Aalen cumulative hazard over q271's retention
     * spans: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ, the additive twin of Kaplan–Meier's
     * product (KM answers "what fraction survives to t"; NA answers
@@ -5451,6 +5565,7 @@ object EventQueries {
     QueryDef("q265_markov_attribution", q265, Some(q265Sql)),
     QueryDef("q270_holt_smoothing", q270, Some(q270Sql)),
     QueryDef("q271_kaplan_meier", q271, Some(q271Sql)),
+    QueryDef("q429_greenwood_bands", q429, Some(q429Sql)),
     QueryDef("q398_nelson_aalen", q398, Some(q398Sql)),
     QueryDef("q273_cohort_ltv", q273, Some(q273Sql)),
     QueryDef("q274_theil_sen_trend", q274, Some(q274Sql)),

@@ -2915,7 +2915,139 @@ object Relational {
       |FROM att a CROSS JOIN tr
       |ORDER BY brand""".stripMargin
 
+  /** q430 — Bradley–Terry strength from monthly brand head-to-head
+    * wins: w_ij = months in which brand i's revenue strictly beat
+    * brand j's on the zero-filled brand×month cents grid (ties score
+    * for neither), then two MM updates (Hunter 2004)
+    * s_i ← W_i / Σ_j n_ij/(s_i+s_j) from s = 1 — the PAIRED-COMPARISON
+    * strength ladder that a raw win COUNT can't give (beating strong
+    * opponents must count for more; W_i is blind to whom you beat,
+    * which is exactly what separates two brands with equal wins over
+    * different schedules). Fixed 2 rounds, stated (the q418/q422
+    * fixed-iteration precedent). Exact: wins are integer grid
+    * comparisons; each MM term is the stated truncation
+    * (n_ij·10¹²) div (s_i+s_j) summed exactly, each update one
+    * (W_i·10¹²) div denom — every strength is an integer micro at
+    * every round, both engines walking identical values; brands with
+    * zero wins floor at strength 0 (stated).
+    *
+    * Scale shape: one scan collapses to the bounded brand×month grid
+    * (q427's builder); wins are a grid self-join on month; the MM
+    * rounds run on the brands² pair grid — metadata-sized joins, no
+    * driver fold needed. */
+  def q430(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val raw = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .select($"p_brand".as("brand"),
+        (year($"l_shipdate") * 12 + month($"l_shipdate")).cast("long").as("mk"),
+        floor($"l_extendedprice" * 100).cast("long").as("cents"))
+      .groupBy($"brand", $"mk").agg(sum($"cents").as("cents"))
+      .transform(Fx.materialize)
+    val bounds = raw.agg(min($"mk").as("m0"), max($"mk").as("m1"))
+    val months = bounds.select(explode(sequence($"m0", $"m1")).as("mk"))
+    val grid = raw.select($"brand").distinct()
+      .crossJoin(broadcast(months))
+      .join(raw, Seq("brand", "mk"), "left")
+      .select($"brand", $"mk", coalesce($"cents", lit(0L)).as("cents"))
+      .transform(Fx.materialize)
+    // ordered-pair monthly duels on the bounded grid (ties drop)
+    val pairs = grid.as("i")
+      .join(grid.as("o"), $"i.mk" === $"o.mk" && $"i.brand" =!= $"o.brand")
+      .select($"i.brand".as("bi"), $"o.brand".as("bj"),
+        ($"i.cents" > $"o.cents").cast("long").as("win"),
+        ($"i.cents" =!= $"o.cents").cast("long").as("decided"))
+      .groupBy($"bi", $"bj")
+      .agg(sum($"win").as("w"), sum($"decided").as("n"))
+      .transform(Fx.materialize) // consumed by both MM rounds
+    val winTot = pairs.groupBy($"bi").agg(sum($"w").as("wins"),
+      sum($"n").as("comparisons"))
+    def mmRound(strengths: DataFrame): DataFrame =
+      pairs
+        .join(strengths.select($"brand".as("bi"), $"s".as("si")), "bi")
+        .join(strengths.select($"brand".as("bj"), $"s".as("sj")), "bj")
+        .groupBy($"bi")
+        // a 0-0 pair contributes no term (kept as 0, not filtered, so
+        // every brand stays in the round — the oracle's CASE shape)
+        .agg(sum(expr("""case when si + sj > 0
+            then (cast(n as decimal(38,0)) * 1000000000000) div (si + sj)
+            else cast(0 as decimal(38,0)) end""")).as("denom"))
+        .join(winTot, "bi")
+        .select($"bi".as("brand"),
+          when($"denom" > 0,
+            expr("cast((cast(wins as decimal(38,0)) * 1000000000000) div denom as bigint)"))
+            .otherwise(lit(0L)).as("s"))
+    val s0 = grid.select($"brand").distinct()
+      .select($"brand", lit(1000000L).as("s"))
+    val s2 = mmRound(mmRound(s0).transform(Fx.materialize))
+    winTot.select($"bi".as("brand"), $"wins", $"comparisons")
+      .join(s2, "brand")
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"s".desc, $"brand")))
+      .select($"brand", $"wins", $"comparisons", $"s".as("bt_micro"), $"rank")
+      .orderBy($"brand")
+  }
+
+  val q430Sql: String = {
+    def round(prev: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT p.bi AS brand,
+         |    CASE WHEN sum(CASE WHEN si.s + sj.s > 0
+         |        THEN (CAST(p.n AS HUGEINT) * 1000000000000) // (si.s + sj.s)
+         |        ELSE 0 END) > 0
+         |      THEN CAST((CAST(wt.wins AS HUGEINT) * 1000000000000)
+         |        // sum(CASE WHEN si.s + sj.s > 0
+         |          THEN (CAST(p.n AS HUGEINT) * 1000000000000) // (si.s + sj.s)
+         |          ELSE 0 END) AS BIGINT)
+         |      ELSE 0 END AS s
+         |  FROM pairs p
+         |  JOIN $prev si ON si.brand = p.bi
+         |  JOIN $prev sj ON sj.brand = p.bj
+         |  JOIN wt ON wt.brand = p.bi
+         |  GROUP BY p.bi, wt.wins)""".stripMargin
+    s"""WITH raw AS MATERIALIZED (
+       |  SELECT p.p_brand AS brand,
+       |    year(l.l_shipdate) * 12 + month(l.l_shipdate) AS mk,
+       |    CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+       |      AS BIGINT) AS cents
+       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       |  GROUP BY 1, 2),
+       |bounds AS (SELECT min(mk) AS m0, max(mk) AS m1 FROM raw),
+       |months AS (SELECT unnest(generate_series(m0, m1)) AS mk FROM bounds),
+       |grid AS MATERIALIZED (
+       |  SELECT b.brand, m.mk, COALESCE(r.cents, 0) AS cents
+       |  FROM (SELECT DISTINCT brand FROM raw) b
+       |  CROSS JOIN months m
+       |  LEFT JOIN raw r ON r.brand = b.brand AND r.mk = m.mk),
+       |pairs AS MATERIALIZED (
+       |  SELECT i.brand AS bi, o.brand AS bj,
+       |    CAST(sum(CASE WHEN i.cents > o.cents THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS w,
+       |    CAST(sum(CASE WHEN i.cents <> o.cents THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n
+       |  FROM grid i JOIN grid o
+       |    ON i.mk = o.mk AND i.brand <> o.brand
+       |  GROUP BY 1, 2),
+       |wt AS MATERIALIZED (
+       |  SELECT bi AS brand, CAST(sum(w) AS BIGINT) AS wins,
+       |    CAST(sum(n) AS BIGINT) AS comparisons
+       |  FROM pairs GROUP BY 1),
+       |s0 AS MATERIALIZED (
+       |  SELECT brand, CAST(1000000 AS BIGINT) AS s
+       |  FROM (SELECT DISTINCT brand FROM grid) b),
+       |${round("s0", "s1")},
+       |${round("s1", "s2")}
+       |SELECT wt.brand, wt.wins, wt.comparisons, s2.s AS bt_micro,
+       |  CAST(row_number() OVER (ORDER BY s2.s DESC, wt.brand) AS INT)
+       |    AS rank
+       |FROM wt JOIN s2 ON s2.brand = wt.brand
+       |ORDER BY wt.brand""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q430_bradley_terry", q430, Some(q430Sql)),
     QueryDef("q427_synthetic_control", q427, Some(q427Sql)),
     QueryDef("q417_taylor_law", q417, Some(q417Sql)),
     QueryDef("q423_price_sync", q423, Some(q423Sql)),

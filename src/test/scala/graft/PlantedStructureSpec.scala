@@ -2510,6 +2510,51 @@ class PlantedStructureSpec extends SparkSpec {
     dir.toString
   }
 
+  test("q429 hand-checks the Greenwood ladder and nulls bands past total extinction") {
+    // u1 dies at t=1, u2 at t=2 (killing the whole risk set -> the
+    // Greenwood term divides by zero, bands go NULL from there), u3
+    // enters at the final day and is censored at t=0
+    val rows = Seq((1, 1L, "view", 1.0), (2, 1L, "view", 1.0),
+      (1, 2L, "view", 1.0), (2, 2L, "view", 1.0), (3, 2L, "view", 1.0),
+      (9, 3L, "view", 1.0))
+    val out = operators.EventQueries.q429(spark, eventsDir(rows)).collect()
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // t=0: n=3, d=0, c=1 -> S=1, g=0, se=0, bands [1,1]
+    assert((out(0).getLong(0), out(0).getLong(1), out(0).getLong(2),
+      out(0).getLong(3), out(0).getLong(4)) === ((0L, 3L, 0L, 1L, 1000000L)))
+    assert(out(0).getDouble(5) === 0.0 && out(0).getDouble(6) === 1.0 &&
+      out(0).getDouble(7) === 1.0, s"${out(0)}")
+    // t=1: n=2, d=1 -> S=0.5, g=1e12/(2*1), se=.5*sqrt(5e11)/1e6
+    val se1 = 0.5 * math.sqrt(5e11) / 1e6
+    assert((out(1).getLong(1), out(1).getLong(2), out(1).getLong(4)) ===
+      ((2L, 1L, 500000L)))
+    assert(out(1).getDouble(5) === r6d(se1) &&
+      out(1).getDouble(6) === r6d(math.max(0.0, 0.5 - 1.96 * se1)) &&
+      out(1).getDouble(7) === r6d(math.min(1.0, 0.5 + 1.96 * se1)), s"${out(1)}")
+    // t=2: n=1=d -> S=0, Greenwood undefined -> NULL bands
+    assert((out(2).getLong(1), out(2).getLong(2), out(2).getLong(4)) ===
+      ((1L, 1L, 0L)))
+    assert(out(2).isNullAt(5) && out(2).isNullAt(6) && out(2).isNullAt(7),
+      s"${out(2)}")
+  }
+
+  test("q430 walks the planted total order through two exact MM rounds") {
+    // BA > BB > BC in every one of 4 months: w_AB=w_AC=w_BC=4. Hand
+    // MM: round 1 -> (2e6, 1e6, 0); round 2 -> A: 8e12//(4e12//3e6 +
+    // 4e12//2e6) = 2400000, B: 4e12//(4e12//3e6 + 4e12//1e6) = 750000.
+    def lines(prices: Map[String, Seq[Double]]): Seq[(String, Int, Double, Double)] =
+      prices.toSeq.flatMap { case (b, ps) =>
+        ps.zip(Seq(5, 35, 63, 94)).map { case (p, day) => (b, day, p, 1.0) } }
+    val out = operators.Relational.q430(spark, elasticityLinesDir(lines(Map(
+      "BA" -> Seq(3.0, 3.0, 3.0, 3.0), "BB" -> Seq(2.0, 2.0, 2.0, 2.0),
+      "BC" -> Seq(1.0, 1.0, 1.0, 1.0)))))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4)))
+    assert(out.toSeq === Seq(
+      ("BA", 8L, 8L, 2400000L, 1), ("BB", 4L, 8L, 750000L, 2),
+      ("BC", 0L, 8L, 0L, 3)), s"${out.toSeq}")
+  }
+
   test("q428 peels the planted triangle ladder in cascading rounds and keeps the K4") {
     // ladder 1..8: edges (i,i+1) and (i,i+2); long edges and the two
     // end short edges have support 1 -> round 1 drops 8 of 13, leaving
