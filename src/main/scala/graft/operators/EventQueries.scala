@@ -5309,6 +5309,282 @@ object EventQueries {
        |FROM f ORDER BY level""".stripMargin
   }
 
+  /** q431 — Hurst exponent of daily order revenue by the
+    * AGGREGATED-VARIANCE method: variance of m-day block means falls
+    * as m^(2H−2), so the slope of ln Var(m) over ln m at the stated
+    * dyadic levels m ∈ {1,2,4,8,16} prices LONG MEMORY — H ≈ 0.5 is
+    * iid, H > 0.5 persistent trends (shocks echo for weeks), H < 0.5
+    * mean reversion. The persistence question q312's per-lag ACF and
+    * q368's single-scale Fano ratio can't answer (long memory is
+    * precisely variance decaying SLOWER than 1/m ACROSS scales).
+    * Exact core: the day calendar is zero-filled (stated), block
+    * means live on the whole-dollar grid (sum div m, stated
+    * truncation; only FULL blocks count), and each level's variance
+    * numerator N_b·Σv² − S² is an exact DECIMAL integer. Floats are
+    * confined to one fixed tree per level (exact-int ratio → ln) and
+    * the closed-form 5-point OLS slope (−2y₁−y₂+y₄+2y₅)/(10·ln 2)
+    * with PINNED literals — the 5 y's pivot to scalars by
+    * conditional aggregation (q372's discipline: never a float SUM
+    * over engine-ordered rows). H = 1 + slope/2, r6; any level with
+    * Var ≤ 0 (constant series) nulls H (stated).
+    *
+    * Scale shape: collapse to the bounded day calendar, one 5-level
+    * broadcast grid join, two nested bounded aggregates, a 5-row
+    * pivot. */
+  def q431(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, d)
+      .groupBy(epochDay($"o_orderdate").as("day"))
+      .agg(expr("cast(floor(sum(o_totalprice) * 100 + 0.5) as bigint) div 100")
+        .as("y"))
+    val bounds = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
+    val cal = bounds.select(explode(sequence($"d0", $"d1")).as("day"), $"d0")
+      .join(daily, Seq("day"), "left")
+      .select($"day", $"d0", coalesce($"y", lit(0L)).as("y"))
+      .transform(graft.Fx.materialize) // 5 level passes share the scan
+    val levels = s.createDataFrame(Seq(Tuple1(1L), Tuple1(2L), Tuple1(4L),
+      Tuple1(8L), Tuple1(16L))).toDF("m")
+    val perLevel = cal.crossJoin(broadcast(levels))
+      .groupBy($"m", expr("(day - d0) div m").as("blk"))
+      .agg(count(lit(1)).as("cnt"), sum($"y").as("sy"))
+      .filter($"cnt" === $"m")
+      .select($"m", expr("sy div m").as("v"))
+      .groupBy($"m")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum($"v".cast("decimal(38,0)")).as("sv"),
+        sum(expr("cast(v as decimal(38,0)) * v")).as("svv"))
+      .withColumn("num", expr("n_blocks * svv - sv * sv"))
+      .withColumn("ln_var",
+        when($"n_blocks" > 1L && $"num" > 0,
+          log($"num".cast("double") /
+            ($"n_blocks" * ($"n_blocks" - 1L)).cast("double")))
+          .otherwise(lit(null).cast("double")))
+      .transform(graft.Fx.materialize) // pivot + output rows
+    val piv = perLevel.agg(
+      max(when($"m" === 1L, $"ln_var")).as("y1"),
+      max(when($"m" === 2L, $"ln_var")).as("y2"),
+      max(when($"m" === 8L, $"ln_var")).as("y4"),
+      max(when($"m" === 16L, $"ln_var")).as("y5"),
+      sum($"ln_var".isNull.cast("int")).as("n_null"))
+    val hurst = piv.select(
+      when($"n_null" === 0,
+        r6(lit(1.0) + ((lit(-2.0) * $"y1" - $"y2" + $"y4" + lit(2.0) * $"y5") /
+          lit(6.931471805599453)) / lit(2.0)))
+        .otherwise(lit(null).cast("double")).as("hurst"))
+    perLevel.crossJoin(broadcast(hurst))
+      .select($"m", $"n_blocks", r6($"ln_var").as("ln_var"), $"hurst")
+      .orderBy($"m")
+  }
+
+  val q431Sql: String = {
+    import graft.Fx.sqlR6
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+       |    CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) // 100 AS y
+       |  FROM orders GROUP BY 1),
+       |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+       |cal AS MATERIALIZED (
+       |  SELECT c.day, b.d0, COALESCE(d.y, 0) AS y
+       |  FROM bounds b,
+       |    (SELECT unnest(generate_series(b2.d0, b2.d1)) AS day
+       |     FROM bounds b2) c
+       |  LEFT JOIN daily d ON d.day = c.day),
+       |lv(m) AS (VALUES (1), (2), (4), (8), (16)),
+       |blocks AS (
+       |  SELECT lv.m, (cal.day - cal.d0) // lv.m AS blk,
+       |    count(*) AS cnt, CAST(sum(cal.y) AS BIGINT) AS sy
+       |  FROM cal CROSS JOIN lv
+       |  GROUP BY 1, 2),
+       |pl AS MATERIALIZED (
+       |  SELECT m, CAST(count(*) AS BIGINT) AS n_blocks,
+       |    sum(CAST(sy // m AS HUGEINT)) AS sv,
+       |    sum(CAST(sy // m AS HUGEINT) * (sy // m)) AS svv
+       |  FROM blocks WHERE cnt = m
+       |  GROUP BY 1),
+       |ln_tab AS MATERIALIZED (
+       |  SELECT m, n_blocks,
+       |    CASE WHEN n_blocks > 1 AND n_blocks * svv - sv * sv > 0
+       |      THEN ln(CAST(n_blocks * svv - sv * sv AS DOUBLE)
+       |        / CAST(n_blocks * (n_blocks - 1) AS DOUBLE))
+       |      ELSE NULL END AS ln_var
+       |  FROM pl),
+       |piv AS (
+       |  SELECT max(CASE WHEN m = 1 THEN ln_var END) AS y1,
+       |    max(CASE WHEN m = 2 THEN ln_var END) AS y2,
+       |    max(CASE WHEN m = 8 THEN ln_var END) AS y4,
+       |    max(CASE WHEN m = 16 THEN ln_var END) AS y5,
+       |    sum(CASE WHEN ln_var IS NULL THEN 1 ELSE 0 END) AS n_null
+       |  FROM ln_tab),
+       |h AS (
+       |  SELECT CASE WHEN n_null = 0
+       |    THEN ${sqlR6("1.0 + ((-2.0 * y1 - y2 + y4 + 2.0 * y5) / 6.931471805599453) / 2.0")}
+       |    ELSE NULL END AS hurst
+       |  FROM piv)
+       |SELECT CAST(t.m AS BIGINT) AS m, t.n_blocks,
+       |  ${sqlR6("t.ln_var")} AS ln_var, h.hurst
+       |FROM ln_tab t CROSS JOIN h
+       |ORDER BY m""".stripMargin
+  }
+
+  /** q432 — Christoffersen independence backtest of q376's VaR: even
+    * a PERFECT exception RATE (which is all q416's Kupiec test sees)
+    * is a broken model if the exceptions CLUSTER — consecutive
+    * violation days mean the risk measure lags the volatility state
+    * (exactly the dependence q421's extremal index measures for raw
+    * extremes, here charged against the MODEL). On q416's test-window
+    * exception series: transition counts n₀₀ n₀₁ n₁₀ n₁₁ between
+    * consecutive days, LR_ind = 2(ln L₁ − ln L₀) comparing the
+    * first-order Markov likelihood against the iid one, ~χ²(1) at the
+    * pinned 3.841459; LR_cc = LR_uc + LR_ind ~χ²(2) at 5.991465 is
+    * the joint rate+independence verdict. Exact: split, VaR rank,
+    * exceptions, and all four transition counts are integers; both LR
+    * terms are fixed ln trees over exact-count ratios with every
+    * 0·ln 0 CASE-killed, identical doubles both engines.
+    *
+    * Scale shape: q416's — collapse to the day calendar, rank windows
+    * over the halved grid, one lag window over the test half, a
+    * 2-level broadcast grid. */
+  def q432(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wDay = Window.orderBy($"day")
+    val pl = Tables.orders(s, d)
+      .groupBy(epochDay($"o_orderdate").as("day"))
+      .agg(expr("cast(floor(sum(o_totalprice) * 100 + 0.5) as bigint) div 100")
+        .as("y"))
+      .withColumn("dl", $"y" - lag($"y", 1).over(wDay))
+      .filter($"dl".isNotNull)
+      .withColumn("i", row_number().over(wDay))
+      .transform(graft.Fx.materialize)
+    val n = pl.agg(count(lit(1)).as("n"))
+      .select($"n", expr("(n + 1) div 2").as("n_est"))
+    val est = pl.crossJoin(broadcast(n)).filter($"i" <= $"n_est")
+      .withColumn("rk", row_number().over(Window.orderBy($"dl", $"day")))
+      .select($"dl", $"rk")
+    val levels = s.createDataFrame(Seq((95L, 5L), (99L, 1L)))
+      .toDF("level", "tail_pct")
+    val vars = broadcast(levels).crossJoin(broadcast(n))
+      .select($"level", $"tail_pct", $"n_est",
+        expr("(n_est * tail_pct + 99) div 100").as("k"))
+      .join(est, $"rk" === $"k")
+      .select($"level", $"tail_pct", (-$"dl").as("var_dollars"))
+    val trans = pl.crossJoin(broadcast(n)).filter($"i" > $"n_est")
+      .crossJoin(broadcast(vars))
+      .select($"level", $"tail_pct", $"day",
+        ($"dl" < -$"var_dollars").cast("long").as("e"))
+      .withColumn("pe", lag($"e", 1).over(
+        Window.partitionBy($"level").orderBy($"day")))
+      .filter($"pe".isNotNull)
+      .groupBy($"level", $"tail_pct")
+      .agg(sum((($"pe" === 0L) && ($"e" === 0L)).cast("long")).as("n00"),
+        sum((($"pe" === 0L) && ($"e" === 1L)).cast("long")).as("n01"),
+        sum((($"pe" === 1L) && ($"e" === 0L)).cast("long")).as("n10"),
+        sum((($"pe" === 1L) && ($"e" === 1L)).cast("long")).as("n11"))
+    def term(cnt: org.apache.spark.sql.Column, num: org.apache.spark.sql.Column,
+        den: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(cnt > 0L, cnt.cast("double") *
+        log(num.cast("double") / den.cast("double"))).otherwise(lit(0.0))
+    val out = trans
+      .withColumn("nn", $"n00" + $"n01" + $"n10" + $"n11")
+      .withColumn("ln_l1",
+        term($"n00", $"n00", $"n00" + $"n01") +
+        term($"n01", $"n01", $"n00" + $"n01") +
+        term($"n10", $"n10", $"n10" + $"n11") +
+        term($"n11", $"n11", $"n10" + $"n11"))
+      .withColumn("ln_l0",
+        term($"n00" + $"n10", $"n00" + $"n10", $"nn") +
+        term($"n01" + $"n11", $"n01" + $"n11", $"nn"))
+      .withColumn("lr_ind", lit(2.0) * ($"ln_l1" - $"ln_l0"))
+      .withColumn("p", $"tail_pct".cast("double") / lit(100.0))
+      .withColumn("x", $"n01" + $"n11")
+      .withColumn("nt", $"nn")
+      .withColumn("lr_uc", lit(2.0) * (
+        when($"x" > 0L, $"x".cast("double") *
+          log($"x".cast("double") / ($"nt".cast("double") * $"p")))
+          .otherwise(lit(0.0)) +
+        when($"x" < $"nt", ($"nt" - $"x").cast("double") *
+          log(($"nt" - $"x").cast("double") /
+            ($"nt".cast("double") * (lit(1.0) - $"p"))))
+          .otherwise(lit(0.0))))
+    out.select($"level", $"n00", $"n01", $"n10", $"n11",
+        r6($"lr_ind").as("lr_ind"),
+        ($"lr_ind" > lit(3.841459)).cast("int").as("reject_ind_5pct"),
+        r6($"lr_uc" + $"lr_ind").as("lr_cc"),
+        (($"lr_uc" + $"lr_ind") > lit(5.991465)).cast("int")
+          .as("reject_cc_5pct"))
+      .orderBy($"level")
+  }
+
+  val q432Sql: String = {
+    import graft.Fx.sqlR6
+    def term(cnt: String, num: String, den: String): String =
+      s"CASE WHEN $cnt > 0 THEN CAST($cnt AS DOUBLE) * ln(CAST($num AS DOUBLE) / CAST($den AS DOUBLE)) ELSE 0.0 END"
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+       |    CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) // 100 AS y
+       |  FROM orders GROUP BY 1),
+       |pl AS (
+       |  SELECT day, dl, row_number() OVER (ORDER BY day) AS i
+       |  FROM (SELECT day, y - lag(y) OVER (ORDER BY day) AS dl FROM daily)
+       |  WHERE dl IS NOT NULL),
+       |nn AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    (CAST(count(*) AS BIGINT) + 1) // 2 AS n_est
+       |  FROM pl),
+       |est AS (
+       |  SELECT dl, row_number() OVER (ORDER BY dl, day) AS rk
+       |  FROM pl CROSS JOIN nn WHERE i <= n_est),
+       |lv AS (SELECT 95 AS level, 5 AS tail_pct
+       |       UNION ALL SELECT 99, 1),
+       |vars AS MATERIALIZED (
+       |  SELECT lv.level, lv.tail_pct, -est.dl AS var_dollars
+       |  FROM lv CROSS JOIN nn
+       |  JOIN est ON est.rk = (nn.n_est * lv.tail_pct + 99) // 100),
+       |ex AS (
+       |  SELECT v.level, v.tail_pct, pl.day,
+       |    CASE WHEN pl.dl < -v.var_dollars THEN 1 ELSE 0 END AS e,
+       |    lag(CASE WHEN pl.dl < -v.var_dollars THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY v.level ORDER BY pl.day) AS pe
+       |  FROM pl CROSS JOIN nn CROSS JOIN vars v
+       |  WHERE pl.i > nn.n_est),
+       |tr AS MATERIALIZED (
+       |  SELECT level, tail_pct,
+       |    CAST(sum(CASE WHEN pe = 0 AND e = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+       |    CAST(sum(CASE WHEN pe = 0 AND e = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+       |    CAST(sum(CASE WHEN pe = 1 AND e = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+       |    CAST(sum(CASE WHEN pe = 1 AND e = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11
+       |  FROM ex WHERE pe IS NOT NULL
+       |  GROUP BY 1, 2),
+       |f AS (
+       |  SELECT level, n00, n01, n10, n11,
+       |    2.0 * (
+       |      (${term("n00", "n00", "n00 + n01")} +
+       |       ${term("n01", "n01", "n00 + n01")} +
+       |       ${term("n10", "n10", "n10 + n11")} +
+       |       ${term("n11", "n11", "n10 + n11")}) -
+       |      (${term("n00 + n10", "n00 + n10", "n00 + n01 + n10 + n11")} +
+       |       ${term("n01 + n11", "n01 + n11", "n00 + n01 + n10 + n11")}))
+       |      AS lr_ind,
+       |    2.0 * (
+       |      CASE WHEN n01 + n11 > 0 THEN CAST(n01 + n11 AS DOUBLE)
+       |        * ln(CAST(n01 + n11 AS DOUBLE)
+       |          / (CAST(n00 + n01 + n10 + n11 AS DOUBLE)
+       |            * (CAST(tail_pct AS DOUBLE) / 100.0)))
+       |        ELSE 0.0 END +
+       |      CASE WHEN n01 + n11 < n00 + n01 + n10 + n11
+       |        THEN CAST(n00 + n10 AS DOUBLE)
+       |        * ln(CAST(n00 + n10 AS DOUBLE)
+       |          / (CAST(n00 + n01 + n10 + n11 AS DOUBLE)
+       |            * (1.0 - CAST(tail_pct AS DOUBLE) / 100.0)))
+       |        ELSE 0.0 END) AS lr_uc
+       |  FROM tr)
+       |SELECT CAST(level AS BIGINT) AS level, n00, n01, n10, n11,
+       |  ${sqlR6("lr_ind")} AS lr_ind,
+       |  CAST(lr_ind > 3.841459 AS INT) AS reject_ind_5pct,
+       |  ${sqlR6("lr_uc + lr_ind")} AS lr_cc,
+       |  CAST(lr_uc + lr_ind > 5.991465 AS INT) AS reject_cc_5pct
+       |FROM f ORDER BY level""".stripMargin
+  }
+
   /** q383 — quantile-regression trend of the daily-revenue UPPER
     * envelope: fit y ≈ a + b·x at τ = 0.9 by exact pinball-loss
     * minimization over a stated slope grid — how fast the TOP days
@@ -5566,6 +5842,8 @@ object EventQueries {
     QueryDef("q270_holt_smoothing", q270, Some(q270Sql)),
     QueryDef("q271_kaplan_meier", q271, Some(q271Sql)),
     QueryDef("q429_greenwood_bands", q429, Some(q429Sql)),
+    QueryDef("q431_hurst_exponent", q431, Some(q431Sql)),
+    QueryDef("q432_christoffersen", q432, Some(q432Sql)),
     QueryDef("q398_nelson_aalen", q398, Some(q398Sql)),
     QueryDef("q273_cohort_ltv", q273, Some(q273Sql)),
     QueryDef("q274_theil_sen_trend", q274, Some(q274Sql)),

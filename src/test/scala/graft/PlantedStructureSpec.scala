@@ -2555,6 +2555,106 @@ class PlantedStructureSpec extends SparkSpec {
       ("BC", 0L, 8L, 0L, 3)), s"${out.toSeq}")
   }
 
+  test("q431 nulls on a constant series and matches a BigInt replay on a persistent wave") {
+    // constant: every block variance is 0 -> ln undefined everywhere
+    val const = operators.EventQueries.q431(spark,
+      ordersDir(1 to 64, _ => 100.0)).collect()
+    assert(const.length === 5)
+    assert(const.forall(r => r.isNullAt(2) && r.isNullAt(3)), const.toSeq.toString)
+    assert(const.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 64L), (2L, 32L), (4L, 16L), (8L, 8L), (16L, 4L)))
+    // two poles, each pinned to an independent BigInt replay of the
+    // STATED arithmetic over the planted 64-day pattern
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def replayH(f: Int => Long): (Seq[Double], Double) = {
+      val ys = Seq(1, 2, 4, 8, 16).map { m =>
+        val vs = (0 until 64 / m).map { blk =>
+          (1 to 64).filter(d => (d - 1) / m == blk).map(f).sum / m
+        }
+        val nb = BigInt(vs.size)
+        val num = nb * vs.map(v => BigInt(v) * v).sum -
+          BigInt(vs.sum) * BigInt(vs.sum)
+        math.log(num.toDouble / (nb * (nb - 1)).toDouble)
+      }
+      val slope = (-2.0 * ys(0) - ys(1) + ys(3) + 2.0 * ys(4)) / 6.931471805599453
+      (ys, r6d(1.0 + slope / 2.0))
+    }
+    def check(f: Int => Long): Double = {
+      val out = operators.EventQueries.q431(spark,
+        ordersDir(1 to 64, d => f(d).toDouble)).collect()
+      val (ys, h) = replayH(f)
+      out.zip(ys).foreach { case (r, y) =>
+        assert(r.getDouble(2) === r6d(y), s"ln_var $r vs $y")
+        assert(r.getDouble(3) === h, s"hurst $r vs $h")
+      }
+      h
+    }
+    // monotone ramp: block means inherit the trend, variance barely
+    // decays across scales -> persistent (H -> 1)
+    val hRamp = check(d => d.toLong * 100L)
+    assert(hRamp > 0.9, s"ramp should read persistent, got $hRamp")
+    // triangle wave, period 32: blocks at half-period average the rise
+    // against the fall, variance collapses FASTER than 1/m ->
+    // anti-persistent (H < 0.5)
+    val hTri = check { d =>
+      val p = (d - 1) % 32
+      math.min(p, 32 - p).toLong * 100L + 100L
+    }
+    assert(hTri < 0.5, s"triangle wave should read mean-reverting, got $hTri")
+  }
+
+  /** Build the q432 daily series from an explicit P&L (dl) sequence:
+    * y(1) = 100000, y(d) = y(d-1) + dl(d). */
+  private def plSeries(dls: Seq[Long]): Int => Double = {
+    val y = dls.scanLeft(100000L)(_ + _)
+    d => y(d - 1).toDouble
+  }
+
+  test("q432 rejects the planted exception cluster and passes the spread-out one") {
+    // 80 P&L values -> est = first 40 (VaR95 = 500 at rank 2, VaR99 =
+    // 1000 at rank 1), test = last 40
+    val est = Seq(-1000L, -500L) ++
+      (1 to 19).flatMap(_ => Seq(50L, -50L))
+    val alt = (1 to 18).flatMap(_ => Seq(50L, -50L))
+    // clustered: three CONSECUTIVE -600 days open the test window
+    val clustered = Seq(-600L, -600L, -600L, 1800L) ++ alt
+    val spread = (0 until 40).map { i =>
+      if (Set(0, 13, 26)(i)) -600L
+      else if (Set(1, 14, 27)(i)) 600L else 50L
+    }
+    assert(clustered.size === 40 && spread.size === 40)
+    def term(c: Long, num: Long, den: Long): Double =
+      if (c > 0) c.toDouble * math.log(num.toDouble / den.toDouble) else 0.0
+    def lrInd(n00: Long, n01: Long, n10: Long, n11: Long): Double = {
+      val nn = n00 + n01 + n10 + n11
+      2.0 * ((term(n00, n00, n00 + n01) + term(n01, n01, n00 + n01) +
+        term(n10, n10, n10 + n11) + term(n11, n11, n10 + n11)) -
+        (term(n00 + n10, n00 + n10, nn) + term(n01 + n11, n01 + n11, nn)))
+    }
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val cl = operators.EventQueries.q432(spark,
+      ordersDir(1 to 81, plSeries(est ++ clustered))).collect()
+    // level 95: e = 1,1,1,0...0 -> transitions (n00,n01,n10,n11) =
+    // (36,0,1,2); the run is rank-one dependence -> reject
+    val c95 = cl.find(_.getLong(0) == 95L).get
+    assert((c95.getLong(1), c95.getLong(2), c95.getLong(3), c95.getLong(4)) ===
+      ((36L, 0L, 1L, 2L)), c95.toString)
+    assert(c95.getDouble(5) === r6d(lrInd(36, 0, 1, 2)) &&
+      c95.getInt(6) === 1, c95.toString)
+    // level 99: no exceptions at all -> lr_ind 0, nothing rejects
+    val c99 = cl.find(_.getLong(0) == 99L).get
+    assert((c99.getLong(1), c99.getLong(4), c99.getDouble(5), c99.getInt(6)) ===
+      ((39L, 0L, 0.0, 0)), c99.toString)
+    val sp = operators.EventQueries.q432(spark,
+      ordersDir(1 to 81, plSeries(est ++ spread))).collect()
+    // same THREE exceptions, spread out -> n11 = 0 -> independence holds
+    val s95 = sp.find(_.getLong(0) == 95L).get
+    assert((s95.getLong(1), s95.getLong(2), s95.getLong(3), s95.getLong(4)) ===
+      ((34L, 2L, 3L, 0L)), s95.toString)
+    assert(s95.getDouble(5) === r6d(lrInd(34, 2, 3, 0)) &&
+      s95.getInt(6) === 0, s95.toString)
+  }
+
   test("q428 peels the planted triangle ladder in cascading rounds and keeps the K4") {
     // ladder 1..8: edges (i,i+1) and (i,i+2); long edges and the two
     // end short edges have support 1 -> round 1 drops 8 of 13, leaving
