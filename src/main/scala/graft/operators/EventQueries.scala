@@ -5309,6 +5309,78 @@ object EventQueries {
        |FROM f ORDER BY level""".stripMargin
   }
 
+  /** q433 — capture–recapture estimate of the true user universe
+    * (Chapman's bias-corrected Lincoln–Petersen): the first observed
+    * week "marks" users, the last week "recaptures" them, and the
+    * overlap prices how many users EXIST that the log never saw —
+    * N̂ = (n₁+1)(n₂+1) div (m+1) − 1, the ecology estimator applied to
+    * the only question a distinct-count can't answer (HLL/q128 count
+    * the seen; this bounds the unseen). Coverage = observed/N̂ is the
+    * headline: a low ratio says the event log samples its population
+    * thinly, which reweights every per-user statistic upstream. Exact:
+    * membership bits are integer comparisons on the day calendar,
+    * N̂ and Seber's variance are stated integer truncations, the only
+    * float is √Var (correctly-rounded IEEE) under r6. Stated: windows
+    * are the first/last 7 calendar days of the log; independence of
+    * the two samples is the method's assumption, not a claim.
+    *
+    * Scale shape: one pass collapses to per-user (inA, inB) bits
+    * (groupBy user_id), then a single 1-row rollup. */
+  def q433(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Fx.eventTs(Tables.events(s, d))
+      .select($"user_id", epochDay($"ts").as("day"))
+    val bounds = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+    val bits = ev.crossJoin(broadcast(bounds))
+      .groupBy($"user_id")
+      .agg(max(($"day" <= $"d0" + 6).cast("long")).as("in_a"),
+        max(($"day" >= $"d1" - 6).cast("long")).as("in_b"))
+    bits.agg(count(lit(1)).as("observed_users"),
+        sum($"in_a").as("n1"), sum($"in_b").as("n2"),
+        sum($"in_a" * $"in_b").as("m"))
+      .withColumn("n_hat",
+        expr("((n1 + 1) * (n2 + 1)) div (m + 1) - 1"))
+      .withColumn("var_hat",
+        expr("""(cast(n1 + 1 as decimal(38,0)) * (n2 + 1) * (n1 - m) * (n2 - m))
+                div (cast(m + 1 as decimal(38,0)) * (m + 1) * (m + 2))"""))
+      .select($"observed_users", $"n1".as("n_week_a"), $"n2".as("n_week_b"),
+        $"m".as("n_both"), $"n_hat",
+        r6(sqrt($"var_hat".cast("double"))).as("se"),
+        when($"n_hat" > 0, expr("(observed_users * 1000000) div n_hat"))
+          .as("coverage_micro"))
+  }
+
+  val q433Sql: String = {
+    import graft.Fx.sqlR6
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+       |    - DATE '1970-01-01' AS day
+       |  FROM events),
+       |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+       |bits AS (
+       |  SELECT user_id,
+       |    max(CASE WHEN day <= d0 + 6 THEN 1 ELSE 0 END) AS in_a,
+       |    max(CASE WHEN day >= d1 - 6 THEN 1 ELSE 0 END) AS in_b
+       |  FROM ev CROSS JOIN bounds GROUP BY 1),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS observed_users,
+       |    CAST(sum(in_a) AS BIGINT) AS n1,
+       |    CAST(sum(in_b) AS BIGINT) AS n2,
+       |    CAST(sum(in_a * in_b) AS BIGINT) AS m
+       |  FROM bits),
+       |est AS (
+       |  SELECT *, ((n1 + 1) * (n2 + 1)) // (m + 1) - 1 AS n_hat,
+       |    (CAST(n1 + 1 AS HUGEINT) * (n2 + 1) * (n1 - m) * (n2 - m))
+       |      // (CAST(m + 1 AS HUGEINT) * (m + 1) * (m + 2)) AS var_hat
+       |  FROM agg)
+       |SELECT observed_users, n1 AS n_week_a, n2 AS n_week_b, m AS n_both,
+       |  CAST(n_hat AS BIGINT) AS n_hat,
+       |  ${sqlR6("sqrt(CAST(var_hat AS DOUBLE))")} AS se,
+       |  CASE WHEN n_hat > 0
+       |    THEN (observed_users * 1000000) // n_hat END AS coverage_micro
+       |FROM est""".stripMargin
+  }
+
   /** q431 — Hurst exponent of daily order revenue by the
     * AGGREGATED-VARIANCE method: variance of m-day block means falls
     * as m^(2H−2), so the slope of ln Var(m) over ln m at the stated
@@ -5844,6 +5916,7 @@ object EventQueries {
     QueryDef("q429_greenwood_bands", q429, Some(q429Sql)),
     QueryDef("q431_hurst_exponent", q431, Some(q431Sql)),
     QueryDef("q432_christoffersen", q432, Some(q432Sql)),
+    QueryDef("q433_capture_recapture", q433, Some(q433Sql)),
     QueryDef("q398_nelson_aalen", q398, Some(q398Sql)),
     QueryDef("q273_cohort_ltv", q273, Some(q273Sql)),
     QueryDef("q274_theil_sen_trend", q274, Some(q274Sql)),

@@ -2026,6 +2026,165 @@ object GovernanceQueries {
        |FROM rk CROSS JOIN km ORDER BY brand""".stripMargin
   }
 
+  /** q434 — Cochran–Mantel–Haenszel pooled odds ratio of high
+    * discount (> 0.05) → return ('R'), stratified by order month:
+    * the ANSWER to q362's Simpson's-paradox audit (q362 detects the
+    * reversal; CMH pools the per-stratum 2×2 tables so the
+    * confounder — month mix — cannot flip the sign).
+    * OR_MH = Σaᵢdᵢ/nᵢ / Σbᵢcᵢ/nᵢ with each term a stated micro
+    * truncation; the CMH test compares Σaᵢ against its conditional
+    * expectation with the classic ±0.5 continuity correction, exact
+    * integer dev and variance terms (Vᵢ = ⌊r₁r₂c₁c₂/(nᵢ²(nᵢ−1))⌋,
+    * DECIMAL-exact for nᵢ up to ~10⁹ rows per stratum, stated), one
+    * final double division against the pinned χ²(1) 3.841459. Each
+    * month row carries its own 2×2 plus the shared pooled verdict
+    * (the q281 cell convention).
+    *
+    * Scale shape: one lineitem⋈orders scan collapses to the bounded
+    * month grid of 2×2 cells; everything after is grid arithmetic. */
+  def q434(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .select((year($"o_orderdate") * 12 + month($"o_orderdate")).cast("long")
+          .as("mk"),
+        ($"l_discount" > 0.05).cast("long").as("x"),
+        ($"l_returnflag" === "R").cast("long").as("yf"))
+      .groupBy($"mk")
+      .agg(sum($"x" * $"yf").as("a"),
+        sum($"x" * (lit(1L) - $"yf")).as("b"),
+        sum((lit(1L) - $"x") * $"yf").as("c"),
+        sum((lit(1L) - $"x") * (lit(1L) - $"yf")).as("d"))
+      .withColumn("n", $"a" + $"b" + $"c" + $"d")
+      .transform(Fx.materialize) // rows + pooled rollup
+    val pooled = cells
+      .filter($"n" > 1L)
+      .agg(
+        sum(expr("(cast(a as decimal(38,0)) * d * 1000000) div n")).as("s_ad"),
+        sum(expr("(cast(b as decimal(38,0)) * c * 1000000) div n")).as("s_bc"),
+        sum(expr("a * 1000000 - (cast(a + b as decimal(38,0)) * (a + c) * 1000000) div n"))
+          .as("dev"),
+        sum(expr("""(cast(a + b as decimal(38,0)) * (c + d) * (a + c) * (b + d))
+                    div (cast(n as decimal(38,0)) * n * (n - 1))""")).as("sv"))
+      .select(
+        when($"s_bc" > 0,
+          expr("cast((s_ad * 1000000) div s_bc as bigint)"))
+          .as("or_mh_micro"),
+        when($"sv" > 0, r6(
+          pow(abs($"dev".cast("double")) / lit(1000000.0) - lit(0.5), lit(2.0)) /
+            $"sv".cast("double"))).as("cmh_chi2"),
+        when($"sv" > 0,
+          (pow(abs($"dev".cast("double")) / lit(1000000.0) - lit(0.5), lit(2.0)) /
+            $"sv".cast("double") > lit(3.841459)).cast("int"))
+          .as("reject_5pct"))
+    cells.crossJoin(broadcast(pooled))
+      .select($"mk", $"a", $"b", $"c", $"d",
+        $"or_mh_micro", $"cmh_chi2", $"reject_5pct")
+      .orderBy($"mk")
+  }
+
+  val q434Sql: String =
+    s"""WITH cells AS MATERIALIZED (
+       |  SELECT year(o.o_orderdate) * 12 + month(o.o_orderdate) AS mk,
+       |    CAST(sum(CASE WHEN l.l_discount > 0.05 AND l.l_returnflag = 'R'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS a,
+       |    CAST(sum(CASE WHEN l.l_discount > 0.05 AND l.l_returnflag <> 'R'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS b,
+       |    CAST(sum(CASE WHEN l.l_discount <= 0.05 AND l.l_returnflag = 'R'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS c,
+       |    CAST(sum(CASE WHEN l.l_discount <= 0.05 AND l.l_returnflag <> 'R'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS d
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  GROUP BY 1),
+       |cn AS (SELECT *, a + b + c + d AS n FROM cells),
+       |pooled AS (
+       |  SELECT
+       |    sum((CAST(a AS HUGEINT) * d * 1000000) // n) AS s_ad,
+       |    sum((CAST(b AS HUGEINT) * c * 1000000) // n) AS s_bc,
+       |    sum(a * 1000000 - (CAST(a + b AS HUGEINT) * (a + c) * 1000000) // n)
+       |      AS dev,
+       |    sum((CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d))
+       |      // (CAST(n AS HUGEINT) * n * (n - 1))) AS sv
+       |  FROM cn WHERE n > 1),
+       |ver AS (
+       |  SELECT
+       |    CASE WHEN s_bc > 0
+       |      THEN CAST((s_ad * 1000000) // s_bc AS BIGINT) END AS or_mh_micro,
+       |    CASE WHEN sv > 0 THEN ${Fx.sqlR6(
+      "pow(abs(CAST(dev AS DOUBLE)) / 1000000.0 - 0.5, 2.0) / CAST(sv AS DOUBLE)")}
+       |      END AS cmh_chi2,
+       |    CASE WHEN sv > 0 THEN CAST(
+       |      pow(abs(CAST(dev AS DOUBLE)) / 1000000.0 - 0.5, 2.0)
+       |        / CAST(sv AS DOUBLE) > 3.841459 AS INT) END AS reject_5pct
+       |  FROM pooled)
+       |SELECT cn.mk, cn.a, cn.b, cn.c, cn.d,
+       |  ver.or_mh_micro, ver.cmh_chi2, ver.reject_5pct
+       |FROM cn CROSS JOIN ver
+       |ORDER BY cn.mk""".stripMargin
+
+  /** q435 — randomized-response telemetry (Warner's local-DP
+    * mechanism, the COLLECTION pipeline): each user's sensitive bit
+    * (made a purchase) is reported TRUTHFULLY with probability 3/4
+    * and FLIPPED with probability 1/4 — here decided by the md5 grid
+    * (deterministic, the q281 assignment discipline), so the whole
+    * mechanism is replayable — then the aggregate debiases the
+    * observed rate: p̂ = (p_obs − q)/(1 − 2q) = 2·p_obs − 1/2 at
+    * q = 1/4. The point of the operator pair (perturb, debias) is
+    * that the TRUE rate is never needed row-wise downstream; emitting
+    * truth beside estimate here prices the mechanism's error on real
+    * data — the k-anon/l-div battery (q170/q210) audits what a table
+    * LEAKS, this is the other half: collect so it never leaks. Exact:
+    * flips and counts are integers, rates stated micro truncations,
+    * the debias is integer arithmetic clamped to [0, 10⁶] (stated).
+    *
+    * Scale shape: one groupBy user_id, one 1-row rollup. */
+  def q435(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bits = Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(max(($"event_type" === "purchase").cast("long")).as("t"))
+      .withColumn("flip",
+        ((conv(substring(md5(concat($"user_id".cast("string"), lit("#rr"))),
+          1, 8), 16, 10) % 4) === 0).cast("long"))
+      .withColumn("reported",
+        ($"t" + $"flip") % 2) // XOR on 0/1 longs
+    bits.agg(count(lit(1)).as("n_users"),
+        sum($"t").as("true_n"), sum($"flip").as("n_flipped"),
+        sum($"reported").as("obs_n"))
+      .withColumn("true_micro", expr("(true_n * 1000000) div n_users"))
+      .withColumn("obs_micro", expr("(obs_n * 1000000) div n_users"))
+      .withColumn("debiased_micro",
+        greatest(lit(0L), least(lit(1000000L),
+          lit(2L) * $"obs_micro" - lit(500000L))))
+      .select($"n_users", $"n_flipped", $"true_micro", $"obs_micro",
+        $"debiased_micro",
+        abs($"debiased_micro" - $"true_micro").as("abs_err_micro"))
+  }
+
+  val q435Sql: String =
+    """WITH bits AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS t,
+      |    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#rr'), 1, 8))::BIGINT % 4 = 0
+      |      THEN 1 ELSE 0 END AS flip
+      |  FROM events GROUP BY user_id),
+      |agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_users,
+      |    CAST(sum(t) AS BIGINT) AS true_n,
+      |    CAST(sum(flip) AS BIGINT) AS n_flipped,
+      |    CAST(sum((t + flip) % 2) AS BIGINT) AS obs_n
+      |  FROM bits),
+      |r AS (
+      |  SELECT *, (true_n * 1000000) // n_users AS true_micro,
+      |    (obs_n * 1000000) // n_users AS obs_micro
+      |  FROM agg)
+      |SELECT n_users, n_flipped, true_micro, obs_micro,
+      |  greatest(0, least(1000000, 2 * obs_micro - 500000)) AS debiased_micro,
+      |  abs(greatest(0, least(1000000, 2 * obs_micro - 500000)) - true_micro)
+      |    AS abs_err_micro
+      |FROM r""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q411_bh_fdr", q411, Some(q411Sql)),
     QueryDef("q406_cochran_q", q406, Some(q406Sql)),
@@ -2039,6 +2198,8 @@ object GovernanceQueries {
     QueryDef("q334_kruskal_wallis", q334, Some(q334Sql)),
     QueryDef("q332_t_closeness", q332, Some(q332Sql)),
     QueryDef("q317_jackknife_se", q317, Some(q317Sql)),
+    QueryDef("q434_cmh_pooled_odds", q434, Some(q434Sql)),
+    QueryDef("q435_randomized_response", q435, Some(q435Sql)),
     QueryDef("q258_chi2_cramers_v", q258, Some(q258Sql)),
     QueryDef("q244_subject_access_report", q244, Some(q244Sql)),
     QueryDef("q227_winsorized_stats", q227, Some(q227Sql)),

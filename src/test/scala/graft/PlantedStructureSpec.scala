@@ -2655,6 +2655,95 @@ class PlantedStructureSpec extends SparkSpec {
       s95.getInt(6) === 0, s95.toString)
   }
 
+  test("q433 estimates the planted universe from the marked/recaptured overlap") {
+    // 10 users only in week A (days 1-7), 10 only in week B (days
+    // 14-20), 5 in both; Chapman: (16*16)//6 - 1 = 41, Seber var =
+    // (256*100)//252 = 101
+    val rows =
+      Seq((1, 1L, "view", 1.0)) ++ (2L to 10L).map(u => (2, u, "view", 1.0)) ++
+      Seq((20, 11L, "view", 1.0)) ++ (12L to 20L).map(u => (15, u, "view", 1.0)) ++
+      (21L to 25L).flatMap(u => Seq((3, u, "view", 1.0), (16, u, "view", 1.0)))
+    val r = operators.EventQueries.q433(spark, eventsDir(rows)).head()
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((25L, 15L, 15L, 5L, 41L)), r.toString)
+    assert(r.getDouble(5) === r6d(math.sqrt(101.0)), r.toString)
+    assert(r.getLong(6) === 25L * 1000000L / 41L, r.toString)
+  }
+
+  /** lineitem+orders fixture for q434: (orderkey, day, discount,
+    * returnflag); one lineitem per order. */
+  private def cmhDir(rows: Seq[(Long, Int, Double, String)]): String = {
+    val dir = Files.createTempDirectory("planted-cmh")
+    rows.map { case (ok, _, disc, rf) => (ok, disc, rf) }
+      .toDF("l_orderkey", "l_discount", "l_returnflag")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("lineitem.parquet").toString)
+    rows.map { case (ok, day, _, _) => (ok, day.toLong) }
+      .toDF("o_orderkey", "day")
+      .withColumn("o_orderdate", timestamp_micros(
+        ($"day" * 86400L + 43200L) * 1000000L))
+      .select($"o_orderkey", $"o_orderdate")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("orders.parquet").toString)
+    dir.toString
+  }
+
+  test("q434 recovers the planted common odds ratio across strata") {
+    // two month strata, both with OR = 4: (a,b,c,d) = (8,2,4,4) and
+    // (4,1,2,2); hand-chained micro truncations give OR_MH = 4000001
+    def stratum(day: Int, okBase: Long, a: Int, b: Int, c: Int, d: Int) = {
+      def mk(n: Int, disc: Double, rf: String, off: Long) =
+        (0 until n).map(i => (okBase + off + i, day, disc, rf))
+      mk(a, 0.10, "R", 0) ++ mk(b, 0.10, "N", 100) ++
+        mk(c, 0.01, "R", 200) ++ mk(d, 0.01, "N", 300)
+    }
+    val or4 = operators.GovernanceQueries.q434(spark, cmhDir(
+      stratum(5, 1000, 8, 2, 4, 4) ++ stratum(40, 2000, 4, 1, 2, 2)))
+      .collect()
+    assert(or4.length === 2)
+    assert(or4.map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4))).toSeq === Seq((8L, 2L, 4L, 4L), (4L, 1L, 2L, 2L)))
+    assert(or4.forall(_.getLong(5) === 4000001L), or4.toSeq.toString)
+    // hand chain: dev = (8e6-6666666) + (4e6-3333333) = 2000001,
+    // sv = 1 + 0 -> chi2 = (2.000001 - 0.5)^2 / 1 = 2.250003, no reject
+    assert(or4.forall(r => r.getDouble(6) === 2.250003 && r.getInt(7) === 0),
+      or4.toSeq.toString)
+    // null-effect pole at verdict-bearing size: every stratum at
+    // OR = 1, balanced margins -> dev = 0, chi2 = 0.25/sv, no reject
+    val or1 = operators.GovernanceQueries.q434(spark, cmhDir(
+      stratum(5, 1000, 20, 20, 20, 20) ++ stratum(40, 2000, 60, 30, 40, 20)))
+      .collect()
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(or1.forall(_.getLong(5) === 1000000L), or1.toSeq.toString)
+    // sv = V1 + V2 = 5 + 8 = 13 by the stated integer truncation
+    assert(or1.forall(_.getDouble(6) === r6d(0.25 / 13.0)), or1.toSeq.toString)
+    assert(or1.forall(_.getInt(7) === 0), "OR=1 must not reject")
+  }
+
+  test("q435 debiases the randomized-response rate to match a mechanism replay") {
+    // 40 users, first 20 purchasers; flips replayed independently via
+    // MessageDigest over the same md5 grid
+    val rows = (1L to 40L).map(u =>
+      (1, u, if (u <= 20L) "purchase" else "view", 1.0))
+    val r = operators.GovernanceQueries.q435(spark, eventsDir(rows)).head()
+    def flip(u: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$u#rr".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      if (java.lang.Long.parseLong(hex, 16) % 4 == 0) 1L else 0L
+    }
+    val flips = (1L to 40L).map(flip)
+    val obs = (1L to 40L).map(u =>
+      ((if (u <= 20L) 1L else 0L) + flips(u.toInt - 1)) % 2).sum
+    val obsMicro = obs * 1000000L / 40L
+    val deb = math.max(0L, math.min(1000000L, 2L * obsMicro - 500000L))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) ===
+      ((40L, flips.sum, 500000L, obsMicro, deb, math.abs(deb - 500000L))),
+      s"$r vs flips=${flips.sum} obs=$obs")
+  }
+
   test("q428 peels the planted triangle ladder in cascading rounds and keeps the K4") {
     // ladder 1..8: edges (i,i+1) and (i,i+2); long edges and the two
     // end short edges have support 1 -> round 1 drops 8 of 13, leaving
