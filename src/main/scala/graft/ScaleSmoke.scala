@@ -82,6 +82,44 @@ object ScaleSmoke {
       return
     }
 
+    // targeted mode: `... <n> trussiter` measures q428's truss peel as
+    // the graph grows: each round is one oriented a<b<c triangle join
+    // (intermediate bounded by per-node wedge counts — degree ≤ 4 here,
+    // so O(|E|)) + one edge-keyed aggregate; cost should be LINEAR in
+    // |E| per round, and the ring+chord construction cascades (round 1
+    // drops the chords, round 2 empties the ring) so every round does
+    // real work
+    if (args.lift(1).contains("trussiter")) {
+      for (m <- Seq(nDocs / 4, nDocs, nDocs * 4)) {
+        val und = spark.range(m)
+          .select($"id".as("x"), (($"id" + 1L) % m).as("y"))
+          .unionAll(spark.range(m)
+            .select($"id".as("x"), (($"id" + 2L) % m).as("y")))
+        val e0 = und
+          .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
+          .filter($"a" =!= $"b").distinct().localCheckpoint()
+        timedN(m)(s"truss_3rounds_${m / 1000000}M") {
+          var e = e0
+          for (_ <- 1 to 3) {
+            val tri = e.as("e1").join(e.as("e2"), $"e1.b" === $"e2.a")
+              .join(e.as("e3"), $"e2.b" === $"e3.b" && $"e1.a" === $"e3.a")
+              .select($"e1.a".as("x"), $"e1.b".as("y"), $"e2.b".as("z"))
+              .localCheckpoint()
+            val support = tri.select($"x".as("a"), $"y".as("b"))
+              .unionAll(tri.select($"x".as("a"), $"z".as("b")))
+              .unionAll(tri.select($"y".as("a"), $"z".as("b")))
+              .groupBy($"a", $"b").agg(count(lit(1)).as("sup"))
+            e = e.join(support, Seq("a", "b"), "left")
+              .filter(coalesce($"sup", lit(0L)) >= 2L)
+              .select($"a", $"b").localCheckpoint()
+          }
+          e.count()
+        }
+      }
+      spark.stop()
+      return
+    }
+
     // targeted mode: `... <n> graphiter` measures the round-11
     // iterative graph operators (q418 HITS, q420 double-sweep BFS) as
     // the graph grows: each round is one join + one aggregate on the
