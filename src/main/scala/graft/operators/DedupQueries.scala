@@ -1333,7 +1333,67 @@ object DedupQueries {
        |  CAST(lang_a <> lang_b AS INT) AS conflict
        |FROM nd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q437 — birthday audit of the md5 grid: the registry's sampling,
+    * arm assignment, salting, and LSH bucketing all assume truncated
+    * md5 behaves uniformly — this query AUDITS that assumption
+    * instead of assuming it. Docs hash into d = 16^k buckets (k = 4
+    * and 6, stated) by their first k hex digits; observed colliding
+    * pairs Σ C(c_b, 2) are compared against the uniform birthday
+    * expectation C(n, 2)/d via the exact ratio
+    * (obs·2d·10⁶) div (n(n−1)) — 10⁶ ≈ uniform; materially above
+    * says the digest grid is clumping (and every md5-keyed cap/
+    * sample/assignment upstream inherits the bias). Max bucket load
+    * and occupied-bucket count complete the load profile. All exact
+    * integers; no float anywhere.
+    *
+    * Scale shape: one groupBy on the k-digit prefix (bounded key
+    * domain), one rollup per k — the same shuffle shape as the LSH
+    * banding it audits. */
+  def q437(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ks = Seq(4, 6)
+    val perK = ks.map { k =>
+      Tables.documents(s, d)
+        .select(substring(md5($"doc_id".cast("string")), 1, k).as("bucket"))
+        .groupBy($"bucket").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("used_buckets"),
+          sum($"c").as("n"),
+          max($"c").as("max_load"),
+          sum(expr("c * (c - 1) div 2")).as("obs_pairs"))
+        .select(lit(k).as("k"), lit(math.pow(16, k).toLong).as("d"),
+          $"n", $"used_buckets", $"max_load", $"obs_pairs",
+          when($"n" > 1L,
+            expr(s"cast((cast(obs_pairs as decimal(38,0)) * ${2L * math.pow(16, k).toLong} * 1000000) div (cast(n as decimal(38,0)) * (n - 1)) as bigint)"))
+            .as("ratio_micro"))
+    }
+    perK.reduce(_ unionAll _).orderBy($"k")
+  }
+
+  val q437Sql: String = {
+    def perK(k: Int): String = {
+      val d = math.pow(16, k).toLong
+      s"""SELECT $k AS k, CAST($d AS BIGINT) AS d,
+         |  CAST(sum(c) AS BIGINT) AS n,
+         |  CAST(count(*) AS BIGINT) AS used_buckets,
+         |  CAST(max(c) AS BIGINT) AS max_load,
+         |  CAST(sum(c * (c - 1) // 2) AS BIGINT) AS obs_pairs,
+         |  CASE WHEN sum(c) > 1 THEN CAST(
+         |    (CAST(sum(c * (c - 1) // 2) AS HUGEINT) * ${2L * d} * 1000000)
+         |      // (CAST(sum(c) AS HUGEINT) * (sum(c) - 1)) AS BIGINT)
+         |    END AS ratio_micro
+         |FROM (
+         |  SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, $k) AS bucket,
+         |    count(*) AS c
+         |  FROM documents GROUP BY 1) t""".stripMargin
+    }
+    s"""SELECT * FROM (
+       |${perK(4)}
+       |UNION ALL
+       |${perK(6)}) u ORDER BY k""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q437_digest_birthday_audit", q437, Some(q437Sql)),
     QueryDef("q386_label_noise", q386, Some(q386Sql)),
     QueryDef("q338_cluster_dilution", q338, Some(q338Sql)),
     QueryDef("q339_deletion_policies", q339, Some(q339Sql)),

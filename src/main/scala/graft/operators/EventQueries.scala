@@ -5381,6 +5381,94 @@ object EventQueries {
        |FROM est""".stripMargin
   }
 
+  /** q436 — count-model adequacy for per-user purchases: fit a
+    * negative binomial by method of moments (r = m²/(v−m), p = m/v)
+    * over the FULL user universe (zero-purchase users in — the panel
+    * q368's hourly Fano never sees), then judge BOTH candidate models
+    * where count models actually fail: the zero cell. Observed zero
+    * share vs Poisson's e^(−m) vs NB's (r/(r+m))^r — Poisson under
+    * overdispersion predicts far too few zeros, and the gap prices
+    * how wrong per-user rate assumptions are before anyone builds a
+    * frequency model on them. Exact: counts, n·Σc²−S² and every rate
+    * are integer/stated-micro; the two zero predictions are single
+    * pow/exp trees on micro-derived doubles, r6. v ≤ m (no
+    * overdispersion) nulls the NB fit (stated).
+    *
+    * Scale shape: one groupBy user_id over purchases, one left join
+    * against the distinct-user universe, a 1-row rollup. */
+  def q436(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val universe = ev.select($"user_id").distinct()
+    val counts = universe
+      .join(ev.filter($"event_type" === "purchase")
+        .groupBy($"user_id").agg(count(lit(1)).as("c0")),
+        Seq("user_id"), "left")
+      .select(coalesce($"c0", lit(0L)).as("c"))
+    counts.agg(count(lit(1)).as("n"), sum($"c").as("sc"),
+        sum(expr("cast(c as decimal(38,0)) * c")).as("qc"),
+        sum(($"c" === 0L).cast("long")).as("n_zero"))
+      .withColumn("m_micro", expr("(sc * 1000000) div n"))
+      .withColumn("v_micro",
+        expr("((n * qc - cast(sc as decimal(38,0)) * sc) * 1000000) div (cast(n as decimal(38,0)) * (n - 1))"))
+      .withColumn("r_micro",
+        when($"v_micro" > $"m_micro",
+          expr("(cast(m_micro as decimal(38,0)) * m_micro) div (v_micro - m_micro)")))
+      .select($"n".as("n_users"), $"m_micro",
+        expr("cast(v_micro as bigint)").as("var_micro"),
+        when($"m_micro" > 0, expr("cast((v_micro * 1000000) div m_micro as bigint)"))
+          .as("dispersion_micro"),
+        expr("cast(r_micro as bigint)").as("r_micro"),
+        when($"v_micro" > 0, expr("(m_micro * 1000000) div cast(v_micro as bigint)"))
+          .as("p_micro"),
+        expr("(n_zero * 1000000) div n").as("zero_obs_micro"),
+        when($"r_micro".isNotNull, r6(
+          pow($"r_micro".cast("double") /
+            ($"r_micro".cast("double") + $"m_micro".cast("double")),
+            $"r_micro".cast("double") / lit(1000000.0)))).as("zero_nb"),
+        r6(exp(-$"m_micro".cast("double") / lit(1000000.0))).as("zero_poisson"))
+  }
+
+  val q436Sql: String = {
+    import graft.Fx.sqlR6
+    s"""WITH universe AS (SELECT DISTINCT user_id FROM events),
+       |pc AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS c0 FROM events
+       |  WHERE event_type = 'purchase' GROUP BY 1),
+       |counts AS (
+       |  SELECT COALESCE(pc.c0, 0) AS c
+       |  FROM universe u LEFT JOIN pc ON pc.user_id = u.user_id),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sc,
+       |    sum(CAST(c AS HUGEINT) * c) AS qc,
+       |    CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+       |  FROM counts),
+       |mv AS (
+       |  SELECT *, (sc * 1000000) // n AS m_micro,
+       |    ((n * qc - CAST(sc AS HUGEINT) * sc) * 1000000)
+       |      // (CAST(n AS HUGEINT) * (n - 1)) AS v_micro
+       |  FROM agg),
+       |fit AS (
+       |  SELECT *, CASE WHEN v_micro > m_micro
+       |    THEN (CAST(m_micro AS HUGEINT) * m_micro) // (v_micro - m_micro)
+       |    END AS r_micro
+       |  FROM mv)
+       |SELECT n AS n_users, m_micro, CAST(v_micro AS BIGINT) AS var_micro,
+       |  CASE WHEN m_micro > 0
+       |    THEN CAST((v_micro * 1000000) // m_micro AS BIGINT)
+       |    END AS dispersion_micro,
+       |  CAST(r_micro AS BIGINT) AS r_micro,
+       |  CASE WHEN v_micro > 0
+       |    THEN CAST((m_micro * 1000000) // CAST(v_micro AS BIGINT) AS BIGINT)
+       |    END AS p_micro,
+       |  (n_zero * 1000000) // n AS zero_obs_micro,
+       |  CASE WHEN r_micro IS NOT NULL THEN ${sqlR6(
+      "pow(CAST(r_micro AS DOUBLE) / (CAST(r_micro AS DOUBLE) + CAST(m_micro AS DOUBLE)), CAST(r_micro AS DOUBLE) / 1000000.0)")}
+       |    END AS zero_nb,
+       |  ${sqlR6("exp(-CAST(m_micro AS DOUBLE) / 1000000.0)")} AS zero_poisson
+       |FROM fit""".stripMargin
+  }
+
   /** q431 — Hurst exponent of daily order revenue by the
     * AGGREGATED-VARIANCE method: variance of m-day block means falls
     * as m^(2H−2), so the slope of ln Var(m) over ln m at the stated
@@ -5917,6 +6005,7 @@ object EventQueries {
     QueryDef("q431_hurst_exponent", q431, Some(q431Sql)),
     QueryDef("q432_christoffersen", q432, Some(q432Sql)),
     QueryDef("q433_capture_recapture", q433, Some(q433Sql)),
+    QueryDef("q436_nb_zero_inflation", q436, Some(q436Sql)),
     QueryDef("q398_nelson_aalen", q398, Some(q398Sql)),
     QueryDef("q273_cohort_ltv", q273, Some(q273Sql)),
     QueryDef("q274_theil_sen_trend", q274, Some(q274Sql)),

@@ -2744,6 +2744,52 @@ class PlantedStructureSpec extends SparkSpec {
       s"$r vs flips=${flips.sum} obs=$obs")
   }
 
+  test("q436 reads the planted count pattern as overdispersed and prices the zero cell") {
+    // users 1-3: views only (count 0); user 4: four purchases
+    // m = 1, v = 4 -> disp 4.0, r = 1/3, p = 1/4, zero_obs = 3/4
+    val rows = (1L to 3L).map(u => (1, u, "view", 1.0)) ++
+      (1 to 4).map(i => (i, 4L, "purchase", 1.0))
+    val r = operators.EventQueries.q436(spark, eventsDir(rows)).head()
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ===
+      ((4L, 1000000L, 4000000L, 4000000L, 333333L, 250000L, 750000L)),
+      r.toString)
+    assert(r.getDouble(7) ===
+      r6d(math.pow(333333.0 / (333333.0 + 1000000.0), 0.333333)), r.toString)
+    assert(r.getDouble(8) === r6d(math.exp(-1.0)), r.toString)
+    // equidispersed pole: every count 1 -> v = 0 < m, NB fit nulls
+    val ones = (1L to 4L).map(u => (1, u, "purchase", 1.0))
+    val p = operators.EventQueries.q436(spark, eventsDir(ones)).head()
+    assert(p.getLong(2) === 0L && p.isNullAt(4) && p.isNullAt(7), p.toString)
+    assert(p.getLong(6) === 0L, p.toString)
+  }
+
+  test("q437 matches a digest replay and reads near-uniform loads at both widths") {
+    val docs = (1L to 200L).map(i => (i, s"w$i", "en", "s", 5L))
+    val out = operators.DedupQueries.q437(spark, documentsDir(docs))
+      .collect().map(r => r.getInt(0).toLong -> r).toMap
+    def prefix(id: Long, k: Int): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(k)
+    }
+    Seq(4, 6).foreach { k =>
+      val loads = (1L to 200L).groupBy(prefix(_, k)).map(_._2.size.toLong)
+      val obs = loads.map(c => c * (c - 1) / 2).sum
+      val d = math.pow(16, k).toLong
+      val ratio =
+        (BigInt(obs) * 2 * d * 1000000 / (BigInt(200) * 199)).toLong
+      val r = out(k.toLong)
+      assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ===
+        ((200L, loads.size.toLong, loads.max, obs)), s"k=$k $r")
+      assert(r.getLong(6) === ratio, s"k=$k ratio $r vs $ratio")
+    }
+    // at k=6 (16.7M buckets, 200 docs) collisions should be absent:
+    // the uniformity read is exactly 0
+    assert(out(6L).getLong(5) === 0L && out(6L).getLong(6) === 0L)
+  }
+
   test("q428 peels the planted triangle ladder in cascading rounds and keeps the K4") {
     // ladder 1..8: edges (i,i+1) and (i,i+2); long edges and the two
     // end short edges have support 1 -> round 1 drops 8 of 13, leaving
