@@ -3046,7 +3046,122 @@ object Relational {
        |ORDER BY wt.brand""".stripMargin
   }
 
+  /** q438 — Mahalanobis outliers on the (quantity, price-cents) plane:
+    * the 2-D generalization of q217's univariate MAD flags — a line
+    * item can be unremarkable on each axis yet impossible JOINTLY
+    * (tiny quantity at a bulk price), which is exactly what the
+    * covariance-whitened distance d² = z·Σ⁻¹·z sees and marginal
+    * z-scores cannot. Exact core: means are stated micro truncations;
+    * the three covariance NUMERATORS n·Σxx−Sx² etc. are exact DECIMAL
+    * integers; Σ⁻¹ is the closed-form 2×2 inverse, so
+    * d² = n(n−1)·(C·dx² − 2B·dx·dy + A·dy²)/(AC−B²) is one fixed
+    * double tree per row over exact-integer inputs — identical doubles
+    * both engines, ordered totally by (d², orderkey, linenumber).
+    * Output: the top-10 joint outliers, each carrying the shared
+    * count beyond the pinned χ²(2) 5.991465 (≈ the 95% ellipse).
+    * Degenerate covariance (det ≤ 0) nulls everything (stated).
+    *
+    * Scale shape: one moments aggregate (broadcast back), one
+    * projection pass, a TakeOrdered top-10 — no shuffle beyond the
+    * rollups. */
+  def q438(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_linenumber",
+        $"l_quantity".cast("long").as("x"),
+        floor($"l_extendedprice" * 100).cast("long").as("y"))
+      .transform(Fx.materialize) // moments + distance pass
+    val mom = rows.agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),
+        sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
+        sum(expr("cast(y as decimal(38,0)) * y")).as("syy"))
+      .select($"n",
+        expr("(sx * 1000000) div n").as("mx_micro"),
+        expr("(sy * 1000000) div n").as("my_micro"),
+        expr("n * sxx - cast(sx as decimal(38,0)) * sx").as("a"),
+        expr("n * sxy - cast(sx as decimal(38,0)) * sy").as("b"),
+        expr("n * syy - cast(sy as decimal(38,0)) * sy").as("c"))
+    val d2 = rows.crossJoin(broadcast(mom))
+      .withColumn("dx", ($"x" * 1000000L - $"mx_micro").cast("double") /
+        lit(1000000.0))
+      .withColumn("dy", ($"y" * 1000000L - $"my_micro").cast("double") /
+        lit(1000000.0))
+      .withColumn("det",
+        $"a".cast("double") * $"c".cast("double") -
+          $"b".cast("double") * $"b".cast("double"))
+      .withColumn("d2",
+        when($"det" > 0.0,
+          ($"n".cast("double") * ($"n" - 1L).cast("double")) *
+            ($"c".cast("double") * $"dx" * $"dx" -
+              lit(2.0) * $"b".cast("double") * $"dx" * $"dy" +
+              $"a".cast("double") * $"dy" * $"dy") / $"det"))
+      .transform(Fx.materialize) // outlier count + top-10
+    // when(...).otherwise(0): a NULL d2 (degenerate covariance) must
+    // count 0, matching the oracle's CASE ... ELSE 0 (a bare boolean
+    // cast would propagate NULL through the sum)
+    val nOut = d2.agg(
+      sum(when($"d2" > lit(5.991465), lit(1L)).otherwise(lit(0L)))
+        .as("n_outliers"))
+    d2.orderBy($"d2".desc, $"l_orderkey", $"l_linenumber").limit(10)
+      .crossJoin(broadcast(nOut))
+      .select($"l_orderkey", $"l_linenumber", $"x".as("quantity"),
+        $"y".as("cents"), r6($"d2").as("d2"), $"n_outliers")
+      .orderBy($"d2".desc, $"l_orderkey", $"l_linenumber")
+  }
+
+  val q438Sql: String = {
+    import graft.Fx.sqlR6
+    s"""WITH rows0 AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |    CAST(l_quantity AS BIGINT) AS x,
+       |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+       |  FROM lineitem),
+       |mom AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    (CAST(sum(x) AS BIGINT) * 1000000) // count(*) AS mx_micro,
+       |    (CAST(sum(y) AS BIGINT) * 1000000) // count(*) AS my_micro,
+       |    count(*) * sum(CAST(x AS HUGEINT) * x)
+       |      - CAST(sum(x) AS HUGEINT) * sum(x) AS a,
+       |    count(*) * sum(CAST(x AS HUGEINT) * y)
+       |      - CAST(sum(x) AS HUGEINT) * sum(y) AS b,
+       |    count(*) * sum(CAST(y AS HUGEINT) * y)
+       |      - CAST(sum(y) AS HUGEINT) * sum(y) AS c
+       |  FROM rows0),
+       |d2 AS MATERIALIZED (
+       |  SELECT r.l_orderkey, r.l_linenumber, r.x, r.y,
+       |    CASE WHEN CAST(m.a AS DOUBLE) * CAST(m.c AS DOUBLE)
+       |        - CAST(m.b AS DOUBLE) * CAST(m.b AS DOUBLE) > 0.0
+       |      THEN (CAST(m.n AS DOUBLE) * CAST(m.n - 1 AS DOUBLE)) *
+       |        (CAST(m.c AS DOUBLE) * dx * dx
+       |          - 2.0 * CAST(m.b AS DOUBLE) * dx * dy
+       |          + CAST(m.a AS DOUBLE) * dy * dy)
+       |        / (CAST(m.a AS DOUBLE) * CAST(m.c AS DOUBLE)
+       |          - CAST(m.b AS DOUBLE) * CAST(m.b AS DOUBLE))
+       |      END AS d2
+       |  FROM (
+       |    SELECT r0.*, CAST(r0.x * 1000000 - m0.mx_micro AS DOUBLE)
+       |        / 1000000.0 AS dx,
+       |      CAST(r0.y * 1000000 - m0.my_micro AS DOUBLE) / 1000000.0 AS dy
+       |    FROM rows0 r0 CROSS JOIN mom m0) r
+       |  CROSS JOIN mom m),
+       |nout AS (
+       |  SELECT CAST(sum(CASE WHEN d2 > 5.991465 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_outliers
+       |  FROM d2),
+       |top AS (
+       |  SELECT l_orderkey, l_linenumber, x AS quantity, y AS cents,
+       |    ${sqlR6("d2")} AS d2r, nout.n_outliers
+       |  FROM d2 CROSS JOIN nout
+       |  ORDER BY d2.d2 DESC, l_orderkey, l_linenumber
+       |  LIMIT 10)
+       |SELECT l_orderkey, l_linenumber, quantity, cents, d2r AS d2,
+       |  n_outliers
+       |FROM top ORDER BY d2r DESC, l_orderkey, l_linenumber""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q438_mahalanobis_outliers", q438, Some(q438Sql)),
     QueryDef("q430_bradley_terry", q430, Some(q430Sql)),
     QueryDef("q427_synthetic_control", q427, Some(q427Sql)),
     QueryDef("q417_taylor_law", q417, Some(q417Sql)),

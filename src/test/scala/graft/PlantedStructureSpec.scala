@@ -2790,6 +2790,52 @@ class PlantedStructureSpec extends SparkSpec {
     assert(out(6L).getLong(5) === 0L && out(6L).getLong(6) === 0L)
   }
 
+  /** lineitem fixture for q438: explicit (orderkey, linenumber,
+    * quantity, extendedprice). */
+  private def mahaDir(rows: Seq[(Long, Int, Double, Double)]): String = {
+    val dir = Files.createTempDirectory("planted-maha")
+    rows.toDF("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("lineitem.parquet").toString)
+    dir.toString
+  }
+
+  test("q438 surfaces the planted joint outlier and nulls on colinear data") {
+    // 9 points on y = $x exactly, one at (9, $1): marginally ordinary,
+    // jointly impossible. Replica: exact moments -> closed-form 2x2
+    // whitened distance, the query's stated double tree.
+    val pts = (1 to 9).map(i => (i.toLong, 1, i.toDouble, i.toDouble)) :+
+      (100L, 1, 9.0, 1.0)
+    val out = operators.Relational.q438(spark, mahaDir(pts)).collect()
+    def replayD2(xs: Seq[(Long, Long)]): Seq[Double] = {
+      val n = BigInt(xs.size)
+      val sx = BigInt(xs.map(_._1).sum); val sy = BigInt(xs.map(_._2).sum)
+      val a = n * xs.map(p => BigInt(p._1) * p._1).sum - sx * sx
+      val b = n * xs.map(p => BigInt(p._1) * p._2).sum - sx * sy
+      val c = n * xs.map(p => BigInt(p._2) * p._2).sum - sy * sy
+      val mx = (sx * 1000000 / n).toLong; val my = (sy * 1000000 / n).toLong
+      xs.map { case (x, y) =>
+        val dx = (x * 1000000L - mx).toDouble / 1000000.0
+        val dy = (y * 1000000L - my).toDouble / 1000000.0
+        val det = a.toDouble * c.toDouble - b.toDouble * b.toDouble
+        (n.toDouble * (n - 1).toDouble) *
+          (c.toDouble * dx * dx - 2.0 * b.toDouble * dx * dy +
+            a.toDouble * dy * dy) / det
+      }
+    }
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val d2s = replayD2(pts.map(p => (p._3.toLong, (p._4 * 100).toLong)))
+    assert(out.head.getLong(0) === 100L, s"outlier not first: ${out.toSeq}")
+    assert(out.head.getDouble(4) === r6d(d2s.last), out.head.toString)
+    val expOut = d2s.count(_ > 5.991465)
+    assert(out.forall(_.getLong(5) === expOut.toLong), out.toSeq.toString)
+    // colinear pole: det = 0 -> NULL distances, zero outliers
+    val col = (1 to 8).map(i => (i.toLong, 1, i.toDouble, 2.0 * i))
+    val c = operators.Relational.q438(spark, mahaDir(col)).collect()
+    assert(c.forall(_.isNullAt(4)) && c.forall(_.getLong(5) === 0L),
+      c.toSeq.toString)
+  }
+
   test("q428 peels the planted triangle ladder in cascading rounds and keeps the K4") {
     // ladder 1..8: edges (i,i+1) and (i,i+2); long edges and the two
     // end short edges have support 1 -> round 1 drops 8 of 13, leaving
