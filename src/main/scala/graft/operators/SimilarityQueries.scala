@@ -1599,7 +1599,108 @@ object SimilarityQueries {
        |  ${sqlR6("maxvar")} AS max_dim_var
        |FROM agg""".stripMargin
 
+  /** q439 — intra-list diversity (ILD): what does q186's MMR rerank
+    * actually BUY? Per probe, the mean pairwise cosine DISTANCE inside
+    * the plain relevance top-5 versus inside the MMR top-5 (same
+    * k = 5, c = 20, λ = 0.7 as q186), beside the relevance each list
+    * keeps — the diversity/relevance trade quantified, which the
+    * rank-quality battery (recall/MRR/MAP q190/q314/q315) and the
+    * rerank itself (q186) never price. Determinism: both lists are
+    * total orders (q60's (sim, vec_id); q186's greedy picks); the 10
+    * pair cosines and 5 relevances pivot BY RANK into fixed
+    * left-associated expression trees (never a float SUM over rows),
+    * every cosine the same sequential fold both engines, r6 output.
+    *
+    * Scale shape: q60's broadcast top-k + q186's bounded rerank; the
+    * pivot joins are 5 rows per probe — metadata-sized. */
+  def q439(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = Tables.embeddings(s, d)
+      .select($"vec_id", Similarity.toDoubleArr($"embedding").as("v"))
+    val plain = Similarity.bruteForceTopK(queriesDf(s, d),
+        Tables.embeddings(s, d), k = 5)
+      .select($"q_id", $"vec_id", $"sim".as("rel"), $"rn")
+    val mmr = Similarity.mmrRerank(queriesDf(s, d),
+        Tables.embeddings(s, d), k = 5, c = 20, lambda = 0.7)
+      .select($"q_id", $"vec_id", $"rel", $"mmr_rank".as("rn"))
+    def pivot(picks: DataFrame, p: String): DataFrame =
+      (1 to 5).map { i =>
+        picks.filter($"rn" === i).join(t, "vec_id")
+          .select($"q_id", $"v".as(s"$p$i"), $"rel".as(s"${p}r$i"))
+      }.reduce(_.join(_, "q_id"))
+    def ild(p: String) =
+      (for { i <- 1 to 5; j <- (i + 1) to 5 } yield
+        lit(1.0) - Similarity.cosine(col(s"$p$i"), col(s"$p$j")))
+        .reduce(_ + _) / lit(10.0)
+    def meanRel(p: String) =
+      (1 to 5).map(i => col(s"${p}r$i")).reduce(_ + _) / lit(5.0)
+    pivot(plain, "a").join(pivot(mmr, "b"), "q_id")
+      .select($"q_id",
+        r6(ild("a")).as("ild_plain"), r6(ild("b")).as("ild_mmr"),
+        r6(ild("b") - ild("a")).as("ild_gain"),
+        r6(meanRel("a")).as("rel_plain"), r6(meanRel("b")).as("rel_mmr"))
+      .orderBy($"q_id")
+  }
+
+  val q439Sql: String = {
+    def cosPair(a: String, b: String) =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    // q186's greedy steps verbatim (k = 5, c = 20, λ = 0.7)
+    val steps = (1 to 5).map { n =>
+      val prev = 1 until n
+      val score =
+        if (prev.isEmpty) "0.7::DOUBLE * c.rel - (1::DOUBLE - 0.7::DOUBLE) * 0::DOUBLE"
+        else {
+          val sims = prev.map(i => cosPair("c.t_vec", s"s$i.t_vec")).mkString(", ")
+          s"0.7::DOUBLE * c.rel - (1::DOUBLE - 0.7::DOUBLE) * greatest($sims)"
+        }
+      val joins = prev.map(i => s"JOIN s$i ON s$i.q_id = c.q_id").mkString(" ")
+      val excl = prev.map(i => s"c.vec_id <> s$i.vec_id").mkString(" AND ")
+      val where = if (prev.isEmpty) "" else s"WHERE $excl"
+      s"""s$n AS (
+         |  SELECT q_id, vec_id, t_vec, rel FROM (
+         |    SELECT c.q_id, c.vec_id, c.t_vec, c.rel,
+         |      row_number() OVER (PARTITION BY c.q_id
+         |        ORDER BY $score DESC, c.vec_id) AS pick
+         |    FROM cand c $joins $where) z
+         |  WHERE pick = 1)""".stripMargin
+    }.mkString(",\n")
+    val plainPivots = (1 to 5).map(i =>
+      s"""a$i AS (SELECT q_id, t_vec AS av$i, rel AS ar$i
+         |        FROM ranked WHERE rn = $i)""".stripMargin).mkString(",\n")
+    def ildExpr(v: Int => String): String =
+      "(" + (for { i <- 1 to 5; j <- (i + 1) to 5 } yield
+        s"(1.0 - ${cosPair(v(i), v(j))})").mkString(" + ") + ") / 10.0"
+    def relExpr(r: Int => String): String =
+      "(" + (1 to 5).map(r).mkString(" + ") + ") / 5.0"
+    val ildA = ildExpr(i => s"a$i.av$i"); val ildB = ildExpr(i => s"s$i.t_vec")
+    s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+       |           FROM embeddings WHERE vec_id < 5),
+       |t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS t_vec FROM embeddings),
+       |sims AS (
+       |  SELECT q_id, vec_id, t_vec, $cosSql AS rel
+       |  FROM t, q WHERE vec_id <> q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, t_vec, rel,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS rn
+       |  FROM sims),
+       |cand AS (SELECT q_id, vec_id, t_vec, rel FROM ranked WHERE rn <= 20),
+       |$steps,
+       |$plainPivots
+       |SELECT a1.q_id,
+       |  ${Fx.sqlR6(ildA)} AS ild_plain,
+       |  ${Fx.sqlR6(ildB)} AS ild_mmr,
+       |  ${Fx.sqlR6(s"($ildB) - ($ildA)")} AS ild_gain,
+       |  ${Fx.sqlR6(relExpr(i => s"a$i.ar$i"))} AS rel_plain,
+       |  ${Fx.sqlR6(relExpr(i => s"s$i.rel"))} AS rel_mmr
+       |FROM a1
+       |${(2 to 5).map(i => s"JOIN a$i ON a$i.q_id = a1.q_id").mkString("\n")}
+       |${(1 to 5).map(i => s"JOIN s$i ON s$i.q_id = a1.q_id").mkString("\n")}
+       |ORDER BY a1.q_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q439_result_diversity", q439, Some(q439Sql)),
     QueryDef("q425_twonn_id", q425, Some(q425Sql)),
     QueryDef("q426_effective_rank", q426, Some(q426Sql)),
     QueryDef("q410_silhouette", q410, Some(q410Sql)),

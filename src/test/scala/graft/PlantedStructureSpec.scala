@@ -2836,6 +2836,42 @@ class PlantedStructureSpec extends SparkSpec {
       c.toSeq.toString)
   }
 
+  test("q439 prices MMR's diversity gain: zero on orthogonal lists, positive on clusters") {
+    def vec(pairs: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(64)(0f); pairs.foreach { case (i, v) => a(i) = v }
+      a.toSeq
+    }
+    // orthogonal pole: every candidate ⊥ every other -> the MMR
+    // penalty is identical for all, picks equal the relevance order,
+    // both lists have pairwise distance exactly 1
+    val ortho = (0L to 4L).map(i => (i, vec(i.toInt -> 1f), 0)) ++
+      (0 until 20).map(j => (100L + j, vec(10 + j -> 1f), 1))
+    val o = operators.SimilarityQueries.q439(spark, embeddingsDir(ortho))
+      .collect()
+    assert(o.length === 5)
+    o.foreach { r =>
+      assert(r.getDouble(1) === 1.0 && r.getDouble(2) === 1.0 &&
+        r.getDouble(3) === 0.0 && r.getDouble(4) === 0.0 &&
+        r.getDouble(5) === 0.0, r.toString)
+    }
+    // two-cluster pole: probe 0 sits between clusters A (axis 0, ids
+    // 100..107) and B (axis 5, ids 200..207), all at rel = 1/√2. The
+    // relevance tie-break fills the plain list from cluster A alone
+    // (ILD exactly 0); MMR picks A,B then ties back to A —
+    // {A,B,A,A,A} has 4 cross pairs of distance 1 -> ILD exactly 0.4.
+    val cluster = (0L to 4L).map(i =>
+      if (i == 0L) (0L, vec(0 -> 1f, 5 -> 1f), 0)
+      else (i, vec(50 + i.toInt -> 1f), 0)) ++
+      (0 until 8).map(j => (100L + j, vec(0 -> 1f), 1)) ++
+      (0 until 8).map(j => (200L + j, vec(5 -> 1f), 2))
+    val c = operators.SimilarityQueries.q439(spark, embeddingsDir(cluster))
+      .collect().find(_.getLong(0) == 0L).get
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val rel = r6d(1.0 / math.sqrt(2.0))
+    assert((c.getDouble(1), c.getDouble(2), c.getDouble(3), c.getDouble(4),
+      c.getDouble(5)) === ((0.0, 0.4, 0.4, rel, rel)), c.toString)
+  }
+
   test("q428 peels the planted triangle ladder in cascading rounds and keeps the K4") {
     // ladder 1..8: edges (i,i+1) and (i,i+2); long edges and the two
     // end short edges have support 1 -> round 1 drops 8 of 13, leaving
