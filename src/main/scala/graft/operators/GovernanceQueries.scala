@@ -2123,6 +2123,137 @@ object GovernanceQueries {
        |FROM cn CROSS JOIN ver
        |ORDER BY cn.mk""".stripMargin
 
+  /** q440 — population stability index (PSI) of line-item price cents,
+    * first calendar month (reference) vs last (current): the industry
+    * drift scorecard the battery lacked — q181/q292/q301 TEST whether
+    * distributions differ (p-values collapse to "yes" at scale);
+    * PSI = Σ(pᵢ−qᵢ)·ln(pᵢ/qᵢ) SIZES the shift against the fielded
+    * 0.1/0.25 action bands, which is what model-monitoring runbooks
+    * actually gate on. Bins are the reference month's own deciles
+    * (edge_k = min cents with 10·cum ≥ k·n — the integer-rank
+    * convention, q209's p25 rule), binning is 9 integer comparisons,
+    * shares are +1-smoothed stated micro truncations (zero bins never
+    * hit ln), and the 10-term PSI pivots bins to scalars (q372's
+    * discipline — never a float SUM over rows) into one fixed ln tree,
+    * r6. Each bin row carries its shares plus the shared verdict.
+    *
+    * Scale shape: two month scans collapse to (cents, count) grids;
+    * edges are 9 bounded-window selections; bins are a 10-cell
+    * rollup. */
+  def q440(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .select((year($"o_orderdate") * 12 + month($"o_orderdate")).cast("long")
+          .as("mk"),
+        floor($"l_extendedprice" * 100).cast("long").as("cents"))
+      .transform(Fx.materialize) // bounds + both month slices
+    val mks = li.agg(min($"mk").as("mk0"), max($"mk").as("mk1"))
+    val ref = li.crossJoin(broadcast(mks)).filter($"mk" === $"mk0")
+      .select($"cents").transform(Fx.materialize) // edges + binning
+    val cur = li.crossJoin(broadcast(mks)).filter($"mk" === $"mk1")
+      .select($"cents")
+    val wCents = Window.orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grid = ref.groupBy($"cents").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum($"cnt").over(wCents))
+      .crossJoin(broadcast(ref.agg(count(lit(1)).as("n"))))
+    val edgeCols = (1 to 9).map(k =>
+      min(when($"cum" * 10 >= $"n" * k, $"cents")).as(s"e$k"))
+    val edges = grid.agg(edgeCols.head, edgeCols.tail: _*)
+    def binCol = (1 to 9).map(k => ($"cents" > col(s"e$k")).cast("long"))
+      .reduce(_ + _)
+    def binned(side: DataFrame, nm: String): DataFrame =
+      side.crossJoin(broadcast(edges))
+        .groupBy(binCol.as("bin")).agg(count(lit(1)).as(nm))
+    val bins = s.range(10).toDF("bin")
+      .join(binned(ref, "ref_n"), Seq("bin"), "left")
+      .join(binned(cur, "cur_n"), Seq("bin"), "left")
+      .select($"bin", coalesce($"ref_n", lit(0L)).as("ref_n"),
+        coalesce($"cur_n", lit(0L)).as("cur_n"))
+      .crossJoin(broadcast(ref.agg(count(lit(1)).as("nr"))))
+      .crossJoin(broadcast(cur.agg(count(lit(1)).as("nc"))))
+      .select($"bin", $"ref_n", $"cur_n",
+        expr("((ref_n + 1) * 1000000) div (nr + 10)").as("p_micro"),
+        expr("((cur_n + 1) * 1000000) div (nc + 10)").as("q_micro"))
+      .transform(Fx.materialize) // rows + pivot
+    val pivCols = (0 until 10).flatMap(i => Seq(
+      max(when($"bin" === i, $"p_micro")).as(s"p$i"),
+      max(when($"bin" === i, $"q_micro")).as(s"q$i")))
+    val piv = bins.agg(pivCols.head, pivCols.tail: _*)
+    val psi = piv.select(
+      r6((0 until 10).map { i =>
+        (col(s"p$i") - col(s"q$i")).cast("double") / lit(1000000.0) *
+          log(col(s"p$i").cast("double") / col(s"q$i").cast("double"))
+      }.reduce(_ + _)).as("psi"))
+      .select($"psi",
+        when($"psi" > 0.25, 2).when($"psi" > 0.1, 1).otherwise(0)
+          .as("shift_band"))
+    bins.crossJoin(broadcast(psi))
+      .select($"bin", $"ref_n", $"cur_n", $"p_micro", $"q_micro",
+        $"psi", $"shift_band")
+      .orderBy($"bin")
+  }
+
+  val q440Sql: String = {
+    val psiTree = (0 until 10).map { i =>
+      s"(CAST(p$i - q$i AS DOUBLE) / 1000000.0 * ln(CAST(p$i AS DOUBLE) / CAST(q$i AS DOUBLE)))"
+    }.mkString(" + ")
+    val pivCols = (0 until 10).flatMap(i => Seq(
+      s"max(CASE WHEN bin = $i THEN p_micro END) AS p$i",
+      s"max(CASE WHEN bin = $i THEN q_micro END) AS q$i")).mkString(", ")
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT year(o.o_orderdate) * 12 + month(o.o_orderdate) AS mk,
+       |    CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS cents
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |mks AS (SELECT min(mk) AS mk0, max(mk) AS mk1 FROM li),
+       |ref AS MATERIALIZED (
+       |  SELECT cents FROM li CROSS JOIN mks WHERE mk = mk0),
+       |cur AS MATERIALIZED (
+       |  SELECT cents FROM li CROSS JOIN mks WHERE mk = mk1),
+       |grid AS (
+       |  SELECT cents, count(*) AS cnt,
+       |    sum(count(*)) OVER (ORDER BY cents
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM ref GROUP BY cents),
+       |edges AS MATERIALIZED (
+       |  SELECT ${(1 to 9).map(k =>
+      s"min(CASE WHEN cum * 10 >= (SELECT count(*) FROM ref) * $k THEN cents END) AS e$k")
+      .mkString(", ")}
+       |  FROM grid),
+       |binned AS MATERIALIZED (
+       |  SELECT b.bin,
+       |    COALESCE(r.c, 0) AS ref_n, COALESCE(c2.c, 0) AS cur_n
+       |  FROM (SELECT unnest(generate_series(0, 9)) AS bin) b
+       |  LEFT JOIN (
+       |    SELECT ${(1 to 9).map(k => s"CAST(cents > e$k AS BIGINT)").mkString(" + ")} AS bin,
+       |      CAST(count(*) AS BIGINT) AS c
+       |    FROM ref CROSS JOIN edges GROUP BY 1) r ON r.bin = b.bin
+       |  LEFT JOIN (
+       |    SELECT ${(1 to 9).map(k => s"CAST(cents > e$k AS BIGINT)").mkString(" + ")} AS bin,
+       |      CAST(count(*) AS BIGINT) AS c
+       |    FROM cur CROSS JOIN edges GROUP BY 1) c2 ON c2.bin = b.bin),
+       |shares AS MATERIALIZED (
+       |  SELECT bin, ref_n, cur_n,
+       |    ((ref_n + 1) * 1000000) // ((SELECT count(*) FROM ref) + 10)
+       |      AS p_micro,
+       |    ((cur_n + 1) * 1000000) // ((SELECT count(*) FROM cur) + 10)
+       |      AS q_micro
+       |  FROM binned),
+       |piv AS (SELECT $pivCols FROM shares),
+       |psi AS (
+       |  SELECT ${Fx.sqlR6(psiTree)} AS psi FROM piv),
+       |ver AS (
+       |  SELECT psi, CASE WHEN psi > 0.25 THEN 2 WHEN psi > 0.1 THEN 1
+       |    ELSE 0 END AS shift_band
+       |  FROM psi)
+       |SELECT s.bin, s.ref_n, s.cur_n, s.p_micro, s.q_micro,
+       |  ver.psi, ver.shift_band
+       |FROM shares s CROSS JOIN ver
+       |ORDER BY s.bin""".stripMargin
+  }
+
   /** q435 — randomized-response telemetry (Warner's local-DP
     * mechanism, the COLLECTION pipeline): each user's sensitive bit
     * (made a purchase) is reported TRUTHFULLY with probability 3/4
@@ -2199,6 +2330,7 @@ object GovernanceQueries {
     QueryDef("q332_t_closeness", q332, Some(q332Sql)),
     QueryDef("q317_jackknife_se", q317, Some(q317Sql)),
     QueryDef("q434_cmh_pooled_odds", q434, Some(q434Sql)),
+    QueryDef("q440_psi_drift", q440, Some(q440Sql)),
     QueryDef("q435_randomized_response", q435, Some(q435Sql)),
     QueryDef("q258_chi2_cramers_v", q258, Some(q258Sql)),
     QueryDef("q244_subject_access_report", q244, Some(q244Sql)),

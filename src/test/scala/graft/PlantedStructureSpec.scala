@@ -2872,6 +2872,56 @@ class PlantedStructureSpec extends SparkSpec {
       c.getDouble(5)) === ((0.0, 0.4, 0.4, rel, rel)), c.toString)
   }
 
+  /** lineitem+orders fixture for q440: (orderkey, day, extendedprice). */
+  private def psiDir(rows: Seq[(Long, Int, Double)]): String = {
+    val dir = Files.createTempDirectory("planted-psi")
+    rows.map { case (ok, _, ext) => (ok, ext) }
+      .toDF("l_orderkey", "l_extendedprice")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("lineitem.parquet").toString)
+    rows.map { case (ok, day, _) => (ok, day.toLong) }
+      .toDF("o_orderkey", "day")
+      .withColumn("o_orderdate", timestamp_micros(
+        ($"day" * 86400L + 43200L) * 1000000L))
+      .select($"o_orderkey", $"o_orderdate")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("orders.parquet").toString)
+    dir.toString
+  }
+
+  test("q440 reads identical months as PSI exactly 0 and a planted shift as a major band") {
+    // ref month: cents 1..100, one each -> decile edges land exactly on
+    // 10,20,...,90 and every bin holds 10
+    val ref = (1 to 100).map(v => (v.toLong, 5, v / 100.0))
+    val same = ref.map { case (ok, _, e) => (1000L + ok, 40, e) }
+    val o = operators.GovernanceQueries.q440(spark, psiDir(ref ++ same))
+      .collect()
+    assert(o.length === 10)
+    assert(o.forall(r => r.getLong(1) === 10L && r.getLong(2) === 10L))
+    assert(o.forall(r => r.getDouble(5) === 0.0 && r.getInt(6) === 0),
+      o.toSeq.toString)
+    // shifted month: +50 cents pushes mass to the top bins -> PSI well
+    // past the 0.25 action band. Replica derives cents THROUGH the
+    // stated double grid (0.41 + 0.50 floors to 90, not 91 — the grid
+    // semantics include that dust), then replays bins and the ln tree.
+    val shifted = ref.map { case (ok, _, e) => (1000L + ok, 40, e + 0.50) }
+    val s = operators.GovernanceQueries.q440(spark, psiDir(ref ++ shifted))
+      .collect()
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val curCents = ref.map { case (_, _, e) =>
+      math.floor((e + 0.50) * 100).toLong }
+    val qCounts = Array.tabulate(10) { b =>
+      curCents.count(c => (1 to 9).count(k => c > k * 10L) == b).toLong
+    }
+    val p = Array.fill(10)(11L * 1000000L / 110L)
+    val q = qCounts.map(c => (c + 1L) * 1000000L / 110L)
+    val psi = (0 until 10).map(i =>
+      (p(i) - q(i)).toDouble / 1000000.0 *
+        math.log(p(i).toDouble / q(i).toDouble)).sum
+    assert(s.forall(r => r.getDouble(5) === r6d(psi) && r.getInt(6) === 2),
+      s"${s.head} vs $psi (qCounts ${qCounts.toSeq})")
+  }
+
   test("q428 peels the planted triangle ladder in cascading rounds and keeps the K4") {
     // ladder 1..8: edges (i,i+1) and (i,i+2); long edges and the two
     // end short edges have support 1 -> round 1 drops 8 of 13, leaving
