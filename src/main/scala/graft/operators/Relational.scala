@@ -3160,7 +3160,78 @@ object Relational {
        |FROM top ORDER BY d2r DESC, l_orderkey, l_linenumber""".stripMargin
   }
 
+  /** q441 — Hill estimator of the order-value tail index: α̂ = k /
+    * Σᵢ₌₁..ₖ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the k = 16 largest order totals
+    * (stated k; descending order statistics tie-broken by orderkey).
+    * The Pareto-tail member of the EVT battery — q413's Gumbel block
+    * maxima assume a thin tail, q421 prices extreme CLUSTERING, and
+    * q376's VaR reads one quantile; α̂ says how fast P(X > x) decays
+    * (α < 2: infinite variance, every moment-based readout upstream
+    * is suspect; α > 4: effectively thin). Exact: the top-17
+    * selection is a total order on the cents grid; each of the 16
+    * ratios pivots by rank into one fixed ln tree (q372 discipline)
+    * and α̂ is a single division, r6. A degenerate tail (all 17 equal
+    * → Σ = 0) nulls α̂ (stated). Each rank row carries its own order
+    * statistic plus the shared estimate (the q281 cell convention).
+    *
+    * Scale shape: one TakeOrdered top-17 (per-partition heaps), a
+    * 17-row pivot — no full sort, no shuffle beyond the rollup. */
+  def q441(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val top = Tables.orders(s, d)
+      .select($"o_orderkey",
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+      .orderBy($"cents".desc, $"o_orderkey")
+      .limit(17)
+      .withColumn("rn", row_number().over(
+        Window.orderBy($"cents".desc, $"o_orderkey")))
+      .transform(Fx.materialize) // pivot + output rows
+    val pivCols = (1 to 17).map(i =>
+      max(when($"rn" === i, $"cents")).as(s"x$i"))
+    val piv = top.agg(pivCols.head, pivCols.tail: _*)
+    val sumLn = (1 to 16).map(i =>
+      log(col(s"x$i").cast("double") / col("x17").cast("double")))
+      .reduce(_ + _)
+    val est = piv.select($"x17".as("threshold_cents"),
+      r6(sumLn).as("sum_ln"),
+      when(sumLn > 0.0, r6(lit(16.0) / sumLn)).as("alpha"))
+    top.filter($"rn" <= 16).crossJoin(broadcast(est))
+      .select($"rn".cast("long").as("rank"), $"o_orderkey", $"cents",
+        $"threshold_cents", $"sum_ln", $"alpha")
+      .orderBy($"rank")
+  }
+
+  val q441Sql: String = {
+    import graft.Fx.sqlR6
+    val sumLn = (1 to 16).map(i =>
+      s"ln(CAST(x$i AS DOUBLE) / CAST(x17 AS DOUBLE))").mkString(" + ")
+    val pivCols = (1 to 17).map(i =>
+      s"max(CASE WHEN rn = $i THEN cents END) AS x$i").mkString(", ")
+    s"""WITH ranked AS MATERIALIZED (
+       |  SELECT o_orderkey, cents,
+       |    row_number() OVER (ORDER BY cents DESC, o_orderkey) AS rn
+       |  FROM (
+       |    SELECT o_orderkey,
+       |      CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+       |    FROM orders) t
+       |  ORDER BY cents DESC, o_orderkey
+       |  LIMIT 17),
+       |piv AS (SELECT $pivCols FROM ranked),
+       |est AS (
+       |  SELECT x17 AS threshold_cents, ${sqlR6(s"($sumLn)")} AS sum_ln,
+       |    CASE WHEN ($sumLn) > 0.0
+       |      THEN ${sqlR6(s"16.0 / ($sumLn)")} END AS alpha
+       |  FROM piv)
+       |SELECT CAST(r.rn AS BIGINT) AS rank, r.o_orderkey, r.cents,
+       |  est.threshold_cents, est.sum_ln, est.alpha
+       |FROM ranked r CROSS JOIN est
+       |WHERE r.rn <= 16
+       |ORDER BY rank""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q441_hill_tail_index", q441, Some(q441Sql)),
     QueryDef("q438_mahalanobis_outliers", q438, Some(q438Sql)),
     QueryDef("q430_bradley_terry", q430, Some(q430Sql)),
     QueryDef("q427_synthetic_control", q427, Some(q427Sql)),

@@ -2922,6 +2922,28 @@ class PlantedStructureSpec extends SparkSpec {
       s"${s.head} vs $psi (qCounts ${qCounts.toSeq})")
   }
 
+  test("q441 reads the planted geometric tail exactly and nulls a flat one") {
+    // top-17 order values 2^16..2^0 dollars: ln ratios are j*ln2, so
+    // sum_ln = 136*ln2 and alpha = 16/(136*ln2) exactly through the
+    // stated tree
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val geo = operators.Relational.q441(spark, ordersDir(1 to 20,
+      d => if (d <= 17) math.pow(2.0, 17.0 - d) else 1.0)).collect()
+    assert(geo.length === 16)
+    assert(geo.head.getLong(2) === (1L << 16) * 100L &&
+      geo.head.getLong(3) === 100L, geo.head.toString)
+    val cents = (1 to 17).map(d => math.pow(2.0, 17.0 - d).toLong * 100L)
+    val sumLn = (0 until 16).map(i =>
+      math.log(cents(i).toDouble / cents(16).toDouble)).sum
+    assert(geo.forall(r => r.getDouble(4) === r6d(sumLn) &&
+      r.getDouble(5) === r6d(16.0 / sumLn)), s"${geo.head} vs $sumLn")
+    // flat pole: every order identical -> sum_ln = 0, alpha NULL
+    val flat = operators.Relational.q441(spark,
+      ordersDir(1 to 20, _ => 500.0)).collect()
+    assert(flat.forall(r => r.getDouble(4) === 0.0 && r.isNullAt(5)),
+      flat.head.toString)
+  }
+
   test("q428 peels the planted triangle ladder in cascading rounds and keeps the K4") {
     // ladder 1..8: edges (i,i+1) and (i,i+2); long edges and the two
     // end short edges have support 1 -> round 1 drops 8 of 13, leaving
