@@ -5381,6 +5381,197 @@ object EventQueries {
        |FROM est""".stripMargin
   }
 
+  /** q442 — permutation (ordinal-pattern) entropy of daily revenue,
+    * order 3 (Bandt–Pompe): each consecutive value triple maps to one
+    * of six ordinal patterns by integer comparisons (ties rank by
+    * TIME, stated — later wins), and the Shannon entropy of the
+    * pattern distribution, normalized by ln 6, prices the series'
+    * COMPLEXITY on a 0–1 scale: 1 = all orderings equally likely
+    * (noise), low = few orderings dominate (deterministic structure).
+    * The DISTRIBUTION-level companion to q401 (turning points counts
+    * ONE pattern class) and q409 (Ljung–Box needs linear
+    * autocorrelation; PE sees nonlinear order structure too). Exact:
+    * patterns and counts are integers, shares stated micro
+    * truncations, the entropy is a six-term pivoted ln tree (q372
+    * discipline) with 0·ln 0 CASE-killed, h = H/ln 6 against the
+    * pinned literal, r6. Each pattern row carries the shared verdict.
+    *
+    * Scale shape: the orders scan collapses to the day calendar; two
+    * lead windows over that bounded grid; a ≤6-cell rollup. */
+  def q442(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wDay = Window.orderBy($"day")
+    val tri = Tables.orders(s, d)
+      .groupBy(epochDay($"o_orderdate").cast("long").as("day"))
+      .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("y0"))
+      .withColumn("y1", lead($"y0", 1).over(wDay))
+      .withColumn("y2", lead($"y0", 2).over(wDay))
+      .filter($"y2".isNotNull)
+      .select((($"y1" >= $"y0").cast("long") +
+        ($"y2" >= $"y0").cast("long") * 2 +
+        ($"y2" >= $"y1").cast("long") * 4).as("pattern"))
+    val counts = s.range(8).toDF("pattern")
+      .filter($"pattern" =!= 2 && $"pattern" =!= 5) // non-transitive ids
+      .join(tri.groupBy($"pattern").agg(count(lit(1)).as("c")),
+        Seq("pattern"), "left")
+      .select($"pattern", coalesce($"c", lit(0L)).as("c"))
+      .crossJoin(broadcast(tri.agg(count(lit(1)).as("n"))))
+      .select($"pattern", $"c", expr("(c * 1000000) div n").as("p_micro"))
+      .transform(graft.Fx.materialize) // rows + pivot
+    val pivCols = Seq(0L, 1L, 3L, 4L, 6L, 7L).map(i =>
+      max(when($"pattern" === i, $"p_micro")).as(s"s$i"))
+    val h = counts.agg(pivCols.head, pivCols.tail: _*)
+      .select(Seq(0L, 1L, 3L, 4L, 6L, 7L).map(i =>
+        when(col(s"s$i") > 0,
+          -(col(s"s$i").cast("double") / lit(1000000.0)) *
+            log(col(s"s$i").cast("double") / lit(1000000.0)))
+          .otherwise(lit(0.0)))
+        .reduce(_ + _).as("hraw"))
+      .select(r6($"hraw").as("entropy"),
+        r6($"hraw" / lit(1.791759469228055)).as("h_norm"))
+    counts.crossJoin(broadcast(h))
+      .select($"pattern", $"c".as("n_triples"), $"p_micro",
+        $"entropy", $"h_norm")
+      .orderBy($"pattern")
+  }
+
+  val q442Sql: String = {
+    import graft.Fx.sqlR6
+    val ids = Seq(0, 1, 3, 4, 6, 7)
+    val pivCols = ids.map(i =>
+      s"max(CASE WHEN pattern = $i THEN p_micro END) AS s$i").mkString(", ")
+    val hTree = ids.map(i =>
+      s"""CASE WHEN s$i > 0
+         | THEN -(CAST(s$i AS DOUBLE) / 1000000.0)
+         |   * ln(CAST(s$i AS DOUBLE) / 1000000.0)
+         | ELSE 0.0 END""".stripMargin.replace("\n", " "))
+      .mkString(" + ")
+    s"""WITH g AS (
+       |  SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+       |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+       |      AS BIGINT) AS y0
+       |  FROM orders GROUP BY 1),
+       |tri AS (
+       |  SELECT CAST(y1 >= y0 AS BIGINT) + CAST(y2 >= y0 AS BIGINT) * 2
+       |    + CAST(y2 >= y1 AS BIGINT) * 4 AS pattern
+       |  FROM (
+       |    SELECT y0, lead(y0, 1) OVER (ORDER BY day) AS y1,
+       |      lead(y0, 2) OVER (ORDER BY day) AS y2
+       |    FROM g) t
+       |  WHERE y2 IS NOT NULL),
+       |counts AS MATERIALIZED (
+       |  SELECT b.pattern, COALESCE(t.c, 0) AS c,
+       |    (COALESCE(t.c, 0) * 1000000) // (SELECT count(*) FROM tri)
+       |      AS p_micro
+       |  FROM (SELECT unnest([0, 1, 3, 4, 6, 7]) AS pattern) b
+       |  LEFT JOIN (SELECT pattern, CAST(count(*) AS BIGINT) AS c
+       |             FROM tri GROUP BY 1) t ON t.pattern = b.pattern),
+       |piv AS (SELECT $pivCols FROM counts),
+       |h AS (
+       |  SELECT ${sqlR6(s"($hTree)")} AS entropy,
+       |    ${sqlR6(s"($hTree) / 1.791759469228055")} AS h_norm
+       |  FROM piv)
+       |SELECT CAST(c.pattern AS BIGINT) AS pattern, c.c AS n_triples,
+       |  c.p_micro, h.entropy, h.h_norm
+       |FROM counts c CROSS JOIN h
+       |ORDER BY pattern""".stripMargin
+  }
+
+  /** q443 — partial autocorrelation function at lags 1..7 by the
+    * Durbin–Levinson recursion over q312's exact ACF: the AR-ORDER
+    * readout the raw ACF can't give (an AR(1)'s ACF decays forever;
+    * its PACF cuts off dead after lag 1 — which is the number that
+    * picks the model). The recursion is UNROLLED: all 28 φ_{k,j}
+    * coefficients are fixed expression trees over the seven exact
+    * micro autocorrelations (each ρ̂ one truncating division of
+    * DECIMAL sums, the q312 discipline), so both engines walk
+    * identical doubles through every step; a vanishing innovation
+    * denominator (|ρ| = 1 poles) nulls that lag onward (stated),
+    * r6 output beside the ACF it derives from.
+    *
+    * Scale shape: q312's — one collapse to the day grid, the ×7 lag
+    * equi-join, then constant-size arithmetic on a 7-value pivot. */
+  def q443(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val acf = q312(s, d).select($"k", $"n_pairs", $"acf_micro")
+      .transform(graft.Fx.materialize) // pivot + output rows
+    val rCols = (1 to 7).map(k =>
+      max(when($"k" === k, $"acf_micro".cast("double") / lit(1000000.0)))
+        .as(s"r$k"))
+    var piv = acf.agg(rCols.head, rCols.tail: _*)
+      .withColumn("p1_1", $"r1")
+    for (k <- 2 to 7) {
+      val num = col(s"r$k") -
+        (1 until k).map(j => col(s"p${k - 1}_$j") * col(s"r${k - j}"))
+          .reduce(_ + _)
+      val den = lit(1.0) -
+        (1 until k).map(j => col(s"p${k - 1}_$j") * col(s"r$j"))
+          .reduce(_ + _)
+      piv = piv.withColumn(s"p${k}_$k", when(den =!= 0.0, num / den))
+      for (j <- 1 until k)
+        piv = piv.withColumn(s"p${k}_$j",
+          col(s"p${k - 1}_$j") - col(s"p${k}_$k") * col(s"p${k - 1}_${k - j}"))
+    }
+    val pacfCol = (2 to 7).foldLeft(when($"k" === 1, col("p1_1"))) {
+      (acc, k) => acc.when($"k" === k, col(s"p${k}_$k"))
+    }
+    acf.crossJoin(broadcast(
+        piv.select((1 to 7).map(k => col(s"p${k}_$k")): _*)))
+      .select($"k", $"n_pairs", $"acf_micro", r6(pacfCol).as("pacf"))
+      .orderBy($"k")
+  }
+
+  val q443Sql: String = {
+    import graft.Fx.sqlR6
+    val rDefs = (1 to 7).map(k =>
+      s"max(CASE WHEN k = $k THEN CAST(acf_micro AS DOUBLE) / 1000000.0 END) AS r$k")
+      .mkString(", ")
+    val steps = new scala.collection.mutable.ArrayBuffer[String]
+    steps += "st1 AS MATERIALIZED (SELECT *, r1 AS p1_1 FROM piv)"
+    var prev = "st1"
+    for (k <- 2 to 7) {
+      val num = s"r$k - (" +
+        (1 until k).map(j => s"p${k - 1}_$j * r${k - j}").mkString(" + ") + ")"
+      val den = "1.0 - (" +
+        (1 until k).map(j => s"p${k - 1}_$j * r$j").mkString(" + ") + ")"
+      steps += s"""stk$k AS MATERIALIZED (
+        |  SELECT *, CASE WHEN ($den) <> 0.0 THEN ($num) / ($den) END
+        |    AS p${k}_$k FROM $prev)""".stripMargin
+      val upd = (1 until k).map(j =>
+        s"p${k - 1}_$j - p${k}_$k * p${k - 1}_${k - j} AS p${k}_$j")
+        .mkString(", ")
+      steps += s"stj$k AS MATERIALIZED (SELECT *, $upd FROM stk$k)"
+      prev = s"stj$k"
+    }
+    val pacfCase = "CASE " + (1 to 7).map(k =>
+      s"WHEN a.k = $k THEN p.p${k}_$k").mkString(" ") + " END"
+    s"""WITH g AS (
+       |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+       |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+       |  FROM orders GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(rev) AS BIGINT) AS sr
+       |       FROM g),
+       |c AS (SELECT day, n * rev - sr AS c,
+       |        row_number() OVER (ORDER BY day) AS rn
+       |      FROM g CROSS JOIN st),
+       |dd AS (SELECT sum(CAST(c AS HUGEINT) * c) AS den FROM c),
+       |ks AS (SELECT unnest(range(1, 8)) AS k),
+       |sh AS (SELECT k, rn - k AS ra, c AS cb FROM c CROSS JOIN ks),
+       |nums AS (
+       |  SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+       |    sum(CAST(a.c AS HUGEINT) * sh.cb) AS num
+       |  FROM sh JOIN c a ON sh.ra = a.rn GROUP BY k),
+       |acf AS MATERIALIZED (
+       |  SELECT CAST(k AS BIGINT) AS k, n_pairs,
+       |    CAST((num * 1000000) // den AS BIGINT) AS acf_micro
+       |  FROM nums CROSS JOIN dd),
+       |piv AS (SELECT $rDefs FROM acf),
+       |${steps.mkString(",\n")}
+       |SELECT a.k, a.n_pairs, a.acf_micro, ${sqlR6(pacfCase)} AS pacf
+       |FROM acf a CROSS JOIN $prev p
+       |ORDER BY a.k""".stripMargin
+  }
+
   /** q436 — count-model adequacy for per-user purchases: fit a
     * negative binomial by method of moments (r = m²/(v−m), p = m/v)
     * over the FULL user universe (zero-purchase users in — the panel
@@ -6006,6 +6197,8 @@ object EventQueries {
     QueryDef("q432_christoffersen", q432, Some(q432Sql)),
     QueryDef("q433_capture_recapture", q433, Some(q433Sql)),
     QueryDef("q436_nb_zero_inflation", q436, Some(q436Sql)),
+    QueryDef("q442_permutation_entropy", q442, Some(q442Sql)),
+    QueryDef("q443_pacf_durbin_levinson", q443, Some(q443Sql)),
     QueryDef("q398_nelson_aalen", q398, Some(q398Sql)),
     QueryDef("q273_cohort_ltv", q273, Some(q273Sql)),
     QueryDef("q274_theil_sen_trend", q274, Some(q274Sql)),

@@ -2944,6 +2944,54 @@ class PlantedStructureSpec extends SparkSpec {
       flat.head.toString)
   }
 
+  test("q442 reads a ramp as zero entropy and an alternation as exactly ln2/ln6") {
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // strictly increasing: every triple is pattern 7 -> H = 0
+    val ramp = operators.EventQueries.q442(spark,
+      ordersDir(1 to 30, d => d * 10.0)).collect()
+    assert(ramp.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((0L, 0L), (1L, 0L), (3L, 0L), (4L, 0L), (6L, 0L), (7L, 28L)))
+    assert(ramp.forall(r => r.getDouble(3) === 0.0 && r.getDouble(4) === 0.0))
+    // perfect alternation: two patterns split evenly -> H = ln 2
+    val alt = operators.EventQueries.q442(spark,
+      ordersDir(1 to 40, d => if (d % 2 == 1) 100.0 else 200.0)).collect()
+    val hit = alt.filter(_.getLong(1) > 0L)
+    assert(hit.map(_.getLong(0)).toSet === Set(3L, 6L), alt.toSeq.toString)
+    assert(hit.forall(_.getLong(2) === 500000L))
+    val h = -2.0 * (0.5 * math.log(0.5))
+    assert(alt.forall(r => r.getDouble(3) === r6d(h) &&
+      r.getDouble(4) === r6d(h / 1.791759469228055)), alt.head.toString)
+  }
+
+  test("q443 walks the alternating series' exact ACF through a Durbin-Levinson replay") {
+    // alternation gives exact acf_micro = trunc((-1)^k (n-k) 1e6 / n);
+    // the PACF replica runs the same unrolled recursion on those values
+    val out = operators.EventQueries.q443(spark,
+      ordersDir(1 to 40, d => if (d % 2 == 1) 100.0 else 200.0)).collect()
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val rMicro = (1 to 7).map(k =>
+      (BigInt(if (k % 2 == 1) -(40 - k) else 40 - k) * 1000000 / 40).toLong)
+    out.zip(rMicro).foreach { case (r, m) =>
+      assert(r.getLong(2) === m, s"acf $r vs $m") }
+    val r = rMicro.map(_.toDouble / 1000000.0)
+    val phi = Array.ofDim[Double](8, 8)
+    phi(1)(1) = r(0)
+    for (k <- 2 to 7) {
+      val num = r(k - 1) -
+        (1 until k).map(j => phi(k - 1)(j) * r(k - j - 1)).reduce(_ + _)
+      val den = 1.0 -
+        (1 until k).map(j => phi(k - 1)(j) * r(j - 1)).reduce(_ + _)
+      phi(k)(k) = num / den
+      for (j <- 1 until k)
+        phi(k)(j) = phi(k - 1)(j) - phi(k)(k) * phi(k - 1)(k - j)
+    }
+    out.foreach { row =>
+      val k = row.getLong(0).toInt
+      assert(row.getDouble(3) === r6d(phi(k)(k)), s"pacf $row vs ${phi(k)(k)}")
+    }
+    assert(out.head.getDouble(3) === r6d(-0.975), "phi_11 must equal rho_1")
+  }
+
   test("q428 peels the planted triangle ladder in cascading rounds and keeps the K4") {
     // ladder 1..8: edges (i,i+1) and (i,i+2); long edges and the two
     // end short edges have support 1 -> round 1 drops 8 of 13, leaving
