@@ -1222,7 +1222,101 @@ object GraphQueries {
        |SELECT * FROM ($rows) u ORDER BY round""".stripMargin
   }
 
+  /** q444 — NODF nestedness of the customer×brand bipartite graph,
+    * brand side: are small brands' customer bases SUBSETS of big
+    * brands' (a nested market — every niche buyer is also a
+    * mass-market buyer) or their own islands? For every brand pair
+    * with deg_i > deg_j the paired overlap is |N_i ∩ N_j|/deg_j
+    * (ties contribute 0 — the standard NODF rule), and NODF is the
+    * mean over ALL unordered pairs. 10⁶ = perfectly nested, 0 =
+    * disjoint tiers — community structure q365's modularity and
+    * q385's homophily measure by DENSITY, not CONTAINMENT. Exact:
+    * overlaps and degrees are distinct-counts, each paired overlap
+    * one stated micro truncation, NODF one integer division over the
+    * k(k−1)/2 pair grid. Each brand row carries degree, rank, and the
+    * shared index (the q281 cell convention).
+    *
+    * Scale shape: one distinct-collapse to (customer, brand) edges;
+    * pair overlaps come from the BOUNDED per-customer brand-set
+    * explode (≤ brands² pairs per customer, never a row self-join);
+    * everything after lives on the brands² grid. */
+  def q444(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val cb = Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .select($"o_custkey".as("cust"), $"p_brand".as("brand"))
+      .distinct()
+      .transform(graft.Fx.materialize) // degrees + pair explode
+    val deg = cb.groupBy($"brand").agg(count(lit(1)).as("deg"))
+      .transform(graft.Fx.materialize) // joined twice + output
+    val ov = cb.groupBy($"cust")
+      .agg(sort_array(collect_list($"brand")).as("bs"))
+      .select(explode(filter(
+        flatten(transform($"bs",
+          a => transform($"bs", b => struct(a.as("ba"), b.as("bb"))))),
+        pr => pr("ba") =!= pr("bb"))).as("e"))
+      .select($"e.ba".as("ba"), $"e.bb".as("bb"))
+      .groupBy($"ba", $"bb").agg(count(lit(1)).as("ov"))
+    val contrib = ov
+      .join(deg.select($"brand".as("ba"), $"deg".as("da")), "ba")
+      .join(deg.select($"brand".as("bb"), $"deg".as("db")), "bb")
+      .filter($"da" > $"db")
+      .select(expr("(ov * 1000000) div db").as("c"))
+    val k = deg.agg(count(lit(1)).as("k"), sum($"deg").as("n_edges"))
+    val nodf = contrib.agg(coalesce(sum($"c"), lit(0L)).as("sc"),
+        count(lit(1)).as("n_contributing"))
+      .crossJoin(broadcast(k))
+      .select($"k", $"n_edges", $"n_contributing",
+        when($"k" > 1L, expr("sc div ((k * (k - 1)) div 2)"))
+          .as("nodf_micro"))
+    deg.withColumn("rank", row_number().over(
+        Window.orderBy($"deg".desc, $"brand")))
+      .crossJoin(broadcast(nodf))
+      .select($"brand", $"deg".as("degree"), $"rank",
+        $"n_contributing", $"nodf_micro")
+      .orderBy($"brand")
+  }
+
+  val q444Sql: String =
+    """WITH cb AS MATERIALIZED (
+      |  SELECT DISTINCT o.o_custkey AS cust, p.p_brand AS brand
+      |  FROM orders o
+      |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  JOIN part p ON p.p_partkey = l.l_partkey),
+      |deg AS MATERIALIZED (
+      |  SELECT brand, CAST(count(*) AS BIGINT) AS deg FROM cb GROUP BY 1),
+      |ov AS MATERIALIZED (
+      |  SELECT a.brand AS ba, b.brand AS bb, CAST(count(*) AS BIGINT) AS ov
+      |  FROM cb a JOIN cb b ON a.cust = b.cust AND a.brand <> b.brand
+      |  GROUP BY 1, 2),
+      |contrib AS (
+      |  SELECT (ov.ov * 1000000) // db.deg AS c
+      |  FROM ov
+      |  JOIN deg da ON da.brand = ov.ba
+      |  JOIN deg db ON db.brand = ov.bb
+      |  WHERE da.deg > db.deg),
+      |kk AS (SELECT CAST(count(*) AS BIGINT) AS k,
+      |         CAST(sum(deg) AS BIGINT) AS n_edges FROM deg),
+      |nodf AS (
+      |  SELECT kk.k, kk.n_edges,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM contrib) AS n_contributing,
+      |    CASE WHEN kk.k > 1 THEN
+      |      (SELECT COALESCE(CAST(sum(c) AS BIGINT), 0) FROM contrib)
+      |        // ((kk.k * (kk.k - 1)) // 2) END AS nodf_micro
+      |  FROM kk)
+      |SELECT d.brand, d.deg AS degree,
+      |  CAST(row_number() OVER (ORDER BY d.deg DESC, d.brand) AS INT)
+      |    AS rank,
+      |  nodf.n_contributing, nodf.nodf_micro
+      |FROM deg d CROSS JOIN nodf
+      |ORDER BY d.brand""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q444_brand_nestedness", q444, Some(q444Sql)),
     QueryDef("q428_ktruss_peel", q428, Some(q428Sql)),
     QueryDef("q407_morans_i", q407, Some(q407Sql)),
     QueryDef("q418_hits_authority", q418, Some(q418Sql)),

@@ -2992,6 +2992,45 @@ class PlantedStructureSpec extends SparkSpec {
     assert(out.head.getDouble(3) === r6d(-0.975), "phi_11 must equal rho_1")
   }
 
+  /** orders+lineitem+part fixture for q444: one order per
+    * (customer, brand) purchase. */
+  private def bipartiteDir(rows: Seq[(Long, String)]): String = {
+    val dir = Files.createTempDirectory("planted-nodf")
+    val brands = rows.map(_._2).distinct.sorted.zipWithIndex.toMap
+    rows.zipWithIndex.map { case ((c, b), i) =>
+      (i.toLong, c, brands(b).toLong) }
+      .toDF("ok", "cust", "pk")
+      .select($"ok".as("o_orderkey"), $"cust".as("o_custkey"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("orders.parquet").toString)
+    rows.zipWithIndex.map { case ((_, b), i) => (i.toLong, brands(b).toLong) }
+      .toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("lineitem.parquet").toString)
+    brands.toSeq.map { case (b, k) => (k.toLong, b) }
+      .toDF("p_partkey", "p_brand")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("part.parquet").toString)
+    dir.toString
+  }
+
+  test("q444 reads perfect nesting as exactly 1e6 and disjoint tiers as 0") {
+    // nested: N(C) ⊂ N(B) ⊂ N(A) -> every ordered pair fully overlaps
+    val nested = (1L to 4L).map(c => (c, "A")) ++
+      (1L to 2L).map(c => (c, "B")) :+ ((1L, "C"))
+    val n = operators.GraphQueries.q444(spark, bipartiteDir(nested)).collect()
+    assert(n.map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq ===
+      Seq(("A", 4L, 1), ("B", 2L, 2), ("C", 1L, 3)))
+    assert(n.forall(r => r.getLong(3) === 3L && r.getLong(4) === 1000000L),
+      n.toSeq.toString)
+    // disjoint tiers with distinct degrees: zero overlap everywhere
+    val disjoint = (1L to 3L).map(c => (c, "A")) ++
+      (4L to 5L).map(c => (c, "B")) :+ ((6L, "C"))
+    val d = operators.GraphQueries.q444(spark, bipartiteDir(disjoint)).collect()
+    assert(d.forall(r => r.getLong(4) === 0L), d.toSeq.toString)
+    assert(d.forall(r => r.getLong(3) === 0L), "no pair should contribute")
+  }
+
   test("q428 peels the planted triangle ladder in cascading rounds and keeps the K4") {
     // ladder 1..8: edges (i,i+1) and (i,i+2); long edges and the two
     // end short edges have support 1 -> round 1 drops 8 of 13, leaving
