@@ -5381,6 +5381,82 @@ object EventQueries {
        |FROM est""".stripMargin
   }
 
+  /** q445 — discrete repurchase hazard over inter-purchase gaps: for
+    * each user's CONSECUTIVE purchase pair, the gap in days; then on
+    * the bounded gap grid h(k) = events(k) / atRisk(k) with
+    * atRisk(k) = Σ_{g≥k} events(g) — the RECURRENT-event timing
+    * readout q271's lifespan survival (one span per user, churn)
+    * and q250's first-conversion delay never see: a flat h(k) is the
+    * memoryless/exponential signature (remarketing timing doesn't
+    * matter), a hump says there IS a right day to nudge. Exact:
+    * gaps are integer day diffs ordered by the (ts, event_id) total
+    * order, at-risk counts are exact suffix sums (q271's rule), each
+    * hazard one stated micro truncation; the exponential benchmark
+    * h_exp = 1/mean-gap is one more (NULL on a degenerate mean,
+    * stated). Each gap row carries the shared benchmark.
+    *
+    * Scale shape: one per-user lag window over purchases (shuffled by
+    * user_id), collapse to the calendar-bounded gap grid, one suffix
+    * window + 1-row rollup on that grid. */
+  def q445(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wUser = Window.partitionBy($"user_id").orderBy($"day", $"event_id")
+    val gaps = Fx.eventTs(Tables.events(s, d))
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", epochDay($"ts").cast("long").as("day"))
+      .withColumn("prev", lag($"day", 1).over(wUser))
+      .filter($"prev".isNotNull)
+      .select(($"day" - $"prev").as("gap"))
+      .groupBy($"gap").agg(count(lit(1)).as("d"))
+      .transform(graft.Fx.materialize) // suffix window + rollup
+    val wSuffix = Window.orderBy($"gap".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = gaps.agg(sum($"d").as("n"), sum($"gap" * $"d").as("sg"))
+      .select(expr("(sg * 1000000) div n").as("mean_gap_micro"))
+      .select($"mean_gap_micro",
+        when($"mean_gap_micro" > 0,
+          expr("(cast(1000000 as bigint) * 1000000) div mean_gap_micro"))
+          .as("h_exp_micro"))
+    gaps.withColumn("at_risk", sum($"d").over(wSuffix))
+      .crossJoin(broadcast(tot))
+      .select($"gap".as("gap_days"), $"d".as("n_events"), $"at_risk",
+        expr("(d * 1000000) div at_risk").as("hazard_micro"),
+        $"mean_gap_micro", $"h_exp_micro")
+      .orderBy($"gap_days")
+  }
+
+  val q445Sql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id,
+      |    CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01'
+      |      AS BIGINT) AS day
+      |  FROM events WHERE event_type = 'purchase'),
+      |g AS (
+      |  SELECT day - lag(day) OVER (PARTITION BY user_id
+      |    ORDER BY day, event_id) AS gap
+      |  FROM p),
+      |cells AS MATERIALIZED (
+      |  SELECT gap, CAST(count(*) AS BIGINT) AS d
+      |  FROM g WHERE gap IS NOT NULL GROUP BY 1),
+      |tot AS (
+      |  SELECT (CAST(sum(gap * d) AS BIGINT) * 1000000)
+      |    // CAST(sum(d) AS BIGINT) AS mean_gap_micro
+      |  FROM cells),
+      |bench AS (
+      |  SELECT mean_gap_micro,
+      |    CASE WHEN mean_gap_micro > 0
+      |      THEN (CAST(1000000 AS BIGINT) * 1000000) // mean_gap_micro
+      |      END AS h_exp_micro
+      |  FROM tot)
+      |SELECT c.gap AS gap_days, c.d AS n_events,
+      |  CAST(sum(c.d) OVER (ORDER BY c.gap DESC ROWS UNBOUNDED PRECEDING)
+      |    AS BIGINT) AS at_risk,
+      |  (c.d * 1000000) // CAST(sum(c.d) OVER (ORDER BY c.gap DESC
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hazard_micro,
+      |  bench.mean_gap_micro, bench.h_exp_micro
+      |FROM cells c CROSS JOIN bench
+      |ORDER BY gap_days""".stripMargin
+
   /** q442 — permutation (ordinal-pattern) entropy of daily revenue,
     * order 3 (Bandt–Pompe): each consecutive value triple maps to one
     * of six ordinal patterns by integer comparisons (ties rank by
@@ -6198,6 +6274,7 @@ object EventQueries {
     QueryDef("q433_capture_recapture", q433, Some(q433Sql)),
     QueryDef("q436_nb_zero_inflation", q436, Some(q436Sql)),
     QueryDef("q442_permutation_entropy", q442, Some(q442Sql)),
+    QueryDef("q445_repurchase_hazard", q445, Some(q445Sql)),
     QueryDef("q443_pacf_durbin_levinson", q443, Some(q443Sql)),
     QueryDef("q398_nelson_aalen", q398, Some(q398Sql)),
     QueryDef("q273_cohort_ltv", q273, Some(q273Sql)),

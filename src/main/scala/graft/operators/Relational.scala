@@ -3230,8 +3230,77 @@ object Relational {
        |ORDER BY rank""".stripMargin
   }
 
+  /** q446 — price-ending heaping audit: the distribution of order
+    * totals' last two cent digits against uniform — digit-preference
+    * ("charm pricing" .99s, round .00s, fraud-style favorite endings)
+    * lives in the LAST digits where q182's Benford (FIRST digit, scale
+    * structure) is blind by construction. Per ending e ∈ 00..99 the
+    * exact count; the uniformity χ² = Σ(100·oₑ − n)²/(100·n) is one
+    * double division of exact DECIMAL sums against the pinned χ²(99)
+    * 5% critical 123.225221. Output: the top-10 endings by (count,
+    * ending) total order, each carrying its exact share and the shared
+    * verdict — heaped endings are literally the rows you read off.
+    *
+    * Scale shape: one scan collapses to the 100-cell ending grid;
+    * everything after is grid arithmetic and a 10-row selection. */
+  def q446(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // zero-filled 100-cell grid: absent endings carry (0 − E)²/E too
+    val cells = s.range(100).toDF("ending")
+      .join(Tables.orders(s, d)
+        .select((floor($"o_totalprice" * 100).cast("long") % 100).as("ending"))
+        .groupBy($"ending").agg(count(lit(1)).as("c0")),
+        Seq("ending"), "left")
+      .select($"ending", coalesce($"c0", lit(0L)).as("c"))
+      .transform(Fx.materialize) // chi2 + top rows
+    val n = cells.agg(sum($"c").as("n"))
+    val chi = cells.crossJoin(broadcast(n))
+      .select(expr("cast(100 * c - n as decimal(38,0)) * (100 * c - n)")
+        .as("sq"), $"n")
+      .groupBy($"n").agg(sum($"sq").as("ssq"))
+      .select(r6($"ssq".cast("double") / (lit(100.0) * $"n".cast("double")))
+        .as("chi2"),
+        (($"ssq".cast("double") / (lit(100.0) * $"n".cast("double"))) >
+          lit(123.225221)).cast("int").as("reject_uniform_5pct"))
+    cells.orderBy($"c".desc, $"ending").limit(10)
+      .crossJoin(broadcast(n)).crossJoin(broadcast(chi))
+      .select($"ending", $"c".as("n_orders"),
+        expr("(c * 1000000) div n").as("share_micro"),
+        $"chi2", $"reject_uniform_5pct")
+      .orderBy($"n_orders".desc, $"ending")
+  }
+
+  val q446Sql: String = {
+    import graft.Fx.sqlR6
+    s"""WITH obs AS (
+       |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) % 100 AS ending,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM orders GROUP BY 1),
+       |cells AS MATERIALIZED (
+       |  SELECT g.ending, COALESCE(obs.c, 0) AS c
+       |  FROM (SELECT unnest(generate_series(0, 99)) AS ending) g
+       |  LEFT JOIN obs ON obs.ending = g.ending),
+       |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+       |chi AS (
+       |  SELECT ${sqlR6(
+      "CAST(sum(CAST(100 * c - n AS HUGEINT) * (100 * c - n)) AS DOUBLE) / (100.0 * CAST(n AS DOUBLE))")}
+       |      AS chi2,
+       |    CAST(CAST(sum(CAST(100 * c - n AS HUGEINT) * (100 * c - n))
+       |      AS DOUBLE) / (100.0 * CAST(n AS DOUBLE)) > 123.225221 AS INT)
+       |      AS reject_uniform_5pct
+       |  FROM cells CROSS JOIN nn GROUP BY n),
+       |top AS (
+       |  SELECT ending, c FROM cells ORDER BY c DESC, ending LIMIT 10)
+       |SELECT t.ending, t.c AS n_orders,
+       |  (t.c * 1000000) // nn.n AS share_micro,
+       |  chi.chi2, chi.reject_uniform_5pct
+       |FROM top t CROSS JOIN nn CROSS JOIN chi
+       |ORDER BY n_orders DESC, ending""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q441_hill_tail_index", q441, Some(q441Sql)),
+    QueryDef("q446_price_ending_heaping", q446, Some(q446Sql)),
     QueryDef("q438_mahalanobis_outliers", q438, Some(q438Sql)),
     QueryDef("q430_bradley_terry", q430, Some(q430Sql)),
     QueryDef("q427_synthetic_control", q427, Some(q427Sql)),

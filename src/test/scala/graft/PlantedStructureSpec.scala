@@ -3031,6 +3031,40 @@ class PlantedStructureSpec extends SparkSpec {
     assert(d.forall(r => r.getLong(3) === 0L), "no pair should contribute")
   }
 
+  test("q445 reads the planted gap multiset as exact hazards with the exponential benchmark") {
+    // gaps {1, 2, 2, 7}: at-risk suffix 4/3/1, mean gap 3
+    val rows = Seq((1, 1L), (3, 1L), (5, 1L), (1, 2L), (2, 2L),
+      (1, 3L), (8, 3L)).map { case (d, u) => (d, u, "purchase", 1.0) }
+    val out = operators.EventQueries.q445(spark, eventsDir(rows))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 4L, 250000L, 3000000L, 333333L),
+      (2L, 2L, 3L, 666666L, 3000000L, 333333L),
+      (7L, 1L, 1L, 1000000L, 3000000L, 333333L)), out.toSeq.toString)
+  }
+
+  test("q446 surfaces the planted heaped ending and rejects uniformity") {
+    // 30 orders ending .99, ten one-off endings; expectations replayed
+    // through the stated cents grid (the q440 float-dust lesson)
+    def dollars(d: Int): Double = if (d <= 30) 9.99 else 10.0 + d / 100.0
+    val out = operators.Relational.q446(spark,
+      ordersDir(1 to 40, dollars)).collect()
+    val endings = (1 to 40).map(d =>
+      (math.floor(dollars(d) * 100) % 100).toLong)
+    val counts = endings.groupBy(identity).map { case (e, g) => e -> g.size.toLong }
+    val ssq = (0L to 99L).map { e =>
+      val o = counts.getOrElse(e, 0L); BigInt(100 * o - 40) * (100 * o - 40)
+    }.sum
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val chi2 = r6d(ssq.toDouble / (100.0 * 40.0))
+    assert(out.head.getLong(0) === 99L && out.head.getLong(1) === 30L &&
+      out.head.getLong(2) === 750000L, out.head.toString)
+    assert(out.forall(r => r.getDouble(3) === chi2 && r.getInt(4) === 1),
+      s"${out.head} vs $chi2")
+    assert(out.length === 10)
+  }
+
   test("q428 peels the planted triangle ladder in cascading rounds and keeps the K4") {
     // ladder 1..8: edges (i,i+1) and (i,i+2); long edges and the two
     // end short edges have support 1 -> round 1 drops 8 of 13, leaving
