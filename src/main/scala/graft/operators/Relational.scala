@@ -3298,9 +3298,122 @@ object Relational {
        |ORDER BY n_orders DESC, ending""".stripMargin
   }
 
+  /** q448 — Wilcoxon signed-rank test on paired brand half-years: did
+    * revenue shift between the calendar halves BRAND BY BRAND? The
+    * PAIRED member of the rank-test family (q254 Mann–Whitney assumes
+    * independent samples and would drown the brand effect in
+    * between-brand variance; q351-family Friedman needs ≥3
+    * treatments): each brand is its own control. Exact: half-revenues
+    * are zero-filled cents sums, differences integers, zero
+    * differences dropped (stated, standard); tied |d| get AVERAGE
+    * ranks kept exact by DOUBLING (rank₂ = min_rn + max_rn of the tie
+    * group — an integer where the average is a half); W₂⁺ = Σ_{d>0}
+    * rank₂ has mean n(n+1)/2 and variance n(n+1)(2n+1)/6 (no tie
+    * correction, stated), z is one fixed double tree against the
+    * pinned 1.959964. Each brand row carries its difference and
+    * doubled rank plus the shared verdict.
+    *
+    * Scale shape: one scan collapses to brand×half cells; ranks ride
+    * a window over the BRAND grid (bounded); a 1-row rollup. */
+  def q448(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val cut = Tables.lineitem(s, d)
+      .select((year($"l_shipdate") * 12 + month($"l_shipdate")).cast("long")
+        .as("mk"))
+      .agg(expr("(min(mk) + max(mk)) div 2").as("cut"))
+    val byBrand = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .select($"p_brand".as("brand"),
+        (year($"l_shipdate") * 12 + month($"l_shipdate")).cast("long").as("mk"),
+        floor($"l_extendedprice" * 100).cast("long").as("cents"))
+      .crossJoin(broadcast(cut))
+      .groupBy($"brand")
+      .agg(sum(when($"mk" <= $"cut", $"cents").otherwise(lit(0L))).as("h1"),
+        sum(when($"mk" > $"cut", $"cents").otherwise(lit(0L))).as("h2"))
+      .select($"brand", ($"h2" - $"h1").as("dc"))
+      .filter($"dc" =!= 0L)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(abs($"dc"), $"brand")))
+      .transform(Fx.materialize) // tie groups + rollup + rows
+    val rank2 = byBrand.groupBy(abs($"dc").as("ad"))
+      .agg((min($"rn") + max($"rn")).as("rank2"))
+    val ranked = byBrand.join(rank2, abs(byBrand("dc")) === rank2("ad"))
+      .select($"brand", $"dc", $"rank2")
+      .transform(Fx.materialize)
+    val verdict = ranked.agg(count(lit(1)).as("n"),
+        sum(when($"dc" > 0L, $"rank2").otherwise(lit(0L))).as("w2_plus"))
+      .select($"n", $"w2_plus",
+        expr("(n * (n + 1)) div 2").as("mu2"),
+        expr("cast(n as decimal(38,0)) * (n + 1) * (2 * n + 1)").as("v6"))
+      .select($"n".as("n_pairs"), $"w2_plus",
+        r6(($"w2_plus".cast("double") - $"mu2".cast("double")) /
+          sqrt($"v6".cast("double") / lit(6.0))).as("z"),
+        ((abs($"w2_plus".cast("double") - $"mu2".cast("double")) /
+          sqrt($"v6".cast("double") / lit(6.0))) > lit(1.959964))
+          .cast("int").as("reject_5pct"))
+    ranked.crossJoin(broadcast(verdict))
+      .select($"brand", $"dc".as("diff_cents"),
+        $"rank2".cast("long").as("rank2"),
+        $"n_pairs", $"w2_plus", $"z", $"reject_5pct")
+      .orderBy($"brand")
+  }
+
+  val q448Sql: String = {
+    import graft.Fx.sqlR6
+    val z = "(CAST(w2_plus AS DOUBLE) - CAST(mu2 AS DOUBLE)) / sqrt(CAST(v6 AS DOUBLE) / 6.0)"
+    s"""WITH cut AS (
+       |  SELECT (min(mk) + max(mk)) // 2 AS cut FROM (
+       |    SELECT year(l_shipdate) * 12 + month(l_shipdate) AS mk
+       |    FROM lineitem) t),
+       |cells AS (
+       |  SELECT p.p_brand AS brand,
+       |    CAST(sum(CASE WHEN year(l.l_shipdate) * 12 + month(l.l_shipdate)
+       |        <= cut.cut
+       |      THEN CAST(floor(l.l_extendedprice * 100) AS BIGINT)
+       |      ELSE 0 END) AS BIGINT) AS h1,
+       |    CAST(sum(CASE WHEN year(l.l_shipdate) * 12 + month(l.l_shipdate)
+       |        > cut.cut
+       |      THEN CAST(floor(l.l_extendedprice * 100) AS BIGINT)
+       |      ELSE 0 END) AS BIGINT) AS h2
+       |  FROM lineitem l
+       |  JOIN part p ON l.l_partkey = p.p_partkey
+       |  CROSS JOIN cut
+       |  GROUP BY 1),
+       |diffs AS MATERIALIZED (
+       |  SELECT brand, h2 - h1 AS dc,
+       |    row_number() OVER (ORDER BY abs(h2 - h1), brand) AS rn
+       |  FROM cells WHERE h2 - h1 <> 0),
+       |r2 AS (
+       |  SELECT abs(dc) AS ad, min(rn) + max(rn) AS rank2
+       |  FROM diffs GROUP BY 1),
+       |ranked AS MATERIALIZED (
+       |  SELECT d.brand, d.dc, r2.rank2
+       |  FROM diffs d JOIN r2 ON abs(d.dc) = r2.ad),
+       |st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN dc > 0 THEN rank2 ELSE 0 END) AS BIGINT)
+       |      AS w2_plus
+       |  FROM ranked),
+       |ver AS (
+       |  SELECT n AS n_pairs, w2_plus,
+       |    ${sqlR6(z)} AS z,
+       |    CAST(abs($z) > 1.959964 AS INT) AS reject_5pct
+       |  FROM (
+       |    SELECT n, w2_plus, (n * (n + 1)) // 2 AS mu2,
+       |      CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) AS v6
+       |    FROM st) u)
+       |SELECT r.brand, r.dc AS diff_cents, CAST(r.rank2 AS BIGINT) AS rank2,
+       |  ver.n_pairs, ver.w2_plus, ver.z, ver.reject_5pct
+       |FROM ranked r CROSS JOIN ver
+       |ORDER BY r.brand""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q441_hill_tail_index", q441, Some(q441Sql)),
     QueryDef("q446_price_ending_heaping", q446, Some(q446Sql)),
+    QueryDef("q448_wilcoxon_signed_rank", q448, Some(q448Sql)),
     QueryDef("q438_mahalanobis_outliers", q438, Some(q438Sql)),
     QueryDef("q430_bradley_terry", q430, Some(q430Sql)),
     QueryDef("q427_synthetic_control", q427, Some(q427Sql)),

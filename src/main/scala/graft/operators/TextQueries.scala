@@ -969,7 +969,56 @@ object TextQueries {
        |FROM st ORDER BY juilland_d DESC, term""".stripMargin
   }
 
+  /** q447 — Yule's characteristic K per language: K = 10⁴·(Σ m²·V_m −
+    * N)/N² over the word-frequency spectrum (V_m = vocabulary words
+    * occurring exactly m times, N = tokens) — the classic lexical
+    * REPETITIVENESS constant, size-invariant by construction where raw
+    * TTR collapses with corpus growth: K rises when few words do all
+    * the work. The spectrum-SHAPE companion to q321's Good–Turing
+    * (unseen mass from the spectrum's low end) and q424's Heaps β
+    * (vocabulary growth rate): three different functionals of the
+    * same counts-of-counts. Exact end to end: frequencies, the
+    * spectrum, Σ m²·V_m, and N ride BIGINT/DECIMAL; K lands as one
+    * stated micro truncation of exact integers — no float anywhere.
+    *
+    * Scale shape: q321's — term-frequency groupBy, counts-of-counts
+    * groupBy (vocabulary-sized input), a per-language rollup. */
+  def q447(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tf = Tables.documents(s, d)
+      .select($"lang", explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"lang", $"w").agg(count(lit(1)).as("m"))
+    tf.groupBy($"lang", $"m").agg(count(lit(1)).as("vm"))
+      .groupBy($"lang")
+      .agg(sum($"m" * $"vm").as("n_tokens"),
+        sum($"vm").as("vocab"),
+        sum(expr("cast(m as decimal(38,0)) * m * vm")).as("smm"))
+      .select($"lang", $"n_tokens", $"vocab",
+        expr("""cast(((smm - n_tokens) * 10000 * 1000000)
+                div (cast(n_tokens as decimal(38,0)) * n_tokens)
+                as bigint)""").as("yule_k_micro"))
+      .orderBy($"lang")
+  }
+
+  val q447Sql: String =
+    """WITH tf AS (
+      |  SELECT lang, w, CAST(count(*) AS BIGINT) AS m FROM (
+      |    SELECT lang, unnest(string_split(text, ' ')) AS w
+      |    FROM documents) t
+      |  WHERE w <> '' GROUP BY 1, 2),
+      |cc AS (SELECT lang, m, CAST(count(*) AS BIGINT) AS vm
+      |       FROM tf GROUP BY 1, 2)
+      |SELECT lang, CAST(sum(m * vm) AS BIGINT) AS n_tokens,
+      |  CAST(sum(vm) AS BIGINT) AS vocab,
+      |  CAST(((sum(CAST(m AS HUGEINT) * m * vm) - sum(m * vm))
+      |    * 10000 * 1000000)
+      |    // (CAST(sum(m * vm) AS HUGEINT) * sum(m * vm)) AS BIGINT)
+      |    AS yule_k_micro
+      |FROM cc GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q447_yule_k", q447, Some(q447Sql)),
     QueryDef("q361_burrows_delta", q361, Some(q361Sql)),
     QueryDef("q370_juilland_dispersion", q370, Some(q370Sql)),
     QueryDef("q348_term_drift", q348, Some(q348Sql)),

@@ -3065,6 +3065,46 @@ class PlantedStructureSpec extends SparkSpec {
     assert(out.length === 10)
   }
 
+  test("q447 reads planted frequency spectra as exact Yule K values") {
+    // en: freqs {3,2,1} -> K = 1e4*(14-6)/36; zh: all singletons -> 0
+    val docs = Seq((1L, "a a a b b c", "en", "s", 11L),
+      (2L, "w x y z", "zh", "s", 7L))
+    val out = operators.TextQueries.q447(spark, documentsDir(docs))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val enK = (BigInt(8) * 10000L * 1000000L / 36).toLong // 2222222222
+    assert(out.toSeq === Seq(("en", 6L, 3L, enK), ("zh", 4L, 4L, 0L)),
+      out.toSeq.toString)
+  }
+
+  test("q448 ranks the planted paired shifts and rejects only the one-sided pole") {
+    def lines(m4: Map[String, Double], m3: Map[String, Double] = Map()):
+        Seq[(String, Int, Double, Double)] =
+      m4.keys.toSeq.flatMap { b =>
+        Seq((b, 5, 10.0, 1.0), (b, 35, 10.0, 1.0),
+          (b, 63, m3.getOrElse(b, 10.0), 1.0), (b, 94, m4(b), 1.0))
+      }
+    // diffs +100 +200 +300 +400 -500 cents: doubled ranks 2..10,
+    // W2+ = 20, mu2 = 15, sd = sqrt(55) -> z = 5/sqrt(55), no reject
+    val mixed = operators.Relational.q448(spark, elasticityLinesDir(lines(
+      Map("BA" -> 11.0, "BB" -> 12.0, "BC" -> 13.0, "BD" -> 14.0,
+        "BE" -> 5.0)))).collect()
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(mixed.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      === Seq(("BA", 100L, 2L), ("BB", 200L, 4L), ("BC", 300L, 6L),
+        ("BD", 400L, 8L), ("BE", -500L, 10L)), mixed.toSeq.toString)
+    assert(mixed.forall(r => r.getLong(4) === 20L &&
+      r.getDouble(5) === r6d(5.0 / math.sqrt(55.0)) && r.getInt(6) === 0),
+      mixed.head.toString)
+    // one-sided pole: every brand up -> W2+ = 30, z = 15/sqrt(55) > 1.96
+    val up = operators.Relational.q448(spark, elasticityLinesDir(lines(
+      Map("BA" -> 11.0, "BB" -> 12.0, "BC" -> 13.0, "BD" -> 14.0,
+        "BE" -> 15.0)))).collect()
+    assert(up.forall(r => r.getLong(4) === 30L &&
+      r.getDouble(5) === r6d(15.0 / math.sqrt(55.0)) && r.getInt(6) === 1),
+      up.head.toString)
+  }
+
   test("q428 peels the planted triangle ladder in cascading rounds and keeps the K4") {
     // ladder 1..8: edges (i,i+1) and (i,i+2); long edges and the two
     // end short edges have support 1 -> round 1 drops 8 of 13, leaving
