@@ -5457,6 +5457,109 @@ object EventQueries {
       |FROM cells c CROSS JOIN bench
       |ORDER BY gap_days""".stripMargin
 
+  /** q449 — Goh–Barabási burstiness/memory plane of inter-purchase
+    * gaps: B = (σ−μ)/(σ+μ) over the gap distribution (−1 = metronome,
+    * 0 = Poisson, →1 = bursty) and M = the lag-1 Pearson correlation
+    * of CONSECUTIVE same-user gaps (do long waits follow long waits?)
+    * — the two-coordinate fingerprint that separates "bursty because
+    * heavy-tailed" from "bursty because correlated", which q445's
+    * hazard curve (marginal timing) and q421's extremal index (tail
+    * clustering of REVENUE days) each see only half of. Exact: gaps
+    * are integer day diffs on the (ts, event_id) total order; every
+    * moment is an exact DECIMAL sum (denominator-cleared, the q309
+    * discipline); B and M are single fixed √/ratio trees, r6, NULL on
+    * degenerate variance (stated).
+    *
+    * Scale shape: one per-user lag window (twice — gap, then previous
+    * gap), two 1-row exact rollups. */
+  def q449(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wUser = Window.partitionBy($"user_id").orderBy($"day", $"event_id")
+    val gaps = Fx.eventTs(Tables.events(s, d))
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", epochDay($"ts").cast("long").as("day"))
+      .withColumn("gap", $"day" - lag($"day", 1).over(wUser))
+      .withColumn("pgap", lag($"gap", 1).over(wUser))
+      .filter($"gap".isNotNull)
+      .select($"gap", $"pgap")
+      .transform(graft.Fx.materialize) // B rollup + M rollup
+    val b = gaps.agg(count(lit(1)).as("n"), sum($"gap").as("sg"),
+        sum(expr("cast(gap as decimal(38,0)) * gap")).as("sgg"))
+      .select($"n", $"sg", expr("n * sgg - cast(sg as decimal(38,0)) * sg")
+        .as("varn")) // n²·Var (population), exact
+      .select($"n".as("n_gaps"),
+        expr("(sg * 1000000) div n").as("mean_gap_micro"),
+        when(expr("varn > 0 or sg > 0"), r6(
+          (sqrt($"varn".cast("double")) - $"sg".cast("double")) /
+            (sqrt($"varn".cast("double")) + $"sg".cast("double"))))
+          .as("burstiness"))
+    val m = gaps.filter($"pgap".isNotNull)
+      .agg(count(lit(1)).as("np"), sum($"gap").as("sx"), sum($"pgap").as("sy"),
+        sum(expr("cast(gap as decimal(38,0)) * pgap")).as("sxy"),
+        sum(expr("cast(gap as decimal(38,0)) * gap")).as("sxx"),
+        sum(expr("cast(pgap as decimal(38,0)) * pgap")).as("syy"))
+      .select($"np".as("n_gap_pairs"),
+        when(expr("""(np * sxx - cast(sx as decimal(38,0)) * sx) > 0
+              and (np * syy - cast(sy as decimal(38,0)) * sy) > 0"""),
+          r6(expr("cast(np * sxy - cast(sx as decimal(38,0)) * sy as double)") /
+            (sqrt(expr("cast(np * sxx - cast(sx as decimal(38,0)) * sx as double)")) *
+             sqrt(expr("cast(np * syy - cast(sy as decimal(38,0)) * sy as double)")))))
+          .as("memory"))
+    b.crossJoin(broadcast(m))
+  }
+
+  val q449Sql: String = {
+    import graft.Fx.sqlR6
+    s"""WITH p AS (
+       |  SELECT user_id, event_id,
+       |    CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01'
+       |      AS BIGINT) AS day
+       |  FROM events WHERE event_type = 'purchase'),
+       |g1 AS (
+       |  SELECT user_id, day, event_id,
+       |    day - lag(day) OVER (PARTITION BY user_id
+       |      ORDER BY day, event_id) AS gap
+       |  FROM p),
+       |g0 AS (
+       |  SELECT gap, lag(gap) OVER (PARTITION BY user_id
+       |    ORDER BY day, event_id) AS pgap
+       |  FROM g1),
+       |g AS MATERIALIZED (SELECT gap, pgap FROM g0 WHERE gap IS NOT NULL),
+       |b AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+       |    (CAST(sum(gap) AS BIGINT) * 1000000) // count(*) AS mean_gap_micro,
+       |    CASE WHEN count(*) * sum(CAST(gap AS HUGEINT) * gap)
+       |        - CAST(sum(gap) AS HUGEINT) * sum(gap) > 0
+       |        OR sum(gap) > 0
+       |      THEN ${sqlR6(
+      """(sqrt(CAST(count(*) * sum(CAST(gap AS HUGEINT) * gap)
+        - CAST(sum(gap) AS HUGEINT) * sum(gap) AS DOUBLE))
+        - CAST(sum(gap) AS DOUBLE))
+        / (sqrt(CAST(count(*) * sum(CAST(gap AS HUGEINT) * gap)
+        - CAST(sum(gap) AS HUGEINT) * sum(gap) AS DOUBLE))
+        + CAST(sum(gap) AS DOUBLE))""".replaceAll("\\s+", " "))}
+       |      END AS burstiness
+       |  FROM g),
+       |mm AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_gap_pairs,
+       |    CASE WHEN count(*) * sum(CAST(gap AS HUGEINT) * gap)
+       |          - CAST(sum(gap) AS HUGEINT) * sum(gap) > 0
+       |        AND count(*) * sum(CAST(pgap AS HUGEINT) * pgap)
+       |          - CAST(sum(pgap) AS HUGEINT) * sum(pgap) > 0
+       |      THEN ${sqlR6(
+      """CAST(count(*) * sum(CAST(gap AS HUGEINT) * pgap)
+        - CAST(sum(gap) AS HUGEINT) * sum(pgap) AS DOUBLE)
+        / (sqrt(CAST(count(*) * sum(CAST(gap AS HUGEINT) * gap)
+        - CAST(sum(gap) AS HUGEINT) * sum(gap) AS DOUBLE))
+        * sqrt(CAST(count(*) * sum(CAST(pgap AS HUGEINT) * pgap)
+        - CAST(sum(pgap) AS HUGEINT) * sum(pgap) AS DOUBLE)))""".replaceAll("\\s+", " "))}
+       |      END AS memory
+       |  FROM g WHERE pgap IS NOT NULL)
+       |SELECT b.n_gaps, b.mean_gap_micro, b.burstiness,
+       |  mm.n_gap_pairs, mm.memory
+       |FROM b CROSS JOIN mm""".stripMargin
+  }
+
   /** q442 — permutation (ordinal-pattern) entropy of daily revenue,
     * order 3 (Bandt–Pompe): each consecutive value triple maps to one
     * of six ordinal patterns by integer comparisons (ties rank by
@@ -6275,6 +6378,7 @@ object EventQueries {
     QueryDef("q436_nb_zero_inflation", q436, Some(q436Sql)),
     QueryDef("q442_permutation_entropy", q442, Some(q442Sql)),
     QueryDef("q445_repurchase_hazard", q445, Some(q445Sql)),
+    QueryDef("q449_burstiness_memory", q449, Some(q449Sql)),
     QueryDef("q443_pacf_durbin_levinson", q443, Some(q443Sql)),
     QueryDef("q398_nelson_aalen", q398, Some(q398Sql)),
     QueryDef("q273_cohort_ltv", q273, Some(q273Sql)),

@@ -3105,6 +3105,24 @@ class PlantedStructureSpec extends SparkSpec {
       up.head.toString)
   }
 
+  test("q449 places the planted processes on the (B, M) plane exactly") {
+    // metronome: gaps all 3 -> B = -1 exactly, gap pairs have zero
+    // variance -> M NULL
+    val metro = Seq(1, 4, 7, 10, 13).map(d => (d, 1L, "purchase", 1.0))
+    val m = operators.EventQueries.q449(spark, eventsDir(metro)).head()
+    assert((m.getLong(0), m.getLong(1), m.getDouble(2)) ===
+      ((4L, 3000000L, -1.0)), m.toString)
+    assert(m.getLong(3) === 3L && m.isNullAt(4), m.toString)
+    // alternation 1,9,1,9: B = (16-20)/(16+20) = -1/9; consecutive
+    // gaps perfectly anti-correlated -> M = -1 exactly
+    val alt = Seq(1, 2, 11, 12, 21).map(d => (d, 1L, "purchase", 1.0))
+    val a = operators.EventQueries.q449(spark, eventsDir(alt)).head()
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert((a.getLong(0), a.getLong(1)) === ((4L, 5000000L)), a.toString)
+    assert(a.getDouble(2) === r6d(-4.0 / 36.0), a.toString)
+    assert(a.getLong(3) === 3L && a.getDouble(4) === -1.0, a.toString)
+  }
+
   test("q428 peels the planted triangle ladder in cascading rounds and keeps the K4") {
     // ladder 1..8: edges (i,i+1) and (i,i+2); long edges and the two
     // end short edges have support 1 -> round 1 drops 8 of 13, leaving
