@@ -30,12 +30,14 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
+    failures = []
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
         spark_dir = f"{out_dir}/{name}"
         if not os.path.isdir(spark_dir):
             print(f"FAIL {name}: no spark output dir")
+            failures.append(name)
             n_bad += 1
             continue
         try:
@@ -44,20 +46,24 @@ def main():
             want = timed_df(con, sql)
         except duckdb.InterruptException:
             print(f"FAIL {name}: oracle timeout after {TIMEOUT_SEC}s")
+            failures.append(name)
             n_bad += 1
             continue
         except Exception as e:
             print(f"FAIL {name}: {e}")
+            failures.append(name)
             n_bad += 1
             continue
         got = got[sorted(got.columns)]
         want = want[sorted(want.columns)]
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+            failures.append(name)
             n_bad += 1
             continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            failures.append(name)
             n_bad += 1
             continue
         bad_cols = []
@@ -75,11 +81,22 @@ def main():
                 bad_cols.append(f"{c}: compare error {e}")
         if bad_cols:
             print(f"FAIL {name}: {'; '.join(bad_cols[:4])}")
+            failures.append(name)
             n_bad += 1
         else:
             print(f"ok   {name} ({len(got)} rows, {len(got.columns)} cols)")
             n_ok += 1
     print(f"== {n_ok} ok, {n_bad} bad ==")
+    # forensic twin of Verify's verify_summary.json: if a round's
+    # correctness artifact ever zeroes again, the sweep's own record
+    # says what it saw (and which queries failed) in one read
+    try:
+        with open(f"{out_dir}/check_summary.json", "w") as f:
+            json.dump({"n_ok": n_ok, "n_bad": n_bad,
+                       "timeout_sec": TIMEOUT_SEC,
+                       "failures": failures}, f)
+    except OSError:
+        pass
     sys.exit(1 if n_bad else 0)
 
 if __name__ == "__main__":
