@@ -13,12 +13,26 @@ import duckdb
 TIMEOUT_SEC = float(os.environ.get("CHECK_TIMEOUT_SEC", "120"))
 
 def timed_df(con, sql):
-    """Run sql -> pandas df, interrupting DuckDB after TIMEOUT_SEC."""
-    timer = threading.Timer(TIMEOUT_SEC, con.interrupt)
+    """Run sql -> pandas df, interrupting DuckDB after TIMEOUT_SEC.
+
+    The callback is guarded by a done flag: an unguarded timer firing
+    in the gap between con.sql() returning and timer.cancel() would
+    interrupt with no query active, which (DuckDB-version-dependent)
+    can latch and abort the NEXT query — turning a slow-but-passing
+    entry into a spurious FAIL on the following one.
+    """
+    done = threading.Event()
+
+    def maybe_interrupt():
+        if not done.is_set():
+            con.interrupt()
+
+    timer = threading.Timer(TIMEOUT_SEC, maybe_interrupt)
     timer.start()
     try:
         return con.sql(sql).df()
     finally:
+        done.set()
         timer.cancel()
 
 def main():

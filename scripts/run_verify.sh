@@ -1,0 +1,9 @@
+#!/bin/bash
+# Local dev loop: Verify dump + DuckDB check for the named queries.
+# Usage: scripts/run_verify.sh <sfDir> <outDir> [names...]
+set -e
+cd /root/repo
+CP=$(cat .cp)
+OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
+java $OPENS -Xmx8g -cp "$CP" graft.Verify "$@" 2>&1 | grep -v "^\[" | tail -5
+python3 scripts/check.py "$1" "$2" "${@:3}"

@@ -44,6 +44,30 @@ object Bench {
     s(s.length / 2)
   }
 
+  /** 1-minute system load average (-1.0 where the platform hides it).
+    * Sampled before/after the measured loop and emitted in the JSON so
+    * an ambient-load-inflated run SELF-LABELS — three rounds (r8, r10,
+    * r12) burned audit time adjudicating phantom bench regressions
+    * that were concurrent driver-host load, not code. */
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Fixed-work spin calibration: wall millis for 2^27 xorshift64
+    * steps on one core. Pure ALU, no allocation — on an idle host this
+    * is a stable constant per JVM; contention inflates it roughly in
+    * proportion to timeslice loss, giving a second, scheduler-level
+    * ambient-load signal alongside [[loadAvg]]. */
+  private def spinCalMillis(): Double = {
+    var x = 0x9e3779b97f4a7c15L
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < (1 << 27)) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    val ms = (System.nanoTime() - t0) / 1e6
+    if (x == 42L) System.err.println("") // defeat dead-code elimination
+    ms
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -151,6 +175,8 @@ object Bench {
       releaseCaches()
     }
 
+    val loadBefore = loadAvg()
+    val spinBefore = spinCalMillis()
     val results = tasks.map { case (name, run) =>
       val times = (1 to k).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -174,8 +200,15 @@ object Bench {
     val failed = results.collect { case (n, None) => "\"" + n + "\"" }
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
+    val loadAfter = loadAvg()
+    val spinAfter = spinCalMillis()
+    // Ambient-load self-label: loadavg ≫ bench's own parallelism or a
+    // spin calibration far above its idle constant means the host was
+    // contended and the totals are inflated — read them before calling
+    // any delta vs a prior round a regression.
+    val ambient = f""""load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"spin_ms_before":$spinBefore%.1f,"spin_ms_after":$spinAfter%.1f"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","k":$k,"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","k":$k,$ambient,"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     // sbt decorates stdout with an "[info] " prefix that breaks JSON
     // parsers downstream, so the line is also written verbatim to a file.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
@@ -195,8 +228,9 @@ object Bench {
     tempDirs.foreach { d =>
       try {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
-          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+        val paths = try walk.iterator().asScala.toSeq finally walk.close()
+        paths.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
       } catch { case _: Throwable => () }
     }
     System.err.println(s"GRAFT_BENCH_JSON $json")
@@ -211,7 +245,7 @@ object Bench {
     // inside the tail window; tools wanting per-query detail read
     // bench_out.json or the full line above.
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"k":$k,"failed":$failed,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"k":$k,$ambient,"failed":$failed,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -186,11 +186,19 @@ object IndexingQueries {
       .select($"doc_id", $"source", $"lang",
         explode(array_distinct($"w0")).as("w"))
       .filter($"w" =!= "")
-    // Global rarity rank. Single-partition window over the VOCAB only
-    // (tokens, not token occurrences) — at trillion-token scale swap
-    // for the q167 two-pass zipWithIndex pattern on the same ordering.
-    val vocab = toks.groupBy($"w").agg(count(lit(1)).as("df"))
-      .withColumn("r", row_number().over(Window.orderBy($"df", $"w")).cast("long"))
+    // Global rarity rank over the VOCAB (tokens, not occurrences).
+    // The vocabulary grows with the corpus (Heaps' law), so a global
+    // `row_number()` window here was the one documented scale
+    // straggler left in r12 — replaced (r13) by the two-pass
+    // range-repartition + zipWithIndex shape (Ranking.seqIds, same
+    // idiom as q167): ids are a pure function of the (df, w) total
+    // order, so ranks — and therefore the emitted pairs — are
+    // IDENTICAL to the window form, but no single task ever sorts the
+    // whole vocabulary.
+    val vocab = Ranking
+      .seqIds(toks.groupBy($"w").agg(count(lit(1)).as("df")),
+        parts = 32, $"df", $"w")
+      .withColumnRenamed("seq_id", "r")
     val ranked = toks.join(vocab.select($"w", $"r"), "w")
     val docArr = ranked.groupBy($"doc_id", $"source", $"lang")
       .agg(sort_array(collect_list($"r")).as("arr"))

@@ -224,18 +224,28 @@ object Relational {
       |count(*) AS n_lines
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  /** Anti join: customers with no orders (NOT EXISTS). */
+  /** Anti join: customers with no HIGH-VALUE order (NOT EXISTS over a
+    * filtered subquery). The predicate is keyed to o_totalprice >
+    * 350000 rather than bare existence because at sf0.01 EVERY
+    * customer has an order — the original form passed its oracle on
+    * empty-vs-empty, verifying nothing (the r12 verdict's one vacuous
+    * gate). This shape strands 8 customers at sf0.001 and 68 at
+    * sf0.01, so the LeftAnti semantics are witnessed by real rows
+    * while the plan stays the same anti-join with the filter pushed
+    * to the build side. */
   def q10(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val big = Tables.orders(s, d).filter($"o_totalprice" > 350000.0)
     Tables.customer(s, d)
-      .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left_anti")
+      .join(big, $"c_custkey" === $"o_custkey", "left_anti")
       .select($"c_custkey", $"c_name", $"c_mktsegment")
       .orderBy($"c_custkey")
   }
 
   val q10Sql: String =
     """SELECT c_custkey, c_name, c_mktsegment FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 350000)
       |ORDER BY c_custkey""".stripMargin
 
   /** Semi join: customers with ≥1 urgent order (EXISTS). */

@@ -75,7 +75,11 @@ final class Y4mFrameDecoder extends Multimodal.FrameDecoder {
         var nl = pos + frameMagic.length
         while (nl < bytes.length && bytes(nl) != '\n'.toByte) nl += 1
         val dataStart = nl + 1
-        if (nl >= bytes.length || dataStart + ySize + 2 * cSize > bytes.length)
+        // bound check in Long: dataStart near 2 GiB plus a large frame
+        // overflows Int, slipping past the truncation guard straight
+        // into an AIOOBE inside toRgb (never-throw contract)
+        if (nl >= bytes.length ||
+          dataStart.toLong + ySize.toLong + 2L * cSize > bytes.length)
           ok = false // truncated: keep frames decoded so far
         else {
           frames += toRgb(bytes, dataStart, w, h, cw, ch)
