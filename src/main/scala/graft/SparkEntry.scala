@@ -21,7 +21,8 @@ object SparkEntry {
       operators.CurationQueries.all ++ operators.TpchSubqueries.all ++
       operators.ScaleQueries.all ++ operators.CorpusQueries.all ++
       operators.IndexingQueries.all ++ operators.GovernanceQueries.all ++
-      operators.AssociationQueries.all ++ operators.LakehouseQueries.all
+      operators.AssociationQueries.all ++ operators.LakehouseQueries.all ++
+      operators.PruningQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -255,8 +255,14 @@ object LakehouseQueries {
     import s.implicits._
     val snap = Tables.customer(s, d).select($"c_custkey".as("key"),
       $"c_name".as("name"), $"c_acctbal".as("bal"), $"c_mktsegment".as("seg"))
+    // materialized once: the U/I/D branches each consume this
+    // aggregate, and Catalyst's per-branch filter pushdown makes the
+    // three subplans non-identical, defeating ReuseExchange — without
+    // the checkpoint the plan scanned + shuffle-aggregated orders
+    // THREE times (r13 profile of the r12 idle drift; exchanges 5→3)
     val ord = Tables.orders(s, d).groupBy($"o_custkey".as("key"))
       .agg(moneySum($"o_totalprice").as("new_bal"))
+      .transform(graft.Fx.materialize)
     val updates = ord.select($"key", lit("U").as("op"), $"new_bal")
     val mx = snap.agg(max($"key").as("mx"))
     val inserts = ord.filter(cdcU($"key") < 0.05).crossJoin(broadcast(mx))

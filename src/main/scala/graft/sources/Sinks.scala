@@ -30,6 +30,39 @@ object Sinks {
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(dir)
 
+  /** K1-analytics: parquet laid out for FILE SKIPPING — the
+    * open-format twin of the docstore V2 zone maps. Three levers, all
+    * plain parquet features any engine can read:
+    *  - rows sorted within files by `sortCols` → row-group min/max
+    *    stats (and page-level column indexes, written by default
+    *    since parquet-mr 1.11) become non-overlapping, so a range or
+    *    point predicate on the sort key opens ~1 row group instead of
+    *    all of them;
+    *  - split bloom filters (`parquet.bloom.filter.enabled#col`) on
+    *    `bloomCols` → point predicates on NON-sorted high-cardinality
+    *    keys skip row groups min/max can't discriminate (every group
+    *    spans most of an unsorted key's range);
+    *  - a bounded row-group size so a selective read's unit of IO is
+    *    small (default 1 MiB here vs parquet's 128 MiB — at 100 TB
+    *    pick the real value from row width × executor memory).
+    * ParquetSkippingSpec measures both skip ratios footer-by-footer
+    * and pins that Spark pushes the predicates to the scan. */
+  def analyticsParquet(df: DataFrame, dir: String, sortCols: Seq[String],
+      bloomCols: Seq[String] = Nil, rowGroupBytes: Long = 1L << 20): Unit = {
+    val sorted = df.sortWithinPartitions(sortCols.map(col): _*)
+    val w0 = sorted.write
+      .option("parquet.block.size", rowGroupBytes.toString)
+    // dictionary off for bloom columns: parquet-mr drops the bloom
+    // when a chunk is fully dictionary-encoded (the dictionary already
+    // gives exact membership), so small row groups would silently
+    // write no blooms at all; plain encoding makes the bloom the
+    // membership structure, which is the point of this layout
+    val w = bloomCols.foldLeft(w0)((acc, c) =>
+      acc.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.enable.dictionary#$c", "false"))
+    w.mode("overwrite").parquet(dir)
+  }
+
   /** K2: single flat CSV (tiny parity outputs only — coalesce(1)). */
   def flatCsv(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
