@@ -3143,4 +3143,82 @@ class PlantedStructureSpec extends SparkSpec {
     assert(krows.toSeq === Seq((1, 6L, 4L, 6L), (2, 6L, 4L, 6L),
       (3, 6L, 4L, 6L)), s"${krows.toSeq}")
   }
+
+  /** orders-only fixture on a MONTHLY grid: one order of
+    * `dollars(m)` on the 15th of month m (1..12) of 2020. Dollars in
+    * multiples of 1000 land exactly on the econometrics queries' kilo
+    * grid. */
+  private def monthlyOrdersDir(months: Range, dollars: Int => Double): String = {
+    val dir = Files.createTempDirectory("planted-mord")
+    months.map(m => (m, dollars(m))).toDF("m", "o_totalprice")
+      .withColumn("o_orderdate",
+        to_timestamp(format_string("2020-%02d-15", $"m")))
+      .withColumn("o_orderkey", $"m".cast("long"))
+      .select($"o_orderkey", $"o_orderdate", $"o_totalprice")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("orders.parquet").toString)
+    dir.toString
+  }
+
+  /** two-segment monthly fixture for q451: per month m, an AUTOMOBILE
+    * order of x(m)·1000 dollars (custkey 1) and a BUILDING order of
+    * y(m)·1000 (custkey 2). */
+  private def segMonthlyDir(months: Range, x: Int => Long, y: Int => Long): String = {
+    val dir = Files.createTempDirectory("planted-seg")
+    months.flatMap(m => Seq((1L, m * 10L, x(m) * 1000.0, m),
+        (2L, m * 10L + 1L, y(m) * 1000.0, m)))
+      .toDF("o_custkey", "o_orderkey", "o_totalprice", "m")
+      .withColumn("o_orderdate",
+        to_timestamp(format_string("2020-%02d-15", $"m")))
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"o_orderdate")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("orders.parquet").toString)
+    Seq((1L, "AUTOMOBILE"), (2L, "BUILDING"))
+      .toDF("c_custkey", "c_mktsegment")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("customer.parquet").toString)
+    dir.toString
+  }
+
+  private def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+
+  test("q451 reads the planted cointegrated pair as rho = -12/11 and nulls the exact-multiple pole") {
+    // y = 2x + e with e the period-4 pattern (+1,-1,-1,+1): Σe = 0 and
+    // Σt·e = 0, so the long-run OLS is EXACTLY y = 2x and the cleared
+    // residual is proportional to e. DF on e over the 11 lag pairs:
+    // num = Σ e_prev·e − 11 = −1 − 11, den = 11 → rho = −12/11.
+    val e = Seq(1L, -1L, -1L, 1L, 1L, -1L, -1L, 1L, 1L, -1L, -1L, 1L)
+    val co = segMonthlyDir(1 to 12, m => 10L + m, m => 2L * (10L + m) + e(m - 1))
+    val r = operators.EconometricsQueries.q451(spark, co).head()
+    assert(r.getLong(0) === 11L, r.toString)
+    assert(r.getDouble(1) === r6d(-12.0 / 11.0), r.toString)
+    // pole: y exactly 3x -> residual identically 0 -> den = 0 -> NULL
+    val pole = segMonthlyDir(1 to 12, m => 10L + m, m => 3L * (10L + m))
+    val p = operators.EconometricsQueries.q451(spark, pole).head()
+    assert(p.isNullAt(1), p.toString)
+  }
+
+  test("q452 reads alternation as small, trend as large, constant as NULL") {
+    // alternation 2,4 kilo: c = ±12, S alternates -12,0 ->
+    // ΣS² = 6·144, Σc² = 12·144 -> micro = 864e6 div 20736 = 41666
+    val alt = monthlyOrdersDir(1 to 12,
+      m => (if (m % 2 == 1) 2000.0 else 4000.0))
+    val a = operators.EconometricsQueries.q452(spark, alt).head()
+    assert(a.getLong(0) === 12L && a.getLong(1) === 41666L, a.toString)
+    // pure trend x = m: c_t = 12t - 78, S_t = 6t(t-12); exact integer
+    // replay of the statistic in BigInt below
+    val tr = monthlyOrdersDir(1 to 12, m => m * 1000.0)
+    val t = operators.EconometricsQueries.q452(spark, tr).head()
+    val c = (1 to 12).map(tt => BigInt(12 * tt - 78))
+    val sParts = c.scanLeft(BigInt(0))(_ + _).tail
+    val expect = (sParts.map(s => s * s).sum * 1000000) /
+      (12 * c.map(x => x * x).sum)
+    assert(t.getLong(1) === expect.toLong,
+      s"${t.toString} vs replayed $expect")
+    assert(t.getLong(1) > 10 * a.getLong(1),
+      "trend must read far less stationary than alternation")
+    // pole: constant series -> zero variance -> NULL
+    val const = monthlyOrdersDir(1 to 12, _ => 5000.0)
+    assert(operators.EconometricsQueries.q452(spark, const).head().isNullAt(1))
+  }
 }
