@@ -36,6 +36,41 @@ object EconometricsQueries {
   private def centsK(c: org.apache.spark.sql.Column) =
     floor(c * 100 + 0.5).cast("long")
 
+  /** Shared monthly two-segment grid: (ym, x, y) = exact kilo-dollar
+    * revenue of AUTOMOBILE / BUILDING, months where both traded, ONE
+    * fact scan (conditional aggregation). */
+  private def segMonthly(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+      .filter($"c_mktsegment".isin("AUTOMOBILE", "BUILDING"))
+      .groupBy((year($"o_orderdate") * 100 + month($"o_orderdate")).as("ym"))
+      .agg(
+        sum(when($"c_mktsegment" === "AUTOMOBILE",
+          centsK($"o_totalprice")).otherwise(0L)).as("xc"),
+        sum(when($"c_mktsegment" === "BUILDING",
+          centsK($"o_totalprice")).otherwise(0L)).as("yc"),
+        sum(when($"c_mktsegment" === "AUTOMOBILE", 1L).otherwise(0L)).as("nx"),
+        sum(when($"c_mktsegment" === "BUILDING", 1L).otherwise(0L)).as("ny"))
+      .filter($"nx" > 0 && $"ny" > 0)
+      .select($"ym", expr("xc div 100000").as("x"), expr("yc div 100000").as("y"))
+  }
+
+  private val segMonthlySql: String =
+    """SELECT ym, xc // 100000 AS x, yc // 100000 AS y FROM (
+      |  SELECT year(o_orderdate)*100 + month(o_orderdate) AS ym,
+      |    CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+      |      THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS xc,
+      |    CAST(sum(CASE WHEN c_mktsegment = 'BUILDING'
+      |      THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS yc,
+      |    sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS nx,
+      |    sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS ny
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+      |  GROUP BY 1) t WHERE nx > 0 AND ny > 0""".stripMargin
+
   // ------------------------------------------------------------------
   // q451 — Engle–Granger cointegration (two-step) on two segments
   // ------------------------------------------------------------------
@@ -58,19 +93,7 @@ object EconometricsQueries {
     * (conditional aggregation by segment). */
   def q451(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val g = Tables.orders(s, d)
-      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
-      .filter($"c_mktsegment".isin("AUTOMOBILE", "BUILDING"))
-      .groupBy((year($"o_orderdate") * 100 + month($"o_orderdate")).as("ym"))
-      .agg(
-        sum(when($"c_mktsegment" === "AUTOMOBILE",
-          centsK($"o_totalprice")).otherwise(0L)).as("xc"),
-        sum(when($"c_mktsegment" === "BUILDING",
-          centsK($"o_totalprice")).otherwise(0L)).as("yc"),
-        sum(when($"c_mktsegment" === "AUTOMOBILE", 1L).otherwise(0L)).as("nx"),
-        sum(when($"c_mktsegment" === "BUILDING", 1L).otherwise(0L)).as("ny"))
-      .filter($"nx" > 0 && $"ny" > 0)
-      .select($"ym", expr("xc div 100000").as("x"), expr("yc div 100000").as("y"))
+    val g = segMonthly(s, d)
     val m = g.agg(count(lit(1)).as("n"),
       sum($"x").as("sx"), sum($"y").as("sy"),
       sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),
@@ -94,20 +117,7 @@ object EconometricsQueries {
   }
 
   val q451Sql: String =
-    """WITH g AS (
-      |  SELECT year(o_orderdate)*100 + month(o_orderdate) AS ym,
-      |    CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE'
-      |      THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0 END)
-      |      AS BIGINT) // 100000 AS x,
-      |    CAST(sum(CASE WHEN c_mktsegment = 'BUILDING'
-      |      THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0 END)
-      |      AS BIGINT) // 100000 AS y,
-      |    sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS nx,
-      |    sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS ny
-      |  FROM orders JOIN customer ON o_custkey = c_custkey
-      |  WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
-      |  GROUP BY 1),
-      |gg AS (SELECT ym, x, y FROM g WHERE nx > 0 AND ny > 0),
+    s"""WITH gg AS ($segMonthlySql),
       |m AS (
       |  SELECT CAST(count(*) AS HUGEINT) AS n,
       |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
@@ -194,7 +204,326 @@ object EconometricsQueries {
       |    ELSE CAST((ss2 * 1000000) // (n * sc2) AS BIGINT) END AS kpss_micro
       |FROM agg""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q453 — Granger-causality F (lag-1 VAR row) in both directions
+  // ------------------------------------------------------------------
+
+  /** q453 — Granger-causality F statistic between the two segment
+    * series, BOTH directions: does last month's AUTOMOBILE revenue
+    * improve the prediction of this month's BUILDING revenue beyond
+    * BUILDING's own lag (and vice versa)? Restricted model
+    * y ~ a + b·y₋₁ vs unrestricted y ~ a + b·y₋₁ + c·x₋₁;
+    * F = (n−3)·(RSS_r − RSS_u)/RSS_u with 1 numerator df. Distinct
+    * from q357 (lead–lag cross-correlation measures association at
+    * each lag; Granger asks whether the cross term adds anything OVER
+    * the autoregression — a correlated pair with strong own-lag
+    * dynamics can have high xcorr and F ≈ 0). Exactness: all centered
+    * moments C_ab = nΣab − ΣaΣb ride DECIMAL(38,0)/HUGEINT (entries
+    * ≲ 10³⁴ at sf ≤ 0.1; the q297 256-bit escalation note applies
+    * beyond); RSS_r·(n·C11) = Cyy·C11 − Cy1² and
+    * RSS_u·(n·det) = Cyy·det − Q (det = C11C22−C12²,
+    * Q = Cy1²C22 − 2Cy1Cy2C12 + Cy2²C11) are EXACT integers, and F is
+    * the fixed-shape double pipeline
+    * (n−3)·(rssr·det − sseu·C11)/(sseu·C11) — identical operand order
+    * in both engines, r6. Lag pairs join on the month ORDINAL (gaps
+    * collapse, stated — same convention as q451's DF step). */
+  def q453(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = segMonthly(s, d)
+      .withColumn("rn", row_number().over(Window.orderBy($"ym")))
+      .transform(Fx.materialize)
+    val lagged = g.select(($"rn" + 1).as("rn"),
+        $"x".as("xl"), $"y".as("yl"))
+      .join(g.select($"rn", $"x", $"y"), "rn")
+    // direction A->B: dep = y, own lag = yl, cross lag = xl;
+    // direction B->A: dep = x, own lag = xl, cross lag = yl
+    val dirs = lagged.select(lit("AUTO->BUILD").as("direction"),
+        $"y".as("dep"), $"yl".as("own_lag"), $"xl".as("x_lag"))
+      .unionByName(lagged.select(lit("BUILD->AUTO").as("direction"),
+        $"x".as("dep"), $"xl".as("own_lag"), $"yl".as("x_lag")))
+    dirs.groupBy($"direction")
+      .agg(count(lit(1)).as("n"),
+        sum($"dep").as("sy"), sum($"own_lag").as("s1"), sum($"x_lag").as("s2"),
+        sum(expr("cast(dep as decimal(38,0)) * dep")).as("syy"),
+        sum(expr("cast(dep as decimal(38,0)) * own_lag")).as("sy1"),
+        sum(expr("cast(dep as decimal(38,0)) * x_lag")).as("sy2"),
+        sum(expr("cast(own_lag as decimal(38,0)) * own_lag")).as("s11"),
+        sum(expr("cast(own_lag as decimal(38,0)) * x_lag")).as("s12"),
+        sum(expr("cast(x_lag as decimal(38,0)) * x_lag")).as("s22"))
+      .withColumn("cyy", expr("n * syy - cast(sy as decimal(38,0)) * sy"))
+      .withColumn("cy1", expr("n * sy1 - cast(sy as decimal(38,0)) * s1"))
+      .withColumn("cy2", expr("n * sy2 - cast(sy as decimal(38,0)) * s2"))
+      .withColumn("c11", expr("n * s11 - cast(s1 as decimal(38,0)) * s1"))
+      .withColumn("c12", expr("n * s12 - cast(s1 as decimal(38,0)) * s2"))
+      .withColumn("c22", expr("n * s22 - cast(s2 as decimal(38,0)) * s2"))
+      .withColumn("det", expr("c11 * c22 - c12 * c12"))
+      .withColumn("q3", expr(
+        "cy1 * cy1 * c22 - 2 * cy1 * cy2 * c12 + cy2 * cy2 * c11"))
+      .withColumn("rssr", expr("cyy * c11 - cy1 * cy1"))
+      .withColumn("sseu", expr("cyy * det - q3"))
+      .select($"direction", $"n",
+        when($"c11" === 0 || $"det" === 0 || $"sseu" === 0,
+          lit(null).cast("double"))
+          .otherwise(r6(
+            ($"n" - 3).cast("double") *
+              ($"rssr".cast("double") * $"det".cast("double") -
+                $"sseu".cast("double") * $"c11".cast("double")) /
+              ($"sseu".cast("double") * $"c11".cast("double"))))
+          .as("f"))
+      .orderBy($"direction")
+  }
+
+  val q453Sql: String =
+    s"""WITH gg AS ($segMonthlySql),
+      |rk AS (SELECT x, y, row_number() OVER (ORDER BY ym) AS rn FROM gg),
+      |lagged AS (
+      |  SELECT b.x, b.y, a.x AS xl, a.y AS yl
+      |  FROM rk a JOIN rk b ON b.rn = a.rn + 1),
+      |dirs AS (
+      |  SELECT 'AUTO->BUILD' AS direction, y AS dep, yl AS own_lag, xl AS x_lag
+      |  FROM lagged
+      |  UNION ALL
+      |  SELECT 'BUILD->AUTO', x, xl, yl FROM lagged),
+      |m AS (
+      |  SELECT direction, CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(dep) AS HUGEINT) AS sy,
+      |    CAST(sum(own_lag) AS HUGEINT) AS s1,
+      |    CAST(sum(x_lag) AS HUGEINT) AS s2,
+      |    CAST(sum(CAST(dep AS HUGEINT) * dep) AS HUGEINT) AS syy,
+      |    CAST(sum(CAST(dep AS HUGEINT) * own_lag) AS HUGEINT) AS sy1,
+      |    CAST(sum(CAST(dep AS HUGEINT) * x_lag) AS HUGEINT) AS sy2,
+      |    CAST(sum(CAST(own_lag AS HUGEINT) * own_lag) AS HUGEINT) AS s11,
+      |    CAST(sum(CAST(own_lag AS HUGEINT) * x_lag) AS HUGEINT) AS s12,
+      |    CAST(sum(CAST(x_lag AS HUGEINT) * x_lag) AS HUGEINT) AS s22
+      |  FROM dirs GROUP BY 1),
+      |k AS (
+      |  SELECT direction, n,
+      |    n * syy - sy * sy AS cyy, n * sy1 - sy * s1 AS cy1,
+      |    n * sy2 - sy * s2 AS cy2, n * s11 - s1 * s1 AS c11,
+      |    n * s12 - s1 * s2 AS c12, n * s22 - s2 * s2 AS c22
+      |  FROM m),
+      |f2 AS (
+      |  SELECT direction, n, c11,
+      |    c11 * c22 - c12 * c12 AS det,
+      |    cyy * c11 - cy1 * cy1 AS rssr,
+      |    cyy * (c11 * c22 - c12 * c12)
+      |      - (cy1 * cy1 * c22 - 2 * cy1 * cy2 * c12 + cy2 * cy2 * c11)
+      |      AS sseu
+      |  FROM k)
+      |SELECT direction, CAST(n AS BIGINT) AS n,
+      |  CASE WHEN c11 = 0 OR det = 0 OR sseu = 0 THEN NULL
+      |    ELSE floor(CAST(n - 3 AS DOUBLE)
+      |      * (CAST(rssr AS DOUBLE) * CAST(det AS DOUBLE)
+      |         - CAST(sseu AS DOUBLE) * CAST(c11 AS DOUBLE))
+      |      / (CAST(sseu AS DOUBLE) * CAST(c11 AS DOUBLE))
+      |      * 1000000 + 0.5) / 1000000 END AS f
+      |FROM f2 ORDER BY direction""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q454 — Breusch–Pagan heteroscedasticity LM on the volume model
+  // ------------------------------------------------------------------
+
+  /** q454 — Breusch–Pagan LM statistic for the monthly model
+    * revenue ~ order count: do the residuals' SQUARES still depend on
+    * volume? If yes (LM large vs χ²₁), the homoscedastic-error
+    * assumption behind q172/q297-style OLS readouts fails for this
+    * pair and inference needs robust errors. Construction: cleared
+    * residuals u_t = D·y_t − C − B·z_t exactly as q451 (BIGINT at the
+    * monthly scale), then the auxiliary regression of w = u² on z in
+    * closed form — LM = n·R² = n·C_zw²/(C_zz·C_ww), computed from
+    * exact DECIMAL(38,0) centered moments through the fixed-shape
+    * double pipeline (C_zw² would need 256 bits; the double form is
+    * deterministic on identical operands), r6. Pole: zero-variance z
+    * or w → NULL. */
+  def q454(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = Tables.orders(s, d)
+      .groupBy((year($"o_orderdate") * 100 + month($"o_orderdate")).as("ym"))
+      .agg(sum(centsK($"o_totalprice")).as("yc"), count(lit(1)).as("z"))
+      .select($"ym", expr("yc div 100000").as("y"), $"z")
+    val m = g.agg(count(lit(1)).as("n"),
+      sum($"z").as("sz"), sum($"y").as("sy"),
+      sum(expr("cast(z as decimal(38,0)) * z")).as("szz"),
+      sum(expr("cast(z as decimal(38,0)) * y")).as("szy"))
+    val aux = g.crossJoin(broadcast(m))
+      .select($"n", $"z",
+        expr("""(n * szz - cast(sz as decimal(38,0)) * sz) * y
+                - (sy * szz - cast(sz as decimal(38,0)) * szy)
+                - (n * szy - cast(sz as decimal(38,0)) * sy) * z""").as("u"))
+      .select($"n", $"z", expr("(u div 1000000) * (u div 1000000)").as("w"))
+    aux.groupBy($"n")
+      .agg(sum($"z").as("sz"), sum($"w").as("sw"),
+        sum(expr("cast(z as decimal(38,0)) * z")).as("szz"),
+        sum(expr("cast(z as decimal(38,0)) * w")).as("szw"),
+        sum(expr("cast(w as decimal(38,0)) * w")).as("sww"))
+      .withColumn("czz", expr("n * szz - cast(sz as decimal(38,0)) * sz"))
+      .withColumn("czw", expr("n * szw - cast(sz as decimal(38,0)) * sw"))
+      .withColumn("cww", expr("n * sww - cast(sw as decimal(38,0)) * sw"))
+      .select($"n",
+        when($"czz" === 0 || $"cww" === 0, lit(null).cast("double"))
+          .otherwise(r6($"n".cast("double") *
+            ($"czw".cast("double") * $"czw".cast("double")) /
+            ($"czz".cast("double") * $"cww".cast("double"))))
+          .as("lm"))
+  }
+
+  val q454Sql: String =
+    """WITH g AS (
+      |  SELECT year(o_orderdate)*100 + month(o_orderdate) AS ym,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      // 100000 AS y,
+      |    CAST(count(*) AS BIGINT) AS z
+      |  FROM orders GROUP BY 1),
+      |m AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(z) AS HUGEINT) AS sz, CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT) AS szz,
+      |    CAST(sum(CAST(z AS HUGEINT) * y) AS HUGEINT) AS szy
+      |  FROM g),
+      |aux AS (
+      |  SELECT n, z,
+      |    ((n * szz - sz * sz) * y - (sy * szz - sz * szy)
+      |      - (n * szy - sz * sy) * z) AS u
+      |  FROM g CROSS JOIN m),
+      |aw AS (SELECT n, z, (u // 1000000) * (u // 1000000) AS w FROM aux),
+      |agg AS (
+      |  SELECT n, CAST(sum(z) AS HUGEINT) AS sz,
+      |    CAST(sum(w) AS HUGEINT) AS sw,
+      |    CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT) AS szz,
+      |    CAST(sum(CAST(z AS HUGEINT) * w) AS HUGEINT) AS szw,
+      |    CAST(sum(CAST(w AS HUGEINT) * w) AS HUGEINT) AS sww
+      |  FROM aw GROUP BY n),
+      |k AS (
+      |  SELECT n, n * szz - sz * sz AS czz, n * szw - sz * sw AS czw,
+      |    n * sww - sw * sw AS cww
+      |  FROM agg)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  CASE WHEN czz = 0 OR cww = 0 THEN NULL
+      |    ELSE floor(CAST(n AS DOUBLE)
+      |      * (CAST(czw AS DOUBLE) * CAST(czw AS DOUBLE))
+      |      / (CAST(czz AS DOUBLE) * CAST(cww AS DOUBLE))
+      |      * 1000000 + 0.5) / 1000000 END AS lm
+      |FROM k""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q455 — Chow structural-stability F at a known break (1998-01)
+  // ------------------------------------------------------------------
+
+  /** q455 — Chow test of the monthly revenue TREND at the known
+    * breakpoint 1998-01 (mid-span of the 1995-01..2001-08 order calendar): fit y ~ a + b·t separately before/after and
+    * pooled; F = ((SSE_p − SSE₁ − SSE₂)/2)/((SSE₁+SSE₂)/(n−4)) asks
+    * whether one line explains both regimes. Distinct from q296
+    * (binary segmentation SEARCHES for a mean-shift breakpoint) and
+    * q218 (CUSUM accumulates drift): Chow tests REGRESSION-coefficient
+    * stability at a date fixed a priori (a policy change, a pipeline
+    * migration). Exactness: t is the pooled month ordinal; per-regime
+    * SSE numerators E_g = Cyy·Cxx − Cxy² are exact DECIMAL(38,0)
+    * (true SSE_g = E_g/(n_g·Cxx_g)); F is the fixed-shape double
+    * pipeline over the three exact (E, n, Cxx) triples, r6. Poles:
+    * a regime with < 3 months or zero time-variance → NULL. */
+  def q455(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = Tables.orders(s, d)
+      .groupBy((year($"o_orderdate") * 100 + month($"o_orderdate")).as("ym"))
+      .agg(sum(centsK($"o_totalprice")).as("yc"))
+      .select($"ym", expr("yc div 100000").as("y"))
+      .withColumn("t", row_number().over(Window.orderBy($"ym")).cast("long"))
+      .withColumn("pre", ($"ym" < 199801).cast("int"))
+    def moments(pred: org.apache.spark.sql.Column) = Seq(
+      sum(when(pred, 1L).otherwise(0L)),
+      sum(when(pred, $"t").otherwise(0L)),
+      sum(when(pred, $"y").otherwise(0L)),
+      sum(when(pred, expr("cast(t as decimal(38,0)) * t")).otherwise(expr("cast(0 as decimal(38,0))"))),
+      sum(when(pred, expr("cast(t as decimal(38,0)) * y")).otherwise(expr("cast(0 as decimal(38,0))"))),
+      sum(when(pred, expr("cast(y as decimal(38,0)) * y")).otherwise(expr("cast(0 as decimal(38,0))"))))
+    val names = Seq("n", "st", "sy", "stt", "sty", "syy")
+    val cols =
+      moments(lit(true)).zip(names).map { case (c, nm) => c.as(s"p_$nm") } ++
+      moments($"pre" === 1).zip(names).map { case (c, nm) => c.as(s"a_$nm") } ++
+      moments($"pre" === 0).zip(names).map { case (c, nm) => c.as(s"b_$nm") }
+    val m = g.agg(cols.head, cols.tail: _*)
+    def sse(p: String) = expr(
+      s"""(${p}_n * ${p}_syy - cast(${p}_sy as decimal(38,0)) * ${p}_sy)
+          * (${p}_n * ${p}_stt - cast(${p}_st as decimal(38,0)) * ${p}_st)
+          - (${p}_n * ${p}_sty - cast(${p}_st as decimal(38,0)) * ${p}_sy)
+            * (${p}_n * ${p}_sty - cast(${p}_st as decimal(38,0)) * ${p}_sy)""")
+    def cxx(p: String) = expr(
+      s"${p}_n * ${p}_stt - cast(${p}_st as decimal(38,0)) * ${p}_st")
+    val k = m
+      .withColumn("e_p", sse("p")).withColumn("v_p", cxx("p"))
+      .withColumn("e_a", sse("a")).withColumn("v_a", cxx("a"))
+      .withColumn("e_b", sse("b")).withColumn("v_b", cxx("b"))
+    k.select($"a_n".cast("long").as("n_pre"), $"b_n".cast("long").as("n_post"),
+      when($"a_n" < 3 || $"b_n" < 3 ||
+          $"v_a" === 0 || $"v_b" === 0 || $"v_p" === 0 ||
+          $"e_a" + $"e_b" === 0, lit(null).cast("double"))
+        .otherwise {
+          val sseP = $"e_p".cast("double") /
+            ($"p_n".cast("double") * $"v_p".cast("double"))
+          val sseA = $"e_a".cast("double") /
+            ($"a_n".cast("double") * $"v_a".cast("double"))
+          val sseB = $"e_b".cast("double") /
+            ($"b_n".cast("double") * $"v_b".cast("double"))
+          r6(((sseP - sseA - sseB) / 2.0) /
+            ((sseA + sseB) / ($"p_n".cast("double") - 4.0)))
+        }.as("f"))
+  }
+
+  val q455Sql: String = {
+    def mom(pred: String, p: String) =
+      s"""sum(CASE WHEN $pred THEN 1 ELSE 0 END) AS ${p}_n,
+         |    sum(CASE WHEN $pred THEN t ELSE 0 END) AS ${p}_st,
+         |    sum(CASE WHEN $pred THEN y ELSE 0 END) AS ${p}_sy,
+         |    sum(CASE WHEN $pred THEN CAST(t AS HUGEINT) * t ELSE 0 END) AS ${p}_stt,
+         |    sum(CASE WHEN $pred THEN CAST(t AS HUGEINT) * y ELSE 0 END) AS ${p}_sty,
+         |    sum(CASE WHEN $pred THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS ${p}_syy""".stripMargin
+    def sse(p: String) =
+      s"""(${p}_n * ${p}_syy - ${p}_sy * ${p}_sy)
+         * (${p}_n * ${p}_stt - ${p}_st * ${p}_st)
+         - (${p}_n * ${p}_sty - ${p}_st * ${p}_sy)
+           * (${p}_n * ${p}_sty - ${p}_st * ${p}_sy)"""
+    def cxx(p: String) = s"${p}_n * ${p}_stt - ${p}_st * ${p}_st"
+    s"""WITH g AS (
+       |  SELECT ym, yc // 100000 AS y,
+       |    row_number() OVER (ORDER BY ym) AS t,
+       |    CASE WHEN ym < 199801 THEN 1 ELSE 0 END AS pre
+       |  FROM (SELECT year(o_orderdate)*100 + month(o_orderdate) AS ym,
+       |          CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+       |            AS BIGINT) AS yc
+       |        FROM orders GROUP BY 1) t0),
+       |m AS (
+       |  SELECT
+       |    ${mom("TRUE", "p")},
+       |    ${mom("pre = 1", "a")},
+       |    ${mom("pre = 0", "b")}
+       |  FROM g),
+       |k AS (
+       |  SELECT CAST(a_n AS BIGINT) AS n_pre, CAST(b_n AS BIGINT) AS n_post,
+       |    CAST(p_n AS HUGEINT) AS pn,
+       |    a_n, b_n,
+       |    ${sse("p")} AS e_p, ${cxx("p")} AS v_p,
+       |    ${sse("a")} AS e_a, ${cxx("a")} AS v_a,
+       |    ${sse("b")} AS e_b, ${cxx("b")} AS v_b
+       |  FROM m)
+       |SELECT n_pre, n_post,
+       |  CASE WHEN a_n < 3 OR b_n < 3 OR v_a = 0 OR v_b = 0 OR v_p = 0
+       |         OR e_a + e_b = 0 THEN NULL
+       |    ELSE floor(
+       |      ((CAST(e_p AS DOUBLE) / (CAST(pn AS DOUBLE) * CAST(v_p AS DOUBLE))
+       |        - CAST(e_a AS DOUBLE) / (CAST(a_n AS DOUBLE) * CAST(v_a AS DOUBLE))
+       |        - CAST(e_b AS DOUBLE) / (CAST(b_n AS DOUBLE) * CAST(v_b AS DOUBLE)))
+       |       / 2.0)
+       |      / ((CAST(e_a AS DOUBLE) / (CAST(a_n AS DOUBLE) * CAST(v_a AS DOUBLE))
+       |          + CAST(e_b AS DOUBLE) / (CAST(b_n AS DOUBLE) * CAST(v_b AS DOUBLE)))
+       |         / (CAST(pn AS DOUBLE) - 4.0))
+       |      * 1000000 + 0.5) / 1000000 END AS f
+       |FROM k""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q451_engle_granger", q451, Some(q451Sql)),
-    QueryDef("q452_kpss_stationarity", q452, Some(q452Sql)))
+    QueryDef("q452_kpss_stationarity", q452, Some(q452Sql)),
+    QueryDef("q453_granger_f", q453, Some(q453Sql)),
+    QueryDef("q454_breusch_pagan", q454, Some(q454Sql)),
+    QueryDef("q455_chow_break", q455, Some(q455Sql)))
 }

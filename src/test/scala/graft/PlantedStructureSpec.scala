@@ -3182,6 +3182,37 @@ class PlantedStructureSpec extends SparkSpec {
 
   private def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
 
+  /** orders fixture with one ROW PER ORDER on a monthly grid mapped
+    * into real years: month index m (1-based) lands in
+    * year0 + (m−1) div 12, month (m−1) mod 12 + 1. */
+  private def perOrderMonthlyDir(year0: Int, rows: Seq[(Int, Double)]): String = {
+    val dir = Files.createTempDirectory("planted-pmo")
+    rows.zipWithIndex.map { case ((m, dol), i) => (i.toLong, m, dol) }
+      .toDF("o_orderkey", "m", "o_totalprice")
+      .withColumn("o_orderdate", to_timestamp(format_string("%04d-%02d-15",
+        lit(year0) + expr("int((m - 1) div 12)"),
+        expr("int((m - 1) % 12) + 1"))))
+      .select($"o_orderkey", $"o_orderdate", $"o_totalprice")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("orders.parquet").toString)
+    dir.toString
+  }
+
+  /** BigInt moment replay for single-regressor OLS over (t, y):
+    * returns (n, E, Cxx) with E = Cyy·Cxx − Cxy², the exact SSE
+    * numerator (true SSE = E/(n·Cxx)). */
+  private def sseMoments(pts: Seq[(Long, Long)]): (BigInt, BigInt, BigInt) = {
+    val n = BigInt(pts.size)
+    val st = pts.map(p => BigInt(p._1)).sum
+    val sy = pts.map(p => BigInt(p._2)).sum
+    val stt = pts.map(p => BigInt(p._1) * p._1).sum
+    val sty = pts.map(p => BigInt(p._1) * p._2).sum
+    val syy = pts.map(p => BigInt(p._2) * p._2).sum
+    val cxx = n * stt - st * st
+    val e = (n * syy - sy * sy) * cxx - (n * sty - st * sy) * (n * sty - st * sy)
+    (n, e, cxx)
+  }
+
   test("q451 reads the planted cointegrated pair as rho = -12/11 and nulls the exact-multiple pole") {
     // y = 2x + e with e the period-4 pattern (+1,-1,-1,+1): Σe = 0 and
     // Σt·e = 0, so the long-run OLS is EXACTLY y = 2x and the cleared
@@ -3220,5 +3251,129 @@ class PlantedStructureSpec extends SparkSpec {
     // pole: constant series -> zero variance -> NULL
     val const = monthlyOrdersDir(1 to 12, _ => 5000.0)
     assert(operators.EconometricsQueries.q452(spark, const).head().isNullAt(1))
+  }
+
+  test("q453 credits the true lag direction, matches the BigInt replay, and nulls the perfect fit") {
+    // y follows x's LAG (plus a +-1 kick so no fit is perfect); x is
+    // its own process. AUTO->BUILD must dwarf BUILD->AUTO, and both F
+    // values must equal the exact-moment replay bit for bit.
+    val xs = Seq(10L, 13L, 11L, 16L, 12L, 19L, 11L, 14L, 17L, 12L, 18L, 13L)
+    val kick = Seq(1L, -1L, 1L, -1L, 1L, -1L, 1L, -1L, 1L, -1L, 1L)
+    val ys = 20L +: (1 until 12).map(t => 2L * xs(t - 1) + kick(t - 1))
+    val d = segMonthlyDir(1 to 12, m => xs(m - 1), m => ys(m - 1))
+    def replayF(dep: Seq[Long], own: Seq[Long], cr: Seq[Long]): Double = {
+      val n = BigInt(dep.size)
+      def s(v: Seq[Long]) = v.map(BigInt(_)).sum
+      def sp(a: Seq[Long], b: Seq[Long]) =
+        a.zip(b).map { case (u, v) => BigInt(u) * v }.sum
+      val (sy, s1, s2) = (s(dep), s(own), s(cr))
+      val cyy = n * sp(dep, dep) - sy * sy
+      val cy1 = n * sp(dep, own) - sy * s1
+      val cy2 = n * sp(dep, cr) - sy * s2
+      val c11 = n * sp(own, own) - s1 * s1
+      val c12 = n * sp(own, cr) - s1 * s2
+      val c22 = n * sp(cr, cr) - s2 * s2
+      val det = c11 * c22 - c12 * c12
+      val q3 = cy1 * cy1 * c22 - BigInt(2) * cy1 * cy2 * c12 + cy2 * cy2 * c11
+      val rssr = cyy * c11 - cy1 * cy1
+      val sseu = cyy * det - q3
+      r6d((n - 3).toDouble *
+        (rssr.toDouble * det.toDouble - sseu.toDouble * c11.toDouble) /
+        (sseu.toDouble * c11.toDouble))
+    }
+    val dep = ys.drop(1); val ylag = ys.dropRight(1); val xlag = xs.dropRight(1)
+    val out = operators.EconometricsQueries.q453(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("AUTO->BUILD") === ((11L, replayF(dep, ylag, xlag))), out.toString)
+    assert(out("BUILD->AUTO") ===
+      ((11L, replayF(xs.drop(1), xlag, ylag))), out.toString)
+    assert(out("AUTO->BUILD")._2 > 10 * out("BUILD->AUTO")._2,
+      s"lagged-x dependence must dominate: $out")
+    // pole: y_t = 3·x_{t-1} EXACTLY for t>=2 -> unrestricted SSE 0
+    val ype = 20L +: (1 until 12).map(t => 3L * xs(t - 1))
+    val pole = segMonthlyDir(1 to 12, m => xs(m - 1), m => ype(m - 1))
+    val pr = operators.EconometricsQueries.q453(spark, pole).collect()
+      .find(_.getString(0) == "AUTO->BUILD").get
+    assert(pr.isNullAt(2), pr.toString)
+  }
+
+  test("q454 matches the BigInt+grid replay on the planted fan and nulls constant volume") {
+    // volume z = month index; spread of the monthly total grows with z
+    // (the classic heteroscedastic fan). Dollars in millions so the
+    // cleared residual survives the documented 1e6 grid division.
+    val zs = (1 to 12).map(_.toLong)
+    val spread = Seq(1L, -1L, 2L, -2L, 3L, -3L, 4L, -4L, 5L, -5L, 6L, -6L)
+    // month m: z orders totalling (1000·m + spread·m) thousand kilo
+    val totalsK = (1 to 12).map(m => 1000000L * m + spread(m - 1) * 1000L * m)
+    val rows = (1 to 12).flatMap { m =>
+      val per = totalsK(m - 1) / zs(m - 1) // kilo per order
+      val rem = totalsK(m - 1) - per * (zs(m - 1) - 1)
+      (1L until zs(m - 1)).map(_ => (m, per * 1000.0)) :+ (m, rem * 1000.0)
+    }
+    val d = perOrderMonthlyDir(2020, rows)
+    val out = operators.EconometricsQueries.q454(spark, d).head()
+    // exact replay: clear residuals of y~z, truncate to the 1e6 grid,
+    // square, closed-form R², same double order
+    val n = BigInt(12)
+    val ys = totalsK
+    def s(v: Seq[Long]) = v.map(BigInt(_)).sum
+    def sp(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (u, v) => BigInt(u) * v }.sum
+    val (sz, sy) = (s(zs), s(ys))
+    val (szz, szy) = (sp(zs, zs), sp(zs, ys))
+    val dD = n * szz - sz * sz
+    val bB = n * szy - sz * sy
+    val cC = sy * szz - sz * szy
+    val u = zs.zip(ys).map { case (z, y) => dD * y - cC - bB * z }
+    val w = u.map(ui => (ui / 1000000) * (ui / 1000000)) // BigInt '/', Spark 'div', DuckDB '//' all truncate toward zero
+    val sw = w.sum
+    val szw = zs.zip(w).map { case (z, wi) => BigInt(z) * wi }.sum
+    val sww = w.map(wi => wi * wi).sum
+    val czz = dD
+    val czw = n * szw - sz * sw
+    val cww = n * sww - sw * sw
+    val expect = r6d(n.toDouble * (czw.toDouble * czw.toDouble) /
+      (czz.toDouble * cww.toDouble))
+    assert(out.getLong(0) === 12L && out.getDouble(1) === expect,
+      s"$out vs replay $expect")
+    assert(out.getDouble(1) > 5.0,
+      s"planted fan should read as strong heteroscedasticity: $out")
+    // pole: one order per month -> z constant -> Czz = 0 -> NULL
+    val const = perOrderMonthlyDir(2020, (1 to 12).map(m => (m, 1000000.0)))
+    assert(operators.EconometricsQueries.q454(spark, const).head().isNullAt(1))
+  }
+
+  test("q455 flags the planted slope break, matches the replay, and nulls degenerate regimes") {
+    // 24 months spanning 1997-1998 (break after month 12): pre slope
+    // 10, post slope 50, both with an alternating ±1 kick so no SSE
+    // is zero.
+    def kick(t: Int) = if (t % 2 == 0) 1L else -1L
+    def preY(t: Int) = 100L + 10L * t + kick(t)
+    def postY(t: Int) = preY(12) + 50L * (t - 12) + kick(t)
+    val break24 = perOrderMonthlyDir(1997,
+      (1 to 24).map(m => (m, (if (m <= 12) preY(m) else postY(m)) * 1000.0)))
+    val out = operators.EconometricsQueries.q455(spark, break24).head()
+    val pts = (1 to 24).map(t =>
+      (t.toLong, if (t <= 12) preY(t) else postY(t)))
+    val (np, ep, vp) = sseMoments(pts)
+    val (na, ea, va) = sseMoments(pts.take(12))
+    val (nb, eb, vb) = sseMoments(pts.drop(12))
+    def sse(e: BigInt, n: BigInt, v: BigInt) =
+      e.toDouble / (n.toDouble * v.toDouble)
+    val fExp = r6d(((sse(ep, np, vp) - sse(ea, na, va) - sse(eb, nb, vb)) / 2.0) /
+      ((sse(ea, na, va) + sse(eb, nb, vb)) / (np.toDouble - 4.0)))
+    assert(out.getLong(0) === 12L && out.getLong(1) === 12L, out.toString)
+    assert(out.getDouble(2) === fExp, s"$out vs replay $fExp")
+    assert(out.getDouble(2) > 100.0,
+      s"planted slope break must read as a massive F: $out")
+    // stable line (same slope + kick throughout) -> small F, same replay
+    val stable = perOrderMonthlyDir(1997,
+      (1 to 24).map(m => (m, (100L + 10L * m + kick(m)) * 1000.0)))
+    val so = operators.EconometricsQueries.q455(spark, stable).head()
+    assert(so.getDouble(2) < 1.0, so.toString)
+    // pole: pre-regime shorter than 3 months -> NULL
+    val short = perOrderMonthlyDir(1997,
+      (11 to 24).map(m => (m, (100L + 10L * m + kick(m)) * 1000.0)))
+    assert(operators.EconometricsQueries.q455(spark, short).head().isNullAt(2))
   }
 }
