@@ -1395,7 +1395,100 @@ object CurationQueries {
       |ORDER BY score_micro DESC, t.doc_id
       |LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q457 — isotonic (PAVA) recalibration of the quality score
+  // ------------------------------------------------------------------
+
+  /** Isotonic fit on a BOUNDED ordered grid of (ord, n, y) bins via
+    * the minimax characterization iso(k) = max_{i≤k} min_{j≥k}
+    * mean(y over bins i..j) — identical to the PAVA pooling result,
+    * but expressible as two bounded aggregates instead of a
+    * sequential pool loop. Means live on the exact micro grid
+    * (m(i,j) = 10⁶·Σy div Σn, truncating — min/max of INTEGERS, no
+    * rational comparisons; the fit is the isotonic regression of the
+    * micro-rounded means, stated). The interval fan-out is
+    * |grid|³ ≤ 11³ rows here — the grid is the decile domain, so this
+    * costs nothing at any corpus size. */
+  def isotonicMicro(bins: DataFrame): DataFrame = {
+    val s = bins.sparkSession
+    import s.implicits._
+    val w = Window.orderBy($"ord")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = bins
+      .withColumn("cn", sum($"n").over(w))
+      .withColumn("cy", sum($"y").over(w))
+      .withColumn("pn", $"cn" - $"n")
+      .withColumn("py", $"cy" - $"y")
+    val iv = cum.select($"ord".as("i"), $"pn", $"py")
+      .join(cum.select($"ord".as("j"), $"cn", $"cy"), $"i" <= $"j")
+      .select($"i", $"j",
+        expr("((cy - py) * 1000000) div (cn - pn)").as("m"))
+    val ks = cum.select($"ord".as("k"))
+    val iso = ks.join(iv, $"i" <= $"k" && $"j" >= $"k")
+      .groupBy($"k", $"i").agg(min($"m").as("mn"))
+      .groupBy($"k").agg(max($"mn").as("iso_micro"))
+    bins.join(iso, bins("ord") === iso("k"))
+      .select($"ord", $"n",
+        expr("(y * 1000000) div n").as("raw_micro"), $"iso_micro")
+      .orderBy($"ord")
+  }
+
+  /** q457 — isotonic (PAVA) recalibration of the q318 reliability
+    * table: q318 SHOWS the decile-level miscalibration of the quality
+    * score as a lang='en' predictor; this query produces the repaired
+    * monotone curve — the standard isotonic-calibration step between
+    * a raw ranking score and a usable probability (Zadrozny & Elkan
+    * 2002), here in the exact minimax form over the same decile grid
+    * (see [[isotonicMicro]]; the planted gate pins the classic
+    * violation-pooling example). `iso_micro` is non-decreasing in
+    * `bin` BY CONSTRUCTION, whatever the raw rates do. */
+  def q457(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = graft.functions.TextAnalysis.qualityScore($"text")
+    val bins = Tables.documents(s, d)
+      .select(floor(q * 1000000).cast("long").as("qm"),
+        ($"lang" === "en").cast("long").as("en"))
+      .groupBy(expr("qm div 100000").as("ord"))
+      .agg(count(lit(1)).as("n"), sum($"en").as("y"))
+    isotonicMicro(bins)
+      .select($"ord".as("bin"), $"n", $"raw_micro", $"iso_micro")
+  }
+
+  val q457Sql: String = {
+    val quality = graft.functions.TextAnalysis.sqlQualityScore("text")
+    s"""WITH f AS (
+       |  SELECT CAST(floor(($quality) * 1000000) AS BIGINT) AS qm,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en
+       |  FROM documents),
+       |bins AS (
+       |  SELECT qm // 100000 AS ord, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(en) AS BIGINT) AS y
+       |  FROM f GROUP BY 1),
+       |cum AS (
+       |  SELECT ord, n, y,
+       |    sum(n) OVER (ORDER BY ord
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+       |    sum(y) OVER (ORDER BY ord
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cy
+       |  FROM bins),
+       |iv AS (
+       |  SELECT a.ord AS i, b.ord AS j,
+       |    ((b.cy - (a.cy - a.y)) * 1000000) // (b.cn - (a.cn - a.n)) AS m
+       |  FROM cum a JOIN cum b ON a.ord <= b.ord),
+       |iso AS (
+       |  SELECT k, max(mn) AS iso_micro FROM (
+       |    SELECT c.ord AS k, iv.i, min(iv.m) AS mn
+       |    FROM cum c JOIN iv ON iv.i <= c.ord AND iv.j >= c.ord
+       |    GROUP BY 1, 2) t
+       |  GROUP BY k)
+       |SELECT b.ord AS bin, b.n, (b.y * 1000000) // b.n AS raw_micro,
+       |  iso.iso_micro
+       |FROM bins b JOIN iso ON b.ord = iso.k
+       |ORDER BY bin""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q457_isotonic_calibration", q457, Some(q457Sql)),
     QueryDef("q356_importance_weights", q356, Some(q356Sql)),
     QueryDef("q318_score_calibration", q318, Some(q318Sql)),
     QueryDef("q300_pipeline_funnel", q300, Some(q300Sql), bench = true),

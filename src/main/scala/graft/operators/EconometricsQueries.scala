@@ -520,10 +520,84 @@ object EconometricsQueries {
        |FROM k""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q456 — Ansari–Bradley rank scale test (order-value dispersion)
+  // ------------------------------------------------------------------
+
+  /** q456 — Ansari–Bradley two-sample SCALE test: do AUTOMOBILE and
+    * FURNITURE order values have the same dispersion around their
+    * common center? Ranks from the nearest extreme (a_i = min(r_i,
+    * N+1−r_i), midranks for ties) pile LOW scores on values far from
+    * the center, so a group with wider spread collects a LOWER score
+    * sum — the rank-based complement to q373 (Levene works on
+    * absolute deviations from group means; AB needs no moments at
+    * all, which is what makes it robust to the heavy order-value
+    * tail). Everything is integer: doubled midranks
+    * 2r = 2·cum_before + cnt + 1 kill the ½ ties introduce, doubled
+    * scores a2 = min(2r, 2(N+1)−2r), W2 = Σ_{group1} a2 exact, and
+    * the tie-exact expected value E[W2] = n1·Σcnt·a2/N is one
+    * truncating micro-division of DECIMAL(38,0) integers.
+    *
+    * Scale shape: the corpus collapses to the VALUE GRID (one groupBy
+    * on the cent value), and the global rank prefix-sum is
+    * [[Ranking.groupRunningSum]] — range-partitioned two-phase scan,
+    * no single task ever sorts the grid (the grid of a money column
+    * grows with the corpus; a global window here is exactly what
+    * WindowStragglerGuardSpec's r13 extension rejects). */
+  def q456(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vals = Tables.orders(s, d)
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+      .filter($"c_mktsegment".isin("AUTOMOBILE", "FURNITURE"))
+      .select(centsK($"o_totalprice").as("c"),
+        ($"c_mktsegment" === "AUTOMOBILE").cast("long").as("g1"))
+    val grid = vals.groupBy($"c")
+      .agg(count(lit(1)).as("cnt"), sum($"g1").as("cnt1"))
+    val ranked = Ranking.groupRunningSum(grid, Seq(), 32, "cnt", $"c")
+      .withColumn("r2", lit(2L) * $"run_before" + $"cnt" + 1L)
+    val tot = ranked.agg(sum($"cnt").as("nn"), sum($"cnt1").as("n1"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("a2", least($"r2", lit(2L) * ($"nn" + 1L) - $"r2"))
+      .groupBy($"nn", $"n1")
+      .agg(sum($"cnt1" * $"a2").as("w2"),
+        sum(expr("cast(cnt as decimal(38,0)) * a2")).as("sa2"))
+      .select($"n1", ($"nn" - $"n1").as("n2"), $"w2",
+        expr("(n1 * sa2 * 1000000) div nn").cast("long").as("e2_micro"))
+  }
+
+  val q456Sql: String =
+    """WITH vals AS (
+      |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+      |    CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS g1
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment IN ('AUTOMOBILE', 'FURNITURE')),
+      |grid AS (
+      |  SELECT c, CAST(count(*) AS BIGINT) AS cnt,
+      |    CAST(sum(g1) AS BIGINT) AS cnt1
+      |  FROM vals GROUP BY 1),
+      |rk AS (
+      |  SELECT cnt, cnt1,
+      |    2 * COALESCE(sum(cnt) OVER (ORDER BY c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      + cnt + 1 AS r2
+      |  FROM grid),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS nn,
+      |               CAST(sum(cnt1) AS BIGINT) AS n1 FROM rk),
+      |sc AS (
+      |  SELECT nn, n1, cnt, cnt1,
+      |    least(r2, 2 * (nn + 1) - r2) AS a2
+      |  FROM rk CROSS JOIN tot)
+      |SELECT n1, nn - n1 AS n2,
+      |  CAST(sum(cnt1 * a2) AS BIGINT) AS w2,
+      |  CAST((n1 * sum(CAST(cnt AS HUGEINT) * a2) * 1000000) // nn AS BIGINT)
+      |    AS e2_micro
+      |FROM sc GROUP BY nn, n1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q451_engle_granger", q451, Some(q451Sql)),
     QueryDef("q452_kpss_stationarity", q452, Some(q452Sql)),
     QueryDef("q453_granger_f", q453, Some(q453Sql)),
     QueryDef("q454_breusch_pagan", q454, Some(q454Sql)),
-    QueryDef("q455_chow_break", q455, Some(q455Sql)))
+    QueryDef("q455_chow_break", q455, Some(q455Sql)),
+    QueryDef("q456_ansari_bradley", q456, Some(q456Sql)))
 }

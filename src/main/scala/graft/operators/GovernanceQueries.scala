@@ -2316,6 +2316,71 @@ object GovernanceQueries {
       |    AS abs_err_micro
       |FROM r""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q458 — disparate-impact (80% rule) fairness audit by segment
+  // ------------------------------------------------------------------
+
+  /** q458 — disparate-impact audit of a selection rule across customer
+    * segments: "selected" = the account ever placed a high-value
+    * order (> 300k), groups = market segments, and each group's
+    * selection rate is compared to the BEST group's as the
+    * four-fifths (80%) rule ratio — the standard first-pass fairness
+    * screen (US EEOC guideline) run before shipping any
+    * customer-facing eligibility model; the same shape audits a
+    * training-data selection filter for per-source / per-language
+    * skew. Distinct from q268 (two-proportion z on one A/B pair —
+    * significance of a difference) and q362 (Simpson's aggregation
+    * reversal): this is the group-vs-reference RATIO table with the
+    * regulatory threshold flag. All integer: rates and ratios are
+    * truncating micro-divisions of exact counts; the reference group
+    * maximizes (rate, name) — cross-multiplied comparison via the
+    * micro rate, name tie-break, so the audit is deterministic.
+    *
+    * Scale shape: one orders→customer semi-join marks selected
+    * accounts, one groupBy on the bounded segment domain; the
+    * reference row is a 1-row broadcast. */
+  def q458(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val selected = Tables.orders(s, d)
+      .filter($"o_totalprice" > 300000.0)
+      .select($"o_custkey").distinct()
+    val groups = Tables.customer(s, d)
+      .join(selected, $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_mktsegment".as("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(when($"o_custkey".isNotNull, 1L).otherwise(0L)).as("sel"))
+      .withColumn("rate_micro", expr("(sel * 1000000) div n"))
+    val ref = groups
+      .orderBy($"rate_micro".desc, $"segment")
+      .limit(1)
+      .select($"segment".as("ref_segment"), $"sel".as("ref_sel"),
+        $"n".as("ref_n"))
+    groups.crossJoin(broadcast(ref))
+      .select($"segment", $"n", $"sel", $"rate_micro", $"ref_segment",
+        expr("(sel * ref_n * 1000000) div (n * ref_sel)").as("di_micro"))
+      .withColumn("below_four_fifths", ($"di_micro" < 800000L).cast("int"))
+      .orderBy($"segment")
+  }
+
+  val q458Sql: String =
+    """WITH selected AS (
+      |  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000),
+      |groups AS (
+      |  SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS sel
+      |  FROM customer LEFT JOIN selected ON c_custkey = o_custkey
+      |  GROUP BY 1),
+      |g2 AS (SELECT *, (sel * 1000000) // n AS rate_micro FROM groups),
+      |ref AS (
+      |  SELECT segment AS ref_segment, sel AS ref_sel, n AS ref_n
+      |  FROM g2 ORDER BY rate_micro DESC, segment LIMIT 1)
+      |SELECT segment, n, sel, rate_micro, ref_segment,
+      |  (sel * ref_n * 1000000) // (n * ref_sel) AS di_micro,
+      |  CASE WHEN (sel * ref_n * 1000000) // (n * ref_sel) < 800000
+      |    THEN 1 ELSE 0 END AS below_four_fifths
+      |FROM g2 CROSS JOIN ref ORDER BY segment""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q411_bh_fdr", q411, Some(q411Sql)),
     QueryDef("q406_cochran_q", q406, Some(q406Sql)),
@@ -2346,6 +2411,7 @@ object GovernanceQueries {
     QueryDef("q308_drift_leaderboard", q308, Some(q308Sql)),
     QueryDef("q254_mann_whitney_drift", q254, Some(q254Sql)),
     QueryDef("q182_benford_audit", q182, Some(q182Sql)),
+    QueryDef("q458_disparate_impact", q458, Some(q458Sql)),
     QueryDef("q170_k_anonymity", q170, Some(q170Sql)),
     QueryDef("q171_equidepth_hist", q171, Some(q171Sql)),
     QueryDef("q175_sliding_window_agg", q175, Some(q175Sql), bench = true),

@@ -3376,4 +3376,66 @@ class PlantedStructureSpec extends SparkSpec {
       (11 to 24).map(m => (m, (100L + 10L * m + kick(m)) * 1000.0)))
     assert(operators.EconometricsQueries.q455(spark, short).head().isNullAt(2))
   }
+
+  /** customer+orders fixture keyed by segment: each (segment, dollars)
+    * element becomes one customer with one order of that amount
+    * (dollars < 0 → customer with NO orders). */
+  private def segCustOrdersDir(rows: Seq[(String, Double)]): String = {
+    val dir = Files.createTempDirectory("planted-seg2")
+    val keyed = rows.zipWithIndex.map { case ((seg, dol), i) =>
+      (i.toLong + 1L, seg, dol)
+    }
+    keyed.map { case (k, seg, _) => (k, seg) }
+      .toDF("c_custkey", "c_mktsegment")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("customer.parquet").toString)
+    keyed.filter(_._3 >= 0).map { case (k, _, dol) => (k, k, dol) }
+      .toDF("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("o_orderdate", to_timestamp(lit("2020-06-15")))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("orders.parquet").toString)
+    dir.toString
+  }
+
+  test("q456 reproduces the hand-ranked AB scores including the midrank tie") {
+    // combined sorted cents: 100, 500, 500, 900, 1300 (N=5); doubled
+    // midranks 2, 5, 5, 8, 10; doubled scores min(2r, 12-2r):
+    // 2, 5, 5, 4, 2. Group1 holds {500, 500, 900} -> W2 = 14;
+    // Σcnt·a2 = 18 -> E2_micro = (3·18·1e6) div 5 = 10,800,000.
+    val d = segCustOrdersDir(Seq(
+      ("AUTOMOBILE", 5.0), ("AUTOMOBILE", 5.0), ("AUTOMOBILE", 9.0),
+      ("FURNITURE", 1.0), ("FURNITURE", 13.0)))
+    val r = operators.EconometricsQueries.q456(spark, d).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((3L, 2L, 14L, 10800000L)), r.toString)
+  }
+
+  test("q457's isotonic core pools the classic violation and passes monotone input through") {
+    val bins = Seq((1L, 10L, 1L), (2L, 10L, 3L), (3L, 10L, 2L), (4L, 10L, 4L))
+      .toDF("ord", "n", "y")
+    val out = operators.CurationQueries.isotonicMicro(bins).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 100000L, 100000L), (2L, 300000L, 250000L),
+      (3L, 200000L, 250000L), (4L, 400000L, 400000L)),
+      s"PAVA must pool bins 2,3 to 25%: ${out.toSeq}")
+    val mono = Seq((1L, 10L, 1L), (2L, 10L, 2L), (3L, 10L, 3L), (4L, 10L, 4L))
+      .toDF("ord", "n", "y")
+    val mout = operators.CurationQueries.isotonicMicro(mono).collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
+    assert(mout.forall { case (raw, iso) => raw == iso },
+      s"monotone input must be a fixed point: ${mout.toSeq}")
+  }
+
+  test("q458 flags the planted four-fifths violation against the best group") {
+    // A: 9/10 selected (rate 0.9, reference); B: 4/10 (ratio 4/9 < 0.8)
+    val d = segCustOrdersDir(
+      (1 to 9).map(_ => ("A", 400000.0)) ++ Seq(("A", 10.0)) ++
+      (1 to 4).map(_ => ("B", 500000.0)) ++ (1 to 6).map(_ => ("B", -1.0)))
+    val out = operators.GovernanceQueries.q458(spark, d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(4), r.getLong(5), r.getInt(6)))
+      .toMap
+    assert(out("A") === ((10L, 9L, "A", 1000000L, 0)), out.toString)
+    assert(out("B") === ((10L, 4L, "A", 444444L, 1)), out.toString)
+  }
 }
