@@ -593,11 +593,177 @@ object EconometricsQueries {
       |    AS e2_micro
       |FROM sc GROUP BY nn, n1""".stripMargin
 
-  val all: Seq[QueryDef] = Seq(
+  lazy val all: Seq[QueryDef] = Seq(
     QueryDef("q451_engle_granger", q451, Some(q451Sql)),
     QueryDef("q452_kpss_stationarity", q452, Some(q452Sql)),
     QueryDef("q453_granger_f", q453, Some(q453Sql)),
     QueryDef("q454_breusch_pagan", q454, Some(q454Sql)),
     QueryDef("q455_chow_break", q455, Some(q455Sql)),
-    QueryDef("q456_ansari_bradley", q456, Some(q456Sql)))
+    QueryDef("q456_ansari_bradley", q456, Some(q456Sql)),
+    QueryDef("q459_cooks_distance", q459, Some(q459Sql)),
+    QueryDef("q460_diebold_mariano", q460, Some(q460Sql)))
+
+  // ------------------------------------------------------------------
+  // q459 — regression influence diagnostics (leverage + Cook's D)
+  // ------------------------------------------------------------------
+
+  /** q459 — influence diagnostics for the monthly revenue trend fit:
+    * per month, the leverage h_t (how far the month sits in the time
+    * design — ends of the sample pull hardest) and Cook's distance
+    * D_t = e_t²·h_t / (p·s²·(1−h_t)²), the standard "which
+    * observations OWN this regression" readout that belongs next to
+    * q455 (a structural break often first appears as a run of
+    * high-D months) and before trusting any q172-family slope.
+    * Exactness: cleared residual v_t = Cxx·(n·y_t−Σy) − Cxy·(n·t−Σt)
+    * (true e_t = v_t/(n·Cxx)) and leverage numerator
+    * H_t = Cxx + (n·t−Σt)² (true h_t = H_t/(n·Cxx)) are exact
+    * DECIMAL(38,0); leverage, Cook's D and the 4/n flag come through
+    * the fixed-shape double pipeline on those integers, r6. */
+  def q459(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = Tables.orders(s, d)
+      .groupBy((year($"o_orderdate") * 100 + month($"o_orderdate")).as("ym"))
+      .agg(sum(centsK($"o_totalprice")).as("yc"))
+      .select($"ym", expr("yc div 100000").as("y"))
+      .withColumn("t", row_number().over(Window.orderBy($"ym")).cast("long"))
+    val m = g.agg(count(lit(1)).as("n"),
+      sum($"t").as("st"), sum($"y").as("sy"),
+      sum(expr("cast(t as decimal(38,0)) * t")).as("stt"),
+      sum(expr("cast(t as decimal(38,0)) * y")).as("sty"))
+    val base = g.crossJoin(broadcast(m))
+      .withColumn("cxx", expr("n * stt - cast(st as decimal(38,0)) * st"))
+      .withColumn("cxy", expr("n * sty - cast(st as decimal(38,0)) * sy"))
+      .withColumn("v", expr("cxx * (n * y - sy) - cxy * (n * t - st)"))
+      .withColumn("hn", expr("cxx + cast(n * t - st as decimal(38,0)) * (n * t - st)"))
+      .transform(Fx.materialize)
+    val sse = base.agg(sum(expr("v * v")).as("svv")).select($"svv")
+    val nc = $"n".cast("double") * $"cxx".cast("double")
+    val e = $"v".cast("double") / nc
+    val h = $"hn".cast("double") / nc
+    val s2 = ($"svv".cast("double") / (nc * nc)) / ($"n".cast("double") - 2.0)
+    val dCook = e * e * h / (lit(2.0) * s2 * (lit(1.0) - h) * (lit(1.0) - h))
+    base.crossJoin(broadcast(sse))
+      .filter($"cxx" =!= 0 && $"n" > 2)
+      .select($"ym", r6(h).as("leverage"), r6(dCook).as("cook_d"),
+        (dCook > lit(4.0) / $"n".cast("double")).cast("int").as("influential"))
+      .orderBy($"ym")
+  }
+
+  val q459Sql: String =
+    """WITH g0 AS (
+      |  SELECT year(o_orderdate)*100 + month(o_orderdate) AS ym,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      // 100000 AS y
+      |  FROM orders GROUP BY 1),
+      |g AS (SELECT ym, y,
+      |        CAST(row_number() OVER (ORDER BY ym) AS BIGINT) AS t
+      |      FROM g0),
+      |m AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(t) AS HUGEINT) AS st, CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) AS stt,
+      |    CAST(sum(CAST(t AS HUGEINT) * y) AS HUGEINT) AS sty
+      |  FROM g),
+      |base AS (
+      |  SELECT ym, n,
+      |    n * stt - st * st AS cxx,
+      |    (n * stt - st * st) * (n * y - sy)
+      |      - (n * sty - st * sy) * (n * t - st) AS v,
+      |    (n * stt - st * st) + (n * t - st) * (n * t - st) AS hn
+      |  FROM g CROSS JOIN m),
+      |sse AS (SELECT sum(v * v) AS svv FROM base)
+      |SELECT ym,
+      |  floor(CAST(hn AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(cxx AS DOUBLE))
+      |    * 1000000 + 0.5) / 1000000 AS leverage,
+      |  floor(
+      |    (CAST(v AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(cxx AS DOUBLE)))
+      |    * (CAST(v AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(cxx AS DOUBLE)))
+      |    * (CAST(hn AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(cxx AS DOUBLE)))
+      |    / (2.0
+      |       * ((CAST(svv AS DOUBLE) / ((CAST(n AS DOUBLE) * CAST(cxx AS DOUBLE))
+      |            * (CAST(n AS DOUBLE) * CAST(cxx AS DOUBLE))))
+      |          / (CAST(n AS DOUBLE) - 2.0))
+      |       * (1.0 - CAST(hn AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(cxx AS DOUBLE)))
+      |       * (1.0 - CAST(hn AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(cxx AS DOUBLE))))
+      |    * 1000000 + 0.5) / 1000000 AS cook_d,
+      |  CASE WHEN
+      |    (CAST(v AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(cxx AS DOUBLE)))
+      |    * (CAST(v AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(cxx AS DOUBLE)))
+      |    * (CAST(hn AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(cxx AS DOUBLE)))
+      |    / (2.0
+      |       * ((CAST(svv AS DOUBLE) / ((CAST(n AS DOUBLE) * CAST(cxx AS DOUBLE))
+      |            * (CAST(n AS DOUBLE) * CAST(cxx AS DOUBLE))))
+      |          / (CAST(n AS DOUBLE) - 2.0))
+      |       * (1.0 - CAST(hn AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(cxx AS DOUBLE)))
+      |       * (1.0 - CAST(hn AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(cxx AS DOUBLE))))
+      |    > 4.0 / CAST(n AS DOUBLE) THEN 1 ELSE 0 END AS influential
+      |FROM base CROSS JOIN sse
+      |WHERE cxx <> 0 AND n > 2
+      |ORDER BY ym""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q460 — Diebold–Mariano forecast-accuracy comparison
+  // ------------------------------------------------------------------
+
+  /** q460 — Diebold–Mariano comparison of two forecasting rules on
+    * monthly revenue: naive (last month) vs seasonal-naive (same
+    * month last year), squared-error loss. The loss differential
+    * d_t = (y−f₁)² − (y−f₂)² has DM statistic d̄/se(d̄); reported
+    * CROSS-MULTIPLIED as t²_micro = (n−1)·(Σd)²·10⁶ div
+    * (n·Σd² − (Σd)²) plus sign(Σd) — exactly the integer-only square
+    * of the t statistic (no sqrt crosses the engine boundary), the
+    * q268/q448 convention. This is the MISSING judgement layer over
+    * q331 (MASE scores one model against a benchmark; DM says whether
+    * the difference between two models is real). Negative sign →
+    * the naive rule wins. Evaluation months are those with BOTH
+    * forecasts defined (t ≥ 13 on the month ordinal, gaps collapse —
+    * stated). */
+  def q460(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = Tables.orders(s, d)
+      .groupBy((year($"o_orderdate") * 100 + month($"o_orderdate")).as("ym"))
+      .agg(sum(centsK($"o_totalprice")).as("yc"))
+      .select($"ym", expr("yc div 100000").as("y"))
+      .withColumn("t", row_number().over(Window.orderBy($"ym")).cast("long"))
+      .transform(Fx.materialize)
+    val dts = g.select($"t", $"y")
+      .join(g.select(($"t" + 1).as("t"), $"y".as("f1")), "t")
+      .join(g.select(($"t" + 12).as("t"), $"y".as("f12")), "t")
+      .select(expr(
+        """cast(y - f1 as decimal(38,0)) * (y - f1)
+           - cast(y - f12 as decimal(38,0)) * (y - f12)""").as("d"))
+    dts.agg(count(lit(1)).as("n"), sum($"d").as("sd"),
+        sum(expr("d * d")).as("sdd"))
+      .select($"n",
+        when($"sd" > 0, 1).when($"sd" < 0, -1).otherwise(0).as("sign"),
+        when($"n" * $"sdd" - $"sd" * $"sd" === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "((n - 1) * sd * sd * 1000000) div (n * sdd - sd * sd)")
+            .cast("long"))
+          .as("t2_micro"))
+  }
+
+  val q460Sql: String =
+    """WITH g0 AS (
+      |  SELECT year(o_orderdate)*100 + month(o_orderdate) AS ym,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      // 100000 AS y
+      |  FROM orders GROUP BY 1),
+      |g AS (SELECT y, CAST(row_number() OVER (ORDER BY ym) AS BIGINT) AS t
+      |      FROM g0),
+      |dts AS (
+      |  SELECT CAST(c.y - p1.y AS HUGEINT) * (c.y - p1.y)
+      |       - CAST(c.y - p12.y AS HUGEINT) * (c.y - p12.y) AS d
+      |  FROM g c JOIN g p1 ON c.t = p1.t + 1
+      |           JOIN g p12 ON c.t = p12.t + 12),
+      |agg AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n, sum(d) AS sd,
+      |    sum(d * d) AS sdd
+      |  FROM dts)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  CASE WHEN sd > 0 THEN 1 WHEN sd < 0 THEN -1 ELSE 0 END AS sign,
+      |  CASE WHEN n * sdd - sd * sd = 0 THEN NULL
+      |    ELSE CAST(((n - 1) * sd * sd * 1000000) // (n * sdd - sd * sd)
+      |      AS BIGINT) END AS t2_micro
+      |FROM agg""".stripMargin
 }

@@ -408,8 +408,86 @@ object LakehouseQueries {
        |FROM orders JOIN customer ON o_custkey = c_custkey
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q461 — partition-key advisor (the DPP companion)
+  // ------------------------------------------------------------------
+
+  /** q461 — partition-KEY selection advisor: for each candidate
+    * partition column of the line fact (ship day, ship month, return
+    * flag, supplier), the numbers that decide whether q450-style
+    * dynamic partition pruning will ever pay off on that layout —
+    * partition count, row balance (max/uniform skew ratio), the scan
+    * fraction a pruned point probe reads, and the small-partition
+    * count (the q219 small-file problem a too-fine key creates). The
+    * trade is explicit in the output: `day` prunes hardest but
+    * fragments worst; `returnflag` never fragments but a probe still
+    * reads a third of the table. Complements q219 (file packing
+    * WITHIN a chosen layout), q220 (zone-map stats within files) and
+    * q228 (training-shard balance): this picks the DIRECTORY key.
+    *
+    * Scale shape: one scan fans each row into 4 (key, value) pairs
+    * (map + explode, no UDF), one (key, value) aggregate collapses to
+    * the layout-manifest relation, one per-key rollup on the 4-row
+    * key domain; all ratios are truncating micro-divisions of exact
+    * counts. */
+  def q461(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val kv = Tables.lineitem(s, d).select(
+      explode(map(
+        lit("day"), epochDay($"l_shipdate").cast("long").cast("string"),
+        lit("month"),
+        (year($"l_shipdate") * 100 + month($"l_shipdate")).cast("string"),
+        lit("returnflag"), $"l_returnflag",
+        lit("supplier"), $"l_suppkey".cast("string")))
+        .as(Seq("part_key", "part_value")))
+    kv.groupBy($"part_key", $"part_value")
+      .agg(count(lit(1)).as("rows"))
+      .groupBy($"part_key")
+      .agg(count(lit(1)).as("n_parts"), sum($"rows").as("total_rows"),
+        max($"rows").as("max_part_rows"),
+        sum(when($"rows" < 100L, 1L).otherwise(0L)).as("small_parts"))
+      .select($"part_key", $"n_parts", $"total_rows", $"max_part_rows",
+        expr("(total_rows * 1000000) div n_parts").as("avg_rows_micro"),
+        expr("(max_part_rows * n_parts * 1000000) div total_rows")
+          .as("skew_micro"),
+        expr("1000000 div n_parts").as("point_scan_micro"),
+        $"small_parts")
+      .orderBy($"part_key")
+  }
+
+  val q461Sql: String = {
+    def cand(name: String, e: String) =
+      s"""SELECT '$name' AS part_key, $e AS part_value
+         |  FROM lineitem""".stripMargin
+    s"""WITH kv AS (
+       |  ${cand("day", "CAST(CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS VARCHAR)")}
+       |  UNION ALL
+       |  ${cand("month", "CAST(year(l_shipdate)*100 + month(l_shipdate) AS VARCHAR)")}
+       |  UNION ALL
+       |  ${cand("returnflag", "l_returnflag")}
+       |  UNION ALL
+       |  ${cand("supplier", "CAST(l_suppkey AS VARCHAR)")}),
+       |manifest AS (
+       |  SELECT part_key, part_value, CAST(count(*) AS BIGINT) AS rows
+       |  FROM kv GROUP BY 1, 2),
+       |rollup AS (
+       |  SELECT part_key, CAST(count(*) AS BIGINT) AS n_parts,
+       |    CAST(sum(rows) AS BIGINT) AS total_rows,
+       |    CAST(max(rows) AS BIGINT) AS max_part_rows,
+       |    CAST(sum(CASE WHEN rows < 100 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS small_parts
+       |  FROM manifest GROUP BY 1)
+       |SELECT part_key, n_parts, total_rows, max_part_rows,
+       |  (total_rows * 1000000) // n_parts AS avg_rows_micro,
+       |  (max_part_rows * n_parts * 1000000) // total_rows AS skew_micro,
+       |  1000000 // n_parts AS point_scan_micro,
+       |  small_parts
+       |FROM rollup ORDER BY part_key""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q242_incremental_agg", q242, Some(q242Sql)),
+    QueryDef("q461_partition_advisor", q461, Some(q461Sql)),
     QueryDef("q219_compaction_plan", q219, Some(q219Sql)),
     QueryDef("q220_zonemap_audit", q220, Some(q220Sql)),
     QueryDef("q225_cdc_merge", q225, Some(q225Sql), bench = true),

@@ -3377,6 +3377,81 @@ class PlantedStructureSpec extends SparkSpec {
     assert(operators.EconometricsQueries.q455(spark, short).head().isNullAt(2))
   }
 
+  test("q459 pins the planted outlier as the only influential month, exact vs replay") {
+    // flat line 100 kilo with one 200-kilo spike at t=12: only the
+    // spike month may cross the 4/n Cook threshold
+    val ys = (1 to 12).map(m => if (m == 12) 200L else 100L)
+    val d = perOrderMonthlyDir(2020, (1 to 12).map(m => (m, ys(m - 1) * 1000.0)))
+    val out = operators.EconometricsQueries.q459(spark, d).collect()
+      .map(r => (r.getInt(0).toLong, r.getDouble(1), r.getDouble(2), r.getInt(3)))
+    // exact replay of the integer + double pipeline
+    val n = BigInt(12)
+    val ts = (1 to 12).map(_.toLong)
+    def s(v: Seq[Long]) = v.map(BigInt(_)).sum
+    def sp(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (u, v) => BigInt(u) * v }.sum
+    val (st, sy) = (s(ts), s(ys))
+    val cxx = n * sp(ts, ts) - st * st
+    val cxy = n * sp(ts, ys) - st * sy
+    val vs = ts.zip(ys).map { case (t, y) =>
+      cxx * (n * y - sy) - cxy * (n * t - st) }
+    val hns = ts.map(t => cxx + (n * t - st) * (n * t - st))
+    val svv = vs.map(v => v * v).sum
+    val nc = n.toDouble * cxx.toDouble
+    val s2 = (svv.toDouble / (nc * nc)) / (n.toDouble - 2.0)
+    val expect = ts.indices.map { i =>
+      val e = vs(i).toDouble / nc; val h = hns(i).toDouble / nc
+      val cook = e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h))
+      (202000L + ts(i), r6d(h), r6d(cook), if (cook > 4.0 / 12.0) 1 else 0)
+    }
+    assert(out.toSeq === expect, s"${out.toSeq}\nvs\n$expect")
+    assert(out.count(_._4 == 1) === 1 && out.find(_._4 == 1).get._1 === 202012L,
+      s"only the planted spike month may be influential: ${out.toSeq}")
+    // leverage is symmetric and maximal at the ends of a full design
+    assert(out.head._2 === out.last._2 && out.head._2 > out(5)._2, out.toSeq.toString)
+  }
+
+  test("q460 prefers the planted seasonal structure and nulls the constant differential") {
+    // exact 12-month pattern repeated twice: seasonal-naive is PERFECT
+    // on months 13..24, naive is not -> sign +1, t2 matches the replay
+    val pat = Seq(100L, 140L, 90L, 160L, 120L, 80L, 150L, 110L, 95L, 130L, 85L, 145L)
+    val ys = pat ++ pat
+    val d = perOrderMonthlyDir(1997, (1 to 24).map(m => (m, ys(m - 1) * 1000.0)))
+    val out = operators.EconometricsQueries.q460(spark, d).head()
+    val ds = (13 to 24).map { t =>
+      val e1 = BigInt(ys(t - 1) - ys(t - 2)); e1 * e1 // f12 loss is 0
+    }
+    val (n, sd, sdd) = (BigInt(12), ds.sum, ds.map(x => x * x).sum)
+    val expect = ((n - 1) * sd * sd * 1000000) / (n * sdd - sd * sd)
+    assert((out.getLong(0), out.getInt(1), out.getLong(2)) ===
+      ((12L, 1, expect.toLong)), s"$out vs replay $expect")
+    // pole: pure linear trend -> d_t = k² − (12k)² constant -> zero
+    // variance -> NULL, sign −1 (naive wins)
+    val lin = perOrderMonthlyDir(1997, (1 to 24).map(m => (m, (100L + 10L * m) * 1000.0)))
+    val po = operators.EconometricsQueries.q460(spark, lin).head()
+    assert(po.getInt(1) === -1 && po.isNullAt(2), po.toString)
+  }
+
+  test("q461 reads the planted layout manifests exactly for all four candidate keys") {
+    val dir = Files.createTempDirectory("planted-padv")
+    Seq((1L, 1, "A"), (1L, 1, "A"), (2L, 1, "R"), (2L, 2, "A"), (3L, 2, "R"))
+      .toDF("l_suppkey", "day", "l_returnflag")
+      .withColumn("l_shipdate", timestamp_micros(
+        ($"day".cast("long") * 86400L + 43200L) * 1000000L))
+      .select($"l_suppkey", $"l_returnflag", $"l_shipdate")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("lineitem.parquet").toString)
+    val out = operators.LakehouseQueries.q461(spark, dir.toString).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(out.toSeq === Seq(
+      ("day", 2L, 5L, 3L, 2500000L, 1200000L, 500000L, 2L),
+      ("month", 1L, 5L, 5L, 5000000L, 1000000L, 1000000L, 1L),
+      ("returnflag", 2L, 5L, 3L, 2500000L, 1200000L, 500000L, 2L),
+      ("supplier", 3L, 5L, 2L, 1666666L, 1200000L, 333333L, 3L)),
+      out.toSeq.toString)
+  }
+
   /** customer+orders fixture keyed by segment: each (segment, dollars)
     * element becomes one customer with one order of that amount
     * (dollars < 0 → customer with NO orders). */
