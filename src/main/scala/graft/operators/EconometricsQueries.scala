@@ -601,7 +601,123 @@ object EconometricsQueries {
     QueryDef("q455_chow_break", q455, Some(q455Sql)),
     QueryDef("q456_ansari_bradley", q456, Some(q456Sql)),
     QueryDef("q459_cooks_distance", q459, Some(q459Sql)),
-    QueryDef("q460_diebold_mariano", q460, Some(q460Sql)))
+    QueryDef("q460_diebold_mariano", q460, Some(q460Sql)),
+    QueryDef("q462_cochrane_orcutt", q462, Some(q462Sql)))
+
+  // ------------------------------------------------------------------
+  // q462 — Cochrane–Orcutt AR(1)-corrected trend slope
+  // ------------------------------------------------------------------
+
+  /** q462 — Cochrane–Orcutt one-step correction of the monthly trend
+    * fit: estimate the residual AR(1) coefficient ρ̂ from the naive
+    * OLS residuals, quasi-difference the data (y′ = y_t − ρ̂y_{t−1},
+    * t′ = t − ρ̂(t−1)) and refit. When q459/q454's diagnostics show
+    * serially-correlated errors, the naive slope's standard
+    * inference is wrong AND the slope itself is inefficient — this is
+    * the classic textbook remedy, reported as (ρ̂, naive slope,
+    * corrected slope) so the drift in the slope measures how much the
+    * autocorrelation was distorting the trend. Exactness: cleared
+    * residuals v_t as in q459; ρ̂_micro = (Σv_{t−1}v_t·10⁶) div
+    * Σv_{t−1}² is a truncating division of exact DECIMAL(38,0) sums;
+    * the quasi-differenced series lives on the exact 10⁻⁶ grid
+    * (Y = 10⁶·y_t − ρ̂_micro·y_{t−1} — BIGINT, the common 10⁶ factor
+    * cancels in the slope), and both slopes come out of the
+    * fixed-shape double pipeline on exact moments, r6. */
+  def q462(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = Tables.orders(s, d)
+      .groupBy((year($"o_orderdate") * 100 + month($"o_orderdate")).as("ym"))
+      .agg(sum(centsK($"o_totalprice")).as("yc"))
+      .select($"ym", expr("yc div 100000").as("y"))
+      .withColumn("t", row_number().over(Window.orderBy($"ym")).cast("long"))
+      .transform(Fx.materialize)
+    val m = g.agg(count(lit(1)).as("n"),
+      sum($"t").as("st"), sum($"y").as("sy"),
+      sum(expr("cast(t as decimal(38,0)) * t")).as("stt"),
+      sum(expr("cast(t as decimal(38,0)) * y")).as("sty"))
+    val base = g.crossJoin(broadcast(m))
+      .withColumn("cxx", expr("n * stt - cast(st as decimal(38,0)) * st"))
+      .withColumn("cxy", expr("n * sty - cast(st as decimal(38,0)) * sy"))
+      .withColumn("v", expr("cxx * (n * y - sy) - cxy * (n * t - st)"))
+      .transform(Fx.materialize)
+    val rho = base.select($"t", $"v")
+      .join(base.select(($"t" + 1).as("t"), $"v".as("vp")), "t")
+      .agg(sum(expr("vp * v")).as("num"), sum(expr("vp * vp")).as("den"))
+      .select(when($"den" === 0, lit(null).cast("long"))
+        .otherwise(expr("(num * 1000000) div den").cast("long"))
+        .as("rho_micro"))
+    val qd = base.select($"t", $"y")
+      .join(base.select(($"t" + 1).as("t"), $"y".as("yp")), "t")
+      .crossJoin(broadcast(rho))
+      .filter($"rho_micro".isNotNull)
+      .select(
+        (lit(1000000L) * $"t" - $"rho_micro" * ($"t" - 1L)).as("tt"),
+        (lit(1000000L) * $"y" - $"rho_micro" * $"yp").as("yy"))
+    val m2 = qd.agg(count(lit(1)).as("n2"),
+      sum($"tt").as("s1"), sum($"yy").as("s2"),
+      sum(expr("cast(tt as decimal(38,0)) * tt")).as("s11"),
+      sum(expr("cast(tt as decimal(38,0)) * yy")).as("s12"))
+    m.crossJoin(broadcast(rho)).crossJoin(broadcast(m2))
+      .withColumn("cxx", expr("n * stt - cast(st as decimal(38,0)) * st"))
+      .withColumn("cxy", expr("n * sty - cast(st as decimal(38,0)) * sy"))
+      .withColumn("det2", expr("n2 * s11 - cast(s1 as decimal(38,0)) * s1"))
+      .withColumn("num2", expr("n2 * s12 - cast(s1 as decimal(38,0)) * s2"))
+      .select($"n", $"rho_micro",
+        when($"cxx" === 0, lit(null).cast("double"))
+          .otherwise(r6($"cxy".cast("double") / $"cxx".cast("double")))
+          .as("slope_naive"),
+        when($"det2" === 0, lit(null).cast("double"))
+          .otherwise(r6($"num2".cast("double") / $"det2".cast("double")))
+          .as("slope_corrected"))
+  }
+
+  val q462Sql: String =
+    """WITH g0 AS (
+      |  SELECT year(o_orderdate)*100 + month(o_orderdate) AS ym,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      // 100000 AS y
+      |  FROM orders GROUP BY 1),
+      |g AS (SELECT y, CAST(row_number() OVER (ORDER BY ym) AS BIGINT) AS t
+      |      FROM g0),
+      |m AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(t) AS HUGEINT) AS st, CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) AS stt,
+      |    CAST(sum(CAST(t AS HUGEINT) * y) AS HUGEINT) AS sty
+      |  FROM g),
+      |base AS (
+      |  SELECT t, y,
+      |    n * stt - st * st AS cxx, n * sty - st * sy AS cxy,
+      |    (n * stt - st * st) * (n * y - sy)
+      |      - (n * sty - st * sy) * (n * t - st) AS v
+      |  FROM g CROSS JOIN m),
+      |rho AS (
+      |  SELECT CASE WHEN sum(p.v * c.v) IS NULL OR sum(p.v * p.v) = 0
+      |    THEN NULL
+      |    ELSE CAST((sum(p.v * c.v) * 1000000) // sum(p.v * p.v) AS BIGINT)
+      |    END AS rho_micro
+      |  FROM base c JOIN base p ON c.t = p.t + 1),
+      |qd AS (
+      |  SELECT 1000000 * c.t - r.rho_micro * (c.t - 1) AS tt,
+      |    1000000 * c.y - r.rho_micro * p.y AS yy
+      |  FROM base c JOIN base p ON c.t = p.t + 1
+      |  CROSS JOIN rho r WHERE r.rho_micro IS NOT NULL),
+      |m2 AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n2,
+      |    CAST(sum(tt) AS HUGEINT) AS s1, CAST(sum(yy) AS HUGEINT) AS s2,
+      |    CAST(sum(CAST(tt AS HUGEINT) * tt) AS HUGEINT) AS s11,
+      |    CAST(sum(CAST(tt AS HUGEINT) * yy) AS HUGEINT) AS s12
+      |  FROM qd)
+      |SELECT CAST(n AS BIGINT) AS n, rho.rho_micro,
+      |  CASE WHEN n * stt - st * st = 0 THEN NULL
+      |    ELSE floor(CAST(n * sty - st * sy AS DOUBLE)
+      |      / CAST(n * stt - st * st AS DOUBLE) * 1000000 + 0.5) / 1000000
+      |    END AS slope_naive,
+      |  CASE WHEN n2 * s11 - s1 * s1 = 0 THEN NULL
+      |    ELSE floor(CAST(n2 * s12 - s1 * s2 AS DOUBLE)
+      |      / CAST(n2 * s11 - s1 * s1 AS DOUBLE) * 1000000 + 0.5) / 1000000
+      |    END AS slope_corrected
+      |FROM m CROSS JOIN rho CROSS JOIN m2""".stripMargin
 
   // ------------------------------------------------------------------
   // q459 — regression influence diagnostics (leverage + Cook's D)

@@ -1017,7 +1017,98 @@ object TextQueries {
       |    AS yule_k_micro
       |FROM cc GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q463 — TextRank keyword extraction (integer-exact power iteration)
+  // ------------------------------------------------------------------
+
+  /** q463 — TextRank keywords (Mihalcea & Tarau 2004): build the
+    * word co-occurrence graph from ADJACENT token pairs across the
+    * corpus (undirected, weight = co-occurrence count), run 3 rounds
+    * of the weighted PageRank-style update
+    * r(w) ← 0.15 + 0.85·Σ_{v~w} r(v)·weight(v,w)/wdeg(v), and emit
+    * the top-20 words. Distinct from q279 (RAKE scores candidate
+    * phrases by degree/frequency in ONE pass — no iteration) and q92
+    * (TF-IDF is purely frequency-based): TextRank lets a word inherit
+    * importance from its NEIGHBORS, the recursive signal the others
+    * can't produce. Unlike q91's r6-per-step double convention, ranks
+    * here live on the INTEGER micro grid end-to-end: per-edge
+    * contribution (r·weight) div wdeg and the damping update
+    * 150000 + (850000·Σ) div 10⁶ are pure BIGINT — no float ever
+    * crosses an engine boundary and per-edge truncation order cannot
+    * matter (integer sums commute).
+    *
+    * Scale shape: bigrams come from one zip-of-slices explode (no
+    * self-join on positions); each iteration is one edges⋈ranks join
+    * + one aggregate, shuffled by word — q91's machinery on the vocab
+    * graph. Top-20 is a global limit. */
+  def q463(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ws = split($"text", " ")
+    val big = Tables.documents(s, d)
+      .select(explode(arrays_zip(
+        slice(ws, lit(1), greatest(size(ws) - 1, lit(0))).as("l"),
+        slice(ws, lit(2), greatest(size(ws) - 1, lit(0))).as("r"))).as("bg"))
+      .select($"bg.l".as("u"), $"bg.r".as("v"))
+      .filter($"u" =!= "" && $"v" =!= "" && $"u" =!= $"v")
+    val und = big.groupBy($"u", $"v").agg(count(lit(1)).as("w"))
+    val edges = und
+      .unionByName(und.select($"v".as("u"), $"u".as("v"), $"w"))
+      .groupBy($"u", $"v").agg(sum($"w").as("w"))
+      .transform(Fx.materialize)
+    val wdeg = edges.groupBy($"u").agg(sum($"w").as("wd"))
+    val adj = edges.join(wdeg, "u").select($"u", $"v", $"w", $"wd")
+    val vocab = wdeg.select($"u".as("word"))
+    var rank = vocab.select($"word", lit(1000000L).as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = adj
+        .join(rank.withColumnRenamed("word", "u"), "u")
+        .select($"v".as("word"), expr("(r * w) div wd").as("c"))
+        .groupBy($"word").agg(sum($"c").as("cs"))
+      rank = vocab.join(contrib, Seq("word"), "left_outer")
+        .select($"word",
+          (lit(150000L) + expr("(850000 * coalesce(cs, cast(0 as bigint))) div 1000000"))
+            .as("r"))
+    }
+    rank.orderBy($"r".desc, $"word").limit(20)
+      .select($"word", $"r".as("rank_micro"))
+  }
+
+  val q463Sql: String = {
+    val iter = (i: Int, prev: String) =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT e.v AS word, sum((r.r * e.w) // e.wd) AS cs
+         |  FROM adj e JOIN $prev r ON e.u = r.word GROUP BY 1),
+         |r$i AS MATERIALIZED (
+         |  SELECT v.word,
+         |    150000 + (850000 * COALESCE(c.cs, 0)) // 1000000 AS r
+         |  FROM vocab v LEFT JOIN c$i c ON c.word = v.word)""".stripMargin
+    s"""WITH t AS (
+       |  SELECT string_split(text, ' ') AS ws FROM documents),
+       |big AS (
+       |  SELECT ws[CAST(p AS INT)] AS u, ws[CAST(p AS INT) + 1] AS v
+       |  FROM t, unnest(range(1, len(ws))) AS r(p)),
+       |bg AS (SELECT u, v FROM big
+       |       WHERE u <> '' AND v <> '' AND u <> v),
+       |und AS (
+       |  SELECT u, v, CAST(count(*) AS BIGINT) AS w FROM bg GROUP BY 1, 2),
+       |edges AS MATERIALIZED (
+       |  SELECT u, v, CAST(sum(w) AS BIGINT) AS w FROM (
+       |    SELECT u, v, w FROM und
+       |    UNION ALL SELECT v, u, w FROM und) s GROUP BY 1, 2),
+       |wdeg AS (SELECT u, CAST(sum(w) AS BIGINT) AS wd FROM edges GROUP BY 1),
+       |adj AS MATERIALIZED (
+       |  SELECT e.u, e.v, e.w, d.wd FROM edges e JOIN wdeg d ON e.u = d.u),
+       |vocab AS (SELECT u AS word FROM wdeg),
+       |r0 AS MATERIALIZED (SELECT word, CAST(1000000 AS BIGINT) AS r FROM vocab),
+       |${iter(1, "r0")},
+       |${iter(2, "r1")},
+       |${iter(3, "r2")}
+       |SELECT word, r AS rank_micro FROM r3
+       |ORDER BY r DESC, word LIMIT 20""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q463_textrank_keywords", q463, Some(q463Sql)),
     QueryDef("q447_yule_k", q447, Some(q447Sql)),
     QueryDef("q361_burrows_delta", q361, Some(q361Sql)),
     QueryDef("q370_juilland_dispersion", q370, Some(q370Sql)),

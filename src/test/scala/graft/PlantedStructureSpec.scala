@@ -3452,6 +3452,67 @@ class PlantedStructureSpec extends SparkSpec {
       out.toSeq.toString)
   }
 
+  test("q462 recovers the planted positive autocorrelation and matches the replay") {
+    // y = 100 + 5t + e with e in runs of three: rho-hat > 0, and the
+    // corrected slope must match the BigInt+double replay exactly
+    val e = Seq(10L, 10L, 10L, -10L, -10L, -10L)
+    val ys = (1 to 12).map(t => 100L + 5L * t + e((t - 1) % 6))
+    val d = perOrderMonthlyDir(2020, (1 to 12).map(m => (m, ys(m - 1) * 1000.0)))
+    val out = operators.EconometricsQueries.q462(spark, d).head()
+    // replay
+    val n = BigInt(12); val ts = (1 to 12).map(_.toLong)
+    def s(v: Seq[Long]) = v.map(BigInt(_)).sum
+    def sp(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (u, v) => BigInt(u) * v }.sum
+    val (st, sy) = (s(ts), s(ys))
+    val (stt, sty) = (sp(ts, ts), sp(ts, ys))
+    val cxx = n * stt - st * st; val cxy = n * sty - st * sy
+    val vs = ts.zip(ys).map { case (t, y) =>
+      cxx * (n * y - sy) - cxy * (n * t - st) }
+    def truncDiv(a: BigInt, b: BigInt) = a / b // both engines truncate to zero
+    val rho = truncDiv(vs.init.zip(vs.tail).map { case (p, c) => p * c }.sum
+      * 1000000, vs.init.map(v => v * v).sum)
+    val tts = (2 to 12).map(t => BigInt(1000000) * t - rho * (t - 1))
+    val yys = (2 to 12).map(t =>
+      BigInt(1000000) * ys(t - 1) - rho * ys(t - 2))
+    val n2 = BigInt(11)
+    val det2 = n2 * tts.map(x => x * x).sum - tts.sum * tts.sum
+    val num2 = n2 * tts.zip(yys).map { case (a, b) => a * b }.sum -
+      tts.sum * yys.sum
+    assert(out.getLong(0) === 12L && out.getLong(1) === rho.toLong, out.toString)
+    assert(rho > 300000, s"planted runs must read as strong positive rho: $rho")
+    assert(out.getDouble(2) === r6d(cxy.toDouble / cxx.toDouble), out.toString)
+    assert(out.getDouble(3) === r6d(num2.toDouble / det2.toDouble),
+      s"$out vs replay ${r6d(num2.toDouble / det2.toDouble)}")
+  }
+
+  test("q463 ranks the planted hub above its leaves and matches the integer replay") {
+    val texts = Seq("x hub y hub z hub", "hub x q hub", "y z")
+    val d = documentsDir(texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", "src", t.length.toLong) })
+    val out = operators.TextQueries.q463(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // integer replay of the exact pipeline on the planted bigrams
+    val bigrams = texts.flatMap(t => t.split(" ").sliding(2).map(a => (a(0), a(1))))
+      .filter { case (u, v) => u.nonEmpty && v.nonEmpty && u != v }
+    val und = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val edges = (und.toSeq ++ und.toSeq.map { case ((u, v), w) => ((v, u), w) })
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val wdeg = edges.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val vocab = wdeg.keySet
+    var rank = vocab.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val cs = edges.toSeq
+        .map { case ((u, v), w) => v -> (rank(u) * w) / wdeg(u) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      rank = vocab.map(w => w -> (150000L + (850000L * cs.getOrElse(w, 0L)) / 1000000L)).toMap
+    }
+    val expect = rank.toSeq.sortBy { case (w, r) => (-r, w) }.take(20)
+    assert(out.toSeq === expect, s"${out.toSeq}\nvs replay\n$expect")
+    assert(out.head._1 === "hub", s"hub must outrank its leaves: ${out.toSeq}")
+  }
+
   /** customer+orders fixture keyed by segment: each (segment, dollars)
     * element becomes one customer with one order of that amount
     * (dollars < 0 → customer with NO orders). */
