@@ -602,7 +602,158 @@ object EconometricsQueries {
     QueryDef("q456_ansari_bradley", q456, Some(q456Sql)),
     QueryDef("q459_cooks_distance", q459, Some(q459Sql)),
     QueryDef("q460_diebold_mariano", q460, Some(q460Sql)),
-    QueryDef("q462_cochrane_orcutt", q462, Some(q462Sql)))
+    QueryDef("q462_cochrane_orcutt", q462, Some(q462Sql)),
+    QueryDef("q464_newey_west_ratio", q464, Some(q464Sql)),
+    QueryDef("q466_pettitt_changepoint", q466, Some(q466Sql)))
+
+  // ------------------------------------------------------------------
+  // q464 — Newey-West (HAC) variance inflation ratio
+  // ------------------------------------------------------------------
+
+  /** q464 — Newey-West HAC variance-inflation ratio for the monthly
+    * trend fit: S/gamma0 where S = gamma0 + 2*sum_{l=1..L}
+    * (1 - l/(L+1))*gamma_l is the Bartlett-kernel long-run variance of
+    * the residuals (L = 4, stated). The ratio is the factor by which
+    * serially-correlated errors inflate the naive OLS variance - the
+    * quantitative companion to q462 (which corrects the SLOPE, while
+    * this prices the INFERENCE): ratio near 1 means homoskedastic-
+    * serial-free standard errors are fine, ratio far above 1 means
+    * every q172-family t-statistic is overstated by about its square
+    * root. Exactness: cleared residuals v as in q459 (the clearing
+    * factor cancels in the ratio); autocovariance numerators
+    * gamma_l' = sum v_t*v_{t-l} are exact DECIMAL(38,0); the weights
+    * cross-multiply by (L+1) so ratio_micro = ((5*gamma0' +
+    * 2*sum(5-l)*gamma_l')*10^6) div (5*gamma0') is one truncating
+    * division of exact integers. Pole: zero residual variance ->
+    * NULL. */
+  def q464(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = Tables.orders(s, d)
+      .groupBy((year($"o_orderdate") * 100 + month($"o_orderdate")).as("ym"))
+      .agg(sum(centsK($"o_totalprice")).as("yc"))
+      .select($"ym", expr("yc div 100000").as("y"))
+      .withColumn("t", row_number().over(Window.orderBy($"ym")).cast("long"))
+    val m = g.agg(count(lit(1)).as("n"),
+      sum($"t").as("st"), sum($"y").as("sy"),
+      sum(expr("cast(t as decimal(38,0)) * t")).as("stt"),
+      sum(expr("cast(t as decimal(38,0)) * y")).as("sty"))
+    val base = g.crossJoin(broadcast(m))
+      .select($"t", $"n",
+        expr("""(n * stt - cast(st as decimal(38,0)) * st) * (n * y - sy)
+                - (n * sty - cast(st as decimal(38,0)) * sy) * (n * t - st)""")
+          .as("v"))
+      .transform(Fx.materialize)
+    val lags = base.select($"t", $"v")
+      .join(base.select($"t", $"v".as("vl"), explode(sequence(lit(0), lit(4))).as("l"))
+        .select(($"t" + $"l").as("t"), $"l", $"vl"), "t")
+      .groupBy($"l").agg(sum(expr("v * vl")).as("gam"))
+    lags.agg(
+        sum(when($"l" === 0, $"gam")).as("g0"),
+        sum(when($"l" > 0, (lit(5) - $"l") * $"gam" * 2).otherwise(expr("cast(0 as decimal(38,0))"))).as("wsum"))
+      .crossJoin(broadcast(base.select($"n").limit(1)))
+      .select($"n", lit(4).as("max_lag"),
+        when($"g0" === 0 || $"g0".isNull, lit(null).cast("long"))
+          .otherwise(expr("((5 * g0 + wsum) * 1000000) div (5 * g0)")
+            .cast("long"))
+          .as("hac_ratio_micro"))
+  }
+
+  val q464Sql: String =
+    """WITH g0 AS (
+      |  SELECT year(o_orderdate)*100 + month(o_orderdate) AS ym,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      // 100000 AS y
+      |  FROM orders GROUP BY 1),
+      |g AS (SELECT y, CAST(row_number() OVER (ORDER BY ym) AS BIGINT) AS t
+      |      FROM g0),
+      |m AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(t) AS HUGEINT) AS st, CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) AS stt,
+      |    CAST(sum(CAST(t AS HUGEINT) * y) AS HUGEINT) AS sty
+      |  FROM g),
+      |base AS (
+      |  SELECT t, n,
+      |    (n * stt - st * st) * (n * y - sy)
+      |      - (n * sty - st * sy) * (n * t - st) AS v
+      |  FROM g CROSS JOIN m),
+      |lags AS (
+      |  SELECT l.l, sum(c.v * p.v) AS gam
+      |  FROM (SELECT unnest(range(0, 5)) AS l) l
+      |  JOIN base p ON TRUE
+      |  JOIN base c ON c.t = p.t + l.l
+      |  GROUP BY 1),
+      |agg AS (
+      |  SELECT
+      |    sum(CASE WHEN l = 0 THEN gam END) AS g0m,
+      |    sum(CASE WHEN l > 0 THEN (5 - l) * gam * 2 ELSE 0 END) AS wsum
+      |  FROM lags)
+      |SELECT (SELECT CAST(n AS BIGINT) FROM m) AS n, 4 AS max_lag,
+      |  CASE WHEN g0m = 0 OR g0m IS NULL THEN NULL
+      |    ELSE CAST(((5 * g0m + wsum) * 1000000) // (5 * g0m) AS BIGINT)
+      |    END AS hac_ratio_micro
+      |FROM agg""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q466 — Pettitt rank-based change-point test
+  // ------------------------------------------------------------------
+
+  /** q466 — Pettitt change-point test on monthly revenue: the
+    * nonparametric Mann-Whitney-family statistic
+    * U_t = sum_{i<=t} sum_{j>t} sign(x_i - x_j), with the change
+    * point at argmax|U_t| and K = max|U_t|. Completes the
+    * change-detection triptych: q218 (CUSUM, mean-shift direction
+    * over time), q296 (binary segmentation, SSE-optimal split), and
+    * q455 (Chow, KNOWN date) all work on moments - Pettitt is
+    * RANK-based, so one wild month cannot fake or mask a level shift
+    * the way it can with squared-error statistics. All integer
+    * (signs, sums over the bounded month-grid pair fan-out); argmax
+    * tie-break = earliest month, stated. */
+  def q466(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = Tables.orders(s, d)
+      .groupBy((year($"o_orderdate") * 100 + month($"o_orderdate")).as("ym"))
+      .agg(sum(centsK($"o_totalprice")).as("yc"))
+      .select($"ym", expr("yc div 100000").as("y"))
+      .withColumn("t", row_number().over(Window.orderBy($"ym")).cast("long"))
+      .transform(Fx.materialize)
+    val pairs = g.as("a").join(g.as("b"), $"a.t" < $"b.t")
+      .select($"a.t".as("i"), $"b.t".as("j"),
+        signum($"a.y" - $"b.y").cast("long").as("sg"))
+    val cuts = g.select($"t".as("cut"), $"ym")
+      .filter($"cut" < (select_max_t(g)))
+    val u = cuts.join(pairs, $"i" <= $"cut" && $"j" > $"cut")
+      .groupBy($"cut", $"ym").agg(sum($"sg").as("u_t"))
+    u.orderBy(abs($"u_t").desc, $"ym").limit(1)
+      .select($"ym".as("break_ym"), abs($"u_t").as("k_stat"), $"u_t")
+  }
+
+  // bounded-grid max(t): a 1-row broadcast, not a window
+  private def select_max_t(g: DataFrame): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{max => fmax}
+    val mx = g.agg(fmax(org.apache.spark.sql.functions.col("t"))).head().getLong(0)
+    lit(mx)
+  }
+
+  val q466Sql: String =
+    """WITH g0 AS (
+      |  SELECT year(o_orderdate)*100 + month(o_orderdate) AS ym,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      // 100000 AS y
+      |  FROM orders GROUP BY 1),
+      |g AS (SELECT ym, y, CAST(row_number() OVER (ORDER BY ym) AS BIGINT) AS t
+      |      FROM g0),
+      |pairs AS (
+      |  SELECT a.t AS i, b.t AS j,
+      |    CAST(sign(a.y - b.y) AS BIGINT) AS sg
+      |  FROM g a JOIN g b ON a.t < b.t),
+      |cuts AS (SELECT t AS cut, ym FROM g WHERE t < (SELECT max(t) FROM g)),
+      |u AS (
+      |  SELECT c.cut, c.ym, CAST(sum(p.sg) AS BIGINT) AS u_t
+      |  FROM cuts c JOIN pairs p ON p.i <= c.cut AND p.j > c.cut
+      |  GROUP BY 1, 2)
+      |SELECT ym AS break_ym, abs(u_t) AS k_stat, u_t
+      |FROM u ORDER BY abs(u_t) DESC, ym LIMIT 1""".stripMargin
 
   // ------------------------------------------------------------------
   // q462 — Cochrane–Orcutt AR(1)-corrected trend slope

@@ -1107,8 +1107,54 @@ object TextQueries {
        |ORDER BY r DESC, word LIMIT 20""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q465 — frequent-word subsampling plan (word2vec discard curve)
+  // ------------------------------------------------------------------
+
+  /** q465 — the word2vec frequent-word subsampling plan (Mikolov et
+    * al. 2013): for each corpus word with frequency ratio z = f/N,
+    * the keep probability √(t/z) (t = 10⁻³, clipped at 1) that
+    * embedding/LM trainers apply so "the"-class tokens stop dominating
+    * gradient updates. Complements q103/q184 (document-level mixture
+    * plans) and q106 (Zipf readout) with the TOKEN-level sampling
+    * table those plans hand to the trainer. Determinism: f and N are
+    * exact counts; the keep probability is one fixed-shape double
+    * expression (0.001·N then ÷f, then `sqrt` — correctly rounded in
+    * IEEE, so bit-identical cross-engine on identical operands), r6.
+    * Top-30 by frequency — the only words whose keep probability is
+    * meaningfully below 1. */
+  def q465(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+    val freq = toks.groupBy($"w").agg(count(lit(1)).as("f"))
+    val tot = freq.agg(sum($"f").as("nn"))
+    freq.crossJoin(broadcast(tot))
+      .select($"w".as("word"), $"f",
+        r6(least(lit(1.0),
+          sqrt(lit(0.001) * $"nn".cast("double") / $"f".cast("double"))))
+          .as("keep_p"))
+      .orderBy($"f".desc, $"word").limit(30)
+  }
+
+  val q465Sql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |freq AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS f
+      |  FROM toks WHERE w <> '' GROUP BY 1),
+      |tot AS (SELECT CAST(sum(f) AS BIGINT) AS nn FROM freq)
+      |SELECT w AS word, f,
+      |  floor(least(1.0,
+      |    sqrt(0.001 * CAST(nn AS DOUBLE) / CAST(f AS DOUBLE)))
+      |    * 1000000 + 0.5) / 1000000 AS keep_p
+      |FROM freq CROSS JOIN tot
+      |ORDER BY f DESC, word LIMIT 30""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q463_textrank_keywords", q463, Some(q463Sql)),
+    QueryDef("q465_word_subsampling", q465, Some(q465Sql)),
     QueryDef("q447_yule_k", q447, Some(q447Sql)),
     QueryDef("q361_burrows_delta", q361, Some(q361Sql)),
     QueryDef("q370_juilland_dispersion", q370, Some(q370Sql)),

@@ -3486,6 +3486,57 @@ class PlantedStructureSpec extends SparkSpec {
       s"$out vs replay ${r6d(num2.toDouble / det2.toDouble)}")
   }
 
+  test("q464 reads planted runs as inflation, alternation as deflation, exact vs replay") {
+    def ratio(ys: Seq[Long]): Long = {
+      val n = BigInt(12); val ts = (1 to 12).map(_.toLong)
+      def s(v: Seq[Long]) = v.map(BigInt(_)).sum
+      def sp(a: Seq[Long], b: Seq[Long]) =
+        a.zip(b).map { case (u, v) => BigInt(u) * v }.sum
+      val (st, sy) = (s(ts), s(ys))
+      val cxx = n * sp(ts, ts) - st * st
+      val cxy = n * sp(ts, ys) - st * sy
+      val vs = ts.zip(ys).map { case (t, y) =>
+        cxx * (n * y - sy) - cxy * (n * t - st) }
+      val g = (0 to 4).map(l =>
+        (l.toLong, vs.drop(l).zip(vs.dropRight(l)).map { case (c, p) => c * p }.sum))
+      val g0 = g.head._2
+      val w = g.tail.map { case (l, gl) => BigInt(5 - l) * gl * 2 }.sum
+      (((BigInt(5) * g0 + w) * 1000000) / (BigInt(5) * g0)).toLong
+    }
+    val runs = (1 to 12).map(t => 100L + (if (((t - 1) / 4) % 2 == 0) 10L else -10L))
+    val alt = (1 to 12).map(t => 100L + (if (t % 2 == 0) 10L else -10L))
+    val rRuns = operators.EconometricsQueries.q464(spark,
+      perOrderMonthlyDir(2020, (1 to 12).map(m => (m, runs(m - 1) * 1000.0)))).head()
+    val rAlt = operators.EconometricsQueries.q464(spark,
+      perOrderMonthlyDir(2020, (1 to 12).map(m => (m, alt(m - 1) * 1000.0)))).head()
+    assert(rRuns.getLong(2) === ratio(runs), s"$rRuns vs ${ratio(runs)}")
+    assert(rAlt.getLong(2) === ratio(alt), s"$rAlt vs ${ratio(alt)}")
+    assert(rRuns.getLong(2) > 1100000L && rAlt.getLong(2) < 900000L,
+      s"runs must inflate and alternation deflate: ${rRuns.getLong(2)}, ${rAlt.getLong(2)}")
+  }
+
+  test("q465 prices the planted frequency table on the exact word2vec curve") {
+    val d = documentsDir(Seq(
+      (1L, "a a a a a a a a", "en", "src", 15L),
+      (2L, "a a b c", "en", "src", 7L)))
+    // N = 12 tokens: a=10, b=1, c=1
+    val out = operators.TextQueries.q465(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    def keep(f: Long) = r6d(math.min(1.0, math.sqrt(0.001 * 12.0 / f.toDouble)))
+    assert(out.toSeq === Seq(("a", 10L, keep(10)), ("b", 1L, keep(1)),
+      ("c", 1L, keep(1))), out.toSeq.toString)
+    assert(out.head._3 < out.last._3,
+      "the frequent word must be kept with lower probability")
+  }
+
+  test("q466 puts the Pettitt break exactly at the planted level shift") {
+    val ys = (1 to 12).map(t => if (t <= 6) 10L else 20L)
+    val d = perOrderMonthlyDir(2020, (1 to 12).map(m => (m, ys(m - 1) * 1000.0)))
+    val r = operators.EconometricsQueries.q466(spark, d).head()
+    assert((r.getInt(0), r.getLong(1), r.getLong(2)) === ((202006, 36L, -36L)),
+      r.toString)
+  }
+
   test("q463 ranks the planted hub above its leaves and matches the integer replay") {
     val texts = Seq("x hub y hub z hub", "hub x q hub", "y z")
     val d = documentsDir(texts.zipWithIndex.map { case (t, i) =>
