@@ -247,6 +247,91 @@ object ScaleSmoke {
     // targeted mode: `... <n> compact` — docstore file-count scaling:
     // write n small files via the V2 sink, measure full-scan wall time
     // (planning + read) before and after compaction, verify counts
+    // targeted mode: `... <n> pruning` — the r13 scan-pruning levers
+    // at row count n (default 1M): (a) dynamic partition pruning on a
+    // month-partitioned fact vs the same join with DPP disabled —
+    // wall time and files read; (b) parquet row-group skipping via
+    // Sinks.analyticsParquet bloom filters — point-lookup wall time
+    // on the bloom layout vs a plain unsorted copy.
+    if (args.lift(1).contains("pruning")) {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val n = nDocs
+      val factDir = java.nio.file.Files.createTempDirectory("smoke-dpp").toString
+      timedN(n)("write_partitioned") {
+        spark.range(n).select(
+          ($"id" % 84L).as("ym"), $"id".as("k"),
+          md5($"id".cast("string")).as("payload"))
+          .write.partitionBy("ym").mode("overwrite").parquet(factDir)
+        84L
+      }
+      // the dim must be a FILTERED scan: Spark's PartitionPruning rule
+      // only injects DPP when the build side carries a selective
+      // predicate (a bare range() never qualifies)
+      val dimDir = java.nio.file.Files.createTempDirectory("smoke-dim").toString
+      spark.range(84L).select($"id".as("ym"),
+          ($"id" % 17L === 0L).cast("int").as("hot"))
+        .coalesce(1).write.mode("overwrite").parquet(dimDir)
+      val dim = spark.read.parquet(dimDir).filter($"hot" === 1).select($"ym")
+      def star(): DataFrame = spark.read.parquet(factDir)
+        .join(broadcast(dim), "ym")
+        .groupBy($"ym").agg(count(lit(1)).as("n"))
+      star().collect() // warm parquet footers/codegen for both timed runs
+      def filesRead(df: DataFrame): Long = {
+        def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+            Seq[org.apache.spark.sql.execution.SparkPlan] = {
+          val kids = p match {
+            case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+            case q: QueryStageExec => Seq(q.plan)
+            case o => o.children
+          }
+          (p +: kids.flatMap(nodes)) ++ p.subqueries.flatMap(nodes)
+        }
+        nodes(df.queryExecution.executedPlan).collect {
+          case f: FileSourceScanExec
+            if f.relation.location.rootPaths.exists(
+              _.toString.contains("smoke-dpp")) =>
+            f.metrics("numFiles").value
+        }.max
+      }
+      var dppFiles = 0L; var offFiles = 0L
+      timedN(n)("star_join_dpp_on") {
+        val df = star(); val c = df.collect().length.toLong
+        dppFiles = filesRead(df); c
+      }
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+      timedN(n)("star_join_dpp_off") {
+        val df = star(); val c = df.collect().length.toLong
+        offFiles = filesRead(df); c
+      }
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+      println(s"[scale] files read: dpp=on $dppFiles vs dpp=off $offFiles")
+
+      val plainDir = java.nio.file.Files.createTempDirectory("smoke-plain").toString
+      val bloomDir = java.nio.file.Files.createTempDirectory("smoke-bloom").toString
+      val src = spark.range(n).select(
+        (($"id" * 2654435761L) % n).as("key"), $"id".as("ord"),
+        md5($"id".cast("string")).as("payload"))
+      timedN(n)("write_plain") {
+        src.coalesce(4).write.mode("overwrite").parquet(plainDir); n
+      }
+      timedN(n)("write_bloom_layout") {
+        graft.sources.Sinks.analyticsParquet(src.coalesce(4), bloomDir,
+          sortCols = Seq("ord"), bloomCols = Seq("key"),
+          rowGroupBytes = 4L << 20)
+        n
+      }
+      val probe = 2654435761L % n
+      timedN(n)("point_lookup_plain") {
+        spark.read.parquet(plainDir).filter($"key" === probe).count()
+      }
+      timedN(n)("point_lookup_bloom") {
+        spark.read.parquet(bloomDir).filter($"key" === probe).count()
+      }
+      spark.stop()
+      return
+    }
+
     if (args.lift(1).contains("compact")) {
       val dir = java.nio.file.Files.createTempDirectory("smoke-compact").toString
       val nFiles = math.max(16, nDocs.toInt)
