@@ -22,7 +22,8 @@ object SparkEntry {
       operators.ScaleQueries.all ++ operators.CorpusQueries.all ++
       operators.IndexingQueries.all ++ operators.GovernanceQueries.all ++
       operators.AssociationQueries.all ++ operators.LakehouseQueries.all ++
-      operators.PruningQueries.all ++ operators.EconometricsQueries.all
+      operators.PruningQueries.all ++ operators.EconometricsQueries.all ++
+      operators.InferenceQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,417 @@
+package graft.operators
+
+import graft.{Fx, QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-13 second batch: the remaining classical-inference families
+  * the registry lacked — median-dichotomy k-sample location (Mood),
+  * pair-grid shift estimation (Hodges–Lehmann + Cliff's delta),
+  * ordinal×ordinal concordance (Goodman–Kruskal γ / Somers' D), and
+  * local-extrema randomness (turning points). Each sits beside an
+  * existing relative: Mood beside Kruskal–Wallis q334 (rank-sum
+  * omnibus) as the median-robust member; HL beside Mann–Whitney drift
+  * q254 as the ESTIMATOR its test lacks (the q274→q393 pattern);
+  * γ/Somers beside GK-λ q389 (nominal PRE) as the ORDINAL member;
+  * turning points beside the runs test q307 (median signs) and von
+  * Neumann q306 (successive differences) as the local-extrema lens.
+  *
+  * Exactness discipline (the q334/q448/q460 conventions): counts and
+  * moment sums are exact BIGINT / DECIMAL(38,0) / HUGEINT; every
+  * reported statistic is ONE truncating micro-division of exact
+  * integers (or a stated per-cell truncation then an integer sum);
+  * verdicts compare micro integers against pinned χ²/z critical
+  * literals. No float crosses the engine boundary un-gridded.
+  *
+  * Scale shapes: global order statistics (the grand median, the HL
+  * median) ride the VALUE-GRID + Ranking.groupRunningSum distributed
+  * prefix (the q310/q456 pattern — never a global row window over a
+  * corpus-growing relation); concordance runs on the bounded
+  * priority×band CELL grid (≤5×6 cells), never the row pair grid;
+  * turning points lag/lead over the calendar-bounded day grid.
+  */
+object InferenceQueries {
+  import Fx._
+
+  /** Exact cents of a money column. */
+  private def cents(c: Column): Column = floor(c * 100 + 0.5).cast("long")
+
+  /** Nearest-rank global order statistic on a value grid: given
+    * (v, cnt) rows, returns the 1-row frame with the k-th smallest
+    * value where k = (N+1) div 2 (lower median). Distributed prefix
+    * via [[Ranking.groupRunningSum]] with an EMPTY group — no global
+    * row window, scales to any value-domain size. */
+  private def gridMedian(grid: DataFrame, v: String, cnt: String): DataFrame = {
+    val run = Ranking.groupRunningSum(grid, Seq(), 32, cnt, col(v))
+    val tot = grid.agg(sum(col(cnt)).as("n"))
+    run.crossJoin(broadcast(tot))
+      .filter(col("run_before") + col(cnt) >= expr("(n + 1) div 2"))
+      .agg(min(col(v)).as("m"))
+  }
+
+  /** χ²(df) 5% critical values, micro-pinned (the q409 ladder + df
+    * 8..10). */
+  private val chiCritSql =
+    """cast(case df when 1 then 3841459 when 2 then 5991465
+       when 3 then 7814728 when 4 then 9487729 when 5 then 11070498
+       when 6 then 12591587 when 7 then 14067140 when 8 then 15507313
+       when 9 then 16918978 else 18307038 end as bigint)"""
+  private val chiCritDuck =
+    """CAST(CASE df WHEN 1 THEN 3841459 WHEN 2 THEN 5991465
+      WHEN 3 THEN 7814728 WHEN 4 THEN 9487729 WHEN 5 THEN 11070498
+      WHEN 6 THEN 12591587 WHEN 7 THEN 14067140 WHEN 8 THEN 15507313
+      WHEN 9 THEN 16918978 ELSE 18307038 END AS BIGINT)"""
+
+  // ------------------------------------------------------------------
+  // q467 — Mood's median test across market segments
+  // ------------------------------------------------------------------
+
+  /** q467 — Mood's median test of order totals across the five market
+    * segments: dichotomize every order at the GRAND nearest-rank
+    * median (ties ≤ median go below — stated), then χ² on the 2×k
+    * above/below contingency. The median-robust omnibus beside
+    * Kruskal–Wallis q334: it asks only "do segments differ around the
+    * common median", immune to tail shape, which is exactly the
+    * question when order-value distributions are heavy-tailed.
+    * Exactness: the grand median is an exact nearest-rank cent value
+    * (value-grid + distributed prefix, q310 shape); χ² is the stated
+    * per-cell truncation Σ floor(10⁶·(O·N−R·C)²/(N·R·C)) on
+    * DECIMAL(38,0) (O·N ≈ 4.5e9 at sf0.1 → squares ≈ 2e19 exceed
+    * BIGINT); verdict vs the pinned χ²(k−1) ladder. Degenerate
+    * all-one-side data (R_above = 0 or R_below = 0) → NULL χ², the
+    * q351 convention. Two fact passes by design: a global order
+    * statistic then a classify-count — each one scan with pushdown,
+    * never a collected sort. */
+  def q467(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val oc = Tables.orders(s, d)
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("seg"), cents($"o_totalprice").as("c"))
+    val grid = oc.groupBy($"c").agg(count(lit(1)).as("cnt"))
+    val med = gridMedian(grid, "c", "cnt")
+    val cells = oc.crossJoin(broadcast(med))
+      .groupBy($"seg")
+      .agg(sum(when($"c" > $"m", 1L).otherwise(0L)).as("n_above"),
+        sum(when($"c" <= $"m", 1L).otherwise(0L)).as("n_below"))
+    val totals = cells.agg(
+      sum($"n_above").as("ra"), sum($"n_below").as("rb"),
+      sum($"n_above" + $"n_below").as("n"), count(lit(1)).as("k"))
+    val chi = cells.crossJoin(broadcast(totals))
+      .select(when($"ra" === 0 || $"rb" === 0, lit(null).cast("long"))
+        .otherwise(expr(
+          """((cast(n_above as decimal(38,0)) * n
+              - cast(ra as decimal(38,0)) * (n_above + n_below))
+             * (cast(n_above as decimal(38,0)) * n
+              - cast(ra as decimal(38,0)) * (n_above + n_below)) * 1000000)
+             div (cast(n as decimal(38,0)) * ra * (n_above + n_below))
+           + ((cast(n_below as decimal(38,0)) * n
+              - cast(rb as decimal(38,0)) * (n_above + n_below))
+             * (cast(n_below as decimal(38,0)) * n
+              - cast(rb as decimal(38,0)) * (n_above + n_below)) * 1000000)
+             div (cast(n as decimal(38,0)) * rb * (n_above + n_below))"""))
+        .as("term"), ($"k" - 1).as("df"))
+      .groupBy($"df").agg(sum($"term").as("chi2_micro"))
+      .select($"chi2_micro", $"df",
+        when($"chi2_micro".isNull, lit(null).cast("int"))
+          .otherwise(($"chi2_micro" > expr(chiCritSql)).cast("int"))
+          .as("reject_5pct"))
+    cells.crossJoin(broadcast(chi))
+      .select($"seg", $"n_above", $"n_below", $"chi2_micro", $"df",
+        $"reject_5pct")
+      .orderBy($"seg")
+  }
+
+  val q467Sql: String =
+    s"""WITH oc AS (
+      |  SELECT c_mktsegment AS seg,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |grid AS (SELECT c, CAST(count(*) AS BIGINT) AS cnt FROM oc GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM grid),
+      |run AS (SELECT c, cnt, coalesce(sum(cnt) OVER (ORDER BY c
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rb
+      |  FROM grid),
+      |med AS (SELECT min(c) AS m FROM run, tot
+      |  WHERE rb + cnt >= (n + 1) // 2),
+      |cells AS (
+      |  SELECT seg,
+      |    CAST(sum(CASE WHEN c > m THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+      |    CAST(sum(CASE WHEN c <= m THEN 1 ELSE 0 END) AS BIGINT) AS n_below
+      |  FROM oc, med GROUP BY seg),
+      |t2 AS (SELECT CAST(sum(n_above) AS HUGEINT) AS ra,
+      |    CAST(sum(n_below) AS HUGEINT) AS rbt,
+      |    CAST(sum(n_above + n_below) AS HUGEINT) AS n,
+      |    CAST(count(*) AS BIGINT) AS k FROM cells),
+      |chi0 AS (
+      |  SELECT CAST(max(k) - 1 AS BIGINT) AS df,
+      |    CAST(sum(CASE WHEN ra = 0 OR rbt = 0 THEN NULL ELSE
+      |      ((CAST(n_above AS HUGEINT) * n - ra * (n_above + n_below))
+      |       * (CAST(n_above AS HUGEINT) * n - ra * (n_above + n_below))
+      |       * 1000000) // (n * ra * (n_above + n_below))
+      |      + ((CAST(n_below AS HUGEINT) * n - rbt * (n_above + n_below))
+      |       * (CAST(n_below AS HUGEINT) * n - rbt * (n_above + n_below))
+      |       * 1000000) // (n * rbt * (n_above + n_below)) END) AS BIGINT)
+      |      AS chi2_micro
+      |  FROM cells, t2),
+      |chi AS (SELECT chi2_micro, df,
+      |    CASE WHEN chi2_micro IS NULL THEN NULL
+      |      ELSE CAST(chi2_micro > $chiCritDuck AS INT) END AS reject_5pct
+      |  FROM chi0)
+      |SELECT seg, n_above, n_below, chi2_micro, df, reject_5pct
+      |FROM cells, chi ORDER BY seg""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q468 — Hodges–Lehmann shift + Cliff's delta (AUTOMOBILE vs BUILDING)
+  // ------------------------------------------------------------------
+
+  /** Shared monthly two-segment kilo-dollar grid (the q451 shape): one
+    * fact scan, conditional aggregation, months where both traded. */
+  private def segKiloMonthly(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+      .filter($"c_mktsegment".isin("AUTOMOBILE", "BUILDING"))
+      .groupBy((year($"o_orderdate") * 100 + month($"o_orderdate")).as("ym"))
+      .agg(
+        sum(when($"c_mktsegment" === "AUTOMOBILE", cents($"o_totalprice"))
+          .otherwise(0L)).as("xc"),
+        sum(when($"c_mktsegment" === "BUILDING", cents($"o_totalprice"))
+          .otherwise(0L)).as("yc"),
+        sum(when($"c_mktsegment" === "AUTOMOBILE", 1L).otherwise(0L)).as("nx"),
+        sum(when($"c_mktsegment" === "BUILDING", 1L).otherwise(0L)).as("ny"))
+      .filter($"nx" > 0 && $"ny" > 0)
+      .select($"ym", expr("xc div 100000").as("x"), expr("yc div 100000").as("y"))
+  }
+
+  private val segKiloMonthlySql: String =
+    """SELECT ym, xc // 100000 AS x, yc // 100000 AS y FROM (
+      |  SELECT year(o_orderdate)*100 + month(o_orderdate) AS ym,
+      |    CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+      |      THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS xc,
+      |    CAST(sum(CASE WHEN c_mktsegment = 'BUILDING'
+      |      THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS yc,
+      |    sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS nx,
+      |    sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS ny
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+      |  GROUP BY 1) t WHERE nx > 0 AND ny > 0""".stripMargin
+
+  /** q468 — Hodges–Lehmann two-sample shift estimator between the
+    * AUTOMOBILE and BUILDING monthly revenue series, plus Cliff's
+    * delta: over ALL month pairs (i, j) form d = x_i − y_j
+    * (kilo-dollars, exact integers); the HL estimate is the lower
+    * nearest-rank median of the pair differences — the robust "how
+    * MUCH does one segment out-earn the other per month" answer the
+    * Mann–Whitney-style tests (q254) only give a verdict on — and
+    * Cliff's δ = (#[d>0] − #[d<0])/n_pairs is the distribution-free
+    * effect size on the same grid. Pair grid is calendar² (≤80×80) —
+    * bounded by the calendar, not the corpus (the q312 exemption);
+    * the median is still computed value-grid + distributed prefix
+    * (never a global row window) so the shape survives a daily or
+    * hourly re-grid. All integers; δ is one truncating
+    * micro-division. */
+  def q468(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = segKiloMonthly(s, d).transform(Fx.materialize)
+    val pairs = g.select($"x")
+      .crossJoin(broadcast(g.select($"y")))
+      .select(($"x" - $"y").as("dd"))
+    val grid = pairs.groupBy($"dd").agg(count(lit(1)).as("cnt"))
+    val hl = gridMedian(grid, "dd", "cnt")
+      .select($"m".as("hl_shift_k"))
+    val st = pairs.agg(count(lit(1)).as("n_pairs"),
+      sum(when($"dd" > 0, 1L).otherwise(0L)).as("n_gt"),
+      sum(when($"dd" < 0, 1L).otherwise(0L)).as("n_lt"))
+    st.crossJoin(broadcast(hl))
+      .select($"n_pairs", $"hl_shift_k", $"n_gt", $"n_lt",
+        when($"n_pairs" === 0, lit(null).cast("long"))
+          .otherwise(expr("((n_gt - n_lt) * 1000000) div n_pairs"))
+          .as("cliffs_delta_micro"))
+  }
+
+  val q468Sql: String =
+    s"""WITH g AS ($segKiloMonthlySql),
+      |pairs AS (SELECT a.x - b.y AS dd FROM g a, g b),
+      |grid AS (SELECT dd, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM pairs GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM grid),
+      |run AS (SELECT dd, cnt, coalesce(sum(cnt) OVER (ORDER BY dd
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rb
+      |  FROM grid),
+      |hl AS (SELECT min(dd) AS hl_shift_k FROM run, tot
+      |  WHERE rb + cnt >= (n + 1) // 2),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+      |    CAST(sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gt,
+      |    CAST(sum(CASE WHEN dd < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_lt
+      |  FROM pairs)
+      |SELECT n_pairs, hl_shift_k, n_gt, n_lt,
+      |  CASE WHEN n_pairs = 0 THEN NULL
+      |    ELSE ((n_gt - n_lt) * 1000000) // n_pairs END AS cliffs_delta_micro
+      |FROM st, hl""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q469 — Goodman–Kruskal γ + Somers' D (priority × price band)
+  // ------------------------------------------------------------------
+
+  /** q469 — ordinal×ordinal association between order priority
+    * (1-URGENT..5-LOW, ordinal by leading digit) and order-value band
+    * ($100k bands): concordant/discordant pair counts computed on the
+    * bounded ≤5×6 CELL grid (cell-pair self-join — O(cells²), never
+    * the O(N²) row pair grid), Goodman–Kruskal γ = (C−D)/(C+D)
+    * (ignores ties), and Somers' D in both directions
+    * D(band|prio) = 2(C−D)/(N(N−1) − Σ_p n_p(n_p−1)) — the
+    * tie-penalized asymmetric versions. The ORDINAL member of the
+    * association battery: q258's χ²/V sees any dependence, q389's λ
+    * sees modal predictability, Cochran–Armitage q359 needs a binary
+    * response; γ/Somers ask specifically "do HIGHER priorities carry
+    * HIGHER values". All counts exact BIGINT (C ≤ N²/2 ≈ 1.1e10 at
+    * sf0.1; ×2·10⁶ ≈ 2.2e16 < 2⁶³); each statistic one truncating
+    * micro-division; zero denominators → NULL. */
+  def q469(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.orders(s, d)
+      .select(substring($"o_orderpriority", 1, 1).cast("int").as("px"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint) div 10000000")
+          .as("band"))
+      .groupBy($"px", $"band").agg(count(lit(1)).as("cnt"))
+      .transform(Fx.materialize)
+    val a = cells.select($"px".as("ax"), $"band".as("ay"), $"cnt".as("an"))
+    val b = cells.select($"px".as("bx"), $"band".as("by"), $"cnt".as("bn"))
+    val cd = a.join(broadcast(b), $"bx" > $"ax")
+      .agg(sum(when($"by" > $"ay", $"an" * $"bn").otherwise(0L)).as("c_pairs"),
+        sum(when($"by" < $"ay", $"an" * $"bn").otherwise(0L)).as("d_pairs"))
+    val margins = cells.agg(sum($"cnt").as("n")).crossJoin(
+      cells.groupBy($"px").agg(sum($"cnt").as("np"))
+        .agg(sum($"np" * ($"np" - 1)).as("tx"))).crossJoin(
+      cells.groupBy($"band").agg(sum($"cnt").as("nb"))
+        .agg(sum($"nb" * ($"nb" - 1)).as("ty")))
+    cd.crossJoin(broadcast(margins))
+      .select($"c_pairs", $"d_pairs",
+        when($"c_pairs" + $"d_pairs" === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "((c_pairs - d_pairs) * 1000000) div (c_pairs + d_pairs)"))
+          .as("gamma_micro"),
+        when($"n" * ($"n" - 1) - $"tx" === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "(2 * (c_pairs - d_pairs) * 1000000) div (n * (n - 1) - tx)"))
+          .as("somers_band_given_prio_micro"),
+        when($"n" * ($"n" - 1) - $"ty" === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "(2 * (c_pairs - d_pairs) * 1000000) div (n * (n - 1) - ty)"))
+          .as("somers_prio_given_band_micro"))
+  }
+
+  val q469Sql: String =
+    """WITH cells AS (
+      |  SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS px,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 10000000 AS band,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM orders GROUP BY 1, 2),
+      |cd AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN b.band > a.band THEN a.cnt * b.cnt ELSE 0 END)
+      |      AS BIGINT) AS c_pairs,
+      |    CAST(sum(CASE WHEN b.band < a.band THEN a.cnt * b.cnt ELSE 0 END)
+      |      AS BIGINT) AS d_pairs
+      |  FROM cells a JOIN cells b ON b.px > a.px),
+      |m1 AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cells),
+      |m2 AS (SELECT CAST(sum(np * (np - 1)) AS BIGINT) AS tx FROM (
+      |    SELECT CAST(sum(cnt) AS BIGINT) AS np FROM cells GROUP BY px) t),
+      |m3 AS (SELECT CAST(sum(nb * (nb - 1)) AS BIGINT) AS ty FROM (
+      |    SELECT CAST(sum(cnt) AS BIGINT) AS nb FROM cells GROUP BY band) t)
+      |SELECT c_pairs, d_pairs,
+      |  CASE WHEN c_pairs + d_pairs = 0 THEN NULL
+      |    ELSE ((c_pairs - d_pairs) * 1000000) // (c_pairs + d_pairs) END
+      |    AS gamma_micro,
+      |  CASE WHEN n * (n - 1) - tx = 0 THEN NULL
+      |    ELSE (2 * (c_pairs - d_pairs) * 1000000) // (n * (n - 1) - tx) END
+      |    AS somers_band_given_prio_micro,
+      |  CASE WHEN n * (n - 1) - ty = 0 THEN NULL
+      |    ELSE (2 * (c_pairs - d_pairs) * 1000000) // (n * (n - 1) - ty) END
+      |    AS somers_prio_given_band_micro
+      |FROM cd, m1, m2, m3""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q470 — turning-points randomness test on daily revenue
+  // ------------------------------------------------------------------
+
+  /** q470 — turning-points test of daily order revenue: count interior
+    * days that are STRICT local extrema (y_{t−1} < y_t > y_{t+1} or
+    * the mirror; plateaus are not turns — stated), compare against
+    * the randomness expectation E[T] = 2(n−2)/3 with
+    * Var[T] = (16n−29)/90. Too FEW turns ⇒ trend/level persistence,
+    * too MANY ⇒ alternating over-correction — the local-extrema lens
+    * beside q307 (median sign runs) and q306 (von Neumann successive
+    * differences). Reported cross-multiplied, the q448/q460
+    * convention: z²_micro = (3T − 2n + 4)²·10·10⁶ div (16n − 29)
+    * (exact — the /3 and /90 clear), sign, and the 5% verdict vs the
+    * pinned 1.96² = 3.8416. Gaps in the calendar collapse to the day
+    * ordinal (stated). Lag/lead windows run on the calendar-bounded
+    * post-aggregate day grid. n < 3 → NULL. */
+  def q470(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wd = org.apache.spark.sql.expressions.Window.orderBy($"day")
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(cents($"o_totalprice")).as("y"))
+    val turns = daily
+      .withColumn("yp", lag($"y", 1).over(wd))
+      .withColumn("yn", lead($"y", 1).over(wd))
+      .select(when($"yp".isNotNull && $"yn".isNotNull &&
+        (($"yp" < $"y" && $"yn" < $"y") || ($"yp" > $"y" && $"yn" > $"y")),
+        1L).otherwise(0L).as("turn"))
+    turns.agg(count(lit(1)).as("n_days"), sum($"turn").as("turns"))
+      .select($"n_days", $"turns",
+        when($"n_days" < 3, lit(null).cast("long"))
+          .otherwise(expr(
+            """((3 * turns - 2 * n_days + 4) * (3 * turns - 2 * n_days + 4)
+               * 10000000) div (16 * n_days - 29)"""))
+          .as("z2_micro"),
+        when($"n_days" < 3, lit(null).cast("int"))
+          .otherwise(signum($"turns" * 3 - $"n_days" * 2 + 4).cast("int"))
+          .as("sign"),
+        when($"n_days" < 3, lit(null).cast("int"))
+          .otherwise((expr(
+            """((3 * turns - 2 * n_days + 4) * (3 * turns - 2 * n_days + 4)
+               * 10000000) div (16 * n_days - 29)""") > 3841600L).cast("int"))
+          .as("reject_5pct"))
+  }
+
+  val q470Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS y
+      |  FROM orders GROUP BY 1),
+      |lagged AS (
+      |  SELECT y, lag(y) OVER (ORDER BY day) AS yp,
+      |    lead(y) OVER (ORDER BY day) AS yn
+      |  FROM daily),
+      |agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(CASE WHEN yp IS NOT NULL AND yn IS NOT NULL
+      |      AND ((yp < y AND yn < y) OR (yp > y AND yn > y))
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS turns
+      |  FROM lagged)
+      |SELECT n_days, turns,
+      |  CASE WHEN n_days < 3 THEN NULL ELSE
+      |    ((3 * turns - 2 * n_days + 4) * (3 * turns - 2 * n_days + 4)
+      |     * 10000000) // (16 * n_days - 29) END AS z2_micro,
+      |  CASE WHEN n_days < 3 THEN NULL ELSE
+      |    CAST(CASE WHEN 3 * turns - 2 * n_days + 4 > 0 THEN 1
+      |      WHEN 3 * turns - 2 * n_days + 4 < 0 THEN -1 ELSE 0 END AS INT)
+      |    END AS sign,
+      |  CASE WHEN n_days < 3 THEN NULL ELSE
+      |    CAST(((3 * turns - 2 * n_days + 4) * (3 * turns - 2 * n_days + 4)
+      |      * 10000000) // (16 * n_days - 29) > 3841600 AS INT)
+      |    END AS reject_5pct
+      |FROM agg""".stripMargin
+
+  lazy val all: Seq[QueryDef] = Seq(
+    QueryDef("q467_mood_median", q467, Some(q467Sql)),
+    QueryDef("q468_hodges_lehmann", q468, Some(q468Sql)),
+    QueryDef("q469_gamma_somers", q469, Some(q469Sql)),
+    QueryDef("q470_turning_points", q470, Some(q470Sql)))
+}

@@ -3625,4 +3625,84 @@ class PlantedStructureSpec extends SparkSpec {
     assert(out("A") === ((10L, 9L, "A", 1000000L, 0)), out.toString)
     assert(out("B") === ((10L, 4L, "A", 444444L, 1)), out.toString)
   }
+
+  test("q467 reads the planted separated segments as chi2 = 6.0 and nulls the one-sided pole") {
+    // AUTOMOBILE months 1..3 at 1k/2k/3k, BUILDING at 4k/5k/6k: grand
+    // nearest-rank median = 300000c, so the 2x2 table is (0,3 | 3,0):
+    // every cell term is 81e6/54 = 1500000, chi2 = 6000000, df=1 ->
+    // reject at 3841459
+    val d = segMonthlyDir(1 to 3, m => m.toLong, m => m.toLong + 3L)
+    val out = operators.InferenceQueries.q467(spark, d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))
+      .toMap
+    assert(out("AUTOMOBILE") === ((0L, 3L, 6000000L, 1L, 1)), out.toString)
+    assert(out("BUILDING") === ((3L, 0L, 6000000L, 1L, 1)), out.toString)
+    // pole: every order at the same price -> nobody is above the
+    // median, R_above = 0 -> chi2 NULL (never a division blow-up)
+    val pole = operators.InferenceQueries.q467(
+      spark, segMonthlyDir(1 to 2, _ => 5L, _ => 5L)).collect()
+    assert(pole.length === 2 && pole.forall(r => r.isNullAt(3) && r.isNullAt(5)),
+      pole.mkString(";"))
+  }
+
+  test("q468 matches the full pair-grid replay on the planted shifted series") {
+    // x_i = 10+i (i=1..12), y_j = j: HL = lower median of the 144
+    // exact kilo differences; Cliff's delta from the dominance counts
+    val d = segMonthlyDir(1 to 12, m => 10L + m, m => m.toLong)
+    val xs = (1 to 12).map(m => 10L + m)
+    val ys = (1 to 12).map(_.toLong)
+    val diffs = for (x <- xs; y <- ys) yield x - y
+    val sorted = diffs.sorted
+    val k = (diffs.size + 1) / 2
+    val hl = sorted(k - 1)
+    val (gt, lt) = (diffs.count(_ > 0).toLong, diffs.count(_ < 0).toLong)
+    val delta = (gt - lt) * 1000000L / diffs.size
+    val r = operators.InferenceQueries.q468(spark, d).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((144L, hl, gt, lt, delta)), s"$r vs hl=$hl")
+    assert(hl === 10L, "the planted shift is exactly 10 kilo-dollars")
+  }
+
+  test("q469 reads perfect concordance as 10^6 and prices the planted tie structure") {
+    val perfect = operators.InferenceQueries.q469(spark, ordersPrioDir(Seq(
+      (1, "1-URGENT", 50000.0), (2, "2-HIGH", 150000.0),
+      (3, "3-MEDIUM", 250000.0)))).head()
+    assert((perfect.getLong(0), perfect.getLong(1), perfect.getLong(2),
+      perfect.getLong(3), perfect.getLong(4)) === ((3L, 0L, 1000000L,
+      1000000L, 1000000L)), perfect.toString)
+    // ties on each axis: cells (1,b0):1 (1,b1):1 (2,b1):1 (2,b2):1 ->
+    // C=3, D=0, gamma=1; Sx pairs-tied-doubled=4 -> Dyx = 6e6/8;
+    // Sy=2 -> Dxy = 6e6/10
+    val tied = operators.InferenceQueries.q469(spark, ordersPrioDir(Seq(
+      (1, "1-URGENT", 50000.0), (2, "1-URGENT", 150000.0),
+      (3, "2-HIGH", 150000.0), (4, "2-HIGH", 250000.0)))).head()
+    assert((tied.getLong(0), tied.getLong(1), tied.getLong(2),
+      tied.getLong(3), tied.getLong(4)) === ((3L, 0L, 1000000L,
+      750000L, 600000L)), tied.toString)
+  }
+
+  test("q470 counts strict turns only and rejects both persistence and alternation") {
+    // monotone ramp: T=0, (3T-2n+4) = -20, z2 = 400*1e7/163 = 24539877
+    val mono = operators.InferenceQueries.q470(
+      spark, ordersDir(1 to 12, d => d.toDouble)).head()
+    assert((mono.getLong(0), mono.getLong(1), mono.getLong(2),
+      mono.getInt(3), mono.getInt(4)) === ((12L, 0L, 24539877L, -1, 1)),
+      mono.toString)
+    // strict alternation: every interior day turns, T=10 -> z2 =
+    // 100*1e7/163 = 6134969, rejected on the HIGH side
+    val alt = operators.InferenceQueries.q470(
+      spark, ordersDir(1 to 12, d => if (d % 2 == 1) 10.0 else 30.0)).head()
+    assert((alt.getLong(0), alt.getLong(1), alt.getLong(2),
+      alt.getInt(3), alt.getInt(4)) === ((12L, 10L, 6134969L, 1, 1)),
+      alt.toString)
+    // in-band mix: series 1,3,2,4,3,5,4,6,7,8,9,10 has exactly 6 strict
+    // turns -> (3T-2n+4) = -2, z2 = 245398, not rejected
+    val vals = Seq(1, 3, 2, 4, 3, 5, 4, 6, 7, 8, 9, 10).map(_.toDouble)
+    val mid = operators.InferenceQueries.q470(
+      spark, ordersDir(1 to 12, d => vals(d - 1))).head()
+    assert((mid.getLong(0), mid.getLong(1), mid.getLong(2),
+      mid.getInt(3), mid.getInt(4)) === ((12L, 6L, 245398L, -1, 0)),
+      mid.toString)
+  }
 }
