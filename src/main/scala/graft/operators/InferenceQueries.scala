@@ -409,9 +409,197 @@ object InferenceQueries {
       |    END AS reject_5pct
       |FROM agg""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q471 — Cohen's kappa between two document-quality raters
+  // ------------------------------------------------------------------
+
+  /** q471 — Cohen's κ chance-corrected agreement between two
+    * independent document-quality raters: rater A passes docs with
+    * n_chars ≥ 300, rater B passes docs with ≥ 54 spaces
+    * (length(text) − length(replace(text,' ',''))) — two cheap
+    * curation rules a pipeline would run side by side before trusting
+    * either as a filter. Raw percent agreement p_o over-credits
+    * agreement the marginal pass rates already force; κ subtracts
+    * that chance floor: κ = (N(n11+n00) − (r1c1+r0c0)) /
+    * (N² − (r1c1+r0c0)). The AGREEMENT family opener beside the
+    * association battery (q258 dependence, q389 predictability):
+    * raters can be strongly associated yet agree poorly. NULL text /
+    * n_chars fails both raters (stated). Exact counts; p_o, p_e, κ
+    * each ONE truncating micro-division (N² ≈ 10¹⁰ at sf0.1 → ×10⁶
+    * fits BIGINT); degenerate chance-perfect marginals (p_e = 1) →
+    * NULL κ. One scan, one aggregate — scan-speed at any scale. */
+  def q471(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rated = Tables.documents(s, d).select(
+      when($"n_chars".isNotNull && $"n_chars" >= 300, 1L).otherwise(0L)
+        .as("a"),
+      when($"text".isNotNull &&
+        length($"text") - length(expr("replace(text, ' ', '')")) >= 54, 1L)
+        .otherwise(0L).as("b"))
+    rated.agg(
+        sum(when($"a" === 1 && $"b" === 1, 1L).otherwise(0L)).as("n11"),
+        sum(when($"a" === 1 && $"b" === 0, 1L).otherwise(0L)).as("n10"),
+        sum(when($"a" === 0 && $"b" === 1, 1L).otherwise(0L)).as("n01"),
+        sum(when($"a" === 0 && $"b" === 0, 1L).otherwise(0L)).as("n00"))
+      .select($"n11", $"n10", $"n01", $"n00",
+        when($"n11" + $"n10" + $"n01" + $"n00" === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "((n11 + n00) * 1000000) div (n11 + n10 + n01 + n00)"))
+          .as("po_micro"),
+        when($"n11" + $"n10" + $"n01" + $"n00" === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            """(((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+               * 1000000)
+               div ((n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00))"""))
+          .as("pe_micro"),
+        when($"n11" + $"n10" + $"n01" + $"n00" === 0 ||
+          ($"n11" + $"n10" + $"n01" + $"n00") *
+            ($"n11" + $"n10" + $"n01" + $"n00") ===
+            ($"n11" + $"n10") * ($"n11" + $"n01") +
+            ($"n01" + $"n00") * ($"n10" + $"n00"), lit(null).cast("long"))
+          .otherwise(expr(
+            """(((n11 + n10 + n01 + n00) * (n11 + n00)
+                - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))
+               * 1000000)
+               div ((n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00)
+                - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))"""))
+          .as("kappa_micro"))
+  }
+
+  val q471Sql: String =
+    """WITH rated AS (
+      |  SELECT
+      |    CASE WHEN n_chars IS NOT NULL AND n_chars >= 300
+      |      THEN 1 ELSE 0 END AS a,
+      |    CASE WHEN text IS NOT NULL
+      |        AND length(text) - length(replace(text, ' ', '')) >= 54
+      |      THEN 1 ELSE 0 END AS b
+      |  FROM documents),
+      |c AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n11,
+      |    CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n10,
+      |    CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n01,
+      |    CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n00
+      |  FROM rated)
+      |SELECT n11, n10, n01, n00,
+      |  CASE WHEN n11 + n10 + n01 + n00 = 0 THEN NULL
+      |    ELSE ((n11 + n00) * 1000000) // (n11 + n10 + n01 + n00) END
+      |    AS po_micro,
+      |  CASE WHEN n11 + n10 + n01 + n00 = 0 THEN NULL
+      |    ELSE (((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+      |      * 1000000)
+      |      // ((n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00)) END
+      |    AS pe_micro,
+      |  CASE WHEN n11 + n10 + n01 + n00 = 0
+      |      OR (n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00)
+      |        = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+      |    THEN NULL
+      |    ELSE (((n11 + n10 + n01 + n00) * (n11 + n00)
+      |        - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))
+      |      * 1000000)
+      |      // ((n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00)
+      |        - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))
+      |    END AS kappa_micro
+      |FROM c""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q472 — Lin's concordance (naive forecast vs actual, monthly)
+  // ------------------------------------------------------------------
+
+  /** q472 — Lin's concordance correlation coefficient between the
+    * naive last-month forecast f_t = y_{t−1} and the actual monthly
+    * revenue y_t: CCC = 2·s_fy / (s_f² + s_y² + (f̄ − ȳ)²) — Pearson
+    * r measures LINEAR ASSOCIATION (any calibration line scores 1);
+    * CCC measures AGREEMENT WITH THE 45° LINE, docking both scale and
+    * location bias, which is the question that matters when the
+    * forecast feeds reorder quantities directly. The continuous
+    * member of the agreement family beside q471's κ, and the
+    * CALIBRATION complement to the accuracy layers (q331 MASE, q460
+    * DM). With denominators cleared by n² every moment is exact:
+    * S_fy = nΣfy − ΣfΣy etc. on DECIMAL(38,0) (2·S·10⁶ ≈ 2e19 at
+    * sf0.1 exceeds BIGINT — the q297 escalation), the shift penalty
+    * is (Σf − Σy)², and CCC plus the penalty's share of the
+    * denominator are each ONE truncating micro-division. Constant
+    * series (zero denominator) → NULL. Month ordinal collapses
+    * calendar gaps (stated). */
+  def q472(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wd = org.apache.spark.sql.expressions.Window.orderBy($"ym")
+    val g = Tables.orders(s, d)
+      .groupBy((year($"o_orderdate") * 100 + month($"o_orderdate")).as("ym"))
+      .agg(sum(cents($"o_totalprice")).as("yc"))
+      .select($"ym", expr("yc div 100000").as("y"))
+    val pairs = g.withColumn("f", lag($"y", 1).over(wd))
+      .filter($"f".isNotNull)
+    pairs.agg(count(lit(1)).as("n"),
+        sum($"f").as("sf"), sum($"y").as("sy"),
+        sum(expr("cast(f as decimal(38,0)) * f")).as("sff"),
+        sum(expr("cast(y as decimal(38,0)) * y")).as("syy"),
+        sum(expr("cast(f as decimal(38,0)) * y")).as("sfy"))
+      .select($"n",
+        when(expr(
+          """n * sff - cast(sf as decimal(38,0)) * sf
+             + n * syy - cast(sy as decimal(38,0)) * sy
+             + (sf - sy) * cast(sf - sy as decimal(38,0))""") === 0,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            """cast((2 * (n * sfy - cast(sf as decimal(38,0)) * sy) * 1000000)
+               div (n * sff - cast(sf as decimal(38,0)) * sf
+                 + n * syy - cast(sy as decimal(38,0)) * sy
+                 + (sf - sy) * cast(sf - sy as decimal(38,0))) as bigint)"""))
+          .as("ccc_micro"),
+        when(expr(
+          """n * sff - cast(sf as decimal(38,0)) * sf
+             + n * syy - cast(sy as decimal(38,0)) * sy
+             + (sf - sy) * cast(sf - sy as decimal(38,0))""") === 0,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            """cast(((sf - sy) * cast(sf - sy as decimal(38,0)) * 1000000)
+               div (n * sff - cast(sf as decimal(38,0)) * sf
+                 + n * syy - cast(sy as decimal(38,0)) * sy
+                 + (sf - sy) * cast(sf - sy as decimal(38,0))) as bigint)"""))
+          .as("shift_share_micro"))
+  }
+
+  val q472Sql: String =
+    """WITH g AS (
+      |  SELECT year(o_orderdate)*100 + month(o_orderdate) AS ym,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      // 100000 AS y
+      |  FROM orders GROUP BY 1),
+      |pairs AS (
+      |  SELECT lag(y) OVER (ORDER BY ym) AS f, y FROM g
+      |  QUALIFY f IS NOT NULL),
+      |m AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(f) AS HUGEINT) AS sf, CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(f AS HUGEINT) * f) AS HUGEINT) AS sff,
+      |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+      |    CAST(sum(CAST(f AS HUGEINT) * y) AS HUGEINT) AS sfy
+      |  FROM pairs)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  CASE WHEN n * sff - sf * sf + n * syy - sy * sy
+      |      + (sf - sy) * (sf - sy) = 0 THEN NULL
+      |    ELSE CAST((2 * (n * sfy - sf * sy) * 1000000)
+      |      // (n * sff - sf * sf + n * syy - sy * sy
+      |        + (sf - sy) * (sf - sy)) AS BIGINT) END AS ccc_micro,
+      |  CASE WHEN n * sff - sf * sf + n * syy - sy * sy
+      |      + (sf - sy) * (sf - sy) = 0 THEN NULL
+      |    ELSE CAST(((sf - sy) * (sf - sy) * 1000000)
+      |      // (n * sff - sf * sf + n * syy - sy * sy
+      |        + (sf - sy) * (sf - sy)) AS BIGINT) END AS shift_share_micro
+      |FROM m""".stripMargin
+
   lazy val all: Seq[QueryDef] = Seq(
     QueryDef("q467_mood_median", q467, Some(q467Sql)),
     QueryDef("q468_hodges_lehmann", q468, Some(q468Sql)),
     QueryDef("q469_gamma_somers", q469, Some(q469Sql)),
-    QueryDef("q470_turning_points", q470, Some(q470Sql)))
+    QueryDef("q470_turning_points", q470, Some(q470Sql)),
+    QueryDef("q471_cohens_kappa", q471, Some(q471Sql)),
+    QueryDef("q472_lin_ccc", q472, Some(q472Sql)))
 }

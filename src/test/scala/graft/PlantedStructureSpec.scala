@@ -3705,4 +3705,50 @@ class PlantedStructureSpec extends SparkSpec {
       mid.getInt(3), mid.getInt(4)) === ((12L, 6L, 245398L, -1, 0)),
       mid.toString)
   }
+
+  test("q471 zeroes kappa at chance agreement and nulls the chance-perfect pole") {
+    def doc(id: Long, nc: Long, spaces: Int) =
+      (id, ("w " * spaces) + "end", "en", "src", nc)
+    // one doc per 2x2 cell: po = pe = 1/2 exactly -> kappa = 0
+    val chance = operators.InferenceQueries.q471(spark, documentsDir(Seq(
+      doc(1, 300, 54), doc(2, 300, 0), doc(3, 100, 60), doc(4, 100, 0))))
+      .head()
+    assert((chance.getLong(0), chance.getLong(1), chance.getLong(2),
+      chance.getLong(3), chance.getLong(4), chance.getLong(5),
+      chance.getLong(6)) === ((1L, 1L, 1L, 1L, 500000L, 500000L, 0L)),
+      chance.toString)
+    // both raters always agree with mixed marginals -> kappa = 1
+    val perfect = operators.InferenceQueries.q471(spark, documentsDir(Seq(
+      doc(1, 300, 54), doc(2, 300, 60), doc(3, 100, 0), doc(4, 100, 1))))
+      .head()
+    assert((perfect.getLong(4), perfect.getLong(5), perfect.getLong(6))
+      === ((1000000L, 500000L, 1000000L)), perfect.toString)
+    // every doc passes both raters: pe = 1, the kappa pole -> NULL
+    val pole = operators.InferenceQueries.q471(spark, documentsDir(Seq(
+      doc(1, 300, 54), doc(2, 300, 60)))).head()
+    assert(pole.getLong(4) === 1000000L && pole.isNullAt(6), pole.toString)
+  }
+
+  test("q472 prices the planted ramp and alternation exactly and nulls the constant pole") {
+    // ramp y_t = t over 12 months: S_ff = S_yy = S_fy = 1210,
+    // bias = 121 -> ccc = 2420e6/2541 = 952380, shift share
+    // 121e6/2541 = 47619
+    val ramp = operators.InferenceQueries.q472(spark,
+      perOrderMonthlyDir(2020, (1 to 12).map(m => (m, m * 1000.0)))).head()
+    assert((ramp.getLong(0), ramp.getLong(1), ramp.getLong(2))
+      === ((11L, 952380L, 47619L)), ramp.toString)
+    // alternation 10/20: S_fy = -3000 vs S_ff = S_yy = 3000, bias 100
+    // -> ccc = -6000e6/6100 (truncated toward zero, both engines)
+    val alt = operators.InferenceQueries.q472(spark,
+      perOrderMonthlyDir(2020,
+        (1 to 12).map(m => (m, if (m % 2 == 1) 10000.0 else 20000.0)))).head()
+    assert((alt.getLong(0), alt.getLong(1), alt.getLong(2))
+      === ((11L, -983606L, 16393L)), alt.toString)
+    // constant series: every moment and the bias are zero -> NULL, not
+    // a fake perfect score
+    val const = operators.InferenceQueries.q472(spark,
+      perOrderMonthlyDir(2020, (1 to 12).map(m => (m, 5000.0)))).head()
+    assert(const.getLong(0) === 11L && const.isNullAt(1) && const.isNullAt(2),
+      const.toString)
+  }
 }
