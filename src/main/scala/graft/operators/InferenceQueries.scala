@@ -595,11 +595,181 @@ object InferenceQueries {
       |        + (sf - sy) * (sf - sy)) AS BIGINT) END AS shift_share_micro
       |FROM m""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q473 — EWMA control chart on daily purchase revenue
+  // ------------------------------------------------------------------
+
+  /** q473 — EWMA control chart (λ = 0.2, L = 3) on daily purchase
+    * revenue: the first 10 days calibrate an in-control mean and
+    * variance; every later day updates z_t = 0.2·y_t + 0.8·z_{t−1}
+    * and is flagged when |z_t − μ| exceeds the time-varying 3σ EWMA
+    * limit σ·√((λ/(2−λ))(1−(1−λ)^{2k})). The PROCESS-CONTROL member
+    * of the change-detection battery: CUSUM q218 accumulates all
+    * history, Pettitt q466 is retrospective, the q284 MAD fence is
+    * memoryless — EWMA geometrically discounts, catching small
+    * SUSTAINED shifts fast while one wild day fades. Exactness: μ is
+    * a truncated cent mean, SS = Σ(10y − Σy)² is exact (HUGEINT/BigInt
+    * — (10y)² ≈ 1e20 at $1M days exceeds BIGINT), the z recursion is
+    * the stated integer grid z = (2y + 8z) div 10, the limit ramp is
+    * the stated micro recursion g = g·64 div 100 (λ=0.2 makes
+    * (1−λ)² = 16/25 and λ/(2−λ) = 1/9, so L²·(1/9) = 1 and the
+    * signal collapses to the ALL-INTEGER comparison
+    * (z−μ)²·27000·10⁶ > SS·(10⁶−g)). Day grid is calendar-bounded;
+    * the ≤grid-size recursion folds on the driver (the q270/q390
+    * bounded-grid exception); gaps collapse to the ordinal
+    * (stated). */
+  def q473(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Fx.eventTs(Tables.events(s, d))
+      .filter($"event_type" === "purchase")
+      .groupBy(epochDay($"ts").as("day"))
+      .agg(sum(floor($"value" * 100).cast("long")).as("y"))
+      .orderBy($"day")
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1)))
+    val out = if (daily.length <= 10) Seq.empty[(Long, Long, Long, Long, Int)]
+    else {
+      val cal = daily.take(10).map(_._2)
+      val sumCal = cal.sum
+      val mu = sumCal / 10L
+      val ss = cal.map(y => BigInt(10L * y - sumCal).pow(2)).sum
+      var z = mu; var g = 1000000L
+      daily.drop(10).map { case (day, y) =>
+        z = (2L * y + 8L * z) / 10L
+        g = g * 64L / 100L
+        val dev = BigInt(z - mu).pow(2) * 1000L * 1000000L
+        val lim = ss * BigInt(1000000L - g)
+        (day, y, z, 1000000L - g, if (dev > lim) 1 else 0)
+      }.toSeq
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("day",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("y_cents",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("z_cents",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ramp_micro",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("signal",
+        org.apache.spark.sql.types.IntegerType)))
+    s.createDataFrame(
+      s.sparkContext.parallelize(out.map(t =>
+        org.apache.spark.sql.Row(t._1, t._2, t._3, t._4, t._5)), 1),
+      schema).orderBy($"day")
+  }
+
+  val q473Sql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT CAST(ts AS DATE) - DATE '1970-01-01' AS day,
+      |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY 1),
+      |o AS (SELECT day, y, row_number() OVER (ORDER BY day) AS rn FROM daily),
+      |cal AS (
+      |  SELECT CAST(sum(y) AS BIGINT) // 10 AS mu,
+      |    CAST(sum(CAST(10 * y - (SELECT CAST(sum(y) AS BIGINT) FROM o
+      |        WHERE rn <= 10) AS HUGEINT)
+      |      * (10 * y - (SELECT CAST(sum(y) AS BIGINT) FROM o
+      |        WHERE rn <= 10))) AS HUGEINT) AS ss
+      |  FROM o WHERE rn <= 10),
+      |h(rn, day, y, z, g) AS (
+      |  SELECT 10, CAST(-1 AS BIGINT), CAST(0 AS BIGINT), mu,
+      |    CAST(1000000 AS BIGINT)
+      |  FROM cal WHERE (SELECT max(rn) FROM o) > 10
+      |  UNION ALL
+      |  SELECT o.rn, o.day, o.y,
+      |    (2 * o.y + 8 * h.z) // 10,
+      |    h.g * 64 // 100
+      |  FROM h JOIN o ON o.rn = h.rn + 1)
+      |SELECT CAST(day AS BIGINT) AS day, y AS y_cents,
+      |  CAST(z AS BIGINT) AS z_cents,
+      |  CAST(1000000 - g AS BIGINT) AS ramp_micro,
+      |  CAST(CASE WHEN CAST(z - mu AS HUGEINT) * (z - mu) * 1000 * 1000000
+      |    > ss * (1000000 - g) THEN 1 ELSE 0 END AS INT) AS signal
+      |FROM h, cal WHERE rn > 10 ORDER BY day""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q474 — SPRT sequential test on the purchase share
+  // ------------------------------------------------------------------
+
+  /** q474 — Wald's sequential probability ratio test on the purchase
+    * share of the event stream: H₀ p = 0.15 vs H₁ p = 0.20,
+    * α = β = 0.05. Each day adds s·ln(p₁/p₀) + (n−s)·ln((1−p₁)/(1−p₀))
+    * to the log-likelihood ratio; the run DECIDES the first day the
+    * cumulative LLR leaves (ln(β/(1−α)), ln((1−β)/α)) — the
+    * SEQUENTIAL member of the testing battery: q268/q243 fix n then
+    * test, SPRT tests as data arrives and stops ~half as early on
+    * average at the same error rates, which is the monitoring shape a
+    * pipeline needs. Exactness: the two per-event increments and the
+    * boundary are PINNED micro literals (ln(4/3) → +287682,
+    * ln(16/17) → −60625, ln 19 → 2944439 — stated constants DEFINE
+    * the statistic; no transcendental crosses the engine boundary),
+    * so the LLR path is an exact integer running sum over the
+    * calendar-bounded day grid (post-aggregate window). Crossing uses
+    * ≥ (stated); no crossing → decision 'continue' with NULL day. */
+  def q474(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wd = org.apache.spark.sql.expressions.Window.orderBy($"day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val daily = Fx.eventTs(Tables.events(s, d))
+      .groupBy(epochDay($"ts").as("day"))
+      .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("sp"),
+        count(lit(1)).as("n"))
+      .withColumn("llr",
+        sum($"sp" * 287682L - ($"n" - $"sp") * 60625L).over(wd))
+      .transform(Fx.materialize)
+    val dec = daily
+      .filter($"llr" >= 2944439L || $"llr" <= -2944439L)
+      .orderBy($"day").limit(1)
+      .select($"day".as("dd"), $"llr".as("llr_at_decision"))
+    val fin = daily.agg(count(lit(1)).as("n_days"),
+      max(struct($"day", $"llr")).as("last"))
+    fin.join(broadcast(dec), lit(true), "left")
+      .select($"n_days",
+        when($"llr_at_decision".isNull, lit("continue"))
+          .when($"llr_at_decision" >= 2944439L, lit("accept_h1"))
+          .otherwise(lit("accept_h0")).as("decision"),
+        $"dd".cast("long").as("decision_day"),
+        $"llr_at_decision",
+        $"last.llr".as("final_llr"))
+  }
+
+  val q474Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) - DATE '1970-01-01' AS day,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS sp,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |path AS (
+      |  SELECT day,
+      |    sum(sp * 287682 - (n - sp) * 60625) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr
+      |  FROM daily),
+      |dec AS (
+      |  SELECT day AS decision_day, llr AS llr_at_decision
+      |  FROM path WHERE llr >= 2944439 OR llr <= -2944439
+      |  ORDER BY day LIMIT 1),
+      |fin AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(max_by(llr, day) AS BIGINT) AS final_llr
+      |  FROM path)
+      |SELECT n_days,
+      |  CASE WHEN d.llr_at_decision IS NULL THEN 'continue'
+      |    WHEN d.llr_at_decision >= 2944439 THEN 'accept_h1'
+      |    ELSE 'accept_h0' END AS decision,
+      |  CAST(d.decision_day AS BIGINT) AS decision_day,
+      |  CAST(d.llr_at_decision AS BIGINT) AS llr_at_decision,
+      |  final_llr
+      |FROM fin LEFT JOIN dec d ON TRUE""".stripMargin
+
   lazy val all: Seq[QueryDef] = Seq(
     QueryDef("q467_mood_median", q467, Some(q467Sql)),
     QueryDef("q468_hodges_lehmann", q468, Some(q468Sql)),
     QueryDef("q469_gamma_somers", q469, Some(q469Sql)),
     QueryDef("q470_turning_points", q470, Some(q470Sql)),
     QueryDef("q471_cohens_kappa", q471, Some(q471Sql)),
-    QueryDef("q472_lin_ccc", q472, Some(q472Sql)))
+    QueryDef("q472_lin_ccc", q472, Some(q472Sql)),
+    QueryDef("q473_ewma_chart", q473, Some(q473Sql)),
+    QueryDef("q474_sprt", q474, Some(q474Sql)))
 }

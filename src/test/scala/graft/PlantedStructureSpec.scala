@@ -3751,4 +3751,49 @@ class PlantedStructureSpec extends SparkSpec {
     assert(const.getLong(0) === 11L && const.isNullAt(1) && const.isNullAt(2),
       const.toString)
   }
+
+  test("q473 replays the EWMA recursion and fires only outside the planted limits") {
+    def purchases(vals: Seq[Double]) = eventsDir(
+      vals.zipWithIndex.map { case (v, i) => (i + 1, 1L, "purchase", v) })
+    // flat calibration (sigma = 0): the chart stays silent at mu and
+    // fires on ANY deviation, which then decays geometrically
+    val flat = operators.InferenceQueries.q473(spark,
+      purchases(Seq.fill(10)(10.0) ++ Seq(10.0, 20.0, 10.0))).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(flat.toSeq === Seq((11L, 1000L, 360000L, 0),
+      (12L, 1200L, 590400L, 1), (13L, 1160L, 737856L, 1)), flat.toSeq.toString)
+    // noisy calibration (sigma = 100c): a 30c drift stays inside the
+    // ramping limit, a sustained jump crosses it
+    val noisy = operators.InferenceQueries.q473(spark,
+      purchases((1 to 10).map(i => if (i % 2 == 1) 9.0 else 11.0) ++
+        Seq(11.5, 20.0))).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(4)))
+    assert(noisy.toSeq === Seq((11L, 1030L, 0), (12L, 1224L, 1)),
+      noisy.toSeq.toString)
+    // 10 days or fewer: calibration only, no chart rows
+    assert(operators.InferenceQueries.q473(spark,
+      purchases(Seq.fill(10)(10.0))).count() === 0L)
+  }
+
+  test("q474 stops at the exact pinned boundary crossings in both directions") {
+    // pure-purchase stream: +287682/day crosses ln19 = 2944439 micro
+    // on day 11 (10 days = 2876820 stays inside)
+    val h1 = operators.InferenceQueries.q474(spark, eventsDir(
+      (1 to 60).map(d => (d, 1L, "purchase", 1.0)))).head()
+    assert((h1.getLong(0), h1.getString(1), h1.getLong(2), h1.getLong(3),
+      h1.getLong(4)) === ((60L, "accept_h1", 11L, 3164502L, 17260920L)),
+      h1.toString)
+    // pure-view stream: -60625/day crosses the lower boundary on day 49
+    val h0 = operators.InferenceQueries.q474(spark, eventsDir(
+      (1 to 60).map(d => (d, 1L, "view", 1.0)))).head()
+    assert((h0.getLong(0), h0.getString(1), h0.getLong(2), h0.getLong(3),
+      h0.getLong(4)) === ((60L, "accept_h0", 49L, -2970625L, -3637500L)),
+      h0.toString)
+    // too little evidence: the test declines to decide
+    val cont = operators.InferenceQueries.q474(spark, eventsDir(
+      (1 to 5).map(d => (d, 1L, "view", 1.0)))).head()
+    assert((cont.getLong(0), cont.getString(1), cont.getLong(4))
+      === ((5L, "continue", -303125L)) && cont.isNullAt(2) && cont.isNullAt(3),
+      cont.toString)
+  }
 }
