@@ -763,6 +763,178 @@ object InferenceQueries {
       |  final_llr
       |FROM fin LEFT JOIN dec d ON TRUE""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q475 — Bowker symmetry test on the behavior-transition matrix
+  // ------------------------------------------------------------------
+
+  /** q475 — Bowker's test of symmetry on the per-user consecutive
+    * event-type transition matrix (q226's grid): for every unordered
+    * type pair {i,j} compare the i→j flow against the j→i flow,
+    * χ² = Σ_{i<j} (n_ij − n_ji)²/(n_ij + n_ji), df = #pairs with any
+    * flow. The k×k generalization of McNemar q349 (which can only ask
+    * one 2×2 question): symmetric flows mean the behavior chain has
+    * no preferred direction, an asymmetric pair (e.g. view→purchase ≫
+    * purchase→view) is the directionality signal a transition-RATE
+    * readout (q226) normalizes away. Diagonal (self) transitions
+    * carry no direction and are excluded (stated). Exactness: exact
+    * counts; each pair term is the stated truncation
+    * (n_ij−n_ji)²·10⁶ div (n_ij+n_ji) on DECIMAL(38,0)
+    * (diff² ·10⁶ ≈ 1e18 at 10⁶ transitions brushes BIGINT), summed
+    * exactly; verdict vs the pinned χ²(df) ladder (df ≤ 10 with five
+    * event types). Per-user lag windows partition by user (the q226
+    * shape); the pair table is ≤ k² cells — bounded by the type
+    * enum, not the corpus. */
+  def q475(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byUserTime = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"us", $"event_id")
+    val pairs = Fx.eventTs(Tables.events(s, d))
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+        $"event_type")
+      .withColumn("prev", lag($"event_type", 1).over(byUserTime))
+      .filter($"prev".isNotNull && $"prev" =!= $"event_type")
+      .groupBy(least($"prev", $"event_type").as("t_lo"),
+        greatest($"prev", $"event_type").as("t_hi"))
+      .agg(sum(when($"prev" < $"event_type", 1L).otherwise(0L)).as("n_fwd"),
+        sum(when($"prev" > $"event_type", 1L).otherwise(0L)).as("n_rev"))
+      .withColumn("term_micro", expr(
+        """(cast(n_fwd - n_rev as decimal(38,0)) * (n_fwd - n_rev) * 1000000)
+           div (n_fwd + n_rev)"""))
+      .transform(Fx.materialize)
+    val tst = pairs.agg(sum($"term_micro").as("chi2_micro"),
+        count(lit(1)).as("df"))
+      .select($"chi2_micro", $"df",
+        ($"chi2_micro" > expr(chiCritSql)).cast("int").as("reject_5pct"))
+    pairs.crossJoin(broadcast(tst))
+      .select($"t_lo", $"t_hi", $"n_fwd", $"n_rev", $"term_micro",
+        $"chi2_micro", $"df", $"reject_5pct")
+      .orderBy($"t_lo", $"t_hi")
+  }
+
+  val q475Sql: String =
+    s"""WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+      |    event_type FROM events),
+      |steps AS (
+      |  SELECT event_type AS cur,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |      AS prev
+      |  FROM e),
+      |pairs AS (
+      |  SELECT CASE WHEN prev < cur THEN prev ELSE cur END AS t_lo,
+      |    CASE WHEN prev < cur THEN cur ELSE prev END AS t_hi,
+      |    CAST(sum(CASE WHEN prev < cur THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_fwd,
+      |    CAST(sum(CASE WHEN prev > cur THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_rev
+      |  FROM steps WHERE prev IS NOT NULL AND prev <> cur
+      |  GROUP BY 1, 2),
+      |terms AS (
+      |  SELECT t_lo, t_hi, n_fwd, n_rev,
+      |    CAST((CAST(n_fwd - n_rev AS HUGEINT) * (n_fwd - n_rev) * 1000000)
+      |      // (n_fwd + n_rev) AS BIGINT) AS term_micro
+      |  FROM pairs),
+      |tst AS (
+      |  SELECT CAST(sum(term_micro) AS BIGINT) AS chi2_micro,
+      |    CAST(count(*) AS BIGINT) AS df
+      |  FROM terms),
+      |tst2 AS (
+      |  SELECT chi2_micro, df,
+      |    CAST(chi2_micro > $chiCritDuck AS INT) AS reject_5pct
+      |  FROM tst)
+      |SELECT t_lo, t_hi, n_fwd, n_rev, term_micro, chi2_micro, df,
+      |  reject_5pct
+      |FROM terms, tst2 ORDER BY t_lo, t_hi""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q476 — KMV distinct-count sketch vs exact NDV per column
+  // ------------------------------------------------------------------
+
+  /** q476 — k-minimum-values NDV sketch per column (k = 64) with its
+    * exact-error audit: hash every DISTINCT value of o_custkey /
+    * o_orderdate / o_orderpriority with md5 (both engines produce
+    * identical hex, the q243 idiom), keep the k smallest 52-bit hash
+    * prefixes through the native bounded-heap [[plans.TopKPerGroup]],
+    * and estimate NDV = (k−1)·2⁵² div h_(k) — the ANALYZE-TABLE
+    * statistic a 100 TB optimizer needs where COUNT(DISTINCT) is a
+    * full shuffle of the value domain: the sketch is O(k) state per
+    * column, mergeable across partitions, and DETERMINISTIC (md5 —
+    * unlike approx_count_distinct's engine-specific HLL, this
+    * cross-checks exactly against DuckDB). Fewer than k distinct
+    * values → the sketch IS the exact count (stated). The audit
+    * column err_micro = |est − true|·10⁶ div true prices the k = 64
+    * sketch against the exact NDV at test scale — at 100 TB only the
+    * sketch side runs. Timestamps hash their DATE string (stated —
+    * engine-stable text form); NULLs are excluded (stated). 52-bit
+    * prefixes keep every value exact in BIGINT/DOUBLE-free integer
+    * arithmetic ((k−1)·2⁵² ≈ 2.8e17 < 2⁶³). */
+  def q476(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+    val vals = o.select(explode(array(
+        struct(lit("o_custkey").as("colname"),
+          $"o_custkey".cast("string").as("v")),
+        struct(lit("o_orderdate").as("colname"),
+          to_date($"o_orderdate").cast("string").as("v")),
+        struct(lit("o_orderpriority").as("colname"),
+          $"o_orderpriority".as("v")))).as("cv"))
+      .select($"cv.colname".as("colname"), $"cv.v".as("v"))
+      .filter($"v".isNotNull)
+      .distinct()
+      .transform(Fx.materialize)
+    val hashed = vals.select($"colname",
+      expr("cast(conv(substring(md5(concat(v, '#kmv')), 1, 13), 16, 10) " +
+        "as bigint)").as("h13"))
+    val kept = graft.plans.TopK.perGroup(hashed, 64, Seq("colname"),
+        Seq(graft.plans.TopK.asc("h13")))
+      .groupBy($"colname")
+      .agg(max($"h13").as("kth"), count(lit(1)).as("n_kept"))
+    val truth = vals.groupBy($"colname").agg(count(lit(1)).as("true_ndv"))
+    kept.join(truth, "colname")
+      .select($"colname",
+        when($"n_kept" < 64, $"n_kept")
+          .otherwise(expr("(63 * 4503599627370496) div kth")).as("est_ndv"),
+        $"true_ndv")
+      .withColumn("err_micro", expr(
+        "(abs(est_ndv - true_ndv) * 1000000) div true_ndv"))
+      .orderBy($"colname")
+  }
+
+  val q476Sql: String =
+    """WITH vals AS (
+      |  SELECT DISTINCT colname, v FROM (
+      |    SELECT 'o_custkey' AS colname, CAST(o_custkey AS VARCHAR) AS v
+      |    FROM orders
+      |    UNION ALL
+      |    SELECT 'o_orderdate', CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+      |    FROM orders
+      |    UNION ALL
+      |    SELECT 'o_orderpriority', o_orderpriority FROM orders) t
+      |  WHERE v IS NOT NULL),
+      |h AS (
+      |  SELECT colname,
+      |    ('0x' || substr(md5(v || '#kmv'), 1, 13))::BIGINT AS h13
+      |  FROM vals),
+      |top AS (
+      |  SELECT colname, h13,
+      |    row_number() OVER (PARTITION BY colname ORDER BY h13) AS rn
+      |  FROM h),
+      |kept AS (
+      |  SELECT colname, CAST(max(h13) AS BIGINT) AS kth,
+      |    CAST(count(*) AS BIGINT) AS n_kept
+      |  FROM top WHERE rn <= 64 GROUP BY 1),
+      |tr AS (
+      |  SELECT colname, CAST(count(*) AS BIGINT) AS true_ndv
+      |  FROM vals GROUP BY 1)
+      |SELECT k.colname,
+      |  CASE WHEN n_kept < 64 THEN n_kept
+      |    ELSE (63 * 4503599627370496) // kth END AS est_ndv,
+      |  true_ndv,
+      |  (abs(CASE WHEN n_kept < 64 THEN n_kept
+      |    ELSE (63 * 4503599627370496) // kth END - true_ndv) * 1000000)
+      |    // true_ndv AS err_micro
+      |FROM kept k JOIN tr USING (colname) ORDER BY colname""".stripMargin
+
   lazy val all: Seq[QueryDef] = Seq(
     QueryDef("q467_mood_median", q467, Some(q467Sql)),
     QueryDef("q468_hodges_lehmann", q468, Some(q468Sql)),
@@ -771,5 +943,7 @@ object InferenceQueries {
     QueryDef("q471_cohens_kappa", q471, Some(q471Sql)),
     QueryDef("q472_lin_ccc", q472, Some(q472Sql)),
     QueryDef("q473_ewma_chart", q473, Some(q473Sql)),
-    QueryDef("q474_sprt", q474, Some(q474Sql)))
+    QueryDef("q474_sprt", q474, Some(q474Sql)),
+    QueryDef("q475_bowker_symmetry", q475, Some(q475Sql)),
+    QueryDef("q476_kmv_ndv", q476, Some(q476Sql)))
 }

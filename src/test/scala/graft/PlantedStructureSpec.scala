@@ -3796,4 +3796,59 @@ class PlantedStructureSpec extends SparkSpec {
       === ((5L, "continue", -303125L)) && cont.isNullAt(2) && cont.isNullAt(3),
       cont.toString)
   }
+
+  test("q475 flags the planted one-way flow and ignores diagonal transitions") {
+    // 9 users flow view->purchase, 1 flows back, 1 repeats itself
+    // (diagonal, excluded): (1-9)^2 * 1e6 / 10 = 6400000 > chi2(1)
+    val d = eventsDir(
+      (1 to 9).flatMap(u => Seq((1, u.toLong, "view", 1.0),
+        (2, u.toLong, "purchase", 1.0))) ++
+      Seq((1, 10L, "purchase", 1.0), (2, 10L, "view", 1.0),
+        (1, 11L, "view", 1.0), (2, 11L, "view", 1.0)))
+    val out = operators.InferenceQueries.q475(spark, d).collect()
+    assert(out.length === 1, out.mkString(";"))
+    val r = out.head
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6), r.getInt(7))
+      === (("purchase", "view", 1L, 9L, 6400000L, 6400000L, 1L, 1)),
+      r.toString)
+    // balanced flows: zero chi2, no rejection
+    val bal = operators.InferenceQueries.q475(spark, eventsDir(
+      (1 to 5).flatMap(u => Seq((1, u.toLong, "view", 1.0),
+        (2, u.toLong, "purchase", 1.0))) ++
+      (6 to 10).flatMap(u => Seq((1, u.toLong, "purchase", 1.0),
+        (2, u.toLong, "view", 1.0))))).head()
+    assert((bal.getLong(4), bal.getLong(5), bal.getInt(7)) === ((0L, 0L, 0)),
+      bal.toString)
+  }
+
+  test("q476 is exact under k and matches the md5 replay above k") {
+    def h13(v: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((v + "#kmv").getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(13), 16)
+    }
+    // 200 distinct custkeys on one day: o_custkey estimates off the
+    // 64th-smallest hash; o_orderdate and o_orderpriority sit in the
+    // exact (< k) regime; NULL priorities are excluded, not hashed
+    val dir = Files.createTempDirectory("planted-kmv")
+    (1 to 200).map(k =>
+        (k.toLong, if (k % 2 == 0) "1-URGENT" else null))
+      .toDF("o_custkey", "o_orderpriority")
+      .withColumn("o_orderdate",
+        timestamp_micros(lit((86400L + 43200L) * 1000000L)))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("orders.parquet").toString)
+    val out = operators.InferenceQueries.q476(spark, dir.toString).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val kth = (1 to 200).map(k => h13(k.toString)).sorted.apply(63)
+    val est = 63L * 4503599627370496L / kth
+    assert(out("o_custkey") === ((est, 200L,
+      math.abs(est - 200L) * 1000000L / 200L)), out.toString)
+    assert(out("o_orderdate") === ((1L, 1L, 0L)), out.toString)
+    assert(out("o_orderpriority") === ((1L, 1L, 0L)),
+      s"NULL priorities must not be hashed: $out")
+  }
 }
