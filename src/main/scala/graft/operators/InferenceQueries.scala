@@ -935,6 +935,179 @@ object InferenceQueries {
       |    // true_ndv AS err_micro
       |FROM kept k JOIN tr USING (colname) ORDER BY colname""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q477 — Gries' DP word dispersion across sources
+  // ------------------------------------------------------------------
+
+  /** q477 — Gries' deviation-of-proportions (DP) dispersion of the
+    * top-50 corpus words across sources: DP = ½·Σ_parts |v_i/f −
+    * s_i/S| where v_i is the word's count in part i, f its corpus
+    * count, s_i the part's token count and S the corpus total — 0
+    * means the word is spread exactly like the corpus, →1 means it
+    * clumps in one source. The DISPERSION column frequency alone
+    * can't see (q106 Zipf rank and q183 diversity both pool parts; a
+    * word can be corpus-frequent yet live in one source — exactly
+    * the boilerplate/contamination smell a mixing policy q103/q184
+    * needs to know about). Exactness: clearing the denominators
+    * (common denominator f·S) makes every cell |v_i·S − s_i·f| an
+    * exact integer on DECIMAL(38,0) (v·S ≤ S² — the q297
+    * escalation), and DP is ONE truncating micro-division
+    * Σ|…|·10⁶ div (2·f·S). MISSING (word, part) cells contribute
+    * s_i·f and are zero-filled from the bounded top-50 × sources
+    * grid (stated). Scale: one token scan → (word, source) counts;
+    * everything after runs on the ≤50×sources grid; word selection
+    * is the q465 deterministic (f desc, word) head. */
+  def q477(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wp = Tables.documents(s, d)
+      .select($"source", explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"w", $"source").agg(count(lit(1)).as("v"))
+      .transform(Fx.materialize)
+    val parts = wp.groupBy($"source").agg(sum($"v").as("s_i"))
+      .transform(Fx.materialize)
+    val tot = parts.agg(sum($"s_i").as("bigS"))
+    val words = wp.groupBy($"w").agg(sum($"v").as("f"))
+      .orderBy($"f".desc, $"w").limit(50)
+    // prune the corpus-sized (word, part) counts to the 50 kept words
+    // BEFORE joining the grid: the left join's build side stays
+    // ≤ 50×sources rows and broadcasts
+    val wpTop = wp.join(broadcast(words.select($"w")), Seq("w"))
+    val grid = words.crossJoin(broadcast(parts))
+      .join(broadcast(wpTop), Seq("w", "source"), "left")
+      .withColumn("v0", coalesce($"v", lit(0L)))
+    grid.crossJoin(broadcast(tot))
+      .groupBy($"w", $"f", $"bigS")
+      .agg(sum(expr(
+        "abs(cast(v0 as decimal(38,0)) * bigS - cast(s_i as decimal(38,0)) * f)"))
+        .as("dev"))
+      .select($"w".as("word"), $"f",
+        expr("cast((dev * 1000000) div (2 * cast(f as decimal(38,0)) * bigS) as bigint)")
+          .as("dp_micro"))
+      .orderBy($"dp_micro".desc, $"word")
+  }
+
+  val q477Sql: String =
+    """WITH wp AS (
+      |  SELECT source, w, CAST(count(*) AS BIGINT) AS v FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS w
+      |    FROM documents) t
+      |  WHERE w <> '' GROUP BY 1, 2),
+      |parts AS (SELECT source, CAST(sum(v) AS BIGINT) AS s_i
+      |  FROM wp GROUP BY 1),
+      |tot AS (SELECT CAST(sum(s_i) AS BIGINT) AS bigS FROM parts),
+      |words AS (SELECT w, CAST(sum(v) AS BIGINT) AS f FROM wp
+      |  GROUP BY 1 ORDER BY f DESC, w LIMIT 50),
+      |grid AS (
+      |  SELECT wpd.w, wpd.f, wpd.s_i, coalesce(wp.v, 0) AS v0
+      |  FROM (SELECT words.w, words.f, parts.source, parts.s_i
+      |        FROM words, parts) wpd
+      |  LEFT JOIN wp ON wp.w = wpd.w AND wp.source = wpd.source)
+      |SELECT w AS word, f,
+      |  CAST((sum(abs(CAST(v0 AS HUGEINT) * bigS
+      |      - CAST(s_i AS HUGEINT) * f)) * 1000000)
+      |    // (2 * CAST(f AS HUGEINT) * bigS) AS BIGINT) AS dp_micro
+      |FROM grid, tot
+      |GROUP BY w, f, bigS
+      |ORDER BY dp_micro DESC, word""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q478 — ARCH LM test for volatility clustering
+  // ------------------------------------------------------------------
+
+  /** q478 — Engle's ARCH LM test on monthly revenue: do SQUARED
+    * deviations cluster in time (volatile months follow volatile
+    * months)? Regress e_t = u_t² on e_{t−1} (u_t = n·y_t − Σy, the
+    * denominator-cleared demeaning) and report LM = m·R² against
+    * χ²(1). The VOLATILITY member of the diagnostics battery:
+    * Breusch–Pagan q454 asks whether variance follows a COVARIATE,
+    * q312/q409 ask whether LEVELS autocorrelate — ARCH asks whether
+    * RISK autocorrelates, the condition under which a single σ
+    * (q311's envelopes, q473's EWMA limits) misprices every calm
+    * regime. Exactness: u and e are exact integers, the moment sums
+    * S_xy/S_xx/S_yy are exact DECIMAL(38,0)/HUGEINT (e ≈ 1.2e13 at
+    * sf0.1 → m·Σee' ≈ 1e30 — stated bound, the q297 escalation
+    * note), and LM follows the q459/q453 fixed double pipeline:
+    * (S_xy/S_xx)·(S_xy/S_yy)·m over correctly-rounded casts of exact
+    * integers, r6'd — bit-identical in both engines. Constant
+    * volatility (S_xx or S_yy = 0) → NULL. Month ordinal collapses
+    * gaps (stated). */
+  def q478(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wd = org.apache.spark.sql.expressions.Window.orderBy($"ym")
+    val g = Tables.orders(s, d)
+      .groupBy((year($"o_orderdate") * 100 + month($"o_orderdate")).as("ym"))
+      .agg(sum(cents($"o_totalprice")).as("yc"))
+      .select($"ym", expr("yc div 100000").as("y"))
+    val n1 = g.agg(count(lit(1)).as("n"), sum($"y").as("sy"))
+    val e = g.crossJoin(broadcast(n1))
+      .select($"ym",
+        expr("""cast(n as decimal(38,0)) * y - sy""").as("u"))
+      .select($"ym", expr("cast(u * u as decimal(38,0))").as("e"))
+    val pairs = e.withColumn("ep", lag($"e", 1).over(wd))
+      .filter($"ep".isNotNull)
+    pairs.agg(count(lit(1)).as("m"),
+        sum($"ep").as("sx"), sum($"e").as("sy2"),
+        sum(expr("ep * e")).as("sxy"),
+        sum(expr("ep * ep")).as("sxx"),
+        sum(expr("e * e")).as("syy"))
+      .select($"m".as("n_pairs"),
+        when(expr("m * sxx - sx * sx") === 0 ||
+          expr("m * syy - sy2 * sy2") === 0, lit(null).cast("long"))
+          .otherwise(floor(
+            (expr("cast(m * sxy - sx * sy2 as double)") /
+              expr("cast(m * sxx - sx * sx as double)")) *
+            (expr("cast(m * sxy - sx * sy2 as double)") /
+              expr("cast(m * syy - sy2 * sy2 as double)")) *
+            expr("cast(m as double)") * 1000000 + 0.5).cast("long"))
+          .as("lm_micro"),
+        when(expr("m * sxy - sx * sy2") > 0, 1)
+          .when(expr("m * sxy - sx * sy2") < 0, -1).otherwise(0)
+          .as("rho_sign"))
+      .withColumn("reject_5pct",
+        when($"lm_micro".isNull, lit(null).cast("int"))
+          .otherwise(($"lm_micro" > 3841459L).cast("int")))
+  }
+
+  val q478Sql: String =
+    """WITH g AS (
+      |  SELECT year(o_orderdate)*100 + month(o_orderdate) AS ym,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      // 100000 AS y
+      |  FROM orders GROUP BY 1),
+      |n1 AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(y) AS HUGEINT) AS sy FROM g),
+      |e AS (
+      |  SELECT ym, (n * y - sy) * (n * y - sy) AS e
+      |  FROM g, n1),
+      |pairs AS (
+      |  SELECT lag(e) OVER (ORDER BY ym) AS ep, e FROM e
+      |  QUALIFY ep IS NOT NULL),
+      |m AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS m,
+      |    sum(ep) AS sx, sum(e) AS sy2, sum(ep * e) AS sxy,
+      |    sum(ep * ep) AS sxx, sum(e * e) AS syy
+      |  FROM pairs)
+      |SELECT CAST(m AS BIGINT) AS n_pairs,
+      |  CASE WHEN m * sxx - sx * sx = 0 OR m * syy - sy2 * sy2 = 0 THEN NULL
+      |    ELSE CAST(floor(
+      |      (CAST(m * sxy - sx * sy2 AS DOUBLE)
+      |        / CAST(m * sxx - sx * sx AS DOUBLE))
+      |      * (CAST(m * sxy - sx * sy2 AS DOUBLE)
+      |        / CAST(m * syy - sy2 * sy2 AS DOUBLE))
+      |      * CAST(m AS DOUBLE) * 1000000 + 0.5) AS BIGINT) END AS lm_micro,
+      |  CASE WHEN m * sxy - sx * sy2 > 0 THEN 1
+      |    WHEN m * sxy - sx * sy2 < 0 THEN -1 ELSE 0 END AS rho_sign,
+      |  CASE WHEN m * sxx - sx * sx = 0 OR m * syy - sy2 * sy2 = 0 THEN NULL
+      |    ELSE CAST(CAST(floor(
+      |      (CAST(m * sxy - sx * sy2 AS DOUBLE)
+      |        / CAST(m * sxx - sx * sx AS DOUBLE))
+      |      * (CAST(m * sxy - sx * sy2 AS DOUBLE)
+      |        / CAST(m * syy - sy2 * sy2 AS DOUBLE))
+      |      * CAST(m AS DOUBLE) * 1000000 + 0.5) AS BIGINT) > 3841459
+      |      AS INT) END AS reject_5pct
+      |FROM m""".stripMargin
+
   lazy val all: Seq[QueryDef] = Seq(
     QueryDef("q467_mood_median", q467, Some(q467Sql)),
     QueryDef("q468_hodges_lehmann", q468, Some(q468Sql)),
@@ -945,5 +1118,7 @@ object InferenceQueries {
     QueryDef("q473_ewma_chart", q473, Some(q473Sql)),
     QueryDef("q474_sprt", q474, Some(q474Sql)),
     QueryDef("q475_bowker_symmetry", q475, Some(q475Sql)),
-    QueryDef("q476_kmv_ndv", q476, Some(q476Sql)))
+    QueryDef("q476_kmv_ndv", q476, Some(q476Sql)),
+    QueryDef("q477_word_dispersion", q477, Some(q477Sql)),
+    QueryDef("q478_arch_lm", q478, Some(q478Sql)))
 }

@@ -3851,4 +3851,45 @@ class PlantedStructureSpec extends SparkSpec {
     assert(out("o_orderpriority") === ((1L, 1L, 0L)),
       s"NULL priorities must not be hashed: $out")
   }
+
+  test("q477 scores the source-clumped words at exactly 1/2 and the uniform word at 0") {
+    // two equal 3-token sources; x lives only in a, z only in b, y is
+    // spread exactly like the corpus: DP(x) = DP(z) = 1/2, DP(y) = 0
+    val d = documentsDir(Seq(
+      (1L, "x x y", "en", "a", 5L), (2L, "z z y", "en", "b", 5L)))
+    val out = operators.InferenceQueries.q477(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("x", 2L, 500000L), ("z", 2L, 500000L),
+      ("y", 2L, 0L)), out.toSeq.toString)
+  }
+
+  test("q478 matches the exact replay on planted volatility clustering and nulls the constant pole") {
+    // calm half (100 +- 1) then volatile half (100 +- 10): squared
+    // deviations cluster, rho > 0, LM = 11 * (5/6)^2 via the exact
+    // integer moments replayed through the same double pipeline
+    val ys = Seq(101, 99, 101, 99, 101, 99, 110, 90, 110, 90, 110, 90)
+    val d = perOrderMonthlyDir(2020,
+      ys.zipWithIndex.map { case (y, i) => (i + 1, y * 1000.0) })
+    val es = ys.map(y => { val u = 12L * y - 1200L; u * u })
+    val ps = es.zip(es.tail)
+    val m = ps.size.toLong
+    val (sx, sy2) = (ps.map(_._1).sum, ps.map(_._2).sum)
+    val sxy = ps.map(p => p._1 * p._2).sum
+    val sxx = ps.map(p => p._1 * p._1).sum
+    val syy = ps.map(p => p._2 * p._2).sum
+    val cxy = m * sxy - sx * sy2
+    val lm = math.floor(
+      (cxy.toDouble / (m * sxx - sx * sx).toDouble) *
+      (cxy.toDouble / (m * syy - sy2 * sy2).toDouble) *
+      m.toDouble * 1000000 + 0.5).toLong
+    val r = operators.InferenceQueries.q478(spark, d).head()
+    assert((r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))
+      === ((11L, lm, 1, 1)), s"$r vs lm=$lm")
+    assert(lm > 7000000L, s"planted clustering must reject hard, lm=$lm")
+    // constant revenue: zero deviations everywhere -> NULL, sign 0
+    val pole = operators.InferenceQueries.q478(spark,
+      perOrderMonthlyDir(2020, (1 to 12).map(m2 => (m2, 5000.0)))).head()
+    assert(pole.getLong(0) === 11L && pole.isNullAt(1) &&
+      pole.getInt(2) === 0 && pole.isNullAt(3), pole.toString)
+  }
 }
