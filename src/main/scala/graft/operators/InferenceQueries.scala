@@ -1108,6 +1108,353 @@ object InferenceQueries {
       |      AS INT) END AS reject_5pct
       |FROM m""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q479 — Hoeffding's D general-dependence test (segment pair)
+  // ------------------------------------------------------------------
+
+  /** q479 — Hoeffding's D between the AUTOMOBILE and BUILDING monthly
+    * revenue series: the rank-based test of GENERAL dependence —
+    * Pearson (q178 shape) sees only linear, γ/Somers/Mann–Kendall see
+    * only monotone; D is consistent against EVERY dependence with
+    * continuous margins (a U-shaped or cyclic coupling that zeroes
+    * all of them still moves D), which is the right screen before
+    * choosing any parametric pair model (q451's cointegration, q402
+    * elasticity). Classical no-ties statistic D = 30·((n−2)(n−3)D₁ +
+    * D₂ − 2(n−2)D₃) / (n(n−1)(n−2)(n−3)(n−4)) with R/S the marginal
+    * ranks, c_i the bivariate dominance counts, D₁ = Σc(c−1),
+    * D₂ = Σ(R−1)(R−2)(S−1)(S−2), D₃ = Σ(R−2)(S−2)c; ties are
+    * REMOVED by ranking lexicographically on (value, ym) — the
+    * stated tie-break DEFINES the statistic (exactly the q274
+    * IEEE-quotient + tie-break convention). All integer: ranks and
+    * dominance counts from the calendar-bounded month grid (≤84² pair
+    * join, broadcast), one truncating micro-division; |num| ≤ 30·n⁵ ≈
+    * 1.2e17 at n = 84 fits BIGINT. n ≤ 4 (denominator zero) → NULL.
+    * Monotone coupling of EITHER direction scores exactly 10⁶. */
+  def q479(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val g = segKiloMonthly(s, d)
+      .withColumn("r", row_number().over(W.orderBy($"x", $"ym")).cast("long"))
+      .withColumn("sr", row_number().over(W.orderBy($"y", $"ym")).cast("long"))
+      .transform(Fx.materialize)
+    val b = g.select($"ym".as("bym"), $"x".as("bx"), $"y".as("by"))
+    val ci = g.join(broadcast(b),
+        ($"bx" < $"x" || ($"bx" === $"x" && $"bym" < $"ym")) &&
+        ($"by" < $"y" || ($"by" === $"y" && $"bym" < $"ym")), "left")
+      .groupBy($"ym", $"r", $"sr")
+      .agg(count($"bym").as("c"))
+    ci.agg(count(lit(1)).as("n"),
+        sum(expr("c * (c - 1)")).as("d1"),
+        sum(expr("(r - 1) * (r - 2) * (sr - 1) * (sr - 2)")).as("d2"),
+        sum(expr("(r - 2) * (sr - 2) * c")).as("d3"))
+      .select($"n", $"d1", $"d2", $"d3",
+        when($"n" <= 4, lit(null).cast("long"))
+          .otherwise(expr(
+            """(30 * ((n - 2) * (n - 3) * d1 + d2 - 2 * (n - 2) * d3)
+               * 1000000)
+               div (n * (n - 1) * (n - 2) * (n - 3) * (n - 4))"""))
+          .as("d_micro"))
+  }
+
+  val q479Sql: String =
+    s"""WITH g0 AS ($segKiloMonthlySql),
+      |g AS (
+      |  SELECT ym, x, y,
+      |    CAST(row_number() OVER (ORDER BY x, ym) AS BIGINT) AS r,
+      |    CAST(row_number() OVER (ORDER BY y, ym) AS BIGINT) AS sr
+      |  FROM g0),
+      |ci AS (
+      |  SELECT a.ym, a.r, a.sr, CAST(count(b.ym) AS BIGINT) AS c
+      |  FROM g a LEFT JOIN g b
+      |    ON (b.x < a.x OR (b.x = a.x AND b.ym < a.ym))
+      |   AND (b.y < a.y OR (b.y = a.y AND b.ym < a.ym))
+      |  GROUP BY 1, 2, 3),
+      |agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(c * (c - 1)) AS BIGINT) AS d1,
+      |    CAST(sum((r - 1) * (r - 2) * (sr - 1) * (sr - 2)) AS BIGINT) AS d2,
+      |    CAST(sum((r - 2) * (sr - 2) * c) AS BIGINT) AS d3
+      |  FROM ci)
+      |SELECT n, d1, d2, d3,
+      |  CASE WHEN n <= 4 THEN NULL ELSE
+      |    (30 * ((n - 2) * (n - 3) * d1 + d2 - 2 * (n - 2) * d3) * 1000000)
+      |    // (n * (n - 1) * (n - 2) * (n - 3) * (n - 4)) END AS d_micro
+      |FROM agg""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q480 — DTW distance between the two segment series
+  // ------------------------------------------------------------------
+
+  /** q480 — dynamic-time-warping distance between the AUTOMOBILE and
+    * BUILDING monthly revenue series (|·| cost, unconstrained band):
+    * the ALIGNMENT-INVARIANT series distance the fixed-lag tools
+    * can't give — q357's cross-correlation tests one global lag at a
+    * time, q460 compares POINTWISE losses; DTW charges each series
+    * point its best monotone alignment, so a demand pattern that
+    * leads by 1 month in winter and 2 in summer still reads as
+    * near-identical. All integer: kilo-dollar values, |x−y| cell
+    * costs, the classical O(n²) recurrence with truncating arithmetic
+    * (dp ≤ Σcosts ≈ 1e9 at sf0.1 — far inside BIGINT; the boundary
+    * sentinel 10¹⁵ is never stored in a reachable cell, only
+    * compared). The ≤84² DP grid is calendar-bounded: Spark folds it
+    * on the driver (the q270/q390 bounded-grid exception); the oracle
+    * replays cell-by-cell in ONE linear recursive CTE carrying the
+    * previous DP row as a list (n² iterations, MATERIALIZED inputs so
+    * the fact scan runs once — the q422 lesson). Output also carries
+    * the per-alignment-step micro cost dtw·10⁶ div 2n. Empty overlap
+    * → NULL. */
+  def q480(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = segKiloMonthly(s, d).orderBy($"ym").collect()
+    val xs = g.map(_.getLong(1)); val ys = g.map(_.getLong(2))
+    val n = xs.length
+    val INF = 1000000000000000L
+    val row: (Long, Option[Long], Option[Long]) =
+      if (n == 0) (0L, None, None)
+      else {
+        var prev = Array.fill(n + 1)(INF); prev(0) = 0L
+        val cur = Array.fill(n + 1)(INF)
+        for (i <- 1 to n) {
+          cur(0) = INF
+          for (j <- 1 to n) {
+            val c = math.abs(xs(i - 1) - ys(j - 1))
+            cur(j) = c + math.min(prev(j), math.min(prev(j - 1), cur(j - 1)))
+          }
+          prev = cur.clone()
+        }
+        (n.toLong, Some(prev(n)), Some(prev(n) * 1000000L / (2L * n)))
+      }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_months",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("dtw_cost_k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("per_step_micro",
+        org.apache.spark.sql.types.LongType)))
+    s.createDataFrame(
+      s.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+        row._1, row._2.map(java.lang.Long.valueOf).orNull,
+        row._3.map(java.lang.Long.valueOf).orNull)), 1), schema)
+  }
+
+  val q480Sql: String =
+    s"""WITH RECURSIVE g0 AS MATERIALIZED ($segKiloMonthlySql),
+      |xs AS MATERIALIZED (
+      |  SELECT list(x ORDER BY ym) AS lx, list(y ORDER BY ym) AS ly,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM g0),
+      |step(k, prev, cur) AS (
+      |  SELECT CAST(0 AS BIGINT),
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      [CAST(1000000000000000 AS BIGINT) FOR xx IN range(1, n + 1)]),
+      |    [CAST(1000000000000000 AS BIGINT)]
+      |  FROM xs
+      |  UNION ALL
+      |  SELECT s.k + 1,
+      |    CASE WHEN (s.k % n) = 0 AND s.k > 0 THEN s.cur ELSE s.prev END,
+      |    list_append(
+      |      CASE WHEN (s.k % n) = 0
+      |        THEN [CAST(1000000000000000 AS BIGINT)] ELSE s.cur END,
+      |      abs(lx[CAST(s.k // n AS INT) + 1] - ly[CAST(s.k % n AS INT) + 1])
+      |      + least(
+      |          (CASE WHEN (s.k % n) = 0 AND s.k > 0
+      |             THEN s.cur ELSE s.prev END)[CAST(s.k % n AS INT) + 2],
+      |          (CASE WHEN (s.k % n) = 0 AND s.k > 0
+      |             THEN s.cur ELSE s.prev END)[CAST(s.k % n AS INT) + 1],
+      |          (CASE WHEN (s.k % n) = 0
+      |             THEN [CAST(1000000000000000 AS BIGINT)]
+      |             ELSE s.cur END)[CAST(s.k % n AS INT) + 1]))
+      |  FROM step s, xs WHERE s.k < n * n)
+      |SELECT n AS n_months,
+      |  CASE WHEN n = 0 THEN NULL ELSE cur[CAST(n AS INT) + 1] END
+      |    AS dtw_cost_k,
+      |  CASE WHEN n = 0 THEN NULL
+      |    ELSE (cur[CAST(n AS INT) + 1] * 1000000) // (2 * n) END
+      |    AS per_step_micro
+      |FROM step, xs WHERE k = n * n""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q481 — Lempel–Ziv (LZ76) complexity of the daily direction chain
+  // ------------------------------------------------------------------
+
+  /** q481 — LZ76 phrase complexity of the daily revenue DIRECTION
+    * sequence (+/−/0 vs the previous day): the exhaustive
+    * Lempel–Ziv parse counts the novel phrases needed to spell the
+    * sequence — a periodic or trending market parses into few long
+    * phrases, an incompressible one into ~n/log n. The COMPRESSIBILITY
+    * lens of the randomness battery: q307 counts sign runs, q442 sees
+    * order-3 ordinal patterns, q470 local extrema — LZ76 sees
+    * REPEATED STRUCTURE AT EVERY LENGTH (a 14-day motif that repeats
+    * monthly is invisible to all three). Parse rule (stated,
+    * Kaspar–Schuster): grow the candidate phrase Q while it appears
+    * inside S·Q minus its last char; otherwise commit a phrase; a
+    * trailing partial Q counts. Pure integer/string ops — identical
+    * in both engines. The day grid is calendar-bounded: Spark folds
+    * the parse on the driver (q270 exception); the oracle replays it
+    * in ONE linear recursive CTE over integer cursors into the
+    * string_agg'd sequence (MATERIALIZED — the q422 lesson).
+    * Degenerate n ≤ 1 days → zero-length sequence, NULL density. */
+  def q481(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(cents($"o_totalprice")).as("y"))
+      .orderBy($"day")
+      .collect().map(_.getLong(1))
+    val seq = daily.sliding(2).collect {
+      case Array(a, b) => if (b > a) '+' else if (b < a) '-' else '0'
+    }.mkString
+    var c = 0L; var sLen = 0; var qLen = 0
+    while (sLen + qLen < seq.length) {
+      qLen += 1
+      val q = seq.substring(sLen, sLen + qLen)
+      val head = seq.substring(0, sLen + qLen - 1)
+      if (!head.contains(q)) { c += 1; sLen += qLen; qLen = 0 }
+    }
+    if (qLen > 0) c += 1
+    val L = seq.length.toLong
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_days",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("seq_len",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_phrases",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("phrase_density_micro",
+        org.apache.spark.sql.types.LongType)))
+    s.createDataFrame(
+      s.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+        daily.length.toLong, L, c,
+        if (L == 0) null else java.lang.Long.valueOf(c * 1000000L / L))), 1),
+      schema)
+  }
+
+  val q481Sql: String =
+    """WITH RECURSIVE daily AS MATERIALIZED (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS y
+      |  FROM orders GROUP BY 1),
+      |sq AS MATERIALIZED (
+      |  SELECT coalesce(string_agg(ch, '' ORDER BY day), '') AS str,
+      |    CAST(coalesce(sum(1), 0) AS BIGINT) AS l,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days
+      |  FROM (
+      |    SELECT day,
+      |      CASE WHEN y > lag(y) OVER (ORDER BY day) THEN '+'
+      |        WHEN y < lag(y) OVER (ORDER BY day) THEN '-' ELSE '0' END AS ch
+      |    FROM daily
+      |    QUALIFY lag(y) OVER (ORDER BY day) IS NOT NULL) t),
+      |parse(slen, qlen, c) AS (
+      |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |  UNION ALL
+      |  SELECT
+      |    CASE WHEN strpos(substr(str, 1, CAST(slen + qlen AS INT)),
+      |        substr(str, CAST(slen + 1 AS INT), CAST(qlen + 1 AS INT))) > 0
+      |      THEN slen ELSE slen + qlen + 1 END,
+      |    CASE WHEN strpos(substr(str, 1, CAST(slen + qlen AS INT)),
+      |        substr(str, CAST(slen + 1 AS INT), CAST(qlen + 1 AS INT))) > 0
+      |      THEN qlen + 1 ELSE 0 END,
+      |    CASE WHEN strpos(substr(str, 1, CAST(slen + qlen AS INT)),
+      |        substr(str, CAST(slen + 1 AS INT), CAST(qlen + 1 AS INT))) > 0
+      |      THEN c ELSE c + 1 END
+      |  FROM parse, sq WHERE slen + qlen < l)
+      |SELECT n_days, l AS seq_len,
+      |  CAST(c + CASE WHEN qlen > 0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS n_phrases,
+      |  CASE WHEN l = 0 THEN NULL
+      |    ELSE ((c + CASE WHEN qlen > 0 THEN 1 ELSE 0 END) * 1000000) // l
+      |    END AS phrase_density_micro
+      |FROM parse, sq WHERE slen + qlen = l
+      |ORDER BY c DESC LIMIT 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q482 — runtime-filter (bloom) sizing advisor off the KMV sketch
+  // ------------------------------------------------------------------
+
+  /** q482 — bloom-filter sizing advisor for the lineitem join keys
+    * (l_orderkey / l_partkey / l_suppkey): estimate each key's NDV
+    * with the q476 KMV sketch (k = 64, md5, exact under k), then for
+    * the two standard target FPRs price the filter with the pinned
+    * optimal-bloom constants bits/key = −ln p / ln²2 (1%: 9.585059,
+    * 0.1%: 14.377578 — micro literals; k_hashes 7 and 10) — the
+    * PLANNING question behind q450's runtime bloom join and q148's
+    * hand-rolled 32 KB bitset: "can this join's build side afford a
+    * broadcast filter, and how big must it be". At 100 TB the NDV
+    * side never runs COUNT(DISTINCT) — the sketch is O(64) state per
+    * key (stated; unlike q476 no exact-truth column here, that's the
+    * audit query's job). All integer: bits = est·bpk_micro div 10⁶
+    * + 1, bytes = bits div 8 + 1, and the 10 MB broadcast-budget
+    * verdict is an integer compare. */
+  def q482(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val vals = li.select(explode(array(
+        struct(lit("l_orderkey").as("colname"),
+          $"l_orderkey".cast("string").as("v")),
+        struct(lit("l_partkey").as("colname"),
+          $"l_partkey".cast("string").as("v")),
+        struct(lit("l_suppkey").as("colname"),
+          $"l_suppkey".cast("string").as("v")))).as("cv"))
+      .select($"cv.colname".as("colname"), $"cv.v".as("v"))
+      .filter($"v".isNotNull)
+      .distinct()
+    val hashed = vals.select($"colname",
+      expr("cast(conv(substring(md5(concat(v, '#kmv')), 1, 13), 16, 10) " +
+        "as bigint)").as("h13"))
+    val est = graft.plans.TopK.perGroup(hashed, 64, Seq("colname"),
+        Seq(graft.plans.TopK.asc("h13")))
+      .groupBy($"colname")
+      .agg(max($"h13").as("kth"), count(lit(1)).as("n_kept"))
+      .select($"colname",
+        when($"n_kept" < 64, $"n_kept")
+          .otherwise(expr("(63 * 4503599627370496) div kth")).as("est_ndv"))
+    val fprs = s.createDataFrame(Seq(
+      ("fpr_1pct", 9585059L, 7L), ("fpr_0_1pct", 14377578L, 10L)))
+      .toDF("fpr", "bpk_micro", "k_hashes")
+    est.crossJoin(broadcast(fprs))
+      .withColumn("bits", expr("(est_ndv * bpk_micro) div 1000000 + 1"))
+      .withColumn("bytes", expr("bits div 8 + 1"))
+      .select($"colname", $"fpr", $"est_ndv", $"bits", $"bytes", $"k_hashes",
+        ($"bytes" <= 10L * 1024 * 1024).cast("int").as("fits_10mb"))
+      .orderBy($"colname", $"fpr")
+  }
+
+  val q482Sql: String =
+    """WITH vals AS (
+      |  SELECT DISTINCT colname, v FROM (
+      |    SELECT 'l_orderkey' AS colname, CAST(l_orderkey AS VARCHAR) AS v
+      |    FROM lineitem
+      |    UNION ALL
+      |    SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+      |    UNION ALL
+      |    SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem) t
+      |  WHERE v IS NOT NULL),
+      |h AS (
+      |  SELECT colname,
+      |    ('0x' || substr(md5(v || '#kmv'), 1, 13))::BIGINT AS h13
+      |  FROM vals),
+      |top AS (
+      |  SELECT colname, h13,
+      |    row_number() OVER (PARTITION BY colname ORDER BY h13) AS rn
+      |  FROM h),
+      |est AS (
+      |  SELECT colname,
+      |    CASE WHEN count(*) < 64 THEN CAST(count(*) AS BIGINT)
+      |      ELSE (63 * 4503599627370496) // CAST(max(h13) AS BIGINT) END
+      |      AS est_ndv
+      |  FROM top WHERE rn <= 64 GROUP BY 1),
+      |fprs(fpr, bpk_micro, k_hashes) AS (
+      |  VALUES ('fpr_1pct', CAST(9585059 AS BIGINT), CAST(7 AS BIGINT)),
+      |    ('fpr_0_1pct', CAST(14377578 AS BIGINT), CAST(10 AS BIGINT))),
+      |sized AS (
+      |  SELECT colname, fpr, est_ndv,
+      |    (est_ndv * bpk_micro) // 1000000 + 1 AS bits, k_hashes
+      |  FROM est, fprs)
+      |SELECT colname, fpr, est_ndv, bits, bits // 8 + 1 AS bytes, k_hashes,
+      |  CAST(bits // 8 + 1 <= 10485760 AS INT) AS fits_10mb
+      |FROM sized ORDER BY colname, fpr""".stripMargin
+
   lazy val all: Seq[QueryDef] = Seq(
     QueryDef("q467_mood_median", q467, Some(q467Sql)),
     QueryDef("q468_hodges_lehmann", q468, Some(q468Sql)),
@@ -1120,5 +1467,9 @@ object InferenceQueries {
     QueryDef("q475_bowker_symmetry", q475, Some(q475Sql)),
     QueryDef("q476_kmv_ndv", q476, Some(q476Sql)),
     QueryDef("q477_word_dispersion", q477, Some(q477Sql)),
-    QueryDef("q478_arch_lm", q478, Some(q478Sql)))
+    QueryDef("q478_arch_lm", q478, Some(q478Sql)),
+    QueryDef("q479_hoeffding_d", q479, Some(q479Sql)),
+    QueryDef("q480_dtw_distance", q480, Some(q480Sql)),
+    QueryDef("q481_lz_complexity", q481, Some(q481Sql)),
+    QueryDef("q482_bloom_advisor", q482, Some(q482Sql)))
 }

@@ -3892,4 +3892,121 @@ class PlantedStructureSpec extends SparkSpec {
     assert(pole.getLong(0) === 11L && pole.isNullAt(1) &&
       pole.getInt(2) === 0 && pole.isNullAt(3), pole.toString)
   }
+
+  /** Independent brute-force replay of the q479 statistic (strict
+    * lexicographic (value, month-index) tie-break). */
+  private def hoeffD(xs: Seq[Long], ys: Seq[Long]): Long = {
+    val n = xs.size
+    val idx = xs.indices
+    def lt(v: Seq[Long])(i: Int, j: Int) =
+      v(j) < v(i) || (v(j) == v(i) && j < i)
+    val r = idx.map(i => idx.count(j => lt(xs)(i, j)) + 1L)
+    val sr = idx.map(i => idx.count(j => lt(ys)(i, j)) + 1L)
+    val c = idx.map(i => idx.count(j => lt(xs)(i, j) && lt(ys)(i, j)).toLong)
+    val d1 = idx.map(i => c(i) * (c(i) - 1)).sum
+    val d2 = idx.map(i =>
+      (r(i) - 1) * (r(i) - 2) * (sr(i) - 1) * (sr(i) - 2)).sum
+    val d3 = idx.map(i => (r(i) - 2) * (sr(i) - 2) * c(i)).sum
+    val nl = n.toLong
+    30L * ((nl - 2) * (nl - 3) * d1 + d2 - 2 * (nl - 2) * d3) * 1000000L /
+      (nl * (nl - 1) * (nl - 2) * (nl - 3) * (nl - 4))
+  }
+
+  test("q479 scores both monotone couplings at exactly 10^6 and matches the brute replay") {
+    val mono = operators.InferenceQueries.q479(spark,
+      segMonthlyDir(1 to 12, m => m.toLong, m => m.toLong)).head()
+    assert(mono.getLong(4) === 1000000L, mono.toString)
+    val anti = operators.InferenceQueries.q479(spark,
+      segMonthlyDir(1 to 12, m => m.toLong, m => 13L - m)).head()
+    assert(anti.getLong(4) === 1000000L,
+      s"D sees ANY functional dependence: $anti")
+    // pair-swapped permutation: partial dependence, exact brute replay
+    val ys = Seq(2L, 1L, 4L, 3L, 6L, 5L, 8L, 7L, 10L, 9L, 12L, 11L)
+    val mix = operators.InferenceQueries.q479(spark,
+      segMonthlyDir(1 to 12, m => m.toLong, m => ys(m - 1))).head()
+    assert(mix.getLong(4) === hoeffD((1 to 12).map(_.toLong), ys),
+      mix.toString)
+    // n = 4: the denominator vanishes -> NULL, never a blow-up
+    val pole = operators.InferenceQueries.q479(spark,
+      segMonthlyDir(1 to 4, m => m.toLong, m => m.toLong)).head()
+    assert(pole.getLong(0) === 4L && pole.isNullAt(4), pole.toString)
+  }
+
+  /** Independent DTW replay (|.| cost, full grid). */
+  private def dtwRef(xs: Seq[Long], ys: Seq[Long]): Long = {
+    val n = xs.size
+    val dp = Array.fill(n + 1, n + 1)(Long.MaxValue / 4)
+    dp(0)(0) = 0L
+    for (i <- 1 to n; j <- 1 to n)
+      dp(i)(j) = math.abs(xs(i - 1) - ys(j - 1)) +
+        Seq(dp(i - 1)(j), dp(i - 1)(j - 1), dp(i)(j - 1)).min
+    dp(n)(n)
+  }
+
+  test("q480 warps the planted 1-month lag to near zero and matches the DP replay") {
+    val ident = operators.InferenceQueries.q480(spark,
+      segMonthlyDir(1 to 12, m => m + 5L, m => m + 5L)).head()
+    assert((ident.getLong(0), ident.getLong(1), ident.getLong(2))
+      === ((12L, 0L, 0L)), ident.toString)
+    // the same bump one month apart: pointwise distance is 80, DTW
+    // warps bump-to-bump
+    val xs = (1 to 12).map(m => if (m == 6) 50L else 10L)
+    val ys = (1 to 12).map(m => if (m == 7) 50L else 10L)
+    val lag = operators.InferenceQueries.q480(spark,
+      segMonthlyDir(1 to 12, m => xs(m - 1), m => ys(m - 1))).head()
+    val ref = dtwRef(xs, ys)
+    assert(lag.getLong(1) === ref, s"$lag vs replay $ref")
+    assert(ref < xs.zip(ys).map(p => math.abs(p._1 - p._2)).sum,
+      "warping must beat the pointwise alignment on a lagged bump")
+  }
+
+  test("q481 parses the planted constant and alternating chains into 2 and 3 phrases") {
+    // constant: '0'*11 parses as [0][0000000000-tail] -> 2 phrases
+    val const = operators.InferenceQueries.q481(spark,
+      ordersDir(1 to 12, _ => 50.0)).head()
+    assert((const.getLong(0), const.getLong(1), const.getLong(2),
+      const.getLong(3)) === ((12L, 11L, 2L, 181818L)), const.toString)
+    // alternation: '+-+-...' parses as [+][-][+-+-...-tail] -> 3
+    val alt = operators.InferenceQueries.q481(spark,
+      ordersDir(1 to 12, d => if (d % 2 == 1) 10.0 else 30.0)).head()
+    assert((alt.getLong(0), alt.getLong(1), alt.getLong(2), alt.getLong(3))
+      === ((12L, 11L, 3L, 272727L)), alt.toString)
+    // single day: empty direction sequence, NULL density
+    val one = operators.InferenceQueries.q481(spark,
+      ordersDir(1 to 1, _ => 50.0)).head()
+    assert((one.getLong(0), one.getLong(1), one.getLong(2))
+      === ((1L, 0L, 0L)) && one.isNullAt(3), one.toString)
+  }
+
+  test("q482 prices the planted key cardinalities through the md5 sketch") {
+    def h13(v: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((v + "#kmv").getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(13), 16)
+    }
+    val dir = Files.createTempDirectory("planted-bloom")
+    (1 to 200).map(i => (i.toLong, (i % 10).toLong, 1L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("lineitem.parquet").toString)
+    val out = operators.InferenceQueries.q482(spark, dir.toString).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getInt(6)))
+      .toMap
+    val kth = (1 to 200).map(i => h13(i.toString)).sorted.apply(63)
+    val est = 63L * 4503599627370496L / kth
+    def sized(e: Long, bpk: Long, k: Long) = {
+      val bits = e * bpk / 1000000L + 1
+      (e, bits, bits / 8 + 1, k, 1)
+    }
+    assert(out(("l_orderkey", "fpr_1pct")) === sized(est, 9585059L, 7L),
+      out.toString)
+    assert(out(("l_orderkey", "fpr_0_1pct")) === sized(est, 14377578L, 10L),
+      out.toString)
+    assert(out(("l_partkey", "fpr_1pct")) === sized(10L, 9585059L, 7L),
+      "under k the sketch is the exact count")
+    assert(out(("l_suppkey", "fpr_0_1pct")) === sized(1L, 14377578L, 10L),
+      out.toString)
+  }
 }
