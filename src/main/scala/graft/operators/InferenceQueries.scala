@@ -1455,6 +1455,254 @@ object InferenceQueries {
       |  CAST(bits // 8 + 1 <= 10485760 AS INT) AS fits_10mb
       |FROM sized ORDER BY colname, fpr""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q483 — Cucconi joint location-scale test (segment monthlies)
+  // ------------------------------------------------------------------
+
+  /** q483 — Cucconi's joint location-scale test between the
+    * AUTOMOBILE and BUILDING monthly revenue samples: U standardizes
+    * the squared ranks of sample 2, V the squared CONTRARY ranks, and
+    * C = (U² + V² − 2ρUV)/(2(1−ρ²)) rejects when the samples differ
+    * in center, in spread, or in both — the JOINT member beside
+    * Mann–Whitney q254 (location only) and Ansari–Bradley q456
+    * (scale only), and historically BETTER powered than
+    * Lepage-style combinations. Everything is an exact rational of
+    * rank integers: with a = 6ΣS² − n₂(N+1)(2N+1), b the contrary
+    * twin, s = (2N+1)(8N+11), r = 2(N²−4) − s, D₅ =
+    * n₁n₂(N+1)(2N+1)(8N+11), C = 5(s²(a²+b²) − 2rs·ab) /
+    * (2D₅(s²−r²)) — ONE truncating micro-division on DECIMAL(38,0)
+    * (s²a² ≈ 1e26 at the monthly N; the q297 escalation). Pooled
+    * ranks are tie-broken lexicographically by (value, segment, ym)
+    * — stated, the q479 convention. Verdict vs the pinned
+    * asymptotic P(C > c) = e^(−c) critical −ln 0.05 → 2995732.
+    * Degenerate N ≤ 2 or one-sided samples (s² = r² or D₅ = 0) →
+    * NULL. All windows on the calendar-bounded pooled grid. */
+  def q483(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val g = segKiloMonthly(s, d)
+    val pooled = g.select($"ym", lit(1L).as("grp"), $"x".as("v"))
+      .unionByName(g.select($"ym", lit(2L).as("grp"), $"y".as("v")))
+      .withColumn("rk",
+        row_number().over(W.orderBy($"v", $"grp", $"ym")).cast("long"))
+    pooled.agg(count(lit(1)).as("nn"),
+        sum(when($"grp" === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when($"grp" === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when($"grp" === 2, $"rk").otherwise(0L)).as("s1"),
+        sum(when($"grp" === 2, expr("rk * rk")).otherwise(0L)).as("ss2"))
+      .select($"n1", $"n2",
+        expr("6 * ss2 - n2 * (nn + 1) * (2 * nn + 1)").as("a"),
+        expr("""6 * (n2 * (nn + 1) * (nn + 1) - 2 * (nn + 1) * s1 + ss2)
+               - n2 * (nn + 1) * (2 * nn + 1)""").as("b"),
+        expr("(2 * nn + 1) * (8 * nn + 11)").as("s"),
+        expr("2 * (cast(nn as decimal(38,0)) * nn - 4) - (2 * nn + 1) * (8 * nn + 11)")
+          .as("r"),
+        expr("""cast(n1 as decimal(38,0)) * n2 * (nn + 1) * (2 * nn + 1)
+               * (8 * nn + 11)""").as("d5"))
+      .select($"n1", $"n2", $"a", $"b",
+        when($"n1" === 0 || $"n2" === 0 ||
+          expr("2 * d5 * (cast(s as decimal(38,0)) * s - r * r)") === 0,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            """(5 * (cast(s as decimal(38,0)) * s
+                 * (cast(a as decimal(38,0)) * a + cast(b as decimal(38,0)) * b)
+               - 2 * r * s * (cast(a as decimal(38,0)) * b)) * 1000000)
+               div (2 * d5 * (cast(s as decimal(38,0)) * s - r * r))"""))
+          .as("c_micro"))
+      .withColumn("reject_5pct",
+        when($"c_micro".isNull, lit(null).cast("int"))
+          .otherwise(($"c_micro" > 2995732L).cast("int")))
+  }
+
+  val q483Sql: String =
+    s"""WITH g AS ($segKiloMonthlySql),
+      |pooled AS (
+      |  SELECT ym, 1 AS grp, x AS v FROM g
+      |  UNION ALL SELECT ym, 2 AS grp, y AS v FROM g),
+      |rk AS (
+      |  SELECT grp,
+      |    CAST(row_number() OVER (ORDER BY v, grp, ym) AS BIGINT) AS rk
+      |  FROM pooled),
+      |agg AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS nn,
+      |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+      |    CAST(sum(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS HUGEINT) AS n2,
+      |    CAST(sum(CASE WHEN grp = 2 THEN rk ELSE 0 END) AS HUGEINT) AS s1,
+      |    CAST(sum(CASE WHEN grp = 2 THEN rk * rk ELSE 0 END) AS HUGEINT)
+      |      AS ss2
+      |  FROM rk),
+      |parts AS (
+      |  SELECT n1, n2,
+      |    6 * ss2 - n2 * (nn + 1) * (2 * nn + 1) AS a,
+      |    6 * (n2 * (nn + 1) * (nn + 1) - 2 * (nn + 1) * s1 + ss2)
+      |      - n2 * (nn + 1) * (2 * nn + 1) AS b,
+      |    (2 * nn + 1) * (8 * nn + 11) AS s,
+      |    2 * (nn * nn - 4) - (2 * nn + 1) * (8 * nn + 11) AS r,
+      |    n1 * n2 * (nn + 1) * (2 * nn + 1) * (8 * nn + 11) AS d5
+      |  FROM agg)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+      |  CASE WHEN n1 = 0 OR n2 = 0 OR 2 * d5 * (s * s - r * r) = 0 THEN NULL
+      |    ELSE CAST((5 * (s * s * (a * a + b * b) - 2 * r * s * (a * b))
+      |      * 1000000) // (2 * d5 * (s * s - r * r)) AS BIGINT) END
+      |    AS c_micro,
+      |  CASE WHEN n1 = 0 OR n2 = 0 OR 2 * d5 * (s * s - r * r) = 0 THEN NULL
+      |    ELSE CAST((5 * (s * s * (a * a + b * b) - 2 * r * s * (a * b))
+      |      * 1000000) // (2 * d5 * (s * s - r * r)) > 2995732 AS INT) END
+      |    AS reject_5pct
+      |FROM parts""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q484 — Rousseeuw–Croux Sn robust scale of monthly revenue
+  // ------------------------------------------------------------------
+
+  /** q484 — Rousseeuw–Croux Sₙ robust scale estimator of the monthly
+    * revenue distribution: Sₙ = c·lomed_i himed_{j≠i} |y_i − y_j| —
+    * the nested-median pairwise spread. The SCALE battery's missing
+    * member: MAD (q284's fence) needs a location estimate first and
+    * collapses on skewed data (50% of mass on one side → MAD
+    * halves); Sₙ is location-free, keeps the 50% breakdown, and runs
+    * at 58% Gaussian efficiency vs MAD's 37%. Exact: kilo-dollar
+    * integers, the inner high median is the stated nearest-rank
+    * (n div 2 + 1)-th order statistic of the n−1 distances, the
+    * outer low median the ((n+1) div 2)-th of the n row medians, and
+    * the Gaussian-consistency constant is the pinned micro literal
+    * 1.1926 (sn_micro = d·1192600). Pair grid is calendar² (≤84²,
+    * broadcast); per-row ranks are PARTITIONED windows (by month),
+    * the outer selection a bounded-grid window. n ≤ 1 → NULL. */
+  def q484(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val g = Tables.orders(s, d)
+      .groupBy((year($"o_orderdate") * 100 + month($"o_orderdate")).as("ym"))
+      .agg(sum(cents($"o_totalprice")).as("yc"))
+      .select($"ym", expr("yc div 100000").as("y"))
+      .transform(Fx.materialize)
+    val b = g.select($"ym".as("bym"), $"y".as("by"))
+    val dists = g.join(broadcast(b), $"ym" =!= $"bym")
+      .select($"ym", abs($"y" - $"by").as("dd"), $"bym")
+    val inner = dists
+      .withColumn("rk", row_number()
+        .over(W.partitionBy($"ym").orderBy($"dd", $"bym")).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(W.partitionBy($"ym")))
+      .filter($"rk" === expr("(cnt + 1) div 2 + 1"))
+      .select($"ym", $"dd".as("di"))
+    val n1 = g.agg(count(lit(1)).as("n"))
+    inner
+      .withColumn("ork", row_number().over(W.orderBy($"di", $"ym")).cast("long"))
+      .crossJoin(broadcast(n1))
+      .filter($"ork" === expr("(n + 1) div 2"))
+      .select($"n".as("n_months"), $"di".as("sn_raw_k"),
+        ($"di" * 1192600L).as("sn_micro"))
+  }
+
+  val q484Sql: String =
+    """WITH g AS (
+      |  SELECT year(o_orderdate)*100 + month(o_orderdate) AS ym,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      // 100000 AS y
+      |  FROM orders GROUP BY 1),
+      |dists AS (
+      |  SELECT a.ym, abs(a.y - b.y) AS dd, b.ym AS bym
+      |  FROM g a JOIN g b ON a.ym <> b.ym),
+      |inner_med AS (
+      |  SELECT ym, dd AS di FROM (
+      |    SELECT ym, dd,
+      |      row_number() OVER (PARTITION BY ym ORDER BY dd, bym) AS rk,
+      |      count(*) OVER (PARTITION BY ym) AS cnt
+      |    FROM dists) t
+      |  WHERE rk = (cnt + 1) // 2 + 1),
+      |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g)
+      |SELECT n AS n_months, di AS sn_raw_k, di * 1192600 AS sn_micro
+      |FROM (
+      |  SELECT di, row_number() OVER (ORDER BY di, ym) AS ork
+      |  FROM inner_med) t, n1
+      |WHERE ork = (n + 1) // 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q485 — records test on daily revenue (running maxima)
+  // ------------------------------------------------------------------
+
+  /** q485 — records test on daily revenue: count the days that set a
+    * strict all-time revenue record; under exchangeability (no trend)
+    * E[R] = H_n (the harmonic number — day t records with probability
+    * 1/t) and Var[R] = H_n − H_n⁽²⁾, both computed as the STATED
+    * micro truncations Σ 10⁶ div t and Σ 10⁶ div t² so the engines
+    * agree digit-for-digit. The EXTREMES member of the trend battery:
+    * Mann–Kendall q393 uses every pair, CUSUM q218 accumulates
+    * deviations — the records statistic reacts ONLY to new maxima,
+    * which is the business question ("are we still setting records at
+    * the rate chance predicts?") and the natural companion to the EVT
+    * battery (q441 Hill). z² cross-multiplied on DECIMAL(38,0)
+    * ((R·10⁶ − H)² brushes 2⁶³ on a monotone daily ramp), two-sided
+    * 5% verdict vs 1.96² pinned. Gaps collapse to the day ordinal
+    * (stated); windows run post-aggregate on the calendar-bounded
+    * grid. n = 0 → empty; Var = 0 (n = 1) → NULL z². */
+  def q485(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(cents($"o_totalprice")).as("y"))
+      .withColumn("t", row_number().over(W.orderBy($"day")).cast("long"))
+      .withColumn("prevmax",
+        max($"y").over(W.orderBy($"day").rowsBetween(Window_up, -1)))
+    daily
+      .select($"t",
+        when($"prevmax".isNull || $"y" > $"prevmax", 1L).otherwise(0L)
+          .as("rec"),
+        expr("1000000 div t").as("h1"), expr("1000000 div (t * t)").as("h2"))
+      .agg(count(lit(1)).as("n_days"), sum($"rec").as("n_records"),
+        sum($"h1").as("h_micro"), sum(expr("h1 - h2")).as("var_micro"))
+      .select($"n_days", $"n_records", $"h_micro",
+        when($"var_micro" === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            """((cast(n_records as decimal(38,0)) * 1000000 - h_micro)
+               * (cast(n_records as decimal(38,0)) * 1000000 - h_micro))
+               div var_micro""").cast("long"))
+          .as("z2_micro"),
+        signum($"n_records" * 1000000L - $"h_micro").cast("int").as("sign"))
+      .withColumn("reject_5pct",
+        when($"z2_micro".isNull, lit(null).cast("int"))
+          .otherwise(($"z2_micro" > 3841600L).cast("int")))
+  }
+
+  private val Window_up =
+    org.apache.spark.sql.expressions.Window.unboundedPreceding
+
+  val q485Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS y
+      |  FROM orders GROUP BY 1),
+      |seq AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+      |    CASE WHEN max(y) OVER (ORDER BY day
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |      OR y > max(y) OVER (ORDER BY day
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      THEN 1 ELSE 0 END AS rec
+      |  FROM daily),
+      |agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(rec) AS BIGINT) AS n_records,
+      |    CAST(sum(1000000 // t) AS BIGINT) AS h_micro,
+      |    CAST(sum(1000000 // t - 1000000 // (t * t)) AS BIGINT) AS var_micro
+      |  FROM seq)
+      |SELECT n_days, n_records, h_micro,
+      |  CASE WHEN var_micro = 0 THEN NULL
+      |    ELSE CAST(((CAST(n_records AS HUGEINT) * 1000000 - h_micro)
+      |      * (CAST(n_records AS HUGEINT) * 1000000 - h_micro))
+      |      // var_micro AS BIGINT) END AS z2_micro,
+      |  CASE WHEN n_records * 1000000 - h_micro > 0 THEN 1
+      |    WHEN n_records * 1000000 - h_micro < 0 THEN -1 ELSE 0 END AS sign,
+      |  CASE WHEN var_micro = 0 THEN NULL
+      |    ELSE CAST(((CAST(n_records AS HUGEINT) * 1000000 - h_micro)
+      |      * (CAST(n_records AS HUGEINT) * 1000000 - h_micro))
+      |      // var_micro > 3841600 AS INT) END AS reject_5pct
+      |FROM agg""".stripMargin
+
   lazy val all: Seq[QueryDef] = Seq(
     QueryDef("q467_mood_median", q467, Some(q467Sql)),
     QueryDef("q468_hodges_lehmann", q468, Some(q468Sql)),
@@ -1471,5 +1719,8 @@ object InferenceQueries {
     QueryDef("q479_hoeffding_d", q479, Some(q479Sql)),
     QueryDef("q480_dtw_distance", q480, Some(q480Sql)),
     QueryDef("q481_lz_complexity", q481, Some(q481Sql)),
-    QueryDef("q482_bloom_advisor", q482, Some(q482Sql)))
+    QueryDef("q482_bloom_advisor", q482, Some(q482Sql)),
+    QueryDef("q483_cucconi", q483, Some(q483Sql)),
+    QueryDef("q484_sn_scale", q484, Some(q484Sql)),
+    QueryDef("q485_records_test", q485, Some(q485Sql)))
 }

@@ -4009,4 +4009,82 @@ class PlantedStructureSpec extends SparkSpec {
     assert(out(("l_suppkey", "fpr_0_1pct")) === sized(1L, 14377578L, 10L),
       out.toString)
   }
+
+  /** Independent replay of the q483 Cucconi statistic (pooled ranks
+    * tie-broken by (value, group, month index)). */
+  private def cucconiRef(xs: Seq[Long], ys: Seq[Long]): Long = {
+    val pooled = xs.zipWithIndex.map { case (v, i) => (v, 1, i) } ++
+      ys.zipWithIndex.map { case (v, i) => (v, 2, i) }
+    val ranks2 = pooled.sortBy(t => (t._1, t._2, t._3)).zipWithIndex
+      .collect { case ((_, 2, _), idx) => BigInt(idx + 1) }
+    val nn = BigInt(pooled.size)
+    val n1 = BigInt(xs.size); val n2 = BigInt(ys.size)
+    val ss2 = ranks2.map(r => r * r).sum; val s1 = ranks2.sum
+    val a = 6 * ss2 - n2 * (nn + 1) * (2 * nn + 1)
+    val b = 6 * (n2 * (nn + 1) * (nn + 1) - 2 * (nn + 1) * s1 + ss2) -
+      n2 * (nn + 1) * (2 * nn + 1)
+    val sv = (2 * nn + 1) * (8 * nn + 11)
+    val r = 2 * (nn * nn - 4) - sv
+    val d5 = n1 * n2 * (nn + 1) * (2 * nn + 1) * (8 * nn + 11)
+    ((5 * (sv * sv * (a * a + b * b) - 2 * r * sv * (a * b)) * 1000000) /
+      (2 * d5 * (sv * sv - r * r))).toLong
+  }
+
+  test("q483 rejects planted shift AND planted pure-scale, replay-exact") {
+    val shift = operators.InferenceQueries.q483(spark,
+      segMonthlyDir(1 to 12, m => m.toLong, m => m + 20L)).head()
+    assert(shift.getLong(4) ===
+      cucconiRef((1 to 12).map(_.toLong), (1 to 12).map(m => m + 20L)),
+      shift.toString)
+    assert(shift.getInt(5) === 1, s"pure shift must reject: $shift")
+    // same center, 4x the spread: the case Mann-Whitney-style location
+    // tests are blind to
+    val xs = (1 to 12).map(m => 50L + (m % 3))
+    val ys = (1 to 12).map(m => 26L + 4L * m)
+    val scale = operators.InferenceQueries.q483(spark,
+      segMonthlyDir(1 to 12, m => xs(m - 1), m => ys(m - 1))).head()
+    assert(scale.getLong(4) === cucconiRef(xs, ys), scale.toString)
+    assert(scale.getInt(5) === 1, s"pure scale must reject: $scale")
+    // identical samples: interleaved ranks, C small, no rejection
+    val same = operators.InferenceQueries.q483(spark,
+      segMonthlyDir(1 to 12, m => m.toLong, m => m.toLong)).head()
+    assert(same.getLong(4) ===
+      cucconiRef((1 to 12).map(_.toLong), (1 to 12).map(_.toLong)) &&
+      same.getInt(5) === 0, same.toString)
+  }
+
+  test("q484 takes the hand-computed nested median and zeroes on constants") {
+    // values {1,2,4,8}: row high-medians {7,6,4,7}, low median = 6
+    val r = operators.InferenceQueries.q484(spark,
+      perOrderMonthlyDir(2020,
+        Seq(1, 2, 4, 8).zipWithIndex.map { case (v, i) => (i + 1, v * 1000.0) }))
+      .head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2))
+      === ((4L, 6L, 6L * 1192600L)), r.toString)
+    val const = operators.InferenceQueries.q484(spark,
+      perOrderMonthlyDir(2020, (1 to 4).map(m => (m, 5000.0)))).head()
+    assert((const.getLong(0), const.getLong(1), const.getLong(2))
+      === ((4L, 0L, 0L)), const.toString)
+  }
+
+  test("q485 rejects the monotone record parade and tolerates the reverse") {
+    val h = (1 to 12).map(t => 1000000L / t).sum
+    val varm = h - (1 to 12).map(t => 1000000L / (t.toLong * t)).sum
+    def z2(rec: Long) = {
+      val diff = rec * 1000000L - h; diff * diff / varm
+    }
+    // strictly increasing: every day is a record
+    val up = operators.InferenceQueries.q485(spark,
+      ordersDir(1 to 12, d => d.toDouble)).head()
+    assert((up.getLong(0), up.getLong(1), up.getLong(2), up.getLong(3),
+      up.getInt(4), up.getInt(5)) === ((12L, 12L, h, z2(12), 1, 1)),
+      s"$up vs h=$h z2=${z2(12)}")
+    // strictly decreasing: only day 1 records — few records is only
+    // weakly informative at n=12 (E[R] is already small), not rejected
+    val down = operators.InferenceQueries.q485(spark,
+      ordersDir(1 to 12, d => 100.0 - d)).head()
+    assert((down.getLong(0), down.getLong(1), down.getLong(3),
+      down.getInt(4), down.getInt(5)) === ((12L, 1L, z2(1), -1, 0)),
+      down.toString)
+  }
 }
