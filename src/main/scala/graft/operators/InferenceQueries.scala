@@ -1703,6 +1703,259 @@ object InferenceQueries {
       |      // var_micro > 3841600 AS INT) END AS reject_5pct
       |FROM agg""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q486 — Oaxaca–Blinder gap decomposition (revenue ~ volume)
+  // ------------------------------------------------------------------
+
+  /** q486 — Oaxaca–Blinder decomposition of the AUTOMOBILE-vs-BUILDING
+    * mean monthly revenue gap with monthly order volume as the
+    * explanatory endowment: fit y ~ α_g + β_g·x per segment, then
+    * split gap = ȳ_A − ȳ_B into EXPLAINED = β_B·(x̄_A − x̄_B) (what
+    * the reference group's price structure would pay for the volume
+    * difference) and UNEXPLAINED = gap − explained (structure:
+    * different β/α) — the DECOMPOSITION member of the causal battery:
+    * q281's DiD needs a time split, q434's CMH a stratifier; Oaxaca
+    * answers "how much of the gap is volume, how much is structure"
+    * from two cross-sections. Exact: per-segment moment sums on
+    * DECIMAL(38,0), gap_micro = (sy_A·n_B − sy_B·n_A)·10⁶ div
+    * (n_A·n_B), explained_micro = S_xyB·(sx_A·n_B − sx_B·n_A)·10⁶
+    * div (S_xxB·n_A·n_B) — each ONE truncating micro-division;
+    * unexplained is their stated difference. Degenerate reference
+    * volume (S_xxB = 0) → NULL split, gap still reported. One fact
+    * scan (conditional aggregation on the month grid). */
+  def q486(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = Tables.orders(s, d)
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+      .filter($"c_mktsegment".isin("AUTOMOBILE", "BUILDING"))
+      .groupBy((year($"o_orderdate") * 100 + month($"o_orderdate")).as("ym"),
+        $"c_mktsegment".as("seg"))
+      .agg(count(lit(1)).as("x"), sum(cents($"o_totalprice")).as("yc"))
+      .select($"ym", $"seg", $"x", expr("yc div 100000").as("y"))
+    val m = g.groupBy($"seg")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),
+        sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"))
+    val a = m.filter($"seg" === "AUTOMOBILE")
+      .select($"n".as("na"), $"sx".as("sxa"), $"sy".as("sya"))
+    val bb = m.filter($"seg" === "BUILDING")
+      .select($"n".as("nb"), $"sx".as("sxb"), $"sy".as("syb"),
+        expr("n * sxy - cast(sx as decimal(38,0)) * sy").as("cxyb"),
+        expr("n * sxx - cast(sx as decimal(38,0)) * sx").as("cxxb"))
+    a.crossJoin(broadcast(bb))
+      .select($"na".as("n_a"), $"nb".as("n_b"),
+        expr("""((cast(sya as decimal(38,0)) * nb
+                - cast(syb as decimal(38,0)) * na) * 1000000)
+               div (cast(na as decimal(38,0)) * nb)""").as("gap_micro"),
+        when($"cxxb" === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            """(cxyb * (cast(sxa as decimal(38,0)) * nb
+                - cast(sxb as decimal(38,0)) * na) * 1000000)
+               div (cxxb * cast(na as decimal(38,0)) * nb)"""))
+          .as("explained_micro"))
+      .withColumn("unexplained_micro", $"gap_micro" - $"explained_micro")
+  }
+
+  val q486Sql: String =
+    """WITH g AS (
+      |  SELECT year(o_orderdate)*100 + month(o_orderdate) AS ym,
+      |    c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS x,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      // 100000 AS y
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+      |  GROUP BY 1, 2),
+      |m AS (
+      |  SELECT seg, CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+      |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      |  FROM g GROUP BY 1),
+      |a AS (SELECT n AS na, sx AS sxa, sy AS sya FROM m
+      |  WHERE seg = 'AUTOMOBILE'),
+      |b AS (SELECT n AS nb, sx AS sxb, sy AS syb,
+      |    n * sxy - sx * sy AS cxyb, n * sxx - sx * sx AS cxxb
+      |  FROM m WHERE seg = 'BUILDING'),
+      |j AS (
+      |  SELECT na, nb,
+      |    ((sya * nb - syb * na) * 1000000) // (na * nb) AS gap_micro,
+      |    CASE WHEN cxxb = 0 THEN NULL
+      |      ELSE (cxyb * (sxa * nb - sxb * na) * 1000000)
+      |        // (cxxb * na * nb) END AS explained_micro
+      |  FROM a, b)
+      |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  CAST(gap_micro AS BIGINT) AS gap_micro,
+      |  CAST(explained_micro AS BIGINT) AS explained_micro,
+      |  CAST(gap_micro - explained_micro AS BIGINT) AS unexplained_micro
+      |FROM j""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q487 — train/test split leakage audit (near-dup-aware vs naive)
+  // ------------------------------------------------------------------
+
+  /** q487 — split-leakage audit: how many near-duplicate document
+    * pairs does a NAIVE random 80/20 train/test split place on
+    * opposite sides (the test set then "verifies" memorization), and
+    * how many does a GROUP-AWARE split (hash the duplicate-family
+    * key, not the doc id) leak? Families are 60-char-prefix blocks
+    * (the template/boilerplate class q313's deletion blocks and q53's
+    * minhash bands both catch; stated). This is the INTERNAL
+    * contamination complement of q95's external decontamination and
+    * q275's leakage-free encoding: a dedup pipeline that splits
+    * before deduping silently leaks every family it later finds. All
+    * aggregate — pairs are counted as Σ kₜ(k−kₜ) per family, never
+    * materialized, so the audit is one groupBy at any corpus size.
+    * The group split's crossing count is computed by the same honest
+    * formula (k·g)(k − k·g) — structurally zero, and the output
+    * proves it. Splits are the deterministic md5 idiom (q243);
+    * leakage rate is ONE truncating micro-division; no dup pairs →
+    * NULL rate. */
+  def q487(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .filter($"text".isNotNull)
+      .select(substring($"text", 1, 60).as("grp"),
+        (conv(substring(md5(concat($"doc_id".cast("string"), lit("#split"))),
+          1, 8), 16, 10).cast("long") % 5 === 0).cast("long").as("is_test"))
+    val groups = docs.groupBy($"grp")
+      .agg(count(lit(1)).as("k"), sum($"is_test").as("kt"))
+      .filter($"k" >= 2)
+      .withColumn("gflag",
+        (conv(substring(md5(concat($"grp", lit("#split"))), 1, 8), 16, 10)
+          .cast("long") % 5 === 0).cast("long"))
+    groups.agg(count(lit(1)).as("n_dup_groups"),
+        sum(expr("k * (k - 1) div 2")).as("n_dup_pairs"),
+        sum(expr("kt * (k - kt)")).as("crossing_naive"),
+        sum(expr("(k * gflag) * (k - k * gflag)")).as("crossing_group"))
+      .select($"n_dup_groups", $"n_dup_pairs", $"crossing_naive",
+        $"crossing_group",
+        when($"n_dup_pairs" === 0 || $"n_dup_pairs".isNull,
+          lit(null).cast("long"))
+          .otherwise(expr("(crossing_naive * 1000000) div n_dup_pairs"))
+          .as("leakage_naive_micro"))
+  }
+
+  val q487Sql: String =
+    """WITH docs AS (
+      |  SELECT substr(text, 1, 60) AS grp,
+      |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split'),
+      |      1, 8))::BIGINT % 5 = 0 THEN 1 ELSE 0 END AS is_test
+      |  FROM documents WHERE text IS NOT NULL),
+      |groups AS (
+      |  SELECT grp, CAST(count(*) AS BIGINT) AS k,
+      |    CAST(sum(is_test) AS BIGINT) AS kt,
+      |    CASE WHEN ('0x' || substr(md5(grp || '#split'), 1, 8))::BIGINT % 5
+      |      = 0 THEN 1 ELSE 0 END AS gflag
+      |  FROM docs GROUP BY grp HAVING count(*) >= 2),
+      |agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_dup_groups,
+      |    CAST(sum(k * (k - 1) // 2) AS BIGINT) AS n_dup_pairs,
+      |    CAST(sum(kt * (k - kt)) AS BIGINT) AS crossing_naive,
+      |    CAST(sum((k * gflag) * (k - k * gflag)) AS BIGINT)
+      |      AS crossing_group
+      |  FROM groups)
+      |SELECT n_dup_groups, n_dup_pairs, crossing_naive, crossing_group,
+      |  CASE WHEN n_dup_pairs = 0 OR n_dup_pairs IS NULL THEN NULL
+      |    ELSE (crossing_naive * 1000000) // n_dup_pairs END
+      |    AS leakage_naive_micro
+      |FROM agg""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q488 — expected steps to purchase (absorbing-chain readout)
+  // ------------------------------------------------------------------
+
+  /** q488 — expected steps to PURCHASE from each behavior state: the
+    * absorbing-Markov-chain readout over q226's transition grid,
+    * v(s) = 1 + Σ_s' P(s,s')·v(s') with v(purchase) = 0, iterated 12
+    * times on the integer micro grid with the stated truncation
+    * v(s) = 10⁶ + (Σ n_ss'·v(s')) div n_s — the 12-step truncated
+    * expectation IS the statistic (q463's fixed-iteration
+    * convention), a lower bound that converges geometrically for any
+    * chain that reaches purchase. The QUANTITATIVE layer over the
+    * descriptive chain battery: q226 gives rates, q415 entropy, q349
+    * symmetry — this prices each state in expected CLICKS-TO-CONVERT,
+    * the number a UX funnel owner acts on. States with no outgoing
+    * transitions are treated as absorbing (stated); purchase's own
+    * outgoing flows are ignored. The state enum is bounded, so the
+    * ≤k² cell grid folds on the driver (q270 exception); the oracle
+    * replays the 12 iterations as MATERIALIZED CTEs. */
+  def q488(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byUserTime = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"us", $"event_id")
+    val cells = Fx.eventTs(Tables.events(s, d))
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+        $"event_type")
+      .withColumn("prev", lag($"event_type", 1).over(byUserTime))
+      .filter($"prev".isNotNull)
+      .groupBy($"prev".as("src"), $"event_type".as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val states = (cells.map(_._1) ++ cells.map(_._2)).distinct.sorted
+    val outs = cells.groupBy(_._1).map { case (src, cs) =>
+      src -> cs.map(_._3).sum }
+    var v = states.map(_ -> 0L).toMap
+    for (_ <- 1 to 12) {
+      v = states.map { st =>
+        st -> (if (st == "purchase" || !outs.contains(st)) 0L
+          else 1000000L + cells.filter(_._1 == st)
+            .map { case (_, dst, n) => n * v(dst) }.sum / outs(st))
+      }.toMap
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("state",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_out",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("steps_micro",
+        org.apache.spark.sql.types.LongType)))
+    s.createDataFrame(
+      s.sparkContext.parallelize(states.toSeq.map(st =>
+        org.apache.spark.sql.Row(st, outs.getOrElse(st, 0L), v(st))), 1),
+      schema).orderBy($"state")
+  }
+
+  val q488Sql: String = {
+    val iters = (1 to 12).map { k =>
+      s"""v$k AS MATERIALIZED (
+         |  SELECT s.state,
+         |    CASE WHEN s.state = 'purchase' OR max(o.ntot) IS NULL
+         |      THEN CAST(0 AS BIGINT)
+         |      ELSE 1000000 + CAST(coalesce(sum(c.n * p.v), 0) AS BIGINT)
+         |        // max(o.ntot) END AS v
+         |  FROM v${k - 1} s
+         |  LEFT JOIN outs o ON o.src = s.state
+         |  LEFT JOIN cells c ON c.src = s.state AND s.state <> 'purchase'
+         |  LEFT JOIN v${k - 1} p ON p.state = c.dst
+         |  GROUP BY s.state)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+      |    event_type FROM events),
+      |steps AS MATERIALIZED (
+      |  SELECT event_type AS cur,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |      AS prev
+      |  FROM e),
+      |cells AS MATERIALIZED (
+      |  SELECT prev AS src, cur AS dst, CAST(count(*) AS BIGINT) AS n
+      |  FROM steps WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |states AS MATERIALIZED (
+      |  SELECT DISTINCT state FROM (
+      |    SELECT src AS state FROM cells
+      |    UNION SELECT dst FROM cells) t),
+      |outs AS MATERIALIZED (
+      |  SELECT src, CAST(sum(n) AS BIGINT) AS ntot FROM cells GROUP BY 1),
+      |v0 AS (SELECT state, CAST(0 AS BIGINT) AS v FROM states),
+      |$iters
+      |SELECT s.state, CAST(coalesce(o.ntot, 0) AS BIGINT) AS n_out,
+      |  v.v AS steps_micro
+      |FROM states s
+      |LEFT JOIN outs o ON o.src = s.state
+      |JOIN v12 v ON v.state = s.state
+      |ORDER BY s.state""".stripMargin
+  }
+
   lazy val all: Seq[QueryDef] = Seq(
     QueryDef("q467_mood_median", q467, Some(q467Sql)),
     QueryDef("q468_hodges_lehmann", q468, Some(q468Sql)),
@@ -1722,5 +1975,8 @@ object InferenceQueries {
     QueryDef("q482_bloom_advisor", q482, Some(q482Sql)),
     QueryDef("q483_cucconi", q483, Some(q483Sql)),
     QueryDef("q484_sn_scale", q484, Some(q484Sql)),
-    QueryDef("q485_records_test", q485, Some(q485Sql)))
+    QueryDef("q485_records_test", q485, Some(q485Sql)),
+    QueryDef("q486_oaxaca_blinder", q486, Some(q486Sql)),
+    QueryDef("q487_split_leakage", q487, Some(q487Sql)),
+    QueryDef("q488_absorption_steps", q488, Some(q488Sql)))
 }

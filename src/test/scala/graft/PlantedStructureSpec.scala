@@ -4087,4 +4087,87 @@ class PlantedStructureSpec extends SparkSpec {
       down.getInt(4), down.getInt(5)) === ((12L, 1L, z2(1), -1, 0)),
       down.toString)
   }
+
+  /** Two-segment orders fixture with MULTIPLE orders per month:
+    * (custkey 1=AUTOMOBILE / 2=BUILDING, month, dollars) one row per
+    * order. */
+  private def segOrdersDir(rows: Seq[(Long, Int, Double)]): String = {
+    val dir = Files.createTempDirectory("planted-sego")
+    rows.zipWithIndex.map { case ((ck, m, v), i) => (ck, i.toLong, v, m) }
+      .toDF("o_custkey", "o_orderkey", "o_totalprice", "m")
+      .withColumn("o_orderdate",
+        to_timestamp(format_string("2020-%02d-15", $"m")))
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"o_orderdate")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("orders.parquet").toString)
+    Seq((1L, "AUTOMOBILE"), (2L, "BUILDING"))
+      .toDF("c_custkey", "c_mktsegment")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("customer.parquet").toString)
+    dir.toString
+  }
+
+  test("q486 splits pure-endowment and pure-structure gaps exactly") {
+    // both segments earn exactly $3000/order; AUTOMOBILE just takes
+    // one more order per month -> the WHOLE 3-kilo gap is explained
+    val endow = segOrdersDir((1 to 6).flatMap(m =>
+      (1 to m + 1).map(_ => (1L, m, 3000.0)) ++
+      (1 to m).map(_ => (2L, m, 3000.0))))
+    val e = operators.InferenceQueries.q486(spark, endow).head()
+    assert((e.getLong(0), e.getLong(1), e.getLong(2), e.getLong(3),
+      e.getLong(4)) === ((6L, 6L, 3000000L, 3000000L, 0L)), e.toString)
+    // same volumes, but AUTOMOBILE's first order each month is $15000:
+    // a pure 12-kilo structure gap, zero explained
+    val struct = segOrdersDir((1 to 6).flatMap(m =>
+      Seq((1L, m, 15000.0)) ++ (2 to m).map(_ => (1L, m, 3000.0)) ++
+      (1 to m).map(_ => (2L, m, 3000.0))))
+    val u = operators.InferenceQueries.q486(spark, struct).head()
+    assert((u.getLong(2), u.getLong(3), u.getLong(4))
+      === ((12000000L, 0L, 12000000L)), u.toString)
+  }
+
+  test("q487 counts the planted family's crossings against the md5 replay") {
+    def testFlag(key: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((key + "#split").getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      if (java.lang.Long.parseLong(hex.take(8), 16) % 5 == 0) 1L else 0L
+    }
+    val prefix = "P" * 60
+    val d = documentsDir(Seq(
+      (1L, prefix + " alpha", "en", "a", 66L),
+      (2L, prefix + " beta", "en", "a", 65L),
+      (3L, prefix + " gamma", "en", "b", 66L),
+      (4L, "a singleton document", "en", "a", 20L),
+      (5L, "another singleton", "en", "b", 17L)))
+    val kt = Seq(1L, 2L, 3L).map(i => testFlag(i.toString)).sum
+    val crossing = kt * (3 - kt)
+    val r = operators.InferenceQueries.q487(spark, d).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      === ((1L, 3L, crossing, 0L)), s"$r vs kt=$kt")
+    if (crossing == 0) assert(r.getLong(4) === 0L)
+    else assert(r.getLong(4) === crossing * 1000000L / 3L, r.toString)
+  }
+
+  test("q488 prices the deterministic chain and the half-loop replay-exactly") {
+    // 10 users signup -> view -> purchase: v(view) = 1e6, v(signup) = 2e6
+    val chain = eventsDir((1 to 10).flatMap(u => Seq(
+      (1, u.toLong, "signup", 1.0), (2, u.toLong, "view", 1.0),
+      (3, u.toLong, "purchase", 1.0))))
+    val out = operators.InferenceQueries.q488(spark, chain).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("signup") === ((10L, 2000000L)), out.toString)
+    assert(out("view") === ((10L, 1000000L)), out.toString)
+    assert(out("purchase") === ((0L, 0L)), out.toString)
+    // view loops to itself half the time: v = 1e6 + v/2 truncated, 12x
+    val loop = eventsDir((1 to 10).flatMap(u => Seq(
+      (1, u.toLong, "view", 1.0), (2, u.toLong, "view", 1.0),
+      (3, u.toLong, "purchase", 1.0))))
+    var v = 0L
+    for (_ <- 1 to 12) v = 1000000L + (10L * v) / 20L
+    val lo = operators.InferenceQueries.q488(spark, loop).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(lo("view") === v && v > 1999000L && lo("purchase") === 0L,
+      s"$lo vs replay $v")
+  }
 }
