@@ -5,16 +5,17 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Round-13 second batch: the remaining classical-inference families
-  * the registry lacked — median-dichotomy k-sample location (Mood),
-  * pair-grid shift estimation (Hodges–Lehmann + Cliff's delta),
-  * ordinal×ordinal concordance (Goodman–Kruskal γ / Somers' D), and
-  * local-extrema randomness (turning points). Each sits beside an
-  * existing relative: Mood beside Kruskal–Wallis q334 (rank-sum
-  * omnibus) as the median-robust member; HL beside Mann–Whitney drift
-  * q254 as the ESTIMATOR its test lacks (the q274→q393 pattern);
-  * γ/Somers beside GK-λ q389 (nominal PRE) as the ORDINAL member;
-  * turning points beside the runs test q307 (median signs) and von
-  * Neumann q306 (successive differences) as the local-extrema lens.
+  * the registry lacked, each placed beside its existing relative —
+  * location/scale/dependence (Mood q467, Hodges–Lehmann+Cliff q468,
+  * γ/Somers q469, Cucconi q483, Sₙ q484, Hoeffding's D q479),
+  * randomness/complexity (turning points q470, records q485, LZ76
+  * q481), agreement (Cohen's κ q471, Lin's CCC q472), sequential
+  * monitoring (EWMA q473, SPRT q474), volatility (ARCH LM q478),
+  * symmetry (Bowker q475), decomposition (Oaxaca–Blinder q486),
+  * spatial hotspots (Getis–Ord G* q489), sequence alignment (DTW
+  * q480), sketch-based planning (KMV NDV q476, bloom advisor q482),
+  * chain pricing (absorption steps q488), and corpus/sampling audits
+  * (Gries' DP q477, split leakage q487, length bias q490).
   *
   * Exactness discipline (the q334/q448/q460 conventions): counts and
   * moment sums are exact BIGINT / DECIMAL(38,0) / HUGEINT; every
@@ -1956,6 +1957,173 @@ object InferenceQueries {
       |ORDER BY s.state""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q489 — Getis–Ord G* local hotspots of nation balances
+  // ------------------------------------------------------------------
+
+  /** q489 — Getis–Ord G* local hotspot statistic per nation under
+    * same-region contiguity (self included): WHERE are the
+    * high-balance clusters — the LOCAL complement of q407's global
+    * Moran's I, which can report "clustering exists" while every
+    * region looks the same; G* names the hot and cold regions nation
+    * by nation. With binary weights the z² is an EXACT RATIONAL — no
+    * sqrt at all: z² = N_i²(n−1) / [(nΣx² − (Σx)²)(nW_i − W_i²)]
+    * with N_i = n·Σ_{j∈R_i} x_j − W_i·Σx, W_i the region size, and x
+    * the q407 per-nation mean-balance grid (100·cents div count —
+    * same stated grid, so the two spatial readouts share their
+    * input). One truncating micro-division per nation; sign says hot
+    * vs cold; |z| > 1.96 ⟺ z² > 3.8416 pinned. Degenerate all-equal
+    * balances or W_i = n (one region) → NULL. Region cells are
+    * bounded by the region enum; one scan + broadcast joins. */
+  def q489(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nat = Tables.customer(s, d)
+      .groupBy($"c_nationkey")
+      .agg(sum(floor($"c_acctbal" * 100 + lit(0.5)).cast("long")).as("s"),
+        count(lit(1)).as("c"))
+      .join(Tables.nation(s, d), $"c_nationkey" === $"n_nationkey")
+      .select($"n_name".as("nation"), $"n_regionkey".as("rk"),
+        expr("(100 * cast(s as decimal(38,0))) div c").as("m"))
+      .transform(Fx.materialize)
+    val tot = nat.agg(sum($"m").as("sm"),
+      sum(expr("cast(m as decimal(38,0)) * m")).as("sm2"),
+      count(lit(1)).as("n"))
+    val reg = nat.groupBy($"rk")
+      .agg(sum($"m").as("srm"), count(lit(1)).as("w"))
+    nat.join(broadcast(reg), "rk").crossJoin(broadcast(tot))
+      .select($"nation", $"rk", $"w",
+        when(expr(
+          """(n * sm2 - cast(sm as decimal(38,0)) * sm)
+             * (n * w - cast(w as decimal(38,0)) * w)""") === 0,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            """((cast(n as decimal(38,0)) * srm - cast(w as decimal(38,0)) * sm)
+               * (cast(n as decimal(38,0)) * srm - cast(w as decimal(38,0)) * sm)
+               * (n - 1) * 1000000)
+               div ((n * sm2 - cast(sm as decimal(38,0)) * sm)
+                 * (n * w - cast(w as decimal(38,0)) * w))"""))
+          .as("z2_micro"),
+        when(expr("cast(n as decimal(38,0)) * srm - cast(w as decimal(38,0)) * sm") > 0, 1)
+          .when(expr("cast(n as decimal(38,0)) * srm - cast(w as decimal(38,0)) * sm") < 0, -1)
+          .otherwise(0).as("sign"))
+      .withColumn("flag_5pct",
+        when($"z2_micro".isNull, lit(null).cast("string"))
+          .when($"z2_micro" > 3841600L && $"sign" === 1, lit("hot"))
+          .when($"z2_micro" > 3841600L && $"sign" === -1, lit("cold"))
+          .otherwise(lit("none")))
+      .orderBy($"nation")
+  }
+
+  val q489Sql: String =
+    """WITH nat AS (
+      |  SELECT n_name AS nation, n_regionkey AS rk,
+      |    (100 * CAST(s AS HUGEINT)) // c AS m
+      |  FROM (
+      |    SELECT c_nationkey,
+      |      CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |        AS s,
+      |      CAST(count(*) AS BIGINT) AS c
+      |    FROM customer GROUP BY 1) t
+      |  JOIN nation ON c_nationkey = n_nationkey),
+      |tot AS (
+      |  SELECT CAST(sum(m) AS HUGEINT) AS sm,
+      |    CAST(sum(m * m) AS HUGEINT) AS sm2,
+      |    CAST(count(*) AS HUGEINT) AS n
+      |  FROM nat),
+      |reg AS (
+      |  SELECT rk, CAST(sum(m) AS HUGEINT) AS srm,
+      |    CAST(count(*) AS HUGEINT) AS w
+      |  FROM nat GROUP BY 1)
+      |SELECT nation, nat.rk, CAST(w AS BIGINT) AS w,
+      |  CASE WHEN (n * sm2 - sm * sm) * (n * w - w * w) = 0 THEN NULL
+      |    ELSE CAST(((n * srm - w * sm) * (n * srm - w * sm) * (n - 1)
+      |      * 1000000) // ((n * sm2 - sm * sm) * (n * w - w * w)) AS BIGINT)
+      |    END AS z2_micro,
+      |  CASE WHEN n * srm - w * sm > 0 THEN 1
+      |    WHEN n * srm - w * sm < 0 THEN -1 ELSE 0 END AS sign,
+      |  CASE WHEN (n * sm2 - sm * sm) * (n * w - w * w) = 0 THEN NULL
+      |    WHEN ((n * srm - w * sm) * (n * srm - w * sm) * (n - 1) * 1000000)
+      |      // ((n * sm2 - sm * sm) * (n * w - w * w)) > 3841600
+      |      AND n * srm - w * sm > 0 THEN 'hot'
+      |    WHEN ((n * srm - w * sm) * (n * srm - w * sm) * (n - 1) * 1000000)
+      |      // ((n * sm2 - sm * sm) * (n * w - w * w)) > 3841600
+      |      AND n * srm - w * sm < 0 THEN 'cold'
+      |    ELSE 'none' END AS flag_5pct
+      |FROM nat JOIN reg ON nat.rk = reg.rk, tot
+      |ORDER BY nation""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q490 — length-bias (inspection paradox) sampling audit
+  // ------------------------------------------------------------------
+
+  /** q490 — length-bias audit per source: a TOKEN-level sampler (the
+    * thing every LM pretraining mix is) sees documents
+    * length-weighted, so the expected length of the doc a sampled
+    * token lands in is E[L²]/E[L], not E[L] — the inspection paradox.
+    * Per source this reports the doc-mean length, the char-weighted
+    * mean ΣL²/ΣL a token sampler experiences, their ratio (the bias
+    * factor = 1 + CV², ≥ 1), and the share of chars held by the
+    * longest ⌈n/10⌉ docs — together the "is my mix secretly a
+    * long-doc mix" audit that q103/q184's doc-level mixtures and
+    * q322's design effect don't ask. All exact: n_chars integers,
+    * ΣL² on DECIMAL(38,0) (ΣL²·n brushes 2⁶³), each statistic ONE
+    * truncating micro-division; the top-decile selection rides
+    * scale-safe per-source rank windows with (length, doc_id)
+    * tie-break (stated). Empty/NULL-length docs excluded (stated). */
+  def q490(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .filter($"n_chars".isNotNull && $"n_chars" > 0)
+      .select($"source", $"doc_id", $"n_chars".as("len"))
+      .withColumn("rnk", row_number()
+        .over(W.partitionBy($"source").orderBy($"len".desc, $"doc_id"))
+        .cast("long"))
+    val agg = docs.groupBy($"source")
+      .agg(count(lit(1)).as("n"), sum($"len").as("sl"),
+        sum(expr("cast(len as decimal(38,0)) * len")).as("sl2"))
+    val topdec = docs.join(broadcast(agg.select($"source", $"n".as("nn"))),
+        "source")
+      .filter($"rnk" <= expr("(nn + 9) div 10"))
+      .groupBy($"source").agg(sum($"len").as("sl_top"))
+    agg.join(topdec, Seq("source"), "left")
+      .select($"source", $"n",
+        expr("(sl * 1000000) div n").as("doc_mean_micro"),
+        expr("cast((sl2 * 1000000) div sl as bigint)")
+          .as("char_weighted_mean_micro"),
+        expr("cast((sl2 * n * 1000000) div (cast(sl as decimal(38,0)) * sl) as bigint)")
+          .as("bias_factor_micro"),
+        expr("(coalesce(sl_top, 0) * 1000000) div sl")
+          .as("top_decile_char_share_micro"))
+      .orderBy($"source")
+  }
+
+  val q490Sql: String =
+    """WITH docs AS (
+      |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS len,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rnk
+      |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+      |agg AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(len) AS BIGINT) AS sl,
+      |    CAST(sum(CAST(len AS HUGEINT) * len) AS HUGEINT) AS sl2
+      |  FROM docs GROUP BY 1),
+      |topdec AS (
+      |  SELECT d.source, CAST(sum(d.len) AS BIGINT) AS sl_top
+      |  FROM docs d JOIN agg a ON d.source = a.source
+      |  WHERE d.rnk <= (a.n + 9) // 10
+      |  GROUP BY 1)
+      |SELECT a.source, n,
+      |  (sl * 1000000) // n AS doc_mean_micro,
+      |  CAST((sl2 * 1000000) // sl AS BIGINT) AS char_weighted_mean_micro,
+      |  CAST((sl2 * n * 1000000) // (CAST(sl AS HUGEINT) * sl) AS BIGINT)
+      |    AS bias_factor_micro,
+      |  (coalesce(sl_top, 0) * 1000000) // sl
+      |    AS top_decile_char_share_micro
+      |FROM agg a LEFT JOIN topdec t ON a.source = t.source
+      |ORDER BY a.source""".stripMargin
+
   lazy val all: Seq[QueryDef] = Seq(
     QueryDef("q467_mood_median", q467, Some(q467Sql)),
     QueryDef("q468_hodges_lehmann", q468, Some(q468Sql)),
@@ -1978,5 +2146,7 @@ object InferenceQueries {
     QueryDef("q485_records_test", q485, Some(q485Sql)),
     QueryDef("q486_oaxaca_blinder", q486, Some(q486Sql)),
     QueryDef("q487_split_leakage", q487, Some(q487Sql)),
-    QueryDef("q488_absorption_steps", q488, Some(q488Sql)))
+    QueryDef("q488_absorption_steps", q488, Some(q488Sql)),
+    QueryDef("q489_getis_ord", q489, Some(q489Sql)),
+    QueryDef("q490_length_bias", q490, Some(q490Sql)))
 }

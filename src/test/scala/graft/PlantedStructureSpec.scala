@@ -4170,4 +4170,60 @@ class PlantedStructureSpec extends SparkSpec {
     assert(lo("view") === v && v > 1999000L && lo("purchase") === 0L,
       s"$lo vs replay $v")
   }
+
+  /** BigInt replay of the q489 z² rational for one nation: per-nation
+    * micro means ms, region sizes/sums via the region key list. */
+  private def getisZ2(ms: Seq[Long], rks: Seq[Long], i: Int): Long = {
+    val n = BigInt(ms.size)
+    val sm = ms.map(BigInt(_)).sum
+    val sm2 = ms.map(m => BigInt(m) * m).sum
+    val w = BigInt(rks.count(_ == rks(i)))
+    val srm = ms.indices.filter(j => rks(j) == rks(i)).map(j => BigInt(ms(j))).sum
+    val num = (n * srm - w * sm).pow(2) * (n - 1) * 1000000
+    val den = (n * sm2 - sm * sm) * (n * w - w * w)
+    (num / den).toLong
+  }
+
+  test("q489 flags the planted one-nation hotspot and nulls the degenerate poles") {
+    // two flat regions + a lone 1000.00 nation: its region is hot
+    val ms = Seq(100000L, 100000L, 100000L, 100000L, 10000000L)
+    val rks = Seq(0L, 0L, 1L, 1L, 2L)
+    val d = custNationDir(Seq((0L, 0L, 10.00), (1L, 0L, 10.00),
+      (2L, 1L, 10.00), (3L, 1L, 10.00), (4L, 2L, 1000.00)))
+    val out = operators.InferenceQueries.q489(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getInt(4), r.getString(5)))
+    val hot = out.find(_._1 == "NATION4").get
+    assert(hot === (("NATION4", getisZ2(ms, rks, 4), 1, "hot")),
+      s"$hot vs ${getisZ2(ms, rks, 4)}")
+    val cold0 = out.find(_._1 == "NATION0").get
+    assert(cold0._2 === getisZ2(ms, rks, 0) && cold0._3 === -1,
+      cold0.toString)
+    // all-equal balances: zero variance -> NULL everywhere
+    val flat = operators.InferenceQueries.q489(spark, custNationDir(Seq(
+      (0L, 0L, 10.00), (1L, 0L, 10.00), (2L, 1L, 10.00)))).collect()
+    assert(flat.forall(r => r.isNullAt(3) && r.isNullAt(5)),
+      flat.mkString(";"))
+    // single region: nW - W^2 = 0 -> NULL, never a blow-up
+    val one = operators.InferenceQueries.q489(spark, custNationDir(Seq(
+      (0L, 0L, 10.00), (1L, 0L, 20.00)))).collect()
+    assert(one.forall(r => r.isNullAt(3)), one.mkString(";"))
+  }
+
+  test("q490 prices the planted length mix on the exact inspection-paradox curve") {
+    val d = documentsDir(Seq(
+      (1L, "x", "en", "a", 100L), (2L, "y", "en", "a", 300L),
+      (3L, "p", "en", "b", 100L), (4L, "q", "en", "b", 100L),
+      (5L, "r", "en", "b", 100L), (6L, "s", "en", "b", 100L)))
+    val out = operators.InferenceQueries.q490(spark, d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // source a {100, 300}: doc mean 200, token-seen mean 250, bias
+    // 1.25, and the single top-decile doc holds 3/4 of the chars
+    assert(out("a") === ((2L, 200000000L, 250000000L, 1250000L, 750000L)),
+      out.toString)
+    // source b uniform: bias exactly 1, top decile = one of four docs
+    assert(out("b") === ((4L, 100000000L, 100000000L, 1000000L, 250000L)),
+      out.toString)
+  }
 }
