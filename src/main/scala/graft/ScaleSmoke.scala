@@ -332,6 +332,51 @@ object ScaleSmoke {
       return
     }
 
+    // targeted mode: `... <n> kmv` — the q476/q482 NDV story at row
+    // count n: exact COUNT(DISTINCT key) (map-side partial dedup +
+    // full shuffle of the value domain) vs the KMV-64 sketch path
+    // (per-partition bounded k-min-distinct fold, O(k·partitions)
+    // shuffle). Reports wall time for both and the sketch's relative
+    // error — the trade a 100 TB ANALYZE pass actually makes.
+    if (args.lift(1).contains("kmv")) {
+      val n = nDocs
+      val dir = java.nio.file.Files.createTempDirectory("smoke-kmv").toString
+      val nd = n / 8L
+      timedN(n)("write_fact") {
+        spark.range(n).select(
+          (($"id" * 2654435761L) % nd).as("key"),
+          md5($"id".cast("string")).as("payload"))
+          .write.mode("overwrite").parquet(dir)
+        n
+      }
+      val fact = spark.read.parquet(dir)
+      var exact = 0L
+      timedN(n)("exact_count_distinct") {
+        exact = fact.select($"key").distinct().count(); exact
+      }
+      var est = 0L
+      timedN(n)("kmv64_sketch") {
+        val hashed = fact.select(lit("key").as("colname"),
+          expr("cast(conv(substring(md5(concat(cast(key as string), " +
+            "'#kmv')), 1, 13), 16, 10) as bigint)").as("h13"))
+        val kth = operators.InferenceQueries
+          .kMinDistinct(hashed, "colname", "h13", 64)
+          .distinct()
+          .orderBy($"h13").limit(64)
+          .agg(org.apache.spark.sql.functions.max($"h13").as("kth"),
+            count(lit(1)).as("n_kept"))
+          .head()
+        est =
+          if (kth.getLong(1) < 64) kth.getLong(1)
+          else 63L * 4503599627370496L / kth.getLong(0)
+        est
+      }
+      println(f"[scale] kmv ndv: exact=$exact est=$est " +
+        f"err=${math.abs(est - exact) * 100.0 / exact}%.1f%%")
+      spark.stop()
+      return
+    }
+
     if (args.lift(1).contains("compact")) {
       val dir = java.nio.file.Files.createTempDirectory("smoke-compact").toString
       val nFiles = math.max(16, nDocs.toInt)

@@ -50,6 +50,39 @@ object InferenceQueries {
       .agg(min(col(v)).as("m"))
   }
 
+  /** KMV partial aggregate: per partition, the k smallest DISTINCT
+    * values of `h` per group — bounded TreeSet state (≤ k entries per
+    * group per task), ONE pass, emits ≤ k rows per (partition,
+    * group). The global k smallest distinct hashes are exactly the k
+    * smallest distinct of this union (any hash among the global
+    * k-smallest-distinct is among its own partition's
+    * k-smallest-distinct), so a `.distinct()` + top-k over the tiny
+    * union reproduces the full-data answer while the shuffle carries
+    * O(k·partitions·groups) rows instead of the value domain — the
+    * difference between a sketch and a COUNT(DISTINCT) at 100 TB.
+    * mapPartitions is the honest implementation of bounded
+    * sketch state here (no Catalyst aggregate exists for k-min-set). */
+  private[graft] def kMinDistinct(df: DataFrame, group: String, h: String,
+      k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(group), col(h)).as[(String, Long)].mapPartitions { it =>
+      val sets = scala.collection.mutable.Map.empty[String, java.util.TreeSet[java.lang.Long]]
+      it.foreach { case (g, hv) =>
+        val s = sets.getOrElseUpdate(g, new java.util.TreeSet[java.lang.Long]())
+        val boxed = java.lang.Long.valueOf(hv)
+        if (s.size < k) { s.add(boxed); () }
+        else if (hv < s.last && !s.contains(boxed)) {
+          s.add(boxed); s.pollLast(); ()
+        }
+      }
+      sets.iterator.flatMap { case (g, s) =>
+        scala.jdk.javaapi.CollectionConverters.asScala(s.iterator())
+          .map(v => (g, v.longValue()))
+      }
+    }.toDF(group, h)
+  }
+
   /** χ²(df) 5% critical values, micro-pinned (the q409 ladder + df
     * 8..10). */
   private val chiCritSql =
@@ -852,17 +885,21 @@ object InferenceQueries {
   // ------------------------------------------------------------------
 
   /** q476 — k-minimum-values NDV sketch per column (k = 64) with its
-    * exact-error audit: hash every DISTINCT value of o_custkey /
-    * o_orderdate / o_orderpriority with md5 (both engines produce
-    * identical hex, the q243 idiom), keep the k smallest 52-bit hash
-    * prefixes through the native bounded-heap [[plans.TopKPerGroup]],
-    * and estimate NDV = (k−1)·2⁵² div h_(k) — the ANALYZE-TABLE
-    * statistic a 100 TB optimizer needs where COUNT(DISTINCT) is a
-    * full shuffle of the value domain: the sketch is O(k) state per
-    * column, mergeable across partitions, and DETERMINISTIC (md5 —
-    * unlike approx_count_distinct's engine-specific HLL, this
-    * cross-checks exactly against DuckDB). Fewer than k distinct
-    * values → the sketch IS the exact count (stated). The audit
+    * exact-error audit: hash the RAW rows of o_custkey / o_orderdate
+    * / o_orderpriority with md5 (both engines produce identical hex,
+    * the q243 idiom; duplicate values collapse by hash — KMV set
+    * semantics), fold each partition to its k smallest DISTINCT
+    * 52-bit prefixes ([[kMinDistinct]], bounded TreeSet state), and
+    * reduce the O(k·partitions) union through the native bounded-heap
+    * [[plans.TopKPerGroup]]; estimate NDV = (k−1)·2⁵² div h_(k) —
+    * the ANALYZE-TABLE statistic a 100 TB optimizer needs where
+    * COUNT(DISTINCT) is a full shuffle of the value domain: the
+    * sketch path never shuffles more than k rows per partition per
+    * column and is DETERMINISTIC (md5 — unlike
+    * approx_count_distinct's engine-specific HLL, this cross-checks
+    * exactly against DuckDB; ScaleSmoke `kmv` measures the gap).
+    * Fewer than k distinct values → the sketch IS the exact count
+    * (stated). The audit
     * column err_micro = |est − true|·10⁶ div true prices the k = 64
     * sketch against the exact NDV at test scale — at 100 TB only the
     * sketch side runs. Timestamps hash their DATE string (stated —
@@ -872,7 +909,7 @@ object InferenceQueries {
   def q476(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val o = Tables.orders(s, d)
-    val vals = o.select(explode(array(
+    val raw = o.select(explode(array(
         struct(lit("o_custkey").as("colname"),
           $"o_custkey".cast("string").as("v")),
         struct(lit("o_orderdate").as("colname"),
@@ -881,16 +918,22 @@ object InferenceQueries {
           $"o_orderpriority".as("v")))).as("cv"))
       .select($"cv.colname".as("colname"), $"cv.v".as("v"))
       .filter($"v".isNotNull)
-      .distinct()
-      .transform(Fx.materialize)
-    val hashed = vals.select($"colname",
+    // sketch path: hash RAW rows (duplicate values collapse by hash —
+    // the KMV set semantics), fold each partition to its k smallest
+    // distinct hashes, reduce the tiny union. No value-domain shuffle.
+    val hashed = raw.select($"colname",
       expr("cast(conv(substring(md5(concat(v, '#kmv')), 1, 13), 16, 10) " +
         "as bigint)").as("h13"))
-    val kept = graft.plans.TopK.perGroup(hashed, 64, Seq("colname"),
-        Seq(graft.plans.TopK.asc("h13")))
+    val kept = graft.plans.TopK.perGroup(
+        kMinDistinct(hashed, "colname", "h13", 64).distinct(),
+        64, Seq("colname"), Seq(graft.plans.TopK.asc("h13")))
       .groupBy($"colname")
       .agg(max($"h13").as("kth"), count(lit(1)).as("n_kept"))
-    val truth = vals.groupBy($"colname").agg(count(lit(1)).as("true_ndv"))
+    // audit side: the exact NDV — deliberately the expensive full
+    // distinct, so err_micro prices the sketch; at 100 TB only the
+    // sketch path runs
+    val truth = raw.distinct().groupBy($"colname")
+      .agg(count(lit(1)).as("true_ndv"))
     kept.join(truth, "colname")
       .select($"colname",
         when($"n_kept" < 64, $"n_kept")
@@ -913,7 +956,7 @@ object InferenceQueries {
       |    SELECT 'o_orderpriority', o_orderpriority FROM orders) t
       |  WHERE v IS NOT NULL),
       |h AS (
-      |  SELECT colname,
+      |  SELECT DISTINCT colname,
       |    ('0x' || substr(md5(v || '#kmv'), 1, 13))::BIGINT AS h13
       |  FROM vals),
       |top AS (
@@ -1390,7 +1433,10 @@ object InferenceQueries {
   def q482(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, d)
-    val vals = li.select(explode(array(
+    // one narrow scan, hash raw rows, bounded per-partition k-min
+    // fold — NO value-domain distinct anywhere (the whole point of
+    // advising from a sketch)
+    val hashed = li.select(explode(array(
         struct(lit("l_orderkey").as("colname"),
           $"l_orderkey".cast("string").as("v")),
         struct(lit("l_partkey").as("colname"),
@@ -1399,12 +1445,12 @@ object InferenceQueries {
           $"l_suppkey".cast("string").as("v")))).as("cv"))
       .select($"cv.colname".as("colname"), $"cv.v".as("v"))
       .filter($"v".isNotNull)
-      .distinct()
-    val hashed = vals.select($"colname",
-      expr("cast(conv(substring(md5(concat(v, '#kmv')), 1, 13), 16, 10) " +
-        "as bigint)").as("h13"))
-    val est = graft.plans.TopK.perGroup(hashed, 64, Seq("colname"),
-        Seq(graft.plans.TopK.asc("h13")))
+      .select($"colname",
+        expr("cast(conv(substring(md5(concat(v, '#kmv')), 1, 13), 16, 10) " +
+          "as bigint)").as("h13"))
+    val est = graft.plans.TopK.perGroup(
+        kMinDistinct(hashed, "colname", "h13", 64).distinct(),
+        64, Seq("colname"), Seq(graft.plans.TopK.asc("h13")))
       .groupBy($"colname")
       .agg(max($"h13").as("kth"), count(lit(1)).as("n_kept"))
       .select($"colname",
@@ -1423,7 +1469,7 @@ object InferenceQueries {
 
   val q482Sql: String =
     """WITH vals AS (
-      |  SELECT DISTINCT colname, v FROM (
+      |  SELECT colname, v FROM (
       |    SELECT 'l_orderkey' AS colname, CAST(l_orderkey AS VARCHAR) AS v
       |    FROM lineitem
       |    UNION ALL
@@ -1432,7 +1478,7 @@ object InferenceQueries {
       |    SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem) t
       |  WHERE v IS NOT NULL),
       |h AS (
-      |  SELECT colname,
+      |  SELECT DISTINCT colname,
       |    ('0x' || substr(md5(v || '#kmv'), 1, 13))::BIGINT AS h13
       |  FROM vals),
       |top AS (
