@@ -104,6 +104,10 @@ object EconometricsQueries {
                 - (sy * sxx - cast(sx as decimal(38,0)) * sxy)
                 - (n * sxy - cast(sx as decimal(38,0)) * sy) * x""").as("u"))
       .withColumn("rn", row_number().over(Window.orderBy($"ym")))
+      // materialized: consumed twice by the lag self-join (and the
+      // LogicalRDD boundary tells BucketSelfJoinGuardSpec what the
+      // month grid already guarantees — both sides are calendar-bounded)
+      .transform(graft.Fx.materialize)
     val pairs = resid.select(($"rn" + 1).as("rn"), $"u".as("u_prev"))
       .join(resid.select($"rn", $"u"), "rn")
     pairs

@@ -2118,13 +2118,15 @@ object InferenceQueries {
     * tie-break (stated). Empty/NULL-length docs excluded (stated). */
   def q490(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val W = org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, d)
-      .filter($"n_chars".isNotNull && $"n_chars" > 0)
-      .select($"source", $"doc_id", $"n_chars".as("len"))
-      .withColumn("rnk", row_number()
-        .over(W.partitionBy($"source").orderBy($"len".desc, $"doc_id"))
-        .cast("long"))
+    // per-source rank rides the scale-safe two-phase groupRanks — a
+    // source-partitioned row_number window would funnel each source
+    // through ONE task at 100 TB (the straggler guard's exact shape)
+    val docs = Ranking.groupRanks(
+        Tables.documents(s, d)
+          .filter($"n_chars".isNotNull && $"n_chars" > 0)
+          .select($"source", $"doc_id", $"n_chars".as("len")),
+        Seq("source"), 32, $"len".desc, $"doc_id")
+      .withColumnRenamed("rank", "rnk")
     val agg = docs.groupBy($"source")
       .agg(count(lit(1)).as("n"), sum($"len").as("sl"),
         sum(expr("cast(len as decimal(38,0)) * len")).as("sl2"))
@@ -2170,6 +2172,362 @@ object InferenceQueries {
       |FROM agg a LEFT JOIN topdec t ON a.source = t.source
       |ORDER BY a.source""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q491 — Hosmer–Lemeshow calibration TEST over q318's bins
+  // ------------------------------------------------------------------
+
+  /** q491 — Hosmer–Lemeshow goodness-of-calibration test on the
+    * quality-score-vs-English outcome from q318's reliability bins:
+    * per score decile, HL = Σ (O − E)²/(E(1 − E/n)) where E is the
+    * SUM of predicted probabilities in the bin — the pooled VERDICT
+    * the q318 per-bin gap table and Brier column don't give (the
+    * q274→q393 estimator→test pattern; q457's isotonic recalibration
+    * is what you run when THIS rejects). Exact: E_micro = Σqm is an
+    * exact integer, each bin term is the stated truncation
+    * (sy·10⁶ − sq)²·n·10⁶ div (sq·(n·10⁶ − sq)) on DECIMAL(38,0)
+    * (squares ≈ 2.5e21), df = usable bins − 2, verdict vs the pinned
+    * χ² ladder. Degenerate bins (E = 0 or E = n, zero variance) are
+    * excluded from both the sum and df (stated, the standard
+    * practice). One scan + bounded-bin groupBy. */
+  def q491(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = graft.functions.TextAnalysis.qualityScore($"text")
+    val bins = Tables.documents(s, d)
+      .select(floor(q * 1000000).cast("long").as("qm"),
+        ($"lang" === "en").cast("long").as("y"))
+      .withColumn("bin", expr("qm div 100000"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"), sum($"qm").as("sq"), sum($"y").as("sy"))
+      .withColumn("usable",
+        ($"sq" > 0 && $"sq" < $"n" * 1000000L).cast("long"))
+      .withColumn("term_micro", when($"usable" === 0, lit(null).cast("long"))
+        .otherwise(expr(
+          """((cast(sy as decimal(38,0)) * 1000000 - sq)
+             * (cast(sy as decimal(38,0)) * 1000000 - sq) * n * 1000000)
+             div (cast(sq as decimal(38,0)) * (n * 1000000 - sq))""")))
+      .transform(Fx.materialize)
+    val tst = bins.agg(sum($"term_micro").as("hl_micro"),
+        (sum($"usable") - 2).as("df"))
+      .select($"hl_micro", $"df",
+        when($"hl_micro".isNull || $"df" < 1, lit(null).cast("int"))
+          .otherwise(($"hl_micro" > expr(chiCritSql)).cast("int"))
+          .as("reject_5pct"))
+    bins.crossJoin(broadcast(tst))
+      .select($"bin", $"n", $"sy".as("observed"),
+        $"sq".as("expected_sum_micro"), $"term_micro",
+        $"hl_micro", $"df", $"reject_5pct")
+      .orderBy($"bin")
+  }
+
+  val q491Sql: String = {
+    val quality = graft.functions.TextAnalysis.sqlQualityScore("text")
+    s"""WITH f AS (
+      |  SELECT CAST(floor(($quality) * 1000000) AS BIGINT) AS qm,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |b AS (
+      |  SELECT qm // 100000 AS bin, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(qm) AS BIGINT) AS sq, CAST(sum(y) AS BIGINT) AS sy
+      |  FROM f GROUP BY 1),
+      |t AS (
+      |  SELECT bin, n, sq, sy,
+      |    CASE WHEN sq > 0 AND sq < n * 1000000 THEN 1 ELSE 0 END AS usable,
+      |    CASE WHEN sq > 0 AND sq < n * 1000000 THEN
+      |      ((CAST(sy AS HUGEINT) * 1000000 - sq)
+      |       * (CAST(sy AS HUGEINT) * 1000000 - sq) * n * 1000000)
+      |       // (CAST(sq AS HUGEINT) * (n * 1000000 - sq))
+      |      ELSE NULL END AS term_micro
+      |  FROM b),
+      |tst0 AS (
+      |  SELECT CAST(sum(term_micro) AS BIGINT) AS hl_micro,
+      |    CAST(sum(usable) - 2 AS BIGINT) AS df
+      |  FROM t),
+      |tst AS (
+      |  SELECT hl_micro, df,
+      |    CASE WHEN hl_micro IS NULL OR df < 1 THEN NULL
+      |      ELSE CAST(hl_micro > $chiCritDuck AS INT) END AS reject_5pct
+      |  FROM tst0)
+      |SELECT bin, n, sy AS observed, sq AS expected_sum_micro,
+      |  CAST(term_micro AS BIGINT) AS term_micro, hl_micro, df, reject_5pct
+      |FROM t, tst ORDER BY bin""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q492 — sample-entropy template-match ratio (m = 2)
+  // ------------------------------------------------------------------
+
+  /** q492 — sample-entropy template-match ratio of monthly revenue:
+    * among all month pairs, B counts matching 2-templates
+    * (max(|y_i−y_j|, |y_{i+1}−y_{j+1}|) ≤ r) and A matching
+    * 3-templates; A/B is the conditional probability that a match
+    * keeps matching one step further — SampEn = −ln(A/B), and the
+    * RATIO is reported (stated — ln is not engine-exact, the q465
+    * convention). Low ratio = unpredictable dynamics; 1 =
+    * deterministic continuation. The TEMPLATE lens of the complexity
+    * battery: q442's permutation entropy sees only ORDER patterns
+    * (blind to magnitude), q481's LZ76 needs exact symbol repeats —
+    * SampEn matches within tolerance r = (max−min) div 20 (stated),
+    * so near-repeats count. Both template indices run over 1..n−2
+    * (stated, the standard comparable-range convention). All
+    * integer: kilo-dollar grid, one truncating micro-division;
+    * B = 0 → NULL. Pair grid is calendar² (≤84², broadcast). */
+  def q492(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window.orderBy($"ym")
+    val g = Tables.orders(s, d)
+      .groupBy((year($"o_orderdate") * 100 + month($"o_orderdate")).as("ym"))
+      .agg(sum(cents($"o_totalprice")).as("yc"))
+      .select($"ym", expr("yc div 100000").as("y"))
+      .withColumn("y1", lead($"y", 1).over(W))
+      .withColumn("y2", lead($"y", 2).over(W))
+      .filter($"y2".isNotNull)
+      .withColumn("t", row_number().over(W).cast("long"))
+      .transform(Fx.materialize)
+    val r = Tables.orders(s, d)
+      .groupBy((year($"o_orderdate") * 100 + month($"o_orderdate")).as("ym"))
+      .agg(sum(cents($"o_totalprice")).as("yc"))
+      .select(expr("yc div 100000").as("y"))
+      .agg(expr("(max(y) - min(y)) div 20").as("r"))
+    val b = g.select($"t".as("tb"), $"y".as("by"), $"y1".as("by1"),
+      $"y2".as("by2"))
+    g.join(broadcast(b), $"tb" > $"t").crossJoin(broadcast(r))
+      .agg(
+        sum(when(greatest(abs($"y" - $"by"), abs($"y1" - $"by1")) <= $"r",
+          1L).otherwise(0L)).as("b_count"),
+        sum(when(greatest(abs($"y" - $"by"), abs($"y1" - $"by1"),
+          abs($"y2" - $"by2")) <= $"r", 1L).otherwise(0L)).as("a_count"))
+      .select($"b_count", $"a_count",
+        when($"b_count" === 0, lit(null).cast("long"))
+          .otherwise(expr("(a_count * 1000000) div b_count"))
+          .as("match_ratio_micro"))
+  }
+
+  val q492Sql: String =
+    """WITH g0 AS (
+      |  SELECT year(o_orderdate)*100 + month(o_orderdate) AS ym,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      // 100000 AS y
+      |  FROM orders GROUP BY 1),
+      |r AS (SELECT (max(y) - min(y)) // 20 AS r FROM g0),
+      |g AS (
+      |  SELECT y, lead(y, 1) OVER (ORDER BY ym) AS y1,
+      |    lead(y, 2) OVER (ORDER BY ym) AS y2,
+      |    row_number() OVER (ORDER BY ym) AS t
+      |  FROM g0
+      |  QUALIFY y2 IS NOT NULL),
+      |agg AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN greatest(abs(a.y - b.y), abs(a.y1 - b.y1)) <= r
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS b_count,
+      |    CAST(sum(CASE WHEN greatest(abs(a.y - b.y), abs(a.y1 - b.y1),
+      |        abs(a.y2 - b.y2)) <= r
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS a_count
+      |  FROM g a JOIN g b ON b.t > a.t, r)
+      |SELECT b_count, a_count,
+      |  CASE WHEN b_count = 0 THEN NULL
+      |    ELSE (a_count * 1000000) // b_count END AS match_ratio_micro
+      |FROM agg""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q493 — Johnson–Lindenstrauss sign-projection ANN + recall audit
+  // ------------------------------------------------------------------
+
+  /** Deterministic ±1 JL projection matrix (16×64): md5 parity of
+    * "j:i#jl" — a pinned constant both engines receive as literal
+    * expression text, never computed at runtime. */
+  private[graft] val jlSigns: Seq[Seq[Int]] = (1 to 16).map { j =>
+    (1 to 64).map { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"$j:$i#jl".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1 else -1
+    }
+  }
+
+  /** One projected coordinate as expression text: a left-to-right
+    * chain of IEEE adds/subtracts starting at 0.0 — bit-identical in
+    * any engine that folds left (both do). `vec(i)` renders the
+    * 1-based element access. */
+  private def jlProjExpr(vec: Int => String, j: Int): String =
+    "0.0 " + jlSigns(j - 1).zipWithIndex.map { case (sg, i0) =>
+      s"${if (sg > 0) "+" else "-"} ${vec(i0 + 1)}"
+    }.mkString(" ")
+
+  /** q493 — Johnson–Lindenstrauss random-sign projection ANN: project
+    * the 64-d embeddings to 16-d with a PINNED ±1 matrix (4× smaller
+    * vectors, 4× cheaper distances — the JL lemma bounds the
+    * distortion), rank candidates by PROJECTED cosine, and audit
+    * recall@10 against the exact q60 ranking per query. The missing
+    * member of the ANN family — IVF (q62) and PQ/SQ8 (q127) are
+    * data-dependent (trained centroids/codebooks that drift, q315);
+    * a sign projection is DATA-INDEPENDENT: no training, no retrain
+    * on distribution shift, mergeable across any corpus split —
+    * which is why it's the standard first stage at ingest time.
+    * Determinism: the matrix is literal ±1 text (md5-derived once,
+    * embedded in both engines' expressions), each projected
+    * coordinate is the SAME left-to-right IEEE chain in both
+    * engines, and the projected cosine reuses the q60 fold parity;
+    * output carries only integers (hits, recall micro), no floats.
+    * Scale: projection is a per-row map (no shuffle); the exact side
+    * exists only as the audit, the q476 convention. */
+  def q493(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    def sparkProj(col0: String): Seq[Column] = (1 to 16).map(j =>
+      expr(jlProjExpr(i => s"CAST(element_at($col0, $i) AS DOUBLE)", j)))
+    val qs = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val qp = qs.select($"q_id", array(sparkProj("q_vec"): _*).as("q_pvec"))
+    val tp = e.select($"vec_id", array(sparkProj("embedding"): _*).as("pvec"))
+    val jl = Similarity.bruteForceTopK(qp, tp, 10,
+        qVec = "q_pvec", tVec = "pvec")
+      .select($"q_id", $"vec_id")
+    val exact = Similarity.bruteForceTopK(qs, e, 10)
+      .select($"q_id".as("eq"), $"vec_id".as("ev"))
+    val hits = jl.join(exact, $"q_id" === $"eq" && $"vec_id" === $"ev",
+        "left_semi")
+      .groupBy($"q_id").agg(count(lit(1)).as("n_hits"))
+    qs.select($"q_id").join(hits, Seq("q_id"), "left")
+      .select($"q_id", coalesce($"n_hits", lit(0L)).as("n_hits"))
+      .withColumn("recall_micro", $"n_hits" * 100000L)
+      .orderBy($"q_id")
+  }
+
+  val q493Sql: String = {
+    def duckProjList(col0: String): String =
+      "[" + (1 to 16).map(j =>
+        jlProjExpr(i => s"CAST($col0[$i] AS DOUBLE)", j)).mkString(", ") + "]"
+    val cos = "list_dot_product(q_pvec, pvec) / " +
+      "(sqrt(list_dot_product(q_pvec, q_pvec)) * " +
+      "sqrt(list_dot_product(pvec, pvec)))"
+    val cosExact = "list_dot_product(q_vec, t_vec) / " +
+      "(sqrt(list_dot_product(q_vec, q_vec)) * " +
+      "sqrt(list_dot_product(t_vec, t_vec)))"
+    s"""WITH q AS (
+      |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec,
+      |    ${duckProjList("embedding")} AS q_pvec
+      |  FROM embeddings WHERE vec_id < 5),
+      |t AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS t_vec,
+      |    ${duckProjList("embedding")} AS pvec
+      |  FROM embeddings),
+      |jl AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT q_id, vec_id,
+      |      row_number() OVER (PARTITION BY q_id
+      |        ORDER BY $cos DESC, vec_id) AS rn
+      |    FROM t, q WHERE vec_id <> q_id) r WHERE rn <= 10),
+      |ex AS (
+      |  SELECT q_id AS eq, vec_id AS ev FROM (
+      |    SELECT q_id, vec_id,
+      |      row_number() OVER (PARTITION BY q_id
+      |        ORDER BY $cosExact DESC, vec_id) AS rn
+      |    FROM t, q WHERE vec_id <> q_id) r WHERE rn <= 10),
+      |hits AS (
+      |  SELECT q_id, CAST(count(*) AS BIGINT) AS n_hits
+      |  FROM jl JOIN ex ON q_id = eq AND vec_id = ev
+      |  GROUP BY 1)
+      |SELECT q.q_id, coalesce(h.n_hits, 0) AS n_hits,
+      |  coalesce(h.n_hits, 0) * 100000 AS recall_micro
+      |FROM q LEFT JOIN hits h ON q.q_id = h.q_id
+      |ORDER BY q.q_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q494 — Siegel repeated-median trend (50% breakdown)
+  // ------------------------------------------------------------------
+
+  /** q494 — Siegel repeated-median regression of monthly revenue on
+    * the month ordinal: slope = median_i median_{j≠i} slope(i,j) —
+    * the NESTED median reaches the maximal 50% breakdown, where
+    * Theil–Sen's single pair-median (q274) already breaks at ~29%
+    * (corrupt 5 of 12 points and 68% of PAIRS touch a corrupted
+    * point; every per-point inner median with a clean i still sees a
+    * majority of clean js). Intercept = median_i (y_i·dx − dy·t_i) /
+    * dx on the EXACT integer numerators (stated). Determinism is the
+    * q274 convention: slopes ordered by (IEEE quotient, dy, dx) with
+    * pairs canonicalized to dx > 0, nearest-rank lower medians at
+    * both levels, the exact (dy, dx) of the winning slope emitted.
+    * Pair grid is calendar² (≤84², broadcast); inner medians are
+    * PARTITIONED windows (by anchor month), the outer a bounded-grid
+    * window. n ≤ 2 → empty. */
+  def q494(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val g = Tables.orders(s, d)
+      .groupBy((year($"o_orderdate") * 100 + month($"o_orderdate")).as("ym"))
+      .agg(sum(cents($"o_totalprice")).as("yc"))
+      .select($"ym", expr("yc div 100000").as("y"))
+      .withColumn("t", row_number().over(W.orderBy($"ym")).cast("long"))
+      .transform(Fx.materialize)
+    val b = g.select($"t".as("tj"), $"y".as("yj"))
+    val slopes = g.join(broadcast(b), $"tj" =!= $"t")
+      .select($"t", $"y",
+        when($"tj" > $"t", $"yj" - $"y").otherwise($"y" - $"yj").as("dy"),
+        when($"tj" > $"t", $"tj" - $"t").otherwise($"t" - $"tj").as("dx"))
+      .withColumn("slope", $"dy".cast("double") / $"dx")
+    val inner = slopes
+      .withColumn("rk", row_number()
+        .over(W.partitionBy($"t").orderBy($"slope", $"dy", $"dx")))
+      .withColumn("np", count(lit(1)).over(W.partitionBy($"t")))
+      .filter($"rk" === expr("(np + 1) div 2"))
+      .select($"t", $"y", $"dy", $"dx", $"slope")
+      .transform(Fx.materialize)
+    val outer = inner
+      .withColumn("ork", row_number().over(W.orderBy($"slope", $"dy", $"dx")))
+      .withColumn("n", count(lit(1)).over(W.partitionBy()))
+      .filter($"ork" === expr("(n + 1) div 2"))
+      .select($"n".as("n_months"), $"dy".as("med_dy"), $"dx".as("med_dx"))
+    val ic = inner.crossJoin(broadcast(outer))
+      .select($"n_months", $"med_dy", $"med_dx",
+        ($"y" * $"med_dx" - $"med_dy" * $"t").as("c"))
+      .withColumn("crk", row_number().over(W.orderBy($"c")))
+      .filter($"crk" === expr("(n_months + 1) div 2"))
+    ic.select($"n_months".cast("long").as("n_months"), $"med_dy", $"med_dx",
+      r6($"med_dy".cast("double") / $"med_dx").as("slope_per_month"),
+      expr("(c * 1000000) div med_dx").as("intercept_micro"))
+  }
+
+  val q494Sql: String =
+    """WITH g0 AS (
+      |  SELECT year(o_orderdate)*100 + month(o_orderdate) AS ym,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      // 100000 AS y
+      |  FROM orders GROUP BY 1),
+      |g AS (SELECT y, CAST(row_number() OVER (ORDER BY ym) AS BIGINT) AS t
+      |      FROM g0),
+      |slopes AS (
+      |  SELECT a.t, a.y,
+      |    CASE WHEN b.t > a.t THEN b.y - a.y ELSE a.y - b.y END AS dy,
+      |    CASE WHEN b.t > a.t THEN b.t - a.t ELSE a.t - b.t END AS dx,
+      |    CAST(CASE WHEN b.t > a.t THEN b.y - a.y ELSE a.y - b.y END
+      |      AS DOUBLE) /
+      |      (CASE WHEN b.t > a.t THEN b.t - a.t ELSE a.t - b.t END) AS slope
+      |  FROM g a JOIN g b ON b.t <> a.t),
+      |inner_med AS (
+      |  SELECT t, y, dy, dx, slope FROM (
+      |    SELECT t, y, dy, dx, slope,
+      |      row_number() OVER (PARTITION BY t ORDER BY slope, dy, dx) AS rk,
+      |      count(*) OVER (PARTITION BY t) AS np
+      |    FROM slopes) r
+      |  WHERE rk = (np + 1) // 2),
+      |outer_med AS (
+      |  SELECT n AS n_months, dy AS med_dy, dx AS med_dx FROM (
+      |    SELECT dy, dx,
+      |      row_number() OVER (ORDER BY slope, dy, dx) AS ork,
+      |      count(*) OVER () AS n
+      |    FROM inner_med) r
+      |  WHERE ork = (n + 1) // 2),
+      |ics AS (
+      |  SELECT n_months, med_dy, med_dx,
+      |    i.y * med_dx - med_dy * i.t AS c,
+      |    row_number() OVER (ORDER BY i.y * med_dx - med_dy * i.t) AS crk
+      |  FROM inner_med i, outer_med)
+      |SELECT CAST(n_months AS BIGINT) AS n_months, med_dy, med_dx,
+      |  floor(CAST(med_dy AS DOUBLE) / med_dx * 1000000 + 0.5) / 1000000
+      |    AS slope_per_month,
+      |  (c * 1000000) // med_dx AS intercept_micro
+      |FROM ics WHERE crk = (n_months + 1) // 2""".stripMargin
+
   lazy val all: Seq[QueryDef] = Seq(
     QueryDef("q467_mood_median", q467, Some(q467Sql)),
     QueryDef("q468_hodges_lehmann", q468, Some(q468Sql)),
@@ -2194,5 +2552,9 @@ object InferenceQueries {
     QueryDef("q487_split_leakage", q487, Some(q487Sql)),
     QueryDef("q488_absorption_steps", q488, Some(q488Sql)),
     QueryDef("q489_getis_ord", q489, Some(q489Sql)),
-    QueryDef("q490_length_bias", q490, Some(q490Sql)))
+    QueryDef("q490_length_bias", q490, Some(q490Sql)),
+    QueryDef("q491_hosmer_lemeshow", q491, Some(q491Sql)),
+    QueryDef("q492_sample_entropy", q492, Some(q492Sql)),
+    QueryDef("q493_jl_projection", q493, Some(q493Sql)),
+    QueryDef("q494_siegel_trend", q494, Some(q494Sql)))
 }

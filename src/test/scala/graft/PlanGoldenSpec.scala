@@ -33,7 +33,12 @@ class PlanGoldenSpec extends SparkSpec {
     "q149_salted_join" -> ((2, 0, 2)),
     "q152_span_dedup_rewrite" -> ((2, 0, 4)),
     "q164_bigram_lm_score" -> ((2, 0, 5)),
-    "q166_prefix_jaccard_join" -> ((5, 0, 5)),
+    // re-signed round 13: the vocab rarity-rank dict now comes out of
+    // the two-pass seqIds (localCheckpoint boundary, no size stats), so
+    // the token->dict join plans as SortMergeJoin — the CORRECT choice:
+    // the dict is vocabulary-sized (corpus-growing under Heaps' law),
+    // broadcasting it at 100 TB was the old plan's latent risk
+    "q166_prefix_jaccard_join" -> ((4, 1, 5)),
     "q175_sliding_window_agg" -> ((0, 0, 1)),
     "q177_heavy_hitter_cube" -> ((0, 0, 1)),
     "q181_ks_drift" -> ((1, 0, 3)),
@@ -48,7 +53,9 @@ class PlanGoldenSpec extends SparkSpec {
     "q212_scd2_enrichment" -> ((0, 0, 3)),
     "q214_segment_gini" -> ((1, 0, 2)),
     "q215_linear_interpolation" -> ((1, 0, 1)),
-    "q225_cdc_merge" -> ((1, 1, 5)),
+    // re-signed round 13: Fx.materialize on the orders aggregate ended
+    // the triple U/I/D recompute (SCALE.md), deleting 3 of 5 exchanges
+    "q225_cdc_merge" -> ((1, 1, 2)),
     "q22_keyword_flags" -> ((0, 0, 1)),
     "q234_rolling_active_users" -> ((0, 0, 3)),
     "q237_document_roundtrip" -> ((1, 0, 2)),

@@ -4226,4 +4226,141 @@ class PlantedStructureSpec extends SparkSpec {
     assert(out("b") === ((4L, 100000000L, 100000000L, 1000000L, 250000L)),
       out.toString)
   }
+
+  test("q491 matches the BigInt replay of the HL terms over crafted score bins") {
+    // four crafted text shapes pin four score bins (replayed through
+    // the same IEEE score arithmetic)
+    def qm(text: String): Long = {
+      val toks = (text.length - text.replace(" ", "").length + 1).toDouble
+      val chars = text.length.toDouble
+      val awl = (chars - (toks - 1)) / toks
+      val stop = Seq("the", "and", "of").map(w =>
+        text.toLowerCase.split("[^a-z]+").count(_ == w)).sum.toDouble
+      val sc = math.min(toks / 50.0, 1.0) * 0.4 +
+        (if (awl >= 2.0 && awl <= 12.0) 0.3 else 0.0) +
+        math.min(stop / 5.0, 1.0) * 0.3
+      math.floor(sc * 1000000).toLong
+    }
+    val zs = (1 to 5).map(i => (i.toLong, "z", "fr", "s", 1L))
+    val zzs = (6 to 15).map(i =>
+      (i.toLong, "zz", if (i <= 8) "en" else "fr", "s", 2L))
+    val qqs = (16 to 23).map(i =>
+      (i.toLong, ("qq " * 30).trim, if (i <= 19) "en" else "fr", "s", 89L))
+    val hi = (24 to 27).map(i =>
+      (i.toLong, ("the and of " * 20).trim, "en", "s", 219L))
+    val all = zs ++ zzs ++ qqs ++ hi
+    // independent replay: group by bin, HL terms with the stated
+    // truncation, usable-bin filtering, df = usable - 2
+    val rows = all.map(t => (qm(t._2), if (t._3 == "en") 1L else 0L))
+    val byBin = rows.groupBy(_._1 / 100000).toSeq.sortBy(_._1)
+    val terms = byBin.map { case (bin, rs) =>
+      val n = BigInt(rs.size); val sq = rs.map(r => BigInt(r._1)).sum
+      val sy = rs.map(_._2).sum
+      val usable = sq > 0 && sq < n * 1000000
+      val term = if (!usable) None else Some(
+        ((BigInt(sy) * 1000000 - sq).pow(2) * n * 1000000 /
+          (sq * (n * 1000000 - sq))).toLong)
+      (bin, rs.size.toLong, sy, sq.toLong, term)
+    }
+    val hl = terms.flatMap(_._5).sum
+    val df = terms.count(_._5.isDefined).toLong - 2
+    val out = operators.InferenceQueries.q491(spark, documentsDir(all))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          r.getLong(5), r.getLong(6), r.getInt(7)))
+      .toMap
+    assert(out.keySet === terms.map(_._1).toSet, out.toString)
+    terms.foreach { case (bin, n, sy, sq, term) =>
+      assert(out(bin) === ((n, sy, sq, term, hl, df, 0)),
+        s"bin $bin: ${out(bin)} vs ($n,$sy,$sq,$term,$hl,$df)")
+    }
+    assert(df >= 1 && hl < 5991465L,
+      s"crafted bins must yield a usable, non-rejected test: hl=$hl df=$df")
+  }
+
+  test("q492 reads deterministic dynamics as ratio 1 and matches the brute replay") {
+    // constant: r = 0, every template matches itself-class exactly
+    val const = operators.InferenceQueries.q492(spark,
+      perOrderMonthlyDir(2020, (1 to 12).map(m => (m, 5000.0)))).head()
+    assert((const.getLong(0), const.getLong(1), const.getLong(2))
+      === ((45L, 45L, 1000000L)), const.toString)
+    // strict alternation: same-parity templates match, continuation
+    // always holds -> A = B = 20, ratio 1 (SampEn 0: fully predictable)
+    val alt = operators.InferenceQueries.q492(spark,
+      perOrderMonthlyDir(2020,
+        (1 to 12).map(m => (m, if (m % 2 == 1) 10000.0 else 30000.0)))).head()
+    assert((alt.getLong(0), alt.getLong(1), alt.getLong(2))
+      === ((20L, 20L, 1000000L)), alt.toString)
+    // noisy series: exact brute-force replay of r, B, A
+    val ys = Seq(10L, 30L, 11L, 29L, 15L, 22L, 10L, 31L, 12L, 28L, 14L, 26L)
+    val r = (ys.max - ys.min) / 20L
+    val idx = 0 until (ys.size - 2)
+    def m2(i: Int, j: Int) =
+      math.max(math.abs(ys(i) - ys(j)), math.abs(ys(i + 1) - ys(j + 1))) <= r
+    def m3(i: Int, j: Int) = m2(i, j) && math.abs(ys(i + 2) - ys(j + 2)) <= r
+    val b = (for (i <- idx; j <- idx if j > i && m2(i, j)) yield 1).size.toLong
+    val a = (for (i <- idx; j <- idx if j > i && m3(i, j)) yield 1).size.toLong
+    val noisy = operators.InferenceQueries.q492(spark,
+      perOrderMonthlyDir(2020,
+        ys.zipWithIndex.map { case (y, i) => (i + 1, y * 1000.0) })).head()
+    assert((noisy.getLong(0), noisy.getLong(1)) === ((b, a)),
+      s"$noisy vs replay b=$b a=$a")
+    if (b > 0) assert(noisy.getLong(2) === a * 1000000L / b)
+  }
+
+  test("q493 recall matches the full scala replay of projection + cosine ranking") {
+    // two separated clusters with per-vector perturbations; queries
+    // are ids 0..4 (all in cluster A)
+    val dim = 64
+    def vec(cluster: Int, i: Int): Seq[Float] = {
+      val a = Array.fill(dim)(0.0f)
+      a(0) = if (cluster == 0) 1.0f else -1.0f
+      a(1 + (i % 5)) = 0.05f + 0.01f * i
+      a.toSeq
+    }
+    val rows = (0 until 12).map(i => (i.toLong, vec(0, i), 0)) ++
+      (12 until 24).map(i => (i.toLong, vec(1, i), 1))
+    val d = embeddingsDir(rows)
+    // replay
+    val vs = rows.map(r => r._1 -> r._2.map(_.toDouble)).toMap
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
+    def cos(a: Seq[Double], b: Seq[Double]) =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    def proj(v: Seq[Double]): Seq[Double] =
+      operators.InferenceQueries.jlSigns.map(row =>
+        row.zipWithIndex.foldLeft(0.0) { case (acc, (sg, i)) =>
+          if (sg > 0) acc + v(i) else acc - v(i) })
+    def top10(q: Long, m: Map[Long, Seq[Double]]) =
+      m.keys.filter(_ != q).toSeq
+        .map(t => (t, cos(m(q), m(t))))
+        .sortBy { case (t, s) => (-s, t) }.take(10).map(_._1).toSet
+    val pvs = vs.map { case (k, v) => k -> proj(v) }
+    val expected = (0L to 4L).map { q =>
+      q -> (top10(q, vs) & top10(q, pvs)).size.toLong
+    }.toMap
+    val out = operators.InferenceQueries.q493(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === expected, s"$out vs replay $expected")
+    assert(expected.values.sum >= 40,
+      s"JL must preserve the planted cluster geometry: $expected")
+  }
+
+  test("q494 recovers the exact line and survives 5/12 corrupted points") {
+    // clean line y = 3t: slope 3, intercept 0 exactly
+    val clean = operators.InferenceQueries.q494(spark,
+      perOrderMonthlyDir(2020, (1 to 12).map(m => (m, 3 * m * 1000.0)))).head()
+    assert((clean.getLong(0), clean.getDouble(3), clean.getLong(4))
+      === ((12L, 3.0, 0L)), clean.toString)
+    // corrupt 5 of 12 months to a wild constant: 68% of PAIRS touch a
+    // corrupted point (past Theil–Sen's breakdown), yet every clean
+    // anchor's inner median and the outer median stay exactly 3
+    val bad = Set(2, 5, 8, 10, 12)
+    val robust = operators.InferenceQueries.q494(spark,
+      perOrderMonthlyDir(2020, (1 to 12).map(m =>
+        (m, if (bad(m)) 1000000.0 else 3 * m * 1000.0)))).head()
+    assert((robust.getDouble(3), robust.getLong(4)) === ((3.0, 0L)),
+      s"repeated median must shrug off 5/12 corruption: $robust")
+  }
 }
