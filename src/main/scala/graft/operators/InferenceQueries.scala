@@ -2528,6 +2528,173 @@ object InferenceQueries {
       |  (c * 1000000) // med_dx AS intercept_micro
       |FROM ics WHERE crk = (n_months + 1) // 2""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q495 — classifier threshold selection (Youden / F1 / MCC²)
+  // ------------------------------------------------------------------
+
+  /** q495 — operating-point selection for the quality-score classifier
+    * (score = q318's qm, outcome = English): sweep the 11 bin-edge
+    * thresholds, emit the exact confusion counts and THREE selection
+    * criteria per threshold — Youden's J = TPR − FPR (balanced), F1
+    * (precision-weighted, the imbalanced-data pick), and MCC²+sign
+    * (the all-margins-honest one, reported squared so no sqrt
+    * crosses engines — the q460 convention) — plus argmax flags with
+    * a lowest-threshold tie-break. The DECISION layer the evaluation
+    * battery stops short of: q254 scores ranking (AUC), q318/q491
+    * score calibration — none of them names the cutoff a filter
+    * should actually run at. Confusion counts come from running
+    * sums over the bounded 11-bin grid (one scan); every metric is a
+    * stated truncating micro-division of exact integers with
+    * zero-margin NULL guards. */
+  def q495(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val q = graft.functions.TextAnalysis.qualityScore($"text")
+    val bins = Tables.documents(s, d)
+      .select(floor(q * 1000000).cast("long").as("qm"),
+        ($"lang" === "en").cast("long").as("y"))
+      .groupBy(expr("qm div 100000").as("bin"))
+      .agg(count(lit(1)).as("n"), sum($"y").as("pos"))
+    val wAll = W.partitionBy().orderBy($"bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val wGe = W.partitionBy().orderBy($"bin")
+      .rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val conf = bins
+      .withColumn("tp", sum($"pos").over(wGe))
+      .withColumn("p_ge", sum($"n").over(wGe))
+      .withColumn("all_pos", sum($"pos").over(wAll))
+      .withColumn("all_n", sum($"n").over(wAll))
+      .select(($"bin" * 100000L).as("thr_micro"), $"tp",
+        ($"p_ge" - $"tp").as("fp"), ($"all_pos" - $"tp").as("fn"),
+        ($"all_n" - $"p_ge" - $"all_pos" + $"tp").as("tn"))
+      .withColumn("youden_micro",
+        when($"tp" + $"fn" === 0 || $"fp" + $"tn" === 0,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            "(tp * 1000000) div (tp + fn) - (fp * 1000000) div (fp + tn)")))
+      .withColumn("f1_micro",
+        when($"tp" * 2 + $"fp" + $"fn" === 0, lit(null).cast("long"))
+          .otherwise(expr("(2 * tp * 1000000) div (2 * tp + fp + fn)")))
+      .withColumn("mcc2_micro",
+        when(($"tp" + $"fp") * ($"tp" + $"fn") * ($"tn" + $"fp") *
+          ($"tn" + $"fn") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            """((cast(tp as decimal(38,0)) * tn - cast(fp as decimal(38,0)) * fn)
+               * (cast(tp as decimal(38,0)) * tn - cast(fp as decimal(38,0)) * fn)
+               * 1000000)
+               div (cast(tp + fp as decimal(38,0)) * (tp + fn) * (tn + fp)
+                 * (tn + fn))""")))
+      .withColumn("mcc_sign",
+        when(expr("cast(tp as decimal(38,0)) * tn - cast(fp as decimal(38,0)) * fn") > 0, 1)
+          .when(expr("cast(tp as decimal(38,0)) * tn - cast(fp as decimal(38,0)) * fn") < 0, -1)
+          .otherwise(0))
+    conf
+      .withColumn("best_youden", (row_number().over(W.partitionBy()
+        .orderBy($"youden_micro".desc_nulls_last, $"thr_micro")) === 1)
+        .cast("int"))
+      .withColumn("best_f1", (row_number().over(W.partitionBy()
+        .orderBy($"f1_micro".desc_nulls_last, $"thr_micro")) === 1)
+        .cast("int"))
+      .orderBy($"thr_micro")
+  }
+
+  val q495Sql: String = {
+    val quality = graft.functions.TextAnalysis.sqlQualityScore("text")
+    s"""WITH f AS (
+      |  SELECT CAST(floor(($quality) * 1000000) AS BIGINT) AS qm,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |bins AS (
+      |  SELECT qm // 100000 AS bin, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(y) AS BIGINT) AS pos
+      |  FROM f GROUP BY 1),
+      |conf AS (
+      |  SELECT bin * 100000 AS thr_micro,
+      |    sum(pos) OVER (ORDER BY bin ROWS BETWEEN CURRENT ROW
+      |      AND UNBOUNDED FOLLOWING) AS tp,
+      |    sum(n) OVER (ORDER BY bin ROWS BETWEEN CURRENT ROW
+      |      AND UNBOUNDED FOLLOWING)
+      |      - sum(pos) OVER (ORDER BY bin ROWS BETWEEN CURRENT ROW
+      |        AND UNBOUNDED FOLLOWING) AS fp,
+      |    sum(pos) OVER () - sum(pos) OVER (ORDER BY bin ROWS BETWEEN
+      |      CURRENT ROW AND UNBOUNDED FOLLOWING) AS fn,
+      |    sum(n) OVER () - sum(n) OVER (ORDER BY bin ROWS BETWEEN
+      |      CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |      - sum(pos) OVER () + sum(pos) OVER (ORDER BY bin ROWS BETWEEN
+      |        CURRENT ROW AND UNBOUNDED FOLLOWING) AS tn
+      |  FROM bins),
+      |met AS (
+      |  SELECT thr_micro, tp, fp, fn, tn,
+      |    CASE WHEN tp + fn = 0 OR fp + tn = 0 THEN NULL
+      |      ELSE (tp * 1000000) // (tp + fn) - (fp * 1000000) // (fp + tn)
+      |      END AS youden_micro,
+      |    CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+      |      ELSE (2 * tp * 1000000) // (2 * tp + fp + fn) END AS f1_micro,
+      |    CASE WHEN (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) = 0
+      |      THEN NULL
+      |      ELSE CAST(((CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn)
+      |        * (CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn)
+      |        * 1000000)
+      |        // (CAST(tp + fp AS HUGEINT) * (tp + fn) * (tn + fp)
+      |          * (tn + fn)) AS BIGINT) END AS mcc2_micro,
+      |    CASE WHEN CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn > 0
+      |      THEN 1
+      |      WHEN CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn < 0
+      |      THEN -1 ELSE 0 END AS mcc_sign
+      |  FROM conf)
+      |SELECT thr_micro, tp, fp, fn, tn, youden_micro, f1_micro,
+      |  mcc2_micro, mcc_sign,
+      |  CAST(row_number() OVER (ORDER BY youden_micro DESC NULLS LAST,
+      |    thr_micro) = 1 AS INT) AS best_youden,
+      |  CAST(row_number() OVER (ORDER BY f1_micro DESC NULLS LAST,
+      |    thr_micro) = 1 AS INT) AS best_f1
+      |FROM met ORDER BY thr_micro""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q496 — cross-source duplicate-flow matrix (boilerplate provenance)
+  // ------------------------------------------------------------------
+
+  /** q496 — cross-source duplicate-flow matrix: for every source pair,
+    * how many 60-char-prefix duplicate FAMILIES (q487's key) they
+    * share and how many cross-source doc pairs those families induce
+    * — the PROVENANCE lens over the dedup battery: q50-q57 find and
+    * cluster duplicates, q59 prices the savings, q487 audits split
+    * leakage; this names WHICH source pairs exchange boilerplate, the
+    * input a mixing policy (q103/q184) needs before double-counting
+    * a syndicated feed. Scale shape: families aggregate FIRST
+    * (groupBy (prefix, source) → ≤ sources rows per family), the
+    * family self-join fans out only to sources² per family, and the
+    * output is bounded by the source-pair grid. All exact integer
+    * counts. */
+  def q496(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fam = Tables.documents(s, d)
+      .filter($"text".isNotNull)
+      .groupBy(substring($"text", 1, 60).as("grp"), $"source")
+      .agg(count(lit(1)).as("k"))
+      .transform(Fx.materialize)
+    val b = fam.select($"grp".as("bgrp"), $"source".as("bsource"),
+      $"k".as("bk"))
+    fam.join(b, $"grp" === $"bgrp" && $"source" < $"bsource")
+      .groupBy($"source".as("s_lo"), $"bsource".as("s_hi"))
+      .agg(count(lit(1)).as("n_shared_families"),
+        sum($"k" * $"bk").as("n_cross_pairs"))
+      .orderBy($"s_lo", $"s_hi")
+  }
+
+  val q496Sql: String =
+    """WITH fam AS (
+      |  SELECT substr(text, 1, 60) AS grp, source,
+      |    CAST(count(*) AS BIGINT) AS k
+      |  FROM documents WHERE text IS NOT NULL GROUP BY 1, 2)
+      |SELECT a.source AS s_lo, b.source AS s_hi,
+      |  CAST(count(*) AS BIGINT) AS n_shared_families,
+      |  CAST(sum(a.k * b.k) AS BIGINT) AS n_cross_pairs
+      |FROM fam a JOIN fam b ON a.grp = b.grp AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   lazy val all: Seq[QueryDef] = Seq(
     QueryDef("q467_mood_median", q467, Some(q467Sql)),
     QueryDef("q468_hodges_lehmann", q468, Some(q468Sql)),
@@ -2556,5 +2723,7 @@ object InferenceQueries {
     QueryDef("q491_hosmer_lemeshow", q491, Some(q491Sql)),
     QueryDef("q492_sample_entropy", q492, Some(q492Sql)),
     QueryDef("q493_jl_projection", q493, Some(q493Sql)),
-    QueryDef("q494_siegel_trend", q494, Some(q494Sql)))
+    QueryDef("q494_siegel_trend", q494, Some(q494Sql)),
+    QueryDef("q495_threshold_selection", q495, Some(q495Sql)),
+    QueryDef("q496_dup_flow_matrix", q496, Some(q496Sql)))
 }

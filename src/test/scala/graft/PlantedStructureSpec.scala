@@ -4363,4 +4363,49 @@ class PlantedStructureSpec extends SparkSpec {
     assert((robust.getDouble(3), robust.getLong(4)) === ((3.0, 0L)),
       s"repeated median must shrug off 5/12 corruption: $robust")
   }
+
+  test("q495 picks the separating threshold and prices both extremes exactly") {
+    // 6 positives score in bin 5 ('qq'x30), 4 negatives in bin 0 ('z')
+    val d = documentsDir(
+      (1 to 6).map(i => (i.toLong, ("qq " * 30).trim, "en", "s", 89L)) ++
+      (7 to 10).map(i => (i.toLong, "z", "fr", "s", 1L)))
+    val out = operators.InferenceQueries.q495(spark, d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === Set(0L, 500000L), out.keySet.toString)
+    val lo = out(0L)
+    assert((lo.getLong(1), lo.getLong(2), lo.getLong(3), lo.getLong(4))
+      === ((6L, 4L, 0L, 0L)), lo.toString)
+    assert(lo.getLong(5) === 0L && lo.getLong(6) === 750000L &&
+      lo.isNullAt(7) && lo.getInt(8) === 0, lo.toString)
+    val hi = out(500000L)
+    assert((hi.getLong(1), hi.getLong(2), hi.getLong(3), hi.getLong(4))
+      === ((6L, 0L, 0L, 4L)), hi.toString)
+    assert((hi.getLong(5), hi.getLong(6), hi.getLong(7), hi.getInt(8),
+      hi.getInt(9), hi.getInt(10)) === ((1000000L, 1000000L, 1000000L,
+      1, 1, 1)), hi.toString)
+    // inverted labels: the separating threshold scores J = -1, MCC < 0
+    val inv = operators.InferenceQueries.q495(spark, documentsDir(
+      (1 to 6).map(i => (i.toLong, ("qq " * 30).trim, "fr", "s", 89L)) ++
+      (7 to 10).map(i => (i.toLong, "z", "en", "s", 1L)))).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val ihi = inv(500000L)
+    assert(ihi.getLong(5) === -1000000L && ihi.getInt(8) === -1,
+      ihi.toString)
+  }
+
+  test("q496 maps the planted boilerplate flow and ignores single-source families") {
+    val prefix = "Q" * 60
+    val only = "R" * 60
+    val d = documentsDir(Seq(
+      (1L, prefix + " one", "en", "a", 64L),
+      (2L, prefix + " two", "en", "a", 64L),
+      (3L, prefix + " three", "en", "b", 66L),
+      (4L, only + " x", "en", "a", 62L),
+      (5L, only + " y", "en", "a", 62L),
+      (6L, "unique text", "en", "c", 11L)))
+    val out = operators.InferenceQueries.q496(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(("a", "b", 1L, 2L)),
+      s"only the a<->b family crosses sources: ${out.toSeq}")
+  }
 }
