@@ -2695,6 +2695,216 @@ object InferenceQueries {
       |FROM fam a JOIN fam b ON a.grp = b.grp AND a.source < b.source
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q497 — Ramsey RESET functional-form test
+  // ------------------------------------------------------------------
+
+  /** q497 — Ramsey RESET test of the linear monthly-revenue trend: is
+    * y ~ α + β·t even the right SHAPE? Add the squared fitted value
+    * as a second regressor and test its contribution — computed as
+    * the partial correlation of the TWO t-cleared residual series
+    * (e_y = D·y − C − B·t exactly, e_z likewise for the stated
+    * squared-fitted grid z = (f div 10³)² div 10⁶), with
+    * F = (n−3)·r²/(1−r²) against the pinned asymptotic χ²(1)
+    * critical (stated). The MISSPECIFICATION question the rest of
+    * the trend battery assumes away: q274/q494 fit robust LINES,
+    * q455 tests stability OF a line, q383 quantile-fits a line —
+    * RESET asks whether curvature is leaking into all of them.
+    * Exactness: residuals are denominator-cleared integers coarsened
+    * onto stated grids (e_y div 10⁶, e_z div 10¹² — the q454 move;
+    * DECIMAL(38,0) bounds stated at the monthly scale), moments are
+    * exact, and F follows the q459/q478 fixed double pipeline.
+    * Degenerate (a perfect line, zero residual variance) → NULL —
+    * no curvature evidence, stated. */
+  def q497(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val g = Tables.orders(s, d)
+      .groupBy((year($"o_orderdate") * 100 + month($"o_orderdate")).as("ym"))
+      .agg(sum(cents($"o_totalprice")).as("yc"))
+      .select($"ym", expr("yc div 100000").as("y"))
+      .withColumn("t", row_number().over(W.orderBy($"ym")).cast("long"))
+    val m = g.agg(count(lit(1)).as("n"), sum($"t").as("st"),
+      sum($"y").as("sy"), sum(expr("cast(t as decimal(38,0)) * t")).as("stt"),
+      sum(expr("cast(t as decimal(38,0)) * y")).as("sty"))
+    val base = g.crossJoin(broadcast(m))
+      .withColumn("dd", expr("n * stt - cast(st as decimal(38,0)) * st"))
+      .withColumn("bb", expr("n * sty - cast(st as decimal(38,0)) * sy"))
+      .withColumn("cc", expr("sy * stt - cast(st as decimal(38,0)) * sty"))
+      .withColumn("f_num", expr("cc + bb * t"))
+      .withColumn("z", expr(
+        "(cast(f_num div 1000 as decimal(38,0)) * (f_num div 1000)) div 1000000"))
+      .withColumn("ey", expr("(dd * y - cc - bb * t) div 1000000"))
+      .transform(Fx.materialize)
+    val mz = base.agg(count(lit(1)).as("n2"),
+      sum($"z").as("sz"),
+      sum(expr("cast(t as decimal(38,0)) * z")).as("stz"),
+      max($"dd").as("dd2"), max($"stt").as("stt2"), max($"st").as("st3"))
+    val ez = base.crossJoin(broadcast(mz))
+      .withColumn("bz", expr("n2 * stz - cast(st3 as decimal(38,0)) * sz"))
+      .withColumn("cz", expr("sz * stt2 - cast(st3 as decimal(38,0)) * stz"))
+      .withColumn("ezv", expr("(dd2 * z - cz - bz * t) div 1000000000000"))
+      .select($"t", $"ey", $"ezv")
+    ez.agg(count(lit(1)).as("n"),
+        sum($"ey").as("sx"), sum($"ezv").as("sy2"),
+        sum(expr("cast(ey as decimal(38,0)) * ezv")).as("sxy"),
+        sum(expr("cast(ey as decimal(38,0)) * ey")).as("sxx"),
+        sum(expr("cast(ezv as decimal(38,0)) * ezv")).as("syy"))
+      .withColumn("cxx", expr("n * sxx - cast(sx as decimal(38,0)) * sx"))
+      .withColumn("cyy", expr("n * syy - cast(sy2 as decimal(38,0)) * sy2"))
+      .withColumn("cxy", expr("n * sxy - cast(sx as decimal(38,0)) * sy2"))
+      .select($"n".cast("long").as("n_months"),
+        when($"cxx" === 0 || $"cyy" === 0 ||
+          expr("cxx * cyy - cxy * cxy") === 0, lit(null).cast("long"))
+          .otherwise(floor(
+            expr("cast(n - 3 as double)") *
+            expr("cast(cxy * cxy as double)") /
+            expr("cast(cxx * cyy - cxy * cxy as double)")
+            * 1000000 + 0.5).cast("long"))
+          .as("reset_f_micro"))
+      .withColumn("reject_5pct",
+        when($"reset_f_micro".isNull, lit(null).cast("int"))
+          .otherwise(($"reset_f_micro" > 3841459L).cast("int")))
+  }
+
+  val q497Sql: String =
+    """WITH g0 AS (
+      |  SELECT year(o_orderdate)*100 + month(o_orderdate) AS ym,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      // 100000 AS y
+      |  FROM orders GROUP BY 1),
+      |g AS (SELECT y, CAST(row_number() OVER (ORDER BY ym) AS BIGINT) AS t
+      |      FROM g0),
+      |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(t) AS HUGEINT) AS st, CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) AS stt,
+      |    CAST(sum(CAST(t AS HUGEINT) * y) AS HUGEINT) AS sty
+      |  FROM g),
+      |base AS (
+      |  SELECT t,
+      |    ((( (sy * stt - st * sty) + (n * sty - st * sy) * t ) // 1000)
+      |     * (( (sy * stt - st * sty) + (n * sty - st * sy) * t ) // 1000))
+      |      // 1000000 AS z,
+      |    ((n * stt - st * st) * y
+      |      - (sy * stt - st * sty) - (n * sty - st * sy) * t) // 1000000
+      |      AS ey
+      |  FROM g, m),
+      |mz AS (SELECT CAST(count(*) AS HUGEINT) AS n2,
+      |    CAST(sum(t) AS HUGEINT) AS st3, CAST(sum(z) AS HUGEINT) AS sz,
+      |    CAST(sum(CAST(t AS HUGEINT) * z) AS HUGEINT) AS stz
+      |  FROM base),
+      |m2 AS (SELECT n2, st3, sz, stz, n, st, stt, sy, sty FROM mz, m),
+      |ez AS (
+      |  SELECT b.t, b.ey,
+      |    ((n * stt - st * st) * b.z
+      |      - (sz * stt - st3 * stz) - (n2 * stz - st3 * sz) * b.t)
+      |      // 1000000000000 AS ezv
+      |  FROM base b, m2),
+      |agg AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(ey) AS HUGEINT) AS sx, CAST(sum(ezv) AS HUGEINT) AS sy2,
+      |    sum(CAST(ey AS HUGEINT) * ezv) AS sxy,
+      |    sum(CAST(ey AS HUGEINT) * ey) AS sxx,
+      |    sum(CAST(ezv AS HUGEINT) * ezv) AS syy
+      |  FROM ez)
+      |SELECT CAST(n AS BIGINT) AS n_months,
+      |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy2 * sy2 = 0
+      |      OR (n * sxx - sx * sx) * (n * syy - sy2 * sy2)
+      |        - (n * sxy - sx * sy2) * (n * sxy - sx * sy2) = 0 THEN NULL
+      |    ELSE CAST(floor(
+      |      CAST(n - 3 AS DOUBLE)
+      |      * CAST((n * sxy - sx * sy2) * (n * sxy - sx * sy2) AS DOUBLE)
+      |      / CAST((n * sxx - sx * sx) * (n * syy - sy2 * sy2)
+      |          - (n * sxy - sx * sy2) * (n * sxy - sx * sy2) AS DOUBLE)
+      |      * 1000000 + 0.5) AS BIGINT) END AS reset_f_micro,
+      |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy2 * sy2 = 0
+      |      OR (n * sxx - sx * sx) * (n * syy - sy2 * sy2)
+      |        - (n * sxy - sx * sy2) * (n * sxy - sx * sy2) = 0 THEN NULL
+      |    ELSE CAST(CAST(floor(
+      |      CAST(n - 3 AS DOUBLE)
+      |      * CAST((n * sxy - sx * sy2) * (n * sxy - sx * sy2) AS DOUBLE)
+      |      / CAST((n * sxx - sx * sx) * (n * syy - sy2 * sy2)
+      |          - (n * sxy - sx * sy2) * (n * sxy - sx * sy2) AS DOUBLE)
+      |      * 1000000 + 0.5) AS BIGINT) > 3841459 AS INT) END AS reject_5pct
+      |FROM agg""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q498 — event study around the 1998-01 structural date
+  // ------------------------------------------------------------------
+
+  /** q498 — event study around 1998-01 (q455's structural-break
+    * date): estimate the in-sample mean and variance of monthly
+    * revenue from the 12 months BEFORE the event, then price the
+    * 3-month event window's cumulative abnormal revenue
+    * CAR = Σ(y_t − μ̂) against it — the finance-methodology member
+    * of the causal battery: q455 asks "did the REGRESSION change",
+    * q281's DiD needs a control group; the event study asks "how
+    * much revenue did the event add, and is it outside the
+    * pre-period's own noise", control-free. Exact: with
+    * A = Σ_event(n·y_t − S) and SS = Σ_est(n·y_i − S)², the z²
+    * against Var(CAR) = L·s² collapses to the EXACT rational
+    * A²(n−1) / (SS·L·n²·L/n²...) — A²(n−1) div (SS·L) in the
+    * cleared form; one truncating micro-division, two-sided pinned
+    * 1.96². Zero pre-period variance or missing windows → NULL
+    * (stated). */
+  def q498(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = Tables.orders(s, d)
+      .groupBy((year($"o_orderdate") * 100 + month($"o_orderdate")).as("ym"))
+      .agg(sum(cents($"o_totalprice")).as("yc"))
+      .select($"ym", expr("yc div 100000").as("y"))
+      .transform(Fx.materialize)
+    val est = g.filter($"ym" >= 199701 && $"ym" <= 199712)
+      .agg(count(lit(1)).as("n"), sum($"y").as("s"))
+    val ss = g.filter($"ym" >= 199701 && $"ym" <= 199712)
+      .crossJoin(broadcast(est))
+      .agg(sum(expr(
+        "cast(n * y - s as decimal(38,0)) * (n * y - s)")).as("ssv"))
+    val ev = g.filter($"ym" >= 199801 && $"ym" <= 199803)
+      .crossJoin(broadcast(est))
+      .agg(count(lit(1)).as("l"), sum(expr("n * y - s")).as("a"))
+    est.crossJoin(broadcast(ss)).crossJoin(broadcast(ev))
+      .select($"n".as("n_est"), $"l".as("n_event"),
+        when($"n" === 0, lit(null).cast("long"))
+          .otherwise(expr("a div n")).as("car_k"),
+        when($"n" < 2 || $"l" === 0 || $"ssv" === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            """cast((cast(a as decimal(38,0)) * a * (n - 1) * 1000000)
+               div (ssv * l) as bigint)"""))
+          .as("z2_micro"),
+        when($"a" > 0, 1).when($"a" < 0, -1).otherwise(0).as("sign"))
+      .withColumn("reject_5pct",
+        when($"z2_micro".isNull, lit(null).cast("int"))
+          .otherwise(($"z2_micro" > 3841600L).cast("int")))
+  }
+
+  val q498Sql: String =
+    """WITH g AS (
+      |  SELECT year(o_orderdate)*100 + month(o_orderdate) AS ym,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      // 100000 AS y
+      |  FROM orders GROUP BY 1),
+      |est AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(y) AS HUGEINT) AS s
+      |  FROM g WHERE ym >= 199701 AND ym <= 199712),
+      |ss AS (
+      |  SELECT sum(CAST(n * y - s AS HUGEINT) * (n * y - s)) AS ssv
+      |  FROM g, est WHERE ym >= 199701 AND ym <= 199712),
+      |ev AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS l,
+      |    CAST(sum(n * y - s) AS HUGEINT) AS a
+      |  FROM g, est WHERE ym >= 199801 AND ym <= 199803)
+      |SELECT CAST(n AS BIGINT) AS n_est, CAST(l AS BIGINT) AS n_event,
+      |  CASE WHEN n = 0 THEN NULL ELSE CAST(a // n AS BIGINT) END AS car_k,
+      |  CASE WHEN n < 2 OR l = 0 OR ssv = 0 THEN NULL
+      |    ELSE CAST((a * a * (n - 1) * 1000000) // (ssv * l) AS BIGINT) END
+      |    AS z2_micro,
+      |  CASE WHEN a > 0 THEN 1 WHEN a < 0 THEN -1 ELSE 0 END AS sign,
+      |  CASE WHEN n < 2 OR l = 0 OR ssv = 0 THEN NULL
+      |    ELSE CAST((a * a * (n - 1) * 1000000) // (ssv * l) > 3841600
+      |      AS INT) END AS reject_5pct
+      |FROM est, ss, ev""".stripMargin
+
   lazy val all: Seq[QueryDef] = Seq(
     QueryDef("q467_mood_median", q467, Some(q467Sql)),
     QueryDef("q468_hodges_lehmann", q468, Some(q468Sql)),
@@ -2725,5 +2935,7 @@ object InferenceQueries {
     QueryDef("q493_jl_projection", q493, Some(q493Sql)),
     QueryDef("q494_siegel_trend", q494, Some(q494Sql)),
     QueryDef("q495_threshold_selection", q495, Some(q495Sql)),
-    QueryDef("q496_dup_flow_matrix", q496, Some(q496Sql)))
+    QueryDef("q496_dup_flow_matrix", q496, Some(q496Sql)),
+    QueryDef("q497_reset_test", q497, Some(q497Sql)),
+    QueryDef("q498_event_study", q498, Some(q498Sql)))
 }

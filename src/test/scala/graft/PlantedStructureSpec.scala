@@ -4408,4 +4408,78 @@ class PlantedStructureSpec extends SparkSpec {
     assert(out.toSeq === Seq(("a", "b", 1L, 2L)),
       s"only the a<->b family crosses sources: ${out.toSeq}")
   }
+
+  /** Full replay of the q497 pipeline (cleared residuals on the stated
+    * grids, then the fixed double pipeline). BigInt `/` truncates
+    * toward zero like Spark div / DuckDB //. */
+  private def resetF(ys: Seq[Long]): Option[Long] = {
+    val n = ys.size; val ts = (1 to n).map(_.toLong)
+    val (bn, bys) = (BigInt(n), ys.map(BigInt(_)))
+    val st = ts.sum; val sy = bys.sum
+    val stt = ts.map(t => BigInt(t) * t).sum
+    val sty = ts.zip(bys).map { case (t, y) => y * t }.sum
+    val dd = bn * stt - BigInt(st) * st
+    val bb = bn * sty - BigInt(st) * sy
+    val cc = sy * stt - BigInt(st) * sty
+    val zs = ts.map { t =>
+      val f = cc + bb * t; val f3 = f / 1000; (f3 * f3) / 1000000
+    }
+    val eys = ts.zip(bys).map { case (t, y) =>
+      (dd * y - cc - bb * t) / 1000000 }
+    val sz = zs.sum; val stz = ts.zip(zs).map { case (t, z) => z * t }.sum
+    val bz = bn * stz - BigInt(st) * sz
+    val cz = sz * stt - BigInt(st) * stz
+    val ezs = ts.zip(zs).map { case (t, z) =>
+      (dd * z - cz - bz * t) / BigInt("1000000000000") }
+    val sx = eys.sum; val sy2 = ezs.sum
+    val sxy = eys.zip(ezs).map(p => p._1 * p._2).sum
+    val sxx = eys.map(e => e * e).sum; val syy = ezs.map(e => e * e).sum
+    val cxx = bn * sxx - sx * sx; val cyy = bn * syy - sy2 * sy2
+    val cxy = bn * sxy - sx * sy2
+    val den = cxx * cyy - cxy * cxy
+    if (cxx == 0 || cyy == 0 || den == 0) None
+    else Some(math.floor((n - 3).toDouble * (cxy * cxy).toDouble /
+      den.toDouble * 1000000 + 0.5).toLong)
+  }
+
+  test("q497 nulls the perfect line and rejects planted curvature, replay-exact") {
+    // magnitudes sized so the stated production grids (div 10^6 /
+    // 10^12) keep signal: kilo values ~ 10^7, the real-data scale
+    val line = operators.InferenceQueries.q497(spark,
+      perOrderMonthlyDir(2020,
+        (1 to 12).map(m => (m, 10000000.0 * m * 1000)))).head()
+    assert(line.getLong(0) === 12L && line.isNullAt(1) && line.isNullAt(2),
+      s"a perfect line carries no curvature evidence: $line")
+    val ys = (1 to 12).map(m => 10000000L * m * m)
+    val quad = operators.InferenceQueries.q497(spark,
+      perOrderMonthlyDir(2020,
+        (1 to 12).map(m => (m, ys(m - 1) * 1000.0)))).head()
+    val expect = resetF(ys)
+    assert(expect.isDefined && quad.getLong(1) === expect.get &&
+      quad.getInt(2) === 1,
+      s"$quad vs replay $expect — quadratic growth must reject")
+  }
+
+  test("q498 prices the planted level jump and stays quiet on the continuation") {
+    // est window 1997: alternating 99/101; event 1998-01..03 at 200:
+    // A = 3600, SS = 1728, z2 = A^2*11*1e6 // (SS*3)
+    val jump = operators.InferenceQueries.q498(spark,
+      perOrderMonthlyDir(1997, (1 to 12).map(m =>
+        (m, if (m % 2 == 1) 99000.0 else 101000.0)) ++
+        (13 to 15).map(m => (m, 200000.0)))).head()
+    val z2 = BigInt(3600).pow(2) * 11 * 1000000 / (1728 * 3)
+    assert((jump.getLong(0), jump.getLong(1), jump.getLong(2),
+      jump.getLong(3), jump.getInt(4), jump.getInt(5))
+      === ((12L, 3L, 300L, z2.toLong, 1, 1)), s"$jump vs z2=$z2")
+    // continuation: the event window looks like the estimation window
+    val cont = operators.InferenceQueries.q498(spark,
+      perOrderMonthlyDir(1997, (1 to 15).map(m =>
+        (m, if (m % 2 == 1) 99000.0 else 101000.0)))).head()
+    assert((cont.getLong(2), cont.getInt(4), cont.getInt(5))
+      === ((-1L, -1, 0)), cont.toString)
+    // zero pre-period variance: NULL, never a fake infinite z
+    val flat = operators.InferenceQueries.q498(spark,
+      perOrderMonthlyDir(1997, (1 to 15).map(m => (m, 100000.0)))).head()
+    assert(flat.isNullAt(3) && flat.isNullAt(5), flat.toString)
+  }
 }
