@@ -2905,6 +2905,215 @@ object InferenceQueries {
       |      AS INT) END AS reject_5pct
       |FROM est, ss, ev""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q499 — error-correction model: speed of adjustment
+  // ------------------------------------------------------------------
+
+  /** q499 — error-correction model between the AUTOMOBILE and
+    * BUILDING monthly revenue series: Δy_t = α + λ·u_{t−1} + γ·Δx_t,
+    * where u is q451's long-run cointegration residual — the
+    * ESTIMATOR layer over q451's test (the q274→q393 pattern): q451
+    * says WHETHER the pair mean-reverts, λ says HOW FAST (the
+    * fraction of last month's disequilibrium closed per month;
+    * cointegration ⇒ λ < 0), with Δx controlling the short-run
+    * co-movement that would otherwise masquerade as adjustment.
+    * Exactness: u is the q451 denominator-cleared residual coarsened
+    * by the stated div 10⁸ (the q454 move — S₁₁·S₂₂ would burst
+    * DECIMAL(38,0) raw), the two-regressor λ̂ comes from exact
+    * Cramer moments (the q453 machinery), and the natural-units
+    * λ_micro = (num/den)·D is the q459 fixed double pipeline over
+    * correctly-rounded casts. Singular design (constant u or Δx) →
+    * NULL. One fact scan; everything after runs on the bounded month
+    * grid. */
+  def q499(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val g = segKiloMonthly(s, d)
+    val m = g.agg(count(lit(1)).as("n"),
+      sum($"x").as("sx"), sum($"y").as("sy"),
+      sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),
+      sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"))
+    val resid = g.crossJoin(broadcast(m))
+      .select($"ym", $"x", $"y",
+        expr("n * sxx - cast(sx as decimal(38,0)) * sx").as("dd"),
+        expr("""((n * sxx - cast(sx as decimal(38,0)) * sx) * y
+                - (sy * sxx - cast(sx as decimal(38,0)) * sxy)
+                - (n * sxy - cast(sx as decimal(38,0)) * sy) * x)
+               div 100000000""").as("u"))
+      .withColumn("rn", row_number().over(W.orderBy($"ym")).cast("long"))
+      .transform(Fx.materialize)
+    val rows = resid.select(($"rn" + 1).as("rn"), $"u".as("ul"),
+        $"x".as("xl"), $"y".as("yl"))
+      .join(resid.select($"rn", $"x", $"y", $"dd"), "rn")
+      .select($"dd", $"ul", ($"x" - $"xl").as("dx"), ($"y" - $"yl").as("dy"))
+    rows.agg(count(lit(1)).as("mm"), max($"dd").as("dd"),
+        sum($"ul").as("s1"), sum($"dx").as("s2"), sum($"dy").as("sy0"),
+        sum(expr("cast(ul as decimal(38,0)) * ul")).as("s11"),
+        sum(expr("cast(ul as decimal(38,0)) * dx")).as("s12"),
+        sum(expr("cast(dx as decimal(38,0)) * dx")).as("s22"),
+        sum(expr("cast(ul as decimal(38,0)) * dy")).as("s1y"),
+        sum(expr("cast(dx as decimal(38,0)) * dy")).as("s2y"))
+      .withColumn("c11", expr("mm * s11 - s1 * cast(s1 as decimal(38,0))"))
+      .withColumn("c12", expr("mm * s12 - s1 * cast(s2 as decimal(38,0))"))
+      .withColumn("c22", expr("mm * s22 - s2 * cast(s2 as decimal(38,0))"))
+      .withColumn("c1y", expr("mm * s1y - s1 * cast(sy0 as decimal(38,0))"))
+      .withColumn("c2y", expr("mm * s2y - s2 * cast(sy0 as decimal(38,0))"))
+      .select($"mm".cast("long").as("n_pairs"),
+        when(expr("c11 * c22 - c12 * c12") === 0, lit(null).cast("long"))
+          .otherwise(floor(
+            expr("cast(c22 * c1y - c12 * c2y as double)") /
+              expr("cast(c11 * c22 - c12 * c12 as double)") *
+              expr("cast(dd as double)") / 1e8
+            * 1000000 + 0.5).cast("long"))
+          .as("lambda_micro"))
+      .withColumn("mean_reverting",
+        when($"lambda_micro".isNull, lit(null).cast("int"))
+          .otherwise(($"lambda_micro" < 0).cast("int")))
+  }
+
+  val q499Sql: String =
+    s"""WITH gg AS ($segKiloMonthlySql),
+      |m AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(x) AS HUGEINT) AS sx,
+      |    CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+      |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      |  FROM gg),
+      |resid AS (
+      |  SELECT ym, x, y, n * sxx - sx * sx AS dd,
+      |    ((n * sxx - sx * sx) * y - (sy * sxx - sx * sxy)
+      |      - (n * sxy - sx * sy) * x) // 100000000 AS u,
+      |    CAST(row_number() OVER (ORDER BY ym) AS BIGINT) AS rn
+      |  FROM gg, m),
+      |rows_ AS (
+      |  SELECT c.dd, p.u AS ul, c.x - p.x AS dx, c.y - p.y AS dy
+      |  FROM resid c JOIN resid p ON c.rn = p.rn + 1),
+      |agg AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS mm, max(dd) AS dd,
+      |    CAST(sum(ul) AS HUGEINT) AS s1, CAST(sum(dx) AS HUGEINT) AS s2,
+      |    CAST(sum(dy) AS HUGEINT) AS sy0,
+      |    sum(CAST(ul AS HUGEINT) * ul) AS s11,
+      |    sum(CAST(ul AS HUGEINT) * dx) AS s12,
+      |    sum(CAST(dx AS HUGEINT) * dx) AS s22,
+      |    sum(CAST(ul AS HUGEINT) * dy) AS s1y,
+      |    sum(CAST(dx AS HUGEINT) * dy) AS s2y
+      |  FROM rows_),
+      |cr AS (
+      |  SELECT mm, dd,
+      |    mm * s11 - s1 * s1 AS c11, mm * s12 - s1 * s2 AS c12,
+      |    mm * s22 - s2 * s2 AS c22, mm * s1y - s1 * sy0 AS c1y,
+      |    mm * s2y - s2 * sy0 AS c2y
+      |  FROM agg)
+      |SELECT CAST(mm AS BIGINT) AS n_pairs,
+      |  CASE WHEN c11 * c22 - c12 * c12 = 0 THEN NULL
+      |    ELSE CAST(floor(
+      |      CAST(c22 * c1y - c12 * c2y AS DOUBLE)
+      |      / CAST(c11 * c22 - c12 * c12 AS DOUBLE)
+      |      * CAST(dd AS DOUBLE) / 1e8 * 1000000 + 0.5) AS BIGINT) END
+      |    AS lambda_micro,
+      |  CASE WHEN c11 * c22 - c12 * c12 = 0 THEN NULL
+      |    ELSE CAST(CAST(floor(
+      |      CAST(c22 * c1y - c12 * c2y AS DOUBLE)
+      |      / CAST(c11 * c22 - c12 * c12 AS DOUBLE)
+      |      * CAST(dd AS DOUBLE) / 1e8 * 1000000 + 0.5) AS BIGINT) < 0
+      |      AS INT) END AS mean_reverting
+      |FROM cr""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q500 — source curation scorecard (the mixing gate, composed)
+  // ------------------------------------------------------------------
+
+  /** q500 — the source-level curation scorecard: one row per source
+    * with the four exact signals the mixing decision actually reads —
+    * quality pass rate (share with q318's score ≥ the 0.5 threshold
+    * q495 sweeps), duplicate-family membership rate (q487's 60-char
+    * prefix key), English share, and the q490 length-bias factor —
+    * folded into a pinned keep/review/drop verdict (fail gates:
+    * pass < 0.5, dup > 0.2, bias > 2; 0 fails = keep, 1 = review,
+    * ≥2 = drop — stated literals). The q308-leaderboard pattern: the
+    * building blocks are each oracle-checked on their own; the NEW
+    * artifact is the one table a q103/q184 mixing policy consumes to
+    * decide which sources enter the next pretraining mix. All exact
+    * integer rates (one truncating micro-division each); NULL-text
+    * docs are excluded from every signal (stated). Scale: one doc
+    * scan + one family aggregate joined back on the family key —
+    * no pair materialization anywhere. */
+  def q500(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = graft.functions.TextAnalysis.qualityScore($"text")
+    val docs = Tables.documents(s, d)
+      .filter($"text".isNotNull && $"n_chars".isNotNull && $"n_chars" > 0)
+      .select($"source", substring($"text", 1, 60).as("grp"),
+        (floor(q * 1000000).cast("long") >= 500000L).cast("long").as("q_pass"),
+        ($"lang" === "en").cast("long").as("is_en"), $"n_chars".as("len"))
+      .transform(Fx.materialize)
+    val fam = docs.groupBy($"grp").agg(count(lit(1)).as("k"))
+    val scored = docs.join(fam, "grp")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"q_pass").as("nq"), sum($"is_en").as("ne"),
+        sum(($"k" >= 2).cast("long")).as("ndup"),
+        sum($"len").as("sl"),
+        sum(expr("cast(len as decimal(38,0)) * len")).as("sl2"))
+      .select($"source", $"n_docs",
+        expr("(nq * 1000000) div n_docs").as("quality_pass_micro"),
+        expr("(ndup * 1000000) div n_docs").as("dup_rate_micro"),
+        expr("(ne * 1000000) div n_docs").as("en_rate_micro"),
+        expr("cast((sl2 * n_docs * 1000000) div (cast(sl as decimal(38,0)) * sl) as bigint)")
+          .as("bias_factor_micro"))
+      .withColumn("n_fails",
+        ($"quality_pass_micro" < 500000L).cast("int") +
+        ($"dup_rate_micro" > 200000L).cast("int") +
+        ($"bias_factor_micro" > 2000000L).cast("int"))
+      .withColumn("verdict",
+        when($"n_fails" === 0, lit("keep"))
+          .when($"n_fails" === 1, lit("review"))
+          .otherwise(lit("drop")))
+    scored.orderBy($"source")
+  }
+
+  val q500Sql: String = {
+    val quality = graft.functions.TextAnalysis.sqlQualityScore("text")
+    s"""WITH docs AS (
+      |  SELECT source, substr(text, 1, 60) AS grp,
+      |    CASE WHEN CAST(floor(($quality) * 1000000) AS BIGINT) >= 500000
+      |      THEN 1 ELSE 0 END AS q_pass,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+      |    CAST(n_chars AS BIGINT) AS len
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0),
+      |fam AS (SELECT grp, CAST(count(*) AS BIGINT) AS k
+      |  FROM docs GROUP BY 1),
+      |agg AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(q_pass) AS BIGINT) AS nq,
+      |    CAST(sum(is_en) AS BIGINT) AS ne,
+      |    CAST(sum(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS ndup,
+      |    CAST(sum(len) AS BIGINT) AS sl,
+      |    CAST(sum(CAST(len AS HUGEINT) * len) AS HUGEINT) AS sl2
+      |  FROM docs JOIN fam USING (grp)
+      |  GROUP BY 1),
+      |sc AS (
+      |  SELECT source, n_docs,
+      |    (nq * 1000000) // n_docs AS quality_pass_micro,
+      |    (ndup * 1000000) // n_docs AS dup_rate_micro,
+      |    (ne * 1000000) // n_docs AS en_rate_micro,
+      |    CAST((sl2 * n_docs * 1000000) // (CAST(sl AS HUGEINT) * sl)
+      |      AS BIGINT) AS bias_factor_micro
+      |  FROM agg),
+      |fl AS (
+      |  SELECT *,
+      |    CAST(quality_pass_micro < 500000 AS INT)
+      |      + CAST(dup_rate_micro > 200000 AS INT)
+      |      + CAST(bias_factor_micro > 2000000 AS INT) AS n_fails
+      |  FROM sc)
+      |SELECT source, n_docs, quality_pass_micro, dup_rate_micro,
+      |  en_rate_micro, bias_factor_micro, n_fails,
+      |  CASE WHEN n_fails = 0 THEN 'keep' WHEN n_fails = 1 THEN 'review'
+      |    ELSE 'drop' END AS verdict
+      |FROM fl ORDER BY source""".stripMargin
+  }
+
   lazy val all: Seq[QueryDef] = Seq(
     QueryDef("q467_mood_median", q467, Some(q467Sql)),
     QueryDef("q468_hodges_lehmann", q468, Some(q468Sql)),
@@ -2937,5 +3146,7 @@ object InferenceQueries {
     QueryDef("q495_threshold_selection", q495, Some(q495Sql)),
     QueryDef("q496_dup_flow_matrix", q496, Some(q496Sql)),
     QueryDef("q497_reset_test", q497, Some(q497Sql)),
-    QueryDef("q498_event_study", q498, Some(q498Sql)))
+    QueryDef("q498_event_study", q498, Some(q498Sql)),
+    QueryDef("q499_ecm_adjustment", q499, Some(q499Sql)),
+    QueryDef("q500_curation_scorecard", q500, Some(q500Sql)))
 }

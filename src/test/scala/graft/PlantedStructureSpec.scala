@@ -4482,4 +4482,83 @@ class PlantedStructureSpec extends SparkSpec {
       perOrderMonthlyDir(1997, (1 to 15).map(m => (m, 100000.0)))).head()
     assert(flat.isNullAt(3) && flat.isNullAt(5), flat.toString)
   }
+
+  /** Full replay of the q499 ECM pipeline (q451 clearing, div 10^8
+    * residual grid, Cramer two-regressor lambda, double rescale). */
+  private def ecmLambda(xs: Seq[Long], ys: Seq[Long]): Option[Long] = {
+    val n = BigInt(xs.size)
+    val bx = xs.map(BigInt(_)); val by = ys.map(BigInt(_))
+    val sx = bx.sum; val sy = by.sum
+    val sxx = bx.map(v => v * v).sum
+    val sxy = bx.zip(by).map(p => p._1 * p._2).sum
+    val dd = n * sxx - sx * sx
+    val cc = sy * sxx - sx * sxy
+    val bb = n * sxy - sx * sy
+    val us = bx.zip(by).map { case (x, y) =>
+      (dd * y - cc - bb * x) / 100000000 }
+    val rows = (1 until xs.size).map { i =>
+      (us(i - 1), bx(i) - bx(i - 1), by(i) - by(i - 1)) }
+    val mm = BigInt(rows.size)
+    val s1 = rows.map(_._1).sum; val s2 = rows.map(_._2).sum
+    val sy0 = rows.map(_._3).sum
+    val s11 = rows.map(r => r._1 * r._1).sum
+    val s12 = rows.map(r => r._1 * r._2).sum
+    val s22 = rows.map(r => r._2 * r._2).sum
+    val s1y = rows.map(r => r._1 * r._3).sum
+    val s2y = rows.map(r => r._2 * r._3).sum
+    val c11 = mm * s11 - s1 * s1; val c12 = mm * s12 - s1 * s2
+    val c22 = mm * s22 - s2 * s2
+    val c1y = mm * s1y - s1 * sy0; val c2y = mm * s2y - s2 * sy0
+    val den = c11 * c22 - c12 * c12
+    if (den == 0) None
+    else Some(math.floor((c22 * c1y - c12 * c2y).toDouble / den.toDouble *
+      dd.toDouble / 1e8 * 1000000 + 0.5).toLong)
+  }
+
+  test("q499 recovers the planted correction speed and nulls the exact-multiple pole") {
+    // cointegrated pair at production-like magnitudes: y = 2x + 100*e
+    // with a period-4 stationary error — the disequilibrium dies fast
+    // x must NOT be a pure ramp: a constant step makes the dx
+    // regressor collinear with the intercept (singular design)
+    val es = Seq(0L, 1L, 0L, -1L)
+    val xs = (1 to 12).map(m => (10L + m) * 10000L + (m % 3) * 5000L)
+    val ys = (1 to 12).map(m => 2 * xs(m - 1) + 100L * es((m - 1) % 4))
+    val d = segMonthlyDir(1 to 12, m => xs(m - 1), m => ys(m - 1))
+    val r = operators.InferenceQueries.q499(spark, d).head()
+    val expect = ecmLambda(xs, ys)
+    assert(expect.isDefined && r.getLong(1) === expect.get,
+      s"$r vs replay $expect")
+    assert(r.getLong(1) < -300000L && r.getInt(2) === 1,
+      s"planted disequilibrium must correct: $r")
+    // exact multiple: zero residual everywhere, singular design -> NULL
+    val pole = operators.InferenceQueries.q499(spark,
+      segMonthlyDir(1 to 12, m => (10L + m) * 10000L,
+        m => 3L * (10L + m) * 10000L)).head()
+    assert(pole.isNullAt(1) && pole.isNullAt(2), pole.toString)
+  }
+
+  test("q500 issues keep/review/drop on the planted source profiles") {
+    val hiQ = "the and of " * 20
+    val docs =
+      // good: high quality, unique prefixes, en, uniform lengths
+      (1 to 5).map(i => (i.toLong, s"doc$i $hiQ".trim, "en", "good", 225L)) ++
+      // dup_review: high quality but ALL share one 60-char prefix
+      (6 to 10).map(i => (i.toLong, hiQ.trim + s" tail$i", "en", "dupey",
+        225L)) ++
+      // bad: low quality AND one length outlier trips the bias gate
+      (11 to 15).map(i => (i.toLong, s"z$i", "fr", "bad",
+        if (i == 15) 100L else 1L))
+    val out = operators.InferenceQueries.q500(spark, documentsDir(docs))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(5), r.getInt(6),
+          r.getString(7))).toMap
+    assert(out("good")._1 === 1000000L && out("good")._2 === 0L &&
+      out("good")._4 === 0 && out("good")._5 === "keep", out.toString)
+    assert(out("dupey")._1 === 1000000L && out("dupey")._2 === 1000000L &&
+      out("dupey")._4 === 1 && out("dupey")._5 === "review", out.toString)
+    // bad: quality 0, bias = 10004*5e6/10816 > 2e6 -> two fails
+    assert(out("bad")._1 === 0L &&
+      out("bad")._3 === (BigInt(10004) * 5 * 1000000 / 10816).toLong &&
+      out("bad")._4 === 2 && out("bad")._5 === "drop", out.toString)
+  }
 }
