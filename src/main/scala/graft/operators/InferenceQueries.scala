@@ -3114,6 +3114,197 @@ object InferenceQueries {
       |FROM fl ORDER BY source""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q501 — Markov order test (is first-order memory enough?)
+  // ------------------------------------------------------------------
+
+  /** q501 — Markov ORDER test on the behavior chain: does the next
+    * event depend only on the current one (first-order, the
+    * assumption q226's rates, q415's entropy rate and q488's
+    * absorption pricing all make), or does the step BEFORE still
+    * matter? χ² compares observed triple counts n_abc against the
+    * first-order expectation E = n_ab·n_·bc/n_·b· over the
+    * ZERO-FILLED (a,b,c) grid (cells with E > 0 and O = 0 must
+    * contribute E — the cross-multiplied per-cell truncation
+    * (O·n_b − n_ab·n_bc)²·10⁶ div (n_b·n_ab·n_bc) handles both cases
+    * in one formula), df = Σ_b (rows_b−1)(cols_b−1), verdict by the
+    * stated normal approximation (χ²−df)/√(2df) > 1.645 as the
+    * all-integer comparison (χ²µ − df·10⁶)² > 2·df·2706025·10⁶ on
+    * the high side. Per-user lag windows (the q226 shape); the cell
+    * grid is type-enum³ bounded. df = 0 → NULL. */
+  def q501(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byUserTime = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"us", $"event_id")
+    val triples = Fx.eventTs(Tables.events(s, d))
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+        $"event_type")
+      .withColumn("p1", lag($"event_type", 1).over(byUserTime))
+      .withColumn("p2", lag($"event_type", 2).over(byUserTime))
+      .filter($"p2".isNotNull)
+      .groupBy($"p2".as("a"), $"p1".as("b"), $"event_type".as("c"))
+      .agg(count(lit(1)).as("n"))
+      .transform(Fx.materialize)
+    val ab = triples.groupBy($"a", $"b").agg(sum($"n").as("nab"))
+    val bc = triples.groupBy($"b", $"c").agg(sum($"n").as("nbc"))
+    val bm = triples.groupBy($"b").agg(sum($"n").as("nb"))
+    val grid = ab.join(bc, "b").join(bm, "b")
+      .join(triples, Seq("a", "b", "c"), "left")
+      .withColumn("o", coalesce($"n", lit(0L)))
+      .withColumn("term_micro", expr(
+        """((cast(o as decimal(38,0)) * nb - cast(nab as decimal(38,0)) * nbc)
+           * (cast(o as decimal(38,0)) * nb - cast(nab as decimal(38,0)) * nbc)
+           * 1000000)
+           div (cast(nb as decimal(38,0)) * nab * nbc)"""))
+    val dfb = ab.groupBy($"b").agg(countDistinct($"a").as("ra"))
+      .join(bc.groupBy($"b").agg(countDistinct($"c").as("rc")), "b")
+      .agg(sum(($"ra" - 1) * ($"rc" - 1)).as("df"))
+    grid.agg(sum($"o").as("n_triples"), count(lit(1)).as("n_cells"),
+        sum($"term_micro").as("chi2_micro"))
+      .crossJoin(broadcast(dfb))
+      .select($"n_triples", $"n_cells", $"chi2_micro", $"df",
+        when($"df" <= 0 || $"chi2_micro".isNull, lit(null).cast("int"))
+          .otherwise((($"chi2_micro" > $"df" * 1000000L) &&
+            expr("""(cast(chi2_micro as decimal(38,0)) - df * 1000000)
+                    * (cast(chi2_micro as decimal(38,0)) - df * 1000000)
+                    > 2 * cast(df as decimal(38,0)) * 2706025 * 1000000"""))
+            .cast("int"))
+          .as("second_order_5pct"))
+  }
+
+  val q501Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+      |    event_type FROM events),
+      |tr AS (
+      |  SELECT p2 AS a, p1 AS b, cur AS c, CAST(count(*) AS BIGINT) AS n
+      |  FROM (
+      |    SELECT event_type AS cur,
+      |      lag(event_type, 1) OVER (PARTITION BY user_id
+      |        ORDER BY us, event_id) AS p1,
+      |      lag(event_type, 2) OVER (PARTITION BY user_id
+      |        ORDER BY us, event_id) AS p2
+      |    FROM e) t
+      |  WHERE p2 IS NOT NULL GROUP BY 1, 2, 3),
+      |ab AS (SELECT a, b, CAST(sum(n) AS BIGINT) AS nab FROM tr GROUP BY 1, 2),
+      |bc AS (SELECT b, c, CAST(sum(n) AS BIGINT) AS nbc FROM tr GROUP BY 1, 2),
+      |bm AS (SELECT b, CAST(sum(n) AS BIGINT) AS nb FROM tr GROUP BY 1),
+      |grid AS (
+      |  SELECT ab.a, ab.b, bc.c, ab.nab, bc.nbc, bm.nb,
+      |    coalesce(tr.n, 0) AS o
+      |  FROM ab JOIN bc ON ab.b = bc.b JOIN bm ON ab.b = bm.b
+      |  LEFT JOIN tr ON tr.a = ab.a AND tr.b = ab.b AND tr.c = bc.c),
+      |terms AS (
+      |  SELECT o,
+      |    ((CAST(o AS HUGEINT) * nb - CAST(nab AS HUGEINT) * nbc)
+      |     * (CAST(o AS HUGEINT) * nb - CAST(nab AS HUGEINT) * nbc)
+      |     * 1000000) // (CAST(nb AS HUGEINT) * nab * nbc) AS term_micro
+      |  FROM grid),
+      |dfb AS (
+      |  SELECT CAST(sum((ra - 1) * (rc - 1)) AS BIGINT) AS df FROM (
+      |    SELECT x.b, x.ra, y.rc FROM
+      |      (SELECT b, count(DISTINCT a) AS ra FROM ab GROUP BY 1) x
+      |      JOIN (SELECT b, count(DISTINCT c) AS rc FROM bc GROUP BY 1) y
+      |      ON x.b = y.b) t),
+      |agg AS (
+      |  SELECT CAST(sum(o) AS BIGINT) AS n_triples,
+      |    CAST(count(*) AS BIGINT) AS n_cells,
+      |    CAST(sum(term_micro) AS BIGINT) AS chi2_micro
+      |  FROM terms)
+      |SELECT n_triples, n_cells, chi2_micro, df,
+      |  CASE WHEN df <= 0 OR chi2_micro IS NULL THEN NULL
+      |    ELSE CAST(chi2_micro > df * 1000000
+      |      AND (CAST(chi2_micro AS HUGEINT) - df * 1000000)
+      |        * (CAST(chi2_micro AS HUGEINT) - df * 1000000)
+      |        > 2 * CAST(df AS HUGEINT) * 2706025 * 1000000 AS INT) END
+      |    AS second_order_5pct
+      |FROM agg, dfb""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q502 — quantity-discount schedule (unit price vs order size)
+  // ------------------------------------------------------------------
+
+  /** q502 — the quantity-discount schedule: per quantity level (the
+    * bounded 1..50 enum), the exact mean UNIT price, plus a
+    * Theil–Sen median slope across levels and a count of adjacent
+    * monotonicity violations — does buying more actually cost less
+    * per unit, and where does the schedule break? The PRICING-
+    * STRUCTURE axis the price battery lacks: q346 is dispersion
+    * within a part, q358/q388 are price-over-time, q363/q402 are
+    * demand-vs-price — this is price-vs-QUANTITY. Exact: per-line
+    * unit cents = cents div qty (stated per-line grid),
+    * mean_unit_micro one truncating division; the slope rides q274's
+    * (IEEE quotient, dy, dx) ordering over the ≤50² level-pair grid;
+    * violations are strict adjacent increases (lead over the bounded
+    * level grid). */
+  def q502(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val lv = Tables.lineitem(s, d)
+      .select($"l_quantity".cast("long").as("qty"),
+        expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("ec"))
+      .filter($"qty" > 0)
+      .withColumn("unit", expr("ec div qty"))
+      .groupBy($"qty")
+      .agg(count(lit(1)).as("n_lines"), sum($"unit").as("su"))
+      .select($"qty", $"n_lines",
+        expr("(su * 1000000) div n_lines").as("mean_unit_micro"))
+      .transform(Fx.materialize)
+    val b = lv.select($"qty".as("q2"), $"mean_unit_micro".as("m2"))
+    val slopes = lv.join(broadcast(b), $"q2" > $"qty")
+      .select(($"m2" - $"mean_unit_micro").as("dy"),
+        ($"q2" - $"qty").as("dx"))
+      .withColumn("slope", $"dy".cast("double") / $"dx")
+      .withColumn("rk", row_number().over(W.orderBy($"slope", $"dy", $"dx")))
+      .withColumn("np", count(lit(1)).over(W.partitionBy()))
+      .filter($"rk" === expr("(np + 1) div 2"))
+      .select(r6($"slope").as("slope_micro_per_qty"))
+    val viol = lv
+      .withColumn("nxt", lead($"mean_unit_micro", 1).over(W.orderBy($"qty")))
+      .agg(sum(when($"nxt".isNotNull && $"nxt" > $"mean_unit_micro", 1L)
+        .otherwise(0L)).as("n_violations"))
+    lv.crossJoin(broadcast(slopes)).crossJoin(broadcast(viol))
+      .select($"qty", $"n_lines", $"mean_unit_micro",
+        $"slope_micro_per_qty", $"n_violations")
+      .orderBy($"qty")
+  }
+
+  val q502Sql: String =
+    """WITH lv AS (
+      |  SELECT qty, CAST(count(*) AS BIGINT) AS n_lines,
+      |    (CAST(sum(unit) AS BIGINT) * 1000000) // count(*)
+      |      AS mean_unit_micro
+      |  FROM (
+      |    SELECT CAST(l_quantity AS BIGINT) AS qty,
+      |      CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+      |        // CAST(l_quantity AS BIGINT) AS unit
+      |    FROM lineitem WHERE CAST(l_quantity AS BIGINT) > 0) t
+      |  GROUP BY 1),
+      |sl AS (
+      |  SELECT floor(CAST(dy AS DOUBLE) / dx * 1000000 + 0.5) / 1000000
+      |    AS slope_micro_per_qty
+      |  FROM (
+      |    SELECT b.mean_unit_micro - a.mean_unit_micro AS dy,
+      |      b.qty - a.qty AS dx,
+      |      CAST(b.mean_unit_micro - a.mean_unit_micro AS DOUBLE)
+      |        / (b.qty - a.qty) AS slope,
+      |      row_number() OVER (ORDER BY
+      |        CAST(b.mean_unit_micro - a.mean_unit_micro AS DOUBLE)
+      |          / (b.qty - a.qty),
+      |        b.mean_unit_micro - a.mean_unit_micro, b.qty - a.qty) AS rk,
+      |      count(*) OVER () AS np
+      |    FROM lv a JOIN lv b ON b.qty > a.qty) t
+      |  WHERE rk = (np + 1) // 2),
+      |vi AS (
+      |  SELECT CAST(sum(CASE WHEN nxt IS NOT NULL AND nxt > mean_unit_micro
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+      |  FROM (SELECT mean_unit_micro,
+      |      lead(mean_unit_micro) OVER (ORDER BY qty) AS nxt
+      |    FROM lv) t)
+      |SELECT qty, n_lines, mean_unit_micro, slope_micro_per_qty,
+      |  n_violations
+      |FROM lv, sl, vi ORDER BY qty""".stripMargin
+
   lazy val all: Seq[QueryDef] = Seq(
     QueryDef("q467_mood_median", q467, Some(q467Sql)),
     QueryDef("q468_hodges_lehmann", q468, Some(q468Sql)),
@@ -3148,5 +3339,7 @@ object InferenceQueries {
     QueryDef("q497_reset_test", q497, Some(q497Sql)),
     QueryDef("q498_event_study", q498, Some(q498Sql)),
     QueryDef("q499_ecm_adjustment", q499, Some(q499Sql)),
-    QueryDef("q500_curation_scorecard", q500, Some(q500Sql)))
+    QueryDef("q500_curation_scorecard", q500, Some(q500Sql)),
+    QueryDef("q501_markov_order", q501, Some(q501Sql)),
+    QueryDef("q502_qty_discount", q502, Some(q502Sql)))
 }

@@ -4561,4 +4561,52 @@ class PlantedStructureSpec extends SparkSpec {
       out("bad")._3 === (BigInt(10004) * 5 * 1000000 / 10816).toLong &&
       out("bad")._4 === 2 && out("bad")._5 === "drop", out.toString)
   }
+
+  test("q501 clears exact first-order mixing and flags planted second-order memory") {
+    // conditionally independent: after click, view/purchase 50/50
+    // regardless of what came before -> chi2 exactly 0, df = 1
+    def user3(u: Long, a: String, c: String) =
+      Seq((1, u, a, 1.0), (2, u, "click", 1.0), (3, u, c, 1.0))
+    val fo = (1 to 5).flatMap(i => user3(i.toLong, "view", "view")) ++
+      (6 to 10).flatMap(i => user3(i.toLong, "view", "purchase")) ++
+      (11 to 15).flatMap(i => user3(i.toLong, "purchase", "view")) ++
+      (16 to 20).flatMap(i => user3(i.toLong, "purchase", "purchase"))
+    val r1 = operators.InferenceQueries.q501(spark, eventsDir(fo)).head()
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3),
+      r1.getInt(4)) === ((20L, 4L, 0L, 1L, 0)), r1.toString)
+    // perfect second-order memory: the step before click decides the
+    // step after -> every cell term is k/2, chi2 = 2k*1e6 = 2e7
+    val so = (1 to 10).flatMap(i => user3(i.toLong, "view", "view")) ++
+      (11 to 20).flatMap(i => user3(i.toLong, "purchase", "purchase"))
+    val r2 = operators.InferenceQueries.q501(spark, eventsDir(so)).head()
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2), r2.getLong(3),
+      r2.getInt(4)) === ((20L, 4L, 20000000L, 1L, 1)), r2.toString)
+  }
+
+  test("q502 reads the planted schedules slope- and violation-exactly") {
+    def liDir(rows: Seq[(Long, Double)]): String = {
+      val dir = Files.createTempDirectory("planted-qd")
+      rows.toDF("l_quantity", "l_extendedprice")
+        .select($"l_quantity".cast("double").as("l_quantity"),
+          $"l_extendedprice")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(dir.resolve("lineitem.parquet").toString)
+      dir.toString
+    }
+    // clean discount: unit price (100-q) dollars at every level
+    val clean = operators.InferenceQueries.q502(spark,
+      liDir((1 to 5).flatMap(q =>
+        Seq.fill(2)((q.toLong, q * (100.0 - q)))))).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(clean.toSeq === (1 to 5).map(q =>
+      (q.toLong, (100L - q) * 100000000L, -1.0e8, 0L)), clean.toSeq.toString)
+    // broken schedule: units 90/80/85/70 -> one violation, median
+    // pair slope = -20e8/3 per level (r6'd)
+    val us = Seq(90, 80, 85, 70)
+    val broken = operators.InferenceQueries.q502(spark,
+      liDir((1 to 4).map(q => (q.toLong, q * us(q - 1) * 1.0)))).collect()
+    val slope = math.floor(-2000000000.0 / 3 * 1000000 + 0.5) / 1000000
+    assert(broken.forall(r => r.getDouble(3) == slope && r.getLong(4) == 1L),
+      s"${broken.mkString(";")} vs slope $slope")
+  }
 }
