@@ -3305,6 +3305,170 @@ object InferenceQueries {
       |  n_violations
       |FROM lv, sl, vi ORDER BY qty""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q503 — word2vec negative-sampling table (f^0.75, largest remainder)
+  // ------------------------------------------------------------------
+
+  /** q503 — the word2vec NEGATIVE-sampling table: the top-50 corpus
+    * words weighted by f^0.75 and apportioned into exactly 1,000,000
+    * sampling slots — the COMPANION artifact to q465 (which prices
+    * how often frequent words are KEPT; this prices how often they're
+    * drawn as negatives; both ship to the trainer as tables).
+    * Determinism: f^0.75 = √(f·√f) — two nested IEEE sqrts and one
+    * multiply on identical operands (sqrt IS cross-engine-exact, the
+    * q465 convention; pow is NOT and is never used), micro-floored
+    * per word; slot apportionment is the exact largest-remainder
+    * method on INTEGER remainders with (remainder desc, word)
+    * tie-break (the q267 precedent) — Σslots = 10⁶ exactly, no float
+    * ever summed across rows. Word selection is q465's (f desc,
+    * word) head; the table is bounded (50 rows) after one token
+    * scan. */
+  def q503(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val words = Tables.documents(s, d)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"w").agg(count(lit(1)).as("f"))
+      .orderBy($"f".desc, $"w").limit(50)
+      .withColumn("wm",
+        floor(sqrt($"f".cast("double") * sqrt($"f".cast("double"))) * 1000000)
+          .cast("long"))
+      .transform(Fx.materialize)
+    val tot = words.agg(sum($"wm").as("tw"))
+    val based = words.crossJoin(broadcast(tot))
+      .withColumn("base", expr("(wm * 1000000) div tw"))
+      .withColumn("rem", expr("(wm * 1000000) % tw"))
+    val spare = based.agg((lit(1000000L) - sum($"base")).as("spare"))
+    based.crossJoin(broadcast(spare))
+      .withColumn("rrk",
+        row_number().over(W.orderBy($"rem".desc, $"w")).cast("long"))
+      .select($"w".as("word"), $"f", $"wm".as("weight_micro"),
+        ($"base" + when($"rrk" <= $"spare", 1L).otherwise(0L)).as("slots"))
+      .orderBy($"slots".desc, $"word")
+  }
+
+  val q503Sql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |words AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS f
+      |  FROM toks WHERE w <> '' GROUP BY 1
+      |  ORDER BY f DESC, w LIMIT 50),
+      |wm AS (
+      |  SELECT w, f,
+      |    CAST(floor(sqrt(CAST(f AS DOUBLE) * sqrt(CAST(f AS DOUBLE)))
+      |      * 1000000) AS BIGINT) AS wm
+      |  FROM words),
+      |tot AS (SELECT CAST(sum(wm) AS BIGINT) AS tw FROM wm),
+      |based AS (
+      |  SELECT w, f, wm, (wm * 1000000) // tw AS base,
+      |    (wm * 1000000) % tw AS rem
+      |  FROM wm, tot),
+      |sp AS (SELECT 1000000 - CAST(sum(base) AS BIGINT) AS spare
+      |  FROM based)
+      |SELECT w AS word, f, wm AS weight_micro,
+      |  base + CASE WHEN row_number() OVER (ORDER BY rem DESC, w) <= spare
+      |    THEN 1 ELSE 0 END AS slots
+      |FROM based, sp
+      |ORDER BY slots DESC, word""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q504 — column-encoding advisor (dictionary / RLE)
+  // ------------------------------------------------------------------
+
+  /** q504 — physical-encoding advisor for the orders columns: per
+    * column, the KMV NDV estimate (the q476 sketch — the advisor
+    * must not pay a COUNT(DISTINCT) at 100 TB), the RUN count in
+    * o_orderkey write order (adjacency via the scale-safe seqIds +
+    * shifted equi-join, never a global lag window), the mean run
+    * length, and pinned recommendations — dictionary when
+    * est_ndv/n ≤ 10%, RLE when the mean run ≥ 2 — the layout
+    * decision behind q450/q461/q482's pruning story: parquet pages
+    * encode well exactly when one of these flags is on. All integer
+    * micros. */
+  def q504(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+    val vals = o.select($"o_orderkey", explode(array(
+        struct(lit("o_custkey").as("colname"),
+          $"o_custkey".cast("string").as("v")),
+        struct(lit("o_orderpriority").as("colname"),
+          $"o_orderpriority".as("v")),
+        struct(lit("o_orderstatus").as("colname"),
+          $"o_orderstatus".as("v")))).as("cv"))
+      .select($"cv.colname".as("colname"), $"o_orderkey", $"cv.v".as("v"))
+      .filter($"v".isNotNull)
+      .transform(Fx.materialize)
+    val seq = Ranking.seqIds(vals, 32, $"colname", $"o_orderkey")
+    val runs = seq.select($"colname", $"seq_id", $"v")
+      .join(seq.select($"colname", ($"seq_id" + 1).as("seq_id"),
+        $"v".as("pv")), Seq("colname", "seq_id"), "left")
+      .groupBy($"colname")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"pv".isNull || $"pv" =!= $"v", 1L).otherwise(0L))
+          .as("n_runs"))
+    val hashed = vals.select($"colname",
+      expr("cast(conv(substring(md5(concat(v, '#kmv')), 1, 13), 16, 10) " +
+        "as bigint)").as("h13"))
+    val est = graft.plans.TopK.perGroup(
+        kMinDistinct(hashed, "colname", "h13", 64).distinct(),
+        64, Seq("colname"), Seq(graft.plans.TopK.asc("h13")))
+      .groupBy($"colname")
+      .agg(max($"h13").as("kth"), count(lit(1)).as("n_kept"))
+      .select($"colname",
+        when($"n_kept" < 64, $"n_kept")
+          .otherwise(expr("(63 * 4503599627370496) div kth")).as("est_ndv"))
+    runs.join(est, "colname")
+      .select($"colname", $"n", $"est_ndv", $"n_runs",
+        expr("(n * 1000000) div n_runs").as("mean_run_micro"),
+        (expr("(est_ndv * 1000000) div n") <= 100000L).cast("int")
+          .as("dict_recommended"),
+        (expr("(n * 1000000) div n_runs") >= 2000000L).cast("int")
+          .as("rle_recommended"))
+      .orderBy($"colname")
+  }
+
+  val q504Sql: String =
+    """WITH vals AS (
+      |  SELECT colname, o_orderkey, v FROM (
+      |    SELECT o_orderkey, 'o_custkey' AS colname,
+      |      CAST(o_custkey AS VARCHAR) AS v FROM orders
+      |    UNION ALL
+      |    SELECT o_orderkey, 'o_orderpriority', o_orderpriority FROM orders
+      |    UNION ALL
+      |    SELECT o_orderkey, 'o_orderstatus', o_orderstatus FROM orders) t
+      |  WHERE v IS NOT NULL),
+      |runs AS (
+      |  SELECT colname, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN pv IS NULL OR pv <> v THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_runs
+      |  FROM (
+      |    SELECT colname, v,
+      |      lag(v) OVER (PARTITION BY colname ORDER BY o_orderkey) AS pv
+      |    FROM vals) t
+      |  GROUP BY 1),
+      |h AS (
+      |  SELECT DISTINCT colname,
+      |    ('0x' || substr(md5(v || '#kmv'), 1, 13))::BIGINT AS h13
+      |  FROM vals),
+      |top AS (
+      |  SELECT colname, h13,
+      |    row_number() OVER (PARTITION BY colname ORDER BY h13) AS rn
+      |  FROM h),
+      |est AS (
+      |  SELECT colname,
+      |    CASE WHEN count(*) < 64 THEN CAST(count(*) AS BIGINT)
+      |      ELSE (63 * 4503599627370496) // CAST(max(h13) AS BIGINT) END
+      |      AS est_ndv
+      |  FROM top WHERE rn <= 64 GROUP BY 1)
+      |SELECT r.colname, n, est_ndv, n_runs,
+      |  (n * 1000000) // n_runs AS mean_run_micro,
+      |  CAST((est_ndv * 1000000) // n <= 100000 AS INT)
+      |    AS dict_recommended,
+      |  CAST((n * 1000000) // n_runs >= 2000000 AS INT) AS rle_recommended
+      |FROM runs r JOIN est USING (colname) ORDER BY r.colname""".stripMargin
+
   lazy val all: Seq[QueryDef] = Seq(
     QueryDef("q467_mood_median", q467, Some(q467Sql)),
     QueryDef("q468_hodges_lehmann", q468, Some(q468Sql)),
@@ -3341,5 +3505,7 @@ object InferenceQueries {
     QueryDef("q499_ecm_adjustment", q499, Some(q499Sql)),
     QueryDef("q500_curation_scorecard", q500, Some(q500Sql)),
     QueryDef("q501_markov_order", q501, Some(q501Sql)),
-    QueryDef("q502_qty_discount", q502, Some(q502Sql)))
+    QueryDef("q502_qty_discount", q502, Some(q502Sql)),
+    QueryDef("q503_negative_sampling", q503, Some(q503Sql)),
+    QueryDef("q504_encoding_advisor", q504, Some(q504Sql)))
 }

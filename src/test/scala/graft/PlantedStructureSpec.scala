@@ -4609,4 +4609,33 @@ class PlantedStructureSpec extends SparkSpec {
     assert(broken.forall(r => r.getDouble(3) == slope && r.getLong(4) == 1L),
       s"${broken.mkString(";")} vs slope $slope")
   }
+
+  test("q503 apportions exactly 10^6 slots by the f^0.75 largest-remainder rule") {
+    // f(a)=16 -> w=8e6, f(b)=1 -> w=1e6: bases 888888/111111, the one
+    // spare slot goes to a's larger remainder (8e6 > 1e6)
+    val d = documentsDir(Seq((1L, ("a " * 16).trim + " b", "en", "s", 33L)))
+    val out = operators.InferenceQueries.q503(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(("a", 16L, 8000000L, 888889L),
+      ("b", 1L, 1000000L, 111111L)), out.toSeq.toString)
+    assert(out.map(_._4).sum === 1000000L, "slots must sum exactly to 10^6")
+  }
+
+  test("q504 recommends dictionary and RLE on the planted column shapes") {
+    val dir = Files.createTempDirectory("planted-enc")
+    (1 to 20).map(k => (k.toLong, k.toLong,
+        if (k <= 10) "A" else "B", "X"))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("orders.parquet").toString)
+    val out = operators.InferenceQueries.q504(spark, dir.toString).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5), r.getInt(6))).toMap
+    assert(out("o_custkey") === ((20L, 20L, 20L, 1000000L, 0, 0)),
+      out.toString)
+    assert(out("o_orderpriority") === ((20L, 2L, 2L, 10000000L, 1, 1)),
+      out.toString)
+    assert(out("o_orderstatus") === ((20L, 1L, 1L, 20000000L, 1, 1)),
+      out.toString)
+  }
 }
