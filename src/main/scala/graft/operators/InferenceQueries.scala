@@ -3469,6 +3469,271 @@ object InferenceQueries {
       |  CAST((n * 1000000) // n_runs >= 2000000 AS INT) AS rle_recommended
       |FROM runs r JOIN est USING (colname) ORDER BY r.colname""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q505 — forecastability features (trend / seasonal strength)
+  // ------------------------------------------------------------------
+
+  /** q505 — the Wang–Hyndman forecastability features of daily
+    * revenue: decompose y = T + S + R (T = centered 7-day MA with the
+    * stated truncating division, S = re-centered weekday means of the
+    * detrended series, R the rest) and report trend strength
+    * F_T = max(0, 1 − Var(R)/Var(T+R... y−S)) and seasonal strength
+    * F_S = max(0, 1 − Var(R)/Var(y−T)) — the FEATURE VECTOR that
+    * routes a series to a forecasting family (q333's quadrants route
+    * by intermittency; these route by structure: high F_T → Holt
+    * q270, high F_S → HW q280, both low → naive). Exact: every
+    * component is integer cents on stated grids, variances are the
+    * cleared n·Σx²−(Σx)² forms on DECIMAL(38,0), and each strength is
+    * ONE truncating micro-division (V_D−V_R)·10⁶ div V_D with a
+    * max(0,·) clamp; zero-variance denominators → NULL (a perfect
+    * line has UNDEFINED seasonal strength, not zero — stated).
+    * Interior days only (full MA window); windows run on the
+    * calendar-bounded day grid. */
+  def q505(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val wd7 = W.orderBy($"day").rowsBetween(-3, 3)
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(cents($"o_totalprice")).as("y"))
+      .withColumn("cnt7", count(lit(1)).over(wd7))
+      .withColumn("ysum7", sum($"y").over(wd7))
+      .withColumn("t", expr("ysum7 div 7"))
+      .filter($"cnt7" === 7)
+      .withColumn("detr", $"y" - $"t")
+      .withColumn("wd", dayofweek($"day"))
+      .transform(Fx.materialize)
+    val seas0 = daily.groupBy($"wd")
+      .agg(expr("sum(detr) div count(*)").as("s0"))
+    val smean = seas0.agg(expr("sum(s0) div 7").as("sm"))
+    val full = daily.join(broadcast(seas0), "wd")
+      .crossJoin(broadcast(smean))
+      .withColumn("seas", $"s0" - $"sm")
+      .withColumn("r", $"detr" - $"seas")
+      .withColumn("deseas", $"y" - $"seas")
+    full.agg(count(lit(1)).as("n"),
+        sum($"r").as("sr"), sum(expr("cast(r as decimal(38,0)) * r")).as("srr"),
+        sum($"detr").as("sd"),
+        sum(expr("cast(detr as decimal(38,0)) * detr")).as("sdd"),
+        sum($"deseas").as("su"),
+        sum(expr("cast(deseas as decimal(38,0)) * deseas")).as("suu"))
+      .withColumn("vr", expr("n * srr - cast(sr as decimal(38,0)) * sr"))
+      .withColumn("vdet", expr("n * sdd - cast(sd as decimal(38,0)) * sd"))
+      .withColumn("vdes", expr("n * suu - cast(su as decimal(38,0)) * su"))
+      .select($"n".cast("long").as("n_days_used"),
+        when($"vdes" === 0, lit(null).cast("long"))
+          .otherwise(greatest(lit(0L),
+            expr("cast(((vdes - vr) * 1000000) div vdes as bigint)")))
+          .as("trend_strength_micro"),
+        when($"vdet" === 0, lit(null).cast("long"))
+          .otherwise(greatest(lit(0L),
+            expr("cast(((vdet - vr) * 1000000) div vdet as bigint)")))
+          .as("seasonal_strength_micro"))
+  }
+
+  val q505Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS y
+      |  FROM orders GROUP BY 1),
+      |ma AS (
+      |  SELECT day, y,
+      |    count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+      |      AND 3 FOLLOWING) AS cnt7,
+      |    CAST(sum(y) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+      |      AND 3 FOLLOWING) // 7 AS BIGINT) AS t
+      |  FROM daily),
+      |det AS (
+      |  SELECT day, y, y - t AS detr, dayofweek(day) + 1 AS wd
+      |  FROM ma WHERE cnt7 = 7),
+      |seas0 AS (
+      |  SELECT wd, CAST(sum(detr) // count(*) AS BIGINT) AS s0
+      |  FROM det GROUP BY 1),
+      |sm AS (SELECT CAST(sum(s0) // 7 AS BIGINT) AS smv FROM seas0),
+      |full_ AS (
+      |  SELECT d.y, d.detr, d.detr - (s.s0 - smv) AS r,
+      |    d.y - (s.s0 - smv) AS deseas
+      |  FROM det d JOIN seas0 s ON d.wd = s.wd, sm),
+      |agg AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(r) AS HUGEINT) AS sr,
+      |    sum(CAST(r AS HUGEINT) * r) AS srr,
+      |    CAST(sum(detr) AS HUGEINT) AS sd,
+      |    sum(CAST(detr AS HUGEINT) * detr) AS sdd,
+      |    CAST(sum(deseas) AS HUGEINT) AS su,
+      |    sum(CAST(deseas AS HUGEINT) * deseas) AS suu
+      |  FROM full_)
+      |SELECT CAST(n AS BIGINT) AS n_days_used,
+      |  CASE WHEN n * suu - su * su = 0 THEN NULL
+      |    ELSE greatest(0, CAST((((n * suu - su * su) - (n * srr - sr * sr))
+      |      * 1000000) // (n * suu - su * su) AS BIGINT)) END
+      |    AS trend_strength_micro,
+      |  CASE WHEN n * sdd - sd * sd = 0 THEN NULL
+      |    ELSE greatest(0, CAST((((n * sdd - sd * sd) - (n * srr - sr * sr))
+      |      * 1000000) // (n * sdd - sd * sd) AS BIGINT)) END
+      |    AS seasonal_strength_micro
+      |FROM agg""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q506 — NDCG@10 of the kNN retrieval vs label relevance
+  // ------------------------------------------------------------------
+
+  /** Pinned 1/log₂(r+1) micro discounts for ranks 1..10 — stated
+    * literals, no transcendental crosses the engine boundary. */
+  private val ndcgDisc = Seq(1000000L, 630930L, 500000L, 430677L,
+    386853L, 356207L, 333333L, 315465L, 301030L, 289065L)
+
+  /** q506 — NDCG@10 of the q60 brute-force cosine retrieval with
+    * binary label relevance (same label as the query = relevant):
+    * DCG = Σ rel_r·d_r over the pinned discount ladder, IDCG the
+    * ideal prefix for the query's true relevant count, ndcg their
+    * micro ratio — the POSITION-WEIGHTED retrieval metric beside
+    * recall@10 (q190: did they show up) and MRR (q255: where's the
+    * FIRST): NDCG prices every slot, which is what a reranker (q186)
+    * is optimized against. Integer-only: relevance flags × pinned
+    * micros summed exactly, one truncating division per query;
+    * queries with NO relevant targets → NULL (stated). Reuses the
+    * q60 ranking verbatim (broadcast queries, native heap). */
+  def q506(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val qs = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+        $"label".as("q_label"))
+    val top = Similarity.bruteForceTopK(
+        qs.select($"q_id", $"q_vec"), e, 10)
+      .join(e.select($"vec_id", $"label".as("t_label")), "vec_id")
+      .join(qs.select($"q_id", $"q_label"), "q_id")
+      .withColumn("rel", ($"t_label" === $"q_label").cast("long"))
+      .withColumn("disc", expr(
+        s"""cast(case rn ${ndcgDisc.zipWithIndex.map { case (v, i) =>
+          s"when ${i + 1} then $v" }.mkString(" ")}
+           else 0 end as bigint)"""))
+    val dcg = top.groupBy($"q_id")
+      .agg(sum($"rel" * $"disc").as("dcg_micro"))
+    val relc = e.select($"vec_id".as("tv"), $"label".as("tl"))
+      .crossJoin(broadcast(qs.select($"q_id", $"q_label")))
+      .filter($"tv" =!= $"q_id" && $"tl" === $"q_label")
+      .groupBy($"q_id").agg(count(lit(1)).as("n_relevant"))
+    val idcgCase = (1 to 10).map(k =>
+      s"when $k then ${ndcgDisc.take(k).sum}").mkString(" ")
+    qs.select($"q_id")
+      .join(dcg, Seq("q_id"), "left")
+      .join(relc, Seq("q_id"), "left")
+      .select($"q_id",
+        coalesce($"n_relevant", lit(0L)).as("n_relevant"),
+        coalesce($"dcg_micro", lit(0L)).as("dcg_micro"))
+      .withColumn("idcg_micro", expr(
+        s"""cast(case when n_relevant >= 10 then ${ndcgDisc.sum}
+           else case n_relevant $idcgCase else 0 end end as bigint)"""))
+      .withColumn("ndcg_micro",
+        when($"idcg_micro" === 0, lit(null).cast("long"))
+          .otherwise(expr("(dcg_micro * 1000000) div idcg_micro")))
+      .orderBy($"q_id")
+  }
+
+  val q506Sql: String = {
+    val cos = "list_dot_product(q_vec, t_vec) / " +
+      "(sqrt(list_dot_product(q_vec, q_vec)) * " +
+      "sqrt(list_dot_product(t_vec, t_vec)))"
+    val discCase = ndcgDisc.zipWithIndex.map { case (v, i) =>
+      s"WHEN ${i + 1} THEN $v" }.mkString(" ")
+    val idcgCase = (1 to 10).map(k =>
+      s"WHEN $k THEN ${ndcgDisc.take(k).sum}").mkString(" ")
+    s"""WITH q AS (
+      |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec,
+      |    label AS q_label
+      |  FROM embeddings WHERE vec_id < 5),
+      |t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS t_vec, label
+      |  FROM embeddings),
+      |ranked AS (
+      |  SELECT q_id, q_label, vec_id, label,
+      |    row_number() OVER (PARTITION BY q_id
+      |      ORDER BY $cos DESC, vec_id) AS rn
+      |  FROM t, q WHERE vec_id <> q_id),
+      |dcg AS (
+      |  SELECT q_id,
+      |    CAST(sum(CASE WHEN label = q_label THEN
+      |      CASE rn $discCase ELSE 0 END ELSE 0 END) AS BIGINT)
+      |      AS dcg_micro
+      |  FROM ranked WHERE rn <= 10 GROUP BY 1),
+      |relc AS (
+      |  SELECT q_id, CAST(count(*) AS BIGINT) AS n_relevant
+      |  FROM t, q WHERE vec_id <> q_id AND label = q_label
+      |  GROUP BY 1)
+      |SELECT q.q_id, coalesce(n_relevant, 0) AS n_relevant,
+      |  coalesce(dcg_micro, 0) AS dcg_micro,
+      |  CAST(CASE WHEN coalesce(n_relevant, 0) >= 10 THEN ${ndcgDisc.sum}
+      |    ELSE CASE coalesce(n_relevant, 0) $idcgCase ELSE 0 END END
+      |    AS BIGINT) AS idcg_micro,
+      |  CASE WHEN coalesce(n_relevant, 0) = 0 THEN NULL
+      |    ELSE (coalesce(dcg_micro, 0) * 1000000)
+      |      // (CASE WHEN coalesce(n_relevant, 0) >= 10 THEN ${ndcgDisc.sum}
+      |        ELSE CASE coalesce(n_relevant, 0) $idcgCase ELSE 0 END END)
+      |    END AS ndcg_micro
+      |FROM q LEFT JOIN dcg ON q.q_id = dcg.q_id
+      |LEFT JOIN relc ON q.q_id = relc.q_id
+      |ORDER BY q.q_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q507 — Pareto skyline of the document corpus (quality vs length)
+  // ------------------------------------------------------------------
+
+  /** q507 — the Pareto SKYLINE of documents on (quality score ↑,
+    * length ↓): a doc survives iff no other doc is at least as good
+    * on both axes and strictly better on one — the classic
+    * multi-objective operator the single-axis heads (q106 top-k,
+    * q318 bins) can't express: "the shortest doc at every quality
+    * level that nothing cheaper dominates". Scale shape: collapse to
+    * the (qm, min len) VALUE GRID first (bounded by the 10⁶ score
+    * domain, never the corpus), take the strictly-higher-quality
+    * suffix running MIN of length over the sorted grid (bounded-grid
+    * window), and keep grid points with len < that suffix min; docs
+    * then rejoin the surviving (qm, len) pairs — duplicates of a
+    * surviving point all survive (neither strictly dominates the
+    * other, stated). All integer. */
+  def q507(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val q = graft.functions.TextAnalysis.qualityScore($"text")
+    val docs = Tables.documents(s, d)
+      .filter($"text".isNotNull && $"n_chars".isNotNull && $"n_chars" > 0)
+      .select($"doc_id", floor(q * 1000000).cast("long").as("qm"),
+        $"n_chars".as("len"))
+      .transform(Fx.materialize)
+    val grid = docs.groupBy($"qm").agg(min($"len").as("mlen"))
+    val sky = grid
+      .withColumn("minHigher", min($"mlen").over(
+        W.orderBy($"qm".desc).rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .filter($"minHigher".isNull || $"mlen" < $"minHigher")
+      .select($"qm".as("sqm"), $"mlen")
+    docs.join(broadcast(sky), $"qm" === $"sqm" && $"len" === $"mlen")
+      .select($"doc_id", $"qm", $"len")
+      .orderBy($"qm".desc, $"doc_id")
+  }
+
+  val q507Sql: String = {
+    val quality = graft.functions.TextAnalysis.sqlQualityScore("text")
+    s"""WITH docs AS (
+      |  SELECT doc_id, CAST(floor(($quality) * 1000000) AS BIGINT) AS qm,
+      |    CAST(n_chars AS BIGINT) AS len
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0),
+      |grid AS (SELECT qm, min(len) AS mlen FROM docs GROUP BY 1),
+      |sky AS (
+      |  SELECT qm, mlen FROM (
+      |    SELECT qm, mlen, min(mlen) OVER (ORDER BY qm DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mh
+      |    FROM grid) t
+      |  WHERE mh IS NULL OR mlen < mh)
+      |SELECT d.doc_id, d.qm, d.len
+      |FROM docs d JOIN sky s ON d.qm = s.qm AND d.len = s.mlen
+      |ORDER BY d.qm DESC, d.doc_id""".stripMargin
+  }
+
   lazy val all: Seq[QueryDef] = Seq(
     QueryDef("q467_mood_median", q467, Some(q467Sql)),
     QueryDef("q468_hodges_lehmann", q468, Some(q468Sql)),
@@ -3507,5 +3772,8 @@ object InferenceQueries {
     QueryDef("q501_markov_order", q501, Some(q501Sql)),
     QueryDef("q502_qty_discount", q502, Some(q502Sql)),
     QueryDef("q503_negative_sampling", q503, Some(q503Sql)),
-    QueryDef("q504_encoding_advisor", q504, Some(q504Sql)))
+    QueryDef("q504_encoding_advisor", q504, Some(q504Sql)),
+    QueryDef("q505_ts_features", q505, Some(q505Sql)),
+    QueryDef("q506_ndcg", q506, Some(q506Sql)),
+    QueryDef("q507_skyline", q507, Some(q507Sql)))
 }

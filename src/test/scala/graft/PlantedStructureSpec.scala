@@ -4638,4 +4638,59 @@ class PlantedStructureSpec extends SparkSpec {
     assert(out("o_orderstatus") === ((20L, 1L, 1L, 20000000L, 1, 1)),
       out.toString)
   }
+
+  test("q505 reads a pure ramp as all-trend and a pure weekly cycle as all-seasonal") {
+    // linear ramp: the centered MA reproduces y exactly, R = 0,
+    // deseasonalized variance is all trend
+    val ramp = operators.InferenceQueries.q505(spark,
+      ordersDir(1 to 28, d => d * 10.0)).head()
+    assert((ramp.getLong(0), ramp.getLong(1)) === ((22L, 1000000L)) &&
+      ramp.isNullAt(2), ramp.toString)
+    // zero-sum 7-periodic pattern, no trend: R = 0 again, but now the
+    // detrended variance is all seasonal and the trend is undefined
+    val p = Seq(6, -1, -1, -1, -1, -1, -1)
+    val cyc = operators.InferenceQueries.q505(spark,
+      ordersDir(1 to 28, d => 100.0 + p(d % 7))).head()
+    assert((cyc.getLong(0), cyc.getLong(2)) === ((22L, 1000000L)) &&
+      cyc.isNullAt(1), cyc.toString)
+  }
+
+  test("q506 scores the planted clusters at exactly 1 and nulls the no-relevant case") {
+    val dim = 64
+    def vec(cluster: Int, i: Int): Seq[Float] = {
+      val a = Array.fill(dim)(0.0f)
+      a(0) = if (cluster == 0) 1.0f else -1.0f
+      a(1 + (i % 5)) = 0.05f + 0.01f * i
+      a.toSeq
+    }
+    val rows = (0 until 12).map(i => (i.toLong, vec(0, i), 0)) ++
+      (12 until 24).map(i => (i.toLong, vec(1, i), 1))
+    val out = operators.InferenceQueries.q506(spark, embeddingsDir(rows))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    // every query's top-10 is its 11-mate cluster: DCG = IDCG exactly
+    assert(out.toSeq === (0L to 4L).map(q => (q, 11L, 1000000L)),
+      out.toSeq.toString)
+    // all-distinct labels: nothing is relevant -> NULL ndcg, not 0/0
+    val loner = operators.InferenceQueries.q506(spark,
+      embeddingsDir((0 until 24).map(i =>
+        (i.toLong, vec(i % 2, i), i)))).collect()
+    assert(loner.forall(r => r.getLong(1) === 0L && r.isNullAt(4)),
+      loner.mkString(";"))
+  }
+
+  test("q507 keeps exactly the planted Pareto frontier incl. tied points") {
+    val qq = ("qq " * 30).trim // score 0.54
+    val docs = Seq(
+      (1L, qq, "en", "s", 50L),    // dominated by doc 2 (same qm, longer)
+      (2L, qq, "en", "s", 40L),    // frontier
+      (3L, "the", "en", "s", 30L), // frontier (0.368, shorter)
+      (4L, "the", "en", "s", 60L), // dominated
+      (5L, "z", "fr", "s", 20L),   // frontier (0.008, shortest)
+      (6L, "z", "fr", "s", 20L),   // tied frontier point — also kept
+      (7L, "ww xx", "en", "s", 35L)) // 0.316 but len 35 > 30 above it
+    val out = operators.InferenceQueries.q507(spark, documentsDir(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((2L, 540000L, 40L), (3L, 368000L, 30L),
+      (5L, 8000L, 20L), (6L, 8000L, 20L)), out.toSeq.toString)
+  }
 }
