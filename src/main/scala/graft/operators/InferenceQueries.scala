@@ -3734,6 +3734,90 @@ object InferenceQueries {
       |ORDER BY d.qm DESC, d.doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q508 — bivariate tail dependence between the segment series
+  // ------------------------------------------------------------------
+
+  /** q508 — empirical tail-dependence coefficients between the
+    * AUTOMOBILE and BUILDING monthly revenue series:
+    * λ_U = P(y > q₈₀(y) | x > q₈₀(x)) and the lower twin at q₂₀ — do
+    * the two books BOOM and CRASH together? The BIVARIATE extremal
+    * question the dependence battery can't ask: Pearson/Hoeffding
+    * q479 average over the whole body (tail co-movement hides), and
+    * the EVT battery (q413/q421/q441) is univariate. Under
+    * independence λ ≈ 0.2 at these thresholds; λ → 1 means joint
+    * extremes — the regime where a pooled risk model (q311's
+    * envelopes) underprices the joint crash. Exact: nearest-rank
+    * ⌈0.8n⌉/⌈0.2n⌉ thresholds on the bounded month grid, STRICT
+    * exceedance counts (stated), one truncating micro-division each;
+    * empty conditioning sets → NULL. */
+  def q508(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val g = segKiloMonthly(s, d).transform(Fx.materialize)
+    def rankVal(c: String, k: Column): DataFrame = g
+      .withColumn("rn", row_number().over(W.orderBy(col(c), $"ym")).cast("long"))
+      .crossJoin(broadcast(g.agg(count(lit(1)).as("n"))))
+      .filter($"rn" === k)
+      .select(col(c).as(s"q_$c"))
+    val n1 = g.agg(count(lit(1)).as("n"))
+    val qx80 = rankVal("x", expr("(8 * n + 9) div 10"))
+    val qy80 = rankVal("y", expr("(8 * n + 9) div 10"))
+    val qx20 = rankVal("x", expr("(2 * n + 9) div 10"))
+      .withColumnRenamed("q_x", "l_x")
+    val qy20 = rankVal("y", expr("(2 * n + 9) div 10"))
+      .withColumnRenamed("q_y", "l_y")
+    g.crossJoin(broadcast(qx80)).crossJoin(broadcast(qy80))
+      .crossJoin(broadcast(qx20)).crossJoin(broadcast(qy20))
+      .agg(count(lit(1)).as("n"),
+        sum(when($"x" > $"q_x", 1L).otherwise(0L)).as("n_x_hi"),
+        sum(when($"x" > $"q_x" && $"y" > $"q_y", 1L).otherwise(0L))
+          .as("n_both_hi"),
+        sum(when($"x" < $"l_x", 1L).otherwise(0L)).as("n_x_lo"),
+        sum(when($"x" < $"l_x" && $"y" < $"l_y", 1L).otherwise(0L))
+          .as("n_both_lo"))
+      .select($"n", $"n_x_hi", $"n_both_hi", $"n_x_lo", $"n_both_lo",
+        when($"n_x_hi" === 0, lit(null).cast("long"))
+          .otherwise(expr("(n_both_hi * 1000000) div n_x_hi"))
+          .as("lambda_upper_micro"),
+        when($"n_x_lo" === 0, lit(null).cast("long"))
+          .otherwise(expr("(n_both_lo * 1000000) div n_x_lo"))
+          .as("lambda_lower_micro"))
+  }
+
+  val q508Sql: String =
+    s"""WITH g AS ($segKiloMonthlySql),
+      |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g),
+      |qx80 AS (SELECT x AS q_x FROM (
+      |  SELECT x, row_number() OVER (ORDER BY x, ym) AS rn FROM g) t, n1
+      |  WHERE rn = (8 * n + 9) // 10),
+      |qy80 AS (SELECT y AS q_y FROM (
+      |  SELECT y, row_number() OVER (ORDER BY y, ym) AS rn FROM g) t, n1
+      |  WHERE rn = (8 * n + 9) // 10),
+      |qx20 AS (SELECT x AS l_x FROM (
+      |  SELECT x, row_number() OVER (ORDER BY x, ym) AS rn FROM g) t, n1
+      |  WHERE rn = (2 * n + 9) // 10),
+      |qy20 AS (SELECT y AS l_y FROM (
+      |  SELECT y, row_number() OVER (ORDER BY y, ym) AS rn FROM g) t, n1
+      |  WHERE rn = (2 * n + 9) // 10),
+      |agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN x > q_x THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_x_hi,
+      |    CAST(sum(CASE WHEN x > q_x AND y > q_y THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_both_hi,
+      |    CAST(sum(CASE WHEN x < l_x THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_x_lo,
+      |    CAST(sum(CASE WHEN x < l_x AND y < l_y THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_both_lo
+      |  FROM g, qx80, qy80, qx20, qy20)
+      |SELECT n, n_x_hi, n_both_hi, n_x_lo, n_both_lo,
+      |  CASE WHEN n_x_hi = 0 THEN NULL
+      |    ELSE (n_both_hi * 1000000) // n_x_hi END AS lambda_upper_micro,
+      |  CASE WHEN n_x_lo = 0 THEN NULL
+      |    ELSE (n_both_lo * 1000000) // n_x_lo END AS lambda_lower_micro
+      |FROM agg""".stripMargin
+
   lazy val all: Seq[QueryDef] = Seq(
     QueryDef("q467_mood_median", q467, Some(q467Sql)),
     QueryDef("q468_hodges_lehmann", q468, Some(q468Sql)),
@@ -3775,5 +3859,6 @@ object InferenceQueries {
     QueryDef("q504_encoding_advisor", q504, Some(q504Sql)),
     QueryDef("q505_ts_features", q505, Some(q505Sql)),
     QueryDef("q506_ndcg", q506, Some(q506Sql)),
-    QueryDef("q507_skyline", q507, Some(q507Sql)))
+    QueryDef("q507_skyline", q507, Some(q507Sql)),
+    QueryDef("q508_tail_dependence", q508, Some(q508Sql)))
 }

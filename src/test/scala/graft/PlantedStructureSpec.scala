@@ -4693,4 +4693,15 @@ class PlantedStructureSpec extends SparkSpec {
     assert(out.toSeq === Seq((2L, 540000L, 40L), (3L, 368000L, 30L),
       (5L, 8000L, 20L), (6L, 8000L, 20L)), out.toSeq.toString)
   }
+
+  test("q508 reads comonotone tails as 1 and antimonotone tails as 0") {
+    val co = operators.InferenceQueries.q508(spark,
+      segMonthlyDir(1 to 12, m => m.toLong, m => 2L * m)).head()
+    assert((co.getLong(0), co.getLong(1), co.getLong(2), co.getLong(5),
+      co.getLong(6)) === ((12L, 2L, 2L, 1000000L, 1000000L)), co.toString)
+    val anti = operators.InferenceQueries.q508(spark,
+      segMonthlyDir(1 to 12, m => m.toLong, m => 26L - 2L * m)).head()
+    assert((anti.getLong(2), anti.getLong(4), anti.getLong(5),
+      anti.getLong(6)) === ((0L, 0L, 0L, 0L)), anti.toString)
+  }
 }
