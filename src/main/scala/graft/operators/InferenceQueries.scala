@@ -3818,6 +3818,167 @@ object InferenceQueries {
       |    ELSE (n_both_lo * 1000000) // n_x_lo END AS lambda_lower_micro
       |FROM agg""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q509 — Huber M-estimator of monthly revenue location
+  // ------------------------------------------------------------------
+
+  /** q509 — Huber M-location of monthly revenue: five stated
+    * iterations of μ ← μ + mean(clamp(y − μ, ±T)) with the clip at
+    * T = 1.345·MAD (the 95%-efficiency tuning) — the member that
+    * completes the robust-location ladder: the median (50% breakdown,
+    * 64% efficiency), HL q468 (86%), trimmed/winsorized q126/q227
+    * (tuning-dependent) — Huber keeps the median's outlier clamp but
+    * moves like the mean on clean data. All integer: the start is
+    * the exact nearest-rank median, MAD its nearest-rank twin
+    * (bounded month grid), T the milli-pinned 1345·mad div 1000, and
+    * each update one truncating division on the micro-kilo grid —
+    * the 5-iteration truncated sequence IS the statistic (q463/q488
+    * convention). The ≤grid-size fold runs on the driver (q270
+    * exception); the oracle replays it as a linear recursive CTE
+    * over a MATERIALIZED grid. MAD = 0 (constant data) → the clamp
+    * is zero and μ stays the median (stated). */
+  def q509(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ys = Tables.orders(s, d)
+      .groupBy((year($"o_orderdate") * 100 + month($"o_orderdate")).as("ym"))
+      .agg(sum(cents($"o_totalprice")).as("yc"))
+      .select(expr("yc div 100000").as("y"))
+      .collect().map(_.getLong(0)).sorted
+    val n = ys.length
+    val row: (Long, Long, Long, Long) =
+      if (n == 0) (0L, 0L, 0L, 0L)
+      else {
+        val med = ys((n + 1) / 2 - 1)
+        val devs = ys.map(y => math.abs(y - med)).sorted
+        val mad = devs((n + 1) / 2 - 1)
+        val t = 1345L * mad * 1000000L / 1000L
+        var mu = med * 1000000L
+        for (_ <- 1 to 5) {
+          val psi = ys.map { y =>
+            val r = y * 1000000L - mu
+            math.max(-t, math.min(t, r))
+          }.sum
+          mu = mu + psi / n
+        }
+        (n.toLong, med, mad, mu)
+      }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_months",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("median_k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("mad_k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("huber_micro_k",
+        org.apache.spark.sql.types.LongType)))
+    s.createDataFrame(
+      s.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+        row._1, row._2, row._3, row._4)), 1), schema)
+  }
+
+  val q509Sql: String =
+    """WITH RECURSIVE g AS MATERIALIZED (
+      |  SELECT CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |    AS BIGINT) // 100000 AS y
+      |  FROM orders GROUP BY year(o_orderdate)*100 + month(o_orderdate)),
+      |st AS MATERIALIZED (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    (SELECT y FROM (SELECT y, row_number() OVER (ORDER BY y) AS rn
+      |       FROM g) t, (SELECT count(*) AS c FROM g) c
+      |     WHERE rn = (c + 1) // 2) AS med
+      |  FROM g),
+      |st2 AS MATERIALIZED (
+      |  SELECT n, med,
+      |    (SELECT dv FROM (SELECT abs(y - med) AS dv,
+      |        row_number() OVER (ORDER BY abs(y - med)) AS rn
+      |       FROM g, st) t
+      |     WHERE rn = (n + 1) // 2) AS mad
+      |  FROM st),
+      |it(k, mu) AS (
+      |  SELECT 0, med * 1000000 FROM st2
+      |  UNION ALL
+      |  SELECT k + 1,
+      |    mu + (SELECT CAST(sum(greatest(-(1345 * mad * 1000000 // 1000),
+      |        least(1345 * mad * 1000000 // 1000, y * 1000000 - mu)))
+      |      AS BIGINT) FROM g, st2) // (SELECT n FROM st2)
+      |  FROM it WHERE k < 5)
+      |SELECT n AS n_months, med AS median_k, mad AS mad_k,
+      |  mu AS huber_micro_k
+      |FROM it, st2 WHERE k = 5""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q510 — distribution-free CI for the Hodges–Lehmann shift
+  // ------------------------------------------------------------------
+
+  /** q510 — the Moses distribution-free confidence interval around
+    * q468's Hodges–Lehmann shift: the 95% CI is the pair-difference
+    * order statistics at ranks C and n₁n₂+1−C with C = ⌊n₁n₂/2 −
+    * 1.959964·√(n₁n₂(n₁+n₂+1)/12)⌋ — the INFERENCE layer the point
+    * estimate lacks (the q429-over-q271 pattern): a shift estimate
+    * without its interval can't say whether the segments differ AT
+    * ALL. Exactness: ranks come from ONE fixed double tree (a pinned
+    * z, one sqrt on an exact integer argument, one floor — the q291
+    * convention) and are clamped to [1, n₁n₂] (stated); the three
+    * order statistics ride the same VALUE-GRID distributed prefix as
+    * q468 (never a global row window). Pair grid is calendar². n = 0
+    * → empty. */
+  def q510(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = segKiloMonthly(s, d).transform(Fx.materialize)
+    val pairs = g.select($"x")
+      .crossJoin(broadcast(g.select($"y")))
+      .select(($"x" - $"y").as("dd"))
+    val grid = pairs.groupBy($"dd").agg(count(lit(1)).as("cnt"))
+    val run = Ranking.groupRunningSum(grid, Seq(), 32, "cnt", $"dd")
+      .transform(Fx.materialize)
+    val ks = g.agg(count(lit(1)).as("n1"), count(lit(1)).as("n2"))
+      .select($"n1", $"n2", ($"n1" * $"n2").as("np"))
+      .withColumn("c_rank", greatest(lit(1L),
+        floor($"np".cast("double") / 2 -
+          lit(1.959964) * sqrt(expr(
+            "cast(n1 * n2 * (n1 + n2 + 1) as double)") / 12.0))
+          .cast("long")))
+      .withColumn("k_mid", expr("(np + 1) div 2"))
+      .withColumn("k_hi", least($"np", $"np" + 1 - $"c_rank"))
+    def pick(k: Column, name: String): DataFrame =
+      run.crossJoin(broadcast(ks))
+        .filter($"run_before" + $"cnt" >= k)
+        .agg(min($"dd").as(name))
+    ks.crossJoin(broadcast(pick($"c_rank", "ci_lo_k")))
+      .crossJoin(broadcast(pick($"k_mid", "hl_shift_k")))
+      .crossJoin(broadcast(pick($"k_hi", "ci_hi_k")))
+      .select($"n1", $"np".as("n_pairs"), $"c_rank", $"k_hi",
+        $"ci_lo_k", $"hl_shift_k", $"ci_hi_k")
+  }
+
+  val q510Sql: String =
+    s"""WITH g AS ($segKiloMonthlySql),
+      |pairs AS (SELECT a.x - b.y AS dd FROM g a, g b),
+      |grid AS (SELECT dd, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM pairs GROUP BY 1),
+      |run AS (SELECT dd, cnt, coalesce(sum(cnt) OVER (ORDER BY dd
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rb
+      |  FROM grid),
+      |ks AS (
+      |  SELECT n1, n2, np,
+      |    greatest(1, CAST(floor(CAST(np AS DOUBLE) / 2
+      |      - 1.959964 * sqrt(CAST(n1 * n2 * (n1 + n2 + 1) AS DOUBLE)
+      |        / 12.0)) AS BIGINT)) AS c_rank,
+      |    (np + 1) // 2 AS k_mid
+      |  FROM (SELECT CAST(count(*) AS BIGINT) AS n1,
+      |      CAST(count(*) AS BIGINT) AS n2,
+      |      CAST(count(*) AS BIGINT) * count(*) AS np FROM g) t),
+      |ks2 AS (SELECT *, least(np, np + 1 - c_rank) AS k_hi FROM ks),
+      |lo AS (SELECT min(dd) AS ci_lo_k FROM run, ks2
+      |  WHERE rb + cnt >= c_rank),
+      |mid AS (SELECT min(dd) AS hl_shift_k FROM run, ks2
+      |  WHERE rb + cnt >= k_mid),
+      |hi AS (SELECT min(dd) AS ci_hi_k FROM run, ks2
+      |  WHERE rb + cnt >= k_hi)
+      |SELECT n1, np AS n_pairs, c_rank, k_hi, ci_lo_k, hl_shift_k,
+      |  ci_hi_k
+      |FROM ks2, lo, mid, hi""".stripMargin
+
   lazy val all: Seq[QueryDef] = Seq(
     QueryDef("q467_mood_median", q467, Some(q467Sql)),
     QueryDef("q468_hodges_lehmann", q468, Some(q468Sql)),
@@ -3860,5 +4021,7 @@ object InferenceQueries {
     QueryDef("q505_ts_features", q505, Some(q505Sql)),
     QueryDef("q506_ndcg", q506, Some(q506Sql)),
     QueryDef("q507_skyline", q507, Some(q507Sql)),
-    QueryDef("q508_tail_dependence", q508, Some(q508Sql)))
+    QueryDef("q508_tail_dependence", q508, Some(q508Sql)),
+    QueryDef("q509_huber_location", q509, Some(q509Sql)),
+    QueryDef("q510_hl_shift_ci", q510, Some(q510Sql)))
 }

@@ -4704,4 +4704,52 @@ class PlantedStructureSpec extends SparkSpec {
     assert((anti.getLong(2), anti.getLong(4), anti.getLong(5),
       anti.getLong(6)) === ((0L, 0L, 0L, 0L)), anti.toString)
   }
+
+  /** Mirror of the q509 five-iteration Huber fold. */
+  private def huberRef(ys0: Seq[Long]): (Long, Long, Long) = {
+    val ys = ys0.sorted; val n = ys.size
+    val med = ys((n + 1) / 2 - 1)
+    val mad = ys.map(y => math.abs(y - med)).sorted.apply((n + 1) / 2 - 1)
+    val t = 1345L * mad * 1000000L / 1000L
+    var mu = med * 1000000L
+    for (_ <- 1 to 5)
+      mu += ys.map(y => math.max(-t, math.min(t, y * 1000000L - mu))).sum / n
+    (med, mad, mu)
+  }
+
+  test("q509 matches the Huber fold replay and shrugs off the planted outlier") {
+    val ramp = (1 to 12).map(_.toLong)
+    val r1 = operators.InferenceQueries.q509(spark,
+      perOrderMonthlyDir(2020, ramp.map(m => (m.toInt, m * 1000.0)))).head()
+    val (m1, d1, h1) = huberRef(ramp)
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3))
+      === ((12L, m1, d1, h1)), s"$r1 vs ($m1,$d1,$h1)")
+    // one wild month: the clamp caps its pull at T while the mean
+    // would fly to ~83,000 kilo
+    val wild = ramp.init :+ 1000000L
+    val r2 = operators.InferenceQueries.q509(spark,
+      perOrderMonthlyDir(2020,
+        wild.zipWithIndex.map { case (y, i) => (i + 1, y * 1000.0) })).head()
+    val (_, _, h2) = huberRef(wild)
+    assert(r2.getLong(3) === h2 && h2 < 9000000L,
+      s"$r2 vs replay $h2 — Huber must stay near the clean months")
+  }
+
+  test("q510 brackets the planted shift with the exact Moses interval") {
+    val xs = (1 to 12).map(m => 10L + m)
+    val ys = (1 to 12).map(_.toLong)
+    val diffs = (for (x <- xs; y <- ys) yield x - y).sorted
+    val np = 144L
+    val c = math.max(1L, math.floor(np / 2.0 -
+      1.959964 * math.sqrt(144.0 * 25 / 12)).toLong)
+    val kHi = math.min(np, np + 1 - c)
+    val r = operators.InferenceQueries.q510(spark,
+      segMonthlyDir(1 to 12, m => xs(m - 1), m => ys(m - 1))).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6))
+      === ((12L, np, c, kHi, diffs(c.toInt - 1), diffs(71), diffs(kHi.toInt - 1))),
+      s"$r vs c=$c kHi=$kHi")
+    assert(r.getLong(4) > 0,
+      "the planted 10-kilo shift must be significant: CI excludes 0")
+  }
 }
