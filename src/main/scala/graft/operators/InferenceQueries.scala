@@ -3979,6 +3979,181 @@ object InferenceQueries {
       |  ci_hi_k
       |FROM ks2, lo, mid, hi""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q511 — Breslow–Day homogeneity of odds ratios (the CMH check)
+  // ------------------------------------------------------------------
+
+  /** q511 — Breslow–Day test that q434's month-stratified odds ratios
+    * are HOMOGENEOUS — the assumption CMH pooling silently makes: a
+    * pooled OR over strata whose true ORs differ is a fiction, so
+    * this is the check that must pass BEFORE q434's estimate means
+    * anything (the q501-over-q226 assumption-check pattern). Per
+    * stratum the fitted cell â under the common OR R solves the BD
+    * quadratic (R−1)â² − [R(r1+c1) + n−r1−c1]â + R·r1·c1 = 0 (root
+    * inside the feasible cell box, both candidates computed and
+    * selected by the same comparisons in both engines; R = 1 → the
+    * linear root r1·c1/n), the term is (a−â)²/V̂ with the standard
+    * inverse-sum variance — a FIXED double tree over
+    * correctly-rounded casts (one sqrt; the q459/q453 convention),
+    * micro-floored per stratum (stated) and summed exactly.
+    * R itself is q434's stated micro construction. df = usable
+    * strata − 1 (degenerate margins excluded, stated); the verdict
+    * uses the q501 normal approximation in all-integer form.
+    * Heterogeneity flag = 1 means STOP trusting the pooled OR. */
+  def q511(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .select((year($"o_orderdate") * 12 + month($"o_orderdate")).cast("long")
+          .as("mk"),
+        ($"l_discount" > 0.05).cast("long").as("x"),
+        ($"l_returnflag" === "R").cast("long").as("yf"))
+      .groupBy($"mk")
+      .agg(sum($"x" * $"yf").as("a"),
+        sum($"x" * (lit(1L) - $"yf")).as("b"),
+        sum((lit(1L) - $"x") * $"yf").as("c"),
+        sum((lit(1L) - $"x") * (lit(1L) - $"yf")).as("d"))
+      .withColumn("n", $"a" + $"b" + $"c" + $"d")
+      .withColumn("r1", $"a" + $"b").withColumn("c1", $"a" + $"c")
+      .withColumn("usable",
+        ($"r1" > 0 && $"c1" > 0 && $"r1" < $"n" && $"c1" < $"n")
+          .cast("long"))
+      .transform(Fx.materialize)
+    val orp = cells.filter($"n" > 1L)
+      .agg(sum(expr("(cast(a as decimal(38,0)) * d * 1000000) div n"))
+          .as("s_ad"),
+        sum(expr("(cast(b as decimal(38,0)) * c * 1000000) div n"))
+          .as("s_bc"))
+      .select(when($"s_bc" > 0,
+        expr("cast((s_ad * 1000000) div s_bc as bigint)"))
+        .as("or_mh_micro"))
+    val terms = cells.crossJoin(broadcast(orp))
+      .filter($"usable" === 1 && $"or_mh_micro".isNotNull)
+      .withColumn("rr", $"or_mh_micro".cast("double") / 1e6)
+      .withColumn("bq",
+        $"rr" * ($"r1" + $"c1").cast("double") +
+          ($"n" - $"r1" - $"c1").cast("double"))
+      .withColumn("ahat",
+        when($"or_mh_micro" === 1000000L,
+          $"r1".cast("double") * $"c1".cast("double") / $"n".cast("double"))
+          .otherwise {
+            val aq = $"rr" - 1.0
+            val disc = sqrt(greatest(lit(0.0),
+              $"bq" * $"bq" - lit(4.0) * aq *
+                ($"rr" * $"r1".cast("double") * $"c1".cast("double"))))
+            val cand1 = ($"bq" - disc) / (lit(2.0) * aq)
+            val cand2 = ($"bq" + disc) / (lit(2.0) * aq)
+            val lo = greatest(lit(0.0),
+              ($"r1" + $"c1" - $"n").cast("double"))
+            val hi = least($"r1".cast("double"), $"c1".cast("double"))
+            when(cand1 > lo && cand1 < hi, cand1).otherwise(cand2)
+          })
+      .withColumn("vhat",
+        lit(1.0) / (lit(1.0) / $"ahat" +
+          lit(1.0) / ($"r1".cast("double") - $"ahat") +
+          lit(1.0) / ($"c1".cast("double") - $"ahat") +
+          lit(1.0) / (($"n" - $"r1" - $"c1").cast("double") + $"ahat")))
+      .withColumn("term_micro",
+        when($"vhat" > 0.0, floor(
+          ($"a".cast("double") - $"ahat") * ($"a".cast("double") - $"ahat")
+            / $"vhat" * 1000000 + 0.5).cast("long"))
+          .otherwise(lit(null).cast("long")))
+    terms.agg(sum(when($"term_micro".isNotNull, 1L).otherwise(0L)).as("k"),
+        sum($"term_micro").as("bd_chi2_micro"),
+        max($"or_mh_micro").as("or_mh_micro"))
+      .select($"k".as("n_strata_used"), $"or_mh_micro", $"bd_chi2_micro",
+        ($"k" - 1).as("df"))
+      .withColumn("heterogeneous_5pct",
+        when($"df" <= 0 || $"bd_chi2_micro".isNull, lit(null).cast("int"))
+          .otherwise((($"bd_chi2_micro" > $"df" * 1000000L) &&
+            expr("""(cast(bd_chi2_micro as decimal(38,0)) - df * 1000000)
+                    * (cast(bd_chi2_micro as decimal(38,0)) - df * 1000000)
+                    > 2 * cast(df as decimal(38,0)) * 2706025 * 1000000"""))
+            .cast("int")))
+  }
+
+  val q511Sql: String = {
+    val ahat =
+      """CASE WHEN or_mh_micro = 1000000
+        THEN CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE)
+        ELSE (CASE WHEN
+            (bq - sqrt(greatest(0.0, bq * bq - 4.0 * (rr - 1.0)
+              * (rr * CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE)))))
+              / (2.0 * (rr - 1.0))
+            > greatest(0.0, CAST(r1 + c1 - n AS DOUBLE))
+          AND (bq - sqrt(greatest(0.0, bq * bq - 4.0 * (rr - 1.0)
+              * (rr * CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE)))))
+              / (2.0 * (rr - 1.0))
+            < least(CAST(r1 AS DOUBLE), CAST(c1 AS DOUBLE))
+          THEN (bq - sqrt(greatest(0.0, bq * bq - 4.0 * (rr - 1.0)
+              * (rr * CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE)))))
+              / (2.0 * (rr - 1.0))
+          ELSE (bq + sqrt(greatest(0.0, bq * bq - 4.0 * (rr - 1.0)
+              * (rr * CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE)))))
+              / (2.0 * (rr - 1.0)) END) END"""
+    s"""WITH cells AS (
+      |  SELECT mk,
+      |    CAST(sum(x * yf) AS BIGINT) AS a,
+      |    CAST(sum(x * (1 - yf)) AS BIGINT) AS b,
+      |    CAST(sum((1 - x) * yf) AS BIGINT) AS c,
+      |    CAST(sum((1 - x) * (1 - yf)) AS BIGINT) AS d
+      |  FROM (
+      |    SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+      |        AS mk,
+      |      CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS x,
+      |      CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS yf
+      |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey) t
+      |  GROUP BY 1),
+      |cc AS (
+      |  SELECT *, a + b + c + d AS n, a + b AS r1, a + c AS c1,
+      |    CASE WHEN a + b > 0 AND a + c > 0 AND a + b < a + b + c + d
+      |      AND a + c < a + b + c + d THEN 1 ELSE 0 END AS usable
+      |  FROM cells),
+      |orp AS (
+      |  SELECT CASE WHEN s_bc > 0
+      |    THEN CAST((s_ad * 1000000) // s_bc AS BIGINT) END AS or_mh_micro
+      |  FROM (
+      |    SELECT sum((CAST(a AS HUGEINT) * d * 1000000) // n) AS s_ad,
+      |      sum((CAST(b AS HUGEINT) * c * 1000000) // n) AS s_bc
+      |    FROM cc WHERE n > 1) t),
+      |base AS (
+      |  SELECT a, r1, c1, n, or_mh_micro,
+      |    CAST(or_mh_micro AS DOUBLE) / 1e6 AS rr,
+      |    CAST(or_mh_micro AS DOUBLE) / 1e6 * CAST(r1 + c1 AS DOUBLE)
+      |      + CAST(n - r1 - c1 AS DOUBLE) AS bq
+      |  FROM cc, orp
+      |  WHERE usable = 1 AND or_mh_micro IS NOT NULL),
+      |fit AS (SELECT a, r1, c1, n, or_mh_micro, $ahat AS ahat FROM base),
+      |terms AS (
+      |  SELECT or_mh_micro,
+      |    CASE WHEN 1.0 / (1.0 / ahat + 1.0 / (CAST(r1 AS DOUBLE) - ahat)
+      |        + 1.0 / (CAST(c1 AS DOUBLE) - ahat)
+      |        + 1.0 / (CAST(n - r1 - c1 AS DOUBLE) + ahat)) > 0.0
+      |      THEN CAST(floor((CAST(a AS DOUBLE) - ahat)
+      |        * (CAST(a AS DOUBLE) - ahat)
+      |        / (1.0 / (1.0 / ahat + 1.0 / (CAST(r1 AS DOUBLE) - ahat)
+      |          + 1.0 / (CAST(c1 AS DOUBLE) - ahat)
+      |          + 1.0 / (CAST(n - r1 - c1 AS DOUBLE) + ahat)))
+      |        * 1000000 + 0.5) AS BIGINT)
+      |      ELSE NULL END AS term_micro
+      |  FROM fit),
+      |agg AS (
+      |  SELECT CAST(sum(CASE WHEN term_micro IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS k,
+      |    CAST(sum(term_micro) AS BIGINT) AS bd_chi2_micro,
+      |    CAST(max(or_mh_micro) AS BIGINT) AS or_mh_micro
+      |  FROM terms)
+      |SELECT k AS n_strata_used, or_mh_micro, bd_chi2_micro, k - 1 AS df,
+      |  CASE WHEN k - 1 <= 0 OR bd_chi2_micro IS NULL THEN NULL
+      |    ELSE CAST(bd_chi2_micro > (k - 1) * 1000000
+      |      AND (CAST(bd_chi2_micro AS HUGEINT) - (k - 1) * 1000000)
+      |        * (CAST(bd_chi2_micro AS HUGEINT) - (k - 1) * 1000000)
+      |        > 2 * CAST(k - 1 AS HUGEINT) * 2706025 * 1000000 AS INT) END
+      |    AS heterogeneous_5pct
+      |FROM agg""".stripMargin
+  }
+
   lazy val all: Seq[QueryDef] = Seq(
     QueryDef("q467_mood_median", q467, Some(q467Sql)),
     QueryDef("q468_hodges_lehmann", q468, Some(q468Sql)),
@@ -4023,5 +4198,6 @@ object InferenceQueries {
     QueryDef("q507_skyline", q507, Some(q507Sql)),
     QueryDef("q508_tail_dependence", q508, Some(q508Sql)),
     QueryDef("q509_huber_location", q509, Some(q509Sql)),
-    QueryDef("q510_hl_shift_ci", q510, Some(q510Sql)))
+    QueryDef("q510_hl_shift_ci", q510, Some(q510Sql)),
+    QueryDef("q511_breslow_day", q511, Some(q511Sql)))
 }

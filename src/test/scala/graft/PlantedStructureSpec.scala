@@ -4752,4 +4752,40 @@ class PlantedStructureSpec extends SparkSpec {
     assert(r.getLong(4) > 0,
       "the planted 10-kilo shift must be significant: CI excludes 0")
   }
+
+  test("q511 accepts a common planted OR and flags opposing strata") {
+    // rows: (month, n_lines, discounted?, returned?) -> lineitem+orders
+    def bdDir(strata: Seq[(Int, Long, Boolean, Boolean)]): String = {
+      val dir = Files.createTempDirectory("planted-bd")
+      val lines = strata.zipWithIndex.flatMap { case ((m, k, x, y), gi) =>
+        (1L to k).map(j => (gi * 1000000L + j, m,
+          if (x) 0.10 else 0.0, if (y) "R" else "N"))
+      }
+      lines.map(t => (t._1, t._3, t._4))
+        .toDF("l_orderkey", "l_discount", "l_returnflag")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(dir.resolve("lineitem.parquet").toString)
+      lines.map(t => (t._1, t._2))
+        .toDF("o_orderkey", "m")
+        .withColumn("o_orderdate",
+          to_timestamp(format_string("2020-%02d-15", $"m")))
+        .select($"o_orderkey", $"o_orderdate")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(dir.resolve("orders.parquet").toString)
+      dir.toString
+    }
+    def cells(m: Int, a: Long, b: Long, c: Long, d: Long) = Seq(
+      (m, a, true, true), (m, b, true, false),
+      (m, c, false, true), (m, d, false, false))
+    // both months share OR = 4: homogeneity must NOT be rejected
+    val homo = operators.InferenceQueries.q511(spark, bdDir(
+      cells(1, 40, 10, 10, 10) ++ cells(2, 40, 10, 10, 10))).head()
+    assert(homo.getLong(0) === 2L && homo.getLong(3) === 1L &&
+      homo.getInt(4) === 0, homo.toString)
+    // OR = 4 vs OR = 1/16: the pooled estimate is a fiction -> flag
+    val het = operators.InferenceQueries.q511(spark, bdDir(
+      cells(1, 40, 10, 10, 10) ++ cells(2, 10, 40, 40, 10))).head()
+    assert(het.getLong(0) === 2L && het.getInt(4) === 1,
+      s"opposing strata must reject homogeneity: $het")
+  }
 }
