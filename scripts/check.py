@@ -108,6 +108,10 @@ def main():
         with open(f"{out_dir}/check_summary.json", "w") as f:
             json.dump({"n_ok": n_ok, "n_bad": n_bad,
                        "timeout_sec": TIMEOUT_SEC,
+                       # the r13 lesson: three hash-only misses were a
+                       # DuckDB-VERSION divergence invisible without
+                       # knowing which engine version checked the round
+                       "duckdb_version": duckdb.__version__,
                        "failures": failures}, f)
     except OSError:
         pass

@@ -58,34 +58,55 @@ object TextAnalysis {
     }.otherwise(lit("unknown"))
   }
 
-  /** Word-salad quality score in [0,1]: token-count saturation +
-    * word-length sanity + stopword presence. Integer/ratio arithmetic
-    * only → deterministic cross-engine. */
-  def qualityScore(c: Column): Column = {
-    val toks = tokenCount(c).cast("double")
-    val chars = length(c).cast("double")
-    val avgWordLen = (chars - (toks - 1)) / toks
-    val stop = langScore(c, "en").cast("double")
-    least(toks / lit(50.0), lit(1.0)) * 0.4 +
-      when(avgWordLen >= 2.0 && avgWordLen <= 12.0, 0.3).otherwise(0.0) +
-      least(stop / lit(5.0), lit(1.0)) * 0.3
+  /** Word-salad quality score on the exact 1e-6 integer grid
+    * (BIGINT in [0, 1000000]): token-count saturation
+    * (min(toks,50)·8000 = the old 0.4·min(toks/50,1) band) +
+    * word-length sanity (avg word len in [2,12], tested as the
+    * cross-multiplied integer band chars−toks+1 ∈ [2·toks, 12·toks])
+    * + stopword presence (min(stop,5)·60000). Pure BIGINT arithmetic
+    * end-to-end — no float ever enters the score, so every consumer
+    * (binning, thresholds, rankings) is stable across engines AND
+    * across engine VERSIONS (the r13 driver ran a DuckDB whose float
+    * evaluation of the previous 0.4x+0.3+0.3y form differed at bin
+    * boundaries; see VERDICT r13). */
+  def qualityMicro(c: Column): Column = {
+    val toks = tokenCount(c).cast("long")
+    val chars = length(c).cast("long")
+    val stop = langScore(c, "en").cast("long")
+    least(toks, lit(50L)) * lit(8000L) +
+      when(chars - toks + lit(1L) >= toks * 2L &&
+        chars - toks + lit(1L) <= toks * 12L, lit(300000L)).otherwise(lit(0L)) +
+      least(stop, lit(5L)) * lit(60000L)
   }
 
-  /** Self-contained DuckDB mirror of [[qualityScore]] over a text
+  /** Quality score in [0,1] as a double: ONE division of the exact
+    * integer [[qualityMicro]] by 10⁶ — a single correctly-rounded
+    * IEEE op on identical operands, bit-identical in any engine.
+    * Consumers that re-quantize (floor(q·10⁶), round(q·10⁴)) must
+    * use [[qualityMicro]] directly instead — the float round-trip is
+    * exactly the boundary-instability class this grid removed. */
+  def qualityScore(c: Column): Column =
+    qualityMicro(c).cast("double") / lit(1000000.0)
+
+  /** Self-contained DuckDB mirror of [[qualityMicro]] over a text
     * column expression — no subquery intermediates, so any oracle can
-    * inline it (CurationQueries keeps its named-intermediate form; the
-    * arithmetic shape and therefore every IEEE result is identical). */
-  def sqlQualityScore(text: String): String = {
-    val toks = s"CAST(length($text) - length(replace($text, ' ', '')) + 1 AS INT)"
-    val chars = s"CAST(length($text) AS DOUBLE)"
+    * inline it. Pure BIGINT, identical to the Column form. */
+  def sqlQualityMicro(text: String): String = {
+    val toks = s"CAST(length($text) - length(replace($text, ' ', '')) + 1 AS BIGINT)"
+    val chars = s"CAST(length($text) AS BIGINT)"
     val stop = s"(${sqlWordOccurrences(s"lower($text)", "the")} + " +
       s"${sqlWordOccurrences(s"lower($text)", "and")} + " +
       s"${sqlWordOccurrences(s"lower($text)", "of")})"
-    val awl = s"(($chars - ($toks - 1.0)) / $toks)"
-    s"(least($toks / 50.0, 1.0) * 0.4 + " +
-      s"(CASE WHEN $awl >= 2.0 AND $awl <= 12.0 THEN 0.3 ELSE 0.0 END) + " +
-      s"least($stop / 5.0, 1.0) * 0.3)"
+    s"(least($toks, 50) * 8000 + " +
+      s"(CASE WHEN $chars - $toks + 1 >= $toks * 2 " +
+      s"AND $chars - $toks + 1 <= $toks * 12 THEN 300000 ELSE 0 END) + " +
+      s"least($stop, 5) * 60000)"
   }
+
+  /** SQL mirror of [[qualityScore]]: the micro integer divided by 10⁶
+    * in one double op. */
+  def sqlQualityScore(text: String): String =
+    s"(CAST(${sqlQualityMicro(text)} AS DOUBLE) / 1000000.0)"
 
   /** Content fingerprint (md5 hex — identical in Spark and DuckDB). */
   def fingerprint(c: Column): Column = md5(c)

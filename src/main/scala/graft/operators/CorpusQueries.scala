@@ -277,41 +277,56 @@ object CorpusQueries {
   /** q156 — score every doc with the frozen model, histogram the
     * margins on a fixed quarter-unit grid, count accepts (margin > 0)
     * per (lang, bucket). Scoring fuses into the scan (one pass, no
-    * shuffle before the tiny histogram agg). */
+    * shuffle before the tiny histogram agg).
+    *
+    * Exactness: the float margin m = 0.01·toks + 0.15·awl +
+    * 2·stop/toks + 1.5·uniq/toks − 1.2 times 100·toks is the INTEGER
+    * m100 = toks² + 15·(chars−toks+1) + 200·stop + 150·uniq −
+    * 120·toks (toks > 0 always), so pass = m100 > 0 and the quarter
+    * bucket floor(4m) = floor(m100/(25·toks)) ride pure BIGINTs — no
+    * engine-version float boundary anywhere (the r13 lesson). The
+    * floor of the possibly-negative quotient is taken after a +10
+    * bucket shift (m > −4.8 by construction, so the shifted numerator
+    * is positive and truncating division IS floor in any engine). */
   def q156(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val feats = modelFeatures($"text")
-    val score = feats.zip(modelWeights).map {
-      case ((_, c), (_, w)) => c * w
-    }.reduce(_ + _) + modelBias
+    val toks = graft.functions.TextAnalysis.tokenCount($"text").cast("long")
+    val chars = length($"text").cast("long")
+    val stop = graft.functions.TextAnalysis.langScore($"text", "en").cast("long")
+    val uniq = size(array_distinct(split($"text", " "))).cast("long")
     Tables.documents(s, d)
-      .select($"lang", floor(score * 4).cast("long").as("bucket"),
-        (score > 0).cast("long").as("pass"))
+      .select($"lang",
+        (toks * toks + (chars - toks + lit(1L)) * lit(15L) +
+          stop * lit(200L) + uniq * lit(150L) - toks * lit(120L)).as("m100"),
+        (toks * lit(25L)).as("den"))
+      .withColumn("bucket", expr("(m100 + den * 10) div den - 10"))
+      .withColumn("pass", ($"m100" > 0L).cast("long"))
       .groupBy($"lang", $"bucket")
       .agg(count(lit(1)).as("n_docs"), sum($"pass").as("n_pass"))
       .orderBy($"lang", $"bucket")
   }
 
   val q156Sql: String = {
-    val toks = "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT)"
+    val toks = "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
     val stop = graft.functions.TextAnalysis.sqlWordOccurrences("lower(text)", "the") +
       " + " + graft.functions.TextAnalysis.sqlWordOccurrences("lower(text)", "and") +
       " + " + graft.functions.TextAnalysis.sqlWordOccurrences("lower(text)", "of")
     s"""WITH f AS (
-       |  SELECT lang,
-       |    CAST($toks AS DOUBLE) AS f_toks,
-       |    (CAST(length(text) AS DOUBLE) - ($toks - 1.0)) / $toks AS f_awl,
-       |    CAST($stop AS DOUBLE) / $toks AS f_stop,
-       |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-       |      / $toks AS f_uniq
+       |  SELECT lang, $toks AS toks,
+       |    CAST(length(text) AS BIGINT) AS chars,
+       |    CAST($stop AS BIGINT) AS stop,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS uniq
        |  FROM documents),
        |sc AS (
-       |  SELECT lang, f_toks * 0.01 + f_awl * 0.15 + f_stop * 2.0
-       |    + f_uniq * 1.5 + -1.2 AS score FROM f)
-       |SELECT lang, CAST(floor(score * 4) AS BIGINT) AS bucket,
+       |  SELECT lang,
+       |    toks * toks + (chars - toks + 1) * 15 + stop * 200
+       |      + uniq * 150 - toks * 120 AS m100,
+       |    toks * 25 AS den FROM f)
+       |SELECT lang,
+       |  CAST((m100 + den * 10) // den - 10 AS BIGINT) AS bucket,
        |  count(*) AS n_docs,
-       |  CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
-       |FROM sc GROUP BY lang, bucket
+       |  CAST(sum(CASE WHEN m100 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+       |FROM sc GROUP BY 1, 2
        |ORDER BY lang, bucket""".stripMargin
   }
 

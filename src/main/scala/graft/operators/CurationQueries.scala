@@ -17,6 +17,11 @@ object CurationQueries {
 
   private def quality(c: Column): Column =
     graft.functions.TextAnalysis.qualityScore(c)
+  /** The exact-integer micro grid — every re-quantizing consumer
+    * (floor(q·10⁶) bins, round(q·10⁴) grids) reads THIS, never a
+    * float round-trip. */
+  private def qualityMicro(c: Column): Column =
+    graft.functions.TextAnalysis.qualityMicro(c)
 
   /** The q41 quality expression over a subquery exposing
     * toks/chars/stop_en — kept in exact parity with
@@ -26,10 +31,13 @@ object CurationQueries {
   private def occSql(w: String): String =
     graft.functions.TextAnalysis.sqlWordOccurrences("lower(text)", w)
   private val stopEnSql = s"(${occSql("the")} + ${occSql("and")} + ${occSql("of")})"
-  private val qualitySql: String = {
-    val awl = "((chars - (toks - 1.0)) / toks)"
-    s"(least(toks / 50.0, 1.0) * 0.4 + (CASE WHEN $awl >= 2.0 AND $awl <= 12.0 THEN 0.3 ELSE 0.0 END) + least(stop_en / 5.0, 1.0) * 0.3)"
-  }
+  /** Exact-integer micro score over a subquery exposing
+    * toks/chars/stop_en (all BIGINT-able) — the named-intermediate
+    * twin of [[graft.functions.TextAnalysis.sqlQualityMicro]]. */
+  private val qualityMicroSql: String =
+    "(least(toks, 50) * 8000 + (CASE WHEN CAST(chars AS BIGINT) - toks + 1 >= toks * 2 AND CAST(chars AS BIGINT) - toks + 1 <= toks * 12 THEN 300000 ELSE 0 END) + least(stop_en, 5) * 60000)"
+  private val qualitySql: String =
+    s"(CAST($qualityMicroSql AS DOUBLE) / 1000000.0)"
   private val scoredSql =
     s"""SELECT doc_id, md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS fp,
        |  $qualitySql AS q FROM (
@@ -545,11 +553,12 @@ object CurationQueries {
     import s.implicits._
     val budget = 2000000L
     // per-doc quality on the 1e-4 grid → exact integer units
-    val qual = graft.functions.TextAnalysis.qualityScore($"text")
+    // (round(micro/100) = (micro+50) div 100, never a float round-trip)
     val per = Tables.documents(s, d)
       .select($"source",
         graft.functions.TextAnalysis.tokenCount($"text").cast("long").as("toks"),
-        floor(qual * 10000 + lit(0.5)).cast("long").as("q4"))
+        qualityMicro($"text").as("qm"))
+      .withColumn("q4", expr("(qm + 50) div 100"))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"toks").as("tokens"),
         sum($"q4").as("q4_sum"))
@@ -568,7 +577,7 @@ object CurationQueries {
   val q195Sql: String =
     s"""WITH scored AS (
        |  SELECT source, toks,
-       |    CAST(floor(($qualitySql) * 10000 + 0.5) AS BIGINT) AS q4
+       |    CAST(($qualityMicroSql + 50) // 100 AS BIGINT) AS q4
        |  FROM (
        |    SELECT source, $tokSql AS toks,
        |      CAST(length(text) AS DOUBLE) AS chars, $stopEnSql AS stop_en, text
@@ -969,7 +978,9 @@ object CurationQueries {
     val base = Tables.documents(s, d)
       .select($"source", $"doc_id",
         graft.functions.TextAnalysis.tokenCount($"text").cast("long").as("toks"),
-        floor(quality($"text") * 10000 + lit(0.5)).cast("long").as("q4"))
+        qualityMicro($"text").as("qm"))
+      .withColumn("q4", expr("(qm + 50) div 100"))
+      .drop("qm")
     Ranking.groupRunningSum(base, Seq("source"), 8, "toks",
         $"q4".desc, $"doc_id".asc)
       .groupBy($"source")
@@ -983,7 +994,7 @@ object CurationQueries {
   val q253Sql: String =
     s"""WITH scored AS (
        |  SELECT source, doc_id, toks,
-       |    CAST(floor(($qualitySql) * 10000 + 0.5) AS BIGINT) AS q4
+       |    CAST(($qualityMicroSql + 50) // 100 AS BIGINT) AS q4
        |  FROM (
        |    SELECT source, doc_id, $tokSql AS toks,
        |      CAST(length(text) AS DOUBLE) AS chars, $stopEnSql AS stop_en, text
@@ -1288,9 +1299,8 @@ object CurationQueries {
     * the ≤11-value bin domain — the audit costs a single pass. */
   def q318(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val q = graft.functions.TextAnalysis.qualityScore($"text")
     val f = Tables.documents(s, d)
-      .select(floor(q * 1000000).cast("long").as("qm"),
+      .select(qualityMicro($"text").as("qm"),
         ($"lang" === "en").cast("long").as("y"))
       .withColumn("bin", expr("qm div 100000"))
     f.groupBy($"bin")
@@ -1308,9 +1318,9 @@ object CurationQueries {
   }
 
   val q318Sql: String = {
-    val quality = graft.functions.TextAnalysis.sqlQualityScore("text")
+    val quality = graft.functions.TextAnalysis.sqlQualityMicro("text")
     s"""WITH f AS (
-       |  SELECT CAST(floor(($quality) * 1000000) AS BIGINT) AS qm,
+       |  SELECT CAST(($quality) AS BIGINT) AS qm,
        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
        |  FROM documents),
        |b AS (
@@ -1444,9 +1454,8 @@ object CurationQueries {
     * `bin` BY CONSTRUCTION, whatever the raw rates do. */
   def q457(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val q = graft.functions.TextAnalysis.qualityScore($"text")
     val bins = Tables.documents(s, d)
-      .select(floor(q * 1000000).cast("long").as("qm"),
+      .select(qualityMicro($"text").as("qm"),
         ($"lang" === "en").cast("long").as("en"))
       .groupBy(expr("qm div 100000").as("ord"))
       .agg(count(lit(1)).as("n"), sum($"en").as("y"))
@@ -1455,9 +1464,9 @@ object CurationQueries {
   }
 
   val q457Sql: String = {
-    val quality = graft.functions.TextAnalysis.sqlQualityScore("text")
+    val quality = graft.functions.TextAnalysis.sqlQualityMicro("text")
     s"""WITH f AS (
-       |  SELECT CAST(floor(($quality) * 1000000) AS BIGINT) AS qm,
+       |  SELECT CAST(($quality) AS BIGINT) AS qm,
        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en
        |  FROM documents),
        |bins AS (

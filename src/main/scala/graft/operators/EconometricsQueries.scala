@@ -414,7 +414,11 @@ object EconometricsQueries {
   // ------------------------------------------------------------------
 
   /** q455 — Chow test of the monthly revenue TREND at the known
-    * breakpoint 1998-01 (mid-span of the 1995-01..2001-08 order calendar): fit y ~ a + b·t separately before/after and
+    * breakpoint 1998-01. The TPC-H o_orderdate calendar spans
+    * 1992-01..1998-08, so the break sits ~8 months from the END of
+    * the series (n_post ≈ 8 — a short post-break regime, low power
+    * for small shifts; the a-priori-date semantics are the point,
+    * not the placement): fit y ~ a + b·t separately before/after and
     * pooled; F = ((SSE_p − SSE₁ − SSE₂)/2)/((SSE₁+SSE₂)/(n−4)) asks
     * whether one line explains both regimes. Distinct from q296
     * (binary segmentation SEARCHES for a mean-shift breakpoint) and

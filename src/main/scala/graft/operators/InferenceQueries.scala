@@ -2191,9 +2191,8 @@ object InferenceQueries {
     * practice). One scan + bounded-bin groupBy. */
   def q491(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val q = graft.functions.TextAnalysis.qualityScore($"text")
     val bins = Tables.documents(s, d)
-      .select(floor(q * 1000000).cast("long").as("qm"),
+      .select(graft.functions.TextAnalysis.qualityMicro($"text").as("qm"),
         ($"lang" === "en").cast("long").as("y"))
       .withColumn("bin", expr("qm div 100000"))
       .groupBy($"bin")
@@ -2220,9 +2219,9 @@ object InferenceQueries {
   }
 
   val q491Sql: String = {
-    val quality = graft.functions.TextAnalysis.sqlQualityScore("text")
+    val quality = graft.functions.TextAnalysis.sqlQualityMicro("text")
     s"""WITH f AS (
-      |  SELECT CAST(floor(($quality) * 1000000) AS BIGINT) AS qm,
+      |  SELECT CAST(($quality) AS BIGINT) AS qm,
       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
       |  FROM documents),
       |b AS (
@@ -2549,9 +2548,8 @@ object InferenceQueries {
   def q495(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val W = org.apache.spark.sql.expressions.Window
-    val q = graft.functions.TextAnalysis.qualityScore($"text")
     val bins = Tables.documents(s, d)
-      .select(floor(q * 1000000).cast("long").as("qm"),
+      .select(graft.functions.TextAnalysis.qualityMicro($"text").as("qm"),
         ($"lang" === "en").cast("long").as("y"))
       .groupBy(expr("qm div 100000").as("bin"))
       .agg(count(lit(1)).as("n"), sum($"y").as("pos"))
@@ -2600,9 +2598,9 @@ object InferenceQueries {
   }
 
   val q495Sql: String = {
-    val quality = graft.functions.TextAnalysis.sqlQualityScore("text")
+    val quality = graft.functions.TextAnalysis.sqlQualityMicro("text")
     s"""WITH f AS (
-      |  SELECT CAST(floor(($quality) * 1000000) AS BIGINT) AS qm,
+      |  SELECT CAST(($quality) AS BIGINT) AS qm,
       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
       |  FROM documents),
       |bins AS (
@@ -3040,11 +3038,11 @@ object InferenceQueries {
     * no pair materialization anywhere. */
   def q500(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val q = graft.functions.TextAnalysis.qualityScore($"text")
     val docs = Tables.documents(s, d)
       .filter($"text".isNotNull && $"n_chars".isNotNull && $"n_chars" > 0)
       .select($"source", substring($"text", 1, 60).as("grp"),
-        (floor(q * 1000000).cast("long") >= 500000L).cast("long").as("q_pass"),
+        (graft.functions.TextAnalysis.qualityMicro($"text") >= 500000L)
+          .cast("long").as("q_pass"),
         ($"lang" === "en").cast("long").as("is_en"), $"n_chars".as("len"))
       .transform(Fx.materialize)
     val fam = docs.groupBy($"grp").agg(count(lit(1)).as("k"))
@@ -3073,10 +3071,10 @@ object InferenceQueries {
   }
 
   val q500Sql: String = {
-    val quality = graft.functions.TextAnalysis.sqlQualityScore("text")
+    val quality = graft.functions.TextAnalysis.sqlQualityMicro("text")
     s"""WITH docs AS (
       |  SELECT source, substr(text, 1, 60) AS grp,
-      |    CASE WHEN CAST(floor(($quality) * 1000000) AS BIGINT) >= 500000
+      |    CASE WHEN CAST(($quality) AS BIGINT) >= 500000
       |      THEN 1 ELSE 0 END AS q_pass,
       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
       |    CAST(n_chars AS BIGINT) AS len
@@ -3697,10 +3695,10 @@ object InferenceQueries {
   def q507(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val W = org.apache.spark.sql.expressions.Window
-    val q = graft.functions.TextAnalysis.qualityScore($"text")
     val docs = Tables.documents(s, d)
       .filter($"text".isNotNull && $"n_chars".isNotNull && $"n_chars" > 0)
-      .select($"doc_id", floor(q * 1000000).cast("long").as("qm"),
+      .select($"doc_id",
+        graft.functions.TextAnalysis.qualityMicro($"text").as("qm"),
         $"n_chars".as("len"))
       .transform(Fx.materialize)
     val grid = docs.groupBy($"qm").agg(min($"len").as("mlen"))
@@ -3716,9 +3714,9 @@ object InferenceQueries {
   }
 
   val q507Sql: String = {
-    val quality = graft.functions.TextAnalysis.sqlQualityScore("text")
+    val quality = graft.functions.TextAnalysis.sqlQualityMicro("text")
     s"""WITH docs AS (
-      |  SELECT doc_id, CAST(floor(($quality) * 1000000) AS BIGINT) AS qm,
+      |  SELECT doc_id, CAST(($quality) AS BIGINT) AS qm,
       |    CAST(n_chars AS BIGINT) AS len
       |  FROM documents
       |  WHERE text IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0),

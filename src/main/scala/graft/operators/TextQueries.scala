@@ -64,7 +64,7 @@ object TextQueries {
     val toks = "toks"
     val awl = s"((chars - ($toks - 1.0)) / $toks)"
     val quality =
-      s"(least($toks / 50.0, 1.0) * 0.4 + (CASE WHEN $awl >= 2.0 AND $awl <= 12.0 THEN 0.3 ELSE 0.0 END) + least(stop_en / 5.0, 1.0) * 0.3)"
+      "(CAST((least(toks, 50) * 8000 + (CASE WHEN CAST(chars AS BIGINT) - toks + 1 >= toks * 2 AND CAST(chars AS BIGINT) - toks + 1 <= toks * 12 THEN 300000 ELSE 0 END) + least(stop_en, 5) * 60000) AS DOUBLE) / 1000000.0)"
     s"""SELECT doc_id, toks,
        |${sqlR4(awl)} AS avg_word_len,
        |stop_en,
@@ -1082,11 +1082,19 @@ object TextQueries {
          |  SELECT v.word,
          |    150000 + (850000 * COALESCE(c.cs, 0)) // 1000000 AS r
          |  FROM vocab v LEFT JOIN c$i c ON c.word = v.word)""".stripMargin
-    s"""WITH t AS (
+    s"""WITH RECURSIVE t AS (
        |  SELECT string_split(text, ' ') AS ws FROM documents),
+       |-- positions 1..max(len)-1 via a recursive CTE: ANSI SQL, no
+       |-- unnest(range(...)) lateral alias binding (which changed
+       |-- semantics across DuckDB versions — VERDICT r13)
+       |pos(p) AS (
+       |  SELECT 1
+       |  UNION ALL
+       |  SELECT p + 1 FROM pos
+       |  WHERE p + 1 <= (SELECT max(len(ws)) - 1 FROM t)),
        |big AS (
-       |  SELECT ws[CAST(p AS INT)] AS u, ws[CAST(p AS INT) + 1] AS v
-       |  FROM t, unnest(range(1, len(ws))) AS r(p)),
+       |  SELECT ws[p] AS u, ws[p + 1] AS v
+       |  FROM t JOIN pos ON pos.p <= len(ws) - 1),
        |bg AS (SELECT u, v FROM big
        |       WHERE u <> '' AND v <> '' AND u <> v),
        |und AS (

@@ -332,7 +332,7 @@ object TrainingQueries {
     val stop = s"(${occ("the")} + ${occ("and")} + ${occ("of")})"
     val awl = "((chars - (toks - 1.0)) / toks)"
     val quality =
-      s"(least(toks / 50.0, 1.0) * 0.4 + (CASE WHEN $awl >= 2.0 AND $awl <= 12.0 THEN 0.3 ELSE 0.0 END) + least(stop_en / 5.0, 1.0) * 0.3)"
+      "(CAST((least(toks, 50) * 8000 + (CASE WHEN CAST(chars AS BIGINT) - toks + 1 >= toks * 2 AND CAST(chars AS BIGINT) - toks + 1 <= toks * 12 THEN 300000 ELSE 0 END) + least(stop_en, 5) * 60000) AS DOUBLE) / 1000000.0)"
     s"""SELECT doc_id, lang, ${sqlR4(quality)} AS quality, ${sqlR6("u")} AS u
        |FROM (
        |  SELECT doc_id, lang, toks, chars, stop_en,
@@ -834,9 +834,9 @@ object TrainingQueries {
     * integer accumulators per group. */
   def q322(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val q = graft.functions.TextAnalysis.qualityScore($"text")
     Tables.documents(s, d)
-      .select($"source", floor(q * 1000000).cast("long").as("w"))
+      .select($"source",
+        graft.functions.TextAnalysis.qualityMicro($"text").as("w"))
       .groupBy($"source")
       .agg(count(lit(1)).as("n"), sum($"w").as("sw"),
         sum(expr("cast(w as decimal(38,0)) * w")).as("sw2"))
@@ -850,9 +850,9 @@ object TrainingQueries {
   }
 
   val q322Sql: String = {
-    val quality = graft.functions.TextAnalysis.sqlQualityScore("text")
+    val quality = graft.functions.TextAnalysis.sqlQualityMicro("text")
     s"""WITH f AS (
-       |  SELECT source, CAST(floor(($quality) * 1000000) AS BIGINT) AS w
+       |  SELECT source, CAST(($quality) AS BIGINT) AS w
        |  FROM documents),
        |g AS (
        |  SELECT source, CAST(count(*) AS BIGINT) AS n,

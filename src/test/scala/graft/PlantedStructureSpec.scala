@@ -4231,15 +4231,19 @@ class PlantedStructureSpec extends SparkSpec {
     // four crafted text shapes pin four score bins (replayed through
     // the same IEEE score arithmetic)
     def qm(text: String): Long = {
-      val toks = (text.length - text.replace(" ", "").length + 1).toDouble
-      val chars = text.length.toDouble
-      val awl = (chars - (toks - 1)) / toks
-      val stop = Seq("the", "and", "of").map(w =>
-        text.toLowerCase.split("[^a-z]+").count(_ == w)).sum.toDouble
-      val sc = math.min(toks / 50.0, 1.0) * 0.4 +
-        (if (awl >= 2.0 && awl <= 12.0) 0.3 else 0.0) +
-        math.min(stop / 5.0, 1.0) * 0.3
-      math.floor(sc * 1000000).toLong
+      // integer replay of TextAnalysis.qualityMicro (the exact 1e-6
+      // grid — no float ever enters the score)
+      val toks = (text.length - text.replace(" ", "").length + 1).toLong
+      val chars = text.length.toLong
+      val stop = Seq("the", "and", "of").map { w =>
+        val padded = s" ${text.toLowerCase} "
+        val needle = s" $w "
+        (padded.length - padded.replace(needle, "").length) / needle.length
+      }.sum.toLong
+      math.min(toks, 50L) * 8000L +
+        (if (chars - toks + 1 >= 2 * toks && chars - toks + 1 <= 12 * toks)
+          300000L else 0L) +
+        math.min(stop, 5L) * 60000L
     }
     val zs = (1 to 5).map(i => (i.toLong, "z", "fr", "s", 1L))
     val zzs = (6 to 15).map(i =>
