@@ -23,7 +23,8 @@ object SparkEntry {
       operators.IndexingQueries.all ++ operators.GovernanceQueries.all ++
       operators.AssociationQueries.all ++ operators.LakehouseQueries.all ++
       operators.PruningQueries.all ++ operators.EconometricsQueries.all ++
-      operators.InferenceQueries.all
+      operators.InferenceQueries.all ++
+      operators.DecisionQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,621 @@
+package graft.operators
+
+import graft.{Fx, QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-14 batch: the DECISION layer on top of the existing test
+  * batteries — rater agreement (Fleiss κ q513, the ≥3-rater member
+  * beside Cohen's κ q471), paired-categorical marginal homogeneity
+  * (Stuart–Maxwell q514, the LOCATION companion to Bowker q475's
+  * symmetry), post-hoc multiple comparisons (Tukey–Kramer HSD q515 —
+  * WHICH segments differ once an omnibus q334/q467 rejects), blocked
+  * ranks weighted by block information (Quade q512, the
+  * range-weighted member of the Friedman q351 / Page q400 family),
+  * exact small-sample tests (sign test q516 with the exact binomial
+  * tail; Fisher–Pitman permutation q517 with md5-seeded sign flips —
+  * the TEST companion to q340's bootstrap CI), clustering reliability
+  * (ICC(1) q518 — the design-effect correlation q322's Kish deff
+  * presumes), and training-compute/vocabulary planning (Chinchilla
+  * allocation q519, vocab-coverage/OOV curve q520, Matryoshka
+  * truncated-dimension retrieval recall q521).
+  *
+  * Exactness discipline (the q334/q448/q460 conventions): counts,
+  * cent/1e-4-grid revenue sums, and moment sums are exact BIGINT /
+  * DECIMAL(38,0); every reported statistic is a stated truncating
+  * micro-division of exact integers; verdicts compare micro integers
+  * against pinned critical literals (χ², F, studentized range). The
+  * quality signal is the exact integer micro grid
+  * ([[graft.functions.TextAnalysis.qualityMicro]]) — no float ever
+  * feeds a bin or threshold.
+  */
+object DecisionQueries {
+  import Fx._
+
+  /** Exact cents of a 2-decimal money column. */
+  private def cents(c: Column): Column = floor(c * 100 + 0.5).cast("long")
+
+  /** Exact 1e-4-dollar units of lineitem discounted revenue:
+    * cents(extendedprice) · (100 − pct(discount)) — both factors
+    * exact integers off 2-decimal grids. */
+  private def rev4(price: Column, disc: Column): Column =
+    cents(price) * (lit(100L) - floor(disc * 100 + 0.5).cast("long"))
+
+  private val rev4Sql =
+    """(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+       * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))"""
+
+  // ------------------------------------------------------------------
+  // q512 — Quade test across market segments, year-blocked
+  // ------------------------------------------------------------------
+
+  /** q512 — Quade test of segment revenue across order-year blocks:
+    * Friedman's blocked ranks, but each block is WEIGHTED by the rank
+    * of its sample range, so high-information years (big between-
+    * segment spread) dominate — the member of the q351/q400 blocked-
+    * rank family that uses the within-block spread the others discard
+    * (Quade 1979). Blocks with incomplete segment coverage are
+    * excluded (stated — Quade requires complete blocks).
+    *
+    * Exactness: within-block ranks and the block-weight ranks use the
+    * DOUBLED average-rank convention (D = 2·rank_min + ties − 1,
+    * exact integers — q448/q456's device), so the scaled score
+    * 4·S_ij = E_i·(D_ij − (k+1)) is a pure BIGINT; with T_j = Σᵢ4S_ij
+    * the statistic F = (n−1)·ΣT_j² / (n·Σ(4S_ij)² − ΣT_j²) (the 16s
+    * cancel) is ONE truncating micro-division on DECIMAL(38,0).
+    * Perfect agreement (denominator ≤ 0) → NULL F (stated). Verdict
+    * vs the pinned F(k−1 = 4, df2) 5% ladder.
+    *
+    * Scale shape: one orders⋈customer join (both sides shuffled on
+    * the key, AQE-sized), collapsed immediately to the year×segment
+    * CELL grid (≤ 7×5); every window/rank after that is over the
+    * bounded grid, never the fact table. */
+  def q512(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val cells = Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        $"o_custkey" === $"c_custkey")
+      .groupBy(year($"o_orderdate").as("yr"), $"c_mktsegment".as("seg"))
+      .agg(sum(cents($"o_totalprice")).as("y"))
+    val full = cells
+      .withColumn("kk", count(lit(1)).over(Window.partitionBy($"yr")))
+      .filter($"kk" === 5).drop("kk")
+      .transform(Fx.materialize)
+    // doubled within-block average ranks
+    val wB = Window.partitionBy($"yr").orderBy($"y")
+    val ranked = full
+      .withColumn("dd",
+        lit(2L) * rank().over(wB) +
+          count(lit(1)).over(Window.partitionBy($"yr", $"y")) - 1L)
+    // doubled block-weight ranks of the block ranges
+    val rng = full.groupBy($"yr").agg((max($"y") - min($"y")).as("rng"))
+    val wR = Window.orderBy($"rng")
+    val wts = rng
+      .withColumn("ee",
+        lit(2L) * rank().over(wR) +
+          count(lit(1)).over(Window.partitionBy($"rng")) - 1L)
+      .select($"yr".as("wyr"), $"ee")
+    val sc = ranked.join(broadcast(wts), $"yr" === $"wyr")
+      .select($"yr", $"seg", ($"ee" * ($"dd" - 6L)).as("s4"))
+    val tj = sc.groupBy($"seg").agg(sum($"s4").as("t4"))
+    val tot = sc.agg(
+        sum(expr("cast(s4 as decimal(38,0)) * s4")).as("a16"),
+        countDistinct($"yr").as("nb"))
+      .crossJoin(tj.agg(sum(expr("cast(t4 as decimal(38,0)) * t4")).as("b16")))
+      .select($"nb", $"a16", $"b16",
+        when($"nb" * $"a16" - $"b16" <= 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "cast((((nb - 1) * b16) * 1000000) div (nb * a16 - b16) as bigint)"))
+          .as("f_micro"),
+        (($"nb" - 1) * 4).cast("long").as("df2"))
+      .withColumn("f_crit_micro", expr(
+        """cast(case df2 when 4 then 6388233 when 8 then 3837853
+           when 12 then 3259167 when 16 then 3006917 when 20 then 2866081
+           when 24 then 2776289 when 28 then 2714076
+           else 2371945 end as bigint)"""))
+      .withColumn("reject_5pct",
+        when($"f_micro".isNull, lit(null).cast("int"))
+          .otherwise(($"f_micro" > $"f_crit_micro").cast("int")))
+    tj.crossJoin(broadcast(tot.select(
+        $"nb".as("n_blocks"), $"f_micro", $"df2", $"reject_5pct")))
+      .select($"seg", $"t4".as("t_scaled"), $"n_blocks", $"f_micro",
+        $"df2", $"reject_5pct")
+      .orderBy($"seg")
+  }
+
+  val q512Sql: String =
+    """WITH cells AS (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS yr, c_mktsegment AS seg,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS y
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |full_b AS (
+      |  SELECT * FROM (
+      |    SELECT *, count(*) OVER (PARTITION BY yr) AS kk FROM cells) c
+      |  WHERE kk = 5),
+      |ranked AS (
+      |  SELECT yr, seg,
+      |    2 * rank() OVER (PARTITION BY yr ORDER BY y)
+      |      + count(*) OVER (PARTITION BY yr, y) - 1 AS dd
+      |  FROM full_b),
+      |rng AS (SELECT yr, max(y) - min(y) AS rng FROM full_b GROUP BY 1),
+      |wts AS (
+      |  SELECT yr,
+      |    2 * rank() OVER (ORDER BY rng)
+      |      + count(*) OVER (PARTITION BY rng) - 1 AS ee
+      |  FROM rng),
+      |sc AS (
+      |  SELECT r.yr, r.seg, w.ee * (r.dd - 6) AS s4
+      |  FROM ranked r JOIN wts w ON r.yr = w.yr),
+      |tj AS (SELECT seg, CAST(sum(s4) AS BIGINT) AS t4 FROM sc GROUP BY 1),
+      |tot AS (
+      |  SELECT
+      |    (SELECT CAST(count(DISTINCT yr) AS BIGINT) FROM sc) AS nb,
+      |    (SELECT sum(CAST(s4 AS HUGEINT) * s4) FROM sc) AS a16,
+      |    (SELECT sum(CAST(t4 AS HUGEINT) * t4) FROM tj) AS b16),
+      |st AS (
+      |  SELECT nb,
+      |    CASE WHEN nb * a16 - b16 <= 0 THEN NULL
+      |      ELSE CAST((((nb - 1) * b16) * 1000000) // (nb * a16 - b16)
+      |        AS BIGINT) END AS f_micro,
+      |    CAST((nb - 1) * 4 AS BIGINT) AS df2
+      |  FROM tot),
+      |st2 AS (
+      |  SELECT nb, f_micro, df2,
+      |    CAST(CASE df2 WHEN 4 THEN 6388233 WHEN 8 THEN 3837853
+      |      WHEN 12 THEN 3259167 WHEN 16 THEN 3006917 WHEN 20 THEN 2866081
+      |      WHEN 24 THEN 2776289 WHEN 28 THEN 2714076
+      |      ELSE 2371945 END AS BIGINT) AS f_crit_micro
+      |  FROM st)
+      |SELECT tj.seg, tj.t4 AS t_scaled, st2.nb AS n_blocks, st2.f_micro,
+      |  st2.df2,
+      |  CASE WHEN st2.f_micro IS NULL THEN NULL
+      |    ELSE CAST(st2.f_micro > st2.f_crit_micro AS INT) END AS reject_5pct
+      |FROM tj CROSS JOIN st2
+      |ORDER BY seg""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q513 — Fleiss κ of three deterministic document raters
+  // ------------------------------------------------------------------
+
+  /** q513 — Fleiss κ agreement of three deterministic binary "raters"
+    * on every document (lang = 'en'; quality micro ≥ 500000; length
+    * in [100, 500] chars): do the engine's cheap keep/drop signals
+    * agree beyond chance? The ≥3-rater generalization Cohen's κ
+    * (q471) cannot express. With n = 3 ratings per subject and
+    * categories {0,1}, κ reduces to exact integers: A = Σᵢ(kᵢ² +
+    * (3−kᵢ)²) (kᵢ = #positive ratings of doc i), K = Σᵢkᵢ, and
+    * κ = (3N(A−3N) − 2K² − 2(3N−K)²) / (18N² − 2K² − 2(3N−K)²)
+    * — ONE truncating micro-division of DECIMAL(38,0) forms
+    * (negative κ truncates toward zero in both engines, stated).
+    * The Landis–Koch band is an integer threshold ladder on κ_micro.
+    * NULL-text docs are excluded from all three raters (stated).
+    * Scale: one scan, one global aggregate — three integers. */
+  def q513(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = (($"lang" === "en").cast("long") +
+      (graft.functions.TextAnalysis.qualityMicro($"text") >= 500000L)
+        .cast("long") +
+      ($"n_chars" >= 100L && $"n_chars" <= 500L).cast("long")).as("k")
+    Tables.documents(s, d)
+      .filter($"text".isNotNull && $"n_chars".isNotNull)
+      .select(k)
+      .agg(count(lit(1)).as("n"), sum($"k").as("kk"),
+        sum(expr("k * k + (3 - k) * (3 - k)")).as("a"))
+      .select($"n", $"kk".as("n_pos_ratings"), $"a".as("agree_sum"),
+        expr("""cast((
+            (3 * cast(n as decimal(38,0)) * (a - 3 * n)
+             - 2 * cast(kk as decimal(38,0)) * kk
+             - 2 * cast(3 * n - kk as decimal(38,0)) * (3 * n - kk))
+            * 1000000) div
+            (18 * cast(n as decimal(38,0)) * n
+             - 2 * cast(kk as decimal(38,0)) * kk
+             - 2 * cast(3 * n - kk as decimal(38,0)) * (3 * n - kk))
+          as bigint)""").as("kappa_micro"))
+      .withColumn("band",
+        when($"kappa_micro" < 0L, "poor")
+          .when($"kappa_micro" < 200000L, "slight")
+          .when($"kappa_micro" < 400000L, "fair")
+          .when($"kappa_micro" < 600000L, "moderate")
+          .when($"kappa_micro" < 800000L, "substantial")
+          .otherwise("almost_perfect"))
+      .orderBy($"n")
+  }
+
+  val q513Sql: String = {
+    val micro = graft.functions.TextAnalysis.sqlQualityMicro("text")
+    s"""WITH f AS (
+      |  SELECT (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+      |    + (CASE WHEN $micro >= 500000 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN n_chars >= 100 AND n_chars <= 500 THEN 1 ELSE 0 END)
+      |    AS k
+      |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+      |g AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS kk,
+      |    CAST(sum(k * k + (3 - k) * (3 - k)) AS BIGINT) AS a
+      |  FROM f),
+      |st AS (
+      |  SELECT n, kk, a,
+      |    CAST(((3 * CAST(n AS HUGEINT) * (a - 3 * n)
+      |           - 2 * CAST(kk AS HUGEINT) * kk
+      |           - 2 * CAST(3 * n - kk AS HUGEINT) * (3 * n - kk))
+      |          * 1000000) //
+      |         (18 * CAST(n AS HUGEINT) * n
+      |           - 2 * CAST(kk AS HUGEINT) * kk
+      |           - 2 * CAST(3 * n - kk AS HUGEINT) * (3 * n - kk))
+      |      AS BIGINT) AS kappa_micro
+      |  FROM g)
+      |SELECT n, kk AS n_pos_ratings, a AS agree_sum, kappa_micro,
+      |  CASE WHEN kappa_micro < 0 THEN 'poor'
+      |    WHEN kappa_micro < 200000 THEN 'slight'
+      |    WHEN kappa_micro < 400000 THEN 'fair'
+      |    WHEN kappa_micro < 600000 THEN 'moderate'
+      |    WHEN kappa_micro < 800000 THEN 'substantial'
+      |    ELSE 'almost_perfect' END AS band
+      |FROM st ORDER BY n""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q514 — Stuart–Maxwell marginal homogeneity of the langid matrix
+  // ------------------------------------------------------------------
+
+  /** The langId CASE expression in DuckDB SQL (q42's oracle form):
+    * argmax of stopword hits in declared lang order, 0 hits →
+    * 'unknown'. */
+  private def langIdSql: String = {
+    val occ = (w: String) =>
+      graft.functions.TextAnalysis.sqlWordOccurrences("lower(text)", w)
+    val scores = graft.functions.TextAnalysis.langStopwords.map {
+      case (l, ws) => l -> ws.map(occ).mkString("(", " + ", ")")
+    }
+    val maxE = scores.map(_._2).mkString("greatest(", ", ", ")")
+    scores.map { case (l, e) => s"WHEN $e = $maxE THEN '$l'" }
+      .mkString(s"(CASE WHEN $maxE = 0 THEN 'unknown' ", " ",
+        " ELSE 'unknown' END)")
+  }
+
+  /** q514 — Stuart–Maxwell test of MARGINAL homogeneity between the
+    * declared language and the n-gram langId prediction, on the
+    * {en, es, fr} confusion square (rows outside the square are
+    * excluded — stated): does the classifier's predicted language
+    * DISTRIBUTION match the true one, even where individual cells
+    * disagree? The LOCATION companion to Bowker q475 (which tests
+    * cell symmetry) and the TEST on top of q42's confusion-matrix
+    * estimator. χ² = d′S⁻¹d with d = (r₁−c₁, r₂−c₂),
+    * Sⱼⱼ = rⱼ+cⱼ−2nⱼⱼ, S₁₂ = −(n₁₂+n₂₁); by the 2×2 adjugate this is
+    * the exact rational (S₂₂d₁² − 2S₁₂d₁d₂ + S₁₁d₂²)/det(S) —
+    * ONE truncating micro-division of exact integers. det ≤ 0 →
+    * NULL (stated; det = 0 is the degenerate no-off-diagonal case).
+    * Verdict vs pinned χ²(2) = 5.991465. Output: the zero-filled 3×3
+    * contingency rows with the statistic broadcast. Scale: one scan
+    * → 9-cell grid; everything after is constant-size. */
+  def q514(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val langs = Seq("en", "es", "fr")
+    val obs = Tables.documents(s, d)
+      .select($"lang".as("actual"),
+        graft.functions.TextAnalysis.langId($"text").as("pred"))
+      .filter($"actual".isin(langs: _*) && $"pred".isin(langs: _*))
+      .groupBy($"actual", $"pred").agg(count(lit(1)).as("n"))
+    val grid = langs.toDF("ga").crossJoin(langs.toDF("gp"))
+    val cells = grid.join(obs,
+        $"ga" === $"actual" && $"gp" === $"pred", "left")
+      .select($"ga", $"gp", coalesce($"n", lit(0L)).as("n"))
+      .transform(Fx.materialize)
+    val st = cells.agg(
+        sum(when($"ga" === "en", $"n").otherwise(0L)).as("r1"),
+        sum(when($"ga" === "es", $"n").otherwise(0L)).as("r2"),
+        sum(when($"gp" === "en", $"n").otherwise(0L)).as("c1"),
+        sum(when($"gp" === "es", $"n").otherwise(0L)).as("c2"),
+        sum(when($"ga" === "en" && $"gp" === "en", $"n").otherwise(0L)).as("n11"),
+        sum(when($"ga" === "es" && $"gp" === "es", $"n").otherwise(0L)).as("n22"),
+        sum(when($"ga" === "en" && $"gp" === "es", $"n").otherwise(0L)).as("n12"),
+        sum(when($"ga" === "es" && $"gp" === "en", $"n").otherwise(0L)).as("n21"))
+      .select(
+        ($"r1" - $"c1").as("d1"), ($"r2" - $"c2").as("d2"),
+        ($"r1" + $"c1" - $"n11" * 2).as("s11"),
+        ($"r2" + $"c2" - $"n22" * 2).as("s22"),
+        (-($"n12" + $"n21")).as("s12"))
+      .select($"d1", $"d2",
+        when(expr(
+          "cast(s11 as decimal(38,0)) * s22 - cast(s12 as decimal(38,0)) * s12")
+          <= 0, lit(null).cast("long"))
+          .otherwise(expr(
+            """cast(((cast(s22 as decimal(38,0)) * d1 * d1
+               - 2 * cast(s12 as decimal(38,0)) * d1 * d2
+               + cast(s11 as decimal(38,0)) * d2 * d2) * 1000000)
+               div (cast(s11 as decimal(38,0)) * s22
+                 - cast(s12 as decimal(38,0)) * s12) as bigint)"""))
+          .as("chi2_micro"))
+      .withColumn("reject_5pct",
+        when($"chi2_micro".isNull, lit(null).cast("int"))
+          .otherwise(($"chi2_micro" > 5991465L).cast("int")))
+    cells.crossJoin(broadcast(st))
+      .select($"ga".as("actual"), $"gp".as("pred"), $"n",
+        $"d1", $"d2", $"chi2_micro", $"reject_5pct")
+      .orderBy($"actual", $"pred")
+  }
+
+  val q514Sql: String =
+    s"""WITH obs AS (
+      |  SELECT lang AS actual, $langIdSql AS pred, count(*) AS cnt
+      |  FROM documents GROUP BY 1, 2),
+      |langs AS (SELECT unnest(['en', 'es', 'fr']) AS l),
+      |cells AS (
+      |  SELECT ga.l AS ga, gp.l AS gp,
+      |    CAST(COALESCE((SELECT cnt FROM obs
+      |      WHERE actual = ga.l AND pred = gp.l), 0) AS BIGINT) AS n
+      |  FROM langs ga CROSS JOIN langs gp),
+      |m AS (
+      |  SELECT
+      |    sum(CASE WHEN ga = 'en' THEN n ELSE 0 END) AS r1,
+      |    sum(CASE WHEN ga = 'es' THEN n ELSE 0 END) AS r2,
+      |    sum(CASE WHEN gp = 'en' THEN n ELSE 0 END) AS c1,
+      |    sum(CASE WHEN gp = 'es' THEN n ELSE 0 END) AS c2,
+      |    sum(CASE WHEN ga = 'en' AND gp = 'en' THEN n ELSE 0 END) AS n11,
+      |    sum(CASE WHEN ga = 'es' AND gp = 'es' THEN n ELSE 0 END) AS n22,
+      |    sum(CASE WHEN ga = 'en' AND gp = 'es' THEN n ELSE 0 END) AS n12,
+      |    sum(CASE WHEN ga = 'es' AND gp = 'en' THEN n ELSE 0 END) AS n21
+      |  FROM cells),
+      |st AS (
+      |  SELECT CAST(r1 - c1 AS BIGINT) AS d1, CAST(r2 - c2 AS BIGINT) AS d2,
+      |    CAST(r1 + c1 - 2 * n11 AS HUGEINT) AS s11,
+      |    CAST(r2 + c2 - 2 * n22 AS HUGEINT) AS s22,
+      |    CAST(-(n12 + n21) AS HUGEINT) AS s12
+      |  FROM m),
+      |res AS (
+      |  SELECT d1, d2,
+      |    CASE WHEN s11 * s22 - s12 * s12 <= 0 THEN NULL
+      |      ELSE CAST(((s22 * d1 * d1 - 2 * s12 * d1 * d2
+      |        + s11 * d2 * d2) * 1000000)
+      |        // (s11 * s22 - s12 * s12) AS BIGINT) END AS chi2_micro
+      |  FROM st)
+      |SELECT c.ga AS actual, c.gp AS pred, c.n, r.d1, r.d2, r.chi2_micro,
+      |  CASE WHEN r.chi2_micro IS NULL THEN NULL
+      |    ELSE CAST(r.chi2_micro > 5991465 AS INT) END AS reject_5pct
+      |FROM cells c CROSS JOIN res r
+      |ORDER BY actual, pred""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q515 — Tukey–Kramer HSD pairwise segment means
+  // ------------------------------------------------------------------
+
+  /** q515 — Tukey–Kramer honestly-significant-difference pairwise
+    * comparison of mean order value across the five market segments:
+    * WHICH pairs differ, at a familywise 5% — the post-hoc step the
+    * omnibus tests (Kruskal–Wallis q334, Mood q467) stop short of.
+    * Rejects pair (i,j) iff |m̄ᵢ−m̄ⱼ| > q·√(MSW(1/nᵢ+1/nⱼ)/2) with
+    * q = q₀.₀₅(5, ∞) = 3.858 pinned (df₂ = N−k is ≥ thousands at
+    * every SF — stated large-sample critical).
+    *
+    * Exactness: means enter on the stated micro-cent grid
+    * (mᵢ = (Sᵢ·10⁶) div nᵢ); MSW stays on the raw cents² grid (a
+    * micro-scaled cents² variance would exceed BIGINT) via per-group
+    * truncations wg = (ng·Σx²−S²) div ng summed, then
+    * msw = ΣW div (N−k); the HSD comparison is then the pure
+    * DECIMAL(38,0) cross-multiplication d²·2·nᵢ·nⱼ >
+    * q²micro·msw·(nᵢ+nⱼ)·10⁶ (q² = 14.884164·10⁶) — squaring removes
+    * the sqrt and no integral divide ever touches the ~1e31 products.
+    * Scale: one orders⋈customer join → 5 group rows → 10 broadcast
+    * pairs. */
+  def q515(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = Tables.orders(s, d)
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("seg"), cents($"o_totalprice").as("x"))
+      .groupBy($"seg")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("sx2"))
+      .withColumn("w", expr(
+        "(n * sx2 - cast(sx as decimal(38,0)) * sx) div n"))
+      .withColumn("mean_micro", expr(
+        "cast((cast(sx as decimal(38,0)) * 1000000) div n as bigint)"))
+      .transform(Fx.materialize)
+    val msw = g.agg(sum(expr("cast(w as decimal(38,0))")).as("ssw"),
+        (sum($"n") - count(lit(1))).as("dfw"))
+      .select(expr("cast(ssw div dfw as bigint)").as("msw_cents2"))
+    val a = g.select($"seg".as("seg_a"), $"n".as("na"),
+      $"mean_micro".as("mean_a_micro"))
+    val b = g.select($"seg".as("seg_b"), $"n".as("nb"),
+      $"mean_micro".as("mean_b_micro"))
+    a.join(b, $"seg_a" < $"seg_b").crossJoin(broadcast(msw))
+      .withColumn("d", $"mean_a_micro" - $"mean_b_micro")
+      .select($"seg_a", $"seg_b", $"na", $"nb",
+        $"mean_a_micro", $"mean_b_micro", $"msw_cents2",
+        (expr("cast(d as decimal(38,0)) * d * 2 * na * nb") >
+          expr("14884164 * cast(msw_cents2 as decimal(38,0)) * (na + nb) * 1000000"))
+          .cast("int").as("reject_5pct"))
+      .orderBy($"seg_a", $"seg_b")
+  }
+
+  val q515Sql: String =
+    """WITH g AS (
+      |  SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx,
+      |    sum(CAST(x AS HUGEINT) * x) AS sx2
+      |  FROM (
+      |    SELECT c_mktsegment,
+      |      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x
+      |    FROM orders JOIN customer ON o_custkey = c_custkey) t
+      |  GROUP BY 1),
+      |gg AS (
+      |  SELECT seg, n,
+      |    (n * sx2 - CAST(sx AS HUGEINT) * sx) // n AS w,
+      |    CAST((CAST(sx AS HUGEINT) * 1000000) // n AS BIGINT) AS mean_micro
+      |  FROM g),
+      |msw AS (
+      |  SELECT CAST(sum(w) // (sum(n) - count(*)) AS BIGINT)
+      |    AS msw_cents2
+      |  FROM gg)
+      |SELECT a.seg AS seg_a, b.seg AS seg_b, a.n AS na, b.n AS nb,
+      |  a.mean_micro AS mean_a_micro, b.mean_micro AS mean_b_micro,
+      |  msw.msw_cents2,
+      |  CAST(CAST(a.mean_micro - b.mean_micro AS HUGEINT)
+      |      * (a.mean_micro - b.mean_micro) * 2 * a.n * b.n
+      |    > 14884164 * CAST(msw.msw_cents2 AS HUGEINT) * (a.n + b.n) * 1000000
+      |    AS INT) AS reject_5pct
+      |FROM gg a JOIN gg b ON a.seg < b.seg CROSS JOIN msw
+      |ORDER BY seg_a, seg_b""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q516 — exact sign test on paired brand half-period revenues
+  // ------------------------------------------------------------------
+
+  /** Per-brand revenue delta between the calendar halves (second −
+    * first, ship date split at 1995-07-01), on the exact 1e-4 grid.
+    * Shared by q516 and q517. */
+  private def brandDeltas(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d), $"l_partkey" === $"p_partkey")
+      .select($"p_brand".as("brand"),
+        (when($"l_shipdate" >= to_date(lit("1995-07-01")), lit(1L))
+          .otherwise(lit(-1L)) *
+          rev4($"l_extendedprice", $"l_discount")).as("sd"))
+      .groupBy($"brand").agg(sum($"sd").as("d"))
+  }
+
+  private val brandDeltasSql: String =
+    s"""SELECT p_brand AS brand,
+       |  CAST(sum((CASE WHEN l_shipdate >= DATE '1995-07-01'
+       |    THEN 1 ELSE -1 END) * $rev4Sql) AS BIGINT) AS d
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY 1""".stripMargin
+
+  /** q516 — EXACT sign test of whether brand revenue moved between the
+    * two calendar halves: n = brands with a nonzero delta, the test
+    * statistic is the count of positive deltas, and the two-sided
+    * p-value is the exact binomial tail 2·Σ_{i≤m} C(n,i)/2ⁿ
+    * (m = min(pos, n−pos)), capped at 1 — no normal approximation,
+    * the distribution-free companion to Wilcoxon q448 (which uses
+    * magnitudes; the sign test is what remains valid when only
+    * direction is trusted). Verdict: 40·tail ≤ 2ⁿ ⟺ p ≤ 0.05, an
+    * exact integer comparison.
+    *
+    * Exactness: deltas are exact 1e-4-grid BIGINTs; the binomial tail
+    * is folded on the DRIVER over the ≤26-entry Pascal prefix in
+    * BigInt (the bounded-grid exception, q390's precedent — n is the
+    * 25-value brand domain, never the corpus); the oracle mirrors it
+    * with a recursive CTE using the exact C(n,i+1) = C(n,i)(n−i)/(i+1)
+    * integer recurrence. Scale: one lineitem⋈part join collapsed to
+    * 25 brand rows; the fold is O(n) on constants. */
+  def q516(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val deltas = brandDeltas(s, d).transform(Fx.materialize)
+    val row = deltas.agg(
+        sum(($"d" =!= 0L).cast("long")).as("n"),
+        sum(($"d" > 0L).cast("long")).as("pos"))
+      .head()
+    val n = row.getLong(0); val pos = row.getLong(1)
+    val m = math.min(pos, n - pos)
+    val tail = (0L to m).scanLeft(BigInt(1)) { case (c, i) =>
+      c * (n - i) / (i + 1)
+    }.take(m.toInt + 1).sum  // Σ_{i=0..m} C(n,i)
+    val twoN = BigInt(2).pow(n.toInt)
+    val pMicro = ((BigInt(2) * tail * 1000000) / twoN).min(BigInt(1000000))
+    val reject = if (BigInt(40) * tail <= twoN) 1 else 0
+    deltas
+      .select($"brand", $"d",
+        when($"d" > 0L, 1L).when($"d" < 0L, -1L).otherwise(0L).as("sign"))
+      .withColumn("n_informative", lit(n))
+      .withColumn("n_pos", lit(pos))
+      .withColumn("p_micro", lit(pMicro.toLong))
+      .withColumn("reject_5pct", lit(reject))
+      .orderBy($"brand")
+  }
+
+  val q516Sql: String =
+    s"""WITH RECURSIVE b AS ($brandDeltasSql),
+      |inf AS (
+      |  SELECT CAST(sum(CASE WHEN d <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      |  FROM b),
+      |mm AS (SELECT n, pos, least(pos, n - pos) AS m FROM inf),
+      |pas(i, c) AS (
+      |  SELECT 0, CAST(1 AS HUGEINT)
+      |  UNION ALL
+      |  SELECT i + 1, (c * ((SELECT n FROM mm) - i)) // (i + 1)
+      |  FROM pas WHERE i + 1 <= (SELECT m FROM mm)),
+      |t AS (SELECT sum(c) AS tail FROM pas),
+      |st AS (
+      |  SELECT mm.n, mm.pos,
+      |    CAST(least(1000000,
+      |      (2 * t.tail * 1000000) // (CAST(1 AS BIGINT) << mm.n))
+      |      AS BIGINT) AS p_micro,
+      |    CAST(40 * t.tail <= (CAST(1 AS BIGINT) << mm.n) AS INT)
+      |      AS reject_5pct
+      |  FROM mm CROSS JOIN t)
+      |SELECT b.brand, b.d,
+      |  CAST(CASE WHEN b.d > 0 THEN 1 WHEN b.d < 0 THEN -1 ELSE 0 END
+      |    AS BIGINT) AS sign,
+      |  st.n AS n_informative, st.pos AS n_pos, st.p_micro, st.reject_5pct
+      |FROM b CROSS JOIN st
+      |ORDER BY brand""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q517 — Fisher–Pitman permutation test via md5 sign flips
+  // ------------------------------------------------------------------
+
+  /** q517 — Fisher–Pitman paired permutation test on the same brand
+    * deltas: under H₀ (no half-to-half shift) each delta's sign is
+    * exchangeable, so T = Σd is compared against 256 deterministic
+    * sign-flip replicas (flip iff the first hex digit of
+    * md5(brand·'#'·perm) < '8' — an exact fair coin in both engines,
+    * q340's md5-grid device turned from a CI into a TEST). p =
+    * (#{|T_perm| ≥ |T_obs|} + 1)/257 (add-one: the identity
+    * permutation is always as extreme). USES the magnitudes q516's
+    * sign test discards — the exact test of the mean shift itself.
+    * All integers: deltas exact 1e-4-grid BIGINTs, T sums exact, p is
+    * one truncating micro-division. Scale: 25 brands × 256 perms =
+    * 6400 rows, all post-agg. */
+  def q517(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val deltas = brandDeltas(s, d).transform(Fx.materialize)
+    val obs = deltas.agg(sum($"d").as("t_obs"),
+      count(lit(1)).as("n_brands"))
+    val perms = deltas
+      .crossJoin(broadcast(
+        Seq.range(0, 256).toDF("p")))
+      .select($"p",
+        (when(substring(md5(concat($"brand", lit("#"), $"p".cast("string"))),
+          1, 1) < "8", lit(1L)).otherwise(lit(-1L)) * $"d").as("sd"))
+      .groupBy($"p").agg(sum($"sd").as("t_perm"))
+    perms.crossJoin(broadcast(obs))
+      .agg(sum((abs($"t_perm") >= abs($"t_obs")).cast("long")).as("n_extreme"),
+        min($"t_obs").as("t_obs"), min($"n_brands").as("n_brands"))
+      .select($"n_brands", $"t_obs", lit(256L).as("n_perms"), $"n_extreme",
+        expr("((n_extreme + 1) * 1000000) div 257").as("p_micro"))
+      .orderBy($"n_brands")
+  }
+
+  val q517Sql: String =
+    s"""WITH RECURSIVE b AS ($brandDeltasSql),
+      |obs AS (SELECT CAST(sum(d) AS BIGINT) AS t_obs,
+      |  CAST(count(*) AS BIGINT) AS n_brands FROM b),
+      |perm(p) AS (
+      |  SELECT 0 UNION ALL SELECT p + 1 FROM perm WHERE p + 1 <= 255),
+      |tp AS (
+      |  SELECT p, CAST(sum(CASE WHEN substr(
+      |      md5(brand || '#' || CAST(p AS VARCHAR)), 1, 1) < '8'
+      |    THEN d ELSE -d END) AS BIGINT) AS t_perm
+      |  FROM b CROSS JOIN perm
+      |  GROUP BY p)
+      |SELECT obs.n_brands, obs.t_obs, CAST(256 AS BIGINT) AS n_perms,
+      |  CAST(sum(CASE WHEN abs(t_perm) >= abs(obs.t_obs)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+      |  CAST(((sum(CASE WHEN abs(t_perm) >= abs(obs.t_obs)
+      |    THEN 1 ELSE 0 END) + 1) * 1000000) // 257 AS BIGINT) AS p_micro
+      |FROM tp CROSS JOIN obs
+      |GROUP BY obs.n_brands, obs.t_obs
+      |ORDER BY n_brands""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q512_quade_test", q512, Some(q512Sql)),
+    QueryDef("q513_fleiss_kappa", q513, Some(q513Sql)),
+    QueryDef("q514_stuart_maxwell", q514, Some(q514Sql)),
+    QueryDef("q515_tukey_hsd", q515, Some(q515Sql)),
+    QueryDef("q516_sign_test", q516, Some(q516Sql)),
+    QueryDef("q517_permutation_shift", q517, Some(q517Sql)))
+}
