@@ -611,11 +611,359 @@ object DecisionQueries {
       |GROUP BY obs.n_brands, obs.t_obs
       |ORDER BY n_brands""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q518 — ICC(1) of document length clustered by source
+  // ------------------------------------------------------------------
+
+  /** q518 — one-way intraclass correlation ICC(1) of document length
+    * within sources: how much of length variance is BETWEEN-source —
+    * the clustering coefficient behind every design-effect correction
+    * (the deff q322's Kish formula PRESUMES; ICC is what a survey
+    * statistician would estimate first). ICC = (MSB − MSW)/(MSB +
+    * (k̄−1)MSW) with the unequal-group-size k̄ = (N − Σn_g²/N)/(k−1).
+    *
+    * Exactness: group sums/squares exact BIGINT/DECIMAL(38,0); each
+    * mean square is built from stated micro truncations
+    * (t1 = Σ_g (S_g²·10⁶ div n_g); ssb = t1 − S²·10⁶ div N;
+    * msb = ssb div (k−1); msw = (ΣX²·10⁶ − t1) div (N−k);
+    * k̄ = (N·10⁶ − Σn_g²·10⁶ div N) div (k−1)); ICC is one final
+    * micro division with a NULL guard on the degenerate denominator.
+    * Scale: one scan → 20 group rows → one broadcast row. */
+  def q518(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = Tables.documents(s, d)
+      .filter($"n_chars".isNotNull)
+      .select($"source", $"n_chars".cast("long").as("x"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("ng"), sum($"x").as("sg"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("qg"))
+    g.agg(count(lit(1)).as("k"), sum($"ng").as("n"),
+        sum($"sg").as("stot"), sum($"qg").as("qtot"),
+        sum(expr("(cast(sg as decimal(38,0)) * sg * 1000000) div ng"))
+          .as("t1"),
+        sum(expr("cast(ng as decimal(38,0)) * ng")).as("sn2"))
+      .select($"k", $"n",
+        expr("(t1 - (cast(stot as decimal(38,0)) * stot * 1000000) div n) div (k - 1)")
+          .as("msb_micro"),
+        expr("(cast(qtot as decimal(38,0)) * 1000000 - t1) div (n - k)")
+          .as("msw_micro"),
+        expr("(cast(n as decimal(38,0)) * 1000000 - (sn2 * 1000000) div n) div (k - 1)")
+          .as("kbar_micro"))
+      .withColumn("icc_micro", when(
+          expr("msb_micro + ((kbar_micro - 1000000) * cast(msw_micro as decimal(38,0))) div 1000000") <= 0,
+          lit(null).cast("long"))
+        .otherwise(expr(
+          """cast(((msb_micro - msw_micro) * cast(1000000 as decimal(38,0)))
+             div (msb_micro + ((kbar_micro - 1000000)
+               * cast(msw_micro as decimal(38,0))) div 1000000) as bigint)""")))
+      .select($"k".as("k_sources"), $"n".as("n_docs"),
+        $"msb_micro", $"msw_micro", $"kbar_micro", $"icc_micro")
+      .orderBy($"k_sources")
+  }
+
+  val q518Sql: String =
+    """WITH g AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS ng,
+      |    CAST(sum(x) AS BIGINT) AS sg,
+      |    sum(CAST(x AS HUGEINT) * x) AS qg
+      |  FROM (SELECT source, CAST(n_chars AS BIGINT) AS x
+      |        FROM documents WHERE n_chars IS NOT NULL) t
+      |  GROUP BY 1),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+      |    CAST(sum(sg) AS BIGINT) AS stot, sum(qg) AS qtot,
+      |    sum((CAST(sg AS HUGEINT) * sg * 1000000) // ng) AS t1,
+      |    sum(CAST(ng AS HUGEINT) * ng) AS sn2
+      |  FROM g),
+      |ms AS (
+      |  SELECT k, n,
+      |    CAST((t1 - (CAST(stot AS HUGEINT) * stot * 1000000) // n)
+      |      // (k - 1) AS BIGINT) AS msb_micro,
+      |    CAST((CAST(qtot AS HUGEINT) * 1000000 - t1) // (n - k)
+      |      AS BIGINT) AS msw_micro,
+      |    CAST((CAST(n AS HUGEINT) * 1000000 - (sn2 * 1000000) // n)
+      |      // (k - 1) AS BIGINT) AS kbar_micro
+      |  FROM m)
+      |SELECT k AS k_sources, n AS n_docs, msb_micro, msw_micro, kbar_micro,
+      |  CASE WHEN msb_micro + ((kbar_micro - 1000000)
+      |      * CAST(msw_micro AS HUGEINT)) // 1000000 <= 0 THEN NULL
+      |    ELSE CAST(((msb_micro - msw_micro) * CAST(1000000 AS HUGEINT))
+      |      // (msb_micro + ((kbar_micro - 1000000)
+      |        * CAST(msw_micro AS HUGEINT)) // 1000000) AS BIGINT)
+      |    END AS icc_micro
+      |FROM ms ORDER BY k_sources""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q519 — Chinchilla compute-optimal allocation plan
+  // ------------------------------------------------------------------
+
+  /** q519 — compute-optimal parameter/token allocation over a FLOPs
+    * budget grid (Hoffmann et al. 2022: at optimum D ≈ 20·N, and with
+    * C = 6·N·D the optimum is N* = max{y : 120·y² ≤ C}): the planning
+    * table that turns a compute budget into a model size, a token
+    * budget, and — joined against THIS corpus's exact token count —
+    * how many epochs the corpus covers (the "do we have enough data"
+    * row a q103/q184 mixing plan starts from).
+    *
+    * Exactness: budgets are exact decimal powers of ten built from
+    * strings (10²³ is NOT a representable double); N* is an EXACT
+    * integer square root — a double-sqrt seed followed by two
+    * up/down corrections against the pure-decimal predicate
+    * 120·y² ≤ C, so the float seed can be off and the answer still
+    * exact; everything downstream (D* = 20N*, epochs) is BIGINT with
+    * one stated micro division. Scale: a 6-row literal grid joined to
+    * one corpus aggregate. */
+  def q519(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val corpus = Tables.documents(s, d)
+      .filter($"text".isNotNull)
+      .agg(sum(graft.functions.TextAnalysis.tokenCount($"text").cast("long"))
+        .as("corpus_tokens"))
+    val grid = Seq(18, 19, 20, 21, 22, 23).toDF("budget_exp")
+      .withColumn("c", expr(
+        "cast(concat('1', repeat('0', budget_exp)) as decimal(38,0))"))
+      .withColumn("y0", expr(
+        "cast(floor(sqrt(cast(c as double) / 120.0)) as bigint)"))
+      .withColumn("y1", expr(
+        "y0 + (case when 120 * cast(y0 + 1 as decimal(38,0)) * (y0 + 1) <= c then 1 else 0 end)"))
+      .withColumn("y2", expr(
+        "y1 + (case when 120 * cast(y1 + 1 as decimal(38,0)) * (y1 + 1) <= c then 1 else 0 end)"))
+      .withColumn("y3", expr(
+        "y2 - (case when 120 * cast(y2 as decimal(38,0)) * y2 > c then 1 else 0 end)"))
+      .withColumn("n_star", expr(
+        "y3 - (case when 120 * cast(y3 as decimal(38,0)) * y3 > c then 1 else 0 end)"))
+      .withColumn("d_star", $"n_star" * 20L)
+    grid.crossJoin(broadcast(corpus))
+      .select($"budget_exp", $"n_star", $"d_star", $"corpus_tokens",
+        expr("(d_star * 1000000) div corpus_tokens").as("epochs_micro"))
+      .orderBy($"budget_exp")
+  }
+
+  val q519Sql: String = {
+    val tok = "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
+    s"""WITH RECURSIVE corpus AS (
+      |  SELECT CAST(sum($tok) AS BIGINT) AS corpus_tokens
+      |  FROM documents WHERE text IS NOT NULL),
+      |ex(budget_exp) AS (
+      |  SELECT 18 UNION ALL SELECT budget_exp + 1 FROM ex
+      |  WHERE budget_exp + 1 <= 23),
+      |g0 AS (
+      |  SELECT budget_exp,
+      |    CAST('1' || repeat('0', budget_exp) AS HUGEINT) AS c
+      |  FROM ex),
+      |g1 AS (
+      |  SELECT budget_exp, c,
+      |    CAST(floor(sqrt(CAST(c AS DOUBLE) / 120.0)) AS BIGINT) AS y0
+      |  FROM g0),
+      |g2 AS (
+      |  SELECT *, y0 + (CASE WHEN 120 * CAST(y0 + 1 AS HUGEINT) * (y0 + 1)
+      |    <= c THEN 1 ELSE 0 END) AS y1 FROM g1),
+      |g3 AS (
+      |  SELECT *, y1 + (CASE WHEN 120 * CAST(y1 + 1 AS HUGEINT) * (y1 + 1)
+      |    <= c THEN 1 ELSE 0 END) AS y2 FROM g2),
+      |g4 AS (
+      |  SELECT *, y2 - (CASE WHEN 120 * CAST(y2 AS HUGEINT) * y2 > c
+      |    THEN 1 ELSE 0 END) AS y3 FROM g3),
+      |g5 AS (
+      |  SELECT budget_exp, y3 - (CASE WHEN 120 * CAST(y3 AS HUGEINT) * y3
+      |    > c THEN 1 ELSE 0 END) AS n_star FROM g4)
+      |SELECT budget_exp, n_star, n_star * 20 AS d_star,
+      |  corpus.corpus_tokens,
+      |  CAST((n_star * 20 * 1000000) // corpus.corpus_tokens AS BIGINT)
+      |    AS epochs_micro
+      |FROM g5 CROSS JOIN corpus
+      |ORDER BY budget_exp""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q520 — vocabulary coverage / OOV curve
+  // ------------------------------------------------------------------
+
+  /** q520 — token coverage at pinned vocabulary sizes (5, 10, 20,
+    * 100, 10k — the small sizes keep the curve non-degenerate on this
+    * synthetic corpus's compact vocabulary; the large ones are where a
+    * real corpus bends): rank the corpus vocabulary by frequency (ties by word —
+    * total order) and report, per candidate vocab size V, the token
+    * mass the top-V words cover and the OOV mass a tokenizer capped
+    * at V would spill to fallback bytes. The CUMULATIVE readout the
+    * Zipf slope (q106) and Heaps curve (q424) imply but don't state —
+    * and the actual number a vocab-size decision is made on.
+    *
+    * Exactness: counts are exact; coverage/OOV are separate stated
+    * micro divisions. Scale: one token explode → vocab-sized groupBy;
+    * the global frequency rank rides [[Ranking.seqIds]]'s
+    * range-partition + Tungsten ordinal (NEVER a single-task global
+    * row_number over the vocabulary, which grows with the corpus);
+    * everything after collapses to ≤5 bucket rows. */
+  def q520(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val sizes = Seq(5L, 10L, 20L, 100L, 10000L)
+    val freq = Tables.documents(s, d)
+      .filter($"text".isNotNull)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"w").agg(count(lit(1)).as("f"))
+    val ranked = Ranking.seqIds(freq, 32, $"f".desc, $"w".asc)
+    val bucketed = ranked
+      .withColumn("bucket",
+        when($"seq_id" <= 5L, 5L).when($"seq_id" <= 10L, 10L)
+          .when($"seq_id" <= 20L, 20L).when($"seq_id" <= 100L, 100L)
+          .when($"seq_id" <= 10000L, 10000L))
+      .filter($"bucket".isNotNull)
+      .groupBy($"bucket").agg(sum($"f").as("bf"))
+    val tot = freq.agg(sum($"f").as("total_tokens"),
+      count(lit(1)).as("n_vocab"))
+    sizes.toDF("vocab_size")
+      .join(broadcast(bucketed), $"bucket" <= $"vocab_size", "left")
+      .groupBy($"vocab_size")
+      .agg(coalesce(sum($"bf"), lit(0L)).as("covered_tokens"))
+      .crossJoin(broadcast(tot))
+      .select($"vocab_size", $"covered_tokens", $"total_tokens", $"n_vocab",
+        expr("(covered_tokens * 1000000) div total_tokens")
+          .as("coverage_micro"),
+        expr("((total_tokens - covered_tokens) * 1000000) div total_tokens")
+          .as("oov_micro"))
+      .orderBy($"vocab_size")
+  }
+
+  val q520Sql: String =
+    """WITH RECURSIVE freq AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w
+      |    FROM documents WHERE text IS NOT NULL) t
+      |  WHERE w <> '' GROUP BY 1),
+      |ranked AS (
+      |  SELECT f, row_number() OVER (ORDER BY f DESC, w) AS rank
+      |  FROM freq),
+      |bucketed AS (
+      |  SELECT CASE WHEN rank <= 5 THEN 5 WHEN rank <= 10 THEN 10
+      |    WHEN rank <= 20 THEN 20 WHEN rank <= 100 THEN 100
+      |    WHEN rank <= 10000 THEN 10000 END AS bucket,
+      |    CAST(sum(f) AS BIGINT) AS bf
+      |  FROM ranked WHERE rank <= 10000 GROUP BY 1),
+      |tot AS (SELECT CAST(sum(f) AS BIGINT) AS total_tokens,
+      |  CAST(count(*) AS BIGINT) AS n_vocab FROM freq),
+      |sizes(vocab_size) AS (
+      |  SELECT CAST(5 AS BIGINT) UNION ALL
+      |  SELECT CASE vocab_size WHEN 5 THEN 10 WHEN 10 THEN 20
+      |    WHEN 20 THEN 100 ELSE 10000 END
+      |  FROM sizes WHERE vocab_size < 10000),
+      |cov AS (
+      |  SELECT s.vocab_size,
+      |    CAST(COALESCE(sum(b.bf), 0) AS BIGINT) AS covered_tokens
+      |  FROM sizes s LEFT JOIN bucketed b ON b.bucket <= s.vocab_size
+      |  GROUP BY 1)
+      |SELECT vocab_size, covered_tokens, tot.total_tokens, tot.n_vocab,
+      |  CAST((covered_tokens * 1000000) // tot.total_tokens AS BIGINT)
+      |    AS coverage_micro,
+      |  CAST(((tot.total_tokens - covered_tokens) * 1000000)
+      |    // tot.total_tokens AS BIGINT) AS oov_micro
+      |FROM cov CROSS JOIN tot
+      |ORDER BY vocab_size""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q521 — Matryoshka truncated-dimension retrieval recall
+  // ------------------------------------------------------------------
+
+  /** q521 — retrieval quality of TRUNCATED-dimension embeddings
+    * (Matryoshka representation learning, Kusupati et al. 2022): rank
+    * by cosine over only the first 16 / 32 of 64 dims — the 4× / 2×
+    * memory-and-FLOPs path a production retriever takes when the
+    * embedding model was MRL-trained — and score recall@10 / top-1
+    * rank / reciprocal rank against the exact full-dimension ranking
+    * (q190's metric conventions). The DATA-FREE compression member
+    * beside SQ8 (q127), PQ, JL (q493) and the IVF recall audit
+    * (q190): truncation needs no codebook, no training, no index.
+    * Determinism: the q60 sequential cosine fold over the sliced
+    * DOUBLE arrays (bit-identical in DuckDB); metrics are rationals
+    * of small integers. Scale: broadcast query side (5 vectors × 2
+    * dim levels), one pass over targets per level, bounded-heap
+    * top-k — never a global sort. */
+  def q521(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qd = Tables.embeddings(s, d).filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val e = Tables.embeddings(s, d)
+    val exact = Similarity.bruteForceTopK(qd, e, k = 10)
+      .select($"q_id", $"vec_id", $"rn".as("e_rn"))
+    def truncTopK(dims: Int): DataFrame =
+      Similarity.bruteForceTopK(
+        qd.select($"q_id", slice($"q_vec", 1, dims).as("q_vec")),
+        e.select($"vec_id", slice($"embedding", 1, dims).as("embedding")),
+        k = 10)
+        .select($"q_id".as("aq_id"), $"vec_id".as("a_vec"),
+          $"rn".as("a_rn"), lit(dims.toLong).as("adims"))
+    val approx = truncTopK(16).unionByName(truncTopK(32))
+    val perQ = exact
+      .crossJoin(broadcast(Seq(16L, 32L).toDF("dims")))
+      .join(broadcast(approx),
+        $"q_id" === $"aq_id" && $"vec_id" === $"a_vec" &&
+          $"dims" === $"adims", "left")
+      .groupBy($"q_id", $"dims")
+      .agg(count($"a_rn").as("n_overlap"),
+        min(when($"e_rn" === 1, coalesce($"a_rn", lit(0L)))).as("top1_rank"))
+    perQ.select($"q_id", $"dims", $"n_overlap",
+        r6($"n_overlap" / lit(10L)).as("recall_at_10"),
+        $"top1_rank".cast("long").as("top1_rank"),
+        r6(when($"top1_rank" > 0, lit(1.0) / $"top1_rank")
+          .otherwise(lit(0.0))).as("top1_rr"))
+      .orderBy($"q_id", $"dims")
+  }
+
+  val q521Sql: String = {
+    val cos =
+      "list_dot_product(q_vec, t_vec) / (sqrt(list_dot_product(q_vec, q_vec)) * sqrt(list_dot_product(t_vec, t_vec)))"
+    def level(dims: Int): String =
+      s"""SELECT q_id, vec_id, CAST($dims AS BIGINT) AS dims, rn FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+         |    FROM (SELECT q.q_id, t.vec_id,
+         |            list_dot_product(q.q_vec[1:$dims], t.t_vec[1:$dims])
+         |            / (sqrt(list_dot_product(q.q_vec[1:$dims], q.q_vec[1:$dims]))
+         |              * sqrt(list_dot_product(t.t_vec[1:$dims], t.t_vec[1:$dims])))
+         |            AS sim
+         |          FROM t, q WHERE t.vec_id <> q.q_id) s) r
+         |  WHERE rn <= 10""".stripMargin
+    s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+       |           FROM embeddings WHERE vec_id < 5),
+       |t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS t_vec
+       |      FROM embeddings),
+       |e10 AS (
+       |  SELECT q_id, vec_id, rn FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+       |    FROM (SELECT q.q_id, t.vec_id, $cos AS sim
+       |          FROM t, q WHERE t.vec_id <> q.q_id) s) r WHERE rn <= 10),
+       |a10 AS (
+       |  ${level(16)}
+       |  UNION ALL
+       |  ${level(32)}),
+       |j AS (
+       |  SELECT e10.q_id, d.dims, e10.rn AS e_rn, a10.rn AS a_rn
+       |  FROM e10 CROSS JOIN (SELECT CAST(16 AS BIGINT) AS dims
+       |    UNION ALL SELECT 32) d
+       |  LEFT JOIN a10 ON e10.q_id = a10.q_id AND e10.vec_id = a10.vec_id
+       |    AND d.dims = a10.dims)
+       |SELECT q_id, dims, count(a_rn) AS n_overlap,
+       |  ${Fx.sqlR6("count(a_rn) / 10")} AS recall_at_10,
+       |  CAST(min(CASE WHEN e_rn = 1 THEN COALESCE(a_rn, 0) END) AS BIGINT)
+       |    AS top1_rank,
+       |  ${Fx.sqlR6("CASE WHEN min(CASE WHEN e_rn = 1 THEN COALESCE(a_rn, 0) END) > 0 THEN 1::DOUBLE / min(CASE WHEN e_rn = 1 THEN COALESCE(a_rn, 0) END) ELSE 0::DOUBLE END")}
+       |    AS top1_rr
+       |FROM j GROUP BY q_id, dims
+       |ORDER BY q_id, dims""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q512_quade_test", q512, Some(q512Sql)),
     QueryDef("q513_fleiss_kappa", q513, Some(q513Sql)),
     QueryDef("q514_stuart_maxwell", q514, Some(q514Sql)),
     QueryDef("q515_tukey_hsd", q515, Some(q515Sql)),
     QueryDef("q516_sign_test", q516, Some(q516Sql)),
-    QueryDef("q517_permutation_shift", q517, Some(q517Sql)))
+    QueryDef("q517_permutation_shift", q517, Some(q517Sql)),
+    QueryDef("q518_icc_reliability", q518, Some(q518Sql)),
+    QueryDef("q519_chinchilla_plan", q519, Some(q519Sql)),
+    QueryDef("q520_vocab_coverage", q520, Some(q520Sql)),
+    QueryDef("q521_matryoshka_recall", q521, Some(q521Sql)))
 }
