@@ -420,7 +420,7 @@ object DecisionQueries {
       $"mean_micro".as("mean_a_micro"))
     val b = g.select($"seg".as("seg_b"), $"n".as("nb"),
       $"mean_micro".as("mean_b_micro"))
-    a.join(b, $"seg_a" < $"seg_b").crossJoin(broadcast(msw))
+    a.join(broadcast(b), $"seg_a" < $"seg_b").crossJoin(broadcast(msw))
       .withColumn("d", $"mean_a_micro" - $"mean_b_micro")
       .select($"seg_a", $"seg_b", $"na", $"nb",
         $"mean_a_micro", $"mean_b_micro", $"msw_cents2",

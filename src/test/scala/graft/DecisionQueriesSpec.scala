@@ -1,0 +1,314 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Planted-structure gates for the round-14 decision-layer batch: the
+  * oracle proves cross-engine equality; these tests prove the
+  * statistics FIND known structure — Quade's F is exactly 12 on a
+  * fully monotone 3×5 plant, Fleiss κ is exactly 1 on unanimous
+  * raters, Stuart–Maxwell is exactly 0 on symmetric margins and
+  * matches a BigInt replay off-balance, HSD separates exactly the
+  * planted distant segment, the sign test's exact binomial tail is
+  * 7/64 on a 5-up-1-down plant, the permutation test matches a full
+  * 256-replica md5 replay, ICC hits its 1/NULL poles, the Chinchilla
+  * N* is the exact integer square root for every budget, the coverage
+  * curve reads a crafted Zipf head exactly, and Matryoshka recall is
+  * 0 at 16 dims / 1 at 32 dims on a prefix-blind construction.
+  */
+class DecisionQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** orders + customer fixture: (custkey, segment) plus
+    * (custkey, totalprice dollars, year). */
+  private def segOrdersDir(custSeg: Seq[(Long, String)],
+      orders: Seq[(Long, Double, Int)]): String = {
+    val dir = Files.createTempDirectory("planted-dq")
+    custSeg.toDF("c_custkey", "c_mktsegment")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("customer.parquet").toString)
+    orders.toDF("o_custkey", "o_totalprice", "yr")
+      .withColumn("o_orderdate",
+        to_timestamp(concat($"yr".cast("string"), lit("-06-15 12:00:00"))))
+      .withColumn("o_orderkey", monotonically_increasing_id())
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderdate")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("orders.parquet").toString)
+    dir.toString
+  }
+
+  private def documentsDir(rows: Seq[(Long, String, String, String, Long)]): String = {
+    val dir = Files.createTempDirectory("planted-dq-doc")
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("documents.parquet").toString)
+    dir.toString
+  }
+
+  /** lineitem + part fixture: (partkey, brand) plus
+    * (partkey, day-of-epoch, extendedprice dollars); discount 0. */
+  private def brandLinesDir(parts: Seq[(Long, String)],
+      lines: Seq[(Long, String, Double)]): String = {
+    val dir = Files.createTempDirectory("planted-dq-bl")
+    parts.toDF("p_partkey", "p_brand")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("part.parquet").toString)
+    lines.toDF("l_partkey", "shipdate", "l_extendedprice")
+      .withColumn("l_shipdate", to_timestamp(concat($"shipdate", lit(" 12:00:00"))))
+      .withColumn("l_discount", lit(0.0))
+      .select($"l_partkey", $"l_shipdate", $"l_extendedprice", $"l_discount")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("lineitem.parquet").toString)
+    dir.toString
+  }
+
+  private def embeddingsDir(rows: Seq[(Long, Seq[Float])]): String = {
+    val dir = Files.createTempDirectory("planted-dq-emb")
+    rows.toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("embeddings.parquet").toString)
+    dir.toString
+  }
+
+  test("q512 reads the fully monotone 3x5 plant as F = 12 exactly") {
+    // 3 year-blocks, 5 segments, identical segment order every year,
+    // block ranges strictly increasing: hand-derived Quade
+    // F = (n-1)B/(A-B) = 2*120/(140-120) = 12; df2 = 8, crit 3.8379
+    // -> reject. T scaled by 4: (-48,-24,0,24,48).
+    val segs = Seq("SA", "SB", "SC", "SD", "SE")
+    val custSeg = segs.zipWithIndex.map { case (sg, i) => ((i + 1).toLong, sg) }
+    val orders = for {
+      (m, yi) <- Seq(10.0, 20.0, 30.0).zipWithIndex
+      k <- 1 to 5
+    } yield (k.toLong, k * m, 1993 + yi)
+    val out = operators.DecisionQueries.q512(spark, segOrdersDir(custSeg, orders))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))
+      .toMap
+    assert(out("SA") === ((-48L, 3L, 12000000L, 8L, 1)), out.toString)
+    assert(out("SE") === ((48L, 3L, 12000000L, 8L, 1)), out.toString)
+    assert(out("SC")._1 === 0L, out.toString)
+  }
+
+  /** Integer replay of TextAnalysis.qualityMicro. */
+  private def qMicro(text: String): Long = {
+    val toks = (text.length - text.replace(" ", "").length + 1).toLong
+    val chars = text.length.toLong
+    val stop = Seq("the", "and", "of").map { w =>
+      val padded = s" ${text.toLowerCase} "
+      val needle = s" $w "
+      (padded.length - padded.replace(needle, "").length) / needle.length
+    }.sum.toLong
+    math.min(toks, 50L) * 8000L +
+      (if (chars - toks + 1 >= 2 * toks && chars - toks + 1 <= 12 * toks)
+        300000L else 0L) +
+      math.min(stop, 5L) * 60000L
+  }
+
+  test("q513 reads unanimous raters as kappa = 1 and matches the replay off-unanimity") {
+    val hi = ("the and of " * 20).trim // qualityMicro = 1000000
+    assert(qMicro(hi) === 1000000L)
+    val lo = "z" // 8000
+    // 6 docs all-positive (en, quality>=.5, len in band), 4 all-negative
+    val unanimous = (1L to 6L).map(i => (i, hi, "en", "s", 219L)) ++
+      (7L to 10L).map(i => (i, lo, "fr", "s", 1L))
+    val u = operators.DecisionQueries.q513(spark, documentsDir(unanimous)).head()
+    assert((u.getLong(3), u.getString(4)) === ((1000000L, "almost_perfect")), u.toString)
+    // add two split docs (en but low quality + short) -> k=1 each;
+    // BigInt replay of the closed form
+    val mixed = unanimous ++ Seq((11L, lo, "en", "s", 1L), (12L, lo, "en", "s", 1L))
+    val ks = mixed.map { case (_, t, l, _, nc) =>
+      (if (l == "en") 1L else 0L) + (if (qMicro(t) >= 500000L) 1L else 0L) +
+        (if (nc >= 100L && nc <= 500L) 1L else 0L)
+    }
+    val n = BigInt(ks.size); val kk = BigInt(ks.sum)
+    val a = ks.map(k => BigInt(k * k + (3 - k) * (3 - k))).sum
+    val num = 3 * n * (a - 3 * n) - 2 * kk * kk - 2 * (3 * n - kk) * (3 * n - kk)
+    val den = 18 * n * n - 2 * kk * kk - 2 * (3 * n - kk) * (3 * n - kk)
+    val m = operators.DecisionQueries.q513(spark, documentsDir(mixed)).head()
+    assert(m.getLong(3) === (num * 1000000 / den).toLong, m.toString)
+  }
+
+  test("q514 is exactly 0 on symmetric margins and matches the BigInt replay off-balance") {
+    val enTxt = "the and of"; val esTxt = "el la de"; val frTxt = "le les et"
+    // symmetric: 3 en->es / 3 es->en and 2 en->fr / 2 fr->en
+    // confusions + diagonal mass: margins coincide -> d = 0, chi2 = 0
+    // (the fr flow keeps S nonsingular; a pure en<->es exchange has
+    // det(S) = 0)
+    val sym =
+      (1L to 4L).map(i => (i, enTxt, "en", "s", 10L)) ++
+      (5L to 7L).map(i => (i, esTxt, "en", "s", 10L)) ++   // en predicted es
+      (8L to 10L).map(i => (i, enTxt, "es", "s", 10L)) ++  // es predicted en
+      (11L to 14L).map(i => (i, esTxt, "es", "s", 10L)) ++
+      (15L to 16L).map(i => (i, frTxt, "fr", "s", 10L)) ++
+      (17L to 18L).map(i => (i, frTxt, "en", "s", 10L)) ++ // en predicted fr
+      (19L to 20L).map(i => (i, enTxt, "fr", "s", 10L))    // fr predicted en
+    val s0 = operators.DecisionQueries.q514(spark, documentsDir(sym)).head()
+    assert((s0.getLong(3), s0.getLong(4), s0.getLong(5), s0.getInt(6))
+      === ((0L, 0L, 0L, 0)), s0.toString)
+    // off-balance: 5 en->es, 1 es->en, 2 en->fr (the fr flow keeps S
+    // nonsingular — a pure en<->es exchange has det(S) = 0 since then
+    // d1 = -d2 identically); replay chi2 = d'adj(S)d/det
+    val off =
+      (1L to 4L).map(i => (i, enTxt, "en", "s", 10L)) ++
+      (5L to 9L).map(i => (i, esTxt, "en", "s", 10L)) ++
+      (10L to 10L).map(i => (i, enTxt, "es", "s", 10L)) ++
+      (11L to 14L).map(i => (i, esTxt, "es", "s", 10L)) ++
+      (15L to 16L).map(i => (i, frTxt, "fr", "s", 10L)) ++
+      (17L to 18L).map(i => (i, frTxt, "en", "s", 10L))
+    val m = Map(("en", "en") -> 4L, ("en", "es") -> 5L, ("en", "fr") -> 2L,
+      ("es", "en") -> 1L, ("es", "es") -> 4L, ("fr", "fr") -> 2L)
+      .withDefaultValue(0L)
+    val r1 = m(("en", "en")) + m(("en", "es")) + m(("en", "fr"))
+    val r2 = m(("es", "en")) + m(("es", "es")) + m(("es", "fr"))
+    val c1 = m(("en", "en")) + m(("es", "en")) + m(("fr", "en"))
+    val c2 = m(("en", "es")) + m(("es", "es")) + m(("fr", "es"))
+    val (d1, d2) = (BigInt(r1 - c1), BigInt(r2 - c2))
+    val s11 = BigInt(r1 + c1 - 2 * m(("en", "en")))
+    val s22 = BigInt(r2 + c2 - 2 * m(("es", "es")))
+    val s12 = BigInt(-(m(("en", "es")) + m(("es", "en"))))
+    val det = s11 * s22 - s12 * s12
+    val chi = (s22 * d1 * d1 - 2 * s12 * d1 * d2 + s11 * d2 * d2) * 1000000 / det
+    val o = operators.DecisionQueries.q514(spark, documentsDir(off)).head()
+    assert((o.getLong(3), o.getLong(4), o.getLong(5))
+      === ((d1.toLong, d2.toLong, chi.toLong)), o.toString)
+  }
+
+  test("q515 separates exactly the planted distant segment (zero within-variance)") {
+    // three segments, constant within: SA=SB=$1.00, SC=$9.00
+    // -> msw = 0; (SA,SB) equal means no reject; pairs with SC reject
+    val custSeg = Seq((1L, "SA"), (2L, "SB"), (3L, "SC"))
+    val orders = (1 to 4).flatMap(i => Seq(
+      (1L, 1.0, 1994), (2L, 1.0, 1994), (3L, 9.0, 1994)))
+    val out = operators.DecisionQueries.q515(spark, segOrdersDir(custSeg, orders))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(6), r.getInt(7))).toMap
+    assert(out(("SA", "SB")) === ((0L, 0)), out.toString)
+    assert(out(("SA", "SC")) === ((0L, 1)), out.toString)
+    assert(out(("SB", "SC")) === ((0L, 1)), out.toString)
+  }
+
+  test("q516 exact binomial tail: 5-up-1-down gives p = 14/64, all-up rejects") {
+    // second-half revenue above first for brands B1..B5, below for B6
+    val parts = (1L to 6L).map(i => (i, s"B$i"))
+    val lines = (1L to 6L).flatMap { i =>
+      val (a, b) = if (i <= 5) (10.0, 20.0) else (20.0, 10.0)
+      Seq((i, "1994-01-10", a), (i, "1996-01-10", b))
+    }
+    val r = operators.DecisionQueries.q516(spark, brandLinesDir(parts, lines)).head()
+    // n=6, pos=5, m=1: tail = C(6,0)+C(6,1) = 7; p = 14/64 = 0.21875
+    assert((r.getLong(3), r.getLong(4), r.getLong(5), r.getInt(6))
+      === ((6L, 5L, 218750L, 0)), r.toString)
+    val allUp = (1L to 6L).flatMap(i =>
+      Seq((i, "1994-01-10", 10.0), (i, "1996-01-10", 20.0)))
+    val r2 = operators.DecisionQueries.q516(spark, brandLinesDir(parts, allUp)).head()
+    // pos=6, m=0: tail=1, p = 2/64 = 31250 micro, 40 <= 64 -> reject
+    assert((r2.getLong(4), r2.getLong(5), r2.getInt(6)) === ((6L, 31250L, 1)),
+      r2.toString)
+  }
+
+  test("q517 matches the full 256-replica md5 replay") {
+    val parts = (1L to 6L).map(i => (i, s"B$i"))
+    val lines = (1L to 6L).flatMap { i =>
+      val (a, b) = if (i <= 4) (10.0, 10.0 + i) else (20.0 + i, 10.0)
+      Seq((i, "1994-01-10", a), (i, "1996-01-10", b))
+    }
+    // replay: d_i on the 1e-4 grid, sign from md5 hex digit
+    val deltas = (1L to 6L).map { i =>
+      val (a, b) = if (i <= 4) (10.0, 10.0 + i) else (20.0 + i, 10.0)
+      val d = (math.floor(b * 100 + 0.5).toLong * 100L) -
+        (math.floor(a * 100 + 0.5).toLong * 100L)
+      (s"B$i", d)
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex1(s: String): Char = {
+      val h = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      h.charAt(0)
+    }
+    val tObs = deltas.map(_._2).sum
+    val tPerms = (0 until 256).map { p =>
+      deltas.map { case (b, d) =>
+        if (hex1(s"$b#$p") < '8') d else -d
+      }.sum
+    }
+    val nExtreme = tPerms.count(t => math.abs(t) >= math.abs(tObs)).toLong
+    val out = operators.DecisionQueries.q517(spark, brandLinesDir(parts, lines)).head()
+    assert((out.getLong(1), out.getLong(3), out.getLong(4))
+      === ((tObs, nExtreme, (nExtreme + 1) * 1000000L / 257L)), out.toString)
+  }
+
+  test("q518 hits the ICC poles: perfect clustering = 1, no variance = NULL") {
+    // each source internally constant, sources differ -> msw=0, icc=1
+    val clustered = (1L to 12L).map(i =>
+      (i, "x", "en", s"src${(i - 1) / 4}", 100L * (1 + (i - 1) / 4)))
+    val c = operators.DecisionQueries.q518(spark, documentsDir(clustered)).head()
+    assert(c.getLong(5) === 1000000L, c.toString)
+    assert(c.getLong(3) === 0L, s"msw must be 0: $c")
+    // every length identical -> msb = msw = 0 -> NULL
+    val flat = (1L to 12L).map(i => (i, "x", "en", s"src${(i - 1) / 4}", 100L))
+    val f = operators.DecisionQueries.q518(spark, documentsDir(flat)).head()
+    assert(f.isNullAt(5), f.toString)
+  }
+
+  test("q519 N* is the exact integer sqrt for every budget and epochs replay exactly") {
+    // corpus of 3 docs x 5 tokens = 15 tokens
+    val docs = (1L to 3L).map(i => (i, "a b c d e", "en", "s", 9L))
+    val out = operators.DecisionQueries.q519(spark, documentsDir(docs))
+      .collect()
+    assert(out.length === 6)
+    out.foreach { r =>
+      val e = r.getInt(0); val n = BigInt(r.getLong(1)); val dStar = r.getLong(2)
+      val c = BigInt(10).pow(e)
+      assert(120 * n * n <= c && 120 * (n + 1) * (n + 1) > c,
+        s"n_star not the exact isqrt at 10^$e: $n")
+      assert(dStar === (n * 20).toLong)
+      assert(r.getLong(3) === 15L)
+      assert(r.getLong(4) === (BigInt(dStar) * 1000000 / 15).toLong)
+    }
+  }
+
+  test("q520 reads the crafted Zipf head exactly") {
+    // frequencies a:10 b:5 c:3 d:2 + five singletons = 25 tokens, 9 words
+    val text = (Seq.fill(10)("a") ++ Seq.fill(5)("b") ++ Seq.fill(3)("c") ++
+      Seq.fill(2)("d") ++ Seq("e", "f", "g", "h", "i")).mkString(" ")
+    val out = operators.DecisionQueries.q520(spark,
+        documentsDir(Seq((1L, text, "en", "s", text.length.toLong))))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(4), r.getLong(5)))
+      .toMap
+    // top-5 = a,b,c,d,e -> 10+5+3+2+1 = 21 of 25
+    assert(out(5L) === ((21L, 21L * 1000000L / 25L, 4L * 1000000L / 25L)),
+      out.toString)
+    assert(out(10L) === ((25L, 1000000L, 0L)), out.toString)
+    assert(out(10000L) === ((25L, 1000000L, 0L)), out.toString)
+  }
+
+  test("q521 Matryoshka recall: 0 on the prefix-blind plant at 16 dims, 1 at 32") {
+    // queries 0..4 = orthogonal unit basis vectors e1..e5; targets
+    // 5..24 relevant only to q0: d1 = 1 plus a d17 component c that
+    // decreases with id. Full/32-dim ranking orders by 1/sqrt(1+c^2)
+    // (ids 24..15 best); the 16-dim prefix sees every target as
+    // identical (cos 1, ties by id -> ids 5..14): recall@10 = 0.
+    // Dims 17..32 carry the whole signal -> 32-dim recall = 1.
+    def vec(entries: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(64)(0f)
+      entries.foreach { case (i, v) => a(i - 1) = v }
+      a.toSeq
+    }
+    val queries = (0 to 4).map(q => (q.toLong, vec((q + 1) -> 1f)))
+    val targets = (5 to 24).map(i =>
+      (i.toLong, vec(1 -> 1f, 17 -> ((25 - i) / 10.0f))))
+    val out = operators.DecisionQueries.q521(spark,
+        embeddingsDir(queries ++ targets))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(4))).toMap
+    assert(out((0L, 16L)) === ((0L, 0L)), out.toString)   // no overlap, top1 lost
+    assert(out((0L, 32L)) === ((10L, 1L)), out.toString)  // identical ranking
+    // orthogonal queries: every candidate ties at cos 0 at every dims
+    // level -> both rankings are the id order -> full overlap
+    (1L to 4L).foreach { q =>
+      assert(out((q, 16L))._1 === 10L, s"q$q: ${out((q, 16L))}")
+      assert(out((q, 32L))._1 === 10L, s"q$q: ${out((q, 32L))}")
+    }
+  }
+}
