@@ -955,7 +955,377 @@ object DecisionQueries {
        |ORDER BY q_id, dims""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q522 — Welch's unequal-variance t between two named segments
+  // ------------------------------------------------------------------
+
+  /** q522 — Welch's t² between AUTOMOBILE and HOUSEHOLD order values,
+    * with the Welch–Satterthwaite df: the UNPOOLED two-sample
+    * comparison you run when Levene/Brown–Forsythe (q373) rejects
+    * variance homogeneity — q515's HSD and the classic pooled t both
+    * assume what this doesn't. Everything is a stated truncation of
+    * exact integer moments: per-group means on the micro-cent grid,
+    * standard-error squares a_g = (nQ−S²) div (n²(n−1)) on the cents²
+    * grid, t² = d² div ((a₁+a₂)·10⁶), and the WS df as ONE
+    * denominator-cleared division
+    * df = (a₁+a₂)²(n₁−1)(n₂−1) / (a₁²(n₂−1) + a₂²(n₁−1)) on
+    * DECIMAL(38,0). Verdict vs a pinned t²(0.975, df) band ladder
+    * (each band uses its lower-edge critical, stated). Scale: one
+    * orders⋈customer join filtered to the two segments → two group
+    * rows. */
+  def q522(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = Tables.orders(s, d)
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+      .filter($"c_mktsegment".isin("AUTOMOBILE", "HOUSEHOLD"))
+      .select($"c_mktsegment".as("seg"), cents($"o_totalprice").as("x"))
+      .groupBy($"seg")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("q"))
+      .withColumn("m_micro",
+        expr("cast((cast(sx as decimal(38,0)) * 1000000) div n as bigint)"))
+      .withColumn("a", expr(
+        "cast((n * q - cast(sx as decimal(38,0)) * sx) div (cast(n as decimal(38,0)) * n * (n - 1)) as bigint)"))
+    val a = g.filter($"seg" === "AUTOMOBILE")
+      .select($"n".as("n1"), $"m_micro".as("mean1_micro"), $"a".as("a1"))
+    val h = g.filter($"seg" === "HOUSEHOLD")
+      .select($"n".as("n2"), $"m_micro".as("mean2_micro"), $"a".as("a2"))
+    a.crossJoin(broadcast(h))
+      .withColumn("dm", $"mean1_micro" - $"mean2_micro")
+      .withColumn("t2_micro",
+        when($"a1" + $"a2" <= 0L, lit(null).cast("long")).otherwise(expr(
+          "cast((cast(dm as decimal(38,0)) * dm) div (cast(a1 + a2 as decimal(38,0)) * 1000000) as bigint)")))
+      .withColumn("df_micro",
+        when($"a1" + $"a2" <= 0L, lit(null).cast("long")).otherwise(expr(
+          """cast((cast(a1 + a2 as decimal(38,0)) * (a1 + a2) * 1000000
+             * (n1 - 1) * (n2 - 1))
+             div (cast(a1 as decimal(38,0)) * a1 * (n2 - 1)
+               + cast(a2 as decimal(38,0)) * a2 * (n1 - 1)) as bigint)""")))
+      .withColumn("t2_crit_micro", expr(
+        """cast(case when df_micro >= 1000000000 then 3841459
+           when df_micro >= 100000000 then 3936256
+           when df_micro >= 60000000 then 4001192
+           when df_micro >= 30000000 then 4170875
+           when df_micro >= 20000000 then 4351242
+           when df_micro >= 10000000 then 4964603
+           else 6607892 end as bigint)"""))
+      .select($"n1", $"n2", $"mean1_micro", $"mean2_micro",
+        when($"dm" > 0, 1).when($"dm" < 0, -1).otherwise(0).as("d_sign"),
+        $"t2_micro", $"df_micro",
+        when($"t2_micro".isNull, lit(null).cast("int"))
+          .otherwise(($"t2_micro" > $"t2_crit_micro").cast("int"))
+          .as("reject_5pct"))
+      .orderBy($"n1")
+  }
+
+  val q522Sql: String =
+    """WITH g AS (
+      |  SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, sum(CAST(x AS HUGEINT) * x) AS q
+      |  FROM (
+      |    SELECT c_mktsegment,
+      |      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x
+      |    FROM orders JOIN customer ON o_custkey = c_custkey
+      |    WHERE c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD')) t
+      |  GROUP BY 1),
+      |gg AS (
+      |  SELECT seg, n,
+      |    CAST((CAST(sx AS HUGEINT) * 1000000) // n AS BIGINT) AS m_micro,
+      |    CAST((n * q - CAST(sx AS HUGEINT) * sx)
+      |      // (CAST(n AS HUGEINT) * n * (n - 1)) AS BIGINT) AS a
+      |  FROM g),
+      |p AS (
+      |  SELECT a.n AS n1, a.m_micro AS mean1_micro, a.a AS a1,
+      |    h.n AS n2, h.m_micro AS mean2_micro, h.a AS a2,
+      |    a.m_micro - h.m_micro AS dm
+      |  FROM (SELECT * FROM gg WHERE seg = 'AUTOMOBILE') a
+      |  CROSS JOIN (SELECT * FROM gg WHERE seg = 'HOUSEHOLD') h),
+      |st AS (
+      |  SELECT n1, n2, mean1_micro, mean2_micro, dm,
+      |    CASE WHEN a1 + a2 <= 0 THEN NULL
+      |      ELSE CAST((CAST(dm AS HUGEINT) * dm)
+      |        // (CAST(a1 + a2 AS HUGEINT) * 1000000) AS BIGINT)
+      |      END AS t2_micro,
+      |    CASE WHEN a1 + a2 <= 0 THEN NULL
+      |      ELSE CAST((CAST(a1 + a2 AS HUGEINT) * (a1 + a2) * 1000000
+      |          * (n1 - 1) * (n2 - 1))
+      |        // (CAST(a1 AS HUGEINT) * a1 * (n2 - 1)
+      |          + CAST(a2 AS HUGEINT) * a2 * (n1 - 1)) AS BIGINT)
+      |      END AS df_micro
+      |  FROM p)
+      |SELECT n1, n2, mean1_micro, mean2_micro,
+      |  CASE WHEN dm > 0 THEN 1 WHEN dm < 0 THEN -1 ELSE 0 END AS d_sign,
+      |  t2_micro, df_micro,
+      |  CASE WHEN t2_micro IS NULL THEN NULL
+      |    ELSE CAST(t2_micro > (CASE WHEN df_micro >= 1000000000 THEN 3841459
+      |    WHEN df_micro >= 100000000 THEN 3936256
+      |    WHEN df_micro >= 60000000 THEN 4001192
+      |    WHEN df_micro >= 30000000 THEN 4170875
+      |    WHEN df_micro >= 20000000 THEN 4351242
+      |    WHEN df_micro >= 10000000 THEN 4964603
+      |    ELSE 6607892 END) AS INT) END AS reject_5pct
+      |FROM st ORDER BY n1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q523 — triangular-kernel density of document length
+  // ------------------------------------------------------------------
+
+  /** q523 — triangular-kernel density estimate of document length at
+    * the pinned evaluation grid 0, 100, …, 1000 (bandwidth h = 100):
+    * the SMOOTH length profile a curation policy reads where a plain
+    * histogram jumps at bin edges. The triangular kernel makes KDE
+    * exact-integer: weight = max(0, h − |x − p|), density·n·h² =
+    * Σ weights — one stated micro division at the end, no float
+    * anywhere.
+    *
+    * Scale shape: each document contributes to AT MOST TWO grid
+    * points (grid step = h), so the fan-out is a bounded 2-row
+    * explode per doc — never a docs×grid cross join (11 full passes
+    * at 100 TB). Zero-filled grid, one bounded groupBy. */
+  def q523(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val contrib = Tables.documents(s, d)
+      .filter($"n_chars".isNotNull)
+      .select($"n_chars".cast("long").as("x"))
+      .select(explode(array(
+        struct((expr("(x div 100) * 100")).as("p"),
+          (lit(100L) - ($"x" - expr("(x div 100) * 100"))).as("w")),
+        struct((expr("(x div 100) * 100 + 100")).as("p"),
+          (lit(100L) - (expr("(x div 100) * 100 + 100") - $"x")).as("w"))))
+        .as("c"))
+      .select($"c.p", $"c.w")
+      .filter($"w" > 0L && $"p" >= 0L && $"p" <= 1000L)
+      .groupBy($"p").agg(sum($"w").as("sw"))
+    val n = Tables.documents(s, d).filter($"n_chars".isNotNull)
+      .agg(count(lit(1)).as("n"))
+    Seq.range(0, 11).map(_ * 100L).toDF("eval_point")
+      .join(broadcast(contrib), $"p" === $"eval_point", "left")
+      .crossJoin(broadcast(n))
+      .select($"eval_point", coalesce($"sw", lit(0L)).as("weight_sum"), $"n",
+        expr("(coalesce(sw, 0) * 1000000) div (n * 10000)")
+          .as("density_micro"))
+      .orderBy($"eval_point")
+  }
+
+  val q523Sql: String =
+    """WITH RECURSIVE docs AS (
+      |  SELECT CAST(n_chars AS BIGINT) AS x FROM documents
+      |  WHERE n_chars IS NOT NULL),
+      |contrib AS (
+      |  SELECT p, CAST(sum(w) AS BIGINT) AS sw FROM (
+      |    SELECT (x // 100) * 100 AS p, 100 - (x - (x // 100) * 100) AS w
+      |    FROM docs
+      |    UNION ALL
+      |    SELECT (x // 100) * 100 + 100 AS p,
+      |      100 - ((x // 100) * 100 + 100 - x) AS w
+      |    FROM docs) t
+      |  WHERE w > 0 AND p >= 0 AND p <= 1000
+      |  GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+      |grid(eval_point) AS (
+      |  SELECT CAST(0 AS BIGINT) UNION ALL
+      |  SELECT eval_point + 100 FROM grid WHERE eval_point < 1000)
+      |SELECT g.eval_point, CAST(COALESCE(c.sw, 0) AS BIGINT) AS weight_sum,
+      |  n.n,
+      |  CAST((COALESCE(c.sw, 0) * 1000000) // (n.n * 10000) AS BIGINT)
+      |    AS density_micro
+      |FROM grid g LEFT JOIN contrib c ON c.p = g.eval_point
+      |CROSS JOIN n
+      |ORDER BY eval_point""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q524 — Cohen's d / Hedges' g effect sizes for segment pairs
+  // ------------------------------------------------------------------
+
+  /** q524 — standardized effect sizes for every segment pair: Cohen's
+    * d (pooled-SD standardized mean difference) and the Hedges'
+    * small-sample correction g = J·d, J = (4N−12)/(4N−9) — the
+    * MAGNITUDE readout beside q515's HSD verdicts and q522's Welch
+    * test (a rejection says "different"; d says "by how much, in SD
+    * units"). Reported squared on the micro grid (the q460
+    * convention — no sqrt crosses engines) with the sign separate;
+    * the Cohen band ladder compares d² against 0.2²/0.5²/0.8².
+    * Exactness: pooled variance by stated truncations
+    * ss_g = (nQ−S²) div n, sp² = (ss₁+ss₂) div (n₁+n₂−2); d² = diff²
+    * div (sp²·10⁶); g² = d²·(4N−12)² div (4N−9)². Scale: the q515
+    * shape — 5 group rows, 10 broadcast pairs. */
+  def q524(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = Tables.orders(s, d)
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("seg"), cents($"o_totalprice").as("x"))
+      .groupBy($"seg")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("q"))
+      .withColumn("ss", expr(
+        "(n * q - cast(sx as decimal(38,0)) * sx) div n"))
+      .withColumn("m_micro", expr(
+        "cast((cast(sx as decimal(38,0)) * 1000000) div n as bigint)"))
+      .transform(Fx.materialize)
+    val a = g.select($"seg".as("seg_a"), $"n".as("na"),
+      $"sx".as("sxa"), $"ss".as("ssa"), $"m_micro".as("ma"))
+    val b = g.select($"seg".as("seg_b"), $"n".as("nb"),
+      $"sx".as("sxb"), $"ss".as("ssb"), $"m_micro".as("mb"))
+    a.join(broadcast(b), $"seg_a" < $"seg_b")
+      .withColumn("sp2", expr("cast((ssa + ssb) div (na + nb - 2) as bigint)"))
+      .withColumn("dm", $"ma" - $"mb")
+      .withColumn("d2_micro", when($"sp2" <= 0L, lit(null).cast("long"))
+        .otherwise(expr(
+          "cast((cast(dm as decimal(38,0)) * dm) div (cast(sp2 as decimal(38,0)) * 1000000) as bigint)")))
+      .withColumn("g2_micro", when($"d2_micro".isNull, lit(null).cast("long"))
+        .otherwise(expr(
+          """cast((cast(d2_micro as decimal(38,0))
+             * (4 * (na + nb) - 12) * (4 * (na + nb) - 12))
+             div (cast(4 * (na + nb) - 9 as decimal(38,0))
+               * (4 * (na + nb) - 9)) as bigint)""")))
+      .select($"seg_a", $"seg_b", $"na", $"nb",
+        when($"dm" > 0, 1).when($"dm" < 0, -1).otherwise(0).as("d_sign"),
+        $"d2_micro", $"g2_micro",
+        when($"d2_micro".isNull, lit(null).cast("string"))
+          .when($"d2_micro" < 40000L, "negligible")
+          .when($"d2_micro" < 250000L, "small")
+          .when($"d2_micro" < 640000L, "medium")
+          .otherwise("large").as("band"))
+      .orderBy($"seg_a", $"seg_b")
+  }
+
+  val q524Sql: String =
+    """WITH g AS (
+      |  SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, sum(CAST(x AS HUGEINT) * x) AS q
+      |  FROM (
+      |    SELECT c_mktsegment,
+      |      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x
+      |    FROM orders JOIN customer ON o_custkey = c_custkey) t
+      |  GROUP BY 1),
+      |gg AS (
+      |  SELECT seg, n,
+      |    (n * q - CAST(sx AS HUGEINT) * sx) // n AS ss,
+      |    CAST((CAST(sx AS HUGEINT) * 1000000) // n AS BIGINT) AS m_micro
+      |  FROM g),
+      |p AS (
+      |  SELECT a.seg AS seg_a, b.seg AS seg_b, a.n AS na, b.n AS nb,
+      |    CAST((a.ss + b.ss) // (a.n + b.n - 2) AS BIGINT) AS sp2,
+      |    a.m_micro - b.m_micro AS dm, a.n + b.n AS nn
+      |  FROM gg a JOIN gg b ON a.seg < b.seg),
+      |e AS (
+      |  SELECT seg_a, seg_b, na, nb, dm, nn,
+      |    CASE WHEN sp2 <= 0 THEN NULL
+      |      ELSE CAST((CAST(dm AS HUGEINT) * dm)
+      |        // (CAST(sp2 AS HUGEINT) * 1000000) AS BIGINT)
+      |      END AS d2_micro
+      |  FROM p)
+      |SELECT seg_a, seg_b, na, nb,
+      |  CASE WHEN dm > 0 THEN 1 WHEN dm < 0 THEN -1 ELSE 0 END AS d_sign,
+      |  d2_micro,
+      |  CASE WHEN d2_micro IS NULL THEN NULL
+      |    ELSE CAST((CAST(d2_micro AS HUGEINT)
+      |      * (4 * nn - 12) * (4 * nn - 12))
+      |      // (CAST(4 * nn - 9 AS HUGEINT) * (4 * nn - 9)) AS BIGINT)
+      |    END AS g2_micro,
+      |  CASE WHEN d2_micro IS NULL THEN NULL
+      |    WHEN d2_micro < 40000 THEN 'negligible'
+      |    WHEN d2_micro < 250000 THEN 'small'
+      |    WHEN d2_micro < 640000 THEN 'medium'
+      |    ELSE 'large' END AS band
+      |FROM e ORDER BY seg_a, seg_b""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q525 — rank-biased overlap of exact vs IVF retrieval
+  // ------------------------------------------------------------------
+
+  /** Per-item RBO@10 weight ladder (p = 0.9): an item whose LATER
+    * appearance across the two rankings is at depth m contributes to
+    * every prefix overlap o_d with d ≥ m, so its weight is
+    * W(m) = Σ_{d=m}^{10} 9^{d−1}·10^{10−d}·(2520/d) over the common
+    * denominator D = 10¹⁰·2520 — exact integers (2520 = lcm(1..10)).
+    * The normalizer Σ_d term_d·d = 16413303309480 makes identical
+    * rankings score exactly 10⁶. */
+  private val rboCase: String =
+    """(case greatest(e_rn, a_rn)
+      | when 1 then 5932493265528 when 2 then 3412493265528
+      | when 3 then 2278493265528 when 4 then 1598093265528
+      | when 5 then 1138823265528 when 6 then 808148865528
+      | when 7 then 560143065528 when 8 then 368824305528
+      | when 9 then 218160782028 else 97629963228 end)""".stripMargin
+      .replace("\n", " ")
+
+  /** q525 — rank-biased overlap (Webber et al. 2010, p = 0.9,
+    * truncated at depth 10, normalized so identical rankings = 10⁶)
+    * between the exact cosine top-10 and the IVF top-10 per query:
+    * the TOP-WEIGHTED agreement metric beside recall@10 (q190), MRR
+    * (q224) and NDCG (q506) — two rankings with the same members but
+    * shuffled heads score differently here and identically there.
+    * Exactness: p^d geometric weights are rationals, so each matched
+    * item's contribution is the exact integer ladder [[rboCase]] at
+    * m = max of its two ranks; the score is one truncating micro
+    * division by the exact normalizer. Scale: q190's shape —
+    * broadcast 5-query side, bounded-heap top-k, per-query groups. */
+  def q525(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qd = Tables.embeddings(s, d).filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val e = Tables.embeddings(s, d)
+    val exact = Similarity.bruteForceTopK(qd, e, k = 10)
+      .select($"q_id", $"vec_id", $"rn".as("e_rn"))
+    val approx = Similarity.ivfTopK(qd, e, k = 10, bits = 4)
+      .select($"q_id".as("aq_id"), $"vec_id".as("a_vec"), $"rn".as("a_rn"))
+    exact.join(broadcast(approx),
+        $"q_id" === $"aq_id" && $"vec_id" === $"a_vec", "left")
+      .groupBy($"q_id")
+      .agg(count($"a_rn").as("n_overlap"),
+        sum(when($"a_rn".isNotNull, expr(rboCase)).otherwise(lit(0L)))
+          .as("wsum"))
+      .select($"q_id", $"n_overlap",
+        expr("cast((cast(wsum as decimal(38,0)) * 1000000) div 16413303309480 as bigint)")
+          .as("rbo_micro"))
+      .orderBy($"q_id")
+  }
+
+  val q525Sql: String = {
+    val qb = Similarity.sqlSignBucket("embedding", 4)
+    val cos =
+      "list_dot_product(q_vec, t_vec) / (sqrt(list_dot_product(q_vec, q_vec)) * sqrt(list_dot_product(t_vec, t_vec)))"
+    s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec,
+       |                  $qb AS bucket
+       |           FROM embeddings WHERE vec_id < 5),
+       |t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS t_vec,
+       |             $qb AS bucket FROM embeddings),
+       |e10 AS (
+       |  SELECT q_id, vec_id, rn AS e_rn FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+       |    FROM (SELECT q_id, vec_id, $cos AS sim
+       |          FROM t, q WHERE vec_id <> q_id) s) r WHERE rn <= 10),
+       |a10 AS (
+       |  SELECT q_id, vec_id, rn AS a_rn FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+       |    FROM (SELECT q_id, vec_id, $cos AS sim
+       |          FROM t, q WHERE vec_id <> q_id AND t.bucket = q.bucket) s) r
+       |  WHERE rn <= 10),
+       |j AS (
+       |  SELECT e10.q_id, e10.e_rn, a10.a_rn
+       |  FROM e10 LEFT JOIN a10
+       |    ON e10.q_id = a10.q_id AND e10.vec_id = a10.vec_id)
+       |SELECT q_id, CAST(count(a_rn) AS BIGINT) AS n_overlap,
+       |  CAST((CAST(sum(CASE WHEN a_rn IS NULL THEN 0
+       |    ELSE CASE greatest(e_rn, a_rn)
+       |    WHEN 1 THEN 5932493265528 WHEN 2 THEN 3412493265528
+       |    WHEN 3 THEN 2278493265528 WHEN 4 THEN 1598093265528
+       |    WHEN 5 THEN 1138823265528 WHEN 6 THEN 808148865528
+       |    WHEN 7 THEN 560143065528 WHEN 8 THEN 368824305528
+       |    WHEN 9 THEN 218160782028 ELSE 97629963228 END END) AS HUGEINT)
+       |    * 1000000) // 16413303309480 AS BIGINT) AS rbo_micro
+       |FROM j GROUP BY q_id
+       |ORDER BY q_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q522_welch_t", q522, Some(q522Sql)),
+    QueryDef("q523_triangular_kde", q523, Some(q523Sql)),
+    QueryDef("q524_effect_size", q524, Some(q524Sql)),
+    QueryDef("q525_rbo_agreement", q525, Some(q525Sql)),
     QueryDef("q512_quade_test", q512, Some(q512Sql)),
     QueryDef("q513_fleiss_kappa", q513, Some(q513Sql)),
     QueryDef("q514_stuart_maxwell", q514, Some(q514Sql)),

@@ -283,6 +283,94 @@ class DecisionQueriesSpec extends SparkSpec {
     assert(out(10000L) === ((25L, 1000000L, 0L)), out.toString)
   }
 
+  test("q522 Welch matches the BigInt replay; equal means 0; zero variance NULL") {
+    val custSeg = Seq((1L, "AUTOMOBILE"), (2L, "HOUSEHOLD"))
+    def dirOf(a: Seq[Double], h: Seq[Double]): String = segOrdersDir(custSeg,
+      a.map(v => (1L, v, 1994)) ++ h.map(v => (2L, v, 1994)))
+    // replay: a = (nQ - S^2) div (n^2 (n-1)); t2 = dm^2 div ((a1+a2)*1e6)
+    def replay(a: Seq[Long], h: Seq[Long]): (Long, Long) = {
+      def grp(xs: Seq[Long]) = {
+        val n = BigInt(xs.size); val sx = BigInt(xs.sum)
+        val q = xs.map(x => BigInt(x) * x).sum
+        val m = sx * 1000000 / n
+        val aa = (n * q - sx * sx) / (n * n * (n - 1))
+        (n, m, aa)
+      }
+      val (n1, m1, a1) = grp(a); val (n2, m2, a2) = grp(h)
+      val dm = m1 - m2
+      val t2 = dm * dm / ((a1 + a2) * 1000000)
+      val df = ((a1 + a2) * (a1 + a2) * 1000000 * (n1 - 1) * (n2 - 1)) /
+        (a1 * a1 * (n2 - 1) + a2 * a2 * (n1 - 1))
+      (t2.toLong, df.toLong)
+    }
+    val (t2, df) = replay(Seq(100L, 300L, 500L), Seq(1000L, 1200L, 1400L))
+    val r = operators.DecisionQueries.q522(spark,
+      dirOf(Seq(1.0, 3.0, 5.0), Seq(10.0, 12.0, 14.0))).head()
+    assert((r.getLong(5), r.getLong(6), r.getInt(4), r.getInt(7))
+      === ((t2, df, -1, 1)), r.toString)
+    val eq = operators.DecisionQueries.q522(spark,
+      dirOf(Seq(1.0, 3.0), Seq(1.0, 3.0))).head()
+    assert((eq.getLong(5), eq.getInt(7)) === ((0L, 0)), eq.toString)
+    val zv = operators.DecisionQueries.q522(spark,
+      dirOf(Seq(2.0, 2.0), Seq(5.0, 5.0))).head()
+    assert(zv.isNullAt(5) && zv.isNullAt(7), zv.toString)
+  }
+
+  test("q523 triangular kernel reads the crafted lengths exactly") {
+    // x=100 -> 100@p100; x=150 -> 50@p100+50@p200; x=1050 -> 50@p1000
+    // (p1100 outside grid); x=30 -> 70@p0 + 30@p100
+    val docs = Seq((1L, "t", "en", "s", 100L), (2L, "t", "en", "s", 150L),
+      (3L, "t", "en", "s", 1050L), (4L, "t", "en", "s", 30L))
+    val out = operators.DecisionQueries.q523(spark, documentsDir(docs))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(out(0L) === ((70L, 70L * 1000000L / 40000L)), out.toString)
+    assert(out(100L) === ((180L, 180L * 1000000L / 40000L)), out.toString)
+    assert(out(200L) === ((50L, 1250L)), out.toString)
+    assert(out(1000L) === ((50L, 1250L)), out.toString)
+    assert(out(300L) === ((0L, 0L)) && out(900L) === ((0L, 0L)), out.toString)
+  }
+
+  test("q524 effect size matches the hand-computed large plant") {
+    // SA cents {100,300}, SB {1000,1200}: ss = 20000 each, sp2 = 20000,
+    // dm = -900e6 -> d2 = 8.1e17/2e10 = 40500000 (|d| = 6.36, large);
+    // g2 = d2*(4*4-12)^2/(4*4-9)^2 = d2*16/49
+    val custSeg = Seq((1L, "SA"), (2L, "SB"))
+    val orders = Seq((1L, 1.0, 1994), (1L, 3.0, 1994),
+      (2L, 10.0, 1994), (2L, 12.0, 1994))
+    val r = operators.DecisionQueries.q524(spark, segOrdersDir(custSeg, orders))
+      .head()
+    assert((r.getInt(4), r.getLong(5), r.getLong(6), r.getString(7))
+      === ((-1, 40500000L, 40500000L * 16L / 49L, "large")), r.toString)
+  }
+
+  test("q525 RBO: identical rankings score exactly 10^6; disjoint heads score 0") {
+    // all vectors share the sign bucket (first 4 dims positive) ->
+    // IVF candidates = all -> approx == exact -> rbo = 1e6
+    def vec(entries: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(64)(0f)
+      a(0) = 1f; a(1) = 1f; a(2) = 1f; a(3) = 1f
+      entries.foreach { case (i, v) => a(i - 1) = v }
+      a.toSeq
+    }
+    val same = (0L to 20L).map(i => (i, vec(5 -> (i + 1).toFloat)))
+    val out1 = operators.DecisionQueries.q525(spark, embeddingsDir(same))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    (0L to 4L).foreach { q =>
+      assert(out1(q) === ((10L, 1000000L)), s"q$q: ${out1(q)}")
+    }
+    // q0's true neighbors all live OUTSIDE its sign bucket (negative
+    // first dim, strong dim-5 match); in-bucket candidates all have
+    // negative dim-5 alignment -> exact and IVF top-10 are disjoint
+    val q0 = (0L, vec(5 -> 100f))
+    val inBucket = (1L to 12L).map(i => (i, vec(5 -> -(50f + i))))
+    val outBucket = (13L to 24L).map(i =>
+      (i, { val v = vec(5 -> 100f).toArray; v(0) = -1f; v.toSeq }))
+    val out2 = operators.DecisionQueries.q525(spark,
+        embeddingsDir(Seq(q0) ++ inBucket ++ outBucket))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out2(0L) === ((0L, 0L)), out2.toString)
+  }
+
   test("q521 Matryoshka recall: 0 on the prefix-blind plant at 16 dims, 1 at 32") {
     // queries 0..4 = orthogonal unit basis vectors e1..e5; targets
     // 5..24 relevant only to q0: d1 = 1 plus a d17 component c that
