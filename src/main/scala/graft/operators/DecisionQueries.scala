@@ -1321,7 +1321,269 @@ object DecisionQueries {
        |ORDER BY q_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q526 — Dunn's post-hoc pairwise rank test (Bonferroni)
+  // ------------------------------------------------------------------
+
+  /** q526 — Dunn's post-hoc test: pairwise mean-RANK comparisons of
+    * order value across the five segments with the tie-corrected
+    * Kruskal–Wallis variance and a Bonferroni familywise level — the
+    * nonparametric twin of q515's HSD (which compares MEANS and
+    * assumes equal variances): after the q334 omnibus rejects, Dunn
+    * names the pairs. Reject (i,j) iff |R̄ᵢ−R̄ⱼ| > z·√(V(1/nᵢ+1/nⱼ)),
+    * V = [N(N+1)(N−1) − Σ(t³−t)]/(12(N−1)), z = z(0.05/(2·10)) =
+    * 2.807034 pinned (z² = 7.879440).
+    *
+    * Exactness: doubled average ranks off the global VALUE grid
+    * (r₂(v) = 2·prefix + cnt + 1, exact integers); per-group mean
+    * doubled ranks are stated truncations S₂ div n; the verdict is
+    * the all-integer cross-multiplication d₂²·3(N−1)·nᵢnⱼ·10⁶ >
+    * 4·z²micro·[N(N+1)(N−1) − Σ(t³−t)]·(nᵢ+nⱼ) (the 4 undoes the
+    * doubling) on DECIMAL(38,0). Scale: the q310/q456 shape — the
+    * global rank prefix rides [[Ranking.groupRunningSum]] over the
+    * value GRID (bounded by the cent domain, never a row window);
+    * one extra (value, segment) aggregate joins the grid back. */
+  def q526(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vals = Tables.orders(s, d)
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("seg"), cents($"o_totalprice").as("v"))
+    val grid = vals.groupBy($"v").agg(count(lit(1)).as("cnt"))
+      .transform(Fx.materialize)
+    val r2 = Ranking.groupRunningSum(grid, Seq(), 32, "cnt", $"v")
+      .withColumn("r2", $"run_before" * 2L + $"cnt" + 1L)
+      .select($"v".as("rv"), $"r2")
+    val segv = vals.groupBy($"seg", $"v").agg(count(lit(1)).as("c"))
+    val g = segv.join(r2, $"v" === $"rv")
+      .groupBy($"seg")
+      .agg(sum($"c").as("n"),
+        sum(expr("cast(c as decimal(38,0)) * r2")).as("s2"))
+      .withColumn("mr2", expr("cast(s2 div n as bigint)"))
+      .transform(Fx.materialize)
+    val tot = grid.agg(sum($"cnt").as("nn"),
+        sum(expr("cast(cnt as decimal(38,0)) * cnt * cnt - cnt")).as("tsum"))
+      .select($"nn", expr(
+        """cast(nn as decimal(38,0)) * (nn + 1) * (nn - 1) - tsum""")
+        .as("v12"))
+    val a = g.select($"seg".as("seg_a"), $"n".as("na"), $"mr2".as("mr2_a"))
+    val b = g.select($"seg".as("seg_b"), $"n".as("nb"), $"mr2".as("mr2_b"))
+    a.join(broadcast(b), $"seg_a" < $"seg_b").crossJoin(broadcast(tot))
+      .withColumn("d2", $"mr2_a" - $"mr2_b")
+      .select($"seg_a", $"seg_b", $"na", $"nb", $"mr2_a", $"mr2_b",
+        (expr("cast(d2 as decimal(38,0)) * d2 * 3 * (nn - 1) * na * nb * 1000000")
+          > expr("4 * 7879440 * v12 * (na + nb)"))
+          .cast("int").as("reject_bonf_5pct"))
+      .orderBy($"seg_a", $"seg_b")
+  }
+
+  val q526Sql: String =
+    """WITH vals AS (
+      |  SELECT c_mktsegment AS seg,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |grid AS (
+      |  SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM vals GROUP BY 1),
+      |r2t AS (
+      |  SELECT v,
+      |    2 * (sum(cnt) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) + cnt + 1
+      |      AS r2,
+      |    cnt + 1 AS r2_first
+      |  FROM grid),
+      |r2x AS (SELECT v, COALESCE(r2, r2_first) AS r2 FROM r2t),
+      |segv AS (
+      |  SELECT seg, v, CAST(count(*) AS BIGINT) AS c FROM vals GROUP BY 1, 2),
+      |g AS (
+      |  SELECT seg, CAST(sum(c) AS BIGINT) AS n,
+      |    CAST(sum(CAST(c AS HUGEINT) * r2.r2) // sum(c) AS BIGINT) AS mr2
+      |  FROM segv JOIN r2x r2 ON segv.v = r2.v
+      |  GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(cnt) AS BIGINT) AS nn,
+      |    CAST(sum(cnt) AS HUGEINT) * (sum(cnt) + 1) * (sum(cnt) - 1)
+      |      - sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS v12
+      |  FROM grid)
+      |SELECT a.seg AS seg_a, b.seg AS seg_b, a.n AS na, b.n AS nb,
+      |  a.mr2 AS mr2_a, b.mr2 AS mr2_b,
+      |  CAST(CAST(a.mr2 - b.mr2 AS HUGEINT) * (a.mr2 - b.mr2)
+      |      * 3 * (nn - 1) * a.n * b.n * 1000000
+      |    > 4 * 7879440 * v12 * (a.n + b.n) AS INT) AS reject_bonf_5pct
+      |FROM g a JOIN g b ON a.seg < b.seg CROSS JOIN tot
+      |ORDER BY seg_a, seg_b""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q527 — deterministic stratified train/val/test split plan
+  // ------------------------------------------------------------------
+
+  /** q527 — the deterministic train/val/test SPLITTER (80/10/10 by
+    * design, realized as the exact integer bands 204/26/26 over the
+    * 256-value first-byte grid of md5(doc_id·'#split')) plus the
+    * per-language balance audit: per (lang, split) counts and a
+    * per-language χ²(2) of observed vs design proportions — the
+    * assignment artifact q487's split-LEAKAGE audit presumes exists,
+    * with the q-SRM-style ratio check built in (a skewed language
+    * would silently bias val/test metrics). Cluster-stable: the
+    * split of a document never depends on partitioning, row order,
+    * or corpus size. Exactness: the hash band is an integer compare;
+    * each χ² term is the stated truncation
+    * ((O·256 − n·w)²·10⁶) div (n·w·256), w ∈ {204, 26, 26}; verdict
+    * vs pinned χ²(2). Scale: one scan, one (lang × 3) groupBy. */
+  def q527(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val u = conv(substring(md5(concat($"doc_id".cast("string"),
+      lit("#split"))), 1, 2), 16, 10).cast("long")
+    val base = Tables.documents(s, d)
+      .select($"lang",
+        when(u < 204L, "train").when(u < 230L, "val").otherwise("test")
+          .as("split"))
+      .groupBy($"lang", $"split").agg(count(lit(1)).as("n_docs"))
+    val audit = base.groupBy($"lang").agg(
+        sum($"n_docs").as("nl"),
+        sum(when($"split" === "train", $"n_docs").otherwise(0L)).as("ot"),
+        sum(when($"split" === "val", $"n_docs").otherwise(0L)).as("ov"),
+        sum(when($"split" === "test", $"n_docs").otherwise(0L)).as("oe"))
+      .select($"lang".as("alang"), $"nl", (
+        expr("((ot * 256 - nl * 204) * (cast(ot as decimal(38,0)) * 256 - nl * 204) * 1000000) div (cast(nl as decimal(38,0)) * 204 * 256)") +
+        expr("((ov * 256 - nl * 26) * (cast(ov as decimal(38,0)) * 256 - nl * 26) * 1000000) div (cast(nl as decimal(38,0)) * 26 * 256)") +
+        expr("((oe * 256 - nl * 26) * (cast(oe as decimal(38,0)) * 256 - nl * 26) * 1000000) div (cast(nl as decimal(38,0)) * 26 * 256)"))
+        .cast("long").as("chi2_micro"))
+      .withColumn("srm_flag", ($"chi2_micro" > 5991465L).cast("int"))
+    base.join(broadcast(audit), $"lang" === $"alang")
+      .select($"lang", $"split", $"n_docs", $"nl".as("n_lang"),
+        $"chi2_micro", $"srm_flag")
+      .orderBy($"lang", $"split")
+  }
+
+  val q527Sql: String =
+    """WITH f AS (
+      |  SELECT lang,
+      |    CASE WHEN u < 204 THEN 'train' WHEN u < 230 THEN 'val'
+      |      ELSE 'test' END AS split
+      |  FROM (
+      |    SELECT lang, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+      |      || '#split'), 1, 2))::BIGINT AS u
+      |    FROM documents) t),
+      |base AS (
+      |  SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM f GROUP BY 1, 2),
+      |audit AS (
+      |  SELECT lang, CAST(sum(n_docs) AS BIGINT) AS nl,
+      |    CAST(
+      |      ((sum(CASE WHEN split = 'train' THEN n_docs ELSE 0 END) * 256
+      |        - sum(n_docs) * 204)
+      |       * (CAST(sum(CASE WHEN split = 'train' THEN n_docs ELSE 0 END)
+      |           AS HUGEINT) * 256 - sum(n_docs) * 204) * 1000000)
+      |      // (CAST(sum(n_docs) AS HUGEINT) * 204 * 256)
+      |    + ((sum(CASE WHEN split = 'val' THEN n_docs ELSE 0 END) * 256
+      |        - sum(n_docs) * 26)
+      |       * (CAST(sum(CASE WHEN split = 'val' THEN n_docs ELSE 0 END)
+      |           AS HUGEINT) * 256 - sum(n_docs) * 26) * 1000000)
+      |      // (CAST(sum(n_docs) AS HUGEINT) * 26 * 256)
+      |    + ((sum(CASE WHEN split = 'test' THEN n_docs ELSE 0 END) * 256
+      |        - sum(n_docs) * 26)
+      |       * (CAST(sum(CASE WHEN split = 'test' THEN n_docs ELSE 0 END)
+      |           AS HUGEINT) * 256 - sum(n_docs) * 26) * 1000000)
+      |      // (CAST(sum(n_docs) AS HUGEINT) * 26 * 256)
+      |    AS BIGINT) AS chi2_micro
+      |  FROM base GROUP BY 1)
+      |SELECT b.lang AS lang, b.split, b.n_docs, a.nl AS n_lang,
+      |  a.chi2_micro,
+      |  CAST(a.chi2_micro > 5991465 AS INT) AS srm_flag
+      |FROM base b JOIN audit a ON b.lang = a.lang
+      |ORDER BY b.lang, b.split""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q528 — Fisher's exact test on the brand-family × growth square
+  // ------------------------------------------------------------------
+
+  /** q528 — Fisher's EXACT test of independence between brand family
+    * (Brand#1x, K = 5 of the 25-brand domain) and half-to-half
+    * revenue growth (q516's deltas): the hypergeometric two-sided
+    * p-value (sum of all table probabilities ≤ the observed one —
+    * the standard convention), exact for the small-margin 2×2 where
+    * the χ² batteries (q258 et al.) are approximations. Weights
+    * w_k = C(K,k)·C(N−K,n−k) fold on the DRIVER in BigInt over the
+    * ≤6-value support (the bounded-grid exception — the brand domain
+    * is 25 forever); the oracle rebuilds them from a HUGEINT
+    * factorial CTE (25! ≈ 1.55e25 fits exactly). p_micro is one
+    * truncating division by C(N,n); the verdict 20·num ≤ C(N,n) is
+    * an exact integer compare. */
+  def q528(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val deltas = brandDeltas(s, d).transform(Fx.materialize)
+    val row = deltas.agg(
+        count(lit(1)).as("nn"),
+        sum($"brand".startsWith("Brand#1").cast("long")).as("kf"),
+        sum(($"d" > 0L).cast("long")).as("ng"),
+        sum(($"brand".startsWith("Brand#1") && $"d" > 0L).cast("long"))
+          .as("kg"))
+      .head()
+    val nTot = row.getLong(0); val kFam = row.getLong(1)
+    val nGrew = row.getLong(2); val kObs = row.getLong(3)
+    def c(a: Long, b: Long): BigInt =
+      if (b < 0 || b > a) BigInt(0)
+      else (0L until b).foldLeft(BigInt(1))((acc, i) => acc * (a - i) / (i + 1))
+    val ks = math.max(0L, nGrew - (nTot - kFam)) to math.min(nGrew, kFam)
+    val ws = ks.map(k => k -> c(kFam, k) * c(nTot - kFam, nGrew - k)).toMap
+    val wObs = ws(kObs)
+    val num = ws.values.filter(_ <= wObs).sum
+    val den = c(nTot, nGrew)
+    val pMicro = (num * 1000000 / den).toLong
+    val reject = if (num * 20 <= den) 1 else 0
+    deltas.sparkSession.range(1)
+      .select(lit(nTot).as("n_brands"), lit(kFam).as("k_family"),
+        lit(nGrew).as("n_grew"), lit(kObs).as("k_family_grew"),
+        lit(pMicro).as("p_micro"), lit(reject).as("reject_5pct"))
+      .orderBy($"n_brands")
+  }
+
+  val q528Sql: String =
+    s"""WITH RECURSIVE b AS ($brandDeltasSql),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS nn,
+      |    CAST(sum(CASE WHEN brand LIKE 'Brand#1%' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS kf,
+      |    CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ng,
+      |    CAST(sum(CASE WHEN brand LIKE 'Brand#1%' AND d > 0
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS kg
+      |  FROM b),
+      |fact(i, v) AS (
+      |  SELECT 0, CAST(1 AS HUGEINT)
+      |  UNION ALL
+      |  SELECT i + 1, v * (i + 1) FROM fact
+      |  WHERE i + 1 <= (SELECT nn FROM m)),
+      |kk(k) AS (
+      |  SELECT greatest(0, (SELECT ng - (nn - kf) FROM m))
+      |  UNION ALL
+      |  SELECT k + 1 FROM kk WHERE k + 1 <= (SELECT least(ng, kf) FROM m)),
+      |w AS (
+      |  SELECT k,
+      |    ((SELECT v FROM fact WHERE i = (SELECT kf FROM m))
+      |      // (SELECT v FROM fact WHERE i = k)
+      |      // (SELECT v FROM fact WHERE i = (SELECT kf FROM m) - k))
+      |    * ((SELECT v FROM fact WHERE i = (SELECT nn - kf FROM m))
+      |      // (SELECT v FROM fact WHERE i = (SELECT ng FROM m) - k)
+      |      // (SELECT v FROM fact WHERE i = (SELECT nn - kf - ng FROM m) + k))
+      |    AS wk
+      |  FROM kk),
+      |obs AS (SELECT wk AS wobs FROM w WHERE k = (SELECT kg FROM m)),
+      |den AS (
+      |  SELECT (SELECT v FROM fact WHERE i = (SELECT nn FROM m))
+      |    // (SELECT v FROM fact WHERE i = (SELECT ng FROM m))
+      |    // (SELECT v FROM fact WHERE i = (SELECT nn - ng FROM m)) AS dv),
+      |num AS (
+      |  SELECT sum(wk) AS nv FROM w CROSS JOIN obs WHERE wk <= wobs)
+      |SELECT m.nn AS n_brands, m.kf AS k_family, m.ng AS n_grew,
+      |  m.kg AS k_family_grew,
+      |  CAST((num.nv * 1000000) // den.dv AS BIGINT) AS p_micro,
+      |  CAST(num.nv * 20 <= den.dv AS INT) AS reject_5pct
+      |FROM m CROSS JOIN num CROSS JOIN den
+      |ORDER BY n_brands""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q527_stratified_split", q527, Some(q527Sql)),
+    QueryDef("q528_fisher_exact", q528, Some(q528Sql)),
+    QueryDef("q526_dunn_posthoc", q526, Some(q526Sql)),
     QueryDef("q522_welch_t", q522, Some(q522Sql)),
     QueryDef("q523_triangular_kde", q523, Some(q523Sql)),
     QueryDef("q524_effect_size", q524, Some(q524Sql)),

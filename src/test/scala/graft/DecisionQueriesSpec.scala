@@ -283,6 +283,85 @@ class DecisionQueriesSpec extends SparkSpec {
     assert(out(10000L) === ((25L, 1000000L, 0L)), out.toString)
   }
 
+  test("q526 Dunn separates the distant group and not the identical twin (tie-exact)") {
+    // SA: 30x $1.00, SB: 30x $9.00, SC: 30x $1.00 (SA's twin).
+    // Doubled avg ranks: value 100 (cnt 60) -> 61; value 900 -> 151.
+    // v12 = 90*91*89 - [(60^3-60)+(30^3-30)] = 486000.
+    val custSeg = Seq((1L, "SA"), (2L, "SB"), (3L, "SC"))
+    val orders = (1 to 30).flatMap(_ => Seq(
+      (1L, 1.0, 1994), (2L, 9.0, 1994), (3L, 1.0, 1994)))
+    val out = operators.DecisionQueries.q526(spark, segOrdersDir(custSeg, orders))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(4), r.getLong(5), r.getInt(6))).toMap
+    assert(out(("SA", "SC")) === ((61L, 61L, 0)), out.toString)
+    assert(out(("SA", "SB")) === ((61L, 151L, 1)), out.toString)
+    // independent replay of the SA-SB verdict inequality
+    val lhs = BigInt(90) * 90 * 3 * 89 * 30 * 30 * 1000000
+    val rhs = BigInt(4) * 7879440 * 486000 * 60
+    assert((lhs > rhs) === (out(("SA", "SB"))._3 == 1), s"$lhs vs $rhs")
+  }
+
+  test("q527 split bands match the md5 replay and the balanced plant passes SRM") {
+    val docs = (1L to 200L).map(i => (i, "t", if (i % 2 == 0) "en" else "fr", "s", 10L))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(id: Long): Long = {
+      val h = md.digest(s"$id#split".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 2), 16)
+    }
+    def split(id: Long): String = {
+      val x = u(id); if (x < 204) "train" else if (x < 230) "val" else "test"
+    }
+    val expect = docs.groupBy(d => (d._3, split(d._1)))
+      .map { case (k, v) => k -> v.size.toLong }
+    val out = operators.DecisionQueries.q527(spark, documentsDir(docs))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getInt(5))).toMap
+    expect.foreach { case (k, n) =>
+      assert(out(k)._1 === n, s"$k: ${out(k)} vs $n")
+    }
+    // chi2 replay per lang
+    val chi = docs.groupBy(_._3).map { case (lang, ds) =>
+      val nl = BigInt(ds.size)
+      val o = Seq("train", "val", "test").map(sp =>
+        BigInt(ds.count(d => split(d._1) == sp)))
+      val w = Seq(BigInt(204), BigInt(26), BigInt(26))
+      lang -> o.zip(w).map { case (ob, wt) =>
+        (ob * 256 - nl * wt) * (ob * 256 - nl * wt) * 1000000 /
+          (nl * wt * 256)
+      }.sum.toLong
+    }
+    val gotChi = operators.DecisionQueries.q527(spark, documentsDir(docs))
+      .select($"lang", $"chi2_micro").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    chi.foreach { case (l, c) => assert(gotChi(l) === c, s"$l: ${gotChi(l)} vs $c") }
+  }
+
+  test("q528 Fisher exact: family-only growth gives p = 1/C(25,5) exactly") {
+    // 25 brands Brand#XY (X,Y in 1..5); exactly the Brand#1* family
+    // grows -> k range [0,5], observed weight C(5,5)C(20,0) = 1 is the
+    // strict minimum -> p = 1/53130, reject
+    val brands = for (x <- 1 to 5; y <- 1 to 5) yield s"Brand#$x$y"
+    val parts = brands.zipWithIndex.map { case (b, i) => ((i + 1).toLong, b) }
+    val key = parts.map { case (k, b) => b -> k }.toMap
+    val lines = brands.flatMap { b =>
+      val up = b.startsWith("Brand#1")
+      Seq((key(b), "1994-01-10", if (up) 10.0 else 20.0),
+        (key(b), "1996-01-10", if (up) 20.0 else 10.0))
+    }
+    val r = operators.DecisionQueries.q528(spark, brandLinesDir(parts, lines))
+      .head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      === ((25L, 5L, 5L, 5L)), r.toString)
+    assert((r.getLong(4), r.getInt(5)) === ((1000000L / 53130L, 1)), r.toString)
+    // all-grew pole: the support collapses to k = 5, p = 1
+    val allUp = brands.flatMap(b => Seq(
+      (key(b), "1994-01-10", 10.0), (key(b), "1996-01-10", 20.0)))
+    val r2 = operators.DecisionQueries.q528(spark, brandLinesDir(parts, allUp))
+      .head()
+    assert((r2.getLong(4), r2.getInt(5)) === ((1000000L, 0)), r2.toString)
+  }
+
   test("q522 Welch matches the BigInt replay; equal means 0; zero variance NULL") {
     val custSeg = Seq((1L, "AUTOMOBILE"), (2L, "HOUSEHOLD"))
     def dirOf(a: Seq[Double], h: Seq[Double]): String = segOrdersDir(custSeg,
