@@ -1580,7 +1580,355 @@ object DecisionQueries {
       |FROM m CROSS JOIN num CROSS JOIN den
       |ORDER BY n_brands""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q529 — ratio estimator of total tokens from an md5 sample
+  // ------------------------------------------------------------------
+
+  /** q529 — survey ratio estimation of the corpus token total from a
+    * deterministic 25% md5 sample, using n_chars (known for every
+    * doc) as the auxiliary: Ŷ_ratio = X_tot·(Σy_s/Σx_s) vs the plain
+    * expansion Ŷ_exp = N·(Σy_s/n_s) — the classical variance-
+    * reduction move (tokens ∝ chars, so the ratio estimator rides
+    * the correlation) that q267's Neyman ALLOCATION and q527's
+    * SPLITTER both stop short of: this is the ESTIMATION step, with
+    * the truth column attached since the full scan is available.
+    * Exactness: all sums exact BIGINT; each estimator and error is
+    * one truncating division on DECIMAL(38,0); membership is the
+    * q98-style md5 band (first hex digit < '4' — exactly 1/4).
+    * Scale: one scan, two global aggregates. */
+  def q529(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, d)
+      .filter($"text".isNotNull && $"n_chars".isNotNull)
+      .select(
+        graft.functions.TextAnalysis.tokenCount($"text").cast("long").as("y"),
+        $"n_chars".cast("long").as("x"),
+        (substring(md5(concat($"doc_id".cast("string"), lit("#rs"))), 1, 1)
+          < "4").cast("long").as("in_s"))
+    base.agg(count(lit(1)).as("n"), sum($"x").as("xt"), sum($"y").as("yt"),
+        sum($"in_s").as("ns"),
+        sum($"in_s" * $"x").as("xs"), sum($"in_s" * $"y").as("ys"))
+      .select($"n".as("n_total"), $"ns".as("n_sample"),
+        $"xt".as("x_total"), $"yt".as("y_total"),
+        expr("cast((cast(ys as decimal(38,0)) * xt) div xs as bigint)")
+          .as("y_hat_ratio"),
+        expr("cast((cast(ys as decimal(38,0)) * n) div ns as bigint)")
+          .as("y_hat_expansion"))
+      .withColumn("err_ratio_micro",
+        expr("((y_hat_ratio - y_total) * 1000000) div y_total"))
+      .withColumn("err_expansion_micro",
+        expr("((y_hat_expansion - y_total) * 1000000) div y_total"))
+      .orderBy($"n_total")
+  }
+
+  val q529Sql: String = {
+    val tok = "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
+    s"""WITH base AS (
+      |  SELECT $tok AS y, CAST(n_chars AS BIGINT) AS x,
+      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '#rs'), 1, 1) < '4'
+      |      THEN 1 ELSE 0 END AS in_s
+      |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS xt,
+      |    CAST(sum(y) AS BIGINT) AS yt, CAST(sum(in_s) AS BIGINT) AS ns,
+      |    CAST(sum(in_s * x) AS BIGINT) AS xs,
+      |    CAST(sum(in_s * y) AS BIGINT) AS ys
+      |  FROM base),
+      |e AS (
+      |  SELECT n AS n_total, ns AS n_sample, xt AS x_total, yt AS y_total,
+      |    CAST((CAST(ys AS HUGEINT) * xt) // xs AS BIGINT) AS y_hat_ratio,
+      |    CAST((CAST(ys AS HUGEINT) * n) // ns AS BIGINT) AS y_hat_expansion
+      |  FROM m)
+      |SELECT n_total, n_sample, x_total, y_total, y_hat_ratio,
+      |  y_hat_expansion,
+      |  CAST(((y_hat_ratio - y_total) * 1000000) // y_total AS BIGINT)
+      |    AS err_ratio_micro,
+      |  CAST(((y_hat_expansion - y_total) * 1000000) // y_total AS BIGINT)
+      |    AS err_expansion_micro
+      |FROM e ORDER BY n_total""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q530 — Murphy decomposition of the quality-score Brier loss
+  // ------------------------------------------------------------------
+
+  /** q530 — Murphy (1973) decomposition of the Brier score of the
+    * quality micro-score as a lang='en' predictor, over q318's decile
+    * bins: Brier ≈ REL − RES + UNC, where reliability prices the
+    * calibration gap q457 repairs, resolution prices how much the
+    * bins separate outcomes, and uncertainty is the outcome's own
+    * variance — the SCALAR verdict q318's per-bin table rolls up to
+    * (and the check that the decomposition identity holds within
+    * truncation noise, emitted as `gap`). Units: per-doc micro²
+    * (the q318 brier_micro convention is micro = micro²/10⁶; here
+    * all four terms stay on the micro² grid so the identity is
+    * visible). Stated truncations: per-bin (Σqm − Σy·10⁶)² div n_b
+    * and ((Σy_b·N − Y·n_b)·10⁶)² div n_b, each summed exactly then
+    * one division by N (and N² for RES); UNC = Y(N−Y)·10¹² div N².
+    * Scale: one scan, the bounded 11-bin groupBy, one final row. */
+  def q530(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bins = Tables.documents(s, d)
+      .select(graft.functions.TextAnalysis.qualityMicro($"text").as("qm"),
+        ($"lang" === "en").cast("long").as("y"))
+      .groupBy(expr("qm div 100000").as("bin"))
+      .agg(count(lit(1)).as("nb"), sum($"qm").as("sq"), sum($"y").as("sy"),
+        sum(expr(
+          "cast(qm - y * 1000000 as decimal(38,0)) * (qm - y * 1000000)"))
+          .as("sb"))
+      .transform(Fx.materialize)
+    val tot = bins.agg(sum($"nb").as("n"), sum($"sy").as("yy"))
+    bins.crossJoin(broadcast(tot))
+      .withColumn("relterm", expr(
+        """cast((cast(sq as decimal(38,0)) - cast(sy as decimal(38,0)) * 1000000)
+           * (cast(sq as decimal(38,0)) - cast(sy as decimal(38,0)) * 1000000)
+           div nb as decimal(38,0))"""))
+      .withColumn("resz", expr(
+        """cast((cast(sy as decimal(38,0)) * n - cast(yy as decimal(38,0)) * nb)
+           * 1000000 div n as decimal(38,0))"""))
+      .withColumn("resterm", expr("cast(resz * resz div nb as decimal(38,0))"))
+      .agg(min($"n").as("n"), min($"yy").as("yy"),
+        sum($"relterm").as("relsum"),
+        sum($"resterm").as("ressum"),
+        sum($"sb").as("sbsum"))
+      .select($"n",
+        expr("cast(relsum div n as bigint)").as("rel_micro2"),
+        expr("cast(ressum div n as bigint)").as("res_micro2"),
+        expr("cast((cast(yy as decimal(38,0)) * (n - yy) * 1000000000000) div (cast(n as decimal(38,0)) * n) as bigint)")
+          .as("unc_micro2"),
+        expr("cast(sbsum div n as bigint)").as("brier_micro2"))
+      .withColumn("gap_micro2",
+        $"brier_micro2" - ($"rel_micro2" - $"res_micro2" + $"unc_micro2"))
+      .orderBy($"n")
+  }
+
+  val q530Sql: String = {
+    val micro = graft.functions.TextAnalysis.sqlQualityMicro("text")
+    s"""WITH f AS (
+      |  SELECT CAST(($micro) AS BIGINT) AS qm,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |b AS (
+      |  SELECT qm // 100000 AS bin, CAST(count(*) AS BIGINT) AS nb,
+      |    CAST(sum(qm) AS BIGINT) AS sq, CAST(sum(y) AS BIGINT) AS sy,
+      |    sum(CAST(qm - y * 1000000 AS HUGEINT) * (qm - y * 1000000)) AS sb
+      |  FROM f GROUP BY 1),
+      |t AS (SELECT CAST(sum(nb) AS BIGINT) AS n,
+      |  CAST(sum(sy) AS BIGINT) AS yy FROM b),
+      |agg AS (
+      |  SELECT t.n, t.yy,
+      |    sum((CAST(sq AS HUGEINT) - CAST(sy AS HUGEINT) * 1000000)
+      |      * (CAST(sq AS HUGEINT) - CAST(sy AS HUGEINT) * 1000000)
+      |      // nb) AS relsum,
+      |    sum(((CAST(sy AS HUGEINT) * t.n - CAST(t.yy AS HUGEINT) * nb)
+      |      * 1000000 // t.n)
+      |      * ((CAST(sy AS HUGEINT) * t.n - CAST(t.yy AS HUGEINT) * nb)
+      |      * 1000000 // t.n) // nb) AS ressum,
+      |    sum(sb) AS sbsum
+      |  FROM b CROSS JOIN t GROUP BY 1, 2)
+      |SELECT n,
+      |  CAST(relsum // n AS BIGINT) AS rel_micro2,
+      |  CAST(ressum // n AS BIGINT) AS res_micro2,
+      |  CAST((CAST(yy AS HUGEINT) * (n - yy) * 1000000000000)
+      |    // (CAST(n AS HUGEINT) * n) AS BIGINT) AS unc_micro2,
+      |  CAST(sbsum // n AS BIGINT) AS brier_micro2,
+      |  CAST(sbsum // n AS BIGINT)
+      |    - (CAST(relsum // n AS BIGINT) - CAST(ressum // n AS BIGINT)
+      |      + CAST((CAST(yy AS HUGEINT) * (n - yy) * 1000000000000)
+      |        // (CAST(n AS HUGEINT) * n) AS BIGINT)) AS gap_micro2
+      |FROM agg ORDER BY n""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q531 — Bland–Altman agreement of header vs detail order totals
+  // ------------------------------------------------------------------
+
+  /** Per-order difference between the HEADER total (o_totalprice) and
+    * the DETAIL reconstruction Σ extprice·(1−disc)·(1+tax), both on
+    * the exact 10⁻⁶-dollar grid (cents × the two percent factors).
+    * Shared by q531 and q532. */
+  private def orderRecon(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val line = Tables.lineitem(s, d)
+      .select($"l_orderkey".as("k"),
+        (cents($"l_extendedprice") *
+          (lit(100L) - floor($"l_discount" * 100 + 0.5).cast("long")) *
+          (lit(100L) + floor($"l_tax" * 100 + 0.5).cast("long"))).as("rv"))
+      .groupBy($"k").agg(sum($"rv").as("detail"))
+    Tables.orders(s, d)
+      .select($"o_orderkey".as("k"), (cents($"o_totalprice") * 10000L).as("header"))
+      .join(line, "k")
+  }
+
+  private val orderReconSql: String =
+    """SELECT o.o_orderkey AS k,
+      |    CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) * 10000 AS header,
+      |    l.detail
+      |  FROM orders o JOIN (
+      |    SELECT l_orderkey,
+      |      CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+      |        * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+      |        * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT)))
+      |        AS BIGINT) AS detail
+      |    FROM lineitem GROUP BY 1) l ON o.o_orderkey = l.l_orderkey""".stripMargin
+
+  /** q531 — Bland–Altman agreement analysis between an order's HEADER
+    * total and its DETAIL line reconstruction: bias = mean difference,
+    * 95% limits of agreement bias ± 1.96·sd, and the count of orders
+    * outside the limits — the measurement-agreement lens (Bland &
+    * Altman 1986) on the classic header-vs-detail reconciliation
+    * audit (in this corpus the header is NOT the line sum, so the
+    * bias and limits are the real shape of that disagreement, not
+    * zeros). Exactness: differences are exact 10⁻⁶-dollar integers;
+    * bias is one truncating division; sd is the fixed two-op
+    * double pipeline √(num/den) over the EXACT decimal numerator
+    * nΣd² − (Σd)² and denominator n(n−1) (identical operands →
+    * identical IEEE doubles in both engines), floored back to the
+    * integer grid before the ±1.96 (as ±196 div 100) limits. Scale: one lineitem groupBy join, one
+    * global aggregate, one broadcast join back for the outside
+    * count. */
+  def q531(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val diffs = orderRecon(s, d)
+      .select(($"header" - $"detail").as("dd"))
+      .transform(Fx.materialize)
+    val st = diffs.agg(count(lit(1)).as("n"), sum($"dd").as("sd"),
+        sum(expr("cast(dd as decimal(38,0)) * dd")).as("sd2"))
+      .withColumn("bias_musd",
+        expr("cast(cast(sd as decimal(38,0)) div n as bigint)"))
+      .withColumn("vnum", expr(
+        """cast(cast(n as decimal(38,0)) * sd2
+           - cast(sd as decimal(38,0)) * sd as decimal(38,0))"""))
+      .withColumn("sd_musd",
+        floor(sqrt($"vnum".cast("double") /
+          (expr("cast(n as decimal(38,0)) * (n - 1)").cast("double"))))
+          .cast("long"))
+      .withColumn("lo_musd", $"bias_musd" - expr("(196 * sd_musd) div 100"))
+      .withColumn("hi_musd", $"bias_musd" + expr("(196 * sd_musd) div 100"))
+    diffs.crossJoin(broadcast(st))
+      .agg(min($"n").as("n"), min($"bias_musd").as("bias_musd"),
+        min($"sd_musd").as("sd_musd"),
+        min($"lo_musd").as("lo_musd"), min($"hi_musd").as("hi_musd"),
+        sum(($"dd" < $"lo_musd" || $"dd" > $"hi_musd").cast("long"))
+          .as("n_outside"))
+      .orderBy($"n")
+  }
+
+  val q531Sql: String =
+    s"""WITH recon AS ($orderReconSql),
+      |diffs AS (SELECT header - detail AS dd FROM recon),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dd) AS BIGINT) AS sd,
+      |    sum(CAST(dd AS HUGEINT) * dd) AS sd2
+      |  FROM diffs),
+      |st AS (
+      |  SELECT n,
+      |    CAST(CAST(sd AS HUGEINT) // n AS BIGINT) AS bias_musd,
+      |    CAST(n AS HUGEINT) * sd2 - CAST(sd AS HUGEINT) * sd AS vnum
+      |  FROM m),
+      |st2 AS (
+      |  SELECT n, bias_musd,
+      |    CAST(floor(sqrt(CAST(vnum AS DOUBLE)
+      |      / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE))) AS BIGINT)
+      |      AS sd_musd
+      |  FROM st),
+      |st3 AS (
+      |  SELECT n, bias_musd, sd_musd,
+      |    bias_musd - (196 * sd_musd) // 100 AS lo_musd,
+      |    bias_musd + (196 * sd_musd) // 100 AS hi_musd
+      |  FROM st2)
+      |SELECT st3.n, st3.bias_musd, st3.sd_musd, st3.lo_musd, st3.hi_musd,
+      |  CAST(sum(CASE WHEN dd < lo_musd OR dd > hi_musd THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outside
+      |FROM diffs CROSS JOIN st3
+      |GROUP BY 1, 2, 3, 4, 5
+      |ORDER BY n""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q532 — Deming (errors-in-both) regression, header vs detail
+  // ------------------------------------------------------------------
+
+  /** q532 — Deming regression (δ = 1, errors in BOTH variables)
+    * between the header order total (x) and the detail line
+    * reconstruction (y), both in exact 10⁻⁶ dollars: OLS of y on x
+    * attenuates the slope when x itself carries error; Deming's
+    * slope = (S_yy − S_xx + √((S_yy−S_xx)² + 4S_xy²))/(2S_xy) treats
+    * both columns as measurements — the method-comparison ESTIMATOR
+    * beside q531's agreement view of the same reconciliation.
+    * Exactness: the centered moments S_xx = nΣx²−(Σx)², S_xy, S_yy
+    * are exact DECIMAL(38,0); slope and intercept are one fixed
+    * double tree over those exact operands (q455's convention —
+    * identical operands, identical IEEE ops, bit-identical result),
+    * r6-rounded; S_xy = 0 → NULL (stated). The raw moments stay
+    * internal (they scale as n²·var and would overflow any fixed
+    * output grid across SFs). Scale: one lineitem groupBy join, one
+    * row. */
+  def q532(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = orderRecon(s, d)
+      .select($"header".as("x"), $"detail".as("y"))
+    base.agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("qxx"),
+        sum(expr("cast(x as decimal(38,0)) * y")).as("qxy"),
+        sum(expr("cast(y as decimal(38,0)) * y")).as("qyy"))
+      .select($"n",
+        expr("n * qxx - cast(sx as decimal(38,0)) * sx").as("sxx"),
+        expr("n * qxy - cast(sx as decimal(38,0)) * sy").as("sxy"),
+        expr("n * qyy - cast(sy as decimal(38,0)) * sy").as("syy"),
+        $"sx", $"sy")
+      .select($"n",
+        when($"sxy" === 0, lit(null).cast("double"))
+          .otherwise(r6(
+            (($"syy" - $"sxx").cast("double") +
+              sqrt(($"syy" - $"sxx").cast("double") *
+                ($"syy" - $"sxx").cast("double") +
+                lit(4.0) * $"sxy".cast("double") * $"sxy".cast("double"))) /
+              (lit(2.0) * $"sxy".cast("double")))).as("slope"),
+        when($"sxy" === 0, lit(null).cast("double"))
+          .otherwise(r6(
+            ($"sy".cast("double") -
+              (($"syy" - $"sxx").cast("double") +
+                sqrt(($"syy" - $"sxx").cast("double") *
+                  ($"syy" - $"sxx").cast("double") +
+                  lit(4.0) * $"sxy".cast("double") * $"sxy".cast("double"))) /
+                (lit(2.0) * $"sxy".cast("double")) * $"sx".cast("double")) /
+              $"n".cast("double"))).as("intercept"))
+      .orderBy($"n")
+  }
+
+  val q532Sql: String = {
+    val slope =
+      "(CAST(syy - sxx AS DOUBLE) + sqrt(CAST(syy - sxx AS DOUBLE) * CAST(syy - sxx AS DOUBLE) + 4.0 * CAST(sxy AS DOUBLE) * CAST(sxy AS DOUBLE))) / (2.0 * CAST(sxy AS DOUBLE))"
+    s"""WITH recon AS ($orderReconSql),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(header) AS BIGINT) AS sx,
+      |    CAST(sum(detail) AS BIGINT) AS sy,
+      |    sum(CAST(header AS HUGEINT) * header) AS qxx,
+      |    sum(CAST(header AS HUGEINT) * detail) AS qxy,
+      |    sum(CAST(detail AS HUGEINT) * detail) AS qyy
+      |  FROM recon),
+      |s AS (
+      |  SELECT n, sx, sy,
+      |    n * qxx - CAST(sx AS HUGEINT) * sx AS sxx,
+      |    n * qxy - CAST(sx AS HUGEINT) * sy AS sxy,
+      |    n * qyy - CAST(sy AS HUGEINT) * sy AS syy
+      |  FROM m)
+      |SELECT n,
+      |  CASE WHEN sxy = 0 THEN NULL
+      |    ELSE ${Fx.sqlR6(slope)} END AS slope,
+      |  CASE WHEN sxy = 0 THEN NULL
+      |    ELSE ${Fx.sqlR6(s"(CAST(sy AS DOUBLE) - ($slope) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)")}
+      |    END AS intercept
+      |FROM s ORDER BY n""".stripMargin
+  }
+
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q529_ratio_estimator", q529, Some(q529Sql)),
+    QueryDef("q530_brier_decomposition", q530, Some(q530Sql)),
+    QueryDef("q531_bland_altman", q531, Some(q531Sql)),
+    QueryDef("q532_deming_regression", q532, Some(q532Sql)),
     QueryDef("q527_stratified_split", q527, Some(q527Sql)),
     QueryDef("q528_fisher_exact", q528, Some(q528Sql)),
     QueryDef("q526_dunn_posthoc", q526, Some(q526Sql)),

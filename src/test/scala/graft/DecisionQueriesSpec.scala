@@ -283,6 +283,79 @@ class DecisionQueriesSpec extends SparkSpec {
     assert(out(10000L) === ((25L, 1000000L, 0L)), out.toString)
   }
 
+  /** orders + lineitem fixture for the header-vs-detail pair:
+    * (orderkey, header dollars) and (orderkey, line extprice dollars);
+    * discount and tax 0 so detail = cents(ext)·10⁴ exactly. */
+  private def ordersLinesDir(orders: Seq[(Long, Double)],
+      lines: Seq[(Long, Double)]): String = {
+    val dir = Files.createTempDirectory("planted-dq-ol")
+    orders.toDF("o_orderkey", "o_totalprice")
+      .withColumn("o_custkey", $"o_orderkey")
+      .withColumn("o_orderdate", to_timestamp(lit("1994-06-15 12:00:00")))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("orders.parquet").toString)
+    lines.toDF("l_orderkey", "l_extendedprice")
+      .withColumn("l_discount", lit(0.0))
+      .withColumn("l_tax", lit(0.0))
+      .withColumn("l_shipdate", to_timestamp(lit("1994-06-20 12:00:00")))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("lineitem.parquet").toString)
+    dir.toString
+  }
+
+  test("q529 ratio estimator is EXACT on the proportional plant, expansion is not") {
+    // declared n_chars = 10 * true token count for every doc: the
+    // ratio Y_hat = X_tot * (sum y_s / sum x_s) telescopes to Y
+    // exactly, whatever the md5 sample picked
+    val docs = (1L to 60L).map { i =>
+      val toks = 1 + (i % 7)
+      (i, Seq.fill(toks.toInt)("ab").mkString(" "), "en", "s", 10L * toks)
+    }
+    val r = operators.DecisionQueries.q529(spark, documentsDir(docs)).head()
+    assert(r.getLong(6) === 0L, s"ratio estimator must be exact: $r")
+    // md5 replay of the expansion estimator
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def inS(id: Long): Boolean = {
+      val h = md.digest(s"$id#rs".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      h.charAt(0) < '4'
+    }
+    val ys = docs.filter(d => inS(d._1)).map(d => 1L + (d._1 % 7)).sum
+    val ns = docs.count(d => inS(d._1)).toLong
+    assert(r.getLong(5) === BigInt(ys) * 60 / ns, r.toString)
+  }
+
+  test("q530 Murphy decomposition: gap is exactly 0 on the two-bin plant") {
+    val hi = ("the and of " * 20).trim // qualityMicro exactly 1000000
+    val lo = "z"                       // 8000
+    // 4 perfectly-predicted hi/en docs + 4 lo/fr docs:
+    // REL = (4*8000)^2/4/8 = 3.2e7, RES = UNC = 2.5e11, gap = 0
+    val docs = (1L to 4L).map(i => (i, hi, "en", "s", 219L)) ++
+      (5L to 8L).map(i => (i, lo, "fr", "s", 1L))
+    val r = operators.DecisionQueries.q530(spark, documentsDir(docs)).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      === ((32000000L, 250000000000L, 250000000000L, 32000000L, 0L)),
+      r.toString)
+  }
+
+  test("q531 Bland-Altman reads the planted +-1 dollar disagreement exactly") {
+    // headers 11,9,21,19; details 10,10,20,20 -> d = +-1e6 micro-USD,
+    // bias 0, sd = floor(1e6*sqrt(4/3)) = 1154700, none outside
+    val orders = Seq((1L, 11.0), (2L, 9.0), (3L, 21.0), (4L, 19.0))
+    val lines = Seq((1L, 10.0), (2L, 10.0), (3L, 20.0), (4L, 20.0))
+    val r = operators.DecisionQueries.q531(spark,
+      ordersLinesDir(orders, lines)).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(5))
+      === ((0L, 1154700L, 0L)), r.toString)
+  }
+
+  test("q532 Deming recovers the exact planted slope 2 through the fixed tree") {
+    val orders = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0))
+    val lines = Seq((1L, 2.0), (2L, 4.0), (3L, 6.0))
+    val r = operators.DecisionQueries.q532(spark,
+      ordersLinesDir(orders, lines)).head()
+    assert((r.getDouble(1), r.getDouble(2)) === ((2.0, 0.0)), r.toString)
+  }
+
   test("q526 Dunn separates the distant group and not the identical twin (tie-exact)") {
     // SA: 30x $1.00, SB: 30x $9.00, SC: 30x $1.00 (SA's twin).
     // Doubled avg ranks: value 100 (cnt 60) -> 61; value 900 -> 151.
