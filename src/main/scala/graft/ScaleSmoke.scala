@@ -377,6 +377,60 @@ object ScaleSmoke {
       return
     }
 
+    // targeted mode: `... <n> kde` — q523's triangular-kernel shape:
+    // the ≤2-grid-point explode per row vs the naive rows×grid cross
+    // join (11 full passes of kernel arithmetic). Same exact integer
+    // result; the fan-out factor is the whole cost difference.
+    if (args.lift(1).contains("kde")) {
+      val n = nDocs
+      val xs = spark.range(n)
+        .select((($"id" * 2654435761L) % 1100L).as("x"))
+        .transform(graft.Fx.materialize)
+      timedN(n)("kde_two_point_explode") {
+        xs.select(explode(array(
+            struct(expr("(x div 100) * 100").as("p"),
+              (lit(100L) - ($"x" - expr("(x div 100) * 100"))).as("w")),
+            struct(expr("(x div 100) * 100 + 100").as("p"),
+              (lit(100L) - (expr("(x div 100) * 100 + 100") - $"x")).as("w"))))
+            .as("c"))
+          .select($"c.p", $"c.w")
+          .filter($"w" > 0L && $"p" >= 0L && $"p" <= 1000L)
+          .groupBy($"p").agg(sum($"w")).count()
+      }
+      timedN(n)("kde_cross_join_grid") {
+        val grid = spark.range(11).select(($"id" * 100L).as("p"))
+        xs.crossJoin(broadcast(grid))
+          .select($"p", greatest(lit(0L), lit(100L) - abs($"x" - $"p")).as("w"))
+          .filter($"w" > 0L)
+          .groupBy($"p").agg(sum($"w")).count()
+      }
+      // wide-grid regime: 1001 eval points over a 100k-wide domain —
+      // the explode stays 2 rows/doc, the cross join pays 1001 passes
+      val xw = spark.range(n)
+        .select((($"id" * 2654435761L) % 100100L).as("x"))
+        .transform(graft.Fx.materialize)
+      timedN(n)("kdew_two_point_explode") {
+        xw.select(explode(array(
+            struct(expr("(x div 100) * 100").as("p"),
+              (lit(100L) - ($"x" - expr("(x div 100) * 100"))).as("w")),
+            struct(expr("(x div 100) * 100 + 100").as("p"),
+              (lit(100L) - (expr("(x div 100) * 100 + 100") - $"x")).as("w"))))
+            .as("c"))
+          .select($"c.p", $"c.w")
+          .filter($"w" > 0L && $"p" >= 0L && $"p" <= 100000L)
+          .groupBy($"p").agg(sum($"w")).count()
+      }
+      timedN(n)("kdew_cross_join_grid") {
+        val grid = spark.range(1001).select(($"id" * 100L).as("p"))
+        xw.crossJoin(broadcast(grid))
+          .select($"p", greatest(lit(0L), lit(100L) - abs($"x" - $"p")).as("w"))
+          .filter($"w" > 0L)
+          .groupBy($"p").agg(sum($"w")).count()
+      }
+      spark.stop()
+      return
+    }
+
     if (args.lift(1).contains("compact")) {
       val dir = java.nio.file.Files.createTempDirectory("smoke-compact").toString
       val nFiles = math.max(16, nDocs.toInt)

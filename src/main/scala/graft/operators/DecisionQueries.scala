@@ -1080,8 +1080,14 @@ object DecisionQueries {
     *
     * Scale shape: each document contributes to AT MOST TWO grid
     * points (grid step = h), so the fan-out is a bounded 2-row
-    * explode per doc — never a docs×grid cross join (11 full passes
-    * at 100 TB). Zero-filled grid, one bounded groupBy. */
+    * explode per doc, O(1) in the grid size, where a docs×grid cross
+    * join pays one pass per eval point. Measured (ScaleSmoke `kde`,
+    * 20M rows): at THIS 11-point grid the broadcast cross join is
+    * actually ~1.7× faster (pure codegen arithmetic beats the
+    * explode's array materialization); at a 1001-point grid the
+    * explode wins 5.3× and the gap grows linearly — the explode is
+    * the shape that survives a wide grid, which is why it ships.
+    * Zero-filled grid, one bounded groupBy. */
   def q523(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val contrib = Tables.documents(s, d)
@@ -1924,7 +1930,114 @@ object DecisionQueries {
   }
 
 
+  // ------------------------------------------------------------------
+  // q533 — IVF probe-radius sweep (recall vs candidate cost)
+  // ------------------------------------------------------------------
+
+  /** q533 — the IVF nprobe tradeoff as a query: recall@10 AND
+    * candidate count of the sign-bucket index probed at Hamming
+    * radius 0 (own bucket — q190's operating point) vs radius 1 (own
+    * + the 4 bit-flip neighbors), against the exact ranking. The
+    * missing row in the ANN family (q190 recall, q224 MRR, q506
+    * NDCG, q525 RBO all score ONE operating point; this prices the
+    * knob): radius 1 multiplies candidates ~5× and buys back most of
+    * the recall the coarse quantizer loses. Determinism: candidates
+    * are an exact integer set (bucket XOR masks), cosines the q60
+    * fold. Scale: probe fan-out is a 5-row broadcast on the QUERY
+    * side — the target scan still reads each bucket partition once
+    * per probing query, the IVF cost model this query reports. */
+  def q533(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qd = Tables.embeddings(s, d).filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val e = Tables.embeddings(s, d)
+    val exact = Similarity.bruteForceTopK(qd, e, k = 10)
+      .select($"q_id", $"vec_id", $"rn".as("e_rn"))
+      .transform(Fx.materialize)
+    val masks = Seq((0, 0), (1, 1), (2, 1), (4, 1), (8, 1))
+      .toDF("mask", "rmin")
+    val radii = Seq(0, 1).toDF("radius")
+    val probes = qd
+      .withColumn("qb", Similarity.signBucket($"q_vec", 4))
+      .crossJoin(broadcast(radii)).crossJoin(broadcast(masks))
+      .filter($"rmin" <= $"radius")
+      .select($"q_id", $"q_vec", $"radius",
+        expr("int(qb) ^ mask").as("pb"))
+    val t = e.withColumn("tb", Similarity.signBucket($"embedding", 4))
+    val cand = t.join(broadcast(probes),
+      $"tb" === $"pb" && $"vec_id" =!= $"q_id")
+    val nCand = cand.groupBy($"q_id".as("cq"), $"radius".as("cr"))
+      .agg(count(lit(1)).as("n_candidates"))
+    val sims = cand.withColumn("sim",
+      Similarity.cosineNative(e, Similarity.toDoubleArr($"q_vec"),
+        Similarity.toDoubleArr($"embedding")))
+    val top = graft.plans.TopK.perGroup(sims, 10, Seq("q_id", "radius"),
+        Seq(graft.plans.TopK.desc("sim"), graft.plans.TopK.asc("vec_id")))
+      .select($"q_id".as("aq"), $"radius".as("ar"), $"vec_id".as("av"),
+        lit(1L).as("hit"))
+    exact.crossJoin(broadcast(Seq(0, 1).toDF("radius")))
+      .join(broadcast(top),
+        $"q_id" === $"aq" && $"radius" === $"ar" && $"vec_id" === $"av",
+        "left")
+      .groupBy($"q_id", $"radius")
+      .agg(count($"hit").as("n_overlap"))
+      .join(broadcast(nCand), $"q_id" === $"cq" && $"radius" === $"cr",
+        "left")
+      .select($"q_id", $"radius".cast("long").as("radius"),
+        coalesce($"n_candidates", lit(0L)).as("n_candidates"),
+        $"n_overlap", r6($"n_overlap" / lit(10L)).as("recall_at_10"))
+      .orderBy($"q_id", $"radius")
+  }
+
+  val q533Sql: String = {
+    val qb = Similarity.sqlSignBucket("embedding", 4)
+    val cos =
+      "list_dot_product(q_vec, t_vec) / (sqrt(list_dot_product(q_vec, q_vec)) * sqrt(list_dot_product(t_vec, t_vec)))"
+    s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec,
+       |                  $qb AS qb
+       |           FROM embeddings WHERE vec_id < 5),
+       |t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS t_vec,
+       |             $qb AS tb FROM embeddings),
+       |e10 AS (
+       |  SELECT q_id, vec_id, rn FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+       |    FROM (SELECT q_id, vec_id, $cos AS sim
+       |          FROM t, q WHERE vec_id <> q_id) s) r WHERE rn <= 10),
+       |masks(mask, rmin) AS (VALUES (0, 0), (1, 1), (2, 1), (4, 1), (8, 1)),
+       |radii(radius) AS (VALUES (0), (1)),
+       |probes AS (
+       |  SELECT q.q_id, q.q_vec, r.radius, xor(q.qb, m.mask) AS pb
+       |  FROM q CROSS JOIN radii r JOIN masks m ON m.rmin <= r.radius),
+       |cand AS (
+       |  SELECT p.q_id, p.radius, t.vec_id, $cos AS sim
+       |  FROM t JOIN probes p ON t.tb = p.pb AND t.vec_id <> p.q_id),
+       |nc AS (
+       |  SELECT q_id, radius, CAST(count(*) AS BIGINT) AS n_candidates
+       |  FROM cand GROUP BY 1, 2),
+       |a10 AS (
+       |  SELECT q_id, radius, vec_id FROM (
+       |    SELECT q_id, radius, vec_id,
+       |      row_number() OVER (PARTITION BY q_id, radius
+       |        ORDER BY sim DESC, vec_id) AS rn
+       |    FROM cand) r WHERE rn <= 10),
+       |j AS (
+       |  SELECT e10.q_id, rr.radius,
+       |    CASE WHEN a10.vec_id IS NULL THEN NULL ELSE 1 END AS hit
+       |  FROM e10 CROSS JOIN radii rr
+       |  LEFT JOIN a10 ON a10.q_id = e10.q_id AND a10.radius = rr.radius
+       |    AND a10.vec_id = e10.vec_id)
+       |SELECT j.q_id, CAST(j.radius AS BIGINT) AS radius,
+       |  CAST(COALESCE(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+       |  CAST(count(j.hit) AS BIGINT) AS n_overlap,
+       |  ${Fx.sqlR6("count(j.hit) / 10")} AS recall_at_10
+       |FROM j LEFT JOIN nc ON nc.q_id = j.q_id AND nc.radius = j.radius
+       |GROUP BY 1, 2, 3
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q533_ivf_probe_sweep", q533, Some(q533Sql)),
     QueryDef("q529_ratio_estimator", q529, Some(q529Sql)),
     QueryDef("q530_brier_decomposition", q530, Some(q530Sql)),
     QueryDef("q531_bland_altman", q531, Some(q531Sql)),

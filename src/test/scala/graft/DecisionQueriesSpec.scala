@@ -356,6 +356,29 @@ class DecisionQueriesSpec extends SparkSpec {
     assert((r.getDouble(1), r.getDouble(2)) === ((2.0, 0.0)), r.toString)
   }
 
+  test("q533 probe radius 1 recovers the planted neighbors radius 0 cannot see") {
+    // q0's true neighbors all live in the Hamming-1 bucket (dim-1 sign
+    // flipped, strong dim-5 match); its OWN bucket holds only
+    // negatively-aligned vectors. radius 0: 16 candidates, recall 0;
+    // radius 1 adds the 12 flipped-bucket vectors: recall 1.
+    def vec(first: Float, entries: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(64)(0f)
+      a(0) = first; a(1) = 1f; a(2) = 1f; a(3) = 1f
+      entries.foreach { case (i, v) => a(i - 1) = v }
+      a.toSeq
+    }
+    val q0 = Seq((0L, vec(1f, 5 -> 100f)))
+    val otherQ = (1L to 4L).map(i => (i, vec(1f, 5 -> -1000f)))
+    val inBucket = (5L to 16L).map(i => (i, vec(1f, 5 -> -(50f + i))))
+    val flipped = (17L to 28L).map(i => (i, vec(-1f, 5 -> 100f)))
+    val out = operators.DecisionQueries.q533(spark,
+        embeddingsDir(q0 ++ otherQ ++ inBucket ++ flipped))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out((0L, 0L)) === ((16L, 0L)), out.toString)
+    assert(out((0L, 1L)) === ((28L, 10L)), out.toString)
+  }
+
   test("q526 Dunn separates the distant group and not the identical twin (tie-exact)") {
     // SA: 30x $1.00, SB: 30x $9.00, SC: 30x $1.00 (SA's twin).
     // Doubled avg ranks: value 100 (cnt 60) -> 61; value 900 -> 151.
