@@ -2036,7 +2036,93 @@ object DecisionQueries {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q534 — systematic PPS source sample + Horvitz–Thompson estimate
+  // ------------------------------------------------------------------
+
+  /** q534 — systematic probability-proportional-to-size selection of
+    * k = 5 sources (size = exact token count) with the deterministic
+    * centered skip: selection positions posⱼ = (2j+1)·T div (2k) land
+    * in the cumulative-size intervals, so a source's selection chance
+    * is proportional to its tokens — the SELECTION step between
+    * q267's allocation and q529's estimation. Each selected source
+    * carries its Hansen–Hurwitz/HT selection weight T/(k·tokens) on the
+    * micro grid and the estimate of TOTAL DOCS Σ n_docs·w is emitted
+    * with the truth beside it (the full scan exists here; in
+    * production only the 5 sources would be read — the whole point).
+    * A source large enough to be selected MULTIPLE times keeps its
+    * per-selection weight < 1 — the multiplicity-counted systematic
+    * estimator needs no certainty clamp (clamping would overcount
+    * every repeat selection). All exact integers: cumulative sizes
+    * ride the bounded source grid; weights live on the micro grid
+    * (an integer-unit weight would truncate 3.5 to 3 and bias the
+    * estimate 25% low — measured before the grid was added), one
+    * truncating division each. Scale: one scan → 20 source
+    * rows → 5 selections. */
+  def q534(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val src = Tables.documents(s, d)
+      .filter($"text".isNotNull)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.functions.TextAnalysis.tokenCount($"text").cast("long"))
+          .as("toks"))
+      .withColumn("cum_before",
+        coalesce(sum($"toks").over(Window.orderBy($"source")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .transform(Fx.materialize)
+    val tot = src.agg(sum($"toks").as("t"), count(lit(1)).as("n_src"))
+    val pos = Seq.range(0, 5).toDF("j")
+      .crossJoin(broadcast(tot))
+      .select($"j".cast("long").as("j"),
+        expr("((2 * j + 1) * t) div 10").as("pos"), $"t")
+    pos.join(broadcast(src),
+        $"pos" >= $"cum_before" && $"pos" < $"cum_before" + $"toks")
+      .select($"j", $"pos", $"source", $"n_docs", $"toks",
+        expr("(t * 1000000) div (5 * toks)").as("ht_weight_micro"))
+      .withColumn("ht_docs_term_micro",
+        expr("cast(cast(n_docs as decimal(38,0)) * ht_weight_micro as decimal(38,0))")
+          .cast("long"))
+      .crossJoin(broadcast(
+        Tables.documents(s, d).filter($"text".isNotNull)
+          .agg(count(lit(1)).as("true_docs"))))
+      .orderBy($"j")
+  }
+
+  val q534Sql: String = {
+    val tok = "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
+    s"""WITH RECURSIVE src AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum($tok) AS BIGINT) AS toks
+      |  FROM documents WHERE text IS NOT NULL GROUP BY 1),
+      |cum AS (
+      |  SELECT source, n_docs, toks,
+      |    CAST(COALESCE(sum(toks) OVER (ORDER BY source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS cum_before
+      |  FROM src),
+      |tot AS (SELECT CAST(sum(toks) AS BIGINT) AS t FROM src),
+      |js(j) AS (SELECT CAST(0 AS BIGINT)
+      |  UNION ALL SELECT j + 1 FROM js WHERE j + 1 <= 4),
+      |pos AS (
+      |  SELECT j, ((2 * j + 1) * t) // 10 AS pos, t
+      |  FROM js CROSS JOIN tot),
+      |sel AS (
+      |  SELECT p.j, p.pos, c.source, c.n_docs, c.toks,
+      |    (p.t * 1000000) // (5 * c.toks) AS ht_weight_micro
+      |  FROM pos p JOIN cum c
+      |    ON p.pos >= c.cum_before AND p.pos < c.cum_before + c.toks)
+      |SELECT j, pos, source, n_docs, toks, ht_weight_micro,
+      |  CAST(CAST(n_docs AS HUGEINT) * ht_weight_micro AS BIGINT)
+      |    AS ht_docs_term_micro,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+      |   WHERE text IS NOT NULL) AS true_docs
+      |FROM sel ORDER BY j""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q534_pps_systematic", q534, Some(q534Sql)),
     QueryDef("q533_ivf_probe_sweep", q533, Some(q533Sql)),
     QueryDef("q529_ratio_estimator", q529, Some(q529Sql)),
     QueryDef("q530_brier_decomposition", q530, Some(q530Sql)),

@@ -379,6 +379,26 @@ class DecisionQueriesSpec extends SparkSpec {
     assert(out((0L, 1L)) === ((28L, 10L)), out.toString)
   }
 
+  test("q534 PPS selects by size with correct multiplicity weights (no clamp)") {
+    // a_src: 2 docs x 5 tokens (cum [0,10)); b_src: 6 docs x 5 tokens
+    // (cum [10,40)). Positions 4,12,20,28,36 -> a once (w=0.8), b four
+    // times (w=4/15 each): the HT sum 2*0.8 + 4*6*0.266666 replays to
+    // 7999984 micro-docs vs truth 8 — a certainty clamp would have
+    // overcounted b 3.75x
+    val doc = "t1 t2 t3 t4 t5"
+    val docs = (1L to 2L).map(i => (i, doc, "en", "a_src", 14L)) ++
+      (3L to 8L).map(i => (i, doc, "en", "b_src", 14L))
+    val out = operators.DecisionQueries.q534(spark, documentsDir(docs))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toMap
+    assert(out(0L) === (("a_src", 800000L, 1600000L, 8L)), out.toString)
+    (1L to 4L).foreach { j =>
+      assert(out(j) === (("b_src", 266666L, 1599996L, 8L)), s"$j: ${out(j)}")
+    }
+    assert(out.values.map(_._3).sum === 7999984L)
+  }
+
   test("q526 Dunn separates the distant group and not the identical twin (tie-exact)") {
     // SA: 30x $1.00, SB: 30x $9.00, SC: 30x $1.00 (SA's twin).
     // Doubled avg ranks: value 100 (cnt 60) -> 61; value 900 -> 151.
