@@ -85,6 +85,22 @@ def main():
         for c in got.columns:
             a = got[c].reset_index(drop=True)
             b = want[c].reset_index(drop=True)
+            # Dtype-CLASS gate (the r14 lesson): DuckDB renders HUGEINT
+            # result columns as pandas float64, so an uncast HUGEINT
+            # oracle column stringifies as "123.0" against Spark's
+            # BIGINT "123" in the driver's hash compare — while the
+            # numeric == below passes. Fail int-vs-float and
+            # numeric-vs-object mismatches here so that class can never
+            # go green locally again (q457/q463/q495, rounds 13-14).
+            a_f = pd.api.types.is_float_dtype(a)
+            b_f = pd.api.types.is_float_dtype(b)
+            a_o = a.dtype == object
+            b_o = b.dtype == object
+            if a_f != b_f or a_o != b_o:
+                bad_cols.append(
+                    f"{c}: dtype class {a.dtype} != {b.dtype} "
+                    "(driver hash would mismatch)")
+                continue
             try:
                 both_null = a.isna() & b.isna()
                 eq = (a == b) | both_null

@@ -1490,8 +1490,13 @@ object CurationQueries {
        |    FROM cum c JOIN iv ON iv.i <= c.ord AND iv.j >= c.ord
        |    GROUP BY 1, 2) t
        |  GROUP BY k)
+       |-- iso_micro descends from window sum() (HUGEINT in DuckDB): the
+       |-- final CAST to BIGINT is LOAD-BEARING. DuckDB renders HUGEINT
+       |-- result columns as pandas float64, so an uncast column hashes
+       |-- as "123.0" against Spark's BIGINT "123" in the driver compare
+       |-- — the r13/r14 hash-red cause (values were always identical).
        |SELECT b.ord AS bin, b.n, (b.y * 1000000) // b.n AS raw_micro,
-       |  iso.iso_micro
+       |  CAST(iso.iso_micro AS BIGINT) AS iso_micro
        |FROM bins b JOIN iso ON b.ord = iso.k
        |ORDER BY bin""".stripMargin
   }

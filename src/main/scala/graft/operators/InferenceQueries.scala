@@ -2607,21 +2607,24 @@ object InferenceQueries {
       |  SELECT qm // 100000 AS bin, CAST(count(*) AS BIGINT) AS n,
       |    CAST(sum(y) AS BIGINT) AS pos
       |  FROM f GROUP BY 1),
-      |conf AS (
-      |  SELECT bin * 100000 AS thr_micro,
-      |    sum(pos) OVER (ORDER BY bin ROWS BETWEEN CURRENT ROW
-      |      AND UNBOUNDED FOLLOWING) AS tp,
-      |    sum(n) OVER (ORDER BY bin ROWS BETWEEN CURRENT ROW
-      |      AND UNBOUNDED FOLLOWING)
-      |      - sum(pos) OVER (ORDER BY bin ROWS BETWEEN CURRENT ROW
-      |        AND UNBOUNDED FOLLOWING) AS fp,
-      |    sum(pos) OVER () - sum(pos) OVER (ORDER BY bin ROWS BETWEEN
-      |      CURRENT ROW AND UNBOUNDED FOLLOWING) AS fn,
-      |    sum(n) OVER () - sum(n) OVER (ORDER BY bin ROWS BETWEEN
-      |      CURRENT ROW AND UNBOUNDED FOLLOWING)
-      |      - sum(pos) OVER () + sum(pos) OVER (ORDER BY bin ROWS BETWEEN
-      |        CURRENT ROW AND UNBOUNDED FOLLOWING) AS tn
+      |-- The BIGINT casts on the window sums are LOAD-BEARING: sum()
+      |-- returns HUGEINT in DuckDB, which renders as pandas float64 —
+      |-- uncast tp/fp/fn/tn (and the metrics derived from them) hash
+      |-- as "123.0" against Spark's BIGINT "123" in the driver compare
+      |-- (the r13/r14 hash-red cause; values were always identical).
+      |sfx AS (
+      |  SELECT bin,
+      |    CAST(sum(pos) OVER (ORDER BY bin ROWS BETWEEN CURRENT ROW
+      |      AND UNBOUNDED FOLLOWING) AS BIGINT) AS sp,
+      |    CAST(sum(n) OVER (ORDER BY bin ROWS BETWEEN CURRENT ROW
+      |      AND UNBOUNDED FOLLOWING) AS BIGINT) AS sn,
+      |    CAST(sum(pos) OVER () AS BIGINT) AS ap,
+      |    CAST(sum(n) OVER () AS BIGINT) AS an
       |  FROM bins),
+      |conf AS (
+      |  SELECT bin * 100000 AS thr_micro, sp AS tp, sn - sp AS fp,
+      |    ap - sp AS fn, an - sn - ap + sp AS tn
+      |  FROM sfx),
       |met AS (
       |  SELECT thr_micro, tp, fp, fn, tn,
       |    CASE WHEN tp + fn = 0 OR fp + tn = 0 THEN NULL

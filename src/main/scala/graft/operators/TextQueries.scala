@@ -1074,13 +1074,19 @@ object TextQueries {
   }
 
   val q463Sql: String = {
+    // CAST(... AS BIGINT) on each iteration's r (and hence the final
+    // rank_micro) is LOAD-BEARING: sum() returns HUGEINT in DuckDB,
+    // which renders as pandas float64 — an uncast rank_micro hashes as
+    // "123.0" against Spark's BIGINT "123" in the driver compare (the
+    // r13/r14 hash-red cause; values were always identical).
     val iter = (i: Int, prev: String) =>
       s"""c$i AS MATERIALIZED (
-         |  SELECT e.v AS word, sum((r.r * e.w) // e.wd) AS cs
+         |  SELECT e.v AS word, CAST(sum((r.r * e.w) // e.wd) AS BIGINT) AS cs
          |  FROM adj e JOIN $prev r ON e.u = r.word GROUP BY 1),
          |r$i AS MATERIALIZED (
          |  SELECT v.word,
-         |    150000 + (850000 * COALESCE(c.cs, 0)) // 1000000 AS r
+         |    CAST(150000 + (850000 * COALESCE(c.cs, 0)) // 1000000 AS BIGINT)
+         |      AS r
          |  FROM vocab v LEFT JOIN c$i c ON c.word = v.word)""".stripMargin
     s"""WITH RECURSIVE t AS (
        |  SELECT string_split(text, ' ') AS ws FROM documents),

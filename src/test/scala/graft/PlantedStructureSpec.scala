@@ -3613,6 +3613,47 @@ class PlantedStructureSpec extends SparkSpec {
       s"monotone input must be a fixed point: ${mout.toSeq}")
   }
 
+  test("q535 interval-join probe fans the planted two-bin grid into its three interval means") {
+    // docs: "a b" (toks=2, qm=16000 -> bin 0) x2 (one en, one de);
+    // "the the the the the" (toks=5 -> 40000, letters 15 in [10,60]
+    // -> +300000, stop_en 3 — non-overlapping " the " matches —
+    // -> +180000 => qm=520000 -> bin 5), en.
+    // bins: ord0 (n=2, y=1), ord5 (n=1, y=1); cum cn/cy = (2,1),(3,2).
+    // intervals: (0,0) 1e6//2=500000; (0,5) 2e6//3=666666; (5,5) 1e6.
+    val d = documentsDir(Seq(
+      (1L, "a b", "en", "s", 3L), (2L, "a b", "de", "s", 3L),
+      (3L, "the the the the the", "en", "s", 19L)))
+    val out = operators.ProbeQueries.q535(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((0L, 0L, 500000L), (0L, 5L, 666666L),
+      (5L, 5L, 1000000L)), out.toSeq.toString)
+  }
+
+  test("q536 suffix-frame probe computes >=-threshold sums and the desc row_number on the planted grid") {
+    // same fixture as q535: bin0 (n=2, pos=1), bin5 (n=1, pos=1).
+    // suffix sums: bin0 n_ge=3, pos_ge=2; bin5 n_ge=1, pos_ge=1.
+    // rk by pos_ge DESC (bin tie-break): bin0 -> 1, bin5 -> 2.
+    val d = documentsDir(Seq(
+      (1L, "a b", "en", "s", 3L), (2L, "a b", "de", "s", 3L),
+      (3L, "the the the the the", "en", "s", 19L)))
+    val out = operators.ProbeQueries.q536(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5)))
+    assert(out.toSeq === Seq((0L, 2L, 1L, 3L, 2L, 1),
+      (5L, 1L, 1L, 1L, 1L, 2)), out.toSeq.toString)
+  }
+
+  test("q537 recursive-chain probe symmetrizes the planted bigram counts") {
+    // "x y x" -> directed (x,y),(y,x); "x y" -> (x,y). und: (x,y)=2,
+    // (y,x)=1; symmetrized: both edges weight 3.
+    val d = documentsDir(Seq(
+      (1L, "x y x", "en", "s", 5L), (2L, "x y", "en", "s", 3L)))
+    val out = operators.ProbeQueries.q537(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("x", "y", 3L), ("y", "x", 3L)),
+      out.toSeq.toString)
+  }
+
   test("q458 flags the planted four-fifths violation against the best group") {
     // A: 9/10 selected (rate 0.9, reference); B: 4/10 (ratio 4/9 < 0.8)
     val d = segCustOrdersDir(
