@@ -240,12 +240,19 @@ object Bench {
     // round driver keeps only the last ~2000 chars of stdout (sbt then
     // appends its own "[success]" trailer) — so the big line gets
     // front-truncated and has never parsed. A second, compact line
-    // (<500 chars: headline total + failures + count, no per-query
-    // map) printed LAST guarantees a well-formed JSON object survives
-    // inside the tail window; tools wanting per-query detail read
-    // bench_out.json or the full line above.
+    // printed LAST guarantees a well-formed JSON object survives
+    // inside the tail window. r14 verdict #7: the compact line must
+    // still carry ALL per-query timings — so it encodes them as
+    // integer MILLISECONDS keyed by the qNNN prefix (~14 chars/entry,
+    // ~1.1 KB for 60 queries, inside the window). Full-precision
+    // seconds with full names stay in bench_out.json / the line above.
+    val qsMs = results.map { case (n, v) =>
+      val key = if (n.startsWith("q")) n.takeWhile(_ != '_') else n
+      "\"" + key + "\":" + v.map(t => math.round(t * 1000).toString)
+        .getOrElse("null")
+    }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"k":$k,$ambient,"failed":$failed,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"k":$k,$ambient,"queries_ms":$qsMs,"failed":$failed,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }
