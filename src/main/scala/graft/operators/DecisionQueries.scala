@@ -2121,7 +2121,180 @@ object DecisionQueries {
       |FROM sel ORDER BY j""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q539 — ANN index BUILD cost vs list count (sign-bucket sweep)
+  // ------------------------------------------------------------------
+
+  /** q539 — the index-BUILD side of the ANN knob table (r14 verdict
+    * #6 candidate): for nBits ∈ {2, 4, 8} (nList = 4 / 16 / 256
+    * sign-hash cells), the structural cost the bucketed index pays
+    * before any query runs — occupied cells, the hottest cell, and
+    * the expected own-bucket candidate count for a stored vector,
+    * E[cand] = (Σ|cell|² − T) / T (size-biased: a random vector sits
+    * in a cell with probability ∝ its size). q533 prices the PROBE
+    * knob at fixed 4 bits; this prices the LIST-COUNT knob the
+    * builder chooses first — more bits → fewer candidates per probe
+    * but more empty cells and a worse recall floor. All exact
+    * integers (Σc² ≤ T² rides BIGINT at any tested SF; one stated
+    * truncating micro-division). Scale: three bounded group-bys over
+    * one embeddings scan; output is ≤ 3 rows. */
+  def q539(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    Seq(2, 4, 8).map { b =>
+      e.select(Similarity.signBucket($"embedding", b).as("bucket"))
+        .groupBy($"bucket").agg(count(lit(1)).as("cell"))
+        .agg(count(lit(1)).as("n_cells"), sum($"cell").as("total_vecs"),
+          max($"cell").as("max_cell"),
+          sum($"cell" * $"cell").as("ss"))
+        .select(lit(b.toLong).as("n_bits"), $"n_cells", $"total_vecs",
+          $"max_cell",
+          expr("((ss - total_vecs) * 1000000) div total_vecs")
+            .as("exp_cand_micro"))
+    }.reduce(_ unionByName _).orderBy($"n_bits")
+  }
+
+  val q539Sql: String = {
+    def arm(b: Int): String =
+      s"""SELECT CAST($b AS BIGINT) AS n_bits,
+         |  CAST(count(*) AS BIGINT) AS n_cells,
+         |  CAST(sum(c) AS BIGINT) AS total_vecs,
+         |  CAST(max(c) AS BIGINT) AS max_cell,
+         |  CAST(((CAST(sum(c * c) AS HUGEINT) - sum(c)) * 1000000)
+         |    // sum(c) AS BIGINT) AS exp_cand_micro
+         |FROM (SELECT ${Similarity.sqlSignBucket("embedding", b)} AS bucket,
+         |        CAST(count(*) AS BIGINT) AS c
+         |      FROM embeddings GROUP BY 1) cells_$b""".stripMargin
+    s"""${arm(2)}
+       |UNION ALL
+       |${arm(4)}
+       |UNION ALL
+       |${arm(8)}
+       |ORDER BY n_bits""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q540 — total-variation token drift between corpus slices
+  // ------------------------------------------------------------------
+
+  /** q540 — distribution drift between the en and non-en token
+    * distributions as EXACT total-variation distance: TV = ½·Σ_w
+    * |p_en(w) − p_other(w)|, cleared to the common denominator so the
+    * numerator Σ_w |c_en(w)·N_o − c_o(w)·N_e| is an exact integer and
+    * the distance is ONE stated truncating micro-division — the
+    * drift-monitoring statistic the engine was missing (q356 scores
+    * per-DOC domain match; q103/q184 plan mixtures; nothing measured
+    * how far two slices' token distributions sit apart). TV is the
+    * divergence that needs no logarithm: KL/JS would put a runtime
+    * `ln` of data-dependent ratios on the engine boundary, which the
+    * determinism contract forbids (libm `ln` is not correctly-rounded
+    * everywhere; `sqrt` is, but Hellinger's Σ√ is order-sensitive).
+    * Emits the top-15 drift-contributing words (stated per-word
+    * truncation; selection ordered by the truncated contribution with
+    * the word tie-break — total) with the exact corpus-level
+    * `tv_micro` repeated per row. Scale: one token explode →
+    * vocab-bounded counts; two scalar broadcasts; top-15 global. */
+  def q540(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val f = Tables.documents(s, d)
+      .select(explode(split($"text", " ")).as("w"),
+        ($"lang" === "en").cast("long").as("en"))
+      .filter($"w" =!= "")
+      .groupBy($"w")
+      .agg(sum($"en").as("ce"), sum(lit(1L) - $"en").as("co"))
+    val tot = f.agg(sum($"ce").as("ne"), sum($"co").as("no"))
+    val j = f.crossJoin(broadcast(tot))
+      .withColumn("num",
+        abs(expr("cast(ce as decimal(38,0)) * no - cast(co as decimal(38,0)) * ne")))
+      .transform(Fx.materialize)
+    val tv = j.groupBy($"ne", $"no").agg(sum($"num").as("ns"))
+      .select(expr("cast((ns * 1000000) div (2 * cast(ne as decimal(38,0)) * no) as bigint)")
+        .as("tv_micro"))
+    j.crossJoin(broadcast(tv))
+      .select($"w".as("word"), $"ce".as("c_en"), $"co".as("c_other"),
+        expr("cast((num * 1000000) div (2 * cast(ne as decimal(38,0)) * no) as bigint)")
+          .as("contrib_micro"),
+        $"tv_micro")
+      .orderBy($"contrib_micro".desc, $"word").limit(15)
+  }
+
+  val q540Sql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en
+      |  FROM documents),
+      |f AS (
+      |  SELECT w, CAST(sum(en) AS BIGINT) AS ce,
+      |    CAST(sum(1 - en) AS BIGINT) AS co
+      |  FROM toks WHERE w <> '' GROUP BY 1),
+      |tot AS (SELECT CAST(sum(ce) AS BIGINT) AS ne,
+      |               CAST(sum(co) AS BIGINT) AS no FROM f),
+      |j AS (
+      |  SELECT w, ce, co,
+      |    abs(CAST(ce AS HUGEINT) * no - CAST(co AS HUGEINT) * ne) AS num
+      |  FROM f CROSS JOIN tot),
+      |tv AS (
+      |  SELECT CAST((CAST(s AS HUGEINT) * 1000000)
+      |      // (2 * CAST(ne AS HUGEINT) * no) AS BIGINT) AS tv_micro
+      |  FROM (SELECT sum(num) AS s FROM j) CROSS JOIN tot)
+      |SELECT j.w AS word, j.ce AS c_en, j.co AS c_other,
+      |  CAST((j.num * 1000000) // (2 * CAST(ne AS HUGEINT) * no) AS BIGINT)
+      |    AS contrib_micro,
+      |  tv.tv_micro
+      |FROM j CROSS JOIN tot CROSS JOIN tv
+      |ORDER BY contrib_micro DESC, word LIMIT 15""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q541 — expected / maximum calibration error (ECE, MCE)
+  // ------------------------------------------------------------------
+
+  /** q541 — the headline calibration SCALARS over q318's reliability
+    * table: ECE = Σ_b (n_b/N)·|mean_pred_b − obs_rate_b| and MCE =
+    * max_b of the same gap. The per-bin gap clears denominators to
+    * the exact integer dev_b = |Σqm_b − 10⁶·Σy_b| (micro-units ×
+    * n_b), so ECE = (Σ_b dev_b) div N needs only ONE truncating
+    * division and is exact regardless of bin sizes; MCE applies the
+    * stated per-bin truncation dev_b div n_b. Completes the battery:
+    * q318 SHOWS the table, q457 REPAIRS it (isotonic), q530
+    * decomposes the quadratic (Brier) loss — this is the L1 summary
+    * leaderboards actually quote (Guo et al. 2017). Scale: one scan →
+    * ≤ 11-bin grid → 1 row. */
+  def q541(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(graft.functions.TextAnalysis.qualityMicro($"text").as("qm"),
+        ($"lang" === "en").cast("long").as("y"))
+      .groupBy(expr("qm div 100000").as("bin"))
+      .agg(count(lit(1)).as("n"), sum($"qm").as("sq"), sum($"y").as("sy"))
+      .withColumn("dev", abs($"sq" - $"sy" * 1000000L))
+      .agg(count(lit(1)).as("n_bins"), sum($"n").as("n_docs"),
+        sum($"dev").as("sdev"), max(expr("dev div n")).as("mce_micro"))
+      .select($"n_bins", $"n_docs",
+        expr("sdev div n_docs").as("ece_micro"), $"mce_micro")
+  }
+
+  val q541Sql: String = {
+    val quality = graft.functions.TextAnalysis.sqlQualityMicro("text")
+    s"""WITH f AS (
+       |  SELECT CAST(($quality) AS BIGINT) AS qm,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM documents),
+       |b AS (
+       |  SELECT qm // 100000 AS bin, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(qm) AS BIGINT) AS sq, CAST(sum(y) AS BIGINT) AS sy
+       |  FROM f GROUP BY 1),
+       |dv AS (SELECT n, abs(sq - sy * 1000000) AS dev FROM b)
+       |SELECT CAST(count(*) AS BIGINT) AS n_bins,
+       |  CAST(sum(n) AS BIGINT) AS n_docs,
+       |  CAST(CAST(sum(dev) AS HUGEINT) // sum(n) AS BIGINT) AS ece_micro,
+       |  CAST(max(dev // n) AS BIGINT) AS mce_micro
+       |FROM dv""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q539_bucket_build_cost", q539, Some(q539Sql)),
+    QueryDef("q540_tv_token_drift", q540, Some(q540Sql)),
+    QueryDef("q541_calibration_error", q541, Some(q541Sql)),
     QueryDef("q534_pps_systematic", q534, Some(q534Sql)),
     QueryDef("q533_ivf_probe_sweep", q533, Some(q533Sql)),
     QueryDef("q529_ratio_estimator", q529, Some(q529Sql)),

@@ -594,4 +594,49 @@ class DecisionQueriesSpec extends SparkSpec {
       assert(out((q, 32L))._1 === 10L, s"q$q: ${out((q, 32L))}")
     }
   }
+
+  test("q539 build-cost sweep counts the planted sign cells exactly at every bit width") {
+    // six 8-dim vectors; negative dims placed so the three bit widths
+    // disagree: v1,v2 all-positive; v3 dim1<0; v4 dim2<0; v5 dim8<0
+    // (visible only at 8 bits); v6 dim3<0 (visible at 4 and 8 bits).
+    // b2 cells {3:4, 2:1, 1:1}: ss=18 -> exp=(18-6)e6/6=2000000
+    // b4 cells {15:3, 14:1, 13:1, 11:1}: ss=12 -> 1000000
+    // b8 cells {255:2, 254:1, 253:1, 127:1, 251:1}: ss=8 -> 333333
+    def v(neg: Int*): Seq[Float] =
+      (1 to 8).map(i => if (neg.contains(i)) -1f else 1f)
+    val d = embeddingsDir(Seq(
+      (1L, v()), (2L, v()), (3L, v(1)), (4L, v(2)), (5L, v(8)), (6L, v(3))))
+    val out = operators.DecisionQueries.q539(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (2L, 3L, 6L, 4L, 2000000L),
+      (4L, 4L, 6L, 3L, 1000000L),
+      (8L, 5L, 6L, 2L, 333333L)), out.toSeq.toString)
+  }
+
+  test("q540 TV drift clears the planted two-word denominators exactly") {
+    // en "a a b" (ne=3), de "a b b" (no=3): |2*3-1*3| = |1*3-2*3| = 3
+    // per word; tv = 6e6 // 18 = 333333; contrib = 3e6 // 18 = 166666.
+    val d = documentsDir(Seq(
+      (1L, "a a b", "en", "s", 5L), (2L, "a b b", "de", "s", 5L)))
+    val out = operators.DecisionQueries.q540(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq === Seq(("a", 2L, 1L, 166666L, 333333L),
+      ("b", 1L, 2L, 166666L, 333333L)), out.toSeq.toString)
+  }
+
+  test("q541 ECE/MCE reproduce the hand-computed two-bin gaps") {
+    // "a b" (qm=16000, bin0) x2 (en+de), "the the the the the"
+    // (qm=520000, bin5, en — 3 non-overlapping ' the ' matches):
+    // bin0 dev=|32000-1e6|=968000, bin5 dev=|520000-1e6|=480000;
+    // ece = 1448000 div 3 = 482666, mce = max(484000, 480000).
+    val d = documentsDir(Seq(
+      (1L, "a b", "en", "s", 3L), (2L, "a b", "de", "s", 3L),
+      (3L, "the the the the the", "en", "s", 19L)))
+    val r = operators.DecisionQueries.q541(spark, d).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, 3L, 482666L, 484000L)), r.toString)
+  }
 }
