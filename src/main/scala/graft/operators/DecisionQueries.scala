@@ -2291,7 +2291,391 @@ object DecisionQueries {
        |FROM dv""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q542 — anytime-valid e-process confidence sequence (betting CS)
+  // ------------------------------------------------------------------
+
+  /** The λ = 1/2 betting e-process table for q542: for each null
+    * p₀ on the 5%-grid, the per-observation log e-factors in micro
+    * units — success adds ln(1 + λ(1−p₀)), failure adds ln(1 − λp₀).
+    * The pinned integers DEFINE the statistic (no transcendental
+    * crosses the engine boundary; same rule as q474's SPRT literals);
+    * the same Seq is interpolated verbatim into the DuckDB mirror, so
+    * both engines walk the identical integer path. */
+  private[graft] val betGrid: Seq[(Long, Long, Long)] = Seq(
+    (50000L, 388658L, -25318L), (100000L, 371564L, -51293L),
+    (150000L, 354172L, -77962L), (200000L, 336472L, -105361L),
+    (250000L, 318454L, -133531L), (300000L, 300105L, -162519L),
+    (350000L, 281412L, -192372L), (400000L, 262364L, -223144L),
+    (450000L, 242946L, -254892L), (500000L, 223144L, -287682L),
+    (550000L, 202941L, -321584L), (600000L, 182322L, -356675L),
+    (650000L, 161268L, -393043L), (700000L, 139762L, -430783L),
+    (750000L, 117783L, -470004L), (800000L, 95310L, -510826L),
+    (850000L, 72321L, -553385L), (900000L, 48790L, -597837L),
+    (950000L, 24693L, -644357L))
+
+  /** q542 — anytime-valid confidence sequence for the event-level
+    * purchase share by grid-inverted betting e-processes (Waudby-
+    * Smith–Ramdas): for each null p₀ ∈ {5%,…,95%} wealth grows by the
+    * pinned per-observation log e-factors ([[betGrid]]); H₀: p = p₀
+    * is rejected the first day the RUNNING MAX log-wealth reaches
+    * ln(1/α) = ln 20 (α = 0.05, pinned 2995732 micro), and the
+    * confidence sequence at any look is exactly the never-rejected
+    * grid points. The ANYTIME member of the testing battery: q474's
+    * SPRT decides between two fixed hypotheses, q282's group-
+    * sequential bounds spend α at four preplanned looks — this is
+    * valid at EVERY look simultaneously (Ville's inequality), the
+    * continuous-monitoring semantics a pipeline dashboard actually
+    * needs. Exactness: day grid counts are exact; each path is an
+    * integer running sum of pinned literals; rejection uses ≥
+    * (stated). Scale shape: one ≤calendar-days aggregate, a 19-row
+    * broadcast grid, windows partitioned by grid point over the
+    * bounded day spine; output 19 rows. */
+  def q542(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy(epochDay($"ts").as("day"))
+      .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("sp"),
+        count(lit(1)).as("n"))
+    val grid = betGrid.toDF("p_micro", "a", "b")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"p_micro").orderBy($"day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val path = daily.crossJoin(broadcast(grid))
+      .withColumn("loge",
+        sum($"sp" * $"a" + ($"n" - $"sp") * $"b").over(w))
+    path.groupBy($"p_micro")
+      .agg(max(struct($"day", $"loge")).as("last"),
+        max($"loge").as("max_loge_micro"),
+        min(when($"loge" >= 2995732L, $"day")).as("frd"))
+      .select($"p_micro", $"last.loge".as("final_loge_micro"),
+        $"max_loge_micro",
+        when($"frd".isNotNull, 1L).otherwise(0L).as("rejected"),
+        $"frd".cast("long").as("first_reject_day"))
+      .orderBy($"p_micro")
+  }
+
+  val q542Sql: String = {
+    val values = betGrid.map { case (p, a, b) => s"($p, $a, $b)" }
+      .mkString(", ")
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) - DATE '1970-01-01' AS day,
+       |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS sp,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1),
+       |grid(p_micro, a, b) AS (VALUES $values),
+       |path AS (
+       |  SELECT p_micro, day,
+       |    sum(sp * a + (n - sp) * b) OVER (PARTITION BY p_micro
+       |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS loge
+       |  FROM daily CROSS JOIN grid)
+       |SELECT CAST(p_micro AS BIGINT) AS p_micro,
+       |  CAST(max_by(loge, day) AS BIGINT) AS final_loge_micro,
+       |  CAST(max(loge) AS BIGINT) AS max_loge_micro,
+       |  CAST(CASE WHEN min(CASE WHEN loge >= 2995732 THEN day END)
+       |    IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS rejected,
+       |  CAST(min(CASE WHEN loge >= 2995732 THEN day END) AS BIGINT)
+       |    AS first_reject_day
+       |FROM path GROUP BY p_micro ORDER BY p_micro""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q543 — two-proportion power / MDE planning readout
+  // ------------------------------------------------------------------
+
+  /** q543 — the experiment PLANNING readout over q243's md5 arm
+    * design: given the arms as shipped (n per arm, pooled conversion
+    * p̂), (1) the minimum detectable absolute effect at α = 0.05 /
+    * power 0.8 — MDE = (z_{α/2}+z_β)·√(p̂(1−p̂)(1/n_a+1/n_b)) with the
+    * z-sum pinned at 2.801585 — and (2) the n PER ARM a +10%-relative
+    * lift would need: n = ⌈z²·(p₁q₁+p₂q₂)/(p₂−p₁)²⌉. The layer the
+    * battery lacked: q243 reads the effect out, q317/q355 test it,
+    * q282/q474/q542 monitor it — nothing said whether the experiment
+    * was SIZED to see the effect it claims to test. Conversion here
+    * is the HIGH-VALUE event (a purchase with value ≥ 200, stated):
+    * q243's any-purchase definition saturates at p̂ = 1 on the
+    * shipped data, where every MDE question degenerates. Exactness: arm
+    * counts exact; the variance unit v = C(N−C)/(N·n_a·n_b) is one
+    * stated pico-grid truncation on DECIMAL(38,0); the single √ is
+    * IEEE-correctly-rounded on that exact integer and both engines
+    * compose the identical double tree (q397's one-pinned-sqrt rule);
+    * the n-needed ceiling is an exact integer ceil-div of DECIMAL
+    * products (p₂ derived from p̂ on the micro grid, stated). Scale
+    * shape: one distinct-collapse of events to users, one 1-row
+    * rollup; everything after is scalar arithmetic. */
+  def q543(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val users = Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(max(($"event_type" === "purchase" && $"value" >= 200.0)
+        .cast("long")).as("converted"))
+      .withColumn("arm",
+        when(conv(substring(md5(concat($"user_id".cast("string"),
+          lit("#exp1"))), 1, 8), 16, 10).cast("long") % 2 === 0,
+          lit("control")).otherwise(lit("treatment")))
+    users.agg(
+        sum(when($"arm" === "control", 1L).otherwise(0L)).as("n_a"),
+        sum(when($"arm" =!= "control", 1L).otherwise(0L)).as("n_b"),
+        sum($"converted").as("c_all"))
+      .withColumn("rate_micro",
+        expr("(c_all * 1000000) div (n_a + n_b)"))
+      .withColumn("v_pico", expr(
+        """(cast(c_all as decimal(38,0)) * ((n_a + n_b) - c_all)
+           * 1000000000000)
+           div (cast(n_a as decimal(38,0)) * n_b * (n_a + n_b))"""))
+      .withColumn("mde_abs_micro",
+        floor(lit(2801585) * sqrt($"v_pico".cast("double")) / lit(1000000)
+          + lit(0.5)).cast("long"))
+      .withColumn("mde_rel_micro",
+        expr("(mde_abs_micro * 1000000) div nullif(rate_micro, 0)"))
+      .withColumn("p2_micro", expr("(rate_micro * 11) div 10"))
+      .withColumn("n_needed_10pct", expr(
+        """cast((7848878512225 *
+             (cast(rate_micro as decimal(38,0)) * (1000000 - rate_micro)
+              + cast(p2_micro as decimal(38,0)) * (1000000 - p2_micro))
+             + cast(nullif(p2_micro - rate_micro, 0) as decimal(38,0))
+               * (p2_micro - rate_micro) * 1000000000000 - 1)
+           div (cast(nullif(p2_micro - rate_micro, 0) as decimal(38,0))
+             * (p2_micro - rate_micro) * 1000000000000) as bigint)"""))
+      .select($"n_a", $"n_b", $"c_all".as("n_converted"), $"rate_micro",
+        $"v_pico".cast("long").as("v_pico"), $"mde_abs_micro",
+        $"mde_rel_micro", $"n_needed_10pct")
+  }
+
+  val q543Sql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase' AND "value" >= 200
+      |      THEN 1 ELSE 0 END) AS converted,
+      |    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#exp1'),
+      |      1, 8))::BIGINT % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm
+      |  FROM events GROUP BY user_id),
+      |a AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_a,
+      |    CAST(sum(CASE WHEN arm <> 'control' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_b,
+      |    CAST(sum(converted) AS BIGINT) AS c_all
+      |  FROM u),
+      |s1 AS (
+      |  SELECT n_a, n_b, c_all,
+      |    (c_all * 1000000) // (n_a + n_b) AS rate_micro,
+      |    CAST((CAST(c_all AS HUGEINT) * ((n_a + n_b) - c_all)
+      |      * 1000000000000)
+      |      // (CAST(n_a AS HUGEINT) * n_b * (n_a + n_b)) AS BIGINT)
+      |      AS v_pico
+      |  FROM a),
+      |s2 AS (
+      |  SELECT *,
+      |    CAST(floor(2801585 * sqrt(CAST(v_pico AS DOUBLE)) / 1000000 + 0.5)
+      |      AS BIGINT) AS mde_abs_micro,
+      |    (rate_micro * 11) // 10 AS p2_micro
+      |  FROM s1)
+      |SELECT n_a, n_b, c_all AS n_converted, rate_micro, v_pico,
+      |  mde_abs_micro,
+      |  (mde_abs_micro * 1000000) // nullif(rate_micro, 0) AS mde_rel_micro,
+      |  CAST((7848878512225 *
+      |      (CAST(rate_micro AS HUGEINT) * (1000000 - rate_micro)
+      |       + CAST(p2_micro AS HUGEINT) * (1000000 - p2_micro))
+      |      + CAST(nullif(p2_micro - rate_micro, 0) AS HUGEINT)
+      |        * (p2_micro - rate_micro) * 1000000000000 - 1)
+      |    // (CAST(nullif(p2_micro - rate_micro, 0) AS HUGEINT)
+      |      * (p2_micro - rate_micro) * 1000000000000) AS BIGINT)
+      |    AS n_needed_10pct
+      |FROM s2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q544 — Krippendorff's α with missing ratings
+  // ------------------------------------------------------------------
+
+  /** q544 — Krippendorff's α (nominal, binary) over three
+    * deterministic document labelers with MISSING ratings — the
+    * agreement coefficient Fleiss κ (q513) cannot compute: κ needs a
+    * complete rater×item grid, α is defined from pairable values and
+    * simply drops units with < 2 ratings (stated). Raters: lang = en,
+    * source < 'src2' (lexicographic — 12 of the 20 shipped sources),
+    * n_chars ≥ 300; rater r abstains on a doc when
+    * md5(doc_id ∥ "#kr" ∥ r) ≡ 0 (mod 5) — the q243 assignment device
+    * reused as a 20% missingness mask, mirrored bit-for-bit. For
+    * binary values the per-unit disagreement Σ_c n_c(m−n_c)/(m−1)
+    * collapses to 2·n₁·n₀/(m−1), which for m ∈ {2,3} is the EXACT
+    * integer t_u = n₁n₀·(2 if m = 2 else 1); with n = Σm_u pairable
+    * values and N₁/N₀ the global value totals, α = 1 −
+    * Σt·(n−1)/(2·N₁·N₀) in ONE stated truncating micro-division on
+    * DECIMAL(38,0) (degenerate single-value corpus → NULL, stated).
+    * Scale shape: one documents scan (three hash masks + three flags
+    * per row), one 1-row rollup. */
+  def q544(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def present(r: Int): Column =
+      (conv(substring(md5(concat($"doc_id".cast("string"), lit(s"#kr$r"))),
+        1, 8), 16, 10).cast("long") % 5 =!= 0).cast("long")
+    val rated = Tables.documents(s, d)
+      .select(present(1).as("m1"), present(2).as("m2"), present(3).as("m3"),
+        ($"lang" === "en").cast("long").as("v1"),
+        ($"source" < "src2").cast("long").as("v2"),
+        ($"n_chars" >= 300L).cast("long").as("v3"))
+      .select(($"m1" + $"m2" + $"m3").as("m"),
+        ($"m1" * $"v1" + $"m2" * $"v2" + $"m3" * $"v3").as("n1"))
+      .filter($"m" >= 2)
+      .select($"m", $"n1", ($"m" - $"n1").as("n0"))
+      .withColumn("t",
+        when($"m" === 3, $"n1" * $"n0").otherwise($"n1" * $"n0" * 2L))
+    rated.agg(count(lit(1)).as("n_units"), sum($"m").as("n_values"),
+        sum($"n1").as("tot1"), sum($"n0").as("tot0"), sum($"t").as("sum_t"))
+      .select($"n_units", $"n_values", $"tot1", $"tot0", $"sum_t",
+        (lit(1000000L) - expr(
+          """(cast(sum_t as decimal(38,0)) * (n_values - 1) * 1000000)
+             div nullif(2 * cast(tot1 as decimal(38,0)) * tot0, 0)"""))
+          .as("alpha_micro"))
+  }
+
+  val q544Sql: String = {
+    def present(r: Int): String =
+      s"""CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#kr$r'),
+         | 1, 8))::BIGINT % 5 <> 0 THEN 1 ELSE 0 END""".stripMargin
+        .replace("\n", "")
+    s"""WITH rated AS (
+       |  SELECT m, n1, m - n1 AS n0,
+       |    CASE WHEN m = 3 THEN n1 * (m - n1)
+       |         ELSE 2 * n1 * (m - n1) END AS t
+       |  FROM (
+       |    SELECT m1 + m2 + m3 AS m,
+       |      m1 * v1 + m2 * v2 + m3 * v3 AS n1
+       |    FROM (
+       |      SELECT ${present(1)} AS m1, ${present(2)} AS m2,
+       |        ${present(3)} AS m3,
+       |        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS v1,
+       |        CASE WHEN source < 'src2' THEN 1 ELSE 0 END AS v2,
+       |        CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS v3
+       |      FROM documents))
+       |  WHERE m >= 2)
+       |SELECT CAST(count(*) AS BIGINT) AS n_units,
+       |  CAST(sum(m) AS BIGINT) AS n_values,
+       |  CAST(sum(n1) AS BIGINT) AS tot1,
+       |  CAST(sum(n0) AS BIGINT) AS tot0,
+       |  CAST(sum(t) AS BIGINT) AS sum_t,
+       |  CAST(1000000 - (CAST(sum(t) AS HUGEINT) * (sum(m) - 1) * 1000000)
+       |    // nullif(2 * CAST(sum(n1) AS HUGEINT) * sum(n0), 0) AS BIGINT)
+       |    AS alpha_micro
+       |FROM rated""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q545 — per-class precision/recall/F1 + macro-F1 langid scorecard
+  // ------------------------------------------------------------------
+
+  /** q545 — the multi-class EVALUATION scorecard of the n-gram langId
+    * heuristic against the declared lang label: per scored class
+    * (the classifier's label set — [[graft.functions.TextAnalysis
+    * .langStopwords]]'s en/es/fr/de; stated) tp / fp / fn / support,
+    * precision, recall, and F1, with the macro-F1 (unweighted class
+    * mean — the imbalance-robust headline number) and overall
+    * accuracy broadcast on every row. The READOUT layer over q42's
+    * raw confusion counts and q514's marginal-homogeneity test:
+    * neither names WHICH class the classifier fails nor gives the
+    * leaderboard scalar. A prediction of 'unknown' charges fn to the
+    * true class and fp to nobody (stated — 'unknown' is not a
+    * scored class); an out-of-scope true label (zh) still charges fp
+    * to whatever scored class it is predicted as (stated — the
+    * open-set penalty). Exactness: counts exact; precision/recall are
+    * single truncating micro-divisions; F1 uses the EXACT one-
+    * division form 2·tp·10⁶ div (2tp+fp+fn) (never composes the
+    * truncated p/r); macro-F1 = ΣF1 div k composes the stated
+    * per-class truncations; zero-support or zero-predicted classes
+    * degrade the affected micro to NULL, and NULL F1s count as 0 in
+    * the macro sum (stated). Scale: one scan → ≤ 6×6 confusion
+    * grid → 5-row class table; windows only over that bounded
+    * table. */
+  def q545(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val langs = graft.functions.TextAnalysis.langStopwords.map(_._1)
+    val cells = Tables.documents(s, d)
+      .select($"lang".as("actual"),
+        graft.functions.TextAnalysis.langId($"text").as("pred"))
+      .groupBy($"actual", $"pred").agg(count(lit(1)).as("n"))
+      .transform(Fx.materialize)
+    val classes = cells.filter($"actual".isin(langs: _*))
+      .select($"actual".as("cls"))
+      .union(cells.filter($"pred".isin(langs: _*)).select($"pred"))
+      .distinct()
+    val perClass = classes
+      .join(cells.groupBy($"actual".as("cls"))
+        .agg(sum(when($"actual" === $"pred", $"n")).as("tp_a"),
+          sum(when($"actual" =!= $"pred", $"n")).as("fn_a")),
+        Seq("cls"), "left")
+      .join(cells.filter($"actual" =!= $"pred")
+        .groupBy($"pred".as("cls")).agg(sum($"n").as("fp_p")),
+        Seq("cls"), "left")
+      .select($"cls",
+        coalesce($"tp_a", lit(0L)).as("tp"),
+        coalesce($"fp_p", lit(0L)).as("fp"),
+        coalesce($"fn_a", lit(0L)).as("fn"))
+      .withColumn("support", $"tp" + $"fn")
+      .withColumn("precision_micro",
+        expr("(tp * 1000000) div nullif(tp + fp, 0)"))
+      .withColumn("recall_micro",
+        expr("(tp * 1000000) div nullif(tp + fn, 0)"))
+      .withColumn("f1_micro",
+        expr("(2 * tp * 1000000) div nullif(2 * tp + fp + fn, 0)"))
+    perClass
+      .withColumn("macro_f1_micro",
+        expr("(sum(coalesce(f1_micro, 0)) over ()) div (count(1) over ())"))
+      .withColumn("accuracy_micro",
+        expr("(sum(tp) over () * 1000000) div (sum(support) over ())"))
+      .select($"cls", $"tp", $"fp", $"fn", $"support",
+        $"precision_micro", $"recall_micro", $"f1_micro",
+        $"macro_f1_micro", $"accuracy_micro")
+      .orderBy($"cls")
+  }
+
+  val q545Sql: String = {
+    val langs = graft.functions.TextAnalysis.langStopwords.map(_._1)
+    val inList = langs.map(l => s"'$l'").mkString(", ")
+    s"""WITH cells AS (
+       |  SELECT lang AS actual, $langIdSql AS pred,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY 1, 2),
+       |classes AS (
+       |  SELECT actual AS cls FROM cells WHERE actual IN ($inList)
+       |  UNION
+       |  SELECT pred FROM cells WHERE pred IN ($inList)),
+       |per_class AS (
+       |  SELECT c.cls,
+       |    COALESCE(a.tp_a, 0) AS tp, COALESCE(p.fp_p, 0) AS fp,
+       |    COALESCE(a.fn_a, 0) AS fn
+       |  FROM classes c
+       |  LEFT JOIN (
+       |    SELECT actual AS cls,
+       |      CAST(sum(CASE WHEN actual = pred THEN n END) AS BIGINT) AS tp_a,
+       |      CAST(sum(CASE WHEN actual <> pred THEN n END) AS BIGINT) AS fn_a
+       |    FROM cells GROUP BY 1) a ON c.cls = a.cls
+       |  LEFT JOIN (
+       |    SELECT pred AS cls, CAST(sum(n) AS BIGINT) AS fp_p
+       |    FROM cells WHERE actual <> pred GROUP BY 1) p ON c.cls = p.cls),
+       |scored AS (
+       |  SELECT cls, tp, fp, fn, tp + fn AS support,
+       |    (tp * 1000000) // nullif(tp + fp, 0) AS precision_micro,
+       |    (tp * 1000000) // nullif(tp + fn, 0) AS recall_micro,
+       |    (2 * tp * 1000000) // nullif(2 * tp + fp + fn, 0) AS f1_micro
+       |  FROM per_class)
+       |SELECT cls, tp, fp, fn, support, precision_micro, recall_micro,
+       |  f1_micro,
+       |  CAST(sum(COALESCE(f1_micro, 0)) OVER () // count(*) OVER ()
+       |    AS BIGINT) AS macro_f1_micro,
+       |  CAST((sum(tp) OVER () * 1000000) // sum(support) OVER ()
+       |    AS BIGINT) AS accuracy_micro
+       |FROM scored ORDER BY cls""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q542_eprocess_confseq", q542, Some(q542Sql)),
+    QueryDef("q543_power_mde", q543, Some(q543Sql)),
+    QueryDef("q544_krippendorff_alpha", q544, Some(q544Sql)),
+    QueryDef("q545_macro_f1_langid", q545, Some(q545Sql)),
     QueryDef("q539_bucket_build_cost", q539, Some(q539Sql)),
     QueryDef("q540_tv_token_drift", q540, Some(q540Sql)),
     QueryDef("q541_calibration_error", q541, Some(q541Sql)),

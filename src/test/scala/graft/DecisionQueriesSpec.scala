@@ -639,4 +639,142 @@ class DecisionQueriesSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
       ((2L, 3L, 482666L, 484000L)), r.toString)
   }
+
+  /** events.parquet fixture: (day, user, type, value) rows at noon UTC
+    * of each epoch-day (PlantedStructureSpec's shape). */
+  private def eventsDir(rows: Seq[(Int, Long, String, Double)]): String = {
+    val dir = Files.createTempDirectory("planted-dq-ev")
+    rows.toDF("day", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(
+        ($"day".cast("long") * 86400L + 43200L) * 1000000L))
+      .withColumn("event_id", monotonically_increasing_id())
+      .withColumn("props", lit("{}"))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("events.parquet").toString)
+    dir.toString
+  }
+
+  /** Replay of the q243/q543/q544 md5 device: first 8 hex chars of
+    * md5(key) as a base-16 long. */
+  private def md5Head8(key: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+  }
+
+  test("q542 first-crossing days match the betGrid fold on pure and mixed streams") {
+    // Pure-success plant: 20 days x 10 purchases. loge_p after day
+    // index i is 10*a_p*(i+1), so every grid point rejects at day
+    // ceil(2995732 / (10 a_p)) - 1 and finals are 200*a_p.
+    val pure = for (d <- 0 until 20; k <- 0 until 10)
+      yield (d, (d * 10 + k).toLong, "purchase", 5.0)
+    val out = operators.DecisionQueries.q542(spark, eventsDir(pure))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 19)
+    operators.DecisionQueries.betGrid.foreach { case (p, a, _) =>
+      val r = out(p)
+      val firstDay = (2995732L + 10 * a - 1) / (10 * a) - 1
+      assert(r.getLong(1) === 200 * a, s"final p=$p")
+      assert(r.getLong(3) === 1L, s"rejected p=$p")
+      assert(r.getLong(4) === firstDay, s"first day p=$p")
+    }
+    // Mixed plant: 1 purchase + 1 view per day. The p0 = 50% point
+    // earns a+b = 223144-287682 < 0 per day: never rejected, NULL day.
+    val mixed = (0 until 20).flatMap(d =>
+      Seq((d, d.toLong, "purchase", 5.0), (d, 100L + d, "view", 1.0)))
+    val m = operators.DecisionQueries.q542(spark, eventsDir(mixed))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(500000L).getLong(1) === -64538L * 20)
+    assert(m(500000L).getLong(3) === 0L)
+    assert(m(500000L).isNullAt(4))
+    // and the p0 = 5% point still rejects: a+b = 363340/day.
+    assert(m(50000L).getLong(4) === (2995732L + 363339L) / 363340L - 1)
+  }
+
+  test("q543 matches the exact-integer + one-sqrt replay of the arm design") {
+    // 40 users, one purchase each; users 1..8 get value 250 (high-value
+    // converters), the rest 10. Arms replay the md5 device.
+    val rows = (1L to 40L).map(u =>
+      (0, u, "purchase", if (u <= 8) 250.0 else 10.0))
+    val r = operators.DecisionQueries.q543(spark, eventsDir(rows)).head()
+    val nA = (1L to 40L).count(u => md5Head8(s"$u#exp1") % 2 == 0).toLong
+    val nB = 40L - nA
+    val c = 8L
+    val rate = c * 1000000L / 40L
+    val vPico = (BigInt(c) * (40 - c) * BigInt(10).pow(12) /
+      (BigInt(nA) * nB * 40)).toLong
+    val mde = math.floor(2801585 * math.sqrt(vPico.toDouble) / 1000000 + 0.5).toLong
+    val p2 = rate * 11 / 10
+    val num = BigInt(7848878512225L) *
+      (BigInt(rate) * (1000000 - rate) + BigInt(p2) * (1000000 - p2))
+    val den = BigInt(p2 - rate) * (p2 - rate) * BigInt(10).pow(12)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((nA, nB, c)), r.toString)
+    assert(r.getLong(3) === rate, r.toString)
+    assert(r.getLong(4) === vPico, r.toString)
+    assert(r.getLong(5) === mde, r.toString)
+    assert(r.getLong(6) === mde * 1000000L / rate, r.toString)
+    assert(r.getLong(7) === ((num + den - 1) / den).toLong, r.toString)
+  }
+
+  test("q544 reads perfect agreement as alpha = 1e6 and matches the replay off-agreement") {
+    // 10 all-positive docs (en, src0 < src2, long) + 10 all-negative:
+    // every pairable unit is unanimous, both values present -> sum_t = 0,
+    // alpha exactly 1e6 whatever the md5 missingness masks drop.
+    val agree = (1L to 10L).map(i => (i, "t", "en", "src0", 400L)) ++
+      (11L to 20L).map(i => (i, "t", "de", "src5", 100L))
+    val a = operators.DecisionQueries.q544(spark, documentsDir(agree)).head()
+    assert(a.getLong(5) === 1000000L, a.toString)
+    // Split plant: values (1, 0, 1) per doc when all raters present;
+    // exact BigInt replay of alpha = 1 - sum_t*(n-1)/(2*N1*N0) under
+    // the replayed masks (units with m < 2 dropped).
+    val split = (1L to 30L).map(i => (i, "t", "en", "src5", 400L))
+    val units = (1L to 30L).map { i =>
+      val present = (1 to 3).map(r => md5Head8(s"$i#kr$r") % 5 != 0)
+      val vals = Seq(1L, 0L, 1L)
+      val picked = vals.zip(present).filter(_._2).map(_._1)
+      (picked.size.toLong, picked.sum)
+    }.filter(_._1 >= 2)
+    val n = units.map(_._1).sum
+    val t1 = units.map(_._2).sum
+    val t0 = n - t1
+    val sumT = units.map { case (m, n1) =>
+      if (m == 3) n1 * (m - n1) else 2 * n1 * (m - n1)
+    }.sum
+    val alpha = 1000000L -
+      (BigInt(sumT) * (n - 1) * 1000000 / (2 * BigInt(t1) * t0)).toLong
+    val b = operators.DecisionQueries.q544(spark, documentsDir(split)).head()
+    assert((b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3),
+      b.getLong(4)) === ((units.size.toLong, n, t1, t0, sumT)), b.toString)
+    assert(b.getLong(5) === alpha, b.toString)
+  }
+
+  test("q545 scores a hand-built confusion matrix exactly") {
+    // en: tp=5 fp=3 fn=0; fr: tp=3 fp=0 fn=2; de: tp=0 fp=0 fn=1
+    // (one doc predicted unknown); one zh doc predicted en charges fp
+    // to en only (open-set penalty); es never appears -> 3 classes.
+    val docs =
+      (1L to 5L).map(i => (i, "the and of", "en", "s", 10L)) ++
+        Seq((6L, "the the the", "fr", "s", 11L),
+          (7L, "the the the", "fr", "s", 11L)) ++
+        (8L to 10L).map(i => (i, "le les et", "fr", "s", 9L)) ++
+        Seq((11L, "xyz", "de", "s", 3L), (12L, "the", "zh", "s", 3L))
+    val out = operators.DecisionQueries.q545(spark, documentsDir(docs))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("en", "fr", "de"))
+    val en = out("en")
+    assert((en.getLong(1), en.getLong(2), en.getLong(3), en.getLong(4)) ===
+      ((5L, 3L, 0L, 5L)), en.toString)
+    assert((en.getLong(5), en.getLong(6), en.getLong(7)) ===
+      ((625000L, 1000000L, 10000000L / 13L)), en.toString)
+    val fr = out("fr")
+    assert((fr.getLong(5), fr.getLong(6), fr.getLong(7)) ===
+      ((1000000L, 600000L, 750000L)), fr.toString)
+    val de = out("de")
+    assert(de.isNullAt(5) && de.getLong(6) === 0L && de.getLong(7) === 0L,
+      de.toString)
+    // macro = (769230 + 750000 + 0) div 3; accuracy = 8e6 div 11
+    assert(en.getLong(8) === (769230L + 750000L) / 3L, en.toString)
+    assert(en.getLong(9) === 8000000L / 11L, en.toString)
+  }
 }
