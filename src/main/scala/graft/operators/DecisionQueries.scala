@@ -2385,26 +2385,25 @@ object DecisionQueries {
   // q543 — two-proportion power / MDE planning readout
   // ------------------------------------------------------------------
 
-  /** q543 — the experiment PLANNING readout over q243's md5 arm
-    * design: given the arms as shipped (n per arm, pooled conversion
-    * p̂), (1) the minimum detectable absolute effect at α = 0.05 /
-    * power 0.8 — MDE = (z_{α/2}+z_β)·√(p̂(1−p̂)(1/n_a+1/n_b)) with the
-    * z-sum pinned at 2.801585 — and (2) the n PER ARM a +10%-relative
-    * lift would need: n = ⌈z²·(p₁q₁+p₂q₂)/(p₂−p₁)²⌉. The layer the
-    * battery lacked: q243 reads the effect out, q317/q355 test it,
-    * q282/q474/q542 monitor it — nothing said whether the experiment
-    * was SIZED to see the effect it claims to test. Conversion here
-    * is the HIGH-VALUE event (a purchase with value ≥ 200, stated):
-    * q243's any-purchase definition saturates at p̂ = 1 on the
-    * shipped data, where every MDE question degenerates. Exactness: arm
-    * counts exact; the variance unit v = C(N−C)/(N·n_a·n_b) is one
-    * stated pico-grid truncation on DECIMAL(38,0); the single √ is
-    * IEEE-correctly-rounded on that exact integer and both engines
-    * compose the identical double tree (q397's one-pinned-sqrt rule);
-    * the n-needed ceiling is an exact integer ceil-div of DECIMAL
-    * products (p₂ derived from p̂ on the micro grid, stated). Scale
+  /** q543 — SAMPLE-SIZE planning table for the md5 arm design: the n
+    * PER ARM required to detect a +5 / +10 / +20% RELATIVE lift
+    * (pinned grid) in the high-value conversion rate at α = 0.05
+    * two-sided / power 0.8 — n = ⌈z²·(p₁q₁+p₂q₂)/(p₂−p₁)²⌉ with
+    * z² = 2.801585² pinned as the integer micro² literal
+    * 7848878512225 — and the `sized` verdict against the arms as
+    * shipped. The FORWARD-planning companion to q302's at-current-n
+    * MDE readout (which this deliberately does NOT recompute): q302
+    * answers "what could THIS experiment see", this answers "how
+    * big must the NEXT one be" — the number a roadmap costs against.
+    * Conversion is the HIGH-VALUE event (a purchase with value ≥
+    * 200, stated): q243's any-purchase definition saturates at
+    * p̂ = 1 on the shipped data, where sizing degenerates.
+    * Exactness: arm counts exact; p̂ and each p₂ are stated micro
+    * truncations; n-needed is an exact integer ceil-div of
+    * DECIMAL(38,0) products — no float touches any emitted figure.
+    * Zero/degenerate rate (p₂ = p̂) → NULL n_needed (stated). Scale
     * shape: one distinct-collapse of events to users, one 1-row
-    * rollup; everything after is scalar arithmetic. */
+    * rollup, a 3-row pinned grid; scalar arithmetic after. */
   def q543(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val users = Tables.events(s, d)
@@ -2415,23 +2414,16 @@ object DecisionQueries {
         when(conv(substring(md5(concat($"user_id".cast("string"),
           lit("#exp1"))), 1, 8), 16, 10).cast("long") % 2 === 0,
           lit("control")).otherwise(lit("treatment")))
-    users.agg(
+    val arms = users.agg(
         sum(when($"arm" === "control", 1L).otherwise(0L)).as("n_a"),
         sum(when($"arm" =!= "control", 1L).otherwise(0L)).as("n_b"),
         sum($"converted").as("c_all"))
       .withColumn("rate_micro",
         expr("(c_all * 1000000) div (n_a + n_b)"))
-      .withColumn("v_pico", expr(
-        """(cast(c_all as decimal(38,0)) * ((n_a + n_b) - c_all)
-           * 1000000000000)
-           div (cast(n_a as decimal(38,0)) * n_b * (n_a + n_b))"""))
-      .withColumn("mde_abs_micro",
-        floor(lit(2801585) * sqrt($"v_pico".cast("double")) / lit(1000000)
-          + lit(0.5)).cast("long"))
-      .withColumn("mde_rel_micro",
-        expr("(mde_abs_micro * 1000000) div nullif(rate_micro, 0)"))
-      .withColumn("p2_micro", expr("(rate_micro * 11) div 10"))
-      .withColumn("n_needed_10pct", expr(
+    arms.crossJoin(broadcast(Seq(5L, 10L, 20L).toDF("lift_pct")))
+      .withColumn("p2_micro",
+        expr("(rate_micro * (100 + lift_pct)) div 100"))
+      .withColumn("n_needed", expr(
         """cast((7848878512225 *
              (cast(rate_micro as decimal(38,0)) * (1000000 - rate_micro)
               + cast(p2_micro as decimal(38,0)) * (1000000 - p2_micro))
@@ -2439,9 +2431,11 @@ object DecisionQueries {
                * (p2_micro - rate_micro) * 1000000000000 - 1)
            div (cast(nullif(p2_micro - rate_micro, 0) as decimal(38,0))
              * (p2_micro - rate_micro) * 1000000000000) as bigint)"""))
-      .select($"n_a", $"n_b", $"c_all".as("n_converted"), $"rate_micro",
-        $"v_pico".cast("long").as("v_pico"), $"mde_abs_micro",
-        $"mde_rel_micro", $"n_needed_10pct")
+      .withColumn("n_have", least($"n_a", $"n_b"))
+      .select($"lift_pct", $"n_a", $"n_b", $"c_all".as("n_converted"),
+        $"rate_micro", $"p2_micro", $"n_needed", $"n_have",
+        when($"n_have" >= $"n_needed", 1L).otherwise(0L).as("sized"))
+      .orderBy($"lift_pct")
   }
 
   val q543Sql: String =
@@ -2462,21 +2456,15 @@ object DecisionQueries {
       |  FROM u),
       |s1 AS (
       |  SELECT n_a, n_b, c_all,
-      |    (c_all * 1000000) // (n_a + n_b) AS rate_micro,
-      |    CAST((CAST(c_all AS HUGEINT) * ((n_a + n_b) - c_all)
-      |      * 1000000000000)
-      |      // (CAST(n_a AS HUGEINT) * n_b * (n_a + n_b)) AS BIGINT)
-      |      AS v_pico
+      |    (c_all * 1000000) // (n_a + n_b) AS rate_micro
       |  FROM a),
+      |g(lift_pct) AS (VALUES (5), (10), (20)),
       |s2 AS (
-      |  SELECT *,
-      |    CAST(floor(2801585 * sqrt(CAST(v_pico AS DOUBLE)) / 1000000 + 0.5)
-      |      AS BIGINT) AS mde_abs_micro,
-      |    (rate_micro * 11) // 10 AS p2_micro
-      |  FROM s1)
-      |SELECT n_a, n_b, c_all AS n_converted, rate_micro, v_pico,
-      |  mde_abs_micro,
-      |  (mde_abs_micro * 1000000) // nullif(rate_micro, 0) AS mde_rel_micro,
+      |  SELECT s1.*, CAST(lift_pct AS BIGINT) AS lift_pct,
+      |    (rate_micro * (100 + lift_pct)) // 100 AS p2_micro
+      |  FROM s1 CROSS JOIN g)
+      |SELECT lift_pct, n_a, n_b, c_all AS n_converted, rate_micro,
+      |  p2_micro,
       |  CAST((7848878512225 *
       |      (CAST(rate_micro AS HUGEINT) * (1000000 - rate_micro)
       |       + CAST(p2_micro AS HUGEINT) * (1000000 - p2_micro))
@@ -2484,8 +2472,18 @@ object DecisionQueries {
       |        * (p2_micro - rate_micro) * 1000000000000 - 1)
       |    // (CAST(nullif(p2_micro - rate_micro, 0) AS HUGEINT)
       |      * (p2_micro - rate_micro) * 1000000000000) AS BIGINT)
-      |    AS n_needed_10pct
-      |FROM s2""".stripMargin
+      |    AS n_needed,
+      |  least(n_a, n_b) AS n_have,
+      |  CAST(CASE WHEN least(n_a, n_b) >=
+      |      CAST((7848878512225 *
+      |        (CAST(rate_micro AS HUGEINT) * (1000000 - rate_micro)
+      |         + CAST(p2_micro AS HUGEINT) * (1000000 - p2_micro))
+      |        + CAST(nullif(p2_micro - rate_micro, 0) AS HUGEINT)
+      |          * (p2_micro - rate_micro) * 1000000000000 - 1)
+      |      // (CAST(nullif(p2_micro - rate_micro, 0) AS HUGEINT)
+      |        * (p2_micro - rate_micro) * 1000000000000) AS BIGINT)
+      |    THEN 1 ELSE 0 END AS BIGINT) AS sized
+      |FROM s2 ORDER BY lift_pct""".stripMargin
 
   // ------------------------------------------------------------------
   // q544 — Krippendorff's α with missing ratings
@@ -2671,9 +2669,277 @@ object DecisionQueries {
        |FROM scored ORDER BY cls""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q546 — TOST two-proportion equivalence test
+  // ------------------------------------------------------------------
+
+  /** q546 — two-one-sided-tests (TOST) EQUIVALENCE readout on the md5
+    * arm design: is the treatment conversion rate the SAME as control
+    * to within ±2pp (δ = 20000 micro, stated)? The question every
+    * infra/refactor experiment actually asks and the significance
+    * battery cannot answer — q243/q317 test difference ≠ 0 (absence
+    * of evidence ≠ evidence of absence); TOST rejects NON-equivalence
+    * when the 90% CI for the difference sits inside (−δ, +δ),
+    * i.e. δ − |d̂| ≥ z_{0.05}·SE (Schuirmann). Conversion is q543's
+    * high-value event (purchase value ≥ 200, stated). Exactness: arm
+    * counts exact; d̂ and the unpooled variance are stated micro/pico
+    * truncations (v = Σ c(n−c)·10¹² div n³ per arm on DECIMAL(38,0));
+    * z·SE is the q543 one-sqrt double tree with z pinned 1.644854;
+    * the verdict is an integer comparison of stated-grid values.
+    * Scale shape: one user collapse, one 1-row rollup, scalar math. */
+  def q546(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val users = Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(max(($"event_type" === "purchase" && $"value" >= 200.0)
+        .cast("long")).as("converted"))
+      .withColumn("ctl",
+        (conv(substring(md5(concat($"user_id".cast("string"),
+          lit("#exp1"))), 1, 8), 16, 10).cast("long") % 2 === 0)
+          .cast("long"))
+    users.agg(
+        sum($"ctl").as("n_a"),
+        sum($"ctl" * $"converted").as("c_a"),
+        sum(lit(1L) - $"ctl").as("n_b"),
+        sum((lit(1L) - $"ctl") * $"converted").as("c_b"))
+      .withColumn("d_micro",
+        expr("(c_b * 1000000) div n_b - (c_a * 1000000) div n_a"))
+      .withColumn("v_pico", expr(
+        """(cast(c_a as decimal(38,0)) * (n_a - c_a) * 1000000000000)
+             div (cast(n_a as decimal(38,0)) * n_a * n_a)
+           + (cast(c_b as decimal(38,0)) * (n_b - c_b) * 1000000000000)
+             div (cast(n_b as decimal(38,0)) * n_b * n_b)"""))
+      .withColumn("zse_micro",
+        floor(lit(1644854) * sqrt($"v_pico".cast("double")) / lit(1000000)
+          + lit(0.5)).cast("long"))
+      .select($"n_a", $"c_a", $"n_b", $"c_b", $"d_micro",
+        $"v_pico".cast("long").as("v_pico"), $"zse_micro",
+        ($"d_micro" - $"zse_micro").as("ci_lo_micro"),
+        ($"d_micro" + $"zse_micro").as("ci_hi_micro"),
+        when(lit(20000L) - abs($"d_micro") >= $"zse_micro", 1L)
+          .otherwise(0L).as("equivalent"))
+  }
+
+  val q546Sql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase' AND "value" >= 200
+      |      THEN 1 ELSE 0 END) AS converted,
+      |    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#exp1'),
+      |      1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS ctl
+      |  FROM events GROUP BY user_id),
+      |a AS (
+      |  SELECT CAST(sum(ctl) AS BIGINT) AS n_a,
+      |    CAST(sum(ctl * converted) AS BIGINT) AS c_a,
+      |    CAST(sum(1 - ctl) AS BIGINT) AS n_b,
+      |    CAST(sum((1 - ctl) * converted) AS BIGINT) AS c_b
+      |  FROM u),
+      |s1 AS (
+      |  SELECT *,
+      |    (c_b * 1000000) // n_b - (c_a * 1000000) // n_a AS d_micro,
+      |    CAST((CAST(c_a AS HUGEINT) * (n_a - c_a) * 1000000000000)
+      |        // (CAST(n_a AS HUGEINT) * n_a * n_a)
+      |      + (CAST(c_b AS HUGEINT) * (n_b - c_b) * 1000000000000)
+      |        // (CAST(n_b AS HUGEINT) * n_b * n_b) AS BIGINT) AS v_pico
+      |  FROM a),
+      |s2 AS (
+      |  SELECT *,
+      |    CAST(floor(1644854 * sqrt(CAST(v_pico AS DOUBLE)) / 1000000 + 0.5)
+      |      AS BIGINT) AS zse_micro
+      |  FROM s1)
+      |SELECT n_a, c_a, n_b, c_b, d_micro, v_pico, zse_micro,
+      |  d_micro - zse_micro AS ci_lo_micro,
+      |  d_micro + zse_micro AS ci_hi_micro,
+      |  CAST(CASE WHEN 20000 - abs(d_micro) >= zse_micro THEN 1 ELSE 0 END
+      |    AS BIGINT) AS equivalent
+      |FROM s2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q547 — exact coverage-game Shapley source attribution
+  // ------------------------------------------------------------------
+
+  /** q547 — EXACT Shapley attribution of bigram-vocabulary coverage
+    * to sources: the coverage game v(S) = #distinct bigrams present
+    * in source set S decomposes into one unanimity game per bigram,
+    * so each source's Shapley value is Σ_{bigrams it contains} 1/k
+    * (k = #sources containing the bigram) in CLOSED FORM — where
+    * q276's coalition-enumeration Shapley needs 2ⁿ subsets and a
+    * ≤12-player guard, the coverage structure makes n = 20 sources
+    * (or 20,000) exact and linear. The "who actually contributes
+    * unique training signal once overlap is split fairly" question
+    * that raw distinct-counts double-count and unique-counts
+    * under-credit. Exactness: per-bigram credit is the exact integer
+    * L/k with L = lcm(1..20) = 232792560 (k ≤ 20 by the source
+    * domain, so k | L); φ_L sums exactly; Σφ_L = L·#bigrams
+    * (efficiency — gate-checked); the share is one truncating micro
+    * division. Scale shape: one bigram explode → distinct
+    * (source, bigram) pairs (vocab-bounded) → k by bigram →
+    * equi-join back on bigram → 20-row source rollup; the final
+    * window sits on those 20 rows. */
+  def q547(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val L = 232792560L
+    val pairs = Tables.documents(s, d)
+      .select($"source", split($"text", " ").as("w"))
+      .select($"source",
+        explode(graft.functions.TextAnalysis.adjacentPairs($"w")).as("bg"))
+      .distinct()
+      .transform(Fx.materialize)
+    val k = pairs.groupBy($"bg").agg(count(lit(1)).as("k"))
+    pairs.join(k, "bg")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when($"k" === 1, 1L).otherwise(0L)).as("n_unique"),
+        sum(expr(s"$L div k")).as("phi_l"))
+      .withColumn("share_micro",
+        expr("(phi_l * 1000000) div (sum(phi_l) over ())"))
+      .select($"source", $"n_bigrams", $"n_unique", $"phi_l",
+        $"share_micro")
+      .orderBy($"source")
+  }
+
+  val q547Sql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT source, bg FROM (
+      |    SELECT source, unnest(list_transform(range(1, len(w)),
+      |      i -> w[i] || ' ' || w[i+1])) AS bg
+      |    FROM (SELECT source, string_split(text, ' ') AS w
+      |          FROM documents) ws) t),
+      |kk AS (SELECT bg, CAST(count(*) AS BIGINT) AS k
+      |       FROM pairs GROUP BY bg),
+      |per_src AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_unique,
+      |    CAST(sum(232792560 // k) AS BIGINT) AS phi_l
+      |  FROM pairs JOIN kk USING (bg) GROUP BY source)
+      |SELECT source, n_bigrams, n_unique, phi_l,
+      |  CAST((phi_l * 1000000) // (sum(phi_l) OVER ()) AS BIGINT)
+      |    AS share_micro
+      |FROM per_src ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q548 — Winkler interval score of the conformal bands
+  // ------------------------------------------------------------------
+
+  /** q548 — Winkler/interval score of q278's split-conformal bands on
+    * the held-out fold (Gneiting–Raftery 2007 §6.2): IS_α(l,u,y) =
+    * (u−l) + (2/α)·(l−y)⁺ + (2/α)·(y−u)⁺ at α = 0.1, which for the
+    * symmetric band [med−q̂, med+q̂] is 2q̂ + 20·max(0, |y−med| − q̂) —
+    * 2/α = 20 EXACT by the α choice. The PROPER-score layer q278
+    * lacks: its coverage audit can't see that a band twice as wide
+    * with the same coverage is a worse forecast; the interval score
+    * prices width AND misses in the same cents and is minimized in
+    * expectation by the true interval. Same folds, same median, same
+    * conformal rank as q278 (reproduced verbatim so the two queries
+    * audit ONE artifact); per-priority output adds n_miss, the mean
+    * width, and the mean score/penalty as stated micro divisions of
+    * exact DECIMAL(38,0) cent sums (score ≤ 20·maxprice·n brushes
+    * BIGINT at corpus n). Scale shape: q278's — rank selections on
+    * [[Ranking.groupRanks]] (5-value priority enum), medians/q̂
+    * broadcast back, one test-fold aggregate. */
+  def q548(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d).select($"o_orderkey",
+      $"o_orderpriority".as("grp"),
+      floor($"o_totalprice" * 100).cast("long").as("cents"),
+      (conv(substring(md5(concat($"o_orderkey".cast("string"),
+        lit("#conf"))), 1, 8), 16, 10) % 3).cast("int").as("fold"))
+      .transform(Fx.materialize)
+    val train = o.filter($"fold" === 0)
+    val nTrain = train.groupBy($"grp").agg(count(lit(1)).as("n_train"))
+      .withColumnRenamed("grp", "__g1")
+    val med = Ranking.groupRanks(train, Seq("grp"), 8,
+        $"cents".asc, $"o_orderkey".asc)
+      .join(broadcast(nTrain), $"grp" === $"__g1")
+      .filter($"rank" === ceil($"n_train" * 0.5))
+      .select($"grp".as("__mg"), $"cents".as("med_cents"))
+    val cal = o.filter($"fold" === 1)
+      .join(broadcast(med), $"grp" === $"__mg")
+      .withColumn("resid", abs($"cents" - $"med_cents"))
+    val nCal = cal.groupBy($"grp").agg(count(lit(1)).as("n_cal"))
+      .withColumnRenamed("grp", "__g2")
+    val qhat = Ranking.groupRanks(
+        cal.select($"grp", $"o_orderkey", $"resid"), Seq("grp"), 8,
+        $"resid".asc, $"o_orderkey".asc)
+      .join(broadcast(nCal), $"grp" === $"__g2")
+      .withColumn("k", least(expr("(9 * (n_cal + 1) + 9) div 10"), $"n_cal"))
+      .filter($"rank" === $"k")
+      .select($"grp".as("__qg"), $"resid".as("qhat_cents"))
+    o.filter($"fold" === 2)
+      .join(broadcast(med), $"grp" === $"__mg")
+      .join(broadcast(qhat), $"grp" === $"__qg")
+      .withColumn("err", abs($"cents" - $"med_cents"))
+      .withColumn("pen",
+        lit(20L) * greatest(lit(0L), $"err" - $"qhat_cents"))
+      .groupBy($"grp", $"qhat_cents")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when($"err" > $"qhat_cents", 1L).otherwise(0L)).as("n_miss"),
+        sum($"pen".cast("decimal(38,0)")).as("pen_sum"))
+      .select($"grp", $"qhat_cents",
+        (lit(2L) * $"qhat_cents").as("width_cents"),
+        $"n_test", $"n_miss",
+        expr("""cast((pen_sum * 1000000) div n_test as bigint)""")
+          .as("mean_penalty_micro"),
+        expr("""cast(((2 * cast(qhat_cents as decimal(38,0)) * n_test
+                 + pen_sum) * 1000000) div n_test as bigint)""")
+          .as("mean_score_micro"))
+      .orderBy($"grp")
+  }
+
+  val q548Sql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_orderpriority AS grp,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+      |    CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '#conf'),
+      |      1, 8))::BIGINT % 3 AS INT) AS fold
+      |  FROM orders),
+      |tr AS (
+      |  SELECT grp, cents,
+      |    row_number() OVER (PARTITION BY grp ORDER BY cents, o_orderkey)
+      |      AS rk,
+      |    count(*) OVER (PARTITION BY grp) AS n_train
+      |  FROM o WHERE fold = 0),
+      |med AS (
+      |  SELECT grp, cents AS med_cents
+      |  FROM tr WHERE rk = CAST(ceil(n_train * 0.5) AS BIGINT)),
+      |cal AS (
+      |  SELECT o.grp, o.o_orderkey, abs(o.cents - med.med_cents) AS resid
+      |  FROM o JOIN med ON o.grp = med.grp WHERE o.fold = 1),
+      |cr AS (
+      |  SELECT grp, resid,
+      |    row_number() OVER (PARTITION BY grp ORDER BY resid, o_orderkey)
+      |      AS rk,
+      |    count(*) OVER (PARTITION BY grp) AS n_cal
+      |  FROM cal),
+      |qh AS (
+      |  SELECT grp, resid AS qhat_cents
+      |  FROM cr WHERE rk = least((9 * (n_cal + 1) + 9) // 10, n_cal)),
+      |scored AS (
+      |  SELECT o.grp, qh.qhat_cents,
+      |    abs(o.cents - med.med_cents) AS err,
+      |    20 * greatest(0, abs(o.cents - med.med_cents) - qh.qhat_cents)
+      |      AS pen
+      |  FROM o
+      |  JOIN med ON o.grp = med.grp
+      |  JOIN qh ON o.grp = qh.grp
+      |  WHERE o.fold = 2)
+      |SELECT grp, qhat_cents, 2 * qhat_cents AS width_cents,
+      |  CAST(count(*) AS BIGINT) AS n_test,
+      |  CAST(sum(CASE WHEN err > qhat_cents THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_miss,
+      |  CAST((CAST(sum(pen) AS HUGEINT) * 1000000) // count(*) AS BIGINT)
+      |    AS mean_penalty_micro,
+      |  CAST(((2 * CAST(qhat_cents AS HUGEINT) * count(*) + sum(pen))
+      |    * 1000000) // count(*) AS BIGINT) AS mean_score_micro
+      |FROM scored GROUP BY grp, qhat_cents ORDER BY grp""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q548_winkler_score", q548, Some(q548Sql)),
+    QueryDef("q546_tost_equivalence", q546, Some(q546Sql)),
+    QueryDef("q547_coverage_shapley", q547, Some(q547Sql)),
     QueryDef("q542_eprocess_confseq", q542, Some(q542Sql)),
-    QueryDef("q543_power_mde", q543, Some(q543Sql)),
+    QueryDef("q543_sample_size_plan", q543, Some(q543Sql)),
     QueryDef("q544_krippendorff_alpha", q544, Some(q544Sql)),
     QueryDef("q545_macro_f1_langid", q545, Some(q545Sql)),
     QueryDef("q539_bucket_build_cost", q539, Some(q539Sql)),

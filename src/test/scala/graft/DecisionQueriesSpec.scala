@@ -692,29 +692,34 @@ class DecisionQueriesSpec extends SparkSpec {
     assert(m(50000L).getLong(4) === (2995732L + 363339L) / 363340L - 1)
   }
 
-  test("q543 matches the exact-integer + one-sqrt replay of the arm design") {
+  test("q543 matches the exact-integer ceil-div replay over the lift grid") {
     // 40 users, one purchase each; users 1..8 get value 250 (high-value
     // converters), the rest 10. Arms replay the md5 device.
     val rows = (1L to 40L).map(u =>
       (0, u, "purchase", if (u <= 8) 250.0 else 10.0))
-    val r = operators.DecisionQueries.q543(spark, eventsDir(rows)).head()
+    val out = operators.DecisionQueries.q543(spark, eventsDir(rows))
+      .collect().map(r => r.getLong(0) -> r).toMap
     val nA = (1L to 40L).count(u => md5Head8(s"$u#exp1") % 2 == 0).toLong
     val nB = 40L - nA
-    val c = 8L
-    val rate = c * 1000000L / 40L
-    val vPico = (BigInt(c) * (40 - c) * BigInt(10).pow(12) /
-      (BigInt(nA) * nB * 40)).toLong
-    val mde = math.floor(2801585 * math.sqrt(vPico.toDouble) / 1000000 + 0.5).toLong
-    val p2 = rate * 11 / 10
-    val num = BigInt(7848878512225L) *
-      (BigInt(rate) * (1000000 - rate) + BigInt(p2) * (1000000 - p2))
-    val den = BigInt(p2 - rate) * (p2 - rate) * BigInt(10).pow(12)
-    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((nA, nB, c)), r.toString)
-    assert(r.getLong(3) === rate, r.toString)
-    assert(r.getLong(4) === vPico, r.toString)
-    assert(r.getLong(5) === mde, r.toString)
-    assert(r.getLong(6) === mde * 1000000L / rate, r.toString)
-    assert(r.getLong(7) === ((num + den - 1) / den).toLong, r.toString)
+    val rate = 8L * 1000000L / 40L
+    assert(out.keySet === Set(5L, 10L, 20L))
+    Seq(5L, 10L, 20L).foreach { g =>
+      val r = out(g)
+      val p2 = rate * (100 + g) / 100
+      val num = BigInt(7848878512225L) *
+        (BigInt(rate) * (1000000 - rate) + BigInt(p2) * (1000000 - p2))
+      val den = BigInt(p2 - rate) * (p2 - rate) * BigInt(10).pow(12)
+      val needed = ((num + den - 1) / den).toLong
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((nA, nB, 8L)))
+      assert(r.getLong(4) === rate)
+      assert(r.getLong(5) === p2)
+      assert(r.getLong(6) === needed, s"lift $g")
+      assert(r.getLong(7) === math.min(nA, nB))
+      assert(r.getLong(8) === (if (math.min(nA, nB) >= needed) 1L else 0L))
+    }
+    // a doubled grid halves-ish n at +20 vs +10 (sanity on monotonicity)
+    assert(out(20L).getLong(6) < out(10L).getLong(6))
+    assert(out(10L).getLong(6) < out(5L).getLong(6))
   }
 
   test("q544 reads perfect agreement as alpha = 1e6 and matches the replay off-agreement") {
@@ -747,6 +752,92 @@ class DecisionQueriesSpec extends SparkSpec {
     assert((b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3),
       b.getLong(4)) === ((units.size.toLong, n, t1, t0, sumT)), b.toString)
     assert(b.getLong(5) === alpha, b.toString)
+  }
+
+  /** orders.parquet fixture: (orderkey, priority, totalprice dollars). */
+  private def ordersDir(rows: Seq[(Long, String, Double)]): String = {
+    val dir = Files.createTempDirectory("planted-dq-ord")
+    rows.toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+      .withColumn("o_orderdate", to_timestamp(lit("1995-06-15 12:00:00")))
+      .withColumn("o_custkey", $"o_orderkey")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("orders.parquet").toString)
+    dir.toString
+  }
+
+  test("q546 reads a zero-conversion design as equivalent and matches the replay") {
+    // No conversions anywhere: d = 0, v = 0, zse = 0 -> CI = [0, 0]
+    // inside ±2pp, equivalent = 1.
+    val none = (1L to 40L).map(u => (0, u, "purchase", 10.0))
+    val z = operators.DecisionQueries.q546(spark, eventsDir(none)).head()
+    assert((z.getLong(4), z.getLong(6), z.getLong(9)) === ((0L, 0L, 1L)),
+      z.toString)
+    // q543's fixture: users 1..8 convert. Full replay of the stated
+    // micro/pico grids and the one-sqrt tree.
+    val rows = (1L to 40L).map(u =>
+      (0, u, "purchase", if (u <= 8) 250.0 else 10.0))
+    val ctl = (1L to 40L).filter(u => md5Head8(s"$u#exp1") % 2 == 0)
+    val nA = ctl.size.toLong; val nB = 40L - nA
+    val cA = ctl.count(_ <= 8).toLong; val cB = 8L - cA
+    val d = cB * 1000000L / nB - cA * 1000000L / nA
+    val v = (BigInt(cA) * (nA - cA) * BigInt(10).pow(12) /
+      (BigInt(nA) * nA * nA) +
+      BigInt(cB) * (nB - cB) * BigInt(10).pow(12) /
+        (BigInt(nB) * nB * nB)).toLong
+    val zse = math.floor(1644854 * math.sqrt(v.toDouble) / 1000000 + 0.5).toLong
+    val r = operators.DecisionQueries.q546(spark, eventsDir(rows)).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((nA, cA, nB, cB)), r.toString)
+    assert((r.getLong(4), r.getLong(5), r.getLong(6)) === ((d, v, zse)),
+      r.toString)
+    assert((r.getLong(7), r.getLong(8)) === ((d - zse, d + zse)), r.toString)
+    assert(r.getLong(9) ===
+      (if (20000L - math.abs(d) >= zse) 1L else 0L), r.toString)
+  }
+
+  test("q547 splits planted bigram coverage by the closed form with efficiency") {
+    // "a b" shared by src0/src1 (k=2), "c d" unique to src2 (k=1):
+    // phi = L/2, L/2, L; shares 25/25/50%; efficiency sums to 2L.
+    val L = 232792560L
+    val docs = Seq((1L, "a b", "en", "src0", 3L),
+      (2L, "a b", "en", "src1", 3L), (3L, "c d", "en", "src2", 3L))
+    val out = operators.DecisionQueries.q547(spark, documentsDir(docs))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out("src0") === ((1L, 0L, L / 2, 250000L)), out.toString)
+    assert(out("src1") === ((1L, 0L, L / 2, 250000L)), out.toString)
+    assert(out("src2") === ((1L, 1L, L, 500000L)), out.toString)
+    assert(out.values.map(_._3).sum === 2 * L)
+  }
+
+  test("q548 matches the fold-replayed Winkler decomposition") {
+    // One priority, keys 1..90, cents = 100*key. Replay the md5 folds,
+    // the train median rank, the conformal rank, and the exact score.
+    val keys = (1L to 90L)
+    val rows = keys.map(k => (k, "P", k.toDouble))
+    def fold(k: Long): Long = md5Head8(s"$k#conf") % 3
+    val cents = keys.map(k => k -> k * 100).toMap
+    val train = keys.filter(fold(_) == 0).sortBy(k => (cents(k), k))
+    val med = cents(train((math.ceil(train.size * 0.5) - 1).toInt))
+    val cal = keys.filter(fold(_) == 1)
+      .map(k => (math.abs(cents(k) - med), k)).sorted
+    val kk = math.min((9 * (cal.size + 1) + 9) / 10, cal.size)
+    val qhat = cal(kk - 1)._1
+    val test = keys.filter(fold(_) == 2)
+      .map(k => math.abs(cents(k) - med))
+    val miss = test.count(_ > qhat).toLong
+    val penSum = test.map(e => 20L * math.max(0L, e - qhat)).sum
+    val meanPen = BigInt(penSum) * 1000000 / test.size
+    val meanScore =
+      (BigInt(2L * qhat) * test.size + penSum) * 1000000 / test.size
+    val r = operators.DecisionQueries.q548(spark, ordersDir(rows)).head()
+    assert(r.getString(0) === "P")
+    assert((r.getLong(1), r.getLong(2)) === ((qhat, 2 * qhat)), r.toString)
+    assert((r.getLong(3), r.getLong(4)) === ((test.size.toLong, miss)),
+      r.toString)
+    assert(r.getLong(5) === meanPen.toLong, r.toString)
+    assert(r.getLong(6) === meanScore.toLong, r.toString)
   }
 
   test("q545 scores a hand-built confusion matrix exactly") {
