@@ -2869,7 +2869,273 @@ object AssociationQueries {
        |FROM r""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q549 — Markov removal-effect channel attribution
+  // ------------------------------------------------------------------
+
+  /** The pinned transient-state enum for q549 (alphabetical). */
+  private val mkChannels = Seq("click", "error", "signup", "view")
+
+  /** Determinant by Laplace expansion over a square matrix of SQL
+    * expression strings (bounded ≤ 4×4 here — 24 product terms). */
+  private def detSql(m: Vector[Vector[String]]): String =
+    if (m.size == 1) m(0)(0)
+    else (0 until m.size).map { j =>
+      val minor = m.tail.map(row => row.patch(j, Nil, 1))
+      val sign = if (j % 2 == 0) "+" else "-"
+      s"$sign (${m(0)(j)}) * ${detSql(minor)}"
+    }.mkString("(", " ", ")")
+
+  /** Exact BigInt determinant, same expansion (driver fold). */
+  private def detBig(m: Vector[Vector[BigInt]]): BigInt =
+    if (m.size == 1) m(0)(0)
+    else (0 until m.size).map { j =>
+      val minor = m.tail.map(row => row.patch(j, Nil, 1))
+      val t = m(0)(j) * detBig(minor)
+      if (j % 2 == 0) t else -t
+    }.sum
+
+  /** q549 — Markov REMOVAL-EFFECT channel attribution (Anderl et al.
+    * 2014), the chain-based standard beside q276's Shapley: journeys
+    * are each user's events truncated at the FIRST purchase (stated;
+    * non-converters run to a terminal 'end' state), the first-order
+    * transition counts define an absorbing chain over the pinned
+    * transient enum {click, error, signup, view} plus start/purchase/
+    * end, and each channel's credit is its removal effect — how much
+    * the start→purchase absorption probability drops when flows into
+    * that channel are redirected to 'end' (drop the channel's row and
+    * column) — normalized into shares. Absorption solves EXACTLY by
+    * Cramer on the INTEGER system (diag(n)−C)·a = c_purchase (no
+    * per-step iteration truncation — where q488's steps readout uses
+    * the 12-iteration convention, here the 4×4/3×3 determinants are
+    * exact); each aᵢ is ONE stated micro truncation 10⁶·det_i div det,
+    * a_start composes them over the exact start flows (stated), the
+    * removal effect is one further stated truncation clamped at 0
+    * (composed truncations can leave O(1µ) noise), and shares divide
+    * exact micro integers. States with no outflow are absorbing with
+    * a = 0 (q488's convention, stated); singular or start-less
+    * systems degrade to NULL. Overflow discipline: all cells are
+    * pre-scaled by g = 1 + N div 10⁷ (stated integer division; g = 1
+    * at every shipped SF), so the 4×4 determinant ≤ 24·(2·10⁷)⁴
+    * ≈ 4·10³⁰ and the 10⁶-scaled Cramer quotient stay inside
+    * HUGEINT/BigInt range at ANY corpus size. Determinants are
+    * non-negative by weak diagonal dominance of the Z-matrix (row
+    * sums include the absorbing outflows), so floor and
+    * truncate-toward-zero division agree across engines.
+    *
+    * Scale shape: journey truncation and lag transitions are per-user
+    * windows (q226's shape); the collapsed grid is ≤ 7×7 cells —
+    * bounded by the type enum — and folds on the driver (the
+    * documented q270 bounded-grid exception); the oracle replays the
+    * identical arithmetic through generated determinant SQL. */
+  def q549(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wU = Window.partitionBy($"user_id")
+    val wOrd = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val wDesc = Window.partitionBy($"user_id")
+      .orderBy($"us".desc, $"event_id".desc)
+    val ev = Fx.eventTs(Tables.events(s, d))
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+        $"event_type")
+      .withColumn("fp", min(when($"event_type" === "purchase",
+        struct($"us", $"event_id"))).over(wU))
+      .filter($"fp".isNull || struct($"us", $"event_id") <= $"fp")
+    val seqd = ev.withColumn("prev", lag($"event_type", 1).over(wOrd))
+      .withColumn("last1", row_number().over(wDesc))
+      .transform(Fx.materialize)
+    val steps = seqd.select(coalesce($"prev", lit("start")).as("src"),
+        $"event_type".as("dst"))
+      .union(seqd.filter($"last1" === 1 && $"event_type" =!= "purchase")
+        .select($"event_type".as("src"), lit("end").as("dst")))
+    val cells = steps.groupBy($"src", $"dst").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    Fx.free(seqd)
+    val nTot = cells.map(_._3).sum
+    val g = 1L + nTot / 10000000L
+    val cm = cells.map { case (a, b, n) => (a, b) -> n / g }
+      .filter(_._2 > 0L).toMap.withDefaultValue(0L)
+    val sinks = Seq("purchase", "end")
+    def outSum(i: String): Long =
+      (mkChannels ++ sinks).map(j => cm((i, j))).sum
+    /** micro absorption per kept transient state, None when singular */
+    def aMicro(keep: Seq[String]): Option[Map[String, Long]] = {
+      val n = keep.map(outSum)
+      val m = keep.indices.map { i =>
+        keep.indices.map { j =>
+          if (i == j) {
+            if (n(i) == 0L) BigInt(1)
+            else BigInt(n(i)) - cm((keep(i), keep(j)))
+          } else -BigInt(cm((keep(i), keep(j))))
+        }.toVector
+      }.toVector
+      val p = keep.map(t => BigInt(cm((t, "purchase")))).toVector
+      val det = detBig(m)
+      if (det == 0) None
+      else Some(keep.indices.map { i =>
+        val mi = m.indices.map(r => m(r).updated(i, p(r))).toVector
+        keep(i) -> (BigInt(1000000) * detBig(mi) / det).toLong
+      }.toMap)
+    }
+    val nStart = outSum("start")
+    def aStart(am: Map[String, Long], keep: Seq[String]): Option[Long] =
+      if (nStart == 0L) None
+      else Some(((BigInt(cm(("start", "purchase"))) * 1000000 +
+        keep.map(j => BigInt(cm(("start", j))) * am(j)).sum) / nStart)
+        .toLong)
+    val aFull = aMicro(mkChannels).flatMap(aStart(_, mkChannels))
+    val removed: Map[String, Option[Long]] = mkChannels.map { k =>
+      val keep = mkChannels.filterNot(_ == k)
+      k -> aMicro(keep).flatMap(aStart(_, keep))
+    }.toMap
+    val re: Map[String, Option[Long]] = mkChannels.map { k =>
+      k -> (for (af <- aFull; ar <- removed(k); if af > 0L)
+        yield math.max(0L, 1000000L - ar * 1000000L / af))
+    }.toMap
+    // share defined only when EVERY removal effect is (the oracle's
+    // NULL-propagating sum) and the total is positive
+    val reSum: Option[Long] =
+      if (re.values.forall(_.isDefined)) Some(re.values.flatten.sum)
+      else None
+    val rows = mkChannels.map { k =>
+      org.apache.spark.sql.Row(k, outSum(k),
+        aFull.map(java.lang.Long.valueOf).orNull,
+        removed(k).map(java.lang.Long.valueOf).orNull,
+        re(k).map(java.lang.Long.valueOf).orNull,
+        (for (v <- re(k); t <- reSum; if t > 0L)
+          yield java.lang.Long.valueOf(v * 1000000L / t)).orNull)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("channel",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_out",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("a_full_micro",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("a_removed_micro",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("removal_micro",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("share_micro",
+        org.apache.spark.sql.types.LongType)))
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+      .orderBy($"channel")
+  }
+
+  val q549Sql: String = {
+    val T = mkChannels
+    val allDst = T ++ Seq("purchase", "end")
+    // pivot columns c_<src>_<dst> for src in start::T
+    val piv = ("start" +: T).flatMap { i =>
+      allDst.map { j =>
+        s"""CAST(sum(CASE WHEN src = '$i' AND dst = '$j' THEN n ELSE 0 END)
+           | AS HUGEINT) AS c_${i}_$j""".stripMargin.replace("\n", "")
+      }
+    }.mkString(",\n  ")
+    def nExpr(i: String): String =
+      allDst.map(j => s"c_${i}_$j").mkString("(", " + ", ")")
+    def mm(keep: Seq[String]): Vector[Vector[String]] =
+      keep.indices.map { i =>
+        keep.indices.map { j =>
+          if (i == j)
+            s"(CASE WHEN ${nExpr(keep(i))} = 0 THEN 1 " +
+              s"ELSE ${nExpr(keep(i))} - c_${keep(i)}_${keep(j)} END)"
+          else s"(0 - c_${keep(i)}_${keep(j)})"
+        }.toVector
+      }.toVector
+    def pv(keep: Seq[String]): Vector[String] =
+      keep.map(t => s"c_${t}_purchase").toVector
+    // per system (full or one removal): det + per-state a_micro exprs
+    def aCols(tag: String, keep: Seq[String]): Seq[String] = {
+      val m = mm(keep); val p = pv(keep)
+      val det = detSql(m)
+      s"$det AS det_$tag" +: keep.indices.map { i =>
+        val mi = m.indices.map(r => m(r).updated(i, p(r))).toVector
+        s"${detSql(mi)} AS det_${tag}_${keep(i)}"
+      }
+    }
+    val systems = ("full" -> T) +: T.map(k => s"no_$k" -> T.filterNot(_ == k))
+    val detCols = systems.flatMap { case (tag, keep) => aCols(tag, keep) }
+      .mkString(",\n  ")
+    val aDefs = systems.flatMap { case (tag, keep) =>
+      keep.map(st =>
+        s"1000000 * det_${tag}_$st // nullif(det_$tag, 0) AS a_${tag}_$st")
+    }.mkString(",\n  ")
+    val nsExpr = nExpr("start")
+    def aStartExpr(tag: String, keep: Seq[String]): String = {
+      val terms = keep.map(j => s"c_start_$j * a_${tag}_$j")
+        .mkString(" + ")
+      s"(1000000 * c_start_purchase + $terms) // nullif($nsExpr, 0)"
+    }
+    val asDefs = (s"${aStartExpr("full", T)} AS as_full" +:
+      T.map(k =>
+        s"${aStartExpr(s"no_$k", T.filterNot(_ == k))} AS as_no_$k"))
+      .mkString(",\n  ")
+    val reDefs = T.map(k =>
+      s"greatest(0, 1000000 - as_no_$k * 1000000 // nullif(as_full, 0))" +
+        s" AS re_$k").mkString(",\n  ")
+    val reSum = T.map(k => s"re_$k").mkString("(", " + ", ")")
+    val rows = T.map { k =>
+      s"""SELECT '$k' AS channel, CAST(${nExpr(k)} AS BIGINT) AS n_out,
+         |  CAST(as_full AS BIGINT) AS a_full_micro,
+         |  CAST(as_no_$k AS BIGINT) AS a_removed_micro,
+         |  CAST(re_$k AS BIGINT) AS removal_micro,
+         |  CAST(re_$k * 1000000 // nullif($reSum, 0) AS BIGINT)
+         |    AS share_micro
+         |FROM res""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+       |    event_type
+       |  FROM events),
+       |firstp AS (
+       |  SELECT user_id, us AS pus, event_id AS pid FROM (
+       |    SELECT user_id, us, event_id, row_number() OVER (
+       |      PARTITION BY user_id ORDER BY us, event_id) AS rn
+       |    FROM e WHERE event_type = 'purchase') t
+       |  WHERE rn = 1),
+       |trunc AS (
+       |  SELECT e.* FROM e LEFT JOIN firstp USING (user_id)
+       |  WHERE pus IS NULL OR (e.us, e.event_id) <= (pus, pid)),
+       |seqd AS (
+       |  SELECT event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+       |      AS prev,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY us DESC, event_id DESC) AS last1
+       |  FROM trunc),
+       |steps AS (
+       |  SELECT coalesce(prev, 'start') AS src, event_type AS dst FROM seqd
+       |  UNION ALL
+       |  SELECT event_type, 'end' FROM seqd
+       |  WHERE last1 = 1 AND event_type <> 'purchase'),
+       |cells AS (
+       |  SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+       |  FROM steps GROUP BY 1, 2),
+       |gg AS (SELECT 1 + CAST(sum(n) AS BIGINT) // 10000000 AS g
+       |       FROM cells),
+       |sc AS (SELECT src, dst, n // g AS n FROM cells CROSS JOIN gg
+       |       WHERE n // g > 0),
+       |piv AS (SELECT
+       |  $piv
+       |FROM sc),
+       |dets AS (SELECT *,
+       |  $detCols
+       |FROM piv),
+       |avals AS (SELECT *,
+       |  $aDefs
+       |FROM dets),
+       |astart AS (SELECT *,
+       |  $asDefs
+       |FROM avals),
+       |res AS (SELECT *,
+       |  $reDefs
+       |FROM astart)
+       |$rows
+       |ORDER BY channel""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q549_markov_attribution", q549, Some(q549Sql)),
     QueryDef("q396_roc_auc", q396, Some(q396Sql)),
     QueryDef("q397_evalue_sensitivity", q397, Some(q397Sql)),
     QueryDef("q319_ipf_raking", q319, Some(q319Sql)),

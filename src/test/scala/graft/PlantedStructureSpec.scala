@@ -4833,4 +4833,42 @@ class PlantedStructureSpec extends SparkSpec {
     assert(het.getLong(0) === 2L && het.getInt(4) === 1,
       s"opposing strata must reject homogeneity: $het")
   }
+
+  test("q549 credits the critical channel 100% and matches the hand-solved chain") {
+    // Pole: every journey is start -> view -> purchase. Removing view
+    // kills all conversion (RE = 1e6, share 100%); removing any other
+    // channel changes nothing (RE = 0, share 0).
+    val pole = (1L to 5L).flatMap(u =>
+      Seq((0, u, "view", 1.0), (0, u, "purchase", 1.0)))
+    val p = operators.AssociationQueries.q549(spark, eventsDir(pole))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(p("view").getLong(4) === 1000000L, p("view").toString)
+    assert(p("view").getLong(5) === 1000000L, p("view").toString)
+    assert(p("click").getLong(4) === 0L && p("click").getLong(5) === 0L)
+    assert(p("view").getLong(2) === 1000000L) // a_full
+    assert(p("view").getLong(3) === 0L)       // a with view removed
+    // Hand-solved mixed chain: 3x start->view->purchase,
+    // 1x start->view->END, 1x start->click->view->purchase,
+    // 1x start->click->END. a(view) = 4/5, a(click) = 2/5,
+    // a_start = (4*800000 + 2*400000) div 6 = 666666;
+    // remove view -> 0 (RE 1e6); remove click -> (4*800000) div 6 =
+    // 533333, RE = 1e6 - 533333*1e6 div 666666 = 200000;
+    // error/signup RE = 0. Shares over 1.2e6: 833333 / 166666 / 0 / 0.
+    val mixed =
+      (1L to 3L).flatMap(u => Seq((0, u, "view", 1.0), (0, u, "purchase", 1.0))) ++
+        Seq((0, 4L, "view", 1.0)) ++
+        Seq((0, 5L, "click", 1.0), (0, 5L, "view", 1.0), (0, 5L, "purchase", 1.0)) ++
+        Seq((0, 6L, "click", 1.0))
+    val m = operators.AssociationQueries.q549(spark, eventsDir(mixed))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(m("view").getLong(2) === 666666L, m("view").toString)
+    assert((m("view").getLong(3), m("view").getLong(4), m("view").getLong(5)) ===
+      ((0L, 1000000L, 833333L)), m("view").toString)
+    assert((m("click").getLong(3), m("click").getLong(4), m("click").getLong(5)) ===
+      ((533333L, 200000L, 166666L)), m("click").toString)
+    assert((m("error").getLong(3), m("error").getLong(4), m("error").getLong(5)) ===
+      ((666666L, 0L, 0L)), m("error").toString)
+    assert((m("signup").getLong(3), m("signup").getLong(4), m("signup").getLong(5)) ===
+      ((666666L, 0L, 0L)), m("signup").toString)
+  }
 }
