@@ -2381,7 +2381,82 @@ object GovernanceQueries {
       |    THEN 1 ELSE 0 END AS below_four_fifths
       |FROM g2 CROSS JOIN ref ORDER BY segment""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q550 — disparate-impact (four-fifths) audit of quality selection
+  // ------------------------------------------------------------------
+
+  /** q550 — disparate-impact audit of the corpus-curation selection
+    * rule: treating "qualityMicro ≥ 500000 keeps the document for
+    * training" as the decision and language as the protected
+    * attribute, report each language's selection rate, its impact
+    * ratio against the highest-rate group, and the EEOC four-fifths
+    * flag — the fairness readout the curation battery lacks (q300's
+    * funnel counts what was dropped, q527 audits SPLIT balance; no
+    * query asks whether the quality gate itself systematically
+    * disfavors a language — on this corpus it does: the stopword
+    * feature in the score is English-only). Exactness: counts exact;
+    * the reference group is selected by the stated 10⁻¹²-grid rate
+    * with the lang tie-break; the impact ratio is the EXACT
+    * cross-multiplied (sel_l·n_ref·10⁶) div (n_l·sel_ref) — never a
+    * ratio of truncated rates; the four-fifths verdict is the pure
+    * integer comparison 5·sel_l·n_ref < 4·sel_ref·n_l (DECIMAL(38,0)
+    * headroom); zero-selection reference → NULL ratios (stated).
+    * Scale shape: one scan → 5-row lang grid; windows over that grid
+    * only. */
+  def q550(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rates = Tables.documents(s, d)
+      .select($"lang",
+        (graft.functions.TextAnalysis.qualityMicro($"text") >= 500000L)
+          .cast("long").as("sel"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"sel").as("n_selected"))
+      .transform(Fx.materialize)
+    val ref = rates
+      .orderBy(expr(
+        "(cast(n_selected as decimal(38,0)) * 1000000000000) div n_docs")
+        .desc, $"lang")
+      .limit(1)
+      .select($"lang".as("rl"), $"n_selected".as("rs"), $"n_docs".as("rn"))
+    rates.crossJoin(broadcast(ref))
+      .select($"lang", $"n_docs", $"n_selected",
+        expr("(n_selected * 1000000) div n_docs").as("rate_micro"),
+        $"rl".as("ref_lang"),
+        expr("""cast((cast(n_selected as decimal(38,0)) * rn * 1000000)
+             div nullif(cast(n_docs as decimal(38,0)) * rs, 0)
+             as bigint)""").as("impact_micro"),
+        expr("""cast(case when 5 * cast(n_selected as decimal(38,0)) * rn
+             < 4 * cast(rs as decimal(38,0)) * n_docs
+             then 1 else 0 end as bigint)""").as("fails_four_fifths"))
+      .orderBy($"lang")
+  }
+
+  val q550Sql: String = {
+    val quality = graft.functions.TextAnalysis.sqlQualityMicro("text")
+    s"""WITH rates AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN ($quality) >= 500000 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_selected
+       |  FROM documents GROUP BY lang),
+       |ref AS (
+       |  SELECT n_selected AS rs, n_docs AS rn, lang AS rl
+       |  FROM rates
+       |  ORDER BY (CAST(n_selected AS HUGEINT) * 1000000000000) // n_docs
+       |    DESC, lang LIMIT 1)
+       |SELECT lang, n_docs, n_selected,
+       |  (n_selected * 1000000) // n_docs AS rate_micro,
+       |  rl AS ref_lang,
+       |  CAST((CAST(n_selected AS HUGEINT) * rn * 1000000)
+       |    // nullif(CAST(n_docs AS HUGEINT) * rs, 0) AS BIGINT)
+       |    AS impact_micro,
+       |  CAST(CASE WHEN 5 * CAST(n_selected AS HUGEINT) * rn
+       |    < 4 * CAST(rs AS HUGEINT) * n_docs
+       |    THEN 1 ELSE 0 END AS BIGINT) AS fails_four_fifths
+       |FROM rates CROSS JOIN ref ORDER BY lang""".stripMargin
+  }
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q550_disparate_impact", q550, Some(q550Sql)),
     QueryDef("q411_bh_fdr", q411, Some(q411Sql)),
     QueryDef("q406_cochran_q", q406, Some(q406Sql)),
     QueryDef("q400_page_trend", q400, Some(q400Sql)),

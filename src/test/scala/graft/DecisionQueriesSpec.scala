@@ -840,6 +840,28 @@ class DecisionQueriesSpec extends SparkSpec {
     assert(r.getLong(6) === meanScore.toLong, r.toString)
   }
 
+  test("q550 sits exactly on the four-fifths boundary and flags below it") {
+    // en 5/10 selected (ref, 50%), fr 4/10 (impact exactly 800000 —
+    // the boundary PASSES: 5*4*10 < 4*5*10 is false), de 3/10
+    // (impact 600000 — fails).
+    val hi = ("the and of " * 20).trim // qualityMicro = 1e6
+    val lo = "z"                       // 8000
+    def grp(lang: String, base: Long, nHi: Int, nLo: Int) =
+      (1 to nHi).map(i => (base + i, hi, lang, "s", 219L)) ++
+        (1 to nLo).map(i => (base + nHi + i, lo, lang, "s", 1L))
+    val docs = grp("en", 0L, 5, 5) ++ grp("fr", 100L, 4, 6) ++
+      grp("de", 200L, 3, 7)
+    val out = operators.GovernanceQueries.q550(spark, documentsDir(docs))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("en", "fr", "de"))
+    assert(out("en").getString(4) === "en")
+    assert((out("en").getLong(5), out("en").getLong(6)) === ((1000000L, 0L)))
+    assert((out("fr").getLong(3), out("fr").getLong(5), out("fr").getLong(6))
+      === ((400000L, 800000L, 0L)), out("fr").toString)
+    assert((out("de").getLong(5), out("de").getLong(6)) === ((600000L, 1L)),
+      out("de").toString)
+  }
+
   test("q545 scores a hand-built confusion matrix exactly") {
     // en: tp=5 fp=3 fn=0; fr: tp=3 fp=0 fn=2; de: tp=0 fp=0 fn=1
     // (one doc predicted unknown); one zh doc predicted en charges fp
