@@ -2934,7 +2934,78 @@ object DecisionQueries {
       |    * 1000000) // count(*) AS BIGINT) AS mean_score_micro
       |FROM scored GROUP BY grp, qhat_cents ORDER BY grp""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q551 — context-length truncation-loss curve
+  // ------------------------------------------------------------------
+
+  /** The pinned context-length grid for q551 (whitespace tokens). */
+  private[graft] val ctxGrid: Seq[Long] = Seq(32L, 64L, 96L, 128L)
+
+  /** q551 — the context-length truncation-loss curve: for each pinned
+    * context length L, the fraction of corpus TOKENS lost to
+    * truncation (Σ max(0, tok − L) over Σ tok) and the fraction of
+    * DOCUMENTS touched (tok > L) — the number that prices the
+    * max-sequence-length knob before training: q96 PACKS documents
+    * into a chosen context, q520 sizes the vocabulary, but nothing
+    * said what choosing L throws away. The shipped grid spans the
+    * corpus (median 56 tokens at sf0.01): 32/64/96 are non-trivial,
+    * 128 is the big-enough pole (exact zeros). Token count is the
+    * whitespace convention (`size(split(text, ' '))` ≡ DuckDB
+    * `len(string_split(text, ' '))`, empties included — the q520
+    * parity rule). Exactness: pure integer counts; the two fractions
+    * are stated truncating micro divisions. Scale shape: ONE scan,
+    * one 10-sum rollup, a 4-row literal fan-out of that single row —
+    * the grid multiplies output rows, never scan passes. */
+  def q551(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(size(split($"text", " ")).cast("long").as("tok"))
+    val aggCols = Seq(count(lit(1)).as("n_docs"),
+      sum($"tok").as("tokens_total")) ++
+      ctxGrid.flatMap(l => Seq(
+        sum(when($"tok" > l, 1L).otherwise(0L)).as(s"nt_$l"),
+        sum(greatest(lit(0L), $"tok" - l)).as(s"tl_$l")))
+    val a = toks.agg(aggCols.head, aggCols.tail: _*)
+      .transform(Fx.materialize)
+    ctxGrid.map { l =>
+      a.select(lit(l).as("ctx_len"), $"n_docs",
+        col(s"nt_$l").as("n_truncated"), $"tokens_total",
+        col(s"tl_$l").as("tokens_lost"),
+        expr(s"(tl_$l * 1000000) div tokens_total").as("lost_micro"),
+        expr(s"(nt_$l * 1000000) div n_docs").as("truncated_docs_micro"))
+    }.reduce(_ unionByName _).orderBy($"ctx_len")
+  }
+
+  val q551Sql: String = {
+    val sums = ctxGrid.flatMap { l =>
+      Seq(
+        s"""CAST(sum(CASE WHEN tok > $l THEN 1 ELSE 0 END) AS BIGINT)
+           | AS nt_$l""".stripMargin.replace("\n", ""),
+        s"CAST(sum(greatest(0, tok - $l)) AS BIGINT) AS tl_$l")
+    }.mkString(",\n    ")
+    val rows = ctxGrid.map { l =>
+      s"""SELECT CAST($l AS BIGINT) AS ctx_len, n_docs,
+         |  nt_$l AS n_truncated, tokens_total, tl_$l AS tokens_lost,
+         |  CAST((tl_$l * 1000000) // tokens_total AS BIGINT)
+         |    AS lost_micro,
+         |  CAST((nt_$l * 1000000) // n_docs AS BIGINT)
+         |    AS truncated_docs_micro
+         |FROM a""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH t AS (
+       |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |  FROM documents),
+       |a AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(tok) AS BIGINT) AS tokens_total,
+       |    $sums
+       |  FROM t)
+       |$rows
+       |ORDER BY ctx_len""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q551_truncation_loss", q551, Some(q551Sql)),
     QueryDef("q548_winkler_score", q548, Some(q548Sql)),
     QueryDef("q546_tost_equivalence", q546, Some(q546Sql)),
     QueryDef("q547_coverage_shapley", q547, Some(q547Sql)),

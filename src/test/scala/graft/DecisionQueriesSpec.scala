@@ -862,6 +862,28 @@ class DecisionQueriesSpec extends SparkSpec {
       out("de").toString)
   }
 
+  test("q551 reads the planted token-length ladder exactly at every grid point") {
+    // docs of exactly 10 / 40 / 100 tokens: at L=32 lost = 8+68 = 76
+    // of 150 (506666 micro), 2/3 docs truncated; at L=64 lost = 36
+    // (240000), 1/3 docs; at L=96 lost = 4 (26666); at L=128 zeros.
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq((1L, words(10), "en", "s", 19L),
+      (2L, words(40), "en", "s", 79L), (3L, words(100), "en", "s", 199L))
+    val out = operators.DecisionQueries.q551(spark, documentsDir(docs))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === Set(32L, 64L, 96L, 128L))
+    def check(l: Long, nt: Long, tl: Long, lm: Long, tm: Long): Unit = {
+      val r = out(l)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)) === ((3L, nt, 150L, tl, lm, tm)),
+        r.toString)
+    }
+    check(32L, 2L, 76L, 506666L, 666666L)
+    check(64L, 1L, 36L, 240000L, 333333L)
+    check(96L, 1L, 4L, 26666L, 333333L)
+    check(128L, 0L, 0L, 0L, 0L)
+  }
+
   test("q545 scores a hand-built confusion matrix exactly") {
     // en: tp=5 fp=3 fn=0; fr: tp=3 fp=0 fn=2; de: tp=0 fp=0 fn=1
     // (one doc predicted unknown); one zh doc predicted en charges fp
