@@ -35,6 +35,39 @@ def timed_df(con, sql):
         done.set()
         timer.cancel()
 
+def lint_oracle_types(con, oracle):
+    """Static HUGEINT lint over EVERY oracle, run regardless of which
+    queries this invocation compares (the r15 lesson made durable):
+    DuckDB's sum() over BIGINT returns HUGEINT, whose pandas rendering
+    is float64, so an uncast aggregate in a final SELECT hash-diverges
+    from Spark's BIGINT at the driver while rows/values match
+    (q457/q463/q495, rounds 13-15). DESCRIBE binds the output schema
+    WITHOUT executing, so this sweeps all ~545 oracles in seconds and
+    catches a new uncast oracle even when the local check run is
+    restricted to other queries. Returns the list of offender names.
+    """
+    # Self-test canary: a deliberately uncast sum() MUST be flagged,
+    # else the lint itself is broken and the whole check aborts.
+    canary = "SELECT sum(x) AS s FROM (VALUES (CAST(1 AS BIGINT))) t(x)"
+    def final_types(sql):
+        return [(r[0], r[1]) for r in
+                con.sql(f"DESCRIBE {sql}").fetchall()]
+    assert any("HUGEINT" in t for _, t in final_types(canary)), \
+        "lint self-test failed: canary HUGEINT not detected"
+    offenders = []
+    for name, sql in sorted(oracle.items()):
+        try:
+            bad = [f"{c}:{t}" for c, t in final_types(sql)
+                   if "HUGEINT" in t.upper()]
+        except Exception as e:
+            bad = [f"describe error: {e}"]
+        if bad:
+            print(f"LINT {name}: uncast 128-bit final column(s) "
+                  f"{'; '.join(bad)} — driver hash would mismatch "
+                  "(cast to BIGINT/DOUBLE in the outermost SELECT)")
+            offenders.append(name)
+    return offenders
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -45,6 +78,10 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     failures = []
+    lint_bad = lint_oracle_types(con, oracle)
+    if lint_bad:
+        failures.extend(f"lint:{n}" for n in lint_bad)
+        n_bad += len(lint_bad)
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue

@@ -17,6 +17,15 @@ import org.apache.spark.sql.functions.col
   * concurrent driver-host load, which swallows any regression below
   * ~1.5×; medians of 3 cut the spread to the stable middle run.
   *
+  * Burst self-defense (r15): the artifact also carries per-query MIN
+  * (`queries_min` full line; `burst` compact line for median>1.5×min
+  * suspects with their section loadavg), and any query whose median
+  * exceeds 2× its min is automatically re-measured once at the END of
+  * the run (`rerun`/`rerun_ms`) — a co-tenant burst inflates some of a
+  * section's runs while a plan regression moves min and median
+  * together, so one artifact now adjudicates burst-vs-regression
+  * without per-round idle-rerun narratives.
+  *
   * Set `SPARK_GRAFT_BENCH_SET=extended` for the idle-bench superset:
   * the 60 headline queries plus representatives of the families the
   * frozen driver set never measures (capped co-activity graph suite,
@@ -177,8 +186,8 @@ object Bench {
 
     val loadBefore = loadAvg()
     val spinBefore = spinCalMillis()
-    val results = tasks.map { case (name, run) =>
-      val times = (1 to k).flatMap { _ =>
+    def timeK(name: String, run: () => Unit): Seq[Double] =
+      (1 to k).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =
           try { run(); true }
@@ -190,12 +199,44 @@ object Bench {
         releaseCaches()
         if (ok) Some(t) else None
       }
-      // A crashed run must not pass its (near-zero) wall time off as a
-      // measurement: any failure marks the query failed outright.
+    // Ambient-burst self-defense (r15 verdict #4): record per-query
+    // min AND median plus a loadavg sample per query section. A
+    // co-tenant burst inflates SOME of a query's k runs but rarely all
+    // — median ≫ min is the burst signature, while a real plan
+    // regression moves min and median together. Queries whose median
+    // exceeds 2× their min get ONE automatic rerun at the end of the
+    // run (after the burst has typically passed); the artifact then
+    // adjudicates burst-vs-regression by itself, with no idle-rerun
+    // narrative needed.
+    val measured = tasks.map { case (name, run) =>
+      val loadQ = loadAvg()
+      val times = timeK(name, run)
+      (name, times, loadQ)
+    }
+    val rerun: Map[String, Double] = measured.flatMap {
+      case (name, times, _) if times.size == k && k > 1 &&
+          median(times) > 2 * times.min =>
+        val again = timeK(name, tasks.find(_._1 == name).get._2)
+        if (again.size == k) Some(name -> median(again)) else None
+      case _ => None
+    }.toMap
+    // A crashed run must not pass its (near-zero) wall time off as a
+    // measurement: any failure marks the query failed outright.
+    val results = measured.map { case (name, times, _) =>
       (name, if (times.size == k) Some(median(times)) else None)
     }
     val qs = results.map { case (n, v) =>
       "\"" + n + "\":" + v.map(_.toString).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val qsMin = measured.map { case (n, times, _) =>
+      "\"" + n + "\":" +
+        (if (times.size == k) times.min.toString else "null")
+    }.mkString("{", ",", "}")
+    val qsLoad = measured.map { case (n, _, l) =>
+      "\"" + n + "\":" + f"$l%.2f"
+    }.mkString("{", ",", "}")
+    val rerunJson = rerun.toSeq.sortBy(_._1).map { case (n, v) =>
+      "\"" + n + "\":" + v.toString
     }.mkString("{", ",", "}")
     val failed = results.collect { case (n, None) => "\"" + n + "\"" }
       .mkString("[", ",", "]")
@@ -208,7 +249,7 @@ object Bench {
     // any delta vs a prior round a regression.
     val ambient = f""""load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"spin_ms_before":$spinBefore%.1f,"spin_ms_after":$spinAfter%.1f"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","k":$k,$ambient,"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","k":$k,$ambient,"queries":$qs,"queries_min":$qsMin,"queries_load":$qsLoad,"rerun":$rerunJson,"failed":$failed,"sf":"$sfDir"}"""
     // sbt decorates stdout with an "[info] " prefix that breaks JSON
     // parsers downstream, so the line is also written verbatim to a file.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
@@ -251,8 +292,25 @@ object Bench {
       "\"" + key + "\":" + v.map(t => math.round(t * 1000).toString)
         .getOrElse("null")
     }.mkString("{", ",", "}")
+    def qkey(n: String) = if (n.startsWith("q")) n.takeWhile(_ != '_') else n
+    // Burst section of the compact line: [min_ms, median_ms, load] for
+    // the suspects only (median > 1.5× min), capped at the 12 worst
+    // ratios so the line stays inside the driver's ~2 KB tail window
+    // even on a fully-contended run; burst_n carries the uncapped count.
+    val burstAll = measured.collect {
+      case (n, times, l) if times.size == k && k > 1 &&
+          median(times) > 1.5 * times.min =>
+        (n, times.min, median(times), l)
+    }.sortBy { case (_, mn, md, _) => -md / mn }
+    val burstJson = burstAll.take(12).map { case (n, mn, md, l) =>
+      "\"" + qkey(n) + "\":[" + math.round(mn * 1000) + "," +
+        math.round(md * 1000) + "," + f"$l%.2f" + "]"
+    }.mkString("{", ",", "}")
+    val rerunMs = rerun.toSeq.sortBy(_._1).map { case (n, v) =>
+      "\"" + qkey(n) + "\":" + math.round(v * 1000)
+    }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"k":$k,$ambient,"queries_ms":$qsMs,"failed":$failed,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"k":$k,$ambient,"queries_ms":$qsMs,"burst_n":${burstAll.size},"burst":$burstJson,"rerun_ms":$rerunMs,"failed":$failed,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -695,6 +695,109 @@ object ScaleSmoke {
     }
 
 
+    // targeted mode: `... <n> benchcurve` — rows/s flatness of the
+    // top driver-bench families (r15 verdict #5): run the ACTUAL
+    // registry entry points q215 (calendar-spine linear interpolation),
+    // q72 (streaming hourly watermark agg), q74 (streaming keyed
+    // dedup) against a synthetic sf-layout dir of n events/orders,
+    // plus the q197 interval-overlap core at n. Invoke at 2-3 n values
+    // (e.g. 1M / 2M / 4M) and compare rows/s: the q215/q72 shapes
+    // aggregate into CALENDAR-bounded cells (30-day hour grid, 7-year
+    // day spine) so their rows/s must stay flat as n grows; q74 state
+    // is the keyed domain (n/16 users × 5 types), the linear-state
+    // regime streaming dedup is designed for; q197's grid-blocked join
+    // is the audited scale-safe shape. A superlinear-cost regression
+    // in any of these families shows up as a falling rows/s curve
+    // here long before a 100 TB run would find it.
+    if (args.lift(1).contains("benchcurve")) {
+      val n = nDocs
+      val dir = java.nio.file.Files.createTempDirectory("smoke-bcurve").toString
+      // Tables.load expects `<dir>/<name>.parquet`; q72/q74 stream with
+      // pathGlobFilter=events.parquet, which matches FILE names — so
+      // each table must land as one real file, not a part-file dir.
+      def singleFile(df: DataFrame, name: String): Unit = {
+        val stage = s"$dir/_stage_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$dir/$name"))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
+      }
+      val evTypes = array(lit("view"), lit("click"), lit("cart"),
+        lit("purchase"), lit("search"))
+      timedN(n)("write_events_30d") {
+        singleFile(spark.range(n).select(
+          $"id".as("event_id"),
+          timestamp_seconds(lit(1700000000L) +
+            pmod(xxhash64($"id"), lit(30L * 86400))).as("ts"),
+          pmod($"id", lit(math.max(n / 16, 1L))).as("user_id"),
+          element_at(evTypes,
+            (pmod(xxhash64($"id", lit(1)), lit(5)) + 1).cast("int"))
+            .as("event_type"),
+          (pmod(xxhash64($"id", lit(2)), lit(100000)).cast("double") / 100.0)
+            .as("value"),
+          lit("{}").as("props")), "events.parquet")
+        n
+      }
+      timedN(n)("write_orders_7y") {
+        singleFile(spark.range(n).select(
+          $"id".as("o_orderkey"),
+          pmod($"id", lit(math.max(n / 10, 1L))).as("o_custkey"),
+          lit("F").as("o_orderstatus"),
+          (pmod(xxhash64($"id", lit(3)), lit(10000000)).cast("double")
+            / 100.0 + 1.0).as("o_totalprice"),
+          timestamp_seconds(lit(694224000L) +
+            pmod(xxhash64($"id", lit(4)), lit(2557L)) * 86400L)
+            .as("o_orderdate"),
+          element_at(array(lit("1-URGENT"), lit("2-HIGH"), lit("3-MEDIUM"),
+            lit("4-NOT SPECIFIED"), lit("5-LOW")),
+            (pmod(xxhash64($"id", lit(5)), lit(5)) + 1).cast("int"))
+            .as("o_orderpriority")), "orders.parquet")
+        n
+      }
+      timedN(n)("q215_linear_interp") {
+        operators.EventQueries.q215(spark, dir).count()
+      }
+      timedN(n)("q72_streaming_hourly") {
+        operators.StreamingQueries.q72(spark, dir).count()
+      }
+      timedN(n)("q74_streaming_dedup") {
+        operators.StreamingQueries.q74(spark, dir).count()
+      }
+      timedN(n)("q197_interval_overlap") {
+        intervalOverlapStage(spark, n, capped = true)
+      }
+      // q166 family point: zipf corpus (same construction as the main
+      // flow), capped at 200k docs — the stated PPJoin smoke bound;
+      // curve it at n ≤ 200k (candidate volume, not scan, dominates).
+      val zCap = math.min(n, 200000L)
+      val zBase = spark.range(zCap).select($"id".as("doc_id"),
+        when($"id" % 100 === 1, $"id" - 1).otherwise($"id").as("seed"))
+      val zWords = transform(
+        sequence(lit(1), lit(25) + pmod(xxhash64($"seed"), lit(10)).cast("int")),
+        i => concat(lit("z"), floor(exp(
+          (pmod(xxhash64($"seed" * 1000 + i), lit(1000000)).cast("double")
+            / 1000000.0) * math.log(10000.0))).cast("long")))
+      val zdocs = zBase.select($"doc_id",
+        array_join(
+          when($"doc_id" % 100 === 1,
+            concat(slice(zWords, lit(1), size(zWords) - 1),
+              array(concat(lit("x"), $"doc_id")))).otherwise(zWords),
+          " ").as("text"),
+        lit("en").as("lang"), lit("s0").as("source"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val zN = zdocs.count()
+      timedN(zN)("q166_prefix_jaccard") {
+        operators.IndexingQueries.prefixJaccardPairs(zdocs).count()
+      }
+      zdocs.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      spark.stop()
+      return
+    }
+
     // Deterministic synthetic corpus. A near-dup copies its
     // predecessor's word sequence (same base id) and changes only the
     // final word, so planted pairs share all but ~2 bigram shingles.

@@ -24,7 +24,7 @@ object SparkEntry {
       operators.AssociationQueries.all ++ operators.LakehouseQueries.all ++
       operators.PruningQueries.all ++ operators.EconometricsQueries.all ++
       operators.InferenceQueries.all ++
-      operators.DecisionQueries.all ++ operators.ProbeQueries.all
+      operators.DecisionQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -3027,8 +3027,9 @@ object AssociationQueries {
     // pivot columns c_<src>_<dst> for src in start::T
     val piv = ("start" +: T).flatMap { i =>
       allDst.map { j =>
-        s"""CAST(sum(CASE WHEN src = '$i' AND dst = '$j' THEN n ELSE 0 END)
-           | AS HUGEINT) AS c_${i}_$j""".stripMargin.replace("\n", "")
+        s"""CAST(coalesce(sum(CASE WHEN src = '$i' AND dst = '$j' THEN n
+           | ELSE 0 END), 0) AS HUGEINT) AS c_${i}_$j"""
+          .stripMargin.replace("\n", "")
       }
     }.mkString(",\n  ")
     def nExpr(i: String): String =
@@ -3070,9 +3071,14 @@ object AssociationQueries {
       T.map(k =>
         s"${aStartExpr(s"no_$k", T.filterNot(_ == k))} AS as_no_$k"))
       .mkString(",\n  ")
+    // DuckDB's greatest() IGNORES NULLs (greatest(0, NULL) = 0), so the
+    // singular/start-less NULL from as_full/as_no_k — and the driver's
+    // `af > 0` guard — must be propagated explicitly or the mirror
+    // would emit 0 where the driver emits NULL.
     val reDefs = T.map(k =>
-      s"greatest(0, 1000000 - as_no_$k * 1000000 // nullif(as_full, 0))" +
-        s" AS re_$k").mkString(",\n  ")
+      s"CASE WHEN as_full IS NULL OR as_no_$k IS NULL OR as_full <= 0 " +
+        s"THEN NULL ELSE greatest(0, 1000000 - as_no_$k * 1000000 " +
+        s"// as_full) END AS re_$k").mkString(",\n  ")
     val reSum = T.map(k => s"re_$k").mkString("(", " + ", ")")
     val rows = T.map { k =>
       s"""SELECT '$k' AS channel, CAST(${nExpr(k)} AS BIGINT) AS n_out,

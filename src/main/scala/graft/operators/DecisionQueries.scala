@@ -2567,11 +2567,15 @@ object DecisionQueries {
   // ------------------------------------------------------------------
 
   /** q545 — the multi-class EVALUATION scorecard of the n-gram langId
-    * heuristic against the declared lang label: per scored class
-    * (the classifier's label set — [[graft.functions.TextAnalysis
-    * .langStopwords]]'s en/es/fr/de; stated) tp / fp / fn / support,
-    * precision, recall, and F1, with the macro-F1 (unweighted class
-    * mean — the imbalance-robust headline number) and overall
+    * heuristic against the declared lang label: per scored class —
+    * the DATA-DERIVED subset of the classifier's label set
+    * ([[graft.functions.TextAnalysis.langStopwords]]'s en/es/fr/de)
+    * observed as actual or predicted (stated; a scored label absent
+    * from both sides contributes no row and does NOT enter the
+    * macro-F1 denominator) — tp / fp / fn / support, precision,
+    * recall, and F1, with the macro-F1 (unweighted mean over those
+    * observed classes — the imbalance-robust headline number) and
+    * overall
     * accuracy broadcast on every row. The READOUT layer over q42's
     * raw confusion counts and q514's marginal-homogeneity test:
     * neither names WHICH class the classifier fails nor gives the
@@ -2791,8 +2795,13 @@ object DecisionQueries {
       .agg(count(lit(1)).as("n_bigrams"),
         sum(when($"k" === 1, 1L).otherwise(0L)).as("n_unique"),
         sum(expr(s"$L div k")).as("phi_l"))
+      // widen before the ×10⁶ scaling: phi_l ≤ L·#bigrams can brush
+      // 9.2e18/1e6 long before the generator bound does — DECIMAL(38,0)
+      // here (HUGEINT in the mirror) keeps both engines exact instead
+      // of Spark wrapping where DuckDB raises.
       .withColumn("share_micro",
-        expr("(phi_l * 1000000) div (sum(phi_l) over ())"))
+        expr("(cast(phi_l as decimal(38,0)) * 1000000)" +
+          " div (sum(phi_l) over ())"))
       .select($"source", $"n_bigrams", $"n_unique", $"phi_l",
         $"share_micro")
       .orderBy($"source")
@@ -2814,8 +2823,8 @@ object DecisionQueries {
       |    CAST(sum(232792560 // k) AS BIGINT) AS phi_l
       |  FROM pairs JOIN kk USING (bg) GROUP BY source)
       |SELECT source, n_bigrams, n_unique, phi_l,
-      |  CAST((phi_l * 1000000) // (sum(phi_l) OVER ()) AS BIGINT)
-      |    AS share_micro
+      |  CAST((CAST(phi_l AS HUGEINT) * 1000000) // (sum(phi_l) OVER ())
+      |    AS BIGINT) AS share_micro
       |FROM per_src ORDER BY source""".stripMargin
 
   // ------------------------------------------------------------------

@@ -2455,7 +2455,102 @@ object GovernanceQueries {
        |FROM rates CROSS JOIN ref ORDER BY lang""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q553 — composed-pipeline retention fairness (four-fifths on the
+  // kept TRAINING set after all gates compose)
+  // ------------------------------------------------------------------
+
+  /** q553 — the end-to-end counterpart of [[q550]]: q550 audits ONE
+    * gate (quality) in isolation; this query asks whether the kept
+    * TRAINING set still represents each language fairly after the
+    * whole curation pipeline COMPOSES — exact dedup (keep the
+    * smallest doc_id per md5(text) group, the q50 rule) → quality
+    * gate (qualityMicro ≥ 500000, the q550 rule) → train/eval split
+    * (md5(doc_id∥"#split") mod 10 ≠ 0 keeps train, the q142-family
+    * hash rule). Per language: the retention waterfall (n_raw →
+    * n_dedup → n_quality → n_train), the raw vs train corpus SHARES,
+    * and the representation ratio share_train/share_raw as the EXACT
+    * cross-multiplied (n_train·tot_raw·10⁶) div (n_raw·tot_train)
+    * with the four-fifths verdict 5·n_train·tot_raw < 4·n_raw·tot_train
+    * — gates that look individually fair can compose unfairly when
+    * duplication, quality, and language correlate. Exactness: counts
+    * exact; DECIMAL(38,0)/HUGEINT widening on every cross-product
+    * (corpus-count × corpus-count × 10⁶ overflows BIGINT at ~10⁶
+    * docs per side); empty train total → NULL ratios (stated).
+    * Scale shape: one dedup-digest window pass over the scan, then a
+    * 5-row language grid; the share windows sit on that grid only. */
+  def q553(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val staged = Tables.documents(s, d)
+      .select($"doc_id", $"lang",
+        ($"doc_id" === min($"doc_id").over(
+          Window.partitionBy(md5($"text")))).cast("long").as("keep_dedup"),
+        (graft.functions.TextAnalysis.qualityMicro($"text") >= 500000L)
+          .cast("long").as("keep_quality"),
+        (pmod(conv(substring(md5(concat($"doc_id".cast("string"),
+          lit("#split"))), 1, 8), 16, 10).cast("long"), lit(10L)) =!= 0L)
+          .cast("long").as("in_train"))
+    staged.groupBy($"lang")
+      .agg(count(lit(1)).as("n_raw"),
+        sum($"keep_dedup").as("n_dedup"),
+        sum($"keep_dedup" * $"keep_quality").as("n_quality"),
+        sum($"keep_dedup" * $"keep_quality" * $"in_train").as("n_train"))
+      .withColumn("tot_raw", sum($"n_raw").over())
+      .withColumn("tot_train", sum($"n_train").over())
+      .select($"lang", $"n_raw", $"n_dedup", $"n_quality", $"n_train",
+        expr("cast((cast(n_raw as decimal(38,0)) * 1000000) div tot_raw" +
+          " as bigint)").as("share_raw_micro"),
+        expr("cast((cast(n_train as decimal(38,0)) * 1000000)" +
+          " div nullif(tot_train, 0) as bigint)").as("share_train_micro"),
+        expr("""cast((cast(n_train as decimal(38,0)) * tot_raw * 1000000)
+             div nullif(cast(n_raw as decimal(38,0)) * tot_train, 0)
+             as bigint)""").as("repr_micro"),
+        expr("""cast(case when tot_train = 0 then null
+             when 5 * cast(n_train as decimal(38,0)) * tot_raw
+                < 4 * cast(n_raw as decimal(38,0)) * tot_train
+             then 1 else 0 end as bigint)""").as("fails_four_fifths"))
+      .orderBy($"lang")
+  }
+
+  val q553Sql: String = {
+    val quality = graft.functions.TextAnalysis.sqlQualityMicro("text")
+    s"""WITH staged AS (
+       |  SELECT lang,
+       |    CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+       |      THEN 1 ELSE 0 END AS keep_dedup,
+       |    CASE WHEN ($quality) >= 500000 THEN 1 ELSE 0 END AS keep_quality,
+       |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+       |        || '#split'), 1, 8))::BIGINT % 10 <> 0
+       |      THEN 1 ELSE 0 END AS in_train
+       |  FROM documents),
+       |g AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_raw,
+       |    CAST(sum(keep_dedup) AS BIGINT) AS n_dedup,
+       |    CAST(sum(keep_dedup * keep_quality) AS BIGINT) AS n_quality,
+       |    CAST(sum(keep_dedup * keep_quality * in_train) AS BIGINT)
+       |      AS n_train
+       |  FROM staged GROUP BY lang),
+       |t AS (
+       |  SELECT *, CAST(sum(n_raw) OVER () AS HUGEINT) AS tot_raw,
+       |    CAST(sum(n_train) OVER () AS HUGEINT) AS tot_train
+       |  FROM g)
+       |SELECT lang, n_raw, n_dedup, n_quality, n_train,
+       |  CAST((CAST(n_raw AS HUGEINT) * 1000000) // tot_raw AS BIGINT)
+       |    AS share_raw_micro,
+       |  CAST((CAST(n_train AS HUGEINT) * 1000000) // nullif(tot_train, 0)
+       |    AS BIGINT) AS share_train_micro,
+       |  CAST((CAST(n_train AS HUGEINT) * tot_raw * 1000000)
+       |    // nullif(CAST(n_raw AS HUGEINT) * tot_train, 0) AS BIGINT)
+       |    AS repr_micro,
+       |  CAST(CASE WHEN tot_train = 0 THEN NULL
+       |    WHEN 5 * CAST(n_train AS HUGEINT) * tot_raw
+       |       < 4 * CAST(n_raw AS HUGEINT) * tot_train
+       |    THEN 1 ELSE 0 END AS BIGINT) AS fails_four_fifths
+       |FROM t ORDER BY lang""".stripMargin
+  }
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q553_pipeline_fairness", q553, Some(q553Sql)),
     QueryDef("q550_disparate_impact", q550, Some(q550Sql)),
     QueryDef("q411_bh_fdr", q411, Some(q411Sql)),
     QueryDef("q406_cochran_q", q406, Some(q406Sql)),

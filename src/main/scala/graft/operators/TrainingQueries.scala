@@ -519,6 +519,86 @@ object TrainingQueries {
       |GROUP BY h, n_docs, first_doc
       |ORDER BY n_docs DESC, h""".stripMargin
 
+  /** q552 — VARIABLE-length repeated-span ladder (the full Lee et al.
+    * 2022 exact-substring-dedup form q140/q152's fixed 8-word window
+    * approximates): for each document pair, the longest shared
+    * word-span bracketed by a dyadic granularity ladder W ∈
+    * {8,16,32,64}. The bracketing is exact, not heuristic — two docs
+    * share a consecutive span of ≥ W words iff they share at least
+    * one sliding W-word window (every W-window of the span occurs in
+    * both docs), so `span_ge_w` = the largest rung the pair co-occurs
+    * at brackets the true longest shared span into [w, 2w). Output:
+    * top 30 pairs by (span_ge_w, shared 8-window volume, pair),
+    * i.e. the near-clone leaderboard a span-dedup pass would rewrite
+    * first. Exactness: all counts exact integers; the top-30 boundary
+    * is totally ordered (pair id tie-break).
+    *
+    * Scale shape: 4 bounded window-explode passes (one per rung) feed
+    * ONE digest-keyed shuffle; per (rung, digest) the doc list is
+    * capped at the 8 SMALLEST doc_ids (deterministic, stated — the
+    * q53 bucket-cap discipline: a viral 10⁶-doc boilerplate digest
+    * must not fan into 10¹² pairs), so pair generation is an
+    * equi-join emitting ≤ 28 pairs per digest. Digests, never window
+    * strings, cross the wire. */
+  def q552(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rungs = Seq(8, 16, 32, 64)
+    val docs = Tables.documents(s, d).select($"doc_id", words($"text").as("w"))
+    val wins = rungs.map { wv =>
+      docs.select($"doc_id", explode(
+        when(size($"w") >= wv,
+          array_distinct(transform(sequence(lit(1), size($"w") - (wv - 1)),
+            i => md5(array_join(slice($"w", i, lit(wv)), " ")))))
+          .otherwise(array().cast("array<string>"))).as("h"))
+        .select($"doc_id", lit(wv.toLong).as("wlen"), $"h")
+    }.reduce(_ unionAll _)
+    val capped = wins
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"wlen", $"h").orderBy($"doc_id")))
+      .filter($"rn" <= 8)
+      .select($"wlen", $"h", $"doc_id")
+    val pairs = capped.as("x")
+      .join(capped.as("y"), Seq("wlen", "h"))
+      .filter($"x.doc_id" < $"y.doc_id")
+      .select($"wlen", $"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+    pairs.groupBy($"doc_a", $"doc_b")
+      .agg(max($"wlen").as("span_ge_w"),
+        sum(when($"wlen" === 8L, 1L).otherwise(0L)).as("shared_w8"))
+      .orderBy($"span_ge_w".desc, $"shared_w8".desc, $"doc_a", $"doc_b")
+      .limit(30)
+      .select($"doc_a", $"doc_b", $"span_ge_w", $"shared_w8")
+      .orderBy($"span_ge_w".desc, $"shared_w8".desc, $"doc_a", $"doc_b")
+  }
+
+  val q552Sql: String = {
+    val levels = Seq(8, 16, 32, 64).map { wv =>
+      s"""SELECT doc_id, CAST($wv AS BIGINT) AS wlen,
+         |    unnest(CASE WHEN len(w) >= $wv
+         |      THEN list_distinct(list_transform(range(1, len(w) - ${wv - 2}),
+         |             i -> md5(array_to_string(w[i:i+${wv - 1}], ' '))))
+         |      ELSE CAST([] AS VARCHAR[]) END) AS h
+         |  FROM t""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |wins AS (
+       |  $levels),
+       |capped AS (
+       |  SELECT wlen, h, doc_id FROM (
+       |    SELECT wlen, h, doc_id, row_number() OVER (
+       |      PARTITION BY wlen, h ORDER BY doc_id) AS rn
+       |    FROM wins) r WHERE rn <= 8),
+       |pairs AS (
+       |  SELECT x.wlen, x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM capped x JOIN capped y
+       |    ON x.wlen = y.wlen AND x.h = y.h AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, CAST(max(wlen) AS BIGINT) AS span_ge_w,
+       |  CAST(sum(CASE WHEN wlen = 8 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS shared_w8
+       |FROM pairs GROUP BY doc_a, doc_b
+       |ORDER BY span_ge_w DESC, shared_w8 DESC, doc_a, doc_b
+       |LIMIT 30""".stripMargin
+  }
+
   /** q144 — per-document boilerplate fraction: the share of a doc's
     * distinct 8-word windows that also occur in at least one OTHER
     * document — q140's corpus-wide report turned into the per-doc
@@ -883,5 +963,6 @@ object TrainingQueries {
     QueryDef("q122_bm25_ranking", q122, Some(q122Sql), bench = true),
     QueryDef("q140_repeated_substrings", q140, Some(q140Sql), bench = true),
     QueryDef("q144_boilerplate_fraction", q144, Some(q144Sql)),
+    QueryDef("q552_longest_repeated_span", q552, Some(q552Sql)),
   )
 }

@@ -3613,44 +3613,50 @@ class PlantedStructureSpec extends SparkSpec {
       s"monotone input must be a fixed point: ${mout.toSeq}")
   }
 
-  test("q535 interval-join probe fans the planted two-bin grid into its three interval means") {
-    // docs: "a b" (toks=2, qm=16000 -> bin 0) x2 (one en, one de);
-    // "the the the the the" (toks=5 -> 40000, letters 15 in [10,60]
-    // -> +300000, stop_en 3 — non-overlapping " the " matches —
-    // -> +180000 => qm=520000 -> bin 5), en.
-    // bins: ord0 (n=2, y=1), ord5 (n=1, y=1); cum cn/cy = (2,1),(3,2).
-    // intervals: (0,0) 1e6//2=500000; (0,5) 2e6//3=666666; (5,5) 1e6.
+  test("q552 brackets planted shared spans and caps viral digests at 8 docs") {
+    // docs 1,2: 16 common words + distinct 4-word tails -> span_ge_w 16
+    //   (one shared 16-window at i=1; no 32-window fits a 20-word doc);
+    //   shared 8-windows are those inside the common prefix: i <= 9 -> 9.
+    // docs 3,4: 8 common words + distinct 3-word tails -> span 8, one
+    //   shared 8-window.
+    // docs 100..109: TEN identical 8-word docs -> one viral digest;
+    //   the cap keeps the 8 smallest ids -> C(8,2)=28 pairs, never 45.
+    val c = (1 to 16).map(i => s"c$i").mkString(" ")
+    val dd = (1 to 8).map(i => s"d$i").mkString(" ")
+    val e = (1 to 8).map(i => s"e$i").mkString(" ")
     val d = documentsDir(Seq(
-      (1L, "a b", "en", "s", 3L), (2L, "a b", "de", "s", 3L),
-      (3L, "the the the the the", "en", "s", 19L)))
-    val out = operators.ProbeQueries.q535(spark, d).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(out.toSeq === Seq((0L, 0L, 500000L), (0L, 5L, 666666L),
-      (5L, 5L, 1000000L)), out.toSeq.toString)
+      (1L, s"$c a1 a2 a3 a4", "en", "s", 1L),
+      (2L, s"$c b1 b2 b3 b4", "en", "s", 1L),
+      (3L, s"$dd x1 y1 z1", "en", "s", 1L),
+      (4L, s"$dd p1 q1 r1", "en", "s", 1L)) ++
+      (100L to 109L).map(i => (i, e, "en", "s", 1L)))
+    val out = operators.TrainingQueries.q552(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === 30, s"rows: ${out.length}")
+    assert(out(0) === ((1L, 2L, 16L, 9L)), out(0).toString)
+    assert(out(1) === ((3L, 4L, 8L, 1L)), out(1).toString)
+    val viral = out.filter(_._1 >= 100L)
+    assert(viral.length === 28, s"cap broken: ${viral.length} pairs")
+    assert(viral.forall(p => p._1 <= 107L && p._2 <= 107L),
+      "cap must keep the 8 SMALLEST doc_ids")
   }
 
-  test("q536 suffix-frame probe computes >=-threshold sums and the desc row_number on the planted grid") {
-    // same fixture as q535: bin0 (n=2, pos=1), bin5 (n=1, pos=1).
-    // suffix sums: bin0 n_ge=3, pos_ge=2; bin5 n_ge=1, pos_ge=1.
-    // rk by pos_ge DESC (bin tie-break): bin0 -> 1, bin5 -> 2.
-    val d = documentsDir(Seq(
-      (1L, "a b", "en", "s", 3L), (2L, "a b", "de", "s", 3L),
-      (3L, "the the the the the", "en", "s", 19L)))
-    val out = operators.ProbeQueries.q536(spark, d).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getInt(5)))
-    assert(out.toSeq === Seq((0L, 2L, 1L, 3L, 2L, 1),
-      (5L, 1L, 1L, 1L, 1L, 2)), out.toSeq.toString)
-  }
-
-  test("q537 recursive-chain probe symmetrizes the planted bigram counts") {
-    // "x y x" -> directed (x,y),(y,x); "x y" -> (x,y). und: (x,y)=2,
-    // (y,x)=1; symmetrized: both edges weight 3.
-    val d = documentsDir(Seq(
-      (1L, "x y x", "en", "s", 5L), (2L, "x y", "en", "s", 3L)))
-    val out = operators.ProbeQueries.q537(spark, d).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    assert(out.toSeq === Seq(("x", "y", 3L), ("y", "x", 3L)),
+  test("q553 flags the language whose duplicates the composed pipeline collapses") {
+    // aa: 8 copies of one passing text (qm 664000) -> dedup keeps doc 1
+    //   only; doc 1 hashes to train. bb: 8 UNIQUE passing texts; doc 13
+    //   hashes to eval (md5('13#split') % 10 = 0), so 7 reach train.
+    // tot_raw 16, tot_train 8: aa repr = (1*16e6)//(8*8) = 250000 ->
+    // fails four-fifths; bb repr = (7*16e6)//(8*8) = 1750000 -> passes.
+    val t = "the cat and the dog of the house"
+    val d = documentsDir(
+      (1L to 8L).map(i => (i, t, "aa", "s", 1L)) ++
+      (11L to 18L).map(i => (i, s"$t${i - 10}", "bb", "s", 1L)))
+    val out = operators.GovernanceQueries.q553(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    assert(out.toSeq === Seq(
+      ("aa", 8L, 1L, 1L, 1L, 500000L, 125000L, 250000L, 1L),
+      ("bb", 8L, 8L, 8L, 7L, 500000L, 875000L, 1750000L, 0L)),
       out.toSeq.toString)
   }
 
