@@ -3641,6 +3641,36 @@ class PlantedStructureSpec extends SparkSpec {
       "cap must keep the 8 SMALLEST doc_ids")
   }
 
+  test("q552 bracketing invariant: span_ge_w = max rung <= planted span length, for any span length") {
+    // Property sweep over deterministic pseudo-random span lengths L:
+    // two docs share EXACTLY an L-word prefix (disjoint per-doc tail
+    // alphabets), so the pair must co-occur at rung W iff W <= L —
+    // span_ge_w = max{rung <= L} — and the shared 8-window count is
+    // exactly L-7 (only windows fully inside the common span match).
+    // Covers both bracket edges (L = rung and L = rung-1) plus the
+    // no-pair regime L < 8.
+    val rungs = Seq(8L, 16L, 32L, 64L)
+    val cases = (1 to 8).map { s =>
+      ((s * 2654435761L) % 80 + 1).toInt // L in [1, 80]
+    } ++ Seq(7, 8, 15, 16, 31, 32, 63, 64, 80) // pin the edges
+    for (l <- cases.distinct) {
+      val common = (1 to l).map(i => s"c$i").mkString(" ")
+      val tailA = (1 to 5).map(i => s"a$i").mkString(" ")
+      val tailB = (1 to 5).map(i => s"b$i").mkString(" ")
+      val d = documentsDir(Seq(
+        (1L, s"$common $tailA", "en", "s", 1L),
+        (2L, s"$common $tailB", "en", "s", 1L)))
+      val out = operators.TrainingQueries.q552(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      if (l < 8) assert(out.isEmpty, s"L=$l must produce no pair: ${out.toSeq}")
+      else {
+        val want = rungs.filter(_ <= l).max
+        assert(out.toSeq === Seq((1L, 2L, want, (l - 7).toLong)),
+          s"L=$l: ${out.toSeq}")
+      }
+    }
+  }
+
   test("q553 flags the language whose duplicates the composed pipeline collapses") {
     // aa: 8 copies of one passing text (qm 664000) -> dedup keeps doc 1
     //   only; doc 1 hashes to train. bb: 8 UNIQUE passing texts; doc 13
