@@ -39,13 +39,17 @@ object ExplainAudit {
         val smj = count(p, "SortMergeJoin")
         val shuffles = count(p, "Exchange hashpartitioning")
         val topk = count(p, "TakeOrderedAndProject")
+        // table-scan count: a query that re-reads the same table N
+        // times pays N full scans at 100 TB — the q552 lesson (its
+        // first per-rung UNION form scanned documents 4x)
+        val scans = count(p, "Scan parquet")
         val flags = new StringBuilder
         if (cartesian > 0) flags ++= " !CARTESIAN"
         // a single-partition exchange is fine only for final tiny
         // results (global sort of an aggregated/limited set)
         if (single > 1) flags ++= " !MULTI-SINGLE-PARTITION"
         if (flags.nonEmpty) flagged += 1
-        println(f"${q.name}%-28s bhj=$bhj smj=$smj shuf=$shuffles topk=$topk single=$single$flags")
+        println(f"${q.name}%-28s bhj=$bhj smj=$smj shuf=$shuffles topk=$topk single=$single scans=$scans$flags")
       } catch {
         case e: Exception =>
           println(f"${q.name}%-28s ERROR ${e.getMessage.take(80)}")

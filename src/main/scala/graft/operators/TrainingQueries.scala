@@ -533,30 +533,38 @@ object TrainingQueries {
     * first. Exactness: all counts exact integers; the top-30 boundary
     * is totally ordered (pair id tie-break).
     *
-    * Scale shape: 4 bounded window-explode passes (one per rung) feed
-    * ONE digest-keyed shuffle; per (rung, digest) the doc list is
-    * capped at the 8 SMALLEST doc_ids (deterministic, stated — the
-    * q53 bucket-cap discipline: a viral 10⁶-doc boilerplate digest
-    * must not fan into 10¹² pairs), so pair generation is an
-    * equi-join emitting ≤ 28 pairs per digest. Digests, never window
-    * strings, cross the wire. */
+    * Scale shape: ONE corpus scan — all four rungs' digests
+    * materialize from a single pass (a flattened per-row
+    * (wlen, digest) struct array, ≤ 4·len(doc) entries, exploded
+    * once; the naive per-rung UNION would re-scan the table four
+    * times at 100 TB) — feeding ONE digest-keyed shuffle; per
+    * (rung, digest) the doc list is capped at the 8 SMALLEST doc_ids
+    * (deterministic, stated — the q53 bucket-cap discipline: a viral
+    * 10⁶-doc boilerplate digest must not fan into 10¹² pairs), so
+    * pair generation is an equi-join emitting ≤ 28 pairs per digest.
+    * Digests, never window strings, cross the wire. */
   def q552(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val rungs = Seq(8, 16, 32, 64)
     val docs = Tables.documents(s, d).select($"doc_id", words($"text").as("w"))
-    val wins = rungs.map { wv =>
-      docs.select($"doc_id", explode(
+    val emptyRung = array().cast("array<struct<wlen:bigint,h:string>>")
+    val wins = docs.select($"doc_id", explode(flatten(array(rungs.map { wv =>
         when(size($"w") >= wv,
-          array_distinct(transform(sequence(lit(1), size($"w") - (wv - 1)),
-            i => md5(array_join(slice($"w", i, lit(wv)), " ")))))
-          .otherwise(array().cast("array<string>"))).as("h"))
-        .select($"doc_id", lit(wv.toLong).as("wlen"), $"h")
-    }.reduce(_ unionAll _)
+          transform(
+            array_distinct(transform(sequence(lit(1), size($"w") - (wv - 1)),
+              i => md5(array_join(slice($"w", i, lit(wv)), " ")))),
+            h => struct(lit(wv.toLong).as("wlen"), h.as("h"))))
+          .otherwise(emptyRung)
+      }: _*))).as("c"))
+      .select($"doc_id", $"c.wlen".as("wlen"), $"c.h".as("h"))
+    // materialized: capped feeds BOTH sides of the pair self-join —
+    // without it each side re-runs the scan + 4-rung explode + window
     val capped = wins
       .withColumn("rn", row_number().over(
         Window.partitionBy($"wlen", $"h").orderBy($"doc_id")))
       .filter($"rn" <= 8)
       .select($"wlen", $"h", $"doc_id")
+      .transform(Fx.materialize)
     val pairs = capped.as("x")
       .join(capped.as("y"), Seq("wlen", "h"))
       .filter($"x.doc_id" < $"y.doc_id")
