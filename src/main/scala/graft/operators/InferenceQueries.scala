@@ -123,10 +123,14 @@ object InferenceQueries {
       .select($"c_mktsegment".as("seg"), cents($"o_totalprice").as("c"))
     val grid = oc.groupBy($"c").agg(count(lit(1)).as("cnt"))
     val med = gridMedian(grid, "c", "cnt")
+    // materialized: the 5-row segment grid feeds THREE consumers
+    // (totals, chi, final projection) — without it each consumer
+    // recomputes the orders⋈customer scan (12 scans → 4 in the plan)
     val cells = oc.crossJoin(broadcast(med))
       .groupBy($"seg")
       .agg(sum(when($"c" > $"m", 1L).otherwise(0L)).as("n_above"),
         sum(when($"c" <= $"m", 1L).otherwise(0L)).as("n_below"))
+      .transform(Fx.materialize)
     val totals = cells.agg(
       sum($"n_above").as("ra"), sum($"n_below").as("rb"),
       sum($"n_above" + $"n_below").as("n"), count(lit(1)).as("k"))

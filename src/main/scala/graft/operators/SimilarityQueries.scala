@@ -1623,11 +1623,17 @@ object SimilarityQueries {
     val mmr = Similarity.mmrRerank(queriesDf(s, d),
         Tables.embeddings(s, d), k = 5, c = 20, lambda = 0.7)
       .select($"q_id", $"vec_id", $"rel", $"mmr_rank".as("rn"))
-    def pivot(picks: DataFrame, p: String): DataFrame =
+    // materialized: each retrieval's ≤ 5q×5 picks (with vectors joined
+    // ONCE) feed five pivot branches — without it every branch re-runs
+    // the whole brute-force / MMR pipeline plus an embeddings scan
+    // (30 scans → a handful in the plan)
+    def pivot(picks: DataFrame, p: String): DataFrame = {
+      val withV = picks.join(t, "vec_id").transform(Fx.materialize)
       (1 to 5).map { i =>
-        picks.filter($"rn" === i).join(t, "vec_id")
+        withV.filter($"rn" === i)
           .select($"q_id", $"v".as(s"$p$i"), $"rel".as(s"${p}r$i"))
       }.reduce(_.join(_, "q_id"))
+    }
     def ild(p: String) =
       (for { i <- 1 to 5; j <- (i + 1) to 5 } yield
         lit(1.0) - Similarity.cosine(col(s"$p$i"), col(s"$p$j")))
