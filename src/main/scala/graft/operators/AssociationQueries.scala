@@ -204,8 +204,12 @@ object AssociationQueries {
   def q201(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val w = Tables.documents(s, d).select(split($"text", " ").as("w"))
+    // both vocab tables materialized: uni feeds THREE consumers (its
+    // total + the x and y joins) and bg two — without it each consumer
+    // re-runs the full corpus explode+aggregate
     val uni = w.select(explode($"w").as("t"))
       .groupBy($"t").agg(count(lit(1)).as("c"))
+      .transform(Fx.materialize)
     val uniTot = uni.agg(sum($"c").as("n_uni"))
     val bg = w.select(explode(when(size($"w") >= 2,
         transform(sequence(lit(1), size($"w") - 1),
@@ -213,6 +217,7 @@ object AssociationQueries {
         .otherwise(array().cast("array<struct<x:string,y:string>>"))).as("b"))
       .select($"b.x".as("x"), $"b.y".as("y"))
       .groupBy($"x", $"y").agg(count(lit(1)).as("cxy"))
+      .transform(Fx.materialize)
     val bgTot = bg.agg(sum($"cxy").as("n_big"))
     bg.filter($"cxy" >= 10)
       .join(uni.select($"t".as("x"), $"c".as("cx")), Seq("x"))

@@ -617,8 +617,12 @@ object CurationQueries {
   def apportion(counts: DataFrame, k: Long, keyCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import counts.sparkSession.implicits._
-    val per = counts
-      .crossJoin(broadcast(counts.agg(sum($"n").as("total"))))
+    // materialized: the group-domain-sized counts grid feeds four
+    // consumers (per + its total, short + its leftover) — without it
+    // each recomputes the upstream aggregation's scan
+    val c = Fx.materialize(counts)
+    val per = c
+      .crossJoin(broadcast(c.agg(sum($"n").as("total"))))
       .withColumn("floor_q",
         (($"n" * k - pmod($"n" * k, $"total")) / $"total").cast("long"))
       .withColumn("rem", pmod($"n" * k, $"total"))

@@ -902,8 +902,11 @@ object GovernanceQueries {
     def pick(c: org.apache.spark.sql.Column) =
       conv(substring(md5(concat(c.cast("string"), lit("#sar"))), 1, 8), 16, 10)
         .cast("long") % 100L === 0L
+    // materialized: the ~1%-sampled subject list broadcasts into all
+    // three entity probes — without it each probe re-scans customer
     val subjects = Tables.customer(s, d)
       .select($"c_custkey".as("subject")).filter(pick($"subject"))
+      .transform(Fx.materialize)
     def held(df: DataFrame, keyCol: String, entity: String) =
       df.select(col(keyCol).as("subject"))
         .join(broadcast(subjects), "subject")

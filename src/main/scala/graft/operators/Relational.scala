@@ -2685,6 +2685,9 @@ object Relational {
       .select($"brand", $"period",
         expr("(cast(c as decimal(38,0)) * 1000000) div q").as("p"),
         $"q", $"c")
+      // materialized: the ≤ brand×2 grid feeds both period splits —
+      // without it each split recomputes the lineitem⋈part scan
+      .transform(graft.Fx.materialize)
     val p0 = by.filter($"period" === 0)
       .select($"brand", $"p".as("pp0"), $"q".as("q0"), $"c".as("c0"))
     val p1 = by.filter($"period" === 1)
