@@ -44,7 +44,11 @@ def lint_oracle_types(con, oracle):
     (q457/q463/q495, rounds 13-15). DESCRIBE binds the output schema
     WITHOUT executing, so this sweeps all ~545 oracles in seconds and
     catches a new uncast oracle even when the local check run is
-    restricted to other queries. Returns the list of offender names.
+    restricted to other queries. Returns (offenders, describe_failures):
+    a DESCRIBE that itself errors is an ENVIRONMENT/SQL problem (table
+    missing from the sf dir, syntax), not a type-lint finding — folding
+    it into the offender list made every run fail with a misleading
+    "uncast 128-bit" message, so it is reported as its own class.
     """
     # Self-test canary: a deliberately uncast sum() MUST be flagged,
     # else the lint itself is broken and the whole check aborts.
@@ -55,18 +59,21 @@ def lint_oracle_types(con, oracle):
     assert any("HUGEINT" in t for _, t in final_types(canary)), \
         "lint self-test failed: canary HUGEINT not detected"
     offenders = []
+    describe_failures = []
     for name, sql in sorted(oracle.items()):
         try:
             bad = [f"{c}:{t}" for c, t in final_types(sql)
                    if "HUGEINT" in t.upper()]
         except Exception as e:
-            bad = [f"describe error: {e}"]
+            print(f"LINT-DESCRIBE {name}: oracle does not bind: {e}")
+            describe_failures.append(name)
+            continue
         if bad:
             print(f"LINT {name}: uncast 128-bit final column(s) "
                   f"{'; '.join(bad)} — driver hash would mismatch "
                   "(cast to BIGINT/DOUBLE in the outermost SELECT)")
             offenders.append(name)
-    return offenders
+    return offenders, describe_failures
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -78,10 +85,13 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     failures = []
-    lint_bad = lint_oracle_types(con, oracle)
+    lint_bad, lint_describe = lint_oracle_types(con, oracle)
     if lint_bad:
         failures.extend(f"lint:{n}" for n in lint_bad)
         n_bad += len(lint_bad)
+    if lint_describe:
+        failures.extend(f"lint-describe:{n}" for n in lint_describe)
+        n_bad += len(lint_describe)
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue

@@ -718,9 +718,13 @@ object ScaleSmoke {
       def singleFile(df: DataFrame, name: String): Unit = {
         val stage = s"$dir/_stage_$name"
         df.coalesce(1).write.mode("overwrite").parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(f => f.getName.startsWith("part-") &&
-            f.getName.endsWith(".parquet")).get
+        // listFiles() is null on a missing dir, and a zero-row coalesce
+        // can legitimately write no part file — either way the failure
+        // must NAME the staging dir, not throw a bare NoSuchElement.
+        val part = Option(new java.io.File(stage).listFiles())
+          .flatMap(_.find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")))
+          .getOrElse(sys.error(s"no part file under $stage"))
         java.nio.file.Files.move(part.toPath,
           java.nio.file.Paths.get(s"$dir/$name"))
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
