@@ -3013,7 +3013,100 @@ object DecisionQueries {
        |ORDER BY ctx_len""".stripMargin
   }
 
+  /** q558 — EXACT closed-form ridge regression (normal equations +
+    * Cramer on integer Gram sums): the oracle-checked counterpart to
+    * the ML layer's tolerance-band ridge (M4/M5,
+    * ml/PriceModel.scala — the sklearn-vs-MLlib solver divergence
+    * keeps the 60-feature housing model band-checked only, SURVEY §7
+    * hard part (b); reference anchor trulia_csv_to_nlp.ipynb cells
+    * 22-31, RidgeCV). Same estimator semantics as sklearn
+    * Ridge(alpha=10, fit_intercept=True) on a small fixed feature
+    * set: center X and y, solve the penalized slope system
+    * (XcᵀXc + αI)β = Xcᵀyc, recover the unpenalized intercept as
+    * ȳ − βᵀx̄. The system is scaled by n so every matrix entry is an
+    * exact integer (n·S11 − S1² + n·α, …), the 2×2 Cramer
+    * determinants are polynomials in those entries on
+    * DECIMAL(38,0)/HUGEINT, and each coefficient is ONE truncating
+    * micro-division — no float touches the estimate anywhere.
+    * Domain: y = n_chars, x1 = word count, x2 = distinct-word count
+    * (deliberately collinear with x1 — the regime ridge exists for).
+    * Magnitudes: sy·det·10⁶ ≲ 10³⁴ at sf ≤ 0.1 (stated; the q297
+    * 256-bit escalation note applies to wider domains).
+    *
+    * Scale shape: one scan collapses the corpus to nine moment sums
+    * (map-side partial aggs); everything after is scalar arithmetic
+    * on a single row. PriceModelSpec cites this as the exact
+    * regression readout beside its statistical R² band. */
+  def q558(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val alpha = 10
+    val feats = Tables.documents(s, d).select(
+      $"n_chars".cast("long").as("y"),
+      size(split($"text", " ")).cast("long").as("x1"),
+      size(array_distinct(split($"text", " "))).cast("long").as("x2"))
+    feats.agg(
+        count(lit(1)).as("n"), sum($"x1").as("s1"), sum($"x2").as("s2"),
+        sum(expr("cast(x1 as decimal(38,0)) * x1")).as("s11"),
+        sum(expr("cast(x1 as decimal(38,0)) * x2")).as("s12"),
+        sum(expr("cast(x2 as decimal(38,0)) * x2")).as("s22"),
+        sum($"y").as("sy"),
+        sum(expr("cast(x1 as decimal(38,0)) * y")).as("s1y"),
+        sum(expr("cast(x2 as decimal(38,0)) * y")).as("s2y"))
+      .withColumn("a11",
+        expr(s"n * s11 - cast(s1 as decimal(38,0)) * s1 + cast($alpha as decimal(38,0)) * n"))
+      .withColumn("a12", expr("n * s12 - cast(s1 as decimal(38,0)) * s2"))
+      .withColumn("a22",
+        expr(s"n * s22 - cast(s2 as decimal(38,0)) * s2 + cast($alpha as decimal(38,0)) * n"))
+      .withColumn("c1", expr("n * s1y - cast(s1 as decimal(38,0)) * sy"))
+      .withColumn("c2", expr("n * s2y - cast(s2 as decimal(38,0)) * sy"))
+      .withColumn("det", expr("a11 * a22 - a12 * a12"))
+      .withColumn("d1", expr("c1 * a22 - c2 * a12"))
+      .withColumn("d2", expr("a11 * c2 - a12 * c1"))
+      .select($"n",
+        expr("((cast(sy as decimal(38,0)) * det - d1 * s1 - d2 * s2) * 1000000) div (n * det)")
+          .as("b0_micro"),
+        expr("(d1 * 1000000) div det").as("b1_micro"),
+        expr("(d2 * 1000000) div det").as("b2_micro"))
+  }
+
+  val q558Sql: String =
+    """WITH f AS (
+      |  SELECT CAST(n_chars AS BIGINT) AS y,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS x2
+      |  FROM documents),
+      |m AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2,
+      |    CAST(sum(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS s11,
+      |    CAST(sum(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS s12,
+      |    CAST(sum(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS s22,
+      |    CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(x1 AS HUGEINT) * y) AS HUGEINT) AS s1y,
+      |    CAST(sum(CAST(x2 AS HUGEINT) * y) AS HUGEINT) AS s2y
+      |  FROM f),
+      |k AS (
+      |  SELECT *,
+      |    n * s11 - s1 * s1 + 10 * n AS a11,
+      |    n * s12 - s1 * s2 AS a12,
+      |    n * s22 - s2 * s2 + 10 * n AS a22,
+      |    n * s1y - s1 * sy AS c1,
+      |    n * s2y - s2 * sy AS c2
+      |  FROM m),
+      |k2 AS (
+      |  SELECT *, a11 * a22 - a12 * a12 AS det,
+      |    c1 * a22 - c2 * a12 AS d1,
+      |    a11 * c2 - a12 * c1 AS d2
+      |  FROM k)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  CAST(((sy * det - d1 * s1 - d2 * s2) * 1000000) // (n * det)
+      |    AS BIGINT) AS b0_micro,
+      |  CAST((d1 * 1000000) // det AS BIGINT) AS b1_micro,
+      |  CAST((d2 * 1000000) // det AS BIGINT) AS b2_micro
+      |FROM k2""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q558_exact_ridge", q558, Some(q558Sql)),
     QueryDef("q551_truncation_loss", q551, Some(q551Sql)),
     QueryDef("q548_winkler_score", q548, Some(q548Sql)),
     QueryDef("q546_tost_equivalence", q546, Some(q546Sql)),

@@ -520,7 +520,227 @@ object IndexingQueries {
       |WHERE levenshtein(ta.title, tb.title) <= 2
       |ORDER BY a, b""".stripMargin
 
+  /** Composed LSH-block-first EXACT-verify set-similarity join — the
+    * measured escape hatch for q166's quadratic regime (SCALE.md: the
+    * prefix-filter join goes quadratic past ~100-200k docs per
+    * (source, lang) block because candidate volume, not scan cost,
+    * dominates). Composition: MinHash signatures over each document's
+    * DISTINCT-token set (the q51 Kirsch-Mitzenmacher md5 family, so
+    * the oracle mirrors it bit-for-bit) → LSH banding (q52/q53 shape)
+    * with the bucket key extended by the (source, lang) record-linkage
+    * block → capped candidate buckets (q53's drop-oversized-bucket
+    * discipline; skipped buckets stay observable via
+    * [[Dedup.overflowBuckets]]) → EXACT integer-verified Jaccard ≥ 0.9
+    * on each candidate pair (10·inter ≥ 9·union — same test as q166,
+    * so every EMITTED pair is exactly right; the banding trades a
+    * bounded, measured recall loss — q555's scorecard — for candidate
+    * volume linear in docs·bands instead of quadratic in block size).
+    *
+    * Scale shape: ONE scan of the corpus (the sorted distinct-token
+    * arrays materialize once and feed the signature pass and both
+    * verify sides); signatures are one grouped min-agg; the bucket
+    * aggregation shuffles (band, block) keys with per-group state hard-
+    * bounded by BoundedCollect; verification is two array lookups per
+    * CANDIDATE — at 12 hashes / 4 bands the expected candidate count is
+    * ~4·n·P(band collision), flat per doc as n grows (q166's measured
+    * curve exploded precisely because its per-doc candidate count grew
+    * with block size). nHashes=12, bands=4×3: P(candidate | J=0.9) =
+    * 1-(1-0.9³)⁴ ≈ 0.9946 per pair.
+    */
+  def blockedSetJoin(docsIn: DataFrame,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    val nHashes = 12
+    val nBands = 4
+    val rowsPerBand = 3
+    // materialized: feeds the signature pass AND both verify sides —
+    // without it each consumer re-runs the scan + split + distinct-sort
+    val base = docsIn
+      .select($"doc_id", $"source", $"lang",
+        array_sort(array_distinct(filter(words($"text"), w => w =!= "")))
+          .as("ws"))
+      .transform(Fx.materialize)
+    val toks = base.select($"doc_id", $"source", $"lang",
+      explode($"ws").as("w"))
+    // q51's one-md5 Kirsch-Mitzenmacher family, over unigram TOKENS
+    // (the Jaccard here is q166's distinct-token Jaccard, so the
+    // signature must sketch the same set; q51-q53 sketch bigram
+    // shingles because their target is q53's containment-style 0.6
+    // near-dup, a different similarity)
+    val withH = toks
+      .withColumn("__d", md5($"w"))
+      .withColumn("__a1", conv(substring($"__d", 1, 8), 16, 10).cast("long"))
+      .withColumn("__a2", conv(substring($"__d", 9, 8), 16, 10).cast("long"))
+    val aggs = (1 to nHashes).map { i =>
+      min(pmod($"__a1" + lit(i.toLong) * $"__a2", lit(4294967296L))).as(s"__m$i")
+    }
+    val hexed = (1 to nHashes).map(i =>
+      lower(lpad(hex(col(s"__m$i")), 8, "0")).as(s"h$i"))
+    val sig = withH.groupBy($"doc_id", $"source", $"lang")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(Seq($"doc_id", $"source", $"lang") ++ hexed: _*)
+    // Dedup.lshBands inlined with the (source, lang) block columns
+    // carried through (the library form drops everything but the id)
+    val bandStructs = (1 to nBands).map { b =>
+      val cols = ((b - 1) * rowsPerBand + 1 to b * rowsPerBand).map(i => col(s"h$i"))
+      struct(lit(b).as("band_idx"), concat(cols: _*).as("band_hash"))
+    }
+    val bands = sig
+      .select($"doc_id", $"source", $"lang",
+        explode(array(bandStructs: _*)).as("band"))
+      .select($"doc_id", $"source", $"lang",
+        $"band.band_idx".as("band_idx"), $"band.band_hash".as("band_hash"))
+    // single-pass capped bucket → in-row pair generation (the
+    // candidatePairs shape, bucket key extended by the block)
+    graft.plans.BoundedCollect.register(s)
+    val cands = bands
+      .groupBy($"band_idx", $"band_hash", $"source", $"lang")
+      .agg(graft.plans.BoundedCollect
+        .bounded_collect($"doc_id", maxBucket + 1).as("__ids"))
+      .filter(size($"__ids").between(2, maxBucket))
+      .select(sort_array($"__ids").as("__ids"))
+      .select(explode(flatten(transform($"__ids", (x, i) =>
+        transform(slice($"__ids", i + lit(2), size($"__ids")),
+          y => struct(x.as("d1"), y.as("d2")))))).as("__p"))
+      .select($"__p.d1".as("d1"), $"__p.d2".as("d2"))
+      .distinct()
+    val da = base.select($"doc_id".as("d1"), $"ws".as("wa"),
+      size($"ws").cast("long").as("l1"))
+    val db = base.select($"doc_id".as("d2"), $"ws".as("wb"),
+      size($"ws").cast("long").as("l2"))
+    cands.join(da, "d1").join(db, "d2")
+      .withColumn("inter", size(array_intersect($"wa", $"wb")).cast("long"))
+      .filter($"inter" * 10 >= ($"l1" + $"l2" - $"inter") * 9)
+      .select($"d1".as("doc_id_1"), $"d2".as("doc_id_2"), $"inter",
+        ($"l1" + $"l2" - $"inter").as("un"),
+        r4($"inter".cast("double") / ($"l1" + $"l2" - $"inter")).as("jac"))
+      .orderBy($"doc_id_1", $"doc_id_2")
+  }
+
+  /** q554 — the composed operator above on the documents table, with
+    * the whole pipeline (signatures, banding, cap, verify) mirrored in
+    * DuckDB — within-candidate results are oracle-EXACT; the banding's
+    * recall trade vs the lossless q166 is measured by q555. */
+  def q554(s: SparkSession, d: String): DataFrame =
+    blockedSetJoin(Tables.documents(s, d))
+
+  /** Shared oracle CTE chain mirroring [[blockedSetJoin]]. */
+  private val blockedSql: String = {
+    val hexed = (1 to 12).map(i =>
+      s"lower(lpad(to_hex(min((a1 + $i * a2) % 4294967296)), 8, '0')) AS h$i")
+      .mkString(",\n      ")
+    val bandSelects = (1 to 4).map { b =>
+      val hs = ((b - 1) * 3 + 1 to b * 3).map(i => s"h$i").mkString(" || ")
+      s"SELECT doc_id, source, lang, $b AS band_idx, $hs AS band_hash FROM sig"
+    }.mkString("\n    UNION ALL\n    ")
+    s"""wbase AS (
+       |    SELECT doc_id, source, lang,
+       |      list_sort(list_distinct(list_filter(string_split(text, ' '),
+       |        w -> w <> ''))) AS ws
+       |    FROM documents),
+       |  sig AS (
+       |    SELECT doc_id, source, lang,
+       |      $hexed
+       |    FROM (
+       |      SELECT doc_id, source, lang,
+       |        ('0x' || substr(d, 1, 8))::BIGINT AS a1,
+       |        ('0x' || substr(d, 9, 8))::BIGINT AS a2
+       |      FROM (SELECT doc_id, source, lang, md5(unnest(ws)) AS d
+       |            FROM wbase) q) r
+       |    GROUP BY doc_id, source, lang),
+       |  bands AS (
+       |    $bandSelects),
+       |  okb AS (
+       |    SELECT band_idx, band_hash, source, lang FROM bands
+       |    GROUP BY 1, 2, 3, 4 HAVING count(*) <= ${Dedup.DefaultMaxBucket}),
+       |  gated AS (
+       |    SELECT bands.* FROM bands
+       |    JOIN okb USING (band_idx, band_hash, source, lang)),
+       |  cand AS (
+       |    SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+       |    FROM gated l JOIN gated r
+       |      ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+       |     AND l.source = r.source AND l.lang = r.lang
+       |     AND l.doc_id < r.doc_id),
+       |  bj AS (
+       |    SELECT d1, d2,
+       |      CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS inter,
+       |      CAST(len(a.ws) + len(b.ws)
+       |        - len(list_intersect(a.ws, b.ws)) AS BIGINT) AS un
+       |    FROM cand JOIN wbase a ON d1 = a.doc_id
+       |              JOIN wbase b ON d2 = b.doc_id),
+       |  blocked AS (
+       |    SELECT d1 AS doc_id_1, d2 AS doc_id_2, inter, un,
+       |      ${sqlR4("CAST(inter AS DOUBLE) / un")} AS jac
+       |    FROM bj WHERE inter * 10 >= un * 9)""".stripMargin
+  }
+
+  val q554Sql: String =
+    s"""WITH $blockedSql
+       |SELECT doc_id_1, doc_id_2, inter, un, jac FROM blocked
+       |ORDER BY doc_id_1, doc_id_2""".stripMargin
+
+  /** q555 — recall scorecard for the blocked join vs the LOSSLESS q166
+    * (the q299 banding-recall discipline applied to the composed
+    * operator): exact pair count, blocked pair count, misses, and
+    * integer recall. Every blocked pair passes the same exact verify,
+    * so blocked ⊆ exact — precision is structurally 1; recall is the
+    * one number the banding trade buys its flat scale curve with. */
+  def q555(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val exact = prefixJaccardPairs(docs).select($"doc_id_1", $"doc_id_2")
+      .transform(Fx.materialize) // consumed by the count AND the anti-join
+    val blocked = blockedSetJoin(docs).select($"doc_id_1", $"doc_id_2")
+    val missed = exact.join(blocked, Seq("doc_id_1", "doc_id_2"), "left_anti")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(blocked.agg(count(lit(1)).as("n_blocked")))
+      .crossJoin(missed.agg(count(lit(1)).as("n_missed")))
+      .select($"n_exact", $"n_blocked", $"n_missed",
+        when($"n_exact" === 0, 1000L)
+          .otherwise(expr("((n_exact - n_missed) * 1000) div n_exact"))
+          .as("recall_milli"))
+  }
+
+  val q555Sql: String =
+    s"""WITH $blockedSql,
+       |  etoks AS (
+       |    SELECT DISTINCT doc_id, source, lang, w
+       |    FROM (SELECT doc_id, source, lang,
+       |            unnest(string_split(text, ' ')) AS w FROM documents) t
+       |    WHERE w <> ''),
+       |  elens AS (SELECT doc_id, count(*) AS len FROM etoks GROUP BY 1),
+       |  epairs AS (
+       |    SELECT t1.doc_id AS d1, t2.doc_id AS d2, count(*) AS inter
+       |    FROM etoks t1 JOIN etoks t2 ON t1.w = t2.w AND t1.doc_id < t2.doc_id
+       |      AND t1.source = t2.source AND t1.lang = t2.lang
+       |    GROUP BY 1, 2),
+       |  exact AS (
+       |    SELECT d1 AS doc_id_1, d2 AS doc_id_2
+       |    FROM epairs
+       |    JOIN elens l1 ON d1 = l1.doc_id
+       |    JOIN elens l2 ON d2 = l2.doc_id
+       |    WHERE inter * 10 >= (l1.len + l2.len - inter) * 9),
+       |  stats AS (
+       |    SELECT
+       |      (SELECT count(*) FROM exact) AS n_exact,
+       |      (SELECT count(*) FROM blocked) AS n_blocked,
+       |      (SELECT count(*) FROM exact e
+       |       WHERE NOT EXISTS (SELECT 1 FROM blocked b
+       |         WHERE b.doc_id_1 = e.doc_id_1
+       |           AND b.doc_id_2 = e.doc_id_2)) AS n_missed)
+       |SELECT CAST(n_exact AS BIGINT) AS n_exact,
+       |  CAST(n_blocked AS BIGINT) AS n_blocked,
+       |  CAST(n_missed AS BIGINT) AS n_missed,
+       |  CAST(CASE WHEN n_exact = 0 THEN 1000
+       |    ELSE ((n_exact - n_missed) * 1000) // n_exact END AS BIGINT)
+       |    AS recall_milli
+       |FROM stats""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
+    QueryDef("q554_blocked_set_join", q554, Some(q554Sql)),
+    QueryDef("q555_blocked_recall", q555, Some(q555Sql)),
     QueryDef("q313_fuzzy_title_join", q313, Some(q313Sql)),
     QueryDef("q290_tfidf_similarity_join", q290, Some(q290Sql)),
     QueryDef("q164_bigram_lm_score", q164, Some(q164Sql), bench = true),

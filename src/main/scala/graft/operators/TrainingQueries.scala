@@ -543,12 +543,16 @@ object TrainingQueries {
     * 10⁶-doc boilerplate digest must not fan into 10¹² pairs), so
     * pair generation is an equi-join emitting ≤ 28 pairs per digest.
     * Digests, never window strings, cross the wire. */
-  def q552(s: SparkSession, d: String): DataFrame = {
+  /** Shared core of the q552 family: per-doc distinct (wlen, digest)
+    * rows for the dyadic rung ladder W ∈ {8,16,32,64}, built from a
+    * (doc_id, w) frame in ONE pass (the flattened per-row struct array
+    * — a per-rung UNION would re-scan the input four times). */
+  private[operators] def spanLadderWins(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     val rungs = Seq(8, 16, 32, 64)
-    val docs = Tables.documents(s, d).select($"doc_id", words($"text").as("w"))
     val emptyRung = array().cast("array<struct<wlen:bigint,h:string>>")
-    val wins = docs.select($"doc_id", explode(flatten(array(rungs.map { wv =>
+    docs.select($"doc_id", explode(flatten(array(rungs.map { wv =>
         when(size($"w") >= wv,
           transform(
             array_distinct(transform(sequence(lit(1), size($"w") - (wv - 1)),
@@ -557,18 +561,26 @@ object TrainingQueries {
           .otherwise(emptyRung)
       }: _*))).as("c"))
       .select($"doc_id", $"c.wlen".as("wlen"), $"c.h".as("h"))
-    // materialized: capped feeds BOTH sides of the pair self-join —
-    // without it each side re-runs the scan + 4-rung explode + window
-    val capped = wins
+  }
+
+  /** The q53-discipline bucket cap over ladder rows: per (rung, digest)
+    * keep the 8 SMALLEST doc_ids (deterministic, stated). */
+  private def spanLadderCap(wins: DataFrame): DataFrame = {
+    val s = wins.sparkSession
+    import s.implicits._
+    wins
       .withColumn("rn", row_number().over(
         Window.partitionBy($"wlen", $"h").orderBy($"doc_id")))
       .filter($"rn" <= 8)
       .select($"wlen", $"h", $"doc_id")
-      .transform(Fx.materialize)
-    val pairs = capped.as("x")
-      .join(capped.as("y"), Seq("wlen", "h"))
-      .filter($"x.doc_id" < $"y.doc_id")
-      .select($"wlen", $"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+  }
+
+  /** Shared leaderboard aggregation over (wlen, doc_a, doc_b) pair
+    * rows: top 30 pairs by (largest co-occurring rung, shared 8-window
+    * volume, pair id) — totally ordered. */
+  private def spanLeaderboard(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
     pairs.groupBy($"doc_a", $"doc_b")
       .agg(max($"wlen").as("span_ge_w"),
         sum(when($"wlen" === 8L, 1L).otherwise(0L)).as("shared_w8"))
@@ -578,7 +590,22 @@ object TrainingQueries {
       .orderBy($"span_ge_w".desc, $"shared_w8".desc, $"doc_a", $"doc_b")
   }
 
-  val q552Sql: String = {
+  def q552(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", words($"text").as("w"))
+    // materialized: capped feeds BOTH sides of the pair self-join —
+    // without it each side re-runs the scan + 4-rung explode + window
+    val capped = spanLadderCap(spanLadderWins(docs)).transform(Fx.materialize)
+    val pairs = capped.as("x")
+      .join(capped.as("y"), Seq("wlen", "h"))
+      .filter($"x.doc_id" < $"y.doc_id")
+      .select($"wlen", $"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+    spanLeaderboard(pairs)
+  }
+
+  /** Shared oracle CTE chain for the q552 family (t → ladder wins →
+    * capped → pair rows), mirroring spanLadderWins/spanLadderCap. */
+  private val spanLadderSqlCtes: String = {
     val levels = Seq(8, 16, 32, 64).map { wv =>
       s"""SELECT doc_id, CAST($wv AS BIGINT) AS wlen,
          |    unnest(CASE WHEN len(w) >= $wv
@@ -587,7 +614,7 @@ object TrainingQueries {
          |      ELSE CAST([] AS VARCHAR[]) END) AS h
          |  FROM t""".stripMargin
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |wins AS (
        |  $levels),
        |capped AS (
@@ -598,14 +625,131 @@ object TrainingQueries {
        |pairs AS (
        |  SELECT x.wlen, x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM capped x JOIN capped y
-       |    ON x.wlen = y.wlen AND x.h = y.h AND x.doc_id < y.doc_id)
+       |    ON x.wlen = y.wlen AND x.h = y.h AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
+  val q552Sql: String =
+    s"""WITH $spanLadderSqlCtes
        |SELECT doc_a, doc_b, CAST(max(wlen) AS BIGINT) AS span_ge_w,
        |  CAST(sum(CASE WHEN wlen = 8 THEN 1 ELSE 0 END) AS BIGINT)
        |    AS shared_w8
        |FROM pairs GROUP BY doc_a, doc_b
        |ORDER BY span_ge_w DESC, shared_w8 DESC, doc_a, doc_b
        |LIMIT 30""".stripMargin
+
+  /** q556 — EXACT longest-span resolution for q552's leaderboard: the
+    * ladder brackets each top-30 pair's longest shared word-span into
+    * [w, 2w) (for w = 64, [64, ∞)); this query resolves the exact
+    * length — the precise rewrite boundary a span-dedup pass needs —
+    * by a bounded per-pair exact scan over ONLY those ≤ 30 pairs'
+    * texts: exact_span = max L ∈ [span_ge_w, min(len_a, len_b)] such
+    * that the docs share an L-word window (window digests compared
+    * via arrays_overlap; both engines md5 the same strings). The scan
+    * is exact for every bracket including the open-ended top rung and
+    * is immune to the ladder's cap quirks (a pair can co-occur at
+    * rung w yet be cap-dropped at a higher rung it also shares — the
+    * exact scan reports the TRUE span regardless).
+    *
+    * Scale shape: the ladder does the corpus-wide work (one scan, one
+    * digest shuffle — q552's shape, with the (doc_id, w) frame
+    * materialized once so the leaderboard AND the text lookup consume
+    * a single read); the exact resolution touches exactly 30 pairs —
+    * 60 doc texts — joined via two broadcast-sized equi-joins, with
+    * per-pair cost O(len·range) in pure codegen'd HOF expressions
+    * (no early exit inside `filter`, so a very-long-doc corpus would
+    * swap in a dyadic doubling probe first; stated). */
+  def q556(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docsW = Tables.documents(s, d)
+      .select($"doc_id", words($"text").as("w"))
+      .transform(Fx.materialize)
+    val capped = spanLadderCap(spanLadderWins(docsW)).transform(Fx.materialize)
+    val pairRows = capped.as("x")
+      .join(capped.as("y"), Seq("wlen", "h"))
+      .filter($"x.doc_id" < $"y.doc_id")
+      .select($"wlen", $"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+    val top = spanLeaderboard(pairRows)
+    val ta = docsW.select($"doc_id".as("doc_a"), $"w".as("wa"))
+    val tb = docsW.select($"doc_id".as("doc_b"), $"w".as("wb"))
+    def winDigests(arr: Column, L: Column): Column =
+      transform(sequence(lit(1), size(arr) - L.cast("int") + 1),
+        i => md5(array_join(slice(arr, i, L.cast("int")), " ")))
+    top.join(ta, "doc_a").join(tb, "doc_b")
+      .withColumn("exact_span",
+        array_max(filter(
+          sequence($"span_ge_w",
+            least(size($"wa"), size($"wb")).cast("long")),
+          L => arrays_overlap(winDigests($"wa", L), winDigests($"wb", L)))))
+      .select($"doc_a", $"doc_b", $"span_ge_w", $"shared_w8", $"exact_span")
+      .orderBy($"span_ge_w".desc, $"shared_w8".desc, $"doc_a", $"doc_b")
   }
+
+  val q556Sql: String =
+    s"""WITH $spanLadderSqlCtes,
+       |top AS (
+       |  SELECT doc_a, doc_b, CAST(max(wlen) AS BIGINT) AS span_ge_w,
+       |    CAST(sum(CASE WHEN wlen = 8 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS shared_w8
+       |  FROM pairs GROUP BY doc_a, doc_b
+       |  ORDER BY span_ge_w DESC, shared_w8 DESC, doc_a, doc_b
+       |  LIMIT 30)
+       |SELECT doc_a, doc_b, span_ge_w, shared_w8,
+       |  CAST(list_max(list_filter(
+       |    range(span_ge_w, least(len(ta.w), len(tb.w)) + 1),
+       |    L -> list_has_any(
+       |      list_transform(range(1, len(ta.w) - L + 2),
+       |        i -> md5(array_to_string(ta.w[i:i+L-1], ' '))),
+       |      list_transform(range(1, len(tb.w) - L + 2),
+       |        i -> md5(array_to_string(tb.w[i:i+L-1], ' '))))))
+       |    AS BIGINT) AS exact_span
+       |FROM top JOIN t ta ON top.doc_a = ta.doc_id
+       |         JOIN t tb ON top.doc_b = tb.doc_id
+       |ORDER BY span_ge_w DESC, shared_w8 DESC, doc_a, doc_b""".stripMargin
+
+  /** q557 — INCREMENTAL span-ladder maintenance (the q264 O(delta)
+    * shape applied to q552's digest ladder): the corpus splits into a
+    * base and an arriving delta (doc_id % 10 = 7 — stated), and the
+    * leaderboard is maintained incrementally instead of recomputed:
+    * base pair rows for digests the delta never touches are reused
+    * as-is; only TOUCHED (rung, digest) groups re-derive their capped
+    * doc list by merging the base's capped list with the delta's rows
+    * — exact because the merged top-8 ⊆ base-top-8 ∪ delta (any base
+    * doc outside its top-8 is larger than all of the top-8, so it can
+    * never enter the merged top-8). The oracle IS the full recompute
+    * (q552's SQL verbatim): hash-equality of the incremental result
+    * against the from-scratch leaderboard is the maintenance gate.
+    *
+    * Scale shape: work beyond the base's (already-capped) digest table
+    * is proportional to the DELTA — its ladder rows, the touched
+    * digests' ≤16-row merges, and their ≤ 28-pair regeneration — not
+    * to the corpus; the wins pass stays ONE scan (base/delta split by
+    * a flag on the same materialized frame). */
+  def q557(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", words($"text").as("w"))
+    val wins = spanLadderWins(docs)
+      .withColumn("is_delta", $"doc_id" % 10 === 7)
+      .transform(Fx.materialize)
+    val baseW = wins.filter(!$"is_delta").select($"wlen", $"h", $"doc_id")
+    val deltaW = wins.filter($"is_delta").select($"wlen", $"h", $"doc_id")
+    val cappedBase = spanLadderCap(baseW).transform(Fx.materialize)
+    val touched = deltaW.select($"wlen", $"h").distinct()
+    val mergedTouched = spanLadderCap(
+        cappedBase.join(touched, Seq("wlen", "h"), "left_semi")
+          .unionByName(deltaW))
+      .transform(Fx.materialize)
+    val untouched = cappedBase.join(touched, Seq("wlen", "h"), "left_anti")
+      .transform(Fx.materialize)
+    def pairsOf(c: DataFrame) = c.as("x")
+      .join(c.as("y"), Seq("wlen", "h"))
+      .filter($"x.doc_id" < $"y.doc_id")
+      .select($"wlen", $"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+    spanLeaderboard(pairsOf(untouched).unionByName(pairsOf(mergedTouched)))
+  }
+
+  /** The oracle is q552's full recompute, verbatim — equality of the
+    * incremental plan's output against it is the whole point. */
+  val q557Sql: String = q552Sql
 
   /** q144 — per-document boilerplate fraction: the share of a doc's
     * distinct 8-word windows that also occur in at least one OTHER
@@ -972,5 +1116,7 @@ object TrainingQueries {
     QueryDef("q140_repeated_substrings", q140, Some(q140Sql), bench = true),
     QueryDef("q144_boilerplate_fraction", q144, Some(q144Sql)),
     QueryDef("q552_longest_repeated_span", q552, Some(q552Sql)),
+    QueryDef("q556_exact_span_resolution", q556, Some(q556Sql)),
+    QueryDef("q557_incremental_span_ladder", q557, Some(q557Sql)),
   )
 }
