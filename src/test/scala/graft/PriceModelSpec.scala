@@ -2,6 +2,11 @@ package graft
 
 import graft.ml.PriceModel
 
+/** The ridge checks here are tolerance BANDS (sklearn-vs-MLlib solver
+  * divergence on the 60-feature model, SURVEY §7 hard part (b)); the
+  * EXACT oracle-checked regression readout beside these bands is
+  * q558_exact_ridge (DecisionQueries.q558): closed-form normal-equation
+  * ridge on integer Gram sums, hash-compared against DuckDB. */
 class PriceModelSpec extends SparkSpec {
 
   test("ridge pipeline recovers a linear price signal (R² band, M1-M8)") {
