@@ -26,36 +26,50 @@ object ExplainAudit {
 
     def count(p: String, needle: String): Int = needle.r.findAllIn(p).length
 
+    // `budgets` mode: print ONLY the scan-budget whitelist rows
+    // (queries whose planned scan count exceeds their distinct table
+    // count — the inherent multi-scanners) as TSV, for regenerating
+    // src/test/resources/scan_budgets.tsv when a new inherent
+    // multi-scan query is added deliberately.
+    val budgetsMode = args.lift(1).contains("budgets")
+
     // streaming queries execute on build; derive the skip set from the
     // registry itself so new streaming queries can't silently run here
     val skip = operators.StreamingQueries.all.map(_.name).toSet
     var flagged = 0
     for (q <- SparkEntry.registry.sortBy(_.name) if !skip(q.name)) {
       try {
-        val p = q.fn(spark, sfDir).queryExecution.executedPlan.toString
-        val cartesian = count(p, "CartesianProduct") + count(p, "BroadcastNestedLoopJoin")
-        val single = count(p, "SinglePartition")
-        val bhj = count(p, "BroadcastHashJoin")
-        val smj = count(p, "SortMergeJoin")
-        val shuffles = count(p, "Exchange hashpartitioning")
-        val topk = count(p, "TakeOrderedAndProject")
-        // table-scan count: a query that re-reads the same table N
-        // times pays N full scans at 100 TB — the q552 lesson (its
+        val df = q.fn(spark, sfDir)
+        // table-scan attribution: a query that re-reads the same table
+        // N times pays N full scans at 100 TB — the q552 lesson (its
         // first per-rung UNION form scanned documents 4x)
-        val scans = count(p, "Scan parquet")
-        val flags = new StringBuilder
-        if (cartesian > 0) flags ++= " !CARTESIAN"
-        // a single-partition exchange is fine only for final tiny
-        // results (global sort of an aggregated/limited set)
-        if (single > 1) flags ++= " !MULTI-SINGLE-PARTITION"
-        if (flags.nonEmpty) flagged += 1
-        println(f"${q.name}%-28s bhj=$bhj smj=$smj shuf=$shuffles topk=$topk single=$single scans=$scans$flags")
+        val scanTables = PlanAudit.parquetScanTables(df)
+        val scans = scanTables.size
+        val tables = scanTables.distinct.size
+        if (budgetsMode) {
+          if (scans > tables) println(s"${q.name}\t$scans\t$tables")
+        } else {
+          val p = df.queryExecution.executedPlan.toString
+          val cartesian = count(p, "CartesianProduct") + count(p, "BroadcastNestedLoopJoin")
+          val single = count(p, "SinglePartition")
+          val bhj = count(p, "BroadcastHashJoin")
+          val smj = count(p, "SortMergeJoin")
+          val shuffles = count(p, "Exchange hashpartitioning")
+          val topk = count(p, "TakeOrderedAndProject")
+          val flags = new StringBuilder
+          if (cartesian > 0) flags ++= " !CARTESIAN"
+          // a single-partition exchange is fine only for final tiny
+          // results (global sort of an aggregated/limited set)
+          if (single > 1) flags ++= " !MULTI-SINGLE-PARTITION"
+          if (flags.nonEmpty) flagged += 1
+          println(f"${q.name}%-28s bhj=$bhj smj=$smj shuf=$shuffles topk=$topk single=$single scans=$scans tables=$tables$flags")
+        }
       } catch {
         case e: Exception =>
           println(f"${q.name}%-28s ERROR ${e.getMessage.take(80)}")
       }
     }
-    println(s"flagged: $flagged")
+    if (!budgetsMode) println(s"flagged: $flagged")
     spark.stop()
   }
 }

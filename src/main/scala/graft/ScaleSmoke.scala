@@ -764,39 +764,91 @@ object ScaleSmoke {
       timedN(n)("q215_linear_interp") {
         operators.EventQueries.q215(spark, dir).count()
       }
-      timedN(n)("q72_streaming_hourly") {
-        operators.StreamingQueries.q72(spark, dir).count()
+      // State-size capture for the streaming pair: a listener collects
+      // every StateOperatorProgress during the stage so the curve rows
+      // carry the LIVE state bound (rows + bytes) beside the wall —
+      // the 100×-scale claim for keyed-domain state is about state,
+      // not just time. (q72/q74 run the default provider; the RocksDB
+      // DISK bound at the same n comes from the twsstate/twsdisk
+      // probes, which replay through NearDupStream on RocksDB.)
+      def withStateMetrics(name: String)(f: => Unit): Unit = {
+        val events = new java.util.concurrent.ConcurrentLinkedQueue[
+          org.apache.spark.sql.streaming.StreamingQueryProgress]()
+        val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+          override def onQueryStarted(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+          override def onQueryProgress(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+            events.add(e.progress)
+          override def onQueryTerminated(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        }
+        spark.streams.addListener(listener)
+        try f finally {
+          spark.streams.removeListener(listener)
+          import scala.jdk.CollectionConverters._
+          val ops = events.asScala.flatMap(p =>
+            Option(p.stateOperators).toSeq.flatten).toSeq
+          if (ops.nonEmpty)
+            println(f"[scale] $name%-22s state: rows=${ops.map(_.numRowsTotal).max}%9d  " +
+              f"peakBytes=${ops.map(_.memoryUsedBytes).max}%12d")
+        }
       }
-      timedN(n)("q74_streaming_dedup") {
-        operators.StreamingQueries.q74(spark, dir).count()
+      withStateMetrics("q72_streaming_hourly") {
+        timedN(n)("q72_streaming_hourly") {
+          operators.StreamingQueries.q72(spark, dir).count()
+        }
+      }
+      withStateMetrics("q74_streaming_dedup") {
+        timedN(n)("q74_streaming_dedup") {
+          operators.StreamingQueries.q74(spark, dir).count()
+        }
       }
       timedN(n)("q197_interval_overlap") {
         intervalOverlapStage(spark, n, capped = true)
       }
-      // q166 family point: zipf corpus (same construction as the main
-      // flow), capped at 200k docs — the stated PPJoin smoke bound;
-      // curve it at n ≤ 200k (candidate volume, not scan, dominates).
+      // zipf corpus builder (same construction as the main flow) for
+      // the set-similarity pair below
+      def zipfDocs(m: Long): DataFrame = {
+        val zBase = spark.range(m).select($"id".as("doc_id"),
+          when($"id" % 100 === 1, $"id" - 1).otherwise($"id").as("seed"))
+        val zWords = transform(
+          sequence(lit(1), lit(25) + pmod(xxhash64($"seed"), lit(10)).cast("int")),
+          i => concat(lit("z"), floor(exp(
+            (pmod(xxhash64($"seed" * 1000 + i), lit(1000000)).cast("double")
+              / 1000000.0) * math.log(10000.0))).cast("long")))
+        zBase.select($"doc_id",
+          array_join(
+            when($"doc_id" % 100 === 1,
+              concat(slice(zWords, lit(1), size(zWords) - 1),
+                array(concat(lit("x"), $"doc_id")))).otherwise(zWords),
+            " ").as("text"),
+          lit("en").as("lang"), lit("s0").as("source"))
+      }
+      // q166 family point: capped at 200k docs — the stated PPJoin
+      // smoke bound; curve it at n ≤ 200k (candidate volume, not scan,
+      // dominates).
       val zCap = math.min(n, 200000L)
-      val zBase = spark.range(zCap).select($"id".as("doc_id"),
-        when($"id" % 100 === 1, $"id" - 1).otherwise($"id").as("seed"))
-      val zWords = transform(
-        sequence(lit(1), lit(25) + pmod(xxhash64($"seed"), lit(10)).cast("int")),
-        i => concat(lit("z"), floor(exp(
-          (pmod(xxhash64($"seed" * 1000 + i), lit(1000000)).cast("double")
-            / 1000000.0) * math.log(10000.0))).cast("long")))
-      val zdocs = zBase.select($"doc_id",
-        array_join(
-          when($"doc_id" % 100 === 1,
-            concat(slice(zWords, lit(1), size(zWords) - 1),
-              array(concat(lit("x"), $"doc_id")))).otherwise(zWords),
-          " ").as("text"),
-        lit("en").as("lang"), lit("s0").as("source"))
+      val zdocs = zipfDocs(zCap)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val zN = zdocs.count()
       timedN(zN)("q166_prefix_jaccard") {
         operators.IndexingQueries.prefixJaccardPairs(zdocs).count()
       }
       zdocs.unpersist()
+      // q554 blocked-set-join point: the SAME zipf corpus, carried to
+      // 1M docs — 5× past q166's measured quadratic wall. The
+      // LSH-block-first composition must hold a near-flat rows/s curve
+      // through the regime where q166's exploded; that flat curve is
+      // the whole reason the operator exists.
+      val bCap = math.min(n, 1000000L)
+      val bdocs = zipfDocs(bCap)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bN = bdocs.count()
+      timedN(bN)("q554_blocked_set_join") {
+        operators.IndexingQueries.blockedSetJoin(bdocs).count()
+      }
+      bdocs.unpersist()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       spark.stop()
       return

@@ -3671,6 +3671,84 @@ class PlantedStructureSpec extends SparkSpec {
     }
   }
 
+  test("q554 blocked set join finds the planted twin, respects blocks, and verifies exactly") {
+    // doc 1/2: 19 of 21 distinct tokens shared -> jac 19/23? no:
+    // |A|=20, |B|=20, inter=19, union=21 -> 19/21 = 0.9047 >= 0.9.
+    // doc 3 = doc 1's text in ANOTHER source -> cross-block, no pair.
+    // doc 4 shares 10 of 30 union tokens with doc 1 -> 0.33, dropped
+    // by the exact verify even if banding proposes it.
+    val w = (1 to 20).map(i => s"w$i")
+    val d = documentsDir(Seq(
+      (1L, w.mkString(" "), "en", "s", 1L),
+      (2L, (w.take(19) :+ "x1").mkString(" "), "en", "s", 1L),
+      (3L, w.mkString(" "), "en", "t", 1L),
+      (4L, (w.take(10) ++ (1 to 10).map(i => s"y$i")).mkString(" "), "en", "s", 1L)))
+    val out = operators.IndexingQueries.blockedSetJoin(
+        graft.Tables.documents(spark, d)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 2L, 19L, 21L)), out.toSeq.toString)
+    // on this fixture the blocked join loses nothing vs the lossless
+    // prefix join — the exact-verify stage makes the EMITTED rows
+    // identical whenever banding recall is 1
+    val exact = operators.IndexingQueries.prefixJaccardPairs(
+        graft.Tables.documents(spark, d)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === exact.toSeq)
+  }
+
+  test("q556 resolves the EXACT planted span length, including past the open 64-bracket") {
+    // Same planted construction as the bracketing sweep — two docs
+    // share EXACTLY an L-word prefix with disjoint tail alphabets —
+    // but now the assertion pins exact_span = L itself, not just the
+    // rung bracket. L = 140 exercises the open-ended top bracket
+    // (span_ge_w = 64, true span > 2·64); L = rung and rung-1 pin the
+    // bracket edges; L = 8 the minimum.
+    val rungs = Seq(8L, 16L, 32L, 64L)
+    for (l <- Seq(8, 15, 16, 31, 32, 63, 64, 80, 127, 128, 140)) {
+      val common = (1 to l).map(i => s"c$i").mkString(" ")
+      val tailA = (1 to 5).map(i => s"a$i").mkString(" ")
+      val tailB = (1 to 5).map(i => s"b$i").mkString(" ")
+      val d = documentsDir(Seq(
+        (1L, s"$common $tailA", "en", "s", 1L),
+        (2L, s"$common $tailB", "en", "s", 1L)))
+      val out = operators.TrainingQueries.q556(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+      val want = rungs.filter(_ <= l).max
+      assert(out.toSeq === Seq((1L, 2L, want, (l - 7).toLong, l.toLong)),
+        s"L=$l: ${out.toSeq}")
+    }
+  }
+
+  test("q557 incremental maintenance hash-equals the full recompute on delta-crossing structure") {
+    // Corpus engineered so the delta rule (doc_id % 10 = 7) crosses
+    // every maintenance path: a base-base pair (1,2), a delta-delta
+    // pair (7,17), a base-delta pair (5,27), and a viral 10-doc digest
+    // (100..109) whose capped top-8 contains the delta doc 107 — the
+    // merged-top-8 re-cap must reproduce exactly what a from-scratch
+    // cap computes. The gate is row-for-row equality with q552.
+    val c = (1 to 16).map(i => s"c$i").mkString(" ")
+    val f = (1 to 16).map(i => s"f$i").mkString(" ")
+    val g = (1 to 8).map(i => s"g$i").mkString(" ")
+    val e = (1 to 8).map(i => s"e$i").mkString(" ")
+    val d = documentsDir(Seq(
+      (1L, s"$c a1 a2 a3 a4", "en", "s", 1L),
+      (2L, s"$c b1 b2 b3 b4", "en", "s", 1L),
+      (7L, s"$f a1 a2 a3 a4", "en", "s", 1L),
+      (17L, s"$f b1 b2 b3 b4", "en", "s", 1L),
+      (5L, s"$g x1 y1 z1", "en", "s", 1L),
+      (27L, s"$g p1 q1 r1", "en", "s", 1L)) ++
+      (100L to 109L).map(i => (i, e, "en", "s", 1L)))
+    val full = operators.TrainingQueries.q552(spark, d).collect().toSeq
+    val incr = operators.TrainingQueries.q557(spark, d).collect().toSeq
+    assert(incr === full,
+      s"incremental != recompute:\n  incr=$incr\n  full=$full")
+    // the planted pairs all survive into the leaderboard
+    val pairs = full.map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (p <- Seq((1L, 2L), (7L, 17L), (5L, 27L)))
+      assert(pairs.contains(p), s"missing planted pair $p in $pairs")
+  }
+
   test("q553 flags the language whose duplicates the composed pipeline collapses") {
     // aa: 8 copies of one passing text (qm 664000) -> dedup keeps doc 1
     //   only; doc 1 hashes to train. bb: 8 UNIQUE passing texts; doc 13
