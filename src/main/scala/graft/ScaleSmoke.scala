@@ -848,6 +848,11 @@ object ScaleSmoke {
       timedN(bN)("q554_blocked_set_join") {
         operators.IndexingQueries.blockedSetJoin(bdocs).count()
       }
+      // production path: same banding/cap/verify, xxhash64 signature
+      // family (the oracle-free 6-8× of minhashSignatureWordsFast)
+      timedN(bN)("blocked_set_join_fast") {
+        operators.IndexingQueries.blockedSetJoinFast(bdocs).count()
+      }
       bdocs.unpersist()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       spark.stop()

@@ -551,35 +551,110 @@ object IndexingQueries {
       maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     val s = docsIn.sparkSession
     import s.implicits._
-    val nHashes = 12
-    val nBands = 4
-    val rowsPerBand = 3
-    // materialized: feeds the signature pass AND both verify sides —
-    // without it each consumer re-runs the scan + split + distinct-sort
-    val base = docsIn
-      .select($"doc_id", $"source", $"lang",
-        array_sort(array_distinct(filter(words($"text"), w => w =!= "")))
-          .as("ws"))
-      .transform(Fx.materialize)
+    val base = blockedBase(docsIn)
     val toks = base.select($"doc_id", $"source", $"lang",
       explode($"ws").as("w"))
-    // q51's one-md5 Kirsch-Mitzenmacher family, over unigram TOKENS
-    // (the Jaccard here is q166's distinct-token Jaccard, so the
-    // signature must sketch the same set; q51-q53 sketch bigram
-    // shingles because their target is q53's containment-style 0.6
-    // near-dup, a different similarity)
+    // One md5 per TOKEN (the Jaccard here is q166's distinct-token
+    // Jaccard, so the signature must sketch the same set; q51-q53
+    // sketch bigram shingles for q53's different 0.6 target), but NOT
+    // q51's 2-coefficient Kirsch-Mitzenmacher family: h_i = a1 + i·a2
+    // has linearly-dependent values across i, so on a small skewed
+    // vocabulary the token minimizing one h_i tends to minimize many —
+    // correlated signature rows concentrate band buckets and inflate
+    // candidate volume (measured on the ScaleSmoke Zipf corpus: the KM
+    // family ran 7× slower than the independent xxhash64 family at
+    // 400k docs PURELY from bucket concentration). The fix keeps the
+    // single digest: all FOUR 32-bit chunks of the md5 become the
+    // coefficients of a degree-3 polynomial in i — a 4-wise
+    // independent family, h_i = (a1 + i·a2 + i²·a3 + i³·a4) mod 2^32
+    // — which decorrelates the minima while staying exactly
+    // mirrorable in DuckDB (integer arithmetic, i ≤ 12 keeps every
+    // product inside BIGINT).
     val withH = toks
       .withColumn("__d", md5($"w"))
       .withColumn("__a1", conv(substring($"__d", 1, 8), 16, 10).cast("long"))
       .withColumn("__a2", conv(substring($"__d", 9, 8), 16, 10).cast("long"))
-    val aggs = (1 to nHashes).map { i =>
-      min(pmod($"__a1" + lit(i.toLong) * $"__a2", lit(4294967296L))).as(s"__m$i")
-    }
-    val hexed = (1 to nHashes).map(i =>
+      .withColumn("__a3", conv(substring($"__d", 17, 8), 16, 10).cast("long"))
+      .withColumn("__a4", conv(substring($"__d", 25, 8), 16, 10).cast("long"))
+    def hi(i: Int) = min(pmod(
+      $"__a1" + lit(i.toLong) * $"__a2" +
+        lit((i.toLong * i)) * $"__a3" + lit((i.toLong * i * i)) * $"__a4",
+      lit(4294967296L))).as(s"__m$i")
+    val aggs = hi(1) +: (2 to NHashes).map(hi) :+
+      least(count(lit(1)), lit(LenSat)).as("len")
+    val hexed = (1 to NHashes).map(i =>
       lower(lpad(hex(col(s"__m$i")), 8, "0")).as(s"h$i"))
     val sig = withH.groupBy($"doc_id", $"source", $"lang")
       .agg(aggs.head, aggs.tail: _*)
-      .select(Seq($"doc_id", $"source", $"lang") ++ hexed: _*)
+      .select(Seq($"doc_id", $"source", $"lang", $"len") ++ hexed: _*)
+    blockedFromSig(base, sig, maxBucket)
+  }
+
+  /** Production-speed variant of [[blockedSetJoin]]: xxhash64 minhash
+    * family (native long arithmetic inside codegen on the per-token
+    * hot path) instead of the oracle-mirrorable md5 family — the
+    * [[Dedup.minhashSignatureWordsFast]] trade applied here. Same
+    * banding, cap, and EXACT verify, so any banding-recall parity
+    * (pinned on planted structure in DedupSimilaritySpec's mold)
+    * makes the OUTPUT identical: emitted pairs pass the identical
+    * integer Jaccard test either way. Use this off the oracle path;
+    * q554 stays on the md5 family so DuckDB can mirror it. */
+  def blockedSetJoinFast(docsIn: DataFrame,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    val base = blockedBase(docsIn)
+    val toks = base.select($"doc_id", $"source", $"lang",
+      explode($"ws").as("w"))
+    val aggs = min(xxhash64($"w", lit(1))).as("__m1") +:
+      (2 to NHashes).map(i => min(xxhash64($"w", lit(i))).as(s"__m$i")) :+
+      least(count(lit(1)), lit(LenSat)).as("len")
+    // fixed-width hex AFTER the min-agg (one format per doc, not per
+    // token) so the positional band concat can't alias across
+    // variable-width values
+    val hexed = (1 to NHashes).map(i =>
+      lpad(hex(col(s"__m$i")), 16, "0").as(s"h$i"))
+    val sig = toks.groupBy($"doc_id", $"source", $"lang")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(Seq($"doc_id", $"source", $"lang", $"len") ++ hexed: _*)
+    blockedFromSig(base, sig, maxBucket)
+  }
+
+  private val NHashes = 12
+  private val NBands = 4
+  private val RowsPerBand = 3
+
+  /** Saturation bound for the packed per-doc distinct-token count (20
+    * bits). Saturating a longer doc only LOOSENS the length prefilter
+    * (ratios move toward 1 → more candidates pass → exactness of the
+    * verify stage untouched), so losslessness survives arbitrarily
+    * long documents; doc_ids must stay below 2^43 for the pack (the
+    * testdata and any per-shard id scheme do — stated). */
+  private val LenSat = 1048575L
+
+  /** Shared head of the blocked-join family: one corpus scan into
+    * materialized sorted distinct-token arrays — feeds the signature
+    * pass AND both verify sides (without it each consumer re-runs the
+    * scan + split + distinct-sort). */
+  private def blockedBase(docsIn: DataFrame): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    docsIn
+      .select($"doc_id", $"source", $"lang",
+        array_sort(array_distinct(filter(words($"text"), w => w =!= "")))
+          .as("ws"))
+      .transform(Fx.materialize)
+  }
+
+  /** Shared tail: banding over a (doc_id, source, lang, h1..h12)
+    * signature frame, capped bucket candidate generation, exact
+    * integer-verified Jaccard ≥ 0.9 emission. */
+  private def blockedFromSig(base: DataFrame, sig: DataFrame,
+      maxBucket: Int): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    val nBands = NBands
+    val rowsPerBand = RowsPerBand
     // Dedup.lshBands inlined with the (source, lang) block columns
     // carried through (the library form drops everything but the id)
     val bandStructs = (1 to nBands).map { b =>
@@ -587,23 +662,39 @@ object IndexingQueries {
       struct(lit(b).as("band_idx"), concat(cols: _*).as("band_hash"))
     }
     val bands = sig
-      .select($"doc_id", $"source", $"lang",
+      .select($"doc_id", $"len", $"source", $"lang",
         explode(array(bandStructs: _*)).as("band"))
-      .select($"doc_id", $"source", $"lang",
+      .select($"doc_id", $"len", $"source", $"lang",
         $"band.band_idx".as("band_idx"), $"band.band_hash".as("band_hash"))
     // single-pass capped bucket → in-row pair generation (the
-    // candidatePairs shape, bucket key extended by the block)
+    // candidatePairs shape, bucket key extended by the block). Each
+    // collected element packs (doc_id << 20 | saturated len) into one
+    // long so the bounded buffer stays primitive; sort_array orders by
+    // doc_id (the high bits). The LENGTH PREFILTER inside the pair
+    // lambda is LOSSLESS for the θ = 0.9 target — J ≤ min(len)/
+    // max(len), so 9·max(len) ≤ 10·min(len) is NECESSARY for J ≥ 0.9
+    // (q166's candidate filter) — and it fires before the distinct
+    // shuffle: on a Zipfian corpus most band collisions are
+    // background-similarity junk whose lengths already disagree, and
+    // dropping them in-row was measured to cut the cap-crossing cost
+    // hump (ScaleSmoke 400k point) without changing a single emitted
+    // pair.
     graft.plans.BoundedCollect.register(s)
+    val lenOf = (p: Column) => p.bitwiseAND(lit(LenSat))
     val cands = bands
       .groupBy($"band_idx", $"band_hash", $"source", $"lang")
       .agg(graft.plans.BoundedCollect
-        .bounded_collect($"doc_id", maxBucket + 1).as("__ids"))
+        .bounded_collect(shiftleft($"doc_id", 20) + $"len", maxBucket + 1)
+        .as("__ids"))
       .filter(size($"__ids").between(2, maxBucket))
       .select(sort_array($"__ids").as("__ids"))
       .select(explode(flatten(transform($"__ids", (x, i) =>
-        transform(slice($"__ids", i + lit(2), size($"__ids")),
-          y => struct(x.as("d1"), y.as("d2")))))).as("__p"))
-      .select($"__p.d1".as("d1"), $"__p.d2".as("d2"))
+        filter(transform(slice($"__ids", i + lit(2), size($"__ids")),
+          y => struct(x.as("a"), y.as("b"))),
+          p => greatest(lenOf(p.getField("a")), lenOf(p.getField("b"))) * 9 <=
+            least(lenOf(p.getField("a")), lenOf(p.getField("b"))) * 10))))
+        .as("__p"))
+      .select(shiftright($"__p.a", 20).as("d1"), shiftright($"__p.b", 20).as("d2"))
       .distinct()
     val da = base.select($"doc_id".as("d1"), $"ws".as("wa"),
       size($"ws").cast("long").as("l1"))
@@ -628,11 +719,11 @@ object IndexingQueries {
   /** Shared oracle CTE chain mirroring [[blockedSetJoin]]. */
   private val blockedSql: String = {
     val hexed = (1 to 12).map(i =>
-      s"lower(lpad(to_hex(min((a1 + $i * a2) % 4294967296)), 8, '0')) AS h$i")
+      s"lower(lpad(to_hex(min((a1 + $i * a2 + ${i * i} * a3 + ${i * i * i} * a4) % 4294967296)), 8, '0')) AS h$i")
       .mkString(",\n      ")
     val bandSelects = (1 to 4).map { b =>
       val hs = ((b - 1) * 3 + 1 to b * 3).map(i => s"h$i").mkString(" || ")
-      s"SELECT doc_id, source, lang, $b AS band_idx, $hs AS band_hash FROM sig"
+      s"SELECT doc_id, len, source, lang, $b AS band_idx, $hs AS band_hash FROM sig"
     }.mkString("\n    UNION ALL\n    ")
     s"""wbase AS (
        |    SELECT doc_id, source, lang,
@@ -641,11 +732,14 @@ object IndexingQueries {
        |    FROM documents),
        |  sig AS (
        |    SELECT doc_id, source, lang,
+       |      least(count(*), 1048575) AS len,
        |      $hexed
        |    FROM (
        |      SELECT doc_id, source, lang,
        |        ('0x' || substr(d, 1, 8))::BIGINT AS a1,
-       |        ('0x' || substr(d, 9, 8))::BIGINT AS a2
+       |        ('0x' || substr(d, 9, 8))::BIGINT AS a2,
+       |        ('0x' || substr(d, 17, 8))::BIGINT AS a3,
+       |        ('0x' || substr(d, 25, 8))::BIGINT AS a4
        |      FROM (SELECT doc_id, source, lang, md5(unnest(ws)) AS d
        |            FROM wbase) q) r
        |    GROUP BY doc_id, source, lang),
@@ -662,7 +756,8 @@ object IndexingQueries {
        |    FROM gated l JOIN gated r
        |      ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
        |     AND l.source = r.source AND l.lang = r.lang
-       |     AND l.doc_id < r.doc_id),
+       |     AND l.doc_id < r.doc_id
+       |     AND greatest(l.len, r.len) * 9 <= least(l.len, r.len) * 10),
        |  bj AS (
        |    SELECT d1, d2,
        |      CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS inter,

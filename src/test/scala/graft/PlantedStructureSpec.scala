@@ -3696,6 +3696,30 @@ class PlantedStructureSpec extends SparkSpec {
     assert(out.toSeq === exact.toSeq)
   }
 
+  test("blockedSetJoinFast (xxhash64 family) emits the same verified pairs as the md5 family") {
+    // the exact-verify tail makes the two families' OUTPUTS identical
+    // whenever both bandings recall the pair — pin that on a fixture
+    // with a twin pair, a cross-block decoy, a low-sim candidate, and
+    // an identical-doc cluster (identical docs share every band in
+    // BOTH families, so the cluster is recall-proof by construction)
+    val w = (1 to 20).map(i => s"w$i")
+    val ident = (1 to 12).map(i => s"v$i").mkString(" ")
+    val d = documentsDir(Seq(
+      (1L, w.mkString(" "), "en", "s", 1L),
+      (2L, (w.take(19) :+ "x1").mkString(" "), "en", "s", 1L),
+      (3L, w.mkString(" "), "en", "t", 1L),
+      (4L, (w.take(10) ++ (1 to 10).map(i => s"y$i")).mkString(" "), "en", "s", 1L)) ++
+      (50L to 54L).map(i => (i, ident, "en", "s", 1L)))
+    val docs = graft.Tables.documents(spark, d)
+    val md5Out = operators.IndexingQueries.blockedSetJoin(docs).collect().toSeq
+    val fastOut = operators.IndexingQueries.blockedSetJoinFast(docs).collect().toSeq
+    assert(md5Out === fastOut, s"md5=$md5Out fast=$fastOut")
+    val pairs = md5Out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"twin missing: $pairs")
+    assert(pairs.filter(p => p._1 >= 50L).size === 10, // C(5,2)
+      s"identical cluster pairs wrong: $pairs")
+  }
+
   test("q556 resolves the EXACT planted span length, including past the open 64-bracket") {
     // Same planted construction as the bracketing sweep — two docs
     // share EXACTLY an L-word prefix with disjoint tail alphabets —
