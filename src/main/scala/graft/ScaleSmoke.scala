@@ -785,6 +785,13 @@ object ScaleSmoke {
         }
         spark.streams.addListener(listener)
         try f finally {
+          // listener-bus delivery is asynchronous: a trailing progress
+          // event posted at stream stop can arrive after f returns and
+          // be lost if the listener detaches immediately, under-
+          // reporting peak state. A short fixed drain is proportionate
+          // for this measurement-only harness (stated; the correctness
+          // specs use committed-row listeners, not this path).
+          Thread.sleep(1000)
           spark.streams.removeListener(listener)
           import scala.jdk.CollectionConverters._
           val ops = events.asScala.flatMap(p =>
@@ -837,11 +844,14 @@ object ScaleSmoke {
       }
       zdocs.unpersist()
       // q554 blocked-set-join point: the SAME zipf corpus, carried to
-      // 1M docs — 5× past q166's measured quadratic wall. The
+      // 2M docs — 10× past q166's measured quadratic wall (the r17
+      // curve stopped at 1M; r18 adds the next doubling plus a bucket-
+      // occupancy column, so a band-domain saturation knee would show
+      // in the occupancy numbers before it shows in the wall). The
       // LSH-block-first composition must hold a near-flat rows/s curve
       // through the regime where q166's exploded; that flat curve is
       // the whole reason the operator exists.
-      val bCap = math.min(n, 1000000L)
+      val bCap = math.min(n, 2000000L)
       val bdocs = zipfDocs(bCap)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bN = bdocs.count()
@@ -852,6 +862,12 @@ object ScaleSmoke {
       // family (the oracle-free 6-8× of minhashSignatureWordsFast)
       timedN(bN)("blocked_set_join_fast") {
         operators.IndexingQueries.blockedSetJoinFast(bdocs).count()
+      }
+      for ((fam, fast) <- Seq(("md5", false), ("fast", true))) {
+        val r = operators.IndexingQueries.blockedBucketStats(bdocs, fast).head()
+        println(f"[scale] blocked_buckets_$fam%-4s n=$bN%9d buckets=${r.getLong(0)}%9d " +
+          f"pairgen=${r.getLong(1)}%8d overflow=${r.getLong(2)}%6d " +
+          f"max_occ=${r.getLong(3)}%6d pairs_pregen=${r.getLong(4)}%10d")
       }
       bdocs.unpersist()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))

@@ -3063,10 +3063,27 @@ object DecisionQueries {
       .withColumn("d1", expr("c1 * a22 - c2 * a12"))
       .withColumn("d2", expr("a11 * c2 - a12 * c1"))
       .select($"n",
-        expr("((cast(sy as decimal(38,0)) * det - d1 * s1 - d2 * s2) * 1000000) div (n * det)")
-          .as("b0_micro"),
-        expr("(d1 * 1000000) div det").as("b1_micro"),
-        expr("(d2 * 1000000) div det").as("b2_micro"))
+        guardOverflow("b0_micro",
+          expr("((cast(sy as decimal(38,0)) * det - d1 * s1 - d2 * s2) * 1000000) div (n * det)")),
+        guardOverflow("b1_micro", expr("(d1 * 1000000) div det")),
+        guardOverflow("b2_micro", expr("(d2 * 1000000) div det")))
+  }
+
+  /** q558's magnitude bound (sy·det·10⁶ ≲ 10³⁴) is STATED, and beyond
+    * it Spark's non-ANSI decimal mode returns NULL where DuckDB's
+    * HUGEINT stays exact or errors — a silent cross-engine divergence.
+    * This guard turns any NULL coefficient on a non-empty corpus into
+    * a loud in-plan error (coalesce is lazy: the raise_error branch
+    * only evaluates when the estimate actually nulled out). n = 0
+    * keeps the legacy all-null row (empty-corpus semantics, both
+    * engines agree). */
+  private def guardOverflow(name: String, c: Column): Column = {
+    coalesce(c,
+      when(col("n") > 0, raise_error(concat(
+        lit(s"q558: $name is NULL on a non-empty corpus — DECIMAL(38) " +
+          "overflow past the stated sy*det*1e6 <= 1e34 bound; escalate " +
+          "per the q297 256-bit note, n="), col("n").cast("string"))))
+        .otherwise(lit(null).cast("long"))).as(name)
   }
 
   val q558Sql: String =

@@ -549,9 +549,17 @@ object IndexingQueries {
     */
   def blockedSetJoin(docsIn: DataFrame,
       maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
-    val s = docsIn.sparkSession
-    import s.implicits._
     val base = blockedBase(docsIn)
+    blockedFromSig(base, blockedMd5Sig(base), maxBucket)
+  }
+
+  /** The md5-oracle-family signature frame over a [[blockedBase]]
+    * (shared by q554 and q559's threshold sweep): degree-3 polynomial
+    * minhash with the four md5 chunks as coefficients — see
+    * [[blockedSetJoin]]'s doc for why. */
+  private def blockedMd5Sig(base: DataFrame): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
     val toks = base.select($"doc_id", $"source", $"lang",
       explode($"ws").as("w"))
     // One md5 per TOKEN (the Jaccard here is q166's distinct-token
@@ -570,12 +578,21 @@ object IndexingQueries {
     // — which decorrelates the minima while staying exactly
     // mirrorable in DuckDB (integer arithmetic, i ≤ 12 keeps every
     // product inside BIGINT).
+    //
+    // The chunk extraction is the native codegen'd
+    // [[graft.plans.Md5Chunks]] (one digest pass per token, primitive
+    // longs out) rather than the hex-substring/conv chain the oracle
+    // spells out: SCALE.md's r17 A/B dissected the md5 family's 2×
+    // per-doc cost drift at 1M docs to md5-hex + 4× radix-16 string
+    // parses per token — byte-identical semantics (Md5ChunksSpec pins
+    // the parity against the conv chain), q554Sql untouched.
+    graft.plans.GraftFunctions.register(s)
     val withH = toks
-      .withColumn("__d", md5($"w"))
-      .withColumn("__a1", conv(substring($"__d", 1, 8), 16, 10).cast("long"))
-      .withColumn("__a2", conv(substring($"__d", 9, 8), 16, 10).cast("long"))
-      .withColumn("__a3", conv(substring($"__d", 17, 8), 16, 10).cast("long"))
-      .withColumn("__a4", conv(substring($"__d", 25, 8), 16, 10).cast("long"))
+      .withColumn("__c", graft.plans.GraftFunctions.md5_chunks($"w"))
+      .withColumn("__a1", element_at($"__c", 1))
+      .withColumn("__a2", element_at($"__c", 2))
+      .withColumn("__a3", element_at($"__c", 3))
+      .withColumn("__a4", element_at($"__c", 4))
     def hi(i: Int) = min(pmod(
       $"__a1" + lit(i.toLong) * $"__a2" +
         lit((i.toLong * i)) * $"__a3" + lit((i.toLong * i * i)) * $"__a4",
@@ -584,10 +601,9 @@ object IndexingQueries {
       least(count(lit(1)), lit(LenSat)).as("len")
     val hexed = (1 to NHashes).map(i =>
       lower(lpad(hex(col(s"__m$i")), 8, "0")).as(s"h$i"))
-    val sig = withH.groupBy($"doc_id", $"source", $"lang")
+    withH.groupBy($"doc_id", $"source", $"lang")
       .agg(aggs.head, aggs.tail: _*)
       .select(Seq($"doc_id", $"source", $"lang", $"len") ++ hexed: _*)
-    blockedFromSig(base, sig, maxBucket)
   }
 
   /** Production-speed variant of [[blockedSetJoin]]: xxhash64 minhash
@@ -601,9 +617,15 @@ object IndexingQueries {
     * q554 stays on the md5 family so DuckDB can mirror it. */
   def blockedSetJoinFast(docsIn: DataFrame,
       maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
-    val s = docsIn.sparkSession
-    import s.implicits._
     val base = blockedBase(docsIn)
+    blockedFromSig(base, blockedFastSig(base), maxBucket)
+  }
+
+  /** xxhash64 signature frame over a [[blockedBase]] (the production
+    * family — see [[blockedSetJoinFast]]). */
+  private def blockedFastSig(base: DataFrame): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
     val toks = base.select($"doc_id", $"source", $"lang",
       explode($"ws").as("w"))
     val aggs = min(xxhash64($"w", lit(1))).as("__m1") +:
@@ -614,10 +636,36 @@ object IndexingQueries {
     // variable-width values
     val hexed = (1 to NHashes).map(i =>
       lpad(hex(col(s"__m$i")), 16, "0").as(s"h$i"))
-    val sig = toks.groupBy($"doc_id", $"source", $"lang")
+    toks.groupBy($"doc_id", $"source", $"lang")
       .agg(aggs.head, aggs.tail: _*)
       .select(Seq($"doc_id", $"source", $"lang", $"len") ++ hexed: _*)
-    blockedFromSig(base, sig, maxBucket)
+  }
+
+  /** Diagnostic: band-bucket occupancy distribution for either
+    * signature family — one row with total buckets, pair-generating
+    * buckets (2..maxBucket), overflow (cap-dropped) buckets, the max
+    * occupancy, and the in-bucket pair volume BEFORE the length
+    * prefilter (Σ n·(n−1)/2 over pair-generating buckets). ScaleSmoke
+    * prints this beside each blocked-join curve point: a band-domain
+    * saturation knee (occupancy concentrating as docs grow past the
+    * band-hash domain) shows up here before it shows up as wall time. */
+  def blockedBucketStats(docsIn: DataFrame, fast: Boolean = true,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    val base = blockedBase(docsIn)
+    val sig = if (fast) blockedFastSig(base) else blockedMd5Sig(base)
+    bandRows(sig)
+      .groupBy($"band_idx", $"band_hash", $"source", $"lang")
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when($"n".between(2, maxBucket), 1L).otherwise(0L))
+          .as("n_pair_buckets"),
+        sum(when($"n" > maxBucket, 1L).otherwise(0L)).as("n_overflow"),
+        max($"n").as("max_occ"),
+        sum(when($"n".between(2, maxBucket),
+          shiftright($"n" * ($"n" - 1L), 1)).otherwise(0L))
+          .as("pairs_pregen"))
   }
 
   private val NHashes = 12
@@ -628,8 +676,9 @@ object IndexingQueries {
     * bits). Saturating a longer doc only LOOSENS the length prefilter
     * (ratios move toward 1 → more candidates pass → exactness of the
     * verify stage untouched), so losslessness survives arbitrarily
-    * long documents; doc_ids must stay below 2^43 for the pack (the
-    * testdata and any per-shard id scheme do — stated). */
+    * long documents; doc_ids must stay below 2^43 for the pack — a
+    * violating id raises in-plan (blockedFromSig's packableId guard)
+    * instead of silently corrupting pair ids. */
   private val LenSat = 1048575L
 
   /** Shared head of the blocked-join family: one corpus scan into
@@ -653,27 +702,51 @@ object IndexingQueries {
       maxBucket: Int): DataFrame = {
     val s = base.sparkSession
     import s.implicits._
-    val nBands = NBands
-    val rowsPerBand = RowsPerBand
-    // Dedup.lshBands inlined with the (source, lang) block columns
-    // carried through (the library form drops everything but the id)
-    val bandStructs = (1 to nBands).map { b =>
-      val cols = ((b - 1) * rowsPerBand + 1 to b * rowsPerBand).map(i => col(s"h$i"))
+    blockedVerify(base, blockedCandidates(sig, maxBucket, 9, 10))
+      .filter($"inter" * 10 >= $"un" * 9)
+      .select($"d1".as("doc_id_1"), $"d2".as("doc_id_2"), $"inter", $"un",
+        r4($"inter".cast("double") / $"un").as("jac"))
+      .orderBy($"doc_id_1", $"doc_id_2")
+  }
+
+  /** Banding + capped-bucket candidate generation over a signature
+    * frame, with the LOSSLESS length prefilter parameterized by the
+    * target threshold θ = pfNum/pfDen (J ≤ min(len)/max(len), so
+    * max(len)·pfNum ≤ min(len)·pfDen is necessary for J ≥ θ — q554
+    * passes (9, 10); q559's sweep passes its loosest θ (4, 5) so one
+    * candidate set serves every swept threshold). Emits distinct
+    * (d1, d2) with d1 < d2. */
+  /** Band rows over a signature frame: (doc_id, len, source, lang,
+    * band_idx, band_hash). Dedup.lshBands inlined with the (source,
+    * lang) block columns carried through (the library form drops
+    * everything but the id). */
+  private def bandRows(sig: DataFrame): DataFrame = {
+    val s = sig.sparkSession
+    import s.implicits._
+    val bandStructs = (1 to NBands).map { b =>
+      val cols = ((b - 1) * RowsPerBand + 1 to b * RowsPerBand).map(i => col(s"h$i"))
       struct(lit(b).as("band_idx"), concat(cols: _*).as("band_hash"))
     }
-    val bands = sig
+    sig
       .select($"doc_id", $"len", $"source", $"lang",
         explode(array(bandStructs: _*)).as("band"))
       .select($"doc_id", $"len", $"source", $"lang",
         $"band.band_idx".as("band_idx"), $"band.band_hash".as("band_hash"))
+  }
+
+  private def blockedCandidates(sig: DataFrame, maxBucket: Int,
+      pfNum: Int, pfDen: Int): DataFrame = {
+    val s = sig.sparkSession
+    import s.implicits._
+    val bands = bandRows(sig)
     // single-pass capped bucket → in-row pair generation (the
     // candidatePairs shape, bucket key extended by the block). Each
     // collected element packs (doc_id << 20 | saturated len) into one
     // long so the bounded buffer stays primitive; sort_array orders by
     // doc_id (the high bits). The LENGTH PREFILTER inside the pair
-    // lambda is LOSSLESS for the θ = 0.9 target — J ≤ min(len)/
-    // max(len), so 9·max(len) ≤ 10·min(len) is NECESSARY for J ≥ 0.9
-    // (q166's candidate filter) — and it fires before the distinct
+    // lambda is LOSSLESS for the θ = pfNum/pfDen target — J ≤ min(len)/
+    // max(len), so pfNum·max(len) ≤ pfDen·min(len) is NECESSARY for
+    // J ≥ θ (q166's candidate filter) — and it fires before the distinct
     // shuffle: on a Zipfian corpus most band collisions are
     // background-similarity junk whose lengths already disagree, and
     // dropping them in-row was measured to cut the cap-crossing cost
@@ -681,32 +754,46 @@ object IndexingQueries {
     // pair.
     graft.plans.BoundedCollect.register(s)
     val lenOf = (p: Column) => p.bitwiseAND(lit(LenSat))
+    // The (doc_id << 20 | len) pack is injective only for doc_id ∈
+    // [0, 2^43) (LenSat's stated precondition) — an out-of-range id
+    // must fail the query loudly, not silently emit corrupted d1/d2
+    // after the shiftright unpack.
+    val packableId = when($"doc_id" >= 0L && $"doc_id" < lit(1L << 43), $"doc_id")
+      .otherwise(raise_error(concat(
+        lit("blockedFromSig: doc_id outside packable [0, 2^43): "),
+        $"doc_id".cast("string"))))
     val cands = bands
       .groupBy($"band_idx", $"band_hash", $"source", $"lang")
       .agg(graft.plans.BoundedCollect
-        .bounded_collect(shiftleft($"doc_id", 20) + $"len", maxBucket + 1)
+        .bounded_collect(shiftleft(packableId, 20) + $"len", maxBucket + 1)
         .as("__ids"))
       .filter(size($"__ids").between(2, maxBucket))
       .select(sort_array($"__ids").as("__ids"))
       .select(explode(flatten(transform($"__ids", (x, i) =>
         filter(transform(slice($"__ids", i + lit(2), size($"__ids")),
           y => struct(x.as("a"), y.as("b"))),
-          p => greatest(lenOf(p.getField("a")), lenOf(p.getField("b"))) * 9 <=
-            least(lenOf(p.getField("a")), lenOf(p.getField("b"))) * 10))))
+          p => greatest(lenOf(p.getField("a")), lenOf(p.getField("b"))) * pfNum <=
+            least(lenOf(p.getField("a")), lenOf(p.getField("b"))) * pfDen))))
         .as("__p"))
       .select(shiftright($"__p.a", 20).as("d1"), shiftright($"__p.b", 20).as("d2"))
       .distinct()
+    cands
+  }
+
+  /** Exact verification of a (d1, d2) candidate frame against the
+    * materialized base arrays: two array lookups per candidate, exact
+    * integer (inter, un) out — NO threshold applied, so callers can
+    * price any θ against the same verified set. */
+  private def blockedVerify(base: DataFrame, cands: DataFrame): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
     val da = base.select($"doc_id".as("d1"), $"ws".as("wa"),
       size($"ws").cast("long").as("l1"))
     val db = base.select($"doc_id".as("d2"), $"ws".as("wb"),
       size($"ws").cast("long").as("l2"))
     cands.join(da, "d1").join(db, "d2")
       .withColumn("inter", size(array_intersect($"wa", $"wb")).cast("long"))
-      .filter($"inter" * 10 >= ($"l1" + $"l2" - $"inter") * 9)
-      .select($"d1".as("doc_id_1"), $"d2".as("doc_id_2"), $"inter",
-        ($"l1" + $"l2" - $"inter").as("un"),
-        r4($"inter".cast("double") / ($"l1" + $"l2" - $"inter")).as("jac"))
-      .orderBy($"doc_id_1", $"doc_id_2")
+      .select($"d1", $"d2", $"inter", ($"l1" + $"l2" - $"inter").as("un"))
   }
 
   /** q554 — the composed operator above on the documents table, with
@@ -716,8 +803,12 @@ object IndexingQueries {
   def q554(s: SparkSession, d: String): DataFrame =
     blockedSetJoin(Tables.documents(s, d))
 
-  /** Shared oracle CTE chain mirroring [[blockedSetJoin]]. */
-  private val blockedSql: String = {
+  /** Shared oracle CTE chain mirroring [[blockedBase]] → [[blockedMd5Sig]]
+    * → [[blockedCandidates]](pfNum, pfDen) → [[blockedVerify]]: ends at
+    * `bj` = verified (d1, d2, inter, un) with NO threshold applied —
+    * q554/q555 add the θ = 0.9 `blocked` CTE, q559 prices the sweep
+    * against the same `bj`. */
+  private def blockedCtes(pfNum: Int, pfDen: Int): String = {
     val hexed = (1 to 12).map(i =>
       s"lower(lpad(to_hex(min((a1 + $i * a2 + ${i * i} * a3 + ${i * i * i} * a4) % 4294967296)), 8, '0')) AS h$i")
       .mkString(",\n      ")
@@ -757,19 +848,24 @@ object IndexingQueries {
        |      ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
        |     AND l.source = r.source AND l.lang = r.lang
        |     AND l.doc_id < r.doc_id
-       |     AND greatest(l.len, r.len) * 9 <= least(l.len, r.len) * 10),
+       |     AND greatest(l.len, r.len) * $pfNum <= least(l.len, r.len) * $pfDen),
        |  bj AS (
        |    SELECT d1, d2,
        |      CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS inter,
        |      CAST(len(a.ws) + len(b.ws)
        |        - len(list_intersect(a.ws, b.ws)) AS BIGINT) AS un
        |    FROM cand JOIN wbase a ON d1 = a.doc_id
-       |              JOIN wbase b ON d2 = b.doc_id),
+       |              JOIN wbase b ON d2 = b.doc_id)""".stripMargin
+  }
+
+  /** q554/q555's chain: [[blockedCtes]] at the production (9, 10)
+    * prefilter plus the θ = 0.9 emission CTE. */
+  private val blockedSql: String =
+    s"""${blockedCtes(9, 10)},
        |  blocked AS (
        |    SELECT d1 AS doc_id_1, d2 AS doc_id_2, inter, un,
        |      ${sqlR4("CAST(inter AS DOUBLE) / un")} AS jac
        |    FROM bj WHERE inter * 10 >= un * 9)""".stripMargin
-  }
 
   val q554Sql: String =
     s"""WITH $blockedSql
@@ -833,9 +929,100 @@ object IndexingQueries {
        |    AS recall_milli
        |FROM stats""".stripMargin
 
+  /** q559 — blocked-join threshold sweep (r17 verdict #5: the q298
+    * one-candidate-set/many-θ discipline applied to q554): the banded
+    * candidate set computes ONCE — at the loosest swept prefilter
+    * (4, 5) so it serves every θ — and is exact-verified ONCE into
+    * integer (inter, un); the sweep then re-prices θ ∈ {0.80, 0.85,
+    * 0.90, 0.95} as pure integer comparisons (inter·100 ≥ un·θ%)
+    * against both the verified candidates and the lossless exact
+    * within-block join. Per θ: exact pair count, blocked pair count,
+    * the θ-independent verified-candidate volume, and integer recall —
+    * the curve that prices the (b, r) = (4, 3) banding against the
+    * verify threshold a production dedup pass actually tunes (recall
+    * FALLS as θ rises past the banding's S-curve center; the candidate
+    * volume is what the banding spends to buy it). Precision is
+    * structurally 1 at every θ: emitted pairs pass the same exact
+    * integer test on both sides.
+    *
+    * Scale shape: one corpus scan (the shared materialized base feeds
+    * signature, verify arrays, AND the exact join's token explode);
+    * the exact join is the q166-quadratic shape and exists here for
+    * the same reason as q555's — it is the RULER, run at oracle SFs,
+    * not the production path. */
+  def q559(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = blockedBase(Tables.documents(s, d))
+    val cand = blockedVerify(base,
+        blockedCandidates(blockedMd5Sig(base), Dedup.DefaultMaxBucket, 4, 5))
+      .transform(Fx.materialize) // consumed by n_cand AND every θ count
+    val etoks = base.select($"doc_id", $"source", $"lang",
+      explode($"ws").as("w"))
+    val elens = base.select($"doc_id", size($"ws").cast("long").as("len"))
+    val exact = etoks.as("x").join(etoks.as("y"),
+        $"x.w" === $"y.w" && $"x.source" === $"y.source" &&
+          $"x.lang" === $"y.lang" && $"x.doc_id" < $"y.doc_id")
+      .groupBy($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(elens.select($"doc_id".as("d1"), $"len".as("l1")), "d1")
+      .join(elens.select($"doc_id".as("d2"), $"len".as("l2")), "d2")
+      .select($"d1", $"d2", $"inter", ($"l1" + $"l2" - $"inter").as("un"))
+      .filter($"inter" * 5 >= $"un" * 4)
+      .transform(Fx.materialize) // consumed once per swept θ
+    val rows = Seq(80, 85, 90, 95).map { t =>
+      exact.filter($"inter" * 100 >= $"un" * t)
+        .agg(count(lit(1)).as("n_exact"))
+        .crossJoin(cand.filter($"inter" * 100 >= $"un" * t)
+          .agg(count(lit(1)).as("n_blocked")))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .select(lit(t.toLong).as("theta_pct"), $"n_exact", $"n_blocked",
+          $"n_cand",
+          when($"n_exact" === 0, 1000L)
+            .otherwise(expr("(n_blocked * 1000) div n_exact"))
+            .as("recall_milli"))
+    }
+    rows.reduce(_ unionByName _).orderBy($"theta_pct")
+  }
+
+  val q559Sql: String =
+    s"""WITH ${blockedCtes(4, 5)},
+       |  th AS (SELECT unnest([80, 85, 90, 95]) AS t),
+       |  etoks AS (
+       |    SELECT doc_id, source, lang, unnest(ws) AS w FROM wbase),
+       |  elens AS (SELECT doc_id, len(ws) AS len FROM wbase),
+       |  epairs AS (
+       |    SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS inter
+       |    FROM etoks x JOIN etoks y ON x.w = y.w
+       |      AND x.source = y.source AND x.lang = y.lang
+       |      AND x.doc_id < y.doc_id
+       |    GROUP BY 1, 2),
+       |  exact AS (
+       |    SELECT d1, d2, inter, l1.len + l2.len - inter AS un
+       |    FROM epairs
+       |    JOIN elens l1 ON d1 = l1.doc_id
+       |    JOIN elens l2 ON d2 = l2.doc_id
+       |    WHERE inter * 5 >= (l1.len + l2.len - inter) * 4),
+       |  nc AS (SELECT count(*) AS n_cand FROM bj),
+       |  es AS (SELECT th.t, count(e.d1) AS n_exact
+       |         FROM th LEFT JOIN exact e ON e.inter * 100 >= e.un * th.t
+       |         GROUP BY th.t),
+       |  bs AS (SELECT th.t, count(b.d1) AS n_blocked
+       |         FROM th LEFT JOIN bj b ON b.inter * 100 >= b.un * th.t
+       |         GROUP BY th.t)
+       |SELECT CAST(th.t AS BIGINT) AS theta_pct,
+       |  CAST(es.n_exact AS BIGINT) AS n_exact,
+       |  CAST(bs.n_blocked AS BIGINT) AS n_blocked,
+       |  CAST(nc.n_cand AS BIGINT) AS n_cand,
+       |  CAST(CASE WHEN es.n_exact = 0 THEN 1000
+       |    ELSE (bs.n_blocked * 1000) // es.n_exact END AS BIGINT)
+       |    AS recall_milli
+       |FROM th JOIN es ON th.t = es.t JOIN bs ON th.t = bs.t CROSS JOIN nc
+       |ORDER BY theta_pct""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
-    QueryDef("q554_blocked_set_join", q554, Some(q554Sql)),
+    QueryDef("q554_blocked_set_join", q554, Some(q554Sql), bench = true),
     QueryDef("q555_blocked_recall", q555, Some(q555Sql)),
+    QueryDef("q559_blocked_threshold_sweep", q559, Some(q559Sql)),
     QueryDef("q313_fuzzy_title_join", q313, Some(q313Sql)),
     QueryDef("q290_tfidf_similarity_join", q290, Some(q290Sql)),
     QueryDef("q164_bigram_lm_score", q164, Some(q164Sql), bench = true),

@@ -654,11 +654,34 @@ object TrainingQueries {
     * digest shuffle — q552's shape, with the (doc_id, w) frame
     * materialized once so the leaderboard AND the text lookup consume
     * a single read); the exact resolution touches exactly 30 pairs —
-    * 60 doc texts — joined via two broadcast-sized equi-joins, with
-    * per-pair cost O(len·range) in pure codegen'd HOF expressions
-    * (no early exit inside `filter`, so a very-long-doc corpus would
-    * swap in a dyadic doubling probe first; stated). */
+    * 60 doc texts — joined via two broadcast-sized equi-joins. The
+    * per-pair resolution is a DYADIC DOUBLING PROBE + binary search
+    * (r17 verdict #2): the shared-window predicate P(L) = "the docs
+    * share an L-word window" is monotone (a shared L-window contains a
+    * shared (L−1)-window), so the maximum true L is found with
+    * O(log range) window-digest evaluations instead of the previous
+    * full [w, min(len)] linear scan — and the gallop phase keeps the
+    * probes NEAR span_ge_w when the true span is (typically) inside
+    * its [w, 2w) bracket, where a bare bisection would open at the
+    * most expensive mid-corpus L. Each probe is pure codegen'd HOF
+    * expressions; the loop is `aggregate` over a per-row iteration
+    * budget of ⌈log₂(range)⌉+2 no-op-padded steps (CASE-lazy, so
+    * converged iterations cost nothing). Monotonicity is exact on
+    * windows; on their md5 digests it holds absent digest collisions
+    * (the same assumption the linear scan's arrays_overlap already
+    * made — PlantedStructureSpec pins exactness to L = 3000). */
   def q556(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    exactSpanFrame(s, d)
+      .select($"doc_a", $"doc_b", $"span_ge_w", $"shared_w8", $"exact_span")
+      .orderBy($"span_ge_w".desc, $"shared_w8".desc, $"doc_a", $"doc_b")
+  }
+
+  /** Shared core of q556/q560: the q552 leaderboard joined to both
+    * word arrays with the exact longest shared span length resolved
+    * (gallop + binary search — see q556's doc). Emits doc_a, doc_b,
+    * span_ge_w, shared_w8, wa, wb, exact_span. */
+  private def exactSpanFrame(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docsW = Tables.documents(s, d)
       .select($"doc_id", words($"text").as("w"))
@@ -671,18 +694,56 @@ object TrainingQueries {
     val top = spanLeaderboard(pairRows)
     val ta = docsW.select($"doc_id".as("doc_a"), $"w".as("wa"))
     val tb = docsW.select($"doc_id".as("doc_b"), $"w".as("wb"))
-    def winDigests(arr: Column, L: Column): Column =
-      transform(sequence(lit(1), size(arr) - L.cast("int") + 1),
-        i => md5(array_join(slice(arr, i, L.cast("int")), " ")))
+    def sharedAt(L: Column): Column =
+      arrays_overlap(spanWinDigests($"wa", L), spanWinDigests($"wb", L))
+    def iters(range: Column): Column =
+      ceil(log2((greatest(range, lit(1L)) + 2L).cast("double")))
+        .cast("long") + 2L
     top.join(ta, "doc_a").join(tb, "doc_b")
+      .withColumn("minL", least(size($"wa"), size($"wb")).cast("long"))
+      // gallop: from the known-true span_ge_w, probe lo+1, lo+2, lo+4…
+      // (each success ADVANCES lo, so probes sit at lo₀ + 2^i − 1)
+      // until a probe fails or exceeds minL. State (lo, step, hiX):
+      // P(lo) true throughout; hiX = 0 while open, else the exclusive
+      // false-or-beyond bound. CASE branches keep finished iterations
+      // free.
+      .withColumn("g", aggregate(
+        sequence(lit(1L), iters($"minL" - $"span_ge_w")),
+        struct($"span_ge_w".as("lo"), lit(1L).as("step"), lit(0L).as("hiX")),
+        (st, _) => {
+          val (lo, step, hiX) =
+            (st.getField("lo"), st.getField("step"), st.getField("hiX"))
+          val probe = lo + step
+          when(hiX =!= 0L, st)
+            .otherwise(when(probe > $"minL",
+              struct(lo.as("lo"), step.as("step"), ($"minL" + 1L).as("hiX")))
+              .otherwise(when(sharedAt(probe),
+                struct(probe.as("lo"), (step * 2L).as("step"), lit(0L).as("hiX")))
+                .otherwise(struct(lo.as("lo"), step.as("step"), probe.as("hiX")))))
+        }))
+      // bisect the gallop bracket [g.lo, g.hiX−1] for the last true L;
+      // invariant: P(lo) true, everything above hi false-or-beyond
       .withColumn("exact_span",
-        array_max(filter(
-          sequence($"span_ge_w",
-            least(size($"wa"), size($"wb")).cast("long")),
-          L => arrays_overlap(winDigests($"wa", L), winDigests($"wb", L)))))
-      .select($"doc_a", $"doc_b", $"span_ge_w", $"shared_w8", $"exact_span")
-      .orderBy($"span_ge_w".desc, $"shared_w8".desc, $"doc_a", $"doc_b")
+        when(!sharedAt($"span_ge_w"), lit(null).cast("long"))
+          .otherwise(aggregate(
+            sequence(lit(1L), iters($"g.hiX" - 1L - $"g.lo")),
+            struct($"g.lo".as("lo"), ($"g.hiX" - 1L).as("hi")),
+            (st, _) => {
+              val (lo, hi) = (st.getField("lo"), st.getField("hi"))
+              val mid = shiftright(lo + hi + 1L, 1)
+              when(lo >= hi, st)
+                .otherwise(when(sharedAt(mid),
+                  struct(mid.as("lo"), hi.as("hi")))
+                  .otherwise(struct(lo.as("lo"), (mid - 1L).as("hi"))))
+            },
+            st => st.getField("lo"))))
   }
+
+  /** All L-word window digests of a word array (1-based starts; both
+    * engines md5 the same space-joined strings). */
+  private def spanWinDigests(arr: Column, L: Column): Column =
+    transform(sequence(lit(1), size(arr) - L.cast("int") + 1),
+      i => md5(array_join(slice(arr, i, L.cast("int")), " ")))
 
   val q556Sql: String =
     s"""WITH $spanLadderSqlCtes,
@@ -750,6 +811,103 @@ object TrainingQueries {
   /** The oracle is q552's full recompute, verbatim — equality of the
     * incremental plan's output against it is the whole point. */
   val q557Sql: String = q552Sql
+
+  /** q560 — per-doc span-rewrite EDIT LIST (r17 verdict #6): q152 is
+    * the fixed-window sibling that rewrites the whole corpus on 8-word
+    * df; q556 resolves the EXACT longest shared span per leaderboard
+    * pair. This composes them into the edit list a Lee-et-al.-style
+    * exact-substring rewrite actually executes. Keep-one-copy policy:
+    * each pair's removal lands in the HIGHER doc_id (the lower id
+    * keeps its copy — stated, deterministic); the removal interval
+    * anchors at the SMALLEST start position in the rewritten doc whose
+    * exact_span-length window digest matches any window of the kept
+    * doc; per doc, the intervals contributed by all its pairs merge by
+    * interval union (sort by start, running-max end, flag-and-sum
+    * group ids — the classic sweep, ROWS frames on both engines so tie
+    * groups label identically) into disjoint 1-based word-index spans:
+    * doc_id, ivl_start, ivl_end, ivl_words, n_pairs.
+    *
+    * Scale shape: everything beyond q556's corpus-wide ladder work
+    * touches only the ≤ 30 leaderboard pairs — one digest-membership
+    * pass per pair for the anchor, a ≤ 30-row keyed window for the
+    * union. A doc named only as the LOWER id of its pairs is absent
+    * from the plan by construction (its copy is the kept one). */
+  def q560(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val f = exactSpanFrame(s, d).filter($"exact_span".isNotNull)
+    val withPos = f
+      .withColumn("digA", spanWinDigests($"wa", $"exact_span"))
+      .withColumn("digB", spanWinDigests($"wb", $"exact_span"))
+      .withColumn("start_b", array_min(filter(
+        sequence(lit(1L), size($"digB").cast("long")),
+        j => array_contains($"digA", element_at($"digB", j.cast("int"))))))
+    val ivls = withPos.select($"doc_b".as("doc_id"), $"start_b".as("s"),
+      ($"start_b" + $"exact_span" - 1L).as("e"))
+    val wCur = Window.partitionBy($"doc_id").orderBy($"s", $"e")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.partitionBy($"doc_id").orderBy($"s", $"e")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ivls
+      .withColumn("maxe_prev", max($"e").over(wPrev))
+      .withColumn("newg",
+        when($"maxe_prev".isNull || $"s" > $"maxe_prev", 1L).otherwise(0L))
+      .withColumn("grp", sum($"newg").over(wCur))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"s").as("ivl_start"), max($"e").as("ivl_end"),
+        count(lit(1)).as("n_pairs"))
+      .select($"doc_id", $"ivl_start", $"ivl_end",
+        ($"ivl_end" - $"ivl_start" + 1L).as("ivl_words"), $"n_pairs")
+      .orderBy($"doc_id", $"ivl_start")
+  }
+
+  val q560Sql: String =
+    s"""WITH $spanLadderSqlCtes,
+       |top AS (
+       |  SELECT doc_a, doc_b, CAST(max(wlen) AS BIGINT) AS span_ge_w,
+       |    CAST(sum(CASE WHEN wlen = 8 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS shared_w8
+       |  FROM pairs GROUP BY doc_a, doc_b
+       |  ORDER BY span_ge_w DESC, shared_w8 DESC, doc_a, doc_b
+       |  LIMIT 30),
+       |res AS (
+       |  SELECT doc_b, ta.w AS wa, tb.w AS wb,
+       |    CAST(list_max(list_filter(
+       |      range(span_ge_w, least(len(ta.w), len(tb.w)) + 1),
+       |      L -> list_has_any(
+       |        list_transform(range(1, len(ta.w) - L + 2),
+       |          i -> md5(array_to_string(ta.w[i:i+L-1], ' '))),
+       |        list_transform(range(1, len(tb.w) - L + 2),
+       |          i -> md5(array_to_string(tb.w[i:i+L-1], ' '))))))
+       |      AS BIGINT) AS exact_span
+       |  FROM top JOIN t ta ON top.doc_a = ta.doc_id
+       |           JOIN t tb ON top.doc_b = tb.doc_id),
+       |pos AS (
+       |  SELECT doc_b AS doc_id, exact_span,
+       |    CAST(list_min(list_filter(range(1, len(wb) - exact_span + 2),
+       |      j -> list_contains(
+       |        list_transform(range(1, len(wa) - exact_span + 2),
+       |          i -> md5(array_to_string(wa[i:i+exact_span-1], ' '))),
+       |        md5(array_to_string(wb[j:j+exact_span-1], ' '))))) AS BIGINT)
+       |      AS s
+       |  FROM res WHERE exact_span IS NOT NULL),
+       |ivls AS (SELECT doc_id, s, s + exact_span - 1 AS e FROM pos),
+       |m AS (
+       |  SELECT doc_id, s, e,
+       |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe_prev
+       |  FROM ivls),
+       |g AS (
+       |  SELECT doc_id, s, e,
+       |    sum(CASE WHEN maxe_prev IS NULL OR s > maxe_prev THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY s, e
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+       |  FROM m)
+       |SELECT doc_id, CAST(min(s) AS BIGINT) AS ivl_start,
+       |  CAST(max(e) AS BIGINT) AS ivl_end,
+       |  CAST(max(e) - min(s) + 1 AS BIGINT) AS ivl_words,
+       |  CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM g GROUP BY doc_id, grp
+       |ORDER BY doc_id, ivl_start""".stripMargin
 
   /** q144 — per-document boilerplate fraction: the share of a doc's
     * distinct 8-word windows that also occur in at least one OTHER
@@ -1118,5 +1276,6 @@ object TrainingQueries {
     QueryDef("q552_longest_repeated_span", q552, Some(q552Sql)),
     QueryDef("q556_exact_span_resolution", q556, Some(q556Sql)),
     QueryDef("q557_incremental_span_ladder", q557, Some(q557Sql)),
+    QueryDef("q560_span_rewrite_plan", q560, Some(q560Sql)),
   )
 }

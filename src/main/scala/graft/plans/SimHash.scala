@@ -107,6 +107,7 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   * `simhash64($"text")`. */
 object GraftFunctions {
   def simhash64(c: Column): Column = call_function("simhash64", c)
+  def md5_chunks(c: Column): Column = call_function("md5_chunks", c)
   def rolling_hash(c: Column): Column = call_function("rolling_hash", c)
   def vec_cosine(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
   def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
@@ -116,6 +117,7 @@ object GraftFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("md5_chunks", es => Md5Chunks(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("rolling_hash", es => RollingHash(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("vec_cosine", es => CosineSim(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("vec_dot", es => DotProduct(es(0), es(1)), "scala_udf")

@@ -3744,6 +3744,105 @@ class PlantedStructureSpec extends SparkSpec {
     }
   }
 
+  test("q559 prices the swept thresholds exactly on planted near-threshold pairs") {
+    // Five pairs with EXACT planted Jaccard straddling every swept θ
+    // (disjoint token alphabets per pair so no cross-pair similarity):
+    //   pair 1: 16/20 = 0.80  (boundary-inclusive at θ=80)
+    //   pair 2: 17/20 = 0.85  (boundary-inclusive at θ=85)
+    //   pair 3: 18/20 = 0.90
+    //   pair 4: 24/25 = 0.96
+    //   pair 5: 15/20 = 0.75  (below the sweep — must count nowhere)
+    def shared(p: Int, n: Int) = (1 to n).map(i => s"p${p}s$i")
+    def doc(id: Long, toks: Seq[String]) =
+      (id, toks.mkString(" "), "en", "s", 1L)
+    val d = documentsDir(Seq(
+      doc(1, shared(1, 16) ++ Seq("p1a1", "p1a2")),
+      doc(2, shared(1, 16) ++ Seq("p1b1", "p1b2")),
+      doc(3, shared(2, 17) :+ "p2a1"),
+      doc(4, shared(2, 17) ++ Seq("p2b1", "p2b2")),
+      doc(5, shared(3, 18) :+ "p3a1"),
+      doc(6, shared(3, 18) :+ "p3b1"),
+      doc(7, shared(4, 24)),
+      doc(8, shared(4, 24) :+ "p4b1"),
+      doc(9, shared(5, 15) ++ Seq("p5a1", "p5a2", "p5a3")),
+      doc(10, shared(5, 15) ++ Seq("p5b1", "p5b2"))))
+    val out = operators.IndexingQueries.q559(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // the exact ruler counts the planted pairs with boundary-inclusive
+    // integer comparisons — no float threshold anywhere
+    assert(out.map(x => (x._1, x._2)).toSeq ===
+      Seq((80L, 4L), (85L, 3L), (90L, 2L), (95L, 1L)), out.toSeq.toString)
+    // structural invariants: blocked ⊆ exact (precision 1), candidate
+    // volume is θ-independent, recall is the integer quotient
+    for ((t, ne, nb, nc, rm) <- out) {
+      assert(nb <= ne, s"θ=$t: blocked $nb > exact $ne")
+      assert(nc === out.head._4, s"θ=$t: candidate volume not constant")
+      assert(rm === (if (ne == 0) 1000L else nb * 1000L / ne), s"θ=$t")
+    }
+  }
+
+  test("q556 dyadic probe resolves long-doc spans the linear scan could not touch") {
+    // (a) LONG docs, SHORT true span — the regime the r17 linear scan
+    // was visibly quadratic in (it evaluated every L in [64, 3000),
+    // each a full window-digest pass over ~3000-word docs; the gallop
+    // stays within a few probes of span_ge_w and the whole resolution
+    // is ~6 digest passes). Planted: exactly a 70-word shared prefix,
+    // disjoint 2930-word tails.
+    val common = (1 to 70).map(i => s"c$i").mkString(" ")
+    val fillA = (1 to 2930).map(i => s"a$i").mkString(" ")
+    val fillB = (1 to 2930).map(i => s"b$i").mkString(" ")
+    val d1 = documentsDir(Seq(
+      (1L, s"$common $fillA", "en", "s", 1L),
+      (2L, s"$common $fillB", "en", "s", 1L)))
+    val out1 = operators.TrainingQueries.q556(spark, d1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out1.toSeq === Seq((1L, 2L, 64L, 63L, 70L)), out1.toSeq.toString)
+    // (b) near-total overlap on 1200+ word docs — the gallop clamps at
+    // minL and the bisection walks down to the exact 1200.
+    val big = (1 to 1200).map(i => s"c$i").mkString(" ")
+    val tailA = (1 to 5).map(i => s"a$i").mkString(" ")
+    val tailB = (1 to 5).map(i => s"b$i").mkString(" ")
+    val d2 = documentsDir(Seq(
+      (1L, s"$big $tailA", "en", "s", 1L),
+      (2L, s"$big $tailB", "en", "s", 1L)))
+    val out2 = operators.TrainingQueries.q556(spark, d2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out2.toSeq === Seq((1L, 2L, 64L, 1193L, 1200L)), out2.toSeq.toString)
+  }
+
+  test("q560 emits the exact keep-one-copy edit list: anchors, overlap union, disjoint intervals") {
+    // x-family: doc3 = x1..x100; doc1 copies x1..x40; doc2 copies
+    // x30..x85. Pairs (1,3) and (2,3) both remove from doc3 (higher
+    // id) at anchors 1 and 30 — OVERLAPPING intervals [1,40]+[30,85]
+    // that must union to [1,85] with n_pairs 2. Pair (1,2) shares the
+    // contiguous x30..x40 (11 words) — removal in doc2 at anchor 1.
+    // y-family: doc11 = y1..y60; doc4 copies y1..y20, doc6 copies
+    // y40..y59 — DISJOINT removals [1,20] and [40,59] in doc11 that
+    // must stay two rows. doc1/doc4/doc6 appear only as lower ids —
+    // their copies are kept, so they are absent from the plan.
+    val x = (1 to 100).map(i => s"x$i")
+    val y = (1 to 60).map(i => s"y$i")
+    def t(ws: Seq[String]) = ws.mkString(" ")
+    val d = documentsDir(Seq(
+      (1L, t(x.take(40) ++ (1 to 10).map(i => s"f$i")), "en", "s", 1L),
+      (2L, t(x.slice(29, 85) ++ (1 to 10).map(i => s"g$i")), "en", "s", 1L),
+      (3L, t(x), "en", "s", 1L),
+      (4L, t(y.take(20) ++ (1 to 10).map(i => s"h$i")), "en", "s", 1L),
+      (6L, t(y.slice(39, 59) ++ (1 to 10).map(i => s"k$i")), "en", "s", 1L),
+      (11L, t(y), "en", "s", 1L)))
+    val out = operators.TrainingQueries.q560(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (2L, 1L, 11L, 11L, 1L),
+      (3L, 1L, 85L, 85L, 2L),
+      (11L, 1L, 20L, 20L, 1L),
+      (11L, 40L, 59L, 20L, 1L)), out.toSeq.toString)
+  }
+
   test("q557 incremental maintenance hash-equals the full recompute on delta-crossing structure") {
     // Corpus engineered so the delta rule (doc_id % 10 = 7) crosses
     // every maintenance path: a base-base pair (1,2), a delta-delta
