@@ -709,6 +709,58 @@ object ScaleSmoke {
     // is the audited scale-safe shape. A superlinear-cost regression
     // in any of these families shows up as a falling rows/s curve
     // here long before a 100 TB run would find it.
+    // zipf corpus builder (same construction as the main flow) for the
+    // set-similarity stages of benchcurve and the blockedonly A/B mode
+    def zipfDocs(m: Long): DataFrame = {
+      val zBase = spark.range(m).select($"id".as("doc_id"),
+        when($"id" % 100 === 1, $"id" - 1).otherwise($"id").as("seed"))
+      val zWords = transform(
+        sequence(lit(1), lit(25) + pmod(xxhash64($"seed"), lit(10)).cast("int")),
+        i => concat(lit("z"), floor(exp(
+          (pmod(xxhash64($"seed" * 1000 + i), lit(1000000)).cast("double")
+            / 1000000.0) * math.log(10000.0))).cast("long")))
+      zBase.select($"doc_id",
+        array_join(
+          when($"doc_id" % 100 === 1,
+            concat(slice(zWords, lit(1), size(zWords) - 1),
+              array(concat(lit("x"), $"doc_id")))).otherwise(zWords),
+          " ").as("text"),
+        lit("en").as("lang"), lit("s0").as("source"))
+    }
+
+    // targeted mode: `... <n> blockedonly` — JUST the blocked-join
+    // family A/B (md5 oracle family vs xxhash64 production family +
+    // bucket occupancy) on the zipf corpus, skipping the event/order
+    // stages, for iterating on the signature hot path without paying
+    // the full benchcurve preamble.
+    if (args.lift(1).contains("blockedonly")) {
+      val bdocs = zipfDocs(nDocs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bN = bdocs.count()
+      // warmup pass first (JIT + codegen caches + heap growth), then
+      // the timed pass — the benchcurve numbers run AFTER six other
+      // stages, so a cold-JVM first stage here would not be comparable
+      // (measured: the md5 family's first-cold run costs 1.4-2.6× its
+      // warm run)
+      for (tag <- Seq("warm", "timed")) {
+        timedN(bN)(s"q554_blocked_set_join:$tag") {
+          operators.IndexingQueries.blockedSetJoin(bdocs).count()
+        }
+        timedN(bN)(s"blocked_set_join_fast:$tag") {
+          operators.IndexingQueries.blockedSetJoinFast(bdocs).count()
+        }
+      }
+      for ((fam, fast) <- Seq(("md5", false), ("fast", true))) {
+        val r = operators.IndexingQueries.blockedBucketStats(bdocs, fast).head()
+        println(f"[scale] blocked_buckets_$fam%-4s n=$bN%9d buckets=${r.getLong(0)}%9d " +
+          f"pairgen=${r.getLong(1)}%8d overflow=${r.getLong(2)}%6d " +
+          f"max_occ=${r.getLong(3)}%6d pairs_pregen=${r.getLong(4)}%10d")
+      }
+      bdocs.unpersist()
+      spark.stop()
+      return
+    }
+
     if (args.lift(1).contains("benchcurve")) {
       val n = nDocs
       val dir = java.nio.file.Files.createTempDirectory("smoke-bcurve").toString
@@ -813,24 +865,6 @@ object ScaleSmoke {
       }
       timedN(n)("q197_interval_overlap") {
         intervalOverlapStage(spark, n, capped = true)
-      }
-      // zipf corpus builder (same construction as the main flow) for
-      // the set-similarity pair below
-      def zipfDocs(m: Long): DataFrame = {
-        val zBase = spark.range(m).select($"id".as("doc_id"),
-          when($"id" % 100 === 1, $"id" - 1).otherwise($"id").as("seed"))
-        val zWords = transform(
-          sequence(lit(1), lit(25) + pmod(xxhash64($"seed"), lit(10)).cast("int")),
-          i => concat(lit("z"), floor(exp(
-            (pmod(xxhash64($"seed" * 1000 + i), lit(1000000)).cast("double")
-              / 1000000.0) * math.log(10000.0))).cast("long")))
-        zBase.select($"doc_id",
-          array_join(
-            when($"doc_id" % 100 === 1,
-              concat(slice(zWords, lit(1), size(zWords) - 1),
-                array(concat(lit("x"), $"doc_id")))).otherwise(zWords),
-            " ").as("text"),
-          lit("en").as("lang"), lit("s0").as("source"))
       }
       // q166 family point: capped at 200k docs — the stated PPJoin
       // smoke bound; curve it at n ≤ 200k (candidate volume, not scan,

@@ -579,20 +579,22 @@ object IndexingQueries {
     // mirrorable in DuckDB (integer arithmetic, i ≤ 12 keeps every
     // product inside BIGINT).
     //
-    // The chunk extraction is the native codegen'd
-    // [[graft.plans.Md5Chunks]] (one digest pass per token, primitive
-    // longs out) rather than the hex-substring/conv chain the oracle
-    // spells out: SCALE.md's r17 A/B dissected the md5 family's 2×
-    // per-doc cost drift at 1M docs to md5-hex + 4× radix-16 string
-    // parses per token — byte-identical semantics (Md5ChunksSpec pins
-    // the parity against the conv chain), q554Sql untouched.
+    // The chunk extraction is the native codegen'd, ALLOCATION-FREE
+    // [[graft.plans.Md5Chunk]] scalar (one memoized digest pass per
+    // token shared by the four sibling expressions, primitive longs
+    // out) rather than the hex-substring/conv chain the oracle spells
+    // out: SCALE.md's r17 A/B dissected the md5 family's 2× per-doc
+    // cost drift at 1M docs to md5-hex + 4× radix-16 string parses
+    // per token, and the r18 re-measure showed the array-returning
+    // intermediate's per-token allocation still cost ~3× at 2M docs
+    // under a cached corpus — byte-identical semantics (Md5ChunksSpec
+    // pins the parity against the conv chain), q554Sql untouched.
     graft.plans.GraftFunctions.register(s)
     val withH = toks
-      .withColumn("__c", graft.plans.GraftFunctions.md5_chunks($"w"))
-      .withColumn("__a1", element_at($"__c", 1))
-      .withColumn("__a2", element_at($"__c", 2))
-      .withColumn("__a3", element_at($"__c", 3))
-      .withColumn("__a4", element_at($"__c", 4))
+      .withColumn("__a1", graft.plans.GraftFunctions.md5_chunk($"w", 0))
+      .withColumn("__a2", graft.plans.GraftFunctions.md5_chunk($"w", 1))
+      .withColumn("__a3", graft.plans.GraftFunctions.md5_chunk($"w", 2))
+      .withColumn("__a4", graft.plans.GraftFunctions.md5_chunk($"w", 3))
     def hi(i: Int) = min(pmod(
       $"__a1" + lit(i.toLong) * $"__a2" +
         lit((i.toLong * i)) * $"__a3" + lit((i.toLong * i * i)) * $"__a4",
@@ -699,10 +701,15 @@ object IndexingQueries {
     * signature frame, capped bucket candidate generation, exact
     * integer-verified Jaccard ≥ 0.9 emission. */
   private def blockedFromSig(base: DataFrame, sig: DataFrame,
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int): DataFrame =
+    emitVerified(base, blockedCandidates(sig, maxBucket, 9, 10))
+
+  /** Shared emission tail: exact verify, θ = 0.9 integer test, output
+    * schema + total order. */
+  private def emitVerified(base: DataFrame, cands: DataFrame): DataFrame = {
     val s = base.sparkSession
     import s.implicits._
-    blockedVerify(base, blockedCandidates(sig, maxBucket, 9, 10))
+    blockedVerify(base, cands)
       .filter($"inter" * 10 >= $"un" * 9)
       .select($"d1".as("doc_id_1"), $"d2".as("doc_id_2"), $"inter", $"un",
         r4($"inter".cast("double") / $"un").as("jac"))
@@ -719,12 +726,15 @@ object IndexingQueries {
   /** Band rows over a signature frame: (doc_id, len, source, lang,
     * band_idx, band_hash). Dedup.lshBands inlined with the (source,
     * lang) block columns carried through (the library form drops
-    * everything but the id). */
-  private def bandRows(sig: DataFrame): DataFrame = {
+    * everything but the id). Parameterized (nBands, rowsPerBand) so
+    * q561's banding grid can re-band ONE signature set; production
+    * callers use the (4, 3) default. */
+  private def bandRows(sig: DataFrame, nBands: Int = NBands,
+      rowsPerBand: Int = RowsPerBand): DataFrame = {
     val s = sig.sparkSession
     import s.implicits._
-    val bandStructs = (1 to NBands).map { b =>
-      val cols = ((b - 1) * RowsPerBand + 1 to b * RowsPerBand).map(i => col(s"h$i"))
+    val bandStructs = (1 to nBands).map { b =>
+      val cols = ((b - 1) * rowsPerBand + 1 to b * rowsPerBand).map(i => col(s"h$i"))
       struct(lit(b).as("band_idx"), concat(cols: _*).as("band_hash"))
     }
     sig
@@ -735,10 +745,11 @@ object IndexingQueries {
   }
 
   private def blockedCandidates(sig: DataFrame, maxBucket: Int,
-      pfNum: Int, pfDen: Int): DataFrame = {
+      pfNum: Int, pfDen: Int,
+      nBands: Int = NBands, rowsPerBand: Int = RowsPerBand): DataFrame = {
     val s = sig.sparkSession
     import s.implicits._
-    val bands = bandRows(sig)
+    val bands = bandRows(sig, nBands, rowsPerBand)
     // single-pass capped bucket → in-row pair generation (the
     // candidatePairs shape, bucket key extended by the block). Each
     // collected element packs (doc_id << 20 | saturated len) into one
@@ -753,20 +764,48 @@ object IndexingQueries {
     // hump (ScaleSmoke 400k point) without changing a single emitted
     // pair.
     graft.plans.BoundedCollect.register(s)
-    val lenOf = (p: Column) => p.bitwiseAND(lit(LenSat))
-    // The (doc_id << 20 | len) pack is injective only for doc_id ∈
-    // [0, 2^43) (LenSat's stated precondition) — an out-of-range id
-    // must fail the query loudly, not silently emit corrupted d1/d2
-    // after the shiftright unpack.
+    bucketize(bands, maxBucket)
+      .transform(pairsFromBuckets(maxBucket, pfNum, pfDen))
+      .distinct()
+  }
+
+  /** The (doc_id << 20 | saturated len) pack — injective only for
+    * doc_id ∈ [0, 2^43) (LenSat's stated precondition); an
+    * out-of-range id raises in-plan instead of silently emitting
+    * corrupted d1/d2 after the shiftright unpack. */
+  private def packedDocLen(s: SparkSession): Column = {
+    import s.implicits._
     val packableId = when($"doc_id" >= 0L && $"doc_id" < lit(1L << 43), $"doc_id")
       .otherwise(raise_error(concat(
         lit("blockedFromSig: doc_id outside packable [0, 2^43): "),
         $"doc_id".cast("string"))))
-    val cands = bands
+    shiftleft(packableId, 20) + $"len"
+  }
+
+  /** Band rows → per-bucket bounded packed-id membership (`__ids`,
+    * capped at maxBucket+1 so an over-cap bucket is detectable but
+    * never unbounded). */
+  private def bucketize(bands: DataFrame, maxBucket: Int): DataFrame = {
+    val s = bands.sparkSession
+    import s.implicits._
+    graft.plans.BoundedCollect.register(s)
+    bands
       .groupBy($"band_idx", $"band_hash", $"source", $"lang")
       .agg(graft.plans.BoundedCollect
-        .bounded_collect(shiftleft(packableId, 20) + $"len", maxBucket + 1)
+        .bounded_collect(packedDocLen(s), maxBucket + 1)
         .as("__ids"))
+  }
+
+  /** Bucket membership (`__ids` of packed ids) → NON-distinct (d1, d2)
+    * candidate pairs: cap filter, in-row lossless length prefilter at
+    * θ = pfNum/pfDen, unpack. Callers union bucket families and
+    * distinct once. */
+  private def pairsFromBuckets(maxBucket: Int, pfNum: Int, pfDen: Int)(
+      buckets: DataFrame): DataFrame = {
+    val s = buckets.sparkSession
+    import s.implicits._
+    val lenOf = (p: Column) => p.bitwiseAND(lit(LenSat))
+    buckets
       .filter(size($"__ids").between(2, maxBucket))
       .select(sort_array($"__ids").as("__ids"))
       .select(explode(flatten(transform($"__ids", (x, i) =>
@@ -776,9 +815,67 @@ object IndexingQueries {
             least(lenOf(p.getField("a")), lenOf(p.getField("b"))) * pfDen))))
         .as("__p"))
       .select(shiftright($"__p.a", 20).as("d1"), shiftright($"__p.b", 20).as("d2"))
-      .distinct()
-    cands
   }
+
+  /** Incremental maintenance of [[blockedSetJoin]] (the q557 O(delta)
+    * discipline applied to the flagship dedup operator): the corpus
+    * splits into a base and an arriving delta; the base's CAPPED
+    * per-bucket membership (exactly what a production pipeline
+    * persists between runs) is reused as-is for buckets the delta
+    * never touches, and only TOUCHED buckets merge base membership
+    * with delta rows and regenerate pairs. EXACT against the full
+    * recompute because the bounded collect makes over-cap detectable,
+    * never silent: a base bucket stored at maxBucket+1 elements stays
+    * over cap after ANY delta (recompute also emits nothing), and an
+    * under-cap base bucket's stored membership is COMPLETE, so the
+    * merge is the true merged bucket — including the cap-crossing
+    * case where a delta arrival pushes a previously-productive bucket
+    * over the cap and its pairs must DISAPPEAR (recompute semantics;
+    * the planted spec crosses exactly this).
+    *
+    * Scale shape: work beyond the (already-capped, materialized)
+    * base bucket artifact is proportional to the DELTA — its band
+    * rows, the touched buckets' ≤ 2·(cap+1)-element in-row merges,
+    * and their pair regeneration; the signature pass itself stays one
+    * corpus scan (base/delta split by a flag on the same banding
+    * frame, the q557 caveat verbatim). */
+  def blockedSetJoinIncr(docsIn: DataFrame, isDelta: Column => Column,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    val base = blockedBase(docsIn)
+    val bands = bandRows(blockedMd5Sig(base))
+      .withColumn("is_delta", isDelta($"doc_id"))
+      .transform(Fx.materialize) // one banding pass feeds both splits
+    val keys = Seq("band_idx", "band_hash", "source", "lang")
+    val baseBuckets = bucketize(bands.filter(!$"is_delta"), maxBucket)
+      .transform(Fx.materialize) // consumed by untouched AND merged paths
+    val deltaBuckets = bucketize(bands.filter($"is_delta"), maxBucket)
+      .withColumnRenamed("__ids", "__dids")
+    val untouched = baseBuckets
+      .join(deltaBuckets.select(keys.head, keys.tail: _*), keys, "left_anti")
+    val merged = deltaBuckets.join(baseBuckets, keys, "left")
+      .select(concat(coalesce($"__ids", array().cast("array<bigint>")),
+        $"__dids").as("__ids"))
+    val cands = untouched.transform(pairsFromBuckets(maxBucket, 9, 10))
+      .unionByName(merged.transform(pairsFromBuckets(maxBucket, 9, 10)))
+      .distinct()
+    emitVerified(base, cands)
+  }
+
+  /** q562 — the incremental form on the documents table, delta =
+    * doc_id % 10 = 7 (q557's stated rule). The oracle IS q554's full
+    * recompute verbatim: hash-equality of the incrementally-maintained
+    * pair set against the from-scratch blocked join is the whole
+    * maintenance gate. */
+  def q562(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    blockedSetJoinIncr(Tables.documents(s, d), id => id % 10 === 7)
+  }
+
+  // def, not val: q554Sql is declared further down the object and a
+  // val here would capture null at object init
+  def q562Sql: String = q554Sql
 
   /** Exact verification of a (d1, d2) candidate frame against the
     * materialized base arrays: two array lookups per candidate, exact
@@ -808,14 +905,12 @@ object IndexingQueries {
     * `bj` = verified (d1, d2, inter, un) with NO threshold applied —
     * q554/q555 add the θ = 0.9 `blocked` CTE, q559 prices the sweep
     * against the same `bj`. */
-  private def blockedCtes(pfNum: Int, pfDen: Int): String = {
+  /** wbase + sig CTE pair mirroring [[blockedBase]] → [[blockedMd5Sig]]
+    * (shared by the blockedCtes chain and q561's re-banding grid). */
+  private val blockedSigCtes: String = {
     val hexed = (1 to 12).map(i =>
       s"lower(lpad(to_hex(min((a1 + $i * a2 + ${i * i} * a3 + ${i * i * i} * a4) % 4294967296)), 8, '0')) AS h$i")
       .mkString(",\n      ")
-    val bandSelects = (1 to 4).map { b =>
-      val hs = ((b - 1) * 3 + 1 to b * 3).map(i => s"h$i").mkString(" || ")
-      s"SELECT doc_id, len, source, lang, $b AS band_idx, $hs AS band_hash FROM sig"
-    }.mkString("\n    UNION ALL\n    ")
     s"""wbase AS (
        |    SELECT doc_id, source, lang,
        |      list_sort(list_distinct(list_filter(string_split(text, ' '),
@@ -833,7 +928,15 @@ object IndexingQueries {
        |        ('0x' || substr(d, 25, 8))::BIGINT AS a4
        |      FROM (SELECT doc_id, source, lang, md5(unnest(ws)) AS d
        |            FROM wbase) q) r
-       |    GROUP BY doc_id, source, lang),
+       |    GROUP BY doc_id, source, lang)""".stripMargin
+  }
+
+  private def blockedCtes(pfNum: Int, pfDen: Int): String = {
+    val bandSelects = (1 to 4).map { b =>
+      val hs = ((b - 1) * 3 + 1 to b * 3).map(i => s"h$i").mkString(" || ")
+      s"SELECT doc_id, len, source, lang, $b AS band_idx, $hs AS band_hash FROM sig"
+    }.mkString("\n    UNION ALL\n    ")
+    s"""$blockedSigCtes,
        |  bands AS (
        |    $bandSelects),
        |  okb AS (
@@ -1019,10 +1122,132 @@ object IndexingQueries {
        |FROM th JOIN es ON th.t = es.t JOIN bs ON th.t = bs.t CROSS JOIN nc
        |ORDER BY theta_pct""".stripMargin
 
+  /** q561 — blocked-join BANDING grid (the other half of the pricing
+    * q559 opened: q559 sweeps the verify threshold θ at the fixed
+    * production (4, 3) banding; this sweeps the banding at the fixed
+    * θ = 0.9): the 12-hash md5-family signature set computes ONCE and
+    * is re-banded as (bands × rows/band) ∈ {2×6, 3×4, 4×3, 6×2} — the
+    * four factorizations of 12 — each with the same cap and lossless
+    * (9, 10) prefilter, each exact-verified. Per config: raw candidate
+    * volume (what the banding spends), verified pairs at θ = 0.9 (what
+    * it catches), the config-independent exact pair count, and integer
+    * recall. The theoretical S-curve P(cand | J=0.9) runs 0.78 (2×6) →
+    * 0.96 (3×4) → 0.994 (4×3) → 0.9999 (6×2) while candidate volume
+    * rises with band count — this query turns that textbook curve into
+    * a measured, oracle-checked readout on the corpus the parameters
+    * will actually run on.
+    *
+    * Scale shape: one corpus scan (materialized base), one signature
+    * aggregation (materialized — re-banded four ways without
+    * recomputing a hash), four capped band shuffles on 12 total band
+    * rows per doc — the SAME total band-row volume as running the
+    * production config four times, NOT 4× the signature work. The
+    * exact ruler is the q559/q555 token join, verification-scale only. */
+  def q561(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = blockedBase(Tables.documents(s, d))
+    val sig = blockedMd5Sig(base).transform(Fx.materialize)
+    val etoks = base.select($"doc_id", $"source", $"lang",
+      explode($"ws").as("w"))
+    val elens = base.select($"doc_id", size($"ws").cast("long").as("len"))
+    val exactN = etoks.as("x").join(etoks.as("y"),
+        $"x.w" === $"y.w" && $"x.source" === $"y.source" &&
+          $"x.lang" === $"y.lang" && $"x.doc_id" < $"y.doc_id")
+      .groupBy($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(elens.select($"doc_id".as("d1"), $"len".as("l1")), "d1")
+      .join(elens.select($"doc_id".as("d2"), $"len".as("l2")), "d2")
+      .filter($"inter" * 10 >= ($"l1" + $"l2" - $"inter") * 9)
+      .agg(count(lit(1)).as("n_exact"))
+    val rows = Seq((2, 6), (3, 4), (4, 3), (6, 2)).map { case (b, r) =>
+      blockedVerify(base,
+          blockedCandidates(sig, Dedup.DefaultMaxBucket, 9, 10, b, r))
+        .agg(count(lit(1)).as("n_cand"),
+          coalesce(sum(when($"inter" * 10 >= $"un" * 9, 1L).otherwise(0L)),
+            lit(0L)).as("n_pairs"))
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          $"n_cand", $"n_pairs")
+    }
+    rows.reduce(_ unionByName _)
+      .crossJoin(exactN)
+      .select($"bands", $"rows_per_band", $"n_cand", $"n_pairs", $"n_exact",
+        when($"n_exact" === 0, 1000L)
+          .otherwise(expr("(n_pairs * 1000) div n_exact"))
+          .as("recall_milli"))
+      .orderBy($"bands")
+  }
+
+  val q561Sql: String = {
+    val cfgs = Seq((2, 6), (3, 4), (4, 3), (6, 2))
+    def cfgCtes(b: Int, r: Int): String = {
+      val sel = (1 to b).map { k =>
+        val hs = ((k - 1) * r + 1 to k * r).map(i => s"h$i").mkString(" || ")
+        s"SELECT doc_id, len, source, lang, $k AS band_idx, $hs AS band_hash FROM sig"
+      }.mkString("\n    UNION ALL\n    ")
+      s"""bands_${b}x$r AS (
+         |    $sel),
+         |  okb_${b}x$r AS (
+         |    SELECT band_idx, band_hash, source, lang FROM bands_${b}x$r
+         |    GROUP BY 1, 2, 3, 4 HAVING count(*) <= ${Dedup.DefaultMaxBucket}),
+         |  gated_${b}x$r AS (
+         |    SELECT bands_${b}x$r.* FROM bands_${b}x$r
+         |    JOIN okb_${b}x$r USING (band_idx, band_hash, source, lang)),
+         |  cnt_${b}x$r AS (
+         |    SELECT $b AS bands, $r AS rows_per_band,
+         |      count(*) AS n_cand,
+         |      COALESCE(sum(CASE WHEN inter * 10 >= un * 9 THEN 1 ELSE 0 END), 0)
+         |        AS n_pairs
+         |    FROM (
+         |      SELECT CAST(len(list_intersect(wa.ws, wb.ws)) AS BIGINT) AS inter,
+         |        CAST(len(wa.ws) + len(wb.ws)
+         |          - len(list_intersect(wa.ws, wb.ws)) AS BIGINT) AS un
+         |      FROM (
+         |        SELECT DISTINCT l.doc_id AS d1, rr.doc_id AS d2
+         |        FROM gated_${b}x$r l JOIN gated_${b}x$r rr
+         |          ON l.band_idx = rr.band_idx AND l.band_hash = rr.band_hash
+         |         AND l.source = rr.source AND l.lang = rr.lang
+         |         AND l.doc_id < rr.doc_id
+         |         AND greatest(l.len, rr.len) * 9 <= least(l.len, rr.len) * 10) c
+         |      JOIN wbase wa ON c.d1 = wa.doc_id
+         |      JOIN wbase wb ON c.d2 = wb.doc_id) v)""".stripMargin
+    }
+    val unionCnt = cfgs.map { case (b, r) => s"SELECT * FROM cnt_${b}x$r" }
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $blockedSigCtes,
+       |  ${cfgs.map { case (b, r) => cfgCtes(b, r) }.mkString(",\n  ")},
+       |  etoks AS (
+       |    SELECT doc_id, source, lang, unnest(ws) AS w FROM wbase),
+       |  elens AS (SELECT doc_id, len(ws) AS len FROM wbase),
+       |  epairs AS (
+       |    SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS inter
+       |    FROM etoks x JOIN etoks y ON x.w = y.w
+       |      AND x.source = y.source AND x.lang = y.lang
+       |      AND x.doc_id < y.doc_id
+       |    GROUP BY 1, 2),
+       |  exn AS (
+       |    SELECT count(*) AS n_exact
+       |    FROM epairs
+       |    JOIN elens l1 ON d1 = l1.doc_id
+       |    JOIN elens l2 ON d2 = l2.doc_id
+       |    WHERE inter * 10 >= (l1.len + l2.len - inter) * 9)
+       |SELECT CAST(c.bands AS BIGINT) AS bands,
+       |  CAST(c.rows_per_band AS BIGINT) AS rows_per_band,
+       |  CAST(c.n_cand AS BIGINT) AS n_cand,
+       |  CAST(c.n_pairs AS BIGINT) AS n_pairs,
+       |  CAST(exn.n_exact AS BIGINT) AS n_exact,
+       |  CAST(CASE WHEN exn.n_exact = 0 THEN 1000
+       |    ELSE (c.n_pairs * 1000) // exn.n_exact END AS BIGINT)
+       |    AS recall_milli
+       |FROM ($unionCnt) c CROSS JOIN exn
+       |ORDER BY bands""".stripMargin
+  }
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("q554_blocked_set_join", q554, Some(q554Sql), bench = true),
     QueryDef("q555_blocked_recall", q555, Some(q555Sql)),
     QueryDef("q559_blocked_threshold_sweep", q559, Some(q559Sql)),
+    QueryDef("q561_blocked_banding_grid", q561, Some(q561Sql)),
+    QueryDef("q562_incremental_blocked_join", q562, Some(q562Sql)),
     QueryDef("q313_fuzzy_title_join", q313, Some(q313Sql)),
     QueryDef("q290_tfidf_similarity_join", q290, Some(q290Sql)),
     QueryDef("q164_bigram_lm_score", q164, Some(q164Sql), bench = true),

@@ -12,9 +12,70 @@ import org.apache.spark.unsafe.types.UTF8String
   * MessageDigest — no provider lookup, no hex string, no radix parse.
   */
 object Md5ChunksUtil {
-  private val digests = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
+  /** Per-thread scratch: the MessageDigest (HotSpot intrinsifies the
+    * JDK MD5 compression — keep it rather than hand-rolling), a
+    * grow-on-demand input buffer (UTF8String.getBytes would allocate
+    * AND copy per token when the string is an array slice, which split
+    * tokens always are), the 16-byte digest output, and the 4-long
+    * chunk staging array (UnsafeArrayData.fromPrimitiveArray copies,
+    * so reusing the staging array is safe). Net per-call allocation:
+    * only the returned UnsafeArrayData. */
+  private final class Scratch {
+    val md: java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
+    var in: Array[Byte] = new Array[Byte](64)
+    val out = new Array[Byte](16)
+    val chunks = new Array[Long](4)
+    /** memo for [[chunkAt]]: length of the input whose chunks are
+      * currently staged, or -1 (sc.in holds that input's bytes). */
+    var lastN: Int = -1
+  }
+  private val scratch = new ThreadLocal[Scratch] {
+    override def initialValue(): Scratch = new Scratch
+  }
+
+  private def fill(sc: Scratch, s: UTF8String, n: Int): Unit = {
+    if (sc.in.length < n) {
+      sc.in = new Array[Byte](Integer.highestOneBit(n) * 2)
+      sc.lastN = -1
+    }
+    s.writeToMemory(sc.in, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
+    val md = sc.md
+    md.reset()
+    md.update(sc.in, 0, n)
+    md.digest(sc.out, 0, 16)
+    val d = sc.out
+    val out = sc.chunks
+    var i = 0
+    while (i < 4) {
+      val o = i << 2
+      out(i) = ((d(o) & 0xffL) << 24) | ((d(o + 1) & 0xffL) << 16) |
+        ((d(o + 2) & 0xffL) << 8) | (d(o + 3) & 0xffL)
+      i += 1
+    }
+  }
+
+  /** Scalar variant — chunk `idx` (0-3) of md5(s) as a long, with a
+    * per-thread single-entry memo on the input BYTES: the four
+    * `md5_chunk(w, i)` expressions in one projection evaluate the
+    * digest once and hit the memo three times, so the hot path
+    * allocates NOTHING per token (the array variant's one
+    * UnsafeArrayData per token was measured to matter: at 2M docs its
+    * GC churn under a cached corpus cost the md5 family ~3× vs the
+    * allocation-free xxhash64 family, after being at parity at 1M).
+    * The memo compares the full input bytes, so a miss is always
+    * recomputed — never stale, thread-confined, deterministic. */
+  def chunkAt(s: UTF8String, idx: Int): Long = {
+    val sc = scratch.get()
+    val n = s.numBytes()
+    if (n != sc.lastN ||
+        !org.apache.spark.unsafe.array.ByteArrayMethods.arrayEquals(
+          s.getBaseObject, s.getBaseOffset,
+          sc.in, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, n)) {
+      fill(sc, s, n)
+      sc.lastN = n
+    }
+    sc.chunks(idx)
   }
 
   /** The four 32-bit big-endian chunks of md5(utf8Bytes(s)) as
@@ -25,18 +86,11 @@ object Md5ChunksUtil {
     * per token (SCALE.md's r17 dissection pinned the md5 family's 2×
     * per-doc cost drift at 1M docs on exactly that string churn). */
   def chunks(s: UTF8String): UnsafeArrayData = {
-    val md = digests.get()
-    md.reset()
-    val d = md.digest(s.getBytes)
-    val out = new Array[Long](4)
-    var i = 0
-    while (i < 4) {
-      val o = i << 2
-      out(i) = ((d(o) & 0xffL) << 24) | ((d(o + 1) & 0xffL) << 16) |
-        ((d(o + 2) & 0xffL) << 8) | (d(o + 3) & 0xffL)
-      i += 1
-    }
-    UnsafeArrayData.fromPrimitiveArray(out)
+    val sc = scratch.get()
+    val n = s.numBytes()
+    fill(sc, s, n)
+    sc.lastN = n
+    UnsafeArrayData.fromPrimitiveArray(sc.chunks)
   }
 }
 
@@ -57,5 +111,22 @@ case class Md5Chunks(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.plans.Md5ChunksUtil.chunks($c)")
   override protected def withNewChildInternal(newChild: Expression): Md5Chunks =
+    copy(child = newChild)
+}
+
+/** Allocation-free scalar form: chunk `idx` of md5(child) as a long
+  * via the per-thread memo (see [[Md5ChunksUtil.chunkAt]]) — the four
+  * sibling expressions in one projection share one digest. */
+case class Md5Chunk(child: Expression, idx: Int) extends UnaryExpression {
+  require(idx >= 0 && idx < 4, s"md5 chunk index out of range: $idx")
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"requires STRING, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any =
+    Md5ChunksUtil.chunkAt(v.asInstanceOf[UTF8String], idx)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Md5ChunksUtil.chunkAt($c, $idx)")
+  override protected def withNewChildInternal(newChild: Expression): Md5Chunk =
     copy(child = newChild)
 }

@@ -108,6 +108,8 @@ case class RollingHash(child: Expression) extends UnaryExpression {
 object GraftFunctions {
   def simhash64(c: Column): Column = call_function("simhash64", c)
   def md5_chunks(c: Column): Column = call_function("md5_chunks", c)
+  def md5_chunk(c: Column, idx: Int): Column =
+    call_function("md5_chunk", c, org.apache.spark.sql.functions.lit(idx))
   def rolling_hash(c: Column): Column = call_function("rolling_hash", c)
   def vec_cosine(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
   def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
@@ -118,6 +120,12 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("md5_chunks", es => Md5Chunks(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("md5_chunk", es => Md5Chunk(es(0),
+      es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"md5_chunk index must be an int literal, got $other")
+      }), "scala_udf")
     reg.createOrReplaceTempFunction("rolling_hash", es => RollingHash(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("vec_cosine", es => CosineSim(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("vec_dot", es => DotProduct(es(0), es(1)), "scala_udf")

@@ -31,6 +31,31 @@ class Md5ChunksSpec extends SparkSpec {
     viaNative.flatten.foreach(v => assert(v >= 0L && v < 4294967296L, v))
   }
 
+  test("scalar md5_chunk(w, i) matches the array form element-wise (memoized digest)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = texts.toDF("t")
+    val viaArray = df.select((1 to 4).map(i =>
+      element_at(GraftFunctions.md5_chunks($"t"), i).as(s"a$i")): _*)
+      .collect().map(r => (0 to 3).map(r.getLong))
+    val viaScalar = df.select((0 to 3).map(i =>
+      GraftFunctions.md5_chunk($"t", i).as(s"a$i")): _*)
+      .collect().map(r => (0 to 3).map(r.getLong))
+    assert(viaScalar.toSeq === viaArray.toSeq)
+    // memo never goes stale across alternating inputs in one projection
+    val mixed = Seq(("a", "b"), ("a", "a"), ("b", "a")).toDF("x", "y")
+      .select(GraftFunctions.md5_chunk($"x", 0).as("cx"),
+        GraftFunctions.md5_chunk($"y", 0).as("cy")).collect()
+    def c0(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    assert(mixed.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((c0("a"), c0("b")), (c0("a"), c0("a")), (c0("b"), c0("a"))))
+  }
+
   test("md5_chunks matches a JDK MessageDigest model and is null-safe") {
     import spark.implicits._
     GraftFunctions.register(spark)

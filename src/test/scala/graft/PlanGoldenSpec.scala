@@ -68,6 +68,11 @@ class PlanGoldenSpec extends SparkSpec {
     "q50_exact_dedup" -> ((1, 0, 3)),
     "q51_minhash_signatures" -> ((0, 0, 1)),
     "q53_near_dup_pairs" -> ((2, 0, 3)),
+    // signed round 18 with q554's bench promotion: two broadcasts (the
+    // verify stage's two array-lookup joins against the materialized
+    // base), hash exchanges for the signature agg / band buckets /
+    // candidate distinct — no sort-merge join anywhere
+    "q554_blocked_set_join" -> ((2, 0, 3)),
     "q55_simhash16_hamming" -> ((1, 0, 2)),
     "q58_embedding_near_dup" -> ((3, 0, 2)),
     "q60_cosine_topk" -> ((0, 0, 1)),

@@ -3782,6 +3782,78 @@ class PlantedStructureSpec extends SparkSpec {
     }
   }
 
+  test("q562 incremental blocked join hash-equals recompute, including delta-induced cap-crossing") {
+    // Crosses every maintenance path at a SMALL cap (4) so the
+    // cap-crossing case is plantable: a base-base twin (1,2) in
+    // untouched buckets, a delta-delta twin (7,17), a base-delta twin
+    // (5,27), an under-cap identical cluster (100-102 base + 107
+    // delta: merged size 4 = cap, all 6 pairs emitted via the merge),
+    // and an OVER-CAP crossing (200-203 base = 4 docs at cap, 207
+    // delta pushes the bucket to 5 > cap: the recompute emits NOTHING
+    // for it and the incremental result must agree — base-alone would
+    // have emitted 6 pairs).
+    val w = (1 to 20).map(i => s"w$i")
+    val f = (1 to 20).map(i => s"f$i")
+    val g = (1 to 20).map(i => s"g$i")
+    val ident = (1 to 12).map(i => s"v$i").mkString(" ")
+    val viral = (1 to 12).map(i => s"u$i").mkString(" ")
+    val d = documentsDir(Seq(
+      (1L, w.mkString(" "), "en", "s", 1L),
+      (2L, (w.take(19) :+ "x1").mkString(" "), "en", "s", 1L),
+      (7L, f.mkString(" "), "en", "s", 1L),
+      (17L, (f.take(19) :+ "x2").mkString(" "), "en", "s", 1L),
+      (5L, g.mkString(" "), "en", "s", 1L),
+      (27L, (g.take(19) :+ "x3").mkString(" "), "en", "s", 1L)) ++
+      Seq(100L, 101L, 102L, 107L).map(i => (i, ident, "en", "s", 1L)) ++
+      Seq(200L, 201L, 202L, 203L, 207L).map(i => (i, viral, "en", "s", 1L)))
+    val docs = graft.Tables.documents(spark, d)
+    def isDelta(id: org.apache.spark.sql.Column) = id % 10 === 7
+    val incr = operators.IndexingQueries
+      .blockedSetJoinIncr(docs, isDelta, maxBucket = 4).collect().toSeq
+    val full = operators.IndexingQueries
+      .blockedSetJoin(docs, maxBucket = 4).collect().toSeq
+    assert(incr === full, s"incremental != recompute:\n incr=$incr\n full=$full")
+    val pairs = incr.map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (p <- Seq((1L, 2L), (7L, 17L), (5L, 27L)))
+      assert(pairs.contains(p), s"missing planted pair $p in $pairs")
+    assert(pairs.filter(p => p._1 >= 100L && p._1 < 200L).size === 6,
+      s"under-cap merged cluster must emit C(4,2)=6 pairs: $pairs")
+    assert(!pairs.exists(_._1 >= 200L),
+      s"cap-crossed bucket must emit nothing: $pairs")
+  }
+
+  test("q561 banding grid: identical-signature cluster is recall-proof in every config") {
+    // 3 identical docs (J=1 pairs: identical token sets → identical
+    // signatures → same bucket under EVERY banding, so all C(3,2)=3
+    // pairs are caught by construction in each of the four configs)
+    // plus a J=0.9 pair, a J=0.96 pair, and a J=0.8 pair that θ=0.9
+    // must exclude from the exact ruler everywhere.
+    val ident = (1 to 12).map(i => s"v$i").mkString(" ")
+    def shared(p: Int, n: Int) = (1 to n).map(i => s"p${p}s$i")
+    def doc(id: Long, toks: Seq[String]) =
+      (id, toks.mkString(" "), "en", "s", 1L)
+    val d = documentsDir(Seq(
+      doc(5, shared(3, 18) :+ "p3a1"), // 18/20 = 0.90
+      doc(6, shared(3, 18) :+ "p3b1"),
+      doc(7, shared(4, 24)), // 24/25 = 0.96
+      doc(8, shared(4, 24) :+ "p4b1"),
+      doc(9, shared(1, 16) ++ Seq("p1a1", "p1a2")), // 16/20 = 0.80
+      doc(10, shared(1, 16) ++ Seq("p1b1", "p1b2"))) ++
+      (50L to 52L).map(i => (i, ident, "en", "s", 1L)))
+    val out = operators.IndexingQueries.q561(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.map(x => (x._1, x._2)).toSeq ===
+      Seq((2L, 6L), (3L, 4L), (4L, 3L), (6L, 2L)), out.toSeq.toString)
+    for ((b, r, nCand, nPairs, nExact, rm) <- out) {
+      assert(nExact === 5L, s"config ${b}x$r: exact ruler must see 5 pairs")
+      assert(nPairs >= 3L && nPairs <= 5L,
+        s"config ${b}x$r: identical cluster guarantees >= 3 caught, got $nPairs")
+      assert(nCand >= nPairs, s"config ${b}x$r: candidates < verified pairs")
+      assert(rm === nPairs * 1000L / 5L, s"config ${b}x$r: recall formula")
+    }
+  }
+
   test("q556 dyadic probe resolves long-doc spans the linear scan could not touch") {
     // (a) LONG docs, SHORT true span — the regime the r17 linear scan
     // was visibly quadratic in (it evaluated every L in [64, 3000),
