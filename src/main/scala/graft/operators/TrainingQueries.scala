@@ -669,7 +669,8 @@ object TrainingQueries {
     * converged iterations cost nothing). Monotonicity is exact on
     * windows; on their md5 digests it holds absent digest collisions
     * (the same assumption the linear scan's arrays_overlap already
-    * made — PlantedStructureSpec pins exactness to L = 3000). */
+    * made — PlantedStructureSpec pins exactness on 3000-word docs
+    * with a 70-word span and on a 1200-word near-total overlap). */
   def q556(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     exactSpanFrame(s, d)
