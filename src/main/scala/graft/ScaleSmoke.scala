@@ -761,6 +761,61 @@ object ScaleSmoke {
       return
     }
 
+    // targeted mode: `... <n> spanprobe` — timed A/B of q556's dyadic
+    // gallop+bisection exact-span resolution against the r17 linear
+    // scan, on an identical materialized leaderboard frame over a
+    // LONG-DOC corpus (the regime the rewrite exists for: n docs of
+    // 1500 words, twin pairs sharing exactly a 70-word prefix, so the
+    // linear scan evaluates ~1437 window-digest passes per pair where
+    // the gallop needs ~7, all near L=70 where digests are cheap).
+    // Equality of Σ exact_span across the two resolutions is asserted.
+    if (args.lift(1).contains("spanprobe")) {
+      val n = nDocs
+      val wordsPerDoc = 1500
+      val dir = java.nio.file.Files.createTempDirectory("smoke-span").toString
+      spark.range(n).select($"id".as("doc_id"),
+        array_join(transform(sequence(lit(1), lit(wordsPerDoc)),
+          i => when($"id" % 100 < 2 && i <= 70,
+            concat(lit("c"), ($"id" - $"id" % 100).cast("string"), lit("_"), i))
+            .otherwise(concat(lit("w"), $"id".cast("string"), lit("_"), i))),
+          " ").as("text"),
+        lit("en").as("lang"), lit("s0").as("source"), lit(1L).as("n_chars"))
+        .coalesce(8).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      // leaderboard + joined word arrays, built ONCE outside the timed
+      // A/B (the ladder is the corpus-wide cost both variants share)
+      val docsW = graft.Tables.documents(spark, dir)
+        .select($"doc_id", split($"text", " ").as("w"))
+      val joined = operators.TrainingQueries.q552(spark, dir)
+        .join(docsW.select($"doc_id".as("doc_a"), $"w".as("wa")), "doc_a")
+        .join(docsW.select($"doc_id".as("doc_b"), $"w".as("wb")), "doc_b")
+        .transform(Fx.materialize)
+      val nPairs = joined.count()
+      def dig(arr: Column, L: Column) =
+        operators.TrainingQueries.spanWinDigests(arr, L)
+      var sumDyadic = 0L
+      var sumLinear = 0L
+      timedN(nPairs)("q556_resolution_dyadic") {
+        sumDyadic = operators.TrainingQueries.resolveExactSpan(joined)
+          .agg(sum($"exact_span")).head().getLong(0)
+        nPairs
+      }
+      timedN(nPairs)("q556_resolution_linear_r17") {
+        sumLinear = joined.withColumn("exact_span",
+          array_max(filter(
+            sequence($"span_ge_w", least(size($"wa"), size($"wb")).cast("long")),
+            L => arrays_overlap(dig($"wa", L), dig($"wb", L)))))
+          .agg(sum($"exact_span")).head().getLong(0)
+        nPairs
+      }
+      require(sumDyadic == sumLinear,
+        s"resolution mismatch: dyadic=$sumDyadic linear=$sumLinear")
+      println(s"[scale] spanprobe parity: sum(exact_span) = $sumDyadic from $nPairs pairs (both variants)")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      spark.stop()
+      return
+    }
+
     if (args.lift(1).contains("benchcurve")) {
       val n = nDocs
       val dir = java.nio.file.Files.createTempDirectory("smoke-bcurve").toString

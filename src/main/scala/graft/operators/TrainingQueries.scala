@@ -695,12 +695,22 @@ object TrainingQueries {
     val top = spanLeaderboard(pairRows)
     val ta = docsW.select($"doc_id".as("doc_a"), $"w".as("wa"))
     val tb = docsW.select($"doc_id".as("doc_b"), $"w".as("wb"))
+    resolveExactSpan(top.join(ta, "doc_a").join(tb, "doc_b"))
+  }
+
+  /** The gallop + bisection resolution over a joined leaderboard frame
+    * (doc_a, doc_b, span_ge_w, shared_w8, wa, wb) → + exact_span.
+    * Package-visible so ScaleSmoke's span probe can time it against
+    * the r17 linear scan on an IDENTICAL materialized frame. */
+  private[graft] def resolveExactSpan(joined: DataFrame): DataFrame = {
+    val s = joined.sparkSession
+    import s.implicits._
     def sharedAt(L: Column): Column =
       arrays_overlap(spanWinDigests($"wa", L), spanWinDigests($"wb", L))
     def iters(range: Column): Column =
       ceil(log2((greatest(range, lit(1L)) + 2L).cast("double")))
         .cast("long") + 2L
-    top.join(ta, "doc_a").join(tb, "doc_b")
+    joined
       .withColumn("minL", least(size($"wa"), size($"wb")).cast("long"))
       // gallop: from the known-true span_ge_w, probe lo+1, lo+2, lo+4…
       // (each success ADVANCES lo, so probes sit at lo₀ + 2^i − 1)
@@ -742,7 +752,7 @@ object TrainingQueries {
 
   /** All L-word window digests of a word array (1-based starts; both
     * engines md5 the same space-joined strings). */
-  private def spanWinDigests(arr: Column, L: Column): Column =
+  private[graft] def spanWinDigests(arr: Column, L: Column): Column =
     transform(sequence(lit(1), size(arr) - L.cast("int") + 1),
       i => md5(array_join(slice(arr, i, L.cast("int")), " ")))
 
