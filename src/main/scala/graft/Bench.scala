@@ -27,7 +27,8 @@ import org.apache.spark.sql.functions.col
   * without per-round idle-rerun narratives.
   *
   * Set `SPARK_GRAFT_BENCH_SET=extended` for the idle-bench superset:
-  * the 60 headline queries plus representatives of the families the
+  * the headline queries (every `bench = true` registry entry — 61
+  * since q554's r18 promotion) plus representatives of the families the
   * frozen driver set never measures (capped co-activity graph suite,
   * chain-ladder, LPA, periodogram, gains/quantile-trend) and two
   * artifact flows that cannot be registry queries because they mutate

@@ -36,7 +36,10 @@ object Md5ChunksUtil {
 
   private def fill(sc: Scratch, s: UTF8String, n: Int): Unit = {
     if (sc.in.length < n) {
-      sc.in = new Array[Byte](Integer.highestOneBit(n) * 2)
+      // clamp: highestOneBit(n)*2 overflows negative past 2^30, so a
+      // pathological >1 GiB token must still get a buffer of exactly n
+      // rather than a NegativeArraySizeException
+      sc.in = new Array[Byte](math.max(n, Integer.highestOneBit(n) * 2))
       sc.lastN = -1
     }
     s.writeToMemory(sc.in, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)

@@ -83,6 +83,54 @@ class ScanBudgetGuardSpec extends SparkSpec {
     assert(streamingSkip === graft.operators.StreamingQueries.all.map(_.name).toSet)
   }
 
+  /** Every streaming-skip entry must either carry its own pin in the
+    * compensating gate below or name the pinned query of the SAME
+    * source shape that stands in for it (r18 ADVICE: the skip set
+    * auto-grows with StreamingQueries.all, so without this closure a
+    * new streaming query would silently join the skip set with no
+    * compensating entry). Adding a streaming query now forces an edit
+    * HERE, the way a multi-scan batch query forces a TSV row. */
+  private val streamRepresentatives: Map[String, String] = Map(
+    // keyed transformWithState / stateful dedup, single file source → q74
+    "q337_stream_cusum" -> "q74_streaming_dedup",
+    "q262_stream_clamped_balance" -> "q74_streaming_dedup",
+    "q180_stream_neardup_tws" -> "q74_streaming_dedup",
+    "q191_stream_timer_sessions" -> "q74_streaming_dedup",
+    "q114_streaming_content_dedup" -> "q74_streaming_dedup",
+    // windowed / chained aggregation, single file source → q72
+    "q79_streaming_sessions" -> "q72_streaming_hourly",
+    "q82_sliding_windows" -> "q72_streaming_hourly",
+    "q151_chained_stream_agg" -> "q72_streaming_hourly",
+    // two-source stream-stream joins → q88
+    "q145_stream_outer_join" -> "q88_stream_stream_join")
+
+  /** The compensating gate's pins: representative streaming query →
+    * file-stream source count its executed micro-batches must report
+    * (shared by the executed-stream test and the coverage closure). */
+  private val pinned = Map(
+    "q72_streaming_hourly" -> 1, // single-source windowed agg
+    "q74_streaming_dedup" -> 1, // keyed transformWithState
+    "q88_stream_stream_join" -> 2, // stream-stream join: two sources inherent
+    "q75_stream_static_join" -> 1) // static side is a batch broadcast, not a stream source
+
+  private def pinnedStreamNames: Set[String] = pinned.keySet
+
+  test("every streaming-skip entry is pinned or has a stated pinned representative") {
+    assert(streamRepresentatives.values.toSet.subsetOf(pinnedStreamNames),
+      "a representative must itself be a pinned query: " +
+        streamRepresentatives.values.toSet.diff(pinnedStreamNames).mkString(", "))
+    val covered = pinnedStreamNames ++ streamRepresentatives.keySet
+    val uncovered = streamingSkip.diff(covered)
+    assert(uncovered.isEmpty,
+      "streaming queries in the batch-sweep skip set with neither a " +
+        "file-source pin nor a stated same-shape representative — add a " +
+        "pinned entry or a streamRepresentatives row:\n  " +
+        uncovered.mkString("\n  "))
+    val stale = covered.diff(streamingSkip)
+    assert(stale.isEmpty,
+      s"stale coverage rows for retired streaming queries: ${stale.mkString(", ")}")
+  }
+
   test("compensating gate: executed streaming queries use exactly their pinned file-source counts") {
     // The batch sweep above can't see a stream's scans (stated on
     // streamingSkip); this runs a REPRESENTATIVE streaming query per
@@ -91,11 +139,6 @@ class ScanBudgetGuardSpec extends SparkSpec {
     // analogue of the scan budget (a redundant second readStream of
     // the same table would double the 100 TB ingest exactly like a
     // redundant batch scan).
-    val pinned = Map(
-      "q72_streaming_hourly" -> 1, // single-source windowed agg
-      "q74_streaming_dedup" -> 1, // keyed transformWithState
-      "q88_stream_stream_join" -> 2, // stream-stream join: two sources inherent
-      "q75_stream_static_join" -> 1) // static side is a batch broadcast, not a stream source
     val byName = SparkEntry.registry.map(q => q.name -> q).toMap
     import scala.jdk.CollectionConverters._
     for ((name, want) <- pinned.toSeq.sortBy(_._1)) {
