@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
+import graft.plans.GraftFunctions.md5_fast
 
 /** Text-analysis primitives for large-scale training-data pipelines:
   * token counting, occurrence counting, language-ID heuristics, quality
@@ -109,14 +110,14 @@ object TextAnalysis {
     s"(CAST(${sqlQualityMicro(text)} AS DOUBLE) / 1000000.0)"
 
   /** Content fingerprint (md5 hex — identical in Spark and DuckDB). */
-  def fingerprint(c: Column): Column = md5(c)
+  def fingerprint(c: Column): Column = md5_fast(c)
 
   /** Near-dup cluster key: md5 of the leading `n` words — the
     * boilerplate-prefix fingerprint shared by q100/q107/q114 and
     * CurationJobs (ONE definition; the batch and streaming dedups are
     * oracle-matched against each other through it). */
   def prefixFingerprint(text: Column, n: Int = 5): Column =
-    md5(array_join(slice(split(text, " "), 1, n), " "))
+    md5_fast(array_join(slice(split(text, " "), 1, n), " "))
 
   /** Adjacent-pair strings ("a b") of an array column, materialized
     * guard included (sequence(1, n) counts DOWN for n < 1 — the Spark

@@ -41,11 +41,17 @@ object Accumulate {
     * `innerOrder` (must totally order rows within a group), starting
     * from `z0`, clamped into [lo, hi] (None = unbounded on that
     * side) after every row. */
-  def clampedRunningBalance(df: DataFrame, groupCols: Seq[String], parts: Int,
+  def clampedRunningBalance(df: DataFrame, groupCols: Seq[String], partsFloor: Int,
       deltaCol: String, lo: Option[Long], hi: Option[Long], z0: Long,
       innerOrder: Column*): DataFrame = {
     import graft.plans.ClampFold._
     graft.plans.ClampFold.register(df.sparkSession)
+    // r19 (guide §2.5): floor semantics — the range-partition count
+    // scales with the session's parallelism (balances are partitioning-
+    // invariant by the semigroup construction, ClampFoldSpec pins it),
+    // so a call site tuned small never serializes a cluster.
+    val parts = math.max(partsFloor,
+      df.sparkSession.sparkContext.defaultParallelism)
     val loC = lo.map(lit(_).cast("long")).getOrElse(lit(null).cast("long"))
     val hiC = hi.map(lit(_).cast("long")).getOrElse(lit(null).cast("long"))
     val order = groupCols.map(col) ++ innerOrder

@@ -4,6 +4,7 @@ import graft.{Fx, QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.plans.GraftFunctions.md5_fast
 
 /** Association / co-occurrence operators, round 7: interval-overlap
   * joins (via the grid-blocked [[IntervalJoin]] operator), weighted
@@ -423,16 +424,21 @@ object AssociationQueries {
     * the oracle mirrors with `<=`.) */
   def q205(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    def sessions(sfx: String): DataFrame =
-      Tables.events(s, d)
-        .groupBy($"user_id".as(s"u$sfx"), $"event_type".as(s"t$sfx"),
-          session_window($"ts", "30 minutes").as("sw"))
-        .agg(count(lit(1)).as(s"n$sfx"))
-        .select(col(s"u$sfx"), col(s"t$sfx"),
-          unix_micros($"sw.start").as(s"s$sfx"),
-          unix_micros($"sw.end").as(s"e$sfx"))
-    IntervalJoin.overlap(sessions("_a"), sessions("_b"),
-        "u_a", "u_b", "s_a", "e_a", "s_b", "e_b", grain = 1L << 32)
+    // r19: ONE scan + ONE session_window aggregation via selfOverlap
+    // (which materializes the exploded cell relation and joins it with
+    // itself) — the previous overlap(sessions("_a"), sessions("_b"))
+    // built the identical session relation twice: two events scans,
+    // two session-window aggs, two cell explodes (the q552
+    // first-draft regression class). Identical pair set: both sides
+    // were the same relation, so self-join + t_a < t_b is unchanged.
+    val sess = Tables.events(s, d)
+      .groupBy($"user_id".as("u"), $"event_type".as("t"),
+        session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select($"u", $"t",
+        unix_micros($"sw.start").as("s"),
+        unix_micros($"sw.end").as("e"))
+    IntervalJoin.selfOverlap(sess, "u", "s", "e", grain = 1L << 32)
       .filter($"t_a" < $"t_b")
       .groupBy($"t_a", $"t_b")
       .agg(count(lit(1)).as("n_concurrent"),
@@ -873,7 +879,7 @@ object AssociationQueries {
       .groupBy($"user_id")
       .agg(max(($"event_type" === "purchase").cast("long")).as("converted"))
       .withColumn("arm",
-        when(conv(substring(md5(concat($"user_id".cast("string"), lit("#exp1"))), 1, 8), 16, 10)
+        when(conv(substring(md5_fast(concat($"user_id".cast("string"), lit("#exp1"))), 1, 8), 16, 10)
           .cast("long") % 2 === 0, lit("control")).otherwise(lit("treatment")))
     val arms = users.groupBy($"arm")
       .agg(count(lit(1)).as("n_users"),
@@ -1224,7 +1230,7 @@ object AssociationQueries {
         sum(when($"event_type" === "purchase",
           floor($"value" * 100).cast("long")).otherwise(lit(0L))).as("y"))
       .withColumn("z",
-        when(conv(substring(md5(concat($"user_id".cast("string"), lit("#exp1"))), 1, 8), 16, 10)
+        when(conv(substring(md5_fast(concat($"user_id".cast("string"), lit("#exp1"))), 1, 8), 16, 10)
           .cast("long") % 2 === 0, lit(0L)).otherwise(lit(1L)))
     per.agg(
         sum(when($"z" === 0L, 1L).otherwise(0L)).as("n0"),
@@ -1319,7 +1325,7 @@ object AssociationQueries {
       .agg(sum(when($"event_type" === "purchase",
         floor($"value" * 100).cast("long")).otherwise(lit(0L))).as("y"))
       .withColumn("arm",
-        when(conv(substring(md5(concat($"user_id".cast("string"), lit("#exp1"))), 1, 8), 16, 10)
+        when(conv(substring(md5_fast(concat($"user_id".cast("string"), lit("#exp1"))), 1, 8), 16, 10)
           .cast("long") % 2 === 0, lit("control")).otherwise(lit("treatment")))
     val ranked = Ranking.groupRanks(per, Seq("arm"), 8, $"y", $"user_id")
       .transform(graft.Fx.materialize) // counts + decile probe
@@ -1488,7 +1494,7 @@ object AssociationQueries {
       .groupBy($"user_id")
       .agg(count(lit(1)).as("n"), sum($"cents").as("x"))
       .withColumn("arm",
-        when(conv(substring(md5(concat($"user_id".cast("string"), lit("#exp1"))), 1, 8), 16, 10)
+        when(conv(substring(md5_fast(concat($"user_id".cast("string"), lit("#exp1"))), 1, 8), 16, 10)
           .cast("long") % 2 === 0, lit("control")).otherwise(lit("treatment")))
     val m = per.groupBy($"arm").agg(
         count(lit(1)).as("u"),
@@ -1607,7 +1613,7 @@ object AssociationQueries {
         sum(when($"event_type" === "purchase" && $"ts" >= cut, cents)
           .otherwise(0L)).cast("long").as("y"))
       .withColumn("arm",
-        when(conv(substring(md5(concat($"user_id".cast("string"), lit("#exp1"))), 1, 8), 16, 10)
+        when(conv(substring(md5_fast(concat($"user_id".cast("string"), lit("#exp1"))), 1, 8), 16, 10)
           .cast("long") % 2 === 0, lit("control")).otherwise(lit("treatment")))
     val m = perUser.agg(
       count(lit(1)).as("n"),
@@ -1703,7 +1709,7 @@ object AssociationQueries {
       .agg((sum(($"event_type" === "purchase").cast("long")) * 5 >
         count(lit(1))).cast("long").as("conv"))
       .withColumn("arm",
-        when(conv(substring(md5(concat($"user_id".cast("string"), lit("#exp1"))), 1, 8), 16, 10)
+        when(conv(substring(md5_fast(concat($"user_id".cast("string"), lit("#exp1"))), 1, 8), 16, 10)
           .cast("long") % 2 === 0, lit("control")).otherwise(lit("treatment")))
     val m = users.agg(
       sum(when($"arm" === "treatment", 1L).otherwise(0L)).as("nt"),
@@ -1785,7 +1791,7 @@ object AssociationQueries {
     val salted = users
       .select($"user_id", explode(sequence(lit(1), lit(20))).as("salt"))
       .withColumn("arm",
-        (conv(substring(md5(concat($"user_id".cast("string"),
+        (conv(substring(md5_fast(concat($"user_id".cast("string"),
           lit("#srm"), $"salt".cast("string"))), 1, 8), 16, 10)
           .cast("long") % 2).cast("long"))
     salted.groupBy($"salt")
@@ -2027,7 +2033,7 @@ object AssociationQueries {
     val o = Tables.orders(s, d).select($"o_orderkey",
       $"o_orderpriority".as("grp"),
       floor($"o_totalprice" * 100).cast("long").as("cents"),
-      (conv(substring(md5(concat($"o_orderkey".cast("string"), lit("#conf"))), 1, 8), 16, 10) % 3)
+      (conv(substring(md5_fast(concat($"o_orderkey".cast("string"), lit("#conf"))), 1, 8), 16, 10) % 3)
         .cast("int").as("fold"))
       .transform(Fx.materialize)
     val train = o.filter($"fold" === 0)
@@ -2128,7 +2134,7 @@ object AssociationQueries {
       .agg((sum(($"event_type" === "purchase").cast("long")) * 5 >
         count(lit(1))).cast("long").as("conv"))
       .withColumn("arm",
-        when(conv(substring(md5(concat($"user_id".cast("string"), lit("#exp1"))), 1, 8), 16, 10)
+        when(conv(substring(md5_fast(concat($"user_id".cast("string"), lit("#exp1"))), 1, 8), 16, 10)
           .cast("long") % 2 === 0, lit("control")).otherwise(lit("treatment")))
     val m = users.agg(
       sum(when($"arm" === "treatment", 1L).otherwise(0L)).as("nt"),
@@ -2201,7 +2207,7 @@ object AssociationQueries {
           .otherwise(0L).cast("long")).as("cents"))
       .select($"user_id", $"n_ev", $"n_days", $"cents",
         expr("n_ev div 10").as("b_act"), expr("n_days div 5").as("b_days"),
-        (conv(substring(md5(concat($"user_id".cast("string"), lit("#cem"))), 1, 8), 16, 10) % 2)
+        (conv(substring(md5_fast(concat($"user_id".cast("string"), lit("#cem"))), 1, 8), 16, 10) % 2)
           .cast("int").as("treat"))
       .transform(Fx.materialize)
     val matchedStrata = users.groupBy($"b_act", $"b_days")
@@ -2369,7 +2375,7 @@ object AssociationQueries {
           .otherwise(0L).cast("long")).as("cents"))
       .select($"user_id", expr("n_ev div 10").as("b_act"),
         expr("n_days div 5").as("b_days"), $"cents",
-        (conv(substring(md5(concat($"user_id".cast("string"), lit("#cem"))), 1, 8), 16, 10) % 2)
+        (conv(substring(md5_fast(concat($"user_id".cast("string"), lit("#cem"))), 1, 8), 16, 10) % 2)
           .cast("int").as("treat"))
     val strata = users.groupBy($"b_act", $"b_days")
       .agg(sum(when($"treat" === 1, 1L).otherwise(0L)).as("n_t"),
@@ -2453,7 +2459,7 @@ object AssociationQueries {
       .select(expr("(d0 + d1) div 2").as("cut"))
     val users = ev.select($"user_id").distinct()
       .withColumn("treat",
-        (conv(substring(md5(concat($"user_id".cast("string"), lit("#did"))), 1, 8), 16, 10) % 2)
+        (conv(substring(md5_fast(concat($"user_id".cast("string"), lit("#did"))), 1, 8), 16, 10) % 2)
           .cast("int"))
     val periods = s.range(2).toDF("post")
     val panel = users.crossJoin(broadcast(periods))
@@ -2564,7 +2570,7 @@ object AssociationQueries {
       .agg(sum($"n_ev").as("n_ev"), sum($"n_purch").as("n_purch"))
       .withColumn("conv", ($"n_purch" * 5 > $"n_ev").cast("long"))
       .withColumn("arm",
-        when(conv(substring(md5(concat($"user_id".cast("string"), lit("#exp1"))), 1, 8), 16, 10)
+        when(conv(substring(md5_fast(concat($"user_id".cast("string"), lit("#exp1"))), 1, 8), 16, 10)
           .cast("long") % 2 === 0, lit("control")).otherwise(lit("treatment")))
     val m = cum.groupBy($"look", $"cut", $"crit").agg(
       sum(when($"arm" === "treatment", 1L).otherwise(0L)).as("nt"),
@@ -2828,7 +2834,7 @@ object AssociationQueries {
       .groupBy($"user_id")
       .agg(max(($"event_type" === "purchase").cast("long")).as("conv"))
       .withColumn("t",
-        (conv(substring(md5(concat($"user_id".cast("string"), lit("#exp1"))), 1, 8),
+        (conv(substring(md5_fast(concat($"user_id".cast("string"), lit("#exp1"))), 1, 8),
           16, 10).cast("long") % 2 =!= 0).cast("long"))
       .agg(
         sum(when($"t" === 1L, $"conv")).as("c1"),

@@ -4,6 +4,7 @@ import graft.{Fx, QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.plans.GraftFunctions.md5_fast
 
 /** Corpus-governance operators, round 7: duplicated-span REMOVAL with
   * document reassembly (the rewrite step of Lee et al. 2022 / CCNet
@@ -53,7 +54,7 @@ object CorpusQueries {
         transform(sequence(lit(0), nChunks - 1),
           i => array_join(slice($"w", i * W + 1, lit(W)), " "))))
       .toDF("doc_id", "pos", "chunk")
-      .withColumn("h", md5($"chunk"))
+      .withColumn("h", md5_fast($"chunk"))
     // Document frequency on digests: distinct (h, doc) first so the
     // count IS #docs, then count per h — both stages shuffle digests.
     val df = chunks.select($"h", $"doc_id").distinct()
@@ -492,7 +493,7 @@ object CorpusQueries {
             lit("."), (($"doc_id" * 7) % 256).cast("string")))
         .when($"doc_id" % 7 === 3,
           concat($"text", lit(" key AKIA"),
-            upper(substring(md5(concat(id, lit("#key"))), 1, 16))))
+            upper(substring(md5_fast(concat(id, lit("#key"))), 1, 16))))
         .otherwise($"text").as("raw"))
     val hit = (pat: String) => $"raw".rlike(pat).cast("long")
     seeded.groupBy($"source")

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.plans.GraftFunctions.md5_fast
 
 /** Crypto-shredding — the right-to-be-forgotten mechanism that scales
   * where physical deletion doesn't: every data subject's sensitive
@@ -39,7 +40,7 @@ object CryptoShred {
       masterSalt: String): DataFrame =
     subjects.select(col(subjectCol)).distinct()
       .select(col(subjectCol),
-        unhex(md5(concat(col(subjectCol).cast("string"),
+        unhex(md5_fast(concat(col(subjectCol).cast("string"),
           lit("#"), lit(masterSalt)))).as("__shred_key"))
 
   /** Encrypt `plainCols` of `df` with each row's subject key (inner

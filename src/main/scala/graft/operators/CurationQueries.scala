@@ -4,6 +4,7 @@ import graft.{Fx, QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.plans.GraftFunctions.md5_fast
 
 /** Corpus curation *policy* operators — the decision layer that sits on
   * top of the dedup/quality/contamination signals: which duplicate to
@@ -343,7 +344,7 @@ object CurationQueries {
     val cap = 15
     val prio = Tables.documents(s, d)
       .select($"doc_id", $"source",
-        md5(concat($"source", lit(":"), $"doc_id".cast("string"))).as("prio"))
+        md5_fast(concat($"source", lit(":"), $"doc_id".cast("string"))).as("prio"))
     val top = graft.plans.TopK.perGroup(prio, cap, Seq("source"),
       Seq(graft.plans.TopK.asc("prio"), graft.plans.TopK.asc("doc_id")))
     top
@@ -378,12 +379,12 @@ object CurationQueries {
     val fp = graft.functions.TextAnalysis.prefixFingerprint($"text")
     val docs = Tables.documents(s, d)
     val existing = docs.filter($"source" =!= "src1")
-    val exHash = existing.groupBy(md5($"text").as("h"))
+    val exHash = existing.groupBy(md5_fast($"text").as("h"))
       .agg(min($"doc_id").as("h_match"))
     val exFp = existing.groupBy(fp.as("fp"))
       .agg(min($"doc_id").as("fp_match"))
     docs.filter($"source" === "src1")
-      .select($"doc_id", md5($"text").as("h"), fp.as("fp"))
+      .select($"doc_id", md5_fast($"text").as("h"), fp.as("fp"))
       .join(exHash, Seq("h"), "left")
       .join(exFp, Seq("fp"), "left")
       .select($"doc_id",
@@ -729,7 +730,7 @@ object CurationQueries {
     import s.implicits._
     val nShards = 16
     val docs = Tables.documents(s, d).select(
-      (conv(substring(md5(concat($"doc_id".cast("string"), lit("#shard"))), 1, 8), 16, 10)
+      (conv(substring(md5_fast(concat($"doc_id".cast("string"), lit("#shard"))), 1, 8), 16, 10)
         .cast("long") % nShards).as("shard"),
       (size(split($"text", " "))).cast("long").as("toks"))
     val byShard = docs.groupBy($"shard")
@@ -792,11 +793,11 @@ object CurationQueries {
     import s.implicits._
     val nHosts = hostVocab.size
     val blocked = Seq("contentfarm.example", "linkspam.example")
-    val hostIdx = (conv(substring(md5(concat($"doc_id".cast("string"), lit("#host"))), 1, 8), 16, 10)
+    val hostIdx = (conv(substring(md5_fast(concat($"doc_id".cast("string"), lit("#host"))), 1, 8), 16, 10)
       .cast("long") % nHosts).cast("int")
     val hostCol = element_at(
       array(hostVocab.map(lit): _*), hostIdx + 1)
-    val q100 = (conv(substring(md5(concat($"doc_id".cast("string"), lit("#dq"))), 1, 8), 16, 10)
+    val q100 = (conv(substring(md5_fast(concat($"doc_id".cast("string"), lit("#dq"))), 1, 8), 16, 10)
       .cast("long") % 101L).as("q100")
     val docs = Tables.documents(s, d).select(
       hostCol.as("domain"),
@@ -1231,7 +1232,7 @@ object CurationQueries {
       sum($"f1" * $"f2" * $"f3").as("n3"),
       sum($"f1" * $"f2" * $"f3" * $"f4").as("n4"),
       countDistinct(when($"f1" * $"f2" * $"f3" * $"f4" === 1L,
-        md5(concat_ws(" ", slice($"w", 1, 8))))).as("n5"))
+        md5_fast(concat_ws(" ", slice($"w", 1, 8))))).as("n5"))
     m.select(expr(
         """stack(5,
           | 1, 'language', n0, n1,

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Fx, QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.plans.GraftFunctions.md5_fast
 
 /** Round-14 batch: the DECISION layer on top of the existing test
   * batteries — rater agreement (Fleiss κ q513, the ≥3-rater member
@@ -579,7 +580,7 @@ object DecisionQueries {
       .crossJoin(broadcast(
         Seq.range(0, 256).toDF("p")))
       .select($"p",
-        (when(substring(md5(concat($"brand", lit("#"), $"p".cast("string"))),
+        (when(substring(md5_fast(concat($"brand", lit("#"), $"p".cast("string"))),
           1, 1) < "8", lit(1L)).otherwise(lit(-1L)) * $"d").as("sd"))
       .groupBy($"p").agg(sum($"sd").as("t_perm"))
     perms.crossJoin(broadcast(obs))
@@ -1436,7 +1437,7 @@ object DecisionQueries {
     * vs pinned χ²(2). Scale: one scan, one (lang × 3) groupBy. */
   def q527(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val u = conv(substring(md5(concat($"doc_id".cast("string"),
+    val u = conv(substring(md5_fast(concat($"doc_id".cast("string"),
       lit("#split"))), 1, 2), 16, 10).cast("long")
     val base = Tables.documents(s, d)
       .select($"lang",
@@ -1609,7 +1610,7 @@ object DecisionQueries {
       .select(
         graft.functions.TextAnalysis.tokenCount($"text").cast("long").as("y"),
         $"n_chars".cast("long").as("x"),
-        (substring(md5(concat($"doc_id".cast("string"), lit("#rs"))), 1, 1)
+        (substring(md5_fast(concat($"doc_id".cast("string"), lit("#rs"))), 1, 1)
           < "4").cast("long").as("in_s"))
     base.agg(count(lit(1)).as("n"), sum($"x").as("xt"), sum($"y").as("yt"),
         sum($"in_s").as("ns"),
@@ -2411,7 +2412,7 @@ object DecisionQueries {
       .agg(max(($"event_type" === "purchase" && $"value" >= 200.0)
         .cast("long")).as("converted"))
       .withColumn("arm",
-        when(conv(substring(md5(concat($"user_id".cast("string"),
+        when(conv(substring(md5_fast(concat($"user_id".cast("string"),
           lit("#exp1"))), 1, 8), 16, 10).cast("long") % 2 === 0,
           lit("control")).otherwise(lit("treatment")))
     val arms = users.agg(
@@ -2509,7 +2510,7 @@ object DecisionQueries {
   def q544(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     def present(r: Int): Column =
-      (conv(substring(md5(concat($"doc_id".cast("string"), lit(s"#kr$r"))),
+      (conv(substring(md5_fast(concat($"doc_id".cast("string"), lit(s"#kr$r"))),
         1, 8), 16, 10).cast("long") % 5 =!= 0).cast("long")
     val rated = Tables.documents(s, d)
       .select(present(1).as("m1"), present(2).as("m2"), present(3).as("m3"),
@@ -2698,7 +2699,7 @@ object DecisionQueries {
       .agg(max(($"event_type" === "purchase" && $"value" >= 200.0)
         .cast("long")).as("converted"))
       .withColumn("ctl",
-        (conv(substring(md5(concat($"user_id".cast("string"),
+        (conv(substring(md5_fast(concat($"user_id".cast("string"),
           lit("#exp1"))), 1, 8), 16, 10).cast("long") % 2 === 0)
           .cast("long"))
     users.agg(
@@ -2852,7 +2853,7 @@ object DecisionQueries {
     val o = Tables.orders(s, d).select($"o_orderkey",
       $"o_orderpriority".as("grp"),
       floor($"o_totalprice" * 100).cast("long").as("cents"),
-      (conv(substring(md5(concat($"o_orderkey".cast("string"),
+      (conv(substring(md5_fast(concat($"o_orderkey".cast("string"),
         lit("#conf"))), 1, 8), 16, 10) % 3).cast("int").as("fold"))
       .transform(Fx.materialize)
     val train = o.filter($"fold" === 0)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
+import graft.plans.GraftFunctions.md5_fast
 
 /** Deduplication operators for training-data pipelines: exact (hash),
   * MinHash + LSH banding (near-dup at scale), n-gram Jaccard.
@@ -25,7 +26,7 @@ import org.apache.spark.sql.types.IntegerType
   */
 object Dedup {
 
-  def textHash(c: Column): Column = md5(c)
+  def textHash(c: Column): Column = md5_fast(c)
 
   /** Exact dedup: keep the smallest id per distinct text. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -65,6 +66,17 @@ object Dedup {
       .select(col(idCol), explode(bigramsFromWords(col("__w"))).as("shingle"))
     minhashOverShingles(sh, idCol, nHashes)
   }
+
+  /** [[minhashSignatureWords]] over a PRE-SPLIT words-array frame —
+    * for callers that already materialized the split (r19: q53 shares
+    * ONE corpus scan + split between the signature pipeline and the
+    * exact-verify word sets instead of re-scanning per consumer). */
+  def minhashSignatureFromWords(base: DataFrame, idCol: String,
+      wordsCol: String, nHashes: Int = 6): DataFrame =
+    minhashOverShingles(
+      base.select(col(idCol),
+        explode(bigramsFromWords(col(wordsCol))).as("shingle")),
+      idCol, nHashes)
 
   /** Production-speed MinHash over word bigrams: the xxhash64 family
     * (native long arithmetic inside codegen on the hot per-shingle
@@ -106,11 +118,15 @@ object Dedup {
     // the agg, keeping the h1..hn output shape (and downstream banding)
     // unchanged. Exactly mirrored in DuckDB via
     // ('0x'||substr(md5,..))::BIGINT.
-    val d = md5(col("shingle"))
+    // r19: the two KM coefficients come from the allocation-free native
+    // Md5Chunk scalars (one memoized digest shared by the sibling
+    // expressions — the q554 signature discipline) instead of a hex
+    // digest string + two radix-16 substring parses per shingle.
+    // Byte-identical values (Md5ChunksSpec pins chunk ≡ conv chain);
+    // the DuckDB oracle still spells out the substr/conv derivation.
     val withH = sh
-      .withColumn("__d", d)
-      .withColumn("__a1", conv(substring(col("__d"), 1, 8), 16, 10).cast("long"))
-      .withColumn("__a2", conv(substring(col("__d"), 9, 8), 16, 10).cast("long"))
+      .withColumn("__a1", graft.plans.GraftFunctions.md5_chunk(col("shingle"), 0))
+      .withColumn("__a2", graft.plans.GraftFunctions.md5_chunk(col("shingle"), 1))
     val aggs = (1 to nHashes).map { i =>
       min(pmod(col("__a1") + lit(i.toLong) * col("__a2"), lit(4294967296L))).as(s"__m$i")
     }
@@ -271,7 +287,7 @@ object Dedup {
     * per-word min-hashes (locality-sensitive-ish; exact SimHash lives
     * in plans/ as a native expression). */
   def minhashPrefixBucket(c: Column, chars: Int = 2): Column =
-    substring(md5(c), 0, chars)
+    substring(md5_fast(c), 0, chars)
 
   /** Duplicate-cluster labeling: connected components over the
     * near-dup pair graph (GraphX Pregel — label = min doc_id in the

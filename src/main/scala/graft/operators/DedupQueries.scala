@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Fx, QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.plans.GraftFunctions.md5_fast
 
 /** Oracle-checked dedup queries over `documents`: exact hash dedup,
   * MinHash signatures, LSH banding, candidate pairs with Jaccard
@@ -109,12 +110,19 @@ object DedupQueries {
     * Jaccard; near-dups at ≥ 0.6. */
   def q53(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, d)
-    val sig = Dedup.minhashSignatureWords(docs, "doc_id", "text", nHashes)
+    // r19: ONE corpus scan + split feeds the signature pipeline AND
+    // both exact-verify word-set sides (previously three independent
+    // scan+split subtrees — the q552 first-draft class). wordSet(text)
+    // ≡ array_distinct(split(text)) on the shared array, so the verify
+    // values are bit-identical.
+    val base = Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("__w"))
+      .transform(graft.Fx.materialize)
+    val sig = Dedup.minhashSignatureFromWords(base, "doc_id", "__w", nHashes)
     val bands = Dedup.lshBands(sig, "doc_id", nBands = 2, rowsPerBand = 3)
     val pairs = Dedup.candidatePairs(bands, "doc_id")
-    val da = docs.select($"doc_id".as("a"), Dedup.wordSet($"text").as("wa"))
-    val db = docs.select($"doc_id".as("b"), Dedup.wordSet($"text").as("wb"))
+    val da = base.select($"doc_id".as("a"), array_distinct($"__w").as("wa"))
+    val db = base.select($"doc_id".as("b"), array_distinct($"__w").as("wb"))
     pairs.join(da, "a").join(db, "b")
       .withColumn("jac", Dedup.jaccard($"wa", $"wb"))
       .filter($"jac" >= 0.6)
@@ -376,7 +384,7 @@ object DedupQueries {
         when(size($"w") >= 3,
           transform(sequence(lit(1), size($"w") - 2),
             i => struct(i.as("pos"),
-              conv(substring(md5(
+              conv(substring(md5_fast(
                 concat_ws(" ", element_at($"w", i), element_at($"w", i + 1),
                   element_at($"w", i + 2))), 1, 15), 16, 10)
                 .cast("long").as("h"))))
@@ -456,7 +464,7 @@ object DedupQueries {
       .select($"doc_id",
         coalesce($"component", $"doc_id").as("component"))
       .withColumn("split",
-        when(pmod(conv(substring(md5($"component".cast("string")), 1, 8), 16, 10)
+        when(pmod(conv(substring(md5_fast($"component".cast("string")), 1, 8), 16, 10)
           .cast("long"), lit(10L)) === 0L, "eval").otherwise("train"))
     val leaks = nearDup
       .join(assigned.select($"doc_id".as("a"), $"split".as("split_a")), "a")
@@ -800,8 +808,8 @@ object DedupQueries {
     import s.implicits._
     val nSh = 16
     val docs = Tables.documents(s, d).select(
-      md5($"text").as("fp"),
-      (conv(substring(md5(concat($"doc_id".cast("string"), lit("#shard"))), 1, 8), 16, 10)
+      md5_fast($"text").as("fp"),
+      (conv(substring(md5_fast(concat($"doc_id".cast("string"), lit("#shard"))), 1, 8), 16, 10)
         .cast("long") % nSh).as("s_id"))
     val groups = docs
       .groupBy($"fp")
@@ -1354,7 +1362,7 @@ object DedupQueries {
     val ks = Seq(4, 6)
     val perK = ks.map { k =>
       Tables.documents(s, d)
-        .select(substring(md5($"doc_id".cast("string")), 1, k).as("bucket"))
+        .select(substring(md5_fast($"doc_id".cast("string")), 1, k).as("bucket"))
         .groupBy($"bucket").agg(count(lit(1)).as("c"))
         .agg(count(lit(1)).as("used_buckets"),
           sum($"c").as("n"),

@@ -4,6 +4,7 @@ import graft.{Fx, QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.plans.GraftFunctions.md5_fast
 
 /** Event-stream analytics in batch form (the streaming variants live in
   * graft.streaming and share the same column logic — `Trigger
@@ -1487,7 +1488,7 @@ object EventQueries {
       .groupBy($"user_id")
       .agg(min(epochDay($"ts")).as("first_day"), max(epochDay($"ts")).as("last_day"))
       .withColumn("grp",
-        (conv(substring(md5(concat($"user_id".cast("string"), lit("#lr"))), 1, 8), 16, 10) % 2)
+        (conv(substring(md5_fast(concat($"user_id".cast("string"), lit("#lr"))), 1, 8), 16, 10) % 2)
           .cast("int"))
       .transform(Fx.materialize)
     val maxDay = spans.agg(max($"last_day").as("m"))
@@ -3033,9 +3034,19 @@ object EventQueries {
         floor($"o_totalprice" * 100 + 0.5).cast("long").as("c"))
       .groupBy($"priority", $"day").agg(sum($"c").as("cents"))
       .transform(graft.Fx.materialize)
-    val bounds = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
-    val spine = daily.select($"priority").distinct()
-      .crossJoin(bounds) // 1-row broadcast
+    // r19: ONE global aggregation builds the whole spine — bounds AND
+    // the priority domain (bounded by spec: 5 values, so collect_set
+    // state is O(domain), the house bounded-domain discipline). The
+    // previous form ran a bounds agg + a distinct (its own exchange) +
+    // a broadcast cross-join: three operator subtrees and two extra
+    // AQE stages to produce the same ≤ |domain| × days rows. Plan
+    // diff: 2 aggregates + BroadcastNestedLoopJoin + BroadcastExchange
+    // → 1 aggregate + 2 Generates (guide §2.4 — remove shuffles
+    // outright). Same spine rows, so identical query output.
+    val spine = daily
+      .agg(min($"day").as("d0"), max($"day").as("d1"),
+        sort_array(collect_set($"priority")).as("ps"))
+      .select(explode($"ps").as("priority"), $"d0", $"d1")
       .select($"priority", explode(sequence($"d0", $"d1")).as("day"))
     val wPrev = Window.partitionBy($"priority").orderBy($"day")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -4037,7 +4048,7 @@ object EventQueries {
       .crossJoin(broadcast(st.select($"n")))
       .select($"i", $"n", explode(sequence(lit(0), lit(bN - 1))).as("b"))
       .select($"b",
-        (conv(substring(md5(concat($"b", lit("_"), $"i")), 1, 8), 16, 10)
+        (conv(substring(md5_fast(concat($"b", lit("_"), $"i")), 1, 8), 16, 10)
           .cast("long") % $"n").as("rn"))
     val means = draws.join(g.select($"rn", $"rev"), "rn")
       .groupBy($"b")

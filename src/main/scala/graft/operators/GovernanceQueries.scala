@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import graft.plans.GraftFunctions.md5_fast
 
 /** Governance / semi-structured surface: schema-on-read JSON
   * extraction, k-anonymity auditing, and an exact equi-depth histogram
@@ -137,7 +138,7 @@ object GovernanceQueries {
     * on the md5 grid both engines share. */
   def q176(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val fp = conv(substring(md5(concat_ws("|",
+    val fp = conv(substring(md5_fast(concat_ws("|",
       $"doc_id", $"lang", $"source", $"n_chars")), 1, 15), 16, 10).cast("long")
     Tables.documents(s, d)
       .select(($"doc_id" % 64).as("bucket"), fp.as("fp"))
@@ -900,7 +901,7 @@ object GovernanceQueries {
   def q244(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     def pick(c: org.apache.spark.sql.Column) =
-      conv(substring(md5(concat(c.cast("string"), lit("#sar"))), 1, 8), 16, 10)
+      conv(substring(md5_fast(concat(c.cast("string"), lit("#sar"))), 1, 8), 16, 10)
         .cast("long") % 100L === 0L
     // materialized: the ~1%-sampled subject list broadcasts into all
     // three entity probes — without it each probe re-scans customer
@@ -2279,7 +2280,7 @@ object GovernanceQueries {
       .groupBy($"user_id")
       .agg(max(($"event_type" === "purchase").cast("long")).as("t"))
       .withColumn("flip",
-        ((conv(substring(md5(concat($"user_id".cast("string"), lit("#rr"))),
+        ((conv(substring(md5_fast(concat($"user_id".cast("string"), lit("#rr"))),
           1, 8), 16, 10) % 4) === 0).cast("long"))
       .withColumn("reported",
         ($"t" + $"flip") % 2) // XOR on 0/1 longs
@@ -2487,10 +2488,10 @@ object GovernanceQueries {
     val staged = Tables.documents(s, d)
       .select($"doc_id", $"lang",
         ($"doc_id" === min($"doc_id").over(
-          Window.partitionBy(md5($"text")))).cast("long").as("keep_dedup"),
+          Window.partitionBy(md5_fast($"text")))).cast("long").as("keep_dedup"),
         (graft.functions.TextAnalysis.qualityMicro($"text") >= 500000L)
           .cast("long").as("keep_quality"),
-        (pmod(conv(substring(md5(concat($"doc_id".cast("string"),
+        (pmod(conv(substring(md5_fast(concat($"doc_id".cast("string"),
           lit("#split"))), 1, 8), 16, 10).cast("long"), lit(10L)) =!= 0L)
           .cast("long").as("in_train"))
     staged.groupBy($"lang")

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Fx, QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.plans.GraftFunctions.md5_fast
 
 /** Iterative graph computation as a DataFrame LOOP (the pattern for
   * fixed-point algorithms when GraphX's Pregel is more machinery than
@@ -625,7 +626,7 @@ object GraphQueries {
     val s = active.sparkSession
     import s.implicits._
     val hashed = active.withColumn("__h",
-      conv(substring(md5(concat($"user_id".cast("string"), lit("#coact"))), 1, 8),
+      conv(substring(md5_fast(concat($"user_id".cast("string"), lit("#coact"))), 1, 8),
         16, 10).cast("long"))
     val kept = graft.plans.TopK.perGroup(hashed, cap, Seq("hr"),
         Seq(graft.plans.TopK.asc("__h"), graft.plans.TopK.asc("user_id")))

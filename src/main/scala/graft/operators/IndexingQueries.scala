@@ -5,6 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import graft.plans.GraftFunctions.md5_fast
 
 /** Retrieval / indexing operators for corpus curation at 100 TB:
   * statistical LM scoring (the CCNet-style "perplexity filter" shape),
@@ -52,10 +53,15 @@ object IndexingQueries {
     // split into adjacentPairs' lambda re-splits the text once per
     // element access under interpreted higher-order-function eval
     // (measured 7× slower on this exact shape).
+    // r19: materialized — the bigram stream feeds BOTH the model
+    // aggregation and the final scoring join; un-materialized, the
+    // corpus was scanned + split + pair-exploded twice (the q552
+    // first-draft class). One pass now feeds both consumers.
     val stream = docs
       .select($"doc_id", words($"text").as("w"))
       .select($"doc_id",
         explode(graft.functions.TextAnalysis.adjacentPairs($"w")).as("bg"))
+      .transform(graft.Fx.materialize)
     // The LM is distinct OBSERVED bigrams — Zipfian text keeps it far
     // below the stream size (~1k at this corpus), so both count tables
     // reduce with map-side combine and the probability table joins
@@ -181,11 +187,18 @@ object IndexingQueries {
   def prefixJaccardPairs(docsIn: DataFrame): DataFrame = {
     val s = docsIn.sparkSession
     import s.implicits._
+    // r19: materialized — the token relation used to be recomputed by
+    // every consumer (vocab agg + rank join + the two verification
+    // re-joins = 4 scans + splits + explodes of the corpus; the q552
+    // first-draft lesson). Now it feeds exactly TWO consumers (vocab,
+    // rank join — verification reads the doc ARRAYS instead, below)
+    // from one materialized pass.
     val toks = docsIn
       .select($"doc_id", $"source", $"lang", words($"text").as("w0"))
       .select($"doc_id", $"source", $"lang",
         explode(array_distinct($"w0")).as("w"))
       .filter($"w" =!= "")
+      .transform(graft.Fx.materialize)
     // Global rarity rank over the VOCAB (tokens, not occurrences).
     // The vocabulary grows with the corpus (Heaps' law), so a global
     // `row_number()` window here was the one documented scale
@@ -197,13 +210,17 @@ object IndexingQueries {
     // whole vocabulary.
     val vocab = Ranking
       .seqIds(toks.groupBy($"w").agg(count(lit(1)).as("df")),
-        parts = 32, $"df", $"w")
+        partsFloor = 32, $"df", $"w")
       .withColumnRenamed("seq_id", "r")
     val ranked = toks.join(vocab.select($"w", $"r"), "w")
+    // r19: materialized — feeds the prefix explode AND both sides of
+    // the exact verification (arr lookups), so the rank join +
+    // collect_list runs once.
     val docArr = ranked.groupBy($"doc_id", $"source", $"lang")
       .agg(sort_array(collect_list($"r")).as("arr"))
       .select($"doc_id", $"source", $"lang", $"arr",
         size($"arr").cast("long").as("len"))
+      .transform(graft.Fx.materialize)
     val prefix = docArr
       .select($"doc_id", $"source", $"lang", $"len",
         posexplode(slice($"arr", lit(1),
@@ -230,11 +247,21 @@ object IndexingQueries {
       .filter(($"n_shared" +
         least($"l1" - $"top.p1", $"l2" - $"top.p2")) * 19 >= ($"l1" + $"l2") * 9)
       .select($"d1", $"d2", $"l1", $"l2")
+    // r19: exact verification as TWO array lookups (the q554 verify
+    // discipline) instead of re-joining the token relation with itself
+    // through two corpus-sized shuffles + a pair-keyed aggregation:
+    // each doc's sorted distinct-rank array already exists in docArr,
+    // ranks are bijective with tokens (global seq ids over the vocab),
+    // so |arr₁ ∩ arr₂| IS the token intersection. Candidates ≪ corpus,
+    // so the verify now shuffles candidate rows, not token rows. Plan
+    // diff: 2 joins over the exploded token relation + HashAggregate →
+    // 2 joins against the (doc-count-sized) array table + an in-row
+    // array_intersect; exchanges carrying token rows drop out.
     val inter = cands
-      .join(toks.as("t1"), $"d1" === $"t1.doc_id")
-      .join(toks.as("t2"), $"d2" === $"t2.doc_id" && $"t1.w" === $"t2.w")
-      .groupBy($"d1", $"d2", $"l1", $"l2")
-      .agg(count(lit(1)).as("inter"))
+      .join(docArr.select($"doc_id".as("d1"), $"arr".as("__arr1")), "d1")
+      .join(docArr.select($"doc_id".as("d2"), $"arr".as("__arr2")), "d2")
+      .select($"d1", $"d2", $"l1", $"l2",
+        size(array_intersect($"__arr1", $"__arr2")).cast("long").as("inter"))
     inter
       .filter($"inter" * 10 >= ($"l1" + $"l2" - $"inter") * 9)
       .select($"d1".as("doc_id_1"), $"d2".as("doc_id_2"), $"inter",
@@ -309,7 +336,7 @@ object IndexingQueries {
     */
   def q168(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val u = conv(substring(md5(concat($"doc_id".cast("string"), lit("#bk"))), 1, 8), 16, 10)
+    val u = conv(substring(md5_fast(concat($"doc_id".cast("string"), lit("#bk"))), 1, 8), 16, 10)
       .cast("long").cast("double") / 4294967296.0
     val base = Tables.documents(s, d).select($"source", $"doc_id", u.as("u"))
     graft.plans.TopK.perGroup(base, 10, Seq("source"),
@@ -476,7 +503,7 @@ object IndexingQueries {
       .transform(graft.Fx.materialize) // keys ×2 and the verify join
     val keys = u
       .select($"id", $"w", explode(sequence(lit(1), lit(6))).as("i"))
-      .select($"id", md5(concat($"i".cast("string"), lit(":"),
+      .select($"id", md5_fast(concat($"i".cast("string"), lit(":"),
         concat_ws(" ", concat(slice($"w", lit(1), $"i" - 1),
           array(lit("#")),
           slice($"w", $"i" + 1, lit(6) - $"i"))))).as("key"))

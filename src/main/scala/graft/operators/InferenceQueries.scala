@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Fx, QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.plans.GraftFunctions.md5_fast
 
 /** Round-13 second batch: the remaining classical-inference families
   * the registry lacked, each placed beside its existing relative —
@@ -1866,13 +1867,13 @@ object InferenceQueries {
     val docs = Tables.documents(s, d)
       .filter($"text".isNotNull)
       .select(substring($"text", 1, 60).as("grp"),
-        (conv(substring(md5(concat($"doc_id".cast("string"), lit("#split"))),
+        (conv(substring(md5_fast(concat($"doc_id".cast("string"), lit("#split"))),
           1, 8), 16, 10).cast("long") % 5 === 0).cast("long").as("is_test"))
     val groups = docs.groupBy($"grp")
       .agg(count(lit(1)).as("k"), sum($"is_test").as("kt"))
       .filter($"k" >= 2)
       .withColumn("gflag",
-        (conv(substring(md5(concat($"grp", lit("#split"))), 1, 8), 16, 10)
+        (conv(substring(md5_fast(concat($"grp", lit("#split"))), 1, 8), 16, 10)
           .cast("long") % 5 === 0).cast("long"))
     groups.agg(count(lit(1)).as("n_dup_groups"),
         sum(expr("k * (k - 1) div 2")).as("n_dup_pairs"),

@@ -31,7 +31,14 @@ object Ranking {
   /** Append a global 1-based `seq_id` along `order`. `order` MUST be a
     * total order (include a unique tie-break column) — equal sort keys
     * would otherwise take arbitrary ids. */
-  def seqIds(df: DataFrame, parts: Int, order: Column*): DataFrame = {
+  def seqIds(df: DataFrame, partsFloor: Int, order: Column*): DataFrame = {
+    // r19 (guide §2.5): `partsFloor` is a FLOOR, not the count — the
+    // range-partition width scales with the session's parallelism so a
+    // call site tuned on a small master never serializes a cluster
+    // through 8 range partitions (ids are a pure function of the total
+    // order, so the count is free to vary; outputs are identical).
+    val parts = math.max(partsFloor,
+      df.sparkSession.sparkContext.defaultParallelism)
     // localCheckpoint: the counts job and the output job must see the
     // SAME materialized partitions (and skip re-running the range
     // shuffle + sort once per job).
@@ -97,9 +104,12 @@ object Ranking {
     * cell is the group's total over PRIOR partitions — an aggregate of
     * ≤ parts × groups rows combined under a bounded-domain window and
     * broadcast back. Null groups are preserved (null-safe join). */
-  def groupRunningSum(df: DataFrame, groupCols: Seq[String], parts: Int,
+  def groupRunningSum(df: DataFrame, groupCols: Seq[String], partsFloor: Int,
       valueCol: String, innerOrder: Column*): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // r19: floor semantics, same rationale as [[seqIds]]
+    val parts = math.max(partsFloor,
+      df.sparkSession.sparkContext.defaultParallelism)
     val order = groupCols.map(col) ++ innerOrder
     val sorted = df.repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)

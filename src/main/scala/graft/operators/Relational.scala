@@ -4,6 +4,7 @@ import graft.{Fx, QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.plans.GraftFunctions.md5_fast
 
 /** Core relational operator coverage (SURVEY.md §2.3–§2.9 plus the §7
   * engine-capability queries): scans with pushdown, projections,
@@ -465,7 +466,7 @@ object Relational {
     import s.implicits._
     Tables.orders(s, d)
       .select($"o_orderkey", $"o_custkey", $"o_totalprice",
-        md5(concat($"o_orderkey".cast("string"), lit("#sample"))).as("rk"))
+        md5_fast(concat($"o_orderkey".cast("string"), lit("#sample"))).as("rk"))
       .orderBy($"rk")
       .limit(20)
   }
@@ -930,10 +931,20 @@ object Relational {
       .select($"o_orderkey", $"o_orderpriority")
       .join(items, $"o_orderkey" === $"l_orderkey")
       .select($"o_orderkey", $"o_orderpriority", $"items")
+    // r19: n_orders via posexplode instead of countDistinct(o_orderkey).
+    // Each pre-explode row IS one distinct order (items are grouped by
+    // orderkey upstream, arrays never empty), so counting the pos=0 rows
+    // is the same number — without the distinct-aggregate rewrite that
+    // ran the exploded relation through FOUR HashAggregates keyed on
+    // (priority, orderkey) and an extra exchange of the orderkey domain.
+    // Plan diff: 4 HashAggregate + 2 Exchange → 2 HashAggregate +
+    // 1 Exchange past the Generate (guide §2.3 aggregate-before-shuffle:
+    // the partial agg now collapses to ≤ |priorities| rows per task).
     docs
-      .select($"o_orderkey", $"o_orderpriority", explode($"items").as("it"))
+      .select($"o_orderkey", $"o_orderpriority",
+        posexplode($"items").as(Seq("pos", "it")))
       .groupBy($"o_orderpriority")
-      .agg(countDistinct($"o_orderkey").as("n_orders"),
+      .agg(count(when($"pos" === 0, lit(1))).as("n_orders"),
         count(lit(1)).as("n_items"),
         sum($"it.qty").as("sum_qty"),
         sum($"it.cents").as("sum_cents"))

@@ -4,6 +4,7 @@ import graft.{Fx, QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.plans.GraftFunctions.md5_fast
 
 /** Scale-path operators, each the "what you actually run at 100 TB"
   * counterpart of an exact operator elsewhere in the registry — and
@@ -52,7 +53,7 @@ object ScaleQueries {
   def q147(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val restBits = 26 // 32-bit hash = 6 bucket bits + 26 rank bits
-    val h = conv(substring(md5($"o_custkey".cast("string")), 1, 8), 16, 10)
+    val h = conv(substring(md5_fast($"o_custkey".cast("string")), 1, 8), 16, 10)
       .cast("long")
     val rest = h.bitwiseAND(lit((1L << restBits) - 1))
     val hashed = Tables.orders(s, d).select(
@@ -112,7 +113,7 @@ object ScaleQueries {
   private def gramDigests(w: Column): Column =
     when(size(w) >= 8,
       array_distinct(transform(sequence(lit(1), size(w) - 7),
-        i => md5(array_join(slice(w, i, lit(8)), " ")))))
+        i => md5_fast(array_join(slice(w, i, lit(8)), " ")))))
       .otherwise(array().cast("array<string>"))
 
   private val gramDigestsSql =
@@ -379,7 +380,7 @@ object ScaleQueries {
     import s.implicits._
     val restBits = 26
     val win = 6 // hours per sliding window
-    val h = conv(substring(md5($"user_id".cast("string")), 1, 8), 16, 10)
+    val h = conv(substring(md5_fast($"user_id".cast("string")), 1, 8), 16, 10)
       .cast("long")
     val rest = h.bitwiseAND(lit((1L << restBits) - 1))
     val hashed = Tables.events(s, d).select(

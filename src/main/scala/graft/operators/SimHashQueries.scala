@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import graft.plans.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.plans.GraftFunctions.md5_fast
 
 /** SimHash near-dup fingerprinting.
   *
@@ -29,7 +30,7 @@ object SimHashQueries {
     import s.implicits._
     val words = Tables.documents(s, d)
       .select($"doc_id", explode(array_distinct(split($"text", " "))).as("w"))
-      .withColumn("h", conv(substring(md5($"w"), 1, 15), 16, 10).cast("long"))
+      .withColumn("h", conv(substring(md5_fast($"w"), 1, 15), 16, 10).cast("long"))
     val votes = words.groupBy($"doc_id").agg(simhash16($"h").head, simhash16($"h").tail: _*)
     val sh = votes.select($"doc_id",
       (0 until bits).map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))

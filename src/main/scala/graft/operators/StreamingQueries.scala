@@ -78,7 +78,13 @@ object StreamingQueries {
     val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
     val events = graft.Fx.eventTs(raw)
+    // r19: project BEFORE the stateful dedup (guide §2.3). Only the key
+    // columns are ever emitted, but dropDuplicates shuffles and stores
+    // the ENTIRE row it keeps — so without this projection every
+    // payload column crosses the exchange into the state store for
+    // nothing. Same emitted key set, skinnier shuffle + state rows.
     val deduped = events
+      .select($"ts", $"user_id", $"event_type")
       .withWatermark("ts", "2 hours")
       .dropDuplicates("user_id", "event_type")
       .select($"user_id", $"event_type")

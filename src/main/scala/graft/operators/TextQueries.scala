@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextAnalysis
+import graft.plans.GraftFunctions.md5_fast
 
 /** Oracle-checked text-analysis queries over `documents`: token
   * counting, quality scoring, language-ID, fingerprinting. All integer
@@ -157,7 +158,7 @@ object TextQueries {
     import s.implicits._
     val prio = Tables.documents(s, d)
       .select($"lang", $"doc_id", $"n_chars",
-        md5(concat($"doc_id".cast("string"), lit("#strat"))).as("__p"))
+        md5_fast(concat($"doc_id".cast("string"), lit("#strat"))).as("__p"))
     val top = graft.plans.TopK.perGroup(prio, 5, Seq("lang"),
       Seq(graft.plans.TopK.asc("__p"), graft.plans.TopK.asc("doc_id")))
     top
@@ -322,7 +323,7 @@ object TextQueries {
     val sk = toks.agg(graft.plans.CountMin.cm_sketch($"w", depth, width).as("sk"))
     val estCols = (0 until depth).map { r =>
       val cell = pmod(
-        conv(substring(md5(concat($"w", lit("#" + r))), 1, 8), 16, 10).cast("long"),
+        conv(substring(md5_fast(concat($"w", lit("#" + r))), 1, 8), 16, 10).cast("long"),
         lit(width.toLong))
       element_at(element_at($"sk", r + 1), (cell + 1L).cast("int"))
     }

@@ -4,6 +4,7 @@ import graft.{Fx, QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.plans.GraftFunctions.md5_fast
 
 /** Training-data curation operators a 100 TB LLM pipeline needs beyond
   * dedup/ANN: TF-IDF term scoring, repetition (boilerplate) filters,
@@ -139,7 +140,7 @@ object TrainingQueries {
         size(regexp_extract_all(txt, lit(phonePat), lit(0))).cast("long").as("n_phones"),
         length(txt).cast("long").as("raw_len"),
         length(redacted).cast("long").as("redacted_len"),
-        md5(redacted).as("redacted_fp"))
+        md5_fast(redacted).as("redacted_fp"))
       .orderBy($"doc_id")
   }
 
@@ -293,7 +294,7 @@ object TrainingQueries {
       .select($"doc_id", $"i".cast("long").as("chunk_idx"),
         ($"i" * 80 + 1).cast("long").as("start_tok"),
         least(size($"w") - $"i" * 80, lit(100)).cast("long").as("chunk_len"),
-        md5(array_join(slice($"w", $"i" * 80 + 1, lit(100)), " ")).as("chunk_fp"))
+        md5_fast(array_join(slice($"w", $"i" * 80 + 1, lit(100)), " ")).as("chunk_fp"))
       .orderBy($"doc_id", $"chunk_idx")
   }
 
@@ -315,7 +316,7 @@ object TrainingQueries {
     * score — cluster-stable importance sampling, no RNG state. */
   def q98(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val u = conv(substring(md5(concat($"doc_id".cast("string"), lit("#wsamp"))), 1, 8), 16, 10)
+    val u = conv(substring(md5_fast(concat($"doc_id".cast("string"), lit("#wsamp"))), 1, 8), 16, 10)
       .cast("long").cast("double") / 4294967296.0
     val q = graft.functions.TextAnalysis.qualityScore($"text")
     Tables.documents(s, d)
@@ -490,7 +491,7 @@ object TrainingQueries {
           array_distinct(transform(sequence(lit(1), size($"w") - (W - 1)),
             i => array_join(slice($"w", i, lit(W)), " "))))
           .otherwise(array().cast("array<string>"))).as("win"))
-      .withColumn("h", md5($"win"))
+      .withColumn("h", md5_fast($"win"))
     wins.groupBy($"h")
       .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("first_doc"),
         min($"win").as("window"))
@@ -556,7 +557,7 @@ object TrainingQueries {
         when(size($"w") >= wv,
           transform(
             array_distinct(transform(sequence(lit(1), size($"w") - (wv - 1)),
-              i => md5(array_join(slice($"w", i, lit(wv)), " ")))),
+              i => md5_fast(array_join(slice($"w", i, lit(wv)), " ")))),
             h => struct(lit(wv.toLong).as("wlen"), h.as("h"))))
           .otherwise(emptyRung)
       }: _*))).as("c"))
@@ -754,7 +755,7 @@ object TrainingQueries {
     * engines md5 the same space-joined strings). */
   private[graft] def spanWinDigests(arr: Column, L: Column): Column =
     transform(sequence(lit(1), size(arr) - L.cast("int") + 1),
-      i => md5(array_join(slice(arr, i, L.cast("int")), " ")))
+      i => md5_fast(array_join(slice(arr, i, L.cast("int")), " ")))
 
   val q556Sql: String =
     s"""WITH $spanLadderSqlCtes,
@@ -939,7 +940,7 @@ object TrainingQueries {
       .select($"doc_id", explode(
         when(size($"w") >= W,
           array_distinct(transform(sequence(lit(1), size($"w") - (W - 1)),
-            i => md5(array_join(slice($"w", i, lit(W)), " ")))))
+            i => md5_fast(array_join(slice($"w", i, lit(W)), " ")))))
           .otherwise(array().cast("array<string>"))).as("h"))
     val df = wins.groupBy($"h").agg(count(lit(1)).as("df"))
     wins.join(df, "h")
@@ -1014,7 +1015,7 @@ object TrainingQueries {
       .select($"source", $"n_h", $"k_h")
     val ranked = Ranking.groupRanks(
       docs.select($"doc_id", $"source",
-        md5(concat($"doc_id".cast("string"), lit("#ney"))).as("u")),
+        md5_fast(concat($"doc_id".cast("string"), lit("#ney"))).as("u")),
       Seq("source"), 32, $"u", $"doc_id")
     ranked.join(broadcast(alloc), "source")
       .filter($"rank" <= $"k_h")
@@ -1080,7 +1081,7 @@ object TrainingQueries {
     val cust = Tables.customer(s, d).select($"c_custkey", $"c_mktsegment")
     val ord = Tables.orders(s, d).select($"o_custkey",
       floor($"o_totalprice" * 100).cast("long").as("cents"),
-      (conv(substring(md5(concat($"o_orderkey".cast("string"), lit("#te"))), 1, 8), 16, 10) % 5)
+      (conv(substring(md5_fast(concat($"o_orderkey".cast("string"), lit("#te"))), 1, 8), 16, 10) % 5)
         .cast("int").as("fold"))
     val cells = ord.join(cust, $"o_custkey" === $"c_custkey")
       .groupBy($"c_mktsegment", $"fold")

@@ -17,6 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (es: Seq[Expression]) => SimHash64(es.head)))
     ext.injectFunction((
+      FunctionIdentifier("md5_fast"),
+      new ExpressionInfo(classOf[Md5Hex].getName, "md5_fast"),
+      (es: Seq[Expression]) => Md5Hex(es.head)))
+    ext.injectFunction((
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (es: Seq[Expression]) => RollingHash(es.head)))

@@ -97,6 +97,73 @@ object Md5ChunksUtil {
   }
 }
 
+/** r19 (optimization): byte-identical fast path for `md5(string)`.
+  * Spark's builtin `Md5` goes through commons-codec `DigestUtils.md5Hex`
+  * — a `MessageDigest.getInstance` PROVIDER LOOKUP per row, plus a
+  * string→binary cast copy, a hex `char[]`+`String`, and a
+  * `UTF8String.fromString` re-encode — ~5 allocations and a registry
+  * probe per call. Measured on this host: 1M × 53-byte digests =
+  * 280–450 ms via getInstance-per-call vs 145 ms with a reused
+  * MessageDigest (see OPTIMIZATION_r19.md). The engine md5-hashes
+  * every 8-word window / shingle / n-gram on the dedup and
+  * decontamination hot paths, so the per-call constant multiplies by
+  * corpus size at 100 TB. This helper reuses [[Md5ChunksUtil]]'s
+  * discipline: per-thread MessageDigest + grow-on-demand input buffer,
+  * one `byte[32]` hex output allocation per call (wrapped, not copied,
+  * by `UTF8String.fromBytes`). Output is bit-identical to
+  * `md5(cast(s as binary))` — lowercase hex over the UTF-8 bytes — so
+  * swapping call sites never perturbs an oracle hash (Md5ChunksSpec
+  * pins the parity). */
+object Md5HexUtil {
+  private val HEX: Array[Byte] = "0123456789abcdef".getBytes
+  private final class Scratch {
+    val md: java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+    var in: Array[Byte] = new Array[Byte](64)
+    val out = new Array[Byte](16)
+  }
+  private val scratch = new ThreadLocal[Scratch] {
+    override def initialValue(): Scratch = new Scratch
+  }
+  def hex(s: UTF8String): UTF8String = {
+    val sc = scratch.get()
+    val n = s.numBytes()
+    if (sc.in.length < n)
+      // clamp past 2^30 like Md5ChunksUtil.fill: grow must never go negative
+      sc.in = new Array[Byte](math.max(n, Integer.highestOneBit(n) * 2))
+    s.writeToMemory(sc.in, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
+    val md = sc.md
+    md.reset()
+    md.update(sc.in, 0, n)
+    md.digest(sc.out, 0, 16)
+    val h = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      val b = sc.out(i) & 0xff
+      h(i << 1) = HEX(b >>> 4)
+      h((i << 1) + 1) = HEX(b & 0xf)
+      i += 1
+    }
+    UTF8String.fromBytes(h)
+  }
+}
+
+/** Codegen'd drop-in for `org.apache.spark.sql.functions.md5` over a
+  * STRING column (see [[Md5HexUtil]]); same null semantics, same
+  * lowercase-hex output. */
+case class Md5Hex(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"requires STRING, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any =
+    Md5HexUtil.hex(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Md5HexUtil.hex($c)")
+  override protected def withNewChildInternal(newChild: Expression): Md5Hex =
+    copy(child = newChild)
+}
+
 /** Native codegen'd `array<bigint>` of the four md5 32-bit chunks of a
   * string — the oracle-mirrorable minhash coefficient source for the
   * blocked set-similarity join (operators/IndexingQueries.blockedSetJoin)

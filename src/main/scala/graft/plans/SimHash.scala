@@ -107,9 +107,18 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   * `simhash64($"text")`. */
 object GraftFunctions {
   def simhash64(c: Column): Column = call_function("simhash64", c)
-  def md5_chunks(c: Column): Column = call_function("md5_chunks", c)
+  def md5_chunks(c: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      Md5Chunks(org.apache.spark.sql.graft.Bridge.expression(c)))
   def md5_chunk(c: Column, idx: Int): Column =
-    call_function("md5_chunk", c, org.apache.spark.sql.functions.lit(idx))
+    org.apache.spark.sql.graft.Bridge.column(
+      Md5Chunk(org.apache.spark.sql.graft.Bridge.expression(c), idx))
+  /** Drop-in fast `md5` over STRING (bit-identical hex; [[Md5Hex]]).
+    * Built via the Bridge, NOT the function registry, so call sites
+    * need no register()/extensions ordering — usable from any session. */
+  def md5_fast(c: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      Md5Hex(org.apache.spark.sql.graft.Bridge.expression(c)))
   def rolling_hash(c: Column): Column = call_function("rolling_hash", c)
   def vec_cosine(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
   def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
@@ -126,6 +135,7 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"md5_chunk index must be an int literal, got $other")
       }), "scala_udf")
+    reg.createOrReplaceTempFunction("md5_fast", es => Md5Hex(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("rolling_hash", es => RollingHash(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("vec_cosine", es => CosineSim(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("vec_dot", es => DotProduct(es(0), es(1)), "scala_udf")

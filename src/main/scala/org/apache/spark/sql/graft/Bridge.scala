@@ -22,6 +22,17 @@ object Bridge {
       f: Iterator[InternalRow] => Iterator[InternalRow]): RDD[InternalRow] =
     rdd.mapPartitionsInternal(f)
 
+  /** Column from a catalyst Expression (r19: lets hot-path native
+    * expressions like [[graft.plans.Md5Hex]] be used without per-session
+    * function registration — registration order was the only reason the
+    * fast digest could not be a drop-in). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** Catalyst Expression behind a (possibly unresolved) Column. */
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
   /** Release the block-manager storage behind a `localCheckpoint()`ed
     * DataFrame. `Dataset.unpersist()` only clears CacheManager entries;
     * the checkpoint's blocks belong to the internal RDD captured in the

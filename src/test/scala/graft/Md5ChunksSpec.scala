@@ -75,4 +75,24 @@ class Md5ChunksSpec extends SparkSpec {
       .select(GraftFunctions.md5_chunks($"t")).collect()
     assert(nullRow.head.isNullAt(0))
   }
+
+  test("md5_fast is bit-identical to builtin md5 over strings, null/empty included") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // interpreter path AND codegen path must both match the builtin:
+    // alternating lengths exercise the grow-on-demand buffer reuse
+    val long1 = (1 to 5000).map(i => s"w$i").mkString(" ")
+    val all = texts ++ Seq(long1, "after-long-short")
+    val df = all.toDF("t")
+    val builtin = df.select(md5($"t")).collect().map(_.getString(0))
+    val fast = df.select(GraftFunctions.md5_fast($"t")).collect().map(_.getString(0))
+    assert(fast.toSeq === builtin.toSeq)
+    // null in, null out — same as the builtin
+    val nullRow = Seq[Option[String]](None).toDF("t")
+      .select(GraftFunctions.md5_fast($"t")).collect()
+    assert(nullRow.head.isNullAt(0))
+    // SQL surface (GraftExtensions injection) resolves too
+    val viaSql = spark.sql("SELECT md5_fast('abc') AS h").collect().head.getString(0)
+    assert(viaSql === "900150983cd24fb0d6963f7d28e17f72")
+  }
 }

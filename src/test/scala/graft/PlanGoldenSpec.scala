@@ -33,12 +33,15 @@ class PlanGoldenSpec extends SparkSpec {
     "q149_salted_join" -> ((2, 0, 2)),
     "q152_span_dedup_rewrite" -> ((2, 0, 4)),
     "q164_bigram_lm_score" -> ((2, 0, 5)),
-    // re-signed round 13: the vocab rarity-rank dict now comes out of
-    // the two-pass seqIds (localCheckpoint boundary, no size stats), so
-    // the token->dict join plans as SortMergeJoin — the CORRECT choice:
-    // the dict is vocabulary-sized (corpus-growing under Heaps' law),
-    // broadcasting it at 100 TB was the old plan's latent risk
-    "q166_prefix_jaccard_join" -> ((4, 1, 5)),
+    // re-signed round 19: toks and docArr are now materialized (one
+    // corpus scan instead of four) and the exact verify reads the doc
+    // rank-ARRAYS (two joins against docArr + in-row array_intersect)
+    // instead of re-joining the exploded token relation with itself —
+    // the q554 verify discipline. Joins behind the checkpoint
+    // boundaries carry no size stats, so they PLAN as SortMergeJoin
+    // (scale-safe default); AQE re-picks broadcast at runtime where a
+    // side is measured small.
+    "q166_prefix_jaccard_join" -> ((0, 3, 7)),
     "q175_sliding_window_agg" -> ((0, 0, 1)),
     "q177_heavy_hitter_cube" -> ((0, 0, 1)),
     "q181_ks_drift" -> ((1, 0, 3)),
@@ -48,11 +51,20 @@ class PlanGoldenSpec extends SparkSpec {
     "q190_ann_eval" -> ((2, 0, 2)),
     "q197_interval_overlap" -> ((1, 0, 1)),
     "q200_audience_overlap" -> ((0, 0, 5)),
-    "q205_session_overlap" -> ((1, 0, 3)),
+    // re-signed round 19: ONE session_window aggregation via
+    // IntervalJoin.selfOverlap (materialized cell relation self-join)
+    // instead of building the identical session relation per join side
+    // — two of the three hash exchanges (the duplicate session agg +
+    // its cell shuffle) are gone
+    "q205_session_overlap" -> ((1, 0, 1)),
     "q20_clean_cast_pipeline" -> ((0, 0, 0)),
     "q212_scd2_enrichment" -> ((0, 0, 3)),
     "q214_segment_gini" -> ((1, 0, 2)),
-    "q215_linear_interpolation" -> ((1, 0, 1)),
+    // re-signed round 19: the spine is ONE global aggregation (bounds +
+    // bounded priority domain via collect_set) instead of a bounds agg
+    // + a distinct + a broadcast cross-join — the distinct's hash
+    // exchange is gone
+    "q215_linear_interpolation" -> ((1, 0, 0)),
     // re-signed round 13: Fx.materialize on the orders aggregate ended
     // the triple U/I/D recompute (SCALE.md), deleting 3 of 5 exchanges
     "q225_cdc_merge" -> ((1, 1, 2)),
