@@ -105,24 +105,33 @@ object ScaleQueries {
 
   // ---- q148: Bloom-filter decontamination prefilter -----------------
 
-  /** Distinct 8-word shingles of a doc, as md5 hex digests — the
-    * cross-engine key both position hashes derive from. Takes the
-    * MATERIALIZED words array (callers project `split` into its own
-    * column first): inlining the split here would re-split the text
-    * per element access under interpreted HOF eval (~7× slower). */
-  private def gramDigests(w: Column): Column =
+  /** Distinct 8-word shingles of a doc as STRINGS (r19): the engine
+    * side now derives both Bloom positions straight from the gram
+    * string via the allocation-free [[graft.plans.Md5Chunk]] scalars —
+    * one memoized digest per gram, no 32-char hex materialization, no
+    * radix-16 substring parses. Distinct-over-strings ≡
+    * distinct-over-digests absent an md5 collision of two different
+    * 8-gram strings (the engine-wide assumption every digest-keyed
+    * query already makes). The oracle still spells out the
+    * digest-hex/substr derivation verbatim. Takes the MATERIALIZED
+    * words array (callers project `split` into its own column first):
+    * inlining the split here would re-split the text per element
+    * access under interpreted HOF eval (~7× slower). */
+  private def gramStrings(w: Column): Column =
     when(size(w) >= 8,
       array_distinct(transform(sequence(lit(1), size(w) - 7),
-        i => md5_fast(array_join(slice(w, i, lit(8)), " ")))))
+        i => array_join(slice(w, i, lit(8)), " "))))
       .otherwise(array().cast("array<string>"))
 
   private val gramDigestsSql =
     "list_distinct(list_transform(range(1, greatest(len(w) - 6, 1)), " +
       "i -> md5(array_to_string(w[i:i+7], ' '))))"
 
-  /** bit position `off`∈{1,9}: hex slice of the digest mod 2^18. */
-  private def bloomPos(g: Column, off: Int): Column =
-    pmod(conv(substring(g, off, 8), 16, 10).cast("long"), lit(262144L))
+  /** bit position idx∈{0,1}: 32-bit md5 chunk of the gram mod 2^18 —
+    * value-identical to `pmod(conv(substring(hex, 1|9, 8), 16, 10),
+    * 262144)` (Md5ChunksSpec pins chunk ≡ conv chain). */
+  private def bloomPos(g: Column, idx: Int): Column =
+    pmod(graft.plans.GraftFunctions.md5_chunk(g, idx), lit(262144L))
 
   /** q148 — q95's decontamination check through a 2^18-bit Bloom
     * filter (k=2, both hashes sliced from one md5): eval-slice grams
@@ -144,17 +153,17 @@ object ScaleQueries {
     val docs = Tables.documents(s, d)
     val evalPos = docs.filter($"source" === "src0")
       .select(split($"text", " ").as("w"))
-      .select(explode(gramDigests($"w")).as("g"))
-      .select(explode(array(bloomPos($"g", 1), bloomPos($"g", 9))).as("p"))
+      .select(explode(gramStrings($"w")).as("g"))
+      .select(explode(array(bloomPos($"g", 0), bloomPos($"g", 1))).as("p"))
       .distinct()
     val bloom = evalPos
       .groupBy(shiftright($"p", 5).as("idx"))
       .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))")).as("wd"))
     val train = docs.filter($"source" =!= "src0")
       .select($"doc_id", split($"text", " ").as("w"))
-      .select($"doc_id", explode_outer(gramDigests($"w")).as("g"))
-      .withColumn("p1", bloomPos($"g", 1))
-      .withColumn("p2", bloomPos($"g", 9))
+      .select($"doc_id", explode_outer(gramStrings($"w")).as("g"))
+      .withColumn("p1", bloomPos($"g", 0))
+      .withColumn("p2", bloomPos($"g", 1))
     val hit = train
       .join(broadcast(bloom.select($"idx".as("idx1"), $"wd".as("w1"))),
         shiftright($"p1", 5) === $"idx1", "left")
